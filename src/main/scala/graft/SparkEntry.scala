@@ -1,13 +1,226 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Correlate, Metrics, Relational, Schedule}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+ *
+ * Each entry is one operator from SURVEY.md §2, expressed Spark-first
+ * (declarative DataFrame; Catalyst plans it) with a DuckDB oracle twin.
+ * Column names and types are aligned between both sides (driver compare
+ * sorts columns by name and hashes values). Numeric conventions:
+ * fixed-decimal sums go through DECIMAL (order-independent exactness,
+ * see Metrics.exactSum); counts are BIGINT on both sides; DuckDB's
+ * ns-precision event timestamps are CAST to µs TIMESTAMP to match
+ * Spark's reader (see Tables.events).
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+   * The reference's flagship rule shape: "order placed but not paid
+   * within T ⇒ reminder" (reference:
+   * examples/online_shop/rules/CheckOrderPayment.php:65-86), on the
+   * events fixture: signup with no purchase within 1 hour. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Correlate.sequenceTimeout(
+      Tables.events(spark, "/root/testdata/sf0.001"), "signup", "purchase", "1 HOUR")
+
+  /** DuckDB CTE normalising events.ts (TIMESTAMP_NS) to µs precision —
+   * identical values to Spark's ns→µs truncating reader. */
+  private val E =
+    "WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- §2.3 filters / projections -------------------------------
+    "q_f1_dispatch" -> ((s, d) =>
+      Relational.ofType(Tables.events(s, d), "error")
+        .select("event_id", "user_id", "ts")),
+    "q_f7_validate_enrich" -> ((s, d) =>
+      Relational.validateEnrichFilter(Tables.events(s, d))),
+    "q_f8_range" -> ((s, d) =>
+      Tables.events(s, d)
+        .filter(Relational.rangeInclusive(col("value"), 50.0, 150.0))
+        .select("event_id", "value")),
+    "q_f10_clamp" -> ((s, d) =>
+      Relational.receivedTimeClamp(
+        Tables.events(s, d), lit("2024-01-15 00:00:00").cast("timestamp"))),
+    "q_f6_suppress" -> ((s, d) =>
+      Correlate.suppressDuplicates(Tables.events(s, d))
+        .select("event_id", "user_id", "event_type", "ts")),
+    // ---- §2.4 correlation -----------------------------------------
+    "q_j1_seq_pair" -> ((s, d) =>
+      Correlate.sequencePair(Tables.events(s, d), "signup", "purchase")),
+    "q_j2_seq_timeout" -> ((s, d) =>
+      Correlate.sequenceTimeout(Tables.events(s, d), "signup", "purchase", "1 HOUR")),
+    "q_j5_sessions" -> ((s, d) =>
+      Correlate.gapSessions(Tables.events(s, d), gapSec = 1800L)),
+    "q_j6_chain" -> ((s, d) =>
+      Correlate.chainedEscalation(Tables.events(s, d), "signup", "purchase", "1 HOUR", 3L)),
+    "q_j7_first_per_key" -> ((s, d) =>
+      Correlate.firstPerKey(Tables.events(s, d), "signup")),
+    "q_j9_enrich_memory" -> ((s, d) =>
+      Correlate.enrichFromMemory(Tables.events(s, d), "purchase", "error")),
+    // ---- §2.5 metrics ---------------------------------------------
+    "q_a1_eps" -> ((s, d) => Metrics.epsCounter(Tables.events(s, d), "minute")),
+    "q_a2_load_avg" -> ((s, d) => Metrics.loadAverage(Tables.events(s, d), 60)),
+    "q_a3_stats" -> ((s, d) => Metrics.statistics(Tables.events(s, d))),
+    "q_a5_histogram" -> ((s, d) => Metrics.histogram(Tables.documents(s, d), "n_chars")),
+    "q_a6_chain_accessors" -> ((s, d) => Metrics.chainAccessors(Tables.events(s, d))),
+    "q_a7_trailing_chain" -> ((s, d) => Metrics.trailingChain(Tables.events(s, d), 5)),
+    "q_a8_recent_events" -> ((s, d) => Metrics.recentEvents(Tables.events(s, d), 100)),
+    // ---- §2.6 temporal --------------------------------------------
+    "q_t1_cron_ticks" -> ((s, d) =>
+      Schedule.ticks(Tables.events(s, d), Schedule.parse("*/15 9-17 * * 1-5"))),
+    // ---- relational enrichment faces ------------------------------
+    "q_r1_pricing_summary" -> ((s, d) => Relational.pricingSummary(Tables.lineitem(s, d))),
+    "q_r2_customer_geo" -> ((s, d) =>
+      Relational.customerGeo(Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_f1_dispatch" ->
+      s"""$E SELECT event_id, user_id, ts FROM e WHERE event_type = 'error'""",
+    "q_f7_validate_enrich" ->
+      s"""$E SELECT event_id, user_id, event_type, value,
+         | CAST(json_extract_string(props, '$$.k') AS INTEGER) AS k,
+         | CASE WHEN value < 50 THEN 'low' WHEN value < 150 THEN 'mid' ELSE 'high' END AS value_band
+         | FROM e
+         | WHERE value IS NOT NULL AND value >= 0 AND event_type IS NOT NULL
+         |   AND CAST(json_extract_string(props, '$$.k') AS INTEGER) >= 10""".stripMargin,
+    "q_f8_range" ->
+      s"""$E SELECT event_id, value FROM e WHERE value BETWEEN 50.0 AND 150.0""",
+    "q_f10_clamp" ->
+      s"""$E SELECT event_id, ts,
+         | CASE WHEN ABS(epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-15 00:00:00')) > 600000000
+         |      THEN TIMESTAMP '2024-01-15 00:00:00' ELSE ts END AS effective_ts
+         | FROM e""".stripMargin,
+    "q_f6_suppress" ->
+      s"""$E, r AS (
+         |  SELECT event_id, user_id, event_type, ts,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type, date_trunc('minute', ts)
+         |                       ORDER BY ts, event_id) AS rn
+         |  FROM e)
+         | SELECT event_id, user_id, event_type, ts FROM r WHERE rn = 1""".stripMargin,
+    "q_j1_seq_pair" ->
+      s"""$E SELECT s.user_id, s.event_id AS first_event_id, s.ts AS first_ts, MIN(p.ts) AS then_ts
+         | FROM e s JOIN e p
+         |   ON p.user_id = s.user_id AND p.event_type = 'purchase' AND p.ts >= s.ts
+         | WHERE s.event_type = 'signup'
+         | GROUP BY s.user_id, s.event_id, s.ts""".stripMargin,
+    "q_j2_seq_timeout" ->
+      s"""$E SELECT s.user_id, s.event_id AS first_event_id, s.ts AS first_ts
+         | FROM e s LEFT JOIN e p
+         |   ON p.user_id = s.user_id AND p.event_type = 'purchase'
+         |   AND p.ts >= s.ts AND p.ts < s.ts + INTERVAL 1 HOUR
+         | WHERE s.event_type = 'signup' AND p.event_id IS NULL""".stripMargin,
+    "q_j5_sessions" ->
+      s"""$E, d AS (
+         |  SELECT user_id, event_id, ts,
+         |    CASE WHEN LAG(ts) OVER w IS NULL
+         |           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+         |         THEN 1 ELSE 0 END AS new_session
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         | s AS (
+         |  SELECT user_id, ts,
+         |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         |  FROM d)
+         | SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         |   MIN(ts) AS session_start, MAX(ts) AS session_end
+         | FROM s GROUP BY user_id, session_id""".stripMargin,
+    "q_j6_chain" ->
+      s"""$E, reminders AS (
+         |  SELECT s.user_id FROM e s LEFT JOIN e p
+         |    ON p.user_id = s.user_id AND p.event_type = 'purchase'
+         |    AND p.ts >= s.ts AND p.ts < s.ts + INTERVAL 1 HOUR
+         |  WHERE s.event_type = 'signup' AND p.event_id IS NULL)
+         | SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_reminders
+         | FROM reminders GROUP BY user_id HAVING COUNT(*) >= 3""".stripMargin,
+    "q_j7_first_per_key" ->
+      s"""$E, r AS (
+         |  SELECT user_id, event_id, ts,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+         |  FROM e WHERE event_type = 'signup')
+         | SELECT user_id, ts AS first_ts, event_id AS first_event_id
+         | FROM r WHERE rn = 1""".stripMargin,
+    "q_j9_enrich_memory" ->
+      s"""$E, mem AS (
+         |  SELECT user_id, arg_max(value, event_id) AS memory_value
+         |  FROM e WHERE event_type = 'purchase' GROUP BY user_id)
+         | SELECT e.event_id, e.user_id, e.ts, e.value, mem.memory_value
+         | FROM e LEFT JOIN mem ON mem.user_id = e.user_id
+         | WHERE e.event_type = 'error'""".stripMargin,
+    "q_a1_eps" ->
+      s"""$E SELECT date_trunc('minute', ts) AS bucket_ts, CAST(COUNT(*) AS BIGINT) AS n_events
+         | FROM e GROUP BY 1""".stripMargin,
+    "q_a2_load_avg" ->
+      s"""$E, pm AS (
+         |  SELECT date_trunc('minute', ts) AS bucket_ts, CAST(COUNT(*) AS BIGINT) AS n_events
+         |  FROM e GROUP BY 1),
+         | bounds AS (SELECT MIN(bucket_ts) AS lo, MAX(bucket_ts) AS hi FROM pm),
+         | dense AS (SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS bucket_ts FROM bounds),
+         | j AS (SELECT d.bucket_ts, COALESCE(pm.n_events, 0) AS n_events
+         |       FROM dense d LEFT JOIN pm ON pm.bucket_ts = d.bucket_ts)
+         | SELECT bucket_ts, n_events,
+         |   CAST(ROUND(AVG(n_events) OVER (ORDER BY bucket_ts
+         |     ROWS BETWEEN 59 PRECEDING AND CURRENT ROW), 6) AS DOUBLE) AS load_avg
+         | FROM j""".stripMargin,
+    "q_a3_stats" ->
+      s"""$E SELECT event_type, CAST(COUNT(*) AS BIGINT) AS seen,
+         |   CAST(COUNT(value) AS BIGINT) AS with_value,
+         |   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         | FROM e GROUP BY event_type""".stripMargin,
+    "q_a5_histogram" ->
+      s"""SELECT CAST(LEAST(GREATEST(CAST(POWER(2, CEIL(LOG2(GREATEST(n_chars, 1)))) AS BIGINT), 64), 1048576) AS BIGINT) AS bucket,
+         |   CAST(COUNT(*) AS BIGINT) AS n
+         | FROM documents GROUP BY 1""".stripMargin,
+    "q_a6_chain_accessors" ->
+      s"""$E, r AS (
+         |  SELECT user_id, event_id, ts,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_a,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_d
+         |  FROM e),
+         | g AS (
+         |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS chain_len,
+         |    MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+         |    MIN(CASE WHEN event_type = 'error' THEN ts END) AS first_error_ts
+         |  FROM e GROUP BY user_id)
+         | SELECT g.user_id, g.chain_len, g.first_ts, g.last_ts,
+         |   f.event_id AS first_event_id, l.event_id AS last_event_id, g.first_error_ts
+         | FROM g
+         | JOIN (SELECT user_id, event_id FROM r WHERE rn_a = 1) f ON f.user_id = g.user_id
+         | JOIN (SELECT user_id, event_id FROM r WHERE rn_d = 1) l ON l.user_id = g.user_id""".stripMargin,
+    "q_a7_trailing_chain" ->
+      s"""$E SELECT user_id, event_id, ts,
+         |   CAST(COUNT(*) OVER w AS BIGINT) AS chain_size,
+         |   CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS chain_sum_value
+         | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+         |   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q_a8_recent_events" ->
+      s"""$E SELECT event_id, ts, user_id, event_type FROM e
+         | ORDER BY ts DESC, event_id DESC LIMIT 100""".stripMargin,
+    "q_t1_cron_ticks" ->
+      s"""$E, bounds AS (
+         |  SELECT date_trunc('minute', MIN(ts)) AS lo, date_trunc('minute', MAX(ts)) AS hi FROM e),
+         | grid AS (SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS tick_ts FROM bounds)
+         | SELECT tick_ts FROM grid
+         | WHERE minute(tick_ts) % 15 = 0 AND hour(tick_ts) BETWEEN 9 AND 17
+         |   AND isodow(tick_ts) BETWEEN 1 AND 5""".stripMargin,
+    "q_r1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         |   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         |   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+         |   CAST(ROUND(AVG(l_quantity), 6) AS DOUBLE) AS avg_qty,
+         |   CAST(COUNT(*) AS BIGINT) AS count_order
+         | FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         | GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q_r2_customer_geo" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name AS nation, r_name AS region
+         | FROM customer
+         | JOIN nation ON c_nationkey = n_nationkey
+         | JOIN region ON n_regionkey = r_regionkey""".stripMargin,
+  )
 }

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Loaders for the driver-provided parquet fixtures (TESTDATA.md).
+ *
+ * The `events` table is written with parquet TIMESTAMP(NANOS), which
+ * Spark's vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). We read it
+ * with `spark.sql.legacy.parquet.nanosAsLong` and truncate ns→µs
+ * ourselves, which matches DuckDB's TIMESTAMP_NS→TIMESTAMP cast
+ * semantics (truncation toward zero for positive epochs), so the oracle
+ * sees identical microsecond values.
+ *
+ * All loaders return plain scans — filters/projections applied by the
+ * caller push down into the parquet reader (verify with
+ * `.explain("formatted")`: PushedFilters / ReadSchema).
+ */
+object Tables {
+
+  def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
+
+  private def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(path(sfDir, name))
+
+  /** events(event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+   *  event_type STRING, value DOUBLE, props STRING) */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = read(spark, sfDir, "events")
+    // ts arrives as LongType nanos under the legacy conf; `div` keeps the
+    // conversion in integer space (no double rounding).
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "orders")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "part")
+  def nation(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "region")
+  def documents(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "embeddings")
+}

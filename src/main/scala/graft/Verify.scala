@@ -12,11 +12,25 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // µs-typed parquet output so the driver's DuckDB compare sees the
+      // same timestamp precision Spark computed with (INT96 would read
+      // back as legacy ns).
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // DuckDB's oracle results are naive (no-TZ) timestamps; Spark's
+    // TimestampType is UTC-adjusted. Cast to TIMESTAMP_NTZ on output
+    // (session TZ is UTC, so values are unchanged) so the parquet
+    // annotation matches what the oracle produces.
+    def ntz(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.schema.fields.foldLeft(df) { (acc, f) =>
+        if (f.dataType == org.apache.spark.sql.types.TimestampType)
+          acc.withColumn(f.name, acc(f.name).cast("timestamp_ntz"))
+        else acc
+      }
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try ntz(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -1,0 +1,169 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Batch faces of the reference's correlation operators — the "join/window
+ * heart" of the engine (SURVEY.md §2.4). The reference has no relational
+ * joins; its join-equivalent is keyed sequence correlation: N-step event
+ * chains with a context equi-key and an event-time gap timeout
+ * (reference: src/StateMachine/AEventProcessor.php:137,178-222).
+ *
+ * Each operator here is a declarative DataFrame transform so Catalyst
+ * plans it (predicate pushdown into the scan, sort-merge or broadcast
+ * join selection, AQE skew handling). The streaming faces live in
+ * [[graft.streaming.RuleInterpreter]].
+ *
+ * Scale notes (100 TB): every self-correlation below keys the shuffle on
+ * the correlation key (`user_id`), so the plan is one exchange per side
+ * reused across the join and downstream window functions. Time-range
+ * predicates ride along as join residuals — no cross product. Partial
+ * aggregation (map-side combine) applies to all groupBys.
+ */
+object Correlate {
+
+  /**
+   * J1 — Sequence match: for each `firstType` event, pair it with the
+   * FIRST subsequent `thenType` event of the same key (as-of join).
+   * Mirrors the two-step EVENTS chain with a context equi-key
+   * (reference: examples/online_shop/rules/CheckOrderPayment.php:66-77).
+   *
+   * Implemented as equi-join on the key with a time residual, then
+   * min-aggregation to pick the earliest continuation — shuffles once on
+   * the key; Catalyst pushes the event_type filters into the scan.
+   */
+  def sequencePair(
+      events: DataFrame,
+      firstType: String,
+      thenType: String,
+      key: String = "user_id"): DataFrame = {
+    val a = events.filter(col("event_type") === firstType)
+      .select(col(key), col("event_id").as("first_event_id"), col("ts").as("first_ts"))
+    val b = events.filter(col("event_type") === thenType)
+      .select(col(key).as("k2"), col("ts").as("then_ts"))
+    a.join(b, a(key) === b("k2") && col("then_ts") >= col("first_ts"))
+      .groupBy(col(key), col("first_event_id"), col("first_ts"))
+      .agg(min("then_ts").as("then_ts"))
+  }
+
+  /**
+   * J2 — Sequence + timeout → alarm: `firstType` events with NO
+   * `thenType` continuation on the same key within `[ts, ts + timeout)`.
+   * This is the reference's flagship rule shape ("order placed but not
+   * paid within T ⇒ reminder"; reference:
+   * examples/online_shop/rules/CheckOrderPayment.php:65-86 +
+   * src/StateMachine/AEventProcessor.php:367-396). The boundary is
+   * half-open because acceptEventTime rejects events at/after the
+   * deadline (reference: src/StateMachine/AEventProcessor.php:357-361).
+   *
+   * Left-anti join on the key with the time window as residual.
+   */
+  def sequenceTimeout(
+      events: DataFrame,
+      firstType: String,
+      thenType: String,
+      timeout: String, // SQL interval body, e.g. "1 HOUR"
+      key: String = "user_id"): DataFrame = {
+    val a = events.filter(col("event_type") === firstType)
+      .select(col(key), col("event_id").as("first_event_id"), col("ts").as("first_ts"))
+    val b = events.filter(col("event_type") === thenType)
+      .select(col(key).as("k2"), col("ts").as("then_ts"))
+    a.join(b,
+        a(key) === col("k2") &&
+          col("then_ts") >= col("first_ts") &&
+          col("then_ts") < col("first_ts") + expr(s"INTERVAL $timeout"),
+        "left_anti")
+      .select(col(key), col("first_event_id"), col("first_ts"))
+  }
+
+  /**
+   * J5 — Match-till-timeout / gap sessionisation: split each key's event
+   * stream into sessions separated by silences longer than `gapSec`
+   * (reference: tests/Rules/MatchContinuouslyTillTimeout.php:71-94 —
+   * "alarm when no event for gap T" is exactly a session boundary).
+   *
+   * lag/gap + running sum over one window partitioning — a single
+   * shuffle on the key serves both window passes.
+   */
+  def gapSessions(events: DataFrame, gapSec: Long, key: String = "user_id"): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col("ts"), col("event_id"))
+    val boundary = when(
+      col("prev_us").isNull || (unix_micros(col("ts")) - col("prev_us")) > gapSec * 1000000L, 1L
+    ).otherwise(0L)
+    events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_session", boundary)
+      .withColumn("session_id", sum("new_session").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(key), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("ts").as("session_start"),
+        max("ts").as("session_end"))
+  }
+
+  /**
+   * J6 — Chained rules: a rule's emissions feed other rules
+   * (reference: src/CorrelationEngine.php:372-391). Batch face is a CTE
+   * pipeline: stage-1 timeouts become the stage-2 input. Here: users
+   * accumulating >= `threshold` reminders escalate.
+   */
+  def chainedEscalation(
+      events: DataFrame,
+      firstType: String,
+      thenType: String,
+      timeout: String,
+      threshold: Long,
+      key: String = "user_id"): DataFrame =
+    sequenceTimeout(events, firstType, thenType, timeout, key)
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_reminders"))
+      .filter(col("n_reminders") >= threshold)
+
+  /**
+   * J9 — Enrichment join vs collective Memory
+   * (reference: src/Memory/MemoryInterface.php:204-222,
+   * src/StateMachine/AEventProcessor.php:147-158): rules read a shared
+   * KV store to enrich decisions. Batch face: derive the memory table
+   * (latest observation per key) and broadcast-join it — memory is
+   * small-by-construction (one row per key), so the join is map-side.
+   */
+  def enrichFromMemory(
+      events: DataFrame,
+      memoryEventType: String,
+      enrichEventType: String,
+      key: String = "user_id"): DataFrame = {
+    val memory = events.filter(col("event_type") === memoryEventType)
+      .groupBy(col(key))
+      .agg(max_by(col("value"), col("event_id")).as("memory_value"))
+    events.filter(col("event_type") === enrichEventType)
+      .select(col("event_id"), col(key), col("ts"), col("value"))
+      .join(broadcast(memory), Seq(key), "left")
+  }
+
+  /**
+   * F6 — Suppress, batch face: an earlier duplicate suppresses later
+   * processing of "the same" event (reference:
+   * src/CorrelationEngine.php:230-236). Dedup discipline: keep only the
+   * first event per (key, event_type, minute-bucket); the rest are
+   * suppressed. Single shuffle on the composite key.
+   */
+  def suppressDuplicates(events: DataFrame, key: String = "user_id"): DataFrame = {
+    val w = Window
+      .partitionBy(col(key), col("event_type"), date_trunc("minute", col("ts")))
+      .orderBy(col("ts"), col("event_id"))
+    events.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  /**
+   * J7 — Duplicate-start guard is the keying discipline itself: one
+   * matcher per (rule, key) — batch equivalent of groupBy on the key.
+   * Exposed for the inventory as: distinct first-event per key+type.
+   */
+  def firstPerKey(events: DataFrame, eventType: String, key: String = "user_id"): DataFrame =
+    events.filter(col("event_type") === eventType)
+      .groupBy(col(key))
+      .agg(min("ts").as("first_ts"), min_by(col("event_id"), struct(col("ts"), col("event_id"))).as("first_event_id"))
+}

@@ -1,0 +1,122 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Scheduled/temporal operators (SURVEY.md §2.6): the reference's Cron
+ * rule (reference: src/Rule/Cron.php:32-233) fires `onSchedule(ts)` per
+ * 5-field cron expression with @aliases; in batch replay the next-run is
+ * derived from observed event time (reference: src/Rule/Cron.php:204-212).
+ *
+ * Batch face: expand the schedule over the data's event-time span as a
+ * distributed minute grid (`sequence` + `explode`) filtered by the cron
+ * field sets — no driver-side loop, scales to arbitrary spans.
+ */
+object Schedule {
+
+  /** Parsed 5-field cron: sets of accepted values per field.
+   * dom/dow carry whether the field was restricted (non-`*`), because
+   * standard cron ORs dom/dow when BOTH are restricted. */
+  final case class Cron(
+      minutes: Set[Int], hours: Set[Int], dom: Set[Int], months: Set[Int], dow: Set[Int],
+      domRestricted: Boolean, dowRestricted: Boolean)
+
+  private val aliases = Map(
+    "@hourly" -> "0 * * * *",
+    "@daily" -> "0 0 * * *",
+    "@midnight" -> "0 0 * * *",
+    "@weekly" -> "0 0 * * 0",
+    "@monthly" -> "0 0 1 * *",
+    "@yearly" -> "0 0 1 1 *",
+    "@annually" -> "0 0 1 1 *")
+
+  /** Parse one cron field: star, step (star-slash-n), range, list, range-with-step. */
+  private[ops] def parseField(field: String, lo: Int, hi: Int, normalize: Int => Int = identity): (Set[Int], Boolean) = {
+    if (field == "*") ((lo to hi).toSet, false)
+    else {
+      val vals = field.split(',').flatMap { part =>
+        val (rangePart, step) = part.split('/') match {
+          case Array(r) => (r, 1)
+          case Array(r, s) => (r, s.toInt)
+          case _ => throw new IllegalArgumentException(s"bad cron field: $field")
+        }
+        val (a, b) =
+          if (rangePart == "*") (lo, hi)
+          else rangePart.split('-') match {
+            case Array(x) => (x.toInt, if (step > 1) hi else x.toInt)
+            case Array(x, y) => (x.toInt, y.toInt)
+            case _ => throw new IllegalArgumentException(s"bad cron range: $rangePart")
+          }
+        (a to b by step).map(normalize)
+      }.toSet
+      (vals, true)
+    }
+  }
+
+  /** Parse a 5-field cron expression or @alias (reference supports both;
+   * src/Rule/Cron.php:48-54). @reboot/@shutdown map to control events,
+   * not schedules — handled by the streaming lifecycle, not here. */
+  def parse(expr: String): Cron = {
+    val resolved = aliases.getOrElse(expr.trim, expr.trim)
+    require(!resolved.startsWith("@"), s"non-schedule alias: $resolved")
+    val fields = resolved.split("\\s+")
+    require(fields.length == 5, s"cron needs 5 fields: $expr")
+    val (mins, _) = parseField(fields(0), 0, 59)
+    val (hrs, _) = parseField(fields(1), 0, 23)
+    val (dom, domR) = parseField(fields(2), 1, 31)
+    val (mons, _) = parseField(fields(3), 1, 12)
+    // dow 0-7, 0 and 7 both Sunday; normalise to 0-6 (0=Sunday)
+    val (dow, dowR) = parseField(fields(4), 0, 7, v => if (v == 7) 0 else v)
+    Cron(mins, hrs, dom, mons, dow, domR, dowR)
+  }
+
+  /** Next fire time strictly after `after` (driver-side; used by the
+   * streaming scheduler and tests). Minute resolution like the reference. */
+  def nextAfter(cron: Cron, after: Timestamp): Timestamp = {
+    var t = after.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDateTime
+      .withSecond(0).withNano(0).plusMinutes(1)
+    var guard = 0
+    while (!matches(cron, t) && guard < 366 * 24 * 60 * 5) {
+      t = t.plusMinutes(1); guard += 1
+    }
+    Timestamp.from(t.toInstant(java.time.ZoneOffset.UTC))
+  }
+
+  private def matches(cron: Cron, t: java.time.LocalDateTime): Boolean = {
+    val dowOk = cron.dow.contains(t.getDayOfWeek.getValue % 7) // ISO 1-7 Mon-Sun → 0=Sunday
+    val domOk = cron.dom.contains(t.getDayOfMonth)
+    val dayOk =
+      if (cron.domRestricted && cron.dowRestricted) domOk || dowOk // standard cron OR
+      else domOk && dowOk
+    cron.minutes.contains(t.getMinute) && cron.hours.contains(t.getHour) &&
+      cron.months.contains(t.getMonthValue) && dayOk
+  }
+
+  /**
+   * T1 batch face — expand cron ticks over the event-time span of `df`'s
+   * `tsCol`. Produces one row per matching minute. The minute grid is
+   * generated distributed (sequence+explode from the aggregated bounds);
+   * the cron-set membership filters are plain `isin` — codegen'd.
+   */
+  def ticks(df: DataFrame, cron: Cron, tsCol: String = "ts"): DataFrame = {
+    val bounds = df.agg(
+      date_trunc("minute", min(col(tsCol))).as("lo"),
+      date_trunc("minute", max(col(tsCol))).as("hi"))
+    val grid = bounds.select(
+      explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 MINUTE"))).as("tick_ts"))
+    val dowCol = dayofweek(col("tick_ts")) - 1 // Spark: 1=Sunday..7 → 0=Sunday..6
+    val dayPred =
+      if (cron.domRestricted && cron.dowRestricted)
+        dayofmonth(col("tick_ts")).isin(cron.dom.toSeq: _*) || dowCol.isin(cron.dow.toSeq: _*)
+      else
+        dayofmonth(col("tick_ts")).isin(cron.dom.toSeq: _*) && dowCol.isin(cron.dow.toSeq: _*)
+    grid.filter(
+      minute(col("tick_ts")).isin(cron.minutes.toSeq: _*) &&
+        hour(col("tick_ts")).isin(cron.hours.toSeq: _*) &&
+        month(col("tick_ts")).isin(cron.months.toSeq: _*) &&
+        dayPred)
+  }
+}

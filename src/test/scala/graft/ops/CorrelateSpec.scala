@@ -1,0 +1,101 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+
+/** Behavioural cases mirroring the reference's rule tests
+ * (reference: tests/RuleTest.php, tests/Rules/MatchContinuouslyTillTimeout.php):
+ * sequence completes, timeout fires exactly once per unmatched head,
+ * gap sessions split, suppress keeps only the first duplicate. */
+class CorrelateSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def events(rows: (Long, String, Long, String, Double)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq
+      .map { case (id, t, u, e, v) => (id, ts(t), u, e, v, """{"k": 1}""") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  // order placed/paid shape: signup=head, purchase=continuation
+  private val base = events(
+    (1L, "2024-01-01 10:00:00", 1L, "signup", 1.0),
+    (2L, "2024-01-01 10:30:00", 1L, "purchase", 2.0), // within 1h of #1
+    (3L, "2024-01-01 12:00:00", 1L, "signup", 3.0),   // no purchase in 1h → alarm
+    (4L, "2024-01-01 14:00:00", 1L, "purchase", 4.0), // too late for #3
+    (5L, "2024-01-01 10:00:00", 2L, "signup", 5.0),   // other key, never paid → alarm
+    (6L, "2024-01-01 10:10:00", 3L, "purchase", 6.0)  // purchase with no signup: ignored
+  )
+
+  test("J2 sequence+timeout alarms exactly the unmatched heads") {
+    val got = Correlate.sequenceTimeout(base, "signup", "purchase", "1 HOUR")
+      .select("first_event_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(3L, 5L))
+  }
+
+  test("J2 timeout boundary is half-open: continuation at ts+T does not save the head") {
+    val df = events(
+      (1L, "2024-01-01 10:00:00", 1L, "signup", 0.0),
+      (2L, "2024-01-01 11:00:00", 1L, "purchase", 0.0)) // exactly +1h → timed out
+    val got = Correlate.sequenceTimeout(df, "signup", "purchase", "1 HOUR").count()
+    assert(got == 1L)
+  }
+
+  test("J1 sequence pairing picks the FIRST continuation") {
+    val got = Correlate.sequencePair(base, "signup", "purchase")
+      .where("first_event_id = 1").collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[Timestamp]("then_ts") == ts("2024-01-01 10:30:00"))
+  }
+
+  test("J5 gap sessions split on silence > gap") {
+    val df = events(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      (2L, "2024-01-01 10:10:00", 1L, "view", 0.0), // same session (10 min gap)
+      (3L, "2024-01-01 11:30:00", 1L, "view", 0.0), // 80 min silence → new session
+      (4L, "2024-01-01 09:00:00", 2L, "view", 0.0)) // other key: own session
+    val got = Correlate.gapSessions(df, gapSec = 1800L)
+    assert(got.count() == 3L)
+    val u1 = got.where("user_id = 1").orderBy("session_id")
+      .select("n_events").collect().map(_.getLong(0)).toSeq
+    assert(u1 == Seq(2L, 1L))
+  }
+
+  test("F6 suppress keeps only the first duplicate per (key,type,minute)") {
+    val df = events(
+      (1L, "2024-01-01 10:00:01", 1L, "click", 0.0),
+      (2L, "2024-01-01 10:00:30", 1L, "click", 0.0), // same minute dup → suppressed
+      (3L, "2024-01-01 10:01:00", 1L, "click", 0.0)) // next minute → kept
+    val got = Correlate.suppressDuplicates(df)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L))
+  }
+
+  test("J6 chained escalation thresholds reminder counts") {
+    val df = events(
+      (1L, "2024-01-01 10:00:00", 1L, "signup", 0.0),
+      (2L, "2024-01-01 12:00:00", 1L, "signup", 0.0),
+      (3L, "2024-01-01 14:00:00", 1L, "signup", 0.0), // user 1: 3 alarms
+      (4L, "2024-01-01 10:00:00", 2L, "signup", 0.0)) // user 2: 1 alarm
+    val got = Correlate.chainedEscalation(df, "signup", "purchase", "1 HOUR", 3L)
+      .collect()
+    assert(got.length == 1 && got.head.getLong(0) == 1L)
+  }
+
+  test("J9 memory enrichment joins the latest observation per key") {
+    val df = events(
+      (1L, "2024-01-01 10:00:00", 1L, "purchase", 10.0),
+      (2L, "2024-01-01 11:00:00", 1L, "purchase", 20.0), // latest memory for user 1
+      (3L, "2024-01-01 12:00:00", 1L, "error", 0.0),
+      (4L, "2024-01-01 12:00:00", 2L, "error", 0.0)) // no memory → null
+    val got = Correlate.enrichFromMemory(df, "purchase", "error")
+    val byUser = got.collect()
+      .map(r => r.getAs[Long]("user_id") -> Option(r.getAs[java.lang.Double]("memory_value"))).toMap
+    assert(byUser(1L).contains(20.0))
+    assert(byUser(2L).isEmpty)
+  }
+}

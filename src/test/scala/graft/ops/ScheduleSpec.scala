@@ -1,0 +1,60 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cron semantics mirroring the reference's CronRuleTest
+ * (reference: tests/CronRuleTest.php:106-203): schedule advance,
+ * aliases, field forms, dom/dow OR rule. */
+class ScheduleSpec extends AnyFunSuite {
+
+  test("field forms: star, step, range, list, range-with-step") {
+    assert(Schedule.parseField("*", 0, 59)._1.size == 60)
+    assert(Schedule.parseField("*/15", 0, 59)._1 == Set(0, 15, 30, 45))
+    assert(Schedule.parseField("9-17", 0, 23)._1 == (9 to 17).toSet)
+    assert(Schedule.parseField("1,3,5", 0, 7)._1 == Set(1, 3, 5))
+    assert(Schedule.parseField("10-20/5", 0, 59)._1 == Set(10, 15, 20))
+  }
+
+  test("dow 7 normalises to Sunday=0") {
+    val c = Schedule.parse("0 0 * * 7")
+    assert(c.dow == Set(0))
+  }
+
+  test("aliases expand") {
+    assert(Schedule.parse("@hourly").minutes == Set(0))
+    assert(Schedule.parse("@daily").hours == Set(0))
+    assert(Schedule.parse("@monthly").dom == Set(1))
+  }
+
+  test("nextAfter advances to the next matching minute") {
+    val c = Schedule.parse("*/15 * * * *")
+    val got = Schedule.nextAfter(c, Timestamp.valueOf("2024-01-01 10:07:30"))
+    assert(got == Timestamp.valueOf("2024-01-01 10:15:00"))
+  }
+
+  test("nextAfter strictly after an exact match") {
+    val c = Schedule.parse("0 * * * *")
+    val got = Schedule.nextAfter(c, Timestamp.valueOf("2024-01-01 10:00:00"))
+    assert(got == Timestamp.valueOf("2024-01-01 11:00:00"))
+  }
+
+  test("dom/dow are ORed when both restricted (standard cron)") {
+    // fires on the 15th OR on Mondays
+    val c = Schedule.parse("0 0 15 * 1")
+    // 2024-01-08 is a Monday, not the 15th
+    val mon = Schedule.nextAfter(c, Timestamp.valueOf("2024-01-07 23:59:00"))
+    assert(mon == Timestamp.valueOf("2024-01-08 00:00:00"))
+    // 2024-01-15 is a Monday too; from the 9th the next is the 15th (dom)
+    val dom = Schedule.nextAfter(c, Timestamp.valueOf("2024-01-09 00:00:00"))
+    assert(dom == Timestamp.valueOf("2024-01-15 00:00:00"))
+  }
+
+  test("weekday-restricted schedule skips weekends (AND when dom is star)") {
+    val c = Schedule.parse("0 9 * * 1-5")
+    // Friday 2024-01-05 09:00 → next is Monday 2024-01-08 09:00
+    val got = Schedule.nextAfter(c, Timestamp.valueOf("2024-01-05 09:00:00"))
+    assert(got == Timestamp.valueOf("2024-01-08 09:00:00"))
+  }
+}
