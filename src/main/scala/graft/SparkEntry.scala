@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Correlate, Metrics, Relational, Schedule}
+import graft.ops.{Correlate, Dedup, Metrics, Multimodal, Relational, Schedule, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
  *
@@ -77,7 +77,35 @@ object SparkEntry {
     "q_r1_pricing_summary" -> ((s, d) => Relational.pricingSummary(Tables.lineitem(s, d))),
     "q_r2_customer_geo" -> ((s, d) =>
       Relational.customerGeo(Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
+    // ---- training-data pipeline: dedup ----------------------------
+    "q_d1_exact_dedup" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
+    "q_d2_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
+    "q_d3_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
+    "q_d4_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
+    "q_d5_embed_neardup" -> ((s, d) => Similarity.embeddingNearDup(Tables.embeddings(s, d))),
+    // ---- training-data pipeline: similarity search ----------------
+    "q_s1_ann_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))),
+    "q_s2_ann_lsh" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d))),
+    // ---- training-data pipeline: text analysis --------------------
+    "q_x1_langid" -> ((s, d) => TextAnalysis.languageId(Tables.documents(s, d))),
+    "q_x2_tokens" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
+    "q_x3_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
+    "q_x4_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
+    // ---- training-data pipeline: multimodal plumbing --------------
+    "q_m1_media_meta" -> ((s, d) => Multimodal.mediaMeta(Tables.documents(s, d))),
   )
+
+  /** DuckDB shingle CTE twin of Dedup.shingles (3-word shingles). */
+  private val SH =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS wl FROM documents),
+      | idx AS (SELECT doc_id, wl, unnest(generate_series(1, greatest(len(wl)-2, 1))) AS i FROM w),
+      | sh AS (SELECT DISTINCT doc_id, array_to_string(wl[i:i+2], ' ') AS s FROM idx)""".stripMargin
+
+  /** DuckDB twin of Dedup.mdhash. */
+  private def MDH(e: String): String = s"('0x'||substr(md5($e),1,15))::UBIGINT::BIGINT"
+
+  private def markersSql(markers: Seq[String]): String =
+    s"len(list_filter(string_split(text,' '), x -> list_contains([${markers.map(m => s"'$m'").mkString(",")}], x)))"
 
   def oracleSql: Map[String, String] = Map(
     "q_f1_dispatch" ->
@@ -222,5 +250,130 @@ object SparkEntry {
          | FROM customer
          | JOIN nation ON c_nationkey = n_nationkey
          | JOIN region ON n_regionkey = r_regionkey""".stripMargin,
+    "q_d1_exact_dedup" ->
+      s"""SELECT md5(text) AS text_md5, MIN(doc_id) AS canonical_doc_id,
+         |   CAST(COUNT(*) AS BIGINT) AS n_copies
+         | FROM documents GROUP BY 1""".stripMargin,
+    "q_d2_minhash_lsh" ->
+      s"""$SH,
+         | seeds AS (SELECT unnest(generate_series(0, 47)) AS seed),
+         | mh AS (SELECT doc_id, seed, MIN(${MDH("s||'#'||seed")}) AS h
+         |        FROM sh, seeds GROUP BY doc_id, seed),
+         | sig AS (SELECT doc_id, list(h ORDER BY seed) AS sig FROM mh GROUP BY doc_id),
+         | bands AS (SELECT doc_id, b, md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS band_hash
+         |           FROM sig, (SELECT unnest(generate_series(0, 11)) AS b) bb),
+         | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM bands a JOIN bands b
+         |            ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+         | sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+         | inter AS (SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS cnt
+         |           FROM cand c
+         |           JOIN sh sa ON sa.doc_id = c.doc_a
+         |           JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+         |           GROUP BY c.doc_a, c.doc_b)
+         | SELECT i.doc_a, i.doc_b,
+         |   ROUND(CAST(i.cnt AS DOUBLE) / (sa.n + sb.n - i.cnt), 6) AS jaccard
+         | FROM inter i
+         | JOIN sizes sa ON sa.doc_id = i.doc_a
+         | JOIN sizes sb ON sb.doc_id = i.doc_b
+         | WHERE ROUND(CAST(i.cnt AS DOUBLE) / (sa.n + sb.n - i.cnt), 6) >= 0.5""".stripMargin,
+    "q_d3_ngram_jaccard" ->
+      s"""$SH,
+         | sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+         | inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS c
+         |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |           GROUP BY 1, 2)
+         | SELECT i.doc_a, i.doc_b,
+         |   ROUND(CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c), 6) AS jaccard
+         | FROM inter i
+         | JOIN sizes sa ON sa.doc_id = i.doc_a
+         | JOIN sizes sb ON sb.doc_id = i.doc_b
+         | WHERE ROUND(CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c), 6) >= 0.5""".stripMargin,
+    "q_d4_simhash" ->
+      s"""WITH wd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w0 FROM documents),
+         | h AS (SELECT doc_id, ${MDH("w0")} AS hv FROM wd),
+         | bits AS (SELECT doc_id, i,
+         |            SUM(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
+         |          FROM h, (SELECT unnest(generate_series(0, 59)) AS i) g
+         |          GROUP BY doc_id, i)
+         | SELECT doc_id,
+         |   CAST(SUM(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+         | FROM bits GROUP BY doc_id""".stripMargin,
+    "q_d5_embed_neardup" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         | SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |   ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim
+         | FROM e a JOIN e b ON a.vec_id < b.vec_id
+         | WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.4""".stripMargin,
+    "q_s1_ann_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         | q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+         | scored AS (SELECT q.query_id, e.vec_id,
+         |              ROUND(list_cosine_similarity(q.qv, e.v), 6) AS sim
+         |            FROM e, q WHERE e.vec_id != q.query_id),
+         | r AS (SELECT query_id, vec_id, sim,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+         |       FROM scored)
+         | SELECT query_id, vec_id AS neighbor_id, sim, rank FROM r WHERE rank <= 10""".stripMargin,
+    // q_s2_ann_lsh: approximate (seeded random hyperplanes) — no SQL
+    // oracle; recall vs q_s1 asserted in SimilaritySpec.
+    "q_x1_langid" -> langidOracle,
+    "q_x2_tokens" ->
+      s"""SELECT doc_id,
+         |   CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+         |   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS bpe_tokens
+         | FROM documents""".stripMargin,
+    "q_x3_quality" -> qualityOracle,
+    "q_x4_fingerprint" ->
+      s"""WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '  +', ' ', 'g')) AS norm FROM documents)
+         | SELECT doc_id, md5(norm) AS fp_md5, ${MDH("norm")} AS fp64,
+         |   CAST(${MDH("norm")} % 1024 AS BIGINT) AS fp_bucket
+         | FROM n""".stripMargin,
+    "q_m1_media_meta" ->
+      s"""SELECT doc_id AS media_id, 'text/plain' AS mime_type,
+         |   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+         | FROM documents""".stripMargin,
   )
+
+  /** Oracle twin of TextAnalysis.languageId — generated from the same
+   * marker lists so the two can't drift. */
+  private def langidOracle: String = {
+    val langs = TextAnalysis.langMarkers.map(_._1)
+    val hitCols = TextAnalysis.langMarkers
+      .map { case (l, ms) => s"${markersSql(ms)} AS hits_$l" }.mkString(",\n   ")
+    val caseChain = langs.init.zipWithIndex.map { case (l, i) =>
+      val conds = langs.drop(i + 1).map(o => s"hits_$l >= hits_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString(" ")
+    val allHits = langs.map(l => s"hits_$l")
+    s"""WITH s AS (SELECT doc_id, lang,
+       |   $hitCols
+       | FROM documents)
+       | SELECT doc_id, lang,
+       |   CASE $caseChain ELSE '${langs.last}' END AS predicted_lang,
+       |   ROUND(CAST(GREATEST(${allHits.mkString(", ")}) AS DOUBLE) /
+       |     GREATEST(${allHits.mkString(" + ")}, 1), 6) AS confidence
+       | FROM s""".stripMargin
+  }
+
+  /** Oracle twin of TextAnalysis.qualityScore — identical operand order
+   * so doubles are bit-equal. */
+  private def qualityOracle: String = {
+    val stopSql = markersSql(TextAnalysis.langMarkers.flatMap(_._2))
+    s"""WITH q AS (SELECT doc_id,
+       |   CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+       |   CAST(length(text) AS DOUBLE) AS nc,
+       |   CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) AS pn,
+       |   CAST($stopSql AS DOUBLE) AS st
+       | FROM documents)
+       | SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+       |   ROUND(pn / GREATEST(nc, 1.0), 6) AS punct_ratio,
+       |   ROUND(st / GREATEST(nt, 1.0), 6) AS stopword_ratio,
+       |   ROUND((nc - (nt - 1)) / GREATEST(nt, 1.0), 6) AS mean_word_len,
+       |   ROUND(0.3 * LEAST(nt / 100.0, 1.0)
+       |       + 0.3 * (1.0 - LEAST(pn / GREATEST(nc, 1.0) * 5.0, 1.0))
+       |       + 0.2 * LEAST(st / GREATEST(nt, 1.0) * 3.0, 1.0)
+       |       + 0.2 * (1.0 - LEAST(ABS((nc - (nt - 1)) / GREATEST(nt, 1.0) - 5.0) / 5.0, 1.0)), 6) AS quality_score
+       | FROM q""".stripMargin
+  }
 }

@@ -1,0 +1,167 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for large-scale training-data pipelines:
+ * exact (hash-groupBy), MinHash+LSH (shingle → minhash → band →
+ * bucket-join), SimHash, and exact n-gram Jaccard. The reference engine
+ * has only the event-level duplicate guard (suppress, F6); these extend
+ * the same idea to document corpora at 100 TB scale.
+ *
+ * All hashing uses a cross-engine-portable md5-derived 60-bit integer
+ * ([[Dedup.mdhash]]) so every pipeline — including the LSH candidate
+ * generation — is bit-reproducible in the DuckDB oracle.
+ *
+ * Scale notes: exact dedup is one shuffle on the content hash. MinHash
+ * signatures are computed map-side (native exprs, no UDFs); the only
+ * shuffles are the band-bucket groupBy and the candidate-pair join,
+ * both keyed on band hashes — the classic way to avoid the O(n²)
+ * all-pairs comparison. SimHash is a single groupBy(doc) with 64
+ * parallel sums (one shuffle, map-side partial agg).
+ */
+object Dedup {
+
+  /** Portable 60-bit hash: first 15 hex chars of md5 as a BIGINT.
+   * DuckDB twin: `('0x' || substr(md5(s), 1, 15))::UBIGINT::BIGINT`. */
+  def mdhash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Distinct word n-gram shingles of a text column (native exprs only:
+   * split → sliding window via transform+slice → distinct). */
+  def shingles(text: Column, n: Int): Column = {
+    val words = split(text, " ")
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(size(words) - (n - 1), lit(1))),
+        i => array_join(slice(words, i, lit(n)), " ")))
+  }
+
+  /**
+   * Exact dedup: group by content hash, keep the lowest doc_id as
+   * canonical. One shuffle on the 128-bit content hash; at 100 TB this
+   * is the cheapest possible dedup (no text comparison after the hash).
+   */
+  def exactDedup(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(min("doc_id").as("canonical_doc_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions,
+   * the min hash over the shingle set. Computed entirely map-side.
+   * Uses the md5-derived hash for oracle portability; at 100 TB swap in
+   * [[minhashSignatureFast]] (xxhash64 — same structure, ~10× cheaper). */
+  def minhashSignature(sh: Column, numHashes: Int): Column =
+    transform(
+      sequence(lit(0), lit(numHashes - 1)),
+      seed => array_min(transform(sh, s => mdhash(concat(s, lit("#"), seed.cast("string"))))))
+
+  /** Scale-path signature: xxhash64 with per-function seed (codegen'd,
+   * no md5 cost). Not oracle-portable — verified against
+   * [[minhashSignature]] structurally in tests. */
+  def minhashSignatureFast(sh: Column, numHashes: Int): Column =
+    transform(
+      sequence(lit(0), lit(numHashes - 1)),
+      seed => array_min(transform(sh, s => xxhash64(s, seed))))
+
+  /**
+   * MinHash + LSH near-duplicate pairs: signatures are cut into `bands`
+   * bands of `rowsPerBand` values; docs sharing any band hash become
+   * candidates; candidates are verified with exact Jaccard over the
+   * shingle sets and kept at `threshold`.
+   *
+   * The bucket-join replaces the O(n²) cross join: cost is
+   * O(n·bands) rows shuffled + within-bucket pairs only.
+   */
+  def minhashLsh(
+      documents: DataFrame,
+      shingleSize: Int = 3,
+      bands: Int = 12,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val docs = documents.select(
+      col("doc_id"),
+      shingles(col("text"), shingleSize).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+
+    // band index → md5 of the comma-joined band slice of the signature
+    val banded = docs.select(
+      col("doc_id"), col("sh"),
+      posexplode(
+        transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => md5(array_join(
+            transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), x => x.cast("string")),
+            ","))))
+        .as(Seq("band_idx", "band_hash")))
+
+    val a = banded.select(col("band_idx"), col("band_hash"),
+      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band_idx"), col("band_hash"),
+      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val candidates = a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b")
+      .dropDuplicates("doc_a", "doc_b")
+
+    candidates
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("na", size(col("sh_a")).cast("long"))
+      .withColumn("nb", size(col("sh_b")).cast("long"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /**
+   * Exact n-gram Jaccard near-dup pairs via the shared-shingle join
+   * (posting-list style): explode distinct shingles, self-join on the
+   * shingle, count shared per pair. Exact but quadratic in the worst
+   * case — at 100 TB use [[minhashLsh]]; this is the oracle-exact
+   * baseline (and fine when shingle selectivity is high).
+   */
+  def ngramJaccard(documents: DataFrame, shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = documents.select(
+      col("doc_id"), explode(shingles(col("text"), shingleSize)).as("s"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jaccard", round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Number of bits used by the portable SimHash (60 = the bits carried
+   * by the 15-hex-char mdhash). */
+  val SimhashBits = 60
+
+  /**
+   * SimHash document fingerprint: per word-occurrence hash, each bit
+   * position votes ±1; the sign of the per-bit sum becomes the bit.
+   * Computed as ONE groupBy(doc) with 60 parallel conditional sums —
+   * a single shuffle with map-side partial aggregation (the naive
+   * explode-by-bit form would shuffle 60× the data).
+   */
+  def simhash(documents: DataFrame): DataFrame = {
+    val words = documents.select(
+      col("doc_id"),
+      explode(split(col("text"), " ")).as("w"))
+      .withColumn("hv", mdhash(col("w")))
+    val bitSums = (0 until SimhashBits).map { i =>
+      sum(when(shiftright(col("hv"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s_$i")
+    }
+    val withSums = words.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val hashExpr = (0 until SimhashBits).map { i =>
+      when(col(s"s_$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    withSums.select(col("doc_id"), hashExpr.cast("long").as("simhash"))
+  }
+}

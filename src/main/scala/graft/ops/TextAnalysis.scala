@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for training-data pipelines: language ID
+ * (stopword-hit heuristic), quality scoring (length/punctuation/
+ * stopword ratios), token counting (whitespace + BPE-ish regex) and
+ * document fingerprinting (normalised content hash).
+ *
+ * Everything is native Column expressions (whole-stage codegen, no
+ * UDFs) and cross-engine portable — each op has an exact DuckDB oracle.
+ */
+object TextAnalysis {
+
+  /** Per-language marker-word lists for the n-gram/stopword language-ID
+   * heuristic. Order matters: ties resolve to the earlier entry. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "est"),
+    "es" -> Seq("el", "los", "las", "y", "que", "un", "es"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和"))
+
+  private def words(text: Column): Column = split(text, " ")
+
+  /** Count of word occurrences hitting a marker list (duplicates count:
+   * `filter`, not `array_intersect`). */
+  private def hits(text: Column, markers: Seq[String]): Column = {
+    val m = array(markers.map(lit): _*)
+    size(filter(words(text), w => array_contains(m, w)))
+  }
+
+  /**
+   * Language ID: argmax of marker-hit counts with deterministic
+   * first-wins tie-break (a CASE chain — identical semantics in the
+   * SQL oracle). Returns (doc_id, lang, predicted_lang, confidence).
+   */
+  def languageId(documents: DataFrame): DataFrame = {
+    val scored = langMarkers.foldLeft(documents.select(col("doc_id"), col("lang"), col("text"))) {
+      case (df, (l, markers)) => df.withColumn(s"hits_$l", hits(col("text"), markers))
+    }
+    // first-wins argmax: lang i is predicted iff its score >= all later
+    // and > all earlier (strictly handled by CASE order)
+    val langs = langMarkers.map(_._1)
+    val predicted = langs.zipWithIndex.foldRight(lit(langs.last)) {
+      case ((l, i), elseCol) =>
+        if (i == langs.size - 1) elseCol
+        else {
+          val geAll = langs.drop(i + 1)
+            .map(o => col(s"hits_$l") >= col(s"hits_$o"))
+            .reduce(_ && _)
+          when(geAll, lit(l)).otherwise(elseCol)
+        }
+    }
+    val total = langs.map(l => col(s"hits_$l")).reduce(_ + _)
+    scored
+      .withColumn("predicted_lang", predicted)
+      .withColumn("confidence",
+        round(greatest(langs.map(l => col(s"hits_$l")): _*).cast("double") /
+          greatest(total, lit(1)), 6))
+      .select(col("doc_id"), col("lang"), col("predicted_lang"), col("confidence"))
+  }
+
+  /**
+   * Token counting: whitespace tokens and a BPE-ish regex tokenisation
+   * (letter runs | digit runs | single punctuation) — the standard
+   * pre-tokeniser shape.
+   */
+  def tokenCounts(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      size(words(col("text"))).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
+        .cast("long").as("bpe_tokens"))
+
+  /**
+   * Quality scoring: length/punctuation/stopword signals combined into
+   * a bounded [0,1] score. All-double arithmetic on identical operands
+   * → bit-identical in the oracle.
+   */
+  def qualityScore(documents: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    val nTokens = size(w).cast("double")
+    val nChars = length(col("text")).cast("double")
+    val punct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9 ]"), lit(0))).cast("double")
+    val stop = hits(col("text"), langMarkers.flatMap(_._2)).cast("double")
+    val punctRatio = punct / greatest(nChars, lit(1.0))
+    val stopRatio = stop / greatest(nTokens, lit(1.0))
+    val meanWordLen = (nChars - (nTokens - 1)) / greatest(nTokens, lit(1.0))
+    val score =
+      lit(0.3) * least(nTokens / lit(100.0), lit(1.0)) +
+        lit(0.3) * (lit(1.0) - least(punctRatio * lit(5.0), lit(1.0))) +
+        lit(0.2) * least(stopRatio * lit(3.0), lit(1.0)) +
+        lit(0.2) * (lit(1.0) - least(abs(meanWordLen - lit(5.0)) / lit(5.0), lit(1.0)))
+    documents.select(
+      col("doc_id"),
+      nTokens.cast("long").as("n_tokens"),
+      round(punctRatio, 6).as("punct_ratio"),
+      round(stopRatio, 6).as("stopword_ratio"),
+      round(meanWordLen, 6).as("mean_word_len"),
+      round(score, 6).as("quality_score"))
+  }
+
+  /**
+   * Document fingerprint: 60-bit content hash of the whitespace-
+   * normalised lowercase text (for shard-local dedup joins) plus a
+   * small bucket for partitioning. Rolling-hash (winnowing) variants
+   * build on the same normalised form.
+   */
+  def fingerprint(documents: DataFrame, buckets: Int = 1024): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), "  +", " "))
+    documents.select(
+      col("doc_id"),
+      md5(norm).as("fp_md5"),
+      Dedup.mdhash(norm).as("fp64"))
+      .withColumn("fp_bucket", pmod(col("fp64"), lit(buckets)).cast("long"))
+  }
+}

@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+
+  test("cosine: known vectors") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0, 0.0), Array(1.0, 0.0), 1.0),
+      (Array(1.0, 0.0), Array(0.0, 1.0), 0.0),
+      (Array(1.0, 0.0), Array(-1.0, 0.0), -1.0),
+      (Array(3.0, 4.0), Array(3.0, 4.0), 1.0)
+    ).toDF("a", "b", "expected")
+    val got = df.select(Similarity.cosine(col("a"), col("b")).as("sim"), col("expected")).collect()
+    got.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("brute-force top-k: k rows per query, ranked by similarity") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val got = Similarity.bruteForceTopK(emb, nQueries = 5, k = 10)
+    val byQuery = got.collect().groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQuery.values.foreach { rows =>
+      assert(rows.length == 10)
+      val sims = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH top-k returns only true-bucket candidates with reasonable recall@10") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = Similarity.bruteForceTopK(emb, nQueries = 10, k = 10)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val approx = Similarity.lshTopK(emb, nQueries = 10, k = 10, nPlanes = 4)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    // 4 hyperplanes + multi-probe (hamming<=1) over random vectors:
+    // expected recall ~0.5; assert well above single-bucket chance
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall > 0.35, s"recall@10 = $recall")
+  }
+
+  test("near-dup pairs are symmetric-free (a<b) and above threshold") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val got = Similarity.embeddingNearDup(emb, 0.4).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b"))
+      assert(r.getAs[Double]("sim") >= 0.4)
+    }
+  }
+}

@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "lang", "text")
+  }
+
+  test("token counts: whitespace vs BPE-ish regex") {
+    val df = docs((1L, "en", "hello world 42 foo-bar"))
+    val r = TextAnalysis.tokenCounts(df).collect().head
+    assert(r.getAs[Long]("ws_tokens") == 4L)
+    // hello|world|42|foo|-|bar
+    assert(r.getAs[Long]("bpe_tokens") == 6L)
+  }
+
+  test("language id picks the language with most marker hits") {
+    val df = docs(
+      (1L, "en", "the cat and the dog of the house"),
+      (2L, "de", "der hund und die katze ist ein tier"))
+    val got = TextAnalysis.languageId(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("predicted_lang")).toMap
+    assert(got == Map(1L -> "en", 2L -> "de"))
+  }
+
+  test("quality score stays in [0,1] and rewards stopword-bearing prose") {
+    val df = docs(
+      (1L, "en", "the quick brown fox jumps over the lazy dog and runs to the hills"),
+      (2L, "en", "@@@@ #### !!!! %%%% ^^^^"))
+    val got = TextAnalysis.qualityScore(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality_score")).toMap
+    got.values.foreach(s => assert(s >= 0.0 && s <= 1.0))
+    assert(got(1L) > got(2L))
+  }
+
+  test("fingerprint is invariant to case and whitespace runs") {
+    val df = docs(
+      (1L, "en", "Hello   World"),
+      (2L, "en", "hello world"))
+    val got = TextAnalysis.fingerprint(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fp_md5")).toMap
+    assert(got(1L) == got(2L))
+  }
+
+  test("media plumbing: features have fixed shape, entropy bounded, bytes preserved") {
+    val documents = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val feats = Multimodal.extractFeatures(spark, Multimodal.fromDocuments(documents)).collect()
+    assert(feats.length == 500)
+    feats.foreach { f =>
+      assert(f.feature.length == Multimodal.MediaCodec.FeatureDim)
+      assert(f.byte_entropy >= 0.0 && f.byte_entropy <= 8.0)
+      assert(f.n_bytes > 0)
+    }
+  }
+}
