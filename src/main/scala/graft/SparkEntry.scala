@@ -93,7 +93,31 @@ object SparkEntry {
     "q_x4_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     // ---- training-data pipeline: multimodal plumbing --------------
     "q_m1_media_meta" -> ((s, d) => Multimodal.mediaMeta(Tables.documents(s, d))),
+    // ---- generic rule interpreter (batch face of the streaming
+    //      engine; same state machine as flatMapGroupsWithState) -----
+    "q_e1_engine_timeouts" -> ((s, d) => {
+      import s.implicits._
+      graft.streaming.RuleEngine.runBatch(Tables.eventsTyped(s, d), Seq(interpreterRule))
+        .filter(_.kind == "timeout")
+        .select(col("key").cast("bigint").as("user_id"),
+          col("firstTs").as("first_ts"), col("firedAt").as("fired_at"))
+    }),
+    "q_e2_engine_completes" -> ((s, d) => {
+      import s.implicits._
+      graft.streaming.RuleEngine.runBatch(Tables.eventsTyped(s, d), Seq(interpreterRule))
+        .filter(_.kind == "complete")
+        .select(col("key").cast("bigint").as("user_id"),
+          col("firstTs").as("first_ts"), col("firedAt").as("fired_at"))
+    }),
   )
+
+  /** The flagship rule run through the generic interpreter — proves the
+   * stateful engine (not just the SQL faces) against the oracle. */
+  private def interpreterRule: graft.rules.RuleSpec =
+    graft.rules.RuleSpec.sequenceWithTimeout(
+      "order_payment", Seq(Set("signup"), Set("purchase")),
+      java.time.Duration.ofHours(1), _.payload("key"),
+      onComplete = _ => Nil, onTimeout = _ => Nil)
 
   /** DuckDB shingle CTE twin of Dedup.shingles (3-word shingles). */
   private val SH =
@@ -333,6 +357,19 @@ object SparkEntry {
       s"""SELECT doc_id AS media_id, 'text/plain' AS mime_type,
          |   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
          | FROM documents""".stripMargin,
+    "q_e1_engine_timeouts" ->
+      s"""$E SELECT s.user_id, s.ts AS first_ts, s.ts + INTERVAL 1 HOUR AS fired_at
+         | FROM e s LEFT JOIN e p
+         |   ON p.user_id = s.user_id AND p.event_type = 'purchase'
+         |   AND p.ts >= s.ts AND p.ts < s.ts + INTERVAL 1 HOUR
+         | WHERE s.event_type = 'signup' AND p.event_id IS NULL""".stripMargin,
+    "q_e2_engine_completes" ->
+      s"""$E SELECT s.user_id, s.ts AS first_ts, MIN(p.ts) AS fired_at
+         | FROM e s JOIN e p
+         |   ON p.user_id = s.user_id AND p.event_type = 'purchase'
+         |   AND p.ts >= s.ts AND p.ts < s.ts + INTERVAL 1 HOUR
+         | WHERE s.event_type = 'signup'
+         | GROUP BY s.user_id, s.event_id, s.ts""".stripMargin,
   )
 
   /** Oracle twin of TextAnalysis.languageId — generated from the same

@@ -36,6 +36,20 @@ object Tables {
     else raw
   }
 
+  /** The events table as a typed Dataset[Event] for the rule
+   * interpreter: event_type→event, ts→datetime, user_id carried in the
+   * payload as the correlation key (FIXTURES.md §2 mapping). */
+  def eventsTyped(spark: SparkSession, sfDir: String): org.apache.spark.sql.Dataset[graft.model.Event] = {
+    import spark.implicits._
+    events(spark, sfDir).select(
+      col("event_type").as("event"),
+      col("event_id").cast("string").as("id"),
+      col("ts").as("datetime"),
+      lit(null).cast("timestamp").as("receivedTime"),
+      map(lit("key"), col("user_id").cast("string")).as("payload"))
+      .as[graft.model.Event]
+  }
+
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "orders")
   def customer(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "customer")

@@ -1,0 +1,88 @@
+package graft.memory
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Collective memory: the reference's hierarchical KV store with TTL
+ * (reference: src/Memory/MemoryEntry.php:241-279,
+ * src/Memory/MemoryEngine.php:63-79) re-expressed as a small DataFrame
+ * upsert — a Delta/parquet KV table in production, refreshed per batch
+ * and broadcast into enrichment joins (SURVEY.md §1.4).
+ *
+ * Visibility note (documented divergence, SURVEY §7.5.3): the reference
+ * gives same-loop write→read visibility; per-batch upsert gives
+ * next-batch visibility.
+ *
+ * Scale: memory is small by construction (one live row per (ns, key)),
+ * so lookups broadcast; the upsert shuffles only the write stream.
+ */
+object MemoryStore {
+
+  /** Canonical memory schema. */
+  val columns: Seq[String] =
+    Seq("namespace", "key", "value", "updated_at", "expires_at", "persistent")
+
+  /** An empty memory table. */
+  def empty(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("namespace", StringType),
+        StructField("key", StringType),
+        StructField("value", StringType),
+        StructField("updated_at", TimestampType),
+        StructField("expires_at", TimestampType),
+        StructField("persistent", BooleanType))))
+  }
+
+  /**
+   * Apply a batch of MemoryWrites (reference: src/Memory/MemoryWrite
+   * .php:298-325 — ttl 0 = no expiry, ttl < 0 = delete now):
+   * last-writer-wins per (namespace, key), expiry derived from ttl.
+   * One shuffle on (namespace, key).
+   *
+   * `writes` schema: namespace, key, value, ttl_sec, persistent, written_at.
+   */
+  def applyWrites(current: DataFrame, writes: DataFrame): DataFrame = {
+    val normalised = writes.select(
+      col("namespace"), col("key"), col("value"),
+      col("written_at").as("updated_at"),
+      when(col("ttl_sec") > 0,
+        timestamp_micros(unix_micros(col("written_at")) + col("ttl_sec") * 1000000L))
+        .when(col("ttl_sec") < 0, col("written_at")) // expired on arrival = delete
+        .otherwise(lit(null).cast("timestamp")).as("expires_at"),
+      col("persistent"))
+    val w = Window.partitionBy("namespace", "key")
+      .orderBy(col("updated_at").desc)
+    current.select(columns.map(col): _*)
+      .unionByName(normalised)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      // drop rows already expired at their own write time (ttl < 0)
+      .filter(col("expires_at").isNull || col("expires_at") > col("updated_at"))
+  }
+
+  /** TTL purge: live entries as of `now` (reference purge cycle,
+   * src/Memory/MemoryEngine.php:109-123). */
+  def liveAsOf(memory: DataFrame, now: Column): DataFrame =
+    memory.filter(col("expires_at").isNull || col("expires_at") > now)
+
+  /** Persistent subset — what the reference's JsonFileBackend would
+   * write to disk (reference: src/Memory/JsonFileBackend.php:181-251). */
+  def persistentEntries(memory: DataFrame): DataFrame =
+    memory.filter(col("persistent"))
+
+  /** Enrichment lookup (J9): broadcast the (small) memory table against
+   * an event stream — map-side join, no shuffle of the event side. */
+  def lookup(events: DataFrame, memory: DataFrame,
+      namespace: String, keyCol: Column): DataFrame =
+    events.join(
+      broadcast(
+        memory.filter(col("namespace") === namespace)
+          .select(col("key").as("__mem_key"), col("value").as("memory_value"))),
+      keyCol === col("__mem_key"), "left")
+      .drop("__mem_key")
+}

@@ -1,0 +1,293 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.model.Event
+import graft.rules.{OutputData, RuleSpec}
+
+/**
+ * The generic rule interpreter — the Spark-native replacement for the
+ * reference's CorrelationEngine::handle() hot loop
+ * (reference: src/CorrelationEngine.php:171-328). Rules are data
+ * ([[RuleSpec]]); this engine is the single stateful operator that
+ * interprets all of them.
+ *
+ * Semantics preserved from the reference:
+ *  - event-time everything: matching and timeouts use `event.datetime`,
+ *    never arrival time (reference: AEventProcessor.php:357-361);
+ *  - batch replay fires due timeouts *before* handling each event, in
+ *    event-time order (the virtual clock;
+ *    reference: src/CorrelationEngine.php:191-202);
+ *  - the timeout window is half-open: an event at exactly the deadline
+ *    times the matcher out rather than advancing it;
+ *  - multiple concurrent matchers per (rule, key): a new head event
+ *    spawns a second matcher rather than being dropped (reference
+ *    spawns one matcher per accepted initial event,
+ *    src/CorrelationEngine.php:244-280), with the duplicate-start guard:
+ *    an event consumed by a live matcher of a rule does not also spawn
+ *    a new matcher of that rule (skipMatchers,
+ *    src/CorrelationEngine.php:215,252-255);
+ *  - bounded state: chains are trimmed to `chainLimit` and matcher
+ *    counts capped (reference trimEventChain + memory valves).
+ *
+ * Scale design: the batch face never collects a group into memory —
+ * it repartitions by (rule, key), sorts within partitions by event
+ * time, and streams over consecutive runs (mapPartitions). State per
+ * key is O(live matchers × chainLimit). The streaming face is the same
+ * step function inside `flatMapGroupsWithState` with event-time
+ * timeouts driven by the watermark.
+ */
+object RuleEngine {
+
+  /** One live matcher instance (reference Matcher state,
+   * src/StateMachine/AEventProcessor.php:435-457). */
+  case class MatcherState(
+      step: Int,
+      chain: Seq[Event],
+      timeoutAtUs: Option[Long])
+
+  /** All live matchers for one (rule, key) group. */
+  case class KeyState(matchers: Seq[MatcherState])
+
+  /** A fire record: one onComplete/onTimeout/onProgress dispatch
+   * (reference fire(), src/StateMachine/AEventProcessor.php:522-537). */
+  case class Fired(
+      rule: String,
+      key: String,
+      kind: String, // complete | timeout | progress
+      firedAt: Timestamp,
+      chainLen: Int,
+      firstTs: Timestamp,
+      lastTs: Timestamp,
+      outputs: Seq[OutputData])
+
+  /** Internal routing row (public: Catalyst codegen needs access).
+   * `eventTime` duplicates event.effectiveTime at the top level so the
+   * streaming face can watermark it after routing. */
+  case class Keyed(rule: String, key: String, eventTime: Timestamp, event: Event)
+
+  /** Max concurrent matchers per key — the explicit bound replacing the
+   * reference's GC/memory-pressure valves. */
+  val MaxMatchersPerKey = 1000
+
+  /** Microsecond precision throughout: the fixtures carry µs timestamps
+   * and Timestamp.getTime would truncate to ms. */
+  private def micros(t: Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  private def microsToTs(us: Long): Timestamp = {
+    val t = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  // ---------------------------------------------------------------
+  // Core step function (shared by batch + streaming faces)
+  // ---------------------------------------------------------------
+
+  /** Feed one event-time-ordered event into the matcher set; returns
+   * updated matchers + fires. Pure function — no engine state.
+   * `emitTimeouts=false` destroys due matchers silently (the
+   * reference's HISTORICAL_IGNORE_TIMEOUT replay mode,
+   * src/StateMachine/AEventProcessor.php:130-132,377-383). */
+  private def stepOne(
+      rule: RuleSpec,
+      key: String,
+      matchers: Vector[MatcherState],
+      e: Event,
+      emitTimeouts: Boolean = true): (Vector[MatcherState], Vector[Fired]) = {
+    val eUs = micros(e.effectiveTime)
+    var fires = Vector.empty[Fired]
+
+    // 1. virtual clock: fire timeouts due strictly before/at this event
+    //    (reference advances the clock to event time − 1ms then fires;
+    //    an event AT the deadline still cannot be consumed → <=)
+    val (due, alive0) = matchers.partition(_.timeoutAtUs.exists(_ <= eUs))
+    if (emitTimeouts) due.sortBy(_.timeoutAtUs.get).foreach { m =>
+      fires :+= fired(rule, key, "timeout", microsToTs(m.timeoutAtUs.get), m.chain, rule.onTimeout(m.chain))
+    }
+
+    // 2. offer the event to each live matcher in creation order
+    var handled = false
+    var alive = Vector.empty[MatcherState]
+    alive0.foreach { m =>
+      if (rule.acceptsAt(m.step, e.event) && rule.accept(e, m.chain)) {
+        handled = true
+        val chain = (m.chain :+ e).takeRight(rule.chainLimit)
+        val complete = !rule.continuous && m.step + 1 == rule.steps.size
+        if (complete) {
+          fires :+= fired(rule, key, "complete", e.effectiveTime, chain, rule.onComplete(chain))
+        } else {
+          val nextStep = math.min(m.step + 1, rule.steps.size - 1)
+          fires :+= fired(rule, key, "progress", e.effectiveTime, chain, rule.onProgress(chain))
+          alive :+= MatcherState(nextStep, chain,
+            rule.timeout.map(t => eUs + t.toNanos / 1000L))
+        }
+      } else alive :+= m
+    }
+
+    // 3. duplicate-start guard: spawn a new matcher only if no live
+    //    matcher of this rule consumed the event
+    if (!handled && rule.acceptsAt(0, e.event) && rule.accept(e, Nil)
+        && alive.size < MaxMatchersPerKey) {
+      val chain = Vector(e)
+      val complete = !rule.continuous && rule.steps.size == 1
+      if (complete) {
+        fires :+= fired(rule, key, "complete", e.effectiveTime, chain, rule.onComplete(chain))
+      } else {
+        fires :+= fired(rule, key, "progress", e.effectiveTime, chain, rule.onProgress(chain))
+        alive :+= MatcherState(math.min(1, rule.steps.size - 1), chain,
+          rule.timeout.map(t => eUs + t.toNanos / 1000L))
+      }
+    }
+    (alive, fires)
+  }
+
+  private def fired(rule: RuleSpec, key: String, kind: String, at: Timestamp,
+      chain: Seq[Event], outputs: Seq[OutputData]): Fired =
+    Fired(rule.name, key, kind, at, chain.size,
+      chain.headOption.map(_.effectiveTime).getOrElse(at),
+      chain.lastOption.map(_.effectiveTime).getOrElse(at),
+      outputs)
+
+  /** Interpret an ordered run of events for one (rule, key). */
+  private def interpretRun(
+      rule: RuleSpec,
+      key: String,
+      events: Iterator[Event],
+      initial: Vector[MatcherState]): (Vector[MatcherState], Vector[Fired]) =
+    events.foldLeft((initial, Vector.empty[Fired])) {
+      case ((ms, fs), e) =>
+        val (ms2, fs2) = stepOne(rule, key, ms, e)
+        (ms2, fs ++ fs2)
+    }
+
+  // ---------------------------------------------------------------
+  // Batch face
+  // ---------------------------------------------------------------
+
+  /**
+   * Batch (historical replay) face: exact reference semantics over a
+   * static Dataset — the equivalent of batch mode with the virtual
+   * clock (reference: src/Clocks/BatchClock.php + CorrelationEngine
+   * 191-202). One shuffle keyed by (rule, key); events are sorted
+   * within partitions and streamed over consecutive key runs — no
+   * per-group materialisation, so a hot key never OOMs the executor.
+   *
+   * End-of-data flush: once a key's run ends no further event can save
+   * a pending matcher, so every armed deadline is decidable and fires
+   * (this matches the SQL faces, which alarm heads whose window
+   * extends past the data; the streaming face instead keeps such state
+   * for the next trigger). Rules with `historicalIgnoreTimeout` drop
+   * their timeout emissions in this replay mode.
+   */
+  def runBatch(events: Dataset[Event], rules: Seq[RuleSpec]): Dataset[Fired] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ruleMap = rules.map(r => r.name -> r).toMap
+    val keyed = events.flatMap { e =>
+      rules.iterator.filter(_.mightAccept(e.event))
+        .map(r => Keyed(r.name, r.correlate(e), e.effectiveTime, e))
+    }
+    keyed
+      .repartition($"rule", $"key")
+      .sortWithinPartitions($"rule", $"key", $"event.datetime", $"event.id")
+      .mapPartitions { it =>
+        new Iterator[Iterator[Fired]] {
+          private val buf = it.buffered
+          def hasNext: Boolean = buf.hasNext
+          def next(): Iterator[Fired] = {
+            val head = buf.head
+            val rule = ruleMap(head.rule)
+            val emit = !rule.historicalIgnoreTimeout
+            var out = Vector.empty[Fired]
+            var matchers = Vector.empty[MatcherState]
+            while (buf.hasNext && buf.head.rule == head.rule && buf.head.key == head.key) {
+              val (m2, fs) = stepOne(rule, head.key, matchers, buf.next().event, emit)
+              matchers = m2
+              out ++= fs
+            }
+            // end-of-data flush: no later event can save these matchers
+            if (emit) matchers
+              .filter(_.timeoutAtUs.isDefined)
+              .sortBy(_.timeoutAtUs.get)
+              .foreach { m =>
+                out :+= fired(rule, head.key, "timeout",
+                  microsToTs(m.timeoutAtUs.get), m.chain, rule.onTimeout(m.chain))
+              }
+            out.iterator
+          }
+        }.flatten
+      }
+  }
+
+  // ---------------------------------------------------------------
+  // Streaming face
+  // ---------------------------------------------------------------
+
+  /**
+   * Streaming face: the same step function inside
+   * `flatMapGroupsWithState` with `EventTimeTimeout`. The watermark is
+   * applied here (on the routed rows' top-level eventTime — mapping
+   * strips watermark tags, so callers can't pre-apply it). Within a
+   * micro-batch, a group's events are sorted by event time (micro-batch
+   * volumes per key are small); across batches the state store carries
+   * matchers and the watermark drives timeout firing — the
+   * microbatch-granularity analogue of the reference's armed loop timer
+   * (reference: src/CorrelationEngine.php:530-563).
+   */
+  def runStreaming(events: Dataset[Event], rules: Seq[RuleSpec],
+      watermarkDelay: String = "0 seconds"): Dataset[Fired] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ruleMap = rules.map(r => r.name -> r).toMap
+    // Events matching no rule still must advance the event-time clock
+    // (they carry the watermark, like the reference's virtual clock
+    // advancing on every event) — route them as no-op ticks to one
+    // dummy group that never holds state.
+    val keyed = events.flatMap { e =>
+      val routed = rules.filter(_.mightAccept(e.event))
+        .map(r => Keyed(r.name, r.correlate(e), e.effectiveTime, e))
+      if (routed.nonEmpty) routed else Seq(Keyed("", "", e.effectiveTime, e))
+    }
+    keyed
+      .withWatermark("eventTime", watermarkDelay)
+      .groupByKey(k => (k.rule, k.key))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: (String, String), it: Iterator[Keyed], state: GroupState[KeyState]) => {
+          if (key._1.isEmpty) { it.foreach(_ => ()); state.remove(); Iterator.empty }
+          else {
+          val rule = ruleMap(key._1)
+          val matchers0 = state.getOption.map(_.matchers.toVector).getOrElse(Vector.empty)
+
+          val (matchers, fires) =
+            if (state.hasTimedOut) {
+              // watermark passed the earliest deadline: fire all due
+              val wm = state.getCurrentWatermarkMs() * 1000L // ms → µs
+              val (due, alive) = matchers0.partition(_.timeoutAtUs.exists(_ <= wm))
+              val fs = due.sortBy(_.timeoutAtUs.get).map { m =>
+                fired(rule, key._2, "timeout", microsToTs(m.timeoutAtUs.get),
+                  m.chain, rule.onTimeout(m.chain))
+              }
+              (alive, fs)
+            } else {
+              val sorted = it.map(_.event).toVector.sortBy(e => (micros(e.effectiveTime), e.id))
+              interpretRun(rule, key._2, sorted.iterator, matchers0)
+            }
+
+          if (matchers.isEmpty) state.remove()
+          else {
+            state.update(KeyState(matchers))
+            matchers.flatMap(_.timeoutAtUs).minOption
+              // µs → ms, ceiling: the timer must not fire before the
+              // deadline or the due-check would no-op and re-arm
+              .foreach(us => state.setTimeoutTimestamp(math.floorDiv(us + 999L, 1000L)))
+          }
+          fires.iterator
+          }
+        })
+  }
+}

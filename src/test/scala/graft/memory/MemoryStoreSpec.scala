@@ -1,0 +1,64 @@
+package graft.memory
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Mirrors the reference's memory tests (reference: tests/MemoryTest
+ * .php: round-trips, TTL expiry, purge). */
+class MemoryStoreSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def writes(rows: (String, String, String, Long, Boolean, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("namespace", "key", "value", "ttl_sec", "persistent", "w")
+      .withColumn("written_at", col("w").cast("timestamp")).drop("w")
+  }
+
+  test("last writer wins per (namespace, key)") {
+    val m = MemoryStore.applyWrites(MemoryStore.empty(spark), writes(
+      ("ns", "k", "v1", 0L, false, "2024-01-01 10:00:00"),
+      ("ns", "k", "v2", 0L, false, "2024-01-01 11:00:00")))
+    val got = m.collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[String]("value") == "v2")
+  }
+
+  test("ttl > 0 sets expiry; liveAsOf filters expired entries") {
+    val m = MemoryStore.applyWrites(MemoryStore.empty(spark), writes(
+      ("ns", "short", "v", 3600L, false, "2024-01-01 10:00:00"),
+      ("ns", "forever", "v", 0L, false, "2024-01-01 10:00:00")))
+    val live = MemoryStore.liveAsOf(m, lit("2024-01-01 12:00:00").cast("timestamp"))
+      .collect().map(_.getAs[String]("key")).toSet
+    assert(live == Set("forever"))
+    val early = MemoryStore.liveAsOf(m, lit("2024-01-01 10:30:00").cast("timestamp"))
+      .collect().map(_.getAs[String]("key")).toSet
+    assert(early == Set("short", "forever"))
+  }
+
+  test("negative ttl deletes the entry") {
+    val base = MemoryStore.applyWrites(MemoryStore.empty(spark), writes(
+      ("ns", "k", "v", 0L, false, "2024-01-01 10:00:00")))
+    val m = MemoryStore.applyWrites(base, writes(
+      ("ns", "k", "ignored", -1L, false, "2024-01-01 11:00:00")))
+    assert(m.count() == 0)
+  }
+
+  test("persistent subset survives; lookup enriches via broadcast join") {
+    import spark.implicits._
+    val m = MemoryStore.applyWrites(MemoryStore.empty(spark), writes(
+      ("users", "1", "gold", 0L, true, "2024-01-01 10:00:00"),
+      ("users", "2", "silver", 0L, false, "2024-01-01 10:00:00")))
+    assert(MemoryStore.persistentEntries(m).count() == 1)
+    val events = Seq((1L, "login"), (3L, "login")).toDF("user_id", "event_type")
+    val got = MemoryStore.lookup(events, m, "users", col("user_id").cast("string"))
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        Option(r.getAs[String]("memory_value"))).toMap
+    assert(got(1L).contains("gold"))
+    assert(got(3L).isEmpty)
+  }
+}

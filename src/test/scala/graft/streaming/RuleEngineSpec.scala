@@ -1,0 +1,166 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import java.time.Duration
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.model.Event
+import graft.ops.Correlate
+import graft.rules.{OutputData, RuleSpec}
+
+/** Behavioural cases mirroring the reference's engine/rule tests
+ * (reference: tests/RuleTest.php:139-202 — timeout → alarm → onTimeout
+ * exactly once; tests/EngineTest.php; tests/Rules): sequence
+ * completion, single-fire timeouts, deadline boundary, concurrent
+ * matchers, chain trimming, session gaps — plus equivalence of the
+ * interpreter with the SQL faces and of streaming with batch. */
+class RuleEngineSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+  private def ev(t: String, typ: String, key: String, id: String): Event =
+    Event(typ, Some(id), ts(t), None, Map("key" -> key))
+
+  private def ds(events: Event*): Dataset[Event] = {
+    import spark.implicits._
+    spark.createDataset(events.toSeq)
+  }
+
+  private def orderRule(timeoutMin: Long = 60): RuleSpec =
+    RuleSpec.sequenceWithTimeout(
+      "order_payment", Seq(Set("signup"), Set("purchase")),
+      Duration.ofMinutes(timeoutMin),
+      e => e.payload("key"),
+      onComplete = ch => Seq(OutputData.action("paid", Map("n" -> ch.size.toString))),
+      onTimeout = ch => Seq(OutputData.action("reminder", Map.empty)))
+
+  test("sequence completes: onComplete exactly once with full chain") {
+    val out = RuleEngine.runBatch(ds(
+      ev("2024-01-01 10:00:00", "signup", "u1", "1"),
+      ev("2024-01-01 10:30:00", "purchase", "u1", "2")), Seq(orderRule()))
+      .collect()
+    val complete = out.filter(_.kind == "complete")
+    assert(complete.length == 1)
+    assert(complete.head.chainLen == 2)
+    assert(complete.head.outputs == Seq(OutputData.action("paid", Map("n" -> "2"))))
+    assert(!out.exists(_.kind == "timeout"))
+  }
+
+  test("timeout fires exactly once at the deadline, not per later event") {
+    val out = RuleEngine.runBatch(ds(
+      ev("2024-01-01 10:00:00", "signup", "u1", "1"),
+      ev("2024-01-01 12:00:00", "view", "u1", "2"), // past deadline; non-matching
+      ev("2024-01-01 13:00:00", "view", "u1", "3")), Seq(orderRule()))
+      .collect()
+    val timeouts = out.filter(_.kind == "timeout")
+    assert(timeouts.length == 1)
+    assert(timeouts.head.firedAt == ts("2024-01-01 11:00:00"))
+    assert(timeouts.head.outputs == Seq(OutputData.action("reminder", Map.empty)))
+  }
+
+  test("an event at exactly the deadline times out rather than completes") {
+    val out = RuleEngine.runBatch(ds(
+      ev("2024-01-01 10:00:00", "signup", "u1", "1"),
+      ev("2024-01-01 11:00:00", "purchase", "u1", "2")), Seq(orderRule()))
+      .collect()
+    assert(out.count(_.kind == "timeout") == 1)
+    assert(!out.exists(_.kind == "complete"))
+  }
+
+  test("concurrent matchers: one purchase completes all pending signups of the key") {
+    val out = RuleEngine.runBatch(ds(
+      ev("2024-01-01 10:00:00", "signup", "u1", "1"),
+      ev("2024-01-01 10:10:00", "signup", "u1", "2"),
+      ev("2024-01-01 10:20:00", "purchase", "u1", "3")), Seq(orderRule()))
+      .collect()
+    assert(out.count(_.kind == "complete") == 2)
+  }
+
+  test("continuous rule trims the chain to chainLimit") {
+    val rule = RuleSpec.matchContinuously(
+      "recent", Set("view"), keep = 3, _.payload("key"),
+      onEvent = ch => Seq(OutputData.event("chain", Map("len" -> ch.size.toString))))
+    val events = (1 to 6).map(i => ev(f"2024-01-01 10:0$i:00", "view", "u1", i.toString))
+    val out = RuleEngine.runBatch(ds(events: _*), Seq(rule)).collect()
+    assert(out.length == 6)
+    assert(out.map(_.chainLen).sorted.toSeq == Seq(1, 2, 3, 3, 3, 3))
+  }
+
+  test("session-gap rule alarms after the quiet gap, then a new session starts") {
+    val rule = RuleSpec.sessionGap(
+      "sess", Set("view"), Duration.ofMinutes(30), _.payload("key"),
+      onGap = ch => Seq(OutputData.action("session_closed", Map("n" -> ch.size.toString))))
+    val out = RuleEngine.runBatch(ds(
+      ev("2024-01-01 10:00:00", "view", "u1", "1"),
+      ev("2024-01-01 10:10:00", "view", "u1", "2"),
+      ev("2024-01-01 12:00:00", "view", "u1", "3"), // > 30 min silence → alarm
+      ev("2024-01-01 12:05:00", "view", "u1", "4")), Seq(rule))
+      .collect()
+    val gaps = out.filter(_.kind == "timeout").sortBy(_.firedAt.getTime)
+    // first session closes at 10:40; the final session flushes at end-of-data
+    assert(gaps.length == 2)
+    assert(gaps.head.firedAt == ts("2024-01-01 10:40:00"))
+    assert(gaps.head.outputs.head.vars("n") == "2")
+    assert(gaps(1).firedAt == ts("2024-01-01 12:35:00"))
+    assert(gaps(1).outputs.head.vars("n") == "2")
+  }
+
+  test("batch interpreter matches the SQL face on the fixture (J2 timeout alarms)") {
+    val sfDir = "/root/testdata/sf0.001"
+    val eventsDf = graft.Tables.events(spark, sfDir)
+    import spark.implicits._
+    val events = eventsDf.select(
+      col("event_type").as("event"),
+      col("event_id").cast("string").as("id"),
+      col("ts").as("datetime"),
+      lit(null).cast("timestamp").as("receivedTime"),
+      map(lit("key"), col("user_id").cast("string")).as("payload"))
+      .as[Event]
+    val rules = Seq(orderRule())
+    val interpreted = RuleEngine.runBatch(events, rules)
+      .filter(_.kind == "timeout")
+      .collect().map(f => (f.key, f.firedAt)).toSet
+    val sqlFace = Correlate.sequenceTimeout(eventsDf, "signup", "purchase", "1 HOUR")
+      .collect()
+      .map { r =>
+        val first = r.getAs[Timestamp]("first_ts")
+        val deadline = new Timestamp(first.getTime + 3600 * 1000)
+        deadline.setNanos(first.getNanos) // keep µs precision
+        (r.getAs[Long]("user_id").toString, deadline)
+      }.toSet
+    assert(interpreted == sqlFace)
+  }
+
+  test("streaming face equals batch face (MemoryStream, watermark-driven timeouts)") {
+    import spark.implicits._
+    val rules = Seq(orderRule())
+    val events = Seq(
+      ev("2024-01-01 10:00:00", "signup", "u1", "1"),
+      ev("2024-01-01 10:30:00", "purchase", "u1", "2"),
+      ev("2024-01-01 11:00:00", "signup", "u2", "3"), // never paid → timeout
+      ev("2024-01-01 14:00:00", "view", "u3", "4"))   // watermark push
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val query = RuleEngine.runStreaming(stream.toDS(), rules)
+      .writeStream.format("memory").queryName("rule_out")
+      .outputMode("append").start()
+    try {
+      events.foreach { e => stream.addData(e); query.processAllAvailable() }
+      // one more batch so timers past the watermark fire
+      stream.addData(ev("2024-01-01 15:00:00", "view", "u3", "5"))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val streamed = spark.table("rule_out").as[RuleEngine.Fired]
+      .collect().filter(f => f.kind == "complete" || f.kind == "timeout")
+      .map(f => (f.rule, f.key, f.kind, f.firedAt)).toSet
+    val batch = RuleEngine.runBatch(ds(events: _*), rules)
+      .collect().filter(f => f.kind == "complete" || f.kind == "timeout")
+      .map(f => (f.rule, f.key, f.kind, f.firedAt)).toSet
+    assert(streamed == batch)
+  }
+}

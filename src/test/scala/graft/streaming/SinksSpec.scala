@@ -1,0 +1,64 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.time.Duration
+
+import graft.SparkSpec
+import graft.model.Event
+import graft.rules.{OutputData, RuleSpec}
+
+class SinksSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+  private def ev(t: String, typ: String, key: String, id: String): Event =
+    Event(typ, Some(id), ts(t), None, Map("key" -> key))
+
+  private val rule = RuleSpec.sequenceWithTimeout(
+    "order_payment", Seq(Set("signup"), Set("purchase")), Duration.ofMinutes(60),
+    _.payload("key"),
+    onComplete = _ => Seq(
+      OutputData.action("notify", Map("ch" -> "email")),
+      OutputData.memory("orders", "last", "done")),
+    onTimeout = _ => Seq(OutputData.event("payment_overdue")))
+
+  private def fired = {
+    import spark.implicits._
+    RuleEngine.runBatch(spark.createDataset(Seq(
+      ev("2024-01-01 10:00:00", "signup", "u1", "1"),
+      ev("2024-01-01 10:30:00", "purchase", "u1", "2"),
+      ev("2024-01-01 12:00:00", "signup", "u2", "3"))), Seq(rule))
+  }
+
+  test("batch router splits outputs into per-kind tables") {
+    val dir = Files.createTempDirectory("sinks").toString
+    val counts = Sinks.routeFiredBatch(fired.toDF(), dir)
+    assert(counts("action") == 1L)   // u1 completed → notify
+    assert(counts("memory") == 1L)   // u1 completed → memory write
+    assert(counts("event") == 1L)    // u2 timed out → derived event
+    assert(spark.read.parquet(s"$dir/actions").count() == 1)
+    val e = spark.read.parquet(s"$dir/events").collect().head
+    assert(e.getAs[String]("name") == "payment_overdue")
+  }
+
+  test("executeActions captures failures as dead letter (at-least-once)") {
+    val outs = Sinks.outputsOf(fired.toDF()).filter("out_kind = 'action'")
+    val results = Sinks.executeActions(spark, outs, (cmd, _) =>
+      if (cmd == "notify") throw new RuntimeException("smtp down")).collect()
+    assert(results.length == 1)
+    assert(!results.head.ok && results.head.error.contains("smtp down"))
+  }
+
+  test("derived events re-enter the engine: chained pass fires downstream rule") {
+    val downstream = RuleSpec.matchSingle(
+      "escalate", Set("payment_overdue"),
+      onMatch = _ => Seq(OutputData.action("page_oncall", Map.empty)))
+    import spark.implicits._
+    val all = Sinks.runBatchChained(
+      spark.createDataset(Seq(ev("2024-01-01 12:00:00", "signup", "u2", "3"))),
+      Seq(rule, downstream), passes = 3)
+    val rules = all.collect().map(_.getAs[String]("rule"))
+    assert(rules.contains("order_payment")) // pass 1: timeout
+    assert(rules.contains("escalate"))      // pass 2: derived event consumed
+  }
+}
