@@ -128,6 +128,12 @@ object SparkEntry {
   /** DuckDB twin of Dedup.mdhash. */
   private def MDH(e: String): String = s"('0x'||substr(md5($e),1,15))::UBIGINT::BIGINT"
 
+  /** The minhash affine constants as a SQL VALUES list — same source of
+   * truth as Dedup.minhashFromBase. */
+  private def minhashSeedValues: String =
+    Dedup.minhashConstants(48).zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+
   private def markersSql(markers: Seq[String]): String =
     s"len(list_filter(string_split(text,' '), x -> list_contains([${markers.map(m => s"'$m'").mkString(",")}], x)))"
 
@@ -280,9 +286,10 @@ object SparkEntry {
          | FROM documents GROUP BY 1""".stripMargin,
     "q_d2_minhash_lsh" ->
       s"""$SH,
-         | seeds AS (SELECT unnest(generate_series(0, 47)) AS seed),
-         | mh AS (SELECT doc_id, seed, MIN(${MDH("s||'#'||seed")}) AS h
-         |        FROM sh, seeds GROUP BY doc_id, seed),
+         | hv AS (SELECT doc_id, ${MDH("s")} % ${Dedup.MinhashBaseMod} AS h FROM sh),
+         | seeds(seed, a, b) AS (VALUES $minhashSeedValues),
+         | mh AS (SELECT doc_id, seed, MIN((h * a + b) % ${Dedup.MinhashP}) AS h
+         |        FROM hv, seeds GROUP BY doc_id, seed),
          | sig AS (SELECT doc_id, list(h ORDER BY seed) AS sig FROM mh GROUP BY doc_id),
          | bands AS (SELECT doc_id, b, md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS band_hash
          |           FROM sig, (SELECT unnest(generate_series(0, 11)) AS b) bb),
@@ -324,16 +331,20 @@ object SparkEntry {
          |   CAST(SUM(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
          | FROM bits GROUP BY doc_id""".stripMargin,
     "q_d5_embed_neardup" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      s"""WITH r AS (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings),
+         | e AS (SELECT vec_id,
+         |   list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v FROM r)
          | SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |   ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim
+         |   ROUND(list_dot_product(a.v, b.v), 6) AS sim
          | FROM e a JOIN e b ON a.vec_id < b.vec_id
-         | WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.4""".stripMargin,
+         | WHERE ROUND(list_dot_product(a.v, b.v), 6) >= 0.4""".stripMargin,
     "q_s1_ann_topk" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      s"""WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings),
+         | e AS (SELECT vec_id,
+         |   list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v FROM raw),
          | q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
          | scored AS (SELECT q.query_id, e.vec_id,
-         |              ROUND(list_cosine_similarity(q.qv, e.v), 6) AS sim
+         |              ROUND(list_dot_product(q.qv, e.v), 6) AS sim
          |            FROM e, q WHERE e.vec_id != q.query_id),
          | r AS (SELECT query_id, vec_id, sim,
          |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rank

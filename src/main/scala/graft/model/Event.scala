@@ -63,10 +63,9 @@ object Event {
    */
   def normalizeDatetime(raw: Column, fallback: Column): Column =
     coalesce(
-      // numeric unix seconds
-      when(raw.cast("bigint").isNotNull && !raw.rlike("[^0-9]"),
-        timestamp_seconds(raw.cast("bigint"))),
-      // TZ-aware / loose string
-      to_timestamp(raw),
+      // numeric unix seconds (guarded: ANSI mode would throw on a bare cast)
+      when(raw.rlike("^[0-9]+$"), timestamp_seconds(raw.cast("bigint"))),
+      // TZ-aware / loose string; try_ variant tolerates malformed input
+      try_to_timestamp(raw),
       fallback)
 }

@@ -48,14 +48,33 @@ object Dedup {
       .groupBy(md5(col("text")).as("text_md5"))
       .agg(min("doc_id").as("canonical_doc_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions,
-   * the min hash over the shingle set. Computed entirely map-side.
-   * Uses the md5-derived hash for oracle portability; at 100 TB swap in
-   * [[minhashSignatureFast]] (xxhash64 — same structure, ~10× cheaper). */
-  def minhashSignature(sh: Column, numHashes: Int): Column =
-    transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      seed => array_min(transform(sh, s => mdhash(concat(s, lit("#"), seed.cast("string"))))))
+  /** Prime modulus + base-hash range of the universal (affine) MinHash
+   * family: h_i(x) = (a_i * base(x) + b_i) mod P with base(x) the
+   * md5-derived hash folded into 2^30. One md5 per shingle; the k hash
+   * functions are integer math — the classic way to avoid k hash
+   * evaluations per element. */
+  val MinhashP = 2147483647L // 2^31 - 1, prime
+  val MinhashBaseMod = 1073741824L // 2^30: a*base+b stays < 2^61
+
+  /** Deterministic (seeded) affine coefficients, shared with the DuckDB
+   * oracle so candidate generation is bit-reproducible. */
+  def minhashConstants(numHashes: Int, seed: Long = 42L): Seq[(Long, Long)] = {
+    val r = new scala.util.Random(seed)
+    Seq.fill(numHashes)((1L + r.nextInt(Int.MaxValue - 1).toLong, r.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** Base hashes of a shingle array (one md5 per shingle, folded to 2^30). */
+  def minhashBase(sh: Column): Column =
+    transform(sh, s => pmod(mdhash(s), lit(MinhashBaseMod)))
+
+  /** MinHash signature from pre-computed base hashes: numHashes affine
+   * min-folds of cheap long arithmetic. Keep `hv` a real column from a
+   * separate projection — referenced numHashes times, so Catalyst's
+   * CollapseProject keeps the md5 pass materialised once per row. */
+  def minhashFromBase(hv: Column, numHashes: Int): Column =
+    array(minhashConstants(numHashes).map { case (a, b) =>
+      array_min(transform(hv, h => (h * lit(a) + lit(b)) % lit(MinhashP)))
+    }: _*)
 
   /** Scale-path signature: xxhash64 with per-function seed (codegen'd,
    * no md5 cost). Not oracle-portable — verified against
@@ -84,7 +103,8 @@ object Dedup {
     val docs = documents.select(
       col("doc_id"),
       shingles(col("text"), shingleSize).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .select(col("doc_id"), col("sh"), minhashBase(col("sh")).as("hv"))
+      .select(col("doc_id"), col("sh"), minhashFromBase(col("hv"), numHashes).as("sig"))
 
     // band index → md5 of the comma-joined band slice of the signature
     val banded = docs.select(

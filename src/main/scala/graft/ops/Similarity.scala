@@ -36,6 +36,19 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Unit-normalised copy of a vector column: norms are paid once per
+   * vector, so pairwise similarity is a single dot product — at n²
+   * pair counts this cuts the inner-loop cost by 3×. */
+  def normalized(v: Column): Column = {
+    val norm = sqrt(graft.functions.Vectors.dot(v, v))
+    transform(v, x => x / norm)
+  }
+
+  /** Dot product of two pre-normalised vectors (= cosine): the native
+   * codegen'd expression — interpreted HOF lambdas are ~20× slower on
+   * the n²-pairs hot path (see graft.functions.DotProduct). */
+  def dot(a: Column, b: Column): Column = graft.functions.Vectors.dot(a, b)
+
   /**
    * Brute-force cosine top-k: for each query vector (vec_id < nQueries),
    * the k nearest corpus vectors. Query side is tiny → broadcast join;
@@ -44,12 +57,12 @@ object Similarity {
    */
   def bruteForceTopK(embeddings: DataFrame, nQueries: Int = 20, k: Int = 10): DataFrame = {
     val corpus = embeddings.select(
-      col("vec_id"), asDouble(col("embedding")).as("v"))
+      col("vec_id"), normalized(asDouble(col("embedding"))).as("v"))
     val queries = corpus
       .filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
-      .withColumn("sim", round(cosine(col("qv"), col("v")), 6))
+      .withColumn("sim", round(dot(col("qv"), col("v")), 6))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -63,11 +76,12 @@ object Similarity {
    * (see [[lshBuckets]]) or use [[Dedup.minhashLsh]]-style banding.
    */
   def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {
-    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val e = embeddings.select(
+      col("vec_id"), normalized(asDouble(col("embedding"))).as("v"))
     val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
     val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
     a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("sim", round(cosine(col("va"), col("vb")), 6))
+      .withColumn("sim", round(dot(col("va"), col("vb")), 6))
       .filter(col("sim") >= threshold)
       .select("vec_a", "vec_b", "sim")
   }
@@ -96,7 +110,7 @@ object Similarity {
   def lshBuckets(embeddings: DataFrame, nPlanes: Int = 8, dim: Int = 64): DataFrame =
     embeddings.select(
       col("vec_id"),
-      asDouble(col("embedding")).as("v"))
+      normalized(asDouble(col("embedding"))).as("v"))
       .withColumn("bucket", lshBucket(col("v"), nPlanes, dim))
 
   /**
@@ -118,7 +132,7 @@ object Similarity {
         explode(probes).as("bucket"))
     val scored = bucketed.join(broadcast(queries), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("sim", round(cosine(col("qv"), col("v")), 6))
+      .withColumn("sim", round(dot(col("qv"), col("v")), 6))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
     scored
       .withColumn("rank", row_number().over(w))

@@ -110,4 +110,19 @@ object RuleSpec {
       onGap: Seq[Event] => Seq[OutputData]): RuleSpec =
     RuleSpec(name, Seq(types), Some(gap), correlate,
       continuous = true, onTimeout = onGap)
+
+  /** T2 — @reboot: fire once on the Start/Restored control event
+   * (reference: src/Rule/OnStartup.php:18-21). */
+  def onStartup(name: String, out: Seq[Event] => Seq[OutputData]): RuleSpec =
+    matchSingle(name, Set(Event.Control.Start, Event.Control.Restored), out)
+
+  /** T2 — @shutdown: fire once on the Stop control event
+   * (reference: src/Rule/OnShutdown.php:18-21). */
+  def onShutdown(name: String, out: Seq[Event] => Seq[OutputData]): RuleSpec =
+    matchSingle(name, Set(Event.Control.Stop), out)
+
+  /** T4 — fire per heartbeat control event
+   * (reference: src/Rule/OnHeartbeat.php:20-23). */
+  def onHeartbeat(name: String, out: Seq[Event] => Seq[OutputData]): RuleSpec =
+    matchSingle(name, Set(Event.Control.Heartbeat), out)
 }

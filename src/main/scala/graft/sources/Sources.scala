@@ -1,0 +1,96 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Event
+
+/**
+ * Source-side operators (SURVEY.md §2.1): the reference's child-process
+ * NDJSON sources, heartbeat generator and lifecycle control events,
+ * re-expressed on Spark's source connectors. Spark already provides the
+ * process-management/backpressure/checkpoint machinery (S5/S8 are
+ * built-in: offsets in checkpointLocation, codec'd IO), so what remains
+ * is Event normalisation and the synthetic streams.
+ */
+object Sources {
+
+  /** Canonical Event schema for raw JSON lines. */
+  private val rawSchema = "event STRING, id STRING, datetime STRING, receivedTime STRING"
+
+  /**
+   * S1 — NDJSON event source (the reference's wire format: one JSON
+   * object per line with `event` + loose `datetime` + open payload;
+   * reference: src/Scheduler/SourceExecutionCoordinator.php:246-276).
+   * Works for both batch (`spark.read.text`) and streaming
+   * (`spark.readStream.text`) inputs: pass the lines DataFrame.
+   * Unknown keys stay available via the raw JSON column for
+   * `get_json_object` projection (dynamic payload, SURVEY §1.1).
+   */
+  def fromJsonLines(lines: DataFrame, defaultNow: Column = current_timestamp()): DataFrame = {
+    val parsed = lines
+      .withColumn("j", from_json(col("value"), org.apache.spark.sql.types.StructType.fromDDL(rawSchema)))
+    parsed.select(
+      col("j.event").as("event"),
+      col("j.id").as("id"),
+      // loose datetime: unix seconds | TZ-aware string | absent
+      Event.normalizeDatetime(col("j.datetime"), defaultNow).as("datetime"),
+      to_timestamp(col("j.receivedTime")).as("receivedTime"),
+      col("value").as("raw"))
+  }
+
+  /**
+   * S6 — Heartbeat source: a synthetic engine event every `intervalSec`
+   * (reference: src/Scheduler/Heartbeat.php:255-288 emits
+   * `runtime`/`seq` fields). Streaming: the rate source mapped onto
+   * control events — unioned into the event stream so heartbeat rules
+   * (OnHeartbeat, T4) are plain filters.
+   */
+  def heartbeatStream(spark: SparkSession, intervalSec: Long): Dataset[Event] = {
+    import spark.implicits._
+    spark.readStream
+      .format("rate")
+      .option("rowsPerSecond", s"${1.0 / intervalSec}")
+      .load()
+      .select(col("timestamp"), col("value"))
+      .as[(java.sql.Timestamp, Long)]
+      .map { case (ts, seq) =>
+        Event(Event.Control.Heartbeat, Some(seq.toString), ts, None,
+          Map("seq" -> seq.toString))
+      }
+  }
+
+  /** Batch heartbeat grid for historical replay — one heartbeat per
+   * interval across the data's time span (same shape the scheduler
+   * would have injected live). */
+  def heartbeatGrid(events: DataFrame, intervalSec: Long): DataFrame =
+    events
+      .agg(min("ts").as("lo"), max("ts").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr(s"INTERVAL $intervalSec SECONDS"))).as("ts"))
+      .select(
+        lit(Event.Control.Heartbeat).as("event"),
+        monotonically_increasing_id().cast("string").as("id"),
+        col("ts").as("datetime"))
+
+  /**
+   * S7 — Control events: Start/Restored at stream start, Stop at
+   * shutdown (reference: src/Scheduler.php:163-188,727-737,986-988).
+   * Batch face: bracket the dataset with synthetic rows just before the
+   * first and after the last event so OnStartup/OnShutdown rules (T2)
+   * fire inside the same replay.
+   */
+  def withControlEvents(spark: SparkSession, events: Dataset[Event],
+      restored: Boolean = false): Dataset[Event] = {
+    import spark.implicits._
+    val bounds = events.agg(min($"datetime"), max($"datetime")).head()
+    val lo = bounds.getTimestamp(0)
+    val hi = bounds.getTimestamp(1)
+    val start = Event(
+      if (restored) Event.Control.Restored else Event.Control.Start,
+      Some("start"), new java.sql.Timestamp(lo.getTime - 1), None, Map.empty)
+    val stop = Event(Event.Control.Stop, Some("stop"),
+      new java.sql.Timestamp(hi.getTime + 1), None, Map.empty)
+    spark.createDataset(Seq(start)).union(events).union(spark.createDataset(Seq(stop)))
+  }
+}
