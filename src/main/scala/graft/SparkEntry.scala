@@ -77,6 +77,11 @@ object SparkEntry {
     "q_r1_pricing_summary" -> ((s, d) => Relational.pricingSummary(Tables.lineitem(s, d))),
     "q_r2_customer_geo" -> ((s, d) =>
       Relational.customerGeo(Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
+    "q_r3_customer_revenue" -> ((s, d) =>
+      Relational.customerRevenue(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q_r4_regional_volume" -> ((s, d) =>
+      Relational.regionalVolume(Tables.region(s, d), Tables.nation(s, d), Tables.customer(s, d),
+        Tables.orders(s, d), Tables.lineitem(s, d), Tables.supplier(s, d))),
     // ---- training-data pipeline: dedup ----------------------------
     "q_d1_exact_dedup" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
     "q_d2_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
@@ -280,6 +285,26 @@ object SparkEntry {
          | FROM customer
          | JOIN nation ON c_nationkey = n_nationkey
          | JOIN region ON n_regionkey = r_regionkey""".stripMargin,
+    "q_r3_customer_revenue" ->
+      s"""SELECT c_custkey, c_name,
+         |   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+         |   CAST(COUNT(*) AS BIGINT) AS n_items
+         | FROM orders
+         | JOIN lineitem ON l_orderkey = o_orderkey
+         | JOIN customer ON c_custkey = o_custkey
+         | WHERE o_orderstatus = 'F'
+         | GROUP BY c_custkey, c_name""".stripMargin,
+    "q_r4_regional_volume" ->
+      s"""SELECT n_name AS nation,
+         |   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         | FROM region
+         | JOIN nation ON n_regionkey = r_regionkey
+         | JOIN customer ON c_nationkey = n_nationkey
+         | JOIN orders ON o_custkey = c_custkey
+         | JOIN lineitem ON l_orderkey = o_orderkey
+         | JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+         | WHERE r_name = 'ASIA'
+         | GROUP BY n_name""".stripMargin,
     "q_d1_exact_dedup" ->
       s"""SELECT md5(text) AS text_md5, MIN(doc_id) AS canonical_doc_id,
          |   CAST(COUNT(*) AS BIGINT) AS n_copies

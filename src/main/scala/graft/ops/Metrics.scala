@@ -117,6 +117,20 @@ object Metrics {
   }
 
   /**
+   * A4 — MetricsCollector (reference: src/Scheduler/MetricsCollector
+   * .php:279-333, periodic gauge/counter snapshots): Spark-native form
+   * is `Dataset.observe` — metrics ride the existing job, no extra
+   * pass. Use the returned Observation after an action:
+   * `obs.get("seen")`. Streaming: the same metrics appear per batch in
+   * StreamingQueryProgress.observedMetrics.
+   */
+  def observed(df: DataFrame, obs: org.apache.spark.sql.Observation): DataFrame =
+    df.observe(obs,
+      count(lit(1)).as("seen"),
+      count(col("value")).as("with_value"),
+      exactSum(col("value"), 2).as("sum_value"))
+
+  /**
    * A8 — EventLog: the last `n` events engine-wide (reference:
    * src/Library/EventLog.php:94-116, bounded FIFO of 100). TakeOrdered
    * physical op — no full sort at scale.

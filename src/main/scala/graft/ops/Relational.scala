@@ -63,6 +63,40 @@ object Relational {
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
         col("n_name").as("nation"), col("r_name").as("region"))
 
+  /** Revenue per customer over finished orders (TPC-H Q10 shape):
+   * fact-fact join on the order key (sort-merge at scale, AQE-broadcast
+   * when the filtered orders side shrinks), customer dim broadcast.
+   * Demonstrates the join order that keeps the big lineitem side
+   * unshuffled until reduced. */
+  def customerRevenue(customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders.filter(col("o_orderstatus") === "F")
+      .join(lineitem, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(
+        Metrics.exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** Regional supplier volume (TPC-H Q5 shape): the full star join —
+   * dims (region→nation, supplier) broadcast; the lineitem↔orders
+   * fact join carries the only real shuffle. */
+  def regionalVolume(region: DataFrame, nation: DataFrame, customer: DataFrame,
+      orders: DataFrame, lineitem: DataFrame, supplier: DataFrame,
+      regionName: String = "ASIA"): DataFrame = {
+    val geo = customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+    orders
+      .join(broadcast(geo), col("o_custkey") === col("c_custkey"))
+      .join(lineitem, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supplier),
+        col("s_suppkey") === col("l_suppkey") && col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(Metrics.exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+      .withColumnRenamed("n_name", "nation")
+  }
+
   /** TPC-H Q1-style pricing summary — the canonical wide-agg face used by
    * the bench; partial aggregation reduces 600k rows to 6 groups before
    * the shuffle. */

@@ -101,6 +101,22 @@ object Schedule {
    * generated distributed (sequence+explode from the aggregated bounds);
    * the cron-set membership filters are plain `isin` — codegen'd.
    */
+  /** T3 — cron ticks as synthetic engine events, union-ready for the
+   * rule interpreter: an OnSchedule rule is then a plain matchSingle on
+   * the tick type (reference: src/Rule/OnSchedule.php:24-38 — Cron with
+   * an injected closure). */
+  def tickEvents(spark: SparkSession, df: DataFrame, cron: Cron,
+      name: String): org.apache.spark.sql.Dataset[graft.model.Event] = {
+    import spark.implicits._
+    ticks(df, cron).select(
+      lit(s"GRAFT:Cron:$name").as("event"),
+      col("tick_ts").cast("string").as("id"),
+      col("tick_ts").as("datetime"),
+      lit(null).cast("timestamp").as("receivedTime"),
+      map(lit("key"), lit(name)).as("payload"))
+      .as[graft.model.Event]
+  }
+
   def ticks(df: DataFrame, cron: Cron, tsCol: String = "ts"): DataFrame = {
     val bounds = df.agg(
       date_trunc("minute", min(col(tsCol))).as("lo"),
