@@ -38,6 +38,12 @@ final case class RuleSpec(
      * arbitrary user logic (reference acceptEvent/acceptSubsequentEvent,
      * src/StateMachine/AEventProcessor.php:229-252). */
     accept: (Event, Seq[Event]) => Boolean = RuleSpec.acceptAll,
+    /** F6 — when a matcher of this rule consumes an event, halt all
+     * further rule processing of that event (dedup/quarantine;
+     * reference EVENT_SUPPRESS, src/CorrelationEngine.php:230-236).
+     * Honoured by the aligned-key runner, where rule declaration order
+     * is deterministic (SURVEY §7.5.1). */
+    suppressOnMatch: Boolean = false,
     onComplete: Seq[Event] => Seq[OutputData] = RuleSpec.noOutputs,
     onTimeout: Seq[Event] => Seq[OutputData] = RuleSpec.noOutputs,
     onProgress: Seq[Event] => Seq[OutputData] = RuleSpec.noOutputs) {

@@ -99,20 +99,39 @@ object RuleEngine {
       matchers: Vector[MatcherState],
       e: Event,
       emitTimeouts: Boolean = true): (Vector[MatcherState], Vector[Fired]) = {
+    val (m1, f1) = fireDue(rule, key, matchers, micros(e.effectiveTime), emitTimeouts)
+    val (m2, f2, _) = offer(rule, key, m1, e)
+    (m2, f1 ++ f2)
+  }
+
+  /** Virtual clock: fire timeouts due strictly before/at `nowUs`
+   * (reference advances the clock to event time − 1ms then fires; an
+   * event AT the deadline still cannot be consumed → <=). */
+  private def fireDue(
+      rule: RuleSpec,
+      key: String,
+      matchers: Vector[MatcherState],
+      nowUs: Long,
+      emitTimeouts: Boolean): (Vector[MatcherState], Vector[Fired]) = {
+    val (due, alive) = matchers.partition(_.timeoutAtUs.exists(_ <= nowUs))
+    val fires =
+      if (emitTimeouts) due.sortBy(_.timeoutAtUs.get).map { m =>
+        fired(rule, key, "timeout", microsToTs(m.timeoutAtUs.get), m.chain, rule.onTimeout(m.chain))
+      } else Vector.empty[Fired]
+    (alive, fires)
+  }
+
+  /** Offer the event to each live matcher in creation order; spawn with
+   * the duplicate-start guard. Returns (alive, fires, handled). */
+  private def offer(
+      rule: RuleSpec,
+      key: String,
+      alive0: Vector[MatcherState],
+      e: Event): (Vector[MatcherState], Vector[Fired], Boolean) = {
     val eUs = micros(e.effectiveTime)
     var fires = Vector.empty[Fired]
-
-    // 1. virtual clock: fire timeouts due strictly before/at this event
-    //    (reference advances the clock to event time − 1ms then fires;
-    //    an event AT the deadline still cannot be consumed → <=)
-    val (due, alive0) = matchers.partition(_.timeoutAtUs.exists(_ <= eUs))
-    if (emitTimeouts) due.sortBy(_.timeoutAtUs.get).foreach { m =>
-      fires :+= fired(rule, key, "timeout", microsToTs(m.timeoutAtUs.get), m.chain, rule.onTimeout(m.chain))
-    }
-
-    // 2. offer the event to each live matcher in creation order
-    var handled = false
     var alive = Vector.empty[MatcherState]
+    var handled = false
     alive0.foreach { m =>
       if (rule.acceptsAt(m.step, e.event) && rule.accept(e, m.chain)) {
         handled = true
@@ -129,10 +148,11 @@ object RuleEngine {
       } else alive :+= m
     }
 
-    // 3. duplicate-start guard: spawn a new matcher only if no live
-    //    matcher of this rule consumed the event
+    // duplicate-start guard: spawn a new matcher only if no live
+    // matcher of this rule consumed the event
     if (!handled && rule.acceptsAt(0, e.event) && rule.accept(e, Nil)
         && alive.size < MaxMatchersPerKey) {
+      handled = true
       val chain = Vector(e)
       val complete = !rule.continuous && rule.steps.size == 1
       if (complete) {
@@ -143,7 +163,7 @@ object RuleEngine {
           rule.timeout.map(t => eUs + t.toNanos / 1000L))
       }
     }
-    (alive, fires)
+    (alive, fires, handled)
   }
 
   private def fired(rule: RuleSpec, key: String, kind: String, at: Timestamp,
@@ -218,6 +238,80 @@ object RuleEngine {
                 out :+= fired(rule, head.key, "timeout",
                   microsToTs(m.timeoutAtUs.get), m.chain, rule.onTimeout(m.chain))
               }
+            out.iterator
+          }
+        }.flatten
+      }
+  }
+
+  /**
+   * Aligned-key batch face with deterministic cross-rule suppress
+   * ordering (F6; SURVEY §7.5.1 hard part): all rules share one
+   * correlation key, are evaluated in declaration order per event, and
+   * a `suppressOnMatch` rule that consumes the event halts the
+   * remaining rules — the reference's single-threaded loop semantics
+   * (reference: src/CorrelationEngine.php:230-236 suppress breaks the
+   * matcher loop and skips new-matcher instantiation). Timeouts of ALL
+   * rules still fire on clock advance regardless of suppression
+   * (reference fires triggerTimeouts before handling each event).
+   * Same scale shape as [[runBatch]]: one shuffle on the key, sorted
+   * runs, no per-group materialisation.
+   */
+  def runBatchAligned(events: Dataset[Event], rules: Seq[RuleSpec],
+      key: Event => String): Dataset[Fired] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ruleArr = rules.toIndexedSeq
+    val keyed = events.map(e => Keyed("", key(e), e.effectiveTime, e))
+    keyed
+      .repartition($"key")
+      .sortWithinPartitions($"key", $"event.datetime", $"event.id")
+      .mapPartitions { it =>
+        new Iterator[Iterator[Fired]] {
+          private val buf = it.buffered
+          def hasNext: Boolean = buf.hasNext
+          def next(): Iterator[Fired] = {
+            val k = buf.head.key
+            val matchers = Array.fill(ruleArr.size)(Vector.empty[MatcherState])
+            var out = Vector.empty[Fired]
+            while (buf.hasNext && buf.head.key == k) {
+              val e = buf.next().event
+              val eUs = micros(e.effectiveTime)
+              // clock advance: all rules' due timeouts fire first
+              var i = 0
+              while (i < ruleArr.size) {
+                val (m, f) = fireDue(ruleArr(i), k, matchers(i), eUs,
+                  !ruleArr(i).historicalIgnoreTimeout)
+                matchers(i) = m
+                out ++= f
+                i += 1
+              }
+              // declaration-order evaluation with suppress short-circuit
+              var suppressed = false
+              i = 0
+              while (i < ruleArr.size && !suppressed) {
+                val r = ruleArr(i)
+                if (r.mightAccept(e.event)) {
+                  val (m, f, handled) = offer(r, k, matchers(i), e)
+                  matchers(i) = m
+                  out ++= f
+                  if (handled && r.suppressOnMatch) suppressed = true
+                }
+                i += 1
+              }
+            }
+            // end-of-data flush (same contract as runBatch)
+            var i = 0
+            while (i < ruleArr.size) {
+              if (!ruleArr(i).historicalIgnoreTimeout) {
+                matchers(i).filter(_.timeoutAtUs.isDefined).sortBy(_.timeoutAtUs.get)
+                  .foreach { m =>
+                    out :+= fired(ruleArr(i), k, "timeout",
+                      microsToTs(m.timeoutAtUs.get), m.chain, ruleArr(i).onTimeout(m.chain))
+                  }
+              }
+              i += 1
+            }
             out.iterator
           }
         }.flatten

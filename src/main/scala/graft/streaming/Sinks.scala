@@ -62,6 +62,23 @@ object Sinks {
       }
       .start()
 
+  /**
+   * K3 — Action parameter validation (reference: JSON-Schema check of
+   * Action.vars before dispatch; invalid actions get an argumenterror
+   * and are NOT retried —
+   * src/Scheduler/ActionExecutionCoordinator.php:229-239). Declarative
+   * face: required var keys per action name; returns (valid, invalid).
+   */
+  def validateActionVars(actions: DataFrame,
+      required: Map[String, Seq[String]]): (DataFrame, DataFrame) = {
+    val ok = required.foldLeft(lit(true)) { case (acc, (cmd, keys)) =>
+      when(col("name") === cmd,
+        keys.map(k => map_contains_key(col("vars"), k)).foldLeft(lit(true))(_ && _))
+        .otherwise(acc)
+    }
+    (actions.filter(ok), actions.filter(!ok))
+  }
+
   /** One executed action: ok or captured error (the reference correlates
    * action responses by id and queues failures;
    * src/Scheduler/ActionExecutionCoordinator.php:138-175). */

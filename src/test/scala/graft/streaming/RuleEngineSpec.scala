@@ -108,6 +108,27 @@ class RuleEngineSpec extends SparkSpec {
     assert(gaps(1).outputs.head.vars("n") == "2")
   }
 
+  test("F6 suppress: declaration order decides whether downstream rules see the event") {
+    val quarantine = graft.rules.RuleSpec(
+      "quarantine", Seq(Set("error")), None, _.payload("key"),
+      continuous = true, suppressOnMatch = true)
+    val alerter = RuleSpec.matchSingle("alert", Set("error"),
+      onMatch = _ => Seq(OutputData.action("page", Map.empty)))
+    val events = ds(
+      ev("2024-01-01 10:00:00", "error", "u1", "1"),
+      ev("2024-01-01 10:05:00", "error", "u1", "2"))
+
+    // quarantine first: alerts suppressed
+    val suppressed = RuleEngine.runBatchAligned(
+      events, Seq(quarantine, alerter), _.payload("key")).collect()
+    assert(!suppressed.exists(_.rule == "alert"))
+
+    // alerter first: it sees both events before quarantine consumes them
+    val open = RuleEngine.runBatchAligned(
+      events, Seq(alerter, quarantine), _.payload("key")).collect()
+    assert(open.count(f => f.rule == "alert" && f.kind == "complete") == 2)
+  }
+
   test("batch interpreter matches the SQL face on the fixture (J2 timeout alarms)") {
     val sfDir = "/root/testdata/sf0.001"
     val eventsDf = graft.Tables.events(spark, sfDir)

@@ -49,6 +49,15 @@ class SinksSpec extends SparkSpec {
     assert(!results.head.ok && results.head.error.contains("smtp down"))
   }
 
+  test("K3 action validation splits on required vars; invalid not retried") {
+    val outs = Sinks.outputsOf(fired.toDF()).filter("out_kind = 'action'")
+    val (valid, invalid) = Sinks.validateActionVars(outs,
+      Map("notify" -> Seq("ch", "missing_key")))
+    assert(valid.count() == 0 && invalid.count() == 1)
+    val (v2, i2) = Sinks.validateActionVars(outs, Map("notify" -> Seq("ch")))
+    assert(v2.count() == 1 && i2.count() == 0)
+  }
+
   test("derived events re-enter the engine: chained pass fires downstream rule") {
     val downstream = RuleSpec.matchSingle(
       "escalate", Set("payment_overdue"),
