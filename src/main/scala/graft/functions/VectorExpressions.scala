@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInput
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /**
  * Native Catalyst expression for the similarity hot path.
@@ -65,10 +65,78 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/**
+ * Native MinHash signature: all k affine hash functions
+ * h_i(x) = (a_i·x + b_i) mod p min-folded over the base-hash array in
+ * ONE pass — the interpreted-HOF formulation (k × array_min(transform))
+ * costs k lambda evaluations per element. Constants are embedded as
+ * reference objects; output is array<long> of length k.
+ */
+case class AffineMinHash(child: Expression, as: Array[Long], bs: Array[Long], p: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val k = as.length
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = (as(j) * h + bs(j)) % p
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val asRef = ctx.addReferenceObj("minhashAs", as, "long[]")
+    val bsRef = ctx.addReferenceObj("minhashBs", bs, "long[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n"); val k = ctx.freshName("k")
+      val mins = ctx.freshName("mins"); val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $c.numElements();
+         |int $k = $asRef.length;
+         |long[] $mins = new long[$k];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $c.getLong($i);
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    long $v = ($asRef[$j] * $h + $bsRef[$j]) % ${p}L;
+         |    if ($v < $mins[$j]) $mins[$j] = $v;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AffineMinHash =
+    copy(child = newChild)
+}
+
 /** Column-API surface for the native vector expressions. */
 object Vectors {
   /** Codegen'd dot product of two array<double> columns. */
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(
       DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Codegen'd one-pass MinHash signature over a base-hash array. */
+  def affineMinhash(hv: Column, consts: Seq[(Long, Long)], p: Long): Column =
+    ColumnBridge.column(AffineMinHash(
+      ColumnBridge.expression(hv),
+      consts.map(_._1).toArray, consts.map(_._2).toArray, p))
 }

@@ -67,14 +67,12 @@ object Dedup {
   def minhashBase(sh: Column): Column =
     transform(sh, s => pmod(mdhash(s), lit(MinhashBaseMod)))
 
-  /** MinHash signature from pre-computed base hashes: numHashes affine
-   * min-folds of cheap long arithmetic. Keep `hv` a real column from a
-   * separate projection — referenced numHashes times, so Catalyst's
-   * CollapseProject keeps the md5 pass materialised once per row. */
+  /** MinHash signature from pre-computed base hashes: one native
+   * codegen'd pass computes all numHashes affine min-folds
+   * (graft.functions.AffineMinHash) — the interpreted-HOF equivalent
+   * costs numHashes lambda evaluations per shingle. */
   def minhashFromBase(hv: Column, numHashes: Int): Column =
-    array(minhashConstants(numHashes).map { case (a, b) =>
-      array_min(transform(hv, h => (h * lit(a) + lit(b)) % lit(MinhashP)))
-    }: _*)
+    graft.functions.Vectors.affineMinhash(hv, minhashConstants(numHashes), MinhashP)
 
   /** Scale-path signature: xxhash64 with per-function seed (codegen'd,
    * no md5 cost). Not oracle-portable — verified against
@@ -106,7 +104,11 @@ object Dedup {
       .select(col("doc_id"), col("sh"), minhashBase(col("sh")).as("hv"))
       .select(col("doc_id"), col("sh"), minhashFromBase(col("hv"), numHashes).as("sig"))
 
-    // band index → md5 of the comma-joined band slice of the signature
+    // band index → md5 of the comma-joined band slice of the signature.
+    // Cached: both sides of the bucket self-join and the verification
+    // stage reuse it — without the cache the whole shingle+md5 pipeline
+    // runs once per branch (at 100 TB you would materialise the
+    // signature table the same way).
     val banded = docs.select(
       col("doc_id"), col("sh"),
       posexplode(
@@ -116,6 +118,7 @@ object Dedup {
             transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), x => x.cast("string")),
             ","))))
         .as(Seq("band_idx", "band_hash")))
+      .cache()
 
     val a = banded.select(col("band_idx"), col("band_hash"),
       col("doc_id").as("doc_a"), col("sh").as("sh_a"))
@@ -147,7 +150,9 @@ object Dedup {
     val sh = documents.select(
       col("doc_id"), explode(shingles(col("text"), shingleSize)).as("s"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
+    // the posting list is small relative to the corpus → broadcast one
+    // side of the shingle join rather than shuffling both
+    val inter = sh.as("a").join(broadcast(sh.as("b")),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("c"))
