@@ -89,6 +89,42 @@ object Multimodal {
     }
   }
 
+  /** A sampled frame from a (fake) container stream. */
+  case class Frame(media_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /**
+   * Frame sampling — every `everyN`-th fixed-size chunk of the payload
+   * (STUB: a real implementation asks the container for keyframes; the
+   * chunking here is a deterministic fake). The Spark-side shape is
+   * real: partition-local, one media row fans out to many frame rows,
+   * frames stay on their partition until explicitly shuffled.
+   */
+  def frameSample(spark: SparkSession, media: DataFrame,
+      everyN: Int = 4, frameBytes: Int = 64): Dataset[Frame] = {
+    import spark.implicits._
+    media.as[MediaRow].flatMap { r =>
+      r.media.grouped(frameBytes).zipWithIndex
+        .filter(_._2 % everyN == 0)
+        .map { case (chunk, idx) => Frame(r.media_id, idx, chunk) }
+    }
+  }
+
+  /** Feature "resize" — bucket-mean downsampling to `outDim` (STUB for
+   * a real image resize; deterministic, fixed output shape). */
+  def resizeFeature(feature: Array[Float], outDim: Int): Array[Float] = {
+    val out = new Array[Float](outDim)
+    val counts = new Array[Int](outDim)
+    var i = 0
+    while (i < feature.length) {
+      val b = math.min((i.toLong * outDim / math.max(feature.length, 1)).toInt, outDim - 1)
+      out(b) += feature(i); counts(b) += 1
+      i += 1
+    }
+    var j = 0
+    while (j < outDim) { if (counts(j) > 0) out(j) /= counts(j); j += 1 }
+    out
+  }
+
   /** Relational metadata face (oracle-checkable): payload sizes without
    * touching the codec. */
   def mediaMeta(documents: DataFrame): DataFrame =
