@@ -55,8 +55,10 @@ object MemoryStore {
         .when(col("ttl_sec") < 0, col("written_at")) // expired on arrival = delete
         .otherwise(lit(null).cast("timestamp")).as("expires_at"),
       col("persistent"))
+    // value tiebreak keeps last-writer-wins deterministic when two
+    // writes share a timestamp (batch-ingest collisions)
     val w = Window.partitionBy("namespace", "key")
-      .orderBy(col("updated_at").desc)
+      .orderBy(col("updated_at").desc, col("value").desc)
     current.select(columns.map(col): _*)
       .unionByName(normalised)
       .withColumn("rn", row_number().over(w))
