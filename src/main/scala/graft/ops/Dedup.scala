@@ -98,17 +98,18 @@ object Dedup {
       rowsPerBand: Int = 4,
       threshold: Double = 0.5): DataFrame = {
     val numHashes = bands * rowsPerBand
+    // cached: both sides of the bucket self-join and the verification
+    // stage reuse the shingle+md5+signature pipeline; one compact row
+    // per document (at 100 TB you would materialise this signature
+    // table the same way). Spark can evict/recompute it safely.
     val docs = documents.select(
       col("doc_id"),
       shingles(col("text"), shingleSize).as("sh"))
       .select(col("doc_id"), col("sh"), minhashBase(col("sh")).as("hv"))
       .select(col("doc_id"), col("sh"), minhashFromBase(col("hv"), numHashes).as("sig"))
+      .cache()
 
-    // band index → md5 of the comma-joined band slice of the signature.
-    // Cached: both sides of the bucket self-join and the verification
-    // stage reuse it — without the cache the whole shingle+md5 pipeline
-    // runs once per branch (at 100 TB you would materialise the
-    // signature table the same way).
+    // band index → md5 of the comma-joined band slice of the signature
     val banded = docs.select(
       col("doc_id"), col("sh"),
       posexplode(
@@ -118,7 +119,6 @@ object Dedup {
             transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), x => x.cast("string")),
             ","))))
         .as(Seq("band_idx", "band_hash")))
-      .cache()
 
     val a = banded.select(col("band_idx"), col("band_hash"),
       col("doc_id").as("doc_a"), col("sh").as("sh_a"))
@@ -150,9 +150,9 @@ object Dedup {
     val sh = documents.select(
       col("doc_id"), explode(shingles(col("text"), shingleSize)).as("s"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // the posting list is small relative to the corpus → broadcast one
-    // side of the shingle join rather than shuffling both
-    val inter = sh.as("a").join(broadcast(sh.as("b")),
+    // no broadcast hint: the exploded posting list is LARGER than the
+    // corpus — let AQE pick the join strategy from runtime sizes
+    val inter = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("c"))

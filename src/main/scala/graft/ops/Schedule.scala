@@ -79,9 +79,13 @@ object Schedule {
     var t = after.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDateTime
       .withSecond(0).withNano(0).plusMinutes(1)
     var guard = 0
-    while (!matches(cron, t) && guard < 366 * 24 * 60 * 5) {
+    val maxScan = 366 * 24 * 60 * 5 // 5 years of minutes
+    while (!matches(cron, t) && guard < maxScan) {
       t = t.plusMinutes(1); guard += 1
     }
+    if (!matches(cron, t))
+      throw new IllegalArgumentException(
+        s"cron never matches within 5 years (impossible schedule like Feb 31?)")
     Timestamp.from(t.toInstant(java.time.ZoneOffset.UTC))
   }
 

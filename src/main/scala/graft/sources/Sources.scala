@@ -48,15 +48,19 @@ object Sources {
    */
   def heartbeatStream(spark: SparkSession, intervalSec: Long): Dataset[Event] = {
     import spark.implicits._
+    // rate takes an integer rowsPerSecond; emit 1/s and keep every
+    // intervalSec-th row for sub-1Hz beats
     spark.readStream
       .format("rate")
-      .option("rowsPerSecond", s"${1.0 / intervalSec}")
+      .option("rowsPerSecond", "1")
       .load()
       .select(col("timestamp"), col("value"))
       .as[(java.sql.Timestamp, Long)]
+      .filter(r => r._2 % intervalSec == 0L)
       .map { case (ts, seq) =>
-        Event(Event.Control.Heartbeat, Some(seq.toString), ts, None,
-          Map("seq" -> seq.toString))
+        val beat = seq / intervalSec
+        Event(Event.Control.Heartbeat, Some(beat.toString), ts, None,
+          Map("seq" -> beat.toString))
       }
   }
 
@@ -84,8 +88,10 @@ object Sources {
       restored: Boolean = false): Dataset[Event] = {
     import spark.implicits._
     val bounds = events.agg(min($"datetime"), max($"datetime")).head()
-    val lo = bounds.getTimestamp(0)
-    val hi = bounds.getTimestamp(1)
+    // empty replay window: bracket the epoch origin so Start/Stop rules
+    // still fire deterministically (no wall-clock dependence)
+    val lo = Option(bounds.getTimestamp(0)).getOrElse(new java.sql.Timestamp(1L))
+    val hi = Option(bounds.getTimestamp(1)).getOrElse(new java.sql.Timestamp(1L))
     val start = Event(
       if (restored) Event.Control.Restored else Event.Control.Start,
       Some("start"), new java.sql.Timestamp(lo.getTime - 1), None, Map.empty)

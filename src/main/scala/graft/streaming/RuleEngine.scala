@@ -214,7 +214,9 @@ object RuleEngine {
     }
     keyed
       .repartition($"rule", $"key")
-      .sortWithinPartitions($"rule", $"key", $"event.datetime", $"event.id")
+      // eventTime = effectiveTime (receivedTime override applied) — the
+      // engine's clock, NOT raw datetime
+      .sortWithinPartitions($"rule", $"key", $"eventTime", $"event.id")
       .mapPartitions { it =>
         new Iterator[Iterator[Fired]] {
           private val buf = it.buffered
@@ -265,7 +267,7 @@ object RuleEngine {
     val keyed = events.map(e => Keyed("", key(e), e.effectiveTime, e))
     keyed
       .repartition($"key")
-      .sortWithinPartitions($"key", $"event.datetime", $"event.id")
+      .sortWithinPartitions($"key", $"eventTime", $"event.id")
       .mapPartitions { it =>
         new Iterator[Iterator[Fired]] {
           private val buf = it.buffered

@@ -120,7 +120,12 @@ object Sinks {
         lit(null).cast("string").as("id"),
         col("firedAt").as("datetime"),
         lit(null).cast("timestamp").as("receivedTime"),
-        map_concat(col("vars"), map(lit("key"), col("key"))).as("payload"))
+        // the engine key wins over an identically-named user var (a
+        // plain map_concat throws DUPLICATE_MAP_KEY under the default
+        // EXCEPTION dedup policy)
+        map_concat(
+          map_filter(col("vars"), (k, _) => k =!= "key"),
+          map(lit("key"), col("key"))).as("payload"))
       .as[Event]
   }
 
@@ -133,15 +138,21 @@ object Sinks {
   def runBatchChained(events: Dataset[Event], rules: Seq[RuleSpec],
       passes: Int = 3): DataFrame = {
     val spark = events.sparkSession
-    var fires = RuleEngine.runBatch(events, rules).toDF()
+    // each pass's fires are persisted: the isEmpty probe and the final
+    // union action would otherwise re-execute every earlier pass's
+    // stateful interpreter lineage (O(passes²) recompute). The cached
+    // pieces are small (fire records); callers can clearCache() after
+    // consuming the result.
+    var fires = RuleEngine.runBatch(events, rules).toDF().persist()
     var derived = derivedEvents(spark, fires)
+    var all = fires
     var pass = 1
     while (pass < passes && !derived.isEmpty) {
-      val next = RuleEngine.runBatch(derived, rules).toDF()
-      fires = fires.unionByName(next)
+      val next = RuleEngine.runBatch(derived, rules).toDF().persist()
+      all = all.unionByName(next)
       derived = derivedEvents(spark, next)
       pass += 1
     }
-    fires
+    all
   }
 }

@@ -40,6 +40,13 @@ class ScheduleSpec extends AnyFunSuite {
     assert(got == Timestamp.valueOf("2024-01-01 11:00:00"))
   }
 
+  test("impossible schedules raise instead of returning a wrong timestamp") {
+    val c = Schedule.parse("0 0 31 2 *") // Feb 31 never exists
+    intercept[IllegalArgumentException] {
+      Schedule.nextAfter(c, Timestamp.valueOf("2024-01-01 00:00:00"))
+    }
+  }
+
   test("dom/dow are ORed when both restricted (standard cron)") {
     // fires on the 15th OR on Mondays
     val c = Schedule.parse("0 0 15 * 1")

@@ -40,6 +40,14 @@ class SourcesSpec extends SparkSpec {
     assert(fired.count(f => f.rule == "drain" && f.kind == "complete") == 1)
   }
 
+  test("control events on an empty replay window still bracket deterministically") {
+    import spark.implicits._
+    val empty = spark.emptyDataset[Event]
+    val got = Sources.withControlEvents(spark, empty).collect()
+    assert(got.map(_.event).toSeq.sorted ==
+      Seq(Event.Control.Start, Event.Control.Stop).sorted)
+  }
+
   test("batch heartbeat grid spans the data at the configured interval") {
     val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
     val hb = Sources.heartbeatGrid(events, intervalSec = 3600)

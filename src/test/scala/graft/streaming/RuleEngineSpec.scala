@@ -108,6 +108,21 @@ class RuleEngineSpec extends SparkSpec {
     assert(gaps(1).outputs.head.vars("n") == "2")
   }
 
+  test("batch face orders by effectiveTime: receivedTime override changes the outcome") {
+    // signup's datetime is 10:00 but its receivedTime correction moves it
+    // to 12:00 — in engine time the purchase (11:30) precedes it, so the
+    // signup must time out, not complete
+    val signup = Event("signup", Some("1"), ts("2024-01-01 10:00:00"),
+      Some(ts("2024-01-01 12:00:00")), Map("key" -> "u1"))
+    val purchase = Event("purchase", Some("2"), ts("2024-01-01 11:30:00"), None, Map("key" -> "u1"))
+    import spark.implicits._
+    val out = RuleEngine.runBatch(spark.createDataset(Seq(signup, purchase)), Seq(orderRule()))
+      .collect()
+    assert(!out.exists(_.kind == "complete"))
+    val timeouts = out.filter(_.kind == "timeout")
+    assert(timeouts.length == 1 && timeouts.head.firedAt == ts("2024-01-01 13:00:00"))
+  }
+
   test("F6 suppress: declaration order decides whether downstream rules see the event") {
     val quarantine = graft.rules.RuleSpec(
       "quarantine", Seq(Set("error")), None, _.payload("key"),

@@ -49,6 +49,21 @@ class SinksSpec extends SparkSpec {
     assert(!results.head.ok && results.head.error.contains("smtp down"))
   }
 
+  test("derivedEvents tolerates a user var named 'key' (engine key wins)") {
+    val clashRule = RuleSpec.matchSingle("clash", Set("signup"),
+      onMatch = _ => Seq(OutputData.event("derived", Map("key" -> "user-value", "x" -> "1"))))
+    import spark.implicits._
+    val f = RuleEngine.runBatch(spark.createDataset(Seq(
+      ev("2024-01-01 10:00:00", "signup", "u9", "1"))), Seq(clashRule))
+    val derived = Sinks.derivedEvents(spark, f.toDF()).collect()
+    assert(derived.length == 1)
+    // matchSingle correlates by event type, so the engine key is "signup"
+    // — the point is that the user's clashing "key" var did not crash
+    // map_concat and did not win
+    assert(derived.head.payload("key") == "signup")
+    assert(derived.head.payload("x") == "1")
+  }
+
   test("K3 action validation splits on required vars; invalid not retried") {
     val outs = Sinks.outputsOf(fired.toDF()).filter("out_kind = 'action'")
     val (valid, invalid) = Sinks.validateActionVars(outs,
