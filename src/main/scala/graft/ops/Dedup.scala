@@ -147,8 +147,10 @@ object Dedup {
    * baseline (and fine when shingle selectivity is high).
    */
   def ngramJaccard(documents: DataFrame, shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // cached: the posting list feeds both join sides and the size table
     val sh = documents.select(
       col("doc_id"), explode(shingles(col("text"), shingleSize)).as("s"))
+      .cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // no broadcast hint: the exploded posting list is LARGER than the
     // corpus — let AQE pick the join strategy from runtime sizes

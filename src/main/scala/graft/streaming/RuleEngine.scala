@@ -320,6 +320,10 @@ object RuleEngine {
       }
   }
 
+  /** Per-key state for the aligned faces: one matcher vector per rule,
+   * indexed by declaration order. */
+  case class AlignedState(perRule: Seq[Seq[MatcherState]])
+
   // ---------------------------------------------------------------
   // Streaming face
   // ---------------------------------------------------------------
@@ -384,6 +388,73 @@ object RuleEngine {
           }
           fires.iterator
           }
+        })
+  }
+
+  /**
+   * Streaming aligned face: suppress-ordered rule evaluation
+   * (see [[runBatchAligned]]) on `flatMapGroupsWithState` — one group
+   * per correlation key, per-rule matcher vectors in state, watermark
+   * timers on the earliest deadline across all rules.
+   */
+  def runStreamingAligned(events: Dataset[Event], rules: Seq[RuleSpec],
+      key: Event => String, watermarkDelay: String = "0 seconds"): Dataset[Fired] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ruleArr = rules.toIndexedSeq
+    events
+      .map(e => Keyed("", key(e), e.effectiveTime, e))
+      .withWatermark("eventTime", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (k: String, it: Iterator[Keyed], state: GroupState[AlignedState]) => {
+          val matchers: Array[Vector[MatcherState]] =
+            state.getOption.map(_.perRule.map(_.toVector).toArray)
+              .getOrElse(Array.fill(ruleArr.size)(Vector.empty[MatcherState]))
+          var out = Vector.empty[Fired]
+
+          if (state.hasTimedOut) {
+            val wm = state.getCurrentWatermarkMs() * 1000L
+            var i = 0
+            while (i < ruleArr.size) {
+              val (alive, fs) = fireDue(ruleArr(i), k, matchers(i), wm, emitTimeouts = true)
+              matchers(i) = alive
+              out ++= fs
+              i += 1
+            }
+          } else {
+            val sorted = it.map(_.event).toVector.sortBy(e => (micros(e.effectiveTime), e.id))
+            sorted.foreach { e =>
+              val eUs = micros(e.effectiveTime)
+              var i = 0
+              while (i < ruleArr.size) {
+                val (alive, fs) = fireDue(ruleArr(i), k, matchers(i), eUs, emitTimeouts = true)
+                matchers(i) = alive
+                out ++= fs
+                i += 1
+              }
+              var suppressed = false
+              i = 0
+              while (i < ruleArr.size && !suppressed) {
+                val r = ruleArr(i)
+                if (r.mightAccept(e.event)) {
+                  val (alive, fs, handled) = offer(r, k, matchers(i), e)
+                  matchers(i) = alive
+                  out ++= fs
+                  if (handled && r.suppressOnMatch) suppressed = true
+                }
+                i += 1
+              }
+            }
+          }
+
+          if (matchers.forall(_.isEmpty)) state.remove()
+          else {
+            state.update(AlignedState(matchers.toSeq))
+            matchers.iterator.flatMap(_.flatMap(_.timeoutAtUs)).minOption
+              .foreach(us => state.setTimeoutTimestamp(math.floorDiv(us + 999L, 1000L)))
+          }
+          out.iterator
         })
   }
 }

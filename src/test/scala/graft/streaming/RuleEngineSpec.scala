@@ -170,6 +170,30 @@ class RuleEngineSpec extends SparkSpec {
     assert(interpreted == sqlFace)
   }
 
+  test("streaming aligned face honours suppress ordering like the batch aligned face") {
+    import spark.implicits._
+    val quarantine = graft.rules.RuleSpec(
+      "quarantine", Seq(Set("error")), None, _.payload("key"),
+      continuous = true, suppressOnMatch = true)
+    val alerter = RuleSpec.matchSingle("alert", Set("error"),
+      onMatch = _ => Seq(OutputData.action("page", Map.empty)))
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val query = RuleEngine.runStreamingAligned(
+      stream.toDS(), Seq(quarantine, alerter), _.payload("key"))
+      .writeStream.format("memory").queryName("aligned_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(
+        ev("2024-01-01 10:00:00", "error", "u1", "1"),
+        ev("2024-01-01 10:05:00", "error", "u1", "2"))
+      query.processAllAvailable()
+    } finally query.stop()
+    val fired = spark.table("aligned_out").as[RuleEngine.Fired].collect()
+    assert(!fired.exists(_.rule == "alert"))
+    assert(fired.count(_.rule == "quarantine") == 2) // progress fires
+  }
+
   test("streaming face equals batch face (MemoryStream, watermark-driven timeouts)") {
     import spark.implicits._
     val rules = Seq(orderRule())
