@@ -54,6 +54,9 @@ object SparkEntry {
       Correlate.sequencePair(Tables.events(s, d), "signup", "purchase")),
     "q_j2_seq_timeout" -> ((s, d) =>
       Correlate.sequenceTimeout(Tables.events(s, d), "signup", "purchase", "1 HOUR")),
+    "q_j3_match_single" -> ((s, d) =>
+      Relational.ofType(Tables.events(s, d), "signup", "purchase")
+        .select("event_id", "user_id", "event_type", "ts")),
     "q_j5_sessions" -> ((s, d) =>
       Correlate.gapSessions(Tables.events(s, d), gapSec = 1800L)),
     "q_j6_chain" -> ((s, d) =>
@@ -96,6 +99,14 @@ object SparkEntry {
     "q_x2_tokens" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
     "q_x3_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "q_x4_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
+    "q_x5_corpus_stats" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      docs.groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("total_ws_tokens"),
+          round(avg(col("n_chars")), 6).as("avg_chars"))
+    }),
     // ---- training-data pipeline: multimodal plumbing --------------
     "q_m1_media_meta" -> ((s, d) => Multimodal.mediaMeta(Tables.documents(s, d))),
     // ---- generic rule interpreter (batch face of the streaming
@@ -178,6 +189,9 @@ object SparkEntry {
          |   ON p.user_id = s.user_id AND p.event_type = 'purchase'
          |   AND p.ts >= s.ts AND p.ts < s.ts + INTERVAL 1 HOUR
          | WHERE s.event_type = 'signup' AND p.event_id IS NULL""".stripMargin,
+    "q_j3_match_single" ->
+      s"""$E SELECT event_id, user_id, event_type, ts FROM e
+         | WHERE event_type IN ('signup', 'purchase')""".stripMargin,
     "q_j5_sessions" ->
       s"""$E, d AS (
          |  SELECT user_id, event_id, ts,
@@ -389,6 +403,11 @@ object SparkEntry {
          | SELECT doc_id, md5(norm) AS fp_md5, ${MDH("norm")} AS fp64,
          |   CAST(${MDH("norm")} % 1024 AS BIGINT) AS fp_bucket
          | FROM n""".stripMargin,
+    "q_x5_corpus_stats" ->
+      s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |   CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_ws_tokens,
+         |   CAST(ROUND(AVG(n_chars), 6) AS DOUBLE) AS avg_chars
+         | FROM documents GROUP BY lang""".stripMargin,
     "q_m1_media_meta" ->
       s"""SELECT doc_id AS media_id, 'text/plain' AS mime_type,
          |   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes

@@ -73,6 +73,35 @@ class SinksSpec extends SparkSpec {
     assert(v2.count() == 1 && i2.count() == 0)
   }
 
+  test("streaming router splits per micro-batch with a checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("sinkstream").toString
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[RuleEngine.Fired]
+    val query = Sinks.routeFiredStreaming(stream.toDS(), s"$base/out", s"$base/ck")
+    try {
+      stream.addData(fired.collect().toSeq)
+      query.processAllAvailable()
+    } finally query.stop()
+    assert(spark.read.parquet(s"$base/out/actions").count() == 1)
+    assert(spark.read.parquet(s"$base/out/events").count() == 1)
+    assert(spark.read.parquet(s"$base/out/memory_writes").count() == 1)
+  }
+
+  test("heartbeat stream starts and emits control events (rate source)") {
+    val hb = graft.sources.Sources.heartbeatStream(spark, intervalSec = 1)
+    val query = hb.writeStream.format("memory").queryName("hb_out")
+      .outputMode("append").start()
+    try {
+      // rate source is wall-clock driven: give it a couple of seconds
+      Thread.sleep(2500)
+      query.processAllAvailable()
+    } finally query.stop()
+    val rows = spark.table("hb_out").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[String]("event") == graft.model.Event.Control.Heartbeat))
+  }
+
   test("derived events re-enter the engine: chained pass fires downstream rule") {
     val downstream = RuleSpec.matchSingle(
       "escalate", Set("payment_overdue"),
