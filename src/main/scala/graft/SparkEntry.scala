@@ -389,8 +389,7 @@ object SparkEntry {
          |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
          |       FROM scored)
          | SELECT query_id, vec_id AS neighbor_id, sim, rank FROM r WHERE rank <= 10""".stripMargin,
-    // q_s2_ann_lsh: approximate (seeded random hyperplanes) — no SQL
-    // oracle; recall vs q_s1 asserted in SimilaritySpec.
+    "q_s2_ann_lsh" -> lshOracle,
     "q_x1_langid" -> langidOracle,
     "q_x2_tokens" ->
       s"""SELECT doc_id,
@@ -426,6 +425,33 @@ object SparkEntry {
          | WHERE s.event_type = 'signup'
          | GROUP BY s.user_id, s.event_id, s.ts""".stripMargin,
   )
+
+  /** Oracle twin of Similarity.lshTopK — the seeded hyperplane
+   * constants are embedded as literal DOUBLE[] so bucket assignment is
+   * reproduced exactly (multi-probe at Hamming distance 1 included). */
+  private def lshOracle: String = {
+    val planes = graft.ops.Similarity.hyperplanes(4, 64)
+    def arr(p: Array[Double]): String =
+      p.map(_.toString).mkString("[", ",", "]") + "::DOUBLE[]"
+    val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product(v, ${arr(p)}) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("\n   + ")
+    s"""WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings),
+       | e AS (SELECT vec_id,
+       |   list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v FROM raw),
+       | bk AS (SELECT vec_id, v, CAST($bucketExpr AS BIGINT) AS bucket FROM e),
+       | q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM bk WHERE vec_id < 20),
+       | probes AS (SELECT query_id, qv,
+       |   unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4), xor(bucket, 8)]) AS bucket
+       |   FROM q),
+       | scored AS (SELECT p.query_id, b2.vec_id,
+       |   ROUND(list_dot_product(p.qv, b2.v), 6) AS sim
+       |   FROM probes p JOIN bk b2 ON b2.bucket = p.bucket AND b2.vec_id != p.query_id),
+       | r AS (SELECT query_id, vec_id, sim,
+       |   CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+       |   FROM scored)
+       | SELECT query_id, vec_id AS neighbor_id, sim, rank FROM r WHERE rank <= 10""".stripMargin
+  }
 
   /** Oracle twin of TextAnalysis.languageId — generated from the same
    * marker lists so the two can't drift. */

@@ -87,8 +87,9 @@ object Similarity {
   }
 
   /** Deterministic random hyperplanes (seeded) as literal arrays —
-   * shipped to executors as constants, no driver-side state. */
-  private def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Seq[Array[Double]] = {
+   * shipped to executors as constants, no driver-side state. Public so
+   * the DuckDB oracle embeds the identical constants. */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Array[Double]] = {
     val rnd = new Random(seed)
     Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
