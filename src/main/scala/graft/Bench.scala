@@ -26,16 +26,22 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
     }
+    // drop warm-up caches so the timed pass measures its own full cost
+    // (including any cache builds) and cached blocks don't accumulate
+    spark.catalog.clearCache()
 
+    var failed = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count(); () }
+      catch { case _: Throwable => failed ::= name }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -434,7 +434,7 @@ object SparkEntry {
     def arr(p: Array[Double]): String =
       p.map(_.toString).mkString("[", ",", "]") + "::DOUBLE[]"
     val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
-      s"(CASE WHEN list_dot_product(v, ${arr(p)}) >= 0 THEN ${1L << i} ELSE 0 END)"
+      s"(CASE WHEN ROUND(list_dot_product(v, ${arr(p)}), 6) >= 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("\n   + ")
     s"""WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings),
        | e AS (SELECT vec_id,

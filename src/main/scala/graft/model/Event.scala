@@ -47,16 +47,6 @@ object Event {
   val MatchAny = "*"
 
   /**
-   * Live-mode clock-skew clamp (reference: src/CorrelationEngine.php:105,181-190):
-   * events whose timestamp is more than `maxVarianceSec` from `now` get
-   * their effective time overridden to `now`. Expressed as a column
-   * projection so Catalyst can codegen it.
-   */
-  def clampSkew(ts: Column, now: Column, maxVarianceSec: Long = 600L): Column =
-    when(abs(unix_timestamp(ts) - unix_timestamp(now)) > maxVarianceSec, now)
-      .otherwise(ts)
-
-  /**
    * Timestamp normalisation for loosely-typed inputs
    * (reference: src/Event.php:61-86): ints are unix seconds, strings are
    * parsed TZ-aware, absent defaults to `fallback`.

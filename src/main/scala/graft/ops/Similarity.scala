@@ -101,7 +101,10 @@ object Similarity {
     val planes = hyperplanes(nPlanes, dim, seed)
     planes.zipWithIndex.map { case (h, i) =>
       val hCol = array(h.map(lit): _*)
-      val dot = aggregate(zip_with(v, hCol, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+      // rounded before the sign test — like every other cross-engine
+      // float comparison — so a last-ulp summation difference vs the
+      // oracle's list_dot_product cannot flip bucket membership
+      val dot = round(graft.functions.Vectors.dot(v, hCol), 6)
       when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
   }

@@ -70,12 +70,16 @@ object Sources {
   def heartbeatGrid(events: DataFrame, intervalSec: Long): DataFrame =
     events
       .agg(min("ts").as("lo"), max("ts").as("hi"))
-      .select(explode(sequence(col("lo"), col("hi"),
-        expr(s"INTERVAL $intervalSec SECONDS"))).as("ts"))
+      .select(posexplode(sequence(col("lo"), col("hi"),
+        expr(s"INTERVAL $intervalSec SECONDS"))).as(Seq("seq", "ts")))
       .select(
         lit(Event.Control.Heartbeat).as("event"),
-        monotonically_increasing_id().cast("string").as("id"),
-        col("ts").as("datetime"))
+        // deterministic id: the tick's ordinal (reference heartbeats
+        // carry a seq field; src/Scheduler/Heartbeat.php:255-288)
+        col("seq").cast("string").as("id"),
+        col("ts").as("datetime"),
+        lit(null).cast("timestamp").as("receivedTime"),
+        map(lit("seq"), col("seq").cast("string")).as("payload"))
 
   /**
    * S7 — Control events: Start/Restored at stream start, Stop at
@@ -87,7 +91,10 @@ object Sources {
   def withControlEvents(spark: SparkSession, events: Dataset[Event],
       restored: Boolean = false): Dataset[Event] = {
     import spark.implicits._
-    val bounds = events.agg(min($"datetime"), max($"datetime")).head()
+    // bracket in ENGINE time (receivedTime override applied) — raw
+    // datetime bounds could place Stop before a corrected late event
+    val eff = coalesce($"receivedTime", $"datetime")
+    val bounds = events.agg(min(eff), max(eff)).head()
     // empty replay window: bracket the epoch origin so Start/Stop rules
     // still fire deterministically (no wall-clock dependence)
     val lo = Option(bounds.getTimestamp(0)).getOrElse(new java.sql.Timestamp(1L))

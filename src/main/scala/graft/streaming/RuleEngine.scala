@@ -31,7 +31,11 @@ import graft.rules.{OutputData, RuleSpec}
  *    a new matcher of that rule (skipMatchers,
  *    src/CorrelationEngine.php:215,252-255);
  *  - bounded state: chains are trimmed to `chainLimit` and matcher
- *    counts capped (reference trimEventChain + memory valves).
+ *    counts capped (reference trimEventChain + memory valves);
+ *  - same-instant events within a key are ordered by event id (the
+ *    reference is arrival-order-dependent here; the SQL faces are
+ *    deliberately order-free, so equivalence holds only for streams
+ *    without same-key timestamp ties — true of the fixtures).
  *
  * Scale design: the batch face never collects a group into memory —
  * it repartitions by (rule, key), sorts within partitions by event
@@ -72,6 +76,13 @@ object RuleEngine {
   /** Max concurrent matchers per key — the explicit bound replacing the
    * reference's GC/memory-pressure valves. */
   val MaxMatchersPerKey = 1000
+
+  /** Rule sets must be unambiguous: routing emits one keyed row per
+   * matching rule NAME, so duplicate names would double-feed one group
+   * and interpret it under whichever spec toMap kept. */
+  private def requireUniqueNames(rules: Seq[RuleSpec]): Unit =
+    require(rules.map(_.name).distinct.size == rules.size,
+      s"duplicate rule names: ${rules.map(_.name).diff(rules.map(_.name).distinct).distinct.mkString(", ")}")
 
   /** Microsecond precision throughout: the fixtures carry µs timestamps
    * and Timestamp.getTime would truncate to ms. */
@@ -205,6 +216,7 @@ object RuleEngine {
    * their timeout emissions in this replay mode.
    */
   def runBatch(events: Dataset[Event], rules: Seq[RuleSpec]): Dataset[Fired] = {
+    requireUniqueNames(rules)
     val spark = events.sparkSession
     import spark.implicits._
     val ruleMap = rules.map(r => r.name -> r).toMap
@@ -261,6 +273,7 @@ object RuleEngine {
    */
   def runBatchAligned(events: Dataset[Event], rules: Seq[RuleSpec],
       key: Event => String): Dataset[Fired] = {
+    requireUniqueNames(rules)
     val spark = events.sparkSession
     import spark.implicits._
     val ruleArr = rules.toIndexedSeq
@@ -341,6 +354,7 @@ object RuleEngine {
    */
   def runStreaming(events: Dataset[Event], rules: Seq[RuleSpec],
       watermarkDelay: String = "0 seconds"): Dataset[Fired] = {
+    requireUniqueNames(rules)
     val spark = events.sparkSession
     import spark.implicits._
     val ruleMap = rules.map(r => r.name -> r).toMap
@@ -355,6 +369,10 @@ object RuleEngine {
     }
     keyed
       .withWatermark("eventTime", watermarkDelay)
+      // dummy clock ticks have done their job once the watermark node
+      // has seen them — dropping them here avoids shuffling the bulk of
+      // a mostly-non-matching stream into one hot ("","") group
+      .filter(_.rule.nonEmpty)
       .groupByKey(k => (k.rule, k.key))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (key: (String, String), it: Iterator[Keyed], state: GroupState[KeyState]) => {
@@ -399,6 +417,7 @@ object RuleEngine {
    */
   def runStreamingAligned(events: Dataset[Event], rules: Seq[RuleSpec],
       key: Event => String, watermarkDelay: String = "0 seconds"): Dataset[Fired] = {
+    requireUniqueNames(rules)
     val spark = events.sparkSession
     import spark.implicits._
     val ruleArr = rules.toIndexedSeq
