@@ -94,6 +94,9 @@ object SparkEntry {
     // ---- training-data pipeline: similarity search ----------------
     "q_s1_ann_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))),
     "q_s2_ann_lsh" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d))),
+    // q_s3: k-means coarse quantizer is not SQL-replicable → rows-only
+    // check; recall asserted vs q_s1 in SimilaritySpec
+    "q_s3_ann_ivf" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
     // ---- training-data pipeline: text analysis --------------------
     "q_x1_langid" -> ((s, d) => TextAnalysis.languageId(Tables.documents(s, d))),
     "q_x2_tokens" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),

@@ -118,6 +118,55 @@ object Similarity {
       .withColumn("bucket", lshBucket(col("v"), nPlanes, dim))
 
   /**
+   * IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+   * partitions the corpus into `nLists` cells; each query scores only
+   * the `nProbe` cells whose centroids are nearest — the standard
+   * billion-scale ANN layout (cells ≈ posting lists). Deterministic
+   * under the fixed seed. Complements [[lshTopK]]: IVF adapts to the
+   * data distribution where hyperplane LSH is data-oblivious.
+   *
+   * Scale notes: training samples the corpus (k-means on a fraction is
+   * standard); assignment is one map-side pass (centroids broadcast by
+   * the model); the probe join shuffles only (query, cell) pairs.
+   */
+  def ivfTopK(embeddings: DataFrame, nQueries: Int = 20, k: Int = 10,
+      nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val corpus = embeddings.select(
+      col("vec_id"), normalized(asDouble(col("embedding"))).as("v"))
+      .withColumn("features", array_to_vector(col("v")))
+      .cache() // trained over + assigned + probed below
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
+      .fit(corpus)
+    val assigned = model.transform(corpus)
+      .select(col("vec_id"), col("v"), col("prediction").as("cell"))
+    // centroids are tiny: rank cells per query vector driver-side-free
+    // via a broadcast cross score
+    val centroids = model.clusterCenters.zipWithIndex.map {
+      case (c, i) => (i, c.toArray)
+    }.toSeq
+    val centroidDf = embeddings.sparkSession.createDataFrame(centroids)
+      .toDF("cell", "centroid")
+    val queries = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val probeCells = queries.join(broadcast(centroidDf))
+      .withColumn("cdist", dot(col("qv"), col("centroid")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cdist").desc, col("cell"))))
+      .filter(col("crank") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    val scored = assigned.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", round(dot(col("qv"), col("v")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim"), col("rank"))
+  }
+
+  /**
    * LSH-approximate top-k with multi-probe: each query probes its own
    * bucket plus every bucket at Hamming distance 1 (nPlanes+1 probes) —
    * the standard recall-recovery trick when a neighbor falls just across

@@ -42,6 +42,18 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.35, s"recall@10 = $recall")
   }
 
+  test("IVF top-k probes a quarter of the cells with solid recall@10") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = Similarity.bruteForceTopK(emb, nQueries = 10, k = 10)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = Similarity.ivfTopK(emb, nQueries = 10, k = 10, nLists = 16, nProbe = 4)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    // probing 4/16 cells of random data: recall well above the 25%
+    // cell-mass baseline because neighbors concentrate in near cells
+    assert(recall > 0.35, s"recall@10 = $recall")
+  }
+
   test("near-dup pairs are symmetric-free (a<b) and above threshold") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val got = Similarity.embeddingNearDup(emb, 0.4).collect()
