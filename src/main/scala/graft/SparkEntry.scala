@@ -102,6 +102,7 @@ object SparkEntry {
     "q_x2_tokens" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
     "q_x3_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "q_x4_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
+    "q_x6_unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogProb(Tables.documents(s, d))),
     "q_x5_corpus_stats" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       docs.groupBy(col("lang"))
@@ -405,6 +406,14 @@ object SparkEntry {
          | SELECT doc_id, md5(norm) AS fp_md5, ${MDH("norm")} AS fp64,
          |   CAST(${MDH("norm")} % 1024 AS BIGINT) AS fp_bucket
          | FROM n""".stripMargin,
+    "q_x6_unigram_logprob" ->
+      s"""WITH wr AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         | vocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM wr GROUP BY w),
+         | tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM vocab)
+         | SELECT wr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |   CAST(ROUND(AVG(ln(CAST(v.c AS DOUBLE) / t.total)), 6) AS DOUBLE) AS avg_logprob
+         | FROM wr JOIN vocab v ON v.w = wr.w, tot t
+         | GROUP BY wr.doc_id""".stripMargin,
     "q_x5_corpus_stats" ->
       s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
          |   CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_ws_tokens,

@@ -104,6 +104,28 @@ object TextAnalysis {
   }
 
   /**
+   * Unigram language-model scoring: per-document mean log-probability
+   * under the corpus's own unigram distribution — the classic cheap
+   * "perplexity" quality signal for training-data filtering. Two-stage:
+   * one shuffle builds the vocabulary (map-side combined), the doc
+   * score join broadcasts it (vocabularies are tiny relative to the
+   * corpus).
+   */
+  def unigramLogProb(documents: DataFrame): DataFrame = {
+    val wordRows = documents.select(
+      col("doc_id"), explode(words(col("text"))).as("w"))
+    val vocab = wordRows.groupBy("w").agg(count(lit(1)).as("c"))
+    val total = vocab.agg(sum("c").as("total"))
+    wordRows
+      .join(broadcast(vocab), "w")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(log(col("c").cast("double") / col("total"))), 6).as("avg_logprob"))
+  }
+
+  /**
    * Document fingerprint: 60-bit content hash of the whitespace-
    * normalised lowercase text (for shard-local dedup joins) plus a
    * small bucket for partitioning. Rolling-hash (winnowing) variants

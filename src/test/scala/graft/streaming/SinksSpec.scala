@@ -64,6 +64,19 @@ class SinksSpec extends SparkSpec {
     assert(derived.head.payload("x") == "1")
   }
 
+  test("S4 on-demand source requests route to the sources table") {
+    val srcRule = RuleSpec.matchSingle("fetch", Set("signup"),
+      onMatch = _ => Seq(OutputData.source("poll_crm", Map("mode" -> "once"))))
+    import spark.implicits._
+    val f = RuleEngine.runBatch(spark.createDataset(Seq(
+      ev("2024-01-01 10:00:00", "signup", "u1", "1"))), Seq(srcRule))
+    val dir = Files.createTempDirectory("sinksrc").toString
+    val counts = Sinks.routeFiredBatch(f.toDF(), dir)
+    assert(counts("source") == 1L)
+    val row = spark.read.parquet(s"$dir/sources").collect().head
+    assert(row.getAs[String]("name") == "poll_crm")
+  }
+
   test("K3 action validation splits on required vars; invalid not retried") {
     val outs = Sinks.outputsOf(fired.toDF()).filter("out_kind = 'action'")
     val (valid, invalid) = Sinks.validateActionVars(outs,
