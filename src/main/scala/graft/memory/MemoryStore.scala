@@ -67,6 +67,22 @@ object MemoryStore {
       .filter(col("expires_at").isNull || col("expires_at") > col("updated_at"))
   }
 
+  /** Adapt routed `memory`-kind rule outputs (Sinks.outputsOf rows:
+   * name = "namespace:key", vars = {value, ttl}, firedAt) into
+   * [[applyWrites]] input — the glue from a rule's EmitMemoryWrite to
+   * the KV table (reference: src/Scheduler.php:819-820 →
+   * MemoryEngine.applyWrite). */
+  def writesFromOutputs(outputs: DataFrame): DataFrame =
+    outputs
+      .filter(col("out_kind") === "memory")
+      .select(
+        substring_index(col("name"), ":", 1).as("namespace"),
+        substring_index(col("name"), ":", -1).as("key"),
+        col("vars")("value").as("value"),
+        coalesce(col("vars")("ttl").cast("long"), lit(0L)).as("ttl_sec"),
+        lit(false).as("persistent"),
+        col("firedAt").as("written_at"))
+
   /** TTL purge: live entries as of `now` (reference purge cycle,
    * src/Memory/MemoryEngine.php:109-123). */
   def liveAsOf(memory: DataFrame, now: Column): DataFrame =

@@ -48,6 +48,32 @@ class MemoryStoreSpec extends SparkSpec {
     assert(m.count() == 0)
   }
 
+  test("full loop: rule memory emissions apply to the store and enrich later events") {
+    import java.time.Duration
+    import graft.model.Event
+    import graft.rules.{OutputData, RuleSpec}
+    import graft.streaming.{RuleEngine, Sinks}
+    import spark.implicits._
+    val rule = RuleSpec.matchSingle("remember", Set("purchase"),
+      onMatch = ch => Seq(OutputData.memory("users", ch.head.payload("key"),
+        ch.head.payload("amount"), ttlSec = 3600L)))
+    val fired = RuleEngine.runBatch(spark.createDataset(Seq(
+      Event("purchase", Some("1"), ts("2024-01-01 10:00:00"), None,
+        Map("key" -> "u1", "amount" -> "99")))), Seq(rule))
+    val writes = MemoryStore.writesFromOutputs(Sinks.outputsOf(fired.toDF()))
+    val mem = MemoryStore.applyWrites(MemoryStore.empty(spark), writes)
+    val entry = mem.collect().head
+    assert(entry.getAs[String]("namespace") == "users")
+    assert(entry.getAs[String]("key") == "u1")
+    assert(entry.getAs[String]("value") == "99")
+    assert(entry.getAs[Timestamp]("expires_at") == ts("2024-01-01 11:00:00"))
+    // enrich a later event through the store
+    val events = Seq(("u1", "login")).toDF("user", "event_type")
+    val got = MemoryStore.lookup(events, mem, "users", org.apache.spark.sql.functions.col("user"))
+      .collect().head
+    assert(got.getAs[String]("memory_value") == "99")
+  }
+
   test("persistent subset survives; lookup enriches via broadcast join") {
     import spark.implicits._
     val m = MemoryStore.applyWrites(MemoryStore.empty(spark), writes(
