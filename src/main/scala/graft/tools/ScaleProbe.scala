@@ -1,0 +1,73 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Correlate, Metrics}
+
+/**
+ * Scale probe (not part of the driver contract): generates a synthetic
+ * event stream N× the sf0.1 fixture — including a deliberately hot key
+ * holding ~20% of all events — and times the correlation core on it.
+ * Validates that the plans built for the fixtures hold when the data
+ * grows and skews: the interpreter streams hot-key runs instead of
+ * collecting them; aggregations partial-combine; the anti-join stays
+ * one shuffle.
+ *
+ * Usage: runMain graft.tools.ScaleProbe [rows] (default 10M)
+ */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val rows = args.headOption.map(_.toLong).getOrElse(10000000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // synthetic: seeded, ~20% of events on user 0 (hot key), the rest
+    // spread over 100k keys; 5 event types; one month of event time
+    val events = spark.range(rows)
+      .select(
+        col("id").as("event_id"),
+        timestamp_micros(lit(1704067200000000L) + (rand(1) * 2592000L * 1000000L).cast("long")).as("ts"),
+        when(rand(2) < 0.2, 0L).otherwise((rand(3) * 100000L).cast("long")).as("user_id"),
+        element_at(
+          array(lit("click"), lit("view"), lit("signup"), lit("purchase"), lit("error")),
+          (rand(4) * 5).cast("int") + 1).as("event_type"),
+        round(rand(5) * 200, 2).as("value"),
+        lit("""{"k": 1}""").as("props"))
+      .cache()
+    events.count() // materialise outside the timings
+
+    def timed(name: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = body
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $name%-24s $dt%8.2f s  ($n%,d rows, ${rows / dt}%,.0f events/s)")
+    }
+
+    timed("interpreter_j2") {
+      val typed = events.select(
+        col("event_type").as("event"), col("event_id").cast("string").as("id"),
+        col("ts").as("datetime"), lit(null).cast("timestamp").as("receivedTime"),
+        map(lit("key"), col("user_id").cast("string")).as("payload"))
+        .as[graft.model.Event]
+      graft.streaming.RuleEngine.runBatch(typed, Seq(
+        graft.rules.RuleSpec.sequenceWithTimeout(
+          "probe", Seq(Set("signup"), Set("purchase")),
+          java.time.Duration.ofHours(1), _.payload("key"),
+          onComplete = _ => Nil, onTimeout = _ => Nil))).count()
+    }
+    timed("anti_join_j2")(Correlate.sequenceTimeout(events, "signup", "purchase", "1 HOUR").count())
+    timed("sessions_j5")(Correlate.gapSessions(events, 1800L).count())
+    timed("suppress_f6")(Correlate.suppressDuplicates(events).count())
+    timed("eps_a1")(Metrics.epsCounter(events, "minute").count())
+    timed("stats_a3")(Metrics.statistics(events).count())
+    spark.stop()
+  }
+}
