@@ -68,6 +68,55 @@ object ScaleProbe {
     timed("suppress_f6")(Correlate.suppressDuplicates(events).count())
     timed("eps_a1")(Metrics.epsCounter(events, "minute").count())
     timed("stats_a3")(Metrics.statistics(events).count())
+    events.unpersist()
+
+    // ---- pipeline ops at 200× the documents fixture ----------------
+    val nDocs = 100000L
+    // 60-word docs over a 50k-word vocabulary; 1% of docs get a planted
+    // near-duplicate (first 57 words shared)
+    val base = spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(1), lit(60)),
+        i => concat(lit("w"), pmod(xxhash64(col("id") * 100 + i), lit(50000L))))).as("text"))
+    val dups = spark.range(nDocs / 100).select(
+      (col("id") + nDocs).as("doc_id"),
+      concat_ws(" ",
+        concat_ws(" ", transform(sequence(lit(1), lit(57)),
+          i => concat(lit("w"), pmod(xxhash64(col("id") * 100 + i), lit(50000L))))),
+        lit("x1 x2 x3")).as("text"))
+    val docs = base.union(dups).cache()
+    docs.count()
+    def timedDocs(name: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = body
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $name%-24s $dt%8.2f s  ($n%,d rows, ${(nDocs + nDocs / 100) / dt}%,.0f docs/s)")
+    }
+    timedDocs("minhash_lsh_d2")(graft.ops.Dedup.minhashLsh(docs, threshold = 0.5).count())
+    timedDocs("minhash_lsh_fast")(graft.ops.Dedup.minhashLsh(docs, threshold = 0.5,
+      portableHash = false).count())
+    timedDocs("exact_dedup_d1")(graft.ops.Dedup.exactDedup(docs).count())
+    timedDocs("simhash_d4")(graft.ops.Dedup.simhash(docs).count())
+    timedDocs("langid_x1")(graft.ops.TextAnalysis.languageId(
+      docs.withColumn("lang", lit("en"))).count())
+    docs.unpersist()
+
+    // ---- ANN at 50× the embeddings fixture -------------------------
+    val nVecs = 100000L
+    val vecs = spark.range(nVecs).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(64)),
+        i => (pmod(xxhash64(col("id") * 64 + i), lit(2000L)).cast("double") - 1000.0) / 1000.0)
+        .as("embedding")).cache()
+    vecs.count()
+    def timedVecs(name: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = body
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $name%-24s $dt%8.2f s  ($n%,d rows, ${nVecs / dt}%,.0f vecs/s)")
+    }
+    timedVecs("ann_lsh_s2")(graft.ops.Similarity.lshTopK(vecs, nQueries = 20, k = 10, nPlanes = 8).count())
+    timedVecs("ann_ivf_s3")(graft.ops.Similarity.ivfTopK(vecs, nQueries = 20, k = 10, nLists = 64, nProbe = 8).count())
     spark.stop()
   }
 }
