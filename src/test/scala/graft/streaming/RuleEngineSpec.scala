@@ -194,6 +194,31 @@ class RuleEngineSpec extends SparkSpec {
     assert(fired.count(_.rule == "quarantine") == 2) // progress fires
   }
 
+  test("late out-of-order events within the watermark delay still complete sequences") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    // 1 hour of lateness tolerance (the reference's crude 600s clamp
+    // becomes a real watermark; SURVEY §2.7 'strict upgrade')
+    val query = RuleEngine.runStreaming(stream.toDS(), Seq(orderRule()), "1 hour")
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(ev("2024-01-01 10:00:00", "signup", "u1", "1"))
+      query.processAllAvailable()
+      stream.addData(ev("2024-01-01 11:30:00", "view", "zz", "2")) // wm → 10:30
+      query.processAllAvailable()
+      // purchase arrives LATE (event time 10:40 < max seen 11:30) but
+      // above the 10:30 watermark → still consumed, sequence completes
+      // before its 11:00 deadline
+      stream.addData(ev("2024-01-01 10:40:00", "purchase", "u1", "3"))
+      query.processAllAvailable()
+    } finally query.stop()
+    val fired = spark.table("late_out").as[RuleEngine.Fired].collect()
+    assert(fired.exists(f => f.key == "u1" && f.kind == "complete"))
+    assert(!fired.exists(f => f.key == "u1" && f.kind == "timeout"))
+  }
+
   test("streaming face equals batch face (MemoryStream, watermark-driven timeouts)") {
     import spark.implicits._
     val rules = Seq(orderRule())
