@@ -129,6 +129,30 @@ object SparkEntry {
         .select(col("key").cast("bigint").as("user_id"),
           col("firstTs").as("first_ts"), col("firedAt").as("fired_at"))
     }),
+    "q_e3_three_step" -> ((s, d) => {
+      import s.implicits._
+      val rule = graft.rules.RuleSpec(
+        "signup_purchase_error",
+        Seq(Set("signup"), Set("purchase"), Set("error")),
+        Some(java.time.Duration.ofHours(2)), _.payload("key"))
+      graft.streaming.RuleEngine.runBatch(Tables.eventsTyped(s, d), Seq(rule))
+        .filter(f => f.kind == "complete")
+        .select(col("key").cast("bigint").as("user_id"),
+          col("firstTs").as("first_ts"), col("firedAt").as("third_ts"))
+    }),
+    "q_e4_engine_sessions" -> ((s, d) => {
+      import s.implicits._
+      // chainLimit far above any session size so chainLen == n_events
+      val rule = graft.rules.RuleSpec(
+        "sess", Seq(Set(graft.model.Event.MatchAny)),
+        Some(java.time.Duration.ofMinutes(30)), _.payload("key"),
+        continuous = true, chainLimit = 1000000)
+      graft.streaming.RuleEngine.runBatch(Tables.eventsTyped(s, d), Seq(rule))
+        .filter(_.kind == "timeout")
+        .select(col("key").cast("bigint").as("user_id"),
+          col("chainLen").cast("bigint").as("n_events"),
+          col("firedAt").as("fired_at"))
+    }),
   )
 
   /** The flagship rule run through the generic interpreter — proves the
@@ -436,6 +460,34 @@ object SparkEntry {
          |   AND p.ts >= s.ts AND p.ts < s.ts + INTERVAL 1 HOUR
          | WHERE s.event_type = 'signup'
          | GROUP BY s.user_id, s.event_id, s.ts""".stripMargin,
+    "q_e3_three_step" ->
+      s"""$E, s2 AS (SELECT user_id, event_id, ts FROM e WHERE event_type = 'signup'),
+         | p2 AS (SELECT user_id, ts FROM e WHERE event_type = 'purchase'),
+         | er2 AS (SELECT user_id, ts FROM e WHERE event_type = 'error'),
+         | c1 AS (SELECT s2.user_id, s2.event_id, s2.ts AS s_ts, MIN(p2.ts) AS p_ts
+         |        FROM s2 JOIN p2 ON p2.user_id = s2.user_id
+         |          AND p2.ts >= s2.ts AND p2.ts < s2.ts + INTERVAL 2 HOUR
+         |        GROUP BY s2.user_id, s2.event_id, s2.ts),
+         | c2 AS (SELECT c1.user_id, c1.event_id, c1.s_ts, MIN(er2.ts) AS e_ts
+         |        FROM c1 JOIN er2 ON er2.user_id = c1.user_id
+         |          AND er2.ts >= c1.p_ts AND er2.ts < c1.p_ts + INTERVAL 2 HOUR
+         |        GROUP BY c1.user_id, c1.event_id, c1.s_ts)
+         | SELECT user_id, s_ts AS first_ts, e_ts AS third_ts FROM c2""".stripMargin,
+    "q_e4_engine_sessions" ->
+      s"""$E, d AS (
+         |  SELECT user_id, event_id, ts,
+         |    CASE WHEN LAG(ts) OVER w IS NULL
+         |           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+         |         THEN 1 ELSE 0 END AS new_session
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         | s AS (
+         |  SELECT user_id, ts,
+         |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         |  FROM d)
+         | SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         |   MAX(ts) + INTERVAL 30 MINUTE AS fired_at
+         | FROM s GROUP BY user_id, session_id""".stripMargin,
   )
 
   /** Oracle twin of Similarity.lshTopK — the seeded hyperplane
