@@ -474,10 +474,12 @@ object SparkEntry {
          |        GROUP BY c1.user_id, c1.event_id, c1.s_ts)
          | SELECT user_id, s_ts AS first_ts, e_ts AS third_ts FROM c2""".stripMargin,
     "q_e4_engine_sessions" ->
+      // >= : the engine's deadline is half-open — an event exactly at
+      // lastSeen + gap fires the timeout first and starts a new session
       s"""$E, d AS (
          |  SELECT user_id, event_id, ts,
          |    CASE WHEN LAG(ts) OVER w IS NULL
-         |           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+         |           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
          |         THEN 1 ELSE 0 END AS new_session
          |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
          | s AS (

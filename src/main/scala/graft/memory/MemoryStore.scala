@@ -76,8 +76,11 @@ object MemoryStore {
     outputs
       .filter(col("out_kind") === "memory")
       .select(
+        // namespace = before the FIRST colon, key = everything after it
+        // (keys may themselves contain colons; a last-colon split would
+        // corrupt them)
         substring_index(col("name"), ":", 1).as("namespace"),
-        substring_index(col("name"), ":", -1).as("key"),
+        expr("substring(name, instr(name, ':') + 1)").as("key"),
         col("vars")("value").as("value"),
         coalesce(col("vars")("ttl").cast("long"), lit(0L)).as("ttl_sec"),
         lit(false).as("persistent"),

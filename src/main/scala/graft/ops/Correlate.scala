@@ -40,7 +40,9 @@ object Correlate {
     val w = Window.partitionBy(col(key)).orderBy(col("ts").desc)
       .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     events
-      .filter(col("event_type").isin(firstType, thenType))
+      // NULL keys never correlate (join semantics: NULL = NULL is not a
+      // match) — without this filter the window would group them
+      .filter(col(key).isNotNull && col("event_type").isin(firstType, thenType))
       .withColumn("next_then_ts",
         min(when(col("event_type") === thenType, col("ts"))).over(w))
   }

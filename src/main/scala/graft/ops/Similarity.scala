@@ -151,19 +151,25 @@ object Similarity {
     val queries = assigned.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val probeCells = queries.join(broadcast(centroidDf))
-      .withColumn("cdist", dot(col("qv"), col("centroid")))
+      // rank cells by the ASSIGNMENT metric (squared Euclidean:
+      // |c|² − 2·q·c for unit q) — ranking by raw dot product ignores
+      // centroid norms and can leave the query's own cell unprobed
+      .withColumn("cdist",
+        dot(col("centroid"), col("centroid")) - lit(2.0) * dot(col("qv"), col("centroid")))
       .withColumn("crank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cdist").desc, col("cell"))))
+        Window.partitionBy("query_id").orderBy(col("cdist").asc, col("cell"))))
       .filter(col("crank") <= nProbe)
       .select(col("query_id"), col("qv"), col("cell"))
     val scored = assigned.join(broadcast(probeCells), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("sim", round(dot(col("qv"), col("v")), 6))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
-    scored
+    val out = scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim"), col("rank"))
+    corpus.unpersist() // later actions recompute the cheap projection
+    out
   }
 
   /**

@@ -44,12 +44,13 @@ object ScaleProbe {
       .cache()
     events.count() // materialise outside the timings
 
-    def timed(name: String)(body: => Long): Unit = {
+    def timedAs(unit: String, denom: Long)(name: String)(body: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = body
       val dt = (System.nanoTime() - t0) / 1e9
-      println(f"[scale] $name%-24s $dt%8.2f s  ($n%,d rows, ${rows / dt}%,.0f events/s)")
+      println(f"[scale] $name%-24s $dt%8.2f s  ($n%,d rows, ${denom / dt}%,.0f $unit%s/s)")
     }
+    def timed(name: String)(body: => Long): Unit = timedAs("events", rows)(name)(body)
 
     timed("interpreter_j2") {
       val typed = events.select(
@@ -86,12 +87,8 @@ object ScaleProbe {
         lit("x1 x2 x3")).as("text"))
     val docs = base.union(dups).cache()
     docs.count()
-    def timedDocs(name: String)(body: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = body
-      val dt = (System.nanoTime() - t0) / 1e9
-      println(f"[scale] $name%-24s $dt%8.2f s  ($n%,d rows, ${(nDocs + nDocs / 100) / dt}%,.0f docs/s)")
-    }
+    def timedDocs(name: String)(body: => Long): Unit =
+      timedAs("docs", nDocs + nDocs / 100)(name)(body)
     timedDocs("minhash_lsh_d2")(graft.ops.Dedup.minhashLsh(docs, threshold = 0.5).count())
     timedDocs("minhash_lsh_fast")(graft.ops.Dedup.minhashLsh(docs, threshold = 0.5,
       portableHash = false).count())
@@ -109,12 +106,7 @@ object ScaleProbe {
         i => (pmod(xxhash64(col("id") * 64 + i), lit(2000L)).cast("double") - 1000.0) / 1000.0)
         .as("embedding")).cache()
     vecs.count()
-    def timedVecs(name: String)(body: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = body
-      val dt = (System.nanoTime() - t0) / 1e9
-      println(f"[scale] $name%-24s $dt%8.2f s  ($n%,d rows, ${nVecs / dt}%,.0f vecs/s)")
-    }
+    def timedVecs(name: String)(body: => Long): Unit = timedAs("vecs", nVecs)(name)(body)
     timedVecs("ann_lsh_s2")(graft.ops.Similarity.lshTopK(vecs, nQueries = 20, k = 10, nPlanes = 8).count())
     timedVecs("ann_ivf_s3")(graft.ops.Similarity.ivfTopK(vecs, nQueries = 20, k = 10, nLists = 64, nProbe = 8).count())
     spark.stop()

@@ -74,6 +74,22 @@ class MemoryStoreSpec extends SparkSpec {
     assert(got.getAs[String]("memory_value") == "99")
   }
 
+  test("memory keys containing colons round-trip through output encoding") {
+    import graft.rules.OutputData
+    import graft.streaming.{RuleEngine, Sinks}
+    import graft.model.Event
+    import java.time.Duration
+    import spark.implicits._
+    val rule = graft.rules.RuleSpec.matchSingle("m", Set("x"),
+      onMatch = _ => Seq(OutputData.memory("ns", "a:b:c", "v")))
+    val fired = RuleEngine.runBatch(spark.createDataset(Seq(
+      Event("x", Some("1"), ts("2024-01-01 10:00:00"), None, Map.empty))), Seq(rule))
+    val entry = MemoryStore.applyWrites(MemoryStore.empty(spark),
+      MemoryStore.writesFromOutputs(Sinks.outputsOf(fired.toDF()))).collect().head
+    assert(entry.getAs[String]("namespace") == "ns")
+    assert(entry.getAs[String]("key") == "a:b:c")
+  }
+
   test("persistent subset survives; lookup enriches via broadcast join") {
     import spark.implicits._
     val m = MemoryStore.applyWrites(MemoryStore.empty(spark), writes(
