@@ -85,6 +85,11 @@ object SparkEntry {
     "q_r4_regional_volume" -> ((s, d) =>
       Relational.regionalVolume(Tables.region(s, d), Tables.nation(s, d), Tables.customer(s, d),
         Tables.orders(s, d), Tables.lineitem(s, d), Tables.supplier(s, d))),
+    "q_r5_forecast_revenue" -> ((s, d) => Relational.forecastRevenue(Tables.lineitem(s, d))),
+    // q_d6: connected components over near-dup pairs (iterative — not
+    // single-query SQL); cluster sizes asserted in DedupSpec
+    "q_d6_dup_clusters" -> ((s, d) =>
+      Dedup.duplicateClusters(Dedup.ngramJaccard(Tables.documents(s, d), 3, 0.5))),
     // ---- training-data pipeline: dedup ----------------------------
     "q_d1_exact_dedup" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
     "q_d2_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
@@ -387,6 +392,32 @@ object SparkEntry {
          | JOIN sizes sa ON sa.doc_id = i.doc_a
          | JOIN sizes sb ON sb.doc_id = i.doc_b
          | WHERE ROUND(CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c), 6) >= 0.5""".stripMargin,
+    "q_r5_forecast_revenue" ->
+      s"""SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+         |   CAST(COUNT(*) AS BIGINT) AS n_items
+         | FROM lineitem
+         | WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+         |   AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+         |   AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q_d6_dup_clusters" ->
+      s"""${SH.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         | sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+         | inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS c
+         |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |           GROUP BY 1, 2),
+         | pairs AS (SELECT i.doc_a, i.doc_b
+         |           FROM inter i
+         |           JOIN sizes sa ON sa.doc_id = i.doc_a
+         |           JOIN sizes sb ON sb.doc_id = i.doc_b
+         |           WHERE ROUND(CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c), 6) >= 0.5),
+         | edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+         |           UNION SELECT doc_b, doc_a FROM pairs),
+         | nodes AS (SELECT DISTINCT s AS doc_id FROM edges),
+         | reach AS (SELECT s, d FROM edges
+         |           UNION SELECT r.s, e.d FROM reach r JOIN edges e ON e.s = r.d)
+         | SELECT n.doc_id, CAST(LEAST(n.doc_id, MIN(r.d)) AS BIGINT) AS cluster
+         | FROM nodes n LEFT JOIN reach r ON r.s = n.doc_id
+         | GROUP BY n.doc_id""".stripMargin,
     "q_d4_simhash" ->
       s"""WITH wd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w0 FROM documents),
          | h AS (SELECT doc_id, ${MDH("w0")} AS hv FROM wd),

@@ -171,6 +171,34 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /**
+   * Duplicate clusters from near-dup pairs: connected components by
+   * iterative min-label propagation — the step after pair detection
+   * that picks ONE canonical document per duplicate group (pairs alone
+   * over-delete when duplicates chain a~b~c). Each iteration is two
+   * shuffles (join + min-agg); label count halves superlinearly, so
+   * `iterations` ≈ log(diameter) suffices (near-dup clusters are
+   * shallow in practice).
+   */
+  def duplicateClusters(pairs: DataFrame, iterations: Int = 5): DataFrame = {
+    // undirected edge list, both directions
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id"))
+    for (_ <- 1 to iterations) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src").as("doc_id2"))
+        .agg(min("cluster").as("neighbor_cluster"))
+      labels = labels
+        .join(neighborMin, labels("doc_id") === col("doc_id2"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("neighbor_cluster"), col("cluster"))).as("cluster"))
+    }
+    labels
+  }
+
   /** Number of bits used by the portable SimHash (60 = the bits carried
    * by the 15-hex-char mdhash). */
   val SimhashBits = 60

@@ -97,6 +97,19 @@ object Relational {
       .withColumnRenamed("n_name", "nation")
   }
 
+  /** TPC-H Q6-style revenue-change forecast: the canonical
+   * full-pushdown shape — every predicate reaches the parquet scan,
+   * the aggregate is a single map-side-combined scalar. */
+  def forecastRevenue(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(
+        col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+      .agg(Metrics.exactSum(col("l_extendedprice") * col("l_discount"), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+
   /** TPC-H Q1-style pricing summary — the canonical wide-agg face used by
    * the bench; partial aggregation reduces 600k rows to 6 groups before
    * the shuffle. */

@@ -51,6 +51,15 @@ class DedupSpec extends SparkSpec {
     assert(exact.nonEmpty && lsh.size >= (exact.size * 0.8).toInt)
   }
 
+  test("duplicate clusters: chained pairs collapse to one canonical label") {
+    import spark.implicits._
+    // a~b, b~c (chain) plus isolated pair d~e
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("simhash: near-identical docs have small hamming distance, unrelated large") {
     val a = (1 to 80).map(i => s"w$i").mkString(" ")
     val aNear = ((1 to 76).map(i => s"w$i") ++ Seq("q1", "q2", "q3", "q4")).mkString(" ")
