@@ -172,6 +172,18 @@ object Dedup {
   }
 
   /**
+   * Streaming exact dedup at ingest: drop re-deliveries of identical
+   * content within the watermark horizon. State is bounded by the
+   * delay (old hashes age out with the watermark) — the streaming twin
+   * of [[exactDedup]] for at-least-once sources. `df` must carry a
+   * `ts` event-time column and a `text` content column.
+   */
+  def streamingExactDedup(df: DataFrame, delay: String = "10 minutes"): DataFrame =
+    df.withColumn("text_md5", md5(col("text")))
+      .withWatermark("ts", delay)
+      .dropDuplicates("text_md5", "ts")
+
+  /**
    * Duplicate clusters from near-dup pairs: connected components by
    * iterative min-label propagation — the step after pair detection
    * that picks ONE canonical document per duplicate group (pairs alone

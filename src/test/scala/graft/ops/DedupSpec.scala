@@ -51,6 +51,25 @@ class DedupSpec extends SparkSpec {
     assert(exact.nonEmpty && lsh.size >= (exact.size * 0.8).toInt)
   }
 
+  test("streaming exact dedup drops re-delivered content within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, String)]
+    val df = stream.toDF().toDF("ts", "text")
+    val query = Dedup.streamingExactDedup(df)
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      val t = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+      stream.addData((t, "doc one"), (t, "doc one"), (t, "doc two")) // dup in-batch
+      query.processAllAvailable()
+      stream.addData((t, "doc one")) // re-delivery across batches
+      query.processAllAvailable()
+    } finally query.stop()
+    val texts = spark.table("dedup_out").collect().map(_.getAs[String]("text"))
+    assert(texts.sorted.toSeq == Seq("doc one", "doc two"))
+  }
+
   test("duplicate clusters: chained pairs collapse to one canonical label") {
     import spark.implicits._
     // a~b, b~c (chain) plus isolated pair d~e
