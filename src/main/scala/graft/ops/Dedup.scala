@@ -173,40 +173,63 @@ object Dedup {
 
   /**
    * Streaming exact dedup at ingest: drop re-deliveries of identical
-   * content within the watermark horizon. State is bounded by the
-   * delay (old hashes age out with the watermark) — the streaming twin
-   * of [[exactDedup]] for at-least-once sources. `df` must carry a
+   * content within the watermark horizon, regardless of the event
+   * timestamp they arrive with. State is bounded by the delay (old
+   * hashes age out with the watermark) — the streaming twin of
+   * [[exactDedup]] for at-least-once sources. `df` must carry a
    * `ts` event-time column and a `text` content column.
    */
   def streamingExactDedup(df: DataFrame, delay: String = "10 minutes"): DataFrame =
     df.withColumn("text_md5", md5(col("text")))
       .withWatermark("ts", delay)
-      .dropDuplicates("text_md5", "ts")
+      .dropDuplicatesWithinWatermark("text_md5")
 
   /**
    * Duplicate clusters from near-dup pairs: connected components by
-   * iterative min-label propagation — the step after pair detection
-   * that picks ONE canonical document per duplicate group (pairs alone
-   * over-delete when duplicates chain a~b~c). Each iteration is two
-   * shuffles (join + min-agg); label count halves superlinearly, so
-   * `iterations` ≈ log(diameter) suffices (near-dup clusters are
-   * shallow in practice).
+   * min-label propagation with pointer jumping, iterated to an exact
+   * FIXPOINT — the step after pair detection that picks ONE canonical
+   * document per duplicate group (pairs alone over-delete when
+   * duplicates chain a~b~c). Each round is (1) min label over
+   * neighbors, (2) pointer-jump `label := label(label)`, which doubles
+   * the propagation distance per round → O(log diameter) rounds.
+   * Convergence is detected exactly (no label changed), so the result
+   * equals the transitive closure at any component diameter.
+   * Lineage is truncated each round with localCheckpoint; on a real
+   * cluster swap in `checkpoint()` to reliable storage.
    */
-  def duplicateClusters(pairs: DataFrame, iterations: Int = 5): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxIterations: Int = 50): DataFrame = {
     // undirected edge list, both directions
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id"))
-    for (_ <- 1 to iterations) {
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
       val neighborMin = edges
-        .join(labels, edges("dst") === labels("doc_id"))
-        .groupBy(col("src").as("doc_id2"))
-        .agg(min("cluster").as("neighbor_cluster"))
-      labels = labels
-        .join(neighborMin, labels("doc_id") === col("doc_id2"), "left")
+        .join(labels.select(col("doc_id").as("nb_id"), col("cluster").as("nb_cluster")),
+          edges("dst") === col("nb_id"))
+        .groupBy(col("src").as("agg_id"))
+        .agg(min("nb_cluster").as("neighbor_cluster"))
+      val propagated = labels
+        .join(neighborMin, labels("doc_id") === col("agg_id"), "left")
         .select(col("doc_id"),
           least(col("cluster"), coalesce(col("neighbor_cluster"), col("cluster"))).as("cluster"))
+      // pointer jumping: follow the label's own label one hop
+      val byId = propagated.select(col("doc_id").as("pj_id"), col("cluster").as("pj_cluster"))
+      val next = propagated.alias("p")
+        .join(byId.alias("j"), col("p.cluster") === col("j.pj_id"), "left")
+        .select(col("p.doc_id").as("doc_id"),
+          coalesce(col("j.pj_cluster"), col("p.cluster")).as("cluster"))
+        .localCheckpoint()
+      converged = next.select(col("doc_id"), col("cluster").as("new_cluster"))
+        .join(labels.select(col("doc_id"), col("cluster").as("old_cluster")), "doc_id")
+        .filter(col("new_cluster") =!= col("old_cluster"))
+        .isEmpty
+      labels = next
+      iter += 1
     }
     labels
   }

@@ -63,7 +63,10 @@ class DedupSpec extends SparkSpec {
       val t = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
       stream.addData((t, "doc one"), (t, "doc one"), (t, "doc two")) // dup in-batch
       query.processAllAvailable()
-      stream.addData((t, "doc one")) // re-delivery across batches
+      // re-delivery across batches, including with a DIFFERENT event
+      // timestamp (content-only dedup within the watermark horizon)
+      val t2 = java.sql.Timestamp.valueOf("2024-01-01 10:00:03")
+      stream.addData((t, "doc one"), (t2, "doc one"))
       query.processAllAvailable()
     } finally query.stop()
     val texts = spark.table("dedup_out").collect().map(_.getAs[String]("text"))
@@ -77,6 +80,17 @@ class DedupSpec extends SparkSpec {
     val got = Dedup.duplicateClusters(pairs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("duplicate clusters: converges on a deep chain (diameter >> old iteration cap)") {
+    import spark.implicits._
+    // path graph 1-2-3-...-40 with min id at the FAR end: worst case for
+    // one-hop propagation (needs 39 hops); pointer jumping + fixpoint
+    // must still produce a single cluster labeled 1
+    val pairs = (1L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+    assert(got.size == 40 && got.values.forall(_ == 1L))
   }
 
   test("simhash: near-identical docs have small hamming distance, unrelated large") {
