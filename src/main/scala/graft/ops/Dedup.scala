@@ -114,9 +114,14 @@ object Dedup {
       .select(col("doc_id"), col("sh"), minhashFromBase(col("hv"), numHashes).as("sig"))
       .cache()
 
-    // band index → md5 of the comma-joined band slice of the signature
+    // band index → md5 of the comma-joined band slice of the signature.
+    // doc_id + hashes ONLY: the banded rows are exploded 12× and
+    // self-joined, so carrying the shingle arrays here would ship every
+    // document's shingle set through the shuffle 12 times — shingles
+    // are joined back AFTER candidate pairs are deduplicated (a far
+    // smaller row set).
     val banded = docs.select(
-      col("doc_id"), col("sh"),
+      col("doc_id"),
       posexplode(
         transform(
           sequence(lit(0), lit(bands - 1)),
@@ -125,16 +130,16 @@ object Dedup {
             ","))))
         .as(Seq("band_idx", "band_hash")))
 
-    val a = banded.select(col("band_idx"), col("band_hash"),
-      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band_idx"), col("band_hash"),
-      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val a = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
+    val b = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b"))
     val candidates = a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b")
+      .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
 
     candidates
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("na", size(col("sh_a")).cast("long"))
       .withColumn("nb", size(col("sh_b")).cast("long"))
@@ -198,13 +203,24 @@ object Dedup {
    * cluster swap in `checkpoint()` to reliable storage.
    */
   def duplicateClusters(pairs: DataFrame, maxIterations: Int = 50): DataFrame = {
+    // materialise the (possibly expensive) pair-detection lineage ONCE
+    // before fanning it into both edge directions
+    val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
     // undirected edge list, both directions
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id"))
       .localCheckpoint()
+    // Convergence check: label propagation is MONOTONE (least() only
+    // ever lowers a label, and label(x) <= x is invariant), so the
+    // label sum strictly decreases until the fixpoint — comparing sums
+    // is one cheap scan per round instead of a join of old vs new.
+    // DECIMAL(38,0) so the sum cannot overflow at any corpus size.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
@@ -224,10 +240,9 @@ object Dedup {
         .select(col("p.doc_id").as("doc_id"),
           coalesce(col("j.pj_cluster"), col("p.cluster")).as("cluster"))
         .localCheckpoint()
-      converged = next.select(col("doc_id"), col("cluster").as("new_cluster"))
-        .join(labels.select(col("doc_id"), col("cluster").as("old_cluster")), "doc_id")
-        .filter(col("new_cluster") =!= col("old_cluster"))
-        .isEmpty
+      val curSum = labelSum(next)
+      converged = curSum.compareTo(prevSum) == 0
+      prevSum = curSum
       labels = next
       iter += 1
     }

@@ -182,7 +182,10 @@ object Similarity {
    */
   def lshTopK(embeddings: DataFrame, nQueries: Int = 20, k: Int = 10,
       nPlanes: Int = 4, dim: Int = 64): DataFrame = {
-    val bucketed = lshBuckets(embeddings, nPlanes, dim)
+    // cached: the bucketed corpus feeds both the query side and the
+    // probe join — without it the scan + normalize + bucket pass runs
+    // twice (at 100 TB you would materialise the bucketed corpus once)
+    val bucketed = lshBuckets(embeddings, nPlanes, dim).cache()
     val probes = (0 until nPlanes).foldLeft(array(col("bucket"))) {
       (acc, i) => array_append(acc, col("bucket").bitwiseXOR(1L << i))
     }
