@@ -73,9 +73,12 @@ object SparkEntry {
     "q_a6_chain_accessors" -> ((s, d) => Metrics.chainAccessors(Tables.events(s, d))),
     "q_a7_trailing_chain" -> ((s, d) => Metrics.trailingChain(Tables.events(s, d), 5)),
     "q_a8_recent_events" -> ((s, d) => Metrics.recentEvents(Tables.events(s, d), 100)),
+    "q_j4_chain_state" -> ((s, d) => Metrics.lastChainState(Tables.events(s, d), 3)),
     // ---- §2.6 temporal --------------------------------------------
     "q_t1_cron_ticks" -> ((s, d) =>
       Schedule.ticks(Tables.events(s, d), Schedule.parse("*/15 9-17 * * 1-5"))),
+    "q_t2_cron_tz" -> ((s, d) =>
+      Schedule.ticksTz(Tables.events(s, d), Schedule.parse("30 9 * * 1-5"), "America/New_York")),
     // ---- relational enrichment faces ------------------------------
     "q_r1_pricing_summary" -> ((s, d) => Relational.pricingSummary(Tables.lineitem(s, d))),
     "q_r2_customer_geo" -> ((s, d) =>
@@ -96,6 +99,7 @@ object SparkEntry {
     "q_d3_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
     "q_d4_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "q_d5_embed_neardup" -> ((s, d) => Similarity.embeddingNearDup(Tables.embeddings(s, d))),
+    "q_d7_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
     // ---- training-data pipeline: similarity search ----------------
     "q_s1_ann_topk" -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))),
     "q_s2_ann_lsh" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d))),
@@ -108,6 +112,7 @@ object SparkEntry {
     "q_x3_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "q_x4_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     "q_x6_unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogProb(Tables.documents(s, d))),
+    "q_x7_winnow" -> ((s, d) => TextAnalysis.winnow(Tables.documents(s, d))),
     "q_x5_corpus_stats" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       docs.groupBy(col("lang"))
@@ -318,6 +323,24 @@ object SparkEntry {
          | SELECT tick_ts FROM grid
          | WHERE minute(tick_ts) % 15 = 0 AND hour(tick_ts) BETWEEN 9 AND 17
          |   AND isodow(tick_ts) BETWEEN 1 AND 5""".stripMargin,
+    "q_t2_cron_tz" ->
+      s"""$E, bounds AS (
+         |  SELECT date_trunc('minute', MIN(ts)) AS lo, date_trunc('minute', MAX(ts)) AS hi FROM e),
+         | grid AS (SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS tick_ts FROM bounds),
+         | loc AS (SELECT tick_ts,
+         |   (tick_ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York' AS local_ts FROM grid)
+         | SELECT tick_ts, local_ts FROM loc
+         | WHERE minute(local_ts) = 30 AND hour(local_ts) = 9
+         |   AND isodow(local_ts) BETWEEN 1 AND 5""".stripMargin,
+    "q_j4_chain_state" ->
+      s"""$E, c AS (
+         |  SELECT user_id, ts,
+         |    string_agg(CAST(event_id AS VARCHAR), ',') OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS chain_ids,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         |    COUNT(*) OVER (PARTITION BY user_id) AS cnt
+         |  FROM e)
+         | SELECT user_id, chain_ids, ts AS last_ts FROM c WHERE rn = cnt""".stripMargin,
     "q_r1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -418,6 +441,24 @@ object SparkEntry {
          | SELECT n.doc_id, CAST(LEAST(n.doc_id, MIN(r.d)) AS BIGINT) AS cluster
          | FROM nodes n LEFT JOIN reach r ON r.s = n.doc_id
          | GROUP BY n.doc_id""".stripMargin,
+    "q_d7_simhash_pairs" ->
+      s"""WITH wd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w0 FROM documents),
+         | h AS (SELECT doc_id, ${MDH("w0")} AS hv FROM wd),
+         | bits AS (SELECT doc_id, i,
+         |            SUM(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
+         |          FROM h, (SELECT unnest(generate_series(0, 59)) AS i) g
+         |          GROUP BY doc_id, i),
+         | sh2 AS (SELECT doc_id,
+         |   CAST(SUM(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+         |   FROM bits GROUP BY doc_id),
+         | banded AS (SELECT doc_id, simhash, b, (simhash >> (b * 15)) & 32767 AS band_val
+         |            FROM sh2, (SELECT unnest(generate_series(0, 3)) AS b) bb),
+         | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |            a.simhash AS ha, b.simhash AS hb
+         |          FROM banded a JOIN banded b
+         |            ON a.b = b.b AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+         | SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+         | FROM cand WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin,
     "q_d4_simhash" ->
       s"""WITH wd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w0 FROM documents),
          | h AS (SELECT doc_id, ${MDH("w0")} AS hv FROM wd),
@@ -469,6 +510,16 @@ object SparkEntry {
          |   CAST(ROUND(AVG(ln(CAST(v.c AS DOUBLE) / t.total)), 6) AS DOUBLE) AS avg_logprob
          | FROM wr JOIN vocab v ON v.w = wr.w, tot t
          | GROUP BY wr.doc_id""".stripMargin,
+    "q_x7_winnow" ->
+      s"""$SH,
+         | pos AS (SELECT doc_id, wl, unnest(generate_series(1, greatest(len(wl)-2, 1))) AS i FROM w),
+         | g AS (SELECT doc_id, i, array_to_string(wl[i:i+2], ' ') AS gram FROM pos),
+         | hh AS (SELECT doc_id, i, ${MDH("gram")} AS hv FROM g),
+         | fps AS (SELECT doc_id,
+         |   MIN(hv) OVER (PARTITION BY doc_id ORDER BY i
+         |     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+         |   FROM hh)
+         | SELECT DISTINCT doc_id, fp FROM fps""".stripMargin,
     "q_x5_corpus_stats" ->
       s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
          |   CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_ws_tokens,

@@ -260,6 +260,43 @@ object Dedup {
    * a single shuffle with map-side partial aggregation (the naive
    * explode-by-bit form would shuffle 60× the data).
    */
+  /**
+   * SimHash near-duplicate pairs: band the 60-bit fingerprint into
+   * `bands` equal chunks; by pigeonhole, any pair within Hamming
+   * distance `bands − 1` shares at least one identical band, so
+   * candidates come from an equi-join on (band_idx, band_value) — an
+   * O(n·bands) shuffle instead of the O(n²) all-pairs scan — and are
+   * verified exactly with bit_count(xor). Requires maxHamming < bands
+   * for full recall (checked).
+   */
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(maxHamming < bands,
+      s"pigeonhole guarantee needs maxHamming < bands (got $maxHamming >= $bands)")
+    val bitsPerBand = SimhashBits / bands
+    val mask = (1L << bitsPerBand) - 1
+    // cached: both sides of the band self-join reuse the 60-sum
+    // fingerprint aggregation
+    val hs = simhash(documents).cache()
+    // the fingerprint is one long — cheap to carry through the band join
+    // (unlike minhashLsh, where the shingle arrays must stay behind)
+    val banded = hs.select(
+      col("doc_id"), col("simhash"),
+      posexplode(
+        array((0 until bands).map(b =>
+          shiftright(col("simhash"), b * bitsPerBand).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band_idx", "band_val")))
+    val a = banded.select(col("band_idx"), col("band_val"),
+      col("doc_id").as("doc_a"), col("simhash").as("ha"))
+    val b = banded.select(col("band_idx"), col("band_val"),
+      col("doc_id").as("doc_b"), col("simhash").as("hb"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
   def simhash(documents: DataFrame): DataFrame = {
     val words = documents.select(
       col("doc_id"),

@@ -140,4 +140,30 @@ object Metrics {
       .orderBy(col("ts").desc, col("event_id").desc)
       .limit(n)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+
+  /**
+   * J4/A7 content face — the final trimmed chain per key: the ids of
+   * the last `n` events in order, as a matcher's bounded buffer would
+   * hold them after consuming the stream (reference: trimEventChain,
+   * src/StateMachine/AEventProcessor.php:321-332 + continuous
+   * consumption src/Rule/MatchSingleContinuously.php:21-43). A running
+   * trailing-frame string aggregate, keeping each key's LAST row — one
+   * window pass, no per-key collect.
+   */
+  def lastChainState(events: DataFrame, n: Int = 3, key: String = "user_id"): DataFrame = {
+    val wAsc = Window.partitionBy(col(key)).orderBy(col("ts"), col("event_id"))
+    val wChain = wAsc.rowsBetween(-(n - 1), Window.currentRow)
+    // whole-partition frame shares the ascending sort (computed once per
+    // partition) — cheaper than a second, descending sort for "is last"
+    val wAll = Window.partitionBy(col(key))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    events
+      .withColumn("chain_ids",
+        array_join(collect_list(col("event_id").cast("string")).over(wChain), ","))
+      .withColumn("rn", row_number().over(wAsc))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      .filter(col("rn") === col("cnt"))
+      .select(col(key), col("chain_ids"),
+        col("ts").as("last_ts"))
+  }
 }

@@ -127,16 +127,38 @@ object Schedule {
       date_trunc("minute", max(col(tsCol))).as("hi"))
     val grid = bounds.select(
       explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 MINUTE"))).as("tick_ts"))
-    val dowCol = dayofweek(col("tick_ts")) - 1 // Spark: 1=Sunday..7 → 0=Sunday..6
+    grid.filter(cronMatch(cron, col("tick_ts")))
+  }
+
+  /**
+   * T1 with a per-rule timezone (reference: src/Rule/Cron.php carries a
+   * DateTimeZone per rule — schedules like "9am daily" mean LOCAL 9am):
+   * the minute grid stays UTC; the cron fields are evaluated on the
+   * wall-clock time in `tz`. Returns both the UTC tick and the local
+   * wall time. DST is handled by the tz database on both engines.
+   */
+  def ticksTz(df: DataFrame, cron: Cron, tz: String, tsCol: String = "ts"): DataFrame = {
+    val bounds = df.agg(
+      date_trunc("minute", min(col(tsCol))).as("lo"),
+      date_trunc("minute", max(col(tsCol))).as("hi"))
+    val grid = bounds.select(
+      explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 MINUTE"))).as("tick_ts"))
+      .withColumn("local_ts", from_utc_timestamp(col("tick_ts"), tz))
+    grid.filter(cronMatch(cron, col("local_ts")))
+  }
+
+  /** Cron-set membership of one (wall-clock) timestamp column — plain
+   * isin filters, codegen'd. */
+  private def cronMatch(cron: Cron, t: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val dowCol = dayofweek(t) - 1 // Spark: 1=Sunday..7 → 0=Sunday..6
     val dayPred =
       if (cron.domRestricted && cron.dowRestricted)
-        dayofmonth(col("tick_ts")).isin(cron.dom.toSeq: _*) || dowCol.isin(cron.dow.toSeq: _*)
+        dayofmonth(t).isin(cron.dom.toSeq: _*) || dowCol.isin(cron.dow.toSeq: _*)
       else
-        dayofmonth(col("tick_ts")).isin(cron.dom.toSeq: _*) && dowCol.isin(cron.dow.toSeq: _*)
-    grid.filter(
-      minute(col("tick_ts")).isin(cron.minutes.toSeq: _*) &&
-        hour(col("tick_ts")).isin(cron.hours.toSeq: _*) &&
-        month(col("tick_ts")).isin(cron.months.toSeq: _*) &&
-        dayPred)
+        dayofmonth(t).isin(cron.dom.toSeq: _*) && dowCol.isin(cron.dow.toSeq: _*)
+    minute(t).isin(cron.minutes.toSeq: _*) &&
+      hour(t).isin(cron.hours.toSeq: _*) &&
+      month(t).isin(cron.months.toSeq: _*) &&
+      dayPred
   }
 }

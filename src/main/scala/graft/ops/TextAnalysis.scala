@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -138,5 +139,35 @@ object TextAnalysis {
       md5(norm).as("fp_md5"),
       Dedup.mdhash(norm).as("fp64"))
       .withColumn("fp_bucket", pmod(col("fp64"), lit(buckets)).cast("long"))
+  }
+
+  /**
+   * Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+   * rolling-hash local fingerprinting scheme): hash every POSITIONAL
+   * word k-gram, slide a window of `w` consecutive hashes, record each
+   * window's minimum. Any shared substring of at least w+k−1 words
+   * between two documents is guaranteed to share a fingerprint, so
+   * overlap detection becomes an equi-join on (fp). Prefix windows are
+   * included (frame `w−1 PRECEDING..CURRENT`), so documents shorter
+   * than w grams still emit a fingerprint.
+   *
+   * Scale notes: hashing is map-side; the only shuffle is the
+   * per-document window (keyed on doc_id, no skew — document length is
+   * bounded) plus the distinct. Output is the (doc_id, fp) posting
+   * list — the artifact you join on at 100 TB.
+   */
+  def winnow(documents: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    val wl = words(col("text"))
+    val grams = transform(
+      sequence(lit(1), greatest(size(wl) - (k - 1), lit(1))),
+      i => array_join(slice(wl, i, lit(k)), " "))
+    val hashed = documents
+      .select(col("doc_id"), posexplode(grams).as(Seq("pos", "g")))
+      .withColumn("h", Dedup.mdhash(col("g")))
+    val win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(w - 1), 0)
+    hashed
+      .withColumn("fp", min("h").over(win))
+      .select(col("doc_id"), col("fp"))
+      .distinct()
   }
 }

@@ -93,6 +93,16 @@ class DedupSpec extends SparkSpec {
     assert(got.size == 40 && got.values.forall(_ == 1L))
   }
 
+  test("simhash banded pairs find near-identical docs, skip unrelated, verify hamming") {
+    val a = (1 to 80).map(i => s"w$i").mkString(" ")
+    val aNear = ((1 to 79).map(i => s"w$i") ++ Seq("q1")).mkString(" ")
+    val other = (200 to 280).map(i => s"v$i").mkString(" ")
+    val got = Dedup.simhashPairs(docs((1L, a), (2L, aNear), (3L, other)))
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("hamming")))
+    assert(got.map(t => (t._1, t._2)).toSet == Set((1L, 2L)))
+    assert(got.forall(_._3 <= 3))
+  }
+
   test("simhash: near-identical docs have small hamming distance, unrelated large") {
     val a = (1 to 80).map(i => s"w$i").mkString(" ")
     val aNear = ((1 to 76).map(i => s"w$i") ++ Seq("q1", "q2", "q3", "q4")).mkString(" ")

@@ -38,6 +38,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1L) > got(2L))
   }
 
+  test("winnow: shared runs share a fingerprint; disjoint docs share none; short docs still emit") {
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val d1 = s"a1 a2 a3 $shared b1 b2"
+    val d2 = s"c1 c2 $shared d1 d2 d3"
+    val d3 = (100 to 120).map(i => s"z$i").mkString(" ")
+    import spark.implicits._
+    val fps = TextAnalysis.winnow(docs((1L, "en", d1), (2L, "en", d2), (3L, "en", d3), (4L, "en", "tiny doc")))
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // 10 shared words >= w+k-1 = 6 → guaranteed common fingerprint
+    assert((fps(1L) & fps(2L)).nonEmpty)
+    assert((fps(1L) & fps(3L)).isEmpty)
+    assert(fps(4L).nonEmpty) // shorter than one full window
+  }
+
   test("fingerprint is invariant to case and whitespace runs") {
     val df = docs(
       (1L, "en", "Hello   World"),
