@@ -3,7 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 import graft.model.Event
 import graft.rules.{OutputData, RuleSpec}
@@ -407,6 +407,81 @@ object RuleEngine {
           fires.iterator
           }
         })
+  }
+
+  /**
+   * Spark-4-native streaming face on `transformWithState`: the same
+   * step machine, but state lives in a typed `ValueState` column family
+   * and timeouts use the API's true per-key TIMER service
+   * (`registerTimer`/`handleExpiredTimer`) — a 1:1 mapping of the
+   * reference's armed loop timer (reference:
+   * src/CorrelationEngine.php:530-563, single earliest-deadline timer,
+   * re-armed after each fire). Functionally equivalent to
+   * [[runStreaming]] (asserted in tests); preferred on Spark 4
+   * clusters: RocksDB column-family state, native timer multiplexing
+   * and state TTL come built in. Requires the RocksDB state store
+   * provider (`spark.sql.streaming.stateStore.providerClass`).
+   */
+  class RuleProcessor(rules: Seq[RuleSpec])
+      extends StatefulProcessor[(String, String), Keyed, Fired] {
+    private lazy val ruleMap = rules.map(r => r.name -> r).toMap
+    @transient private var matchers: ValueState[KeyState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      matchers = getHandle.getValueState[KeyState](
+        "matchers", Encoders.product[KeyState], TTLConfig.NONE)
+
+    /** Persist survivors and re-arm the single earliest-deadline timer
+     * (delete-then-register keeps exactly one live timer per key). */
+    private def commit(alive: Vector[MatcherState]): Unit = {
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      if (alive.isEmpty) matchers.clear()
+      else {
+        matchers.update(KeyState(alive))
+        alive.flatMap(_.timeoutAtUs).minOption
+          // µs → ms, ceiling: must not fire before the deadline
+          .foreach(us => getHandle.registerTimer(math.floorDiv(us + 999L, 1000L)))
+      }
+    }
+
+    override def handleInputRows(key: (String, String), rows: Iterator[Keyed],
+        tv: TimerValues): Iterator[Fired] = {
+      val rule = ruleMap(key._1)
+      val initial = if (matchers.exists()) matchers.get().matchers.toVector else Vector.empty
+      val sorted = rows.map(_.event).toVector.sortBy(e => (micros(e.effectiveTime), e.id))
+      val (alive, fires) = interpretRun(rule, key._2, sorted.iterator, initial)
+      commit(alive)
+      fires.iterator
+    }
+
+    override def handleExpiredTimer(key: (String, String), tv: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[Fired] = {
+      val rule = ruleMap(key._1)
+      val initial = if (matchers.exists()) matchers.get().matchers.toVector else Vector.empty
+      val wmUs = tv.getCurrentWatermarkInMs() * 1000L
+      val (alive, fires) = fireDue(rule, key._2, initial, wmUs, emitTimeouts = true)
+      commit(alive)
+      fires.iterator
+    }
+  }
+
+  /** [[runStreaming]] on the Spark 4 `transformWithState` operator —
+   * see [[RuleProcessor]]. Same routing/watermark discipline. */
+  def runStreamingTws(events: Dataset[Event], rules: Seq[RuleSpec],
+      watermarkDelay: String = "0 seconds"): Dataset[Fired] = {
+    requireUniqueNames(rules)
+    val spark = events.sparkSession
+    import spark.implicits._
+    val keyed = events.flatMap { e =>
+      val routed = rules.filter(_.mightAccept(e.event))
+        .map(r => Keyed(r.name, r.correlate(e), e.effectiveTime, e))
+      if (routed.nonEmpty) routed else Seq(Keyed("", "", e.effectiveTime, e))
+    }
+    keyed
+      .withWatermark("eventTime", watermarkDelay)
+      .filter(_.rule.nonEmpty) // clock ticks counted by the watermark node
+      .groupByKey(k => (k.rule, k.key))
+      .transformWithState(new RuleProcessor(rules), TimeMode.EventTime, OutputMode.Append)
   }
 
   /**

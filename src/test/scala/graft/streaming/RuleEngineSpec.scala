@@ -248,4 +248,41 @@ class RuleEngineSpec extends SparkSpec {
       .map(f => (f.rule, f.key, f.kind, f.firedAt)).toSet
     assert(streamed == batch)
   }
+
+  test("transformWithState face equals batch face (RocksDB state, native timers)") {
+    import spark.implicits._
+    val rules = Seq(orderRule())
+    val events = Seq(
+      ev("2024-01-01 10:00:00", "signup", "u1", "1"),
+      ev("2024-01-01 10:30:00", "purchase", "u1", "2"),
+      ev("2024-01-01 11:00:00", "signup", "u2", "3"), // never paid → timeout
+      ev("2024-01-01 14:00:00", "view", "u3", "4"))   // watermark push
+
+    // transformWithState requires the RocksDB state store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val query = RuleEngine.runStreamingTws(stream.toDS(), rules)
+      .writeStream.format("memory").queryName("rule_tws_out")
+      .outputMode("append").start()
+    try {
+      events.foreach { e => stream.addData(e); query.processAllAvailable() }
+      stream.addData(ev("2024-01-01 15:00:00", "view", "u3", "5"))
+      query.processAllAvailable()
+    } finally {
+      query.stop()
+      prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+
+    val streamed = spark.table("rule_tws_out").as[RuleEngine.Fired]
+      .collect().filter(f => f.kind == "complete" || f.kind == "timeout")
+      .map(f => (f.rule, f.key, f.kind, f.firedAt)).toSet
+    val batch = RuleEngine.runBatch(ds(events: _*), rules)
+      .collect().filter(f => f.kind == "complete" || f.kind == "timeout")
+      .map(f => (f.rule, f.key, f.kind, f.firedAt)).toSet
+    assert(streamed == batch)
+  }
 }
