@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Correlate, Dedup, Metrics, Multimodal, Relational, Schedule, Similarity, TextAnalysis}
+import graft.ops.{Correlate, Dedup, Metrics, Multimodal, Relational, Sampling, Schedule, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
  *
@@ -121,6 +121,17 @@ object SparkEntry {
           sum(size(split(col("text"), " ")).cast("long")).as("total_ws_tokens"),
           round(avg(col("n_chars")), 6).as("avg_chars"))
     }),
+    // ---- training-data pipeline: deterministic sampling -----------
+    "q_p1_hash_sample" -> ((s, d) =>
+      Sampling.hashSample(Tables.documents(s, d), col("doc_id"), 0.25)
+        .select("doc_id", "lang")),
+    "q_p2_stratified" -> ((s, d) =>
+      Sampling.stratifiedHashSample(Tables.documents(s, d), col("doc_id"), col("lang"),
+        Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.5, "es" -> 0.5, "zh" -> 0.25))
+        .select("doc_id", "lang")),
+    "q_p3_split" -> ((s, d) =>
+      Sampling.split(Tables.documents(s, d), col("doc_id"))
+        .select("doc_id", "split")),
     // ---- training-data pipeline: multimodal plumbing --------------
     "q_m1_media_meta" -> ((s, d) => Multimodal.mediaMeta(Tables.documents(s, d))),
     // ---- generic rule interpreter (batch face of the streaming
@@ -525,6 +536,21 @@ object SparkEntry {
          |   CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_ws_tokens,
          |   CAST(ROUND(AVG(n_chars), 6) AS DOUBLE) AS avg_chars
          | FROM documents GROUP BY lang""".stripMargin,
+    "q_p1_hash_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+         | WHERE ${MDH("CAST(doc_id AS VARCHAR)")} % 1000000 < 250000""".stripMargin,
+    "q_p2_stratified" ->
+      s"""SELECT doc_id, lang FROM documents
+         | WHERE ${MDH("CAST(doc_id AS VARCHAR)")} % 1000000 <
+         |   CASE lang WHEN 'en' THEN 1000000 WHEN 'de' THEN 500000
+         |             WHEN 'fr' THEN 500000 WHEN 'es' THEN 500000
+         |             WHEN 'zh' THEN 250000 ELSE 0 END""".stripMargin,
+    "q_p3_split" ->
+      s"""SELECT doc_id,
+         |   CASE WHEN ${MDH("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'train'
+         |        WHEN ${MDH("CAST(doc_id AS VARCHAR)")} % 100 < 95 THEN 'val'
+         |        ELSE 'test' END AS split
+         | FROM documents""".stripMargin,
     "q_m1_media_meta" ->
       s"""SELECT doc_id AS media_id, 'text/plain' AS mime_type,
          |   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes

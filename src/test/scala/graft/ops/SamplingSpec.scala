@@ -1,0 +1,38 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+
+  private lazy val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+
+  test("hash sample is deterministic, key-stable, and near the nominal rate") {
+    val s1 = Sampling.hashSample(docs, col("doc_id"), 0.25).collect().map(_.getAs[Long]("doc_id")).toSet
+    val s2 = Sampling.hashSample(docs, col("doc_id"), 0.25).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(s1 == s2) // same keys every run
+    val n = docs.count().toDouble
+    assert(s1.size > n * 0.15 && s1.size < n * 0.35)
+    // monotone: a higher-rate sample contains the lower-rate one (the
+    // property that makes rate changes incremental, not a reshuffle)
+    val s3 = Sampling.hashSample(docs, col("doc_id"), 0.5).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(s1.subsetOf(s3))
+  }
+
+  test("stratified sample applies per-stratum rates; unlisted strata drop") {
+    val out = Sampling.stratifiedHashSample(docs, col("doc_id"), col("lang"),
+      Map("en" -> 1.0), defaultRate = 0.0).collect()
+    assert(out.nonEmpty && out.forall(_.getAs[String]("lang") == "en"))
+    val allEn = docs.filter(col("lang") === "en").count()
+    assert(out.length == allEn) // rate 1.0 keeps every row of the stratum
+  }
+
+  test("split partitions every row exactly once with stable assignment") {
+    val out = Sampling.split(docs, col("doc_id")).groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet.subsetOf(Set("train", "val", "test")))
+    assert(out.values.sum == docs.count())
+    assert(out("train") > out.getOrElse("val", 0L))
+  }
+}
