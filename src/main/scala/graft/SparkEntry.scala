@@ -113,6 +113,8 @@ object SparkEntry {
     "q_x4_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     "q_x6_unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogProb(Tables.documents(s, d))),
     "q_x7_winnow" -> ((s, d) => TextAnalysis.winnow(Tables.documents(s, d))),
+    "q_x8_repetition" -> ((s, d) => TextAnalysis.repetitionSignals(Tables.documents(s, d))),
+    "q_x9_bigram_logprob" -> ((s, d) => TextAnalysis.bigramLogProb(Tables.documents(s, d))),
     "q_x5_corpus_stats" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       docs.groupBy(col("lang"))
@@ -531,6 +533,31 @@ object SparkEntry {
          |     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
          |   FROM hh)
          | SELECT DISTINCT doc_id, fp FROM fps""".stripMargin,
+    "q_x8_repetition" ->
+      s"""WITH wr AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         | wc AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c FROM wr GROUP BY doc_id, w),
+         | ws AS (SELECT doc_id,
+         |   ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_word_frac FROM wc GROUP BY doc_id),
+         | wl AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         | gi AS (SELECT doc_id, l, unnest(generate_series(1, greatest(len(l)-2, 1))) AS i FROM wl),
+         | g AS (SELECT doc_id, array_to_string(l[i:i+2], ' ') AS g FROM gi),
+         | gs AS (SELECT doc_id,
+         |   ROUND(1.0 - CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*), 6) AS dup_3gram_frac
+         |   FROM g GROUP BY doc_id)
+         | SELECT ws.doc_id, ws.top_word_frac, gs.dup_3gram_frac
+         | FROM ws JOIN gs ON gs.doc_id = ws.doc_id""".stripMargin,
+    "q_x9_bigram_logprob" ->
+      s"""WITH wl AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         | bi AS (SELECT doc_id, l, unnest(generate_series(1, len(l)-1)) AS i FROM wl WHERE len(l) >= 2),
+         | bg AS (SELECT doc_id, l[i] AS prev, l[i+1] AS w FROM bi),
+         | bc AS (SELECT prev, w, CAST(COUNT(*) AS BIGINT) AS bc FROM bg GROUP BY prev, w),
+         | cc AS (SELECT prev, CAST(SUM(bc) AS BIGINT) AS cc FROM bc GROUP BY prev)
+         | SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |   CAST(ROUND(AVG(ln(CAST(bc.bc AS DOUBLE) / cc.cc)), 6) AS DOUBLE) AS avg_logprob
+         | FROM bg
+         | JOIN bc ON bc.prev = bg.prev AND bc.w = bg.w
+         | JOIN cc ON cc.prev = bg.prev
+         | GROUP BY bg.doc_id""".stripMargin,
     "q_x5_corpus_stats" ->
       s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
          |   CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_ws_tokens,

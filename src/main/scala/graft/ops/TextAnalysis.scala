@@ -142,6 +142,60 @@ object TextAnalysis {
   }
 
   /**
+   * Repetition signals (the Gopher-style repetition filters adapted to
+   * word streams): the fraction of the document taken by its most
+   * frequent word, and the duplicate 3-gram fraction
+   * (1 − distinct/total) — high values flag boilerplate/spam for
+   * training-data filtering. Two shuffles keyed on doc_id (map-side
+   * combined), joined at the end.
+   */
+  def repetitionSignals(documents: DataFrame, n: Int = 3): DataFrame = {
+    val wr = documents.select(col("doc_id"), explode(words(col("text"))).as("w"))
+    val wordStats = wr.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_c"), sum("c").as("n_words"))
+      .select(col("doc_id"),
+        round(col("top_c").cast("double") / col("n_words"), 6).as("top_word_frac"))
+    val wl = words(col("text"))
+    val grams = transform(
+      sequence(lit(1), greatest(size(wl) - (n - 1), lit(1))),
+      i => array_join(slice(wl, i, lit(n)), " "))
+    val gramStats = documents.select(col("doc_id"), explode(grams).as("g"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_g"), countDistinct(col("g")).as("n_dg"))
+      .select(col("doc_id"),
+        round(lit(1.0) - col("n_dg").cast("double") / col("n_g"), 6).as("dup_3gram_frac"))
+    wordStats.join(gramStats, "doc_id")
+  }
+
+  /**
+   * Bigram language-model scoring: per-document mean
+   * ln P(wᵢ | wᵢ₋₁) under the corpus's own bigram counts, with context
+   * counts derived FROM the bigram table (Σ_w c(prev,w)) so both
+   * engines normalise identically. The order-2 upgrade of
+   * [[unigramLogProb]] — a sharper fluency/quality signal. Bigrams are
+   * built positionally from the split array (no window pass); the
+   * count tables broadcast.
+   */
+  def bigramLogProb(documents: DataFrame): DataFrame = {
+    val wl = words(col("text"))
+    val pairs = when(size(wl) >= 2,
+      transform(sequence(lit(1), size(wl) - 1),
+        i => struct(element_at(wl, i).as("prev"), element_at(wl, i + 1).as("w"))))
+      .otherwise(array().cast("array<struct<prev:string,w:string>>"))
+    val bg = documents.select(col("doc_id"), explode(pairs).as("b"))
+      .select(col("doc_id"), col("b.prev").as("prev"), col("b.w").as("w"))
+    val bigramCounts = bg.groupBy("prev", "w").agg(count(lit(1)).as("bc"))
+    val contextCounts = bigramCounts.groupBy("prev").agg(sum("bc").as("cc"))
+    bg
+      .join(broadcast(bigramCounts), Seq("prev", "w"))
+      .join(broadcast(contextCounts), Seq("prev"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("bc").cast("double") / col("cc"))), 6).as("avg_logprob"))
+  }
+
+  /**
    * Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
    * rolling-hash local fingerprinting scheme): hash every POSITIONAL
    * word k-gram, slide a window of `w` consecutive hashes, record each

@@ -52,6 +52,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(4L).nonEmpty) // shorter than one full window
   }
 
+  test("repetition signals: top-word and duplicate-3gram fractions") {
+    val r = TextAnalysis.repetitionSignals(docs((1L, "en", "a a a a b"))).collect().head
+    assert(r.getAs[Double]("top_word_frac") == 0.8)
+    // grams: "a a a", "a a a", "a a b" → 1 - 2/3
+    assert(r.getAs[Double]("dup_3gram_frac") == 0.333333)
+  }
+
+  test("bigram logprob: predictable transitions score higher than rare ones") {
+    val got = TextAnalysis.bigramLogProb(docs((1L, "en", "x y x y"), (2L, "en", "x z")))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_logprob")).toMap
+    assert(got(1L) > got(2L))
+    assert(got(2L) < -1.0) // ln(1/3)
+  }
+
   test("fingerprint is invariant to case and whitespace runs") {
     val df = docs(
       (1L, "en", "Hello   World"),
