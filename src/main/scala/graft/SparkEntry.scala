@@ -106,6 +106,7 @@ object SparkEntry {
     // q_s3: k-means coarse quantizer is not SQL-replicable → rows-only
     // check; recall asserted vs q_s1 in SimilaritySpec
     "q_s3_ann_ivf" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
+    "q_s4_ann_sq8" -> ((s, d) => Similarity.quantizedTopK(Tables.embeddings(s, d))),
     // ---- training-data pipeline: text analysis --------------------
     "q_x1_langid" -> ((s, d) => TextAnalysis.languageId(Tables.documents(s, d))),
     "q_x2_tokens" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
@@ -503,6 +504,19 @@ object SparkEntry {
          |       FROM scored)
          | SELECT query_id, vec_id AS neighbor_id, sim, rank FROM r WHERE rank <= 10""".stripMargin,
     "q_s2_ann_lsh" -> lshOracle,
+    "q_s4_ann_sq8" ->
+      s"""WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings),
+         | e AS (SELECT vec_id,
+         |   list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v FROM raw),
+         | qz AS (SELECT vec_id, list_transform(v, x -> round(x * 127)) AS q FROM e),
+         | qs AS (SELECT vec_id AS query_id, q AS qq FROM qz WHERE vec_id < 20),
+         | scored AS (SELECT qs.query_id, qz.vec_id,
+         |              ROUND(list_dot_product(qs.qq, qz.q) / 16129.0, 6) AS sim
+         |            FROM qz, qs WHERE qz.vec_id != qs.query_id),
+         | r AS (SELECT query_id, vec_id, sim,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+         |       FROM scored)
+         | SELECT query_id, vec_id AS neighbor_id, sim, rank FROM r WHERE rank <= 10""".stripMargin,
     "q_x1_langid" -> langidOracle,
     "q_x2_tokens" ->
       s"""SELECT doc_id,

@@ -86,6 +86,34 @@ object Similarity {
       .select("vec_a", "vec_b", "sim")
   }
 
+  /**
+   * Scalar-quantised (int8) brute-force top-k: each unit-normalised
+   * component is quantised to round(x·127) ∈ [−127, 127] — the
+   * standard SQ8 layout that cuts vector memory/bandwidth 4× at
+   * billion scale (the dominant ANN cost is scan bandwidth, not
+   * arithmetic). Scores are INTEGER dot products (order-independent,
+   * exactly reproducible) rescaled by 127² once. Recall vs the float
+   * baseline is asserted in tests; the query side broadcasts like
+   * [[bruteForceTopK]].
+   */
+  def quantizedTopK(embeddings: DataFrame, nQueries: Int = 20, k: Int = 10): DataFrame = {
+    val corpus = embeddings.select(
+      col("vec_id"), normalized(asDouble(col("embedding"))).as("v"))
+      // kept as double for the codegen'd dot product; values are exact
+      // small integers, so sums are exact in both engines
+      .withColumn("q", transform(col("v"), x => round(x * 127)))
+      .drop("v")
+    val queries = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+    val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("sim", round(dot(col("qq"), col("q")) / lit(127.0 * 127.0), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim"), col("rank"))
+  }
+
   /** Deterministic random hyperplanes (seeded) as literal arrays —
    * shipped to executors as constants, no driver-side state. Public so
    * the DuckDB oracle embeds the identical constants. */

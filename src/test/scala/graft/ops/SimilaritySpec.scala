@@ -54,6 +54,16 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.35, s"recall@10 = $recall")
   }
 
+  test("SQ8 quantized top-k tracks the float baseline closely (recall@10)") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def tops(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = tops(Similarity.bruteForceTopK(emb))
+    val sq8 = tops(Similarity.quantizedTopK(emb))
+    val recall = (exact & sq8).size.toDouble / exact.size
+    assert(recall >= 0.9, s"SQ8 recall@10 too low: $recall")
+  }
+
   test("near-dup pairs are symmetric-free (a<b) and above threshold") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val got = Similarity.embeddingNearDup(emb, 0.4).collect()
