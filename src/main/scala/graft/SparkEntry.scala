@@ -65,6 +65,8 @@ object SparkEntry {
       Correlate.firstPerKey(Tables.events(s, d), "signup")),
     "q_j9_enrich_memory" -> ((s, d) =>
       Correlate.enrichFromMemory(Tables.events(s, d), "purchase", "error")),
+    "q_j10_asof" -> ((s, d) =>
+      Correlate.asOfEnrich(Tables.events(s, d), "purchase", "view")),
     // ---- §2.5 metrics ---------------------------------------------
     "q_a1_eps" -> ((s, d) => Metrics.epsCounter(Tables.events(s, d), "minute")),
     "q_a2_load_avg" -> ((s, d) => Metrics.loadAverage(Tables.events(s, d), 60)),
@@ -74,6 +76,7 @@ object SparkEntry {
     "q_a7_trailing_chain" -> ((s, d) => Metrics.trailingChain(Tables.events(s, d), 5)),
     "q_a8_recent_events" -> ((s, d) => Metrics.recentEvents(Tables.events(s, d), 100)),
     "q_j4_chain_state" -> ((s, d) => Metrics.lastChainState(Tables.events(s, d), 3)),
+    "q_a9_percentiles" -> ((s, d) => Metrics.percentiles(Tables.events(s, d))),
     // ---- §2.6 temporal --------------------------------------------
     "q_t1_cron_ticks" -> ((s, d) =>
       Schedule.ticks(Tables.events(s, d), Schedule.parse("*/15 9-17 * * 1-5"))),
@@ -107,6 +110,7 @@ object SparkEntry {
     // check; recall asserted vs q_s1 in SimilaritySpec
     "q_s3_ann_ivf" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
     "q_s4_ann_sq8" -> ((s, d) => Similarity.quantizedTopK(Tables.embeddings(s, d))),
+    "q_s5_ann_ivf_fixed" -> ((s, d) => Similarity.ivfFixedTopK(Tables.embeddings(s, d))),
     // ---- training-data pipeline: text analysis --------------------
     "q_x1_langid" -> ((s, d) => TextAnalysis.languageId(Tables.documents(s, d))),
     "q_x2_tokens" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
@@ -116,6 +120,9 @@ object SparkEntry {
     "q_x7_winnow" -> ((s, d) => TextAnalysis.winnow(Tables.documents(s, d))),
     "q_x8_repetition" -> ((s, d) => TextAnalysis.repetitionSignals(Tables.documents(s, d))),
     "q_x9_bigram_logprob" -> ((s, d) => TextAnalysis.bigramLogProb(Tables.documents(s, d))),
+    "q_x10_decontam" -> ((s, d) => TextAnalysis.decontaminate(Tables.documents(s, d))),
+    "q_x11_collocations" -> ((s, d) => TextAnalysis.collocations(Tables.documents(s, d))),
+    "q_x12_top_terms" -> ((s, d) => TextAnalysis.topTerms(Tables.documents(s, d))),
     "q_x5_corpus_stats" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       docs.groupBy(col("lang"))
@@ -639,7 +646,88 @@ object SparkEntry {
          | SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
          |   MAX(ts) + INTERVAL 30 MINUTE AS fired_at
          | FROM s GROUP BY user_id, session_id""".stripMargin,
+    "q_j10_asof" ->
+      s"""$E, f AS (SELECT * FROM e
+         |   WHERE user_id IS NOT NULL AND event_type IN ('purchase', 'view')),
+         | x AS (SELECT event_id, user_id, ts, event_type,
+         |   last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+         |     OVER w AS asof_ts,
+         |   last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+         |     OVER w AS asof_value
+         |  FROM f
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         | SELECT event_id, user_id, ts, asof_ts, asof_value FROM x
+         | WHERE event_type = 'purchase'""".stripMargin,
+    "q_a9_percentiles" ->
+      s"""$E, g AS (SELECT event_type,
+         |   quantile_cont(value, [0.5, 0.9, 0.99]) AS qs FROM e GROUP BY 1),
+         | x AS (SELECT event_type,
+         |   unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS p,
+         |   unnest(qs) AS q0 FROM g)
+         | SELECT event_type, p, ROUND(q0, 6) AS q FROM x""".stripMargin,
+    "q_x10_decontam" ->
+      s"""$SH,
+         | bench AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % 20 = 0),
+         | train AS (SELECT doc_id, s FROM sh WHERE doc_id % 20 != 0)
+         | SELECT t.doc_id,
+         |   CAST(COUNT(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs,
+         |   CAST(COUNT(DISTINCT t.s) AS BIGINT) AS n_shared_grams
+         | FROM train t JOIN bench b ON b.s = t.s
+         | GROUP BY t.doc_id""".stripMargin,
+    "q_x11_collocations" ->
+      s"""WITH wl AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         | bi AS (SELECT doc_id, l, unnest(generate_series(1, len(l)-1)) AS i FROM wl WHERE len(l) >= 2),
+         | bg AS (SELECT l[i] AS prev, l[i+1] AS w FROM bi),
+         | bc AS (SELECT prev, w, CAST(COUNT(*) AS BIGINT) AS c_xy FROM bg GROUP BY 1, 2),
+         | lc AS (SELECT prev, CAST(SUM(c_xy) AS BIGINT) AS c_x FROM bc GROUP BY 1),
+         | rc AS (SELECT w, CAST(SUM(c_xy) AS BIGINT) AS c_y FROM bc GROUP BY 1),
+         | tot AS (SELECT CAST(SUM(c_xy) AS DOUBLE) AS n FROM bc),
+         | p AS (SELECT bc.prev, bc.w, bc.c_xy,
+         |   ROUND(ln(CAST(bc.c_xy AS DOUBLE) * t.n /
+         |     (CAST(lc.c_x AS DOUBLE) * CAST(rc.c_y AS DOUBLE))), 6) AS pmi
+         |   FROM bc JOIN lc ON lc.prev = bc.prev JOIN rc ON rc.w = bc.w, tot t
+         |   WHERE bc.c_xy >= 5),
+         | r AS (SELECT prev, w, c_xy, pmi,
+         |   CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, prev, w) AS INTEGER) AS rank FROM p)
+         | SELECT rank, prev, w, c_xy, pmi FROM r WHERE rank <= 50""".stripMargin,
+    "q_x12_top_terms" ->
+      s"""WITH wr AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         | vc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM wr GROUP BY w),
+         | r AS (SELECT w, c,
+         |   CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w) AS INTEGER) AS rank FROM vc)
+         | SELECT rank, w, c FROM r WHERE rank <= 100""".stripMargin,
+    "q_s5_ann_ivf_fixed" -> ivfFixedOracle,
   )
+
+  /** Oracle twin of Similarity.ivfFixedTopK: the fixed centroid seed
+   * rows come from the corpus itself, so the whole inverted-file index
+   * (assignment, probe ranking, scoring) is reproduced relationally. */
+  private def ivfFixedOracle: String = {
+    val seeds = graft.ops.Similarity.ivfFixedSeeds().mkString(", ")
+    s"""WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings),
+       | e AS (SELECT vec_id,
+       |   list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v FROM raw),
+       | cents AS (SELECT vec_id AS seed_id, v AS cv FROM e WHERE vec_id IN ($seeds)),
+       | asg0 AS (SELECT e.vec_id, e.v, c.seed_id,
+       |   ROUND(list_dot_product(e.v, c.cv), 6) AS cdot FROM e, cents c),
+       | asg AS (SELECT vec_id, v, seed_id AS cell FROM (
+       |   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |     ORDER BY cdot DESC, seed_id) AS arank FROM asg0) WHERE arank = 1),
+       | q AS (SELECT vec_id AS query_id, v AS qv FROM asg WHERE vec_id < 20),
+       | pc0 AS (SELECT q.query_id, q.qv, c.seed_id,
+       |   ROUND(list_dot_product(q.qv, c.cv), 6) AS cdot FROM q, cents c),
+       | pc AS (SELECT query_id, qv, seed_id AS cell FROM (
+       |   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |     ORDER BY cdot DESC, seed_id) AS crank FROM pc0) WHERE crank <= 4),
+       | scored AS (SELECT p.query_id, a.vec_id,
+       |   ROUND(list_dot_product(p.qv, a.v), 6) AS sim
+       |   FROM pc p JOIN asg a ON a.cell = p.cell AND a.vec_id != p.query_id),
+       | r AS (SELECT query_id, vec_id, sim,
+       |   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |     ORDER BY sim DESC, vec_id) AS INTEGER) AS rank FROM scored)
+       | SELECT query_id, vec_id AS neighbor_id, sim, rank FROM r WHERE rank <= 10""".stripMargin
+  }
 
   /** Oracle twin of Similarity.lshTopK — the seeded hyperplane
    * constants are embedded as literal DOUBLE[] so bucket assignment is

@@ -173,4 +173,36 @@ object Correlate {
     events.filter(col("event_type") === eventType)
       .groupBy(col(key))
       .agg(min("ts").as("first_ts"), min_by(col("event_id"), struct(col("ts"), col("event_id"))).as("first_event_id"))
+
+  /**
+   * As-of enrichment join: attach to every `targetType` event the most
+   * recent STRICTLY PRECEDING `sourceType` event of the same key (its
+   * ts and value) — the point-in-time lookup the reference expresses as
+   * "record context on the source event, read it on the target"
+   * (reference: src/StateMachine/AEventProcessor.php:229-252 records
+   * context on accept; src/Memory usage reads it later).
+   *
+   * Skew-proof plan: union both types into ONE stream per key, sort
+   * once, and carry the last source row forward with an incremental
+   * running window (`last(..., ignoreNulls)` over unbounded-preceding →
+   * -1 rows). A key+time-range join would go quadratic on hot keys;
+   * this is one shuffle + one linear pass per key, same as the other
+   * sequence faces.
+   */
+  def asOfEnrich(
+      events: DataFrame,
+      targetType: String,
+      sourceType: String,
+      key: String = "user_id"): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .filter(col(key).isNotNull && col("event_type").isin(targetType, sourceType))
+      .withColumn("asof_ts",
+        last(when(col("event_type") === sourceType, col("ts")), ignoreNulls = true).over(w))
+      .withColumn("asof_value",
+        last(when(col("event_type") === sourceType, col("value")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === targetType)
+      .select(col("event_id"), col(key), col("ts"), col("asof_ts"), col("asof_value"))
+  }
 }

@@ -166,4 +166,25 @@ object Metrics {
       .select(col(key), col("chain_ids"),
         col("ts").as("last_ts"))
   }
+
+  /**
+   * Exact value percentiles per group: the distribution face of the
+   * statistics counters (reference keeps only monotonic counts,
+   * src/CorrelationEngine.php:790-796; an analytics engine needs the
+   * quantiles too). Uses Spark's exact `percentile` aggregate
+   * (sort-based partial aggregation, one shuffle on the group key);
+   * linear-interpolation definition is shared with DuckDB's
+   * quantile_cont, so results hash-match after 6-dp rounding. At
+   * extreme cardinality swap in approx_percentile (t-digest sketch,
+   * mergeable map-side) — the exact form is the oracle baseline.
+   */
+  def percentiles(events: DataFrame,
+      ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(percentile(col("value"), array(ps.map(lit): _*)).as("qs"))
+      .select(col("event_type"),
+        posexplode(col("qs")).as(Seq("pos", "q")))
+      .select(col("event_type"),
+        array(ps.map(lit): _*).getItem(col("pos")).as("p"),
+        round(col("q"), 6).as("q"))
 }

@@ -200,6 +200,63 @@ object Similarity {
     out
   }
 
+  /** Fixed centroid seed vec_ids for [[ivfFixedTopK]] — corpus vectors
+   * doubling as coarse centroids, chosen by a deterministic stride so
+   * the DuckDB oracle can select the identical rows. Public: the oracle
+   * SQL embeds this list. */
+  def ivfFixedSeeds(nLists: Int = 16): Seq[Int] = (0 until nLists).map(i => 31 + i * 29)
+
+  /**
+   * IVF top-k with FIXED corpus-vector centroids: the same inverted-
+   * file layout as [[ivfTopK]] but the coarse quantizer is `nLists`
+   * deterministically-chosen corpus vectors instead of trained k-means
+   * means. Slightly worse cell balance, but every stage (assignment,
+   * probe ranking, scoring) is pure relational algebra over the corpus
+   * itself — so the full approximate index is verified end-to-end by
+   * the SQL oracle (k-means, by contrast, is iterative and
+   * rows-only-checkable). Unit vectors make assignment-by-min-distance
+   * equal assignment-by-max-dot, which is what both faces rank on.
+   *
+   * Scale notes: identical to [[ivfTopK]] — centroids broadcast for
+   * the one-pass map-side assignment; the probe join ships only
+   * (query, cell) pairs; the corpus shuffles once on the cell id.
+   */
+  def ivfFixedTopK(embeddings: DataFrame, nQueries: Int = 20, k: Int = 10,
+      nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    val corpus = embeddings.select(
+      col("vec_id"), normalized(asDouble(col("embedding"))).as("v"))
+      .cache() // assignment + query side + probe scoring reuse it
+    val seeds = ivfFixedSeeds(nLists)
+    val centroids = corpus
+      .filter(col("vec_id").isin(seeds.map(_.toLong): _*))
+      .select(col("vec_id").as("seed_id"), col("v").as("cv"))
+    // one-pass assignment: every vector scores all nLists centroids
+    // (broadcast) and keeps the best; ties break on the centroid id
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("cdot").desc, col("seed_id"))
+    val assigned = corpus.join(broadcast(centroids))
+      .withColumn("cdot", round(dot(col("v"), col("cv")), 6))
+      .withColumn("arank", row_number().over(wAssign))
+      .filter(col("arank") === 1)
+      .select(col("vec_id"), col("v"), col("seed_id").as("cell"))
+    val queries = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val probeCells = queries.join(broadcast(centroids))
+      .withColumn("cdot", round(dot(col("qv"), col("cv")), 6))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cdot").desc, col("seed_id"))))
+      .filter(col("crank") <= nProbe)
+      .select(col("query_id"), col("qv"), col("seed_id").as("cell"))
+    val scored = assigned.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", round(dot(col("qv"), col("v")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim"), col("rank"))
+  }
+
   /**
    * LSH-approximate top-k with multi-probe: each query probes its own
    * bucket plus every bucket at Hamming distance 1 (nPlanes+1 probes) —

@@ -224,4 +224,87 @@ object TextAnalysis {
       .select(col("doc_id"), col("fp"))
       .distinct()
   }
+
+  /**
+   * Benchmark decontamination: flag training documents sharing any word
+   * n-gram with a held-out benchmark set — the standard eval-leak check
+   * a training pipeline runs before export (n-gram overlap against the
+   * benchmark, per-doc contamination counts). `benchPred` selects the
+   * benchmark docs (here: a deterministic doc_id slice).
+   *
+   * Plan: both sides explode to DISTINCT shingle posting lists; the
+   * join key is the shingle. The benchmark side is tiny relative to
+   * the corpus, so its posting list broadcasts — the 100 TB corpus
+   * side never shuffles. Output: contaminated train docs with the
+   * number of distinct benchmark docs hit and distinct shared grams.
+   */
+  def decontaminate(documents: DataFrame, benchMod: Int = 20, n: Int = 3): DataFrame = {
+    val isBench = col("doc_id") % benchMod === 0
+    val grams = documents.select(
+      col("doc_id"), explode(Dedup.shingles(col("text"), n)).as("s"))
+    val bench = grams.filter(isBench)
+      .select(col("doc_id").as("bench_id"), col("s"))
+    grams.filter(!isBench)
+      .join(broadcast(bench), "s")
+      .groupBy("doc_id")
+      .agg(
+        countDistinct("bench_id").as("n_bench_docs"),
+        countDistinct("s").as("n_shared_grams"))
+  }
+
+  /**
+   * Bigram collocations by pointwise mutual information: PMI =
+   * ln(c_xy · N / (c_x · c_y)) over the positional-bigram corpus, with
+   * c_x/c_y the left/right context counts and N the total bigram
+   * count. Low-frequency noise is cut at `minCount`; ranking is on the
+   * 6-dp-rounded PMI with a deterministic (prev, w) tie-break.
+   *
+   * Plan: one explode + three aggregations; the context-count tables
+   * broadcast back onto the bigram counts (vocabulary-sized, not
+   * corpus-sized). Top-k is TakeOrdered (map-side partial top-k, no
+   * global sort); the rank window runs over k rows on one partition.
+   */
+  def collocations(documents: DataFrame, minCount: Long = 5L, topK: Int = 50): DataFrame = {
+    val wl = words(col("text"))
+    val pairs = when(size(wl) >= 2,
+      transform(sequence(lit(1), size(wl) - 1),
+        i => struct(element_at(wl, i).as("prev"), element_at(wl, i + 1).as("w"))))
+      .otherwise(array().cast("array<struct<prev:string,w:string>>"))
+    val bg = documents.select(explode(pairs).as("b"))
+      .select(col("b.prev").as("prev"), col("b.w").as("w"))
+    val bc = bg.groupBy("prev", "w").agg(count(lit(1)).as("c_xy")).cache()
+    val left = bc.groupBy("prev").agg(sum("c_xy").as("c_x"))
+    val right = bc.groupBy("w").agg(sum("c_xy").as("c_y"))
+    val total = bc.agg(sum("c_xy")).head.getLong(0)
+    val ranked = bc.filter(col("c_xy") >= minCount)
+      .join(broadcast(left), "prev")
+      .join(broadcast(right), "w")
+      .withColumn("pmi", round(
+        log(col("c_xy").cast("double") * lit(total.toDouble) /
+          (col("c_x").cast("double") * col("c_y").cast("double"))), 6))
+      .orderBy(col("pmi").desc, col("prev"), col("w"))
+      .limit(topK)
+    ranked
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("pmi").desc, col("prev"), col("w"))))
+      .select("rank", "prev", "w", "c_xy", "pmi")
+  }
+
+  /**
+   * Corpus top terms: the k most frequent words with deterministic
+   * tie-break — the vocabulary head a pipeline inspects before
+   * filtering. groupBy(word) is the only real shuffle; the global
+   * top-k is TakeOrdered (per-partition heaps merged at the driver,
+   * never a full sort); the rank window touches only k rows.
+   */
+  def topTerms(documents: DataFrame, k: Int = 100): DataFrame = {
+    val counts = documents
+      .select(explode(words(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w"))
+      .limit(k)
+    counts.withColumn("rank",
+        row_number().over(Window.orderBy(col("c").desc, col("w"))))
+      .select("rank", "w", "c")
+  }
 }
