@@ -5,14 +5,27 @@ import org.apache.spark.sql.SparkSession
 /** Per-round benchmark main (driver contract): runs every SparkEntry
  * query against SPARK_GRAFT_SF_DIR and prints ONE JSON line.
  *
- * A warm-up pass runs first so timings measure steady-state execution
- * (JIT, codegen cache, parquet footer cache) rather than JVM start-up —
- * the same discipline as the reference's 20s hot-loop harness
- * (reference: tests_adhoc/speed_test.php:168-185). */
+ * Timing discipline (each query is measured in ISOLATION):
+ *  - a JIT/codegen warm-up pass runs every query once on a small
+ *    fixture (SPARK_GRAFT_WARMUP_DIR, default sf0.001) so the first
+ *    timed query doesn't absorb JVM start-up — the same discipline as
+ *    the reference's 20s hot-loop harness
+ *    (reference: tests_adhoc/speed_test.php:168-185);
+ *  - `spark.catalog.clearCache()` runs BEFORE each timed query, so
+ *    operator-internal caches from one query can never pollute the
+ *    memory/GC profile of the next (cross-query contamination made the
+ *    round-2 numbers meaningless: identical plans read 30-90x slower
+ *    late in the session);
+ *  - each query is timed twice: `queries` (cold: no data cached) is
+ *    the primary number, `queries_warm` (immediate re-run, caches from
+ *    the cold run still live) exposes cache-reuse behaviour and any
+ *    warm-run degradation that a single number would hide.
+ */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -21,27 +34,39 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warm-up: materialise each query once (errors surface in the timed
-    // pass; ignore here)
+    // JIT/codegen warm-up on the SMALL fixture: compiles every query's
+    // generated code without paying full-scale-factor data costs
+    val wDir = if (new java.io.File(warmupDir).isDirectory) warmupDir else sfDir
     SparkEntry.queries.foreach { case (_, fn) =>
-      try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
+      try { fn(spark, wDir).count(); () } catch { case _: Throwable => () }
     }
-    // drop warm-up caches so the timed pass measures its own full cost
-    // (including any cache builds) and cached blocks don't accumulate
-    spark.catalog.clearCache()
 
     var failed = List.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); () }
-      catch { case _: Throwable => failed ::= name }
-      name -> (System.nanoTime() - t0) / 1e9
+      catch { case _: Throwable => if (!failed.contains(name)) failed ::= name }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val cold = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val warm = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      // isolate: nothing cached by a previous query may survive
+      spark.catalog.clearCache()
+      System.gc() // release any unreferenced localCheckpoint blocks
+      cold(name) = run(name, fn)
+      warm(name) = run(name, fn)
+    }
+    spark.catalog.clearCache()
+
+    def js(m: scala.collection.Map[String, Double]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val total = cold.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(cold)},"queries_warm":${js(warm)},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

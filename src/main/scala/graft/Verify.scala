@@ -30,6 +30,7 @@ object Verify {
         else acc
       }
     SparkEntry.queries.foreach { case (name, fn) =>
+      spark.catalog.clearCache() // isolate queries (see Bench)
       try ntz(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -103,16 +103,18 @@ object Dedup {
       threshold: Double = 0.5,
       portableHash: Boolean = true): DataFrame = {
     val numHashes = bands * rowsPerBand
-    // cached: both sides of the bucket self-join and the verification
-    // stage reuse the shingle+md5+signature pipeline; one compact row
-    // per document (at 100 TB you would materialise this signature
-    // table the same way). Spark can evict/recompute it safely.
+    // materialised ONCE (localCheckpoint, not cache: no global
+    // CacheManager entry to leak across queries — blocks are freed
+    // when this query's plan is garbage-collected): both sides of the
+    // bucket self-join and the verification stage reuse the
+    // shingle+md5+signature pipeline; one compact row per document
+    // (at 100 TB you would write this signature table to storage).
     val docs = documents.select(
       col("doc_id"),
       shingles(col("text"), shingleSize).as("sh"))
       .select(col("doc_id"), col("sh"), minhashBase(col("sh"), portableHash).as("hv"))
       .select(col("doc_id"), col("sh"), minhashFromBase(col("hv"), numHashes).as("sig"))
-      .cache()
+      .localCheckpoint()
 
     // band index → md5 of the comma-joined band slice of the signature.
     // doc_id + hashes ONLY: the banded rows are exploded 12× and
@@ -157,10 +159,12 @@ object Dedup {
    * baseline (and fine when shingle selectivity is high).
    */
   def ngramJaccard(documents: DataFrame, shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
-    // cached: the posting list feeds both join sides and the size table
+    // materialised once: the posting list feeds both join sides and
+    // the size table (localCheckpoint — see minhashLsh for why not
+    // cache)
     val sh = documents.select(
       col("doc_id"), explode(shingles(col("text"), shingleSize)).as("s"))
-      .cache()
+      .localCheckpoint()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // no broadcast hint: the exploded posting list is LARGER than the
     // corpus — let AQE pick the join strategy from runtime sizes
@@ -274,9 +278,10 @@ object Dedup {
       s"pigeonhole guarantee needs maxHamming < bands (got $maxHamming >= $bands)")
     val bitsPerBand = SimhashBits / bands
     val mask = (1L << bitsPerBand) - 1
-    // cached: both sides of the band self-join reuse the 60-sum
-    // fingerprint aggregation
-    val hs = simhash(documents).cache()
+    // materialised once: both sides of the band self-join reuse the
+    // 60-sum fingerprint aggregation (localCheckpoint — see
+    // minhashLsh for why not cache)
+    val hs = simhash(documents).localCheckpoint()
     // the fingerprint is one long — cheap to carry through the band join
     // (unlike minhashLsh, where the shingle arrays must stay behind)
     val banded = hs.select(

@@ -164,7 +164,7 @@ object Similarity {
     val corpus = embeddings.select(
       col("vec_id"), normalized(asDouble(col("embedding"))).as("v"))
       .withColumn("features", array_to_vector(col("v")))
-      .cache() // trained over + assigned + probed below
+      .localCheckpoint() // trained over + assigned + probed below
     val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
       .fit(corpus)
     val assigned = model.transform(corpus)
@@ -192,12 +192,10 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("sim", round(dot(col("qv"), col("v")), 6))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
-    val out = scored
+    scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim"), col("rank"))
-    corpus.unpersist() // later actions recompute the cheap projection
-    out
   }
 
   /** Fixed centroid seed vec_ids for [[ivfFixedTopK]] — corpus vectors
@@ -225,7 +223,7 @@ object Similarity {
       nLists: Int = 16, nProbe: Int = 4): DataFrame = {
     val corpus = embeddings.select(
       col("vec_id"), normalized(asDouble(col("embedding"))).as("v"))
-      .cache() // assignment + query side + probe scoring reuse it
+      .localCheckpoint() // assignment + query side + probe scoring reuse it
     val seeds = ivfFixedSeeds(nLists)
     val centroids = corpus
       .filter(col("vec_id").isin(seeds.map(_.toLong): _*))
@@ -267,10 +265,11 @@ object Similarity {
    */
   def lshTopK(embeddings: DataFrame, nQueries: Int = 20, k: Int = 10,
       nPlanes: Int = 4, dim: Int = 64): DataFrame = {
-    // cached: the bucketed corpus feeds both the query side and the
-    // probe join — without it the scan + normalize + bucket pass runs
-    // twice (at 100 TB you would materialise the bucketed corpus once)
-    val bucketed = lshBuckets(embeddings, nPlanes, dim).cache()
+    // materialised once: the bucketed corpus feeds both the query side
+    // and the probe join — without it the scan + normalize + bucket
+    // pass runs twice (at 100 TB you would write the bucketed corpus
+    // to storage; localCheckpoint avoids a leaked CacheManager entry)
+    val bucketed = lshBuckets(embeddings, nPlanes, dim).localCheckpoint()
     val probes = (0 until nPlanes).foldLeft(array(col("bucket"))) {
       (acc, i) => array_append(acc, col("bucket").bitwiseXOR(1L << i))
     }

@@ -178,12 +178,27 @@ object TextAnalysis {
    */
   def bigramLogProb(documents: DataFrame): DataFrame = {
     val wl = words(col("text"))
-    val pairs = when(size(wl) >= 2,
+    // positional bigrams as "prev w" strings via the winnow gram
+    // pattern (slice + array_join — words cannot contain the
+    // separator, split() guarantees it). The round-2 struct-HOF form
+    // (transform → struct(element_at, element_at) → explode) was ~3×
+    // slower in the explode alone.
+    val grams = when(size(wl) >= 2,
       transform(sequence(lit(1), size(wl) - 1),
-        i => struct(element_at(wl, i).as("prev"), element_at(wl, i + 1).as("w"))))
-      .otherwise(array().cast("array<struct<prev:string,w:string>>"))
-    val bg = documents.select(col("doc_id"), explode(pairs).as("b"))
-      .select(col("doc_id"), col("b.prev").as("prev"), col("b.w").as("w"))
+        i => array_join(slice(wl, i, lit(2)), " ")))
+      .otherwise(array().cast("array<string>"))
+    // materialise the exploded bigram corpus ONCE: the two count
+    // tables and the scoring join all derive from it, and without the
+    // checkpoint the explode lineage executes three times per action
+    // (the round-2 q_x9 pathology). At 100 TB this is the bigram
+    // posting table you'd write to storage before scoring.
+    val bg = documents.select(
+      col("doc_id"),
+      explode(grams).as("g"))
+      .select(col("doc_id"),
+        substring_index(col("g"), " ", 1).as("prev"),
+        substring_index(col("g"), " ", -1).as("w"))
+      .localCheckpoint()
     val bigramCounts = bg.groupBy("prev", "w").agg(count(lit(1)).as("bc"))
     val contextCounts = bigramCounts.groupBy("prev").agg(sum("bc").as("cc"))
     bg
@@ -270,17 +285,24 @@ object TextAnalysis {
       transform(sequence(lit(1), size(wl) - 1),
         i => struct(element_at(wl, i).as("prev"), element_at(wl, i + 1).as("w"))))
       .otherwise(array().cast("array<struct<prev:string,w:string>>"))
-    val bg = documents.select(explode(pairs).as("b"))
+    // vocabulary-sized bigram counts, materialised ONCE (the left/
+    // right/total context tables all derive from it — without the
+    // checkpoint the corpus explode would run four times). No driver
+    // action: the scalar total is folded into the plan as a broadcast
+    // cross join, like unigramLogProb.
+    val bc = documents.select(explode(pairs).as("b"))
       .select(col("b.prev").as("prev"), col("b.w").as("w"))
-    val bc = bg.groupBy("prev", "w").agg(count(lit(1)).as("c_xy")).cache()
+      .groupBy("prev", "w").agg(count(lit(1)).as("c_xy"))
+      .localCheckpoint()
     val left = bc.groupBy("prev").agg(sum("c_xy").as("c_x"))
     val right = bc.groupBy("w").agg(sum("c_xy").as("c_y"))
-    val total = bc.agg(sum("c_xy")).head.getLong(0)
+    val total = bc.agg(sum("c_xy").cast("double").as("n_total"))
     val ranked = bc.filter(col("c_xy") >= minCount)
       .join(broadcast(left), "prev")
       .join(broadcast(right), "w")
+      .crossJoin(broadcast(total))
       .withColumn("pmi", round(
-        log(col("c_xy").cast("double") * lit(total.toDouble) /
+        log(col("c_xy").cast("double") * col("n_total") /
           (col("c_x").cast("double") * col("c_y").cast("double"))), 6))
       .orderBy(col("pmi").desc, col("prev"), col("w"))
       .limit(topK)
