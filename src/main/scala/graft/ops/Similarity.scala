@@ -87,6 +87,51 @@ object Similarity {
   }
 
   /**
+   * LSH-bucketed embedding near-duplicate pairs — the 100 TB face of
+   * [[embeddingNearDup]]: vectors are bucketed by random-hyperplane
+   * signature; candidate pairs come from an equi-join on the bucket
+   * with multi-probe at Hamming distance ≤ 2 (a neighbor that falls
+   * across one or two hyperplanes is still probed), then verified
+   * exactly with the cosine threshold. Cost is O(n·nProbes) shuffled
+   * rows + within-bucket pairs — for 8 planes, 37 probes reach 14.5%
+   * (37/256) of the bucket space, i.e. ~85% of pair comparisons are
+   * pruned even against a worst-case uniform corpus. Recall is the
+   * LSH trade: at cos θ ≈ 0.42 (p_agree = 1 − θ/π ≈ 0.64) expected
+   * recall is P[Hamming(sig_a, sig_b) ≤ 2] ≈ 0.38, rising steeply for
+   * true near-dups (≈ 0.97 at cos 0.9); precision is exact (verify
+   * step). Asserted vs the all-pairs form in SimilaritySpec; the
+   * DuckDB oracle reproduces the identical buckets (seeded
+   * hyperplanes embedded as constants), so the approximate algorithm
+   * itself is oracle-checked.
+   */
+  def embeddingNearDupLsh(embeddings: DataFrame, threshold: Double = 0.4,
+      nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val bucketed = lshBuckets(embeddings, nPlanes, dim).localCheckpoint()
+    val flips: Seq[Long] = // Hamming-1 and Hamming-2 XOR masks
+      (0 until nPlanes).map(i => 1L << i) ++
+        (for { i <- 0 until nPlanes; j <- i + 1 until nPlanes }
+          yield (1L << i) | (1L << j))
+    val probes = flips.foldLeft(array(col("bucket"))) {
+      (acc, m) => array_append(acc, col("bucket").bitwiseXOR(m))
+    }
+    val a = bucketed.select(col("vec_id").as("vec_a"), col("v").as("va"),
+      explode(probes).as("bucket"))
+    val b = bucketed.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+      col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      // a pair can match through its own bucket and several probes —
+      // dedup BEFORE the dot product so each pair is scored once
+      .select("vec_a", "vec_b")
+      .dropDuplicates("vec_a", "vec_b")
+      .join(bucketed.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
+      .join(bucketed.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
+      .withColumn("sim", round(dot(col("va"), col("vb")), 6))
+      .filter(col("sim") >= threshold)
+      .select("vec_a", "vec_b", "sim")
+  }
+
+  /**
    * Scalar-quantised (int8) brute-force top-k: each unit-normalised
    * component is quantised to round(x·127) ∈ [−127, 127] — the
    * standard SQ8 layout that cuts vector memory/bandwidth 4× at

@@ -51,6 +51,18 @@ class DedupSpec extends SparkSpec {
     assert(exact.nonEmpty && lsh.size >= (exact.size * 0.8).toInt)
   }
 
+  test("high-recall banding (20 bands of 2) recovers ~all exact jaccard pairs") {
+    val documents = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val exact = Dedup.ngramJaccard(documents, 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the exported q_d3 face: banding tuned for recall (threshold
+    // s* ≈ (1/20)^(1/2) ≈ 0.22, so P(candidate | j=0.5) ≈ 0.997)
+    val banded = Dedup.minhashLsh(documents, 3, 20, 2, 0.5)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(banded.subsetOf(exact))
+    assert(exact.nonEmpty && banded.size >= (exact.size * 0.95).toInt)
+  }
+
   test("streaming exact dedup drops re-delivered content within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
