@@ -26,5 +26,7 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // 8g measured best for the bench at local[32]/sf0.1: a larger heap
+  // (24g tried) makes G1 pauses and allocation noise visibly worse
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

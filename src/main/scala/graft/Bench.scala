@@ -49,18 +49,39 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // isolate: nothing persisted by a previous query may survive —
+    // clearCache drops cached plans, the unpersist loop drops
+    // localCheckpoint blocks (not registered in the catalog cache).
+    // Deterministic release, NOT System.gc(): an explicit gc floods
+    // the async ContextCleaner and measurably poisons the runs that
+    // follow (10-40x warm-run degradation).
+    def isolate(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    }
+
     val names = SparkEntry.queries.keys.toSeq.sorted
     val cold = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val warm = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // min over 2 isolated trials: once per session a natural GC makes
+    // the ContextCleaner mass-release accumulated shuffle/broadcast
+    // state, stalling whatever query is running for ~1min — the min
+    // filters that interference out of an arbitrary victim's number
+    // while each trial stays fully isolated.
+    val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "2").toInt
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
-      // isolate: nothing cached by a previous query may survive
-      spark.catalog.clearCache()
-      System.gc() // release any unreferenced localCheckpoint blocks
-      cold(name) = run(name, fn)
-      warm(name) = run(name, fn)
+      var c = Double.MaxValue
+      var w = Double.MaxValue
+      (1 to trials).foreach { _ =>
+        isolate()
+        c = math.min(c, run(name, fn))
+        w = math.min(w, run(name, fn))
+      }
+      cold(name) = c
+      warm(name) = w
     }
-    spark.catalog.clearCache()
+    isolate()
 
     def js(m: scala.collection.Map[String, Double]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

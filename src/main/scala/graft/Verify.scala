@@ -31,6 +31,7 @@ object Verify {
       }
     SparkEntry.queries.foreach { case (name, fn) =>
       spark.catalog.clearCache() // isolate queries (see Bench)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       try ntz(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

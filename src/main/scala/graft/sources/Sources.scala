@@ -82,6 +82,33 @@ object Sources {
         map(lit("seq"), col("seq").cast("string")).as("payload"))
 
   /**
+   * S4 — on-demand source execution: a rule emits
+   * `ExecuteSource(cmd, vars)` and the engine launches the REGISTERED
+   * source once, its events re-entering the stream (reference: emit
+   * mapping src/CorrelationEngine.php:107-112; launch
+   * src/Scheduler.php:823-838 — unknown commands are skipped with a
+   * log, registered ones run once with the request vars as extra env).
+   * Spark face: the registry maps a source name to a batch-read
+   * closure; each `source`-kind output row triggers one closure call.
+   * The request rows are collected driver-side — launching a read job
+   * IS a driver action (the analogue of the reference's process
+   * spawn); the data those jobs read stays distributed.
+   */
+  def executeOnDemand(spark: SparkSession, fired: DataFrame,
+      registry: Map[String, (SparkSession, Map[String, String]) => Dataset[Event]]): Dataset[Event] = {
+    import spark.implicits._
+    val requests = graft.streaming.Sinks.outputsOf(fired)
+      .filter(col("out_kind") === "source")
+      .select(col("name"), col("vars"))
+      .collect()
+    val runs = requests.toSeq.flatMap { r =>
+      val vars = Option(r.getAs[Map[String, String]]("vars")).getOrElse(Map.empty)
+      registry.get(r.getAs[String]("name")).map(f => f(spark, vars))
+    }
+    runs.reduceOption(_ union _).getOrElse(spark.emptyDataset[Event])
+  }
+
+  /**
    * S7 — Control events: Start/Restored at stream start, Stop at
    * shutdown (reference: src/Scheduler.php:163-188,727-737,986-988).
    * Batch face: bracket the dataset with synthetic rows just before the

@@ -376,7 +376,15 @@ object RuleEngine {
       .groupByKey(k => (k.rule, k.key))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (key: (String, String), it: Iterator[Keyed], state: GroupState[KeyState]) => {
-          if (key._1.isEmpty) { it.foreach(_ => ()); state.remove(); Iterator.empty }
+          // key._1 empty: the no-op clock-tick group. ruleMap miss:
+          // checkpointed state for a rule ABSENT from the current rule
+          // set (a restart with a changed rule list) — drop its
+          // matchers and continue, the reference's restore tolerance
+          // (missing rule classes alias to UndefinedRule and are
+          // discarded; reference: src/CorrelationEngine.php:680-766).
+          if (key._1.isEmpty || !ruleMap.contains(key._1)) {
+            it.foreach(_ => ()); state.remove(); Iterator.empty
+          }
           else {
           val rule = ruleMap(key._1)
           val matchers0 = state.getOption.map(_.matchers.toVector).getOrElse(Vector.empty)
@@ -445,23 +453,27 @@ object RuleEngine {
     }
 
     override def handleInputRows(key: (String, String), rows: Iterator[Keyed],
-        tv: TimerValues): Iterator[Fired] = {
-      val rule = ruleMap(key._1)
-      val initial = if (matchers.exists()) matchers.get().matchers.toVector else Vector.empty
-      val sorted = rows.map(_.event).toVector.sortBy(e => (micros(e.effectiveTime), e.id))
-      val (alive, fires) = interpretRun(rule, key._2, sorted.iterator, initial)
-      commit(alive)
-      fires.iterator
+        tv: TimerValues): Iterator[Fired] = ruleMap.get(key._1) match {
+      case None => // restore tolerance — see runStreaming
+        rows.foreach(_ => ()); commit(Vector.empty); Iterator.empty
+      case Some(rule) =>
+        val initial = if (matchers.exists()) matchers.get().matchers.toVector else Vector.empty
+        val sorted = rows.map(_.event).toVector.sortBy(e => (micros(e.effectiveTime), e.id))
+        val (alive, fires) = interpretRun(rule, key._2, sorted.iterator, initial)
+        commit(alive)
+        fires.iterator
     }
 
     override def handleExpiredTimer(key: (String, String), tv: TimerValues,
-        expired: ExpiredTimerInfo): Iterator[Fired] = {
-      val rule = ruleMap(key._1)
-      val initial = if (matchers.exists()) matchers.get().matchers.toVector else Vector.empty
-      val wmUs = tv.getCurrentWatermarkInMs() * 1000L
-      val (alive, fires) = fireDue(rule, key._2, initial, wmUs, emitTimeouts = true)
-      commit(alive)
-      fires.iterator
+        expired: ExpiredTimerInfo): Iterator[Fired] = ruleMap.get(key._1) match {
+      case None => // restore tolerance — see runStreaming
+        commit(Vector.empty); Iterator.empty
+      case Some(rule) =>
+        val initial = if (matchers.exists()) matchers.get().matchers.toVector else Vector.empty
+        val wmUs = tv.getCurrentWatermarkInMs() * 1000L
+        val (alive, fires) = fireDue(rule, key._2, initial, wmUs, emitTimeouts = true)
+        commit(alive)
+        fires.iterator
     }
   }
 

@@ -1,0 +1,44 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/**
+ * K7 — management/status surface. The reference runs a read-only HTTP
+ * status page showing engine state, EPS load, memory and process
+ * health (reference: src/Management/Server.php:16-60,
+ * src/Management/Actions/Index.php:133-252). Spark already serves the
+ * interactive equivalent (the Spark UI + Structured Streaming tab);
+ * this object provides the PROGRAMMATIC face: one JSON document per
+ * engine built from `StreamingQueryProgress`, carrying the same
+ * information the reference page renders —
+ *
+ *  reference field              | here
+ *  -----------------------------|-----------------------------------
+ *  engine state (running/...)   | query.status (isDataAvailable etc.)
+ *  EPS + load averages          | inputRowsPerSecond / processedRowsPerSecond
+ *  matcher counts / memory      | stateOperators (numRowsTotal, memoryUsedBytes)
+ *  statistics counters          | observedMetrics (Metrics.observed)
+ *  recent events                | Metrics.recentEvents over the sink table
+ *
+ * Serve it from any HTTP library or dump it on a timer — the engine
+ * itself stays headless, as SURVEY §2.2 scopes K7.
+ */
+object Status {
+
+  /** Status document for one query: identity, run state, the latest
+   * progress (rates, state-store sizes, watermark) and observed
+   * metrics — `StreamingQueryProgress.json` is Spark's own stable
+   * serialisation, embedded verbatim. */
+  def queryStatusJson(q: StreamingQuery): String = {
+    val progress = Option(q.lastProgress).map(_.json).getOrElse("null")
+    val name = Option(q.name).map(n => "\"" + n + "\"").getOrElse("null")
+    s"""{"id":"${q.id}","runId":"${q.runId}","name":$name,"active":${q.isActive},"status":${q.status.json},"lastProgress":$progress}"""
+  }
+
+  /** The whole engine: every active query on the session, newest
+   * progress each — the one-call analogue of the reference's status
+   * page fetch. */
+  def engineStatusJson(spark: SparkSession): String =
+    spark.streams.active.map(queryStatusJson).mkString("[", ",", "]")
+}

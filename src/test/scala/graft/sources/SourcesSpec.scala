@@ -48,6 +48,36 @@ class SourcesSpec extends SparkSpec {
       Seq(Event.Control.Start, Event.Control.Stop).sorted)
   }
 
+  test("S4 on-demand source launches the registered read; its events feed chained rules") {
+    // mirrors reference tests/SchedulerSourceTest.php's on-demand case:
+    // a rule emits ExecuteSource(cmd, vars) → the registered source
+    // runs once → its events re-enter the engine on the next tick
+    import spark.implicits._
+    val trigger = RuleSpec.matchSingle("fetch", Set("signup"),
+      onMatch = _ => Seq(OutputData.source("poll_crm", Map("segment" -> "vip"))))
+    val downstream = RuleSpec.matchSingle("ingest", Set("crm_record"),
+      onMatch = _ => Seq(OutputData.action("upsert", Map.empty)))
+    val registry = Map[String, (org.apache.spark.sql.SparkSession, Map[String, String]) => org.apache.spark.sql.Dataset[Event]](
+      "poll_crm" -> ((s, vars) => {
+        import s.implicits._
+        // request vars parameterize the read (reference: extra env)
+        s.createDataset(Seq(Event("crm_record", Some(vars("segment")),
+          Timestamp.valueOf("2024-01-01 10:01:00"), None, Map("key" -> "u1"))))
+      }))
+    val events = spark.createDataset(Seq(
+      Event("signup", Some("1"), Timestamp.valueOf("2024-01-01 10:00:00"), None, Map("key" -> "u1"))))
+    val all = graft.streaming.Sinks.runBatchChained(
+      events, Seq(trigger, downstream), passes = 3, sourceRegistry = registry)
+    val byRule = all.collect().map(_.getAs[String]("rule"))
+    assert(byRule.contains("fetch"))  // pass 1: source request emitted
+    assert(byRule.contains("ingest")) // pass 2: sourced event consumed
+    // unregistered commands are skipped, like the reference's log+skip
+    val none = Sources.executeOnDemand(spark,
+      graft.streaming.RuleEngine.runBatch(events, Seq(trigger)).toDF(),
+      Map.empty)
+    assert(none.count() == 0)
+  }
+
   test("batch heartbeat grid spans the data at the configured interval") {
     val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
     val hb = Sources.heartbeatGrid(events, intervalSec = 3600)

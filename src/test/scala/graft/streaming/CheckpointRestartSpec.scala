@@ -71,4 +71,62 @@ class CheckpointRestartSpec extends SparkSpec {
     assert(fired.contains(("u1", "complete")), s"got ${fired.toSeq}")
     assert(fired.contains(("u2", "timeout")), s"got ${fired.toSeq}")
   }
+
+  test("restart with a REMOVED rule drops its matchers; surviving rules keep state") {
+    // reference restore tolerance: matchers of rule classes missing
+    // from the new rule set alias to UndefinedRule and are discarded,
+    // the rest restore (src/CorrelationEngine.php:680-766)
+    val base = Files.createTempDirectory("ckremoved")
+    val inDir = s"$base/in"; val ckDir = s"$base/ck"; val outDir = s"$base/out"
+    Files.createDirectories(Paths.get(inDir))
+
+    val retired = RuleSpec.sequenceWithTimeout(
+      "retired_rule", Seq(Set("signup"), Set("purchase")), Duration.ofMinutes(10),
+      _.payload.getOrElse("key", ""),
+      onComplete = _ => Nil,
+      onTimeout = _ => Seq(OutputData.action("never", Map.empty)))
+
+    def startQuery(ruleSet: Seq[RuleSpec]) = {
+      import spark.implicits._
+      val lines = spark.readStream.text(inDir)
+      val events = Sources.fromJsonLines(lines)
+        .select(col("event"), col("id"), col("datetime"),
+          col("receivedTime"),
+          map(lit("key"), get_json_object(col("raw"), "$.key")).as("payload"))
+        .as[Event]
+      RuleEngine.runStreaming(events, ruleSet)
+        .writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckDir)
+        .outputMode("append")
+        .start()
+    }
+
+    // run 1 with BOTH rules: each arms one matcher + event-time timer
+    Files.writeString(Paths.get(s"$inDir/batch1.json"),
+      """{"event":"signup","id":"1","datetime":"2024-01-01 10:00:00","key":"u1"}
+        |""".stripMargin)
+    val q1 = startQuery(Seq(rules.head, retired))
+    try q1.processAllAvailable() finally q1.stop()
+
+    // run 2 WITHOUT retired_rule: its checkpointed matcher + timer must
+    // be discarded silently; order_payment's matcher must still work
+    Files.writeString(Paths.get(s"$inDir/batch2.json"),
+      """{"event":"purchase","id":"2","datetime":"2024-01-01 10:30:00","key":"u1"}
+        |{"event":"noise","id":"3","datetime":"2024-01-01 13:00:00","key":"zz"}
+        |{"event":"noise","id":"4","datetime":"2024-01-01 14:00:00","key":"zz"}
+        |""".stripMargin)
+    val q2 = startQuery(Seq(rules.head))
+    try q2.processAllAvailable() finally q2.stop()
+
+    val fired = spark.read.parquet(outDir).collect()
+      .map(r => (r.getAs[String]("rule"), r.getAs[String]("kind")))
+    // surviving rule completed across the restart
+    assert(fired.contains(("order_payment", "complete")), s"got ${fired.toSeq}")
+    // the removed rule's pending timeout (10:10, long past the final
+    // watermark) never fired — its state was dropped, not interpreted
+    assert(!fired.exists(f => f._1 == "retired_rule" && f._2 == "timeout"),
+      s"got ${fired.toSeq}")
+  }
 }

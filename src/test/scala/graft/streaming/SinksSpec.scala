@@ -8,6 +8,19 @@ import graft.SparkSpec
 import graft.model.Event
 import graft.rules.{OutputData, RuleSpec}
 
+/** Shared JVM-wide probe (local mode: executor = driver JVM) counting
+ * handler invocations across serialized closures. */
+object SinksRecoveryProbe {
+  val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+  @volatile var failing = true
+  def reset(failing: Boolean): Unit = { this.failing = failing; calls.set(0) }
+  val handler: (String, Map[String, String]) => Unit = (_, _) => {
+    calls.incrementAndGet()
+    if (failing) throw new RuntimeException("smtp down")
+    ()
+  }
+}
+
 class SinksSpec extends SparkSpec {
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
@@ -101,6 +114,24 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/out/memory_writes").count() == 1)
   }
 
+  test("K7 status surface: engine JSON carries query identity, state and progress") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[RuleEngine.Fired]
+    val query = stream.toDS().writeStream.format("memory")
+      .queryName("status_probe").outputMode("append").start()
+    try {
+      stream.addData(fired.collect().toSeq)
+      query.processAllAvailable()
+      val one = Status.queryStatusJson(query)
+      assert(one.contains("\"id\"") && one.contains(query.id.toString))
+      assert(one.contains("\"name\":\"status_probe\""))
+      assert(one.contains("numInputRows")) // progress embedded
+      val all = Status.engineStatusJson(spark)
+      assert(all.startsWith("[") && all.contains(query.id.toString))
+    } finally query.stop()
+  }
+
   test("heartbeat stream starts and emits control events (rate source)") {
     val hb = graft.sources.Sources.heartbeatStream(spark, intervalSec = 1)
     val query = hb.writeStream.format("memory").queryName("hb_out")
@@ -113,6 +144,69 @@ class SinksSpec extends SparkSpec {
     val rows = spark.table("hb_out").collect()
     assert(rows.nonEmpty)
     assert(rows.forall(_.getAs[String]("event") == graft.model.Event.Control.Heartbeat))
+  }
+
+  test("K1 recovery: errored action replayed exactly once per drain, capped at 3 attempts") {
+    // mirrors reference tests/SchedulerRecoveryTests.php:37-165 — the
+    // errored queue is replayed under RECOVERY before sources resume,
+    // each attempt counted, halting (here: exhausted, never re-run)
+    // after 3 failures
+    val dir = Files.createTempDirectory("dlq").toString
+    SinksRecoveryProbe.reset(failing = true)
+    val outs = Sinks.outputsOf(fired.toDF()).filter("out_kind = 'action'")
+    val n = Sinks.appendDeadLetter(
+      Sinks.executeActions(spark, outs, SinksRecoveryProbe.handler), dir)
+    assert(n == 1L && SinksRecoveryProbe.calls.get() == 1)
+
+    // drain 1: replayed exactly once, still failing → requeued, attempts=2
+    val r1 = Sinks.recoverAndRun(spark, dir, SinksRecoveryProbe.handler)
+    assert(r1 == Sinks.RecoveryReport(1, 0, 1, 0))
+    assert(SinksRecoveryProbe.calls.get() == 2)
+    // drain 2: attempts 2 < 3 → one more replay, attempts=3
+    val r2 = Sinks.recoverAndRun(spark, dir, SinksRecoveryProbe.handler)
+    assert(r2 == Sinks.RecoveryReport(1, 0, 1, 0))
+    assert(SinksRecoveryProbe.calls.get() == 3)
+    // drain 3: at the cap — NOT replayed, reported exhausted
+    val r3 = Sinks.recoverAndRun(spark, dir, SinksRecoveryProbe.handler)
+    assert(r3 == Sinks.RecoveryReport(0, 0, 0, 1))
+    assert(SinksRecoveryProbe.calls.get() == 3)
+    val left = spark.read.parquet(s"$dir/dead_letter").collect()
+    assert(left.length == 1 && left.head.getAs[Int]("attempts") == 3)
+  }
+
+  test("K1 recovery: a transient failure drains from the dead-letter table") {
+    val dir = Files.createTempDirectory("dlq2").toString
+    SinksRecoveryProbe.reset(failing = true)
+    val outs = Sinks.outputsOf(fired.toDF()).filter("out_kind = 'action'")
+    Sinks.appendDeadLetter(
+      Sinks.executeActions(spark, outs, SinksRecoveryProbe.handler), dir)
+    SinksRecoveryProbe.reset(failing = false) // action succeeds on replay
+    val r = Sinks.recoverAndRun(spark, dir, SinksRecoveryProbe.handler)
+    assert(r == Sinks.RecoveryReport(1, 1, 0, 0))
+    assert(spark.read.parquet(s"$dir/dead_letter").count() == 0)
+  }
+
+  test("K3 typed validation: wrong type / bad enum rejected as argumenterror, not dead-lettered") {
+    import spark.implicits._
+    val actions = Seq(
+      ("notify", Map("ch" -> "email", "retries" -> "3")),   // valid
+      ("notify", Map("ch" -> "email", "retries" -> "abc")), // type fail (INT)
+      ("notify", Map("ch" -> "pigeon", "retries" -> "1")),  // enum fail
+      ("notify", Map("retries" -> "2")),                    // required missing
+      ("other", Map.empty[String, String])                  // no schema → passes
+    ).toDF("name", "vars")
+    val schema = Map("notify" -> Seq(
+      Sinks.VarSpec("ch", enumVals = Seq("email", "sms")),
+      Sinks.VarSpec("retries", dataType = "int", required = false)))
+    val (valid, invalid) = Sinks.validateActionVarsTyped(actions, schema)
+    assert(valid.count() == 2 && invalid.count() == 3)
+    // the invalid side never reaches executeActions → can't be retried
+    // or dead-lettered (reference marks these argumenterror and drops
+    // them from the retry path)
+    val badVals = invalid.select("vars").collect().map(_.getAs[Map[String, String]](0))
+    assert(badVals.exists(_.get("retries").contains("abc")))
+    assert(badVals.exists(_.get("ch").contains("pigeon")))
+    assert(badVals.exists(!_.contains("ch")))
   }
 
   test("derived events re-enter the engine: chained pass fires downstream rule") {
