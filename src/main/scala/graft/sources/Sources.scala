@@ -81,6 +81,21 @@ object Sources {
         lit(null).cast("timestamp").as("receivedTime"),
         map(lit("seq"), col("seq").cast("string")).as("payload"))
 
+  /** S2/S3 — the DataSource V2 generator stream as a typed
+   * Dataset[Event] (see [[GeneratorSourceProvider]] for options and
+   * the offset/checkpoint contract). */
+  def generatorStream(spark: SparkSession, rowsPerBatch: Long = 100L,
+      maxRows: Long = Long.MaxValue, eventType: String = "gen"): Dataset[Event] = {
+    import spark.implicits._
+    spark.readStream
+      .format(classOf[GeneratorSourceProvider].getName)
+      .option("rowsPerBatch", rowsPerBatch)
+      .option("maxRows", maxRows)
+      .option("eventType", eventType)
+      .load()
+      .as[Event]
+  }
+
   /**
    * S4 — on-demand source execution: a rule emits
    * `ExecuteSource(cmd, vars)` and the engine launches the REGISTERED

@@ -78,6 +78,46 @@ class SourcesSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("S2/S3 DataSourceV2 generator: emits the full ordered sequence (CountToTen shape)") {
+    // reference: tests/SchedulerSourceTest.php generator ordering 1..10
+    // via src/Library/Source/GeneratorSource.php
+    val q = spark.readStream
+      .format(classOf[GeneratorSourceProvider].getName)
+      .option("rowsPerBatch", 3).option("maxRows", 10)
+      .option("eventType", "count")
+      .load()
+      .writeStream.format("memory").queryName("gen_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("gen_out").collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getAs[String]("id")).sortBy(_.toInt).toSeq == (0 until 10).map(_.toString))
+    assert(rows.forall(_.getAs[String]("event") == "count"))
+    // event time advances one interval per element
+    val ts = rows.sortBy(_.getAs[String]("id").toInt).map(_.getAs[Timestamp]("datetime"))
+    assert(ts.head.getTime + 9000L == ts.last.getTime)
+    assert(rows.forall(r => r.getAs[Map[String, String]]("payload")("seq") == r.getAs[String]("id")))
+  }
+
+  test("S5 generator checkpoint: restart resumes mid-sequence without duplicates") {
+    val base = java.nio.file.Files.createTempDirectory("genck")
+    val ckDir = s"$base/ck"; val outDir = s"$base/out"
+    def run(maxRows: Int) = {
+      val q = spark.readStream
+        .format(classOf[GeneratorSourceProvider].getName)
+        .option("rowsPerBatch", 4).option("maxRows", maxRows)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckDir)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run(maxRows = 6)  // run 1 consumes prefix 0..5 and checkpoints
+    run(maxRows = 10) // restart: offset log replays, emits only 6..9
+    val ids = spark.read.parquet(outDir).collect().map(_.getAs[String]("id").toInt).sorted
+    assert(ids.toSeq == (0 until 10), s"got ${ids.toSeq}") // no dups, no gaps
+  }
+
   test("batch heartbeat grid spans the data at the configured interval") {
     val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
     val hb = Sources.heartbeatGrid(events, intervalSec = 3600)
