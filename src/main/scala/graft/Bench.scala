@@ -87,7 +87,15 @@ object Bench {
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = cold.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(cold)},"queries_warm":${js(warm)},"failed":$failedJson,"sf":"$sfDir"}""")
+    // headline throughput: events interpreted per second end-to-end by
+    // the generic rule engine (q_e1 = parquet scan + route + stateful
+    // interpret + output). The reference's comparable number is its
+    // 55-68k events/s single-core hot loop (BASELINE.md;
+    // reference: tests_adhoc/speed_test.php + saved-state counters).
+    val nEvents = try Tables.events(spark, sfDir).count() catch { case _: Throwable => 0L }
+    val eps = cold.get("q_e1_engine_timeouts").filter(_ > 0)
+      .map(t => (nEvents / t).round).getOrElse(0L)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(cold)},"queries_warm":${js(warm)},"failed":$failedJson,"events":$nEvents,"interpreter_eps":$eps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

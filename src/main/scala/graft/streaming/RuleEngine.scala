@@ -334,8 +334,17 @@ object RuleEngine {
   }
 
   /** Per-key state for the aligned faces: one matcher vector per rule,
-   * indexed by declaration order. */
-  case class AlignedState(perRule: Seq[Seq[MatcherState]])
+   * indexed by declaration order. `ruleSetId` fingerprints the rule
+   * list that wrote the state: positional indexing means a checkpoint
+   * restarted with a CHANGED rule list would silently hand one rule
+   * another rule's matchers — worse than the missing-rule crash the
+   * keyed face tolerates. On mismatch the whole key's state is
+   * discarded (the reference drops un-restorable matchers the same
+   * way; src/CorrelationEngine.php:680-766). */
+  case class AlignedState(perRule: Seq[Seq[MatcherState]], ruleSetId: String)
+
+  /** Declaration-order fingerprint for [[AlignedState]]. */
+  def ruleSetId(rules: Seq[RuleSpec]): String = rules.map(_.name).mkString(" ")
 
   // ---------------------------------------------------------------
   // Streaming face
@@ -508,6 +517,7 @@ object RuleEngine {
     val spark = events.sparkSession
     import spark.implicits._
     val ruleArr = rules.toIndexedSeq
+    val rsId = ruleSetId(rules)
     events
       .map(e => Keyed("", key(e), e.effectiveTime, e))
       .withWatermark("eventTime", watermarkDelay)
@@ -515,7 +525,11 @@ object RuleEngine {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (k: String, it: Iterator[Keyed], state: GroupState[AlignedState]) => {
           val matchers: Array[Vector[MatcherState]] =
-            state.getOption.map(_.perRule.map(_.toVector).toArray)
+            state.getOption
+              // rule-list change across a restart: positional state no
+              // longer lines up — discard it (see AlignedState docs)
+              .filter(_.ruleSetId == rsId)
+              .map(_.perRule.map(_.toVector).toArray)
               .getOrElse(Array.fill(ruleArr.size)(Vector.empty[MatcherState]))
           var out = Vector.empty[Fired]
 
@@ -556,7 +570,7 @@ object RuleEngine {
 
           if (matchers.forall(_.isEmpty)) state.remove()
           else {
-            state.update(AlignedState(matchers.toSeq))
+            state.update(AlignedState(matchers.toSeq, rsId))
             matchers.iterator.flatMap(_.flatMap(_.timeoutAtUs)).minOption
               .foreach(us => state.setTimeoutTimestamp(math.floorDiv(us + 999L, 1000L)))
           }
