@@ -131,6 +131,11 @@ object SparkEntry {
     "q_x10_decontam" -> ((s, d) => TextAnalysis.decontaminate(Tables.documents(s, d))),
     "q_x11_collocations" -> ((s, d) => TextAnalysis.collocations(Tables.documents(s, d))),
     "q_x12_top_terms" -> ((s, d) => TextAnalysis.topTerms(Tables.documents(s, d))),
+    "q_x13_entropy" -> ((s, d) => TextAnalysis.tokenEntropy(Tables.documents(s, d))),
+    "q_x14_source_mix" -> ((s, d) => TextAnalysis.sourceMixWeights(Tables.documents(s, d))),
+    "q_x15_top_terms_lang" -> ((s, d) =>
+      TextAnalysis.topTermsPerGroup(Tables.documents(s, d), "lang", 10)),
+    "q_s6_knn_label" -> ((s, d) => Similarity.knnClassify(Tables.embeddings(s, d))),
     "q_x5_corpus_stats" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       docs.groupBy(col("lang"))
@@ -692,6 +697,55 @@ object SparkEntry {
          |   CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w) AS INTEGER) AS rank FROM vc)
          | SELECT rank, w, c FROM r WHERE rank <= 100""".stripMargin,
     "q_s5_ann_ivf_fixed" -> ivfFixedOracle,
+    "q_x13_entropy" ->
+      s"""WITH wr AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         | wc AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c FROM wr GROUP BY doc_id, w),
+         | g AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |         CAST(COUNT(*) AS BIGINT) AS n_types,
+         |         SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clogc
+         |       FROM wc GROUP BY doc_id)
+         | SELECT doc_id, n_tokens, n_types,
+         |   ROUND(CAST(n_types AS DOUBLE) / n_tokens, 6) AS type_token_ratio,
+         |   ROUND(ln(CAST(n_tokens AS DOUBLE)) - clogc / n_tokens, 6) AS entropy
+         | FROM g""".stripMargin,
+    "q_x14_source_mix" ->
+      s"""WITH per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS n_tokens
+         |       FROM documents GROUP BY source),
+         | pw AS (SELECT source, n_docs, n_tokens,
+         |          ROUND(POWER(CAST(n_tokens AS DOUBLE), 0.5), 6) AS w_raw FROM per),
+         | tot AS (SELECT SUM(w_raw) AS w_tot FROM pw)
+         | SELECT source, n_docs, n_tokens, ROUND(w_raw / t.w_tot, 6) AS mix_weight
+         | FROM pw, tot t""".stripMargin,
+    "q_x15_top_terms_lang" ->
+      s"""WITH wr AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+         | c AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c FROM wr GROUP BY lang, w),
+         | r AS (SELECT lang, w, c,
+         |   CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, w) AS INTEGER) AS rank FROM c)
+         | SELECT lang, rank, w, c FROM r WHERE rank <= 10""".stripMargin,
+    "q_s6_knn_label" ->
+      s"""WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings),
+         | e AS (SELECT vec_id,
+         |   list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v FROM raw),
+         | q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+         | scored AS (SELECT q.query_id, e.vec_id,
+         |              ROUND(list_dot_product(q.qv, e.v), 6) AS sim
+         |            FROM e, q WHERE e.vec_id != q.query_id),
+         | r AS (SELECT query_id, vec_id,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+         |       FROM scored),
+         | topk AS (SELECT query_id, vec_id FROM r WHERE rank <= 10),
+         | v AS (SELECT t.query_id, CAST(emb.label AS INTEGER) AS predicted_label,
+         |         CAST(COUNT(*) AS BIGINT) AS votes
+         |       FROM topk t JOIN embeddings emb ON emb.vec_id = t.vec_id
+         |       GROUP BY 1, 2),
+         | p AS (SELECT query_id, predicted_label, votes,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |           ORDER BY votes DESC, predicted_label) AS vr FROM v)
+         | SELECT p.query_id, p.predicted_label, p.votes,
+         |   CAST(emb2.label AS INTEGER) AS true_label
+         | FROM p JOIN embeddings emb2 ON emb2.vec_id = p.query_id
+         | WHERE p.vr = 1""".stripMargin,
   )
 
   /** Oracle twin of Similarity.ivfFixedTopK: the fixed centroid seed

@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.types.IntegerType
+
+/**
+ * SQL registration of the native graft expressions, so plain-SQL users
+ * (spark.sql, thrift, notebooks) reach the codegen'd hot-path kernels
+ * without the Scala Column API:
+ *
+ *   - `graft_dot(array<double>, array<double>)` → double — the ANN
+ *     scoring kernel (see [[DotProduct]]);
+ *   - `graft_minhash(array<long>, k)` → array<long> — the one-pass
+ *     k-function MinHash signature (see [[AffineMinHash]]); `k` must be
+ *     a literal, constants derive from the shared seeded family so SQL
+ *     and Column-API signatures are identical bit-for-bit.
+ *
+ * Two installation faces, same registrations:
+ *   - config-time: `--conf spark.sql.extensions=graft.functions.GraftExtensions`
+ *     (the standard extension hook — how a cluster deployment installs it);
+ *   - runtime: `GraftExtensions.register(spark)` on a live session
+ *     (tests, notebooks).
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def literalInt(e: Expression, what: String): Int = {
+    require(e.foldable && e.dataType == IntegerType,
+      s"$what must be an INT literal, got: $e")
+    e.eval().asInstanceOf[Int]
+  }
+
+  /** The shared seeded affine-coefficient family — the single source of
+   * truth used by the Column API, the SQL function, and the DuckDB
+   * oracle constants (graft.ops.Dedup delegates here). */
+  def affineConstants(numHashes: Int, seed: Long = 42L): Seq[(Long, Long)] = {
+    val r = new scala.util.Random(seed)
+    Seq.fill(numHashes)((1L + r.nextInt(Int.MaxValue - 1).toLong, r.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** MinHash modulus (2^31 − 1, prime) — mirrored by graft.ops.Dedup. */
+  val MinhashP = 2147483647L
+
+  private type FunctionDescription =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def functions: Seq[FunctionDescription] = Seq(
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, s"graft_dot takes 2 arguments, got ${children.size}")
+        DotProduct(children.head, children(1))
+      }),
+    (FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[AffineMinHash].getName, "graft_minhash"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, s"graft_minhash takes 2 arguments, got ${children.size}")
+        val k = literalInt(children(1), "graft_minhash numHashes")
+        val consts = affineConstants(k)
+        AffineMinHash(children.head,
+          consts.map(_._1).toArray, consts.map(_._2).toArray, MinhashP)
+      }))
+
+  /** Install the functions on a live session (the runtime face of the
+   * config-time `spark.sql.extensions` hook). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+}

@@ -53,15 +53,15 @@ object Dedup {
    * md5-derived hash folded into 2^30. One md5 per shingle; the k hash
    * functions are integer math — the classic way to avoid k hash
    * evaluations per element. */
-  val MinhashP = 2147483647L // 2^31 - 1, prime
+  val MinhashP: Long = graft.functions.GraftExtensions.MinhashP // 2^31 - 1, prime
   val MinhashBaseMod = 1073741824L // 2^30: a*base+b stays < 2^61
 
   /** Deterministic (seeded) affine coefficients, shared with the DuckDB
-   * oracle so candidate generation is bit-reproducible. */
-  def minhashConstants(numHashes: Int, seed: Long = 42L): Seq[(Long, Long)] = {
-    val r = new scala.util.Random(seed)
-    Seq.fill(numHashes)((1L + r.nextInt(Int.MaxValue - 1).toLong, r.nextInt(Int.MaxValue).toLong))
-  }
+   * oracle so candidate generation is bit-reproducible (single source
+   * of truth: graft.functions.GraftExtensions.affineConstants, which
+   * also backs the `graft_minhash` SQL function). */
+  def minhashConstants(numHashes: Int, seed: Long = 42L): Seq[(Long, Long)] =
+    graft.functions.GraftExtensions.affineConstants(numHashes, seed)
 
   /** Base hashes of a shingle array, folded to 2^30. `portable` uses
    * the md5-derived hash (bit-reproducible in DuckDB — the oracle

@@ -301,6 +301,35 @@ object Similarity {
   }
 
   /**
+   * kNN label vote: predict each query vector's label by majority vote
+   * of its k nearest corpus neighbors (cosine), with a deterministic
+   * (votes desc, label asc) tie-break — the standard embedding-space
+   * classifier a pipeline uses to propagate sparse labels (quality,
+   * topic, toxicity) from a labelled seed set across the corpus.
+   *
+   * Plan: neighbor search is [[bruteForceTopK]] (query side broadcasts,
+   * the corpus is scanned once and never shuffled); the vote join and
+   * aggregation run over nQueries·k rows — nothing here is corpus-
+   * shaped except the one scan. At 100 TB swap the exact search for
+   * [[lshTopK]]/[[ivfFixedTopK]]: the vote stage is identical.
+   */
+  def knnClassify(embeddings: DataFrame, nQueries: Int = 20, k: Int = 10): DataFrame = {
+    val topk = bruteForceTopK(embeddings, nQueries, k)
+    val labels = embeddings.select(
+      col("vec_id").as("neighbor_id"), col("label").cast("int").as("predicted_label"))
+    val votes = topk.join(labels, "neighbor_id")
+      .groupBy("query_id", "predicted_label")
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("query_id").orderBy(col("votes").desc, col("predicted_label"))
+    votes
+      .withColumn("vrank", row_number().over(w))
+      .filter(col("vrank") === 1)
+      .join(embeddings.select(
+        col("vec_id").as("query_id"), col("label").cast("int").as("true_label")), "query_id")
+      .select("query_id", "predicted_label", "votes", "true_label")
+  }
+
+  /**
    * LSH-approximate top-k with multi-probe: each query probes its own
    * bucket plus every bucket at Hamming distance 1 (nPlanes+1 probes) —
    * the standard recall-recovery trick when a neighbor falls just across

@@ -329,4 +329,75 @@ object TextAnalysis {
         row_number().over(Window.orderBy(col("c").desc, col("w"))))
       .select("rank", "w", "c")
   }
+
+  /**
+   * Grouped top terms: the k most frequent words per group (language,
+   * source, domain...) — the per-stratum vocabulary head used to spot
+   * a contaminated or off-distribution stratum before mixing.
+   *
+   * Plan: one vocabulary-sized groupBy; the rank window partitions on
+   * the group key over the VOCABULARY rows (corpus-independent), so
+   * the window never sees corpus-scale data and no key is hot.
+   */
+  def topTermsPerGroup(documents: DataFrame, groupCol: String, k: Int = 10): DataFrame = {
+    val counts = documents
+      .select(col(groupCol), explode(words(col("text"))).as("w"))
+      .groupBy(col(groupCol), col("w")).agg(count(lit(1)).as("c"))
+    counts.withColumn("rank", row_number().over(
+        Window.partitionBy(groupCol).orderBy(col("c").desc, col("w"))))
+      .filter(col("rank") <= k)
+      .select(col(groupCol), col("rank"), col("w"), col("c"))
+  }
+
+  /**
+   * Per-document token entropy and type/token ratio: the Shannon
+   * entropy (nats) of the document's own word distribution, computed
+   * single-pass as ln N − (Σ c·ln c)/N, plus distinct-word ratio —
+   * low-entropy documents are keyboard-mash/boilerplate candidates
+   * the repetition filters can miss (they catch the TOP word/gram,
+   * entropy sees the whole distribution).
+   *
+   * Plan: two doc-keyed aggregations (map-side combined), no joins —
+   * entirely corpus-shaped, no skew beyond document length.
+   */
+  def tokenEntropy(documents: DataFrame): DataFrame = {
+    val wc = documents
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    wc.groupBy("doc_id")
+      .agg(
+        sum("c").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("clogc"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6).as("type_token_ratio"),
+        round(log(col("n_tokens").cast("double")) - col("clogc") / col("n_tokens"), 6)
+          .as("entropy"))
+  }
+
+  /**
+   * Source-mixing weights: per-source document/token counts and the
+   * temperature-scaled sampling weight wᵢ = tᵢ^α / Σⱼ tⱼ^α (α < 1
+   * upsamples small sources — the standard multi-source/multilingual
+   * mixing rule a pipeline computes before drawing its training mix).
+   *
+   * Plan: one corpus-shaped groupBy(source); the normaliser is folded
+   * into the plan as a broadcast cross join of the (source-count-sized)
+   * aggregate — no driver action. The raw powers are rounded to 6 dp
+   * BEFORE normalising so both engines divide identical operands.
+   */
+  def sourceMixWeights(documents: DataFrame, alpha: Double = 0.5): DataFrame = {
+    val per = documents.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(words(col("text"))).cast("long")).as("n_tokens"))
+    val pw = per.withColumn("w_raw",
+      round(pow(col("n_tokens").cast("double"), lit(alpha)), 6))
+    val tot = pw.agg(sum("w_raw").as("w_tot"))
+    pw.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("w_raw") / col("w_tot"), 6).as("mix_weight"))
+  }
 }

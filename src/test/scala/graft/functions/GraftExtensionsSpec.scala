@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("graft_dot SQL function matches the Column API and known values") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
+      .collect().head.getDouble(0)
+    assert(r == 32.0)
+  }
+
+  test("graft_minhash SQL function is bit-identical to the Column API signature") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val df = Seq((1L, "a b c d e"), (2L, "c d e f g")).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.ops.Dedup.minhashBase(graft.ops.Dedup.shingles(col("text"), 3)).as("hv"))
+    df.createOrReplaceTempView("mh_in")
+    val viaSql = spark.sql(
+      "SELECT doc_id, graft_minhash(hv, 8) AS sig FROM mh_in ORDER BY doc_id")
+      .collect().map(_.getSeq[Long](1).toSeq)
+    val viaApi = df
+      .select(col("doc_id"), graft.ops.Dedup.minhashFromBase(col("hv"), 8).as("sig"))
+      .orderBy("doc_id")
+      .collect().map(_.getSeq[Long](1).toSeq)
+    assert(viaSql.toSeq == viaApi.toSeq)
+    spark.catalog.dropTempView("mh_in")
+  }
+
+  test("graft_minhash rejects a non-literal k") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq((1L, Array(1L, 2L))).toDF("doc_id", "hv").createOrReplaceTempView("mh_bad")
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_minhash(hv, CAST(doc_id AS INT)) FROM mh_bad").collect()
+    }
+    assert(err.getMessage.contains("literal"))
+    spark.catalog.dropTempView("mh_bad")
+  }
+
+  test("registrations are per-session and the injector class applies cleanly") {
+    // runtime registration does not leak into sibling sessions
+    val s2 = spark.newSession()
+    assert(intercept[Exception] {
+      s2.sql("SELECT graft_dot_unregistered(array(1.0d), array(2.0d))").collect()
+    }.getMessage.toLowerCase.contains("unresolved"))
+    GraftExtensions.register(s2)
+    assert(s2.sql("SELECT graft_dot(array(1.0d), array(2.0d))").collect().head.getDouble(0) == 2.0)
+    // the config-time injector (spark.sql.extensions hook) shares the
+    // same function list; applying it to an extension point is a no-throw
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+}

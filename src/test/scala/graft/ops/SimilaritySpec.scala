@@ -64,6 +64,23 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"SQ8 recall@10 too low: $recall")
   }
 
+  test("kNN label vote: queries adopt the majority label of their cluster") {
+    import spark.implicits._
+    // vec 0/1 are the queries (vec_id < nQueries); two tight clusters
+    // along orthogonal axes carry labels 1 and 2
+    val df = Seq(
+      (0L, Array(1f, 0f), 9),
+      (1L, Array(0f, 1f), 9),
+      (2L, Array(0.9f, 0.1f), 1), (3L, Array(0.95f, 0.05f), 1), (4L, Array(0.85f, 0.15f), 1),
+      (5L, Array(0.1f, 0.9f), 2), (6L, Array(0.05f, 0.95f), 2), (7L, Array(0.15f, 0.85f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnClassify(df, nQueries = 2, k = 3).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Int]("predicted_label"), r.getAs[Long]("votes"), r.getAs[Int]("true_label"))).toMap
+    assert(got(0L) == ((1, 3L, 9)))
+    assert(got(1L) == ((2, 3L, 9)))
+  }
+
   test("near-dup pairs are symmetric-free (a<b) and above threshold") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val got = Similarity.embeddingNearDup(emb, 0.4).collect()

@@ -75,6 +75,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1L) == got(2L))
   }
 
+  test("token entropy: uniform docs score ln(n_types), repeated docs score 0") {
+    val got = TextAnalysis.tokenEntropy(docs(
+      (1L, "en", "a a a a"),
+      (2L, "en", "a b c d")))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("entropy"), r.getAs[Double]("type_token_ratio"))).toMap
+    assert(got(1L) == ((0.0, 0.25)))
+    assert(got(2L) == ((math.rint(math.log(4.0) * 1e6) / 1e6, 1.0)))
+  }
+
+  test("source mix weights: alpha=0.5 upsamples the small source, weights sum to 1") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "w w w w w w w w w w w w w w w w", "big"),
+      (2L, "w w w w", "small")).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.sourceMixWeights(df).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("mix_weight")).toMap
+    // sqrt(16)=4, sqrt(4)=2 → 4/6 and 2/6; raw ratio would be .8/.2
+    assert(got("big") == 0.666667 && got("small") == 0.333333)
+    assert(got("small") > 4.0 / 20.0)
+  }
+
+  test("top terms per group rank within the group with alphabetical tie-break") {
+    val df = docs(
+      (1L, "en", "x x y z"),
+      (2L, "de", "z z y"))
+    val got = TextAnalysis.topTermsPerGroup(df, "lang", 2).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Int]("rank")) -> r.getAs[String]("w")).toMap
+    assert(got == Map(("en", 1) -> "x", ("en", 2) -> "y", ("de", 1) -> "z", ("de", 2) -> "y"))
+  }
+
   test("media plumbing: features have fixed shape, entropy bounded, bytes preserved") {
     val documents = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val feats = Multimodal.extractFeatures(spark, Multimodal.fromDocuments(documents)).collect()
