@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Correlate, Dedup, Metrics, Multimodal, Relational, Sampling, Schedule, Similarity, TextAnalysis}
+import graft.ops.{Correlate, Dedup, Ingest, Metrics, Multimodal, Relational, Sampling, Schedule, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
  *
@@ -136,6 +136,9 @@ object SparkEntry {
     "q_x15_top_terms_lang" -> ((s, d) =>
       TextAnalysis.topTermsPerGroup(Tables.documents(s, d), "lang", 10)),
     "q_s6_knn_label" -> ((s, d) => Similarity.knnClassify(Tables.embeddings(s, d))),
+    // 0.68 ≈ the fixture's median quality score, so the gate demonstrably
+    // filters (~half the corpus survives) rather than passing everything
+    "q_x16_ingest_gate" -> ((s, d) => Ingest.runBatch(Tables.documents(s, d), minQuality = 0.68)),
     "q_x5_corpus_stats" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       docs.groupBy(col("lang"))
@@ -746,7 +749,42 @@ object SparkEntry {
          |   CAST(emb2.label AS INTEGER) AS true_label
          | FROM p JOIN embeddings emb2 ON emb2.vec_id = p.query_id
          | WHERE p.vr = 1""".stripMargin,
+    "q_x16_ingest_gate" -> ingestGateOracle(0.68),
   )
+
+  /** Oracle twin of Ingest.runBatch — the language CASE chain and the
+   * quality formula are generated from the same marker lists as
+   * [[langidOracle]]/[[qualityOracle]], composed with the exact-dedup
+   * canonical pick. */
+  private def ingestGateOracle(minQuality: Double): String = {
+    val langs = TextAnalysis.langMarkers.map(_._1)
+    val hitCols = TextAnalysis.langMarkers
+      .map { case (l, ms) => s"${markersSql(ms)} AS hits_$l" }.mkString(",\n   ")
+    val caseChain = langs.init.zipWithIndex.map { case (l, i) =>
+      val conds = langs.drop(i + 1).map(o => s"hits_$l >= hits_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString(" ")
+    val stopSql = markersSql(TextAnalysis.langMarkers.flatMap(_._2))
+    s"""WITH s AS (SELECT doc_id, text, lang, source, n_chars,
+       |   $hitCols,
+       |   CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+       |   CAST(length(text) AS DOUBLE) AS nc,
+       |   CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) AS pn,
+       |   CAST($stopSql AS DOUBLE) AS st
+       | FROM documents),
+       | g AS (SELECT doc_id, text, lang, source, n_chars,
+       |   CASE $caseChain ELSE '${langs.last}' END AS predicted_lang,
+       |   ROUND(0.3 * LEAST(nt / 100.0, 1.0)
+       |       + 0.3 * (1.0 - LEAST(pn / GREATEST(nc, 1.0) * 5.0, 1.0))
+       |       + 0.2 * LEAST(st / GREATEST(nt, 1.0) * 3.0, 1.0)
+       |       + 0.2 * (1.0 - LEAST(ABS((nc - (nt - 1)) / GREATEST(nt, 1.0) - 5.0) / 5.0, 1.0)), 6)
+       |     AS quality_score
+       | FROM s),
+       | f AS (SELECT * FROM g WHERE quality_score >= $minQuality AND predicted_lang IN ('en')),
+       | c AS (SELECT md5(text) AS h, MIN(doc_id) AS doc_id FROM f GROUP BY 1)
+       | SELECT f.doc_id, f.text, f.lang, f.source, f.n_chars, f.predicted_lang, f.quality_score
+       | FROM f JOIN c ON c.doc_id = f.doc_id AND c.h = md5(f.text)""".stripMargin
+  }
 
   /** Oracle twin of Similarity.ivfFixedTopK: the fixed centroid seed
    * rows come from the corpus itself, so the whole inverted-file index

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Ingest-time filtering: the composition a training-data pipeline runs
+ * on raw documents BEFORE anything expensive touches them — language
+ * gate, quality gate, then exact dedup. The point of gating at ingest
+ * is scale economics: every downstream pass (minhash, embeddings,
+ * scoring) pays per surviving byte, so the cheap map-side filters run
+ * first and the corpus shrinks before its first shuffle.
+ *
+ * The same code runs batch and streaming: the gate is pure stateless
+ * projections/filters (stream-safe by construction), and the dedup
+ * stage picks the engine-appropriate form — groupBy on the content
+ * hash in batch, watermark-bounded dropDuplicates in streaming
+ * ([[Dedup.streamingExactDedup]]). This mirrors the reference's
+ * ValidateEnrichFilter → Suppress chain at event ingest (reference:
+ * src/Rule/ValidateEnrichFilter.php:39-91, suppress
+ * src/CorrelationEngine.php:230-236) lifted to document corpora.
+ */
+object Ingest {
+
+  /**
+   * Stateless quality gate: keep documents whose predicted language is
+   * in `langs` and whose quality score clears `minQuality`. All input
+   * columns pass through, annotated with the two gate signals.
+   * Map-side only — no shuffle, no state; safe on batch and streaming
+   * DataFrames alike.
+   */
+  def qualityGate(docs: DataFrame, minQuality: Double = 0.3,
+      langs: Seq[String] = Seq("en")): DataFrame =
+    docs
+      .withColumn("predicted_lang", TextAnalysis.predictedLangCol(col("text")))
+      .withColumn("quality_score", TextAnalysis.qualityScoreCol(col("text")))
+      .filter(col("quality_score") >= minQuality &&
+        col("predicted_lang").isin(langs: _*))
+
+  /**
+   * Batch ingest: gate, then keep ONE document per distinct content
+   * (lowest doc_id wins — deterministic). One shuffle on the content
+   * hash, after the gate has already shrunk the corpus.
+   */
+  def runBatch(docs: DataFrame, minQuality: Double = 0.3,
+      langs: Seq[String] = Seq("en")): DataFrame = {
+    val gated = qualityGate(docs, minQuality, langs)
+      .withColumn("text_md5", md5(col("text")))
+    val canonical = gated.groupBy("text_md5")
+      .agg(min("doc_id").as("doc_id"))
+    gated.join(canonical, Seq("text_md5", "doc_id")).drop("text_md5")
+  }
+
+  /**
+   * Streaming ingest: the same gate composed with watermark-bounded
+   * exact dedup — first-arrival wins within the `delay` horizon and
+   * state stays bounded. `docs` must carry a `ts` event-time column.
+   */
+  def runStreaming(docs: DataFrame, minQuality: Double = 0.3,
+      langs: Seq[String] = Seq("en"), delay: String = "10 minutes"): DataFrame =
+    Dedup.streamingExactDedup(qualityGate(docs, minQuality, langs), delay)
+}

@@ -33,6 +33,32 @@ object TextAnalysis {
     size(filter(words(text), w => array_contains(m, w)))
   }
 
+  /** First-wins argmax CASE chain over per-language hit counts: lang i
+   * is predicted iff its score >= all later (earlier CASE arms win
+   * ties) — identical semantics in the SQL oracle. */
+  private def predictedFromHits(hitCol: String => Column): Column = {
+    val langs = langMarkers.map(_._1)
+    langs.zipWithIndex.foldRight(lit(langs.last): Column) {
+      case ((l, i), elseCol) =>
+        if (i == langs.size - 1) elseCol
+        else {
+          val geAll = langs.drop(i + 1)
+            .map(o => hitCol(l) >= hitCol(o))
+            .reduce(_ && _)
+          when(geAll, lit(l)).otherwise(elseCol)
+        }
+    }
+  }
+
+  /** Predicted language of a text column, usable in any projection or
+   * filter (see [[Ingest.qualityGate]]); [[languageId]] is the query
+   * face. Codegen's subexpression elimination collapses the repeated
+   * hit counts in the CASE chain. */
+  def predictedLangCol(text: Column): Column = {
+    val hitCols = langMarkers.map { case (l, markers) => l -> hits(text, markers) }.toMap
+    predictedFromHits(hitCols)
+  }
+
   /**
    * Language ID: argmax of marker-hit counts with deterministic
    * first-wins tie-break (a CASE chain — identical semantics in the
@@ -42,22 +68,10 @@ object TextAnalysis {
     val scored = langMarkers.foldLeft(documents.select(col("doc_id"), col("lang"), col("text"))) {
       case (df, (l, markers)) => df.withColumn(s"hits_$l", hits(col("text"), markers))
     }
-    // first-wins argmax: lang i is predicted iff its score >= all later
-    // and > all earlier (strictly handled by CASE order)
     val langs = langMarkers.map(_._1)
-    val predicted = langs.zipWithIndex.foldRight(lit(langs.last)) {
-      case ((l, i), elseCol) =>
-        if (i == langs.size - 1) elseCol
-        else {
-          val geAll = langs.drop(i + 1)
-            .map(o => col(s"hits_$l") >= col(s"hits_$o"))
-            .reduce(_ && _)
-          when(geAll, lit(l)).otherwise(elseCol)
-        }
-    }
     val total = langs.map(l => col(s"hits_$l")).reduce(_ + _)
     scored
-      .withColumn("predicted_lang", predicted)
+      .withColumn("predicted_lang", predictedFromHits(l => col(s"hits_$l")))
       .withColumn("confidence",
         round(greatest(langs.map(l => col(s"hits_$l")): _*).cast("double") /
           greatest(total, lit(1)), 6))
@@ -76,6 +90,24 @@ object TextAnalysis {
       size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
         .cast("long").as("bpe_tokens"))
 
+  /** The bounded [0,1] quality score of a text column, usable in any
+   * projection or filter (see [[Ingest.qualityGate]]); [[qualityScore]]
+   * is the query face exposing the component signals too. */
+  def qualityScoreCol(text: Column): Column = {
+    val nTokens = size(words(text)).cast("double")
+    val nChars = length(text).cast("double")
+    val punct = size(regexp_extract_all(text, lit("[^A-Za-z0-9 ]"), lit(0))).cast("double")
+    val stop = hits(text, langMarkers.flatMap(_._2)).cast("double")
+    val punctRatio = punct / greatest(nChars, lit(1.0))
+    val stopRatio = stop / greatest(nTokens, lit(1.0))
+    val meanWordLen = (nChars - (nTokens - 1)) / greatest(nTokens, lit(1.0))
+    round(
+      lit(0.3) * least(nTokens / lit(100.0), lit(1.0)) +
+        lit(0.3) * (lit(1.0) - least(punctRatio * lit(5.0), lit(1.0))) +
+        lit(0.2) * least(stopRatio * lit(3.0), lit(1.0)) +
+        lit(0.2) * (lit(1.0) - least(abs(meanWordLen - lit(5.0)) / lit(5.0), lit(1.0))), 6)
+  }
+
   /**
    * Quality scoring: length/punctuation/stopword signals combined into
    * a bounded [0,1] score. All-double arithmetic on identical operands
@@ -90,18 +122,13 @@ object TextAnalysis {
     val punctRatio = punct / greatest(nChars, lit(1.0))
     val stopRatio = stop / greatest(nTokens, lit(1.0))
     val meanWordLen = (nChars - (nTokens - 1)) / greatest(nTokens, lit(1.0))
-    val score =
-      lit(0.3) * least(nTokens / lit(100.0), lit(1.0)) +
-        lit(0.3) * (lit(1.0) - least(punctRatio * lit(5.0), lit(1.0))) +
-        lit(0.2) * least(stopRatio * lit(3.0), lit(1.0)) +
-        lit(0.2) * (lit(1.0) - least(abs(meanWordLen - lit(5.0)) / lit(5.0), lit(1.0)))
     documents.select(
       col("doc_id"),
       nTokens.cast("long").as("n_tokens"),
       round(punctRatio, 6).as("punct_ratio"),
       round(stopRatio, 6).as("stopword_ratio"),
       round(meanWordLen, 6).as("mean_word_len"),
-      round(score, 6).as("quality_score"))
+      qualityScoreCol(col("text")).as("quality_score"))
   }
 
   /**

@@ -96,6 +96,12 @@ object ScaleProbe {
     timedDocs("simhash_d4")(graft.ops.Dedup.simhash(docs).count())
     timedDocs("langid_x1")(graft.ops.TextAnalysis.languageId(
       docs.withColumn("lang", lit("en"))).count())
+    timedDocs("entropy_x13")(graft.ops.TextAnalysis.tokenEntropy(docs).count())
+    // the gate keeps everything here (synthetic words carry no real
+    // language/quality signal) — the probe times the full scoring path,
+    // two map-side column pipelines + the dedup shuffle
+    timedDocs("ingest_gate_x16")(graft.ops.Ingest.runBatch(
+      docs, minQuality = 0.0, langs = graft.ops.TextAnalysis.langMarkers.map(_._1)).count())
     docs.unpersist()
 
     // ---- ANN at 50× the embeddings fixture -------------------------
@@ -109,6 +115,8 @@ object ScaleProbe {
     def timedVecs(name: String)(body: => Long): Unit = timedAs("vecs", nVecs)(name)(body)
     timedVecs("ann_lsh_s2")(graft.ops.Similarity.lshTopK(vecs, nQueries = 20, k = 10, nPlanes = 8).count())
     timedVecs("ann_ivf_s3")(graft.ops.Similarity.ivfTopK(vecs, nQueries = 20, k = 10, nLists = 64, nProbe = 8).count())
+    timedVecs("knn_label_s6")(graft.ops.Similarity.knnClassify(
+      vecs.withColumn("label", pmod(col("vec_id"), lit(10)).cast("int"))).count())
     spark.stop()
   }
 }

@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+
+class IngestSpec extends SparkSpec {
+
+  private val prose =
+    "the quick brown fox jumps over the lazy dog and runs to the hills"
+  private val junk = "@@@@ #### !!!! %%%% ^^^^"
+  private val german = "der hund und die katze ist ein tier und der hund"
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  test("batch ingest: junk and off-language docs are gated, clones dedup to the lowest id") {
+    val in = docs(
+      (1L, prose),
+      (2L, junk),    // fails the quality gate
+      (3L, german),  // fails the language gate
+      (4L, prose),   // exact clone of 1 → deduped
+      (5L, prose + " extra"))
+    val out = Ingest.runBatch(in).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(1L, 5L))
+    out.foreach { r =>
+      assert(r.getAs[String]("predicted_lang") == "en")
+      assert(r.getAs[Double]("quality_score") >= 0.3)
+    }
+  }
+
+  test("streaming ingest applies the same gate with watermark-bounded dedup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp, String)]
+    val query = Ingest.runStreaming(stream.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("ingest_out")
+      .outputMode("append").start()
+    try {
+      val t = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+      stream.addData((1L, t, prose), (2L, t, junk), (3L, t, german), (4L, t, prose))
+      query.processAllAvailable()
+      // re-delivery of surviving content in a later batch is dropped too
+      stream.addData((5L, t, prose))
+      query.processAllAvailable()
+    } finally query.stop()
+    val out = spark.table("ingest_out").collect()
+    assert(out.map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(1L))
+    // batch and streaming gates agree on the surviving CONTENT
+    val batchTexts = Ingest.runBatch(docs((1L, prose), (2L, junk), (3L, german), (4L, prose)))
+      .collect().map(_.getAs[String]("text")).toSet
+    assert(out.map(_.getAs[String]("text")).toSet == batchTexts)
+  }
+}
