@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Correlate, Relational, Similarity, TextAnalysis}
+
+/**
+ * Physical-plan audit: the 100 TB design properties (pushdown, column
+ * pruning, broadcast placement, shuffle counts) asserted as regression
+ * tests, so a refactor that silently turns a broadcast join into a
+ * shuffle join — invisible at fixture scale, fatal at cluster scale —
+ * fails CI instead of the cluster. AQE is disabled inside each check so
+ * the inspected plan is final (the assertions are about the STATIC
+ * plan shape; AQE can only improve on it at runtime).
+ */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def audited[A](df: => DataFrame)(check: SparkPlan => A): A = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try check(df.queryExecution.executedPlan)
+    finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
+  private def shuffles(p: SparkPlan) = p.collect { case e: ShuffleExchangeExec => e }
+  private def broadcastJoins(p: SparkPlan) = p.collect { case j: BroadcastHashJoinExec => j }
+
+  test("event-type dispatch pushes the filter into the parquet scan") {
+    audited(Relational.ofType(Tables.events(spark, sf), "error")
+      .select("event_id", "user_id", "ts")) { plan =>
+      val s = plan.toString
+      assert(s.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,error)]"), s)
+    }
+  }
+
+  test("projection prunes the scan schema to the referenced columns") {
+    audited(Tables.events(spark, sf)
+      .filter(Relational.rangeInclusive(col("value"), 50.0, 150.0))
+      .select("event_id", "value")) { plan =>
+      val s = plan.toString
+      // no event_type/user_id/props in the read schema
+      assert(s.contains("ReadSchema: struct<event_id:bigint,value:double>"), s)
+    }
+  }
+
+  test("star-schema revenue join broadcasts dimensions and never goes cartesian") {
+    audited(Relational.customerRevenue(
+      Tables.customer(spark, sf), Tables.orders(spark, sf), Tables.lineitem(spark, sf))) { plan =>
+      assert(broadcastJoins(plan).nonEmpty, plan.toString)
+      assert(plan.collect { case c: CartesianProductExec => c }.isEmpty, plan.toString)
+    }
+  }
+
+  test("brute-force ANN broadcasts the query side; the corpus is never shuffled before scoring") {
+    audited(Similarity.bruteForceTopK(Tables.embeddings(spark, sf))) { plan =>
+      val bnlj = plan.collect { case j: BroadcastNestedLoopJoinExec => j }
+      assert(bnlj.nonEmpty, plan.toString)
+      // the only exchange is the per-query ranking window (tiny:
+      // nQueries × corpus candidates after scoring)
+      assert(shuffles(plan).size <= 1, s"${shuffles(plan).size} shuffles:\n$plan")
+    }
+  }
+
+  test("sequence-timeout face is a single keyed shuffle (window form, no time-range self-join)") {
+    audited(Correlate.sequenceTimeout(
+      Tables.events(spark, sf), "signup", "purchase", "1 HOUR")) { plan =>
+      assert(shuffles(plan).size <= 1, s"${shuffles(plan).size} shuffles:\n$plan")
+    }
+  }
+
+  test("decontamination broadcasts the benchmark side; the corpus side stays put") {
+    audited(TextAnalysis.decontaminate(Tables.documents(spark, sf))) { plan =>
+      assert(broadcastJoins(plan).nonEmpty, plan.toString)
+      // corpus side: explode + join + one aggregation shuffle on doc_id
+      assert(shuffles(plan).size <= 2, s"${shuffles(plan).size} shuffles:\n$plan")
+    }
+  }
+
+  test("ingest gate is map-side until the dedup shuffle") {
+    audited(graft.ops.Ingest.runBatch(Tables.documents(spark, sf))) { plan =>
+      // one shuffle builds the canonical (hash → min doc_id) table; the
+      // join back may add one more on the gated side at static planning
+      assert(shuffles(plan).size <= 3, s"${shuffles(plan).size} shuffles:\n$plan")
+    }
+  }
+}
