@@ -136,6 +136,7 @@ object SparkEntry {
     "q_x15_top_terms_lang" -> ((s, d) =>
       TextAnalysis.topTermsPerGroup(Tables.documents(s, d), "lang", 10)),
     "q_s6_knn_label" -> ((s, d) => Similarity.knnClassify(Tables.embeddings(s, d))),
+    "q_s7_ann_pq" -> ((s, d) => Similarity.pqTopK(Tables.embeddings(s, d))),
     // 0.68 ≈ the fixture's median quality score, so the gate demonstrably
     // filters (~half the corpus survives) rather than passing everything
     "q_x16_ingest_gate" -> ((s, d) => Ingest.runBatch(Tables.documents(s, d), minQuality = 0.68)),
@@ -750,7 +751,43 @@ object SparkEntry {
          | FROM p JOIN embeddings emb2 ON emb2.vec_id = p.query_id
          | WHERE p.vr = 1""".stripMargin,
     "q_x16_ingest_gate" -> ingestGateOracle(0.68),
+    "q_s7_ann_pq" -> pqOracle,
   )
+
+  /** Oracle twin of Similarity.pqTopK — the fixed codebooks (sub-slices
+   * of the same seed rows as q_s5), the L2 code assignment, and the
+   * ADC scoring are reproduced relationally, so the entire product-
+   * quantisation pipeline is oracle-checked. */
+  private def pqOracle: String = {
+    val seeds = graft.ops.Similarity.ivfFixedSeeds(16).mkString(", ")
+    val sub = "8" // subDim = 64 / 8 subspaces
+    s"""WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings),
+       | e AS (SELECT vec_id,
+       |   list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v FROM raw),
+       | js AS (SELECT unnest(generate_series(0, 7)) AS j),
+       | cb AS (SELECT vec_id AS code, j, v[j*$sub+1 : j*$sub+$sub] AS cb_sub
+       |        FROM e, js WHERE vec_id IN ($seeds)),
+       | cs AS (SELECT vec_id, j, v[j*$sub+1 : j*$sub+$sub] AS v_sub FROM e, js),
+       | d AS (SELECT cs.vec_id, cs.j, cb.code, cb.cb_sub,
+       |         ROUND(list_dot_product(cs.v_sub, cs.v_sub)
+       |             - 2.0 * list_dot_product(cs.v_sub, cb.cb_sub)
+       |             + list_dot_product(cb.cb_sub, cb.cb_sub), 6) AS d2
+       |       FROM cs JOIN cb ON cb.j = cs.j),
+       | codes AS (SELECT vec_id, j, code, cb_sub FROM (
+       |   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2, code) AS arank
+       |   FROM d) WHERE arank = 1),
+       | qs AS (SELECT vec_id AS query_id, j, v[j*$sub+1 : j*$sub+$sub] AS q_sub
+       |        FROM e, js WHERE vec_id < 20),
+       | parts AS (SELECT q.query_id, c.vec_id,
+       |             ROUND(list_dot_product(q.q_sub, c.cb_sub), 6) AS part
+       |           FROM codes c JOIN qs q ON q.j = c.j AND c.vec_id != q.query_id),
+       | sc AS (SELECT query_id, vec_id, ROUND(SUM(part), 6) AS sim
+       |        FROM parts GROUP BY 1, 2),
+       | r AS (SELECT query_id, vec_id, sim,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |           ORDER BY sim DESC, vec_id) AS INTEGER) AS rank FROM sc)
+       | SELECT query_id, vec_id AS neighbor_id, sim, rank FROM r WHERE rank <= 10""".stripMargin
+  }
 
   /** Oracle twin of Ingest.runBatch — the language CASE chain and the
    * quality formula are generated from the same marker lists as

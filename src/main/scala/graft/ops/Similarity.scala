@@ -330,6 +330,83 @@ object Similarity {
   }
 
   /**
+   * Product-quantisation (PQ) approximate top-k with ADC scoring and
+   * FIXED corpus-vector codebooks: vectors are cut into `m` subspaces;
+   * each subvector is replaced by the id of its nearest codebook entry
+   * (L2), so a 64-float vector compresses to m small codes — the
+   * standard billion-scale memory layout (SQ8 compresses 4×; PQ here
+   * compresses 32×, and scan bandwidth IS the brute-force ANN cost).
+   * Query scoring is asymmetric distance computation: the query stays
+   * exact, each corpus vector scores as Σⱼ dot(q_subⱼ, codebook entry
+   * of its code in subspace j).
+   *
+   * Codebooks are the sub-slices of `ks` deterministically-chosen
+   * corpus vectors (same trick as [[ivfFixedTopK]]), so encoding,
+   * code assignment and ADC scoring are all pure relational algebra —
+   * the full quantisation pipeline is verified by the SQL oracle
+   * (k-means-trained codebooks would be rows-only-checkable). Recall
+   * vs the float baseline is asserted in SimilaritySpec.
+   *
+   * Scale notes: codebooks are m·ks tiny rows — broadcast; encoding is
+   * one map-side pass over the corpus (one argmin window per subspace
+   * keyed on (vec_id, j), no corpus self-join); the ADC join ships the
+   * code table (bytes per vector, not floats). At 100 TB the code
+   * table is the artifact you store; re-ranking survivors against the
+   * full vectors is the standard second stage.
+   */
+  def pqTopK(embeddings: DataFrame, nQueries: Int = 20, k: Int = 10,
+      m: Int = 8, ks: Int = 16, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val subDim = dim / m
+    val corpus = embeddings.select(
+      col("vec_id"), normalized(asDouble(col("embedding"))).as("v"))
+      .localCheckpoint() // encoded below + query side + (tiny) codebook
+    // codebook: sub-slices of ks fixed corpus vectors — (m · ks) rows
+    val seeds = ivfFixedSeeds(ks)
+    val codebook = corpus
+      .filter(col("vec_id").isin(seeds.map(_.toLong): _*))
+      .select(col("vec_id").as("code"), col("v").as("cv"),
+        explode(sequence(lit(0), lit(m - 1))).as("j"))
+      .select(col("code"), col("j"),
+        slice(col("cv"), col("j") * subDim + 1, lit(subDim)).as("cb_sub"))
+    // encode: per (vector, subspace), the L2-nearest codebook entry;
+    // squared L2 is rounded before the argmin so cross-engine float
+    // summation order cannot flip an assignment
+    val corpusSub = corpus.select(
+      col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("j"),
+      col("v"))
+      .select(col("vec_id"), col("j"),
+        slice(col("v"), col("j") * subDim + 1, lit(subDim)).as("v_sub"))
+    val wAssign = Window.partitionBy("vec_id", "j")
+      .orderBy(col("d2").asc, col("code"))
+    val codes = corpusSub.join(broadcast(codebook), Seq("j"))
+      .withColumn("d2", round(
+        dot(col("v_sub"), col("v_sub"))
+          - lit(2.0) * dot(col("v_sub"), col("cb_sub"))
+          + dot(col("cb_sub"), col("cb_sub")), 6))
+      .withColumn("arank", row_number().over(wAssign))
+      .filter(col("arank") === 1)
+      .select(col("vec_id"), col("j"), col("code"), col("cb_sub"))
+    // ADC: the query subvector scores against each corpus vector's
+    // RECONSTRUCTION (its codebook entry), summed over subspaces
+    val querySub = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("j"), col("v"))
+      .select(col("query_id"), col("j"),
+        slice(col("v"), col("j") * subDim + 1, lit(subDim)).as("q_sub"))
+    val scored = codes.join(broadcast(querySub), Seq("j"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("part", round(dot(col("q_sub"), col("cb_sub")), 6))
+      .groupBy("query_id", "vec_id")
+      .agg(round(sum("part"), 6).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim"), col("rank"))
+  }
+
+  /**
    * LSH-approximate top-k with multi-probe: each query probes its own
    * bucket plus every bucket at Hamming distance 1 (nPlanes+1 probes) —
    * the standard recall-recovery trick when a neighbor falls just across

@@ -64,6 +64,19 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"SQ8 recall@10 too low: $recall")
   }
 
+  test("PQ ADC top-k keeps useful recall at 32x compression") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def tops(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = tops(Similarity.bruteForceTopK(emb, nQueries = 10))
+    val pq = tops(Similarity.pqTopK(emb, nQueries = 10))
+    assert(pq.size == exact.size) // k rows per query either way
+    // 8 subspaces × 16 fixed (untrained) codes on random 64-dim data is
+    // a coarse quantiser — assert recall clearly above random (k/n ≈ 2%)
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall > 0.15, s"PQ recall@10 = $recall")
+  }
+
   test("kNN label vote: queries adopt the majority label of their cluster") {
     import spark.implicits._
     // vec 0/1 are the queries (vec_id < nQueries); two tight clusters
