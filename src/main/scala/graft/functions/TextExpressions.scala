@@ -1,0 +1,169 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Native marker-hit counter for the text-analysis hot path: given a
+ * words array and k marker sets, returns the k per-set occurrence
+ * counts in ONE pass over the words.
+ *
+ * The higher-order formulation — k × `size(filter(words, w =>
+ * array_contains(markers, w)))` — is interpreted per element (HOFs
+ * don't participate in whole-stage codegen) and rebuilds the marker
+ * array per lambda call: measured ~20× slower on the 100k-doc ingest
+ * probe. This expression codegens to a tight loop with per-set
+ * HashSet membership.
+ *
+ * Null contract: null words array → null; null elements are skipped
+ * (split() never produces them).
+ */
+case class MarkerHits(child: Expression, sets: Seq[Seq[String]])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_marker_hits"
+
+  @transient private lazy val lookup: Array[java.util.HashSet[UTF8String]] =
+    MarkerHits.buildLookup(sets)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val k = lookup.length
+    val counts = new Array[Int](k)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val w = arr.getUTF8String(i)
+        var j = 0
+        while (j < k) {
+          if (lookup(j).contains(w)) counts(j) += 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setsRef = ctx.addReferenceObj("markerSets", lookup, "java.util.HashSet[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n"); val k = ctx.freshName("k")
+      val counts = ctx.freshName("counts"); val w = ctx.freshName("w")
+      s"""
+         |int $n = $c.numElements();
+         |int $k = $setsRef.length;
+         |int[] $counts = new int[$k];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$c.isNullAt($i)) {
+         |    UTF8String $w = $c.getUTF8String($i);
+         |    for (int $j = 0; $j < $k; $j++) {
+         |      if ($setsRef[$j].contains($w)) $counts[$j]++;
+         |    }
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($counts);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MarkerHits =
+    copy(child = newChild)
+}
+
+object MarkerHits {
+  private[functions] def buildLookup(sets: Seq[Seq[String]]): Array[java.util.HashSet[UTF8String]] =
+    sets.map { s =>
+      val hs = new java.util.HashSet[UTF8String](s.size * 2)
+      s.foreach(m => hs.add(UTF8String.fromString(m)))
+      hs
+    }.toArray
+}
+
+/**
+ * Count of code points NOT in an allowed ASCII character set — the
+ * native twin of `size(regexp_extract_all(text, "[^<allowed>]", 0))`
+ * for single-character classes: every regex match is one code point,
+ * so the counts are identical, but the byte loop removes the regex
+ * engine + per-match allocation (measured 4.5s → ~0.1s counting
+ * punctuation over 100k docs). Any non-ASCII code point counts as a
+ * miss (it cannot be in an ASCII allowed set); UTF-8 lead bytes are
+ * counted, continuation bytes skipped, so multi-byte characters count
+ * once — the same per-code-point semantics as the regex in both Spark
+ * and DuckDB.
+ */
+case class CodePointMissCount(child: Expression, allowed: String)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(allowed.forall(_ < 128), "allowed set must be ASCII")
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_miss_count"
+
+  @transient private lazy val table: Array[Boolean] = CodePointMissCount.buildTable(allowed)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    var count = 0
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if (b >= 0) { if (!table(b)) count += 1 }
+      else if ((b & 0xC0) != 0x80) count += 1 // lead byte of a multi-byte char
+      i += 1
+    }
+    count
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tableRef = ctx.addReferenceObj("allowedTable", table, "boolean[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes = ctx.freshName("bytes"); val i = ctx.freshName("i")
+      val b = ctx.freshName("b"); val count = ctx.freshName("count")
+      s"""
+         |byte[] $bytes = $c.getBytes();
+         |int $count = 0;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  byte $b = $bytes[$i];
+         |  if ($b >= 0) { if (!$tableRef[$b]) $count++; }
+         |  else if (($b & 0xC0) != 0x80) $count++;
+         |}
+         |${ev.value} = $count;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CodePointMissCount =
+    copy(child = newChild)
+}
+
+object CodePointMissCount {
+  private[functions] def buildTable(allowed: String): Array[Boolean] = {
+    val t = new Array[Boolean](128)
+    allowed.foreach(c => t(c) = true)
+    t
+  }
+}
+
+/** Column-API surface for the native text expressions. */
+object Texts {
+  /** One-pass per-set marker-occurrence counts over a words array;
+   * returns array<int> of length sets.size. */
+  def markerHits(words: Column, sets: Seq[Seq[String]]): Column =
+    ColumnBridge.column(MarkerHits(ColumnBridge.expression(words), sets))
+
+  /** Count of code points outside the allowed ASCII set — the regex
+   * `[^<allowed>]` match count without the regex engine. */
+  def missCount(text: Column, allowed: String): Column =
+    ColumnBridge.column(CodePointMissCount(ColumnBridge.expression(text), allowed))
+}

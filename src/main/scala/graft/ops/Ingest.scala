@@ -30,12 +30,30 @@ object Ingest {
    * DataFrames alike.
    */
   def qualityGate(docs: DataFrame, minQuality: Double = 0.3,
-      langs: Seq[String] = Seq("en")): DataFrame =
+      langs: Seq[String] = Seq("en")): DataFrame = {
+    // The expensive signals (split + marker scans + punctuation regex)
+    // are computed ONCE per row behind a Generate barrier —
+    // explode(array(struct)) emits exactly one row and predicates
+    // cannot push below a generator, so neither predicate pushdown nor
+    // the CASE chain's conditional branches (which codegen's
+    // subexpression elimination skips) can re-evaluate them. The
+    // language argmax then runs over the materialised hit counts
+    // (cheap int compares). Measured 5.7s → 0.7s on the 100k-doc probe
+    // vs inlining TextAnalysis.predictedLangCol into the filter.
+    val sig = struct(
+      graft.functions.Texts.markerHits(
+        split(col("text"), " "), TextAnalysis.langMarkers.map(_._2)).as("mh"),
+      TextAnalysis.qualityScoreCol(col("text")).as("q"))
+    val idx = TextAnalysis.langMarkers.map(_._1).zipWithIndex.toMap
     docs
-      .withColumn("predicted_lang", TextAnalysis.predictedLangCol(col("text")))
-      .withColumn("quality_score", TextAnalysis.qualityScoreCol(col("text")))
+      .withColumn("_sig", explode(array(sig)))
+      .withColumn("predicted_lang",
+        TextAnalysis.predictedFromHits(l => element_at(col("_sig.mh"), idx(l) + 1)))
+      .withColumn("quality_score", col("_sig.q"))
       .filter(col("quality_score") >= minQuality &&
         col("predicted_lang").isin(langs: _*))
+      .drop("_sig")
+  }
 
   /**
    * Batch ingest: gate, then keep ONE document per distinct content

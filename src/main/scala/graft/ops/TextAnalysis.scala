@@ -26,17 +26,18 @@ object TextAnalysis {
 
   private def words(text: Column): Column = split(text, " ")
 
-  /** Count of word occurrences hitting a marker list (duplicates count:
-   * `filter`, not `array_intersect`). */
-  private def hits(text: Column, markers: Seq[String]): Column = {
-    val m = array(markers.map(lit): _*)
-    size(filter(words(text), w => array_contains(m, w)))
-  }
+  /** Count of word occurrences hitting a marker list (duplicates
+   * count — membership, not intersection). One native codegen'd pass
+   * (graft.functions.MarkerHits); the interpreted-HOF form
+   * (size(filter(words, w => array_contains(...)))) re-evaluates the
+   * marker array per word and measured ~20× slower at 100k docs. */
+  private def hits(text: Column, markers: Seq[String]): Column =
+    element_at(graft.functions.Texts.markerHits(words(text), Seq(markers)), 1)
 
   /** First-wins argmax CASE chain over per-language hit counts: lang i
    * is predicted iff its score >= all later (earlier CASE arms win
    * ties) — identical semantics in the SQL oracle. */
-  private def predictedFromHits(hitCol: String => Column): Column = {
+  private[ops] def predictedFromHits(hitCol: String => Column): Column = {
     val langs = langMarkers.map(_._1)
     langs.zipWithIndex.foldRight(lit(langs.last): Column) {
       case ((l, i), elseCol) =>
@@ -52,8 +53,12 @@ object TextAnalysis {
 
   /** Predicted language of a text column, usable in any projection or
    * filter (see [[Ingest.qualityGate]]); [[languageId]] is the query
-   * face. Codegen's subexpression elimination collapses the repeated
-   * hit counts in the CASE chain. */
+   * face. Each CASE-chain reference carries its own SINGLE-set
+   * MarkerHits: expressions inside conditional branches are not
+   * subexpression-eliminated, so a fused all-sets pass would re-count
+   * every set at every reference (measured 5× slower) — per-set
+   * expressions keep each branch's work proportional to what it
+   * actually compares. */
   def predictedLangCol(text: Column): Column = {
     val hitCols = langMarkers.map { case (l, markers) => l -> hits(text, markers) }.toMap
     predictedFromHits(hitCols)
@@ -90,13 +95,21 @@ object TextAnalysis {
       size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
         .cast("long").as("bpe_tokens"))
 
+  /** Punctuation count: code points outside [A-Za-z0-9 ] — the native
+   * one-pass twin of size(regexp_extract_all(text, "[^A-Za-z0-9 ]"))
+   * (single-char class ⇒ match count = code-point count; the regex
+   * engine alone was 4.5s per 100k docs, the byte loop ~0.1s). */
+  private def punctCount(text: Column): Column =
+    graft.functions.Texts.missCount(text,
+      ('A' to 'Z').mkString + ('a' to 'z').mkString + ('0' to '9').mkString + " ")
+
   /** The bounded [0,1] quality score of a text column, usable in any
    * projection or filter (see [[Ingest.qualityGate]]); [[qualityScore]]
    * is the query face exposing the component signals too. */
   def qualityScoreCol(text: Column): Column = {
     val nTokens = size(words(text)).cast("double")
     val nChars = length(text).cast("double")
-    val punct = size(regexp_extract_all(text, lit("[^A-Za-z0-9 ]"), lit(0))).cast("double")
+    val punct = punctCount(text).cast("double")
     val stop = hits(text, langMarkers.flatMap(_._2)).cast("double")
     val punctRatio = punct / greatest(nChars, lit(1.0))
     val stopRatio = stop / greatest(nTokens, lit(1.0))
@@ -117,7 +130,7 @@ object TextAnalysis {
     val w = words(col("text"))
     val nTokens = size(w).cast("double")
     val nChars = length(col("text")).cast("double")
-    val punct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9 ]"), lit(0))).cast("double")
+    val punct = punctCount(col("text")).cast("double")
     val stop = hits(col("text"), langMarkers.flatMap(_._2)).cast("double")
     val punctRatio = punct / greatest(nChars, lit(1.0))
     val stopRatio = stop / greatest(nTokens, lit(1.0))
