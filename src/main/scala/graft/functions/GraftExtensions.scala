@@ -2,8 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.catalyst.expressions.{CreateArray, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /**
  * SQL registration of the native graft expressions, so plain-SQL users
@@ -15,7 +16,12 @@ import org.apache.spark.sql.types.IntegerType
  *   - `graft_minhash(array<long>, k)` → array<long> — the one-pass
  *     k-function MinHash signature (see [[AffineMinHash]]); `k` must be
  *     a literal, constants derive from the shared seeded family so SQL
- *     and Column-API signatures are identical bit-for-bit.
+ *     and Column-API signatures are identical bit-for-bit;
+ *   - `graft_marker_hits(array<string>, array('the','a'), ...)` →
+ *     array<int> — per-set marker-occurrence counts in one pass (see
+ *     [[MarkerHits]]); marker sets must be literal string arrays;
+ *   - `graft_miss_count(string, 'A..Za..z0..9 ')` → int — code points
+ *     outside a literal allowed ASCII set (see [[CodePointMissCount]]).
  *
  * Two installation faces, same registrations:
  *   - config-time: `--conf spark.sql.extensions=graft.functions.GraftExtensions`
@@ -34,6 +40,22 @@ object GraftExtensions {
     require(e.foldable && e.dataType == IntegerType,
       s"$what must be an INT literal, got: $e")
     e.eval().asInstanceOf[Int]
+  }
+
+  private def literalString(e: Expression, what: String): String = {
+    require(e.foldable && e.dataType == StringType,
+      s"$what must be a STRING literal, got: $e")
+    e.eval().asInstanceOf[UTF8String].toString
+  }
+
+  /** A literal array-of-strings argument (e.g. array('the','a')). */
+  private def literalStringSeq(e: Expression, what: String): Seq[String] = e match {
+    case CreateArray(children, _) => children.map(literalString(_, what))
+    case lit: Literal if lit.foldable =>
+      lit.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toArray[UTF8String](StringType).map(_.toString).toSeq
+    case other => throw new IllegalArgumentException(
+      s"$what must be a literal array of strings, got: $other")
   }
 
   /** The shared seeded affine-coefficient family — the single source of
@@ -65,6 +87,21 @@ object GraftExtensions {
         val consts = affineConstants(k)
         AffineMinHash(children.head,
           consts.map(_._1).toArray, consts.map(_._2).toArray, MinhashP)
+      }),
+    (FunctionIdentifier("graft_marker_hits"),
+      new ExpressionInfo(classOf[MarkerHits].getName, "graft_marker_hits"),
+      (children: Seq[Expression]) => {
+        require(children.size >= 2,
+          s"graft_marker_hits takes a words array plus 1+ literal marker arrays")
+        MarkerHits(children.head,
+          children.tail.map(literalStringSeq(_, "graft_marker_hits marker set")))
+      }),
+    (FunctionIdentifier("graft_miss_count"),
+      new ExpressionInfo(classOf[CodePointMissCount].getName, "graft_miss_count"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, s"graft_miss_count takes 2 arguments, got ${children.size}")
+        CodePointMissCount(children.head,
+          literalString(children(1), "graft_miss_count allowed set"))
       }))
 
   /** Install the functions on a live session (the runtime face of the

@@ -43,6 +43,17 @@ class GraftExtensionsSpec extends SparkSpec {
     spark.catalog.dropTempView("mh_bad")
   }
 
+  test("graft_marker_hits and graft_miss_count SQL functions match the Column API") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_marker_hits(split('the cat and the dog', ' '),
+        |         array('the','and'), array('der','und')) AS mh,
+        |       graft_miss_count('a.b,c!', 'abc') AS mc""".stripMargin)
+      .collect().head
+    assert(r.getSeq[Int](0).toSeq == Seq(3, 0))
+    assert(r.getInt(1) == 3)
+  }
+
   test("registrations are per-session and the injector class applies cleanly") {
     // runtime registration does not leak into sibling sessions
     val s2 = spark.newSession()
