@@ -155,6 +155,66 @@ object CodePointMissCount {
   }
 }
 
+/**
+ * Distinct word n-gram shingles in one native pass — the twin of
+ * `array_distinct(transform(sequence(1, greatest(size(w)−n+1, 1)),
+ * i => array_join(slice(w, i, n), " ")))`, which evaluates three
+ * interpreted higher-order functions per row and dominated the
+ * shingle-based dedup pipelines (~2.3s per 260k postings). Semantics
+ * are identical: documents shorter than n words collapse to one
+ * shingle of all their words; first-occurrence order is preserved
+ * (LinkedHashSet = array_distinct ordering).
+ */
+case class WordNGrams(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(n >= 1, s"n must be >= 1, got $n")
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    new GenericArrayData(WordNGrams.build(arr, n))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = WordNGrams.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  $cls.build($c, $n));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordNGrams =
+    copy(child = newChild)
+}
+
+object WordNGrams {
+  private val Space = UTF8String.fromString(" ")
+
+  /** Shared by interpreted eval and the generated code: the per-row
+   * loop is identical either way, only the call boundary differs. */
+  def build(arr: ArrayData, n: Int): Array[AnyRef] = {
+    val m = arr.numElements()
+    val cnt = math.max(m - n + 1, 1)
+    val set = new java.util.LinkedHashSet[UTF8String](cnt * 2)
+    var i = 0
+    while (i < cnt) {
+      val end = math.min(i + n, m)
+      val parts = new Array[UTF8String](end - i)
+      var j = i
+      while (j < end) { parts(j - i) = arr.getUTF8String(j); j += 1 }
+      set.add(UTF8String.concatWs(Space, parts: _*))
+      i += 1
+    }
+    set.toArray.asInstanceOf[Array[AnyRef]]
+  }
+}
+
 /** Column-API surface for the native text expressions. */
 object Texts {
   /** One-pass per-set marker-occurrence counts over a words array;
@@ -166,4 +226,8 @@ object Texts {
    * `[^<allowed>]` match count without the regex engine. */
   def missCount(text: Column, allowed: String): Column =
     ColumnBridge.column(CodePointMissCount(ColumnBridge.expression(text), allowed))
+
+  /** Distinct word n-grams of a words array in one native pass. */
+  def wordNGrams(words: Column, n: Int): Column =
+    ColumnBridge.column(WordNGrams(ColumnBridge.expression(words), n))
 }

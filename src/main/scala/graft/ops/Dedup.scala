@@ -28,15 +28,12 @@ object Dedup {
   def mdhash(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** Distinct word n-gram shingles of a text column (native exprs only:
-   * split → sliding window via transform+slice → distinct). */
-  def shingles(text: Column, n: Int): Column = {
-    val words = split(text, " ")
-    array_distinct(
-      transform(
-        sequence(lit(1), greatest(size(words) - (n - 1), lit(1))),
-        i => array_join(slice(words, i, lit(n)), " ")))
-  }
+  /** Distinct word n-gram shingles of a text column — one native
+   * codegen'd pass (graft.functions.WordNGrams); the HOF formulation
+   * (array_distinct(transform(sequence, i => array_join(slice))))
+   * is interpreted per element and dominated the shingle pipelines. */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.Texts.wordNGrams(split(text, " "), n)
 
   /**
    * Exact dedup: group by content hash, keep the lowest doc_id as
@@ -166,9 +163,15 @@ object Dedup {
       col("doc_id"), explode(shingles(col("text"), shingleSize)).as("s"))
       .localCheckpoint()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // no broadcast hint: the exploded posting list is LARGER than the
-    // corpus — let AQE pick the join strategy from runtime sizes
-    val inter = sh.as("a").join(sh.as("b"),
+    // prefix filter (exact): a shingle held by ONE document can never
+    // witness a pair, and most shingles are unique — restricting the
+    // self-join input to shared shingles cuts it by orders of magnitude
+    // without changing the result (one extra map-side-combined count).
+    val shared = sh.groupBy("s").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select("s")
+    val p = sh.join(shared, "s")
+    // no broadcast hint: let AQE pick the join strategy from runtime sizes
+    val inter = p.as("a").join(p.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("c"))
