@@ -156,16 +156,22 @@ object CodePointMissCount {
 }
 
 /**
- * Distinct word n-gram shingles in one native pass — the twin of
- * `array_distinct(transform(sequence(1, greatest(size(w)−n+1, 1)),
- * i => array_join(slice(w, i, n), " ")))`, which evaluates three
- * interpreted higher-order functions per row and dominated the
- * shingle-based dedup pipelines (~2.3s per 260k postings). Semantics
- * are identical: documents shorter than n words collapse to one
- * shingle of all their words; first-occurrence order is preserved
- * (LinkedHashSet = array_distinct ordering).
+ * Word n-grams in one native pass — the twin of the interpreted
+ * higher-order chain `transform(sequence(1, cnt), i =>
+ * array_join(slice(w, i, n), " "))` (optionally wrapped in
+ * `array_distinct`), which evaluates three HOFs per row and dominated
+ * the gram-based pipelines (~2.3s per 260k postings).
+ *
+ * Two semantic knobs mirror the two HOF formulations in use:
+ *   - `distinct` — dedup preserving first-occurrence order
+ *     (= array_distinct; the shingle form) vs all positional grams
+ *     (the bigram/winnow form);
+ *   - `padShort` — documents shorter than n words collapse to ONE
+ *     gram of all their words (= the greatest(size−n+1, 1) bound) vs
+ *     emit NO grams (= the `when(size >= n, ...)` guard).
  */
-case class WordNGrams(child: Expression, n: Int)
+case class WordNGrams(child: Expression, n: Int,
+    distinct: Boolean = true, padShort: Boolean = true)
     extends UnaryExpression with ExpectsInputTypes {
 
   require(n >= 1, s"n must be >= 1, got $n")
@@ -176,7 +182,7 @@ case class WordNGrams(child: Expression, n: Int)
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    new GenericArrayData(WordNGrams.build(arr, n))
+    new GenericArrayData(WordNGrams.build(arr, n, distinct, padShort))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -184,7 +190,7 @@ case class WordNGrams(child: Expression, n: Int)
     nullSafeCodeGen(ctx, ev, c => {
       s"""
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-         |  $cls.build($c, $n));
+         |  $cls.build($c, $n, $distinct, $padShort));
        """.stripMargin
     })
   }
@@ -198,20 +204,22 @@ object WordNGrams {
 
   /** Shared by interpreted eval and the generated code: the per-row
    * loop is identical either way, only the call boundary differs. */
-  def build(arr: ArrayData, n: Int): Array[AnyRef] = {
+  def build(arr: ArrayData, n: Int, distinct: Boolean, padShort: Boolean): Array[AnyRef] = {
     val m = arr.numElements()
-    val cnt = math.max(m - n + 1, 1)
-    val set = new java.util.LinkedHashSet[UTF8String](cnt * 2)
+    val cnt = if (padShort) math.max(m - n + 1, 1) else math.max(m - n + 1, 0)
+    val out: java.util.Collection[UTF8String] =
+      if (distinct) new java.util.LinkedHashSet[UTF8String](cnt * 2)
+      else new java.util.ArrayList[UTF8String](cnt)
     var i = 0
     while (i < cnt) {
       val end = math.min(i + n, m)
       val parts = new Array[UTF8String](end - i)
       var j = i
       while (j < end) { parts(j - i) = arr.getUTF8String(j); j += 1 }
-      set.add(UTF8String.concatWs(Space, parts: _*))
+      out.add(UTF8String.concatWs(Space, parts: _*))
       i += 1
     }
-    set.toArray.asInstanceOf[Array[AnyRef]]
+    out.toArray.asInstanceOf[Array[AnyRef]]
   }
 }
 
@@ -227,7 +235,9 @@ object Texts {
   def missCount(text: Column, allowed: String): Column =
     ColumnBridge.column(CodePointMissCount(ColumnBridge.expression(text), allowed))
 
-  /** Distinct word n-grams of a words array in one native pass. */
-  def wordNGrams(words: Column, n: Int): Column =
-    ColumnBridge.column(WordNGrams(ColumnBridge.expression(words), n))
+  /** Word n-grams of a words array in one native pass; see
+   * [[WordNGrams]] for the distinct/padShort semantics. */
+  def wordNGrams(words: Column, n: Int,
+      distinct: Boolean = true, padShort: Boolean = true): Column =
+    ColumnBridge.column(WordNGrams(ColumnBridge.expression(words), n, distinct, padShort))
 }

@@ -196,9 +196,7 @@ object TextAnalysis {
       .select(col("doc_id"),
         round(col("top_c").cast("double") / col("n_words"), 6).as("top_word_frac"))
     val wl = words(col("text"))
-    val grams = transform(
-      sequence(lit(1), greatest(size(wl) - (n - 1), lit(1))),
-      i => array_join(slice(wl, i, lit(n)), " "))
+    val grams = graft.functions.Texts.wordNGrams(wl, n, distinct = false, padShort = true)
     val gramStats = documents.select(col("doc_id"), explode(grams).as("g"))
       .groupBy("doc_id").agg(
         count(lit(1)).as("n_g"), countDistinct(col("g")).as("n_dg"))
@@ -218,15 +216,11 @@ object TextAnalysis {
    */
   def bigramLogProb(documents: DataFrame): DataFrame = {
     val wl = words(col("text"))
-    // positional bigrams as "prev w" strings via the winnow gram
-    // pattern (slice + array_join — words cannot contain the
-    // separator, split() guarantees it). The round-2 struct-HOF form
-    // (transform → struct(element_at, element_at) → explode) was ~3×
-    // slower in the explode alone.
-    val grams = when(size(wl) >= 2,
-      transform(sequence(lit(1), size(wl) - 1),
-        i => array_join(slice(wl, i, lit(2)), " ")))
-      .otherwise(array().cast("array<string>"))
+    // positional bigrams as "prev w" strings (words cannot contain the
+    // separator, split() guarantees it) in one native pass — the
+    // interpreted slice+array_join HOF chain (and before it the even
+    // slower struct-HOF form) was the round-2 q_x9 pathology
+    val grams = graft.functions.Texts.wordNGrams(wl, 2, distinct = false, padShort = false)
     // materialise the exploded bigram corpus ONCE: the two count
     // tables and the scoring join all derive from it, and without the
     // checkpoint the explode lineage executes three times per action
@@ -267,9 +261,7 @@ object TextAnalysis {
    */
   def winnow(documents: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
     val wl = words(col("text"))
-    val grams = transform(
-      sequence(lit(1), greatest(size(wl) - (k - 1), lit(1))),
-      i => array_join(slice(wl, i, lit(k)), " "))
+    val grams = graft.functions.Texts.wordNGrams(wl, k, distinct = false, padShort = true)
     val hashed = documents
       .select(col("doc_id"), posexplode(grams).as(Seq("pos", "g")))
       .withColumn("h", Dedup.mdhash(col("g")))
@@ -321,17 +313,18 @@ object TextAnalysis {
    */
   def collocations(documents: DataFrame, minCount: Long = 5L, topK: Int = 50): DataFrame = {
     val wl = words(col("text"))
-    val pairs = when(size(wl) >= 2,
-      transform(sequence(lit(1), size(wl) - 1),
-        i => struct(element_at(wl, i).as("prev"), element_at(wl, i + 1).as("w"))))
-      .otherwise(array().cast("array<struct<prev:string,w:string>>"))
+    // positional bigrams in one native pass (the struct-HOF form —
+    // transform → struct(element_at ×2) → explode — was the slowest
+    // interpreted chain in the suite)
+    val pairs = graft.functions.Texts.wordNGrams(wl, 2, distinct = false, padShort = false)
     // vocabulary-sized bigram counts, materialised ONCE (the left/
     // right/total context tables all derive from it — without the
     // checkpoint the corpus explode would run four times). No driver
     // action: the scalar total is folded into the plan as a broadcast
     // cross join, like unigramLogProb.
-    val bc = documents.select(explode(pairs).as("b"))
-      .select(col("b.prev").as("prev"), col("b.w").as("w"))
+    val bc = documents.select(explode(pairs).as("g"))
+      .select(substring_index(col("g"), " ", 1).as("prev"),
+        substring_index(col("g"), " ", -1).as("w"))
       .groupBy("prev", "w").agg(count(lit(1)).as("c_xy"))
       .localCheckpoint()
     val left = bc.groupBy("prev").agg(sum("c_xy").as("c_x"))
