@@ -21,7 +21,10 @@ import org.apache.spark.unsafe.types.UTF8String
  *     array<int> — per-set marker-occurrence counts in one pass (see
  *     [[MarkerHits]]); marker sets must be literal string arrays;
  *   - `graft_miss_count(string, 'A..Za..z0..9 ')` → int — code points
- *     outside a literal allowed ASCII set (see [[CodePointMissCount]]).
+ *     outside a literal allowed ASCII set (see [[CodePointMissCount]]);
+ *   - `graft_shingles(array<string>, n)` → array<string> — distinct
+ *     word n-grams in one pass (see [[WordNGrams]]; the shingle form:
+ *     distinct, short docs collapse to one gram).
  *
  * Two installation faces, same registrations:
  *   - config-time: `--conf spark.sql.extensions=graft.functions.GraftExtensions`
@@ -102,6 +105,12 @@ object GraftExtensions {
         require(children.size == 2, s"graft_miss_count takes 2 arguments, got ${children.size}")
         CodePointMissCount(children.head,
           literalString(children(1), "graft_miss_count allowed set"))
+      }),
+    (FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[WordNGrams].getName, "graft_shingles"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, s"graft_shingles takes 2 arguments, got ${children.size}")
+        WordNGrams(children.head, literalInt(children(1), "graft_shingles n"))
       }))
 
   /** Install the functions on a live session (the runtime face of the

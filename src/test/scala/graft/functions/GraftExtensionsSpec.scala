@@ -54,6 +54,19 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getInt(1) == 3)
   }
 
+  test("graft_shingles SQL function matches Dedup.shingles") {
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_shingles(split('a b c d', ' '), 3) AS sh")
+      .collect().head.getSeq[String](0).toSeq
+    assert(viaSql == Seq("a b c", "b c d"))
+    import spark.implicits._
+    val viaApi = Seq("a b c d").toDF("text")
+      .select(graft.ops.Dedup.shingles(col("text"), 3))
+      .collect().head.getSeq[String](0).toSeq
+    assert(viaSql == viaApi)
+  }
+
   test("registrations are per-session and the injector class applies cleanly") {
     // runtime registration does not leak into sibling sessions
     val s2 = spark.newSession()
