@@ -42,20 +42,26 @@ object GraftExtensions {
   private def literalInt(e: Expression, what: String): Int = {
     require(e.foldable && e.dataType == IntegerType,
       s"$what must be an INT literal, got: $e")
-    e.eval().asInstanceOf[Int]
+    val v = e.eval()
+    require(v != null, s"$what must be a non-NULL INT literal")
+    v.asInstanceOf[Int]
   }
 
   private def literalString(e: Expression, what: String): String = {
     require(e.foldable && e.dataType == StringType,
       s"$what must be a STRING literal, got: $e")
-    e.eval().asInstanceOf[UTF8String].toString
+    val v = e.eval()
+    require(v != null, s"$what must be a non-NULL STRING literal")
+    v.asInstanceOf[UTF8String].toString
   }
 
   /** A literal array-of-strings argument (e.g. array('the','a')). */
   private def literalStringSeq(e: Expression, what: String): Seq[String] = e match {
     case CreateArray(children, _) => children.map(literalString(_, what))
     case lit: Literal if lit.foldable =>
-      lit.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val v = lit.eval()
+      require(v != null, s"$what must be a non-NULL literal array of strings")
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
         .toArray[UTF8String](StringType).map(_.toString).toSeq
     case other => throw new IllegalArgumentException(
       s"$what must be a literal array of strings, got: $other")

@@ -203,7 +203,11 @@ object WordNGrams {
   private val Space = UTF8String.fromString(" ")
 
   /** Shared by interpreted eval and the generated code: the per-row
-   * loop is identical either way, only the call boundary differs. */
+   * loop is identical either way, only the call boundary differs.
+   * Null elements are skipped within a gram — the same semantics as
+   * the array_join(slice(...)) formulation this replaces (split()
+   * output has none, but the SQL face accepts arbitrary arrays, and
+   * reading a null slot of an UnsafeArrayData is undefined). */
   def build(arr: ArrayData, n: Int, distinct: Boolean, padShort: Boolean): Array[AnyRef] = {
     val m = arr.numElements()
     val cnt = if (padShort) math.max(m - n + 1, 1) else math.max(m - n + 1, 0)
@@ -214,9 +218,14 @@ object WordNGrams {
     while (i < cnt) {
       val end = math.min(i + n, m)
       val parts = new Array[UTF8String](end - i)
+      var k = 0
       var j = i
-      while (j < end) { parts(j - i) = arr.getUTF8String(j); j += 1 }
-      out.add(UTF8String.concatWs(Space, parts: _*))
+      while (j < end) {
+        if (!arr.isNullAt(j)) { parts(k) = arr.getUTF8String(j); k += 1 }
+        j += 1
+      }
+      val trimmed = if (k == parts.length) parts else java.util.Arrays.copyOf(parts, k)
+      out.add(UTF8String.concatWs(Space, trimmed: _*))
       i += 1
     }
     out.toArray.asInstanceOf[Array[AnyRef]]

@@ -78,8 +78,12 @@ object Ingest {
    * Streaming ingest: the same gate composed with watermark-bounded
    * exact dedup — first-arrival wins within the `delay` horizon and
    * state stays bounded. `docs` must carry a `ts` event-time column.
+   * The dedup helper's internal hash column is dropped so the batch
+   * and streaming faces emit the SAME schema (input columns +
+   * predicted_lang + quality_score).
    */
   def runStreaming(docs: DataFrame, minQuality: Double = 0.3,
       langs: Seq[String] = Seq("en"), delay: String = "10 minutes"): DataFrame =
     Dedup.streamingExactDedup(qualityGate(docs, minQuality, langs), delay)
+      .drop("text_md5")
 }

@@ -81,11 +81,12 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("ingest gate is map-side until the dedup shuffle") {
+  test("ingest gate is map-side until the single dedup shuffle") {
     audited(graft.ops.Ingest.runBatch(Tables.documents(spark, sf))) { plan =>
-      // one shuffle builds the canonical (hash → min doc_id) table; the
-      // join back may add one more on the gated side at static planning
-      assert(shuffles(plan).size <= 3, s"${shuffles(plan).size} shuffles:\n$plan")
+      // exactly the row_number window's shuffle on md5(text) — the
+      // aggregate-then-join-back form this op replaced (measured 4×
+      // slower) would show 2-3 exchanges and must fail here
+      assert(shuffles(plan).size <= 1, s"${shuffles(plan).size} shuffles:\n$plan")
     }
   }
 }

@@ -32,6 +32,18 @@ class GraftExtensionsSpec extends SparkSpec {
     spark.catalog.dropTempView("mh_in")
   }
 
+  test("NULL literal arguments are rejected with the descriptive error, not an NPE") {
+    GraftExtensions.register(spark)
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_miss_count('abc', CAST(NULL AS STRING))").collect()
+    }
+    assert(err.getMessage.contains("non-NULL"), err.getMessage)
+    val err2 = intercept[Exception] {
+      spark.sql("SELECT graft_minhash(array(1L), CAST(NULL AS INT))").collect()
+    }
+    assert(err2.getMessage.contains("non-NULL"), err2.getMessage)
+  }
+
   test("graft_minhash rejects a non-literal k") {
     GraftExtensions.register(spark)
     import spark.implicits._
@@ -68,10 +80,12 @@ class GraftExtensionsSpec extends SparkSpec {
   }
 
   test("registrations are per-session and the injector class applies cleanly") {
-    // runtime registration does not leak into sibling sessions
+    // runtime registration does not leak into sibling sessions: query
+    // the REGISTERED name on a fresh session BEFORE registering there
+    GraftExtensions.register(spark)
     val s2 = spark.newSession()
     assert(intercept[Exception] {
-      s2.sql("SELECT graft_dot_unregistered(array(1.0d), array(2.0d))").collect()
+      s2.sql("SELECT graft_dot(array(1.0d), array(2.0d))").collect()
     }.getMessage.toLowerCase.contains("unresolved"))
     GraftExtensions.register(s2)
     assert(s2.sql("SELECT graft_dot(array(1.0d), array(2.0d))").collect().head.getDouble(0) == 2.0)

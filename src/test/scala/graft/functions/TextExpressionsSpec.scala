@@ -37,6 +37,18 @@ class TextExpressionsSpec extends SparkSpec {
     got.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
   }
 
+  test("wordNGrams skips null elements within a gram, like array_join") {
+    import spark.implicits._
+    val arr = array(lit("a"), lit(null).cast("string"), lit("b"))
+    val df = Seq(1).toDF("x")
+    val native = df.select(Texts.wordNGrams(arr, 2, distinct = false, padShort = false))
+      .collect().head.getSeq[String](0).toSeq
+    val hof = df.select(transform(sequence(lit(1), size(arr) - 1),
+      i => array_join(slice(arr, i, lit(2)), " ")))
+      .collect().head.getSeq[String](0).toSeq
+    assert(native == hof && native == Seq("a", "b"))
+  }
+
   test("null inputs propagate as null") {
     import spark.implicits._
     val df = Seq[Option[String]](None).toDF("text")
