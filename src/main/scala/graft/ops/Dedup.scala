@@ -263,9 +263,12 @@ object Dedup {
   /**
    * SimHash document fingerprint: per word-occurrence hash, each bit
    * position votes ±1; the sign of the per-bit sum becomes the bit.
-   * Computed as ONE groupBy(doc) with 60 parallel conditional sums —
-   * a single shuffle with map-side partial aggregation (the naive
-   * explode-by-bit form would shuffle 60× the data).
+   * ONE groupBy(doc) with a single native bit-vote aggregate
+   * (graft.functions.SimHashAgg: one int[60] buffer, one update loop)
+   * — a single shuffle with map-side partial aggregation; the
+   * 60-parallel-conditional-sums form shuffled 60 long columns and
+   * evaluated 60 codegen'd branches per row, and the naive
+   * explode-by-bit form would shuffle 60× the data.
    */
   /**
    * SimHash near-duplicate pairs: band the 60-bit fingerprint into
@@ -305,18 +308,11 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  def simhash(documents: DataFrame): DataFrame = {
-    val words = documents.select(
+  def simhash(documents: DataFrame): DataFrame =
+    documents.select(
       col("doc_id"),
       explode(split(col("text"), " ")).as("w"))
       .withColumn("hv", mdhash(col("w")))
-    val bitSums = (0 until SimhashBits).map { i =>
-      sum(when(shiftright(col("hv"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s_$i")
-    }
-    val withSums = words.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val hashExpr = (0 until SimhashBits).map { i =>
-      when(col(s"s_$i") > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    withSums.select(col("doc_id"), hashExpr.cast("long").as("simhash"))
-  }
+      .groupBy("doc_id")
+      .agg(graft.functions.Aggs.simhash(col("hv"), SimhashBits).as("simhash"))
 }
