@@ -227,6 +227,14 @@ object Dedup {
     // DECIMAL(38,0) so the sum cannot overflow at any corpus size.
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("cluster").cast("decimal(38,0)"))).head.getDecimal(0)
+    // one pointer-jump hop: label := label(label)
+    def jump(df: DataFrame): DataFrame = {
+      val byId = df.select(col("doc_id").as("pj_id"), col("cluster").as("pj_cluster"))
+      df.alias("p")
+        .join(byId.alias("j"), col("p.cluster") === col("j.pj_id"), "left")
+        .select(col("p.doc_id").as("doc_id"),
+          coalesce(col("j.pj_cluster"), col("p.cluster")).as("cluster"))
+    }
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
@@ -240,13 +248,10 @@ object Dedup {
         .join(neighborMin, labels("doc_id") === col("agg_id"), "left")
         .select(col("doc_id"),
           least(col("cluster"), coalesce(col("neighbor_cluster"), col("cluster"))).as("cluster"))
-      // pointer jumping: follow the label's own label one hop
-      val byId = propagated.select(col("doc_id").as("pj_id"), col("cluster").as("pj_cluster"))
-      val next = propagated.alias("p")
-        .join(byId.alias("j"), col("p.cluster") === col("j.pj_id"), "left")
-        .select(col("p.doc_id").as("doc_id"),
-          coalesce(col("j.pj_cluster"), col("p.cluster")).as("cluster"))
-        .localCheckpoint()
+      // two pointer-jump hops per round: propagation distance
+      // quadruples per round (min-step + jump + jump) → fewer rounds,
+      // and each jump join is label-table-sized (cheap)
+      val next = jump(jump(propagated)).localCheckpoint()
       val curSum = labelSum(next)
       converged = curSum.compareTo(prevSum) == 0
       prevSum = curSum
