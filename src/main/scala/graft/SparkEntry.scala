@@ -96,6 +96,9 @@ object SparkEntry {
     // single-query SQL); cluster sizes asserted in DedupSpec
     "q_d6_dup_clusters" -> ((s, d) =>
       Dedup.duplicateClusters(Dedup.ngramJaccard(Tables.documents(s, d), 3, 0.5))),
+    // q_d8: the cleaned corpus — every unclustered doc + one canonical
+    // representative per near-dup cluster (the pipeline's end product)
+    "q_d8_dedup_apply" -> ((s, d) => Dedup.applyNearDedup(Tables.documents(s, d))),
     // ---- training-data pipeline: dedup ----------------------------
     "q_d1_exact_dedup" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
     "q_d2_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
@@ -219,6 +222,29 @@ object SparkEntry {
 
   /** DuckDB twin of Dedup.mdhash. */
   private def MDH(e: String): String = s"('0x'||substr(md5($e),1,15))::UBIGINT::BIGINT"
+
+  /** Shared CTE chain for the duplicate-cluster oracles (q_d6, q_d8):
+   * exact-Jaccard pairs → undirected edges → recursive transitive
+   * closure → min-label cluster per member doc. */
+  private def dupClusterCtes: String =
+    s"""${SH.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       | sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+       | inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS c
+       |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |           GROUP BY 1, 2),
+       | pairs AS (SELECT i.doc_a, i.doc_b
+       |           FROM inter i
+       |           JOIN sizes sa ON sa.doc_id = i.doc_a
+       |           JOIN sizes sb ON sb.doc_id = i.doc_b
+       |           WHERE ROUND(CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c), 6) >= 0.5),
+       | edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+       |           UNION SELECT doc_b, doc_a FROM pairs),
+       | nodes AS (SELECT DISTINCT s AS doc_id FROM edges),
+       | reach AS (SELECT s, d FROM edges
+       |           UNION SELECT r.s, e.d FROM reach r JOIN edges e ON e.s = r.d),
+       | cl AS (SELECT n.doc_id, CAST(LEAST(n.doc_id, MIN(r.d)) AS BIGINT) AS cluster
+       |        FROM nodes n LEFT JOIN reach r ON r.s = n.doc_id
+       |        GROUP BY n.doc_id)""".stripMargin
 
   /** Oracle twin of Dedup.minhashLsh for any banding: the affine
    * constants (same source of truth as Dedup.minhashFromBase), band
@@ -453,25 +479,12 @@ object SparkEntry {
          | WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
          |   AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
          |   AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
-    "q_d6_dup_clusters" ->
-      s"""${SH.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         | sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
-         | inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS c
-         |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-         |           GROUP BY 1, 2),
-         | pairs AS (SELECT i.doc_a, i.doc_b
-         |           FROM inter i
-         |           JOIN sizes sa ON sa.doc_id = i.doc_a
-         |           JOIN sizes sb ON sb.doc_id = i.doc_b
-         |           WHERE ROUND(CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c), 6) >= 0.5),
-         | edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
-         |           UNION SELECT doc_b, doc_a FROM pairs),
-         | nodes AS (SELECT DISTINCT s AS doc_id FROM edges),
-         | reach AS (SELECT s, d FROM edges
-         |           UNION SELECT r.s, e.d FROM reach r JOIN edges e ON e.s = r.d)
-         | SELECT n.doc_id, CAST(LEAST(n.doc_id, MIN(r.d)) AS BIGINT) AS cluster
-         | FROM nodes n LEFT JOIN reach r ON r.s = n.doc_id
-         | GROUP BY n.doc_id""".stripMargin,
+    "q_d6_dup_clusters" -> s"$dupClusterCtes\n SELECT doc_id, cluster FROM cl",
+    "q_d8_dedup_apply" ->
+      s"""$dupClusterCtes
+         | SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+         | FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
+         | WHERE cl.doc_id IS NULL OR cl.cluster = d.doc_id""".stripMargin,
     "q_d7_simhash_pairs" ->
       s"""WITH wd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w0 FROM documents),
          | h AS (SELECT doc_id, ${MDH("w0")} AS hv FROM wd),

@@ -261,6 +261,26 @@ object Dedup {
     labels
   }
 
+  /**
+   * Apply near-dedup to a corpus: the end product of the dedup
+   * pipeline — every document that is in no duplicate cluster, plus
+   * ONE canonical representative (the min-doc_id member, which labels
+   * its own cluster) per cluster. This is the "cleaned corpus" a
+   * training pipeline writes out; pairs/clusters are its audit trail.
+   *
+   * Scale notes: pair detection and clustering are the bounded pieces
+   * ([[ngramJaccard]]/[[minhashLsh]] + [[duplicateClusters]]); the
+   * final filter is one join of the corpus against the (much smaller)
+   * cluster table — broadcast when it fits, else a key shuffle.
+   */
+  def applyNearDedup(documents: DataFrame, shingleSize: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val clusters = duplicateClusters(ngramJaccard(documents, shingleSize, threshold))
+    documents.join(clusters, Seq("doc_id"), "left")
+      .filter(col("cluster").isNull || col("cluster") === col("doc_id"))
+      .drop("cluster")
+  }
+
   /** Number of bits used by the portable SimHash (60 = the bits carried
    * by the 15-hex-char mdhash). */
   val SimhashBits = 60

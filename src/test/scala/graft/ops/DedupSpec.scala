@@ -94,6 +94,19 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("apply near-dedup keeps unclustered docs plus one canonical per cluster") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, base),                     // cluster {1,2}: near-identical
+      (2L, base + " iota"),
+      (3L, "totally different words with no shared trigrams at all here"),
+      (4L, "another unrelated document about entirely other things")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.applyNearDedup(docs).collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(kept == Seq(1L, 3L, 4L)) // 2 deduped to canonical 1
+  }
+
   test("duplicate clusters: converges on a deep chain (diameter >> old iteration cap)") {
     import spark.implicits._
     // path graph 1-2-3-...-40 with min id at the FAR end: worst case for
