@@ -102,6 +102,7 @@ object ScaleProbe {
     // two map-side column pipelines + the dedup shuffle
     timedDocs("ingest_gate_x16")(graft.ops.Ingest.runBatch(
       docs, minQuality = 0.0, langs = graft.ops.TextAnalysis.langMarkers.map(_._1)).count())
+    timedDocs("dedup_apply_d8")(graft.ops.Dedup.applyNearDedup(docs).count())
     docs.unpersist()
 
     // ---- ANN at 50× the embeddings fixture -------------------------
