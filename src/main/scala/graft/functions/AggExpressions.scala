@@ -36,14 +36,16 @@ case class SimHashAgg(
   override def createAggregationBuffer(): Array[Int] = new Array[Int](bits)
 
   override def update(buffer: Array[Int], input: InternalRow): Array[Int] = {
+    // a NULL hash votes −1 on every bit — the same semantics as the
+    // conditional-sum formulation this replaces (when(bit === 1, 1)
+    // .otherwise(-1) evaluates NULL to the otherwise branch) and as
+    // the DuckDB oracle's CASE WHEN ... ELSE -1
     val v = child.eval(input)
-    if (v != null) {
-      val hv = v.asInstanceOf[Long]
-      var i = 0
-      while (i < bits) {
-        if (((hv >> i) & 1L) == 1L) buffer(i) += 1 else buffer(i) -= 1
-        i += 1
-      }
+    val hv = if (v == null) 0L else v.asInstanceOf[Long]
+    var i = 0
+    while (i < bits) {
+      if (((hv >> i) & 1L) == 1L) buffer(i) += 1 else buffer(i) -= 1
+      i += 1
     }
     buffer
   }

@@ -249,9 +249,13 @@ object Dedup {
         .select(col("doc_id"),
           least(col("cluster"), coalesce(col("neighbor_cluster"), col("cluster"))).as("cluster"))
       // two pointer-jump hops per round: propagation distance
-      // quadruples per round (min-step + jump + jump) → fewer rounds,
-      // and each jump join is label-table-sized (cheap)
-      val next = jump(jump(propagated)).localCheckpoint()
+      // quadruples per round (min-step + jump + jump) → fewer rounds.
+      // The first hop is materialised before the second: the outer
+      // jump consumes its input on BOTH join sides (different
+      // partitionings), so an unmaterialised inner jump would execute
+      // twice inside the round's action
+      val hop1 = jump(propagated).localCheckpoint()
+      val next = jump(hop1).localCheckpoint()
       val curSum = labelSum(next)
       converged = curSum.compareTo(prevSum) == 0
       prevSum = curSum
@@ -274,8 +278,16 @@ object Dedup {
    * cluster table — broadcast when it fits, else a key shuffle.
    */
   def applyNearDedup(documents: DataFrame, shingleSize: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
-    val clusters = duplicateClusters(ngramJaccard(documents, shingleSize, threshold))
+      threshold: Double = 0.5): DataFrame =
+    applyNearDedup(documents, ngramJaccard(documents, shingleSize, threshold))
+
+  /** [[applyNearDedup]] with a caller-chosen pair finder — pass
+   * [[minhashLsh]] output for the banded 100 TB path (the default
+   * exact posting-list join is the oracle baseline and goes quadratic
+   * on corpora with heavy shared-shingle boilerplate). `pairs` must
+   * carry (doc_a, doc_b). */
+  def applyNearDedup(documents: DataFrame, pairs: DataFrame): DataFrame = {
+    val clusters = duplicateClusters(pairs)
     documents.join(clusters, Seq("doc_id"), "left")
       .filter(col("cluster").isNull || col("cluster") === col("doc_id"))
       .drop("cluster")
@@ -285,16 +297,6 @@ object Dedup {
    * by the 15-hex-char mdhash). */
   val SimhashBits = 60
 
-  /**
-   * SimHash document fingerprint: per word-occurrence hash, each bit
-   * position votes ±1; the sign of the per-bit sum becomes the bit.
-   * ONE groupBy(doc) with a single native bit-vote aggregate
-   * (graft.functions.SimHashAgg: one int[60] buffer, one update loop)
-   * — a single shuffle with map-side partial aggregation; the
-   * 60-parallel-conditional-sums form shuffled 60 long columns and
-   * evaluated 60 codegen'd branches per row, and the naive
-   * explode-by-bit form would shuffle 60× the data.
-   */
   /**
    * SimHash near-duplicate pairs: band the 60-bit fingerprint into
    * `bands` equal chunks; by pigeonhole, any pair within Hamming
@@ -333,6 +335,16 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /**
+   * SimHash document fingerprint: per word-occurrence hash, each bit
+   * position votes ±1; the sign of the per-bit sum becomes the bit.
+   * ONE groupBy(doc) with a single native bit-vote aggregate
+   * (graft.functions.SimHashAgg: one int[60] buffer, one update loop)
+   * — a single shuffle with map-side partial aggregation; the
+   * 60-parallel-conditional-sums form shuffled 60 long columns and
+   * evaluated 60 codegen'd branches per row, and the naive
+   * explode-by-bit form would shuffle 60× the data.
+   */
   def simhash(documents: DataFrame): DataFrame =
     documents.select(
       col("doc_id"),

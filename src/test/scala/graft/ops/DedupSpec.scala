@@ -107,6 +107,32 @@ class DedupSpec extends SparkSpec {
     assert(kept == Seq(1L, 3L, 4L)) // 2 deduped to canonical 1
   }
 
+  test("apply near-dedup accepts an LSH pair finder and agrees with the exact form") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, base), (2L, base + " iota"),
+      (3L, "totally different words with no shared trigrams at all here")
+    ).toDF("doc_id", "text")
+    val exact = Dedup.applyNearDedup(docs).collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    val banded = Dedup.applyNearDedup(docs, Dedup.minhashLsh(docs, 3, 20, 2, 0.5))
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(exact == banded)
+  }
+
+  test("simhash aggregate: a NULL hash votes -1 on every bit (oracle semantics)") {
+    import spark.implicits._
+    // one +1 vote per bit from hv=all-ones, one NULL: sums are 0 per
+    // bit → no bit set; skipping NULLs would leave +1 sums → all set
+    val df = Seq(Option((1L << 60) - 1), None).toDF("hv")
+      .withColumn("doc_id", org.apache.spark.sql.functions.lit(1L))
+    val got = df.groupBy("doc_id")
+      .agg(graft.functions.Aggs.simhash(org.apache.spark.sql.functions.col("hv"),
+        Dedup.SimhashBits).as("simhash"))
+      .collect().head.getAs[Long]("simhash")
+    assert(got == 0L)
+  }
+
   test("duplicate clusters: converges on a deep chain (diameter >> old iteration cap)") {
     import spark.implicits._
     // path graph 1-2-3-...-40 with min id at the FAR end: worst case for
