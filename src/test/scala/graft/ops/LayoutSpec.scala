@@ -35,4 +35,25 @@ class LayoutSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS layout_right")
     }
   }
+
+  test("aggregation on the bucket key also plans with zero exchange") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-buckets-agg").toString
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    Layout.writeBucketed(ev.select("event_id", "user_id", "value"),
+      "layout_events", s"$dir/events", "user_id", 8)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val agg = spark.table("layout_events")
+        .groupBy("user_id").agg(count(lit(1)).as("n"), sum("value").as("v"))
+      val exchanges = agg.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        s"bucketed aggregation should not shuffle:\n${agg.queryExecution.executedPlan}")
+      assert(agg.count() == ev.select("user_id").distinct().count())
+    } finally {
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      spark.sql("DROP TABLE IF EXISTS layout_events")
+    }
+  }
 }
