@@ -203,15 +203,22 @@ object Similarity {
    * the model); the probe join shuffles only (query, cell) pairs.
    */
   def ivfTopK(embeddings: DataFrame, nQueries: Int = 20, k: Int = 10,
-      nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+      nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+      trainFraction: Double = 1.0): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val corpus = embeddings.select(
       col("vec_id"), normalized(asDouble(col("embedding"))).as("v"))
       .withColumn("features", array_to_vector(col("v")))
       .localCheckpoint() // trained over + assigned + probed below
+    // k-means on a sampled fraction is the standard billion-scale IVF
+    // training regime (coarse centroids need only the distribution's
+    // shape); pass < 1.0 at scale — the default keeps the small-corpus
+    // behaviour deterministic end-to-end
+    val trainSet = if (trainFraction >= 1.0) corpus
+      else corpus.sample(withReplacement = false, trainFraction, seed)
     val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
-      .fit(corpus)
+      .fit(trainSet)
     val assigned = model.transform(corpus)
       .select(col("vec_id"), col("v"), col("prediction").as("cell"))
     // centroids are tiny: rank cells per query vector driver-side-free

@@ -115,7 +115,8 @@ object ScaleProbe {
     vecs.count()
     def timedVecs(name: String)(body: => Long): Unit = timedAs("vecs", nVecs)(name)(body)
     timedVecs("ann_lsh_s2")(graft.ops.Similarity.lshTopK(vecs, nQueries = 20, k = 10, nPlanes = 8).count())
-    timedVecs("ann_ivf_s3")(graft.ops.Similarity.ivfTopK(vecs, nQueries = 20, k = 10, nLists = 64, nProbe = 8).count())
+    timedVecs("ann_ivf_s3")(graft.ops.Similarity.ivfTopK(vecs, nQueries = 20, k = 10,
+      nLists = 64, nProbe = 8, trainFraction = 0.1).count())
     timedVecs("knn_label_s6")(graft.ops.Similarity.knnClassify(
       vecs.withColumn("label", pmod(col("vec_id"), lit(10)).cast("int"))).count())
     spark.stop()
