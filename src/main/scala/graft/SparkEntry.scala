@@ -92,20 +92,26 @@ object SparkEntry {
       Relational.regionalVolume(Tables.region(s, d), Tables.nation(s, d), Tables.customer(s, d),
         Tables.orders(s, d), Tables.lineitem(s, d), Tables.supplier(s, d))),
     "q_r5_forecast_revenue" -> ((s, d) => Relational.forecastRevenue(Tables.lineitem(s, d))),
-    // q_d6: connected components over near-dup pairs (iterative — not
-    // single-query SQL); cluster sizes asserted in DedupSpec
+    // q_d6: connected components over near-dup pairs. Pairs come from
+    // the banded MinHash finder (high-recall 20×2 banding + exact
+    // verify — the O(n·bands) plan that survives 100 TB); the exact
+    // posting-list finder stays as the DedupSpec baseline only.
     "q_d6_dup_clusters" -> ((s, d) =>
-      Dedup.duplicateClusters(Dedup.ngramJaccard(Tables.documents(s, d), 3, 0.5))),
+      Dedup.duplicateClusters(
+        Dedup.minhashLsh(Tables.documents(s, d), 3, bands = 20, rowsPerBand = 2, 0.5))),
     // q_d8: the cleaned corpus — every unclustered doc + one canonical
-    // representative per near-dup cluster (the pipeline's end product)
-    "q_d8_dedup_apply" -> ((s, d) => Dedup.applyNearDedup(Tables.documents(s, d))),
+    // representative per near-dup cluster (the pipeline's end product),
+    // over the same banded pair finder as q_d6
+    "q_d8_dedup_apply" -> ((s, d) =>
+      Dedup.applyNearDedup(Tables.documents(s, d),
+        Dedup.minhashLsh(Tables.documents(s, d), 3, bands = 20, rowsPerBand = 2, 0.5))),
     // ---- training-data pipeline: dedup ----------------------------
     "q_d1_exact_dedup" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
     "q_d2_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
     // q_d3: near-exact Jaccard pairs via HIGH-RECALL banding (20 bands
     // of 2 → P(candidate | j=0.5) ≈ 0.997) + exact verify — the scale
     // face of the quadratic posting-list self-join, which stays as the
-    // oracle baseline inside DedupSpec and q_d6
+    // oracle baseline inside DedupSpec only
     "q_d3_ngram_jaccard" -> ((s, d) =>
       Dedup.minhashLsh(Tables.documents(s, d), 3, bands = 20, rowsPerBand = 2, 0.5)),
     "q_d4_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
@@ -223,34 +229,15 @@ object SparkEntry {
   /** DuckDB twin of Dedup.mdhash. */
   private def MDH(e: String): String = s"('0x'||substr(md5($e),1,15))::UBIGINT::BIGINT"
 
-  /** Shared CTE chain for the duplicate-cluster oracles (q_d6, q_d8):
-   * exact-Jaccard pairs → undirected edges → recursive transitive
-   * closure → min-label cluster per member doc. */
-  private def dupClusterCtes: String =
-    s"""${SH.replaceFirst("WITH ", "WITH RECURSIVE ")},
-       | sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
-       | inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS c
-       |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-       |           GROUP BY 1, 2),
-       | pairs AS (SELECT i.doc_a, i.doc_b
-       |           FROM inter i
-       |           JOIN sizes sa ON sa.doc_id = i.doc_a
-       |           JOIN sizes sb ON sb.doc_id = i.doc_b
-       |           WHERE ROUND(CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c), 6) >= 0.5),
-       | edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
-       |           UNION SELECT doc_b, doc_a FROM pairs),
-       | nodes AS (SELECT DISTINCT s AS doc_id FROM edges),
-       | reach AS (SELECT s, d FROM edges
-       |           UNION SELECT r.s, e.d FROM reach r JOIN edges e ON e.s = r.d),
-       | cl AS (SELECT n.doc_id, CAST(LEAST(n.doc_id, MIN(r.d)) AS BIGINT) AS cluster
-       |        FROM nodes n LEFT JOIN reach r ON r.s = n.doc_id
-       |        GROUP BY n.doc_id)""".stripMargin
-
-  /** Oracle twin of Dedup.minhashLsh for any banding: the affine
-   * constants (same source of truth as Dedup.minhashFromBase), band
-   * slicing and exact-Jaccard verify are reproduced relationally, so
-   * the approximate candidate generation itself is oracle-checked. */
-  private def minhashLshOracle(bands: Int, rowsPerBand: Int, threshold: Double): String = {
+  /** Banded candidate-pair CTE chain — the oracle twin of
+   * Dedup.minhashLsh for any banding: the affine constants (same
+   * source of truth as Dedup.minhashFromBase), band slicing and
+   * exact-Jaccard verify are reproduced relationally, so the
+   * approximate candidate generation itself is oracle-checked. Ends in
+   * a `jac` CTE carrying (doc_a, doc_b, jaccard >= threshold); shared
+   * by the pair oracles (q_d2/q_d3) and the cluster oracles
+   * (q_d6/q_d8). */
+  private def bandedPairCtes(bands: Int, rowsPerBand: Int, threshold: Double): String = {
     val seedValues = Dedup.minhashConstants(bands * rowsPerBand).zipWithIndex
       .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
     s"""$SH,
@@ -270,14 +257,35 @@ object SparkEntry {
        |           FROM cand c
        |           JOIN sh sa ON sa.doc_id = c.doc_a
        |           JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
-       |           GROUP BY c.doc_a, c.doc_b)
-       | SELECT i.doc_a, i.doc_b,
+       |           GROUP BY c.doc_a, c.doc_b),
+       | jac AS (SELECT i.doc_a, i.doc_b,
        |   ROUND(CAST(i.cnt AS DOUBLE) / (sa.n + sb.n - i.cnt), 6) AS jaccard
        | FROM inter i
        | JOIN sizes sa ON sa.doc_id = i.doc_a
        | JOIN sizes sb ON sb.doc_id = i.doc_b
-       | WHERE ROUND(CAST(i.cnt AS DOUBLE) / (sa.n + sb.n - i.cnt), 6) >= $threshold""".stripMargin
+       | WHERE ROUND(CAST(i.cnt AS DOUBLE) / (sa.n + sb.n - i.cnt), 6) >= $threshold)""".stripMargin
   }
+
+  /** Shared CTE chain for the duplicate-cluster oracles (q_d6, q_d8):
+   * banded MinHash pairs (the exported finder's twin, 20×2 banding) →
+   * undirected edges → recursive transitive closure → min-label
+   * cluster per member doc. */
+  private def dupClusterCtes: String =
+    s"""${bandedPairCtes(bands = 20, rowsPerBand = 2, threshold = 0.5)
+          .replaceFirst("WITH ", "WITH RECURSIVE ")},
+       | edges AS (SELECT doc_a AS s, doc_b AS d FROM jac
+       |           UNION SELECT doc_b, doc_a FROM jac),
+       | nodes AS (SELECT DISTINCT s AS doc_id FROM edges),
+       | reach AS (SELECT s, d FROM edges
+       |           UNION SELECT r.s, e.d FROM reach r JOIN edges e ON e.s = r.d),
+       | cl AS (SELECT n.doc_id, CAST(LEAST(n.doc_id, MIN(r.d)) AS BIGINT) AS cluster
+       |        FROM nodes n LEFT JOIN reach r ON r.s = n.doc_id
+       |        GROUP BY n.doc_id)""".stripMargin
+
+  /** Oracle twin of Dedup.minhashLsh: the banded pair chain with the
+   * verified pairs selected out. */
+  private def minhashLshOracle(bands: Int, rowsPerBand: Int, threshold: Double): String =
+    s"${bandedPairCtes(bands, rowsPerBand, threshold)}\n SELECT doc_a, doc_b, jaccard FROM jac"
 
   private def markersSql(markers: Seq[String]): String =
     s"len(list_filter(string_split(text,' '), x -> list_contains([${markers.map(m => s"'$m'").mkString(",")}], x)))"

@@ -102,7 +102,11 @@ object ScaleProbe {
     // two map-side column pipelines + the dedup shuffle
     timedDocs("ingest_gate_x16")(graft.ops.Ingest.runBatch(
       docs, minQuality = 0.0, langs = graft.ops.TextAnalysis.langMarkers.map(_._1)).count())
-    timedDocs("dedup_apply_d8")(graft.ops.Dedup.applyNearDedup(docs).count())
+    // the exported q_d8 path: banded MinHash pair finder (20×2) +
+    // connected components + corpus filter — the clean-corpus pipeline
+    // end to end at 101k docs
+    timedDocs("dedup_apply_d8")(graft.ops.Dedup.applyNearDedup(docs,
+      graft.ops.Dedup.minhashLsh(docs, 3, bands = 20, rowsPerBand = 2, 0.5)).count())
     docs.unpersist()
 
     // ---- ANN at 50× the embeddings fixture -------------------------
