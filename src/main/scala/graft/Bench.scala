@@ -41,12 +41,17 @@ object Bench {
       try { fn(spark, wDir).count(); () } catch { case _: Throwable => () }
     }
 
+    // a query that throws yields NO timing (None) — recording
+    // elapsed-at-crash would report a flattering number for a query
+    // that died 50ms in; it appears in `failed` instead
     var failed = List.empty[String]
-    def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); () }
-      catch { case _: Throwable => if (!failed.contains(name)) failed ::= name }
-      (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+      catch { case _: Throwable =>
+        if (!failed.contains(name)) failed ::= name
+        None
+      }
     }
 
     // isolate: nothing persisted by a previous query may survive —
@@ -75,11 +80,12 @@ object Bench {
       var w = Double.MaxValue
       (1 to trials).foreach { _ =>
         isolate()
-        c = math.min(c, run(name, fn))
-        w = math.min(w, run(name, fn))
+        run(name, fn).foreach(t => c = math.min(c, t))
+        run(name, fn).foreach(t => w = math.min(w, t))
       }
-      cold(name) = c
-      warm(name) = w
+      // failed-every-trial queries are listed in `failed` only
+      if (c < Double.MaxValue) cold(name) = c
+      if (w < Double.MaxValue) warm(name) = w
     }
     isolate()
 

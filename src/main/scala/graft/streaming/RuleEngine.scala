@@ -344,7 +344,7 @@ object RuleEngine {
   case class AlignedState(perRule: Seq[Seq[MatcherState]], ruleSetId: String)
 
   /** Declaration-order fingerprint for [[AlignedState]]. */
-  def ruleSetId(rules: Seq[RuleSpec]): String = rules.map(_.name).mkString(" ")
+  def ruleSetId(rules: Seq[RuleSpec]): String = rules.map(_.name).mkString("\u0000")
 
   // ---------------------------------------------------------------
   // Streaming face
