@@ -96,6 +96,33 @@ object MemoryStore {
   def persistentEntries(memory: DataFrame): DataFrame =
     memory.filter(col("persistent"))
 
+  /** K6 persistence: write the persistent subset to the backend table
+   * (the reference persists only persistent entries on engine
+   * shutdown/save; src/Memory/MemoryEngine.php:126-140 +
+   * JsonFileBackend.php:181-251). Overwrite — the table IS the
+   * backend's current state, not a log. */
+  def save(memory: DataFrame, path: String): Unit =
+    persistentEntries(memory).select(columns.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+
+  /**
+   * K6 startup bootstrap: load the backend table, dropping entries
+   * already expired at load time — the reference filters expired
+   * entries when populating the store from the backend
+   * (src/Memory/MemoryEngine.php:109-123 loadFromBackend) and
+   * pre-warms memory before event processing begins
+   * (src/Scheduler.php:794-798 memory preload before RUNNING).
+   * A missing/empty backend (first boot) yields the empty store.
+   * Engine start order: `load` → optional preload writes via
+   * [[applyWrites]] → start queries with the result broadcast into
+   * enrichment joins.
+   */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String,
+      now: Column): DataFrame =
+    scala.util.Try(spark.read.parquet(path).select(columns.map(col): _*))
+      .map(liveAsOf(_, now))
+      .getOrElse(empty(spark)) // no backend written yet
+
   /** Enrichment lookup (J9): broadcast the (small) memory table against
    * an event stream — map-side join, no shuffle of the event side. */
   def lookup(events: DataFrame, memory: DataFrame,

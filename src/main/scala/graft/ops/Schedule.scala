@@ -147,6 +147,74 @@ object Schedule {
     grid.filter(cronMatch(cron, col("local_ts")))
   }
 
+  /**
+   * T1/T3 streaming face — LIVE cron ticks emitted into a running
+   * query (reference: src/Rule/Cron.php:97-132 arms a wall-clock timer
+   * on getNextRunDate and re-arms after each fire; catch-up: every due
+   * tick fires when the clock advances past it, one alarm per
+   * scheduled minute). `clock` is any streaming DataFrame with a
+   * timestamp column — `spark.readStream.format("rate")` in
+   * production (1 row/s is plenty), a MemoryStream in tests — so the
+   * tick cadence is testable with a virtual clock, exactly like the
+   * reference's batch/live dual clock.
+   *
+   * Stateful catch-up: one tiny flatMapGroupsWithState group per rule
+   * name remembers the last minute inspected; each micro-batch emits
+   * every cron-matching minute between that cursor and the batch's max
+   * clock reading (so a clock jump fires all intermediate due ticks,
+   * mirroring the reference's repeated timeout-fire-and-re-arm on
+   * clock advance). The group is metadata-scale — clock rows per
+   * trigger number in the seconds, never data-scale — so the single
+   * group is not a shuffle bottleneck. The first batch includes its
+   * own starting minute when it matches, consistent with the batch
+   * [[ticks]] grid face.
+   *
+   * `tz`: cron fields are evaluated on the wall clock in `tz` (ticks
+   * are emitted as UTC instants), like [[ticksTz]]. Jumps larger than
+   * `maxCatchupMinutes` catch up only the trailing window (a bounded
+   * replay valve; use the batch face for historical spans).
+   *
+   * Output events are union-ready with the rule interpreter's input:
+   * an OnSchedule rule is a matchSingle on `GRAFT:Cron:$name`
+   * (reference: src/Rule/OnSchedule.php:24-38).
+   */
+  def tickStream(clock: DataFrame, cron: Cron, name: String,
+      tz: String = "UTC", tsCol: String = "timestamp",
+      maxCatchupMinutes: Int = 10080): org.apache.spark.sql.Dataset[graft.model.Event] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    val spark = clock.sparkSession
+    import spark.implicits._
+    val zone = java.time.ZoneId.of(tz)
+    clock.select(col(tsCol).cast("timestamp")).as[Timestamp]
+      .groupByKey(_ => name)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (n: String, it: Iterator[Timestamp], state: GroupState[Long]) => {
+          val readings = it.map(_.getTime).toVector
+          if (readings.isEmpty) Iterator.empty
+          else {
+            val minuteMs = 60000L
+            val hi = math.floorDiv(readings.max, minuteMs) * minuteMs
+            val firstMinute = math.floorDiv(readings.min, minuteMs) * minuteMs
+            // cursor = last minute already inspected (exclusive)
+            val cursor = state.getOption.getOrElse(firstMinute - minuteMs)
+            val from = math.max(cursor, hi - maxCatchupMinutes.toLong * minuteMs)
+            val ticks = Iterator.iterate(from + minuteMs)(_ + minuteMs)
+              .takeWhile(_ <= hi)
+              .filter { m =>
+                val local = java.time.Instant.ofEpochMilli(m).atZone(zone).toLocalDateTime
+                matches(cron, local)
+              }
+              .map(new Timestamp(_))
+              .toVector
+            if (hi > cursor) state.update(hi)
+            ticks.iterator.map { t =>
+              graft.model.Event(s"GRAFT:Cron:$name", Some(t.toString), t, None,
+                Map("key" -> name))
+            }
+          }
+        })
+  }
+
   /** Cron-set membership of one (wall-clock) timestamp column — plain
    * isin filters, codegen'd. */
   private def cronMatch(cron: Cron, t: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {

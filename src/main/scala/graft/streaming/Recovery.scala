@@ -1,0 +1,172 @@
+package graft.streaming
+
+import java.io.{File, FileInputStream, FileOutputStream}
+import java.util.Properties
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * K1/S5 — the startup recovery state machine around
+ * [[Sinks.recoverAndRun]]: starting → recovery → running | halted
+ * (reference: src/Scheduler.php:130-141, 766-792 — recovery marker
+ * file, cooldown timestamp file with a consecutive-attempt counter,
+ * MAX_RECOVERY_ATTEMPTS = 3, RECOVERY_COOLDOWN_SECONDS = 60).
+ *
+ * Lifecycle per start():
+ *  1. a recovery *marker* file present → [[Recovery.Halted]]: a prior
+ *     recovery attempt did not complete (crash mid-recovery) or the
+ *     attempt cap was hit — operator intervention required
+ *     (reference "Guru Mediation", Scheduler.php:766-779;
+ *     the reference sleeps forever instead of exiting so systemd/
+ *     docker don't reboot-loop it — a Spark driver returns Halted and
+ *     the caller refuses to start the queries);
+ *  2. a *cooldown* file younger than `cooldownSeconds` → wait out the
+ *     remainder (or return [[Recovery.CoolingDown]] when `wait=false`);
+ *     if its consecutive-attempt counter has already reached
+ *     `maxRecoveryAttempts`, create the marker and halt
+ *     (Scheduler.php:779-792). A cooldown file older than the window
+ *     is deleted — the consecutive count only accumulates across
+ *     rapid restart loops, a quiet period resets it
+ *     (Scheduler.php:573-590 getRecoveryCooldownRemaining);
+ *  3. a non-empty dead-letter table → create the marker, transition to
+ *     RECOVERY and drain it once via [[Sinks.recoverAndRun]]
+ *     (Scheduler.php:840-884 replay-before-resume). All replays
+ *     succeeded → clear marker + cooldown, [[Recovery.Started]].
+ *     Any replay failed or any action sits exhausted at its per-action
+ *     cap → write the cooldown file with attempts+1 and stop
+ *     ([[Recovery.RecoveryFailed]]); when that makes
+ *     `maxRecoveryAttempts` consecutive failures the marker is left in
+ *     place, so the NEXT start refuses outright.
+ *
+ * Divergence (documented): the reference leaves the marker behind on
+ * every controlled failed recovery, which makes its own startup
+ * attempt-counter branch unreachable; here the marker survives only a
+ * crash mid-recovery or the final (cap-reaching) failure, so the
+ * "failed N times consecutively → halt" path is actually exercised.
+ *
+ * `clock`/`sleeper` are injectable so tests drive the cooldown without
+ * wall-clock sleeps. All files live next to the dead-letter table
+ * under `baseDir` — on a real cluster that is the shared checkpoint
+ * filesystem, and exactly one driver runs a pipeline, matching the
+ * reference's single-scheduler assumption.
+ */
+object Recovery {
+
+  sealed trait StartOutcome
+  /** Normal start; `recovered` is the drain report when a recovery ran. */
+  final case class Started(recovered: Option[Sinks.RecoveryReport]) extends StartOutcome
+  /** Refused to start — marker present or attempt cap reached. */
+  final case class Halted(reason: String) extends StartOutcome
+  /** Cooldown active and `wait=false`: retry after `remainingSec`. */
+  final case class CoolingDown(remainingSec: Long, attempts: Int) extends StartOutcome
+  /** Recovery ran and failed; `halted` when this was the final allowed
+   * consecutive attempt (marker left behind). */
+  final case class RecoveryFailed(attempts: Int, report: Sinks.RecoveryReport,
+      halted: Boolean) extends StartOutcome
+
+  val MaxRecoveryAttempts = 3
+  val CooldownSeconds = 60L
+
+  class Coordinator(
+      baseDir: String,
+      maxRecoveryAttempts: Int = MaxRecoveryAttempts,
+      cooldownSeconds: Long = CooldownSeconds,
+      clock: () => Long = () => System.currentTimeMillis() / 1000L,
+      sleeper: Long => Unit = s => Thread.sleep(s * 1000L)) {
+
+    private val markerFile = new File(baseDir, ".recovery")
+    private val cooldownFile = new File(baseDir, ".cooldown")
+
+    def hasMarker: Boolean = markerFile.isFile
+
+    /** Operator intervention: remove the marker and the attempt count
+     * (reference clearRecoveryMarker, Scheduler.php:562-570). */
+    def clearMarker(): Unit = { markerFile.delete(); cooldownFile.delete(); () }
+
+    private def createMarker(): Unit = {
+      new File(baseDir).mkdirs()
+      new FileOutputStream(markerFile).close()
+    }
+
+    private def readCooldown(): Option[(Long, Int)] =
+      if (!cooldownFile.isFile) None
+      else {
+        val p = new Properties()
+        val in = new FileInputStream(cooldownFile)
+        try p.load(in) finally in.close()
+        try Some((p.getProperty("time", "").toLong, p.getProperty("attempts", "0").toInt))
+        catch { case _: NumberFormatException => cooldownFile.delete(); None }
+      }
+
+    /** Seconds left in the cooldown window; an expired file is deleted
+     * (resetting the consecutive count — see class doc). */
+    def cooldownRemaining(): Long = readCooldown() match {
+      case None => 0L
+      case Some((time, _)) =>
+        val elapsed = clock() - time
+        if (elapsed >= cooldownSeconds) { cooldownFile.delete(); 0L }
+        else cooldownSeconds - elapsed
+    }
+
+    def attemptCount(): Int = readCooldown().map(_._2).getOrElse(0)
+
+    /** Stamp a failed recovery: attempts+1 at the current clock
+     * (reference setRecoveryCooldown, Scheduler.php:609-618). */
+    private def stampFailure(): Int = {
+      val attempts = attemptCount() + 1
+      val p = new Properties()
+      p.setProperty("time", clock().toString)
+      p.setProperty("attempts", attempts.toString)
+      new File(baseDir).mkdirs()
+      val out = new FileOutputStream(cooldownFile)
+      try p.store(out, null) finally out.close()
+      attempts
+    }
+
+    /**
+     * Run the startup state machine, then (on success) the engine is
+     * clear to start its queries. `wait=true` blocks out an active
+     * cooldown via `sleeper` like the reference (Scheduler.php:790-792);
+     * `wait=false` returns [[CoolingDown]] instead.
+     */
+    def start(spark: SparkSession,
+        handler: (String, Map[String, String]) => Unit,
+        maxActionAttempts: Int = 3,
+        wait: Boolean = true): StartOutcome = {
+      if (hasMarker)
+        return Halted(s"recovery marker present: ${markerFile.getPath} — " +
+          "previous recovery did not complete; remove the marker to retry")
+
+      val remaining = cooldownRemaining()
+      if (remaining > 0) {
+        val attempts = attemptCount()
+        if (attempts >= maxRecoveryAttempts) {
+          createMarker()
+          return Halted(s"recovery failed $attempts times consecutively; " +
+            s"marker created: ${markerFile.getPath}")
+        }
+        if (!wait) return CoolingDown(remaining, attempts)
+        sleeper(remaining)
+      }
+
+      val hasDeadLetters = new File(baseDir, "dead_letter").isDirectory &&
+        spark.read.parquet(s"$baseDir/dead_letter").limit(1).count() > 0
+      if (!hasDeadLetters) return Started(None)
+
+      createMarker() // crash inside the drain leaves it → next start halts
+      val report = Sinks.recoverAndRun(spark, baseDir, handler, maxActionAttempts)
+      if (report.requeued == 0 && report.exhausted == 0) {
+        clearMarker()
+        Started(Some(report))
+      } else {
+        val attempts = stampFailure()
+        val halted = attempts >= maxRecoveryAttempts
+        // a controlled failed attempt clears the marker (cooldown + the
+        // counter now guard the restart loop); the cap-reaching one
+        // leaves it so the next start refuses outright
+        if (!halted) markerFile.delete()
+        RecoveryFailed(attempts, report, halted)
+      }
+    }
+  }
+}

@@ -2,7 +2,7 @@ package graft.streaming
 
 import scala.util.{Failure, Success, Try}
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -79,35 +79,90 @@ object Sinks {
     (actions.filter(ok), actions.filter(!ok))
   }
 
-  /** One action-var constraint — the {type, required, enum} subset of
-   * JSON-Schema the reference validates Action.vars against
-   * (src/Scheduler/ActionExecutionCoordinator.php:229-239).
-   * `dataType` is a Spark DDL type; a present value must cast to it
-   * (try_cast: "abc" AS INT fails, "42" passes). */
+  /** One action-var constraint — the JSON-Schema subset the reference
+   * validates Action.vars against (justinrainbow/json-schema
+   * Validator::validate in
+   * src/Scheduler/ActionExecutionCoordinator.php:229-239):
+   * {type, required, enum, pattern, format, minimum/maximum} plus ONE
+   * level of nested object properties. `dataType` is a Spark DDL
+   * type; a present value must cast to it (try_cast: "abc" AS INT
+   * fails, "42" passes). `format` ∈ {date-time, date, ipv4, uuid,
+   * email}. A var with `fields` is a nested object carried as JSON
+   * text; its fields take the same scalar constraints (deeper nesting
+   * is out of scope, mirroring SURVEY §2.2's K3 bound). */
   case class VarSpec(name: String, dataType: String = "string",
-      required: Boolean = true, enumVals: Seq[String] = Nil)
+      required: Boolean = true, enumVals: Seq[String] = Nil,
+      pattern: Option[String] = None, format: Option[String] = None,
+      minVal: Option[Double] = None, maxVal: Option[Double] = None,
+      fields: Seq[VarSpec] = Nil)
+
+  private def sqlStr(s: String): String = s.replace("\\", "\\\\").replace("'", "\\'")
+
+  /** Scalar constraint stack for the value at SQL expression `access`
+   * (absent/null values pass everything except `required` — JSON-
+   * Schema semantics: constraints only bind present values). */
+  private def scalarChecks(access: String, sp: VarSpec): Column = {
+    val v = expr(access)
+    val present = if (sp.required) v.isNotNull else lit(true)
+    val typed = v.isNull || expr(s"try_cast($access AS ${sp.dataType})").isNotNull
+    val enumOk =
+      if (sp.enumVals.isEmpty) lit(true)
+      else v.isNull || v.isin(sp.enumVals: _*)
+    val patOk = sp.pattern.fold(lit(true))(p => v.isNull || v.rlike(p))
+    val fmtOk = sp.format.fold(lit(true)) {
+      case "date-time" => v.isNull || expr(s"try_cast($access AS TIMESTAMP)").isNotNull
+      case "date" => v.isNull || expr(s"try_cast($access AS DATE)").isNotNull
+      case "ipv4" => v.isNull ||
+        v.rlike("^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$")
+      case "uuid" => v.isNull ||
+        v.rlike("^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$")
+      case "email" => v.isNull || v.rlike("^[^@\\s]+@[^@\\s]+\\.[^@\\s]+$")
+      case other => throw new IllegalArgumentException(s"unsupported format: $other")
+    }
+    val rangeOk =
+      if (sp.minVal.isEmpty && sp.maxVal.isEmpty) lit(true)
+      else {
+        val num = expr(s"try_cast($access AS DOUBLE)")
+        v.isNull || (num.isNotNull &&
+          sp.minVal.fold(lit(true))(m => num >= m) &&
+          sp.maxVal.fold(lit(true))(m => num <= m))
+      }
+    present && typed && enumOk && patOk && fmtOk && rangeOk
+  }
+
+  /** Full constraint stack for one var: scalar checks plus one level
+   * of nested object properties (the var's value parsed as a JSON
+   * string map; malformed/non-object JSON fails validation). */
+  private def varChecks(access: String, sp: VarSpec): Column = {
+    val nestedOk =
+      if (sp.fields.isEmpty) lit(true)
+      else {
+        sp.fields.foreach(f => require(f.fields.isEmpty,
+          s"nested object '${sp.name}.${f.name}': only one level of nesting is supported"))
+        val parsed = s"from_json($access, 'map<string,string>')"
+        val fieldChecks = sp.fields
+          .map(f => scalarChecks(s"try_element_at($parsed, '${sqlStr(f.name)}')", f))
+        expr(access).isNull ||
+          (expr(parsed).isNotNull && fieldChecks.foldLeft(lit(true))(_ && _))
+      }
+    scalarChecks(access, sp) && nestedOk
+  }
 
   /**
    * K3 — full action parameter validation: required presence, type
-   * castability and enum membership per var, per action name. Actions
-   * with no schema pass. The invalid side is an argumenterror in the
-   * reference — rejected BEFORE dispatch and never retried/dead-
-   * lettered — so route only `valid` into [[executeActions]]. Pure
-   * Column predicates (codegen'd, null-safe under ANSI via try_*).
+   * castability, enum membership, regex pattern, format, numeric range
+   * and one level of nested-object properties per var, per action
+   * name. Actions with no schema pass. The invalid side is an
+   * argumenterror in the reference — rejected BEFORE dispatch and
+   * never retried/dead-lettered — so route only `valid` into
+   * [[executeActions]]. Pure Column predicates (codegen'd, null-safe
+   * under ANSI via try_*).
    */
   def validateActionVarsTyped(actions: DataFrame,
       schemas: Map[String, Seq[VarSpec]]): (DataFrame, DataFrame) = {
     val ok = schemas.foldLeft(lit(true)) { case (acc, (cmd, specs)) =>
-      val checks = specs.map { sp =>
-        val v = try_element_at(col("vars"), lit(sp.name))
-        val present = if (sp.required) v.isNotNull else lit(true)
-        val typed = v.isNull ||
-          expr(s"try_cast(try_element_at(vars, '${sp.name}') AS ${sp.dataType})").isNotNull
-        val enumOk =
-          if (sp.enumVals.isEmpty) lit(true)
-          else v.isNull || v.isin(sp.enumVals: _*)
-        present && typed && enumOk
-      }
+      val checks = specs
+        .map(sp => varChecks(s"try_element_at(vars, '${sqlStr(sp.name)}')", sp))
       when(col("name") === cmd, checks.foldLeft(lit(true))(_ && _)).otherwise(acc)
     }
     (actions.filter(ok), actions.filter(!ok))
@@ -269,27 +324,71 @@ object Sinks {
   def runBatchChained(events: Dataset[Event], rules: Seq[RuleSpec],
       passes: Int = 3,
       sourceRegistry: Map[String, (SparkSession, Map[String, String]) => Dataset[Event]] = Map.empty): DataFrame = {
-    val spark = events.sparkSession
-    // each pass's fires are persisted: the isEmpty probe and the final
-    // union action would otherwise re-execute every earlier pass's
-    // stateful interpreter lineage (O(passes²) recompute). The cached
-    // pieces are small (fire records); callers can clearCache() after
-    // consuming the result.
+    val fires0 = RuleEngine.runBatch(events, rules).toDF().persist()
+    chainLoop(events.sparkSession, fires0, rules, passes, sourceRegistry)._1
+  }
+
+  /** The chain loop shared by the batch and streaming faces: starting
+   * from the (persisted) pass-0 fires, repeatedly interpret derived
+   * events — plus on-demand source fetches — through the rules until
+   * quiescent or `passes` exhausted. Each pass's fires are persisted:
+   * the isEmpty probe and the final union action would otherwise
+   * re-execute every earlier pass's stateful interpreter lineage
+   * (O(passes²) recompute). The cached pieces are small (fire
+   * records); returns them so callers can unpersist after consuming
+   * the result. */
+  private def chainLoop(spark: SparkSession, fires0: DataFrame, rules: Seq[RuleSpec],
+      passes: Int,
+      sourceRegistry: Map[String, (SparkSession, Map[String, String]) => Dataset[Event]]): (DataFrame, List[DataFrame]) = {
     def nextInput(fires: DataFrame): Dataset[Event] = {
       val derived = derivedEvents(spark, fires)
       if (sourceRegistry.isEmpty) derived
       else derived.union(graft.sources.Sources.executeOnDemand(spark, fires, sourceRegistry))
     }
-    var fires = RuleEngine.runBatch(events, rules).toDF().persist()
-    var derived = nextInput(fires)
-    var all = fires
+    var persisted = List(fires0)
+    var derived = nextInput(fires0)
+    var all = fires0
     var pass = 1
     while (pass < passes && !derived.isEmpty) {
       val next = RuleEngine.runBatch(derived, rules).toDF().persist()
+      persisted ::= next
       all = all.unionByName(next)
       derived = nextInput(next)
       pass += 1
     }
-    all
+    (all, persisted)
   }
+
+  /**
+   * J6 streaming — chained rule sets behave the same live as in replay
+   * (reference futureTick re-entry: a rule's emitted Event is fed back
+   * into handle() on the next loop tick;
+   * src/CorrelationEngine.php:372-391 + src/Scheduler.php:795-812).
+   * Per micro-batch: the live engine's fires are routed, then their
+   * `event`-kind outputs run through the rules' batch interpreter
+   * (bounded passes over an acyclic rule DAG — the same loop as
+   * [[runBatchChained]]) and the chained fires are routed too. A
+   * rule's emitted event therefore completes a downstream rule in the
+   * SAME trigger, not a later one.
+   *
+   * Note the chain passes interpret derived events with fresh matcher
+   * state per pass, exactly like the batch face — so live output
+   * equals [[runBatchChained]] over the same events. Downstream rules
+   * needing state ACROSS derived events of different triggers should
+   * instead consume the routed `events/` table as their own stream.
+   */
+  def routeChainedStreaming(fired: Dataset[RuleEngine.Fired], rules: Seq[RuleSpec],
+      baseDir: String, checkpoint: String, passes: Int = 3,
+      sourceRegistry: Map[String, (SparkSession, Map[String, String]) => Dataset[Event]] = Map.empty): StreamingQuery =
+    fired.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[RuleEngine.Fired], _: Long) =>
+        val spark = batch.sparkSession
+        val fires0 = batch.toDF().persist()
+        val (all, persisted) = chainLoop(spark, fires0, rules, passes, sourceRegistry)
+        routeFiredBatch(all, baseDir)
+        persisted.foreach { df => df.unpersist(); () }
+        ()
+      }
+      .start()
 }

@@ -90,6 +90,37 @@ class MemoryStoreSpec extends SparkSpec {
     assert(entry.getAs[String]("key") == "a:b:c")
   }
 
+  test("K6 bootstrap: save/load round-trips persistent entries, purging expired on load") {
+    // mirrors reference MemoryEngine.loadFromBackend
+    // (src/Memory/MemoryEngine.php:109-123): expired entries are
+    // filtered while populating the store at startup
+    val dir = java.nio.file.Files.createTempDirectory("membackend").toString + "/memory"
+    val m = MemoryStore.applyWrites(MemoryStore.empty(spark), writes(
+      ("users", "gold", "v", 0L, true, "2024-01-01 10:00:00"),      // no expiry
+      ("users", "short", "v", 3600L, true, "2024-01-01 10:00:00"),  // expires 11:00
+      ("users", "ephemeral", "v", 0L, false, "2024-01-01 10:00:00"))) // not persistent
+    MemoryStore.save(m, dir)
+
+    // restart before expiry: both persistent entries load
+    val early = MemoryStore.load(spark, dir, lit("2024-01-01 10:30:00").cast("timestamp"))
+    assert(early.collect().map(_.getAs[String]("key")).toSet == Set("gold", "short"))
+
+    // restart after expiry: the TTL'd entry is purged on load
+    val late = MemoryStore.load(spark, dir, lit("2024-01-01 12:00:00").cast("timestamp"))
+    assert(late.collect().map(_.getAs[String]("key")).toSet == Set("gold"))
+
+    // the loaded store is upsert- and lookup-ready (full engine loop)
+    val warmed = MemoryStore.applyWrites(late, writes(
+      ("users", "gold", "v2", 0L, true, "2024-01-01 12:30:00")))
+    assert(warmed.collect().map(_.getAs[String]("value")).toSeq == Seq("v2"))
+
+    // first boot: no backend table yet → empty store, same schema
+    val fresh = MemoryStore.load(spark, dir + "-missing",
+      lit("2024-01-01 12:00:00").cast("timestamp"))
+    assert(fresh.count() == 0)
+    assert(fresh.columns.toSeq == MemoryStore.columns)
+  }
+
   test("persistent subset survives; lookup enriches via broadcast join") {
     import spark.implicits._
     val m = MemoryStore.applyWrites(MemoryStore.empty(spark), writes(

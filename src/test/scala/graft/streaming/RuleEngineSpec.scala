@@ -285,4 +285,48 @@ class RuleEngineSpec extends SparkSpec {
       .map(f => (f.rule, f.key, f.kind, f.firedAt)).toSet
     assert(streamed == batch)
   }
+
+  test("J6 streaming chaining: emitted event completes a downstream rule in the same run, equal to batch-chained face") {
+    // reference futureTick re-entry (src/CorrelationEngine.php:372-391):
+    // a rule's emitted Event re-enters handle() within the same loop run
+    import spark.implicits._
+    val upstream = RuleSpec.matchSingle("detect", Set("error"),
+      onMatch = ch => Seq(OutputData.event("incident", Map("sev" -> "high"))))
+    val downstream = RuleSpec.matchSingle("escalate", Set("incident"),
+      onMatch = _ => Seq(OutputData.action("page_oncall", Map.empty)))
+    val rules = Seq(upstream, downstream)
+    val events = Seq(
+      ev("2024-01-01 10:00:00", "error", "h1", "1"),
+      ev("2024-01-01 10:05:00", "error", "h2", "2"))
+
+    val base = java.nio.file.Files.createTempDirectory("chainstream").toString
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val query = Sinks.routeChainedStreaming(
+      RuleEngine.runStreaming(stream.toDS(), rules), rules,
+      s"$base/out", s"$base/ck")
+    try {
+      stream.addData(events: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    // the downstream rule fired in the SAME run: its action rows are in
+    // the routed actions table without any further trigger
+    val actions = spark.read.parquet(s"$base/out/actions").collect()
+    assert(actions.count(_.getAs[String]("name") == "page_oncall") == 2)
+
+    // live output equals the batch-chained face over the same events
+    val batchOut = Sinks.outputsOf(
+      Sinks.runBatchChained(ds(events: _*), rules))
+      .select("rule", "key", "fire_kind", "out_kind", "name")
+      .collect().map(_.toSeq).toSet
+    val streamOut = Seq("actions" -> "action", "events" -> "event").flatMap {
+      case (dir, kind) =>
+        spark.read.parquet(s"$base/out/$dir")
+          .select(col("rule"), col("key"), col("fire_kind"),
+            lit(kind).as("out_kind"), col("name"))
+          .collect().map(_.toSeq)
+    }.toSet
+    assert(streamOut == batchOut)
+  }
 }

@@ -209,6 +209,43 @@ class SinksSpec extends SparkSpec {
     assert(badVals.exists(!_.contains("ch")))
   }
 
+  test("K3 schema validation: pattern, format, range and nested object rejected as argumenterror") {
+    // mirrors the reference's JSON-Schema action validation
+    // (src/Scheduler/ActionExecutionCoordinator.php:229-239 +
+    // tests/ActionExecutionTest.php schema cases): violations are
+    // argumenterrors rejected before dispatch
+    import spark.implicits._
+    val actions = Seq(
+      // valid: all constraints satisfied
+      ("deploy", Map("env" -> "prod-eu1", "replicas" -> "4",
+        "when" -> "2024-01-01T10:00:00", "host" -> "10.0.0.8",
+        "limits" -> """{"cpu":"2","mem":"8"}""")),
+      ("deploy", Map("env" -> "Prod eu", "replicas" -> "4")),   // pattern fail
+      ("deploy", Map("env" -> "prod-eu1", "replicas" -> "99")), // range fail (max 16)
+      ("deploy", Map("env" -> "prod-eu1", "replicas" -> "4",
+        "when" -> "not a time")),                               // format fail
+      ("deploy", Map("env" -> "prod-eu1", "replicas" -> "4",
+        "host" -> "999.1.1.1")),                                // ipv4 fail
+      ("deploy", Map("env" -> "prod-eu1", "replicas" -> "4",
+        "limits" -> """{"cpu":"lots"}""")),                     // nested type fail
+      ("deploy", Map("env" -> "prod-eu1", "replicas" -> "4",
+        "limits" -> """{"mem":"8"}""")),                        // nested required fail
+      ("deploy", Map("env" -> "prod-eu1", "replicas" -> "4",
+        "limits" -> "not json"))                                // not an object
+    ).toDF("name", "vars")
+    val schema = Map("deploy" -> Seq(
+      Sinks.VarSpec("env", pattern = Some("^[a-z0-9-]+$")),
+      Sinks.VarSpec("replicas", dataType = "int", minVal = Some(1), maxVal = Some(16)),
+      Sinks.VarSpec("when", required = false, format = Some("date-time")),
+      Sinks.VarSpec("host", required = false, format = Some("ipv4")),
+      Sinks.VarSpec("limits", required = false, fields = Seq(
+        Sinks.VarSpec("cpu", dataType = "int"),
+        Sinks.VarSpec("mem", dataType = "int", required = false)))))
+    val (valid, invalid) = Sinks.validateActionVarsTyped(actions, schema)
+    assert(valid.count() == 1 && invalid.count() == 7)
+    assert(valid.select("vars").as[Map[String, String]].head()("env") == "prod-eu1")
+  }
+
   test("derived events re-enter the engine: chained pass fires downstream rule") {
     val downstream = RuleSpec.matchSingle(
       "escalate", Set("payment_overdue"),
