@@ -3,10 +3,11 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec, ShuffledHashJoinExec, SortMergeJoinExec}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.ArrayType
 
-import graft.ops.{Correlate, Relational, Similarity, TextAnalysis}
+import graft.ops.{Correlate, Dedup, Relational, Similarity, TextAnalysis}
 
 /**
  * Physical-plan audit: the 100 TB design properties (pushdown, column
@@ -78,6 +79,51 @@ class PlanAuditSpec extends SparkSpec {
       assert(broadcastJoins(plan).nonEmpty, plan.toString)
       // corpus side: explode + join + one aggregation shuffle on doc_id
       assert(shuffles(plan).size <= 2, s"${shuffles(plan).size} shuffles:\n$plan")
+    }
+  }
+
+  test("MinHash LSH banded exchanges ship id+hash rows only — no arrays through the exploded shuffle") {
+    // the banded rows are exploded bands× and self-joined; a shingle or
+    // signature array in that exchange would ship every document's
+    // shingle set through the shuffle `bands` times — the q_d2/q_d3
+    // scale contract (Dedup.scala banded comment)
+    for ((bands, rowsPerBand) <- Seq((12, 4), (20, 2))) { // q_d2, q_d3 exports
+      audited(Dedup.minhashLsh(Tables.documents(spark, sf),
+        3, bands, rowsPerBand, 0.5)) { plan =>
+        // every operator carrying a band hash — whichever side of the
+        // self-join, broadcast (fixture scale) or shuffled (cluster
+        // scale) — must be free of array columns
+        val banded = plan.collect { case n if n.output.exists(_.name == "band_hash") => n }
+        assert(banded.nonEmpty, s"no banded operator found:\n$plan")
+        banded.foreach { n =>
+          assert(!n.output.exists(_.dataType.isInstanceOf[ArrayType]),
+            s"array column rode the banded rows: ${n.output.map(a => s"${a.name}:${a.dataType.simpleString}")}\n$plan")
+          assert(!n.output.exists(a => Set("sh", "sig", "text").contains(a.name)),
+            s"wide column rode the banded rows: ${n.output.map(_.name)}\n$plan")
+        }
+      }
+    }
+  }
+
+  test("SimHash is one map-side-combined aggregation shuffle") {
+    audited(Dedup.simhash(Tables.documents(spark, sf))) { plan =>
+      // one exchange: the groupBy(doc_id) with the native bit-vote
+      // aggregate; the explode-by-bit form would show 60× the shuffle
+      // and the parallel-sums form 60 long columns
+      assert(shuffles(plan).size == 1, s"${shuffles(plan).size} shuffles:\n$plan")
+      assert(plan.toString.contains("partial_graft_simhash_agg"),
+        s"no map-side partial aggregation:\n$plan")
+    }
+  }
+
+  test("PQ ANN: codebook and query sides broadcast; no join ever shuffles the corpus") {
+    audited(Similarity.pqTopK(Tables.embeddings(spark, sf))) { plan =>
+      // encode join (codebook) + ADC join (query subvectors) both
+      // broadcast — the corpus-side code rows never move for a join
+      assert(broadcastJoins(plan).size >= 2, plan.toString)
+      assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty, plan.toString)
+      assert(plan.collect { case j: ShuffledHashJoinExec => j }.isEmpty, plan.toString)
+      assert(plan.collect { case c: CartesianProductExec => c }.isEmpty, plan.toString)
     }
   }
 
