@@ -119,6 +119,15 @@ object SparkEntry {
     // all-pairs form is the spec-test baseline, not an exported query
     "q_d5_embed_neardup" -> ((s, d) => Similarity.embeddingNearDupLsh(Tables.embeddings(s, d))),
     "q_d7_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
+    // q_d9: connected components over the EMBEDDING near-dup pairs —
+    // the semantic-dedup cluster table (q_d6's lexical counterpart);
+    // same O(log diameter) min-label clustering, pairs from the
+    // LSH-bucketed finder
+    "q_d9_embed_clusters" -> ((s, d) =>
+      Dedup.duplicateClusters(
+        Similarity.embeddingNearDupLsh(Tables.embeddings(s, d))
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+        .select(col("doc_id").as("vec_id"), col("cluster"))),
     // ---- training-data pipeline: similarity search ----------------
     // (ivfTopK — the k-means IVF variant — is library-only: its
     // trained centroids are not SQL-replicable; recall vs q_s1 is
@@ -522,6 +531,7 @@ object SparkEntry {
          |   CAST(SUM(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
          | FROM bits GROUP BY doc_id""".stripMargin,
     "q_d5_embed_neardup" -> embedNearDupLshOracle,
+    "q_d9_embed_clusters" -> embedClusterOracle,
     "q_s1_ann_topk" ->
       s"""WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings),
          | e AS (SELECT vec_id,
@@ -885,10 +895,13 @@ object SparkEntry {
     }.mkString("\n   + ")
   }
 
-  /** Oracle twin of Similarity.embeddingNearDupLsh: identical buckets
+  /** Candidate-pair CTE chain for the embedding near-dup oracles —
+   * the twin of Similarity.embeddingNearDupLsh: identical buckets
    * (8 seeded hyperplanes), multi-probe at Hamming distance ≤ 2,
-   * distinct candidate pairs, exact cosine verify at 0.4. */
-  private def embedNearDupLshOracle: String = {
+   * distinct candidate pairs, exact cosine scores. Ends in an `s` CTE
+   * carrying (vec_a, vec_b, sim); shared by the pair oracle (q_d5)
+   * and the cluster oracle (q_d9). */
+  private def embedPairCtes: String = {
     val flips = (0 until 8).map(i => 1L << i) ++
       (for { i <- 0 until 8; j <- i + 1 until 8 } yield (1L << i) | (1L << j))
     val probeList = flips.map(m => s"xor(bucket, $m)").mkString(", ")
@@ -900,9 +913,29 @@ object SparkEntry {
        | p AS (SELECT DISTINCT pr.vec_a, b2.vec_id AS vec_b
        |       FROM pr JOIN bk b2 ON b2.bucket = pr.bucket AND pr.vec_a < b2.vec_id),
        | s AS (SELECT p.vec_a, p.vec_b, ROUND(list_dot_product(ea.v, eb.v), 6) AS sim
-       |       FROM p JOIN e ea ON ea.vec_id = p.vec_a JOIN e eb ON eb.vec_id = p.vec_b)
-       | SELECT vec_a, vec_b, sim FROM s WHERE sim >= 0.4""".stripMargin
+       |       FROM p JOIN e ea ON ea.vec_id = p.vec_a JOIN e eb ON eb.vec_id = p.vec_b)""".stripMargin
   }
+
+  /** Oracle twin of Similarity.embeddingNearDupLsh: verified pairs at
+   * the 0.4 cosine threshold. */
+  private def embedNearDupLshOracle: String =
+    s"$embedPairCtes\n SELECT vec_a, vec_b, sim FROM s WHERE sim >= 0.4"
+
+  /** Oracle twin of q_d9: embedding near-dup pairs → undirected edges
+   * → recursive transitive closure → min-label cluster per member
+   * (the same closure shape as dupClusterCtes, over vectors). */
+  private def embedClusterOracle: String =
+    s"""${embedPairCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       | ep AS (SELECT vec_a, vec_b FROM s WHERE sim >= 0.4),
+       | edges AS (SELECT vec_a AS es, vec_b AS ed FROM ep
+       |           UNION SELECT vec_b, vec_a FROM ep),
+       | nodes AS (SELECT DISTINCT es AS vec_id FROM edges),
+       | reach AS (SELECT es, ed FROM edges
+       |           UNION SELECT r.es, g.ed FROM reach r JOIN edges g ON g.es = r.ed),
+       | cl AS (SELECT n.vec_id, CAST(LEAST(n.vec_id, MIN(r.ed)) AS BIGINT) AS cluster
+       |        FROM nodes n LEFT JOIN reach r ON r.es = n.vec_id
+       |        GROUP BY n.vec_id)
+       | SELECT vec_id, cluster FROM cl""".stripMargin
 
   /** Oracle twin of Similarity.lshTopK — identical buckets via
    * [[duckBucketExpr]] (multi-probe at Hamming distance 1 included). */
