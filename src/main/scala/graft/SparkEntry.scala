@@ -119,6 +119,16 @@ object SparkEntry {
     // all-pairs form is the spec-test baseline, not an exported query
     "q_d5_embed_neardup" -> ((s, d) => Similarity.embeddingNearDupLsh(Tables.embeddings(s, d))),
     "q_d7_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
+    // q_d10: incremental dedup — the per-ingest workflow: a NEW batch
+    // (odd doc ids here) deduped against the already-INDEXED corpus
+    // (even ids); only the batch is shingled per run at scale, the
+    // index's band table is precomputed
+    "q_d10_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.minhashLshIncremental(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0))
+    }),
     // q_d9: connected components over the EMBEDDING near-dup pairs —
     // the semantic-dedup cluster table (q_d6's lexical counterpart);
     // same O(log diameter) min-label clustering, pairs from the
@@ -246,7 +256,8 @@ object SparkEntry {
    * a `jac` CTE carrying (doc_a, doc_b, jaccard >= threshold); shared
    * by the pair oracles (q_d2/q_d3) and the cluster oracles
    * (q_d6/q_d8). */
-  private def bandedPairCtes(bands: Int, rowsPerBand: Int, threshold: Double): String = {
+  private def bandedPairCtes(bands: Int, rowsPerBand: Int, threshold: Double,
+      candCond: String = "a.doc_id < b.doc_id"): String = {
     val seedValues = Dedup.minhashConstants(bands * rowsPerBand).zipWithIndex
       .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
     s"""$SH,
@@ -260,7 +271,7 @@ object SparkEntry {
        |           FROM sig, (SELECT unnest(generate_series(0, ${bands - 1})) AS b) bb),
        | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |          FROM bands a JOIN bands b
-       |            ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+       |            ON a.b = b.b AND a.band_hash = b.band_hash AND $candCond),
        | sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
        | inter AS (SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS cnt
        |           FROM cand c
@@ -532,6 +543,9 @@ object SparkEntry {
          | FROM bits GROUP BY doc_id""".stripMargin,
     "q_d5_embed_neardup" -> embedNearDupLshOracle,
     "q_d9_embed_clusters" -> embedClusterOracle,
+    "q_d10_incremental" -> (bandedPairCtes(bands = 20, rowsPerBand = 2, threshold = 0.5,
+      candCond = "(a.doc_id % 2) = 1 AND (b.doc_id % 2) = 0") +
+      "\n SELECT doc_a, doc_b, jaccard FROM jac"),
     "q_s1_ann_topk" ->
       s"""WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings),
          | e AS (SELECT vec_id,

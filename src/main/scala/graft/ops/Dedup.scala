@@ -99,26 +99,67 @@ object Dedup {
       rowsPerBand: Int = 4,
       threshold: Double = 0.5,
       portableHash: Boolean = true): DataFrame = {
+    val (docs, banded) = sigAndBands(documents, shingleSize, bands, rowsPerBand, portableHash)
+    val a = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
+    val b = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b"))
+    val candidates = a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+    verifyJaccard(candidates, docs, docs, threshold)
+  }
+
+  /**
+   * Incremental MinHash+LSH — the per-ingest face of [[minhashLsh]]:
+   * near-dup pairs between a NEW document batch and an already-INDEXED
+   * corpus (the daily workflow at 100 TB: the index's signature/band
+   * table is computed once and persisted; only the new batch is
+   * shingled and banded per run, and the band join touches index
+   * buckets the batch actually hits). Pairs WITHIN the new batch are
+   * [[minhashLsh]] on the batch itself; composing both and feeding
+   * [[applyNearDedup]] gives the incremental ingest gate. Output:
+   * (doc_a = new doc, doc_b = indexed doc, jaccard).
+   */
+  def minhashLshIncremental(
+      newDocs: DataFrame,
+      indexDocs: DataFrame,
+      shingleSize: Int = 3,
+      bands: Int = 20,
+      rowsPerBand: Int = 2,
+      threshold: Double = 0.5,
+      portableHash: Boolean = true): DataFrame = {
+    val (newBase, newBanded) = sigAndBands(newDocs, shingleSize, bands, rowsPerBand, portableHash)
+    val (idxBase, idxBanded) = sigAndBands(indexDocs, shingleSize, bands, rowsPerBand, portableHash)
+    val a = newBanded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
+    val b = idxBanded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b"))
+    val candidates = a.join(b, Seq("band_idx", "band_hash"))
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+    verifyJaccard(candidates, newBase, idxBase, threshold)
+  }
+
+  /** Shared signature/band computation: one compact (doc_id, sh, sig)
+   * row per document, materialised ONCE (localCheckpoint, not cache:
+   * no global CacheManager entry to leak across queries — blocks are
+   * freed when the query's plan is garbage-collected) because the
+   * band join side(s) and the verification stage reuse the
+   * shingle+md5+signature pipeline (at 100 TB you would write this
+   * signature table to storage — [[minhashLshIncremental]] is that
+   * workflow's read side). The banded frame carries doc_id + hashes
+   * ONLY: banded rows are exploded `bands`× and joined, so carrying
+   * the shingle arrays would ship every document's shingle set
+   * through the shuffle `bands` times — shingles are joined back
+   * AFTER candidate pairs are deduplicated (a far smaller row set). */
+  private def sigAndBands(documents: DataFrame, shingleSize: Int,
+      bands: Int, rowsPerBand: Int, portableHash: Boolean): (DataFrame, DataFrame) = {
     val numHashes = bands * rowsPerBand
-    // materialised ONCE (localCheckpoint, not cache: no global
-    // CacheManager entry to leak across queries — blocks are freed
-    // when this query's plan is garbage-collected): both sides of the
-    // bucket self-join and the verification stage reuse the
-    // shingle+md5+signature pipeline; one compact row per document
-    // (at 100 TB you would write this signature table to storage).
     val docs = documents.select(
       col("doc_id"),
       shingles(col("text"), shingleSize).as("sh"))
       .select(col("doc_id"), col("sh"), minhashBase(col("sh"), portableHash).as("hv"))
       .select(col("doc_id"), col("sh"), minhashFromBase(col("hv"), numHashes).as("sig"))
       .localCheckpoint()
-
-    // band index → md5 of the comma-joined band slice of the signature.
-    // doc_id + hashes ONLY: the banded rows are exploded 12× and
-    // self-joined, so carrying the shingle arrays here would ship every
-    // document's shingle set through the shuffle 12 times — shingles
-    // are joined back AFTER candidate pairs are deduplicated (a far
-    // smaller row set).
+    // band index → md5 of the comma-joined band slice of the signature
     val banded = docs.select(
       col("doc_id"),
       posexplode(
@@ -128,17 +169,16 @@ object Dedup {
             transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), x => x.cast("string")),
             ","))))
         .as(Seq("band_idx", "band_hash")))
+    (docs, banded)
+  }
 
-    val a = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
-    val b = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b"))
-    val candidates = a.join(b, Seq("band_idx", "band_hash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-      .dropDuplicates("doc_a", "doc_b")
-
+  /** Exact-Jaccard verification of candidate pairs: shingle sets are
+   * joined back per side and the pair kept at `threshold`. */
+  private def verifyJaccard(candidates: DataFrame, aDocs: DataFrame,
+      bDocs: DataFrame, threshold: Double): DataFrame =
     candidates
-      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .join(aDocs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(bDocs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("na", size(col("sh_a")).cast("long"))
       .withColumn("nb", size(col("sh_b")).cast("long"))
@@ -146,7 +186,6 @@ object Dedup {
         round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
-  }
 
   /**
    * Exact n-gram Jaccard near-dup pairs via the shared-shingle join

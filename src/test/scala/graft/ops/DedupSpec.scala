@@ -63,6 +63,25 @@ class DedupSpec extends SparkSpec {
     assert(exact.nonEmpty && banded.size >= (exact.size * 0.95).toInt)
   }
 
+  test("incremental LSH equals the full finder's cross-partition pairs (batch vs index)") {
+    import org.apache.spark.sql.functions.col
+    val documents = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val newBatch = documents.filter(col("doc_id") % 2 === 1)
+    val index = documents.filter(col("doc_id") % 2 === 0)
+    val incremental = Dedup.minhashLshIncremental(newBatch, index)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    // the full finder over the whole corpus, restricted to pairs that
+    // straddle the split (re-oriented new→index), must agree exactly:
+    // a document's signature doesn't depend on which side it is on
+    val full = Dedup.minhashLsh(documents, 3, 20, 2, 0.5)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      .collect { case (a, b) if (a % 2) != (b % 2) =>
+        if (a % 2 == 1) (a, b) else (b, a) }
+      .toSet
+    assert(incremental == full)
+    assert(incremental.nonEmpty) // the fixture plants cross-split near-dups
+  }
+
   test("streaming exact dedup drops re-delivered content within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
