@@ -103,6 +103,10 @@ object MemoryStore {
    * backend's current state, not a log. */
   def save(memory: DataFrame, path: String): Unit =
     persistentEntries(memory).select(columns.map(col): _*)
+      // sever lineage before overwriting: the store commonly descends
+      // from load() on the SAME path (load → applyWrites → save), and
+      // Spark refuses to overwrite a path its plan still reads
+      .localCheckpoint()
       .write.mode("overwrite").parquet(path)
 
   /**
@@ -112,16 +116,22 @@ object MemoryStore {
    * (src/Memory/MemoryEngine.php:109-123 loadFromBackend) and
    * pre-warms memory before event processing begins
    * (src/Scheduler.php:794-798 memory preload before RUNNING).
-   * A missing/empty backend (first boot) yields the empty store.
-   * Engine start order: `load` → optional preload writes via
+   * A missing backend (first boot) yields the empty store — checked
+   * via the Hadoop filesystem of `path` so hdfs:///s3a:// backends
+   * behave like local ones; any OTHER read failure (corrupt files,
+   * permissions, schema drift) propagates rather than silently
+   * booting an empty store that the next save would persist over the
+   * backend. Engine start order: `load` → optional preload writes via
    * [[applyWrites]] → start queries with the result broadcast into
    * enrichment joins.
    */
   def load(spark: org.apache.spark.sql.SparkSession, path: String,
-      now: Column): DataFrame =
-    scala.util.Try(spark.read.parquet(path).select(columns.map(col): _*))
-      .map(liveAsOf(_, now))
-      .getOrElse(empty(spark)) // no backend written yet
+      now: Column): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) empty(spark) // no backend written yet
+    else liveAsOf(spark.read.parquet(path).select(columns.map(col): _*), now)
+  }
 
   /** Enrichment lookup (J9): broadcast the (small) memory table against
    * an event stream — map-side join, no shuffle of the event side. */

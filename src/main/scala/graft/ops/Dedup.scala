@@ -110,12 +110,28 @@ object Dedup {
   }
 
   /**
+   * Signature table backing the incremental dedup workflow: one
+   * compact (doc_id, sh, sig) row per document. At 100 TB this table
+   * is computed ONCE for the indexed corpus and written to storage
+   * (partitioned/bucketed by doc_id); each ingest run reads it back
+   * and passes it to [[minhashLshIncrementalSig]] so only the new
+   * batch pays the shingle+hash+signature cost.
+   */
+  def signatureTable(documents: DataFrame, shingleSize: Int = 3,
+      numHashes: Int = 40, portableHash: Boolean = true): DataFrame =
+    documents.select(
+      col("doc_id"),
+      shingles(col("text"), shingleSize).as("sh"))
+      .select(col("doc_id"), col("sh"), minhashBase(col("sh"), portableHash).as("hv"))
+      .select(col("doc_id"), col("sh"), minhashFromBase(col("hv"), numHashes).as("sig"))
+
+  /**
    * Incremental MinHash+LSH — the per-ingest face of [[minhashLsh]]:
    * near-dup pairs between a NEW document batch and an already-INDEXED
-   * corpus (the daily workflow at 100 TB: the index's signature/band
-   * table is computed once and persisted; only the new batch is
-   * shingled and banded per run, and the band join touches index
-   * buckets the batch actually hits). Pairs WITHIN the new batch are
+   * corpus. This convenience overload computes the index signatures
+   * in-line; the real per-ingest path is [[minhashLshIncrementalSig]]
+   * over a persisted [[signatureTable]], so only the new batch is
+   * shingled and banded per run. Pairs WITHIN the new batch are
    * [[minhashLsh]] on the batch itself; composing both and feeding
    * [[applyNearDedup]] gives the incremental ingest gate. Output:
    * (doc_a = new doc, doc_b = indexed doc, jaccard).
@@ -127,40 +143,58 @@ object Dedup {
       bands: Int = 20,
       rowsPerBand: Int = 2,
       threshold: Double = 0.5,
+      portableHash: Boolean = true): DataFrame =
+    minhashLshIncrementalSig(newDocs,
+      signatureTable(indexDocs, shingleSize, bands * rowsPerBand, portableHash)
+        .localCheckpoint(), // computed once for both the band join and the verify
+      shingleSize, bands, rowsPerBand, threshold, portableHash)
+
+  /** [[minhashLshIncremental]] over a PRECOMPUTED index
+   * [[signatureTable]] (typically read back from storage) — the
+   * per-ingest hot path: the index is never re-shingled; its band
+   * rows derive from the stored signatures. `indexSignatures` must
+   * carry (doc_id, sh, sig) with `sig` of length ≥ bands·rowsPerBand
+   * computed with the same shingleSize/hash family. */
+  def minhashLshIncrementalSig(
+      newDocs: DataFrame,
+      indexSignatures: DataFrame,
+      shingleSize: Int = 3,
+      bands: Int = 20,
+      rowsPerBand: Int = 2,
+      threshold: Double = 0.5,
       portableHash: Boolean = true): DataFrame = {
-    val (newBase, newBanded) = sigAndBands(newDocs, shingleSize, bands, rowsPerBand, portableHash)
-    val (idxBase, idxBanded) = sigAndBands(indexDocs, shingleSize, bands, rowsPerBand, portableHash)
-    val a = newBanded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
-    val b = idxBanded.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b"))
+    val newBase = signatureTable(newDocs, shingleSize, bands * rowsPerBand, portableHash)
+      .localCheckpoint() // reused by its band side and the verify stage
+    val a = bandsOf(newBase, bands, rowsPerBand)
+      .withColumnRenamed("doc_id", "doc_a")
+    val b = bandsOf(indexSignatures, bands, rowsPerBand)
+      .withColumnRenamed("doc_id", "doc_b")
     val candidates = a.join(b, Seq("band_idx", "band_hash"))
       .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
-    verifyJaccard(candidates, newBase, idxBase, threshold)
+    verifyJaccard(candidates, newBase, indexSignatures, threshold)
   }
 
-  /** Shared signature/band computation: one compact (doc_id, sh, sig)
-   * row per document, materialised ONCE (localCheckpoint, not cache:
+  /** Shared signature/band computation for the self-join face:
+   * [[signatureTable]] materialised ONCE (localCheckpoint, not cache:
    * no global CacheManager entry to leak across queries — blocks are
-   * freed when the query's plan is garbage-collected) because the
-   * band join side(s) and the verification stage reuse the
-   * shingle+md5+signature pipeline (at 100 TB you would write this
-   * signature table to storage — [[minhashLshIncremental]] is that
-   * workflow's read side). The banded frame carries doc_id + hashes
-   * ONLY: banded rows are exploded `bands`× and joined, so carrying
-   * the shingle arrays would ship every document's shingle set
-   * through the shuffle `bands` times — shingles are joined back
-   * AFTER candidate pairs are deduplicated (a far smaller row set). */
+   * freed when the query's plan is garbage-collected) because both
+   * band-join sides and the verification stage reuse it. */
   private def sigAndBands(documents: DataFrame, shingleSize: Int,
       bands: Int, rowsPerBand: Int, portableHash: Boolean): (DataFrame, DataFrame) = {
-    val numHashes = bands * rowsPerBand
-    val docs = documents.select(
-      col("doc_id"),
-      shingles(col("text"), shingleSize).as("sh"))
-      .select(col("doc_id"), col("sh"), minhashBase(col("sh"), portableHash).as("hv"))
-      .select(col("doc_id"), col("sh"), minhashFromBase(col("hv"), numHashes).as("sig"))
+    val docs = signatureTable(documents, shingleSize, bands * rowsPerBand, portableHash)
       .localCheckpoint()
-    // band index → md5 of the comma-joined band slice of the signature
-    val banded = docs.select(
+    (docs, bandsOf(docs, bands, rowsPerBand))
+  }
+
+  /** Band rows of a signature table: band index → md5 of the
+   * comma-joined band slice of the signature. doc_id + hashes ONLY:
+   * banded rows are exploded `bands`× and joined, so carrying the
+   * shingle arrays would ship every document's shingle set through
+   * the shuffle `bands` times — shingles are joined back AFTER
+   * candidate pairs are deduplicated (a far smaller row set). */
+  private def bandsOf(sigTable: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sigTable.select(
       col("doc_id"),
       posexplode(
         transform(
@@ -169,8 +203,6 @@ object Dedup {
             transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), x => x.cast("string")),
             ","))))
         .as(Seq("band_idx", "band_hash")))
-    (docs, banded)
-  }
 
   /** Exact-Jaccard verification of candidate pairs: shingle sets are
    * joined back per side and the pair kept at `threshold`. */

@@ -185,6 +185,13 @@ object Schedule {
     val spark = clock.sparkSession
     import spark.implicits._
     val zone = java.time.ZoneId.of(tz)
+    // id must render like the batch face's `tick_ts.cast("string")` —
+    // the SESSION timezone, captured at plan time as a string (ZoneId/
+    // DateTimeFormatter are not serializable into the closure);
+    // Timestamp.toString would use the executor JVM's default zone
+    // (and append ".0"), breaking batch/streaming id equality across
+    // machines
+    val idZoneId = spark.sessionState.conf.sessionLocalTimeZone
     clock.select(col(tsCol).cast("timestamp")).as[Timestamp]
       .groupByKey(_ => name)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
@@ -207,8 +214,11 @@ object Schedule {
               .map(new Timestamp(_))
               .toVector
             if (hi > cursor) state.update(hi)
+            val idFmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+              .withZone(java.time.ZoneId.of(idZoneId))
             ticks.iterator.map { t =>
-              graft.model.Event(s"GRAFT:Cron:$name", Some(t.toString), t, None,
+              val id = idFmt.format(java.time.Instant.ofEpochMilli(t.getTime))
+              graft.model.Event(s"GRAFT:Cron:$name", Some(id), t, None,
                 Map("key" -> name))
             }
           }

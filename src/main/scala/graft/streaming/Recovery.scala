@@ -1,7 +1,9 @@
 package graft.streaming
 
-import java.io.{File, FileInputStream, FileOutputStream}
 import java.util.Properties
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.SparkSession
 
@@ -46,9 +48,10 @@ import org.apache.spark.sql.SparkSession
  *
  * `clock`/`sleeper` are injectable so tests drive the cooldown without
  * wall-clock sleeps. All files live next to the dead-letter table
- * under `baseDir` — on a real cluster that is the shared checkpoint
- * filesystem, and exactly one driver runs a pipeline, matching the
- * reference's single-scheduler assumption.
+ * under `baseDir` and are accessed through `baseDir`'s Hadoop
+ * filesystem — on a real cluster that is the shared checkpoint
+ * filesystem (hdfs://, s3a://), and exactly one driver runs a
+ * pipeline, matching the reference's single-scheduler assumption.
  */
 object Recovery {
 
@@ -72,30 +75,35 @@ object Recovery {
       maxRecoveryAttempts: Int = MaxRecoveryAttempts,
       cooldownSeconds: Long = CooldownSeconds,
       clock: () => Long = () => System.currentTimeMillis() / 1000L,
-      sleeper: Long => Unit = s => Thread.sleep(s * 1000L)) {
+      sleeper: Long => Unit = s => Thread.sleep(s * 1000L),
+      hadoopConf: Configuration = new Configuration()) {
 
-    private val markerFile = new File(baseDir, ".recovery")
-    private val cooldownFile = new File(baseDir, ".cooldown")
+    private val base = new Path(baseDir)
+    private val markerPath = new Path(base, ".recovery")
+    private val cooldownPath = new Path(base, ".cooldown")
+    private def fs = base.getFileSystem(hadoopConf)
 
-    def hasMarker: Boolean = markerFile.isFile
+    def hasMarker: Boolean = fs.exists(markerPath)
 
     /** Operator intervention: remove the marker and the attempt count
      * (reference clearRecoveryMarker, Scheduler.php:562-570). */
-    def clearMarker(): Unit = { markerFile.delete(); cooldownFile.delete(); () }
+    def clearMarker(): Unit = {
+      fs.delete(markerPath, false); fs.delete(cooldownPath, false); ()
+    }
 
     private def createMarker(): Unit = {
-      new File(baseDir).mkdirs()
-      new FileOutputStream(markerFile).close()
+      fs.mkdirs(base)
+      fs.create(markerPath, true).close()
     }
 
     private def readCooldown(): Option[(Long, Int)] =
-      if (!cooldownFile.isFile) None
+      if (!fs.exists(cooldownPath)) None
       else {
         val p = new Properties()
-        val in = new FileInputStream(cooldownFile)
+        val in = fs.open(cooldownPath)
         try p.load(in) finally in.close()
         try Some((p.getProperty("time", "").toLong, p.getProperty("attempts", "0").toInt))
-        catch { case _: NumberFormatException => cooldownFile.delete(); None }
+        catch { case _: NumberFormatException => fs.delete(cooldownPath, false); None }
       }
 
     /** Seconds left in the cooldown window; an expired file is deleted
@@ -104,7 +112,7 @@ object Recovery {
       case None => 0L
       case Some((time, _)) =>
         val elapsed = clock() - time
-        if (elapsed >= cooldownSeconds) { cooldownFile.delete(); 0L }
+        if (elapsed >= cooldownSeconds) { fs.delete(cooldownPath, false); 0L }
         else cooldownSeconds - elapsed
     }
 
@@ -117,8 +125,8 @@ object Recovery {
       val p = new Properties()
       p.setProperty("time", clock().toString)
       p.setProperty("attempts", attempts.toString)
-      new File(baseDir).mkdirs()
-      val out = new FileOutputStream(cooldownFile)
+      fs.mkdirs(base)
+      val out = fs.create(cooldownPath, true)
       try p.store(out, null) finally out.close()
       attempts
     }
@@ -134,7 +142,7 @@ object Recovery {
         maxActionAttempts: Int = 3,
         wait: Boolean = true): StartOutcome = {
       if (hasMarker)
-        return Halted(s"recovery marker present: ${markerFile.getPath} — " +
+        return Halted(s"recovery marker present: $markerPath — " +
           "previous recovery did not complete; remove the marker to retry")
 
       val remaining = cooldownRemaining()
@@ -143,13 +151,13 @@ object Recovery {
         if (attempts >= maxRecoveryAttempts) {
           createMarker()
           return Halted(s"recovery failed $attempts times consecutively; " +
-            s"marker created: ${markerFile.getPath}")
+            s"marker created: $markerPath")
         }
         if (!wait) return CoolingDown(remaining, attempts)
         sleeper(remaining)
       }
 
-      val hasDeadLetters = new File(baseDir, "dead_letter").isDirectory &&
+      val hasDeadLetters = fs.exists(new Path(base, "dead_letter")) &&
         spark.read.parquet(s"$baseDir/dead_letter").limit(1).count() > 0
       if (!hasDeadLetters) return Started(None)
 
@@ -164,7 +172,7 @@ object Recovery {
         // a controlled failed attempt clears the marker (cooldown + the
         // counter now guard the restart loop); the cap-reaching one
         // leaves it so the next start refuses outright
-        if (!halted) markerFile.delete()
+        if (!halted) fs.delete(markerPath, false)
         RecoveryFailed(attempts, report, halted)
       }
     }

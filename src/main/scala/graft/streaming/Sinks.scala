@@ -233,7 +233,11 @@ object Sinks {
       maxAttempts: Int = 3): RecoveryReport = {
     import spark.implicits._
     val dir = s"$baseDir/dead_letter"
-    if (!new java.io.File(dir).isDirectory) return RecoveryReport(0L, 0L, 0L, 0L)
+    // existence via the path's Hadoop filesystem, not java.io.File —
+    // baseDir is the shared checkpoint FS (hdfs://, s3a://) on a cluster
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    if (!dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(dirPath))
+      return RecoveryReport(0L, 0L, 0L, 0L)
     // materialise the current queue before overwriting its directory
     val dl = spark.read.parquet(dir)
       .select(col("rule"), col("key"), col("name"), col("vars"),
@@ -325,7 +329,13 @@ object Sinks {
       passes: Int = 3,
       sourceRegistry: Map[String, (SparkSession, Map[String, String]) => Dataset[Event]] = Map.empty): DataFrame = {
     val fires0 = RuleEngine.runBatch(events, rules).toDF().persist()
-    chainLoop(events.sparkSession, fires0, rules, passes, sourceRegistry)._1
+    val (all, persisted) = chainLoop(events.sparkSession, fires0, rules, passes, sourceRegistry)
+    // materialise the (small) combined fire records once, then release
+    // the per-pass caches — repeated batch invocations must not
+    // accumulate persisted frames in a long-lived driver
+    val out = all.localCheckpoint()
+    persisted.foreach { df => df.unpersist(); () }
+    out
   }
 
   /** The chain loop shared by the batch and streaming faces: starting

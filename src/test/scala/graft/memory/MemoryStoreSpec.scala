@@ -114,6 +114,14 @@ class MemoryStoreSpec extends SparkSpec {
       ("users", "gold", "v2", 0L, true, "2024-01-01 12:30:00")))
     assert(warmed.collect().map(_.getAs[String]("value")).toSeq == Seq("v2"))
 
+    // the full engine lifecycle writes BACK to the same backend path it
+    // loaded from (load → applyWrites → save at shutdown) — the save
+    // must not trip over its own read lineage
+    MemoryStore.save(warmed, dir)
+    val reloaded = MemoryStore.load(spark, dir, lit("2024-01-01 13:00:00").cast("timestamp"))
+    assert(reloaded.collect().map(r =>
+      (r.getAs[String]("key"), r.getAs[String]("value"))).toSeq == Seq("gold" -> "v2"))
+
     // first boot: no backend table yet → empty store, same schema
     val fresh = MemoryStore.load(spark, dir + "-missing",
       lit("2024-01-01 12:00:00").cast("timestamp"))

@@ -80,6 +80,14 @@ class DedupSpec extends SparkSpec {
       .toSet
     assert(incremental == full)
     assert(incremental.nonEmpty) // the fixture plants cross-split near-dups
+
+    // the per-ingest hot path — a PERSISTED signature table read back
+    // from storage — must agree with the inline form
+    val sigDir = java.nio.file.Files.createTempDirectory("sigtab").toString + "/sig"
+    Dedup.signatureTable(index).write.parquet(sigDir)
+    val viaStored = Dedup.minhashLshIncrementalSig(newBatch, spark.read.parquet(sigDir))
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(viaStored == incremental)
   }
 
   test("streaming exact dedup drops re-delivered content within the watermark") {
