@@ -187,6 +187,11 @@ object SparkEntry {
     "q_p3_split" -> ((s, d) =>
       Sampling.split(Tables.documents(s, d), col("doc_id"))
         .select("doc_id", "split")),
+    // q_p4: temperature-resampled source mixture (α = 0.5) — the apply
+    // stage of the q_x14 mixing weights: expected sampled token mass
+    // per source ∝ n_tokens^α
+    "q_p4_weighted_mix" -> ((s, d) =>
+      Sampling.weightedMixSample(Tables.documents(s, d), col("doc_id"))),
     // ---- training-data pipeline: multimodal plumbing --------------
     "q_m1_media_meta" -> ((s, d) => Multimodal.mediaMeta(Tables.documents(s, d))),
     // ---- generic rule interpreter (batch face of the streaming
@@ -641,6 +646,16 @@ object SparkEntry {
          |   CASE lang WHEN 'en' THEN 1000000 WHEN 'de' THEN 500000
          |             WHEN 'fr' THEN 500000 WHEN 'es' THEN 500000
          |             WHEN 'zh' THEN 250000 ELSE 0 END""".stripMargin,
+    "q_p4_weighted_mix" ->
+      s"""WITH per AS (SELECT source,
+         |   CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         |   FROM documents GROUP BY source),
+         | w AS (SELECT source, ROUND(POW(CAST(n_tokens AS DOUBLE), -0.5), 9) AS w_raw FROM per),
+         | mx AS (SELECT MAX(w_raw) AS w_max FROM w),
+         | r AS (SELECT source, ROUND(w_raw / w_max, 6) AS keep_rate FROM w, mx)
+         | SELECT d.doc_id, d.source, r.keep_rate
+         | FROM documents d JOIN r ON r.source = d.source
+         | WHERE ${MDH("CAST(d.doc_id AS VARCHAR)")} % 1000000 < ROUND(keep_rate * 1e6)""".stripMargin,
     "q_p3_split" ->
       s"""SELECT doc_id,
          |   CASE WHEN ${MDH("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'train'

@@ -42,6 +42,39 @@ object Sampling {
   }
 
   /**
+   * Temperature-weighted source mixing — the APPLY stage of the
+   * training-data recipe whose weights TextAnalysis.sourceMixWeights
+   * reports: per-source keep rate ∝ n_tokens^(alpha−1), normalised so
+   * the most up-weighted source keeps everything, which makes the
+   * EXPECTED sampled token mass per source ∝ n_tokens^alpha (the
+   * standard temperature-resampling used to rebalance multilingual /
+   * multi-source corpora; alpha < 1 up-weights small sources).
+   * Rates are derived from one tiny per-source aggregate and
+   * broadcast back; the keep decision is the same deterministic
+   * key-hash filter as [[hashSample]] — map-side, reproducible,
+   * incremental. Output: kept rows' (doc_id, source, keep_rate).
+   */
+  def weightedMixSample(documents: DataFrame, key: Column,
+      alpha: Double = 0.5): DataFrame = {
+    val per = documents.groupBy("source")
+      // functions.split qualified: this object's own `split` (the
+      // train/val/test splitter) shadows it
+      .agg(sum(size(org.apache.spark.sql.functions.split(col("text"), " "))
+        .cast("long")).as("n_tokens"))
+    // w_raw rounded before the ratio, the ratio rounded before the
+    // micro-rate: every float crossing an engine boundary is pinned,
+    // so the DuckDB oracle reproduces identical keep decisions
+    val w = per.withColumn("w_raw",
+      round(pow(col("n_tokens").cast("double"), lit(alpha - 1)), 9))
+    val maxW = w.agg(max("w_raw").as("w_max"))
+    val rates = w.crossJoin(broadcast(maxW))
+      .select(col("source"), round(col("w_raw") / col("w_max"), 6).as("keep_rate"))
+    documents.join(broadcast(rates), "source")
+      .filter(bucket(key) < round(col("keep_rate") * 1e6).cast("long"))
+      .select(col("doc_id"), col("source"), col("keep_rate"))
+  }
+
+  /**
    * Deterministic train/val/test split on a percent grid: same key →
    * same split forever (documents added later never flip old
    * assignments — the property that keeps eval sets uncontaminated

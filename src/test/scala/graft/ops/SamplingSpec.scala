@@ -28,6 +28,28 @@ class SamplingSpec extends SparkSpec {
     assert(out.length == allEn) // rate 1.0 keeps every row of the stratum
   }
 
+  test("weighted mix: most up-weighted source keeps all; big sources down-sampled toward n^alpha") {
+    val out = Sampling.weightedMixSample(docs, col("doc_id"), alpha = 0.5)
+    val rates = out.select("source", "keep_rate").distinct()
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Double]("keep_rate")).toMap
+    // rate ∝ n_tokens^(α−1): the SMALLEST source normalises to 1.0 and
+    // every bigger source keeps strictly less
+    import org.apache.spark.sql.functions.{size, split, sum}
+    val tokens = docs.groupBy("source")
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("n"))
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("n")).toMap
+    val smallest = tokens.minBy(_._2)._1
+    assert(rates(smallest) == 1.0)
+    assert(tokens.keySet.forall(s => rates(s) <= 1.0 && rates(s) > 0.0))
+    // ordering: more tokens → lower keep rate
+    val bySize = tokens.toSeq.sortBy(_._2).map(_._1)
+    val rateSeq = bySize.map(rates)
+    assert(rateSeq.zip(rateSeq.tail).forall { case (a, b) => a >= b })
+    // the kept subset is the deterministic hash filter at that rate
+    val keptSmallest = out.filter(col("source") === smallest).count()
+    assert(keptSmallest == docs.filter(col("source") === smallest).count())
+  }
+
   test("split partitions every row exactly once with stable assignment") {
     val out = Sampling.split(docs, col("doc_id")).groupBy("split").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
