@@ -291,6 +291,10 @@ object Dedup {
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id"))
       .localCheckpoint()
+    // no pairs → no clusters (the convergence sum below would be NULL
+    // on an empty frame); a clean corpus must yield an empty table,
+    // not an NPE
+    if (labels.isEmpty) return labels
     // Convergence check: label propagation is MONOTONE (least() only
     // ever lowers a label, and label(x) <= x is invariant), so the
     // label sum strictly decreases until the fixpoint — comparing sums

@@ -64,6 +64,19 @@ object Sources {
       }
   }
 
+  /** T1/T3 live cron wiring: [[graft.ops.Schedule.tickStream]] over
+   * the wall-clock rate source (1 row/s is plenty — ticks are minute-
+   * grained). Union the result with the event stream feeding the rule
+   * interpreter; an OnSchedule rule is a matchSingle on
+   * `GRAFT:Cron:$name` (reference: src/Rule/Cron.php:97-132 arms a
+   * live timer; catch-up semantics are covered by ScheduleStreamSpec
+   * via the virtual-clock face). */
+  def cronStream(spark: SparkSession, expr: String, name: String,
+      tz: String = "UTC"): Dataset[Event] =
+    graft.ops.Schedule.tickStream(
+      spark.readStream.format("rate").option("rowsPerSecond", "1").load(),
+      graft.ops.Schedule.parse(expr), name, tz)
+
   /** Batch heartbeat grid for historical replay — one heartbeat per
    * interval across the data's time span (same shape the scheduler
    * would have injected live). */

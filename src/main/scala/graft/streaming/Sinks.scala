@@ -277,8 +277,34 @@ object Sinks {
   def routeAndExecuteStreaming(fired: Dataset[RuleEngine.Fired], baseDir: String,
       checkpoint: String, handler: (String, Map[String, String]) => Unit,
       maxAttempts: Int = 3): StreamingQuery = {
+    recoverAndRun(fired.sparkSession, baseDir, handler, maxAttempts)
+    startRouting(fired, baseDir, checkpoint, handler)
+  }
+
+  /**
+   * [[routeAndExecuteStreaming]] behind the FULL recovery state
+   * machine ([[Recovery.Coordinator]]): the query starts only when the
+   * coordinator reports a clean or recovered boot; a marker, an
+   * exhausted attempt cap or an active cooldown (`wait=false`) refuses
+   * to start — the caller gets the outcome instead of a query, exactly
+   * like the reference refusing to boot sources
+   * (src/Scheduler.php:766-792).
+   */
+  def routeAndExecuteGuarded(fired: Dataset[RuleEngine.Fired], baseDir: String,
+      checkpoint: String, handler: (String, Map[String, String]) => Unit,
+      coordinator: Recovery.Coordinator,
+      maxAttempts: Int = 3, wait: Boolean = true): Either[Recovery.StartOutcome, StreamingQuery] =
+    coordinator.start(fired.sparkSession, handler, maxAttempts, wait) match {
+      case Recovery.Started(_) =>
+        Right(startRouting(fired, baseDir, checkpoint, handler))
+      case other => Left(other)
+    }
+
+  /** Per-micro-batch routing + action execution + dead-lettering (the
+   * at-least-once body shared by the plain and guarded faces). */
+  private def startRouting(fired: Dataset[RuleEngine.Fired], baseDir: String,
+      checkpoint: String, handler: (String, Map[String, String]) => Unit): StreamingQuery = {
     val spark = fired.sparkSession
-    recoverAndRun(spark, baseDir, handler, maxAttempts)
     fired.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[RuleEngine.Fired], _: Long) =>

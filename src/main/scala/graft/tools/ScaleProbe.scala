@@ -107,6 +107,14 @@ object ScaleProbe {
     // end to end at 101k docs
     timedDocs("dedup_apply_d8")(graft.ops.Dedup.applyNearDedup(docs,
       graft.ops.Dedup.minhashLsh(docs, 3, bands = 20, rowsPerBand = 2, 0.5)).count())
+    // the q_d10 per-ingest path: a 1%-sized new batch against the
+    // 100k-doc index's PRECOMPUTED signature table (only the batch is
+    // shingled per run — compare with minhash_lsh_d2's full self-join)
+    val idxSig = graft.ops.Dedup.signatureTable(base).cache()
+    idxSig.count()
+    timedAs("docs", nDocs / 100)("incremental_d10")(
+      graft.ops.Dedup.minhashLshIncrementalSig(dups, idxSig).count())
+    idxSig.unpersist()
     docs.unpersist()
 
     // ---- ANN at 50× the embeddings fixture -------------------------

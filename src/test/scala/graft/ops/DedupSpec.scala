@@ -112,6 +112,17 @@ class DedupSpec extends SparkSpec {
     assert(texts.sorted.toSeq == Seq("doc one", "doc two"))
   }
 
+  test("duplicate clusters: empty pair set yields an empty cluster table (clean corpus)") {
+    import spark.implicits._
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val out = Dedup.duplicateClusters(noPairs)
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("doc_id", "cluster"))
+    // and the apply stage passes the whole corpus through untouched
+    val clean = docs((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+    assert(Dedup.applyNearDedup(clean, noPairs).count() == clean.count())
+  }
+
   test("duplicate clusters: chained pairs collapse to one canonical label") {
     import spark.implicits._
     // a~b, b~c (chain) plus isolated pair d~e

@@ -95,6 +95,50 @@ class RecoverySpec extends SparkSpec {
     assert(coord.start(spark, RecoveryProbe.handler) == Recovery.Started(None))
   }
 
+  test("guarded streaming start: halted boot yields no query; clean boot routes and executes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("recguard").toString
+    RecoveryProbe.reset(failing = true)
+    seedDeadLetter(dir)
+    var now = 1000L
+    val coord = new Recovery.Coordinator(dir, maxRecoveryAttempts = 1,
+      cooldownSeconds = 60, clock = () => now, sleeper = s => now += s)
+
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[RuleEngine.Fired]
+    // one failed recovery exhausts the cap (max 1) → marker → refuse
+    Sinks.routeAndExecuteGuarded(stream.toDS(), dir, s"$dir/ck1",
+      RecoveryProbe.handler, coord, maxAttempts = 10) match {
+      case Left(Recovery.RecoveryFailed(1, _, true)) => ()
+      case other => fail(s"unexpected: $other")
+    }
+    Sinks.routeAndExecuteGuarded(stream.toDS(), dir, s"$dir/ck1",
+      RecoveryProbe.handler, coord, maxAttempts = 10) match {
+      case Left(Recovery.Halted(_)) => () // marker left: no query started
+      case other => fail(s"unexpected: $other")
+    }
+
+    // operator clears + downstream fixed → query starts, drains the
+    // dead letter, then routes live fires and executes their actions
+    coord.clearMarker()
+    RecoveryProbe.reset(failing = false)
+    val query = Sinks.routeAndExecuteGuarded(stream.toDS(), dir, s"$dir/ck2",
+      RecoveryProbe.handler, coord, maxAttempts = 10) match {
+      case Right(q) => q
+      case other => fail(s"unexpected: $other")
+    }
+    try {
+      stream.addData(RuleEngine.Fired("r1", "k1", "complete",
+        java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1,
+        java.sql.Timestamp.valueOf("2024-01-01 10:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-01 10:00:00"),
+        Seq(graft.rules.OutputData.action("notify", Map("ch" -> "email")))))
+      query.processAllAvailable()
+    } finally query.stop()
+    assert(spark.read.parquet(s"$dir/actions").count() == 1)
+    assert(spark.read.parquet(s"$dir/dead_letter").count() == 0)
+  }
+
   test("recovery: expired cooldown resets the consecutive-attempt count") {
     val dir = Files.createTempDirectory("recreset").toString
     RecoveryProbe.reset(failing = true)
