@@ -86,4 +86,46 @@ object Ingest {
       langs: Seq[String] = Seq("en"), delay: String = "10 minutes"): DataFrame =
     Dedup.streamingExactDedup(qualityGate(docs, minQuality, langs), delay)
       .drop("text_md5")
+
+  /**
+   * Streaming NEAR-dedup against a growing index — the streaming face
+   * of the incremental dedup workflow ([[Dedup.minhashLshIncrementalSig]]):
+   * per micro-batch, (1) within-batch near-dups collapse to one
+   * canonical via [[Dedup.applyNearDedup]], (2) survivors with a
+   * banded near-dup already in the index are dropped (anti-join on
+   * the pair table), (3) admitted documents land in `outDir` and
+   * their signatures APPEND to `indexDir` — so later batches dedup
+   * against everything admitted so far, across restarts.
+   *
+   * Scale shape: the index stores one compact signature row per
+   * admitted doc (never re-shingled); each trigger pays
+   * O(batch · bands) banded rows joined against only the index
+   * buckets the batch hits. The admitted batch is localCheckpoint-ed
+   * before the two writes so the side-effecting lineage (which reads
+   * `indexDir`) executes exactly once per trigger.
+   */
+  def runStreamingNearDedup(docs: DataFrame, indexDir: String, outDir: String,
+      checkpoint: String, shingleSize: Int = 3, bands: Int = 20,
+      rowsPerBand: Int = 2, threshold: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val withinClean = Dedup.applyNearDedup(batch,
+          Dedup.minhashLsh(batch, shingleSize, bands, rowsPerBand, threshold))
+        val p = new org.apache.hadoop.fs.Path(indexDir)
+        val hasIndex = p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+        val admitted = (if (!hasIndex) withinClean
+          else {
+            val dupIds = Dedup.minhashLshIncrementalSig(withinClean,
+              spark.read.parquet(indexDir), shingleSize, bands, rowsPerBand, threshold)
+              .select(col("doc_a").as("doc_id")).distinct()
+            withinClean.join(dupIds, Seq("doc_id"), "left_anti")
+          }).localCheckpoint()
+        admitted.write.mode("append").parquet(outDir)
+        Dedup.signatureTable(admitted, shingleSize, bands * rowsPerBand)
+          .write.mode("append").parquet(indexDir)
+        ()
+      }
+      .start()
 }

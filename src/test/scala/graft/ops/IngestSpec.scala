@@ -53,4 +53,39 @@ class IngestSpec extends SparkSpec {
       .collect().map(_.getAs[String]("text")).toSet
     assert(out.map(_.getAs[String]("text")).toSet == batchTexts)
   }
+
+  test("streaming near-dedup: index grows across batches, near-dups of admitted docs dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("neardedup").toString
+    // ten-word docs; "near" variants share 8 leading words (jaccard of
+    // 3-shingles well above 0.5), "novel" shares nothing
+    val a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val aNear = "w1 w2 w3 w4 w5 w6 w7 w8 zz zz2"
+    val b = "v1 v2 v3 v4 v5 v6 v7 v8 v9 v10"
+    val bNear = "v1 v2 v3 v4 v5 v6 v7 v8 qq qq2"
+    val c = "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val query = Ingest.runStreamingNearDedup(stream.toDF().toDF("doc_id", "text"),
+      s"$base/index", s"$base/out", s"$base/ck")
+    try {
+      // batch 1: a admitted; its within-batch near-dup collapses to a
+      stream.addData((1L, a), (2L, aNear))
+      query.processAllAvailable()
+      // batch 2: near-dup of batch-1's ADMITTED doc dropped via the
+      // grown index; novel docs b and c admitted
+      stream.addData((3L, aNear), (4L, b), (5L, c))
+      query.processAllAvailable()
+      // batch 3: near-dup of batch-2's admitted b dropped too
+      stream.addData((6L, bNear))
+      query.processAllAvailable()
+    } finally query.stop()
+    val admitted = spark.read.parquet(s"$base/out")
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(admitted == Seq(1L, 4L, 5L))
+    // the index holds exactly the admitted docs' signatures
+    val indexed = spark.read.parquet(s"$base/index")
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(indexed == Seq(1L, 4L, 5L))
+  }
 }
