@@ -234,6 +234,22 @@ object SparkEntry {
           col("chainLen").cast("bigint").as("n_events"),
           col("firedAt").as("fired_at"))
     }),
+    // q_t3: OnSchedule THROUGH the interpreter — cron ticks become
+    // engine events and a matchSingle on the tick type fires per
+    // scheduled minute (reference: src/Rule/OnSchedule.php:24-38, a
+    // Cron rule invoking the injected closure on alarm); the oracle is
+    // the cron grid itself, so the tick→event→fire loop is checked
+    "q_t3_onschedule" -> ((s, d) => {
+      import s.implicits._
+      val ticks = Schedule.tickEvents(s, Tables.events(s, d),
+        Schedule.parse("*/15 9-17 * * 1-5"), "report")
+      val rule = graft.rules.RuleSpec.matchSingle(
+        "daily_report", Set("GRAFT:Cron:report"),
+        onMatch = _ => Seq(graft.rules.OutputData.action("run_report", Map.empty)))
+      graft.streaming.RuleEngine.runBatch(ticks, Seq(rule))
+        .filter(_.kind == "complete")
+        .select(col("rule"), col("firedAt").as("tick_ts"))
+    }),
   )
 
   /** The flagship rule run through the generic interpreter — proves the
@@ -445,6 +461,13 @@ object SparkEntry {
          |  SELECT date_trunc('minute', MIN(ts)) AS lo, date_trunc('minute', MAX(ts)) AS hi FROM e),
          | grid AS (SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS tick_ts FROM bounds)
          | SELECT tick_ts FROM grid
+         | WHERE minute(tick_ts) % 15 = 0 AND hour(tick_ts) BETWEEN 9 AND 17
+         |   AND isodow(tick_ts) BETWEEN 1 AND 5""".stripMargin,
+    "q_t3_onschedule" ->
+      s"""$E, bounds AS (
+         |  SELECT date_trunc('minute', MIN(ts)) AS lo, date_trunc('minute', MAX(ts)) AS hi FROM e),
+         | grid AS (SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS tick_ts FROM bounds)
+         | SELECT 'daily_report' AS rule, tick_ts FROM grid
          | WHERE minute(tick_ts) % 15 = 0 AND hour(tick_ts) BETWEEN 9 AND 17
          |   AND isodow(tick_ts) BETWEEN 1 AND 5""".stripMargin,
     "q_t2_cron_tz" ->

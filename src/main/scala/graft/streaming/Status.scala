@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
 /**
@@ -41,4 +42,22 @@ object Status {
    * page fetch. */
   def engineStatusJson(spark: SparkSession): String =
     spark.streams.active.map(queryStatusJson).mkString("[", ",", "]")
+
+  /** Per-rule fire statistics over a Fired table/stream — the
+   * rule-level half of the reference's statistics block
+   * (init_matcher / handled / completed_matcher_timeout counters,
+   * reference: src/CorrelationEngine.php:222,261,293): one row per
+   * (rule, kind) with fire count and first/last fire times. Batch: run
+   * on the routed fires table; streaming: aggregate inside a
+   * foreachBatch or over the sink table. */
+  def ruleStats(fired: DataFrame): DataFrame =
+    fired.groupBy("rule", "kind").agg(
+      count(lit(1)).as("n_fires"),
+      min("firedAt").as("first_fire"),
+      max("firedAt").as("last_fire"))
+
+  /** Event-level `seen` counters (reference incrStat('seen', type),
+   * src/CorrelationEngine.php:179): one row per event type. */
+  def seenStats(events: org.apache.spark.sql.Dataset[graft.model.Event]): DataFrame =
+    events.toDF().groupBy("event").agg(count(lit(1)).as("n_seen"))
 }

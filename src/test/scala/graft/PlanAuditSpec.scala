@@ -105,6 +105,32 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup prunes the index scan: the band side reads signatures, never shingles") {
+    // the q_d10 contract — the persisted index is touched twice (band
+    // join + exact verify) and the band side must NOT drag the shingle
+    // arrays through its scan: column pruning has to reach parquet
+    val dir = java.nio.file.Files.createTempDirectory("planidx").toString + "/sig"
+    Dedup.signatureTable(Tables.documents(spark, sf)).write.parquet(dir)
+    audited(Dedup.minhashLshIncrementalSig(
+      Tables.documents(spark, sf).filter(col("doc_id") % 2 === 1),
+      spark.read.parquet(dir))) { plan =>
+      val scans = plan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("planidx")) => s
+      }
+      assert(scans.nonEmpty, s"no index scans found:\n$plan")
+      // at least one index scan (the band side) pruned `sh` away
+      assert(scans.exists(!_.output.exists(_.name == "sh")),
+        s"every index scan reads the shingle column:\n${scans.map(_.output.map(_.name))}\n$plan")
+      // and banded rows stay array-free regardless of join strategy
+      plan.collect { case n if n.output.exists(_.name == "band_hash") => n }
+        .foreach { n =>
+          assert(!n.output.exists(_.dataType.isInstanceOf[ArrayType]),
+            s"array column rode the banded rows: ${n.output.map(_.name)}\n$plan")
+        }
+    }
+  }
+
   test("SimHash is one map-side-combined aggregation shuffle") {
     audited(Dedup.simhash(Tables.documents(spark, sf))) { plan =>
       // one exchange: the groupBy(doc_id) with the native bit-vote

@@ -64,4 +64,43 @@ class ScheduleSpec extends AnyFunSuite {
     val got = Schedule.nextAfter(c, Timestamp.valueOf("2024-01-05 09:00:00"))
     assert(got == Timestamp.valueOf("2024-01-08 09:00:00"))
   }
+
+  test("property: nextAfter agrees with a minute-scan for random crons and instants") {
+    // the driver-side scheduler (nextAfter, used by live ticks) and a
+    // brute-force minute scan of `matches` must never disagree — this
+    // is the same invariant that keeps the batch grid face and the
+    // streaming catch-up face in lockstep
+    val rnd = new scala.util.Random(7)
+    val fields = Seq(
+      () => "*",
+      () => s"*/${1 + rnd.nextInt(20)}",
+      () => s"${rnd.nextInt(30)}-${30 + rnd.nextInt(29)}",
+      () => Seq.fill(1 + rnd.nextInt(3))(rnd.nextInt(59)).distinct.mkString(","))
+    def pick(lo: Int, hi: Int): String = fields(rnd.nextInt(fields.size))() match {
+      // clamp range/list forms into the field's domain
+      case "*" => "*"
+      case s if s.startsWith("*/") => s
+      case s => s.split("[,-]").map(v => (v.toInt % (hi - lo + 1)) + lo)
+        .distinct.sorted.mkString(",")
+    }
+    for (_ <- 1 to 60) {
+      val expr = s"${pick(0, 59)} ${pick(0, 23)} * ${pick(1, 12)} *"
+      val cron = Schedule.parse(expr)
+      val start = Timestamp.valueOf(
+        s"2024-0${1 + rnd.nextInt(9)}-${10 + rnd.nextInt(18)} " +
+          f"${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:30")
+      val got = Schedule.nextAfter(cron, start)
+      // brute-force: walk minutes until the first match strictly after
+      var t = start.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDateTime
+        .withSecond(0).withNano(0).plusMinutes(1)
+      var guard = 0
+      def ok(x: java.time.LocalDateTime): Boolean =
+        cron.minutes.contains(x.getMinute) && cron.hours.contains(x.getHour) &&
+          cron.months.contains(x.getMonthValue) && cron.dom.contains(x.getDayOfMonth) &&
+          cron.dow.contains(x.getDayOfWeek.getValue % 7)
+      while (!ok(t) && guard < 600000) { t = t.plusMinutes(1); guard += 1 }
+      val expect = Timestamp.from(t.toInstant(java.time.ZoneOffset.UTC))
+      assert(got == expect, s"cron '$expr' from $start: got $got, expect $expect")
+    }
+  }
 }

@@ -114,6 +114,22 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/out/memory_writes").count() == 1)
   }
 
+  test("K7 rule statistics: per-(rule, kind) fire counters like the reference's stats block") {
+    val stats = Status.ruleStats(fired.toDF()).collect()
+      .map(r => (r.getAs[String]("rule"), r.getAs[String]("kind")) -> r.getAs[Long]("n_fires"))
+      .toMap
+    assert(stats(("order_payment", "complete")) == 1L) // u1 paid
+    assert(stats(("order_payment", "timeout")) == 1L)  // u2 overdue
+    assert(stats(("order_payment", "progress")) == 2L) // two signups opened matchers
+    import spark.implicits._
+    val seen = Status.seenStats(spark.createDataset(Seq(
+      ev("2024-01-01 10:00:00", "signup", "u1", "1"),
+      ev("2024-01-01 10:30:00", "purchase", "u1", "2"),
+      ev("2024-01-01 11:00:00", "signup", "u2", "3"))))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(seen == Map("signup" -> 2L, "purchase" -> 1L))
+  }
+
   test("K7 status surface: engine JSON carries query identity, state and progress") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
