@@ -62,6 +62,45 @@ class ScheduleStreamSpec extends SparkSpec {
     assert(got.map(_.datetime).toSeq == Seq(ts("2024-01-01 14:30:00")))
   }
 
+  test("T1 tick cursor survives a checkpoint restart: no duplicate or missed ticks") {
+    // the live scheduler's analogue of the reference persisting
+    // cronLastRun in saved state (src/Rule/Cron.php:204-212 next-run
+    // derived from the restored clock): after a restart the catch-up
+    // resumes from the checkpointed cursor, so no tick fires twice and
+    // none is skipped
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("cktick")
+    val inDir = s"$base/in"; val ckDir = s"$base/ck"; val outDir = s"$base/out"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    val cron = Schedule.parse("*/2 * * * *")
+
+    def startQuery() = {
+      val clock = spark.readStream.text(inDir)
+        .select(org.apache.spark.sql.functions.col("value").cast("timestamp").as("ts"))
+      Schedule.tickStream(clock, cron, "report", tsCol = "ts")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckDir)
+        .outputMode("append").start()
+    }
+
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$inDir/clock1.txt"),
+      "2024-01-01 10:00:30\n2024-01-01 10:05:10\n")
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$inDir/clock2.txt"),
+      "2024-01-01 10:09:10\n")
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(outDir).as[graft.model.Event].collect()
+      .map(_.datetime).sortBy(_.getTime).toSeq
+    assert(got == Seq(
+      ts("2024-01-01 10:00:00"), ts("2024-01-01 10:02:00"),
+      ts("2024-01-01 10:04:00"), ts("2024-01-01 10:06:00"),
+      ts("2024-01-01 10:08:00")))
+  }
+
   test("T3 OnSchedule rule fires from the live stream clock") {
     // reference: src/Rule/OnSchedule.php:24-38 — a Cron rule whose
     // alarm invokes the injected closure; here the tick stream feeds
