@@ -22,8 +22,9 @@ import org.apache.spark.sql.streaming.StreamingQuery
  *  statistics counters          | observedMetrics (Metrics.observed)
  *  recent events                | Metrics.recentEvents over the sink table
  *
- * Serve it from any HTTP library or dump it on a timer — the engine
- * itself stays headless, as SURVEY §2.2 scopes K7.
+ * [[serve]] exposes the document on a loopback HTTP endpoint
+ * (JDK-built-in server, no dependencies) — the full K7 face; the
+ * engine can also stay headless and dump the JSON on a timer.
  */
 object Status {
 
@@ -60,4 +61,29 @@ object Status {
    * src/CorrelationEngine.php:179): one row per event type. */
   def seenStats(events: org.apache.spark.sql.Dataset[graft.model.Event]): DataFrame =
     events.toDF().groupBy("event").agg(count(lit(1)).as("n_seen"))
+
+  /**
+   * K7 — the management HTTP endpoint itself (reference:
+   * src/Management/Server.php:16-60 serves a read-only status page on
+   * a local socket): `GET /status` returns [[engineStatusJson]].
+   * JDK-built-in `com.sun.net.httpserver` — zero dependencies, a
+   * couple of driver threads, no executor involvement. Binds loopback
+   * by default (the reference's page is operator-only too); port 0
+   * picks an ephemeral port (see `getAddress.getPort`). Caller stops
+   * it with `stop(0)`.
+   */
+  def serve(spark: SparkSession, port: Int = 0,
+      host: String = "127.0.0.1"): com.sun.net.httpserver.HttpServer = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(host, port), 0)
+    server.createContext("/status", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val body = engineStatusJson(spark).getBytes("UTF-8")
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(200, body.length.toLong)
+      val os = ex.getResponseBody
+      try os.write(body) finally os.close()
+    })
+    server.start()
+    server
+  }
 }

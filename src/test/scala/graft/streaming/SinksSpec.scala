@@ -148,6 +148,28 @@ class SinksSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("K7 management HTTP endpoint serves engine status JSON") {
+    // reference: src/Management/Server.php:16-60 — a read-only local
+    // status page; here GET /status returns the engine JSON
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[RuleEngine.Fired]
+    val query = stream.toDS().writeStream.format("memory")
+      .queryName("http_status_probe").outputMode("append").start()
+    val server = Status.serve(spark)
+    try {
+      stream.addData(fired.collect().toSeq)
+      query.processAllAvailable()
+      val url = new java.net.URI(
+        s"http://127.0.0.1:${server.getAddress.getPort}/status").toURL
+      val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(conn.getResponseCode == 200)
+      assert(conn.getContentType == "application/json")
+      val body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+      assert(body.startsWith("[") && body.contains("http_status_probe"))
+    } finally { server.stop(0); query.stop() }
+  }
+
   test("heartbeat stream starts and emits control events (rate source)") {
     val hb = graft.sources.Sources.heartbeatStream(spark, intervalSec = 1)
     val query = hb.writeStream.format("memory").queryName("hb_out")
