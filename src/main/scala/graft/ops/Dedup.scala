@@ -193,7 +193,7 @@ object Dedup {
    * shingle arrays would ship every document's shingle set through
    * the shuffle `bands` times — shingles are joined back AFTER
    * candidate pairs are deduplicated (a far smaller row set). */
-  private def bandsOf(sigTable: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+  private[ops] def bandsOf(sigTable: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
     sigTable.select(
       col("doc_id"),
       posexplode(
@@ -206,7 +206,7 @@ object Dedup {
 
   /** Exact-Jaccard verification of candidate pairs: shingle sets are
    * joined back per side and the pair kept at `threshold`. */
-  private def verifyJaccard(candidates: DataFrame, aDocs: DataFrame,
+  private[ops] def verifyJaccard(candidates: DataFrame, aDocs: DataFrame,
       bDocs: DataFrame, threshold: Double): DataFrame =
     candidates
       .join(aDocs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")

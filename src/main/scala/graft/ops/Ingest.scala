@@ -89,42 +89,70 @@ object Ingest {
 
   /**
    * Streaming NEAR-dedup against a growing index — the streaming face
-   * of the incremental dedup workflow ([[Dedup.minhashLshIncrementalSig]]):
-   * per micro-batch, (1) within-batch near-dups collapse to one
-   * canonical via [[Dedup.applyNearDedup]], (2) survivors with a
-   * banded near-dup already in the index are dropped (anti-join on
-   * the pair table), (3) admitted documents land in `outDir` and
-   * their signatures APPEND to `indexDir` — so later batches dedup
-   * against everything admitted so far, across restarts.
+   * of the incremental dedup workflow: per micro-batch,
+   *  (1) documents with a banded near-dup already in the INDEX are
+   *      dropped FIRST (before within-batch canonical selection — the
+   *      other order loses a whole within-batch cluster whenever only
+   *      its canonical matches the index);
+   *  (2) the survivors collapse within-batch to one canonical per
+   *      cluster via [[Dedup.applyNearDedup]];
+   *  (3) admitted documents land under `outDir/batch_id=N` and their
+   *      signature + band rows under `indexDir/sig|bands/batch_id=N`
+   *      — so later batches dedup against everything admitted so far.
+   *      The per-batch-id OVERWRITE makes a replayed trigger (crash
+   *      between the writes and the checkpoint commit) idempotent:
+   *      at-least-once execution, exactly-once corpus.
    *
-   * Scale shape: the index stores one compact signature row per
-   * admitted doc (never re-shingled); each trigger pays
-   * O(batch · bands) banded rows joined against only the index
-   * buckets the batch hits. The admitted batch is localCheckpoint-ed
-   * before the two writes so the side-effecting lineage (which reads
-   * `indexDir`) executes exactly once per trigger.
+   * Scale shape: the index stores one compact signature row AND its
+   * precomputed band rows per admitted doc — nothing indexed is ever
+   * re-shingled or re-banded; a trigger's join probes the stored band
+   * table with O(batch · bands) rows. (At very large index sizes,
+   * persist the band table bucketed by band_hash via saveAsTable so
+   * the probe prunes to the buckets the batch hits.) Empty triggers
+   * write nothing (no file-count bloat).
    */
   def runStreamingNearDedup(docs: DataFrame, indexDir: String, outDir: String,
       checkpoint: String, shingleSize: Int = 3, bands: Int = 20,
       rowsPerBand: Int = 2, threshold: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val withinClean = Dedup.applyNearDedup(batch,
-          Dedup.minhashLsh(batch, shingleSize, bands, rowsPerBand, threshold))
-        val p = new org.apache.hadoop.fs.Path(indexDir)
+        val sigDir = s"$indexDir/sig"
+        val bandDir = s"$indexDir/bands"
+        val p = new org.apache.hadoop.fs.Path(sigDir)
         val hasIndex = p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-        val admitted = (if (!hasIndex) withinClean
+        // the whole batch's signatures, computed once: probe side of
+        // the index join, verify side, and the admitted append below
+        val batchSig = Dedup.signatureTable(batch, shingleSize, bands * rowsPerBand)
+          .localCheckpoint()
+        val afterIndex =
+          if (!hasIndex) batch
           else {
-            val dupIds = Dedup.minhashLshIncrementalSig(withinClean,
-              spark.read.parquet(indexDir), shingleSize, bands, rowsPerBand, threshold)
+            val cand = Dedup.bandsOf(batchSig, bands, rowsPerBand)
+              .withColumnRenamed("doc_id", "doc_a")
+              .join(spark.read.parquet(bandDir)
+                .select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b")),
+                Seq("band_idx", "band_hash"))
+              .select("doc_a", "doc_b")
+              .dropDuplicates("doc_a", "doc_b")
+            val dupIds = Dedup.verifyJaccard(cand, batchSig,
+              spark.read.parquet(sigDir), threshold)
               .select(col("doc_a").as("doc_id")).distinct()
-            withinClean.join(dupIds, Seq("doc_id"), "left_anti")
-          }).localCheckpoint()
-        admitted.write.mode("append").parquet(outDir)
-        Dedup.signatureTable(admitted, shingleSize, bands * rowsPerBand)
-          .write.mode("append").parquet(indexDir)
+            batch.join(dupIds, Seq("doc_id"), "left_anti")
+          }
+        val admitted = Dedup.applyNearDedup(afterIndex,
+          Dedup.minhashLsh(afterIndex, shingleSize, bands, rowsPerBand, threshold))
+          .localCheckpoint()
+        if (!admitted.isEmpty) {
+          val admittedSig = batchSig
+            .join(admitted.select("doc_id"), Seq("doc_id"), "left_semi")
+            .localCheckpoint() // two writes below; and sever the sigDir read
+          admitted.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+          admittedSig.write.mode("overwrite").parquet(s"$sigDir/batch_id=$batchId")
+          Dedup.bandsOf(admittedSig, bands, rowsPerBand)
+            .write.mode("overwrite").parquet(s"$bandDir/batch_id=$batchId")
+        }
         ()
       }
       .start()

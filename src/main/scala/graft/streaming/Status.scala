@@ -32,9 +32,19 @@ object Status {
    * progress (rates, state-store sizes, watermark) and observed
    * metrics — `StreamingQueryProgress.json` is Spark's own stable
    * serialisation, embedded verbatim. */
+  /** Minimal JSON string escaping (quotes, backslashes, control
+   * chars) — query names are user-chosen and served over HTTP. */
+  private def jsonEsc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
   def queryStatusJson(q: StreamingQuery): String = {
     val progress = Option(q.lastProgress).map(_.json).getOrElse("null")
-    val name = Option(q.name).map(n => "\"" + n + "\"").getOrElse("null")
+    val name = Option(q.name).map(n => "\"" + jsonEsc(n) + "\"").getOrElse("null")
     s"""{"id":"${q.id}","runId":"${q.runId}","name":$name,"active":${q.isActive},"status":${q.status.json},"lastProgress":$progress}"""
   }
 
@@ -77,11 +87,20 @@ object Status {
     val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress(host, port), 0)
     server.createContext("/status", (ex: com.sun.net.httpserver.HttpExchange) => {
-      val body = engineStatusJson(spark).getBytes("UTF-8")
-      ex.getResponseHeaders.set("Content-Type", "application/json")
-      ex.sendResponseHeaders(200, body.length.toLong)
-      val os = ex.getResponseBody
-      try os.write(body) finally os.close()
+      // a status endpoint must answer even when the engine is sick: a
+      // failure building the document returns 500 instead of leaving
+      // the client hanging until its socket timeout
+      val (code, body) =
+        try (200, engineStatusJson(spark).getBytes("UTF-8"))
+        catch { case e: Throwable =>
+          (500, s"""{"error":"${jsonEsc(String.valueOf(e.getMessage))}"}""".getBytes("UTF-8"))
+        }
+      try {
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        ex.sendResponseHeaders(code, body.length.toLong)
+        val os = ex.getResponseBody
+        try os.write(body) finally os.close()
+      } finally ex.close()
     })
     server.start()
     server

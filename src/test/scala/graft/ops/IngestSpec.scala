@@ -83,9 +83,39 @@ class IngestSpec extends SparkSpec {
     val admitted = spark.read.parquet(s"$base/out")
       .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
     assert(admitted == Seq(1L, 4L, 5L))
-    // the index holds exactly the admitted docs' signatures
-    val indexed = spark.read.parquet(s"$base/index")
+    // the index holds exactly the admitted docs' signatures + bands
+    val indexed = spark.read.parquet(s"$base/index/sig")
       .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
     assert(indexed == Seq(1L, 4L, 5L))
+    assert(spark.read.parquet(s"$base/index/bands")
+      .select("doc_id").distinct().count() == 3)
+  }
+
+  test("streaming near-dedup: a cluster survives when only its canonical near-dups the index") {
+    // regression: index-drop must run BEFORE within-batch canonical
+    // selection — the other order admits NOTHING from a batch cluster
+    // {X, Y} when the index matches only canonical X, silently losing Y
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("nearloss").toString
+    val d1 = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"
+    // X: jaccard(d1, X) = 6/10 >= 0.5 (shares a1..a8)
+    val x = "a1 a2 a3 a4 a5 a6 a7 a8 x9 x10"
+    // Y: jaccard(X, Y) = 6/10 >= 0.5, but jaccard(d1, Y) = 4/12 < 0.5
+    val y = "a3 a4 a5 a6 a7 a8 x9 x10 zz1 zz2"
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val query = Ingest.runStreamingNearDedup(stream.toDF().toDF("doc_id", "text"),
+      s"$base/index", s"$base/out", s"$base/ck")
+    try {
+      stream.addData((1L, d1))
+      query.processAllAvailable()
+      // X near-dups the index; Y near-dups X but NOT the index → X
+      // dropped, Y admitted (it duplicates nothing admitted)
+      stream.addData((5L, x), (9L, y))
+      query.processAllAvailable()
+    } finally query.stop()
+    val admitted = spark.read.parquet(s"$base/out")
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(admitted == Seq(1L, 9L))
   }
 }

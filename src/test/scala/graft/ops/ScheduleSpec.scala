@@ -71,17 +71,18 @@ class ScheduleSpec extends AnyFunSuite {
     // is the same invariant that keeps the batch grid face and the
     // streaming catch-up face in lockstep
     val rnd = new scala.util.Random(7)
-    val fields = Seq(
-      () => "*",
-      () => s"*/${1 + rnd.nextInt(20)}",
-      () => s"${rnd.nextInt(30)}-${30 + rnd.nextInt(29)}",
-      () => Seq.fill(1 + rnd.nextInt(3))(rnd.nextInt(59)).distinct.mkString(","))
-    def pick(lo: Int, hi: Int): String = fields(rnd.nextInt(fields.size))() match {
-      // clamp range/list forms into the field's domain
-      case "*" => "*"
-      case s if s.startsWith("*/") => s
-      case s => s.split("[,-]").map(v => (v.toInt % (hi - lo + 1)) + lo)
-        .distinct.sorted.mkString(",")
+    // generate each form directly inside the field's [lo, hi] domain so
+    // star, step, RANGE and list parsing are all genuinely exercised
+    def pick(lo: Int, hi: Int): String = rnd.nextInt(4) match {
+      case 0 => "*"
+      case 1 => s"*/${1 + rnd.nextInt(20)}"
+      case 2 =>
+        val a = lo + rnd.nextInt(hi - lo)
+        val b = a + 1 + rnd.nextInt(hi - a)
+        s"$a-$b"
+      case _ =>
+        Seq.fill(1 + rnd.nextInt(3))(lo + rnd.nextInt(hi - lo + 1))
+          .distinct.sorted.mkString(",")
     }
     for (_ <- 1 to 60) {
       val expr = s"${pick(0, 59)} ${pick(0, 23)} * ${pick(1, 12)} *"
