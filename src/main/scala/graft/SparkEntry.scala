@@ -67,6 +67,10 @@ object SparkEntry {
       Correlate.enrichFromMemory(Tables.events(s, d), "purchase", "error")),
     "q_j10_asof" -> ((s, d) =>
       Correlate.asOfEnrich(Tables.events(s, d), "purchase", "view")),
+    // q_j11: multi-step funnel reach — the one-call analytics face of
+    // the chained sequence rules (J1/J6 building blocks)
+    "q_j11_funnel" -> ((s, d) =>
+      Correlate.funnel(Tables.events(s, d), Seq("signup", "view", "purchase"))),
     // ---- §2.5 metrics ---------------------------------------------
     "q_a1_eps" -> ((s, d) => Metrics.epsCounter(Tables.events(s, d), "minute")),
     "q_a2_load_avg" -> ((s, d) => Metrics.loadAverage(Tables.events(s, d), 60)),
@@ -745,6 +749,20 @@ object SparkEntry {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
          | SELECT event_id, user_id, ts, asof_ts, asof_value FROM x
          | WHERE event_type = 'purchase'""".stripMargin,
+    "q_j11_funnel" ->
+      s"""$E, r0 AS (SELECT user_id, MIN(ts) AS t FROM e
+         |   WHERE event_type = 'signup' AND user_id IS NOT NULL GROUP BY 1),
+         | r1 AS (SELECT e.user_id, MIN(e.ts) AS t FROM e
+         |   JOIN r0 ON r0.user_id = e.user_id
+         |   WHERE e.event_type = 'view' AND e.ts >= r0.t GROUP BY 1),
+         | r2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM e
+         |   JOIN r1 ON r1.user_id = e.user_id
+         |   WHERE e.event_type = 'purchase' AND e.ts >= r1.t GROUP BY 1)
+         | SELECT * FROM (VALUES
+         |   ('signup', 0, (SELECT CAST(COUNT(*) AS BIGINT) FROM r0)),
+         |   ('view', 1, (SELECT CAST(COUNT(*) AS BIGINT) FROM r1)),
+         |   ('purchase', 2, (SELECT CAST(COUNT(*) AS BIGINT) FROM r2)))
+         |   AS v(step, step_idx, n_keys)""".stripMargin,
     "q_a9_percentiles" ->
       s"""$E, g AS (SELECT event_type,
          |   quantile_cont(value, [0.5, 0.9, 0.99]) AS qs FROM e GROUP BY 1),

@@ -189,6 +189,47 @@ object Correlate {
    * this is one shuffle + one linear pass per key, same as the other
    * sequence faces.
    */
+  /**
+   * Multi-step funnel: per step prefix, how many keys have completed
+   * the ordered chain `steps(0) → … → steps(k)` (each step at-or-after
+   * the previous one's earliest completion — the `>=` matches the
+   * sequence faces' continuation semantics). The reference expresses
+   * funnels as chained sequence rules (reference:
+   * examples/online_shop/rules, J1/J6 building blocks); this is the
+   * one-call analytics face over a static table.
+   *
+   * Scale shape: step k is one equi-join of the step-k events against
+   * the (monotonically SHRINKING) reached-set keyed by `key`, plus a
+   * min-aggregate — k·2 keyed shuffles total, no windows over the full
+   * stream, no per-key materialisation; AQE broadcasts the reached
+   * side as it shrinks. Each stage is localCheckpoint-ed because it
+   * feeds both the next stage's join and its own count.
+   */
+  def funnel(
+      events: DataFrame,
+      steps: Seq[String],
+      key: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val spark = events.sparkSession
+    var reached: DataFrame = null
+    val rows = steps.zipWithIndex.map { case (s, i) =>
+      reached =
+        (if (i == 0)
+          events.filter(col(key).isNotNull && col("event_type") === s)
+            .groupBy(col(key)).agg(min(col(tsCol)).as("t"))
+        else
+          events.filter(col("event_type") === s)
+            .join(reached, Seq(key))
+            .filter(col(tsCol) >= col("t"))
+            .groupBy(col(key)).agg(min(col(tsCol)).as("t")))
+          .localCheckpoint()
+      (s, i, reached.count())
+    }
+    import spark.implicits._
+    rows.toDF("step", "step_idx", "n_keys")
+  }
+
   def asOfEnrich(
       events: DataFrame,
       targetType: String,

@@ -98,4 +98,25 @@ class CorrelateSpec extends SparkSpec {
     assert(byUser(1L).contains(20.0))
     assert(byUser(2L).isEmpty)
   }
+
+  test("funnel counts ordered step reach; out-of-order steps don't count") {
+    val df = events(
+      // u1 completes the full funnel in order
+      (1L, "2024-01-01 10:00:00", 1L, "signup", 0.0),
+      (2L, "2024-01-01 10:10:00", 1L, "view", 0.0),
+      (3L, "2024-01-01 10:20:00", 1L, "purchase", 0.0),
+      // u2 views BEFORE signing up and never views again → stuck at step 0
+      (4L, "2024-01-01 09:00:00", 2L, "view", 0.0),
+      (5L, "2024-01-01 10:00:00", 2L, "signup", 0.0),
+      (6L, "2024-01-01 11:00:00", 2L, "purchase", 0.0),
+      // u3 signs up and views, never purchases → step 1
+      (7L, "2024-01-01 10:00:00", 3L, "signup", 0.0),
+      (8L, "2024-01-01 10:30:00", 3L, "view", 0.0),
+      // u4 purchases only → counted nowhere
+      (9L, "2024-01-01 10:00:00", 4L, "purchase", 0.0))
+    val got = Correlate.funnel(df, Seq("signup", "view", "purchase"))
+      .collect().map(r => (r.getAs[String]("step"),
+        r.getAs[Int]("step_idx"), r.getAs[Long]("n_keys"))).toSet
+    assert(got == Set(("signup", 0, 3L), ("view", 1, 2L), ("purchase", 2, 1L)))
+  }
 }
