@@ -71,6 +71,9 @@ object SparkEntry {
     // the chained sequence rules (J1/J6 building blocks)
     "q_j11_funnel" -> ((s, d) =>
       Correlate.funnel(Tables.events(s, d), Seq("signup", "view", "purchase"))),
+    // q_j12: weekly retention cohorts (first-seen week × offset reach)
+    "q_j12_retention" -> ((s, d) =>
+      Correlate.retentionCohorts(Tables.events(s, d))),
     // ---- §2.5 metrics ---------------------------------------------
     "q_a1_eps" -> ((s, d) => Metrics.epsCounter(Tables.events(s, d), "minute")),
     "q_a2_load_avg" -> ((s, d) => Metrics.loadAverage(Tables.events(s, d), 60)),
@@ -763,6 +766,15 @@ object SparkEntry {
          |   ('view', 1, (SELECT CAST(COUNT(*) AS BIGINT) FROM r1)),
          |   ('purchase', 2, (SELECT CAST(COUNT(*) AS BIGINT) FROM r2)))
          |   AS v(step, step_idx, n_keys)""".stripMargin,
+    "q_j12_retention" ->
+      s"""$E, weeks AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+         |   FROM e WHERE user_id IS NOT NULL),
+         | cohort AS (SELECT user_id, MIN(wk) AS cohort_week FROM weeks GROUP BY 1)
+         | SELECT c.cohort_week, CAST(date_diff('day', CAST(c.cohort_week AS DATE),
+         |     CAST(w.wk AS DATE)) / 7 AS INTEGER) AS week_offset,
+         |   CAST(COUNT(*) AS BIGINT) AS n_keys
+         | FROM weeks w JOIN cohort c ON c.user_id = w.user_id
+         | GROUP BY 1, 2""".stripMargin,
     "q_a9_percentiles" ->
       s"""$E, g AS (SELECT event_type,
          |   quantile_cont(value, [0.5, 0.9, 0.99]) AS qs FROM e GROUP BY 1),

@@ -230,6 +230,34 @@ object Correlate {
     rows.toDF("step", "step_idx", "n_keys")
   }
 
+  /**
+   * Weekly retention cohorts: keys grouped by first-seen week; for
+   * each (cohort_week, week_offset), how many of that cohort's keys
+   * were active `week_offset` weeks later — the companion analytics
+   * face to [[funnel]] (the reference's users derive both from chained
+   * rules + statistics counters). Weeks are `date_trunc("week", ts)`
+   * (ISO Monday start, same in the DuckDB oracle).
+   *
+   * Scale shape: one distinct over (key, week) — the only pass over
+   * the full table — then a min-aggregate and a key-equi-join of two
+   * already-aggregated frames; the final count groups a frame no
+   * larger than (active keys × active weeks).
+   */
+  def retentionCohorts(
+      events: DataFrame,
+      key: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val weeks = events.filter(col(key).isNotNull)
+      .select(col(key), date_trunc("week", col(tsCol)).as("wk"))
+      .distinct()
+    val cohort = weeks.groupBy(col(key)).agg(min("wk").as("cohort_week"))
+    weeks.join(cohort, Seq(key))
+      .withColumn("week_offset",
+        (datediff(col("wk"), col("cohort_week")) / 7).cast("int"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_keys")) // weeks is distinct per (key, wk)
+  }
+
   def asOfEnrich(
       events: DataFrame,
       targetType: String,

@@ -119,4 +119,21 @@ class CorrelateSpec extends SparkSpec {
         r.getAs[Int]("step_idx"), r.getAs[Long]("n_keys"))).toSet
     assert(got == Set(("signup", 0, 3L), ("view", 1, 2L), ("purchase", 2, 1L)))
   }
+
+  test("retention cohorts: offsets count a cohort's keys active k weeks after first-seen") {
+    // weeks are Monday-started; 2024-01-01 is a Monday
+    val df = events(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),  // u1 cohort W0
+      (2L, "2024-01-09 10:00:00", 1L, "view", 0.0),  // u1 active W1
+      (3L, "2024-01-16 10:00:00", 1L, "view", 0.0),  // u1 active W2
+      (4L, "2024-01-02 10:00:00", 2L, "view", 0.0),  // u2 cohort W0
+      (5L, "2024-01-03 11:00:00", 2L, "view", 0.0),  // same week: one row
+      (6L, "2024-01-08 10:00:00", 3L, "view", 0.0))  // u3 cohort W1
+    val got = Correlate.retentionCohorts(df)
+      .collect().map(r => (r.getAs[Timestamp]("cohort_week"),
+        r.getAs[Int]("week_offset"), r.getAs[Long]("n_keys"))).toSet
+    val w0 = ts("2024-01-01 00:00:00")
+    val w1 = ts("2024-01-08 00:00:00")
+    assert(got == Set((w0, 0, 2L), (w0, 1, 1L), (w0, 2, 1L), (w1, 0, 1L)))
+  }
 }
