@@ -214,6 +214,11 @@ object Correlate {
     val spark = events.sparkSession
     var reached: DataFrame = null
     val rows = steps.zipWithIndex.map { case (s, i) =>
+      // a repeated consecutive step needs a strictly LATER occurrence —
+      // `>=` would let one event satisfy both copies of the step
+      val after =
+        if (i > 0 && s == steps(i - 1)) col(tsCol) > col("t")
+        else col(tsCol) >= col("t")
       reached =
         (if (i == 0)
           events.filter(col(key).isNotNull && col("event_type") === s)
@@ -221,7 +226,7 @@ object Correlate {
         else
           events.filter(col("event_type") === s)
             .join(reached, Seq(key))
-            .filter(col(tsCol) >= col("t"))
+            .filter(after)
             .groupBy(col(key)).agg(min(col(tsCol)).as("t")))
           .localCheckpoint()
       (s, i, reached.count())

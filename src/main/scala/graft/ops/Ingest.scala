@@ -118,36 +118,62 @@ object Ingest {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        // index layout: indexDir/sig/batch_id=N + indexDir/bands/batch_id=N
         val sigDir = s"$indexDir/sig"
         val bandDir = s"$indexDir/bands"
-        val p = new org.apache.hadoop.fs.Path(sigDir)
-        val hasIndex = p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-        // the whole batch's signatures, computed once: probe side of
-        // the index join, verify side, and the admitted append below
+        val fs = new org.apache.hadoop.fs.Path(indexDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // BOTH halves must exist: a crash during the very first
+        // admitting batch can leave one written without the other, and
+        // treating that torn state as "no index" lets the replay
+        // rebuild both (there was no earlier index to lose)
+        val hasIndex = fs.exists(new org.apache.hadoop.fs.Path(sigDir)) &&
+          fs.exists(new org.apache.hadoop.fs.Path(bandDir))
+        // the whole batch's signatures, computed ONCE: index probe +
+        // both verify sides + the within-batch pair finder + the
+        // admitted signature append all derive from this table
         val batchSig = Dedup.signatureTable(batch, shingleSize, bands * rowsPerBand)
           .localCheckpoint()
-        val afterIndex =
-          if (!hasIndex) batch
+        val survivorIds =
+          if (!hasIndex) batchSig.select("doc_id")
           else {
+            // exclude THIS batch id from the index reads: a replayed
+            // trigger (crash after the writes, before the checkpoint
+            // commit) must not match its own just-written rows
+            val idxBands = spark.read.parquet(bandDir)
+              .filter(col("batch_id") =!= batchId)
+              .select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b"))
+            val idxSig = spark.read.parquet(sigDir)
+              .filter(col("batch_id") =!= batchId)
             val cand = Dedup.bandsOf(batchSig, bands, rowsPerBand)
               .withColumnRenamed("doc_id", "doc_a")
-              .join(spark.read.parquet(bandDir)
-                .select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b")),
-                Seq("band_idx", "band_hash"))
+              .join(idxBands, Seq("band_idx", "band_hash"))
               .select("doc_a", "doc_b")
               .dropDuplicates("doc_a", "doc_b")
-            val dupIds = Dedup.verifyJaccard(cand, batchSig,
-              spark.read.parquet(sigDir), threshold)
+            val dupIds = Dedup.verifyJaccard(cand, batchSig, idxSig, threshold)
               .select(col("doc_a").as("doc_id")).distinct()
-            batch.join(dupIds, Seq("doc_id"), "left_anti")
+            batchSig.select("doc_id").join(dupIds, Seq("doc_id"), "left_anti")
           }
-        val admitted = Dedup.applyNearDedup(afterIndex,
-          Dedup.minhashLsh(afterIndex, shingleSize, bands, rowsPerBand, threshold))
+        // within-batch canonical selection among index-survivors, pairs
+        // derived from the SAME signature table (no re-shingling)
+        val survivorsSig = batchSig
+          .join(survivorIds, Seq("doc_id"), "left_semi")
+          .localCheckpoint() // feeds pair finding, verify, and the index append
+        val sa = Dedup.bandsOf(survivorsSig, bands, rowsPerBand)
+          .withColumnRenamed("doc_id", "doc_a")
+        val sb = sa.select(col("band_idx"), col("band_hash"), col("doc_a").as("doc_b"))
+        val withinPairs = Dedup.verifyJaccard(
+          sa.join(sb, Seq("band_idx", "band_hash"))
+            .filter(col("doc_a") < col("doc_b"))
+            .select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b"),
+          survivorsSig, survivorsSig, threshold)
+        val admitted = Dedup.applyNearDedup(
+          batch.join(survivorIds, Seq("doc_id"), "left_semi"), withinPairs)
           .localCheckpoint()
         if (!admitted.isEmpty) {
-          val admittedSig = batchSig
+          val admittedSig = survivorsSig
             .join(admitted.select("doc_id"), Seq("doc_id"), "left_semi")
-            .localCheckpoint() // two writes below; and sever the sigDir read
+            .localCheckpoint() // two writes below; severs the sigDir read
           admitted.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
           admittedSig.write.mode("overwrite").parquet(s"$sigDir/batch_id=$batchId")
           Dedup.bandsOf(admittedSig, bands, rowsPerBand)

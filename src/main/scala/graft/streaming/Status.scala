@@ -28,10 +28,6 @@ import org.apache.spark.sql.streaming.StreamingQuery
  */
 object Status {
 
-  /** Status document for one query: identity, run state, the latest
-   * progress (rates, state-store sizes, watermark) and observed
-   * metrics — `StreamingQueryProgress.json` is Spark's own stable
-   * serialisation, embedded verbatim. */
   /** Minimal JSON string escaping (quotes, backslashes, control
    * chars) — query names are user-chosen and served over HTTP. */
   private def jsonEsc(s: String): String =
@@ -42,6 +38,10 @@ object Status {
       case c => c.toString
     }
 
+  /** Status document for one query: identity, run state, the latest
+   * progress (rates, state-store sizes, watermark) and observed
+   * metrics — `StreamingQueryProgress.json` is Spark's own stable
+   * serialisation, embedded verbatim. */
   def queryStatusJson(q: StreamingQuery): String = {
     val progress = Option(q.lastProgress).map(_.json).getOrElse("null")
     val name = Option(q.name).map(n => "\"" + jsonEsc(n) + "\"").getOrElse("null")
@@ -92,7 +92,7 @@ object Status {
       // the client hanging until its socket timeout
       val (code, body) =
         try (200, engineStatusJson(spark).getBytes("UTF-8"))
-        catch { case e: Throwable =>
+        catch { case scala.util.control.NonFatal(e) =>
           (500, s"""{"error":"${jsonEsc(String.valueOf(e.getMessage))}"}""".getBytes("UTF-8"))
         }
       try {

@@ -120,6 +120,16 @@ class CorrelateSpec extends SparkSpec {
     assert(got == Set(("signup", 0, 3L), ("view", 1, 2L), ("purchase", 2, 1L)))
   }
 
+  test("funnel: a repeated consecutive step requires a second occurrence") {
+    val df = events(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),  // one view only
+      (2L, "2024-01-01 10:00:00", 2L, "view", 0.0),
+      (3L, "2024-01-01 10:05:00", 2L, "view", 0.0))  // two views
+    val got = Correlate.funnel(df, Seq("view", "view")).collect()
+      .map(r => r.getAs[Int]("step_idx") -> r.getAs[Long]("n_keys")).toMap
+    assert(got == Map(0 -> 2L, 1 -> 1L))
+  }
+
   test("retention cohorts: offsets count a cohort's keys active k weeks after first-seen") {
     // weeks are Monday-started; 2024-01-01 is a Monday
     val df = events(
