@@ -172,6 +172,11 @@ object SparkEntry {
       TextAnalysis.topTermsPerGroup(Tables.documents(s, d), "lang", 10)),
     "q_s6_knn_label" -> ((s, d) => Similarity.knnClassify(Tables.embeddings(s, d))),
     "q_s7_ann_pq" -> ((s, d) => Similarity.pqTopK(Tables.embeddings(s, d))),
+    // q_s8: per-(label, position) centroid sums — label-cluster
+    // diagnostics over the normalised embedding space (centroid =
+    // sum_x / n_vecs; exact DECIMAL sums, order-independent)
+    "q_s8_label_centroids" -> ((s, d) =>
+      Similarity.labelCentroidSums(Tables.embeddings(s, d))),
     // 0.68 ≈ the fixture's median quality score, so the gate demonstrably
     // filters (~half the corpus survives) rather than passing everything
     "q_x16_ingest_gate" -> ((s, d) => Ingest.runBatch(Tables.documents(s, d), minQuality = 0.68)),
@@ -865,6 +870,15 @@ object SparkEntry {
          | WHERE p.vr = 1""".stripMargin,
     "q_x16_ingest_gate" -> ingestGateOracle(0.68),
     "q_s7_ann_pq" -> pqOracle,
+    "q_s8_label_centroids" ->
+      s"""WITH raw AS (SELECT label, embedding::DOUBLE[] AS v0 FROM embeddings),
+         | e AS (SELECT label,
+         |   list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v FROM raw),
+         | p AS (SELECT label, CAST(i - 1 AS INTEGER) AS pos, ROUND(v[i], 9) AS x
+         |   FROM e, (SELECT unnest(generate_series(1, 64)) AS i) g)
+         | SELECT label, pos, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |   CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) AS sum_x
+         | FROM p GROUP BY 1, 2""".stripMargin,
   )
 
   /** Oracle twin of Similarity.pqTopK — the fixed codebooks (sub-slices

@@ -443,4 +443,38 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim"), col("rank"))
   }
+
+  /**
+   * Per-(label, position) centroid SUMS over the L2-normalised
+   * members — the oracle-exact face of label centroid diagnostics
+   * (centroid[pos] = sum_x / n_vecs). Sums go through the DECIMAL
+   * convention (per-element round to 9 then exact decimal sum, README
+   * §determinism) so the result is order-independent and
+   * bit-reproducible in DuckDB. One posexplode shuffle keyed by
+   * (label, pos): dim·n scalar rows, map-side combined — no vector
+   * collects, no per-label materialisation.
+   */
+  def labelCentroidSums(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"),
+        posexplode(normalized(asDouble(col("embedding")))).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        graft.ops.Metrics.exactSum(round(col("x"), 9), 9).as("sum_x"))
+
+  /** Label centroid vectors assembled from [[labelCentroidSums]]
+   * (centroid = per-position mean): one tiny labels×dim aggregation —
+   * the diagnostics companion to [[knnClassify]]'s labels (cluster
+   * position/tightness checks live in SimilaritySpec). */
+  def labelCentroids(embeddings: DataFrame): DataFrame =
+    labelCentroidSums(embeddings)
+      .groupBy("label")
+      .agg(
+        first(col("n_vecs")).as("n_vecs"), // constant per label
+        transform(
+          array_sort(collect_list(struct(col("pos"), col("sum_x")))),
+          s => s("sum_x")).as("sums"))
+      .select(col("label"), col("n_vecs"),
+        transform(col("sums"), x => round(x / col("n_vecs"), 9)).as("centroid"))
 }

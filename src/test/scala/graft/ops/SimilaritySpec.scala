@@ -94,6 +94,24 @@ class SimilaritySpec extends SparkSpec {
     assert(got(1L) == ((2, 3L, 9)))
   }
 
+  test("label centroids: per-position means of normalised members, counts per label") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Array(1f, 0f), 1), (1L, Array(0f, 1f), 1), // centroid (.5, .5)
+      (2L, Array(3f, 4f), 2)                          // normalised (.6, .8)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelCentroids(df).collect()
+      .map(r => r.getAs[Int]("label") ->
+        ((r.getAs[Long]("n_vecs"), r.getSeq[Double](r.fieldIndex("centroid")).toList))).toMap
+    assert(got(1)._1 == 2L && got(1)._2 == List(0.5, 0.5))
+    assert(got(2)._1 == 1L && got(2)._2 == List(0.6, 0.8))
+    // the exported sums face agrees: centroid = sum_x / n_vecs
+    val sums = Similarity.labelCentroidSums(df).collect()
+      .map(r => (r.getAs[Int]("label"), r.getAs[Int]("pos")) -> r.getAs[Double]("sum_x")).toMap
+    assert(sums((1, 0)) == 1.0 && sums((1, 1)) == 1.0)
+    assert(sums((2, 0)) == 0.6 && sums((2, 1)) == 0.8)
+  }
+
   test("near-dup pairs are symmetric-free (a<b) and above threshold") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val got = Similarity.embeddingNearDup(emb, 0.4).collect()
