@@ -69,6 +69,9 @@ object ScaleProbe {
     timed("suppress_f6")(Correlate.suppressDuplicates(events).count())
     timed("eps_a1")(Metrics.epsCounter(events, "minute").count())
     timed("stats_a3")(Metrics.statistics(events).count())
+    timed("funnel_j11")(
+      Correlate.funnel(events, Seq("signup", "view", "purchase")).count())
+    timed("retention_j12")(Correlate.retentionCohorts(events).count())
     events.unpersist()
 
     // ---- pipeline ops at 200× the documents fixture ----------------
