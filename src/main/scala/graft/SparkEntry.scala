@@ -870,6 +870,10 @@ object SparkEntry {
          | WHERE p.vr = 1""".stripMargin,
     "q_x16_ingest_gate" -> ingestGateOracle(0.68),
     "q_s7_ann_pq" -> pqOracle,
+    // NOTE: the fixed generate_series(1, 64) grid assumes uniform 64-d
+    // non-null embeddings (true of the fixtures, like the other ANN
+    // oracles' dim constants); posexplode on the Spark side would emit
+    // fewer rows for ragged input and the compare would flag it
     "q_s8_label_centroids" ->
       s"""WITH raw AS (SELECT label, embedding::DOUBLE[] AS v0 FROM embeddings),
          | e AS (SELECT label,

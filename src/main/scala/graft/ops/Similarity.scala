@@ -466,15 +466,17 @@ object Similarity {
   /** Label centroid vectors assembled from [[labelCentroidSums]]
    * (centroid = per-position mean): one tiny labels×dim aggregation —
    * the diagnostics companion to [[knnClassify]]'s labels (cluster
-   * position/tightness checks live in SimilaritySpec). */
+   * position/tightness checks live in SimilaritySpec). Each position
+   * divides by ITS OWN member count, so ragged inputs (mixed vector
+   * lengths) average each position over the vectors that carry it;
+   * `n_vecs` reports the label's member count (the max across
+   * positions). */
   def labelCentroids(embeddings: DataFrame): DataFrame =
     labelCentroidSums(embeddings)
       .groupBy("label")
       .agg(
-        first(col("n_vecs")).as("n_vecs"), // constant per label
+        max(col("n_vecs")).as("n_vecs"),
         transform(
-          array_sort(collect_list(struct(col("pos"), col("sum_x")))),
-          s => s("sum_x")).as("sums"))
-      .select(col("label"), col("n_vecs"),
-        transform(col("sums"), x => round(x / col("n_vecs"), 9)).as("centroid"))
+          array_sort(collect_list(struct(col("pos"), col("sum_x"), col("n_vecs")))),
+          s => round(s("sum_x") / s("n_vecs"), 9)).as("centroid"))
 }
