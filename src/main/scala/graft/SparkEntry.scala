@@ -74,6 +74,13 @@ object SparkEntry {
     // q_j12: weekly retention cohorts (first-seen week × offset reach)
     "q_j12_retention" -> ((s, d) =>
       Correlate.retentionCohorts(Tables.events(s, d))),
+    // q_j13: the funnel under the reference's per-step gap timeouts —
+    // each step must land within a day of the previous one's earliest
+    // completion (at sf0.01: 150 → 39 → 15 keys, vs q_j11's untimed
+    // 150 → 150 → 150 — the timeout demonstrably drops conversions)
+    "q_j13_funnel_timed" -> ((s, d) =>
+      Correlate.funnelTimed(Tables.events(s, d), Seq("signup", "view", "purchase"),
+        Seq(86400L, 86400L))),
     // ---- §2.5 metrics ---------------------------------------------
     "q_a1_eps" -> ((s, d) => Metrics.epsCounter(Tables.events(s, d), "minute")),
     "q_a2_load_avg" -> ((s, d) => Metrics.loadAverage(Tables.events(s, d), 60)),
@@ -206,6 +213,10 @@ object SparkEntry {
       Sampling.weightedMixSample(Tables.documents(s, d), col("doc_id"))),
     // ---- training-data pipeline: multimodal plumbing --------------
     "q_m1_media_meta" -> ((s, d) => Multimodal.mediaMeta(Tables.documents(s, d))),
+    // q_m2: REAL binary image-header decode (PNG IHDR + JPEG segment
+    // walk) over the binary media fixture; the oracle re-parses the
+    // same blobs with DuckDB hex arithmetic
+    "q_m2_image_meta" -> ((s, _) => Multimodal.imageMetaTable(s, Tables.media(s))),
     // ---- generic rule interpreter (batch face of the streaming
     //      engine; same state machine as flatMapGroupsWithState) -----
     "q_e1_engine_timeouts" -> ((s, d) => {
@@ -701,6 +712,31 @@ object SparkEntry {
       s"""SELECT doc_id AS media_id, 'text/plain' AS mime_type,
          |   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
          | FROM documents""".stripMargin,
+    // q_m2: the oracle independently re-parses the image headers from
+    // the same blobs — PNG at the spec-fixed IHDR offsets, JPEG at the
+    // SOF offset the fixture's layout implies (SOF at byte 21; rows
+    // with a COM segment shift by its 4+len bytes). Byte p (1-based)
+    // lives at hex chars 2p-1..2p of hex(media).
+    "q_m2_image_meta" ->
+      s"""WITH m AS (SELECT media_id, mime_type, hex(media) AS h,
+         |                  octet_length(media) AS n
+         |           FROM read_parquet('${Tables.mediaFixturePath}')),
+         | j AS (SELECT m.*,
+         |         CASE WHEN media_id % 4 = 1 THEN 21
+         |              WHEN media_id % 4 = 2 THEN 35 + media_id % 7 END AS o,
+         |         (substr(h, 1, 16) = '89504E470D0A1A0A' AND n >= 24
+         |           AND substr(h, 25, 8) = '49484452') AS is_png,
+         |         substr(h, 1, 4) = 'FFD8' AS is_jpg
+         |       FROM m)
+         | SELECT media_id, mime_type, CAST(n AS BIGINT) AS n_bytes,
+         |   CASE WHEN is_png THEN 'png' WHEN is_jpg THEN 'jpeg' END AS format,
+         |   CASE WHEN is_png THEN ('0x' || substr(h, 33, 8))::INTEGER
+         |        WHEN is_jpg THEN ('0x' || substr(h, 2 * (o + 6) + 1, 4))::INTEGER
+         |   END AS width,
+         |   CASE WHEN is_png THEN ('0x' || substr(h, 41, 8))::INTEGER
+         |        WHEN is_jpg THEN ('0x' || substr(h, 2 * (o + 4) + 1, 4))::INTEGER
+         |   END AS height
+         | FROM j""".stripMargin,
     "q_e1_engine_timeouts" ->
       s"""$E SELECT s.user_id, s.ts AS first_ts, s.ts + INTERVAL 1 HOUR AS fired_at
          | FROM e s LEFT JOIN e p
@@ -766,6 +802,22 @@ object SparkEntry {
          | r2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM e
          |   JOIN r1 ON r1.user_id = e.user_id
          |   WHERE e.event_type = 'purchase' AND e.ts >= r1.t GROUP BY 1)
+         | SELECT * FROM (VALUES
+         |   ('signup', 0, (SELECT CAST(COUNT(*) AS BIGINT) FROM r0)),
+         |   ('view', 1, (SELECT CAST(COUNT(*) AS BIGINT) FROM r1)),
+         |   ('purchase', 2, (SELECT CAST(COUNT(*) AS BIGINT) FROM r2)))
+         |   AS v(step, step_idx, n_keys)""".stripMargin,
+    "q_j13_funnel_timed" ->
+      s"""$E, r0 AS (SELECT user_id, MIN(ts) AS t FROM e
+         |   WHERE event_type = 'signup' AND user_id IS NOT NULL GROUP BY 1),
+         | r1 AS (SELECT e.user_id, MIN(e.ts) AS t FROM e
+         |   JOIN r0 ON r0.user_id = e.user_id
+         |   WHERE e.event_type = 'view' AND e.ts >= r0.t
+         |     AND e.ts <= r0.t + INTERVAL 86400 SECOND GROUP BY 1),
+         | r2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM e
+         |   JOIN r1 ON r1.user_id = e.user_id
+         |   WHERE e.event_type = 'purchase' AND e.ts >= r1.t
+         |     AND e.ts <= r1.t + INTERVAL 86400 SECOND GROUP BY 1)
          | SELECT * FROM (VALUES
          |   ('signup', 0, (SELECT CAST(COUNT(*) AS BIGINT) FROM r0)),
          |   ('view', 1, (SELECT CAST(COUNT(*) AS BIGINT) FROM r1)),

@@ -59,4 +59,14 @@ object Tables {
   def region(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "region")
   def documents(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "embeddings")
+
+  /** media(media_id BIGINT, mime_type STRING, media BINARY) — the
+   * repo-local deterministic binary fixture (tools.MediaFixture; the
+   * driver fixtures carry no binary column). Scale-independent: the
+   * same 500 blobs at every sf. */
+  def mediaFixturePath: String = {
+    val local = new java.io.File("fixtures/media.parquet")
+    if (local.exists) local.getAbsolutePath else "/root/repo/fixtures/media.parquet"
+  }
+  def media(spark: SparkSession): DataFrame = spark.read.parquet(mediaFixturePath)
 }

@@ -143,4 +143,35 @@ object MemoryStore {
           .select(col("key").as("__mem_key"), col("value").as("memory_value"))),
       keyCol === col("__mem_key"), "left")
       .drop("__mem_key")
+
+  /**
+   * J9 LIVE — streaming memory enrichment: every micro-batch is joined
+   * against the memory backend table as it exists AT THAT TRIGGER —
+   * [[load]] runs inside the batch function, so each trigger re-lists
+   * and re-reads the backend with a fresh TTL filter (a static
+   * DataFrame built once outside the stream would freeze its file
+   * listing at plan time and never see later writes). The reference
+   * gives rules per-event read access to live memory (reference:
+   * src/Memory/MemoryInterface.php:204-222,
+   * src/StateMachine/AEventProcessor.php:147-158); the micro-batch
+   * analogue has ONE-BATCH visibility lag (documented divergence,
+   * SURVEY §7.5.3): a write persisted during batch N is visible to the
+   * lookup from batch N+1 on, never to its own batch.
+   *
+   * Scale: the memory table stays broadcast-sized by construction (one
+   * live row per (namespace, key)), so the per-trigger cost is one
+   * small read + a map-side broadcast join — the event side never
+   * shuffles.
+   */
+  def enrichStream(events: DataFrame, memoryPath: String, namespace: String,
+      keyCol: Column, checkpoint: String)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val mem = load(batch.sparkSession, memoryPath, current_timestamp())
+        sink(lookup(batch, mem, namespace, keyCol), batchId)
+        ()
+      }
+      .start()
 }

@@ -209,16 +209,50 @@ object Correlate {
       events: DataFrame,
       steps: Seq[String],
       key: String = "user_id",
+      tsCol: String = "ts"): DataFrame =
+    funnelCounts(events, funnelStages(events, steps, Nil, key, tsCol), steps, key)
+
+  /**
+   * [[funnel]] with a per-step gap timeout — the analytics face of the
+   * reference's sequence rules' chain timeouts (reference:
+   * src/StateMachine/AEventProcessor.php:122,367-396): step `i` only
+   * counts if it happens within `maxGapSeconds(i-1)` of the previous
+   * step's earliest completion (`ts BETWEEN t AND t + gap`). A key that
+   * converts eventually but too slowly reaches the untimed funnel and
+   * NOT this one.
+   */
+  def funnelTimed(
+      events: DataFrame,
+      steps: Seq[String],
+      maxGapSeconds: Seq[Long],
+      key: String = "user_id",
       tsCol: String = "ts"): DataFrame = {
+    require(maxGapSeconds.length == steps.length - 1,
+      "one maxGap per step transition")
+    funnelCounts(events, funnelStages(events, steps, maxGapSeconds, key, tsCol), steps, key)
+  }
+
+  /** Per-step reached-set frames (key, t = earliest completion), each
+   * localCheckpoint-ed because it feeds both the next stage's join and
+   * the final count. */
+  private def funnelStages(events: DataFrame, steps: Seq[String],
+      maxGapSeconds: Seq[Long], key: String, tsCol: String): Seq[DataFrame] = {
     require(steps.nonEmpty, "funnel needs at least one step")
-    val spark = events.sparkSession
     var reached: DataFrame = null
-    val rows = steps.zipWithIndex.map { case (s, i) =>
-      // a repeated consecutive step needs a strictly LATER occurrence —
-      // `>=` would let one event satisfy both copies of the step
+    steps.zipWithIndex.map { case (s, i) =>
+      // a step whose type already appeared earlier in the chain needs a
+      // strictly LATER occurrence — with `>=`, a single event could
+      // satisfy both copies whenever the intermediate steps complete at
+      // the same timestamp (conservative: a genuinely distinct repeat
+      // at the exact same timestamp is also rejected; event identity
+      // beyond (key, ts) isn't part of the funnel contract)
       val after =
-        if (i > 0 && s == steps(i - 1)) col(tsCol) > col("t")
+        if (i > 0 && steps.take(i).contains(s)) col(tsCol) > col("t")
         else col(tsCol) >= col("t")
+      val within =
+        if (i > 0 && maxGapSeconds.nonEmpty)
+          col(tsCol) <= col("t") + expr(s"INTERVAL ${maxGapSeconds(i - 1)} SECOND")
+        else lit(true)
       reached =
         (if (i == 0)
           events.filter(col(key).isNotNull && col("event_type") === s)
@@ -226,13 +260,28 @@ object Correlate {
         else
           events.filter(col("event_type") === s)
             .join(reached, Seq(key))
-            .filter(after)
+            .filter(after && within)
             .groupBy(col(key)).agg(min(col(tsCol)).as("t")))
           .localCheckpoint()
-      (s, i, reached.count())
+      reached
     }
+  }
+
+  /** Fold the per-step counts into ONE aggregation job (a k-step funnel
+   * is k checkpointed stage builds + one count, not k driver
+   * round-trips); steps that empty out still get their zero row. */
+  private def funnelCounts(events: DataFrame, stages: Seq[DataFrame],
+      steps: Seq[String], key: String): DataFrame = {
+    val spark = events.sparkSession
     import spark.implicits._
-    rows.toDF("step", "step_idx", "n_keys")
+    val counted = stages.zip(steps.zipWithIndex).map { case (df, (s, i)) =>
+      df.select(lit(s).as("step"), lit(i).as("step_idx"), col(key))
+    }.reduce(_ unionAll _)
+      .groupBy("step", "step_idx")
+      .agg(count(lit(1)).as("n_keys"))
+    steps.zipWithIndex.toDF("step", "step_idx")
+      .join(counted, Seq("step", "step_idx"), "left")
+      .na.fill(0L, Seq("n_keys"))
   }
 
   /**

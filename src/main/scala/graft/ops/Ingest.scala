@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -96,29 +96,65 @@ object Ingest {
    *      its canonical matches the index);
    *  (2) the survivors collapse within-batch to one canonical per
    *      cluster via [[Dedup.applyNearDedup]];
-   *  (3) admitted documents land under `outDir/batch_id=N` and their
-   *      signature + band rows under `indexDir/sig|bands/batch_id=N`
-   *      — so later batches dedup against everything admitted so far.
-   *      The per-batch-id OVERWRITE makes a replayed trigger (crash
-   *      between the writes and the checkpoint commit) idempotent:
-   *      at-least-once execution, exactly-once corpus.
+   *  (3) admitted documents land under `outDir/write_id=<ck>_<N>` and
+   *      their signature + band rows in the index tables under the
+   *      same `write_id` partition — so later batches
+   *      dedup against everything admitted so far. The per-write-id
+   *      OVERWRITE makes a replayed trigger (crash between the writes
+   *      and the checkpoint commit) idempotent: at-least-once
+   *      execution, exactly-once corpus. The write id is derived from
+   *      the CHECKPOINT path, not the bare batch number: a replay of
+   *      the same checkpoint reuses it (own rows excluded from the
+   *      probe, partition overwritten), while a FRESH stream started
+   *      over an existing index gets distinct ids, so its batch 0
+   *      still dedups against the old stream's batch 0.
    *
    * Scale shape: the index stores one compact signature row AND its
    * precomputed band rows per admitted doc — nothing indexed is ever
-   * re-shingled or re-banded; a trigger's join probes the stored band
-   * table with O(batch · bands) rows. (At very large index sizes,
-   * persist the band table bucketed by band_hash via saveAsTable so
-   * the probe prunes to the buckets the batch hits.) Empty triggers
-   * write nothing (no file-count bloat).
+   * re-shingled or re-banded. Both index halves live as BUCKETED
+   * catalog tables (bands clustered+sorted by band_hash, signatures by
+   * doc_id, both partitioned by write_id), and a trigger probes them
+   * with an IN filter over the batch's own band hashes / candidate doc
+   * ids. That layout removes both ways a growing index could swamp a
+   * trigger: (a) the probe join never SHUFFLES the index — the scan's
+   * bucket partitioning on band_hash already satisfies the join's
+   * distribution, so only the small batch side moves; (b) the scan is
+   * pruned — partition level (the replayed write's own rows), bucket
+   * level (SelectedBucketsCount; set-based, works at any probe-list
+   * size), and parquet row-group level for small probe lists (files
+   * are sorted by the bucket key, so pushed In filters skip row
+   * groups). Bucket-level pruning bites when the bucket count exceeds
+   * the batch's distinct hash count — size buckets for the TRIGGER,
+   * not the index (a 1k-doc trigger touches ≤ 20k hashes; with the
+   * O(100k) buckets a 100 TB index wants per [[Layout.writeBucketed]],
+   * ≥80% of the index is never read). Compact small per-batch files
+   * periodically. Empty triggers write nothing (no file-count bloat).
+   *
+   * The session keeps `autoBucketedScan` disabled (the planner must
+   * never fall back to an unpruned scan of the index) and the parquet
+   * IN-pushdown threshold at 1000 (see the conf comment below); both
+   * are set at stream start. Probes above [[MaxProbeLiterals]] skip the
+   * IN filter entirely and rely on the shuffle-free bucketed join.
    */
   def runStreamingNearDedup(docs: DataFrame, indexDir: String, outDir: String,
       checkpoint: String, shingleSize: Int = 3, bands: Int = 20,
-      rowsPerBand: Int = 2, threshold: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
+      rowsPerBand: Int = 2, threshold: Double = 0.5,
+      indexBuckets: Int = 16): org.apache.spark.sql.streaming.StreamingQuery = {
+    val session = docs.sparkSession
+    session.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    // 1000, not unlimited: parquet-side In pushdown builds a NESTED OR
+    // predicate — a six-figure hash list overflows the executor stack.
+    // Small probes (the common streaming trigger) still get row-group
+    // pruning; big ones degrade to a range filter while BUCKET pruning
+    // (planning-side, set-based, any list size) keeps working.
+    session.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", "1000")
+    val ckId = tableSuffix(checkpoint) // stream identity, stable across restarts
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        // index layout: indexDir/sig/batch_id=N + indexDir/bands/batch_id=N
+        val writeId = s"${ckId}_$batchId"
+        // index layout: indexDir/sig|bands/write_id=<ckId>_<N>
         val sigDir = s"$indexDir/sig"
         val bandDir = s"$indexDir/bands"
         val fs = new org.apache.hadoop.fs.Path(indexDir)
@@ -134,26 +170,50 @@ object Ingest {
         // admitted signature append all derive from this table
         val batchSig = Dedup.signatureTable(batch, shingleSize, bands * rowsPerBand)
           .localCheckpoint()
-        val survivorIds =
-          if (!hasIndex) batchSig.select("doc_id")
+        // index probe against the bucketed band/sig tables, pruned to
+        // what THIS batch can match
+        def probeSurvivors(): DataFrame = {
+          // the batch's own band-hash set: for a normal-sized trigger
+          // it is collected to the driver (O(batch·bands) md5 strings)
+          // and pushed as an IN filter — bucket + row-group pruning; a
+          // BULK batch above the literal budget skips the filter (a
+          // six-figure literal list is its own scalability bug: the
+          // parquet OR-chain overflows the stack, the catalyst tree
+          // bloats the driver) and relies on the bucketed join, which
+          // still never shuffles the index side
+          val batchHashes = Dedup.bandsOf(batchSig, bands, rowsPerBand)
+            .select("band_hash").distinct().localCheckpoint()
+          val nHashes = batchHashes.count()
+          val probeHashes =
+            if (nHashes > 0 && nHashes <= MaxProbeLiterals)
+              Some(batchHashes.collect().map(_.getString(0)).toSeq)
+            else None
+          val idxBands = indexBandProbe(spark, indexDir, writeId, probeHashes, indexBuckets)
+            .select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b"))
+          val cand = Dedup.bandsOf(batchSig, bands, rowsPerBand)
+            .withColumnRenamed("doc_id", "doc_a")
+            .join(idxBands, Seq("band_idx", "band_hash"))
+            .select("doc_a", "doc_b")
+            .dropDuplicates("doc_a", "doc_b")
+            .localCheckpoint() // reused: candidate-id collect + verify
+          // candidate index docs, same literal budget: verify only
+          // needs the signatures of docs some band actually matched
+          val nCand = cand.count()
+          if (nCand == 0) batchSig.select("doc_id")
           else {
-            // exclude THIS batch id from the index reads: a replayed
-            // trigger (crash after the writes, before the checkpoint
-            // commit) must not match its own just-written rows
-            val idxBands = spark.read.parquet(bandDir)
-              .filter(col("batch_id") =!= batchId)
-              .select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b"))
-            val idxSig = spark.read.parquet(sigDir)
-              .filter(col("batch_id") =!= batchId)
-            val cand = Dedup.bandsOf(batchSig, bands, rowsPerBand)
-              .withColumnRenamed("doc_id", "doc_a")
-              .join(idxBands, Seq("band_idx", "band_hash"))
-              .select("doc_a", "doc_b")
-              .dropDuplicates("doc_a", "doc_b")
+            val candIds =
+              if (nCand <= MaxProbeLiterals)
+                Some(cand.select("doc_b").distinct().collect().map(_.get(0)).toSeq)
+              else None
+            val idxSig = indexSigProbe(spark, indexDir, writeId, candIds, indexBuckets)
             val dupIds = Dedup.verifyJaccard(cand, batchSig, idxSig, threshold)
               .select(col("doc_a").as("doc_id")).distinct()
             batchSig.select("doc_id").join(dupIds, Seq("doc_id"), "left_anti")
           }
+        }
+        val survivorIds =
+          if (!hasIndex) batchSig.select("doc_id")
+          else probeSurvivors()
         // within-batch canonical selection among index-survivors, pairs
         // derived from the SAME signature table (no re-shingling)
         val survivorsSig = batchSig
@@ -173,13 +233,109 @@ object Ingest {
         if (!admitted.isEmpty) {
           val admittedSig = survivorsSig
             .join(admitted.select("doc_id"), Seq("doc_id"), "left_semi")
-            .localCheckpoint() // two writes below; severs the sigDir read
-          admitted.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
-          admittedSig.write.mode("overwrite").parquet(s"$sigDir/batch_id=$batchId")
-          Dedup.bandsOf(admittedSig, bands, rowsPerBand)
-            .write.mode("overwrite").parquet(s"$bandDir/batch_id=$batchId")
+            .localCheckpoint() // two writes below; severs the index-table read
+          admitted.write.mode("overwrite").parquet(s"$outDir/write_id=$writeId")
+          appendIndexPartition(admittedSig,
+            sigTableName(indexDir), sigDir, "doc_id", indexBuckets, writeId)
+          appendIndexPartition(Dedup.bandsOf(admittedSig, bands, rowsPerBand),
+            bandTableName(indexDir), bandDir, "band_hash", indexBuckets, writeId)
         }
         ()
       }
       .start()
+  }
+
+  /** Deterministic catalog names for the two index tables rooted at
+   * `indexDir` — stable across restarts (derived from the path), unique
+   * per index. */
+  private[graft] def bandTableName(indexDir: String): String =
+    s"graft_nd_bands_${tableSuffix(indexDir)}"
+  private[graft] def sigTableName(indexDir: String): String =
+    s"graft_nd_sig_${tableSuffix(indexDir)}"
+  private def tableSuffix(indexDir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(indexDir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+
+  /**
+   * (Re-)register one index half as a bucketed catalog table over its
+   * existing files. The catalog entry is what carries the bucket spec
+   * the planner needs for bucket pruning; a restarted session (fresh
+   * in-memory catalog, recovered checkpoint) re-derives it here from
+   * the surviving parquet files — schema inferred from the footers,
+   * partitions recovered from the directory layout.
+   */
+  private def ensureIndexTable(spark: SparkSession, name: String, dir: String,
+      bucketCol: String, buckets: Int): Unit =
+    if (!spark.catalog.tableExists(name)) {
+      val dataCols = spark.read.parquet(dir).schema.fields
+        .filter(_.name != "write_id")
+        .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+      spark.sql(
+        s"""CREATE TABLE $name ($dataCols, write_id STRING)
+           |USING parquet PARTITIONED BY (write_id)
+           |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) INTO $buckets BUCKETS
+           |LOCATION '$dir'""".stripMargin)
+      spark.catalog.recoverPartitions(name)
+    }
+
+  /** Literal budget for IN-list index probes: below it, the probe is
+   * a filter of driver-collected values (partition + bucket +
+   * row-group pruning — the point-lookup plan); above it, the probe
+   * degrades to the plain bucketed join (the index side is still
+   * never shuffled). The budget bounds catalyst tree size and the
+   * parquet predicate depth, both of which scale with the literal
+   * count, not the data. */
+  private[graft] val MaxProbeLiterals = 20000L
+
+  /** Pruned probe of the band index: rows of OTHER writes whose
+   * band_hash is in the probing batch's own hash set (when given). The
+   * filtered plan is partition-filtered (write_id ≠ current),
+   * bucket-pruned (SelectedBucketsCount — asserted in PlanAuditSpec)
+   * and row-group pruned (pushed In filter over files sorted by
+   * band_hash). */
+  private[graft] def indexBandProbe(spark: SparkSession, indexDir: String,
+      writeId: String, probeHashes: Option[Seq[String]], buckets: Int): DataFrame = {
+    val name = bandTableName(indexDir)
+    ensureIndexTable(spark, name, s"$indexDir/bands", "band_hash", buckets)
+    val other = spark.table(name).filter(col("write_id") =!= writeId)
+    probeHashes.fold(other)(h => other.filter(col("band_hash").isInCollection(h)))
+  }
+
+  /** Pruned probe of the signature index: signatures of the candidate
+   * doc ids only — the shingle arrays (the wide column) of everything
+   * else are never read. */
+  private[graft] def indexSigProbe(spark: SparkSession, indexDir: String,
+      writeId: String, candIds: Option[Seq[Any]], buckets: Int): DataFrame = {
+    val name = sigTableName(indexDir)
+    ensureIndexTable(spark, name, s"$indexDir/sig", "doc_id", buckets)
+    val other = spark.table(name).filter(col("write_id") =!= writeId)
+    candIds.fold(other)(ids => other.filter(col("doc_id").isInCollection(ids)))
+  }
+
+  /**
+   * Idempotent per-batch append into a bucketed index table: a torn
+   * earlier attempt's partition (crash after the write, before the
+   * checkpoint commit) is dropped before the rewrite, so replayed
+   * triggers land exactly-once. Goes through saveAsTable (not a raw
+   * parquet write) because only the table-aware writer names the files
+   * by bucket id — which is what the probe's bucket pruning reads.
+   */
+  private def appendIndexPartition(df: DataFrame, name: String, dir: String,
+      bucketCol: String, buckets: Int, writeId: String): Unit = {
+    val spark = df.sparkSession
+    val pdir = new org.apache.hadoop.fs.Path(s"$dir/write_id=$writeId")
+    val fs = pdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(pdir)) {
+      fs.delete(pdir, true)
+      if (spark.catalog.tableExists(name)) spark.catalog.refreshTable(name)
+    }
+    df.withColumn("write_id", lit(writeId))
+      .write.mode("append")
+      .format("parquet")
+      .option("path", dir)
+      .partitionBy("write_id")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(name)
+  }
 }

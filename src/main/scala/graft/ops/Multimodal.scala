@@ -10,11 +10,13 @@ import org.apache.spark.sql.functions._
  * (`mapPartitions` over a typed Dataset — the Scala analogue of
  * `mapInPandas` batch UDFs).
  *
- * The actual codec step is STUBBED (no image/audio libraries in this
- * environment): [[MediaCodec.decode]] is a clearly-marked deterministic
- * fake. Everything around it — schema, batching, partitioning, feature
- * shape — is real and tested, so swapping in a real decoder is a
- * one-function change.
+ * Header DECODING is real: [[ImageHeaders.imageMeta]] parses PNG IHDR
+ * and walks JPEG segments to the SOF frame header — pure byte-level
+ * format knowledge, no codec library. Only the pixel-level
+ * decode-to-feature step ([[MediaCodec.decode]]) remains a
+ * clearly-marked deterministic fake (no image/audio libraries in this
+ * environment); its schema, batching and partitioning are real, so
+ * swapping in a real codec is a one-function change.
  *
  * Scale notes: media bytes never shuffle — features are extracted
  * map-side and only the (tiny) feature rows move. Partition sizing is
@@ -25,6 +27,104 @@ object Multimodal {
 
   /** A media row: opaque payload + typed metadata. */
   case class MediaRow(media_id: Long, mime_type: String, media: Array[Byte])
+
+  /** Parsed image header: format + pixel dimensions. */
+  case class ImageMeta(format: String, width: Int, height: Int)
+
+  /**
+   * Real binary image-header parsing from magic bytes — no codec
+   * dependency, just the public file-format structure:
+   *  - PNG: 8-byte signature, then the IHDR chunk (required first by
+   *    the spec) carries width/height as big-endian 32-bit ints.
+   *  - JPEG: SOI marker, then a walk over FF-prefixed segments (each
+   *    with a 2-byte big-endian length that includes itself) until a
+   *    start-of-frame marker (SOF0/1/2/...); the frame header carries
+   *    height then width as big-endian 16-bit ints.
+   * Anything that doesn't parse — junk, truncation, a declared mime
+   * lying about the bytes — is None, never an exception: at corpus
+   * scale a crashing row is a lost partition, a None is a filter.
+   */
+  object ImageHeaders {
+    private val PngSig = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a)
+
+    private def be32(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+    private def be16(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+
+    def imageMeta(bytes: Array[Byte]): Option[ImageMeta] = {
+      if (bytes == null) None
+      else if (isPng(bytes)) parsePng(bytes)
+      else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
+        parseJpeg(bytes)
+      else None
+    }
+
+    private def isPng(b: Array[Byte]): Boolean =
+      b.length >= 8 && PngSig.indices.forall(i => (b(i) & 0xff) == PngSig(i))
+
+    private def parsePng(b: Array[Byte]): Option[ImageMeta] = {
+      // signature(8) + chunk length(4) + "IHDR"(4) + width(4) + height(4)
+      if (b.length < 24) return None
+      val isIhdr = b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R'
+      if (!isIhdr) return None
+      val w = be32(b, 16)
+      val h = be32(b, 20)
+      if (w > 0 && h > 0) Some(ImageMeta("png", w, h)) else None
+    }
+
+    /** Start-of-frame markers carrying dimensions: SOF0–SOF15 minus the
+     * non-frame ones sharing the range (DHT C4, JPG C8, DAC CC). */
+    private def isSof(marker: Int): Boolean =
+      marker >= 0xc0 && marker <= 0xcf && marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+
+    private def parseJpeg(b: Array[Byte]): Option[ImageMeta] = {
+      var i = 2
+      while (i + 3 < b.length) {
+        if ((b(i) & 0xff) != 0xff) return None // lost sync: not a marker
+        val marker = b(i + 1) & 0xff
+        if (isSof(marker)) {
+          // marker(2) + length(2) + precision(1) + height(2) + width(2)
+          if (i + 8 >= b.length) return None
+          val h = be16(b, i + 5)
+          val w = be16(b, i + 7)
+          return if (w > 0 && h > 0) Some(ImageMeta("jpeg", w, h)) else None
+        } else if (marker == 0xd9 || marker == 0xda) {
+          return None // EOI / start-of-scan before any frame header
+        } else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd8)) {
+          i += 2 // standalone marker, no length field
+        } else {
+          val len = be16(b, i + 2)
+          if (len < 2) return None
+          i += 2 + len
+        }
+      }
+      None
+    }
+  }
+
+  /**
+   * Relational face of the header parser: one row per media row with
+   * parsed (format, width, height) — NULLs where the bytes don't
+   * parse. Partition-local (mapPartitions at the codec boundary, the
+   * one place imperative byte-walking beats an Expression); media
+   * bytes never leave their partition, only the fixed-shape metadata
+   * comes out.
+   */
+  def imageMetaTable(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("mime_type"), col("media"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val m = ImageHeaders.imageMeta(r.media)
+          (r.media_id, r.mime_type,
+            if (r.media == null) 0L else r.media.length.toLong,
+            m.map(_.format), m.map(_.width), m.map(_.height))
+        }
+      }
+      .toDF("media_id", "mime_type", "n_bytes", "format", "width", "height")
+  }
 
   /** Extracted features: fixed shape regardless of codec. */
   case class MediaFeatures(

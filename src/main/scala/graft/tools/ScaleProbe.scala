@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Correlate, Metrics}
@@ -119,6 +119,50 @@ object ScaleProbe {
       graft.ops.Dedup.minhashLshIncrementalSig(dups, idxSig).count())
     idxSig.unpersist()
     docs.unpersist()
+
+    // ---- streaming near-dedup: per-trigger cost vs index growth ----
+    // ten 10k-doc triggers into one growing bucketed index (10k → 100k
+    // docs indexed). The claim under test: per-trigger time stays
+    // roughly FLAT as the index grows, because the probe prunes to the
+    // batch's own band hashes instead of scanning the whole band table.
+    // 1% of each batch near-dups the PREVIOUS batch (shares 57 of 60
+    // words), exercising the index-hit path every trigger.
+    {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val ndBase = java.nio.file.Files.createTempDirectory("scale_nd").toString
+      val perBatch = 10000L
+      def batchDocs(b: Long): DataFrame = {
+        val novel = spark.range(perBatch * 99 / 100).select(
+          (col("id") + b * perBatch).as("doc_id"),
+          concat_ws(" ", transform(sequence(lit(1), lit(60)),
+            i => concat(lit("n"), pmod(xxhash64((col("id") + b * perBatch) * 100 + i),
+              lit(10000000L))))).as("text"))
+        val nearPrev = spark.range(perBatch / 100).select(
+          (col("id") + b * perBatch + perBatch * 99 / 100).as("doc_id"),
+          concat_ws(" ",
+            concat_ws(" ", transform(sequence(lit(1), lit(57)),
+              i => concat(lit("n"), pmod(xxhash64((col("id") + (b - 1).max(0L) * perBatch) * 100 + i),
+                lit(10000000L))))),
+            lit("y1 y2 y3")).as("text"))
+        novel.union(nearPrev)
+      }
+      val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      val query = graft.ops.Ingest.runStreamingNearDedup(stream.toDF().toDF("doc_id", "text"),
+        s"$ndBase/index", s"$ndBase/out", s"$ndBase/ck", indexBuckets = 64)
+      try {
+        (0L until 10L).foreach { b =>
+          val rows = batchDocs(b).collect().map(r => (r.getLong(0), r.getString(1)))
+          stream.addData(rows.toSeq)
+          val t0 = System.nanoTime()
+          query.processAllAvailable()
+          val dt = (System.nanoTime() - t0) / 1e9
+          println(f"[scale] near_dedup_trigger_$b%-7s $dt%8.2f s  (index ~${b * perBatch}%,d docs)")
+        }
+      } finally query.stop()
+      val admitted = spark.read.parquet(s"$ndBase/out").count()
+      println(f"[scale] near_dedup_admitted         ($admitted%,d of ${10 * perBatch}%,d docs)")
+    }
 
     // ---- ANN at 50× the embeddings fixture -------------------------
     val nVecs = 100000L

@@ -161,4 +161,39 @@ class PlanAuditSpec extends SparkSpec {
       assert(shuffles(plan).size <= 1, s"${shuffles(plan).size} shuffles:\n$plan")
     }
   }
+
+  test("streaming near-dedup index probe prunes partitions, buckets and row groups") {
+    // the growing-index scale guarantee: a trigger's probe of the band
+    // index must read only what its own batch can match — the replayed
+    // write's partition excluded, the scan narrowed to the buckets the
+    // probe hashes fall in, and the hash list pushed into parquet
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("ndplan").toString
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val query = graft.ops.Ingest.runStreamingNearDedup(stream.toDF().toDF("doc_id", "text"),
+      s"$base/index", s"$base/out", s"$base/ck", indexBuckets = 64)
+    try {
+      stream.addData((1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+        (2L, "v1 v2 v3 v4 v5 v6 v7 v8 v9 v10"))
+      query.processAllAvailable()
+    } finally query.stop()
+    // a 2-hash probe: at most 2 of the 64 buckets may be scanned
+    val probe = graft.ops.Ingest.indexBandProbe(spark, s"$base/index", "someotherwrite_0",
+      Some(Seq("00000000000000000000000000000000", "ffffffffffffffffffffffffffffffff")), 64)
+    audited(probe) { plan =>
+      val s = plan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of 64".r.findFirstMatchIn(s)
+      assert(sel.isDefined, s)
+      assert(sel.get.group(1).toInt <= 2, s)
+      assert(s.contains("PushedFilters: [In(band_hash"), s)
+    }
+    // and a probe under the WRITING stream's own id excludes that partition
+    val wid = spark.read.parquet(s"$base/index/bands")
+      .select("write_id").distinct().collect().map(_.getString(0))
+    assert(wid.length == 1)
+    val replay = graft.ops.Ingest.indexBandProbe(spark, s"$base/index", wid.head,
+      Some(Seq("00000000000000000000000000000000")), 64)
+    assert(replay.count() == 0) // nothing but its own (excluded) partition exists
+  }
 }

@@ -142,4 +142,39 @@ class MemoryStoreSpec extends SparkSpec {
     assert(got(1L).contains("gold"))
     assert(got(3L).isEmpty)
   }
+
+  test("J9 live: a memory write in batch N enriches events from batch N+1 on") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("memlive").toString
+    val memPath = s"$base/memory"
+    val results = scala.collection.mutable.Map[Long, Seq[(Long, Option[String])]]()
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val query = MemoryStore.enrichStream(
+      stream.toDF().toDF("user_id", "event_type"), memPath, "users",
+      col("user_id").cast("string"), s"$base/ck") { (enriched, batchId) =>
+      results.synchronized {
+        results(batchId) = enriched.collect().toSeq.map(r =>
+          r.getAs[Long]("user_id") -> Option(r.getAs[String]("memory_value")))
+      }
+    }
+    try {
+      // batch with NO memory yet: lookup misses
+      stream.addData((1L, "login"))
+      query.processAllAvailable()
+      // the write lands between triggers (a rule's memory emission
+      // routed through applyWrites + save)
+      val writes = Seq(("users", "1", "gold", 0L, false,
+        java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+        .toDF("namespace", "key", "value", "ttl_sec", "persistent", "written_at")
+        .withColumn("persistent", lit(true))
+      MemoryStore.save(
+        MemoryStore.applyWrites(MemoryStore.empty(spark), writes), memPath)
+      // next batch sees it — per-trigger re-read, one-batch lag over
+      stream.addData((1L, "click"))
+      query.processAllAvailable()
+    } finally query.stop()
+    assert(results(0) == Seq(1L -> None))
+    assert(results(1) == Seq(1L -> Some("gold")))
+  }
 }

@@ -130,6 +130,49 @@ class CorrelateSpec extends SparkSpec {
     assert(got == Map(0 -> 2L, 1 -> 1L))
   }
 
+  test("funnel with step timeouts drops conversions the untimed funnel keeps") {
+    val df = events(
+      // u1: converts fast — every gap 10 min, inside the 15-min budget
+      (1L, "2024-01-01 10:00:00", 1L, "signup", 0.0),
+      (2L, "2024-01-01 10:10:00", 1L, "view", 0.0),
+      (3L, "2024-01-01 10:20:00", 1L, "purchase", 0.0),
+      // u2: converts but the view comes 2 h after signup → timed out
+      (4L, "2024-01-01 10:00:00", 2L, "signup", 0.0),
+      (5L, "2024-01-01 12:00:00", 2L, "view", 0.0),
+      (6L, "2024-01-01 12:05:00", 2L, "purchase", 0.0))
+    val untimed = Correlate.funnel(df, Seq("signup", "view", "purchase")).collect()
+      .map(r => r.getAs[Int]("step_idx") -> r.getAs[Long]("n_keys")).toMap
+    assert(untimed == Map(0 -> 2L, 1 -> 2L, 2 -> 2L))
+    val timed = Correlate.funnelTimed(df, Seq("signup", "view", "purchase"),
+      Seq(900L, 900L)).collect()
+      .map(r => r.getAs[Int]("step_idx") -> r.getAs[Long]("n_keys")).toMap
+    assert(timed == Map(0 -> 2L, 1 -> 1L, 2 -> 1L))
+  }
+
+  test("funnel: a timed-out step yields a zero row, not a missing row") {
+    val df = events(
+      (1L, "2024-01-01 10:00:00", 1L, "signup", 0.0),
+      (2L, "2024-01-01 12:00:00", 1L, "view", 0.0))
+    val got = Correlate.funnelTimed(df, Seq("signup", "view"), Seq(900L)).collect()
+      .map(r => r.getAs[Int]("step_idx") -> r.getAs[Long]("n_keys")).toMap
+    assert(got == Map(0 -> 1L, 1 -> 0L))
+  }
+
+  test("funnel: a non-consecutive repeated step can't reuse the original event on ties") {
+    val df = events(
+      // u1: one A and one B at the SAME timestamp — the single A must
+      // not satisfy both copies of the A step
+      (1L, "2024-01-01 10:00:00", 1L, "signup", 0.0),
+      (2L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      // u2: a genuine second A strictly later
+      (3L, "2024-01-01 10:00:00", 2L, "signup", 0.0),
+      (4L, "2024-01-01 10:00:00", 2L, "view", 0.0),
+      (5L, "2024-01-01 10:05:00", 2L, "signup", 0.0))
+    val got = Correlate.funnel(df, Seq("signup", "view", "signup")).collect()
+      .map(r => r.getAs[Int]("step_idx") -> r.getAs[Long]("n_keys")).toMap
+    assert(got == Map(0 -> 2L, 1 -> 2L, 2 -> 1L))
+  }
+
   test("retention cohorts: offsets count a cohort's keys active k weeks after first-seen") {
     // weeks are Monday-started; 2024-01-01 is a Monday
     val df = events(

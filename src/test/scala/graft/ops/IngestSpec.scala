@@ -118,4 +118,41 @@ class IngestSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
     assert(admitted == Seq(1L, 9L))
   }
+
+  test("streaming near-dedup: index survives a catalog restart and a fresh stream over it") {
+    // two restart realities at once: (a) a new session's in-memory
+    // catalog has forgotten the bucketed index tables (they must be
+    // re-registered from the surviving files), and (b) a FRESH stream
+    // (new checkpoint ⇒ batch ids restart at 0) over the old index must
+    // still dedup against the old stream's batch 0 — the write_id
+    // partition key keeps those ids from colliding
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("ndrestart").toString
+    val a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val aNear = "w1 w2 w3 w4 w5 w6 w7 w8 zz zz2"
+    val b = "v1 v2 v3 v4 v5 v6 v7 v8 v9 v10"
+    val s1 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q1 = Ingest.runStreamingNearDedup(s1.toDF().toDF("doc_id", "text"),
+      s"$base/index", s"$base/out", s"$base/ck1")
+    try {
+      s1.addData((1L, a))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // simulate the restart: catalog forgets the tables; files remain
+    spark.sql(s"DROP TABLE IF EXISTS ${Ingest.bandTableName(s"$base/index")}")
+    spark.sql(s"DROP TABLE IF EXISTS ${Ingest.sigTableName(s"$base/index")}")
+    val s2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q2 = Ingest.runStreamingNearDedup(s2.toDF().toDF("doc_id", "text"),
+      s"$base/index", s"$base/out", s"$base/ck2")
+    try {
+      // batch 0 of the NEW stream: near-dup of the OLD stream's batch-0
+      // admission must be dropped; the novel doc admitted
+      s2.addData((7L, aNear), (8L, b))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val admitted = spark.read.parquet(s"$base/out")
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(admitted == Seq(1L, 8L))
+  }
 }
