@@ -89,8 +89,14 @@ object Bench {
     }
     isolate()
 
+    // 4-decimal (0.1 ms) timings: full 17-digit doubles made the JSON
+    // line long enough that the driver's captured tail truncated it
+    // mid-map (round 5 lost q_a1–q_d4 from the visible artifact).
+    // Locale.ROOT: a comma decimal separator would corrupt the JSON.
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     def js(m: scala.collection.Map[String, Double]): String =
-      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      m.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = cold.values.sum
     // headline throughput: events interpreted per second end-to-end by
@@ -101,7 +107,9 @@ object Bench {
     val nEvents = try Tables.events(spark, sfDir).count() catch { case _: Throwable => 0L }
     val eps = cold.get("q_e1_engine_timeouts").filter(_ > 0)
       .map(t => (nEvents / t).round).getOrElse(0L)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(cold)},"queries_warm":${js(warm)},"failed":$failedJson,"events":$nEvents,"interpreter_eps":$eps,"sf":"$sfDir"}""")
+    // stop BEFORE printing: the JSON line must be the LAST thing on
+    // stdout so a tail capture of the run always contains all of it
     spark.stop()
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${js(cold)},"queries_warm":${js(warm)},"failed":$failedJson,"events":$nEvents,"interpreter_eps":$eps,"sf":"$sfDir"}""")
   }
 }

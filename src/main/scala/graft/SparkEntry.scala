@@ -184,6 +184,11 @@ object SparkEntry {
     // sum_x / n_vecs; exact DECIMAL sums, order-independent)
     "q_s8_label_centroids" -> ((s, d) =>
       Similarity.labelCentroidSums(Tables.embeddings(s, d))),
+    // q_s9: recall@10 of every approximate index (LSH, IVF, PQ, SQ8)
+    // vs the brute-force baseline — index quality as a first-class,
+    // oracle-checked query (both sides deterministic)
+    "q_s9_ann_recall" -> ((s, d) =>
+      Similarity.recallAtK(Tables.embeddings(s, d))),
     // 0.68 ≈ the fixture's median quality score, so the gate demonstrably
     // filters (~half the corpus survives) rather than passing everything
     "q_x16_ingest_gate" -> ((s, d) => Ingest.runBatch(Tables.documents(s, d), minQuality = 0.68)),
@@ -597,32 +602,10 @@ object SparkEntry {
     "q_d10_incremental" -> (bandedPairCtes(bands = 20, rowsPerBand = 2, threshold = 0.5,
       candCond = "(a.doc_id % 2) = 1 AND (b.doc_id % 2) = 0") +
       "\n SELECT doc_a, doc_b, jaccard FROM jac"),
-    "q_s1_ann_topk" ->
-      s"""WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings),
-         | e AS (SELECT vec_id,
-         |   list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v FROM raw),
-         | q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
-         | scored AS (SELECT q.query_id, e.vec_id,
-         |              ROUND(list_dot_product(q.qv, e.v), 6) AS sim
-         |            FROM e, q WHERE e.vec_id != q.query_id),
-         | r AS (SELECT query_id, vec_id, sim,
-         |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
-         |       FROM scored)
-         | SELECT query_id, vec_id AS neighbor_id, sim, rank FROM r WHERE rank <= 10""".stripMargin,
+    "q_s1_ann_topk" -> bruteOracle,
     "q_s2_ann_lsh" -> lshOracle,
-    "q_s4_ann_sq8" ->
-      s"""WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings),
-         | e AS (SELECT vec_id,
-         |   list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v FROM raw),
-         | qz AS (SELECT vec_id, list_transform(v, x -> round(x * 127)) AS q FROM e),
-         | qs AS (SELECT vec_id AS query_id, q AS qq FROM qz WHERE vec_id < 20),
-         | scored AS (SELECT qs.query_id, qz.vec_id,
-         |              ROUND(list_dot_product(qs.qq, qz.q) / 16129.0, 6) AS sim
-         |            FROM qz, qs WHERE qz.vec_id != qs.query_id),
-         | r AS (SELECT query_id, vec_id, sim,
-         |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
-         |       FROM scored)
-         | SELECT query_id, vec_id AS neighbor_id, sim, rank FROM r WHERE rank <= 10""".stripMargin,
+    "q_s4_ann_sq8" -> sq8Oracle,
+    "q_s9_ann_recall" -> recallOracle,
     "q_x1_langid" -> langidOracle,
     "q_x2_tokens" ->
       s"""SELECT doc_id,
@@ -941,6 +924,58 @@ object SparkEntry {
    * of the same seed rows as q_s5), the L2 code assignment, and the
    * ADC scoring are reproduced relationally, so the entire product-
    * quantisation pipeline is oracle-checked. */
+  /** Oracle twin of Similarity.bruteForceTopK — the exact-cosine
+   * baseline every approximate index is measured against. */
+  private def bruteOracle: String =
+    s"""WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings),
+       | e AS (SELECT vec_id,
+       |   list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v FROM raw),
+       | q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+       | scored AS (SELECT q.query_id, e.vec_id,
+       |              ROUND(list_dot_product(q.qv, e.v), 6) AS sim
+       |            FROM e, q WHERE e.vec_id != q.query_id),
+       | r AS (SELECT query_id, vec_id, sim,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+       |       FROM scored)
+       | SELECT query_id, vec_id AS neighbor_id, sim, rank FROM r WHERE rank <= 10""".stripMargin
+
+  /** Oracle twin of Similarity.quantizedTopK (SQ8 int8 layout). */
+  private def sq8Oracle: String =
+    s"""WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings),
+       | e AS (SELECT vec_id,
+       |   list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v FROM raw),
+       | qz AS (SELECT vec_id, list_transform(v, x -> round(x * 127)) AS q FROM e),
+       | qs AS (SELECT vec_id AS query_id, q AS qq FROM qz WHERE vec_id < 20),
+       | scored AS (SELECT qs.query_id, qz.vec_id,
+       |              ROUND(list_dot_product(qs.qq, qz.q) / 16129.0, 6) AS sim
+       |            FROM qz, qs WHERE qz.vec_id != qs.query_id),
+       | r AS (SELECT query_id, vec_id, sim,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+       |       FROM scored)
+       | SELECT query_id, vec_id AS neighbor_id, sim, rank FROM r WHERE rank <= 10""".stripMargin
+
+  /** Oracle twin of Similarity.recallAtK: each approximate index's
+   * oracle ranking joined against the brute-force oracle ranking —
+   * recall@10 re-derived entirely in SQL from the same four index
+   * definitions (DuckDB allows a full WITH chain inside a derived
+   * table, so the existing oracles compose verbatim). */
+  private def recallOracle: String = {
+    def sub(m: String, sql: String) =
+      s"SELECT '$m' AS method, query_id, neighbor_id FROM (\n$sql\n)"
+    s"""WITH exact AS (SELECT query_id, neighbor_id FROM (\n$bruteOracle\n)),
+       | approx AS (
+       |   ${sub("ivf_fixed", ivfFixedOracle)}
+       |   UNION ALL ${sub("lsh", lshOracle)}
+       |   UNION ALL ${sub("pq", pqOracle)}
+       |   UNION ALL ${sub("sq8", sq8Oracle)})
+       | SELECT a.method, a.query_id,
+       |   CAST(SUM(CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       |   ROUND(CAST(SUM(CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 10.0, 6) AS recall
+       | FROM approx a LEFT JOIN exact e
+       |   ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+       | GROUP BY a.method, a.query_id""".stripMargin
+  }
+
   private def pqOracle: String = {
     val seeds = graft.ops.Similarity.ivfFixedSeeds(16).mkString(", ")
     val sub = "8" // subDim = 64 / 8 subspaces

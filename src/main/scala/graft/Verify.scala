@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // args: sfDir outDir [comma-separated query-name filter — local
+    // iteration aid; the driver always runs the full set]
+    val sfDir = args(0)
+    val outDir = args(1)
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -29,15 +34,17 @@ object Verify {
           acc.withColumn(f.name, acc(f.name).cast("timestamp_ntz"))
         else acc
       }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       spark.catalog.clearCache() // isolate queries (see Bench)
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-      try ntz(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        try ntz(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
       }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

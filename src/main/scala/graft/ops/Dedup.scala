@@ -135,6 +135,14 @@ object Dedup {
    * [[minhashLsh]] on the batch itself; composing both and feeding
    * [[applyNearDedup]] gives the incremental ingest gate. Output:
    * (doc_a = new doc, doc_b = indexed doc, jaccard).
+   *
+   * WARNING — the two faces DEFAULT to different LSH operating points:
+   * this one bands 20×2 (high recall at threshold 0.5, the right
+   * bias for an ingest gate probing an existing index), [[minhashLsh]]
+   * bands 12×4 (the within-corpus sweet spot at threshold 0.7). When
+   * composing them into ONE gate, pass the SAME bands/rowsPerBand to
+   * both calls or the two halves see different candidate recall —
+   * [[graft.ops.Ingest.runStreamingNearDedup]] does exactly this.
    */
   def minhashLshIncremental(
       newDocs: DataFrame,

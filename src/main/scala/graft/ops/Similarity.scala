@@ -479,4 +479,36 @@ object Similarity {
         transform(
           array_sort(collect_list(struct(col("pos"), col("sum_x"), col("n_vecs")))),
           s => round(s("sum_x") / s("n_vecs"), 9)).as("centroid"))
+
+  /**
+   * Recall@k of every approximate index against the brute-force
+   * baseline, per (method, query): the index-quality diagnostic a
+   * training-data pipeline runs before trusting an ANN index at scale.
+   * Both sides are deterministic, so recall itself is an exact,
+   * oracle-checkable number (not a statistical estimate).
+   *
+   * Scale shape: each index's top-k is computed by its own
+   * already-scale-shaped operator; the recall join then handles only
+   * nQueries·k·methods rows — the exact side (nQueries·k rows) is
+   * broadcast, so nothing about this diagnostic shuffles the corpus.
+   * Output: (method, query_id, hits, recall), hits = |approx ∩ exact|.
+   */
+  def recallAtK(embeddings: DataFrame, nQueries: Int = 20, k: Int = 10): DataFrame = {
+    val exact = bruteForceTopK(embeddings, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    val approx = Seq(
+      "ivf_fixed" -> ivfFixedTopK(embeddings, nQueries, k),
+      "lsh" -> lshTopK(embeddings, nQueries, k),
+      "pq" -> pqTopK(embeddings, nQueries, k),
+      "sq8" -> quantizedTopK(embeddings, nQueries, k))
+    approx.map { case (m, df) =>
+      df.select(lit(m).as("method"), col("query_id"), col("neighbor_id"))
+    }.reduce(_.unionByName(_))
+      // left join (not semi): a query whose approximate list misses
+      // every true neighbor must still produce its recall-0 row
+      .join(broadcast(exact), Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("method"), col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("hits"))
+      .withColumn("recall", round(col("hits") / lit(k.toDouble), 6))
+  }
 }

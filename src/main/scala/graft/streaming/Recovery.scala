@@ -157,8 +157,14 @@ object Recovery {
         sleeper(remaining)
       }
 
+      // explicit schema + Try: a dead_letter dir that exists but holds
+      // no parquet footers (torn write, manual cleanup) must read as
+      // "no dead letters", not throw AnalysisException out of start()
       val hasDeadLetters = fs.exists(new Path(base, "dead_letter")) &&
-        spark.read.parquet(s"$baseDir/dead_letter").limit(1).count() > 0
+        scala.util.Try(
+          spark.read.schema(Sinks.deadLetterSchema)
+            .parquet(s"$baseDir/dead_letter").limit(1).count() > 0
+        ).getOrElse(false)
       if (!hasDeadLetters) return Started(None)
 
       createMarker() // crash inside the drain leaves it → next start halts

@@ -219,6 +219,21 @@ object Sinks {
    * src/Scheduler.php:130-141,766-792); callers decide the same. */
   case class RecoveryReport(eligible: Long, succeeded: Long, requeued: Long, exhausted: Long)
 
+  /** Explicit dead-letter table schema: reads never depend on footer
+   * inference, so a dead_letter directory that exists but holds no
+   * parquet files (torn write, manual cleanup) reads as EMPTY instead
+   * of throwing 'unable to infer schema' out of engine startup. */
+  val deadLetterSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("rule", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("key", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("vars",
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType)),
+      org.apache.spark.sql.types.StructField("error", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("attempts", org.apache.spark.sql.types.IntegerType)))
+
   /**
    * K1/S5 — automated errored-action replay: drain the dead-letter
    * table ONCE, before sources resume, exactly like the reference's
@@ -238,11 +253,17 @@ object Sinks {
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     if (!dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(dirPath))
       return RecoveryReport(0L, 0L, 0L, 0L)
-    // materialise the current queue before overwriting its directory
-    val dl = spark.read.parquet(dir)
+    // materialise the current queue before overwriting its directory;
+    // explicit schema (not inference) so a footer-less directory reads
+    // as empty, and Try so an unreadable/corrupt queue degrades to
+    // "nothing to replay" instead of crashing startup
+    val dl = Try(spark.read.schema(deadLetterSchema).parquet(dir)
       .select(col("rule"), col("key"), col("name"), col("vars"),
         col("error"), col("attempts"))
-      .localCheckpoint()
+      .localCheckpoint()) match {
+      case Success(df) => df
+      case Failure(_) => return RecoveryReport(0L, 0L, 0L, 0L)
+    }
     val results = dl.filter(col("attempts") < maxAttempts)
       .as[(String, String, String, Map[String, String], String, Int)]
       .map { case (rule, key, name, vars, _, attempts) =>

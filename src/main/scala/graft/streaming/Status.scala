@@ -72,10 +72,70 @@ object Status {
   def seenStats(events: org.apache.spark.sql.Dataset[graft.model.Event]): DataFrame =
     events.toDF().groupBy("event").agg(count(lit(1)).as("n_seen"))
 
+  private def htmlEsc(s: String): String =
+    s.flatMap {
+      case '&' => "&amp;"
+      case '<' => "&lt;"
+      case '>' => "&gt;"
+      case '"' => "&quot;"
+      case c => c.toString
+    }
+
+  private def fmtRate(r: Double): String =
+    if (r.isNaN || r.isInfinite) "&mdash;"
+    else String.format(java.util.Locale.ROOT, "%.1f", Double.box(r))
+
+  /**
+   * K7 — the HUMAN face of the status surface: a dependency-free HTML
+   * page over the same per-query progress the JSON document carries
+   * (the reference serves an HTML status page listing engine state,
+   * per-matcher counts and load; reference:
+   * src/Management/Actions/Index.php:133-252). One table row per
+   * active query: name/id, run state, input vs processed rates, last
+   * batch duration, state-store rows and memory, watermark.
+   */
+  def statusHtml(spark: SparkSession): String = {
+    val active = spark.streams.active
+    val rows = active.map { q =>
+      val p = Option(q.lastProgress)
+      val name = htmlEsc(Option(q.name).getOrElse("(unnamed)"))
+      val inRate = p.map(x => fmtRate(x.inputRowsPerSecond)).getOrElse("&mdash;")
+      val procRate = p.map(x => fmtRate(x.processedRowsPerSecond)).getOrElse("&mdash;")
+      val batchMs = p.flatMap(x => Option(x.durationMs.get("triggerExecution")))
+        .map(_.toString + " ms").getOrElse("&mdash;")
+      val stateRows = p.map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+      val stateMem = p.map(_.stateOperators.map(_.memoryUsedBytes).sum).getOrElse(0L)
+      val watermark = p.flatMap(x => Option(x.eventTime.get("watermark")))
+        .map(htmlEsc).getOrElse("&mdash;")
+      val state = if (q.isActive) "running" else "stopped"
+      s"""<tr><td>$name</td><td><code>${q.id}</code></td><td>$state</td>
+         |<td>$inRate</td><td>$procRate</td><td>$batchMs</td>
+         |<td>$stateRows</td><td>$stateMem</td><td>$watermark</td></tr>""".stripMargin
+    }.mkString("\n")
+    val body =
+      if (active.isEmpty) "<p>No active streaming queries.</p>"
+      else
+        s"""<table border="1" cellpadding="4" cellspacing="0">
+           |<tr><th>query</th><th>id</th><th>state</th>
+           |<th>input rows/s</th><th>processed rows/s</th><th>last batch</th>
+           |<th>state rows</th><th>state bytes</th><th>watermark</th></tr>
+           |$rows
+           |</table>""".stripMargin
+    s"""<!DOCTYPE html>
+       |<html><head><meta charset="utf-8"><title>graft engine status</title></head>
+       |<body><h1>graft engine status</h1>
+       |<p>${active.length} active ${if (active.length == 1) "query" else "queries"}
+       | &middot; <a href="/status">JSON</a></p>
+       |$body
+       |</body></html>""".stripMargin
+  }
+
   /**
    * K7 — the management HTTP endpoint itself (reference:
    * src/Management/Server.php:16-60 serves a read-only status page on
-   * a local socket): `GET /status` returns [[engineStatusJson]].
+   * a local socket): `GET /status` returns [[engineStatusJson]];
+   * `GET /` renders [[statusHtml]] (the reference's human-readable
+   * page; reference: src/Management/Actions/Index.php:133-252).
    * JDK-built-in `com.sun.net.httpserver` — zero dependencies, a
    * couple of driver threads, no executor involvement. Binds loopback
    * by default (the reference's page is operator-only too); port 0
@@ -86,22 +146,29 @@ object Status {
       host: String = "127.0.0.1"): com.sun.net.httpserver.HttpServer = {
     val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress(host, port), 0)
-    server.createContext("/status", (ex: com.sun.net.httpserver.HttpExchange) => {
-      // a status endpoint must answer even when the engine is sick: a
-      // failure building the document returns 500 instead of leaving
-      // the client hanging until its socket timeout
+    // a status endpoint must answer even when the engine is sick: a
+    // failure building the document returns 500 instead of leaving
+    // the client hanging until its socket timeout
+    def handle(ex: com.sun.net.httpserver.HttpExchange,
+        contentType: String, render: () => String, renderErr: Throwable => String): Unit = {
       val (code, body) =
-        try (200, engineStatusJson(spark).getBytes("UTF-8"))
-        catch { case scala.util.control.NonFatal(e) =>
-          (500, s"""{"error":"${jsonEsc(String.valueOf(e.getMessage))}"}""".getBytes("UTF-8"))
-        }
+        try (200, render().getBytes("UTF-8"))
+        catch { case scala.util.control.NonFatal(e) => (500, renderErr(e).getBytes("UTF-8")) }
       try {
-        ex.getResponseHeaders.set("Content-Type", "application/json")
+        ex.getResponseHeaders.set("Content-Type", contentType)
         ex.sendResponseHeaders(code, body.length.toLong)
         val os = ex.getResponseBody
         try os.write(body) finally os.close()
       } finally ex.close()
-    })
+    }
+    server.createContext("/status", (ex: com.sun.net.httpserver.HttpExchange) =>
+      handle(ex, "application/json", () => engineStatusJson(spark),
+        e => s"""{"error":"${jsonEsc(String.valueOf(e.getMessage))}"}"""))
+    // "/" is the fallback context in com.sun.net.httpserver: exact
+    // /status requests still hit the JSON handler above
+    server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) =>
+      handle(ex, "text/html; charset=utf-8", () => statusHtml(spark),
+        e => s"<html><body><h1>error</h1><pre>${htmlEsc(String.valueOf(e.getMessage))}</pre></body></html>"))
     server.start()
     server
   }

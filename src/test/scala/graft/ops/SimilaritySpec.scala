@@ -134,4 +134,25 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.subsetOf(exact))
     assert(exact.nonEmpty && lsh.nonEmpty)
   }
+
+  test("recall@10: one row per (method, query), recall in [0,1], sq8 near-exact") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val rows = Similarity.recallAtK(emb).collect()
+    val methods = rows.map(_.getAs[String]("method")).toSet
+    assert(methods == Set("ivf_fixed", "lsh", "pq", "sq8"))
+    // every method reports every query, even on total misses
+    methods.foreach { m =>
+      assert(rows.count(_.getAs[String]("method") == m) == 20, s"method $m")
+    }
+    rows.foreach { r =>
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(r.getAs[Long]("hits") == math.round(rec * 10))
+    }
+    // int8 quantisation barely perturbs the ranking: the diagnostic
+    // itself must show what SimilaritySpec's SQ8 test already asserts
+    val sq8Avg = rows.filter(_.getAs[String]("method") == "sq8")
+      .map(_.getAs[Double]("recall")).sum / 20
+    assert(sq8Avg >= 0.9, s"sq8 avg recall $sq8Avg")
+  }
 }

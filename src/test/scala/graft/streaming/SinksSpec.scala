@@ -170,6 +170,29 @@ class SinksSpec extends SparkSpec {
     } finally { server.stop(0); query.stop() }
   }
 
+  test("K7 management HTTP endpoint renders an HTML status page at /") {
+    // reference: src/Management/Actions/Index.php:133-252 — the
+    // human-readable page listing queries, rates and state sizes
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[RuleEngine.Fired]
+    val query = stream.toDS().writeStream.format("memory")
+      .queryName("html_status_probe").outputMode("append").start()
+    val server = Status.serve(spark)
+    try {
+      stream.addData(fired.collect().toSeq)
+      query.processAllAvailable()
+      val url = new java.net.URI(
+        s"http://127.0.0.1:${server.getAddress.getPort}/").toURL
+      val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(conn.getResponseCode == 200)
+      assert(conn.getContentType.startsWith("text/html"))
+      val body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+      assert(body.contains("<html") && body.contains("html_status_probe"))
+      assert(body.contains("state rows")) // the per-query stats table rendered
+    } finally { server.stop(0); query.stop() }
+  }
+
   test("heartbeat stream starts and emits control events (rate source)") {
     val hb = graft.sources.Sources.heartbeatStream(spark, intervalSec = 1)
     val query = hb.writeStream.format("memory").queryName("hb_out")
