@@ -177,6 +177,12 @@ object SparkEntry {
     "q_x14_source_mix" -> ((s, d) => TextAnalysis.sourceMixWeights(Tables.documents(s, d))),
     "q_x15_top_terms_lang" -> ((s, d) =>
       TextAnalysis.topTermsPerGroup(Tables.documents(s, d), "lang", 10)),
+    // q_x17: per-document TF-IDF keyword head (smoothed idf, scores
+    // rounded before ranking so the oracle orders identically)
+    "q_x17_tfidf" -> ((s, d) => TextAnalysis.tfidfTopTerms(Tables.documents(s, d))),
+    // q_x18: fixed-size overlapping token chunks — context-window prep;
+    // pure map-side (no shuffle at any scale)
+    "q_x18_chunks" -> ((s, d) => TextAnalysis.chunk(Tables.documents(s, d))),
     "q_s6_knn_label" -> ((s, d) => Similarity.knnClassify(Tables.embeddings(s, d))),
     "q_s7_ann_pq" -> ((s, d) => Similarity.pqTopK(Tables.embeddings(s, d))),
     // q_s8: per-(label, position) centroid sums — label-cluster
@@ -216,6 +222,10 @@ object SparkEntry {
     // per source ∝ n_tokens^α
     "q_p4_weighted_mix" -> ((s, d) =>
       Sampling.weightedMixSample(Tables.documents(s, d), col("doc_id"))),
+    // q_p5: contiguous token-budget shards per source — deterministic
+    // corpus packing into ~equal-token training shards
+    "q_p5_token_shards" -> ((s, d) =>
+      Sampling.tokenShards(Tables.documents(s, d))),
     // ---- training-data pipeline: multimodal plumbing --------------
     "q_m1_media_meta" -> ((s, d) => Multimodal.mediaMeta(Tables.documents(s, d))),
     // q_m2: REAL binary image-header decode (PNG IHDR + JPEG segment
@@ -691,6 +701,36 @@ object SparkEntry {
          |        WHEN ${MDH("CAST(doc_id AS VARCHAR)")} % 100 < 95 THEN 'val'
          |        ELSE 'test' END AS split
          | FROM documents""".stripMargin,
+    "q_p5_token_shards" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+         | c AS (SELECT doc_id, source, n_tokens,
+         |   COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         |   FROM t)
+         | SELECT doc_id, source, n_tokens, CAST(cum // 500 AS INTEGER) AS shard FROM c""".stripMargin,
+    "q_x17_tfidf" ->
+      s"""WITH wr AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         | tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c FROM wr GROUP BY 1, 2),
+         | dl AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS len FROM tf GROUP BY 1),
+         | dfq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         | nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+         | s AS (SELECT tf.doc_id, tf.w, tf.c,
+         |   ROUND((CAST(tf.c AS DOUBLE) / dl.len)
+         |     * ln((nd.n_docs + 1.0) / (dfq.df + 1.0)), 6) AS tfidf
+         |   FROM tf JOIN dl USING (doc_id) JOIN dfq USING (w), nd),
+         | r AS (SELECT doc_id, w, c, tfidf,
+         |   CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, w) AS INTEGER) AS rank
+         |   FROM s)
+         | SELECT doc_id, rank, w, c, tfidf FROM r WHERE rank <= 5""".stripMargin,
+    "q_x18_chunks" ->
+      s"""WITH wl AS (SELECT doc_id, string_split(text, ' ') AS wl FROM documents),
+         | st AS (SELECT doc_id, wl,
+         |   unnest(generate_series(1, greatest(len(wl), 1), 20)) AS s FROM wl)
+         | SELECT doc_id, CAST((s - 1) // 20 AS INTEGER) AS chunk_idx,
+         |   CAST(LEAST(25, len(wl) - s + 1) AS BIGINT) AS n_tokens,
+         |   array_to_string(wl[s:s+24], ' ') AS chunk_text
+         | FROM st""".stripMargin,
     "q_m1_media_meta" ->
       s"""SELECT doc_id AS media_id, 'text/plain' AS mime_type,
          |   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes

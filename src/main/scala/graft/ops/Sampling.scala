@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -87,5 +88,31 @@ object Sampling {
       when(b < trainPct, "train")
         .when(b < trainPct + valPct, "val")
         .otherwise("test"))
+  }
+
+  /**
+   * Contiguous token-budget shards: documents are assigned, in
+   * (source, doc_id) order, to shards of ~`capacity` whitespace
+   * tokens — the deterministic packing step that cuts a corpus into
+   * equal-token training shards (shard = ⌊tokens-before-me /
+   * capacity⌋, so every shard except a source's last holds at least
+   * `capacity` tokens and assignments never change when later docs
+   * arrive).
+   *
+   * Plan: one running-sum window partitioned by source — the
+   * per-source sequential semantics IS the operator, so the partition
+   * key is the contract, not a skew accident. At extreme per-source
+   * scale the same operator composes with a finer partition key
+   * (source, day): packing is order-local, nothing global.
+   */
+  def tokenShards(documents: DataFrame, capacity: Long = 500L): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    documents
+      .select(col("doc_id"), col("source"),
+        size(org.apache.spark.sql.functions.split(col("text"), " "))
+          .cast("long").as("n_tokens"))
+      .withColumn("shard",
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / lit(capacity)).cast("int"))
   }
 }

@@ -383,6 +383,62 @@ object TextAnalysis {
   }
 
   /**
+   * Per-document TF-IDF head: the k terms of each document with the
+   * highest tf·idf (tf = in-doc frequency, idf = smoothed inverse
+   * document frequency ln((N+1)/(df+1))) — the classic keyword/topic
+   * signal a pipeline uses for cluster labelling and near-dup triage.
+   *
+   * Plan: term-frequency groupBy (map-side combined, corpus-shaped),
+   * one vocabulary-keyed join for df (vocabulary ≪ corpus; AQE
+   * broadcasts it when small), the corpus count folded in as a
+   * broadcast 1-row cross join — no driver action. The rank window
+   * partitions per document over its own distinct terms only. Scores
+   * are rounded to 6 dp BEFORE ranking so the order is identical in
+   * the oracle.
+   */
+  def tfidfTopTerms(documents: DataFrame, k: Int = 5): DataFrame = {
+    val tf = documents
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val docLen = tf.groupBy("doc_id").agg(sum("c").as("len"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+    tf.join(docLen, "doc_id")
+      .join(dfreq, "w")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", round(
+        (col("c") / col("len")) * log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("w"))))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("w"), col("c"), col("tfidf"))
+  }
+
+  /**
+   * Fixed-size overlapping token chunks — the context-window prep step
+   * of a training pipeline: each document becomes ⌈n/stride⌉ chunks of
+   * up to `chunkSize` whitespace tokens starting every `stride` tokens
+   * (overlap = chunkSize − stride). The rule is deliberately simple
+   * and deterministic: starts are 1, 1+stride, … ≤ n, so a trailing
+   * chunk may be short; downstream length filters drop stubs.
+   *
+   * Plan: pure map-side — split, explode the start positions, slice.
+   * No shuffle at all; chunking 100 TB is embarrassingly parallel and
+   * this plan keeps it that way.
+   */
+  def chunk(documents: DataFrame, chunkSize: Int = 25, stride: Int = 20): DataFrame =
+    documents
+      .select(col("doc_id"), words(col("text")).as("wl"))
+      .select(col("doc_id"), col("wl"),
+        explode(sequence(lit(1), greatest(size(col("wl")), lit(1)), lit(stride))).as("start"))
+      .select(
+        col("doc_id"),
+        ((col("start") - lit(1)) / lit(stride)).cast("int").as("chunk_idx"),
+        least(lit(chunkSize), size(col("wl")) - col("start") + lit(1))
+          .cast("long").as("n_tokens"),
+        concat_ws(" ", slice(col("wl"), col("start"), lit(chunkSize))).as("chunk_text"))
+
+  /**
    * Per-document token entropy and type/token ratio: the Shannon
    * entropy (nats) of the document's own word distribution, computed
    * single-pass as ln N − (Σ c·ln c)/N, plus distinct-word ratio —

@@ -162,6 +162,27 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("chunking is pure map-side: zero exchanges at any scale") {
+    audited(TextAnalysis.chunk(Tables.documents(spark, sf))) { plan =>
+      assert(shuffles(plan).isEmpty, s"${shuffles(plan).size} shuffles:\n$plan")
+    }
+  }
+
+  test("token shards: one window shuffle keyed by source, nothing else") {
+    audited(graft.ops.Sampling.tokenShards(Tables.documents(spark, sf))) { plan =>
+      assert(shuffles(plan).size == 1, s"${shuffles(plan).size} shuffles:\n$plan")
+    }
+  }
+
+  test("tfidf folds the corpus count in as a broadcast, never a corpus cartesian") {
+    audited(TextAnalysis.tfidfTopTerms(Tables.documents(spark, sf))) { plan =>
+      // the 1-row n_docs aggregate rides a broadcast nested-loop join;
+      // a cartesian product here would be corpus × corpus at scale
+      assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.nonEmpty, plan.toString)
+      assert(plan.collect { case c: CartesianProductExec => c }.isEmpty, plan.toString)
+    }
+  }
+
   test("streaming near-dedup index probe prunes partitions, buckets and row groups") {
     // the growing-index scale guarantee: a trigger's probe of the band
     // index must read only what its own batch can match — the replayed

@@ -57,4 +57,31 @@ class SamplingSpec extends SparkSpec {
     assert(out.values.sum == docs.count())
     assert(out("train") > out.getOrElse("val", 0L))
   }
+
+  test("token shards: contiguous per-source packing, monotone, capacity-bounded") {
+    val out = Sampling.tokenShards(docs, capacity = 200L).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_tokens"), r.getAs[Int]("shard")))
+    assert(out.length == docs.count())
+    out.groupBy(_._1).foreach { case (src, rows) =>
+      val ordered = rows.sortBy(_._2)
+      // shard ids are monotone non-decreasing in doc order and start at 0
+      assert(ordered.head._4 == 0, src)
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => a._4 <= b._4 })
+      // a shard is only left behind once it holds >= capacity tokens:
+      // the cumulative count before the first doc of shard s is >= s*cap
+      var cum = 0L
+      ordered.foreach { case (_, _, n, shard) =>
+        assert(cum / 200L == shard)
+        cum += n
+      }
+    }
+    // stability: appending later docs never flips old assignments —
+    // re-pack a doc_id prefix and compare
+    val prefix = Sampling.tokenShards(docs.filter(col("doc_id") < 50), capacity = 200L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("shard")).toMap
+    out.filter(_._2 < 50).foreach { case (_, id, _, shard) =>
+      assert(prefix(id) == shard, s"doc $id")
+    }
+  }
 }

@@ -106,6 +106,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Map(("en", 1) -> "x", ("en", 2) -> "y", ("de", 1) -> "z", ("de", 2) -> "y"))
   }
 
+  test("tfidf top terms: corpus-wide words rank below distinctive ones") {
+    val df = docs(
+      (1L, "en", "apple apple banana common common common"),
+      (2L, "en", "pear pear kiwi common common common"),
+      (3L, "en", "apple pear common common common common"))
+    val got = TextAnalysis.tfidfTopTerms(df, k = 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[String]("w"), r.getAs[Double]("tfidf")))
+      .toMap
+    // 'common' appears in every doc → idf = ln(4/4) = 0 → never ranks
+    // above the doc-specific terms; the doc-UNIQUE term (df=1) beats
+    // the more frequent but shared one (df=2): 1/6·ln2 > 2/6·ln(4/3)
+    assert(got((1L, 1))._1 == "banana" && got((1L, 2))._1 == "apple")
+    assert(got((2L, 1))._1 == "kiwi" && got((2L, 2))._1 == "pear")
+    got.values.foreach { case (w, score) =>
+      assert(w != "common" && score > 0.0)
+    }
+  }
+
+  test("chunks: stride-spaced starts, bounded sizes, text reassembles") {
+    val df = docs((1L, "en", (1 to 47).map(i => s"w$i").mkString(" ")))
+    val got = TextAnalysis.chunk(df, chunkSize = 25, stride = 20).collect()
+      .sortBy(_.getAs[Int]("chunk_idx"))
+    // 47 tokens, starts 1/21/41 → three chunks of 25, 25, 7 tokens
+    assert(got.length == 3)
+    assert(got.map(_.getAs[Long]("n_tokens")).toSeq == Seq(25L, 25L, 7L))
+    assert(got(0).getAs[String]("chunk_text").startsWith("w1 w2 "))
+    assert(got(1).getAs[String]("chunk_text").startsWith("w21 "))
+    assert(got(2).getAs[String]("chunk_text") == (41 to 47).map(i => s"w$i").mkString(" "))
+    // overlap: chunk 1 re-covers tokens 21-25 of chunk 0
+    assert(got(0).getAs[String]("chunk_text").endsWith(" w25"))
+  }
+
   test("media plumbing: features have fixed shape, entropy bounded, bytes preserved") {
     val documents = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val feats = Multimodal.extractFeatures(spark, Multimodal.fromDocuments(documents)).collect()
