@@ -226,6 +226,10 @@ object SparkEntry {
     // corpus packing into ~equal-token training shards
     "q_p5_token_shards" -> ((s, d) =>
       Sampling.tokenShards(Tables.documents(s, d))),
+    // q_p6: per-source dominance cap — at most n docs per source in
+    // stable hash order (membership never shifts as the corpus grows)
+    "q_p6_source_cap" -> ((s, d) =>
+      Sampling.perSourceCap(Tables.documents(s, d))),
     // ---- training-data pipeline: multimodal plumbing --------------
     "q_m1_media_meta" -> ((s, d) => Multimodal.mediaMeta(Tables.documents(s, d))),
     // q_m2: REAL binary image-header decode (PNG IHDR + JPEG segment
@@ -709,6 +713,12 @@ object SparkEntry {
          |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
          |   FROM t)
          | SELECT doc_id, source, n_tokens, CAST(cum // 500 AS INTEGER) AS shard FROM c""".stripMargin,
+    "q_p6_source_cap" ->
+      s"""WITH r AS (SELECT doc_id, source,
+         |   CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |     ORDER BY ${MDH("CAST(doc_id AS VARCHAR)")} % 1000000, doc_id) AS INTEGER) AS pick
+         | FROM documents)
+         | SELECT doc_id, source, pick FROM r WHERE pick <= 10""".stripMargin,
     "q_x17_tfidf" ->
       s"""WITH wr AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
          | tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c FROM wr GROUP BY 1, 2),

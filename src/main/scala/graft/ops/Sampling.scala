@@ -105,6 +105,26 @@ object Sampling {
    * scale the same operator composes with a finer partition key
    * (source, day): packing is order-local, nothing global.
    */
+  /**
+   * Deterministic per-stratum cap: at most `n` documents per source,
+   * picked in stable key-hash order — a uniform-without-replacement
+   * subsample whose membership never changes as unrelated documents
+   * arrive (the dominance control applied before mixing, so no single
+   * source can swamp the corpus regardless of its raw size).
+   *
+   * Plan: one window shuffle keyed by source. The rank orders by
+   * (hash, doc_id), so the kept set is reproducible on any engine and
+   * any partitioning; `pick` is the stable within-source sample index
+   * (pick <= m gives a nested smaller sample for every m < n).
+   */
+  def perSourceCap(documents: DataFrame, n: Int = 10): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(bucket(col("doc_id")), col("doc_id"))
+    documents
+      .withColumn("pick", row_number().over(w))
+      .filter(col("pick") <= n)
+      .select(col("doc_id"), col("source"), col("pick"))
+  }
+
   def tokenShards(documents: DataFrame, capacity: Long = 500L): DataFrame = {
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -58,6 +58,31 @@ class SamplingSpec extends SparkSpec {
     assert(out("train") > out.getOrElse("val", 0L))
   }
 
+  test("per-source cap: at most n per source, nested and append-stable") {
+    val out = Sampling.perSourceCap(docs, n = 5).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"), r.getAs[Int]("pick")))
+    // cap respected, pick is 1..n within each source
+    out.groupBy(_._1).foreach { case (src, rows) =>
+      assert(rows.length <= 5, src)
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length), src)
+    }
+    // nested property: the n=3 sample is exactly the pick<=3 subset
+    val n3 = Sampling.perSourceCap(docs, n = 3).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"))).toSet
+    assert(n3 == out.filter(_._3 <= 3).map(t => (t._1, t._2)).toSet)
+    // append stability: capping a corpus that lost half its docs keeps
+    // the surviving picks in the same relative order
+    val half = Sampling.perSourceCap(docs.filter(col("doc_id") % 2 === 0), n = 5)
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"), r.getAs[Int]("pick")))
+    half.groupBy(_._1).foreach { case (src, rows) =>
+      val fullOrder = out.filter(t => t._1 == src && t._2 % 2 == 0).sortBy(_._3).map(_._2)
+      val halfOrder = rows.sortBy(_._3).map(_._2)
+      // the full sample's even-id picks appear as a prefix-order subset
+      assert(fullOrder.zip(halfOrder).forall { case (a, b) => a == b } ||
+        halfOrder.startsWith(fullOrder), s"$src: $fullOrder vs $halfOrder")
+    }
+  }
+
   test("token shards: contiguous per-source packing, monotone, capacity-bounded") {
     val out = Sampling.tokenShards(docs, capacity = 200L).collect()
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
