@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Correlate, Dedup, Ingest, Metrics, Multimodal, Relational, Sampling, Schedule, Similarity, TextAnalysis}
+import graft.ops.{Correlate, Dedup, Ingest, Metrics, Multimodal, Pii, Relational, Sampling, Schedule, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
  *
@@ -236,6 +236,10 @@ object SparkEntry {
     // walk) over the binary media fixture; the oracle re-parses the
     // same blobs with DuckDB hex arithmetic
     "q_m2_image_meta" -> ((s, _) => Multimodal.imageMetaTable(s, Tables.media(s))),
+    // q_x19: PII scan + redaction over the deterministic PII fixture
+    // (the driver corpus is digit-free) — per-category counts and the
+    // placeholder-rewritten text, one codegen'd map-side projection
+    "q_x19_pii" -> ((s, _) => Pii.scanRedact(Tables.pii(s))),
     // ---- generic rule interpreter (batch face of the streaming
     //      engine; same state machine as flatMapGroupsWithState) -----
     "q_e1_engine_timeouts" -> ((s, d) => {
@@ -770,6 +774,26 @@ object SparkEntry {
          |        WHEN is_jpg THEN ('0x' || substr(h, 2 * (o + 4) + 1, 4))::INTEGER
          |   END AS height
          | FROM j""".stripMargin,
+    // q_x19: the oracle runs the IDENTICAL RE2-safe patterns (shared
+    // via Pii.categories, so both engines scan the same strings with
+    // the same regexes); DuckDB regexp_replace needs the explicit 'g'
+    // flag to match Spark's replace-all semantics
+    "q_x19_pii" -> {
+      val counts = Pii.categories.map { case (n, p, _) =>
+        s"CAST(len(regexp_extract_all(text, '$p')) AS INTEGER) AS n_$n"
+      }.mkString(",\n   ")
+      val total = Pii.categories.map { case (_, p, _) =>
+        s"len(regexp_extract_all(text, '$p'))"
+      }.mkString(" + ")
+      val redacted = Pii.categories.foldLeft("text") { case (c, (_, p, r)) =>
+        s"regexp_replace($c, '$p', '$r', 'g')"
+      }
+      s"""SELECT rec_id,
+         |   $counts,
+         |   CAST($total AS INTEGER) AS n_pii,
+         |   $redacted AS redacted
+         | FROM read_parquet('${Tables.piiFixturePath}')""".stripMargin
+    },
     "q_e1_engine_timeouts" ->
       s"""$E SELECT s.user_id, s.ts AS first_ts, s.ts + INTERVAL 1 HOUR AS fired_at
          | FROM e s LEFT JOIN e p

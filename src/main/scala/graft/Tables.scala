@@ -69,4 +69,13 @@ object Tables {
     if (local.exists) local.getAbsolutePath else "/root/repo/fixtures/media.parquet"
   }
   def media(spark: SparkSession): DataFrame = spark.read.parquet(mediaFixturePath)
+
+  /** pii(rec_id BIGINT, text STRING) — repo-local deterministic
+   * PII-bearing text fixture (tools.PiiFixture; the driver corpus is
+   * digit-free word salad, so identifier scanning needs its own rows). */
+  def piiFixturePath: String = {
+    val local = new java.io.File("fixtures/pii.parquet")
+    if (local.exists) local.getAbsolutePath else "/root/repo/fixtures/pii.parquet"
+  }
+  def pii(spark: SparkSession): DataFrame = spark.read.parquet(piiFixturePath)
 }
