@@ -236,6 +236,10 @@ object SparkEntry {
     // walk) over the binary media fixture; the oracle re-parses the
     // same blobs with DuckDB hex arithmetic
     "q_m2_image_meta" -> ((s, _) => Multimodal.imageMetaTable(s, Tables.media(s))),
+    // q_x20: MOSS-style cross-doc copy detection — winnow fingerprint
+    // overlap with stop-fingerprint (df cap) pruning + containment
+    "q_x20_copy_pairs" -> ((s, d) =>
+      TextAnalysis.copyPairs(Tables.documents(s, d))),
     // q_x19: PII scan + redaction over the deterministic PII fixture
     // (the driver corpus is digit-free) — per-category counts and the
     // placeholder-rewritten text, one codegen'd map-side projection
@@ -654,6 +658,30 @@ object SparkEntry {
          |     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
          |   FROM hh)
          | SELECT DISTINCT doc_id, fp FROM fps""".stripMargin,
+    // q_x20: same winnow CTE → df-capped self-join → containment
+    // (sizes from the UNpruned sets, matching TextAnalysis.copyPairs)
+    "q_x20_copy_pairs" ->
+      s"""$SH,
+         | pos AS (SELECT doc_id, wl, unnest(generate_series(1, greatest(len(wl)-2, 1))) AS i FROM w),
+         | g AS (SELECT doc_id, i, array_to_string(wl[i:i+2], ' ') AS gram FROM pos),
+         | hh AS (SELECT doc_id, i, ${MDH("gram")} AS hv FROM g),
+         | fpw AS (SELECT doc_id,
+         |   MIN(hv) OVER (PARTITION BY doc_id ORDER BY i
+         |     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+         |   FROM hh),
+         | fp AS (SELECT DISTINCT doc_id, fp FROM fpw),
+         | keep AS (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) <= 20),
+         | pr AS (SELECT f.doc_id, f.fp FROM fp f JOIN keep USING (fp)),
+         | pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |     CAST(COUNT(*) AS BIGINT) AS n_shared
+         |   FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |   GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+         | sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp FROM fp GROUP BY 1)
+         | SELECT doc_a, doc_b, n_shared,
+         |   ROUND(n_shared / LEAST(sa.n_fp, sb.n_fp), 6) AS containment
+         | FROM pairs
+         | JOIN sz sa ON sa.doc_id = doc_a
+         | JOIN sz sb ON sb.doc_id = doc_b""".stripMargin,
     "q_x8_repetition" ->
       s"""WITH wr AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
          | wc AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c FROM wr GROUP BY doc_id, w),

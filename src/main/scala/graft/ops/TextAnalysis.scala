@@ -273,6 +273,45 @@ object TextAnalysis {
   }
 
   /**
+   * Cross-document copy detection over the [[winnow]] posting list —
+   * the MOSS-style overlap finder (Schleimer/Wilkerson/Aiken SIGMOD'03
+   * §5): two documents sharing at least `minShared` winnowing
+   * fingerprints share that many distinct ≥(w+k−1)-word substrings;
+   * ranked by containment = shared / min(|fpA|, |fpB|), the
+   * asymmetric measure that still scores a short document pasted
+   * whole into a long one as ≈1.
+   *
+   * Scale shape: the pair generator is a self-equi-join on `fp` —
+   * but only AFTER stop-fingerprint removal: fingerprints present in
+   * more than `maxDf` documents (boilerplate: headers, licence
+   * blocks) are dropped, which caps every posting list and bounds the
+   * join at O(Σ df²) with df ≤ maxDf — the same df-cap trick as
+   * [[Dedup]]'s banding. Containment sizes come from the UNpruned
+   * fingerprint sets (pruning tunes candidate generation, not the
+   * score). Three keyed shuffles total (fp → pair → size join);
+   * nothing is ever quadratic in corpus size.
+   */
+  def copyPairs(documents: DataFrame, k: Int = 3, w: Int = 4,
+      minShared: Int = 3, maxDf: Int = 20): DataFrame = {
+    val fps = winnow(documents, k, w).localCheckpoint() // feeds pruning, pairs, and sizes
+    val keep = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("fp")
+    val pruned = fps.join(keep, "fp")
+    val pairs = pruned.select(col("doc_id").as("doc_a"), col("fp"))
+      .join(pruned.select(col("doc_id").as("doc_b"), col("fp")), "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    pairs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_fp").as("fp_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_fp").as("fp_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        round(col("n_shared") / least(col("fp_a"), col("fp_b")), 6).as("containment"))
+  }
+
+  /**
    * Benchmark decontamination: flag training documents sharing any word
    * n-gram with a held-out benchmark set — the standard eval-leak check
    * a training pipeline runs before export (n-gram overlap against the

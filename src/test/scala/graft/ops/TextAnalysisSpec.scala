@@ -139,6 +139,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(0).getAs[String]("chunk_text").endsWith(" w25"))
   }
 
+  test("copy pairs: exact copy scores containment 1, paste-into scores high, " +
+      "unrelated text scores nothing") {
+    val a = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    val b = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    val df = docs(
+      (1L, "en", a), (2L, "en", b),
+      (3L, "en", a),           // exact copy of 1
+      (4L, "en", b + " " + a)) // 1 pasted whole into 2's text
+    val out = TextAnalysis.copyPairs(df, minShared = 3, maxDf = 20).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("containment")).toMap
+    assert(out((1L, 3L)) == 1.0)
+    assert(out((1L, 4L)) >= 0.8)         // boundary windows may differ
+    assert(!out.contains((1L, 2L)))      // no shared substrings at all
+    // no unbounded join shape: equi-join on fp only, never nested-loop
+    val plan = TextAnalysis.copyPairs(df).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"), plan)
+  }
+
   test("media plumbing: features have fixed shape, entropy bounded, bytes preserved") {
     val documents = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val feats = Multimodal.extractFeatures(spark, Multimodal.fromDocuments(documents)).collect()
