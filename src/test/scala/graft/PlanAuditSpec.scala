@@ -183,6 +183,35 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("per-source cap: one window shuffle keyed by source, nothing else") {
+    audited(graft.ops.Sampling.perSourceCap(Tables.documents(spark, sf))) { plan =>
+      assert(shuffles(plan).size == 1, s"${shuffles(plan).size} shuffles:\n$plan")
+    }
+  }
+
+  test("copy pairs: every join is a keyed equi-join — pair generation can never go nested-loop") {
+    audited(TextAnalysis.copyPairs(Tables.documents(spark, sf))) { plan =>
+      assert(plan.collect { case c: CartesianProductExec => c }.isEmpty, plan.toString)
+      assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty, plan.toString)
+      // the fp self-join and both size joins resolve to hash/merge
+      // equi-joins (broadcast or shuffled — either is keyed)
+      val keyed = plan.collect {
+        case j: SortMergeJoinExec => j.leftKeys
+        case j: ShuffledHashJoinExec => j.leftKeys
+        case j: BroadcastHashJoinExec => j.leftKeys
+      }
+      assert(keyed.nonEmpty && keyed.forall(_.nonEmpty), plan.toString)
+    }
+  }
+
+  test("timed funnel: step joins are keyed on the funnel key, counts are one aggregation") {
+    audited(Correlate.funnelTimed(Tables.events(spark, sf),
+      Seq("signup", "purchase"), Seq(86400L))) { plan =>
+      assert(plan.collect { case c: CartesianProductExec => c }.isEmpty, plan.toString)
+      assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty, plan.toString)
+    }
+  }
+
   test("streaming near-dedup index probe prunes partitions, buckets and row groups") {
     // the growing-index scale guarantee: a trigger's probe of the band
     // index must read only what its own batch can match — the replayed
