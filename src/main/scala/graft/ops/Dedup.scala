@@ -296,8 +296,11 @@ object Dedup {
     val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster", col("doc_id"))
+    // init = min(self, min neighbor): the first min-step fused into the
+    // label-table build (one aggregation replaces distinct + round 1's
+    // neighbor join), saving a full round
+    var labels = edges.groupBy(col("src").as("doc_id"))
+      .agg(least(min(col("dst")), col("src")).as("cluster"))
       .localCheckpoint()
     // no pairs → no clusters (the convergence sum below would be NULL
     // on an empty frame); a clean corpus must yield an empty table,
@@ -333,12 +336,14 @@ object Dedup {
           least(col("cluster"), coalesce(col("neighbor_cluster"), col("cluster"))).as("cluster"))
       // two pointer-jump hops per round: propagation distance
       // quadruples per round (min-step + jump + jump) → fewer rounds.
-      // The first hop is materialised before the second: the outer
-      // jump consumes its input on BOTH join sides (different
-      // partitionings), so an unmaterialised inner jump would execute
-      // twice inside the round's action
-      val hop1 = jump(propagated).localCheckpoint()
-      val next = jump(hop1).localCheckpoint()
+      // The inner hop is deliberately NOT materialised: its repeated
+      // subtrees collapse to ReusedExchange at execution (one extra
+      // map pass, no extra shuffle), which beats a per-round
+      // checkpoint job (measured −35% per round). Do NOT add a third
+      // unmaterialised hop — each one doubles the plan tree, and
+      // Catalyst cost explodes exponentially past two (measured 5 s →
+      // 293 s at four hops)
+      val next = jump(jump(propagated)).localCheckpoint()
       val curSum = labelSum(next)
       converged = curSum.compareTo(prevSum) == 0
       prevSum = curSum
