@@ -143,6 +143,10 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 1),
         docs.filter(col("doc_id") % 2 === 0))
     }),
+    // q_d11: C4-style cross-corpus span dedup — repeated word spans
+    // removed corpus-wide (keep first occurrence), documents
+    // reassembled from the surviving spans
+    "q_d11_span_dedup" -> ((s, d) => Dedup.spanDedup(Tables.documents(s, d))),
     // q_d9: connected components over the EMBEDDING near-dup pairs —
     // the semantic-dedup cluster table (q_d6's lexical counterpart);
     // same O(log diameter) min-label clustering, pairs from the
@@ -230,12 +234,23 @@ object SparkEntry {
     // stable hash order (membership never shifts as the corpus grows)
     "q_p6_source_cap" -> ((s, d) =>
       Sampling.perSourceCap(Tables.documents(s, d))),
+    // q_p7: deterministic global corpus shuffle + re-shard — the
+    // pre-training "shuffle then shard" permutation as a pure hash
+    // function of (seed, doc_id); no global sort, one shard-keyed
+    // window for within-shard positions
+    "q_p7_shuffle_shards" -> ((s, d) =>
+      Sampling.shuffleShards(Tables.documents(s, d))),
     // ---- training-data pipeline: multimodal plumbing --------------
     "q_m1_media_meta" -> ((s, d) => Multimodal.mediaMeta(Tables.documents(s, d))),
     // q_m2: REAL binary image-header decode (PNG IHDR + JPEG segment
     // walk) over the binary media fixture; the oracle re-parses the
     // same blobs with DuckDB hex arithmetic
     "q_m2_image_meta" -> ((s, _) => Multimodal.imageMetaTable(s, Tables.media(s))),
+    // q_m3: REAL audio/container header decode (WAV RIFF chunk walk +
+    // GIF logical screen + BMP info header, incl. top-down negative
+    // heights) over the binary AV fixture; the oracle re-parses the
+    // same blobs with DuckDB little-endian hex arithmetic
+    "q_m3_av_meta" -> ((s, _) => Multimodal.avMetaTable(s, Tables.av(s))),
     // q_x20: MOSS-style cross-doc copy detection — winnow fingerprint
     // overlap with stop-fingerprint (df cap) pruning + containment
     "q_x20_copy_pairs" -> ((s, d) =>
@@ -624,6 +639,24 @@ object SparkEntry {
     "q_d10_incremental" -> (bandedPairCtes(bands = 20, rowsPerBand = 2, threshold = 0.5,
       candCond = "(a.doc_id % 2) = 1 AND (b.doc_id % 2) = 0") +
       "\n SELECT doc_a, doc_b, jaccard FROM jac"),
+    // q_d11: same non-overlapping 10-word spans, keep-first by corpus
+    // order (doc_id, span_idx), reassemble kept spans in order;
+    // FILTERed list aggregation mirrors the conditional collect_list
+    "q_d11_span_dedup" ->
+      s"""WITH wl AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         | st AS (SELECT doc_id, w,
+         |   unnest(generate_series(1, greatest(len(w), 1), 10)) AS s FROM wl),
+         | sp AS (SELECT doc_id, CAST((s - 1) // 10 AS BIGINT) AS span_idx,
+         |        array_to_string(w[s:s+9], ' ') AS span_text FROM st),
+         | rk AS (SELECT *, row_number() OVER
+         |          (PARTITION BY span_text ORDER BY doc_id, span_idx) AS rn FROM sp)
+         | SELECT doc_id,
+         |   CAST(count(*) AS BIGINT) AS n_spans,
+         |   CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+         |   coalesce(array_to_string(
+         |     list(span_text ORDER BY span_idx) FILTER (WHERE rn = 1), ' '), '')
+         |     AS clean_text
+         | FROM rk GROUP BY doc_id""".stripMargin,
     "q_s1_ann_topk" -> bruteOracle,
     "q_s2_ann_lsh" -> lshOracle,
     "q_s4_ann_sq8" -> sq8Oracle,
@@ -715,6 +748,13 @@ object SparkEntry {
     "q_p1_hash_sample" ->
       s"""SELECT doc_id, lang FROM documents
          | WHERE ${MDH("CAST(doc_id AS VARCHAR)")} % 1000000 < 250000""".stripMargin,
+    "q_p7_shuffle_shards" ->
+      s"""WITH h AS (SELECT doc_id,
+         |   ${MDH("'42:' || CAST(doc_id AS VARCHAR)")} AS hv FROM documents)
+         | SELECT doc_id, CAST(hv % 64 AS INTEGER) AS shard,
+         |   CAST(row_number() OVER
+         |     (PARTITION BY hv % 64 ORDER BY hv, doc_id) AS BIGINT) AS pos
+         | FROM h""".stripMargin,
     "q_p2_stratified" ->
       s"""SELECT doc_id, lang FROM documents
          | WHERE ${MDH("CAST(doc_id AS VARCHAR)")} % 1000000 <
@@ -802,6 +842,60 @@ object SparkEntry {
          |        WHEN is_jpg THEN ('0x' || substr(h, 2 * (o + 4) + 1, 4))::INTEGER
          |   END AS height
          | FROM j""".stripMargin,
+    // q_m3: the oracle independently re-parses WAV/GIF/BMP headers
+    // from the same blobs with little-endian hex arithmetic. Byte o
+    // (0-based) lives at hex chars 2o+1..2o+2; LE fields reverse the
+    // byte order. The fixture's fmt chunk sits at byte 12; the data
+    // chunk offset shifts by the LIST chunk on media_id % 8 = 4 rows
+    // (8 + 12 + 2*(id%3) bytes) — same layout-implied arithmetic as
+    // q_m2's COM shift. BMP heights are signed LE32: values past 2^31
+    // are top-down rows, reported as the magnitude.
+    "q_m3_av_meta" ->
+      s"""WITH m AS (SELECT media_id, mime_type, hex(media) AS h,
+         |                  octet_length(media) AS n
+         |           FROM read_parquet('${Tables.avFixturePath}')),
+         | t AS (SELECT m.*,
+         |         (substr(h, 1, 8) = '52494646' AND n >= 12
+         |           AND substr(h, 17, 8) = '57415645') AS is_wav,
+         |         (substr(h, 1, 8) = '47494638' AND n >= 10
+         |           AND substr(h, 9, 2) IN ('37', '39')
+         |           AND substr(h, 11, 2) = '61') AS is_gif,
+         |         (substr(h, 1, 4) = '424D' AND n >= 26
+         |           AND coalesce(TRY_CAST('0x' || substr(h, 35, 2) || substr(h, 33, 2)
+         |                || substr(h, 31, 2) || substr(h, 29, 2) AS BIGINT) >= 40,
+         |                FALSE)) AS is_bmp,
+         |         36 + CASE WHEN media_id % 8 = 4
+         |                   THEN 20 + 2 * (media_id % 3) ELSE 0 END AS d0
+         |       FROM m),
+         | f AS (SELECT t.*,
+         |         TRY_CAST('0x' || substr(h, 63, 2) || substr(h, 61, 2)
+         |          || substr(h, 59, 2) || substr(h, 57, 2) AS BIGINT) AS byte_rate,
+         |         TRY_CAST('0x' || substr(h, 2 * d0 + 15, 2) || substr(h, 2 * d0 + 13, 2)
+         |          || substr(h, 2 * d0 + 11, 2) || substr(h, 2 * d0 + 9, 2) AS BIGINT) AS data_len,
+         |         TRY_CAST('0x' || substr(h, 51, 2) || substr(h, 49, 2)
+         |          || substr(h, 47, 2) || substr(h, 45, 2) AS BIGINT) AS bmp_h
+         |       FROM t)
+         | SELECT media_id, mime_type, CAST(n AS BIGINT) AS n_bytes,
+         |   CASE WHEN is_wav THEN 'wav' WHEN is_gif THEN 'gif'
+         |        WHEN is_bmp THEN 'bmp' END AS format,
+         |   CASE WHEN is_gif THEN ('0x' || substr(h, 15, 2) || substr(h, 13, 2))::INTEGER
+         |        WHEN is_bmp THEN ('0x' || substr(h, 43, 2) || substr(h, 41, 2)
+         |          || substr(h, 39, 2) || substr(h, 37, 2))::INTEGER
+         |   END AS width,
+         |   CASE WHEN is_gif THEN ('0x' || substr(h, 19, 2) || substr(h, 17, 2))::INTEGER
+         |        WHEN is_bmp THEN (CASE WHEN bmp_h > 2147483647
+         |          THEN 4294967296 - bmp_h ELSE bmp_h END)::INTEGER
+         |   END AS height,
+         |   CASE WHEN is_wav THEN ('0x' || substr(h, 47, 2) || substr(h, 45, 2))::INTEGER
+         |   END AS channels,
+         |   CASE WHEN is_wav THEN ('0x' || substr(h, 55, 2) || substr(h, 53, 2)
+         |     || substr(h, 51, 2) || substr(h, 49, 2))::INTEGER
+         |   END AS sample_rate,
+         |   CASE WHEN is_wav THEN ('0x' || substr(h, 71, 2) || substr(h, 69, 2))::INTEGER
+         |   END AS bits,
+         |   CASE WHEN is_wav THEN CAST(data_len * 1000 // byte_rate AS BIGINT)
+         |   END AS duration_ms
+         | FROM f""".stripMargin,
     // q_x19: the oracle runs the IDENTICAL RE2-safe patterns (shared
     // via Pii.categories, so both engines scan the same strings with
     // the same regexes); DuckDB regexp_replace needs the explicit 'g'

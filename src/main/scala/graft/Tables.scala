@@ -70,6 +70,15 @@ object Tables {
   }
   def media(spark: SparkSession): DataFrame = spark.read.parquet(mediaFixturePath)
 
+  /** av(media_id BIGINT, mime_type STRING, media BINARY) — repo-local
+   * deterministic audio/container fixture (tools.AvFixture: WAV / GIF /
+   * BMP blobs plus broken rows). Scale-independent like media. */
+  def avFixturePath: String = {
+    val local = new java.io.File("fixtures/av.parquet")
+    if (local.exists) local.getAbsolutePath else "/root/repo/fixtures/av.parquet"
+  }
+  def av(spark: SparkSession): DataFrame = spark.read.parquet(avFixturePath)
+
   /** pii(rec_id BIGINT, text STRING) — repo-local deterministic
    * PII-bearing text fixture (tools.PiiFixture; the driver corpus is
    * digit-free word salad, so identifier scanning needs its own rows). */

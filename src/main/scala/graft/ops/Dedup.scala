@@ -45,6 +45,47 @@ object Dedup {
       .groupBy(md5(col("text")).as("text_md5"))
       .agg(min("doc_id").as("canonical_doc_id"), count(lit(1)).as("n_copies"))
 
+  /**
+   * Cross-corpus SPAN dedup (the C4 cleaning step: repeated spans are
+   * removed corpus-wide, keeping only their first occurrence, and the
+   * documents are reassembled from what survives — C4 used
+   * three-sentence spans; this uses fixed word windows since span
+   * granularity is a knob, not a semantic). Spans are NON-overlapping
+   * `spanWords`-word windows; "first occurrence" is corpus order
+   * (doc_id, span_idx). Output: one row per document with the total /
+   * kept span counts and the cleaned text (empty when every span was
+   * seen earlier — a fully-boilerplate document).
+   *
+   * Plan: span generation is pure map-side (split + explode + slice);
+   * the keep-first pick is ONE shuffle keyed by the span text itself
+   * (the payload IS the data — same cost class as exact dedup's
+   * content-hash shuffle, and partitioning by the full text keeps the
+   * pick exact under hash collisions); reassembly is one shuffle keyed
+   * by doc_id with map-side partial aggregation. No self-joins, no
+   * driver materialisation — the 100 TB shape.
+   */
+  def spanDedup(documents: DataFrame, spanWords: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = documents
+      .select(col("doc_id"), split(col("text"), " ").as("wl"))
+      .select(col("doc_id"), col("wl"),
+        explode(sequence(lit(1), greatest(size(col("wl")), lit(1)), lit(spanWords))).as("start"))
+      .select(col("doc_id"),
+        ((col("start") - 1) / spanWords).cast("bigint").as("span_idx"),
+        concat_ws(" ", slice(col("wl"), col("start"), lit(spanWords))).as("span_text"))
+    val w = Window.partitionBy(col("span_text")).orderBy(col("doc_id"), col("span_idx"))
+    spans
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        count(when(col("rn") === 1, 1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("rn") === 1,
+            struct(col("span_idx"), col("span_text"))))),
+          s => s("span_text"))).as("clean_text"))
+  }
+
   /** Prime modulus + base-hash range of the universal (affine) MinHash
    * family: h_i(x) = (a_i * base(x) + b_i) mod P with base(x) the
    * md5-derived hash folded into 2^30. One md5 per shingle; the k hash

@@ -126,6 +126,123 @@ object Multimodal {
       .toDF("media_id", "mime_type", "n_bytes", "format", "width", "height")
   }
 
+  /** Parsed audio/container header: format + whichever of the pixel /
+   * PCM fields the container carries (None for the rest). */
+  case class AvMeta(
+      format: String,
+      width: Option[Int] = None,
+      height: Option[Int] = None,
+      channels: Option[Int] = None,
+      sampleRate: Option[Int] = None,
+      bitsPerSample: Option[Int] = None,
+      durationMs: Option[Long] = None)
+
+  /**
+   * Real audio/raster container-header parsing from magic bytes — the
+   * audio companion to [[ImageHeaders]], same pure-public-format,
+   * no-codec-library discipline:
+   *  - WAV: RIFF signature + WAVE form type, then a WALK over the RIFF
+   *    chunk list (4-byte id + LE32 length, word-aligned) for the
+   *    `fmt ` chunk (PCM channels / sample rate / byte rate / bits)
+   *    and the `data` chunk whose byte length over the byte rate gives
+   *    the clip duration. Unknown chunks (LIST, fact, cue…) are
+   *    skipped by length, exactly like JPEG's segment walk.
+   *  - GIF: GIF87a/GIF89a signature, logical-screen width/height as
+   *    LE16 at bytes 6/8.
+   *  - BMP: "BM" + BITMAPINFOHEADER (header size ≥ 40) with SIGNED
+   *    LE32 width/height at 18/22 — a negative height is a legal
+   *    top-down BMP, reported as its magnitude.
+   * Anything that doesn't parse is None, never an exception (same
+   * lost-partition argument as [[ImageHeaders.imageMeta]]).
+   */
+  object AvHeaders {
+    private def le16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    private def tag(b: Array[Byte], o: Int, t: String): Boolean =
+      b.length >= o + 4 && b(o) == t(0).toByte && b(o + 1) == t(1).toByte &&
+        b(o + 2) == t(2).toByte && b(o + 3) == t(3).toByte
+
+    def avMeta(bytes: Array[Byte]): Option[AvMeta] = {
+      if (bytes == null) None
+      else if (tag(bytes, 0, "RIFF") && tag(bytes, 8, "WAVE")) parseWav(bytes)
+      else if (bytes.length >= 10 &&
+        (tag(bytes, 0, "GIF8") && (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a'))
+        parseGif(bytes)
+      else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') parseBmp(bytes)
+      else None
+    }
+
+    private def parseWav(b: Array[Byte]): Option[AvMeta] = {
+      var i = 12
+      var fmt: Option[(Int, Int, Int, Int)] = None // channels, rate, byteRate, bits
+      var dataLen: Option[Int] = None
+      while (i + 8 <= b.length && (fmt.isEmpty || dataLen.isEmpty)) {
+        val len = le32(b, i + 4)
+        if (len < 0) return None // corrupt length: abort the walk
+        if (tag(b, i, "fmt ") && len >= 16 && i + 8 + 16 <= b.length)
+          fmt = Some((le16(b, i + 10), le32(b, i + 12), le32(b, i + 16), le16(b, i + 22)))
+        else if (tag(b, i, "data"))
+          dataLen = Some(len)
+        i += 8 + len + (len & 1) // RIFF chunks are word-aligned
+      }
+      fmt.flatMap { case (ch, rate, byteRate, bits) =>
+        if (ch <= 0 || rate <= 0 || byteRate <= 0) None
+        else Some(AvMeta("wav", channels = Some(ch), sampleRate = Some(rate),
+          bitsPerSample = Some(bits),
+          durationMs = dataLen.map(n => n.toLong * 1000L / byteRate)))
+      }
+    }
+
+    private def parseGif(b: Array[Byte]): Option[AvMeta] = {
+      val w = le16(b, 6); val h = le16(b, 8)
+      if (w > 0 && h > 0) Some(AvMeta("gif", width = Some(w), height = Some(h)))
+      else None
+    }
+
+    private def parseBmp(b: Array[Byte]): Option[AvMeta] = {
+      // BM(2) + file size(4) + reserved(4) + pixel offset(4) + DIB size(4)
+      if (b.length < 26) return None
+      if (le32(b, 14) < 40) return None // not a BITMAPINFOHEADER family
+      val w = le32(b, 18)
+      val h = le32(b, 22) // signed: negative = top-down row order
+      if (w > 0 && h != 0)
+        Some(AvMeta("bmp", width = Some(w), height = Some(math.abs(h))))
+      else None
+    }
+  }
+
+  /**
+   * Unified relational probe over image AND audio containers: one row
+   * per media row with whichever header family the BYTES (not the
+   * declared mime) parse as — PNG/JPEG via [[ImageHeaders]], then
+   * WAV/GIF/BMP via [[AvHeaders]]; NULL columns where the container
+   * carries no such field, NULL format where nothing parses. Same
+   * partition-local discipline as [[imageMetaTable]]: the blobs never
+   * leave their partition, only fixed-shape metadata comes out.
+   */
+  def avMetaTable(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("mime_type"), col("media"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val m = ImageHeaders.imageMeta(r.media)
+            .map(im => AvMeta(im.format, width = Some(im.width), height = Some(im.height)))
+            .orElse(AvHeaders.avMeta(r.media))
+          (r.media_id, r.mime_type,
+            if (r.media == null) 0L else r.media.length.toLong,
+            m.map(_.format), m.flatMap(_.width), m.flatMap(_.height),
+            m.flatMap(_.channels), m.flatMap(_.sampleRate),
+            m.flatMap(_.bitsPerSample), m.flatMap(_.durationMs))
+        }
+      }
+      .toDF("media_id", "mime_type", "n_bytes", "format", "width", "height",
+        "channels", "sample_rate", "bits", "duration_ms")
+  }
+
   /** Extracted features: fixed shape regardless of codec. */
   case class MediaFeatures(
       media_id: Long,

@@ -125,6 +125,32 @@ object Sampling {
       .select(col("doc_id"), col("source"), col("pick"))
   }
 
+  /**
+   * Deterministic global shuffle + re-shard — the "shuffle the corpus
+   * before training" step: every document gets a pseudorandom shard
+   * and a pseudorandom position within it, both pure functions of
+   * (seed, doc_id), so the permutation is reproducible, resumable,
+   * and stable under re-runs (unlike `df.orderBy(rand())`, whose
+   * result depends on the partitioning of the moment).
+   *
+   * Plan: shard assignment is map-side hash arithmetic — NO global
+   * sort, no single-partition window (the classic scale trap for
+   * "shuffle" is a global row_number). The only shuffle is one window
+   * keyed by shard for the within-shard position; with nShards at or
+   * above cluster parallelism each shard is a bounded slice of the
+   * corpus (100 TB / nShards), the same unit a shard writer holds
+   * anyway.
+   */
+  def shuffleShards(documents: DataFrame, nShards: Int = 64, seed: Long = 42L): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    documents
+      .select(col("doc_id"),
+        Dedup.mdhash(concat_ws(":", lit(seed), col("doc_id").cast("string"))).as("h"))
+      .withColumn("shard", pmod(col("h"), lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
   def tokenShards(documents: DataFrame, capacity: Long = 500L): DataFrame = {
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -1,0 +1,120 @@
+package graft.tools
+
+/**
+ * Deterministic binary audio/image-container fixture: real WAV (RIFF),
+ * GIF and BMP byte structures plus deliberately broken rows, written as
+ * ONE parquet file so both Spark and the DuckDB oracle read the
+ * identical blobs — the audio/raster companion to [[MediaFixture]].
+ *
+ * Layout per media_id (the oracle's offset arithmetic relies on this):
+ *  - id % 4 == 0 → WAV: RIFF/WAVE, `fmt ` (PCM) at byte 12; every
+ *                  id % 8 == 4 inserts a LIST chunk of 12+2*(id%3)
+ *                  bytes between `fmt ` and `data` (exercises the
+ *                  chunk walk); data payload is (id*37) % 2000 bytes.
+ *                  channels = 1+(id%2), sample_rate = 8000*(1+(id%5)),
+ *                  bits = 8 when id%3==0 else 16.
+ *  - id % 4 == 1 → GIF89a (GIF87a when id % 8 == 5): LE16 dims at 6/8.
+ *  - id % 4 == 2 → BMP BITMAPINFOHEADER: LE32 dims at 18/22; every
+ *                  id % 8 == 6 stores a NEGATIVE height (top-down row
+ *                  order — parsers must report magnitude).
+ *  - id % 8 == 3 → truncated WAV (RIFF header cut mid-"WAVE")
+ *  - id % 8 == 7 → junk bytes (no container signature at all)
+ * width = 16 + (id*7) % 1000, height = 16 + (id*13) % 800 (GIF/BMP).
+ *
+ * Usage: runMain graft.tools.AvFixture [outFile] [rows]
+ * (default fixtures/av.parquet, 500 rows)
+ */
+object AvFixture {
+
+  def width(id: Long): Int = 16 + (id * 7 % 1000).toInt
+  def height(id: Long): Int = 16 + (id * 13 % 800).toInt
+
+  def channels(id: Long): Int = 1 + (id % 2).toInt
+  def sampleRate(id: Long): Int = 8000 * (1 + (id % 5).toInt)
+  def bits(id: Long): Int = if (id % 3 == 0) 8 else 16
+  def dataLen(id: Long): Int = (id * 37 % 2000).toInt
+
+  private def le16(v: Int): Array[Byte] = Array[Byte](v.toByte, (v >>> 8).toByte)
+  private def le32(v: Int): Array[Byte] =
+    Array[Byte](v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+
+  def wav(id: Long): Array[Byte] = {
+    val ch = channels(id); val rate = sampleRate(id); val b = bits(id)
+    val blockAlign = ch * b / 8
+    val byteRate = rate * blockAlign
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+      le16(1) ++ le16(ch) ++ le32(rate) ++ le32(byteRate) ++
+      le16(blockAlign) ++ le16(b)
+    val list =
+      if (id % 8 != 4) Array.emptyByteArray
+      else {
+        val n = 12 + 2 * (id % 3).toInt // even → no RIFF pad byte
+        "LIST".getBytes("US-ASCII") ++ le32(n) ++
+          ("INFO" + "i" * (n - 4)).getBytes("US-ASCII")
+      }
+    val data = "data".getBytes("US-ASCII") ++ le32(dataLen(id)) ++
+      new Array[Byte](dataLen(id))
+    val body = "WAVE".getBytes("US-ASCII") ++ fmt ++ list ++ data
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+
+  def gif(id: Long): Array[Byte] = {
+    val sig = if (id % 8 == 5) "GIF87a" else "GIF89a"
+    sig.getBytes("US-ASCII") ++ le16(width(id)) ++ le16(height(id)) ++
+      Array[Byte](0, 0, 0) ++ Array[Byte](0x3b) // packed/bg/aspect + trailer
+  }
+
+  def bmp(id: Long): Array[Byte] = {
+    val h = if (id % 8 == 6) -height(id) else height(id)
+    val header = "BM".getBytes("US-ASCII") ++ le32(54) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(width(id)) ++ le32(h) ++ le16(1) ++ le16(24) ++
+      new Array[Byte](24) // rest of BITMAPINFOHEADER: compression..colors
+    header
+  }
+
+  def truncatedWav(): Array[Byte] =
+    "RIFF".getBytes("US-ASCII") ++ le32(36) ++ "WA".getBytes("US-ASCII")
+
+  def junk(id: Long): Array[Byte] = {
+    val r = new scala.util.Random(id + 7)
+    val b = new Array[Byte](64)
+    r.nextBytes(b)
+    b(0) = 0 // never a RIFF/GIF/BM signature
+    b
+  }
+
+  /** (mime_type declared by the producer, actual bytes) — declared mime
+   * lies on the broken rows, like [[MediaFixture.row]]. */
+  def row(id: Long): (String, Array[Byte]) = {
+    if (id % 8 == 3) ("audio/wav", truncatedWav())
+    else if (id % 8 == 7) ("application/octet-stream", junk(id))
+    else id % 4 match {
+      case 0 => ("audio/wav", wav(id))
+      case 1 => ("image/gif", gif(id))
+      case _ => ("image/bmp", bmp(id))
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("fixtures/av.parquet")
+    val rows = args.lift(1).map(_.toInt).getOrElse(500)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").appName("av-fixture")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    val df = (0L until rows.toLong).map { id =>
+      val (mime, bytes) = row(id)
+      (id, mime, bytes)
+    }.toDF("media_id", "mime_type", "media")
+    val tmp = java.nio.file.Files.createTempDirectory("avfix").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    val dest = new java.io.File(out)
+    Option(dest.getParentFile).foreach(_.mkdirs())
+    java.nio.file.Files.move(part.toPath, dest.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    println(s"wrote $rows rows to $out")
+    spark.stop()
+  }
+}

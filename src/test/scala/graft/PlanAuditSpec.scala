@@ -168,6 +168,27 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("span dedup: map-side span generation, then exactly the dedup + reassembly shuffles") {
+    audited(Dedup.spanDedup(Tables.documents(spark, sf))) { plan =>
+      // one exchange keyed by span text (keep-first window), one keyed
+      // by doc_id (reassembly agg) — anything more means the span
+      // explode grew a shuffle it must never have
+      assert(shuffles(plan).size == 2, s"${shuffles(plan).size} shuffles:\n$plan")
+      assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty &&
+        plan.collect { case c: CartesianProductExec => c }.isEmpty, plan.toString)
+    }
+  }
+
+  test("shuffle shards: hash arithmetic map-side, one shard-keyed window, no global sort") {
+    audited(graft.ops.Sampling.shuffleShards(Tables.documents(spark, sf))) { plan =>
+      assert(shuffles(plan).size == 1, s"${shuffles(plan).size} shuffles:\n$plan")
+      // the window must partition by shard — a global (single-partition)
+      // row_number would show an exchange with no partition expressions
+      val s = plan.toString
+      assert(s.contains("hashpartitioning(shard"), s)
+    }
+  }
+
   test("token shards: one window shuffle keyed by source, nothing else") {
     audited(graft.ops.Sampling.tokenShards(Tables.documents(spark, sf))) { plan =>
       assert(shuffles(plan).size == 1, s"${shuffles(plan).size} shuffles:\n$plan")

@@ -29,6 +29,27 @@ class DedupSpec extends SparkSpec {
     assert(got(2L) == Seq("a b"))
   }
 
+  test("span dedup removes corpus-wide repeated spans keeping first occurrence") {
+    // spans of 3 words; doc 2 repeats doc 1's first span, doc 3 is all
+    // repeats (of doc 1's spans) → empty clean text
+    val df = docs(
+      (1L, "a b c d e f"),          // spans: "a b c", "d e f"
+      (2L, "a b c x y z"),          // "a b c" seen → keeps only "x y z"
+      (3L, "d e f a b c"))          // both seen → empty
+    val got = Dedup.spanDedup(df, spanWords = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("n_kept"), r.getAs[String]("clean_text"))))
+      .toMap
+    assert(got(1L) == ((2L, 2L, "a b c d e f")))
+    assert(got(2L) == ((2L, 1L, "x y z")))
+    assert(got(3L) == ((2L, 0L, "")))
+    // within-doc repeat: second copy of a span inside the SAME doc drops
+    val within = Dedup.spanDedup(docs((7L, "p q r p q r")), spanWords = 3)
+      .collect().head
+    assert(within.getAs[Long]("n_kept") == 1L &&
+      within.getAs[String]("clean_text") == "p q r")
+  }
+
   test("minhash LSH finds the planted near-duplicate and skips unrelated docs") {
     val a = (1 to 60).map(i => s"w$i").mkString(" ")
     val aNear = ((1 to 57).map(i => s"w$i") ++ Seq("q1", "q2", "q3")).mkString(" ")

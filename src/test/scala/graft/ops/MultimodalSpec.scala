@@ -1,8 +1,8 @@
 package graft.ops
 
 import graft.SparkSpec
-import graft.ops.Multimodal.ImageHeaders
-import graft.tools.MediaFixture
+import graft.ops.Multimodal.{AvHeaders, ImageHeaders}
+import graft.tools.{AvFixture, MediaFixture}
 
 class MultimodalSpec extends SparkSpec {
 
@@ -56,6 +56,70 @@ class MultimodalSpec extends SparkSpec {
         assert(r.getAs[String]("format") == "jpeg", s"id=$id")
         assert(r.getAs[Int]("width") == MediaFixture.width(id), s"id=$id")
         assert(r.getAs[Int]("height") == MediaFixture.height(id), s"id=$id")
+      }
+    }
+  }
+
+  test("WAV parse: fmt fields, LIST-shifted chunk walk, duration from data/byte rate") {
+    val plain = AvHeaders.avMeta(AvFixture.wav(8)).get // id%8==0: no LIST
+    assert(plain.format == "wav")
+    assert(plain.channels.contains(AvFixture.channels(8)))
+    assert(plain.sampleRate.contains(AvFixture.sampleRate(8)))
+    assert(plain.bitsPerSample.contains(AvFixture.bits(8)))
+    val id = 12L // id%8==4: a LIST chunk sits between fmt and data
+    val shifted = AvHeaders.avMeta(AvFixture.wav(id)).get
+    val byteRate = AvFixture.sampleRate(id) * AvFixture.channels(id) * AvFixture.bits(id) / 8
+    assert(shifted.durationMs.contains(AvFixture.dataLen(id).toLong * 1000L / byteRate))
+    // a WAV with no data chunk still yields fmt fields, no duration
+    val noData = AvHeaders.avMeta(AvFixture.wav(8).take(36)).get
+    assert(noData.sampleRate.contains(AvFixture.sampleRate(8)) && noData.durationMs.isEmpty)
+  }
+
+  test("GIF and BMP parse, including GIF87a and top-down negative BMP heights") {
+    val gif = AvHeaders.avMeta(AvFixture.gif(1)).get // GIF89a
+    assert(gif == Multimodal.AvMeta("gif",
+      width = Some(AvFixture.width(1)), height = Some(AvFixture.height(1))))
+    assert(AvHeaders.avMeta(AvFixture.gif(13)).get.format == "gif") // id%8==5: GIF87a
+    val bmp = AvHeaders.avMeta(AvFixture.bmp(2)).get
+    assert(bmp.width.contains(AvFixture.width(2)) && bmp.height.contains(AvFixture.height(2)))
+    val topDown = AvHeaders.avMeta(AvFixture.bmp(14)).get // id%8==6: height < 0
+    assert(topDown.height.contains(AvFixture.height(14)))
+  }
+
+  test("unparseable AV bytes are None, never an exception") {
+    assert(AvHeaders.avMeta(AvFixture.truncatedWav()).isEmpty)
+    assert(AvHeaders.avMeta(AvFixture.junk(7)).isEmpty)
+    assert(AvHeaders.avMeta(Array.emptyByteArray).isEmpty)
+    assert(AvHeaders.avMeta(null).isEmpty)
+    // RIFF/WAVE but a corrupt negative chunk length: the walk aborts
+    val corrupt = AvFixture.wav(8)
+    corrupt(19) = 0xff.toByte // fmt chunk length high byte → negative
+    assert(AvHeaders.avMeta(corrupt).isEmpty)
+  }
+
+  test("avMetaTable parses the AV fixture rows per the generator's ground truth") {
+    import spark.implicits._
+    val rows = (0L until 64L).map { id =>
+      val (mime, bytes) = AvFixture.row(id)
+      (id, mime, bytes)
+    }
+    val out = Multimodal.avMetaTable(spark, rows.toDF("media_id", "mime_type", "media"))
+      .collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    (0L until 64L).foreach { id =>
+      val r = out(id)
+      if (id % 4 == 3) assert(r.isNullAt(r.fieldIndex("format")), s"id=$id")
+      else if (id % 4 == 0) {
+        assert(r.getAs[String]("format") == "wav", s"id=$id")
+        assert(r.getAs[Int]("sample_rate") == AvFixture.sampleRate(id), s"id=$id")
+        val byteRate = AvFixture.sampleRate(id) * AvFixture.channels(id) * AvFixture.bits(id) / 8
+        assert(r.getAs[Long]("duration_ms") ==
+          AvFixture.dataLen(id).toLong * 1000L / byteRate, s"id=$id")
+        assert(r.isNullAt(r.fieldIndex("width")), s"id=$id")
+      } else {
+        assert(r.getAs[String]("format") == (if (id % 4 == 1) "gif" else "bmp"), s"id=$id")
+        assert(r.getAs[Int]("width") == AvFixture.width(id), s"id=$id")
+        assert(r.getAs[Int]("height") == AvFixture.height(id), s"id=$id")
+        assert(r.isNullAt(r.fieldIndex("channels")), s"id=$id")
       }
     }
   }

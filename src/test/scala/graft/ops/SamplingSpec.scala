@@ -83,6 +83,29 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("shuffle shards: a reproducible permutation — every doc exactly once, contiguous positions") {
+    val out = Sampling.shuffleShards(docs, nShards = 8, seed = 7L).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("shard"), r.getAs[Long]("pos")))
+    val total = docs.count()
+    assert(out.length == total && out.map(_._1).distinct.length == total)
+    assert(out.forall(t => t._2 >= 0 && t._2 < 8))
+    // positions are 1..k within each shard, no gaps or ties
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq, s"shard $shard")
+    }
+    // the permutation actually scatters: consecutive doc_ids land apart
+    val shardOf = out.map(t => t._1 -> t._2).toMap
+    assert((0L until 20L).map(shardOf).distinct.length > 3)
+    // deterministic: a re-run and a differently-partitioned input agree
+    val again = Sampling.shuffleShards(docs.repartition(7), nShards = 8, seed = 7L)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("shard"), r.getAs[Long]("pos")))
+    assert(again.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+    // a different seed is a different permutation
+    val other = Sampling.shuffleShards(docs, nShards = 8, seed = 8L).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("shard")).toMap
+    assert(out.exists(t => other(t._1) != t._2))
+  }
+
   test("token shards: contiguous per-source packing, monotone, capacity-bounded") {
     val out = Sampling.tokenShards(docs, capacity = 200L).collect()
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
