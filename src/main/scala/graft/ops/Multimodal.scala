@@ -186,7 +186,15 @@ object Multimodal {
           fmt = Some((le16(b, i + 10), le32(b, i + 12), le32(b, i + 16), le16(b, i + 22)))
         else if (tag(b, i, "data"))
           dataLen = Some(len)
-        i += 8 + len + (len & 1) // RIFF chunks are word-aligned
+        // A chunk length near Int.MaxValue would wrap `i` negative and
+        // index the array with a negative offset; a declared length that
+        // overruns the buffer (other than a trailing `data` chunk we've
+        // already recorded) means the container is corrupt — stop here.
+        if (len > b.length - i - 8) {
+          i = b.length // nothing beyond a truncated/oversized chunk is walkable
+        } else {
+          i += 8 + len + (len & 1) // RIFF chunks are word-aligned
+        }
       }
       fmt.flatMap { case (ch, rate, byteRate, bits) =>
         if (ch <= 0 || rate <= 0 || byteRate <= 0) None

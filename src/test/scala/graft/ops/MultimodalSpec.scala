@@ -95,6 +95,16 @@ class MultimodalSpec extends SparkSpec {
     val corrupt = AvFixture.wav(8)
     corrupt(19) = 0xff.toByte // fmt chunk length high byte → negative
     assert(AvHeaders.avMeta(corrupt).isEmpty)
+    // a POSITIVE chunk length near Int.MaxValue passes the negative-length
+    // check but would wrap the walk index negative — must be None, not an
+    // ArrayIndexOutOfBoundsException
+    val huge = new Array[Byte](64)
+    "RIFF".getBytes("US-ASCII").copyToArray(huge, 0)
+    "WAVE".getBytes("US-ASCII").copyToArray(huge, 8)
+    "JUNK".getBytes("US-ASCII").copyToArray(huge, 12)
+    huge(16) = 0xf0.toByte; huge(17) = 0xff.toByte
+    huge(18) = 0xff.toByte; huge(19) = 0x7f.toByte // len = 0x7ffffff0
+    assert(AvHeaders.avMeta(huge).isEmpty)
   }
 
   test("avMetaTable parses the AV fixture rows per the generator's ground truth") {
