@@ -25,15 +25,27 @@ object Tables {
     spark.read.parquet(path(sfDir, name))
 
   /** events(event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
-   *  event_type STRING, value DOUBLE, props STRING) */
+   *  event_type STRING, value DOUBLE, props STRING).
+   *
+   * Fixture generations have carried `ts` as TIMESTAMP(NANOS) (read as
+   * LongType under the legacy conf), TIMESTAMP(MICROS, adjustedToUTC)
+   * (plain TimestampType), and TIMESTAMP(MICROS, isAdjustedToUTC=false)
+   * (TimestampNTZType). Normalise all three to one canonical
+   * TimestampType here so downstream ops (`unix_micros`, window funcs)
+   * see a single type. The session TZ is pinned to UTC in every
+   * entrypoint, so the NTZ→TIMESTAMP cast is value-preserving. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = read(spark, sfDir, "events")
-    // ts arrives as LongType nanos under the legacy conf; `div` keeps the
-    // conversion in integer space (no double rounding).
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      // Legacy nanos-as-long: `div` keeps the ns→µs conversion in
+      // integer space (no double rounding).
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** The events table as a typed Dataset[Event] for the rule

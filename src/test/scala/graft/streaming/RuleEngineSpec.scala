@@ -162,7 +162,14 @@ class RuleEngineSpec extends SparkSpec {
     val sqlFace = Correlate.sequenceTimeout(eventsDf, "signup", "purchase", "1 HOUR")
       .collect()
       .map { r =>
-        val first = r.getAs[Timestamp]("first_ts")
+        // Read type-agnostically: fixture annotation drift (TIMESTAMP vs
+        // TIMESTAMP_NTZ) should fail with a clear message, not a CCE.
+        val first = r.getAs[Any]("first_ts") match {
+          case t: Timestamp              => t
+          case ldt: java.time.LocalDateTime =>
+            Timestamp.from(ldt.toInstant(java.time.ZoneOffset.UTC))
+          case other => fail(s"unexpected first_ts type: ${other.getClass}")
+        }
         val deadline = new Timestamp(first.getTime + 3600 * 1000)
         deadline.setNanos(first.getNanos) // keep µs precision
         (r.getAs[Long]("user_id").toString, deadline)
