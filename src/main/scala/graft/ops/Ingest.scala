@@ -127,8 +127,9 @@ object Ingest {
    * the batch's distinct hash count — size buckets for the TRIGGER,
    * not the index (a 1k-doc trigger touches ≤ 20k hashes; with the
    * O(100k) buckets a 100 TB index wants per [[Layout.writeBucketed]],
-   * ≥80% of the index is never read). Compact small per-batch files
-   * periodically. Empty triggers write nothing (no file-count bloat).
+   * ≥80% of the index is never read). Compact accumulated per-batch
+   * files periodically with [[compactIndex]]. Empty triggers write
+   * nothing (no file-count bloat).
    *
    * The session keeps `autoBucketedScan` disabled (the planner must
    * never fall back to an unpruned scan of the index) and the parquet
@@ -243,6 +244,91 @@ object Ingest {
         ()
       }
       .start()
+  }
+
+  /** The `write_id` a given (checkpoint, batchId) pair lands under —
+   * callers use it to name a compaction frontier from the stream's last
+   * COMMITTED batch. */
+  def writeIdFor(checkpoint: String, batchId: Long): String =
+    s"${tableSuffix(checkpoint)}_$batchId"
+
+  /**
+   * Compact the near-dup index: rewrite the accumulated per-trigger
+   * `write_id` partitions of BOTH index halves into one consolidated
+   * bucketed partition each. Eligible partitions are those belonging to
+   * `upToWriteId`'s stream (same checkpoint prefix) with a batch number
+   * at or below its frontier, plus the output of any previous
+   * compaction — so repeated calls fold older compactions in rather
+   * than accumulating them.
+   *
+   * Why: each trigger appends one partition × up-to-`indexBuckets`
+   * files per half, so after thousands of triggers the probe's cost is
+   * dominated by file listing/opens, not bytes (the reference keeps ONE
+   * state file per save for the same reason — reference:
+   * src/SaveHandler/FileAdapter.php:73-197). Compaction restores
+   * O(buckets) files while preserving the bucketed-by-key layout the
+   * shuffle-free probe join and bucket pruning depend on (the
+   * consolidated partition goes through the same saveAsTable path as a
+   * trigger append).
+   *
+   * Safety: pass a frontier AT OR BEHIND the checkpoint's last
+   * COMMITTED batch. A committed batch never replays, so dropping its
+   * standalone partition is safe; an in-flight batch's partition is
+   * left alone (its replay deletes + rewrites that partition by name).
+   * Crash-safe: the consolidated partition is written (idempotently,
+   * under a name derived from the member set) BEFORE any source
+   * partition is dropped — a crash mid-drop leaves transient duplicate
+   * rows, which the probe tolerates (candidates are de-duplicated), and
+   * the next compaction folds the remainder in.
+   */
+  def compactIndex(spark: SparkSession, indexDir: String, upToWriteId: String,
+      indexBuckets: Int = 16): Unit = {
+    val cut = upToWriteId.lastIndexOf('_')
+    require(cut > 0, s"malformed write id: $upToWriteId")
+    val (ck, frontier) = (upToWriteId.substring(0, cut),
+      upToWriteId.substring(cut + 1).toLong)
+    compactHalf(spark, sigTableName(indexDir), s"$indexDir/sig", "doc_id",
+      indexBuckets, ck, frontier)
+    compactHalf(spark, bandTableName(indexDir), s"$indexDir/bands", "band_hash",
+      indexBuckets, ck, frontier)
+  }
+
+  private def compactHalf(spark: SparkSession, name: String, dir: String,
+      bucketCol: String, buckets: Int, ck: String, frontier: Long): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val partitions = fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("write_id="))
+      .map(_.stripPrefix("write_id="))
+    def behindFrontier(id: String): Boolean = {
+      val cut = id.lastIndexOf('_')
+      cut > 0 && id.substring(0, cut) == ck &&
+        id.substring(cut + 1).toLongOption.exists(_ <= frontier)
+    }
+    val eligible = partitions.filter(id =>
+      id.startsWith("compact_") || behindFrontier(id)).sorted
+    if (eligible.size <= 1) return
+    // Name derived from the member set: a crashed-and-rerun compaction
+    // of the same members overwrites its own partial output
+    // (appendIndexPartition deletes the partition dir before writing).
+    val newId = "compact_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(eligible.mkString("\n").getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    // Read the member partitions as raw parquet (partition dirs carry
+    // the data columns only) — streams through the writer without
+    // self-referencing the catalog table being appended to.
+    val consolidated = spark.read.parquet(
+      eligible.map(id => s"$dir/write_id=$id"): _*)
+    appendIndexPartition(consolidated, name, dir, bucketCol, buckets, newId)
+    eligible.foreach { old =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/write_id=$old"), true)
+      if (spark.catalog.tableExists(name))
+        spark.sql(s"ALTER TABLE $name DROP IF EXISTS PARTITION (write_id='$old')")
+    }
+    if (spark.catalog.tableExists(name)) spark.catalog.refreshTable(name)
   }
 
   /** Deterministic catalog names for the two index tables rooted at

@@ -119,6 +119,64 @@ class IngestSpec extends SparkSpec {
     assert(admitted == Seq(1L, 9L))
   }
 
+  test("near-dedup index compaction: partitions fold to one, probes unchanged") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("ndcompact").toString
+    def novel(i: Int): String = (0 until 10).map(j => s"t${i}x$j").mkString(" ")
+    def listParts(half: String): Seq[String] =
+      new java.io.File(s"$base/index/$half").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSeq.sorted
+    def countFiles(half: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(s"$base/index/$half"))
+    }
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val query = Ingest.runStreamingNearDedup(stream.toDF().toDF("doc_id", "text"),
+      s"$base/index", s"$base/out", s"$base/ck")
+    try {
+      (0 until 5).foreach { i =>
+        stream.addData((i.toLong, novel(i)))
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    assert(listParts("sig").size == 5 && listParts("bands").size == 5)
+    val filesBefore = countFiles("sig") + countFiles("bands")
+    // partial frontier: batches 0..2 fold into one compact partition,
+    // the later triggers' partitions are untouched
+    Ingest.compactIndex(spark, s"$base/index",
+      Ingest.writeIdFor(s"$base/ck", 2), indexBuckets = 16)
+    assert(listParts("sig").size == 3)
+    assert(listParts("sig").count(_.contains("=compact_")) == 1)
+    // full frontier: everything (including the previous compaction's
+    // output) folds into ONE partition per half
+    Ingest.compactIndex(spark, s"$base/index",
+      Ingest.writeIdFor(s"$base/ck", 4), indexBuckets = 16)
+    assert(listParts("sig").size == 1 && listParts("bands").size == 1)
+    assert(countFiles("sig") + countFiles("bands") < filesBefore)
+    // index content is unchanged: same admitted doc ids in both halves
+    assert(spark.read.parquet(s"$base/index/sig")
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq ==
+      (0L until 5L).toSeq)
+    assert(spark.read.parquet(s"$base/index/bands")
+      .select("doc_id").distinct().count() == 5)
+    // probes against the compacted index behave exactly as before: a
+    // near-dup of an early admission is dropped, a novel doc admitted
+    val nearOf0 = (0 until 8).map(j => s"t0x$j").mkString(" ") + " zz1 zz2"
+    val s2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q2 = Ingest.runStreamingNearDedup(s2.toDF().toDF("doc_id", "text"),
+      s"$base/index", s"$base/out", s"$base/ck2")
+    try {
+      s2.addData((100L, nearOf0), (101L, novel(9)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val admitted = spark.read.parquet(s"$base/out")
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(admitted == (0L until 5L) :+ 101L)
+  }
+
   test("streaming near-dedup: index survives a catalog restart and a fresh stream over it") {
     // two restart realities at once: (a) a new session's in-memory
     // catalog has forgotten the bucketed index tables (they must be
