@@ -16,10 +16,19 @@ import org.apache.spark.sql.SparkSession
  *    memory/GC profile of the next (cross-query contamination made the
  *    round-2 numbers meaningless: identical plans read 30-90x slower
  *    late in the session);
- *  - each query is timed twice: `queries` (cold: no data cached) is
- *    the primary number, `queries_warm` (immediate re-run, caches from
- *    the cold run still live) exposes cache-reuse behaviour and any
- *    warm-run degradation that a single number would hide.
+ *  - each query is timed cold and warm: `queries` (cold: no data
+ *    cached; min over isolated trials) is the primary number,
+ *    `queries_warm` (median of 3 immediate re-runs, caches from the
+ *    cold run still live) exposes cache-reuse behaviour and any
+ *    warm-run degradation that a single number would hide;
+ *  - `interpreter_eps` comes from its own fixed 3-iteration isolated
+ *    probe (median), not from whichever single cold q_e1 number the
+ *    map happened to record — a lone trial swung 123k–280k across
+ *    rounds on unchanged code;
+ *  - `queries_warm` is emitted on its OWN stdout line before the final
+ *    JSON line, so a bounded tail capture always retains the full cold
+ *    map + `failed` + `interpreter_eps` (the single combined line
+ *    previously truncated mid-map).
  */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -74,18 +83,25 @@ object Bench {
     // filters that interference out of an arbitrary victim's number
     // while each trial stays fully isolated.
     val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "2").toInt
+    def median(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       var c = Double.MaxValue
-      var w = Double.MaxValue
       (1 to trials).foreach { _ =>
         isolate()
         run(name, fn).foreach(t => c = math.min(c, t))
-        run(name, fn).foreach(t => w = math.min(w, t))
       }
+      // 3 warm iterations straight after the last cold run (its caches
+      // still live); the median filters a one-off cleaner/GC stall
+      // without letting an unrepresentative best-case through
+      val warmTimes = (1 to 3).flatMap(_ => run(name, fn))
       // failed-every-trial queries are listed in `failed` only
       if (c < Double.MaxValue) cold(name) = c
-      if (w < Double.MaxValue) warm(name) = w
+      if (warmTimes.nonEmpty) warm(name) = median(warmTimes)
     }
     isolate()
 
@@ -105,11 +121,18 @@ object Bench {
     // 55-68k events/s single-core hot loop (BASELINE.md;
     // reference: tests_adhoc/speed_test.php + saved-state counters).
     val nEvents = try Tables.events(spark, sfDir).count() catch { case _: Throwable => 0L }
-    val eps = cold.get("q_e1_engine_timeouts").filter(_ > 0)
-      .map(t => (nEvents / t).round).getOrElse(0L)
-    // stop BEFORE printing: the JSON line must be the LAST thing on
-    // stdout so a tail capture of the run always contains all of it
+    // fixed-iteration probe: 3 isolated cold runs, median — decoupled
+    // from the map's single min-trial number
+    val epsTimes = SparkEntry.queries.get("q_e1_engine_timeouts").toSeq.flatMap { fn =>
+      (1 to 3).flatMap { _ => isolate(); run("q_e1_engine_timeouts", fn) }
+    }
+    val eps = if (epsTimes.nonEmpty && nEvents > 0)
+      (nEvents / median(epsTimes)).round else 0L
+    // stop BEFORE printing: the JSON lines must be the LAST thing on
+    // stdout so a tail capture of the run always contains all of them;
+    // warm goes first so truncation can only ever cost warm numbers
     spark.stop()
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${js(cold)},"queries_warm":${js(warm)},"failed":$failedJson,"events":$nEvents,"interpreter_eps":$eps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"warm","queries_warm":${js(warm)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${js(cold)},"failed":$failedJson,"events":$nEvents,"interpreter_eps":$eps,"sf":"$sfDir"}""")
   }
 }
