@@ -12,11 +12,14 @@ import org.apache.spark.sql.functions._
  *
  * Header DECODING is real: [[ImageHeaders.imageMeta]] parses PNG IHDR
  * and walks JPEG segments to the SOF frame header — pure byte-level
- * format knowledge, no codec library. Only the pixel-level
- * decode-to-feature step ([[MediaCodec.decode]]) remains a
- * clearly-marked deterministic fake (no image/audio libraries in this
- * environment); its schema, batching and partitioning are real, so
- * swapping in a real codec is a one-function change.
+ * format knowledge, no codec library. Pixel DECODING is real for
+ * images: [[MediaCodec.decode]] goes through the JDK's ImageIO
+ * readers (PNG/JPEG/GIF/BMP) and reduces pixels to a mean-luminance
+ * grid feature. Only non-image payloads (audio/video) fall back to a
+ * clearly-marked deterministic byte-hash fake
+ * ([[MediaCodec.byteHashFeature]] — no AV codec libraries in this
+ * environment); schema, batching and partitioning are identical on
+ * both paths, so swapping in a real AV codec is a one-function change.
  *
  * Scale notes: media bytes never shuffle — features are extracted
  * map-side and only the (tiny) feature rows move. Partition sizing is
@@ -259,15 +262,68 @@ object Multimodal {
       byte_entropy: Double,
       feature: Array[Float])
 
-  /** STUB decoder boundary. Real deployments replace `decode` with an
-   * actual codec (JPEG/PNG/ffmpeg); the deterministic fake hashes bytes
-   * into a fixed-dim pseudo-feature so the pipeline is testable. */
+  /** Decoder boundary. Image payloads get a REAL pixel decode through
+   * the JDK's `javax.imageio` (PNG/JPEG/GIF/BMP readers ship with the
+   * JRE — no external codec dependency), reduced to a deterministic
+   * 4x4 mean-luminance grid as the fixed-dim feature. Non-image bytes
+   * (audio/video/text, or corrupt containers) fall back to the
+   * deterministic byte-hash pseudo-feature so the pipeline stays total
+   * and testable; a real deployment swaps [[byteHashFeature]] for an
+   * ffmpeg-style codec at this one seam. */
   object MediaCodec {
     val FeatureDim = 16
+    private val GridW = 4
+    private val GridH = 4 // GridW * GridH == FeatureDim
 
-    /** STUB: deterministic fake "decode + embed". Replace with a real
-     * codec call; signature and batch shape stay the same. */
-    def decode(bytes: Array[Byte]): Array[Float] = {
+    /** Decode + featurize: mean-luminance grid for decodable images,
+     * byte-hash fake otherwise. Total — corrupt bytes are a fallback,
+     * never an exception (a crashing row is a lost partition). */
+    def decode(bytes: Array[Byte]): Array[Float] =
+      decodeImage(bytes).map(luminanceGrid(_, GridW, GridH))
+        .getOrElse(byteHashFeature(bytes))
+
+    /** Real pixel decode via ImageIO; None for anything its readers
+     * can't parse (header-only blobs, junk, non-image containers). */
+    def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      if (bytes == null || bytes.length == 0) None
+      else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: Throwable => None }
+
+    /** Rec.601 luminance averaged per grid cell — a fixed-shape,
+     * resolution-independent image signature. */
+    def luminanceGrid(img: java.awt.image.BufferedImage, gw: Int, gh: Int): Array[Float] = {
+      val out = new Array[Float](gw * gh)
+      val counts = new Array[Int](gw * gh)
+      val w = img.getWidth
+      val h = img.getHeight
+      var y = 0
+      while (y < h) {
+        val gy = math.min(y * gh / h, gh - 1)
+        var x = 0
+        while (x < w) {
+          val gx = math.min(x * gw / w, gw - 1)
+          val rgb = img.getRGB(x, y)
+          val lum = (0.299f * ((rgb >> 16) & 0xff) +
+            0.587f * ((rgb >> 8) & 0xff) + 0.114f * (rgb & 0xff)) / 255f
+          val cell = gy * gw + gx
+          out(cell) += lum
+          counts(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var c = 0
+      while (c < out.length) {
+        if (counts(c) > 0) out(c) /= counts(c)
+        c += 1
+      }
+      out
+    }
+
+    /** Deterministic byte-hash pseudo-feature — the fallback for
+     * non-image payloads (and the seam a real audio/video codec would
+     * replace). */
+    def byteHashFeature(bytes: Array[Byte]): Array[Float] = {
       val acc = new Array[Float](FeatureDim)
       var i = 0
       while (i < bytes.length) {

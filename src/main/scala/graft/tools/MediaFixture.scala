@@ -63,6 +63,32 @@ object MediaFixture {
     soi ++ app0 ++ com ++ sof ++ eoi
   }
 
+  /**
+   * A fully-decodable image (real pixel data, not just headers),
+   * encoded by the JDK's own ImageIO writers — `format` is one of
+   * png/jpg/gif/bmp. The pixel pattern is deterministic: left half
+   * solid black, right half solid white — chosen so a mean-luminance
+   * grid over it has exactly-known cell values even under JPEG's lossy
+   * round-trip (solid regions survive quantisation).
+   */
+  def realImage(w: Int, h: Int, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, format, out),
+      s"no ImageIO writer for format $format")
+    out.toByteArray
+  }
+
   def truncatedPng(): Array[Byte] =
     Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n', 0, 0, 0, 13)
 

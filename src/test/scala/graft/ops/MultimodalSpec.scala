@@ -60,6 +60,56 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("pixel decode: real ImageIO decode across PNG/JPEG/GIF/BMP, known luminance grid") {
+    // left half black, right half white (MediaFixture.realImage): the
+    // 4x4 mean-luminance grid is exactly [0,0,1,1] per row — a solid
+    // pattern that survives even JPEG's lossy round-trip
+    for (fmt <- Seq("png", "jpg", "gif", "bmp")) {
+      val bytes = MediaFixture.realImage(32, 16, fmt)
+      val img = Multimodal.MediaCodec.decodeImage(bytes)
+      assert(img.isDefined, s"$fmt did not decode")
+      assert(img.get.getWidth == 32 && img.get.getHeight == 16, s"$fmt dims")
+      val grid = Multimodal.MediaCodec.decode(bytes)
+      assert(grid.length == Multimodal.MediaCodec.FeatureDim)
+      val tol = if (fmt == "jpg") 0.05f else 1e-4f
+      for (row <- 0 until 4; gx <- 0 until 4) {
+        val expected = if (gx < 2) 0f else 1f
+        assert(math.abs(grid(row * 4 + gx) - expected) <= tol,
+          s"$fmt cell ($row,$gx) = ${grid(row * 4 + gx)}, want $expected")
+      }
+    }
+  }
+
+  test("pixel decode: non-image and header-only payloads fall back to the byte-hash fake") {
+    val junk = MediaFixture.junk(3)
+    assert(Multimodal.MediaCodec.decodeImage(junk).isEmpty)
+    assert(Multimodal.MediaCodec.decode(junk).toSeq ==
+      Multimodal.MediaCodec.byteHashFeature(junk).toSeq)
+    // header-only fixture blobs carry no pixel data: ImageIO rejects
+    // them (no exception), the fake path keeps the pipeline total
+    val headerOnly = MediaFixture.png(64, 64)
+    assert(Multimodal.MediaCodec.decode(headerOnly).toSeq ==
+      Multimodal.MediaCodec.byteHashFeature(headerOnly).toSeq)
+    assert(Multimodal.MediaCodec.decode(Array.emptyByteArray).length ==
+      Multimodal.MediaCodec.FeatureDim)
+  }
+
+  test("extractFeatures emits the real luminance grid for decodable rows") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "image/png", MediaFixture.realImage(32, 16, "png")),
+      (2L, "image/bmp", MediaFixture.realImage(8, 8, "bmp")),
+      (3L, "application/octet-stream", MediaFixture.junk(11)))
+    val out = Multimodal.extractFeatures(spark, rows.toDF("media_id", "mime_type", "media"))
+      .collect().map(f => f.media_id -> f).toMap
+    assert(out(1L).feature.toSeq ==
+      Multimodal.MediaCodec.decode(MediaFixture.realImage(32, 16, "png")).toSeq)
+    assert(math.abs(out(2L).feature(0)) <= 1e-4f && math.abs(out(2L).feature(3) - 1f) <= 1e-4f)
+    assert(out(3L).feature.toSeq ==
+      Multimodal.MediaCodec.byteHashFeature(MediaFixture.junk(11)).toSeq)
+    assert(out.values.forall(_.feature.length == Multimodal.MediaCodec.FeatureDim))
+  }
+
   test("WAV parse: fmt fields, LIST-shifted chunk walk, duration from data/byte rate") {
     val plain = AvHeaders.avMeta(AvFixture.wav(8)).get // id%8==0: no LIST
     assert(plain.format == "wav")
