@@ -256,6 +256,53 @@ class RuleEngineSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming funnel: chained sequence rules agree with Correlate.funnel") {
+    import spark.implicits._
+    // the reference's funnels ARE its chained rules: one sequence rule
+    // per step PREFIX, a key reaches funnel step i iff rule i completes
+    // for it at least once (reference:
+    // examples/online_shop/rules/CheckOrderPayment.php:79-85)
+    val steps = Seq("signup", "view", "purchase")
+    val rules = steps.indices.map { i =>
+      graft.rules.RuleSpec(s"funnel_$i", steps.take(i + 1).map(s => Set(s)),
+        None, _.payload("key"))
+    }
+    val events = Seq(
+      ev("2024-01-01 10:00:00", "signup", "u1", "1"),
+      ev("2024-01-01 10:05:00", "view", "u1", "2"),
+      ev("2024-01-01 10:10:00", "purchase", "u1", "3"), // full funnel
+      ev("2024-01-01 10:00:00", "signup", "u2", "4"),
+      ev("2024-01-01 10:06:00", "view", "u2", "5"),     // stalls at view
+      ev("2024-01-01 09:00:00", "view", "u3", "6"),     // view BEFORE signup: no credit
+      ev("2024-01-01 10:00:00", "signup", "u3", "7"),
+      ev("2024-01-01 09:30:00", "purchase", "u4", "8"), // never signs up
+      ev("2024-01-01 10:00:00", "signup", "u5", "9"),
+      ev("2024-01-01 10:01:00", "purchase", "u5", "10"), // out of order...
+      ev("2024-01-01 10:02:00", "view", "u5", "11"))     // ...stalls at view
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val query = RuleEngine.runStreaming(stream.toDS(), rules)
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(events: _*)
+      query.processAllAvailable()
+      stream.addData(ev("2024-01-02 00:00:00", "view", "zz", "99")) // watermark push
+      query.processAllAvailable()
+    } finally query.stop()
+    val fired = spark.table("funnel_out").as[RuleEngine.Fired].collect()
+    val streamCounts = steps.indices.map { i =>
+      fired.filter(f => f.rule == s"funnel_$i" && f.kind == "complete")
+        .map(_.key).distinct.length.toLong
+    }
+    val eventsDf = events.map(e => (e.payload("key"), e.event, e.datetime))
+      .toDF("user_id", "event_type", "ts")
+    val funnelCounts = Correlate.funnel(eventsDf, steps)
+      .collect().sortBy(_.getAs[Int]("step_idx")).map(_.getAs[Long]("n_keys")).toSeq
+    assert(streamCounts == Seq(4L, 3L, 1L))
+    assert(funnelCounts == streamCounts)
+  }
+
   test("transformWithState face equals batch face (RocksDB state, native timers)") {
     import spark.implicits._
     val rules = Seq(orderRule())
