@@ -1163,13 +1163,20 @@ object SparkEntry {
        |   ${sub("ivf_fixed", ivfFixedOracle)}
        |   UNION ALL ${sub("lsh", lshOracle)}
        |   UNION ALL ${sub("pq", pqOracle)}
-       |   UNION ALL ${sub("sq8", sq8Oracle)})
-       | SELECT a.method, a.query_id,
-       |   CAST(SUM(CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
-       |   ROUND(CAST(SUM(CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 10.0, 6) AS recall
-       | FROM approx a LEFT JOIN exact e
-       |   ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
-       | GROUP BY a.method, a.query_id""".stripMargin
+       |   UNION ALL ${sub("sq8", sq8Oracle)}),
+       | grp AS (SELECT a.method, a.query_id,
+       |     CAST(SUM(CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+       |   FROM approx a LEFT JOIN exact e
+       |     ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+       |   GROUP BY a.method, a.query_id),
+       | mq AS (SELECT m.method, q.vec_id AS query_id
+       |   FROM (VALUES ('ivf_fixed'), ('lsh'), ('pq'), ('sq8')) m(method),
+       |        (SELECT vec_id FROM embeddings WHERE vec_id < 20) q)
+       | SELECT mq.method, mq.query_id,
+       |   CAST(COALESCE(g.hits, 0) AS BIGINT) AS hits,
+       |   ROUND(CAST(COALESCE(g.hits, 0) AS DOUBLE) / 10.0, 6) AS recall
+       | FROM mq LEFT JOIN grp g
+       |   ON g.method = mq.method AND g.query_id = mq.query_id""".stripMargin
   }
 
   private def pqOracle: String = {

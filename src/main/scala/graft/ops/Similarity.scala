@@ -503,14 +503,24 @@ object Similarity {
       "lsh" -> lshTopK(embeddings, nQueries, k),
       "pq" -> pqTopK(embeddings, nQueries, k),
       "sq8" -> quantizedTopK(embeddings, nQueries, k))
-    approx.map { case (m, df) =>
+    val perQuery = approx.map { case (m, df) =>
       df.select(lit(m).as("method"), col("query_id"), col("neighbor_id"))
     }.reduce(_.unionByName(_))
       // left join (not semi): a query whose approximate list misses
-      // every true neighbor must still produce its recall-0 row
+      // every true neighbor must still count its misses
       .join(broadcast(exact), Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("method"), col("query_id"))
       .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("hits"))
+    // methods × queries universe: a query whose approximate list is
+    // EMPTY (every candidate bucket empty) has no group above and
+    // would silently vanish — it owes a recall-0 row, which is exactly
+    // the row an index-quality gate must see
+    embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        explode(array(approx.map(p => lit(p._1)): _*)).as("method"))
+      .join(perQuery, Seq("method", "query_id"), "left")
+      .na.fill(0L, Seq("hits"))
       .withColumn("recall", round(col("hits") / lit(k.toDouble), 6))
+      .select("method", "query_id", "hits", "recall")
   }
 }

@@ -36,10 +36,11 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val approx = Similarity.lshTopK(emb, nQueries = 10, k = 10, nPlanes = 4)
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
-    // 4 hyperplanes + multi-probe (hamming<=1) over random vectors:
-    // expected recall ~0.5; assert well above single-bucket chance
+    // deterministic (seeded hyperplanes, fixed fixture): measured 0.48
+    // — the floor sits just beneath so a probe/bucketing nerf fails
     val recall = (exact & approx).size.toDouble / exact.size
-    assert(recall > 0.35, s"recall@10 = $recall")
+    info(s"lsh recall@10 = $recall")
+    assert(recall > 0.45, s"recall@10 = $recall")
   }
 
   test("IVF top-k probes a quarter of the cells with solid recall@10") {
@@ -49,9 +50,24 @@ class SimilaritySpec extends SparkSpec {
     val ivf = Similarity.ivfTopK(emb, nQueries = 10, k = 10, nLists = 16, nProbe = 4)
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val recall = (exact & ivf).size.toDouble / exact.size
-    // probing 4/16 cells of random data: recall well above the 25%
-    // cell-mass baseline because neighbors concentrate in near cells
-    assert(recall > 0.35, s"recall@10 = $recall")
+    // deterministic (seeded KMeans, fixed fixture): measured 0.67 —
+    // floor pinned just beneath so a probe nerf fails the suite
+    info(s"ivf recall@10 = $recall")
+    assert(recall > 0.6, s"recall@10 = $recall")
+  }
+
+  test("recallAtK emits recall-0 rows for queries with an EMPTY approximate list") {
+    import spark.implicits._
+    // a 1-vector corpus: every index's candidate list for query 0 is
+    // empty (self-matches excluded, no other vectors, no centroid
+    // seeds present) — the methods × queries universe must still emit
+    // one recall-0 row per method rather than dropping the query
+    val solo = Seq((0L, Array.fill(64)(0.125f))).toDF("vec_id", "embedding")
+    val out = Similarity.recallAtK(solo, nQueries = 1, k = 10).collect()
+    assert(out.map(_.getAs[String]("method")).sorted.toSeq ==
+      Seq("ivf_fixed", "lsh", "pq", "sq8"))
+    assert(out.forall(r => r.getAs[Long]("query_id") == 0L &&
+      r.getAs[Long]("hits") == 0L && r.getAs[Double]("recall") == 0.0))
   }
 
   test("SQ8 quantized top-k tracks the float baseline closely (recall@10)") {
@@ -61,7 +77,8 @@ class SimilaritySpec extends SparkSpec {
     val exact = tops(Similarity.bruteForceTopK(emb))
     val sq8 = tops(Similarity.quantizedTopK(emb))
     val recall = (exact & sq8).size.toDouble / exact.size
-    assert(recall >= 0.9, s"SQ8 recall@10 too low: $recall")
+    info(s"sq8 recall@10 = $recall") // measured 0.98; floor just beneath
+    assert(recall >= 0.95, s"SQ8 recall@10 too low: $recall")
   }
 
   test("PQ ADC top-k keeps useful recall at 32x compression") {
@@ -72,9 +89,11 @@ class SimilaritySpec extends SparkSpec {
     val pq = tops(Similarity.pqTopK(emb, nQueries = 10))
     assert(pq.size == exact.size) // k rows per query either way
     // 8 subspaces × 16 fixed (untrained) codes on random 64-dim data is
-    // a coarse quantiser — assert recall clearly above random (k/n ≈ 2%)
+    // a coarse quantiser — measured 0.25 (still 12x above the k/n ≈ 2%
+    // random baseline); floor pinned just beneath
     val recall = (exact & pq).size.toDouble / exact.size
-    assert(recall > 0.15, s"PQ recall@10 = $recall")
+    info(s"pq recall@10 = $recall")
+    assert(recall > 0.2, s"PQ recall@10 = $recall")
   }
 
   test("kNN label vote: queries adopt the majority label of their cluster") {
@@ -149,10 +168,16 @@ class SimilaritySpec extends SparkSpec {
       assert(rec >= 0.0 && rec <= 1.0)
       assert(r.getAs[Long]("hits") == math.round(rec * 10))
     }
-    // int8 quantisation barely perturbs the ranking: the diagnostic
-    // itself must show what SimilaritySpec's SQ8 test already asserts
-    val sq8Avg = rows.filter(_.getAs[String]("method") == "sq8")
-      .map(_.getAs[Double]("recall")).sum / 20
-    assert(sq8Avg >= 0.9, s"sq8 avg recall $sq8Avg")
+    // per-method mean floors pinned just beneath the measured values
+    // (ivf_fixed 0.44, lsh 0.45, pq 0.205, sq8 0.98 on this fixture) —
+    // a deliberate probe/quantiser nerf fails the suite
+    def mean(m: String): Double =
+      rows.filter(_.getAs[String]("method") == m)
+        .map(_.getAs[Double]("recall")).sum / 20
+    Seq("ivf_fixed" -> 0.40, "lsh" -> 0.42, "pq" -> 0.18, "sq8" -> 0.95)
+      .foreach { case (m, floor) =>
+        info(f"$m mean recall = ${mean(m)}%.3f")
+        assert(mean(m) >= floor, s"$m mean recall ${mean(m)} < $floor")
+      }
   }
 }
