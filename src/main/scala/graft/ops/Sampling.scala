@@ -91,21 +91,6 @@ object Sampling {
   }
 
   /**
-   * Contiguous token-budget shards: documents are assigned, in
-   * (source, doc_id) order, to shards of ~`capacity` whitespace
-   * tokens — the deterministic packing step that cuts a corpus into
-   * equal-token training shards (shard = ⌊tokens-before-me /
-   * capacity⌋, so every shard except a source's last holds at least
-   * `capacity` tokens and assignments never change when later docs
-   * arrive).
-   *
-   * Plan: one running-sum window partitioned by source — the
-   * per-source sequential semantics IS the operator, so the partition
-   * key is the contract, not a skew accident. At extreme per-source
-   * scale the same operator composes with a finer partition key
-   * (source, day): packing is order-local, nothing global.
-   */
-  /**
    * Deterministic per-stratum cap: at most `n` documents per source,
    * picked in stable key-hash order — a uniform-without-replacement
    * subsample whose membership never changes as unrelated documents
@@ -151,6 +136,21 @@ object Sampling {
       .select(col("doc_id"), col("shard"), col("pos"))
   }
 
+  /**
+   * Contiguous token-budget shards: documents are assigned, in
+   * (source, doc_id) order, to shards of ~`capacity` whitespace
+   * tokens — the deterministic packing step that cuts a corpus into
+   * equal-token training shards (shard = ⌊tokens-before-me /
+   * capacity⌋, so every shard except a source's last holds at least
+   * `capacity` tokens and assignments never change when later docs
+   * arrive).
+   *
+   * Plan: one running-sum window partitioned by source — the
+   * per-source sequential semantics IS the operator, so the partition
+   * key is the contract, not a skew accident. At extreme per-source
+   * scale the same operator composes with a finer partition key
+   * (source, day): packing is order-local, nothing global.
+   */
   def tokenShards(documents: DataFrame, capacity: Long = 500L): DataFrame = {
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
