@@ -312,6 +312,78 @@ object Correlate {
       .agg(count(lit(1)).as("n_keys")) // weeks is distinct per (key, wk)
   }
 
+  /** One appended retention credit: `key` was active in the week
+   * `week_offset` weeks after its `cohort_week` (first-seen week). */
+  final case class RetentionCredit(key: String, cohort_week: java.sql.Timestamp,
+      week_offset: Int)
+
+  private val WeekMillis = 7L * 24 * 3600 * 1000
+
+  /**
+   * Streaming face of [[retentionCohorts]]: per-key state tracks the
+   * cohort (earliest week seen so far) and a 64-bit mask of week
+   * offsets already credited; each trigger appends one
+   * [[RetentionCredit]] per newly-credited (key, week). The cohort
+   * table itself is the consumer's `groupBy(cohort_week, week_offset)
+   * .count()` — increments are append-only, so the count needs no
+   * retraction and any sink can hold it.
+   *
+   * Scale shape: state is O(16 bytes) per key (two longs), no growing
+   * collections; one keyed shuffle per trigger; offsets beyond 63
+   * weeks are dropped (the mask's width — reading cohorts past week
+   * 63 is a batch job anyway).
+   *
+   * Out-of-order contract: within a trigger, a key's weeks are
+   * processed in ascending order (min first), so any within-batch
+   * disorder is absorbed. Across triggers, an earlier-than-cohort
+   * week re-anchors the cohort and shifts already-credited offsets to
+   * match, but rows already emitted under the old cohort cannot be
+   * retracted (append semantics) — feed signup-like streams where a
+   * key's first event arrives first, or tolerate stale early rows.
+   *
+   * Also callable on a BATCH DataFrame (Spark runs the same function
+   * with fresh state), which is what the parity spec exploits.
+   */
+  def retentionStreaming(
+      events: DataFrame,
+      key: String = "user_id",
+      tsCol: String = "ts"): org.apache.spark.sql.Dataset[RetentionCredit] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events.filter(col(key).isNotNull)
+      .select(col(key).cast("string").as("k"),
+        date_trunc("week", col(tsCol)).as("wk"))
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), RetentionCredit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (k, rows, state) =>
+        var (cohort, mask) = state.getOption.getOrElse((Long.MaxValue, 0L))
+        val weeks = rows.map(_._2.getTime).toArray.distinct.sorted
+        val out = Seq.newBuilder[RetentionCredit]
+        weeks.foreach { w =>
+          if (w < cohort) {
+            // re-anchor: shift existing credits to offsets relative to
+            // the new, earlier cohort (credits keep their absolute
+            // week; ones pushed past offset 63 leave the tracked
+            // window — Scala's << is mod-64, so guard the big shift)
+            if (cohort != Long.MaxValue) {
+              val shift = (cohort - w) / WeekMillis
+              mask = if (shift >= 64) 0L else mask << shift.toInt
+            }
+            cohort = w
+          }
+          val off = (w - cohort) / WeekMillis
+          if (off < 64 && (mask & (1L << off)) == 0L) {
+            mask |= (1L << off)
+            out += RetentionCredit(k, new java.sql.Timestamp(cohort), off.toInt)
+          }
+        }
+        state.update((cohort, mask))
+        out.result().iterator
+      }
+  }
+
   def asOfEnrich(
       events: DataFrame,
       targetType: String,

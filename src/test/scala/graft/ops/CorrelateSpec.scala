@@ -189,4 +189,43 @@ class CorrelateSpec extends SparkSpec {
     val w1 = ts("2024-01-08 00:00:00")
     assert(got == Set((w0, 0, 2L), (w0, 1, 1L), (w0, 2, 1L), (w1, 0, 1L)))
   }
+
+  test("streaming retention credits aggregate to the batch cohort table") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def creditSet(df: DataFrame): Set[(Timestamp, Int, Long)] = df
+      .groupBy("cohort_week", "week_offset").agg(count(lit(1)).as("n_keys"))
+      .collect().map(r => (r.getAs[Timestamp]("cohort_week"),
+        r.getAs[Int]("week_offset"), r.getAs[Long]("n_keys"))).toSet
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00")), // u1 cohort W0
+      (1L, ts("2024-01-09 10:00:00")), // u1 active W1
+      (2L, ts("2024-01-10 10:00:00")), // u2 cohort W1
+      (1L, ts("2024-01-25 10:00:00")), // u1 active W3
+      (2L, ts("2024-01-16 09:00:00")), // u2 offset 1
+      (2L, ts("2024-01-17 11:00:00")), // same week: no new credit
+      (3L, ts("2024-01-16 12:00:00"))) // u3 cohort W2
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Timestamp)]
+    val query = Correlate.retentionStreaming(stream.toDF().toDF("user_id", "ts"))
+      .writeStream.format("memory").queryName("ret_out")
+      .outputMode("append").start()
+    try {
+      // three triggers: state carries cohorts/credits across them
+      rows.grouped(3).foreach { b => stream.addData(b); query.processAllAvailable() }
+    } finally query.stop()
+    val eventsDf = rows.toDF("user_id", "ts")
+    val batch = Correlate.retentionCohorts(eventsDf)
+      .collect().map(r => (r.getAs[Timestamp]("cohort_week"),
+        r.getAs[Int]("week_offset"), r.getAs[Long]("n_keys"))).toSet
+    assert(creditSet(spark.table("ret_out")) == batch)
+    // the same stateful function run in BATCH mode (fresh state, one
+    // group call per key) agrees too — on this frame and the fixture
+    assert(creditSet(Correlate.retentionStreaming(eventsDf).toDF()) == batch)
+    val fixture = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    assert(creditSet(Correlate.retentionStreaming(fixture).toDF()) ==
+      Correlate.retentionCohorts(fixture)
+        .collect().map(r => (r.getAs[Timestamp]("cohort_week"),
+          r.getAs[Int]("week_offset"), r.getAs[Long]("n_keys"))).toSet)
+  }
 }
