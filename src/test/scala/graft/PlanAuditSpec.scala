@@ -267,4 +267,41 @@ class PlanAuditSpec extends SparkSpec {
       Some(Seq("00000000000000000000000000000000")), 64)
     assert(replay.count() == 0) // nothing but its own (excluded) partition exists
   }
+
+  test("compacted near-dedup index keeps the probe's bucket and parquet pruning") {
+    // compaction rewrites per-trigger partitions through the same
+    // bucketed saveAsTable path — the consolidated partition must
+    // still satisfy the probe's plan pins, else compaction would
+    // silently trade file count for a full-index scan
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("ndcplan").toString
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val query = graft.ops.Ingest.runStreamingNearDedup(stream.toDF().toDF("doc_id", "text"),
+      s"$base/index", s"$base/out", s"$base/ck", indexBuckets = 64)
+    try {
+      (0 until 3).foreach { i =>
+        stream.addData((i.toLong, (0 until 10).map(j => s"c${i}x$j").mkString(" ")))
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    graft.ops.Ingest.compactIndex(spark, s"$base/index",
+      graft.ops.Ingest.writeIdFor(s"$base/ck", 2), indexBuckets = 64)
+    val parts = new java.io.File(s"$base/index/bands").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(parts.length == 1 && parts.head.startsWith("write_id=compact_"))
+    val probe = graft.ops.Ingest.indexBandProbe(spark, s"$base/index", "someotherwrite_0",
+      Some(Seq("00000000000000000000000000000000", "ffffffffffffffffffffffffffffffff")), 64)
+    audited(probe) { plan =>
+      val s = plan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of 64".r.findFirstMatchIn(s)
+      assert(sel.isDefined, s)
+      assert(sel.get.group(1).toInt <= 2, s)
+      assert(s.contains("PushedFilters: [In(band_hash"), s)
+    }
+    // an unfiltered probe still sees every admitted doc's band rows
+    val all = graft.ops.Ingest.indexBandProbe(spark, s"$base/index",
+      "someotherwrite_0", None, 64)
+    assert(all.select("doc_id").distinct().count() == 3)
+  }
 }
