@@ -165,6 +165,17 @@ object SparkEntry {
     "q_s2_ann_lsh" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d))),
     "q_s4_ann_sq8" -> ((s, d) => Similarity.quantizedTopK(Tables.embeddings(s, d))),
     "q_s5_ann_ivf_fixed" -> ((s, d) => Similarity.ivfFixedTopK(Tables.embeddings(s, d))),
+    // q_s10: the PERSISTED inverted-file face — assignment written
+    // once partitioned by cell, queries read only probed cells
+    // (partition pruning pinned in PlanAuditSpec); results — and the
+    // oracle — are identical to q_s5 by construction
+    "q_s10_ann_ivf_index" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_" +
+        Integer.toHexString(d.hashCode)
+      Similarity.writeIvfIndex(Tables.embeddings(s, d), dir)
+      Similarity.ivfIndexTopK(s.read.parquet(dir),
+        Tables.embeddings(s, d).filter(org.apache.spark.sql.functions.col("vec_id") < 20))
+    }),
     // ---- training-data pipeline: text analysis --------------------
     "q_x1_langid" -> ((s, d) => TextAnalysis.languageId(Tables.documents(s, d))),
     "q_x2_tokens" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
@@ -1050,6 +1061,9 @@ object SparkEntry {
          |   CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w) AS INTEGER) AS rank FROM vc)
          | SELECT rank, w, c FROM r WHERE rank <= 100""".stripMargin,
     "q_s5_ann_ivf_fixed" -> ivfFixedOracle,
+    // the persisted-index face reproduces q_s5's results exactly — one
+    // oracle serves both (same seeds, rounding, tie-breaks)
+    "q_s10_ann_ivf_index" -> ivfFixedOracle,
     "q_x13_entropy" ->
       s"""WITH wr AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
          | wc AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c FROM wr GROUP BY doc_id, w),

@@ -310,6 +310,75 @@ object Similarity {
   }
 
   /**
+   * Persist the [[ivfFixedTopK]] inverted-file index: the one-pass
+   * centroid assignment runs ONCE and the assigned corpus lands
+   * partitioned by cell, so every later query session skips assignment
+   * entirely and reads ONLY its probed cells — partition pruning at
+   * the storage layer, the difference between "an ANN query scans the
+   * corpus" and "an ANN query reads nProbe/nLists of it". This is the
+   * 100 TB deployment shape: assignment is the expensive corpus-wide
+   * pass (embarrassingly parallel, centroids broadcast), amortised
+   * across every query batch that follows.
+   */
+  def writeIvfIndex(embeddings: DataFrame, dir: String, nLists: Int = 16): Unit = {
+    val corpus = embeddings.select(
+      col("vec_id"), normalized(asDouble(col("embedding"))).as("v"))
+    val cents = corpus
+      .filter(col("vec_id").isin(ivfFixedSeeds(nLists).map(_.toLong): _*))
+      .select(col("vec_id").as("seed_id"), col("v").as("cv"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("cdot").desc, col("seed_id"))
+    corpus.join(broadcast(cents))
+      .withColumn("cdot", round(dot(col("v"), col("cv")), 6))
+      .withColumn("arank", row_number().over(wAssign))
+      .filter(col("arank") === 1)
+      .select(col("vec_id"), col("v"), col("seed_id").as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+  }
+
+  /**
+   * Query a persisted IVF index ([[writeIvfIndex]]): rank cells per
+   * query against the centroid rows (corpus members, read back from
+   * the index by id), then scan ONLY the union of probed cells — the
+   * probed-cell set is nQueries·nProbe ids collected to the driver and
+   * pushed as a partition filter, so the unprobed (1 − nProbe/nLists)
+   * of the index contributes zero I/O (PartitionFilters — pinned in
+   * PlanAuditSpec). Results are identical to [[ivfFixedTopK]] on the
+   * same corpus: same seeds, same rounding, same tie-breaks.
+   */
+  def ivfIndexTopK(index: DataFrame, queries: DataFrame, k: Int = 10,
+      nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents = index
+      .filter(col("vec_id").isin(ivfFixedSeeds(nLists).map(_.toLong): _*))
+      .select(col("vec_id").as("seed_id"), col("v").as("cv"))
+    val qs = queries.select(
+      col("vec_id").as("query_id"), normalized(asDouble(col("embedding"))).as("qv"))
+    val probeCells = qs.join(broadcast(cents))
+      .withColumn("cdot", round(dot(col("qv"), col("cv")), 6))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cdot").desc, col("seed_id"))))
+      .filter(col("crank") <= nProbe)
+      .select(col("query_id"), col("qv"), col("seed_id").as("cell"))
+      .localCheckpoint() // collected for the partition filter AND joined
+    // bounded driver collect (nQueries·nProbe cell ids) — the literal
+    // list is what the planner prunes index partitions with
+    val cells = probeCells.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    // the filter runs on the RAW partition column (pruning), the cast
+    // only normalises the inferred partition type for the join key
+    val scored = index.filter(col("cell").isin(cells: _*))
+      .withColumn("cell", col("cell").cast("long"))
+      .join(broadcast(probeCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", round(dot(col("qv"), col("v")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim"), col("rank"))
+  }
+
+  /**
    * kNN label vote: predict each query vector's label by majority vote
    * of its k nearest corpus neighbors (cosine), with a deterministic
    * (votes desc, label asc) tie-break — the standard embedding-space

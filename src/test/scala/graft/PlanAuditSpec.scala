@@ -268,6 +268,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(replay.count() == 0) // nothing but its own (excluded) partition exists
   }
 
+  test("persisted IVF index query prunes to the probed cells at the partition level") {
+    // the deployment-shape guarantee: an ANN query over the persisted
+    // index reads nProbe-worth of cells, not the corpus — the probed
+    // cell ids must land in PartitionFilters, not a post-scan Filter
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("ivfplan").toString + "/index"
+    graft.ops.Similarity.writeIvfIndex(emb, dir)
+    val nCells = new java.io.File(dir).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("cell="))
+    // 2 queries × 4 probes touch at most 8 of the 16 cells — enough
+    // headroom that the partition listing MUST come back pruned
+    // (20 queries would legitimately cover all cells at this scale)
+    audited(graft.ops.Similarity.ivfIndexTopK(
+      spark.read.parquet(dir), emb.filter(col("vec_id") < 2))) { plan =>
+      val s = plan.toString
+      assert(s.contains("PartitionFilters: [cell"), s)
+      // the index scan's driver-side listing must select fewer
+      // directories than the index has cells — storage-level pruning,
+      // not a post-scan filter
+      val scans = plan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.metadata.get("Location").exists(_.contains("ivfplan")) => f
+      }
+      assert(scans.nonEmpty, s)
+      scans.foreach { f =>
+        assert(f.selectedPartitions.partitionCount < nCells,
+          s"selected ${f.selectedPartitions.partitionCount} of $nCells cells")
+      }
+    }
+  }
+
   test("compacted near-dedup index keeps the probe's bucket and parquet pruning") {
     // compaction rewrites per-trigger partitions through the same
     // bucketed saveAsTable path — the consolidated partition must

@@ -56,6 +56,25 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.6, s"recall@10 = $recall")
   }
 
+  test("persisted IVF index reproduces ivfFixedTopK exactly") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString + "/index"
+    Similarity.writeIvfIndex(emb, dir)
+    val fromIndex = Similarity.ivfIndexTopK(
+      spark.read.parquet(dir), emb.filter(col("vec_id") < 20))
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("sim"), r.getAs[Int]("rank"))).toSet
+    val direct = Similarity.ivfFixedTopK(emb)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("sim"), r.getAs[Int]("rank"))).toSet
+    assert(fromIndex == direct)
+    // the index is laid out one directory per cell — the unit the
+    // query's partition filter prunes
+    val cellDirs = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cell=")).toSeq
+    assert(cellDirs.size > 1 && cellDirs.size <= 16)
+  }
+
   test("recallAtK emits recall-0 rows for queries with an EMPTY approximate list") {
     import spark.implicits._
     // a 1-vector corpus: every index's candidate list for query 0 is
