@@ -15,11 +15,13 @@ import org.apache.spark.sql.functions._
  * format knowledge, no codec library. Pixel DECODING is real for
  * images: [[MediaCodec.decode]] goes through the JDK's ImageIO
  * readers (PNG/JPEG/GIF/BMP) and reduces pixels to a mean-luminance
- * grid feature. Only non-image payloads (audio/video) fall back to a
- * clearly-marked deterministic byte-hash fake
- * ([[MediaCodec.byteHashFeature]] — no AV codec libraries in this
- * environment); schema, batching and partitioning are identical on
- * both paths, so swapping in a real AV codec is a one-function change.
+ * grid feature. Sample DECODING is real for PCM WAV audio
+ * ([[MediaCodec.decodeAudio]] — LE 8/16-bit PCM parsed directly).
+ * Only COMPRESSED audio/video payloads fall back to a clearly-marked
+ * deterministic byte-hash fake ([[MediaCodec.byteHashFeature]] — no
+ * AV codec libraries in this environment); schema, batching and
+ * partitioning are identical on all paths, so swapping in a real AV
+ * codec is a one-function change.
  *
  * Scale notes: media bytes never shuffle — features are extracted
  * map-side and only the (tiny) feature rows move. Partition sizing is
@@ -207,6 +209,32 @@ object Multimodal {
       }
     }
 
+    /** PCM payload locator for [[MediaCodec.decodeAudio]]: the same
+     * RIFF walk as [[parseWav]], returning (channels, bitsPerSample,
+     * dataOffset, dataLen) — only for uncompressed PCM (audioFormat 1)
+     * with 8- or 16-bit samples; None otherwise, never an exception. */
+    private[ops] def wavPcm(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+      if (b == null || !(tag(b, 0, "RIFF") && tag(b, 8, "WAVE"))) return None
+      var i = 12
+      var fmt: Option[(Int, Int, Int)] = None // audioFormat, channels, bits
+      var data: Option[(Int, Int)] = None     // offset, len
+      while (i + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+        val len = le32(b, i + 4)
+        if (len < 0) return None
+        if (tag(b, i, "fmt ") && len >= 16 && i + 8 + 16 <= b.length)
+          fmt = Some((le16(b, i + 8), le16(b, i + 10), le16(b, i + 22)))
+        else if (tag(b, i, "data"))
+          data = Some((i + 8, len))
+        if (len > b.length - i - 8) i = b.length // truncated/corrupt: stop
+        else i += 8 + len + (len & 1)
+      }
+      for {
+        (audioFormat, ch, bits) <- fmt
+        if audioFormat == 1 && ch > 0 && (bits == 8 || bits == 16)
+        (off, len) <- data
+      } yield (ch, bits, off, len)
+    }
+
     private def parseGif(b: Array[Byte]): Option[AvMeta] = {
       val w = le16(b, 6); val h = le16(b, 8)
       if (w > 0 && h > 0) Some(AvMeta("gif", width = Some(w), height = Some(h)))
@@ -265,22 +293,71 @@ object Multimodal {
   /** Decoder boundary. Image payloads get a REAL pixel decode through
    * the JDK's `javax.imageio` (PNG/JPEG/GIF/BMP readers ship with the
    * JRE — no external codec dependency), reduced to a deterministic
-   * 4x4 mean-luminance grid as the fixed-dim feature. Non-image bytes
-   * (audio/video/text, or corrupt containers) fall back to the
-   * deterministic byte-hash pseudo-feature so the pipeline stays total
-   * and testable; a real deployment swaps [[byteHashFeature]] for an
-   * ffmpeg-style codec at this one seam. */
+   * 4x4 mean-luminance grid as the fixed-dim feature. PCM WAV payloads
+   * get a REAL sample decode (LE 8/16-bit PCM is pure public byte
+   * format), reduced to a mean-amplitude envelope of the same shape.
+   * Everything else (compressed audio/video, text, corrupt containers)
+   * falls back to the deterministic byte-hash pseudo-feature so the
+   * pipeline stays total and testable; a real deployment swaps
+   * [[byteHashFeature]] for an ffmpeg-style codec at this one seam. */
   object MediaCodec {
     val FeatureDim = 16
     private val GridW = 4
     private val GridH = 4 // GridW * GridH == FeatureDim
 
     /** Decode + featurize: mean-luminance grid for decodable images,
-     * byte-hash fake otherwise. Total — corrupt bytes are a fallback,
-     * never an exception (a crashing row is a lost partition). */
+     * mean-amplitude envelope for PCM WAV audio, byte-hash fake
+     * otherwise. Total — corrupt bytes are a fallback, never an
+     * exception (a crashing row is a lost partition). */
     def decode(bytes: Array[Byte]): Array[Float] =
       decodeImage(bytes).map(luminanceGrid(_, GridW, GridH))
+        .orElse(decodeAudio(bytes))
         .getOrElse(byteHashFeature(bytes))
+
+    /**
+     * Real PCM decode for WAV containers — pure public byte format, no
+     * codec library: little-endian 8-bit (unsigned, 128-offset) or
+     * 16-bit (signed two's-complement) samples from the `data` chunk,
+     * located by the same RIFF walk as [[AvHeaders]]. Samples are
+     * averaged across channels and reduced to a [[FeatureDim]]-cell
+     * mean-|amplitude| envelope in [0,1] — the audio analogue of the
+     * luminance grid, and the same fixed feature shape. None for
+     * non-WAV, non-PCM (compressed), or truncated containers.
+     */
+    def decodeAudio(bytes: Array[Byte]): Option[Array[Float]] =
+      AvHeaders.wavPcm(bytes).flatMap { case (channels, bits, off, len) =>
+        val bytesPerSample = bits / 8
+        val frameBytes = channels * bytesPerSample
+        val nFrames = math.min(len, bytes.length - off) / frameBytes
+        if (nFrames <= 0) None
+        else {
+          val out = new Array[Float](FeatureDim)
+          val counts = new Array[Int](FeatureDim)
+          var f = 0
+          while (f < nFrames) {
+            var acc = 0f
+            var c = 0
+            while (c < channels) {
+              val o = off + f * frameBytes + c * bytesPerSample
+              val amp =
+                if (bits == 8) math.abs((bytes(o) & 0xff) - 128) / 128f
+                else math.abs(((bytes(o + 1) << 8) | (bytes(o) & 0xff)).toShort / 32768f)
+              acc += amp
+              c += 1
+            }
+            val cell = math.min((f.toLong * FeatureDim / nFrames).toInt, FeatureDim - 1)
+            out(cell) += acc / channels
+            counts(cell) += 1
+            f += 1
+          }
+          var i = 0
+          while (i < FeatureDim) {
+            if (counts(i) > 0) out(i) /= counts(i)
+            i += 1
+          }
+          Some(out)
+        }
+      }
 
     /** Real pixel decode via ImageIO; None for anything its readers
      * can't parse (header-only blobs, junk, non-image containers). */

@@ -72,6 +72,37 @@ object AvFixture {
     header
   }
 
+  /**
+   * A WAV whose data chunk carries REAL PCM samples with an
+   * exactly-known envelope: the first half of the frames are silence,
+   * the second half full-scale — so a mean-|amplitude| envelope over
+   * it is 0 in its first half and ~1 in its second (within one LSB of
+   * the sample width), even across multi-channel interleaving.
+   */
+  def wavStep(ch: Int, rate: Int, bits: Int, frames: Int): Array[Byte] = {
+    val blockAlign = ch * bits / 8
+    val byteRate = rate * blockAlign
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+      le16(1) ++ le16(ch) ++ le32(rate) ++ le32(byteRate) ++
+      le16(blockAlign) ++ le16(bits)
+    val pcm = new Array[Byte](frames * blockAlign)
+    var f = frames / 2 // first half stays silence (8-bit silence is 0x80)
+    if (bits == 8) java.util.Arrays.fill(pcm, 0, frames / 2 * blockAlign, 0x80.toByte)
+    while (f < frames) {
+      var c = 0
+      while (c < ch) {
+        val o = f * blockAlign + c * (bits / 8)
+        if (bits == 8) pcm(o) = 0xff.toByte // amp (255-128)/128
+        else { pcm(o) = 0xff.toByte; pcm(o + 1) = 0x7f.toByte } // 32767
+        c += 1
+      }
+      f += 1
+    }
+    val data = "data".getBytes("US-ASCII") ++ le32(pcm.length) ++ pcm
+    val body = "WAVE".getBytes("US-ASCII") ++ fmt ++ data
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+
   def truncatedWav(): Array[Byte] =
     "RIFF".getBytes("US-ASCII") ++ le32(36) ++ "WA".getBytes("US-ASCII")
 

@@ -94,6 +94,29 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.MediaCodec.FeatureDim)
   }
 
+  test("audio decode: real PCM samples across widths/channels, known step envelope") {
+    // silence → full-scale step (AvFixture.wavStep): the 16-cell mean
+    // amplitude envelope is exactly 0 for cells 0-7, ~1 for 8-15
+    for ((ch, bits) <- Seq((1, 16), (2, 16), (1, 8), (2, 8))) {
+      val bytes = AvFixture.wavStep(ch, 8000, bits, frames = 320)
+      val env = Multimodal.MediaCodec.decodeAudio(bytes)
+      assert(env.isDefined, s"ch=$ch bits=$bits did not decode")
+      val e = env.get
+      assert(e.length == Multimodal.MediaCodec.FeatureDim)
+      (0 until 8).foreach(i => assert(e(i) == 0f, s"ch=$ch bits=$bits cell $i = ${e(i)}"))
+      (8 until 16).foreach(i => assert(math.abs(e(i) - 1f) < 0.01f,
+        s"ch=$ch bits=$bits cell $i = ${e(i)}"))
+      // decode() routes WAV bytes to the audio path
+      assert(Multimodal.MediaCodec.decode(bytes).toSeq == e.toSeq)
+    }
+    // the zero-filled fixture WAVs decode to an all-silence envelope
+    val silent = Multimodal.MediaCodec.decodeAudio(AvFixture.wav(4)) // 16-bit, data > 0
+    assert(silent.isDefined && silent.get.forall(_ == 0f))
+    // truncated container and junk stay None (byte-hash fallback)
+    assert(Multimodal.MediaCodec.decodeAudio(AvFixture.truncatedWav()).isEmpty)
+    assert(Multimodal.MediaCodec.decodeAudio(AvFixture.junk(5)).isEmpty)
+  }
+
   test("extractFeatures emits the real luminance grid for decodable rows") {
     import spark.implicits._
     val rows = Seq(
