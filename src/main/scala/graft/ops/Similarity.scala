@@ -333,6 +333,11 @@ object Similarity {
       .withColumn("arank", row_number().over(wAssign))
       .filter(col("arank") === 1)
       .select(col("vec_id"), col("v"), col("seed_id").as("cell"))
+      // cluster by cell before the partitioned write: each cell lands
+      // contiguously, so the layout is one file per cell instead of
+      // (tasks × cells) fragments — at larger scale the same
+      // repartition spreads a cell over as many files as its rows need
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(dir)
   }
 
