@@ -293,6 +293,26 @@ object Ingest {
       indexBuckets, ck, frontier)
   }
 
+  /**
+   * [[compactIndex]] with the frontier derived from the stream's OWN
+   * checkpoint: the latest batch id in `<checkpoint>/commits` is by
+   * definition committed (its partition will never replay), so it is
+   * always a safe frontier. No-op when the checkpoint has no commits
+   * yet. This is the call a maintenance cron wraps — no bookkeeping
+   * beyond the paths the stream already uses.
+   */
+  def compactIndexFromCheckpoint(spark: SparkSession, indexDir: String,
+      checkpoint: String, indexBuckets: Int = 16): Unit = {
+    val commits = new org.apache.hadoop.fs.Path(s"$checkpoint/commits")
+    val fs = commits.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(commits)) return
+    val latest = fs.listStatus(commits).toSeq
+      .flatMap(s => s.getPath.getName.toLongOption)
+    if (latest.nonEmpty)
+      compactIndex(spark, indexDir,
+        writeIdFor(checkpoint, latest.max), indexBuckets)
+  }
+
   private def compactHalf(spark: SparkSession, name: String, dir: String,
       bucketCol: String, buckets: Int, ck: String, frontier: Long): Unit = {
     val root = new org.apache.hadoop.fs.Path(dir)

@@ -150,10 +150,11 @@ class IngestSpec extends SparkSpec {
       Ingest.writeIdFor(s"$base/ck", 2), indexBuckets = 16)
     assert(listParts("sig").size == 3)
     assert(listParts("sig").count(_.contains("=compact_")) == 1)
-    // full frontier: everything (including the previous compaction's
-    // output) folds into ONE partition per half
-    Ingest.compactIndex(spark, s"$base/index",
-      Ingest.writeIdFor(s"$base/ck", 4), indexBuckets = 16)
+    // checkpoint-derived frontier (latest committed batch = 4):
+    // everything (including the previous compaction's output) folds
+    // into ONE partition per half
+    Ingest.compactIndexFromCheckpoint(spark, s"$base/index", s"$base/ck",
+      indexBuckets = 16)
     assert(listParts("sig").size == 1 && listParts("bands").size == 1)
     assert(countFiles("sig") + countFiles("bands") < filesBefore)
     // index content is unchanged: same admitted doc ids in both halves
