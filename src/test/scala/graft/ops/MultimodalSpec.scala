@@ -159,6 +159,41 @@ class MultimodalSpec extends SparkSpec {
     assert(topDown.height.contains(AvFixture.height(14)))
   }
 
+  test("decoder boundary is TOTAL: random and mutated-container bytes never throw") {
+    // at corpus scale a throwing row loses a partition — every decode
+    // entry point must be total over arbitrary bytes. Fuzz with
+    // deterministic random blobs plus real containers with corrupted
+    // tails (the nastier case: valid magic, lying interior).
+    val rng = new scala.util.Random(42)
+    val blobs = (0 until 200).map { i =>
+      val b = new Array[Byte](rng.nextInt(200))
+      rng.nextBytes(b)
+      b
+    } ++ Seq(
+      MediaFixture.png(64, 64), MediaFixture.jpeg(32, 32),
+      AvFixture.wav(0), AvFixture.gif(1), AvFixture.bmp(2),
+      AvFixture.wavStep(1, 8000, 16, 64),
+      MediaFixture.realImage(8, 8, "png")
+    ).flatMap { base =>
+      (0 until 8).map { _ =>
+        val m = base.clone()
+        // corrupt 1-3 random bytes anywhere, including length fields
+        (0 until 1 + rng.nextInt(3)).foreach { _ =>
+          if (m.nonEmpty) m(rng.nextInt(m.length)) = rng.nextInt(256).toByte
+        }
+        m
+      }
+    }
+    blobs.foreach { b =>
+      val f = Multimodal.MediaCodec.decode(b) // must not throw
+      assert(f.length == Multimodal.MediaCodec.FeatureDim)
+      Multimodal.MediaCodec.decodeAudio(b).foreach(e =>
+        assert(e.forall(x => x >= 0f && x <= 1f + 1e-6f)))
+      Multimodal.ImageHeaders.imageMeta(b) // must not throw
+      Multimodal.AvHeaders.avMeta(b)       // must not throw
+    }
+  }
+
   test("unparseable AV bytes are None, never an exception") {
     assert(AvHeaders.avMeta(AvFixture.truncatedWav()).isEmpty)
     assert(AvHeaders.avMeta(AvFixture.junk(7)).isEmpty)
