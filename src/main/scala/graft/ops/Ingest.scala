@@ -435,7 +435,14 @@ object Ingest {
       fs.delete(pdir, true)
       if (spark.catalog.tableExists(name)) spark.catalog.refreshTable(name)
     }
-    df.withColumn("write_id", lit(writeId))
+    df
+      // cluster rows by their bucket before the write: the bucketed
+      // writer emits one file per (task × bucket it sees), so without
+      // this every append is tasks×buckets fragments; repartition's
+      // hash is the same Murmur3-pmod as bucket assignment, so each
+      // task holds exactly one bucket → one file per non-empty bucket
+      .repartition(buckets, col(bucketCol))
+      .withColumn("write_id", lit(writeId))
       .write.mode("append")
       .format("parquet")
       .option("path", dir)

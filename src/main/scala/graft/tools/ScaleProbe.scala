@@ -72,6 +72,10 @@ object ScaleProbe {
     timed("funnel_j11")(
       Correlate.funnel(events, Seq("signup", "view", "purchase")).count())
     timed("retention_j12")(Correlate.retentionCohorts(events).count())
+    // the streaming face's stateful function in batch mode: per-key
+    // state is two longs (cohort + credit mask), so hot keys stream
+    // through the group iterator instead of materialising
+    timed("retention_stream")(Correlate.retentionStreaming(events).count())
     events.unpersist()
 
     // ---- pipeline ops at 200× the documents fixture ----------------
@@ -162,6 +166,20 @@ object ScaleProbe {
       } finally query.stop()
       val admitted = spark.read.parquet(s"$ndBase/out").count()
       println(f"[scale] near_dedup_admitted         ($admitted%,d of ${10 * perBatch}%,d docs)")
+      // compaction folds ten per-trigger partitions (x 64 buckets x 2
+      // halves of small files) into one consolidated partition per half
+      def indexFiles(): Int = {
+        def walk(f: java.io.File): Int =
+          if (f.isDirectory) f.listFiles().map(walk).sum
+          else if (f.getName.endsWith(".parquet")) 1 else 0
+        walk(new java.io.File(s"$ndBase/index"))
+      }
+      val filesBefore = indexFiles()
+      val t0 = System.nanoTime()
+      graft.ops.Ingest.compactIndexFromCheckpoint(
+        spark, s"$ndBase/index", s"$ndBase/ck", indexBuckets = 64)
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] nd_compact               $dt%8.2f s  (files $filesBefore -> ${indexFiles()})")
     }
 
     // ---- ANN at 50× the embeddings fixture -------------------------
@@ -178,6 +196,15 @@ object ScaleProbe {
       nLists = 64, nProbe = 8, trainFraction = 0.1).count())
     timedVecs("knn_label_s6")(graft.ops.Similarity.knnClassify(
       vecs.withColumn("label", pmod(col("vec_id"), lit(10)).cast("int"))).count())
+    // persisted IVF: the build is the one corpus-wide pass; the query
+    // reads nProbe/nLists of the stored index via partition pruning
+    val ivfDir = java.nio.file.Files.createTempDirectory("scale_ivf").toString + "/index"
+    timedVecs("ivf_index_build") {
+      graft.ops.Similarity.writeIvfIndex(vecs, ivfDir)
+      spark.read.parquet(ivfDir).count()
+    }
+    timedVecs("ivf_index_query")(graft.ops.Similarity.ivfIndexTopK(
+      spark.read.parquet(ivfDir), vecs.filter(col("vec_id") < 20)).count())
     spark.stop()
   }
 }

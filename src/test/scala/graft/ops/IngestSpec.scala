@@ -157,6 +157,11 @@ class IngestSpec extends SparkSpec {
       indexBuckets = 16)
     assert(listParts("sig").size == 1 && listParts("bands").size == 1)
     assert(countFiles("sig") + countFiles("bands") < filesBefore)
+    // the consolidated partition is ONE file per non-empty bucket —
+    // the writer clusters by the bucket column, so compaction restores
+    // O(buckets) files, not tasks-x-buckets fragments
+    assert(countFiles("sig") <= 16, s"sig files = ${countFiles("sig")}")
+    assert(countFiles("bands") <= 16, s"bands files = ${countFiles("bands")}")
     // index content is unchanged: same admitted doc ids in both halves
     assert(spark.read.parquet(s"$base/index/sig")
       .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq ==
