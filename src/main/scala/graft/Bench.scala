@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark main (driver contract): runs every SparkEntry
- * query against SPARK_GRAFT_SF_DIR and prints ONE JSON line.
+ * query against SPARK_GRAFT_SF_DIR and prints three JSON lines (warm
+ * map, cold map, tiny summary — least important first, see the
+ * emission comment at the bottom).
  *
  * Timing discipline (each query is measured in ISOLATION):
  *  - a JIT/codegen warm-up pass runs every query once on a small
@@ -25,10 +27,10 @@ import org.apache.spark.sql.SparkSession
  *    probe (median), not from whichever single cold q_e1 number the
  *    map happened to record — a lone trial swung 123k–280k across
  *    rounds on unchanged code;
- *  - `queries_warm` is emitted on its OWN stdout line before the final
- *    JSON line, so a bounded tail capture always retains the full cold
- *    map + `failed` + `interpreter_eps` (the single combined line
- *    previously truncated mid-map).
+ *  - the warm map, cold map, and final summary are emitted on three
+ *    SEPARATE stdout lines (least important first), so a bounded tail
+ *    capture always retains the complete summary and cold map — a
+ *    combined line previously truncated mid-map two rounds running.
  */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -129,10 +131,16 @@ object Bench {
     val eps = if (epsTimes.nonEmpty && nEvents > 0)
       (nEvents / median(epsTimes)).round else 0L
     // stop BEFORE printing: the JSON lines must be the LAST thing on
-    // stdout so a tail capture of the run always contains all of them;
-    // warm goes first so truncation can only ever cost warm numbers
+    // stdout so a tail capture of the run always contains all of them.
+    // THREE lines, least-important first: warm map, cold map, then a
+    // tiny final summary. A bounded tail capture working backwards from
+    // the end always retains the complete summary line, then the full
+    // cold map, and only then (if room remains) the warm map — the
+    // previous two-line format put the 86-entry cold map ON the final
+    // line, which overflowed the driver's tail and cut 14 entries.
     spark.stop()
     println(s"""{"metric":"warm","queries_warm":${js(warm)},"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${js(cold)},"failed":$failedJson,"events":$nEvents,"interpreter_eps":$eps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"cold","queries":${js(cold)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","failed":$failedJson,"events":$nEvents,"interpreter_eps":$eps,"sf":"$sfDir"}""")
   }
 }
