@@ -17,6 +17,10 @@ import org.apache.spark.sql.functions._
  * readers (PNG/JPEG/GIF/BMP) and reduces pixels to a mean-luminance
  * grid feature. Sample DECODING is real for PCM WAV audio
  * ([[MediaCodec.decodeAudio]] — LE 8/16-bit PCM parsed directly).
+ * FRAME iteration is real for animated GIF
+ * ([[MediaCodec.decodeGifFrames]] — ImageIO's reader walks every
+ * animation frame, so [[frameSample]] is a true keyframe sampler for
+ * that container).
  * Only COMPRESSED audio/video payloads fall back to a clearly-marked
  * deterministic byte-hash fake ([[MediaCodec.byteHashFeature]] — no
  * AV codec libraries in this environment); schema, batching and
@@ -366,6 +370,44 @@ object Multimodal {
       else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
       catch { case _: Throwable => None }
 
+    /** Real per-frame decode for GIF containers — the one ANIMATED
+     * format the JDK iterates natively: ImageIO's GIF reader exposes
+     * every animation frame via `read(i)`. Nil for anything else
+     * (non-GIF magic, header-only blobs, corrupt LZW) — total, never
+     * an exception, same lost-partition argument as [[decode]]. */
+    def decodeGifFrames(bytes: Array[Byte]): Seq[java.awt.image.BufferedImage] = {
+      if (bytes == null || bytes.length < 6 ||
+        bytes(0) != 'G' || bytes(1) != 'I' || bytes(2) != 'F' || bytes(3) != '8')
+        return Nil
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        if (iis == null) return Nil
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) return Nil
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, false, true)
+            val n = reader.getNumImages(true)
+            (0 until n).flatMap { i =>
+              try Option(reader.read(i)) catch { case _: Throwable => None }
+            }
+          } finally reader.dispose()
+        } finally iis.close()
+      } catch { case _: Throwable => Nil }
+    }
+
+    /** Re-encode a decoded frame as a standalone PNG payload
+     * (lossless), so sampled frames are themselves decodable media
+     * rows — [[decode]] on a sampled frame gives its real luminance
+     * grid. */
+    def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
     /** Rec.601 luminance averaged per grid cell — a fixed-shape,
      * resolution-independent image signature. */
     def luminanceGrid(img: java.awt.image.BufferedImage, gw: Int, gh: Int): Array[Float] = {
@@ -399,9 +441,12 @@ object Multimodal {
 
     /** Deterministic byte-hash pseudo-feature — the fallback for
      * non-image payloads (and the seam a real audio/video codec would
-     * replace). */
+     * replace). A null payload is the zero feature — this is the last
+     * stop on [[decode]]'s fallback chain, so it must uphold the
+     * "never an exception" contract the earlier stages promise. */
     def byteHashFeature(bytes: Array[Byte]): Array[Float] = {
       val acc = new Array[Float](FeatureDim)
+      if (bytes == null) return acc
       var i = 0
       while (i < bytes.length) {
         acc(i % FeatureDim) += (bytes(i) & 0xff) / 255.0f
@@ -411,7 +456,7 @@ object Multimodal {
     }
 
     def entropy(bytes: Array[Byte]): Double = {
-      if (bytes.isEmpty) return 0.0
+      if (bytes == null || bytes.isEmpty) return 0.0
       val counts = new Array[Long](256)
       bytes.foreach(b => counts(b & 0xff) += 1)
       val n = bytes.length.toDouble
@@ -440,7 +485,7 @@ object Multimodal {
         MediaFeatures(
           media_id = r.media_id,
           mime_type = r.mime_type,
-          n_bytes = r.media.length.toLong,
+          n_bytes = if (r.media == null) 0L else r.media.length.toLong,
           byte_entropy = MediaCodec.entropy(r.media),
           feature = MediaCodec.decode(r.media))
       }
@@ -451,19 +496,34 @@ object Multimodal {
   case class Frame(media_id: Long, frame_idx: Int, frame: Array[Byte])
 
   /**
-   * Frame sampling — every `everyN`-th fixed-size chunk of the payload
-   * (STUB: a real implementation asks the container for keyframes; the
-   * chunking here is a deterministic fake). The Spark-side shape is
-   * real: partition-local, one media row fans out to many frame rows,
+   * Frame sampling. For GIF containers this is REAL keyframe
+   * iteration — every `everyN`-th decoded animation frame
+   * ([[MediaCodec.decodeGifFrames]]), re-encoded as a standalone PNG
+   * payload so each sampled frame is itself a decodable media row
+   * with its own luminance grid. Every other payload falls back to
+   * every `everyN`-th fixed-size byte chunk (STUB: a real
+   * implementation asks the container for keyframes — no AV codec
+   * libraries in this environment). `frame_idx` is the index in the
+   * source stream (frame number / chunk number), not a dense rank, on
+   * both paths. The Spark-side shape is identical either way:
+   * partition-local, one media row fans out to many frame rows,
    * frames stay on their partition until explicitly shuffled.
    */
   def frameSample(spark: SparkSession, media: DataFrame,
       everyN: Int = 4, frameBytes: Int = 64): Dataset[Frame] = {
     import spark.implicits._
     media.as[MediaRow].flatMap { r =>
-      r.media.grouped(frameBytes).zipWithIndex
-        .filter(_._2 % everyN == 0)
-        .map { case (chunk, idx) => Frame(r.media_id, idx, chunk) }
+      val gifFrames = MediaCodec.decodeGifFrames(r.media)
+      if (gifFrames.nonEmpty)
+        gifFrames.iterator.zipWithIndex
+          .filter(_._2 % everyN == 0)
+          .map { case (img, idx) => Frame(r.media_id, idx, MediaCodec.encodePng(img)) }
+      else {
+        val bytes = if (r.media == null) Array.emptyByteArray else r.media
+        bytes.grouped(frameBytes).zipWithIndex
+          .filter(_._2 % everyN == 0)
+          .map { case (chunk, idx) => Frame(r.media_id, idx, chunk) }
+      }
     }
   }
 

@@ -103,6 +103,36 @@ object AvFixture {
     "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
   }
 
+  /**
+   * A REAL animated GIF: `frames` full-size frames of strictly
+   * increasing uniform gray (frame i is gray i*255/(frames-1)),
+   * written through the JDK's own GIF sequence writer — so a frame
+   * iterator must surface `frames` distinct images whose Rec.601
+   * mean-luminance is exactly known per frame (gray (v,v,v) → v/255).
+   */
+  def animatedGif(w: Int, h: Int, frames: Int): Array[Byte] = {
+    import javax.imageio.ImageIO
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    (0 until frames).foreach { i =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      val v = if (frames <= 1) 0 else i * 255 / (frames - 1)
+      g.setColor(new java.awt.Color(v, v, v))
+      g.fillRect(0, 0, w, h)
+      g.dispose()
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
   def truncatedWav(): Array[Byte] =
     "RIFF".getBytes("US-ASCII") ++ le32(36) ++ "WA".getBytes("US-ASCII")
 

@@ -133,6 +133,70 @@ class MultimodalSpec extends SparkSpec {
     assert(out.values.forall(_.feature.length == Multimodal.MediaCodec.FeatureDim))
   }
 
+  test("frameSample: REAL per-frame decode for animated GIF, distinct luminance per frame") {
+    import spark.implicits._
+    val gif2 = AvFixture.animatedGif(16, 16, 2)
+    // the container genuinely carries 2 frames the JDK reader iterates
+    assert(Multimodal.MediaCodec.decodeGifFrames(gif2).size == 2)
+    val junk = AvFixture.junk(9) // 64 bytes, no container signature
+    val rows = Seq((1L, "image/gif", gif2), (2L, "application/octet-stream", junk))
+      .toDF("media_id", "mime_type", "media")
+    val frames = Multimodal.frameSample(spark, rows, everyN = 1, frameBytes = 16).collect()
+    val gifFrames = frames.filter(_.media_id == 1L).sortBy(_.frame_idx)
+    assert(gifFrames.map(_.frame_idx).toSeq == Seq(0, 1))
+    // each sampled frame is a standalone decodable image whose REAL
+    // luminance grid matches the generator's per-frame gray level —
+    // and the two frames' grids DIFFER (a byte-chunk fake cannot
+    // produce this: chunks of one GIF share its palette bytes)
+    val grids = gifFrames.map(f => Multimodal.MediaCodec.decode(f.frame))
+    assert(grids(0).forall(v => math.abs(v - 0f) <= 0.02f), grids(0).mkString(","))
+    assert(grids(1).forall(v => math.abs(v - 1f) <= 0.02f), grids(1).mkString(","))
+    // non-GIF payloads keep the chunk fallback (4 × 16-byte chunks)
+    val junkFrames = frames.filter(_.media_id == 2L).sortBy(_.frame_idx)
+    assert(junkFrames.length == 4)
+    assert(junkFrames.head.frame.toSeq == junk.take(16).toSeq)
+  }
+
+  test("frameSample: everyN sampling keeps source frame indexes; static GIF falls back") {
+    import spark.implicits._
+    val gif4 = AvFixture.animatedGif(8, 8, 4)
+    val sampled = Multimodal.frameSample(
+      spark, Seq((1L, "image/gif", gif4)).toDF("media_id", "mime_type", "media"),
+      everyN = 2).collect().sortBy(_.frame_idx)
+    // frames 0 and 2 of 4 — frame_idx is the SOURCE index, not a rank
+    assert(sampled.map(_.frame_idx).toSeq == Seq(0, 2))
+    val lum = sampled.map(f => Multimodal.MediaCodec.decode(f.frame).sum / 16f)
+    assert(lum(0) < 0.02f && math.abs(lum(1) - 2f / 3f) < 0.05f)
+    // the header-only fixture GIF has no decodable image data: the
+    // chunk fallback applies, never an exception
+    val staticGif = AvFixture.gif(1)
+    val fallback = Multimodal.frameSample(
+      spark, Seq((2L, "image/gif", staticGif)).toDF("media_id", "mime_type", "media"),
+      everyN = 1, frameBytes = 8).collect()
+    assert(fallback.nonEmpty)
+    assert(fallback.minBy(_.frame_idx).frame.toSeq == staticGif.take(8).toSeq)
+  }
+
+  test("decode chain is null-total: a null media cell is a zero feature, not a dead task") {
+    import spark.implicits._
+    assert(Multimodal.MediaCodec.decode(null).toSeq ==
+      Seq.fill(Multimodal.MediaCodec.FeatureDim)(0f))
+    assert(Multimodal.MediaCodec.byteHashFeature(null).toSeq ==
+      Seq.fill(Multimodal.MediaCodec.FeatureDim)(0f))
+    assert(Multimodal.MediaCodec.entropy(null) == 0.0)
+    assert(Multimodal.MediaCodec.decodeGifFrames(null).isEmpty)
+    // and through the Dataset faces: a null payload row survives
+    val rows = Seq((1L, "image/png", MediaFixture.realImage(8, 8, "png")),
+      (2L, "application/octet-stream", null.asInstanceOf[Array[Byte]]))
+      .toDF("media_id", "mime_type", "media")
+    val feats = Multimodal.extractFeatures(spark, rows).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(feats(2L).n_bytes == 0L && feats(2L).byte_entropy == 0.0)
+    assert(feats(2L).feature.toSeq == Seq.fill(Multimodal.MediaCodec.FeatureDim)(0f))
+    assert(Multimodal.frameSample(spark, rows, everyN = 1).collect()
+      .count(_.media_id == 2L) == 0) // null payload → zero frames, no crash
+  }
+
   test("WAV parse: fmt fields, LIST-shifted chunk walk, duration from data/byte rate") {
     val plain = AvHeaders.avMeta(AvFixture.wav(8)).get // id%8==0: no LIST
     assert(plain.format == "wav")
@@ -173,7 +237,8 @@ class MultimodalSpec extends SparkSpec {
       MediaFixture.png(64, 64), MediaFixture.jpeg(32, 32),
       AvFixture.wav(0), AvFixture.gif(1), AvFixture.bmp(2),
       AvFixture.wavStep(1, 8000, 16, 64),
-      MediaFixture.realImage(8, 8, "png")
+      MediaFixture.realImage(8, 8, "png"),
+      AvFixture.animatedGif(8, 8, 2)
     ).flatMap { base =>
       (0 until 8).map { _ =>
         val m = base.clone()
@@ -189,8 +254,9 @@ class MultimodalSpec extends SparkSpec {
       assert(f.length == Multimodal.MediaCodec.FeatureDim)
       Multimodal.MediaCodec.decodeAudio(b).foreach(e =>
         assert(e.forall(x => x >= 0f && x <= 1f + 1e-6f)))
-      Multimodal.ImageHeaders.imageMeta(b) // must not throw
-      Multimodal.AvHeaders.avMeta(b)       // must not throw
+      Multimodal.ImageHeaders.imageMeta(b)    // must not throw
+      Multimodal.AvHeaders.avMeta(b)          // must not throw
+      Multimodal.MediaCodec.decodeGifFrames(b) // must not throw
     }
   }
 
