@@ -62,6 +62,77 @@ class ScheduleStreamSpec extends SparkSpec {
     assert(got.map(_.datetime).toSeq == Seq(ts("2024-01-01 14:30:00")))
   }
 
+  test("ticksTz DST: local 9:30 NY fires exactly once per day across BOTH transitions") {
+    import spark.implicits._
+    val cron = Schedule.parse("30 9 * * *")
+    // spring-forward day 2024-03-10 (America/New_York, EST→EDT): the
+    // 9:30 local tick must exist exactly once each day, landing at
+    // 14:30 UTC while EST (-5) holds and 13:30 UTC once EDT (-4) does —
+    // the classic wrong-by-an-hour bug this pins down
+    val spring = Seq(ts("2024-03-09 00:00:00"), ts("2024-03-11 23:59:00")).toDF("ts")
+    val got = Schedule.ticksTz(spring, cron, "America/New_York")
+      .orderBy("tick_ts").select("tick_ts").as[Timestamp].collect().toSeq
+    assert(got == Seq(
+      ts("2024-03-09 14:30:00"),   // EST, UTC-5
+      ts("2024-03-10 13:30:00"),   // EDT from 02:00 local, UTC-4
+      ts("2024-03-11 13:30:00")))
+    // fall-back day 2024-11-03 (EDT→EST)
+    val fall = Seq(ts("2024-11-02 00:00:00"), ts("2024-11-04 23:59:00")).toDF("ts")
+    val got2 = Schedule.ticksTz(fall, cron, "America/New_York")
+      .orderBy("tick_ts").select("tick_ts").as[Timestamp].collect().toSeq
+    assert(got2 == Seq(
+      ts("2024-11-02 13:30:00"),   // EDT, UTC-4
+      ts("2024-11-03 14:30:00"),   // EST from 02:00 local, UTC-5
+      ts("2024-11-04 14:30:00")))
+  }
+
+  test("ticksTz DST edges: nonexistent local minute never fires; repeated one fires twice") {
+    import spark.implicits._
+    // grid-through-wall-clock semantics: a UTC minute fires iff its
+    // LOCAL reading matches the cron fields. So local 02:30 on the
+    // spring-forward day does not exist → zero ticks; local 01:30 on
+    // the fall-back day exists twice (once EDT, once EST) → two ticks.
+    // This matches evaluating the schedule on the wall clock, which is
+    // what "9am local" schedules mean (reference: src/Rule/Cron.php
+    // carries a per-rule DateTimeZone).
+    val springDay = Seq(ts("2024-03-10 00:00:00"), ts("2024-03-10 23:59:00")).toDF("ts")
+    assert(Schedule.ticksTz(springDay, Schedule.parse("30 2 * * *"), "America/New_York")
+      .count() == 0)
+    val fallDay = Seq(ts("2024-11-03 00:00:00"), ts("2024-11-03 23:59:00")).toDF("ts")
+    val doubled = Schedule.ticksTz(fallDay, Schedule.parse("30 1 * * *"), "America/New_York")
+      .orderBy("tick_ts").select("tick_ts").as[Timestamp].collect().toSeq
+    assert(doubled == Seq(
+      ts("2024-11-03 05:30:00"),   // first pass, EDT (UTC-4)
+      ts("2024-11-03 06:30:00")))  // second pass, EST (UTC-5)
+  }
+
+  test("tickStream DST: the live 9:30 NY tick lands on the right UTC instant per day") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clock = MemoryStream[Timestamp]
+    val cron = Schedule.parse("30 9 * * *")
+    val query = Schedule.tickStream(clock.toDF(), cron, "ny_dst",
+      tz = "America/New_York", tsCol = "value")
+      .writeStream.format("memory").queryName("tick_dst_out").outputMode("append").start()
+    try {
+      clock.addData(ts("2024-03-09 13:00:00"))
+      query.processAllAvailable()
+      // the clock advances a full day over the spring-forward boundary:
+      // catch-up must fire Mar 9's tick at 14:30 UTC (EST) and Mar 10's
+      // at 13:30 UTC (EDT) — each exactly once
+      clock.addData(ts("2024-03-10 14:00:00"))
+      query.processAllAvailable()
+      clock.addData(ts("2024-03-11 14:00:00"))
+      query.processAllAvailable()
+    } finally query.stop()
+    val got = spark.table("tick_dst_out").as[graft.model.Event].collect()
+      .map(_.datetime).sortBy(_.getTime).toSeq
+    assert(got == Seq(
+      ts("2024-03-09 14:30:00"),
+      ts("2024-03-10 13:30:00"),
+      ts("2024-03-11 13:30:00")))
+  }
+
   test("T1 tick cursor survives a checkpoint restart: no duplicate or missed ticks") {
     // the live scheduler's analogue of the reference persisting
     // cronLastRun in saved state (src/Rule/Cron.php:204-212 next-run
