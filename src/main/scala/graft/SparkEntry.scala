@@ -169,16 +169,14 @@ object SparkEntry {
     // once partitioned by cell, queries read only probed cells
     // (partition pruning pinned in PlanAuditSpec); results — and the
     // oracle — are identical to q_s5 by construction. The index is
-    // keyed by the fixture's identity (path + mtime + size) and built
+    // keyed by the fixture's leaf-file content identity (md5 of every
+    // file's name/mtime/size — Similarity.ensureIvfIndex) and built
     // only when missing — the amortisation IS the operator's point,
-    // and a regenerated fixture changes the key, so staleness cannot
-    // leak into the correctness gate.
+    // and a regenerated fixture (even overwritten in place) changes
+    // the key, so staleness cannot leak into the correctness gate.
     "q_s10_ann_ivf_index" -> ((s, d) => {
-      val src = new java.io.File(s"$d/embeddings.parquet")
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_" +
-        Integer.toHexString((d, src.lastModified, src.length).hashCode)
-      if (!new java.io.File(dir, "_SUCCESS").exists)
-        Similarity.writeIvfIndex(Tables.embeddings(s, d), dir)
+      val dir = Similarity.ensureIvfIndex(
+        s"$d/embeddings.parquet", Tables.embeddings(s, d))
       Similarity.ivfIndexTopK(s.read.parquet(dir),
         Tables.embeddings(s, d).filter(org.apache.spark.sql.functions.col("vec_id") < 20))
     }),
@@ -323,12 +321,16 @@ object SparkEntry {
     // the cron grid itself, so the tick→event→fire loop is checked
     "q_t3_onschedule" -> ((s, d) => {
       import s.implicits._
+      // the tick grid is minute-scale by construction (~800 rows at
+      // sf0.1): coalesce the mostly-empty agg partitions and run the
+      // interpreter single-partition — the full shuffle width costs
+      // ~3s of task setup for a trivially small input
       val ticks = Schedule.tickEvents(s, Tables.events(s, d),
-        Schedule.parse("*/15 9-17 * * 1-5"), "report")
+        Schedule.parse("*/15 9-17 * * 1-5"), "report").coalesce(1)
       val rule = graft.rules.RuleSpec.matchSingle(
         "daily_report", Set("GRAFT:Cron:report"),
         onMatch = _ => Seq(graft.rules.OutputData.action("run_report", Map.empty)))
-      graft.streaming.RuleEngine.runBatch(ticks, Seq(rule))
+      graft.streaming.RuleEngine.runBatch(ticks, Seq(rule), numPartitions = 1)
         .filter(_.kind == "complete")
         .select(col("rule"), col("firedAt").as("tick_ts"))
     }),
@@ -1136,10 +1138,6 @@ object SparkEntry {
          | FROM p GROUP BY 1, 2""".stripMargin,
   )
 
-  /** Oracle twin of Similarity.pqTopK — the fixed codebooks (sub-slices
-   * of the same seed rows as q_s5), the L2 code assignment, and the
-   * ADC scoring are reproduced relationally, so the entire product-
-   * quantisation pipeline is oracle-checked. */
   /** Oracle twin of Similarity.bruteForceTopK — the exact-cosine
    * baseline every approximate index is measured against. */
   private def bruteOracle: String =
@@ -1199,6 +1197,11 @@ object SparkEntry {
        |   ON g.method = mq.method AND g.query_id = mq.query_id""".stripMargin
   }
 
+  /** Oracle twin of Similarity.pqTopK — the fixed codebooks (sub-slices
+   * of the same seed rows as q_s5), the L2 code assignment, the ADC
+   * scoring, AND the exact re-rank of the top-40 ADC survivors are all
+   * reproduced relationally, so the entire two-stage product-
+   * quantisation search is oracle-checked. */
   private def pqOracle: String = {
     val seeds = graft.ops.Similarity.ivfFixedSeeds(16).mkString(", ")
     val sub = "8" // subDim = 64 / 8 subspaces
@@ -1224,9 +1227,17 @@ object SparkEntry {
        |           FROM codes c JOIN qs q ON q.j = c.j AND c.vec_id != q.query_id),
        | sc AS (SELECT query_id, vec_id, ROUND(SUM(part), 6) AS sim
        |        FROM parts GROUP BY 1, 2),
+       | adc AS (SELECT query_id, vec_id FROM (
+       |   SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id
+       |     ORDER BY sim DESC, vec_id) AS adc_rank FROM sc) WHERE adc_rank <= 40),
+       | re AS (SELECT a.query_id, a.vec_id,
+       |          ROUND(list_dot_product(qf.v, ef.v), 6) AS sim
+       |        FROM adc a
+       |        JOIN e ef ON ef.vec_id = a.vec_id
+       |        JOIN e qf ON qf.vec_id = a.query_id),
        | r AS (SELECT query_id, vec_id, sim,
        |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-       |           ORDER BY sim DESC, vec_id) AS INTEGER) AS rank FROM sc)
+       |           ORDER BY sim DESC, vec_id) AS INTEGER) AS rank FROM re)
        | SELECT query_id, vec_id AS neighbor_id, sim, rank FROM r WHERE rank <= 10""".stripMargin
   }
 

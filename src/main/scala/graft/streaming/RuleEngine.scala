@@ -215,7 +215,8 @@ object RuleEngine {
    * for the next trigger). Rules with `historicalIgnoreTimeout` drop
    * their timeout emissions in this replay mode.
    */
-  def runBatch(events: Dataset[Event], rules: Seq[RuleSpec]): Dataset[Fired] = {
+  def runBatch(events: Dataset[Event], rules: Seq[RuleSpec],
+      numPartitions: Int = 0): Dataset[Fired] = {
     requireUniqueNames(rules)
     val spark = events.sparkSession
     import spark.implicits._
@@ -224,8 +225,16 @@ object RuleEngine {
       rules.iterator.filter(_.mightAccept(e.event))
         .map(r => Keyed(r.name, r.correlate(e), e.effectiveTime, e))
     }
+    // numPartitions: callers with KNOWN-tiny inputs (cron tick grids,
+    // control streams) pass a small explicit count — the default
+    // session shuffle width pays ~32 task setups + in-partition sorts
+    // for a few hundred rows. Output is partition-count-invariant
+    // (hash by key, per-key sorted runs), so this is purely a cost hint.
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
     keyed
-      .repartition($"rule", $"key")
+      .repartition(parts, $"rule", $"key")
       // eventTime = effectiveTime (receivedTime override applied) — the
       // engine's clock, NOT raw datetime
       .sortWithinPartitions($"rule", $"key", $"eventTime", $"event.id")
