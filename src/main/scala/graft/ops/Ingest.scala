@@ -128,8 +128,11 @@ object Ingest {
    * not the index (a 1k-doc trigger touches ≤ 20k hashes; with the
    * O(100k) buckets a 100 TB index wants per [[Layout.writeBucketed]],
    * ≥80% of the index is never read). Compact accumulated per-batch
-   * files periodically with [[compactIndex]]. Empty triggers write
-   * nothing (no file-count bloat).
+   * files periodically with [[compactIndex]] (index halves) and
+   * [[compactOutput]] (admitted corpus) — both safe against the live
+   * stream: index mutation is serialized by the index lock the
+   * trigger also holds, output compaction touches only committed
+   * partitions. Empty triggers write nothing (no file-count bloat).
    *
    * The session keeps `autoBucketedScan` disabled (the planner must
    * never fall back to an unpruned scan of the index) and the parquet
@@ -160,6 +163,11 @@ object Ingest {
         val bandDir = s"$indexDir/bands"
         val fs = new org.apache.hadoop.fs.Path(indexDir)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // the trigger's index reads AND writes run under the index
+        // lock, so a concurrent compactIndex can never mutate the
+        // catalog table (drop partitions / refresh) between this
+        // batch's probe and its append
+        withIndexLock(spark, indexDir) {
         // BOTH halves must exist: a crash during the very first
         // admitting batch can leave one written without the other, and
         // treating that torn state as "no index" lets the replay
@@ -241,6 +249,7 @@ object Ingest {
           appendIndexPartition(Dedup.bandsOf(admittedSig, bands, rowsPerBand),
             bandTableName(indexDir), bandDir, "band_hash", indexBuckets, writeId)
         }
+        } // withIndexLock
         ()
       }
       .start()
@@ -277,9 +286,14 @@ object Ingest {
    * left alone (its replay deletes + rewrites that partition by name).
    * Crash-safe: the consolidated partition is written (idempotently,
    * under a name derived from the member set) BEFORE any source
-   * partition is dropped — a crash mid-drop leaves transient duplicate
-   * rows, which the probe tolerates (candidates are de-duplicated), and
-   * the next compaction folds the remainder in.
+   * partition is dropped — a crash mid-drop leaves duplicate rows at
+   * rest (member + consolidated copies), which probes tolerate
+   * (candidates are de-duplicated) and the NEXT compaction removes:
+   * consolidation de-duplicates each half on its natural key (sig:
+   * doc_id; bands: (doc_id, band_idx, band_hash)), so duplicates never
+   * survive a fold. Concurrency: the index lock (`_lock` under
+   * `indexDir`, also held by the stream's per-trigger writes)
+   * serializes compaction against a live stream — no quiesce needed.
    */
   def compactIndex(spark: SparkSession, indexDir: String, upToWriteId: String,
       indexBuckets: Int = 16): Unit = {
@@ -287,10 +301,13 @@ object Ingest {
     require(cut > 0, s"malformed write id: $upToWriteId")
     val (ck, frontier) = (upToWriteId.substring(0, cut),
       upToWriteId.substring(cut + 1).toLong)
-    compactHalf(spark, sigTableName(indexDir), s"$indexDir/sig", "doc_id",
-      indexBuckets, ck, frontier)
-    compactHalf(spark, bandTableName(indexDir), s"$indexDir/bands", "band_hash",
-      indexBuckets, ck, frontier)
+    withIndexLock(spark, indexDir) {
+      compactHalf(spark, sigTableName(indexDir), s"$indexDir/sig", "doc_id",
+        indexBuckets, ck, frontier, dedupKeys = Seq("doc_id"))
+      compactHalf(spark, bandTableName(indexDir), s"$indexDir/bands", "band_hash",
+        indexBuckets, ck, frontier,
+        dedupKeys = Seq("doc_id", "band_idx", "band_hash"))
+    }
   }
 
   /**
@@ -302,46 +319,129 @@ object Ingest {
    * beyond the paths the stream already uses.
    */
   def compactIndexFromCheckpoint(spark: SparkSession, indexDir: String,
-      checkpoint: String, indexBuckets: Int = 16): Unit = {
+      checkpoint: String, indexBuckets: Int = 16): Unit =
+    latestCommittedBatch(spark, checkpoint).foreach { b =>
+      compactIndex(spark, indexDir, writeIdFor(checkpoint, b), indexBuckets)
+    }
+
+  /** Latest batch id recorded in `<checkpoint>/commits` — by definition
+   * committed, so always a safe compaction frontier. None when the
+   * checkpoint has no commits yet. */
+  private def latestCommittedBatch(spark: SparkSession,
+      checkpoint: String): Option[Long] = {
     val commits = new org.apache.hadoop.fs.Path(s"$checkpoint/commits")
     val fs = commits.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(commits)) return
-    val latest = fs.listStatus(commits).toSeq
+    if (!fs.exists(commits)) None
+    else fs.listStatus(commits).toSeq
       .flatMap(s => s.getPath.getName.toLongOption)
-    if (latest.nonEmpty)
-      compactIndex(spark, indexDir,
-        writeIdFor(checkpoint, latest.max), indexBuckets)
+      .maxOption
   }
 
-  private def compactHalf(spark: SparkSession, name: String, dir: String,
-      bucketCol: String, buckets: Int, ck: String, frontier: Long): Unit = {
-    val root = new org.apache.hadoop.fs.Path(dir)
+  /** Target size for compacted OUTPUT files: the standard "one HDFS
+   * block-ish parquet file" sweet spot — small enough to parallelize a
+   * downstream scan, large enough that file-open overhead vanishes. */
+  private[graft] val TargetOutputFileBytes: Long = 128L * 1024 * 1024
+
+  /**
+   * Compact the streaming OUTPUT corpus the same way [[compactIndex]]
+   * compacts the index: the per-trigger `outDir/write_id=<ck>_<n>`
+   * partitions at or behind the frontier (plus any previous output
+   * compaction) fold into ONE consolidated partition, sized at
+   * [[TargetOutputFileBytes]] per file — without this the admitted
+   * corpus accumulates one directory per trigger forever, and a
+   * downstream scan pays per-file open cost instead of per-byte scan
+   * cost (the same listing-bound failure mode the index had).
+   *
+   * Same crash discipline as the index: consolidated partition written
+   * first under a member-set-derived name (a torn previous attempt of
+   * the same member set is deleted and rewritten), members dropped
+   * after; rows dedup on `doc_id` (each document is admitted exactly
+   * once, so doc_id is the output's natural key), so a crash mid-drop
+   * cannot leave permanent duplicates. Pass a frontier at or behind
+   * the last COMMITTED batch ([[compactOutputFromCheckpoint]] derives
+   * one); in-flight partitions are untouched, so this is safe against
+   * a live stream — concurrent READERS of `outDir` may transiently
+   * double-see rows mid-fold, the same caveat any file-level
+   * compaction carries.
+   */
+  def compactOutput(spark: SparkSession, outDir: String,
+      upToWriteId: String): Unit = {
+    val cut = upToWriteId.lastIndexOf('_')
+    require(cut > 0, s"malformed write id: $upToWriteId")
+    val (ck, frontier) = (upToWriteId.substring(0, cut),
+      upToWriteId.substring(cut + 1).toLong)
+    val root = new org.apache.hadoop.fs.Path(outDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
-    val partitions = fs.listStatus(root).toSeq
-      .filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .filter(_.startsWith("write_id="))
-      .map(_.stripPrefix("write_id="))
+    val eligible = eligiblePartitions(fs, root, ck, frontier)
+    if (eligible.size <= 1) return
+    val bytes = eligible.map(id =>
+      fs.getContentSummary(new org.apache.hadoop.fs.Path(s"$outDir/write_id=$id"))
+        .getLength).sum
+    val nFiles = math.max(1L, (bytes + TargetOutputFileBytes - 1) / TargetOutputFileBytes)
+    val dest = new org.apache.hadoop.fs.Path(s"$outDir/write_id=${compactionId(eligible)}")
+    fs.delete(dest, true) // torn previous attempt of the same member set
+    spark.read.parquet(eligible.map(id => s"$outDir/write_id=$id"): _*)
+      .dropDuplicates("doc_id")
+      .coalesce(nFiles.toInt)
+      .write.mode("overwrite").parquet(dest.toString)
+    eligible.foreach(old =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$outDir/write_id=$old"), true))
+  }
+
+  /** [[compactOutput]] with the frontier derived from the stream's own
+   * checkpoint — the output twin of [[compactIndexFromCheckpoint]],
+   * and the other half of the same maintenance cron. */
+  def compactOutputFromCheckpoint(spark: SparkSession, outDir: String,
+      checkpoint: String): Unit =
+    latestCommittedBatch(spark, checkpoint).foreach { b =>
+      compactOutput(spark, outDir, writeIdFor(checkpoint, b))
+    }
+
+  /** write_id partition names under `root` eligible for compaction:
+   * previous compaction outputs plus this stream's partitions at or
+   * behind the committed frontier. */
+  private def eligiblePartitions(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, ck: String, frontier: Long): Seq[String] = {
     def behindFrontier(id: String): Boolean = {
       val cut = id.lastIndexOf('_')
       cut > 0 && id.substring(0, cut) == ck &&
         id.substring(cut + 1).toLongOption.exists(_ <= frontier)
     }
-    val eligible = partitions.filter(id =>
-      id.startsWith("compact_") || behindFrontier(id)).sorted
-    if (eligible.size <= 1) return
-    // Name derived from the member set: a crashed-and-rerun compaction
-    // of the same members overwrites its own partial output
-    // (appendIndexPartition deletes the partition dir before writing).
-    val newId = "compact_" + java.security.MessageDigest.getInstance("MD5")
+    fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("write_id="))
+      .map(_.stripPrefix("write_id="))
+      .filter(id => id.startsWith("compact_") || behindFrontier(id))
+      .sorted
+  }
+
+  /** Member-set-derived compaction partition name: a crashed-and-rerun
+   * compaction of the same members overwrites its own partial output. */
+  private def compactionId(eligible: Seq[String]): String =
+    "compact_" + java.security.MessageDigest.getInstance("MD5")
       .digest(eligible.mkString("\n").getBytes("UTF-8"))
       .take(6).map("%02x".format(_)).mkString
+
+  private def compactHalf(spark: SparkSession, name: String, dir: String,
+      bucketCol: String, buckets: Int, ck: String, frontier: Long,
+      dedupKeys: Seq[String]): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val eligible = eligiblePartitions(fs, root, ck, frontier)
+    if (eligible.size <= 1) return
+    val newId = compactionId(eligible)
     // Read the member partitions as raw parquet (partition dirs carry
     // the data columns only) — streams through the writer without
-    // self-referencing the catalog table being appended to.
+    // self-referencing the catalog table being appended to. Dedup on
+    // the half's natural key: rows duplicated by an earlier crash
+    // mid-drop (member + consolidated copies both on disk) fold back
+    // to one copy instead of persisting forever.
     val consolidated = spark.read.parquet(
       eligible.map(id => s"$dir/write_id=$id"): _*)
+      .dropDuplicates(dedupKeys)
     appendIndexPartition(consolidated, name, dir, bucketCol, buckets, newId)
     eligible.foreach { old =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/write_id=$old"), true)
@@ -349,6 +449,47 @@ object Ingest {
         spark.sql(s"ALTER TABLE $name DROP IF EXISTS PARTITION (write_id='$old')")
     }
     if (spark.catalog.tableExists(name)) spark.catalog.refreshTable(name)
+  }
+
+  /**
+   * Advisory writer lock for the index rooted at `indexDir`:
+   * exclusive-create of an `_lock` file (underscore-prefixed — Spark's
+   * file listing ignores it). BOTH index writers honor it — the
+   * stream's per-trigger probe+append (foreachBatch body) and
+   * maintenance [[compactIndex]] — so a compaction can run against a
+   * LIVE stream without a probe ever seeing the catalog mid-mutation
+   * (concurrent saveAsTable append vs DROP PARTITION + refreshTable
+   * was otherwise unserialized). Blocks up to `waitMs` for the holder
+   * (a trigger holds it for one batch; compaction for one fold); a
+   * lock older than `staleMs` is presumed orphaned by a crashed holder
+   * and broken. Lock-file create/delete is two filesystem metadata ops
+   * per trigger — noise against a trigger's parquet writes.
+   */
+  private def withIndexLock[T](spark: SparkSession, indexDir: String,
+      waitMs: Long = 600000L, staleMs: Long = 3600000L)(body: => T): T = {
+    val lock = new org.apache.hadoop.fs.Path(s"$indexDir/_lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(lock.getParent)
+    val deadline = System.currentTimeMillis + waitMs
+    var acquired = false
+    while (!acquired) {
+      try {
+        fs.create(lock, false).close()
+        acquired = true
+      } catch {
+        case _: java.io.IOException =>
+          val stale =
+            try System.currentTimeMillis -
+              fs.getFileStatus(lock).getModificationTime > staleMs
+            catch { case _: java.io.FileNotFoundException => false }
+          if (stale) fs.delete(lock, false)
+          else if (System.currentTimeMillis > deadline)
+            throw new IllegalStateException(
+              s"index lock $lock held >${waitMs}ms — stuck compaction or trigger?")
+          else Thread.sleep(100)
+      }
+    }
+    try body finally fs.delete(lock, false)
   }
 
   /** Deterministic catalog names for the two index tables rooted at

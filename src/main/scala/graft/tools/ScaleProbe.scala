@@ -180,6 +180,19 @@ object ScaleProbe {
         spark, s"$ndBase/index", s"$ndBase/ck", indexBuckets = 64)
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"[scale] nd_compact               $dt%8.2f s  (files $filesBefore -> ${indexFiles()})")
+      // the OUTPUT corpus accumulates one write_id dir per trigger the
+      // same way the index halves did — fold it too, and prove the
+      // admitted row set is byte-identical either side of the fold
+      def outDirs(): Int = new java.io.File(s"$ndBase/out").listFiles()
+        .count(f => f.isDirectory && f.getName.startsWith("write_id="))
+      val outBefore = outDirs()
+      val t1 = System.nanoTime()
+      graft.ops.Ingest.compactOutputFromCheckpoint(spark, s"$ndBase/out", s"$ndBase/ck")
+      val dt1 = (System.nanoTime() - t1) / 1e9
+      val admittedAfter = spark.read.parquet(s"$ndBase/out").count()
+      require(admittedAfter == admitted,
+        s"output compaction changed the corpus: $admitted -> $admittedAfter")
+      println(f"[scale] out_compact              $dt1%8.2f s  (dirs $outBefore -> ${outDirs()}, $admittedAfter%,d rows kept)")
     }
 
     // ---- ANN at 50× the embeddings fixture -------------------------

@@ -183,6 +183,95 @@ class IngestSpec extends SparkSpec {
     assert(admitted == (0L until 5L) :+ 101L)
   }
 
+  test("output compaction: write_id dirs fold to O(1) across 10 triggers, rows identical") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("outcompact").toString
+    def novel(i: Int): String = (0 until 10).map(j => s"o${i}y$j").mkString(" ")
+    def listOutParts(): Seq[String] =
+      new java.io.File(s"$base/out").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSeq.sorted
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val query = Ingest.runStreamingNearDedup(stream.toDF().toDF("doc_id", "text"),
+      s"$base/index", s"$base/out", s"$base/ck")
+    try {
+      (0 until 10).foreach { i =>
+        stream.addData((i.toLong, novel(i)))
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    assert(listOutParts().size == 10) // one dir per admitting trigger
+    val before = spark.read.parquet(s"$base/out")
+      .drop("write_id").collect().map(_.toSeq).toSet
+    Ingest.compactOutputFromCheckpoint(spark, s"$base/out", s"$base/ck")
+    // everything committed folds into ONE consolidated partition …
+    assert(listOutParts().size == 1 && listOutParts().head.startsWith("write_id=compact_"))
+    // … with identical admitted rows
+    val after = spark.read.parquet(s"$base/out")
+      .drop("write_id").collect().map(_.toSeq).toSet
+    assert(after == before && after.size == 10)
+    // a repeat call with nothing new to fold is a no-op
+    Ingest.compactOutputFromCheckpoint(spark, s"$base/out", s"$base/ck")
+    assert(listOutParts().size == 1)
+    // a LATER compaction folds the previous compaction's output plus
+    // new committed triggers — output stays O(1) forever
+    val s2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q2 = Ingest.runStreamingNearDedup(s2.toDF().toDF("doc_id", "text"),
+      s"$base/index", s"$base/out", s"$base/ck2")
+    try {
+      s2.addData((100L, novel(90)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    Ingest.compactOutputFromCheckpoint(spark, s"$base/out", s"$base/ck2")
+    assert(listOutParts().size == 1)
+    assert(spark.read.parquet(s"$base/out").count() == 11)
+  }
+
+  test("index compaction folds crash-mid-drop duplicates back to one copy") {
+    // crash model: compaction wrote the consolidated partition but died
+    // before deleting a member — the same rows now exist twice at rest.
+    // The NEXT compaction must fold them to one copy (dedup on the
+    // half's natural key), not carry them forever.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("ndcrashdup").toString
+    def novel(i: Int): String = (0 until 10).map(j => s"c${i}z$j").mkString(" ")
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val query = Ingest.runStreamingNearDedup(stream.toDF().toDF("doc_id", "text"),
+      s"$base/index", s"$base/out", s"$base/ck")
+    try {
+      (0 until 3).foreach { i =>
+        stream.addData((i.toLong, novel(i)))
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    // simulate the torn state exactly: a consolidated `compact_*`
+    // partition exists holding batch 0's rows, while the member
+    // partition it folded was never deleted (crash between the write
+    // and the drops) — batch 0's signature row is now on disk twice
+    def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+      java.nio.file.Files.walk(src).forEach { p =>
+        val t = dst.resolve(src.relativize(p))
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    val sigRoot = new java.io.File(s"$base/index/sig")
+    val member = sigRoot.listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("write_id=")).sorted.head
+    copyTree(new java.io.File(sigRoot, member).toPath,
+      new java.io.File(sigRoot, "write_id=compact_simtorn").toPath)
+    assert(spark.read.parquet(s"$base/index/sig").count() == 4) // 3 + 1 dup
+    // the NEXT compaction folds compact_simtorn + the stream's three
+    // committed partitions; the dup row must collapse — doc ids come
+    // out exactly 0,1,2 with no repeats
+    Ingest.compactIndexFromCheckpoint(spark, s"$base/index", s"$base/ck")
+    val ids = spark.read.parquet(s"$base/index/sig")
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(ids == Seq(0L, 1L, 2L), s"duplicates persisted: $ids")
+  }
+
   test("streaming near-dedup: index survives a catalog restart and a fresh stream over it") {
     // two restart realities at once: (a) a new session's in-memory
     // catalog has forgotten the bucketed index tables (they must be
