@@ -75,4 +75,80 @@ class RulePropertySpec extends SparkSpec {
       assert(fired.forall(_.chainLen <= 7))
     }
   }
+
+  private val WeekMs = 7L * 24 * 3600 * 1000
+  private val weekBase = Timestamp.valueOf("2024-01-01 00:00:00").getTime // a Monday
+
+  private def retentionCase(seed: Long): List[(String, Timestamp)] = {
+    val gen = Gen.listOfN(30, for {
+      key <- Gen.choose(1, 5)
+      week <- Gen.choose(0, 20)
+    } yield (key.toString, new Timestamp(weekBase + week * WeekMs)))
+    gen(Gen.Parameters.default, Seed(seed)).getOrElse(sys.error("gen failed"))
+  }
+
+  private def runRetentionTriggers(name: String,
+      triggers: Seq[Seq[(String, Timestamp)]]): Seq[Correlate.RetentionCredit] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Timestamp)]
+    val q = Correlate.retentionStreaming(stream.toDF().toDF("user_id", "ts"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try triggers.foreach { t => stream.addData(t); q.processAllAvailable() }
+    finally q.stop()
+    spark.table(name).as[Correlate.RetentionCredit].collect().toSeq
+  }
+
+  test("retention streaming: anchor-first trigger orders reproduce batch cohorts exactly") {
+    import spark.implicits._
+    // when each key's earliest week arrives no later than its other
+    // weeks (global ascending split ⇒ per-key ascending), no re-anchor
+    // ever happens and the appended credits aggregate to EXACTLY the
+    // batch retentionCohorts table — the documented input contract
+    // under which streaming and batch agree bit-for-bit
+    (1 to 4).foreach { seed =>
+      val rows = retentionCase(seed.toLong)
+      val triggers = rows.sortBy(_._2.getTime)
+        .grouped(math.max(1, rows.size / 3)).toSeq
+      val credits = runRetentionTriggers(s"ret_anchor_$seed", triggers)
+      val streamed = credits
+        .groupBy(c => (c.cohort_week, c.week_offset))
+        .view.mapValues(_.size.toLong).toMap
+      val batch = Correlate.retentionCohorts(rows.toDF("user_id", "ts"))
+        .collect()
+        .map(r => (r.getAs[Timestamp]("cohort_week"), r.getAs[Int]("week_offset")) ->
+          r.getAs[Long]("n_keys")).toMap
+      assert(streamed == batch, s"seed $seed: $streamed vs $batch")
+    }
+  }
+
+  test("retention streaming: ANY order/split credits each true active week exactly once") {
+    // arbitrary cross-trigger disorder may re-anchor a key's cohort,
+    // but the mask shift must keep every credit consistent with the
+    // anchor it was emitted under: per key, the absolute weeks
+    // (cohort_week + 7·offset) across ALL emitted credits are exactly
+    // the key's true distinct active weeks, each credited once — no
+    // double-credit after a re-anchor, no lost week
+    (1 to 4).foreach { seed =>
+      val rows = retentionCase(100L + seed)
+      val rnd = new scala.util.Random(seed)
+      val shuffled = rnd.shuffle(rows)
+      val triggers = shuffled.grouped(math.max(1, shuffled.size / 3)).toSeq
+      val credits = runRetentionTriggers(s"ret_shuffle_$seed", triggers)
+      val trueWeeks = rows.groupBy(_._1)
+        .view.mapValues(_.map(_._2.getTime).distinct.sorted.toSeq).toMap
+      val credited = credits.groupBy(_.key)
+        .view.mapValues(_.map(c => c.cohort_week.getTime + c.week_offset * WeekMs)
+          .sorted.toSeq).toMap
+      assert(credited == trueWeeks,
+        s"seed $seed: credited $credited vs true $trueWeeks")
+      // and the FINAL anchor is the key's true earliest week: credits
+      // emitted at or after the last re-anchor carry it verbatim
+      credits.groupBy(_.key).foreach { case (k, cs) =>
+        assert(cs.map(_.cohort_week.getTime).min == trueWeeks(k).head,
+          s"seed $seed key $k: final anchor drifted")
+      }
+    }
+  }
 }
