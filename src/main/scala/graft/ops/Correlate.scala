@@ -340,6 +340,17 @@ object Correlate {
    * match, but rows already emitted under the old cohort cannot be
    * retracted (append semantics) — feed signup-like streams where a
    * key's first event arrives first, or tolerate stale early rows.
+   * With `markReanchors` on, each cross-trigger re-anchor additionally
+   * emits a MARKER row (`week_offset = -1`, cohort_week = the new
+   * anchor) before the shifted credits. A consumer that cannot
+   * tolerate stale rows REBASES a key's superseded credits (those with
+   * cohort_week later than the key's minimal marker anchor) onto that
+   * anchor, preserving their absolute week:
+   * (c, o) → (anchor, (c − anchor)/7d + o) — which reproduces the
+   * batch [[retentionCohorts]] table exactly (asserted in
+   * CorrelateSpec). The invisible-at-the-schema-level divergence
+   * becomes correctable without changing the default output (real
+   * credits always carry offset ≥ 0).
    *
    * Also callable on a BATCH DataFrame (Spark runs the same function
    * with fresh state), which is what the parity spec exploits.
@@ -347,7 +358,8 @@ object Correlate {
   def retentionStreaming(
       events: DataFrame,
       key: String = "user_id",
-      tsCol: String = "ts"): org.apache.spark.sql.Dataset[RetentionCredit] = {
+      tsCol: String = "ts",
+      markReanchors: Boolean = false): org.apache.spark.sql.Dataset[RetentionCredit] = {
     val spark = events.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
@@ -370,6 +382,8 @@ object Correlate {
             if (cohort != Long.MaxValue) {
               val shift = (cohort - w) / WeekMillis
               mask = if (shift >= 64) 0L else mask << shift.toInt
+              if (markReanchors)
+                out += RetentionCredit(k, new java.sql.Timestamp(w), -1)
             }
             cohort = w
           }

@@ -228,4 +228,55 @@ class CorrelateSpec extends SparkSpec {
         .collect().map(r => (r.getAs[Timestamp]("cohort_week"),
           r.getAs[Int]("week_offset"), r.getAs[Long]("n_keys"))).toSet)
   }
+
+  test("retention re-anchor markers make out-of-order streams consumer-correctable") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val weekMs = 7L * 24 * 3600 * 1000
+    // u1's FIRST week arrives a trigger late (W1 before W0) — the
+    // documented divergence: the (W1, 0) credit emitted in trigger 1
+    // is superseded once W0 re-anchors the cohort. u2 is in-order.
+    val t1 = Seq((1L, ts("2024-01-08 10:00:00")), (2L, ts("2024-01-01 09:00:00")))
+    val t2 = Seq((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-08 09:00:00")))
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Timestamp)]
+    val query = Correlate.retentionStreaming(
+      stream.toDF().toDF("user_id", "ts"), markReanchors = true)
+      .writeStream.format("memory").queryName("ret_marked")
+      .outputMode("append").start()
+    try Seq(t1, t2).foreach { b => stream.addData(b); query.processAllAvailable() }
+    finally query.stop()
+    val out = spark.table("ret_marked").as[Correlate.RetentionCredit].collect().toSeq
+    // exactly one marker: u1's re-anchor to W0 (u2 never re-anchors)
+    val markers = out.filter(_.week_offset == -1)
+    assert(markers.map(m => (m.key, m.cohort_week)) ==
+      Seq(("1", ts("2024-01-01 00:00:00"))))
+    // consumer recipe from the scaladoc: rebase superseded credits
+    // (cohort_week > the key's minimal marker anchor) onto the anchor,
+    // preserving the absolute week — reproduces batch cohorts exactly
+    val anchors = markers.groupBy(_.key)
+      .view.mapValues(_.map(_.cohort_week.getTime).min).toMap
+    val rebased = out.filter(_.week_offset >= 0).map { c =>
+      anchors.get(c.key) match {
+        case Some(a) if c.cohort_week.getTime > a =>
+          val shift = (c.cohort_week.getTime - a) / weekMs
+          (new Timestamp(a), (shift + c.week_offset).toInt)
+        case _ => (c.cohort_week, c.week_offset)
+      }
+    }
+    val cohortCounts = rebased.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val batch = Correlate.retentionCohorts((t1 ++ t2).toDF("user_id", "ts"))
+      .collect().map(r => (r.getAs[Timestamp]("cohort_week"),
+        r.getAs[Int]("week_offset")) -> r.getAs[Long]("n_keys")).toMap
+    assert(cohortCounts == batch, s"$cohortCounts vs $batch")
+    // the DEFAULT path emits no markers on the same disordered input —
+    // existing consumers see an unchanged output contract
+    val plain = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Timestamp)]
+    val q2 = Correlate.retentionStreaming(plain.toDF().toDF("user_id", "ts"))
+      .writeStream.format("memory").queryName("ret_unmarked")
+      .outputMode("append").start()
+    try Seq(t1, t2).foreach { b => plain.addData(b); q2.processAllAvailable() }
+    finally q2.stop()
+    assert(spark.table("ret_unmarked").as[Correlate.RetentionCredit]
+      .collect().forall(_.week_offset >= 0))
+  }
 }
