@@ -266,6 +266,11 @@ object SparkEntry {
     // heights) over the binary AV fixture; the oracle re-parses the
     // same blobs with DuckDB little-endian hex arithmetic
     "q_m3_av_meta" -> ((s, _) => Multimodal.avMetaTable(s, Tables.av(s))),
+    // q_m4: REAL MP4/ISO-BMFF box-walk decode (ftyp sniff, moov/mvhd
+    // v0 AND v1 timescale+duration, trak/tkhd 16.16 fixed-point
+    // dimensions) over the binary MP4 fixture; the oracle re-parses
+    // the same blobs with DuckDB big-endian hex arithmetic
+    "q_m4_mp4_meta" -> ((s, _) => Multimodal.avMetaTable(s, Tables.mp4(s))),
     // q_x20: MOSS-style cross-doc copy detection — winnow fingerprint
     // overlap with stop-fingerprint (df cap) pruning + containment
     "q_x20_copy_pairs" -> ((s, d) =>
@@ -914,6 +919,46 @@ object SparkEntry {
          |   END AS bits,
          |   CASE WHEN is_wav THEN CAST(data_len * 1000 // byte_rate AS BIGINT)
          |   END AS duration_ms
+         | FROM f""".stripMargin,
+    // q_m4: the oracle independently re-parses the ISO-BMFF boxes with
+    // BIG-endian hex arithmetic (MP4 is a BE format — no byte swaps).
+    // The moov offset d0 shifts with the free box (24 + 3*(id%5), the
+    // fixture's layout contract, like q_m3's LIST shift); mvhd v1 rows
+    // (id%4=1) read timescale/duration at their 64-bit-field offsets
+    // (duration < 2^32 in the fixture, so its low word is the value).
+    // tkhd width/height are 16.16 fixed-point: the BE16 integer part.
+    "q_m4_mp4_meta" ->
+      s"""WITH m AS (SELECT media_id, mime_type, hex(media) AS h,
+         |                  octet_length(media) AS n
+         |           FROM read_parquet('${Tables.mp4FixturePath}')),
+         | t AS (SELECT m.*,
+         |         (n >= 12 AND substr(h, 9, 8) = '66747970') AS is_mp4,
+         |         (media_id % 8 <> 3 AND media_id % 8 <> 7) AS full_row,
+         |         (media_id % 4 = 1) AS v1,
+         |         24 + 3 * (media_id % 5) AS d0
+         |       FROM m),
+         | f AS (SELECT t.*,
+         |         CASE WHEN v1
+         |           THEN TRY_CAST('0x' || substr(h, 2 * (d0 + 36) + 1, 8) AS BIGINT)
+         |           ELSE TRY_CAST('0x' || substr(h, 2 * (d0 + 28) + 1, 8) AS BIGINT)
+         |         END AS ts,
+         |         CASE WHEN v1
+         |           THEN TRY_CAST('0x' || substr(h, 2 * (d0 + 44) + 1, 8) AS BIGINT)
+         |           ELSE TRY_CAST('0x' || substr(h, 2 * (d0 + 32) + 1, 8) AS BIGINT)
+         |         END AS dur,
+         |         d0 + 8 + CASE WHEN v1 THEN 120 ELSE 108 END AS trak
+         |       FROM t)
+         | SELECT media_id, mime_type, CAST(n AS BIGINT) AS n_bytes,
+         |   CASE WHEN is_mp4 THEN 'mp4' END AS format,
+         |   CASE WHEN is_mp4 AND full_row
+         |     THEN ('0x' || substr(h, 2 * (trak + 92) + 1, 4))::INTEGER END AS width,
+         |   CASE WHEN is_mp4 AND full_row
+         |     THEN ('0x' || substr(h, 2 * (trak + 96) + 1, 4))::INTEGER END AS height,
+         |   CAST(NULL AS INTEGER) AS channels,
+         |   CAST(NULL AS INTEGER) AS sample_rate,
+         |   CAST(NULL AS INTEGER) AS bits,
+         |   CASE WHEN is_mp4 AND full_row
+         |     THEN CAST(dur * 1000 // ts AS BIGINT) END AS duration_ms
          | FROM f""".stripMargin,
     // q_x19: the oracle runs the IDENTICAL RE2-safe patterns (shared
     // via Pii.categories, so both engines scan the same strings with

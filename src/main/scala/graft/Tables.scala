@@ -91,6 +91,15 @@ object Tables {
   }
   def av(spark: SparkSession): DataFrame = spark.read.parquet(avFixturePath)
 
+  /** mp4(media_id BIGINT, mime_type STRING, media BINARY) — repo-local
+   * deterministic ISO-BMFF video-container fixture (tools.Mp4Fixture:
+   * real ftyp/free/moov box structures plus broken rows). */
+  def mp4FixturePath: String = {
+    val local = new java.io.File("fixtures/mp4.parquet")
+    if (local.exists) local.getAbsolutePath else "/root/repo/fixtures/mp4.parquet"
+  }
+  def mp4(spark: SparkSession): DataFrame = spark.read.parquet(mp4FixturePath)
+
   /** pii(rec_id BIGINT, text STRING) — repo-local deterministic
    * PII-bearing text fixture (tools.PiiFixture; the driver corpus is
    * digit-free word salad, so identifier scanning needs its own rows). */

@@ -16,16 +16,22 @@ import org.apache.spark.sql.functions._
  * images: [[MediaCodec.decode]] goes through the JDK's ImageIO
  * readers (PNG/JPEG/GIF/BMP) and reduces pixels to a mean-luminance
  * grid feature. Sample DECODING is real for PCM WAV audio
- * ([[MediaCodec.decodeAudio]] — LE 8/16-bit PCM parsed directly).
- * FRAME iteration is real for animated GIF
+ * ([[MediaCodec.decodeAudio]] — LE 8/16-bit PCM parsed directly) and
+ * for AIFF / AU / companded G.711 mu-law/A-law audio
+ * ([[MediaCodec.decodeAudioSampled]] — the JDK sound stack converts
+ * to linear PCM; mu-law/A-law are genuinely compressed codecs the JRE
+ * decodes natively). Container METADATA is real for MP4/ISO-BMFF,
+ * AIFF and AU too ([[AvHeaders.parseMp4]] box walk,
+ * [[AvHeaders.parseAiff]] including the 80-bit extended sample rate,
+ * [[AvHeaders.parseAu]]). FRAME iteration is real for animated GIF
  * ([[MediaCodec.decodeGifFrames]] — ImageIO's reader walks every
  * animation frame, so [[frameSample]] is a true keyframe sampler for
  * that container).
- * Only COMPRESSED audio/video payloads fall back to a clearly-marked
- * deterministic byte-hash fake ([[MediaCodec.byteHashFeature]] — no
- * AV codec libraries in this environment); schema, batching and
- * partitioning are identical on all paths, so swapping in a real AV
- * codec is a one-function change.
+ * Only PERCEPTUAL-codec payloads (MP3/AAC/video bitstreams) fall back
+ * to a clearly-marked deterministic byte-hash fake
+ * ([[MediaCodec.byteHashFeature]] — no such codec libraries in this
+ * environment); schema, batching and partitioning are identical on
+ * all paths, so swapping in a real AV codec is a one-function change.
  *
  * Scale notes: media bytes never shuffle — features are extracted
  * map-side and only the (tiny) feature rows move. Partition sizing is
@@ -161,6 +167,13 @@ object Multimodal {
    *  - BMP: "BM" + BITMAPINFOHEADER (header size ≥ 40) with SIGNED
    *    LE32 width/height at 18/22 — a negative height is a legal
    *    top-down BMP, reported as its magnitude.
+   *  - MP4/ISO-BMFF: `ftyp` at offset 4, then a box walk into
+   *    `moov/mvhd` (timescale + duration, version 0 and 1) and
+   *    `moov/trak/tkhd` (16.16 fixed-point dimensions) —
+   *    [[parseMp4]].
+   *  - AIFF: FORM/AIFF IFF chunks, `COMM` with the 80-bit extended
+   *    sample rate — [[parseAiff]].
+   *  - AU/SND: ".snd" + five BE32 header words — [[parseAu]].
    * Anything that doesn't parse is None, never an exception (same
    * lost-partition argument as [[ImageHeaders.imageMeta]]).
    */
@@ -181,6 +194,10 @@ object Multimodal {
         (tag(bytes, 0, "GIF8") && (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a'))
         parseGif(bytes)
       else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') parseBmp(bytes)
+      else if (bytes.length >= 12 && tag(bytes, 4, "ftyp")) parseMp4(bytes)
+      else if (tag(bytes, 0, "FORM")) parseAiff(bytes)
+      else if (bytes.length >= 4 && bytes(0) == '.' && bytes(1) == 's' &&
+        bytes(2) == 'n' && bytes(3) == 'd') parseAu(bytes)
       else None
     }
 
@@ -243,6 +260,161 @@ object Multimodal {
       val w = le16(b, 6); val h = le16(b, 8)
       if (w > 0 && h > 0) Some(AvMeta("gif", width = Some(w), height = Some(h)))
       else None
+    }
+
+    private def be16(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+    private def be32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+
+    /**
+     * ISO-BMFF (MP4/MOV) box walk — the video-container companion to
+     * the RIFF chunk walk, pure public format structure (ISO/IEC
+     * 14496-12): each box is a BE32 size + 4-char type; `size == 1`
+     * means a 64-bit largesize follows, `size == 0` means
+     * to-end-of-buffer. The file is recognised by an `ftyp` box at
+     * offset 4 (how every sniffer detects BMFF). Fields come from
+     * `moov`: `mvhd` (version 0 or 1) carries timescale + duration,
+     * the first `trak/tkhd` with nonzero dimensions carries
+     * width/height as 16.16 fixed-point (integer part reported).
+     * A recognised `ftyp` with an unwalkable/absent `moov` still
+     * reports format "mp4" with NULL fields — the container identity
+     * is byte-proven even when the index is truncated away (common:
+     * moov-at-end files cut mid-transfer).
+     */
+    private[ops] def parseMp4(b: Array[Byte]): Option[AvMeta] = {
+      if (b.length < 12 || !tag(b, 4, "ftyp")) return None
+      var ts: Option[Long] = None
+      var dur: Option[Long] = None
+      var dims: Option[(Int, Int)] = None
+      // (start, end) of each box's PAYLOAD; None on malformed headers
+      def walk(from: Int, to: Int)(f: (String, Int, Int) => Unit): Unit = {
+        var i = from
+        while (i + 8 <= to) {
+          val size = be32(b, i)
+          val tpe = new String(b, i + 4, 4, "US-ASCII")
+          val (payload, end): (Int, Long) =
+            if (size == 0) (i + 8, to.toLong) // to end of enclosing box
+            else if (size == 1) {
+              if (i + 16 > to) return
+              val hi = be32(b, i + 8); val lo = be32(b, i + 12)
+              if (hi != 0) return // >2 GiB box in a byte-array payload: corrupt
+              (i + 16, i + lo)
+            } else (i + 8, i + size)
+          if (end < payload || end > to) return // overruns the buffer: stop
+          f(tpe, payload, end.toInt)
+          if (end.toInt <= i) return // zero-progress guard
+          i = end.toInt
+        }
+      }
+      walk(0, b.length) { (tpe, p, e) =>
+        if (tpe == "moov") {
+          walk(p, e) { (t2, p2, e2) =>
+            if (t2 == "mvhd" && p2 + 4 <= e2) {
+              val version = b(p2) & 0xff
+              if (version == 0 && p2 + 20 <= e2) {
+                ts = Some(be32(b, p2 + 12)); dur = Some(be32(b, p2 + 16))
+              } else if (version == 1 && p2 + 32 <= e2) {
+                // creation/modification are 8 bytes each in v1;
+                // duration is BE64 — take it whole (fits a Long)
+                ts = Some(be32(b, p2 + 20))
+                dur = Some((be32(b, p2 + 24) << 32) | be32(b, p2 + 28))
+              }
+            } else if (t2 == "trak" && dims.isEmpty) {
+              walk(p2, e2) { (t3, p3, e3) =>
+                if (t3 == "tkhd" && p3 + 4 <= e3) {
+                  val off = if ((b(p3) & 0xff) == 1) 88 else 76
+                  if (p3 + off + 8 <= e3) {
+                    // 16.16 fixed-point: integer part is the high 16 bits
+                    val w = be16(b, p3 + off)
+                    val h = be16(b, p3 + off + 4)
+                    if (w > 0 && h > 0) dims = Some((w, h))
+                  }
+                }
+              }
+            }
+          }
+        }
+      }
+      Some(AvMeta("mp4",
+        width = dims.map(_._1), height = dims.map(_._2),
+        durationMs = for { t <- ts; d <- dur; if t > 0 } yield d * 1000L / t))
+    }
+
+    /**
+     * AIFF header parse (FORM/AIFF IFF structure — big-endian, chunk
+     * id + BE32 length, word-aligned like RIFF): the `COMM` chunk
+     * carries channels (BE16), frame count (BE32), sample bits (BE16)
+     * and the sample rate as an 80-bit IEEE extended float (the one
+     * place the format shows its Motorola heritage). Duration =
+     * frames / rate.
+     */
+    private[ops] def parseAiff(b: Array[Byte]): Option[AvMeta] = {
+      if (!(tag(b, 0, "FORM") && b.length >= 12 &&
+        (tag(b, 8, "AIFF") || tag(b, 8, "AIFC")))) return None
+      var i = 12
+      while (i + 8 <= b.length) {
+        val len = be32(b, i + 4)
+        if (len < 0 || len > b.length - i - 8) return None // truncated: stop
+        if (tag(b, i, "COMM") && len >= 18) {
+          val ch = be16(b, i + 8)
+          val frames = be32(b, i + 10)
+          val bits = be16(b, i + 14)
+          val rate = extended80(b, i + 16)
+          return if (ch > 0 && rate > 0)
+            Some(AvMeta("aiff", channels = Some(ch), sampleRate = Some(rate.round.toInt),
+              bitsPerSample = Some(bits),
+              durationMs = Some((frames * 1000L / rate).round)))
+          else None
+        }
+        i += 8 + len.toInt + (len.toInt & 1)
+      }
+      None
+    }
+
+    /** 80-bit IEEE 754 extended float (AIFF sample rate): 1 sign +
+     * 15 exponent (bias 16383) + 64 explicit-integer-bit mantissa. */
+    private def extended80(b: Array[Byte], o: Int): Double = {
+      if (o + 10 > b.length) return 0.0
+      val sign = if ((b(o) & 0x80) != 0) -1.0 else 1.0
+      val exp = ((b(o) & 0x7f) << 8) | (b(o + 1) & 0xff)
+      var mant = 0.0
+      var i = 0
+      while (i < 8) { mant = mant * 256.0 + (b(o + 2 + i) & 0xff); i += 1 }
+      if (exp == 0 && mant == 0.0) 0.0
+      else sign * mant * math.pow(2.0, exp - 16383 - 63)
+    }
+
+    /**
+     * AU/SND header parse (Sun audio, the simplest real container:
+     * ".snd" magic then five BE32 words — data offset, data size,
+     * encoding, sample rate, channels). Encodings map to bit depths
+     * (1 = 8-bit mu-law, 2/3/4/5 = 8/16/24/32-bit linear PCM,
+     * 27 = 8-bit A-law); duration from data size over the frame rate.
+     */
+    private[ops] def parseAu(b: Array[Byte]): Option[AvMeta] = {
+      if (b.length < 24 || !(b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd'))
+        return None
+      val dataSize = be32(b, 8)
+      val encoding = be32(b, 12).toInt
+      val rate = be32(b, 16)
+      val ch = be32(b, 20)
+      val bits = encoding match {
+        case 1 | 27 => Some(8) // mu-law / A-law: 8 stored bits per sample
+        case 2 => Some(8)
+        case 3 => Some(16)
+        case 4 => Some(24)
+        case 5 => Some(32)
+        case _ => None
+      }
+      if (rate <= 0 || ch <= 0 || rate > Int.MaxValue || ch > Int.MaxValue) None
+      else Some(AvMeta("au", channels = Some(ch.toInt), sampleRate = Some(rate.toInt),
+        bitsPerSample = bits,
+        durationMs = bits.collect {
+          case bps if dataSize >= 0 =>
+            dataSize * 1000L / (rate * ch * (bps / 8).max(1))
+        }))
     }
 
     private def parseBmp(b: Array[Byte]): Option[AvMeta] = {
@@ -310,12 +482,16 @@ object Multimodal {
     private val GridH = 4 // GridW * GridH == FeatureDim
 
     /** Decode + featurize: mean-luminance grid for decodable images,
-     * mean-amplitude envelope for PCM WAV audio, byte-hash fake
-     * otherwise. Total — corrupt bytes are a fallback, never an
-     * exception (a crashing row is a lost partition). */
+     * mean-amplitude envelope for decodable audio — the direct PCM
+     * parser for WAV ([[decodeAudio]]), then the JDK sound stack for
+     * AIFF / AU / companded (mu-law, A-law) payloads
+     * ([[decodeAudioSampled]]) — byte-hash fake otherwise. Total —
+     * corrupt bytes are a fallback, never an exception (a crashing
+     * row is a lost partition). */
     def decode(bytes: Array[Byte]): Array[Float] =
       decodeImage(bytes).map(luminanceGrid(_, GridW, GridH))
         .orElse(decodeAudio(bytes))
+        .orElse(decodeAudioSampled(bytes))
         .getOrElse(byteHashFeature(bytes))
 
     /**
@@ -362,6 +538,95 @@ object Multimodal {
           Some(out)
         }
       }
+
+    /** Magic gate for [[decodeAudioSampled]]: only containers the JDK
+     * sound stack actually reads (AIFF/AIFC, AU/SND, WAV) — anything
+     * else skips the AudioSystem sniff entirely, so the common case
+     * (text/junk payloads) never pays exception-control-flow cost. */
+    private def sampledAudioMagic(b: Array[Byte]): Boolean =
+      b.length >= 12 && (
+        (b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M' &&
+          b(8) == 'A' && b(9) == 'I' && b(10) == 'F') || // AIFF / AIFC
+        (b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd') || // AU
+        (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+          b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'))
+
+    /** Bound on the decoded-PCM bytes [[decodeAudioSampled]] will pull
+     * through the converter: the envelope of a longer clip is computed
+     * over this prefix (64 MiB ≈ 6 min of 16-bit stereo at 44.1 kHz) —
+     * a cap, not a failure, so a pathological duration claim cannot
+     * balloon executor memory. */
+    private val MaxSampledPcmBytes = 64 * 1024 * 1024
+
+    /**
+     * REAL sample decode through the JDK sound stack
+     * (`javax.sound.sampled` ships with the JRE — no external codec):
+     * AIFF (big-endian PCM), AU/SND, and companded mu-law / A-law
+     * payloads (in AU or non-PCM WAV containers) all decode to linear
+     * PCM via `AudioSystem`'s format conversion, then reduce to the
+     * same [[FeatureDim]]-cell mean-|amplitude| envelope as
+     * [[decodeAudio]]. This makes the simplest genuinely COMPRESSED
+     * audio codecs (G.711 mu-law/A-law — logarithmic companding) a
+     * real decode path; only perceptual codecs (MP3/AAC/opus) remain
+     * at the byte-hash fallback. None for anything the stack can't
+     * read — total, never an exception.
+     */
+    def decodeAudioSampled(bytes: Array[Byte]): Option[Array[Float]] = {
+      if (bytes == null || !sampledAudioMagic(bytes)) return None
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val base = ais.getFormat
+          val ch = base.getChannels
+          if (ch <= 0) return None
+          val target = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            base.getSampleRate, 16, ch, ch * 2, base.getSampleRate, false)
+          val pcmStream =
+            if (base.matches(target)) ais
+            else javax.sound.sampled.AudioSystem.getAudioInputStream(target, ais)
+          // NOT readNBytes: the JDK's PCM conversion streams can return
+          // 0 (not -1) forever on a truncated trailing frame — a
+          // 0-byte read here must mean EOF or the loop never ends
+          // (fuzzed corrupt WAV headers hang readNBytes in
+          // PCMtoPCMCodecStream.read)
+          val bos = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](65536)
+          var n = pcmStream.read(buf)
+          while (n > 0 && bos.size < MaxSampledPcmBytes) {
+            bos.write(buf, 0, n)
+            n = pcmStream.read(buf)
+          }
+          val pcm = bos.toByteArray
+          val frameBytes = ch * 2
+          val nFrames = pcm.length / frameBytes
+          if (nFrames <= 0) return None
+          val out = new Array[Float](FeatureDim)
+          val counts = new Array[Int](FeatureDim)
+          var f = 0
+          while (f < nFrames) {
+            var acc = 0f
+            var c = 0
+            while (c < ch) {
+              val o = f * frameBytes + c * 2
+              acc += math.abs(((pcm(o + 1) << 8) | (pcm(o) & 0xff)).toShort / 32768f)
+              c += 1
+            }
+            val cell = math.min((f.toLong * FeatureDim / nFrames).toInt, FeatureDim - 1)
+            out(cell) += acc / ch
+            counts(cell) += 1
+            f += 1
+          }
+          var i = 0
+          while (i < FeatureDim) {
+            if (counts(i) > 0) out(i) /= counts(i)
+            i += 1
+          }
+          Some(out)
+        } finally ais.close()
+      } catch { case _: Throwable => None }
+    }
 
     /** Real pixel decode via ImageIO; None for anything its readers
      * can't parse (header-only blobs, junk, non-image containers). */

@@ -133,6 +133,88 @@ object AvFixture {
     bos.toByteArray
   }
 
+  /** The step PCM pattern of [[wavStep]] as a JDK AudioInputStream
+   * (16-bit signed big-endian — the byte order AIFF and AU store):
+   * first half silence, second half full-scale. */
+  private def stepPcmStream(ch: Int, rate: Int, frames: Int,
+      bigEndian: Boolean = true): javax.sound.sampled.AudioInputStream = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      rate.toFloat, 16, ch, ch * 2, rate.toFloat, bigEndian)
+    val pcm = new Array[Byte](frames * ch * 2)
+    var f = frames / 2
+    while (f < frames) {
+      var c = 0
+      while (c < ch) {
+        val o = (f * ch + c) * 2
+        // 32767 in the stream's byte order
+        if (bigEndian) { pcm(o) = 0x7f.toByte; pcm(o + 1) = 0xff.toByte }
+        else { pcm(o) = 0xff.toByte; pcm(o + 1) = 0x7f.toByte }
+        c += 1
+      }
+      f += 1
+    }
+    new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+  }
+
+  private def writeAudio(ais: javax.sound.sampled.AudioInputStream,
+      tpe: javax.sound.sampled.AudioFileFormat.Type): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, tpe, bos)
+    bos.toByteArray
+  }
+
+  /** A REAL AIFF with the same known step envelope as [[wavStep]],
+   * written by the JDK's own AIFF writer. */
+  def aiffStep(ch: Int, rate: Int, frames: Int): Array[Byte] =
+    writeAudio(stepPcmStream(ch, rate, frames),
+      javax.sound.sampled.AudioFileFormat.Type.AIFF)
+
+  /** A REAL AU (Sun audio) with the known step envelope. */
+  def auStep(ch: Int, rate: Int, frames: Int): Array[Byte] =
+    writeAudio(stepPcmStream(ch, rate, frames),
+      javax.sound.sampled.AudioFileFormat.Type.AU)
+
+  /** G.711 mu-law encode of one 16-bit sample — the public standard's
+   * sign/exponent/mantissa companding (bias 0x84, clip 32635,
+   * complemented output). Encoded HERE so the fixture is
+   * deterministic; the engine's decode path uses the JDK's mu-law
+   * DECODER, which this round-trips against. */
+  def ulawEncode(s: Short): Byte = {
+    var sample = s.toInt
+    val sign = if (sample < 0) { sample = -sample; 0x80 } else 0
+    if (sample > 32635) sample = 32635
+    sample += 0x84
+    var exponent = 7
+    var mask = 0x4000
+    while (exponent > 0 && (sample & mask) == 0) { exponent -= 1; mask >>= 1 }
+    val mantissa = (sample >> (exponent + 3)) & 0x0f
+    (~(sign | (exponent << 4) | mantissa)).toByte
+  }
+
+  /** A REAL G.711 mu-law WAV with the known step envelope: silence
+   * then full-scale, companded sample by sample through [[ulawEncode]]
+   * into a non-PCM WAV container (format tag 7) — so the direct PCM
+   * fast path must reject it and the AudioSystem decode path must
+   * DECOMPRESS it back to the envelope (within companding error). */
+  def ulawWavStep(ch: Int, rate: Int, frames: Int): Array[Byte] = {
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+      le16(7) ++ le16(ch) ++ le32(rate) ++ le32(rate * ch) ++ // tag 7 = mu-law
+      le16(ch) ++ le16(8)
+    val samples = new Array[Byte](frames * ch)
+    var f = 0
+    while (f < frames) {
+      val s: Short = if (f < frames / 2) 0 else 32767
+      var c = 0
+      while (c < ch) { samples(f * ch + c) = ulawEncode(s); c += 1 }
+      f += 1
+    }
+    val data = "data".getBytes("US-ASCII") ++ le32(samples.length) ++ samples
+    val body = "WAVE".getBytes("US-ASCII") ++ fmt ++ data
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+
   def truncatedWav(): Array[Byte] =
     "RIFF".getBytes("US-ASCII") ++ le32(36) ++ "WA".getBytes("US-ASCII")
 

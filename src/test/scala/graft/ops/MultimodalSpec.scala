@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.SparkSpec
 import graft.ops.Multimodal.{AvHeaders, ImageHeaders}
-import graft.tools.{AvFixture, MediaFixture}
+import graft.tools.{AvFixture, MediaFixture, Mp4Fixture}
 
 class MultimodalSpec extends SparkSpec {
 
@@ -238,7 +238,11 @@ class MultimodalSpec extends SparkSpec {
       AvFixture.wav(0), AvFixture.gif(1), AvFixture.bmp(2),
       AvFixture.wavStep(1, 8000, 16, 64),
       MediaFixture.realImage(8, 8, "png"),
-      AvFixture.animatedGif(8, 8, 2)
+      AvFixture.animatedGif(8, 8, 2),
+      AvFixture.aiffStep(1, 8000, 64),
+      AvFixture.auStep(1, 8000, 64),
+      AvFixture.ulawWavStep(1, 8000, 64),
+      Mp4Fixture.mp4(0), Mp4Fixture.mp4(5), Mp4Fixture.truncated()
     ).flatMap { base =>
       (0 until 8).map { _ =>
         val m = base.clone()
@@ -257,6 +261,7 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.ImageHeaders.imageMeta(b)    // must not throw
       Multimodal.AvHeaders.avMeta(b)          // must not throw
       Multimodal.MediaCodec.decodeGifFrames(b) // must not throw
+      Multimodal.MediaCodec.decodeAudioSampled(b) // must not throw
     }
   }
 
@@ -279,6 +284,117 @@ class MultimodalSpec extends SparkSpec {
     huge(16) = 0xf0.toByte; huge(17) = 0xff.toByte
     huge(18) = 0xff.toByte; huge(19) = 0x7f.toByte // len = 0x7ffffff0
     assert(AvHeaders.avMeta(huge).isEmpty)
+  }
+
+  test("audio decode: REAL AIFF and AU sample decode through the JDK sound stack") {
+    // the same silence→full-scale step as the WAV case, but stored
+    // big-endian in containers the direct PCM parser does NOT read —
+    // only a real AudioSystem decode recovers the envelope
+    for ((name, bytes) <- Seq(
+      "aiff mono" -> AvFixture.aiffStep(1, 8000, 320),
+      "aiff stereo" -> AvFixture.aiffStep(2, 8000, 320),
+      "au mono" -> AvFixture.auStep(1, 8000, 320))) {
+      assert(Multimodal.MediaCodec.decodeAudio(bytes).isEmpty, s"$name: PCM-WAV fast path must not claim it")
+      val env = Multimodal.MediaCodec.decodeAudioSampled(bytes)
+      assert(env.isDefined, s"$name did not decode")
+      val e = env.get
+      (0 until 8).foreach(i => assert(math.abs(e(i)) < 0.01f, s"$name cell $i = ${e(i)}"))
+      (8 until 16).foreach(i => assert(math.abs(e(i) - 1f) < 0.01f, s"$name cell $i = ${e(i)}"))
+      // decode() routes these containers to the sampled path
+      assert(Multimodal.MediaCodec.decode(bytes).toSeq == e.toSeq, name)
+    }
+  }
+
+  test("audio decode: G.711 mu-law WAV is a REAL compressed-codec decode path") {
+    val bytes = AvFixture.ulawWavStep(1, 8000, 320)
+    // the container is WAV but the payload is companded: the direct
+    // PCM parser must reject it (audioFormat != 1) ...
+    assert(Multimodal.MediaCodec.decodeAudio(bytes).isEmpty)
+    val meta = AvHeaders.avMeta(bytes)
+    assert(meta.exists(_.format == "wav")) // the RIFF walk still reads the header
+    // ... and the AudioSystem path must DECOMPRESS it: mu-law's
+    // logarithmic quantisation keeps full-scale within ~2%
+    val env = Multimodal.MediaCodec.decodeAudioSampled(bytes)
+    assert(env.isDefined, "mu-law WAV did not decode")
+    val e = env.get
+    (0 until 8).foreach(i => assert(math.abs(e(i)) < 0.02f, s"cell $i = ${e(i)}"))
+    (8 until 16).foreach(i => assert(math.abs(e(i) - 1f) < 0.05f, s"cell $i = ${e(i)}"))
+    assert(Multimodal.MediaCodec.decode(bytes).toSeq == e.toSeq)
+    // junk and truncated containers stay None on the sampled path too
+    assert(Multimodal.MediaCodec.decodeAudioSampled(AvFixture.junk(5)).isEmpty)
+    assert(Multimodal.MediaCodec.decodeAudioSampled(AvFixture.truncatedWav()).isEmpty)
+    assert(Multimodal.MediaCodec.decodeAudioSampled(null).isEmpty)
+  }
+
+  test("AIFF and AU header parse: COMM 80-bit extended rate, .snd BE words") {
+    val aiff = AvHeaders.avMeta(AvFixture.aiffStep(2, 44100, 441)).get
+    assert(aiff.format == "aiff")
+    assert(aiff.channels.contains(2))
+    assert(aiff.sampleRate.contains(44100)) // through the 80-bit extended float
+    assert(aiff.bitsPerSample.contains(16))
+    assert(aiff.durationMs.contains(10L)) // 441 frames / 44100 Hz
+    val au = AvHeaders.avMeta(AvFixture.auStep(1, 8000, 4000)).get
+    assert(au.format == "au")
+    assert(au.channels.contains(1))
+    assert(au.sampleRate.contains(8000))
+    assert(au.bitsPerSample.contains(16))
+    assert(au.durationMs.contains(500L)) // 4000 frames / 8000 Hz
+  }
+
+  test("MP4 box walk: v0 and v1 mvhd, free-box shift, 16.16 tkhd dims, truncation") {
+    val v0 = AvHeaders.avMeta(Mp4Fixture.mp4(0)).get // id%4==0 → mvhd v0
+    assert(v0.format == "mp4")
+    assert(v0.width.contains(Mp4Fixture.width(0)))
+    assert(v0.height.contains(Mp4Fixture.height(0)))
+    assert(v0.durationMs.contains(
+      Mp4Fixture.duration(0) * 1000L / Mp4Fixture.timescale(0)))
+    val v1 = AvHeaders.avMeta(Mp4Fixture.mp4(5)).get // id%4==1 → mvhd v1
+    assert(v1.width.contains(Mp4Fixture.width(5)))
+    assert(v1.durationMs.contains(
+      Mp4Fixture.duration(5) * 1000L / Mp4Fixture.timescale(5)))
+    // ftyp-only (moov cut away in transfer): format proven, fields NULL
+    val cut = AvHeaders.avMeta(Mp4Fixture.truncated()).get
+    assert(cut == Multimodal.AvMeta("mp4"))
+    // no ftyp at offset 4: not BMFF at all
+    assert(AvHeaders.avMeta(Mp4Fixture.junk(7)).isEmpty)
+    // a box whose declared size overruns the buffer stops the walk
+    // (fields lost, no exception); the ftyp identity survives
+    val overrun = Mp4Fixture.mp4(0)
+    overrun(16) = 0x7f.toByte // free box size → huge
+    assert(AvHeaders.avMeta(overrun).contains(Multimodal.AvMeta("mp4")))
+    // size=0 (to-end) and size<8 (corrupt) boxes terminate cleanly
+    val zeroSize = Mp4Fixture.mp4(0)
+    zeroSize(16) = 0; zeroSize(17) = 0; zeroSize(18) = 0; zeroSize(19) = 0
+    AvHeaders.avMeta(zeroSize) // must not throw
+    val tiny = Mp4Fixture.mp4(0)
+    tiny(19) = 4 // free box size 4 < 8: zero-progress guard trips
+    AvHeaders.avMeta(tiny) // must not throw
+  }
+
+  test("avMetaTable parses the MP4 fixture rows per the generator's ground truth") {
+    import spark.implicits._
+    val rows = (0L until 64L).map { id =>
+      val (mime, bytes) = Mp4Fixture.row(id)
+      (id, mime, bytes)
+    }
+    val out = Multimodal.avMetaTable(spark, rows.toDF("media_id", "mime_type", "media"))
+      .collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    (0L until 64L).foreach { id =>
+      val r = out(id)
+      if (id % 8 == 7) assert(r.isNullAt(r.fieldIndex("format")), s"id=$id")
+      else if (id % 8 == 3) {
+        assert(r.getAs[String]("format") == "mp4", s"id=$id")
+        assert(r.isNullAt(r.fieldIndex("width")), s"id=$id")
+        assert(r.isNullAt(r.fieldIndex("duration_ms")), s"id=$id")
+      } else {
+        assert(r.getAs[String]("format") == "mp4", s"id=$id")
+        assert(r.getAs[Int]("width") == Mp4Fixture.width(id), s"id=$id")
+        assert(r.getAs[Int]("height") == Mp4Fixture.height(id), s"id=$id")
+        assert(r.getAs[Long]("duration_ms") ==
+          Mp4Fixture.duration(id) * 1000L / Mp4Fixture.timescale(id), s"id=$id")
+        assert(r.isNullAt(r.fieldIndex("channels")), s"id=$id")
+      }
+    }
   }
 
   test("avMetaTable parses the AV fixture rows per the generator's ground truth") {
