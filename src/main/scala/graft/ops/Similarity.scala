@@ -451,6 +451,42 @@ object Similarity {
   }
 
   /**
+   * Streaming face of the persisted IVF index: a QUERY STREAM (rows of
+   * `vec_id`, `embedding`) is answered per micro-batch against the
+   * index at `indexDir`, each trigger's top-k landing under
+   * `outDir/batch_id=<n>` (per-batch OVERWRITE, so a replayed trigger
+   * is idempotent — same at-least-once-execution / exactly-once-output
+   * discipline as the streaming near-dedup writer). This is the
+   * online-serving shape of ANN at scale: the corpus-wide work
+   * (assignment, layout) happened ONCE at [[writeIvfIndex]] time;
+   * each trigger pays only centroid ranking over its own queries plus
+   * a partition-pruned read of the probed cells.
+   *
+   * Scale shape per trigger: the batch's probe-cell set (≤
+   * nQueries·nProbe ids) is collected and pushed as a partition
+   * filter, so a trigger reads at most nProbe/nLists of the index
+   * regardless of corpus size; the batch side broadcasts into the
+   * pruned scan ([[ivfIndexTopK]]'s plan, pinned in PlanAuditSpec).
+   * The index DataFrame is constructed once outside the loop — its
+   * file listing is reused across triggers, only the partition filter
+   * changes.
+   */
+  def ivfStreamingTopK(queries: DataFrame, indexDir: String, outDir: String,
+      checkpoint: String, k: Int = 10, nLists: Int = 16,
+      nProbe: Int = 4): org.apache.spark.sql.streaming.StreamingQuery = {
+    val index = queries.sparkSession.read.parquet(indexDir)
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          ivfIndexTopK(index, batch, k, nLists, nProbe)
+            .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        ()
+      }
+      .start()
+  }
+
+  /**
    * kNN label vote: predict each query vector's label by majority vote
    * of its k nearest corpus neighbors (cosine), with a deterministic
    * (votes desc, label asc) tie-break — the standard embedding-space

@@ -117,6 +117,40 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"PQ recall@10 = $recall")
   }
 
+  test("streaming IVF queries match the batch index face, idempotent per-batch output") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val root = java.nio.file.Files.createTempDirectory("ivfstream").toString
+    val indexDir = s"$root/index"
+    Similarity.writeIvfIndex(emb, indexDir)
+    // two trigger-sized query batches, replayed from the fixture rows
+    val fixture = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getSeq[Float](1)))
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val outDir = s"$root/out"
+    val query = Similarity.ivfStreamingTopK(
+      stream.toDF().toDF("vec_id", "embedding"), indexDir, outDir, s"$root/ck")
+    try {
+      stream.addData(fixture.filter(_._1 < 10).toSeq)
+      query.processAllAvailable()
+      stream.addData(fixture.filter(t => t._1 >= 10 && t._1 < 20).toSeq)
+      query.processAllAvailable()
+    } finally query.stop()
+    // each trigger's output equals the batch face over the same queries
+    val index = spark.read.parquet(indexDir)
+    def tops(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("sim"), r.getAs[Int]("rank"))).toSet
+    val batch0 = tops(spark.read.parquet(s"$outDir/batch_id=0"))
+    val batch1 = tops(spark.read.parquet(s"$outDir/batch_id=1"))
+    assert(batch0 == tops(Similarity.ivfIndexTopK(index, emb.filter(col("vec_id") < 10))))
+    assert(batch1 == tops(Similarity.ivfIndexTopK(
+      index, emb.filter(col("vec_id") >= 10 && col("vec_id") < 20))))
+    assert((batch0.map(_._1) & batch1.map(_._1)).isEmpty) // distinct query sets
+  }
+
   test("ensureIvfIndex: distinct fixtures get distinct dirs; stale dirs are reclaimed") {
     import java.nio.file.{Files, StandardCopyOption}
     // two on-disk copies of the same fixture with deliberately distinct
