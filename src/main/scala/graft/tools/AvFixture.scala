@@ -193,27 +193,54 @@ object AvFixture {
     (~(sign | (exponent << 4) | mantissa)).toByte
   }
 
-  /** A REAL G.711 mu-law WAV with the known step envelope: silence
-   * then full-scale, companded sample by sample through [[ulawEncode]]
-   * into a non-PCM WAV container (format tag 7) — so the direct PCM
-   * fast path must reject it and the AudioSystem decode path must
-   * DECOMPRESS it back to the envelope (within companding error). */
-  def ulawWavStep(ch: Int, rate: Int, frames: Int): Array[Byte] = {
+  /** G.711 A-law encode of one 16-bit sample — the public standard's
+   * segment/interval companding with the 0x55 toggle mask. Like
+   * [[ulawEncode]], encoded here so the fixture is deterministic and
+   * the engine's JDK DECODER round-trips against it. */
+  def alawEncode(s: Short): Byte = {
+    var sample = s.toInt
+    val sign = if (sample >= 0) 0x80 else { sample = -sample; 0 }
+    if (sample > 32635) sample = 32635
+    val v =
+      if (sample < 256) (sample >> 4) & 0x0f
+      else {
+        var exponent = 7
+        var mask = 0x4000
+        while (exponent > 0 && (sample & mask) == 0) { exponent -= 1; mask >>= 1 }
+        (exponent << 4) | ((sample >> (exponent + 3)) & 0x0f)
+      }
+    ((v | sign) ^ 0x55).toByte
+  }
+
+  private def companderWavStep(formatTag: Int, encode: Short => Byte,
+      ch: Int, rate: Int, frames: Int): Array[Byte] = {
     val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++
-      le16(7) ++ le16(ch) ++ le32(rate) ++ le32(rate * ch) ++ // tag 7 = mu-law
+      le16(formatTag) ++ le16(ch) ++ le32(rate) ++ le32(rate * ch) ++
       le16(ch) ++ le16(8)
     val samples = new Array[Byte](frames * ch)
     var f = 0
     while (f < frames) {
       val s: Short = if (f < frames / 2) 0 else 32767
       var c = 0
-      while (c < ch) { samples(f * ch + c) = ulawEncode(s); c += 1 }
+      while (c < ch) { samples(f * ch + c) = encode(s); c += 1 }
       f += 1
     }
     val data = "data".getBytes("US-ASCII") ++ le32(samples.length) ++ samples
     val body = "WAVE".getBytes("US-ASCII") ++ fmt ++ data
     "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
   }
+
+  /** A REAL G.711 mu-law WAV with the known step envelope: silence
+   * then full-scale, companded sample by sample through [[ulawEncode]]
+   * into a non-PCM WAV container (format tag 7) — so the direct PCM
+   * fast path must reject it and the AudioSystem decode path must
+   * DECOMPRESS it back to the envelope (within companding error). */
+  def ulawWavStep(ch: Int, rate: Int, frames: Int): Array[Byte] =
+    companderWavStep(7, ulawEncode, ch, rate, frames)
+
+  /** The A-law twin of [[ulawWavStep]] (WAV format tag 6). */
+  def alawWavStep(ch: Int, rate: Int, frames: Int): Array[Byte] =
+    companderWavStep(6, alawEncode, ch, rate, frames)
 
   def truncatedWav(): Array[Byte] =
     "RIFF".getBytes("US-ASCII") ++ le32(36) ++ "WA".getBytes("US-ASCII")

@@ -218,6 +218,56 @@ object ScaleProbe {
     }
     timedVecs("ivf_index_query")(graft.ops.Similarity.ivfIndexTopK(
       spark.read.parquet(ivfDir), vecs.filter(col("vec_id") < 20)).count())
+
+    // streaming face: three 20-query triggers against the same 100k-vec
+    // index — per-trigger cost is centroid ranking over 20 queries + a
+    // pruned read of ≤ nProbe/nLists of the index, so it must stay flat
+    {
+      implicit val sqlCtx = spark.sqlContext
+      val qfix = vecs.filter(col("vec_id") < 60)
+        .collect().map(r => (r.getAs[Long]("vec_id"), r.getSeq[Double](1).map(_.toFloat)))
+      val sroot = java.nio.file.Files.createTempDirectory("scale_ivfs").toString
+      val qstream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+      val squery = graft.ops.Similarity.ivfStreamingTopK(
+        qstream.toDF().toDF("vec_id", "embedding"), ivfDir, s"$sroot/out", s"$sroot/ck")
+      try {
+        (0 until 3).foreach { b =>
+          qstream.addData(qfix.slice(b * 20, (b + 1) * 20).toSeq)
+          val t0 = System.nanoTime()
+          squery.processAllAvailable()
+          val dt = (System.nanoTime() - t0) / 1e9
+          println(f"[scale] ivf_stream_trigger_$b%-5s $dt%8.2f s  (20 queries)")
+        }
+      } finally squery.stop()
+    }
+    vecs.unpersist()
+
+    // ---- media decode throughput (partition-local, blobs never
+    // shuffle): 50k rows cycling real containers — PCM WAV, animated
+    // GIF (per-frame pixel decode), mu-law WAV (JDK decompression),
+    // and junk (byte-hash fallback) ----------------------------------
+    {
+      import spark.implicits._
+      val nMedia = 50000L
+      val templates = Seq(
+        AvFixture.wavStep(2, 8000, 16, 4000),
+        AvFixture.animatedGif(64, 64, 2),
+        AvFixture.ulawWavStep(1, 8000, 8000),
+        AvFixture.junk(3))
+      val tb = spark.sparkContext.broadcast(templates)
+      val media = spark.range(nMedia)
+        .map(id => (id, "application/octet-stream", tb.value((id % 4).toInt)))
+        .toDF("media_id", "mime_type", "media").cache()
+      media.count()
+      timedAs("blobs", nMedia)("media_decode") {
+        graft.ops.Multimodal.extractFeatures(spark, media)
+          .filter(_.feature.nonEmpty).count()
+      }
+      timedAs("blobs", nMedia)("media_av_meta") {
+        graft.ops.Multimodal.avMetaTable(spark, media).filter(col("format").isNotNull).count()
+      }
+      media.unpersist()
+    }
     spark.stop()
   }
 }

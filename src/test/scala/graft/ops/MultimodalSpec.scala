@@ -320,6 +320,14 @@ class MultimodalSpec extends SparkSpec {
     (0 until 8).foreach(i => assert(math.abs(e(i)) < 0.02f, s"cell $i = ${e(i)}"))
     (8 until 16).foreach(i => assert(math.abs(e(i) - 1f) < 0.05f, s"cell $i = ${e(i)}"))
     assert(Multimodal.MediaCodec.decode(bytes).toSeq == e.toSeq)
+    // the A-law twin decompresses the same way (format tag 6; A-law's
+    // max quantisation error at full scale is also ~2%)
+    val alaw = AvFixture.alawWavStep(2, 8000, 320)
+    assert(Multimodal.MediaCodec.decodeAudio(alaw).isEmpty)
+    val aEnv = Multimodal.MediaCodec.decodeAudioSampled(alaw)
+    assert(aEnv.isDefined, "A-law WAV did not decode")
+    (0 until 8).foreach(i => assert(math.abs(aEnv.get(i)) < 0.02f, s"alaw cell $i = ${aEnv.get(i)}"))
+    (8 until 16).foreach(i => assert(math.abs(aEnv.get(i) - 1f) < 0.05f, s"alaw cell $i = ${aEnv.get(i)}"))
     // junk and truncated containers stay None on the sampled path too
     assert(Multimodal.MediaCodec.decodeAudioSampled(AvFixture.junk(5)).isEmpty)
     assert(Multimodal.MediaCodec.decodeAudioSampled(AvFixture.truncatedWav()).isEmpty)
