@@ -286,49 +286,51 @@ class MultimodalSpec extends SparkSpec {
     assert(AvHeaders.avMeta(huge).isEmpty)
   }
 
-  test("audio decode: REAL AIFF and AU sample decode through the JDK sound stack") {
+  test("audio decode: REAL AIFF and AU sample decode, direct parser vs JDK stack parity") {
     // the same silence→full-scale step as the WAV case, but stored
-    // big-endian in containers the direct PCM parser does NOT read —
-    // only a real AudioSystem decode recovers the envelope
+    // big-endian in AIFF/AU containers. The direct parsers decode it
+    // lock-free; the AudioSystem residual path must agree with them
+    // (two independent implementations of the same public formats).
     for ((name, bytes) <- Seq(
       "aiff mono" -> AvFixture.aiffStep(1, 8000, 320),
       "aiff stereo" -> AvFixture.aiffStep(2, 8000, 320),
       "au mono" -> AvFixture.auStep(1, 8000, 320))) {
-      assert(Multimodal.MediaCodec.decodeAudio(bytes).isEmpty, s"$name: PCM-WAV fast path must not claim it")
-      val env = Multimodal.MediaCodec.decodeAudioSampled(bytes)
-      assert(env.isDefined, s"$name did not decode")
+      val env = Multimodal.MediaCodec.decodeAudio(bytes)
+      assert(env.isDefined, s"$name did not decode on the direct path")
       val e = env.get
       (0 until 8).foreach(i => assert(math.abs(e(i)) < 0.01f, s"$name cell $i = ${e(i)}"))
       (8 until 16).foreach(i => assert(math.abs(e(i) - 1f) < 0.01f, s"$name cell $i = ${e(i)}"))
-      // decode() routes these containers to the sampled path
+      val viaJdk = Multimodal.MediaCodec.decodeAudioSampled(bytes)
+      assert(viaJdk.isDefined, s"$name did not decode via AudioSystem")
+      e.zip(viaJdk.get).zipWithIndex.foreach { case ((a, b), i) =>
+        assert(math.abs(a - b) < 1e-4f, s"$name cell $i direct=$a jdk=$b") }
       assert(Multimodal.MediaCodec.decode(bytes).toSeq == e.toSeq, name)
     }
   }
 
-  test("audio decode: G.711 mu-law WAV is a REAL compressed-codec decode path") {
-    val bytes = AvFixture.ulawWavStep(1, 8000, 320)
-    // the container is WAV but the payload is companded: the direct
-    // PCM parser must reject it (audioFormat != 1) ...
-    assert(Multimodal.MediaCodec.decodeAudio(bytes).isEmpty)
-    val meta = AvHeaders.avMeta(bytes)
-    assert(meta.exists(_.format == "wav")) // the RIFF walk still reads the header
-    // ... and the AudioSystem path must DECOMPRESS it: mu-law's
-    // logarithmic quantisation keeps full-scale within ~2%
-    val env = Multimodal.MediaCodec.decodeAudioSampled(bytes)
-    assert(env.isDefined, "mu-law WAV did not decode")
-    val e = env.get
-    (0 until 8).foreach(i => assert(math.abs(e(i)) < 0.02f, s"cell $i = ${e(i)}"))
-    (8 until 16).foreach(i => assert(math.abs(e(i) - 1f) < 0.05f, s"cell $i = ${e(i)}"))
-    assert(Multimodal.MediaCodec.decode(bytes).toSeq == e.toSeq)
-    // the A-law twin decompresses the same way (format tag 6; A-law's
-    // max quantisation error at full scale is also ~2%)
-    val alaw = AvFixture.alawWavStep(2, 8000, 320)
-    assert(Multimodal.MediaCodec.decodeAudio(alaw).isEmpty)
-    val aEnv = Multimodal.MediaCodec.decodeAudioSampled(alaw)
-    assert(aEnv.isDefined, "A-law WAV did not decode")
-    (0 until 8).foreach(i => assert(math.abs(aEnv.get(i)) < 0.02f, s"alaw cell $i = ${aEnv.get(i)}"))
-    (8 until 16).foreach(i => assert(math.abs(aEnv.get(i) - 1f) < 0.05f, s"alaw cell $i = ${aEnv.get(i)}"))
-    // junk and truncated containers stay None on the sampled path too
+  test("audio decode: G.711 mu-law and A-law WAV are REAL compressed-codec decode paths") {
+    for ((name, bytes, tag) <- Seq(
+      ("mu-law", AvFixture.ulawWavStep(1, 8000, 320), 7),
+      ("a-law", AvFixture.alawWavStep(2, 8000, 320), 6))) {
+      val meta = AvHeaders.avMeta(bytes)
+      assert(meta.exists(_.format == "wav"), name) // RIFF walk reads the header
+      // the direct path DECOMPRESSES the companded payload through the
+      // G.711 expansion tables: logarithmic quantisation keeps
+      // full-scale within ~2%
+      val env = Multimodal.MediaCodec.decodeAudio(bytes)
+      assert(env.isDefined, s"$name WAV did not decode")
+      val e = env.get
+      (0 until 8).foreach(i => assert(math.abs(e(i)) < 0.02f, s"$name cell $i = ${e(i)}"))
+      (8 until 16).foreach(i => assert(math.abs(e(i) - 1f) < 0.05f, s"$name cell $i = ${e(i)}"))
+      assert(Multimodal.MediaCodec.decode(bytes).toSeq == e.toSeq, name)
+      // the JDK's own G.711 decoder agrees with the table expansion
+      val viaJdk = Multimodal.MediaCodec.decodeAudioSampled(bytes)
+      assert(viaJdk.isDefined, s"$name did not decode via AudioSystem")
+      e.zip(viaJdk.get).zipWithIndex.foreach { case ((a, b), i) =>
+        assert(math.abs(a - b) < 1e-3f, s"$name cell $i direct=$a jdk=$b") }
+    }
+    // junk and truncated containers stay None on both audio paths
+    assert(Multimodal.MediaCodec.decodeAudio(AvFixture.junk(5)).isEmpty)
     assert(Multimodal.MediaCodec.decodeAudioSampled(AvFixture.junk(5)).isEmpty)
     assert(Multimodal.MediaCodec.decodeAudioSampled(AvFixture.truncatedWav()).isEmpty)
     assert(Multimodal.MediaCodec.decodeAudioSampled(null).isEmpty)
