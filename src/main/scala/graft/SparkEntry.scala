@@ -271,6 +271,12 @@ object SparkEntry {
     // dimensions) over the binary MP4 fixture; the oracle re-parses
     // the same blobs with DuckDB big-endian hex arithmetic
     "q_m4_mp4_meta" -> ((s, _) => Multimodal.avMetaTable(s, Tables.mp4(s))),
+    // q_m5: REAL audio-container decode beyond plain PCM WAV — AIFF
+    // COMM (80-bit extended sample rate), AU BE header words, and
+    // G.711 companded WAV (format tags 6/7); the oracle re-parses the
+    // same blobs with DuckDB hex arithmetic, including the extended
+    // float's exponent/mantissa expansion
+    "q_m5_audio_meta" -> ((s, _) => Multimodal.avMetaTable(s, Tables.audio(s))),
     // q_x20: MOSS-style cross-doc copy detection — winnow fingerprint
     // overlap with stop-fingerprint (df cap) pruning + containment
     "q_x20_copy_pairs" -> ((s, d) =>
@@ -959,6 +965,68 @@ object SparkEntry {
          |   CAST(NULL AS INTEGER) AS bits,
          |   CASE WHEN is_mp4 AND full_row
          |     THEN CAST(dur * 1000 // ts AS BIGINT) END AS duration_ms
+         | FROM f""".stripMargin,
+    // q_m5: the oracle re-parses AIFF (big-endian; the 80-bit extended
+    // sample rate expands as mantissa-top-32 * 2^(exp-16383-31)), AU
+    // (five BE32 header words) and companded WAV (LE fmt fields) at
+    // the writers' layout-contract offsets (JDK AIFF writer: COMM at
+    // byte 12, rate at 28; JDK AU writer: data at 24; our companded
+    // WAV: fmt at 12, data at 36). Truncated/junk rows (id%8 in (3,7))
+    // parse to NULLs on both engines.
+    "q_m5_audio_meta" ->
+      s"""WITH m AS (SELECT media_id, mime_type, hex(media) AS h,
+         |                  octet_length(media) AS n
+         |           FROM read_parquet('${Tables.audioFixturePath}')),
+         | t AS (SELECT m.*,
+         |         (media_id % 8 <> 3 AND media_id % 8 <> 7) AS full_row,
+         |         (substr(h, 1, 8) = '464F524D' AND n >= 12
+         |           AND substr(h, 17, 8) = '41494646') AS is_aiff,
+         |         (substr(h, 1, 8) = '2E736E64') AS is_au,
+         |         (substr(h, 1, 8) = '52494646' AND n >= 12
+         |           AND substr(h, 17, 8) = '57415645') AS is_wav
+         |       FROM m),
+         | f AS (SELECT t.*,
+         |         TRY_CAST('0x' || substr(h, 41, 4) AS INTEGER) AS af_ch,
+         |         TRY_CAST('0x' || substr(h, 45, 8) AS BIGINT) AS af_frames,
+         |         TRY_CAST('0x' || substr(h, 53, 4) AS INTEGER) AS af_bits,
+         |         TRY_CAST('0x' || substr(h, 57, 4) AS BIGINT) AS af_exp,
+         |         TRY_CAST('0x' || substr(h, 61, 8) AS BIGINT) AS af_mant,
+         |         TRY_CAST('0x' || substr(h, 17, 8) AS BIGINT) AS au_size,
+         |         TRY_CAST('0x' || substr(h, 33, 8) AS BIGINT) AS au_rate,
+         |         TRY_CAST('0x' || substr(h, 41, 8) AS BIGINT) AS au_ch,
+         |         TRY_CAST('0x' || substr(h, 47, 2) || substr(h, 45, 2) AS INTEGER) AS wv_ch,
+         |         TRY_CAST('0x' || substr(h, 55, 2) || substr(h, 53, 2)
+         |           || substr(h, 51, 2) || substr(h, 49, 2) AS BIGINT) AS wv_rate,
+         |         TRY_CAST('0x' || substr(h, 63, 2) || substr(h, 61, 2)
+         |           || substr(h, 59, 2) || substr(h, 57, 2) AS BIGINT) AS wv_byterate,
+         |         TRY_CAST('0x' || substr(h, 71, 2) || substr(h, 69, 2) AS INTEGER) AS wv_bits,
+         |         TRY_CAST('0x' || substr(h, 87, 2) || substr(h, 85, 2)
+         |           || substr(h, 83, 2) || substr(h, 81, 2) AS BIGINT) AS wv_datalen
+         |       FROM t)
+         | SELECT media_id, mime_type, CAST(n AS BIGINT) AS n_bytes,
+         |   CASE WHEN NOT full_row THEN NULL
+         |        WHEN is_aiff THEN 'aiff' WHEN is_au THEN 'au'
+         |        WHEN is_wav THEN 'wav' END AS format,
+         |   CAST(NULL AS INTEGER) AS width,
+         |   CAST(NULL AS INTEGER) AS height,
+         |   CASE WHEN NOT full_row THEN NULL
+         |        WHEN is_aiff THEN af_ch
+         |        WHEN is_au THEN CAST(au_ch AS INTEGER)
+         |        WHEN is_wav THEN wv_ch END AS channels,
+         |   CASE WHEN NOT full_row THEN NULL
+         |        WHEN is_aiff THEN CAST(round(af_mant * power(2, af_exp - 16383 - 31)) AS INTEGER)
+         |        WHEN is_au THEN CAST(au_rate AS INTEGER)
+         |        WHEN is_wav THEN CAST(wv_rate AS INTEGER) END AS sample_rate,
+         |   CASE WHEN NOT full_row THEN NULL
+         |        WHEN is_aiff THEN af_bits
+         |        WHEN is_au THEN 16
+         |        WHEN is_wav THEN wv_bits END AS bits,
+         |   CASE WHEN NOT full_row THEN NULL
+         |        WHEN is_aiff THEN CAST(round(af_frames * 1000.0
+         |          / (af_mant * power(2, af_exp - 16383 - 31))) AS BIGINT)
+         |        WHEN is_au THEN CAST(au_size * 1000 // (au_rate * au_ch * 2) AS BIGINT)
+         |        WHEN is_wav THEN CAST(wv_datalen * 1000 // wv_byterate AS BIGINT)
+         |   END AS duration_ms
          | FROM f""".stripMargin,
     // q_x19: the oracle runs the IDENTICAL RE2-safe patterns (shared
     // via Pii.categories, so both engines scan the same strings with

@@ -100,6 +100,16 @@ object Tables {
   }
   def mp4(spark: SparkSession): DataFrame = spark.read.parquet(mp4FixturePath)
 
+  /** audio(media_id BIGINT, mime_type STRING, media BINARY) —
+   * repo-local deterministic audio-container fixture
+   * (tools.AudioFixture: AIFF / AU / G.711 mu-law+A-law WAV blobs plus
+   * broken rows). */
+  def audioFixturePath: String = {
+    val local = new java.io.File("fixtures/audio.parquet")
+    if (local.exists) local.getAbsolutePath else "/root/repo/fixtures/audio.parquet"
+  }
+  def audio(spark: SparkSession): DataFrame = spark.read.parquet(audioFixturePath)
+
   /** pii(rec_id BIGINT, text STRING) — repo-local deterministic
    * PII-bearing text fixture (tools.PiiFixture; the driver corpus is
    * digit-free word salad, so identifier scanning needs its own rows). */

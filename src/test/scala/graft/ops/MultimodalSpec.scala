@@ -336,6 +336,34 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.MediaCodec.decodeAudioSampled(null).isEmpty)
   }
 
+  test("G.711 expansion tables match the JDK codec on all 256 code points, both laws") {
+    // one frame per code point: a mono companded WAV whose data chunk
+    // is the bytes 0..255 — decode it through javax.sound's own G.711
+    // decoder and through the direct table path, then compare the
+    // per-frame amplitudes cell by cell. 256 frames over 16 cells =
+    // 16 frames/cell, so any single-code-point disagreement larger
+    // than rounding shows up in its cell mean.
+    for ((name, tag) <- Seq("mu-law" -> 7, "a-law" -> 6)) {
+      val codes = Array.tabulate[Byte](256)(_.toByte)
+      val fmt = {
+        def le16(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
+        def le32(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+        "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(tag) ++ le16(1) ++
+          le32(8000) ++ le32(8000) ++ le16(1) ++ le16(8) ++
+          "data".getBytes("US-ASCII") ++ le32(256) ++ codes
+      }
+      val wav = {
+        def le32(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+        "RIFF".getBytes("US-ASCII") ++ le32(4 + fmt.length) ++ "WAVE".getBytes("US-ASCII") ++ fmt
+      }
+      val direct = Multimodal.MediaCodec.decodeAudio(wav)
+      val viaJdk = Multimodal.MediaCodec.decodeAudioSampled(wav)
+      assert(direct.isDefined && viaJdk.isDefined, name)
+      direct.get.zip(viaJdk.get).zipWithIndex.foreach { case ((a, b), i) =>
+        assert(math.abs(a - b) < 1e-4f, s"$name cell $i direct=$a jdk=$b") }
+    }
+  }
+
   test("AIFF and AU header parse: COMM 80-bit extended rate, .snd BE words") {
     val aiff = AvHeaders.avMeta(AvFixture.aiffStep(2, 44100, 441)).get
     assert(aiff.format == "aiff")
