@@ -255,6 +255,11 @@ object SparkEntry {
     // window for within-shard positions
     "q_p7_shuffle_shards" -> ((s, d) =>
       Sampling.shuffleShards(Tables.documents(s, d))),
+    // q_p8: concat-and-chunk sequence packing — fixed 512-token
+    // training sequences per source; docs straddling a cut emit one
+    // span row per touched sequence (unlike q_p5's whole-doc shards)
+    "q_p8_pack_sequences" -> ((s, d) =>
+      Sampling.packSequences(Tables.documents(s, d))),
     // ---- training-data pipeline: multimodal plumbing --------------
     "q_m1_media_meta" -> ((s, d) => Multimodal.mediaMeta(Tables.documents(s, d))),
     // q_m2: REAL binary image-header decode (PNG IHDR + JPEG segment
@@ -815,6 +820,24 @@ object SparkEntry {
          |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
          |   FROM t)
          | SELECT doc_id, source, n_tokens, CAST(cum // 500 AS INTEGER) AS shard FROM c""".stripMargin,
+    // q_p8: the same running sum, then each doc explodes into the
+    // 512-token sequences its concatenated span touches — span
+    // arithmetic is pure integer floor division on both engines
+    "q_p8_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+         | c AS (SELECT doc_id, source, n_tokens,
+         |   COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c0
+         |   FROM t WHERE n_tokens > 0),
+         | e AS (SELECT c.*, unnest(generate_series(CAST(c0 // 512 AS BIGINT),
+         |     CAST((c0 + n_tokens - 1) // 512 AS BIGINT))) AS seq_id
+         |   FROM c)
+         | SELECT source, CAST(seq_id AS BIGINT) AS seq_id, doc_id, n_tokens,
+         |   CAST(greatest(0, seq_id * 512 - c0) AS BIGINT) AS tok_start,
+         |   CAST(least(n_tokens, seq_id * 512 + 512 - c0) AS BIGINT) AS tok_end,
+         |   CAST(greatest(0, c0 - seq_id * 512) AS BIGINT) AS seq_off
+         | FROM e""".stripMargin,
     "q_p6_source_cap" ->
       s"""WITH r AS (SELECT doc_id, source,
          |   CAST(ROW_NUMBER() OVER (PARTITION BY source

@@ -161,4 +161,43 @@ object Sampling {
       .withColumn("shard",
         floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / lit(capacity)).cast("int"))
   }
+
+  /**
+   * Concat-and-chunk sequence packing — the standard pretraining
+   * packing: per source, documents are conceptually concatenated in
+   * doc_id order and cut into fixed `window`-token training sequences,
+   * so a document that straddles a cut contributes a SPAN to each
+   * sequence it touches (unlike [[tokenShards]], which moves whole
+   * documents). Emits one row per (doc, sequence) span:
+   * `seq_id` (per-source sequence number), `tok_start`/`tok_end` (the
+   * span inside the doc, end-exclusive) and `seq_off` (where the span
+   * begins inside the sequence). Every sequence except a source's last
+   * is exactly `window` tokens, no padding — reassembling the spans
+   * per seq_id reconstructs the concatenated stream.
+   *
+   * Plan: one running-sum window per source (the sequential semantics
+   * IS the contract, as in [[tokenShards]]) + a map-side explode of
+   * each doc's touched-sequence range — pure integer arithmetic,
+   * no second shuffle, output rows = docs + cut-crossings.
+   */
+  def packSequences(documents: DataFrame, window: Long = 512L): DataFrame = {
+    require(window > 0, s"window must be positive: $window")
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    documents
+      .select(col("doc_id"), col("source"),
+        size(org.apache.spark.sql.functions.split(col("text"), " "))
+          .cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("c0", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_id", explode(sequence(
+        expr(s"c0 div $window"), expr(s"(c0 + n_tokens - 1) div $window"))))
+      .withColumn("seq_start", col("seq_id") * window)
+      .withColumn("tok_start", greatest(lit(0L), col("seq_start") - col("c0")))
+      .withColumn("tok_end",
+        least(col("n_tokens"), col("seq_start") + window - col("c0")))
+      .withColumn("seq_off", greatest(lit(0L), col("c0") - col("seq_start")))
+      .select(col("source"), col("seq_id"), col("doc_id"),
+        col("n_tokens"), col("tok_start"), col("tok_end"), col("seq_off"))
+  }
 }

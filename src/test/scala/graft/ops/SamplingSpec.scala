@@ -132,4 +132,44 @@ class SamplingSpec extends SparkSpec {
       assert(prefix(id) == shard, s"doc $id")
     }
   }
+
+  test("pack sequences: exact window tiling, full doc coverage, straddlers span") {
+    val window = 64L
+    val rows = Sampling.packSequences(docs, window).collect().map(r => (
+      r.getAs[String]("source"), r.getAs[Long]("seq_id"), r.getAs[Long]("doc_id"),
+      r.getAs[Long]("n_tokens"), r.getAs[Long]("tok_start"), r.getAs[Long]("tok_end"),
+      r.getAs[Long]("seq_off")))
+    // every document's spans cover [0, n_tokens) exactly once, in
+    // consecutive sequences, with matching seq offsets
+    rows.groupBy(r => (r._1, r._3)).foreach { case ((src, id), spans) =>
+      val s = spans.sortBy(_._2)
+      assert(s.head._5 == 0L, s"doc $id first span starts at ${s.head._5}")
+      assert(s.last._6 == s.head._4, s"doc $id last span ends at ${s.last._6}")
+      s.zip(s.tail).foreach { case (a, b) =>
+        assert(b._2 == a._2 + 1, s"doc $id skips a sequence")
+        assert(b._5 == a._6, s"doc $id spans not contiguous")
+        assert(b._7 == 0L, s"doc $id later span must start its sequence")
+      }
+      // only the first span of a doc can sit mid-sequence
+      assert(s.head._7 < window)
+    }
+    // every sequence except each source's last is EXACTLY window tokens,
+    // assembled from spans whose offsets tile [0, window)
+    rows.groupBy(r => (r._1, r._2)).foreach { case ((src, seq), spans) =>
+      val lastSeq = rows.filter(_._1 == src).map(_._2).max
+      val total = spans.map(s => s._6 - s._5).sum
+      if (seq < lastSeq)
+        assert(total == window, s"$src seq $seq holds $total tokens")
+      else assert(total <= window)
+      val sorted = spans.sortBy(_._7)
+      assert(sorted.head._7 == 0L)
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(b._7 == a._7 + (a._6 - a._5), s"$src seq $seq offsets don't tile")
+      }
+    }
+    // total packed tokens equal total corpus tokens (nothing lost/padded)
+    val corpusTokens = docs.select(size(split(col("text"), " ")).cast("long"))
+      .collect().map(_.getLong(0)).sum
+    assert(rows.map(r => r._6 - r._5).sum == corpusTokens)
+  }
 }
