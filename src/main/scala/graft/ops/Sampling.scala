@@ -200,4 +200,60 @@ object Sampling {
       .select(col("source"), col("seq_id"), col("doc_id"),
         col("n_tokens"), col("tok_start"), col("tok_end"), col("seq_off"))
   }
+
+  /** One packed span: [[packSequences]]' output row shape, shared by
+   * the batch and streaming faces. */
+  case class PackedSpan(source: String, seq_id: Long, doc_id: Long,
+      n_tokens: Long, tok_start: Long, tok_end: Long, seq_off: Long)
+
+  /**
+   * Streaming face of [[packSequences]]: the per-source token cursor
+   * lives in 8 bytes of group state, so an unbounded document stream
+   * packs into the same fixed-window sequences with no growing state
+   * and no retraction — spans are append-only, each micro-batch
+   * extends the concatenated stream where the last one stopped.
+   * Within a trigger, documents pack in doc_id order; ACROSS triggers
+   * the arrival order is the packing order (the same append-only
+   * input contract as the retention streaming face). When documents
+   * arrive in doc_id order the output equals the batch face exactly
+   * (parity-pinned in SamplingSpec).
+   *
+   * Scale shape: one keyed shuffle per trigger (by source — the
+   * sequential packing semantics IS the partition contract, as in the
+   * batch face), state is one Long per source, output rows =
+   * docs + cut-crossings.
+   */
+  def packSequencesStreaming(documents: DataFrame,
+      window: Long = 512L): org.apache.spark.sql.Dataset[PackedSpan] = {
+    require(window > 0, s"window must be positive: $window")
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents
+      .select(col("source"), col("doc_id").cast("long"),
+        size(org.apache.spark.sql.functions.split(col("text"), " "))
+          .cast("long").as("n_tokens"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (source: String, it: Iterator[(String, Long, Long)], state: GroupState[Long]) => {
+          var cum = state.getOption.getOrElse(0L)
+          val out = it.toVector.sortBy(_._2).iterator.flatMap { case (_, docId, n) =>
+            if (n <= 0) Iterator.empty
+            else {
+              val c0 = cum
+              cum += n
+              (c0 / window to (c0 + n - 1) / window).iterator.map { seq =>
+                val seqStart = seq * window
+                PackedSpan(source, seq, docId, n,
+                  tok_start = math.max(0L, seqStart - c0),
+                  tok_end = math.min(n, seqStart + window - c0),
+                  seq_off = math.max(0L, c0 - seqStart))
+              }
+            }
+          }.toVector
+          state.update(cum)
+          out.iterator
+        })
+  }
 }

@@ -109,6 +109,8 @@ object ScaleProbe {
     // two map-side column pipelines + the dedup shuffle
     timedDocs("ingest_gate_x16")(graft.ops.Ingest.runBatch(
       docs, minQuality = 0.0, langs = graft.ops.TextAnalysis.langMarkers.map(_._1)).count())
+    timedDocs("pack_seqs_p8")(graft.ops.Sampling.packSequences(
+      docs.withColumn("source", pmod(col("doc_id"), lit(20L)).cast("string"))).count())
     // the exported q_d8 path: banded MinHash pair finder (20×2) +
     // connected components + corpus filter — the clean-corpus pipeline
     // end to end at 101k docs

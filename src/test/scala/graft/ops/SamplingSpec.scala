@@ -172,4 +172,31 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sum
     assert(rows.map(r => r._6 - r._5).sum == corpusTokens)
   }
+
+  test("streaming pack sequences equals the batch face on in-order arrival") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val fixture = docs.select("doc_id", "source", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"), r.getAs[String]("text")))
+      .sortBy(_._1)
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
+    val query = Sampling.packSequencesStreaming(
+      stream.toDF().toDF("doc_id", "source", "text"), window = 64L)
+      .writeStream.format("memory").queryName("pack_out").outputMode("append").start()
+    try {
+      // two triggers split mid-corpus: the per-source cursor must carry
+      // across the trigger boundary (a doc straddling it still spans)
+      stream.addData(fixture.take(fixture.length / 2).toSeq)
+      query.processAllAvailable()
+      stream.addData(fixture.drop(fixture.length / 2).toSeq)
+      query.processAllAvailable()
+    } finally query.stop()
+    def key(r: org.apache.spark.sql.Row) = (
+      r.getAs[String]("source"), r.getAs[Long]("seq_id"), r.getAs[Long]("doc_id"),
+      r.getAs[Long]("n_tokens"), r.getAs[Long]("tok_start"), r.getAs[Long]("tok_end"),
+      r.getAs[Long]("seq_off"))
+    val streamed = spark.table("pack_out").collect().map(key).toSet
+    val batch = Sampling.packSequences(docs, window = 64L).collect().map(key).toSet
+    assert(streamed == batch)
+  }
 }
