@@ -195,6 +195,24 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("pack sequences: one source-keyed window shuffle, map-side explode, nothing else") {
+    audited(graft.ops.Sampling.packSequences(Tables.documents(spark, sf))) { plan =>
+      // the running sum is the only exchange; the touched-sequence
+      // explode and all span arithmetic ride map-side above it
+      assert(shuffles(plan).size == 1, s"${shuffles(plan).size} shuffles:\n$plan")
+      assert(plan.toString.contains("hashpartitioning(source"), plan.toString)
+    }
+  }
+
+  test("container metadata decode is pure map-side: zero exchanges over the blobs") {
+    audited(graft.ops.Multimodal.avMetaTable(spark, Tables.mp4(spark))) { plan =>
+      assert(shuffles(plan).isEmpty, s"${shuffles(plan).size} shuffles:\n$plan")
+    }
+    audited(graft.ops.Multimodal.avMetaTable(spark, Tables.audio(spark))) { plan =>
+      assert(shuffles(plan).isEmpty, s"${shuffles(plan).size} shuffles:\n$plan")
+    }
+  }
+
   test("tfidf folds the corpus count in as a broadcast, never a corpus cartesian") {
     audited(TextAnalysis.tfidfTopTerms(Tables.documents(spark, sf))) { plan =>
       // the 1-row n_docs aggregate rides a broadcast nested-loop join;
