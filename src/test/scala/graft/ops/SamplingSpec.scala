@@ -173,6 +173,48 @@ class SamplingSpec extends SparkSpec {
     assert(rows.map(r => r._6 - r._5).sum == corpusTokens)
   }
 
+  test("pack sequences properties hold on random corpora (seeded generators)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val genDocs: Gen[List[(Int, Int, Int)]] = Gen.listOfN(60, for {
+      id <- Gen.choose(0, 1 << 16)
+      src <- Gen.choose(0, 3)
+      words <- Gen.choose(1, 130) // some docs span multiple 32-token windows
+    } yield (id, src, words))
+    (1 to 8).foreach { seed =>
+      val raw = genDocs(Gen.Parameters.default, Seed(seed.toLong))
+        .getOrElse(sys.error("gen failed"))
+        .distinctBy(_._1) // doc_id is the packing order key
+      val df = raw.map { case (id, src, words) =>
+        (id.toLong, s"s$src", Seq.fill(words)("w").mkString(" "))
+      }.toDF("doc_id", "source", "text")
+      val window = 32L
+      val rows = Sampling.packSequences(df, window).collect().map(r => (
+        r.getAs[String]("source"), r.getAs[Long]("seq_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("tok_start"), r.getAs[Long]("tok_end"),
+        r.getAs[Long]("seq_off")))
+      // token conservation
+      assert(rows.map(r => r._6 - r._5).sum == raw.map(_._3.toLong).sum, s"seed=$seed")
+      // per-doc coverage is a contiguous tiling of [0, n)
+      rows.groupBy(r => (r._1, r._3)).foreach { case ((_, id), spans) =>
+        val s = spans.sortBy(_._2)
+        assert(s.head._5 == 0L && s.last._6 == s.head._4, s"seed=$seed doc=$id")
+        s.zip(s.tail).foreach { case (a, b) =>
+          assert(b._2 == a._2 + 1 && b._5 == a._6 && b._7 == 0L, s"seed=$seed doc=$id") }
+      }
+      // every non-final sequence per source is exactly `window` tokens
+      rows.groupBy(_._1).foreach { case (src, srcRows) =>
+        val last = srcRows.map(_._2).max
+        srcRows.groupBy(_._2).foreach { case (seq, spans) =>
+          val total = spans.map(s => s._6 - s._5).sum
+          if (seq < last) assert(total == window, s"seed=$seed $src seq=$seq total=$total")
+          else assert(total <= window, s"seed=$seed $src")
+        }
+      }
+    }
+  }
+
   test("streaming pack sequences equals the batch face on in-order arrival") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
