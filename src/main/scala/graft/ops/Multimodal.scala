@@ -15,12 +15,14 @@ import org.apache.spark.sql.functions._
  * format knowledge, no codec library. Pixel DECODING is real for
  * images: [[MediaCodec.decode]] goes through the JDK's ImageIO
  * readers (PNG/JPEG/GIF/BMP) and reduces pixels to a mean-luminance
- * grid feature. Sample DECODING is real for PCM WAV audio
- * ([[MediaCodec.decodeAudio]] — LE 8/16-bit PCM parsed directly) and
- * for AIFF / AU / companded G.711 mu-law/A-law audio
- * ([[MediaCodec.decodeAudioSampled]] — the JDK sound stack converts
- * to linear PCM; mu-law/A-law are genuinely compressed codecs the JRE
- * decodes natively). Container METADATA is real for MP4/ISO-BMFF,
+ * grid feature. Sample DECODING is real across the classic audio
+ * containers and codecs ([[MediaCodec.decodeAudio]] — direct
+ * lock-free parsers for WAV/AIFF/AU linear PCM, compressed G.711
+ * mu-law/A-law via 256-entry expansion tables, and compressed IMA
+ * ADPCM via the standard's adaptive-step tables — a codec the JDK
+ * itself cannot read; [[MediaCodec.decodeAudioSampled]] keeps the JDK
+ * sound stack as the residual path, parity-pinned against the direct
+ * parsers). Container METADATA is real for MP4/ISO-BMFF,
  * AIFF and AU too ([[AvHeaders.parseMp4]] box walk,
  * [[AvHeaders.parseAiff]] including the 80-bit extended sample rate,
  * [[AvHeaders.parseAu]]). FRAME iteration is real for animated GIF
@@ -259,6 +261,32 @@ object Multimodal {
         })
         (off, len) <- data
       } yield (audioFormat, ch, bits, off, len)
+    }
+
+    /** IMA ADPCM payload locator for WAV format tag 17 with 4-bit
+     * samples: (channels, blockAlign, dataOffset, dataLen). The block
+     * alignment comes from the fmt chunk's own nBlockAlign field —
+     * the block structure is the codec's frame unit. */
+    private[ops] def wavAdpcm(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+      if (b == null || !(tag(b, 0, "RIFF") && tag(b, 8, "WAVE"))) return None
+      var i = 12
+      var fmt: Option[(Int, Int, Int, Int)] = None // format, ch, blockAlign, bits
+      var data: Option[(Int, Int)] = None
+      while (i + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+        val len = le32(b, i + 4)
+        if (len < 0) return None
+        if (tag(b, i, "fmt ") && len >= 16 && i + 8 + 16 <= b.length)
+          fmt = Some((le16(b, i + 8), le16(b, i + 10), le16(b, i + 20), le16(b, i + 22)))
+        else if (tag(b, i, "data"))
+          data = Some((i + 8, len))
+        if (len > b.length - i - 8) i = b.length
+        else i += 8 + len + (len & 1)
+      }
+      for {
+        (format, ch, blockAlign, bits) <- fmt
+        if format == 17 && bits == 4 && ch > 0 && ch <= 2 && blockAlign > 0
+        (off, len) <- data
+      } yield (ch, blockAlign, off, len)
     }
 
     /** PCM payload locator for AIFF: COMM (channels/bits, validated)
@@ -552,6 +580,125 @@ object Multimodal {
         .orElse(decodeAudioSampled(bytes))
         .getOrElse(byteHashFeature(bytes))
 
+    /** IMA/DVI ADPCM step and index tables (public-domain standard —
+     * the classic 4-bit telephony/game codec). Shared by the decoder
+     * here and the fixture encoder (two directions of the same
+     * standard; MultimodalSpec round-trips them). */
+    private[graft] val ImaStepTable: Array[Int] = Array(
+      7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+      34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+      157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544,
+      598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707,
+      1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871,
+      5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635,
+      13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+    private[graft] val ImaIndexTable: Array[Int] =
+      Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+    /** One IMA ADPCM reconstruction step: returns the new predictor
+     * for `nibble` given the current (predictor, stepIndex); the
+     * caller advances stepIndex via [[ImaIndexTable]]. Used by decode
+     * AND the fixture encoder (the standard defines reconstruction
+     * once — the encoder embeds the decoder). */
+    private[graft] def imaReconstruct(predictor: Int, stepIndex: Int, nibble: Int): Int = {
+      val step = ImaStepTable(stepIndex)
+      var vpdiff = step >> 3
+      if ((nibble & 4) != 0) vpdiff += step
+      if ((nibble & 2) != 0) vpdiff += step >> 1
+      if ((nibble & 1) != 0) vpdiff += step >> 2
+      val next = if ((nibble & 8) != 0) predictor - vpdiff else predictor + vpdiff
+      math.max(-32768, math.min(32767, next))
+    }
+
+    /**
+     * REAL IMA ADPCM decode for WAV format tag 17 — a genuinely
+     * compressed (4 bits/sample, adaptive-step DPCM) codec the JDK
+     * sound stack does NOT read, decoded here from the public
+     * standard: per block and channel, a 4-byte header seeds the
+     * predictor/step index, then 4-byte nibble groups interleave
+     * across channels (low nibble first). Reduced to the shared
+     * amplitude envelope. None for non-ADPCM WAV or malformed block
+     * structure — total, never an exception.
+     */
+    private def adpcmEnvelope(bytes: Array[Byte]): Option[Array[Float]] =
+      AvHeaders.wavAdpcm(bytes).flatMap { case (channels, blockAlign, off, len) =>
+        val headerBytes = 4 * channels
+        if (blockAlign <= headerBytes || blockAlign % (4 * channels) != 0) return None
+        val samplesPerBlock = (blockAlign - headerBytes) * 2 / channels + 1
+        val avail = math.min(len, bytes.length - off)
+        val nBlocks = avail / blockAlign
+        val nFrames = nBlocks * samplesPerBlock
+        if (nFrames <= 0) return None
+        val out = new Array[Float](FeatureDim)
+        val counts = new Array[Int](FeatureDim)
+        val predictor = new Array[Int](channels)
+        val stepIdx = new Array[Int](channels)
+        var frame = 0
+        var b = 0
+        while (b < nBlocks) {
+          val blockStart = off + b * blockAlign
+          var c = 0
+          while (c < channels) {
+            val h = blockStart + c * 4
+            predictor(c) = ((bytes(h + 1) << 8) | (bytes(h) & 0xff)).toShort.toInt
+            stepIdx(c) = math.max(0, math.min(88, bytes(h + 2) & 0xff))
+            c += 1
+          }
+          // frame 0 of the block is the header predictor itself
+          def emit(fr: Int, amps: Array[Int]): Unit = {
+            var acc = 0f
+            var k = 0
+            while (k < channels) { acc += math.abs(amps(k) / 32768f); k += 1 }
+            val cell = math.min((fr.toLong * FeatureDim / nFrames).toInt, FeatureDim - 1)
+            out(cell) += acc / channels
+            counts(cell) += 1
+          }
+          emit(frame, predictor)
+          frame += 1
+          // nibble data: 4-byte groups round-robin across channels;
+          // each group holds 8 consecutive samples for its channel
+          val dataBytes = blockAlign - headerBytes
+          val groups = dataBytes / 4
+          val groupSamples = Array.ofDim[Int](channels, 8)
+          var g = 0
+          var emittedInBlock = 1
+          while (g < groups) {
+            val ch = g % channels
+            val gOff = blockStart + headerBytes + g * 4
+            var i = 0
+            while (i < 8) {
+              val byte = bytes(gOff + i / 2) & 0xff
+              val nib = if (i % 2 == 0) byte & 0x0f else byte >> 4
+              predictor(ch) = imaReconstruct(predictor(ch), stepIdx(ch), nib)
+              stepIdx(ch) = math.max(0, math.min(88, stepIdx(ch) + ImaIndexTable(nib)))
+              groupSamples(ch)(i) = predictor(ch)
+              i += 1
+            }
+            // after each full round of channel groups, 8 frames complete
+            if (ch == channels - 1) {
+              var s = 0
+              while (s < 8 && emittedInBlock < samplesPerBlock) {
+                val amps = new Array[Int](channels)
+                var k = 0
+                while (k < channels) { amps(k) = groupSamples(k)(s); k += 1 }
+                emit(frame, amps)
+                frame += 1
+                emittedInBlock += 1
+                s += 1
+              }
+            }
+            g += 1
+          }
+          b += 1
+        }
+        var i = 0
+        while (i < FeatureDim) {
+          if (counts(i) > 0) out(i) /= counts(i)
+          i += 1
+        }
+        Some(out)
+      }
+
     /** G.711 mu-law decode table (256 entries, the public standard's
      * exponent/mantissa expansion) — table decode makes companded
      * audio a LOCK-FREE hot path: routing it through the JDK sound
@@ -617,7 +764,8 @@ object Multimodal {
      * sound stack before the byte-hash fallback).
      */
     def decodeAudio(bytes: Array[Byte]): Option[Array[Float]] =
-      wavEnvelope(bytes).orElse(aiffEnvelope(bytes)).orElse(auEnvelope(bytes))
+      wavEnvelope(bytes).orElse(adpcmEnvelope(bytes))
+        .orElse(aiffEnvelope(bytes)).orElse(auEnvelope(bytes))
 
     private def wavEnvelope(bytes: Array[Byte]): Option[Array[Float]] =
       AvHeaders.wavSamples(bytes).flatMap { case (fmtTag, channels, bits, off, len) =>

@@ -230,6 +230,77 @@ object AvFixture {
     "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
   }
 
+  /** IMA ADPCM encode of one sample against the current
+   * (predictor, stepIndex): returns the 4-bit code. The reconstruction
+   * side lives in [[graft.ops.Multimodal.MediaCodec.imaReconstruct]] —
+   * encoder and decoder share the standard's tables, and the spec
+   * round-trips them. */
+  def imaEncodeNibble(sample: Int, predictor: Int, stepIndex: Int): Int = {
+    val step = graft.ops.Multimodal.MediaCodec.ImaStepTable(stepIndex)
+    var diff = sample - predictor
+    var nib = if (diff < 0) { diff = -diff; 8 } else 0
+    var s = step
+    if (diff >= s) { nib |= 4; diff -= s }
+    s >>= 1
+    if (diff >= s) { nib |= 2; diff -= s }
+    s >>= 1
+    if (diff >= s) nib |= 1
+    nib
+  }
+
+  /**
+   * A REAL IMA ADPCM WAV (format tag 17, 4 bits/sample) with the step
+   * envelope: silence then full-scale, encoded block by block with the
+   * standard's adaptive quantiser — per block and channel a 4-byte
+   * header (raw first sample + step index), then 4-byte nibble groups
+   * round-robin across channels. Block layout: 36*ch bytes →
+   * 65 samples/block; pass `frames` as a multiple of 65 for a clean
+   * step boundary. Note the codec's real slew: the adaptive step
+   * needs ~50 samples to climb from silence to full scale, so the
+   * envelope cell containing the step edge ramps.
+   */
+  def adpcmWavStep(ch: Int, rate: Int, frames: Int): Array[Byte] = {
+    import graft.ops.Multimodal.MediaCodec.{imaReconstruct, ImaIndexTable}
+    val blockAlign = 36 * ch
+    val samplesPerBlock = 65
+    val nBlocks = (frames + samplesPerBlock - 1) / samplesPerBlock
+    def sampleAt(f: Int): Int = if (f < frames / 2) 0 else 32767
+    val data = new java.io.ByteArrayOutputStream()
+    val stepIdx = new Array[Int](ch)
+    var f = 0
+    (0 until nBlocks).foreach { _ =>
+      val first = sampleAt(f)
+      val predictor = Array.fill(ch)(first)
+      (0 until ch).foreach { c =>
+        data.write(first & 0xff); data.write((first >>> 8) & 0xff)
+        data.write(stepIdx(c)); data.write(0)
+      }
+      // 8 rounds of one 4-byte group (8 samples) per channel
+      (0 until 8).foreach { r =>
+        (0 until ch).foreach { c =>
+          var packed = 0L
+          (0 until 8).foreach { i =>
+            val s = sampleAt(f + 1 + r * 8 + i)
+            val nib = imaEncodeNibble(s, predictor(c), stepIdx(c))
+            predictor(c) = imaReconstruct(predictor(c), stepIdx(c), nib)
+            stepIdx(c) = math.max(0, math.min(88, stepIdx(c) + ImaIndexTable(nib)))
+            packed |= (nib.toLong & 0xf) << (i * 4) // low nibble first
+          }
+          (0 until 4).foreach(bi => data.write(((packed >>> (bi * 8)) & 0xff).toInt))
+        }
+      }
+      f += samplesPerBlock
+    }
+    val payload = data.toByteArray
+    val byteRate = rate * blockAlign / samplesPerBlock
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le32(20) ++
+      le16(17) ++ le16(ch) ++ le32(rate) ++ le32(byteRate) ++
+      le16(blockAlign) ++ le16(4) ++ le16(2) ++ le16(samplesPerBlock)
+    val dataChunk = "data".getBytes("US-ASCII") ++ le32(payload.length) ++ payload
+    val body = "WAVE".getBytes("US-ASCII") ++ fmt ++ dataChunk
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+
   /** A REAL G.711 mu-law WAV with the known step envelope: silence
    * then full-scale, companded sample by sample through [[ulawEncode]]
    * into a non-PCM WAV container (format tag 7) — so the direct PCM

@@ -242,6 +242,8 @@ class MultimodalSpec extends SparkSpec {
       AvFixture.aiffStep(1, 8000, 64),
       AvFixture.auStep(1, 8000, 64),
       AvFixture.ulawWavStep(1, 8000, 64),
+      AvFixture.alawWavStep(1, 8000, 64),
+      AvFixture.adpcmWavStep(2, 8000, 130),
       Mp4Fixture.mp4(0), Mp4Fixture.mp4(5), Mp4Fixture.truncated()
     ).flatMap { base =>
       (0 until 8).map { _ =>
@@ -334,6 +336,33 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.MediaCodec.decodeAudioSampled(AvFixture.junk(5)).isEmpty)
     assert(Multimodal.MediaCodec.decodeAudioSampled(AvFixture.truncatedWav()).isEmpty)
     assert(Multimodal.MediaCodec.decodeAudioSampled(null).isEmpty)
+  }
+
+  test("IMA ADPCM WAV is a REAL compressed-codec decode path (mono and stereo)") {
+    // 4-bit adaptive DPCM — a codec the JDK sound stack cannot read at
+    // all; encoder and decoder share the standard's tables and must
+    // round-trip the step envelope. The adaptive quantiser needs ~50
+    // samples to slew from silence to full scale, so the cell holding
+    // the step edge (8) is excluded; 5200 frames = 325 frames/cell
+    // keeps the slew inside that one cell.
+    for (ch <- Seq(1, 2)) {
+      val bytes = AvFixture.adpcmWavStep(ch, 8000, frames = 5200)
+      // the JDK cannot decode it; the metadata walk still reads fmt
+      assert(Multimodal.MediaCodec.decodeAudioSampled(bytes).isEmpty, s"ch=$ch")
+      val meta = AvHeaders.avMeta(bytes).get
+      assert(meta.format == "wav" && meta.channels.contains(ch) &&
+        meta.bitsPerSample.contains(4), s"ch=$ch")
+      val env = Multimodal.MediaCodec.decodeAudio(bytes)
+      assert(env.isDefined, s"ch=$ch ADPCM did not decode")
+      val e = env.get
+      (0 until 8).foreach(i => assert(math.abs(e(i)) < 0.01f, s"ch=$ch cell $i = ${e(i)}"))
+      (9 until 16).foreach(i => assert(math.abs(e(i) - 1f) < 0.02f, s"ch=$ch cell $i = ${e(i)}"))
+      assert(Multimodal.MediaCodec.decode(bytes).toSeq == e.toSeq, s"ch=$ch")
+    }
+    // corrupt block structure stays a fallback, never an exception
+    val bad = AvFixture.adpcmWavStep(1, 8000, 130)
+    bad(32) = 0x01 // blockAlign -> 1+... misaligned
+    Multimodal.MediaCodec.decode(bad) // must not throw
   }
 
   test("G.711 expansion tables match the JDK codec on all 256 code points, both laws") {
