@@ -811,17 +811,21 @@ object Multimodal {
         }
       }
 
-    /** Magic gate for [[decodeAudioSampled]]: only containers the JDK
-     * sound stack actually reads (AIFF/AIFC, AU/SND, WAV) — anything
-     * else skips the AudioSystem sniff entirely, so the common case
-     * (text/junk payloads) never pays exception-control-flow cost. */
+    /** Magic gate for [[decodeAudioSampled]]: only containers where
+     * the JDK sound stack can decode something the direct parsers
+     * don't already cover — AIFC variants and high-resolution AU
+     * encodings. WAV is deliberately ABSENT: the JDK's WAV reader
+     * handles only PCM and G.711, all of which [[decodeAudio]] decodes
+     * directly, so routing any WAV here would re-introduce the
+     * AudioSystem provider lock for formats the stack rejects anyway
+     * (e.g. MS-ADPCM, MP3-in-WAV). Everything else skips the
+     * AudioSystem sniff entirely, so the common case (text/junk
+     * payloads) never pays exception-control-flow cost. */
     private def sampledAudioMagic(b: Array[Byte]): Boolean =
       b.length >= 12 && (
         (b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M' &&
           b(8) == 'A' && b(9) == 'I' && b(10) == 'F') || // AIFF / AIFC
-        (b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd') || // AU
-        (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
-          b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'))
+        (b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd')) // AU
 
     /** Bound on the decoded-PCM bytes [[decodeAudioSampled]] will pull
      * through the converter: the envelope of a longer clip is computed
@@ -844,8 +848,16 @@ object Multimodal {
      * instead. None for anything the stack can't read — total, never
      * an exception.
      */
-    def decodeAudioSampled(bytes: Array[Byte]): Option[Array[Float]] = {
-      if (bytes == null || !sampledAudioMagic(bytes)) return None
+    def decodeAudioSampled(bytes: Array[Byte]): Option[Array[Float]] =
+      if (bytes == null || !sampledAudioMagic(bytes)) None
+      else decodeAudioViaJdk(bytes)
+
+    /** The AudioSystem decode itself, no magic gate — exposed within
+     * the package so the spec can cross-check the direct parsers
+     * against the JDK's decoders on containers (WAV G.711) the
+     * production gate deliberately keeps off this locked path. */
+    private[graft] def decodeAudioViaJdk(bytes: Array[Byte]): Option[Array[Float]] = {
+      if (bytes == null) return None
       try {
         val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(bytes))

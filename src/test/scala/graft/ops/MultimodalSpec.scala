@@ -326,7 +326,9 @@ class MultimodalSpec extends SparkSpec {
       (8 until 16).foreach(i => assert(math.abs(e(i) - 1f) < 0.05f, s"$name cell $i = ${e(i)}"))
       assert(Multimodal.MediaCodec.decode(bytes).toSeq == e.toSeq, name)
       // the JDK's own G.711 decoder agrees with the table expansion
-      val viaJdk = Multimodal.MediaCodec.decodeAudioSampled(bytes)
+      // (via the ungated seam: the production gate keeps WAV off the
+      // locked AudioSystem path since the direct parsers cover it)
+      val viaJdk = Multimodal.MediaCodec.decodeAudioViaJdk(bytes)
       assert(viaJdk.isDefined, s"$name did not decode via AudioSystem")
       e.zip(viaJdk.get).zipWithIndex.foreach { case ((a, b), i) =>
         assert(math.abs(a - b) < 1e-3f, s"$name cell $i direct=$a jdk=$b") }
@@ -386,7 +388,7 @@ class MultimodalSpec extends SparkSpec {
         "RIFF".getBytes("US-ASCII") ++ le32(4 + fmt.length) ++ "WAVE".getBytes("US-ASCII") ++ fmt
       }
       val direct = Multimodal.MediaCodec.decodeAudio(wav)
-      val viaJdk = Multimodal.MediaCodec.decodeAudioSampled(wav)
+      val viaJdk = Multimodal.MediaCodec.decodeAudioViaJdk(wav)
       assert(direct.isDefined && viaJdk.isDefined, name)
       direct.get.zip(viaJdk.get).zipWithIndex.foreach { case ((a, b), i) =>
         assert(math.abs(a - b) < 1e-4f, s"$name cell $i direct=$a jdk=$b") }
@@ -461,6 +463,39 @@ class MultimodalSpec extends SparkSpec {
           Mp4Fixture.duration(id) * 1000L / Mp4Fixture.timescale(id), s"id=$id")
         assert(r.isNullAt(r.fieldIndex("channels")), s"id=$id")
       }
+    }
+  }
+
+  test("multimodal faces run unchanged on streaming input (stateless map-side transforms)") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val rows = (0L until 16L).map { id =>
+      val (mime, bytes) = AvFixture.row(id)
+      (id, mime, bytes)
+    }
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Array[Byte])]
+    // the SAME avMetaTable + extractFeatures calls, on a stream — the
+    // mapPartitions decode boundary is stateless, so batch code IS the
+    // streaming code (the claim the module scaladoc makes)
+    val metaQ = Multimodal.avMetaTable(spark, stream.toDF().toDF("media_id", "mime_type", "media"))
+      .writeStream.format("memory").queryName("mm_meta").outputMode("append").start()
+    val featQ = Multimodal.extractFeatures(spark, stream.toDF().toDF("media_id", "mime_type", "media"))
+      .writeStream.format("memory").queryName("mm_feat").outputMode("append").start()
+    try {
+      stream.addData(rows.take(8))
+      metaQ.processAllAvailable(); featQ.processAllAvailable()
+      stream.addData(rows.drop(8))
+      metaQ.processAllAvailable(); featQ.processAllAvailable()
+    } finally { metaQ.stop(); featQ.stop() }
+    val streamedMeta = spark.table("mm_meta").collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[String]("format")).toMap
+    val batchMeta = Multimodal.avMetaTable(spark, rows.toDF("media_id", "mime_type", "media"))
+      .collect().map(r => r.getAs[Long]("media_id") -> r.getAs[String]("format")).toMap
+    assert(streamedMeta == batchMeta)
+    val streamedFeat = spark.table("mm_feat").as[Multimodal.MediaFeatures].collect()
+      .map(f => f.media_id -> f.feature.toSeq).toMap
+    rows.foreach { case (id, _, bytes) =>
+      assert(streamedFeat(id) == Multimodal.MediaCodec.decode(bytes).toSeq, s"id=$id")
     }
   }
 
