@@ -470,26 +470,44 @@ object Ingest {
     val lock = new org.apache.hadoop.fs.Path(s"$indexDir/_lock")
     val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(lock.getParent)
+    // ownership token, read back after every create: two recoverers
+    // can both judge an ORPHANED lock stale and both delete-and-create
+    // in an interleaving where the slower delete removes the faster
+    // one's fresh lock — exclusive create alone cannot detect that.
+    // Whoever's token survives in the file owns the lock; the other
+    // sees a foreign token and goes back to waiting.
+    val token = s"${ProcessHandle.current().pid()}_${System.nanoTime()}"
+    def readToken(): Option[String] =
+      try {
+        val in = fs.open(lock)
+        try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+      } catch { case _: java.io.IOException => None }
     val deadline = System.currentTimeMillis + waitMs
     var acquired = false
     while (!acquired) {
-      try {
-        fs.create(lock, false).close()
-        acquired = true
-      } catch {
-        case _: java.io.IOException =>
-          val stale =
-            try System.currentTimeMillis -
-              fs.getFileStatus(lock).getModificationTime > staleMs
-            catch { case _: java.io.FileNotFoundException => false }
-          if (stale) fs.delete(lock, false)
-          else if (System.currentTimeMillis > deadline)
-            throw new IllegalStateException(
-              s"index lock $lock held >${waitMs}ms — stuck compaction or trigger?")
-          else Thread.sleep(100)
+      val created =
+        try {
+          val out = fs.create(lock, false)
+          out.write(token.getBytes("UTF-8"))
+          out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+      if (created && readToken().contains(token)) acquired = true
+      else if (!created) {
+        val stale =
+          try System.currentTimeMillis -
+            fs.getFileStatus(lock).getModificationTime > staleMs
+          catch { case _: java.io.FileNotFoundException => false }
+        if (stale) fs.delete(lock, false)
+        else if (System.currentTimeMillis > deadline)
+          throw new IllegalStateException(
+            s"index lock $lock held >${waitMs}ms — stuck compaction or trigger?")
+        else Thread.sleep(100)
       }
+      // created but token mismatch: our file was broken from under us
+      // mid-race — loop and contend again
     }
-    try body finally fs.delete(lock, false)
+    try body finally if (readToken().contains(token)) fs.delete(lock, false)
   }
 
   /** Deterministic catalog names for the two index tables rooted at
