@@ -22,10 +22,12 @@ import org.apache.spark.sql.functions._
  * ADPCM via the standard's adaptive-step tables — a codec the JDK
  * itself cannot read; [[MediaCodec.decodeAudioSampled]] keeps the JDK
  * sound stack as the residual path, parity-pinned against the direct
- * parsers). Container METADATA is real for MP4/ISO-BMFF,
- * AIFF and AU too ([[AvHeaders.parseMp4]] box walk,
- * [[AvHeaders.parseAiff]] including the 80-bit extended sample rate,
- * [[AvHeaders.parseAu]]). FRAME iteration is real for animated GIF
+ * parsers). Container METADATA is real across the web's AV stack:
+ * MP4/ISO-BMFF ([[AvHeaders.parseMp4]] box walk), WebM/Matroska
+ * ([[AvHeaders.parseWebm]] EBML varint walk), Ogg Opus/Vorbis
+ * ([[AvHeaders.parseOgg]] including the 48 kHz granule clock), AIFF
+ * ([[AvHeaders.parseAiff]] with the 80-bit extended sample rate) and
+ * AU ([[AvHeaders.parseAu]]). FRAME iteration is real for animated GIF
  * ([[MediaCodec.decodeGifFrames]] — ImageIO's reader walks every
  * animation frame, so [[frameSample]] is a true keyframe sampler for
  * that container).
@@ -197,6 +199,10 @@ object Multimodal {
         parseGif(bytes)
       else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') parseBmp(bytes)
       else if (bytes.length >= 12 && tag(bytes, 4, "ftyp")) parseMp4(bytes)
+      else if (tag(bytes, 0, "OggS")) parseOgg(bytes)
+      else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0x1a &&
+        (bytes(1) & 0xff) == 0x45 && (bytes(2) & 0xff) == 0xdf &&
+        (bytes(3) & 0xff) == 0xa3) parseWebm(bytes)
       else if (tag(bytes, 0, "FORM")) parseAiff(bytes)
       else if (bytes.length >= 4 && bytes(0) == '.' && bytes(1) == 's' &&
         bytes(2) == 'n' && bytes(3) == 'd') parseAu(bytes)
@@ -467,6 +473,153 @@ object Multimodal {
       while (i < 8) { mant = mant * 256.0 + (b(o + 2 + i) & 0xff); i += 1 }
       if (exp == 0 && mant == 0.0) 0.0
       else sign * mant * math.pow(2.0, exp - 16383 - 63)
+    }
+
+    /**
+     * Ogg container parse (Opus and Vorbis — the open web-audio
+     * stack): the first page's packet identifies the codec
+     * ("OpusHead" → channels at packet byte 9, pre-skip LE16 at 10,
+     * input rate LE32 at 12; 0x01"vorbis" → channels at 11, rate LE32
+     * at 12), and the LAST page's granule position (LE64 at page
+     * byte 6) gives the duration — Opus granules tick at 48 kHz
+     * regardless of input rate, minus the pre-skip; Vorbis granules
+     * tick at the stream rate. The backward scan for the final "OggS"
+     * capture pattern is how every player seeks without an index.
+     */
+    private[ops] def parseOgg(b: Array[Byte]): Option[AvMeta] = {
+      if (b.length < 28 || !tag(b, 0, "OggS")) return None
+      val nSegs = b(26) & 0xff
+      val p = 27 + nSegs // first packet start
+      if (p >= b.length) return Some(AvMeta("ogg"))
+      def lastGranule(): Option[Long] = {
+        var i = b.length - 14 // need 6+8 bytes of header after the magic
+        while (i >= 0) {
+          if (tag(b, i, "OggS")) {
+            var g = 0L
+            var k = 7
+            while (k >= 0) { g = (g << 8) | (b(i + 6 + k) & 0xffL); k -= 1 }
+            return if (g >= 0) Some(g) else None // -1 = no packet ends here
+          }
+          i -= 1
+        }
+        None
+      }
+      if (b.length >= p + 19 && tag(b, p, "Opus") && tag(b, p + 4, "Head")) {
+        val ch = b(p + 9) & 0xff
+        val preSkip = le16(b, p + 10)
+        val rate = le32(b, p + 12)
+        if (ch <= 0) return Some(AvMeta("ogg"))
+        Some(AvMeta("opus", channels = Some(ch),
+          sampleRate = if (rate > 0) Some(rate) else None,
+          durationMs = lastGranule().collect {
+            case g if g > preSkip => (g - preSkip) * 1000L / 48000L
+          }))
+      } else if (b.length >= p + 16 && (b(p) & 0xff) == 0x01 &&
+        tag(b, p + 1, "vorb") && b(p + 5) == 'i' && b(p + 6) == 's') {
+        val ch = b(p + 11) & 0xff
+        val rate = le32(b, p + 12)
+        if (ch <= 0 || rate <= 0) return Some(AvMeta("ogg"))
+        Some(AvMeta("vorbis", channels = Some(ch), sampleRate = Some(rate),
+          durationMs = lastGranule().map(g => g * 1000L / rate)))
+      } else Some(AvMeta("ogg")) // a real Ogg page, unrecognised codec
+    }
+
+    /**
+     * WebM/Matroska parse — an EBML walk (the container's entire
+     * structure is nested (varint id, varint size, payload) elements,
+     * public spec): `Segment/Info` carries TimestampScale (ns per
+     * timestamp tick, default 1e6) and a float Duration in ticks;
+     * `Segment/Tracks/TrackEntry/Video` carries PixelWidth/Height,
+     * `.../Audio` SamplingFrequency and Channels. Element IDs keep
+     * their length-marker bits (per spec); sizes strip them; an
+     * all-ones size means unknown/streaming extent (clamped to the
+     * buffer). Truncated elements stop the walk with whatever was
+     * found — same tolerance discipline as the RIFF/BMFF walks.
+     */
+    private[ops] def parseWebm(b: Array[Byte]): Option[AvMeta] = {
+      if (b.length < 4 || (b(0) & 0xff) != 0x1a || (b(1) & 0xff) != 0x45 ||
+        (b(2) & 0xff) != 0xdf || (b(3) & 0xff) != 0xa3) return None
+      // varint: leading zero bits of the first byte give the length
+      def vint(i: Int, keepMarker: Boolean): Option[(Long, Int)] = {
+        if (i >= b.length) return None
+        val first = b(i) & 0xff
+        if (first == 0) return None
+        val len = Integer.numberOfLeadingZeros(first) - 23 // 1..8
+        if (len > 8 || i + len > b.length) return None
+        var v = if (keepMarker) first.toLong else (first & (0xff >>> len)).toLong
+        var k = 1
+        while (k < len) { v = (v << 8) | (b(i + k) & 0xffL); k += 1 }
+        Some((v, len))
+      }
+      var ts: Long = 1000000L // TimestampScale default: 1e6 ns
+      var durTicks: Option[Double] = None
+      var width: Option[Int] = None
+      var height: Option[Int] = None
+      var chans: Option[Int] = None
+      var rate: Option[Int] = None
+      def beFloat(i: Int, len: Int): Option[Double] = len match {
+        case 4 if i + 4 <= b.length =>
+          Some(java.lang.Float.intBitsToFloat(
+            ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+              ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)).toDouble)
+        case 8 if i + 8 <= b.length =>
+          var v = 0L
+          var k = 0
+          while (k < 8) { v = (v << 8) | (b(i + k) & 0xffL); k += 1 }
+          Some(java.lang.Double.longBitsToDouble(v))
+        case _ => None
+      }
+      def beUint(i: Int, len: Int): Long = {
+        var v = 0L
+        var k = 0
+        while (k < len && i + k < b.length) { v = (v << 8) | (b(i + k) & 0xffL); k += 1 }
+        v
+      }
+      def walk(from: Int, to: Int, depth: Int): Unit = {
+        if (depth > 8) return
+        var i = from
+        while (i < to) {
+          val id = vint(i, keepMarker = true) match {
+            case Some(x) => x
+            case None => return
+          }
+          val sz = vint(i + id._2, keepMarker = false) match {
+            case Some(x) => x
+            case None => return
+          }
+          val p = i + id._2 + sz._2
+          // all-ones size = unknown extent: clamp to the enclosing end
+          val unknown = sz._1 == (1L << (7 * sz._2)) - 1
+          val end = if (unknown) to.toLong
+            else math.min(to.toLong, p.toLong + sz._1)
+          if (end < p) return
+          id._1 match {
+            case 0x18538067L | 0x1549a966L | 0x1654ae6bL | 0xaeL | 0xe0L | 0xe1L =>
+              walk(p, end.toInt, depth + 1) // Segment/Info/Tracks/TrackEntry/Video/Audio
+            case 0x2ad7b1L => ts = beUint(p, (end - p).toInt)
+            case 0x4489L => durTicks = beFloat(p, (end - p).toInt)
+            case 0xb0L if width.isEmpty =>
+              val w = beUint(p, (end - p).toInt).toInt
+              if (w > 0) width = Some(w)
+            case 0xbaL if height.isEmpty =>
+              val h = beUint(p, (end - p).toInt).toInt
+              if (h > 0) height = Some(h)
+            case 0x9fL if chans.isEmpty =>
+              val ch = beUint(p, (end - p).toInt).toInt
+              if (ch > 0) chans = Some(ch)
+            case 0xb5L if rate.isEmpty =>
+              beFloat(p, (end - p).toInt).foreach(r => if (r > 0) rate = Some(r.round.toInt))
+            case _ => () // skip leaves we don't read
+          }
+          if (end.toInt <= i) return // zero-progress guard
+          i = end.toInt
+        }
+      }
+      walk(0, b.length, 0)
+      Some(AvMeta("webm",
+        width = width, height = height, channels = chans, sampleRate = rate,
+        durationMs = for { d <- durTicks; if d > 0 && ts > 0 }
+          yield (d * ts / 1e6).round))
     }
 
     /**

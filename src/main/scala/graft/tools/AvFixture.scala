@@ -313,6 +313,84 @@ object AvFixture {
   def alawWavStep(ch: Int, rate: Int, frames: Int): Array[Byte] =
     companderWavStep(6, alawEncode, ch, rate, frames)
 
+  private def le64(v: Long): Array[Byte] =
+    Array.tabulate[Byte](8)(i => (v >>> (i * 8)).toByte)
+
+  /** One Ogg page: "OggS" capture + version 0 + header type + LE64
+   * granule + serial/sequence/CRC + lacing table. CRC left zero —
+   * parsers that only read structure (ours) don't validate it. */
+  private def oggPage(headerType: Int, granule: Long, seq: Int,
+      payload: Array[Byte]): Array[Byte] = {
+    val full = payload.length / 255
+    val segTable = Array.fill[Byte](full)(255.toByte) :+ (payload.length % 255).toByte
+    "OggS".getBytes("US-ASCII") ++ Array[Byte](0, headerType.toByte) ++
+      le64(granule) ++ le32(7777) ++ le32(seq) ++ le32(0) ++
+      Array((full + 1).toByte) ++ segTable ++ payload
+  }
+
+  /** A REAL two-page Ogg Opus stream: BOS page with the OpusHead
+   * identification packet, EOS page whose granule position encodes
+   * the duration on the codec's fixed 48 kHz clock (granule =
+   * pre-skip + 48·durMs). */
+  def oggOpus(ch: Int, rate: Int, durMs: Long, preSkip: Int = 312): Array[Byte] = {
+    val head = "OpusHead".getBytes("US-ASCII") ++ Array[Byte](1, ch.toByte) ++
+      le16(preSkip) ++ le32(rate) ++ le16(0) ++ Array[Byte](0)
+    oggPage(2, 0L, 0, head) ++ oggPage(4, preSkip + durMs * 48L, 1, Array[Byte](0))
+  }
+
+  /** A REAL two-page Ogg Vorbis stream: BOS page with the type-1
+   * identification header, EOS page whose granule ticks at the
+   * stream's own sample rate (granule = rate·durMs/1000). */
+  def oggVorbis(ch: Int, rate: Int, durMs: Long): Array[Byte] = {
+    val id = Array[Byte](0x01) ++ "vorbis".getBytes("US-ASCII") ++ le32(0) ++
+      Array[Byte](ch.toByte) ++ le32(rate) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ Array[Byte](0x00, 0x01) // bitrates, blocksizes, framing
+    oggPage(2, 0L, 0, id) ++ oggPage(4, rate.toLong * durMs / 1000L, 1, Array[Byte](0))
+  }
+
+  /** EBML element: varint id (marker bits kept, already encoded in the
+   * constant) + minimal varint size + payload. */
+  private def ebml(id: Long, payload: Array[Byte]): Array[Byte] = {
+    val idBytes = {
+      var n = 1
+      while ((id >>> (8 * n)) != 0) n += 1
+      Array.tabulate[Byte](n)(i => (id >>> (8 * (n - 1 - i))).toByte)
+    }
+    val len = payload.length
+    val sizeBytes = // 1-byte form up to 126, else 2-byte form
+      if (len < 127) Array((len | 0x80).toByte)
+      else Array((0x40 | (len >> 8)).toByte, (len & 0xff).toByte)
+    idBytes ++ sizeBytes ++ payload
+  }
+  private def beFloat4(v: Float): Array[Byte] = {
+    val bits = java.lang.Float.floatToIntBits(v)
+    Array.tabulate[Byte](4)(i => (bits >>> (8 * (3 - i))).toByte)
+  }
+  private def beUintBytes(v: Long): Array[Byte] = {
+    var n = 1
+    while ((v >>> (8 * n)) != 0) n += 1
+    Array.tabulate[Byte](n)(i => (v >>> (8 * (n - 1 - i))).toByte)
+  }
+
+  /** A REAL minimal WebM: EBML header + Segment(Info(TimestampScale,
+   * float Duration) + Tracks(TrackEntry(Video(PixelWidth/Height) [+
+   * Audio(SamplingFrequency, Channels)]))) — enough structure for any
+   * spec-following EBML walk, in the spec's own varint encoding. */
+  def webm(w: Int, h: Int, durMs: Long, audioCh: Int = 0,
+      audioRate: Int = 0): Array[Byte] = {
+    val header = ebml(0x1a45dfa3L, ebml(0x4282L, "webm".getBytes("US-ASCII"))) // DocType
+    val info = ebml(0x1549a966L,
+      ebml(0x2ad7b1L, beUintBytes(1000000L)) ++ // ns per tick
+        ebml(0x4489L, beFloat4(durMs.toFloat)))  // ticks (1 tick = 1 ms here)
+    val video = ebml(0xe0L,
+      ebml(0xb0L, beUintBytes(w)) ++ ebml(0xbaL, beUintBytes(h)))
+    val audio = if (audioCh <= 0) Array.emptyByteArray
+      else ebml(0xe1L, ebml(0xb5L, beFloat4(audioRate.toFloat)) ++
+        ebml(0x9fL, beUintBytes(audioCh)))
+    val tracks = ebml(0x1654ae6bL, ebml(0xaeL, video ++ audio))
+    header ++ ebml(0x18538067L, info ++ tracks)
+  }
+
   def truncatedWav(): Array[Byte] =
     "RIFF".getBytes("US-ASCII") ++ le32(36) ++ "WA".getBytes("US-ASCII")
 

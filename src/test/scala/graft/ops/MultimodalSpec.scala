@@ -244,6 +244,8 @@ class MultimodalSpec extends SparkSpec {
       AvFixture.ulawWavStep(1, 8000, 64),
       AvFixture.alawWavStep(1, 8000, 64),
       AvFixture.adpcmWavStep(2, 8000, 130),
+      AvFixture.oggOpus(2, 48000, 500), AvFixture.oggVorbis(1, 44000, 500),
+      AvFixture.webm(640, 360, 1000, audioCh = 2, audioRate = 48000),
       Mp4Fixture.mp4(0), Mp4Fixture.mp4(5), Mp4Fixture.truncated()
     ).flatMap { base =>
       (0 until 8).map { _ =>
@@ -393,6 +395,45 @@ class MultimodalSpec extends SparkSpec {
       direct.get.zip(viaJdk.get).zipWithIndex.foreach { case ((a, b), i) =>
         assert(math.abs(a - b) < 1e-4f, s"$name cell $i direct=$a jdk=$b") }
     }
+  }
+
+  test("Ogg parse: OpusHead 48kHz granule clock, Vorbis id header, truncation") {
+    val opus = AvHeaders.avMeta(AvFixture.oggOpus(2, 48000, durMs = 2500)).get
+    assert(opus.format == "opus")
+    assert(opus.channels.contains(2))
+    assert(opus.sampleRate.contains(48000))
+    assert(opus.durationMs.contains(2500L)) // (granule - preSkip) on the 48kHz clock
+    val vorbis = AvHeaders.avMeta(AvFixture.oggVorbis(1, 44000, durMs = 1500)).get
+    assert(vorbis.format == "vorbis")
+    assert(vorbis.channels.contains(1))
+    assert(vorbis.sampleRate.contains(44000))
+    assert(vorbis.durationMs.contains(1500L)) // granule on the stream's own clock
+    // a first page with an unrecognised codec still identifies as ogg
+    val unknown = AvHeaders.avMeta(
+      AvFixture.oggOpus(1, 48000, 100).patch(28, "XXXXXXXX".getBytes("US-ASCII"), 8)).get
+    assert(unknown == Multimodal.AvMeta("ogg"))
+    // truncated mid-header: the magic alone still identifies the container
+    val cut = AvHeaders.avMeta(AvFixture.oggOpus(1, 48000, 100).take(30))
+    assert(cut.exists(_.format == "ogg"))
+  }
+
+  test("WebM parse: EBML varint walk, timestamp-scale duration, video and audio tracks") {
+    val video = AvHeaders.avMeta(AvFixture.webm(1280, 720, durMs = 90000)).get
+    assert(video.format == "webm")
+    assert(video.width.contains(1280))
+    assert(video.height.contains(720))
+    assert(video.durationMs.contains(90000L)) // float ticks × scale / 1e6
+    assert(video.channels.isEmpty && video.sampleRate.isEmpty)
+    val av = AvHeaders.avMeta(
+      AvFixture.webm(640, 360, durMs = 1234, audioCh = 2, audioRate = 48000)).get
+    assert(av.width.contains(640) && av.height.contains(360))
+    assert(av.channels.contains(2))
+    assert(av.sampleRate.contains(48000))
+    assert(av.durationMs.contains(1234L))
+    // truncated mid-element: the magic still identifies the container,
+    // fields found before the cut survive, no exception
+    val cut = AvHeaders.avMeta(AvFixture.webm(1280, 720, 90000).take(20))
+    assert(cut.exists(_.format == "webm"))
   }
 
   test("AIFF and AU header parse: COMM 80-bit extended rate, .snd BE words") {
