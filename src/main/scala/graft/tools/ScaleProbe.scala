@@ -255,10 +255,14 @@ object ScaleProbe {
         AvFixture.wavStep(2, 8000, 16, 4000),
         AvFixture.animatedGif(64, 64, 2),
         AvFixture.ulawWavStep(1, 8000, 8000),
+        AvFixture.adpcmWavStep(2, 8000, 5200),
+        AvFixture.aiffStep(2, 8000, 4000),
+        AvFixture.oggOpus(2, 48000, 1000),
+        AvFixture.webm(1280, 720, 90000, audioCh = 2, audioRate = 48000),
         AvFixture.junk(3))
       val tb = spark.sparkContext.broadcast(templates)
       val media = spark.range(nMedia)
-        .map(id => (id, "application/octet-stream", tb.value((id % 4).toInt)))
+        .map(id => (id, "application/octet-stream", tb.value((id % tb.value.size).toInt)))
         .toDF("media_id", "mime_type", "media").cache()
       media.count()
       timedAs("blobs", nMedia)("media_decode") {
