@@ -282,6 +282,11 @@ object SparkEntry {
     // same blobs with DuckDB hex arithmetic, including the extended
     // float's exponent/mantissa expansion
     "q_m5_audio_meta" -> ((s, _) => Multimodal.avMetaTable(s, Tables.audio(s))),
+    // q_m6: REAL Ogg container decode — Opus (48 kHz granule clock
+    // minus pre-skip) and Vorbis (stream-rate granules) durations from
+    // the LAST page's granule position; the oracle re-parses the same
+    // blobs with DuckDB hex arithmetic at the builders' page offsets
+    "q_m6_ogg_meta" -> ((s, _) => Multimodal.avMetaTable(s, Tables.ogg(s))),
     // q_x20: MOSS-style cross-doc copy detection — winnow fingerprint
     // overlap with stop-fingerprint (df cap) pruning + containment
     "q_x20_copy_pairs" -> ((s, d) =>
@@ -1050,6 +1055,53 @@ object SparkEntry {
          |        WHEN is_au THEN CAST(au_size * 1000 // (au_rate * au_ch * 2) AS BIGINT)
          |        WHEN is_wav THEN CAST(wv_datalen * 1000 // wv_byterate AS BIGINT)
          |   END AS duration_ms
+         | FROM f""".stripMargin,
+    // q_m6: the oracle re-parses the Ogg pages at the builders'
+    // fixed one-segment offsets — Opus fields in the BOS packet at 28
+    // (channels@37, pre-skip LE16@38, input rate LE32@40) with the
+    // EOS granule LE64@53 on the codec's fixed 48 kHz clock; Vorbis
+    // channels@39 / rate LE32@40 with the EOS granule LE64@64 on the
+    // stream's own clock. Truncated rows (%8=3) keep the container
+    // identity ('ogg') with NULL fields; junk rows parse to nothing.
+    "q_m6_ogg_meta" ->
+      s"""WITH m AS (SELECT media_id, mime_type, hex(media) AS h,
+         |                  octet_length(media) AS n
+         |           FROM read_parquet('${Tables.oggFixturePath}')),
+         | t AS (SELECT m.*,
+         |         (n >= 28 AND substr(h, 1, 8) = '4F676753') AS is_ogg,
+         |         (media_id % 8 <> 3 AND media_id % 8 <> 7) AS full_row,
+         |         (media_id % 4 = 0) AS is_opus
+         |       FROM m),
+         | f AS (SELECT t.*,
+         |         TRY_CAST('0x' || substr(h, 75, 2) AS INTEGER) AS op_ch,
+         |         TRY_CAST('0x' || substr(h, 79, 2) || substr(h, 77, 2) AS BIGINT) AS op_skip,
+         |         TRY_CAST('0x' || substr(h, 87, 2) || substr(h, 85, 2)
+         |           || substr(h, 83, 2) || substr(h, 81, 2) AS BIGINT) AS rate32,
+         |         TRY_CAST('0x' || substr(h, 121, 2) || substr(h, 119, 2)
+         |           || substr(h, 117, 2) || substr(h, 115, 2) || substr(h, 113, 2)
+         |           || substr(h, 111, 2) || substr(h, 109, 2) || substr(h, 107, 2)
+         |           AS BIGINT) AS op_gran,
+         |         TRY_CAST('0x' || substr(h, 79, 2) AS INTEGER) AS vo_ch,
+         |         TRY_CAST('0x' || substr(h, 143, 2) || substr(h, 141, 2)
+         |           || substr(h, 139, 2) || substr(h, 137, 2) || substr(h, 135, 2)
+         |           || substr(h, 133, 2) || substr(h, 131, 2) || substr(h, 129, 2)
+         |           AS BIGINT) AS vo_gran
+         |       FROM t)
+         | SELECT media_id, mime_type, CAST(n AS BIGINT) AS n_bytes,
+         |   CASE WHEN NOT is_ogg THEN NULL
+         |        WHEN NOT full_row THEN 'ogg'
+         |        WHEN is_opus THEN 'opus' ELSE 'vorbis' END AS format,
+         |   CAST(NULL AS INTEGER) AS width,
+         |   CAST(NULL AS INTEGER) AS height,
+         |   CASE WHEN NOT is_ogg OR NOT full_row THEN NULL
+         |        WHEN is_opus THEN op_ch ELSE vo_ch END AS channels,
+         |   CASE WHEN NOT is_ogg OR NOT full_row THEN NULL
+         |        ELSE CAST(rate32 AS INTEGER) END AS sample_rate,
+         |   CAST(NULL AS INTEGER) AS bits,
+         |   CASE WHEN NOT is_ogg OR NOT full_row THEN NULL
+         |        WHEN is_opus THEN (CASE WHEN op_gran > op_skip
+         |          THEN CAST((op_gran - op_skip) * 1000 // 48000 AS BIGINT) END)
+         |        ELSE CAST(vo_gran * 1000 // rate32 AS BIGINT) END AS duration_ms
          | FROM f""".stripMargin,
     // q_x19: the oracle runs the IDENTICAL RE2-safe patterns (shared
     // via Pii.categories, so both engines scan the same strings with

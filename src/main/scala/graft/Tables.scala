@@ -110,6 +110,15 @@ object Tables {
   }
   def audio(spark: SparkSession): DataFrame = spark.read.parquet(audioFixturePath)
 
+  /** ogg(media_id BIGINT, mime_type STRING, media BINARY) — repo-local
+   * deterministic Ogg container fixture (tools.OggFixture: two-page
+   * Opus and Vorbis streams plus broken rows). */
+  def oggFixturePath: String = {
+    val local = new java.io.File("fixtures/ogg.parquet")
+    if (local.exists) local.getAbsolutePath else "/root/repo/fixtures/ogg.parquet"
+  }
+  def ogg(spark: SparkSession): DataFrame = spark.read.parquet(oggFixturePath)
+
   /** pii(rec_id BIGINT, text STRING) — repo-local deterministic
    * PII-bearing text fixture (tools.PiiFixture; the driver corpus is
    * digit-free word salad, so identifier scanning needs its own rows). */
