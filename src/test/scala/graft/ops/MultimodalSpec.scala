@@ -540,6 +540,37 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("avMetaTable parses the Ogg fixture rows per the generator's ground truth") {
+    import spark.implicits._
+    import graft.tools.OggFixture
+    val rows = (0L until 64L).map { id =>
+      val (mime, bytes) = OggFixture.row(id)
+      (id, mime, bytes)
+    }
+    val out = Multimodal.avMetaTable(spark, rows.toDF("media_id", "mime_type", "media"))
+      .collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    (0L until 64L).foreach { id =>
+      val r = out(id)
+      if (id % 8 == 7) assert(r.isNullAt(r.fieldIndex("format")), s"id=$id")
+      else if (id % 8 == 3) {
+        assert(r.getAs[String]("format") == "ogg", s"id=$id")
+        assert(r.isNullAt(r.fieldIndex("duration_ms")), s"id=$id")
+      } else if (id % 4 == 0) {
+        assert(r.getAs[String]("format") == "opus", s"id=$id")
+        assert(r.getAs[Int]("channels") == OggFixture.channels(id), s"id=$id")
+        assert(r.getAs[Int]("sample_rate") == 48000, s"id=$id")
+        if (OggFixture.opusDurMs(id) > 0)
+          assert(r.getAs[Long]("duration_ms") == OggFixture.opusDurMs(id), s"id=$id")
+        else assert(r.isNullAt(r.fieldIndex("duration_ms")), s"id=$id")
+      } else {
+        assert(r.getAs[String]("format") == "vorbis", s"id=$id")
+        assert(r.getAs[Int]("channels") == OggFixture.channels(id), s"id=$id")
+        assert(r.getAs[Int]("sample_rate") == OggFixture.vorbisRate(id), s"id=$id")
+        assert(r.getAs[Long]("duration_ms") == OggFixture.vorbisDurMs(id), s"id=$id")
+      }
+    }
+  }
+
   test("avMetaTable parses the AV fixture rows per the generator's ground truth") {
     import spark.implicits._
     val rows = (0L until 64L).map { id =>

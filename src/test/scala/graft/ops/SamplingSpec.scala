@@ -226,12 +226,16 @@ class SamplingSpec extends SparkSpec {
       stream.toDF().toDF("doc_id", "source", "text"), window = 64L)
       .writeStream.format("memory").queryName("pack_out").outputMode("append").start()
     try {
-      // two triggers split mid-corpus: the per-source cursor must carry
-      // across the trigger boundary (a doc straddling it still spans)
-      stream.addData(fixture.take(fixture.length / 2).toSeq)
-      query.processAllAvailable()
-      stream.addData(fixture.drop(fixture.length / 2).toSeq)
-      query.processAllAvailable()
+      // randomized trigger boundaries (seeded): the per-source cursor
+      // must carry across EVERY split point (docs straddling any
+      // boundary still span their sequences)
+      val rng = new scala.util.Random(7)
+      val cuts = (Seq(0, fixture.length) ++
+        Seq.fill(3)(rng.nextInt(fixture.length))).distinct.sorted
+      cuts.zip(cuts.tail).foreach { case (a, b) =>
+        stream.addData(fixture.slice(a, b).toSeq)
+        query.processAllAvailable()
+      }
     } finally query.stop()
     def key(r: org.apache.spark.sql.Row) = (
       r.getAs[String]("source"), r.getAs[Long]("seq_id"), r.getAs[Long]("doc_id"),
