@@ -3,9 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark main (driver contract): runs every SparkEntry
- * query against SPARK_GRAFT_SF_DIR and prints three JSON lines (warm
- * map, cold map, tiny summary — least important first, see the
- * emission comment at the bottom).
+ * query against SPARK_GRAFT_SF_DIR and prints exactly TWO JSON lines
+ * on stdout (cold map, then tiny summary); the warm map goes to a
+ * file (target/bench_warm.json) so it can never consume the driver's
+ * bounded tail capture (see the emission comment at the bottom).
  *
  * Timing discipline (each query is measured in ISOLATION):
  *  - a JIT/codegen warm-up pass runs every query once on a small
@@ -27,10 +28,12 @@ import org.apache.spark.sql.SparkSession
  *    probe (median), not from whichever single cold q_e1 number the
  *    map happened to record — a lone trial swung 123k–280k across
  *    rounds on unchanged code;
- *  - the warm map, cold map, and final summary are emitted on three
- *    SEPARATE stdout lines (least important first), so a bounded tail
- *    capture always retains the complete summary and cold map — a
- *    combined line previously truncated mid-map two rounds running.
+ *  - stdout carries ONLY the cold map line and the summary line; the
+ *    warm map is written to target/bench_warm.json. Three stdout lines
+ *    (r9) still overflowed the driver's ~2.9k-char tail capture and
+ *    clipped the head of the cold map, so the warm map — useful for
+ *    local cache-reuse analysis, never graded from the artifact —
+ *    moved off stdout entirely.
  */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -45,11 +48,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_ONLY=q_a,q_b: local triage aid — time just these
+    // queries under the exact per-query isolation discipline of a full
+    // run (the driver never sets it)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    def selected(name: String): Boolean = only.forall(_.contains(name))
+
     // JIT/codegen warm-up on the SMALL fixture: compiles every query's
     // generated code without paying full-scale-factor data costs
     val wDir = if (new java.io.File(warmupDir).isDirectory) warmupDir else sfDir
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try { fn(spark, wDir).count(); () } catch { case _: Throwable => () }
+    SparkEntry.queries.foreach { case (name, fn) =>
+      if (selected(name))
+        try { fn(spark, wDir).count(); () } catch { case _: Throwable => () }
     }
 
     // a query that throws yields NO timing (None) — recording
@@ -76,7 +86,7 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    val names = SparkEntry.queries.keys.toSeq.sorted.filter(selected)
     val cold = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val warm = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     // min over 2 isolated trials: once per session a natural GC makes
@@ -107,12 +117,13 @@ object Bench {
     }
     isolate()
 
-    // 4-decimal (0.1 ms) timings: full 17-digit doubles made the JSON
-    // line long enough that the driver's captured tail truncated it
-    // mid-map (round 5 lost q_a1–q_d4 from the visible artifact).
+    // 3-decimal (1 ms) timings: every byte on the cold-map line counts
+    // against the driver's ~2.9k-char tail capture (4 decimals + the
+    // warm line clipped q_a1–q_e2 out of the r9 artifact), and 1 ms
+    // resolution is ample for round-over-round drift policing.
     // Locale.ROOT: a comma decimal separator would corrupt the JSON.
     def num(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def js(m: scala.collection.Map[String, Double]): String =
       m.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -125,22 +136,24 @@ object Bench {
     val nEvents = try Tables.events(spark, sfDir).count() catch { case _: Throwable => 0L }
     // fixed-iteration probe: 3 isolated cold runs, median — decoupled
     // from the map's single min-trial number
-    val epsTimes = SparkEntry.queries.get("q_e1_engine_timeouts").toSeq.flatMap { fn =>
+    val epsTimes = SparkEntry.queries.get("q_e1_engine_timeouts")
+      .filter(_ => selected("q_e1_engine_timeouts")).toSeq.flatMap { fn =>
       (1 to 3).flatMap { _ => isolate(); run("q_e1_engine_timeouts", fn) }
     }
     val eps = if (epsTimes.nonEmpty && nEvents > 0)
       (nEvents / median(epsTimes)).round else 0L
     // stop BEFORE printing: the JSON lines must be the LAST thing on
     // stdout so a tail capture of the run always contains all of them.
-    // THREE lines, least-important first: warm map, cold map, then a
-    // tiny final summary. A bounded tail capture working backwards from
-    // the end always retains the complete summary line, then the full
-    // cold map, and only then (if room remains) the warm map — the
-    // previous two-line format put the 86-entry cold map ON the final
-    // line, which overflowed the driver's tail and cut 14 entries.
+    // Exactly TWO stdout lines, least-important first: the cold map,
+    // then the tiny final summary. The warm map goes to a file — three
+    // stdout lines (r7–r9) always cost the head of the cold map in the
+    // driver's bounded tail capture.
     spark.stop()
-    println(s"""{"metric":"warm","queries_warm":${js(warm)},"sf":"$sfDir"}""")
-    println(s"""{"metric":"cold","queries":${js(cold)},"sf":"$sfDir"}""")
+    val warmOut = new java.io.File("target/bench_warm.json")
+    warmOut.getParentFile.mkdirs()
+    val w = new java.io.PrintWriter(warmOut, "UTF-8")
+    try w.println(s"""{"metric":"warm","queries_warm":${js(warm)},"sf":"$sfDir"}""") finally w.close()
+    println(s"""{"metric":"cold","queries":${js(cold)}}""")
     println(s"""{"metric":"total","value":${num(total)},"unit":"sec","failed":$failedJson,"events":$nEvents,"interpreter_eps":$eps,"sf":"$sfDir"}""")
   }
 }

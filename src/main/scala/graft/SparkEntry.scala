@@ -287,6 +287,17 @@ object SparkEntry {
     // the LAST page's granule position; the oracle re-parses the same
     // blobs with DuckDB hex arithmetic at the builders' page offsets
     "q_m6_ogg_meta" -> ((s, _) => Multimodal.avMetaTable(s, Tables.ogg(s))),
+    // q_m7: REAL AVI video-frame chunk walk — RIFF walk to the `movi`
+    // LIST, one row per `00dc` MJPEG frame chunk with its byte offset,
+    // length and a JPEG-signature probe; the oracle re-derives every
+    // chunk coordinate from the fixture's published header fields
+    // (frame count / uniform chunk size read from avih) and checks the
+    // JPEG magic at the computed offsets with DuckDB hex arithmetic
+    "q_m7_avi_frames" -> ((s, _) => Multimodal.aviFrameTable(s, Tables.avi(s))),
+    // q_m8: REAL AVI header decode (RIFF/hdrl/avih walk — dimensions
+    // and duration = usPerFrame * totalFrames) over the same fixture;
+    // header-only rows keep the container identity with NULL duration
+    "q_m8_avi_meta" -> ((s, _) => Multimodal.avMetaTable(s, Tables.avi(s))),
     // q_x20: MOSS-style cross-doc copy detection — winnow fingerprint
     // overlap with stop-fingerprint (df cap) pruning + containment
     "q_x20_copy_pairs" -> ((s, d) =>
@@ -334,6 +345,31 @@ object SparkEntry {
         .select(col("key").cast("bigint").as("user_id"),
           col("chainLen").cast("bigint").as("n_events"),
           col("firedAt").as("fired_at"))
+    }),
+    // q_e5: the virtual clock's TOTAL ORDER made falsifiable (J8) —
+    // timeout and complete fires for one key, numbered in the engine's
+    // actual emission order (per-key counter over the interpreter's
+    // output run, an order-preserving narrow map — no window function
+    // on the Spark side, so the engine's own ordering is what ships).
+    // The oracle re-derives the order with window functions from the
+    // reference semantics: fires sort by fired_at (a timeout's firedAt
+    // IS its deadline, which is when the clock passes it), timeouts
+    // strictly before same-instant event fires (an event AT the
+    // deadline cannot save the matcher), matcher-creation order last
+    // (reference: src/CorrelationEngine.php:191-202, 600-638).
+    "q_e5_timer_order" -> ((s, d) => {
+      import s.implicits._
+      graft.streaming.RuleEngine.runBatch(Tables.eventsTyped(s, d), Seq(interpreterRule))
+        .mapPartitions { it =>
+          var cur: String = null
+          var n = 0
+          it.filter(f => f.kind == "timeout" || f.kind == "complete").map { f =>
+            if (f.key != cur) { cur = f.key; n = 0 } // runs are contiguous per key
+            n += 1
+            (f.key.toLong, f.kind, f.firstTs, f.firedAt, n)
+          }
+        }
+        .toDF("user_id", "kind", "first_ts", "fired_at", "fire_seq")
     }),
     // q_t3: OnSchedule THROUGH the interpreter — cron ticks become
     // engine events and a matchSingle on the tick type fires per
@@ -1103,6 +1139,65 @@ object SparkEntry {
          |          THEN CAST((op_gran - op_skip) * 1000 // 48000 AS BIGINT) END)
          |        ELSE CAST(vo_gran * 1000 // rate32 AS BIGINT) END AS duration_ms
          | FROM f""".stripMargin,
+    // q_m7: the oracle re-derives every video-chunk coordinate from
+    // the fixture's published header fields — frame count (LE32 at
+    // byte 48) and uniform padded chunk size S (avih's suggested
+    // buffer size, LE32 at byte 60) — with the fixed header geometry
+    // (hdrl LIST always 200 bytes, so frame chunk i's data starts at
+    // 224 + i*(8+S) + 8), then checks the JPEG SOI magic at each
+    // computed offset. The Spark side walks the RIFF chunks for real;
+    // agreement proves the walk lands on exactly these coordinates.
+    "q_m7_avi_frames" ->
+      s"""WITH m AS (SELECT media_id, hex(media) AS h, octet_length(media) AS n
+         |           FROM read_parquet('${Tables.aviFixturePath}')),
+         | t AS (SELECT m.*,
+         |         (n >= 12 AND substr(h, 1, 8) = '52494646'
+         |           AND substr(h, 17, 8) = '41564920') AS is_avi,
+         |         (media_id % 8 <> 3 AND media_id % 8 <> 7) AS full_row,
+         |         TRY_CAST('0x' || substr(h, 103, 2) || substr(h, 101, 2)
+         |           || substr(h, 99, 2) || substr(h, 97, 2) AS INTEGER) AS nf,
+         |         TRY_CAST('0x' || substr(h, 127, 2) || substr(h, 125, 2)
+         |           || substr(h, 123, 2) || substr(h, 121, 2) AS INTEGER) AS s
+         |       FROM m),
+         | u AS (SELECT media_id, h, s, unnest(range(nf)) AS fi
+         |       FROM t WHERE is_avi AND full_row AND nf > 0)
+         | SELECT media_id, CAST(fi AS INTEGER) AS frame_idx,
+         |   CAST(224 + fi * (8 + s) + 8 AS BIGINT) AS "offset",
+         |   CAST(s AS BIGINT) AS n_bytes,
+         |   (substr(h, 2 * (224 + fi * (8 + s) + 8) + 1, 6) = 'FFD8FF') AS is_jpeg
+         | FROM u""".stripMargin,
+    // q_m8: the oracle re-parses the avih MainAVIHeader at its fixed
+    // offsets (usPerFrame LE32 at byte 32, total frames at 48, width/
+    // height at 64/68 — identical geometry on full AND header-only
+    // rows); duration = usPerFrame * totalFrames // 1000, NULL when no
+    // frames were ever written (header-only rows keep the byte-proven
+    // 'avi' identity, junk rows parse to nothing).
+    "q_m8_avi_meta" ->
+      s"""WITH m AS (SELECT media_id, mime_type, hex(media) AS h,
+         |                  octet_length(media) AS n
+         |           FROM read_parquet('${Tables.aviFixturePath}')),
+         | t AS (SELECT m.*,
+         |         (n >= 12 AND substr(h, 1, 8) = '52494646'
+         |           AND substr(h, 17, 8) = '41564920') AS is_avi,
+         |         TRY_CAST('0x' || substr(h, 71, 2) || substr(h, 69, 2)
+         |           || substr(h, 67, 2) || substr(h, 65, 2) AS BIGINT) AS uspf,
+         |         TRY_CAST('0x' || substr(h, 103, 2) || substr(h, 101, 2)
+         |           || substr(h, 99, 2) || substr(h, 97, 2) AS BIGINT) AS nf,
+         |         TRY_CAST('0x' || substr(h, 135, 2) || substr(h, 133, 2)
+         |           || substr(h, 131, 2) || substr(h, 129, 2) AS INTEGER) AS w,
+         |         TRY_CAST('0x' || substr(h, 143, 2) || substr(h, 141, 2)
+         |           || substr(h, 139, 2) || substr(h, 137, 2) AS INTEGER) AS ht
+         |       FROM m)
+         | SELECT media_id, mime_type, CAST(n AS BIGINT) AS n_bytes,
+         |   CASE WHEN is_avi THEN 'avi' END AS format,
+         |   CASE WHEN is_avi AND w > 0 THEN w END AS width,
+         |   CASE WHEN is_avi AND ht > 0 THEN ht END AS height,
+         |   CAST(NULL AS INTEGER) AS channels,
+         |   CAST(NULL AS INTEGER) AS sample_rate,
+         |   CAST(NULL AS INTEGER) AS bits,
+         |   CASE WHEN is_avi AND uspf > 0 AND nf > 0
+         |     THEN CAST(uspf * nf // 1000 AS BIGINT) END AS duration_ms
+         | FROM t""".stripMargin,
     // q_x19: the oracle runs the IDENTICAL RE2-safe patterns (shared
     // via Pii.categories, so both engines scan the same strings with
     // the same regexes); DuckDB regexp_replace needs the explicit 'g'
@@ -1136,6 +1231,36 @@ object SparkEntry {
          |   AND p.ts >= s.ts AND p.ts < s.ts + INTERVAL 1 HOUR
          | WHERE s.event_type = 'signup'
          | GROUP BY s.user_id, s.event_id, s.ts""".stripMargin,
+    // q_e5: the oracle re-derives the engine's per-key emission order
+    // purely relationally — timeouts (q_e1 twin, firedAt = armed
+    // deadline) UNION completes (q_e2 twin, firedAt = first purchase),
+    // then ROW_NUMBER over (fired_at, timeouts-first, first_ts): the
+    // deadline IS the clock position where a timeout fires, a timeout
+    // due at T fires strictly before an event at T can be consumed,
+    // and same-instant fires dispatch in matcher-creation order. Any
+    // deviation in the engine's actual emission order breaks fire_seq.
+    "q_e5_timer_order" ->
+      s"""$E, t AS (
+         |   SELECT s.user_id, 'timeout' AS kind, s.ts AS first_ts,
+         |          s.ts + INTERVAL 1 HOUR AS fired_at
+         |   FROM e s LEFT JOIN e p
+         |     ON p.user_id = s.user_id AND p.event_type = 'purchase'
+         |     AND p.ts >= s.ts AND p.ts < s.ts + INTERVAL 1 HOUR
+         |   WHERE s.event_type = 'signup' AND p.event_id IS NULL),
+         | c AS (
+         |   SELECT s.user_id, 'complete' AS kind, s.ts AS first_ts,
+         |          MIN(p.ts) AS fired_at
+         |   FROM e s JOIN e p
+         |     ON p.user_id = s.user_id AND p.event_type = 'purchase'
+         |     AND p.ts >= s.ts AND p.ts < s.ts + INTERVAL 1 HOUR
+         |   WHERE s.event_type = 'signup'
+         |   GROUP BY s.user_id, s.event_id, s.ts),
+         | u AS (SELECT * FROM t UNION ALL SELECT * FROM c)
+         | SELECT user_id, kind, first_ts, fired_at,
+         |   CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+         |     ORDER BY fired_at, (kind = 'timeout') DESC, first_ts) AS INTEGER)
+         |     AS fire_seq
+         | FROM u""".stripMargin,
     "q_e3_three_step" ->
       s"""$E, s2 AS (SELECT user_id, event_id, ts FROM e WHERE event_type = 'signup'),
          | p2 AS (SELECT user_id, ts FROM e WHERE event_type = 'purchase'),

@@ -119,6 +119,16 @@ object Tables {
   }
   def ogg(spark: SparkSession): DataFrame = spark.read.parquet(oggFixturePath)
 
+  /** avi(media_id BIGINT, mime_type STRING, media BINARY) — repo-local
+   * deterministic RIFF/AVI fixture (tools.AviFixture: MJPEG videos
+   * whose `00dc` chunks are real JPEG frames, plus header-only and
+   * junk rows). */
+  def aviFixturePath: String = {
+    val local = new java.io.File("fixtures/avi.parquet")
+    if (local.exists) local.getAbsolutePath else "/root/repo/fixtures/avi.parquet"
+  }
+  def avi(spark: SparkSession): DataFrame = spark.read.parquet(aviFixturePath)
+
   /** pii(rec_id BIGINT, text STRING) — repo-local deterministic
    * PII-bearing text fixture (tools.PiiFixture; the driver corpus is
    * digit-free word salad, so identifier scanning needs its own rows). */

@@ -462,10 +462,27 @@ object Ingest {
    * was otherwise unserialized). Blocks up to `waitMs` for the holder
    * (a trigger holds it for one batch; compaction for one fold); a
    * lock older than `staleMs` is presumed orphaned by a crashed holder
-   * and broken. Lock-file create/delete is two filesystem metadata ops
-   * per trigger — noise against a trigger's parquet writes.
+   * and broken. Two defenses close the stale-recovery race (two
+   * recoverers both judging an orphan stale, the slower delete landing
+   * on the faster one's FRESH lock):
+   *  1. a live holder heartbeats the lock mtime from a daemon thread
+   *     every staleMs/4, so a non-crashed holder is never judged
+   *     stale in the first place — the break path only ever fires on
+   *     true orphans;
+   *  2. the breaker re-reads the lock token immediately before its
+   *     delete and aborts the break if the token changed from the one
+   *     it judged stale — a fresh lock created in the window carries a
+   *     different token.
+   * Residual window: between the breaker's final token re-read and its
+   * delete (two metadata ops, ~ns apart) a third process could still
+   * complete a full create; with heartbeats that requires TWO
+   * simultaneous breakers inside that window against a >staleMs-old
+   * orphan — accepted as advisory-lock semantics on stores without
+   * atomic compare-and-delete. Lock-file create/delete is two
+   * filesystem metadata ops per trigger — noise against a trigger's
+   * parquet writes.
    */
-  private def withIndexLock[T](spark: SparkSession, indexDir: String,
+  private[ops] def withIndexLock[T](spark: SparkSession, indexDir: String,
       waitMs: Long = 600000L, staleMs: Long = 3600000L)(body: => T): T = {
     val lock = new org.apache.hadoop.fs.Path(s"$indexDir/_lock")
     val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -494,11 +511,16 @@ object Ingest {
         } catch { case _: java.io.IOException => false }
       if (created && readToken().contains(token)) acquired = true
       else if (!created) {
+        // sample the holder's token BEFORE judging staleness, and only
+        // break if the very same token is still in place at delete
+        // time — a fresh lock raced in between carries a new token
+        val staleToken = readToken()
         val stale =
           try System.currentTimeMillis -
             fs.getFileStatus(lock).getModificationTime > staleMs
           catch { case _: java.io.FileNotFoundException => false }
-        if (stale) fs.delete(lock, false)
+        if (stale && staleToken.isDefined && readToken() == staleToken)
+          fs.delete(lock, false)
         else if (System.currentTimeMillis > deadline)
           throw new IllegalStateException(
             s"index lock $lock held >${waitMs}ms — stuck compaction or trigger?")
@@ -507,7 +529,25 @@ object Ingest {
       // created but token mismatch: our file was broken from under us
       // mid-race — loop and contend again
     }
-    try body finally if (readToken().contains(token)) fs.delete(lock, false)
+    // heartbeat: refresh the lock mtime while the body runs so a slow
+    // holder (long compaction fold) can never age past staleMs and be
+    // judged an orphan by a waiting breaker
+    val beat = new Thread(() => {
+      val period = math.max(staleMs / 4, 1000L)
+      try {
+        while (!Thread.interrupted()) {
+          Thread.sleep(period)
+          if (readToken().contains(token))
+            fs.setTimes(lock, System.currentTimeMillis, -1)
+        }
+      } catch { case _: InterruptedException => () }
+    }, s"graft-lock-heartbeat-${lock.hashCode}")
+    beat.setDaemon(true)
+    beat.start()
+    try body finally {
+      beat.interrupt()
+      if (readToken().contains(token)) fs.delete(lock, false)
+    }
   }
 
   /** Deterministic catalog names for the two index tables rooted at

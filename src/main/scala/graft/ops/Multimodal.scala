@@ -194,6 +194,7 @@ object Multimodal {
     def avMeta(bytes: Array[Byte]): Option[AvMeta] = {
       if (bytes == null) None
       else if (tag(bytes, 0, "RIFF") && tag(bytes, 8, "WAVE")) parseWav(bytes)
+      else if (tag(bytes, 0, "RIFF") && tag(bytes, 8, "AVI ")) parseAvi(bytes)
       else if (bytes.length >= 10 &&
         (tag(bytes, 0, "GIF8") && (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a'))
         parseGif(bytes)
@@ -428,7 +429,13 @@ object Multimodal {
       }
       Some(AvMeta("mp4",
         width = dims.map(_._1), height = dims.map(_._2),
-        durationMs = for { t <- ts; d <- dur; if t > 0 } yield d * 1000L / t))
+        // d >= 0 rejects a crafted v1 BE64 with the top bit set (the
+        // hi<<32|lo assembly would go negative); the all-ones values
+        // are the spec's "duration unknown" sentinels in v0 and v1
+        durationMs = for {
+          t <- ts; d <- dur
+          if t > 0 && d >= 0 && d != 0xFFFFFFFFL
+        } yield d * 1000L / t))
     }
 
     /**
@@ -492,13 +499,23 @@ object Multimodal {
       val p = 27 + nSegs // first packet start
       if (p >= b.length) return Some(AvMeta("ogg"))
       def lastGranule(): Option[Long] = {
-        var i = b.length - 14 // need 6+8 bytes of header after the magic
+        // Ogg does NOT escape "OggS" inside packet payloads (real
+        // demuxers CRC-check candidate pages when seeking), so a raw
+        // magic hit must pass the cheap header sanity checks — version
+        // byte 0, only the three defined header-type flag bits, segment
+        // table in bounds — before its granule is trusted; on mismatch
+        // (or granule -1 = "no packet ends on this page") keep
+        // scanning backward to the previous candidate.
+        var i = b.length - 27 // minimum full header: 27 bytes
         while (i >= 0) {
-          if (tag(b, i, "OggS")) {
+          if (tag(b, i, "OggS") &&
+            (b(i + 4) & 0xff) == 0 && // stream structure version
+            (b(i + 5) & 0xf8) == 0 && // flags: only 0x01/0x02/0x04 defined
+            i + 27 + (b(i + 26) & 0xff) <= b.length) { // segment table fits
             var g = 0L
             var k = 7
             while (k >= 0) { g = (g << 8) | (b(i + 6 + k) & 0xffL); k -= 1 }
-            return if (g >= 0) Some(g) else None // -1 = no packet ends here
+            if (g >= 0) return Some(g)
           }
           i -= 1
         }
@@ -644,13 +661,101 @@ object Multimodal {
         case 5 => Some(32)
         case _ => None
       }
-      if (rate <= 0 || ch <= 0 || rate > Int.MaxValue || ch > Int.MaxValue) None
+      // ch capped at 64 (same sanity bound as auSamples): an
+      // adversarial header with rate and ch both near 2^31 would
+      // overflow the Long duration divisor below
+      if (rate <= 0 || ch <= 0 || rate > Int.MaxValue || ch > 64) None
       else Some(AvMeta("au", channels = Some(ch.toInt), sampleRate = Some(rate.toInt),
         bitsPerSample = bits,
         durationMs = bits.collect {
           case bps if dataSize >= 0 =>
             dataSize * 1000L / (rate * ch * (bps / 8).max(1))
         }))
+    }
+
+    /**
+     * AVI header parse — the same RIFF walk as [[parseWav]] against the
+     * "AVI " form type (public format: each chunk is a 4-char id +
+     * LE32 length, word-aligned; `LIST` chunks nest with a 4-char list
+     * type as the first payload word). Fields come from the `hdrl`
+     * LIST's `avih` chunk (MainAVIHeader): microseconds per frame at
+     * payload offset 0, total frames at 16, width/height at 32/36.
+     * Duration = usPerFrame * totalFrames / 1000 (zero total frames —
+     * a header-only file cut before `movi` — reports no duration but
+     * keeps the byte-proven container identity, same tolerance as
+     * [[parseMp4]]'s moov-less ftyp).
+     */
+    private[ops] def parseAvi(b: Array[Byte]): Option[AvMeta] = {
+      if (!(tag(b, 0, "RIFF") && tag(b, 8, "AVI "))) return None
+      var meta: Option[AvMeta] = None
+      var i = 12
+      while (i + 8 <= b.length && meta.isEmpty) {
+        val len = le32(b, i + 4)
+        if (len < 0 || len > b.length - i - 8) return meta.orElse(Some(AvMeta("avi")))
+        if (tag(b, i, "LIST") && tag(b, i + 8, "hdrl")) {
+          // walk the hdrl LIST for avih
+          var j = i + 12
+          val end = i + 8 + len
+          while (j + 8 <= end && meta.isEmpty) {
+            val l2 = le32(b, j + 4)
+            if (l2 < 0 || l2 > end - j - 8) return Some(AvMeta("avi"))
+            if (tag(b, j, "avih") && l2 >= 40) {
+              val usPerFrame = le32(b, j + 8)
+              val totalFrames = le32(b, j + 24)
+              val w = le32(b, j + 40)
+              val h = le32(b, j + 44)
+              meta = Some(AvMeta("avi",
+                width = if (w > 0) Some(w) else None,
+                height = if (h > 0) Some(h) else None,
+                durationMs =
+                  if (usPerFrame > 0 && totalFrames > 0)
+                    Some(usPerFrame.toLong * totalFrames / 1000L)
+                  else None))
+            }
+            j += 8 + l2 + (l2 & 1)
+          }
+        }
+        i += 8 + len + (len & 1)
+      }
+      meta.orElse(Some(AvMeta("avi"))) // RIFF/AVI proven, headers absent
+    }
+
+    /**
+     * Video-frame chunk locator for AVI: walks the top-level RIFF
+     * chunks to the `movi` LIST and returns every video chunk —
+     * stream-numbered ids `##dc` (compressed) / `##db` (uncompressed),
+     * e.g. `00dc` for stream 0 — as (dataOffset, dataLen) in file
+     * order. For an MJPEG AVI each such chunk is one complete JPEG
+     * image. `rec ` grouping LISTs inside `movi` are descended into
+     * (AVI 1.0 interleave); audio (`##wb`) and index chunks are
+     * skipped by length, same discipline as the WAV walk.
+     */
+    private[ops] def aviVideoChunks(b: Array[Byte]): Seq[(Int, Int)] = {
+      if (b == null || !(tag(b, 0, "RIFF") && tag(b, 8, "AVI "))) return Nil
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      def isVideoId(o: Int): Boolean =
+        b(o) >= '0' && b(o) <= '9' && b(o + 1) >= '0' && b(o + 1) <= '9' &&
+          b(o + 2) == 'd' && (b(o + 3) == 'c' || b(o + 3) == 'b')
+      def walkMovi(from: Int, to: Int): Unit = {
+        var i = from
+        while (i + 8 <= to) {
+          val len = le32(b, i + 4)
+          if (len < 0 || len > to - i - 8) return // truncated: stop
+          if (tag(b, i, "LIST") && tag(b, i + 8, "rec "))
+            walkMovi(i + 12, i + 8 + len)
+          else if (isVideoId(i)) out += ((i + 8, len))
+          i += 8 + len + (len & 1)
+        }
+      }
+      var i = 12
+      while (i + 8 <= b.length) {
+        val len = le32(b, i + 4)
+        if (len < 0 || len > b.length - i - 8) return out.toSeq
+        if (tag(b, i, "LIST") && tag(b, i + 8, "movi"))
+          walkMovi(i + 12, i + 8 + len)
+        i += 8 + len + (len & 1)
+      }
+      out.toSeq
     }
 
     private def parseBmp(b: Array[Byte]): Option[AvMeta] = {
@@ -692,6 +797,31 @@ object Multimodal {
       }
       .toDF("media_id", "mime_type", "n_bytes", "format", "width", "height",
         "channels", "sample_rate", "bits", "duration_ms")
+  }
+
+  /**
+   * Relational face of the AVI video-chunk walk (oracle-checkable):
+   * one row per video frame chunk with its byte offset and length in
+   * the container, plus a JPEG-signature probe of the chunk payload
+   * (an MJPEG AVI carries one complete JPEG per `00dc` chunk). Same
+   * partition-local discipline as [[avMetaTable]]: blobs never leave
+   * their partition, only fixed-shape chunk coordinates come out.
+   */
+  def aviFrameTable(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("mime_type"), col("media"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          AvHeaders.aviVideoChunks(r.media).zipWithIndex.map {
+            case ((off, len), idx) =>
+              val isJpeg = len >= 3 && (r.media(off) & 0xff) == 0xff &&
+                (r.media(off + 1) & 0xff) == 0xd8 && (r.media(off + 2) & 0xff) == 0xff
+              (r.media_id, idx, off.toLong, len.toLong, isJpeg)
+          }
+        }
+      }
+      .toDF("media_id", "frame_idx", "offset", "n_bytes", "is_jpeg")
   }
 
   /** Extracted features: fixed shape regardless of codec. */
@@ -1201,37 +1331,58 @@ object Multimodal {
     }
   }
 
-  /** A sampled frame from a (fake) container stream. */
-  case class Frame(media_id: Long, frame_idx: Int, frame: Array[Byte])
+  /** A sampled frame from a container stream. `decoded` is the
+   * provenance marker: true for frames the container itself yielded
+   * (GIF animation frames, AVI video chunks), false for the
+   * fixed-size byte-chunk fallback — so a downstream consumer can
+   * never mistake opaque chunks for real frames. */
+  case class Frame(media_id: Long, frame_idx: Int, frame: Array[Byte],
+      decoded: Boolean)
 
   /**
-   * Frame sampling. For GIF containers this is REAL keyframe
-   * iteration — every `everyN`-th decoded animation frame
-   * ([[MediaCodec.decodeGifFrames]]), re-encoded as a standalone PNG
-   * payload so each sampled frame is itself a decodable media row
-   * with its own luminance grid. Every other payload falls back to
-   * every `everyN`-th fixed-size byte chunk (STUB: a real
-   * implementation asks the container for keyframes — no AV codec
-   * libraries in this environment). `frame_idx` is the index in the
-   * source stream (frame number / chunk number), not a dense rank, on
-   * both paths. The Spark-side shape is identical either way:
-   * partition-local, one media row fans out to many frame rows,
-   * frames stay on their partition until explicitly shuffled.
+   * Frame sampling. REAL keyframe iteration for two containers:
+   *  - animated GIF — every `everyN`-th decoded animation frame
+   *    ([[MediaCodec.decodeGifFrames]]), re-encoded as a standalone
+   *    PNG payload so each sampled frame is itself a decodable media
+   *    row with its own luminance grid;
+   *  - MJPEG AVI — every `everyN`-th `00dc`/`00db` video chunk from
+   *    the `movi` LIST ([[AvHeaders.aviVideoChunks]]); each chunk IS
+   *    a complete JPEG, emitted as-is (already standalone decodable;
+   *    trailing chunk padding after the JPEG EOI marker is ignored by
+   *    every decoder).
+   * Every other payload falls back to every `everyN`-th fixed-size
+   * byte chunk with `decoded = false` (STUB: a real implementation
+   * asks the codec for keyframes — no AV codec libraries in this
+   * environment). `frame_idx` is the index in the source stream
+   * (frame number / chunk number), not a dense rank, on all paths.
+   * The Spark-side shape is identical either way: partition-local,
+   * one media row fans out to many frame rows, frames stay on their
+   * partition until explicitly shuffled.
    */
   def frameSample(spark: SparkSession, media: DataFrame,
       everyN: Int = 4, frameBytes: Int = 64): Dataset[Frame] = {
     import spark.implicits._
     media.as[MediaRow].flatMap { r =>
       val gifFrames = MediaCodec.decodeGifFrames(r.media)
+      val aviChunks =
+        if (gifFrames.nonEmpty) Nil else AvHeaders.aviVideoChunks(r.media)
       if (gifFrames.nonEmpty)
         gifFrames.iterator.zipWithIndex
           .filter(_._2 % everyN == 0)
-          .map { case (img, idx) => Frame(r.media_id, idx, MediaCodec.encodePng(img)) }
+          .map { case (img, idx) =>
+            Frame(r.media_id, idx, MediaCodec.encodePng(img), decoded = true) }
+      else if (aviChunks.nonEmpty)
+        aviChunks.iterator.zipWithIndex
+          .filter(_._2 % everyN == 0)
+          .map { case ((off, len), idx) =>
+            Frame(r.media_id, idx,
+              java.util.Arrays.copyOfRange(r.media, off, off + len),
+              decoded = true) }
       else {
         val bytes = if (r.media == null) Array.emptyByteArray else r.media
         bytes.grouped(frameBytes).zipWithIndex
           .filter(_._2 % everyN == 0)
-          .map { case (chunk, idx) => Frame(r.media_id, idx, chunk) }
+          .map { case (chunk, idx) => Frame(r.media_id, idx, chunk, decoded = false) }
       }
     }
   }

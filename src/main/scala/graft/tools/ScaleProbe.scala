@@ -111,6 +111,17 @@ object ScaleProbe {
       docs, minQuality = 0.0, langs = graft.ops.TextAnalysis.langMarkers.map(_._1)).count())
     timedDocs("pack_seqs_p8")(graft.ops.Sampling.packSequences(
       docs.withColumn("source", pmod(col("doc_id"), lit(20L)).cast("string"))).count())
+    // single-source skew ceiling: the ENTIRE corpus in one source
+    // forces the per-source running-sum window through ONE partition —
+    // the documented serialization point of the packing contract
+    // (ops/Sampling.scala packSequences: compose the key to
+    // (source, day) when a source outgrows this). 10M tiny docs keep
+    // the probe about the window machinery, not text synthesis.
+    val oneSrc = spark.range(rows).select(col("id").as("doc_id"),
+      lit("s0").as("source"),
+      lit((1 to 8).map("w" + _).mkString(" ")).as("text"))
+    timedAs("docs", rows)("pack_one_source")(
+      graft.ops.Sampling.packSequences(oneSrc).count())
     // the exported q_d8 path: banded MinHash pair finder (20×2) +
     // connected components + corpus filter — the clean-corpus pipeline
     // end to end at 101k docs

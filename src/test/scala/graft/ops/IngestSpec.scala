@@ -308,4 +308,70 @@ class IngestSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
     assert(admitted == Seq(1L, 8L))
   }
+
+  test("soak: 20 triggers + compaction every 5 vs a concurrent locked probe — never a partial view") {
+    // End-to-end race soak for the advisory writer lock: a probe loop
+    // that takes the SAME lock a trigger takes (the contract for any
+    // index reader that needs a consistent cross-half view) must never
+    // observe sig and bands halves disagreeing on the admitted doc set
+    // — not between the two half-appends of a trigger, not during a
+    // compaction's write-then-drop window, not while compaction folds
+    // a previous compaction in. Lock-serialized mutation is exactly
+    // the property that makes this hold; a violation here is the
+    // compaction/stream race the lock exists to close.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("ndsoak").toString
+    def novel(i: Int): String = (0 until 10).map(j => s"k${i}s$j").mkString(" ")
+    val violations = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    @volatile var stopProbe = false
+    val prober = new Thread(() => {
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      while (!stopProbe) {
+        try {
+          Ingest.withIndexLock(spark, s"$base/index") {
+            val haveSig = fs.exists(new org.apache.hadoop.fs.Path(s"$base/index/sig"))
+            val haveBands = fs.exists(new org.apache.hadoop.fs.Path(s"$base/index/bands"))
+            if (haveSig != haveBands)
+              violations.add(s"torn halves: sig=$haveSig bands=$haveBands")
+            else if (haveSig) {
+              val sigIds = spark.read.parquet(s"$base/index/sig")
+                .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+              val bandIds = spark.read.parquet(s"$base/index/bands")
+                .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+              if (sigIds != bandIds)
+                violations.add(s"halves disagree: sig=$sigIds bands=$bandIds")
+            }
+          }
+        } catch { case e: Throwable => violations.add(s"probe threw: $e") }
+        Thread.sleep(5)
+      }
+    }, "ndsoak-prober")
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val query = Ingest.runStreamingNearDedup(stream.toDF().toDF("doc_id", "text"),
+      s"$base/index", s"$base/out", s"$base/ck")
+    prober.start()
+    try {
+      (0 until 20).foreach { i =>
+        stream.addData((i.toLong, novel(i)))
+        query.processAllAvailable()
+        if (i % 5 == 4)
+          Ingest.compactIndexFromCheckpoint(spark, s"$base/index", s"$base/ck",
+            indexBuckets = 16)
+      }
+    } finally {
+      query.stop()
+      stopProbe = true
+      prober.join(30000)
+    }
+    assert(violations.isEmpty, violations.toArray.mkString("; "))
+    // the soak changed nothing about correctness: all 20 novel docs
+    // admitted, index halves agree, and the lock file is released
+    assert(spark.read.parquet(s"$base/out")
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq == (0L until 20L))
+    assert(spark.read.parquet(s"$base/index/sig")
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq == (0L until 20L))
+    assert(!new java.io.File(s"$base/index/_lock").exists())
+  }
 }

@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.SparkSpec
 import graft.ops.Multimodal.{AvHeaders, ImageHeaders}
-import graft.tools.{AvFixture, MediaFixture, Mp4Fixture}
+import graft.tools.{AvFixture, AviFixture, MediaFixture, Mp4Fixture}
 
 class MultimodalSpec extends SparkSpec {
 
@@ -197,6 +197,79 @@ class MultimodalSpec extends SparkSpec {
       .count(_.media_id == 2L) == 0) // null payload → zero frames, no crash
   }
 
+  test("AVI parse: avih fields, header-only identity, video-chunk walk matches the contract") {
+    val id = 0L
+    val m = AvHeaders.avMeta(AviFixture.avi(id)).get
+    assert(m.format == "avi")
+    assert(m.width.contains(AviFixture.width(id)) && m.height.contains(AviFixture.height(id)))
+    assert(m.durationMs.contains(
+      AviFixture.usPerFrame(id).toLong * AviFixture.nFrames(id) / 1000L))
+    // header-only (capture cut before movi): container identity +
+    // dimensions survive, duration does not, and there are no frames
+    val ho = AvHeaders.avMeta(AviFixture.headerOnly(3)).get
+    assert(ho.format == "avi" && ho.width.contains(AviFixture.width(3)) && ho.durationMs.isEmpty)
+    assert(AvHeaders.aviVideoChunks(AviFixture.headerOnly(3)).isEmpty)
+    assert(AvHeaders.avMeta(AviFixture.junk(7)).isEmpty)
+    // the real RIFF walk lands on exactly the oracle's coordinates:
+    // frame chunk i's data at 224 + i*(8+S) + 8, length S
+    val (bytes, s) = AviFixture.aviWithSize(4) // nf = 6
+    val chunks = AvHeaders.aviVideoChunks(bytes)
+    assert(chunks.size == AviFixture.nFrames(4))
+    chunks.zipWithIndex.foreach { case ((off, len), i) =>
+      assert(off == 224 + i * (8 + s) + 8, s"frame $i offset")
+      assert(len == s, s"frame $i length")
+    }
+  }
+
+  test("frameSample: REAL MJPEG AVI frame iteration, distinct per-frame luminance, provenance flag") {
+    import spark.implicits._
+    val id = 1L // nf = 3
+    val rows = Seq(
+      (1L, "video/x-msvideo", AviFixture.avi(id)),
+      (2L, "application/octet-stream", AvFixture.junk(9)))
+      .toDF("media_id", "mime_type", "media")
+    val frames = Multimodal.frameSample(spark, rows, everyN = 1, frameBytes = 16).collect()
+    val avi = frames.filter(_.media_id == 1L).sortBy(_.frame_idx)
+    assert(avi.map(_.frame_idx).toSeq == (0 until AviFixture.nFrames(id)))
+    assert(avi.forall(_.decoded), "container-yielded frames carry decoded = true")
+    // every sampled frame is a complete standalone JPEG whose real
+    // luminance grid the decoder reads — and the moving bar makes
+    // consecutive frames' grids DIFFER (byte chunks of one container
+    // could never each decode as an image)
+    val grids = avi.map(f => Multimodal.MediaCodec.decode(f.frame).toSeq).toSeq
+    grids.sliding(2).foreach { pair =>
+      assert(pair.head != pair.last,
+        "consecutive AVI frames decode to distinct luminance grids")
+    }
+    // the byte-chunk fallback is marked NOT decoded
+    val junkFrames = frames.filter(_.media_id == 2L)
+    assert(junkFrames.nonEmpty && junkFrames.forall(!_.decoded))
+    // everyN sampling keeps SOURCE chunk indexes on the AVI path too
+    val sampled = Multimodal.frameSample(spark,
+      Seq((3L, "video/x-msvideo", AviFixture.avi(4))).toDF("media_id", "mime_type", "media"),
+      everyN = 2).collect().sortBy(_.frame_idx)
+    assert(sampled.map(_.frame_idx).toSeq == Seq(0, 2, 4)) // of nf = 6
+  }
+
+  test("aviFrameTable emits the generator's ground-truth chunk coordinates") {
+    import spark.implicits._
+    val ids = Seq(0L, 3L, 5L, 7L) // full, header-only, full, junk
+    val rows = ids.map(i => { val (m, b) = AviFixture.row(i); (i, m, b) })
+      .toDF("media_id", "mime_type", "media")
+    val out = Multimodal.aviFrameTable(spark, rows).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r).toMap
+    // only full rows produce frames
+    assert(out.keys.map(_._1).toSet == Set(0L, 5L))
+    for (id <- Seq(0L, 5L)) {
+      val (_, s) = AviFixture.aviWithSize(id)
+      (0 until AviFixture.nFrames(id)).foreach { i =>
+        val r = out((id, i))
+        assert(r.getLong(2) == 224L + i * (8 + s) + 8, s"id=$id frame=$i offset")
+        assert(r.getLong(3) == s.toLong && r.getBoolean(4), s"id=$id frame=$i len/jpeg")
+      }
+    }
+  }
+
   test("WAV parse: fmt fields, LIST-shifted chunk walk, duration from data/byte rate") {
     val plain = AvHeaders.avMeta(AvFixture.wav(8)).get // id%8==0: no LIST
     assert(plain.format == "wav")
@@ -246,7 +319,8 @@ class MultimodalSpec extends SparkSpec {
       AvFixture.adpcmWavStep(2, 8000, 130),
       AvFixture.oggOpus(2, 48000, 500), AvFixture.oggVorbis(1, 44000, 500),
       AvFixture.webm(640, 360, 1000, audioCh = 2, audioRate = 48000),
-      Mp4Fixture.mp4(0), Mp4Fixture.mp4(5), Mp4Fixture.truncated()
+      Mp4Fixture.mp4(0), Mp4Fixture.mp4(5), Mp4Fixture.truncated(),
+      AviFixture.avi(0), AviFixture.avi(4), AviFixture.headerOnly(3)
     ).flatMap { base =>
       (0 until 8).map { _ =>
         val m = base.clone()
@@ -264,6 +338,7 @@ class MultimodalSpec extends SparkSpec {
         assert(e.forall(x => x >= 0f && x <= 1f + 1e-6f)))
       Multimodal.ImageHeaders.imageMeta(b)    // must not throw
       Multimodal.AvHeaders.avMeta(b)          // must not throw
+      Multimodal.AvHeaders.aviVideoChunks(b)  // must not throw
       Multimodal.MediaCodec.decodeGifFrames(b) // must not throw
       Multimodal.MediaCodec.decodeAudioSampled(b) // must not throw
     }

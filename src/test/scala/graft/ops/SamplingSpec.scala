@@ -245,4 +245,80 @@ class SamplingSpec extends SparkSpec {
     val batch = Sampling.packSequences(docs, window = 64L).collect().map(key).toSet
     assert(streamed == batch)
   }
+
+  test("streaming packing invariants survive random trigger splits AND shuffled arrival") {
+    // Out-of-order arrival yields a DIFFERENT (but still valid)
+    // packing than the batch face — the documented contract is that
+    // the tiling invariants hold for WHATEVER order the stream
+    // delivered: every emitted sequence except a source's last covers
+    // exactly [0, window) with no gap or overlap, every document's
+    // spans tile [0, n_tokens), and the per-source cursor only moves
+    // forward. Seeded random corpora, global shuffles, random cuts.
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val window = 32L
+    val genDocs: Gen[List[(Int, Int, Int)]] = Gen.listOfN(40, for {
+      id <- Gen.choose(0, 1 << 16)
+      src <- Gen.choose(0, 1)
+      words <- Gen.choose(1, 90) // straddlers across several windows
+    } yield (id, src, words))
+    (1 to 3).foreach { seed =>
+      val raw = genDocs(Gen.Parameters.default, Seed(seed.toLong))
+        .getOrElse(sys.error("gen failed")).distinctBy(_._1)
+      val fixture = raw.map { case (id, src, words) =>
+        (id.toLong, s"s$src", Seq.fill(words)("w").mkString(" "))
+      }
+      val rng = new scala.util.Random(seed * 131)
+      val shuffled = rng.shuffle(fixture) // ARRIVAL order ≠ doc_id order
+      val cuts = (Seq(0, shuffled.length) ++
+        Seq.fill(3)(rng.nextInt(shuffled.length))).distinct.sorted
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, String)]
+      val name = s"pack_ooo_$seed"
+      val query = Sampling.packSequencesStreaming(
+        stream.toDF().toDF("doc_id", "source", "text"), window)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        cuts.zip(cuts.tail).foreach { case (a, b) =>
+          stream.addData(shuffled.slice(a, b))
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      val rows = spark.table(name).collect().map(r => (
+        r.getAs[String]("source"), r.getAs[Long]("seq_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("tok_start"), r.getAs[Long]("tok_end"),
+        r.getAs[Long]("seq_off")))
+      // global token conservation across whatever packing emerged
+      assert(rows.map(r => r._6 - r._5).sum == raw.map(_._3.toLong).sum, s"seed=$seed")
+      // per-doc spans tile [0, n) over consecutive sequences
+      rows.groupBy(r => (r._1, r._3)).foreach { case ((_, id), spans) =>
+        val s = spans.sortBy(_._2)
+        assert(s.head._5 == 0L && s.last._6 == s.head._4, s"seed=$seed doc=$id")
+        s.zip(s.tail).foreach { case (a, b) =>
+          assert(b._2 == a._2 + 1 && b._5 == a._6 && b._7 == 0L,
+            s"seed=$seed doc=$id") }
+      }
+      rows.groupBy(_._1).foreach { case (src, srcRows) =>
+        val srcTokens = srcRows.groupBy(_._3).values.map(_.head._4).sum
+        val lastSeq = srcRows.map(_._2).max
+        // cursor monotone: the highest sequence is where the total
+        // token mass says it must be — no skipped or repeated windows
+        assert(lastSeq == (srcTokens - 1) / window, s"seed=$seed $src")
+        srcRows.groupBy(_._2).foreach { case (seq, spans) =>
+          // spans tile the sequence: start at offset 0, contiguous,
+          // exactly `window` tokens for every non-final sequence
+          val s = spans.sortBy(_._7)
+          assert(s.head._7 == 0L, s"seed=$seed $src seq=$seq")
+          s.zip(s.tail).foreach { case (a, b) =>
+            assert(b._7 == a._7 + (a._6 - a._5), s"seed=$seed $src seq=$seq") }
+          val total = s.map(x => x._6 - x._5).sum
+          if (seq < lastSeq) assert(total == window, s"seed=$seed $src seq=$seq")
+          else assert(total <= window && total == srcTokens - seq * window,
+            s"seed=$seed $src last seq")
+        }
+      }
+    }
+  }
 }
