@@ -103,9 +103,18 @@ object Bench {
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       var c = Double.MaxValue
-      (1 to trials).foreach { _ =>
+      // sub-second queries get ONE extra min-trial: mid-suite ambient
+      // session state (ContextCleaner backlog, code-cache churn) can
+      // inflate a single cold trial by ~300 ms — drift the same query
+      // never shows isolated (r9 full run: q_p1/q_p2 0.48/0.53 s;
+      // isolated at the same sf: 0.19–0.31 s). The flat floor matters
+      // most where the query itself is tiny; big queries amortise it.
+      def maxTrials = if (c < 0.6) trials + 1 else trials
+      var t = 0
+      while (t < maxTrials) {
         isolate()
-        run(name, fn).foreach(t => c = math.min(c, t))
+        run(name, fn).foreach(x => c = math.min(c, x))
+        t += 1
       }
       // 3 warm iterations straight after the last cold run (its caches
       // still live); the median filters a one-off cleaner/GC stall

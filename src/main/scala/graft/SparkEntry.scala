@@ -214,6 +214,13 @@ object SparkEntry {
     // oracle-checked query (both sides deterministic)
     "q_s9_ann_recall" -> ((s, d) =>
       Similarity.recallAtK(Tables.embeddings(s, d))),
+    // q_s11: spherical k-means Lloyd iterations — the IVF centroid
+    // TRAINING step (q_s5/q_s10 run fixed seed centroids; this learns
+    // them). Assignment is map-side against literal centroids; every
+    // cross-engine float is pinned (round 6 sims, round 9 centroid
+    // dims), so the oracle replays both iterations exactly
+    "q_s11_kmeans" -> ((s, d) =>
+      Similarity.kmeansAssign(Tables.embeddings(s, d))),
     // 0.68 ≈ the fixture's median quality score, so the gate demonstrably
     // filters (~half the corpus survives) rather than passing everything
     "q_x16_ingest_gate" -> ((s, d) => Ingest.runBatch(Tables.documents(s, d), minQuality = 0.68)),
@@ -260,6 +267,14 @@ object SparkEntry {
     // span row per touched sequence (unlike q_p5's whole-doc shards)
     "q_p8_pack_sequences" -> ((s, d) =>
       Sampling.packSequences(Tables.documents(s, d))),
+    // q_p9: repeat-factor epoch mixing — deterministic fractional
+    // OVERsampling (floor(r) copies + hash-gated extra), the
+    // up-weighting half of the mixing recipe (q_p4 is the
+    // down-sampling half); weights chosen to exercise whole copies,
+    // fractional copies, and sub-1 subsampling in one run
+    "q_p9_repeat_mix" -> ((s, d) =>
+      Sampling.repeatFactorSample(Tables.documents(s, d), col("doc_id"),
+        Map("src0" -> 2.5, "src1" -> 1.5, "src2" -> 0.4))),
     // ---- training-data pipeline: multimodal plumbing --------------
     "q_m1_media_meta" -> ((s, d) => Multimodal.mediaMeta(Tables.documents(s, d))),
     // q_m2: REAL binary image-header decode (PNG IHDR + JPEG segment
@@ -734,6 +749,7 @@ object SparkEntry {
          |     AS clean_text
          | FROM rk GROUP BY doc_id""".stripMargin,
     "q_s1_ann_topk" -> bruteOracle,
+    "q_s11_kmeans" -> kmeansOracle,
     "q_s2_ann_lsh" -> lshOracle,
     "q_s4_ann_sq8" -> sq8Oracle,
     "q_s9_ann_recall" -> recallOracle,
@@ -885,6 +901,22 @@ object SparkEntry {
          |     ORDER BY ${MDH("CAST(doc_id AS VARCHAR)")} % 1000000, doc_id) AS INTEGER) AS pick
          | FROM documents)
          | SELECT doc_id, source, pick FROM r WHERE pick <= 10""".stripMargin,
+    // q_p9: floor(r) whole copies + one hash-gated fractional copy —
+    // the same micro-rate hash gate as q_p1, then generate_series
+    // explodes the copies
+    "q_p9_repeat_mix" ->
+      s"""WITH w AS (SELECT doc_id, source,
+         |   CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 1.5
+         |               WHEN 'src2' THEN 0.4 ELSE 1.0 END AS r
+         |   FROM documents),
+         | n AS (SELECT doc_id, source,
+         |   CAST(floor(r) AS BIGINT) +
+         |     (CASE WHEN ${MDH("CAST(doc_id AS VARCHAR)")} % 1000000
+         |       < ROUND((r - floor(r)) * 1e6) THEN 1 ELSE 0 END) AS n_copies
+         |   FROM w)
+         | SELECT doc_id, source, n_copies,
+         |   CAST(unnest(generate_series(0, n_copies - 1)) AS BIGINT) AS copy_idx
+         | FROM n WHERE n_copies > 0""".stripMargin,
     "q_x17_tfidf" ->
       s"""WITH wr AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
          | tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c FROM wr GROUP BY 1, 2),
@@ -1465,6 +1497,44 @@ object SparkEntry {
        |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
        |       FROM scored)
        | SELECT query_id, vec_id AS neighbor_id, sim, rank FROM r WHERE rank <= 10""".stripMargin
+
+  /** Oracle twin of Similarity.kmeansAssign: both spherical Lloyd
+   * iterations replayed relationally — seed centroids (vec_id < k,
+   * rounded 9), argmax-cosine assignment on ROUND(sim, 6) with
+   * lowest-cluster tie-break, per-dimension ROUND(AVG, 9) means,
+   * unit-normalise + ROUND 9, empty clusters COALESCE to the previous
+   * centroid. Every float crossing the engine boundary is pinned, so
+   * the iteration chain is bit-stable on both engines. */
+  private def kmeansOracle: String = {
+    val k = 8; val iters = 2; val dim = 64
+    // one Lloyd iteration: assignment against cPrev → new centroids cN
+    def iteration(i: Int, cPrev: String): String =
+      s""" a$i AS (SELECT e.vec_id, e.v, c.cluster,
+         |     round(list_dot_product(e.v, c.cv), 6) AS sim FROM e, $cPrev c),
+         | b$i AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |     ORDER BY sim DESC, cluster) AS rn FROM a$i),
+         | m$i AS (SELECT cluster, v FROM b$i WHERE rn = 1),
+         | d$i AS (SELECT cluster, dim, round(avg(v[dim]), 9) AS m
+         |   FROM m$i, (SELECT unnest(generate_series(1, $dim)) AS dim) g$i
+         |   GROUP BY cluster, dim),
+         | l$i AS (SELECT cluster, list(m ORDER BY dim) AS mv FROM d$i GROUP BY cluster),
+         | n$i AS (SELECT cluster, list_transform(mv,
+         |     x -> round(x / sqrt(list_dot_product(mv, mv)), 9)) AS cv FROM l$i),
+         | c$i AS (SELECT p.cluster, COALESCE(n$i.cv, p.cv) AS cv
+         |   FROM $cPrev p LEFT JOIN n$i USING (cluster)),""".stripMargin
+    val chain = (1 to iters).map(i => iteration(i, s"c${i - 1}")).mkString("\n")
+    s"""WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings),
+       | e AS (SELECT vec_id,
+       |   list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v FROM raw),
+       | c0 AS (SELECT CAST(vec_id AS INTEGER) AS cluster,
+       |   list_transform(v, x -> round(x, 9)) AS cv FROM e WHERE vec_id < $k),
+       |$chain
+       | af AS (SELECT e.vec_id, c.cluster,
+       |     round(list_dot_product(e.v, c.cv), 6) AS sim FROM e, c$iters c),
+       | bf AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |     ORDER BY sim DESC, cluster) AS rn FROM af)
+       | SELECT vec_id, cluster, sim FROM bf WHERE rn = 1""".stripMargin
+  }
 
   /** Oracle twin of Similarity.quantizedTopK (SQ8 int8 layout). */
   private def sq8Oracle: String =

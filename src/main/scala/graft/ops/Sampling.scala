@@ -179,6 +179,13 @@ object Sampling {
    * IS the contract, as in [[tokenShards]]) + a map-side explode of
    * each doc's touched-sequence range — pure integer arithmetic,
    * no second shuffle, output rows = docs + cut-crossings.
+   *
+   * Per-source ceiling (measured): the whole corpus in ONE source —
+   * the worst skew the contract admits — still packs ~1.8M docs/s
+   * through the single window partition (ScaleProbe `pack_one_source`:
+   * 10M docs, 5.6 s, local[32]; the window sort + running sum are the
+   * serial cost). A source above that budget composes the key to
+   * (source, day): packing is order-local, nothing global.
    */
   def packSequences(documents: DataFrame, window: Long = 512L): DataFrame = {
     require(window > 0, s"window must be positive: $window")
@@ -199,6 +206,40 @@ object Sampling {
       .withColumn("seq_off", greatest(lit(0L), col("c0") - col("seq_start")))
       .select(col("source"), col("seq_id"), col("doc_id"),
         col("n_tokens"), col("tok_start"), col("tok_end"), col("seq_off"))
+  }
+
+  /**
+   * Deterministic fractional oversampling (repeat-factor epoch
+   * mixing): each document in source `s` appears `r(s)` times in the
+   * training epoch — `floor(r)` whole copies plus one more iff the
+   * key-hash fraction falls below `frac(r)`, so the EXPECTED copy
+   * count is exactly `r` while membership stays a pure function of
+   * the key (the up-sampling half of the mixing recipe whose
+   * down-sampling half is [[weightedMixSample]]; weights above 1
+   * replicate, weights below 1 subsample, both from the same
+   * deterministic hash). Output one row per copy:
+   * (doc_id, source, n_copies, copy_idx).
+   *
+   * Scale shape: a map-side projection + explode — no shuffle, no
+   * state; output rows = Σ copies. Weights arrive as a literal
+   * per-source map folded into one when/otherwise column (the same
+   * broadcast-free shape as [[stratifiedHashSample]]).
+   */
+  def repeatFactorSample(documents: DataFrame, key: Column,
+      weights: Map[String, Double], defaultWeight: Double = 1.0): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(_ >= 0.0),
+      "repeat factors must be non-negative")
+    val wCol = weights.foldLeft(lit(defaultWeight)) {
+      case (acc, (s, r)) => when(col("source") === s, lit(r)).otherwise(acc)
+    }
+    documents
+      .withColumn("n_copies",
+        (floor(wCol).cast("long") +
+          when(bucket(key) < round((wCol - floor(wCol)) * 1e6).cast("long"), 1L)
+            .otherwise(0L)).cast("long"))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("source"), col("n_copies"),
+        explode(sequence(lit(0L), col("n_copies") - 1)).as("copy_idx"))
   }
 
   /** One packed span: [[packSequences]]' output row shape, shared by

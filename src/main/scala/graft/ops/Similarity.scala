@@ -725,4 +725,76 @@ object Similarity {
       .withColumn("recall", round(col("hits") / lit(k.toDouble), 6))
       .select("method", "query_id", "hits", "recall")
   }
+
+  /**
+   * Spherical k-means (cosine Lloyd iterations) — the centroid
+   * TRAINING step behind an IVF index (q_s5/q_s10 run against fixed
+   * seed centroids; this is how production centroids are actually
+   * learned). Fully deterministic and oracle-checkable: every float
+   * that crosses an engine boundary is pinned —
+   *  - init: the unit-normalised first `k` corpus vectors
+   *    (vec_id < k), each dimension rounded to 9 decimals;
+   *  - assign: argmax cosine over the k centroids on ROUNDED
+   *    similarity (round 6), ties to the lowest cluster id;
+   *  - update: per-dimension mean of the members rounded to 9,
+   *    unit-normalised, rounded to 9 again; an empty cluster keeps
+   *    its previous centroid.
+   * Output after `iters` rounds: the final assignment
+   * (vec_id, cluster, sim).
+   *
+   * Scale shape: assignment is MAP-SIDE — the k·dim centroid matrix
+   * travels as literal expressions (the collect of k·dim rounded
+   * doubles per iteration IS the broadcast mechanism, same
+   * adjudication as ivfIndexTopK's pruning collect), so the corpus is
+   * never shuffled and never joined for assignment; the update is one
+   * partially-aggregated (cluster, dim) scalar shuffle of k·dim
+   * result rows. Driver state: k·dim doubles. This is the canonical
+   * distributed-kmeans shape — corpus scans: iters + 1.
+   */
+  def kmeansAssign(embeddings: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    require(k > 0 && iters >= 0, s"need k > 0, iters >= 0: k=$k iters=$iters")
+    val corpus = embeddings
+      .select(col("vec_id"), normalized(asDouble(col("embedding"))).as("v"))
+    // init: rounded normalised seed vectors, cluster id = vec_id order
+    var cent: Array[(Int, Seq[Double])] = corpus
+      .filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int"), transform(col("v"), x => round(x, 9)))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    def assigned(): DataFrame = {
+      // one struct per centroid: (sim, -cluster) so greatest() picks
+      // the highest similarity, then the LOWEST cluster id on ties —
+      // a single codegen'd projection, no join, no shuffle
+      val cands = cent.map { case (c, cv) =>
+        struct(
+          round(dot(col("v"), array(cv.map(lit(_)): _*)), 6).as("sim"),
+          lit(-c).as("negc"))
+      }
+      corpus.withColumn("best", greatest(cands: _*))
+        .select(col("vec_id"), col("v"),
+          (-col("best.negc")).cast("int").as("cluster"),
+          col("best.sim").as("sim"))
+    }
+    (1 to iters).foreach { _ =>
+      val upd = assigned()
+        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cluster", "dim")
+        .agg(round(avg("x"), 9).as("m")) // mean pinned at 9 decimals
+        .groupBy("cluster")
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("m")))),
+          s => s("m")).as("mv"))
+        // unit-normalise the rounded mean, pin again at 9
+        .select(col("cluster"),
+          transform(col("mv"), x => round(x / sqrt(dot(col("mv"), col("mv"))), 9))
+            .as("cv"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1))
+        .toMap
+      // empty clusters keep their previous centroid
+      cent = cent.map { case (c, old) => (c, upd.getOrElse(c, old)) }
+    }
+    assigned().select(col("vec_id"), col("cluster"), col("sim"))
+  }
 }

@@ -28,6 +28,38 @@ class SamplingSpec extends SparkSpec {
     assert(out.length == allEn) // rate 1.0 keeps every row of the stratum
   }
 
+  test("repeat-factor mixing: whole copies exact, fractional copies hash-gated, dense copy indexes") {
+    val out = Sampling.repeatFactorSample(docs, col("doc_id"),
+      Map("src0" -> 2.0, "src1" -> 1.5, "src2" -> 0.4)).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_copies"), r.getAs[Long]("copy_idx")))
+    val bySrc = out.groupBy(_._2)
+    // integer weight: EVERY src0 doc appears exactly twice
+    val src0Total = docs.filter(col("source") === "src0").count()
+    assert(bySrc("src0").groupBy(_._1).forall(_._2.length == 2))
+    assert(bySrc("src0").length == 2 * src0Total)
+    // fractional weight 1.5: each doc 1 or 2 copies, mean near 1.5
+    val perDoc1 = bySrc("src1").groupBy(_._1).map(_._2.length)
+    assert(perDoc1.forall(n => n == 1 || n == 2))
+    // sub-1 weight 0.4: 0 or 1 copies, docs with 0 copies absent
+    val src2Total = docs.filter(col("source") === "src2").count()
+    val perDoc2 = bySrc("src2").groupBy(_._1).map(_._2.length)
+    assert(perDoc2.forall(_ == 1) && perDoc2.size < src2Total)
+    // unlisted sources: default weight 1.0 = exactly one copy each
+    assert(bySrc("src3").groupBy(_._1).forall(_._2.length == 1))
+    // copy_idx is dense 0..n-1 per doc; n_copies consistent
+    out.groupBy(t => (t._1, t._2)).foreach { case (_, copies) =>
+      assert(copies.map(_._4).sorted.toSeq == (0L until copies.length.toLong))
+      assert(copies.forall(_._3 == copies.length.toLong))
+    }
+    // deterministic across runs
+    val again = Sampling.repeatFactorSample(docs, col("doc_id"),
+      Map("src0" -> 2.0, "src1" -> 1.5, "src2" -> 0.4)).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_copies"), r.getAs[Long]("copy_idx")))
+    assert(again.toSet == out.toSet)
+  }
+
   test("weighted mix: most up-weighted source keeps all; big sources down-sampled toward n^alpha") {
     val out = Sampling.weightedMixSample(docs, col("doc_id"), alpha = 0.5)
     val rates = out.select("source", "keep_rate").distinct()

@@ -272,4 +272,45 @@ class SimilaritySpec extends SparkSpec {
         assert(mean(m) >= floor, s"$m mean recall ${mean(m)} < $floor")
       }
   }
+
+  test("spherical k-means: total assignment, Lloyd improvement, determinism") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = emb.count()
+    val assigned = Similarity.kmeansAssign(emb, k = 8, iters = 2).collect()
+    // every vector assigned exactly once, to a real cluster
+    assert(assigned.length == n)
+    assert(assigned.map(_.getAs[Long]("vec_id")).distinct.length == n)
+    assert(assigned.forall { r =>
+      val c = r.getAs[Int]("cluster"); c >= 0 && c < 8 })
+    assert(assigned.forall { r =>
+      val s = r.getAs[Double]("sim"); s >= -1.0 - 1e-6 && s <= 1.0 + 1e-6 })
+    // Lloyd iterations improve (or hold) the spherical objective: the
+    // mean assigned similarity after 2 updates beats the seed
+    // assignment (rounding at 1e-6/1e-9 cannot mask a real regression)
+    def meanSim(iters: Int): Double = {
+      val rows = Similarity.kmeansAssign(emb, k = 8, iters = iters).collect()
+      rows.map(_.getAs[Double]("sim")).sum / rows.length
+    }
+    val m0 = meanSim(0); val m2 = meanSim(2)
+    info(f"mean sim: seed $m0%.4f -> 2 iterations $m2%.4f")
+    assert(m2 >= m0 - 1e-6, s"Lloyd iterations regressed the objective: $m0 -> $m2")
+    // deterministic: an identical re-run reproduces every assignment
+    val again = Similarity.kmeansAssign(emb, k = 8, iters = 2).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cluster"), r.getAs[Double]("sim"))).toSet
+    assert(again == assigned.map(r =>
+      (r.getAs[Long]("vec_id"), r.getAs[Int]("cluster"), r.getAs[Double]("sim"))).toSet)
+  }
+
+  test("spherical k-means: empty clusters keep their previous centroid, never crash") {
+    import spark.implicits._
+    // three identical vectors: everything assigns to cluster 0 from
+    // iteration 1 on; clusters 1 and 2 go empty and must survive
+    val one = Array.fill(4)(0.5f)
+    val emb = Seq((0L, one, 0), (1L, one, 0), (2L, one, 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.kmeansAssign(emb, k = 3, iters = 2).collect()
+    assert(out.length == 3)
+    assert(out.forall(_.getAs[Int]("cluster") == 0))
+    assert(out.forall(r => math.abs(r.getAs[Double]("sim") - 1.0) < 1e-6))
+  }
 }
