@@ -221,6 +221,11 @@ object SparkEntry {
     // dims), so the oracle replays both iterations exactly
     "q_s11_kmeans" -> ((s, d) =>
       Similarity.kmeansAssign(Tables.embeddings(s, d))),
+    // q_s12: IVF search over the TRAINED k-means centroids — the full
+    // production recipe (train → assign → probe → score) end to end;
+    // the oracle replays the training chain and the search
+    "q_s12_ann_ivf_trained" -> ((s, d) =>
+      Similarity.ivfTrainedTopK(Tables.embeddings(s, d))),
     // 0.68 ≈ the fixture's median quality score, so the gate demonstrably
     // filters (~half the corpus survives) rather than passing everything
     "q_x16_ingest_gate" -> ((s, d) => Ingest.runBatch(Tables.documents(s, d), minQuality = 0.68)),
@@ -750,6 +755,7 @@ object SparkEntry {
          | FROM rk GROUP BY doc_id""".stripMargin,
     "q_s1_ann_topk" -> bruteOracle,
     "q_s11_kmeans" -> kmeansOracle,
+    "q_s12_ann_ivf_trained" -> ivfTrainedOracle,
     "q_s2_ann_lsh" -> lshOracle,
     "q_s4_ann_sq8" -> sq8Oracle,
     "q_s9_ann_recall" -> recallOracle,
@@ -1505,8 +1511,11 @@ object SparkEntry {
    * unit-normalise + ROUND 9, empty clusters COALESCE to the previous
    * centroid. Every float crossing the engine boundary is pinned, so
    * the iteration chain is bit-stable on both engines. */
-  private def kmeansOracle: String = {
-    val k = 8; val iters = 2; val dim = 64
+  /** The shared Lloyd-iteration CTE chain (normalised corpus `e`,
+   * seed centroids `c0`, trained centroids `c<iters>`): everything up
+   * to — not including — a final SELECT, so [[kmeansOracle]] and
+   * [[ivfTrainedOracle]] search the identical trained quantizer. */
+  private def kmeansChain(k: Int = 8, iters: Int = 2, dim: Int = 64): String = {
     // one Lloyd iteration: assignment against cPrev → new centroids cN
     def iteration(i: Int, cPrev: String): String =
       s""" a$i AS (SELECT e.vec_id, e.v, c.cluster,
@@ -1528,12 +1537,45 @@ object SparkEntry {
        |   list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v FROM raw),
        | c0 AS (SELECT CAST(vec_id AS INTEGER) AS cluster,
        |   list_transform(v, x -> round(x, 9)) AS cv FROM e WHERE vec_id < $k),
-       |$chain
+       |$chain""".stripMargin
+  }
+
+  private def kmeansOracle: String = {
+    val iters = 2
+    s"""${kmeansChain(k = 8, iters = iters)}
        | af AS (SELECT e.vec_id, c.cluster,
        |     round(list_dot_product(e.v, c.cv), 6) AS sim FROM e, c$iters c),
        | bf AS (SELECT *, row_number() OVER (PARTITION BY vec_id
        |     ORDER BY sim DESC, cluster) AS rn FROM af)
        | SELECT vec_id, cluster, sim FROM bf WHERE rn = 1""".stripMargin
+  }
+
+  /** Oracle twin of Similarity.ivfTrainedTopK: the [[kmeansChain]]
+   * trained centroids, then assignment, per-query probe ranking,
+   * probed-cell scoring and top-k — the full train→search IVF recipe
+   * replayed relationally. */
+  private def ivfTrainedOracle: String = {
+    val iters = 2; val nQueries = 20; val nProbe = 2; val k = 10
+    s"""${kmeansChain(k = 8, iters = iters)}
+       | af AS (SELECT e.vec_id, e.v, c.cluster,
+       |     round(list_dot_product(e.v, c.cv), 6) AS sim FROM e, c$iters c),
+       | asg AS (SELECT vec_id, v, cluster AS cell FROM (
+       |     SELECT *, row_number() OVER (PARTITION BY vec_id
+       |       ORDER BY sim DESC, cluster) AS rn FROM af) WHERE rn = 1),
+       | pq AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $nQueries),
+       | pc AS (SELECT q.query_id, q.qv, c.cluster AS cell,
+       |     row_number() OVER (PARTITION BY q.query_id
+       |       ORDER BY round(list_dot_product(q.qv, c.cv), 6) DESC, c.cluster) AS crank
+       |   FROM pq q, c$iters c),
+       | probe AS (SELECT query_id, qv, cell FROM pc WHERE crank <= $nProbe),
+       | sc AS (SELECT p.query_id, a.vec_id,
+       |     round(list_dot_product(p.qv, a.v), 6) AS sim
+       |   FROM asg a JOIN probe p ON p.cell = a.cell AND a.vec_id != p.query_id),
+       | rk AS (SELECT query_id, vec_id, sim,
+       |     CAST(row_number() OVER (PARTITION BY query_id
+       |       ORDER BY sim DESC, vec_id) AS INTEGER) AS rank FROM sc)
+       | SELECT query_id, vec_id AS neighbor_id, sim, rank FROM rk
+       | WHERE rank <= $k""".stripMargin
   }
 
   /** Oracle twin of Similarity.quantizedTopK (SQ8 int8 layout). */

@@ -752,32 +752,48 @@ object Similarity {
    * distributed-kmeans shape — corpus scans: iters + 1.
    */
   def kmeansAssign(embeddings: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    val corpus = unitCorpus(embeddings)
+    assignToCentroids(corpus, kmeansCentroids(embeddings, k, iters))
+      .select(col("vec_id"), col("cluster"), col("sim"))
+  }
+
+  private def unitCorpus(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), normalized(asDouble(col("embedding"))).as("v"))
+
+  /** Map-side argmax-cosine assignment against literal centroids: one
+   * struct per centroid, (sim, -cluster) so greatest() picks the
+   * highest similarity then the LOWEST cluster id on ties — a single
+   * codegen'd projection, no join, no shuffle. */
+  private def assignToCentroids(corpus: DataFrame,
+      cent: Seq[(Int, Seq[Double])]): DataFrame = {
+    val cands = cent.map { case (c, cv) =>
+      struct(
+        round(dot(col("v"), array(cv.map(lit(_)): _*)), 6).as("sim"),
+        lit(-c).as("negc"))
+    }
+    corpus.withColumn("best", greatest(cands: _*))
+      .select(col("vec_id"), col("v"),
+        (-col("best.negc")).cast("int").as("cluster"),
+        col("best.sim").as("sim"))
+  }
+
+  /** The trained centroids behind [[kmeansAssign]] — exposed so
+   * [[ivfTrainedTopK]] can search against the same coarse quantizer
+   * the training loop produced. Same pinning contract throughout. */
+  def kmeansCentroids(embeddings: DataFrame, k: Int = 8,
+      iters: Int = 2): Seq[(Int, Seq[Double])] = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0: k=$k iters=$iters")
-    val corpus = embeddings
-      .select(col("vec_id"), normalized(asDouble(col("embedding"))).as("v"))
+    val corpus = unitCorpus(embeddings)
     // init: rounded normalised seed vectors, cluster id = vec_id order
-    var cent: Array[(Int, Seq[Double])] = corpus
+    var cent: Seq[(Int, Seq[Double])] = corpus
       .filter(col("vec_id") < k)
       .select(col("vec_id").cast("int"), transform(col("v"), x => round(x, 9)))
       .collect()
+      .toSeq
       .map(r => (r.getInt(0), r.getSeq[Double](1)))
       .sortBy(_._1)
-    def assigned(): DataFrame = {
-      // one struct per centroid: (sim, -cluster) so greatest() picks
-      // the highest similarity, then the LOWEST cluster id on ties —
-      // a single codegen'd projection, no join, no shuffle
-      val cands = cent.map { case (c, cv) =>
-        struct(
-          round(dot(col("v"), array(cv.map(lit(_)): _*)), 6).as("sim"),
-          lit(-c).as("negc"))
-      }
-      corpus.withColumn("best", greatest(cands: _*))
-        .select(col("vec_id"), col("v"),
-          (-col("best.negc")).cast("int").as("cluster"),
-          col("best.sim").as("sim"))
-    }
     (1 to iters).foreach { _ =>
-      val upd = assigned()
+      val upd = assignToCentroids(corpus, cent)
         .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("cluster", "dim")
         .agg(round(avg("x"), 9).as("m")) // mean pinned at 9 decimals
@@ -795,6 +811,52 @@ object Similarity {
       // empty clusters keep their previous centroid
       cent = cent.map { case (c, old) => (c, upd.getOrElse(c, old)) }
     }
-    assigned().select(col("vec_id"), col("cluster"), col("sim"))
+    cent
+  }
+
+  /**
+   * IVF top-k over TRAINED k-means centroids — [[ivfFixedTopK]]'s
+   * layout with [[kmeansCentroids]] as the coarse quantizer: the full
+   * production IVF recipe (train → assign → probe → score) as one
+   * oracle-checkable query. The DuckDB twin replays the training
+   * chain AND the search (the pinning contract makes the iterative
+   * part relational too, retiring q_s5's "k-means is rows-only-
+   * checkable" caveat).
+   *
+   * Scale shape: centroid training per [[kmeansCentroids]] (corpus
+   * scans, k·dim collects); assignment AND per-query probe ranking
+   * are map-side against literal centroids (no join, no shuffle — the
+   * probe list rides a sort_array over k structs); scoring joins the
+   * broadcast (query, cell) pairs against the assigned corpus — the
+   * corpus shuffles ONCE on the rank window, nothing else.
+   */
+  def ivfTrainedTopK(embeddings: DataFrame, nQueries: Int = 20, k: Int = 10,
+      nLists: Int = 8, iters: Int = 2, nProbe: Int = 2): DataFrame = {
+    val corpus = unitCorpus(embeddings).localCheckpoint() // search stages reuse it
+    // train from the RAW embeddings (one normalisation, exactly the
+    // oracle's arithmetic — re-normalising an already-unit vector
+    // would perturb values at the float ulp under the round-9 pin)
+    val cent = kmeansCentroids(embeddings, nLists, iters)
+    val asg = assignToCentroids(corpus, cent)
+      .select(col("vec_id"), col("v"), col("cluster").as("cell"))
+    // per-query probe list: sort the k (sim, -cluster) structs desc and
+    // slice nProbe — map-side, mirrors the assignment's tie-break
+    val cands = cent.map { case (c, cv) =>
+      struct(
+        round(dot(col("v"), array(cv.map(lit(_)): _*)), 6).as("sim"),
+        lit(-c).as("negc"))
+    }
+    val queries = corpus.filter(col("vec_id") < nQueries)
+      .withColumn("pcells", slice(sort_array(array(cands: _*), asc = false), 1, nProbe))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        explode(transform(col("pcells"), s => (-s("negc")).cast("int"))).as("cell"))
+    val scored = asg.join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", round(dot(col("qv"), col("v")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim"), col("rank"))
   }
 }

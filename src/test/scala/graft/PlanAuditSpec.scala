@@ -204,6 +204,26 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("repeat-factor mixing is pure map-side: zero exchanges at any scale") {
+    audited(graft.ops.Sampling.repeatFactorSample(Tables.documents(spark, sf),
+      org.apache.spark.sql.functions.col("doc_id"),
+      Map("src0" -> 2.5, "src1" -> 1.5, "src2" -> 0.4))) { plan =>
+      assert(shuffles(plan).isEmpty, s"${shuffles(plan).size} shuffles:\n$plan")
+    }
+  }
+
+  test("k-means final assignment is map-side: the corpus is never shuffled or joined") {
+    // kmeansAssign's iteration updates aggregate k·dim scalars (their
+    // own bounded job); the OUTPUT plan — assignment against literal
+    // centroids — must be a pure projection over the corpus scan
+    audited(graft.ops.Similarity.kmeansAssign(
+      Tables.embeddings(spark, sf), k = 4, iters = 1)) { plan =>
+      assert(shuffles(plan).isEmpty, s"${shuffles(plan).size} shuffles:\n$plan")
+      assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty, plan.toString)
+      assert(plan.collect { case c: CartesianProductExec => c }.isEmpty, plan.toString)
+    }
+  }
+
   test("container metadata decode is pure map-side: zero exchanges over the blobs") {
     audited(graft.ops.Multimodal.avMetaTable(spark, Tables.mp4(spark))) { plan =>
       assert(shuffles(plan).isEmpty, s"${shuffles(plan).size} shuffles:\n$plan")

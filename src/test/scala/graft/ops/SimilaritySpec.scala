@@ -301,6 +301,22 @@ class SimilaritySpec extends SparkSpec {
       (r.getAs[Long]("vec_id"), r.getAs[Int]("cluster"), r.getAs[Double]("sim"))).toSet)
   }
 
+  test("trained-centroid IVF: k rows per query, useful recall@10 vs brute force") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val trained = Similarity.ivfTrainedTopK(emb).collect()
+    val exact = Similarity.bruteForceTopK(emb).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val byQuery = trained.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size == 20 && byQuery.values.forall(_.length <= 10))
+    val hits = trained.count(r =>
+      exact((r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))))
+    val recall = hits.toDouble / exact.size
+    info(f"trained-IVF recall@10 = $recall%.3f")
+    // nProbe=2 of 8 trained cells: same order as the fixed-seed IVF's
+    // floor — a training regression that scrambles centroids fails this
+    assert(recall >= 0.35, s"recall $recall")
+  }
+
   test("spherical k-means: empty clusters keep their previous centroid, never crash") {
     import spark.implicits._
     // three identical vectors: everything assigns to cluster 0 from
