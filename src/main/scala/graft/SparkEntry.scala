@@ -318,6 +318,12 @@ object SparkEntry {
     // and duration = usPerFrame * totalFrames) over the same fixture;
     // header-only rows keep the container identity with NULL duration
     "q_m8_avi_meta" -> ((s, _) => Multimodal.avMetaTable(s, Tables.avi(s))),
+    // q_m9: REAL ISO-BMFF sample-table walk — stsd codec check, stsz
+    // uniform sizes, stco/stsc chunk mapping — one row per MJPEG video
+    // sample; the oracle re-derives every sample coordinate from an
+    // INDEPENDENT anchor (the mdat box size at byte 16 + the fixture's
+    // frame-count contract), so the two derivations must meet
+    "q_m9_mp4_frames" -> ((s, _) => Multimodal.mp4FrameTable(s, Tables.mp4Mjpeg(s))),
     // q_x20: MOSS-style cross-doc copy detection — winnow fingerprint
     // overlap with stop-fingerprint (df cap) pruning + containment
     "q_x20_copy_pairs" -> ((s, d) =>
@@ -1236,6 +1242,31 @@ object SparkEntry {
          |   CASE WHEN is_avi AND uspf > 0 AND nf > 0
          |     THEN CAST(uspf * nf // 1000 AS BIGINT) END AS duration_ms
          | FROM t""".stripMargin,
+    // q_m9: the oracle derives sample coordinates WITHOUT reading the
+    // sample tables the Spark side walks — frame count from the
+    // fixture's media_id contract, uniform sample size S from the
+    // mdat box length (BE32 at byte 16: mdat = 8 + nf*S), sample i's
+    // data at 24 + i*S (mdat-first layout) — then checks the JPEG SOI
+    // magic at each computed offset. Agreement proves the stsz/stco/
+    // stsc walk lands on exactly these bytes.
+    "q_m9_mp4_frames" ->
+      s"""WITH m AS (SELECT media_id, hex(media) AS h, octet_length(media) AS n
+         |           FROM read_parquet('${Tables.mp4MjpegFixturePath}')),
+         | t AS (SELECT m.*,
+         |         (n >= 12 AND substr(h, 9, 8) = '66747970') AS is_mp4,
+         |         (media_id % 8 <> 3 AND media_id % 8 <> 7) AS full_row,
+         |         CAST(2 + media_id % 5 AS INTEGER) AS nf,
+         |         TRY_CAST('0x' || substr(h, 33, 8) AS BIGINT) AS mdat_sz
+         |       FROM m),
+         | u AS (SELECT media_id, h, nf,
+         |         CAST((mdat_sz - 8) // nf AS BIGINT) AS s,
+         |         unnest(range(nf)) AS fi
+         |       FROM t WHERE is_mp4 AND full_row AND nf > 0 AND mdat_sz > 8)
+         | SELECT media_id, CAST(fi AS INTEGER) AS frame_idx,
+         |   CAST(24 + fi * s AS BIGINT) AS "offset",
+         |   CAST(s AS BIGINT) AS n_bytes,
+         |   (substr(h, 2 * (24 + fi * s) + 1, 6) = 'FFD8FF') AS is_jpeg
+         | FROM u""".stripMargin,
     // q_x19: the oracle runs the IDENTICAL RE2-safe patterns (shared
     // via Pii.categories, so both engines scan the same strings with
     // the same regexes); DuckDB regexp_replace needs the explicit 'g'

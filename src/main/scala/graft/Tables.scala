@@ -129,6 +129,16 @@ object Tables {
   }
   def avi(spark: SparkSession): DataFrame = spark.read.parquet(aviFixturePath)
 
+  /** mp4mjpeg(media_id BIGINT, mime_type STRING, media BINARY) —
+   * repo-local deterministic MJPEG-in-MP4 fixture
+   * (tools.MjpegMp4Fixture: real ISO-BMFF sample tables over an mdat
+   * of complete JPEG frames, plus truncated and junk rows). */
+  def mp4MjpegFixturePath: String = {
+    val local = new java.io.File("fixtures/mp4mjpeg.parquet")
+    if (local.exists) local.getAbsolutePath else "/root/repo/fixtures/mp4mjpeg.parquet"
+  }
+  def mp4Mjpeg(spark: SparkSession): DataFrame = spark.read.parquet(mp4MjpegFixturePath)
+
   /** pii(rec_id BIGINT, text STRING) — repo-local deterministic
    * PII-bearing text fixture (tools.PiiFixture; the driver corpus is
    * digit-free word salad, so identifier scanning needs its own rows). */

@@ -758,6 +758,115 @@ object Multimodal {
       out.toSeq
     }
 
+    /**
+     * Video-sample locator for ISO-BMFF (the MP4 companion to
+     * [[aviVideoChunks]]): walks `moov/trak/mdia/minf/stbl` and, when
+     * the `stsd` entry declares an MJPEG-family codec ('jpeg',
+     * 'mjpa', 'mjpb', 'MJPG'), reconstructs every sample's
+     * (offset, size) from the sample tables — `stsz` (uniform
+     * sample_size or the per-sample table), `stco` chunk offsets, and
+     * the `stsc` sample-to-chunk runs expanded per the spec (each run
+     * applies from its first_chunk until the next run's first_chunk;
+     * samples within a chunk are contiguous). Each such sample is one
+     * complete JPEG image. Same tolerance discipline as every walker
+     * here: malformed tables yield Nil, never a throw.
+     */
+    private[ops] def mp4VideoSamples(b: Array[Byte]): Seq[(Int, Int)] = {
+      if (b == null || b.length < 12 || !tag(b, 4, "ftyp")) return Nil
+      var isJpeg = false
+      var uniformSize = 0L
+      var sampleCount = 0L
+      var sizeTable: Array[Long] = null
+      var chunkOffs: Array[Long] = null
+      var stscRuns: Array[(Long, Long)] = null // (first_chunk, samples_per_chunk)
+      def walk(from: Int, to: Int)(f: (String, Int, Int) => Unit): Unit = {
+        var i = from
+        while (i + 8 <= to) {
+          val size = be32(b, i)
+          val tpe = new String(b, i + 4, 4, "US-ASCII")
+          val (payload, end): (Int, Long) =
+            if (size == 0) (i + 8, to.toLong)
+            else if (size == 1) {
+              if (i + 16 > to) return
+              if (be32(b, i + 8) != 0) return // >2 GiB box in a byte array
+              (i + 16, i + be32(b, i + 12))
+            } else (i + 8, i + size)
+          if (end < payload || end > to) return
+          f(tpe, payload, end.toInt)
+          if (end.toInt <= i) return
+          i = end.toInt
+        }
+      }
+      walk(0, b.length) { (t0, p0, e0) =>
+        if (t0 == "moov") walk(p0, e0) { (t1, p1, e1) =>
+          if (t1 == "trak") walk(p1, e1) { (t2, p2, e2) =>
+            if (t2 == "mdia") walk(p2, e2) { (t3, p3, e3) =>
+              if (t3 == "minf") walk(p3, e3) { (t4, p4, e4) =>
+                if (t4 == "stbl") walk(p4, e4) { (t5, p5, e5) =>
+                  t5 match {
+                    case "stsd" if p5 + 8 <= e5 =>
+                      // first sample entry's format fourcc at +8+4
+                      if (be32(b, p5 + 4) >= 1 && p5 + 16 <= e5) {
+                        val fmt = new String(b, p5 + 12, 4, "US-ASCII")
+                        if (fmt == "jpeg" || fmt == "mjpa" || fmt == "mjpb" ||
+                          fmt == "MJPG") isJpeg = true
+                      }
+                    case "stsz" if p5 + 12 <= e5 =>
+                      uniformSize = be32(b, p5 + 4)
+                      sampleCount = be32(b, p5 + 8)
+                      if (uniformSize == 0 && sampleCount > 0 &&
+                        p5 + 12 + 4 * sampleCount <= e5 && sampleCount <= (1 << 22)) {
+                        sizeTable = Array.tabulate(sampleCount.toInt)(j =>
+                          be32(b, p5 + 12 + 4 * j))
+                      }
+                    case "stco" if p5 + 8 <= e5 =>
+                      val n = be32(b, p5 + 4)
+                      if (n > 0 && p5 + 8 + 4 * n <= e5 && n <= (1 << 22))
+                        chunkOffs = Array.tabulate(n.toInt)(j => be32(b, p5 + 8 + 4 * j))
+                    case "stsc" if p5 + 8 <= e5 =>
+                      val n = be32(b, p5 + 4)
+                      if (n > 0 && p5 + 8 + 12 * n <= e5 && n <= (1 << 20))
+                        stscRuns = Array.tabulate(n.toInt)(j =>
+                          (be32(b, p5 + 8 + 12 * j), be32(b, p5 + 12 + 12 * j)))
+                    case _ => ()
+                  }
+                }
+              }
+            }
+          }
+        }
+      }
+      if (!isJpeg || chunkOffs == null || stscRuns == null ||
+        sampleCount <= 0 || (uniformSize <= 0 && sizeTable == null)) return Nil
+      // expand the stsc runs chunk by chunk, laying samples out
+      // contiguously from each chunk's offset
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var sample = 0L
+      var chunk = 1 // 1-based per spec
+      def samplesPerChunk(c: Int): Long = {
+        var spc = 0L
+        stscRuns.foreach { case (first, n) => if (first <= c) spc = n }
+        spc
+      }
+      while (sample < sampleCount && chunk <= chunkOffs.length) {
+        var off = chunkOffs(chunk - 1)
+        var j = 0L
+        val spc = samplesPerChunk(chunk)
+        while (j < spc && sample < sampleCount) {
+          val size =
+            if (uniformSize > 0) uniformSize else sizeTable(sample.toInt)
+          if (size <= 0 || off < 0 || off + size > b.length) return out.toSeq
+          out += ((off.toInt, size.toInt))
+          off += size
+          j += 1
+          sample += 1
+        }
+        if (spc <= 0) return out.toSeq // degenerate mapping: stop
+        chunk += 1
+      }
+      out.toSeq
+    }
+
     private def parseBmp(b: Array[Byte]): Option[AvMeta] = {
       // BM(2) + file size(4) + reserved(4) + pixel offset(4) + DIB size(4)
       if (b.length < 26) return None
@@ -807,13 +916,24 @@ object Multimodal {
    * partition-local discipline as [[avMetaTable]]: blobs never leave
    * their partition, only fixed-shape chunk coordinates come out.
    */
-  def aviFrameTable(spark: SparkSession, media: DataFrame): DataFrame = {
+  def aviFrameTable(spark: SparkSession, media: DataFrame): DataFrame =
+    frameTable(spark, media, AvHeaders.aviVideoChunks)
+
+  /** Relational face of the ISO-BMFF sample-table walk
+   * ([[AvHeaders.mp4VideoSamples]]): one row per MJPEG video sample
+   * with its byte offset and length — [[aviFrameTable]]'s MP4
+   * companion, same shape and discipline. */
+  def mp4FrameTable(spark: SparkSession, media: DataFrame): DataFrame =
+    frameTable(spark, media, AvHeaders.mp4VideoSamples)
+
+  private def frameTable(spark: SparkSession, media: DataFrame,
+      locate: Array[Byte] => Seq[(Int, Int)]): DataFrame = {
     import spark.implicits._
     media.select(col("media_id"), col("mime_type"), col("media"))
       .as[MediaRow]
       .mapPartitions { rows =>
         rows.flatMap { r =>
-          AvHeaders.aviVideoChunks(r.media).zipWithIndex.map {
+          locate(r.media).zipWithIndex.map {
             case ((off, len), idx) =>
               val isJpeg = len >= 3 && (r.media(off) & 0xff) == 0xff &&
                 (r.media(off + 1) & 0xff) == 0xd8 && (r.media(off + 2) & 0xff) == 0xff
@@ -1349,7 +1469,11 @@ object Multimodal {
    *    the `movi` LIST ([[AvHeaders.aviVideoChunks]]); each chunk IS
    *    a complete JPEG, emitted as-is (already standalone decodable;
    *    trailing chunk padding after the JPEG EOI marker is ignored by
-   *    every decoder).
+   *    every decoder);
+   *  - MJPEG MP4/MOV — every `everyN`-th video sample located by the
+   *    real `stbl` sample-table walk ([[AvHeaders.mp4VideoSamples]]:
+   *    stsd codec check, stsz sizes, stco/stsc chunk mapping); same
+   *    complete-JPEG-per-sample property as AVI.
    * Every other payload falls back to every `everyN`-th fixed-size
    * byte chunk with `decoded = false` (STUB: a real implementation
    * asks the codec for keyframes — no AV codec libraries in this
@@ -1365,7 +1489,11 @@ object Multimodal {
     media.as[MediaRow].flatMap { r =>
       val gifFrames = MediaCodec.decodeGifFrames(r.media)
       val aviChunks =
-        if (gifFrames.nonEmpty) Nil else AvHeaders.aviVideoChunks(r.media)
+        if (gifFrames.nonEmpty) Nil
+        else {
+          val avi = AvHeaders.aviVideoChunks(r.media)
+          if (avi.nonEmpty) avi else AvHeaders.mp4VideoSamples(r.media)
+        }
       if (gifFrames.nonEmpty)
         gifFrames.iterator.zipWithIndex
           .filter(_._2 % everyN == 0)

@@ -771,7 +771,9 @@ object Similarity {
         round(dot(col("v"), array(cv.map(lit(_)): _*)), 6).as("sim"),
         lit(-c).as("negc"))
     }
-    corpus.withColumn("best", greatest(cands: _*))
+    // greatest() needs >= 2 children — a k=1 quantizer assigns trivially
+    val best = if (cands.size == 1) cands.head else greatest(cands: _*)
+    corpus.withColumn("best", best)
       .select(col("vec_id"), col("v"),
         (-col("best.negc")).cast("int").as("cluster"),
         col("best.sim").as("sim"))

@@ -1,0 +1,173 @@
+package graft.tools
+
+/**
+ * Deterministic ISO-BMFF fixture whose video track is REAL MJPEG:
+ * `mdat` carries one complete JPEG per sample and the `moov` sample
+ * tables (`stsd` 'jpeg' entry, uniform `stsz`, single-chunk `stco`/
+ * `stsc`) describe exactly where each frame lives — so the repo's
+ * sample-table walk is exercised against true bytes, the MP4
+ * companion to [[AviFixture]]'s RIFF `movi` walk. Written as ONE
+ * parquet file so Spark and the DuckDB oracle read identical blobs.
+ *
+ * Layout per media_id (the oracle's offset arithmetic relies on this):
+ *  - id % 8 == 3 → `ftyp` only (cut before any sample): parses as
+ *                  mp4, NO frame rows.
+ *  - id % 8 == 7 → junk bytes: nothing parses.
+ *  - otherwise   → ftyp(16) + mdat(8 + nf·S) + moov(mvhd + trak(tkhd
+ *                  + mdia(mdhd + hdlr + minf(vmhd + dinf +
+ *                  stbl(stsd/stts/stsc/stsz/stco))))), mdat FIRST so
+ *                  frame data sits at fixed offsets: sample i's JPEG
+ *                  begins at 24 + i·S. S (the uniform padded sample
+ *                  size — decoders ignore bytes after the JPEG EOI)
+ *                  is published as stsz.sample_size AND derivable as
+ *                  (mdat_size − 8) / nf with mdat_size = BE32 at
+ *                  byte 16; stco's single chunk offset is 24.
+ *
+ * Field derivations shared verbatim with [[AviFixture]] (same frame
+ * family: nFrames = 2 + id % 5, width/height/usPerFrame formulas, the
+ * moving-bar JPEG generator) — one source of truth for both
+ * containers' ground truth.
+ *
+ * Usage: runMain graft.tools.MjpegMp4Fixture [outFile] [rows]
+ * (default fixtures/mp4mjpeg.parquet, 500 rows)
+ */
+object MjpegMp4Fixture {
+
+  def nFrames(id: Long): Int = AviFixture.nFrames(id)
+  def width(id: Long): Int = AviFixture.width(id)
+  def height(id: Long): Int = AviFixture.height(id)
+  def usPerFrame(id: Long): Int = AviFixture.usPerFrame(id)
+
+  private def be16(v: Int): Array[Byte] = Array[Byte]((v >>> 8).toByte, v.toByte)
+  private def be32(v: Long): Array[Byte] =
+    Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+  private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+  private def box(tpe: String, payload: Array[Byte]): Array[Byte] =
+    be32(payload.length + 8L) ++ fourcc(tpe) ++ payload
+  private def fullBox(tpe: String, version: Int, payload: Array[Byte]): Array[Byte] =
+    box(tpe, Array[Byte](version.toByte, 0, 0, 0) ++ payload)
+
+  def ftyp(): Array[Byte] =
+    box("ftyp", fourcc("isom") ++ be32(512))
+
+  private def matrix(): Array[Byte] =
+    be32(0x00010000L) ++ be32(0) ++ be32(0) ++
+      be32(0) ++ be32(0x00010000L) ++ be32(0) ++
+      be32(0) ++ be32(0) ++ be32(0x40000000L)
+
+  private def mvhd(id: Long): Array[Byte] = {
+    val durMs = usPerFrame(id).toLong * nFrames(id) / 1000L
+    fullBox("mvhd", 0, be32(0) ++ be32(0) ++ be32(1000) ++ be32(durMs) ++
+      be32(0x00010000L) ++ be16(0x0100) ++ new Array[Byte](2 + 8) ++
+      matrix() ++ new Array[Byte](24) ++ be32(2))
+  }
+
+  private def tkhdBox(id: Long): Array[Byte] = {
+    val durMs = usPerFrame(id).toLong * nFrames(id) / 1000L
+    box("tkhd", Array[Byte](0, 0, 0, 7) ++ // version 0, flags enabled|in-movie|in-preview
+      be32(0) ++ be32(0) ++ be32(1) ++ be32(0) ++ be32(durMs) ++
+      new Array[Byte](8) ++ be16(0) ++ be16(0) ++ be16(0) ++ be16(0) ++
+      matrix() ++
+      be32(width(id).toLong << 16) ++ be32(height(id).toLong << 16))
+  }
+
+  private def mdhd(id: Long): Array[Byte] =
+    fullBox("mdhd", 0, be32(0) ++ be32(0) ++ be32(90000) ++
+      be32(nFrames(id).toLong * usPerFrame(id) * 90000L / 1000000L) ++
+      be16(0x55c4) ++ be16(0)) // language 'und', pre_defined
+
+  private def hdlr(): Array[Byte] =
+    fullBox("hdlr", 0, be32(0) ++ fourcc("vide") ++
+      new Array[Byte](12) ++ "v".getBytes("US-ASCII") :+ 0.toByte)
+
+  private def vmhd(): Array[Byte] =
+    box("vmhd", Array[Byte](0, 0, 0, 1) ++ be16(0) ++ be16(0) ++ be16(0) ++ be16(0))
+
+  private def dinf(): Array[Byte] = {
+    val url = box("url ", Array[Byte](0, 0, 0, 1)) // self-contained
+    box("dinf", fullBox("dref", 0, be32(1) ++ url))
+  }
+
+  /** 'jpeg' VideoSampleEntry (86 bytes): the codec identity the
+   * sample-table walk keys on. */
+  private def stsd(id: Long): Array[Byte] = {
+    val entry = box("jpeg",
+      new Array[Byte](6) ++ be16(1) ++ // reserved, data_reference_index
+        be16(0) ++ be16(0) ++ new Array[Byte](12) ++ // pre_defined, reserved, pre_defined[3]
+        be16(width(id)) ++ be16(height(id)) ++
+        be32(0x00480000L) ++ be32(0x00480000L) ++ // 72 dpi
+        be32(0) ++ be16(1) ++ // reserved, frame_count
+        new Array[Byte](32) ++ // compressorname
+        be16(24) ++ be16(0xffff)) // depth, pre_defined = -1
+    fullBox("stsd", 0, be32(1) ++ entry)
+  }
+
+  private def stts(id: Long): Array[Byte] =
+    fullBox("stts", 0, be32(1) ++ be32(nFrames(id)) ++
+      be32(usPerFrame(id).toLong * 90000L / 1000000L)) // delta in mdhd ticks
+
+  private def stsc(): Array[Byte] =
+    fullBox("stsc", 0, be32(1) ++ be32(1) ++ be32(Int.MaxValue) ++ be32(1))
+
+  private def stsz(s: Int, nf: Int): Array[Byte] =
+    fullBox("stsz", 0, be32(s) ++ be32(nf)) // uniform sample_size, count
+
+  private def stco(): Array[Byte] =
+    fullBox("stco", 0, be32(1) ++ be32(24)) // one chunk at byte 24 (mdat payload)
+
+  /** Full MJPEG MP4; returns the uniform padded sample size S for
+   * tests that re-derive the oracle's offsets. */
+  def mp4WithSize(id: Long): (Array[Byte], Int) = {
+    val nf = nFrames(id)
+    val jpegs = (0 until nf).map(f => AviFixture.jpegFrame(id, f))
+    val s = (jpegs.map(_.length).max + 1) & ~1
+    val mdat = box("mdat", jpegs.flatMap(j => j ++ new Array[Byte](s - j.length)).toArray)
+    val stbl = box("stbl", stsd(id) ++ stts(id) ++ stsc() ++ stsz(s, nf) ++ stco())
+    val minf = box("minf", vmhd() ++ dinf() ++ stbl)
+    val mdia = box("mdia", mdhd(id) ++ hdlr() ++ minf)
+    val trak = box("trak", tkhdBox(id) ++ mdia)
+    val moov = box("moov", mvhd(id) ++ trak)
+    (ftyp() ++ mdat ++ moov, s)
+  }
+
+  def mp4(id: Long): Array[Byte] = mp4WithSize(id)._1
+
+  def truncated(): Array[Byte] = ftyp()
+
+  def junk(id: Long): Array[Byte] = {
+    val r = new scala.util.Random(id + 37)
+    val b = new Array[Byte](48)
+    r.nextBytes(b)
+    b(4) = 0 // never an ftyp at offset 4
+    b
+  }
+
+  /** (declared mime, actual bytes) — mime lies on the broken rows. */
+  def row(id: Long): (String, Array[Byte]) =
+    if (id % 8 == 3) ("video/mp4", truncated())
+    else if (id % 8 == 7) ("application/octet-stream", junk(id))
+    else ("video/mp4", mp4(id))
+
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("fixtures/mp4mjpeg.parquet")
+    val rows = args.lift(1).map(_.toInt).getOrElse(500)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").appName("mp4mjpeg-fixture")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    val df = (0L until rows.toLong).map { id =>
+      val (mime, bytes) = row(id)
+      (id, mime, bytes)
+    }.toDF("media_id", "mime_type", "media")
+    val tmp = java.nio.file.Files.createTempDirectory("mp4mjfix").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    val dest = new java.io.File(out)
+    Option(dest.getParentFile).foreach(_.mkdirs())
+    java.nio.file.Files.move(part.toPath, dest.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    println(s"wrote $rows rows to $out")
+    spark.stop()
+  }
+}

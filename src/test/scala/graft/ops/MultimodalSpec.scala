@@ -270,6 +270,47 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("MP4 MJPEG: stbl sample-table walk lands on the mdat layout contract") {
+    import graft.tools.MjpegMp4Fixture
+    val id = 4L // nf = 6
+    val (bytes, s) = MjpegMp4Fixture.mp4WithSize(id)
+    val samples = AvHeaders.mp4VideoSamples(bytes)
+    assert(samples.size == MjpegMp4Fixture.nFrames(id))
+    samples.zipWithIndex.foreach { case ((off, len), i) =>
+      assert(off == 24 + i * s, s"sample $i offset")
+      assert(len == s, s"sample $i size")
+      // each sample starts with the JPEG SOI marker
+      assert((bytes(off) & 0xff) == 0xff && (bytes(off + 1) & 0xff) == 0xd8)
+    }
+    // the same file's ftyp/moov still parse as plain mp4 metadata
+    val meta = AvHeaders.avMeta(bytes).get
+    assert(meta.format == "mp4")
+    assert(meta.width.contains(MjpegMp4Fixture.width(id)))
+    assert(meta.height.contains(MjpegMp4Fixture.height(id)))
+    // non-video BMFF (the q_m4 fixture: no trak sample tables at all)
+    // and junk yield no samples
+    assert(AvHeaders.mp4VideoSamples(Mp4Fixture.mp4(0)).isEmpty)
+    assert(AvHeaders.mp4VideoSamples(MjpegMp4Fixture.truncated()).isEmpty)
+    assert(AvHeaders.mp4VideoSamples(MjpegMp4Fixture.junk(7)).isEmpty)
+  }
+
+  test("frameSample: REAL MJPEG MP4 sample iteration with provenance, distinct luminance") {
+    import spark.implicits._
+    import graft.tools.MjpegMp4Fixture
+    val id = 1L // nf = 3
+    val rows = Seq((1L, "video/mp4", MjpegMp4Fixture.mp4(id)))
+      .toDF("media_id", "mime_type", "media")
+    val frames = Multimodal.frameSample(spark, rows, everyN = 1).collect()
+      .sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq == (0 until MjpegMp4Fixture.nFrames(id)))
+    assert(frames.forall(_.decoded))
+    val grids = frames.map(f => Multimodal.MediaCodec.decode(f.frame).toSeq).toSeq
+    grids.sliding(2).foreach { pair =>
+      assert(pair.head != pair.last,
+        "consecutive MP4 samples decode to distinct luminance grids")
+    }
+  }
+
   test("WAV parse: fmt fields, LIST-shifted chunk walk, duration from data/byte rate") {
     val plain = AvHeaders.avMeta(AvFixture.wav(8)).get // id%8==0: no LIST
     assert(plain.format == "wav")
@@ -320,7 +361,8 @@ class MultimodalSpec extends SparkSpec {
       AvFixture.oggOpus(2, 48000, 500), AvFixture.oggVorbis(1, 44000, 500),
       AvFixture.webm(640, 360, 1000, audioCh = 2, audioRate = 48000),
       Mp4Fixture.mp4(0), Mp4Fixture.mp4(5), Mp4Fixture.truncated(),
-      AviFixture.avi(0), AviFixture.avi(4), AviFixture.headerOnly(3)
+      AviFixture.avi(0), AviFixture.avi(4), AviFixture.headerOnly(3),
+      graft.tools.MjpegMp4Fixture.mp4(0), graft.tools.MjpegMp4Fixture.mp4(4)
     ).flatMap { base =>
       (0 until 8).map { _ =>
         val m = base.clone()
@@ -339,6 +381,7 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.ImageHeaders.imageMeta(b)    // must not throw
       Multimodal.AvHeaders.avMeta(b)          // must not throw
       Multimodal.AvHeaders.aviVideoChunks(b)  // must not throw
+      Multimodal.AvHeaders.mp4VideoSamples(b) // must not throw
       Multimodal.MediaCodec.decodeGifFrames(b) // must not throw
       Multimodal.MediaCodec.decodeAudioSampled(b) // must not throw
     }
