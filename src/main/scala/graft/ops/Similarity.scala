@@ -785,7 +785,10 @@ object Similarity {
   def kmeansCentroids(embeddings: DataFrame, k: Int = 8,
       iters: Int = 2): Seq[(Int, Seq[Double])] = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0: k=$k iters=$iters")
-    val corpus = unitCorpus(embeddings)
+    // materialise the normalised corpus ONCE: each Lloyd iteration and
+    // the seed collect reuse it instead of re-reading + re-normalising
+    // the source (iters + 1 scans of raw parquet otherwise)
+    val corpus = unitCorpus(embeddings).localCheckpoint()
     // init: rounded normalised seed vectors, cluster id = vec_id order
     var cent: Seq[(Int, Seq[Double])] = corpus
       .filter(col("vec_id") < k)

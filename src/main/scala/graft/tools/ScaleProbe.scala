@@ -222,6 +222,14 @@ object ScaleProbe {
       nLists = 64, nProbe = 8, trainFraction = 0.1).count())
     timedVecs("knn_label_s6")(graft.ops.Similarity.knnClassify(
       vecs.withColumn("label", pmod(col("vec_id"), lit(10)).cast("int"))).count())
+    // k-means training + trained-centroid IVF at 100k vectors: per
+    // iteration the corpus is scanned once map-side and the update
+    // aggregates k·dim scalars, so wall time must stay linear in
+    // corpus size regardless of k's assignment fan-out
+    timedVecs("kmeans_s11")(graft.ops.Similarity.kmeansAssign(
+      vecs, k = 16, iters = 2).count())
+    timedVecs("ivf_trained_s12")(graft.ops.Similarity.ivfTrainedTopK(
+      vecs, nQueries = 20, k = 10, nLists = 16, iters = 2, nProbe = 4).count())
     // persisted IVF: the build is the one corpus-wide pass; the query
     // reads nProbe/nLists of the stored index via partition pruning
     val ivfDir = java.nio.file.Files.createTempDirectory("scale_ivf").toString + "/index"
