@@ -1635,6 +1635,7 @@ object SparkEntry {
     s"""WITH exact AS (SELECT query_id, neighbor_id FROM (\n$bruteOracle\n)),
        | approx AS (
        |   ${sub("ivf_fixed", ivfFixedOracle)}
+       |   UNION ALL ${sub("ivf_trained", ivfTrainedOracle)}
        |   UNION ALL ${sub("lsh", lshOracle)}
        |   UNION ALL ${sub("pq", pqOracle)}
        |   UNION ALL ${sub("sq8", sq8Oracle)}),
@@ -1644,7 +1645,7 @@ object SparkEntry {
        |     ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
        |   GROUP BY a.method, a.query_id),
        | mq AS (SELECT m.method, q.vec_id AS query_id
-       |   FROM (VALUES ('ivf_fixed'), ('lsh'), ('pq'), ('sq8')) m(method),
+       |   FROM (VALUES ('ivf_fixed'), ('ivf_trained'), ('lsh'), ('pq'), ('sq8')) m(method),
        |        (SELECT vec_id FROM embeddings WHERE vec_id < 20) q)
        | SELECT mq.method, mq.query_id,
        |   CAST(COALESCE(g.hits, 0) AS BIGINT) AS hits,

@@ -270,6 +270,71 @@ object Multimodal {
       } yield (audioFormat, ch, bits, off, len)
     }
 
+    /**
+     * Audio clip windows for [[frameSample]] — the audio analogue of
+     * the video paths' standalone frames: a PCM or G.711 WAV's data
+     * payload is sliced into fixed `clipMs` windows aligned to whole
+     * sample frames (channels × bytes-per-sample) and each window is
+     * re-wrapped with a canonical 44-byte WAV header carrying the
+     * source's format/channels/rate/bits — so every emitted clip is
+     * itself a decodable media row ([[MediaCodec.decodeAudio]] reads
+     * its real envelope), exactly like the GIF/AVI/MP4 paths'
+     * standalone PNG/JPEG frames. A trailing partial window is kept
+     * when it holds at least one whole frame. Nil for anything that
+     * isn't a sliceable PCM/G.711 WAV — never an exception.
+     */
+    private[ops] def wavClips(b: Array[Byte], clipMs: Int): Seq[Array[Byte]] = {
+      if (clipMs <= 0 || b == null ||
+        !(tag(b, 0, "RIFF") && tag(b, 8, "WAVE"))) return Nil
+      var i = 12
+      var fmt: Option[(Int, Int, Int, Int)] = None // format, ch, rate, bits
+      var data: Option[(Int, Int)] = None
+      while (i + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+        val len = le32(b, i + 4)
+        if (len < 0) return Nil
+        if (tag(b, i, "fmt ") && len >= 16 && i + 8 + 16 <= b.length)
+          fmt = Some((le16(b, i + 8), le16(b, i + 10), le32(b, i + 12), le16(b, i + 22)))
+        else if (tag(b, i, "data"))
+          data = Some((i + 8, len))
+        if (len > b.length - i - 8) i = b.length
+        else i += 8 + len + (len & 1)
+      }
+      (fmt, data) match {
+        case (Some((format, ch, rate, bits)), Some((off, len0)))
+          if ch > 0 && ch <= 64 && rate > 0 && (format match {
+            case 1 => bits == 8 || bits == 16
+            case 6 | 7 => bits == 8
+            case _ => false
+          }) =>
+          val len = math.min(len0, b.length - off) // tolerate a short tail
+          val frameBytes = ch * (bits / 8)
+          val clipBytes = math.max(
+            (rate.toLong * clipMs / 1000L).toInt, 1) * frameBytes
+          if (len < frameBytes || clipBytes <= 0) return Nil
+          def header(n: Int): Array[Byte] = {
+            def w16(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
+            def w32(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte,
+              (v >>> 16).toByte, (v >>> 24).toByte)
+            "RIFF".getBytes("US-ASCII") ++ w32(36 + n) ++
+              "WAVE".getBytes("US-ASCII") ++
+              "fmt ".getBytes("US-ASCII") ++ w32(16) ++
+              w16(format) ++ w16(ch) ++ w32(rate) ++
+              w32(rate * frameBytes) ++ w16(frameBytes) ++ w16(bits) ++
+              "data".getBytes("US-ASCII") ++ w32(n)
+          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+          var p = off
+          val end = off + len - (len % frameBytes) // whole frames only
+          while (p < end) {
+            val n = math.min(clipBytes, end - p)
+            out += header(n) ++ java.util.Arrays.copyOfRange(b, p, p + n)
+            p += n
+          }
+          out.toSeq
+        case _ => Nil
+      }
+    }
+
     /** IMA ADPCM payload locator for WAV format tag 17 with 4-bit
      * samples: (channels, blockAlign, dataOffset, dataLen). The block
      * alignment comes from the fmt chunk's own nBlockAlign field —
@@ -1473,39 +1538,51 @@ object Multimodal {
    *  - MJPEG MP4/MOV — every `everyN`-th video sample located by the
    *    real `stbl` sample-table walk ([[AvHeaders.mp4VideoSamples]]:
    *    stsd codec check, stsz sizes, stco/stsc chunk mapping); same
-   *    complete-JPEG-per-sample property as AVI.
+   *    complete-JPEG-per-sample property as AVI;
+   *  - PCM / G.711 WAV — every `everyN`-th `audioClipMs` window of
+   *    the sample payload, frame-aligned and re-wrapped as a
+   *    standalone WAV ([[AvHeaders.wavClips]]) so each clip decodes
+   *    to its own real envelope.
    * Every other payload falls back to every `everyN`-th fixed-size
    * byte chunk with `decoded = false` (STUB: a real implementation
    * asks the codec for keyframes — no AV codec libraries in this
    * environment). `frame_idx` is the index in the source stream
-   * (frame number / chunk number), not a dense rank, on all paths.
-   * The Spark-side shape is identical either way: partition-local,
-   * one media row fans out to many frame rows, frames stay on their
-   * partition until explicitly shuffled.
+   * (frame / sample / clip / chunk number), not a dense rank, on all
+   * paths. The Spark-side shape is identical either way:
+   * partition-local, one media row fans out to many frame rows,
+   * frames stay on their partition until explicitly shuffled.
    */
   def frameSample(spark: SparkSession, media: DataFrame,
-      everyN: Int = 4, frameBytes: Int = 64): Dataset[Frame] = {
+      everyN: Int = 4, frameBytes: Int = 64,
+      audioClipMs: Int = 1000): Dataset[Frame] = {
     import spark.implicits._
     media.as[MediaRow].flatMap { r =>
       val gifFrames = MediaCodec.decodeGifFrames(r.media)
-      val aviChunks =
+      val videoChunks =
         if (gifFrames.nonEmpty) Nil
         else {
           val avi = AvHeaders.aviVideoChunks(r.media)
           if (avi.nonEmpty) avi else AvHeaders.mp4VideoSamples(r.media)
         }
+      val audioClips =
+        if (gifFrames.nonEmpty || videoChunks.nonEmpty) Nil
+        else AvHeaders.wavClips(r.media, audioClipMs)
       if (gifFrames.nonEmpty)
         gifFrames.iterator.zipWithIndex
           .filter(_._2 % everyN == 0)
           .map { case (img, idx) =>
             Frame(r.media_id, idx, MediaCodec.encodePng(img), decoded = true) }
-      else if (aviChunks.nonEmpty)
-        aviChunks.iterator.zipWithIndex
+      else if (videoChunks.nonEmpty)
+        videoChunks.iterator.zipWithIndex
           .filter(_._2 % everyN == 0)
           .map { case ((off, len), idx) =>
             Frame(r.media_id, idx,
               java.util.Arrays.copyOfRange(r.media, off, off + len),
               decoded = true) }
+      else if (audioClips.nonEmpty)
+        audioClips.iterator.zipWithIndex
+          .filter(_._2 % everyN == 0)
+          .map { case (clip, idx) => Frame(r.media_id, idx, clip, decoded = true) }
       else {
         val bytes = if (r.media == null) Array.emptyByteArray else r.media
         bytes.grouped(frameBytes).zipWithIndex

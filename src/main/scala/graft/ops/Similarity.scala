@@ -702,6 +702,7 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
     val approx = Seq(
       "ivf_fixed" -> ivfFixedTopK(embeddings, nQueries, k),
+      "ivf_trained" -> ivfTrainedTopK(embeddings, nQueries, k),
       "lsh" -> lshTopK(embeddings, nQueries, k),
       "pq" -> pqTopK(embeddings, nQueries, k),
       "sq8" -> quantizedTopK(embeddings, nQueries, k))

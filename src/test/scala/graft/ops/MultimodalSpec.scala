@@ -294,6 +294,52 @@ class MultimodalSpec extends SparkSpec {
     assert(AvHeaders.mp4VideoSamples(MjpegMp4Fixture.junk(7)).isEmpty)
   }
 
+  test("MP4 stsc expansion: multi-chunk runs + per-sample stsz table resolve spec-correctly") {
+    // hand-built BMFF exercising the GENERAL sample-table paths the
+    // fixture doesn't: three chunks at arbitrary offsets, stsc runs
+    // [(chunk 1 → 2 samples/chunk), (chunk 3 → 1)] (run 1 extends over
+    // chunk 2 per spec), and a PER-SAMPLE stsz table (sample_size 0)
+    def be32(v: Long): Array[Byte] =
+      Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def fcc(s: String) = s.getBytes("US-ASCII")
+    def bx(t: String, p: Array[Byte]): Array[Byte] = be32(p.length + 8L) ++ fcc(t) ++ p
+    def full(t: String, p: Array[Byte]): Array[Byte] = bx(t, Array[Byte](0, 0, 0, 0) ++ p)
+    val sizes = Seq(10L, 20L, 30L, 40L, 50L)
+    val ftyp = bx("ftyp", fcc("isom") ++ be32(512))
+    val mdat = bx("mdat", new Array[Byte](300))
+    val mdatPay = ftyp.length + 8 // 24
+    // chunk starts inside mdat payload, deliberately non-contiguous
+    val chunkOffs = Seq(mdatPay + 0, mdatPay + 40, mdatPay + 120)
+    val stsd = full("stsd", be32(1) ++ bx("jpeg", new Array[Byte](78)))
+    val stsc = full("stsc", be32(2) ++
+      be32(1) ++ be32(2) ++ be32(1) ++ // from chunk 1: 2 samples each
+      be32(3) ++ be32(1) ++ be32(1)) // from chunk 3: 1 sample
+    val stsz = full("stsz", be32(0) ++ be32(sizes.length) ++
+      sizes.flatMap(be32).toArray)
+    val stco = full("stco", be32(chunkOffs.length) ++
+      chunkOffs.flatMap(o => be32(o)).toArray)
+    val stbl = bx("stbl", stsd ++ stsc ++ stsz ++ stco)
+    val moov = bx("moov",
+      bx("trak", bx("mdia", bx("minf", stbl))))
+    val bytes = ftyp ++ mdat ++ moov
+    val got = AvHeaders.mp4VideoSamples(bytes)
+    // chunk 1: samples 0,1 back to back; chunk 2 (run 1 extends):
+    // samples 2,3; chunk 3: sample 4
+    val expect = Seq(
+      (chunkOffs(0), 10), (chunkOffs(0) + 10, 20),
+      (chunkOffs(1), 30), (chunkOffs(1) + 30, 40),
+      (chunkOffs(2), 50))
+    assert(got == expect, s"got $got")
+    // a chunk offset pointing past the buffer stops the walk cleanly
+    // at the samples already resolved — no throw, no bogus rows
+    val stcoBad = full("stco", be32(chunkOffs.length) ++
+      (chunkOffs.take(2) :+ 100000).flatMap(o => be32(o)).toArray)
+    val moovBad = bx("moov",
+      bx("trak", bx("mdia", bx("minf", bx("stbl", stsd ++ stsc ++ stsz ++ stcoBad)))))
+    val gotBad = AvHeaders.mp4VideoSamples(ftyp ++ mdat ++ moovBad)
+    assert(gotBad == expect.take(4), s"got $gotBad")
+  }
+
   test("frameSample: REAL MJPEG MP4 sample iteration with provenance, distinct luminance") {
     import spark.implicits._
     import graft.tools.MjpegMp4Fixture
@@ -309,6 +355,36 @@ class MultimodalSpec extends SparkSpec {
       assert(pair.head != pair.last,
         "consecutive MP4 samples decode to distinct luminance grids")
     }
+  }
+
+  test("frameSample: PCM/G.711 WAV slices into standalone decodable clips with real envelopes") {
+    import spark.implicits._
+    val wav = AvFixture.wavStep(1, 8000, 16, 320) // 40 ms: silence then full-scale
+    val clips = AvHeaders.wavClips(wav, clipMs = 10) // 80 samples per clip
+    assert(clips.size == 4)
+    // every clip is a standalone WAV whose REAL envelope decodes: the
+    // first two clips are the silent half, the last two full-scale —
+    // byte chunks of the source could never each decode like this
+    val envs = clips.map(c => Multimodal.MediaCodec.decodeAudio(c).get)
+    envs.take(2).foreach(e => e.foreach(v => assert(math.abs(v) < 0.01f)))
+    envs.drop(2).foreach(e => e.foreach(v => assert(math.abs(v - 1f) < 0.01f)))
+    // sample conservation: the clips tile the data payload exactly
+    assert(clips.map(_.length - 44).sum == 320 * 2)
+    // G.711 mu-law clips stay decodable COMPRESSED audio
+    val ulaw = AvFixture.ulawWavStep(1, 8000, 320)
+    val uc = AvHeaders.wavClips(ulaw, clipMs = 20)
+    assert(uc.size == 2)
+    assert(Multimodal.MediaCodec.decodeAudio(uc(1)).get
+      .forall(v => math.abs(v - 1f) < 0.05f))
+    // the Dataset face emits them with decoded provenance
+    val rows = Seq((1L, "audio/wav", wav)).toDF("media_id", "mime_type", "media")
+    val frames = Multimodal.frameSample(spark, rows, everyN = 1, audioClipMs = 10)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.length == 4 && frames.forall(_.decoded))
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 1, 2, 3))
+    // block codecs (IMA ADPCM, format 17) are NOT byte-sliceable —
+    // wavClips refuses and the byte-chunk fallback applies
+    assert(AvHeaders.wavClips(AvFixture.adpcmWavStep(1, 8000, 130), 10).isEmpty)
   }
 
   test("WAV parse: fmt fields, LIST-shifted chunk walk, duration from data/byte rate") {
@@ -382,6 +458,7 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.AvHeaders.avMeta(b)          // must not throw
       Multimodal.AvHeaders.aviVideoChunks(b)  // must not throw
       Multimodal.AvHeaders.mp4VideoSamples(b) // must not throw
+      Multimodal.AvHeaders.wavClips(b, 10)    // must not throw
       Multimodal.MediaCodec.decodeGifFrames(b) // must not throw
       Multimodal.MediaCodec.decodeAudioSampled(b) // must not throw
     }

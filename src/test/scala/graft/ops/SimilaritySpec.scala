@@ -84,7 +84,7 @@ class SimilaritySpec extends SparkSpec {
     val solo = Seq((0L, Array.fill(64)(0.125f))).toDF("vec_id", "embedding")
     val out = Similarity.recallAtK(solo, nQueries = 1, k = 10).collect()
     assert(out.map(_.getAs[String]("method")).sorted.toSeq ==
-      Seq("ivf_fixed", "lsh", "pq", "sq8"))
+      Seq("ivf_fixed", "ivf_trained", "lsh", "pq", "sq8"))
     assert(out.forall(r => r.getAs[Long]("query_id") == 0L &&
       r.getAs[Long]("hits") == 0L && r.getAs[Double]("recall") == 0.0))
   }
@@ -250,7 +250,7 @@ class SimilaritySpec extends SparkSpec {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val rows = Similarity.recallAtK(emb).collect()
     val methods = rows.map(_.getAs[String]("method")).toSet
-    assert(methods == Set("ivf_fixed", "lsh", "pq", "sq8"))
+    assert(methods == Set("ivf_fixed", "ivf_trained", "lsh", "pq", "sq8"))
     // every method reports every query, even on total misses
     methods.foreach { m =>
       assert(rows.count(_.getAs[String]("method") == m) == 20, s"method $m")
@@ -266,7 +266,8 @@ class SimilaritySpec extends SparkSpec {
     def mean(m: String): Double =
       rows.filter(_.getAs[String]("method") == m)
         .map(_.getAs[Double]("recall")).sum / 20
-    Seq("ivf_fixed" -> 0.40, "lsh" -> 0.42, "pq" -> 0.42, "sq8" -> 0.95)
+    Seq("ivf_fixed" -> 0.40, "ivf_trained" -> 0.50, "lsh" -> 0.42,
+      "pq" -> 0.42, "sq8" -> 0.95)
       .foreach { case (m, floor) =>
         info(f"$m mean recall = ${mean(m)}%.3f")
         assert(mean(m) >= floor, s"$m mean recall ${mean(m)} < $floor")
