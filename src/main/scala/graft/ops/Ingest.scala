@@ -485,7 +485,17 @@ object Ingest {
   private[ops] def withIndexLock[T](spark: SparkSession, indexDir: String,
       waitMs: Long = 600000L, staleMs: Long = 3600000L)(body: => T): T = {
     val lock = new org.apache.hadoop.fs.Path(s"$indexDir/_lock")
-    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // The lock is metadata, not data: on local filesystems go through
+    // the RAW (non-checksummed) filesystem. The ChecksumFileSystem's
+    // `.lock.crc` sidecar is itself a race surface — a reader can
+    // observe the data file while the sidecar is mid-create/mid-delete
+    // and FSInputChecker surfaces that as an IOException, which the
+    // round-10 soak showed a creator misreading as "my lock vanished"
+    // (the self-orphan below). No sidecar, no phantom read failures.
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration) match {
+      case cfs: org.apache.hadoop.fs.ChecksumFileSystem => cfs.getRawFileSystem
+      case other => other
+    }
     fs.mkdirs(lock.getParent)
     // ownership token, read back after every create: two recoverers
     // can both judge an ORPHANED lock stale and both delete-and-create
@@ -494,11 +504,25 @@ object Ingest {
     // Whoever's token survives in the file owns the lock; the other
     // sees a foreign token and goes back to waiting.
     val token = s"${ProcessHandle.current().pid()}_${System.nanoTime()}"
-    def readToken(): Option[String] =
-      try {
-        val in = fs.open(lock)
-        try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
-      } catch { case _: java.io.IOException => None }
+    // None = lock file genuinely absent. Any OTHER read failure (a
+    // contender's delete/create churn caught mid-flight, transient
+    // checksum garbage on stores that still have one) is retried a few
+    // times before giving up — a false "absent" is what made round-10's
+    // creator disbelieve its own fresh lock and orphan it.
+    def readToken(): Option[String] = {
+      var attempt = 0
+      while (attempt < 4) {
+        try {
+          val in = fs.open(lock)
+          try return Some(new String(in.readAllBytes(), "UTF-8"))
+          finally in.close()
+        } catch {
+          case _: java.io.FileNotFoundException => return None
+          case _: java.io.IOException => attempt += 1; Thread.sleep(20L * attempt)
+        }
+      }
+      None
+    }
     val deadline = System.currentTimeMillis + waitMs
     var acquired = false
     while (!acquired) {
@@ -510,24 +534,35 @@ object Ingest {
           true
         } catch { case _: java.io.IOException => false }
       if (created && readToken().contains(token)) acquired = true
-      else if (!created) {
-        // sample the holder's token BEFORE judging staleness, and only
-        // break if the very same token is still in place at delete
-        // time — a fresh lock raced in between carries a new token
-        val staleToken = readToken()
-        val stale =
-          try System.currentTimeMillis -
-            fs.getFileStatus(lock).getModificationTime > staleMs
-          catch { case _: java.io.FileNotFoundException => false }
-        if (stale && staleToken.isDefined && readToken() == staleToken)
-          fs.delete(lock, false)
-        else if (System.currentTimeMillis > deadline)
-          throw new IllegalStateException(
-            s"index lock $lock held >${waitMs}ms — stuck compaction or trigger?")
-        else Thread.sleep(100)
+      else {
+        // Create lost the exclusivity race, or it SUCCEEDED but the
+        // verification read raced a contender's churn. Before treating
+        // the lock as foreign, apply the file's own invariant: if the
+        // token that survives on disk is OURS, we own the lock — full
+        // stop. Round 10's soak caught the alternative: a creator whose
+        // verification read transiently failed abandoned its claim,
+        // leaving a lock on disk that nobody believed they held, which
+        // every waiter then waited out to the deadline (staleMs >
+        // waitMs, so the stale-break could never save them).
+        val current = readToken()
+        if (current.contains(token)) acquired = true
+        else if (current.isEmpty) () // no lock on disk — loop, recontend
+        else {
+          // foreign holder: judge staleness, and only break if the very
+          // same token is still in place at delete time — a fresh lock
+          // raced in between carries a new token
+          val stale =
+            try System.currentTimeMillis -
+              fs.getFileStatus(lock).getModificationTime > staleMs
+            catch { case _: java.io.FileNotFoundException => false }
+          if (stale && readToken() == current)
+            fs.delete(lock, false)
+          else if (System.currentTimeMillis > deadline)
+            throw new IllegalStateException(
+              s"index lock $lock held >${waitMs}ms — stuck compaction or trigger?")
+          else Thread.sleep(100)
+        }
       }
-      // created but token mismatch: our file was broken from under us
-      // mid-race — loop and contend again
     }
     // heartbeat: refresh the lock mtime while the body runs so a slow
     // holder (long compaction fold) can never age past staleMs and be
@@ -537,8 +572,17 @@ object Ingest {
       try {
         while (!Thread.interrupted()) {
           Thread.sleep(period)
-          if (readToken().contains(token))
-            fs.setTimes(lock, System.currentTimeMillis, -1)
+          try {
+            if (readToken().contains(token))
+              fs.setTimes(lock, System.currentTimeMillis, -1)
+          } catch {
+            // a racing breaker can delete the lock between readToken
+            // and setTimes, and some FileSystems don't support
+            // setTimes at all — one failed beat must never kill the
+            // daemon, or a long-running holder silently ages past
+            // staleMs and gets broken: the exact race heartbeats close
+            case scala.util.control.NonFatal(_) => ()
+          }
         }
       } catch { case _: InterruptedException => () }
     }, s"graft-lock-heartbeat-${lock.hashCode}")
