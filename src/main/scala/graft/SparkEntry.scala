@@ -324,6 +324,13 @@ object SparkEntry {
     // INDEPENDENT anchor (the mdat box size at byte 16 + the fixture's
     // frame-count contract), so the two derivations must meet
     "q_m9_mp4_frames" -> ((s, _) => Multimodal.mp4FrameTable(s, Tables.mp4Mjpeg(s))),
+    // q_m10: H.26x keyframe LOCATION without decode — the stss
+    // sync-sample walk places every IDR sample via stsz/stco/stsc;
+    // the oracle re-derives the full keyframe set from the fixture's
+    // id contract (sync interval k, frame count) + the mdat box-size
+    // anchor, then probes the NAL header byte at each coordinate
+    "q_m10_mp4_keyframes" -> ((s, _) =>
+      Multimodal.mp4KeyframeTable(s, Tables.mp4Avc(s))),
     // q_x20: MOSS-style cross-doc copy detection — winnow fingerprint
     // overlap with stop-fingerprint (df cap) pruning + containment
     "q_x20_copy_pairs" -> ((s, d) =>
@@ -1267,6 +1274,33 @@ object SparkEntry {
          |   CAST(s AS BIGINT) AS n_bytes,
          |   (substr(h, 2 * (24 + fi * s) + 1, 6) = 'FFD8FF') AS is_jpeg
          | FROM u""".stripMargin,
+    // q_m10: the oracle never reads stss/stsz/stco — it re-derives the
+    // keyframe set from the fixture's id contract (nf = 2 + id%5, sync
+    // interval k = 1 + id%3 → 1-based samples 1, 1+k, …) and each
+    // coordinate from the mdat box-size anchor (S = (mdat_sz-8)/nf,
+    // sample i at 24 + i*S), then checks the AVCC NAL header byte at
+    // sample offset +4 is an IDR slice (nal_unit_type = low 5 bits = 5).
+    // Agreement proves the stss walk lands on exactly these bytes.
+    "q_m10_mp4_keyframes" ->
+      s"""WITH m AS (SELECT media_id, hex(media) AS h, octet_length(media) AS n
+         |           FROM read_parquet('${Tables.mp4AvcFixturePath}')),
+         | t AS (SELECT m.*,
+         |         (n >= 12 AND substr(h, 9, 8) = '66747970') AS is_mp4,
+         |         (media_id % 8 <> 3 AND media_id % 8 <> 7) AS full_row,
+         |         CAST(2 + media_id % 5 AS INTEGER) AS nf,
+         |         CAST(1 + media_id % 3 AS INTEGER) AS k,
+         |         TRY_CAST('0x' || substr(h, 33, 8) AS BIGINT) AS mdat_sz
+         |       FROM m),
+         | u AS (SELECT media_id, h, nf, k,
+         |         CAST((mdat_sz - 8) // nf AS BIGINT) AS s,
+         |         unnest(range(nf)) AS fi
+         |       FROM t WHERE is_mp4 AND full_row AND nf > 0 AND mdat_sz > 8)
+         | SELECT media_id, CAST(fi + 1 AS BIGINT) AS sample_no,
+         |   CAST(24 + fi * s AS BIGINT) AS "offset",
+         |   CAST(s AS BIGINT) AS n_bytes,
+         |   (TRY_CAST('0x' || substr(h, 2 * (24 + fi * s + 4) + 1, 2) AS INTEGER) % 32 = 5)
+         |     AS is_idr
+         | FROM u WHERE fi % k = 0""".stripMargin,
     // q_x19: the oracle runs the IDENTICAL RE2-safe patterns (shared
     // via Pii.categories, so both engines scan the same strings with
     // the same regexes); DuckDB regexp_replace needs the explicit 'g'

@@ -139,6 +139,16 @@ object Tables {
   }
   def mp4Mjpeg(spark: SparkSession): DataFrame = spark.read.parquet(mp4MjpegFixturePath)
 
+  /** mp4avc(media_id BIGINT, mime_type STRING, media BINARY) —
+   * repo-local deterministic H.264-in-MP4 fixture (tools.AvcMp4Fixture:
+   * `avc1` sample entry + real `stss` sync-sample box over AVCC
+   * length-prefixed NAL payloads, plus truncated and junk rows). */
+  def mp4AvcFixturePath: String = {
+    val local = new java.io.File("fixtures/mp4avc.parquet")
+    if (local.exists) local.getAbsolutePath else "/root/repo/fixtures/mp4avc.parquet"
+  }
+  def mp4Avc(spark: SparkSession): DataFrame = spark.read.parquet(mp4AvcFixturePath)
+
   /** pii(rec_id BIGINT, text STRING) — repo-local deterministic
    * PII-bearing text fixture (tools.PiiFixture; the driver corpus is
    * digit-free word salad, so identifier scanning needs its own rows). */

@@ -836,14 +836,35 @@ object Multimodal {
      * complete JPEG image. Same tolerance discipline as every walker
      * here: malformed tables yield Nil, never a throw.
      */
-    private[ops] def mp4VideoSamples(b: Array[Byte]): Seq[(Int, Int)] = {
+    /** One `trak`'s parsed sample tables. All fields are scoped to the
+     * single trak they were read from — a multi-track file (e.g. MJPEG
+     * video + PCM audio) must never combine one trak's codec identity
+     * with another trak's stsz/stco/stsc, or the emitted (offset,
+     * size) coordinates point into the wrong track's media data. */
+    private case class TrakTables(
+        codec: String, // stsd first sample entry fourcc; null if absent
+        uniformSize: Long, sampleCount: Long,
+        sizeTable: Array[Long], chunkOffs: Array[Long],
+        stscRuns: Array[(Long, Long)], // (first_chunk, samples_per_chunk)
+        syncSamples: Array[Long]) { // stss 1-based sample numbers; null = no stss
+      def complete: Boolean =
+        chunkOffs != null && stscRuns != null && sampleCount > 0 &&
+          (uniformSize > 0 || sizeTable != null)
+    }
+
+    private val MjpegCodecs = Set("jpeg", "mjpa", "mjpb", "MJPG")
+    /** H.26x-family sample-entry fourccs: pixels need a real codec to
+     * decode, but keyframe LOCATION is pure sample-table arithmetic —
+     * stss names the sync samples, stsz/stco/stsc place them. */
+    private val H26xCodecs = Set("avc1", "avc3", "hvc1", "hev1", "h263", "s263")
+
+    /** Walk `moov/trak/mdia/minf/stbl` and return one [[TrakTables]]
+     * per trak, in file order, each holding ONLY that trak's boxes.
+     * Same tolerance discipline as every walker here: malformed
+     * structure yields what parsed so far, never a throw. */
+    private def mp4Traks(b: Array[Byte]): Seq[TrakTables] = {
       if (b == null || b.length < 12 || !tag(b, 4, "ftyp")) return Nil
-      var isJpeg = false
-      var uniformSize = 0L
-      var sampleCount = 0L
-      var sizeTable: Array[Long] = null
-      var chunkOffs: Array[Long] = null
-      var stscRuns: Array[(Long, Long)] = null // (first_chunk, samples_per_chunk)
+      val traks = scala.collection.mutable.ArrayBuffer.empty[TrakTables]
       def walk(from: Int, to: Int)(f: (String, Int, Int) => Unit): Unit = {
         var i = from
         while (i + 8 <= to) {
@@ -864,63 +885,82 @@ object Multimodal {
       }
       walk(0, b.length) { (t0, p0, e0) =>
         if (t0 == "moov") walk(p0, e0) { (t1, p1, e1) =>
-          if (t1 == "trak") walk(p1, e1) { (t2, p2, e2) =>
-            if (t2 == "mdia") walk(p2, e2) { (t3, p3, e3) =>
-              if (t3 == "minf") walk(p3, e3) { (t4, p4, e4) =>
-                if (t4 == "stbl") walk(p4, e4) { (t5, p5, e5) =>
-                  t5 match {
-                    case "stsd" if p5 + 8 <= e5 =>
-                      // first sample entry's format fourcc at +8+4
-                      if (be32(b, p5 + 4) >= 1 && p5 + 16 <= e5) {
-                        val fmt = new String(b, p5 + 12, 4, "US-ASCII")
-                        if (fmt == "jpeg" || fmt == "mjpa" || fmt == "mjpb" ||
-                          fmt == "MJPG") isJpeg = true
-                      }
-                    case "stsz" if p5 + 12 <= e5 =>
-                      uniformSize = be32(b, p5 + 4)
-                      sampleCount = be32(b, p5 + 8)
-                      if (uniformSize == 0 && sampleCount > 0 &&
-                        p5 + 12 + 4 * sampleCount <= e5 && sampleCount <= (1 << 22)) {
-                        sizeTable = Array.tabulate(sampleCount.toInt)(j =>
-                          be32(b, p5 + 12 + 4 * j))
-                      }
-                    case "stco" if p5 + 8 <= e5 =>
-                      val n = be32(b, p5 + 4)
-                      if (n > 0 && p5 + 8 + 4 * n <= e5 && n <= (1 << 22))
-                        chunkOffs = Array.tabulate(n.toInt)(j => be32(b, p5 + 8 + 4 * j))
-                    case "stsc" if p5 + 8 <= e5 =>
-                      val n = be32(b, p5 + 4)
-                      if (n > 0 && p5 + 8 + 12 * n <= e5 && n <= (1 << 20))
-                        stscRuns = Array.tabulate(n.toInt)(j =>
-                          (be32(b, p5 + 8 + 12 * j), be32(b, p5 + 12 + 12 * j)))
-                    case _ => ()
+          if (t1 == "trak") {
+            // per-trak state, committed when this trak's walk returns
+            var codec: String = null
+            var uniformSize = 0L
+            var sampleCount = 0L
+            var sizeTable: Array[Long] = null
+            var chunkOffs: Array[Long] = null
+            var stscRuns: Array[(Long, Long)] = null
+            var syncSamples: Array[Long] = null
+            walk(p1, e1) { (t2, p2, e2) =>
+              if (t2 == "mdia") walk(p2, e2) { (t3, p3, e3) =>
+                if (t3 == "minf") walk(p3, e3) { (t4, p4, e4) =>
+                  if (t4 == "stbl") walk(p4, e4) { (t5, p5, e5) =>
+                    t5 match {
+                      case "stsd" if p5 + 8 <= e5 =>
+                        // first sample entry's format fourcc at +8+4
+                        if (be32(b, p5 + 4) >= 1 && p5 + 16 <= e5)
+                          codec = new String(b, p5 + 12, 4, "US-ASCII")
+                      case "stsz" if p5 + 12 <= e5 =>
+                        uniformSize = be32(b, p5 + 4)
+                        sampleCount = be32(b, p5 + 8)
+                        if (uniformSize == 0 && sampleCount > 0 &&
+                          p5 + 12 + 4 * sampleCount <= e5 && sampleCount <= (1 << 22)) {
+                          sizeTable = Array.tabulate(sampleCount.toInt)(j =>
+                            be32(b, p5 + 12 + 4 * j))
+                        }
+                      case "stco" if p5 + 8 <= e5 =>
+                        val n = be32(b, p5 + 4)
+                        if (n > 0 && p5 + 8 + 4 * n <= e5 && n <= (1 << 22))
+                          chunkOffs = Array.tabulate(n.toInt)(j => be32(b, p5 + 8 + 4 * j))
+                      case "stsc" if p5 + 8 <= e5 =>
+                        val n = be32(b, p5 + 4)
+                        if (n > 0 && p5 + 8 + 12 * n <= e5 && n <= (1 << 20))
+                          stscRuns = Array.tabulate(n.toInt)(j =>
+                            (be32(b, p5 + 8 + 12 * j), be32(b, p5 + 12 + 12 * j)))
+                      case "stss" if p5 + 8 <= e5 =>
+                        val n = be32(b, p5 + 4)
+                        if (n >= 0 && p5 + 8 + 4 * n <= e5 && n <= (1 << 22))
+                          syncSamples = Array.tabulate(n.toInt)(j =>
+                            be32(b, p5 + 8 + 4 * j))
+                      case _ => ()
+                    }
                   }
                 }
               }
             }
+            traks += TrakTables(codec, uniformSize, sampleCount, sizeTable,
+              chunkOffs, stscRuns, syncSamples)
           }
         }
       }
-      if (!isJpeg || chunkOffs == null || stscRuns == null ||
-        sampleCount <= 0 || (uniformSize <= 0 && sizeTable == null)) return Nil
-      // expand the stsc runs chunk by chunk, laying samples out
-      // contiguously from each chunk's offset
+      traks.toSeq
+    }
+
+    /** Expand one trak's stsc runs chunk by chunk, laying samples out
+     * contiguously from each chunk's offset; (offset, size) per sample
+     * in sample order. Bounds-checked against the file length —
+     * coordinates pointing outside the blob end the expansion. */
+    private def expandSamples(t: TrakTables, fileLen: Int): Seq[(Int, Int)] = {
+      if (!t.complete) return Nil
       val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
       var sample = 0L
       var chunk = 1 // 1-based per spec
       def samplesPerChunk(c: Int): Long = {
         var spc = 0L
-        stscRuns.foreach { case (first, n) => if (first <= c) spc = n }
+        t.stscRuns.foreach { case (first, n) => if (first <= c) spc = n }
         spc
       }
-      while (sample < sampleCount && chunk <= chunkOffs.length) {
-        var off = chunkOffs(chunk - 1)
+      while (sample < t.sampleCount && chunk <= t.chunkOffs.length) {
+        var off = t.chunkOffs(chunk - 1)
         var j = 0L
         val spc = samplesPerChunk(chunk)
-        while (j < spc && sample < sampleCount) {
+        while (j < spc && sample < t.sampleCount) {
           val size =
-            if (uniformSize > 0) uniformSize else sizeTable(sample.toInt)
-          if (size <= 0 || off < 0 || off + size > b.length) return out.toSeq
+            if (t.uniformSize > 0) t.uniformSize else t.sizeTable(sample.toInt)
+          if (size <= 0 || off < 0 || off + size > fileLen) return out.toSeq
           out += ((off.toInt, size.toInt))
           off += size
           j += 1
@@ -931,6 +971,34 @@ object Multimodal {
       }
       out.toSeq
     }
+
+    private[ops] def mp4VideoSamples(b: Array[Byte]): Seq[(Int, Int)] =
+      mp4Traks(b).collect {
+        case t if MjpegCodecs.contains(t.codec) => expandSamples(t, b.length)
+      }.flatten
+
+    /** Keyframe LOCATOR for H.26x-in-MP4: (1-based sample number,
+     * offset, size) of every `stss`-declared sync sample in each
+     * H.26x-family trak. The pixels of these codecs can't be decoded
+     * without a real codec library, but a 100 TB video pipeline shards
+     * on keyframe boundaries — which are pure sample-table arithmetic:
+     * `stss` names the sync samples, stsz/stco/stsc place their bytes.
+     * Traks without an stss box are skipped (per ISO/IEC 14496-12 the
+     * absence of stss means EVERY sample is sync — for our MJPEG traks
+     * that is already what [[mp4VideoSamples]] emits; for H.26x a
+     * missing stss in the wild accompanies fragmented files this
+     * walker doesn't cover, so no-stss emits nothing rather than
+     * claiming every delta frame is a keyframe). */
+    private[ops] def mp4SyncSamples(b: Array[Byte]): Seq[(Long, Int, Int)] =
+      mp4Traks(b).collect {
+        case t if H26xCodecs.contains(t.codec) && t.syncSamples != null =>
+          val all = expandSamples(t, b.length).toIndexedSeq
+          t.syncSamples.toSeq.collect {
+            case sn if sn >= 1 && sn <= all.length =>
+              val (off, len) = all((sn - 1).toInt)
+              (sn, off, len)
+          }
+      }.flatten
 
     private def parseBmp(b: Array[Byte]): Option[AvMeta] = {
       // BM(2) + file size(4) + reserved(4) + pixel offset(4) + DIB size(4)
@@ -990,6 +1058,35 @@ object Multimodal {
    * companion, same shape and discipline. */
   def mp4FrameTable(spark: SparkSession, media: DataFrame): DataFrame =
     frameTable(spark, media, AvHeaders.mp4VideoSamples)
+
+  /**
+   * Relational face of the H.26x keyframe locator
+   * ([[AvHeaders.mp4SyncSamples]]): one row per `stss` sync sample
+   * with its 1-based sample number and byte coordinates, plus a probe
+   * of the sample payload's first NAL unit header. Both framings an
+   * `avc1` sample can carry put that header at payload offset 4 —
+   * AVCC length-prefix (4-byte NAL length, then the header) and
+   * Annex-B (00 00 00 01 start code, then the header) — and
+   * `nal_unit_type` is its low 5 bits; type 5 = IDR slice → `is_idr`.
+   * A 100 TB video pipeline shards on exactly these coordinates: the
+   * keyframes are where decode can start, located here WITHOUT any
+   * codec library. Same partition-local discipline as
+   * [[aviFrameTable]]: blobs never leave their partition.
+   */
+  def mp4KeyframeTable(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("mime_type"), col("media"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          AvHeaders.mp4SyncSamples(r.media).map { case (sn, off, len) =>
+            val isIdr = len >= 5 && (r.media(off + 4) & 0x1f) == 5
+            (r.media_id, sn, off.toLong, len.toLong, isIdr)
+          }
+        }
+      }
+      .toDF("media_id", "sample_no", "offset", "n_bytes", "is_idr")
+  }
 
   private def frameTable(spark: SparkSession, media: DataFrame,
       locate: Array[Byte] => Seq[(Int, Int)]): DataFrame = {

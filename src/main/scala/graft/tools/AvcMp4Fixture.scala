@@ -1,0 +1,128 @@
+package graft.tools
+
+/**
+ * Deterministic ISO-BMFF fixture whose video track declares `avc1`
+ * (H.264) and carries a REAL `stss` sync-sample box: the pixels of an
+ * H.26x stream can't be decoded without a codec library, but keyframe
+ * LOCATION is pure sample-table arithmetic — which is exactly what a
+ * 100 TB video pipeline shards on. This fixture exercises the repo's
+ * `stss` walk ([[graft.ops.Multimodal.AvHeaders.mp4SyncSamples]])
+ * against true bytes. Box builders are shared with
+ * [[MjpegMp4Fixture]] (one source of truth for the ISO-BMFF plumbing).
+ *
+ * Layout per media_id (the oracle's offset arithmetic relies on this):
+ *  - id % 8 == 3 → `ftyp` only: parses as mp4, NO keyframe rows.
+ *  - id % 8 == 7 → junk bytes: nothing parses.
+ *  - otherwise   → ftyp(16) + mdat(8 + nf·S) + moov(mvhd + trak(tkhd
+ *                  + mdia(mdhd + hdlr + minf(vmhd + dinf +
+ *                  stbl(stsd['avc1'+avcC]/stts/stss/stsc/stsz/
+ *                  stco))))), mdat FIRST: sample i (0-based) begins at
+ *                  24 + i·S with UNIFORM S = 48 + 2·(id % 13),
+ *                  re-derivable as (mdat_size − 8) / nf with mdat_size
+ *                  = BE32 at byte 16. Every sample is a well-formed
+ *                  AVCC payload: BE32 NAL length (S − 4) then the NAL,
+ *                  whose header byte sits at sample offset 4 —
+ *                  0x65 (nal_unit_type 5, IDR) on sync samples,
+ *                  0x41 (type 1, non-IDR slice) otherwise, then
+ *                  deterministic filler. `stss` declares samples
+ *                  1, 1+k, 1+2k, … (1-based) with k = 1 + id % 3 —
+ *                  so the oracle re-derives the full keyframe set from
+ *                  the id contract + mdat anchor alone and the two
+ *                  derivations must meet on identical coordinates.
+ *
+ * nFrames/width/height/usPerFrame share [[AviFixture]]'s formulas.
+ *
+ * Usage: runMain graft.tools.AvcMp4Fixture [outFile] [rows]
+ * (default fixtures/mp4avc.parquet, 500 rows)
+ */
+object AvcMp4Fixture {
+  import MjpegMp4Fixture.{be16, be32, box, fullBox, ftyp, mvhd, tkhdBox,
+    mdhd, hdlr, vmhd, dinf, stts, stsc, stsz, stco}
+
+  def nFrames(id: Long): Int = AviFixture.nFrames(id)
+  /** stss sync interval: keyframes at 1-based samples 1, 1+k, 1+2k… */
+  def syncInterval(id: Long): Int = 1 + (id % 3).toInt
+  /** Uniform sample size (AVCC length prefix + NAL + filler). */
+  def sampleSize(id: Long): Int = 48 + 2 * (id % 13).toInt
+
+  /** 'avc1' VisualSampleEntry + minimal avcC decoder config (version,
+   * profile Baseline/3.0, lengthSizeMinusOne=3, zero SPS/PPS — enough
+   * to be structurally honest; the walk keys only on the fourcc). */
+  private def stsdAvc(id: Long): Array[Byte] = {
+    val avcC = box("avcC", Array[Byte](1, 0x42, 0, 0x1e, -1 /*0xff*/ ,
+      -32 /*0xe0: 0 SPS*/ , 0 /*0 PPS*/))
+    val entry = box("avc1",
+      new Array[Byte](6) ++ be16(1) ++ // reserved, data_reference_index
+        be16(0) ++ be16(0) ++ new Array[Byte](12) ++
+        be16(AviFixture.width(id)) ++ be16(AviFixture.height(id)) ++
+        be32(0x00480000L) ++ be32(0x00480000L) ++ // 72 dpi
+        be32(0) ++ be16(1) ++ // reserved, frame_count
+        new Array[Byte](32) ++ // compressorname
+        be16(24) ++ be16(0xffff) ++ // depth, pre_defined = -1
+        avcC)
+    fullBox("stsd", 0, be32(1) ++ entry)
+  }
+
+  private def stss(id: Long): Array[Byte] = {
+    val syncs = syncSamples(id)
+    fullBox("stss", 0, be32(syncs.length) ++ syncs.flatMap(s => be32(s)))
+  }
+
+  /** The 1-based sync sample numbers stss declares. */
+  def syncSamples(id: Long): Array[Long] =
+    (1 to nFrames(id) by syncInterval(id)).map(_.toLong).toArray
+
+  /** One AVCC sample: BE32 NAL length, NAL header (IDR on sync
+   * samples), deterministic filler to the uniform size. */
+  private def sample(id: Long, f: Int, s: Int, sync: Boolean): Array[Byte] = {
+    val nal = new Array[Byte](s - 4)
+    nal(0) = if (sync) 0x65 else 0x41
+    var j = 1
+    while (j < nal.length) { nal(j) = ((id * 31 + f * 7 + j) & 0x7f).toByte; j += 1 }
+    be32(s - 4L) ++ nal
+  }
+
+  def mp4(id: Long): Array[Byte] = {
+    val nf = nFrames(id)
+    val s = sampleSize(id)
+    val syncs = syncSamples(id).map(_.toInt).toSet
+    val mdat = box("mdat",
+      (0 until nf).flatMap(f => sample(id, f, s, syncs(f + 1))).toArray)
+    val stbl = box("stbl", stsdAvc(id) ++ stts(id) ++ stss(id) ++ stsc() ++
+      stsz(s, nf) ++ stco())
+    val minf = box("minf", vmhd() ++ dinf() ++ stbl)
+    val mdia = box("mdia", mdhd(id) ++ hdlr() ++ minf)
+    val trak = box("trak", tkhdBox(id) ++ mdia)
+    val moov = box("moov", mvhd(id) ++ trak)
+    ftyp() ++ mdat ++ moov
+  }
+
+  /** (declared mime, actual bytes) — mime lies on the broken rows. */
+  def row(id: Long): (String, Array[Byte]) =
+    if (id % 8 == 3) ("video/mp4", MjpegMp4Fixture.truncated())
+    else if (id % 8 == 7) ("application/octet-stream", MjpegMp4Fixture.junk(id))
+    else ("video/mp4", mp4(id))
+
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("fixtures/mp4avc.parquet")
+    val rows = args.lift(1).map(_.toInt).getOrElse(500)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").appName("mp4avc-fixture")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    val df = (0L until rows.toLong).map { id =>
+      val (mime, bytes) = row(id)
+      (id, mime, bytes)
+    }.toDF("media_id", "mime_type", "media")
+    val tmp = java.nio.file.Files.createTempDirectory("mp4avcfix").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    val dest = new java.io.File(out)
+    Option(dest.getParentFile).foreach(_.mkdirs())
+    java.nio.file.Files.move(part.toPath, dest.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    println(s"wrote $rows rows to $out")
+    spark.stop()
+  }
+}

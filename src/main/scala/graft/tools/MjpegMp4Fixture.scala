@@ -38,31 +38,31 @@ object MjpegMp4Fixture {
   def height(id: Long): Int = AviFixture.height(id)
   def usPerFrame(id: Long): Int = AviFixture.usPerFrame(id)
 
-  private def be16(v: Int): Array[Byte] = Array[Byte]((v >>> 8).toByte, v.toByte)
-  private def be32(v: Long): Array[Byte] =
+  private[tools] def be16(v: Int): Array[Byte] = Array[Byte]((v >>> 8).toByte, v.toByte)
+  private[tools] def be32(v: Long): Array[Byte] =
     Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
-  private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
-  private def box(tpe: String, payload: Array[Byte]): Array[Byte] =
+  private[tools] def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+  private[tools] def box(tpe: String, payload: Array[Byte]): Array[Byte] =
     be32(payload.length + 8L) ++ fourcc(tpe) ++ payload
-  private def fullBox(tpe: String, version: Int, payload: Array[Byte]): Array[Byte] =
+  private[tools] def fullBox(tpe: String, version: Int, payload: Array[Byte]): Array[Byte] =
     box(tpe, Array[Byte](version.toByte, 0, 0, 0) ++ payload)
 
   def ftyp(): Array[Byte] =
     box("ftyp", fourcc("isom") ++ be32(512))
 
-  private def matrix(): Array[Byte] =
+  private[tools] def matrix(): Array[Byte] =
     be32(0x00010000L) ++ be32(0) ++ be32(0) ++
       be32(0) ++ be32(0x00010000L) ++ be32(0) ++
       be32(0) ++ be32(0) ++ be32(0x40000000L)
 
-  private def mvhd(id: Long): Array[Byte] = {
+  private[tools] def mvhd(id: Long): Array[Byte] = {
     val durMs = usPerFrame(id).toLong * nFrames(id) / 1000L
     fullBox("mvhd", 0, be32(0) ++ be32(0) ++ be32(1000) ++ be32(durMs) ++
       be32(0x00010000L) ++ be16(0x0100) ++ new Array[Byte](2 + 8) ++
       matrix() ++ new Array[Byte](24) ++ be32(2))
   }
 
-  private def tkhdBox(id: Long): Array[Byte] = {
+  private[tools] def tkhdBox(id: Long): Array[Byte] = {
     val durMs = usPerFrame(id).toLong * nFrames(id) / 1000L
     box("tkhd", Array[Byte](0, 0, 0, 7) ++ // version 0, flags enabled|in-movie|in-preview
       be32(0) ++ be32(0) ++ be32(1) ++ be32(0) ++ be32(durMs) ++
@@ -71,19 +71,19 @@ object MjpegMp4Fixture {
       be32(width(id).toLong << 16) ++ be32(height(id).toLong << 16))
   }
 
-  private def mdhd(id: Long): Array[Byte] =
+  private[tools] def mdhd(id: Long): Array[Byte] =
     fullBox("mdhd", 0, be32(0) ++ be32(0) ++ be32(90000) ++
       be32(nFrames(id).toLong * usPerFrame(id) * 90000L / 1000000L) ++
       be16(0x55c4) ++ be16(0)) // language 'und', pre_defined
 
-  private def hdlr(): Array[Byte] =
+  private[tools] def hdlr(): Array[Byte] =
     fullBox("hdlr", 0, be32(0) ++ fourcc("vide") ++
       new Array[Byte](12) ++ "v".getBytes("US-ASCII") :+ 0.toByte)
 
-  private def vmhd(): Array[Byte] =
+  private[tools] def vmhd(): Array[Byte] =
     box("vmhd", Array[Byte](0, 0, 0, 1) ++ be16(0) ++ be16(0) ++ be16(0) ++ be16(0))
 
-  private def dinf(): Array[Byte] = {
+  private[tools] def dinf(): Array[Byte] = {
     val url = box("url ", Array[Byte](0, 0, 0, 1)) // self-contained
     box("dinf", fullBox("dref", 0, be32(1) ++ url))
   }
@@ -102,17 +102,17 @@ object MjpegMp4Fixture {
     fullBox("stsd", 0, be32(1) ++ entry)
   }
 
-  private def stts(id: Long): Array[Byte] =
+  private[tools] def stts(id: Long): Array[Byte] =
     fullBox("stts", 0, be32(1) ++ be32(nFrames(id)) ++
       be32(usPerFrame(id).toLong * 90000L / 1000000L)) // delta in mdhd ticks
 
-  private def stsc(): Array[Byte] =
+  private[tools] def stsc(): Array[Byte] =
     fullBox("stsc", 0, be32(1) ++ be32(1) ++ be32(Int.MaxValue) ++ be32(1))
 
-  private def stsz(s: Int, nf: Int): Array[Byte] =
+  private[tools] def stsz(s: Int, nf: Int): Array[Byte] =
     fullBox("stsz", 0, be32(s) ++ be32(nf)) // uniform sample_size, count
 
-  private def stco(): Array[Byte] =
+  private[tools] def stco(): Array[Byte] =
     fullBox("stco", 0, be32(1) ++ be32(24)) // one chunk at byte 24 (mdat payload)
 
   /** Full MJPEG MP4; returns the uniform padded sample size S for

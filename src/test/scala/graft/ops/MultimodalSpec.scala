@@ -340,6 +340,61 @@ class MultimodalSpec extends SparkSpec {
     assert(gotBad == expect.take(4), s"got $gotBad")
   }
 
+  test("MP4 multi-track: audio trak tables never contaminate the video trak's samples") {
+    // A real MJPEG MP4 usually carries an audio track too. Sample-table
+    // state must be scoped PER TRAK: with trak-global state (the round-10
+    // bug shape) the video trak's 'jpeg' codec flag combined with
+    // whichever trak's tables parsed LAST — here the audio trak, whose
+    // stco/stsz point at different coordinates — and the walk emitted
+    // audio bytes as decoded video frames. Audio trak is deliberately
+    // ordered last to trip exactly that.
+    def be32(v: Long): Array[Byte] =
+      Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def fcc(s: String) = s.getBytes("US-ASCII")
+    def bx(t: String, p: Array[Byte]): Array[Byte] = be32(p.length + 8L) ++ fcc(t) ++ p
+    def full(t: String, p: Array[Byte]): Array[Byte] = bx(t, Array[Byte](0, 0, 0, 0) ++ p)
+    def trak(codec: String, chunkOff: Int, sampleSize: Int, n: Int): Array[Byte] = {
+      val stsd = full("stsd", be32(1) ++ bx(codec, new Array[Byte](78)))
+      val stsc = full("stsc", be32(1) ++ be32(1) ++ be32(n) ++ be32(1))
+      val stsz = full("stsz", be32(sampleSize) ++ be32(n))
+      val stco = full("stco", be32(1) ++ be32(chunkOff))
+      bx("trak", bx("mdia", bx("minf", bx("stbl", stsd ++ stsc ++ stsz ++ stco))))
+    }
+    val ftyp = bx("ftyp", fcc("isom") ++ be32(512))
+    val mdat = bx("mdat", new Array[Byte](400))
+    val videoTrak = trak("jpeg", 24, 50, 3) // samples at 24, 74, 124
+    val audioTrak = trak("mp4a", 200, 16, 8) // different tables entirely
+    val bytes = ftyp ++ mdat ++ bx("moov", videoTrak ++ audioTrak)
+    val got = AvHeaders.mp4VideoSamples(bytes)
+    assert(got == Seq((24, 50), (74, 50), (124, 50)), s"got $got")
+    // audio-only file: no video samples at all
+    val audioOnly = ftyp ++ mdat ++ bx("moov", audioTrak)
+    assert(AvHeaders.mp4VideoSamples(audioOnly).isEmpty)
+  }
+
+  test("MP4 stss walk: AVC keyframe coordinates match the fixture contract") {
+    import graft.tools.AvcMp4Fixture
+    for (id <- Seq(0L, 1L, 2L, 4L, 5L, 6L)) {
+      val bytes = AvcMp4Fixture.mp4(id)
+      val s = AvcMp4Fixture.sampleSize(id)
+      val got = AvHeaders.mp4SyncSamples(bytes)
+      val expect = AvcMp4Fixture.syncSamples(id).toSeq.map { sn =>
+        (sn, 24 + (sn.toInt - 1) * s, s)
+      }
+      assert(got == expect, s"id=$id got $got")
+      // every located keyframe's first NAL header byte is an IDR slice
+      got.foreach { case (_, off, _) =>
+        assert((bytes(off + 4) & 0x1f) == 5)
+      }
+      // the avc1 trak is NOT MJPEG: no decodable video samples claimed
+      assert(AvHeaders.mp4VideoSamples(bytes).isEmpty)
+    }
+    // MJPEG fixture has no stss and no H.26x codec: no keyframe rows
+    assert(AvHeaders.mp4SyncSamples(graft.tools.MjpegMp4Fixture.mp4(0)).isEmpty)
+    assert(AvHeaders.mp4SyncSamples(AvcMp4Fixture.row(3)._2).isEmpty) // ftyp only
+    assert(AvHeaders.mp4SyncSamples(AvcMp4Fixture.row(7)._2).isEmpty) // junk
+  }
+
   test("frameSample: REAL MJPEG MP4 sample iteration with provenance, distinct luminance") {
     import spark.implicits._
     import graft.tools.MjpegMp4Fixture
@@ -438,7 +493,8 @@ class MultimodalSpec extends SparkSpec {
       AvFixture.webm(640, 360, 1000, audioCh = 2, audioRate = 48000),
       Mp4Fixture.mp4(0), Mp4Fixture.mp4(5), Mp4Fixture.truncated(),
       AviFixture.avi(0), AviFixture.avi(4), AviFixture.headerOnly(3),
-      graft.tools.MjpegMp4Fixture.mp4(0), graft.tools.MjpegMp4Fixture.mp4(4)
+      graft.tools.MjpegMp4Fixture.mp4(0), graft.tools.MjpegMp4Fixture.mp4(4),
+      graft.tools.AvcMp4Fixture.mp4(0), graft.tools.AvcMp4Fixture.mp4(5)
     ).flatMap { base =>
       (0 until 8).map { _ =>
         val m = base.clone()
@@ -458,6 +514,7 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.AvHeaders.avMeta(b)          // must not throw
       Multimodal.AvHeaders.aviVideoChunks(b)  // must not throw
       Multimodal.AvHeaders.mp4VideoSamples(b) // must not throw
+      Multimodal.AvHeaders.mp4SyncSamples(b)  // must not throw
       Multimodal.AvHeaders.wavClips(b, 10)    // must not throw
       Multimodal.MediaCodec.decodeGifFrames(b) // must not throw
       Multimodal.MediaCodec.decodeAudioSampled(b) // must not throw
