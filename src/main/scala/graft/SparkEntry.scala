@@ -404,6 +404,33 @@ object SparkEntry {
         }
         .toDF("user_id", "kind", "first_ts", "fired_at", "fire_seq")
     }),
+    // q_e6: multi-rule total order (J8 × F6) — three rules share one
+    // key through the ALIGNED engine face: a suppressing quarantine
+    // (every view consumed + suppressed, declaration slot 0), a
+    // signup→view sequence that therefore NEVER completes (slot 1),
+    // and the signup→purchase flagship (slot 2). The engine's actual
+    // cross-rule emission order ships via the same per-key counter as
+    // q_e5; the oracle re-derives it relationally: suppression makes
+    // r1's fire set exactly "every signup times out", and the total
+    // order is (fired_at, timeouts-first, rule declaration order,
+    // matcher-creation order) — the reference's single deadline-sorted
+    // queue across matcher classes + declaration-order dispatch
+    // (reference: src/CorrelationEngine.php:207-278, 515-523).
+    "q_e6_multi_rule_order" -> ((s, d) => {
+      import s.implicits._
+      graft.streaming.RuleEngine.runBatchAligned(
+          Tables.eventsTyped(s, d), multiRules, _.payload("key"))
+        .mapPartitions { it =>
+          var cur: String = null
+          var n = 0
+          it.filter(f => f.kind == "timeout" || f.kind == "complete").map { f =>
+            if (f.key != cur) { cur = f.key; n = 0 } // runs are contiguous per key
+            n += 1
+            (f.key.toLong, f.rule, f.kind, f.firstTs, f.firedAt, n)
+          }
+        }
+        .toDF("user_id", "rule", "kind", "first_ts", "fired_at", "fire_seq")
+    }),
     // q_t3: OnSchedule THROUGH the interpreter — cron ticks become
     // engine events and a matchSingle on the tick type fires per
     // scheduled minute (reference: src/Rule/OnSchedule.php:24-38, a
@@ -433,6 +460,21 @@ object SparkEntry {
       "order_payment", Seq(Set("signup"), Set("purchase")),
       java.time.Duration.ofHours(1), _.payload("key"),
       onComplete = _ => Nil, onTimeout = _ => Nil)
+
+  /** q_e6's declaration-ordered rule set (names sort in declaration
+   * order so the oracle's relational tie-break can use them). */
+  private def multiRules: Seq[graft.rules.RuleSpec] = Seq(
+    graft.rules.RuleSpec.matchSingle(
+      "r0_view_quarantine", Set("view"), onMatch = _ => Nil)
+      .copy(suppressOnMatch = true),
+    graft.rules.RuleSpec.sequenceWithTimeout(
+      "r1_signup_view", Seq(Set("signup"), Set("view")),
+      java.time.Duration.ofHours(1), _.payload("key"),
+      onComplete = _ => Nil, onTimeout = _ => Nil),
+    graft.rules.RuleSpec.sequenceWithTimeout(
+      "r2_signup_purchase", Seq(Set("signup"), Set("purchase")),
+      java.time.Duration.ofHours(1), _.payload("key"),
+      onComplete = _ => Nil, onTimeout = _ => Nil))
 
   /** DuckDB shingle CTE twin of Dedup.shingles (3-word shingles). */
   private val SH =
@@ -1363,6 +1405,50 @@ object SparkEntry {
          |   CAST(ROW_NUMBER() OVER (PARTITION BY user_id
          |     ORDER BY fired_at, (kind = 'timeout') DESC, first_ts) AS INTEGER)
          |     AS fire_seq
+         | FROM u""".stripMargin,
+    // q_e6: the oracle re-derives the cross-rule emission order
+    // relationally. Suppression (r0 consumes every view at declaration
+    // slot 0) makes r1's fire set exactly "every signup times out" —
+    // no join needed — while r2 is the q_e1/q_e2 twin pair untouched
+    // by suppression. Total order per key: fired_at, timeouts before
+    // same-instant completes (a timeout due at T fires before the
+    // event at T is handled), rule declaration order (the reference's
+    // single deadline-sorted timeout queue is stable, so same-deadline
+    // matchers keep registration = declaration order; completes from
+    // distinct rules never share an instant in this data), then
+    // matcher-creation order (first_ts). Any deviation in dispatch
+    // order, suppress short-circuit, or the global timeout queue
+    // breaks fire_seq.
+    "q_e6_multi_rule_order" ->
+      s"""$E, v AS (
+         |   SELECT user_id, 'r0_view_quarantine' AS rule, 'complete' AS kind,
+         |          ts AS first_ts, ts AS fired_at
+         |   FROM e WHERE event_type = 'view'),
+         | t1 AS (
+         |   SELECT user_id, 'r1_signup_view' AS rule, 'timeout' AS kind,
+         |          ts AS first_ts, ts + INTERVAL 1 HOUR AS fired_at
+         |   FROM e WHERE event_type = 'signup'),
+         | c2 AS (
+         |   SELECT s.user_id, 'r2_signup_purchase' AS rule, 'complete' AS kind,
+         |          s.ts AS first_ts, MIN(p.ts) AS fired_at
+         |   FROM e s JOIN e p
+         |     ON p.user_id = s.user_id AND p.event_type = 'purchase'
+         |     AND p.ts >= s.ts AND p.ts < s.ts + INTERVAL 1 HOUR
+         |   WHERE s.event_type = 'signup'
+         |   GROUP BY s.user_id, s.event_id, s.ts),
+         | t2 AS (
+         |   SELECT s.user_id, 'r2_signup_purchase' AS rule, 'timeout' AS kind,
+         |          s.ts AS first_ts, s.ts + INTERVAL 1 HOUR AS fired_at
+         |   FROM e s LEFT JOIN e p
+         |     ON p.user_id = s.user_id AND p.event_type = 'purchase'
+         |     AND p.ts >= s.ts AND p.ts < s.ts + INTERVAL 1 HOUR
+         |   WHERE s.event_type = 'signup' AND p.event_id IS NULL),
+         | u AS (SELECT * FROM v UNION ALL SELECT * FROM t1
+         |       UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM t2)
+         | SELECT user_id, rule, kind, first_ts, fired_at,
+         |   CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+         |     ORDER BY fired_at, (kind = 'timeout') DESC, rule, first_ts)
+         |     AS INTEGER) AS fire_seq
          | FROM u""".stripMargin,
     "q_e3_three_step" ->
       s"""$E, s2 AS (SELECT user_id, event_id, ts FROM e WHERE event_type = 'signup'),

@@ -785,11 +785,34 @@ object Similarity {
    * the training loop produced. Same pinning contract throughout. */
   def kmeansCentroids(embeddings: DataFrame, k: Int = 8,
       iters: Int = 2): Seq[(Int, Seq[Double])] = {
-    require(k > 0 && iters >= 0, s"need k > 0, iters >= 0: k=$k iters=$iters")
     // materialise the normalised corpus ONCE: each Lloyd iteration and
     // the seed collect reuse it instead of re-reading + re-normalising
     // the source (iters + 1 scans of raw parquet otherwise)
-    val corpus = unitCorpus(embeddings).localCheckpoint()
+    kmeansCentroidsOn(materialize(unitCorpus(embeddings)), k, iters)
+  }
+
+  /** Materialise an already-normalised corpus for reuse across
+   * training iterations / search stages. Default is `localCheckpoint`
+   * — executor-local and lineage-severing, the right trade at
+   * local[32] where an executor loss is impossible. At CLUSTER scale
+   * an executor loss kills a lineage-severed query, so set
+   * `spark.graft.similarity.reliableMaterialize=true` to use a
+   * recomputable MEMORY_AND_DISK persist instead (the corpus scan is
+   * linear — recompute-on-loss is the 100x-safe form). */
+  private def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf
+        .getOption("spark.graft.similarity.reliableMaterialize")
+        .contains("true"))
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else df.localCheckpoint()
+
+  /** [[kmeansCentroids]] over a corpus that is ALREADY normalised and
+   * materialised — so a caller that needs the corpus for its own
+   * search stages ([[ivfTrainedTopK]]) shares ONE materialisation
+   * with the training loop instead of paying two. */
+  private def kmeansCentroidsOn(corpus: DataFrame, k: Int,
+      iters: Int): Seq[(Int, Seq[Double])] = {
+    require(k > 0 && iters >= 0, s"need k > 0, iters >= 0: k=$k iters=$iters")
     // init: rounded normalised seed vectors, cluster id = vec_id order
     var cent: Seq[(Int, Seq[Double])] = corpus
       .filter(col("vec_id") < k)
@@ -838,11 +861,14 @@ object Similarity {
    */
   def ivfTrainedTopK(embeddings: DataFrame, nQueries: Int = 20, k: Int = 10,
       nLists: Int = 8, iters: Int = 2, nProbe: Int = 2): DataFrame = {
-    val corpus = unitCorpus(embeddings).localCheckpoint() // search stages reuse it
-    // train from the RAW embeddings (one normalisation, exactly the
-    // oracle's arithmetic — re-normalising an already-unit vector
-    // would perturb values at the float ulp under the round-9 pin)
-    val cent = kmeansCentroids(embeddings, nLists, iters)
+    // ONE materialisation of the normalised corpus, shared by the
+    // training loop AND the search stages below (r10 paid it twice).
+    // The values are the single-normalisation arithmetic the oracle
+    // replays — kmeansCentroidsOn never re-normalises its input (doing
+    // so would perturb already-unit vectors at the float ulp under the
+    // round-9 pin).
+    val corpus = materialize(unitCorpus(embeddings))
+    val cent = kmeansCentroidsOn(corpus, nLists, iters)
     val asg = assignToCentroids(corpus, cent)
       .select(col("vec_id"), col("v"), col("cluster").as("cell"))
     // per-query probe list: sort the k (sim, -cluster) structs desc and

@@ -132,6 +132,38 @@ object RuleEngine {
     (alive, fires)
   }
 
+  /** Clock advance across ALL rules of an aligned face: due timeouts
+   * fire in GLOBAL deadline order, ties in rule-declaration order.
+   * The reference keeps ONE deadline-sorted queue over every running
+   * matcher regardless of class (uasort by timeout,
+   * src/CorrelationEngine.php:515-523; the stable sort leaves equal
+   * deadlines in registration order, which for matchers armed by the
+   * same event is declaration order). Firing rule-by-rule instead
+   * would emit rule A's later deadline before rule B's earlier one
+   * whenever both aged past the clock between two events — a
+   * cross-rule emission-order deviation q_e6 pins. Due matchers of
+   * rules where `emitFor` is false are destroyed silently (the
+   * historical-ignore replay mode), same as [[fireDue]]. Mutates
+   * `matchers` in place. */
+  private def fireDueAcross(ruleArr: IndexedSeq[RuleSpec], key: String,
+      matchers: Array[Vector[MatcherState]], nowUs: Long,
+      emitFor: RuleSpec => Boolean): Vector[Fired] = {
+    val dues = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, MatcherState)]
+    var i = 0
+    while (i < matchers.length) {
+      val (due, alive) = matchers(i).partition(_.timeoutAtUs.exists(_ <= nowUs))
+      matchers(i) = alive
+      if (emitFor(ruleArr(i)))
+        due.foreach(m => dues += ((m.timeoutAtUs.get, i, m)))
+      i += 1
+    }
+    // stable sort: same-rule same-deadline matchers keep creation order
+    dues.sortBy(t => (t._1, t._2)).iterator.map { case (_, ri, m) =>
+      fired(ruleArr(ri), key, "timeout", microsToTs(m.timeoutAtUs.get), m.chain,
+        ruleArr(ri).onTimeout(m.chain))
+    }.toVector
+  }
+
   /** Offer the event to each live matcher in creation order; spawn with
    * the duplicate-start guard. Returns (alive, fires, handled). */
   private def offer(
@@ -276,7 +308,8 @@ object RuleEngine {
    * (reference: src/CorrelationEngine.php:230-236 suppress breaks the
    * matcher loop and skips new-matcher instantiation). Timeouts of ALL
    * rules still fire on clock advance regardless of suppression
-   * (reference fires triggerTimeouts before handling each event).
+   * (reference fires triggerTimeouts before handling each event), in
+   * GLOBAL deadline order across rules ([[fireDueAcross]]).
    * Same scale shape as [[runBatch]]: one shuffle on the key, sorted
    * runs, no per-group materialisation.
    */
@@ -301,18 +334,13 @@ object RuleEngine {
             while (buf.hasNext && buf.head.key == k) {
               val e = buf.next().event
               val eUs = micros(e.effectiveTime)
-              // clock advance: all rules' due timeouts fire first
-              var i = 0
-              while (i < ruleArr.size) {
-                val (m, f) = fireDue(ruleArr(i), k, matchers(i), eUs,
-                  !ruleArr(i).historicalIgnoreTimeout)
-                matchers(i) = m
-                out ++= f
-                i += 1
-              }
+              // clock advance: due timeouts across ALL rules fire
+              // first, in global deadline order (see fireDueAcross)
+              out ++= fireDueAcross(ruleArr, k, matchers, eUs,
+                r => !r.historicalIgnoreTimeout)
               // declaration-order evaluation with suppress short-circuit
               var suppressed = false
-              i = 0
+              var i = 0
               while (i < ruleArr.size && !suppressed) {
                 val r = ruleArr(i)
                 if (r.mightAccept(e.event)) {
@@ -324,18 +352,10 @@ object RuleEngine {
                 i += 1
               }
             }
-            // end-of-data flush (same contract as runBatch)
-            var i = 0
-            while (i < ruleArr.size) {
-              if (!ruleArr(i).historicalIgnoreTimeout) {
-                matchers(i).filter(_.timeoutAtUs.isDefined).sortBy(_.timeoutAtUs.get)
-                  .foreach { m =>
-                    out :+= fired(ruleArr(i), k, "timeout",
-                      microsToTs(m.timeoutAtUs.get), m.chain, ruleArr(i).onTimeout(m.chain))
-                  }
-              }
-              i += 1
-            }
+            // end-of-data flush (same contract as runBatch), still in
+            // global deadline order across rules
+            out ++= fireDueAcross(ruleArr, k, matchers, Long.MaxValue,
+              r => !r.historicalIgnoreTimeout)
             out.iterator
           }
         }.flatten
@@ -544,26 +564,14 @@ object RuleEngine {
 
           if (state.hasTimedOut) {
             val wm = state.getCurrentWatermarkMs() * 1000L
-            var i = 0
-            while (i < ruleArr.size) {
-              val (alive, fs) = fireDue(ruleArr(i), k, matchers(i), wm, emitTimeouts = true)
-              matchers(i) = alive
-              out ++= fs
-              i += 1
-            }
+            out ++= fireDueAcross(ruleArr, k, matchers, wm, _ => true)
           } else {
             val sorted = it.map(_.event).toVector.sortBy(e => (micros(e.effectiveTime), e.id))
             sorted.foreach { e =>
               val eUs = micros(e.effectiveTime)
-              var i = 0
-              while (i < ruleArr.size) {
-                val (alive, fs) = fireDue(ruleArr(i), k, matchers(i), eUs, emitTimeouts = true)
-                matchers(i) = alive
-                out ++= fs
-                i += 1
-              }
+              out ++= fireDueAcross(ruleArr, k, matchers, eUs, _ => true)
               var suppressed = false
-              i = 0
+              var i = 0
               while (i < ruleArr.size && !suppressed) {
                 val r = ruleArr(i)
                 if (r.mightAccept(e.event)) {

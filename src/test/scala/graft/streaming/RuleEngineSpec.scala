@@ -144,6 +144,38 @@ class RuleEngineSpec extends SparkSpec {
     assert(open.count(f => f.rule == "alert" && f.kind == "complete") == 2)
   }
 
+  test("aligned faces fire cross-rule timeouts in GLOBAL deadline order") {
+    // rule A (declared FIRST) arms a LONGER timeout than rule B: both
+    // deadlines age past the clock between two events, so a per-rule
+    // flush would emit A's 11:00 before B's 10:30 — the reference's
+    // single deadline-sorted queue across matcher classes demands
+    // B's earlier deadline first (src/CorrelationEngine.php:515-523)
+    val a = RuleSpec("a_slow", Seq(Set("signup"), Set("purchase")),
+      Some(java.time.Duration.ofMinutes(60)), _.payload("key"))
+    val b = RuleSpec("b_fast", Seq(Set("signup"), Set("purchase")),
+      Some(java.time.Duration.ofMinutes(30)), _.payload("key"))
+    val events = ds(
+      ev("2024-01-01 10:00:00", "signup", "u1", "1"),
+      ev("2024-01-01 12:00:00", "click", "u1", "2")) // clock advance only
+    val fires = RuleEngine.runBatchAligned(events, Seq(a, b), _.payload("key"))
+      .collect().filter(_.kind == "timeout")
+    assert(fires.map(f => (f.rule, f.firedAt)).toSeq == Seq(
+      ("b_fast", ts("2024-01-01 10:30:00")),
+      ("a_slow", ts("2024-01-01 11:00:00"))))
+    // equal deadlines: declaration order breaks the tie (registration
+    // order for matchers armed by the same event)
+    val b2 = b.copy(timeout = Some(java.time.Duration.ofMinutes(60)))
+    val tied = RuleEngine.runBatchAligned(events, Seq(a, b2), _.payload("key"))
+      .collect().filter(_.kind == "timeout")
+    assert(tied.map(_.rule).toSeq == Seq("a_slow", "b_fast"))
+    // end-of-data flush merges across rules the same way
+    val flush = RuleEngine.runBatchAligned(
+      ds(ev("2024-01-01 10:00:00", "signup", "u1", "1")),
+      Seq(a, b), _.payload("key"))
+      .collect().filter(_.kind == "timeout")
+    assert(flush.map(_.rule).toSeq == Seq("b_fast", "a_slow"))
+  }
+
   test("batch interpreter matches the SQL face on the fixture (J2 timeout alarms)") {
     val sfDir = "/root/testdata/sf0.001"
     val eventsDf = graft.Tables.events(spark, sfDir)
