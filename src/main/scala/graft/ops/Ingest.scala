@@ -482,7 +482,7 @@ object Ingest {
    * filesystem metadata ops per trigger — noise against a trigger's
    * parquet writes.
    */
-  private[ops] def withIndexLock[T](spark: SparkSession, indexDir: String,
+  private[graft] def withIndexLock[T](spark: SparkSession, indexDir: String,
       waitMs: Long = 600000L, staleMs: Long = 3600000L)(body: => T): T = {
     val lock = new org.apache.hadoop.fs.Path(s"$indexDir/_lock")
     // The lock is metadata, not data: on local filesystems go through
@@ -523,16 +523,38 @@ object Ingest {
       }
       None
     }
+    // Exclusive create. On the local filesystem this MUST be NIO
+    // CREATE_NEW (atomic O_CREAT|O_EXCL): RawLocalFileSystem's
+    // create(f, overwrite=false) is check-then-act — two PROCESSES can
+    // both pass the exists check, both write, and both read back their
+    // own token (the second write lands after the first verification),
+    // a mutual-exclusion hole the cross-JVM LockProbe soak catches as
+    // a lost counter update. On HDFS create(overwrite=false) is
+    // namenode-atomic, so the Hadoop path is used as-is there; object
+    // stores without atomic create need external coordination and are
+    // out of scope for this advisory lock.
+    val localLock: Option[java.io.File] = fs match {
+      case r: org.apache.hadoop.fs.RawLocalFileSystem => Some(r.pathToFile(lock))
+      case _ => None
+    }
+    def createExclusive(): Boolean =
+      try {
+        localLock match {
+          case Some(f) =>
+            java.nio.file.Files.write(f.toPath, token.getBytes("UTF-8"),
+              java.nio.file.StandardOpenOption.CREATE_NEW,
+              java.nio.file.StandardOpenOption.WRITE)
+          case None =>
+            val out = fs.create(lock, false)
+            out.write(token.getBytes("UTF-8"))
+            out.close()
+        }
+        true
+      } catch { case _: java.io.IOException => false }
     val deadline = System.currentTimeMillis + waitMs
     var acquired = false
     while (!acquired) {
-      val created =
-        try {
-          val out = fs.create(lock, false)
-          out.write(token.getBytes("UTF-8"))
-          out.close()
-          true
-        } catch { case _: java.io.IOException => false }
+      val created = createExclusive()
       if (created && readToken().contains(token)) acquired = true
       else {
         // Create lost the exclusivity race, or it SUCCEEDED but the
