@@ -115,6 +115,26 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+
+    // headline throughput FIRST, while the session is fresh: events
+    // interpreted per second end-to-end by the generic rule engine
+    // (q_e1 = parquet scan + route + stateful interpret + output). The
+    // reference's comparable number is its 55-68k events/s single-core
+    // hot loop (BASELINE.md; reference: tests_adhoc/speed_test.php +
+    // saved-state counters). Fixed 3 isolated cold runs, median —
+    // decoupled from the map's min-trial number. Running this probe
+    // AFTER the ~500 query executions of the map loop (r10 and
+    // earlier) biased it with accumulated session state: the full-run
+    // number swung 145-280k on unchanged code while the isolated probe
+    // sat at 197-200k.
+    val nEvents = try Tables.events(spark, sfDir).count() catch { case _: Throwable => 0L }
+    val epsTimes = SparkEntry.queries.get("q_e1_engine_timeouts")
+      .filter(_ => selected("q_e1_engine_timeouts")).toSeq.flatMap { fn =>
+      (1 to 3).flatMap { _ => isolate(); run("q_e1_engine_timeouts", fn) }
+    }
+    val eps = if (epsTimes.nonEmpty && nEvents > 0)
+      (nEvents / median(epsTimes)).round else 0L
+
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       var c = Double.MaxValue
@@ -163,20 +183,6 @@ object Bench {
     val coldCompact = cold.map { case (k, v) => keyOf(k) -> v }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = cold.values.sum
-    // headline throughput: events interpreted per second end-to-end by
-    // the generic rule engine (q_e1 = parquet scan + route + stateful
-    // interpret + output). The reference's comparable number is its
-    // 55-68k events/s single-core hot loop (BASELINE.md;
-    // reference: tests_adhoc/speed_test.php + saved-state counters).
-    val nEvents = try Tables.events(spark, sfDir).count() catch { case _: Throwable => 0L }
-    // fixed-iteration probe: 3 isolated cold runs, median — decoupled
-    // from the map's single min-trial number
-    val epsTimes = SparkEntry.queries.get("q_e1_engine_timeouts")
-      .filter(_ => selected("q_e1_engine_timeouts")).toSeq.flatMap { fn =>
-      (1 to 3).flatMap { _ => isolate(); run("q_e1_engine_timeouts", fn) }
-    }
-    val eps = if (epsTimes.nonEmpty && nEvents > 0)
-      (nEvents / median(epsTimes)).round else 0L
     // stop BEFORE printing: the JSON lines must be the LAST thing on
     // stdout so a tail capture of the run always contains all of them.
     // Exactly TWO stdout lines, least-important first: the cold map,

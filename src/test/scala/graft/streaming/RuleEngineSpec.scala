@@ -233,6 +233,37 @@ class RuleEngineSpec extends SparkSpec {
     assert(fired.count(_.rule == "quarantine") == 2) // progress fires
   }
 
+  test("streaming aligned face fires cross-rule timeouts in global deadline order") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // same shape as the batch test: rule A (declared first) arms the
+    // LONGER deadline; when the watermark sweeps past both, the state
+    // timeout branch must emit B's earlier deadline first
+    val a = RuleSpec("a_slow", Seq(Set("signup"), Set("purchase")),
+      Some(java.time.Duration.ofMinutes(60)), _.payload("key"))
+    val b = RuleSpec("b_fast", Seq(Set("signup"), Set("purchase")),
+      Some(java.time.Duration.ofMinutes(30)), _.payload("key"))
+    val stream = MemoryStream[Event]
+    val query = RuleEngine.runStreamingAligned(
+      stream.toDS(), Seq(a, b), _.payload("key"))
+      .writeStream.format("memory").queryName("aligned_xr_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(ev("2024-01-01 10:00:00", "signup", "u1", "1"))
+      query.processAllAvailable()
+      // watermark far past both deadlines; different key so no offer
+      stream.addData(ev("2024-01-01 13:00:00", "click", "u2", "2"))
+      query.processAllAvailable()
+      stream.addData(ev("2024-01-01 14:00:00", "click", "u2", "3"))
+      query.processAllAvailable()
+    } finally query.stop()
+    val fires = spark.table("aligned_xr_out").as[RuleEngine.Fired].collect()
+      .filter(_.kind == "timeout")
+    assert(fires.map(f => (f.rule, f.firedAt)).toSeq == Seq(
+      ("b_fast", ts("2024-01-01 10:30:00")),
+      ("a_slow", ts("2024-01-01 11:00:00"))))
+  }
+
   test("late out-of-order events within the watermark delay still complete sequences") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
