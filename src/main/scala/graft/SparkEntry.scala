@@ -331,6 +331,13 @@ object SparkEntry {
     // anchor, then probes the NAL header byte at each coordinate
     "q_m10_mp4_keyframes" -> ((s, _) =>
       Multimodal.mp4KeyframeTable(s, Tables.mp4Avc(s))),
+    // q_m11: the same keyframe location over FRAGMENTED MP4 (the
+    // CMAF/DASH segment layout a streaming-video corpus ships) — sync
+    // samples from the moof/traf/trun run tables; the oracle re-derives
+    // every coordinate from box-size anchors (moov/moof/mdat sizes)
+    // plus the fixture id contract, then probes the NAL header byte
+    "q_m11_mp4_frag_keyframes" -> ((s, _) =>
+      Multimodal.mp4FragmentedKeyframeTable(s, Tables.mp4Frag(s))),
     // q_x20: MOSS-style cross-doc copy detection — winnow fingerprint
     // overlap with stop-fingerprint (df cap) pruning + containment
     "q_x20_copy_pairs" -> ((s, d) =>
@@ -1342,6 +1349,42 @@ object SparkEntry {
          |   CAST(s AS BIGINT) AS n_bytes,
          |   (TRY_CAST('0x' || substr(h, 2 * (24 + fi * s + 4) + 1, 2) AS INTEGER) % 32 = 5)
          |     AS is_idr
+         | FROM u WHERE fi % k = 0""".stripMargin,
+    // q_m11: box-size anchors all the way — moov size at byte 16 puts
+    // the first moof at 16+moov_sz; every fragment is (constant) moof
+    // + mdat, so frag stride = moof_sz + mdat_sz; sample i's payload
+    // at moof_i + moof_sz + 8; uniform S = mdat_sz − 8; keyframes at
+    // i % k == 0 per the id contract; NAL IDR probe at +4. The Spark
+    // side reads NONE of these anchors — it walks tfhd/trun — so
+    // agreement proves the fragment run-table walk lands on exactly
+    // these bytes.
+    "q_m11_mp4_frag_keyframes" ->
+      s"""WITH m AS (SELECT media_id, hex(media) AS h, octet_length(media) AS n
+         |           FROM read_parquet('${Tables.mp4FragFixturePath}')),
+         | t AS (SELECT m.*,
+         |         (n >= 12 AND substr(h, 9, 8) = '66747970') AS is_mp4,
+         |         (media_id % 8 <> 3 AND media_id % 8 <> 7) AS full_row,
+         |         CAST(2 + media_id % 5 AS INTEGER) AS nf,
+         |         CAST(1 + media_id % 3 AS INTEGER) AS k,
+         |         TRY_CAST('0x' || substr(h, 33, 8) AS BIGINT) AS moov_sz
+         |       FROM m),
+         | a AS (SELECT t.*, 16 + moov_sz AS moof1,
+         |         TRY_CAST('0x' || substr(h, 2 * (16 + moov_sz) + 1, 8) AS BIGINT)
+         |           AS moof_sz
+         |       FROM t WHERE is_mp4 AND full_row AND moov_sz > 0),
+         | b AS (SELECT a.*,
+         |         TRY_CAST('0x' || substr(h, 2 * (moof1 + moof_sz) + 1, 8) AS BIGINT)
+         |           AS mdat_sz
+         |       FROM a WHERE moof_sz > 0),
+         | u AS (SELECT media_id, h, nf, k, moof1, moof_sz,
+         |         mdat_sz - 8 AS s, moof_sz + mdat_sz AS frag,
+         |         unnest(range(nf)) AS fi
+         |       FROM b WHERE mdat_sz > 8)
+         | SELECT media_id, CAST(fi + 1 AS BIGINT) AS sample_no,
+         |   CAST(moof1 + fi * frag + moof_sz + 8 AS BIGINT) AS "offset",
+         |   CAST(s AS BIGINT) AS n_bytes,
+         |   (TRY_CAST('0x' || substr(h, 2 * (moof1 + fi * frag + moof_sz + 8 + 4) + 1, 2)
+         |      AS INTEGER) % 32 = 5) AS is_idr
          | FROM u WHERE fi % k = 0""".stripMargin,
     // q_x19: the oracle runs the IDENTICAL RE2-safe patterns (shared
     // via Pii.categories, so both engines scan the same strings with

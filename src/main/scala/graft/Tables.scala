@@ -149,6 +149,17 @@ object Tables {
   }
   def mp4Avc(spark: SparkSession): DataFrame = spark.read.parquet(mp4AvcFixturePath)
 
+  /** mp4frag(media_id BIGINT, mime_type STRING, media BINARY) —
+   * repo-local deterministic FRAGMENTED MP4 fixture
+   * (tools.AvcMp4Fixture.fragRow: CMAF/DASH-style moov with empty
+   * sample tables + mvex/trex, one moof+mdat fragment per sample,
+   * keyframes marked in trun sample flags; plus truncated/junk rows). */
+  def mp4FragFixturePath: String = {
+    val local = new java.io.File("fixtures/mp4frag.parquet")
+    if (local.exists) local.getAbsolutePath else "/root/repo/fixtures/mp4frag.parquet"
+  }
+  def mp4Frag(spark: SparkSession): DataFrame = spark.read.parquet(mp4FragFixturePath)
+
   /** pii(rec_id BIGINT, text STRING) — repo-local deterministic
    * PII-bearing text fixture (tools.PiiFixture; the driver corpus is
    * digit-free word salad, so identifier scanning needs its own rows). */

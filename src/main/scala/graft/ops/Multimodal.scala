@@ -842,6 +842,7 @@ object Multimodal {
      * with another trak's stsz/stco/stsc, or the emitted (offset,
      * size) coordinates point into the wrong track's media data. */
     private case class TrakTables(
+        trackId: Long, // tkhd track_ID; -1 if absent
         codec: String, // stsd first sample entry fourcc; null if absent
         uniformSize: Long, sampleCount: Long,
         sizeTable: Array[Long], chunkOffs: Array[Long],
@@ -850,6 +851,31 @@ object Multimodal {
       def complete: Boolean =
         chunkOffs != null && stscRuns != null && sampleCount > 0 &&
           (uniformSize > 0 || sizeTable != null)
+    }
+
+    /** Generic ISO-BMFF box iteration over `[from, to)`: calls `f`
+     * with (type, boxStart, payloadStart, end) per box; handles
+     * largesize (size == 1) and to-end (size == 0) boxes; stops at the
+     * first malformed header. Shared by the moov sample-table walk and
+     * the moof fragment walk. */
+    private def walkBoxes(b: Array[Byte], from: Int, to: Int)(
+        f: (String, Int, Int, Int) => Unit): Unit = {
+      var i = from
+      while (i + 8 <= to) {
+        val size = be32(b, i)
+        val tpe = new String(b, i + 4, 4, "US-ASCII")
+        val (payload, end): (Int, Long) =
+          if (size == 0) (i + 8, to.toLong)
+          else if (size == 1) {
+            if (i + 16 > to) return
+            if (be32(b, i + 8) != 0) return // >2 GiB box in a byte array
+            (i + 16, i + be32(b, i + 12))
+          } else (i + 8, i + size)
+        if (end < payload || end > to) return
+        f(tpe, i, payload, end.toInt)
+        if (end.toInt <= i) return
+        i = end.toInt
+      }
     }
 
     private val MjpegCodecs = Set("jpeg", "mjpa", "mjpb", "MJPG")
@@ -865,28 +891,13 @@ object Multimodal {
     private def mp4Traks(b: Array[Byte]): Seq[TrakTables] = {
       if (b == null || b.length < 12 || !tag(b, 4, "ftyp")) return Nil
       val traks = scala.collection.mutable.ArrayBuffer.empty[TrakTables]
-      def walk(from: Int, to: Int)(f: (String, Int, Int) => Unit): Unit = {
-        var i = from
-        while (i + 8 <= to) {
-          val size = be32(b, i)
-          val tpe = new String(b, i + 4, 4, "US-ASCII")
-          val (payload, end): (Int, Long) =
-            if (size == 0) (i + 8, to.toLong)
-            else if (size == 1) {
-              if (i + 16 > to) return
-              if (be32(b, i + 8) != 0) return // >2 GiB box in a byte array
-              (i + 16, i + be32(b, i + 12))
-            } else (i + 8, i + size)
-          if (end < payload || end > to) return
-          f(tpe, payload, end.toInt)
-          if (end.toInt <= i) return
-          i = end.toInt
-        }
-      }
+      def walk(from: Int, to: Int)(f: (String, Int, Int) => Unit): Unit =
+        walkBoxes(b, from, to)((t, _, p, e) => f(t, p, e))
       walk(0, b.length) { (t0, p0, e0) =>
         if (t0 == "moov") walk(p0, e0) { (t1, p1, e1) =>
           if (t1 == "trak") {
             // per-trak state, committed when this trak's walk returns
+            var trackId = -1L
             var codec: String = null
             var uniformSize = 0L
             var sampleCount = 0L
@@ -895,6 +906,12 @@ object Multimodal {
             var stscRuns: Array[(Long, Long)] = null
             var syncSamples: Array[Long] = null
             walk(p1, e1) { (t2, p2, e2) =>
+              if (t2 == "tkhd" && p2 + 4 <= e2) {
+                // fullbox: version decides the 32/64-bit time fields
+                // before track_ID
+                val off = if ((b(p2) & 0xff) == 1) p2 + 4 + 16 else p2 + 4 + 8
+                if (off + 4 <= e2) trackId = be32(b, off)
+              }
               if (t2 == "mdia") walk(p2, e2) { (t3, p3, e3) =>
                 if (t3 == "minf") walk(p3, e3) { (t4, p4, e4) =>
                   if (t4 == "stbl") walk(p4, e4) { (t5, p5, e5) =>
@@ -915,6 +932,14 @@ object Multimodal {
                         val n = be32(b, p5 + 4)
                         if (n > 0 && p5 + 8 + 4 * n <= e5 && n <= (1 << 22))
                           chunkOffs = Array.tabulate(n.toInt)(j => be32(b, p5 + 8 + 4 * j))
+                      case "co64" if p5 + 8 <= e5 =>
+                        // 64-bit chunk offsets: what any >4 GiB MP4
+                        // carries instead of stco — a 100 TB video
+                        // corpus is FULL of these
+                        val n = be32(b, p5 + 4)
+                        if (n > 0 && p5 + 8 + 8 * n <= e5 && n <= (1 << 22))
+                          chunkOffs = Array.tabulate(n.toInt)(j =>
+                            (be32(b, p5 + 8 + 8 * j) << 32) | be32(b, p5 + 12 + 8 * j))
                       case "stsc" if p5 + 8 <= e5 =>
                         val n = be32(b, p5 + 4)
                         if (n > 0 && p5 + 8 + 12 * n <= e5 && n <= (1 << 20))
@@ -931,8 +956,8 @@ object Multimodal {
                 }
               }
             }
-            traks += TrakTables(codec, uniformSize, sampleCount, sizeTable,
-              chunkOffs, stscRuns, syncSamples)
+            traks += TrakTables(trackId, codec, uniformSize, sampleCount,
+              sizeTable, chunkOffs, stscRuns, syncSamples)
           }
         }
       }
@@ -999,6 +1024,116 @@ object Multimodal {
               (sn, off, len)
           }
       }.flatten
+
+    /** moov/mvex/trex per-track fragment defaults:
+     * track_ID → (default_sample_size, default_sample_flags). */
+    private def trexDefaults(b: Array[Byte]): Map[Long, (Long, Long)] = {
+      val m = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+      walkBoxes(b, 0, b.length) { (t0, _, p0, e0) =>
+        if (t0 == "moov") walkBoxes(b, p0, e0) { (t1, _, p1, e1) =>
+          if (t1 == "mvex") walkBoxes(b, p1, e1) { (t2, _, p2, e2) =>
+            if (t2 == "trex" && p2 + 24 <= e2)
+              m(be32(b, p2 + 4)) = (be32(b, p2 + 16), be32(b, p2 + 20))
+          }
+        }
+      }
+      m.toMap
+    }
+
+    /** Keyframe locator for FRAGMENTED MP4 (CMAF/DASH/HLS segments —
+     * `moov` holds empty sample tables + `mvex` defaults, samples live
+     * in `moof`+`mdat` fragments): walks every moof's
+     * `traf`/`tfhd`/`trun`, reconstructs each sample's (offset, size)
+     * from the run tables (base-data-offset / default-base-is-moof,
+     * per-sample or tfhd/trex default sizes), and emits
+     * (1-based sample number counted across fragments per track,
+     * offset, size) for every SYNC sample of an H.26x-family track.
+     * Sync per ISO/IEC 14496-12 §8.8.3: `sample_is_non_sync_sample`
+     * (bit 16 of the sample flags) clear — resolved per-sample →
+     * first-sample-flags → tfhd default → trex default; samples whose
+     * flags are unresolvable are NOT claimed as keyframes. The moov
+     * stbl walk ([[mp4SyncSamples]]) covers self-contained files; this
+     * covers the segment layout a streaming-video corpus actually
+     * ships — together: keyframe sharding without a codec library. */
+    private[ops] def mp4FragmentSyncSamples(b: Array[Byte]): Seq[(Long, Int, Int)] = {
+      if (b == null || b.length < 12 || !tag(b, 4, "ftyp")) return Nil
+      val videoTracks = mp4Traks(b).collect {
+        case t if H26xCodecs.contains(t.codec) && t.trackId > 0 => t.trackId
+      }.toSet
+      if (videoTracks.isEmpty) return Nil
+      val trex = trexDefaults(b)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int)]
+      val counters = scala.collection.mutable.Map.empty[Long, Long]
+      walkBoxes(b, 0, b.length) { (t0, moofStart, p0, e0) =>
+        if (t0 == "moof") walkBoxes(b, p0, e0) { (t1, _, p1, e1) =>
+          if (t1 == "traf") {
+            var trackId = -1L
+            var baseOff = moofStart.toLong // spec default for the first trun
+            var defSize = 0L
+            var defFlags = -1L
+            walkBoxes(b, p1, e1) { (t2, _, p2, e2) =>
+              t2 match {
+                case "tfhd" if p2 + 8 <= e2 =>
+                  val flags = ((b(p2 + 1) & 0xff) << 16) |
+                    ((b(p2 + 2) & 0xff) << 8) | (b(p2 + 3) & 0xff)
+                  trackId = be32(b, p2 + 4)
+                  var o = p2 + 8
+                  if ((flags & 0x01) != 0 && o + 8 <= e2) { // base_data_offset
+                    baseOff = (be32(b, o) << 32) | be32(b, o + 4); o += 8
+                  }
+                  if ((flags & 0x02) != 0) o += 4 // sample_description_index
+                  if ((flags & 0x08) != 0) o += 4 // default_sample_duration
+                  if ((flags & 0x10) != 0 && o + 4 <= e2) { defSize = be32(b, o); o += 4 }
+                  if ((flags & 0x20) != 0 && o + 4 <= e2) { defFlags = be32(b, o); o += 4 }
+                  if ((flags & 0x20000) != 0) baseOff = moofStart // default-base-is-moof
+                  trex.get(trackId).foreach { case (ts, tf) =>
+                    if ((flags & 0x10) == 0) defSize = ts
+                    if ((flags & 0x20) == 0) defFlags = tf
+                  }
+                case "trun" if p2 + 8 <= e2 && videoTracks.contains(trackId) =>
+                  val tflags = ((b(p2 + 1) & 0xff) << 16) |
+                    ((b(p2 + 2) & 0xff) << 8) | (b(p2 + 3) & 0xff)
+                  val n = be32(b, p2 + 4)
+                  var o = p2 + 8
+                  var dataOff = 0L
+                  if ((tflags & 0x01) != 0 && o + 4 <= e2) {
+                    dataOff = be32(b, o).toInt // SIGNED 32-bit offset
+                    o += 4
+                  }
+                  var firstFlags = -1L
+                  if ((tflags & 0x04) != 0 && o + 4 <= e2) { firstFlags = be32(b, o); o += 4 }
+                  var pos = baseOff + dataOff
+                  var j = 0L
+                  var ok = n >= 0 && n <= (1 << 22)
+                  while (ok && j < n) {
+                    if ((tflags & 0x100) != 0) o += 4 // sample_duration
+                    var size = defSize
+                    if ((tflags & 0x200) != 0) {
+                      if (o + 4 <= e2) { size = be32(b, o); o += 4 } else ok = false
+                    }
+                    var sflags = if (j == 0 && firstFlags >= 0) firstFlags else defFlags
+                    if ((tflags & 0x400) != 0) {
+                      if (o + 4 <= e2) { sflags = be32(b, o); o += 4 } else ok = false
+                    }
+                    if ((tflags & 0x800) != 0) o += 4 // composition time offset
+                    if (ok && size > 0) {
+                      val cnt = counters.getOrElse(trackId, 0L) + 1
+                      counters(trackId) = cnt
+                      val sync = sflags >= 0 && ((sflags >> 16) & 1L) == 0L
+                      if (sync && pos >= 0 && pos + size <= b.length)
+                        out += ((cnt, pos.toInt, size.toInt))
+                      pos += size
+                    } else ok = false // unsized sample: offsets unknowable
+                    j += 1
+                  }
+                case _ => ()
+              }
+            }
+          }
+        }
+      }
+      out.toSeq
+    }
 
     private def parseBmp(b: Array[Byte]): Option[AvMeta] = {
       // BM(2) + file size(4) + reserved(4) + pixel offset(4) + DIB size(4)
@@ -1073,13 +1208,24 @@ object Multimodal {
    * codec library. Same partition-local discipline as
    * [[aviFrameTable]]: blobs never leave their partition.
    */
-  def mp4KeyframeTable(spark: SparkSession, media: DataFrame): DataFrame = {
+  def mp4KeyframeTable(spark: SparkSession, media: DataFrame): DataFrame =
+    keyframeTable(spark, media, AvHeaders.mp4SyncSamples)
+
+  /** [[mp4KeyframeTable]] for FRAGMENTED MP4 (CMAF/DASH segments):
+   * sync samples located from `moof`/`traf`/`trun` run tables
+   * ([[AvHeaders.mp4FragmentSyncSamples]]) instead of the moov stbl.
+   * Same output shape and partition-local discipline. */
+  def mp4FragmentedKeyframeTable(spark: SparkSession, media: DataFrame): DataFrame =
+    keyframeTable(spark, media, AvHeaders.mp4FragmentSyncSamples)
+
+  private def keyframeTable(spark: SparkSession, media: DataFrame,
+      locate: Array[Byte] => Seq[(Long, Int, Int)]): DataFrame = {
     import spark.implicits._
     media.select(col("media_id"), col("mime_type"), col("media"))
       .as[MediaRow]
       .mapPartitions { rows =>
         rows.flatMap { r =>
-          AvHeaders.mp4SyncSamples(r.media).map { case (sn, off, len) =>
+          locate(r.media).map { case (sn, off, len) =>
             val isIdr = len >= 5 && (r.media(off + 4) & 0x1f) == 5
             (r.media_id, sn, off.toLong, len.toLong, isIdr)
           }

@@ -103,26 +103,89 @@ object AvcMp4Fixture {
     else if (id % 8 == 7) ("application/octet-stream", MjpegMp4Fixture.junk(id))
     else ("video/mp4", mp4(id))
 
+  // ---- fragmented (CMAF/DASH-style) variant -----------------------
+  // Same frame family and keyframe contract as mp4(), but the samples
+  // live in per-frame moof+mdat fragments: moov carries EMPTY sample
+  // tables + mvex/trex defaults (the init-segment layout), each
+  // fragment's trun carries data-offset + per-sample size + per-sample
+  // flags, and tfhd sets default-base-is-moof. Fragment i holds sample
+  // i alone, so (with constant moof size and uniform S) the oracle
+  // re-derives every coordinate from box-size anchors alone:
+  //   moov_sz = BE32@16, moof_1 = 16 + moov_sz, moof_sz = BE32@moof_1,
+  //   mdat_sz = BE32@(moof_1+moof_sz), S = mdat_sz − 8,
+  //   frag = moof_sz + mdat_sz,
+  //   sample i at moof_1 + i·frag + moof_sz + 8, keyframes i % k == 0.
+
+  /** moov for the fragmented layout: empty stbl + mvex/trex. */
+  private def fragMoov(id: Long): Array[Byte] = {
+    val stblEmpty = box("stbl", stsdAvc(id) ++
+      fullBox("stts", 0, be32(0)) ++ fullBox("stsc", 0, be32(0)) ++
+      fullBox("stsz", 0, be32(0) ++ be32(0)) ++ fullBox("stco", 0, be32(0)))
+    val minf = box("minf", vmhd() ++ dinf() ++ stblEmpty)
+    val mdia = box("mdia", mdhd(id) ++ hdlr() ++ minf)
+    val trak = box("trak", tkhdBox(id) ++ mdia)
+    // trex: track 1, desc idx 1, default duration, no default size,
+    // default flags NON-sync (fragments mark their own keyframes)
+    val trex = fullBox("trex", 0, be32(1) ++ be32(1) ++ be32(3000) ++
+      be32(0) ++ be32(0x01010000L))
+    box("moov", mvhd(id) ++ trak ++ box("mvex", trex))
+  }
+
+  /** One moof+mdat fragment holding sample `i` alone. */
+  private def fragment(id: Long, i: Int, s: Int, sync: Boolean): Array[Byte] = {
+    val mfhd = fullBox("mfhd", 0, be32(i + 1L)) // sequence number
+    val tfhd = box("tfhd", Array[Byte](0, 2, 0, 0) ++ be32(1)) // default-base-is-moof, track 1
+    val tfdt = fullBox("tfdt", 0, be32(i.toLong * 3000))
+    // trun flags 0x000601: data-offset + sample-size + sample-flags
+    val trunLen = 8 + 4 + 4 + 4 + 4 + 4
+    val moofLen = 8 + mfhd.length + (8 + tfhd.length + tfdt.length + trunLen)
+    val sampleFlags = if (sync) 0x02000000L else 0x01010000L
+    val trun = box("trun", Array[Byte](0, 0, 6, 1) ++ be32(1) ++
+      be32(moofLen + 8L) ++ be32(s.toLong) ++ be32(sampleFlags))
+    val moof = box("moof", mfhd ++ box("traf", tfhd ++ tfdt ++ trun))
+    assert(moof.length == moofLen, s"moof size drift: ${moof.length} != $moofLen")
+    moof ++ box("mdat", sample(id, i, s, sync))
+  }
+
+  def fragMp4(id: Long): Array[Byte] = {
+    val nf = nFrames(id)
+    val s = sampleSize(id)
+    val k = syncInterval(id)
+    ftyp() ++ fragMoov(id) ++
+      (0 until nf).flatMap(i => fragment(id, i, s, i % k == 0)).toArray
+  }
+
+  /** Fragmented-fixture row: same broken-row contract as [[row]]. */
+  def fragRow(id: Long): (String, Array[Byte]) =
+    if (id % 8 == 3) ("video/mp4", MjpegMp4Fixture.truncated())
+    else if (id % 8 == 7) ("application/octet-stream", MjpegMp4Fixture.junk(id))
+    else ("video/mp4", fragMp4(id))
+
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("fixtures/mp4avc.parquet")
+    val fragOut = args.lift(2).getOrElse("fixtures/mp4frag.parquet")
     val rows = args.lift(1).map(_.toInt).getOrElse(500)
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").appName("mp4avc-fixture")
       .config("spark.ui.enabled", "false").getOrCreate()
     import spark.implicits._
-    val df = (0L until rows.toLong).map { id =>
-      val (mime, bytes) = row(id)
-      (id, mime, bytes)
-    }.toDF("media_id", "mime_type", "media")
-    val tmp = java.nio.file.Files.createTempDirectory("mp4avcfix").toString
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val part = new java.io.File(tmp).listFiles()
-      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
-    val dest = new java.io.File(out)
-    Option(dest.getParentFile).foreach(_.mkdirs())
-    java.nio.file.Files.move(part.toPath, dest.toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    println(s"wrote $rows rows to $out")
+    def write(mk: Long => (String, Array[Byte]), dest0: String): Unit = {
+      val df = (0L until rows.toLong).map { id =>
+        val (mime, bytes) = mk(id)
+        (id, mime, bytes)
+      }.toDF("media_id", "mime_type", "media")
+      val tmp = java.nio.file.Files.createTempDirectory("mp4avcfix").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(dest0)
+      Option(dest.getParentFile).foreach(_.mkdirs())
+      java.nio.file.Files.move(part.toPath, dest.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      println(s"wrote $rows rows to $dest0")
+    }
+    write(row, out)
+    write(fragRow, fragOut)
     spark.stop()
   }
 }

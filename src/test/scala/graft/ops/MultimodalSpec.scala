@@ -340,6 +340,25 @@ class MultimodalSpec extends SparkSpec {
     assert(gotBad == expect.take(4), s"got $gotBad")
   }
 
+  test("MP4 co64 chunk offsets resolve like stco (the >4GiB container layout)") {
+    def be32(v: Long): Array[Byte] =
+      Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+    def fcc(s: String) = s.getBytes("US-ASCII")
+    def bx(t: String, p: Array[Byte]): Array[Byte] = be32(p.length + 8L) ++ fcc(t) ++ p
+    def full(t: String, p: Array[Byte]): Array[Byte] = bx(t, Array[Byte](0, 0, 0, 0) ++ p)
+    val ftyp = bx("ftyp", fcc("isom") ++ be32(512))
+    val mdat = bx("mdat", new Array[Byte](120))
+    val stsd = full("stsd", be32(1) ++ bx("jpeg", new Array[Byte](78)))
+    val stsc = full("stsc", be32(1) ++ be32(1) ++ be32(2) ++ be32(1))
+    val stsz = full("stsz", be32(10) ++ be32(4)) // uniform 10, 4 samples
+    val co64 = full("co64", be32(2) ++ be64(24) ++ be64(80))
+    val stbl = bx("stbl", stsd ++ stsc ++ stsz ++ co64)
+    val bytes = ftyp ++ mdat ++ bx("moov", bx("trak", bx("mdia", bx("minf", stbl))))
+    val got = AvHeaders.mp4VideoSamples(bytes)
+    assert(got == Seq((24, 10), (34, 10), (80, 10), (90, 10)), s"got $got")
+  }
+
   test("MP4 multi-track: audio trak tables never contaminate the video trak's samples") {
     // A real MJPEG MP4 usually carries an audio track too. Sample-table
     // state must be scoped PER TRAK: with trak-global state (the round-10
@@ -393,6 +412,39 @@ class MultimodalSpec extends SparkSpec {
     assert(AvHeaders.mp4SyncSamples(graft.tools.MjpegMp4Fixture.mp4(0)).isEmpty)
     assert(AvHeaders.mp4SyncSamples(AvcMp4Fixture.row(3)._2).isEmpty) // ftyp only
     assert(AvHeaders.mp4SyncSamples(AvcMp4Fixture.row(7)._2).isEmpty) // junk
+  }
+
+  test("fragmented MP4: moof/traf/trun walk lands on the fixture's fragment layout") {
+    import graft.tools.AvcMp4Fixture
+    for (id <- Seq(0L, 1L, 2L, 4L, 5L, 6L)) {
+      val bytes = AvcMp4Fixture.fragMp4(id)
+      val nf = AvcMp4Fixture.nFrames(id)
+      val s = AvcMp4Fixture.sampleSize(id)
+      val k = AvcMp4Fixture.syncInterval(id)
+      val got = AvHeaders.mp4FragmentSyncSamples(bytes)
+      // re-derive via the box-size anchors the oracle uses
+      def be32(o: Int): Long = ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+      val moovSz = be32(16).toInt
+      val moof1 = 16 + moovSz
+      val moofSz = be32(moof1).toInt
+      val frag = moofSz + 8 + s
+      val expect = (0 until nf).filter(_ % k == 0).map { i =>
+        ((i + 1).toLong, moof1 + i * frag + moofSz + 8, s)
+      }
+      assert(got == expect, s"id=$id got $got")
+      got.foreach { case (_, off, _) =>
+        assert((bytes(off + 4) & 0x1f) == 5) // IDR NAL header
+      }
+      // the fragmented file's moov has EMPTY sample tables: the stbl
+      // walks emit nothing for it
+      assert(AvHeaders.mp4VideoSamples(bytes).isEmpty)
+      assert(AvHeaders.mp4SyncSamples(bytes).isEmpty)
+      // and the self-contained variant has no fragments
+      assert(AvHeaders.mp4FragmentSyncSamples(AvcMp4Fixture.mp4(id)).isEmpty)
+    }
+    assert(AvHeaders.mp4FragmentSyncSamples(AvcMp4Fixture.fragRow(3)._2).isEmpty)
+    assert(AvHeaders.mp4FragmentSyncSamples(AvcMp4Fixture.fragRow(7)._2).isEmpty)
   }
 
   test("frameSample: REAL MJPEG MP4 sample iteration with provenance, distinct luminance") {
@@ -494,7 +546,8 @@ class MultimodalSpec extends SparkSpec {
       Mp4Fixture.mp4(0), Mp4Fixture.mp4(5), Mp4Fixture.truncated(),
       AviFixture.avi(0), AviFixture.avi(4), AviFixture.headerOnly(3),
       graft.tools.MjpegMp4Fixture.mp4(0), graft.tools.MjpegMp4Fixture.mp4(4),
-      graft.tools.AvcMp4Fixture.mp4(0), graft.tools.AvcMp4Fixture.mp4(5)
+      graft.tools.AvcMp4Fixture.mp4(0), graft.tools.AvcMp4Fixture.mp4(5),
+      graft.tools.AvcMp4Fixture.fragMp4(0), graft.tools.AvcMp4Fixture.fragMp4(5)
     ).flatMap { base =>
       (0 until 8).map { _ =>
         val m = base.clone()
@@ -515,6 +568,7 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.AvHeaders.aviVideoChunks(b)  // must not throw
       Multimodal.AvHeaders.mp4VideoSamples(b) // must not throw
       Multimodal.AvHeaders.mp4SyncSamples(b)  // must not throw
+      Multimodal.AvHeaders.mp4FragmentSyncSamples(b) // must not throw
       Multimodal.AvHeaders.wavClips(b, 10)    // must not throw
       Multimodal.MediaCodec.decodeGifFrames(b) // must not throw
       Multimodal.MediaCodec.decodeAudioSampled(b) // must not throw
