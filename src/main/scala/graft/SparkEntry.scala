@@ -280,6 +280,14 @@ object SparkEntry {
     "q_p9_repeat_mix" -> ((s, d) =>
       Sampling.repeatFactorSample(Tables.documents(s, d), col("doc_id"),
         Map("src0" -> 2.5, "src1" -> 1.5, "src2" -> 0.4))),
+    // q_p10: leakage-safe split — near-dup clusters (q_d6's banded
+    // finder + CC) hash as ONE unit, so a val doc can never have a
+    // near-copy in train; singletons split on their own id (q_p3's
+    // exact assignment for everything unclustered)
+    "q_p10_cluster_split" -> ((s, d) =>
+      Sampling.clusterSplit(Tables.documents(s, d),
+        Dedup.minhashLsh(Tables.documents(s, d), 3, bands = 20,
+          rowsPerBand = 2, 0.5))),
     // ---- training-data pipeline: multimodal plumbing --------------
     "q_m1_media_meta" -> ((s, d) => Multimodal.mediaMeta(Tables.documents(s, d))),
     // q_m2: REAL binary image-header decode (PNG IHDR + JPEG segment
@@ -985,6 +993,19 @@ object SparkEntry {
          | SELECT doc_id, source, n_copies,
          |   CAST(unnest(generate_series(0, n_copies - 1)) AS BIGINT) AS copy_idx
          | FROM n WHERE n_copies > 0""".stripMargin,
+    // q_p10: the dup-cluster CTE chain (q_d6's twin) labels clustered
+    // docs; the split hash runs on COALESCE(cluster, doc_id) — the
+    // q_p3 assignment keyed by group instead of doc
+    "q_p10_cluster_split" ->
+      s"""$dupClusterCtes,
+         | g AS (SELECT d.doc_id,
+         |         CAST(COALESCE(cl.cluster, d.doc_id) AS BIGINT) AS group_key
+         |       FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id)
+         | SELECT doc_id, group_key,
+         |   CASE WHEN ${MDH("CAST(group_key AS VARCHAR)")} % 100 < 90 THEN 'train'
+         |        WHEN ${MDH("CAST(group_key AS VARCHAR)")} % 100 < 95 THEN 'val'
+         |        ELSE 'test' END AS split
+         | FROM g""".stripMargin,
     "q_x17_tfidf" ->
       s"""WITH wr AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
          | tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c FROM wr GROUP BY 1, 2),

@@ -91,6 +91,31 @@ object Sampling {
   }
 
   /**
+   * Leakage-safe train/val/test split: near-duplicate documents must
+   * never straddle a split boundary (a val doc whose near-copy sits in
+   * train contaminates the eval), so the split key is the near-dup
+   * CLUSTER label — every member of a cluster hashes identically,
+   * singleton docs hash on their own id. Same percent-grid stability
+   * as [[split]]: adding documents later can merge clusters (which
+   * re-keys only THOSE docs) but never flips an untouched doc's
+   * assignment.
+   *
+   * Scale shape: `pairs` comes from any banded finder (no all-pairs);
+   * [[Dedup.duplicateClusters]] is the O(log diameter) min-label CC;
+   * the label join shuffles on doc_id once (AQE broadcasts it when the
+   * clustered subset is small — typical, since most docs are
+   * singletons and absent from the label table); the split itself
+   * stays a map-side hash.
+   */
+  def clusterSplit(documents: DataFrame, pairs: DataFrame,
+      trainPct: Int = 90, valPct: Int = 5): DataFrame =
+    split(
+      documents.join(Dedup.duplicateClusters(pairs), Seq("doc_id"), "left")
+        .withColumn("group_key", coalesce(col("cluster"), col("doc_id"))),
+      col("group_key"), trainPct, valPct)
+      .select(col("doc_id"), col("group_key"), col("split"))
+
+  /**
    * Deterministic per-stratum cap: at most `n` documents per source,
    * picked in stable key-hash order — a uniform-without-replacement
    * subsample whose membership never changes as unrelated documents

@@ -90,6 +90,34 @@ class SamplingSpec extends SparkSpec {
     assert(out("train") > out.getOrElse("val", 0L))
   }
 
+  test("cluster split: near-dup pairs NEVER straddle a split boundary") {
+    import spark.implicits._
+    // synthetic pair graph over the shared docs fixture: chains that a
+    // per-doc hash split would almost surely cut somewhere
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L),
+      (22L, 23L), (30L, 40L)).toDF("doc_a", "doc_b")
+    val out = Sampling.clusterSplit(docs, pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("group_key"), r.getAs[String]("split"))).toMap
+    // every doc present exactly once
+    assert(out.size == docs.count())
+    // the leakage property: both ends of every pair share a split
+    pairs.collect().foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(out(a)._2 == out(b)._2, s"pair ($a,$b) straddles splits")
+      assert(out(a)._1 == out(b)._1, s"pair ($a,$b) group keys differ")
+    }
+    // transitivity: 20-21-22-23 all one group
+    assert(Seq(20L, 21L, 22L, 23L).map(out(_)._1).distinct.size == 1)
+    // singletons keep the plain per-doc assignment (q_p3 compatible)
+    val plain = Sampling.split(docs, col("doc_id")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val clustered = Set(1L, 2L, 3L, 10L, 11L, 20L, 21L, 22L, 23L, 30L, 40L)
+    out.foreach { case (id, (gk, sp)) =>
+      if (!clustered(id)) { assert(gk == id); assert(sp == plain(id)) }
+    }
+  }
+
   test("per-source cap: at most n per source, nested and append-stable") {
     val out = Sampling.perSourceCap(docs, n = 5).collect()
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"), r.getAs[Int]("pick")))
