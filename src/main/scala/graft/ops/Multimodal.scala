@@ -1071,6 +1071,10 @@ object Multimodal {
             var baseOff = moofStart.toLong // spec default for the first trun
             var defSize = 0L
             var defFlags = -1L
+            // a trun WITHOUT data-offset-present continues where the
+            // previous trun's samples ended (ISO/IEC 14496-12 §8.8.8);
+            // -1 = no previous trun in this traf
+            var runningPos = -1L
             walkBoxes(b, p1, e1) { (t2, _, p2, e2) =>
               t2 match {
                 case "tfhd" if p2 + 8 <= e2 =>
@@ -1095,14 +1099,19 @@ object Multimodal {
                     ((b(p2 + 2) & 0xff) << 8) | (b(p2 + 3) & 0xff)
                   val n = be32(b, p2 + 4)
                   var o = p2 + 8
+                  var hasDataOff = false
                   var dataOff = 0L
                   if ((tflags & 0x01) != 0 && o + 4 <= e2) {
+                    hasDataOff = true
                     dataOff = be32(b, o).toInt // SIGNED 32-bit offset
                     o += 4
                   }
                   var firstFlags = -1L
                   if ((tflags & 0x04) != 0 && o + 4 <= e2) { firstFlags = be32(b, o); o += 4 }
-                  var pos = baseOff + dataOff
+                  var pos =
+                    if (hasDataOff) baseOff + dataOff
+                    else if (runningPos >= 0) runningPos // continue prior trun
+                    else baseOff + dataOff
                   var j = 0L
                   var ok = n >= 0 && n <= (1 << 22)
                   while (ok && j < n) {
@@ -1126,6 +1135,7 @@ object Multimodal {
                     } else ok = false // unsized sample: offsets unknowable
                     j += 1
                   }
+                  if (ok) runningPos = pos
                 case _ => ()
               }
             }

@@ -447,6 +447,72 @@ class MultimodalSpec extends SparkSpec {
     assert(AvHeaders.mp4FragmentSyncSamples(AvcMp4Fixture.fragRow(7)._2).isEmpty)
   }
 
+  test("fragmented MP4 general paths: trex/tfhd defaults, first-sample-flags, base-data-offset, trun continuation") {
+    // the shapes real muxers emit that the fixture's one-sample-per-trun
+    // layout doesn't: CMAF classic (sizes from trex defaults, sync via
+    // first-sample-flags + non-sync tfhd/trex default), an explicit
+    // 64-bit base_data_offset, and a SECOND trun without
+    // data-offset-present that must continue after the first trun's
+    // samples instead of resetting to base
+    def be32(v: Long): Array[Byte] =
+      Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+    def fcc(s: String) = s.getBytes("US-ASCII")
+    def bx(t: String, p: Array[Byte]): Array[Byte] = be32(p.length + 8L) ++ fcc(t) ++ p
+    def full(t: String, p: Array[Byte]): Array[Byte] = bx(t, Array[Byte](0, 0, 0, 0) ++ p)
+    val S = 20L // trex default_sample_size
+    val SYNC = 0x02000000L
+    val NONSYNC = 0x01010000L
+    val ftyp = bx("ftyp", fcc("isom") ++ be32(512))
+    val stsd = full("stsd", be32(1) ++ bx("avc1", new Array[Byte](78)))
+    val stblE = bx("stbl", stsd ++ full("stsz", be32(0) ++ be32(0)) ++
+      full("stsc", be32(0)) ++ full("stco", be32(0)))
+    val trak = bx("trak",
+      full("tkhd", be32(0) ++ be32(0) ++ be32(1)) ++ // track_ID 1
+        bx("mdia", bx("minf", stblE)))
+    val trex = full("trex", be32(1) ++ be32(1) ++ be32(1000) ++
+      be32(S) ++ be32(NONSYNC)) // default size 20, default flags non-sync
+    val moov = bx("moov", trak ++ bx("mvex", trex))
+
+    // moof1 — CMAF classic: default-base-is-moof, NO sizes or flags in
+    // the trun (trex default size; first-sample-flags sync, trex
+    // default non-sync for the rest), 4 samples
+    val tfhd1 = bx("tfhd", Array[Byte](0, 2, 0, 0) ++ be32(1))
+    def trun1of(off: Long) = bx("trun",
+      Array[Byte](0, 0, 0, 5) ++ be32(4) ++ be32(off) ++ be32(SYNC))
+    val moofLen1 = 8 + 16 + (8 + tfhd1.length + trun1of(0).length)
+    val moof1 = bx("moof", full("mfhd", be32(1)) ++
+      bx("traf", tfhd1 ++ trun1of(moofLen1 + 8L)))
+    assert(moof1.length == moofLen1)
+    val mdat1 = bx("mdat", new Array[Byte](4 * S.toInt))
+
+    // moof2 — explicit base_data_offset (absolute), trun A with
+    // data-offset 0 + per-sample flags (sync, non-sync), trun B
+    // WITHOUT data-offset (+ per-sample flags sync, sync): must
+    // continue at base + 2·S
+    def moof2of(base: Long): Array[Byte] = {
+      val tfhd2 = bx("tfhd", Array[Byte](0, 0, 0, 1) ++ be32(1) ++ be64(base))
+      val trunA = bx("trun", Array[Byte](0, 0, 4, 1) ++ be32(2) ++ be32(0) ++
+        be32(SYNC) ++ be32(NONSYNC))
+      val trunB = bx("trun", Array[Byte](0, 0, 4, 0) ++ be32(2) ++
+        be32(SYNC) ++ be32(SYNC))
+      bx("moof", full("mfhd", be32(2)) ++ bx("traf", tfhd2 ++ trunA ++ trunB))
+    }
+    val moof2Len = moof2of(0).length
+    val head = ftyp ++ moov ++ moof1 ++ mdat1
+    val base2 = head.length + moof2Len + 8 // mdat2 payload, absolute
+    val bytes = head ++ moof2of(base2) ++ bx("mdat", new Array[Byte](4 * S.toInt))
+
+    val m1 = ftyp.length + moov.length
+    val got = AvHeaders.mp4FragmentSyncSamples(bytes)
+    val expect = Seq(
+      (1L, m1 + moofLen1 + 8, S.toInt), // CMAF: only the first sample is sync
+      (5L, base2, S.toInt), // trun A sample 1 (global numbering continues)
+      (7L, base2 + 2 * S.toInt, S.toInt), // trun B continues after trun A
+      (8L, base2 + 3 * S.toInt, S.toInt))
+    assert(got == expect, s"got $got")
+  }
+
   test("frameSample: REAL MJPEG MP4 sample iteration with provenance, distinct luminance") {
     import spark.implicits._
     import graft.tools.MjpegMp4Fixture
