@@ -233,6 +233,49 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("keyframe locators are pure map-side: zero exchanges over the video blobs") {
+    // both layouts — self-contained (stss walk) and fragmented
+    // (moof/trun walk) — must keep the blobs partition-local: only
+    // fixed-shape (sample_no, offset, size) rows ever move
+    audited(graft.ops.Multimodal.mp4KeyframeTable(spark, Tables.mp4Avc(spark))) { plan =>
+      assert(shuffles(plan).isEmpty, s"${shuffles(plan).size} shuffles:\n$plan")
+    }
+    audited(graft.ops.Multimodal.mp4FragmentedKeyframeTable(spark, Tables.mp4Frag(spark))) { plan =>
+      assert(shuffles(plan).isEmpty, s"${shuffles(plan).size} shuffles:\n$plan")
+    }
+  }
+
+  test("multi-rule aligned engine face is a single keyed shuffle") {
+    // q_e6: three rules share one correlation key — the interpreter
+    // must stay ONE repartition-by-key + in-partition sort, exactly
+    // like the single-rule face; per-rule shuffles would multiply the
+    // event movement by the rule count at scale
+    import spark.implicits._
+    val rules = Seq(
+      graft.rules.RuleSpec.matchSingle("r0", Set("view"), onMatch = _ => Nil)
+        .copy(suppressOnMatch = true),
+      graft.rules.RuleSpec.sequenceWithTimeout("r1",
+        Seq(Set("signup"), Set("purchase")), java.time.Duration.ofHours(1),
+        _.payload("key"), onComplete = _ => Nil, onTimeout = _ => Nil))
+    audited(graft.streaming.RuleEngine.runBatchAligned(
+      Tables.eventsTyped(spark, sf), rules, _.payload("key")).toDF()) { plan =>
+      assert(shuffles(plan).size == 1, s"${shuffles(plan).size} shuffles:\n$plan")
+    }
+  }
+
+  test("cluster split joins labels on the doc key — no cartesian, no nested loop over the corpus") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val pairs = Dedup.minhashLsh(docs, 3, bands = 20, rowsPerBand = 2, 0.5)
+    audited(graft.ops.Sampling.clusterSplit(docs, pairs)) { plan =>
+      assert(plan.collect { case c: CartesianProductExec => c }.isEmpty, plan.toString)
+      // the CC label join and the split hash must be equi-joins/maps;
+      // the only nested-loop allowed anywhere is a 1-row scalar fold
+      val bnl = plan.collect { case j: BroadcastNestedLoopJoinExec => j }
+      assert(bnl.isEmpty, s"nested-loop joins in cluster split:\n$plan")
+    }
+  }
+
   test("tfidf folds the corpus count in as a broadcast, never a corpus cartesian") {
     audited(TextAnalysis.tfidfTopTerms(Tables.documents(spark, sf))) { plan =>
       // the 1-row n_docs aggregate rides a broadcast nested-loop join;
