@@ -1795,10 +1795,17 @@ object Multimodal {
    *  - PCM / G.711 WAV — every `everyN`-th `audioClipMs` window of
    *    the sample payload, frame-aligned and re-wrapped as a
    *    standalone WAV ([[AvHeaders.wavClips]]) so each clip decodes
-   *    to its own real envelope.
+   *    to its own real envelope;
+   *  - H.26x MP4 (self-contained OR fragmented) — every `everyN`-th
+   *    KEYFRAME sample, located without decode by the stss walk
+   *    ([[AvHeaders.mp4SyncSamples]]) or the moof/trun walk
+   *    ([[AvHeaders.mp4FragmentSyncSamples]]); each emitted chunk is
+   *    the exact IDR sample's bytes — the unit a real decoder starts
+   *    from — with `decoded = false` (the PIXELS are not decoded;
+   *    only pixel decode remains stubbed, the segmentation is real).
    * Every other payload falls back to every `everyN`-th fixed-size
    * byte chunk with `decoded = false` (STUB: a real implementation
-   * asks the codec for keyframes — no AV codec libraries in this
+   * asks the codec for pixels — no AV codec libraries in this
    * environment). `frame_idx` is the index in the source stream
    * (frame / sample / clip / chunk number), not a dense rank, on all
    * paths. The Spark-side shape is identical either way:
@@ -1820,6 +1827,12 @@ object Multimodal {
       val audioClips =
         if (gifFrames.nonEmpty || videoChunks.nonEmpty) Nil
         else AvHeaders.wavClips(r.media, audioClipMs)
+      val keySamples =
+        if (gifFrames.nonEmpty || videoChunks.nonEmpty || audioClips.nonEmpty) Nil
+        else {
+          val stss = AvHeaders.mp4SyncSamples(r.media)
+          if (stss.nonEmpty) stss else AvHeaders.mp4FragmentSyncSamples(r.media)
+        }
       if (gifFrames.nonEmpty)
         gifFrames.iterator.zipWithIndex
           .filter(_._2 % everyN == 0)
@@ -1836,6 +1849,16 @@ object Multimodal {
         audioClips.iterator.zipWithIndex
           .filter(_._2 % everyN == 0)
           .map { case (clip, idx) => Frame(r.media_id, idx, clip, decoded = true) }
+      else if (keySamples.nonEmpty)
+        // exact IDR sample bytes, keyframe-aligned segmentation —
+        // decoded stays false: the bitstream needs a real codec for
+        // pixels, but these chunks are where one would start
+        keySamples.iterator.zipWithIndex
+          .filter(_._2 % everyN == 0)
+          .map { case ((_, off, len), idx) =>
+            Frame(r.media_id, idx,
+              java.util.Arrays.copyOfRange(r.media, off, off + len),
+              decoded = false) }
       else {
         val bytes = if (r.media == null) Array.emptyByteArray else r.media
         bytes.grouped(frameBytes).zipWithIndex

@@ -447,6 +447,28 @@ class MultimodalSpec extends SparkSpec {
     assert(AvHeaders.mp4FragmentSyncSamples(AvcMp4Fixture.fragRow(7)._2).isEmpty)
   }
 
+  test("frameSample: H.26x MP4s emit exact keyframe samples, not arbitrary byte chunks") {
+    import spark.implicits._
+    import graft.tools.AvcMp4Fixture
+    val id = 2L // nf = 4, k = 3 → keyframes at samples 1, 4
+    val rows = Seq(
+      (1L, "video/mp4", AvcMp4Fixture.mp4(id)),
+      (2L, "video/mp4", AvcMp4Fixture.fragMp4(id)))
+      .toDF("media_id", "mime_type", "media")
+    val frames = Multimodal.frameSample(spark, rows, everyN = 1).collect()
+    for (mid <- Seq(1L, 2L)) {
+      val fs = frames.filter(_.media_id == mid).sortBy(_.frame_idx)
+      assert(fs.length == 2, s"media $mid: ${fs.length} keyframe chunks")
+      fs.foreach { f =>
+        // pixels aren't decoded — but each chunk is the EXACT IDR
+        // sample: AVCC length prefix covering the rest, IDR NAL header
+        assert(!f.decoded)
+        assert(f.frame.length == AvcMp4Fixture.sampleSize(id))
+        assert((f.frame(4) & 0x1f) == 5, s"media $mid idx ${f.frame_idx} not IDR")
+      }
+    }
+  }
+
   test("fragmented MP4 general paths: trex/tfhd defaults, first-sample-flags, base-data-offset, trun continuation") {
     // the shapes real muxers emit that the fixture's one-sample-per-trun
     // layout doesn't: CMAF classic (sizes from trex defaults, sync via
