@@ -292,6 +292,25 @@ object ScaleProbe {
         graft.ops.Multimodal.avMetaTable(spark, media).filter(col("format").isNotNull).count()
       }
       media.unpersist()
+
+      // keyframe location over H.26x containers (both layouts mixed:
+      // self-contained stss walk, fragmented moof/trun walk) — the
+      // partition-local sharding pass a video corpus runs before any
+      // decode fleet is scheduled
+      val kfTemplates = Seq(
+        AvcMp4Fixture.mp4(1), AvcMp4Fixture.fragMp4(1),
+        AvcMp4Fixture.mp4(4), AvcMp4Fixture.fragMp4(4))
+      val kb = spark.sparkContext.broadcast(kfTemplates)
+      val kmedia = spark.range(nMedia)
+        .map(id => (id, "video/mp4", kb.value((id % kb.value.size).toInt)))
+        .toDF("media_id", "mime_type", "media").cache()
+      kmedia.count()
+      timedAs("blobs", nMedia)("media_keyframes") {
+        graft.ops.Multimodal.mp4KeyframeTable(spark, kmedia)
+          .unionAll(graft.ops.Multimodal.mp4FragmentedKeyframeTable(spark, kmedia))
+          .filter(col("is_idr")).count()
+      }
+      kmedia.unpersist()
     }
     spark.stop()
   }
