@@ -264,6 +264,54 @@ class RuleEngineSpec extends SparkSpec {
       ("a_slow", ts("2024-01-01 11:00:00"))))
   }
 
+  test("multi-rule aligned faces: streaming equals batch on the fixture corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // q_e6's rule set (suppress + starved sequence + flagship) over the
+    // REAL sf0.001 corpus: the streaming aligned face must emit the
+    // same fire multiset as the oracle-checked batch face. Two
+    // far-future pushes on a type no rule accepts advance the
+    // watermark (timers fire the batch AFTER the watermark moves) —
+    // the same events go to both faces so the flush points align.
+    val rules = Seq(
+      RuleSpec.matchSingle("r0_view_quarantine", Set("view"), onMatch = _ => Nil)
+        .copy(suppressOnMatch = true),
+      RuleSpec.sequenceWithTimeout("r1_signup_view",
+        Seq(Set("signup"), Set("view")), java.time.Duration.ofHours(1),
+        _.payload("key"), onComplete = _ => Nil, onTimeout = _ => Nil),
+      RuleSpec.sequenceWithTimeout("r2_signup_purchase",
+        Seq(Set("signup"), Set("purchase")), java.time.Duration.ofHours(1),
+        _.payload("key"), onComplete = _ => Nil, onTimeout = _ => Nil))
+    val events = graft.Tables.eventsTyped(spark, "/root/testdata/sf0.001")
+      .collect().toSeq
+    val pushes = Seq(
+      ev("2030-01-01 00:00:00", "click", "zzz", "999001"),
+      ev("2030-01-01 01:00:00", "click", "zzz", "999002"))
+    val stream = MemoryStream[Event]
+    val query = RuleEngine.runStreamingAligned(
+      stream.toDS(), rules, _.payload("key"))
+      .writeStream.format("memory").queryName("aligned_eq_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(events: _*)
+      query.processAllAvailable()
+      pushes.foreach { p => stream.addData(p); query.processAllAvailable() }
+    } finally query.stop()
+    def sig(f: RuleEngine.Fired) = (f.rule, f.key, f.kind, f.firedAt, f.firstTs)
+    val streamed = spark.table("aligned_eq_out").as[RuleEngine.Fired]
+      .collect().filter(f => f.kind == "complete" || f.kind == "timeout")
+      .map(sig).toSet
+    val batch = RuleEngine.runBatchAligned(
+      ds(events ++ pushes: _*), rules, _.payload("key"))
+      .collect().filter(f => f.kind == "complete" || f.kind == "timeout")
+      .map(sig).toSet
+    assert(streamed == batch,
+      s"missing from stream: ${(batch -- streamed).take(5)}; " +
+        s"extra in stream: ${(streamed -- batch).take(5)}")
+    assert(batch.nonEmpty && batch.exists(_._3 == "timeout") &&
+      batch.exists(_._3 == "complete"))
+  }
+
   test("late out-of-order events within the watermark delay still complete sequences") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
