@@ -346,6 +346,13 @@ object SparkEntry {
     // plus the fixture id contract, then probes the NAL header byte
     "q_m11_mp4_frag_keyframes" -> ((s, _) =>
       Multimodal.mp4FragmentedKeyframeTable(s, Tables.mp4Frag(s))),
+    // q_m12: the audio analogue of keyframe sharding — one row per Ogg
+    // PAGE (offset, size, granule clock position, BOS/EOS); the oracle
+    // re-derives both pages' coordinates from the lacing tables in
+    // DuckDB hex arithmetic and the granule/seq/flag fields from their
+    // little-endian bytes
+    "q_m12_ogg_pages" -> ((s, _) =>
+      Multimodal.oggPageTable(s, Tables.ogg(s))),
     // q_x20: MOSS-style cross-doc copy detection — winnow fingerprint
     // overlap with stop-fingerprint (df cap) pruning + containment
     "q_x20_copy_pairs" -> ((s, d) =>
@@ -499,6 +506,14 @@ object SparkEntry {
 
   /** DuckDB twin of Dedup.mdhash. */
   private def MDH(e: String): String = s"('0x'||substr(md5($e),1,15))::UBIGINT::BIGINT"
+
+  /** DuckDB little-endian read: the `n` bytes at byte offset `off`
+   * (a SQL expression) of hex column `h`, reversed into one hex
+   * literal body — wrap in TRY_CAST('0x' || … AS UBIGINT). */
+  private def leHex(off: String, n: Int): String =
+    (n - 1 to 0 by -1)
+      .map(k => s"substr(h, CAST(2 * (($off) + $k) + 1 AS BIGINT), 2)")
+      .mkString(" || ")
 
   /** Banded candidate-pair CTE chain — the oracle twin of
    * Dedup.minhashLsh for any banding: the affine constants (same
@@ -1407,6 +1422,51 @@ object SparkEntry {
          |   (TRY_CAST('0x' || substr(h, 2 * (moof1 + fi * frag + moof_sz + 8 + 4) + 1, 2)
          |      AS INTEGER) % 32 = 5) AS is_idr
          | FROM u WHERE fi % k = 0""".stripMargin,
+    // q_m12: both pages' byte coordinates re-derived from the lacing
+    // tables alone (page size = 27 + nsegs + Σ lacing values; page 2
+    // starts where page 1 ends), seq/granule/flags from their LE
+    // bytes; truncated rows fail the in-bounds guards and emit
+    // nothing, exactly like the walker
+    "q_m12_ogg_pages" -> {
+      def laceSum(base: String) =
+        s"""COALESCE(list_aggregate(list_transform(range(nseg),
+           |     i -> TRY_CAST('0x' || substr(h, CAST(2*(($base) + 27 + i) + 1 AS BIGINT), 2) AS BIGINT)),
+           |     'sum'), 0)""".stripMargin
+      s"""WITH m AS (SELECT media_id, hex(media) AS h, octet_length(media) AS n
+         |           FROM read_parquet('${Tables.oggFixturePath}')),
+         | h1 AS (SELECT m.*,
+         |          TRY_CAST('0x' || substr(h, 53, 2) AS INTEGER) AS nseg
+         |        FROM m
+         |        WHERE n >= 27 AND substr(h, 1, 8) = '4F676753'
+         |          AND substr(h, 9, 2) = '00'
+         |          AND (TRY_CAST('0x' || substr(h, 11, 2) AS INTEGER) & 248) = 0),
+         | p1 AS (SELECT media_id, h, n,
+         |          CAST(27 + nseg + ${laceSum("0")} AS BIGINT) AS sz
+         |        FROM h1 WHERE nseg IS NOT NULL AND n >= 27 + nseg),
+         | h2 AS (SELECT p1.media_id, p1.h, p1.n, p1.sz AS o,
+         |          TRY_CAST('0x' || substr(h, 2*(sz+26)+1, 2) AS INTEGER) AS nseg
+         |        FROM p1
+         |        WHERE n >= sz + 27 AND substr(h, 2*sz+1, 8) = '4F676753'
+         |          AND substr(h, 2*(sz+4)+1, 2) = '00'
+         |          AND (TRY_CAST('0x' || substr(h, 2*(sz+5)+1, 2) AS INTEGER) & 248) = 0),
+         | p2 AS (SELECT media_id, h, n, o,
+         |          CAST(27 + nseg + ${laceSum("o")} AS BIGINT) AS sz
+         |        FROM h2 WHERE nseg IS NOT NULL AND n >= o + 27 + nseg),
+         | pages AS (
+         |   SELECT media_id, h, 0 AS off, sz FROM p1 WHERE n >= sz
+         |   UNION ALL
+         |   SELECT media_id, h, o AS off, sz FROM p2 WHERE n >= o + sz)
+         | SELECT media_id,
+         |   CAST(TRY_CAST('0x' || ${leHex("off + 18", 4)} AS UBIGINT) AS INTEGER)
+         |     AS page_seq,
+         |   CAST(off AS BIGINT) AS "offset",
+         |   CAST(sz AS BIGINT) AS n_bytes,
+         |   CAST(TRY_CAST('0x' || ${leHex("off + 6", 8)} AS UBIGINT) AS BIGINT)
+         |     AS granule_pos,
+         |   (TRY_CAST('0x' || substr(h, 2*(off+5)+1, 2) AS INTEGER) & 2) <> 0 AS is_bos,
+         |   (TRY_CAST('0x' || substr(h, 2*(off+5)+1, 2) AS INTEGER) & 4) <> 0 AS is_eos
+         | FROM pages""".stripMargin
+    },
     // q_x19: the oracle runs the IDENTICAL RE2-safe patterns (shared
     // via Pii.categories, so both engines scan the same strings with
     // the same regexes); DuckDB regexp_replace needs the explicit 'g'

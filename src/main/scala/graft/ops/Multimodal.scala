@@ -606,6 +606,38 @@ object Multimodal {
       } else Some(AvMeta("ogg")) // a real Ogg page, unrecognised codec
     }
 
+    /** Shard-unit locator for Ogg containers: one row per PAGE —
+     * (page_seq, offset, size, granule_pos, header_type). Pages are
+     * the smallest independently-seekable unit of an Ogg stream (each
+     * carries its own capture pattern, granule clock position and
+     * CRC): an audio corpus shards on page boundaries the way a video
+     * corpus shards on keyframes, and the granule positions give the
+     * time axis with no codec involved. Forward walk with the same
+     * header sanity checks as [[parseOgg]]'s backward seek (version 0,
+     * only defined flag bits, segment table and body in bounds); a
+     * malformed or truncated page stops the walk at what parsed. */
+    private[ops] def oggPages(b: Array[Byte]): Seq[(Int, Int, Int, Long, Int)] = {
+      if (b == null || b.length < 27 || !tag(b, 0, "OggS")) return Nil
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Long, Int)]
+      var i = 0
+      while (i + 27 <= b.length && tag(b, i, "OggS") &&
+        (b(i + 4) & 0xff) == 0 && (b(i + 5) & 0xf8) == 0) {
+        val nSegs = b(i + 26) & 0xff
+        if (i + 27 + nSegs > b.length) return out.toSeq
+        var body = 0
+        var s = 0
+        while (s < nSegs) { body += b(i + 27 + s) & 0xff; s += 1 }
+        val size = 27 + nSegs + body
+        if (i + size > b.length) return out.toSeq
+        var g = 0L
+        var k = 7
+        while (k >= 0) { g = (g << 8) | (b(i + 6 + k) & 0xffL); k -= 1 }
+        out += ((le32(b, i + 18), i, size, g, b(i + 5) & 0xff))
+        i += size
+      }
+      out.toSeq
+    }
+
     /**
      * WebM/Matroska parse — an EBML walk (the container's entire
      * structure is nested (varint id, varint size, payload) elements,
@@ -1227,6 +1259,29 @@ object Multimodal {
    * Same output shape and partition-local discipline. */
   def mp4FragmentedKeyframeTable(spark: SparkSession, media: DataFrame): DataFrame =
     keyframeTable(spark, media, AvHeaders.mp4FragmentSyncSamples)
+
+  /** Relational face of the Ogg page walk ([[AvHeaders.oggPages]]):
+   * one row per page with its byte coordinates, sequence number,
+   * granule position and the BOS/EOS flags — the shard list AND time
+   * axis of an audio corpus, no codec needed (granules tick on the
+   * codec clock; the q_m6 metadata face converts them to durations).
+   * Same partition-local discipline as the keyframe tables: blobs
+   * never leave their partition. */
+  def oggPageTable(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("mime_type"), col("media"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          AvHeaders.oggPages(r.media).map { case (seq, off, len, g, ht) =>
+            (r.media_id, seq, off.toLong, len.toLong, g,
+              (ht & 2) != 0, (ht & 4) != 0)
+          }
+        }
+      }
+      .toDF("media_id", "page_seq", "offset", "n_bytes", "granule_pos",
+        "is_bos", "is_eos")
+  }
 
   private def keyframeTable(spark: SparkSession, media: DataFrame,
       locate: Array[Byte] => Seq[(Long, Int, Int)]): DataFrame = {

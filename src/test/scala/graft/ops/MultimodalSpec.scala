@@ -447,6 +447,38 @@ class MultimodalSpec extends SparkSpec {
     assert(AvHeaders.mp4FragmentSyncSamples(AvcMp4Fixture.fragRow(7)._2).isEmpty)
   }
 
+  test("Ogg page walk: multi-page coordinates, lacing spans, flags; truncation stops clean") {
+    def le32b(v: Long) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le64b(v: Long) = le32b(v & 0xffffffffL) ++ le32b(v >>> 32)
+    def page(headerType: Int, granule: Long, seq: Int, payload: Array[Byte]): Array[Byte] = {
+      val full = payload.length / 255
+      val segTable = Array.fill[Byte](full)(255.toByte) :+ (payload.length % 255).toByte
+      "OggS".getBytes("US-ASCII") ++ Array[Byte](0, headerType.toByte) ++
+        le64b(granule) ++ le32b(9999) ++ le32b(seq) ++ le32b(0) ++
+        Array((full + 1).toByte) ++ segTable ++ payload
+    }
+    // three pages, the middle one's payload > 255 bytes (multi-lacing)
+    val p0 = page(2, 0L, 0, new Array[Byte](30))
+    val p1 = page(0, 1000L, 1, new Array[Byte](300)) // 2 lacing entries
+    val p2 = page(4, 2000L, 2, new Array[Byte](7))
+    val bytes = p0 ++ p1 ++ p2
+    val got = AvHeaders.oggPages(bytes)
+    val expect = Seq(
+      (0, 0, p0.length, 0L, 2),
+      (1, p0.length, p1.length, 1000L, 0),
+      (2, p0.length + p1.length, p2.length, 2000L, 4))
+    assert(got == expect, s"got $got")
+    // truncation mid-page-3 keeps the first two pages
+    assert(AvHeaders.oggPages(bytes.dropRight(3)) == expect.take(2))
+    // the fixture's streams walk to exactly their two pages, and the
+    // page sizes tile the blob completely
+    val full = graft.tools.OggFixture.row(0)._2
+    val pages = AvHeaders.oggPages(full)
+    assert(pages.size == 2 && pages.map(_._3).sum == full.length)
+    assert(pages.head._5 == 2 && pages.last._5 == 4) // BOS then EOS
+    assert(AvHeaders.oggPages(graft.tools.OggFixture.row(7)._2).isEmpty)
+  }
+
   test("frameSample: H.26x MP4s emit exact keyframe samples, not arbitrary byte chunks") {
     import spark.implicits._
     import graft.tools.AvcMp4Fixture
@@ -657,6 +689,7 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.AvHeaders.mp4VideoSamples(b) // must not throw
       Multimodal.AvHeaders.mp4SyncSamples(b)  // must not throw
       Multimodal.AvHeaders.mp4FragmentSyncSamples(b) // must not throw
+      Multimodal.AvHeaders.oggPages(b)        // must not throw
       Multimodal.AvHeaders.wavClips(b, 10)    // must not throw
       Multimodal.MediaCodec.decodeGifFrames(b) // must not throw
       Multimodal.MediaCodec.decodeAudioSampled(b) // must not throw
