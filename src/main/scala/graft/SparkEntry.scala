@@ -353,6 +353,14 @@ object SparkEntry {
     // little-endian bytes
     "q_m12_ogg_pages" -> ((s, _) =>
       Multimodal.oggPageTable(s, Tables.ogg(s))),
+    // q_m13: the THIRD container's shard list — WebM SimpleBlocks with
+    // their keyframe flags, located by the EBML cluster walk; the
+    // oracle re-derives every coordinate from the fixture's
+    // fixed-width contract (first cluster at 54, uniform stride
+    // S + 14 with S read back from the SimpleBlock size byte) and
+    // reads track/time/flags from their own bytes
+    "q_m13_webm_blocks" -> ((s, _) =>
+      Multimodal.webmBlockTable(s, Tables.webm(s))),
     // q_x20: MOSS-style cross-doc copy detection — winnow fingerprint
     // overlap with stop-fingerprint (df cap) pruning + containment
     "q_x20_copy_pairs" -> ((s, d) =>
@@ -1467,6 +1475,45 @@ object SparkEntry {
          |   (TRY_CAST('0x' || substr(h, 2*(off+5)+1, 2) AS INTEGER) & 4) <> 0 AS is_eos
          | FROM pages""".stripMargin
     },
+    // q_m13: cluster i sits at 54 + i·(S+14) by the fixed-width
+    // contract; S is read BACK from the SimpleBlock size byte (value
+    // S+4 in the 1-byte form), the cluster id bytes are asserted at
+    // each computed position (anchor), and track/time/flags come from
+    // their own bytes — agreement proves the EBML cluster walk lands
+    // on exactly these coordinates
+    "q_m13_webm_blocks" ->
+      s"""WITH m AS (SELECT media_id, hex(media) AS h, octet_length(media) AS n
+         |           FROM read_parquet('${Tables.webmFixturePath}')),
+         | t AS (SELECT m.*,
+         |         (n >= 4 AND substr(h, 1, 8) = '1A45DFA3') AS is_webm,
+         |         (media_id % 8 <> 3 AND media_id % 8 <> 7) AS full_row,
+         |         CAST(2 + media_id % 5 AS INTEGER) AS nf,
+         |         TRY_CAST('0x' || substr(h, 2*63+1, 2) AS INTEGER) - 128 - 4 AS s
+         |       FROM m),
+         | u AS (SELECT media_id, h, n, nf, s,
+         |         unnest(range(nf)) AS fi
+         |       FROM t WHERE is_webm AND full_row AND s > 0),
+         | c AS (SELECT media_id, h, fi, s,
+         |         CAST(54 + fi * (s + 14) AS BIGINT) AS c0
+         |       FROM u WHERE n >= 54 + nf * (s + 14)
+         |         AND substr(h, CAST(2 * (54 + fi * (s + 14)) + 1 AS BIGINT), 8)
+         |           = '1F43B675')
+         | SELECT media_id, CAST(fi + 1 AS BIGINT) AS block_idx,
+         |   CAST(TRY_CAST('0x' || substr(h, CAST(2*(c0+10)+1 AS BIGINT), 2)
+         |     AS INTEGER) - 128 AS BIGINT) AS track,
+         |   CAST(TRY_CAST('0x' || substr(h, CAST(2*(c0+7)+1 AS BIGINT), 2)
+         |     AS INTEGER)
+         |    + (CASE WHEN TRY_CAST('0x' || substr(h, CAST(2*(c0+11)+1 AS BIGINT), 4)
+         |         AS INTEGER) >= 32768
+         |       THEN TRY_CAST('0x' || substr(h, CAST(2*(c0+11)+1 AS BIGINT), 4)
+         |         AS INTEGER) - 65536
+         |       ELSE TRY_CAST('0x' || substr(h, CAST(2*(c0+11)+1 AS BIGINT), 4)
+         |         AS INTEGER) END) AS BIGINT) AS time_ticks,
+         |   c0 + 14 AS "offset",
+         |   CAST(s AS BIGINT) AS n_bytes,
+         |   (TRY_CAST('0x' || substr(h, CAST(2*(c0+13)+1 AS BIGINT), 2) AS INTEGER)
+         |     & 128) <> 0 AS is_key
+         | FROM c""".stripMargin,
     // q_x19: the oracle runs the IDENTICAL RE2-safe patterns (shared
     // via Pii.categories, so both engines scan the same strings with
     // the same regexes); DuckDB regexp_replace needs the explicit 'g'

@@ -160,6 +160,17 @@ object Tables {
   }
   def mp4Frag(spark: SparkSession): DataFrame = spark.read.parquet(mp4FragFixturePath)
 
+  /** webm(media_id BIGINT, mime_type STRING, media BINARY) —
+   * repo-local deterministic WebM fixture WITH clusters
+   * (tools.WebmFixture: EBML init segment + per-frame Cluster/
+   * SimpleBlock rows, keyframes flagged in the block headers; plus
+   * init-only and junk rows). */
+  def webmFixturePath: String = {
+    val local = new java.io.File("fixtures/webm.parquet")
+    if (local.exists) local.getAbsolutePath else "/root/repo/fixtures/webm.parquet"
+  }
+  def webm(spark: SparkSession): DataFrame = spark.read.parquet(webmFixturePath)
+
   /** pii(rec_id BIGINT, text STRING) — repo-local deterministic
    * PII-bearing text fixture (tools.PiiFixture; the driver corpus is
    * digit-free word salad, so identifier scanning needs its own rows). */

@@ -736,6 +736,80 @@ object Multimodal {
           yield (d * ts / 1e6).round))
     }
 
+    /** Shard-unit locator for WebM/Matroska: one row per SimpleBlock —
+     * (block_idx 1-based in file order, track number, cluster
+     * timestamp + block-relative timestamp in ticks, frame-data
+     * offset, frame-data size, is_key). Clusters are the container's
+     * seekable unit and bit 0x80 of the SimpleBlock header marks
+     * where decode can start — the WebM analogue of the MP4
+     * stss/moof walks, no codec involved. Lacing (header flags &
+     * 0x06) is not expanded: a laced block is one row covering the
+     * whole laced payload. Same tolerance discipline as every walker
+     * here: malformed structure yields what parsed, never a throw. */
+    private[ops] def webmBlocks(b: Array[Byte]): Seq[(Long, Long, Long, Int, Int, Boolean)] = {
+      if (b == null || b.length < 4 || (b(0) & 0xff) != 0x1a ||
+        (b(1) & 0xff) != 0x45 || (b(2) & 0xff) != 0xdf ||
+        (b(3) & 0xff) != 0xa3) return Nil
+      def vint(i: Int, keepMarker: Boolean): Option[(Long, Int)] = {
+        if (i >= b.length) return None
+        val first = b(i) & 0xff
+        if (first == 0) return None
+        val len = Integer.numberOfLeadingZeros(first) - 23 // 1..8
+        if (len > 8 || i + len > b.length) return None
+        var v = if (keepMarker) first.toLong else (first & (0xff >>> len)).toLong
+        var k = 1
+        while (k < len) { v = (v << 8) | (b(i + k) & 0xffL); k += 1 }
+        Some((v, len))
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Int, Int, Boolean)]
+      var blockIdx = 0L
+      def walk(from: Int, to: Int)(f: (Long, Int, Int) => Unit): Unit = {
+        var i = from
+        while (i < to) {
+          val id = vint(i, keepMarker = true) match {
+            case Some(x) => x; case None => return
+          }
+          val sz = vint(i + id._2, keepMarker = false) match {
+            case Some(x) => x; case None => return
+          }
+          val p = i + id._2 + sz._2
+          val unknown = sz._1 == (1L << (7 * sz._2)) - 1
+          val end = if (unknown) to.toLong else math.min(to.toLong, p.toLong + sz._1)
+          if (end < p) return
+          f(id._1, p, end.toInt)
+          if (end.toInt <= i) return
+          i = end.toInt
+        }
+      }
+      walk(0, b.length) { (id0, p0, e0) =>
+        if (id0 == 0x18538067L) walk(p0, e0) { (id1, p1, e1) => // Segment
+          if (id1 == 0x1f43b675L) { // Cluster
+            var clusterTs = 0L
+            walk(p1, e1) { (id2, p2, e2) =>
+              if (id2 == 0xe7L) { // cluster Timestamp, BE uint
+                var v = 0L
+                var j = p2
+                while (j < e2) { v = (v << 8) | (b(j) & 0xffL); j += 1 }
+                clusterTs = v
+              } else if (id2 == 0xa3L) { // SimpleBlock
+                vint(p2, keepMarker = false).foreach { case (track, tLen) =>
+                  val hp = p2 + tLen
+                  if (hp + 3 <= e2) {
+                    val rel = ((b(hp) << 8) | (b(hp + 1) & 0xff)).toShort.toLong
+                    val flags = b(hp + 2) & 0xff
+                    blockIdx += 1
+                    out += ((blockIdx, track, clusterTs + rel, hp + 3,
+                      e2 - (hp + 3), (flags & 0x80) != 0))
+                  }
+                }
+              }
+            }
+          }
+        }
+      }
+      out.toSeq
+    }
+
     /**
      * AU/SND header parse (Sun audio, the simplest real container:
      * ".snd" magic then five BE32 words — data offset, data size,
@@ -1281,6 +1355,26 @@ object Multimodal {
       }
       .toDF("media_id", "page_seq", "offset", "n_bytes", "granule_pos",
         "is_bos", "is_eos")
+  }
+
+  /** Relational face of the WebM SimpleBlock walk
+   * ([[AvHeaders.webmBlocks]]): one row per block with its track,
+   * tick-clock time, frame-data coordinates and the keyframe flag —
+   * the third container's shard list (MP4 self-contained + fragmented
+   * are the other two). Same partition-local discipline throughout. */
+  def webmBlockTable(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("mime_type"), col("media"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          AvHeaders.webmBlocks(r.media).map { case (bi, track, t, off, len, key) =>
+            (r.media_id, bi, track, t, off.toLong, len.toLong, key)
+          }
+        }
+      }
+      .toDF("media_id", "block_idx", "track", "time_ticks", "offset",
+        "n_bytes", "is_key")
   }
 
   private def keyframeTable(spark: SparkSession, media: DataFrame,

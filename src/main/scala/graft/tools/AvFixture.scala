@@ -350,7 +350,7 @@ object AvFixture {
 
   /** EBML element: varint id (marker bits kept, already encoded in the
    * constant) + minimal varint size + payload. */
-  private def ebml(id: Long, payload: Array[Byte]): Array[Byte] = {
+  private[tools] def ebml(id: Long, payload: Array[Byte]): Array[Byte] = {
     val idBytes = {
       var n = 1
       while ((id >>> (8 * n)) != 0) n += 1
@@ -362,11 +362,11 @@ object AvFixture {
       else Array((0x40 | (len >> 8)).toByte, (len & 0xff).toByte)
     idBytes ++ sizeBytes ++ payload
   }
-  private def beFloat4(v: Float): Array[Byte] = {
+  private[tools] def beFloat4(v: Float): Array[Byte] = {
     val bits = java.lang.Float.floatToIntBits(v)
     Array.tabulate[Byte](4)(i => (bits >>> (8 * (3 - i))).toByte)
   }
-  private def beUintBytes(v: Long): Array[Byte] = {
+  private[tools] def beUintBytes(v: Long): Array[Byte] = {
     var n = 1
     while ((v >>> (8 * n)) != 0) n += 1
     Array.tabulate[Byte](n)(i => (v >>> (8 * (n - 1 - i))).toByte)

@@ -479,6 +479,65 @@ class MultimodalSpec extends SparkSpec {
     assert(AvHeaders.oggPages(graft.tools.OggFixture.row(7)._2).isEmpty)
   }
 
+  test("WebM SimpleBlock walk: fixture contract coordinates, flags, times; init-only emits nothing") {
+    import graft.tools.WebmFixture
+    for (id <- Seq(0L, 1L, 2L, 4L, 5L, 6L)) {
+      val bytes = WebmFixture.webm(id)
+      val s = WebmFixture.frameSize(id)
+      val k = WebmFixture.syncInterval(id)
+      val got = AvHeaders.webmBlocks(bytes)
+      val expect = (0 until WebmFixture.nFrames(id)).map { i =>
+        ((i + 1).toLong, 1L, i * 40L, 54 + i * (s + 14) + 14, s, i % k == 0)
+      }
+      assert(got == expect, s"id=$id got $got")
+      // the SAME file's metadata face still parses dims + duration
+      val meta = AvHeaders.parseWebm(bytes).get
+      assert(meta.width.contains(WebmFixture.width(id)))
+      assert(meta.height.contains(WebmFixture.height(id)))
+      assert(meta.durationMs.contains(WebmFixture.nFrames(id) * 40L))
+      // init-only: segment size claims clusters that aren't there —
+      // clamp and emit nothing, never a throw
+      assert(AvHeaders.webmBlocks(WebmFixture.truncated(id)).isEmpty)
+    }
+    assert(AvHeaders.webmBlocks(graft.tools.AvFixture.junk(7)).isEmpty)
+  }
+
+  test("WebM SimpleBlock walk general paths: two blocks per cluster, track 2, nonzero relTs, unknown-size segment") {
+    // hand-built beyond the fixture's one-block-per-cluster layout
+    def ebml(id: Long, payload: Array[Byte]): Array[Byte] = {
+      var n = 1
+      while ((id >>> (8 * n)) != 0) n += 1
+      val idBytes = Array.tabulate[Byte](n)(i => (id >>> (8 * (n - 1 - i))).toByte)
+      idBytes ++ Array((payload.length | 0x80).toByte) ++ payload
+    }
+    def beUintBytes(v: Long): Array[Byte] = {
+      var n = 1
+      while ((v >>> (8 * n)) != 0) n += 1
+      Array.tabulate[Byte](n)(i => (v >>> (8 * (n - 1 - i))).toByte)
+    }
+    def sb(track: Int, rel: Int, flags: Int, frame: Array[Byte]): Array[Byte] =
+      ebml(0xa3L, Array[Byte]((0x80 | track).toByte,
+        (rel >> 8).toByte, rel.toByte, flags.toByte) ++ frame)
+    val f1 = Array.fill[Byte](10)(1)
+    val f2 = Array.fill[Byte](20)(2)
+    val clusterPayload = ebml(0xe7L, beUintBytes(500L)) ++
+      sb(1, 0, 0x80, f1) ++ sb(2, -40, 0x00, f2)
+    val cluster = ebml(0x1f43b675L, clusterPayload)
+    val header = ebml(0x1a45dfa3L, ebml(0x4282L, "webm".getBytes("US-ASCII")))
+    // Segment with UNKNOWN size (all-ones 1-byte vint 0xFF): streamed
+    // WebM ships this — must clamp to the buffer
+    val segment = Array[Byte](0x18, 0x53, 0x80.toByte, 0x67, 0xff.toByte) ++ cluster
+    val bytes = header ++ segment
+    val got = AvHeaders.webmBlocks(bytes)
+    val c0 = header.length + 5 // cluster element start
+    // cluster: id(4) size(1) ts(2+2=4: value 500 is 2 bytes) = 9 to 1st sb
+    val sb1Frame = c0 + 4 + 1 + (1 + 1 + 2) + (1 + 1 + 4)
+    val sb2Frame = sb1Frame + 10 + (1 + 1 + 4)
+    assert(got == Seq(
+      (1L, 1L, 500L, sb1Frame, 10, true),
+      (2L, 2L, 460L, sb2Frame, 20, false)), s"got $got")
+  }
+
   test("frameSample: H.26x MP4s emit exact keyframe samples, not arbitrary byte chunks") {
     import spark.implicits._
     import graft.tools.AvcMp4Fixture
@@ -667,7 +726,8 @@ class MultimodalSpec extends SparkSpec {
       AviFixture.avi(0), AviFixture.avi(4), AviFixture.headerOnly(3),
       graft.tools.MjpegMp4Fixture.mp4(0), graft.tools.MjpegMp4Fixture.mp4(4),
       graft.tools.AvcMp4Fixture.mp4(0), graft.tools.AvcMp4Fixture.mp4(5),
-      graft.tools.AvcMp4Fixture.fragMp4(0), graft.tools.AvcMp4Fixture.fragMp4(5)
+      graft.tools.AvcMp4Fixture.fragMp4(0), graft.tools.AvcMp4Fixture.fragMp4(5),
+      graft.tools.WebmFixture.webm(0), graft.tools.OggFixture.row(0)._2
     ).flatMap { base =>
       (0 until 8).map { _ =>
         val m = base.clone()
@@ -690,6 +750,7 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.AvHeaders.mp4SyncSamples(b)  // must not throw
       Multimodal.AvHeaders.mp4FragmentSyncSamples(b) // must not throw
       Multimodal.AvHeaders.oggPages(b)        // must not throw
+      Multimodal.AvHeaders.webmBlocks(b)      // must not throw
       Multimodal.AvHeaders.wavClips(b, 10)    // must not throw
       Multimodal.MediaCodec.decodeGifFrames(b) // must not throw
       Multimodal.MediaCodec.decodeAudioSampled(b) // must not throw
