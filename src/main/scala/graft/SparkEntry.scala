@@ -361,6 +361,12 @@ object SparkEntry {
     // reads track/time/flags from their own bytes
     "q_m13_webm_blocks" -> ((s, _) =>
       Multimodal.webmBlockTable(s, Tables.webm(s))),
+    // q_m14: EXIF without decode — the pre-pixel metadata pass of an
+    // image corpus (orientation to rotate-before-train, capture time,
+    // camera make); the oracle re-walks the same TIFF IFD0 in DuckDB
+    // hex arithmetic, scanning entries BY TAG (no entry-order
+    // assumption) and dereferencing the ASCII value offsets
+    "q_m14_exif" -> ((s, _) => Multimodal.exifTable(s, Tables.exif(s))),
     // q_x20: MOSS-style cross-doc copy detection — winnow fingerprint
     // overlap with stop-fingerprint (df cap) pruning + containment
     "q_x20_copy_pairs" -> ((s, d) =>
@@ -1514,6 +1520,46 @@ object SparkEntry {
          |   (TRY_CAST('0x' || substr(h, CAST(2*(c0+13)+1 AS BIGINT), 2) AS INTEGER)
          |     & 128) <> 0 AS is_key
          | FROM c""".stripMargin,
+    // q_m14: the oracle re-walks the TIFF IFD0 — base from the header's
+    // IFD offset, entry scan BY TAG (274 orientation / 306 DateTime /
+    // 271 Make, no order assumption), ASCII values dereferenced via
+    // their TIFF-relative offsets and decoded from the raw blob bytes;
+    // JPEGs without the APP1/Exif/II anchors get NULL columns
+    "q_m14_exif" ->
+      s"""WITH m AS (SELECT media_id, hex(media) AS h, media,
+         |             octet_length(media) AS n
+         |           FROM read_parquet('${Tables.exifFixturePath}')),
+         | t AS (SELECT m.*,
+         |        (n >= 30 AND substr(h, 1, 4) = 'FFD8' AND substr(h, 5, 4) = 'FFE1'
+         |         AND substr(h, 13, 12) = '457869660000'
+         |         AND substr(h, 25, 8) = '49492A00') AS has_exif
+         |      FROM m),
+         | b AS (SELECT media_id, h,
+         |        CAST(12 + TRY_CAST('0x' || ${leHex("16", 4)} AS UBIGINT) AS BIGINT)
+         |          AS base
+         |      FROM t WHERE has_exif),
+         | e AS (SELECT media_id, h, base,
+         |        unnest(range(TRY_CAST('0x' || ${leHex("base", 2)} AS INTEGER))) AS i
+         |      FROM b),
+         | f AS (SELECT media_id, h, base, i,
+         |        TRY_CAST('0x' || ${leHex("base + 2 + 12*i", 2)} AS INTEGER) AS tag,
+         |        TRY_CAST('0x' || ${leHex("base + 2 + 12*i + 4", 4)} AS BIGINT) AS cnt,
+         |        TRY_CAST('0x' || ${leHex("base + 2 + 12*i + 8", 2)} AS INTEGER) AS v16,
+         |        TRY_CAST('0x' || ${leHex("base + 2 + 12*i + 8", 4)} AS BIGINT) AS voff
+         |      FROM e),
+         | g AS (SELECT media_id,
+         |        MAX(CASE WHEN tag = 274 THEN v16 END) AS orientation,
+         |        MAX(CASE WHEN tag = 306 THEN decode(unhex(substr(h,
+         |          CAST(2 * (12 + voff) + 1 AS BIGINT),
+         |          CAST(2 * (cnt - 1) AS BIGINT)))) END) AS exif_datetime,
+         |        MAX(CASE WHEN tag = 271 THEN decode(unhex(substr(h,
+         |          CAST(2 * (12 + voff) + 1 AS BIGINT),
+         |          CAST(2 * (cnt - 1) AS BIGINT)))) END) AS make
+         |      FROM f GROUP BY 1)
+         | SELECT m2.media_id, CAST(g.orientation AS INTEGER) AS orientation,
+         |   g.exif_datetime, g.make
+         | FROM (SELECT media_id FROM read_parquet('${Tables.exifFixturePath}')) m2
+         | LEFT JOIN g USING (media_id)""".stripMargin,
     // q_x19: the oracle runs the IDENTICAL RE2-safe patterns (shared
     // via Pii.categories, so both engines scan the same strings with
     // the same regexes); DuckDB regexp_replace needs the explicit 'g'

@@ -171,6 +171,16 @@ object Tables {
   }
   def webm(spark: SparkSession): DataFrame = spark.read.parquet(webmFixturePath)
 
+  /** exif(media_id BIGINT, mime_type STRING, media BINARY) —
+   * repo-local deterministic EXIF-bearing JPEG fixture
+   * (tools.ExifFixture: APP1/TIFF IFD0 with Make/Orientation/DateTime
+   * entries; plus EXIF-less JPEG and junk rows). */
+  def exifFixturePath: String = {
+    val local = new java.io.File("fixtures/exif.parquet")
+    if (local.exists) local.getAbsolutePath else "/root/repo/fixtures/exif.parquet"
+  }
+  def exif(spark: SparkSession): DataFrame = spark.read.parquet(exifFixturePath)
+
   /** pii(rec_id BIGINT, text STRING) — repo-local deterministic
    * PII-bearing text fixture (tools.PiiFixture; the driver corpus is
    * digit-free word salad, so identifier scanning needs its own rows). */

@@ -479,6 +479,38 @@ class MultimodalSpec extends SparkSpec {
     assert(AvHeaders.oggPages(graft.tools.OggFixture.row(7)._2).isEmpty)
   }
 
+  test("EXIF walk: fixture contract fields; MM byte order; inline short ASCII; no-EXIF is all-None") {
+    import graft.tools.ExifFixture
+    import Multimodal.ImageHeaders
+    for (id <- Seq(0L, 1L, 2L, 4L, 5L, 6L, 8L, 13L)) {
+      val m = ImageHeaders.exifMeta(ExifFixture.jpeg(id))
+      assert(m.orientation.contains(ExifFixture.orientation(id)), s"id=$id")
+      assert(m.dateTime.contains(ExifFixture.dateTime(id)), s"id=$id")
+      assert(m.make.contains(ExifFixture.make(id)), s"id=$id")
+    }
+    assert(ImageHeaders.exifMeta(ExifFixture.noExif()) ==
+      ImageHeaders.ExifMeta(None, None, None))
+    assert(ImageHeaders.exifMeta(graft.tools.AvFixture.junk(7)) ==
+      ImageHeaders.ExifMeta(None, None, None))
+    // hand-built MM (big-endian) TIFF with an INLINE 4-byte ASCII Make
+    // ("ab" + NUL padded: count 3 <= 4 sits in the value field) and
+    // orientation in the BE16 halves — the paths the II fixture misses
+    def be16(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+    def be32(v: Long) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    val entries =
+      be16(0x010f) ++ be16(2) ++ be32(3) ++ "ab".getBytes :+ 0.toByte :+ 0.toByte
+    val entries2 = entries ++
+      (be16(0x0112) ++ be16(3) ++ be32(1) ++ be16(6) ++ be16(0))
+    val tiff = "MM".getBytes ++ be16(42) ++ be32(8) ++
+      be16(2) ++ entries2 ++ be32(0)
+    val app1 = "Exif".getBytes ++ Array[Byte](0, 0) ++ tiff
+    val bytes = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe1.toByte) ++
+      be16(app1.length + 2) ++ app1 ++ Array[Byte](0xff.toByte, 0xd9.toByte)
+    val mm = ImageHeaders.exifMeta(bytes)
+    assert(mm == ImageHeaders.ExifMeta(Some(6), None, Some("ab")), s"got $mm")
+  }
+
   test("WebM SimpleBlock walk: fixture contract coordinates, flags, times; init-only emits nothing") {
     import graft.tools.WebmFixture
     for (id <- Seq(0L, 1L, 2L, 4L, 5L, 6L)) {
@@ -751,6 +783,7 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.AvHeaders.mp4FragmentSyncSamples(b) // must not throw
       Multimodal.AvHeaders.oggPages(b)        // must not throw
       Multimodal.AvHeaders.webmBlocks(b)      // must not throw
+      Multimodal.ImageHeaders.exifMeta(b)     // must not throw
       Multimodal.AvHeaders.wavClips(b, 10)    // must not throw
       Multimodal.MediaCodec.decodeGifFrames(b) // must not throw
       Multimodal.MediaCodec.decodeAudioSampled(b) // must not throw
