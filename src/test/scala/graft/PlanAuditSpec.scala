@@ -245,6 +245,18 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("ogg/webm/exif shard-list tables are pure map-side: zero exchanges over the blobs") {
+    audited(graft.ops.Multimodal.oggPageTable(spark, Tables.ogg(spark))) { plan =>
+      assert(shuffles(plan).isEmpty, s"${shuffles(plan).size} shuffles:\n$plan")
+    }
+    audited(graft.ops.Multimodal.webmBlockTable(spark, Tables.webm(spark))) { plan =>
+      assert(shuffles(plan).isEmpty, s"${shuffles(plan).size} shuffles:\n$plan")
+    }
+    audited(graft.ops.Multimodal.exifTable(spark, Tables.exif(spark))) { plan =>
+      assert(shuffles(plan).isEmpty, s"${shuffles(plan).size} shuffles:\n$plan")
+    }
+  }
+
   test("multi-rule aligned engine face is a single keyed shuffle") {
     // q_e6: three rules share one correlation key — the interpreter
     // must stay ONE repartition-by-key + in-partition sort, exactly
