@@ -311,6 +311,26 @@ object ScaleProbe {
           .filter(col("is_idr")).count()
       }
       kmedia.unpersist()
+
+      // the other shard-list locators — Ogg pages, WebM SimpleBlocks,
+      // JPEG EXIF — over the same blob volume, same partition-local
+      // contract
+      val shardTemplates = Seq(
+        OggFixture.row(0)._2, OggFixture.row(1)._2,
+        WebmFixture.webm(1), WebmFixture.webm(4),
+        ExifFixture.jpeg(1), ExifFixture.jpeg(4))
+      val sb2 = spark.sparkContext.broadcast(shardTemplates)
+      val smedia = spark.range(nMedia)
+        .map(id => (id, "application/octet-stream", sb2.value((id % sb2.value.size).toInt)))
+        .toDF("media_id", "mime_type", "media").cache()
+      smedia.count()
+      timedAs("blobs", nMedia)("media_shardlists") {
+        graft.ops.Multimodal.oggPageTable(spark, smedia).count() +
+          graft.ops.Multimodal.webmBlockTable(spark, smedia).count() +
+          graft.ops.Multimodal.exifTable(spark, smedia)
+            .filter(col("orientation").isNotNull).count()
+      }
+      smedia.unpersist()
     }
     spark.stop()
   }
