@@ -367,6 +367,13 @@ object SparkEntry {
     // hex arithmetic, scanning entries BY TAG (no entry-order
     // assumption) and dereferencing the ASCII value offsets
     "q_m14_exif" -> ((s, _) => Multimodal.exifTable(s, Tables.exif(s))),
+    // q_m15: MP3 frame location without decode — sync word + the
+    // published bitrate/samplerate tables give every frame's byte
+    // length; the oracle re-derives the coordinates from the ID3v2
+    // syncsafe size and the FIRST header's fields via the same
+    // public formula, then probes the sync word at each offset
+    "q_m15_mp3_frames" -> ((s, _) =>
+      Multimodal.mp3FrameTable(s, Tables.mp3(s))),
     // q_x20: MOSS-style cross-doc copy detection — winnow fingerprint
     // overlap with stop-fingerprint (df cap) pruning + containment
     "q_x20_copy_pairs" -> ((s, d) =>
@@ -1560,6 +1567,49 @@ object SparkEntry {
          |   g.exif_datetime, g.make
          | FROM (SELECT media_id FROM read_parquet('${Tables.exifFixturePath}')) m2
          | LEFT JOIN g USING (media_id)""".stripMargin,
+    // q_m15: tag length from the ID3v2 syncsafe size bytes; frame size
+    // from the FIRST header's bitrate/samplerate/padding fields through
+    // the published MPEG-1 Layer III table and formula; frame i at
+    // tag + i*S (uniform: the fixture's 48 kHz rates divide exactly);
+    // sync-word probe at every computed offset
+    "q_m15_mp3_frames" ->
+      s"""WITH m AS (SELECT media_id, hex(media) AS h, octet_length(media) AS n
+         |           FROM read_parquet('${Tables.mp3FixturePath}')),
+         | t AS (SELECT m.*,
+         |        (n >= 10 AND substr(h, 1, 6) = '494433') AS is_id3,
+         |        (media_id % 8 <> 3 AND media_id % 8 <> 7) AS full_row,
+         |        CAST(2 + media_id % 5 AS INTEGER) AS nf,
+         |        10 + (TRY_CAST('0x' || substr(h, 13, 2) AS INTEGER) % 128) * 2097152
+         |           + (TRY_CAST('0x' || substr(h, 15, 2) AS INTEGER) % 128) * 16384
+         |           + (TRY_CAST('0x' || substr(h, 17, 2) AS INTEGER) % 128) * 128
+         |           + (TRY_CAST('0x' || substr(h, 19, 2) AS INTEGER) % 128) AS tag
+         |      FROM m),
+         | f AS (SELECT t.*,
+         |        TRY_CAST('0x' || substr(h, CAST(2*(tag+2)+1 AS BIGINT), 2)
+         |          AS INTEGER) AS b2
+         |      FROM t WHERE is_id3 AND full_row AND n >= tag + 4),
+         | g AS (SELECT f.*,
+         |        CASE b2 // 16 WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48
+         |          WHEN 4 THEN 56 WHEN 5 THEN 64 WHEN 6 THEN 80 WHEN 7 THEN 96
+         |          WHEN 8 THEN 112 WHEN 9 THEN 128 WHEN 10 THEN 160
+         |          WHEN 11 THEN 192 WHEN 12 THEN 224 WHEN 13 THEN 256
+         |          WHEN 14 THEN 320 END AS kbps,
+         |        CASE (b2 // 4) % 4 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+         |          WHEN 2 THEN 32000 END AS sr,
+         |        (b2 // 2) % 2 AS pad
+         |      FROM f),
+         | u AS (SELECT media_id, h, n, nf, tag,
+         |        CAST(144000 * kbps // sr + pad AS BIGINT) AS s,
+         |        unnest(range(nf)) AS fi
+         |      FROM g WHERE kbps IS NOT NULL AND sr IS NOT NULL
+         |        AND n >= tag + nf * (144000 * kbps // sr + pad))
+         | SELECT media_id, CAST(fi AS INTEGER) AS frame_idx,
+         |   CAST(tag + fi * s AS BIGINT) AS "offset",
+         |   s AS n_bytes,
+         |   (substr(h, CAST(2*(tag + fi*s)+1 AS BIGINT), 2) = 'FF'
+         |    AND (TRY_CAST('0x' || substr(h, CAST(2*(tag + fi*s)+3 AS BIGINT), 2)
+         |      AS INTEGER) & 224) = 224) AS is_sync
+         | FROM u""".stripMargin,
     // q_x19: the oracle runs the IDENTICAL RE2-safe patterns (shared
     // via Pii.categories, so both engines scan the same strings with
     // the same regexes); DuckDB regexp_replace needs the explicit 'g'

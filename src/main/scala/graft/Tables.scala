@@ -181,6 +181,16 @@ object Tables {
   }
   def exif(spark: SparkSession): DataFrame = spark.read.parquet(exifFixturePath)
 
+  /** mp3(media_id BIGINT, mime_type STRING, media BINARY) —
+   * repo-local deterministic MP3 fixture (tools.Mp3Fixture: ID3v2 tag
+   * + real MPEG-1 Layer III frame headers at exact 48 kHz frame
+   * sizes; plus tag-only and junk rows). */
+  def mp3FixturePath: String = {
+    val local = new java.io.File("fixtures/mp3.parquet")
+    if (local.exists) local.getAbsolutePath else "/root/repo/fixtures/mp3.parquet"
+  }
+  def mp3(spark: SparkSession): DataFrame = spark.read.parquet(mp3FixturePath)
+
   /** pii(rec_id BIGINT, text STRING) — repo-local deterministic
    * PII-bearing text fixture (tools.PiiFixture; the driver corpus is
    * digit-free word salad, so identifier scanning needs its own rows). */

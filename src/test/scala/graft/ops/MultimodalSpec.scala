@@ -479,6 +479,60 @@ class MultimodalSpec extends SparkSpec {
     assert(AvHeaders.oggPages(graft.tools.OggFixture.row(7)._2).isEmpty)
   }
 
+  test("MP3 frame walk: fixture contract coordinates, meta fields, MPEG2 rates; tag-only emits nothing") {
+    import graft.tools.Mp3Fixture
+    import Multimodal.AvHeaders
+    for (id <- Seq(0L, 1L, 2L, 4L, 5L, 6L)) {
+      val bytes = Mp3Fixture.mp3(id)
+      val s = Mp3Fixture.frameSize(id)
+      val tag = 10 + Mp3Fixture.tagPayload(id)
+      val got = AvHeaders.mp3Frames(bytes)
+      assert(got == (0 until Mp3Fixture.nFrames(id)).map(i => (tag + i * s, s)),
+        s"id=$id got $got")
+      // frame sizes tile the payload completely
+      assert(tag + got.map(_._2).sum == bytes.length)
+      val meta = AvHeaders.avMeta(bytes).get
+      assert(meta.format == "mp3")
+      assert(meta.sampleRate.contains(48000))
+      assert(meta.channels.contains(if (Mp3Fixture.mono(id)) 1 else 2))
+      // MPEG1 Layer III: 1152 samples per frame on the 48 kHz clock
+      assert(meta.durationMs.contains(Mp3Fixture.nFrames(id) * 1152L * 1000 / 48000))
+    }
+    // tag-only and junk parse to nothing
+    assert(AvHeaders.mp3Frames(Mp3Fixture.row(3)._2).isEmpty)
+    assert(AvHeaders.avMeta(Mp3Fixture.row(3)._2).isEmpty)
+    assert(AvHeaders.mp3Frames(Mp3Fixture.row(7)._2).isEmpty)
+    // hand-built MPEG2 Layer III at 24 kHz, 64 kbps: half formula,
+    // 576 samples/frame — 72000*64/24000 = 192-byte frames
+    val h2 = Array[Byte](0xff.toByte, 0xf3.toByte, // MPEG2, L3, no CRC
+      ((8 << 4) | (1 << 2)).toByte, 0) // brIdx 8 = 64kbps, srIdx 1 = 24000
+    val f2 = h2 ++ new Array[Byte](188)
+    val two = f2 ++ f2
+    assert(AvHeaders.mp3Frames(two) == Seq((0, 192), (192, 192)))
+    val m2 = AvHeaders.parseMp3(two).get
+    assert(m2.sampleRate.contains(24000))
+    assert(m2.durationMs.contains(2 * 576L * 1000 / 24000))
+    // a SINGLE valid frame is NOT identified as mp3 (random 0xFF-led
+    // bytes must not sneak in)
+    assert(AvHeaders.parseMp3(f2).isEmpty)
+  }
+
+  test("frameSample: MP3 payloads chunk on frame boundaries, not fixed-size bytes") {
+    import spark.implicits._
+    import graft.tools.Mp3Fixture
+    val id = 2L // nf = 4
+    val rows = Seq((1L, "audio/mpeg", Mp3Fixture.mp3(id)))
+      .toDF("media_id", "mime_type", "media")
+    val frames = Multimodal.frameSample(spark, rows, everyN = 1).collect()
+      .sortBy(_.frame_idx)
+    assert(frames.length == Mp3Fixture.nFrames(id))
+    frames.foreach { f =>
+      assert(!f.decoded) // samples not decoded — but the cut is real
+      assert(f.frame.length == Mp3Fixture.frameSize(id))
+      assert((f.frame(0) & 0xff) == 0xff && (f.frame(1) & 0xe0) == 0xe0)
+    }
+  }
+
   test("EXIF walk: fixture contract fields; MM byte order; inline short ASCII; no-EXIF is all-None") {
     import graft.tools.ExifFixture
     import Multimodal.ImageHeaders
@@ -759,7 +813,8 @@ class MultimodalSpec extends SparkSpec {
       graft.tools.MjpegMp4Fixture.mp4(0), graft.tools.MjpegMp4Fixture.mp4(4),
       graft.tools.AvcMp4Fixture.mp4(0), graft.tools.AvcMp4Fixture.mp4(5),
       graft.tools.AvcMp4Fixture.fragMp4(0), graft.tools.AvcMp4Fixture.fragMp4(5),
-      graft.tools.WebmFixture.webm(0), graft.tools.OggFixture.row(0)._2
+      graft.tools.WebmFixture.webm(0), graft.tools.OggFixture.row(0)._2,
+      graft.tools.Mp3Fixture.mp3(0), graft.tools.ExifFixture.jpeg(0)
     ).flatMap { base =>
       (0 until 8).map { _ =>
         val m = base.clone()
@@ -784,6 +839,7 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.AvHeaders.oggPages(b)        // must not throw
       Multimodal.AvHeaders.webmBlocks(b)      // must not throw
       Multimodal.ImageHeaders.exifMeta(b)     // must not throw
+      Multimodal.AvHeaders.mp3Frames(b)       // must not throw
       Multimodal.AvHeaders.wavClips(b, 10)    // must not throw
       Multimodal.MediaCodec.decodeGifFrames(b) // must not throw
       Multimodal.MediaCodec.decodeAudioSampled(b) // must not throw
