@@ -374,6 +374,12 @@ object SparkEntry {
     // public formula, then probes the sync word at each offset
     "q_m15_mp3_frames" -> ((s, _) =>
       Multimodal.mp3FrameTable(s, Tables.mp3(s))),
+    // q_m16: AAC/ADTS frame location — the header carries an EXPLICIT
+    // 13-bit frame length, so the walk is syncword + length hop; the
+    // oracle reads the same length bits from the first header and
+    // re-derives every coordinate, probing the syncword at each
+    "q_m16_aac_frames" -> ((s, _) =>
+      Multimodal.adtsFrameTable(s, Tables.aac(s))),
     // q_x20: MOSS-style cross-doc copy detection — winnow fingerprint
     // overlap with stop-fingerprint (df cap) pruning + containment
     "q_x20_copy_pairs" -> ((s, d) =>
@@ -1609,6 +1615,41 @@ object SparkEntry {
          |   (substr(h, CAST(2*(tag + fi*s)+1 AS BIGINT), 2) = 'FF'
          |    AND (TRY_CAST('0x' || substr(h, CAST(2*(tag + fi*s)+3 AS BIGINT), 2)
          |      AS INTEGER) & 224) = 224) AS is_sync
+         | FROM u""".stripMargin,
+    // q_m16: tag from the syncsafe bytes, the uniform frame length
+    // from the FIRST header's own 13-bit field (bits spanning header
+    // bytes 3-5), frame i at tag + i*L, ADTS syncword (0xFFF + layer
+    // 00) probed at every computed offset
+    "q_m16_aac_frames" ->
+      s"""WITH m AS (SELECT media_id, hex(media) AS h, octet_length(media) AS n
+         |           FROM read_parquet('${Tables.aacFixturePath}')),
+         | t AS (SELECT m.*,
+         |        (n >= 10 AND substr(h, 1, 6) = '494433') AS is_id3,
+         |        (media_id % 8 <> 3 AND media_id % 8 <> 7) AS full_row,
+         |        CAST(2 + media_id % 5 AS INTEGER) AS nf,
+         |        10 + (TRY_CAST('0x' || substr(h, 13, 2) AS INTEGER) % 128) * 2097152
+         |           + (TRY_CAST('0x' || substr(h, 15, 2) AS INTEGER) % 128) * 16384
+         |           + (TRY_CAST('0x' || substr(h, 17, 2) AS INTEGER) % 128) * 128
+         |           + (TRY_CAST('0x' || substr(h, 19, 2) AS INTEGER) % 128) AS tag
+         |      FROM m),
+         | f AS (SELECT t.*,
+         |        CAST(
+         |          (TRY_CAST('0x' || substr(h, CAST(2*(tag+3)+1 AS BIGINT), 2)
+         |             AS INTEGER) % 4) * 2048
+         |          + TRY_CAST('0x' || substr(h, CAST(2*(tag+4)+1 AS BIGINT), 2)
+         |              AS INTEGER) * 8
+         |          + TRY_CAST('0x' || substr(h, CAST(2*(tag+5)+1 AS BIGINT), 2)
+         |              AS INTEGER) // 32 AS BIGINT) AS s
+         |      FROM t WHERE is_id3 AND full_row AND n >= tag + 7),
+         | u AS (SELECT media_id, h, n, nf, tag, s,
+         |        unnest(range(nf)) AS fi
+         |      FROM f WHERE s >= 7 AND n >= tag + nf * s)
+         | SELECT media_id, CAST(fi AS INTEGER) AS frame_idx,
+         |   CAST(tag + fi * s AS BIGINT) AS "offset",
+         |   s AS n_bytes,
+         |   (substr(h, CAST(2*(tag + fi*s)+1 AS BIGINT), 2) = 'FF'
+         |    AND (TRY_CAST('0x' || substr(h, CAST(2*(tag + fi*s)+3 AS BIGINT), 2)
+         |      AS INTEGER) & 246) = 240) AS is_sync
          | FROM u""".stripMargin,
     // q_x19: the oracle runs the IDENTICAL RE2-safe patterns (shared
     // via Pii.categories, so both engines scan the same strings with

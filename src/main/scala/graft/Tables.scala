@@ -191,6 +191,16 @@ object Tables {
   }
   def mp3(spark: SparkSession): DataFrame = spark.read.parquet(mp3FixturePath)
 
+  /** aac(media_id BIGINT, mime_type STRING, media BINARY) —
+   * repo-local deterministic AAC/ADTS fixture (tools.AacFixture:
+   * ID3v2 tag + real ADTS headers with explicit 13-bit frame lengths;
+   * plus tag-only and junk rows). */
+  def aacFixturePath: String = {
+    val local = new java.io.File("fixtures/aac.parquet")
+    if (local.exists) local.getAbsolutePath else "/root/repo/fixtures/aac.parquet"
+  }
+  def aac(spark: SparkSession): DataFrame = spark.read.parquet(aacFixturePath)
+
   /** pii(rec_id BIGINT, text STRING) — repo-local deterministic
    * PII-bearing text fixture (tools.PiiFixture; the driver corpus is
    * digit-free word salad, so identifier scanning needs its own rows). */

@@ -321,9 +321,12 @@ object Multimodal {
         bytes(2) == 'n' && bytes(3) == 'd') parseAu(bytes)
       else if (bytes.length >= 4 &&
         ((bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') ||
-          ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xe0) == 0xe0)))
-        parseMp3(bytes) // magic-less: requires >= 2 valid frames inside
-      else None
+          ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xe0) == 0xe0))) {
+        // magic-less bitstreams: both walks demand >= 2 valid frames;
+        // ADTS first (its 0xFFF?+layer-00 sync is the stricter mask)
+        val adts = parseAdts(bytes)
+        if (adts.nonEmpty) adts else parseMp3(bytes)
+      } else None
     }
 
     private def parseWav(b: Array[Byte]): Option[AvMeta] = {
@@ -789,6 +792,56 @@ object Multimodal {
         channels = Some(if (mode == 3) 1 else 2),
         sampleRate = Some(sr),
         durationMs = Some(frames.size * spf * 1000L / sr)))
+    }
+
+    private val AdtsRates = Array(96000, 88200, 64000, 48000, 44100, 32000,
+      24000, 22050, 16000, 12000, 11025, 8000, 7350)
+
+    /** Shard-unit locator for AAC/ADTS streams: one (offset, size) per
+     * ADTS frame — even simpler than MP3, the header CARRIES the
+     * 13-bit frame length explicitly (bits spanning header bytes
+     * 3–5), so the walk is syncword check + length hop. An ID3v2 tag
+     * is skipped; the walk stops at the first non-frame byte. */
+    private[ops] def adtsFrames(b: Array[Byte]): Seq[(Int, Int)] = {
+      if (b == null || b.length < 7) return Nil
+      var i = 0
+      if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+        val sz = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+          ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+        i = 10 + sz
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      while (i + 7 <= b.length) {
+        // 12-bit syncword + layer '00' (bits 1-2 of byte 1)
+        if ((b(i) & 0xff) != 0xff || (b(i + 1) & 0xf6) != 0xf0) return out.toSeq
+        val sfIdx = (b(i + 2) >> 2) & 0xf
+        if (sfIdx >= AdtsRates.length) return out.toSeq
+        val len = ((b(i + 3) & 0x3) << 11) | ((b(i + 4) & 0xff) << 3) |
+          ((b(i + 5) & 0xff) >> 5)
+        if (len < 7 || i + len > b.length) return out.toSeq
+        out += ((i, len))
+        i += len
+      }
+      out.toSeq
+    }
+
+    /** AAC/ADTS metadata from the frame walk: channels from the
+     * channel configuration, rate from the sampling-frequency index,
+     * duration from 1024 samples per raw data block. Requires ≥ 2
+     * valid consecutive frames (magic-less format). */
+    private[ops] def parseAdts(b: Array[Byte]): Option[AvMeta] = {
+      val frames = adtsFrames(b)
+      if (frames.size < 2) return None
+      val h = frames.head._1
+      val sfIdx = (b(h + 2) >> 2) & 0xf
+      val chanCfg = ((b(h + 2) & 0x1) << 2) | ((b(h + 3) >> 6) & 0x3)
+      val sr = AdtsRates(sfIdx)
+      // raw blocks per frame: low 2 bits of header byte 6, plus one
+      val blocks = frames.map { case (off, _) => (b(off + 6) & 0x3) + 1L }.sum
+      Some(AvMeta("aac",
+        channels = if (chanCfg > 0) Some(chanCfg) else None,
+        sampleRate = Some(sr),
+        durationMs = Some(blocks * 1024L * 1000L / sr)))
     }
 
     /** Shard-unit locator for Ogg containers: one row per PAGE —
@@ -1567,13 +1620,22 @@ object Multimodal {
    * probe — frame boundaries are where a real decoder can start, so
    * this is the MP3 shard list, located from the public header tables
    * with no codec. Same partition-local discipline throughout. */
-  def mp3FrameTable(spark: SparkSession, media: DataFrame): DataFrame = {
+  def mp3FrameTable(spark: SparkSession, media: DataFrame): DataFrame =
+    bitstreamFrameTable(spark, media, AvHeaders.mp3Frames)
+
+  /** [[mp3FrameTable]]'s AAC/ADTS sibling
+   * ([[AvHeaders.adtsFrames]]): same shape, same discipline. */
+  def adtsFrameTable(spark: SparkSession, media: DataFrame): DataFrame =
+    bitstreamFrameTable(spark, media, AvHeaders.adtsFrames)
+
+  private def bitstreamFrameTable(spark: SparkSession, media: DataFrame,
+      locate: Array[Byte] => Seq[(Int, Int)]): DataFrame = {
     import spark.implicits._
     media.select(col("media_id"), col("mime_type"), col("media"))
       .as[MediaRow]
       .mapPartitions { rows =>
         rows.flatMap { r =>
-          AvHeaders.mp3Frames(r.media).zipWithIndex.map { case ((off, len), idx) =>
+          locate(r.media).zipWithIndex.map { case ((off, len), idx) =>
             val isSync = len >= 2 && (r.media(off) & 0xff) == 0xff &&
               (r.media(off + 1) & 0xe0) == 0xe0
             (r.media_id, idx, off.toLong, len.toLong, isSync)
@@ -2188,12 +2250,16 @@ object Multimodal {
           val stss = AvHeaders.mp4SyncSamples(r.media)
           if (stss.nonEmpty) stss else AvHeaders.mp4FragmentSyncSamples(r.media)
         }
-      // MP3: frame-aligned chunks (each frame is where a real decoder
-      // starts) instead of arbitrary byte chunks; samples not decoded
+      // MP3/AAC: frame-aligned chunks (each frame is where a real
+      // decoder starts) instead of arbitrary byte chunks; samples not
+      // decoded
       val mp3 =
         if (gifFrames.nonEmpty || videoChunks.nonEmpty || audioClips.nonEmpty ||
           keySamples.nonEmpty) Nil
-        else AvHeaders.mp3Frames(r.media)
+        else {
+          val adts = AvHeaders.adtsFrames(r.media)
+          if (adts.size >= 2) adts else AvHeaders.mp3Frames(r.media)
+        }
       if (gifFrames.nonEmpty)
         gifFrames.iterator.zipWithIndex
           .filter(_._2 % everyN == 0)

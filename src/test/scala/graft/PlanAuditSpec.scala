@@ -258,6 +258,9 @@ class PlanAuditSpec extends SparkSpec {
     audited(graft.ops.Multimodal.mp3FrameTable(spark, Tables.mp3(spark))) { plan =>
       assert(shuffles(plan).isEmpty, s"${shuffles(plan).size} shuffles:\n$plan")
     }
+    audited(graft.ops.Multimodal.adtsFrameTable(spark, Tables.aac(spark))) { plan =>
+      assert(shuffles(plan).isEmpty, s"${shuffles(plan).size} shuffles:\n$plan")
+    }
   }
 
   test("multi-rule aligned engine face is a single keyed shuffle") {

@@ -533,6 +533,34 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("AAC/ADTS frame walk: explicit lengths tile the stream; meta fields; tag-only emits nothing") {
+    import graft.tools.AacFixture
+    import Multimodal.AvHeaders
+    for (id <- Seq(0L, 1L, 2L, 4L, 5L, 6L)) {
+      val bytes = AacFixture.aac(id)
+      val l = AacFixture.frameLen(id)
+      val tag = 10 + AacFixture.tagPayload(id)
+      val got = AvHeaders.adtsFrames(bytes)
+      assert(got == (0 until AacFixture.nFrames(id)).map(i => (tag + i * l, l)),
+        s"id=$id got $got")
+      assert(tag + got.map(_._2).sum == bytes.length)
+      val meta = AvHeaders.avMeta(bytes).get
+      assert(meta.format == "aac")
+      assert(meta.channels.contains(AacFixture.channels(id)))
+      val sr = Seq(48000, 44100, 32000)((id % 3).toInt)
+      assert(meta.sampleRate.contains(sr))
+      assert(meta.durationMs.contains(AacFixture.nFrames(id) * 1024L * 1000 / sr))
+    }
+    assert(AvHeaders.adtsFrames(AacFixture.row(3)._2).isEmpty)
+    assert(AvHeaders.avMeta(AacFixture.row(3)._2).isEmpty)
+    assert(AvHeaders.adtsFrames(AacFixture.row(7)._2).isEmpty)
+    // the two magic-less walks never cross-identify: MP3 bytes are not
+    // ADTS (layer bits) and ADTS bytes are not MP3 (reserved layer)
+    assert(AvHeaders.adtsFrames(graft.tools.Mp3Fixture.mp3(0)).isEmpty)
+    assert(AvHeaders.mp3Frames(AacFixture.aac(0)).isEmpty)
+    assert(AvHeaders.avMeta(graft.tools.Mp3Fixture.mp3(0)).get.format == "mp3")
+  }
+
   test("EXIF walk: fixture contract fields; MM byte order; inline short ASCII; no-EXIF is all-None") {
     import graft.tools.ExifFixture
     import Multimodal.ImageHeaders
@@ -814,7 +842,8 @@ class MultimodalSpec extends SparkSpec {
       graft.tools.AvcMp4Fixture.mp4(0), graft.tools.AvcMp4Fixture.mp4(5),
       graft.tools.AvcMp4Fixture.fragMp4(0), graft.tools.AvcMp4Fixture.fragMp4(5),
       graft.tools.WebmFixture.webm(0), graft.tools.OggFixture.row(0)._2,
-      graft.tools.Mp3Fixture.mp3(0), graft.tools.ExifFixture.jpeg(0)
+      graft.tools.Mp3Fixture.mp3(0), graft.tools.ExifFixture.jpeg(0),
+      graft.tools.AacFixture.aac(0)
     ).flatMap { base =>
       (0 until 8).map { _ =>
         val m = base.clone()
@@ -840,6 +869,7 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.AvHeaders.webmBlocks(b)      // must not throw
       Multimodal.ImageHeaders.exifMeta(b)     // must not throw
       Multimodal.AvHeaders.mp3Frames(b)       // must not throw
+      Multimodal.AvHeaders.adtsFrames(b)      // must not throw
       Multimodal.AvHeaders.wavClips(b, 10)    // must not throw
       Multimodal.MediaCodec.decodeGifFrames(b) // must not throw
       Multimodal.MediaCodec.decodeAudioSampled(b) // must not throw
