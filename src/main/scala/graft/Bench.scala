@@ -62,6 +62,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the isolate() unpersist sweep logs one WARN per locally
+    // checkpointed RDD it drops ("RDD ... was locally checkpointed")
+    // — hundreds of lines across the suite that crowd query data out
+    // of the driver's bounded 2000-char stdout tail. Intentional
+    // releases, not problems: silence the RDD loggers in THIS
+    // session only.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
 
     // SPARK_GRAFT_ONLY=q_a,q_b: local triage aid — time just these
     // queries under the exact per-query isolation discipline of a full

@@ -380,6 +380,17 @@ object SparkEntry {
     // re-derives every coordinate, probing the syncword at each
     "q_m16_aac_frames" -> ((s, _) =>
       Multimodal.adtsFrameTable(s, Tables.aac(s))),
+    // q_m17: MPEG-TS shard list (legacy-HLS `.ts` segments) — walk the
+    // 188-byte packet grid, PAT → PMT → video PID by STREAM TYPE (the
+    // fixture lists an audio stream first + sends RAI-flagged audio
+    // decoy packets, so order- or any-PES-based selection fails), one
+    // row per video PES start with the adaptation field's
+    // random_access_indicator; the oracle re-reads the video PID from
+    // the PMT's fixed-layout bytes and re-derives every packet's
+    // PID/PUSI/AF fields from its own header bytes in DuckDB hex
+    // arithmetic — a full independent grid walk, not a count contract
+    "q_m17_ts_pes" -> ((s, _) =>
+      Multimodal.tsPesTable(s, Tables.ts(s))),
     // q_x20: MOSS-style cross-doc copy detection — winnow fingerprint
     // overlap with stop-fingerprint (df cap) pruning + containment
     "q_x20_copy_pairs" -> ((s, d) =>
@@ -480,6 +491,37 @@ object SparkEntry {
         }
         .toDF("user_id", "rule", "kind", "first_ts", "fired_at", "fire_seq")
     }),
+    // q_e7: equal-deadline timeouts across RULES fire in matcher
+    // REGISTRATION order, not rule-declaration order (J8) — the
+    // reference keeps ONE stable deadline-sorted queue over every
+    // rule's matchers (src/CorrelationEngine.php:515-523), so a
+    // matcher armed EARLIER fires first even when its rule is declared
+    // later. Two ghost-step rules with DIFFERENT timeouts over
+    // 15-minute-truncated event times manufacture exact deadline
+    // collisions from different arming events: rb_slow (60 min) armed
+    // at T and ra_fast (30 min) armed at T+30min are both due at
+    // T+60min, and the engine must emit rb_slow first. The oracle
+    // re-derives the order relationally: (fired_at, armed time, rule)
+    // IS registration order, because arming follows event time and,
+    // within one event, declaration order (= name order here).
+    "q_e7_registration_order" -> ((s, d) => {
+      import s.implicits._
+      val grid = Tables.eventsTyped(s, d).map(e =>
+        e.copy(datetime = new java.sql.Timestamp(
+          math.floorDiv(e.effectiveTime.getTime, 900000L) * 900000L),
+          receivedTime = None))
+      graft.streaming.RuleEngine.runBatchAligned(grid, tieRules, _.payload("key"))
+        .mapPartitions { it =>
+          var cur: String = null
+          var n = 0
+          it.filter(_.kind == "timeout").map { f =>
+            if (f.key != cur) { cur = f.key; n = 0 } // runs are contiguous per key
+            n += 1
+            (f.key.toLong, f.rule, f.kind, f.firstTs, f.firedAt, n)
+          }
+        }
+        .toDF("user_id", "rule", "kind", "first_ts", "fired_at", "fire_seq")
+    }),
     // q_t3: OnSchedule THROUGH the interpreter — cron ticks become
     // engine events and a matchSingle on the tick type fires per
     // scheduled minute (reference: src/Rule/OnSchedule.php:24-38, a
@@ -523,6 +565,21 @@ object SparkEntry {
     graft.rules.RuleSpec.sequenceWithTimeout(
       "r2_signup_purchase", Seq(Set("signup"), Set("purchase")),
       java.time.Duration.ofHours(1), _.payload("key"),
+      onComplete = _ => Nil, onTimeout = _ => Nil))
+
+  /** q_e7's rule pair: same start type, ghost second steps (nothing
+   * ever completes — every armed matcher times out), DIFFERENT
+   * timeout durations — the only way matchers armed at different
+   * events can share a deadline. Names sort in declaration order so
+   * the oracle's same-instant-arming tie-break can use them. */
+  private def tieRules: Seq[graft.rules.RuleSpec] = Seq(
+    graft.rules.RuleSpec.sequenceWithTimeout(
+      "ra_fast", Seq(Set("signup"), Set("__neverA")),
+      java.time.Duration.ofMinutes(30), _.payload("key"),
+      onComplete = _ => Nil, onTimeout = _ => Nil),
+    graft.rules.RuleSpec.sequenceWithTimeout(
+      "rb_slow", Seq(Set("signup"), Set("__neverB")),
+      java.time.Duration.ofMinutes(60), _.payload("key"),
       onComplete = _ => Nil, onTimeout = _ => Nil))
 
   /** DuckDB shingle CTE twin of Dedup.shingles (3-word shingles). */
@@ -1651,6 +1708,46 @@ object SparkEntry {
          |    AND (TRY_CAST('0x' || substr(h, CAST(2*(tag + fi*s)+3 AS BIGINT), 2)
          |      AS INTEGER) & 246) = 240) AS is_sync
          | FROM u""".stripMargin,
+    // q_m17: a FULL independent TS grid walk in SQL — the video PID is
+    // re-read from the PMT's fixed-layout bytes (entries at packet 1
+    // offset 205, audio first, video PID's 13 bits at bytes 211-212),
+    // then EVERY packet's sync/PID/PUSI/AFC/AF-flags come from its own
+    // header bytes; rows are the payload-unit-start packets of that
+    // PID, RAI from the adaptation field, PES start code probed at the
+    // computed payload offset
+    "q_m17_ts_pes" ->
+      s"""WITH m AS (SELECT media_id, hex(media) AS h, octet_length(media) AS n
+         |           FROM read_parquet('${Tables.tsFixturePath}')),
+         | t AS (SELECT m.*,
+         |        ((TRY_CAST('0x' || substr(h, 423, 2) AS INTEGER) % 32) * 256
+         |         + TRY_CAST('0x' || substr(h, 425, 2) AS INTEGER)) AS vpid
+         |      FROM m
+         |      WHERE media_id % 8 <> 3 AND media_id % 8 <> 7 AND n >= 376),
+         | p AS (SELECT media_id, h, vpid, unnest(range(n // 188)) AS j FROM t),
+         | f AS (SELECT media_id, h, vpid, j, 188*j AS o,
+         |        TRY_CAST('0x' || substr(h, CAST(2*(188*j)+1 AS BIGINT), 2) AS INTEGER) AS b0,
+         |        TRY_CAST('0x' || substr(h, CAST(2*(188*j)+3 AS BIGINT), 2) AS INTEGER) AS b1,
+         |        TRY_CAST('0x' || substr(h, CAST(2*(188*j)+5 AS BIGINT), 2) AS INTEGER) AS b2,
+         |        TRY_CAST('0x' || substr(h, CAST(2*(188*j)+7 AS BIGINT), 2) AS INTEGER) AS b3,
+         |        TRY_CAST('0x' || substr(h, CAST(2*(188*j)+9 AS BIGINT), 2) AS INTEGER) AS b4,
+         |        TRY_CAST('0x' || substr(h, CAST(2*(188*j)+11 AS BIGINT), 2) AS INTEGER) AS b5
+         |      FROM p),
+         | g AS (SELECT *, (b1 % 32) * 256 + b2 AS pid,
+         |        (b1 & 64) <> 0 AS pusi,
+         |        (b3 // 16) % 4 AS afc
+         |      FROM f WHERE b0 = 71),
+         | v AS (SELECT media_id, h, j, o, pid,
+         |        (afc >= 2 AND b4 >= 1 AND (b5 & 64) <> 0) AS rai,
+         |        CASE WHEN afc >= 2 THEN o + 5 + b4 ELSE o + 4 END AS po
+         |      FROM g WHERE pid = vpid AND pusi AND afc IN (1, 3))
+         | SELECT media_id,
+         |   CAST(ROW_NUMBER() OVER (PARTITION BY media_id ORDER BY j) - 1
+         |     AS INTEGER) AS pes_idx,
+         |   CAST(j AS INTEGER) AS packet_idx,
+         |   CAST(o AS BIGINT) AS "offset",
+         |   CAST(pid AS INTEGER) AS pid, rai,
+         |   (substr(h, CAST(2*po+1 AS BIGINT), 6) = '000001') AS is_pes
+         | FROM v""".stripMargin,
     // q_x19: the oracle runs the IDENTICAL RE2-safe patterns (shared
     // via Pii.categories, so both engines scan the same strings with
     // the same regexes); DuckDB regexp_replace needs the explicit 'g'
@@ -1757,6 +1854,30 @@ object SparkEntry {
          |   CAST(ROW_NUMBER() OVER (PARTITION BY user_id
          |     ORDER BY fired_at, (kind = 'timeout') DESC, rule, first_ts)
          |     AS INTEGER) AS fire_seq
+         | FROM u""".stripMargin,
+    // q_e7: registration-order tie-break made falsifiable. Every
+    // signup (event time truncated to the 15-minute grid) arms BOTH
+    // ghost rules; nothing completes, so the fire set is exactly
+    // signups × {ra_fast+30min, rb_slow+60min}. Deadline collisions
+    // from DIFFERENT arming events (rb armed at T vs ra armed at
+    // T+30min) must fire in arming order — (fired_at, first_ts, rule)
+    // reproduces the reference's stable single-queue order: first_ts
+    // IS the arming instant, and rule name = declaration order breaks
+    // same-event ties. A declaration-index tie-break (ra before rb on
+    // equal deadlines regardless of arming time) breaks fire_seq.
+    "q_e7_registration_order" ->
+      s"""$E, s AS (
+         |   SELECT user_id, time_bucket(INTERVAL 15 MINUTE, ts) AS ats
+         |   FROM e WHERE event_type = 'signup'),
+         | u AS (
+         |   SELECT user_id, 'ra_fast' AS rule, 'timeout' AS kind,
+         |          ats AS first_ts, ats + INTERVAL 30 MINUTE AS fired_at FROM s
+         |   UNION ALL
+         |   SELECT user_id, 'rb_slow' AS rule, 'timeout' AS kind,
+         |          ats AS first_ts, ats + INTERVAL 60 MINUTE AS fired_at FROM s)
+         | SELECT user_id, rule, kind, first_ts, fired_at,
+         |   CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+         |     ORDER BY fired_at, first_ts, rule) AS INTEGER) AS fire_seq
          | FROM u""".stripMargin,
     "q_e3_three_step" ->
       s"""$E, s2 AS (SELECT user_id, event_id, ts FROM e WHERE event_type = 'signup'),

@@ -201,6 +201,17 @@ object Tables {
   }
   def aac(spark: SparkSession): DataFrame = spark.read.parquet(aacFixturePath)
 
+  /** ts(media_id BIGINT, mime_type STRING, media BINARY) — repo-local
+   * deterministic MPEG-TS fixture (tools.TsFixture: 188-byte packet
+   * grids with real PAT/PMT sections, video PES starts with
+   * adaptation-field random_access_indicator, audio decoy packets;
+   * plus truncated and junk rows). */
+  def tsFixturePath: String = {
+    val local = new java.io.File("fixtures/ts.parquet")
+    if (local.exists) local.getAbsolutePath else "/root/repo/fixtures/ts.parquet"
+  }
+  def ts(spark: SparkSession): DataFrame = spark.read.parquet(tsFixturePath)
+
   /** pii(rec_id BIGINT, text STRING) — repo-local deterministic
    * PII-bearing text fixture (tools.PiiFixture; the driver corpus is
    * digit-free word salad, so identifier scanning needs its own rows). */

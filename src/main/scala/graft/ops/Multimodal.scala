@@ -746,14 +746,21 @@ object Multimodal {
      * first non-frame byte (junk, truncation, a trailing ID3v1 tag).
      * Layer I/II and free-format frames are out of scope — the walk
      * stops rather than guessing their lengths. */
-    private[ops] def mp3Frames(b: Array[Byte]): Seq[(Int, Int)] = {
-      if (b == null || b.length < 4) return Nil
-      var i = 0
+    /** Bytes to skip for a leading ID3v2 tag: 10-byte header +
+     * syncsafe size + (ID3v2.4 only) 10 more when the footer flag
+     * (header byte 5, bit 0x10) is set — the size field does NOT
+     * count the footer, so ignoring it lands the walk on the '3DI'
+     * footer bytes and a valid file yields zero frames. */
+    private def id3v2Skip(b: Array[Byte]): Int =
       if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
         val sz = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
           ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
-        i = 10 + sz
-      }
+        10 + sz + (if ((b(5) & 0x10) != 0) 10 else 0)
+      } else 0
+
+    private[ops] def mp3Frames(b: Array[Byte]): Seq[(Int, Int)] = {
+      if (b == null || b.length < 4) return Nil
+      var i = id3v2Skip(b)
       val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
       while (i + 4 <= b.length) {
         if ((b(i) & 0xff) != 0xff || (b(i + 1) & 0xe0) != 0xe0) return out.toSeq
@@ -804,12 +811,7 @@ object Multimodal {
      * is skipped; the walk stops at the first non-frame byte. */
     private[ops] def adtsFrames(b: Array[Byte]): Seq[(Int, Int)] = {
       if (b == null || b.length < 7) return Nil
-      var i = 0
-      if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
-        val sz = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
-          ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
-        i = 10 + sz
-      }
+      var i = id3v2Skip(b)
       val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
       while (i + 7 <= b.length) {
         // 12-bit syncword + layer '00' (bits 1-2 of byte 1)
@@ -1359,13 +1361,20 @@ object Multimodal {
      * walker doesn't cover, so no-stss emits nothing rather than
      * claiming every delta frame is a keyframe). */
     private[ops] def mp4SyncSamples(b: Array[Byte]): Seq[(Long, Int, Int)] =
+      mp4SyncSamplesC(b).map { case (sn, off, len, _) => (sn, off, len) }
+
+    /** [[mp4SyncSamples]] plus the owning trak's codec fourcc — the
+     * NAL header layout differs per family (AVC vs HEVC vs the
+     * non-NAL h263), so the `is_idr` probe downstream must know which
+     * trak each sync sample came from. */
+    private[ops] def mp4SyncSamplesC(b: Array[Byte]): Seq[(Long, Int, Int, String)] =
       mp4Traks(b).collect {
         case t if H26xCodecs.contains(t.codec) && t.syncSamples != null =>
           val all = expandSamples(t, b.length).toIndexedSeq
           t.syncSamples.toSeq.collect {
             case sn if sn >= 1 && sn <= all.length =>
               val (off, len) = all((sn - 1).toInt)
-              (sn, off, len)
+              (sn, off, len, t.codec)
           }
       }.flatten
 
@@ -1399,14 +1408,21 @@ object Multimodal {
      * stbl walk ([[mp4SyncSamples]]) covers self-contained files; this
      * covers the segment layout a streaming-video corpus actually
      * ships — together: keyframe sharding without a codec library. */
-    private[ops] def mp4FragmentSyncSamples(b: Array[Byte]): Seq[(Long, Int, Int)] = {
+    private[ops] def mp4FragmentSyncSamples(b: Array[Byte]): Seq[(Long, Int, Int)] =
+      mp4FragmentSyncSamplesC(b).map { case (sn, off, len, _) => (sn, off, len) }
+
+    /** [[mp4FragmentSyncSamples]] plus the owning track's codec fourcc
+     * (via the moov trak walk's track_ID → codec mapping) — same
+     * rationale as [[mp4SyncSamplesC]]. */
+    private[ops] def mp4FragmentSyncSamplesC(b: Array[Byte]): Seq[(Long, Int, Int, String)] = {
       if (b == null || b.length < 12 || !tag(b, 4, "ftyp")) return Nil
-      val videoTracks = mp4Traks(b).collect {
-        case t if H26xCodecs.contains(t.codec) && t.trackId > 0 => t.trackId
-      }.toSet
+      val videoCodec = mp4Traks(b).collect {
+        case t if H26xCodecs.contains(t.codec) && t.trackId > 0 => t.trackId -> t.codec
+      }.toMap
+      val videoTracks = videoCodec.keySet
       if (videoTracks.isEmpty) return Nil
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int, String)]
       val trex = trexDefaults(b)
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int)]
       val counters = scala.collection.mutable.Map.empty[Long, Long]
       walkBoxes(b, 0, b.length) { (t0, moofStart, p0, e0) =>
         if (t0 == "moof") walkBoxes(b, p0, e0) { (t1, _, p1, e1) =>
@@ -1433,7 +1449,10 @@ object Multimodal {
                   if ((flags & 0x08) != 0) o += 4 // default_sample_duration
                   if ((flags & 0x10) != 0 && o + 4 <= e2) { defSize = be32(b, o); o += 4 }
                   if ((flags & 0x20) != 0 && o + 4 <= e2) { defFlags = be32(b, o); o += 4 }
-                  if ((flags & 0x20000) != 0) baseOff = moofStart // default-base-is-moof
+                  // default-base-is-moof yields to an EXPLICIT
+                  // base_data_offset when both flags are set
+                  // (ISO/IEC 14496-12: base-data-offset-present wins)
+                  if ((flags & 0x20000) != 0 && (flags & 0x01) == 0) baseOff = moofStart
                   trex.get(trackId).foreach { case (ts, tf) =>
                     if ((flags & 0x10) == 0) defSize = ts
                     if ((flags & 0x20) == 0) defFlags = tf
@@ -1474,7 +1493,7 @@ object Multimodal {
                       counters(trackId) = cnt
                       val sync = sflags >= 0 && ((sflags >> 16) & 1L) == 0L
                       if (sync && pos >= 0 && pos + size <= b.length)
-                        out += ((cnt, pos.toInt, size.toInt))
+                        out += ((cnt, pos.toInt, size.toInt, videoCodec(trackId)))
                       pos += size
                     } else ok = false // unsized sample: offsets unknowable
                     j += 1
@@ -1485,6 +1504,113 @@ object Multimodal {
             }
           }
         }
+      }
+      out.toSeq
+    }
+
+    /** H.26x/MPEG-video PMT stream_types: keyframe sharding applies
+     * to these; audio/data elementary streams are not shard units. */
+    private val TsVideoStreamTypes = Set(0x01, 0x02, 0x1b, 0x24)
+
+    /** Shard-unit locator for MPEG-TS (ISO/IEC 13818-1) segments —
+     * the container legacy HLS corpora ship: walk the 188-byte packet
+     * grid, parse PAT (PID 0) → program_map_PIDs, parse each PMT →
+     * VIDEO elementary PIDs by stream_type (0x01/0x02 MPEG video,
+     * 0x1B AVC, 0x24 HEVC — NOT by entry order: audio usually lists
+     * first), then emit one (packet_idx, byte offset, pid,
+     * random_access_indicator, pes_start_code_present) per
+     * payload-unit-start packet of a video PID. RAI comes from the
+     * adaptation field of that packet (ISO/IEC 13818-1 §2.4.3.5 — the
+     * TS-level keyframe mark a segmenter cuts on); the PES start-code
+     * probe (payload begins 00 00 01) is the same honesty column as
+     * the keyframe tables' is_idr. Tolerance: PSI sections must fit
+     * their packet (multi-packet PSI is out of scope — yields what
+     * parsed), a bad sync byte ends the walk, CRC32 is not verified
+     * (demuxer-on-trusted-storage discipline), partial trailing
+     * packets are ignored. Three passes over the grid (PAT, PMT,
+     * emit) so PSI repetition anywhere in the file works. */
+    private[ops] def tsPesStarts(b: Array[Byte]): Seq[(Int, Long, Int, Boolean, Boolean)] = {
+      if (b == null || b.length < 188 || (b(0) & 0xff) != 0x47) return Nil
+      val nPkts = b.length / 188
+      def pid(p: Int): Int = ((b(p + 1) & 0x1f) << 8) | (b(p + 2) & 0xff)
+      def pusi(p: Int): Boolean = (b(p + 1) & 0x40) != 0
+      def afc(p: Int): Int = (b(p + 3) >> 4) & 0x3
+      def hasPayload(p: Int): Boolean = { val a = afc(p); a == 1 || a == 3 }
+      def payloadOff(p: Int): Int =
+        if (afc(p) >= 2) p + 5 + (b(p + 4) & 0xff) else p + 4
+      def rai(p: Int): Boolean =
+        afc(p) >= 2 && (b(p + 4) & 0xff) >= 1 && (b(p + 5) & 0x40) != 0
+      // PSI section start: payload offset + 1 + pointer_field
+      def sectionStart(p: Int): Int = {
+        val po = payloadOff(p)
+        if (!hasPayload(p) || po < 0 || po >= p + 188) -1
+        else {
+          val s = po + 1 + (b(po) & 0xff)
+          if (s >= p + 188) -1 else s
+        }
+      }
+      // pass 1: PAT → PMT PIDs (program 0 is the network PID, skipped)
+      val pmtPids = scala.collection.mutable.Set.empty[Int]
+      var j = 0
+      var sync = true
+      while (sync && j < nPkts) {
+        val p = 188 * j
+        if ((b(p) & 0xff) != 0x47) sync = false
+        else {
+          if (pid(p) == 0 && pusi(p)) {
+            val s = sectionStart(p)
+            if (s >= 0 && (b(s) & 0xff) == 0x00 && s + 8 <= p + 188) {
+              val secLen = ((b(s + 1) & 0x0f) << 8) | (b(s + 2) & 0xff)
+              val end = math.min(s + 3 + secLen - 4, p + 188) // excl. CRC
+              var q = s + 8
+              while (q + 4 <= end) {
+                val prog = ((b(q) & 0xff) << 8) | (b(q + 1) & 0xff)
+                if (prog != 0) pmtPids += ((b(q + 2) & 0x1f) << 8) | (b(q + 3) & 0xff)
+                q += 4
+              }
+            }
+          }
+          j += 1
+        }
+      }
+      val lastSync = j // packets beyond the first bad sync never parse
+      if (pmtPids.isEmpty) return Nil
+      // pass 2: PMT → video elementary PIDs by stream_type
+      val videoPids = scala.collection.mutable.Set.empty[Int]
+      j = 0
+      while (j < lastSync) {
+        val p = 188 * j
+        if (pmtPids.contains(pid(p)) && pusi(p)) {
+          val s = sectionStart(p)
+          if (s >= 0 && (b(s) & 0xff) == 0x02 && s + 12 <= p + 188) {
+            val secLen = ((b(s + 1) & 0x0f) << 8) | (b(s + 2) & 0xff)
+            val end = math.min(s + 3 + secLen - 4, p + 188) // excl. CRC
+            val pil = ((b(s + 10) & 0x0f) << 8) | (b(s + 11) & 0xff)
+            var q = s + 12 + pil
+            while (q + 5 <= end) {
+              val st = b(q) & 0xff
+              val epid = ((b(q + 1) & 0x1f) << 8) | (b(q + 2) & 0xff)
+              val esLen = ((b(q + 3) & 0x0f) << 8) | (b(q + 4) & 0xff)
+              if (TsVideoStreamTypes(st)) videoPids += epid
+              q += 5 + esLen
+            }
+          }
+        }
+        j += 1
+      }
+      if (videoPids.isEmpty) return Nil
+      // pass 3: emit one row per payload-unit-start video packet
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Int, Boolean, Boolean)]
+      j = 0
+      while (j < lastSync) {
+        val p = 188 * j
+        if (videoPids.contains(pid(p)) && pusi(p) && hasPayload(p)) {
+          val po = payloadOff(p)
+          val isPes = po + 3 <= p + 188 &&
+            b(po) == 0 && b(po + 1) == 0 && b(po + 2) == 1
+          out += ((j, 188L * j, pid(p), rai(p), isPes))
+        }
+        j += 1
       }
       out.toSeq
     }
@@ -1563,14 +1689,14 @@ object Multimodal {
    * [[aviFrameTable]]: blobs never leave their partition.
    */
   def mp4KeyframeTable(spark: SparkSession, media: DataFrame): DataFrame =
-    keyframeTable(spark, media, AvHeaders.mp4SyncSamples)
+    keyframeTable(spark, media, AvHeaders.mp4SyncSamplesC)
 
   /** [[mp4KeyframeTable]] for FRAGMENTED MP4 (CMAF/DASH segments):
    * sync samples located from `moof`/`traf`/`trun` run tables
    * ([[AvHeaders.mp4FragmentSyncSamples]]) instead of the moov stbl.
    * Same output shape and partition-local discipline. */
   def mp4FragmentedKeyframeTable(spark: SparkSession, media: DataFrame): DataFrame =
-    keyframeTable(spark, media, AvHeaders.mp4FragmentSyncSamples)
+    keyframeTable(spark, media, AvHeaders.mp4FragmentSyncSamplesC)
 
   /** Relational face of the Ogg page walk ([[AvHeaders.oggPages]]):
    * one row per page with its byte coordinates, sequence number,
@@ -1628,6 +1754,29 @@ object Multimodal {
   def adtsFrameTable(spark: SparkSession, media: DataFrame): DataFrame =
     bitstreamFrameTable(spark, media, AvHeaders.adtsFrames)
 
+  /** Relational face of the MPEG-TS walk ([[AvHeaders.tsPesStarts]]):
+   * one row per video PES start with its packet index, byte offset,
+   * elementary PID, the adaptation field's random_access_indicator
+   * (the TS keyframe mark an HLS segmenter cuts on) and a PES
+   * start-code probe — the `.ts` shard list, completing the container
+   * set beside the MP4/WebM/Ogg/MP3/ADTS walkers. Same
+   * partition-local discipline: blobs never leave their partition. */
+  def tsPesTable(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("mime_type"), col("media"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          AvHeaders.tsPesStarts(r.media).zipWithIndex.map {
+            case ((pkt, off, pid, rai, isPes), i) =>
+              (r.media_id, i, pkt, off, pid, rai, isPes)
+          }
+        }
+      }
+      .toDF("media_id", "pes_idx", "packet_idx", "offset", "pid",
+        "rai", "is_pes")
+  }
+
   private def bitstreamFrameTable(spark: SparkSession, media: DataFrame,
       locate: Array[Byte] => Seq[(Int, Int)]): DataFrame = {
     import spark.implicits._
@@ -1645,16 +1794,36 @@ object Multimodal {
       .toDF("media_id", "frame_idx", "offset", "n_bytes", "is_sync")
   }
 
+  /** `is_idr` probe per codec family: both MP4 framings (AVCC/HVCC
+   * length prefix, Annex-B start code) put the first NAL header at
+   * payload offset 4. AVC's `nal_unit_type` is the header byte's low
+   * 5 bits (5 = IDR slice); HEVC's is bits 1–6 of the first of its
+   * TWO header bytes (19 = IDR_W_RADL, 20 = IDR_N_LP,
+   * ISO/IEC 23008-2 §7.4.2). h263/s263 bitstreams are not NAL-based
+   * at all, so the probe answers NULL rather than reading an AVC mask
+   * into a GOB header. */
+  private def isIdrProbe(media: Array[Byte], off: Int, len: Int,
+      codec: String): Option[Boolean] = codec match {
+    case "avc1" | "avc3" =>
+      Some(len >= 5 && (media(off + 4) & 0x1f) == 5)
+    case "hvc1" | "hev1" =>
+      Some(len >= 5 && {
+        val t = (media(off + 4) >> 1) & 0x3f
+        t == 19 || t == 20
+      })
+    case _ => None
+  }
+
   private def keyframeTable(spark: SparkSession, media: DataFrame,
-      locate: Array[Byte] => Seq[(Long, Int, Int)]): DataFrame = {
+      locate: Array[Byte] => Seq[(Long, Int, Int, String)]): DataFrame = {
     import spark.implicits._
     media.select(col("media_id"), col("mime_type"), col("media"))
       .as[MediaRow]
       .mapPartitions { rows =>
         rows.flatMap { r =>
-          locate(r.media).map { case (sn, off, len) =>
-            val isIdr = len >= 5 && (r.media(off + 4) & 0x1f) == 5
-            (r.media_id, sn, off.toLong, len.toLong, isIdr)
+          locate(r.media).map { case (sn, off, len, codec) =>
+            (r.media_id, sn, off.toLong, len.toLong,
+              isIdrProbe(r.media, off, len, codec))
           }
         }
       }

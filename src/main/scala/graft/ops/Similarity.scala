@@ -787,8 +787,13 @@ object Similarity {
       iters: Int = 2): Seq[(Int, Seq[Double])] = {
     // materialise the normalised corpus ONCE: each Lloyd iteration and
     // the seed collect reuse it instead of re-reading + re-normalising
-    // the source (iters + 1 scans of raw parquet otherwise)
-    kmeansCentroidsOn(materialize(unitCorpus(embeddings)), k, iters)
+    // the source (iters + 1 scans of raw parquet otherwise). The
+    // result is a collected Seq, so the materialisation is released
+    // here — a long-lived session calling this in a loop must not
+    // accumulate a cached corpus per call.
+    val corpus = materialize(unitCorpus(embeddings))
+    try kmeansCentroidsOn(corpus, k, iters)
+    finally { corpus.unpersist(blocking = false); () }
   }
 
   /** Materialise an already-normalised corpus for reuse across
@@ -798,7 +803,17 @@ object Similarity {
    * an executor loss kills a lineage-severed query, so set
    * `spark.graft.similarity.reliableMaterialize=true` to use a
    * recomputable MEMORY_AND_DISK persist instead (the corpus scan is
-   * linear — recompute-on-loss is the 100x-safe form). */
+   * linear — recompute-on-loss is the 100x-safe form).
+   *
+   * Lifetime: [[kmeansCentroids]] releases its materialisation in a
+   * `finally` (its result is a collected Seq). [[ivfTrainedTopK]]
+   * CANNOT — its returned DataFrame lazily reads the materialised
+   * corpus, so releasing before the caller evaluates would defeat the
+   * sharing. Under the persist flag that one cached copy lives until
+   * the caller's action completes and the ContextCleaner collects it
+   * (or `spark.catalog.clearCache()` / an unpersist sweep, as
+   * Bench/Verify do between queries); a long-lived session looping
+   * ivfTrainedTopK should sweep likewise. */
   private def materialize(df: DataFrame): DataFrame =
     if (df.sparkSession.conf
         .getOption("spark.graft.similarity.reliableMaterialize")

@@ -47,11 +47,23 @@ import graft.rules.{OutputData, RuleSpec}
 object RuleEngine {
 
   /** One live matcher instance (reference Matcher state,
-   * src/StateMachine/AEventProcessor.php:435-457). */
+   * src/StateMachine/AEventProcessor.php:435-457). `seq` is the
+   * matcher's REGISTRATION number within its key group — the aligned
+   * faces allocate it monotonically across ALL rules so equal-deadline
+   * timeouts can fire in registration order, the reference's stable
+   * uasort semantics (src/CorrelationEngine.php:515-523: the sort is
+   * stable over one queue of every rule's matchers, so same-deadline
+   * matchers keep the order they were armed in, not declaration
+   * order). Single-rule faces leave it 0: within one rule the matcher
+   * vector is already in creation order and the stable per-rule sort
+   * preserves it. A progressing matcher KEEPS its seq (the reference
+   * mutates the same Matcher object in place — its queue position
+   * doesn't change on progress). */
   case class MatcherState(
       step: Int,
       chain: Seq[Event],
-      timeoutAtUs: Option[Long])
+      timeoutAtUs: Option[Long],
+      seq: Long = 0L)
 
   /** All live matchers for one (rule, key) group. */
   case class KeyState(matchers: Seq[MatcherState])
@@ -157,20 +169,28 @@ object RuleEngine {
         due.foreach(m => dues += ((m.timeoutAtUs.get, i, m)))
       i += 1
     }
-    // stable sort: same-rule same-deadline matchers keep creation order
-    dues.sortBy(t => (t._1, t._2)).iterator.map { case (_, ri, m) =>
+    // equal deadlines fire in REGISTRATION order (the allocator seq),
+    // the reference's stable single-queue uasort: a matcher armed
+    // earlier fires first even if its rule is declared later. Rule
+    // index is the final fallback for seq-less (restored v0) state;
+    // the sort is stable so same-rule matchers keep creation order.
+    dues.sortBy(t => (t._1, t._3.seq, t._2)).iterator.map { case (_, ri, m) =>
       fired(ruleArr(ri), key, "timeout", microsToTs(m.timeoutAtUs.get), m.chain,
         ruleArr(ri).onTimeout(m.chain))
     }.toVector
   }
 
   /** Offer the event to each live matcher in creation order; spawn with
-   * the duplicate-start guard. Returns (alive, fires, handled). */
+   * the duplicate-start guard. Returns (alive, fires, handled).
+   * `alloc` hands a fresh registration seq to each NEWLY spawned
+   * matcher (see [[MatcherState.seq]]); progressing matchers keep
+   * theirs. Single-rule faces use the 0-allocator default. */
   private def offer(
       rule: RuleSpec,
       key: String,
       alive0: Vector[MatcherState],
-      e: Event): (Vector[MatcherState], Vector[Fired], Boolean) = {
+      e: Event,
+      alloc: () => Long = () => 0L): (Vector[MatcherState], Vector[Fired], Boolean) = {
     val eUs = micros(e.effectiveTime)
     var fires = Vector.empty[Fired]
     var alive = Vector.empty[MatcherState]
@@ -186,7 +206,7 @@ object RuleEngine {
           val nextStep = math.min(m.step + 1, rule.steps.size - 1)
           fires :+= fired(rule, key, "progress", e.effectiveTime, chain, rule.onProgress(chain))
           alive :+= MatcherState(nextStep, chain,
-            rule.timeout.map(t => eUs + t.toNanos / 1000L))
+            rule.timeout.map(t => eUs + t.toNanos / 1000L), m.seq)
         }
       } else alive :+= m
     }
@@ -203,7 +223,7 @@ object RuleEngine {
       } else {
         fires :+= fired(rule, key, "progress", e.effectiveTime, chain, rule.onProgress(chain))
         alive :+= MatcherState(math.min(1, rule.steps.size - 1), chain,
-          rule.timeout.map(t => eUs + t.toNanos / 1000L))
+          rule.timeout.map(t => eUs + t.toNanos / 1000L), alloc())
       }
     }
     (alive, fires, handled)
@@ -330,6 +350,11 @@ object RuleEngine {
           def next(): Iterator[Fired] = {
             val k = buf.head.key
             val matchers = Array.fill(ruleArr.size)(Vector.empty[MatcherState])
+            // one registration counter across ALL rules of the key:
+            // equal-deadline timeouts fire in arming order (see
+            // MatcherState.seq)
+            var nextSeq = 0L
+            val alloc = () => { val s = nextSeq; nextSeq += 1; s }
             var out = Vector.empty[Fired]
             while (buf.hasNext && buf.head.key == k) {
               val e = buf.next().event
@@ -344,7 +369,7 @@ object RuleEngine {
               while (i < ruleArr.size && !suppressed) {
                 val r = ruleArr(i)
                 if (r.mightAccept(e.event)) {
-                  val (m, f, handled) = offer(r, k, matchers(i), e)
+                  val (m, f, handled) = offer(r, k, matchers(i), e, alloc)
                   matchers(i) = m
                   out ++= f
                   if (handled && r.suppressOnMatch) suppressed = true
@@ -560,6 +585,11 @@ object RuleEngine {
               .filter(_.ruleSetId == rsId)
               .map(_.perRule.map(_.toVector).toArray)
               .getOrElse(Array.fill(ruleArr.size)(Vector.empty[MatcherState]))
+          // resume the registration counter past every live matcher's
+          // seq so cross-batch arming order stays monotone
+          var nextSeq = matchers.iterator.flatMap(_.iterator.map(_.seq + 1))
+            .foldLeft(0L)(math.max)
+          val alloc = () => { val s = nextSeq; nextSeq += 1; s }
           var out = Vector.empty[Fired]
 
           if (state.hasTimedOut) {
@@ -575,7 +605,7 @@ object RuleEngine {
               while (i < ruleArr.size && !suppressed) {
                 val r = ruleArr(i)
                 if (r.mightAccept(e.event)) {
-                  val (alive, fs, handled) = offer(r, k, matchers(i), e)
+                  val (alive, fs, handled) = offer(r, k, matchers(i), e, alloc)
                   matchers(i) = alive
                   out ++= fs
                   if (handled && r.suppressOnMatch) suppressed = true

@@ -1,0 +1,155 @@
+package graft.tools
+
+/**
+ * Deterministic MPEG-TS (ISO/IEC 13818-1) fixture: a 188-byte packet
+ * grid with a real PAT → PMT → elementary-stream structure, the
+ * segment layout legacy HLS corpora ship as `.ts` files. Exercises
+ * the repo's TS PES-start walker
+ * ([[graft.ops.Multimodal.AvHeaders.tsPesStarts]]) against true
+ * bytes: the walker must parse PAT (PID 0) to find the PMT PID, the
+ * PMT to find the VIDEO elementary PID **by stream_type** (an audio
+ * stream is listed FIRST in the PMT and carries decoy packets with
+ * the random-access flag always set — selecting by entry order or by
+ * "any PES" leaks those rows and fails the oracle), then emit one row
+ * per payload-unit-start packet of the video PID with the adaptation
+ * field's random_access_indicator.
+ *
+ * Layout per media_id (the oracle's offset arithmetic relies on this):
+ *  - id % 8 == 3 → truncated bytes: nothing parses, NO rows.
+ *  - id % 8 == 7 → junk bytes: nothing parses.
+ *  - otherwise → packet 0 = PAT (program 1 → PMT PID 256), packet 1 =
+ *    PMT (prog_info_length 0, entries: audio 0x0F PID 258 first, then
+ *    video 0x1B PID 257 — so the video PID's 13 bits sit at FIXED
+ *    byte offsets 211–212, where the oracle re-reads them), then
+ *    `nPes` groups of `pktsPerPes + 1` packets: one video PES-start
+ *    packet (PUSI=1, AF+payload, AF carries random_access_indicator
+ *    set on every raiInterval-th PES, payload = PES start code
+ *    00 00 01 E0 …), `pktsPerPes − 1` video continuation packets
+ *    (PUSI=0, payload only), and one audio decoy packet (PUSI=1,
+ *    RAI always set). Video PES i therefore starts at packet
+ *    2 + i·(pktsPerPes+1), byte offset 188× that — re-derivable from
+ *    the id contract + the byte-level PID/PUSI/AF fields alone.
+ *
+ * Usage: runMain graft.tools.TsFixture [outFile] [rows]
+ * (default fixtures/ts.parquet, 500 rows)
+ */
+object TsFixture {
+  val PmtPid = 256
+  val VideoPid = 257
+  val AudioPid = 258
+
+  def nPes(id: Long): Int = 3 + (id % 5).toInt
+  /** Packets per video PES (1 start + n−1 continuations). */
+  def pktsPerPes(id: Long): Int = 1 + (id % 3).toInt
+  /** random_access_indicator set on PES 0, k, 2k, … */
+  def raiInterval(id: Long): Int = 1 + (id % 4).toInt
+
+  private def psiPacket(pid: Int, section: Array[Byte]): Array[Byte] = {
+    val p = Array.fill[Byte](188)(0xff.toByte)
+    p(0) = 0x47
+    p(1) = (0x40 | (pid >> 8)).toByte // PUSI set
+    p(2) = (pid & 0xff).toByte
+    p(3) = 0x10 // payload only, cc 0
+    p(4) = 0 // pointer_field
+    System.arraycopy(section, 0, p, 5, section.length)
+    p
+  }
+
+  /** PAT: one program (number 1) mapped to [[PmtPid]]. CRC bytes are
+   * present but dummy — the walker (like most demuxers on trusted
+   * storage) does not verify CRC32. */
+  private def pat(): Array[Byte] =
+    Array[Byte](0x00, 0xb0.toByte, 13, // table_id, syntax+len
+      0, 1, 0xc1.toByte, 0, 0, // tsid, version/current, sec, last
+      0, 1, // program_number 1
+      (0xe0 | (PmtPid >> 8)).toByte, (PmtPid & 0xff).toByte,
+      0, 0, 0, 0) // dummy CRC
+
+  /** PMT for program 1: PCR on the video PID, zero program_info,
+   * audio (0x0F AAC) listed FIRST, video (0x1B H.264) second. */
+  private def pmt(): Array[Byte] =
+    Array[Byte](0x02, 0xb0.toByte, 23,
+      0, 1, 0xc1.toByte, 0, 0, // program_number, version, sec, last
+      (0xe0 | (VideoPid >> 8)).toByte, (VideoPid & 0xff).toByte, // PCR PID
+      0xf0.toByte, 0, // program_info_length 0
+      0x0f, (0xe0 | (AudioPid >> 8)).toByte, (AudioPid & 0xff).toByte,
+      0xf0.toByte, 0, // audio entry, es_info_length 0
+      0x1b, (0xe0 | (VideoPid >> 8)).toByte, (VideoPid & 0xff).toByte,
+      0xf0.toByte, 0, // video entry
+      0, 0, 0, 0) // dummy CRC
+
+  /** First packet of a video PES: AF (1 byte: flags) + PES header. */
+  private def pesStart(id: Long, i: Int, cc: Int, rai: Boolean): Array[Byte] = {
+    val p = new Array[Byte](188)
+    p(0) = 0x47
+    p(1) = (0x40 | (VideoPid >> 8)).toByte
+    p(2) = (VideoPid & 0xff).toByte
+    p(3) = (0x30 | (cc & 0xf)).toByte // AF + payload
+    p(4) = 1 // adaptation_field_length
+    p(5) = if (rai) 0x40 else 0x00
+    p(6) = 0; p(7) = 0; p(8) = 1; p(9) = 0xe0.toByte // PES start, stream E0
+    p(10) = 0; p(11) = 0 // PES_packet_length 0 (unbounded video)
+    p(12) = 0x80.toByte; p(13) = 0; p(14) = 0 // marker, no PTS, hdr len 0
+    var j = 15
+    while (j < 188) { p(j) = ((id * 31 + i * 7 + j) & 0x7f).toByte; j += 1 }
+    p
+  }
+
+  /** Continuation (PUSI=0) or audio decoy (PUSI=1, RAI set) packet. */
+  private def filler(id: Long, pid: Int, pusi: Boolean, cc: Int,
+      withRai: Boolean): Array[Byte] = {
+    val p = new Array[Byte](188)
+    p(0) = 0x47
+    p(1) = (((if (pusi) 0x40 else 0) | (pid >> 8)) & 0xff).toByte
+    p(2) = (pid & 0xff).toByte
+    val start = if (withRai) {
+      p(3) = (0x30 | (cc & 0xf)).toByte
+      p(4) = 1; p(5) = 0x40
+      if (pusi) { p(6) = 0; p(7) = 0; p(8) = 1; p(9) = 0xc0.toByte } // audio PES
+      10
+    } else { p(3) = (0x10 | (cc & 0xf)).toByte; 4 }
+    var j = start
+    while (j < 188) { p(j) = ((id * 17 + pid + j) & 0x7f).toByte; j += 1 }
+    p
+  }
+
+  def ts(id: Long): Array[Byte] = {
+    val groups = (0 until nPes(id)).flatMap { i =>
+      val rai = i % raiInterval(id) == 0
+      val start = pesStart(id, i, i, rai)
+      val conts = (1 until pktsPerPes(id)).map(c => filler(id, VideoPid, pusi = false, i + c, withRai = false))
+      val audio = filler(id, AudioPid, pusi = true, i, withRai = true)
+      (start +: conts) :+ audio
+    }
+    (psiPacket(0, pat()) +: psiPacket(PmtPid, pmt()) +: groups).flatten.toArray
+  }
+
+  /** (declared mime, actual bytes) — mime lies on the broken rows. */
+  def row(id: Long): (String, Array[Byte]) =
+    if (id % 8 == 3) ("video/mp2t", MjpegMp4Fixture.truncated())
+    else if (id % 8 == 7) ("application/octet-stream", MjpegMp4Fixture.junk(id))
+    else ("video/mp2t", ts(id))
+
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("fixtures/ts.parquet")
+    val rows = args.lift(1).map(_.toInt).getOrElse(500)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").appName("ts-fixture")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    val df = (0L until rows.toLong).map { id =>
+      val (mime, bytes) = row(id)
+      (id, mime, bytes)
+    }.toDF("media_id", "mime_type", "media")
+    val tmp = java.nio.file.Files.createTempDirectory("tsfix").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    val dest = new java.io.File(out)
+    Option(dest.getParentFile).foreach(_.mkdirs())
+    java.nio.file.Files.move(part.toPath, dest.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    println(s"wrote $rows rows to $out")
+    spark.stop()
+  }
+}
