@@ -1802,7 +1802,7 @@ object Multimodal {
    * ISO/IEC 23008-2 §7.4.2). h263/s263 bitstreams are not NAL-based
    * at all, so the probe answers NULL rather than reading an AVC mask
    * into a GOB header. */
-  private def isIdrProbe(media: Array[Byte], off: Int, len: Int,
+  private[ops] def isIdrProbe(media: Array[Byte], off: Int, len: Int,
       codec: String): Option[Boolean] = codec match {
     case "avc1" | "avc3" =>
       Some(len >= 5 && (media(off + 4) & 0x1f) == 5)

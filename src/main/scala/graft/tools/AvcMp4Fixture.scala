@@ -155,6 +155,45 @@ object AvcMp4Fixture {
       (0 until nf).flatMap(i => fragment(id, i, s, i % k == 0)).toArray
   }
 
+  /** A fragment whose tfhd sets BOTH base-data-offset-present (0x01)
+   * and default-base-is-moof (0x20000). ISO/IEC 14496-12 gives the
+   * EXPLICIT base_data_offset precedence; here it points straight at
+   * the fragment's sample (trun data_offset 0), so a walker that lets
+   * default-base-is-moof override it mislocates every sample. */
+  private def fragmentBoth(id: Long, i: Int, s: Int, sync: Boolean,
+      fragStart: Long): Array[Byte] = {
+    val mfhd = fullBox("mfhd", 0, be32(i + 1L))
+    val tfdt = fullBox("tfdt", 0, be32(i.toLong * 3000))
+    val trunLen = 8 + 4 + 4 + 4 + 4 + 4
+    val tfhdLen = 8 + 4 + 4 + 8 // box hdr + ver/flags + track + base(64)
+    val moofLen = 8 + mfhd.length + (8 + tfhdLen + tfdt.length + trunLen)
+    val sampleOff = fragStart + moofLen + 8
+    val tfhd = box("tfhd", Array[Byte](0, 2, 0, 1) ++ be32(1) ++
+      be32(sampleOff >> 32) ++ be32(sampleOff & 0xffffffffL))
+    val sampleFlags = if (sync) 0x02000000L else 0x01010000L
+    val trun = box("trun", Array[Byte](0, 0, 6, 1) ++ be32(1) ++
+      be32(0L) ++ be32(s.toLong) ++ be32(sampleFlags))
+    val moof = box("moof", mfhd ++ box("traf", tfhd ++ tfdt ++ trun))
+    assert(moof.length == moofLen, s"moof size drift: ${moof.length} != $moofLen")
+    moof ++ box("mdat", sample(id, i, s, sync))
+  }
+
+  /** [[fragMp4]] with every tfhd carrying BOTH offset-base flags —
+   * keyframe coordinates must come out IDENTICAL to [[fragMp4]]'s. */
+  def fragMp4BothFlags(id: Long): Array[Byte] = {
+    val nf = nFrames(id)
+    val s = sampleSize(id)
+    val k = syncInterval(id)
+    val head = ftyp() ++ fragMoov(id)
+    var pos = head.length.toLong
+    val frags = (0 until nf).map { i =>
+      val f = fragmentBoth(id, i, s, i % k == 0, pos)
+      pos += f.length
+      f
+    }
+    head ++ frags.flatten
+  }
+
   /** Fragmented-fixture row: same broken-row contract as [[row]]. */
   def fragRow(id: Long): (String, Array[Byte]) =
     if (id % 8 == 3) ("video/mp4", MjpegMp4Fixture.truncated())

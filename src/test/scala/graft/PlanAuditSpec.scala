@@ -261,6 +261,9 @@ class PlanAuditSpec extends SparkSpec {
     audited(graft.ops.Multimodal.adtsFrameTable(spark, Tables.aac(spark))) { plan =>
       assert(shuffles(plan).isEmpty, s"${shuffles(plan).size} shuffles:\n$plan")
     }
+    audited(graft.ops.Multimodal.tsPesTable(spark, Tables.ts(spark))) { plan =>
+      assert(shuffles(plan).isEmpty, s"${shuffles(plan).size} shuffles:\n$plan")
+    }
   }
 
   test("multi-rule aligned engine face is a single keyed shuffle") {

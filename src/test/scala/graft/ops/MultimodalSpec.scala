@@ -447,6 +447,102 @@ class MultimodalSpec extends SparkSpec {
     assert(AvHeaders.mp4FragmentSyncSamples(AvcMp4Fixture.fragRow(7)._2).isEmpty)
   }
 
+  test("tfhd: explicit base_data_offset wins over default-base-is-moof") {
+    import graft.tools.AvcMp4Fixture
+    // the both-flags variant's base_data_offset points straight at each
+    // sample (trun data_offset 0); letting default-base-is-moof
+    // override it would shift every emitted offset back to the moof
+    // start. Expectation re-derived from the file's own box sizes
+    // (its tfhd is 8 bytes longer than fragMp4's, so absolute offsets
+    // differ between the variants by design).
+    for (id <- Seq(0L, 1L, 2L, 5L)) {
+      val bytes = AvcMp4Fixture.fragMp4BothFlags(id)
+      val nf = AvcMp4Fixture.nFrames(id)
+      val s = AvcMp4Fixture.sampleSize(id)
+      val k = AvcMp4Fixture.syncInterval(id)
+      def be32(o: Int): Long = ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+      val moof1 = 16 + be32(16).toInt
+      val moofSz = be32(moof1).toInt
+      val frag = moofSz + 8 + s
+      val expect = (0 until nf).filter(_ % k == 0).map { i =>
+        ((i + 1).toLong, moof1 + i * frag + moofSz + 8, s)
+      }
+      val got = AvHeaders.mp4FragmentSyncSamples(bytes)
+      assert(got == expect, s"id=$id got $got expect $expect")
+      assert(got.nonEmpty)
+    }
+  }
+
+  test("is_idr probe is codec-aware: AVC mask, HEVC NAL types, h263 NULL") {
+    // AVCC/Annex-B both put the NAL header at payload offset 4
+    val avcIdr = Array[Byte](0, 0, 0, 1, 0x65)
+    val avcNon = Array[Byte](0, 0, 0, 1, 0x41)
+    assert(Multimodal.isIdrProbe(avcIdr, 0, 5, "avc1").contains(true))
+    assert(Multimodal.isIdrProbe(avcNon, 0, 5, "avc3").contains(false))
+    // HEVC nal_unit_type = bits 1-6 of the first header byte:
+    // 19<<1=0x26 (IDR_W_RADL), 20<<1=0x28 (IDR_N_LP), 1<<1=0x02 (TRAIL_R)
+    val hevcIdr = Array[Byte](0, 0, 0, 1, 0x26)
+    val hevcIdr2 = Array[Byte](0, 0, 0, 1, 0x28)
+    val hevcTrail = Array[Byte](0, 0, 0, 1, 0x02)
+    assert(Multimodal.isIdrProbe(hevcIdr, 0, 5, "hvc1").contains(true))
+    assert(Multimodal.isIdrProbe(hevcIdr2, 0, 5, "hev1").contains(true))
+    assert(Multimodal.isIdrProbe(hevcTrail, 0, 5, "hvc1").contains(false))
+    // the AVC mask on the HEVC IDR byte would claim false positives:
+    // 0x26 & 0x1f = 6 ≠ 5 happens to miss, but 0x65-as-HEVC is type 50
+    assert(Multimodal.isIdrProbe(avcIdr, 0, 5, "hvc1").contains(false))
+    // h263/s263 are not NAL bitstreams: the probe must answer NULL
+    assert(Multimodal.isIdrProbe(avcIdr, 0, 5, "h263").isEmpty)
+    assert(Multimodal.isIdrProbe(avcIdr, 0, 5, "s263").isEmpty)
+    // truncated payload: defined false for NAL codecs, not a throw
+    assert(Multimodal.isIdrProbe(Array[Byte](1, 2), 0, 2, "avc1").contains(false))
+  }
+
+  test("ID3v2.4 footer flag extends the tag skip by 10 bytes") {
+    import graft.tools.Mp3Fixture
+    // rebuild id 0's stream behind a footer-flagged tag: 10-byte
+    // header (flags bit 0x10), 8 payload bytes, 10-byte '3DI' footer
+    // NOT counted by the syncsafe size — frames start at 28
+    val frames = Mp3Fixture.mp3(0).drop(10 + Mp3Fixture.tagPayload(0))
+    val tag = "ID3".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0x10, 0, 0, 0, 8) ++ Array.fill[Byte](8)(0x11) ++
+      ("3DI".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0x10, 0, 0, 0, 8))
+    val got = AvHeaders.mp3Frames(tag ++ frames)
+    assert(got.size == Mp3Fixture.nFrames(0), s"got $got")
+    assert(got.head._1 == 28, s"got $got")
+    // without the footer bonus the walk would land on '3DI' and emit 0
+    val noFooterFlag = (tag ++ frames).clone()
+    noFooterFlag(5) = 0 // claim no footer: frames now "start" at 18
+    assert(AvHeaders.mp3Frames(noFooterFlag).isEmpty)
+  }
+
+  test("MPEG-TS walk: PES starts match the fixture contract, decoys excluded") {
+    import graft.tools.TsFixture
+    for (id <- Seq(0L, 1L, 2L, 4L, 5L, 6L, 8L, 9L)) {
+      val bytes = TsFixture.ts(id)
+      val f = TsFixture.pktsPerPes(id)
+      val k = TsFixture.raiInterval(id)
+      val got = AvHeaders.tsPesStarts(bytes)
+      val expect = (0 until TsFixture.nPes(id)).map { i =>
+        val pkt = 2 + i * (f + 1)
+        (pkt, 188L * pkt, TsFixture.VideoPid, i % k == 0, true)
+      }
+      assert(got == expect, s"id=$id got $got")
+    }
+    // truncated / junk rows: nothing parses
+    assert(AvHeaders.tsPesStarts(TsFixture.row(3)._2).isEmpty)
+    assert(AvHeaders.tsPesStarts(TsFixture.row(7)._2).isEmpty)
+    assert(AvHeaders.tsPesStarts(Array.emptyByteArray).isEmpty)
+    assert(AvHeaders.tsPesStarts(null).isEmpty)
+    // a PAT-less grid (PSI packets blanked to null PID 0x1FFF): no rows
+    val noPsi = TsFixture.ts(0)
+    noPsi(1) = 0x1f; noPsi(2) = 0xff.toByte // PAT packet → null PID
+    assert(AvHeaders.tsPesStarts(noPsi).isEmpty)
+    // partial trailing packet is ignored, not walked off the end
+    val partial = TsFixture.ts(0) ++ Array[Byte](0x47, 0x01)
+    assert(AvHeaders.tsPesStarts(partial) == AvHeaders.tsPesStarts(TsFixture.ts(0)))
+  }
+
   test("Ogg page walk: multi-page coordinates, lacing spans, flags; truncation stops clean") {
     def le32b(v: Long) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
     def le64b(v: Long) = le32b(v & 0xffffffffL) ++ le32b(v >>> 32)
@@ -843,7 +939,7 @@ class MultimodalSpec extends SparkSpec {
       graft.tools.AvcMp4Fixture.fragMp4(0), graft.tools.AvcMp4Fixture.fragMp4(5),
       graft.tools.WebmFixture.webm(0), graft.tools.OggFixture.row(0)._2,
       graft.tools.Mp3Fixture.mp3(0), graft.tools.ExifFixture.jpeg(0),
-      graft.tools.AacFixture.aac(0)
+      graft.tools.AacFixture.aac(0), graft.tools.TsFixture.ts(0)
     ).flatMap { base =>
       (0 until 8).map { _ =>
         val m = base.clone()
@@ -870,6 +966,7 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.ImageHeaders.exifMeta(b)     // must not throw
       Multimodal.AvHeaders.mp3Frames(b)       // must not throw
       Multimodal.AvHeaders.adtsFrames(b)      // must not throw
+      Multimodal.AvHeaders.tsPesStarts(b)     // must not throw
       Multimodal.AvHeaders.wavClips(b, 10)    // must not throw
       Multimodal.MediaCodec.decodeGifFrames(b) // must not throw
       Multimodal.MediaCodec.decodeAudioSampled(b) // must not throw
