@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Correlate, Dedup, Ingest, Metrics, Multimodal, Pii, Relational, Sampling, Schedule, Similarity, TextAnalysis}
+import graft.ops.{Captions, Correlate, Dedup, Ingest, Metrics, Multimodal, Pii, Relational, Sampling, Schedule, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
  *
@@ -391,6 +391,23 @@ object SparkEntry {
     // arithmetic — a full independent grid walk, not a count contract
     "q_m17_ts_pes" -> ((s, _) =>
       Multimodal.tsPesTable(s, Tables.ts(s))),
+    // q_m18: WebVTT/SRT cue extraction — blank-line blocks, a `-->`
+    // timing line with optional-hour dot/comma timestamps, identifier
+    // and counter lines skipped, multi-line text preserved; the oracle
+    // re-parses the same payloads relationally in DuckDB (block split,
+    // regexp timing extract, text = block minus the timing prefix)
+    "q_m18_caption_cues" -> ((s, _) =>
+      Captions.cueTable(s, Tables.captions(s))),
+    // q_m19: clip-caption pairs — the cue table range-joined to the
+    // q_m10 keyframe time axis (stts prefix sums over the mdhd
+    // timescale give each keyframe's start ms): one row per (cue,
+    // in-window keyframe), the unit an AV-text training set is made
+    // of; equi-join on media_id, range predicate in the condition —
+    // no cartesian (plan-pinned)
+    "q_m19_clip_captions" -> ((s, _) =>
+      Captions.clipCaptionPairs(
+        Captions.cueTable(s, Tables.captions(s)),
+        Multimodal.mp4KeyframeTimeTable(s, Tables.mp4Avc(s)))),
     // q_x20: MOSS-style cross-doc copy detection — winnow fingerprint
     // overlap with stop-fingerprint (df cap) pruning + containment
     "q_x20_copy_pairs" -> ((s, d) =>
@@ -1748,6 +1765,97 @@ object SparkEntry {
          |   CAST(pid AS INTEGER) AS pid, rai,
          |   (substr(h, CAST(2*po+1 AS BIGINT), 6) = '000001') AS is_pes
          | FROM v""".stripMargin,
+    // q_m18: a relational re-parse of the SAME payloads — blank-line
+    // block split (the fixture guarantees single-blank separators and
+    // no trailing newline, so the split is exact on both engines),
+    // RE2 timing extract with optional hours and dot/comma decimals,
+    // text = the block minus everything through the timing line
+    "q_m18_caption_cues" ->
+      s"""WITH c AS (SELECT media_id,
+         |        string_split(replace(replace(content, chr(13)||chr(10), chr(10)),
+         |          chr(13), chr(10)), chr(10)||chr(10)) AS blks
+         |      FROM read_parquet('${Tables.captionsFixturePath}')),
+         | i AS (SELECT media_id, blks, unnest(generate_series(1, len(blks))) AS bi
+         |      FROM c),
+         | b AS (SELECT media_id, bi, blks[bi] AS blk FROM i),
+         | t AS (SELECT media_id, bi, blk,
+         |        regexp_extract(blk,
+         |          '(?:(\\d+):)?(\\d{1,2}):(\\d{1,2})[.,](\\d{3}) --> (?:(\\d+):)?(\\d{1,2}):(\\d{1,2})[.,](\\d{3})',
+         |          ['h1','m1','s1','f1','h2','m2','s2','f2']) AS g
+         |      FROM b
+         |      WHERE regexp_matches(blk,
+         |        '(?:\\d+:)?\\d{1,2}:\\d{1,2}[.,]\\d{3} --> (?:\\d+:)?\\d{1,2}:\\d{1,2}[.,]\\d{3}')),
+         | u AS (SELECT media_id, bi,
+         |        COALESCE(TRY_CAST(g.h1 AS BIGINT), 0) * 3600000
+         |          + CAST(g.m1 AS BIGINT) * 60000 + CAST(g.s1 AS BIGINT) * 1000
+         |          + CAST(g.f1 AS BIGINT) AS start_ms,
+         |        COALESCE(TRY_CAST(g.h2 AS BIGINT), 0) * 3600000
+         |          + CAST(g.m2 AS BIGINT) * 60000 + CAST(g.s2 AS BIGINT) * 1000
+         |          + CAST(g.f2 AS BIGINT) AS end_ms,
+         |        regexp_replace(blk, '^.*?-->[^\\n]*\\n?', '', 's') AS text
+         |      FROM t)
+         | SELECT media_id,
+         |   CAST(ROW_NUMBER() OVER (PARTITION BY media_id ORDER BY bi) - 1
+         |     AS INTEGER) AS cue_idx,
+         |   start_ms, end_ms, text
+         | FROM u""".stripMargin,
+    // q_m19: the q_m18 cue parse joined to the q_m10 keyframe anchors
+    // plus the TIME AXIS: stts delta re-derived from the id contract
+    // (usPerFrame·90000/1e6 ticks at timescale 90000, the fixture's
+    // mdhd/stts numbers), keyframe t_ms = fi·delta·1000/90000, range
+    // predicate start_ms <= t_ms < end_ms
+    "q_m19_clip_captions" ->
+      s"""WITH c AS (SELECT media_id,
+         |        string_split(replace(replace(content, chr(13)||chr(10), chr(10)),
+         |          chr(13), chr(10)), chr(10)||chr(10)) AS blks
+         |      FROM read_parquet('${Tables.captionsFixturePath}')),
+         | i AS (SELECT media_id, blks, unnest(generate_series(1, len(blks))) AS bi
+         |      FROM c),
+         | b AS (SELECT media_id, bi, blks[bi] AS blk FROM i),
+         | t AS (SELECT media_id, bi, blk,
+         |        regexp_extract(blk,
+         |          '(?:(\\d+):)?(\\d{1,2}):(\\d{1,2})[.,](\\d{3}) --> (?:(\\d+):)?(\\d{1,2}):(\\d{1,2})[.,](\\d{3})',
+         |          ['h1','m1','s1','f1','h2','m2','s2','f2']) AS g
+         |      FROM b
+         |      WHERE regexp_matches(blk,
+         |        '(?:\\d+:)?\\d{1,2}:\\d{1,2}[.,]\\d{3} --> (?:\\d+:)?\\d{1,2}:\\d{1,2}[.,]\\d{3}')),
+         | u AS (SELECT media_id, bi,
+         |        COALESCE(TRY_CAST(g.h1 AS BIGINT), 0) * 3600000
+         |          + CAST(g.m1 AS BIGINT) * 60000 + CAST(g.s1 AS BIGINT) * 1000
+         |          + CAST(g.f1 AS BIGINT) AS start_ms,
+         |        COALESCE(TRY_CAST(g.h2 AS BIGINT), 0) * 3600000
+         |          + CAST(g.m2 AS BIGINT) * 60000 + CAST(g.s2 AS BIGINT) * 1000
+         |          + CAST(g.f2 AS BIGINT) AS end_ms,
+         |        regexp_replace(blk, '^.*?-->[^\\n]*\\n?', '', 's') AS text
+         |      FROM t),
+         | cues AS (SELECT media_id,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY media_id ORDER BY bi) - 1
+         |          AS INTEGER) AS cue_idx,
+         |        start_ms, end_ms, text
+         |      FROM u),
+         | km AS (SELECT media_id, hex(media) AS h, octet_length(media) AS n
+         |      FROM read_parquet('${Tables.mp4AvcFixturePath}')),
+         | kt AS (SELECT km.*,
+         |        (n >= 12 AND substr(h, 9, 8) = '66747970') AS is_mp4,
+         |        (media_id % 8 <> 3 AND media_id % 8 <> 7) AS full_row,
+         |        CAST(2 + media_id % 5 AS INTEGER) AS nf,
+         |        CAST(1 + media_id % 3 AS INTEGER) AS k,
+         |        (33333 + 1000 * (media_id % 7)) * 90000 // 1000000 AS delta,
+         |        TRY_CAST('0x' || substr(h, 33, 8) AS BIGINT) AS mdat_sz
+         |      FROM km),
+         | ku AS (SELECT media_id, nf, k, delta,
+         |        CAST((mdat_sz - 8) // nf AS BIGINT) AS s,
+         |        unnest(range(nf)) AS fi
+         |      FROM kt WHERE is_mp4 AND full_row AND nf > 0 AND mdat_sz > 8),
+         | kf AS (SELECT media_id, CAST(fi + 1 AS BIGINT) AS sample_no,
+         |        CAST(24 + fi * s AS BIGINT) AS "offset",
+         |        CAST(s AS BIGINT) AS n_bytes,
+         |        CAST(fi * delta * 1000 // 90000 AS BIGINT) AS t_ms
+         |      FROM ku WHERE fi % k = 0)
+         | SELECT cues.media_id, cues.cue_idx, cues.start_ms, cues.end_ms,
+         |   cues.text, kf.sample_no, kf."offset", kf.n_bytes, kf.t_ms
+         | FROM cues JOIN kf ON kf.media_id = cues.media_id
+         |   AND kf.t_ms >= cues.start_ms AND kf.t_ms < cues.end_ms""".stripMargin,
     // q_x19: the oracle runs the IDENTICAL RE2-safe patterns (shared
     // via Pii.categories, so both engines scan the same strings with
     // the same regexes); DuckDB regexp_replace needs the explicit 'g'

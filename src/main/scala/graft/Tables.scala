@@ -212,6 +212,16 @@ object Tables {
   }
   def ts(spark: SparkSession): DataFrame = spark.read.parquet(tsFixturePath)
 
+  /** captions(media_id BIGINT, kind STRING, content STRING) —
+   * repo-local deterministic WebVTT/SRT sidecar-caption fixture
+   * (tools.CaptionFixture; shares AvcMp4Fixture's media_id domain so
+   * cues align with that fixture's keyframe time axis). */
+  def captionsFixturePath: String = {
+    val local = new java.io.File("fixtures/captions.parquet")
+    if (local.exists) local.getAbsolutePath else "/root/repo/fixtures/captions.parquet"
+  }
+  def captions(spark: SparkSession): DataFrame = spark.read.parquet(captionsFixturePath)
+
   /** pii(rec_id BIGINT, text STRING) — repo-local deterministic
    * PII-bearing text fixture (tools.PiiFixture; the driver corpus is
    * digit-free word salad, so identifier scanning needs its own rows). */

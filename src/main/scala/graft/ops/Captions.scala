@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Caption/transcript extraction and cue↔keyframe alignment — the
+ * pairing ops that turn the shard-list time axes (q_m10–q_m13) into
+ * AV-text TRAINING DATA. The reference has no analogue; this is the
+ * LLM-pipeline brief: a 100 TB video corpus ships WebVTT/SRT sidecar
+ * captions, and the unit a video-text training set is made of is the
+ * (clip, caption) pair — a caption cue matched to the keyframes whose
+ * presentation times fall inside its window, because keyframes are
+ * where clip decode can start.
+ *
+ * Scale design: cue parsing is a pure map-side string kernel (one
+ * pass per payload, no shuffle — plan-pinned like the byte walkers);
+ * the alignment is an equi-join on media_id with the time window as a
+ * join-level range predicate — never a cartesian, and the cue side of
+ * a typical corpus (kilobytes per video) broadcasts.
+ */
+object Captions {
+
+  /** Input row shape (public: Catalyst deserializer codegen needs
+   * access, same as Multimodal.MediaRow). */
+  case class CaptionRow(media_id: Long, content: String)
+
+  /** `(?:hh:)?mm:ss(.|,)mmm` — WebVTT uses `.`, SRT uses `,`; the
+   * hour field is optional in WebVTT's short form. */
+  private val TimeRe =
+    """(?:(\d+):)?(\d{1,2}):(\d{1,2})[.,](\d{3})""".r
+
+  private def toMs(m: scala.util.matching.Regex.Match): Long = {
+    val h = Option(m.group(1)).map(_.toLong).getOrElse(0L)
+    h * 3600000L + m.group(2).toLong * 60000L +
+      m.group(3).toLong * 1000L + m.group(4).toLong
+  }
+
+  /**
+   * Parse one WebVTT or SRT payload into (cue_idx, start_ms, end_ms,
+   * text) cues. Both formats are blank-line-separated blocks; a cue
+   * block is any block containing a `-->` timing line with two
+   * parsable timestamps — lines before it (WebVTT cue identifiers,
+   * SRT counters) are skipped, lines after it are the cue text
+   * (joined with newline, preserved verbatim). Non-cue blocks (the
+   * WEBVTT header, NOTE/STYLE blocks, junk) contribute nothing.
+   * Malformed payloads yield what parsed, never a throw — the same
+   * tolerance discipline as the byte walkers.
+   */
+  private[ops] def parseCues(content: String): Seq[(Int, Long, Long, String)] = {
+    if (content == null) return Nil
+    val norm = content.replace("\r\n", "\n").replace('\r', '\n')
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, String)]
+    norm.split("\n\n", -1).foreach { blk =>
+      val lines = blk.split("\n", -1)
+      val ai = lines.indexWhere(_.contains("-->"))
+      if (ai >= 0) {
+        val times = TimeRe.findAllMatchIn(lines(ai)).take(2).toSeq
+        if (times.size == 2) {
+          out += ((out.size, toMs(times(0)), toMs(times(1)),
+            lines.drop(ai + 1).mkString("\n")))
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** Relational face of [[parseCues]]: one row per cue with its
+   * 0-based index and window. Pure map-side — payloads never leave
+   * their partition, only fixed-shape cue rows come out. */
+  def cueTable(spark: SparkSession, captions: DataFrame): DataFrame = {
+    import spark.implicits._
+    captions.select(col("media_id"), col("content"))
+      .as[CaptionRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          parseCues(r.content).map { case (i, s, e, text) =>
+            (r.media_id, i, s, e, text)
+          }
+        }
+      }
+      .toDF("media_id", "cue_idx", "start_ms", "end_ms", "text")
+  }
+
+  /**
+   * Clip-caption pairs: each caption cue matched to every keyframe of
+   * the SAME media whose presentation time lands inside the cue's
+   * half-open window (start_ms <= t_ms < end_ms) — the keyframes a
+   * clip extractor for that cue can seek to. Inputs are the
+   * [[cueTable]] and [[Multimodal.mp4KeyframeTimeTable]] shapes.
+   *
+   * Scale shape: an equi-join on media_id carrying the range
+   * predicate in the join condition — Catalyst plans a hash/merge
+   * join on the key (never a cartesian; plan-pinned), and the cue
+   * side broadcasts when small. Cues with no in-window keyframe drop
+   * out (inner join): a cue whose window holds no decodable start
+   * point yields no training pair.
+   */
+  def clipCaptionPairs(cues: DataFrame, keyframes: DataFrame): DataFrame =
+    cues.join(keyframes,
+        cues("media_id") === keyframes("media_id") &&
+          keyframes("t_ms") >= cues("start_ms") &&
+          keyframes("t_ms") < cues("end_ms"))
+      .select(cues("media_id"), cues("cue_idx"), cues("start_ms"),
+        cues("end_ms"), cues("text"), keyframes("sample_no"),
+        keyframes("offset"), keyframes("n_bytes"), keyframes("t_ms"))
+}

@@ -1193,7 +1193,9 @@ object Multimodal {
         uniformSize: Long, sampleCount: Long,
         sizeTable: Array[Long], chunkOffs: Array[Long],
         stscRuns: Array[(Long, Long)], // (first_chunk, samples_per_chunk)
-        syncSamples: Array[Long]) { // stss 1-based sample numbers; null = no stss
+        syncSamples: Array[Long], // stss 1-based sample numbers; null = no stss
+        timescale: Long = 0L, // mdhd media timescale; 0 if absent
+        sttsRuns: Array[(Long, Long)] = null) { // (sample_count, delta ticks)
       def complete: Boolean =
         chunkOffs != null && stscRuns != null && sampleCount > 0 &&
           (uniformSize > 0 || sizeTable != null)
@@ -1251,6 +1253,8 @@ object Multimodal {
             var chunkOffs: Array[Long] = null
             var stscRuns: Array[(Long, Long)] = null
             var syncSamples: Array[Long] = null
+            var timescale = 0L
+            var sttsRuns: Array[(Long, Long)] = null
             walk(p1, e1) { (t2, p2, e2) =>
               if (t2 == "tkhd" && p2 + 4 <= e2) {
                 // fullbox: version decides the 32/64-bit time fields
@@ -1259,6 +1263,11 @@ object Multimodal {
                 if (off + 4 <= e2) trackId = be32(b, off)
               }
               if (t2 == "mdia") walk(p2, e2) { (t3, p3, e3) =>
+                if (t3 == "mdhd" && p3 + 4 <= e3) {
+                  // fullbox: version 1 has 64-bit create/modify times
+                  val off = if ((b(p3) & 0xff) == 1) p3 + 4 + 16 else p3 + 4 + 8
+                  if (off + 4 <= e3) timescale = be32(b, off)
+                }
                 if (t3 == "minf") walk(p3, e3) { (t4, p4, e4) =>
                   if (t4 == "stbl") walk(p4, e4) { (t5, p5, e5) =>
                     t5 match {
@@ -1296,6 +1305,11 @@ object Multimodal {
                         if (n >= 0 && p5 + 8 + 4 * n <= e5 && n <= (1 << 22))
                           syncSamples = Array.tabulate(n.toInt)(j =>
                             be32(b, p5 + 8 + 4 * j))
+                      case "stts" if p5 + 8 <= e5 =>
+                        val n = be32(b, p5 + 4)
+                        if (n > 0 && p5 + 8 + 8 * n <= e5 && n <= (1 << 20))
+                          sttsRuns = Array.tabulate(n.toInt)(j =>
+                            (be32(b, p5 + 8 + 8 * j), be32(b, p5 + 12 + 8 * j)))
                       case _ => ()
                     }
                   }
@@ -1303,7 +1317,7 @@ object Multimodal {
               }
             }
             traks += TrakTables(trackId, codec, uniformSize, sampleCount,
-              sizeTable, chunkOffs, stscRuns, syncSamples)
+              sizeTable, chunkOffs, stscRuns, syncSamples, timescale, sttsRuns)
           }
         }
       }
@@ -1375,6 +1389,42 @@ object Multimodal {
             case sn if sn >= 1 && sn <= all.length =>
               val (off, len) = all((sn - 1).toInt)
               (sn, off, len, t.codec)
+          }
+      }.flatten
+
+    /** [[mp4SyncSamplesC]] plus each sync sample's PRESENTATION START
+     * TIME in milliseconds — the time axis that pairs keyframes with
+     * caption cues: `stts` gives every sample's duration in mdhd
+     * ticks, so sample n starts at the prefix sum of the first n−1
+     * deltas, converted by the mdhd timescale. Samples past the last
+     * stts run reuse its delta (tolerance: the spec says stts covers
+     * all samples). Traks without stts or a positive timescale emit
+     * nothing — a keyframe with no derivable clock cannot be aligned. */
+    private[ops] def mp4SyncSampleTimes(b: Array[Byte]): Seq[(Long, Int, Int, Long)] =
+      mp4Traks(b).collect {
+        case t if H26xCodecs.contains(t.codec) && t.syncSamples != null &&
+            t.timescale > 0 && t.sttsRuns != null =>
+          val all = expandSamples(t, b.length).toIndexedSeq
+          // prefix-sum the stts deltas into per-sample start ticks
+          val startTicks = new Array[Long](all.length)
+          var i = 0
+          var tick = 0L
+          var run = 0
+          var left = if (t.sttsRuns.nonEmpty) t.sttsRuns(0)._1 else 0L
+          while (i < all.length) {
+            startTicks(i) = tick
+            tick += (if (run < t.sttsRuns.length) t.sttsRuns(run)._2 else 0L)
+            left -= 1
+            if (left <= 0 && run + 1 < t.sttsRuns.length) {
+              run += 1
+              left = t.sttsRuns(run)._1
+            }
+            i += 1
+          }
+          t.syncSamples.toSeq.collect {
+            case sn if sn >= 1 && sn <= all.length =>
+              val (off, len) = all((sn - 1).toInt)
+              (sn, off, len, startTicks((sn - 1).toInt) * 1000L / t.timescale)
           }
       }.flatten
 
@@ -1690,6 +1740,25 @@ object Multimodal {
    */
   def mp4KeyframeTable(spark: SparkSession, media: DataFrame): DataFrame =
     keyframeTable(spark, media, AvHeaders.mp4SyncSamplesC)
+
+  /** [[mp4KeyframeTable]] with each keyframe's PRESENTATION START
+   * TIME in milliseconds ([[AvHeaders.mp4SyncSampleTimes]]: stts
+   * prefix sums over the mdhd timescale) — the time axis a
+   * clip-caption pairing op range-joins caption cues against. Same
+   * partition-local discipline; only fixed-shape rows move. */
+  def mp4KeyframeTimeTable(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("mime_type"), col("media"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          AvHeaders.mp4SyncSampleTimes(r.media).map { case (sn, off, len, tMs) =>
+            (r.media_id, sn, off.toLong, len.toLong, tMs)
+          }
+        }
+      }
+      .toDF("media_id", "sample_no", "offset", "n_bytes", "t_ms")
+  }
 
   /** [[mp4KeyframeTable]] for FRAGMENTED MP4 (CMAF/DASH segments):
    * sync samples located from `moof`/`traf`/`trun` run tables

@@ -266,6 +266,27 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("caption cue parse is pure map-side; the clip-caption range join is keyed, never cartesian") {
+    audited(graft.ops.Captions.cueTable(spark, Tables.captions(spark))) { plan =>
+      assert(shuffles(plan).isEmpty, s"${shuffles(plan).size} shuffles:\n$plan")
+    }
+    // the alignment joins on media_id with the time window as a join
+    // condition: any hash/merge join on the key is fine, a nested-loop
+    // or cartesian over cues × keyframes is the 100TB failure mode
+    audited(graft.ops.Captions.clipCaptionPairs(
+      graft.ops.Captions.cueTable(spark, Tables.captions(spark)),
+      graft.ops.Multimodal.mp4KeyframeTimeTable(spark, Tables.mp4Avc(spark)))) { plan =>
+      assert(plan.collect { case c: CartesianProductExec => c }.isEmpty, plan.toString)
+      assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty, plan.toString)
+      val keyed = plan.collect {
+        case j: BroadcastHashJoinExec => j
+        case j: SortMergeJoinExec => j
+        case j: ShuffledHashJoinExec => j
+      }
+      assert(keyed.nonEmpty, plan.toString)
+    }
+  }
+
   test("multi-rule aligned engine face is a single keyed shuffle") {
     // q_e6: three rules share one correlation key — the interpreter
     // must stay ONE repartition-by-key + in-partition sort, exactly
