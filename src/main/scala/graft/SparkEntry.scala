@@ -408,6 +408,14 @@ object SparkEntry {
       Captions.clipCaptionPairs(
         Captions.cueTable(s, Tables.captions(s)),
         Multimodal.mp4KeyframeTimeTable(s, Tables.mp4Avc(s)))),
+    // q_m20: FLAC frame location + STREAMINFO identity — the metadata
+    // chain walk finds the audio start, the 14-bit sync scan finds
+    // each frame boundary (FLAC headers carry no length field), and
+    // every row carries the packed rate/channels/bits/total fields;
+    // the oracle unpacks the same STREAMINFO word from its bytes and
+    // re-derives each frame coordinate from the size contract
+    "q_m20_flac_frames" -> ((s, _) =>
+      Multimodal.flacFrameTable(s, Tables.flac(s))),
     // q_x20: MOSS-style cross-doc copy detection — winnow fingerprint
     // overlap with stop-fingerprint (df cap) pruning + containment
     "q_x20_copy_pairs" -> ((s, d) =>
@@ -1856,6 +1864,36 @@ object SparkEntry {
          |   cues.text, kf.sample_no, kf."offset", kf.n_bytes, kf.t_ms
          | FROM cues JOIN kf ON kf.media_id = cues.media_id
          |   AND kf.t_ms >= cues.start_ms AND kf.t_ms < cues.end_ms""".stripMargin,
+    // q_m20: the STREAMINFO word unpacked from bytes 18-25 by integer
+    // division (rate = v >> 44, channels = (v >> 41 & 7) + 1, bits =
+    // (v >> 36 & 31) + 1, total = v & 2^36-1); the audio offset and
+    // each frame's (offset, size) from the id contract (aoff = 58 +
+    // id%20, size_i = s0 + 8i → offset_i = aoff + i·s0 + 8·i(i-1)/2);
+    // header-only and junk rows excluded like the walker excludes them
+    "q_m20_flac_frames" ->
+      s"""WITH m AS (SELECT media_id, hex(media) AS h, octet_length(media) AS n
+         |           FROM read_parquet('${Tables.flacFixturePath}')),
+         | t AS (SELECT m.*,
+         |        (substr(h, 1, 8) = '664C6143') AS is_flac,
+         |        (media_id % 8 <> 3 AND media_id % 8 <> 7) AS full_row,
+         |        CAST(2 + media_id % 5 AS INTEGER) AS nf,
+         |        CAST(40 + 2 * (media_id % 10) AS BIGINT) AS s0,
+         |        CAST(58 + media_id % 20 AS BIGINT) AS aoff,
+         |        TRY_CAST('0x' || substr(h, 37, 16) AS UBIGINT) AS v
+         |      FROM m),
+         | g AS (SELECT media_id, nf, s0, aoff,
+         |        CAST(v // 17592186044416 AS INTEGER) AS sample_rate,
+         |        CAST((v // 2199023255552) % 8 + 1 AS INTEGER) AS channels,
+         |        CAST((v // 68719476736) % 32 + 1 AS INTEGER) AS bits,
+         |        CAST(v % 68719476736 AS BIGINT) AS total_samples
+         |      FROM t WHERE full_row AND is_flac AND v IS NOT NULL),
+         | u AS (SELECT *, unnest(range(nf)) AS fi FROM g)
+         | SELECT media_id, CAST(fi AS INTEGER) AS frame_idx,
+         |   CAST(aoff + fi * s0 + 8 * (fi * (fi - 1) // 2) AS BIGINT) AS "offset",
+         |   CAST(s0 + 8 * fi AS BIGINT) AS n_bytes,
+         |   sample_rate, channels, bits, total_samples,
+         |   CAST(total_samples * 1000 // sample_rate AS BIGINT) AS duration_ms
+         | FROM u""".stripMargin,
     // q_x19: the oracle runs the IDENTICAL RE2-safe patterns (shared
     // via Pii.categories, so both engines scan the same strings with
     // the same regexes); DuckDB regexp_replace needs the explicit 'g'

@@ -212,6 +212,16 @@ object Tables {
   }
   def ts(spark: SparkSession): DataFrame = spark.read.parquet(tsFixturePath)
 
+  /** flac(media_id BIGINT, mime_type STRING, media BINARY) —
+   * repo-local deterministic FLAC fixture (tools.FlacFixture: real
+   * STREAMINFO/metadata chain + sync-coded variable-size frames;
+   * plus header-only and junk rows). */
+  def flacFixturePath: String = {
+    val local = new java.io.File("fixtures/flac.parquet")
+    if (local.exists) local.getAbsolutePath else "/root/repo/fixtures/flac.parquet"
+  }
+  def flac(spark: SparkSession): DataFrame = spark.read.parquet(flacFixturePath)
+
   /** captions(media_id BIGINT, kind STRING, content STRING) —
    * repo-local deterministic WebVTT/SRT sidecar-caption fixture
    * (tools.CaptionFixture; shares AvcMp4Fixture's media_id domain so

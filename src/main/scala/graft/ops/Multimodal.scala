@@ -1558,6 +1558,74 @@ object Multimodal {
       out.toSeq
     }
 
+    /** FLAC STREAMINFO walk: `fLaC` magic, then the metadata-block
+     * chain (1-byte last-flag+type, 3-byte BE length) until the
+     * last-block flag; STREAMINFO (type 0) carries the packed
+     * rate/channels/bits/total-samples word at payload bytes 10–17.
+     * Returns (audio start offset, sample_rate, channels,
+     * bits_per_sample, total_samples) — duration is
+     * total_samples/sample_rate, the whole relational identity of a
+     * speech-corpus file without touching a subframe. Truncated block
+     * chains yield None, never a throw. */
+    private[ops] def flacStreamInfo(b: Array[Byte]): Option[(Int, Int, Int, Int, Long)] = {
+      if (b == null || b.length < 42 || b(0) != 'f' || b(1) != 'L' ||
+        b(2) != 'a' || b(3) != 'C') return None
+      var i = 4
+      var info: Option[(Int, Int, Int, Long)] = None
+      var last = false
+      while (!last && i + 4 <= b.length) {
+        val hdr = b(i) & 0xff
+        last = (hdr & 0x80) != 0
+        val btype = hdr & 0x7f
+        val len = ((b(i + 1) & 0xff) << 16) | ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+        val p = i + 4
+        if (p + len > b.length) return None
+        if (btype == 0 && len >= 34) {
+          var v = 0L
+          var j = 0
+          while (j < 8) { v = (v << 8) | (b(p + 10 + j) & 0xffL); j += 1 }
+          val sr = (v >>> 44).toInt
+          if (sr > 0)
+            info = Some((sr, ((v >>> 41) & 7).toInt + 1,
+              ((v >>> 36) & 31).toInt + 1, v & ((1L << 36) - 1)))
+        }
+        i = p + len
+      }
+      if (!last) None
+      else info.map { case (sr, ch, bps, t) => (i, sr, ch, bps, t) }
+    }
+
+    /** Shard-unit locator for FLAC streams: frame boundaries by the
+     * 14-bit sync scan (0xFF 0xF8/0xF9) from the end of the metadata
+     * chain — FLAC frame headers (unlike ADTS) carry no length field,
+     * so boundary location without subframe decode IS a sync scan,
+     * the same recovery walk stream tools use. A payload byte pair
+     * that happens to equal the sync code would split a frame early —
+     * the documented precision limit of every codec-free FLAC walker
+     * (ruling it out requires CRC-8 verification over decoded
+     * headers); the fixture keeps fill bytes 7-bit so the contract is
+     * exact. The first frame must start exactly at the audio offset
+     * or nothing is emitted. */
+    private[ops] def flacFrames(b: Array[Byte]): Seq[(Int, Int)] =
+      flacStreamInfo(b) match {
+        case None => Nil
+        case Some((off, _, _, _, _)) =>
+          def sync(p: Int): Boolean = p + 1 < b.length &&
+            (b(p) & 0xff) == 0xff && (b(p + 1) & 0xfe) == 0xf8
+          if (off >= b.length || !sync(off)) Nil
+          else {
+            val starts = scala.collection.mutable.ArrayBuffer(off)
+            var p = off + 2
+            while (p + 1 < b.length) {
+              if (sync(p)) { starts += p; p += 2 } else p += 1
+            }
+            starts.toSeq.zipWithIndex.map { case (s, i) =>
+              val end = if (i + 1 < starts.length) starts(i + 1) else b.length
+              (s, end - s)
+            }
+          }
+      }
+
     /** H.26x/MPEG-video PMT stream_types: keyframe sharding applies
      * to these; audio/data elementary streams are not shard units. */
     private val TsVideoStreamTypes = Set(0x01, 0x02, 0x1b, 0x24)
@@ -1822,6 +1890,33 @@ object Multimodal {
    * ([[AvHeaders.adtsFrames]]): same shape, same discipline. */
   def adtsFrameTable(spark: SparkSession, media: DataFrame): DataFrame =
     bitstreamFrameTable(spark, media, AvHeaders.adtsFrames)
+
+  /** Relational face of the FLAC walk: one row per audio frame
+   * (located by [[AvHeaders.flacFrames]]' sync scan) carrying the
+   * file's STREAMINFO identity ([[AvHeaders.flacStreamInfo]]) —
+   * sample rate, channels, bit depth, total samples and the derived
+   * duration — so one query yields both the shard list and the
+   * audio-corpus metadata a speech pipeline filters on. Same
+   * partition-local discipline as every walker here. */
+  def flacFrameTable(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("mime_type"), col("media"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          AvHeaders.flacStreamInfo(r.media).toSeq.flatMap {
+            case (_, sr, ch, bps, total) =>
+              AvHeaders.flacFrames(r.media).zipWithIndex.map {
+                case ((off, len), i) =>
+                  (r.media_id, i, off.toLong, len.toLong, sr, ch, bps,
+                    total, total * 1000L / sr)
+              }
+          }
+        }
+      }
+      .toDF("media_id", "frame_idx", "offset", "n_bytes", "sample_rate",
+        "channels", "bits", "total_samples", "duration_ms")
+  }
 
   /** Relational face of the MPEG-TS walk ([[AvHeaders.tsPesStarts]]):
    * one row per video PES start with its packet index, byte offset,

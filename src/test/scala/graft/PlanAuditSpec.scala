@@ -264,6 +264,9 @@ class PlanAuditSpec extends SparkSpec {
     audited(graft.ops.Multimodal.tsPesTable(spark, Tables.ts(spark))) { plan =>
       assert(shuffles(plan).isEmpty, s"${shuffles(plan).size} shuffles:\n$plan")
     }
+    audited(graft.ops.Multimodal.flacFrameTable(spark, Tables.flac(spark))) { plan =>
+      assert(shuffles(plan).isEmpty, s"${shuffles(plan).size} shuffles:\n$plan")
+    }
   }
 
   test("caption cue parse is pure map-side; the clip-caption range join is keyed, never cartesian") {

@@ -516,6 +516,36 @@ class MultimodalSpec extends SparkSpec {
     assert(AvHeaders.mp3Frames(noFooterFlag).isEmpty)
   }
 
+  test("FLAC: STREAMINFO unpack + sync-scan frames match the fixture contract") {
+    import graft.tools.FlacFixture
+    for (id <- Seq(0L, 1L, 2L, 4L, 5L, 6L, 8L, 9L)) {
+      val bytes = FlacFixture.flac(id)
+      val si = AvHeaders.flacStreamInfo(bytes)
+      assert(si.contains((FlacFixture.audioOffset(id), FlacFixture.sampleRate(id),
+        FlacFixture.channels(id), 16, FlacFixture.totalSamples(id))), s"id=$id got $si")
+      val s0 = FlacFixture.frameSize0(id)
+      val aoff = FlacFixture.audioOffset(id)
+      val expect = (0 until FlacFixture.nFrames(id)).map { i =>
+        (aoff + i * s0 + 8 * (i * (i - 1) / 2), s0 + 8 * i)
+      }
+      val got = AvHeaders.flacFrames(bytes)
+      assert(got == expect, s"id=$id got $got")
+    }
+    // header-only: STREAMINFO parses, zero frames
+    val ho = FlacFixture.headerOnly(3)
+    assert(AvHeaders.flacStreamInfo(ho).nonEmpty)
+    assert(AvHeaders.flacFrames(ho).isEmpty)
+    // junk / truncation / null: nothing parses
+    assert(AvHeaders.flacStreamInfo(FlacFixture.row(7)._2).isEmpty)
+    assert(AvHeaders.flacFrames(FlacFixture.row(7)._2).isEmpty)
+    assert(AvHeaders.flacStreamInfo(FlacFixture.flac(0).take(30)).isEmpty)
+    assert(AvHeaders.flacStreamInfo(null).isEmpty)
+    // a metadata chain that never sets the last-block flag: truncated
+    val noLast = FlacFixture.flac(0).clone()
+    noLast(42) = (noLast(42) & 0x7f).toByte // clear the comment's last flag
+    assert(AvHeaders.flacStreamInfo(noLast).isEmpty)
+  }
+
   test("MPEG-TS walk: PES starts match the fixture contract, decoys excluded") {
     import graft.tools.TsFixture
     for (id <- Seq(0L, 1L, 2L, 4L, 5L, 6L, 8L, 9L)) {
@@ -939,7 +969,8 @@ class MultimodalSpec extends SparkSpec {
       graft.tools.AvcMp4Fixture.fragMp4(0), graft.tools.AvcMp4Fixture.fragMp4(5),
       graft.tools.WebmFixture.webm(0), graft.tools.OggFixture.row(0)._2,
       graft.tools.Mp3Fixture.mp3(0), graft.tools.ExifFixture.jpeg(0),
-      graft.tools.AacFixture.aac(0), graft.tools.TsFixture.ts(0)
+      graft.tools.AacFixture.aac(0), graft.tools.TsFixture.ts(0),
+      graft.tools.FlacFixture.flac(0)
     ).flatMap { base =>
       (0 until 8).map { _ =>
         val m = base.clone()
@@ -967,6 +998,9 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.AvHeaders.mp3Frames(b)       // must not throw
       Multimodal.AvHeaders.adtsFrames(b)      // must not throw
       Multimodal.AvHeaders.tsPesStarts(b)     // must not throw
+      Multimodal.AvHeaders.flacStreamInfo(b)  // must not throw
+      Multimodal.AvHeaders.flacFrames(b)      // must not throw
+      Multimodal.AvHeaders.mp4SyncSampleTimes(b) // must not throw
       Multimodal.AvHeaders.wavClips(b, 10)    // must not throw
       Multimodal.MediaCodec.decodeGifFrames(b) // must not throw
       Multimodal.MediaCodec.decodeAudioSampled(b) // must not throw
