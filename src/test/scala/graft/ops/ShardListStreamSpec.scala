@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.SparkSpec
+
+/**
+ * Streaming faces of the shard-list walkers: the locator tables are
+ * stateless partition-local mapPartitions transforms, so the SAME
+ * function body runs on a file-source stream over a growing media
+ * directory — the q_x16 ingest pattern for media corpora. Each test
+ * feeds two arrival waves into a directory and asserts the streamed
+ * shard list equals the batch walk over the final directory
+ * (batch-equivalence: no rows lost at the trigger boundary, no state
+ * needed, blobs stay partition-local per micro-batch).
+ */
+class ShardListStreamSpec extends SparkSpec {
+
+  private val mediaSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "media_id BIGINT, mime_type STRING, media BINARY")
+
+  private def writeWave(dir: String, rows: Seq[(Long, String, Array[Byte])]): Unit = {
+    import spark.implicits._
+    rows.toDF("media_id", "mime_type", "media")
+      .coalesce(1).write.mode("append").parquet(dir)
+  }
+
+  /** Run `table` over a 2-wave stream of `rows`; return the sink name. */
+  private def streamed(name: String, rows: Seq[(Long, String, Array[Byte])],
+      table: (SparkSession, DataFrame) => DataFrame): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"shardstream_$name").toString
+    val (w1, w2) = rows.splitAt(rows.size / 2)
+    writeWave(dir, w1)
+    val in = spark.readStream.schema(mediaSchema).parquet(dir)
+    val query = table(spark, in)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      writeWave(dir, w2) // second arrival wave: the directory GROWS
+      query.processAllAvailable()
+    } finally query.stop()
+    // batch-equivalence oracle: the same walker over the final dir
+    val batch = table(spark, spark.read.schema(mediaSchema).parquet(dir))
+    val got = spark.table(name).collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val want = batch.collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(got.nonEmpty, s"$name: streamed no rows")
+    assert(got.toSeq == want.toSeq, s"$name: streamed != batch")
+    name
+  }
+
+  test("streamed MP4 keyframe locator equals the batch walk over the grown directory") {
+    val rows = (0L until 12L).map { id =>
+      val (mime, bytes) = graft.tools.AvcMp4Fixture.row(id)
+      (id, mime, bytes)
+    }
+    streamed("kf_stream", rows, Multimodal.mp4KeyframeTable)
+  }
+
+  test("streamed Ogg page locator equals the batch walk over the grown directory") {
+    val rows = (0L until 12L).map { id =>
+      val (mime, bytes) = graft.tools.OggFixture.row(id)
+      (id, mime, bytes)
+    }
+    streamed("ogg_stream", rows, Multimodal.oggPageTable)
+  }
+
+  test("streamed WebM block locator equals the batch walk over the grown directory") {
+    val rows = (0L until 12L).map { id =>
+      val (mime, bytes) = graft.tools.WebmFixture.row(id)
+      (id, mime, bytes)
+    }
+    streamed("webm_stream", rows, Multimodal.webmBlockTable)
+  }
+
+  test("streamed TS PES locator equals the batch walk over the grown directory") {
+    val rows = (0L until 12L).map { id =>
+      val (mime, bytes) = graft.tools.TsFixture.row(id)
+      (id, mime, bytes)
+    }
+    streamed("ts_stream", rows, Multimodal.tsPesTable)
+  }
+}
