@@ -122,6 +122,24 @@ object ScaleProbe {
       lit((1 to 8).map("w" + _).mkString(" ")).as("text"))
     timedAs("docs", rows)("pack_one_source")(
       graft.ops.Sampling.packSequences(oneSrc).count())
+    // ---- q_p10 leakage-safe cluster split at `rows` docs -----------
+    // skewed cluster-size distribution: one giant 100k-member star
+    // cluster (the hub shape a banded finder emits), one 1k-deep
+    // chain (the pointer-jumping CC's O(log diameter) stress), and
+    // 100k two-doc clusters — ~98% of the corpus stays singleton, the
+    // typical shape. Claim under test: the CC converges in log
+    // rounds over id-only joins and the label join broadcasts the
+    // small clustered subset, so the leakage-safe split's cost stays
+    // a small multiple of the plain hash split at any corpus size.
+    val splitDocs = spark.range(rows).select(col("id").as("doc_id"))
+    val star = spark.range(100000L)
+      .select(lit(0L).as("doc_a"), (col("id") + 1).as("doc_b"))
+    val chain = spark.range(1000L)
+      .select((col("id") + 200000L).as("doc_a"), (col("id") + 200001L).as("doc_b"))
+    val smalls = spark.range(100000L)
+      .select((col("id") * 2 + 1000000L).as("doc_a"), (col("id") * 2 + 1000001L).as("doc_b"))
+    timedAs("docs", rows)("cluster_split_p10")(
+      graft.ops.Sampling.clusterSplit(splitDocs, star.union(chain).union(smalls)).count())
     // the exported q_d8 path: banded MinHash pair finder (20×2) +
     // connected components + corpus filter — the clean-corpus pipeline
     // end to end at 101k docs
