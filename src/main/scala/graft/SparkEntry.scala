@@ -416,6 +416,25 @@ object SparkEntry {
     // re-derives each frame coordinate from the size contract
     "q_m20_flac_frames" -> ((s, _) =>
       Multimodal.flacFrameTable(s, Tables.flac(s))),
+    // q_m21: the TS time axis — each PES start's 33-bit/90 kHz PTS
+    // from the PES header's marker-bit encoding, as milliseconds; the
+    // oracle re-decodes the same five header bytes in hex arithmetic
+    "q_m21_ts_pts" -> ((s, _) =>
+      Multimodal.tsPtsTable(s, Tables.ts(s))),
+    // q_m22: the FRAGMENTED-MP4 time axis — tfdt baseMediaDecodeTime
+    // + trun/tfhd/trex durations over the mdhd timescale give each
+    // CMAF keyframe its decode time; the oracle re-derives it from
+    // the fixture's shared per-sample clock contract
+    "q_m22_frag_keyframe_times" -> ((s, _) =>
+      Multimodal.mp4FragmentedKeyframeTimeTable(s, Tables.mp4Frag(s))),
+    // q_m23: clip-caption pairs over the TS axis — the SAME pairing
+    // op as q_m19 against tsPtsTable's (media_id, t_ms), proving the
+    // alignment is container-generic; NULL-PTS rows can never match
+    // the window predicate
+    "q_m23_ts_clip_captions" -> ((s, _) =>
+      Captions.clipCaptionPairs(
+        Captions.cueTable(s, Tables.captions(s)),
+        Multimodal.tsPtsTable(s, Tables.ts(s)))),
     // q_x20: MOSS-style cross-doc copy detection — winnow fingerprint
     // overlap with stop-fingerprint (df cap) pruning + containment
     "q_x20_copy_pairs" -> ((s, d) =>
@@ -606,6 +625,91 @@ object SparkEntry {
       "rb_slow", Seq(Set("signup"), Set("__neverB")),
       java.time.Duration.ofMinutes(60), _.payload("key"),
       onComplete = _ => Nil, onTimeout = _ => Nil))
+
+  /** Shared DuckDB CTE body (no WITH): caption block split + timing
+   * parse → relation `cues`(media_id, cue_idx, start_ms, end_ms,
+   * text). Used by q_m18/q_m19/q_m23. */
+  private def CUES: String =
+    s"""cap_c AS (SELECT media_id,
+       |        string_split(replace(replace(content, chr(13)||chr(10), chr(10)),
+       |          chr(13), chr(10)), chr(10)||chr(10)) AS blks
+       |      FROM read_parquet('${Tables.captionsFixturePath}')),
+       | cap_i AS (SELECT media_id, blks, unnest(generate_series(1, len(blks))) AS bi
+       |      FROM cap_c),
+       | cap_b AS (SELECT media_id, bi, blks[bi] AS blk FROM cap_i),
+       | cap_t AS (SELECT media_id, bi, blk,
+       |        regexp_extract(blk,
+       |          '(?:(\\d+):)?(\\d{1,2}):(\\d{1,2})[.,](\\d{3}) --> (?:(\\d+):)?(\\d{1,2}):(\\d{1,2})[.,](\\d{3})',
+       |          ['h1','m1','s1','f1','h2','m2','s2','f2']) AS g
+       |      FROM cap_b
+       |      WHERE regexp_matches(blk,
+       |        '(?:\\d+:)?\\d{1,2}:\\d{1,2}[.,]\\d{3} --> (?:\\d+:)?\\d{1,2}:\\d{1,2}[.,]\\d{3}')),
+       | cap_u AS (SELECT media_id, bi,
+       |        COALESCE(TRY_CAST(g.h1 AS BIGINT), 0) * 3600000
+       |          + CAST(g.m1 AS BIGINT) * 60000 + CAST(g.s1 AS BIGINT) * 1000
+       |          + CAST(g.f1 AS BIGINT) AS start_ms,
+       |        COALESCE(TRY_CAST(g.h2 AS BIGINT), 0) * 3600000
+       |          + CAST(g.m2 AS BIGINT) * 60000 + CAST(g.s2 AS BIGINT) * 1000
+       |          + CAST(g.f2 AS BIGINT) AS end_ms,
+       |        regexp_replace(blk, '^.*?-->[^\\n]*\\n?', '', 's') AS text
+       |      FROM cap_t),
+       | cues AS (SELECT media_id,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY media_id ORDER BY bi) - 1
+       |          AS INTEGER) AS cue_idx,
+       |        start_ms, end_ms, text
+       |      FROM cap_u)""".stripMargin
+
+  /** Shared DuckDB CTE body (no WITH): the full TS grid walk (q_m17's
+   * derivation) extended with the PES-header PTS decode → relation
+   * `tsv`(media_id, pes_idx, packet_idx, offset, pid, rai, is_pes,
+   * t_ms). Used by q_m21/q_m23. */
+  private def TSPTS: String =
+    s"""ts_m AS (SELECT media_id, hex(media) AS h, octet_length(media) AS n
+       |      FROM read_parquet('${Tables.tsFixturePath}')),
+       | ts_t AS (SELECT ts_m.*,
+       |        ((TRY_CAST('0x' || substr(h, 423, 2) AS INTEGER) % 32) * 256
+       |         + TRY_CAST('0x' || substr(h, 425, 2) AS INTEGER)) AS vpid
+       |      FROM ts_m
+       |      WHERE media_id % 8 <> 3 AND media_id % 8 <> 7 AND n >= 376),
+       | ts_p AS (SELECT media_id, h, vpid, unnest(range(n // 188)) AS j FROM ts_t),
+       | ts_f AS (SELECT media_id, h, vpid, j, 188*j AS o,
+       |        TRY_CAST('0x' || substr(h, CAST(2*(188*j)+1 AS BIGINT), 2) AS INTEGER) AS b0,
+       |        TRY_CAST('0x' || substr(h, CAST(2*(188*j)+3 AS BIGINT), 2) AS INTEGER) AS b1,
+       |        TRY_CAST('0x' || substr(h, CAST(2*(188*j)+5 AS BIGINT), 2) AS INTEGER) AS b2,
+       |        TRY_CAST('0x' || substr(h, CAST(2*(188*j)+7 AS BIGINT), 2) AS INTEGER) AS b3,
+       |        TRY_CAST('0x' || substr(h, CAST(2*(188*j)+9 AS BIGINT), 2) AS INTEGER) AS b4,
+       |        TRY_CAST('0x' || substr(h, CAST(2*(188*j)+11 AS BIGINT), 2) AS INTEGER) AS b5
+       |      FROM ts_p),
+       | ts_g AS (SELECT *, (b1 % 32) * 256 + b2 AS pid,
+       |        (b1 & 64) <> 0 AS pusi,
+       |        (b3 // 16) % 4 AS afc
+       |      FROM ts_f WHERE b0 = 71),
+       | ts_v AS (SELECT media_id, h, j, o, pid,
+       |        (afc >= 2 AND b4 >= 1 AND (b5 & 64) <> 0) AS rai,
+       |        CASE WHEN afc >= 2 THEN o + 5 + b4 ELSE o + 4 END AS po
+       |      FROM ts_g WHERE pid = vpid AND pusi AND afc IN (1, 3)),
+       | ts_w AS (SELECT media_id, j, o, pid, rai, po,
+       |        (substr(h, CAST(2*po+1 AS BIGINT), 6) = '000001') AS is_pes,
+       |        TRY_CAST('0x' || substr(h, CAST(2*(po+7)+1 AS BIGINT), 2) AS INTEGER) AS f2,
+       |        TRY_CAST('0x' || substr(h, CAST(2*(po+8)+1 AS BIGINT), 2) AS INTEGER) AS hl,
+       |        TRY_CAST('0x' || substr(h, CAST(2*(po+9)+1 AS BIGINT), 2) AS BIGINT) AS q0,
+       |        TRY_CAST('0x' || substr(h, CAST(2*(po+10)+1 AS BIGINT), 2) AS BIGINT) AS q1,
+       |        TRY_CAST('0x' || substr(h, CAST(2*(po+11)+1 AS BIGINT), 2) AS BIGINT) AS q2,
+       |        TRY_CAST('0x' || substr(h, CAST(2*(po+12)+1 AS BIGINT), 2) AS BIGINT) AS q3,
+       |        TRY_CAST('0x' || substr(h, CAST(2*(po+13)+1 AS BIGINT), 2) AS BIGINT) AS q4
+       |      FROM ts_v),
+       | tsv AS (SELECT media_id,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY media_id ORDER BY j) - 1
+       |          AS INTEGER) AS pes_idx,
+       |        CAST(j AS INTEGER) AS packet_idx,
+       |        CAST(o AS BIGINT) AS "offset",
+       |        CAST(pid AS INTEGER) AS pid, rai, is_pes,
+       |        CASE WHEN is_pes AND (f2 & 128) <> 0 AND hl >= 5 THEN
+       |          CAST((((q0 // 2) % 8) * 1073741824 + q1 * 4194304
+       |            + ((q2 // 2) % 128) * 32768 + q3 * 128
+       |            + ((q4 // 2) % 128)) // 90 AS BIGINT)
+       |        END AS t_ms
+       |      FROM ts_w)""".stripMargin
 
   /** DuckDB shingle CTE twin of Dedup.shingles (3-word shingles). */
   private val SH =
@@ -1779,68 +1883,15 @@ object SparkEntry {
     // RE2 timing extract with optional hours and dot/comma decimals,
     // text = the block minus everything through the timing line
     "q_m18_caption_cues" ->
-      s"""WITH c AS (SELECT media_id,
-         |        string_split(replace(replace(content, chr(13)||chr(10), chr(10)),
-         |          chr(13), chr(10)), chr(10)||chr(10)) AS blks
-         |      FROM read_parquet('${Tables.captionsFixturePath}')),
-         | i AS (SELECT media_id, blks, unnest(generate_series(1, len(blks))) AS bi
-         |      FROM c),
-         | b AS (SELECT media_id, bi, blks[bi] AS blk FROM i),
-         | t AS (SELECT media_id, bi, blk,
-         |        regexp_extract(blk,
-         |          '(?:(\\d+):)?(\\d{1,2}):(\\d{1,2})[.,](\\d{3}) --> (?:(\\d+):)?(\\d{1,2}):(\\d{1,2})[.,](\\d{3})',
-         |          ['h1','m1','s1','f1','h2','m2','s2','f2']) AS g
-         |      FROM b
-         |      WHERE regexp_matches(blk,
-         |        '(?:\\d+:)?\\d{1,2}:\\d{1,2}[.,]\\d{3} --> (?:\\d+:)?\\d{1,2}:\\d{1,2}[.,]\\d{3}')),
-         | u AS (SELECT media_id, bi,
-         |        COALESCE(TRY_CAST(g.h1 AS BIGINT), 0) * 3600000
-         |          + CAST(g.m1 AS BIGINT) * 60000 + CAST(g.s1 AS BIGINT) * 1000
-         |          + CAST(g.f1 AS BIGINT) AS start_ms,
-         |        COALESCE(TRY_CAST(g.h2 AS BIGINT), 0) * 3600000
-         |          + CAST(g.m2 AS BIGINT) * 60000 + CAST(g.s2 AS BIGINT) * 1000
-         |          + CAST(g.f2 AS BIGINT) AS end_ms,
-         |        regexp_replace(blk, '^.*?-->[^\\n]*\\n?', '', 's') AS text
-         |      FROM t)
-         | SELECT media_id,
-         |   CAST(ROW_NUMBER() OVER (PARTITION BY media_id ORDER BY bi) - 1
-         |     AS INTEGER) AS cue_idx,
-         |   start_ms, end_ms, text
-         | FROM u""".stripMargin,
+      s"""WITH $CUES
+         | SELECT media_id, cue_idx, start_ms, end_ms, text FROM cues""".stripMargin,
     // q_m19: the q_m18 cue parse joined to the q_m10 keyframe anchors
     // plus the TIME AXIS: stts delta re-derived from the id contract
     // (usPerFrame·90000/1e6 ticks at timescale 90000, the fixture's
     // mdhd/stts numbers), keyframe t_ms = fi·delta·1000/90000, range
     // predicate start_ms <= t_ms < end_ms
     "q_m19_clip_captions" ->
-      s"""WITH c AS (SELECT media_id,
-         |        string_split(replace(replace(content, chr(13)||chr(10), chr(10)),
-         |          chr(13), chr(10)), chr(10)||chr(10)) AS blks
-         |      FROM read_parquet('${Tables.captionsFixturePath}')),
-         | i AS (SELECT media_id, blks, unnest(generate_series(1, len(blks))) AS bi
-         |      FROM c),
-         | b AS (SELECT media_id, bi, blks[bi] AS blk FROM i),
-         | t AS (SELECT media_id, bi, blk,
-         |        regexp_extract(blk,
-         |          '(?:(\\d+):)?(\\d{1,2}):(\\d{1,2})[.,](\\d{3}) --> (?:(\\d+):)?(\\d{1,2}):(\\d{1,2})[.,](\\d{3})',
-         |          ['h1','m1','s1','f1','h2','m2','s2','f2']) AS g
-         |      FROM b
-         |      WHERE regexp_matches(blk,
-         |        '(?:\\d+:)?\\d{1,2}:\\d{1,2}[.,]\\d{3} --> (?:\\d+:)?\\d{1,2}:\\d{1,2}[.,]\\d{3}')),
-         | u AS (SELECT media_id, bi,
-         |        COALESCE(TRY_CAST(g.h1 AS BIGINT), 0) * 3600000
-         |          + CAST(g.m1 AS BIGINT) * 60000 + CAST(g.s1 AS BIGINT) * 1000
-         |          + CAST(g.f1 AS BIGINT) AS start_ms,
-         |        COALESCE(TRY_CAST(g.h2 AS BIGINT), 0) * 3600000
-         |          + CAST(g.m2 AS BIGINT) * 60000 + CAST(g.s2 AS BIGINT) * 1000
-         |          + CAST(g.f2 AS BIGINT) AS end_ms,
-         |        regexp_replace(blk, '^.*?-->[^\\n]*\\n?', '', 's') AS text
-         |      FROM t),
-         | cues AS (SELECT media_id,
-         |        CAST(ROW_NUMBER() OVER (PARTITION BY media_id ORDER BY bi) - 1
-         |          AS INTEGER) AS cue_idx,
-         |        start_ms, end_ms, text
-         |      FROM u),
+      s"""WITH $CUES,
          | km AS (SELECT media_id, hex(media) AS h, octet_length(media) AS n
          |      FROM read_parquet('${Tables.mp4AvcFixturePath}')),
          | kt AS (SELECT km.*,
@@ -1894,6 +1945,56 @@ object SparkEntry {
          |   sample_rate, channels, bits, total_samples,
          |   CAST(total_samples * 1000 // sample_rate AS BIGINT) AS duration_ms
          | FROM u""".stripMargin,
+    // q_m21: the TS grid walk extended with the PES-header PTS decode
+    // — five marker-bit bytes re-assembled in hex arithmetic, /90 to
+    // milliseconds, NULL where PTS_DTS_flags or the header length say
+    // no PTS
+    "q_m21_ts_pts" ->
+      s"""WITH $TSPTS
+         | SELECT * FROM tsv""".stripMargin,
+    // q_m22: q_m11's box-size anchors + the time axis — the fixture's
+    // fragmented clock (tfdt = i·delta, trex default duration delta,
+    // delta = usPerFrame·90000/1e6 at timescale 90000) re-derived from
+    // the id contract; the Spark side reads tfdt/trex/mdhd instead
+    "q_m22_frag_keyframe_times" ->
+      s"""WITH m AS (SELECT media_id, hex(media) AS h, octet_length(media) AS n
+         |           FROM read_parquet('${Tables.mp4FragFixturePath}')),
+         | t AS (SELECT m.*,
+         |         (n >= 12 AND substr(h, 9, 8) = '66747970') AS is_mp4,
+         |         (media_id % 8 <> 3 AND media_id % 8 <> 7) AS full_row,
+         |         CAST(2 + media_id % 5 AS INTEGER) AS nf,
+         |         CAST(1 + media_id % 3 AS INTEGER) AS k,
+         |         (33333 + 1000 * (media_id % 7)) * 90000 // 1000000 AS delta,
+         |         TRY_CAST('0x' || substr(h, 33, 8) AS BIGINT) AS moov_sz
+         |       FROM m),
+         | a AS (SELECT t.*, 16 + moov_sz AS moof1,
+         |         TRY_CAST('0x' || substr(h, 2 * (16 + moov_sz) + 1, 8) AS BIGINT)
+         |           AS moof_sz
+         |       FROM t WHERE is_mp4 AND full_row AND moov_sz > 0),
+         | b AS (SELECT a.*,
+         |         TRY_CAST('0x' || substr(h, 2 * (moof1 + moof_sz) + 1, 8) AS BIGINT)
+         |           AS mdat_sz
+         |       FROM a WHERE moof_sz > 0),
+         | u AS (SELECT media_id, h, nf, k, delta, moof1, moof_sz,
+         |         mdat_sz - 8 AS s, moof_sz + mdat_sz AS frag,
+         |         unnest(range(nf)) AS fi
+         |       FROM b WHERE mdat_sz > 8)
+         | SELECT media_id, CAST(fi + 1 AS BIGINT) AS sample_no,
+         |   CAST(moof1 + fi * frag + moof_sz + 8 AS BIGINT) AS "offset",
+         |   CAST(s AS BIGINT) AS n_bytes,
+         |   CAST(fi * delta * 1000 // 90000 AS BIGINT) AS t_ms
+         | FROM u WHERE fi % k = 0""".stripMargin,
+    // q_m23: the q_m18 cue parse range-joined to the q_m21 TS time
+    // axis — same join contract as q_m19, proving the pairing op is
+    // container-generic; NULL-PTS rows never satisfy the window
+    "q_m23_ts_clip_captions" ->
+      s"""WITH $CUES,
+         | $TSPTS
+         | SELECT cues.media_id, cues.cue_idx, cues.start_ms, cues.end_ms,
+         |   cues.text, tsv.pes_idx, tsv.packet_idx, tsv."offset", tsv.pid,
+         |   tsv.rai, tsv.is_pes, tsv.t_ms
+         | FROM cues JOIN tsv ON tsv.media_id = cues.media_id
+         |   AND tsv.t_ms >= cues.start_ms AND tsv.t_ms < cues.end_ms""".stripMargin,
     // q_x19: the oracle runs the IDENTICAL RE2-safe patterns (shared
     // via Pii.categories, so both engines scan the same strings with
     // the same regexes); DuckDB regexp_replace needs the explicit 'g'

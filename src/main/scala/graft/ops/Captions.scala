@@ -96,12 +96,16 @@ object Captions {
    * out (inner join): a cue whose window holds no decodable start
    * point yields no training pair.
    */
-  def clipCaptionPairs(cues: DataFrame, keyframes: DataFrame): DataFrame =
+  def clipCaptionPairs(cues: DataFrame, keyframes: DataFrame): DataFrame = {
+    // generic over the time axis: any table with (media_id, t_ms)
+    // pairs — MP4 keyframe times, fragmented-MP4 tfdt times, TS PES
+    // PTS — its remaining columns pass through after the cue columns
+    val axisCols = keyframes.columns.filter(_ != "media_id").map(keyframes(_))
     cues.join(keyframes,
         cues("media_id") === keyframes("media_id") &&
           keyframes("t_ms") >= cues("start_ms") &&
           keyframes("t_ms") < cues("end_ms"))
-      .select(cues("media_id"), cues("cue_idx"), cues("start_ms"),
-        cues("end_ms"), cues("text"), keyframes("sample_no"),
-        keyframes("offset"), keyframes("n_bytes"), keyframes("t_ms"))
+      .select(Seq(cues("media_id"), cues("cue_idx"), cues("start_ms"),
+        cues("end_ms"), cues("text")) ++ axisCols: _*)
+  }
 }

@@ -1428,15 +1428,16 @@ object Multimodal {
           }
       }.flatten
 
-    /** moov/mvex/trex per-track fragment defaults:
-     * track_ID → (default_sample_size, default_sample_flags). */
-    private def trexDefaults(b: Array[Byte]): Map[Long, (Long, Long)] = {
-      val m = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    /** moov/mvex/trex per-track fragment defaults: track_ID →
+     * (default_sample_duration, default_sample_size,
+     * default_sample_flags). */
+    private def trexDefaults(b: Array[Byte]): Map[Long, (Long, Long, Long)] = {
+      val m = scala.collection.mutable.Map.empty[Long, (Long, Long, Long)]
       walkBoxes(b, 0, b.length) { (t0, _, p0, e0) =>
         if (t0 == "moov") walkBoxes(b, p0, e0) { (t1, _, p1, e1) =>
           if (t1 == "mvex") walkBoxes(b, p1, e1) { (t2, _, p2, e2) =>
             if (t2 == "trex" && p2 + 24 <= e2)
-              m(be32(b, p2 + 4)) = (be32(b, p2 + 16), be32(b, p2 + 20))
+              m(be32(b, p2 + 4)) = (be32(b, p2 + 12), be32(b, p2 + 16), be32(b, p2 + 20))
           }
         }
       }
@@ -1464,16 +1465,38 @@ object Multimodal {
     /** [[mp4FragmentSyncSamples]] plus the owning track's codec fourcc
      * (via the moov trak walk's track_ID → codec mapping) — same
      * rationale as [[mp4SyncSamplesC]]. */
-    private[ops] def mp4FragmentSyncSamplesC(b: Array[Byte]): Seq[(Long, Int, Int, String)] = {
+    private[ops] def mp4FragmentSyncSamplesC(b: Array[Byte]): Seq[(Long, Int, Int, String)] =
+      mp4FragmentSyncSamplesFull(b).map { case (sn, off, len, codec, _) =>
+        (sn, off, len, codec)
+      }
+
+    /** [[mp4FragmentSyncSamples]] plus each sync sample's DECODE time
+     * in milliseconds — the fragmented layout's time axis, the
+     * counterpart of [[mp4SyncSampleTimes]]'s stts prefix sums: `tfdt`
+     * anchors each traf's baseMediaDecodeTime (absent tfdt continues
+     * from the track's previous fragment, per ISO/IEC 14496-12
+     * §8.8.12), per-sample trun durations (or tfhd/trex defaults)
+     * advance it, and the moov mdhd timescale converts ticks → ms
+     * (−1 when the track has no usable timescale). */
+    private[ops] def mp4FragmentSyncSampleTimes(b: Array[Byte]): Seq[(Long, Int, Int, Long)] =
+      mp4FragmentSyncSamplesFull(b).map { case (sn, off, len, _, tMs) =>
+        (sn, off, len, tMs)
+      }
+
+    private def mp4FragmentSyncSamplesFull(b: Array[Byte]): Seq[(Long, Int, Int, String, Long)] = {
       if (b == null || b.length < 12 || !tag(b, 4, "ftyp")) return Nil
       val videoCodec = mp4Traks(b).collect {
-        case t if H26xCodecs.contains(t.codec) && t.trackId > 0 => t.trackId -> t.codec
+        case t if H26xCodecs.contains(t.codec) && t.trackId > 0 =>
+          t.trackId -> (t.codec, t.timescale)
       }.toMap
       val videoTracks = videoCodec.keySet
       if (videoTracks.isEmpty) return Nil
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int, String)]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int, String, Long)]
       val trex = trexDefaults(b)
       val counters = scala.collection.mutable.Map.empty[Long, Long]
+      // per-track decode clock in mdhd ticks: a traf WITHOUT tfdt
+      // continues where the track's previous fragment ended
+      val clocks = scala.collection.mutable.Map.empty[Long, Long]
       walkBoxes(b, 0, b.length) { (t0, moofStart, p0, e0) =>
         if (t0 == "moof") walkBoxes(b, p0, e0) { (t1, _, p1, e1) =>
           if (t1 == "traf") {
@@ -1481,6 +1504,9 @@ object Multimodal {
             var baseOff = moofStart.toLong // spec default for the first trun
             var defSize = 0L
             var defFlags = -1L
+            var defDur = 0L
+            var tfdtTicks = -1L
+            var curTicks = -1L // resolved lazily at the first trun
             // a trun WITHOUT data-offset-present continues where the
             // previous trun's samples ended (ISO/IEC 14496-12 §8.8.8);
             // -1 = no previous trun in this traf
@@ -1496,18 +1522,29 @@ object Multimodal {
                     baseOff = (be32(b, o) << 32) | be32(b, o + 4); o += 8
                   }
                   if ((flags & 0x02) != 0) o += 4 // sample_description_index
-                  if ((flags & 0x08) != 0) o += 4 // default_sample_duration
+                  if ((flags & 0x08) != 0 && o + 4 <= e2) { defDur = be32(b, o); o += 4 }
                   if ((flags & 0x10) != 0 && o + 4 <= e2) { defSize = be32(b, o); o += 4 }
                   if ((flags & 0x20) != 0 && o + 4 <= e2) { defFlags = be32(b, o); o += 4 }
                   // default-base-is-moof yields to an EXPLICIT
                   // base_data_offset when both flags are set
                   // (ISO/IEC 14496-12: base-data-offset-present wins)
                   if ((flags & 0x20000) != 0 && (flags & 0x01) == 0) baseOff = moofStart
-                  trex.get(trackId).foreach { case (ts, tf) =>
+                  trex.get(trackId).foreach { case (td, ts, tf) =>
+                    if ((flags & 0x08) == 0) defDur = td
                     if ((flags & 0x10) == 0) defSize = ts
                     if ((flags & 0x20) == 0) defFlags = tf
                   }
+                case "tfdt" if p2 + 8 <= e2 =>
+                  tfdtTicks =
+                    if ((b(p2) & 0xff) == 1 && p2 + 12 <= e2)
+                      (be32(b, p2 + 4) << 32) | be32(b, p2 + 8)
+                    else be32(b, p2 + 4)
                 case "trun" if p2 + 8 <= e2 && videoTracks.contains(trackId) =>
+                  if (curTicks < 0)
+                    curTicks =
+                      if (tfdtTicks >= 0) tfdtTicks
+                      else clocks.getOrElse(trackId, 0L)
+                  val timescale = videoCodec(trackId)._2
                   val tflags = ((b(p2 + 1) & 0xff) << 16) |
                     ((b(p2 + 2) & 0xff) << 8) | (b(p2 + 3) & 0xff)
                   val n = be32(b, p2 + 4)
@@ -1528,7 +1565,10 @@ object Multimodal {
                   var j = 0L
                   var ok = n >= 0 && n <= (1 << 22)
                   while (ok && j < n) {
-                    if ((tflags & 0x100) != 0) o += 4 // sample_duration
+                    var dur = defDur
+                    if ((tflags & 0x100) != 0) {
+                      if (o + 4 <= e2) { dur = be32(b, o); o += 4 } else ok = false
+                    }
                     var size = defSize
                     if ((tflags & 0x200) != 0) {
                       if (o + 4 <= e2) { size = be32(b, o); o += 4 } else ok = false
@@ -1542,9 +1582,14 @@ object Multimodal {
                       val cnt = counters.getOrElse(trackId, 0L) + 1
                       counters(trackId) = cnt
                       val sync = sflags >= 0 && ((sflags >> 16) & 1L) == 0L
-                      if (sync && pos >= 0 && pos + size <= b.length)
-                        out += ((cnt, pos.toInt, size.toInt, videoCodec(trackId)))
+                      if (sync && pos >= 0 && pos + size <= b.length) {
+                        val tMs =
+                          if (timescale > 0) curTicks * 1000L / timescale else -1L
+                        out += ((cnt, pos.toInt, size.toInt,
+                          videoCodec(trackId)._1, tMs))
+                      }
                       pos += size
+                      curTicks += dur
                     } else ok = false // unsized sample: offsets unknowable
                     j += 1
                   }
@@ -1552,6 +1597,7 @@ object Multimodal {
                 case _ => ()
               }
             }
+            if (trackId > 0 && curTicks >= 0) clocks(trackId) = curTicks
           }
         }
       }
@@ -1647,7 +1693,19 @@ object Multimodal {
      * (demuxer-on-trusted-storage discipline), partial trailing
      * packets are ignored. Three passes over the grid (PAT, PMT,
      * emit) so PSI repetition anywhere in the file works. */
-    private[ops] def tsPesStarts(b: Array[Byte]): Seq[(Int, Long, Int, Boolean, Boolean)] = {
+    private[ops] def tsPesStarts(b: Array[Byte]): Seq[(Int, Long, Int, Boolean, Boolean)] =
+      tsPesStartsPts(b).map { case (pkt, off, pid, rai, isPes, _) =>
+        (pkt, off, pid, rai, isPes)
+      }
+
+    /** [[tsPesStarts]] plus each PES's PRESENTATION TIME in
+     * milliseconds, parsed from the PES header's 33-bit/90 kHz PTS
+     * (marker-bit encoding, present when PTS_DTS_flags' high bit is
+     * set) — the time axis that lets caption cues pair with `.ts`
+     * segments the way q_m19 pairs them with MP4 keyframes. −1 when
+     * the header carries no PTS (the table face turns that into
+     * NULL). */
+    private[ops] def tsPesStartsPts(b: Array[Byte]): Seq[(Int, Long, Int, Boolean, Boolean, Long)] = {
       if (b == null || b.length < 188 || (b(0) & 0xff) != 0x47) return Nil
       val nPkts = b.length / 188
       def pid(p: Int): Int = ((b(p + 1) & 0x1f) << 8) | (b(p + 2) & 0xff)
@@ -1718,7 +1776,7 @@ object Multimodal {
       }
       if (videoPids.isEmpty) return Nil
       // pass 3: emit one row per payload-unit-start video packet
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Int, Boolean, Boolean)]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Int, Boolean, Boolean, Long)]
       j = 0
       while (j < lastSync) {
         val p = 188 * j
@@ -1726,7 +1784,20 @@ object Multimodal {
           val po = payloadOff(p)
           val isPes = po + 3 <= p + 188 &&
             b(po) == 0 && b(po + 1) == 0 && b(po + 2) == 1
-          out += ((j, 188L * j, pid(p), rai(p), isPes))
+          // PES header: flags2 at po+7 (bit 7 = PTS present), header
+          // data at po+9; PTS is 5 marker-bit-encoded bytes
+          val ptsMs =
+            if (isPes && po + 14 <= p + 188 && (b(po + 7) & 0x80) != 0 &&
+                (b(po + 8) & 0xff) >= 5) {
+              val q = po + 9
+              val pts = (((b(q) >> 1) & 0x7L) << 30) |
+                ((b(q + 1) & 0xffL) << 22) |
+                (((b(q + 2) >> 1) & 0x7fL) << 15) |
+                ((b(q + 3) & 0xffL) << 7) |
+                ((b(q + 4) >> 1) & 0x7fL)
+              pts / 90L
+            } else -1L
+          out += ((j, 188L * j, pid(p), rai(p), isPes, ptsMs))
         }
         j += 1
       }
@@ -1821,6 +1892,25 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.flatMap { r =>
           AvHeaders.mp4SyncSampleTimes(r.media).map { case (sn, off, len, tMs) =>
+            (r.media_id, sn, off.toLong, len.toLong, tMs)
+          }
+        }
+      }
+      .toDF("media_id", "sample_no", "offset", "n_bytes", "t_ms")
+  }
+
+  /** [[mp4KeyframeTimeTable]] for FRAGMENTED MP4: each sync sample's
+   * decode time from tfdt + trun/tfhd/trex durations over the mdhd
+   * timescale ([[AvHeaders.mp4FragmentSyncSampleTimes]]) — the CMAF
+   * segment time axis, same shape as the self-contained one so the
+   * clip-caption pairing works on either layout. */
+  def mp4FragmentedKeyframeTimeTable(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("mime_type"), col("media"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          AvHeaders.mp4FragmentSyncSampleTimes(r.media).map { case (sn, off, len, tMs) =>
             (r.media_id, sn, off.toLong, len.toLong, tMs)
           }
         }
@@ -1939,6 +2029,28 @@ object Multimodal {
       }
       .toDF("media_id", "pes_idx", "packet_idx", "offset", "pid",
         "rai", "is_pes")
+  }
+
+  /** [[tsPesTable]] plus each PES's presentation time in ms from the
+   * header's 33-bit/90 kHz PTS ([[AvHeaders.tsPesStartsPts]]) — the
+   * `.ts` time axis, NULL where the header carries no PTS. Gives TS
+   * segments the same cue-pairing surface the MP4 keyframe time table
+   * gives MP4 ([[Captions.clipCaptionPairs]] takes either). */
+  def tsPtsTable(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("mime_type"), col("media"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          AvHeaders.tsPesStartsPts(r.media).zipWithIndex.map {
+            case ((pkt, off, pid, rai, isPes, ptsMs), i) =>
+              (r.media_id, i, pkt, off, pid, rai, isPes,
+                if (ptsMs >= 0) Some(ptsMs) else None)
+          }
+        }
+      }
+      .toDF("media_id", "pes_idx", "packet_idx", "offset", "pid",
+        "rai", "is_pes", "t_ms")
   }
 
   private def bitstreamFrameTable(spark: SparkSession, media: DataFrame,

@@ -44,6 +44,12 @@ object AvcMp4Fixture {
   def syncInterval(id: Long): Int = 1 + (id % 3).toInt
   /** Uniform sample size (AVCC length prefix + NAL + filler). */
   def sampleSize(id: Long): Int = 48 + 2 * (id % 13).toInt
+  /** Per-sample duration in mdhd (90 kHz) ticks for the FRAGMENTED
+   * layout: the same clock the self-contained stts declares, so both
+   * layouts share one time-axis contract (tfdt = i·fragDelta, trex
+   * default_sample_duration = fragDelta). */
+  def fragDelta(id: Long): Long =
+    MjpegMp4Fixture.usPerFrame(id).toLong * 90000L / 1000000L
 
   /** 'avc1' VisualSampleEntry + minimal avcC decoder config (version,
    * profile Baseline/3.0, lengthSizeMinusOne=3, zero SPS/PPS — enough
@@ -124,9 +130,10 @@ object AvcMp4Fixture {
     val minf = box("minf", vmhd() ++ dinf() ++ stblEmpty)
     val mdia = box("mdia", mdhd(id) ++ hdlr() ++ minf)
     val trak = box("trak", tkhdBox(id) ++ mdia)
-    // trex: track 1, desc idx 1, default duration, no default size,
-    // default flags NON-sync (fragments mark their own keyframes)
-    val trex = fullBox("trex", 0, be32(1) ++ be32(1) ++ be32(3000) ++
+    // trex: track 1, desc idx 1, default duration = the shared
+    // per-sample clock, no default size, default flags NON-sync
+    // (fragments mark their own keyframes)
+    val trex = fullBox("trex", 0, be32(1) ++ be32(1) ++ be32(fragDelta(id)) ++
       be32(0) ++ be32(0x01010000L))
     box("moov", mvhd(id) ++ trak ++ box("mvex", trex))
   }
@@ -135,7 +142,7 @@ object AvcMp4Fixture {
   private def fragment(id: Long, i: Int, s: Int, sync: Boolean): Array[Byte] = {
     val mfhd = fullBox("mfhd", 0, be32(i + 1L)) // sequence number
     val tfhd = box("tfhd", Array[Byte](0, 2, 0, 0) ++ be32(1)) // default-base-is-moof, track 1
-    val tfdt = fullBox("tfdt", 0, be32(i.toLong * 3000))
+    val tfdt = fullBox("tfdt", 0, be32(i.toLong * fragDelta(id)))
     // trun flags 0x000601: data-offset + sample-size + sample-flags
     val trunLen = 8 + 4 + 4 + 4 + 4 + 4
     val moofLen = 8 + mfhd.length + (8 + tfhd.length + tfdt.length + trunLen)
@@ -163,7 +170,7 @@ object AvcMp4Fixture {
   private def fragmentBoth(id: Long, i: Int, s: Int, sync: Boolean,
       fragStart: Long): Array[Byte] = {
     val mfhd = fullBox("mfhd", 0, be32(i + 1L))
-    val tfdt = fullBox("tfdt", 0, be32(i.toLong * 3000))
+    val tfdt = fullBox("tfdt", 0, be32(i.toLong * fragDelta(id)))
     val trunLen = 8 + 4 + 4 + 4 + 4 + 4
     val tfhdLen = 8 + 4 + 4 + 8 // box hdr + ver/flags + track + base(64)
     val moofLen = 8 + mfhd.length + (8 + tfhdLen + tfdt.length + trunLen)

@@ -43,6 +43,10 @@ object TsFixture {
   def pktsPerPes(id: Long): Int = 1 + (id % 3).toInt
   /** random_access_indicator set on PES 0, k, 2k, … */
   def raiInterval(id: Long): Int = 1 + (id % 4).toInt
+  /** PES i's presentation time: 40 ms per PES on the 90 kHz PTS
+   * clock (3600 ticks) — inside the caption fixture's cue windows so
+   * the cue↔TS alignment has real overlaps. */
+  def ptsMs(id: Long, i: Int): Long = i.toLong * 40L
 
   private def psiPacket(pid: Int, section: Array[Byte]): Array[Byte] = {
     val p = Array.fill[Byte](188)(0xff.toByte)
@@ -78,7 +82,9 @@ object TsFixture {
       0xf0.toByte, 0, // video entry
       0, 0, 0, 0) // dummy CRC
 
-  /** First packet of a video PES: AF (1 byte: flags) + PES header. */
+  /** First packet of a video PES: AF (1 byte: flags) + PES header
+   * carrying a REAL 33-bit/90 kHz PTS ([[ptsMs]]'s clock) in the
+   * standard marker-bit encoding. */
   private def pesStart(id: Long, i: Int, cc: Int, rai: Boolean): Array[Byte] = {
     val p = new Array[Byte](188)
     p(0) = 0x47
@@ -89,8 +95,16 @@ object TsFixture {
     p(5) = if (rai) 0x40 else 0x00
     p(6) = 0; p(7) = 0; p(8) = 1; p(9) = 0xe0.toByte // PES start, stream E0
     p(10) = 0; p(11) = 0 // PES_packet_length 0 (unbounded video)
-    p(12) = 0x80.toByte; p(13) = 0; p(14) = 0 // marker, no PTS, hdr len 0
-    var j = 15
+    p(12) = 0x80.toByte // '10' marker bits
+    p(13) = 0x80.toByte // PTS_DTS_flags = '10': PTS only
+    p(14) = 5 // PES_header_data_length
+    val pts = ptsMs(id, i) * 90L // ms → 90 kHz ticks
+    p(15) = (0x21 | (((pts >> 30) & 7) << 1)).toByte // '0010' PTS[32:30] '1'
+    p(16) = ((pts >> 22) & 0xff).toByte
+    p(17) = ((((pts >> 15) & 0x7f) << 1) | 1).toByte
+    p(18) = ((pts >> 7) & 0xff).toByte
+    p(19) = (((pts & 0x7f) << 1) | 1).toByte
+    var j = 20
     while (j < 188) { p(j) = ((id * 31 + i * 7 + j) & 0x7f).toByte; j += 1 }
     p
   }

@@ -267,6 +267,12 @@ class PlanAuditSpec extends SparkSpec {
     audited(graft.ops.Multimodal.flacFrameTable(spark, Tables.flac(spark))) { plan =>
       assert(shuffles(plan).isEmpty, s"${shuffles(plan).size} shuffles:\n$plan")
     }
+    audited(graft.ops.Multimodal.tsPtsTable(spark, Tables.ts(spark))) { plan =>
+      assert(shuffles(plan).isEmpty, s"${shuffles(plan).size} shuffles:\n$plan")
+    }
+    audited(graft.ops.Multimodal.mp4FragmentedKeyframeTimeTable(spark, Tables.mp4Frag(spark))) { plan =>
+      assert(shuffles(plan).isEmpty, s"${shuffles(plan).size} shuffles:\n$plan")
+    }
   }
 
   test("caption cue parse is pure map-side; the clip-caption range join is keyed, never cartesian") {
@@ -287,6 +293,14 @@ class PlanAuditSpec extends SparkSpec {
         case j: ShuffledHashJoinExec => j
       }
       assert(keyed.nonEmpty, plan.toString)
+    }
+    // same contract over the TS time axis (q_m23): container-generic
+    // pairing must stay a keyed join
+    audited(graft.ops.Captions.clipCaptionPairs(
+      graft.ops.Captions.cueTable(spark, Tables.captions(spark)),
+      graft.ops.Multimodal.tsPtsTable(spark, Tables.ts(spark)))) { plan =>
+      assert(plan.collect { case c: CartesianProductExec => c }.isEmpty, plan.toString)
+      assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty, plan.toString)
     }
   }
 

@@ -516,6 +516,30 @@ class MultimodalSpec extends SparkSpec {
     assert(AvHeaders.mp3Frames(noFooterFlag).isEmpty)
   }
 
+  test("fragmented MP4 time axis: tfdt + trex durations match the shared clock") {
+    import graft.tools.AvcMp4Fixture
+    for (id <- Seq(0L, 1L, 2L, 5L, 6L)) {
+      val bytes = AvcMp4Fixture.fragMp4(id)
+      val delta = AvcMp4Fixture.fragDelta(id)
+      val got = AvHeaders.mp4FragmentSyncSampleTimes(bytes)
+      val plain = AvHeaders.mp4FragmentSyncSamples(bytes)
+      assert(got.map(t => (t._1, t._2, t._3)) == plain, s"id=$id")
+      // fragment i's tfdt anchors sample i at i·delta ticks @ 90 kHz
+      got.foreach { case (sn, _, _, tMs) =>
+        assert(tMs == (sn - 1) * delta * 1000L / 90000L, s"id=$id sn=$sn got $tMs")
+      }
+      // both layouts agree on the keyframe clock — the pairing op can
+      // take either time table
+      val self = AvHeaders.mp4SyncSampleTimes(AvcMp4Fixture.mp4(id))
+        .map(t => (t._1, t._4)).toMap
+      got.foreach { case (sn, _, _, tMs) =>
+        assert(self.get(sn).contains(tMs), s"id=$id sn=$sn layouts disagree")
+      }
+    }
+    assert(AvHeaders.mp4FragmentSyncSampleTimes(AvcMp4Fixture.fragRow(3)._2).isEmpty)
+    assert(AvHeaders.mp4FragmentSyncSampleTimes(AvcMp4Fixture.fragRow(7)._2).isEmpty)
+  }
+
   test("FLAC: STREAMINFO unpack + sync-scan frames match the fixture contract") {
     import graft.tools.FlacFixture
     for (id <- Seq(0L, 1L, 2L, 4L, 5L, 6L, 8L, 9L)) {
@@ -559,6 +583,19 @@ class MultimodalSpec extends SparkSpec {
       }
       assert(got == expect, s"id=$id got $got")
     }
+    // the PTS face decodes the marker-bit clock: 40 ms per PES
+    for (id <- Seq(0L, 1L, 5L)) {
+      val pts = AvHeaders.tsPesStartsPts(TsFixture.ts(id))
+      pts.zipWithIndex.foreach { case ((_, _, _, _, isPes, tMs), i) =>
+        assert(isPes && tMs == TsFixture.ptsMs(id, i), s"id=$id i=$i got $tMs")
+      }
+    }
+    // a PES header without PTS (flags2 bit clear) answers -1, not junk
+    val noPts = TsFixture.ts(0).clone()
+    // packet 2 is the first video PES start; its flags2 byte is at
+    // offset 2*188 + 6(AF) + 7 = payload+7
+    noPts(2 * 188 + 6 + 7) = 0
+    assert(AvHeaders.tsPesStartsPts(noPts).head._6 == -1L)
     // truncated / junk rows: nothing parses
     assert(AvHeaders.tsPesStarts(TsFixture.row(3)._2).isEmpty)
     assert(AvHeaders.tsPesStarts(TsFixture.row(7)._2).isEmpty)
