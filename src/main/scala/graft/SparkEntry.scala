@@ -435,6 +435,29 @@ object SparkEntry {
       Captions.clipCaptionPairs(
         Captions.cueTable(s, Tables.captions(s)),
         Multimodal.tsPtsTable(s, Tables.ts(s)))),
+    // q_m24: clip EXTRACTION coordinates — per cue, the byte span a
+    // ranged read fetches: first in-window keyframe offset → the
+    // next keyframe after the last in-window one (file end caps the
+    // final span); the oracle replays the LEAD window + min/max over
+    // its own keyframe derivation
+    "q_m24_clip_byte_spans" -> ((s, _) =>
+      Captions.clipByteSpans(
+        Captions.cueTable(s, Tables.captions(s)),
+        Multimodal.mp4KeyframeTimeTable(s, Tables.mp4Avc(s)),
+        Tables.mp4Avc(s))),
+    // q_m25: the AUDIO time axis — Ogg pages with granule positions
+    // converted to ms by the BOS packet's clock (Opus 48 kHz minus
+    // pre-skip, Vorbis stream rate); the oracle re-reads the clock
+    // from the identification packet's fixed-offset bytes
+    "q_m25_ogg_page_times" -> ((s, _) =>
+      Multimodal.oggPageTimeTable(s, Tables.ogg(s))),
+    // q_m26: transcript↔audio alignment — the same pairing op over
+    // the Ogg page time axis: cues match the pages whose audio ends
+    // inside their window, the shard unit an ASR training pair needs
+    "q_m26_audio_clip_captions" -> ((s, _) =>
+      Captions.clipCaptionPairs(
+        Captions.cueTable(s, Tables.captions(s)),
+        Multimodal.oggPageTimeTable(s, Tables.ogg(s)))),
     // q_x20: MOSS-style cross-doc copy detection — winnow fingerprint
     // overlap with stop-fingerprint (df cap) pruning + containment
     "q_x20_copy_pairs" -> ((s, d) =>
@@ -710,6 +733,67 @@ object SparkEntry {
        |            + ((q4 // 2) % 128)) // 90 AS BIGINT)
        |        END AS t_ms
        |      FROM ts_w)""".stripMargin
+
+  /** Shared DuckDB CTE body (no WITH): the q_m12 Ogg page walk
+   * extended with the BOS packet's granule clock (Opus 48 kHz minus
+   * pre-skip, Vorbis stream rate) → relation `oggt`(media_id,
+   * page_seq, offset, n_bytes, granule_pos, is_bos, is_eos, t_ms).
+   * Used by q_m25/q_m26. */
+  private def OGGT: String = {
+    def laceSum(base: String) =
+      s"""COALESCE(list_aggregate(list_transform(range(nseg),
+         |     i -> TRY_CAST('0x' || substr(h, CAST(2*(($base) + 27 + i) + 1 AS BIGINT), 2) AS BIGINT)),
+         |     'sum'), 0)""".stripMargin
+    s"""og_m AS (SELECT media_id, hex(media) AS h, octet_length(media) AS n
+       |      FROM read_parquet('${Tables.oggFixturePath}')),
+       | og_h1 AS (SELECT og_m.*,
+       |          TRY_CAST('0x' || substr(h, 53, 2) AS INTEGER) AS nseg
+       |        FROM og_m
+       |        WHERE n >= 27 AND substr(h, 1, 8) = '4F676753'
+       |          AND substr(h, 9, 2) = '00'
+       |          AND (TRY_CAST('0x' || substr(h, 11, 2) AS INTEGER) & 248) = 0),
+       | og_p1 AS (SELECT media_id, h, n,
+       |          CAST(27 + nseg + ${laceSum("0")} AS BIGINT) AS sz
+       |        FROM og_h1 WHERE nseg IS NOT NULL AND n >= 27 + nseg),
+       | og_h2 AS (SELECT og_p1.media_id, og_p1.h, og_p1.n, og_p1.sz AS o,
+       |          TRY_CAST('0x' || substr(h, 2*(sz+26)+1, 2) AS INTEGER) AS nseg
+       |        FROM og_p1
+       |        WHERE n >= sz + 27 AND substr(h, 2*sz+1, 8) = '4F676753'
+       |          AND substr(h, 2*(sz+4)+1, 2) = '00'
+       |          AND (TRY_CAST('0x' || substr(h, 2*(sz+5)+1, 2) AS INTEGER) & 248) = 0),
+       | og_p2 AS (SELECT media_id, h, n, o,
+       |          CAST(27 + nseg + ${laceSum("o")} AS BIGINT) AS sz
+       |        FROM og_h2 WHERE nseg IS NOT NULL AND n >= o + 27 + nseg),
+       | og_pages AS (
+       |   SELECT media_id, h, 0 AS off, sz FROM og_p1 WHERE n >= sz
+       |   UNION ALL
+       |   SELECT media_id, h, o AS off, sz FROM og_p2 WHERE n >= o + sz),
+       | og_ck AS (SELECT media_id,
+       |        CASE WHEN substr(h, 57, 16) = '4F70757348656164' THEN 48000
+       |             WHEN substr(h, 57, 2) = '01'
+       |               AND substr(h, 59, 12) = '766F72626973'
+       |               THEN NULLIF(TRY_CAST('0x' || ${leHex("40", 4)} AS INTEGER), 0)
+       |        END AS rate,
+       |        CASE WHEN substr(h, 57, 16) = '4F70757348656164'
+       |             THEN TRY_CAST('0x' || ${leHex("38", 2)} AS INTEGER)
+       |             ELSE 0 END AS skip
+       |      FROM og_h1),
+       | og_r AS (SELECT media_id, h, off, sz,
+       |        CAST(TRY_CAST('0x' || ${leHex("off + 18", 4)} AS UBIGINT) AS INTEGER)
+       |          AS page_seq,
+       |        CAST(TRY_CAST('0x' || ${leHex("off + 6", 8)} AS UBIGINT) AS BIGINT)
+       |          AS granule_pos,
+       |        (TRY_CAST('0x' || substr(h, 2*(off+5)+1, 2) AS INTEGER) & 2) <> 0 AS is_bos,
+       |        (TRY_CAST('0x' || substr(h, 2*(off+5)+1, 2) AS INTEGER) & 4) <> 0 AS is_eos
+       |      FROM og_pages),
+       | oggt AS (SELECT og_r.media_id, page_seq,
+       |        CAST(off AS BIGINT) AS "offset", CAST(sz AS BIGINT) AS n_bytes,
+       |        granule_pos, is_bos, is_eos,
+       |        CASE WHEN rate IS NOT NULL AND granule_pos >= 0
+       |             THEN CAST(greatest(granule_pos - skip, 0) * 1000 // rate AS BIGINT)
+       |        END AS t_ms
+       |      FROM og_r JOIN og_ck USING (media_id))""".stripMargin
+  }
 
   /** DuckDB shingle CTE twin of Dedup.shingles (3-word shingles). */
   private val SH =
@@ -1995,6 +2079,56 @@ object SparkEntry {
          |   tsv.rai, tsv.is_pes, tsv.t_ms
          | FROM cues JOIN tsv ON tsv.media_id = cues.media_id
          |   AND tsv.t_ms >= cues.start_ms AND tsv.t_ms < cues.end_ms""".stripMargin,
+    // q_m24: the oracle replays the clip-span derivation end to end —
+    // the q_m19 keyframe axis plus the LEAD window for each
+    // keyframe's span end (file size caps the last), joined to the
+    // cues, min/max per cue
+    "q_m24_clip_byte_spans" ->
+      s"""WITH $CUES,
+         | km AS (SELECT media_id, hex(media) AS h, octet_length(media) AS n
+         |      FROM read_parquet('${Tables.mp4AvcFixturePath}')),
+         | kt AS (SELECT km.*,
+         |        (n >= 12 AND substr(h, 9, 8) = '66747970') AS is_mp4,
+         |        (media_id % 8 <> 3 AND media_id % 8 <> 7) AS full_row,
+         |        CAST(2 + media_id % 5 AS INTEGER) AS nf,
+         |        CAST(1 + media_id % 3 AS INTEGER) AS k,
+         |        (33333 + 1000 * (media_id % 7)) * 90000 // 1000000 AS delta,
+         |        TRY_CAST('0x' || substr(h, 33, 8) AS BIGINT) AS mdat_sz
+         |      FROM km),
+         | ku AS (SELECT media_id, n, nf, k, delta,
+         |        CAST((mdat_sz - 8) // nf AS BIGINT) AS s,
+         |        unnest(range(nf)) AS fi
+         |      FROM kt WHERE is_mp4 AND full_row AND nf > 0 AND mdat_sz > 8),
+         | kf AS (SELECT media_id, n, fi,
+         |        CAST(24 + fi * s AS BIGINT) AS koff,
+         |        CAST(fi * delta * 1000 // 90000 AS BIGINT) AS t_ms
+         |      FROM ku WHERE fi % k = 0),
+         | kf2 AS (SELECT media_id, koff, t_ms,
+         |        COALESCE(LEAD(koff) OVER (PARTITION BY media_id ORDER BY fi),
+         |          n) AS span_end
+         |      FROM kf)
+         | SELECT cues.media_id, cues.cue_idx, cues.start_ms, cues.end_ms,
+         |   cues.text,
+         |   MIN(kf2.koff) AS byte_from, MAX(kf2.span_end) AS byte_to,
+         |   CAST(COUNT(*) AS BIGINT) AS n_keyframes
+         | FROM cues JOIN kf2 ON kf2.media_id = cues.media_id
+         |   AND kf2.t_ms >= cues.start_ms AND kf2.t_ms < cues.end_ms
+         | GROUP BY 1, 2, 3, 4, 5""".stripMargin,
+    // q_m25: the q_m12 page derivation + the clock re-read from the
+    // identification packet's fixed-offset bytes
+    "q_m25_ogg_page_times" ->
+      s"""WITH $OGGT
+         | SELECT * FROM oggt""".stripMargin,
+    // q_m26: cues range-joined to the Ogg page time axis — the
+    // transcript↔audio pairing, same join contract as q_m19/q_m23
+    "q_m26_audio_clip_captions" ->
+      s"""WITH $CUES,
+         | $OGGT
+         | SELECT cues.media_id, cues.cue_idx, cues.start_ms, cues.end_ms,
+         |   cues.text, oggt.page_seq, oggt."offset", oggt.n_bytes,
+         |   oggt.granule_pos, oggt.is_bos, oggt.is_eos, oggt.t_ms
+         | FROM cues JOIN oggt ON oggt.media_id = cues.media_id
+         |   AND oggt.t_ms >= cues.start_ms AND oggt.t_ms < cues.end_ms""".stripMargin,
     // q_x19: the oracle runs the IDENTICAL RE2-safe patterns (shared
     // via Pii.categories, so both engines scan the same strings with
     // the same regexes); DuckDB regexp_replace needs the explicit 'g'

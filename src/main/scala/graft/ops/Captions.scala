@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -107,5 +108,38 @@ object Captions {
           keyframes("t_ms") < cues("end_ms"))
       .select(Seq(cues("media_id"), cues("cue_idx"), cues("start_ms"),
         cues("end_ms"), cues("text")) ++ axisCols: _*)
+  }
+
+  /**
+   * Clip EXTRACTION coordinates: for each cue, the byte span a clip
+   * cutter hands to a ranged read — from the first in-window
+   * keyframe's offset to the NEXT keyframe after the last in-window
+   * one (a decoder must run keyframe-to-keyframe; the file end caps
+   * the final span). One row per cue that has at least one in-window
+   * keyframe: (byte_from, byte_to, n_keyframes) — with the cue text,
+   * this IS the (clip bytes, caption) training record, fetchable
+   * without decoding anything.
+   *
+   * Scale shape: one window shuffle on media_id for the next-keyframe
+   * LEAD, the file-size join is map-side metadata (length() of the
+   * blob — no bytes move), the pairing join is [[clipCaptionPairs]]'
+   * keyed join, and the final per-cue aggregation shuffles only
+   * fixed-shape cue rows.
+   */
+  def clipByteSpans(cues: DataFrame, keyframes: DataFrame,
+      media: DataFrame): DataFrame = {
+    val w = Window.partitionBy("media_id").orderBy("sample_no")
+    val sizes = media.select(col("media_id"),
+      length(col("media")).cast("long").as("file_bytes"))
+    val kf = keyframes
+      .withColumn("next_offset", lead(col("offset"), 1).over(w))
+      .join(sizes, Seq("media_id"))
+      .select(col("media_id"), col("sample_no"), col("offset"),
+        coalesce(col("next_offset"), col("file_bytes")).as("span_end"),
+        col("t_ms"))
+    clipCaptionPairs(cues, kf)
+      .groupBy("media_id", "cue_idx", "start_ms", "end_ms", "text")
+      .agg(min("offset").as("byte_from"), max("span_end").as("byte_to"),
+        count(lit(1)).as("n_keyframes"))
   }
 }

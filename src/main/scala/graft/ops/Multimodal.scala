@@ -725,6 +725,23 @@ object Multimodal {
       } else Some(AvMeta("ogg")) // a real Ogg page, unrecognised codec
     }
 
+    /** The stream's granule clock: (ticks per second, pre-skip ticks)
+     * from the BOS page's identification packet — Opus granules tick
+     * at 48 kHz regardless of input rate and start `pre-skip` ticks
+     * early; Vorbis granules tick at the stream rate. None for
+     * unrecognised codecs: a granule without a clock is not a time. */
+    private[ops] def oggGranuleClock(b: Array[Byte]): Option[(Long, Long)] = {
+      if (b == null || b.length < 28 || !tag(b, 0, "OggS")) return None
+      val p = 27 + (b(26) & 0xff)
+      if (b.length >= p + 19 && tag(b, p, "Opus") && tag(b, p + 4, "Head"))
+        Some((48000L, le16(b, p + 10).toLong))
+      else if (b.length >= p + 16 && (b(p) & 0xff) == 0x01 &&
+        tag(b, p + 1, "vorb") && b(p + 5) == 'i' && b(p + 6) == 's' &&
+        le32(b, p + 12) > 0)
+        Some((le32(b, p + 12).toLong, 0L))
+      else None
+    }
+
     // MPEG-1/2/2.5 Layer III header tables (public spec constants)
     private val Mp3KbpsV1 =
       Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
@@ -1946,6 +1963,37 @@ object Multimodal {
       }
       .toDF("media_id", "page_seq", "offset", "n_bytes", "granule_pos",
         "is_bos", "is_eos")
+  }
+
+  /** [[oggPageTable]] plus each page's granule position converted to
+   * MILLISECONDS via the BOS packet's clock
+   * ([[AvHeaders.oggGranuleClock]]: Opus 48 kHz minus pre-skip,
+   * Vorbis the stream rate) — the AUDIO time axis, NULL where the
+   * codec is unrecognised or the page carries granule −1 ("no packet
+   * ends here"). An Ogg granule is the position where the page's last
+   * packet ENDS, so a cue window selecting these t_ms values selects
+   * the pages whose audio finishes inside it — the audio shards a
+   * transcript aligner fetches. [[Captions.clipCaptionPairs]] takes
+   * this table directly. */
+  def oggPageTimeTable(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("mime_type"), col("media"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val clock = AvHeaders.oggGranuleClock(r.media)
+          AvHeaders.oggPages(r.media).map { case (seq, off, len, g, ht) =>
+            val tMs = clock.collect {
+              case (rate, skip) if g >= 0 =>
+                math.max(g - skip, 0L) * 1000L / rate
+            }
+            (r.media_id, seq, off.toLong, len.toLong, g,
+              (ht & 2) != 0, (ht & 4) != 0, tMs)
+          }
+        }
+      }
+      .toDF("media_id", "page_seq", "offset", "n_bytes", "granule_pos",
+        "is_bos", "is_eos", "t_ms")
   }
 
   /** Relational face of the WebM SimpleBlock walk

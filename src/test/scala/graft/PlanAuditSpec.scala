@@ -273,6 +273,19 @@ class PlanAuditSpec extends SparkSpec {
     audited(graft.ops.Multimodal.mp4FragmentedKeyframeTimeTable(spark, Tables.mp4Frag(spark))) { plan =>
       assert(shuffles(plan).isEmpty, s"${shuffles(plan).size} shuffles:\n$plan")
     }
+    audited(graft.ops.Multimodal.oggPageTimeTable(spark, Tables.ogg(spark))) { plan =>
+      assert(shuffles(plan).isEmpty, s"${shuffles(plan).size} shuffles:\n$plan")
+    }
+  }
+
+  test("clip byte spans: window + keyed joins only, never a cartesian") {
+    audited(graft.ops.Captions.clipByteSpans(
+      graft.ops.Captions.cueTable(spark, Tables.captions(spark)),
+      graft.ops.Multimodal.mp4KeyframeTimeTable(spark, Tables.mp4Avc(spark)),
+      Tables.mp4Avc(spark))) { plan =>
+      assert(plan.collect { case c: CartesianProductExec => c }.isEmpty, plan.toString)
+      assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty, plan.toString)
+    }
   }
 
   test("caption cue parse is pure map-side; the clip-caption range join is keyed, never cartesian") {

@@ -72,6 +72,26 @@ class CaptionsSpec extends SparkSpec {
       (1L, 1, 5L, 100L), (1L, 1, 7L, 150L)))
   }
 
+  test("clip byte spans: first in-window keyframe to the next one after, EOF caps") {
+    import spark.implicits._
+    val cues = Seq(
+      (1L, 0, 0L, 100L, "a"),   // keyframes at t=0,50 → bytes 24..216
+      (1L, 1, 100L, 200L, "b")  // keyframes at t=100,150 → 216..400 (EOF)
+    ).toDF("media_id", "cue_idx", "start_ms", "end_ms", "text")
+    val kfs = Seq(
+      (1L, 1L, 24L, 48L, 0L),
+      (1L, 3L, 120L, 48L, 50L),
+      (1L, 5L, 216L, 48L, 100L),
+      (1L, 7L, 312L, 48L, 150L)
+    ).toDF("media_id", "sample_no", "offset", "n_bytes", "t_ms")
+    val media = Seq((1L, "video/mp4", new Array[Byte](400)))
+      .toDF("media_id", "mime_type", "media")
+    val got = Captions.clipByteSpans(cues, kfs, media)
+      .select("cue_idx", "byte_from", "byte_to", "n_keyframes")
+      .as[(Int, Long, Long, Long)].collect().toSet
+    assert(got == Set((0, 24L, 216L, 2L), (1, 216L, 400L, 2L)))
+  }
+
   test("keyframe time axis: stts prefix sums match the fixture clock") {
     import graft.tools.AvcMp4Fixture
     for (id <- Seq(0L, 1L, 2L, 5L, 6L)) {

@@ -570,6 +570,17 @@ class MultimodalSpec extends SparkSpec {
     assert(AvHeaders.flacStreamInfo(noLast).isEmpty)
   }
 
+  test("Ogg granule clock: Opus 48k minus pre-skip, Vorbis stream rate, junk None") {
+    import graft.tools.OggFixture
+    assert(AvHeaders.oggGranuleClock(OggFixture.row(0)._2) // Opus
+      .contains((48000L, OggFixture.preSkip(0).toLong)))
+    assert(AvHeaders.oggGranuleClock(OggFixture.row(1)._2) // Vorbis
+      .contains((OggFixture.vorbisRate(1).toLong, 0L)))
+    assert(AvHeaders.oggGranuleClock(OggFixture.row(7)._2).isEmpty)
+    assert(AvHeaders.oggGranuleClock(null).isEmpty)
+    assert(AvHeaders.oggGranuleClock(Array.emptyByteArray).isEmpty)
+  }
+
   test("MPEG-TS walk: PES starts match the fixture contract, decoys excluded") {
     import graft.tools.TsFixture
     for (id <- Seq(0L, 1L, 2L, 4L, 5L, 6L, 8L, 9L)) {
@@ -1036,6 +1047,7 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.AvHeaders.adtsFrames(b)      // must not throw
       Multimodal.AvHeaders.tsPesStarts(b)     // must not throw
       Multimodal.AvHeaders.flacStreamInfo(b)  // must not throw
+      Multimodal.AvHeaders.oggGranuleClock(b) // must not throw
       Multimodal.AvHeaders.flacFrames(b)      // must not throw
       Multimodal.AvHeaders.mp4SyncSampleTimes(b) // must not throw
       Multimodal.AvHeaders.wavClips(b, 10)    // must not throw
