@@ -458,6 +458,19 @@ object SparkEntry {
       Captions.clipCaptionPairs(
         Captions.cueTable(s, Tables.captions(s)),
         Multimodal.oggPageTimeTable(s, Tables.ogg(s)))),
+    // q_m27: the WebM time axis — SimpleBlock ticks × the Info
+    // TimestampScale (ns/tick) as milliseconds; the oracle reads the
+    // scale from its own EBML bytes and replays the conversion
+    "q_m27_webm_block_times" -> ((s, _) =>
+      Multimodal.webmBlockTimeTable(s, Tables.webm(s))),
+    // q_m28: cue pairing over WebM — KEYFRAME blocks only (where clip
+    // decode can start), the fourth video layout through the same
+    // generic pairing op
+    "q_m28_webm_clip_captions" -> ((s, _) =>
+      Captions.clipCaptionPairs(
+        Captions.cueTable(s, Tables.captions(s)),
+        Multimodal.webmBlockTimeTable(s, Tables.webm(s))
+          .filter(col("is_key")))),
     // q_x20: MOSS-style cross-doc copy detection — winnow fingerprint
     // overlap with stop-fingerprint (df cap) pruning + containment
     "q_x20_copy_pairs" -> ((s, d) =>
@@ -794,6 +807,49 @@ object SparkEntry {
        |        END AS t_ms
        |      FROM og_r JOIN og_ck USING (media_id))""".stripMargin
   }
+
+  /** Shared DuckDB CTE body (no WITH): the q_m13 WebM block walk plus
+   * the Info TimestampScale clock → relation `wbt`(media_id,
+   * block_idx, track, time_ticks, offset, n_bytes, is_key, t_ms).
+   * Used by q_m27/q_m28. */
+  private def WEBMT: String =
+    s"""wb_m AS (SELECT media_id, hex(media) AS h, octet_length(media) AS n
+       |      FROM read_parquet('${Tables.webmFixturePath}')),
+       | wb_t AS (SELECT wb_m.*,
+       |         (n >= 4 AND substr(h, 1, 8) = '1A45DFA3') AS is_webm,
+       |         (media_id % 8 <> 3 AND media_id % 8 <> 7) AS full_row,
+       |         CAST(2 + media_id % 5 AS INTEGER) AS nf,
+       |         TRY_CAST('0x' || substr(h, 2*63+1, 2) AS INTEGER) - 128 - 4 AS s,
+       |         CASE WHEN substr(h, 47, 6) = '2AD7B1'
+       |              THEN TRY_CAST('0x' || substr(h, 55, 6) AS BIGINT)
+       |              ELSE 1000000 END AS tsc
+       |       FROM wb_m),
+       | wb_u AS (SELECT media_id, h, n, nf, s, tsc, unnest(range(nf)) AS fi
+       |       FROM wb_t WHERE is_webm AND full_row AND s > 0),
+       | wb_c AS (SELECT media_id, h, fi, s, tsc,
+       |         CAST(54 + fi * (s + 14) AS BIGINT) AS c0
+       |       FROM wb_u WHERE n >= 54 + nf * (s + 14)
+       |         AND substr(h, CAST(2 * (54 + fi * (s + 14)) + 1 AS BIGINT), 8)
+       |           = '1F43B675'),
+       | wb_b AS (SELECT media_id, h, fi, s, tsc, c0,
+       |         TRY_CAST('0x' || substr(h, CAST(2*(c0+7)+1 AS BIGINT), 2) AS INTEGER)
+       |          + (CASE WHEN TRY_CAST('0x' || substr(h, CAST(2*(c0+11)+1 AS BIGINT), 4)
+       |               AS INTEGER) >= 32768
+       |             THEN TRY_CAST('0x' || substr(h, CAST(2*(c0+11)+1 AS BIGINT), 4)
+       |               AS INTEGER) - 65536
+       |             ELSE TRY_CAST('0x' || substr(h, CAST(2*(c0+11)+1 AS BIGINT), 4)
+       |               AS INTEGER) END) AS ticks
+       |       FROM wb_c),
+       | wbt AS (SELECT media_id, CAST(fi + 1 AS BIGINT) AS block_idx,
+       |   CAST(TRY_CAST('0x' || substr(h, CAST(2*(c0+10)+1 AS BIGINT), 2)
+       |     AS INTEGER) - 128 AS BIGINT) AS track,
+       |   CAST(ticks AS BIGINT) AS time_ticks,
+       |   c0 + 14 AS "offset",
+       |   CAST(s AS BIGINT) AS n_bytes,
+       |   (TRY_CAST('0x' || substr(h, CAST(2*(c0+13)+1 AS BIGINT), 2) AS INTEGER)
+       |     & 128) <> 0 AS is_key,
+       |   CAST(ticks * tsc // 1000000 AS BIGINT) AS t_ms
+       | FROM wb_b)""".stripMargin
 
   /** DuckDB shingle CTE twin of Dedup.shingles (3-word shingles). */
   private val SH =
@@ -2129,6 +2185,21 @@ object SparkEntry {
          |   oggt.granule_pos, oggt.is_bos, oggt.is_eos, oggt.t_ms
          | FROM cues JOIN oggt ON oggt.media_id = cues.media_id
          |   AND oggt.t_ms >= cues.start_ms AND oggt.t_ms < cues.end_ms""".stripMargin,
+    // q_m27: the q_m13 block derivation + the TimestampScale clock
+    "q_m27_webm_block_times" ->
+      s"""WITH $WEBMT
+         | SELECT * FROM wbt""".stripMargin,
+    // q_m28: cues range-joined to the KEYFRAME blocks of the WebM
+    // time axis — same join contract as q_m19/q_m23/q_m26
+    "q_m28_webm_clip_captions" ->
+      s"""WITH $CUES,
+         | $WEBMT
+         | SELECT cues.media_id, cues.cue_idx, cues.start_ms, cues.end_ms,
+         |   cues.text, wbt.block_idx, wbt.track, wbt.time_ticks,
+         |   wbt."offset", wbt.n_bytes, wbt.is_key, wbt.t_ms
+         | FROM cues JOIN wbt ON wbt.media_id = cues.media_id
+         |   AND wbt.t_ms >= cues.start_ms AND wbt.t_ms < cues.end_ms
+         | WHERE wbt.is_key""".stripMargin,
     // q_x19: the oracle runs the IDENTICAL RE2-safe patterns (shared
     // via Pii.categories, so both engines scan the same strings with
     // the same regexes); DuckDB regexp_replace needs the explicit 'g'

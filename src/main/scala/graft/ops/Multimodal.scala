@@ -993,6 +993,55 @@ object Multimodal {
           yield (d * ts / 1e6).round))
     }
 
+    /** Segment/Info TimestampScale in ns per tick (default 1e6 = 1 ms
+     * ticks) — the clock that converts SimpleBlock ticks to wall
+     * time. Self-contained EBML walk with the same varint/tolerance
+     * discipline as [[parseWebm]]. */
+    private[ops] def webmTimestampScale(b: Array[Byte]): Long = {
+      if (b == null || b.length < 4 || (b(0) & 0xff) != 0x1a ||
+        (b(1) & 0xff) != 0x45 || (b(2) & 0xff) != 0xdf ||
+        (b(3) & 0xff) != 0xa3) return 1000000L
+      def vint(i: Int, keepMarker: Boolean): Option[(Long, Int)] = {
+        if (i >= b.length) return None
+        val first = b(i) & 0xff
+        if (first == 0) return None
+        val len = Integer.numberOfLeadingZeros(first) - 23
+        if (len > 8 || i + len > b.length) return None
+        var v = if (keepMarker) first.toLong else (first & (0xff >>> len)).toLong
+        var k = 1
+        while (k < len) { v = (v << 8) | (b(i + k) & 0xffL); k += 1 }
+        Some((v, len))
+      }
+      var ts = 1000000L
+      def walk(from: Int, to: Int, depth: Int): Unit = {
+        if (depth > 4) return
+        var i = from
+        while (i < to) {
+          val id = vint(i, keepMarker = true).getOrElse(return)
+          val sz = vint(i + id._2, keepMarker = false).getOrElse(return)
+          val p = i + id._2 + sz._2
+          val unknown = sz._1 == (1L << (7 * sz._2)) - 1
+          val end = if (unknown) to.toLong else math.min(to.toLong, p.toLong + sz._1)
+          if (end < p) return
+          id._1 match {
+            case 0x18538067L | 0x1549a966L => walk(p, end.toInt, depth + 1)
+            case 0x2ad7b1L =>
+              var v = 0L
+              var k = 0
+              while (k < (end - p).toInt && p + k < b.length) {
+                v = (v << 8) | (b(p + k) & 0xffL); k += 1
+              }
+              if (v > 0) ts = v
+            case _ => ()
+          }
+          if (end.toInt <= i) return
+          i = end.toInt
+        }
+      }
+      walk(0, b.length, 0)
+      ts
+    }
+
     /** Shard-unit locator for WebM/Matroska: one row per SimpleBlock —
      * (block_idx 1-based in file order, track number, cluster
      * timestamp + block-relative timestamp in ticks, frame-data
@@ -2014,6 +2063,29 @@ object Multimodal {
       }
       .toDF("media_id", "block_idx", "track", "time_ticks", "offset",
         "n_bytes", "is_key")
+  }
+
+  /** [[webmBlockTable]] plus each block's time in MILLISECONDS —
+   * ticks × Segment/Info TimestampScale (ns per tick,
+   * [[AvHeaders.webmTimestampScale]]) ÷ 1e6 — the WebM time axis;
+   * with the keyframe flag this completes cue pairing across all four
+   * video layouts (MP4 self-contained/fragmented, TS, WebM). Same
+   * partition-local discipline. */
+  def webmBlockTimeTable(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("mime_type"), col("media"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val ts = AvHeaders.webmTimestampScale(r.media)
+          AvHeaders.webmBlocks(r.media).map { case (bi, track, t, off, len, key) =>
+            (r.media_id, bi, track, t, off.toLong, len.toLong, key,
+              t * ts / 1000000L)
+          }
+        }
+      }
+      .toDF("media_id", "block_idx", "track", "time_ticks", "offset",
+        "n_bytes", "is_key", "t_ms")
   }
 
   /** Relational face of the MP3 frame walk ([[AvHeaders.mp3Frames]]):

@@ -276,6 +276,9 @@ class PlanAuditSpec extends SparkSpec {
     audited(graft.ops.Multimodal.oggPageTimeTable(spark, Tables.ogg(spark))) { plan =>
       assert(shuffles(plan).isEmpty, s"${shuffles(plan).size} shuffles:\n$plan")
     }
+    audited(graft.ops.Multimodal.webmBlockTimeTable(spark, Tables.webm(spark))) { plan =>
+      assert(shuffles(plan).isEmpty, s"${shuffles(plan).size} shuffles:\n$plan")
+    }
   }
 
   test("clip byte spans: window + keyed joins only, never a cartesian") {

@@ -570,6 +570,20 @@ class MultimodalSpec extends SparkSpec {
     assert(AvHeaders.flacStreamInfo(noLast).isEmpty)
   }
 
+  test("WebM timestamp scale: read from Info, default 1e6, 1ms ticks convert") {
+    import graft.tools.WebmFixture
+    assert(AvHeaders.webmTimestampScale(WebmFixture.webm(0)) == 1000000L)
+    assert(AvHeaders.webmTimestampScale(WebmFixture.row(7)._2) == 1000000L) // junk → default
+    assert(AvHeaders.webmTimestampScale(null) == 1000000L)
+    // with the fixture's 1e6 scale, t_ms == ticks == i·40
+    for (id <- Seq(0L, 1L, 5L)) {
+      val blocks = AvHeaders.webmBlocks(WebmFixture.webm(id))
+      blocks.foreach { case (bi, _, ticks, _, _, _) =>
+        assert(ticks == (bi - 1) * 40, s"id=$id block=$bi")
+      }
+    }
+  }
+
   test("Ogg granule clock: Opus 48k minus pre-skip, Vorbis stream rate, junk None") {
     import graft.tools.OggFixture
     assert(AvHeaders.oggGranuleClock(OggFixture.row(0)._2) // Opus
@@ -1048,6 +1062,7 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.AvHeaders.tsPesStarts(b)     // must not throw
       Multimodal.AvHeaders.flacStreamInfo(b)  // must not throw
       Multimodal.AvHeaders.oggGranuleClock(b) // must not throw
+      Multimodal.AvHeaders.webmTimestampScale(b) // must not throw
       Multimodal.AvHeaders.flacFrames(b)      // must not throw
       Multimodal.AvHeaders.mp4SyncSampleTimes(b) // must not throw
       Multimodal.AvHeaders.wavClips(b, 10)    // must not throw
