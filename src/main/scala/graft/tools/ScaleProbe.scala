@@ -349,6 +349,41 @@ object ScaleProbe {
             .filter(col("orientation").isNotNull).count()
       }
       smedia.unpersist()
+
+      // caption extraction + clip-caption pairing at 50k sidecars:
+      // the cue parse is a map-side string kernel; the pairing is the
+      // generic (media_id, t_ms) range join against the keyframe time
+      // axis of the SAME 50k-file corpus — the end-to-end path that
+      // turns a video corpus + its sidecars into training pairs
+      val capTemplates = Seq(CaptionFixture.row(0)._2, CaptionFixture.row(1)._2,
+        CaptionFixture.row(2)._2, CaptionFixture.row(5)._2)
+      val cb = spark.sparkContext.broadcast(capTemplates)
+      val caps = spark.range(nMedia)
+        .map(id => (id, cb.value((id % cb.value.size).toInt)))
+        .toDF("media_id", "content").cache()
+      caps.count()
+      timedAs("sidecars", nMedia)("caption_cues") {
+        graft.ops.Captions.cueTable(spark, caps).count()
+      }
+      val kb2 = spark.sparkContext.broadcast(
+        Seq(AvcMp4Fixture.mp4(1), AvcMp4Fixture.mp4(4)))
+      val kmedia2 = spark.range(nMedia)
+        .map(id => (id, "video/mp4", kb2.value((id % kb2.value.size).toInt)))
+        .toDF("media_id", "mime_type", "media").cache()
+      kmedia2.count()
+      timedAs("pairs", nMedia)("clip_caption_pairs") {
+        graft.ops.Captions.clipCaptionPairs(
+          graft.ops.Captions.cueTable(spark, caps),
+          graft.ops.Multimodal.mp4KeyframeTimeTable(spark, kmedia2)).count()
+      }
+      timedAs("clips", nMedia)("clip_byte_spans") {
+        graft.ops.Captions.clipByteSpans(
+          graft.ops.Captions.cueTable(spark, caps),
+          graft.ops.Multimodal.mp4KeyframeTimeTable(spark, kmedia2),
+          kmedia2).count()
+      }
+      caps.unpersist()
+      kmedia2.unpersist()
     }
     spark.stop()
   }

@@ -79,4 +79,29 @@ class ShardListStreamSpec extends SparkSpec {
     }
     streamed("ts_stream", rows, Multimodal.tsPesTable)
   }
+
+  test("streamed caption cue parse equals the batch parse over the grown directory") {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "media_id BIGINT, kind STRING, content STRING")
+    val dir = java.nio.file.Files.createTempDirectory("capstream").toString
+    def wave(ids: Range): Unit =
+      ids.map { i =>
+        val (kind, content) = graft.tools.CaptionFixture.row(i.toLong)
+        (i.toLong, kind, content)
+      }.toDF("media_id", "kind", "content")
+        .coalesce(1).write.mode("append").parquet(dir)
+    wave(0 until 6)
+    val query = Captions.cueTable(spark, spark.readStream.schema(schema).parquet(dir))
+      .writeStream.format("memory").queryName("cue_stream").outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      wave(6 until 12)
+      query.processAllAvailable()
+    } finally query.stop()
+    val got = spark.table("cue_stream").collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val want = Captions.cueTable(spark, spark.read.schema(schema).parquet(dir))
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(got.nonEmpty && got.toSeq == want.toSeq)
+  }
 }
