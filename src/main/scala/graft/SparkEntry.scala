@@ -673,13 +673,21 @@ object SparkEntry {
        | cap_i AS (SELECT media_id, blks, unnest(generate_series(1, len(blks))) AS bi
        |      FROM cap_c),
        | cap_b AS (SELECT media_id, bi, blks[bi] AS blk FROM cap_i),
-       | cap_t AS (SELECT media_id, bi, blk,
-       |        regexp_extract(blk,
-       |          '(?:(\\d+):)?(\\d{1,2}):(\\d{1,2})[.,](\\d{3}) --> (?:(\\d+):)?(\\d{1,2}):(\\d{1,2})[.,](\\d{3})',
-       |          ['h1','m1','s1','f1','h2','m2','s2','f2']) AS g
-       |      FROM cap_b
-       |      WHERE regexp_matches(blk,
-       |        '(?:\\d+:)?\\d{1,2}:\\d{1,2}[.,]\\d{3} --> (?:\\d+:)?\\d{1,2}:\\d{1,2}[.,]\\d{3}')),
+       | cap_l AS (SELECT media_id, bi,
+       |        string_split(blk, chr(10)) AS ls FROM cap_b),
+       | cap_m AS (SELECT media_id, bi, ls,
+       |        unnest(generate_series(1, len(ls))) AS li FROM cap_l),
+       | cap_a AS (SELECT media_id, bi, min(li) AS ai FROM cap_m
+       |      WHERE regexp_matches(ls[li],
+       |        '(?:\\d+:)?\\d{1,2}:\\d{1,2}[.,]\\d{3}[ \\t]+-->[ \\t]+(?:\\d+:)?\\d{1,2}:\\d{1,2}[.,]\\d{3}')
+       |      GROUP BY media_id, bi),
+       | cap_t AS (SELECT l.media_id, l.bi,
+       |        regexp_extract(l.ls[a.ai],
+       |          '(?:(\\d+):)?(\\d{1,2}):(\\d{1,2})[.,](\\d{3})[ \\t]+-->[ \\t]+(?:(\\d+):)?(\\d{1,2}):(\\d{1,2})[.,](\\d{3})',
+       |          ['h1','m1','s1','f1','h2','m2','s2','f2']) AS g,
+       |        array_to_string(l.ls[a.ai + 1:len(l.ls)], chr(10)) AS text
+       |      FROM cap_l l JOIN cap_a a
+       |        ON l.media_id = a.media_id AND l.bi = a.bi),
        | cap_u AS (SELECT media_id, bi,
        |        COALESCE(TRY_CAST(g.h1 AS BIGINT), 0) * 3600000
        |          + CAST(g.m1 AS BIGINT) * 60000 + CAST(g.s1 AS BIGINT) * 1000
@@ -687,7 +695,7 @@ object SparkEntry {
        |        COALESCE(TRY_CAST(g.h2 AS BIGINT), 0) * 3600000
        |          + CAST(g.m2 AS BIGINT) * 60000 + CAST(g.s2 AS BIGINT) * 1000
        |          + CAST(g.f2 AS BIGINT) AS end_ms,
-       |        regexp_replace(blk, '^.*?-->[^\\n]*\\n?', '', 's') AS text
+       |        text
        |      FROM cap_t),
        | cues AS (SELECT media_id,
        |        CAST(ROW_NUMBER() OVER (PARTITION BY media_id ORDER BY bi) - 1

@@ -26,27 +26,33 @@ object Captions {
    * access, same as Multimodal.MediaRow). */
   case class CaptionRow(media_id: Long, content: String)
 
-  /** `(?:hh:)?mm:ss(.|,)mmm` — WebVTT uses `.`, SRT uses `,`; the
-   * hour field is optional in WebVTT's short form. */
-  private val TimeRe =
-    """(?:(\d+):)?(\d{1,2}):(\d{1,2})[.,](\d{3})""".r
+  /** A full timing line: `(?:hh:)?mm:ss(.|,)mmm --> (?:hh:)?mm:ss(.|,)mmm`
+   * — WebVTT uses `.`, SRT uses `,`; the hour field is optional in
+   * WebVTT's short form; the arrow is REQUIRED between the two
+   * timestamps (WebVTT: one or more spaces/tabs around it), so a junk
+   * line that merely contains `-->` or two bare timestamps never
+   * selects as the timing line. The DuckDB oracle applies this same
+   * pattern line-by-line — keep the two in lock-step. */
+  private val CueLineRe =
+    ("""(?:(\d+):)?(\d{1,2}):(\d{1,2})[.,](\d{3})[ \t]+-->[ \t]+""" +
+      """(?:(\d+):)?(\d{1,2}):(\d{1,2})[.,](\d{3})""").r
 
-  private def toMs(m: scala.util.matching.Regex.Match): Long = {
-    val h = Option(m.group(1)).map(_.toLong).getOrElse(0L)
-    h * 3600000L + m.group(2).toLong * 60000L +
-      m.group(3).toLong * 1000L + m.group(4).toLong
+  private def toMs(h: String, mi: String, s: String, f: String): Long = {
+    val hh = Option(h).map(_.toLong).getOrElse(0L)
+    hh * 3600000L + mi.toLong * 60000L + s.toLong * 1000L + f.toLong
   }
 
   /**
    * Parse one WebVTT or SRT payload into (cue_idx, start_ms, end_ms,
    * text) cues. Both formats are blank-line-separated blocks; a cue
-   * block is any block containing a `-->` timing line with two
-   * parsable timestamps — lines before it (WebVTT cue identifiers,
-   * SRT counters) are skipped, lines after it are the cue text
-   * (joined with newline, preserved verbatim). Non-cue blocks (the
-   * WEBVTT header, NOTE/STYLE blocks, junk) contribute nothing.
-   * Malformed payloads yield what parsed, never a throw — the same
-   * tolerance discipline as the byte walkers.
+   * block is any block whose FIRST line matching the full
+   * `ts --> ts` timing pattern supplies the window — lines before it
+   * (WebVTT cue identifiers, SRT counters, junk arrow lines) are
+   * skipped, lines after it are the cue text (joined with newline,
+   * preserved verbatim). Non-cue blocks (the WEBVTT header,
+   * NOTE/STYLE blocks, junk) contribute nothing. Malformed payloads
+   * yield what parsed, never a throw — the same tolerance discipline
+   * as the byte walkers.
    */
   private[ops] def parseCues(content: String): Seq[(Int, Long, Long, String)] = {
     if (content == null) return Nil
@@ -54,13 +60,13 @@ object Captions {
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, String)]
     norm.split("\n\n", -1).foreach { blk =>
       val lines = blk.split("\n", -1)
-      val ai = lines.indexWhere(_.contains("-->"))
+      val ai = lines.indexWhere(l => CueLineRe.findFirstIn(l).isDefined)
       if (ai >= 0) {
-        val times = TimeRe.findAllMatchIn(lines(ai)).take(2).toSeq
-        if (times.size == 2) {
-          out += ((out.size, toMs(times(0)), toMs(times(1)),
-            lines.drop(ai + 1).mkString("\n")))
-        }
+        val m = CueLineRe.findFirstMatchIn(lines(ai)).get
+        out += ((out.size,
+          toMs(m.group(1), m.group(2), m.group(3), m.group(4)),
+          toMs(m.group(5), m.group(6), m.group(7), m.group(8)),
+          lines.drop(ai + 1).mkString("\n")))
       }
     }
     out.toSeq

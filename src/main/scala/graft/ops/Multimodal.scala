@@ -1720,23 +1720,30 @@ object Multimodal {
      * or nothing is emitted. */
     private[ops] def flacFrames(b: Array[Byte]): Seq[(Int, Int)] =
       flacStreamInfo(b) match {
-        case None => Nil
-        case Some((off, _, _, _, _)) =>
-          def sync(p: Int): Boolean = p + 1 < b.length &&
-            (b(p) & 0xff) == 0xff && (b(p + 1) & 0xfe) == 0xf8
-          if (off >= b.length || !sync(off)) Nil
-          else {
-            val starts = scala.collection.mutable.ArrayBuffer(off)
-            var p = off + 2
-            while (p + 1 < b.length) {
-              if (sync(p)) { starts += p; p += 2 } else p += 1
-            }
-            starts.toSeq.zipWithIndex.map { case (s, i) =>
-              val end = if (i + 1 < starts.length) starts(i + 1) else b.length
-              (s, end - s)
-            }
-          }
+        case None            => Nil
+        case Some(si) => flacFramesFrom(b, si._1)
       }
+
+    /** [[flacFrames]] with the audio offset ALREADY located — so a
+     * caller that parsed STREAMINFO for its own columns
+     * ([[flacFrameTable]]) walks the metadata chain once, not
+     * twice. */
+    private[ops] def flacFramesFrom(b: Array[Byte], off: Int): Seq[(Int, Int)] = {
+      def sync(p: Int): Boolean = p + 1 < b.length &&
+        (b(p) & 0xff) == 0xff && (b(p + 1) & 0xfe) == 0xf8
+      if (off >= b.length || !sync(off)) Nil
+      else {
+        val starts = scala.collection.mutable.ArrayBuffer(off)
+        var p = off + 2
+        while (p + 1 < b.length) {
+          if (sync(p)) { starts += p; p += 2 } else p += 1
+        }
+        starts.toSeq.zipWithIndex.map { case (s, i) =>
+          val end = if (i + 1 < starts.length) starts(i + 1) else b.length
+          (s, end - s)
+        }
+      }
+    }
 
     /** H.26x/MPEG-video PMT stream_types: keyframe sharding applies
      * to these; audio/data elementary streams are not shard units. */
@@ -1760,7 +1767,7 @@ object Multimodal {
      * packets are ignored. Three passes over the grid (PAT, PMT,
      * emit) so PSI repetition anywhere in the file works. */
     private[ops] def tsPesStarts(b: Array[Byte]): Seq[(Int, Long, Int, Boolean, Boolean)] =
-      tsPesStartsPts(b).map { case (pkt, off, pid, rai, isPes, _) =>
+      tsPesWalk(b, wantPts = false).map { case (pkt, off, pid, rai, isPes, _) =>
         (pkt, off, pid, rai, isPes)
       }
 
@@ -1771,7 +1778,13 @@ object Multimodal {
      * segments the way q_m19 pairs them with MP4 keyframes. −1 when
      * the header carries no PTS (the table face turns that into
      * NULL). */
-    private[ops] def tsPesStartsPts(b: Array[Byte]): Seq[(Int, Long, Int, Boolean, Boolean, Long)] = {
+    private[ops] def tsPesStartsPts(b: Array[Byte]): Seq[(Int, Long, Int, Boolean, Boolean, Long)] =
+      tsPesWalk(b, wantPts = true)
+
+    /** Shared TS walk: the PTS decode is gated on `wantPts` so the
+     * PTS-less q_m17 face doesn't pay marker-bit reassembly per PES
+     * start across a corpus-scale scan. */
+    private def tsPesWalk(b: Array[Byte], wantPts: Boolean): Seq[(Int, Long, Int, Boolean, Boolean, Long)] = {
       if (b == null || b.length < 188 || (b(0) & 0xff) != 0x47) return Nil
       val nPkts = b.length / 188
       def pid(p: Int): Int = ((b(p + 1) & 0x1f) << 8) | (b(p + 2) & 0xff)
@@ -1853,8 +1866,8 @@ object Multimodal {
           // PES header: flags2 at po+7 (bit 7 = PTS present), header
           // data at po+9; PTS is 5 marker-bit-encoded bytes
           val ptsMs =
-            if (isPes && po + 14 <= p + 188 && (b(po + 7) & 0x80) != 0 &&
-                (b(po + 8) & 0xff) >= 5) {
+            if (wantPts && isPes && po + 14 <= p + 188 &&
+                (b(po + 7) & 0x80) != 0 && (b(po + 8) & 0xff) >= 5) {
               val q = po + 9
               val pts = (((b(q) >> 1) & 0x7L) << 30) |
                 ((b(q + 1) & 0xffL) << 22) |
@@ -1946,43 +1959,43 @@ object Multimodal {
   def mp4KeyframeTable(spark: SparkSession, media: DataFrame): DataFrame =
     keyframeTable(spark, media, AvHeaders.mp4SyncSamplesC)
 
-  /** [[mp4KeyframeTable]] with each keyframe's PRESENTATION START
-   * TIME in milliseconds ([[AvHeaders.mp4SyncSampleTimes]]: stts
-   * prefix sums over the mdhd timescale) — the time axis a
-   * clip-caption pairing op range-joins caption cues against. Same
-   * partition-local discipline; only fixed-shape rows move. */
-  def mp4KeyframeTimeTable(spark: SparkSession, media: DataFrame): DataFrame = {
+  /** Shared body of the keyframe TIME tables: the locator returns
+   * (sample_no, offset, n_bytes, t_ms ticks-to-ms) with a negative
+   * t_ms where the clock was unreadable (mdhd timescale 0/absent) —
+   * surfaced as NULL, matching [[tsPtsTable]]'s missing-PTS contract,
+   * so a consumer computing min/durations never reads a sentinel as a
+   * real timestamp. */
+  private def keyframeTimeTable(spark: SparkSession, media: DataFrame,
+      locate: Array[Byte] => Seq[(Long, Int, Int, Long)]): DataFrame = {
     import spark.implicits._
     media.select(col("media_id"), col("mime_type"), col("media"))
       .as[MediaRow]
       .mapPartitions { rows =>
         rows.flatMap { r =>
-          AvHeaders.mp4SyncSampleTimes(r.media).map { case (sn, off, len, tMs) =>
-            (r.media_id, sn, off.toLong, len.toLong, tMs)
+          locate(r.media).map { case (sn, off, len, tMs) =>
+            (r.media_id, sn, off.toLong, len.toLong,
+              if (tMs >= 0) Some(tMs) else None)
           }
         }
       }
       .toDF("media_id", "sample_no", "offset", "n_bytes", "t_ms")
   }
 
+  /** [[mp4KeyframeTable]] with each keyframe's PRESENTATION START
+   * TIME in milliseconds ([[AvHeaders.mp4SyncSampleTimes]]: stts
+   * prefix sums over the mdhd timescale) — the time axis a
+   * clip-caption pairing op range-joins caption cues against. Same
+   * partition-local discipline; only fixed-shape rows move. */
+  def mp4KeyframeTimeTable(spark: SparkSession, media: DataFrame): DataFrame =
+    keyframeTimeTable(spark, media, AvHeaders.mp4SyncSampleTimes)
+
   /** [[mp4KeyframeTimeTable]] for FRAGMENTED MP4: each sync sample's
    * decode time from tfdt + trun/tfhd/trex durations over the mdhd
    * timescale ([[AvHeaders.mp4FragmentSyncSampleTimes]]) — the CMAF
    * segment time axis, same shape as the self-contained one so the
    * clip-caption pairing works on either layout. */
-  def mp4FragmentedKeyframeTimeTable(spark: SparkSession, media: DataFrame): DataFrame = {
-    import spark.implicits._
-    media.select(col("media_id"), col("mime_type"), col("media"))
-      .as[MediaRow]
-      .mapPartitions { rows =>
-        rows.flatMap { r =>
-          AvHeaders.mp4FragmentSyncSampleTimes(r.media).map { case (sn, off, len, tMs) =>
-            (r.media_id, sn, off.toLong, len.toLong, tMs)
-          }
-        }
-      }
-      .toDF("media_id", "sample_no", "offset", "n_bytes", "t_ms")
-  }
+  def mp4FragmentedKeyframeTimeTable(spark: SparkSession, media: DataFrame): DataFrame =
+    keyframeTimeTable(spark, media, AvHeaders.mp4FragmentSyncSampleTimes)
 
   /** [[mp4KeyframeTable]] for FRAGMENTED MP4 (CMAF/DASH segments):
    * sync samples located from `moof`/`traf`/`trun` run tables
@@ -2115,8 +2128,8 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.flatMap { r =>
           AvHeaders.flacStreamInfo(r.media).toSeq.flatMap {
-            case (_, sr, ch, bps, total) =>
-              AvHeaders.flacFrames(r.media).zipWithIndex.map {
+            case (audioOff, sr, ch, bps, total) =>
+              AvHeaders.flacFramesFrom(r.media, audioOff).zipWithIndex.map {
                 case ((off, len), i) =>
                   (r.media_id, i, off.toLong, len.toLong, sr, ch, bps,
                     total, total * 1000L / sr)

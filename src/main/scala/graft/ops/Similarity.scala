@@ -791,9 +791,9 @@ object Similarity {
     // result is a collected Seq, so the materialisation is released
     // here — a long-lived session calling this in a loop must not
     // accumulate a cached corpus per call.
-    val corpus = materialize(unitCorpus(embeddings))
+    val (corpus, release) = materialize(unitCorpus(embeddings))
     try kmeansCentroidsOn(corpus, k, iters)
-    finally { corpus.unpersist(blocking = false); () }
+    finally release()
   }
 
   /** Materialise an already-normalised corpus for reuse across
@@ -809,17 +809,34 @@ object Similarity {
    * `finally` (its result is a collected Seq). [[ivfTrainedTopK]]
    * CANNOT — its returned DataFrame lazily reads the materialised
    * corpus, so releasing before the caller evaluates would defeat the
-   * sharing. Under the persist flag that one cached copy lives until
-   * the caller's action completes and the ContextCleaner collects it
-   * (or `spark.catalog.clearCache()` / an unpersist sweep, as
-   * Bench/Verify do between queries); a long-lived session looping
-   * ivfTrainedTopK should sweep likewise. */
-  private def materialize(df: DataFrame): DataFrame =
+   * sharing. Its one copy lives until the caller's action completes
+   * and the ContextCleaner collects it (or `spark.catalog
+   * .clearCache()` / an unpersist sweep, as Bench/Verify do between
+   * queries); a long-lived session looping ivfTrainedTopK should
+   * sweep likewise.
+   *
+   * Returns the materialised frame AND a release thunk: `Dataset
+   * .unpersist` only clears CacheManager entries, so on the
+   * localCheckpoint path (whose persistence lives on the underlying
+   * RDD) the thunk digs the checkpointed RDD out of the `LogicalRDD`
+   * plan node and unpersists it directly — without this the default
+   * path leaked one persisted RDD per call until driver GC. */
+  private def materialize(df: DataFrame): (DataFrame, () => Unit) =
     if (df.sparkSession.conf
         .getOption("spark.graft.similarity.reliableMaterialize")
-        .contains("true"))
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else df.localCheckpoint()
+        .contains("true")) {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (p, () => { p.unpersist(blocking = false); () })
+    } else {
+      val out = df.localCheckpoint()
+      val release = out.queryExecution.analyzed
+        .collectFirst {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            () => { lr.rdd.unpersist(blocking = false); () }
+        }
+        .getOrElse(() => ())
+      (out, release)
+    }
 
   /** [[kmeansCentroids]] over a corpus that is ALREADY normalised and
    * materialised — so a caller that needs the corpus for its own
@@ -881,8 +898,10 @@ object Similarity {
     // The values are the single-normalisation arithmetic the oracle
     // replays — kmeansCentroidsOn never re-normalises its input (doing
     // so would perturb already-unit vectors at the float ulp under the
-    // round-9 pin).
-    val corpus = materialize(unitCorpus(embeddings))
+    // round-9 pin). The release thunk is deliberately dropped: the
+    // returned DataFrame lazily reads this corpus (see materialize's
+    // Lifetime note) — callers sweep after their action completes.
+    val (corpus, _) = materialize(unitCorpus(embeddings))
     val cent = kmeansCentroidsOn(corpus, nLists, iters)
     val asg = assignToCentroids(corpus, cent)
       .select(col("vec_id"), col("v"), col("cluster").as("cell"))

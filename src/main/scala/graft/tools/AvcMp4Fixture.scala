@@ -220,15 +220,7 @@ object AvcMp4Fixture {
         val (mime, bytes) = mk(id)
         (id, mime, bytes)
       }.toDF("media_id", "mime_type", "media")
-      val tmp = java.nio.file.Files.createTempDirectory("mp4avcfix").toString
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
-      val dest = new java.io.File(dest0)
-      Option(dest.getParentFile).foreach(_.mkdirs())
-      java.nio.file.Files.move(part.toPath, dest.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      println(s"wrote $rows rows to $dest0")
+      FixtureIo.writeSingleParquet(df, dest0, rows.toLong)
     }
     write(row, out)
     write(fragRow, fragOut)

@@ -10,9 +10,13 @@ package graft.tools
  *  - id % 8 == 3 → WEBVTT header + NOTE block only: NO cues.
  *  - id % 8 == 7 → junk prose with no timing lines: NO cues.
  *  - id even     → WebVTT: "WEBVTT" header block, a NOTE block the
- *                  parser must skip, then cues — odd cues carry an
- *                  identifier line before the timing line; id % 4 == 0
- *                  uses the short mm:ss.mmm time form (no hour field).
+ *                  parser must skip (it contains a bare `-->` with no
+ *                  timestamps — a non-cue arrow block), then cues —
+ *                  odd cues carry an identifier line AND a junk arrow
+ *                  line before the timing line (the parser must skip
+ *                  past both to the first FULL `ts --> ts` line);
+ *                  id % 4 == 0 uses the short mm:ss.mmm time form (no
+ *                  hour field).
  *  - id odd      → SRT: numbered cues with comma-decimal times.
  *  - cue windows: nCues = 2 + id%4, start_ms(i) = i·(30 + 10·(id%4)),
  *    end_ms = start_ms + 45 + 5·(id%3) — sized to overlap the first
@@ -45,11 +49,13 @@ object CaptionFixture {
   }
 
   def vtt(id: Long): String = {
-    val blocks = Seq("WEBVTT", s"NOTE deterministic fixture $id") ++
+    val blocks = Seq("WEBVTT",
+      s"NOTE deterministic fixture $id\nsee --> notes") ++
       (0 until nCues(id)).map { i =>
         val timing = fmt(startMs(id, i), '.', id % 4 == 0) + " --> " +
           fmt(endMs(id, i), '.', id % 4 == 0)
-        val ident = if (i % 2 == 1) s"ident-$id-$i\n" else ""
+        val ident =
+          if (i % 2 == 1) s"ident-$id-$i\nnote --> arrow junk $id\n" else ""
         ident + timing + "\n" + cueText(id, i)
       }
     blocks.mkString("\n\n")
@@ -79,15 +85,7 @@ object CaptionFixture {
       val (kind, content) = row(id)
       (id, kind, content)
     }.toDF("media_id", "kind", "content")
-    val tmp = java.nio.file.Files.createTempDirectory("capfix").toString
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val part = new java.io.File(tmp).listFiles()
-      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
-    val dest = new java.io.File(out)
-    Option(dest.getParentFile).foreach(_.mkdirs())
-    java.nio.file.Files.move(part.toPath, dest.toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    println(s"wrote $rows rows to $out")
+    FixtureIo.writeSingleParquet(df, out, rows.toLong)
     spark.stop()
   }
 }

@@ -53,15 +53,7 @@ object OggFixture {
       val (mime, bytes) = row(id)
       (id, mime, bytes)
     }.toDF("media_id", "mime_type", "media")
-    val tmp = java.nio.file.Files.createTempDirectory("oggfix").toString
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val part = new java.io.File(tmp).listFiles()
-      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
-    val dest = new java.io.File(out)
-    Option(dest.getParentFile).foreach(_.mkdirs())
-    java.nio.file.Files.move(part.toPath, dest.toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    println(s"wrote $rows rows to $out")
+    FixtureIo.writeSingleParquet(df, out, rows.toLong)
     spark.stop()
   }
 }

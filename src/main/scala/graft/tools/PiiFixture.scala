@@ -61,15 +61,7 @@ object PiiFixture {
       .config("spark.ui.enabled", "false").getOrCreate()
     import spark.implicits._
     val df = (0L until rows.toLong).map(id => (id, text(id))).toDF("rec_id", "text")
-    val tmp = java.nio.file.Files.createTempDirectory("piifix").toString
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val part = new java.io.File(tmp).listFiles()
-      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
-    val dest = new java.io.File(out)
-    Option(dest.getParentFile).foreach(_.mkdirs())
-    java.nio.file.Files.move(part.toPath, dest.toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    println(s"wrote $rows rows to $out")
+    FixtureIo.writeSingleParquet(df, out, rows.toLong)
     spark.stop()
   }
 }

@@ -35,6 +35,16 @@ class CaptionsSpec extends SparkSpec {
     // an arrow line without two parsable timestamps is not a cue
     assert(Captions.parseCues("a --> b\ntext").isEmpty)
     assert(Captions.parseCues("00:01.000 --> soon\ntext").isEmpty)
+    // two timestamps with the arrow NOT between them is not a timing line
+    assert(Captions.parseCues("00:01.000 00:02.500 -->\ntext").isEmpty)
+  }
+
+  test("junk arrow lines before the timing line are skipped, not fatal") {
+    // the timing line is the first FULL `ts --> ts` line; a bare-arrow
+    // line above it must not swallow the cue (and the DuckDB oracle
+    // applies the identical per-line rule)
+    val got = Captions.parseCues("see --> here\n00:01.000 --> 00:02.500\nhello")
+    assert(got == Seq((0, 1000L, 2500L, "hello")))
   }
 
   test("fixture contract: every full row's cues match the id formulas") {
