@@ -471,6 +471,33 @@ object SparkEntry {
         Captions.cueTable(s, Tables.captions(s)),
         Multimodal.webmBlockTimeTable(s, Tables.webm(s))
           .filter(col("is_key")))),
+    // ---- corpus-archive walkers: the shard formats a training-data
+    //      pipeline reads (Common Crawl WARC, WebDataset tar, ZIP) ----
+    // q_w1: WARC record table — the Common Crawl shard list: version
+    // line + case-insensitive headers + Content-Length hops; the
+    // oracle re-walks the records with a recursive CTE over the
+    // decoded bytes (header scan, Content-Length extract, framing
+    // hops) — a full independent walk, not a count contract
+    "q_w1_warc_records" -> ((s, _) =>
+      Archives.warcRecordTable(s, Tables.warc(s))),
+    // q_w2: tar member table — the WebDataset shard index: 512-byte
+    // ustar headers, octal size decode, payload hops on the 512 grid;
+    // the oracle re-walks the grid recursively with its own octal
+    // arithmetic
+    "q_w2_tar_members" -> ((s, _) =>
+      Archives.tarMemberTable(s, Tables.tar(s))),
+    // q_w3: ZIP entry table — EOCD backward scan (past the archive
+    // comment) → central directory walk; data offsets re-read each
+    // LOCAL header (its extra length differs from the central one in
+    // the fixture); the oracle replays all of it in LE hex arithmetic
+    "q_w3_zip_entries" -> ((s, _) =>
+      Archives.zipEntryTable(s, Tables.zip(s))),
+    // q_w4: WebDataset SAMPLE table — tar members grouped at the
+    // FIRST dot of the member name (jpg+txt+meta.json of one key form
+    // one training sample); one groupBy over fixed-shape index rows
+    "q_w4_webdataset_samples" -> ((s, _) =>
+      Archives.webdatasetSamples(
+        Archives.tarMemberTable(s, Tables.tar(s)))),
     // q_x20: MOSS-style cross-doc copy detection — winnow fingerprint
     // overlap with stop-fingerprint (df cap) pruning + containment
     "q_x20_copy_pairs" -> ((s, d) =>

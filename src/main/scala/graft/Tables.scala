@@ -232,6 +232,36 @@ object Tables {
   }
   def captions(spark: SparkSession): DataFrame = spark.read.parquet(captionsFixturePath)
 
+  /** warc(media_id BIGINT, mime_type STRING, media BINARY) —
+   * repo-local deterministic WARC fixture (tools.WarcFixture: real
+   * ISO 28500 records with exact Content-Length framing; plus
+   * truncated and junk rows). */
+  def warcFixturePath: String = {
+    val local = new java.io.File("fixtures/warc.parquet")
+    if (local.exists) local.getAbsolutePath else "/root/repo/fixtures/warc.parquet"
+  }
+  def warc(spark: SparkSession): DataFrame = spark.read.parquet(warcFixturePath)
+
+  /** tar(media_id BIGINT, mime_type STRING, media BINARY) — repo-local
+   * deterministic WebDataset-layout ustar fixture (tools.TarFixture:
+   * real 512-byte headers with computed checksums; plus truncated and
+   * junk rows). */
+  def tarFixturePath: String = {
+    val local = new java.io.File("fixtures/tar.parquet")
+    if (local.exists) local.getAbsolutePath else "/root/repo/fixtures/tar.parquet"
+  }
+  def tar(spark: SparkSession): DataFrame = spark.read.parquet(tarFixturePath)
+
+  /** zip(media_id BIGINT, mime_type STRING, media BINARY) — repo-local
+   * deterministic ZIP fixture (tools.ZipFixture: STORED members with
+   * real CRC-32s, local-only extra fields, archive comments; plus
+   * over-counted and junk rows). */
+  def zipFixturePath: String = {
+    val local = new java.io.File("fixtures/zip.parquet")
+    if (local.exists) local.getAbsolutePath else "/root/repo/fixtures/zip.parquet"
+  }
+  def zip(spark: SparkSession): DataFrame = spark.read.parquet(zipFixturePath)
+
   /** pii(rec_id BIGINT, text STRING) — repo-local deterministic
    * PII-bearing text fixture (tools.PiiFixture; the driver corpus is
    * digit-free word salad, so identifier scanning needs its own rows). */

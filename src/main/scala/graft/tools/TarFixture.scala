@@ -1,0 +1,143 @@
+package graft.tools
+
+/**
+ * Deterministic POSIX-ustar tar fixture in WebDataset shard layout
+ * for the q_w2/q_w4 walkers — real 512-byte headers (NUL-terminated
+ * names, octal size/mtime/mode fields, COMPUTED checksums, "ustar"
+ * magic) over ASCII member payloads, ending with the standard two
+ * zero blocks. The DuckDB oracle re-walks the 512 grid independently
+ * (octal decode + size hops); it never reads this code's intermediate
+ * values.
+ *
+ * Layout per media_id:
+ *  - id % 8 == 3 → a valid first member, then a header whose octal
+ *                  size overruns the file (truncated shard): walker
+ *                  emits only the members before it.
+ *  - id % 8 == 7 → ASCII junk, no ustar magic: no rows.
+ *  - else        → a WebDataset shard: 2 + id%3 samples, each with
+ *                  members `s<id>_<k>.jpg` + `s<id>_<k>.txt`, plus
+ *                  `s<id>_<k>.meta.json` for even k (multi-dot
+ *                  extension: WebDataset keys split at the FIRST
+ *                  dot). Every member is a regular file (typeflag
+ *                  '0').
+ *
+ * Usage: runMain graft.tools.TarFixture [outFile] [rows]
+ * (default fixtures/tar.parquet, 500 rows)
+ */
+object TarFixture {
+
+  def nSamples(id: Long): Int = 2 + (id % 3).toInt
+
+  def jpgLen(id: Long, k: Int): Int = 100 + 7 * ((id + k) % 5).toInt
+  def txtLen(id: Long, k: Int): Int = 20 + 3 * ((id * 5 + k) % 4).toInt
+  def jsonLen(id: Long, k: Int): Int = 30 + 2 * ((id + 3 * k) % 6).toInt
+
+  def payload(tag: String, id: Long, k: Int, len: Int): Array[Byte] = {
+    val seed = s"$tag $id $k "
+    val sb = new StringBuilder(seed)
+    var j = 0
+    while (sb.length < len) { sb.append(('a' + (id + k + j) % 26).toChar); j += 1 }
+    sb.toString.substring(0, len)
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+  }
+
+  /** Members of one shard in tar order: (name, bytes). */
+  def members(id: Long): Seq[(String, Array[Byte])] =
+    (0 until nSamples(id)).flatMap { k =>
+      val base = s"s${id}_$k"
+      Seq(
+        s"$base.jpg" -> payload("jpg", id, k, jpgLen(id, k)),
+        s"$base.txt" -> payload("txt", id, k, txtLen(id, k))) ++
+        (if (k % 2 == 0)
+          Seq(s"$base.meta.json" -> payload("json", id, k, jsonLen(id, k)))
+        else Nil)
+    }
+
+  private def putOctal(h: Array[Byte], off: Int, width: Int, v: Long): Unit = {
+    // width-1 octal digits + NUL terminator (the common GNU/ustar form)
+    var x = v
+    var i = off + width - 2
+    h(off + width - 1) = 0
+    while (i >= off) { h(i) = ('0' + (x % 8)).toByte; x /= 8; i -= 1 }
+  }
+
+  private def putStr(h: Array[Byte], off: Int, s: String): Unit = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    System.arraycopy(b, 0, h, off, b.length)
+  }
+
+  /** One real ustar header: checksum computed over the header with
+   * the chksum field as spaces (pax/ustar rule), stored as six octal
+   * digits + NUL + space. Fixed mtime keeps the fixture
+   * deterministic. */
+  def header(name: String, size: Long): Array[Byte] = {
+    val h = new Array[Byte](512)
+    putStr(h, 0, name)
+    putOctal(h, 100, 8, 420 /* 0644 */)
+    putOctal(h, 108, 8, 0)
+    putOctal(h, 116, 8, 0)
+    putOctal(h, 124, 12, size)
+    putOctal(h, 136, 12, 1700000000L)
+    h(156) = '0'
+    putStr(h, 257, "ustar")
+    h(262) = 0
+    putStr(h, 263, "00")
+    putStr(h, 265, "graft")
+    putStr(h, 297, "graft")
+    // checksum: field treated as 8 spaces
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+    var sum = 0L
+    var i = 0
+    while (i < 512) { sum += h(i) & 0xff; i += 1 }
+    putOctal(h, 148, 7, sum)
+    h(155) = ' '
+    h
+  }
+
+  private def pad512(n: Int): Int = ((n + 511) / 512) * 512 - n
+
+  def tar(id: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    members(id).foreach { case (name, data) =>
+      out.write(header(name, data.length.toLong))
+      out.write(data)
+      out.write(new Array[Byte](pad512(data.length)))
+    }
+    out.write(new Array[Byte](1024)) // end-of-archive marker
+    out.toByteArray
+  }
+
+  /** First member valid, second header's size overruns the file. */
+  def truncated(id: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val data = payload("jpg", id, 0, jpgLen(id, 0))
+    out.write(header(s"s${id}_0.jpg", data.length.toLong))
+    out.write(data)
+    out.write(new Array[Byte](pad512(data.length)))
+    out.write(header("overrun.bin", 1 << 20)) // 1 MiB claimed, absent
+    out.write(new Array[Byte](64))
+    out.toByteArray
+  }
+
+  def row(id: Long): (String, Array[Byte]) =
+    if (id % 8 == 3) ("application/x-tar", truncated(id))
+    else if (id % 8 == 7)
+      ("text/plain",
+        s"plain junk $id no tar here".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    else ("application/x-tar", tar(id))
+
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("fixtures/tar.parquet")
+    val rows = args.lift(1).map(_.toInt).getOrElse(500)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").appName("tar-fixture")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    val df = (0L until rows.toLong).map { id =>
+      val (mime, bytes) = row(id)
+      (id, mime, bytes)
+    }.toDF("media_id", "mime_type", "media")
+    FixtureIo.writeSingleParquet(df, out, rows.toLong)
+    spark.stop()
+  }
+}

@@ -1,0 +1,107 @@
+package graft.tools
+
+/**
+ * Deterministic WARC (ISO 28500) fixture for the q_w1 record walker —
+ * real `WARC/1.0` records with named headers, exact Content-Length
+ * payloads and CRLF-CRLF framing, assembled byte-for-byte so the
+ * DuckDB oracle can re-walk the file independently (recursive
+ * header-scan + Content-Length hops; it never reads this code's
+ * intermediate values, only the bytes).
+ *
+ * Layout per media_id:
+ *  - id % 8 == 3 → a valid warcinfo record, then a response whose
+ *                  declared Content-Length overruns the file
+ *                  (truncated fetch): walker emits ONLY record 0.
+ *  - id % 8 == 7 → ASCII junk, no WARC magic: no rows.
+ *  - else        → warcinfo, then 2 + id%3 records: response records
+ *                  with deterministic target URIs and HTTP payloads;
+ *                  even ids carry a `request` record at position 2.
+ *                  Odd ids emit `content-length` in LOWERCASE
+ *                  (ISO 28500 §4: header names are case-insensitive —
+ *                  both walker and oracle must honour that).
+ *
+ * All payloads are 7-bit ASCII so the oracle's blob→VARCHAR decode is
+ * total. Usage: runMain graft.tools.WarcFixture [outFile] [rows]
+ * (default fixtures/warc.parquet, 500 rows)
+ */
+object WarcFixture {
+
+  def nBody(id: Long): Int = 2 + (id % 3).toInt
+
+  def uri(id: Long, i: Int): String = s"https://data.example.org/$id/doc$i"
+
+  def httpBody(id: Long, i: Int): String =
+    s"doc $id $i " + Seq.fill(((id + i) % 4).toInt + 1)("lorem").mkString(" ")
+
+  def responseContent(id: Long, i: Int): String =
+    "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n" + httpBody(id, i)
+
+  private def clName(id: Long): String =
+    if (id % 2 == 1) "content-length" else "Content-Length"
+
+  /** One framed record: version line, headers, Content-Length, blank
+   * line, payload, two trailing CRLFs. */
+  def record(id: Long, headers: Seq[(String, String)], content: String): String =
+    ("WARC/1.0" +: headers.map { case (k, v) => s"$k: $v" })
+      .mkString("\r\n") +
+      s"\r\n${clName(id)}: ${content.length}\r\n\r\n" + content + "\r\n\r\n"
+
+  def warcinfo(id: Long): String =
+    record(id,
+      Seq("WARC-Type" -> "warcinfo",
+        "WARC-Record-ID" -> f"<urn:uuid:${id}%08d-0000-0000-0000-000000000000>",
+        "Content-Type" -> "application/warc-fields"),
+      s"software: graft-fixture $id\r\n")
+
+  def response(id: Long, i: Int): String =
+    record(id,
+      Seq("WARC-Type" -> "response",
+        "WARC-Target-URI" -> uri(id, i),
+        "Content-Type" -> "application/http;msgtype=response"),
+      responseContent(id, i))
+
+  def request(id: Long, i: Int): String =
+    record(id,
+      Seq("WARC-Type" -> "request",
+        "WARC-Target-URI" -> uri(id, i),
+        "Content-Type" -> "application/http;msgtype=request"),
+      s"GET /$id/doc$i HTTP/1.1\r\nHost: data.example.org\r\n")
+
+  def warc(id: Long): String = {
+    val body = (0 until nBody(id)).map { i =>
+      if (id % 2 == 0 && i == 1) request(id, i) else response(id, i)
+    }
+    (warcinfo(id) +: body).mkString("")
+  }
+
+  /** A warcinfo record followed by a response whose Content-Length
+   * claims 64 bytes more than the file holds. */
+  def truncated(id: Long): String = {
+    val full = response(id, 0)
+    val cut = full.substring(0, full.length - 68)
+    warcinfo(id) + cut
+  }
+
+  def row(id: Long): (String, Array[Byte]) = {
+    val s =
+      if (id % 8 == 3) truncated(id)
+      else if (id % 8 == 7) s"plain junk $id with no warc framing at all\n"
+      else warc(id)
+    ("application/warc", s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("fixtures/warc.parquet")
+    val rows = args.lift(1).map(_.toInt).getOrElse(500)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").appName("warc-fixture")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    val df = (0L until rows.toLong).map { id =>
+      val (mime, bytes) = row(id)
+      (id, mime, bytes)
+    }.toDF("media_id", "mime_type", "media")
+    FixtureIo.writeSingleParquet(df, out, rows.toLong)
+    spark.stop()
+  }
+}
