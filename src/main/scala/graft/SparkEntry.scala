@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Captions, Correlate, Dedup, Ingest, Metrics, Multimodal, Pii, Relational, Sampling, Schedule, Similarity, TextAnalysis}
+import graft.ops.{Archives, Captions, Correlate, Dedup, Ingest, Metrics, Multimodal, Pii, Relational, Sampling, Schedule, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
  *
