@@ -886,6 +886,80 @@ object SparkEntry {
        |   CAST(ticks * tsc // 1000000 AS BIGINT) AS t_ms
        | FROM wb_b)""".stripMargin
 
+  /** Shared DuckDB CTE body (no WITH; the first relation is RECURSIVE —
+   * callers open with `WITH RECURSIVE`): an independent re-walk of the
+   * tar fixture's 512 grid → relation `members`(media_id, member_idx,
+   * name, header_offset, data_offset, n_bytes, typeflag), the twin of
+   * Archives.tarMembers. Each recursion step re-derives everything
+   * from the hex bytes: the all-zero end marker, the "ustar" magic at
+   * 257, the 12-byte octal size at 124 decoded with its own base-8
+   * arithmetic (leading NUL/space padding, first digit run wins), the
+   * NUL-terminated name/prefix located over aligned hex PAIRS (a
+   * naive substring search for '00' could split a byte whose low
+   * nibble is 0), and the 512-rounded payload hop. A member whose
+   * payload overruns the file stops the walk unemitted, like the
+   * walker. Used by q_w2/q_w4. */
+  private def TARWALK: String =
+    s"""tar_m AS (SELECT media_id, hex(media) AS h, octet_length(media) AS n
+       |          FROM read_parquet('${Tables.tarFixturePath}')),
+       | tar_walk AS (
+       |  SELECT media_id, -1 AS member_idx, CAST(NULL AS VARCHAR) AS name,
+       |         CAST(NULL AS BIGINT) AS header_offset,
+       |         CAST(NULL AS BIGINT) AS data_offset,
+       |         CAST(NULL AS BIGINT) AS n_bytes, CAST(NULL AS VARCHAR) AS typeflag,
+       |         CAST(0 AS BIGINT) AS next_pos
+       |  FROM tar_m
+       |  UNION ALL
+       |  SELECT media_id, member_idx, name, pos, pos + 512, sz, typeflag,
+       |         pos + 512 + ((sz + 511) // 512) * 512
+       |  FROM (
+       |    SELECT u.media_id, u.member_idx, u.pos, u.n, u.typeflag,
+       |      CASE WHEN u.prefix <> '' THEN u.prefix || '/' || u.name0
+       |           ELSE u.name0 END AS name,
+       |      CAST(list_sum(list_transform(
+       |        generate_series(1, CAST(length(u.digits) / 2 AS INT)),
+       |        i -> CAST(substr(u.digits, 2 * i, 1) AS BIGINT)
+       |             * CAST(pow(8, CAST(length(u.digits) / 2 AS INT) - i) AS BIGINT)))
+       |        AS BIGINT) AS sz
+       |    FROM (
+       |      SELECT t.media_id, t.member_idx, t.pos, t.n,
+       |        regexp_extract(substr(t.h, CAST(2 * (t.pos + 124) AS INT) + 1, 24),
+       |                       '^(?:20|00)*((?:3[0-7])+)', 1) AS digits,
+       |        decode(unhex(substr(t.h, CAST(2 * t.pos AS INT) + 1,
+       |          2 * (coalesce(nullif(list_position(
+       |            list_transform(generate_series(1, 100),
+       |              i -> substr(t.h, CAST(2 * t.pos AS INT) + 2 * i - 1, 2)),
+       |            '00'), 0), 101) - 1)))) AS name0,
+       |        decode(unhex(substr(t.h, CAST(2 * (t.pos + 345) AS INT) + 1,
+       |          2 * (coalesce(nullif(list_position(
+       |            list_transform(generate_series(1, 155),
+       |              i -> substr(t.h, CAST(2 * (t.pos + 345) AS INT) + 2 * i - 1, 2)),
+       |            '00'), 0), 156) - 1)))) AS prefix,
+       |        CASE WHEN substr(t.h, CAST(2 * (t.pos + 156) AS INT) + 1, 2) = '00'
+       |             THEN '0'
+       |             ELSE decode(unhex(substr(t.h, CAST(2 * (t.pos + 156) AS INT) + 1, 2)))
+       |        END AS typeflag
+       |      FROM (
+       |        SELECT w.media_id, w.member_idx + 1 AS member_idx,
+       |               w.next_pos AS pos, tar_m.n, tar_m.h
+       |        FROM tar_walk w JOIN tar_m USING (media_id)
+       |        WHERE w.next_pos + 512 <= tar_m.n
+       |          AND substr(tar_m.h, CAST(2 * w.next_pos AS INT) + 1, 1024)
+       |              <> repeat('0', 1024)
+       |          AND substr(tar_m.h, CAST(2 * (w.next_pos + 257) AS INT) + 1, 10)
+       |              = '7573746172'
+       |      ) t
+       |    ) u
+       |    WHERE u.digits <> ''
+       |  ) v
+       |  WHERE pos + 512 + sz <= n),
+       | members AS (
+       |  SELECT media_id, CAST(member_idx AS INT) AS member_idx, name,
+       |         CAST(header_offset AS BIGINT) AS header_offset,
+       |         CAST(data_offset AS BIGINT) AS data_offset,
+       |         CAST(n_bytes AS BIGINT) AS n_bytes, typeflag
+       |  FROM tar_walk WHERE member_idx >= 0)""".stripMargin
+
   /** DuckDB shingle CTE twin of Dedup.shingles (3-word shingles). */
   private val SH =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS wl FROM documents),
@@ -898,9 +972,9 @@ object SparkEntry {
   /** DuckDB little-endian read: the `n` bytes at byte offset `off`
    * (a SQL expression) of hex column `h`, reversed into one hex
    * literal body — wrap in TRY_CAST('0x' || … AS UBIGINT). */
-  private def leHex(off: String, n: Int): String =
+  private def leHex(off: String, n: Int, col: String = "h"): String =
     (n - 1 to 0 by -1)
-      .map(k => s"substr(h, CAST(2 * (($off) + $k) + 1 AS BIGINT), 2)")
+      .map(k => s"substr($col, CAST(2 * (($off) + $k) + 1 AS BIGINT), 2)")
       .mkString(" || ")
 
   /** Banded candidate-pair CTE chain — the oracle twin of
@@ -2235,6 +2309,149 @@ object SparkEntry {
          | FROM cues JOIN wbt ON wbt.media_id = cues.media_id
          |   AND wbt.t_ms >= cues.start_ms AND wbt.t_ms < cues.end_ms
          | WHERE wbt.is_key""".stripMargin,
+    // q_w1: an independent recursive re-walk of the WARC records over
+    // the blob decoded to VARCHAR (the fixture is 7-bit ASCII by
+    // contract, so decode is total): version-line check, first
+    // CRLF-CRLF header terminator via strpos, case-insensitive
+    // header-line regexes for Content-Length / WARC-Type /
+    // WARC-Target-URI, then the Content-Length + 4 framing hop. A
+    // record with no terminator, an unparsable/negative length, or a
+    // payload overrunning the file stops the walk unemitted — the
+    // walker's exact tolerance rules.
+    "q_w1_warc_records" ->
+      s"""WITH RECURSIVE warc_m AS (
+         |  SELECT media_id, decode(media) AS s, octet_length(media) AS n
+         |  FROM read_parquet('${Tables.warcFixturePath}')),
+         | warc_walk AS (
+         |  SELECT media_id, -1 AS record_idx,
+         |         CAST(NULL AS BIGINT) AS off, CAST(NULL AS BIGINT) AS content_offset,
+         |         CAST(NULL AS BIGINT) AS content_length,
+         |         CAST(NULL AS VARCHAR) AS warc_type,
+         |         CAST(NULL AS VARCHAR) AS target_uri,
+         |         CAST(0 AS BIGINT) AS next_pos
+         |  FROM warc_m
+         |  UNION ALL
+         |  SELECT media_id, record_idx, pos, hdr_end + 4, clen, wtype, uri,
+         |         hdr_end + 4 + clen + 4
+         |  FROM (
+         |    SELECT u.media_id, u.record_idx, u.pos, u.hdr_end, u.n,
+         |      TRY_CAST(trim(regexp_extract(u.hdr,
+         |        '(?i)\\r\\n[ \\t]*content-length[ \\t]*:([^\\r\\n]*)', 1)) AS BIGINT) AS clen,
+         |      nullif(trim(regexp_extract(u.hdr,
+         |        '(?i)\\r\\n[ \\t]*warc-type[ \\t]*:([^\\r\\n]*)', 1)), '') AS wtype,
+         |      nullif(trim(regexp_extract(u.hdr,
+         |        '(?i)\\r\\n[ \\t]*warc-target-uri[ \\t]*:([^\\r\\n]*)', 1)), '') AS uri
+         |    FROM (
+         |      SELECT t.media_id, t.record_idx, t.pos, t.n, t.hdr_end,
+         |             substr(t.s, CAST(t.pos AS INT) + 1,
+         |                    CAST(t.hdr_end - t.pos AS INT)) AS hdr
+         |      FROM (
+         |        SELECT w.media_id, w.record_idx + 1 AS record_idx,
+         |               w.next_pos AS pos, warc_m.n, warc_m.s,
+         |               w.next_pos
+         |                 + strpos(substr(warc_m.s, CAST(w.next_pos AS INT) + 1),
+         |                          chr(13)||chr(10)||chr(13)||chr(10)) - 1 AS hdr_end
+         |        FROM warc_walk w JOIN warc_m USING (media_id)
+         |        WHERE substr(warc_m.s, CAST(w.next_pos AS INT) + 1, 10)
+         |                IN ('WARC/1.0' || chr(13) || chr(10),
+         |                    'WARC/1.1' || chr(13) || chr(10))
+         |          AND strpos(substr(warc_m.s, CAST(w.next_pos AS INT) + 1),
+         |                     chr(13)||chr(10)||chr(13)||chr(10)) > 0
+         |      ) t
+         |    ) u
+         |  ) v
+         |  WHERE clen IS NOT NULL AND clen >= 0 AND hdr_end + 4 + clen <= n)
+         | SELECT media_id, CAST(record_idx AS INT) AS record_idx,
+         |        CAST(off AS BIGINT) AS "offset",
+         |        CAST(content_offset AS BIGINT) AS content_offset,
+         |        CAST(content_length AS BIGINT) AS content_length,
+         |        warc_type, target_uri
+         | FROM warc_walk WHERE record_idx >= 0""".stripMargin,
+    // q_w2: the recursive 512-grid re-walk (TARWALK) verbatim
+    "q_w2_tar_members" ->
+      s"""WITH RECURSIVE $TARWALK
+         | SELECT * FROM members""".stripMargin,
+    // q_w3: EOCD located by an explicit backward scan (list_max over
+    // every aligned '504B0506' position within the 65535-byte comment
+    // window — the LAST signature wins, like the walker's descending
+    // scan), ZIP64 sentinels (0xFFFF count / 0xFFFFFFFF cd offset)
+    // excluded like the walker, then a recursive central-directory
+    // walk in LE hex arithmetic; data_offset re-reads each LOCAL
+    // header's own name/extra lengths (the fixture's even entries
+    // carry a local-only extra field, so trusting the central entry
+    // would be caught).
+    "q_w3_zip_entries" ->
+      s"""WITH RECURSIVE zip_m AS (
+         |  SELECT media_id, hex(media) AS h, octet_length(media) AS n
+         |  FROM read_parquet('${Tables.zipFixturePath}')),
+         | zip_e AS (
+         |  SELECT media_id, h, n,
+         |    list_max(list_filter(generate_series(GREATEST(n - 22 - 65535, 0), n - 22),
+         |      i -> substr(h, CAST(2 * i AS INT) + 1, 8) = '504B0506')) AS e
+         |  FROM zip_m),
+         | zip_h AS (
+         |  SELECT media_id, h, n,
+         |    TRY_CAST('0x' || ${leHex("e + 10", 2)} AS BIGINT) AS cnt,
+         |    TRY_CAST('0x' || ${leHex("e + 16", 4)} AS BIGINT) AS cd_off
+         |  FROM zip_e WHERE e IS NOT NULL),
+         | zip_walk AS (
+         |  SELECT media_id, -1 AS entry_idx, CAST(NULL AS VARCHAR) AS name,
+         |         CAST(NULL AS INT) AS method, CAST(NULL AS BIGINT) AS comp_bytes,
+         |         CAST(NULL AS BIGINT) AS uncomp_bytes,
+         |         CAST(NULL AS BIGINT) AS local_header_offset,
+         |         CAST(NULL AS BIGINT) AS data_offset,
+         |         cd_off AS p, cnt
+         |  FROM zip_h
+         |  WHERE cnt <> 65535 AND cd_off <> 4294967295 AND cd_off <= n
+         |  UNION ALL
+         |  SELECT media_id, entry_idx, name, method, comp_bytes, uncomp_bytes, lho,
+         |    CASE WHEN lho + 30 <= n
+         |              AND substr(h, CAST(2 * lho AS INT) + 1, 8) = '504B0304'
+         |         THEN lho + 30
+         |              + TRY_CAST('0x' || ${leHex("lho + 26", 2)} AS BIGINT)
+         |              + TRY_CAST('0x' || ${leHex("lho + 28", 2)} AS BIGINT)
+         |         ELSE NULL END AS data_offset,
+         |    p + 46 + nlen + xlen + clen AS p, cnt
+         |  FROM (
+         |    SELECT t.media_id, t.h, t.n, t.entry_idx, t.p, t.cnt,
+         |      decode(unhex(substr(t.h, CAST(2 * (t.p + 46) AS INT) + 1,
+         |                          CAST(2 * t.nlen AS INT)))) AS name,
+         |      TRY_CAST('0x' || ${leHex("t.p + 10", 2, "t.h")} AS INT) AS method,
+         |      TRY_CAST('0x' || ${leHex("t.p + 20", 4, "t.h")} AS BIGINT) AS comp_bytes,
+         |      TRY_CAST('0x' || ${leHex("t.p + 24", 4, "t.h")} AS BIGINT) AS uncomp_bytes,
+         |      TRY_CAST('0x' || ${leHex("t.p + 42", 4, "t.h")} AS BIGINT) AS lho,
+         |      t.nlen, t.xlen, t.clen
+         |    FROM (
+         |      SELECT w.media_id, zip_m.h, zip_m.n, w.entry_idx + 1 AS entry_idx,
+         |             w.p, w.cnt,
+         |        TRY_CAST('0x' || ${leHex("w.p + 28", 2, "zip_m.h")} AS BIGINT) AS nlen,
+         |        TRY_CAST('0x' || ${leHex("w.p + 30", 2, "zip_m.h")} AS BIGINT) AS xlen,
+         |        TRY_CAST('0x' || ${leHex("w.p + 32", 2, "zip_m.h")} AS BIGINT) AS clen
+         |      FROM zip_walk w JOIN zip_m USING (media_id)
+         |      WHERE w.entry_idx + 1 < w.cnt AND w.p + 46 <= zip_m.n
+         |        AND substr(zip_m.h, CAST(2 * w.p AS INT) + 1, 8) = '504B0102'
+         |    ) t
+         |    WHERE t.p + 46 + t.nlen <= t.n
+         |  ) u)
+         | SELECT media_id, CAST(entry_idx AS INT) AS entry_idx, name,
+         |        CAST(method AS INT) AS method,
+         |        CAST(comp_bytes AS BIGINT) AS comp_bytes,
+         |        CAST(uncomp_bytes AS BIGINT) AS uncomp_bytes,
+         |        CAST(local_header_offset AS BIGINT) AS local_header_offset,
+         |        CAST(data_offset AS BIGINT) AS data_offset
+         | FROM zip_walk WHERE entry_idx >= 0""".stripMargin,
+    // q_w4: the TARWALK members re-grouped at the FIRST dot — plain
+    // SQL over the independently re-walked index rows
+    "q_w4_webdataset_samples" ->
+      s"""WITH RECURSIVE $TARWALK
+         | SELECT media_id, sample_key,
+         |        CAST(count(*) AS BIGINT) AS n_components,
+         |        CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+         |        array_to_string(list_sort(list(ext)), ',') AS exts
+         | FROM (SELECT media_id, substr(name, 1, strpos(name, '.') - 1) AS sample_key,
+         |              substr(name, strpos(name, '.') + 1) AS ext, n_bytes
+         |       FROM members WHERE typeflag = '0' AND strpos(name, '.') > 0) t
+         | GROUP BY media_id, sample_key""".stripMargin,
     // q_x19: the oracle runs the IDENTICAL RE2-safe patterns (shared
     // via Pii.categories, so both engines scan the same strings with
     // the same regexes); DuckDB regexp_replace needs the explicit 'g'

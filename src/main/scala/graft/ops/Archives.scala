@@ -247,6 +247,13 @@ object Archives {
     if (e < lowest) return Nil
     val count = le16(b, e + 10)
     val cdOff = le32(b, e + 16)
+    // ZIP64 (APPNOTE §4.4.1.4): a 0xFFFF entry count or 0xFFFFFFFF
+    // central-directory offset means the real values live in the
+    // ZIP64 EOCD record. Walking with the sentinel as a literal
+    // count/offset would yield a silently wrong index, so a ZIP64
+    // archive parses as empty — documented out of scope like the
+    // .warc.gz limit above.
+    if (count == 0xffff || cdOff == 0xffffffffL) return Nil
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(String, Int, Long, Long, Long, Option[Long])]
     var p = cdOff

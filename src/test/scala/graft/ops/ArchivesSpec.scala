@@ -96,6 +96,21 @@ class ArchivesSpec extends SparkSpec {
     assert(Archives.zipEntries(new Array[Byte](10)).isEmpty)
   }
 
+  test("zip walk: ZIP64 sentinels parse as empty, never as literal count/offset") {
+    // patch a real archive's EOCD count fields to the 0xFFFF sentinel
+    val base = ZipFixture.zip(0L)
+    val commentLen = "g0".length
+    val e = base.length - 22 - commentLen
+    val counted = base.clone()
+    counted(e + 8) = 0xff.toByte; counted(e + 9) = 0xff.toByte
+    counted(e + 10) = 0xff.toByte; counted(e + 11) = 0xff.toByte
+    assert(Archives.zipEntries(counted).isEmpty)
+    // and the 0xFFFFFFFF central-directory-offset sentinel
+    val offset = base.clone()
+    for (k <- 16 until 20) offset(e + k) = 0xff.toByte
+    assert(Archives.zipEntries(offset).isEmpty)
+  }
+
   test("webdataset samples: members grouped at the FIRST dot, components sorted") {
     import spark.implicits._
     val members = Archives.tarMemberTable(spark,
