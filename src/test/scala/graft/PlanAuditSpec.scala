@@ -281,6 +281,29 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("archive walkers are pure map-side: zero exchanges over the shard blobs") {
+    // warc/tar/zip index a shard without the blob ever leaving its
+    // partition — at corpus scale only fixed-shape index rows move
+    audited(graft.ops.Archives.warcRecordTable(spark, Tables.warc(spark))) { plan =>
+      assert(shuffles(plan).isEmpty, s"${shuffles(plan).size} shuffles:\n$plan")
+    }
+    audited(graft.ops.Archives.tarMemberTable(spark, Tables.tar(spark))) { plan =>
+      assert(shuffles(plan).isEmpty, s"${shuffles(plan).size} shuffles:\n$plan")
+    }
+    audited(graft.ops.Archives.zipEntryTable(spark, Tables.zip(spark))) { plan =>
+      assert(shuffles(plan).isEmpty, s"${shuffles(plan).size} shuffles:\n$plan")
+    }
+  }
+
+  test("webdataset samples: exactly one shuffle, over index rows only") {
+    // the sample groupBy shuffles (media_id, sample_key)-keyed index
+    // rows — never blobs; partial aggregation keeps it one exchange
+    audited(graft.ops.Archives.webdatasetSamples(
+      graft.ops.Archives.tarMemberTable(spark, Tables.tar(spark)))) { plan =>
+      assert(shuffles(plan).size == 1, s"${shuffles(plan).size} shuffles:\n$plan")
+    }
+  }
+
   test("clip byte spans: window + keyed joins only, never a cartesian") {
     audited(graft.ops.Captions.clipByteSpans(
       graft.ops.Captions.cueTable(spark, Tables.captions(spark)),

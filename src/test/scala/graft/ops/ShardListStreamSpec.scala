@@ -80,6 +80,30 @@ class ShardListStreamSpec extends SparkSpec {
     streamed("ts_stream", rows, Multimodal.tsPesTable)
   }
 
+  test("streamed WARC record walk equals the batch walk over the grown directory") {
+    val rows = (0L until 12L).map { id =>
+      val (mime, bytes) = graft.tools.WarcFixture.row(id)
+      (id, mime, bytes)
+    }
+    streamed("warc_stream", rows, Archives.warcRecordTable)
+  }
+
+  test("streamed tar member walk equals the batch walk over the grown directory") {
+    val rows = (0L until 12L).map { id =>
+      val (mime, bytes) = graft.tools.TarFixture.row(id)
+      (id, mime, bytes)
+    }
+    streamed("tar_stream", rows, Archives.tarMemberTable)
+  }
+
+  test("streamed ZIP entry walk equals the batch walk over the grown directory") {
+    val rows = (0L until 12L).map { id =>
+      val (mime, bytes) = graft.tools.ZipFixture.row(id)
+      (id, mime, bytes)
+    }
+    streamed("zip_stream", rows, Archives.zipEntryTable)
+  }
+
   test("streamed caption cue parse equals the batch parse over the grown directory") {
     import spark.implicits._
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
