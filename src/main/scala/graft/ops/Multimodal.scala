@@ -1466,27 +1466,36 @@ object Multimodal {
      * stts run reuse its delta (tolerance: the spec says stts covers
      * all samples). Traks without stts or a positive timescale emit
      * nothing — a keyframe with no derivable clock cannot be aligned. */
+    /** Prefix-sum the stts runs into per-sample start ticks. A
+     * degenerate sample_count=0 run covers no samples and is skipped
+     * BEFORE consuming a delta, so empty runs contribute no ticks;
+     * the last run still backstops samples past stts coverage (the
+     * documented tolerance). */
+    private[ops] def sttsStartTicks(runs: Array[(Long, Long)], n: Int): Array[Long] = {
+      val startTicks = new Array[Long](n)
+      var i = 0
+      var tick = 0L
+      var run = 0
+      var left = if (runs.nonEmpty) runs(0)._1 else 0L
+      while (i < n) {
+        while (left <= 0 && run + 1 < runs.length) {
+          run += 1
+          left = runs(run)._1
+        }
+        startTicks(i) = tick
+        tick += (if (run < runs.length) runs(run)._2 else 0L)
+        left -= 1
+        i += 1
+      }
+      startTicks
+    }
+
     private[ops] def mp4SyncSampleTimes(b: Array[Byte]): Seq[(Long, Int, Int, Long)] =
       mp4Traks(b).collect {
         case t if H26xCodecs.contains(t.codec) && t.syncSamples != null &&
             t.timescale > 0 && t.sttsRuns != null =>
           val all = expandSamples(t, b.length).toIndexedSeq
-          // prefix-sum the stts deltas into per-sample start ticks
-          val startTicks = new Array[Long](all.length)
-          var i = 0
-          var tick = 0L
-          var run = 0
-          var left = if (t.sttsRuns.nonEmpty) t.sttsRuns(0)._1 else 0L
-          while (i < all.length) {
-            startTicks(i) = tick
-            tick += (if (run < t.sttsRuns.length) t.sttsRuns(run)._2 else 0L)
-            left -= 1
-            if (left <= 0 && run + 1 < t.sttsRuns.length) {
-              run += 1
-              left = t.sttsRuns(run)._1
-            }
-            i += 1
-          }
+          val startTicks = sttsStartTicks(t.sttsRuns, all.length)
           t.syncSamples.toSeq.collect {
             case sn if sn >= 1 && sn <= all.length =>
               val (off, len) = all((sn - 1).toInt)

@@ -14,9 +14,10 @@ object FixtureIo {
   def writeSingleParquet(df: DataFrame, out: String, rows: Long): Unit = {
     val tmp = java.nio.file.Files.createTempDirectory("graftfix").toString
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val part = new java.io.File(tmp).listFiles()
+    val part = Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty)
       .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-      .get
+      .getOrElse(sys.error(
+        s"no part-*.parquet under $tmp — Spark wrote nothing for $out"))
     val dest = new java.io.File(out)
     Option(dest.getParentFile).foreach(_.mkdirs())
     java.nio.file.Files.move(part.toPath, dest.toPath,

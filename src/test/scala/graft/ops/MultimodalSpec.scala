@@ -516,6 +516,26 @@ class MultimodalSpec extends SparkSpec {
     assert(AvHeaders.mp3Frames(noFooterFlag).isEmpty)
   }
 
+  test("stts prefix sums: zero-count runs contribute no ticks") {
+    // normal coverage: two runs, exact prefix sums
+    assert(AvHeaders.sttsStartTicks(Array((2L, 10L), (2L, 5L)), 4).toSeq ==
+      Seq(0L, 10L, 20L, 25L))
+    // a degenerate sample_count=0 run between real runs must not
+    // shift subsequent samples by its delta
+    assert(AvHeaders.sttsStartTicks(Array((1L, 10L), (0L, 999L), (2L, 5L)), 3).toSeq ==
+      Seq(0L, 10L, 15L))
+    // leading zero-count run: first sample still starts at 0 on the
+    // first REAL run's clock
+    assert(AvHeaders.sttsStartTicks(Array((0L, 999L), (2L, 7L)), 2).toSeq ==
+      Seq(0L, 7L))
+    // tolerance preserved: samples past stts coverage reuse the last
+    // run's delta
+    assert(AvHeaders.sttsStartTicks(Array((1L, 10L)), 3).toSeq ==
+      Seq(0L, 10L, 20L))
+    assert(AvHeaders.sttsStartTicks(Array.empty[(Long, Long)], 2).toSeq ==
+      Seq(0L, 0L))
+  }
+
   test("fragmented MP4 time axis: tfdt + trex durations match the shared clock") {
     import graft.tools.AvcMp4Fixture
     for (id <- Seq(0L, 1L, 2L, 5L, 6L)) {
