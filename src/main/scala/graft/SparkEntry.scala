@@ -498,6 +498,16 @@ object SparkEntry {
     "q_w4_webdataset_samples" -> ((s, _) =>
       Archives.webdatasetSamples(
         Archives.tarMemberTable(s, Tables.tar(s)))),
+    // q_w5: .warc.gz member table — the format Common Crawl actually
+    // ships (one gzip member per record): RFC 1952 header framing,
+    // JDK raw-DEFLATE inflation to find each member's compressed
+    // span, ISIZE-checked trailers, record identity from the inflated
+    // header. The oracle re-derives member spans from the BYTES (a
+    // scan for the fixture's pinned 10-byte gzip header) and the
+    // record identity from the fixture's id contract — DuckDB cannot
+    // inflate, so the contract anchors what the compressed bytes hide
+    "q_w5_warcgz_members" -> ((s, _) =>
+      Archives.warcGzMemberTable(s, Tables.warcgz(s))),
     // q_x20: MOSS-style cross-doc copy detection — winnow fingerprint
     // overlap with stop-fingerprint (df cap) pruning + containment
     "q_x20_copy_pairs" -> ((s, d) =>
@@ -2452,6 +2462,87 @@ object SparkEntry {
          |              substr(name, strpos(name, '.') + 1) AS ext, n_bytes
          |       FROM members WHERE typeflag = '0' AND strpos(name, '.') > 0) t
          | GROUP BY media_id, sample_key""".stripMargin,
+    // q_w5: member spans re-derived from the bytes (aligned scan for
+    // the fixture's pinned 10-byte gzip header — 9 fixed bytes plus a
+    // contract FLG, back-to-back members ⇒ span = next start − start,
+    // last member capped at EOF) joined to the record identity
+    // reconstructed from WarcGzFixture's id contract, which reuses
+    // WarcFixture's record arithmetic verbatim (the full record string
+    // is rebuilt in SQL, so uncompressed length and Content-Length
+    // come from length() of the reconstruction, not from this code's
+    // values). Truncated rows (id%8=3) emit all but the last member.
+    "q_w5_warcgz_members" ->
+      s"""WITH wgz_m AS (
+         |  SELECT media_id, hex(media) AS h, octet_length(media) AS n
+         |  FROM read_parquet('${Tables.warcgzFixturePath}')),
+         | wgz_b AS (
+         |  SELECT media_id, n,
+         |    unnest(list_filter(generate_series(0, n - 10),
+         |      i -> substr(h, CAST(2 * i AS INT) + 1, 6) = '1F8B08'
+         |           AND substr(h, CAST(2 * i AS INT) + 7, 2) IN ('00', '08', '04')
+         |           AND substr(h, CAST(2 * i AS INT) + 9, 8) = '00000000'
+         |           AND substr(h, CAST(2 * i AS INT) + 17, 4) = '00FF')) AS off
+         |  FROM wgz_m),
+         | wgz_s AS (
+         |  SELECT media_id, off,
+         |    CAST(row_number() OVER w - 1 AS INT) AS k,
+         |    coalesce(lead(off) OVER w, n) - off AS comp
+         |  FROM wgz_b
+         |  WINDOW w AS (PARTITION BY media_id ORDER BY off)),
+         | wgz_i AS (
+         |  SELECT media_id, chr(13) || chr(10) AS crlf,
+         |    unnest(generate_series(0, 2 + media_id % 3)) AS k
+         |  FROM (SELECT DISTINCT media_id FROM wgz_m WHERE media_id % 8 <> 7) d),
+         | wgz_c AS (
+         |  SELECT media_id, k, crlf,
+         |    CASE WHEN k = 0 THEN 'warcinfo'
+         |         WHEN media_id % 2 = 0 AND k = 2 THEN 'request'
+         |         ELSE 'response' END AS wtype,
+         |    CASE WHEN k = 0 THEN NULL
+         |         ELSE 'https://data.example.org/' || CAST(media_id AS VARCHAR)
+         |              || '/doc' || CAST(k - 1 AS VARCHAR) END AS uri,
+         |    CASE WHEN k = 0
+         |         THEN 'software: graft-fixture ' || CAST(media_id AS VARCHAR) || crlf
+         |         WHEN media_id % 2 = 0 AND k = 2
+         |         THEN 'GET /' || CAST(media_id AS VARCHAR) || '/doc'
+         |              || CAST(k - 1 AS VARCHAR) || ' HTTP/1.1' || crlf
+         |              || 'Host: data.example.org' || crlf
+         |         ELSE 'HTTP/1.1 200 OK' || crlf || 'Content-Type: text/plain'
+         |              || crlf || crlf || 'doc ' || CAST(media_id AS VARCHAR) || ' '
+         |              || CAST(k - 1 AS VARCHAR) || ' '
+         |              || rtrim(repeat('lorem ', CAST((media_id + k - 1) % 4 + 1 AS INT)))
+         |    END AS content
+         |  FROM wgz_i),
+         | wgz_r AS (
+         |  SELECT media_id, k, wtype, uri, content,
+         |    'WARC/1.0' || crlf
+         |      || CASE WHEN k = 0
+         |              THEN 'WARC-Type: warcinfo' || crlf || 'WARC-Record-ID: <urn:uuid:'
+         |                   || lpad(CAST(media_id AS VARCHAR), 8, '0')
+         |                   || '-0000-0000-0000-000000000000>' || crlf
+         |                   || 'Content-Type: application/warc-fields'
+         |              WHEN wtype = 'request'
+         |              THEN 'WARC-Type: request' || crlf || 'WARC-Target-URI: '
+         |                   || uri || crlf
+         |                   || 'Content-Type: application/http;msgtype=request'
+         |              ELSE 'WARC-Type: response' || crlf || 'WARC-Target-URI: '
+         |                   || uri || crlf
+         |                   || 'Content-Type: application/http;msgtype=response'
+         |         END || crlf
+         |      || CASE WHEN media_id % 2 = 1 THEN 'content-length'
+         |              ELSE 'Content-Length' END
+         |      || ': ' || CAST(length(content) AS VARCHAR) || crlf || crlf
+         |      || content || crlf || crlf AS record
+         |  FROM wgz_c
+         |  WHERE k <= 2 + media_id % 3
+         |             - CASE WHEN media_id % 8 = 3 THEN 1 ELSE 0 END)
+         | SELECT s.media_id, CAST(s.k AS INT) AS member_idx,
+         |   CAST(s.off AS BIGINT) AS member_offset,
+         |   CAST(s.comp AS BIGINT) AS member_comp_bytes,
+         |   CAST(length(r.record) AS BIGINT) AS member_uncomp_bytes,
+         |   CAST(length(r.content) AS BIGINT) AS content_length,
+         |   r.wtype AS warc_type, r.uri AS target_uri
+         | FROM wgz_r r JOIN wgz_s s USING (media_id, k)""".stripMargin,
     // q_x19: the oracle runs the IDENTICAL RE2-safe patterns (shared
     // via Pii.categories, so both engines scan the same strings with
     // the same regexes); DuckDB regexp_replace needs the explicit 'g'

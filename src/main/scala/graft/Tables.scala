@@ -242,6 +242,16 @@ object Tables {
   }
   def warc(spark: SparkSession): DataFrame = spark.read.parquet(warcFixturePath)
 
+  /** warcgz(media_id BIGINT, mime_type STRING, media BINARY) —
+   * repo-local deterministic `.warc.gz` fixture (tools.WarcGzFixture:
+   * one real RFC 1952 gzip member per WARC record, FLG variation,
+   * fixed 10-byte headers; plus truncated and junk rows). */
+  def warcgzFixturePath: String = {
+    val local = new java.io.File("fixtures/warcgz.parquet")
+    if (local.exists) local.getAbsolutePath else "/root/repo/fixtures/warcgz.parquet"
+  }
+  def warcgz(spark: SparkSession): DataFrame = spark.read.parquet(warcgzFixturePath)
+
   /** tar(media_id BIGINT, mime_type STRING, media BINARY) — repo-local
    * deterministic WebDataset-layout ustar fixture (tools.TarFixture:
    * real 512-byte headers with computed checksums; plus truncated and

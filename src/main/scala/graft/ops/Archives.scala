@@ -26,10 +26,12 @@ import Multimodal.MediaRow
  * the bytes don't prove (a record whose declared length overruns the
  * file is NOT emitted).
  *
- * Honest limit, documented: `.warc.gz` per-record gzip members (how
- * Common Crawl actually ships) require DEFLATE decompression to find
- * record boundaries — deliberately out of scope for a codec-free
- * walker; decompress-on-ingest upstream, then index here.
+ * `.warc.gz` per-record gzip members (how Common Crawl actually
+ * ships) ARE walked ([[warcGzMembers]]): member boundaries require
+ * DEFLATE decompression, which the JDK's Inflater provides without
+ * any external codec — each member is inflated partition-locally
+ * just far enough to read its record header, and only the index rows
+ * leave. Plain [[warcRecords]] remains for pre-inflated `.warc`.
  */
 object Archives {
 
@@ -109,6 +111,117 @@ object Archives {
       }
       .toDF("media_id", "record_idx", "offset", "content_offset",
         "content_length", "warc_type", "target_uri")
+  }
+
+  // ------------------------------------------------------------- .warc.gz
+
+  /** Per-member inflated-size cap: a member claiming to inflate past
+   * this stops the walk (a shard list never needs to materialise an
+   * unbounded record to index it). */
+  private val MaxMemberBytes = 1 << 26
+
+  /** One `.warc.gz` member — how Common Crawl actually ships: ONE
+   * gzip member per WARC record, so the record boundary IS the gzip
+   * member boundary and a ranged read of
+   * [member_offset, member_offset + member_comp_bytes) fetches one
+   * record decompressable in isolation. Returns (member_offset,
+   * member_comp_bytes, member_uncomp_bytes, content_length,
+   * warc_type, target_uri).
+   *
+   * Each step parses the RFC 1952 header (magic 1f 8b, CM=8, then
+   * FLG: FEXTRA/FNAME/FCOMMENT skipped by their own framing, FHCRC
+   * by 2), inflates the member with the JDK's raw-DEFLATE Inflater to
+   * find where its compressed bytes end, checks the 8-byte trailer is
+   * present and its ISIZE matches the inflated length, and reads the
+   * WARC header out of the inflated bytes with the SAME record parser
+   * as [[warcRecords]]. Tolerance as everywhere: a member that stops
+   * parsing — bad header, corrupt DEFLATE, cut trailer, ISIZE
+   * mismatch, no parsable record inside, or an inflated size past
+   * [[MaxMemberBytes]] — ends the walk unemitted. */
+  private[ops] def warcGzMembers(
+      b: Array[Byte]): Seq[(Long, Long, Long, Long, Option[String], Option[String])] = {
+    if (b == null) return Nil
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Option[String], Option[String])]
+    var pos = 0
+    var ok = true
+    while (ok && pos + 10 <= b.length &&
+        (b(pos) & 0xff) == 0x1f && (b(pos + 1) & 0xff) == 0x8b && b(pos + 2) == 8) {
+      val flg = b(pos + 3) & 0xff
+      var p = pos + 10 // past MTIME(4) + XFL + OS
+      if ((flg & 0x04) != 0 && p + 2 <= b.length) { // FEXTRA
+        p = p + 2 + ((b(p) & 0xff) | ((b(p + 1) & 0xff) << 8))
+      }
+      if ((flg & 0x08) != 0) { // FNAME: NUL-terminated
+        while (p < b.length && b(p) != 0) p += 1
+        p += 1
+      }
+      if ((flg & 0x10) != 0) { // FCOMMENT: NUL-terminated
+        while (p < b.length && b(p) != 0) p += 1
+        p += 1
+      }
+      if ((flg & 0x02) != 0) p += 2 // FHCRC
+      if (p >= b.length) ok = false
+      else {
+        val inf = new java.util.zip.Inflater(true)
+        try {
+          inf.setInput(b, p, b.length - p)
+          val chunk = new Array[Byte](64 * 1024)
+          val inflated = new java.io.ByteArrayOutputStream()
+          var done = false
+          var bad = false
+          while (!done && !bad) {
+            val n =
+              try inf.inflate(chunk)
+              catch { case _: java.util.zip.DataFormatException => bad = true; 0 }
+            if (n > 0) {
+              inflated.write(chunk, 0, n)
+              if (inflated.size > MaxMemberBytes) bad = true
+            } else if (inf.finished()) done = true
+            else bad = true // needs input past EOF, or dictionary: truncated
+          }
+          val end = p + inf.getBytesRead.toInt + 8 // DEFLATE bytes + CRC32 + ISIZE
+          if (bad || end > b.length) ok = false
+          else {
+            val body = inflated.toByteArray
+            val isize = (b(end - 4) & 0xffL) | ((b(end - 3) & 0xffL) << 8) |
+              ((b(end - 2) & 0xffL) << 16) | ((b(end - 1) & 0xffL) << 24)
+            if (isize != (body.length & 0xffffffffL)) ok = false
+            else warcRecords(body).headOption match {
+              case Some((_, _, clen, wtype, uri)) =>
+                out += ((pos.toLong, (end - pos).toLong, body.length.toLong,
+                  clen, wtype, uri))
+                pos = end
+              case None => ok = false
+            }
+          }
+        } finally inf.end()
+      }
+    }
+    out.toSeq
+  }
+
+  /** Relational face of [[warcGzMembers]]: one row per gzip member —
+   * the REAL Common Crawl shard list (the fetch coordinates are the
+   * compressed member span; the record identity comes from the
+   * inflated header). Pure map-side like every walker here: the
+   * shard bytes never leave their partition, inflation is a
+   * partition-local scratch buffer, and only fixed-shape index rows
+   * come out. */
+  def warcGzMemberTable(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("mime_type"), col("media"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          warcGzMembers(r.media).zipWithIndex.map {
+            case ((off, clen, ulen, contentLen, wtype, uri), i) =>
+              (r.media_id, i, off, clen, ulen, contentLen, wtype, uri)
+          }
+        }
+      }
+      .toDF("media_id", "member_idx", "member_offset", "member_comp_bytes",
+        "member_uncomp_bytes", "content_length", "warc_type", "target_uri")
   }
 
   // ----------------------------------------------------------------- tar

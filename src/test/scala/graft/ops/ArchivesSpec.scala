@@ -44,6 +44,53 @@ class ArchivesSpec extends SparkSpec {
     assert(Archives.warcRecords(Array.emptyByteArray).isEmpty)
   }
 
+  test("warc.gz walk: member spans and record identity match the assembled members") {
+    import graft.tools.WarcGzFixture
+    for (id <- Seq(0L, 1L, 2L, 4L, 5L, 6L)) {
+      val got = Archives.warcGzMembers(WarcGzFixture.row(id)._2)
+      val recs = WarcGzFixture.records(id)
+      assert(got.size == recs.size, s"id=$id")
+      var off = 0L
+      recs.zipWithIndex.foreach { case (r, k) =>
+        val bytes = r.getBytes("US-ASCII")
+        val m = WarcGzFixture.member(k, bytes)
+        val (gOff, gComp, gUncomp, gClen, gType, gUri) = got(k)
+        assert(gOff == off && gComp == m.length && gUncomp == bytes.length,
+          s"id=$id k=$k span")
+        // record identity agrees with the plain-WARC walk of the record
+        val (_, _, clen, wtype, uri) = Archives.warcRecords(bytes).head
+        assert(gClen == clen && gType == wtype && gUri == uri, s"id=$id k=$k identity")
+        off += m.length
+      }
+    }
+  }
+
+  test("warc.gz walk: cut tail drops only the last member; junk and ISIZE lies yield nothing") {
+    import graft.tools.WarcGzFixture
+    val t = Archives.warcGzMembers(WarcGzFixture.row(3L)._2)
+    assert(t.size == WarcGzFixture.records(3L).size - 1) // last member unclaimed
+    assert(Archives.warcGzMembers(WarcGzFixture.row(7L)._2).isEmpty)
+    assert(Archives.warcGzMembers(null).isEmpty)
+    // a member whose ISIZE trailer lies about the inflated length is
+    // not claimed: flip a bit in the last 4 bytes of a single member
+    val one = WarcGzFixture.member(0,
+      WarcGzFixture.records(0L).head.getBytes("US-ASCII"))
+    val lying = one.clone()
+    lying(lying.length - 2) = (lying(lying.length - 2) ^ 0x01).toByte
+    assert(Archives.warcGzMembers(lying).isEmpty)
+    // FCOMMENT + FHCRC framing are honoured: hand-build a member with
+    // flg 0x12 (FCOMMENT|FHCRC) around the same record
+    val rec = WarcGzFixture.records(0L).head.getBytes("US-ASCII")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0x1f.toByte, 0x8b.toByte, 8, 0x12, 0, 0, 0, 0, 0, 0xff.toByte))
+    out.write("a comment".getBytes("US-ASCII")); out.write(0)
+    out.write(Array[Byte](0x33, 0x44)) // FHCRC (value unchecked, framing only)
+    val tail = one.drop(10) // flg 0 member: DEFLATE + trailer start at 10
+    out.write(tail, 0, tail.length)
+    val withOpt = Archives.warcGzMembers(out.toByteArray)
+    assert(withOpt.size == 1 && withOpt.head._3 == rec.length)
+  }
+
   test("tar walk: member names, offsets and 512-grid hops match the shard layout") {
     for (id <- Seq(0L, 1L, 2L, 4L, 5L, 6L, 8L, 9L)) {
       val got = Archives.tarMembers(TarFixture.row(id)._2)
@@ -138,15 +185,17 @@ class ArchivesSpec extends SparkSpec {
       Archives.warcRecords(b) // must not throw
       Archives.tarMembers(b)
       Archives.zipEntries(b)
+      Archives.warcGzMembers(b)
       // seed corruption: flip bytes inside real archives
       val wid = rnd.nextInt(16).toLong
       for (real0 <- Seq(WarcFixture.row(wid)._2, TarFixture.row(wid)._2,
-          ZipFixture.row(wid)._2)) {
+          ZipFixture.row(wid)._2, graft.tools.WarcGzFixture.row(wid)._2)) {
         val real = real0.clone()
         if (real.nonEmpty) real(rnd.nextInt(real.length)) = rnd.nextInt().toByte
         Archives.warcRecords(real)
         Archives.tarMembers(real)
         Archives.zipEntries(real)
+        Archives.warcGzMembers(real)
       }
     }
   }

@@ -88,6 +88,14 @@ class ShardListStreamSpec extends SparkSpec {
     streamed("warc_stream", rows, Archives.warcRecordTable)
   }
 
+  test("streamed warc.gz member walk equals the batch walk over the grown directory") {
+    val rows = (0L until 12L).map { id =>
+      val (mime, bytes) = graft.tools.WarcGzFixture.row(id)
+      (id, mime, bytes)
+    }
+    streamed("warcgz_stream", rows, Archives.warcGzMemberTable)
+  }
+
   test("streamed tar member walk equals the batch walk over the grown directory") {
     val rows = (0L until 12L).map { id =>
       val (mime, bytes) = graft.tools.TarFixture.row(id)
