@@ -24,6 +24,13 @@ import org.apache.spark.sql.SparkSession
  *    `queries_warm` (median of 3 immediate re-runs, caches from the
  *    cold run still live) exposes cache-reuse behaviour and any
  *    warm-run degradation that a single number would hide;
+ *  - stall hardening (round 14): extra min-trials are budgeted on the
+ *    MIN so far (wantTrial), so a stalled first trial cannot consume
+ *    the budget; and an end-of-session outlier pass re-trials any
+ *    query whose cold min exceeds 3× its warm median, after the stall
+ *    window has passed (r13 recorded q_p4 at 6.38 s for a 0.39 s
+ *    query when a ~20 s ContextCleaner stall covered both mandatory
+ *    trials AND the old sum-based extra-trial budget);
  *  - `interpreter_eps` comes from its own fixed 3-iteration isolated
  *    probe (median), not from whichever single cold q_e1 number the
  *    map happened to record — a lone trial swung 123k–280k across
@@ -50,6 +57,42 @@ object Bench {
       case (_, vs) if vs.size > 1 => vs }.flatten.toSet
     names.map(n => n -> (if (collided(n)) n else compactKey(n))).toMap
   }
+
+  /** Extra-trial policy for one query's cold measurement: after the
+   * mandatory `trials`, keep taking min-trials (max 3 extra) while the
+   * PROJECTED spend — min-so-far × (trials taken + 1) — stays under
+   * ~5 s. Budgeting on the min, not the cumulative sum, is the round-14
+   * stall fix: in r13 a ~20 s ambient stall (ContextCleaner/GC backlog)
+   * made q_p4's FIRST trial cost 6.38 s, which alone pushed the old
+   * `spent < 5.0` sum-budget over the line, so the extra-trial guard
+   * disabled itself precisely when it was needed and the artifact
+   * recorded 6.38 s for a 0.39 s query. The min-projection is immune:
+   * one stalled trial doesn't move the min, so a genuinely-small query
+   * keeps its noise-filtering trials; a genuinely-heavy query (q_d9 at
+   * ~3.4 s: 3.4×3 ≥ 5) still stops after the mandatory trials. */
+  private[graft] def wantTrial(taken: Int, trials: Int, minSoFar: Double): Boolean =
+    taken < trials || (taken < trials + 3 && minSoFar * (taken + 1) < 5.0)
+
+  /** Cold-min measurement over an injected isolated-trial runner (the
+   * runner must isolate() before timing); pure policy so the stall
+   * scenarios are unit-testable (BenchBudgetSpec). */
+  private[graft] def coldMin(trials: Int)(runTrial: () => Option[Double]): Double = {
+    var c = Double.MaxValue
+    var t = 0
+    while (wantTrial(t, trials, c)) {
+      runTrial().foreach(x => c = math.min(c, x))
+      t += 1
+    }
+    c
+  }
+
+  /** Outlier detector for the end-of-session re-trial pass: a cold min
+   * more than 3× the query's own warm median is a measurement artifact,
+   * not a plan cost — warm runs reuse nothing material (no query caches
+   * its scan), so genuine cold/warm ratios sit well under 3×. The 0.5 s
+   * absolute floor keeps sub-100 ms jitter from triggering re-trials. */
+  private[graft] def isStallOutlier(cold: Double, warmMedian: Double): Boolean =
+    cold > 0.5 && cold > 3.0 * warmMedian
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -145,24 +188,13 @@ object Bench {
 
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
-      var c = Double.MaxValue
-      // time-budgeted extra min-trials: mid-suite ambient session state
-      // (ContextCleaner backlog, code-cache churn) can inflate a single
-      // cold trial by ~300 ms-1 s — drift the same query never shows
-      // isolated (r9 full run: q_p1/q_p2 0.48/0.53 s; isolated at the
-      // same sf: 0.19–0.31 s; r10: q_x9 0.44→0.96 on untouched code
-      // because the old flat 0.6 s extra-trial floor excluded it).
-      // After the mandatory `trials`, keep taking min-trials while this
-      // query's total cold-trial time stays under ~5 s (max 3 extra) —
-      // so the 0.6–2 s band gets the same noise-filtering the tiny
-      // queries always had, and big queries still amortise.
-      var spent = 0.0
-      var t = 0
-      while (t < trials || (t < trials + 3 && spent < 5.0)) {
-        isolate()
-        run(name, fn).foreach { x => c = math.min(c, x); spent += x }
-        t += 1
-      }
+      // min-budgeted extra min-trials (wantTrial): mid-suite ambient
+      // session state (ContextCleaner backlog, code-cache churn) can
+      // inflate cold trials by 0.3 s–6 s — drift the same query never
+      // shows isolated (r9: q_p1/q_p2 0.48/0.53 s vs 0.19–0.31 s
+      // isolated; r13: q_p4 6.38 s vs 0.39 s isolated because the old
+      // SUM-budget let the stall itself spend the extra-trial budget).
+      val c = coldMin(trials) { () => isolate(); run(name, fn) }
       // 3 warm iterations straight after the last cold run (its caches
       // still live); the median filters a one-off cleaner/GC stall
       // without letting an unrepresentative best-case through
@@ -170,6 +202,25 @@ object Bench {
       // failed-every-trial queries are listed in `failed` only
       if (c < Double.MaxValue) cold(name) = c
       if (warmTimes.nonEmpty) warm(name) = median(warmTimes)
+    }
+    isolate()
+
+    // end-of-session outlier re-trial pass: a sustained stall window
+    // (~20 s in r13) can cover EVERY min-trial of 2–3 consecutive
+    // queries, so no within-loop policy alone can save them. Any query
+    // whose recorded cold min exceeds 3× its own warm median gets two
+    // more isolated trials now, after the window has passed; min-merge
+    // only ever improves the number, so a stall landing HERE too is
+    // harmless. (r13: this would have restored q_p2/p3/p4 from
+    // 2.34/1.33/6.38 s to their 0.13–0.39 s floors.)
+    val suspects = cold.keys.toSeq.filter { n =>
+      warm.get(n).exists(w => isStallOutlier(cold(n), w)) }
+    suspects.foreach { n =>
+      val fn = SparkEntry.queries(n)
+      (1 to 2).foreach { _ =>
+        isolate()
+        run(n, fn).foreach(x => cold(n) = math.min(cold(n), x))
+      }
     }
     isolate()
 

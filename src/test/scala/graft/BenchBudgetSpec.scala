@@ -47,4 +47,70 @@ class BenchBudgetSpec extends AnyFunSuite {
     assert(Bench.compactKey("q_s12_ivf_trained") == "s12")
     assert(Bench.compactKey("entry") == "entry")
   }
+
+  /** Drives Bench.coldMin over a scripted trial schedule (what each
+   * successive isolated trial would measure), returning (min, trials
+   * taken). Trials past the schedule repeat its last value. */
+  private def simulate(schedule: Seq[Double], trials: Int = 2): (Double, Int) = {
+    var i = 0
+    val c = Bench.coldMin(trials) { () =>
+      val x = schedule(math.min(i, schedule.size - 1)); i += 1; Some(x)
+    }
+    (c, i)
+  }
+
+  test("a stalled FIRST trial cannot consume the extra-trial budget (r13 q_p4)") {
+    // r13 artifact scenario: trial 1 lands in a ~20 s stall window and
+    // costs 6.38 s for a 0.39 s query. The old sum-budget (spent < 5.0)
+    // saw 6.38 > 5 after trial 1 and granted ZERO extra trials; the
+    // min-projection budget keeps granting them because the min drops
+    // to 0.39 at trial 2 and 0.39×(t+1) stays far under 5 s.
+    val (c, taken) = simulate(Seq(6.38, 0.39, 0.39))
+    assert(c == 0.39)
+    assert(taken > 2, "min-budget must grant extra trials after a stalled first trial")
+  }
+
+  test("genuinely heavy queries still stop after the mandatory trials (q_d9)") {
+    // q_d9's real floor is ~3.4 s: 3.4×3 ≥ 5 s, so the budget must not
+    // burn 3 extra trials re-measuring an already-stable heavy query.
+    val (c, taken) = simulate(Seq(3.4, 3.4))
+    assert(c == 3.4)
+    assert(taken == 2)
+  }
+
+  test("all-failed trials terminate at the mandatory count") {
+    var i = 0
+    val c = Bench.coldMin(2) { () => i += 1; None }
+    assert(c == Double.MaxValue)
+    assert(i == 2, "minSoFar stays MaxValue so the projection forbids extras")
+  }
+
+  test("a sustained stall covering every min-trial is caught by the outlier pass") {
+    // r13 scenario B: the stall window covers ALL cold trials of a
+    // query (q_p2 recorded 2.34 s, floor 0.174 s). No within-loop
+    // policy can save it, but the warm median (run later, outside the
+    // window) exposes it: cold 3× over warm → two end-of-session
+    // re-trials at the floor. End-to-end: the recorded number must not
+    // exceed 3× the isolated floor.
+    val floor = 0.174
+    val stalledTrials = Seq(2.34, 2.1, 1.9, 2.0, 2.2)
+    val (cold0, _) = simulate(stalledTrials)
+    val warmMedian = floor // warm runs landed after the window
+    assert(Bench.isStallOutlier(cold0, warmMedian), "stalled cold must flag as outlier")
+    // outlier pass: two more isolated trials, min-merged
+    val retried = Seq(floor, floor).foldLeft(cold0)(math.min)
+    assert(retried <= 3.0 * floor,
+      "after the outlier pass a sub-second query cannot record >3x its isolated floor")
+  }
+
+  test("outlier detector ignores genuine cold/warm gaps and tiny-query jitter") {
+    // heavy query, honest numbers: cold 3.4 s vs warm 3.2 s — not an outlier
+    assert(!Bench.isStallOutlier(3.4, 3.2))
+    // sub-100 ms query with 4x jitter: under the 0.5 s absolute floor
+    assert(!Bench.isStallOutlier(0.12, 0.03))
+    // the r13 victims all flag
+    assert(Bench.isStallOutlier(6.38, 0.389)) // q_p4 vs its warm-band floor
+    assert(Bench.isStallOutlier(2.34, 0.174)) // q_p2
+    assert(Bench.isStallOutlier(1.33, 0.134)) // q_p3
+  }
 }
