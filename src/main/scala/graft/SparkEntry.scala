@@ -508,6 +508,14 @@ object SparkEntry {
     // inflate, so the contract anchors what the compressed bytes hide
     "q_w5_warcgz_members" -> ((s, _) =>
       Archives.warcGzMemberTable(s, Tables.warcgz(s))),
+    // q_w6: HTTP split of WARC response records — the entry point for
+    // actual text extraction: status line + headers parsed out of the
+    // payload span, body byte coordinates emitted (absolute, so they
+    // compose with q_w1/q_w5); responses whose payload isn't a
+    // splittable HTTP message (no CRLFCRLF, non-HTTP bytes) emit
+    // nothing, per the walkers' claim-only-what-parses discipline
+    "q_w6_warc_http" -> ((s, _) =>
+      Archives.warcHttpTable(s, Tables.warc(s))),
     // q_x20: MOSS-style cross-doc copy detection — winnow fingerprint
     // overlap with stop-fingerprint (df cap) pruning + containment
     "q_x20_copy_pairs" -> ((s, d) =>
@@ -898,6 +906,67 @@ object SparkEntry {
 
   /** Shared DuckDB CTE body (no WITH; the first relation is RECURSIVE —
    * callers open with `WITH RECURSIVE`): an independent re-walk of the
+   * WARC fixture's records over the blob decoded to VARCHAR (the
+   * fixture is 7-bit ASCII by contract, so decode is total):
+   * version-line check, first CRLF-CRLF header terminator via strpos,
+   * case-insensitive header-line regexes for Content-Length /
+   * WARC-Type / WARC-Target-URI, then the Content-Length + 4 framing
+   * hop. A record with no terminator, an unparsable/negative length,
+   * or a payload overrunning the file stops the walk unemitted — the
+   * walker's exact tolerance rules. Ends in relations
+   * `warc_m`(media_id, s, n) and `wrecs`(media_id, record_idx, off,
+   * content_offset, content_length, warc_type, target_uri). Used by
+   * q_w1/q_w6. */
+  private def WARCWALK: String =
+    s"""warc_m AS (
+       |  SELECT media_id, decode(media) AS s, octet_length(media) AS n
+       |  FROM read_parquet('${Tables.warcFixturePath}')),
+       | warc_walk AS (
+       |  SELECT media_id, -1 AS record_idx,
+       |         CAST(NULL AS BIGINT) AS off, CAST(NULL AS BIGINT) AS content_offset,
+       |         CAST(NULL AS BIGINT) AS content_length,
+       |         CAST(NULL AS VARCHAR) AS warc_type,
+       |         CAST(NULL AS VARCHAR) AS target_uri,
+       |         CAST(0 AS BIGINT) AS next_pos
+       |  FROM warc_m
+       |  UNION ALL
+       |  SELECT media_id, record_idx, pos, hdr_end + 4, clen, wtype, uri,
+       |         hdr_end + 4 + clen + 4
+       |  FROM (
+       |    SELECT u.media_id, u.record_idx, u.pos, u.hdr_end, u.n,
+       |      TRY_CAST(trim(regexp_extract(u.hdr,
+       |        '(?i)\\r\\n[ \\t]*content-length[ \\t]*:([^\\r\\n]*)', 1)) AS BIGINT) AS clen,
+       |      nullif(trim(regexp_extract(u.hdr,
+       |        '(?i)\\r\\n[ \\t]*warc-type[ \\t]*:([^\\r\\n]*)', 1)), '') AS wtype,
+       |      nullif(trim(regexp_extract(u.hdr,
+       |        '(?i)\\r\\n[ \\t]*warc-target-uri[ \\t]*:([^\\r\\n]*)', 1)), '') AS uri
+       |    FROM (
+       |      SELECT t.media_id, t.record_idx, t.pos, t.n, t.hdr_end,
+       |             substr(t.s, CAST(t.pos AS INT) + 1,
+       |                    CAST(t.hdr_end - t.pos AS INT)) AS hdr
+       |      FROM (
+       |        SELECT w.media_id, w.record_idx + 1 AS record_idx,
+       |               w.next_pos AS pos, warc_m.n, warc_m.s,
+       |               w.next_pos
+       |                 + strpos(substr(warc_m.s, CAST(w.next_pos AS INT) + 1),
+       |                          chr(13)||chr(10)||chr(13)||chr(10)) - 1 AS hdr_end
+       |        FROM warc_walk w JOIN warc_m USING (media_id)
+       |        WHERE substr(warc_m.s, CAST(w.next_pos AS INT) + 1, 10)
+       |                IN ('WARC/1.0' || chr(13) || chr(10),
+       |                    'WARC/1.1' || chr(13) || chr(10))
+       |          AND strpos(substr(warc_m.s, CAST(w.next_pos AS INT) + 1),
+       |                     chr(13)||chr(10)||chr(13)||chr(10)) > 0
+       |      ) t
+       |    ) u
+       |  ) v
+       |  WHERE clen IS NOT NULL AND clen >= 0 AND hdr_end + 4 + clen <= n),
+       | wrecs AS (
+       |  SELECT media_id, record_idx, off, content_offset, content_length,
+       |         warc_type, target_uri
+       |  FROM warc_walk WHERE record_idx >= 0)""".stripMargin
+
+  /** Shared DuckDB CTE body (no WITH; the first relation is RECURSIVE —
+   * callers open with `WITH RECURSIVE`): an independent re-walk of the
    * tar fixture's 512 grid → relation `members`(media_id, member_idx,
    * name, header_offset, data_offset, n_bytes, typeflag), the twin of
    * Archives.tarMembers. Each recursion step re-derives everything
@@ -908,7 +977,12 @@ object SparkEntry {
    * naive substring search for '00' could split a byte whose low
    * nibble is 0), and the 512-rounded payload hop. A member whose
    * payload overruns the file stops the walk unemitted, like the
-   * walker. Used by q_w2/q_w4. */
+   * walker. A final layer applies the GNU 'L' / PAX 'x' long-name
+   * override: a member directly preceded by an override entry takes
+   * its name from that entry's payload (L: NUL-terminated; x: the
+   * `len path=<name>\n` record), re-decoded from the hex bytes — the
+   * lag(1) form covers the immediately-preceding override the format
+   * actually emits. Used by q_w2/q_w4. */
   private def TARWALK: String =
     s"""tar_m AS (SELECT media_id, hex(media) AS h, octet_length(media) AS n
        |          FROM read_parquet('${Tables.tarFixturePath}')),
@@ -963,12 +1037,30 @@ object SparkEntry {
        |    WHERE u.digits <> ''
        |  ) v
        |  WHERE pos + 512 + sz <= n),
-       | members AS (
+       | members_raw AS (
        |  SELECT media_id, CAST(member_idx AS INT) AS member_idx, name,
        |         CAST(header_offset AS BIGINT) AS header_offset,
        |         CAST(data_offset AS BIGINT) AS data_offset,
        |         CAST(n_bytes AS BIGINT) AS n_bytes, typeflag
-       |  FROM tar_walk WHERE member_idx >= 0)""".stripMargin
+       |  FROM tar_walk WHERE member_idx >= 0),
+       | members_ov AS (
+       |  SELECT r.*,
+       |         lag(r.typeflag) OVER w AS prev_tf,
+       |         decode(unhex(substr(t.h,
+       |           CAST(2 * lag(r.data_offset) OVER w AS BIGINT) + 1,
+       |           CAST(2 * lag(r.n_bytes) OVER w AS BIGINT)))) AS prev_payload
+       |  FROM members_raw r JOIN tar_m t USING (media_id)
+       |  WINDOW w AS (PARTITION BY r.media_id ORDER BY r.member_idx)),
+       | members AS (
+       |  SELECT media_id, member_idx,
+       |    CASE WHEN typeflag NOT IN ('L', 'x') AND prev_tf = 'L'
+       |         THEN coalesce(nullif(string_split(prev_payload, chr(0))[1], ''), name)
+       |         WHEN typeflag NOT IN ('L', 'x') AND prev_tf = 'x'
+       |         THEN coalesce(nullif(regexp_extract(prev_payload,
+       |                '[0-9]+ path=([^\n]*)\n', 1), ''), name)
+       |         ELSE name END AS name,
+       |    header_offset, data_offset, n_bytes, typeflag
+       |  FROM members_ov)""".stripMargin
 
   /** DuckDB shingle CTE twin of Dedup.shingles (3-word shingles). */
   private val SH =
@@ -2319,64 +2411,51 @@ object SparkEntry {
          | FROM cues JOIN wbt ON wbt.media_id = cues.media_id
          |   AND wbt.t_ms >= cues.start_ms AND wbt.t_ms < cues.end_ms
          | WHERE wbt.is_key""".stripMargin,
-    // q_w1: an independent recursive re-walk of the WARC records over
-    // the blob decoded to VARCHAR (the fixture is 7-bit ASCII by
-    // contract, so decode is total): version-line check, first
-    // CRLF-CRLF header terminator via strpos, case-insensitive
-    // header-line regexes for Content-Length / WARC-Type /
-    // WARC-Target-URI, then the Content-Length + 4 framing hop. A
-    // record with no terminator, an unparsable/negative length, or a
-    // payload overrunning the file stops the walk unemitted — the
-    // walker's exact tolerance rules.
+    // q_w1: the WARCWALK recursive re-walk verbatim (see its Scaladoc
+    // for the derivation and tolerance rules)
     "q_w1_warc_records" ->
-      s"""WITH RECURSIVE warc_m AS (
-         |  SELECT media_id, decode(media) AS s, octet_length(media) AS n
-         |  FROM read_parquet('${Tables.warcFixturePath}')),
-         | warc_walk AS (
-         |  SELECT media_id, -1 AS record_idx,
-         |         CAST(NULL AS BIGINT) AS off, CAST(NULL AS BIGINT) AS content_offset,
-         |         CAST(NULL AS BIGINT) AS content_length,
-         |         CAST(NULL AS VARCHAR) AS warc_type,
-         |         CAST(NULL AS VARCHAR) AS target_uri,
-         |         CAST(0 AS BIGINT) AS next_pos
-         |  FROM warc_m
-         |  UNION ALL
-         |  SELECT media_id, record_idx, pos, hdr_end + 4, clen, wtype, uri,
-         |         hdr_end + 4 + clen + 4
-         |  FROM (
-         |    SELECT u.media_id, u.record_idx, u.pos, u.hdr_end, u.n,
-         |      TRY_CAST(trim(regexp_extract(u.hdr,
-         |        '(?i)\\r\\n[ \\t]*content-length[ \\t]*:([^\\r\\n]*)', 1)) AS BIGINT) AS clen,
-         |      nullif(trim(regexp_extract(u.hdr,
-         |        '(?i)\\r\\n[ \\t]*warc-type[ \\t]*:([^\\r\\n]*)', 1)), '') AS wtype,
-         |      nullif(trim(regexp_extract(u.hdr,
-         |        '(?i)\\r\\n[ \\t]*warc-target-uri[ \\t]*:([^\\r\\n]*)', 1)), '') AS uri
-         |    FROM (
-         |      SELECT t.media_id, t.record_idx, t.pos, t.n, t.hdr_end,
-         |             substr(t.s, CAST(t.pos AS INT) + 1,
-         |                    CAST(t.hdr_end - t.pos AS INT)) AS hdr
-         |      FROM (
-         |        SELECT w.media_id, w.record_idx + 1 AS record_idx,
-         |               w.next_pos AS pos, warc_m.n, warc_m.s,
-         |               w.next_pos
-         |                 + strpos(substr(warc_m.s, CAST(w.next_pos AS INT) + 1),
-         |                          chr(13)||chr(10)||chr(13)||chr(10)) - 1 AS hdr_end
-         |        FROM warc_walk w JOIN warc_m USING (media_id)
-         |        WHERE substr(warc_m.s, CAST(w.next_pos AS INT) + 1, 10)
-         |                IN ('WARC/1.0' || chr(13) || chr(10),
-         |                    'WARC/1.1' || chr(13) || chr(10))
-         |          AND strpos(substr(warc_m.s, CAST(w.next_pos AS INT) + 1),
-         |                     chr(13)||chr(10)||chr(13)||chr(10)) > 0
-         |      ) t
-         |    ) u
-         |  ) v
-         |  WHERE clen IS NOT NULL AND clen >= 0 AND hdr_end + 4 + clen <= n)
+      s"""WITH RECURSIVE $WARCWALK
          | SELECT media_id, CAST(record_idx AS INT) AS record_idx,
          |        CAST(off AS BIGINT) AS "offset",
          |        CAST(content_offset AS BIGINT) AS content_offset,
          |        CAST(content_length AS BIGINT) AS content_length,
          |        warc_type, target_uri
-         | FROM warc_walk WHERE record_idx >= 0""".stripMargin,
+         | FROM wrecs""".stripMargin,
+    // q_w6: the WARCWALK records restricted to responses, each
+    // payload re-sliced from the decoded bytes and split at its first
+    // CRLFCRLF: status from the same anchored status-line pattern as
+    // the walker, Content-Type from the case-insensitive header
+    // regex, body coordinates from the terminator position. A payload
+    // with no terminator or no parsing status line yields no row —
+    // the walker's exact emission rule.
+    "q_w6_warc_http" ->
+      s"""WITH RECURSIVE $WARCWALK,
+         | http0 AS (
+         |  SELECT w.media_id, w.record_idx, w.content_offset, w.content_length,
+         |    substr(m.s, CAST(w.content_offset AS INT) + 1,
+         |           CAST(w.content_length AS INT)) AS payload
+         |  FROM wrecs w JOIN warc_m m USING (media_id)
+         |  WHERE lower(w.warc_type) = 'response'),
+         | http1 AS (
+         |  SELECT *, strpos(payload, chr(13)||chr(10)||chr(13)||chr(10)) AS t4
+         |  FROM http0),
+         | http2 AS (
+         |  SELECT *, substr(payload, 1, t4 - 1) AS head,
+         |    string_split(substr(payload, 1, t4 - 1), chr(13)||chr(10))[1] AS line1
+         |  FROM http1 WHERE t4 > 0),
+         | http3 AS (
+         |  SELECT media_id, record_idx,
+         |    TRY_CAST(regexp_extract(line1,
+         |      '^HTTP/[^ ]+ ([0-9]{3})( .*)?$$', 1) AS INT) AS http_status,
+         |    content_offset + t4 - 1 + 4 AS body_offset,
+         |    content_length - (t4 - 1) - 4 AS body_length,
+         |    nullif(trim(regexp_extract(head,
+         |      '(?i)\\r\\n[ \\t]*content-type[ \\t]*:([^\\r\\n]*)', 1)), '') AS content_type
+         |  FROM http2)
+         | SELECT media_id, CAST(record_idx AS INT) AS record_idx, http_status,
+         |   CAST(body_offset AS BIGINT) AS body_offset,
+         |   CAST(body_length AS BIGINT) AS body_length, content_type
+         | FROM http3 WHERE http_status IS NOT NULL""".stripMargin,
     // q_w2: the recursive 512-grid re-walk (TARWALK) verbatim
     "q_w2_tar_members" ->
       s"""WITH RECURSIVE $TARWALK
@@ -2384,12 +2463,17 @@ object SparkEntry {
     // q_w3: EOCD located by an explicit backward scan (list_max over
     // every aligned '504B0506' position within the 65535-byte comment
     // window — the LAST signature wins, like the walker's descending
-    // scan), ZIP64 sentinels (0xFFFF count / 0xFFFFFFFF cd offset)
-    // excluded like the walker, then a recursive central-directory
-    // walk in LE hex arithmetic; data_offset re-reads each LOCAL
-    // header's own name/extra lengths (the fixture's even entries
-    // carry a local-only extra field, so trusting the central entry
-    // would be caught).
+    // scan); when the ZIP64 EOCD locator (07064b50) sits immediately
+    // before the EOCD, count/offset re-read as 64-bit values from the
+    // ZIP64 EOCD record (06064b50) it points at — locator PRESENCE is
+    // the discriminator, exactly like the walker; then a recursive
+    // central-directory walk in LE hex arithmetic with per-entry
+    // sentinel slots resolved from the 0x0001 extra subfield (a
+    // 3-hop subfield chain — the walker loops, but 3 hops cover any
+    // real archive's extras and the fixture's dummy-first layout);
+    // data_offset re-reads each LOCAL header's own name/extra lengths
+    // (the fixture's even entries carry a local-only extra field, so
+    // trusting the central entry would be caught).
     "q_w3_zip_entries" ->
       s"""WITH RECURSIVE zip_m AS (
          |  SELECT media_id, hex(media) AS h, octet_length(media) AS n
@@ -2399,11 +2483,21 @@ object SparkEntry {
          |    list_max(list_filter(generate_series(GREATEST(n - 22 - 65535, 0), n - 22),
          |      i -> substr(h, CAST(2 * i AS INT) + 1, 8) = '504B0506')) AS e
          |  FROM zip_m),
+         | zip_l AS (
+         |  SELECT media_id, h, n, e,
+         |    CASE WHEN e >= 20
+         |              AND substr(h, CAST(2 * (e - 20) AS INT) + 1, 8) = '504B0607'
+         |         THEN TRY_CAST('0x' || ${leHex("e - 12", 8)} AS BIGINT) END AS z_off
+         |  FROM zip_e WHERE e IS NOT NULL),
          | zip_h AS (
          |  SELECT media_id, h, n,
-         |    TRY_CAST('0x' || ${leHex("e + 10", 2)} AS BIGINT) AS cnt,
-         |    TRY_CAST('0x' || ${leHex("e + 16", 4)} AS BIGINT) AS cd_off
-         |  FROM zip_e WHERE e IS NOT NULL),
+         |    CASE WHEN z_ok THEN TRY_CAST('0x' || ${leHex("z_off + 32", 8)} AS BIGINT)
+         |         ELSE TRY_CAST('0x' || ${leHex("e + 10", 2)} AS BIGINT) END AS cnt,
+         |    CASE WHEN z_ok THEN TRY_CAST('0x' || ${leHex("z_off + 48", 8)} AS BIGINT)
+         |         ELSE TRY_CAST('0x' || ${leHex("e + 16", 4)} AS BIGINT) END AS cd_off
+         |  FROM (SELECT *, z_off IS NOT NULL AND z_off + 56 <= n
+         |               AND substr(h, CAST(2 * z_off AS INT) + 1, 8) = '504B0606' AS z_ok
+         |        FROM zip_l) t0),
          | zip_walk AS (
          |  SELECT media_id, -1 AS entry_idx, CAST(NULL AS VARCHAR) AS name,
          |         CAST(NULL AS INT) AS method, CAST(NULL AS BIGINT) AS comp_bytes,
@@ -2412,7 +2506,7 @@ object SparkEntry {
          |         CAST(NULL AS BIGINT) AS data_offset,
          |         cd_off AS p, cnt
          |  FROM zip_h
-         |  WHERE cnt <> 65535 AND cd_off <> 4294967295 AND cd_off <= n
+         |  WHERE cnt IS NOT NULL AND cd_off IS NOT NULL AND cd_off <= n
          |  UNION ALL
          |  SELECT media_id, entry_idx, name, method, comp_bytes, uncomp_bytes, lho,
          |    CASE WHEN lho + 30 <= n
@@ -2423,26 +2517,62 @@ object SparkEntry {
          |         ELSE NULL END AS data_offset,
          |    p + 46 + nlen + xlen + clen AS p, cnt
          |  FROM (
-         |    SELECT t.media_id, t.h, t.n, t.entry_idx, t.p, t.cnt,
-         |      decode(unhex(substr(t.h, CAST(2 * (t.p + 46) AS INT) + 1,
-         |                          CAST(2 * t.nlen AS INT)))) AS name,
-         |      TRY_CAST('0x' || ${leHex("t.p + 10", 2, "t.h")} AS INT) AS method,
-         |      TRY_CAST('0x' || ${leHex("t.p + 20", 4, "t.h")} AS BIGINT) AS comp_bytes,
-         |      TRY_CAST('0x' || ${leHex("t.p + 24", 4, "t.h")} AS BIGINT) AS uncomp_bytes,
-         |      TRY_CAST('0x' || ${leHex("t.p + 42", 4, "t.h")} AS BIGINT) AS lho,
-         |      t.nlen, t.xlen, t.clen
+         |    SELECT v.media_id, v.h, v.n, v.entry_idx, v.p, v.cnt,
+         |      v.name, v.method, v.nlen, v.xlen, v.clen,
+         |      CASE WHEN v.usz = 4294967295 AND v.zx IS NOT NULL
+         |           THEN TRY_CAST('0x' || ${leHex("v.zx", 8, "v.h")} AS BIGINT)
+         |           ELSE v.usz END AS uncomp_bytes,
+         |      CASE WHEN v.csz = 4294967295 AND v.zx IS NOT NULL
+         |           THEN TRY_CAST('0x' || ${leHex(
+                        "v.zx + CASE WHEN v.usz = 4294967295 THEN 8 ELSE 0 END",
+                        8, "v.h")} AS BIGINT)
+         |           ELSE v.csz END AS comp_bytes,
+         |      CASE WHEN v.lh0 = 4294967295 AND v.zx IS NOT NULL
+         |           THEN TRY_CAST('0x' || ${leHex(
+                        "v.zx + CASE WHEN v.usz = 4294967295 THEN 8 ELSE 0 END" +
+                          " + CASE WHEN v.csz = 4294967295 THEN 8 ELSE 0 END",
+                        8, "v.h")} AS BIGINT)
+         |           ELSE v.lh0 END AS lho
          |    FROM (
-         |      SELECT w.media_id, zip_m.h, zip_m.n, w.entry_idx + 1 AS entry_idx,
-         |             w.p, w.cnt,
-         |        TRY_CAST('0x' || ${leHex("w.p + 28", 2, "zip_m.h")} AS BIGINT) AS nlen,
-         |        TRY_CAST('0x' || ${leHex("w.p + 30", 2, "zip_m.h")} AS BIGINT) AS xlen,
-         |        TRY_CAST('0x' || ${leHex("w.p + 32", 2, "zip_m.h")} AS BIGINT) AS clen
-         |      FROM zip_walk w JOIN zip_m USING (media_id)
-         |      WHERE w.entry_idx + 1 < w.cnt AND w.p + 46 <= zip_m.n
-         |        AND substr(zip_m.h, CAST(2 * w.p AS INT) + 1, 8) = '504B0102'
-         |    ) t
-         |    WHERE t.p + 46 + t.nlen <= t.n
-         |  ) u)
+         |      SELECT u.*,
+         |        u.p + 46 + u.nlen AS xa,
+         |        u.p + 46 + u.nlen + u.xlen AS xe,
+         |        CASE WHEN xa + 4 <= xe
+         |             THEN TRY_CAST('0x' || ${leHex("xa", 2, "u.h")} AS BIGINT) END AS id0,
+         |        CASE WHEN xa + 4 <= xe
+         |             THEN TRY_CAST('0x' || ${leHex("xa + 2", 2, "u.h")} AS BIGINT) END AS sz0,
+         |        CASE WHEN sz0 IS NOT NULL AND xa + 8 + sz0 <= xe
+         |             THEN TRY_CAST('0x' || ${leHex("xa + 4 + sz0", 2, "u.h")} AS BIGINT) END AS id1,
+         |        CASE WHEN sz0 IS NOT NULL AND xa + 8 + sz0 <= xe
+         |             THEN TRY_CAST('0x' || ${leHex("xa + 6 + sz0", 2, "u.h")} AS BIGINT) END AS sz1,
+         |        CASE WHEN sz1 IS NOT NULL AND xa + 12 + sz0 + sz1 <= xe
+         |             THEN TRY_CAST('0x' || ${leHex("xa + 8 + sz0 + sz1", 2, "u.h")} AS BIGINT) END AS id2,
+         |        CASE WHEN id0 = 1 THEN xa + 4
+         |             WHEN id1 = 1 THEN xa + 8 + sz0
+         |             WHEN id2 = 1 THEN xa + 12 + sz0 + sz1 END AS zx
+         |      FROM (
+         |        SELECT t.media_id, t.h, t.n, t.entry_idx, t.p, t.cnt,
+         |          decode(unhex(substr(t.h, CAST(2 * (t.p + 46) AS INT) + 1,
+         |                              CAST(2 * t.nlen AS INT)))) AS name,
+         |          TRY_CAST('0x' || ${leHex("t.p + 10", 2, "t.h")} AS INT) AS method,
+         |          TRY_CAST('0x' || ${leHex("t.p + 20", 4, "t.h")} AS BIGINT) AS csz,
+         |          TRY_CAST('0x' || ${leHex("t.p + 24", 4, "t.h")} AS BIGINT) AS usz,
+         |          TRY_CAST('0x' || ${leHex("t.p + 42", 4, "t.h")} AS BIGINT) AS lh0,
+         |          t.nlen, t.xlen, t.clen
+         |        FROM (
+         |          SELECT w.media_id, zip_m.h, zip_m.n, w.entry_idx + 1 AS entry_idx,
+         |                 w.p, w.cnt,
+         |            TRY_CAST('0x' || ${leHex("w.p + 28", 2, "zip_m.h")} AS BIGINT) AS nlen,
+         |            TRY_CAST('0x' || ${leHex("w.p + 30", 2, "zip_m.h")} AS BIGINT) AS xlen,
+         |            TRY_CAST('0x' || ${leHex("w.p + 32", 2, "zip_m.h")} AS BIGINT) AS clen
+         |          FROM zip_walk w JOIN zip_m USING (media_id)
+         |          WHERE w.entry_idx + 1 < w.cnt AND w.p + 46 <= zip_m.n
+         |            AND substr(zip_m.h, CAST(2 * w.p AS INT) + 1, 8) = '504B0102'
+         |        ) t
+         |        WHERE t.p + 46 + t.nlen <= t.n
+         |      ) u
+         |    ) v
+         |  ) r2)
          | SELECT media_id, CAST(entry_idx AS INT) AS entry_idx, name,
          |        CAST(method AS INT) AS method,
          |        CAST(comp_bytes AS BIGINT) AS comp_bytes,

@@ -29,9 +29,12 @@ import Multimodal.MediaRow
  * `.warc.gz` per-record gzip members (how Common Crawl actually
  * ships) ARE walked ([[warcGzMembers]]): member boundaries require
  * DEFLATE decompression, which the JDK's Inflater provides without
- * any external codec — each member is inflated partition-locally
- * just far enough to read its record header, and only the index rows
- * leave. Plain [[warcRecords]] remains for pre-inflated `.warc`.
+ * any external codec — each member is streamed through a fixed-size
+ * partition-local scratch window (only the first [[HeadBytes]] are
+ * buffered for the record header; the rest is counted and discarded
+ * to find the member boundary and verify ISIZE), so memory stays
+ * bounded no matter how large a record inflates, and only the index
+ * rows leave. Plain [[warcRecords]] remains for pre-inflated `.warc`.
  */
 object Archives {
 
@@ -44,49 +47,60 @@ object Archives {
    * header never terminates, carries no parsable Content-Length, or
    * declares more payload than the file holds ends the walk
    * unemitted. */
+  /** Parse ONE record header starting at `pos`: version line, the
+   * first CRLF-CRLF terminator, then the named header lines. Returns
+   * (content_offset, content_length, warc_type, target_uri) with the
+   * content offset ABSOLUTE in `b`, or None when the version line is
+   * absent, the header never terminates inside `b`, or Content-Length
+   * doesn't parse. Shared by [[warcRecords]] (full files) and
+   * [[warcGzMembers]] (head-bounded scratch buffers). */
+  private def warcHeader(
+      b: Array[Byte], pos: Int): Option[(Long, Long, Option[String], Option[String])] = {
+    def lit(p: Int, s: String): Boolean =
+      p + s.length <= b.length && s.indices.forall(i => (b(p + i) & 0xff) == s.charAt(i))
+    if (!(lit(pos, "WARC/1.0\r\n") || lit(pos, "WARC/1.1\r\n"))) return None
+    var h = pos
+    var hdrEnd = -1
+    while (hdrEnd < 0 && h + 4 <= b.length) {
+      if (b(h) == '\r' && b(h + 1) == '\n' && b(h + 2) == '\r' && b(h + 3) == '\n')
+        hdrEnd = h
+      else h += 1
+    }
+    if (hdrEnd < 0) return None
+    val hdr = new String(b, pos, hdrEnd - pos,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    var clen = -1L
+    var wtype: Option[String] = None
+    var uri: Option[String] = None
+    hdr.split("\r\n").drop(1).foreach { line =>
+      val ci = line.indexOf(':')
+      if (ci > 0) {
+        val v = line.substring(ci + 1).trim
+        line.substring(0, ci).trim.toLowerCase match {
+          case "content-length" =>
+            clen = try v.toLong catch { case _: NumberFormatException => -1L }
+          case "warc-type"       => wtype = Some(v)
+          case "warc-target-uri" => uri = Some(v)
+          case _                 => ()
+        }
+      }
+    }
+    if (clen < 0) None else Some((hdrEnd + 4L, clen, wtype, uri))
+  }
+
   private[ops] def warcRecords(
       b: Array[Byte]): Seq[(Long, Long, Long, Option[String], Option[String])] = {
     if (b == null) return Nil
-    def lit(p: Int, s: String): Boolean =
-      p + s.length <= b.length && s.indices.forall(i => (b(p + i) & 0xff) == s.charAt(i))
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Long, Long, Option[String], Option[String])]
     var pos = 0
     var ok = true
-    while (ok && (lit(pos, "WARC/1.0\r\n") || lit(pos, "WARC/1.1\r\n"))) {
-      var h = pos
-      var hdrEnd = -1
-      while (hdrEnd < 0 && h + 4 <= b.length) {
-        if (b(h) == '\r' && b(h + 1) == '\n' && b(h + 2) == '\r' && b(h + 3) == '\n')
-          hdrEnd = h
-        else h += 1
-      }
-      if (hdrEnd < 0) ok = false
-      else {
-        val hdr = new String(b, pos, hdrEnd - pos,
-          java.nio.charset.StandardCharsets.ISO_8859_1)
-        var clen = -1L
-        var wtype: Option[String] = None
-        var uri: Option[String] = None
-        hdr.split("\r\n").drop(1).foreach { line =>
-          val ci = line.indexOf(':')
-          if (ci > 0) {
-            val v = line.substring(ci + 1).trim
-            line.substring(0, ci).trim.toLowerCase match {
-              case "content-length" =>
-                clen = try v.toLong catch { case _: NumberFormatException => -1L }
-              case "warc-type"       => wtype = Some(v)
-              case "warc-target-uri" => uri = Some(v)
-              case _                 => ()
-            }
-          }
-        }
-        val contentOff = hdrEnd + 4L
-        if (clen < 0 || contentOff + clen > b.length) ok = false
-        else {
+    while (ok) {
+      warcHeader(b, pos) match {
+        case Some((contentOff, clen, wtype, uri)) if contentOff + clen <= b.length =>
           out += ((pos.toLong, contentOff, clen, wtype, uri))
           pos = (contentOff + clen + 4).toInt // skip the two trailing CRLFs
-        }
+        case _ => ok = false
       }
     }
     out.toSeq
@@ -113,12 +127,85 @@ object Archives {
         "content_length", "warc_type", "target_uri")
   }
 
+  /** HTTP status line: `HTTP/<ver> <3-digit status>[ <reason>]` — the
+   * oracle applies the same pattern; keep the two in lock-step. */
+  private val HttpStatusRe = """^HTTP/\S+ (\d{3})(?: .*)?$""".r
+
+  /** HTTP split of one WARC response record's payload: the payload is
+   * an HTTP message (status line + headers + CRLFCRLF + body), and
+   * the BODY span is what a text-extraction pipeline actually wants.
+   * Returns (http_status, body_offset_in_payload, content_type) for a
+   * payload whose head parses — a status line matching
+   * [[HttpStatusRe]] and a CRLFCRLF terminator inside the payload —
+   * or None (a response whose head never terminates in its declared
+   * span, or whose payload isn't HTTP at all, proves no body
+   * coordinates; the tolerance discipline throughout). */
+  private def httpHead(
+      b: Array[Byte], off: Int, len: Int): Option[(Int, Long, Option[String])] = {
+    var h = off
+    val end = off + len
+    var hdrEnd = -1
+    while (hdrEnd < 0 && h + 4 <= end) {
+      if (b(h) == '\r' && b(h + 1) == '\n' && b(h + 2) == '\r' && b(h + 3) == '\n')
+        hdrEnd = h
+      else h += 1
+    }
+    if (hdrEnd < 0) return None
+    val head = new String(b, off, hdrEnd - off,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val lines = head.split("\r\n")
+    lines.headOption.flatMap {
+      case HttpStatusRe(st) =>
+        var ctype: Option[String] = None
+        lines.drop(1).foreach { line =>
+          val ci = line.indexOf(':')
+          if (ci > 0 && ctype.isEmpty &&
+              line.substring(0, ci).trim.toLowerCase == "content-type")
+            ctype = Some(line.substring(ci + 1).trim)
+        }
+        Some((st.toInt, (hdrEnd - off + 4).toLong, ctype))
+      case _ => None
+    }
+  }
+
+  /** HTTP split table over WARC response records — the entry point
+   * for actual Common Crawl text extraction: one row per response
+   * record whose HTTP head parses, with (media_id, record_idx,
+   * http_status, body_offset, body_length, content_type). record_idx
+   * matches [[warcRecordTable]]'s, and body_offset is ABSOLUTE in the
+   * file, so a ranged read of [body_offset, body_offset+body_length)
+   * fetches exactly the document body — composable with the q_w1/q_w5
+   * coordinates. Pure map-side like every walker here. */
+  def warcHttpTable(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("mime_type"), col("media"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          warcRecords(r.media).zipWithIndex.flatMap {
+            case ((_, cOff, cLen, wtype, _), i)
+                if wtype.exists(_.equalsIgnoreCase("response")) =>
+              httpHead(r.media, cOff.toInt, cLen.toInt).map {
+                case (status, bodyRel, ctype) =>
+                  (r.media_id, i, status, cOff + bodyRel, cLen - bodyRel, ctype)
+              }
+            case _ => None
+          }
+        }
+      }
+      .toDF("media_id", "record_idx", "http_status", "body_offset",
+        "body_length", "content_type")
+  }
+
   // ------------------------------------------------------------- .warc.gz
 
-  /** Per-member inflated-size cap: a member claiming to inflate past
-   * this stops the walk (a shard list never needs to materialise an
-   * unbounded record to index it). */
-  private val MaxMemberBytes = 1 << 26
+  /** Head-buffer size: the inflated prefix kept for the WARC record
+   * header parse (real WARC headers are a few hundred bytes; 64 KiB
+   * is far past any spec-plausible header). Everything past it is
+   * inflated, COUNTED toward the member length / ISIZE check, and
+   * discarded — so an arbitrarily large record walks in bounded
+   * memory instead of aborting the shard's remaining index rows. */
+  private val HeadBytes = 1 << 16
 
   /** One `.warc.gz` member — how Common Crawl actually ships: ONE
    * gzip member per WARC record, so the record boundary IS the gzip
@@ -131,13 +218,17 @@ object Archives {
    * Each step parses the RFC 1952 header (magic 1f 8b, CM=8, then
    * FLG: FEXTRA/FNAME/FCOMMENT skipped by their own framing, FHCRC
    * by 2), inflates the member with the JDK's raw-DEFLATE Inflater to
-   * find where its compressed bytes end, checks the 8-byte trailer is
-   * present and its ISIZE matches the inflated length, and reads the
-   * WARC header out of the inflated bytes with the SAME record parser
-   * as [[warcRecords]]. Tolerance as everywhere: a member that stops
-   * parsing — bad header, corrupt DEFLATE, cut trailer, ISIZE
-   * mismatch, no parsable record inside, or an inflated size past
-   * [[MaxMemberBytes]] — ends the walk unemitted. */
+   * find where its compressed bytes end — streaming through a
+   * fixed-size scratch window: the first [[HeadBytes]] are buffered,
+   * the rest only counted — checks the 8-byte trailer is present and
+   * its ISIZE matches the inflated length (mod 2^32, per RFC 1952),
+   * and reads the WARC header out of the buffered head with the SAME
+   * record parser as [[warcRecords]] (the declared Content-Length is
+   * validated against the full inflated length, so identity never
+   * claims more than the member holds). Tolerance as everywhere: a
+   * member that stops parsing — bad header, corrupt DEFLATE, cut
+   * trailer, ISIZE mismatch, no parsable record header inside the
+   * head window — ends the walk unemitted. */
   private[ops] def warcGzMembers(
       b: Array[Byte]): Seq[(Long, Long, Long, Long, Option[String], Option[String])] = {
     if (b == null) return Nil
@@ -167,7 +258,9 @@ object Archives {
         try {
           inf.setInput(b, p, b.length - p)
           val chunk = new Array[Byte](64 * 1024)
-          val inflated = new java.io.ByteArrayOutputStream()
+          val head = new Array[Byte](HeadBytes)
+          var headLen = 0
+          var total = 0L
           var done = false
           var bad = false
           while (!done && !bad) {
@@ -175,24 +268,26 @@ object Archives {
               try inf.inflate(chunk)
               catch { case _: java.util.zip.DataFormatException => bad = true; 0 }
             if (n > 0) {
-              inflated.write(chunk, 0, n)
-              if (inflated.size > MaxMemberBytes) bad = true
+              val keep = math.min(n, HeadBytes - headLen)
+              if (keep > 0) {
+                System.arraycopy(chunk, 0, head, headLen, keep)
+                headLen += keep
+              }
+              total += n // bytes past the head window are counted, not kept
             } else if (inf.finished()) done = true
             else bad = true // needs input past EOF, or dictionary: truncated
           }
           val end = p + inf.getBytesRead.toInt + 8 // DEFLATE bytes + CRC32 + ISIZE
           if (bad || end > b.length) ok = false
           else {
-            val body = inflated.toByteArray
             val isize = (b(end - 4) & 0xffL) | ((b(end - 3) & 0xffL) << 8) |
               ((b(end - 2) & 0xffL) << 16) | ((b(end - 1) & 0xffL) << 24)
-            if (isize != (body.length & 0xffffffffL)) ok = false
-            else warcRecords(body).headOption match {
-              case Some((_, _, clen, wtype, uri)) =>
-                out += ((pos.toLong, (end - pos).toLong, body.length.toLong,
-                  clen, wtype, uri))
+            if (isize != (total & 0xffffffffL)) ok = false
+            else warcHeader(java.util.Arrays.copyOf(head, headLen), 0) match {
+              case Some((contentOff, clen, wtype, uri)) if contentOff + clen <= total =>
+                out += ((pos.toLong, (end - pos).toLong, total, clen, wtype, uri))
                 pos = end
-              case None => ok = false
+              case _ => ok = false
             }
           }
         } finally inf.end()
@@ -247,19 +342,63 @@ object Archives {
     new String(b, off, e - off, java.nio.charset.StandardCharsets.ISO_8859_1)
   }
 
+  /** PAX extended-header payload parse: a sequence of
+   * `%d %s=%s\n` records where the leading decimal is the TOTAL
+   * record length including itself, the space, and the trailing
+   * newline (POSIX pax(1) Extended Header format). Returns the last
+   * `path` value, the next member's name override; parsing stops at
+   * the first malformed record (keeping any path already parsed) —
+   * the walkers' tolerance discipline. */
+  private def paxPath(b: Array[Byte], off: Int, len: Int): Option[String] = {
+    var p = off
+    val end = math.min(off.toLong + len, b.length.toLong).toInt
+    var path: Option[String] = None
+    var ok = true
+    while (ok && p < end) {
+      var q = p
+      var n = 0L
+      while (q < end && b(q) >= '0' && b(q) <= '9') { n = n * 10 + (b(q) - '0'); q += 1 }
+      if (q == p || q >= end || b(q) != ' ' ||
+          n < q - p + 2 || p + n > end || b(p + n.toInt - 1) != '\n') ok = false
+      else {
+        val rec = new String(b, q + 1, p + n.toInt - 1 - (q + 1),
+          java.nio.charset.StandardCharsets.UTF_8) // pax payloads are UTF-8 by spec
+        val eq = rec.indexOf('=')
+        if (eq > 0 && rec.substring(0, eq) == "path" && eq + 1 < rec.length)
+          path = Some(rec.substring(eq + 1))
+        p += n.toInt
+      }
+    }
+    path
+  }
+
   /** One tar member: (name, header_offset, data_offset, size,
    * typeflag). POSIX ustar 512-byte headers: NUL-terminated name at
    * 0, 12-byte octal size at 124, typeflag at 156, magic "ustar" at
    * 257, path prefix at 345; payload rounded up to the 512 grid. The
    * walk ends at the first all-zero block (the archive end marker),
    * a non-ustar header, an unparsable size, or a member whose
-   * payload overruns the file (truncated shard — not emitted). */
+   * payload overruns the file (truncated shard — not emitted).
+   *
+   * Long-name overrides — real WebDataset shards routinely carry
+   * >100-char sample keys, which ustar alone cannot store:
+   *  - a GNU long-name entry (typeflag 'L') holds the NEXT member's
+   *    full name as its payload (NUL-terminated);
+   *  - a PAX extended header (typeflag 'x') holds `len key=value\n`
+   *    records whose `path` key overrides the NEXT member's name.
+   * Both entries are emitted as members themselves (they occupy real
+   * byte spans a seeking loader must know about, under their own
+   * stored names), and the override applies to the next member whose
+   * typeflag is neither 'L' nor 'x' — so q_w4 sample grouping sees
+   * the full key, never the 100-byte truncation. An empty/absent
+   * override payload leaves the next member's own name in place. */
   private[ops] def tarMembers(
       b: Array[Byte]): Seq[(String, Long, Long, Long, String)] = {
     if (b == null) return Nil
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long, String)]
     var pos = 0
     var ok = true
+    var pending: Option[String] = None // name override from a preceding L/x entry
     while (ok && pos + 512 <= b.length) {
       var allZero = true
       var i = pos
@@ -272,12 +411,23 @@ object Archives {
         else {
           val prefix = tarString(b, pos + 345, 155)
           val name0 = tarString(b, pos, 100)
-          val name = if (prefix.nonEmpty) prefix + "/" + name0 else name0
+          val rawName = if (prefix.nonEmpty) prefix + "/" + name0 else name0
           val tf = b(pos + 156) & 0xff
           val typeflag = if (tf == 0) "0" else tf.toChar.toString
           val dataOff = pos + 512L
           if (dataOff + size > b.length) ok = false // truncated: not claimed
           else {
+            val name = typeflag match {
+              case "L" | "x" => rawName // override entries keep their stored name
+              case _ =>
+                val n = pending.getOrElse(rawName); pending = None; n
+            }
+            if (typeflag == "L") {
+              val nm = tarString(b, dataOff.toInt, size.toInt)
+              if (nm.nonEmpty) pending = Some(nm)
+            } else if (typeflag == "x")
+              paxPath(b, dataOff.toInt, size.toInt)
+                .filter(_.nonEmpty).foreach(p => pending = Some(p))
             out += ((name, pos.toLong, dataOff, size, typeflag))
             pos = (dataOff + ((size + 511) / 512) * 512).toInt
           }
@@ -340,6 +490,8 @@ object Archives {
   private def le32(b: Array[Byte], p: Int): Long =
     (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
       ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+  private def le64(b: Array[Byte], p: Int): Long =
+    le32(b, p) | (le32(b, p + 4) << 32)
 
   /** One ZIP entry: (name, method, comp_size, uncomp_size,
    * local_header_offset, data_offset). The central directory is
@@ -349,7 +501,20 @@ object Archives {
    * LOCAL header (its extra-field length legitimately differs from
    * the central one) — None when the local header is missing or
    * out of bounds. Entries stop at the first bad signature or
-   * bound overrun (truncated archive — not claimed). */
+   * bound overrun (truncated archive — not claimed).
+   *
+   * ZIP64 (APPNOTE §4.4.1.4): image corpora >4 GiB / >65k entries are
+   * the norm at scale, so the walker resolves the ZIP64 form fully.
+   * The discriminator is the PRESENCE of the ZIP64 EOCD locator
+   * (signature 07064b50, the 20 bytes immediately before the EOCD) —
+   * not the 0xFFFF/0xFFFFFFFF sentinels alone, because a legitimate
+   * non-ZIP64 archive with exactly 65535 entries is valid per
+   * APPNOTE. When the locator is present, entry count and central
+   * directory offset come from the ZIP64 EOCD record (signature
+   * 06064b50) as 64-bit values; per entry, a 0xFFFFFFFF
+   * comp/uncomp/offset slot is resolved from the entry's ZIP64 extra
+   * field (header id 0x0001), whose 8-byte values appear in fixed
+   * order for exactly the slots that carry the sentinel. */
   private[ops] def zipEntries(
       b: Array[Byte]): Seq[(String, Int, Long, Long, Long, Option[Long])] = {
     if (b == null || b.length < 22) return Nil
@@ -358,19 +523,20 @@ object Archives {
     while (e >= lowest && !((b(e) & 0xff) == 0x50 && (b(e + 1) & 0xff) == 0x4b &&
         (b(e + 2) & 0xff) == 0x05 && (b(e + 3) & 0xff) == 0x06)) e -= 1
     if (e < lowest) return Nil
-    val count = le16(b, e + 10)
-    val cdOff = le32(b, e + 16)
-    // ZIP64 (APPNOTE §4.4.1.4): a 0xFFFF entry count or 0xFFFFFFFF
-    // central-directory offset means the real values live in the
-    // ZIP64 EOCD record. Walking with the sentinel as a literal
-    // count/offset would yield a silently wrong index, so a ZIP64
-    // archive parses as empty — documented out of scope like the
-    // .warc.gz limit above.
-    if (count == 0xffff || cdOff == 0xffffffffL) return Nil
+    var count: Long = le16(b, e + 10)
+    var cdOff: Long = le32(b, e + 16)
+    val loc = e - 20 // ZIP64 EOCD locator sits immediately before the EOCD
+    if (loc >= 0 && le32(b, loc) == 0x07064b50L) {
+      val z = le64(b, loc + 8)
+      if (z >= 0 && z + 56 <= b.length && le32(b, z.toInt) == 0x06064b50L) {
+        count = le64(b, z.toInt + 32) // total entries on this disk's CD
+        cdOff = le64(b, z.toInt + 48)
+      }
+    }
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(String, Int, Long, Long, Long, Option[Long])]
     var p = cdOff
-    var k = 0
+    var k = 0L
     var ok = p >= 0 && p <= b.length
     while (ok && k < count && p + 46 <= b.length) {
       if (!((b(p.toInt) & 0xff) == 0x50 && (b(p.toInt + 1) & 0xff) == 0x4b &&
@@ -378,14 +544,34 @@ object Archives {
       else {
         val q = p.toInt
         val method = le16(b, q + 10)
-        val csize = le32(b, q + 20)
-        val usize = le32(b, q + 24)
+        var csize = le32(b, q + 20)
+        var usize = le32(b, q + 24)
         val nlen = le16(b, q + 28)
         val xlen = le16(b, q + 30)
         val clen = le16(b, q + 32)
-        val lho = le32(b, q + 42)
+        var lho = le32(b, q + 42)
         if (q + 46 + nlen > b.length) ok = false
         else {
+          if (csize == 0xffffffffL || usize == 0xffffffffL || lho == 0xffffffffL) {
+            // hop the extra subfields to the ZIP64 field (id 0x0001);
+            // its 8-byte values appear in APPNOTE order (uncomp, comp,
+            // offset) for exactly the sentinel-bearing slots
+            var xp = q + 46 + nlen
+            val xend = math.min(xp.toLong + xlen, b.length.toLong).toInt
+            var found = false
+            while (!found && xp + 4 <= xend) {
+              val id = le16(b, xp)
+              val sz = le16(b, xp + 2)
+              if (id == 1 && xp + 4 + sz <= xend) {
+                var d = xp + 4
+                val dend = xp + 4 + sz
+                if (usize == 0xffffffffL && d + 8 <= dend) { usize = le64(b, d); d += 8 }
+                if (csize == 0xffffffffL && d + 8 <= dend) { csize = le64(b, d); d += 8 }
+                if (lho == 0xffffffffL && d + 8 <= dend) { lho = le64(b, d); d += 8 }
+                found = true
+              } else xp += 4 + sz
+            }
+          }
           val name = new String(b, q + 46, nlen,
             java.nio.charset.StandardCharsets.ISO_8859_1)
           val dataOff =

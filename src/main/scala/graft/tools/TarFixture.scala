@@ -14,6 +14,17 @@ package graft.tools
  *                  size overruns the file (truncated shard): walker
  *                  emits only the members before it.
  *  - id % 8 == 7 → ASCII junk, no ustar magic: no rows.
+ *  - id % 8 == 5 → a LONG-KEY WebDataset shard: the same sample
+ *                  structure but every sample key exceeds ustar's
+ *                  100-byte name field, so each member is preceded by
+ *                  a name-override entry — GNU long-name ('L',
+ *                  `././@LongLink`, NUL-terminated payload) for
+ *                  even member positions, a PAX extended header
+ *                  ('x', `len path=<name>\n` record) for odd ones —
+ *                  and the member header itself stores the 100-byte
+ *                  truncation. Real WebDataset shards hit this
+ *                  routinely; the walker must apply the override so
+ *                  sample grouping sees the full key.
  *  - else        → a WebDataset shard: 2 + id%3 samples, each with
  *                  members `s<id>_<k>.jpg` + `s<id>_<k>.txt`, plus
  *                  `s<id>_<k>.meta.json` for even k (multi-dot
@@ -28,6 +39,14 @@ object TarFixture {
 
   def nSamples(id: Long): Int = 2 + (id % 3).toInt
 
+  /** Sample key: short for ordinary shards; >100 chars for the
+   * long-key shards (id % 8 == 5) so the full name can only travel
+   * via an L/x override entry. */
+  def sampleKey(id: Long, k: Int): String =
+    if (id % 8 == 5)
+      s"s${id}_${k}_" + ("longkey" * 20).substring(0, 100 + ((id + k) % 7).toInt)
+    else s"s${id}_$k"
+
   def jpgLen(id: Long, k: Int): Int = 100 + 7 * ((id + k) % 5).toInt
   def txtLen(id: Long, k: Int): Int = 20 + 3 * ((id * 5 + k) % 4).toInt
   def jsonLen(id: Long, k: Int): Int = 30 + 2 * ((id + 3 * k) % 6).toInt
@@ -41,10 +60,12 @@ object TarFixture {
       .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
   }
 
-  /** Members of one shard in tar order: (name, bytes). */
+  /** Members of one shard in tar order: (name, bytes) — the LOGICAL
+   * view with full names; [[tar]] adds the L/x override entries the
+   * physical layout needs when a name exceeds 100 bytes. */
   def members(id: Long): Seq[(String, Array[Byte])] =
     (0 until nSamples(id)).flatMap { k =>
-      val base = s"s${id}_$k"
+      val base = sampleKey(id, k)
       Seq(
         s"$base.jpg" -> payload("jpg", id, k, jpgLen(id, k)),
         s"$base.txt" -> payload("txt", id, k, txtLen(id, k))) ++
@@ -52,6 +73,17 @@ object TarFixture {
           Seq(s"$base.meta.json" -> payload("json", id, k, jsonLen(id, k)))
         else Nil)
     }
+
+  /** One PAX Extended Header record: `%d %s\n` where the leading
+   * decimal is the TOTAL record length including itself — the
+   * standard self-referential fixpoint. */
+  def paxRecord(name: String): String = {
+    val base = s" path=$name\n"
+    var len = base.length + 1
+    while (len.toString.length + base.length != len)
+      len = len.toString.length + base.length
+    s"$len$base"
+  }
 
   private def putOctal(h: Array[Byte], off: Int, width: Int, v: Long): Unit = {
     // width-1 octal digits + NUL terminator (the common GNU/ustar form)
@@ -70,7 +102,7 @@ object TarFixture {
    * the chksum field as spaces (pax/ustar rule), stored as six octal
    * digits + NUL + space. Fixed mtime keeps the fixture
    * deterministic. */
-  def header(name: String, size: Long): Array[Byte] = {
+  def header(name: String, size: Long, typeflag: Byte = '0'): Array[Byte] = {
     val h = new Array[Byte](512)
     putStr(h, 0, name)
     putOctal(h, 100, 8, 420 /* 0644 */)
@@ -78,7 +110,7 @@ object TarFixture {
     putOctal(h, 116, 8, 0)
     putOctal(h, 124, 12, size)
     putOctal(h, 136, 12, 1700000000L)
-    h(156) = '0'
+    h(156) = typeflag
     putStr(h, 257, "ustar")
     h(262) = 0
     putStr(h, 263, "00")
@@ -96,10 +128,31 @@ object TarFixture {
 
   private def pad512(n: Int): Int = ((n + 511) / 512) * 512 - n
 
+  /** Physical entries of one shard in tar order, override entries
+   * included: (stored_name, payload, typeflag). Names over 100 bytes
+   * travel as a preceding GNU 'L' entry (even member positions) or
+   * PAX 'x' path record (odd positions); the member header itself
+   * stores the 100-byte truncation. */
+  def physical(id: Long): Seq[(String, Array[Byte], Byte)] =
+    members(id).zipWithIndex.flatMap { case ((name, data), mi) =>
+      if (name.length <= 100) Seq((name, data, '0'.toByte))
+      else if (mi % 2 == 0) {
+        val p = (name + "\u0000") // GNU long-name payload: full name, NUL-terminated
+          .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        Seq(("././@LongLink", p, 'L'.toByte),
+          (name.substring(0, 100), data, '0'.toByte))
+      } else {
+        val p = paxRecord(name)
+          .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        Seq((s"PaxHeaders/m$mi", p, 'x'.toByte),
+          (name.substring(0, 100), data, '0'.toByte))
+      }
+    }
+
   def tar(id: Long): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
-    members(id).foreach { case (name, data) =>
-      out.write(header(name, data.length.toLong))
+    physical(id).foreach { case (name, data, tf) =>
+      out.write(header(name, data.length.toLong, tf))
       out.write(data)
       out.write(new Array[Byte](pad512(data.length)))
     }

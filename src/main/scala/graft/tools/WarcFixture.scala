@@ -18,7 +18,15 @@ package graft.tools
  *                  even ids carry a `request` record at position 2.
  *                  Odd ids emit `content-length` in LOWERCASE
  *                  (ISO 28500 §4: header names are case-insensitive —
- *                  both walker and oracle must honour that).
+ *                  both walker and oracle must honour that). Two
+ *                  extra response records close each shard for the
+ *                  q_w6 HTTP split: a VARIANT response whose status /
+ *                  Content-Type cycle by id (404 html, 301 redirect
+ *                  with NO Content-Type, 503 json, 200 html+charset),
+ *                  and a BROKEN response whose payload is not a
+ *                  splittable HTTP message (no CRLFCRLF terminator
+ *                  for even ids; non-HTTP bytes for odd) — valid WARC
+ *                  records q_w1 must emit but q_w6 must not.
  *
  * All payloads are 7-bit ASCII so the oracle's blob→VARCHAR decode is
  * total. Usage: runMain graft.tools.WarcFixture [outFile] [rows]
@@ -67,12 +75,49 @@ object WarcFixture {
         "Content-Type" -> "application/http;msgtype=request"),
       s"GET /$id/doc$i HTTP/1.1\r\nHost: data.example.org\r\n")
 
-  def warc(id: Long): String = {
+  /** Variant HTTP head, cycling status / Content-Type by id — the
+   * q_w6 cases an HTTP splitter must get right beyond 200 text/plain. */
+  def variantStatus(id: Long): Int = Seq(404, 301, 503, 200)((id % 4).toInt)
+  def variantCt(id: Long): Option[String] = (id % 4) match {
+    case 0 => Some("text/html")
+    case 1 => None // redirect with Location but no Content-Type
+    case 2 => Some("application/json")
+    case _ => Some("text/html; charset=utf-8")
+  }
+
+  def variantResponse(id: Long): String = {
+    val st = variantStatus(id)
+    val reason = Map(404 -> "Not Found", 301 -> "Moved Permanently",
+      503 -> "Service Unavailable", 200 -> "OK")(st)
+    val head = s"HTTP/1.0 $st $reason\r\n" +
+      variantCt(id).map(ct => s"Content-Type: $ct\r\n").getOrElse("") +
+      (if (id % 4 == 1) "Location: https://data.example.org/moved\r\n" else "")
+    record(id,
+      Seq("WARC-Type" -> "response",
+        "WARC-Target-URI" -> uri(id, 90),
+        "Content-Type" -> "application/http;msgtype=response"),
+      head + "\r\n" + s"variant body $id")
+  }
+
+  /** A WARC-valid response whose payload is NOT a splittable HTTP
+   * message: q_w1 emits the record, q_w6 emits nothing for it. */
+  def brokenResponse(id: Long): String =
+    record(id,
+      Seq("WARC-Type" -> "response",
+        "WARC-Target-URI" -> uri(id, 91),
+        "Content-Type" -> "application/http;msgtype=response"),
+      if (id % 2 == 0) "HTTP/1.1 200 OK\r\nX-Cut: head never terminates"
+      else s"%PDF-1.4 not-http bytes $id")
+
+  /** The full record list of one ordinary shard, in file order. */
+  def records(id: Long): Seq[String] = {
     val body = (0 until nBody(id)).map { i =>
       if (id % 2 == 0 && i == 1) request(id, i) else response(id, i)
     }
-    (warcinfo(id) +: body).mkString("")
+    (warcinfo(id) +: body) ++ Seq(variantResponse(id), brokenResponse(id))
   }
+
+  def warc(id: Long): String = records(id).mkString("")
 
   /** A warcinfo record followed by a response whose Content-Length
    * claims 64 bytes more than the file holds. */

@@ -14,6 +14,20 @@ package graft.tools
  *                  directory holds (the extra entry's bytes are cut):
  *                  walker emits only the entries whose signatures
  *                  parse.
+ *  - id % 8 == 5 → the SAME members in ZIP64 form: the classic EOCD
+ *                  carries the 0xFFFF/0xFFFFFFFF sentinels, the real
+ *                  count/offset live in a ZIP64 EOCD record found via
+ *                  the locator (APPNOTE §4.3.14/15), and central
+ *                  entries carry sentinel size/offset slots resolved
+ *                  from their ZIP64 extra field (id 0x0001) — all
+ *                  three values for even entries, offset-only for odd
+ *                  ones (the APPNOTE order rule: values appear for
+ *                  exactly the sentinel-bearing slots). Entries at
+ *                  e % 3 == 0 put a dummy extra subfield BEFORE the
+ *                  ZIP64 one, proving the walker hops subfields
+ *                  rather than assuming position. Entry VALUES are
+ *                  identical to the non-ZIP64 form — only the
+ *                  encoding differs.
  *  - id % 8 == 7 → ASCII junk, no EOCD signature: no rows.
  *  - else        → 2 + id%3 STORED members `f<id>_<e>.txt` with
  *                  deterministic ASCII payloads. Even entries carry a
@@ -58,10 +72,13 @@ object ZipFixture {
     Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
       ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
 
-  def zip(id: Long): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream()
-    val n = nEntries(id)
-    val locals = (0 until n).map { e =>
+  private def le64(v: Long): Array[Byte] = le32(v & 0xffffffffL) ++ le32(v >>> 32)
+
+  /** The local-header section shared by both forms: returns
+   * (entry, name_bytes, data, local_header_offset) per member. */
+  private def writeLocals(out: java.io.ByteArrayOutputStream,
+      id: Long): Seq[(Int, Array[Byte], Array[Byte], Int)] =
+    (0 until nEntries(id)).map { e =>
       val nm = name(id, e).getBytes(java.nio.charset.StandardCharsets.US_ASCII)
       val data = payload(id, e)
       val extra = localExtra(e)
@@ -75,6 +92,11 @@ object ZipFixture {
       out.write(nm); out.write(extra); out.write(data)
       (e, nm, data, lho)
     }
+
+  def zip(id: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val n = nEntries(id)
+    val locals = writeLocals(out, id)
     val cdOff = out.size()
     locals.foreach { case (e, nm, data, lho) =>
       out.write(Array[Byte](0x50, 0x4b, 1, 2))
@@ -98,6 +120,68 @@ object ZipFixture {
     out.toByteArray
   }
 
+  /** ZIP64 extra-field subfields of one central entry (the central
+   * extra area, dummy subfield included) — shared with the spec's
+   * expectation builder. Even entries sentinel all three slots
+   * (uncomp, comp, offset in APPNOTE order); odd entries sentinel the
+   * offset only. */
+  def zip64Extra(e: Int, dataLen: Int, lho: Long): Array[Byte] = {
+    val vals =
+      (if (e % 2 == 0) le64(dataLen.toLong) ++ le64(dataLen.toLong)
+       else Array.emptyByteArray) ++ le64(lho)
+    val z64 = le16(1) ++ le16(vals.length) ++ vals
+    val dummy = // id 0x7775, 2 payload bytes: the walker must hop it
+      if (e % 3 == 0) Array[Byte](0x75, 0x77, 2, 0, 1, 2) else Array.emptyByteArray
+    dummy ++ z64
+  }
+
+  /** The same archive in ZIP64 form: sentinel EOCD fields, a ZIP64
+   * EOCD record + locator, sentinel central size/offset slots
+   * resolved via each entry's ZIP64 extra field. Entry VALUES equal
+   * [[zip]]'s — only the encoding differs. */
+  def zip64(id: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val n = nEntries(id)
+    val locals = writeLocals(out, id)
+    val cdOff = out.size()
+    locals.foreach { case (e, nm, data, lho) =>
+      val extra = zip64Extra(e, data.length, lho.toLong)
+      val sentinelSizes = e % 2 == 0
+      out.write(Array[Byte](0x50, 0x4b, 1, 2))
+      out.write(le16(45)); out.write(le16(45)); out.write(le16(0)); out.write(le16(0))
+      out.write(le16(0)); out.write(le16(0)) // time/date
+      out.write(le32(crc32(data)))
+      val sz = if (sentinelSizes) 0xffffffffL else data.length.toLong
+      out.write(le32(sz)); out.write(le32(sz))
+      out.write(le16(nm.length)); out.write(le16(extra.length)); out.write(le16(0))
+      out.write(le16(0)); out.write(le16(0)); out.write(le32(0)) // disk/attrs
+      out.write(le32(0xffffffffL)) // offset always via the ZIP64 extra
+      out.write(nm); out.write(extra)
+    }
+    val cdLen = out.size() - cdOff
+    val z64Off = out.size()
+    // ZIP64 EOCD record (APPNOTE §4.3.14)
+    out.write(Array[Byte](0x50, 0x4b, 6, 6))
+    out.write(le64(44L)) // size of the remainder of this record
+    out.write(le16(45)); out.write(le16(45))
+    out.write(le32(0)); out.write(le32(0)) // disk numbers
+    out.write(le64(n.toLong)); out.write(le64(n.toLong))
+    out.write(le64(cdLen.toLong)); out.write(le64(cdOff.toLong))
+    // ZIP64 EOCD locator (§4.3.15)
+    out.write(Array[Byte](0x50, 0x4b, 6, 7))
+    out.write(le32(0))
+    out.write(le64(z64Off.toLong))
+    out.write(le32(1))
+    // classic EOCD: every resolvable field carries its sentinel
+    val comment = s"g$id".take(6).getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    out.write(Array[Byte](0x50, 0x4b, 5, 6))
+    out.write(le16(0)); out.write(le16(0))
+    out.write(le16(0xffff)); out.write(le16(0xffff))
+    out.write(le32(0xffffffffL)); out.write(le32(0xffffffffL))
+    out.write(le16(comment.length)); out.write(comment)
+    out.toByteArray
+  }
+
   /** EOCD count = real entries + 1: the walker must stop at the bad
    * signature where the phantom entry would be, emitting only the
    * real ones. */
@@ -115,6 +199,7 @@ object ZipFixture {
 
   def row(id: Long): (String, Array[Byte]) =
     if (id % 8 == 3) ("application/zip", overCounted(id))
+    else if (id % 8 == 5) ("application/zip", zip64(id))
     else if (id % 8 == 7)
       ("text/plain",
         s"plain junk $id no zip end record".getBytes(java.nio.charset.StandardCharsets.US_ASCII))

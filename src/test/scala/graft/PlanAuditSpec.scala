@@ -296,6 +296,9 @@ class PlanAuditSpec extends SparkSpec {
     audited(graft.ops.Archives.warcGzMemberTable(spark, Tables.warcgz(spark))) { plan =>
       assert(shuffles(plan).isEmpty, s"${shuffles(plan).size} shuffles:\n$plan")
     }
+    audited(graft.ops.Archives.warcHttpTable(spark, Tables.warc(spark))) { plan =>
+      assert(shuffles(plan).isEmpty, s"${shuffles(plan).size} shuffles:\n$plan")
+    }
   }
 
   test("webdataset samples: exactly one shuffle, over index rows only") {

@@ -9,31 +9,63 @@ class ArchivesSpec extends SparkSpec {
     for (id <- Seq(0L, 1L, 2L, 4L, 5L, 6L, 8L, 9L)) {
       val bytes = WarcFixture.row(id)._2
       val got = Archives.warcRecords(bytes)
-      // re-assemble the records and derive expected coordinates
-      val recs = WarcFixture.warcinfo(id) +:
-        (0 until WarcFixture.nBody(id)).map { i =>
-          if (id % 2 == 0 && i == 1) WarcFixture.request(id, i)
-          else WarcFixture.response(id, i)
-        }
+      // derive expected coordinates from each assembled record's own
+      // framing: clen = record minus header, terminator and trailing
+      // CRLFCRLF; identity headers re-scanned case-insensitively
+      val recs = WarcFixture.records(id)
       var off = 0L
-      val expect = recs.zipWithIndex.map { case (r, i) =>
+      val expect = recs.map { r =>
         val hdrEnd = r.indexOf("\r\n\r\n")
-        val content =
-          if (i == 0) s"software: graft-fixture $id\r\n"
-          else if (id % 2 == 0 && i == 2)
-            s"GET /$id/doc${i - 1} HTTP/1.1\r\nHost: data.example.org\r\n"
-          else WarcFixture.responseContent(id, i - 1)
-        val wtype =
-          if (i == 0) "warcinfo"
-          else if (id % 2 == 0 && i == 2) "request"
-          else "response"
-        val uri = if (i == 0) None else Some(WarcFixture.uri(id, i - 1))
-        val row = (off, off + hdrEnd + 4, content.length.toLong, Some(wtype), uri)
+        def h(name: String): Option[String] =
+          r.substring(0, hdrEnd).split("\r\n").drop(1).collectFirst {
+            case l if l.toLowerCase.startsWith(name + ":") =>
+              l.substring(name.length + 1).trim
+          }
+        val clen = r.length.toLong - hdrEnd - 8
+        val row = (off, off + hdrEnd + 4, clen, h("warc-type"), h("warc-target-uri"))
         off += r.length
         row
       }
       assert(got == expect, s"id=$id")
     }
+  }
+
+  test("WARC HTTP split: status/content-type/body coordinates for every splittable response") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 2L, 4L, 5L, 6L)
+    val got = Archives.warcHttpTable(spark,
+        ids.map(id => (id, "application/warc", WarcFixture.row(id)._2))
+          .toDF("media_id", "mime_type", "media"))
+      .as[(Long, Int, Int, Long, Long, Option[String])].collect().toSet
+    val expect = ids.flatMap { id =>
+      val recs = WarcFixture.records(id)
+      val offs = recs.scanLeft(0L)(_ + _.length)
+      recs.zipWithIndex.flatMap { case (r, i) =>
+        val hdrEnd = r.indexOf("\r\n\r\n")
+        val isResp = r.substring(0, hdrEnd).toLowerCase.contains("warc-type: response")
+        val payload = r.substring(hdrEnd + 4, r.length - 4)
+        val t4 = payload.indexOf("\r\n\r\n")
+        val okHttp = payload.startsWith("HTTP/") && t4 >= 0
+        if (isResp && okHttp) {
+          val head = payload.substring(0, t4)
+          val status = head.split("\r\n").head.split(" ")(1).toInt
+          val ct = head.split("\r\n").drop(1).collectFirst {
+            case l if l.toLowerCase.startsWith("content-type:") =>
+              l.substring("content-type:".length).trim
+          }
+          Some((id, i, status,
+            offs(i) + hdrEnd + 4 + t4 + 4,
+            payload.length.toLong - t4 - 4, ct))
+        } else None
+      }
+    }.toSet
+    assert(got == expect)
+    // the broken responses (no CRLFCRLF / non-HTTP payload) never emit
+    assert(!got.exists { case (id, i, _, _, _, _) =>
+      i == WarcFixture.records(id).size - 1 })
+    // the variant statuses and content-types all appear
+    assert(got.map(_._3) == Set(200, 404, 301, 503))
+    assert(got.exists(_._6.isEmpty)) // the 301 without Content-Type
   }
 
   test("WARC walk: truncated tail unclaimed, junk yields nothing") {
@@ -91,8 +123,31 @@ class ArchivesSpec extends SparkSpec {
     assert(withOpt.size == 1 && withOpt.head._3 == rec.length)
   }
 
+  test("warc.gz walk: a member inflating far past the head window still indexes, in bounded memory") {
+    import graft.tools.WarcGzFixture
+    // a 300 KiB record: only the first 64 KiB head is buffered; the
+    // rest streams through the scratch window, counted for the ISIZE
+    // check and the member boundary — then a normal member follows,
+    // proving one big record no longer truncates the shard's index
+    val bigBody = "x" * (300 * 1024)
+    val big = WarcFixture.record(0L,
+      Seq("WARC-Type" -> "response",
+        "WARC-Target-URI" -> "https://data.example.org/big"),
+      bigBody).getBytes("US-ASCII")
+    val small = WarcGzFixture.records(0L).head.getBytes("US-ASCII")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(WarcGzFixture.member(0, big))
+    out.write(WarcGzFixture.member(1, small))
+    val got = Archives.warcGzMembers(out.toByteArray)
+    assert(got.size == 2)
+    assert(got(0)._3 == big.length && got(0)._4 == bigBody.length)
+    assert(got(0)._5.contains("response"))
+    assert(got(1)._3 == small.length)
+    assert(got(1)._1 == got(0)._2) // spans abut: next offset = prior comp length
+  }
+
   test("tar walk: member names, offsets and 512-grid hops match the shard layout") {
-    for (id <- Seq(0L, 1L, 2L, 4L, 5L, 6L, 8L, 9L)) {
+    for (id <- Seq(0L, 1L, 2L, 4L, 6L, 8L, 9L)) {
       val got = Archives.tarMembers(TarFixture.row(id)._2)
       var off = 0L
       val expect = TarFixture.members(id).map { case (name, data) =>
@@ -102,6 +157,42 @@ class ArchivesSpec extends SparkSpec {
       }
       assert(got == expect, s"id=$id")
     }
+  }
+
+  test("tar walk: GNU 'L' and PAX 'x' overrides give the next member its full >100-char name") {
+    for (id <- Seq(5L, 13L, 21L)) {
+      val got = Archives.tarMembers(TarFixture.row(id)._2)
+      // physical coordinates: every entry (override entries included)
+      // sits on the 512 grid with its payload length
+      val phys = TarFixture.physical(id)
+      assert(got.size == phys.size, s"id=$id")
+      var off = 0L
+      got.zip(phys).zipWithIndex.foreach {
+        case (((_, gHOff, gDOff, gSize, gTf), (_, data, tf)), j) =>
+          assert(gHOff == off && gDOff == off + 512 && gSize == data.length,
+            s"id=$id j=$j coordinates")
+          assert(gTf == tf.toChar.toString, s"id=$id j=$j typeflag")
+          off += 512L + ((data.length + 511) / 512) * 512L
+      }
+      // regular members carry the FULL logical names, in member order —
+      // never the 100-byte header truncation
+      val regular = got.filter(_._5 == "0").map(_._1)
+      assert(regular == TarFixture.members(id).map(_._1), s"id=$id names")
+      assert(regular.forall(_.length > 100), s"id=$id all long")
+      // both override kinds are exercised and keep their stored names
+      assert(got.exists(_._5 == "L") && got.exists(_._5 == "x"), s"id=$id kinds")
+      assert(got.filter(_._5 == "L").forall(_._1 == "././@LongLink"))
+      assert(got.filter(_._5 == "x").forall(_._1.startsWith("PaxHeaders/")))
+    }
+    // an override whose payload is empty leaves the next member's own
+    // name in place (tolerance, not a phantom empty name)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(TarFixture.header("././@LongLink", 0L, 'L'.toByte))
+    out.write(TarFixture.header("short.txt", 2L, '0'.toByte))
+    out.write("ab".getBytes("US-ASCII")); out.write(new Array[Byte](510))
+    out.write(new Array[Byte](1024))
+    val walked = Archives.tarMembers(out.toByteArray)
+    assert(walked.map(_._1) == Seq("././@LongLink", "short.txt"))
   }
 
   test("tar walk: size overrun unclaimed, junk yields nothing, checksum is real") {
@@ -143,16 +234,27 @@ class ArchivesSpec extends SparkSpec {
     assert(Archives.zipEntries(new Array[Byte](10)).isEmpty)
   }
 
-  test("zip walk: ZIP64 sentinels parse as empty, never as literal count/offset") {
-    // patch a real archive's EOCD count fields to the 0xFFFF sentinel
+  test("zip walk: ZIP64 form resolves to the identical entries as the classic form") {
+    for (id <- Seq(0L, 1L, 2L, 4L, 6L)) {
+      val classic = Archives.zipEntries(ZipFixture.zip(id))
+      val z64 = Archives.zipEntries(ZipFixture.zip64(id))
+      assert(z64 == classic, s"id=$id")
+      assert(z64.size == ZipFixture.nEntries(id))
+    }
+  }
+
+  test("zip walk: sentinels WITHOUT a ZIP64 locator degrade gracefully, never lie") {
+    // a 0xFFFF entry count with no locator is treated as a literal
+    // count (a 65535-entry archive is legal per APPNOTE): the walk
+    // stops at the first bad signature, emitting only the real entries
     val base = ZipFixture.zip(0L)
     val commentLen = "g0".length
     val e = base.length - 22 - commentLen
     val counted = base.clone()
     counted(e + 8) = 0xff.toByte; counted(e + 9) = 0xff.toByte
     counted(e + 10) = 0xff.toByte; counted(e + 11) = 0xff.toByte
-    assert(Archives.zipEntries(counted).isEmpty)
-    // and the 0xFFFFFFFF central-directory-offset sentinel
+    assert(Archives.zipEntries(counted) == Archives.zipEntries(base))
+    // a 0xFFFFFFFF cd offset with no locator points past the file: empty
     val offset = base.clone()
     for (k <- 16 until 20) offset(e + k) = 0xff.toByte
     assert(Archives.zipEntries(offset).isEmpty)
@@ -171,10 +273,13 @@ class ArchivesSpec extends SparkSpec {
       (0 until TarFixture.nSamples(id)).map { k =>
         val exts = if (k % 2 == 0) "jpg,meta.json,txt" else "jpg,txt"
         val n = if (k % 2 == 0) 3L else 2L
-        (id, s"s${id}_$k", n, exts)
+        // id 5 is a long-key shard: the sample keys exceed 100 chars
+        // and only group correctly because the L/x override applied
+        (id, TarFixture.sampleKey(id, k), n, exts)
       }
     }.toSet
     assert(got == expect)
+    assert(expect.exists(_._2.length > 100))
   }
 
   test("archive walks: totality fuzz — arbitrary bytes never throw") {
