@@ -471,6 +471,34 @@ object SparkEntry {
         Captions.cueTable(s, Tables.captions(s)),
         Multimodal.webmBlockTimeTable(s, Tables.webm(s))
           .filter(col("is_key")))),
+    // q_m29: the caption-text normaliser as an opt-in projection over
+    // the q_m18 cues — markup/override strip + whitespace collapse,
+    // three codegen'd regexp passes; the oracle runs the identical
+    // patterns over its own cue re-parse
+    "q_m29_caption_text_clean" -> ((s, _) =>
+      Captions.cueTable(s, Tables.captions(s))
+        .select(col("media_id"), col("cue_idx"), col("text"),
+          Captions.cleanCueText(col("text")).as("clean_text"))),
+    // q_m30: end-to-end multimodal CLIP CURATION — the full pipeline
+    // composed from green pieces: clip byte spans (q_m24's ranged-read
+    // coordinates) + normalised caption text (q_m29) + language ID
+    // (q_x1's marker argmax) with empty-after-cleaning cues dropped.
+    // One row per curated (clip bytes, caption, language) training
+    // record. Scale shape is the pieces': map-side cue/keyframe
+    // kernels, one window shuffle, keyed joins, per-cue aggregation —
+    // the langid/normalise layer is pure projection on top
+    "q_m30_clip_curation" -> ((s, _) =>
+      Captions.clipByteSpans(
+          Captions.cueTable(s, Tables.captions(s)),
+          Multimodal.mp4KeyframeTimeTable(s, Tables.mp4Avc(s)),
+          Tables.mp4Avc(s))
+        .withColumn("clean_text", Captions.cleanCueText(col("text")))
+        .filter(col("clean_text") =!= "")
+        .select(col("media_id"), col("cue_idx"), col("start_ms"),
+          col("end_ms"), col("byte_from"), col("byte_to"),
+          col("n_keyframes"), col("clean_text"),
+          TextAnalysis.predictedLangCol(col("clean_text"))
+            .as("predicted_lang"))),
     // ---- corpus-archive walkers: the shard formats a training-data
     //      pipeline reads (Common Crawl WARC, WebDataset tar, ZIP) ----
     // q_w1: WARC record table — the Common Crawl shard list: version
@@ -747,6 +775,45 @@ object SparkEntry {
        |          AS INTEGER) AS cue_idx,
        |        start_ms, end_ms, text
        |      FROM cap_u)""".stripMargin
+
+  /** Shared DuckDB CTE body (no WITH; needs `cues` from [[CUES]] in
+   * scope): the clip-span derivation — the q_m19 keyframe axis over
+   * the AVC MP4 fixture, a LEAD window for each keyframe's span end
+   * (file size caps the last), the cue-window join and per-cue
+   * min/max — ending in relation `spans`(media_id, cue_idx, start_ms,
+   * end_ms, text, byte_from, byte_to, n_keyframes). Used by
+   * q_m24/q_m30. */
+  private def CLIPSPANS: String =
+    s"""km AS (SELECT media_id, hex(media) AS h, octet_length(media) AS n
+       |      FROM read_parquet('${Tables.mp4AvcFixturePath}')),
+       | kt AS (SELECT km.*,
+       |        (n >= 12 AND substr(h, 9, 8) = '66747970') AS is_mp4,
+       |        (media_id % 8 <> 3 AND media_id % 8 <> 7) AS full_row,
+       |        CAST(2 + media_id % 5 AS INTEGER) AS nf,
+       |        CAST(1 + media_id % 3 AS INTEGER) AS k,
+       |        (33333 + 1000 * (media_id % 7)) * 90000 // 1000000 AS delta,
+       |        TRY_CAST('0x' || substr(h, 33, 8) AS BIGINT) AS mdat_sz
+       |      FROM km),
+       | ku AS (SELECT media_id, n, nf, k, delta,
+       |        CAST((mdat_sz - 8) // nf AS BIGINT) AS s,
+       |        unnest(range(nf)) AS fi
+       |      FROM kt WHERE is_mp4 AND full_row AND nf > 0 AND mdat_sz > 8),
+       | kf AS (SELECT media_id, n, fi,
+       |        CAST(24 + fi * s AS BIGINT) AS koff,
+       |        CAST(fi * delta * 1000 // 90000 AS BIGINT) AS t_ms
+       |      FROM ku WHERE fi % k = 0),
+       | kf2 AS (SELECT media_id, koff, t_ms,
+       |        COALESCE(LEAD(koff) OVER (PARTITION BY media_id ORDER BY fi),
+       |          n) AS span_end
+       |      FROM kf),
+       | spans AS (
+       |  SELECT cues.media_id, cues.cue_idx, cues.start_ms, cues.end_ms,
+       |    cues.text,
+       |    MIN(kf2.koff) AS byte_from, MAX(kf2.span_end) AS byte_to,
+       |    CAST(COUNT(*) AS BIGINT) AS n_keyframes
+       |  FROM cues JOIN kf2 ON kf2.media_id = cues.media_id
+       |    AND kf2.t_ms >= cues.start_ms AND kf2.t_ms < cues.end_ms
+       |  GROUP BY 1, 2, 3, 4, 5)""".stripMargin
 
   /** Shared DuckDB CTE body (no WITH): the full TS grid walk (q_m17's
    * derivation) extended with the PES-header PTS decode → relation
@@ -1140,6 +1207,32 @@ object SparkEntry {
 
   private def markersSql(markers: Seq[String]): String =
     s"len(list_filter(string_split(text,' '), x -> list_contains([${markers.map(m => s"'$m'").mkString(",")}], x)))"
+
+  /** DuckDB twin of Captions.cleanCueText — the identical three
+   * regexp passes with RE2's 'g' flag (Spark's regexp_replace is
+   * replace-all by default; DuckDB's is first-only without it). */
+  private def cleanSql(col: String): String =
+    s"""trim(regexp_replace(regexp_replace(regexp_replace($col,
+       |   '<[^>]*>', '', 'g'),
+       |   '\\{\\\\[^}]*\\}', '', 'g'),
+       |   '[ \\t\\r\\n]+', ' ', 'g'))""".stripMargin
+
+  /** Per-language marker-hit columns over a relation exposing `text`
+   * — generated from the same marker lists as the engine, so the two
+   * can't drift. Shared by q_x1 and q_m30. */
+  private def langHitsSql: String = TextAnalysis.langMarkers
+    .map { case (l, ms) => s"${markersSql(ms)} AS hits_$l" }.mkString(",\n   ")
+
+  /** First-wins argmax CASE chain over the [[langHitsSql]] columns —
+   * TextAnalysis.predictedFromHits' SQL twin. */
+  private def langCaseSql: String = {
+    val langs = TextAnalysis.langMarkers.map(_._1)
+    val chain = langs.init.zipWithIndex.map { case (l, i) =>
+      val conds = langs.drop(i + 1).map(o => s"hits_$l >= hits_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString(" ")
+    s"CASE $chain ELSE '${langs.last}' END"
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_f1_dispatch" ->
@@ -2349,38 +2442,13 @@ object SparkEntry {
     // q_m24: the oracle replays the clip-span derivation end to end —
     // the q_m19 keyframe axis plus the LEAD window for each
     // keyframe's span end (file size caps the last), joined to the
-    // cues, min/max per cue
+    // cues, min/max per cue (the CLIPSPANS shared body)
     "q_m24_clip_byte_spans" ->
       s"""WITH $CUES,
-         | km AS (SELECT media_id, hex(media) AS h, octet_length(media) AS n
-         |      FROM read_parquet('${Tables.mp4AvcFixturePath}')),
-         | kt AS (SELECT km.*,
-         |        (n >= 12 AND substr(h, 9, 8) = '66747970') AS is_mp4,
-         |        (media_id % 8 <> 3 AND media_id % 8 <> 7) AS full_row,
-         |        CAST(2 + media_id % 5 AS INTEGER) AS nf,
-         |        CAST(1 + media_id % 3 AS INTEGER) AS k,
-         |        (33333 + 1000 * (media_id % 7)) * 90000 // 1000000 AS delta,
-         |        TRY_CAST('0x' || substr(h, 33, 8) AS BIGINT) AS mdat_sz
-         |      FROM km),
-         | ku AS (SELECT media_id, n, nf, k, delta,
-         |        CAST((mdat_sz - 8) // nf AS BIGINT) AS s,
-         |        unnest(range(nf)) AS fi
-         |      FROM kt WHERE is_mp4 AND full_row AND nf > 0 AND mdat_sz > 8),
-         | kf AS (SELECT media_id, n, fi,
-         |        CAST(24 + fi * s AS BIGINT) AS koff,
-         |        CAST(fi * delta * 1000 // 90000 AS BIGINT) AS t_ms
-         |      FROM ku WHERE fi % k = 0),
-         | kf2 AS (SELECT media_id, koff, t_ms,
-         |        COALESCE(LEAD(koff) OVER (PARTITION BY media_id ORDER BY fi),
-         |          n) AS span_end
-         |      FROM kf)
-         | SELECT cues.media_id, cues.cue_idx, cues.start_ms, cues.end_ms,
-         |   cues.text,
-         |   MIN(kf2.koff) AS byte_from, MAX(kf2.span_end) AS byte_to,
-         |   CAST(COUNT(*) AS BIGINT) AS n_keyframes
-         | FROM cues JOIN kf2 ON kf2.media_id = cues.media_id
-         |   AND kf2.t_ms >= cues.start_ms AND kf2.t_ms < cues.end_ms
-         | GROUP BY 1, 2, 3, 4, 5""".stripMargin,
+         | $CLIPSPANS
+         | SELECT media_id, cue_idx, start_ms, end_ms, text,
+         |   byte_from, byte_to, n_keyframes
+         | FROM spans""".stripMargin,
     // q_m25: the q_m12 page derivation + the clock re-read from the
     // identification packet's fixed-offset bytes
     "q_m25_ogg_page_times" ->
@@ -2411,6 +2479,32 @@ object SparkEntry {
          | FROM cues JOIN wbt ON wbt.media_id = cues.media_id
          |   AND wbt.t_ms >= cues.start_ms AND wbt.t_ms < cues.end_ms
          | WHERE wbt.is_key""".stripMargin,
+    // q_m29: the identical three normalisation regexp passes over the
+    // oracle's own cue re-parse (RE2 and Java agree on every pattern;
+    // the whitespace class is explicit because \s's edges differ)
+    "q_m29_caption_text_clean" ->
+      s"""WITH $CUES
+         | SELECT media_id, cue_idx, text,
+         |   ${cleanSql("text")} AS clean_text
+         | FROM cues""".stripMargin,
+    // q_m30: the composed curation oracle — CLIPSPANS byte spans, the
+    // q_m29 normalisation, then the q_x1 marker-argmax CASE chain over
+    // the CLEANED text (aliased to `text` so the shared hit columns
+    // apply verbatim), empty-after-cleaning cues dropped
+    "q_m30_clip_curation" ->
+      s"""WITH $CUES,
+         | $CLIPSPANS,
+         | cleaned AS (
+         |  SELECT media_id, cue_idx, start_ms, end_ms, byte_from, byte_to,
+         |    n_keyframes, ${cleanSql("text")} AS text
+         |  FROM spans),
+         | hits AS (
+         |  SELECT *, $langHitsSql
+         |  FROM cleaned WHERE text <> '')
+         | SELECT media_id, cue_idx, start_ms, end_ms, byte_from, byte_to,
+         |   n_keyframes, text AS clean_text,
+         |   $langCaseSql AS predicted_lang
+         | FROM hits""".stripMargin,
     // q_w1: the WARCWALK recursive re-walk verbatim (see its Scaladoc
     // for the derivation and tolerance rules)
     "q_w1_warc_records" ->
@@ -3314,18 +3408,12 @@ object SparkEntry {
    * marker lists so the two can't drift. */
   private def langidOracle: String = {
     val langs = TextAnalysis.langMarkers.map(_._1)
-    val hitCols = TextAnalysis.langMarkers
-      .map { case (l, ms) => s"${markersSql(ms)} AS hits_$l" }.mkString(",\n   ")
-    val caseChain = langs.init.zipWithIndex.map { case (l, i) =>
-      val conds = langs.drop(i + 1).map(o => s"hits_$l >= hits_$o").mkString(" AND ")
-      s"WHEN $conds THEN '$l'"
-    }.mkString(" ")
     val allHits = langs.map(l => s"hits_$l")
     s"""WITH s AS (SELECT doc_id, lang,
-       |   $hitCols
+       |   $langHitsSql
        | FROM documents)
        | SELECT doc_id, lang,
-       |   CASE $caseChain ELSE '${langs.last}' END AS predicted_lang,
+       |   $langCaseSql AS predicted_lang,
        |   ROUND(CAST(GREATEST(${allHits.mkString(", ")}) AS DOUBLE) /
        |     GREATEST(${allHits.mkString(" + ")}, 1), 6) AS confidence
        | FROM s""".stripMargin

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -71,6 +71,24 @@ object Captions {
     }
     out.toSeq
   }
+
+  /**
+   * Caption-text normaliser: cue payloads arrive with WebVTT markup
+   * (<i>/<b>/<u>, <c.class> spans, <v Speaker> voice spans,
+   * <hh:mm:ss.mmm> karaoke timestamps) and SRT/ASS `{\an8}`-style
+   * override blocks; text analysis (q_x1 langid, q_x3 quality) wants
+   * the spoken words only. Three codegen'd regexp passes: angle-tag
+   * strip, brace-override strip, whitespace collapse (newlines from
+   * the multiline cue join included) + trim. An opt-in projection —
+   * q_m18 keeps payloads verbatim; q_m29/q_m30 apply this. The DuckDB
+   * oracle runs the IDENTICAL patterns (explicit `[ \t\r\n]`
+   * whitespace class — Java and RE2 disagree on `\s`'s edges).
+   */
+  def cleanCueText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(regexp_replace(text,
+      "<[^>]*>", ""),
+      "\\{\\\\[^}]*\\}", ""),
+      "[ \\t\\r\\n]+", " "))
 
   /** Relational face of [[parseCues]]: one row per cue with its
    * 0-based index and window. Pure map-side — payloads never leave

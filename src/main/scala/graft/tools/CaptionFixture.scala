@@ -22,6 +22,10 @@ package graft.tools
  *    end_ms = start_ms + 45 + 5·(id%3) — sized to overlap the first
  *    ~200 ms where AvcMp4Fixture's keyframes live. Odd cues have
  *    two-line text (the parser keeps the newline).
+ *  - text is TAGGED like real captions (VTT <i>/<c.class>/timestamp
+ *    spans, SRT {\an8}/<b>) and i%3==2 VTT timing lines carry cue
+ *    settings — q_m18 keeps payloads verbatim; the q_m29 normaliser
+ *    strips them (cleanCueText is the expected clean form).
  *  - blocks are joined by exactly ONE blank line, no trailing newline
  *    (so a split on "\n\n" is exact on both engines).
  *
@@ -34,9 +38,34 @@ object CaptionFixture {
   def startMs(id: Long, i: Int): Long = i.toLong * (30 + 10 * (id % 4))
   def endMs(id: Long, i: Int): Long = startMs(id, i) + 45 + 5 * (id % 3)
 
+  /** Cue text, TAGGED the way real sidecar captions arrive — WebVTT
+   * italic/class/timestamp spans for even (VTT) ids, an ASS-style
+   * `{\an8}` position override plus `<b>` for odd (SRT) ids — so the
+   * normaliser (Captions.cleanCueText) has real dirt to strip. The
+   * timing-line parse is unaffected: none of the tags contain a
+   * `-->`, and cue SETTINGS live on the timing line (see [[vtt]]). */
   def cueText(id: Long, i: Int): String = {
+    // tags-only cue: normalises to EMPTY — the curation filter's case
+    if (i == 3 && id % 4 == 2) return "<i> <00:01.000> </i>"
     val l1 = s"cue $id $i alpha${(id + i) % 10}"
-    if (i % 2 == 1) l1 + "\n" + s"beta${(id * 7 + i) % 10} gamma" else l1
+    val l1t =
+      if (i % 3 == 0) {
+        if (id % 2 == 0) s"<i>$l1</i>" else s"{\\an8}<b>$l1</b>"
+      } else if (i % 3 == 2 && id % 2 == 0)
+        s"<c.yellow>$l1</c> <00:01.000>tail"
+      else l1
+    if (i % 2 == 1) l1t + "\n" + s"beta${(id * 7 + i) % 10} gamma" else l1t
+  }
+
+  /** The clean form of [[cueText]] — what the normaliser must produce
+   * (tags/overrides stripped, whitespace collapsed to single spaces,
+   * the multiline join folded). Kept next to the tagged builder so
+   * the spec's expectation can't drift from the fixture. */
+  def cleanCueText(id: Long, i: Int): String = {
+    if (i == 3 && id % 4 == 2) return ""
+    val l1 = s"cue $id $i alpha${(id + i) % 10}"
+    val l1c = if (i % 3 == 2 && id % 2 == 0) s"$l1 tail" else l1
+    if (i % 2 == 1) l1c + " " + s"beta${(id * 7 + i) % 10} gamma" else l1c
   }
 
   private def fmt(ms: Long, sep: Char, shortForm: Boolean): String = {
@@ -53,7 +82,11 @@ object CaptionFixture {
       s"NOTE deterministic fixture $id\nsee --> notes") ++
       (0 until nCues(id)).map { i =>
         val timing = fmt(startMs(id, i), '.', id % 4 == 0) + " --> " +
-          fmt(endMs(id, i), '.', id % 4 == 0)
+          fmt(endMs(id, i), '.', id % 4 == 0) +
+          // WebVTT cue settings after the timestamps: the parser must
+          // take the window and drop the settings (they're timing-line
+          // payload, not cue text)
+          (if (i % 3 == 2) " align:start position:10%" else "")
         val ident =
           if (i % 2 == 1) s"ident-$id-$i\nnote --> arrow junk $id\n" else ""
         ident + timing + "\n" + cueText(id, i)

@@ -60,6 +60,41 @@ class CaptionsSpec extends SparkSpec {
     assert(Captions.parseCues(CaptionFixture.row(7)._2).isEmpty)
   }
 
+  test("cue text normaliser strips tags and overrides, collapses whitespace") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 2L, 4L, 5L, 6L, 9L, 10L)
+    val df = ids.map(id => (id, CaptionFixture.row(id)._2)).toDF("media_id", "content")
+    val got = Captions.cueTable(spark, df)
+      .select(col("media_id"), col("cue_idx"),
+        Captions.cleanCueText(col("text")).as("clean"))
+      .as[(Long, Int, String)].collect().toSet
+    val expect = ids.filter(id => id % 8 != 3 && id % 8 != 7).flatMap { id =>
+      (0 until CaptionFixture.nCues(id)).map { i =>
+        (id, i, CaptionFixture.cleanCueText(id, i))
+      }
+    }.toSet
+    assert(got == expect)
+    // the tagged inputs really were dirty, and one cue cleans to EMPTY
+    // (the q_m30 curation filter's case)
+    assert(ids.exists(id => CaptionFixture.cueText(id, 0).contains("<")))
+    assert(expect.exists(_._3.isEmpty))
+    // direct kernel checks, one per stripped construct
+    def clean1(s: String): String = {
+      val one = Seq((0L, s)).toDF("media_id", "content")
+      Captions.cueTable(spark,
+          one.withColumn("content",
+            org.apache.spark.sql.functions.concat(
+              org.apache.spark.sql.functions.lit("00:01.000 --> 00:02.000\n"),
+              col("content"))))
+        .select(Captions.cleanCueText(col("text"))).as[String].collect().head
+    }
+    assert(clean1("<v Roger>hi <i>there</i></v>") == "hi there")
+    assert(clean1("{\\an8}top <b>bold</b>") == "top bold")
+    assert(clean1("a\nb\tc  d") == "a b c d")
+    assert(clean1("<00:01.500>karaoke <c.yellow>word</c>") == "karaoke word")
+  }
+
   test("clip-caption pairs: half-open window, per-media join, no cross-media leakage") {
     import spark.implicits._
     val cues = Seq(
