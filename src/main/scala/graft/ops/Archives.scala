@@ -470,6 +470,13 @@ object Archives {
    * Scale shape: one groupBy shuffle over fixed-shape index rows
    * (never the blobs); at corpus scale the member table is orders of
    * magnitude smaller than the shards it indexes.
+   *
+   * Streaming face: the same body over a streaming member table is a
+   * streaming aggregation — run it in COMPLETE output mode (each
+   * trigger re-emits the up-to-date sample index). No watermark is
+   * needed because shards arrive whole, so a sample's members never
+   * straddle micro-batches (batch-equivalence is pinned in
+   * ShardListStreamSpec).
    */
   def webdatasetSamples(members: DataFrame): DataFrame =
     members

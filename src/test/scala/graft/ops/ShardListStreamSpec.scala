@@ -112,6 +112,41 @@ class ShardListStreamSpec extends SparkSpec {
     streamed("zip_stream", rows, Archives.zipEntryTable)
   }
 
+  test("streamed WebDataset sample table equals the batch grouping over the grown directory") {
+    // unlike the stateless walkers, the sample table AGGREGATES
+    // (groupBy media_id, sample_key) — its streaming face is a
+    // streaming aggregation in COMPLETE output mode: each trigger
+    // re-emits the up-to-date sample index. No watermark is needed
+    // because shards arrive whole (one row = one complete tar blob),
+    // so a sample's members can never straddle arrival waves; the
+    // grouping state is bounded by the index rows, never the blobs.
+    val rows = (0L until 12L).map { id =>
+      val (mime, bytes) = graft.tools.TarFixture.row(id)
+      (id, mime, bytes)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("wdsstream").toString
+    val (w1, w2) = rows.splitAt(rows.size / 2)
+    writeWave(dir, w1)
+    val in = spark.readStream.schema(mediaSchema).parquet(dir)
+    val query = Archives.webdatasetSamples(Archives.tarMemberTable(spark, in))
+      .writeStream.format("memory").queryName("wds_stream")
+      .outputMode("complete").start()
+    try {
+      query.processAllAvailable()
+      writeWave(dir, w2)
+      query.processAllAvailable()
+    } finally query.stop()
+    val batch = Archives.webdatasetSamples(
+      Archives.tarMemberTable(spark, spark.read.schema(mediaSchema).parquet(dir)))
+    val got = spark.table("wds_stream").collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val want = batch.collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(got.nonEmpty, "wds_stream: streamed no rows")
+    assert(got.toSeq == want.toSeq, "wds_stream: streamed != batch")
+    // the long-key shards grouped on their full overridden names too
+    assert(got.exists(_.exists {
+      case s: String => s.length > 100; case _ => false }))
+  }
+
   test("streamed caption cue parse equals the batch parse over the grown directory") {
     import spark.implicits._
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
