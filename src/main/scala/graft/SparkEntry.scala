@@ -544,6 +544,25 @@ object SparkEntry {
     // nothing, per the walkers' claim-only-what-parses discipline
     "q_w6_warc_http" -> ((s, _) =>
       Archives.warcHttpTable(s, Tables.warc(s))),
+    // q_w7: WET-style text extraction — the 200/text/* body strings
+    // from the HTTP split, plus the visible text after script/style
+    // subtree drop, tag strip, entity decode and whitespace collapse;
+    // the oracle replays the identical chain over its own re-walk
+    "q_w7_warc_body_text" -> ((s, _) =>
+      Archives.warcBodyTextTable(s, Tables.warc(s))
+        .withColumn("visible_text",
+          TextAnalysis.htmlVisibleText(col("body_text")))),
+    // q_w8: end-to-end WEB TEXT CURATION — the Common Crawl pipeline
+    // composed from green pieces: record walk → HTTP split → WET
+    // extraction → language ID + quality score per document, empty
+    // extractions dropped. The web-text twin of q_m30's clip curation
+    "q_w8_web_text_curation" -> ((s, _) =>
+      Archives.warcBodyTextTable(s, Tables.warc(s))
+        .select(col("media_id"), col("record_idx"), col("content_type"),
+          TextAnalysis.htmlVisibleText(col("body_text")).as("text"))
+        .filter(col("text") =!= "")
+        .withColumn("predicted_lang", TextAnalysis.predictedLangCol(col("text")))
+        .withColumn("quality_score", TextAnalysis.qualityScoreCol(col("text")))),
     // q_x20: MOSS-style cross-doc copy detection — winnow fingerprint
     // overlap with stop-fingerprint (df cap) pruning + containment
     "q_x20_copy_pairs" -> ((s, d) =>
@@ -1031,6 +1050,53 @@ object SparkEntry {
        |  SELECT media_id, record_idx, off, content_offset, content_length,
        |         warc_type, target_uri
        |  FROM warc_walk WHERE record_idx >= 0)""".stripMargin
+
+  /** Shared DuckDB CTE body (no WITH; needs [[WARCWALK]]'s `wrecs` and
+   * `warc_m` in scope): the HTTP split of the response records — first
+   * CRLFCRLF inside the payload, the anchored status-line pattern, the
+   * case-insensitive Content-Type header, body byte coordinates and
+   * the body string itself — ending in relation `https`(media_id,
+   * record_idx, http_status, body_offset, body_length, content_type,
+   * body_text); unsplittable payloads drop in http2, unparsable status
+   * lines carry NULL http_status for the caller to filter. Used by
+   * q_w6/q_w7/q_w8. */
+  private def WARCHTTP: String =
+    s"""http0 AS (
+       |  SELECT w.media_id, w.record_idx, w.content_offset, w.content_length,
+       |    substr(m.s, CAST(w.content_offset AS INT) + 1,
+       |           CAST(w.content_length AS INT)) AS payload
+       |  FROM wrecs w JOIN warc_m m USING (media_id)
+       |  WHERE lower(w.warc_type) = 'response'),
+       | http1 AS (
+       |  SELECT *, strpos(payload, chr(13)||chr(10)||chr(13)||chr(10)) AS t4
+       |  FROM http0),
+       | http2 AS (
+       |  SELECT *, substr(payload, 1, t4 - 1) AS head,
+       |    string_split(substr(payload, 1, t4 - 1), chr(13)||chr(10))[1] AS line1
+       |  FROM http1 WHERE t4 > 0),
+       | https AS (
+       |  SELECT media_id, record_idx,
+       |    TRY_CAST(regexp_extract(line1,
+       |      '^HTTP/[^ ]+ ([0-9]{3})( .*)?$$', 1) AS INT) AS http_status,
+       |    content_offset + t4 - 1 + 4 AS body_offset,
+       |    content_length - (t4 - 1) - 4 AS body_length,
+       |    nullif(trim(regexp_extract(head,
+       |      '(?i)\\r\\n[ \\t]*content-type[ \\t]*:([^\\r\\n]*)', 1)), '') AS content_type,
+       |    substr(payload, t4 + 4) AS body_text
+       |  FROM http2)""".stripMargin
+
+  /** DuckDB twin of TextAnalysis.htmlVisibleText — identical
+   * script/style subtree drop, tag strip, entity decode (&amp; LAST)
+   * and whitespace collapse. */
+  private def htmlCleanSql(col: String): String =
+    s"""trim(regexp_replace(
+       |  replace(replace(replace(replace(replace(replace(
+       |    regexp_replace(regexp_replace($col,
+       |      '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+       |      '<[^>]*>', ' ', 'g'),
+       |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+       |    '&nbsp;', ' '), '&amp;', '&'),
+       |  '[ \\t\\r\\n]+', ' ', 'g'))""".stripMargin
 
   /** Shared DuckDB CTE body (no WITH; the first relation is RECURSIVE —
    * callers open with `WITH RECURSIVE`): an independent re-walk of the
@@ -2524,32 +2590,43 @@ object SparkEntry {
     // the walker's exact emission rule.
     "q_w6_warc_http" ->
       s"""WITH RECURSIVE $WARCWALK,
-         | http0 AS (
-         |  SELECT w.media_id, w.record_idx, w.content_offset, w.content_length,
-         |    substr(m.s, CAST(w.content_offset AS INT) + 1,
-         |           CAST(w.content_length AS INT)) AS payload
-         |  FROM wrecs w JOIN warc_m m USING (media_id)
-         |  WHERE lower(w.warc_type) = 'response'),
-         | http1 AS (
-         |  SELECT *, strpos(payload, chr(13)||chr(10)||chr(13)||chr(10)) AS t4
-         |  FROM http0),
-         | http2 AS (
-         |  SELECT *, substr(payload, 1, t4 - 1) AS head,
-         |    string_split(substr(payload, 1, t4 - 1), chr(13)||chr(10))[1] AS line1
-         |  FROM http1 WHERE t4 > 0),
-         | http3 AS (
-         |  SELECT media_id, record_idx,
-         |    TRY_CAST(regexp_extract(line1,
-         |      '^HTTP/[^ ]+ ([0-9]{3})( .*)?$$', 1) AS INT) AS http_status,
-         |    content_offset + t4 - 1 + 4 AS body_offset,
-         |    content_length - (t4 - 1) - 4 AS body_length,
-         |    nullif(trim(regexp_extract(head,
-         |      '(?i)\\r\\n[ \\t]*content-type[ \\t]*:([^\\r\\n]*)', 1)), '') AS content_type
-         |  FROM http2)
+         | $WARCHTTP
          | SELECT media_id, CAST(record_idx AS INT) AS record_idx, http_status,
          |   CAST(body_offset AS BIGINT) AS body_offset,
          |   CAST(body_length AS BIGINT) AS body_length, content_type
-         | FROM http3 WHERE http_status IS NOT NULL""".stripMargin,
+         | FROM https WHERE http_status IS NOT NULL""".stripMargin,
+    // q_w7: the WARCHTTP body strings for 200/text/* responses, plus
+    // the visible-text chain (script/style drop, tag strip, entity
+    // decode, whitespace collapse) run by htmlCleanSql — the
+    // extraction itself is oracle-checked, not just the coordinates
+    "q_w7_warc_body_text" ->
+      s"""WITH RECURSIVE $WARCWALK,
+         | $WARCHTTP
+         | SELECT media_id, CAST(record_idx AS INT) AS record_idx,
+         |   content_type, body_text,
+         |   ${htmlCleanSql("body_text")} AS visible_text
+         | FROM https
+         | WHERE http_status = 200 AND lower(content_type) LIKE 'text/%'""".stripMargin,
+    // q_w8: the composed curation oracle — WET extraction, then the
+    // q_x1 marker-argmax chain and the q_x3 quality formula over the
+    // extracted text (aliased to `text` so the shared SQL applies
+    // verbatim), empty extractions dropped
+    "q_w8_web_text_curation" ->
+      s"""WITH RECURSIVE $WARCWALK,
+         | $WARCHTTP,
+         | wet AS (
+         |  SELECT media_id, CAST(record_idx AS INT) AS record_idx, content_type,
+         |    ${htmlCleanSql("body_text")} AS text
+         |  FROM https
+         |  WHERE http_status = 200 AND lower(content_type) LIKE 'text/%'),
+         | comp AS (
+         |  SELECT *, $langHitsSql,
+         |   $qualityComponentsSql
+         |  FROM wet WHERE text <> '')
+         | SELECT media_id, record_idx, content_type, text,
+         |   $langCaseSql AS predicted_lang,
+         |   $qualityScoreSql AS quality_score
+         | FROM comp""".stripMargin,
     // q_w2: the recursive 512-grid re-walk (TARWALK) verbatim
     "q_w2_tar_members" ->
       s"""WITH RECURSIVE $TARWALK
@@ -3419,24 +3496,36 @@ object SparkEntry {
        | FROM s""".stripMargin
   }
 
-  /** Oracle twin of TextAnalysis.qualityScore — identical operand order
-   * so doubles are bit-equal. */
-  private def qualityOracle: String = {
+  /** The quality-signal component columns over a relation exposing
+   * `text` — token count, char count, punctuation count, stopword
+   * hits. Shared by q_x3 and q_w8 (identical operand order to the
+   * engine so doubles are bit-equal). */
+  private def qualityComponentsSql: String = {
     val stopSql = markersSql(TextAnalysis.langMarkers.flatMap(_._2))
-    s"""WITH q AS (SELECT doc_id,
-       |   CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+    s"""CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
        |   CAST(length(text) AS DOUBLE) AS nc,
        |   CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) AS pn,
-       |   CAST($stopSql AS DOUBLE) AS st
+       |   CAST($stopSql AS DOUBLE) AS st""".stripMargin
+  }
+
+  /** The bounded [0,1] quality score over the [[qualityComponentsSql]]
+   * columns — TextAnalysis.qualityScoreCol's SQL twin. */
+  private def qualityScoreSql: String =
+    """ROUND(0.3 * LEAST(nt / 100.0, 1.0)
+      |       + 0.3 * (1.0 - LEAST(pn / GREATEST(nc, 1.0) * 5.0, 1.0))
+      |       + 0.2 * LEAST(st / GREATEST(nt, 1.0) * 3.0, 1.0)
+      |       + 0.2 * (1.0 - LEAST(ABS((nc - (nt - 1)) / GREATEST(nt, 1.0) - 5.0) / 5.0, 1.0)), 6)""".stripMargin
+
+  /** Oracle twin of TextAnalysis.qualityScore — identical operand order
+   * so doubles are bit-equal. */
+  private def qualityOracle: String =
+    s"""WITH q AS (SELECT doc_id,
+       |   $qualityComponentsSql
        | FROM documents)
        | SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
        |   ROUND(pn / GREATEST(nc, 1.0), 6) AS punct_ratio,
        |   ROUND(st / GREATEST(nt, 1.0), 6) AS stopword_ratio,
        |   ROUND((nc - (nt - 1)) / GREATEST(nt, 1.0), 6) AS mean_word_len,
-       |   ROUND(0.3 * LEAST(nt / 100.0, 1.0)
-       |       + 0.3 * (1.0 - LEAST(pn / GREATEST(nc, 1.0) * 5.0, 1.0))
-       |       + 0.2 * LEAST(st / GREATEST(nt, 1.0) * 3.0, 1.0)
-       |       + 0.2 * (1.0 - LEAST(ABS((nc - (nt - 1)) / GREATEST(nt, 1.0) - 5.0) / 5.0, 1.0)), 6) AS quality_score
+       |   $qualityScoreSql AS quality_score
        | FROM q""".stripMargin
-  }
 }

@@ -197,6 +197,42 @@ object Archives {
         "body_length", "content_type")
   }
 
+  /** Body-TEXT table over WARC response records — the WET-extraction
+   * face a Common Crawl TEXT pipeline runs: for each splittable
+   * response with HTTP status 200 and a textual Content-Type
+   * (`text/plain`, `text/html`, ...), the decoded body string
+   * (media_id, record_idx, content_type, body_text). Downstream,
+   * TextAnalysis.htmlVisibleText turns HTML bodies into visible text
+   * and langid/quality score the result (q_w7/q_w8) — all pure
+   * projection on top of this one map-side pass. Non-200s, non-text
+   * types and unsplittable payloads emit nothing; only TEXT rows
+   * leave the partition (the blob never shuffles), which is exactly
+   * the WET transform: at corpus scale the text is an order of
+   * magnitude smaller than the archive. */
+  def warcBodyTextTable(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("mime_type"), col("media"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          warcRecords(r.media).zipWithIndex.flatMap {
+            case ((_, cOff, cLen, wtype, _), i)
+                if wtype.exists(_.equalsIgnoreCase("response")) =>
+              httpHead(r.media, cOff.toInt, cLen.toInt).collect {
+                case (200, bodyRel, Some(ct))
+                    if ct.toLowerCase.startsWith("text/") =>
+                  val body = new String(r.media, (cOff + bodyRel).toInt,
+                    (cLen - bodyRel).toInt,
+                    java.nio.charset.StandardCharsets.ISO_8859_1)
+                  (r.media_id, i, ct, body)
+              }
+            case _ => None
+          }
+        }
+      }
+      .toDF("media_id", "record_idx", "content_type", "body_text")
+  }
+
   // ------------------------------------------------------------- .warc.gz
 
   /** Head-buffer size: the inflated prefix kept for the WARC record

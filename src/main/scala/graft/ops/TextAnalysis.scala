@@ -26,6 +26,31 @@ object TextAnalysis {
 
   private def words(text: Column): Column = split(text, " ")
 
+  /**
+   * WET-style visible-text extraction from an HTML column — what a
+   * Common Crawl text pipeline runs between the HTTP body split
+   * (Archives.warcHttpTable) and langid/quality scoring: drop
+   * script/style subtrees wholesale (their content is never visible
+   * text), strip the remaining tags, decode the named/numeric
+   * entities that dominate real markup (&lt; &gt; &quot; &#39;
+   * &nbsp; and LAST &amp; — decoding &amp; first would corrupt
+   * double-escaped entities), and collapse whitespace. All codegen'd
+   * regexp/replace passes; the DuckDB oracle applies the IDENTICAL
+   * chain, so extraction itself is oracle-checked. Non-HTML text
+   * passes through with only whitespace collapsed (it has no tags).
+   */
+  def htmlVisibleText(html: Column): Column = {
+    def ent(c: Column, from: String, to: String): Column =
+      regexp_replace(c, java.util.regex.Pattern.quote(from), to)
+    val noSubtrees = regexp_replace(html,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noTags = regexp_replace(noSubtrees, "<[^>]*>", " ")
+    val decoded = ent(ent(ent(ent(ent(ent(noTags,
+      "&lt;", "<"), "&gt;", ">"), "&quot;", "\""), "&#39;", "'"),
+      "&nbsp;", " "), "&amp;", "&")
+    trim(regexp_replace(decoded, "[ \\t\\r\\n]+", " "))
+  }
+
   /** Count of word occurrences hitting a marker list (duplicates
    * count — membership, not intersection). One native codegen'd pass
    * (graft.functions.MarkerHits); the interpreted-HOF form

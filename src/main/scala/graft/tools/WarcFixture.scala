@@ -75,10 +75,14 @@ object WarcFixture {
         "Content-Type" -> "application/http;msgtype=request"),
       s"GET /$id/doc$i HTTP/1.1\r\nHost: data.example.org\r\n")
 
-  /** Variant HTTP head, cycling status / Content-Type by id — the
-   * q_w6 cases an HTTP splitter must get right beyond 200 text/plain. */
-  def variantStatus(id: Long): Int = Seq(404, 301, 503, 200)((id % 4).toInt)
-  def variantCt(id: Long): Option[String] = (id % 4) match {
+  /** Variant HTTP head, cycling status / Content-Type — the q_w6
+   * cases an HTTP splitter must get right beyond 200 text/plain. The
+   * cycle keys on (id/2) % 4, NOT id % 4: ordinary shards satisfy
+   * id%8 ∉ {3,7}, and id%4==3 implies id%8 ∈ {3,7}, so an id%4 cycle
+   * could never place its fourth class on a live shard. */
+  def variantClass(id: Long): Int = ((id / 2) % 4).toInt
+  def variantStatus(id: Long): Int = Seq(404, 301, 503, 200)(variantClass(id))
+  def variantCt(id: Long): Option[String] = variantClass(id) match {
     case 0 => Some("text/html")
     case 1 => None // redirect with Location but no Content-Type
     case 2 => Some("application/json")
@@ -91,12 +95,23 @@ object WarcFixture {
       503 -> "Service Unavailable", 200 -> "OK")(st)
     val head = s"HTTP/1.0 $st $reason\r\n" +
       variantCt(id).map(ct => s"Content-Type: $ct\r\n").getOrElse("") +
-      (if (id % 4 == 1) "Location: https://data.example.org/moved\r\n" else "")
+      (if (variantClass(id) == 1) "Location: https://data.example.org/moved\r\n" else "")
+    // html Content-Types carry a REAL html body (style/script
+    // subtrees, entities) for the q_w7 visible-text extraction;
+    // non-text types carry non-text bodies the WET face must skip
+    val body = variantClass(id) match {
+      case 0 | 3 =>
+        s"<html><head><title>t $id</title><style>p{color:red}</style></head>" +
+          s"<body><h1>Doc $id</h1><p>variant body $id &amp; more " +
+          s"&lt;tagged&gt; &#39;q&#39;</p><script>var x = $id;</script></body></html>"
+      case 2 => s"""{"doc": $id, "kind": "json body"}"""
+      case _ => s"variant body $id moved"
+    }
     record(id,
       Seq("WARC-Type" -> "response",
         "WARC-Target-URI" -> uri(id, 90),
         "Content-Type" -> "application/http;msgtype=response"),
-      head + "\r\n" + s"variant body $id")
+      head + "\r\n" + body)
   }
 
   /** A WARC-valid response whose payload is NOT a splittable HTTP

@@ -299,6 +299,14 @@ class PlanAuditSpec extends SparkSpec {
     audited(graft.ops.Archives.warcHttpTable(spark, Tables.warc(spark))) { plan =>
       assert(shuffles(plan).isEmpty, s"${shuffles(plan).size} shuffles:\n$plan")
     }
+    // the WET face including the visible-text/langid/quality layer:
+    // the whole web-text curation pipeline is ONE map-side pass
+    audited(graft.ops.Archives.warcBodyTextTable(spark, Tables.warc(spark))
+        .withColumn("v",
+          graft.ops.TextAnalysis.htmlVisibleText(
+            org.apache.spark.sql.functions.col("body_text")))) { plan =>
+      assert(shuffles(plan).isEmpty, s"${shuffles(plan).size} shuffles:\n$plan")
+    }
   }
 
   test("webdataset samples: exactly one shuffle, over index rows only") {

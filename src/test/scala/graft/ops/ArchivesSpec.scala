@@ -68,6 +68,45 @@ class ArchivesSpec extends SparkSpec {
     assert(got.exists(_._6.isEmpty)) // the 301 without Content-Type
   }
 
+  test("WARC WET extraction: 200/text bodies only, html stripped to visible text") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L)
+    val table = Archives.warcBodyTextTable(spark,
+      ids.map(id => (id, "application/warc", WarcFixture.row(id)._2))
+        .toDF("media_id", "mime_type", "media"))
+    val got = table.as[(Long, Int, String, String)].collect().toSet
+    // expected: every response whose head splits with status 200 and a
+    // text/* Content-Type, body re-derived from the record strings
+    val expect = ids.filter(id => id % 8 != 7).flatMap { id =>
+      val recs = if (id % 8 == 3) Seq(WarcFixture.warcinfo(id)) else WarcFixture.records(id)
+      recs.zipWithIndex.flatMap { case (r, i) =>
+        val hdrEnd = r.indexOf("\r\n\r\n")
+        val isResp = r.substring(0, hdrEnd).toLowerCase.contains("warc-type: response")
+        val payload = r.substring(hdrEnd + 4, r.length - 4)
+        val t4 = payload.indexOf("\r\n\r\n")
+        if (isResp && payload.startsWith("HTTP/") && t4 >= 0) {
+          val head = payload.substring(0, t4)
+          val status = head.split("\r\n").head.split(" ")(1).toInt
+          val ct = head.split("\r\n").drop(1).collectFirst {
+            case l if l.toLowerCase.startsWith("content-type:") =>
+              l.substring("content-type:".length).trim
+          }
+          if (status == 200 && ct.exists(_.toLowerCase.startsWith("text/")))
+            Some((id, i, ct.get, payload.substring(t4 + 4)))
+          else None
+        } else None
+      }
+    }.toSet
+    assert(got == expect)
+    // an html body is present (id%4==3 variant) and visibly strips:
+    // subtrees dropped, tags gone, entities decoded, whitespace flat
+    val visible = table
+      .withColumn("v", TextAnalysis.htmlVisibleText(org.apache.spark.sql.functions.col("body_text")))
+      .filter(org.apache.spark.sql.functions.col("content_type").startsWith("text/html"))
+      .select("media_id", "v").as[(Long, String)].collect().toMap
+    assert(visible == Map(6L -> "t 6 Doc 6 variant body 6 & more <tagged> 'q'"))
+  }
+
   test("WARC walk: truncated tail unclaimed, junk yields nothing") {
     val t = Archives.warcRecords(WarcFixture.row(3)._2)
     assert(t.size == 1 && t.head._4.contains("warcinfo"))

@@ -28,6 +28,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Map(1L -> "en", 2L -> "de"))
   }
 
+  test("html visible text: subtree drop, tag strip, entity order, whitespace") {
+    import spark.implicits._
+    def vis(s: String): String =
+      Seq((1L, s)).toDF("id", "t")
+        .select(TextAnalysis.htmlVisibleText(org.apache.spark.sql.functions.col("t")))
+        .as[String].collect().head
+    // script/style content is dropped WHOLESALE, not just de-tagged
+    assert(vis("<p>a</p><script>var hidden = 1;</script><p>b</p>") == "a b")
+    assert(vis("x<style>p { color: red }</style>y") == "x y")
+    assert(vis("<SCRIPT a=b>\nmulti\nline\n</script>z") == "z") // (?is): case + dotall
+    // entity decode order: &amp; LAST, so double-escapes survive as text
+    assert(vis("&amp;lt; &lt; &gt; &quot; &#39; a&nbsp;b &amp;") == "&lt; < > \" ' a b &")
+    // plain text only collapses whitespace
+    assert(vis("no tags\there\r\nat all") == "no tags here at all")
+    // attributes and self-closing tags vanish with the tag
+    assert(vis("""<a href="u">link</a> <br/> <img src="i"/>end""") == "link end")
+  }
+
   test("quality score stays in [0,1] and rewards stopword-bearing prose") {
     val df = docs(
       (1L, "en", "the quick brown fox jumps over the lazy dog and runs to the hills"),
