@@ -96,6 +96,26 @@ class ShardListStreamSpec extends SparkSpec {
     streamed("warcgz_stream", rows, Archives.warcGzMemberTable)
   }
 
+  test("streamed WARC HTTP split equals the batch split over the grown directory") {
+    val rows = (0L until 12L).map { id =>
+      val (mime, bytes) = graft.tools.WarcFixture.row(id)
+      (id, mime, bytes)
+    }
+    streamed("warchttp_stream", rows, Archives.warcHttpTable)
+  }
+
+  test("streamed WET body-text extraction equals the batch extraction over the grown directory") {
+    val rows = (0L until 12L).map { id =>
+      val (mime, bytes) = graft.tools.WarcFixture.row(id)
+      (id, mime, bytes)
+    }
+    streamed("wet_stream", rows, (s, df) =>
+      Archives.warcBodyTextTable(s, df)
+        .withColumn("visible_text",
+          TextAnalysis.htmlVisibleText(
+            org.apache.spark.sql.functions.col("body_text"))))
+  }
+
   test("streamed tar member walk equals the batch walk over the grown directory") {
     val rows = (0L until 12L).map { id =>
       val (mime, bytes) = graft.tools.TarFixture.row(id)
