@@ -563,6 +563,15 @@ object SparkEntry {
         .filter(col("text") =!= "")
         .withColumn("predicted_lang", TextAnalysis.predictedLangCol(col("text")))
         .withColumn("quality_score", TextAnalysis.qualityScoreCol(col("text")))),
+    // q_w9: WET extraction straight off the COMPRESSED `.warc.gz`
+    // members (how Common Crawl actually ships) — per-member bounded
+    // inflate window, HTTP split inside it, body text out with an
+    // explicit `truncated` flag when a body passes the 1 MiB cap;
+    // member_idx aligns with q_w5's fetch coordinates
+    "q_w9_warcgz_body_text" -> ((s, _) =>
+      Archives.warcGzBodyTextTable(s, Tables.warcgz(s))
+        .withColumn("visible_text",
+          TextAnalysis.htmlVisibleText(col("body_text")))),
     // q_x20: MOSS-style cross-doc copy detection — winnow fingerprint
     // overlap with stop-fingerprint (df cap) pruning + containment
     "q_x20_copy_pairs" -> ((s, d) =>
@@ -1050,6 +1059,82 @@ object SparkEntry {
        |  SELECT media_id, record_idx, off, content_offset, content_length,
        |         warc_type, target_uri
        |  FROM warc_walk WHERE record_idx >= 0)""".stripMargin
+
+  /** Shared DuckDB CTE body (no WITH): the `.warc.gz` member-span
+   * scan (aligned scan for the fixture's pinned 10-byte gzip header,
+   * back-to-back members => span = next start - start) plus the
+   * record identity reconstructed from WarcGzFixture's id contract,
+   * which reuses WarcFixture's record arithmetic verbatim - DuckDB
+   * cannot inflate, so the contract anchors what the compressed bytes
+   * hide. Ends in relations `wgz_s`(media_id, off, k, comp) and
+   * `wgz_r`(media_id, k, wtype, uri, content, record). Truncated rows
+   * (id%8=3) reconstruct all but the last member. Used by q_w5/q_w9.
+   */
+  private def WARCGZREC: String =
+    s"""wgz_m AS (
+       |  SELECT media_id, hex(media) AS h, octet_length(media) AS n
+       |  FROM read_parquet('${Tables.warcgzFixturePath}')),
+       | wgz_b AS (
+       |  SELECT media_id, n,
+       |    unnest(list_filter(generate_series(0, n - 10),
+       |      i -> substr(h, CAST(2 * i AS INT) + 1, 6) = '1F8B08'
+       |           AND substr(h, CAST(2 * i AS INT) + 7, 2) IN ('00', '08', '04')
+       |           AND substr(h, CAST(2 * i AS INT) + 9, 8) = '00000000'
+       |           AND substr(h, CAST(2 * i AS INT) + 17, 4) = '00FF')) AS off
+       |  FROM wgz_m),
+       | wgz_s AS (
+       |  SELECT media_id, off,
+       |    CAST(row_number() OVER w - 1 AS INT) AS k,
+       |    coalesce(lead(off) OVER w, n) - off AS comp
+       |  FROM wgz_b
+       |  WINDOW w AS (PARTITION BY media_id ORDER BY off)),
+       | wgz_i AS (
+       |  SELECT media_id, chr(13) || chr(10) AS crlf,
+       |    unnest(generate_series(0, 2 + media_id % 3)) AS k
+       |  FROM (SELECT DISTINCT media_id FROM wgz_m WHERE media_id % 8 <> 7) d),
+       | wgz_c AS (
+       |  SELECT media_id, k, crlf,
+       |    CASE WHEN k = 0 THEN 'warcinfo'
+       |         WHEN media_id % 2 = 0 AND k = 2 THEN 'request'
+       |         ELSE 'response' END AS wtype,
+       |    CASE WHEN k = 0 THEN NULL
+       |         ELSE 'https://data.example.org/' || CAST(media_id AS VARCHAR) ||
+       |                 '/doc' || CAST(k - 1 AS VARCHAR) END AS uri,
+       |    CASE WHEN k = 0
+       |         THEN 'software: graft-fixture ' || CAST(media_id AS VARCHAR) || crlf
+       |         WHEN media_id % 2 = 0 AND k = 2
+       |         THEN 'GET /' || CAST(media_id AS VARCHAR) || '/doc' ||
+       |                 CAST(k - 1 AS VARCHAR) || ' HTTP/1.1' || crlf ||
+       |                 'Host: data.example.org' || crlf
+       |         ELSE 'HTTP/1.1 200 OK' || crlf || 'Content-Type: text/plain' ||
+       |                 crlf || crlf || 'doc ' || CAST(media_id AS VARCHAR) || ' ' ||
+       |                 CAST(k - 1 AS VARCHAR) || ' ' ||
+       |                 rtrim(repeat('lorem ', CAST((media_id + k - 1) % 4 + 1 AS INT)))
+       |    END AS content
+       |  FROM wgz_i),
+       | wgz_r AS (
+       |  SELECT media_id, k, wtype, uri, content,
+       |    'WARC/1.0' || crlf ||
+       |         CASE WHEN k = 0
+       |              THEN 'WARC-Type: warcinfo' || crlf || 'WARC-Record-ID: <urn:uuid:' ||
+       |                      lpad(CAST(media_id AS VARCHAR), 8, '0') ||
+       |                      '-0000-0000-0000-000000000000>' || crlf ||
+       |                      'Content-Type: application/warc-fields'
+       |              WHEN wtype = 'request'
+       |              THEN 'WARC-Type: request' || crlf || 'WARC-Target-URI: ' ||
+       |                      uri || crlf ||
+       |                      'Content-Type: application/http;msgtype=request'
+       |              ELSE 'WARC-Type: response' || crlf || 'WARC-Target-URI: ' ||
+       |                      uri || crlf ||
+       |                      'Content-Type: application/http;msgtype=response'
+       |         END || crlf ||
+       |         CASE WHEN media_id % 2 = 1 THEN 'content-length'
+       |              ELSE 'Content-Length' END ||
+       |         ': ' || CAST(length(content) AS VARCHAR) || crlf || crlf ||
+       |         content || crlf || crlf AS record
+       |  FROM wgz_c
+       |  WHERE k <= 2 + media_id % 3
+       |             - CASE WHEN media_id % 8 = 3 THEN 1 ELSE 0 END)""".stripMargin
 
   /** Shared DuckDB CTE body (no WITH; needs [[WARCWALK]]'s `wrecs` and
    * `warc_m` in scope): the HTTP split of the response records — first
@@ -2773,70 +2858,7 @@ object SparkEntry {
     // come from length() of the reconstruction, not from this code's
     // values). Truncated rows (id%8=3) emit all but the last member.
     "q_w5_warcgz_members" ->
-      s"""WITH wgz_m AS (
-         |  SELECT media_id, hex(media) AS h, octet_length(media) AS n
-         |  FROM read_parquet('${Tables.warcgzFixturePath}')),
-         | wgz_b AS (
-         |  SELECT media_id, n,
-         |    unnest(list_filter(generate_series(0, n - 10),
-         |      i -> substr(h, CAST(2 * i AS INT) + 1, 6) = '1F8B08'
-         |           AND substr(h, CAST(2 * i AS INT) + 7, 2) IN ('00', '08', '04')
-         |           AND substr(h, CAST(2 * i AS INT) + 9, 8) = '00000000'
-         |           AND substr(h, CAST(2 * i AS INT) + 17, 4) = '00FF')) AS off
-         |  FROM wgz_m),
-         | wgz_s AS (
-         |  SELECT media_id, off,
-         |    CAST(row_number() OVER w - 1 AS INT) AS k,
-         |    coalesce(lead(off) OVER w, n) - off AS comp
-         |  FROM wgz_b
-         |  WINDOW w AS (PARTITION BY media_id ORDER BY off)),
-         | wgz_i AS (
-         |  SELECT media_id, chr(13) || chr(10) AS crlf,
-         |    unnest(generate_series(0, 2 + media_id % 3)) AS k
-         |  FROM (SELECT DISTINCT media_id FROM wgz_m WHERE media_id % 8 <> 7) d),
-         | wgz_c AS (
-         |  SELECT media_id, k, crlf,
-         |    CASE WHEN k = 0 THEN 'warcinfo'
-         |         WHEN media_id % 2 = 0 AND k = 2 THEN 'request'
-         |         ELSE 'response' END AS wtype,
-         |    CASE WHEN k = 0 THEN NULL
-         |         ELSE 'https://data.example.org/' || CAST(media_id AS VARCHAR)
-         |              || '/doc' || CAST(k - 1 AS VARCHAR) END AS uri,
-         |    CASE WHEN k = 0
-         |         THEN 'software: graft-fixture ' || CAST(media_id AS VARCHAR) || crlf
-         |         WHEN media_id % 2 = 0 AND k = 2
-         |         THEN 'GET /' || CAST(media_id AS VARCHAR) || '/doc'
-         |              || CAST(k - 1 AS VARCHAR) || ' HTTP/1.1' || crlf
-         |              || 'Host: data.example.org' || crlf
-         |         ELSE 'HTTP/1.1 200 OK' || crlf || 'Content-Type: text/plain'
-         |              || crlf || crlf || 'doc ' || CAST(media_id AS VARCHAR) || ' '
-         |              || CAST(k - 1 AS VARCHAR) || ' '
-         |              || rtrim(repeat('lorem ', CAST((media_id + k - 1) % 4 + 1 AS INT)))
-         |    END AS content
-         |  FROM wgz_i),
-         | wgz_r AS (
-         |  SELECT media_id, k, wtype, uri, content,
-         |    'WARC/1.0' || crlf
-         |      || CASE WHEN k = 0
-         |              THEN 'WARC-Type: warcinfo' || crlf || 'WARC-Record-ID: <urn:uuid:'
-         |                   || lpad(CAST(media_id AS VARCHAR), 8, '0')
-         |                   || '-0000-0000-0000-000000000000>' || crlf
-         |                   || 'Content-Type: application/warc-fields'
-         |              WHEN wtype = 'request'
-         |              THEN 'WARC-Type: request' || crlf || 'WARC-Target-URI: '
-         |                   || uri || crlf
-         |                   || 'Content-Type: application/http;msgtype=request'
-         |              ELSE 'WARC-Type: response' || crlf || 'WARC-Target-URI: '
-         |                   || uri || crlf
-         |                   || 'Content-Type: application/http;msgtype=response'
-         |         END || crlf
-         |      || CASE WHEN media_id % 2 = 1 THEN 'content-length'
-         |              ELSE 'Content-Length' END
-         |      || ': ' || CAST(length(content) AS VARCHAR) || crlf || crlf
-         |      || content || crlf || crlf AS record
-         |  FROM wgz_c
-         |  WHERE k <= 2 + media_id % 3
-         |             - CASE WHEN media_id % 8 = 3 THEN 1 ELSE 0 END)
+      s"""WITH $WARCGZREC
          | SELECT s.media_id, CAST(s.k AS INT) AS member_idx,
          |   CAST(s.off AS BIGINT) AS member_offset,
          |   CAST(s.comp AS BIGINT) AS member_comp_bytes,
@@ -2844,6 +2866,32 @@ object SparkEntry {
          |   CAST(length(r.content) AS BIGINT) AS content_length,
          |   r.wtype AS warc_type, r.uri AS target_uri
          | FROM wgz_r r JOIN wgz_s s USING (media_id, k)""".stripMargin,
+    // q_w9: WET extraction off the COMPRESSED members — the HTTP
+    // layer re-split generically (the same status/Content-Type/body
+    // regexes as WARCHTTP) over the record content the WARCGZREC
+    // contract reconstructs, since DuckDB cannot inflate; all fixture
+    // bodies sit far under the 1 MiB text cap, so truncated is FALSE
+    // (the >cap path is unit-tested with a synthetic member)
+    "q_w9_warcgz_body_text" ->
+      s"""WITH $WARCGZREC,
+         | wet9 AS (
+         |  SELECT media_id, CAST(k AS INT) AS member_idx, content,
+         |    strpos(content, chr(13)||chr(10)||chr(13)||chr(10)) AS t4
+         |  FROM wgz_r WHERE wtype = 'response'),
+         | wet9b AS (
+         |  SELECT media_id, member_idx,
+         |    TRY_CAST(regexp_extract(
+         |      string_split(substr(content, 1, t4 - 1), chr(13)||chr(10))[1],
+         |      '^HTTP/[^ ]+ ([0-9]{3})( .*)?$$', 1) AS INT) AS st,
+         |    nullif(trim(regexp_extract(substr(content, 1, t4 - 1),
+         |      '(?i)\\r\\n[ \\t]*content-type[ \\t]*:([^\\r\\n]*)', 1)), '') AS content_type,
+         |    substr(content, t4 + 4) AS body_text
+         |  FROM wet9 WHERE t4 > 0)
+         | SELECT media_id, member_idx, content_type, body_text,
+         |   FALSE AS truncated,
+         |   ${htmlCleanSql("body_text")} AS visible_text
+         | FROM wet9b
+         | WHERE st = 200 AND lower(content_type) LIKE 'text/%'""".stripMargin,
     // q_x19: the oracle runs the IDENTICAL RE2-safe patterns (shared
     // via Pii.categories, so both engines scan the same strings with
     // the same regexes); DuckDB regexp_replace needs the explicit 'g'

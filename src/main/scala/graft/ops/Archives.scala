@@ -265,11 +265,16 @@ object Archives {
    * member that stops parsing — bad header, corrupt DEFLATE, cut
    * trailer, ISIZE mismatch, no parsable record header inside the
    * head window — ends the walk unemitted. */
-  private[ops] def warcGzMembers(
-      b: Array[Byte]): Seq[(Long, Long, Long, Long, Option[String], Option[String])] = {
-    if (b == null) return Nil
-    val out = scala.collection.mutable.ArrayBuffer
-      .empty[(Long, Long, Long, Long, Option[String], Option[String])]
+  /** Low-level member walk shared by the index face
+   * ([[warcGzMembers]]) and the WET face ([[warcGzBodyTexts]]): per
+   * well-formed member (RFC 1952 framing + DEFLATE boundary + ISIZE
+   * check), calls `emit(offset, end, totalInflated, head, headLen)`
+   * where `head` holds the first `headCap` inflated bytes; `emit`
+   * returns whether to continue. The walk stops at the first
+   * malformed member or when `emit` vetoes. */
+  private def warcGzRawWalk(b: Array[Byte], headCap: Int)(
+      emit: (Long, Int, Long, Array[Byte], Int) => Boolean): Unit = {
+    if (b == null) return
     var pos = 0
     var ok = true
     while (ok && pos + 10 <= b.length &&
@@ -294,7 +299,7 @@ object Archives {
         try {
           inf.setInput(b, p, b.length - p)
           val chunk = new Array[Byte](64 * 1024)
-          val head = new Array[Byte](HeadBytes)
+          val head = new Array[Byte](headCap)
           var headLen = 0
           var total = 0L
           var done = false
@@ -304,7 +309,7 @@ object Archives {
               try inf.inflate(chunk)
               catch { case _: java.util.zip.DataFormatException => bad = true; 0 }
             if (n > 0) {
-              val keep = math.min(n, HeadBytes - headLen)
+              val keep = math.min(n, headCap - headLen)
               if (keep > 0) {
                 System.arraycopy(chunk, 0, head, headLen, keep)
                 headLen += keep
@@ -319,17 +324,94 @@ object Archives {
             val isize = (b(end - 4) & 0xffL) | ((b(end - 3) & 0xffL) << 8) |
               ((b(end - 2) & 0xffL) << 16) | ((b(end - 1) & 0xffL) << 24)
             if (isize != (total & 0xffffffffL)) ok = false
-            else warcHeader(java.util.Arrays.copyOf(head, headLen), 0) match {
-              case Some((contentOff, clen, wtype, uri)) if contentOff + clen <= total =>
-                out += ((pos.toLong, (end - pos).toLong, total, clen, wtype, uri))
-                pos = end
-              case _ => ok = false
+            else {
+              ok = emit(pos.toLong, end, total, head, headLen)
+              pos = end
             }
           }
         } finally inf.end()
       }
     }
+  }
+
+  private[ops] def warcGzMembers(
+      b: Array[Byte]): Seq[(Long, Long, Long, Long, Option[String], Option[String])] = {
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Option[String], Option[String])]
+    warcGzRawWalk(b, HeadBytes) { (off, end, total, head, headLen) =>
+      warcHeader(java.util.Arrays.copyOf(head, headLen), 0) match {
+        case Some((contentOff, clen, wtype, uri)) if contentOff + clen <= total =>
+          out += ((off, end - off, total, clen, wtype, uri))
+          true
+        case _ => false
+      }
+    }
     out.toSeq
+  }
+
+  /** Per-member inflated-text cap for the `.warc.gz` WET face: body
+   * text is kept up to this much of each member's inflated prefix
+   * (1 MiB — the cap real WET pipelines put on a document anyway);
+   * longer bodies emit their prefix with `truncated = true`, never
+   * silently. Memory stays bounded per member regardless of record
+   * size. */
+  private val TextCapBytes = 1 << 20
+
+  /** WET extraction straight off `.warc.gz` members — Common Crawl
+   * ships compressed, so the text pipeline must not need a separate
+   * inflate step: per member whose record is a splittable 200-status
+   * textual-Content-Type response, (member_idx, content_type, body_text,
+   * truncated). The walk is [[warcGzRawWalk]] with a [[TextCapBytes]]
+   * head window; non-response members and non-text responses are
+   * skipped (the walk continues — they are well-formed members), and
+   * a body extending past the window emits its kept prefix flagged
+   * `truncated = true`. */
+  private[ops] def warcGzBodyTexts(
+      b: Array[Byte]): Seq[(Int, String, String, Boolean)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Boolean)]
+    var idx = 0
+    warcGzRawWalk(b, TextCapBytes) { (_, _, total, head, headLen) =>
+      val res = warcHeader(head, 0) match {
+        case Some((contentOff, clen, wtype, _)) if contentOff + clen <= total =>
+          if (wtype.exists(_.equalsIgnoreCase("response")) && contentOff <= headLen) {
+            val avail = math.min(clen, (headLen - contentOff).toLong).toInt
+            httpHead(head, contentOff.toInt, avail).foreach {
+              case (200, bodyRel, Some(ct)) if ct.toLowerCase.startsWith("text/") =>
+                val from = (contentOff + bodyRel).toInt
+                val kept = math.min(contentOff + clen, headLen.toLong).toInt
+                val body = new String(head, from, math.max(kept - from, 0),
+                  java.nio.charset.StandardCharsets.ISO_8859_1)
+                out += ((idx, ct, body, contentOff + clen > headLen))
+              case _ => ()
+            }
+            true
+          } else true
+        case _ => false
+      }
+      idx += 1
+      res
+    }
+    out.toSeq
+  }
+
+  /** Relational face of [[warcGzBodyTexts]] — the compressed-corpus
+   * WET table: (media_id, member_idx, content_type, body_text,
+   * truncated), member_idx aligned with [[warcGzMemberTable]]'s so
+   * text rows join back to their fetch coordinates. Pure map-side;
+   * inflation is partition-local scratch bounded by [[TextCapBytes]]
+   * per member, and only text rows leave. */
+  def warcGzBodyTextTable(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("mime_type"), col("media"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          warcGzBodyTexts(r.media).map { case (i, ct, body, trunc) =>
+            (r.media_id, i, ct, body, trunc)
+          }
+        }
+      }
+      .toDF("media_id", "member_idx", "content_type", "body_text", "truncated")
   }
 
   /** Relational face of [[warcGzMembers]]: one row per gzip member —

@@ -307,6 +307,9 @@ class PlanAuditSpec extends SparkSpec {
             org.apache.spark.sql.functions.col("body_text")))) { plan =>
       assert(shuffles(plan).isEmpty, s"${shuffles(plan).size} shuffles:\n$plan")
     }
+    audited(graft.ops.Archives.warcGzBodyTextTable(spark, Tables.warcgz(spark))) { plan =>
+      assert(shuffles(plan).isEmpty, s"${shuffles(plan).size} shuffles:\n$plan")
+    }
   }
 
   test("webdataset samples: exactly one shuffle, over index rows only") {

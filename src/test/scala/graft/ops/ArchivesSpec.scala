@@ -185,6 +185,43 @@ class ArchivesSpec extends SparkSpec {
     assert(got(1)._1 == got(0)._2) // spans abut: next offset = prior comp length
   }
 
+  test("warc.gz WET extraction: response bodies out of compressed members, cap flags truncation") {
+    import graft.tools.WarcGzFixture
+    for (id <- Seq(0L, 1L, 2L, 4L, 5L, 6L)) {
+      val got = Archives.warcGzBodyTexts(WarcGzFixture.row(id)._2)
+      // expected straight from the record strings: responses split at
+      // the HTTP head, 200 text/plain in this fixture
+      val expect = WarcGzFixture.records(id).zipWithIndex.flatMap { case (r, k) =>
+        val hdrEnd = r.indexOf("\r\n\r\n")
+        val payload = r.substring(hdrEnd + 4, r.length - 4)
+        val t4 = payload.indexOf("\r\n\r\n")
+        if (r.substring(0, hdrEnd).contains("WARC-Type: response") &&
+            payload.startsWith("HTTP/1.1 200") && t4 >= 0)
+          Some((k, "text/plain", payload.substring(t4 + 4), false))
+        else None
+      }
+      assert(got == expect, s"id=$id")
+    }
+    // a body past the 1 MiB text cap emits its kept prefix, flagged —
+    // and the walk continues to the next member
+    val bigBody = "y" * (1200 * 1024)
+    val big = WarcFixture.record(0L,
+      Seq("WARC-Type" -> "response",
+        "WARC-Target-URI" -> "https://data.example.org/big"),
+      "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n" + bigBody).getBytes("US-ASCII")
+    val small = graft.tools.WarcGzFixture.records(0L)(1).getBytes("US-ASCII")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(graft.tools.WarcGzFixture.member(0, big))
+    out.write(graft.tools.WarcGzFixture.member(1, small))
+    val got2 = Archives.warcGzBodyTexts(out.toByteArray)
+    assert(got2.size == 2)
+    val (i0, ct0, body0, trunc0) = got2(0)
+    assert(i0 == 0 && ct0 == "text/plain" && trunc0)
+    assert(body0.length < bigBody.length && bigBody.startsWith(body0))
+    assert(body0.nonEmpty && body0.forall(_ == 'y'))
+    assert(!got2(1)._4 && got2(1)._1 == 1)
+  }
+
   test("tar walk: member names, offsets and 512-grid hops match the shard layout") {
     for (id <- Seq(0L, 1L, 2L, 4L, 6L, 8L, 9L)) {
       val got = Archives.tarMembers(TarFixture.row(id)._2)

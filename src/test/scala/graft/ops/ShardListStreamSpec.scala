@@ -116,6 +116,14 @@ class ShardListStreamSpec extends SparkSpec {
             org.apache.spark.sql.functions.col("body_text"))))
   }
 
+  test("streamed warc.gz WET extraction equals the batch extraction over the grown directory") {
+    val rows = (0L until 12L).map { id =>
+      val (mime, bytes) = graft.tools.WarcGzFixture.row(id)
+      (id, mime, bytes)
+    }
+    streamed("wgzwet_stream", rows, Archives.warcGzBodyTextTable)
+  }
+
   test("streamed tar member walk equals the batch walk over the grown directory") {
     val rows = (0L until 12L).map { id =>
       val (mime, bytes) = graft.tools.TarFixture.row(id)
