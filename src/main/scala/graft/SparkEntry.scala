@@ -572,6 +572,12 @@ object SparkEntry {
       Archives.warcGzBodyTextTable(s, Tables.warcgz(s))
         .withColumn("visible_text",
           TextAnalysis.htmlVisibleText(col("body_text")))),
+    // q_w10: host-level corpus statistics — the table web curation
+    // keys on (spam-domain lists, per-host sampling caps): records
+    // grouped by the URI authority with record/distinct-URI/byte
+    // counts; aggregation touches only index rows, never blobs
+    "q_w10_url_host_stats" -> ((s, _) =>
+      Archives.urlHostStats(Archives.warcRecordTable(s, Tables.warc(s)))),
     // q_x20: MOSS-style cross-doc copy detection — winnow fingerprint
     // overlap with stop-fingerprint (df cap) pruning + containment
     "q_x20_copy_pairs" -> ((s, d) =>
@@ -1098,7 +1104,8 @@ object SparkEntry {
        |         WHEN media_id % 2 = 0 AND k = 2 THEN 'request'
        |         ELSE 'response' END AS wtype,
        |    CASE WHEN k = 0 THEN NULL
-       |         ELSE 'https://data.example.org/' || CAST(media_id AS VARCHAR) ||
+       |         ELSE 'https://data' || CAST(media_id % 5 AS VARCHAR) ||
+       |                 '.example.org/' || CAST(media_id AS VARCHAR) ||
        |                 '/doc' || CAST(k - 1 AS VARCHAR) END AS uri,
        |    CASE WHEN k = 0
        |         THEN 'software: graft-fixture ' || CAST(media_id AS VARCHAR) || crlf
@@ -2656,6 +2663,23 @@ object SparkEntry {
          |   n_keyframes, text AS clean_text,
          |   $langCaseSql AS predicted_lang
          | FROM hits""".stripMargin,
+    // q_w10: the WARCWALK record URIs re-grouped by authority with
+    // the identical host/TLD regexes (Java and RE2 agree on both)
+    "q_w10_url_host_stats" ->
+      s"""WITH RECURSIVE $WARCWALK,
+         | u AS (
+         |  SELECT lower(regexp_extract(target_uri,
+         |           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host,
+         |         target_uri, content_length
+         |  FROM wrecs WHERE target_uri IS NOT NULL),
+         | g AS (
+         |  SELECT host, CAST(COUNT(*) AS BIGINT) AS n_records,
+         |         CAST(COUNT(DISTINCT target_uri) AS BIGINT) AS n_uris,
+         |         CAST(SUM(content_length) AS BIGINT) AS total_content_bytes
+         |  FROM u WHERE host <> '' GROUP BY host)
+         | SELECT host, regexp_extract(host, '\\.([^.]+)$$', 1) AS tld,
+         |        n_records, n_uris, total_content_bytes
+         | FROM g""".stripMargin,
     // q_w1: the WARCWALK recursive re-walk verbatim (see its Scaladoc
     // for the derivation and tolerance rules)
     "q_w1_warc_records" ->

@@ -437,6 +437,33 @@ object Archives {
         "member_uncomp_bytes", "content_length", "warc_type", "target_uri")
   }
 
+  /** Host-level corpus statistics over a WARC record table (q_w1's
+   * shape) — the table web-corpus curation actually keys on: spam
+   * domains, per-host sampling caps and crawl-politeness budgets are
+   * all host-level decisions. Per host (lowercased authority of the
+   * record's WARC-Target-URI): record count, distinct-URI count, total
+   * declared content bytes, and the last dot-segment as a TLD column.
+   * Records without a URI (warcinfo etc.) drop out.
+   *
+   * Scale shape: aggregation over fixed-shape index rows only — the
+   * blobs were left behind by the record walk; the distinct-URI count
+   * adds the standard two-phase distinct aggregation, still keyed
+   * shuffles of small rows. */
+  def urlHostStats(records: DataFrame): DataFrame =
+    records
+      .filter(col("target_uri").isNotNull)
+      .withColumn("host", lower(regexp_extract(col("target_uri"),
+        "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)))
+      .filter(col("host") =!= "")
+      .groupBy("host")
+      .agg(
+        count(lit(1)).as("n_records"),
+        countDistinct(col("target_uri")).as("n_uris"),
+        sum(col("content_length")).as("total_content_bytes"))
+      .select(col("host"),
+        regexp_extract(col("host"), "\\.([^.]+)$", 1).as("tld"),
+        col("n_records"), col("n_uris"), col("total_content_bytes"))
+
   // ----------------------------------------------------------------- tar
 
   /** Parse the NUL/space-padded octal of a ustar numeric field;

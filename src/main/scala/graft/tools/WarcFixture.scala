@@ -36,7 +36,10 @@ object WarcFixture {
 
   def nBody(id: Long): Int = 2 + (id % 3).toInt
 
-  def uri(id: Long, i: Int): String = s"https://data.example.org/$id/doc$i"
+  /** Target URIs spread over five hosts (id % 5) so host-level
+   * aggregation (q_w10) has real grouping to prove. */
+  def uri(id: Long, i: Int): String =
+    s"https://data${id % 5}.example.org/$id/doc$i"
 
   def httpBody(id: Long, i: Int): String =
     s"doc $id $i " + Seq.fill(((id + i) % 4).toInt + 1)("lorem").mkString(" ")

@@ -312,6 +312,18 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("url host stats: keyed index-row shuffles only (distinct agg), blobs stay put") {
+    // record walk (zero-exchange) → host groupBy with a distinct-URI
+    // count: the standard two-phase distinct aggregation over small
+    // keyed rows — at most 2 exchanges, none carrying the media blob
+    audited(graft.ops.Archives.urlHostStats(
+      graft.ops.Archives.warcRecordTable(spark, Tables.warc(spark)))) { plan =>
+      assert(shuffles(plan).size <= 2, s"${shuffles(plan).size} shuffles:\n$plan")
+      assert(shuffles(plan).forall(_.output.forall(_.name != "media")),
+        s"blob column in an exchange:\n$plan")
+    }
+  }
+
   test("webdataset samples: exactly one shuffle, over index rows only") {
     // the sample groupBy shuffles (media_id, sample_key)-keyed index
     // rows — never blobs; partial aggregation keeps it one exchange

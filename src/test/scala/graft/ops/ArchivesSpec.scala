@@ -107,6 +107,37 @@ class ArchivesSpec extends SparkSpec {
     assert(visible == Map(6L -> "t 6 Doc 6 variant body 6 & more <tagged> 'q'"))
   }
 
+  test("url host stats: authority grouping, distinct URIs, TLD extraction") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 2L, 4L, 5L, 6L)
+    val stats = Archives.urlHostStats(Archives.warcRecordTable(spark,
+        ids.map(id => (id, "application/warc", WarcFixture.row(id)._2))
+          .toDF("media_id", "mime_type", "media")))
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // independent expectation from the record strings
+    val uris = ids.flatMap { id =>
+      WarcFixture.records(id).flatMap { r =>
+        val hdrEnd = r.indexOf("\r\n\r\n")
+        val clen = r.length.toLong - hdrEnd - 8
+        r.substring(0, hdrEnd).split("\r\n").drop(1).collectFirst {
+          case l if l.toLowerCase.startsWith("warc-target-uri:") =>
+            (l.substring("warc-target-uri:".length).trim, clen)
+        }
+      }
+    }
+    val byHost = uris.groupBy(_._1.split("/")(2).toLowerCase)
+    assert(stats.keySet == byHost.keySet)
+    assert(stats.keySet == ids.map(id => s"data${id % 5}.example.org").toSet)
+    byHost.foreach { case (host, us) =>
+      val (_, tld, nRec, nUri, bytes) = stats(host)
+      assert(tld == "org", host)
+      assert(nRec == us.size, host)
+      assert(nUri == us.map(_._1).distinct.size, host)
+      assert(bytes == us.map(_._2).sum, host)
+    }
+  }
+
   test("WARC walk: truncated tail unclaimed, junk yields nothing") {
     val t = Archives.warcRecords(WarcFixture.row(3)._2)
     assert(t.size == 1 && t.head._4.contains("warcinfo"))
