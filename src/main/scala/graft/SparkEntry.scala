@@ -578,6 +578,12 @@ object SparkEntry {
     // counts; aggregation touches only index rows, never blobs
     "q_w10_url_host_stats" -> ((s, _) =>
       Archives.urlHostStats(Archives.warcRecordTable(s, Tables.warc(s)))),
+    // q_w11: URL keep-latest dedup — the standard crawl rule: many
+    // shards fetch the same URL over time, keep the most recent
+    // response per URI (WARC-Date descending, deterministic
+    // tie-break); one URI-keyed window shuffle over index rows
+    "q_w11_url_dedup" -> ((s, _) =>
+      Archives.urlDedup(Archives.warcRecordTable(s, Tables.warc(s)))),
     // q_x20: MOSS-style cross-doc copy detection — winnow fingerprint
     // overlap with stop-fingerprint (df cap) pruning + containment
     "q_x20_copy_pairs" -> ((s, d) =>
@@ -1016,8 +1022,8 @@ object SparkEntry {
    * or a payload overrunning the file stops the walk unemitted — the
    * walker's exact tolerance rules. Ends in relations
    * `warc_m`(media_id, s, n) and `wrecs`(media_id, record_idx, off,
-   * content_offset, content_length, warc_type, target_uri). Used by
-   * q_w1/q_w6. */
+   * content_offset, content_length, warc_type, target_uri,
+   * warc_date). Used by q_w1/q_w6/q_w7/q_w8/q_w10/q_w11. */
   private def WARCWALK: String =
     s"""warc_m AS (
        |  SELECT media_id, decode(media) AS s, octet_length(media) AS n
@@ -1028,10 +1034,11 @@ object SparkEntry {
        |         CAST(NULL AS BIGINT) AS content_length,
        |         CAST(NULL AS VARCHAR) AS warc_type,
        |         CAST(NULL AS VARCHAR) AS target_uri,
+       |         CAST(NULL AS VARCHAR) AS warc_date,
        |         CAST(0 AS BIGINT) AS next_pos
        |  FROM warc_m
        |  UNION ALL
-       |  SELECT media_id, record_idx, pos, hdr_end + 4, clen, wtype, uri,
+       |  SELECT media_id, record_idx, pos, hdr_end + 4, clen, wtype, uri, wdate,
        |         hdr_end + 4 + clen + 4
        |  FROM (
        |    SELECT u.media_id, u.record_idx, u.pos, u.hdr_end, u.n,
@@ -1040,7 +1047,9 @@ object SparkEntry {
        |      nullif(trim(regexp_extract(u.hdr,
        |        '(?i)\\r\\n[ \\t]*warc-type[ \\t]*:([^\\r\\n]*)', 1)), '') AS wtype,
        |      nullif(trim(regexp_extract(u.hdr,
-       |        '(?i)\\r\\n[ \\t]*warc-target-uri[ \\t]*:([^\\r\\n]*)', 1)), '') AS uri
+       |        '(?i)\\r\\n[ \\t]*warc-target-uri[ \\t]*:([^\\r\\n]*)', 1)), '') AS uri,
+       |      nullif(trim(regexp_extract(u.hdr,
+       |        '(?i)\\r\\n[ \\t]*warc-date[ \\t]*:([^\\r\\n]*)', 1)), '') AS wdate
        |    FROM (
        |      SELECT t.media_id, t.record_idx, t.pos, t.n, t.hdr_end,
        |             substr(t.s, CAST(t.pos AS INT) + 1,
@@ -1063,7 +1072,7 @@ object SparkEntry {
        |  WHERE clen IS NOT NULL AND clen >= 0 AND hdr_end + 4 + clen <= n),
        | wrecs AS (
        |  SELECT media_id, record_idx, off, content_offset, content_length,
-       |         warc_type, target_uri
+       |         warc_type, target_uri, warc_date
        |  FROM warc_walk WHERE record_idx >= 0)""".stripMargin
 
   /** Shared DuckDB CTE body (no WITH): the `.warc.gz` member-span
@@ -1105,8 +1114,12 @@ object SparkEntry {
        |         ELSE 'response' END AS wtype,
        |    CASE WHEN k = 0 THEN NULL
        |         ELSE 'https://data' || CAST(media_id % 5 AS VARCHAR) ||
-       |                 '.example.org/' || CAST(media_id AS VARCHAR) ||
-       |                 '/doc' || CAST(k - 1 AS VARCHAR) END AS uri,
+       |                 '.example.org/page' ||
+       |                 CAST((media_id * 3 + k - 1) % 40 AS VARCHAR) END AS uri,
+       |    strftime(TIMESTAMP '2024-01-01 00:00:00' + to_seconds(
+       |        (media_id * 37 + (CASE WHEN k = 0 THEN 99 ELSE k - 1 END) * 61)
+       |          % 100000),
+       |      '%Y-%m-%dT%H:%M:%SZ') AS wd,
        |    CASE WHEN k = 0
        |         THEN 'software: graft-fixture ' || CAST(media_id AS VARCHAR) || crlf
        |         WHEN media_id % 2 = 0 AND k = 2
@@ -1135,6 +1148,7 @@ object SparkEntry {
        |                      uri || crlf ||
        |                      'Content-Type: application/http;msgtype=response'
        |         END || crlf ||
+       |         'WARC-Date: ' || wd || crlf ||
        |         CASE WHEN media_id % 2 = 1 THEN 'content-length'
        |              ELSE 'Content-Length' END ||
        |         ': ' || CAST(length(content) AS VARCHAR) || crlf || crlf ||
@@ -2680,6 +2694,24 @@ object SparkEntry {
          | SELECT host, regexp_extract(host, '\\.([^.]+)$$', 1) AS tld,
          |        n_records, n_uris, total_content_bytes
          | FROM g""".stripMargin,
+    // q_w11: the WARCWALK responses ranked per URI by the same
+    // (warc_date DESC, media_id, record_idx) window — ISO 8601 strings
+    // order lexicographically, so both engines compare raw strings
+    "q_w11_url_dedup" ->
+      s"""WITH RECURSIVE $WARCWALK,
+         | rsp AS (
+         |  SELECT media_id, record_idx, target_uri, warc_date
+         |  FROM wrecs
+         |  WHERE lower(warc_type) = 'response' AND target_uri IS NOT NULL),
+         | rk AS (
+         |  SELECT *,
+         |    ROW_NUMBER() OVER (PARTITION BY target_uri
+         |      ORDER BY warc_date DESC, media_id, record_idx) AS rank,
+         |    CAST(COUNT(*) OVER (PARTITION BY target_uri) AS BIGINT) AS n_fetches
+         |  FROM rsp)
+         | SELECT target_uri, media_id, CAST(record_idx AS INT) AS record_idx,
+         |        warc_date, n_fetches
+         | FROM rk WHERE rank = 1""".stripMargin,
     // q_w1: the WARCWALK recursive re-walk verbatim (see its Scaladoc
     // for the derivation and tolerance rules)
     "q_w1_warc_records" ->
@@ -2688,7 +2720,7 @@ object SparkEntry {
          |        CAST(off AS BIGINT) AS "offset",
          |        CAST(content_offset AS BIGINT) AS content_offset,
          |        CAST(content_length AS BIGINT) AS content_length,
-         |        warc_type, target_uri
+         |        warc_type, target_uri, warc_date
          | FROM wrecs""".stripMargin,
     // q_w6: the WARCWALK records restricted to responses, each
     // payload re-sliced from the decoded bytes and split at its first

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import Multimodal.MediaRow
@@ -40,22 +41,17 @@ object Archives {
 
   // ---------------------------------------------------------------- WARC
 
-  /** One WARC record: (offset, content_offset, content_length,
-   * warc_type, target_uri). Records are `WARC/1.0\r\n` + named header
-   * lines + `\r\n\r\n` + Content-Length payload bytes + `\r\n\r\n`.
-   * Header names are case-insensitive (ISO 28500 §4). A record whose
-   * header never terminates, carries no parsable Content-Length, or
-   * declares more payload than the file holds ends the walk
-   * unemitted. */
-  /** Parse ONE record header starting at `pos`: version line, the
-   * first CRLF-CRLF terminator, then the named header lines. Returns
-   * (content_offset, content_length, warc_type, target_uri) with the
-   * content offset ABSOLUTE in `b`, or None when the version line is
-   * absent, the header never terminates inside `b`, or Content-Length
-   * doesn't parse. Shared by [[warcRecords]] (full files) and
+  /** Parse ONE record header starting at `pos` — records are
+   * `WARC/1.0\r\n` + named header lines + `\r\n\r\n` + Content-Length
+   * payload bytes + `\r\n\r\n`; header names are case-insensitive
+   * (ISO 28500 §4). Returns (content_offset, content_length,
+   * warc_type, target_uri, warc_date) with the content offset
+   * ABSOLUTE in `b`, or None when the version line is absent, the
+   * header never terminates inside `b`, or Content-Length doesn't
+   * parse. Shared by [[warcRecords]] (full files) and
    * [[warcGzMembers]] (head-bounded scratch buffers). */
   private def warcHeader(
-      b: Array[Byte], pos: Int): Option[(Long, Long, Option[String], Option[String])] = {
+      b: Array[Byte], pos: Int): Option[(Long, Long, Option[String], Option[String], Option[String])] = {
     def lit(p: Int, s: String): Boolean =
       p + s.length <= b.length && s.indices.forall(i => (b(p + i) & 0xff) == s.charAt(i))
     if (!(lit(pos, "WARC/1.0\r\n") || lit(pos, "WARC/1.1\r\n"))) return None
@@ -72,6 +68,7 @@ object Archives {
     var clen = -1L
     var wtype: Option[String] = None
     var uri: Option[String] = None
+    var date: Option[String] = None
     hdr.split("\r\n").drop(1).foreach { line =>
       val ci = line.indexOf(':')
       if (ci > 0) {
@@ -81,24 +78,25 @@ object Archives {
             clen = try v.toLong catch { case _: NumberFormatException => -1L }
           case "warc-type"       => wtype = Some(v)
           case "warc-target-uri" => uri = Some(v)
+          case "warc-date"       => date = Some(v)
           case _                 => ()
         }
       }
     }
-    if (clen < 0) None else Some((hdrEnd + 4L, clen, wtype, uri))
+    if (clen < 0) None else Some((hdrEnd + 4L, clen, wtype, uri, date))
   }
 
   private[ops] def warcRecords(
-      b: Array[Byte]): Seq[(Long, Long, Long, Option[String], Option[String])] = {
+      b: Array[Byte]): Seq[(Long, Long, Long, Option[String], Option[String], Option[String])] = {
     if (b == null) return Nil
     val out = scala.collection.mutable.ArrayBuffer
-      .empty[(Long, Long, Long, Option[String], Option[String])]
+      .empty[(Long, Long, Long, Option[String], Option[String], Option[String])]
     var pos = 0
     var ok = true
     while (ok) {
       warcHeader(b, pos) match {
-        case Some((contentOff, clen, wtype, uri)) if contentOff + clen <= b.length =>
-          out += ((pos.toLong, contentOff, clen, wtype, uri))
+        case Some((contentOff, clen, wtype, uri, date)) if contentOff + clen <= b.length =>
+          out += ((pos.toLong, contentOff, clen, wtype, uri, date))
           pos = (contentOff + clen + 4).toInt // skip the two trailing CRLFs
         case _ => ok = false
       }
@@ -118,13 +116,13 @@ object Archives {
       .mapPartitions { rows =>
         rows.flatMap { r =>
           warcRecords(r.media).zipWithIndex.map {
-            case ((off, cOff, cLen, wtype, uri), i) =>
-              (r.media_id, i, off, cOff, cLen, wtype, uri)
+            case ((off, cOff, cLen, wtype, uri, date), i) =>
+              (r.media_id, i, off, cOff, cLen, wtype, uri, date)
           }
         }
       }
       .toDF("media_id", "record_idx", "offset", "content_offset",
-        "content_length", "warc_type", "target_uri")
+        "content_length", "warc_type", "target_uri", "warc_date")
   }
 
   /** HTTP status line: `HTTP/<ver> <3-digit status>[ <reason>]` — the
@@ -183,7 +181,7 @@ object Archives {
       .mapPartitions { rows =>
         rows.flatMap { r =>
           warcRecords(r.media).zipWithIndex.flatMap {
-            case ((_, cOff, cLen, wtype, _), i)
+            case ((_, cOff, cLen, wtype, _, _), i)
                 if wtype.exists(_.equalsIgnoreCase("response")) =>
               httpHead(r.media, cOff.toInt, cLen.toInt).map {
                 case (status, bodyRel, ctype) =>
@@ -216,7 +214,7 @@ object Archives {
       .mapPartitions { rows =>
         rows.flatMap { r =>
           warcRecords(r.media).zipWithIndex.flatMap {
-            case ((_, cOff, cLen, wtype, _), i)
+            case ((_, cOff, cLen, wtype, _, _), i)
                 if wtype.exists(_.equalsIgnoreCase("response")) =>
               httpHead(r.media, cOff.toInt, cLen.toInt).collect {
                 case (200, bodyRel, Some(ct))
@@ -343,7 +341,7 @@ object Archives {
       .empty[(Long, Long, Long, Long, Option[String], Option[String])]
     warcGzRawWalk(b, HeadBytes) { (off, end, total, head, headLen) =>
       warcHeader(java.util.Arrays.copyOf(head, headLen), 0) match {
-        case Some((contentOff, clen, wtype, uri)) if contentOff + clen <= total =>
+        case Some((contentOff, clen, wtype, uri, _)) if contentOff + clen <= total =>
           out += ((off, end - off, total, clen, wtype, uri))
           true
         case _ => false
@@ -379,7 +377,7 @@ object Archives {
       // stale — parsing them could fabricate a terminator
       val hb = java.util.Arrays.copyOf(head, headLen)
       val res = warcHeader(hb, 0) match {
-        case Some((contentOff, clen, wtype, _)) if contentOff + clen <= total =>
+        case Some((contentOff, clen, wtype, _, _)) if contentOff + clen <= total =>
           if (wtype.exists(_.equalsIgnoreCase("response")) && contentOff <= hb.length) {
             val avail = math.min(clen, (hb.length - contentOff).toLong).toInt
             httpHead(hb, contentOff.toInt, avail).foreach {
@@ -470,6 +468,29 @@ object Archives {
       .select(col("host"),
         regexp_extract(col("host"), "\\.([^.]+)$", 1).as("tld"),
         col("n_records"), col("n_uris"), col("total_content_bytes"))
+
+  /** URL keep-latest dedup over a WARC record table — the standard
+   * web-corpus rule: a crawl fetches the same URL from many shards
+   * over time; keep the MOST RECENT response per target URI
+   * (WARC-Date descending; ISO 8601 strings order lexicographically,
+   * so no cross-engine timestamp parsing is needed), tie-broken
+   * deterministically by (media_id, record_idx). One row per distinct
+   * URI with the kept record's coordinates and the fetch count.
+   *
+   * Scale shape: one URI-keyed window shuffle over fixed-shape index
+   * rows — a per-key top-1, never a self-join; at corpus scale the
+   * record table is the small derivative of the shards. */
+  def urlDedup(records: DataFrame): DataFrame = {
+    val byUri = Window.partitionBy("target_uri")
+    val w = byUri.orderBy(col("warc_date").desc, col("media_id"), col("record_idx"))
+    records
+      .filter(lower(col("warc_type")) === "response" && col("target_uri").isNotNull)
+      .withColumn("rank", row_number.over(w))
+      .withColumn("n_fetches", count(lit(1)).over(byUri))
+      .filter(col("rank") === 1)
+      .select(col("target_uri"), col("media_id"), col("record_idx"),
+        col("warc_date"), col("n_fetches"))
+  }
 
   // ----------------------------------------------------------------- tar
 

@@ -36,10 +36,21 @@ object WarcFixture {
 
   def nBody(id: Long): Int = 2 + (id % 3).toInt
 
-  /** Target URIs spread over five hosts (id % 5) so host-level
-   * aggregation (q_w10) has real grouping to prove. */
+  /** Target URIs spread over five hosts (id % 5) and forty paths per
+   * host, so host-level aggregation (q_w10) has real grouping and the
+   * same URI is fetched from MULTIPLE shards (the q_w11 keep-latest
+   * dedup case). */
   def uri(id: Long, i: Int): String =
-    s"https://data${id % 5}.example.org/$id/doc$i"
+    s"https://data${id % 5}.example.org/page${(id * 3 + i) % 40}"
+
+  /** WARC-Date seconds-offset and ISO string for record slot i —
+   * deterministic, colliding URIs get distinct dates so keep-latest
+   * has a real winner. */
+  def dateSec(id: Long, i: Int): Long = (id * 37 + i * 61) % 100000
+  def wdate(id: Long, i: Int): String =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochSecond(1704067200L + dateSec(id, i)))
 
   def httpBody(id: Long, i: Int): String =
     s"doc $id $i " + Seq.fill(((id + i) % 4).toInt + 1)("lorem").mkString(" ")
@@ -61,21 +72,24 @@ object WarcFixture {
     record(id,
       Seq("WARC-Type" -> "warcinfo",
         "WARC-Record-ID" -> f"<urn:uuid:${id}%08d-0000-0000-0000-000000000000>",
-        "Content-Type" -> "application/warc-fields"),
+        "Content-Type" -> "application/warc-fields",
+        "WARC-Date" -> wdate(id, 99)),
       s"software: graft-fixture $id\r\n")
 
   def response(id: Long, i: Int): String =
     record(id,
       Seq("WARC-Type" -> "response",
         "WARC-Target-URI" -> uri(id, i),
-        "Content-Type" -> "application/http;msgtype=response"),
+        "Content-Type" -> "application/http;msgtype=response",
+        "WARC-Date" -> wdate(id, i)),
       responseContent(id, i))
 
   def request(id: Long, i: Int): String =
     record(id,
       Seq("WARC-Type" -> "request",
         "WARC-Target-URI" -> uri(id, i),
-        "Content-Type" -> "application/http;msgtype=request"),
+        "Content-Type" -> "application/http;msgtype=request",
+        "WARC-Date" -> wdate(id, i)),
       s"GET /$id/doc$i HTTP/1.1\r\nHost: data.example.org\r\n")
 
   /** Variant HTTP head, cycling status / Content-Type — the q_w6
@@ -113,7 +127,8 @@ object WarcFixture {
     record(id,
       Seq("WARC-Type" -> "response",
         "WARC-Target-URI" -> uri(id, 90),
-        "Content-Type" -> "application/http;msgtype=response"),
+        "Content-Type" -> "application/http;msgtype=response",
+        "WARC-Date" -> wdate(id, 90)),
       head + "\r\n" + body)
   }
 
@@ -123,7 +138,8 @@ object WarcFixture {
     record(id,
       Seq("WARC-Type" -> "response",
         "WARC-Target-URI" -> uri(id, 91),
-        "Content-Type" -> "application/http;msgtype=response"),
+        "Content-Type" -> "application/http;msgtype=response",
+        "WARC-Date" -> wdate(id, 91)),
       if (id % 2 == 0) "HTTP/1.1 200 OK\r\nX-Cut: head never terminates"
       else s"%PDF-1.4 not-http bytes $id")
 

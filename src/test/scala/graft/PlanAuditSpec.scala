@@ -324,6 +324,16 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("url dedup: one URI-keyed window shuffle, never a self-join") {
+    audited(graft.ops.Archives.urlDedup(
+      graft.ops.Archives.warcRecordTable(spark, Tables.warc(spark)))) { plan =>
+      assert(shuffles(plan).size == 1, s"${shuffles(plan).size} shuffles:\n$plan")
+      assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty)
+      assert(shuffles(plan).forall(_.output.forall(_.name != "media")),
+        s"blob column in an exchange:\n$plan")
+    }
+  }
+
   test("webdataset samples: exactly one shuffle, over index rows only") {
     // the sample groupBy shuffles (media_id, sample_key)-keyed index
     // rows — never blobs; partial aggregation keeps it one exchange

@@ -22,7 +22,8 @@ class ArchivesSpec extends SparkSpec {
               l.substring(name.length + 1).trim
           }
         val clen = r.length.toLong - hdrEnd - 8
-        val row = (off, off + hdrEnd + 4, clen, h("warc-type"), h("warc-target-uri"))
+        val row = (off, off + hdrEnd + 4, clen,
+          h("warc-type"), h("warc-target-uri"), h("warc-date"))
         off += r.length
         row
       }
@@ -138,6 +139,45 @@ class ArchivesSpec extends SparkSpec {
     }
   }
 
+  test("url keep-latest dedup: most recent fetch wins per URI, fetch counts kept") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 2L, 4L, 5L, 6L, 8L, 9L, 10L, 12L)
+    val got = Archives.urlDedup(Archives.warcRecordTable(spark,
+        ids.map(id => (id, "application/warc", WarcFixture.row(id)._2))
+          .toDF("media_id", "mime_type", "media")))
+      .as[(String, Long, Int, String, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // independent expectation: every response record's (uri, date,
+    // media, idx), grouped by uri, max by (date, -media, -idx) order
+    val fetches = ids.flatMap { id =>
+      WarcFixture.records(id).zipWithIndex.flatMap { case (r, i) =>
+        val hdrEnd = r.indexOf("\r\n\r\n")
+        def h(n: String): Option[String] =
+          r.substring(0, hdrEnd).split("\r\n").drop(1).collectFirst {
+            case l if l.toLowerCase.startsWith(n + ":") =>
+              l.substring(n.length + 1).trim
+          }
+        if (h("warc-type").contains("response"))
+          h("warc-target-uri").map(u => (u, h("warc-date").get, id, i))
+        else None
+      }
+    }
+    val byUri = fetches.groupBy(_._1)
+    assert(got.keySet == byUri.keySet)
+    // collisions exist: at least one URI fetched from several shards
+    assert(byUri.values.exists(_.size > 1))
+    byUri.foreach { case (u, fs) =>
+      val best = fs.minBy { case (_, d, id, i) => (reverseStr(d), id, i) }
+      val (_, mediaId, recIdx, date, n) = got(u)
+      assert(n == fs.size, u)
+      assert((date, mediaId, recIdx.toLong) == (best._2, best._3, best._4.toLong), u)
+    }
+  }
+
+  /** Orders descending when used inside an ascending minBy: flips each
+   * char so lexicographic min picks the lexicographic max. */
+  private def reverseStr(s: String): String = s.map(c => (0xffff - c).toChar)
+
   test("WARC walk: truncated tail unclaimed, junk yields nothing") {
     val t = Archives.warcRecords(WarcFixture.row(3)._2)
     assert(t.size == 1 && t.head._4.contains("warcinfo"))
@@ -160,7 +200,7 @@ class ArchivesSpec extends SparkSpec {
         assert(gOff == off && gComp == m.length && gUncomp == bytes.length,
           s"id=$id k=$k span")
         // record identity agrees with the plain-WARC walk of the record
-        val (_, _, clen, wtype, uri) = Archives.warcRecords(bytes).head
+        val (_, _, clen, wtype, uri, _) = Archives.warcRecords(bytes).head
         assert(gClen == clen && gType == wtype && gUri == uri, s"id=$id k=$k identity")
         off += m.length
       }
