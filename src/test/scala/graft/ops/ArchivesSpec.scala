@@ -342,6 +342,33 @@ class ArchivesSpec extends SparkSpec {
     assert(walked.map(_._1) == Seq("././@LongLink", "short.txt"))
   }
 
+  test("malformed PAX payloads never override and never throw") {
+    def tarWithPax(payload: String): Array[Byte] = {
+      val p = payload.getBytes("US-ASCII")
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(TarFixture.header("PaxHeaders/x", p.length.toLong, 'x'.toByte))
+      out.write(p); out.write(new Array[Byte]((512 - p.length % 512) % 512))
+      out.write(TarFixture.header("plain.txt", 2L, '0'.toByte))
+      out.write("ab".getBytes("US-ASCII")); out.write(new Array[Byte](510))
+      out.write(new Array[Byte](1024))
+      out.toByteArray
+    }
+    def nameAfterPax(payload: String): String =
+      Archives.tarMembers(tarWithPax(payload)).last._1
+    // well-formed: the fixture's own record form overrides
+    assert(nameAfterPax(TarFixture.paxRecord("override.txt")) == "override.txt")
+    // length prefix lies long / short, missing newline, no digits,
+    // non-path keys, empty value: all leave the stored name alone
+    assert(nameAfterPax("99 path=liar.txt\n") == "plain.txt")
+    assert(nameAfterPax("5 path=liar.txt\n") == "plain.txt")
+    assert(nameAfterPax("16 path=cut.txt") == "plain.txt")
+    assert(nameAfterPax("path=nolen.txt\n") == "plain.txt")
+    assert(nameAfterPax("14 mtime=12345\n") == "plain.txt")
+    assert(nameAfterPax("8 path=\n") == "plain.txt")
+    // a malformed SECOND record keeps the path the FIRST one parsed
+    assert(nameAfterPax(TarFixture.paxRecord("kept.txt") + "99 junk") == "kept.txt")
+  }
+
   test("tar walk: size overrun unclaimed, junk yields nothing, checksum is real") {
     val t = Archives.tarMembers(TarFixture.row(3L)._2)
     assert(t.size == 1 && t.head._1 == "s3_0.jpg")
