@@ -584,6 +584,15 @@ object SparkEntry {
     // tie-break); one URI-keyed window shuffle over index rows
     "q_w11_url_dedup" -> ((s, _) =>
       Archives.urlDedup(Archives.warcRecordTable(s, Tables.warc(s)))),
+    // q_w12: WebDataset image–text PAIR table — the canonical
+    // multimodal training job: per sample, the REAL JPEG header dims
+    // (segment walk to SOF0) + the caption text, grouped inside the
+    // same partition-local pass that walks the shard (zero shuffle —
+    // a sample's members never straddle shards). The oracle re-walks
+    // the grid (TARWALK) and re-parses the image header bytes with
+    // its own hex arithmetic at the layout-pinned SOF offset
+    "q_w12_wds_pairs" -> ((s, _) =>
+      Archives.webdatasetPairTable(s, Tables.tar(s))),
     // q_x20: MOSS-style cross-doc copy detection — winnow fingerprint
     // overlap with stop-fingerprint (df cap) pruning + containment
     "q_x20_copy_pairs" -> ((s, d) =>
@@ -1282,14 +1291,23 @@ object SparkEntry {
        |         CAST(data_offset AS BIGINT) AS data_offset,
        |         CAST(n_bytes AS BIGINT) AS n_bytes, typeflag
        |  FROM tar_walk WHERE member_idx >= 0),
-       | members_ov AS (
+       | members_lag AS (
        |  SELECT r.*,
        |         lag(r.typeflag) OVER w AS prev_tf,
-       |         decode(unhex(substr(t.h,
-       |           CAST(2 * lag(r.data_offset) OVER w AS BIGINT) + 1,
-       |           CAST(2 * lag(r.n_bytes) OVER w AS BIGINT)))) AS prev_payload
-       |  FROM members_raw r JOIN tar_m t USING (media_id)
+       |         lag(r.data_offset) OVER w AS prev_off,
+       |         lag(r.n_bytes) OVER w AS prev_len
+       |  FROM members_raw r
        |  WINDOW w AS (PARTITION BY r.media_id ORDER BY r.member_idx)),
+       | members_ov AS (
+       |  -- decode the previous payload ONLY for L/x override entries:
+       |  -- ordinary members may carry binary (non-UTF8) payloads that
+       |  -- decode() rejects
+       |  SELECT r.*,
+       |         CASE WHEN r.prev_tf IN ('L', 'x')
+       |              THEN decode(unhex(substr(t.h,
+       |                CAST(2 * r.prev_off AS BIGINT) + 1,
+       |                CAST(2 * r.prev_len AS BIGINT)))) END AS prev_payload
+       |  FROM members_lag r JOIN tar_m t USING (media_id)),
        | members AS (
        |  SELECT media_id, member_idx,
        |    CASE WHEN typeflag NOT IN ('L', 'x') AND prev_tf = 'L'
@@ -2904,6 +2922,55 @@ object SparkEntry {
          |              substr(name, strpos(name, '.') + 1) AS ext, n_bytes
          |       FROM members WHERE typeflag = '0' AND strpos(name, '.') > 0) t
          | GROUP BY media_id, sample_key""".stripMargin,
+    // q_w12: the TARWALK members re-grouped at the first dot, the
+    // `.jpg` member's image header re-parsed from the hex bytes at
+    // the fixture layout's pinned offsets (SOI at 0, SOF0 at 20,
+    // big-endian height/width at 25/27 — the same layout-implied
+    // arithmetic as q_m2's oracle), the `.txt` caption decoded from
+    // its payload span; first member per extension wins, like the op
+    "q_w12_wds_pairs" ->
+      s"""WITH RECURSIVE $TARWALK,
+         | wds12 AS (
+         |  SELECT media_id, member_idx, data_offset, n_bytes,
+         |         substr(name, 1, strpos(name, '.') - 1) AS sample_key,
+         |         substr(name, strpos(name, '.') + 1) AS ext
+         |  FROM members WHERE typeflag = '0' AND strpos(name, '.') > 0),
+         | smp12 AS (
+         |  SELECT media_id, sample_key, CAST(count(*) AS BIGINT) AS n_components
+         |  FROM wds12 GROUP BY media_id, sample_key),
+         | jpg12 AS (
+         |  SELECT media_id, sample_key, img_bytes,
+         |    CASE WHEN ok THEN 'jpeg' END AS img_format,
+         |    CASE WHEN ok THEN w END AS width,
+         |    CASE WHEN ok THEN h2 END AS height
+         |  FROM (
+         |    SELECT j.media_id, j.sample_key,
+         |      CAST(j.n_bytes AS BIGINT) AS img_bytes,
+         |      (substr(t.h, CAST(2 * j.data_offset AS BIGINT) + 1, 4) = 'FFD8'
+         |       AND substr(t.h, CAST(2 * (j.data_offset + 20) AS BIGINT) + 1, 4)
+         |           = 'FFC0') AS ok,
+         |      TRY_CAST('0x' || substr(t.h,
+         |        CAST(2 * (j.data_offset + 27) AS BIGINT) + 1, 4) AS INTEGER) AS w,
+         |      TRY_CAST('0x' || substr(t.h,
+         |        CAST(2 * (j.data_offset + 25) AS BIGINT) + 1, 4) AS INTEGER) AS h2,
+         |      row_number() OVER (PARTITION BY j.media_id, j.sample_key
+         |                         ORDER BY j.member_idx) AS rn
+         |    FROM wds12 j JOIN tar_m t USING (media_id) WHERE j.ext = 'jpg') u
+         |  WHERE rn = 1),
+         | txt12 AS (
+         |  SELECT media_id, sample_key, caption FROM (
+         |    SELECT w.media_id, w.sample_key,
+         |      decode(unhex(substr(t.h, CAST(2 * w.data_offset AS BIGINT) + 1,
+         |        CAST(2 * w.n_bytes AS BIGINT)))) AS caption,
+         |      row_number() OVER (PARTITION BY w.media_id, w.sample_key
+         |                         ORDER BY w.member_idx) AS rn
+         |    FROM wds12 w JOIN tar_m t USING (media_id) WHERE w.ext = 'txt') u
+         |  WHERE rn = 1)
+         | SELECT s.media_id, s.sample_key, s.n_components, j.img_format,
+         |        j.width, j.height, j.img_bytes, t.caption
+         | FROM smp12 s
+         | LEFT JOIN jpg12 j USING (media_id, sample_key)
+         | LEFT JOIN txt12 t USING (media_id, sample_key)""".stripMargin,
     // q_w5: member spans re-derived from the bytes (aligned scan for
     // the fixture's pinned 10-byte gzip header — 9 fixed bytes plus a
     // contract FLG, back-to-back members ⇒ span = next start − start,

@@ -663,6 +663,53 @@ object Archives {
         sum(col("n_bytes")).as("total_bytes"),
         array_join(array_sort(collect_list(col("ext"))), ",").as("exts"))
 
+  /** WebDataset image–text PAIR table — the canonical multimodal
+   * training-data job over tar shards: one row per (shard, sample)
+   * with the sample's image header fields (format/width/height parsed
+   * from the `.jpg` member's REAL bytes by
+   * [[Multimodal.ImageHeaders]]'s segment walk) and its `.txt`
+   * caption, derived in the SAME partition-local pass that walks the
+   * shard. All of a sample's members live inside one shard by the
+   * WebDataset contract, so the sample grouping happens inside the
+   * map partition and the operator is ZERO-shuffle: at corpus scale
+   * every shard contributes only fixed-shape rows and no payload
+   * byte beyond the caption string leaves the partition. A sample
+   * with several images/captions keeps the first by member order
+   * (deterministic); missing or unparsable components are NULLs,
+   * never errors. */
+  def webdatasetPairTable(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("mime_type"), col("media"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val regular = tarMembers(r.media).zipWithIndex.collect {
+            case ((name, _, dOff, size, "0"), i) if name.contains(".") =>
+              val dot = name.indexOf('.')
+              (name.substring(0, dot), name.substring(dot + 1), dOff, size, i)
+          }
+          regular.groupBy(_._1).toSeq.map { case (key, comps) =>
+            val jpg = comps.filter(_._2 == "jpg").sortBy(_._5).headOption
+            val txt = comps.filter(_._2 == "txt").sortBy(_._5).headOption
+            val meta = jpg.flatMap { case (_, _, off, size, _) =>
+              Multimodal.ImageHeaders.imageMeta(
+                java.util.Arrays.copyOfRange(r.media, off.toInt, (off + size).toInt))
+            }
+            (r.media_id, key, comps.size.toLong,
+              meta.map(_.format).orNull,
+              meta.map(_.width), meta.map(_.height),
+              jpg.map(_._4),
+              txt.map { case (_, _, off, size, _) =>
+                new String(r.media, off.toInt, size.toInt,
+                  java.nio.charset.StandardCharsets.US_ASCII)
+              }.orNull)
+          }
+        }
+      }
+      .toDF("media_id", "sample_key", "n_components", "img_format",
+        "width", "height", "img_bytes", "caption")
+  }
+
   // ----------------------------------------------------------------- ZIP
 
   private def le16(b: Array[Byte], p: Int): Int =

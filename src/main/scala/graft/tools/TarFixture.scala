@@ -26,7 +26,11 @@ package graft.tools
  *                  routinely; the walker must apply the override so
  *                  sample grouping sees the full key.
  *  - else        → a WebDataset shard: 2 + id%3 samples, each with
- *                  members `s<id>_<k>.jpg` + `s<id>_<k>.txt`, plus
+ *                  members `s<id>_<k>.jpg` (a REAL minimal JPEG —
+ *                  SOI/JFIF APP0/SOF0-at-20 with deterministic dims /
+ *                  COM filler/EOI — so the q_w12 pair table has
+ *                  genuine image headers to parse) + `s<id>_<k>.txt`
+ *                  (ASCII caption), plus
  *                  `s<id>_<k>.meta.json` for even k (multi-dot
  *                  extension: WebDataset keys split at the FIRST
  *                  dot). Every member is a regular file (typeflag
@@ -60,6 +64,36 @@ object TarFixture {
       .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
   }
 
+  /** Deterministic per-sample image dimensions for the REAL JPEG
+   * member payloads (the q_w12 pair table parses these back out). */
+  def jpegWidth(id: Long, k: Int): Int = 8 * (1 + ((id + k) % 6).toInt)
+  def jpegHeight(id: Long, k: Int): Int = 8 * (1 + ((2 * id + k) % 5).toInt)
+
+  /** A minimal REAL JPEG of exactly `len` bytes (len >= 41): SOI, a
+   * standard 18-byte JFIF APP0, an SOF0 frame header at byte 20
+   * carrying height/width as big-endian 16-bit ints, one COM segment
+   * whose length absorbs the remaining budget, EOI. Any
+   * segment-walking parser (ours, or the oracle's fixed-offset
+   * arithmetic — the layout pins SOF0 at 20) reads the dims back. */
+  def jpegPayload(id: Long, k: Int, len: Int): Array[Byte] = {
+    require(len >= 41, s"jpeg member needs >= 41 bytes, got $len")
+    val b = new Array[Byte](len)
+    def put(off: Int, vs: Int*): Unit =
+      vs.zipWithIndex.foreach { case (v, i) => b(off + i) = v.toByte }
+    val w = jpegWidth(id, k)
+    val h = jpegHeight(id, k)
+    put(0, 0xff, 0xd8) // SOI
+    put(2, 0xff, 0xe0, 0, 16, 'J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0)
+    // SOF0 at 20: len=11 (precision + h + w + 1 component spec)
+    put(20, 0xff, 0xc0, 0, 11, 8, h >> 8, h & 0xff, w >> 8, w & 0xff, 1, 1, 0x11, 0)
+    val comLen = len - 33 - 2 - 2 // COM payload after its 2 len bytes, before EOI
+    put(33, 0xff, 0xfe, (comLen + 2) >> 8, (comLen + 2) & 0xff)
+    var i = 0
+    while (i < comLen) { b(37 + i) = ('a' + (id + k + i) % 26).toByte; i += 1 }
+    put(len - 2, 0xff, 0xd9) // EOI
+    b
+  }
+
   /** Members of one shard in tar order: (name, bytes) — the LOGICAL
    * view with full names; [[tar]] adds the L/x override entries the
    * physical layout needs when a name exceeds 100 bytes. */
@@ -67,7 +101,7 @@ object TarFixture {
     (0 until nSamples(id)).flatMap { k =>
       val base = sampleKey(id, k)
       Seq(
-        s"$base.jpg" -> payload("jpg", id, k, jpgLen(id, k)),
+        s"$base.jpg" -> jpegPayload(id, k, jpgLen(id, k)),
         s"$base.txt" -> payload("txt", id, k, txtLen(id, k))) ++
         (if (k % 2 == 0)
           Seq(s"$base.meta.json" -> payload("json", id, k, jsonLen(id, k)))

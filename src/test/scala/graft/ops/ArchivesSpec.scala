@@ -456,6 +456,40 @@ class ArchivesSpec extends SparkSpec {
     assert(expect.exists(_._2.length > 100))
   }
 
+  test("webdataset pairs: real JPEG dims + caption per sample, zero shuffle") {
+    import spark.implicits._
+    val got = Archives.webdatasetPairTable(spark,
+      Seq((0L, "application/x-tar", TarFixture.row(0L)._2),
+        (5L, "application/x-tar", TarFixture.row(5L)._2),
+        (7L, "application/x-tar", TarFixture.row(7L)._2)) // junk: no rows
+        .toDF("media_id", "mime_type", "media"))
+    assert(got.queryExecution.executedPlan.toString().contains("Exchange")
+      == false, "pair table must not shuffle")
+    val rows = got.as[(Long, String, Long, Option[String], Option[Int],
+      Option[Int], Option[Long], Option[String])].collect().toSet
+    val expect = Seq(0L, 5L).flatMap { id =>
+      (0 until TarFixture.nSamples(id)).map { k =>
+        (id, TarFixture.sampleKey(id, k), if (k % 2 == 0) 3L else 2L,
+          Some("jpeg"), Some(TarFixture.jpegWidth(id, k)),
+          Some(TarFixture.jpegHeight(id, k)),
+          Some(TarFixture.jpgLen(id, k).toLong),
+          Some(new String(TarFixture.payload("txt", id, k,
+            TarFixture.txtLen(id, k)), "US-ASCII")))
+      }
+    }.toSet
+    assert(rows == expect)
+    // a sample with an unparsable image keeps its caption, dims NULL
+    val junkImg = TarFixture.header("x.jpg", 4L) ++
+      "junk".getBytes("US-ASCII") ++ new Array[Byte](508) ++
+      TarFixture.header("x.txt", 2L) ++ "hi".getBytes("US-ASCII") ++
+      new Array[Byte](510) ++ new Array[Byte](1024)
+    val broken = Archives.webdatasetPairTable(spark,
+      Seq((9L, "application/x-tar", junkImg)).toDF("media_id", "mime_type", "media"))
+      .as[(Long, String, Long, Option[String], Option[Int],
+        Option[Int], Option[Long], Option[String])].collect().toSeq
+    assert(broken == Seq((9L, "x", 2L, None, None, None, Some(4L), Some("hi"))))
+  }
+
   test("archive walks: totality fuzz — arbitrary bytes never throw") {
     val rnd = new scala.util.Random(41)
     for (_ <- 0 until 200) {
