@@ -310,6 +310,12 @@ class PlanAuditSpec extends SparkSpec {
     audited(graft.ops.Archives.warcGzBodyTextTable(spark, Tables.warcgz(spark))) { plan =>
       assert(shuffles(plan).isEmpty, s"${shuffles(plan).size} shuffles:\n$plan")
     }
+    // the image-text pair table groups a sample INSIDE the partition
+    // that walks its shard (a sample's members never straddle
+    // shards), so the whole multimodal pairing is zero-exchange
+    audited(graft.ops.Archives.webdatasetPairTable(spark, Tables.tar(spark))) { plan =>
+      assert(shuffles(plan).isEmpty, s"${shuffles(plan).size} shuffles:\n$plan")
+    }
   }
 
   test("url host stats: keyed index-row shuffles only (distinct agg), blobs stay put") {

@@ -140,6 +140,17 @@ class ShardListStreamSpec extends SparkSpec {
     streamed("zip_stream", rows, Archives.zipEntryTable)
   }
 
+  test("streamed WebDataset pair table equals the batch pairing over the grown directory") {
+    // unlike webdatasetSamples, the pair table groups INSIDE the
+    // partition-local shard walk, so its streaming face is a plain
+    // stateless transform like the walkers — append mode, no state
+    val rows = (0L until 12L).map { id =>
+      val (mime, bytes) = graft.tools.TarFixture.row(id)
+      (id, mime, bytes)
+    }
+    streamed("wdspair_stream", rows, Archives.webdatasetPairTable)
+  }
+
   test("streamed WebDataset sample table equals the batch grouping over the grown directory") {
     // unlike the stateless walkers, the sample table AGGREGATES
     // (groupBy media_id, sample_key) — its streaming face is a
