@@ -584,6 +584,13 @@ object SparkEntry {
     // tie-break); one URI-keyed window shuffle over index rows
     "q_w11_url_dedup" -> ((s, _) =>
       Archives.urlDedup(Archives.warcRecordTable(s, Tables.warc(s)))),
+    // q_w13: per-host page cap AFTER keep-latest URL dedup — the
+    // dominance control of web curation (crawler-trap domains can't
+    // swamp the corpus): at most 15 pages per host in stable
+    // URI-hash order; one host-keyed window over index rows
+    "q_w13_host_cap" -> ((s, _) =>
+      Archives.hostCap(
+        Archives.urlDedup(Archives.warcRecordTable(s, Tables.warc(s))), 15)),
     // q_w12: WebDataset image–text PAIR table — the canonical
     // multimodal training job: per sample, the REAL JPEG header dims
     // (segment walk to SOF0) + the caption text, grouped inside the
@@ -2730,6 +2737,32 @@ object SparkEntry {
          | SELECT target_uri, media_id, CAST(record_idx AS INT) AS record_idx,
          |        warc_date, n_fetches
          | FROM rk WHERE rank = 1""".stripMargin,
+    // q_w13: the q_w11 dedup chain + the per-host cap in the same
+    // stable URI-hash order (MDH % 1e6, URI tie-break)
+    "q_w13_host_cap" ->
+      s"""WITH RECURSIVE $WARCWALK,
+         | rsp AS (
+         |  SELECT media_id, record_idx, target_uri, warc_date
+         |  FROM wrecs
+         |  WHERE lower(warc_type) = 'response' AND target_uri IS NOT NULL),
+         | rk AS (
+         |  SELECT *,
+         |    ROW_NUMBER() OVER (PARTITION BY target_uri
+         |      ORDER BY warc_date DESC, media_id, record_idx) AS rank
+         |  FROM rsp),
+         | dd AS (
+         |  SELECT target_uri, media_id, record_idx,
+         |    lower(regexp_extract(target_uri,
+         |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host
+         |  FROM rk WHERE rank = 1),
+         | cp AS (
+         |  SELECT host, target_uri, media_id, record_idx,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY host
+         |      ORDER BY ${MDH("target_uri")} % 1000000, target_uri) AS INTEGER) AS pick
+         |  FROM dd WHERE host <> '')
+         | SELECT host, target_uri, media_id, CAST(record_idx AS INT) AS record_idx,
+         |        pick
+         | FROM cp WHERE pick <= 15""".stripMargin,
     // q_w1: the WARCWALK recursive re-walk verbatim (see its Scaladoc
     // for the derivation and tolerance rules)
     "q_w1_warc_records" ->

@@ -492,6 +492,33 @@ object Archives {
         col("warc_date"), col("n_fetches"))
   }
 
+  /** Per-host page cap over the URL-deduped crawl — the curation step
+   * after keep-latest dedup: at most `n` pages per host, picked in
+   * stable URI-hash order (membership is a pure function of the URI,
+   * so the kept set never changes under re-partitioning or re-runs,
+   * and `pick <= m` nests a smaller sample for every m < n). The
+   * dominance control that stops one crawler-trap domain from
+   * swamping the corpus — the crawl-side twin of
+   * [[Sampling.perSourceCap]].
+   *
+   * Scale shape: host extraction is map-side; one host-keyed window
+   * shuffle over fixed-shape index rows (the deduped URL table, many
+   * orders smaller than the shards it indexes). A pathological
+   * mega-host is bounded by the window's per-key sort spilling, and
+   * the emitted set per host is at most `n` rows. */
+  def hostCap(deduped: DataFrame, n: Int = 100): DataFrame = {
+    val w = Window.partitionBy("host").orderBy(
+      pmod(Dedup.mdhash(col("target_uri")), lit(1000000L)), col("target_uri"))
+    deduped
+      .withColumn("host", lower(regexp_extract(col("target_uri"),
+        "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)))
+      .filter(col("host") =!= "")
+      .withColumn("pick", row_number().over(w))
+      .filter(col("pick") <= n)
+      .select(col("host"), col("target_uri"), col("media_id"),
+        col("record_idx"), col("pick"))
+  }
+
   // ----------------------------------------------------------------- tar
 
   /** Parse the NUL/space-padded octal of a ustar numeric field;

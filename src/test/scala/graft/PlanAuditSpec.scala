@@ -340,6 +340,17 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("host cap: URI-window then host-window shuffles over index rows, blobs stay put") {
+    audited(graft.ops.Archives.hostCap(
+      graft.ops.Archives.urlDedup(
+        graft.ops.Archives.warcRecordTable(spark, Tables.warc(spark))), 15)) { plan =>
+      assert(shuffles(plan).size <= 2, s"${shuffles(plan).size} shuffles:\n$plan")
+      assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty)
+      assert(shuffles(plan).forall(_.output.forall(_.name != "media")),
+        s"blob column in an exchange:\n$plan")
+    }
+  }
+
   test("webdataset samples: exactly one shuffle, over index rows only") {
     // the sample groupBy shuffles (media_id, sample_key)-keyed index
     // rows — never blobs; partial aggregation keeps it one exchange
