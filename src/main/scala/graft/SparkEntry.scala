@@ -591,6 +591,69 @@ object SparkEntry {
     "q_w13_host_cap" -> ((s, _) =>
       Archives.hostCap(
         Archives.urlDedup(Archives.warcRecordTable(s, Tables.warc(s))), 15)),
+    // q_w14: URL rule filter AUDIT — the curation stage that rejects
+    // pages on the URI alone (blocklist broadcast join + IP-host /
+    // extension / query-spam / path-depth / length rules), every
+    // deduped URL with its first-matching `blocked_reason` or NULL;
+    // rules are map-side codegen, the blocklist ships broadcast
+    "q_w14_url_filter" -> ((s, _) => {
+      import s.implicits._
+      Archives.urlFilter(
+        Archives.urlDedup(Archives.warcRecordTable(s, Tables.warc(s))),
+        Archives.defaultBlockedHosts.toDF("blocked_host"))
+    }),
+    // q_w15: end-to-end CORPUS BUILD — the full web-curation chain
+    // from green pieces: record walk → keep-latest URL dedup → URL
+    // rule filter (kept rows only) → per-host cap → WET text
+    // extraction joined back on the kept coordinates → language ID +
+    // quality score. What a Common Crawl → training-corpus job runs.
+    "q_w15_corpus_build" -> ((s, _) => {
+      import s.implicits._
+      val warc = Tables.warc(s)
+      val kept = Archives.urlFilter(
+          Archives.urlDedup(Archives.warcRecordTable(s, warc)),
+          Archives.defaultBlockedHosts.toDF("blocked_host"))
+        .filter(col("blocked_reason").isNull)
+      val capped = Archives.hostCap(kept, 15)
+      val text = Archives.warcBodyTextTable(s, warc)
+        .select(col("media_id"), col("record_idx"), col("content_type"),
+          TextAnalysis.htmlVisibleText(col("body_text")).as("text"))
+        .filter(col("text") =!= "")
+      capped.join(text, Seq("media_id", "record_idx"))
+        .select(col("host"), col("target_uri"), col("media_id"),
+          col("record_idx"), col("pick"), col("content_type"), col("text"),
+          TextAnalysis.predictedLangCol(col("text")).as("predicted_lang"),
+          TextAnalysis.qualityScoreCol(col("text")).as("quality_score"))
+    }),
+    // q_w16: URL canonicalization + SURT key — every distinct crawl
+    // URI with its canonical form (case/www/default-port/fragment/
+    // tracking-param noise removed, remaining params sorted) and the
+    // Common Crawl-style sort key; n_aliases counts URIs that merge
+    // onto one canonical form (the fixture's alias records do).
+    // Map-side projection + one canonical-keyed count window
+    "q_w16_url_canonical" -> ((s, _) =>
+      Archives.urlCanonical(
+        Archives.warcRecordTable(s, Tables.warc(s))
+          .filter(col("target_uri").isNotNull)
+          .select("target_uri").distinct())
+        .withColumn("n_aliases", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("canonical_uri")))),
+    // q_w17: cross-snapshot CRAWL DELTA — what makes a monthly 100 TB
+    // recrawl tractable: keep-latest + body-digest page identity per
+    // snapshot (old = media_id < 300, new = media_id >= 200 — the
+    // overlap yields real unchanged/changed rows), then one URI-keyed
+    // full-outer join; downstream re-processes only added/changed
+    "q_w17_crawl_delta" -> ((s, _) => {
+      val warc = Tables.warc(s)
+      def snap(pred: org.apache.spark.sql.Column) = {
+        val m = warc.filter(pred)
+        Archives.pageDigests(
+          Archives.warcRecordTable(s, m), Archives.warcBodyTextTable(s, m))
+      }
+      Archives.crawlDelta(
+        snap(col("media_id") < 300), snap(col("media_id") >= 200))
+    }),
     // q_w12: WebDataset image–text PAIR table — the canonical
     // multimodal training job: per sample, the REAL JPEG header dims
     // (segment walk to SOF0) + the caption text, grouped inside the
@@ -1334,6 +1397,38 @@ object SparkEntry {
 
   /** DuckDB twin of Dedup.mdhash. */
   private def MDH(e: String): String = s"('0x'||substr(md5($e),1,15))::UBIGINT::BIGINT"
+
+  /** DuckDB twin of Archives.urlFilter's rule chain — identical
+   * precedence and RE2-safe regexes, the blocklist inlined
+   * (Archives.defaultBlockedHosts). Expects `host`, `pth`, `qry`,
+   * `target_uri` in scope; NULL = kept. */
+  private def urlReasonSql: String = {
+    val bl = graft.ops.Archives.defaultBlockedHosts
+      .map(h => s"'$h'").mkString(", ")
+    s"""CASE WHEN host = '' THEN 'unparsable'
+       |  WHEN host IN ($bl) THEN 'blocked_host'
+       |  WHEN regexp_matches(host,
+       |    '^\\d{1,3}(\\.\\d{1,3}){3}(:\\d+)?$$') THEN 'ip_host'
+       |  WHEN regexp_matches(pth,
+       |    '(?i)\\.(png|jpe?g|gif|webp|ico|svg|css|js|woff2?|ttf|mp4|webm|mp3|zip|gz|tar|exe|dmg|iso)$$')
+       |    THEN 'banned_extension'
+       |  WHEN regexp_matches(qry,
+       |    '(?i)(^|&)(sessionid|phpsessid|jsessionid|sid|utm_[a-z]+)=')
+       |    THEN 'query_spam'
+       |  WHEN length(regexp_replace(pth, '[^/]', '', 'g')) > 6
+       |    THEN 'path_depth'
+       |  WHEN length(target_uri) > 2048 THEN 'url_length'
+       |  END""".stripMargin
+  }
+
+  /** The host/path/query decomposition urlReasonSql keys on —
+   * identical extraction regexes to Archives.urlFilter. */
+  private def urlPartsSql: String =
+    s"""lower(regexp_extract(target_uri,
+       |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host,
+       |    regexp_extract(target_uri,
+       |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS pth,
+       |    regexp_extract(target_uri, '\\?([^#]*)', 1) AS qry""".stripMargin
 
   /** DuckDB little-endian read: the `n` bytes at byte offset `off`
    * (a SQL expression) of hex column `h`, reversed into one hex
@@ -2763,6 +2858,163 @@ object SparkEntry {
          | SELECT host, target_uri, media_id, CAST(record_idx AS INT) AS record_idx,
          |        pick
          | FROM cp WHERE pick <= 15""".stripMargin,
+    // q_w14: the q_w11 dedup chain + the URL rule CASE (urlReasonSql)
+    // over the same host/path/query decomposition — identical
+    // precedence order and RE2 regexes as Archives.urlFilter
+    "q_w14_url_filter" ->
+      s"""WITH RECURSIVE $WARCWALK,
+         | rsp AS (
+         |  SELECT media_id, record_idx, target_uri, warc_date
+         |  FROM wrecs
+         |  WHERE lower(warc_type) = 'response' AND target_uri IS NOT NULL),
+         | rk AS (
+         |  SELECT *,
+         |    ROW_NUMBER() OVER (PARTITION BY target_uri
+         |      ORDER BY warc_date DESC, media_id, record_idx) AS rank,
+         |    CAST(COUNT(*) OVER (PARTITION BY target_uri) AS BIGINT) AS n_fetches
+         |  FROM rsp),
+         | dd AS (
+         |  SELECT target_uri, media_id, record_idx, warc_date, n_fetches
+         |  FROM rk WHERE rank = 1),
+         | au AS (
+         |  SELECT *, $urlPartsSql
+         |  FROM dd)
+         | SELECT target_uri, media_id, CAST(record_idx AS INT) AS record_idx,
+         |        warc_date, n_fetches, host, $urlReasonSql AS blocked_reason
+         | FROM au""".stripMargin,
+    // q_w15: the full corpus-build oracle — dedup chain, URL rules
+    // (kept rows), host-cap window, WET extraction off the HTTP
+    // split, inner join on the kept coordinates, then the shared
+    // langid/quality SQL over the extracted text
+    "q_w15_corpus_build" ->
+      s"""WITH RECURSIVE $WARCWALK,
+         | $WARCHTTP,
+         | rsp AS (
+         |  SELECT media_id, record_idx, target_uri, warc_date
+         |  FROM wrecs
+         |  WHERE lower(warc_type) = 'response' AND target_uri IS NOT NULL),
+         | rk AS (
+         |  SELECT *,
+         |    ROW_NUMBER() OVER (PARTITION BY target_uri
+         |      ORDER BY warc_date DESC, media_id, record_idx) AS rank
+         |  FROM rsp),
+         | dd AS (
+         |  SELECT target_uri, media_id, record_idx
+         |  FROM rk WHERE rank = 1),
+         | au AS (
+         |  SELECT *, $urlPartsSql
+         |  FROM dd),
+         | keep AS (
+         |  SELECT target_uri, media_id, record_idx, host
+         |  FROM au WHERE ($urlReasonSql) IS NULL),
+         | cp AS (
+         |  SELECT host, target_uri, media_id, record_idx,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY host
+         |      ORDER BY ${MDH("target_uri")} % 1000000, target_uri) AS INTEGER) AS pick
+         |  FROM keep),
+         | wet AS (
+         |  SELECT media_id, record_idx, content_type,
+         |    ${htmlCleanSql("body_text")} AS text
+         |  FROM https
+         |  WHERE http_status = 200 AND lower(content_type) LIKE 'text/%'),
+         | corpus AS (
+         |  SELECT cp.host, cp.target_uri, cp.media_id,
+         |    CAST(cp.record_idx AS INT) AS record_idx, cp.pick,
+         |    wet.content_type, wet.text
+         |  FROM cp JOIN wet
+         |    ON cp.media_id = wet.media_id AND cp.record_idx = wet.record_idx
+         |  WHERE cp.pick <= 15 AND wet.text <> ''),
+         | comp AS (
+         |  SELECT *, $langHitsSql,
+         |   $qualityComponentsSql
+         |  FROM corpus)
+         | SELECT host, target_uri, media_id, record_idx, pick, content_type,
+         |   text, $langCaseSql AS predicted_lang,
+         |   $qualityScoreSql AS quality_score
+         | FROM comp""".stripMargin,
+    // q_w16: the canonicalization transforms replayed in DuckDB —
+    // same regexes, same param filter/sort (list_filter lambda =
+    // Spark's higher-order filter), same SURT assembly
+    "q_w16_url_canonical" ->
+      s"""WITH RECURSIVE $WARCWALK,
+         | u AS (
+         |  SELECT DISTINCT target_uri FROM wrecs WHERE target_uri IS NOT NULL),
+         | c AS (
+         |  SELECT target_uri,
+         |    lower(regexp_extract(target_uri,
+         |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         |    regexp_replace(lower(regexp_extract(target_uri,
+         |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), '^www\\.', '') AS auth1,
+         |    regexp_extract(target_uri,
+         |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS pth0,
+         |    regexp_extract(target_uri, '\\?([^#]*)', 1) AS qry
+         |  FROM u),
+         | c2 AS (
+         |  SELECT target_uri, scheme,
+         |    CASE WHEN scheme = 'http' THEN regexp_replace(auth1, ':80$$', '')
+         |         WHEN scheme = 'https' THEN regexp_replace(auth1, ':443$$', '')
+         |         ELSE auth1 END AS host,
+         |    CASE WHEN pth0 = '' THEN '/' ELSE pth0 END AS pth,
+         |    list_sort(list_filter(string_split(qry, '&'),
+         |      p -> p <> '' AND NOT regexp_matches(p,
+         |        '${graft.ops.Archives.TrackingParamRe}'))) AS keptp
+         |  FROM c),
+         | c3 AS (
+         |  SELECT target_uri, scheme, host,
+         |    pth || CASE WHEN len(keptp) > 0
+         |      THEN '?' || array_to_string(keptp, '&') ELSE '' END AS tail
+         |  FROM c2),
+         | c4 AS (
+         |  SELECT target_uri,
+         |    CASE WHEN host = '' THEN NULL
+         |      ELSE scheme || '://' || host || tail END AS canonical_uri,
+         |    CASE WHEN host = '' THEN NULL
+         |      ELSE array_to_string(list_reverse(string_split(host, '.')), ',')
+         |           || ')' || tail END AS surt_key
+         |  FROM c3)
+         | SELECT target_uri, canonical_uri, surt_key,
+         |   CAST(COUNT(*) OVER (PARTITION BY canonical_uri) AS BIGINT) AS n_aliases
+         | FROM c4""".stripMargin,
+    // q_w17: both snapshots re-derived from the same record/HTTP
+    // re-walk (media_id ranges), keep-latest + md5(extracted text)
+    // per snapshot, then the full-outer diff with the same status
+    // precedence as crawlDelta
+    "q_w17_crawl_delta" ->
+      s"""WITH RECURSIVE $WARCWALK,
+         | $WARCHTTP,
+         | wet AS (
+         |  SELECT media_id, record_idx, body_text
+         |  FROM https
+         |  WHERE http_status = 200 AND lower(content_type) LIKE 'text/%'),
+         | rsp AS (
+         |  SELECT media_id, record_idx, target_uri, warc_date
+         |  FROM wrecs
+         |  WHERE lower(warc_type) = 'response' AND target_uri IS NOT NULL),
+         | snap_o AS (
+         |  SELECT target_uri, media_id, record_idx FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY target_uri
+         |      ORDER BY warc_date DESC, media_id, record_idx) AS rnk
+         |    FROM rsp WHERE media_id < 300) WHERE rnk = 1),
+         | snap_n AS (
+         |  SELECT target_uri, media_id, record_idx FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY target_uri
+         |      ORDER BY warc_date DESC, media_id, record_idx) AS rnk
+         |    FROM rsp WHERE media_id >= 200) WHERE rnk = 1),
+         | dig_o AS (
+         |  SELECT s.target_uri, md5(w.body_text) AS old_digest
+         |  FROM snap_o s JOIN wet w
+         |    ON s.media_id = w.media_id AND s.record_idx = w.record_idx),
+         | dig_n AS (
+         |  SELECT s.target_uri, md5(w.body_text) AS new_digest
+         |  FROM snap_n s JOIN wet w
+         |    ON s.media_id = w.media_id AND s.record_idx = w.record_idx)
+         | SELECT COALESCE(o.target_uri, n.target_uri) AS target_uri,
+         |   o.old_digest, n.new_digest,
+         |   CASE WHEN o.old_digest IS NULL THEN 'added'
+         |        WHEN n.new_digest IS NULL THEN 'removed'
+         |        WHEN o.old_digest = n.new_digest THEN 'unchanged'
+         |        ELSE 'changed' END AS status
+         | FROM dig_o o FULL OUTER JOIN dig_n n ON o.target_uri = n.target_uri""".stripMargin,
     // q_w1: the WARCWALK recursive re-walk verbatim (see its Scaladoc
     // for the derivation and tolerance rules)
     "q_w1_warc_records" ->

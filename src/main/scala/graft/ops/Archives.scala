@@ -519,6 +519,167 @@ object Archives {
         col("record_idx"), col("pick"))
   }
 
+  /** Hosts every curation run blocks — stand-in for the multi-million
+   * row adult/spam domain lists (UT1-style) real pipelines broadcast.
+   * Kept tiny here; the JOIN SHAPE is what scale cares about. */
+  def defaultBlockedHosts: Seq[String] =
+    (0 until 3).map(i => s"bet-casino$i.example.net")
+
+  /** URL rule filter — the curation stage that rejects pages on the
+   * URI ALONE, before any byte of content is fetched or parsed
+   * (RefinedWeb/CCNet run it first for exactly that reason: at crawl
+   * scale the rule stage saves the fetch). Input: any frame with a
+   * `target_uri` column (the q_w1 record table, or the q_w11 deduped
+   * URL table). Output: every input row plus `host` and a
+   * `blocked_reason` AUDIT column — NULL for kept rows, else the
+   * FIRST matching rule in fixed precedence order:
+   *
+   *   1. `blocked_host`     — host on the blocklist (exact match);
+   *   2. `ip_host`          — IP-literal authority (no domain
+   *                           reputation, classic proxy/trap sign);
+   *   3. `banned_extension` — static-asset/binary path suffix
+   *                           (.png/.css/.js/...): not a document;
+   *   4. `query_spam`       — session-id / utm tracking params: the
+   *                           same page under infinite URL aliases;
+   *   5. `path_depth`       — >6 path segments: crawler-trap
+   *                           calendars/faceted listings;
+   *   6. `url_length`       — URI longer than 2048 chars.
+   *
+   * Rows with no parsable `scheme://authority` prefix get
+   * `blocked_reason = 'unparsable'`. All regexes are RE2-safe (no
+   * backrefs/lookaround) so the DuckDB oracle replays them verbatim.
+   *
+   * Scale shape: rules 2–6 are pure codegen'd map-side projection
+   * (zero shuffle). The blocklist arrives as a DataFrame and joins
+   * BROADCAST left — at real scale that list is millions of hosts
+   * but still MiBs, so it ships to every executor once and the
+   * record table never shuffles for it. Keep/reject splits
+   * downstream are `blocked_reason IS NULL` filters that Catalyst
+   * pushes into this projection. */
+  def urlFilter(urls: DataFrame, blockedHosts: DataFrame): DataFrame = {
+    val host = lower(regexp_extract(col("target_uri"),
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    // path = after authority, before ? or #; query = after ? before #
+    val path = regexp_extract(col("target_uri"),
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    val query = regexp_extract(col("target_uri"), "\\?([^#]*)", 1)
+    urls
+      .withColumn("host", host)
+      .join(broadcast(blockedHosts.select(col("blocked_host"))),
+        col("host") === col("blocked_host"), "left")
+      .withColumn("blocked_reason",
+        when(col("host") === "", "unparsable")
+          .when(col("blocked_host").isNotNull, "blocked_host")
+          .when(col("host").rlike("^\\d{1,3}(\\.\\d{1,3}){3}(:\\d+)?$"),
+            "ip_host")
+          .when(path.rlike(
+            "(?i)\\.(png|jpe?g|gif|webp|ico|svg|css|js|woff2?|ttf|mp4|webm|mp3|zip|gz|tar|exe|dmg|iso)$"),
+            "banned_extension")
+          .when(query.rlike(
+            "(?i)(^|&)(sessionid|phpsessid|jsessionid|sid|utm_[a-z]+)="),
+            "query_spam")
+          .when(length(regexp_replace(path, "[^/]", "")) > lit(6),
+            "path_depth")
+          .when(length(col("target_uri")) > lit(2048), "url_length"))
+      .drop("blocked_host")
+  }
+
+  /** URL canonicalization + SURT key — the normalization every crawl
+   * dedup really keys on (raw URI equality misses the same page
+   * under `HTTPS://WWW.…:443/…?utm_…#frag` noise). Adds two columns:
+   *
+   *  - `canonical_uri`: scheme and host lowercased, leading `www.`
+   *    dropped, the scheme's default port (`:80`/`:443`) dropped,
+   *    empty path → `/`, the fragment dropped, and the query
+   *    rewritten as the lexicographically SORTED non-tracking params
+   *    (utm_*, fbclid, gclid, msclkid, ref dropped; no params left → no
+   *    `?`). Sorting makes param order irrelevant, exactly the
+   *    equivalence a frontier wants.
+   *  - `surt_key`: the Sort-friendly URI Reordering Transform of the
+   *    canonical form (`org,example,data0)/page3?a=1`) — reversed
+   *    host labels comma-joined, `)` separator, then path+query. The
+   *    key Common Crawl's own index sorts on: byte-sorting it
+   *    clusters a domain's pages together, so a range scan = a
+   *    domain scan.
+   *
+   * Unparsable URIs (no `scheme://authority`) get NULL for both.
+   *
+   * Scale shape: pure codegen'd map-side projection — regex/array
+   * expressions only, zero shuffle, zero UDF; at 100 TB this runs
+   * inside the record-walk stage. */
+  def urlCanonical(urls: DataFrame): DataFrame = {
+    val scheme = lower(regexp_extract(col("target_uri"),
+      "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val auth0 = lower(regexp_extract(col("target_uri"),
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    val auth1 = regexp_replace(auth0, "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(auth1, ":80$", ""))
+      .when(scheme === "https", regexp_replace(auth1, ":443$", ""))
+      .otherwise(auth1)
+    val rawPath = regexp_extract(col("target_uri"),
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    val path = when(rawPath === "", lit("/")).otherwise(rawPath)
+    // higher-order array functions (filter with a lambda) only parse
+    // through expr(), so the param pipeline is one SQL fragment
+    val keptParams =
+      s"""array_sort(filter(split(regexp_extract(target_uri, '\\\\?([^#]*)', 1), '&'),
+         | p -> p != '' AND NOT p rlike '$TrackingParamRe'))""".stripMargin
+    urls
+      .withColumn("c_host", host)
+      .withColumn("c_q", expr(keptParams))
+      .withColumn("c_tail", concat(path,
+        when(size(col("c_q")) > 0,
+          concat(lit("?"), array_join(col("c_q"), "&"))).otherwise(lit(""))))
+      .withColumn("canonical_uri",
+        when(col("c_host") === "", lit(null).cast("string"))
+          .otherwise(concat(scheme, lit("://"), col("c_host"), col("c_tail"))))
+      .withColumn("surt_key",
+        when(col("c_host") === "", lit(null).cast("string"))
+          .otherwise(concat(
+            array_join(reverse(split(col("c_host"), "\\.")), ","),
+            lit(")"), col("c_tail"))))
+      .drop("c_host", "c_q", "c_tail")
+  }
+
+  /** Tracking params every canonicalizer strips — anchored, RE2-safe
+   * so the oracle replays it verbatim. */
+  val TrackingParamRe = "(?i)^(utm_[a-z]+|fbclid|gclid|msclkid|ref)="
+
+  /** One crawl snapshot reduced to (target_uri, digest): keep-latest
+   * dedup within the snapshot, then the MD5 of the kept record's
+   * extracted body text — the page-identity table an incremental
+   * crawl pipeline diffs. `texts` is the (media_id, record_idx,
+   * body_text) face ([[warcBodyTextTable]]); pages without
+   * extractable text drop out (no digest, nothing to diff). */
+  def pageDigests(records: DataFrame, texts: DataFrame): DataFrame =
+    urlDedup(records)
+      .join(texts.select(col("media_id"), col("record_idx"),
+        col("body_text")), Seq("media_id", "record_idx"))
+      .select(col("target_uri"), md5(col("body_text")).as("digest"))
+
+  /** Cross-snapshot crawl DELTA — the operation that makes a 100 TB
+   * monthly recrawl tractable: diff the new snapshot's page-identity
+   * table against the previous one and process only what moved.
+   * Emits every URI present in either snapshot with its digests and
+   * a status from the NEW snapshot's perspective: `added` (new
+   * only), `removed` (old only), `changed` (both, digest differs),
+   * `unchanged` (both, digest equal — skip downstream!).
+   *
+   * Scale shape: one URI-keyed full-outer join of two digest tables
+   * (index rows: a URI + 32-hex chars each) — the shards themselves
+   * are never re-read for the unchanged set, which at recrawl scale
+   * is most of the corpus. */
+  def crawlDelta(oldPages: DataFrame, newPages: DataFrame): DataFrame =
+    oldPages.select(col("target_uri"), col("digest").as("old_digest"))
+      .join(
+        newPages.select(col("target_uri"), col("digest").as("new_digest")),
+        Seq("target_uri"), "full_outer")
+      .withColumn("status",
+        when(col("old_digest").isNull, "added")
+          .when(col("new_digest").isNull, "removed")
+          .when(col("old_digest") === col("new_digest"), "unchanged")
+          .otherwise("changed"))
+
   // ----------------------------------------------------------------- tar
 
   /** Parse the NUL/space-padded octal of a ustar numeric field;

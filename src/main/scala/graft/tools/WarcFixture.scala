@@ -23,10 +23,16 @@ package graft.tools
  *                  q_w6 HTTP split: a VARIANT response whose status /
  *                  Content-Type cycle by id (404 html, 301 redirect
  *                  with NO Content-Type, 503 json, 200 html+charset),
- *                  and a BROKEN response whose payload is not a
+ *                  a BROKEN response whose payload is not a
  *                  splittable HTTP message (no CRLFCRLF terminator
  *                  for even ids; non-HTTP bytes for odd) — valid WARC
- *                  records q_w1 must emit but q_w6 must not.
+ *                  records q_w1 must emit but q_w6 must not — a
+ *                  SPAM-URL response (innocuous 200 text/plain body,
+ *                  rejectable on the URI alone) cycling the q_w14
+ *                  URL-filter rule classes, and an UNNORMALIZED
+ *                  ALIAS of the shard's first clean page (case/www/
+ *                  port/fragment/tracking-param noise) for the q_w16
+ *                  canonicalizer.
  *
  * All payloads are 7-bit ASCII so the oracle's blob→VARCHAR decode is
  * total. Usage: runMain graft.tools.WarcFixture [outFile] [rows]
@@ -132,6 +138,58 @@ object WarcFixture {
       head + "\r\n" + body)
   }
 
+  /** Spam-URL class for the q_w14 URL-filter rules, cycling on
+   * (id/2) % 5 for the same live-shard-coverage reason as
+   * [[variantClass]] (id%8 ∈ {3,7} shards never reach records). */
+  def spamClass(id: Long): Int = ((id / 2) % 5).toInt
+
+  /** A URL every curation pipeline must REJECT, one per rule class:
+   * 0 = static-asset extension, 1 = session/utm query spam,
+   * 2 = IP-literal host, 3 = crawler-trap path depth,
+   * 4 = blocklisted host. The HTTP payload is an innocuous 200
+   * text/plain — URL rules must fire on the URI alone (content
+   * filters see nothing wrong, which is the point of the rule
+   * stage). */
+  def spamUri(id: Long): String = spamClass(id) match {
+    case 0 => s"https://cdn${id % 3}.example.org/static/img$id.png"
+    case 1 => s"https://track${id % 3}.example.org/page${id % 40}" +
+      s"?utm_source=feed&sessionid=$id&ref=r$id"
+    case 2 => s"http://10.${id % 200}.3.7/page${id % 40}"
+    case 3 => s"https://data${id % 5}.example.org/a/b/c/d/e/f/g/p${id % 40}"
+    case _ => s"https://bet-casino${id % 3}.example.net/win${id % 40}"
+  }
+
+  /** An UNNORMALIZED alias of this shard's first clean page — what a
+   * real crawl frontier holds before canonicalization: uppercase
+   * scheme/host, `www.` prefix, explicit default port, a fragment,
+   * and query params. Even ids carry ONLY tracking params (so the
+   * q_w16 canonical form merges with the plain fetch of the same
+   * page); odd ids keep two real params in shuffled order (so the
+   * param-sort path is oracle-exercised). */
+  def aliasUri(id: Long): String = {
+    val base = s"HTTPS://WWW.data${id % 5}.EXAMPLE.org:443/page${(id * 3) % 40}"
+    if (id % 2 == 0) s"$base?utm_source=alias&utm_medium=feed#frag$id"
+    else s"$base?b=${id % 9}&a=1#frag$id"
+  }
+
+  def aliasResponse(id: Long): String =
+    record(id,
+      Seq("WARC-Type" -> "response",
+        "WARC-Target-URI" -> aliasUri(id),
+        "Content-Type" -> "application/http;msgtype=response",
+        "WARC-Date" -> wdate(id, 93)),
+      "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n" +
+        s"alias fetch body $id")
+
+  def spamResponse(id: Long): String =
+    record(id,
+      Seq("WARC-Type" -> "response",
+        "WARC-Target-URI" -> spamUri(id),
+        "Content-Type" -> "application/http;msgtype=response",
+        "WARC-Date" -> wdate(id, 92)),
+      "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n" +
+        s"spam page body $id looks perfectly clean")
+
   /** A WARC-valid response whose payload is NOT a splittable HTTP
    * message: q_w1 emits the record, q_w6 emits nothing for it. */
   def brokenResponse(id: Long): String =
@@ -148,7 +206,9 @@ object WarcFixture {
     val body = (0 until nBody(id)).map { i =>
       if (id % 2 == 0 && i == 1) request(id, i) else response(id, i)
     }
-    (warcinfo(id) +: body) ++ Seq(variantResponse(id), brokenResponse(id))
+    (warcinfo(id) +: body) ++
+      Seq(variantResponse(id), brokenResponse(id), spamResponse(id),
+        aliasResponse(id))
   }
 
   def warc(id: Long): String = records(id).mkString("")

@@ -351,6 +351,60 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("url filter: blocklist joins broadcast; rules add no exchange over the dedup window") {
+    import spark.implicits._
+    audited(graft.ops.Archives.urlFilter(
+      graft.ops.Archives.urlDedup(
+        graft.ops.Archives.warcRecordTable(spark, Tables.warc(spark))),
+      graft.ops.Archives.defaultBlockedHosts.toDF("blocked_host"))) { plan =>
+      // the URI-keyed dedup window is the ONLY shuffle — the rule
+      // regexes are map-side projection and the blocklist (millions
+      // of hosts at scale, still MiBs) ships broadcast, never a
+      // record-table shuffle
+      assert(shuffles(plan).size == 1, s"${shuffles(plan).size} shuffles:\n$plan")
+      assert(broadcastJoins(plan).nonEmpty, plan.toString)
+      assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty)
+      assert(shuffles(plan).forall(_.output.forall(_.name != "media")),
+        s"blob column in an exchange:\n$plan")
+    }
+  }
+
+  test("corpus build: keyed index/text-row exchanges only, blobs never shuffle") {
+    import spark.implicits._
+    audited(graft.SparkEntry.queries("q_w15_corpus_build")(spark, sf)) { plan =>
+      // URI window + host window + the (media_id, record_idx) join of
+      // the capped URL table with the extracted text — every exchange
+      // carries fixed-shape index rows or the extracted text itself,
+      // never the shard blob
+      assert(shuffles(plan).size <= 4, s"${shuffles(plan).size} shuffles:\n$plan")
+      assert(plan.collect { case c: CartesianProductExec => c }.isEmpty, plan.toString)
+      assert(shuffles(plan).forall(_.output.forall(_.name != "media")),
+        s"blob column in an exchange:\n$plan")
+    }
+  }
+
+  test("url canonicalization: map-side rewrite; only the distinct + alias-count window shuffle") {
+    audited(graft.SparkEntry.queries("q_w16_url_canonical")(spark, sf)) { plan =>
+      // two-phase distinct + the canonical-keyed count window — all
+      // over bare URI strings; the rewrite itself adds no exchange
+      assert(shuffles(plan).size <= 3, s"${shuffles(plan).size} shuffles:\n$plan")
+      assert(shuffles(plan).forall(_.output.forall(_.name != "media")),
+        s"blob column in an exchange:\n$plan")
+    }
+  }
+
+  test("crawl delta: URI/coordinate-keyed exchanges over digest rows; shards never re-shuffle") {
+    audited(graft.SparkEntry.queries("q_w17_crawl_delta")(spark, sf)) { plan =>
+      // per snapshot: one URI dedup window + one coordinate-keyed
+      // digest join; then the full-outer URI diff — every exchange
+      // ships index/digest rows, never the media blob
+      assert(shuffles(plan).size <= 10, s"${shuffles(plan).size} shuffles:\n$plan")
+      assert(plan.collect { case c: CartesianProductExec => c }.isEmpty, plan.toString)
+      assert(shuffles(plan).forall(_.output.forall(_.name != "media")),
+        s"blob column in an exchange:\n$plan")
+    }
+  }
+
   test("webdataset samples: exactly one shuffle, over index rows only") {
     // the sample groupBy shuffles (media_id, sample_key)-keyed index
     // rows — never blobs; partial aggregation keeps it one exchange

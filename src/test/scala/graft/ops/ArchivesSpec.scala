@@ -61,9 +61,11 @@ class ArchivesSpec extends SparkSpec {
       }
     }.toSet
     assert(got == expect)
-    // the broken responses (no CRLFCRLF / non-HTTP payload) never emit
+    // the broken responses (no CRLFCRLF / non-HTTP payload, third
+    // from last — the spam and alias records close the shard) never
+    // emit
     assert(!got.exists { case (id, i, _, _, _, _) =>
-      i == WarcFixture.records(id).size - 1 })
+      i == WarcFixture.records(id).size - 3 })
     // the variant statuses and content-types all appear
     assert(got.map(_._3) == Set(200, 404, 301, 503))
     assert(got.exists(_._6.isEmpty)) // the 301 without Content-Type
@@ -129,10 +131,13 @@ class ArchivesSpec extends SparkSpec {
     }
     val byHost = uris.groupBy(_._1.split("/")(2).toLowerCase)
     assert(stats.keySet == byHost.keySet)
-    assert(stats.keySet == ids.map(id => s"data${id % 5}.example.org").toSet)
+    // clean hosts all present; spam-URL hosts (q_w14 fixture rows)
+    // group alongside them
+    assert(ids.map(id => s"data${id % 5}.example.org").toSet.subsetOf(stats.keySet))
+    assert(stats.keySet.exists(h => h.startsWith("cdn") || h.startsWith("track")))
     byHost.foreach { case (host, us) =>
       val (_, tld, nRec, nUri, bytes) = stats(host)
-      assert(tld == "org", host)
+      assert(tld == host.split('.').last, host)
       assert(nRec == us.size, host)
       assert(nUri == us.map(_._1).distinct.size, host)
       assert(bytes == us.map(_._2).sum, host)
@@ -177,6 +182,166 @@ class ArchivesSpec extends SparkSpec {
   /** Orders descending when used inside an ascending minBy: flips each
    * char so lexicographic min picks the lexicographic max. */
   private def reverseStr(s: String): String = s.map(c => (0xffff - c).toChar)
+
+  test("url filter: rule precedence and boundary cases on synthetic URLs") {
+    import spark.implicits._
+    val cases: Seq[(String, String)] = Seq(
+      "https://ok.example.org/page1" -> null,
+      "not a url" -> "unparsable",
+      "https://bet-casino1.example.net/win" -> "blocked_host",
+      "http://10.1.3.7/page" -> "ip_host",
+      "http://10.1.3.7:8080/page" -> "ip_host",
+      // blocklist wins over the extension rule (fixed precedence)
+      "https://bet-casino0.example.net/img.png" -> "blocked_host",
+      "https://cdn.example.org/a/logo.PNG" -> "banned_extension",
+      "https://cdn.example.org/a/logo.jpeg" -> "banned_extension",
+      // extension fires on the PATH end only, never inside the query
+      "https://cdn.example.org/page?f=.png" -> null,
+      "https://t.example.org/p?utm_campaign=x" -> "query_spam",
+      "https://t.example.org/p?a=1&PHPSESSID=9" -> "query_spam",
+      // `sid` must be a whole parameter name, not a suffix
+      "https://t.example.org/p?classid=9" -> null,
+      "https://d.example.org/a/b/c/d/e/f/g" -> "path_depth",
+      "https://d.example.org/a/b/c/d/e/f" -> null,
+      ("https://d.example.org/" + "x" * 2100) -> "url_length")
+    val got = Archives.urlFilter(
+        cases.map(_._1).toDF("target_uri"),
+        Archives.defaultBlockedHosts.toDF("blocked_host"))
+      .select("target_uri", "blocked_reason")
+      .as[(String, Option[String])].collect().toMap
+    cases.foreach { case (u, want) => assert(got(u) == Option(want), u) }
+  }
+
+  test("crawl delta: overlapping snapshots diff to added/removed/changed/unchanged") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // ids 0..119; snapshots overlap on [40, 80) — and id/id+40 share
+    // page URIs (the fixture's (3·id+i) % 40 arithmetic), so kept
+    // records genuinely move between snapshots
+    val ids = (0L until 120L).filter(id => id % 8 != 3 && id % 8 != 7)
+    val media = ids.map(id => (id, "application/warc", WarcFixture.row(id)._2))
+      .toDF("media_id", "mime_type", "media")
+    def snap(pred: org.apache.spark.sql.Column) =
+      Archives.pageDigests(
+        Archives.warcRecordTable(spark, media.filter(pred)),
+        Archives.warcBodyTextTable(spark, media.filter(pred)))
+    val got = Archives.crawlDelta(
+        snap(col("media_id") < 80), snap(col("media_id") >= 40))
+      .as[(String, Option[String], Option[String], String)].collect()
+      .map(r => r._1 -> r).toMap
+
+    // independent expectation straight from the record strings
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("ISO-8859-1")).map("%02x".format(_)).mkString
+    def kept(snapIds: Seq[Long]): Map[String, Option[String]] =
+      snapIds.flatMap { id =>
+        WarcFixture.records(id).zipWithIndex.flatMap { case (r, i) =>
+          val hdrEnd = r.indexOf("\r\n\r\n")
+          def h(n: String): Option[String] =
+            r.substring(0, hdrEnd).split("\r\n").drop(1).collectFirst {
+              case l if l.toLowerCase.startsWith(n + ":") =>
+                l.substring(n.length + 1).trim
+            }
+          if (!h("warc-type").contains("response")) None
+          else h("warc-target-uri").map { u =>
+            val payload = r.substring(hdrEnd + 4, r.length - 4)
+            val t4 = payload.indexOf("\r\n\r\n")
+            val body =
+              if (payload.startsWith("HTTP/") && t4 >= 0 &&
+                payload.split("\r\n").head.split(" ")(1) == "200" &&
+                payload.substring(0, t4).split("\r\n").drop(1).exists(l =>
+                  l.toLowerCase.startsWith("content-type:") &&
+                    l.split(":", 2)(1).trim.toLowerCase.startsWith("text/")))
+                Some(payload.substring(t4 + 4))
+              else None
+            (u, h("warc-date").get, id, i, body)
+          }
+        }
+      }.groupBy(_._1).map { case (u, fs) =>
+        val best = fs.minBy { case (_, d, id, i, _) => (reverseStr(d), id, i) }
+        u -> best._5.map(md5hex)
+      }
+    val oldD = kept(ids.filter(_ < 80)).collect { case (u, Some(d)) => u -> d }
+    val newD = kept(ids.filter(_ >= 40)).collect { case (u, Some(d)) => u -> d }
+    val expect = (oldD.keySet ++ newD.keySet).map { u =>
+      val (o, n) = (oldD.get(u), newD.get(u))
+      val st = (o, n) match {
+        case (None, _) => "added"
+        case (_, None) => "removed"
+        case (Some(a), Some(b)) => if (a == b) "unchanged" else "changed"
+      }
+      u -> ((u, o, n, st))
+    }.toMap
+    assert(got == expect)
+    assert(Set("added", "removed", "changed", "unchanged")
+      .subsetOf(got.values.map(_._4).toSet))
+  }
+
+  test("url canonicalization: case/www/port/fragment/param noise collapses; SURT keys sort by domain") {
+    import spark.implicits._
+    val cases: Seq[(String, (String, String))] = Seq(
+      "HTTPS://WWW.Data1.EXAMPLE.org:443/page3?utm_source=a&b=2&a=1#x" ->
+        ("https://data1.example.org/page3?a=1&b=2",
+         "org,example,data1)/page3?a=1&b=2"),
+      // no path → /; default http port stripped
+      "http://Example.com:80" -> ("http://example.com/", "com,example)/"),
+      // NON-default port survives (a different origin)
+      "http://example.com:8080/p" ->
+        ("http://example.com:8080/p", "com:8080,example)/p"),
+      // non-http(s) scheme: no default-port rule
+      "ftp://x.y/z?a=1" -> ("ftp://x.y/z?a=1", "y,x)/z?a=1"),
+      // all params tracking → the '?' goes too
+      "https://h.org/p?utm_x=1&gclid=2" -> ("https://h.org/p", "org,h)/p"),
+      "junk" -> (null, null))
+    val got = Archives.urlCanonical(cases.map(_._1).toDF("target_uri"))
+      .select("target_uri", "canonical_uri", "surt_key")
+      .as[(String, Option[String], Option[String])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    cases.foreach { case (u, (c, k)) =>
+      assert(got(u) == (Option(c), Option(k)), u)
+    }
+  }
+
+  test("url canonicalization: fixture alias records merge onto their clean page") {
+    import spark.implicits._
+    val ids = Seq(0L, 2L, 4L, 6L, 8L) // even: utm-only aliases, must merge
+    val got = Archives.urlCanonical(
+        ids.flatMap(id =>
+          Seq(WarcFixture.uri(id, 0), WarcFixture.aliasUri(id)))
+          .toDF("target_uri"))
+      .select("target_uri", "canonical_uri")
+      .as[(String, String)].collect().toMap
+    ids.foreach { id =>
+      assert(got(WarcFixture.aliasUri(id)) == got(WarcFixture.uri(id, 0)),
+        s"id=$id")
+      assert(got(WarcFixture.uri(id, 0)) == WarcFixture.uri(id, 0), s"id=$id")
+    }
+  }
+
+  test("url filter: each fixture spam class draws its rule; clean pages keep") {
+    import spark.implicits._
+    // covers spamClass 0..4 on both parities, id%8 ∉ {3,7}
+    val ids = Seq(0L, 1L, 2L, 4L, 5L, 6L, 8L, 9L, 13L, 17L)
+    val got = Archives.urlFilter(
+        Archives.urlDedup(Archives.warcRecordTable(spark,
+          ids.map(id => (id, "application/warc", WarcFixture.row(id)._2))
+            .toDF("media_id", "mime_type", "media"))),
+        Archives.defaultBlockedHosts.toDF("blocked_host"))
+      .select("target_uri", "blocked_reason")
+      .as[(String, Option[String])].collect().toMap
+    val reasons = Map(0 -> "banned_extension", 1 -> "query_spam",
+      2 -> "ip_host", 3 -> "path_depth", 4 -> "blocked_host")
+    assert(ids.map(WarcFixture.spamClass).toSet == Set(0, 1, 2, 3, 4))
+    ids.foreach { id =>
+      assert(got(WarcFixture.spamUri(id))
+        .contains(reasons(WarcFixture.spamClass(id))), s"id=$id")
+    }
+    // (class-3 spam also lives on data* hosts; clean pages are /pageN)
+    val clean = got.filter { case (u, _) =>
+      u.startsWith("https://data") && u.contains("/page") }
+    assert(clean.nonEmpty && clean.values.forall(_.isEmpty))
+  }
 
   test("WARC walk: truncated tail unclaimed, junk yields nothing") {
     val t = Archives.warcRecords(WarcFixture.row(3)._2)

@@ -124,6 +124,37 @@ class ShardListStreamSpec extends SparkSpec {
     streamed("wgzwet_stream", rows, Archives.warcGzBodyTextTable)
   }
 
+  test("streamed URL rule filter equals the batch audit over the grown directory") {
+    import spark.implicits._
+    // the rule stage is stateless (map-side regexes + a broadcast
+    // blocklist join), so it streams straight off the record walk —
+    // the crawl-frontier position it holds in a live pipeline; the
+    // keep-latest dedup stays a batch/COMPLETE face (windowed state)
+    val rows = (0L until 12L).map { id =>
+      val (mime, bytes) = graft.tools.WarcFixture.row(id)
+      (id, mime, bytes)
+    }
+    streamed("urlfilter_stream", rows, (s, df) =>
+      Archives.urlFilter(
+        Archives.warcRecordTable(s, df)
+          .filter(org.apache.spark.sql.functions.col("target_uri").isNotNull),
+        Archives.defaultBlockedHosts.toDF("blocked_host")))
+  }
+
+  test("streamed URL canonicalization equals the batch rewrite over the grown directory") {
+    // pure map-side rewrite: streams straight off the record walk
+    // (the distinct/alias-count of q_w16 stays a batch face)
+    val rows = (0L until 12L).map { id =>
+      val (mime, bytes) = graft.tools.WarcFixture.row(id)
+      (id, mime, bytes)
+    }
+    streamed("urlcanon_stream", rows, (s, df) =>
+      Archives.urlCanonical(
+        Archives.warcRecordTable(s, df)
+          .filter(org.apache.spark.sql.functions.col("target_uri").isNotNull)
+          .select("target_uri")))
+  }
+
   test("streamed tar member walk equals the batch walk over the grown directory") {
     val rows = (0L until 12L).map { id =>
       val (mime, bytes) = graft.tools.TarFixture.row(id)
