@@ -654,6 +654,19 @@ object SparkEntry {
       Archives.crawlDelta(
         snap(col("media_id") < 300), snap(col("media_id") >= 200))
     }),
+    // q_w18: PDF xref-chain table — the object index of the web's
+    // second-biggest document format, read like ZIP's central
+    // directory: every 20-byte entry of every section in the
+    // startxref→/Prev chain (section 0 = latest), with the body-
+    // verified /Type token and byte length; pure map-side walk
+    "q_w18_pdf_xref" -> ((s, _) =>
+      Archives.pdfXrefTable(s, Tables.pdf(s))),
+    // q_w19: resolved PDF object table — incremental updates
+    // override per object number (PDF's own keep-latest rule) as a
+    // WINDOW over q_w18's index rows, in-use + body-verified only;
+    // the documents themselves never shuffle
+    "q_w19_pdf_objects" -> ((s, _) =>
+      Archives.pdfObjectTable(s, Tables.pdf(s))),
     // q_w12: WebDataset image–text PAIR table — the canonical
     // multimodal training job: per sample, the REAL JPEG header dims
     // (segment walk to SOF0) + the caption text, grouped inside the
@@ -1269,6 +1282,109 @@ object SparkEntry {
        |      '(?i)\\r\\n[ \\t]*content-type[ \\t]*:([^\\r\\n]*)', 1)), '') AS content_type,
        |    substr(payload, t4 + 4) AS body_text
        |  FROM http2)""".stripMargin
+
+  /** Shared DuckDB CTE body (no WITH; first relation is RECURSIVE —
+   * callers open with `WITH RECURSIVE`): an independent re-walk of
+   * the PDF fixture's xref chain over the blob decoded to VARCHAR
+   * (7-bit ASCII by contract): magic check, LAST `startxref` via a
+   * position scan (the ZIP-oracle pattern), the 0-based table offset,
+   * then per section the `start count` header, 20-byte entry grid,
+   * `trailer` verification and the `/Prev` hop — each hop validated
+   * against the `xref\n` magic before it's emitted, the walker's
+   * exact rule. Entry bodies are re-verified (`num gen obj` prefix,
+   * `endobj` terminator) for the type/length columns. Ends in
+   * relation `pdf_ent`(media_id, section_idx, obj_num, gen, off,
+   * in_use, obj_type, obj_length). Used by q_w18/q_w19. */
+  private def PDFWALK: String =
+    s"""pdf_m AS (
+       |  SELECT media_id, decode(media) AS s, octet_length(media) AS n
+       |  FROM read_parquet('${Tables.pdfFixturePath}')),
+       | pdf_x AS (
+       |  SELECT media_id,
+       |    TRY_CAST(regexp_extract(substr(s, CAST(sx AS INT) + 9, 32),
+       |      '^[ \\t\\r\\n]*([0-9]+)', 1) AS BIGINT) AS xoff
+       |  FROM (
+       |    SELECT media_id, s,
+       |      list_max(list_filter(generate_series(1, n - 8),
+       |        p -> substr(s, CAST(p AS INT), 9) = 'startxref')) AS sx
+       |    FROM pdf_m WHERE substr(s, 1, 5) = '%PDF-') t
+       |  WHERE sx IS NOT NULL),
+       | pdf_secs AS (
+       |  SELECT x.media_id, 0 AS section_idx, x.xoff
+       |  FROM pdf_x x JOIN pdf_m m USING (media_id)
+       |  WHERE x.xoff IS NOT NULL AND x.xoff + 5 <= m.n
+       |    AND substr(m.s, CAST(x.xoff AS INT) + 1, 5) = 'xref' || chr(10)
+       |  UNION ALL
+       |  SELECT media_id, section_idx + 1, prev
+       |  FROM (
+       |    SELECT v.media_id, v.section_idx, v.s, v.n,
+       |      CASE WHEN substr(v.s, CAST(v.eend AS INT) + 1, 7) = 'trailer'
+       |        THEN TRY_CAST(regexp_extract(
+       |          CASE WHEN strpos(substr(v.s, CAST(v.eend AS INT) + 8),
+       |                 'startxref') > 0
+       |            THEN substr(v.s, CAST(v.eend AS INT) + 8,
+       |              strpos(substr(v.s, CAST(v.eend AS INT) + 8),
+       |                'startxref') - 1)
+       |            ELSE substr(v.s, CAST(v.eend AS INT) + 8) END,
+       |          '/Prev ([0-9]+)', 1) AS BIGINT) END AS prev
+       |    FROM (
+       |      SELECT u.media_id, u.section_idx, u.s, u.n,
+       |        u.xoff + 5 + len(u.st) + len(u.ct) + 2
+       |          + 20 * TRY_CAST(u.ct AS BIGINT) AS eend
+       |      FROM (
+       |        SELECT g.media_id, g.section_idx, m.s, m.n, g.xoff,
+       |          regexp_extract(substr(m.s, CAST(g.xoff AS INT) + 6, 32),
+       |            '^([0-9]+) ([0-9]+)', 1) AS st,
+       |          regexp_extract(substr(m.s, CAST(g.xoff AS INT) + 6, 32),
+       |            '^([0-9]+) ([0-9]+)', 2) AS ct
+       |        FROM pdf_secs g JOIN pdf_m m USING (media_id)
+       |      ) u WHERE u.st <> ''
+       |    ) v
+       |  ) w
+       |  WHERE prev IS NOT NULL AND prev >= 0 AND prev + 5 <= n
+       |    AND section_idx < 15
+       |    AND substr(s, CAST(prev AS INT) + 1, 5) = 'xref' || chr(10)),
+       | pdf_geo AS (
+       |  SELECT g.media_id, g.section_idx, m.s, m.n,
+       |    TRY_CAST(regexp_extract(substr(m.s, CAST(g.xoff AS INT) + 6, 32),
+       |      '^([0-9]+) ([0-9]+)', 1) AS BIGINT) AS sct_start,
+       |    TRY_CAST(regexp_extract(substr(m.s, CAST(g.xoff AS INT) + 6, 32),
+       |      '^([0-9]+) ([0-9]+)', 2) AS BIGINT) AS sct_cnt,
+       |    g.xoff + 5
+       |      + len(regexp_extract(substr(m.s, CAST(g.xoff AS INT) + 6, 32),
+       |          '^([0-9]+) ([0-9]+)', 1))
+       |      + len(regexp_extract(substr(m.s, CAST(g.xoff AS INT) + 6, 32),
+       |          '^([0-9]+) ([0-9]+)', 2)) + 2 AS estart
+       |  FROM pdf_secs g JOIN pdf_m m USING (media_id)),
+       | pdf_e0 AS (
+       |  SELECT media_id, section_idx, s, n,
+       |    CAST(sct_start + e.k AS INT) AS obj_num,
+       |    substr(s, CAST(estart + 20 * e.k AS INT) + 1, 20) AS entry
+       |  FROM pdf_geo, unnest(generate_series(0, sct_cnt - 1)) AS e(k)
+       |  WHERE sct_start IS NOT NULL),
+       | pdf_e1 AS (
+       |  SELECT media_id, section_idx, s, obj_num,
+       |    TRY_CAST(regexp_extract(entry,
+       |      '^([0-9]{10}) ([0-9]{5}) ([nf])', 1) AS BIGINT) AS off,
+       |    TRY_CAST(regexp_extract(entry,
+       |      '^([0-9]{10}) ([0-9]{5}) ([nf])', 2) AS INT) AS gen,
+       |    regexp_extract(entry,
+       |      '^([0-9]{10}) ([0-9]{5}) ([nf])', 3) = 'n' AS in_use
+       |  FROM pdf_e0
+       |  WHERE regexp_extract(entry, '^([0-9]{10}) ([0-9]{5}) ([nf])', 3) <> ''),
+       | pdf_ent AS (
+       |  SELECT media_id, section_idx, obj_num, gen, off, in_use,
+       |    CASE WHEN vok AND pend > 0 THEN nullif(regexp_extract(
+       |      substr(s, CAST(off AS INT) + 1, CAST(pend + 5 AS INT)),
+       |      '/Type /([A-Za-z]+)', 1), '') END AS obj_type,
+       |    CASE WHEN vok AND pend > 0 THEN pend + 5 END AS obj_length
+       |  FROM (
+       |    SELECT *,
+       |      in_use AND substr(s, CAST(off AS INT) + 1,
+       |        len(obj_num || ' ' || gen || ' obj'))
+       |        = obj_num || ' ' || gen || ' obj' AS vok,
+       |      strpos(substr(s, CAST(off AS INT) + 1), 'endobj') AS pend
+       |    FROM pdf_e1) t)""".stripMargin
 
   /** DuckDB twin of TextAnalysis.htmlVisibleText — identical
    * script/style subtree drop, tag strip, entity decode (&amp; LAST)
@@ -3015,6 +3131,28 @@ object SparkEntry {
          |        WHEN o.old_digest = n.new_digest THEN 'unchanged'
          |        ELSE 'changed' END AS status
          | FROM dig_o o FULL OUTER JOIN dig_n n ON o.target_uri = n.target_uri""".stripMargin,
+    // q_w18: the PDFWALK re-walk verbatim (startxref scan, /Prev
+    // chain, 20-byte grid, body verification — see its Scaladoc)
+    "q_w18_pdf_xref" ->
+      s"""WITH RECURSIVE $PDFWALK
+         | SELECT media_id, CAST(section_idx AS INT) AS section_idx,
+         |   CAST(obj_num AS INT) AS obj_num, gen,
+         |   CAST(off AS BIGINT) AS "offset", in_use, obj_type,
+         |   CAST(obj_length AS BIGINT) AS obj_length
+         | FROM pdf_ent""".stripMargin,
+    // q_w19: PDFWALK + the keep-latest window (smallest section_idx
+    // per object wins) — rank BEFORE the in-use filter, so a deleted
+    // ('f') latest entry correctly tombstones older generations
+    "q_w19_pdf_objects" ->
+      s"""WITH RECURSIVE $PDFWALK,
+         | rk AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY media_id, obj_num
+         |    ORDER BY section_idx) AS rnk
+         |  FROM pdf_ent)
+         | SELECT media_id, CAST(obj_num AS INT) AS obj_num, gen,
+         |   CAST(off AS BIGINT) AS "offset", obj_type,
+         |   CAST(obj_length AS BIGINT) AS obj_length
+         | FROM rk WHERE rnk = 1 AND in_use AND obj_length IS NOT NULL""".stripMargin,
     // q_w1: the WARCWALK recursive re-walk verbatim (see its Scaladoc
     // for the derivation and tolerance rules)
     "q_w1_warc_records" ->

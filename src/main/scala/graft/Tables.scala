@@ -242,6 +242,17 @@ object Tables {
   }
   def warc(spark: SparkSession): DataFrame = spark.read.parquet(warcFixturePath)
 
+  /** pdf(media_id BIGINT, mime_type STRING, media BINARY) — repo-local
+   * deterministic classic-xref PDF fixture (tools.PdfFixture: real
+   * object bodies, 20-byte xref entries, trailer + startxref,
+   * incremental-update /Prev chains; plus bad-startxref and junk
+   * rows). */
+  def pdfFixturePath: String = {
+    val local = new java.io.File("fixtures/pdf.parquet")
+    if (local.exists) local.getAbsolutePath else "/root/repo/fixtures/pdf.parquet"
+  }
+  def pdf(spark: SparkSession): DataFrame = spark.read.parquet(pdfFixturePath)
+
   /** warcgz(media_id BIGINT, mime_type STRING, media BINARY) —
    * repo-local deterministic `.warc.gz` fixture (tools.WarcGzFixture:
    * one real RFC 1952 gzip member per WARC record, FLG variation,

@@ -680,6 +680,152 @@ object Archives {
           .when(col("old_digest") === col("new_digest"), "unchanged")
           .otherwise("changed"))
 
+  // ----------------------------------------------------------------- PDF
+
+  /** Walk the classic cross-reference chain of a PDF — the entry
+   * point for the web's second-biggest document format: the xref
+   * table IS the object index (like ZIP's central directory), so a
+   * shard of PDFs becomes a queryable object catalog without parsing
+   * a single content stream. Returns raw entries
+   * (section_idx, obj_num, gen, offset, in_use, obj_type,
+   * obj_length): `section_idx` 0 is the table `startxref` names, 1
+   * its `/Prev`, … — incremental updates append sections, and WHICH
+   * entry wins per object is a relational decision
+   * ([[pdfObjectTable]]'s window), not the walker's.
+   *
+   * Per entry with `in_use` set, the object body at its offset is
+   * verified (`num gen obj` prefix, a terminating `endobj`) and the
+   * first `/Type /Name` token plus the byte length through `endobj`
+   * are read; a body that doesn't verify leaves type/length None —
+   * the xref CLAIM is still reported, but nothing the bytes don't
+   * prove. Tolerance as everywhere: no `%PDF-` magic, an unreadable
+   * `startxref`, or a malformed section stops the walk with the
+   * sections already parsed (a malformed section contributes
+   * nothing); the `/Prev` chain is capped and cycle-guarded. */
+  private[ops] def pdfXref(b: Array[Byte])
+      : Seq[(Int, Int, Int, Long, Boolean, Option[String], Option[Long])] = {
+    if (b == null || b.length < 16) return Nil
+    val s = new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
+    if (!s.startsWith("%PDF-")) return Nil
+    val sx = s.lastIndexOf("startxref")
+    if (sx < 0) return Nil
+    val numRe = "^\\s*([0-9]+)".r
+    def intAfter(pos: Int): Option[Long] =
+      numRe.findFirstMatchIn(s.substring(pos, math.min(s.length, pos + 32)))
+        .map(_.group(1).toLong)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Int, Int, Long, Boolean, Option[String], Option[Long])]
+    var xoff = intAfter(sx + 9).getOrElse(-1L)
+    val visited = scala.collection.mutable.Set.empty[Long]
+    var section = 0
+    while (xoff >= 0 && xoff + 5 <= s.length && section < 16 &&
+        visited.add(xoff)) {
+      var next = -1L
+      if (s.startsWith("xref", xoff.toInt)) {
+        // subsection loop: `start count` header lines until `trailer`
+        var p = xoff.toInt + 4
+        while (p < s.length && (s(p) == '\r' || s(p) == '\n')) p += 1
+        val sec = scala.collection.mutable.ArrayBuffer
+          .empty[(Int, Int, Int, Long, Boolean, Option[String], Option[Long])]
+        var ok = true
+        var done = false
+        while (ok && !done && p < s.length) {
+          if (s.startsWith("trailer", p)) done = true
+          else {
+            val hdr = "^([0-9]+) ([0-9]+)(\\r\\n|\\r|\\n)".r
+              .findFirstMatchIn(s.substring(p, math.min(s.length, p + 32)))
+            hdr match {
+              case Some(m) =>
+                val start = m.group(1).toInt
+                val count = m.group(2).toInt
+                p += m.matched.length
+                var k = 0
+                while (ok && k < count) {
+                  if (p + 20 > s.length) ok = false
+                  else {
+                    val e = s.substring(p, p + 20)
+                    val em = "^([0-9]{10}) ([0-9]{5}) ([nf])".r
+                      .findFirstMatchIn(e)
+                    em match {
+                      case Some(x) =>
+                        val off = x.group(1).toLong
+                        val gen = x.group(2).toInt
+                        val inUse = x.group(3) == "n"
+                        val num = start + k
+                        val (t, l) =
+                          if (inUse && off < s.length &&
+                            s.startsWith(s"$num $gen obj", off.toInt)) {
+                            val e2 = s.indexOf("endobj", off.toInt)
+                            if (e2 < 0) (None, None)
+                            else {
+                              val span = s.substring(off.toInt, e2 + 6)
+                              ("/Type /([A-Za-z]+)".r.findFirstMatchIn(span)
+                                .map(_.group(1)),
+                                Some(e2 + 6L - off))
+                            }
+                          } else (None, None)
+                        sec += ((section, num, gen, off, inUse, t, l))
+                      case None => ok = false
+                    }
+                    p += 20
+                    k += 1
+                  }
+                }
+              case None => ok = false
+            }
+          }
+        }
+        if (ok && done) {
+          // the trailer dict: /Prev chains to the previous section
+          val dict = s.substring(p,
+            math.min(s.length, s.indexOf("startxref", p) match {
+              case -1 => s.length
+              case i  => i
+            }))
+          out ++= sec
+          next = "/Prev\\s+([0-9]+)".r.findFirstMatchIn(dict)
+            .map(_.group(1).toLong).getOrElse(-1L)
+        }
+      }
+      xoff = next
+      section += 1
+    }
+    out.toSeq
+  }
+
+  /** Raw xref-entry table (q_w18): every entry of every section in
+   * the chain, with the walker's body-verified type/length. Pure
+   * map-side byte walk — the blob never shuffles, only fixed-shape
+   * index rows leave the partition. */
+  def pdfXrefTable(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("mime_type"), col("media"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap(r => pdfXref(r.media).map {
+          case (sec, num, gen, off, inUse, t, l) =>
+            (r.media_id, sec, num, gen, off, inUse, t.orNull, l)
+        })
+      }
+      .toDF("media_id", "section_idx", "obj_num", "gen", "offset",
+        "in_use", "obj_type", "obj_length")
+  }
+
+  /** Resolved object table (q_w19): per object number the LATEST
+   * section's entry wins (incremental updates override — PDF's own
+   * keep-latest rule), in-use and body-verified objects only. The
+   * override is a window over index rows, NOT walker logic — at
+   * corpus scale the resolution shuffles (media_id, obj_num)-keyed
+   * 40-byte rows, never the documents. */
+  def pdfObjectTable(spark: SparkSession, media: DataFrame): DataFrame = {
+    val w = Window.partitionBy("media_id", "obj_num").orderBy("section_idx")
+    pdfXrefTable(spark, media)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1 && col("in_use") && col("obj_length").isNotNull)
+      .select(col("media_id"), col("obj_num"), col("gen"), col("offset"),
+        col("obj_type"), col("obj_length"))
+  }
+
   // ----------------------------------------------------------------- tar
 
   /** Parse the NUL/space-padded octal of a ustar numeric field;

@@ -299,6 +299,16 @@ class PlanAuditSpec extends SparkSpec {
     audited(graft.ops.Archives.warcHttpTable(spark, Tables.warc(spark))) { plan =>
       assert(shuffles(plan).isEmpty, s"${shuffles(plan).size} shuffles:\n$plan")
     }
+    audited(graft.ops.Archives.pdfXrefTable(spark, Tables.pdf(spark))) { plan =>
+      assert(shuffles(plan).isEmpty, s"${shuffles(plan).size} shuffles:\n$plan")
+    }
+    // the RESOLVED object table adds exactly the keep-latest window:
+    // one (media_id, obj_num)-keyed shuffle of index rows
+    audited(graft.ops.Archives.pdfObjectTable(spark, Tables.pdf(spark))) { plan =>
+      assert(shuffles(plan).size == 1, s"${shuffles(plan).size} shuffles:\n$plan")
+      assert(shuffles(plan).forall(_.output.forall(_.name != "media")),
+        s"blob column in an exchange:\n$plan")
+    }
     // the WET face including the visible-text/langid/quality layer:
     // the whole web-text curation pipeline is ONE map-side pass
     audited(graft.ops.Archives.warcBodyTextTable(spark, Tables.warc(spark))

@@ -655,6 +655,80 @@ class ArchivesSpec extends SparkSpec {
     assert(broken == Seq((9L, "x", 2L, None, None, None, Some(4L), Some("hi"))))
   }
 
+  test("pdf xref walk: single-section layout matches the assembled offsets") {
+    import graft.tools.PdfFixture
+    for (id <- Seq(0L, 2L, 4L, 6L, 8L, 10L)) { // single-section ids
+      val got = Archives.pdfXref(PdfFixture.row(id)._2)
+      val (_, offs) = PdfFixture.base(id)
+      val bodies = PdfFixture.objects(id)
+      assert(got.size == bodies.size + 1, s"id=$id")
+      assert(got.head == ((0, 0, 65535, 0L, false, None, None)), s"id=$id")
+      got.tail.zipWithIndex.foreach {
+        case ((sec, num, gen, off, inUse, t, l), i) =>
+          assert(sec == 0 && num == i + 1 && gen == 0 && inUse, s"id=$id obj=$num")
+          assert(off == offs(i), s"id=$id obj=$num")
+          val objStr = PdfFixture.obj(i + 1, 0, bodies(i))
+          assert(l.contains(objStr.indexOf("endobj").toLong + 6), s"id=$id obj=$num")
+          val wantT = "/Type /([A-Za-z]+)".r.findFirstMatchIn(bodies(i)).map(_.group(1))
+          assert(t == wantT, s"id=$id obj=$num")
+      }
+    }
+  }
+
+  test("pdf xref walk: /Prev chains sections; resolution prefers the latest") {
+    import graft.tools.PdfFixture
+    import spark.implicits._
+    val id = 1L
+    val got = Archives.pdfXref(PdfFixture.row(id)._2)
+    val base = PdfFixture.objects(id).size + 1
+    assert(got.count(_._1 == 0) == 1) // the update section: obj 3 only
+    assert(got.count(_._1 == 1) == base) // the full base table
+    val upd = got.find(_._1 == 0).get
+    assert(upd._2 == 3 && upd._3 == 1 && upd._5 && upd._6.contains("Page"))
+    val resolved = Archives.pdfObjectTable(spark,
+        Seq((id, "application/pdf", PdfFixture.row(id)._2))
+          .toDF("media_id", "mime_type", "media"))
+      .as[(Long, Int, Int, Long, Option[String], Long)].collect()
+      .map(r => r._2 -> r).toMap
+    assert(resolved(3)._3 == 1 && resolved(3)._4 == upd._4)
+    assert(resolved.size == base - 1) // every in-use object, no free head
+    assert(resolved(1)._5.contains("Catalog") && resolved(2)._5.contains("Pages"))
+  }
+
+  test("pdf xref walk: bad startxref/junk yield nothing; multi-subsection and tombstones work") {
+    import graft.tools.PdfFixture
+    import spark.implicits._
+    assert(Archives.pdfXref(PdfFixture.row(3L)._2).isEmpty)
+    assert(Archives.pdfXref(PdfFixture.row(7L)._2).isEmpty)
+    assert(Archives.pdfXref(null).isEmpty)
+    assert(Archives.pdfXref(Array.emptyByteArray).isEmpty)
+    // synthetic multi-subsection table (a PDF after several updates
+    // compacts to `start count` runs) — the fixture stays
+    // single-subsection, the walker must not
+    val o1 = "%PDF-1.4\n1 0 obj\n<< /Type /Catalog >>\nendobj\n"
+    val pdf = o1 + "xref\n0 2\n" +
+      PdfFixture.entry(0, 65535, inUse = false) +
+      PdfFixture.entry(9, 0, inUse = true) +
+      "5 1\n" + PdfFixture.entry(0, 0, inUse = false) +
+      s"trailer\n<< /Size 6 >>\nstartxref\n${o1.length}\n%%EOF\n"
+    val got = Archives.pdfXref(pdf.getBytes("US-ASCII"))
+    assert(got.map(e => (e._2, e._4, e._5)) ==
+      Seq((0, 0L, false), (1, 9L, true), (5, 0L, false)))
+    assert(got(1)._6.contains("Catalog"))
+    // an 'f' override in the LATEST section tombstones the object:
+    // older generations must not resurface in the resolved table
+    val x1 = "xref\n0 2\n" + PdfFixture.entry(0, 65535, inUse = false) +
+      PdfFixture.entry(9, 0, inUse = true) +
+      s"trailer\n<< /Size 2 >>\nstartxref\n${o1.length}\n%%EOF\n"
+    val part1 = o1 + x1
+    val pdf2 = part1 + "xref\n1 1\n" + PdfFixture.entry(0, 0, inUse = false) +
+      s"trailer\n<< /Size 2 /Prev ${o1.length} >>\nstartxref\n${part1.length}\n%%EOF\n"
+    val resolved2 = Archives.pdfObjectTable(spark,
+        Seq((9L, "application/pdf", pdf2.getBytes("US-ASCII")))
+          .toDF("media_id", "mime_type", "media")).collect()
+    assert(resolved2.isEmpty)
+  }
+
   test("archive walks: totality fuzz — arbitrary bytes never throw") {
     val rnd = new scala.util.Random(41)
     for (_ <- 0 until 200) {
@@ -664,16 +738,19 @@ class ArchivesSpec extends SparkSpec {
       Archives.tarMembers(b)
       Archives.zipEntries(b)
       Archives.warcGzMembers(b)
+      Archives.pdfXref(b)
       // seed corruption: flip bytes inside real archives
       val wid = rnd.nextInt(16).toLong
       for (real0 <- Seq(WarcFixture.row(wid)._2, TarFixture.row(wid)._2,
-          ZipFixture.row(wid)._2, graft.tools.WarcGzFixture.row(wid)._2)) {
+          ZipFixture.row(wid)._2, graft.tools.WarcGzFixture.row(wid)._2,
+          graft.tools.PdfFixture.row(wid)._2)) {
         val real = real0.clone()
         if (real.nonEmpty) real(rnd.nextInt(real.length)) = rnd.nextInt().toByte
         Archives.warcRecords(real)
         Archives.tarMembers(real)
         Archives.zipEntries(real)
         Archives.warcGzMembers(real)
+        Archives.pdfXref(real)
       }
     }
   }

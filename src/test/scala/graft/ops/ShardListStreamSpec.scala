@@ -155,6 +155,14 @@ class ShardListStreamSpec extends SparkSpec {
           .select("target_uri")))
   }
 
+  test("streamed PDF xref walk equals the batch walk over the grown directory") {
+    val rows = (0L until 12L).map { id =>
+      val (mime, bytes) = graft.tools.PdfFixture.row(id)
+      (id, mime, bytes)
+    }
+    streamed("pdf_stream", rows, Archives.pdfXrefTable)
+  }
+
   test("streamed tar member walk equals the batch walk over the grown directory") {
     val rows = (0L until 12L).map { id =>
       val (mime, bytes) = graft.tools.TarFixture.row(id)
