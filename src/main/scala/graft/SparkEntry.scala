@@ -654,6 +654,24 @@ object SparkEntry {
       Archives.crawlDelta(
         snap(col("media_id") < 300), snap(col("media_id") >= 200))
     }),
+    // q_w20: robots.txt politeness filter — rules parsed from the
+    // crawl's own robots.txt fetches (governing User-agent: * group
+    // only), then RFC 9309 longest-match precedence per deduped page
+    // (allow wins length ties) as a host-keyed join + per-page window
+    "q_w20_robots" -> ((s, _) => {
+      val warc = Tables.warc(s)
+      val dd = Archives.urlDedup(Archives.warcRecordTable(s, warc))
+      val texts = Archives.warcBodyTextTable(s, warc)
+      val robots = dd.filter(col("target_uri").endsWith("/robots.txt"))
+        .join(texts.select(col("media_id"), col("record_idx"),
+          col("body_text")), Seq("media_id", "record_idx"))
+        .select(lower(regexp_extract(col("target_uri"),
+          "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)).as("host"),
+          col("body_text").as("body"))
+      Archives.robotsFilter(
+        dd.filter(!col("target_uri").endsWith("/robots.txt")),
+        Archives.robotsRules(robots))
+    }),
     // q_w18: PDF xref-chain table — the object index of the web's
     // second-biggest document format, read like ZIP's central
     // directory: every 20-byte entry of every section in the
@@ -3131,6 +3149,81 @@ object SparkEntry {
          |        WHEN o.old_digest = n.new_digest THEN 'unchanged'
          |        ELSE 'changed' END AS status
          | FROM dig_o o FULL OUTER JOIN dig_n n ON o.target_uri = n.target_uri""".stripMargin,
+    // q_w20: dedup chain + robots bodies re-joined from the HTTP
+    // split, the same line parse (UA-group window, rule regexes) and
+    // the same longest-match rank — allow beats disallow on ties
+    "q_w20_robots" ->
+      s"""WITH RECURSIVE $WARCWALK,
+         | $WARCHTTP,
+         | wet AS (
+         |  SELECT media_id, record_idx, body_text
+         |  FROM https
+         |  WHERE http_status = 200 AND lower(content_type) LIKE 'text/%'),
+         | rsp AS (
+         |  SELECT media_id, record_idx, target_uri, warc_date
+         |  FROM wrecs
+         |  WHERE lower(warc_type) = 'response' AND target_uri IS NOT NULL),
+         | rk AS (
+         |  SELECT *,
+         |    ROW_NUMBER() OVER (PARTITION BY target_uri
+         |      ORDER BY warc_date DESC, media_id, record_idx) AS rank,
+         |    CAST(COUNT(*) OVER (PARTITION BY target_uri) AS BIGINT) AS n_fetches
+         |  FROM rsp),
+         | dd AS (
+         |  SELECT target_uri, media_id, record_idx, warc_date, n_fetches
+         |  FROM rk WHERE rank = 1),
+         | rob AS (
+         |  SELECT lower(regexp_extract(d.target_uri,
+         |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host,
+         |    w.body_text AS body
+         |  FROM dd d JOIN wet w
+         |    ON d.media_id = w.media_id AND d.record_idx = w.record_idx
+         |  WHERE d.target_uri LIKE '%/robots.txt'),
+         | rlin AS (
+         |  SELECT host,
+         |    unnest(string_split(body, chr(10))) AS line,
+         |    unnest(generate_series(1, len(string_split(body, chr(10))))) AS line_no
+         |  FROM rob),
+         | rlr AS (
+         |  SELECT host, line_no,
+         |    nullif(regexp_extract(line,
+         |      '(?i)^[ \\t]*user-agent[ \\t]*:[ \\t]*(\\S+)', 1), '') AS ua,
+         |    lower(regexp_extract(line,
+         |      '(?i)^[ \\t]*(disallow|allow)[ \\t]*:', 1)) AS rule_type,
+         |    trim(regexp_extract(line,
+         |      '(?i)^[ \\t]*(disallow|allow)[ \\t]*:(.*)$$', 2)) AS prefix
+         |  FROM rlin),
+         | rlg AS (
+         |  SELECT *, last_value(ua IGNORE NULLS) OVER (PARTITION BY host
+         |    ORDER BY line_no
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS agent
+         |  FROM rlr),
+         | rrules AS (
+         |  SELECT DISTINCT host, rule_type, prefix
+         |  FROM rlg WHERE agent = '*' AND rule_type <> '' AND prefix <> ''),
+         | pg AS (
+         |  SELECT d.*,
+         |    lower(regexp_extract(d.target_uri,
+         |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host,
+         |    CASE WHEN regexp_extract(d.target_uri,
+         |        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) = ''
+         |      THEN '/' ELSE regexp_extract(d.target_uri,
+         |        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) END AS pth
+         |  FROM dd d WHERE d.target_uri NOT LIKE '%/robots.txt'),
+         | rj AS (
+         |  SELECT pg.*, r.rule_type, r.prefix,
+         |    r.prefix IS NOT NULL AND starts_with(pg.pth, r.prefix) AS hit
+         |  FROM pg LEFT JOIN rrules r USING (host)),
+         | rjr AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY host, target_uri
+         |    ORDER BY hit DESC, len(prefix) DESC, rule_type ASC, prefix ASC) AS rnk
+         |  FROM rj)
+         | SELECT host, target_uri, media_id,
+         |   CAST(record_idx AS INT) AS record_idx, warc_date, n_fetches,
+         |   NOT (hit AND rule_type = 'disallow') AS robots_allowed,
+         |   CASE WHEN hit THEN rule_type END AS matched_rule,
+         |   CASE WHEN hit THEN prefix END AS matched_prefix
+         | FROM rjr WHERE rnk = 1""".stripMargin,
     // q_w18: the PDFWALK re-walk verbatim (startxref scan, /Prev
     // chain, 20-byte grid, body verification — see its Scaladoc)
     "q_w18_pdf_xref" ->

@@ -680,6 +680,74 @@ object Archives {
           .when(col("old_digest") === col("new_digest"), "unchanged")
           .otherwise("changed"))
 
+  /** Parse robots.txt rule lines — the crawl-politeness face: which
+   * prefixes a host's operator allows/disallows. Input rows are
+   * (host, body); output one row per `Allow:`/`Disallow:` line whose
+   * governing `User-agent` group (the most recent UA line above it)
+   * is `*` — a trailing specific-bot group is correctly ignored.
+   * Duplicate rules collapse (every shard that fetched the host's
+   * robots.txt serves the same content).
+   *
+   * Scale shape: line explode + one host-keyed window to attribute
+   * lines to UA groups + a distinct — all over (host, short-string)
+   * rows; robots files are KiBs, the rule table is tiny relative to
+   * the page table it gates. */
+  def robotsRules(robots: DataFrame): DataFrame = {
+    val ua = regexp_extract(col("line"),
+      "(?i)^[ \\t]*user-agent[ \\t]*:[ \\t]*(\\S+)", 1)
+    val rt = lower(regexp_extract(col("line"),
+      "(?i)^[ \\t]*(disallow|allow)[ \\t]*:", 1))
+    val pfx = trim(regexp_extract(col("line"),
+      "(?i)^[ \\t]*(disallow|allow)[ \\t]*:(.*)$", 2))
+    val w = Window.partitionBy("host").orderBy("line_no")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    robots
+      .select(col("host"),
+        posexplode(split(col("body"), "\n")).as(Seq("line_no", "line")))
+      .withColumn("agent",
+        last(when(ua =!= "", ua), ignoreNulls = true).over(w))
+      .withColumn("rule_type", rt)
+      .withColumn("prefix", pfx)
+      .filter(col("agent") === "*" &&
+        col("rule_type") =!= "" && col("prefix") =!= "")
+      .select("host", "rule_type", "prefix")
+      .distinct()
+  }
+
+  /** Longest-match robots verdict per page — the precedence every
+   * evaluator implements (RFC 9309 §2.2.2): among the host's rules
+   * whose prefix matches the page path, the LONGEST wins; an `allow`
+   * wins a length tie. Pages on hosts with no matching rule are
+   * allowed. Input pages need `target_uri` (unique — run after
+   * keep-latest dedup) and join the rule table host-keyed; emits the
+   * pages with `robots_allowed`, `matched_rule`, `matched_prefix`.
+   *
+   * Scale shape: one host-keyed join (page index rows × tiny rule
+   * rows — a few rules per host, so the fan-out is bounded) and one
+   * per-page window to pick the winning rule. The precedence is
+   * RELATIONAL (rank over rules), not an evaluator loop. */
+  def robotsFilter(pages: DataFrame, rules: DataFrame): DataFrame = {
+    val rawPath = regexp_extract(col("target_uri"),
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    val w = Window.partitionBy("host", "target_uri")
+      .orderBy(col("hit").desc, length(col("prefix")).desc,
+        col("rule_type").asc, col("prefix").asc)
+    pages
+      .withColumn("host", lower(regexp_extract(col("target_uri"),
+        "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)))
+      .withColumn("path", when(rawPath === "", lit("/")).otherwise(rawPath))
+      .join(rules, Seq("host"), "left")
+      .withColumn("hit",
+        col("prefix").isNotNull && col("path").startsWith(col("prefix")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .withColumn("robots_allowed",
+        !(col("hit") && col("rule_type") === "disallow"))
+      .withColumn("matched_rule", when(col("hit"), col("rule_type")))
+      .withColumn("matched_prefix", when(col("hit"), col("prefix")))
+      .drop("prefix", "rule_type", "hit", "rnk", "path")
+  }
+
   // ----------------------------------------------------------------- PDF
 
   /** Walk the classic cross-reference chain of a PDF — the entry

@@ -32,7 +32,9 @@ package graft.tools
  *                  URL-filter rule classes, and an UNNORMALIZED
  *                  ALIAS of the shard's first clean page (case/www/
  *                  port/fragment/tracking-param noise) for the q_w16
- *                  canonicalizer.
+ *                  canonicalizer, and the host's robots.txt (a pure
+ *                  function of the host) for the q_w20 politeness
+ *                  filter.
  *
  * All payloads are 7-bit ASCII so the oracle's blob→VARCHAR decode is
  * total. Usage: runMain graft.tools.WarcFixture [outFile] [rows]
@@ -138,6 +140,27 @@ object WarcFixture {
       head + "\r\n" + body)
   }
 
+  /** The robots.txt BODY of host data{h}.example.org — a pure
+   * function of the HOST (every shard that serves it serves the same
+   * bytes, so keep-latest dedup is a no-op on content). Disallows
+   * the /page{h} prefix (matching page{h} and page{h}0..{h}9) but
+   * re-allows the single page {h}{h} with a LONGER rule — the
+   * longest-match precedence every robots evaluator must implement.
+   * A trailing non-`*` group must be ignored by the parser. */
+  def robotsBody(h: Long): String =
+    s"User-agent: *\nDisallow: /page$h\nAllow: /page$h$h\n" +
+      s"Disallow: /secret/\n\nUser-agent: badbot\nDisallow: /\n"
+
+  def robotsResponse(id: Long): String = {
+    val body = robotsBody(id % 5)
+    record(id,
+      Seq("WARC-Type" -> "response",
+        "WARC-Target-URI" -> s"https://data${id % 5}.example.org/robots.txt",
+        "Content-Type" -> "application/http;msgtype=response",
+        "WARC-Date" -> wdate(id, 94)),
+      "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n" + body)
+  }
+
   /** Spam-URL class for the q_w14 URL-filter rules, cycling on
    * (id/2) % 5 for the same live-shard-coverage reason as
    * [[variantClass]] (id%8 ∈ {3,7} shards never reach records). */
@@ -208,7 +231,7 @@ object WarcFixture {
     }
     (warcinfo(id) +: body) ++
       Seq(variantResponse(id), brokenResponse(id), spamResponse(id),
-        aliasResponse(id))
+        aliasResponse(id), robotsResponse(id))
   }
 
   def warc(id: Long): String = records(id).mkString("")

@@ -403,6 +403,17 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("robots filter: host/URI-keyed exchanges over rule and index rows only") {
+    audited(graft.SparkEntry.queries("q_w20_robots")(spark, sf)) { plan =>
+      // dedup window, robots-body join, rule-parse window + distinct,
+      // host-keyed rule join, winning-rule window — all small rows
+      assert(shuffles(plan).size <= 10, s"${shuffles(plan).size} shuffles:\n$plan")
+      assert(plan.collect { case c: CartesianProductExec => c }.isEmpty, plan.toString)
+      assert(shuffles(plan).forall(_.output.forall(_.name != "media")),
+        s"blob column in an exchange:\n$plan")
+    }
+  }
+
   test("crawl delta: URI/coordinate-keyed exchanges over digest rows; shards never re-shuffle") {
     audited(graft.SparkEntry.queries("q_w17_crawl_delta")(spark, sf)) { plan =>
       // per snapshot: one URI dedup window + one coordinate-keyed

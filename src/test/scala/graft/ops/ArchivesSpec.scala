@@ -61,11 +61,11 @@ class ArchivesSpec extends SparkSpec {
       }
     }.toSet
     assert(got == expect)
-    // the broken responses (no CRLFCRLF / non-HTTP payload, third
-    // from last — the spam and alias records close the shard) never
-    // emit
+    // the broken responses (no CRLFCRLF / non-HTTP payload, fourth
+    // from last — spam, alias and robots records close the shard)
+    // never emit
     assert(!got.exists { case (id, i, _, _, _, _) =>
-      i == WarcFixture.records(id).size - 3 })
+      i == WarcFixture.records(id).size - 4 })
     // the variant statuses and content-types all appear
     assert(got.map(_._3) == Set(200, 404, 301, 503))
     assert(got.exists(_._6.isEmpty)) // the 301 without Content-Type
@@ -653,6 +653,45 @@ class ArchivesSpec extends SparkSpec {
       .as[(Long, String, Long, Option[String], Option[Int],
         Option[Int], Option[Long], Option[String])].collect().toSeq
     assert(broken == Seq((9L, "x", 2L, None, None, None, Some(4L), Some("hi"))))
+  }
+
+  test("robots: UA-group attribution, longest-match precedence, allow wins ties") {
+    import spark.implicits._
+    val body = WarcFixture.robotsBody(1)
+    val rules = Archives.robotsRules(
+      Seq(("data1.example.org", body)).toDF("host", "body"))
+    // the trailing badbot group's 'Disallow: /' must NOT leak in
+    assert(rules.as[(String, String, String)].collect().toSet == Set(
+      ("data1.example.org", "disallow", "/page1"),
+      ("data1.example.org", "allow", "/page11"),
+      ("data1.example.org", "disallow", "/secret/")))
+    val pages = Seq(
+      "https://data1.example.org/page11", // longer allow overrides
+      "https://data1.example.org/page12", // /page1 prefix: disallowed
+      "https://data1.example.org/page1", // exact disallow
+      "https://data1.example.org/page2", // no matching rule: allowed
+      "https://data1.example.org/secret/x",
+      "https://other.example.org/page1" // host without rules: allowed
+    ).toDF("target_uri")
+    val got = Archives.robotsFilter(pages, rules)
+      .select("target_uri", "robots_allowed", "matched_rule")
+      .as[(String, Boolean, Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val d = "https://data1.example.org"
+    assert(got(s"$d/page11") == ((true, Some("allow"))))
+    assert(got(s"$d/page12") == ((false, Some("disallow"))))
+    assert(got(s"$d/page1") == ((false, Some("disallow"))))
+    assert(got(s"$d/page2") == ((true, None)))
+    assert(got(s"$d/secret/x") == ((false, Some("disallow"))))
+    assert(got("https://other.example.org/page1") == ((true, None)))
+    assert(got.size == 6)
+    // equal-length allow/disallow on the same prefix: allow wins
+    val tie = Archives.robotsFilter(
+        Seq("https://h.example.org/xy").toDF("target_uri"),
+        Archives.robotsRules(Seq(("h.example.org",
+          "User-agent: *\nDisallow: /x\nAllow: /x\n")).toDF("host", "body")))
+      .select("robots_allowed").as[Boolean].collect()
+    assert(tie.toSeq == Seq(true))
   }
 
   test("pdf xref walk: single-section layout matches the assembled offsets") {
