@@ -685,6 +685,13 @@ object SparkEntry {
     // the documents themselves never shuffle
     "q_w19_pdf_objects" -> ((s, _) =>
       Archives.pdfObjectTable(s, Tables.pdf(s))),
+    // q_w21: PDF page-TEXT extraction — the WET analogue for PDFs:
+    // per resolved /Type /Page object, follow /Contents to the
+    // stream, slice it, concatenate the (…) Tj show strings; Flate
+    // streams inflate through the JDK (unit-tested; the fixture
+    // keeps streams ASCII so the oracle re-extracts byte-for-byte)
+    "q_w21_pdf_text" -> ((s, _) =>
+      Archives.pdfPageTextTable(s, Tables.pdf(s))),
     // q_w12: WebDataset image–text PAIR table — the canonical
     // multimodal training job: per sample, the REAL JPEG header dims
     // (segment walk to SOF0) + the caption text, grouped inside the
@@ -3233,6 +3240,44 @@ object SparkEntry {
          |   CAST(off AS BIGINT) AS "offset", in_use, obj_type,
          |   CAST(obj_length AS BIGINT) AS obj_length
          | FROM pdf_ent""".stripMargin,
+    // q_w21: PDFWALK + keep-latest resolution, /Type /Page objects'
+    // first /Contents ref joined back to the resolved content
+    // object, the stream sliced between `stream\n` and `\nendstream`
+    // and every `(…) Tj` literal concatenated in order — the
+    // updated page object (no /Contents) correctly emits nothing
+    "q_w21_pdf_text" ->
+      s"""WITH RECURSIVE $PDFWALK,
+         | res AS (
+         |  SELECT media_id, obj_num, off, obj_length, obj_type
+         |  FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY media_id, obj_num
+         |      ORDER BY section_idx) AS rnk
+         |    FROM pdf_ent) t
+         |  WHERE rnk = 1 AND in_use AND obj_length IS NOT NULL),
+         | pages AS (
+         |  SELECT r.media_id, r.obj_num AS page_obj,
+         |    TRY_CAST(regexp_extract(
+         |      substr(m.s, CAST(r.off AS INT) + 1, CAST(r.obj_length AS INT)),
+         |      '/Contents ([0-9]+) ([0-9]+) R', 1) AS INT) AS content_obj
+         |  FROM res r JOIN pdf_m m USING (media_id)
+         |  WHERE r.obj_type = 'Page'),
+         | ctt AS (
+         |  SELECT p.media_id, p.page_obj, p.content_obj,
+         |    substr(m.s, CAST(c.off AS INT) + 1, CAST(c.obj_length AS INT)) AS cbody
+         |  FROM pages p
+         |  JOIN res c ON p.media_id = c.media_id AND p.content_obj = c.obj_num
+         |  JOIN pdf_m m ON m.media_id = p.media_id),
+         | sl AS (
+         |  SELECT media_id, page_obj, content_obj, cbody,
+         |    strpos(cbody, 'stream' || chr(10)) AS ds,
+         |    strpos(cbody, chr(10) || 'endstream') AS de
+         |  FROM ctt)
+         | SELECT media_id, CAST(page_obj AS INT) AS page_obj,
+         |   CAST(content_obj AS INT) AS content_obj,
+         |   array_to_string(regexp_extract_all(
+         |     substr(cbody, CAST(ds + 7 AS INT), CAST(de - ds - 7 AS INT)),
+         |     '\\(([^()]*)\\)[ \\t\\r\\n]*Tj', 1), ' ') AS text
+         | FROM sl WHERE ds > 0 AND de > ds""".stripMargin,
     // q_w19: PDFWALK + the keep-latest window (smallest section_idx
     // per object wins) — rank BEFORE the in-use filter, so a deleted
     // ('f') latest entry correctly tombstones older generations

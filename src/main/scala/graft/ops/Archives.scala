@@ -894,6 +894,93 @@ object Archives {
         col("obj_type"), col("obj_length"))
   }
 
+  /** Extract the shown text of each PDF page — the WET analogue for
+   * the PDF family: resolve the xref chain in the partition-local
+   * pass ([[pdfXref]] + keep-latest per object), take each in-use
+   * `/Type /Page` object, follow its FIRST `/Contents N G R`
+   * reference to the resolved content-stream object, slice the bytes
+   * between `stream\n` and `\nendstream` (inflating them through the
+   * JDK Inflater when the stream dict names `/FlateDecode`, capped
+   * at 1 MiB), and concatenate the `(…) Tj` show-operator strings in
+   * stream order. Scope: literal strings without nested/escaped
+   * parentheses and the plain `Tj` operator — the dominant form of
+   * machine-generated PDFs; a page without a resolvable, extractable
+   * content stream emits nothing (claim nothing the bytes don't
+   * prove). Returns (page_obj, content_obj, text) in page-object
+   * order. */
+  private[ops] def pdfPageTexts(b: Array[Byte]): Seq[(Int, Int, String)] = {
+    val entries = pdfXref(b)
+    if (entries.isEmpty) return Nil
+    val s = new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
+    // keep-latest resolution: smallest section_idx per object number
+    val resolved = entries.groupBy(_._2).map { case (_, es) =>
+      es.minBy(_._1)
+    }.filter(e => e._5 && e._7.isDefined).map(e => e._2 -> e).toMap
+    val contentsRe = "/Contents ([0-9]+) ([0-9]+) R".r
+    val tjRe = "\\(([^()]*)\\)[ \\t\\r\\n]*Tj".r
+    resolved.toSeq.sortBy(_._1).flatMap { case (num, e) =>
+      if (!e._6.contains("Page")) None
+      else {
+        val body = s.substring(e._4.toInt, (e._4 + e._7.get).toInt)
+        contentsRe.findFirstMatchIn(body).flatMap { m =>
+          resolved.get(m.group(1).toInt).flatMap { ce =>
+            val cbody = s.substring(ce._4.toInt, (ce._4 + ce._7.get).toInt)
+            val ds = cbody.indexOf("stream\n")
+            val de = cbody.indexOf("\nendstream")
+            if (ds < 0 || de < ds) None
+            else {
+              val raw = cbody.substring(ds + 7, de)
+              val dict = cbody.substring(0, ds)
+              val data =
+                if (!dict.contains("/FlateDecode")) Some(raw)
+                else inflateCapped(raw.getBytes(
+                  java.nio.charset.StandardCharsets.ISO_8859_1), 1 << 20)
+              data.map { d =>
+                (num, ce._2, tjRe.findAllMatchIn(d).map(_.group(1))
+                  .mkString(" "))
+              }
+            }
+          }
+        }
+      }
+    }
+  }
+
+  /** Inflate a raw zlib stream to a string, None past `cap` bytes or
+   * on corrupt input — tolerance, never a throw. */
+  private def inflateCapped(z: Array[Byte], cap: Int): Option[String] =
+    try {
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(z)
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var total = 0
+      while (!inf.finished() && total <= cap) {
+        val n = inf.inflate(buf)
+        if (n == 0 && inf.needsInput()) return None // truncated
+        out.write(buf, 0, n)
+        total += n
+      }
+      inf.end()
+      if (total > cap) None
+      else Some(new String(out.toByteArray,
+        java.nio.charset.StandardCharsets.ISO_8859_1))
+    } catch { case _: Exception => None }
+
+  /** Page-text table (q_w21): pdfPageTexts per document — pure
+   * map-side, the PDFs never shuffle, only (ids, text) rows leave. */
+  def pdfPageTextTable(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("mime_type"), col("media"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap(r => pdfPageTexts(r.media).map {
+          case (p, c, t) => (r.media_id, p, c, t)
+        })
+      }
+      .toDF("media_id", "page_obj", "content_obj", "text")
+  }
+
   // ----------------------------------------------------------------- tar
 
   /** Parse the NUL/space-padded octal of a ustar numeric field;

@@ -302,6 +302,12 @@ class PlanAuditSpec extends SparkSpec {
     audited(graft.ops.Archives.pdfXrefTable(spark, Tables.pdf(spark))) { plan =>
       assert(shuffles(plan).isEmpty, s"${shuffles(plan).size} shuffles:\n$plan")
     }
+    // page-text extraction resolves the xref chain, follows /Contents
+    // and inflates INSIDE the partition — a whole PDF → text pipeline
+    // with zero exchanges
+    audited(graft.ops.Archives.pdfPageTextTable(spark, Tables.pdf(spark))) { plan =>
+      assert(shuffles(plan).isEmpty, s"${shuffles(plan).size} shuffles:\n$plan")
+    }
     // the RESOLVED object table adds exactly the keep-latest window:
     // one (media_id, obj_num)-keyed shuffle of index rows
     audited(graft.ops.Archives.pdfObjectTable(spark, Tables.pdf(spark))) { plan =>

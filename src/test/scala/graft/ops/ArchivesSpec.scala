@@ -768,6 +768,51 @@ class ArchivesSpec extends SparkSpec {
     assert(resolved2.isEmpty)
   }
 
+  test("pdf page text: Tj strings per page; an updated page without /Contents drops out") {
+    import graft.tools.PdfFixture
+    // plain single-section file: every page's text from the contract
+    val id0 = 2L // nPages = 3
+    val got0 = Archives.pdfPageTexts(PdfFixture.row(id0)._2)
+    assert(got0 == (0 until PdfFixture.nPages(id0)).map { p =>
+      (3 + 2 * p, 4 + 2 * p, s"doc $id0 page $p")
+    })
+    // update file: page object 3's revision has NO /Contents — page 0
+    // must emit nothing, later pages unaffected
+    val id1 = 1L // nPages = 2, incremental update rewrites obj 3
+    val got1 = Archives.pdfPageTexts(PdfFixture.row(id1)._2)
+    assert(got1 == Seq((5, 6, s"doc $id1 page 1")))
+  }
+
+  test("pdf page text: FlateDecode streams inflate; corrupt deflate claims nothing") {
+    import graft.tools.PdfFixture
+    def flatePdf(data: Array[Byte]): Array[Byte] = {
+      val o1 = "%PDF-1.4\n"
+      val page = PdfFixture.obj(1, 0,
+        "<< /Type /Page /Contents 2 0 R >>")
+      val zs = new String(data, java.nio.charset.StandardCharsets.ISO_8859_1)
+      val cnt = PdfFixture.obj(2, 0,
+        s"<< /Length ${data.length} /Filter /FlateDecode >>\nstream\n$zs\nendstream")
+      val head = o1 + page + cnt
+      val xoff = head.length
+      val xref = s"xref\n0 3\n" + PdfFixture.entry(0, 65535, inUse = false) +
+        PdfFixture.entry(o1.length, 0, inUse = true) +
+        PdfFixture.entry(o1.length + page.length, 0, inUse = true) +
+        s"trailer\n<< /Size 3 >>\nstartxref\n$xoff\n%%EOF\n"
+      (head + xref).getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    }
+    val payload = "BT (hello flate) Tj ET".getBytes("US-ASCII")
+    val d = new java.util.zip.Deflater()
+    d.setInput(payload); d.finish()
+    val buf = new Array[Byte](256)
+    val n = d.deflate(buf); d.end()
+    val z = buf.take(n)
+    assert(Archives.pdfPageTexts(flatePdf(z)) == Seq((1, 2, "hello flate")))
+    // corrupt deflate: the page emits nothing, the walk doesn't throw
+    val bad = z.clone(); bad(bad.length / 2) = (bad(bad.length / 2) ^ 0x5a).toByte
+    val t = Archives.pdfPageTexts(flatePdf(bad))
+    assert(t.isEmpty || t.forall(_._3 != "hello flate"))
+  }
+
   test("archive walks: totality fuzz — arbitrary bytes never throw") {
     val rnd = new scala.util.Random(41)
     for (_ <- 0 until 200) {
