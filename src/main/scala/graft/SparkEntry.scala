@@ -685,6 +685,21 @@ object SparkEntry {
     // the documents themselves never shuffle
     "q_w19_pdf_objects" -> ((s, _) =>
       Archives.pdfObjectTable(s, Tables.pdf(s))),
+    // q_w22: CDX-style fetch index over `.warc.gz` members — Common
+    // Crawl's own index format: per response member the SURT sort key
+    // (byte-ordering it clusters a domain's pages → a range scan is a
+    // domain scan), the fetch date and the ranged-read coordinates
+    // (member_offset, member_comp_bytes decompress one record in
+    // isolation). Pure map-side composition of the member walk and
+    // the canonicalizer — zero exchanges; sorting is the consumer's
+    // layout decision (Layout.writeBucketed over surt_key)
+    "q_w22_cdx" -> ((s, _) =>
+      Archives.urlCanonical(
+        Archives.warcGzMemberTable(s, Tables.warcgz(s))
+          .filter(lower(col("warc_type")) === "response" &&
+            col("target_uri").isNotNull))
+        .select(col("surt_key"), col("warc_date"), col("target_uri"),
+          col("media_id"), col("member_offset"), col("member_comp_bytes"))),
     // q_w21: PDF page-TEXT extraction — the WET analogue for PDFs:
     // per resolved /Type /Page object, follow /Contents to the
     // stream, slice it, concatenate the (…) Tj show strings; Flate
@@ -1199,9 +1214,9 @@ object SparkEntry {
    * which reuses WarcFixture's record arithmetic verbatim - DuckDB
    * cannot inflate, so the contract anchors what the compressed bytes
    * hide. Ends in relations `wgz_s`(media_id, off, k, comp) and
-   * `wgz_r`(media_id, k, wtype, uri, content, record). Truncated rows
-   * (id%8=3) reconstruct all but the last member. Used by q_w5/q_w9.
-   */
+   * `wgz_r`(media_id, k, wtype, uri, content, wd, record). Truncated
+   * rows (id%8=3) reconstruct all but the last member. Used by
+   * q_w5/q_w9/q_w22. */
   private def WARCGZREC: String =
     s"""wgz_m AS (
        |  SELECT media_id, hex(media) AS h, octet_length(media) AS n
@@ -1250,7 +1265,7 @@ object SparkEntry {
        |    END AS content
        |  FROM wgz_i),
        | wgz_r AS (
-       |  SELECT media_id, k, wtype, uri, content,
+       |  SELECT media_id, k, wtype, uri, content, wd,
        |    'WARC/1.0' || crlf ||
        |         CASE WHEN k = 0
        |              THEN 'WARC-Type: warcinfo' || crlf || 'WARC-Record-ID: <urn:uuid:' ||
@@ -1560,6 +1575,52 @@ object SparkEntry {
        |    THEN 'path_depth'
        |  WHEN length(target_uri) > 2048 THEN 'url_length'
        |  END""".stripMargin
+  }
+
+  /** DuckDB twin of Archives.urlCanonical as a CTE chain over
+   * relation `src` (must expose `target_uri` plus the `carry`
+   * columns, comma-separated or empty): appends CTEs `<p>c1..<p>c4`;
+   * `<p>c4` holds the carry columns + target_uri + canonical_uri +
+   * surt_key. Same regexes, same lambda param filter/sort, same SURT
+   * assembly as the Spark column expressions. */
+  private def CANONCHAIN(p: String, src: String, carry: String): String = {
+    val cy = if (carry.isEmpty) "" else carry + ", "
+    s"""${p}c1 AS (
+       |  SELECT ${cy}target_uri,
+       |    lower(regexp_extract(target_uri,
+       |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+       |    regexp_replace(lower(regexp_extract(target_uri,
+       |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), '^www\\.', '') AS auth1,
+       |    regexp_extract(target_uri,
+       |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS pth0,
+       |    regexp_extract(target_uri, '\\?([^#]*)', 1) AS qry
+       |  FROM $src),
+       | ${p}c2 AS (
+       |  SELECT ${cy}target_uri, scheme,
+       |    CASE WHEN scheme = 'http' THEN regexp_replace(auth1, ':80$$', '')
+       |         WHEN scheme = 'https' THEN regexp_replace(auth1, ':443$$', '')
+       |         ELSE auth1 END AS host,
+       |    CASE WHEN pth0 = '' THEN '/' ELSE pth0 END AS pth,
+       |    list_sort(list_filter(string_split(qry, '&'),
+       |      p -> p <> '' AND NOT regexp_matches(p,
+       |        '${graft.ops.Archives.TrackingParamRe}'))) AS keptp
+       |  FROM ${p}c1),
+       | ${p}c3 AS (
+       |  SELECT ${cy}target_uri, scheme, host,
+       |    pth || CASE WHEN len(keptp) > 0
+       |      THEN '?' || array_to_string(keptp, '&') ELSE '' END AS tail
+       |  FROM ${p}c2),
+       | ${p}c4 AS (
+       |  SELECT ${cy}target_uri,
+       |    CASE WHEN host = '' THEN NULL
+       |      ELSE scheme || '://' || host || tail END AS canonical_uri,
+       |    CASE WHEN host = '' THEN NULL
+       |      ELSE array_to_string(list_reverse(string_split(host, '.')), ',') ||
+       |           ')' || tail END AS surt_key
+       |  FROM ${p}c3)""".stripMargin
+    // NOTE: no line above may BEGIN with '||' — this pre-stripped
+    // fragment is interpolated into stripMargin callers, which would
+    // eat a leading '|' as a margin character.
   }
 
   /** The host/path/query decomposition urlReasonSql keys on —
@@ -3080,42 +3141,25 @@ object SparkEntry {
       s"""WITH RECURSIVE $WARCWALK,
          | u AS (
          |  SELECT DISTINCT target_uri FROM wrecs WHERE target_uri IS NOT NULL),
-         | c AS (
-         |  SELECT target_uri,
-         |    lower(regexp_extract(target_uri,
-         |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-         |    regexp_replace(lower(regexp_extract(target_uri,
-         |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), '^www\\.', '') AS auth1,
-         |    regexp_extract(target_uri,
-         |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS pth0,
-         |    regexp_extract(target_uri, '\\?([^#]*)', 1) AS qry
-         |  FROM u),
-         | c2 AS (
-         |  SELECT target_uri, scheme,
-         |    CASE WHEN scheme = 'http' THEN regexp_replace(auth1, ':80$$', '')
-         |         WHEN scheme = 'https' THEN regexp_replace(auth1, ':443$$', '')
-         |         ELSE auth1 END AS host,
-         |    CASE WHEN pth0 = '' THEN '/' ELSE pth0 END AS pth,
-         |    list_sort(list_filter(string_split(qry, '&'),
-         |      p -> p <> '' AND NOT regexp_matches(p,
-         |        '${graft.ops.Archives.TrackingParamRe}'))) AS keptp
-         |  FROM c),
-         | c3 AS (
-         |  SELECT target_uri, scheme, host,
-         |    pth || CASE WHEN len(keptp) > 0
-         |      THEN '?' || array_to_string(keptp, '&') ELSE '' END AS tail
-         |  FROM c2),
-         | c4 AS (
-         |  SELECT target_uri,
-         |    CASE WHEN host = '' THEN NULL
-         |      ELSE scheme || '://' || host || tail END AS canonical_uri,
-         |    CASE WHEN host = '' THEN NULL
-         |      ELSE array_to_string(list_reverse(string_split(host, '.')), ',')
-         |           || ')' || tail END AS surt_key
-         |  FROM c3)
+         | ${CANONCHAIN("u", "u", "")}
          | SELECT target_uri, canonical_uri, surt_key,
          |   CAST(COUNT(*) OVER (PARTITION BY canonical_uri) AS BIGINT) AS n_aliases
-         | FROM c4""".stripMargin,
+         | FROM uc4""".stripMargin,
+    // q_w22: the CDX index — WARCGZREC member spans + record identity
+    // (responses with a URI), SURT keys via the shared CANONCHAIN
+    "q_w22_cdx" ->
+      s"""WITH $WARCGZREC,
+         | mem AS (
+         |  SELECT r.media_id, CAST(s.off AS BIGINT) AS member_offset,
+         |    CAST(s.comp AS BIGINT) AS member_comp_bytes,
+         |    r.wd AS warc_date, r.uri AS target_uri
+         |  FROM wgz_r r JOIN wgz_s s USING (media_id, k)
+         |  WHERE lower(r.wtype) = 'response' AND r.uri IS NOT NULL),
+         | ${CANONCHAIN("m", "mem",
+            "media_id, member_offset, member_comp_bytes, warc_date")}
+         | SELECT surt_key, warc_date, target_uri, media_id,
+         |   member_offset, member_comp_bytes
+         | FROM mc4""".stripMargin,
     // q_w17: both snapshots re-derived from the same record/HTTP
     // re-walk (media_id ranges), keep-latest + md5(extracted text)
     // per snapshot, then the full-outer diff with the same status
@@ -3548,7 +3592,7 @@ object SparkEntry {
          |   CAST(s.comp AS BIGINT) AS member_comp_bytes,
          |   CAST(length(r.record) AS BIGINT) AS member_uncomp_bytes,
          |   CAST(length(r.content) AS BIGINT) AS content_length,
-         |   r.wtype AS warc_type, r.uri AS target_uri
+         |   r.wtype AS warc_type, r.uri AS target_uri, r.wd AS warc_date
          | FROM wgz_r r JOIN wgz_s s USING (media_id, k)""".stripMargin,
     // q_w9: WET extraction off the COMPRESSED members — the HTTP
     // layer re-split generically (the same status/Content-Type/body

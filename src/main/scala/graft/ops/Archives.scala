@@ -335,14 +335,15 @@ object Archives {
     }
   }
 
-  private[ops] def warcGzMembers(
-      b: Array[Byte]): Seq[(Long, Long, Long, Long, Option[String], Option[String])] = {
+  private[ops] def warcGzMembers(b: Array[Byte])
+      : Seq[(Long, Long, Long, Long, Option[String], Option[String], Option[String])] = {
     val out = scala.collection.mutable.ArrayBuffer
-      .empty[(Long, Long, Long, Long, Option[String], Option[String])]
+      .empty[(Long, Long, Long, Long, Option[String], Option[String], Option[String])]
     warcGzRawWalk(b, HeadBytes) { (off, end, total, head, headLen) =>
       warcHeader(java.util.Arrays.copyOf(head, headLen), 0) match {
-        case Some((contentOff, clen, wtype, uri, _)) if contentOff + clen <= total =>
-          out += ((off, end - off, total, clen, wtype, uri))
+        case Some((contentOff, clen, wtype, uri, wdate))
+            if contentOff + clen <= total =>
+          out += ((off, end - off, total, clen, wtype, uri, wdate))
           true
         case _ => false
       }
@@ -433,13 +434,14 @@ object Archives {
       .mapPartitions { rows =>
         rows.flatMap { r =>
           warcGzMembers(r.media).zipWithIndex.map {
-            case ((off, clen, ulen, contentLen, wtype, uri), i) =>
-              (r.media_id, i, off, clen, ulen, contentLen, wtype, uri)
+            case ((off, clen, ulen, contentLen, wtype, uri, wdate), i) =>
+              (r.media_id, i, off, clen, ulen, contentLen, wtype, uri, wdate)
           }
         }
       }
       .toDF("media_id", "member_idx", "member_offset", "member_comp_bytes",
-        "member_uncomp_bytes", "content_length", "warc_type", "target_uri")
+        "member_uncomp_bytes", "content_length", "warc_type", "target_uri",
+        "warc_date")
   }
 
   /** Host-level corpus statistics over a WARC record table (q_w1's

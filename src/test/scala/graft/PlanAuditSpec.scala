@@ -326,6 +326,11 @@ class PlanAuditSpec extends SparkSpec {
     audited(graft.ops.Archives.warcGzBodyTextTable(spark, Tables.warcgz(spark))) { plan =>
       assert(shuffles(plan).isEmpty, s"${shuffles(plan).size} shuffles:\n$plan")
     }
+    // the CDX fetch index (member walk + canonicalizer + SURT) is a
+    // map-side composition end to end: zero exchanges
+    audited(graft.SparkEntry.queries("q_w22_cdx")(spark, sf)) { plan =>
+      assert(shuffles(plan).isEmpty, s"${shuffles(plan).size} shuffles:\n$plan")
+    }
     // the image-text pair table groups a sample INSIDE the partition
     // that walks its shard (a sample's members never straddle
     // shards), so the whole multimodal pairing is zero-exchange

@@ -361,12 +361,13 @@ class ArchivesSpec extends SparkSpec {
       recs.zipWithIndex.foreach { case (r, k) =>
         val bytes = r.getBytes("US-ASCII")
         val m = WarcGzFixture.member(k, bytes)
-        val (gOff, gComp, gUncomp, gClen, gType, gUri) = got(k)
+        val (gOff, gComp, gUncomp, gClen, gType, gUri, gDate) = got(k)
         assert(gOff == off && gComp == m.length && gUncomp == bytes.length,
           s"id=$id k=$k span")
         // record identity agrees with the plain-WARC walk of the record
-        val (_, _, clen, wtype, uri, _) = Archives.warcRecords(bytes).head
-        assert(gClen == clen && gType == wtype && gUri == uri, s"id=$id k=$k identity")
+        val (_, _, clen, wtype, uri, wdate) = Archives.warcRecords(bytes).head
+        assert(gClen == clen && gType == wtype && gUri == uri && gDate == wdate,
+          s"id=$id k=$k identity")
         off += m.length
       }
     }
