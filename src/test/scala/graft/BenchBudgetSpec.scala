@@ -18,10 +18,10 @@ class BenchBudgetSpec extends AnyFunSuite {
   test("bench stdout projection stays inside the driver's 2000-char tail") {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val keyOf = Bench.emittedKeys(names)
-    // exact per cold-map entry: "key":0.123, → key + 2 quotes + colon +
-    // 5-char 3-decimal value + comma (a 10 s+ query costs one more
+    // exact per cold-map entry: "key":0.12, → key + 2 quotes + colon +
+    // 4-char 2-decimal value + comma (a 10 s+ query costs one more
     // char — the budget margin absorbs a few)
-    val coldLen = names.map(keyOf(_).length + 9).sum +
+    val coldLen = names.map(keyOf(_).length + 8).sum +
       """{"metric":"cold","queries":{}}""".length
     val summaryLen = 200 // measured r10: 130 incl [info]; margin for growth
     val sbtOverhead = 2 * 7 + 90 // [info] prefixes + trailing [success] line
