@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Archives, Captions, Correlate, Dedup, Ingest, Metrics, Multimodal, Pii, Relational, Sampling, Schedule, Similarity, TextAnalysis}
+import graft.ops.{Archives, Captions, Correlate, Dedup, ImageHash, Ingest, Metrics, Multimodal, Pii, Relational, Sampling, Schedule, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
  *
@@ -685,6 +685,21 @@ object SparkEntry {
     // the documents themselves never shuffle
     "q_w19_pdf_objects" -> ((s, _) =>
       Archives.pdfObjectTable(s, Tables.pdf(s))),
+    // q_m31: perceptual image dHash — REAL ImageIO pixel decode →
+    // 9×8 Rec.601 luminance grid → 64 brightness-order bits carried
+    // as four 16-bit LSH bands; the multimodal twin of q_d4's text
+    // SimHash. The oracle re-reads every pixel from the stored-zlib
+    // PNG bytes and replays the cell comparisons in integer space
+    // (the fixture's constant 2×2 gray cells make the float grid
+    // order-isomorphic to the raw bytes)
+    "q_m31_image_dhash" -> ((s, _) =>
+      ImageHash.dhashTable(s, Tables.imagedup(s))),
+    // q_m32: near-duplicate image PAIRS — band-bucket self-join over
+    // the dHash bands (pigeonhole: Hamming ≤ 3 with 4 bands always
+    // shares an intact band → exact recall), Hamming over the four
+    // band XORs; only 7-int signature rows ever shuffle
+    "q_m32_image_neardup" -> ((s, _) =>
+      ImageHash.nearDupPairs(ImageHash.dhashTable(s, Tables.imagedup(s)))),
     // q_w22: CDX-style fetch index over `.warc.gz` members — Common
     // Crawl's own index format: per response member the SURT sort key
     // (byte-ordering it clusters a domain's pages → a range scan is a
@@ -1425,6 +1440,45 @@ object SparkEntry {
        |        = obj_num || ' ' || gen || ' obj' AS vok,
        |      strpos(substr(s, CAST(off AS INT) + 1), 'endobj') AS pend
        |    FROM pdf_e1) t)""".stripMargin
+
+  /** Shared DuckDB CTE body (no WITH): the dHash bands re-derived
+   * from the image fixture's RAW BYTES — the stored-zlib layout pins
+   * every pixel at hex offset 48 + y·55 + 1 + 3x, the fixture's
+   * constant gray 2×2 cells make integer byte comparisons equal the
+   * decoder's float luminance comparisons, so the oracle needs no
+   * PNG decode at all. Ends in `im_bands`(media_id, width, height,
+   * b0..b3). Used by q_m31/q_m32. */
+  private def IMGHASH: String =
+    s"""im_m AS (
+       |  SELECT media_id, hex(media) AS h
+       |  FROM read_parquet('${Tables.imagedupFixturePath}')
+       |  WHERE octet_length(media) = 948
+       |    AND substr(hex(media), 1, 16) = '89504E470D0A1A0A'),
+       | im_cells AS (
+       |  SELECT media_id, gx, gy,
+       |    ('0x' || substr(h,
+       |      2 * (48 + (2 * gy) * 55 + 1 + 3 * (2 * gx)) + 1, 2))::INT AS val
+       |  FROM im_m, generate_series(0, 8) tx(gx), generate_series(0, 7) ty(gy)),
+       | im_bits AS (
+       |  SELECT l.media_id, l.gy, l.gx,
+       |    CASE WHEN r.val > l.val THEN 1 ELSE 0 END AS bit
+       |  FROM im_cells l JOIN im_cells r
+       |    ON l.media_id = r.media_id AND r.gy = l.gy AND r.gx = l.gx + 1
+       |  WHERE l.gx < 8),
+       | im_bands AS (
+       |  SELECT b.media_id,
+       |    CAST(('0x' || substr(m.h, 33, 8))::BIGINT AS INT) AS width,
+       |    CAST(('0x' || substr(m.h, 41, 8))::BIGINT AS INT) AS height,
+       |    CAST(SUM(CASE WHEN bit = 1 AND (gy * 8 + gx) // 16 = 0
+       |      THEN (1 << ((gy * 8 + gx) % 16)) ELSE 0 END) AS INT) AS b0,
+       |    CAST(SUM(CASE WHEN bit = 1 AND (gy * 8 + gx) // 16 = 1
+       |      THEN (1 << ((gy * 8 + gx) % 16)) ELSE 0 END) AS INT) AS b1,
+       |    CAST(SUM(CASE WHEN bit = 1 AND (gy * 8 + gx) // 16 = 2
+       |      THEN (1 << ((gy * 8 + gx) % 16)) ELSE 0 END) AS INT) AS b2,
+       |    CAST(SUM(CASE WHEN bit = 1 AND (gy * 8 + gx) // 16 = 3
+       |      THEN (1 << ((gy * 8 + gx) % 16)) ELSE 0 END) AS INT) AS b3
+       |  FROM im_bits b JOIN im_m m USING (media_id)
+       |  GROUP BY b.media_id, m.h)""".stripMargin
 
   /** DuckDB twin of TextAnalysis.htmlVisibleText — identical
    * script/style subtree drop, tag strip, entity decode (&amp; LAST)
@@ -3145,6 +3199,31 @@ object SparkEntry {
          | SELECT target_uri, canonical_uri, surt_key,
          |   CAST(COUNT(*) OVER (PARTITION BY canonical_uri) AS BIGINT) AS n_aliases
          | FROM uc4""".stripMargin,
+    // q_m31: IMGHASH re-derivation from raw stored-zlib pixel bytes
+    "q_m31_image_dhash" ->
+      s"""WITH $IMGHASH
+         | SELECT media_id, width, height, b0, b1, b2, b3,
+         |   lower(lpad(to_hex(b3), 4, '0')) || lower(lpad(to_hex(b2), 4, '0')) ||
+         |   lower(lpad(to_hex(b1), 4, '0')) || lower(lpad(to_hex(b0), 4, '0'))
+         |     AS dhash_hex
+         | FROM im_bands""".stripMargin,
+    // q_m32: IMGHASH + the same band-bucket self-join and Hamming sum
+    "q_m32_image_neardup" ->
+      s"""WITH $IMGHASH,
+         | im_banded AS (
+         |  SELECT media_id, b0, b1, b2, b3, j AS band_idx,
+         |    CASE j WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2
+         |      ELSE b3 END AS band_val
+         |  FROM im_bands, generate_series(0, 3) t(j)),
+         | im_pairs AS (
+         |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+         |    CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+         |       + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+         |      AS BIGINT) AS hamming
+         |  FROM im_banded a JOIN im_banded b
+         |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |       AND a.media_id < b.media_id)
+         | SELECT id_a, id_b, hamming FROM im_pairs WHERE hamming <= 3""".stripMargin,
     // q_w22: the CDX index — WARCGZREC member spans + record identity
     // (responses with a URI), SURT keys via the shared CANONCHAIN
     "q_w22_cdx" ->

@@ -242,6 +242,17 @@ object Tables {
   }
   def warc(spark: SparkSession): DataFrame = spark.read.parquet(warcFixturePath)
 
+  /** imagedup(media_id BIGINT, mime_type STRING, media BINARY) —
+   * repo-local deterministic near-duplicate image fixture
+   * (tools.ImageDupFixture: real 18×16 stored-zlib truecolor PNGs,
+   * even/odd ids forming one-cell-perturbed near-dup pairs; plus
+   * truncated and junk rows). */
+  def imagedupFixturePath: String = {
+    val local = new java.io.File("fixtures/imagedup.parquet")
+    if (local.exists) local.getAbsolutePath else "/root/repo/fixtures/imagedup.parquet"
+  }
+  def imagedup(spark: SparkSession): DataFrame = spark.read.parquet(imagedupFixturePath)
+
   /** pdf(media_id BIGINT, mime_type STRING, media BINARY) — repo-local
    * deterministic classic-xref PDF fixture (tools.PdfFixture: real
    * object bodies, 20-byte xref entries, trailer + startxref,

@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Multimodal.MediaRow
+
+/**
+ * Perceptual IMAGE near-duplicate detection — the multimodal twin of
+ * the text near-dedup family (Dedup.simhashPairs): a multimodal
+ * training corpus is full of resizes, re-encodes and light edits of
+ * the same picture, which byte-level hashing can never catch. The
+ * classic answer is a difference hash (dHash): decode, reduce to a
+ * coarse luminance grid, and keep one bit per horizontally adjacent
+ * cell pair ("is the right cell brighter?") — brightness ORDER
+ * survives re-encoding and mild edits, absolute values don't.
+ *
+ * The decode is the REAL JDK ImageIO path the media family already
+ * uses (Multimodal.MediaCodec: PNG/JPEG/GIF/BMP without external
+ * codecs), reduced by the same Rec.601 [[Multimodal.MediaCodec.luminanceGrid]]
+ * at dHash shape (9×8 → 8×8 = 64 bits). The 64 bits are carried as
+ * FOUR 16-bit band integers — the natural LSH representation (the
+ * banded self-join buckets on them directly) and it keeps every value
+ * comfortably inside signed arithmetic in both engines.
+ *
+ * Same banding math as the text SimHash face: with 4 bands, any pair
+ * within Hamming distance 3 shares at least one untouched band
+ * (pigeonhole), so the bucket join is a GUARANTEED-recall candidate
+ * generator, never a heuristic.
+ */
+object ImageHash {
+
+  val GridW = 9
+  val GridH = 8
+  val Bands = 4
+  val BitsPerBand = 16
+
+  /** dHash bands of a decoded image: bit i = gy*8+gx set when cell
+   * (gx+1, gy) is strictly brighter than cell (gx, gy); band j holds
+   * bits [16j, 16j+16). None when the bytes don't decode as an image
+   * (tolerance — corrupt rows claim nothing). */
+  private[ops] def dhashBands(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    Multimodal.MediaCodec.decodeImage(bytes).map { img =>
+      val g = Multimodal.MediaCodec.luminanceGrid(img, GridW, GridH)
+      val bands = new Array[Int](Bands)
+      var gy = 0
+      while (gy < GridH) {
+        var gx = 0
+        while (gx < GridW - 1) {
+          if (g(gy * GridW + gx + 1) > g(gy * GridW + gx)) {
+            val i = gy * (GridW - 1) + gx
+            bands(i / BitsPerBand) |= 1 << (i % BitsPerBand)
+          }
+          gx += 1
+        }
+        gy += 1
+      }
+      (img.getWidth, img.getHeight, bands)
+    }
+
+  /** Per-image dHash table (q_m31): (media_id, width, height,
+   * b0..b3, dhash_hex). Pure map-side — one decode per blob inside
+   * its partition, only the 4-int signature leaves. */
+  def dhashTable(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("mime_type"), col("media"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap(r => dhashBands(r.media).map { case (w, h, b) =>
+          (r.media_id, w, h, b(0), b(1), b(2), b(3))
+        })
+      }
+      .toDF("media_id", "width", "height", "b0", "b1", "b2", "b3")
+      .withColumn("dhash_hex", concat(
+        lower(lpad(hex(col("b3")), 4, "0")), lower(lpad(hex(col("b2")), 4, "0")),
+        lower(lpad(hex(col("b1")), 4, "0")), lower(lpad(hex(col("b0")), 4, "0"))))
+  }
+
+  /** Near-duplicate image pairs (q_m32): band-bucket self-join (any
+   * equal band → candidate), exact Hamming distance over the four
+   * bands, keep pairs within `maxHamming`. With maxHamming < Bands
+   * the pigeonhole guarantee holds: a qualifying pair always shares
+   * an intact band, so recall is exact.
+   *
+   * Scale shape: the O(n²) pair space never materialises — the
+   * shuffles are the band groupBy-join keyed on (band_idx, value),
+   * and only signature rows (7 ints) move; the images themselves
+   * stay in their partitions behind [[dhashTable]]. Same plan family
+   * as Dedup.simhashPairs, already ScaleProbe'd at 10M rows. */
+  def nearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < Bands,
+      s"pigeonhole guarantee needs maxHamming < bands (got $maxHamming >= $Bands)")
+    val banded = hashes.select(
+      col("media_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+        .as(Seq("band_idx", "band_val")))
+    def side(n: String) = banded.select(
+      col("band_idx"), col("band_val"), col("media_id").as(s"id_$n"),
+      col("b0").as(s"${n}0"), col("b1").as(s"${n}1"),
+      col("b2").as(s"${n}2"), col("b3").as(s"${n}3"))
+    side("a").join(side("b"), Seq("band_idx", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (bit_count(col("a0").bitwiseXOR(col("b0"))) +
+          bit_count(col("a1").bitwiseXOR(col("b1"))) +
+          bit_count(col("a2").bitwiseXOR(col("b2"))) +
+          bit_count(col("a3").bitwiseXOR(col("b3")))).cast("long").as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+}

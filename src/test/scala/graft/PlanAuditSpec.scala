@@ -414,6 +414,20 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("image dhash: decode is map-side; the pair join ships 7-int signatures only") {
+    audited(graft.ops.ImageHash.dhashTable(spark, Tables.imagedup(spark))) { plan =>
+      assert(shuffles(plan).isEmpty, s"${shuffles(plan).size} shuffles:\n$plan")
+    }
+    audited(graft.ops.ImageHash.nearDupPairs(
+      graft.ops.ImageHash.dhashTable(spark, Tables.imagedup(spark)))) { plan =>
+      // band join + pair dedup — keyed exchanges of signature rows;
+      // the image blobs never leave their scan partitions
+      assert(plan.collect { case c: CartesianProductExec => c }.isEmpty, plan.toString)
+      assert(shuffles(plan).forall(_.output.forall(_.name != "media")),
+        s"blob column in an exchange:\n$plan")
+    }
+  }
+
   test("robots filter: host/URI-keyed exchanges over rule and index rows only") {
     audited(graft.SparkEntry.queries("q_w20_robots")(spark, sf)) { plan =>
       // dedup window, robots-body join, rule-parse window + distinct,

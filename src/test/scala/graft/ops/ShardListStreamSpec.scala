@@ -155,6 +155,14 @@ class ShardListStreamSpec extends SparkSpec {
           .select("target_uri")))
   }
 
+  test("streamed image dhash equals the batch decode over the grown directory") {
+    val rows = (0L until 12L).map { id =>
+      val (mime, bytes) = graft.tools.ImageDupFixture.row(id)
+      (id, mime, bytes)
+    }
+    streamed("imgdhash_stream", rows, ImageHash.dhashTable)
+  }
+
   test("streamed PDF xref walk equals the batch walk over the grown directory") {
     val rows = (0L until 12L).map { id =>
       val (mime, bytes) = graft.tools.PdfFixture.row(id)
