@@ -685,6 +685,31 @@ object SparkEntry {
     // the documents themselves never shuffle
     "q_w19_pdf_objects" -> ((s, _) =>
       Archives.pdfObjectTable(s, Tables.pdf(s))),
+    // q_w23: out-link extraction from the crawl's HTML pages —
+    // absolute hrefs pass, root-relative hrefs resolve against the
+    // page authority, everything else (mailto:, path-relative) is
+    // skipped; map-side regex + explode over the WET rows
+    "q_w23_links" -> ((s, _) => {
+      val warc = Tables.warc(s)
+      val recs = Archives.warcRecordTable(s, warc)
+        .select(col("media_id"), col("record_idx"), col("target_uri"))
+      Archives.linkTable(
+        Archives.warcBodyTextTable(s, warc)
+          .filter(lower(col("content_type")).startsWith("text/html"))
+          .join(recs, Seq("media_id", "record_idx")))
+        .select("media_id", "record_idx", "target_uri", "link")
+    }),
+    // q_w24: host-level link graph — (src_host, dst_host, n_links),
+    // the aggregation link-spam and crawl-priority signals key on
+    "q_w24_host_graph" -> ((s, _) => {
+      val warc = Tables.warc(s)
+      val recs = Archives.warcRecordTable(s, warc)
+        .select(col("media_id"), col("record_idx"), col("target_uri"))
+      Archives.hostLinkGraph(Archives.linkTable(
+        Archives.warcBodyTextTable(s, warc)
+          .filter(lower(col("content_type")).startsWith("text/html"))
+          .join(recs, Seq("media_id", "record_idx"))))
+    }),
     // q_m31: perceptual image dHash — REAL ImageIO pixel decode →
     // 9×8 Rec.601 luminance grid → 64 brightness-order bits carried
     // as four 16-bit LSH bands; the multimodal twin of q_d4's text
@@ -3199,6 +3224,74 @@ object SparkEntry {
          | SELECT target_uri, canonical_uri, surt_key,
          |   CAST(COUNT(*) OVER (PARTITION BY canonical_uri) AS BIGINT) AS n_aliases
          | FROM uc4""".stripMargin,
+    // q_w23: WARCWALK + WARCHTTP, html 200s joined back to their URI,
+    // the same anchor regex via regexp_extract_all + unnest, the same
+    // absolute/root-relative resolution CASE
+    "q_w23_links" ->
+      s"""WITH RECURSIVE $WARCWALK,
+         | $WARCHTTP,
+         | ph AS (
+         |  SELECT h.media_id, h.record_idx, w.target_uri, h.body_text
+         |  FROM https h JOIN wrecs w USING (media_id, record_idx)
+         |  WHERE h.http_status = 200
+         |    AND lower(h.content_type) LIKE 'text/html%'),
+         | lx AS (
+         |  SELECT media_id, record_idx, target_uri,
+         |    unnest(regexp_extract_all(body_text,
+         |      '(?i)<a\\s[^>]*href="([^"]*)"', 1)) AS raw
+         |  FROM ph),
+         | rs AS (
+         |  SELECT media_id, record_idx, target_uri,
+         |    CASE WHEN regexp_matches(raw, '^[A-Za-z][A-Za-z0-9+.-]*://')
+         |           THEN raw
+         |         WHEN raw LIKE '/%' AND raw NOT LIKE '//%' THEN
+         |           regexp_extract(target_uri,
+         |             '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) || '://' ||
+         |           regexp_extract(target_uri,
+         |             '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1) || raw
+         |    END AS link
+         |  FROM lx)
+         | SELECT media_id, CAST(record_idx AS INT) AS record_idx,
+         |   target_uri, link
+         | FROM rs WHERE link IS NOT NULL""".stripMargin,
+    // q_w24: the q_w23 chain aggregated to the host pair graph
+    "q_w24_host_graph" ->
+      s"""WITH RECURSIVE $WARCWALK,
+         | $WARCHTTP,
+         | ph AS (
+         |  SELECT h.media_id, h.record_idx, w.target_uri, h.body_text
+         |  FROM https h JOIN wrecs w USING (media_id, record_idx)
+         |  WHERE h.http_status = 200
+         |    AND lower(h.content_type) LIKE 'text/html%'),
+         | lx AS (
+         |  SELECT media_id, record_idx, target_uri,
+         |    unnest(regexp_extract_all(body_text,
+         |      '(?i)<a\\s[^>]*href="([^"]*)"', 1)) AS raw
+         |  FROM ph),
+         | rs AS (
+         |  SELECT target_uri,
+         |    CASE WHEN regexp_matches(raw, '^[A-Za-z][A-Za-z0-9+.-]*://')
+         |           THEN raw
+         |         WHEN raw LIKE '/%' AND raw NOT LIKE '//%' THEN
+         |           regexp_extract(target_uri,
+         |             '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) || '://' ||
+         |           regexp_extract(target_uri,
+         |             '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1) || raw
+         |    END AS link
+         |  FROM lx)
+         | SELECT
+         |   lower(regexp_extract(target_uri,
+         |     '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS src_host,
+         |   lower(regexp_extract(link,
+         |     '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS dst_host,
+         |   CAST(COUNT(*) AS BIGINT) AS n_links
+         | FROM rs
+         | WHERE link IS NOT NULL
+         |   AND regexp_extract(target_uri,
+         |     '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1) <> ''
+         |   AND regexp_extract(link,
+         |     '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1) <> ''
+         | GROUP BY 1, 2""".stripMargin,
     // q_m31: IMGHASH re-derivation from raw stored-zlib pixel bytes
     "q_m31_image_dhash" ->
       s"""WITH $IMGHASH

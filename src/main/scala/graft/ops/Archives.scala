@@ -750,6 +750,52 @@ object Archives {
       .drop("prefix", "rule_type", "hit", "rnk", "path")
   }
 
+  /** Extract out-links from HTML page bodies — the raw material of
+   * every link-based curation signal (spam farms are link-isolated,
+   * high-quality pages are widely referenced; host-level degree is
+   * the cheapest useful proxy). Input rows carry `target_uri` (the
+   * page) and `body_text` (its HTML); per `<a href="…">` anchor one
+   * output row with the resolved `link`:
+   *
+   *  - absolute `scheme://…` hrefs pass through;
+   *  - root-relative `/path` hrefs resolve against the page's
+   *    scheme + authority;
+   *  - everything else (mailto:, fragments, path-relative — the
+   *    long tail a graph signal doesn't need) is skipped.
+   *
+   * Scale shape: regexp extraction + explode, pure map-side — link
+   * rows are small and the body column is dropped on the way out. */
+  def linkTable(pages: DataFrame): DataFrame = {
+    val scheme = regexp_extract(col("target_uri"),
+      "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    val host = regexp_extract(col("target_uri"),
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    pages
+      .withColumn("raw", explode(regexp_extract_all(col("body_text"),
+        lit("(?i)<a\\s[^>]*href=\"([^\"]*)\""), lit(1))))
+      .withColumn("link",
+        when(col("raw").rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), col("raw"))
+          .when(col("raw").startsWith("/") && !col("raw").startsWith("//"),
+            concat(scheme, lit("://"), host, col("raw"))))
+      .filter(col("link").isNotNull)
+      .drop("raw", "body_text")
+  }
+
+  /** Host-level link graph: (src_host, dst_host, n_links) from a
+   * link table — the aggregation link-spam detection and crawl
+   * prioritisation key on. One host-pair-keyed aggregation of tiny
+   * rows (map-side partial combine does most of the work: pages link
+   * within a site far more than across). */
+  def hostLinkGraph(links: DataFrame): DataFrame = {
+    def h(c: org.apache.spark.sql.Column) =
+      lower(regexp_extract(c, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    links
+      .select(h(col("target_uri")).as("src_host"), h(col("link")).as("dst_host"))
+      .filter(col("src_host") =!= "" && col("dst_host") =!= "")
+      .groupBy("src_host", "dst_host")
+      .agg(count(lit(1)).as("n_links"))
+  }
+
   // ----------------------------------------------------------------- PDF
 
   /** Walk the classic cross-reference chain of a PDF — the entry

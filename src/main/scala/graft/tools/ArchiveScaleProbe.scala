@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Archives, TextAnalysis}
+import graft.ops.{Archives, ImageHash, TextAnalysis}
 
 /**
  * Scale probe for the corpus-archive walkers + WET extraction (not
@@ -87,6 +87,52 @@ object ArchiveScaleProbe {
       ZipFixture.row(5L)._2, ZipFixture.row(4L)._2), "application/zip")
     timed("zip_entries")(Archives.zipEntryTable(spark, zips).count())
     zips.unpersist()
+
+    // URL curation over the scaled record table: window/join stages
+    // whose inputs are index rows — the part that shuffles at scale
+    val warcs2 = corpus(Seq(WarcFixture.row(0L)._2, WarcFixture.row(1L)._2,
+      WarcFixture.row(2L)._2, WarcFixture.row(4L)._2), "application/warc")
+    val recs = Archives.warcRecordTable(spark, warcs2).cache()
+    timed("url_dedup")(Archives.urlDedup(recs).count())
+    timed("url_filter")(Archives.urlFilter(Archives.urlDedup(recs),
+      Archives.defaultBlockedHosts.toDF("blocked_host")).count())
+    timed("url_canonical") {
+      // filter through surt_key so pruning can't drop the rewrite
+      Archives.urlCanonical(recs.filter(col("target_uri").isNotNull))
+        .filter(col("surt_key").isNotNull).count()
+    }
+    timed("host_cap")(Archives.hostCap(Archives.urlDedup(recs), 100).count())
+    timed("crawl_delta") {
+      def snap(p: org.apache.spark.sql.Column) = Archives.pageDigests(
+        recs.filter(p),
+        Archives.warcBodyTextTable(spark, warcs2.filter(p)))
+      Archives.crawlDelta(
+        snap(col("media_id") < nShards * 3 / 5),
+        snap(col("media_id") >= nShards * 2 / 5)).count()
+    }
+    recs.unpersist(); warcs2.unpersist()
+
+    // PDF: xref chain, resolved objects, page-text extraction
+    val pdfs = corpus(Seq(PdfFixture.row(0L)._2, PdfFixture.row(1L)._2,
+      PdfFixture.row(2L)._2, PdfFixture.row(4L)._2), "application/pdf")
+    timed("pdf_xref")(Archives.pdfXrefTable(spark, pdfs).count())
+    timed("pdf_objects")(Archives.pdfObjectTable(spark, pdfs).count())
+    timed("pdf_page_text")(Archives.pdfPageTextTable(spark, pdfs).count())
+    pdfs.unpersist()
+
+    // image dHash: a REAL ImageIO decode per blob, then the banded
+    // near-dup self-join over 4-int signatures. Images are generated
+    // DISTINCT per id on the executors (template cycling would give
+    // thousands of identical hashes and quadratic buckets — a
+    // pathology, not a corpus; the avalanche keeps real buckets tiny)
+    val imgs = spark.range(nShards)
+      .map(id => (id, "image/png", ImageDupFixture.row(id)._2))
+      .toDF("media_id", "mime_type", "media").cache()
+    imgs.count()
+    timed("image_dhash")(ImageHash.dhashTable(spark, imgs).count())
+    timed("image_neardup")(ImageHash.nearDupPairs(
+      ImageHash.dhashTable(spark, imgs)).count())
+    imgs.unpersist()
 
     spark.stop()
   }

@@ -414,6 +414,15 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("link graph: extraction is map-side; page-URI join + host agg key small rows") {
+    audited(graft.SparkEntry.queries("q_w24_host_graph")(spark, sf)) { plan =>
+      assert(shuffles(plan).size <= 4, s"${shuffles(plan).size} shuffles:\n$plan")
+      assert(plan.collect { case c: CartesianProductExec => c }.isEmpty, plan.toString)
+      assert(shuffles(plan).forall(_.output.forall(_.name != "media")),
+        s"blob column in an exchange:\n$plan")
+    }
+  }
+
   test("image dhash: decode is map-side; the pair join ships 7-int signatures only") {
     audited(graft.ops.ImageHash.dhashTable(spark, Tables.imagedup(spark))) { plan =>
       assert(shuffles(plan).isEmpty, s"${shuffles(plan).size} shuffles:\n$plan")

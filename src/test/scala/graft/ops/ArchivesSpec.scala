@@ -107,7 +107,7 @@ class ArchivesSpec extends SparkSpec {
       .withColumn("v", TextAnalysis.htmlVisibleText(org.apache.spark.sql.functions.col("body_text")))
       .filter(org.apache.spark.sql.functions.col("content_type").startsWith("text/html"))
       .select("media_id", "v").as[(Long, String)].collect().toMap
-    assert(visible == Map(6L -> "t 6 Doc 6 variant body 6 & more <tagged> 'q'"))
+    assert(visible == Map(6L -> "t 6 Doc 6 variant body 6 & more <tagged> 'q' next rel mail"))
   }
 
   test("url host stats: authority grouping, distinct URIs, TLD extraction") {
@@ -693,6 +693,47 @@ class ArchivesSpec extends SparkSpec {
           "User-agent: *\nDisallow: /x\nAllow: /x\n")).toDF("host", "body")))
       .select("robots_allowed").as[Boolean].collect()
     assert(tie.toSeq == Seq(true))
+  }
+
+  test("link extraction: absolute pass, root-relative resolve, the rest skip") {
+    import spark.implicits._
+    val pages = Seq(("https://h.example.org/p",
+      """<a href="https://x.org/a">A</a> <a href="/b">B</a> """ +
+        """<a href="//cdn.org/c">C</a> <a href="mailto:z@q.example.org">D</a> """ +
+        """<a href="rel/e">E</a> <A HREF="/f">case</A>""")
+    ).toDF("target_uri", "body_text")
+    val got = Archives.linkTable(pages)
+      .select("link").as[String].collect().toSet
+    // protocol-relative, mailto and path-relative all skip; the
+    // anchor match is case-insensitive
+    assert(got == Set("https://x.org/a", "https://h.example.org/b",
+      "https://h.example.org/f"))
+    val g = Archives.hostLinkGraph(Archives.linkTable(pages))
+      .as[(String, String, Long)].collect().toSet
+    assert(g == Set(("h.example.org", "x.org", 1L),
+      ("h.example.org", "h.example.org", 2L)))
+    // fixture: each 200-status html variant page (class 3; class 0 is
+    // a 404 the WET face drops) emits its absolute cross-host anchor
+    // and its resolved root-relative anchor, nothing else
+    val ids = Seq(6L, 14L, 22L)
+    val recs = Archives.warcRecordTable(spark,
+        ids.map(id => (id, "application/warc", WarcFixture.row(id)._2))
+          .toDF("media_id", "mime_type", "media"))
+      .select("media_id", "record_idx", "target_uri")
+    val links = Archives.linkTable(
+        Archives.warcBodyTextTable(spark,
+          ids.map(id => (id, "application/warc", WarcFixture.row(id)._2))
+            .toDF("media_id", "mime_type", "media"))
+          .filter(org.apache.spark.sql.functions.lower(
+            org.apache.spark.sql.functions.col("content_type"))
+            .startsWith("text/html"))
+          .join(recs, Seq("media_id", "record_idx")))
+      .select("media_id", "link").as[(Long, String)].collect().toSet
+    assert(links == ids.flatMap { id =>
+      Seq(
+        id -> s"https://data${(id + 1) % 5}.example.org/page${id % 40}",
+        id -> s"https://data${id % 5}.example.org/page${(id + 2) % 40}")
+    }.toSet)
   }
 
   test("pdf xref walk: single-section layout matches the assembled offsets") {
