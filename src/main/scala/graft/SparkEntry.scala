@@ -710,6 +710,21 @@ object SparkEntry {
           .filter(lower(col("content_type")).startsWith("text/html"))
           .join(recs, Seq("media_id", "record_idx"))))
     }),
+    // q_w25: host PageRank — Common Crawl-style centrality for crawl
+    // prioritisation, over the q_w24 graph in fixed-point BIGINT
+    // arithmetic (scaled 1e12, integer division at defined points):
+    // bit-reproducible across engines, partitionings and runs, which
+    // floating-point PageRank never is. 10 iterations, each one edge
+    // join + one dst-keyed aggregation of (host, rank) rows
+    "q_w25_host_rank" -> ((s, _) => {
+      val warc = Tables.warc(s)
+      val recs = Archives.warcRecordTable(s, warc)
+        .select(col("media_id"), col("record_idx"), col("target_uri"))
+      Archives.hostRank(Archives.hostLinkGraph(Archives.linkTable(
+        Archives.warcBodyTextTable(s, warc)
+          .filter(lower(col("content_type")).startsWith("text/html"))
+          .join(recs, Seq("media_id", "record_idx")))))
+    }),
     // q_m31: perceptual image dHash — REAL ImageIO pixel decode →
     // 9×8 Rec.601 luminance grid → 64 brightness-order bits carried
     // as four 16-bit LSH bands; the multimodal twin of q_d4's text
@@ -1504,6 +1519,65 @@ object SparkEntry {
        |      THEN (1 << ((gy * 8 + gx) % 16)) ELSE 0 END) AS INT) AS b3
        |  FROM im_bits b JOIN im_m m USING (media_id)
        |  GROUP BY b.media_id, m.h)""".stripMargin
+
+  /** Shared DuckDB CTE body (no WITH; needs WARCWALK's `wrecs` +
+   * WARCHTTP's `https` in scope): the q_w23 link chain — 200-status
+   * html pages joined to their URI, anchor hrefs extracted and
+   * resolved (absolute pass, root-relative against the page
+   * authority), aggregated to `wedges`(src_host, dst_host, n_links).
+   * Used by q_w24/q_w25. */
+  private def LINKGRAPH: String =
+    s"""ph AS (
+       |  SELECT h.media_id, h.record_idx, w.target_uri, h.body_text
+       |  FROM https h JOIN wrecs w USING (media_id, record_idx)
+       |  WHERE h.http_status = 200
+       |    AND lower(h.content_type) LIKE 'text/html%'),
+       | lx AS (
+       |  SELECT media_id, record_idx, target_uri,
+       |    unnest(regexp_extract_all(body_text,
+       |      '(?i)<a\\s[^>]*href="([^"]*)"', 1)) AS raw
+       |  FROM ph),
+       | rs AS (
+       |  SELECT target_uri,
+       |    CASE WHEN regexp_matches(raw, '^[A-Za-z][A-Za-z0-9+.-]*://')
+       |           THEN raw
+       |         WHEN raw LIKE '/%' AND raw NOT LIKE '//%' THEN
+       |           regexp_extract(target_uri,
+       |             '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) || '://' ||
+       |           regexp_extract(target_uri,
+       |             '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1) || raw
+       |    END AS link
+       |  FROM lx),
+       | wedges AS (
+       |  SELECT
+       |    lower(regexp_extract(target_uri,
+       |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS src_host,
+       |    lower(regexp_extract(link,
+       |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS dst_host,
+       |    CAST(COUNT(*) AS BIGINT) AS n_links
+       |  FROM rs
+       |  WHERE link IS NOT NULL
+       |    AND regexp_extract(target_uri,
+       |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1) <> ''
+       |    AND regexp_extract(link,
+       |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1) <> ''
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** One unrolled fixed-point PageRank step (q_w25): pr`i` from
+   * pr`i-1` — contribution sum uses integer division exactly where
+   * Archives.hostRank does. */
+  private def prStep(i: Int): String =
+    s"""pr$i AS (
+       |  SELECT n.host,
+       |    CAST(150000000000 + (85 * COALESCE(c.contrib, 0)) // 100
+       |      AS BIGINT) AS rank
+       |  FROM wnodes n LEFT JOIN (
+       |    SELECT e.dst_host AS host,
+       |      CAST(SUM((p.rank // o.outdeg) * e.n_links) AS BIGINT) AS contrib
+       |    FROM wedges e
+       |    JOIN pr${i - 1} p ON p.host = e.src_host
+       |    JOIN woutd o ON o.src_host = e.src_host
+       |    GROUP BY e.dst_host) c ON c.host = n.host)""".stripMargin
 
   /** DuckDB twin of TextAnalysis.htmlVisibleText — identical
    * script/style subtree drop, tag strip, entity decode (&amp; LAST)
@@ -3258,40 +3332,30 @@ object SparkEntry {
     "q_w24_host_graph" ->
       s"""WITH RECURSIVE $WARCWALK,
          | $WARCHTTP,
-         | ph AS (
-         |  SELECT h.media_id, h.record_idx, w.target_uri, h.body_text
-         |  FROM https h JOIN wrecs w USING (media_id, record_idx)
-         |  WHERE h.http_status = 200
-         |    AND lower(h.content_type) LIKE 'text/html%'),
-         | lx AS (
-         |  SELECT media_id, record_idx, target_uri,
-         |    unnest(regexp_extract_all(body_text,
-         |      '(?i)<a\\s[^>]*href="([^"]*)"', 1)) AS raw
-         |  FROM ph),
-         | rs AS (
-         |  SELECT target_uri,
-         |    CASE WHEN regexp_matches(raw, '^[A-Za-z][A-Za-z0-9+.-]*://')
-         |           THEN raw
-         |         WHEN raw LIKE '/%' AND raw NOT LIKE '//%' THEN
-         |           regexp_extract(target_uri,
-         |             '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) || '://' ||
-         |           regexp_extract(target_uri,
-         |             '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1) || raw
-         |    END AS link
-         |  FROM lx)
-         | SELECT
-         |   lower(regexp_extract(target_uri,
-         |     '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS src_host,
-         |   lower(regexp_extract(link,
-         |     '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS dst_host,
-         |   CAST(COUNT(*) AS BIGINT) AS n_links
-         | FROM rs
-         | WHERE link IS NOT NULL
-         |   AND regexp_extract(target_uri,
-         |     '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1) <> ''
-         |   AND regexp_extract(link,
-         |     '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1) <> ''
-         | GROUP BY 1, 2""".stripMargin,
+         | $LINKGRAPH
+         | SELECT src_host, dst_host, n_links FROM wedges""".stripMargin,
+    // q_w25: host PageRank in fixed-point integer arithmetic — the
+    // SAME unrolled contribution/damping steps as Archives.hostRank
+    // (integer division at identical points; positives, so DuckDB's
+    // floor `//` equals Spark's truncating `div`), 10 iterations
+    "q_w25_host_rank" ->
+      s"""WITH RECURSIVE $WARCWALK,
+         | $WARCHTTP,
+         | $LINKGRAPH,
+         | wnodes AS (
+         |  -- no top-level UNION here: inside WITH RECURSIVE DuckDB
+         |  -- treats a CTE's UNION as the anchor/recursive separator
+         |  -- and skips the dedup a plain UNION implies
+         |  SELECT DISTINCT host FROM (
+         |    SELECT src_host AS host FROM wedges
+         |    UNION ALL SELECT dst_host FROM wedges) u),
+         | woutd AS (
+         |  SELECT src_host, CAST(SUM(n_links) AS BIGINT) AS outdeg
+         |  FROM wedges GROUP BY src_host),
+         | pr0 AS (
+         |  SELECT host, CAST(1000000000000 AS BIGINT) AS rank FROM wnodes),
+         | ${(1 to 10).map(prStep).mkString(",\n ")}
+         | SELECT host, rank FROM pr10""".stripMargin,
     // q_m31: IMGHASH re-derivation from raw stored-zlib pixel bytes
     "q_m31_image_dhash" ->
       s"""WITH $IMGHASH

@@ -796,6 +796,56 @@ object Archives {
       .agg(count(lit(1)).as("n_links"))
   }
 
+  /** Host-level PageRank in FIXED-POINT integer arithmetic — the
+   * centrality signal crawl prioritisation actually uses (Common
+   * Crawl publishes host rankings computed exactly this way, at
+   * host granularity because page-level graphs don't fit anyone's
+   * budget). Ranks are BIGINTs scaled by 1e12 and every step uses
+   * integer division at defined points, so the result is
+   * bit-reproducible across engines, partitionings and runs —
+   * floating-point PageRank sums in shuffle order and never
+   * reproduces exactly, which is why the fixed-point form is the
+   * production choice wherever ranks feed deterministic pipelines.
+   *
+   *   R₀(h)    = 1e12
+   *   share(h) = R(h) div Σ n_links(h→*)          (integer div)
+   *   Rᵢ₊₁(d)  = 0.15·1e12 + (85 · Σ share(s)·n_links(s→d)) div 100
+   *
+   * `iterations` fixed steps (default 10 — host graphs are
+   * small-diameter; dangling mass is dropped, documented). Input is
+   * the [[hostLinkGraph]] shape (src_host, dst_host, n_links).
+   *
+   * Scale shape: per iteration one join of the edge list with the
+   * (host, rank) table plus one dst-keyed aggregation — the standard
+   * relational PageRank; at web scale the host table is ~1e8 tiny
+   * rows and the edge list dominates, so co-partitioning both on
+   * host (bucketing, [[Layout.writeBucketed]]) makes every iteration
+   * exchange-free except the aggregation. */
+  def hostRank(graph: DataFrame, iterations: Int = 10): DataFrame = {
+    val scale = 1000000000000L
+    val nodes = graph.select(col("src_host").as("host"))
+      .union(graph.select(col("dst_host").as("host")))
+      .distinct().localCheckpoint()
+    val edges = graph.localCheckpoint()
+    val outdeg = edges.groupBy("src_host")
+      .agg(sum(col("n_links")).as("outdeg"))
+    var ranks = nodes.withColumn("rank", lit(scale))
+    for (_ <- 0 until iterations) {
+      val contrib = edges
+        .join(ranks.withColumnRenamed("host", "src_host"), Seq("src_host"))
+        .join(outdeg, Seq("src_host"))
+        .select(col("dst_host").as("host"),
+          (expr("rank div outdeg") * col("n_links")).as("c"))
+        .groupBy("host").agg(sum(col("c")).as("contrib"))
+      ranks = nodes.join(contrib, Seq("host"), "left")
+        .select(col("host"),
+          (lit(scale * 15 / 100) +
+            expr("85 * coalesce(contrib, 0L) div 100")).as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
   // ----------------------------------------------------------------- PDF
 
   /** Walk the classic cross-reference chain of a PDF — the entry

@@ -736,6 +736,33 @@ class ArchivesSpec extends SparkSpec {
     }.toSet)
   }
 
+  test("host rank: fixed-point recurrence matches an independent scalar replay") {
+    import spark.implicits._
+    // asymmetric hub graph: a and b both cite c; c cites a back;
+    // b has no in-links and must sit at exactly the damping floor
+    val edges = Seq(
+      ("a.org", "c.org", 3L), ("b.org", "c.org", 1L), ("c.org", "a.org", 2L))
+    val got = Archives.hostRank(
+        edges.toDF("src_host", "dst_host", "n_links"), iterations = 10)
+      .as[(String, Long)].collect().toMap
+    // independent replay of the documented recurrence in plain Scala
+    val scale = 1000000000000L
+    val nodes = Seq("a.org", "b.org", "c.org")
+    val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    var r = nodes.map(_ -> scale).toMap
+    for (_ <- 0 until 10) {
+      val contrib = nodes.map { d =>
+        d -> edges.filter(_._2 == d)
+          .map { case (s, _, w) => (r(s) / outdeg(s)) * w }.sum
+      }.toMap
+      r = nodes.map(d => d -> (scale * 15 / 100 + 85 * contrib(d) / 100)).toMap
+    }
+    assert(got == r)
+    assert(got("b.org") == scale * 15 / 100) // no in-links: damping floor
+    // b's floor is strictly below both circulating hosts
+    assert(got("a.org") > got("b.org") && got("c.org") > got("b.org"))
+  }
+
   test("pdf xref walk: single-section layout matches the assembled offsets") {
     import graft.tools.PdfFixture
     for (id <- Seq(0L, 2L, 4L, 6L, 8L, 10L)) { // single-section ids
