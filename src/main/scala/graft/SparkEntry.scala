@@ -725,6 +725,30 @@ object SparkEntry {
           .filter(lower(col("content_type")).startsWith("text/html"))
           .join(recs, Seq("media_id", "record_idx")))))
     }),
+    // q_w26: CRAWL FRONTIER table — the per-host prioritisation view
+    // a recrawl scheduler reads, composed from green pieces: PageRank
+    // centrality (q_w25) joined host-keyed with the crawl's own host
+    // statistics (q_w10) and the blocklist flag (q_w14's list,
+    // broadcast). Hosts seen in the record walk but absent from the
+    // link graph keep NULL rank (never linked — crawl with caution)
+    "q_w26_crawl_frontier" -> ((s, _) => {
+      import s.implicits._
+      val warc = Tables.warc(s)
+      val recs = Archives.warcRecordTable(s, warc)
+      val uriRecs = recs.select(col("media_id"), col("record_idx"),
+        col("target_uri"))
+      val rank = Archives.hostRank(Archives.hostLinkGraph(Archives.linkTable(
+        Archives.warcBodyTextTable(s, warc)
+          .filter(lower(col("content_type")).startsWith("text/html"))
+          .join(uriRecs, Seq("media_id", "record_idx")))))
+      Archives.urlHostStats(recs)
+        .join(rank, Seq("host"), "left")
+        .join(broadcast(Archives.defaultBlockedHosts.toDF("blocked_host")),
+          col("host") === col("blocked_host"), "left")
+        .select(col("host"), col("rank"), col("n_uris"),
+          col("total_content_bytes"),
+          col("blocked_host").isNotNull.as("is_blocked"))
+    }),
     // q_m31: perceptual image dHash — REAL ImageIO pixel decode →
     // 9×8 Rec.601 luminance grid → 64 brightness-order bits carried
     // as four 16-bit LSH bands; the multimodal twin of q_d4's text
@@ -3356,6 +3380,35 @@ object SparkEntry {
          |  SELECT host, CAST(1000000000000 AS BIGINT) AS rank FROM wnodes),
          | ${(1 to 10).map(prStep).mkString(",\n ")}
          | SELECT host, rank FROM pr10""".stripMargin,
+    // q_w26: host stats (q_w10's grouping) left-joined with the
+    // unrolled PageRank (q_w25) and the inline blocklist flag
+    "q_w26_crawl_frontier" ->
+      s"""WITH RECURSIVE $WARCWALK,
+         | $WARCHTTP,
+         | $LINKGRAPH,
+         | wnodes AS (
+         |  SELECT DISTINCT host FROM (
+         |    SELECT src_host AS host FROM wedges
+         |    UNION ALL SELECT dst_host FROM wedges) u),
+         | woutd AS (
+         |  SELECT src_host, CAST(SUM(n_links) AS BIGINT) AS outdeg
+         |  FROM wedges GROUP BY src_host),
+         | pr0 AS (
+         |  SELECT host, CAST(1000000000000 AS BIGINT) AS rank FROM wnodes),
+         | ${(1 to 10).map(prStep).mkString(",\n ")},
+         | hs AS (
+         |  SELECT host, CAST(COUNT(DISTINCT target_uri) AS BIGINT) AS n_uris,
+         |         CAST(SUM(content_length) AS BIGINT) AS total_content_bytes
+         |  FROM (
+         |    SELECT lower(regexp_extract(target_uri,
+         |             '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host,
+         |           target_uri, content_length
+         |    FROM wrecs WHERE target_uri IS NOT NULL) u
+         |  WHERE host <> '' GROUP BY host)
+         | SELECT hs.host, p.rank, hs.n_uris, hs.total_content_bytes,
+         |   hs.host IN (${graft.ops.Archives.defaultBlockedHosts
+            .map(h => s"'$h'").mkString(", ")}) AS is_blocked
+         | FROM hs LEFT JOIN pr10 p ON p.host = hs.host""".stripMargin,
     // q_m31: IMGHASH re-derivation from raw stored-zlib pixel bytes
     "q_m31_image_dhash" ->
       s"""WITH $IMGHASH
