@@ -292,7 +292,7 @@ class ArchivesSpec extends SparkSpec {
       // non-http(s) scheme: no default-port rule
       "ftp://x.y/z?a=1" -> ("ftp://x.y/z?a=1", "y,x)/z?a=1"),
       // all params tracking → the '?' goes too
-      "https://h.org/p?utm_x=1&gclid=2" -> ("https://h.org/p", "org,h)/p"),
+      "https://spam.example.org/p?utm_x=1&gclid=2" -> ("https://spam.example.org/p", "org,example,spam)/p"),
       "junk" -> (null, null))
     val got = Archives.urlCanonical(cases.map(_._1).toDF("target_uri"))
       .select("target_uri", "canonical_uri", "surt_key")
@@ -698,7 +698,7 @@ class ArchivesSpec extends SparkSpec {
   test("link extraction: absolute pass, root-relative resolve, the rest skip") {
     import spark.implicits._
     val pages = Seq(("https://h.example.org/p",
-      """<a href="https://x.org/a">A</a> <a href="/b">B</a> """ +
+      """<a href="https://ext.example.net/a">A</a> <a href="/b">B</a> """ +
         """<a href="//cdn.org/c">C</a> <a href="mailto:z@q.example.org">D</a> """ +
         """<a href="rel/e">E</a> <A HREF="/f">case</A>""")
     ).toDF("target_uri", "body_text")
@@ -706,11 +706,11 @@ class ArchivesSpec extends SparkSpec {
       .select("link").as[String].collect().toSet
     // protocol-relative, mailto and path-relative all skip; the
     // anchor match is case-insensitive
-    assert(got == Set("https://x.org/a", "https://h.example.org/b",
+    assert(got == Set("https://ext.example.net/a", "https://h.example.org/b",
       "https://h.example.org/f"))
     val g = Archives.hostLinkGraph(Archives.linkTable(pages))
       .as[(String, String, Long)].collect().toSet
-    assert(g == Set(("h.example.org", "x.org", 1L),
+    assert(g == Set(("h.example.org", "ext.example.net", 1L),
       ("h.example.org", "h.example.org", 2L)))
     // fixture: each 200-status html variant page (class 3; class 0 is
     // a 404 the WET face drops) emits its absolute cross-host anchor
@@ -741,13 +741,14 @@ class ArchivesSpec extends SparkSpec {
     // asymmetric hub graph: a and b both cite c; c cites a back;
     // b has no in-links and must sit at exactly the damping floor
     val edges = Seq(
-      ("a.org", "c.org", 3L), ("b.org", "c.org", 1L), ("c.org", "a.org", 2L))
+      ("a.example.org", "c.example.org", 3L), ("b.example.org", "c.example.org", 1L),
+      ("c.example.org", "a.example.org", 2L))
     val got = Archives.hostRank(
         edges.toDF("src_host", "dst_host", "n_links"), iterations = 10)
       .as[(String, Long)].collect().toMap
     // independent replay of the documented recurrence in plain Scala
     val scale = 1000000000000L
-    val nodes = Seq("a.org", "b.org", "c.org")
+    val nodes = Seq("a.example.org", "b.example.org", "c.example.org")
     val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
     var r = nodes.map(_ -> scale).toMap
     for (_ <- 0 until 10) {
@@ -758,9 +759,10 @@ class ArchivesSpec extends SparkSpec {
       r = nodes.map(d => d -> (scale * 15 / 100 + 85 * contrib(d) / 100)).toMap
     }
     assert(got == r)
-    assert(got("b.org") == scale * 15 / 100) // no in-links: damping floor
+    assert(got("b.example.org") == scale * 15 / 100) // no in-links: damping floor
     // b's floor is strictly below both circulating hosts
-    assert(got("a.org") > got("b.org") && got("c.org") > got("b.org"))
+    assert(got("a.example.org") > got("b.example.org") &&
+      got("c.example.org") > got("b.example.org"))
   }
 
   test("pdf xref walk: single-section layout matches the assembled offsets") {
