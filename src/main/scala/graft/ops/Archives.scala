@@ -652,7 +652,12 @@ object Archives {
    * extracted body text — the page-identity table an incremental
    * crawl pipeline diffs. `texts` is the (media_id, record_idx,
    * body_text) face ([[warcBodyTextTable]]); pages without
-   * extractable text drop out (no digest, nothing to diff). */
+   * extractable text drop out (no digest, nothing to diff). Note the
+   * deliberate interaction: dedup runs over ALL response fetches, so
+   * a page whose LATEST fetch is non-extractable (a 404 re-fetch, a
+   * truncated body) drops out even if an older fetch had text — the
+   * page's current state is "not a document", which is what an
+   * incremental pipeline should see. */
   def pageDigests(records: DataFrame, texts: DataFrame): DataFrame =
     urlDedup(records)
       .join(texts.select(col("media_id"), col("record_idx"),
@@ -679,6 +684,56 @@ object Archives {
       .withColumn("status",
         when(col("old_digest").isNull, "added")
           .when(col("new_digest").isNull, "removed")
+          .when(col("old_digest") === col("new_digest"), "unchanged")
+          .otherwise("changed"))
+
+  /** Single-pass per-record page digests — the STREAMING-friendly
+   * face of [[pageDigests]]: one map-side walk emits
+   * (target_uri, digest) per 200/text response record, no dedup (a
+   * live ingest sees each fetch once; keep-latest stays a batch /
+   * compaction decision). The digest is the MD5 hex of the extracted
+   * body text, byte-identical to Spark's `md5(body_text)` on the
+   * ASCII domain. */
+  def pageDigestTable(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("mime_type"), col("media"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { r =>
+          warcRecords(r.media).flatMap {
+            case (_, cOff, cLen, wtype, Some(uri), _)
+                if wtype.exists(_.equalsIgnoreCase("response")) =>
+              httpHead(r.media, cOff.toInt, cLen.toInt).collect {
+                case (200, bodyRel, Some(ct))
+                    if ct.toLowerCase.startsWith("text/") =>
+                  md.reset()
+                  md.update(r.media, (cOff + bodyRel).toInt,
+                    (cLen - bodyRel).toInt)
+                  (uri, md.digest().map("%02x".format(_)).mkString)
+              }
+            case _ => None
+          }
+        }
+      }
+      .toDF("target_uri", "digest")
+  }
+
+  /** Incremental crawl delta against a STATIC previous snapshot —
+   * the streaming face of [[crawlDelta]]: as new fetches arrive,
+   * each page's digest left-joins the previous snapshot's digest
+   * table and gets `added`/`changed`/`unchanged` immediately
+   * (`removed` inherently needs a full pass over the old snapshot —
+   * that stays the batch face's job). Stateless per row, so it runs
+   * unchanged on a file-source stream in append mode; the old
+   * snapshot broadcast-joins when it fits, host-bucketing co-locates
+   * it when it doesn't. */
+  def incrementalDelta(newPages: DataFrame, oldPages: DataFrame): DataFrame =
+    newPages.select(col("target_uri"), col("digest").as("new_digest"))
+      .join(oldPages.select(col("target_uri"), col("digest").as("old_digest")),
+        Seq("target_uri"), "left")
+      .withColumn("status",
+        when(col("old_digest").isNull, "added")
           .when(col("old_digest") === col("new_digest"), "unchanged")
           .otherwise("changed"))
 

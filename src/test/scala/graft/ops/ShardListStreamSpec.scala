@@ -155,6 +155,60 @@ class ShardListStreamSpec extends SparkSpec {
           .select("target_uri")))
   }
 
+  test("streamed incremental crawl delta equals batch, and batch crawlDelta minus removed") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // previous snapshot (static): ids 160-199; arriving snapshot:
+    // ids 200-229. robots.txt URIs are fetched by every shard and
+    // are excluded (politeness metadata, not corpus pages)
+    val oldIds = (160L until 200L).filterNot(_ % 8 == 7)
+    val newIds = (200L until 230L).filterNot(_ % 8 == 7)
+    val oldMedia = oldIds.map(id => (id, "application/warc", graft.tools.WarcFixture.row(id)._2))
+      .toDF("media_id", "mime_type", "media")
+    val old = Archives.pageDigests(
+        Archives.warcRecordTable(spark, oldMedia),
+        Archives.warcBodyTextTable(spark, oldMedia))
+      .filter(!col("target_uri").endsWith("/robots.txt"))
+      .localCheckpoint()
+    val rows = newIds.map(id =>
+      (id, "application/warc", graft.tools.WarcFixture.row(id)._2))
+    val name = streamed("delta_stream", rows, (s, df) =>
+      Archives.incrementalDelta(
+        Archives.pageDigestTable(s, df)
+          .filter(!col("target_uri").endsWith("/robots.txt")), old))
+    // semantic cross-check: for URIs with exactly ONE response fetch
+    // in the new window (most of them), the streamed per-fetch delta
+    // IS the batch crawlDelta without its removed set. Multi-fetch
+    // URIs differ by design: the stream reports every fetch, and the
+    // batch keep-latest can even select a NON-extractable fetch (a
+    // 404 re-fetch of a text page), dropping the URI entirely —
+    // counting ALL responses (not just text ones) captures that
+    val newMedia = rows.toDF("media_id", "mime_type", "media")
+    val uniq = Archives.warcRecordTable(spark, newMedia)
+      .filter(org.apache.spark.sql.functions.lower(col("warc_type")) === "response" &&
+        col("target_uri").isNotNull &&
+        !col("target_uri").endsWith("/robots.txt"))
+      .groupBy("target_uri").count().filter(col("count") === 1)
+      .select("target_uri").as[String].collect().toSet
+    assert(uniq.size > 50, s"expected a mostly-unique window, got ${uniq.size}")
+    val batchDelta = Archives.crawlDelta(old.select("target_uri", "digest"),
+        Archives.pageDigests(
+          Archives.warcRecordTable(spark, newMedia),
+          Archives.warcBodyTextTable(spark, newMedia))
+          .filter(!col("target_uri").endsWith("/robots.txt")))
+      .filter(col("status") =!= "removed")
+      .select("target_uri", "old_digest", "new_digest", "status")
+      .as[(String, Option[String], Option[String], String)].collect().toSet
+      .filter(r => uniq(r._1))
+    val streamedSet = spark.table(name)
+      .select("target_uri", "old_digest", "new_digest", "status")
+      .as[(String, Option[String], Option[String], String)].collect().toSet
+      .filter(r => uniq(r._1))
+    assert(streamedSet == batchDelta)
+    assert(streamedSet.map(_._4).contains("added") &&
+      streamedSet.map(_._4).contains("changed"))
+  }
+
   test("streamed image dhash equals the batch decode over the grown directory") {
     val rows = (0L until 12L).map { id =>
       val (mime, bytes) = graft.tools.ImageDupFixture.row(id)
