@@ -764,6 +764,21 @@ object SparkEntry {
     // band XORs; only 7-int signature rows ever shuffle
     "q_m32_image_neardup" -> ((s, _) =>
       ImageHash.nearDupPairs(ImageHash.dhashTable(s, Tables.imagedup(s)))),
+    // q_m33: image DEDUP APPLY — the end product of the perceptual
+    // family, mirroring q_d8 for text: near-dup pairs → connected
+    // components (the SAME pointer-jumping CC as the text family) →
+    // keep every unclustered image plus the min-id representative
+    // per cluster. The fixture's even/odd pairs keep the even ids
+    "q_m33_image_dedup" -> ((s, _) => {
+      val hashes = ImageHash.dhashTable(s, Tables.imagedup(s)).localCheckpoint()
+      val clusters = Dedup.duplicateClusters(
+        ImageHash.nearDupPairs(hashes)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+        .withColumnRenamed("doc_id", "media_id")
+      hashes.join(clusters, Seq("media_id"), "left")
+        .filter(col("cluster").isNull || col("cluster") === col("media_id"))
+        .select("media_id", "dhash_hex")
+    }),
     // q_w22: CDX-style fetch index over `.warc.gz` members — Common
     // Crawl's own index format: per response member the SURT sort key
     // (byte-ordering it clusters a domain's pages → a range scan is a
@@ -3434,6 +3449,39 @@ object SparkEntry {
          |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
          |       AND a.media_id < b.media_id)
          | SELECT id_a, id_b, hamming FROM im_pairs WHERE hamming <= 3""".stripMargin,
+    // q_m33: IMGHASH pairs → the q_d6-style transitive closure
+    // (recursive reach, min label per node) → keep unclustered +
+    // min-id representatives
+    "q_m33_image_dedup" ->
+      s"""WITH RECURSIVE $IMGHASH,
+         | im_banded AS (
+         |  SELECT media_id, b0, b1, b2, b3, j AS band_idx,
+         |    CASE j WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2
+         |      ELSE b3 END AS band_val
+         |  FROM im_bands, generate_series(0, 3) t(j)),
+         | im_pairs AS (
+         |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+         |  FROM im_banded a JOIN im_banded b
+         |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |       AND a.media_id < b.media_id
+         |  WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+         |      + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3),
+         | im_edges AS (SELECT id_a AS s, id_b AS d FROM im_pairs
+         |              UNION SELECT id_b, id_a FROM im_pairs),
+         | im_nodes AS (SELECT DISTINCT s AS doc_id FROM im_edges),
+         | im_reach AS (SELECT s, d FROM im_edges
+         |              UNION SELECT r.s, e.d FROM im_reach r
+         |                    JOIN im_edges e ON e.s = r.d),
+         | im_cl AS (
+         |  SELECT n.doc_id, CAST(LEAST(n.doc_id, MIN(r.d)) AS BIGINT) AS cluster
+         |  FROM im_nodes n LEFT JOIN im_reach r ON r.s = n.doc_id
+         |  GROUP BY n.doc_id)
+         | SELECT b.media_id,
+         |   lower(lpad(to_hex(b3), 4, '0')) || lower(lpad(to_hex(b2), 4, '0')) ||
+         |   lower(lpad(to_hex(b1), 4, '0')) || lower(lpad(to_hex(b0), 4, '0'))
+         |     AS dhash_hex
+         | FROM im_bands b LEFT JOIN im_cl c ON c.doc_id = b.media_id
+         | WHERE c.cluster IS NULL OR c.cluster = b.media_id""".stripMargin,
     // q_w22: the CDX index — WARCGZREC member spans + record identity
     // (responses with a URI), SURT keys via the shared CANONCHAIN
     "q_w22_cdx" ->
