@@ -23,7 +23,10 @@ class BenchBudgetSpec extends AnyFunSuite {
     // char — the budget margin absorbs a few)
     val coldLen = names.map(keyOf(_).length + 8).sum +
       """{"metric":"cold","queries":{}}""".length
-    val summaryLen = 200 // measured r10: 130 incl [info]; margin for growth
+    // measured on the round-14 151-query run: the summary line is 134
+    // chars bare, 141 with sbt's [info] prefix; 160 keeps margin for
+    // a failed-query list without reserving the old guessed 200
+    val summaryLen = 160
     val sbtOverhead = 2 * 7 + 90 // [info] prefixes + trailing [success] line
     val projected = coldLen + summaryLen + sbtOverhead
     val budget = 1900 // driver tail is exactly 2000 chars; keep margin
