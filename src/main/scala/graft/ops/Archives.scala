@@ -885,7 +885,7 @@ object Archives {
     val outdeg = edges.groupBy("src_host")
       .agg(sum(col("n_links")).as("outdeg"))
     var ranks = nodes.withColumn("rank", lit(scale))
-    for (_ <- 0 until iterations) {
+    for (i <- 0 until iterations) {
       val contrib = edges
         .join(ranks.withColumnRenamed("host", "src_host"), Seq("src_host"))
         .join(outdeg, Seq("src_host"))
@@ -896,7 +896,11 @@ object Archives {
         .select(col("host"),
           (lit(scale * 15 / 100) +
             expr("85 * coalesce(contrib, 0L) div 100")).as("rank"))
-        .localCheckpoint()
+      // break lineage every THIRD round, not every round: a 3-round
+      // join/agg chain plans trivially, and each eager checkpoint is
+      // a full materialization — per-round checkpointing dominated
+      // the query's cost at small scale and wastes memory at large
+      if (i % 3 == 2 && i != iterations - 1) ranks = ranks.localCheckpoint()
     }
     ranks
   }
