@@ -1753,7 +1753,8 @@ object SparkEntry {
   private def urlReasonSql: String = {
     val bl = graft.ops.Archives.defaultBlockedHosts
       .map(h => s"'$h'").mkString(", ")
-    s"""CASE WHEN host = '' THEN 'unparsable'
+    s"""CASE WHEN target_uri IS NULL OR host IS NULL OR host = ''
+       |    THEN 'unparsable'
        |  WHEN host IN ($bl) THEN 'blocked_host'
        |  WHEN regexp_matches(host,
        |    '^\\d{1,3}(\\.\\d{1,3}){3}(:\\d+)?$$') THEN 'ip_host'

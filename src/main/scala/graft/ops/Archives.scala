@@ -570,7 +570,8 @@ object Archives {
       .join(broadcast(blockedHosts.select(col("blocked_host"))),
         col("host") === col("blocked_host"), "left")
       .withColumn("blocked_reason",
-        when(col("host") === "", "unparsable")
+        when(col("target_uri").isNull || col("host").isNull ||
+          col("host") === "", "unparsable")
           .when(col("blocked_host").isNotNull, "blocked_host")
           .when(col("host").rlike("^\\d{1,3}(\\.\\d{1,3}){3}(:\\d+)?$"),
             "ip_host")
@@ -691,9 +692,11 @@ object Archives {
    * face of [[pageDigests]]: one map-side walk emits
    * (target_uri, digest) per 200/text response record, no dedup (a
    * live ingest sees each fetch once; keep-latest stays a batch /
-   * compaction decision). The digest is the MD5 hex of the extracted
-   * body text, byte-identical to Spark's `md5(body_text)` on the
-   * ASCII domain. */
+   * compaction decision). The digest is the MD5 hex of the body text
+   * as [[warcBodyTextTable]] would carry it (ISO-8859-1 decode,
+   * hashed over its UTF-8 re-encoding) — byte-identical to Spark's
+   * `md5(body_text)` in the batch face for ALL byte values, so the
+   * streaming and batch deltas never disagree on a page identity. */
   def pageDigestTable(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     media.select(col("media_id"), col("mime_type"), col("media"))
@@ -708,8 +711,11 @@ object Archives {
                 case (200, bodyRel, Some(ct))
                     if ct.toLowerCase.startsWith("text/") =>
                   md.reset()
-                  md.update(r.media, (cOff + bodyRel).toInt,
-                    (cLen - bodyRel).toInt)
+                  val text = new String(r.media, (cOff + bodyRel).toInt,
+                    (cLen - bodyRel).toInt,
+                    java.nio.charset.StandardCharsets.ISO_8859_1)
+                  md.update(text.getBytes(
+                    java.nio.charset.StandardCharsets.UTF_8))
                   (uri, md.digest().map("%02x".format(_)).mkString)
               }
             case _ => None
@@ -875,13 +881,35 @@ object Archives {
    * relational PageRank; at web scale the host table is ~1e8 tiny
    * rows and the edge list dominates, so co-partitioning both on
    * host (bucketing, [[Layout.writeBucketed]]) makes every iteration
-   * exchange-free except the aggregation. */
-  def hostRank(graph: DataFrame, iterations: Int = 10): DataFrame = {
+   * exchange-free except the aggregation.
+   *
+   * Fault tolerance: the edge list is persisted MEMORY_AND_DISK (it
+   * is re-read from its recomputable lineage if an executor dies —
+   * never `localCheckpoint`ed, whose severed lineage + executor-local
+   * blocks would fail the whole job on one lost executor mid-
+   * iteration). The rank table's lineage is broken every third
+   * iteration: against a RELIABLE store when `checkpointDir` is set
+   * (`spark.sparkContext.setCheckpointDir` + `checkpoint()` — the
+   * cluster mode: survives executor loss, costs an HDFS/object-store
+   * write per break), else via `localCheckpoint` (the single-node /
+   * exploratory mode: fastest, but an executor loss mid-run fails
+   * the job — acceptable exactly when there is only the driver's
+   * JVM). */
+  def hostRank(graph: DataFrame, iterations: Int = 10,
+      checkpointDir: Option[String] = None): DataFrame = {
     val scale = 1000000000000L
+    checkpointDir.foreach(d =>
+      graph.sparkSession.sparkContext.setCheckpointDir(d))
+    def break(df: DataFrame): DataFrame = checkpointDir match {
+      case Some(_) => df.checkpoint()
+      case None    => df.localCheckpoint()
+    }
     val nodes = graph.select(col("src_host").as("host"))
       .union(graph.select(col("dst_host").as("host")))
-      .distinct().localCheckpoint()
-    val edges = graph.localCheckpoint()
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = graph
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val outdeg = edges.groupBy("src_host")
       .agg(sum(col("n_links")).as("outdeg"))
     var ranks = nodes.withColumn("rank", lit(scale))
@@ -900,7 +928,7 @@ object Archives {
       // join/agg chain plans trivially, and each eager checkpoint is
       // a full materialization — per-round checkpointing dominated
       // the query's cost at small scale and wastes memory at large
-      if (i % 3 == 2 && i != iterations - 1) ranks = ranks.localCheckpoint()
+      if (i % 3 == 2 && i != iterations - 1) ranks = break(ranks)
     }
     ranks
   }
@@ -1105,24 +1133,29 @@ object Archives {
 
   /** Inflate a raw zlib stream to a string, None past `cap` bytes or
    * on corrupt input — tolerance, never a throw. */
-  private def inflateCapped(z: Array[Byte], cap: Int): Option[String] =
+  private def inflateCapped(z: Array[Byte], cap: Int): Option[String] = {
+    val inf = new java.util.zip.Inflater()
     try {
-      val inf = new java.util.zip.Inflater()
       inf.setInput(z)
       val out = new java.io.ByteArrayOutputStream()
       val buf = new Array[Byte](8192)
       var total = 0
       while (!inf.finished() && total <= cap) {
         val n = inf.inflate(buf)
-        if (n == 0 && inf.needsInput()) return None // truncated
+        // n == 0 with no progress possible: truncated input, or a
+        // preset-dictionary (FDICT) stream we can't satisfy — both are
+        // corrupt for our purposes; bail rather than spin forever.
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+          return None
         out.write(buf, 0, n)
         total += n
       }
-      inf.end()
       if (total > cap) None
       else Some(new String(out.toByteArray,
         java.nio.charset.StandardCharsets.ISO_8859_1))
     } catch { case _: Exception => None }
+    finally inf.end()
+  }
 
   /** Page-text table (q_w21): pdfPageTexts per document — pure
    * map-side, the PDFs never shuffle, only (ids, text) rows leave. */
@@ -1209,8 +1242,15 @@ object Archives {
    * byte spans a seeking loader must know about, under their own
    * stored names), and the override applies to the next member whose
    * typeflag is neither 'L' nor 'x' — so q_w4 sample grouping sees
-   * the full key, never the 100-byte truncation. An empty/absent
-   * override payload leaves the next member's own name in place. */
+   * the full key, never the 100-byte truncation.
+   *
+   * Single-IMMEDIATE-override contract: each L/x entry REPLACES any
+   * earlier pending override, and an L with an empty payload or an
+   * x with no (or empty) `path` record replaces it with nothing —
+   * only the entry directly before a member can rename it. GNU tar
+   * and every WebDataset writer emit exactly one override per
+   * member, and this is the contract the lag(1) oracle replays;
+   * TarOverrideEdgeSpec pins the consecutive-override shapes. */
   private[ops] def tarMembers(
       b: Array[Byte]): Seq[(String, Long, Long, Long, String)] = {
     if (b == null) return Nil
@@ -1241,12 +1281,12 @@ object Archives {
               case _ =>
                 val n = pending.getOrElse(rawName); pending = None; n
             }
-            if (typeflag == "L") {
-              val nm = tarString(b, dataOff.toInt, size.toInt)
-              if (nm.nonEmpty) pending = Some(nm)
-            } else if (typeflag == "x")
-              paxPath(b, dataOff.toInt, size.toInt)
-                .filter(_.nonEmpty).foreach(p => pending = Some(p))
+            if (typeflag == "L")
+              pending = Some(tarString(b, dataOff.toInt, size.toInt))
+                .filter(_.nonEmpty)
+            else if (typeflag == "x")
+              pending = paxPath(b, dataOff.toInt, size.toInt)
+                .filter(_.nonEmpty)
             out += ((name, pos.toLong, dataOff, size, typeflag))
             pos = (dataOff + ((size + 511) / 512) * 512).toInt
           }

@@ -508,6 +508,43 @@ class ArchivesSpec extends SparkSpec {
     assert(walked.map(_._1) == Seq("././@LongLink", "short.txt"))
   }
 
+  test("consecutive overrides: only the IMMEDIATELY preceding entry renames") {
+    // single-immediate-override contract (matches the lag(1) oracle):
+    // each L/x entry replaces any earlier pending override, and an
+    // override with no usable name replaces it with NOTHING.
+    def longL(name: String): (Array[Byte], Array[Byte]) = {
+      val p = (name + "\u0000").getBytes("US-ASCII")
+      (TarFixture.header("././@LongLink", p.length.toLong, 'L'.toByte), p)
+    }
+    def paxX(payload: String): (Array[Byte], Array[Byte]) = {
+      val p = payload.getBytes("US-ASCII")
+      (TarFixture.header("PaxHeaders/x", p.length.toLong, 'x'.toByte), p)
+    }
+    def shard(entries: (Array[Byte], Array[Byte])*): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      entries.foreach { case (h, p) =>
+        out.write(h); out.write(p)
+        out.write(new Array[Byte]((512 - p.length % 512) % 512))
+      }
+      out.write(TarFixture.header("own.txt", 2L, '0'.toByte))
+      out.write("ab".getBytes("US-ASCII")); out.write(new Array[Byte](510))
+      out.write(new Array[Byte](1024))
+      out.toByteArray
+    }
+    def finalName(entries: (Array[Byte], Array[Byte])*): String =
+      Archives.tarMembers(shard(entries: _*)).last._1
+    // L then x-with-path: the x wins (it is the immediate predecessor)
+    assert(finalName(longL("from-L.txt"),
+      paxX(TarFixture.paxRecord("from-x.txt"))) == "from-x.txt")
+    // L then x WITHOUT a path: the x clears the L's pending override
+    assert(finalName(longL("from-L.txt"), paxX("14 mtime=12345\n")) == "own.txt")
+    // L then EMPTY L: the empty override clears the first
+    assert(finalName(longL("from-L.txt"), longL("")) == "own.txt")
+    // x then L: the L wins
+    assert(finalName(paxX(TarFixture.paxRecord("from-x.txt")),
+      longL("from-L.txt")) == "from-L.txt")
+  }
+
   test("malformed PAX payloads never override and never throw") {
     def tarWithPax(payload: String): Array[Byte] = {
       val p = payload.getBytes("US-ASCII")
