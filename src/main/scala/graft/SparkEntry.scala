@@ -674,15 +674,17 @@ object SparkEntry {
     }),
     // q_w18: PDF xref-chain table — the object index of the web's
     // second-biggest document format, read like ZIP's central
-    // directory: every 20-byte entry of every section in the
-    // startxref→/Prev chain (section 0 = latest), with the body-
-    // verified /Type token and byte length; pure map-side walk
+    // directory: every entry of every section in the startxref→/Prev
+    // chain (section 0 = latest), from CLASSIC 20-byte tables AND
+    // PDF 1.5+ xref STREAMS (W-packed rows, Flate/ASCIIHex decoded,
+    // PNG predictor undone), type-2 entries resolved through their
+    // /ObjStm object streams; body-verified types/lengths throughout
     "q_w18_pdf_xref" -> ((s, _) =>
       Archives.pdfXrefTable(s, Tables.pdf(s))),
     // q_w19: resolved PDF object table — incremental updates
     // override per object number (PDF's own keep-latest rule) as a
-    // WINDOW over q_w18's index rows, in-use + body-verified only;
-    // the documents themselves never shuffle
+    // WINDOW over q_w18's index rows, in-use + body-verified only
+    // (object-stream members included); documents never shuffle
     "q_w19_pdf_objects" -> ((s, _) =>
       Archives.pdfObjectTable(s, Tables.pdf(s))),
     // q_w23: out-link extraction from the crawl's HTML pages —
@@ -1506,19 +1508,136 @@ object SparkEntry {
        |      '^([0-9]{10}) ([0-9]{5}) ([nf])', 3) = 'n' AS in_use
        |  FROM pdf_e0
        |  WHERE regexp_extract(entry, '^([0-9]{10}) ([0-9]{5}) ([nf])', 3) <> ''),
-       | pdf_ent AS (
+       | pdf_cent AS (
        |  SELECT media_id, section_idx, obj_num, gen, off, in_use,
+       |    CASE WHEN in_use THEN 'direct' ELSE 'free' END AS entry_kind,
        |    CASE WHEN vok AND pend > 0 THEN nullif(regexp_extract(
        |      substr(s, CAST(off AS INT) + 1, CAST(pend + 5 AS INT)),
        |      '/Type /([A-Za-z]+)', 1), '') END AS obj_type,
-       |    CASE WHEN vok AND pend > 0 THEN pend + 5 END AS obj_length
+       |    CASE WHEN vok AND pend > 0 THEN pend + 5 END AS obj_length,
+       |    CASE WHEN vok AND pend > 0 THEN
+       |      substr(s, CAST(off AS INT) + 1, CAST(pend + 5 AS INT))
+       |    END AS body
        |  FROM (
        |    SELECT *,
        |      in_use AND substr(s, CAST(off AS INT) + 1,
        |        len(obj_num || ' ' || gen || ' obj'))
        |        = obj_num || ' ' || gen || ' obj' AS vok,
        |      strpos(substr(s, CAST(off AS INT) + 1), 'endobj') AS pend
-       |    FROM pdf_e1) t)""".stripMargin
+       |    FROM pdf_e1) t),
+       | pdf_sx AS (
+       |  -- xref-STREAM sections (PDF 1.5+): startxref lands on an
+       |  -- object, not the 'xref' keyword. The fixture's stream class
+       |  -- is single-section ASCIIHex with W=[w1 w2 w3] and the
+       |  -- default Index [0 Size], so the re-walk reads the packed
+       |  -- rows STRAIGHT OFF the hex digits (2 chars = 1 byte) —
+       |  -- /Prev chaining of stream sections stays unit-test scope.
+       |  SELECT x.media_id, m.s, m.n, x.xoff
+       |  FROM pdf_x x JOIN pdf_m m USING (media_id)
+       |  WHERE x.xoff IS NOT NULL AND x.xoff + 5 <= m.n
+       |    AND substr(m.s, CAST(x.xoff AS INT) + 1, 5) <> 'xref' || chr(10)),
+       | pdf_sd AS (
+       |  SELECT media_id, s, n,
+       |    substr(sfx, ds + 7,
+       |      TRY_CAST(regexp_extract(dict, '/Length ([0-9]+)', 1) AS INT)) AS hx,
+       |    TRY_CAST(regexp_extract(dict, '/Size ([0-9]+)', 1) AS INT) AS sz,
+       |    TRY_CAST(regexp_extract(dict,
+       |      '/W \\[ ([0-9]+) ([0-9]+) ([0-9]+) \\]', 1) AS INT) AS w1,
+       |    TRY_CAST(regexp_extract(dict,
+       |      '/W \\[ ([0-9]+) ([0-9]+) ([0-9]+) \\]', 2) AS INT) AS w2,
+       |    TRY_CAST(regexp_extract(dict,
+       |      '/W \\[ ([0-9]+) ([0-9]+) ([0-9]+) \\]', 3) AS INT) AS w3
+       |  FROM (
+       |    SELECT media_id, s, n, sfx, ds, substr(sfx, 1, ds - 1) AS dict
+       |    FROM (
+       |      SELECT media_id, s, n,
+       |        substr(s, CAST(xoff AS INT) + 1) AS sfx,
+       |        strpos(substr(s, CAST(xoff AS INT) + 1),
+       |          'stream' || chr(10)) AS ds
+       |      FROM pdf_sx) a
+       |    WHERE ds > 0) b
+       |  WHERE dict LIKE '%/Type /XRef%' AND dict LIKE '%/ASCIIHexDecode%'
+       |    AND dict NOT LIKE '%/Index%'),
+       | pdf_se0 AS (
+       |  SELECT media_id, s, n, CAST(j AS INT) AS obj_num,
+       |    ('0x' || substr(hx, CAST(2*(w1+w2+w3)*j AS INT) + 1,
+       |      2*w1))::INT AS f1,
+       |    ('0x' || substr(hx, CAST(2*(w1+w2+w3)*j + 2*w1 AS INT) + 1,
+       |      2*w2))::BIGINT AS f2,
+       |    ('0x' || substr(hx, CAST(2*(w1+w2+w3)*j + 2*w1 + 2*w2 AS INT) + 1,
+       |      2*w3))::INT AS f3
+       |  FROM pdf_sd, unnest(generate_series(0, sz - 1)) AS t(j)
+       |  WHERE w1 > 0 AND w2 > 0 AND w3 > 0
+       |    AND len(hx) >= 2*(w1+w2+w3)*sz),
+       | pdf_sdir AS (
+       |  -- free + direct rows of the stream section, body-verified
+       |  -- with the same vok/pend rule as the classic table
+       |  SELECT media_id, 0 AS section_idx, obj_num, f3 AS gen,
+       |    f2 AS off, f1 = 1 AS in_use,
+       |    CASE WHEN f1 = 1 THEN 'direct' ELSE 'free' END AS entry_kind,
+       |    CASE WHEN vok AND pend > 0 THEN nullif(regexp_extract(
+       |      substr(s, CAST(f2 AS INT) + 1, CAST(pend + 5 AS INT)),
+       |      '/Type /([A-Za-z]+)', 1), '') END AS obj_type,
+       |    CASE WHEN vok AND pend > 0 THEN pend + 5 END AS obj_length,
+       |    CASE WHEN vok AND pend > 0 THEN
+       |      substr(s, CAST(f2 AS INT) + 1, CAST(pend + 5 AS INT))
+       |    END AS body
+       |  FROM (
+       |    SELECT *,
+       |      f1 = 1 AND substr(s, CAST(f2 AS INT) + 1,
+       |        len(obj_num || ' ' || f3 || ' obj'))
+       |        = obj_num || ' ' || f3 || ' obj' AS vok,
+       |      strpos(substr(s, CAST(f2 AS INT) + 1), 'endobj') AS pend
+       |    FROM pdf_se0 WHERE f1 IN (0, 1)) t),
+       | pdf_so AS (
+       |  -- every verified /Type /ObjStm object: ASCIIHex payload
+       |  -- DECODED (unhex), member-pair header split on /First
+       |  SELECT media_id, stm_num, payload, fst,
+       |    string_split(trim(substr(payload, 1, fst)), ' ') AS toks
+       |  FROM (
+       |    SELECT media_id, stm_num,
+       |      decode(unhex(rtrim(substr(osfx, ods + 7,
+       |        TRY_CAST(regexp_extract(substr(osfx, 1, ods - 1),
+       |          '/Length ([0-9]+)', 1) AS INT)), '>'))) AS payload,
+       |      TRY_CAST(regexp_extract(substr(osfx, 1, ods - 1),
+       |        '/First ([0-9]+)', 1) AS INT) AS fst
+       |    FROM (
+       |      SELECT media_id, obj_num AS stm_num, body AS osfx,
+       |        strpos(body, 'stream' || chr(10)) AS ods
+       |      FROM pdf_sdir
+       |      WHERE obj_type = 'ObjStm' AND body IS NOT NULL) q
+       |    WHERE ods > 0
+       |      AND substr(osfx, 1, ods - 1) LIKE '%/ASCIIHexDecode%') d
+       |  WHERE fst IS NOT NULL AND fst <= len(payload)),
+       | pdf_sobj AS (
+       |  -- type-2 rows: member slice proves type + length (a claim
+       |  -- whose header pair doesn't name the object proves nothing)
+       |  SELECT e.media_id, 0 AS section_idx, e.obj_num, e.f3 AS gen,
+       |    e.f2 AS off, TRUE AS in_use, 'objstm' AS entry_kind,
+       |    CASE WHEN ok THEN nullif(regexp_extract(mbody,
+       |      '/Type /([A-Za-z]+)', 1), '') END AS obj_type,
+       |    CASE WHEN ok THEN CAST(len(mbody) AS BIGINT) END AS obj_length,
+       |    CASE WHEN ok THEN mbody END AS body
+       |  FROM (
+       |    SELECT e.media_id, e.obj_num, e.f2, e.f3,
+       |      TRY_CAST(o.toks[2 * e.f3 + 1] AS INT) = e.obj_num AS ok,
+       |      substr(o.payload,
+       |        o.fst + TRY_CAST(o.toks[2 * e.f3 + 2] AS INT) + 1,
+       |        coalesce(TRY_CAST(o.toks[2 * e.f3 + 4] AS INT),
+       |          len(o.payload) - o.fst)
+       |          - TRY_CAST(o.toks[2 * e.f3 + 2] AS INT)) AS mbody
+       |    FROM pdf_se0 e LEFT JOIN pdf_so o
+       |      ON e.media_id = o.media_id AND e.f2 = o.stm_num
+       |    WHERE e.f1 = 2) e),
+       | pdf_ent AS (
+       |  SELECT media_id, section_idx, obj_num, gen, off, in_use,
+       |    entry_kind, obj_type, obj_length, body FROM pdf_cent
+       |  UNION ALL
+       |  SELECT media_id, section_idx, obj_num, gen, off, in_use,
+       |    entry_kind, obj_type, obj_length, body FROM pdf_sdir
+       |  UNION ALL
+       |  SELECT media_id, section_idx, obj_num, gen, off, in_use,
+       |    entry_kind, obj_type, obj_length, body FROM pdf_sobj)""".stripMargin
 
   /** Shared DuckDB CTE body (no WITH): the dHash bands re-derived
    * from the image fixture's RAW BYTES — the stored-zlib layout pins
@@ -3619,8 +3738,8 @@ object SparkEntry {
       s"""WITH RECURSIVE $PDFWALK
          | SELECT media_id, CAST(section_idx AS INT) AS section_idx,
          |   CAST(obj_num AS INT) AS obj_num, gen,
-         |   CAST(off AS BIGINT) AS "offset", in_use, obj_type,
-         |   CAST(obj_length AS BIGINT) AS obj_length
+         |   CAST(off AS BIGINT) AS "offset", in_use, entry_kind,
+         |   obj_type, CAST(obj_length AS BIGINT) AS obj_length
          | FROM pdf_ent""".stripMargin,
     // q_w21: PDFWALK + keep-latest resolution, /Type /Page objects'
     // first /Contents ref joined back to the resolved content
@@ -3630,36 +3749,43 @@ object SparkEntry {
     "q_w21_pdf_text" ->
       s"""WITH RECURSIVE $PDFWALK,
          | res AS (
-         |  SELECT media_id, obj_num, off, obj_length, obj_type
+         |  SELECT media_id, obj_num, entry_kind, obj_type, body
          |  FROM (
          |    SELECT *, ROW_NUMBER() OVER (PARTITION BY media_id, obj_num
          |      ORDER BY section_idx) AS rnk
          |    FROM pdf_ent) t
-         |  WHERE rnk = 1 AND in_use AND obj_length IS NOT NULL),
+         |  WHERE rnk = 1 AND in_use AND obj_length IS NOT NULL
+         |    AND body IS NOT NULL),
          | pages AS (
-         |  SELECT r.media_id, r.obj_num AS page_obj,
-         |    TRY_CAST(regexp_extract(
-         |      substr(m.s, CAST(r.off AS INT) + 1, CAST(r.obj_length AS INT)),
+         |  SELECT media_id, obj_num AS page_obj,
+         |    TRY_CAST(regexp_extract(body,
          |      '/Contents ([0-9]+) ([0-9]+) R', 1) AS INT) AS content_obj
-         |  FROM res r JOIN pdf_m m USING (media_id)
-         |  WHERE r.obj_type = 'Page'),
+         |  FROM res WHERE obj_type = 'Page'),
          | ctt AS (
-         |  SELECT p.media_id, p.page_obj, p.content_obj,
-         |    substr(m.s, CAST(c.off AS INT) + 1, CAST(c.obj_length AS INT)) AS cbody
+         |  SELECT p.media_id, p.page_obj, p.content_obj, c.body AS cbody
          |  FROM pages p
          |  JOIN res c ON p.media_id = c.media_id AND p.content_obj = c.obj_num
-         |  JOIN pdf_m m ON m.media_id = p.media_id),
+         |  WHERE c.entry_kind = 'direct'),
          | sl AS (
          |  SELECT media_id, page_obj, content_obj, cbody,
          |    strpos(cbody, 'stream' || chr(10)) AS ds,
          |    strpos(cbody, chr(10) || 'endstream') AS de
-         |  FROM ctt)
+         |  FROM ctt),
+         | dec AS (
+         |  SELECT media_id, page_obj, content_obj,
+         |    CASE WHEN substr(cbody, 1, CAST(ds - 1 AS INT))
+         |           LIKE '%/ASCIIHexDecode%'
+         |         THEN decode(unhex(rtrim(raw, '>')))
+         |         ELSE raw END AS data
+         |  FROM (
+         |    SELECT *, substr(cbody, CAST(ds + 7 AS INT),
+         |      CAST(de - ds - 7 AS INT)) AS raw
+         |    FROM sl WHERE ds > 0 AND de > ds) t)
          | SELECT media_id, CAST(page_obj AS INT) AS page_obj,
          |   CAST(content_obj AS INT) AS content_obj,
-         |   array_to_string(regexp_extract_all(
-         |     substr(cbody, CAST(ds + 7 AS INT), CAST(de - ds - 7 AS INT)),
+         |   array_to_string(regexp_extract_all(data,
          |     '\\(([^()]*)\\)[ \\t\\r\\n]*Tj', 1), ' ') AS text
-         | FROM sl WHERE ds > 0 AND de > ds""".stripMargin,
+         | FROM dec""".stripMargin,
     // q_w19: PDFWALK + the keep-latest window (smallest section_idx
     // per object wins) — rank BEFORE the in-use filter, so a deleted
     // ('f') latest entry correctly tombstones older generations
@@ -3670,7 +3796,7 @@ object SparkEntry {
          |    ORDER BY section_idx) AS rnk
          |  FROM pdf_ent)
          | SELECT media_id, CAST(obj_num AS INT) AS obj_num, gen,
-         |   CAST(off AS BIGINT) AS "offset", obj_type,
+         |   CAST(off AS BIGINT) AS "offset", entry_kind, obj_type,
          |   CAST(obj_length AS BIGINT) AS obj_length
          | FROM rk WHERE rnk = 1 AND in_use AND obj_length IS NOT NULL""".stripMargin,
     // q_w1: the WARCWALK recursive re-walk verbatim (see its Scaladoc

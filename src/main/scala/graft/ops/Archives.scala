@@ -935,28 +935,60 @@ object Archives {
 
   // ----------------------------------------------------------------- PDF
 
-  /** Walk the classic cross-reference chain of a PDF — the entry
-   * point for the web's second-biggest document format: the xref
-   * table IS the object index (like ZIP's central directory), so a
-   * shard of PDFs becomes a queryable object catalog without parsing
-   * a single content stream. Returns raw entries
-   * (section_idx, obj_num, gen, offset, in_use, obj_type,
-   * obj_length): `section_idx` 0 is the table `startxref` names, 1
-   * its `/Prev`, … — incremental updates append sections, and WHICH
-   * entry wins per object is a relational decision
-   * ([[pdfObjectTable]]'s window), not the walker's.
+  /** One cross-reference entry as the walker reports it — the RAW
+   * (type, field-2, field-3) triple of the xref format plus the
+   * body-verified evidence:
    *
-   * Per entry with `in_use` set, the object body at its offset is
-   * verified (`num gen obj` prefix, a terminating `endobj`) and the
-   * first `/Type /Name` token plus the byte length through `endobj`
-   * are read; a body that doesn't verify leaves type/length None —
-   * the xref CLAIM is still reported, but nothing the bytes don't
-   * prove. Tolerance as everywhere: no `%PDF-` magic, an unreadable
-   * `startxref`, or a malformed section stops the walk with the
-   * sections already parsed (a malformed section contributes
-   * nothing); the `/Prev` chain is capped and cycle-guarded. */
-  private[ops] def pdfXref(b: Array[Byte])
-      : Seq[(Int, Int, Int, Long, Boolean, Option[String], Option[Long])] = {
+   *  - `kind = "free"`   (classic `f` / stream type 0): `f2` = next
+   *    free object number, `gen` = generation;
+   *  - `kind = "direct"` (classic `n` / stream type 1): `f2` = byte
+   *    offset of the object, `gen` = generation;
+   *  - `kind = "objstm"` (stream type 2): `f2` = the object STREAM's
+   *    object number, `gen` = the member index inside it (type-2
+   *    entries carry no generation — the raw field IS the index).
+   *
+   * `objType`/`objLen` are what the bytes prove: for direct entries
+   * the first `/Type /Name` token and the byte length through
+   * `endobj`; for objstm entries the member body's `/Type` and its
+   * byte length inside the DECODED stream. `body` is the verified
+   * object text (direct: the `num gen obj…endobj` span; objstm: the
+   * member slice) — partition-local plumbing for [[pdfPageTexts]],
+   * never a column. */
+  private[ops] final case class PdfEnt(
+      section: Int, num: Int, gen: Int, f2: Long, inUse: Boolean,
+      kind: String, objType: Option[String], objLen: Option[Long],
+      body: Option[String])
+
+  /** Walk the cross-reference chain of a PDF — the entry point for
+   * the web's second-biggest document format: the xref IS the object
+   * index (like ZIP's central directory), so a shard of PDFs becomes
+   * a queryable object catalog without parsing a single content
+   * stream. BOTH reference forms are read:
+   *
+   *  - the CLASSIC table (PDF 1.0–1.4): `xref` keyword, `start
+   *    count` subsections, 20-byte entries, `trailer` dict;
+   *  - the cross-reference STREAM (PDF 1.5+, the majority of
+   *    real-web PDFs): a `/Type /XRef` stream object at the
+   *    `startxref` offset — `/W` field widths, `/Index` subsections
+   *    (default `[0 /Size]`), big-endian packed rows, decoded
+   *    through `/Filter` (`/FlateDecode` with the optional PNG
+   *    `/DecodeParms /Predictor`, `/ASCIIHexDecode`, or none).
+   *    Type-2 rows point INTO `/Type /ObjStm` object streams, whose
+   *    members are resolved through the stream's `/N`+`/First`
+   *    header so compressed objects get real types and lengths.
+   *
+   * `section` 0 is the table `startxref` names, 1 its `/Prev`, … —
+   * incremental updates append sections, and WHICH entry wins per
+   * object is a relational decision ([[pdfObjectTable]]'s window),
+   * not the walker's. Tolerance as everywhere: no `%PDF-` magic, an
+   * unreadable `startxref`, or a malformed section stops the walk
+   * with the sections already parsed (a malformed section
+   * contributes nothing); the `/Prev` chain is capped and
+   * cycle-guarded; stream row counts and inflate output are capped;
+   * a body/member that doesn't verify leaves type/length None — the
+   * xref CLAIM is still reported, but nothing the bytes don't
+   * prove. */
+  private[ops] def pdfXref(b: Array[Byte]): Seq[PdfEnt] = {
     if (b == null || b.length < 16) return Nil
     val s = new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
     if (!s.startsWith("%PDF-")) return Nil
@@ -966,8 +998,10 @@ object Archives {
     def intAfter(pos: Int): Option[Long] =
       numRe.findFirstMatchIn(s.substring(pos, math.min(s.length, pos + 32)))
         .map(_.group(1).toLong)
-    val out = scala.collection.mutable.ArrayBuffer
-      .empty[(Int, Int, Int, Long, Boolean, Option[String], Option[Long])]
+    // ---- phase A: collect RAW claims (num, gen/f3, f2, inUse, kind)
+    //      per section along the startxref → /Prev chain
+    val raw = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Int, Int, Long, Boolean, String)]
     var xoff = intAfter(sx + 9).getOrElse(-1L)
     val visited = scala.collection.mutable.Set.empty[Long]
     var section = 0
@@ -975,11 +1009,11 @@ object Archives {
         visited.add(xoff)) {
       var next = -1L
       if (s.startsWith("xref", xoff.toInt)) {
-        // subsection loop: `start count` header lines until `trailer`
+        // classic table: `start count` header lines until `trailer`
         var p = xoff.toInt + 4
         while (p < s.length && (s(p) == '\r' || s(p) == '\n')) p += 1
         val sec = scala.collection.mutable.ArrayBuffer
-          .empty[(Int, Int, Int, Long, Boolean, Option[String], Option[Long])]
+          .empty[(Int, Int, Int, Long, Boolean, String)]
         var ok = true
         var done = false
         while (ok && !done && p < s.length) {
@@ -1001,23 +1035,10 @@ object Archives {
                       .findFirstMatchIn(e)
                     em match {
                       case Some(x) =>
-                        val off = x.group(1).toLong
-                        val gen = x.group(2).toInt
                         val inUse = x.group(3) == "n"
-                        val num = start + k
-                        val (t, l) =
-                          if (inUse && off < s.length &&
-                            s.startsWith(s"$num $gen obj", off.toInt)) {
-                            val e2 = s.indexOf("endobj", off.toInt)
-                            if (e2 < 0) (None, None)
-                            else {
-                              val span = s.substring(off.toInt, e2 + 6)
-                              ("/Type /([A-Za-z]+)".r.findFirstMatchIn(span)
-                                .map(_.group(1)),
-                                Some(e2 + 6L - off))
-                            }
-                          } else (None, None)
-                        sec += ((section, num, gen, off, inUse, t, l))
+                        sec += ((section, start + k, x.group(2).toInt,
+                          x.group(1).toLong, inUse,
+                          if (inUse) "direct" else "free"))
                       case None => ok = false
                     }
                     p += 20
@@ -1035,38 +1056,349 @@ object Archives {
               case -1 => s.length
               case i  => i
             }))
-          out ++= sec
+          raw ++= sec
           next = "/Prev\\s+([0-9]+)".r.findFirstMatchIn(dict)
             .map(_.group(1).toLong).getOrElse(-1L)
         }
+      } else parseXrefStreamSection(s, xoff.toInt) match {
+        case Some((entries, prev)) =>
+          raw ++= entries.map { case (num, f3, f2, inUse, kind) =>
+            (section, num, f3, f2, inUse, kind)
+          }
+          next = prev
+        case None => () // neither table nor XRef stream: chain ends
       }
       xoff = next
       section += 1
     }
-    out.toSeq
+    if (raw.isEmpty) return Nil
+    // ---- phase B: body verification machinery. Type-2 (objstm)
+    //      claims resolve through the keep-latest DIRECT location of
+    //      their object stream — the same rule q_w19 applies.
+    val typeRe = "/Type /([A-Za-z]+)".r
+    def verifyDirect(num: Int, gen: Int, off: Long)
+        : (Option[String], Option[Long], Option[String]) =
+      if (off >= 0 && off < s.length &&
+          s.startsWith(s"$num $gen obj", off.toInt)) {
+        val e2 = s.indexOf("endobj", off.toInt)
+        if (e2 < 0) (None, None, None)
+        else {
+          val span = s.substring(off.toInt, e2 + 6)
+          (typeRe.findFirstMatchIn(span).map(_.group(1)),
+            Some(e2 + 6L - off), Some(span))
+        }
+      } else (None, None, None)
+    val latestDirect = raw.filter(_._6 == "direct").groupBy(_._2)
+      .map { case (n, es) => n -> es.minBy(_._1) }
+    // decoded object streams, cached per stream object number:
+    // (member (num, rel-offset) pairs, decoded payload, /First)
+    val stmCache = scala.collection.mutable.Map
+      .empty[Int, Option[(Vector[(Int, Int)], String, Int)]]
+    def objstmMembers(stmNum: Int)
+        : Option[(Vector[(Int, Int)], String, Int)] =
+      stmCache.getOrElseUpdate(stmNum,
+        latestDirect.get(stmNum).flatMap { e =>
+          val (t, _, bodyOpt) = verifyDirect(e._2, e._3, e._4)
+          bodyOpt.filter(_ => t.contains("ObjStm")).flatMap { body =>
+            val ds = body.indexOf("stream\n")
+            if (ds < 0) None
+            else {
+              val dict = body.substring(0, ds)
+              for {
+                n <- "/N\\s+([0-9]{1,6})".r.findFirstMatchIn(dict)
+                  .map(_.group(1).toInt)
+                first <- "/First\\s+([0-9]{1,9})".r.findFirstMatchIn(dict)
+                  .map(_.group(1).toInt)
+                data <- streamData(body, ds)
+                if first >= 0 && first <= data.length
+                pairs <- {
+                  val toks = data.substring(0, first).trim
+                    .split("\\s+").filter(_.nonEmpty)
+                  if (toks.length < 2 * n) None
+                  else try Some((0 until n).map(i =>
+                    (toks(2 * i).toInt, toks(2 * i + 1).toInt)).toVector)
+                  catch { case _: NumberFormatException => None }
+                }
+              } yield (pairs, data, first)
+            }
+          }
+        })
+    def verifyMember(num: Int, stmNum: Int, idx: Int)
+        : (Option[String], Option[Long], Option[String]) =
+      objstmMembers(stmNum) match {
+        case Some((pairs, data, first))
+            if idx >= 0 && idx < pairs.size && pairs(idx)._1 == num =>
+          val start = first + pairs(idx)._2
+          val end =
+            if (idx + 1 < pairs.size) first + pairs(idx + 1)._2
+            else data.length
+          if (start >= first && start <= end && end <= data.length) {
+            val body = data.substring(start, end)
+            (typeRe.findFirstMatchIn(body).map(_.group(1)),
+              Some((end - start).toLong), Some(body))
+          } else (None, None, None)
+        case _ => (None, None, None)
+      }
+    // ---- phase C: verify every claim against the bytes
+    raw.toSeq.map { case (sec, num, gen, f2, inUse, kind) =>
+      val (t, l, body) = kind match {
+        case "direct" => verifyDirect(num, gen, f2)
+        case "objstm" => verifyMember(num, f2.toInt, gen)
+        case _        => (None, None, None)
+      }
+      PdfEnt(sec, num, gen, f2, inUse, kind, t, l, body)
+    }
+  }
+
+  /** Parse one cross-reference STREAM section (`/Type /XRef`) at
+   * absolute offset `off` of the decoded file `s`. Returns the raw
+   * entries (num, f3, f2, in_use, kind) and the `/Prev` offset
+   * (-1 = none), or None when the bytes aren't a well-formed XRef
+   * stream — the caller treats that as end-of-chain, the classic
+   * walker's exact malformed-section rule. */
+  private def parseXrefStreamSection(s: String, off: Int)
+      : Option[(Seq[(Int, Int, Long, Boolean, String)], Long)] = {
+    if (off < 0 || off + 16 > s.length) return None
+    if ("^[0-9]+ [0-9]+ obj".r.findFirstIn(
+        s.substring(off, math.min(s.length, off + 32))).isEmpty) return None
+    val dictStart = s.indexOf("<<", off)
+    if (dictStart < 0 || dictStart > off + 32) return None
+    val dictEnd = balancedDictEnd(s, dictStart)
+    if (dictEnd < 0) return None
+    val dict = s.substring(dictStart, dictEnd)
+    if ("/Type\\s*/XRef".r.findFirstIn(dict).isEmpty) return None
+    var p = dictEnd
+    while (p < s.length && (s(p) == ' ' || s(p) == '\t' ||
+        s(p) == '\r' || s(p) == '\n')) p += 1
+    if (!s.startsWith("stream", p)) return None
+    p += 6
+    if (p < s.length && s(p) == '\r') p += 1
+    if (p >= s.length || s(p) != '\n') return None
+    p += 1
+    def dictInt(re: String): Option[Int] =
+      re.r.findFirstMatchIn(dict).map(_.group(1).toInt)
+    val size = dictInt("/Size\\s+([0-9]{1,9})").getOrElse(return None)
+    val wm = "/W\\s*\\[\\s*([0-9]{1,2})\\s+([0-9]{1,2})\\s+([0-9]{1,2})".r
+      .findFirstMatchIn(dict).getOrElse(return None)
+    val (w1, w2, w3) = (wm.group(1).toInt, wm.group(2).toInt, wm.group(3).toInt)
+    if (w1 > 4 || w2 > 8 || w3 > 4 || w1 + w2 + w3 == 0) return None
+    val index: Seq[(Int, Int)] =
+      "/Index\\s*\\[([0-9 \\t\\r\\n]*)\\]".r.findFirstMatchIn(dict)
+        .map(_.group(1)) match {
+        case Some(lst) =>
+          val toks = lst.trim.split("\\s+").filter(_.nonEmpty)
+          if (toks.length == 0 || toks.length % 2 != 0) return None
+          try toks.grouped(2).map(a => (a(0).toInt, a(1).toInt)).toSeq
+          catch { case _: NumberFormatException => return None }
+        case None => Seq((0, size))
+      }
+    val total = index.map(_._2.toLong).sum
+    if (index.exists(i => i._1 < 0 || i._2 < 0) || total > (1L << 20))
+      return None
+    val prev = "/Prev\\s+([0-9]{1,18})".r.findFirstMatchIn(dict)
+      .map(_.group(1).toLong).getOrElse(-1L)
+    val dataEnd = dictInt("/Length\\s+([0-9]{1,9})")
+      .filter(l => p.toLong + l <= s.length).map(p + _)
+      .getOrElse {
+        val de = s.indexOf("\nendstream", p)
+        if (de < 0) return None
+        de
+      }
+    val data = decodeFiltered(s.substring(p, dataEnd), dict)
+      .getOrElse(return None)
+    val rw = w1 + w2 + w3
+    if (data.length.toLong < total * rw) return None
+    val out = Seq.newBuilder[(Int, Int, Long, Boolean, String)]
+    var pos = 0
+    index.foreach { case (start, count) =>
+      var j = 0
+      while (j < count) {
+        def fld(o: Int, wd: Int, dflt: Long): Long =
+          if (wd == 0) dflt
+          else {
+            var v = 0L
+            var i = 0
+            while (i < wd) {
+              v = (v << 8) | (data.charAt(pos + o + i) & 0xffL)
+              i += 1
+            }
+            v
+          }
+        val f1 = fld(0, w1, 1L) // absent type field defaults to 1
+        val f2 = fld(w1, w2, 0L)
+        val f3 = fld(w1 + w2, w3, 0L).toInt
+        f1 match {
+          case 0 => out += ((start + j, f3, f2, false, "free"))
+          case 1 => out += ((start + j, f3, f2, true, "direct"))
+          case 2 => out += ((start + j, f3, f2, true, "objstm"))
+          case _ => () // unknown row type: the spec says skip it
+        }
+        pos += rw
+        j += 1
+      }
+    }
+    Some((out.result(), prev))
+  }
+
+  /** Find the balanced `<< … >>` end for the dict opening at `start`
+   * (nested dicts counted); returns the index AFTER the closing
+   * `>>`, or -1 when unterminated / runaway. */
+  private def balancedDictEnd(s: String, start: Int): Int = {
+    var depth = 0
+    var i = start
+    while (i < s.length) {
+      if (i + 1 < s.length && s(i) == '<' && s(i + 1) == '<') {
+        depth += 1; i += 2
+      } else if (i + 1 < s.length && s(i) == '>' && s(i + 1) == '>') {
+        depth -= 1; i += 2
+        if (depth == 0) return i
+      } else i += 1
+      if (i - start > (1 << 16)) return -1
+    }
+    -1
+  }
+
+  /** Slice + decode a stream object's data given its full body text
+   * and the index of its `stream\n` keyword: the span is `/Length`
+   * when parsable and in-bounds, else up to `\nendstream`; decoded
+   * through the dict's filter ([[decodeFiltered]]). */
+  private def streamData(body: String, ds: Int): Option[String] = {
+    val dict = body.substring(0, ds)
+    val dataStart = ds + 7
+    val dataEnd = "/Length\\s+([0-9]{1,9})".r.findFirstMatchIn(dict)
+      .map(_.group(1).toInt)
+      .filter(l => dataStart.toLong + l <= body.length)
+      .map(dataStart + _)
+      .getOrElse {
+        val de = body.indexOf("\nendstream", dataStart)
+        if (de < 0) return None
+        de
+      }
+    decodeFiltered(body.substring(dataStart, dataEnd), dict)
+  }
+
+  /** Decode a stream's raw bytes (as an ISO-8859-1 string) through
+   * its dict's filter: `/ASCIIHexDecode`, `/FlateDecode` (with the
+   * optional PNG `/Predictor` of `/DecodeParms` — how real-web xref
+   * streams ship), or none. Single filter only — filter ARRAYS
+   * (cascades) and the TIFF predictor (2) are out of scope and
+   * claim nothing. Inflate output capped at 1 MiB. */
+  private def decodeFiltered(raw: String, dict: String): Option[String] =
+    if (dict.contains("/ASCIIHexDecode")) asciiHexDecode(raw)
+    else if (dict.contains("/FlateDecode"))
+      inflateBytesCapped(raw.getBytes(
+          java.nio.charset.StandardCharsets.ISO_8859_1), 1 << 20)
+        .flatMap(d => unpredict(d, dict))
+        .map(new String(_, java.nio.charset.StandardCharsets.ISO_8859_1))
+    else Some(raw)
+
+  /** PDF ASCIIHexDecode: hex pairs, whitespace ignored, `>` ends the
+   * data, an odd trailing digit implies a zero low nibble; any other
+   * character is corrupt (None). */
+  private def asciiHexDecode(h: String): Option[String] = {
+    val sb = new java.lang.StringBuilder(h.length / 2)
+    var hi = -1
+    var i = 0
+    while (i < h.length) {
+      val c = h.charAt(i)
+      if (c == '>') i = h.length
+      else {
+        if (!Character.isWhitespace(c)) {
+          val v = Character.digit(c, 16)
+          if (v < 0) return None
+          if (hi < 0) hi = v
+          else { sb.append(((hi << 4) | v).toChar); hi = -1 }
+        }
+        i += 1
+      }
+    }
+    if (hi >= 0) sb.append((hi << 4).toChar)
+    Some(sb.toString)
+  }
+
+  /** Undo the PNG row predictor of `/DecodeParms << /Predictor P
+   * /Columns C [/Colors n /BitsPerComponent b] >>` — predictor ≥ 10
+   * means every row is `filter-type byte + filtered bytes` exactly
+   * as in PNG (types 0–4: None/Sub/Up/Average/Paeth). Predictor 1
+   * (or no DecodeParms) passes through; the TIFF predictor (2) and
+   * malformed row grids claim nothing. */
+  private def unpredict(d: Array[Byte], dict: String): Option[Array[Byte]] = {
+    val parms = "/DecodeParms\\s*<<([^>]*)>>".r.findFirstMatchIn(dict)
+      .map(_.group(1))
+    def parm(name: String, dflt: Int): Int = parms
+      .flatMap(p => (name + "\\s+([0-9]{1,9})").r.findFirstMatchIn(p))
+      .map(_.group(1).toInt).getOrElse(dflt)
+    val pred = parm("/Predictor", 1)
+    if (pred == 1) return Some(d)
+    if (pred < 10) return None // TIFF predictor: out of scope
+    val cols = parm("/Columns", 1)
+    val colors = parm("/Colors", 1)
+    val bpc = parm("/BitsPerComponent", 8)
+    if (cols <= 0 || colors <= 0 || bpc <= 0) return None
+    val bpp = math.max(1, colors * bpc / 8)
+    val rowLen = (cols.toLong * colors * bpc + 7) / 8
+    if (rowLen <= 0 || rowLen > (1 << 20) ||
+        d.length % (rowLen + 1) != 0) return None
+    val rl = rowLen.toInt
+    val nRows = d.length / (rl + 1)
+    val out = new Array[Byte](nRows * rl)
+    var r = 0
+    while (r < nRows) {
+      val ft = d(r * (rl + 1)) & 0xff
+      val src = r * (rl + 1) + 1
+      val dst = r * rl
+      var i = 0
+      while (i < rl) {
+        val x = d(src + i) & 0xff
+        val a = if (i >= bpp) out(dst + i - bpp) & 0xff else 0
+        val u = if (r > 0) out(dst - rl + i) & 0xff else 0
+        val c = if (r > 0 && i >= bpp) out(dst - rl + i - bpp) & 0xff else 0
+        val v = ft match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + u
+          case 3 => x + ((a + u) >> 1)
+          case 4 =>
+            val pp = a + u - c
+            val pa = math.abs(pp - a)
+            val pb = math.abs(pp - u)
+            val pc = math.abs(pp - c)
+            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) u else c)
+          case _ => return None
+        }
+        out(dst + i) = (v & 0xff).toByte
+        i += 1
+      }
+      r += 1
+    }
+    Some(out)
   }
 
   /** Raw xref-entry table (q_w18): every entry of every section in
-   * the chain, with the walker's body-verified type/length. Pure
-   * map-side byte walk — the blob never shuffles, only fixed-shape
-   * index rows leave the partition. */
+   * the chain — classic tables AND xref streams — with the walker's
+   * body-verified type/length and the raw (offset, gen) fields
+   * (`entry_kind = 'objstm'` rows carry the object-stream number in
+   * `offset` and the member index in `gen`, the raw type-2 fields).
+   * Pure map-side byte walk — the blob never shuffles, only
+   * fixed-shape index rows leave the partition. */
   def pdfXrefTable(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     media.select(col("media_id"), col("mime_type"), col("media"))
       .as[MediaRow]
       .mapPartitions { rows =>
-        rows.flatMap(r => pdfXref(r.media).map {
-          case (sec, num, gen, off, inUse, t, l) =>
-            (r.media_id, sec, num, gen, off, inUse, t.orNull, l)
+        rows.flatMap(r => pdfXref(r.media).map { e =>
+          (r.media_id, e.section, e.num, e.gen, e.f2, e.inUse, e.kind,
+            e.objType.orNull, e.objLen)
         })
       }
       .toDF("media_id", "section_idx", "obj_num", "gen", "offset",
-        "in_use", "obj_type", "obj_length")
+        "in_use", "entry_kind", "obj_type", "obj_length")
   }
 
   /** Resolved object table (q_w19): per object number the LATEST
    * section's entry wins (incremental updates override — PDF's own
-   * keep-latest rule), in-use and body-verified objects only. The
+   * keep-latest rule), in-use and body-verified objects only —
+   * including objects living inside object streams (PDF 1.5+). The
    * override is a window over index rows, NOT walker logic — at
    * corpus scale the resolution shuffles (media_id, obj_num)-keyed
    * 40-byte rows, never the documents. */
@@ -1076,18 +1408,20 @@ object Archives {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") === 1 && col("in_use") && col("obj_length").isNotNull)
       .select(col("media_id"), col("obj_num"), col("gen"), col("offset"),
-        col("obj_type"), col("obj_length"))
+        col("entry_kind"), col("obj_type"), col("obj_length"))
   }
 
   /** Extract the shown text of each PDF page — the WET analogue for
    * the PDF family: resolve the xref chain in the partition-local
    * pass ([[pdfXref]] + keep-latest per object), take each in-use
-   * `/Type /Page` object, follow its FIRST `/Contents N G R`
-   * reference to the resolved content-stream object, slice the bytes
-   * between `stream\n` and `\nendstream` (inflating them through the
-   * JDK Inflater when the stream dict names `/FlateDecode`, capped
-   * at 1 MiB), and concatenate the `(…) Tj` show-operator strings in
-   * stream order. Scope: literal strings without nested/escaped
+   * `/Type /Page` object (direct OR object-stream member), follow
+   * its FIRST `/Contents N G R` reference to the resolved
+   * content-stream object (necessarily direct — streams cannot live
+   * inside object streams), slice the bytes between `stream\n` and
+   * `\nendstream`, decode them through the dict's filter
+   * ([[decodeFiltered]]: Flate capped at 1 MiB, ASCIIHex, or none),
+   * and concatenate the `(…) Tj` show-operator strings in stream
+   * order. Scope: literal strings without nested/escaped
    * parentheses and the plain `Tj` operator — the dominant form of
    * machine-generated PDFs; a page without a resolvable, extractable
    * content stream emits nothing (claim nothing the bytes don't
@@ -1096,44 +1430,37 @@ object Archives {
   private[ops] def pdfPageTexts(b: Array[Byte]): Seq[(Int, Int, String)] = {
     val entries = pdfXref(b)
     if (entries.isEmpty) return Nil
-    val s = new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
     // keep-latest resolution: smallest section_idx per object number
-    val resolved = entries.groupBy(_._2).map { case (_, es) =>
-      es.minBy(_._1)
-    }.filter(e => e._5 && e._7.isDefined).map(e => e._2 -> e).toMap
+    val resolved = entries.groupBy(_.num).map { case (_, es) =>
+      es.minBy(_.section)
+    }.filter(e => e.inUse && e.objLen.isDefined && e.body.isDefined)
+      .map(e => e.num -> e).toMap
     val contentsRe = "/Contents ([0-9]+) ([0-9]+) R".r
     val tjRe = "\\(([^()]*)\\)[ \\t\\r\\n]*Tj".r
     resolved.toSeq.sortBy(_._1).flatMap { case (num, e) =>
-      if (!e._6.contains("Page")) None
-      else {
-        val body = s.substring(e._4.toInt, (e._4 + e._7.get).toInt)
-        contentsRe.findFirstMatchIn(body).flatMap { m =>
-          resolved.get(m.group(1).toInt).flatMap { ce =>
-            val cbody = s.substring(ce._4.toInt, (ce._4 + ce._7.get).toInt)
+      if (!e.objType.contains("Page")) None
+      else contentsRe.findFirstMatchIn(e.body.get).flatMap { m =>
+        resolved.get(m.group(1).toInt)
+          .filter(_.kind == "direct").flatMap { ce =>
+            val cbody = ce.body.get
             val ds = cbody.indexOf("stream\n")
             val de = cbody.indexOf("\nendstream")
             if (ds < 0 || de < ds) None
-            else {
-              val raw = cbody.substring(ds + 7, de)
-              val dict = cbody.substring(0, ds)
-              val data =
-                if (!dict.contains("/FlateDecode")) Some(raw)
-                else inflateCapped(raw.getBytes(
-                  java.nio.charset.StandardCharsets.ISO_8859_1), 1 << 20)
-              data.map { d =>
-                (num, ce._2, tjRe.findAllMatchIn(d).map(_.group(1))
-                  .mkString(" "))
-              }
+            else decodeFiltered(cbody.substring(ds + 7, de),
+                cbody.substring(0, ds)).map { d =>
+              (num, ce.num,
+                tjRe.findAllMatchIn(d).map(_.group(1)).mkString(" "))
             }
           }
-        }
       }
     }
   }
 
-  /** Inflate a raw zlib stream to a string, None past `cap` bytes or
-   * on corrupt input — tolerance, never a throw. */
-  private def inflateCapped(z: Array[Byte], cap: Int): Option[String] = {
+  /** Inflate a raw zlib stream, None past `cap` bytes or on corrupt
+   * input — tolerance, never a throw (and never a spin: a
+   * preset-dictionary stream bails). */
+  private def inflateBytesCapped(z: Array[Byte], cap: Int)
+      : Option[Array[Byte]] = {
     val inf = new java.util.zip.Inflater()
     try {
       inf.setInput(z)
@@ -1142,17 +1469,12 @@ object Archives {
       var total = 0
       while (!inf.finished() && total <= cap) {
         val n = inf.inflate(buf)
-        // n == 0 with no progress possible: truncated input, or a
-        // preset-dictionary (FDICT) stream we can't satisfy — both are
-        // corrupt for our purposes; bail rather than spin forever.
         if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
           return None
         out.write(buf, 0, n)
         total += n
       }
-      if (total > cap) None
-      else Some(new String(out.toByteArray,
-        java.nio.charset.StandardCharsets.ISO_8859_1))
+      if (total > cap) None else Some(out.toByteArray)
     } catch { case _: Exception => None }
     finally inf.end()
   }

@@ -12,6 +12,13 @@ package graft.tools
  *                  file end: no xref is readable, the walker emits
  *                  nothing.
  *  - id % 8 == 7 → ASCII junk, no %PDF magic: no rows.
+ *  - id % 8 == 6 → PDF 1.5+ FORM: a `/Type /XRef` cross-reference
+ *                  STREAM at startxref (W=[1 4 2], ASCIIHex-coded
+ *                  rows) whose type-2 entries point into a
+ *                  `/Type /ObjStm` object stream holding the
+ *                  catalog/pages/page dicts; content streams stay
+ *                  direct. Fixed cell-grid offsets keep the oracle
+ *                  arithmetic (see xrefStreamPdf).
  *  - id % 4 == 1 → INCREMENTAL UPDATE: the original file plus an
  *                  appended generation-1 rewrite of the first page
  *                  object and a second xref section whose trailer
@@ -94,6 +101,94 @@ object PdfFixture {
       s"trailer\n<< /Size $n /Root 1 0 R /Prev $baseXrefOff >>\nstartxref\n$xrefOff\n%%EOF\n"
   }
 
+  // ------------------- PDF 1.5+ xref-STREAM class (id % 8 == 6) ----
+  // The modern form most real-web PDFs ship: the cross-reference is
+  // a /Type /XRef STREAM (not a classic table) and the small dict
+  // objects live compressed inside a /Type /ObjStm object stream.
+  // Both streams are /ASCIIHexDecode-filtered so every byte stays
+  // 7-bit ASCII (the oracle's blob→VARCHAR decode stays total) and
+  // every direct object is space-padded to a FIXED cell ending
+  // `endobj\n`, so offsets and lengths are pure cell-grid arithmetic
+  // the DuckDB oracle replays without decoding anything.
+
+  /** Cell-grid constants of the xref-stream class. */
+  val HeadLen = 9 // "%PDF-1.5\n"
+  val ContentCell = 192
+  val ObjStmCell = 1024
+  val XrefCell = 512
+
+  /** ASCIIHexDecode encoding (uppercase pairs + the `>` EOD). */
+  def hexEnc(s: String): String =
+    s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      .map("%02X".format(_)).mkString + ">"
+
+  /** One fixed-size cell: `num 0 obj\n<body>\n<pad>endobj\n` — the
+   * walker's body-verified length is therefore always size-1. */
+  def cell(num: Int, body: String, size: Int): String = {
+    val raw = s"$num 0 obj\n$body\n"
+    require(raw.length + 7 <= size,
+      s"cell overflow: ${raw.length} + 7 > $size")
+    raw + " " * (size - raw.length - 7) + "endobj\n"
+  }
+
+  /** Object-stream member bodies (objects 1..2+k): catalog, pages
+   * node, then the k page dicts — page p's /Contents points at the
+   * DIRECT content stream object 3+k+p. */
+  def stmMembers(id: Long): Seq[String] = {
+    val k = nPages(id)
+    val kids = (0 until k).map(p => s"${3 + p} 0 R").mkString(" ")
+    Seq("<< /Type /Catalog /Pages 2 0 R >>",
+      s"<< /Type /Pages /Kids [ $kids ] /Count $k >>") ++
+      (0 until k).map(p =>
+        s"<< /Type /Page /Parent 2 0 R /Contents ${3 + k + p} 0 R >>")
+  }
+
+  /** The PDF 1.5+ file: object numbering is
+   *   1..2+k      in the ObjStm (catalog, pages node, page dicts),
+   *   3+k..2+2k   direct content streams (cells of ContentCell),
+   *   3+2k        the ObjStm (cell of ObjStmCell),
+   *   4+2k        the XRef stream (cell of XrefCell, W=[1 4 2],
+   *               default Index = [0 Size]), startxref → its cell. */
+  def xrefStreamPdf(id: Long): String = {
+    val k = nPages(id)
+    val head = "%PDF-1.5\n"
+    val contents = (0 until k).map { p =>
+      val hx = hexEnc(s"BT (doc $id page $p) Tj ET")
+      cell(3 + k + p,
+        s"<< /Length ${hx.length} /Filter /ASCIIHexDecode >>" +
+          s"\nstream\n$hx\nendstream",
+        ContentCell)
+    }
+    val members = stmMembers(id)
+    val offs = members.scanLeft(0)(_ + _.length).dropRight(1)
+    val header =
+      members.indices.map(i => s"${i + 1} ${offs(i)}").mkString(" ") + " "
+    val phx = hexEnc(header + members.mkString)
+    val objStmNum = 3 + 2 * k
+    val objStm = cell(objStmNum,
+      s"<< /Type /ObjStm /N ${members.size} /First ${header.length} " +
+        s"/Length ${phx.length} /Filter /ASCIIHexDecode >>" +
+        s"\nstream\n$phx\nendstream",
+      ObjStmCell)
+    val size = 5 + 2 * k
+    def row(t: Int, f2: Long, f3: Int): String =
+      f"$t%02X$f2%08X$f3%04X"
+    val xrefOff = HeadLen + ContentCell * k + ObjStmCell
+    val rows = Seq(row(0, 0L, 65535)) ++
+      members.indices.map(i => row(2, objStmNum.toLong, i)) ++
+      (0 until k).map(p => row(1, (HeadLen + ContentCell * p).toLong, 0)) ++
+      Seq(row(1, (HeadLen + ContentCell * k).toLong, 0),
+        row(1, xrefOff.toLong, 0))
+    val rhx = rows.mkString + ">"
+    val xref = cell(4 + 2 * k,
+      s"<< /Type /XRef /Size $size /W [ 1 4 2 ] /Root 1 0 R " +
+        s"/Length ${rhx.length} /Filter /ASCIIHexDecode >>" +
+        s"\nstream\n$rhx\nendstream",
+      XrefCell)
+    head + contents.mkString + objStm + xref +
+      s"startxref\n$xrefOff\n%%EOF\n"
+  }
+
   /** startxref points 64 bytes past the end: nothing is walkable. */
   def badStart(id: Long): String = {
     val (orig, _) = base(id)
@@ -105,6 +200,7 @@ object PdfFixture {
     val s =
       if (id % 8 == 3) badStart(id)
       else if (id % 8 == 7) s"plain junk $id with no pdf framing at all\n"
+      else if (id % 8 == 6) xrefStreamPdf(id)
       else if (id % 4 == 1) withUpdate(id)
       else base(id)._1
     ("application/pdf", s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))

@@ -804,22 +804,99 @@ class ArchivesSpec extends SparkSpec {
 
   test("pdf xref walk: single-section layout matches the assembled offsets") {
     import graft.tools.PdfFixture
-    for (id <- Seq(0L, 2L, 4L, 6L, 8L, 10L)) { // single-section ids
+    for (id <- Seq(0L, 2L, 4L, 8L, 10L, 12L)) { // single-section CLASSIC ids
       val got = Archives.pdfXref(PdfFixture.row(id)._2)
       val (_, offs) = PdfFixture.base(id)
       val bodies = PdfFixture.objects(id)
       assert(got.size == bodies.size + 1, s"id=$id")
-      assert(got.head == ((0, 0, 65535, 0L, false, None, None)), s"id=$id")
-      got.tail.zipWithIndex.foreach {
-        case ((sec, num, gen, off, inUse, t, l), i) =>
-          assert(sec == 0 && num == i + 1 && gen == 0 && inUse, s"id=$id obj=$num")
-          assert(off == offs(i), s"id=$id obj=$num")
-          val objStr = PdfFixture.obj(i + 1, 0, bodies(i))
-          assert(l.contains(objStr.indexOf("endobj").toLong + 6), s"id=$id obj=$num")
-          val wantT = "/Type /([A-Za-z]+)".r.findFirstMatchIn(bodies(i)).map(_.group(1))
-          assert(t == wantT, s"id=$id obj=$num")
+      assert(got.head ==
+        Archives.PdfEnt(0, 0, 65535, 0L, false, "free", None, None, None),
+        s"id=$id")
+      got.tail.zipWithIndex.foreach { case (e, i) =>
+        assert(e.section == 0 && e.num == i + 1 && e.gen == 0 && e.inUse &&
+          e.kind == "direct", s"id=$id obj=${e.num}")
+        assert(e.f2 == offs(i), s"id=$id obj=${e.num}")
+        val objStr = PdfFixture.obj(i + 1, 0, bodies(i))
+        assert(e.objLen.contains(objStr.indexOf("endobj").toLong + 6),
+          s"id=$id obj=${e.num}")
+        val wantT = "/Type /([A-Za-z]+)".r.findFirstMatchIn(bodies(i)).map(_.group(1))
+        assert(e.objType == wantT, s"id=$id obj=${e.num}")
       }
     }
+  }
+
+  test("pdf xref STREAM + ObjStm: the 1.5+ form walks to the same catalog") {
+    import graft.tools.PdfFixture
+    for (id <- Seq(6L, 14L, 22L)) {
+      val k = PdfFixture.nPages(id)
+      val got = Archives.pdfXref(PdfFixture.row(id)._2)
+      assert(got.size == 5 + 2 * k, s"id=$id")
+      assert(got.forall(_.section == 0), s"id=$id single section")
+      val byNum = got.map(e => e.num -> e).toMap
+      // the free head
+      assert(byNum(0).kind == "free" && !byNum(0).inUse && byNum(0).gen == 65535)
+      // type-2 members: f2 = the ObjStm's object number, gen = index,
+      // type + length proven from the DECODED stream
+      val members = PdfFixture.stmMembers(id)
+      for (i <- 1 to 2 + k) {
+        val e = byNum(i)
+        assert(e.kind == "objstm" && e.inUse && e.f2 == 3 + 2 * k && e.gen == i - 1,
+          s"id=$id obj=$i raw")
+        assert(e.objLen.contains(members(i - 1).length.toLong), s"id=$id obj=$i len")
+        val wantT = "/Type /([A-Za-z]+)".r.findFirstMatchIn(members(i - 1)).map(_.group(1))
+        assert(e.objType == wantT, s"id=$id obj=$i type")
+      }
+      // direct content cells on the fixed grid, no /Type, cell-1 long
+      for (p <- 0 until k) {
+        val e = byNum(3 + k + p)
+        assert(e.kind == "direct" && e.f2 == PdfFixture.HeadLen + PdfFixture.ContentCell * p
+          && e.objType.isEmpty
+          && e.objLen.contains(PdfFixture.ContentCell - 1L), s"id=$id content $p")
+      }
+      assert(byNum(3 + 2 * k).objType.contains("ObjStm") &&
+        byNum(3 + 2 * k).objLen.contains(PdfFixture.ObjStmCell - 1L))
+      assert(byNum(4 + 2 * k).objType.contains("XRef") &&
+        byNum(4 + 2 * k).objLen.contains(PdfFixture.XrefCell - 1L))
+      // page text extracts through the ObjStm page dicts
+      assert(Archives.pdfPageTexts(PdfFixture.row(id)._2) ==
+        (0 until k).map(p => (3 + p, 3 + k + p, s"doc $id page $p")))
+    }
+  }
+
+  test("pdf xref STREAM: FlateDecode + PNG Predictor 12 rows parse like the hex twin") {
+    // a synthetic 1.5+ xref stream whose data is deflated with the
+    // PNG 'Up' per-row filter — the encoding real-web writers emit
+    val o1 = "%PDF-1.5\n1 0 obj\n<< /Type /Catalog >>\nendobj\n"
+    val rows = Seq(
+      Array(0, 0, 0, 0, 0, 255, 255), // obj 0: free
+      Array(1, 0, 0, 0, 9, 0, 0))     // obj 1: direct at 9
+    // PNG Up filter: row = 2 prefix, bytes = cur - prev
+    val filtered = new java.io.ByteArrayOutputStream()
+    rows.zipWithIndex.foreach { case (r, i) =>
+      filtered.write(2)
+      r.indices.foreach { j =>
+        val prev = if (i == 0) 0 else rows(i - 1)(j)
+        filtered.write((r(j) - prev) & 0xff)
+      }
+    }
+    val d = new java.util.zip.Deflater()
+    d.setInput(filtered.toByteArray); d.finish()
+    val zbuf = new Array[Byte](256)
+    val zn = d.deflate(zbuf); d.end()
+    val z = new String(zbuf, 0, zn, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val xref = s"2 0 obj\n<< /Type /XRef /Size 2 /W [ 1 4 2 ] " +
+      s"/DecodeParms << /Predictor 12 /Columns 7 >> " +
+      s"/Filter /FlateDecode /Length ${z.length} >>\nstream\n$z\nendstream\nendobj\n"
+    val pdf = o1 + xref + s"startxref\n${o1.length}\n%%EOF\n"
+    val got = Archives.pdfXref(pdf.getBytes(
+      java.nio.charset.StandardCharsets.ISO_8859_1))
+    assert(got.map(e => (e.num, e.f2, e.inUse, e.kind)) ==
+      Seq((0, 0L, false, "free"), (1, 9L, true, "direct")))
+    assert(got(1).objType.contains("Catalog"))
+    // corrupt deflate bytes: the section contributes nothing, no throw
+    val bad = pdf.replace(z, z.reverse)
+    assert(Archives.pdfXref(bad.getBytes(
+      java.nio.charset.StandardCharsets.ISO_8859_1)).isEmpty)
   }
 
   test("pdf xref walk: /Prev chains sections; resolution prefers the latest") {
@@ -828,18 +905,19 @@ class ArchivesSpec extends SparkSpec {
     val id = 1L
     val got = Archives.pdfXref(PdfFixture.row(id)._2)
     val base = PdfFixture.objects(id).size + 1
-    assert(got.count(_._1 == 0) == 1) // the update section: obj 3 only
-    assert(got.count(_._1 == 1) == base) // the full base table
-    val upd = got.find(_._1 == 0).get
-    assert(upd._2 == 3 && upd._3 == 1 && upd._5 && upd._6.contains("Page"))
+    assert(got.count(_.section == 0) == 1) // the update section: obj 3 only
+    assert(got.count(_.section == 1) == base) // the full base table
+    val upd = got.find(_.section == 0).get
+    assert(upd.num == 3 && upd.gen == 1 && upd.inUse && upd.objType.contains("Page"))
     val resolved = Archives.pdfObjectTable(spark,
         Seq((id, "application/pdf", PdfFixture.row(id)._2))
           .toDF("media_id", "mime_type", "media"))
-      .as[(Long, Int, Int, Long, Option[String], Long)].collect()
+      .as[(Long, Int, Int, Long, String, Option[String], Long)].collect()
       .map(r => r._2 -> r).toMap
-    assert(resolved(3)._3 == 1 && resolved(3)._4 == upd._4)
+    assert(resolved(3)._3 == 1 && resolved(3)._4 == upd.f2)
     assert(resolved.size == base - 1) // every in-use object, no free head
-    assert(resolved(1)._5.contains("Catalog") && resolved(2)._5.contains("Pages"))
+    assert(resolved.values.forall(_._5 == "direct"))
+    assert(resolved(1)._6.contains("Catalog") && resolved(2)._6.contains("Pages"))
   }
 
   test("pdf xref walk: bad startxref/junk yield nothing; multi-subsection and tombstones work") {
@@ -859,9 +937,9 @@ class ArchivesSpec extends SparkSpec {
       "5 1\n" + PdfFixture.entry(0, 0, inUse = false) +
       s"trailer\n<< /Size 6 >>\nstartxref\n${o1.length}\n%%EOF\n"
     val got = Archives.pdfXref(pdf.getBytes("US-ASCII"))
-    assert(got.map(e => (e._2, e._4, e._5)) ==
+    assert(got.map(e => (e.num, e.f2, e.inUse)) ==
       Seq((0, 0L, false), (1, 9L, true), (5, 0L, false)))
-    assert(got(1)._6.contains("Catalog"))
+    assert(got(1).objType.contains("Catalog"))
     // an 'f' override in the LATEST section tombstones the object:
     // older generations must not resurface in the resolved table
     val x1 = "xref\n0 2\n" + PdfFixture.entry(0, 65535, inUse = false) +
