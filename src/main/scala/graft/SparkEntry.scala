@@ -786,16 +786,28 @@ object SparkEntry {
     // (byte-ordering it clusters a domain's pages → a range scan is a
     // domain scan), the fetch date and the ranged-read coordinates
     // (member_offset, member_comp_bytes decompress one record in
-    // isolation). Pure map-side composition of the member walk and
-    // the canonicalizer — zero exchanges; sorting is the consumer's
-    // layout decision (Layout.writeBucketed over surt_key)
+    // isolation). Revisit records (Common Crawl's content dedup)
+    // index alongside responses, each row carrying its
+    // WARC-Payload-Digest so a consumer can chase a revisit to the
+    // original capture (q_w27). Pure map-side composition of the
+    // member walk and the canonicalizer — zero exchanges; sorting is
+    // the consumer's layout decision (Layout.writeBucketed)
     "q_w22_cdx" -> ((s, _) =>
       Archives.urlCanonical(
         Archives.warcGzMemberTable(s, Tables.warcgz(s))
-          .filter(lower(col("warc_type")) === "response" &&
+          .filter(lower(col("warc_type")).isin("response", "revisit") &&
             col("target_uri").isNotNull))
         .select(col("surt_key"), col("warc_date"), col("target_uri"),
+          col("warc_type"), col("payload_digest"),
           col("media_id"), col("member_offset"), col("member_comp_bytes"))),
+    // q_w27: revisit → original resolution — the digest-keyed join
+    // Common Crawl dedup demands: a revisit member carries no bytes,
+    // only the original's payload digest; resolve each to the
+    // EARLIEST response member with that digest and its ranged-read
+    // coordinates. One index-row join, shards never move
+    "q_w27_revisit_resolve" -> ((s, _) =>
+      Archives.revisitResolve(
+        Archives.warcGzMemberTable(s, Tables.warcgz(s)))),
     // q_w21: PDF page-TEXT extraction — the WET analogue for PDFs:
     // per resolved /Type /Page object, follow /Contents to the
     // stream, slice it, concatenate the (…) Tj show strings; Flate
@@ -1263,11 +1275,12 @@ object SparkEntry {
        |         CAST(NULL AS VARCHAR) AS warc_type,
        |         CAST(NULL AS VARCHAR) AS target_uri,
        |         CAST(NULL AS VARCHAR) AS warc_date,
+       |         CAST(NULL AS VARCHAR) AS payload_digest,
        |         CAST(0 AS BIGINT) AS next_pos
        |  FROM warc_m
        |  UNION ALL
        |  SELECT media_id, record_idx, pos, hdr_end + 4, clen, wtype, uri, wdate,
-       |         hdr_end + 4 + clen + 4
+       |         wdigest, hdr_end + 4 + clen + 4
        |  FROM (
        |    SELECT u.media_id, u.record_idx, u.pos, u.hdr_end, u.n,
        |      TRY_CAST(trim(regexp_extract(u.hdr,
@@ -1277,7 +1290,9 @@ object SparkEntry {
        |      nullif(trim(regexp_extract(u.hdr,
        |        '(?i)\\r\\n[ \\t]*warc-target-uri[ \\t]*:([^\\r\\n]*)', 1)), '') AS uri,
        |      nullif(trim(regexp_extract(u.hdr,
-       |        '(?i)\\r\\n[ \\t]*warc-date[ \\t]*:([^\\r\\n]*)', 1)), '') AS wdate
+       |        '(?i)\\r\\n[ \\t]*warc-date[ \\t]*:([^\\r\\n]*)', 1)), '') AS wdate,
+       |      nullif(trim(regexp_extract(u.hdr,
+       |        '(?i)\\r\\n[ \\t]*warc-payload-digest[ \\t]*:([^\\r\\n]*)', 1)), '') AS wdigest
        |    FROM (
        |      SELECT t.media_id, t.record_idx, t.pos, t.n, t.hdr_end,
        |             substr(t.s, CAST(t.pos AS INT) + 1,
@@ -1300,7 +1315,7 @@ object SparkEntry {
        |  WHERE clen IS NOT NULL AND clen >= 0 AND hdr_end + 4 + clen <= n),
        | wrecs AS (
        |  SELECT media_id, record_idx, off, content_offset, content_length,
-       |         warc_type, target_uri, warc_date
+       |         warc_type, target_uri, warc_date, payload_digest
        |  FROM warc_walk WHERE record_idx >= 0)""".stripMargin
 
   /** Shared DuckDB CTE body (no WITH): the `.warc.gz` member-span
@@ -1333,27 +1348,38 @@ object SparkEntry {
        |  WINDOW w AS (PARTITION BY media_id ORDER BY off)),
        | wgz_i AS (
        |  SELECT media_id, chr(13) || chr(10) AS crlf,
-       |    unnest(generate_series(0, 2 + media_id % 3)) AS k
+       |    unnest(generate_series(0, 2 + media_id % 3
+       |      + CASE WHEN media_id % 4 = 2 THEN 1 ELSE 0 END)) AS k
        |  FROM (SELECT DISTINCT media_id FROM wgz_m WHERE media_id % 8 <> 7) d),
        | wgz_c AS (
        |  SELECT media_id, k, crlf,
        |    CASE WHEN k = 0 THEN 'warcinfo'
        |         WHEN media_id % 2 = 0 AND k = 2 THEN 'request'
+       |         WHEN media_id % 4 = 2 AND k = 3 + media_id % 3 THEN 'revisit'
        |         ELSE 'response' END AS wtype,
        |    CASE WHEN k = 0 THEN NULL
        |         ELSE 'https://data' || CAST(media_id % 5 AS VARCHAR) ||
        |                 '.example.org/page' ||
-       |                 CAST((media_id * 3 + k - 1) % 40 AS VARCHAR) END AS uri,
+       |                 CAST((media_id * 3 +
+       |                   CASE WHEN media_id % 4 = 2 AND k = 3 + media_id % 3
+       |                        THEN 0 ELSE k - 1 END) % 40 AS VARCHAR) END AS uri,
        |    strftime(TIMESTAMP '2024-01-01 00:00:00' + to_seconds(
        |        (media_id * 37 + (CASE WHEN k = 0 THEN 99 ELSE k - 1 END) * 61)
        |          % 100000),
        |      '%Y-%m-%dT%H:%M:%SZ') AS wd,
+       |    CASE WHEN k = 0 THEN NULL
+       |         WHEN media_id % 2 = 0 AND k = 2 THEN NULL
+       |         WHEN media_id % 4 = 2 AND k = 3 + media_id % 3
+       |         THEN 'sha1:DOC' || CAST(media_id AS VARCHAR) || 'P0'
+       |         ELSE 'sha1:DOC' || CAST(media_id AS VARCHAR) || 'P' ||
+       |                 CAST(k - 1 AS VARCHAR) END AS dg,
        |    CASE WHEN k = 0
        |         THEN 'software: graft-fixture ' || CAST(media_id AS VARCHAR) || crlf
        |         WHEN media_id % 2 = 0 AND k = 2
        |         THEN 'GET /' || CAST(media_id AS VARCHAR) || '/doc' ||
        |                 CAST(k - 1 AS VARCHAR) || ' HTTP/1.1' || crlf ||
        |                 'Host: data.example.org' || crlf
+       |         WHEN media_id % 4 = 2 AND k = 3 + media_id % 3 THEN ''
        |         ELSE 'HTTP/1.1 200 OK' || crlf || 'Content-Type: text/plain' ||
        |                 crlf || crlf || 'doc ' || CAST(media_id AS VARCHAR) || ' ' ||
        |                 CAST(k - 1 AS VARCHAR) || ' ' ||
@@ -1361,7 +1387,7 @@ object SparkEntry {
        |    END AS content
        |  FROM wgz_i),
        | wgz_r AS (
-       |  SELECT media_id, k, wtype, uri, content, wd,
+       |  SELECT media_id, k, wtype, uri, content, wd, dg,
        |    'WARC/1.0' || crlf ||
        |         CASE WHEN k = 0
        |              THEN 'WARC-Type: warcinfo' || crlf || 'WARC-Record-ID: <urn:uuid:' ||
@@ -1372,9 +1398,10 @@ object SparkEntry {
        |              THEN 'WARC-Type: request' || crlf || 'WARC-Target-URI: ' ||
        |                      uri || crlf ||
        |                      'Content-Type: application/http;msgtype=request'
-       |              ELSE 'WARC-Type: response' || crlf || 'WARC-Target-URI: ' ||
+       |              ELSE 'WARC-Type: ' || wtype || crlf || 'WARC-Target-URI: ' ||
        |                      uri || crlf ||
-       |                      'Content-Type: application/http;msgtype=response'
+       |                      'Content-Type: application/http;msgtype=response' ||
+       |                      crlf || 'WARC-Payload-Digest: ' || dg
        |         END || crlf ||
        |         'WARC-Date: ' || wd || crlf ||
        |         CASE WHEN media_id % 2 = 1 THEN 'content-length'
@@ -1383,6 +1410,7 @@ object SparkEntry {
        |         content || crlf || crlf AS record
        |  FROM wgz_c
        |  WHERE k <= 2 + media_id % 3
+       |             + CASE WHEN media_id % 4 = 2 THEN 1 ELSE 0 END
        |             - CASE WHEN media_id % 8 = 3 THEN 1 ELSE 0 END)""".stripMargin
 
   /** Shared DuckDB CTE body (no WITH; needs [[WARCWALK]]'s `wrecs` and
@@ -3609,14 +3637,40 @@ object SparkEntry {
          | mem AS (
          |  SELECT r.media_id, CAST(s.off AS BIGINT) AS member_offset,
          |    CAST(s.comp AS BIGINT) AS member_comp_bytes,
-         |    r.wd AS warc_date, r.uri AS target_uri
+         |    r.wd AS warc_date, r.uri AS target_uri,
+         |    r.wtype AS warc_type, r.dg AS payload_digest
          |  FROM wgz_r r JOIN wgz_s s USING (media_id, k)
-         |  WHERE lower(r.wtype) = 'response' AND r.uri IS NOT NULL),
+         |  WHERE lower(r.wtype) IN ('response', 'revisit')
+         |    AND r.uri IS NOT NULL),
          | ${CANONCHAIN("m", "mem",
-            "media_id, member_offset, member_comp_bytes, warc_date")}
-         | SELECT surt_key, warc_date, target_uri, media_id,
-         |   member_offset, member_comp_bytes
+            "media_id, member_offset, member_comp_bytes, warc_date, " +
+              "warc_type, payload_digest")}
+         | SELECT surt_key, warc_date, target_uri, warc_type,
+         |   payload_digest, media_id, member_offset, member_comp_bytes
          | FROM mc4""".stripMargin,
+    // q_w27: revisits digest-joined to the earliest same-digest
+    // response member, both sides re-derived from the WARCGZREC
+    // contract + byte-scanned member spans
+    "q_w27_revisit_resolve" ->
+      s"""WITH $WARCGZREC,
+         | rv AS (
+         |  SELECT dg AS payload_digest, media_id, CAST(k AS INT) AS member_idx,
+         |    uri AS target_uri, wd AS warc_date
+         |  FROM wgz_r WHERE wtype = 'revisit' AND dg IS NOT NULL),
+         | org AS (
+         |  SELECT r.dg, r.media_id, r.k, r.uri, r.wd,
+         |    s.off, s.comp,
+         |    ROW_NUMBER() OVER (PARTITION BY r.dg
+         |      ORDER BY r.wd, r.media_id, r.k) AS rnk
+         |  FROM wgz_r r JOIN wgz_s s USING (media_id, k)
+         |  WHERE r.wtype = 'response' AND r.dg IS NOT NULL)
+         | SELECT rv.payload_digest, rv.media_id, rv.member_idx,
+         |   rv.target_uri, rv.warc_date,
+         |   o.media_id AS orig_media_id, CAST(o.k AS INT) AS orig_member_idx,
+         |   o.uri AS orig_uri, o.wd AS orig_date,
+         |   CAST(o.off AS BIGINT) AS orig_member_offset,
+         |   CAST(o.comp AS BIGINT) AS orig_member_comp_bytes
+         | FROM rv JOIN org o ON rv.payload_digest = o.dg AND o.rnk = 1""".stripMargin,
     // q_w17: both snapshots re-derived from the same record/HTTP
     // re-walk (media_id ranges), keep-latest + md5(extracted text)
     // per snapshot, then the full-outer diff with the same status
@@ -3807,7 +3861,7 @@ object SparkEntry {
          |        CAST(off AS BIGINT) AS "offset",
          |        CAST(content_offset AS BIGINT) AS content_offset,
          |        CAST(content_length AS BIGINT) AS content_length,
-         |        warc_type, target_uri, warc_date
+         |        warc_type, target_uri, warc_date, payload_digest
          | FROM wrecs""".stripMargin,
     // q_w6: the WARCWALK records restricted to responses, each
     // payload re-sliced from the decoded bytes and split at its first
@@ -4056,7 +4110,8 @@ object SparkEntry {
          |   CAST(s.comp AS BIGINT) AS member_comp_bytes,
          |   CAST(length(r.record) AS BIGINT) AS member_uncomp_bytes,
          |   CAST(length(r.content) AS BIGINT) AS content_length,
-         |   r.wtype AS warc_type, r.uri AS target_uri, r.wd AS warc_date
+         |   r.wtype AS warc_type, r.uri AS target_uri, r.wd AS warc_date,
+         |   r.dg AS payload_digest
          | FROM wgz_r r JOIN wgz_s s USING (media_id, k)""".stripMargin,
     // q_w9: WET extraction off the COMPRESSED members — the HTTP
     // layer re-split generically (the same status/Content-Type/body

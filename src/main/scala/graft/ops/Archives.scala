@@ -45,13 +45,14 @@ object Archives {
    * `WARC/1.0\r\n` + named header lines + `\r\n\r\n` + Content-Length
    * payload bytes + `\r\n\r\n`; header names are case-insensitive
    * (ISO 28500 §4). Returns (content_offset, content_length,
-   * warc_type, target_uri, warc_date) with the content offset
+   * warc_type, target_uri, warc_date, payload_digest) with the
+   * content offset
    * ABSOLUTE in `b`, or None when the version line is absent, the
    * header never terminates inside `b`, or Content-Length doesn't
    * parse. Shared by [[warcRecords]] (full files) and
    * [[warcGzMembers]] (head-bounded scratch buffers). */
   private def warcHeader(
-      b: Array[Byte], pos: Int): Option[(Long, Long, Option[String], Option[String], Option[String])] = {
+      b: Array[Byte], pos: Int): Option[(Long, Long, Option[String], Option[String], Option[String], Option[String])] = {
     def lit(p: Int, s: String): Boolean =
       p + s.length <= b.length && s.indices.forall(i => (b(p + i) & 0xff) == s.charAt(i))
     if (!(lit(pos, "WARC/1.0\r\n") || lit(pos, "WARC/1.1\r\n"))) return None
@@ -69,6 +70,7 @@ object Archives {
     var wtype: Option[String] = None
     var uri: Option[String] = None
     var date: Option[String] = None
+    var digest: Option[String] = None
     hdr.split("\r\n").drop(1).foreach { line =>
       val ci = line.indexOf(':')
       if (ci > 0) {
@@ -76,27 +78,29 @@ object Archives {
         line.substring(0, ci).trim.toLowerCase match {
           case "content-length" =>
             clen = try v.toLong catch { case _: NumberFormatException => -1L }
-          case "warc-type"       => wtype = Some(v)
-          case "warc-target-uri" => uri = Some(v)
-          case "warc-date"       => date = Some(v)
-          case _                 => ()
+          case "warc-type"           => wtype = Some(v)
+          case "warc-target-uri"     => uri = Some(v)
+          case "warc-date"           => date = Some(v)
+          case "warc-payload-digest" => digest = Some(v)
+          case _                     => ()
         }
       }
     }
-    if (clen < 0) None else Some((hdrEnd + 4L, clen, wtype, uri, date))
+    if (clen < 0) None
+    else Some((hdrEnd + 4L, clen, wtype, uri, date, digest))
   }
 
   private[ops] def warcRecords(
-      b: Array[Byte]): Seq[(Long, Long, Long, Option[String], Option[String], Option[String])] = {
+      b: Array[Byte]): Seq[(Long, Long, Long, Option[String], Option[String], Option[String], Option[String])] = {
     if (b == null) return Nil
     val out = scala.collection.mutable.ArrayBuffer
-      .empty[(Long, Long, Long, Option[String], Option[String], Option[String])]
+      .empty[(Long, Long, Long, Option[String], Option[String], Option[String], Option[String])]
     var pos = 0
     var ok = true
     while (ok) {
       warcHeader(b, pos) match {
-        case Some((contentOff, clen, wtype, uri, date)) if contentOff + clen <= b.length =>
-          out += ((pos.toLong, contentOff, clen, wtype, uri, date))
+        case Some((contentOff, clen, wtype, uri, date, digest)) if contentOff + clen <= b.length =>
+          out += ((pos.toLong, contentOff, clen, wtype, uri, date, digest))
           pos = (contentOff + clen + 4).toInt // skip the two trailing CRLFs
         case _ => ok = false
       }
@@ -116,13 +120,14 @@ object Archives {
       .mapPartitions { rows =>
         rows.flatMap { r =>
           warcRecords(r.media).zipWithIndex.map {
-            case ((off, cOff, cLen, wtype, uri, date), i) =>
-              (r.media_id, i, off, cOff, cLen, wtype, uri, date)
+            case ((off, cOff, cLen, wtype, uri, date, digest), i) =>
+              (r.media_id, i, off, cOff, cLen, wtype, uri, date, digest)
           }
         }
       }
       .toDF("media_id", "record_idx", "offset", "content_offset",
-        "content_length", "warc_type", "target_uri", "warc_date")
+        "content_length", "warc_type", "target_uri", "warc_date",
+        "payload_digest")
   }
 
   /** HTTP status line: `HTTP/<ver> <3-digit status>[ <reason>]` — the
@@ -181,7 +186,7 @@ object Archives {
       .mapPartitions { rows =>
         rows.flatMap { r =>
           warcRecords(r.media).zipWithIndex.flatMap {
-            case ((_, cOff, cLen, wtype, _, _), i)
+            case ((_, cOff, cLen, wtype, _, _, _), i)
                 if wtype.exists(_.equalsIgnoreCase("response")) =>
               httpHead(r.media, cOff.toInt, cLen.toInt).map {
                 case (status, bodyRel, ctype) =>
@@ -214,7 +219,7 @@ object Archives {
       .mapPartitions { rows =>
         rows.flatMap { r =>
           warcRecords(r.media).zipWithIndex.flatMap {
-            case ((_, cOff, cLen, wtype, _, _), i)
+            case ((_, cOff, cLen, wtype, _, _, _), i)
                 if wtype.exists(_.equalsIgnoreCase("response")) =>
               httpHead(r.media, cOff.toInt, cLen.toInt).collect {
                 case (200, bodyRel, Some(ct))
@@ -336,14 +341,14 @@ object Archives {
   }
 
   private[ops] def warcGzMembers(b: Array[Byte])
-      : Seq[(Long, Long, Long, Long, Option[String], Option[String], Option[String])] = {
+      : Seq[(Long, Long, Long, Long, Option[String], Option[String], Option[String], Option[String])] = {
     val out = scala.collection.mutable.ArrayBuffer
-      .empty[(Long, Long, Long, Long, Option[String], Option[String], Option[String])]
+      .empty[(Long, Long, Long, Long, Option[String], Option[String], Option[String], Option[String])]
     warcGzRawWalk(b, HeadBytes) { (off, end, total, head, headLen) =>
       warcHeader(java.util.Arrays.copyOf(head, headLen), 0) match {
-        case Some((contentOff, clen, wtype, uri, wdate))
+        case Some((contentOff, clen, wtype, uri, wdate, digest))
             if contentOff + clen <= total =>
-          out += ((off, end - off, total, clen, wtype, uri, wdate))
+          out += ((off, end - off, total, clen, wtype, uri, wdate, digest))
           true
         case _ => false
       }
@@ -378,7 +383,7 @@ object Archives {
       // stale — parsing them could fabricate a terminator
       val hb = java.util.Arrays.copyOf(head, headLen)
       val res = warcHeader(hb, 0) match {
-        case Some((contentOff, clen, wtype, _, _)) if contentOff + clen <= total =>
+        case Some((contentOff, clen, wtype, _, _, _)) if contentOff + clen <= total =>
           if (wtype.exists(_.equalsIgnoreCase("response")) && contentOff <= hb.length) {
             val avail = math.min(clen, (hb.length - contentOff).toLong).toInt
             httpHead(hb, contentOff.toInt, avail).foreach {
@@ -434,14 +439,15 @@ object Archives {
       .mapPartitions { rows =>
         rows.flatMap { r =>
           warcGzMembers(r.media).zipWithIndex.map {
-            case ((off, clen, ulen, contentLen, wtype, uri, wdate), i) =>
-              (r.media_id, i, off, clen, ulen, contentLen, wtype, uri, wdate)
+            case ((off, clen, ulen, contentLen, wtype, uri, wdate, dg), i) =>
+              (r.media_id, i, off, clen, ulen, contentLen, wtype, uri, wdate,
+                dg)
           }
         }
       }
       .toDF("media_id", "member_idx", "member_offset", "member_comp_bytes",
         "member_uncomp_bytes", "content_length", "warc_type", "target_uri",
-        "warc_date")
+        "warc_date", "payload_digest")
   }
 
   /** Host-level corpus statistics over a WARC record table (q_w1's
@@ -492,6 +498,46 @@ object Archives {
       .filter(col("rank") === 1)
       .select(col("target_uri"), col("media_id"), col("record_idx"),
         col("warc_date"), col("n_fetches"))
+  }
+
+  /** Resolve WARC `revisit` records to their ORIGINAL captures —
+   * Common Crawl dedup semantics: when a recrawl's payload digest
+   * matches an earlier capture, the archive ships a tiny `revisit`
+   * record carrying the original's WARC-Payload-Digest instead of
+   * the bytes, so a keep-latest pipeline must digest-join revisits
+   * back to the response members that hold the content. Input is
+   * the [[warcGzMemberTable]] shape; per revisit member with a
+   * digest, the original = the EARLIEST response member carrying the
+   * same digest (WARC-Date, then media/member order — deterministic
+   * when a digest repeats). Emits the revisit identity plus the
+   * original's ranged-read coordinates — exactly what a CDX consumer
+   * needs to fetch the deduplicated content.
+   *
+   * Scale shape: one digest-keyed join of fixed-shape index rows
+   * (the shards never move); revisits are a small fraction of a
+   * crawl and the original side ships only digest + coordinates. */
+  def revisitResolve(members: DataFrame): DataFrame = {
+    val revisits = members
+      .filter(lower(col("warc_type")) === "revisit" &&
+        col("payload_digest").isNotNull)
+      .select(col("payload_digest"), col("media_id"), col("member_idx"),
+        col("target_uri"), col("warc_date"))
+    val w = Window.partitionBy("payload_digest")
+      .orderBy(col("orig_date"), col("orig_media_id"), col("orig_member_idx"))
+    val originals = members
+      .filter(lower(col("warc_type")) === "response" &&
+        col("payload_digest").isNotNull)
+      .select(col("payload_digest"),
+        col("media_id").as("orig_media_id"),
+        col("member_idx").as("orig_member_idx"),
+        col("target_uri").as("orig_uri"),
+        col("warc_date").as("orig_date"),
+        col("member_offset").as("orig_member_offset"),
+        col("member_comp_bytes").as("orig_member_comp_bytes"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .drop("rnk")
+    revisits.join(originals, Seq("payload_digest"))
   }
 
   /** Per-host page cap over the URL-deduped crawl — the curation step
@@ -705,7 +751,7 @@ object Archives {
         val md = java.security.MessageDigest.getInstance("MD5")
         rows.flatMap { r =>
           warcRecords(r.media).flatMap {
-            case (_, cOff, cLen, wtype, Some(uri), _)
+            case (_, cOff, cLen, wtype, Some(uri), _, _)
                 if wtype.exists(_.equalsIgnoreCase("response")) =>
               httpHead(r.media, cOff.toInt, cLen.toInt).collect {
                 case (200, bodyRel, Some(ct))

@@ -84,11 +84,18 @@ object WarcFixture {
         "WARC-Date" -> wdate(id, 99)),
       s"software: graft-fixture $id\r\n")
 
+  /** Deterministic payload-digest token — the fixture's stand-in for
+   * `sha1:BASE32(payload)`: equal payloads (same id, i) carry equal
+   * digests, which is all the digest-keyed joins (q_w27 revisit
+   * resolution) observe. */
+  def digest(id: Long, i: Int): String = s"sha1:DOC${id}P$i"
+
   def response(id: Long, i: Int): String =
     record(id,
       Seq("WARC-Type" -> "response",
         "WARC-Target-URI" -> uri(id, i),
         "Content-Type" -> "application/http;msgtype=response",
+        "WARC-Payload-Digest" -> digest(id, i),
         "WARC-Date" -> wdate(id, i)),
       responseContent(id, i))
 

@@ -29,13 +29,27 @@ package graft.tools
  */
 object WarcGzFixture {
 
+  /** The fixture's `revisit` member (closing id%4==2 shards): a
+   * recrawl of the shard's first page whose payload matched an
+   * earlier capture — Common Crawl ships it as a payload-less
+   * revisit record carrying the original's WARC-Payload-Digest
+   * (the q_w27 resolution case). */
+  def revisit(id: Long): String =
+    WarcFixture.record(id,
+      Seq("WARC-Type" -> "revisit",
+        "WARC-Target-URI" -> WarcFixture.uri(id, 0),
+        "Content-Type" -> "application/http;msgtype=response",
+        "WARC-Payload-Digest" -> WarcFixture.digest(id, 0),
+        "WARC-Date" -> WarcFixture.wdate(id, WarcFixture.nBody(id))),
+      "")
+
   /** The record strings of one shard, in member order — WarcFixture's
-   * contract verbatim. */
+   * contract verbatim, plus the revisit member on id%4==2 shards. */
   def records(id: Long): Seq[String] =
-    WarcFixture.warcinfo(id) +: (0 until WarcFixture.nBody(id)).map { i =>
+    (WarcFixture.warcinfo(id) +: (0 until WarcFixture.nBody(id)).map { i =>
       if (id % 2 == 0 && i == 1) WarcFixture.request(id, i)
       else WarcFixture.response(id, i)
-    }
+    }) ++ (if (id % 4 == 2) Seq(revisit(id)) else Nil)
 
   /** One gzip member: fixed 10-byte header (MTIME 0, XFL 0, OS 0xFF)
    * + contract FLG field + raw DEFLATE + CRC32/ISIZE trailer. */

@@ -23,7 +23,8 @@ class ArchivesSpec extends SparkSpec {
           }
         val clen = r.length.toLong - hdrEnd - 8
         val row = (off, off + hdrEnd + 4, clen,
-          h("warc-type"), h("warc-target-uri"), h("warc-date"))
+          h("warc-type"), h("warc-target-uri"), h("warc-date"),
+          h("warc-payload-digest"))
         off += r.length
         row
       }
@@ -361,13 +362,13 @@ class ArchivesSpec extends SparkSpec {
       recs.zipWithIndex.foreach { case (r, k) =>
         val bytes = r.getBytes("US-ASCII")
         val m = WarcGzFixture.member(k, bytes)
-        val (gOff, gComp, gUncomp, gClen, gType, gUri, gDate) = got(k)
+        val (gOff, gComp, gUncomp, gClen, gType, gUri, gDate, gDg) = got(k)
         assert(gOff == off && gComp == m.length && gUncomp == bytes.length,
           s"id=$id k=$k span")
         // record identity agrees with the plain-WARC walk of the record
-        val (_, _, clen, wtype, uri, wdate) = Archives.warcRecords(bytes).head
-        assert(gClen == clen && gType == wtype && gUri == uri && gDate == wdate,
-          s"id=$id k=$k identity")
+        val (_, _, clen, wtype, uri, wdate, dg) = Archives.warcRecords(bytes).head
+        assert(gClen == clen && gType == wtype && gUri == uri && gDate == wdate
+          && gDg == dg, s"id=$id k=$k identity")
         off += m.length
       }
     }
