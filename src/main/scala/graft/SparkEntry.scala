@@ -691,65 +691,81 @@ object SparkEntry {
     // absolute hrefs pass, root-relative hrefs resolve against the
     // page authority, everything else (mailto:, path-relative) is
     // skipped; map-side regex + explode over the WET rows
-    "q_w23_links" -> ((s, _) => {
-      val warc = Tables.warc(s)
-      val recs = Archives.warcRecordTable(s, warc)
-        .select(col("media_id"), col("record_idx"), col("target_uri"))
+    "q_w23_links" -> ((s, _) =>
       Archives.linkTable(
-        Archives.warcBodyTextTable(s, warc)
-          .filter(lower(col("content_type")).startsWith("text/html"))
-          .join(recs, Seq("media_id", "record_idx")))
-        .select("media_id", "record_idx", "target_uri", "link")
-    }),
+        Archives.warcPageTable(s, Tables.warc(s))
+          .filter(col("body_text").isNotNull &&
+            lower(col("content_type")).startsWith("text/html")))
+        .select("media_id", "record_idx", "target_uri", "link")),
     // q_w24: host-level link graph — (src_host, dst_host, n_links),
     // the aggregation link-spam and crawl-priority signals key on
-    "q_w24_host_graph" -> ((s, _) => {
-      val warc = Tables.warc(s)
-      val recs = Archives.warcRecordTable(s, warc)
-        .select(col("media_id"), col("record_idx"), col("target_uri"))
+    "q_w24_host_graph" -> ((s, _) =>
       Archives.hostLinkGraph(Archives.linkTable(
-        Archives.warcBodyTextTable(s, warc)
-          .filter(lower(col("content_type")).startsWith("text/html"))
-          .join(recs, Seq("media_id", "record_idx"))))
-    }),
+        Archives.warcPageTable(s, Tables.warc(s))
+          .filter(col("body_text").isNotNull &&
+            lower(col("content_type")).startsWith("text/html"))))),
     // q_w25: host PageRank — Common Crawl-style centrality for crawl
     // prioritisation, over the q_w24 graph in fixed-point BIGINT
     // arithmetic (scaled 1e12, integer division at defined points):
     // bit-reproducible across engines, partitionings and runs, which
     // floating-point PageRank never is. 10 iterations, each one edge
     // join + one dst-keyed aggregation of (host, rank) rows
-    "q_w25_host_rank" -> ((s, _) => {
-      val warc = Tables.warc(s)
-      val recs = Archives.warcRecordTable(s, warc)
-        .select(col("media_id"), col("record_idx"), col("target_uri"))
+    "q_w25_host_rank" -> ((s, _) =>
       Archives.hostRank(Archives.hostLinkGraph(Archives.linkTable(
-        Archives.warcBodyTextTable(s, warc)
-          .filter(lower(col("content_type")).startsWith("text/html"))
-          .join(recs, Seq("media_id", "record_idx")))))
-    }),
+        Archives.warcPageTable(s, Tables.warc(s))
+          .filter(col("body_text").isNotNull &&
+            lower(col("content_type")).startsWith("text/html")))))),
     // q_w26: CRAWL FRONTIER table — the per-host prioritisation view
     // a recrawl scheduler reads, composed from green pieces: PageRank
     // centrality (q_w25) joined host-keyed with the crawl's own host
-    // statistics (q_w10) and the blocklist flag (q_w14's list,
-    // broadcast). Hosts seen in the record walk but absent from the
-    // link graph keep NULL rank (never linked — crawl with caution)
+    // statistics (q_w10), the robots Crawl-delay (q_w28 — the column
+    // a scheduler actually throttles on) and the blocklist flag
+    // (q_w14's list, broadcast). Hosts seen in the record walk but
+    // absent from the link graph keep NULL rank (never linked —
+    // crawl with caution); hosts without a robots Crawl-delay keep
+    // NULL delay (politeness default is the scheduler's policy)
     "q_w26_crawl_frontier" -> ((s, _) => {
       import s.implicits._
-      val warc = Tables.warc(s)
-      val recs = Archives.warcRecordTable(s, warc)
-      val uriRecs = recs.select(col("media_id"), col("record_idx"),
-        col("target_uri"))
+      // ONE walk of the archive bytes feeds host statistics, the
+      // link graph AND the robots directives: the page table is the
+      // materialized intermediate (persisted — Spark plans trees, so
+      // without it the diamond would re-walk the blobs per branch)
+      val pages = Archives.warcPageTable(s, Tables.warc(s))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val rank = Archives.hostRank(Archives.hostLinkGraph(Archives.linkTable(
-        Archives.warcBodyTextTable(s, warc)
-          .filter(lower(col("content_type")).startsWith("text/html"))
-          .join(uriRecs, Seq("media_id", "record_idx")))))
-      Archives.urlHostStats(recs)
+        pages.filter(col("body_text").isNotNull &&
+          lower(col("content_type")).startsWith("text/html")))))
+      val delays = Archives.robotsDirectives(
+        pages.filter(col("target_uri").endsWith("/robots.txt") &&
+            col("body_text").isNotNull)
+          .select(lower(regexp_extract(col("target_uri"),
+            "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)).as("host"),
+            col("body_text").as("body")))
+        .select(col("host"), col("crawl_delay_s"))
+      Archives.urlHostStats(pages)
         .join(rank, Seq("host"), "left")
+        .join(delays, Seq("host"), "left")
         .join(broadcast(Archives.defaultBlockedHosts.toDF("blocked_host")),
           col("host") === col("blocked_host"), "left")
         .select(col("host"), col("rank"), col("n_uris"),
-          col("total_content_bytes"),
+          col("total_content_bytes"), col("crawl_delay_s"),
           col("blocked_host").isNotNull.as("is_blocked"))
+    }),
+    // q_w28: per-host robots DIRECTIVES — Crawl-delay of the `*`
+    // group (other groups correctly ignored) and every Sitemap URL
+    // (group-agnostic per the sitemaps protocol), deduped + sorted;
+    // the politeness knobs q_w20's allow/disallow face doesn't carry
+    "q_w28_robots_directives" -> ((s, _) => {
+      val warc = Tables.warc(s)
+      val dd = Archives.urlDedup(Archives.warcRecordTable(s, warc))
+      val texts = Archives.warcBodyTextTable(s, warc)
+      Archives.robotsDirectives(
+        dd.filter(col("target_uri").endsWith("/robots.txt"))
+          .join(texts.select(col("media_id"), col("record_idx"),
+            col("body_text")), Seq("media_id", "record_idx"))
+          .select(lower(regexp_extract(col("target_uri"),
+            "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)).as("host"),
+            col("body_text").as("body")))
     }),
     // q_m31: perceptual image dHash — REAL ImageIO pixel decode →
     // 9×8 Rec.601 luminance grid → 64 brightness-order bits carried
@@ -1748,6 +1764,59 @@ object SparkEntry {
        |    AND regexp_extract(link,
        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1) <> ''
        |  GROUP BY 1, 2)""".stripMargin
+
+  /** Shared DuckDB CTE body (no WITH; needs WARCWALK's `wrecs` +
+   * WARCHTTP's `https` in scope): the robots DIRECTIVE parse — the
+   * q_w20 robots-body extraction (keep-latest /robots.txt fetch per
+   * host, 200/text bodies), line explode, the same UA-group
+   * attribution window, then per host the `*` group's minimum
+   * Crawl-delay and the sorted comma-joined Sitemap URLs. Ends in
+   * `rdir`(host, crawl_delay_s, sitemaps). Used by q_w26/q_w28. */
+  private def ROBOTSDIR: String =
+    s"""rdwet AS (
+       |  SELECT media_id, record_idx, body_text
+       |  FROM https
+       |  WHERE http_status = 200 AND lower(content_type) LIKE 'text/%'),
+       | rdrsp AS (
+       |  SELECT media_id, record_idx, target_uri, warc_date,
+       |    ROW_NUMBER() OVER (PARTITION BY target_uri
+       |      ORDER BY warc_date DESC, media_id, record_idx) AS rnk
+       |  FROM wrecs
+       |  WHERE lower(warc_type) = 'response' AND target_uri IS NOT NULL
+       |    AND target_uri LIKE '%/robots.txt'),
+       | rdrob AS (
+       |  SELECT lower(regexp_extract(d.target_uri,
+       |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host,
+       |    w.body_text AS body
+       |  FROM rdrsp d JOIN rdwet w
+       |    ON d.media_id = w.media_id AND d.record_idx = w.record_idx
+       |  WHERE d.rnk = 1),
+       | rdlin AS (
+       |  SELECT host,
+       |    unnest(string_split(body, chr(10))) AS line,
+       |    unnest(generate_series(1, len(string_split(body, chr(10))))) AS line_no
+       |  FROM rdrob),
+       | rdl AS (
+       |  SELECT host, line_no,
+       |    nullif(regexp_extract(line,
+       |      '(?i)^[ \\t]*user-agent[ \\t]*:[ \\t]*(\\S+)', 1), '') AS ua,
+       |    nullif(regexp_extract(line,
+       |      '(?i)^[ \\t]*crawl-delay[ \\t]*:[ \\t]*([0-9]+)', 1), '') AS cd,
+       |    nullif(trim(regexp_extract(line,
+       |      '(?i)^[ \\t]*sitemap[ \\t]*:[ \\t]*(\\S+)', 1)), '') AS sm
+       |  FROM rdlin),
+       | rdg AS (
+       |  SELECT *, last_value(ua IGNORE NULLS) OVER (PARTITION BY host
+       |    ORDER BY line_no
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS agent
+       |  FROM rdl),
+       | rdir AS (
+       |  SELECT host,
+       |    CAST(min(CASE WHEN agent = '*' THEN TRY_CAST(cd AS BIGINT) END)
+       |      AS BIGINT) AS crawl_delay_s,
+       |    coalesce(array_to_string(list_sort(list_distinct(
+       |      list(sm) FILTER (sm IS NOT NULL))), ','), '') AS sitemaps
+       |  FROM rdg GROUP BY host)""".stripMargin
 
   /** One unrolled fixed-point PageRank step (q_w25): pr`i` from
    * pr`i-1` — contribution sum uses integer division exactly where
@@ -3567,11 +3636,21 @@ object SparkEntry {
          |             '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host,
          |           target_uri, content_length
          |    FROM wrecs WHERE target_uri IS NOT NULL) u
-         |  WHERE host <> '' GROUP BY host)
+         |  WHERE host <> '' GROUP BY host),
+         | $ROBOTSDIR
          | SELECT hs.host, p.rank, hs.n_uris, hs.total_content_bytes,
+         |   d.crawl_delay_s,
          |   hs.host IN (${graft.ops.Archives.defaultBlockedHosts
             .map(h => s"'$h'").mkString(", ")}) AS is_blocked
-         | FROM hs LEFT JOIN pr10 p ON p.host = hs.host""".stripMargin,
+         | FROM hs LEFT JOIN pr10 p ON p.host = hs.host
+         | LEFT JOIN rdir d ON d.host = hs.host""".stripMargin,
+    // q_w28: the ROBOTSDIR directive parse standalone — Crawl-delay
+    // of the `*` group + sorted Sitemap URLs per host
+    "q_w28_robots_directives" ->
+      s"""WITH RECURSIVE $WARCWALK,
+         | $WARCHTTP,
+         | $ROBOTSDIR
+         | SELECT host, crawl_delay_s, sitemaps FROM rdir""".stripMargin,
     // q_m31: IMGHASH re-derivation from raw stored-zlib pixel bytes
     "q_m31_image_dhash" ->
       s"""WITH $IMGHASH

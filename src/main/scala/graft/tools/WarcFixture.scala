@@ -162,8 +162,10 @@ object WarcFixture {
    * longest-match precedence every robots evaluator must implement.
    * A trailing non-`*` group must be ignored by the parser. */
   def robotsBody(h: Long): String =
-    s"User-agent: *\nDisallow: /page$h\nAllow: /page$h$h\n" +
-      s"Disallow: /secret/\n\nUser-agent: badbot\nDisallow: /\n"
+    s"User-agent: *\nCrawl-delay: ${1 + h}\nDisallow: /page$h\n" +
+      s"Allow: /page$h$h\nDisallow: /secret/\n" +
+      s"Sitemap: https://data$h.example.org/sitemap.xml\n\n" +
+      s"User-agent: badbot\nDisallow: /\nCrawl-delay: 99\n"
 
   def robotsResponse(id: Long): String = {
     val body = robotsBody(id % 5)

@@ -414,12 +414,20 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("link graph: extraction is map-side; page-URI join + host agg key small rows") {
+  test("link graph: ONE blob scan (single-pass page walk), host agg keys small rows") {
     audited(graft.SparkEntry.queries("q_w24_host_graph")(spark, sf)) { plan =>
       assert(shuffles(plan).size <= 4, s"${shuffles(plan).size} shuffles:\n$plan")
       assert(plan.collect { case c: CartesianProductExec => c }.isEmpty, plan.toString)
       assert(shuffles(plan).forall(_.output.forall(_.name != "media")),
         s"blob column in an exchange:\n$plan")
+      // the r14 shape composed record table + WET table: TWO full
+      // scans of the archive bytes plus a record-keyed join; the
+      // one-pass page walk must show exactly ONE scan of the blob
+      val blobScans = plan.collect {
+        case s: org.apache.spark.sql.execution.LeafExecNode
+            if s.output.exists(_.name == "media") => s
+      }
+      assert(blobScans.size == 1, s"${blobScans.size} blob scans:\n$plan")
     }
   }
 

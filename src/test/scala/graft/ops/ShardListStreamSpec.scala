@@ -287,6 +287,42 @@ class ShardListStreamSpec extends SparkSpec {
       case s: String => s.length > 100; case _ => false }))
   }
 
+  test("streamed robots rule parse equals the batch parse over the grown directory") {
+    import org.apache.spark.sql.functions.{col, lower, regexp_extract}
+    // the rule parse is a per-file FOLD (no window), so it runs
+    // unchanged on the stream: shards arrive, each robots.txt body
+    // yields its *-group rule rows immediately
+    val rows = (0L until 12L).filter(id => id % 8 != 7).map { id =>
+      val (mime, bytes) = graft.tools.WarcFixture.row(id)
+      (id, mime, bytes)
+    }
+    streamed("robots_stream", rows, (s, media) =>
+      Archives.robotsRuleLines(
+        Archives.warcPageTable(s, media)
+          .filter(col("target_uri").endsWith("/robots.txt") &&
+            col("body_text").isNotNull)
+          .select(lower(regexp_extract(col("target_uri"),
+            "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)).as("host"),
+            col("body_text").as("body"))))
+  }
+
+  test("streamed CDX index equals the batch index over the grown directory") {
+    import org.apache.spark.sql.functions.{col, lower}
+    val rows = (0L until 12L).map { id =>
+      val (mime, bytes) = graft.tools.WarcGzFixture.row(id)
+      (id, mime, bytes)
+    }
+    streamed("cdx_stream", rows, (s, media) =>
+      Archives.urlCanonical(
+        Archives.warcGzMemberTable(s, media)
+          .filter(lower(col("warc_type")).isin("response", "revisit") &&
+            col("target_uri").isNotNull))
+        .select(col("surt_key"), col("warc_date"), col("target_uri"),
+          col("warc_type"), col("payload_digest"),
+          col("media_id"), col("member_offset"),
+          col("member_comp_bytes")))
+  }
+
   test("streamed caption cue parse equals the batch parse over the grown directory") {
     import spark.implicits._
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
