@@ -797,6 +797,13 @@ object SparkEntry {
         .filter(col("cluster").isNull || col("cluster") === col("media_id"))
         .select("media_id", "dhash_hex")
     }),
+    // q_m34: decode COVERAGE for the perceptual family — per
+    // (mime_type, sniffed container) how many rows actually decode
+    // through the ImageIO + VP8L path. q_m31-m33 skip undecodable
+    // rows by design; this face makes the skip a queryable number
+    // (the fixture's lossy-WebP stubs show up as the 0% line)
+    "q_m34_decode_coverage" -> ((s, _) =>
+      ImageHash.decodeCoverage(s, Tables.imagedup(s))),
     // q_w22: CDX-style fetch index over `.warc.gz` members — Common
     // Crawl's own index format: per response member the SURT sort key
     // (byte-ordering it clusters a domain's pages → a range scan is a
@@ -1691,16 +1698,57 @@ object SparkEntry {
    * PNG decode at all. Ends in `im_bands`(media_id, width, height,
    * b0..b3). Used by q_m31/q_m32. */
   private def IMGHASH: String =
-    s"""im_m AS (
+    s"""im_png AS (
        |  SELECT media_id, hex(media) AS h
        |  FROM read_parquet('${Tables.imagedupFixturePath}')
        |  WHERE octet_length(media) = 948
        |    AND substr(hex(media), 1, 16) = '89504E470D0A1A0A'),
-       | im_cells AS (
+       | im_webp AS (
+       |  SELECT media_id, hex(media) AS h
+       |  FROM read_parquet('${Tables.imagedupFixturePath}')
+       |  WHERE substr(hex(media), 1, 8) = '52494646'
+       |    AND substr(hex(media), 17, 8) = '57454250'
+       |    AND substr(hex(media), 25, 8) = '5650384C'),
+       | im_pcells AS (
        |  SELECT media_id, gx, gy,
        |    ('0x' || substr(h,
        |      2 * (48 + (2 * gy) * 55 + 1 + 3 * (2 * gx)) + 1, 2))::INT AS val
-       |  FROM im_m, generate_series(0, 8) tx(gx), generate_series(0, 7) ty(gy)),
+       |  FROM im_png, generate_series(0, 8) tx(gx), generate_series(0, 7) ty(gy)),
+       | im_wbit AS (
+       |  -- the VP8L twin pins 25 bits/pixel (9-bit green literal code,
+       |  -- two 8-bit codes, 0-bit alpha) after a constant header; the
+       |  -- stream is LSB-first per byte, code bits MSB-first — so the
+       |  -- green code of pixel (2gx, 2gy) reads straight off the hex
+       |  -- (payload starts at file byte 20: RIFF(12)+fourcc(4)+size(4))
+       |  SELECT media_id, gx, gy, k,
+       |    ((('0x' || substr(h, 2 * (20 + (o + k) // 8) + 1, 2))::INT
+       |      >> ((o + k) % 8)) & 1) AS bit
+       |  FROM (
+       |    SELECT media_id, h, gx, gy,
+       |      ${graft.tools.ImageDupFixture.Vp8lHeaderBits}
+       |        + 25 * (36 * gy + 2 * gx) AS o
+       |    FROM im_webp,
+       |      generate_series(0, 8) tx(gx), generate_series(0, 7) ty(gy)) t,
+       |    generate_series(0, 8) tk(k)),
+       | im_wcells AS (
+       |  SELECT media_id, gx, gy,
+       |    CAST(SUM(bit << (8 - k)) AS INT) - 256 AS val
+       |  FROM im_wbit GROUP BY media_id, gx, gy),
+       | im_cells AS (
+       |  SELECT * FROM im_pcells UNION ALL SELECT * FROM im_wcells),
+       | im_wh AS (
+       |  SELECT media_id,
+       |    CAST(('0x' || substr(h, 33, 8))::BIGINT AS INT) AS width,
+       |    CAST(('0x' || substr(h, 41, 8))::BIGINT AS INT) AS height
+       |  FROM im_png
+       |  UNION ALL
+       |  SELECT media_id,
+       |    CAST(1 + SUM(((('0x' || substr(h, 2 * (20 + (8 + k) // 8) + 1, 2))::INT
+       |      >> ((8 + k) % 8)) & 1) << k) AS INT) AS width,
+       |    CAST(1 + SUM(((('0x' || substr(h, 2 * (20 + (22 + k) // 8) + 1, 2))::INT
+       |      >> ((22 + k) % 8)) & 1) << k) AS INT) AS height
+       |  FROM im_webp, generate_series(0, 13) tk(k)
+       |  GROUP BY media_id),
        | im_bits AS (
        |  SELECT l.media_id, l.gy, l.gx,
        |    CASE WHEN r.val > l.val THEN 1 ELSE 0 END AS bit
@@ -1708,9 +1756,7 @@ object SparkEntry {
        |    ON l.media_id = r.media_id AND r.gy = l.gy AND r.gx = l.gx + 1
        |  WHERE l.gx < 8),
        | im_bands AS (
-       |  SELECT b.media_id,
-       |    CAST(('0x' || substr(m.h, 33, 8))::BIGINT AS INT) AS width,
-       |    CAST(('0x' || substr(m.h, 41, 8))::BIGINT AS INT) AS height,
+       |  SELECT b.media_id, wh.width, wh.height,
        |    CAST(SUM(CASE WHEN bit = 1 AND (gy * 8 + gx) // 16 = 0
        |      THEN (1 << ((gy * 8 + gx) % 16)) ELSE 0 END) AS INT) AS b0,
        |    CAST(SUM(CASE WHEN bit = 1 AND (gy * 8 + gx) // 16 = 1
@@ -1719,8 +1765,8 @@ object SparkEntry {
        |      THEN (1 << ((gy * 8 + gx) % 16)) ELSE 0 END) AS INT) AS b2,
        |    CAST(SUM(CASE WHEN bit = 1 AND (gy * 8 + gx) // 16 = 3
        |      THEN (1 << ((gy * 8 + gx) % 16)) ELSE 0 END) AS INT) AS b3
-       |  FROM im_bits b JOIN im_m m USING (media_id)
-       |  GROUP BY b.media_id, m.h)""".stripMargin
+       |  FROM im_bits b JOIN im_wh wh USING (media_id)
+       |  GROUP BY b.media_id, wh.width, wh.height)""".stripMargin
 
   /** Shared DuckDB CTE body (no WITH; needs WARCWALK's `wrecs` +
    * WARCHTTP's `https` in scope): the q_w23 link chain — 200-status
@@ -3709,6 +3755,35 @@ object SparkEntry {
          |     AS dhash_hex
          | FROM im_bands b LEFT JOIN im_cl c ON c.doc_id = b.media_id
          | WHERE c.cluster IS NULL OR c.cluster = b.media_id""".stripMargin,
+    // q_m34: the decodability CONTRACT replayed from the bytes — a
+    // PNG decodes iff intact (the fixture's full PNGs are exactly 948
+    // bytes; the cut class keeps the magic but not the body), a WebP
+    // decodes iff its payload is VP8L (the engine has no lossy-VP8
+    // decoder, by design), junk never does
+    "q_m34_decode_coverage" ->
+      s"""WITH cov AS (
+         |  SELECT mime_type, hex(media) AS h, octet_length(media) AS n
+         |  FROM read_parquet('${Tables.imagedupFixturePath}')),
+         | cls AS (
+         |  SELECT mime_type,
+         |    CASE WHEN substr(h, 1, 16) = '89504E470D0A1A0A' THEN 'png'
+         |         WHEN substr(h, 1, 4) = 'FFD8' THEN 'jpeg'
+         |         WHEN substr(h, 1, 8) = '47494638' THEN 'gif'
+         |         WHEN substr(h, 1, 4) = '424D' THEN 'bmp'
+         |         WHEN substr(h, 1, 8) = '52494646'
+         |              AND substr(h, 17, 8) = '57454250'
+         |           THEN CASE WHEN substr(h, 25, 8) = '5650384C'
+         |                THEN 'webp-lossless' ELSE 'webp' END
+         |         ELSE 'other' END AS container,
+         |    CASE WHEN substr(h, 1, 16) = '89504E470D0A1A0A' AND n = 948
+         |           THEN 1
+         |         WHEN substr(h, 1, 8) = '52494646'
+         |              AND substr(h, 25, 8) = '5650384C' THEN 1
+         |         ELSE 0 END AS ok
+         |  FROM cov)
+         | SELECT mime_type, container, CAST(count(*) AS BIGINT) AS n,
+         |   CAST(sum(ok) AS BIGINT) AS n_decoded
+         | FROM cls GROUP BY mime_type, container""".stripMargin,
     // q_w22: the CDX index — WARCGZREC member spans + record identity
     // (responses with a URI), SURT keys via the shared CANONCHAIN
     "q_w22_cdx" ->

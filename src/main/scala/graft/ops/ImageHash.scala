@@ -76,6 +76,46 @@ object ImageHash {
         lower(lpad(hex(col("b1")), 4, "0")), lower(lpad(hex(col("b0")), 4, "0"))))
   }
 
+  /** Container sniff by magic bytes — what the blob actually IS
+   * (mime_type columns lie on real crawls): png / jpeg / gif / bmp /
+   * webp-lossless (RIFF+WEBP+VP8L) / webp (any other WEBP payload,
+   * e.g. lossy VP8) / other. */
+  private[ops] def container(b: Array[Byte]): String = {
+    def tag(o: Int, t: String): Boolean =
+      o + t.length <= b.length &&
+        t.indices.forall(i => (b(o + i) & 0xff) == t.charAt(i))
+    if (b == null || b.length < 12) "other"
+    else if ((b(0) & 0xff) == 0x89 && tag(1, "PNG")) "png"
+    else if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) "jpeg"
+    else if (tag(0, "GIF8")) "gif"
+    else if (tag(0, "BM")) "bmp"
+    else if (tag(0, "RIFF") && tag(8, "WEBP"))
+      if (tag(12, "VP8L")) "webp-lossless" else "webp"
+    else "other"
+  }
+
+  /** Decode-COVERAGE table (q_m34): per (mime_type, container) the
+   * row count and how many actually decode through the perceptual
+   * family's decode path (ImageIO + the in-repo VP8L decoder). On a
+   * real crawl this is the first number an image-dedup run must
+   * report — q_m31–q_m33 silently skip undecodable rows by design
+   * (tolerance), and without this face that skip is invisible.
+   * Scale shape: map-side sniff+decode, then one tiny groupBy. */
+  def decodeCoverage(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("mime_type"), col("media"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          (r.mime_type, container(r.media),
+            if (dhashBands(r.media).isDefined) 1L else 0L)
+        }
+      }
+      .toDF("mime_type", "container", "ok")
+      .groupBy("mime_type", "container")
+      .agg(count(lit(1)).as("n"), sum(col("ok")).as("n_decoded"))
+  }
+
   /** Near-duplicate image pairs (q_m32): band-bucket self-join (any
    * equal band → candidate), exact Hamming distance over the four
    * bands, keep pairs within `maxHamming`. With maxHamming < Bands

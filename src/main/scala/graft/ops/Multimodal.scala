@@ -2638,12 +2638,19 @@ object Multimodal {
       } catch { case _: Throwable => None }
     }
 
-    /** Real pixel decode via ImageIO; None for anything its readers
-     * can't parse (header-only blobs, junk, non-image containers). */
+    /** Real pixel decode: ImageIO (PNG/JPEG/GIF/BMP), then the
+     * in-repo WebP-LOSSLESS decoder ([[graft.ops.Vp8l]]) for the
+     * RIFF/WEBP/VP8L container the JDK can't read; None for anything
+     * neither parses (header-only blobs, junk, lossy WebP). */
     def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
       if (bytes == null || bytes.length == 0) None
-      else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-      catch { case _: Throwable => None }
+      else {
+        val io =
+          try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes)))
+          catch { case _: Throwable => None }
+        io.orElse(Vp8l.decodeImage(bytes))
+      }
 
     /** Real per-frame decode for GIF containers — the one ANIMATED
      * format the JDK iterates natively: ImageIO's GIF reader exposes

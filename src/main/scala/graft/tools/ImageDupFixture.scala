@@ -126,13 +126,159 @@ object ImageDupFixture {
     out.toByteArray
   }
 
+  // --------------- WebP-LOSSLESS (VP8L) twin encoding ---------------
+  // Real RFC 9649 bitstreams with FIXED canonical prefix codes so the
+  // oracle reads pixels straight off the hex digits: 25 bits/pixel
+  // (9-bit green literal + two 8-bit codes + 0-bit alpha) after a
+  // constant [[Vp8lHeaderBits]]-bit header. Green literals 0..255 get
+  // 9-bit codes (canonical value = 256 + v), the 16 length symbols
+  // 256..271 get 5-bit codes (never emitted — kept only to complete
+  // the Kraft sum), red/blue are uniform 8-bit (code = value), alpha
+  // is a single-symbol simple code (0 bits), distance a 1-bit-form
+  // single symbol.
+
+  /** LSB-first bit writer (the VP8L stream convention). */
+  final class BitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var cur = 0
+    private var nb = 0
+    var bitCount = 0
+    /** the n LOW bits of v, LSB-first (spec ReadBits order). */
+    def bits(v: Int, n: Int): Unit = {
+      var i = 0
+      while (i < n) {
+        cur |= ((v >>> i) & 1) << nb
+        nb += 1
+        bitCount += 1
+        if (nb == 8) { out.write(cur); cur = 0; nb = 0 }
+        i += 1
+      }
+    }
+    /** a canonical prefix code, MSB-first (tree-descent order). */
+    def code(c: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) { bits((c >>> i) & 1, 1); i -= 1 }
+    }
+    def toBytes: Array[Byte] = {
+      if (nb > 0) { out.write(cur); cur = 0; nb = 0 }
+      out.toByteArray
+    }
+  }
+
+  /** Emit `total` repeats of the previous code length via repeat
+   * code 16 (3–6 copies each, 2 extra bits). */
+  private def rep16(bw: BitWriter, code16: Int, len16: Int, total: Int): Unit = {
+    var left = total
+    while (left > 0) {
+      val r = if (left >= 9) 6 else if (left > 6) left - 3 else left
+      bw.code(code16, len16)
+      bw.bits(r - 3, 2)
+      left -= r
+    }
+  }
+
+  /** A 256-symbol code with every length 8 (code = symbol value):
+   * code-length code = {8→0, 16→1} (two 1-bit symbols), then one
+   * literal 8 and repeats. */
+  private def writeUniform8(bw: BitWriter): Unit = {
+    bw.bits(0, 1)     // not simple
+    bw.bits(12 - 4, 4) // num_code_lengths = 12 (sym 8 sits at order idx 11)
+    // kCodeLengthCodeOrder = 17,18,0,1,2,3,4,5,16,6,7,8,…
+    Array(0, 0, 0, 0, 0, 0, 0, 0, 1, 0, 0, 1).foreach(bw.bits(_, 3))
+    bw.bits(0, 1)     // no max_symbol
+    bw.code(0, 1)     // symbol 8 → lens[0]=8, prev=8
+    rep16(bw, 1, 1, 255)
+  }
+
+  /** The shared VP8L header + the five prefix-code declarations. */
+  private def vp8lHeader(bw: BitWriter): Unit = {
+    bw.bits(0x2f, 8)
+    bw.bits(W - 1, 14)
+    bw.bits(H - 1, 14)
+    bw.bits(0, 1) // alpha-is-used hint
+    bw.bits(0, 3) // version
+    bw.bits(0, 1) // no transforms
+    bw.bits(0, 1) // no color cache
+    bw.bits(0, 1) // no meta-prefix codes
+    // GREEN (280 symbols): lens[0..255]=9, lens[256..271]=5, rest 0.
+    // Code-length code {16→0(1), 5→10(2), 9→110(3), 17→111(3)}.
+    bw.bits(0, 1)      // not simple
+    bw.bits(13 - 4, 4) // num_code_lengths = 13 (sym 9 at order idx 12)
+    Array(3, 0, 0, 0, 0, 0, 0, 2, 1, 0, 0, 0, 3).foreach(bw.bits(_, 3))
+    bw.bits(0, 1)      // no max_symbol
+    bw.code(6, 3)      // symbol 9 → lens[0]=9, prev=9
+    rep16(bw, 0, 1, 255)
+    bw.code(2, 2)      // symbol 5 → lens[256]=5, prev=5
+    rep16(bw, 0, 1, 15)
+    bw.code(7, 3)      // symbol 17: zeros
+    bw.bits(5, 3)      // 3 + 5 = 8 zeros → 280 symbols total
+    writeUniform8(bw)  // RED
+    writeUniform8(bw)  // BLUE
+    // ALPHA: simple single symbol 255 (8-bit form) → 0 bits/pixel
+    bw.bits(1, 1); bw.bits(0, 1); bw.bits(1, 1); bw.bits(255, 8)
+    // DISTANCE: simple single symbol 0 (1-bit form) — never read
+    bw.bits(1, 1); bw.bits(0, 1); bw.bits(0, 1); bw.bits(0, 1)
+  }
+
+  /** Bit length of the constant header — the oracle's pixel-grid
+   * anchor: the green code of pixel p starts at bit
+   * Vp8lHeaderBits + 25·p of the VP8L payload. */
+  lazy val Vp8lHeaderBits: Int = {
+    val bw = new BitWriter
+    vp8lHeader(bw)
+    bw.bitCount
+  }
+
+  private def riff(fourcc: String, payload: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+      out.write((v >>> 16) & 0xff); out.write((v >>> 24) & 0xff)
+    }
+    out.write("RIFF".getBytes("US-ASCII"))
+    le32(4 + 8 + payload.length + (payload.length & 1))
+    out.write("WEBP".getBytes("US-ASCII"))
+    out.write(fourcc.getBytes("US-ASCII"))
+    le32(payload.length)
+    out.write(payload)
+    if ((payload.length & 1) == 1) out.write(0)
+    out.toByteArray
+  }
+
+  /** The WebP-lossless twin of png(id): IDENTICAL pixels, different
+   * container — the re-encode case perceptual dedup exists for. */
+  def webp(id: Long): Array[Byte] = {
+    val bw = new BitWriter
+    vp8lHeader(bw)
+    var y = 0
+    while (y < H) {
+      var x = 0
+      while (x < W) {
+        val v = cell(id, x / 2, y / 2)
+        bw.code(256 + v, 9) // green literal
+        bw.code(v, 8)       // red
+        bw.code(v, 8)       // blue (alpha: 0 bits)
+        x += 1
+      }
+      y += 1
+    }
+    riff("VP8L", bw.toBytes)
+  }
+
+  /** A LOSSY WebP stub (VP8 chunk): a real-web container the
+   * lossless decoder must NOT claim — the measurable coverage miss
+   * q_m34 exists to expose. */
+  def vp8LossyStub(id: Long): Array[Byte] =
+    riff("VP8 ", s"not a lossless stream $id".getBytes("US-ASCII"))
+
   def row(id: Long): (String, Array[Byte]) = {
-    val b =
-      if (id % 8 == 3) png(id).take(20) // cut mid-IHDR: decode fails
-      else if (id % 8 == 7)
-        s"plain junk $id with no png signature".getBytes("US-ASCII")
-      else png(id)
-    ("image/png", b)
+    if (id % 8 == 3) ("image/png", png(id).take(20)) // cut mid-IHDR
+    else if (id % 16 == 7) ("image/webp", vp8LossyStub(id))
+    else if (id % 16 == 15)
+      ("image/png",
+        s"plain junk $id with no png signature".getBytes("US-ASCII"))
+    else if (id % 8 == 5) ("image/webp", webp(id))
+    else ("image/png", png(id))
   }
 
   def main(args: Array[String]): Unit = {

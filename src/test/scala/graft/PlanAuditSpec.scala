@@ -415,6 +415,10 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("link graph: ONE blob scan (single-pass page walk), host agg keys small rows") {
+    // q_w26 persists the shared page table; a cached run earlier in
+    // the suite would substitute an InMemoryRelation here and hide
+    // the scan this test exists to count — audit the uncached plan
+    spark.catalog.clearCache()
     audited(graft.SparkEntry.queries("q_w24_host_graph")(spark, sf)) { plan =>
       assert(shuffles(plan).size <= 4, s"${shuffles(plan).size} shuffles:\n$plan")
       assert(plan.collect { case c: CartesianProductExec => c }.isEmpty, plan.toString)
