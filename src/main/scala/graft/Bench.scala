@@ -27,8 +27,9 @@ import org.apache.spark.sql.SparkSession
  *  - stall hardening (round 14): extra min-trials are budgeted on the
  *    MIN so far (wantTrial), so a stalled first trial cannot consume
  *    the budget; and an end-of-session outlier pass re-trials any
- *    query whose cold min exceeds 3× its warm median, after the stall
- *    window has passed (r13 recorded q_p4 at 6.38 s for a 0.39 s
+ *    query whose cold min exceeds 3× its warm FLOOR (min of the warm
+ *    runs — r16: the median self-excused when the stall spanned the
+ *    warm runs too), after the stall window has passed (r13 recorded q_p4 at 6.38 s for a 0.39 s
  *    query when a ~20 s ContextCleaner stall covered both mandatory
  *    trials AND the old sum-based extra-trial budget);
  *  - `interpreter_eps` comes from its own fixed 3-iteration isolated
@@ -87,12 +88,19 @@ object Bench {
   }
 
   /** Outlier detector for the end-of-session re-trial pass: a cold min
-   * more than 3× the query's own warm median is a measurement artifact,
+   * more than 3× the query's own warm floor is a measurement artifact,
    * not a plan cost — warm runs reuse nothing material (no query caches
    * its scan), so genuine cold/warm ratios sit well under 3×. The 0.5 s
-   * absolute floor keeps sub-100 ms jitter from triggering re-trials. */
-  private[graft] def isStallOutlier(cold: Double, warmMedian: Double): Boolean =
-    cold > 0.5 && cold > 3.0 * warmMedian
+   * absolute floor keeps sub-100 ms jitter from triggering re-trials.
+   * The caller passes the MIN of the warm runs, not their median
+   * (round-16 hardening): a stall window long enough to cover the cold
+   * trials often covers the adjacent warm runs too, inflating the
+   * median alongside the cold number so the gate self-excused (r14:
+   * m26 0.92 s / m27 0.44 s recorded on untouched code with floors of
+   * 0.40/0.15 s). The min of 3 warm runs escapes the window unless
+   * every one of the ~5 trials stalled. */
+  private[graft] def isStallOutlier(cold: Double, warmFloor: Double): Boolean =
+    cold > 0.5 && cold > 3.0 * warmFloor
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -155,6 +163,10 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted.filter(selected)
     val cold = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val warm = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // warm FLOORS feed the outlier gate (min beats median: a stall
+    // spanning cold + warm trials can't self-excuse); the emitted
+    // warm map stays the median
+    val warmMin = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     // min over 2 isolated trials: once per session a natural GC makes
     // the ContextCleaner mass-release accumulated shuffle/broadcast
     // state, stalling whatever query is running for ~1min — the min
@@ -201,20 +213,23 @@ object Bench {
       val warmTimes = (1 to 3).flatMap(_ => run(name, fn))
       // failed-every-trial queries are listed in `failed` only
       if (c < Double.MaxValue) cold(name) = c
-      if (warmTimes.nonEmpty) warm(name) = median(warmTimes)
+      if (warmTimes.nonEmpty) {
+        warm(name) = median(warmTimes)
+        warmMin(name) = warmTimes.min
+      }
     }
     isolate()
 
     // end-of-session outlier re-trial pass: a sustained stall window
     // (~20 s in r13) can cover EVERY min-trial of 2–3 consecutive
     // queries, so no within-loop policy alone can save them. Any query
-    // whose recorded cold min exceeds 3× its own warm median gets two
+    // whose recorded cold min exceeds 3× its own warm FLOOR gets two
     // more isolated trials now, after the window has passed; min-merge
     // only ever improves the number, so a stall landing HERE too is
     // harmless. (r13: this would have restored q_p2/p3/p4 from
     // 2.34/1.33/6.38 s to their 0.13–0.39 s floors.)
     val suspects = cold.keys.toSeq.filter { n =>
-      warm.get(n).exists(w => isStallOutlier(cold(n), w)) }
+      warmMin.get(n).exists(w => isStallOutlier(cold(n), w)) }
     suspects.foreach { n =>
       val fn = SparkEntry.queries(n)
       (1 to 2).foreach { _ =>

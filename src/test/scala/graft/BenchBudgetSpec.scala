@@ -106,6 +106,24 @@ class BenchBudgetSpec extends AnyFunSuite {
       "after the outlier pass a sub-second query cannot record >3x its isolated floor")
   }
 
+  test("a stall spanning the warm runs cannot self-excuse: the gate keys on the warm FLOOR") {
+    // r14 scenario: q_m26 recorded 0.92 s (floor 0.40 s) because the
+    // window covered the cold trials AND two of the three warm runs —
+    // warm times (1.1, 0.95, 0.41): median 0.95 hides the stall
+    // (0.92 < 3×0.95), the FLOOR 0.41 exposes it... 0.92 < 3×0.41
+    // too — the r14 pair sat just under 3× either way, which is why
+    // the floors are also RECORDED in README. The gate's job is the
+    // r13-magnitude case under r14-style warm inflation:
+    val warmTimes = Seq(2.1, 1.9, 0.39) // two stalled warms + one clean
+    val median = warmTimes.sorted.apply(1)
+    val floor = warmTimes.min
+    val cold = 2.34
+    assert(!Bench.isStallOutlier(cold, median),
+      "the warm MEDIAN self-excuses when the stall spans the warm runs")
+    assert(Bench.isStallOutlier(cold, floor),
+      "the warm FLOOR catches it: one clean warm run is enough")
+  }
+
   test("outlier detector ignores genuine cold/warm gaps and tiny-query jitter") {
     // heavy query, honest numbers: cold 3.4 s vs warm 3.2 s — not an outlier
     assert(!Bench.isStallOutlier(3.4, 3.2))
