@@ -1794,6 +1794,20 @@ object SparkEntry {
        |             '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) || '://' ||
        |           regexp_extract(target_uri,
        |             '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1) || raw
+         WHEN NOT regexp_matches(raw, '^[A-Za-z][A-Za-z0-9+.-]*:')
+       |              AND raw NOT LIKE '/%' AND raw NOT LIKE '#%'
+       |              AND raw NOT LIKE '?%' AND raw NOT LIKE '.%'
+       |              AND raw <> '' THEN
+       |           regexp_extract(target_uri,
+       |             '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) || '://' ||
+       |           regexp_extract(target_uri,
+       |             '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1) ||
+       |           (CASE WHEN regexp_replace(regexp_extract(target_uri,
+       |                  '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+       |                  '[^/]*$$', '') = '' THEN '/'
+       |                 ELSE regexp_replace(regexp_extract(target_uri,
+       |                  '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+       |                  '[^/]*$$', '') END) || raw
        |    END AS link
        |  FROM lx),
        | wedges AS (
@@ -3625,6 +3639,20 @@ object SparkEntry {
          |             '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) || '://' ||
          |           regexp_extract(target_uri,
          |             '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1) || raw
+         WHEN NOT regexp_matches(raw, '^[A-Za-z][A-Za-z0-9+.-]*:')
+         |              AND raw NOT LIKE '/%' AND raw NOT LIKE '#%'
+         |              AND raw NOT LIKE '?%' AND raw NOT LIKE '.%'
+         |              AND raw <> '' THEN
+         |           regexp_extract(target_uri,
+         |             '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) || '://' ||
+         |           regexp_extract(target_uri,
+         |             '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1) ||
+         |           (CASE WHEN regexp_replace(regexp_extract(target_uri,
+         |                  '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+         |                  '[^/]*$$', '') = '' THEN '/'
+         |                 ELSE regexp_replace(regexp_extract(target_uri,
+         |                  '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+         |                  '[^/]*$$', '') END) || raw
          |    END AS link
          |  FROM lx)
          | SELECT media_id, CAST(record_idx AS INT) AS record_idx,

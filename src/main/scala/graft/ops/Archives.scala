@@ -963,8 +963,13 @@ object Archives {
    *  - absolute `scheme://…` hrefs pass through;
    *  - root-relative `/path` hrefs resolve against the page's
    *    scheme + authority;
-   *  - everything else (mailto:, fragments, path-relative — the
-   *    long tail a graph signal doesn't need) is skipped.
+   *  - PATH-relative `segment…` hrefs (no scheme, no leading `/`,
+   *    `#`, `?` or `.`) resolve against the page's directory — the
+   *    RFC 3986 merge without dot-segment handling (`./`/`../`
+   *    hrefs are skipped, documented: page-level fidelity without a
+   *    normalizer in the hot loop);
+   *  - everything else (mailto:, fragment-only, protocol-relative
+   *    `//…`, dot-leading) is skipped.
    *
    * Scale shape: regexp extraction + explode, pure map-side — link
    * rows are small and the body column is dropped on the way out. */
@@ -973,13 +978,21 @@ object Archives {
       "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
     val host = regexp_extract(col("target_uri"),
       "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    val dir0 = regexp_replace(regexp_extract(col("target_uri"),
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1), "[^/]*$", "")
+    val dir = when(dir0 === "", lit("/")).otherwise(dir0)
     pages
       .withColumn("raw", explode(regexp_extract_all(col("body_text"),
         lit("(?i)<a\\s[^>]*href=\"([^\"]*)\""), lit(1))))
       .withColumn("link",
         when(col("raw").rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), col("raw"))
           .when(col("raw").startsWith("/") && !col("raw").startsWith("//"),
-            concat(scheme, lit("://"), host, col("raw"))))
+            concat(scheme, lit("://"), host, col("raw")))
+          .when(!col("raw").rlike("^[A-Za-z][A-Za-z0-9+.-]*:") &&
+            !col("raw").startsWith("/") && !col("raw").startsWith("#") &&
+            !col("raw").startsWith("?") && !col("raw").startsWith(".") &&
+            col("raw") =!= "",
+            concat(scheme, lit("://"), host, dir, col("raw"))))
       .filter(col("link").isNotNull)
       .drop("raw", "body_text")
   }

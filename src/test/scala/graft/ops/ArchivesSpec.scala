@@ -108,7 +108,7 @@ class ArchivesSpec extends SparkSpec {
       .withColumn("v", TextAnalysis.htmlVisibleText(org.apache.spark.sql.functions.col("body_text")))
       .filter(org.apache.spark.sql.functions.col("content_type").startsWith("text/html"))
       .select("media_id", "v").as[(Long, String)].collect().toMap
-    assert(visible == Map(6L -> "t 6 Doc 6 variant body 6 & more <tagged> 'q' next rel mail"))
+    assert(visible == Map(6L -> "t 6 Doc 6 variant body 6 & more <tagged> 'q' next rel deep mail"))
   }
 
   test("url host stats: authority grouping, distinct URIs, TLD extraction") {
@@ -742,14 +742,22 @@ class ArchivesSpec extends SparkSpec {
     ).toDF("target_uri", "body_text")
     val got = Archives.linkTable(pages)
       .select("link").as[String].collect().toSet
-    // protocol-relative, mailto and path-relative all skip; the
-    // anchor match is case-insensitive
+    // protocol-relative and mailto skip; PATH-relative resolves
+    // against the page's directory; the anchor match is
+    // case-insensitive
     assert(got == Set("https://ext.example.net/a", "https://h.example.org/b",
-      "https://h.example.org/f"))
+      "https://h.example.org/rel/e", "https://h.example.org/f"))
     val g = Archives.hostLinkGraph(Archives.linkTable(pages))
       .as[(String, String, Long)].collect().toSet
     assert(g == Set(("h.example.org", "ext.example.net", 1L),
-      ("h.example.org", "h.example.org", 2L)))
+      ("h.example.org", "h.example.org", 3L)))
+    // directory resolution: a page deeper in the tree resolves
+    // path-relatives against ITS directory; dot-leading hrefs skip
+    val deep = Seq(("https://h.example.org/dir/sub/p.html",
+      """<a href="x.html">X</a> <a href="../up.html">U</a> <a href="./s.html">S</a>"""))
+      .toDF("target_uri", "body_text")
+    assert(Archives.linkTable(deep).select("link").as[String].collect().toSet ==
+      Set("https://h.example.org/dir/sub/x.html"))
     // fixture: each 200-status html variant page (class 3; class 0 is
     // a 404 the WET face drops) emits its absolute cross-host anchor
     // and its resolved root-relative anchor, nothing else
@@ -770,7 +778,8 @@ class ArchivesSpec extends SparkSpec {
     assert(links == ids.flatMap { id =>
       Seq(
         id -> s"https://data${(id + 1) % 5}.example.org/page${id % 40}",
-        id -> s"https://data${id % 5}.example.org/page${(id + 2) % 40}")
+        id -> s"https://data${id % 5}.example.org/page${(id + 2) % 40}",
+        id -> s"https://data${id % 5}.example.org/sub/page${(id + 3) % 40}.html")
     }.toSet)
   }
 
