@@ -1038,18 +1038,20 @@ object Archives {
    * host (bucketing, [[Layout.writeBucketed]]) makes every iteration
    * exchange-free except the aggregation.
    *
-   * Fault tolerance: the edge list is persisted MEMORY_AND_DISK (it
-   * is re-read from its recomputable lineage if an executor dies —
-   * never `localCheckpoint`ed, whose severed lineage + executor-local
-   * blocks would fail the whole job on one lost executor mid-
-   * iteration). The rank table's lineage is broken every third
-   * iteration: against a RELIABLE store when `checkpointDir` is set
-   * (`spark.sparkContext.setCheckpointDir` + `checkpoint()` — the
-   * cluster mode: survives executor loss, costs an HDFS/object-store
-   * write per break), else via `localCheckpoint` (the single-node /
-   * exploratory mode: fastest, but an executor loss mid-run fails
-   * the job — acceptable exactly when there is only the driver's
-   * JVM). */
+   * Fault tolerance (pluggable lineage breaks): the node/edge
+   * materialization and the every-3rd-iteration rank break all go
+   * through ONE strategy. With `checkpointDir` set — the CLUSTER
+   * mode — they are RELIABLE `checkpoint()`s (`setCheckpointDir` +
+   * an HDFS/object-store write: an executor loss mid-iteration
+   * recovers from the store; the edge list is written once and
+   * re-read per iteration, never pinned in executor block storage).
+   * Without it — the single-JVM / exploratory mode — they are
+   * `localCheckpoint`s: fastest, and the executor-loss caveat is
+   * vacuous when the only executor IS the driver. Materializing the
+   * edges (rather than persisting lazily) also truncates the
+   * LOGICAL plan: each iteration otherwise re-optimizes the full
+   * upstream extraction subtree, a driver-side cost that grows with
+   * the pipeline feeding the graph. */
   def hostRank(graph: DataFrame, iterations: Int = 10,
       checkpointDir: Option[String] = None): DataFrame = {
     val scale = 1000000000000L
@@ -1059,12 +1061,10 @@ object Archives {
       case Some(_) => df.checkpoint()
       case None    => df.localCheckpoint()
     }
-    val nodes = graph.select(col("src_host").as("host"))
+    val nodes = break(graph.select(col("src_host").as("host"))
       .union(graph.select(col("dst_host").as("host")))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val edges = graph
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .distinct())
+    val edges = break(graph)
     val outdeg = edges.groupBy("src_host")
       .agg(sum(col("n_links")).as("outdeg"))
     var ranks = nodes.withColumn("rank", lit(scale))

@@ -2288,6 +2288,12 @@ object Multimodal {
    * deployment swaps [[byteHashFeature]] for an ffmpeg-style codec at
    * this one seam. */
   object MediaCodec {
+    // every blob is an in-memory byte array: ImageIO's default
+    // DISK-backed stream cache writes a temp file per read — per-row
+    // filesystem traffic that dominated the 50k-shard decode probe
+    // once non-ImageIO containers (WebP) entered the mix
+    javax.imageio.ImageIO.setUseCache(false)
+
     val FeatureDim = 16
     private val GridW = 4
     private val GridH = 4 // GridW * GridH == FeatureDim

@@ -45,9 +45,11 @@ object ArchiveScaleProbe {
       df
     }
 
-    // WARC: record index, HTTP split, WET extraction, full curation
+    // WARC: record index, HTTP split, WET extraction, full curation.
+    // Row 6 carries the 200-status html variant page (anchors), so
+    // the link-graph probe walks real edges
     val warcs = corpus(Seq(WarcFixture.row(0L)._2, WarcFixture.row(1L)._2,
-      WarcFixture.row(2L)._2, WarcFixture.row(4L)._2), "application/warc")
+      WarcFixture.row(2L)._2, WarcFixture.row(6L)._2), "application/warc")
     timed("warc_records")(Archives.warcRecordTable(spark, warcs).count())
     timed("warc_http_split")(Archives.warcHttpTable(spark, warcs).count())
     timed("warc_wet_text") {
@@ -64,6 +66,13 @@ object ArchiveScaleProbe {
     }
     timed("warc_host_stats")(
       Archives.urlHostStats(Archives.warcRecordTable(spark, warcs)).count())
+    // ONE-PASS page walk (identity + HTTP + WET text in a single scan)
+    // and the link-graph chain it feeds
+    timed("warc_page_table")(Archives.warcPageTable(spark, warcs).count())
+    timed("link_graph")(Archives.hostLinkGraph(Archives.linkTable(
+      Archives.warcPageTable(spark, warcs)
+        .filter(col("body_text").isNotNull &&
+          lower(col("content_type")).startsWith("text/html")))).count())
     warcs.unpersist()
 
     // .warc.gz: per-member inflate — the expensive walk (DEFLATE per
@@ -72,6 +81,8 @@ object ArchiveScaleProbe {
       WarcGzFixture.row(2L)._2, WarcGzFixture.row(4L)._2), "application/warc")
     timed("warcgz_members")(Archives.warcGzMemberTable(spark, gzs).count())
     timed("warcgz_wet_text")(Archives.warcGzBodyTextTable(spark, gzs).count())
+    timed("revisit_resolve")(Archives.revisitResolve(
+      Archives.warcGzMemberTable(spark, gzs)).count())
     gzs.unpersist()
 
     // WebDataset tar (long-key shards included) + sample grouping
@@ -112,9 +123,10 @@ object ArchiveScaleProbe {
     }
     recs.unpersist(); warcs2.unpersist()
 
-    // PDF: xref chain, resolved objects, page-text extraction
+    // PDF: xref chain (classic AND 1.5+ xref-stream/ObjStm shards),
+    // resolved objects, page-text extraction
     val pdfs = corpus(Seq(PdfFixture.row(0L)._2, PdfFixture.row(1L)._2,
-      PdfFixture.row(2L)._2, PdfFixture.row(4L)._2), "application/pdf")
+      PdfFixture.row(6L)._2, PdfFixture.row(4L)._2), "application/pdf")
     timed("pdf_xref")(Archives.pdfXrefTable(spark, pdfs).count())
     timed("pdf_objects")(Archives.pdfObjectTable(spark, pdfs).count())
     timed("pdf_page_text")(Archives.pdfPageTextTable(spark, pdfs).count())
@@ -126,13 +138,26 @@ object ArchiveScaleProbe {
     // thousands of identical hashes and quadratic buckets — a
     // pathology, not a corpus; the avalanche keeps real buckets tiny)
     val imgs = spark.range(nShards)
-      .map(id => (id, "image/png", ImageDupFixture.row(id)._2))
+      .map { id =>
+        val (mime, bytes) = ImageDupFixture.row(id)
+        (id, mime, bytes)
+      }
       .toDF("media_id", "mime_type", "media").cache()
     imgs.count()
     timed("image_dhash")(ImageHash.dhashTable(spark, imgs).count())
     timed("image_neardup")(ImageHash.nearDupPairs(
       ImageHash.dhashTable(spark, imgs)).count())
+    timed("decode_coverage")(ImageHash.decodeCoverage(spark, imgs).count())
     imgs.unpersist()
+
+    // VP8L decode throughput: every blob a WebP-lossless stream (the
+    // entropy-decode path, distinct images per id as above)
+    val webps = spark.range(nShards)
+      .map(id => (id, "image/webp", ImageDupFixture.webp(id)))
+      .toDF("media_id", "mime_type", "media").cache()
+    webps.count()
+    timed("vp8l_dhash")(ImageHash.dhashTable(spark, webps).count())
+    webps.unpersist()
 
     spark.stop()
   }
