@@ -24,9 +24,10 @@ package graft.ops
  */
 private[ops] object Vp8l {
 
-  /** Spec order of the code-length code's 3-bit lengths. */
+  /** Spec order of the code-length code's 3-bit lengths
+   * (kCodeLengthCodeOrder, all 19 entries). */
   private val ClOrder = Array(
-    17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14)
+    17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
 
   private final class Bad extends RuntimeException
   private def bad(): Nothing = throw new Bad
@@ -126,11 +127,10 @@ private[ops] object Vp8l {
         Code.single(s0)
       } else Code.pair(s0, br.bits(8), alphabet)
     } else {
-      val numCl = 4 + br.bits(4)
-      if (numCl > ClOrder.length + 1) bad() // 4 + 15 = 19 max, table has 18
+      val numCl = 4 + br.bits(4) // 4..19 == ClOrder.length
       val clLens = new Array[Int](19)
       var i = 0
-      while (i < numCl && i < ClOrder.length) {
+      while (i < numCl) {
         clLens(ClOrder(i)) = br.bits(3)
         i += 1
       }

@@ -229,7 +229,7 @@ object ImageDupFixture {
     bw.bitCount
   }
 
-  private def riff(fourcc: String, payload: Array[Byte]): Array[Byte] = {
+  def riff(fourcc: String, payload: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def le32(v: Int): Unit = {
       out.write(v & 0xff); out.write((v >>> 8) & 0xff)

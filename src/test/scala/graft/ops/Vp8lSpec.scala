@@ -30,6 +30,50 @@ class Vp8lSpec extends SparkSpec {
     }
   }
 
+  test("a 19-entry code-length declaration (full kCodeLengthCodeOrder) parses") {
+    // the fixture always declares 12/13 code lengths; a real encoder
+    // may declare all 19 — the order table's tail (…14, 15) must be
+    // honoured. Hand-build a 2×1 image: green = simple 2-symbol code,
+    // red/blue = uniform 8-bit codes declared with num_code_lengths=19
+    val bw = new ImageDupFixture.BitWriter
+    bw.bits(0x2f, 8)
+    bw.bits(1, 14) // width 2
+    bw.bits(0, 14) // height 1
+    bw.bits(0, 1); bw.bits(0, 3) // alpha hint, version
+    bw.bits(0, 1); bw.bits(0, 1); bw.bits(0, 1) // no transform/cache/meta
+    // GREEN: simple two symbols {100, 200} → 1-bit canonical codes
+    bw.bits(1, 1); bw.bits(1, 1); bw.bits(1, 1)
+    bw.bits(100, 8); bw.bits(200, 8)
+    def uniform8With19(): Unit = {
+      bw.bits(0, 1)
+      bw.bits(19 - 4, 4) // ALL 19 order slots declared
+      val lens = Array.fill(19)(0)
+      lens(8) = 1  // order idx 8  → symbol 16
+      lens(11) = 1 // order idx 11 → symbol 8
+      lens.foreach(bw.bits(_, 3))
+      bw.bits(0, 1) // no max_symbol
+      bw.code(0, 1) // symbol 8 → lens[0]=8, prev=8
+      var left = 255
+      while (left > 0) {
+        val r = if (left >= 9) 6 else if (left > 6) left - 3 else left
+        bw.code(1, 1); bw.bits(r - 3, 2); left -= r
+      }
+    }
+    uniform8With19() // red
+    uniform8With19() // blue
+    bw.bits(1, 1); bw.bits(0, 1); bw.bits(1, 1); bw.bits(255, 8) // alpha {255}
+    bw.bits(1, 1); bw.bits(0, 1); bw.bits(0, 1); bw.bits(0, 1)   // distance {0}
+    // pixel 0: g=100 (code 0), r=b=100; pixel 1: g=200 (code 1), r=b=200
+    bw.code(0, 1); bw.code(100, 8); bw.code(100, 8)
+    bw.code(1, 1); bw.code(200, 8); bw.code(200, 8)
+    val got = Vp8l.decode(ImageDupFixture.riff("VP8L", bw.toBytes))
+    assert(got.isDefined, "19-entry declaration did not decode")
+    val (w, h, px) = got.get
+    assert(w == 2 && h == 1)
+    assert(px(0) == ((255 << 24) | (100 << 16) | (100 << 8) | 100))
+    assert(px(1) == ((255 << 24) | (200 << 16) | (200 << 8) | 200))
+  }
+
   test("vp8l tolerance: lossy stubs, truncation, bit flips and fuzz never throw") {
     // the lossy-VP8 container is NOT claimed (no lossy decoder here)
     assert(Vp8l.decode(ImageDupFixture.vp8LossyStub(7L)).isEmpty)
