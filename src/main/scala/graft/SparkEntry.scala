@@ -804,6 +804,13 @@ object SparkEntry {
     // (the fixture's lossy-WebP stubs show up as the 0% line)
     "q_m34_decode_coverage" -> ((s, _) =>
       ImageHash.decodeCoverage(s, Tables.imagedup(s))),
+    // q_w29: sitemap.xml URL entries — the operator-DECLARED page
+    // list the robots Sitemap lines (q_w28) point at: per <url> block
+    // (host, loc, lastmod), off the same one-pass page walk; a
+    // frontier merges these with link-derived candidates (sitemaps
+    // surface pages the link graph never reaches)
+    "q_w29_sitemap_urls" -> ((s, _) =>
+      Archives.sitemapUrls(Archives.warcPageTable(s, Tables.warc(s)))),
     // q_w22: CDX-style fetch index over `.warc.gz` members — Common
     // Crawl's own index format: per response member the SURT sort key
     // (byte-ordering it clusters a domain's pages → a range scan is a
@@ -3783,6 +3790,28 @@ object SparkEntry {
          |     AS dhash_hex
          | FROM im_bands b LEFT JOIN im_cl c ON c.doc_id = b.media_id
          | WHERE c.cluster IS NULL OR c.cluster = b.media_id""".stripMargin,
+    // q_w29: the same <url>-block explode over the WET rows the
+    // WARCWALK+WARCHTTP re-walk yields for /sitemap.xml fetches
+    "q_w29_sitemap_urls" ->
+      s"""WITH RECURSIVE $WARCWALK,
+         | $WARCHTTP,
+         | sm0 AS (
+         |  SELECT w.target_uri, h.body_text
+         |  FROM https h JOIN wrecs w USING (media_id, record_idx)
+         |  WHERE h.http_status = 200 AND lower(h.content_type) LIKE 'text/%'
+         |    AND w.target_uri LIKE '%/sitemap.xml'),
+         | sm1 AS (
+         |  SELECT lower(regexp_extract(target_uri,
+         |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host,
+         |    unnest(regexp_extract_all(body_text,
+         |      '(?s)<url>(.*?)</url>', 1)) AS block
+         |  FROM sm0)
+         | SELECT DISTINCT host,
+         |   regexp_extract(block, '<loc>([^<]*)</loc>', 1) AS loc,
+         |   nullif(regexp_extract(block,
+         |     '<lastmod>([^<]*)</lastmod>', 1), '') AS lastmod
+         | FROM sm1
+         | WHERE regexp_extract(block, '<loc>([^<]*)</loc>', 1) <> ''""".stripMargin,
     // q_m34: the decodability CONTRACT replayed from the bytes — a
     // PNG decodes iff intact (the fixture's full PNGs are exactly 948
     // bytes; the cut class keeps the magic but not the body), a WebP

@@ -919,6 +919,36 @@ object Archives {
           .as("sitemaps"))
   }
 
+  /** Parse sitemap.xml URL entries — the other half of the
+   * politeness/coverage loop: robots' `Sitemap:` lines ([[robotsDirectives]])
+   * name these documents, and their `<loc>` entries are the
+   * operator-DECLARED page list a frontier merges with link-derived
+   * candidates (sitemaps surface pages the link graph never reaches).
+   * Input rows carry `target_uri` + `body_text` (the page-table/WET
+   * shape); per `<url>` block one row (host, loc, lastmod — NULL when
+   * the block has none), deduped across the shards that fetched the
+   * same sitemap.
+   *
+   * Scale shape: map-side regex explode + one distinct over
+   * (host, loc, lastmod) index rows — sitemaps are KiBs-to-MBs per
+   * host, tiny next to the page table they seed. */
+  def sitemapUrls(pages: DataFrame): DataFrame = {
+    val lastmod = regexp_extract(col("block"),
+      "<lastmod>([^<]*)</lastmod>", 1)
+    pages
+      .filter(col("target_uri").endsWith("/sitemap.xml") &&
+        col("body_text").isNotNull)
+      .select(lower(regexp_extract(col("target_uri"),
+        "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)).as("host"),
+        explode(regexp_extract_all(col("body_text"),
+          lit("(?s)<url>(.*?)</url>"), lit(1))).as("block"))
+      .select(col("host"),
+        regexp_extract(col("block"), "<loc>([^<]*)</loc>", 1).as("loc"),
+        when(lastmod =!= "", lastmod).as("lastmod"))
+      .filter(col("loc") =!= "")
+      .distinct()
+  }
+
   /** Longest-match robots verdict per page — the precedence every
    * evaluator implements (RFC 9309 §2.2.2): among the host's rules
    * whose prefix matches the page path, the LONGEST wins; an `allow`

@@ -232,6 +232,27 @@ object WarcFixture {
       "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n" +
         s"spam page body $id looks perfectly clean")
 
+  /** The host's sitemap.xml BODY — the document its robots.txt
+   * `Sitemap:` line points at (a pure function of the host, like
+   * robotsBody): three `<url><loc>…</loc><lastmod>…</lastmod></url>`
+   * entries over the host's own page space. */
+  def sitemapBody(h: Long): String =
+    "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<urlset>\n" +
+      (0 until 3).map { k =>
+        s"<url><loc>https://data$h.example.org/page${(h * 7 + k * 11) % 40}</loc>" +
+          s"<lastmod>2024-0${1 + (h % 9)}-0${1 + k}</lastmod></url>"
+      }.mkString("\n") + "\n</urlset>\n"
+
+  def sitemapResponse(id: Long): String = {
+    val body = sitemapBody(id % 5)
+    record(id,
+      Seq("WARC-Type" -> "response",
+        "WARC-Target-URI" -> s"https://data${id % 5}.example.org/sitemap.xml",
+        "Content-Type" -> "application/http;msgtype=response",
+        "WARC-Date" -> wdate(id, 93)),
+      "HTTP/1.1 200 OK\r\nContent-Type: text/xml\r\n\r\n" + body)
+  }
+
   /** A WARC-valid response whose payload is NOT a splittable HTTP
    * message: q_w1 emits the record, q_w6 emits nothing for it. */
   def brokenResponse(id: Long): String =
@@ -249,8 +270,8 @@ object WarcFixture {
       if (id % 2 == 0 && i == 1) request(id, i) else response(id, i)
     }
     (warcinfo(id) +: body) ++
-      Seq(variantResponse(id), brokenResponse(id), spamResponse(id),
-        aliasResponse(id), robotsResponse(id))
+      Seq(variantResponse(id), sitemapResponse(id), brokenResponse(id),
+        spamResponse(id), aliasResponse(id), robotsResponse(id))
   }
 
   def warc(id: Long): String = records(id).mkString("")
