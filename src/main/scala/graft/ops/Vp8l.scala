@@ -10,11 +10,14 @@ package graft.ops
  * queryable number; this decoder closes the lossless half).
  *
  * Scope (documented subset, tolerance-not-throw like every walker):
- * the simple-image path — no transforms, no color cache, no
- * meta-prefix codes, literal pixels only (an LZ77 backreference or
- * cache symbol claims nothing). The PREFIX-CODE machinery itself is
- * complete per the spec: simple codes (1–2 symbols), full codes via
- * the code-length code (3-bit lengths in kCodeLengthCodeOrder, the
+ * literal pixels + COLOR-CACHE symbols (the spec's
+ * `(0x1e35a7bd·argb) >>> (32-bits)` recent-color table) + the
+ * SUBTRACT-GREEN transform (the payload-less transform gray/flat
+ * images compress through); LZ77 backreferences, the
+ * predictor/color/color-indexing transforms and meta-prefix codes
+ * claim nothing. The PREFIX-CODE machinery itself is complete per
+ * the spec: simple codes (1–2 symbols), full codes via the
+ * code-length code (3-bit lengths in kCodeLengthCodeOrder, the
  * optional max_symbol path, repeat codes 16/17/18), canonical
  * assignment, and the single-symbol 0-bit degenerate form.
  *
@@ -203,25 +206,60 @@ private[ops] object Vp8l {
         val h = br.bits(14) + 1
         br.bits(1) // alpha-is-used hint
         if (br.bits(3) != 0) return None // version must be 0
-        if (br.bits(1) != 0) return None // transform present: subset
-        if (br.bits(1) != 0) return None // color cache: subset
+        // transforms: SUBTRACT_GREEN (type 2, no payload) is the one
+        // in scope — predictor/color/indexing claim nothing
+        var subtractGreen = false
+        while (br.bits(1) == 1) br.bits(2) match {
+          case 2 => subtractGreen = true
+          case _ => return None
+        }
+        // color cache: indexed by (0x1e35a7bd · argb) >>> (32 - bits)
+        val cacheBits =
+          if (br.bits(1) == 1) {
+            val cb = br.bits(4)
+            if (cb < 1 || cb > 11) return None
+            cb
+          } else 0
         if (br.bits(1) != 0) return None // meta-prefix codes: subset
         if (w.toLong * h > (1 << 24)) return None // runaway guard
-        val green = readCode(br, 256 + 24) // no cache → 280 symbols
+        val cacheSize = if (cacheBits == 0) 0 else 1 << cacheBits
+        val green = readCode(br, 256 + 24 + cacheSize)
         val red = readCode(br, 256)
         val blue = readCode(br, 256)
         val alpha = readCode(br, 256)
         readCode(br, 40) // distance code: parsed, unused in subset
+        val cache = new Array[Int](cacheSize)
         val px = new Array[Int](w * h)
         var i = 0
         while (i < px.length) {
           val g = green.read(br)
-          if (g >= 256) return None // LZ77 backreference: subset
-          val r = red.read(br)
-          val b2 = blue.read(br)
-          val a = alpha.read(br)
-          px(i) = (a << 24) | (r << 16) | (g << 8) | b2
-          i += 1
+          if (g < 256) {
+            val r = red.read(br)
+            val b2 = blue.read(br)
+            val a = alpha.read(br)
+            val argb = (a << 24) | (r << 16) | (g << 8) | b2
+            px(i) = argb
+            if (cacheBits > 0)
+              cache((0x1e35a7bd * argb) >>> (32 - cacheBits)) = argb
+            i += 1
+          } else if (g < 280) return None // LZ77 backreference: subset
+          else {
+            val idx = g - 280
+            if (idx >= cacheSize) return None
+            px(i) = cache(idx)
+            i += 1
+          }
+        }
+        if (subtractGreen) {
+          var j = 0
+          while (j < px.length) {
+            val p = px(j)
+            val g = (p >>> 8) & 0xff
+            val r = (((p >>> 16) & 0xff) + g) & 0xff
+            val b2 = ((p & 0xff) + g) & 0xff
+            px(j) = (p & 0xff00ff00) | (r << 16) | b2
+            j += 1
+          }
         }
         Some((w, h, px))
       }

@@ -74,6 +74,72 @@ class Vp8lSpec extends SparkSpec {
     assert(px(1) == ((255 << 24) | (200 << 16) | (200 << 8) | 200))
   }
 
+  test("subtract-green + color cache decode: the gray-image compression path") {
+    // how a real encoder ships a gray image: SUBTRACT_GREEN collapses
+    // the red/blue channels to 0 (single-symbol 0-bit codes) and the
+    // color cache turns repeated pixels into 2-bit hits. 4×1 pixels
+    // [10, 10, 30, 10]: literal, cache hit, literal, cache hit.
+    val cacheBits = 2
+    def cacheIdx(argb: Int): Int = (0x1e35a7bd * argb) >>> (32 - cacheBits)
+    // pre-inverse pixels as the cache sees them: (a=255, r'=0, g=v, b'=0)
+    def stored(v: Int): Int = (255 << 24) | (v << 8)
+    val (iA, iB) = (cacheIdx(stored(10)), cacheIdx(stored(30)))
+    assume(iA != iB, "fixture values must not collide for this pin")
+    val bw = new ImageDupFixture.BitWriter
+    bw.bits(0x2f, 8)
+    bw.bits(3, 14); bw.bits(0, 14) // 4×1
+    bw.bits(0, 1); bw.bits(0, 3)
+    bw.bits(1, 1); bw.bits(2, 2)   // one transform: SUBTRACT_GREEN
+    bw.bits(0, 1)                  // no more transforms
+    bw.bits(1, 1); bw.bits(cacheBits, 4) // color cache, 4 entries
+    bw.bits(0, 1)                  // no meta-prefix
+    // GREEN over 284 symbols: {10, 30, 280+iA, 280+iB} all length 2.
+    // Code-length code: {0→00, 2→01, 17→10, 18→11} (all length 2);
+    // declared through order idx 4 (symbols 17,18,0,1,2).
+    bw.bits(0, 1)
+    bw.bits(5 - 4, 4)
+    Seq(2, 2, 2, 0, 2).foreach(bw.bits(_, 3)) // 17,18,0,1,2
+    bw.bits(0, 1) // no max_symbol
+    def zeros(n0: Int): Unit = {
+      var n = n0
+      while (n > 0) {
+        if (n >= 11 && (n <= 138 || n - 138 >= 3)) {
+          val take = math.min(138, n)
+          bw.code(3, 2); bw.bits(take - 11, 7); n -= take // sym 18
+        } else if (n >= 3 && (n <= 10 || n - 10 >= 3)) {
+          val take = math.min(10, n)
+          bw.code(2, 2); bw.bits(take - 3, 3); n -= take // sym 17
+        } else { bw.code(0, 2); n -= 1 } // literal 0
+      }
+    }
+    val marks = Seq(10, 30, 280 + math.min(iA, iB), 280 + math.max(iA, iB))
+    var at = 0
+    marks.foreach { s =>
+      zeros(s - at)
+      bw.code(1, 2) // code-length symbol 2
+      at = s + 1
+    }
+    zeros(284 - at)
+    // RED/BLUE: simple single symbol 0 (1-bit form) → 0 bits/pixel
+    bw.bits(1, 1); bw.bits(0, 1); bw.bits(0, 1); bw.bits(0, 1)
+    bw.bits(1, 1); bw.bits(0, 1); bw.bits(0, 1); bw.bits(0, 1)
+    // ALPHA: single symbol 255; DISTANCE: single symbol 0
+    bw.bits(1, 1); bw.bits(0, 1); bw.bits(1, 1); bw.bits(255, 8)
+    bw.bits(1, 1); bw.bits(0, 1); bw.bits(0, 1); bw.bits(0, 1)
+    // canonical 2-bit green codes in (len, symbol) order over `marks`
+    val codeOf = marks.sorted.zipWithIndex.toMap
+    bw.code(codeOf(10), 2)             // literal 10 (inserts)
+    bw.code(codeOf(280 + iA), 2)       // cache hit → 10
+    bw.code(codeOf(30), 2)             // literal 30 (inserts)
+    bw.code(codeOf(280 + iA), 2)       // cache hit → 10
+    val got = Vp8l.decode(ImageDupFixture.riff("VP8L", bw.toBytes))
+    assert(got.isDefined, "subtract-green + cache stream did not decode")
+    val (w, h, px) = got.get
+    assert(w == 4 && h == 1)
+    def gray(v: Int): Int = (255 << 24) | (v << 16) | (v << 8) | v
+    assert(px.toSeq == Seq(gray(10), gray(10), gray(30), gray(10)))
+  }
+
   test("vp8l tolerance: lossy stubs, truncation, bit flips and fuzz never throw") {
     // the lossy-VP8 container is NOT claimed (no lossy decoder here)
     assert(Vp8l.decode(ImageDupFixture.vp8LossyStub(7L)).isEmpty)
