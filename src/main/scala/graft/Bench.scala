@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark main (driver contract): runs every SparkEntry
  * query against SPARK_GRAFT_SF_DIR and prints exactly TWO JSON lines
- * on stdout (cold map, then tiny summary); the warm map goes to a
+ * on stdout (cold map — integer CENTISECONDS, labelled
+ * "unit":"centisec" — then the tiny summary); the warm map goes to a
  * file (target/bench_warm.json) so it can never consume the driver's
  * bounded tail capture (see the emission comment at the bottom).
  *
@@ -251,17 +252,17 @@ object Bench {
     // Locale.ROOT: a comma decimal separator would corrupt the JSON.
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    // the STDOUT cold map rounds to 2 decimals: at 130+ queries the
-    // extra decimal is what pushes the line past the driver's
-    // 2000-char tail (BenchBudgetSpec projects this), and cold noise
-    // is an order of magnitude above 10 ms anyway; the full-precision
-    // map still goes to target/bench_cold.json
-    def num2(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    // the STDOUT cold map carries integer CENTISECONDS (and says so:
+    // "unit":"centisec") — the same 10 ms resolution the old 2-decimal
+    // seconds had, one byte shorter per typical entry, which is what
+    // keeps 156+ queries inside the driver's 2000-char tail
+    // (BenchBudgetSpec projects the exact line); the full-precision
+    // SECONDS map still goes to target/bench_cold.json
     def js(m: scala.collection.Map[String, Double]): String =
       m.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
-    def js2(m: scala.collection.Map[String, Double]): String =
-      m.map { case (k, v) => "\"" + k + "\":" + num2(v) }.mkString("{", ",", "}")
+    def jsCs(m: scala.collection.Map[String, Double]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + math.round(v * 100) }
+        .mkString("{", ",", "}")
     val keyOf = emittedKeys(names)
     val coldCompact = cold.map { case (k, v) => keyOf(k) -> v }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -280,7 +281,7 @@ object Bench {
     val coldOut = new java.io.File("target/bench_cold.json")
     val cw = new java.io.PrintWriter(coldOut, "UTF-8")
     try cw.println(s"""{"metric":"cold","queries":${js(cold)},"sf":"$sfDir"}""") finally cw.close()
-    println(s"""{"metric":"cold","queries":${js2(coldCompact)}}""")
+    println(s"""{"metric":"cold","unit":"centisec","queries":${jsCs(coldCompact)}}""")
     println(s"""{"metric":"total","value":${num(total)},"unit":"sec","failed":$failedJson,"events":$nEvents,"interpreter_eps":$eps,"sf":"$sfDir"}""")
   }
 }

@@ -811,6 +811,14 @@ object SparkEntry {
     // surface pages the link graph never reaches)
     "q_w29_sitemap_urls" -> ((s, _) =>
       Archives.sitemapUrls(Archives.warcPageTable(s, Tables.warc(s)))),
+    // q_w30: CRAWL CANDIDATES — "what to fetch next": sitemap-
+    // declared pages ∪ link-discovered pages, LEFT ANTI joined
+    // against everything the crawl already fetched; per candidate
+    // its host, in_sitemap flag, in-link count and declared lastmod.
+    // One URI-keyed agg + one anti-join over URI index rows, all off
+    // the one-pass page walk
+    "q_w30_crawl_candidates" -> ((s, _) =>
+      Archives.crawlCandidates(Archives.warcPageTable(s, Tables.warc(s)))),
     // q_w22: CDX-style fetch index over `.warc.gz` members — Common
     // Crawl's own index format: per response member the SURT sort key
     // (byte-ordering it clusters a domain's pages → a range scan is a
@@ -3812,6 +3820,44 @@ object SparkEntry {
          |     '<lastmod>([^<]*)</lastmod>', 1), '') AS lastmod
          | FROM sm1
          | WHERE regexp_extract(block, '<loc>([^<]*)</loc>', 1) <> ''""".stripMargin,
+    // q_w30: sitemap entries (q_w29's chain) ∪ resolved links
+    // (LINKGRAPH's rs), URI-grouped, anti-joined to fetched URIs
+    "q_w30_crawl_candidates" ->
+      s"""WITH RECURSIVE $WARCWALK,
+         | $WARCHTTP,
+         | $LINKGRAPH,
+         | smc0 AS (
+         |  SELECT w.target_uri, h.body_text
+         |  FROM https h JOIN wrecs w USING (media_id, record_idx)
+         |  WHERE h.http_status = 200 AND lower(h.content_type) LIKE 'text/%'
+         |    AND w.target_uri LIKE '%/sitemap.xml'),
+         | smc1 AS (
+         |  SELECT unnest(regexp_extract_all(body_text,
+         |      '(?s)<url>(.*?)</url>', 1)) AS block
+         |  FROM smc0),
+         | smu AS (
+         |  SELECT DISTINCT
+         |    regexp_extract(block, '<loc>([^<]*)</loc>', 1) AS loc,
+         |    nullif(regexp_extract(block,
+         |      '<lastmod>([^<]*)</lastmod>', 1), '') AS lastmod
+         |  FROM smc1
+         |  WHERE regexp_extract(block, '<loc>([^<]*)</loc>', 1) <> ''),
+         | cand AS (
+         |  SELECT loc AS target_uri, lastmod, 1 AS sm, 0 AS lk FROM smu
+         |  UNION ALL
+         |  SELECT link, NULL, 0, 1 FROM rs WHERE link IS NOT NULL),
+         | agg AS (
+         |  SELECT target_uri, CAST(max(sm) = 1 AS BOOLEAN) AS in_sitemap,
+         |    CAST(sum(lk) AS BIGINT) AS n_inlinks, max(lastmod) AS lastmod
+         |  FROM cand GROUP BY target_uri),
+         | fetched AS (
+         |  SELECT DISTINCT target_uri FROM wrecs
+         |  WHERE lower(warc_type) = 'response' AND target_uri IS NOT NULL)
+         | SELECT a.target_uri, a.in_sitemap, a.n_inlinks, a.lastmod,
+         |   lower(regexp_extract(a.target_uri,
+         |     '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host
+         | FROM agg a LEFT JOIN fetched f USING (target_uri)
+         | WHERE f.target_uri IS NULL""".stripMargin,
     // q_m34: the decodability CONTRACT replayed from the bytes — a
     // PNG decodes iff intact (the fixture's full PNGs are exactly 948
     // bytes; the cut class keeps the magic but not the body), a WebP

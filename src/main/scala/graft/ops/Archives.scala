@@ -932,7 +932,15 @@ object Archives {
    * Scale shape: map-side regex explode + one distinct over
    * (host, loc, lastmod) index rows — sitemaps are KiBs-to-MBs per
    * host, tiny next to the page table they seed. */
-  def sitemapUrls(pages: DataFrame): DataFrame = {
+  def sitemapUrls(pages: DataFrame): DataFrame =
+    sitemapUrlLines(pages).distinct()
+
+  /** STATELESS per-fetch sitemap parse — [[sitemapUrls]] without the
+   * cross-shard distinct, so it runs unchanged on a file-source
+   * stream in append mode (the batch-equivalence face
+   * ShardListStreamSpec pins, same split as robotsRuleLines /
+   * robotsRules). */
+  def sitemapUrlLines(pages: DataFrame): DataFrame = {
     val lastmod = regexp_extract(col("block"),
       "<lastmod>([^<]*)</lastmod>", 1)
     pages
@@ -946,7 +954,42 @@ object Archives {
         regexp_extract(col("block"), "<loc>([^<]*)</loc>", 1).as("loc"),
         when(lastmod =!= "", lastmod).as("lastmod"))
       .filter(col("loc") =!= "")
-      .distinct()
+  }
+
+  /** CRAWL CANDIDATES (q_w30) — "what to fetch next": the union of
+   * the operator-DECLARED pages (sitemap `<loc>` entries) and the
+   * link-DISCOVERED pages (out-links of the crawled HTML), minus
+   * everything the crawl already fetched — per candidate URI its
+   * host, how each source proposed it (`in_sitemap` / `n_inlinks`)
+   * and the sitemap's `lastmod` when declared. Input is the one-pass
+   * [[warcPageTable]] shape; robots/blocklist gating stays the
+   * frontier's job (q_w26) — this is the seed set it prioritises.
+   *
+   * Scale shape: two map-side extractions (sitemap explode, href
+   * explode), one URI-keyed aggregation of the union, one LEFT ANTI
+   * join against the fetched-URI index — every exchange ships URI
+   * strings + two small columns, never pages. */
+  def crawlCandidates(pages: DataFrame): DataFrame = {
+    val sm = sitemapUrls(pages)
+      .select(col("loc").as("target_uri"), col("lastmod"),
+        lit(1L).as("sm"), lit(0L).as("lk"))
+    val lk = linkTable(pages.filter(col("body_text").isNotNull &&
+        lower(col("content_type")).startsWith("text/html")))
+      .select(col("link").as("target_uri"),
+        lit(null).cast("string").as("lastmod"),
+        lit(0L).as("sm"), lit(1L).as("lk"))
+    val fetched = pages
+      .filter(lower(col("warc_type")) === "response" &&
+        col("target_uri").isNotNull)
+      .select("target_uri").distinct()
+    sm.unionByName(lk)
+      .groupBy("target_uri")
+      .agg(max(col("sm")).cast("boolean").as("in_sitemap"),
+        sum(col("lk")).as("n_inlinks"),
+        max(col("lastmod")).as("lastmod"))
+      .join(fetched, Seq("target_uri"), "left_anti")
+      .withColumn("host", lower(regexp_extract(col("target_uri"),
+        "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)))
   }
 
   /** Longest-match robots verdict per page — the precedence every

@@ -306,6 +306,15 @@ class ShardListStreamSpec extends SparkSpec {
             col("body_text").as("body"))))
   }
 
+  test("streamed sitemap parse equals the batch parse over the grown directory") {
+    val rows = (0L until 12L).filter(id => id % 8 != 7).map { id =>
+      val (mime, bytes) = graft.tools.WarcFixture.row(id)
+      (id, mime, bytes)
+    }
+    streamed("sitemap_stream", rows, (s, media) =>
+      Archives.sitemapUrlLines(Archives.warcPageTable(s, media)))
+  }
+
   test("streamed CDX index equals the batch index over the grown directory") {
     import org.apache.spark.sql.functions.{col, lower}
     val rows = (0L until 12L).map { id =>
