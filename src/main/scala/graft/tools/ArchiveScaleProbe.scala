@@ -73,6 +73,10 @@ object ArchiveScaleProbe {
       Archives.warcPageTable(spark, warcs)
         .filter(col("body_text").isNotNull &&
           lower(col("content_type")).startsWith("text/html")))).count())
+    timed("sitemap_urls")(
+      Archives.sitemapUrls(Archives.warcPageTable(spark, warcs)).count())
+    timed("crawl_candidates")(
+      Archives.crawlCandidates(Archives.warcPageTable(spark, warcs)).count())
     warcs.unpersist()
 
     // .warc.gz: per-member inflate — the expensive walk (DEFLATE per
