@@ -694,6 +694,33 @@ class ArchivesSpec extends SparkSpec {
     assert(broken == Seq((9L, "x", 2L, None, None, None, Some(4L), Some("hi"))))
   }
 
+  test("robots directives: crawl-delay from the * group only; sitemaps group-agnostic") {
+    import spark.implicits._
+    val robots = Seq(
+      // * group carries delay 4; badbot's 99 must be ignored; two
+      // sitemap lines in DIFFERENT groups both surface (the sitemaps
+      // protocol is group-agnostic); a second fetch of the same host
+      // with a smaller delay takes the MIN (conservative reading)
+      ("h.example.org",
+        "User-agent: *\nCrawl-delay: 4\nDisallow: /x\n" +
+          "Sitemap: https://h.example.org/a.xml\n\n" +
+          "User-agent: badbot\nCrawl-delay: 99\n" +
+          "Sitemap: https://h.example.org/b.xml\n"),
+      ("h.example.org",
+        "User-agent: *\nCrawl-delay: 2\n"),
+      // no * group at all: delay NULL, sitemap still collected
+      ("i.example.org",
+        "User-agent: badbot\nCrawl-delay: 7\n" +
+          "Sitemap: https://i.example.org/s.xml\n"))
+      .toDF("host", "body")
+    val got = Archives.robotsDirectives(robots)
+      .as[(String, Option[Long], String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("h.example.org") ==
+      ((Some(2L), "https://h.example.org/a.xml,https://h.example.org/b.xml")))
+    assert(got("i.example.org") == ((None, "https://i.example.org/s.xml")))
+  }
+
   test("robots: UA-group attribution, longest-match precedence, allow wins ties") {
     import spark.implicits._
     val body = WarcFixture.robotsBody(1)
