@@ -557,28 +557,37 @@ object Archives {
    *
    * Scale shape: one digest-keyed join of fixed-shape index rows
    * (the shards never move); revisits are a small fraction of a
-   * crawl and the original side ships only digest + coordinates. */
+   * crawl and the original side ships only digest + coordinates.
+   * The per-digest winner is a MIN over a lexicographic struct, not
+   * a window: min aggregates combine MAP-SIDE, so the popular
+   * digests every real crawl has (empty pages, error bodies —
+   * millions of identical captures) shrink to one row per partition
+   * before the shuffle instead of funnelling through one window
+   * task (the 200k-shard probe measured the window form 7×
+   * superlinear under exactly that skew). */
   def revisitResolve(members: DataFrame): DataFrame = {
     val revisits = members
       .filter(lower(col("warc_type")) === "revisit" &&
         col("payload_digest").isNotNull)
       .select(col("payload_digest"), col("media_id"), col("member_idx"),
         col("target_uri"), col("warc_date"))
-    val w = Window.partitionBy("payload_digest")
-      .orderBy(col("orig_date"), col("orig_media_id"), col("orig_member_idx"))
     val originals = members
       .filter(lower(col("warc_type")) === "response" &&
         col("payload_digest").isNotNull)
-      .select(col("payload_digest"),
+      .groupBy("payload_digest")
+      // struct ordering is field-by-field: (date, media, member) lead,
+      // so min() picks the EARLIEST capture deterministically
+      .agg(min(struct(
+        col("warc_date").as("orig_date"),
         col("media_id").as("orig_media_id"),
         col("member_idx").as("orig_member_idx"),
         col("target_uri").as("orig_uri"),
-        col("warc_date").as("orig_date"),
         col("member_offset").as("orig_member_offset"),
-        col("member_comp_bytes").as("orig_member_comp_bytes"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") === 1)
-      .drop("rnk")
+        col("member_comp_bytes").as("orig_member_comp_bytes"))).as("o"))
+      .select(col("payload_digest"),
+        col("o.orig_media_id"), col("o.orig_member_idx"),
+        col("o.orig_uri"), col("o.orig_date"),
+        col("o.orig_member_offset"), col("o.orig_member_comp_bytes"))
     revisits.join(originals, Seq("payload_digest"))
   }
 
