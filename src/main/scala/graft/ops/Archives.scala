@@ -527,20 +527,29 @@ object Archives {
    * deterministically by (media_id, record_idx). One row per distinct
    * URI with the kept record's coordinates and the fetch count.
    *
-   * Scale shape: one URI-keyed window shuffle over fixed-shape index
-   * rows — a per-key top-1, never a self-join; at corpus scale the
-   * record table is the small derivative of the shards. */
-  def urlDedup(records: DataFrame): DataFrame = {
-    val byUri = Window.partitionBy("target_uri")
-    val w = byUri.orderBy(col("warc_date").desc, col("media_id"), col("record_idx"))
+   * Scale shape: one URI-keyed AGGREGATION over fixed-shape index
+   * rows — max_by over a lexicographic ordering struct plus a count,
+   * never a self-join and never a window: aggregates combine
+   * MAP-SIDE, so a URI fetched millions of times (hot pages across
+   * many snapshots) shrinks to one row per partition before the
+   * shuffle instead of sorting through a single window task — the
+   * same skew-immunity argument as [[revisitResolve]], measured
+   * there at the 200k-shard probe. The ordering struct
+   * (warc_date, -media_id, -record_idx) is unique per row, so the
+   * winner is deterministic. */
+  def urlDedup(records: DataFrame): DataFrame =
     records
-      .filter(lower(col("warc_type")) === "response" && col("target_uri").isNotNull)
-      .withColumn("rank", row_number.over(w))
-      .withColumn("n_fetches", count(lit(1)).over(byUri))
-      .filter(col("rank") === 1)
-      .select(col("target_uri"), col("media_id"), col("record_idx"),
-        col("warc_date"), col("n_fetches"))
-  }
+      .filter(lower(col("warc_type")) === "response" &&
+        col("target_uri").isNotNull)
+      .groupBy("target_uri")
+      .agg(
+        max_by(
+          struct(col("media_id"), col("record_idx"), col("warc_date")),
+          struct(col("warc_date"), (-col("media_id")).as("nm"),
+            (-col("record_idx")).as("nr"))).as("kept"),
+        count(lit(1)).as("n_fetches"))
+      .select(col("target_uri"), col("kept.media_id"),
+        col("kept.record_idx"), col("kept.warc_date"), col("n_fetches"))
 
   /** Resolve WARC `revisit` records to their ORIGINAL captures —
    * Common Crawl dedup semantics: when a recrawl's payload digest

@@ -351,13 +351,22 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("url dedup: one URI-keyed window shuffle, never a self-join") {
+  test("url dedup: ONE map-side-combined aggregation shuffle, never a self-join") {
     audited(graft.ops.Archives.urlDedup(
       graft.ops.Archives.warcRecordTable(spark, Tables.warc(spark)))) { plan =>
       assert(shuffles(plan).size == 1, s"${shuffles(plan).size} shuffles:\n$plan")
       assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty)
       assert(shuffles(plan).forall(_.output.forall(_.name != "media")),
         s"blob column in an exchange:\n$plan")
+      // skew-immunity is structural: a PARTIAL aggregate must sit
+      // below the exchange (hot URIs shrink before the shuffle) —
+      // the window form this replaced sorted everything per key
+      val partialAggs = plan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+            if a.aggregateExpressions.exists(_.mode ==
+              org.apache.spark.sql.catalyst.expressions.aggregate.Partial) => a
+      }
+      assert(partialAggs.nonEmpty, s"no partial aggregate below the exchange:\n$plan")
     }
   }
 
