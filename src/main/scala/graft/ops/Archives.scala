@@ -1648,14 +1648,23 @@ object Archives {
    * override is a window over index rows, NOT walker logic — at
    * corpus scale the resolution shuffles (media_id, obj_num)-keyed
    * 40-byte rows, never the documents. */
-  def pdfObjectTable(spark: SparkSession, media: DataFrame): DataFrame = {
-    val w = Window.partitionBy("media_id", "obj_num").orderBy("section_idx")
+  def pdfObjectTable(spark: SparkSession, media: DataFrame): DataFrame =
     pdfXrefTable(spark, media)
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") === 1 && col("in_use") && col("obj_length").isNotNull)
-      .select(col("media_id"), col("obj_num"), col("gen"), col("offset"),
-        col("entry_kind"), col("obj_type"), col("obj_length"))
-  }
+      // keep-latest = min_by(section_idx), an AGGREGATION rather than
+      // a window: partial combine shrinks each partition to one row
+      // per object before the shuffle and nothing gets sorted —
+      // (media_id, obj_num, section_idx) is unique, so the winner is
+      // deterministic. The in-use/verified filter applies AFTER the
+      // resolution, so an 'f' tombstone in the latest section still
+      // deletes older generations.
+      .groupBy("media_id", "obj_num")
+      .agg(min_by(struct(col("gen"), col("offset"), col("in_use"),
+        col("entry_kind"), col("obj_type"), col("obj_length")),
+        col("section_idx")).as("e"))
+      .filter(col("e.in_use") && col("e.obj_length").isNotNull)
+      .select(col("media_id"), col("obj_num"), col("e.gen"),
+        col("e.offset"), col("e.entry_kind"), col("e.obj_type"),
+        col("e.obj_length"))
 
   /** Extract the shown text of each PDF page — the WET analogue for
    * the PDF family: resolve the xref chain in the partition-local
