@@ -4043,8 +4043,9 @@ object SparkEntry {
          |   CASE WHEN hit THEN rule_type END AS matched_rule,
          |   CASE WHEN hit THEN prefix END AS matched_prefix
          | FROM rjr WHERE rnk = 1""".stripMargin,
-    // q_w18: the PDFWALK re-walk verbatim (startxref scan, /Prev
-    // chain, 20-byte grid, body verification — see its Scaladoc)
+    // q_w18: the PDFWALK re-walk verbatim — classic tables (startxref
+    // scan, /Prev chain, 20-byte grid) AND the 1.5+ xref-stream class
+    // (hex-digit row reads, unhex'd ObjStm members — see its Scaladoc)
     "q_w18_pdf_xref" ->
       s"""WITH RECURSIVE $PDFWALK
          | SELECT media_id, CAST(section_idx AS INT) AS section_idx,
