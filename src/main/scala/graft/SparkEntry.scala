@@ -819,6 +819,12 @@ object SparkEntry {
     // the one-pass page walk
     "q_w30_crawl_candidates" -> ((s, _) =>
       Archives.crawlCandidates(Archives.warcPageTable(s, Tables.warc(s)))),
+    // q_w31: WAT metadata — the third Common Crawl artifact beside
+    // the archive (q_w1) and the text (q_w7): per response the fetch
+    // identity + HTTP envelope + title/anchor-count content signals,
+    // a pure projection over the one-pass page walk
+    "q_w31_wat_metadata" -> ((s, _) =>
+      Archives.watMetadata(Archives.warcPageTable(s, Tables.warc(s)))),
     // q_w22: CDX-style fetch index over `.warc.gz` members — Common
     // Crawl's own index format: per response member the SURT sort key
     // (byte-ordering it clusters a domain's pages → a range scan is a
@@ -3858,6 +3864,30 @@ object SparkEntry {
          |     '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host
          | FROM agg a LEFT JOIN fetched f USING (target_uri)
          | WHERE f.target_uri IS NULL""".stripMargin,
+    // q_w31: wrecs responses LEFT JOINed to the HTTP re-split, with
+    // the same title/anchor regexes over the 200/text bodies
+    "q_w31_wat_metadata" ->
+      s"""WITH RECURSIVE $WARCWALK,
+         | $WARCHTTP,
+         | wat0 AS (
+         |  SELECT w.media_id, w.record_idx, w.target_uri, w.warc_date,
+         |    w.payload_digest, h.http_status, h.content_type,
+         |    CASE WHEN h.http_status = 200
+         |           AND lower(h.content_type) LIKE 'text/html%'
+         |         THEN h.body_text END AS html
+         |  FROM wrecs w LEFT JOIN https h USING (media_id, record_idx)
+         |  WHERE lower(w.warc_type) = 'response'
+         |    AND w.target_uri IS NOT NULL)
+         | SELECT w0.media_id, CAST(w0.record_idx AS INT) AS record_idx,
+         |   w0.target_uri, w0.warc_date, w0.payload_digest,
+         |   w0.http_status, w0.content_type,
+         |   CAST(r.content_length AS BIGINT) AS content_length,
+         |   nullif(trim(regexp_extract(w0.html,
+         |     '(?is)<title[^>]*>([^<]*)</title>', 1)), '') AS title,
+         |   CASE WHEN w0.html IS NOT NULL THEN CAST(len(regexp_extract_all(
+         |     w0.html, '(?i)<a\\s[^>]*href="([^"]*)"', 1)) AS BIGINT)
+         |   END AS n_anchors
+         | FROM wat0 w0 JOIN wrecs r USING (media_id, record_idx)""".stripMargin,
     // q_m34: the decodability CONTRACT replayed from the bytes — a
     // PNG decodes iff intact (the fixture's full PNGs are exactly 948
     // bytes; the cut class keeps the magic but not the body), a WebP

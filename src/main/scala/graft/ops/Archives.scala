@@ -937,6 +937,36 @@ object Archives {
           .as("sitemaps"))
   }
 
+  /** WAT-style metadata table — the third Common Crawl artifact
+   * beside the archive (WARC) and the text (WET): per response
+   * record a compact metadata row a consumer can query WITHOUT
+   * touching payloads — fetch identity (URI, date, digest), the HTTP
+   * envelope (status, Content-Type, declared length; NULL when the
+   * payload isn't a splittable HTTP message), and two cheap content
+   * signals for the 200/textual pages the WET rule carries: the html
+   * `<title>` and the anchor count. Input is the one-pass
+   * [[warcPageTable]] shape.
+   *
+   * Scale shape: pure projection over the page walk — zero
+   * additional exchanges; at corpus scale the WAT table is the
+   * index-sized derivative everything else prioritises with. */
+  def watMetadata(pages: DataFrame): DataFrame = {
+    val title = trim(regexp_extract(col("body_text"),
+      "(?is)<title[^>]*>([^<]*)</title>", 1))
+    val isHtml = col("body_text").isNotNull &&
+      lower(col("content_type")).startsWith("text/html")
+    pages
+      .filter(lower(col("warc_type")) === "response" &&
+        col("target_uri").isNotNull)
+      .select(col("media_id"), col("record_idx"), col("target_uri"),
+        col("warc_date"), col("payload_digest"), col("http_status"),
+        col("content_type"), col("content_length"),
+        when(isHtml && title =!= "", title).as("title"),
+        when(isHtml, size(regexp_extract_all(col("body_text"),
+          lit("(?i)<a\\s[^>]*href=\"([^\"]*)\""), lit(1))).cast("long"))
+          .as("n_anchors"))
+  }
+
   /** Parse sitemap.xml URL entries — the other half of the
    * politeness/coverage loop: robots' `Sitemap:` lines ([[robotsDirectives]])
    * name these documents, and their `<loc>` entries are the
