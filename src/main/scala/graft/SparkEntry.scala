@@ -735,14 +735,27 @@ object SparkEntry {
       val rank = Archives.hostRank(Archives.hostLinkGraph(Archives.linkTable(
         pages.filter(col("body_text").isNotNull &&
           lower(col("content_type")).startsWith("text/html")))))
+      // robots bodies dedup to the LATEST fetch per robots URI before
+      // directive parsing (same keep-latest rule as q_w11/q_w28):
+      // several fetches of one host's robots.txt otherwise interleave
+      // at equal line numbers inside the UA-attribution window and
+      // the winning group would depend on partition order. The latest
+      // fetch is picked among ALL responses for the URI — a final
+      // fetch without a usable body (non-200, non-text) drops the
+      // host rather than resurrecting an older body
       val delays = Archives.robotsDirectives(
         pages.filter(col("target_uri").endsWith("/robots.txt") &&
-            col("body_text").isNotNull)
+            lower(col("warc_type")) === "response")
+          .groupBy("target_uri")
+          .agg(max_by(col("body_text"),
+            struct(col("warc_date"), (-col("media_id")).as("nm"),
+              (-col("record_idx")).as("nr"))).as("body"))
+          .filter(col("body").isNotNull)
           .select(lower(regexp_extract(col("target_uri"),
             "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)).as("host"),
-            col("body_text").as("body")))
+            col("body")))
         .select(col("host"), col("crawl_delay_s"))
-      Archives.urlHostStats(pages)
+      val frontier = Archives.urlHostStats(pages)
         .join(rank, Seq("host"), "left")
         .join(delays, Seq("host"), "left")
         .join(broadcast(Archives.defaultBlockedHosts.toDF("blocked_host")),
@@ -750,6 +763,14 @@ object SparkEntry {
         .select(col("host"), col("rank"), col("n_uris"),
           col("total_content_bytes"), col("crawl_delay_s"),
           col("blocked_host").isNotNull.as("is_blocked"))
+        // materialize the tiny host-level frontier eagerly (rank is
+        // already eager inside hostRank), then RELEASE the page-table
+        // cache: without this every frontier run leaves a
+        // MEMORY_AND_DISK InMemoryRelation of decoded bodies behind
+        // for the rest of the session
+        .localCheckpoint()
+      pages.unpersist()
+      frontier
     }),
     // q_w28: per-host robots DIRECTIVES — Crawl-delay of the `*`
     // group (other groups correctly ignored) and every Sitemap URL

@@ -584,15 +584,23 @@ object Archives {
       .filter(lower(col("warc_type")) === "response" &&
         col("payload_digest").isNotNull)
       .groupBy("payload_digest")
-      // struct ordering is field-by-field: (date, media, member) lead,
-      // so min() picks the EARLIEST capture deterministically
-      .agg(min(struct(
+      // min_by over (date, media, member) picks the EARLIEST capture
+      // deterministically. The ordering coalesces a NULL WARC-Date to
+      // a sentinel ABOVE every ISO 8601 string: Spark struct ordering
+      // sorts NULL fields first while SQL ORDER BY defaults to NULLS
+      // LAST, so without the sentinel a dateless response member
+      // would win here and lose in any SQL consumer of the same rule
+      // — dateless members stay eligible (a digest whose only capture
+      // lacks a date still resolves) but never beat a dated one
+      .agg(min_by(struct(
         col("warc_date").as("orig_date"),
         col("media_id").as("orig_media_id"),
         col("member_idx").as("orig_member_idx"),
         col("target_uri").as("orig_uri"),
         col("member_offset").as("orig_member_offset"),
-        col("member_comp_bytes").as("orig_member_comp_bytes"))).as("o"))
+        col("member_comp_bytes").as("orig_member_comp_bytes")),
+        struct(coalesce(col("warc_date"), lit("￿")).as("d"),
+          col("media_id"), col("member_idx"))).as("o"))
       .select(col("payload_digest"),
         col("o.orig_media_id"), col("o.orig_member_idx"),
         col("o.orig_uri"), col("o.orig_date"),
@@ -1851,13 +1859,18 @@ object Archives {
    * typeflag is neither 'L' nor 'x' — so q_w4 sample grouping sees
    * the full key, never the 100-byte truncation.
    *
-   * Single-IMMEDIATE-override contract: each L/x entry REPLACES any
-   * earlier pending override, and an L with an empty payload or an
-   * x with no (or empty) `path` record replaces it with nothing —
-   * only the entry directly before a member can rename it. GNU tar
-   * and every WebDataset writer emit exactly one override per
-   * member, and this is the contract the lag(1) oracle replays;
-   * TarOverrideEdgeSpec pins the consecutive-override shapes. */
+   * Override layering contract (what GNU tar itself does): an L/x
+   * entry that carries a usable name REPLACES any earlier pending
+   * override; an L with an empty payload or an x whose records have
+   * no (or an empty) `path` key contributes NOTHING and leaves the
+   * earlier pending name in force — so `L(name) → x(mtime only) →
+   * member` renames the member from the L, exactly like GNU tar
+   * applying both headers to the next file. GNU tar and every
+   * WebDataset writer emit exactly one NAMED override per member, so
+   * on real archives (and the fixtures) this is indistinguishable
+   * from the lag(1) single-immediate form the oracle replays; the
+   * layered shapes are pinned by the consecutive-override unit
+   * tests. */
   private[ops] def tarMembers(
       b: Array[Byte]): Seq[(String, Long, Long, Long, String)] = {
     if (b == null) return Nil
@@ -1890,10 +1903,10 @@ object Archives {
             }
             if (typeflag == "L")
               pending = Some(tarString(b, dataOff.toInt, size.toInt))
-                .filter(_.nonEmpty)
+                .filter(_.nonEmpty).orElse(pending)
             else if (typeflag == "x")
               pending = paxPath(b, dataOff.toInt, size.toInt)
-                .filter(_.nonEmpty)
+                .filter(_.nonEmpty).orElse(pending)
             out += ((name, pos.toLong, dataOff, size, typeflag))
             pos = (dataOff + ((size + 511) / 512) * 512).toInt
           }

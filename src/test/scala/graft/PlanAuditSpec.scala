@@ -444,6 +444,26 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("crawl frontier releases the page-table cache after materializing") {
+    // q_w26 persists the one-pass page table for its diamond, then
+    // must UNPERSIST it once the tiny host-level frontier is
+    // materialized — a leaked MEMORY_AND_DISK InMemoryRelation of
+    // decoded bodies would otherwise pressure executor storage for
+    // the rest of a long session. Detection is behavioural: if the
+    // cache were still live, Spark's cache manager would substitute
+    // an InMemoryTableScan into ANY later plan containing the same
+    // page-table subtree (q_w24 does).
+    spark.catalog.clearCache()
+    val frontier = graft.SparkEntry.queries("q_w26_crawl_frontier")(spark, sf)
+    assert(frontier.count() > 0)
+    val later = graft.SparkEntry.queries("q_w24_host_graph")(spark, sf)
+    val cachedScans = later.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s
+    }
+    assert(cachedScans.isEmpty,
+      s"page-table cache leaked past q_w26:\n${later.queryExecution.executedPlan}")
+  }
+
   test("image dhash: decode is map-side; the pair join ships 7-int signatures only") {
     audited(graft.ops.ImageHash.dhashTable(spark, Tables.imagedup(spark))) { plan =>
       assert(shuffles(plan).isEmpty, s"${shuffles(plan).size} shuffles:\n$plan")

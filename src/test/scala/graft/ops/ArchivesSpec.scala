@@ -509,10 +509,13 @@ class ArchivesSpec extends SparkSpec {
     assert(walked.map(_._1) == Seq("././@LongLink", "short.txt"))
   }
 
-  test("consecutive overrides: only the IMMEDIATELY preceding entry renames") {
-    // single-immediate-override contract (matches the lag(1) oracle):
-    // each L/x entry replaces any earlier pending override, and an
-    // override with no usable name replaces it with NOTHING.
+  test("consecutive overrides: layered like GNU tar — a nameless entry keeps the pending name") {
+    // layering contract (what GNU tar does): a NAMED L/x entry
+    // replaces any earlier pending override; a nameless one (empty L,
+    // x without a path record) contributes nothing and leaves the
+    // earlier pending name in force. Real writers emit exactly one
+    // named override per member, so the lag(1) oracle form agrees on
+    // every real archive and on the fixtures.
     def longL(name: String): (Array[Byte], Array[Byte]) = {
       val p = (name + "\u0000").getBytes("US-ASCII")
       (TarFixture.header("././@LongLink", p.length.toLong, 'L'.toByte), p)
@@ -537,10 +540,12 @@ class ArchivesSpec extends SparkSpec {
     // L then x-with-path: the x wins (it is the immediate predecessor)
     assert(finalName(longL("from-L.txt"),
       paxX(TarFixture.paxRecord("from-x.txt"))) == "from-x.txt")
-    // L then x WITHOUT a path: the x clears the L's pending override
-    assert(finalName(longL("from-L.txt"), paxX("14 mtime=12345\n")) == "own.txt")
-    // L then EMPTY L: the empty override clears the first
-    assert(finalName(longL("from-L.txt"), longL("")) == "own.txt")
+    // L then x WITHOUT a path: the x layers (GNU tar applies both —
+    // the name from the L, the pax records from the x)
+    assert(finalName(longL("from-L.txt"), paxX("14 mtime=12345\n"))
+      == "from-L.txt")
+    // L then EMPTY L: the degenerate second entry contributes nothing
+    assert(finalName(longL("from-L.txt"), longL("")) == "from-L.txt")
     // x then L: the L wins
     assert(finalName(paxX(TarFixture.paxRecord("from-x.txt")),
       longL("from-L.txt")) == "from-L.txt")
