@@ -140,6 +140,131 @@ class Vp8lSpec extends SparkSpec {
     assert(px.toSeq == Seq(gray(10), gray(10), gray(30), gray(10)))
   }
 
+  // ---------- real-encoder round trips (Vp8lEncoder) ----------
+  // the fixture's frozen 25-bit literal layout exists for the DuckDB
+  // oracle; these streams are the shapes `cwebp -lossless` emits
+
+  import graft.tools.Vp8lEncoder
+  import graft.tools.Vp8lEncoder.{ColorTf, Plan, PredictorTf, SubGreenTf}
+
+  /** Deterministic "photo-ish" test image: smooth gradients plus
+   * splitmix noise, so predictors leave small-but-nonzero residuals
+   * and LZ77 finds genuine runs. */
+  private def testImage(w: Int, h: Int, seed: Long): Array[Int] =
+    Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      var z = seed + i * 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      val n = ((z ^ (z >>> 31)) & 0x0f).toInt
+      val r = (x * 3 + n) & 0xff
+      val g = (y * 5 + (n >> 1)) & 0xff
+      val b = ((x + y) * 2 + n) & 0xff
+      (0xff << 24) | (r << 16) | (g << 8) | b
+    }
+
+  private def roundTrip(px: Array[Int], w: Int, h: Int, plan: Plan,
+      label: String): Unit = {
+    val got = Vp8l.decode(Vp8lEncoder.encode(px, w, h, plan))
+    assert(got.isDefined, s"$label did not decode")
+    val (gw, gh, gpx) = got.get
+    assert(gw == w && gh == h, s"$label dims")
+    var i = 0
+    while (i < px.length) {
+      assert(gpx(i) == px(i),
+        f"$label pixel ${i % w},${i / w}: got ${gpx(i)}%08x want ${px(i)}%08x")
+      i += 1
+    }
+  }
+
+  test("LZ77 backreferences round-trip: dist-1/dist-w/dist-(w+1) runs with extra bits") {
+    // constant 2x2 cells → every row has dist-1 runs and every second
+    // row is a full dist-w copy (length 18 = prefix code 8 + 1 extra
+    // bit), so the length/distance extra-bit machinery is exercised
+    for (id <- Seq(5L, 13L)) {
+      val px = Array.tabulate(ImageDupFixture.W * ImageDupFixture.H) { i =>
+        val v = ImageDupFixture.cell(id, (i % ImageDupFixture.W) / 2,
+          (i / ImageDupFixture.W) / 2)
+        (255 << 24) | (v << 16) | (v << 8) | v
+      }
+      roundTrip(px, ImageDupFixture.W, ImageDupFixture.H,
+        Plan(useLz77 = true), s"lz77 id=$id")
+    }
+    // a long flat span forces a >3000 length (code 23, 10 extra bits)
+    val flat = Array.fill(64 * 64)(0xff336699)
+    roundTrip(flat, 64, 64, Plan(useLz77 = true), "lz77 long-run")
+  }
+
+  test("all 14 predictor modes round-trip (8x8 blocks, one mode per block)") {
+    val (w, h) = (64, 64)
+    val px = testImage(w, h, seed = 17L)
+    roundTrip(px, w, h, Plan(
+      transforms = Seq(PredictorTf(3, (bx, by) => (bx + 8 * by) % 14)),
+      useLz77 = false), "predictor all-modes")
+  }
+
+  test("cross-color transform round-trips (per-block signed 3.5 deltas)") {
+    val (w, h) = (40, 24)
+    val px = testImage(w, h, seed = 23L)
+    roundTrip(px, w, h, Plan(
+      transforms = Seq(ColorTf(3,
+        (bx, by) => ((bx * 37 + 1) & 0xff, (by * 91 + 5) & 0xff,
+          ((bx ^ by) * 53) & 0xff))),
+      useLz77 = false), "cross-color")
+  }
+
+  test("the full cwebp shape round-trips: sub-green + predictor + cross-color + cache + LZ77 + meta groups") {
+    val (w, h) = (48, 32)
+    val px = testImage(w, h, seed = 41L)
+    roundTrip(px, w, h, Plan(
+      transforms = Seq(SubGreenTf,
+        PredictorTf(2, (bx, by) => (3 * bx + by) % 14),
+        ColorTf(3, (bx, by) => ((bx * 19) & 0xff, (by * 11) & 0xff, 7))),
+      cacheBits = 4, useLz77 = true, metaBits = 2, metaGroups = 3),
+      "full combo")
+    // transform order matters (inverses apply in reverse): flip it
+    roundTrip(px, w, h, Plan(
+      transforms = Seq(PredictorTf(3, (_, _) => 11), SubGreenTf),
+      cacheBits = 2, useLz77 = true), "reverse order")
+  }
+
+  test("fixture twins through the REAL backref+predictor path hash identically to PNG siblings") {
+    for (id <- Seq(5L, 13L, 21L, 29L)) {
+      val px = Array.tabulate(ImageDupFixture.W * ImageDupFixture.H) { i =>
+        val v = ImageDupFixture.cell(id, (i % ImageDupFixture.W) / 2,
+          (i / ImageDupFixture.W) / 2)
+        (255 << 24) | (v << 16) | (v << 8) | v
+      }
+      val realWebp = Vp8lEncoder.encode(px, ImageDupFixture.W,
+        ImageDupFixture.H, Plan(
+          transforms = Seq(SubGreenTf, PredictorTf(2, (_, _) => 2)),
+          cacheBits = 3, useLz77 = true))
+      val webp = ImageHash.dhashBands(realWebp)
+      val png = ImageHash.dhashBands(ImageDupFixture.png(id))
+      assert(webp.isDefined && png.isDefined, s"id=$id")
+      assert(webp.get._3.toSeq == png.get._3.toSeq, s"id=$id bands")
+      assert((webp.get._1, webp.get._2) == (png.get._1, png.get._2), s"id=$id dims")
+    }
+  }
+
+  test("plane-code distance table: 120 distinct near-pixel codes with the spec anchors") {
+    assert(Vp8l.PlaneCodes.length == 120)
+    assert(Vp8l.PlaneCodes.distinct.length == 120)
+    val w = 100
+    assert(Vp8l.planeDist(1, w) == w)      // directly above
+    assert(Vp8l.planeDist(2, w) == 1)      // left
+    assert(Vp8l.planeDist(3, w) == w + 1)  // above-left
+    assert(Vp8l.planeDist(4, w) == w - 1)  // above-right
+    // every near code addresses a pixel within 8 rows/columns
+    for (k <- 1 to 120) {
+      val d = Vp8l.PlaneCodes(k - 1)
+      assert((d >> 4) <= 7 && (8 - (d & 0xf)) >= -7, s"code $k")
+      assert(Vp8l.planeDist(k, w) >= 1, s"code $k dist")
+    }
+    assert(Vp8l.planeDist(121, w) == 1)    // scan-line distances
+    assert(Vp8l.planeDist(320, w) == 200)
+  }
+
   test("vp8l tolerance: lossy stubs, truncation, bit flips and fuzz never throw") {
     // the lossy-VP8 container is NOT claimed (no lossy decoder here)
     assert(Vp8l.decode(ImageDupFixture.vp8LossyStub(7L)).isEmpty)
@@ -149,16 +274,28 @@ class Vp8lSpec extends SparkSpec {
     // truncations at every framing boundary claim nothing
     for (cut <- Seq(4, 12, 19, 21, 40, good.length - 3))
       assert(Vp8l.decode(good.take(cut)).isEmpty, s"cut=$cut")
-    // random fuzz + seeded bit flips: total, never a throw
+    // random fuzz + seeded bit flips: total, never a throw — over the
+    // fixture stream AND a real-path stream carrying every feature
+    // (transforms, cache, LZ77, meta groups)
+    val combo = graft.tools.Vp8lEncoder.encode(
+      testImage(48, 32, seed = 41L), 48, 32, graft.tools.Vp8lEncoder.Plan(
+        transforms = Seq(SubGreenTf,
+          PredictorTf(2, (bx, by) => (3 * bx + by) % 14),
+          ColorTf(3, (bx, by) => ((bx * 19) & 0xff, (by * 11) & 0xff, 7))),
+        cacheBits = 4, useLz77 = true, metaBits = 2, metaGroups = 3))
+    for (cut <- Seq(4, 12, 19, 21, 25, 40, combo.length / 2, combo.length - 3))
+      Vp8l.decode(combo.take(cut)) // truncation at any depth: no throw
     val rnd = new scala.util.Random(43)
     for (_ <- 0 until 300) {
       val b = new Array[Byte](rnd.nextInt(400))
       rnd.nextBytes(b)
       Vp8l.decode(b)
-      val flipped = good.clone()
-      flipped(rnd.nextInt(flipped.length)) =
-        (flipped(rnd.nextInt(flipped.length)) ^ (1 << rnd.nextInt(8))).toByte
-      Vp8l.decode(flipped) // may decode to different pixels, must not throw
+      for (base <- Seq(good, combo)) {
+        val flipped = base.clone()
+        flipped(rnd.nextInt(flipped.length)) =
+          (flipped(rnd.nextInt(flipped.length)) ^ (1 << rnd.nextInt(8))).toByte
+        Vp8l.decode(flipped) // may decode to different pixels, must not throw
+      }
     }
   }
 
