@@ -825,21 +825,26 @@ object SparkEntry {
     // (the fixture's lossy-WebP stubs show up as the 0% line)
     "q_m34_decode_coverage" -> ((s, _) =>
       ImageHash.decodeCoverage(s, Tables.imagedup(s))),
-    // q_w29: sitemap.xml URL entries — the operator-DECLARED page
-    // list the robots Sitemap lines (q_w28) point at: per <url> block
-    // (host, loc, lastmod), off the same one-pass page walk; a
-    // frontier merges these with link-derived candidates (sitemaps
-    // surface pages the link graph never reaches)
+    // q_w29: sitemap URL entries — the operator-DECLARED page list:
+    // documents discovered through robots `Sitemap:` lines (ARBITRARY
+    // URLs, q_w28's channel) and the well-known /sitemap.xml path,
+    // with one level of <sitemapindex> recursion and gzipped .xml.gz
+    // bodies inflated in the page walk; per <url> block
+    // (host, loc, lastmod). The input unions the plain-WARC shards
+    // with the sitemap-protocol fixture (robots-declared index + gz
+    // children + an undeclared rogue urlset that must NOT surface)
     "q_w29_sitemap_urls" -> ((s, _) =>
-      Archives.sitemapUrls(Archives.warcPageTable(s, Tables.warc(s)))),
+      Archives.sitemapUrls(Archives.warcPageTable(s,
+        Tables.warc(s).unionByName(Tables.warcsm(s))))),
     // q_w30: CRAWL CANDIDATES — "what to fetch next": sitemap-
     // declared pages ∪ link-discovered pages, LEFT ANTI joined
     // against everything the crawl already fetched; per candidate
     // its host, in_sitemap flag, in-link count and declared lastmod.
     // One URI-keyed agg + one anti-join over URI index rows, all off
-    // the one-pass page walk
+    // the one-pass page walk (same combined shard set as q_w29)
     "q_w30_crawl_candidates" -> ((s, _) =>
-      Archives.crawlCandidates(Archives.warcPageTable(s, Tables.warc(s)))),
+      Archives.crawlCandidates(Archives.warcPageTable(s,
+        Tables.warc(s).unionByName(Tables.warcsm(s))))),
     // q_w31: WAT metadata — the third Common Crawl artifact beside
     // the archive (q_w1) and the text (q_w7): per response the fetch
     // identity + HTTP envelope + title/anchor-count content signals,
@@ -1919,6 +1924,40 @@ object SparkEntry {
        |    coalesce(array_to_string(list_sort(list_distinct(
        |      list(sm) FILTER (sm IS NOT NULL))), ','), '') AS sitemaps
        |  FROM rdg GROUP BY host)""".stripMargin
+
+  /** Shared DuckDB CTE body (no WITH): the SitemapFixture id
+   * contract — DuckDB cannot inflate the fixture's `.xml.gz`
+   * children, so the rows the engine derives from the bytes are
+   * reconstructed from the same arithmetic the fixture uses (the
+   * WARCGZREC pattern). Ends in `smp` (pages-sitemap entries), `smg`
+   * (gz-sitemap entries) and `smfetched` (every URI the fixture's
+   * shards fetched). The rogue undeclared urlset's entries are
+   * deliberately ABSENT — trust only declared/well-known/child
+   * documents. */
+  private def SMCONTRACT: String =
+    s"""smf AS (
+       |  SELECT DISTINCT media_id % 3 AS hh
+       |  FROM read_parquet('${Tables.warcsmFixturePath}')
+       |  WHERE media_id % 5 <> 4),
+       | smp AS (
+       |  SELECT 'smap' || hh || '.example.org' AS host,
+       |    'https://smap' || hh || '.example.org/p/a' || hh || '_' || k AS loc,
+       |    '2025-0' || (hh + 1) || '-1' || k AS lastmod
+       |  FROM smf, generate_series(0, 2) t(k)),
+       | smg AS (
+       |  SELECT 'smap' || hh || '.example.org' AS host,
+       |    'https://smap' || hh || '.example.org/p/gz' || hh || '_' || k AS loc,
+       |    CASE WHEN k = 0 THEN '2025-09-0' || (hh + 1) END AS lastmod
+       |  FROM smf, generate_series(0, 1) t(k)),
+       | smfetched AS (
+       |  SELECT unnest(['https://smap' || hh || '.example.org/robots.txt',
+       |    'https://smap' || hh || '.example.org/maps/index-' || hh || '.xml',
+       |    'https://smap' || hh || '.example.org/maps/pages-' || hh || '.xml',
+       |    'https://smap' || hh || '.example.org/maps/extra-' || hh || '.xml.gz',
+       |    'https://smap' || hh || '.example.org/maps/rogue-' || hh || '.xml',
+       |    'https://smap' || hh || '.example.org/p/a' || hh || '_0'])
+       |    AS target_uri
+       |  FROM smf)""".stripMargin
 
   /** One unrolled fixed-point PageRank step (q_w25): pr`i` from
    * pr`i-1` — contribution sum uses integer division exactly where
@@ -3826,7 +3865,13 @@ object SparkEntry {
          | FROM im_bands b LEFT JOIN im_cl c ON c.doc_id = b.media_id
          | WHERE c.cluster IS NULL OR c.cluster = b.media_id""".stripMargin,
     // q_w29: the same <url>-block explode over the WET rows the
-    // WARCWALK+WARCHTTP re-walk yields for /sitemap.xml fetches
+    // WARCWALK+WARCHTTP re-walk yields for the plain shards' sitemap
+    // fetches (there, robots-declared and well-known coincide), plus
+    // the sitemap-protocol fixture's rows reconstructed from the
+    // SitemapFixture id contract — DuckDB cannot inflate the .xml.gz
+    // children, so like WARCGZREC the SQL re-derives what the
+    // compressed bytes hide (the rogue undeclared urlset is correctly
+    // ABSENT from the contract)
     "q_w29_sitemap_urls" ->
       s"""WITH RECURSIVE $WARCWALK,
          | $WARCHTTP,
@@ -3840,13 +3885,17 @@ object SparkEntry {
          |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host,
          |    unnest(regexp_extract_all(body_text,
          |      '(?s)<url>(.*?)</url>', 1)) AS block
-         |  FROM sm0)
-         | SELECT DISTINCT host,
-         |   regexp_extract(block, '<loc>([^<]*)</loc>', 1) AS loc,
-         |   nullif(regexp_extract(block,
-         |     '<lastmod>([^<]*)</lastmod>', 1), '') AS lastmod
-         | FROM sm1
-         | WHERE regexp_extract(block, '<loc>([^<]*)</loc>', 1) <> ''""".stripMargin,
+         |  FROM sm0),
+         | $SMCONTRACT
+         | SELECT DISTINCT host, loc, lastmod FROM (
+         |  SELECT host,
+         |    regexp_extract(block, '<loc>([^<]*)</loc>', 1) AS loc,
+         |    nullif(regexp_extract(block,
+         |      '<lastmod>([^<]*)</lastmod>', 1), '') AS lastmod
+         |  FROM sm1
+         |  WHERE regexp_extract(block, '<loc>([^<]*)</loc>', 1) <> ''
+         |  UNION ALL SELECT host, loc, lastmod FROM smp
+         |  UNION ALL SELECT host, loc, lastmod FROM smg) u""".stripMargin,
     // q_w30: sitemap entries (q_w29's chain) ∪ resolved links
     // (LINKGRAPH's rs), URI-grouped, anti-joined to fetched URIs
     "q_w30_crawl_candidates" ->
@@ -3869,8 +3918,11 @@ object SparkEntry {
          |      '<lastmod>([^<]*)</lastmod>', 1), '') AS lastmod
          |  FROM smc1
          |  WHERE regexp_extract(block, '<loc>([^<]*)</loc>', 1) <> ''),
+         | $SMCONTRACT,
          | cand AS (
          |  SELECT loc AS target_uri, lastmod, 1 AS sm, 0 AS lk FROM smu
+         |  UNION ALL SELECT loc, lastmod, 1, 0 FROM smp
+         |  UNION ALL SELECT loc, lastmod, 1, 0 FROM smg
          |  UNION ALL
          |  SELECT link, NULL, 0, 1 FROM rs WHERE link IS NOT NULL),
          | agg AS (
@@ -3879,7 +3931,8 @@ object SparkEntry {
          |  FROM cand GROUP BY target_uri),
          | fetched AS (
          |  SELECT DISTINCT target_uri FROM wrecs
-         |  WHERE lower(warc_type) = 'response' AND target_uri IS NOT NULL)
+         |  WHERE lower(warc_type) = 'response' AND target_uri IS NOT NULL
+         |  UNION SELECT target_uri FROM smfetched)
          | SELECT a.target_uri, a.in_sitemap, a.n_inlinks, a.lastmod,
          |   lower(regexp_extract(a.target_uri,
          |     '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host

@@ -242,6 +242,19 @@ object Tables {
   }
   def warc(spark: SparkSession): DataFrame = spark.read.parquet(warcFixturePath)
 
+  /** warcsm(media_id BIGINT, mime_type STRING, media BINARY) —
+   * repo-local deterministic sitemap-protocol WARC fixture
+   * (tools.SitemapFixture: robots-DECLARED sitemap index files,
+   * `<sitemapindex>` recursion, gzipped `.xml.gz` children, a rogue
+   * undeclared urlset; plus junk rows). Separate from warc.parquet
+   * because the gz bodies are binary and the plain-WARC oracle
+   * decodes whole blobs as UTF-8. */
+  def warcsmFixturePath: String = {
+    val local = new java.io.File("fixtures/warcsm.parquet")
+    if (local.exists) local.getAbsolutePath else "/root/repo/fixtures/warcsm.parquet"
+  }
+  def warcsm(spark: SparkSession): DataFrame = spark.read.parquet(warcsmFixturePath)
+
   /** imagedup(media_id BIGINT, mime_type STRING, media BINARY) —
    * repo-local deterministic near-duplicate image fixture
    * (tools.ImageDupFixture: real 18×16 stored-zlib truecolor PNGs,

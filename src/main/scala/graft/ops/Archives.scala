@@ -482,14 +482,94 @@ object Archives {
                     (cLen - bodyRel).toInt,
                     java.nio.charset.StandardCharsets.ISO_8859_1)
               }
+              // gzip-wrapped MARKUP bodies (the sitemap.xml.gz shape):
+              // 200-status payloads sniffing RFC 1952 magic inflate
+              // capped, gated on the inflated prefix opening with '<'
+              // so arbitrary .tar.gz downloads are abandoned after one
+              // chunk — text/* bodies never take this path
+              val gzBody = http.collect {
+                case (200, bodyRel, ct)
+                    if !ct.exists(_.toLowerCase.startsWith("text/")) =>
+                  gunzipMarkupCapped(r.media, (cOff + bodyRel).toInt,
+                    (cLen - bodyRel).toInt, GzBodyCap)
+              }.flatten
               (r.media_id, i, off, cOff, cLen, wtype, uri, date, digest,
-                http.map(_._1), http.flatMap(_._3), body)
+                http.map(_._1), http.flatMap(_._3), body, gzBody)
           }
         }
       }
       .toDF("media_id", "record_idx", "offset", "content_offset",
         "content_length", "warc_type", "target_uri", "warc_date",
-        "payload_digest", "http_status", "content_type", "body_text")
+        "payload_digest", "http_status", "content_type", "body_text",
+        "body_gz_text")
+  }
+
+  /** Inflated-body cap for gzip-wrapped markup payloads — the
+   * sitemaps protocol caps one sitemap at 50 MB uncompressed; this
+   * keeps a hostile tiny-gz-bomb member from ballooning a task. */
+  private val GzBodyCap = 8 << 20
+
+  /** Inflate ONE RFC 1952 gzip member when its inflated prefix opens
+   * with '<' (markup — the sitemap.xml.gz / compressed-XML shape),
+   * else None: non-markup gzip payloads (tarballs, downloads) cost
+   * one 8 KiB chunk of inflation, never the full body. Tolerant:
+   * corrupt headers, truncation, DataFormatException, a cap overrun
+   * all claim nothing. */
+  private[ops] def gunzipMarkupCapped(
+      b: Array[Byte], off: Int, len: Int, cap: Int): Option[String] = {
+    val end = off + len
+    if (len < 18 || (b(off) & 0xff) != 0x1f || (b(off + 1) & 0xff) != 0x8b ||
+        b(off + 2) != 8) return None
+    val flg = b(off + 3) & 0xff
+    var p = off + 10 // past MTIME(4) + XFL + OS
+    if ((flg & 0x04) != 0 && p + 2 <= end)
+      p = p + 2 + ((b(p) & 0xff) | ((b(p + 1) & 0xff) << 8))
+    if ((flg & 0x08) != 0) { while (p < end && b(p) != 0) p += 1; p += 1 }
+    if ((flg & 0x10) != 0) { while (p < end && b(p) != 0) p += 1; p += 1 }
+    if ((flg & 0x02) != 0) p += 2
+    if (p >= end) return None
+    val inf = new java.util.zip.Inflater(true)
+    try {
+      inf.setInput(b, p, end - p)
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var first = true
+      while (!inf.finished()) {
+        val n =
+          try inf.inflate(buf)
+          catch { case _: java.util.zip.DataFormatException => return None }
+        if (n == 0) {
+          if (!inf.finished()) return None // truncated / needs dictionary
+        } else {
+          if (first) {
+            var q = 0
+            while (q < n && (buf(q) == ' ' || buf(q) == '\t' ||
+                buf(q) == '\r' || buf(q) == '\n')) q += 1
+            if (q >= n || buf(q) != '<') return None
+            first = false
+          }
+          out.write(buf, 0, n)
+          if (out.size > cap) return None
+        }
+      }
+      if (first) return None // empty member
+      // trailer check (RFC 1952): CRC32 + ISIZE must be present and
+      // match — a truncated or bit-rotted member claims nothing even
+      // when the deflate stream happens to terminate cleanly
+      val tEnd = p + inf.getBytesRead.toInt + 8
+      if (tEnd > end) return None
+      val raw = out.toByteArray
+      val isize = (b(tEnd - 4) & 0xffL) | ((b(tEnd - 3) & 0xffL) << 8) |
+        ((b(tEnd - 2) & 0xffL) << 16) | ((b(tEnd - 1) & 0xffL) << 24)
+      if (isize != (raw.length.toLong & 0xffffffffL)) return None
+      val crc = new java.util.zip.CRC32()
+      crc.update(raw)
+      val want = (b(tEnd - 8) & 0xffL) | ((b(tEnd - 7) & 0xffL) << 8) |
+        ((b(tEnd - 6) & 0xffL) << 16) | ((b(tEnd - 5) & 0xffL) << 24)
+      if (crc.getValue != want) return None
+      Some(new String(raw, java.nio.charset.StandardCharsets.ISO_8859_1))
+    } catch { case _: Exception => None }
+    finally inf.end()
   }
 
   /** Host-level corpus statistics over a WARC record table (q_w1's
@@ -975,36 +1055,91 @@ object Archives {
           .as("n_anchors"))
   }
 
-  /** Parse sitemap.xml URL entries — the other half of the
-   * politeness/coverage loop: robots' `Sitemap:` lines ([[robotsDirectives]])
-   * name these documents, and their `<loc>` entries are the
-   * operator-DECLARED page list a frontier merges with link-derived
-   * candidates (sitemaps surface pages the link graph never reaches).
-   * Input rows carry `target_uri` + `body_text` (the page-table/WET
-   * shape); per `<url>` block one row (host, loc, lastmod — NULL when
-   * the block has none), deduped across the shards that fetched the
-   * same sitemap.
-   *
-   * Scale shape: map-side regex explode + one distinct over
-   * (host, loc, lastmod) index rows — sitemaps are KiBs-to-MBs per
-   * host, tiny next to the page table they seed. */
-  def sitemapUrls(pages: DataFrame): DataFrame =
-    sitemapUrlLines(pages).distinct()
+  /** Sitemap-DOCUMENT candidate rows: pages whose body (plain text or
+   * the inflated `.xml.gz` shape) opens as `<urlset>`/`<sitemapindex>`
+   * after an optional XML prolog. Pure map-side filter — the result
+   * is KiBs-to-MBs per host, tiny next to the page table. */
+  private def sitemapDocs(pages: DataFrame): DataFrame =
+    pages
+      .filter(col("target_uri").isNotNull)
+      .select(col("target_uri"),
+        coalesce(col("body_text"), col("body_gz_text")).as("sm_body"))
+      .filter(col("sm_body").isNotNull && col("sm_body")
+        .rlike("(?s)^\\s*(<\\?xml[^>]*>\\s*)?<(urlset|sitemapindex)[\\s>]"))
 
-  /** STATELESS per-fetch sitemap parse — [[sitemapUrls]] without the
-   * cross-shard distinct, so it runs unchanged on a file-source
-   * stream in append mode (the batch-equivalence face
-   * ShardListStreamSpec pins, same split as robotsRuleLines /
-   * robotsRules). */
-  def sitemapUrlLines(pages: DataFrame): DataFrame = {
+  /** Every `Sitemap:` URL declared by a robots.txt fetch — the
+   * sitemaps protocol's discovery channel (the URLs are arbitrary,
+   * NOT the well-known path). Map-side line explode, same regex as
+   * [[robotsDirectives]]. */
+  private def robotsSitemapUris(pages: DataFrame): DataFrame =
+    pages
+      .filter(col("target_uri").endsWith("/robots.txt") &&
+        col("body_text").isNotNull)
+      .select(explode(split(col("body_text"), "\n")).as("line"))
+      .select(trim(regexp_extract(col("line"),
+        "(?i)^[ \\t]*sitemap[ \\t]*:[ \\t]*(\\S+)", 1)).as("target_uri"))
+      .filter(col("target_uri") =!= "")
+
+  /** The ACCEPTED sitemap-document URI set — protocol-faithful
+   * discovery: a document counts as a sitemap when (a) a robots.txt
+   * `Sitemap:` line declares it (arbitrary URL), (b) it sits at the
+   * well-known `/sitemap.xml` path, or (c) a level-(a|b)
+   * `<sitemapindex>` lists it in a `<sitemap><loc>` block (ONE level
+   * of recursion — what the protocol's files-of-files shape needs;
+   * deeper nesting is out of contract). Sitemap-LOOKING documents at
+   * undeclared URIs are NOT trusted.
+   *
+   * Scale shape: the declared set and the sniffed document set are
+   * both host-scale (tiny next to the page table); the level-0 semi
+   * join and the child-URI distinct exchange bare URI strings. */
+  def sitemapAcceptedUris(pages: DataFrame): DataFrame = {
+    val docs = sitemapDocs(pages)
+    val level0 = robotsSitemapUris(pages)
+      .unionByName(docs.filter(col("target_uri").endsWith("/sitemap.xml"))
+        .select("target_uri"))
+      .distinct()
+    val children = docs
+      .join(level0, Seq("target_uri"), "left_semi")
+      .select(explode(regexp_extract_all(col("sm_body"),
+        lit("(?s)<sitemap>(.*?)</sitemap>"), lit(1))).as("blk"))
+      .select(trim(regexp_extract(col("blk"),
+        "<loc>([^<]*)</loc>", 1)).as("target_uri"))
+      .filter(col("target_uri") =!= "")
+    level0.unionByName(children).distinct()
+  }
+
+  /** Parse sitemap URL entries — the other half of the
+   * politeness/coverage loop: robots' `Sitemap:` lines ([[robotsDirectives]])
+   * and the well-known path name these documents (gzipped `.xml.gz`
+   * bodies inflate in the page walk; `<sitemapindex>` files recurse
+   * one level via [[sitemapAcceptedUris]]), and their `<loc>` entries
+   * are the operator-DECLARED page list a frontier merges with
+   * link-derived candidates (sitemaps surface pages the link graph
+   * never reaches). Input rows carry `target_uri` + `body_text` +
+   * `body_gz_text` (the page-table shape); per `<url>` block one row
+   * (host, loc, lastmod — NULL when the block has none), deduped
+   * across the shards that fetched the same sitemap.
+   *
+   * Scale shape: map-side sniff + regex explode, the acceptance semi
+   * join over host-scale URI sets, and one distinct over
+   * (host, loc, lastmod) index rows. */
+  def sitemapUrls(pages: DataFrame): DataFrame =
+    sitemapUrlLines(pages, sitemapAcceptedUris(pages)).distinct()
+
+  /** Per-fetch sitemap parse against a GIVEN accepted-URI set —
+   * [[sitemapUrls]] without the cross-shard distinct and with the
+   * discovery precomputed, so it runs unchanged on a file-source
+   * stream in append mode (a stream-static semi join; the
+   * batch-equivalence face ShardListStreamSpec pins, same split as
+   * robotsRuleLines / robotsRules). */
+  def sitemapUrlLines(pages: DataFrame, acceptedUris: DataFrame): DataFrame = {
     val lastmod = regexp_extract(col("block"),
       "<lastmod>([^<]*)</lastmod>", 1)
-    pages
-      .filter(col("target_uri").endsWith("/sitemap.xml") &&
-        col("body_text").isNotNull)
+    sitemapDocs(pages)
+      .join(acceptedUris, Seq("target_uri"), "left_semi")
       .select(lower(regexp_extract(col("target_uri"),
         "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)).as("host"),
-        explode(regexp_extract_all(col("body_text"),
+        explode(regexp_extract_all(col("sm_body"),
           lit("(?s)<url>(.*?)</url>"), lit(1))).as("block"))
       .select(col("host"),
         regexp_extract(col("block"), "<loc>([^<]*)</loc>", 1).as("loc"),

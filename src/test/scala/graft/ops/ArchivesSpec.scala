@@ -1,5 +1,7 @@
 package graft.ops
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 import graft.tools.{TarFixture, WarcFixture, ZipFixture}
 
@@ -724,6 +726,82 @@ class ArchivesSpec extends SparkSpec {
     assert(got("h.example.org") ==
       ((Some(2L), "https://h.example.org/a.xml,https://h.example.org/b.xml")))
     assert(got("i.example.org") == ((None, "https://i.example.org/s.xml")))
+  }
+
+  test("sitemap discovery: robots-declared + well-known + one-level index recursion; rogue and gz shapes") {
+    import spark.implicits._
+    import graft.tools.SitemapFixture
+    // two protocol-fixture shards (hosts smap0/smap1) + one plain
+    // shard (well-known /sitemap.xml path, robots-declared too)
+    val media = (Seq(0L, 1L).map(id => (id, SitemapFixture.row(id))) ++
+      Seq((50L, WarcFixture.row(8L))))
+      .map { case (id, (mime, bytes)) => (id, mime, bytes) }
+      .toDF("media_id", "mime_type", "media")
+    val pages = Archives.warcPageTable(spark, media)
+    // the gz child's body inflates in the page walk
+    val gzRows = pages.filter(col("target_uri").endsWith(".xml.gz"))
+      .select("body_text", "body_gz_text")
+      .as[(Option[String], Option[String])].collect()
+    assert(gzRows.length == 2)
+    assert(gzRows.forall(_._1.isEmpty), "gz body must not be WET text")
+    assert(gzRows.forall(r => r._2.exists(_.contains("<urlset"))))
+    // acceptance: declared index + its two children + the plain
+    // shard's well-known path; the rogue urlset is NOT trusted
+    val accepted = Archives.sitemapAcceptedUris(pages)
+      .as[String].collect().toSet
+    for (hh <- Seq(0L, 1L)) {
+      assert(accepted(s"https://smap$hh.example.org/maps/index-$hh.xml"))
+      assert(accepted(s"https://smap$hh.example.org/maps/pages-$hh.xml"))
+      assert(accepted(s"https://smap$hh.example.org/maps/extra-$hh.xml.gz"))
+      assert(!accepted(s"https://smap$hh.example.org/maps/rogue-$hh.xml"))
+    }
+    assert(accepted("https://data3.example.org/sitemap.xml"))
+    // url entries: 3 plain + 2 gz per smap host, 3 for the data host;
+    // rogue entries absent; the gz k=1 entry carries NULL lastmod
+    val urls = Archives.sitemapUrls(pages)
+      .as[(String, String, Option[String])].collect()
+    assert(urls.count(_._1 == "smap0.example.org") == 5)
+    assert(urls.count(_._1 == "smap1.example.org") == 5)
+    assert(urls.count(_._1 == "data3.example.org") == 3)
+    assert(!urls.exists(_._2.contains("rogue")))
+    assert(urls.filter(_._2 == SitemapFixture.gzLoc(0, 1))
+      .forall(_._3.isEmpty))
+    assert(urls.filter(_._2 == SitemapFixture.gzLoc(0, 0))
+      .forall(_._3.contains(SitemapFixture.gzLastmod(0))))
+  }
+
+  test("gunzipMarkupCapped: markup gate, tolerance on corrupt/truncated/non-markup gz") {
+    import graft.tools.SitemapFixture
+    def gz(raw: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0))
+      val d = new java.util.zip.Deflater(6, true)
+      val dos = new java.util.zip.DeflaterOutputStream(bos, d)
+      dos.write(raw); dos.finish(); d.end()
+      val crc = new java.util.zip.CRC32(); crc.update(raw)
+      def le32(v: Long): Unit = (0 until 4).foreach(i =>
+        bos.write(((v >>> (8 * i)) & 0xff).toInt))
+      le32(crc.getValue); le32(raw.length.toLong)
+      bos.toByteArray
+    }
+    def run(b: Array[Byte]) =
+      Archives.gunzipMarkupCapped(b, 0, b.length, 1 << 20)
+    // markup passes (leading whitespace tolerated)
+    assert(run(gz("  \n<urlset><url/></urlset>".getBytes("US-ASCII")))
+      .exists(_.contains("<url/>")))
+    // the real fixture body inflates
+    val fx = SitemapFixture.gzBody(2)
+    assert(run(fx).contains(SitemapFixture.gzPlainBody(2)))
+    // non-markup payloads are abandoned (the .tar.gz download case)
+    assert(run(gz("just some text payload".getBytes("US-ASCII"))).isEmpty)
+    // empty member, truncation at every depth, corrupt deflate: None
+    assert(run(gz(Array.emptyByteArray)).isEmpty)
+    for (cut <- Seq(0, 4, 9, 12, fx.length - 9, fx.length - 3))
+      assert(run(fx.take(cut)).isEmpty, s"cut=$cut")
+    val bad = fx.clone(); bad(14) = (bad(14) ^ 0x55).toByte
+    run(bad) // corrupt deflate stream: must not throw
+    // cap overrun claims nothing
+    assert(Archives.gunzipMarkupCapped(fx, 0, fx.length, 8).isEmpty)
   }
 
   test("robots: UA-group attribution, longest-match precedence, allow wins ties") {

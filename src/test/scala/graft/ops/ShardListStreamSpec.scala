@@ -307,12 +307,27 @@ class ShardListStreamSpec extends SparkSpec {
   }
 
   test("streamed sitemap parse equals the batch parse over the grown directory") {
+    // the per-fetch parse is stateless given the ACCEPTED-URI set;
+    // discovery (robots-declared ∪ well-known ∪ index children) is a
+    // batch-side pass whose result joins the stream as a STATIC frame
+    // (stream-static semi join, append mode). Rows mix the plain
+    // well-known shape with the SitemapFixture's robots-declared
+    // index + gz children
     val rows = (0L until 12L).filter(id => id % 8 != 7).map { id =>
       val (mime, bytes) = graft.tools.WarcFixture.row(id)
       (id, mime, bytes)
+    } ++ (0L until 6L).filter(id => id % 5 != 4).map { id =>
+      val (mime, bytes) = graft.tools.SitemapFixture.row(id)
+      (id + 100L, mime, bytes)
+    }
+    val accepted = {
+      import spark.implicits._
+      val batchMedia = rows.toDF("media_id", "mime_type", "media")
+      Archives.sitemapAcceptedUris(
+        Archives.warcPageTable(spark, batchMedia)).localCheckpoint()
     }
     streamed("sitemap_stream", rows, (s, media) =>
-      Archives.sitemapUrlLines(Archives.warcPageTable(s, media)))
+      Archives.sitemapUrlLines(Archives.warcPageTable(s, media), accepted))
   }
 
   test("streamed CDX index equals the batch index over the grown directory") {
