@@ -1821,6 +1821,19 @@ object SparkEntry {
    * resolved (absolute pass, root-relative against the page
    * authority), aggregated to `wedges`(src_host, dst_host, n_links).
    * Used by q_w24/q_w25. */
+  /** [[graft.ops.Archives.HrefRegex]] as a DuckDB string literal —
+   * the SAME regex bytes both engines run (single quotes doubled for
+   * SQL). */
+  private def hrefSql: String =
+    graft.ops.Archives.HrefRegex.replace("'", "''")
+
+  /** DuckDB twin of the engine's hrefStrip: group 1 keeps the quotes
+   * (one capture group survives regexp_extract_all); bare values can
+   * never start with one. Expects `rawq` in scope, yields `raw`. */
+  private def hrefStripSql: String =
+    """CASE WHEN rawq LIKE '"%' OR rawq LIKE '''%'
+      |      THEN substr(rawq, 2, len(rawq) - 2) ELSE rawq END AS raw""".stripMargin
+
   private def LINKGRAPH: String =
     s"""ph AS (
        |  SELECT h.media_id, h.record_idx, w.target_uri, h.body_text
@@ -1828,10 +1841,11 @@ object SparkEntry {
        |  WHERE h.http_status = 200
        |    AND lower(h.content_type) LIKE 'text/html%'),
        | lx AS (
-       |  SELECT media_id, record_idx, target_uri,
-       |    unnest(regexp_extract_all(body_text,
-       |      '(?i)<a\\s[^>]*href="([^"]*)"', 1)) AS raw
-       |  FROM ph),
+       |  SELECT media_id, record_idx, target_uri, $hrefStripSql
+       |  FROM (
+       |    SELECT media_id, record_idx, target_uri,
+       |      unnest(regexp_extract_all(body_text, '$hrefSql', 1)) AS rawq
+       |    FROM ph) lq),
        | rs AS (
        |  SELECT target_uri,
        |    CASE WHEN regexp_matches(raw, '^[A-Za-z][A-Za-z0-9+.-]*://')
@@ -3707,10 +3721,11 @@ object SparkEntry {
          |  WHERE h.http_status = 200
          |    AND lower(h.content_type) LIKE 'text/html%'),
          | lx AS (
-         |  SELECT media_id, record_idx, target_uri,
-         |    unnest(regexp_extract_all(body_text,
-         |      '(?i)<a\\s[^>]*href="([^"]*)"', 1)) AS raw
-         |  FROM ph),
+         |  SELECT media_id, record_idx, target_uri, $hrefStripSql
+         |  FROM (
+         |    SELECT media_id, record_idx, target_uri,
+         |      unnest(regexp_extract_all(body_text, '$hrefSql', 1)) AS rawq
+         |    FROM ph) lq),
          | rs AS (
          |  SELECT media_id, record_idx, target_uri,
          |    CASE WHEN regexp_matches(raw, '^[A-Za-z][A-Za-z0-9+.-]*://')
@@ -3959,7 +3974,7 @@ object SparkEntry {
          |   nullif(trim(regexp_extract(w0.html,
          |     '(?is)<title[^>]*>([^<]*)</title>', 1)), '') AS title,
          |   CASE WHEN w0.html IS NOT NULL THEN CAST(len(regexp_extract_all(
-         |     w0.html, '(?i)<a\\s[^>]*href="([^"]*)"', 1)) AS BIGINT)
+         |     w0.html, '$hrefSql', 1)) AS BIGINT)
          |   END AS n_anchors
          | FROM wat0 w0 JOIN wrecs r USING (media_id, record_idx)""".stripMargin,
     // q_m34: the decodability CONTRACT replayed from the bytes — a
@@ -4199,8 +4214,25 @@ object SparkEntry {
          |    FROM sl WHERE ds > 0 AND de > ds) t)
          | SELECT media_id, CAST(page_obj AS INT) AS page_obj,
          |   CAST(content_obj AS INT) AS content_obj,
-         |   array_to_string(regexp_extract_all(data,
-         |     '\\(([^()]*)\\)[ \\t\\r\\n]*Tj', 1), ' ') AS text
+         |   -- every show operator in stream order: literal/hex
+         |   -- Tj|'|" plus kerned [ … ] TJ arrays whose pieces
+         |   -- concatenate (the engine's pdfShowText contract)
+         |   array_to_string(list_transform(regexp_extract_all(data,
+         |       '\\(([^()]*)\\)[ \\t\\r\\n]*(?:Tj|''|")' ||
+         |       '|<([0-9A-Fa-f \\t\\r\\n]*)>[ \\t\\r\\n]*(?:Tj|''|")' ||
+         |       '|\\[([^\\[\\]]*)\\][ \\t\\r\\n]*TJ'),
+         |     m -> CASE
+         |       WHEN m LIKE '(%' THEN regexp_extract(m, '^\\(([^()]*)\\)', 1)
+         |       WHEN m LIKE '<%' THEN decode(unhex(regexp_replace(
+         |         regexp_extract(m, '^<([^>]*)>', 1), '\\s', '', 'g')))
+         |       ELSE array_to_string(list_transform(
+         |         regexp_extract_all(m,
+         |           '\\(([^()]*)\\)|<[0-9A-Fa-f \\t\\r\\n]*>'),
+         |         q -> CASE WHEN q LIKE '(%'
+         |           THEN substr(q, 2, len(q) - 2)
+         |           ELSE decode(unhex(regexp_replace(
+         |             substr(q, 2, len(q) - 2), '\\s', '', 'g'))) END), '')
+         |     END), ' ') AS text
          | FROM dec""".stripMargin,
     // q_w19: PDFWALK + the keep-latest window (smallest section_idx
     // per object wins) — rank BEFORE the in-use filter, so a deleted

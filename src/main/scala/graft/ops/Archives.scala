@@ -1051,7 +1051,7 @@ object Archives {
         col("content_type"), col("content_length"),
         when(isHtml && title =!= "", title).as("title"),
         when(isHtml, size(regexp_extract_all(col("body_text"),
-          lit("(?i)<a\\s[^>]*href=\"([^\"]*)\""), lit(1))).cast("long"))
+          lit(HrefRegex), lit(1))).cast("long"))
           .as("n_anchors"))
   }
 
@@ -1221,8 +1221,10 @@ object Archives {
    * every link-based curation signal (spam farms are link-isolated,
    * high-quality pages are widely referenced; host-level degree is
    * the cheapest useful proxy). Input rows carry `target_uri` (the
-   * page) and `body_text` (its HTML); per `<a href="…">` anchor one
-   * output row with the resolved `link`:
+   * page) and `body_text` (its HTML); per `<a href=…>` anchor —
+   * double-quoted, single-quoted or unquoted attribute value, with
+   * optional whitespace around `=` ([[HrefRegex]]) — one output row
+   * with the resolved `link`:
    *
    *  - absolute `scheme://…` hrefs pass through;
    *  - root-relative `/path` hrefs resolve against the page's
@@ -1237,6 +1239,22 @@ object Archives {
    *
    * Scale shape: regexp extraction + explode, pure map-side — link
    * rows are small and the body column is dropped on the way out. */
+  /** Anchor-href extraction regex, shared VERBATIM with the DuckDB
+   * oracles (RE2 both sides): matches double-quoted, single-quoted
+   * and unquoted attribute values, optional whitespace around `=` —
+   * real HTML uses all three. Group 1 keeps the quotes (a single
+   * capture group survives `regexp_extract_all` in both engines);
+   * [[hrefStrip]] removes them. */
+  private[graft] val HrefRegex: String =
+    "(?i)<a\\s[^>]*?href\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s\"'>][^\\s>]*)"
+
+  /** Strip the quotes [[HrefRegex]] group 1 carries; bare values
+   * (which can never start with a quote) pass through. */
+  private def hrefStrip(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    when(c.startsWith("\"") || c.startsWith("'"),
+      c.substr(lit(2), length(c) - 2)).otherwise(c)
+
   def linkTable(pages: DataFrame): DataFrame = {
     val scheme = regexp_extract(col("target_uri"),
       "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
@@ -1246,8 +1264,9 @@ object Archives {
       "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1), "[^/]*$", "")
     val dir = when(dir0 === "", lit("/")).otherwise(dir0)
     pages
-      .withColumn("raw", explode(regexp_extract_all(col("body_text"),
-        lit("(?i)<a\\s[^>]*href=\"([^\"]*)\""), lit(1))))
+      .withColumn("rawq", explode(regexp_extract_all(
+        col("body_text"), lit(HrefRegex), lit(1))))
+      .withColumn("raw", hrefStrip(col("rawq")))
       .withColumn("link",
         when(col("raw").rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), col("raw"))
           .when(col("raw").startsWith("/") && !col("raw").startsWith("//"),
@@ -1258,7 +1277,7 @@ object Archives {
             col("raw") =!= "",
             concat(scheme, lit("://"), host, dir, col("raw"))))
       .filter(col("link").isNotNull)
-      .drop("raw", "body_text")
+      .drop("rawq", "raw", "body_text")
   }
 
   /** Host-level link graph: (src_host, dst_host, n_links) from a
@@ -1848,13 +1867,14 @@ object Archives {
    * inside object streams), slice the bytes between `stream\n` and
    * `\nendstream`, decode them through the dict's filter
    * ([[decodeFiltered]]: Flate capped at 1 MiB, ASCIIHex, or none),
-   * and concatenate the `(…) Tj` show-operator strings in stream
-   * order. Scope: literal strings without nested/escaped
-   * parentheses and the plain `Tj` operator — the dominant form of
-   * machine-generated PDFs; a page without a resolvable, extractable
-   * content stream emits nothing (claim nothing the bytes don't
-   * prove). Returns (page_obj, content_obj, text) in page-object
-   * order. */
+   * and concatenate the show-operator strings in stream order via
+   * [[pdfShowText]]: `(…) Tj`, the move-and-show `'`/`"` operators,
+   * hex-string forms `<…>`, and kerned `[ … ] TJ` arrays (the
+   * dominant form of real-PDF text — most generators kern every
+   * line). Scope: literal strings without nested/escaped
+   * parentheses; a page without a resolvable, extractable content
+   * stream emits nothing (claim nothing the bytes don't prove).
+   * Returns (page_obj, content_obj, text) in page-object order. */
   private[ops] def pdfPageTexts(b: Array[Byte]): Seq[(Int, Int, String)] = {
     val entries = pdfXref(b)
     if (entries.isEmpty) return Nil
@@ -1864,7 +1884,6 @@ object Archives {
     }.filter(e => e.inUse && e.objLen.isDefined && e.body.isDefined)
       .map(e => e.num -> e).toMap
     val contentsRe = "/Contents ([0-9]+) ([0-9]+) R".r
-    val tjRe = "\\(([^()]*)\\)[ \\t\\r\\n]*Tj".r
     resolved.toSeq.sortBy(_._1).flatMap { case (num, e) =>
       if (!e.objType.contains("Page")) None
       else contentsRe.findFirstMatchIn(e.body.get).flatMap { m =>
@@ -1876,12 +1895,48 @@ object Archives {
             if (ds < 0 || de < ds) None
             else decodeFiltered(cbody.substring(ds + 7, de),
                 cbody.substring(0, ds)).map { d =>
-              (num, ce.num,
-                tjRe.findAllMatchIn(d).map(_.group(1)).mkString(" "))
+              (num, ce.num, pdfShowText(d))
             }
           }
       }
     }
+  }
+
+  /** Decode a PDF hex string's content (the `<…>` form): whitespace
+   * strips, an odd trailing digit pads with 0 (ISO 32000 §7.3.4.3),
+   * byte pairs decode ISO-8859-1. The caller's regex guarantees hex
+   * digits only. */
+  private def pdfHexString(h: String): String = {
+    val d = h.filter(c => !c.isWhitespace)
+    val e = if (d.length % 2 == 1) d + "0" else d
+    val out = new Array[Byte](e.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = Integer.parseInt(e.substring(2 * i, 2 * i + 2), 16).toByte
+      i += 1
+    }
+    new String(out, java.nio.charset.StandardCharsets.ISO_8859_1)
+  }
+
+  /** All text-SHOW operators of one decoded content stream, in stream
+   * order, one string per operator, joined with a single space:
+   * `(…) Tj`, the move-and-show `'` and `"` forms, hex-string
+   * variants `<…> Tj|'|"`, and kerned `[ … ] TJ` arrays whose
+   * literal/hex pieces concatenate (kerning numbers drop). Literal
+   * strings with escaped or nested parentheses are out of contract
+   * (the `[^()]*` rule the oracle replays verbatim). */
+  private[ops] def pdfShowText(d: String): String = {
+    val showRe = ("\\(([^()]*)\\)[ \\t\\r\\n]*(?:Tj|'|\")" +
+      "|<([0-9A-Fa-f \\t\\r\\n]*)>[ \\t\\r\\n]*(?:Tj|'|\")" +
+      "|\\[([^\\[\\]]*)\\][ \\t\\r\\n]*TJ").r
+    val pieceRe = "\\(([^()]*)\\)|<([0-9A-Fa-f \\t\\r\\n]*)>".r
+    showRe.findAllMatchIn(d).map { m =>
+      if (m.group(1) != null) m.group(1)
+      else if (m.group(2) != null) pdfHexString(m.group(2))
+      else pieceRe.findAllMatchIn(m.group(3)).map { p =>
+        if (p.group(1) != null) p.group(1) else pdfHexString(p.group(2))
+      }.mkString
+    }.mkString(" ")
   }
 
   /** Inflate a raw zlib stream, None past `cap` bytes or on corrupt

@@ -53,12 +53,29 @@ object PdfFixture {
     val pages = s"<< /Type /Pages /Kids [ $kids ] /Count $k >>"
     val perPage = (0 until k).flatMap { p =>
       val contentNum = 4 + 2 * p
-      val text = s"BT (doc $id page $p) Tj ET"
+      val text = pageShow(id, p)
       Seq(
         s"<< /Type /Page /Parent 2 0 R /Contents $contentNum 0 R >>",
         s"<< /Length ${text.length} >>\nstream\n$text\nendstream")
     }
     (catalog +: pages +: perPage)
+  }
+
+  /** PDF hex-STRING content (the `<…>` form — no ASCIIHex `>` EOD). */
+  def hexStr(s: String): String =
+    s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      .map("%02X".format(_)).mkString
+
+  /** The page's content-stream text, cycling the three real show
+   * forms so every extractor path is oracle-exercised; each form
+   * shows exactly `doc $id page $p`:
+   *  p%3==0 → plain literal `Tj`;
+   *  p%3==1 → a kerned `TJ` array mixing literal and hex pieces;
+   *  p%3==2 → a hex-string `Tj` plus a move-and-show `'`. */
+  def pageShow(id: Long, p: Int): String = (p % 3) match {
+    case 0 => s"BT (doc $id page $p) Tj ET"
+    case 1 => s"BT [ (doc ) -250 ($id) 5 <${hexStr(s" page $p")}> ] TJ ET"
+    case _ => s"BT <${hexStr(s"doc $id")}> Tj (page $p) ' ET"
   }
 
   /** One serialized indirect object. */
@@ -113,7 +130,7 @@ object PdfFixture {
 
   /** Cell-grid constants of the xref-stream class. */
   val HeadLen = 9 // "%PDF-1.5\n"
-  val ContentCell = 192
+  val ContentCell = 256
   val ObjStmCell = 1024
   val XrefCell = 512
 
@@ -153,7 +170,7 @@ object PdfFixture {
     val k = nPages(id)
     val head = "%PDF-1.5\n"
     val contents = (0 until k).map { p =>
-      val hx = hexEnc(s"BT (doc $id page $p) Tj ET")
+      val hx = hexEnc(pageShow(id, p))
       cell(3 + k + p,
         s"<< /Length ${hx.length} /Filter /ASCIIHexDecode >>" +
           s"\nstream\n$hx\nendstream",

@@ -133,18 +133,23 @@ object WarcFixture {
     // non-text types carry non-text bodies the WET face must skip
     val body = variantClass(id) match {
       case 0 | 3 =>
-        // four anchors for the q_w23 link walk: an absolute
+        // seven anchors for the q_w23 link walk: an absolute
         // cross-host link, a root-relative link (resolves against
         // this page's authority), a PATH-relative link (resolves
-        // against the page's directory), and a non-http scheme it
-        // must skip
+        // against the page's directory), a non-http scheme it must
+        // skip, and the three real-HTML quoting variants — a
+        // SINGLE-quoted value, an UNQUOTED value and a spaced
+        // `href = "…"` — that a double-quote-only extractor loses
         s"<html><head><title>t $id</title><style>p{color:red}</style></head>" +
           s"<body><h1>Doc $id</h1><p>variant body $id &amp; more " +
           s"&lt;tagged&gt; &#39;q&#39;</p>" +
           s"""<a href="https://data${(id + 1) % 5}.example.org/page${id % 40}">next</a> """ +
           s"""<a href="/page${(id + 2) % 40}">rel</a> """ +
           s"""<a href="sub/page${(id + 3) % 40}.html">deep</a> """ +
-          """<a href="mailto:ops@example.org">mail</a>""" +
+          """<a href="mailto:ops@example.org">mail</a> """ +
+          s"""<a href='/pageS${(id + 4) % 40}'>sq</a> """ +
+          s"<a href=sub/u${(id + 5) % 40}.html>uq</a> " +
+          s"""<a href = "/pageQ${(id + 6) % 40}">sp</a>""" +
           s"<script>var x = $id;</script></body></html>"
       case 2 => s"""{"doc": $id, "kind": "json body"}"""
       case _ => s"variant body $id moved"

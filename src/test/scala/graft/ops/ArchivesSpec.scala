@@ -110,7 +110,8 @@ class ArchivesSpec extends SparkSpec {
       .withColumn("v", TextAnalysis.htmlVisibleText(org.apache.spark.sql.functions.col("body_text")))
       .filter(org.apache.spark.sql.functions.col("content_type").startsWith("text/html"))
       .select("media_id", "v").as[(Long, String)].collect().toMap
-    assert(visible == Map(6L -> "t 6 Doc 6 variant body 6 & more <tagged> 'q' next rel deep mail"))
+    assert(visible == Map(
+      6L -> "t 6 Doc 6 variant body 6 & more <tagged> 'q' next rel deep mail sq uq sp"))
   }
 
   test("url host stats: authority grouping, distinct URIs, TLD extraction") {
@@ -848,7 +849,11 @@ class ArchivesSpec extends SparkSpec {
     val pages = Seq(("https://h.example.org/p",
       """<a href="https://ext.example.net/a">A</a> <a href="/b">B</a> """ +
         """<a href="//cdn.org/c">C</a> <a href="mailto:z@q.example.org">D</a> """ +
-        """<a href="rel/e">E</a> <A HREF="/f">case</A>""")
+        """<a href="rel/e">E</a> <A HREF="/f">case</A> """ +
+        // the three real-HTML quoting variants: single-quoted,
+        // unquoted (value ends at whitespace or >), spaced `href =`
+        """<a href='/sq'>S</a> <a class=x href=/uq>U</a> """ +
+        """<a href=bare/v.html>V</a> <a href = "/sp">P</a>""")
     ).toDF("target_uri", "body_text")
     val got = Archives.linkTable(pages)
       .select("link").as[String].collect().toSet
@@ -856,11 +861,13 @@ class ArchivesSpec extends SparkSpec {
     // against the page's directory; the anchor match is
     // case-insensitive
     assert(got == Set("https://ext.example.net/a", "https://h.example.org/b",
-      "https://h.example.org/rel/e", "https://h.example.org/f"))
+      "https://h.example.org/rel/e", "https://h.example.org/f",
+      "https://h.example.org/sq", "https://h.example.org/uq",
+      "https://h.example.org/bare/v.html", "https://h.example.org/sp"))
     val g = Archives.hostLinkGraph(Archives.linkTable(pages))
       .as[(String, String, Long)].collect().toSet
     assert(g == Set(("h.example.org", "ext.example.net", 1L),
-      ("h.example.org", "h.example.org", 3L)))
+      ("h.example.org", "h.example.org", 7L)))
     // directory resolution: a page deeper in the tree resolves
     // path-relatives against ITS directory; dot-leading hrefs skip
     val deep = Seq(("https://h.example.org/dir/sub/p.html",
@@ -889,7 +896,10 @@ class ArchivesSpec extends SparkSpec {
       Seq(
         id -> s"https://data${(id + 1) % 5}.example.org/page${id % 40}",
         id -> s"https://data${id % 5}.example.org/page${(id + 2) % 40}",
-        id -> s"https://data${id % 5}.example.org/sub/page${(id + 3) % 40}.html")
+        id -> s"https://data${id % 5}.example.org/sub/page${(id + 3) % 40}.html",
+        id -> s"https://data${id % 5}.example.org/pageS${(id + 4) % 40}",
+        id -> s"https://data${id % 5}.example.org/sub/u${(id + 5) % 40}.html",
+        id -> s"https://data${id % 5}.example.org/pageQ${(id + 6) % 40}")
     }.toSet)
   }
 
@@ -1087,6 +1097,33 @@ class ArchivesSpec extends SparkSpec {
     val id1 = 1L // nPages = 2, incremental update rewrites obj 3
     val got1 = Archives.pdfPageTexts(PdfFixture.row(id1)._2)
     assert(got1 == Seq((5, 6, s"doc $id1 page 1")))
+  }
+
+  test("pdf show operators: TJ arrays, hex strings, move-and-show forms") {
+    // one TJ array: pieces concatenate, kerning numbers drop
+    assert(Archives.pdfShowText("BT [ (ab) -250 (cd) 17 (ef) ] TJ ET")
+      == "abcdef")
+    // mixed literal + hex pieces inside TJ (hex = "XY")
+    assert(Archives.pdfShowText("[ (a) <5859> (b) ] TJ") == "aXYb")
+    // hex-string Tj with internal whitespace and an ODD digit
+    // (pads 0 per ISO 32000): 48 65 6C 6C 6F = Hello, odd "4" -> 0x40
+    assert(Archives.pdfShowText("<48 65\n6C6C 6F> Tj") == "Hello")
+    assert(Archives.pdfShowText("<484> Tj") == "H@")
+    // move-and-show ' and " operators, literal and hex forms
+    assert(Archives.pdfShowText("(one) ' (two) \" <33> '") == "one two 3")
+    // operators interleave in stream order across forms
+    assert(Archives.pdfShowText(
+      "BT (a) Tj [ (b) 5 (c) ] TJ <64> Tj ET") == "a bc d")
+    // a parenthesized string NOT followed by a show operator is not
+    // text; an array not followed by TJ is not either
+    assert(Archives.pdfShowText("(skip) Td (keep) Tj [ (no) ] XX") == "keep")
+    // empty stream, no-ops
+    assert(Archives.pdfShowText("") == "")
+    assert(Archives.pdfShowText("BT /F1 12 Tf 72 720 Td ET") == "")
+    // the fixture's three cycling forms all extract the same text
+    for (p <- 0 until 3)
+      assert(Archives.pdfShowText(graft.tools.PdfFixture.pageShow(7L, p))
+        == s"doc 7 page $p", s"form $p")
   }
 
   test("pdf page text: FlateDecode streams inflate; corrupt deflate claims nothing") {
