@@ -1160,19 +1160,31 @@ object Archives {
    * explode), one URI-keyed aggregation of the union, one LEFT ANTI
    * join against the fetched-URI index — every exchange ships URI
    * strings + two small columns, never pages. */
-  def crawlCandidates(pages: DataFrame): DataFrame = {
-    val sm = sitemapUrls(pages)
+  def crawlCandidates(pages: DataFrame): DataFrame =
+    crawlCandidatesFrom(
+      sitemapUrls(pages),
+      linkTable(pages.filter(col("body_text").isNotNull &&
+        lower(col("content_type")).startsWith("text/html"))),
+      pages.filter(lower(col("warc_type")) === "response" &&
+        col("target_uri").isNotNull).select("target_uri"))
+
+  /** [[crawlCandidates]] over PRECOMPUTED derivatives — the shape a
+   * streaming deployment uses: the stateless extracts (sitemap url
+   * lines, link rows, fetched URIs) accumulate per micro-batch into
+   * tiny index stores, and the frontier recomputes over them on a
+   * schedule (ShardListStreamSpec pins batch-equivalence). Duplicate
+   * sitemap/fetched rows are harmless by construction (max/anti-join
+   * semantics); link rows arrive exactly once per page. */
+  def crawlCandidatesFrom(sitemapUrls: DataFrame, links: DataFrame,
+      fetchedUris: DataFrame): DataFrame = {
+    val sm = sitemapUrls
       .select(col("loc").as("target_uri"), col("lastmod"),
         lit(1L).as("sm"), lit(0L).as("lk"))
-    val lk = linkTable(pages.filter(col("body_text").isNotNull &&
-        lower(col("content_type")).startsWith("text/html")))
+    val lk = links
       .select(col("link").as("target_uri"),
         lit(null).cast("string").as("lastmod"),
         lit(0L).as("sm"), lit(1L).as("lk"))
-    val fetched = pages
-      .filter(lower(col("warc_type")) === "response" &&
-        col("target_uri").isNotNull)
-      .select("target_uri").distinct()
+    val fetched = fetchedUris.select("target_uri").distinct()
     sm.unionByName(lk)
       .groupBy("target_uri")
       .agg(max(col("sm")).cast("boolean").as("in_sitemap"),
@@ -1426,9 +1438,57 @@ object Archives {
    * a body/member that doesn't verify leaves type/length None — the
    * xref CLAIM is still reported, but nothing the bytes don't
    * prove. */
+  /** Zero-copy ISO-8859-1 VIEW of a byte array as a CharSequence —
+   * the byte-level form of the PDF walkers' whole-file scans: the
+   * chain walk, keyword searches and regex probes run on the bytes
+   * directly, so a task never holds the UTF-16 DOUBLING of a whole
+   * shard that `new String(blob)` would cost (a 500 MB PDF outlier
+   * stays 500 MB resident, not 1.5 GB); only small spans — dicts,
+   * object bodies, decoded stream payloads — materialize as
+   * Strings. */
+  private final class ByteStr(b: Array[Byte], off: Int, endEx: Int)
+      extends CharSequence {
+    def this(b: Array[Byte]) = this(b, 0, b.length)
+    def length: Int = endEx - off
+    def charAt(i: Int): Char = (b(off + i) & 0xff).toChar
+    def apply(i: Int): Char = charAt(i)
+    def subSequence(a: Int, z: Int): CharSequence =
+      new ByteStr(b, off + a, off + z)
+    override def toString: String = substring(0, length)
+    def substring(a: Int, z: Int): String =
+      new String(b, off + a, z - a,
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+    def startsWith(lit: String, at: Int): Boolean =
+      if (at < 0 || at.toLong + lit.length > length) false
+      else {
+        var i = 0
+        while (i < lit.length && charAt(at + i) == lit.charAt(i)) i += 1
+        i == lit.length
+      }
+    def startsWith(lit: String): Boolean = startsWith(lit, 0)
+    def indexOf(lit: String, from: Int): Int = {
+      var i = math.max(from, 0)
+      val last = length - lit.length
+      while (i <= last) {
+        if (startsWith(lit, i)) return i
+        i += 1
+      }
+      -1
+    }
+    def indexOf(lit: String): Int = indexOf(lit, 0)
+    def lastIndexOf(lit: String): Int = {
+      var i = length - lit.length
+      while (i >= 0) {
+        if (startsWith(lit, i)) return i
+        i -= 1
+      }
+      -1
+    }
+  }
+
   private[ops] def pdfXref(b: Array[Byte]): Seq[PdfEnt] = {
     if (b == null || b.length < 16) return Nil
-    val s = new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val s = new ByteStr(b)
     if (!s.startsWith("%PDF-")) return Nil
     val sx = s.lastIndexOf("startxref")
     if (sx < 0) return Nil
@@ -1594,7 +1654,7 @@ object Archives {
    * (-1 = none), or None when the bytes aren't a well-formed XRef
    * stream — the caller treats that as end-of-chain, the classic
    * walker's exact malformed-section rule. */
-  private def parseXrefStreamSection(s: String, off: Int)
+  private def parseXrefStreamSection(s: ByteStr, off: Int)
       : Option[(Seq[(Int, Int, Long, Boolean, String)], Long)] = {
     if (off < 0 || off + 16 > s.length) return None
     if ("^[0-9]+ [0-9]+ obj".r.findFirstIn(
@@ -1681,7 +1741,7 @@ object Archives {
   /** Find the balanced `<< … >>` end for the dict opening at `start`
    * (nested dicts counted); returns the index AFTER the closing
    * `>>`, or -1 when unterminated / runaway. */
-  private def balancedDictEnd(s: String, start: Int): Int = {
+  private def balancedDictEnd(s: ByteStr, start: Int): Int = {
     var depth = 0
     var i = start
     while (i < s.length) {

@@ -330,6 +330,109 @@ class ShardListStreamSpec extends SparkSpec {
       Archives.sitemapUrlLines(Archives.warcPageTable(s, media), accepted))
   }
 
+  test("streamed WAT metadata equals the batch projection over the grown directory") {
+    // WAT is a pure projection over the one-pass page walk — fully
+    // stateless, so the same body runs append-mode unchanged
+    val rows = (0L until 12L).map { id =>
+      val (mime, bytes) = graft.tools.WarcFixture.row(id)
+      (id, mime, bytes)
+    }
+    streamed("wat_stream", rows, (s, media) =>
+      Archives.watMetadata(Archives.warcPageTable(s, media)))
+  }
+
+  /** Stream `table(media)` rows into a parquet INDEX accumulator via
+   * foreachBatch (two arrival waves), then return (accumulated,
+   * batch-over-final-directory) frames — the streaming architecture
+   * for aggregation/join composites: the blob WALK streams, the
+   * index-sized rows accumulate, the composite recomputes over the
+   * store on a schedule. */
+  private def accumulated(name: String,
+      rows: Seq[(Long, String, Array[Byte])],
+      table: (SparkSession, DataFrame) => DataFrame): (DataFrame, DataFrame) = {
+    val dir = java.nio.file.Files.createTempDirectory(s"acc_src_$name").toString
+    val idx = java.nio.file.Files.createTempDirectory(s"acc_idx_$name").toString
+    val (w1, w2) = rows.splitAt(rows.size / 2)
+    writeWave(dir, w1)
+    val in = spark.readStream.schema(mediaSchema).parquet(dir)
+    val query = table(spark, in).writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(idx)
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory(s"acc_ck_$name").toString)
+      .start()
+    try {
+      query.processAllAvailable()
+      writeWave(dir, w2)
+      query.processAllAvailable()
+    } finally query.stop()
+    (spark.read.parquet(idx),
+      table(spark, spark.read.schema(mediaSchema).parquet(dir)))
+  }
+
+  private def assertFramesEqual(name: String, got: DataFrame, want: DataFrame): Unit = {
+    val g = got.collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val w = want.collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(g.nonEmpty, s"$name: streamed no rows")
+    assert(g.toSeq == w.toSeq, s"$name: streamed != batch")
+  }
+
+  test("streamed revisit resolution equals the batch resolution (index-accumulator)") {
+    // the member WALK streams (stateless, blob-local); the digest
+    // aggregation + join recompute over the accumulated index rows —
+    // exact equivalence because resolution is a pure function of the
+    // member index, and the file source delivers each shard once
+    val rows = (0L until 12L).map { id =>
+      val (mime, bytes) = graft.tools.WarcGzFixture.row(id)
+      (id, mime, bytes)
+    }
+    val (idx, batchMembers) =
+      accumulated("revisit", rows, Archives.warcGzMemberTable)
+    assertFramesEqual("revisit_stream",
+      Archives.revisitResolve(idx),
+      Archives.revisitResolve(batchMembers))
+  }
+
+  test("streamed crawl candidates equal the batch frontier (derivative accumulators)") {
+    import org.apache.spark.sql.functions.{col, lower}
+    // three stateless derivative streams accumulate (per-fetch
+    // sitemap lines, link rows, fetched URIs); the candidate
+    // agg + anti-join recomputes over the stores. Duplicate sitemap
+    // rows across fetches are harmless (max semantics); links arrive
+    // exactly once per page
+    val rows = ((0L until 12L).filter(id => id % 8 != 7).map { id =>
+      val (mime, bytes) = graft.tools.WarcFixture.row(id)
+      (id, mime, bytes)
+    }) ++ (0L until 6L).filter(id => id % 5 != 4).map { id =>
+      val (mime, bytes) = graft.tools.SitemapFixture.row(id)
+      (id + 100L, mime, bytes)
+    }
+    val accepted = {
+      import spark.implicits._
+      Archives.sitemapAcceptedUris(Archives.warcPageTable(spark,
+        rows.toDF("media_id", "mime_type", "media"))).localCheckpoint()
+    }
+    val (smIdx, smBatchPages) = accumulated("cand_sm", rows, (s, media) =>
+      Archives.sitemapUrlLines(Archives.warcPageTable(s, media), accepted))
+    val (lkIdx, _) = accumulated("cand_lk", rows, (s, media) =>
+      Archives.linkTable(Archives.warcPageTable(s, media)
+        .filter(col("body_text").isNotNull &&
+          lower(col("content_type")).startsWith("text/html"))))
+    val (feIdx, _) = accumulated("cand_fe", rows, (s, media) =>
+      Archives.warcPageTable(s, media)
+        .filter(lower(col("warc_type")) === "response" &&
+          col("target_uri").isNotNull)
+        .select("target_uri"))
+    val want = Archives.crawlCandidates(Archives.warcPageTable(spark, {
+      import spark.implicits._
+      rows.toDF("media_id", "mime_type", "media")
+    }))
+    assertFramesEqual("candidates_stream",
+      Archives.crawlCandidatesFrom(smIdx.distinct(), lkIdx, feIdx),
+      want)
+  }
+
   test("streamed CDX index equals the batch index over the grown directory") {
     import org.apache.spark.sql.functions.{col, lower}
     val rows = (0L until 12L).map { id =>
