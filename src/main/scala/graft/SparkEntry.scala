@@ -727,11 +727,10 @@ object SparkEntry {
     "q_w26_crawl_frontier" -> ((s, _) => {
       import s.implicits._
       // ONE walk of the archive bytes feeds host statistics, the
-      // link graph AND the robots directives: the page table is the
-      // materialized intermediate (persisted — Spark plans trees, so
-      // without it the diamond would re-walk the blobs per branch)
-      val pages = Archives.warcPageTable(s, Tables.warc(s))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // link graph AND the robots directives: the managed page-table
+      // scope persists the walk for the diamond, materializes the
+      // tiny host-level frontier eagerly and releases the cache
+      Archives.withPageTable(s, Tables.warc(s)) { pages =>
       val rank = Archives.hostRank(Archives.hostLinkGraph(Archives.linkTable(
         pages.filter(col("body_text").isNotNull &&
           lower(col("content_type")).startsWith("text/html")))))
@@ -755,7 +754,7 @@ object SparkEntry {
             "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)).as("host"),
             col("body")))
         .select(col("host"), col("crawl_delay_s"))
-      val frontier = Archives.urlHostStats(pages)
+      Archives.urlHostStats(pages)
         .join(rank, Seq("host"), "left")
         .join(delays, Seq("host"), "left")
         .join(broadcast(Archives.defaultBlockedHosts.toDF("blocked_host")),
@@ -763,14 +762,7 @@ object SparkEntry {
         .select(col("host"), col("rank"), col("n_uris"),
           col("total_content_bytes"), col("crawl_delay_s"),
           col("blocked_host").isNotNull.as("is_blocked"))
-        // materialize the tiny host-level frontier eagerly (rank is
-        // already eager inside hostRank), then RELEASE the page-table
-        // cache: without this every frontier run leaves a
-        // MEMORY_AND_DISK InMemoryRelation of decoded bodies behind
-        // for the rest of the session
-        .localCheckpoint()
-      pages.unpersist()
-      frontier
+      }
     }),
     // q_w28: per-host robots DIRECTIVES — Crawl-delay of the `*`
     // group (other groups correctly ignored) and every Sitemap URL
@@ -834,8 +826,10 @@ object SparkEntry {
     // with the sitemap-protocol fixture (robots-declared index + gz
     // children + an undeclared rogue urlset that must NOT surface)
     "q_w29_sitemap_urls" -> ((s, _) =>
-      Archives.sitemapUrls(Archives.warcPageTable(s,
-        Tables.warc(s).unionByName(Tables.warcsm(s))))),
+      Archives.withPageTable(s,
+        Tables.warc(s).unionByName(Tables.warcsm(s)),
+        project = Seq("target_uri", "body_text", "body_gz_text"))(
+        Archives.sitemapUrls)),
     // q_w30: CRAWL CANDIDATES — "what to fetch next": sitemap-
     // declared pages ∪ link-discovered pages, LEFT ANTI joined
     // against everything the crawl already fetched; per candidate
@@ -843,14 +837,26 @@ object SparkEntry {
     // One URI-keyed agg + one anti-join over URI index rows, all off
     // the one-pass page walk (same combined shard set as q_w29)
     "q_w30_crawl_candidates" -> ((s, _) =>
-      Archives.crawlCandidates(Archives.warcPageTable(s,
-        Tables.warc(s).unionByName(Tables.warcsm(s))))),
+      Archives.withPageTable(s,
+        Tables.warc(s).unionByName(Tables.warcsm(s)),
+        project = Seq("target_uri", "warc_type", "content_type",
+          "body_text", "body_gz_text"))(Archives.crawlCandidates)),
     // q_w31: WAT metadata — the third Common Crawl artifact beside
     // the archive (q_w1) and the text (q_w7): per response the fetch
     // identity + HTTP envelope + title/anchor-count content signals,
     // a pure projection over the one-pass page walk
     "q_w31_wat_metadata" -> ((s, _) =>
       Archives.watMetadata(Archives.warcPageTable(s, Tables.warc(s)))),
+    // q_w32: SITEMAP DISCOVERY — the accepted-document URI set
+    // itself: robots-declared URLs (arbitrary paths) ∪ well-known
+    // /sitemap.xml documents ∪ one level of <sitemapindex> children.
+    // The trust boundary q_w29 parses within, as its own oracle face
+    // (the rogue undeclared urlset is correctly absent)
+    "q_w32_sitemap_discovery" -> ((s, _) =>
+      Archives.withPageTable(s,
+        Tables.warc(s).unionByName(Tables.warcsm(s)),
+        project = Seq("target_uri", "body_text", "body_gz_text"))(
+        Archives.sitemapAcceptedUris)),
     // q_w22: CDX-style fetch index over `.warc.gz` members — Common
     // Crawl's own index format: per response member the SURT sort key
     // (byte-ordering it clusters a domain's pages → a range scan is a
@@ -3911,6 +3917,52 @@ object SparkEntry {
          |  WHERE regexp_extract(block, '<loc>([^<]*)</loc>', 1) <> ''
          |  UNION ALL SELECT host, loc, lastmod FROM smp
          |  UNION ALL SELECT host, loc, lastmod FROM smg) u""".stripMargin,
+    // q_w32: the discovery set replayed — robots Sitemap declarations
+    // over ALL 200/text robots fetches, sniffed well-known documents,
+    // the <sitemapindex> children of the accepted level-0 docs, plus
+    // the warcsm fixture's accepted set from the id contract (the
+    // rogue undeclared urlset deliberately absent)
+    "q_w32_sitemap_discovery" ->
+      s"""WITH RECURSIVE $WARCWALK,
+         | $WARCHTTP,
+         | rb AS (
+         |  SELECT h.body_text
+         |  FROM https h JOIN wrecs w USING (media_id, record_idx)
+         |  WHERE h.http_status = 200 AND lower(h.content_type) LIKE 'text/%'
+         |    AND w.target_uri LIKE '%/robots.txt'),
+         | decl AS (
+         |  SELECT DISTINCT nullif(trim(regexp_extract(line,
+         |    '(?i)^[ \\t]*sitemap[ \\t]*:[ \\t]*(\\S+)', 1)), '') AS target_uri
+         |  FROM (SELECT unnest(string_split(body_text, chr(10))) AS line
+         |        FROM rb) t),
+         | sdocs AS (
+         |  SELECT w.target_uri, h.body_text
+         |  FROM https h JOIN wrecs w USING (media_id, record_idx)
+         |  WHERE h.http_status = 200 AND lower(h.content_type) LIKE 'text/%'
+         |    AND regexp_matches(h.body_text,
+         |      '(?s)^\\s*(<\\?xml[^>]*>\\s*)?<(urlset|sitemapindex)[\\s>]')),
+         | lvl0 AS (
+         |  SELECT target_uri FROM decl WHERE target_uri IS NOT NULL
+         |  UNION
+         |  SELECT target_uri FROM sdocs WHERE target_uri LIKE '%/sitemap.xml'),
+         | kids AS (
+         |  SELECT DISTINCT nullif(trim(regexp_extract(blk,
+         |    '<loc>([^<]*)</loc>', 1)), '') AS target_uri
+         |  FROM (SELECT unnest(regexp_extract_all(d.body_text,
+         |      '(?s)<sitemap>(.*?)</sitemap>', 1)) AS blk
+         |    FROM sdocs d JOIN lvl0 USING (target_uri)) u),
+         | $SMCONTRACT,
+         | smacc AS (
+         |  SELECT unnest(
+         |    ['https://smap' || hh || '.example.org/maps/index-' || hh || '.xml',
+         |     'https://smap' || hh || '.example.org/maps/pages-' || hh || '.xml',
+         |     'https://smap' || hh || '.example.org/maps/extra-' || hh || '.xml.gz'])
+         |    AS target_uri
+         |  FROM smf)
+         | SELECT DISTINCT target_uri FROM (
+         |  SELECT target_uri FROM lvl0
+         |  UNION ALL SELECT target_uri FROM kids WHERE target_uri IS NOT NULL
+         |  UNION ALL SELECT target_uri FROM smacc) u""".stripMargin,
     // q_w30: sitemap entries (q_w29's chain) ∪ resolved links
     // (LINKGRAPH's rs), URI-grouped, anti-joined to fetched URIs
     "q_w30_crawl_candidates" ->

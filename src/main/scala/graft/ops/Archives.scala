@@ -504,6 +504,31 @@ object Archives {
         "body_gz_text")
   }
 
+  /** Managed one-pass page-table scope for MULTI-CONSUMER
+   * compositions (the crawl frontier, sitemap discovery, candidate
+   * generation): persist the walk, build the composite, materialize
+   * its (small) result eagerly, release the cache. Spark plans trees,
+   * so without the persist every branch of a diamond re-walks the
+   * shard blobs — at 100 TB that multiplies scan IO by the branch
+   * count; and without the unpersist each run leaks a
+   * MEMORY_AND_DISK InMemoryRelation of decoded bodies into the
+   * session (the 200k probe measured the unmanaged q_w30 composition
+   * at ~11× one walk). localCheckpoint is the single-JVM break; on a
+   * cluster a caller materializes `f`'s result itself (write, or
+   * reliable checkpoint) before the cache is released. */
+  def withPageTable(spark: SparkSession, media: DataFrame,
+      project: Seq[String] = Nil)(
+      f: DataFrame => DataFrame): DataFrame = {
+    val walk = warcPageTable(spark, media)
+    // persist only what the composition reads: the cache WRITE is the
+    // scope's main cost, and decoded bodies dominate the row size
+    val pages = (if (project.isEmpty) walk
+                 else walk.select(project.map(col): _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try f(pages).localCheckpoint()
+    finally pages.unpersist()
+  }
+
   /** Inflated-body cap for gzip-wrapped markup payloads — the
    * sitemaps protocol caps one sitemap at 50 MB uncompressed; this
    * keeps a hostile tiny-gz-bomb member from ballooning a task. */

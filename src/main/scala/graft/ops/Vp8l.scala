@@ -9,20 +9,21 @@ package graft.ops
  * drops every WebP row (the q_m34 coverage face makes that miss a
  * queryable number; this decoder closes the lossless half).
  *
- * Scope (tolerance-not-throw like every walker). DECODED: literal
- * pixels, COLOR-CACHE symbols (the spec's
+ * Scope (tolerance-not-throw like every walker). DECODED: the FULL
+ * lossless format — literal pixels, COLOR-CACHE symbols (the spec's
  * `(0x1e35a7bd·argb) >>> (32-bits)` recent-color table), LZ77
  * BACKREFERENCES (length/distance prefix values with extra bits and
  * the 120-entry near-pixel distance-code plane mapping), META-PREFIX
  * code groups (the per-block entropy-group image large images are
- * coded with), and three of the four transforms: PREDICTOR (all 14
- * spatial predictors with the top-row/left-column/top-right-edge
- * rules), cross-COLOR (signed 3.5 fixed-point green→red, green→blue,
- * red→blue deltas) and SUBTRACT-GREEN — the standard combination
- * `cwebp -lossless` emits. Inverse transforms apply in reverse
- * bitstream order per the spec. NOT claimed: the COLOR-INDEXING
- * (palette + pixel bundling) transform — palette images return None,
- * measured honestly by the q_m34 coverage face.
+ * coded with), and all four transforms: PREDICTOR (all 14 spatial
+ * predictors with the top-row/left-column/top-right-edge rules),
+ * cross-COLOR (signed 3.5 fixed-point green→red, green→blue,
+ * red→blue deltas), SUBTRACT-GREEN, and COLOR-INDEXING (delta-coded
+ * palette + sub-byte pixel bundling, the icon/logo shape). Inverse
+ * transforms apply in reverse bitstream order per the spec, with the
+ * effective width tracked through the bundling. Lossy VP8 (the other
+ * WebP half) has no decoder — measured honestly by the q_m34
+ * coverage face.
  *
  * The PREFIX-CODE machinery is complete per the spec: simple codes
  * (1–2 symbols), full codes via the code-length code (3-bit lengths
@@ -487,6 +488,48 @@ private[graft] object Vp8l {
     extends Transform
   private final case class ColorT(sizeBits: Int, tw: Int, elems: Array[Int])
     extends Transform
+  /** Palette transform: `palette` (delta-decoded ARGB entries),
+   * `widthBits` (pixel bundling: 0/1/2/3 → 1/2/4/8 indices per
+   * packed pixel), `unpackedW` the width BEFORE this transform. */
+  private final case class ColorIndexT(
+      palette: Array[Int], widthBits: Int, unpackedW: Int) extends Transform
+
+  /** Inverse COLOR-INDEXING: unbundle the packed image's green
+   * channels into palette lookups (LSB-first sub-pixel order within a
+   * packed pixel, §4.2.4); an out-of-range index is transparent
+   * black per the spec. Returns the widened pixel array. */
+  private def applyColorIndex(
+      px: Array[Int], packedW: Int, h: Int,
+      palette: Array[Int], widthBits: Int, unpackedW: Int): Array[Int] = {
+    if (widthBits == 0) {
+      // no bundling: every green is a direct palette index
+      var i = 0
+      while (i < px.length) {
+        val idx = (px(i) >>> 8) & 0xff
+        px(i) = if (idx < palette.length) palette(idx) else 0
+        i += 1
+      }
+      px
+    } else {
+      val perPixel = 1 << widthBits          // indices per packed pixel
+      val bits = 8 >> widthBits               // bits per index
+      val mask = (1 << bits) - 1
+      val out = new Array[Int](unpackedW * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < unpackedW) {
+          val packed = px(y * packedW + (x >> widthBits))
+          val idx = ((packed >>> 8) >>> ((x & (perPixel - 1)) * bits)) & mask
+          out(y * unpackedW + x) =
+            if (idx < palette.length) palette(idx) else 0
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+  }
 
   /** Locate the VP8L chunk payload inside a RIFF/WEBP container. */
   private def vp8lSpan(b: Array[Byte]): Option[(Int, Int)] = {
@@ -521,34 +564,58 @@ private[graft] object Vp8l {
         if (br.bits(3) != 0) return None // version must be 0
         if (w.toLong * h > (1 << 24)) return None // runaway guard
         // transforms, in bitstream order; inverses apply in REVERSE
-        // order, so prepending while reading yields the apply order
+        // order, so prepending while reading yields the apply order.
+        // COLOR_INDEXING shrinks the effective width for everything
+        // read AFTER it (pixel bundling), so the current width is
+        // tracked through the declarations and restored transform by
+        // transform on the way back out
         var transforms: List[Transform] = Nil
+        var curW = w
         var more = br.bits(1) == 1
         while (more) {
           br.bits(2) match {
             case 0 => // PREDICTOR
               val sb = br.bits(3) + 2
-              val tw = (w + (1 << sb) - 1) >> sb
+              val tw = (curW + (1 << sb) - 1) >> sb
               val th = (h + (1 << sb) - 1) >> sb
               transforms ::= PredictorT(sb, tw,
                 decodePixels(br, tw, th, level0 = false))
             case 1 => // cross-COLOR
               val sb = br.bits(3) + 2
-              val tw = (w + (1 << sb) - 1) >> sb
+              val tw = (curW + (1 << sb) - 1) >> sb
               val th = (h + (1 << sb) - 1) >> sb
               transforms ::= ColorT(sb, tw,
                 decodePixels(br, tw, th, level0 = false))
             case 2 => transforms ::= SubGreen
-            case _ => return None // COLOR_INDEXING (palette): not claimed
+            case _ => // COLOR_INDEXING: palette + pixel bundling
+              val tableSize = br.bits(8) + 1
+              val palette = decodePixels(br, tableSize, 1, level0 = false)
+              // palette entries are DELTA-coded per channel (§4.2.4)
+              var i = 1
+              while (i < palette.length) {
+                palette(i) = addPx(palette(i), palette(i - 1))
+                i += 1
+              }
+              val widthBits =
+                if (tableSize <= 2) 3
+                else if (tableSize <= 4) 2
+                else if (tableSize <= 16) 1
+                else 0
+              transforms ::= ColorIndexT(palette, widthBits, curW)
+              curW = (curW + (1 << widthBits) - 1) >> widthBits
           }
           more = br.bits(1) == 1
         }
-        val px = decodePixels(br, w, h, level0 = true)
+        var px = decodePixels(br, curW, h, level0 = true)
         transforms.foreach {
           case SubGreen                  => applySubtractGreen(px)
-          case PredictorT(sb, tw, modes) => applyPredictor(px, w, h, sb, tw, modes)
-          case ColorT(sb, tw, elems)     => applyColor(px, w, h, sb, tw, elems)
+          case PredictorT(sb, tw, modes) => applyPredictor(px, curW, h, sb, tw, modes)
+          case ColorT(sb, tw, elems)     => applyColor(px, curW, h, sb, tw, elems)
+          case ColorIndexT(pal, wb, uw) =>
+            px = applyColorIndex(px, curW, h, pal, wb, uw)
+            curW = uw
         }
+        if (curW != w) return None // transform chain must restore full width
         Some((w, h, px))
       }
     } catch { case _: Bad | _: ArrayIndexOutOfBoundsException => None }

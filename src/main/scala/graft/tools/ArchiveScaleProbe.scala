@@ -74,9 +74,13 @@ object ArchiveScaleProbe {
         .filter(col("body_text").isNotNull &&
           lower(col("content_type")).startsWith("text/html")))).count())
     timed("sitemap_urls")(
-      Archives.sitemapUrls(Archives.warcPageTable(spark, warcs)).count())
+      Archives.withPageTable(spark, warcs,
+        project = Seq("target_uri", "body_text", "body_gz_text"))(
+        Archives.sitemapUrls).count())
     timed("crawl_candidates")(
-      Archives.crawlCandidates(Archives.warcPageTable(spark, warcs)).count())
+      Archives.withPageTable(spark, warcs,
+        project = Seq("target_uri", "warc_type", "content_type",
+          "body_text", "body_gz_text"))(Archives.crawlCandidates).count())
     warcs.unpersist()
 
     // .warc.gz: per-member inflate — the expensive walk (DEFLATE per
@@ -162,6 +166,28 @@ object ArchiveScaleProbe {
     webps.count()
     timed("vp8l_dhash")(ImageHash.dhashTable(spark, webps).count())
     webps.unpersist()
+
+    // VP8L REAL-path decode: subtract-green + predictor transform +
+    // color cache + LZ77 backreferences — the `cwebp -lossless`
+    // stream shape the r17 decoder extension claims
+    val realWebps = spark.range(nShards)
+      .map { id =>
+        val px = Array.tabulate(ImageDupFixture.W * ImageDupFixture.H) { i =>
+          val v = ImageDupFixture.cell(id,
+            (i % ImageDupFixture.W) / 2, (i / ImageDupFixture.W) / 2)
+          (255 << 24) | (v << 16) | (v << 8) | v
+        }
+        (id, "image/webp", Vp8lEncoder.encode(
+          px, ImageDupFixture.W, ImageDupFixture.H,
+          Vp8lEncoder.Plan(
+            transforms = Seq(Vp8lEncoder.SubGreenTf,
+              Vp8lEncoder.PredictorTf(2, (_, _) => 2)),
+            cacheBits = 3, useLz77 = true)))
+      }
+      .toDF("media_id", "mime_type", "media").cache()
+    realWebps.count()
+    timed("vp8l_real_dhash")(ImageHash.dhashTable(spark, realWebps).count())
+    realWebps.unpersist()
 
     spark.stop()
   }

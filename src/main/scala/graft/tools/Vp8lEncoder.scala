@@ -32,6 +32,10 @@ object Vp8lEncoder {
   /** `elemOf(bx, by)` = (green_to_red, green_to_blue, red_to_blue),
    * each a signed 3.5 fixed-point byte (0..255). */
   final case class ColorTf(sizeBits: Int, elemOf: (Int, Int) => (Int, Int, Int)) extends Tf
+  /** Palette transform: the palette derives from the image's distinct
+   * colors (≤ 256, first-seen order), delta-coded into the stream;
+   * indices bundle sub-byte when the palette is small (≤16). */
+  case object ColorIndexTf extends Tf
 
   /** Encoding plan for the main entropy image. `metaGroups > 1`
    * splits the image into `1 << metaBits`-pixel blocks striped over
@@ -446,6 +450,7 @@ object Vp8lEncoder {
     bw.bits(0, 1) // alpha hint
     bw.bits(0, 3) // version
     var cur = px
+    var curW = w // COLOR_INDEXING bundles pixels: width shrinks mid-chain
     plan.transforms.foreach { tf =>
       bw.bits(1, 1)
       tf match {
@@ -455,18 +460,18 @@ object Vp8lEncoder {
         case PredictorTf(sb, modeOf) =>
           bw.bits(0, 2)
           bw.bits(sb - 2, 3)
-          val tw = (w + (1 << sb) - 1) >> sb
+          val tw = (curW + (1 << sb) - 1) >> sb
           val th = (h + (1 << sb) - 1) >> sb
           val modes = Array.tabulate(tw * th) { j =>
             (0xff << 24) | ((modeOf(j % tw, j / tw) & 0xff) << 8)
           }
           writeEntropyImage(bw, modes, tw, th, level0 = false,
             cacheBits = 0, useLz77 = false, metaBits = 0, metaGroups = 1)
-          cur = fwdPredictor(cur, w, h, sb, modeOf)
+          cur = fwdPredictor(cur, curW, h, sb, modeOf)
         case ColorTf(sb, elemOf) =>
           bw.bits(1, 2)
           bw.bits(sb - 2, 3)
-          val tw = (w + (1 << sb) - 1) >> sb
+          val tw = (curW + (1 << sb) - 1) >> sb
           val th = (h + (1 << sb) - 1) >> sb
           val elems = Array.tabulate(tw * th) { j =>
             val (g2r, g2b, r2b) = elemOf(j % tw, j / tw)
@@ -474,11 +479,44 @@ object Vp8lEncoder {
           }
           writeEntropyImage(bw, elems, tw, th, level0 = false,
             cacheBits = 0, useLz77 = false, metaBits = 0, metaGroups = 1)
-          cur = fwdColor(cur, w, h, sb, elemOf)
+          cur = fwdColor(cur, curW, h, sb, elemOf)
+        case ColorIndexTf =>
+          bw.bits(3, 2)
+          val palette = cur.distinct
+          require(palette.length <= 256,
+            s"palette transform needs <= 256 colors, got ${palette.length}")
+          bw.bits(palette.length - 1, 8)
+          // delta-code per channel (the decoder re-accumulates)
+          val delta = palette.zipWithIndex.map { case (p, i) =>
+            if (i == 0) p else subPx(p, palette(i - 1))
+          }
+          writeEntropyImage(bw, delta, palette.length, 1, level0 = false,
+            cacheBits = 0, useLz77 = false, metaBits = 0, metaGroups = 1)
+          val widthBits =
+            if (palette.length <= 2) 3
+            else if (palette.length <= 4) 2
+            else if (palette.length <= 16) 1
+            else 0
+          val idxOf = palette.zipWithIndex.toMap
+          val perPixel = 1 << widthBits
+          val bits = 8 >> widthBits
+          val packedW = (curW + perPixel - 1) >> widthBits
+          cur = Array.tabulate(packedW * h) { j =>
+            val y = j / packedW
+            val x0 = (j % packedW) << widthBits
+            var bundled = 0
+            var k = 0
+            while (k < perPixel && x0 + k < curW) {
+              bundled |= idxOf(cur(y * curW + x0 + k)) << (k * bits)
+              k += 1
+            }
+            (0xff << 24) | (bundled << 8)
+          }
+          curW = packedW
       }
     }
     bw.bits(0, 1) // no more transforms
-    writeEntropyImage(bw, cur, w, h, level0 = true,
+    writeEntropyImage(bw, cur, curW, h, level0 = true,
       plan.cacheBits, plan.useLz77, plan.metaBits, plan.metaGroups)
     ImageDupFixture.riff("VP8L", bw.toBytes)
   }

@@ -228,6 +228,40 @@ class Vp8lSpec extends SparkSpec {
       cacheBits = 2, useLz77 = true), "reverse order")
   }
 
+  test("color-indexing transform round-trips: palette sizes across every bundling width") {
+    import graft.tools.Vp8lEncoder.ColorIndexTf
+    // 2 colors → 8 px/byte, 4 → 4 px/byte, 16 → 2 px/byte, 200 → none;
+    // odd widths exercise the partial final bundle
+    def paletteImage(w: Int, h: Int, n: Int): Array[Int] =
+      Array.tabulate(w * h) { i =>
+        val k = (i * 7 + (i / w) * 3) % n
+        (0xff << 24) | ((k * 37 % 256) << 16) | ((k * 91 % 256) << 8) |
+          (k * 53 % 256)
+      }
+    for ((n, w, h) <- Seq((2, 10, 4), (4, 13, 5), (16, 7, 9), (200, 23, 11))) {
+      roundTrip(paletteImage(w, h, n), w, h,
+        Plan(transforms = Seq(ColorIndexTf), useLz77 = false),
+        s"palette n=$n")
+      // LZ77 over the PACKED image too (what real encoders emit)
+      roundTrip(paletteImage(w, h, n), w, h,
+        Plan(transforms = Seq(ColorIndexTf), useLz77 = true),
+        s"palette+lz77 n=$n")
+    }
+    // the fixture's gray cells fit a palette: dhash equals the PNG twin
+    for (id <- Seq(5L, 21L)) {
+      val px = Array.tabulate(ImageDupFixture.W * ImageDupFixture.H) { i =>
+        val v = ImageDupFixture.cell(id, (i % ImageDupFixture.W) / 2,
+          (i / ImageDupFixture.W) / 2)
+        (255 << 24) | (v << 16) | (v << 8) | v
+      }
+      val palWebp = Vp8lEncoder.encode(px, ImageDupFixture.W,
+        ImageDupFixture.H, Plan(transforms = Seq(ColorIndexTf)))
+      val got = ImageHash.dhashBands(palWebp)
+      val png = ImageHash.dhashBands(ImageDupFixture.png(id))
+      assert(got.isDefined && got.get._3.toSeq == png.get._3.toSeq, s"id=$id")
+    }
+  }
+
   test("fixture twins through the REAL backref+predictor path hash identically to PNG siblings") {
     for (id <- Seq(5L, 13L, 21L, 29L)) {
       val px = Array.tabulate(ImageDupFixture.W * ImageDupFixture.H) { i =>
