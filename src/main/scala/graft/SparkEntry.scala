@@ -4200,10 +4200,28 @@ object SparkEntry {
          |      THEN '/' ELSE regexp_extract(d.target_uri,
          |        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) END AS pth
          |  FROM dd d WHERE d.target_uri NOT LIKE '%/robots.txt'),
+         | rrx AS (
+         |  -- RFC 9309 wildcard compile, mirroring the engine: strip
+         |  -- a trailing end-anchor dollar, escape regex
+         |  -- metacharacters, star -> '.*'; wildcardless rules keep
+         |  -- NULL and the starts_with fast path
+         |  SELECT *, CASE WHEN prefix LIKE '%*%' OR prefix LIKE '%$$'
+         |    THEN '^' || replace(regexp_replace(
+         |        CASE WHEN prefix LIKE '%$$'
+         |             THEN substr(prefix, 1, len(prefix) - 1)
+         |             ELSE prefix END,
+         |        '([\\^$$.|?+\\[\\]{}()\\\\])', '\\\\\\1', 'g'),
+         |      '*', '.*') ||
+         |      CASE WHEN prefix LIKE '%$$' THEN '$$' ELSE '' END
+         |    END AS rule_rx
+         |  FROM rrules),
          | rj AS (
          |  SELECT pg.*, r.rule_type, r.prefix,
-         |    r.prefix IS NOT NULL AND starts_with(pg.pth, r.prefix) AS hit
-         |  FROM pg LEFT JOIN rrules r USING (host)),
+         |    r.prefix IS NOT NULL AND
+         |      CASE WHEN r.rule_rx IS NOT NULL
+         |           THEN regexp_matches(pg.pth, r.rule_rx)
+         |           ELSE starts_with(pg.pth, r.prefix) END AS hit
+         |  FROM pg LEFT JOIN rrx r USING (host)),
          | rjr AS (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY host, target_uri
          |    ORDER BY hit DESC, len(prefix) DESC, rule_type ASC, prefix ASC) AS rnk

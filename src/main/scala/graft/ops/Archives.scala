@@ -1222,11 +1222,13 @@ object Archives {
 
   /** Longest-match robots verdict per page — the precedence every
    * evaluator implements (RFC 9309 §2.2.2): among the host's rules
-   * whose prefix matches the page path, the LONGEST wins; an `allow`
-   * wins a length tie. Pages on hosts with no matching rule are
-   * allowed. Input pages need `target_uri` (unique — run after
-   * keep-latest dedup) and join the rule table host-keyed; emits the
-   * pages with `robots_allowed`, `matched_rule`, `matched_prefix`.
+   * MATCHING the page path — plain prefixes plus the §2.2.3 wildcard
+   * forms (`*` any-run, trailing `$` end anchor) — the one with the
+   * most octets wins; an `allow` wins a length tie. Pages on hosts
+   * with no matching rule are allowed. Input pages need `target_uri`
+   * (unique — run after keep-latest dedup) and join the rule table
+   * host-keyed; emits the pages with `robots_allowed`,
+   * `matched_rule`, `matched_prefix`.
    *
    * Scale shape: one host-keyed join (page index rows × tiny rule
    * rows — a few rules per host, so the fan-out is bounded) and one
@@ -1238,20 +1240,40 @@ object Archives {
     val w = Window.partitionBy("host", "target_uri")
       .orderBy(col("hit").desc, length(col("prefix")).desc,
         col("rule_type").asc, col("prefix").asc)
+    // RFC 9309 §2.2.3 wildcard patterns: `*` matches any character
+    // run and a TRAILING `$` anchors the end of the path (a `$`
+    // anywhere else is literal). A rule carrying either compiles to
+    // an anchored regex (metacharacters escaped, `*` → `.*`) —
+    // computed on the tiny RULES side before the join; wildcardless
+    // rules keep the codegen'd startsWith fast path. Precedence stays
+    // the raw rule's OCTET LENGTH (wildcards count), per the RFC
+    val endAnchor = col("prefix").endsWith("$")
+    val core = when(endAnchor,
+      col("prefix").substr(lit(1), length(col("prefix")) - 1))
+      .otherwise(col("prefix"))
+    val escaped = regexp_replace(core,
+      "([\\\\^$.|?+\\[\\]{}()])", "\\\\$1")
+    val rulesRx = rules.withColumn("rule_rx",
+      when(col("prefix").contains("*") || endAnchor,
+        concat(lit("^"), regexp_replace(escaped, "\\*", ".*"),
+          when(endAnchor, lit("$")).otherwise(lit("")))))
     pages
       .withColumn("host", lower(regexp_extract(col("target_uri"),
         "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)))
       .withColumn("path", when(rawPath === "", lit("/")).otherwise(rawPath))
-      .join(rules, Seq("host"), "left")
+      .join(rulesRx, Seq("host"), "left")
       .withColumn("hit",
-        col("prefix").isNotNull && col("path").startsWith(col("prefix")))
+        col("prefix").isNotNull &&
+          when(col("rule_rx").isNotNull,
+            regexp_like(col("path"), col("rule_rx")))
+          .otherwise(col("path").startsWith(col("prefix"))))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") === 1)
       .withColumn("robots_allowed",
         !(col("hit") && col("rule_type") === "disallow"))
       .withColumn("matched_rule", when(col("hit"), col("rule_type")))
       .withColumn("matched_prefix", when(col("hit"), col("prefix")))
-      .drop("prefix", "rule_type", "hit", "rnk", "path")
+      .drop("prefix", "rule_type", "hit", "rnk", "path", "rule_rx")
   }
 
   /** Extract out-links from HTML page bodies — the raw material of

@@ -167,11 +167,16 @@ object WarcFixture {
    * bytes, so keep-latest dedup is a no-op on content). Disallows
    * the /page{h} prefix (matching page{h} and page{h}0..{h}9) but
    * re-allows the single page {h}{h} with a LONGER rule — the
-   * longest-match precedence every robots evaluator must implement.
-   * A trailing non-`*` group must be ignored by the parser. */
+   * longest-match precedence every robots evaluator must implement —
+   * plus the RFC 9309 §2.2.3 WILDCARD forms real robots files lean
+   * on: a star-4-dollar Disallow under the root (any path ending in
+   * 4) re-allowed for exactly /page14 by the longer-octet
+   * `Allow: /page*14` + end anchor. A trailing non-star group must
+   * be ignored by the parser. */
   def robotsBody(h: Long): String =
     s"User-agent: *\nCrawl-delay: ${1 + h}\nDisallow: /page$h\n" +
       s"Allow: /page$h$h\nDisallow: /secret/\n" +
+      "Disallow: /*4$\nAllow: /page*14$\n" +
       s"Sitemap: https://data$h.example.org/sitemap.xml\n\n" +
       s"User-agent: badbot\nDisallow: /\nCrawl-delay: 99\n"
 

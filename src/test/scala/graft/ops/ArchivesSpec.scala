@@ -554,6 +554,38 @@ class ArchivesSpec extends SparkSpec {
       longL("from-L.txt")) == "from-L.txt")
   }
 
+  test("robots wildcards: metacharacter escaping, anchors, octet precedence") {
+    import spark.implicits._
+    val rules = Seq(
+      ("h.example.org", "disallow", "/*.gif$"), // '.' must be LITERAL
+      ("h.example.org", "disallow", "/tmp*/private"),
+      ("h.example.org", "allow", "/tmp*/private/ok$"),
+      ("h.example.org", "disallow", "/a$b"), // mid-$ is literal, fast path
+      ("i.example.org", "disallow", "*") // bare star blocks everything
+    ).toDF("host", "rule_type", "prefix")
+    val pages = Seq(
+      "https://h.example.org/img/banner.gif", // *.gif$ hits
+      "https://h.example.org/img/banner.gifx", // $ anchor: no hit
+      "https://h.example.org/img/bannerXgif", // '.' literal: no hit
+      "https://h.example.org/tmp123/private/doc", // mid-star hits
+      "https://h.example.org/tmp123/private/ok", // longer allow wins
+      "https://h.example.org/a$b/x", // literal $ prefix
+      "https://i.example.org/anything"
+    ).toDF("target_uri")
+    val got = Archives.robotsFilter(pages, rules)
+      .select("target_uri", "robots_allowed", "matched_prefix")
+      .as[(String, Boolean, Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val h = "https://h.example.org"
+    assert(got(s"$h/img/banner.gif") == ((false, Some("/*.gif$"))))
+    assert(got(s"$h/img/banner.gifx") == ((true, None)))
+    assert(got(s"$h/img/bannerXgif") == ((true, None)))
+    assert(got(s"$h/tmp123/private/doc") == ((false, Some("/tmp*/private"))))
+    assert(got(s"$h/tmp123/private/ok") == ((true, Some("/tmp*/private/ok$"))))
+    assert(got(s"$h/a$$b/x") == ((false, Some("/a$b"))))
+    assert(got("https://i.example.org/anything") == ((false, Some("*"))))
+  }
+
   test("malformed PAX payloads never override and never throw") {
     def tarWithPax(payload: String): Array[Byte] = {
       val p = payload.getBytes("US-ASCII")
@@ -814,27 +846,37 @@ class ArchivesSpec extends SparkSpec {
     assert(rules.as[(String, String, String)].collect().toSet == Set(
       ("data1.example.org", "disallow", "/page1"),
       ("data1.example.org", "allow", "/page11"),
-      ("data1.example.org", "disallow", "/secret/")))
+      ("data1.example.org", "disallow", "/secret/"),
+      ("data1.example.org", "disallow", "/*4$"),
+      ("data1.example.org", "allow", "/page*14$")))
     val pages = Seq(
       "https://data1.example.org/page11", // longer allow overrides
       "https://data1.example.org/page12", // /page1 prefix: disallowed
       "https://data1.example.org/page1", // exact disallow
       "https://data1.example.org/page2", // no matching rule: allowed
+      "https://data1.example.org/page4", // wildcard /*4$ disallows
+      "https://data1.example.org/page14", // Allow: /page*14$ (9 octets) wins
+      "https://data1.example.org/page24", // /*4$ again
+      "https://data1.example.org/page40", // ENDS in 0: the $ anchor must not fire
       "https://data1.example.org/secret/x",
       "https://other.example.org/page1" // host without rules: allowed
     ).toDF("target_uri")
     val got = Archives.robotsFilter(pages, rules)
-      .select("target_uri", "robots_allowed", "matched_rule")
-      .as[(String, Boolean, Option[String])].collect()
-      .map(r => r._1 -> ((r._2, r._3))).toMap
+      .select("target_uri", "robots_allowed", "matched_rule", "matched_prefix")
+      .as[(String, Boolean, Option[String], Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
     val d = "https://data1.example.org"
-    assert(got(s"$d/page11") == ((true, Some("allow"))))
-    assert(got(s"$d/page12") == ((false, Some("disallow"))))
-    assert(got(s"$d/page1") == ((false, Some("disallow"))))
-    assert(got(s"$d/page2") == ((true, None)))
-    assert(got(s"$d/secret/x") == ((false, Some("disallow"))))
-    assert(got("https://other.example.org/page1") == ((true, None)))
-    assert(got.size == 6)
+    assert(got(s"$d/page11") == ((true, Some("allow"), Some("/page11"))))
+    assert(got(s"$d/page12") == ((false, Some("disallow"), Some("/page1"))))
+    assert(got(s"$d/page1") == ((false, Some("disallow"), Some("/page1"))))
+    assert(got(s"$d/page2") == ((true, None, None)))
+    assert(got(s"$d/page4") == ((false, Some("disallow"), Some("/*4$"))))
+    assert(got(s"$d/page14") == ((true, Some("allow"), Some("/page*14$"))))
+    assert(got(s"$d/page24") == ((false, Some("disallow"), Some("/*4$"))))
+    assert(got(s"$d/page40") == ((true, None, None)))
+    assert(got(s"$d/secret/x") == ((false, Some("disallow"), Some("/secret/"))))
+    assert(got("https://other.example.org/page1") == ((true, None, None)))
+    assert(got.size == 10)
     // equal-length allow/disallow on the same prefix: allow wins
     val tie = Archives.robotsFilter(
         Seq("https://h.example.org/xy").toDF("target_uri"),
