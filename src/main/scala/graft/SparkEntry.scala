@@ -857,6 +857,17 @@ object SparkEntry {
         Tables.warc(s).unionByName(Tables.warcsm(s)),
         project = Seq("target_uri", "body_text", "body_gz_text"))(
         Archives.sitemapAcceptedUris)),
+    // q_w33: charset-aware WET — the declared-charset bodies decode
+    // to the SAME Unicode text from UTF-8 bytes and from Latin-1
+    // bytes (a uniform single-byte decode mojibakes the multilingual
+    // half of a real crawl and poisons langid/quality downstream);
+    // the oracle states the expected Unicode literally from the
+    // fixture id contract
+    "q_w33_charset_wet" -> ((s, _) =>
+      Archives.warcPageTable(s, Tables.warcsm(s))
+        .filter(col("target_uri").contains("/txt/"))
+        .select("target_uri", "content_type", "body_text")
+        .distinct()),
     // q_w22: CDX-style fetch index over `.warc.gz` members — Common
     // Crawl's own index format: per response member the SURT sort key
     // (byte-ordering it clusters a domain's pages → a range scan is a
@@ -1975,7 +1986,9 @@ object SparkEntry {
        |    'https://smap' || hh || '.example.org/maps/pages-' || hh || '.xml',
        |    'https://smap' || hh || '.example.org/maps/extra-' || hh || '.xml.gz',
        |    'https://smap' || hh || '.example.org/maps/rogue-' || hh || '.xml',
-       |    'https://smap' || hh || '.example.org/p/a' || hh || '_0'])
+       |    'https://smap' || hh || '.example.org/p/a' || hh || '_0',
+       |    'https://smap' || hh || '.example.org/txt/utf8',
+       |    'https://smap' || hh || '.example.org/txt/latin1'])
        |    AS target_uri
        |  FROM smf)""".stripMargin
 
@@ -3963,6 +3976,23 @@ object SparkEntry {
          |  SELECT target_uri FROM lvl0
          |  UNION ALL SELECT target_uri FROM kids WHERE target_uri IS NOT NULL
          |  UNION ALL SELECT target_uri FROM smacc) u""".stripMargin,
+    // q_w33: the expected Unicode stated literally from the fixture
+    // id contract — the engine must reach the same strings from
+    // UTF-8 bytes and from Latin-1 bytes under their declared
+    // charsets (DuckDB cannot re-decode the Latin-1 payload itself)
+    "q_w33_charset_wet" ->
+      s"""WITH $SMCONTRACT
+         | SELECT target_uri, content_type, body_text FROM (
+         |  SELECT 'https://smap' || hh || '.example.org/txt/utf8'
+         |      AS target_uri,
+         |    'text/plain; charset=utf-8' AS content_type,
+         |    'héllo wörld 中文テキスト №' || hh AS body_text
+         |  FROM smf
+         |  UNION ALL
+         |  SELECT 'https://smap' || hh || '.example.org/txt/latin1',
+         |    'text/plain; charset=iso-8859-1',
+         |    'café naïve garçon ' || hh
+         |  FROM smf) u""".stripMargin,
     // q_w30: sitemap entries (q_w29's chain) ∪ resolved links
     // (LINKGRAPH's rs), URI-grouped, anti-joined to fetched URIs
     "q_w30_crawl_candidates" ->

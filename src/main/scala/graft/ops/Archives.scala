@@ -171,6 +171,26 @@ object Archives {
     }
   }
 
+  /** Charset of a textual HTTP body, from its Content-Type
+   * `charset=` parameter: UTF-8 — the modern web's dominant encoding
+   * and the WHATWG presumption for undeclared bodies; bytes that
+   * don't decode become U+FFFD, never a throw — or the legacy
+   * single-byte pair ISO-8859-1 / US-ASCII, which decode exactly.
+   * An unknown DECLARED charset falls back to UTF-8-with-replacement
+   * (a charset-sniffing pass could widen this; the contract is
+   * documented, not silent). A byte-for-byte uniform ISO-8859-1
+   * decode would preserve arbitrary bytes but MOJIBAKES every
+   * multilingual UTF-8 page — the majority of a real crawl — which
+   * poisons language-ID and text quality downstream. */
+  private def httpBodyCharset(ct: Option[String]): java.nio.charset.Charset =
+    ct.flatMap("(?i)charset=\"?([A-Za-z0-9_.:-]+)\"?".r.findFirstMatchIn(_))
+      .map(_.group(1).toLowerCase) match {
+      case Some("iso-8859-1") | Some("latin-1") | Some("latin1") |
+           Some("us-ascii") | Some("ascii") =>
+        java.nio.charset.StandardCharsets.ISO_8859_1
+      case _ => java.nio.charset.StandardCharsets.UTF_8
+    }
+
   /** HTTP split table over WARC response records — the entry point
    * for actual Common Crawl text extraction: one row per response
    * record whose HTTP head parses, with (media_id, record_idx,
@@ -225,8 +245,7 @@ object Archives {
                 case (200, bodyRel, Some(ct))
                     if ct.toLowerCase.startsWith("text/") =>
                   val body = new String(r.media, (cOff + bodyRel).toInt,
-                    (cLen - bodyRel).toInt,
-                    java.nio.charset.StandardCharsets.ISO_8859_1)
+                    (cLen - bodyRel).toInt, httpBodyCharset(Some(ct)))
                   (r.media_id, i, ct, body)
               }
             case _ => None
@@ -390,8 +409,11 @@ object Archives {
               case (200, bodyRel, Some(ct)) if ct.toLowerCase.startsWith("text/") =>
                 val from = (contentOff + bodyRel).toInt
                 val kept = math.min(contentOff + clen, hb.length.toLong).toInt
+                // a cap that lands mid-multibyte leaves one U+FFFD at
+                // the truncation point — the `truncated` flag already
+                // marks the row
                 val body = new String(hb, from, math.max(kept - from, 0),
-                  java.nio.charset.StandardCharsets.ISO_8859_1)
+                  httpBodyCharset(Some(ct)))
                 out += ((idx, ct, body, contentOff + clen > hb.length))
               case _ => ()
             }
@@ -479,8 +501,7 @@ object Archives {
                 case (200, bodyRel, Some(ct))
                     if ct.toLowerCase.startsWith("text/") =>
                   new String(r.media, (cOff + bodyRel).toInt,
-                    (cLen - bodyRel).toInt,
-                    java.nio.charset.StandardCharsets.ISO_8859_1)
+                    (cLen - bodyRel).toInt, httpBodyCharset(Some(ct)))
               }
               // gzip-wrapped MARKUP bodies (the sitemap.xml.gz shape):
               // 200-status payloads sniffing RFC 1952 magic inflate

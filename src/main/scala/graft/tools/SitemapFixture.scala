@@ -92,6 +92,14 @@ object SitemapFixture {
     bos.toByteArray
   }
 
+  /** Multilingual text bodies for the charset-aware WET face
+   * (q_w33): the SAME logical text shipped as UTF-8 bytes and as
+   * Latin-1 bytes under their declared charsets — byte-assembled
+   * here because [[WarcFixture]]'s string pipeline is ASCII-only by
+   * construction. */
+  def utf8Body(hh: Long): String = s"héllo wörld 中文テキスト №$hh"
+  def latin1Body(hh: Long): String = s"café naïve garçon $hh"
+
   def rogueBody(hh: Long): String =
     "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<urlset>\n" +
       (0 until 2).map { k =>
@@ -135,7 +143,12 @@ object SitemapFixture {
       record(id, 4, s"https://$hst/maps/rogue-$hh.xml", "text/xml",
         ascii(rogueBody(hh))) ++
       record(id, 5, pagesLoc(hh, 0), "text/plain",
-        ascii(s"fetched page body $hh"))
+        ascii(s"fetched page body $hh")) ++
+      record(id, 6, s"https://$hst/txt/utf8", "text/plain; charset=utf-8",
+        utf8Body(hh).getBytes(java.nio.charset.StandardCharsets.UTF_8)) ++
+      record(id, 7, s"https://$hst/txt/latin1",
+        "text/plain; charset=iso-8859-1",
+        latin1Body(hh).getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
   }
 
   def row(id: Long): (String, Array[Byte]) =
