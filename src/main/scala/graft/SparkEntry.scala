@@ -865,7 +865,17 @@ object SparkEntry {
     // fixture id contract
     "q_w33_charset_wet" -> ((s, _) =>
       Archives.warcPageTable(s, Tables.warcsm(s))
-        .filter(col("target_uri").contains("/txt/"))
+        .filter(col("target_uri").rlike("/txt/(utf8|latin1)$"))
+        .select("target_uri", "content_type", "body_text")
+        .distinct()),
+    // q_w34: Content-Encoding WET — transfer-compressed text bodies
+    // (Content-Encoding: gzip) inflate before the charset decode and
+    // yield the SAME Unicode as their uncompressed twin; a coding
+    // with no decoder here (br) claims NOTHING — body_text stays
+    // NULL rather than binary soup
+    "q_w34_content_encoding" -> ((s, _) =>
+      Archives.warcPageTable(s, Tables.warcsm(s))
+        .filter(col("target_uri").rlike("/txt/(gzipped|brotli)$"))
         .select("target_uri", "content_type", "body_text")
         .distinct()),
     // q_w22: CDX-style fetch index over `.warc.gz` members — Common
@@ -1988,7 +1998,9 @@ object SparkEntry {
        |    'https://smap' || hh || '.example.org/maps/rogue-' || hh || '.xml',
        |    'https://smap' || hh || '.example.org/p/a' || hh || '_0',
        |    'https://smap' || hh || '.example.org/txt/utf8',
-       |    'https://smap' || hh || '.example.org/txt/latin1'])
+       |    'https://smap' || hh || '.example.org/txt/latin1',
+       |    'https://smap' || hh || '.example.org/txt/gzipped',
+       |    'https://smap' || hh || '.example.org/txt/brotli'])
        |    AS target_uri
        |  FROM smf)""".stripMargin
 
@@ -3993,6 +4005,22 @@ object SparkEntry {
          |    'text/plain; charset=iso-8859-1',
          |    'café naïve garçon ' || hh
          |  FROM smf) u""".stripMargin,
+    // q_w34: the Content-Encoding contract — the gzip body must
+    // inflate to the same literal text as its uncompressed twin; the
+    // brotli body (no decoder) must yield a NULL body_text row
+    "q_w34_content_encoding" ->
+      s"""WITH $SMCONTRACT
+         | SELECT target_uri, content_type, body_text FROM (
+         |  SELECT 'https://smap' || hh || '.example.org/txt/gzipped'
+         |      AS target_uri,
+         |    'text/plain; charset=utf-8' AS content_type,
+         |    'héllo wörld 中文テキスト №' || hh AS body_text
+         |  FROM smf
+         |  UNION ALL
+         |  SELECT 'https://smap' || hh || '.example.org/txt/brotli',
+         |    'text/plain; charset=utf-8',
+         |    CAST(NULL AS VARCHAR)
+         |  FROM smf) u""".stripMargin,
     // q_w30: sitemap entries (q_w29's chain) ∪ resolved links
     // (LINKGRAPH's rs), URI-grouped, anti-joined to fetched URIs
     "q_w30_crawl_candidates" ->
@@ -4232,24 +4260,31 @@ object SparkEntry {
          |  FROM dd d WHERE d.target_uri NOT LIKE '%/robots.txt'),
          | rrx AS (
          |  -- RFC 9309 wildcard compile, mirroring the engine: strip
-         |  -- a trailing end-anchor dollar, escape regex
-         |  -- metacharacters, star -> '.*'; wildcardless rules keep
-         |  -- NULL and the starts_with fast path
-         |  SELECT *, CASE WHEN prefix LIKE '%*%' OR prefix LIKE '%$$'
-         |    THEN '^' || replace(regexp_replace(
-         |        CASE WHEN prefix LIKE '%$$'
-         |             THEN substr(prefix, 1, len(prefix) - 1)
-         |             ELSE prefix END,
+         |  -- a trailing end-anchor dollar, COLLAPSE star runs,
+         |  -- escape regex metacharacters, star -> '.*'; rules over
+         |  -- the 8-wildcard implementation limit never match;
+         |  -- wildcardless rules keep the starts_with fast path
+         |  SELECT *,
+         |    prefix LIKE '%*%' OR prefix LIKE '%$$' AS has_wild,
+         |    CASE WHEN (prefix LIKE '%*%' OR prefix LIKE '%$$')
+         |      AND len(core) - len(replace(core, '*', '')) <= 8
+         |    THEN '^' || replace(regexp_replace(core,
          |        '([\\^$$.|?+\\[\\]{}()\\\\])', '\\\\\\1', 'g'),
          |      '*', '.*') ||
          |      CASE WHEN prefix LIKE '%$$' THEN '$$' ELSE '' END
          |    END AS rule_rx
-         |  FROM rrules),
+         |  FROM (
+         |    SELECT *, regexp_replace(
+         |      CASE WHEN prefix LIKE '%$$'
+         |           THEN substr(prefix, 1, len(prefix) - 1)
+         |           ELSE prefix END, '\\*+', '*', 'g') AS core
+         |    FROM rrules) rc),
          | rj AS (
          |  SELECT pg.*, r.rule_type, r.prefix,
          |    r.prefix IS NOT NULL AND
-         |      CASE WHEN r.rule_rx IS NOT NULL
-         |           THEN regexp_matches(pg.pth, r.rule_rx)
+         |      CASE WHEN r.has_wild
+         |           THEN r.rule_rx IS NOT NULL
+         |             AND regexp_matches(pg.pth, r.rule_rx)
          |           ELSE starts_with(pg.pth, r.prefix) END AS hit
          |  FROM pg LEFT JOIN rrx r USING (host)),
          | rjr AS (

@@ -137,14 +137,14 @@ object Archives {
   /** HTTP split of one WARC response record's payload: the payload is
    * an HTTP message (status line + headers + CRLFCRLF + body), and
    * the BODY span is what a text-extraction pipeline actually wants.
-   * Returns (http_status, body_offset_in_payload, content_type) for a
-   * payload whose head parses — a status line matching
-   * [[HttpStatusRe]] and a CRLFCRLF terminator inside the payload —
-   * or None (a response whose head never terminates in its declared
-   * span, or whose payload isn't HTTP at all, proves no body
+   * Returns (http_status, body_offset_in_payload, content_type,
+   * content_encoding) for a payload whose head parses — a status line
+   * matching [[HttpStatusRe]] and a CRLFCRLF terminator inside the
+   * payload — or None (a response whose head never terminates in its
+   * declared span, or whose payload isn't HTTP at all, proves no body
    * coordinates; the tolerance discipline throughout). */
-  private def httpHead(
-      b: Array[Byte], off: Int, len: Int): Option[(Int, Long, Option[String])] = {
+  private def httpHead(b: Array[Byte], off: Int, len: Int)
+      : Option[(Int, Long, Option[String], Option[String])] = {
     var h = off
     val end = off + len
     var hdrEnd = -1
@@ -160,13 +160,42 @@ object Archives {
     lines.headOption.flatMap {
       case HttpStatusRe(st) =>
         var ctype: Option[String] = None
+        var cenc: Option[String] = None
         lines.drop(1).foreach { line =>
           val ci = line.indexOf(':')
-          if (ci > 0 && ctype.isEmpty &&
-              line.substring(0, ci).trim.toLowerCase == "content-type")
-            ctype = Some(line.substring(ci + 1).trim)
+          if (ci > 0) {
+            val name = line.substring(0, ci).trim.toLowerCase
+            if (name == "content-type" && ctype.isEmpty)
+              ctype = Some(line.substring(ci + 1).trim)
+            else if (name == "content-encoding" && cenc.isEmpty)
+              cenc = Some(line.substring(ci + 1).trim.toLowerCase)
+          }
         }
-        Some((st.toInt, (hdrEnd - off + 4).toLong, ctype))
+        Some((st.toInt, (hdrEnd - off + 4).toLong, ctype, cenc))
+      case _ => None
+    }
+  }
+
+  /** Decode a textual HTTP body honoring `Content-Encoding` — the
+   * transfer-compressed text real servers ship: `gzip`/`x-gzip`
+   * bodies inflate through the RFC 1952 path (capped, trailer
+   * CRC32/ISIZE verified), `deflate` through zlib, `identity`/absent
+   * pass through; any OTHER coding (br, zstd — no decoder here) or a
+   * corrupt compressed body CLAIMS NOTHING rather than emitting
+   * binary soup as text. The declared charset applies to the decoded
+   * bytes. */
+  private def httpBodyText(b: Array[Byte], off: Int, len: Int,
+      ct: Option[String], cenc: Option[String]): Option[String] = {
+    val cs = httpBodyCharset(ct)
+    cenc match {
+      case None | Some("identity") =>
+        Some(new String(b, off, len, cs))
+      case Some("gzip") | Some("x-gzip") =>
+        gunzipCapped(b, off, len, GzBodyCap).map(new String(_, cs))
+      case Some("deflate") =>
+        inflateBytesCapped(
+          java.util.Arrays.copyOfRange(b, off, off + len), GzBodyCap)
+          .map(new String(_, cs))
       case _ => None
     }
   }
@@ -209,7 +238,7 @@ object Archives {
             case ((_, cOff, cLen, wtype, _, _, _), i)
                 if wtype.exists(_.equalsIgnoreCase("response")) =>
               httpHead(r.media, cOff.toInt, cLen.toInt).map {
-                case (status, bodyRel, ctype) =>
+                case (status, bodyRel, ctype, _) =>
                   (r.media_id, i, status, cOff + bodyRel, cLen - bodyRel, ctype)
               }
             case _ => None
@@ -242,12 +271,12 @@ object Archives {
             case ((_, cOff, cLen, wtype, _, _, _), i)
                 if wtype.exists(_.equalsIgnoreCase("response")) =>
               httpHead(r.media, cOff.toInt, cLen.toInt).collect {
-                case (200, bodyRel, Some(ct))
+                case (200, bodyRel, Some(ct), cenc)
                     if ct.toLowerCase.startsWith("text/") =>
-                  val body = new String(r.media, (cOff + bodyRel).toInt,
-                    (cLen - bodyRel).toInt, httpBodyCharset(Some(ct)))
-                  (r.media_id, i, ct, body)
-              }
+                  httpBodyText(r.media, (cOff + bodyRel).toInt,
+                    (cLen - bodyRel).toInt, Some(ct), cenc)
+                    .map(body => (r.media_id, i, ct, body))
+              }.flatten
             case _ => None
           }
         }
@@ -406,15 +435,25 @@ object Archives {
           if (wtype.exists(_.equalsIgnoreCase("response")) && contentOff <= hb.length) {
             val avail = math.min(clen, (hb.length - contentOff).toLong).toInt
             httpHead(hb, contentOff.toInt, avail).foreach {
-              case (200, bodyRel, Some(ct)) if ct.toLowerCase.startsWith("text/") =>
+              case (200, bodyRel, Some(ct), cenc)
+                  if ct.toLowerCase.startsWith("text/") =>
                 val from = (contentOff + bodyRel).toInt
                 val kept = math.min(contentOff + clen, hb.length.toLong).toInt
-                // a cap that lands mid-multibyte leaves one U+FFFD at
-                // the truncation point — the `truncated` flag already
-                // marks the row
-                val body = new String(hb, from, math.max(kept - from, 0),
-                  httpBodyCharset(Some(ct)))
-                out += ((idx, ct, body, contentOff + clen > hb.length))
+                val truncated = contentOff + clen > hb.length
+                if (cenc.isEmpty || cenc.contains("identity")) {
+                  // a cap that lands mid-multibyte leaves one U+FFFD
+                  // at the truncation point — the `truncated` flag
+                  // already marks the row
+                  val body = new String(hb, from, math.max(kept - from, 0),
+                    httpBodyCharset(Some(ct)))
+                  out += ((idx, ct, body, truncated))
+                } else if (!truncated) {
+                  // a transfer-compressed body only decodes WHOLE: a
+                  // text cap mid-gzip leaves nothing provable
+                  httpBodyText(hb, from, math.max(kept - from, 0),
+                    Some(ct), cenc)
+                    .foreach(body => out += ((idx, ct, body, false)))
+                }
               case _ => ()
             }
             true
@@ -498,18 +537,18 @@ object Archives {
                   httpHead(r.media, cOff.toInt, cLen.toInt)
                 else None
               val body = http.collect {
-                case (200, bodyRel, Some(ct))
+                case (200, bodyRel, Some(ct), cenc)
                     if ct.toLowerCase.startsWith("text/") =>
-                  new String(r.media, (cOff + bodyRel).toInt,
-                    (cLen - bodyRel).toInt, httpBodyCharset(Some(ct)))
-              }
+                  httpBodyText(r.media, (cOff + bodyRel).toInt,
+                    (cLen - bodyRel).toInt, Some(ct), cenc)
+              }.flatten
               // gzip-wrapped MARKUP bodies (the sitemap.xml.gz shape):
               // 200-status payloads sniffing RFC 1952 magic inflate
               // capped, gated on the inflated prefix opening with '<'
               // so arbitrary .tar.gz downloads are abandoned after one
               // chunk — text/* bodies never take this path
               val gzBody = http.collect {
-                case (200, bodyRel, ct)
+                case (200, bodyRel, ct, _)
                     if !ct.exists(_.toLowerCase.startsWith("text/")) =>
                   gunzipMarkupCapped(r.media, (cOff + bodyRel).toInt,
                     (cLen - bodyRel).toInt, GzBodyCap)
@@ -555,14 +594,22 @@ object Archives {
    * keeps a hostile tiny-gz-bomb member from ballooning a task. */
   private val GzBodyCap = 8 << 20
 
-  /** Inflate ONE RFC 1952 gzip member when its inflated prefix opens
-   * with '<' (markup — the sitemap.xml.gz / compressed-XML shape),
-   * else None: non-markup gzip payloads (tarballs, downloads) cost
-   * one 8 KiB chunk of inflation, never the full body. Tolerant:
-   * corrupt headers, truncation, DataFormatException, a cap overrun
-   * all claim nothing. */
+  /** [[gunzipCapped]] gated on the inflated prefix opening with '<'
+   * (markup — the sitemap.xml.gz / compressed-XML shape): non-markup
+   * gzip payloads (tarballs, downloads) cost one 8 KiB chunk of
+   * inflation, never the full body. */
   private[ops] def gunzipMarkupCapped(
-      b: Array[Byte], off: Int, len: Int, cap: Int): Option[String] = {
+      b: Array[Byte], off: Int, len: Int, cap: Int): Option[String] =
+    gunzipCapped(b, off, len, cap, markupGate = true)
+      .map(new String(_, java.nio.charset.StandardCharsets.ISO_8859_1))
+
+  /** Inflate ONE RFC 1952 gzip member, capped. Tolerant: corrupt
+   * headers, truncation, DataFormatException, a cap overrun, a
+   * failed trailer CRC32/ISIZE check all claim nothing. With
+   * `markupGate`, a member whose inflated prefix doesn't open with
+   * '<' is abandoned after the first chunk. */
+  private[ops] def gunzipCapped(b: Array[Byte], off: Int, len: Int,
+      cap: Int, markupGate: Boolean = false): Option[Array[Byte]] = {
     val end = off + len
     if (len < 18 || (b(off) & 0xff) != 0x1f || (b(off + 1) & 0xff) != 0x8b ||
         b(off + 2) != 8) return None
@@ -587,18 +634,18 @@ object Archives {
         if (n == 0) {
           if (!inf.finished()) return None // truncated / needs dictionary
         } else {
-          if (first) {
+          if (first && markupGate) {
             var q = 0
             while (q < n && (buf(q) == ' ' || buf(q) == '\t' ||
                 buf(q) == '\r' || buf(q) == '\n')) q += 1
             if (q >= n || buf(q) != '<') return None
-            first = false
           }
+          first = false
           out.write(buf, 0, n)
           if (out.size > cap) return None
         }
       }
-      if (first) return None // empty member
+      if (first && markupGate) return None // empty member
       // trailer check (RFC 1952): CRC32 + ISIZE must be present and
       // match — a truncated or bit-rotted member claims nothing even
       // when the deflate stream happens to terminate cleanly
@@ -613,7 +660,7 @@ object Archives {
       val want = (b(tEnd - 8) & 0xffL) | ((b(tEnd - 7) & 0xffL) << 8) |
         ((b(tEnd - 6) & 0xffL) << 16) | ((b(tEnd - 5) & 0xffL) << 24)
       if (crc.getValue != want) return None
-      Some(new String(raw, java.nio.charset.StandardCharsets.ISO_8859_1))
+      Some(raw)
     } catch { case _: Exception => None }
     finally inf.end()
   }
@@ -948,16 +995,20 @@ object Archives {
             case (_, cOff, cLen, wtype, Some(uri), _, _)
                 if wtype.exists(_.equalsIgnoreCase("response")) =>
               httpHead(r.media, cOff.toInt, cLen.toInt).collect {
-                case (200, bodyRel, Some(ct))
+                case (200, bodyRel, Some(ct), cenc)
                     if ct.toLowerCase.startsWith("text/") =>
-                  md.reset()
-                  val text = new String(r.media, (cOff + bodyRel).toInt,
-                    (cLen - bodyRel).toInt,
-                    java.nio.charset.StandardCharsets.ISO_8859_1)
-                  md.update(text.getBytes(
-                    java.nio.charset.StandardCharsets.UTF_8))
-                  (uri, md.digest().map("%02x".format(_)).mkString)
-              }
+                  // the digest hashes the SAME decoded text the WET
+                  // face emits (charset + Content-Encoding aware),
+                  // re-encoded UTF-8 — batch and streaming delta
+                  // faces stay digest-compatible
+                  httpBodyText(r.media, (cOff + bodyRel).toInt,
+                    (cLen - bodyRel).toInt, Some(ct), cenc).map { text =>
+                    md.reset()
+                    md.update(text.getBytes(
+                      java.nio.charset.StandardCharsets.UTF_8))
+                    (uri, md.digest().map("%02x".format(_)).mkString)
+                  }
+              }.flatten
             case _ => None
           }
         }
@@ -1267,17 +1318,29 @@ object Archives {
     // an anchored regex (metacharacters escaped, `*` → `.*`) —
     // computed on the tiny RULES side before the join; wildcardless
     // rules keep the codegen'd startsWith fast path. Precedence stays
-    // the raw rule's OCTET LENGTH (wildcards count), per the RFC
+    // the raw rule's OCTET LENGTH (wildcards count), per the RFC.
+    // Backtracking defense: star RUNS collapse (semantically
+    // identical) and a rule still carrying more than 8 wildcard
+    // segments NEVER matches — a documented implementation limit the
+    // oracle mirrors: this engine evaluates the compiled pattern with
+    // a backtracking matcher, and an adversarial robots.txt shipping
+    // `/*a*a*a…$`-shaped rules must not be able to pin a task CPU
     val endAnchor = col("prefix").endsWith("$")
-    val core = when(endAnchor,
+    val core0 = when(endAnchor,
       col("prefix").substr(lit(1), length(col("prefix")) - 1))
       .otherwise(col("prefix"))
+    val core = regexp_replace(core0, "\\*+", "*")
+    val nStars = length(core) -
+      length(regexp_replace(core, "\\*", ""))
     val escaped = regexp_replace(core,
       "([\\\\^$.|?+\\[\\]{}()])", "\\\\$1")
-    val rulesRx = rules.withColumn("rule_rx",
-      when(col("prefix").contains("*") || endAnchor,
-        concat(lit("^"), regexp_replace(escaped, "\\*", ".*"),
-          when(endAnchor, lit("$")).otherwise(lit("")))))
+    val hasWild = col("prefix").contains("*") || endAnchor
+    val rulesRx = rules
+      .withColumn("has_wild", hasWild)
+      .withColumn("rule_rx",
+        when(hasWild && nStars <= 8,
+          concat(lit("^"), regexp_replace(escaped, "\\*", ".*"),
+            when(endAnchor, lit("$")).otherwise(lit("")))))
     pages
       .withColumn("host", lower(regexp_extract(col("target_uri"),
         "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)))
@@ -1285,8 +1348,9 @@ object Archives {
       .join(rulesRx, Seq("host"), "left")
       .withColumn("hit",
         col("prefix").isNotNull &&
-          when(col("rule_rx").isNotNull,
-            regexp_like(col("path"), col("rule_rx")))
+          when(col("has_wild"),
+            col("rule_rx").isNotNull &&
+              regexp_like(col("path"), col("rule_rx")))
           .otherwise(col("path").startsWith(col("prefix"))))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") === 1)
@@ -1294,7 +1358,8 @@ object Archives {
         !(col("hit") && col("rule_type") === "disallow"))
       .withColumn("matched_rule", when(col("hit"), col("rule_type")))
       .withColumn("matched_prefix", when(col("hit"), col("prefix")))
-      .drop("prefix", "rule_type", "hit", "rnk", "path", "rule_rx")
+      .drop("prefix", "rule_type", "hit", "rnk", "path", "rule_rx",
+        "has_wild")
   }
 
   /** Extract out-links from HTML page bodies — the raw material of

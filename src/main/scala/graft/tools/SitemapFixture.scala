@@ -73,24 +73,9 @@ object SitemapFixture {
 
   /** The gz child's BINARY body: one RFC 1952 member (deterministic —
    * no mtime, fixed OS byte) wrapping [[gzPlainBody]]. */
-  def gzBody(hh: Long): Array[Byte] = {
-    val raw = gzPlainBody(hh).getBytes(java.nio.charset.StandardCharsets.US_ASCII)
-    val bos = new java.io.ByteArrayOutputStream()
-    bos.write(Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0))
-    val d = new java.util.zip.Deflater(
-      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
-    val dos = new java.util.zip.DeflaterOutputStream(bos, d)
-    dos.write(raw); dos.finish(); d.end()
-    val crc = new java.util.zip.CRC32()
-    crc.update(raw)
-    def le32(v: Long): Unit = {
-      bos.write((v & 0xff).toInt); bos.write(((v >>> 8) & 0xff).toInt)
-      bos.write(((v >>> 16) & 0xff).toInt); bos.write(((v >>> 24) & 0xff).toInt)
-    }
-    le32(crc.getValue)
-    le32(raw.length.toLong)
-    bos.toByteArray
-  }
+  def gzBody(hh: Long): Array[Byte] =
+    gzipBytes(gzPlainBody(hh)
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
 
   /** Multilingual text bodies for the charset-aware WET face
    * (q_w33): the SAME logical text shipped as UTF-8 bytes and as
@@ -113,8 +98,9 @@ object SitemapFixture {
         1704067200L + (id * 41 + slot * 53) % 100000))
 
   private def record(id: Long, slot: Int, uri: String, ct: String,
-      payload: Array[Byte]): Array[Byte] = {
-    val head = "HTTP/1.1 200 OK\r\n" + s"Content-Type: $ct\r\n\r\n"
+      payload: Array[Byte], extraHttp: String = ""): Array[Byte] = {
+    val head = "HTTP/1.1 200 OK\r\n" + s"Content-Type: $ct\r\n" +
+      extraHttp + "\r\n"
     val content = head.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ payload
     val hdr = ("WARC/1.0" +:
       Seq(s"WARC-Type: response",
@@ -148,7 +134,38 @@ object SitemapFixture {
         utf8Body(hh).getBytes(java.nio.charset.StandardCharsets.UTF_8)) ++
       record(id, 7, s"https://$hst/txt/latin1",
         "text/plain; charset=iso-8859-1",
-        latin1Body(hh).getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+        latin1Body(hh).getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)) ++
+      // transfer-compressed text (Content-Encoding: gzip) — the body
+      // bytes are a gzip member wrapping the SAME utf-8 text: the WET
+      // face must inflate before charset-decoding (q_w34)
+      record(id, 8, s"https://$hst/txt/gzipped",
+        "text/plain; charset=utf-8",
+        gzipBytes(utf8Body(hh).getBytes(
+          java.nio.charset.StandardCharsets.UTF_8)),
+        extraHttp = "Content-Encoding: gzip\r\n") ++
+      // a coding with NO decoder here: the WET face must claim
+      // nothing, never emit binary soup as text
+      record(id, 9, s"https://$hst/txt/brotli",
+        "text/plain; charset=utf-8",
+        Array[Byte](0x1b, 0x0a, 0x42, 0x52),
+        extraHttp = "Content-Encoding: br\r\n")
+  }
+
+  /** One deterministic RFC 1952 gzip member (no mtime, fixed OS). */
+  def gzipBytes(raw: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0))
+    val d = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    val dos = new java.util.zip.DeflaterOutputStream(bos, d)
+    dos.write(raw); dos.finish(); d.end()
+    val crc = new java.util.zip.CRC32()
+    crc.update(raw)
+    def le32(v: Long): Unit = (0 until 4).foreach(i =>
+      bos.write(((v >>> (8 * i)) & 0xff).toInt))
+    le32(crc.getValue)
+    le32(raw.length.toLong)
+    bos.toByteArray
   }
 
   def row(id: Long): (String, Array[Byte]) =

@@ -584,6 +584,21 @@ class ArchivesSpec extends SparkSpec {
     assert(got(s"$h/tmp123/private/ok") == ((true, Some("/tmp*/private/ok$"))))
     assert(got(s"$h/a$$b/x") == ((false, Some("/a$b"))))
     assert(got("https://i.example.org/anything") == ((false, Some("*"))))
+    // backtracking defense: star RUNS collapse (same semantics); a
+    // rule past the 8-wildcard implementation limit never matches
+    val defense = Seq(
+      ("j.example.org", "disallow", "/a***b"), // collapses to /a*b
+      ("j.example.org", "disallow", "/x" + "*y" * 9 + "$") // 9 stars: inert
+    ).toDF("host", "rule_type", "prefix")
+    val dPages = Seq(
+      "https://j.example.org/a123b",
+      "https://j.example.org/x" + "zy" * 9
+    ).toDF("target_uri")
+    val dGot = Archives.robotsFilter(dPages, defense)
+      .select("target_uri", "robots_allowed")
+      .as[(String, Boolean)].collect().toMap
+    assert(dGot("https://j.example.org/a123b") == false)
+    assert(dGot("https://j.example.org/x" + "zy" * 9) == true)
   }
 
   test("malformed PAX payloads never override and never throw") {
