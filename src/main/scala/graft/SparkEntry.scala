@@ -878,6 +878,15 @@ object SparkEntry {
         .filter(col("target_uri").rlike("/txt/(gzipped|brotli)$"))
         .select("target_uri", "content_type", "body_text")
         .distinct()),
+    // q_w35: chunked transfer coding — RFC 9112 chunk framing
+    // (extensions and trailers ignored) undone BEFORE the content
+    // coding and charset; the layered chunked-over-gzip body reaches
+    // the same literal text, and malformed framing claims nothing
+    "q_w35_chunked_transfer" -> ((s, _) =>
+      Archives.warcPageTable(s, Tables.warcsm(s))
+        .filter(col("target_uri").rlike("/txt/(chunked|chunkgz|badchunk)$"))
+        .select("target_uri", "content_type", "body_text")
+        .distinct()),
     // q_w22: CDX-style fetch index over `.warc.gz` members — Common
     // Crawl's own index format: per response member the SURT sort key
     // (byte-ordering it clusters a domain's pages → a range scan is a
@@ -2000,7 +2009,10 @@ object SparkEntry {
        |    'https://smap' || hh || '.example.org/txt/utf8',
        |    'https://smap' || hh || '.example.org/txt/latin1',
        |    'https://smap' || hh || '.example.org/txt/gzipped',
-       |    'https://smap' || hh || '.example.org/txt/brotli'])
+       |    'https://smap' || hh || '.example.org/txt/brotli',
+       |    'https://smap' || hh || '.example.org/txt/chunked',
+       |    'https://smap' || hh || '.example.org/txt/chunkgz',
+       |    'https://smap' || hh || '.example.org/txt/badchunk'])
        |    AS target_uri
        |  FROM smf)""".stripMargin
 
@@ -4018,6 +4030,27 @@ object SparkEntry {
          |  FROM smf
          |  UNION ALL
          |  SELECT 'https://smap' || hh || '.example.org/txt/brotli',
+         |    'text/plain; charset=utf-8',
+         |    CAST(NULL AS VARCHAR)
+         |  FROM smf) u""".stripMargin,
+    // q_w35: the chunked contract — plain chunked and chunked-over-
+    // gzip both reach the literal text; the malformed framing row
+    // stays NULL
+    "q_w35_chunked_transfer" ->
+      s"""WITH $SMCONTRACT
+         | SELECT target_uri, content_type, body_text FROM (
+         |  SELECT 'https://smap' || hh || '.example.org/txt/chunked'
+         |      AS target_uri,
+         |    'text/plain; charset=utf-8' AS content_type,
+         |    'héllo wörld 中文テキスト №' || hh AS body_text
+         |  FROM smf
+         |  UNION ALL
+         |  SELECT 'https://smap' || hh || '.example.org/txt/chunkgz',
+         |    'text/plain; charset=utf-8',
+         |    'héllo wörld 中文テキスト №' || hh
+         |  FROM smf
+         |  UNION ALL
+         |  SELECT 'https://smap' || hh || '.example.org/txt/badchunk',
          |    'text/plain; charset=utf-8',
          |    CAST(NULL AS VARCHAR)
          |  FROM smf) u""".stripMargin,

@@ -138,13 +138,14 @@ object Archives {
    * an HTTP message (status line + headers + CRLFCRLF + body), and
    * the BODY span is what a text-extraction pipeline actually wants.
    * Returns (http_status, body_offset_in_payload, content_type,
-   * content_encoding) for a payload whose head parses — a status line
-   * matching [[HttpStatusRe]] and a CRLFCRLF terminator inside the
-   * payload — or None (a response whose head never terminates in its
-   * declared span, or whose payload isn't HTTP at all, proves no body
-   * coordinates; the tolerance discipline throughout). */
+   * content_encoding, transfer_encoding) for a payload whose head
+   * parses — a status line matching [[HttpStatusRe]] and a CRLFCRLF
+   * terminator inside the payload — or None (a response whose head
+   * never terminates in its declared span, or whose payload isn't
+   * HTTP at all, proves no body coordinates; the tolerance
+   * discipline throughout). */
   private def httpHead(b: Array[Byte], off: Int, len: Int)
-      : Option[(Int, Long, Option[String], Option[String])] = {
+      : Option[(Int, Long, Option[String], Option[String], Option[String])] = {
     var h = off
     val end = off + len
     var hdrEnd = -1
@@ -161,6 +162,7 @@ object Archives {
       case HttpStatusRe(st) =>
         var ctype: Option[String] = None
         var cenc: Option[String] = None
+        var tenc: Option[String] = None
         lines.drop(1).foreach { line =>
           val ci = line.indexOf(':')
           if (ci > 0) {
@@ -169,34 +171,88 @@ object Archives {
               ctype = Some(line.substring(ci + 1).trim)
             else if (name == "content-encoding" && cenc.isEmpty)
               cenc = Some(line.substring(ci + 1).trim.toLowerCase)
+            else if (name == "transfer-encoding" && tenc.isEmpty)
+              tenc = Some(line.substring(ci + 1).trim.toLowerCase)
           }
         }
-        Some((st.toInt, (hdrEnd - off + 4).toLong, ctype, cenc))
+        Some((st.toInt, (hdrEnd - off + 4).toLong, ctype, cenc, tenc))
       case _ => None
     }
   }
 
-  /** Decode a textual HTTP body honoring `Content-Encoding` — the
-   * transfer-compressed text real servers ship: `gzip`/`x-gzip`
-   * bodies inflate through the RFC 1952 path (capped, trailer
-   * CRC32/ISIZE verified), `deflate` through zlib, `identity`/absent
-   * pass through; any OTHER coding (br, zstd — no decoder here) or a
-   * corrupt compressed body CLAIMS NOTHING rather than emitting
-   * binary soup as text. The declared charset applies to the decoded
-   * bytes. */
+  /** Undo HTTP/1.1 chunked transfer coding (RFC 9112 §7.1): hex
+   * chunk-size lines (extensions after `;` ignored), CRLF-framed
+   * data, the zero-size terminator (trailer fields ignored).
+   * Malformed framing at ANY point — bad size line, missing CRLF, a
+   * chunk overrunning the span, a cap overrun — claims nothing:
+   * partially-dechunked text is unprovable. */
+  private def dechunkCapped(
+      b: Array[Byte], off: Int, len: Int, cap: Int): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val end = off + len
+    var p = off
+    while (true) {
+      var size = 0L
+      var digits = 0
+      var q = p
+      var ok = true
+      while (ok && q < end) {
+        val c = b(q) & 0xff
+        val v =
+          if (c >= '0' && c <= '9') c - '0'
+          else if (c >= 'a' && c <= 'f') c - 'a' + 10
+          else if (c >= 'A' && c <= 'F') c - 'A' + 10
+          else -1
+        if (v < 0) ok = false
+        else { size = size * 16 + v; digits += 1; q += 1 }
+        if (digits > 8 || size > cap) return None
+      }
+      if (digits == 0) return None
+      // chunk extensions: everything up to CRLF
+      while (q < end && b(q) != '\r') q += 1
+      if (q + 1 >= end || b(q + 1) != '\n') return None
+      q += 2
+      if (size == 0) return Some(out.toByteArray) // trailers ignored
+      if (q + size > end) return None
+      out.write(b, q, size.toInt)
+      if (out.size > cap) return None
+      p = q + size.toInt
+      if (p + 2 > end || b(p) != '\r' || b(p + 1) != '\n') return None
+      p += 2
+    }
+    None // unreachable
+  }
+
+  /** Decode a textual HTTP body honoring the wire layering real
+   * servers ship: TRANSFER coding first (`chunked` → [[dechunkCapped]];
+   * `identity`/absent pass; anything else claims nothing), then
+   * CONTENT coding (`gzip`/`x-gzip` through the trailer-verified
+   * RFC 1952 path, `deflate` through zlib, `identity`/absent pass;
+   * br/zstd — no decoder here — claim nothing), then the declared
+   * charset. A corrupt layer at any depth CLAIMS NOTHING rather than
+   * emitting binary soup or chunk-framing noise as text. */
   private def httpBodyText(b: Array[Byte], off: Int, len: Int,
-      ct: Option[String], cenc: Option[String]): Option[String] = {
+      ct: Option[String], cenc: Option[String],
+      tenc: Option[String]): Option[String] = {
     val cs = httpBodyCharset(ct)
-    cenc match {
-      case None | Some("identity") =>
-        Some(new String(b, off, len, cs))
-      case Some("gzip") | Some("x-gzip") =>
-        gunzipCapped(b, off, len, GzBodyCap).map(new String(_, cs))
-      case Some("deflate") =>
-        inflateBytesCapped(
-          java.util.Arrays.copyOfRange(b, off, off + len), GzBodyCap)
-          .map(new String(_, cs))
+    val dechunked: Option[(Array[Byte], Int, Int)] = tenc match {
+      case None | Some("identity") => Some((b, off, len))
+      case Some("chunked") =>
+        dechunkCapped(b, off, len, GzBodyCap).map(d => (d, 0, d.length))
       case _ => None
+    }
+    dechunked.flatMap { case (d, o, l) =>
+      cenc match {
+        case None | Some("identity") =>
+          Some(new String(d, o, l, cs))
+        case Some("gzip") | Some("x-gzip") =>
+          gunzipCapped(d, o, l, GzBodyCap).map(new String(_, cs))
+        case Some("deflate") =>
+          inflateBytesCapped(
+            java.util.Arrays.copyOfRange(d, o, o + l), GzBodyCap)
+            .map(new String(_, cs))
+        case _ => None
+      }
     }
   }
 
@@ -238,7 +294,7 @@ object Archives {
             case ((_, cOff, cLen, wtype, _, _, _), i)
                 if wtype.exists(_.equalsIgnoreCase("response")) =>
               httpHead(r.media, cOff.toInt, cLen.toInt).map {
-                case (status, bodyRel, ctype, _) =>
+                case (status, bodyRel, ctype, _, _) =>
                   (r.media_id, i, status, cOff + bodyRel, cLen - bodyRel, ctype)
               }
             case _ => None
@@ -271,10 +327,10 @@ object Archives {
             case ((_, cOff, cLen, wtype, _, _, _), i)
                 if wtype.exists(_.equalsIgnoreCase("response")) =>
               httpHead(r.media, cOff.toInt, cLen.toInt).collect {
-                case (200, bodyRel, Some(ct), cenc)
+                case (200, bodyRel, Some(ct), cenc, tenc)
                     if ct.toLowerCase.startsWith("text/") =>
                   httpBodyText(r.media, (cOff + bodyRel).toInt,
-                    (cLen - bodyRel).toInt, Some(ct), cenc)
+                    (cLen - bodyRel).toInt, Some(ct), cenc, tenc)
                     .map(body => (r.media_id, i, ct, body))
               }.flatten
             case _ => None
@@ -435,12 +491,13 @@ object Archives {
           if (wtype.exists(_.equalsIgnoreCase("response")) && contentOff <= hb.length) {
             val avail = math.min(clen, (hb.length - contentOff).toLong).toInt
             httpHead(hb, contentOff.toInt, avail).foreach {
-              case (200, bodyRel, Some(ct), cenc)
+              case (200, bodyRel, Some(ct), cenc, tenc)
                   if ct.toLowerCase.startsWith("text/") =>
                 val from = (contentOff + bodyRel).toInt
                 val kept = math.min(contentOff + clen, hb.length.toLong).toInt
                 val truncated = contentOff + clen > hb.length
-                if (cenc.isEmpty || cenc.contains("identity")) {
+                if ((cenc.isEmpty || cenc.contains("identity")) &&
+                    (tenc.isEmpty || tenc.contains("identity"))) {
                   // a cap that lands mid-multibyte leaves one U+FFFD
                   // at the truncation point — the `truncated` flag
                   // already marks the row
@@ -451,7 +508,7 @@ object Archives {
                   // a transfer-compressed body only decodes WHOLE: a
                   // text cap mid-gzip leaves nothing provable
                   httpBodyText(hb, from, math.max(kept - from, 0),
-                    Some(ct), cenc)
+                    Some(ct), cenc, tenc)
                     .foreach(body => out += ((idx, ct, body, false)))
                 }
               case _ => ()
@@ -537,10 +594,10 @@ object Archives {
                   httpHead(r.media, cOff.toInt, cLen.toInt)
                 else None
               val body = http.collect {
-                case (200, bodyRel, Some(ct), cenc)
+                case (200, bodyRel, Some(ct), cenc, tenc)
                     if ct.toLowerCase.startsWith("text/") =>
                   httpBodyText(r.media, (cOff + bodyRel).toInt,
-                    (cLen - bodyRel).toInt, Some(ct), cenc)
+                    (cLen - bodyRel).toInt, Some(ct), cenc, tenc)
               }.flatten
               // gzip-wrapped MARKUP bodies (the sitemap.xml.gz shape):
               // 200-status payloads sniffing RFC 1952 magic inflate
@@ -548,7 +605,7 @@ object Archives {
               // so arbitrary .tar.gz downloads are abandoned after one
               // chunk — text/* bodies never take this path
               val gzBody = http.collect {
-                case (200, bodyRel, ct, _)
+                case (200, bodyRel, ct, _, _)
                     if !ct.exists(_.toLowerCase.startsWith("text/")) =>
                   gunzipMarkupCapped(r.media, (cOff + bodyRel).toInt,
                     (cLen - bodyRel).toInt, GzBodyCap)
@@ -995,14 +1052,14 @@ object Archives {
             case (_, cOff, cLen, wtype, Some(uri), _, _)
                 if wtype.exists(_.equalsIgnoreCase("response")) =>
               httpHead(r.media, cOff.toInt, cLen.toInt).collect {
-                case (200, bodyRel, Some(ct), cenc)
+                case (200, bodyRel, Some(ct), cenc, tenc)
                     if ct.toLowerCase.startsWith("text/") =>
                   // the digest hashes the SAME decoded text the WET
                   // face emits (charset + Content-Encoding aware),
                   // re-encoded UTF-8 — batch and streaming delta
                   // faces stay digest-compatible
                   httpBodyText(r.media, (cOff + bodyRel).toInt,
-                    (cLen - bodyRel).toInt, Some(ct), cenc).map { text =>
+                    (cLen - bodyRel).toInt, Some(ct), cenc, tenc).map { text =>
                     md.reset()
                     md.update(text.getBytes(
                       java.nio.charset.StandardCharsets.UTF_8))

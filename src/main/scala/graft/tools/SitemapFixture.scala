@@ -148,7 +148,46 @@ object SitemapFixture {
       record(id, 9, s"https://$hst/txt/brotli",
         "text/plain; charset=utf-8",
         Array[Byte](0x1b, 0x0a, 0x42, 0x52),
-        extraHttp = "Content-Encoding: br\r\n")
+        extraHttp = "Content-Encoding: br\r\n") ++
+      // chunked transfer coding (RFC 9112): the same utf-8 text split
+      // across two chunks with an extension on the first size line —
+      // without dechunking, size lines pollute the WET text (q_w35)
+      record(id, 10, s"https://$hst/txt/chunked",
+        "text/plain; charset=utf-8",
+        chunkedBytes(utf8Body(hh).getBytes(
+          java.nio.charset.StandardCharsets.UTF_8)),
+        extraHttp = "Transfer-Encoding: chunked\r\n") ++
+      // the full wire layering: chunked OVER gzip — dechunk first,
+      // then inflate, then charset
+      record(id, 11, s"https://$hst/txt/chunkgz",
+        "text/plain; charset=utf-8",
+        chunkedBytes(gzipBytes(utf8Body(hh).getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))),
+        extraHttp = "Transfer-Encoding: chunked\r\n" +
+          "Content-Encoding: gzip\r\n") ++
+      // malformed chunk framing (size line lies long): claims nothing
+      record(id, 12, s"https://$hst/txt/badchunk",
+        "text/plain; charset=utf-8",
+        s"FFFF\r\ntoo short $hh\r\n0\r\n\r\n".getBytes(
+          java.nio.charset.StandardCharsets.US_ASCII),
+        extraHttp = "Transfer-Encoding: chunked\r\n")
+  }
+
+  /** RFC 9112 chunked coding: two chunks (the first with a
+   * `;ext=1` extension on its size line), the zero terminator, a
+   * trailer field the parser must ignore. */
+  def chunkedBytes(raw: Array[Byte]): Array[Byte] = {
+    val cut = math.max(raw.length / 2, 1)
+    val bos = new java.io.ByteArrayOutputStream()
+    def ascii(s: String): Unit =
+      bos.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII), 0,
+        s.length)
+    ascii(f"$cut%x;ext=1\r\n")
+    bos.write(raw, 0, cut); ascii("\r\n")
+    ascii(f"${raw.length - cut}%x\r\n")
+    bos.write(raw, cut, raw.length - cut); ascii("\r\n")
+    ascii("0\r\nX-Trailer: ignored\r\n\r\n")
+    bos.toByteArray
   }
 
   /** One deterministic RFC 1952 gzip member (no mtime, fixed OS). */
