@@ -887,6 +887,15 @@ object SparkEntry {
         .filter(col("target_uri").rlike("/txt/(chunked|chunkgz|badchunk)$"))
         .select("target_uri", "content_type", "body_text")
         .distinct()),
+    // q_w36: charset SNIFFING — WHATWG precedence trimmed to a crawl
+    // pipeline: a BOM wins (UTF-8 / UTF-16LE, stripped), then the
+    // HTTP charset, then the html <meta charset> over the first
+    // 1024 bytes, then the UTF-8 default
+    "q_w36_charset_sniff" -> ((s, _) =>
+      Archives.warcPageTable(s, Tables.warcsm(s))
+        .filter(col("target_uri").rlike("/txt/(metalatin|bom8|bom16)$"))
+        .select("target_uri", "content_type", "body_text")
+        .distinct()),
     // q_w22: CDX-style fetch index over `.warc.gz` members — Common
     // Crawl's own index format: per response member the SURT sort key
     // (byte-ordering it clusters a domain's pages → a range scan is a
@@ -2012,7 +2021,10 @@ object SparkEntry {
        |    'https://smap' || hh || '.example.org/txt/brotli',
        |    'https://smap' || hh || '.example.org/txt/chunked',
        |    'https://smap' || hh || '.example.org/txt/chunkgz',
-       |    'https://smap' || hh || '.example.org/txt/badchunk'])
+       |    'https://smap' || hh || '.example.org/txt/badchunk',
+       |    'https://smap' || hh || '.example.org/txt/metalatin',
+       |    'https://smap' || hh || '.example.org/txt/bom8',
+       |    'https://smap' || hh || '.example.org/txt/bom16'])
        |    AS target_uri
        |  FROM smf)""".stripMargin
 
@@ -4053,6 +4065,28 @@ object SparkEntry {
          |  SELECT 'https://smap' || hh || '.example.org/txt/badchunk',
          |    'text/plain; charset=utf-8',
          |    CAST(NULL AS VARCHAR)
+         |  FROM smf) u""".stripMargin,
+    // q_w36: the sniffing contract — meta-declared Latin-1 html, the
+    // UTF-8 BOM and the UTF-16LE BOM all reach their literal Unicode
+    // (BOMs stripped)
+    "q_w36_charset_sniff" ->
+      s"""WITH $SMCONTRACT
+         | SELECT target_uri, content_type, body_text FROM (
+         |  SELECT 'https://smap' || hh || '.example.org/txt/metalatin'
+         |      AS target_uri,
+         |    'text/html' AS content_type,
+         |    '<html><head><meta charset="iso-8859-1"></head>' ||
+         |      '<body>café mañana ' || hh || '</body></html>' AS body_text
+         |  FROM smf
+         |  UNION ALL
+         |  SELECT 'https://smap' || hh || '.example.org/txt/bom8',
+         |    'text/plain',
+         |    'héllo wörld 中文テキスト №' || hh
+         |  FROM smf
+         |  UNION ALL
+         |  SELECT 'https://smap' || hh || '.example.org/txt/bom16',
+         |    'text/plain',
+         |    'héllo wörld 中文テキスト №' || hh
          |  FROM smf) u""".stripMargin,
     // q_w30: sitemap entries (q_w29's chain) ∪ resolved links
     // (LINKGRAPH's rs), URI-grouped, anti-joined to fetched URIs

@@ -234,25 +234,28 @@ object Archives {
   private def httpBodyText(b: Array[Byte], off: Int, len: Int,
       ct: Option[String], cenc: Option[String],
       tenc: Option[String]): Option[String] = {
-    val cs = httpBodyCharset(ct)
     val dechunked: Option[(Array[Byte], Int, Int)] = tenc match {
       case None | Some("identity") => Some((b, off, len))
       case Some("chunked") =>
         dechunkCapped(b, off, len, GzBodyCap).map(d => (d, 0, d.length))
       case _ => None
     }
-    dechunked.flatMap { case (d, o, l) =>
-      cenc match {
-        case None | Some("identity") =>
-          Some(new String(d, o, l, cs))
-        case Some("gzip") | Some("x-gzip") =>
-          gunzipCapped(d, o, l, GzBodyCap).map(new String(_, cs))
-        case Some("deflate") =>
-          inflateBytesCapped(
-            java.util.Arrays.copyOfRange(d, o, o + l), GzBodyCap)
-            .map(new String(_, cs))
-        case _ => None
-      }
+    val entity: Option[(Array[Byte], Int, Int)] = dechunked.flatMap {
+      case (d, o, l) =>
+        cenc match {
+          case None | Some("identity") => Some((d, o, l))
+          case Some("gzip") | Some("x-gzip") =>
+            gunzipCapped(d, o, l, GzBodyCap).map(r => (r, 0, r.length))
+          case Some("deflate") =>
+            inflateBytesCapped(
+              java.util.Arrays.copyOfRange(d, o, o + l), GzBodyCap)
+              .map(r => (r, 0, r.length))
+          case _ => None
+        }
+    }
+    entity.map { case (d, o, l) =>
+      val (cs, bom) = sniffBodyCharset(d, o, l, ct)
+      new String(d, o + bom, l - bom, cs)
     }
   }
 
@@ -267,14 +270,54 @@ object Archives {
    * decode would preserve arbitrary bytes but MOJIBAKES every
    * multilingual UTF-8 page — the majority of a real crawl — which
    * poisons language-ID and text quality downstream. */
-  private def httpBodyCharset(ct: Option[String]): java.nio.charset.Charset =
-    ct.flatMap("(?i)charset=\"?([A-Za-z0-9_.:-]+)\"?".r.findFirstMatchIn(_))
-      .map(_.group(1).toLowerCase) match {
-      case Some("iso-8859-1") | Some("latin-1") | Some("latin1") |
-           Some("us-ascii") | Some("ascii") =>
+  private def charsetByName(name: String): java.nio.charset.Charset =
+    name match {
+      case "iso-8859-1" | "latin-1" | "latin1" | "us-ascii" | "ascii" =>
         java.nio.charset.StandardCharsets.ISO_8859_1
-      case _ => java.nio.charset.StandardCharsets.UTF_8
+      case "utf-16" | "utf-16le" => java.nio.charset.StandardCharsets.UTF_16LE
+      case "utf-16be"            => java.nio.charset.StandardCharsets.UTF_16BE
+      case _                     => java.nio.charset.StandardCharsets.UTF_8
     }
+
+  private val CharsetParamRe =
+    "(?i)charset\\s*=\\s*[\"']?([A-Za-z0-9_.:-]+)".r
+
+  private def httpBodyCharset(ct: Option[String]): java.nio.charset.Charset =
+    ct.flatMap(CharsetParamRe.findFirstMatchIn(_))
+      .map(m => charsetByName(m.group(1).toLowerCase))
+      .getOrElse(java.nio.charset.StandardCharsets.UTF_8)
+
+  /** Charset of the DECODED entity bytes, in the precedence browsers
+   * implement (WHATWG encoding sniffing, trimmed to what a crawl
+   * pipeline needs): a BYTE-ORDER MARK wins over everything (UTF-8 /
+   * UTF-16LE / UTF-16BE, stripped from the text), then the HTTP
+   * `charset=` parameter, then — for html without a declared
+   * charset — a `<meta charset=…>` / `http-equiv` sniff over the
+   * first 1024 bytes (ASCII-compatible prefix), then the UTF-8
+   * default. Returns (charset, bom_length). */
+  private def sniffBodyCharset(b: Array[Byte], off: Int, len: Int,
+      ct: Option[String]): (java.nio.charset.Charset, Int) = {
+    if (len >= 3 && (b(off) & 0xff) == 0xef && (b(off + 1) & 0xff) == 0xbb &&
+        (b(off + 2) & 0xff) == 0xbf)
+      return (java.nio.charset.StandardCharsets.UTF_8, 3)
+    if (len >= 2 && (b(off) & 0xff) == 0xff && (b(off + 1) & 0xff) == 0xfe)
+      return (java.nio.charset.StandardCharsets.UTF_16LE, 2)
+    if (len >= 2 && (b(off) & 0xff) == 0xfe && (b(off + 1) & 0xff) == 0xff)
+      return (java.nio.charset.StandardCharsets.UTF_16BE, 2)
+    val declared = ct.flatMap(CharsetParamRe.findFirstMatchIn(_))
+      .map(_.group(1).toLowerCase)
+    declared match {
+      case Some(name) => (charsetByName(name), 0)
+      case None if ct.exists(_.toLowerCase.startsWith("text/html")) =>
+        val head = new String(b, off, math.min(len, 1024),
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        val meta = "(?i)<meta\\s[^>]*charset\\s*=\\s*[\"']?([A-Za-z0-9_.:-]+)".r
+          .findFirstMatchIn(head).map(_.group(1).toLowerCase)
+        (meta.map(charsetByName)
+          .getOrElse(java.nio.charset.StandardCharsets.UTF_8), 0)
+      case None => (java.nio.charset.StandardCharsets.UTF_8, 0)
+    }
+  }
 
   /** HTTP split table over WARC response records — the entry point
    * for actual Common Crawl text extraction: one row per response
@@ -501,8 +544,10 @@ object Archives {
                   // a cap that lands mid-multibyte leaves one U+FFFD
                   // at the truncation point — the `truncated` flag
                   // already marks the row
-                  val body = new String(hb, from, math.max(kept - from, 0),
-                    httpBodyCharset(Some(ct)))
+                  val (cs, bom) = sniffBodyCharset(hb, from,
+                    math.max(kept - from, 0), Some(ct))
+                  val body = new String(hb, from + bom,
+                    math.max(kept - from - bom, 0), cs)
                   out += ((idx, ct, body, truncated))
                 } else if (!truncated) {
                   // a transfer-compressed body only decodes WHOLE: a

@@ -170,8 +170,27 @@ object SitemapFixture {
         "text/plain; charset=utf-8",
         s"FFFF\r\ntoo short $hh\r\n0\r\n\r\n".getBytes(
           java.nio.charset.StandardCharsets.US_ASCII),
-        extraHttp = "Transfer-Encoding: chunked\r\n")
+        extraHttp = "Transfer-Encoding: chunked\r\n") ++
+      // charset SNIFFING rows (q_w36): an html page whose charset
+      // lives only in its <meta> tag (Latin-1 bytes, no HTTP param),
+      // a UTF-8 BOM text file, and a UTF-16LE BOM text file — the
+      // WHATWG precedence: BOM > HTTP charset > meta > UTF-8 default
+      record(id, 13, s"https://$hst/txt/metalatin", "text/html",
+        metaLatinBody(hh).getBytes(
+          java.nio.charset.StandardCharsets.ISO_8859_1)) ++
+      record(id, 14, s"https://$hst/txt/bom8", "text/plain",
+        Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
+          utf8Body(hh).getBytes(java.nio.charset.StandardCharsets.UTF_8)) ++
+      record(id, 15, s"https://$hst/txt/bom16", "text/plain",
+        Array[Byte](0xff.toByte, 0xfe.toByte) ++
+          utf8Body(hh).getBytes(java.nio.charset.StandardCharsets.UTF_16LE))
   }
+
+  /** The meta-declared Latin-1 html body (q_w36): charset only in
+   * the `<meta>` tag, body bytes single-byte Latin-1. */
+  def metaLatinBody(hh: Long): String =
+    "<html><head><meta charset=\"iso-8859-1\"></head>" +
+      s"<body>café mañana $hh</body></html>"
 
   /** RFC 9112 chunked coding: two chunks (the first with a
    * `;ext=1` extension on its size line), the zero terminator, a
