@@ -699,11 +699,13 @@ object Archives {
   /** [[gunzipCapped]] gated on the inflated prefix opening with '<'
    * (markup — the sitemap.xml.gz / compressed-XML shape): non-markup
    * gzip payloads (tarballs, downloads) cost one 8 KiB chunk of
-   * inflation, never the full body. */
+   * inflation, never the full body. Decodes UTF-8: the sitemaps
+   * protocol REQUIRES UTF-8 files, so a non-ASCII `<loc>` survives
+   * intact (undecodable bytes become U+FFFD, never a throw). */
   private[ops] def gunzipMarkupCapped(
       b: Array[Byte], off: Int, len: Int, cap: Int): Option[String] =
     gunzipCapped(b, off, len, cap, markupGate = true)
-      .map(new String(_, java.nio.charset.StandardCharsets.ISO_8859_1))
+      .map(new String(_, java.nio.charset.StandardCharsets.UTF_8))
 
   /** Inflate ONE RFC 1952 gzip member, capped. Tolerant: corrupt
    * headers, truncation, DataFormatException, a cap overrun, a
