@@ -554,6 +554,49 @@ class ArchivesSpec extends SparkSpec {
       longL("from-L.txt")) == "from-L.txt")
   }
 
+  test("http body decode stack: deflate content coding, unknown transfer coding, layering") {
+    import spark.implicits._
+    def shard(extraHttp: String, payload: Array[Byte]): Array[Byte] = {
+      val head = ("HTTP/1.1 200 OK\r\nContent-Type: text/plain; " +
+        "charset=utf-8\r\n" + extraHttp + "\r\n")
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val content = head ++ payload
+      val rec = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"WARC-Target-URI: https://d.example.org/p\r\n" +
+        "Content-Type: application/http;msgtype=response\r\n" +
+        s"Content-Length: ${content.length}\r\n\r\n")
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      rec ++ content ++ "\r\n\r\n".getBytes("US-ASCII")
+    }
+    def bodyOf(extraHttp: String, payload: Array[Byte]): Option[String] = {
+      val rows = Archives.warcBodyTextTable(spark,
+          Seq((1L, "application/warc", shard(extraHttp, payload)))
+            .toDF("media_id", "mime_type", "media"))
+        .select("body_text").as[String].collect()
+      rows.headOption
+    }
+    val text = "déflate body ünïcode"
+    val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    // deflate (zlib) content coding inflates
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val buf = new Array[Byte](512)
+    val n = d.deflate(buf); d.end()
+    assert(bodyOf("Content-Encoding: deflate\r\n", buf.take(n))
+      .contains(text))
+    // an unknown TRANSFER coding claims nothing
+    assert(bodyOf("Transfer-Encoding: rot13\r\n", raw).isEmpty)
+    // corrupt deflate claims nothing
+    val bad = buf.take(n); bad(n / 2) = (bad(n / 2) ^ 0x77).toByte
+    assert(bodyOf("Content-Encoding: deflate\r\n", bad)
+      .forall(_ != text))
+    // chunked over deflate layers like chunked over gzip
+    assert(bodyOf(
+      "Transfer-Encoding: chunked\r\nContent-Encoding: deflate\r\n",
+      graft.tools.SitemapFixture.chunkedBytes(buf.take(n)))
+      .contains(text))
+  }
+
   test("robots wildcards: metacharacter escaping, anchors, octet precedence") {
     import spark.implicits._
     val rules = Seq(

@@ -433,6 +433,21 @@ class ShardListStreamSpec extends SparkSpec {
       want)
   }
 
+  test("streamed charset/encoding WET rows equal the batch decode over the grown directory") {
+    import org.apache.spark.sql.functions.col
+    // the whole HTTP decode stack (chunked -> content-coding ->
+    // BOM/meta/charset) is per-record map-side work, so it streams
+    // append-mode unchanged — one face covers q_w33..q_w36's rows
+    val rows = (0L until 12L).filter(id => id % 5 != 4).map { id =>
+      val (mime, bytes) = graft.tools.SitemapFixture.row(id)
+      (id, mime, bytes)
+    }
+    streamed("charset_stream", rows, (s, media) =>
+      Archives.warcPageTable(s, media)
+        .filter(col("target_uri").contains("/txt/"))
+        .select("media_id", "target_uri", "content_type", "body_text"))
+  }
+
   test("streamed CDX index equals the batch index over the grown directory") {
     import org.apache.spark.sql.functions.{col, lower}
     val rows = (0L until 12L).map { id =>
