@@ -887,6 +887,13 @@ object SparkEntry {
         .filter(col("target_uri").rlike("/txt/(chunked|chunkgz|badchunk)$"))
         .select("target_uri", "content_type", "body_text")
         .distinct()),
+    // q_w37: robots META directives — the no-train signal responsible
+    // corpus builders honor: per 200 response (noindex, nofollow)
+    // token-matched against <meta name=robots> content (either
+    // attribute order) ∪ the X-Robots-Tag header; `none` implies both
+    "q_w37_robots_meta" -> ((s, _) =>
+      Archives.robotsMetaTable(
+        Archives.warcPageTable(s, Tables.warc(s)))),
     // q_w36: charset SNIFFING — WHATWG precedence trimmed to a crawl
     // pipeline: a BOM wins (UTF-8 / UTF-16LE, stripped), then the
     // HTTP charset, then the html <meta charset> over the first
@@ -4066,6 +4073,31 @@ object SparkEntry {
          |    'text/plain; charset=utf-8',
          |    CAST(NULL AS VARCHAR)
          |  FROM smf) u""".stripMargin,
+    // q_w37: the same meta regexes (shared Scala constants, quotes
+    // doubled for SQL) over the raw 200 bodies + the X-Robots-Tag
+    // header re-extracted from the http2 head, token-matched with
+    // the identical comma grammar
+    "q_w37_robots_meta" ->
+      s"""WITH RECURSIVE $WARCWALK,
+         | $WARCHTTP,
+         | w37 AS (
+         |  SELECT h.media_id, h.record_idx, w.target_uri,
+         |    lower(concat_ws(',',
+         |      coalesce(regexp_extract(h.body_text,
+         |        '${graft.ops.Archives.MetaRobotsNameFirst.replace("'", "''")}', 1), ''),
+         |      coalesce(regexp_extract(h.body_text,
+         |        '${graft.ops.Archives.MetaRobotsContentFirst.replace("'", "''")}', 1), ''),
+         |      coalesce(nullif(trim(regexp_extract(h2.head,
+         |        '(?i)\\r\\n[ \\t]*x-robots-tag[ \\t]*:([^\\r\\n]*)', 1)), ''), '')
+         |    )) AS dirs
+         |  FROM https h
+         |  JOIN http2 h2 USING (media_id, record_idx)
+         |  JOIN wrecs w USING (media_id, record_idx)
+         |  WHERE h.http_status = 200 AND w.target_uri IS NOT NULL)
+         | SELECT media_id, CAST(record_idx AS INT) AS record_idx, target_uri,
+         |   regexp_matches(dirs, '(^|[ ,])(noindex|none)([ ,]|$$)') AS noindex,
+         |   regexp_matches(dirs, '(^|[ ,])(nofollow|none)([ ,]|$$)') AS nofollow
+         | FROM w37""".stripMargin,
     // q_w36: the sniffing contract — meta-declared Latin-1 html, the
     // UTF-8 BOM and the UTF-16LE BOM all reach their literal Unicode
     // (BOMs stripped)

@@ -138,14 +138,15 @@ object Archives {
    * an HTTP message (status line + headers + CRLFCRLF + body), and
    * the BODY span is what a text-extraction pipeline actually wants.
    * Returns (http_status, body_offset_in_payload, content_type,
-   * content_encoding, transfer_encoding) for a payload whose head
-   * parses — a status line matching [[HttpStatusRe]] and a CRLFCRLF
-   * terminator inside the payload — or None (a response whose head
-   * never terminates in its declared span, or whose payload isn't
-   * HTTP at all, proves no body coordinates; the tolerance
-   * discipline throughout). */
+   * content_encoding, transfer_encoding, x_robots_tag) for a payload
+   * whose head parses — a status line matching [[HttpStatusRe]] and a
+   * CRLFCRLF terminator inside the payload — or None (a response
+   * whose head never terminates in its declared span, or whose
+   * payload isn't HTTP at all, proves no body coordinates; the
+   * tolerance discipline throughout). */
   private def httpHead(b: Array[Byte], off: Int, len: Int)
-      : Option[(Int, Long, Option[String], Option[String], Option[String])] = {
+      : Option[(Int, Long, Option[String], Option[String], Option[String],
+          Option[String])] = {
     var h = off
     val end = off + len
     var hdrEnd = -1
@@ -163,6 +164,7 @@ object Archives {
         var ctype: Option[String] = None
         var cenc: Option[String] = None
         var tenc: Option[String] = None
+        var xrt: Option[String] = None
         lines.drop(1).foreach { line =>
           val ci = line.indexOf(':')
           if (ci > 0) {
@@ -173,9 +175,11 @@ object Archives {
               cenc = Some(line.substring(ci + 1).trim.toLowerCase)
             else if (name == "transfer-encoding" && tenc.isEmpty)
               tenc = Some(line.substring(ci + 1).trim.toLowerCase)
+            else if (name == "x-robots-tag" && xrt.isEmpty)
+              xrt = Some(line.substring(ci + 1).trim)
           }
         }
-        Some((st.toInt, (hdrEnd - off + 4).toLong, ctype, cenc, tenc))
+        Some((st.toInt, (hdrEnd - off + 4).toLong, ctype, cenc, tenc, xrt))
       case _ => None
     }
   }
@@ -337,7 +341,7 @@ object Archives {
             case ((_, cOff, cLen, wtype, _, _, _), i)
                 if wtype.exists(_.equalsIgnoreCase("response")) =>
               httpHead(r.media, cOff.toInt, cLen.toInt).map {
-                case (status, bodyRel, ctype, _, _) =>
+                case (status, bodyRel, ctype, _, _, _) =>
                   (r.media_id, i, status, cOff + bodyRel, cLen - bodyRel, ctype)
               }
             case _ => None
@@ -370,7 +374,7 @@ object Archives {
             case ((_, cOff, cLen, wtype, _, _, _), i)
                 if wtype.exists(_.equalsIgnoreCase("response")) =>
               httpHead(r.media, cOff.toInt, cLen.toInt).collect {
-                case (200, bodyRel, Some(ct), cenc, tenc)
+                case (200, bodyRel, Some(ct), cenc, tenc, _)
                     if ct.toLowerCase.startsWith("text/") =>
                   httpBodyText(r.media, (cOff + bodyRel).toInt,
                     (cLen - bodyRel).toInt, Some(ct), cenc, tenc)
@@ -534,7 +538,7 @@ object Archives {
           if (wtype.exists(_.equalsIgnoreCase("response")) && contentOff <= hb.length) {
             val avail = math.min(clen, (hb.length - contentOff).toLong).toInt
             httpHead(hb, contentOff.toInt, avail).foreach {
-              case (200, bodyRel, Some(ct), cenc, tenc)
+              case (200, bodyRel, Some(ct), cenc, tenc, _)
                   if ct.toLowerCase.startsWith("text/") =>
                 val from = (contentOff + bodyRel).toInt
                 val kept = math.min(contentOff + clen, hb.length.toLong).toInt
@@ -639,7 +643,7 @@ object Archives {
                   httpHead(r.media, cOff.toInt, cLen.toInt)
                 else None
               val body = http.collect {
-                case (200, bodyRel, Some(ct), cenc, tenc)
+                case (200, bodyRel, Some(ct), cenc, tenc, _)
                     if ct.toLowerCase.startsWith("text/") =>
                   httpBodyText(r.media, (cOff + bodyRel).toInt,
                     (cLen - bodyRel).toInt, Some(ct), cenc, tenc)
@@ -650,20 +654,21 @@ object Archives {
               // so arbitrary .tar.gz downloads are abandoned after one
               // chunk — text/* bodies never take this path
               val gzBody = http.collect {
-                case (200, bodyRel, ct, _, _)
+                case (200, bodyRel, ct, _, _, _)
                     if !ct.exists(_.toLowerCase.startsWith("text/")) =>
                   gunzipMarkupCapped(r.media, (cOff + bodyRel).toInt,
                     (cLen - bodyRel).toInt, GzBodyCap)
               }.flatten
               (r.media_id, i, off, cOff, cLen, wtype, uri, date, digest,
-                http.map(_._1), http.flatMap(_._3), body, gzBody)
+                http.map(_._1), http.flatMap(_._3), body, gzBody,
+                http.flatMap(_._6))
           }
         }
       }
       .toDF("media_id", "record_idx", "offset", "content_offset",
         "content_length", "warc_type", "target_uri", "warc_date",
         "payload_digest", "http_status", "content_type", "body_text",
-        "body_gz_text")
+        "body_gz_text", "x_robots_tag")
   }
 
   /** Managed one-pass page-table scope for MULTI-CONSUMER
@@ -1099,7 +1104,7 @@ object Archives {
             case (_, cOff, cLen, wtype, Some(uri), _, _)
                 if wtype.exists(_.equalsIgnoreCase("response")) =>
               httpHead(r.media, cOff.toInt, cLen.toInt).collect {
-                case (200, bodyRel, Some(ct), cenc, tenc)
+                case (200, bodyRel, Some(ct), cenc, tenc, _)
                     if ct.toLowerCase.startsWith("text/") =>
                   // the digest hashes the SAME decoded text the WET
                   // face emits (charset + Content-Encoding aware),
@@ -1224,6 +1229,46 @@ object Archives {
           .as("crawl_delay_s"),
         array_join(array_sort(collect_set(when(sm =!= "", sm))), ",")
           .as("sitemaps"))
+  }
+
+  /** `<meta name=robots …>` content extraction regexes, shared
+   * VERBATIM with the q_w37 oracle (RE2 both sides): real HTML puts
+   * the attributes in either order, so both forms are probed and
+   * their captures concatenate. */
+  private[graft] val MetaRobotsNameFirst: String =
+    "(?is)<meta\\s[^>]*?name\\s*=\\s*[\"']?robots[\"']?[^>]*?" +
+      "content\\s*=\\s*[\"']([^\"']*)[\"']"
+  private[graft] val MetaRobotsContentFirst: String =
+    "(?is)<meta\\s[^>]*?content\\s*=\\s*[\"']([^\"']*)[\"'][^>]*?" +
+      "name\\s*=\\s*[\"']?robots[\"']?"
+
+  /** Per-page robots META directives (q_w37) — the no-train signal
+   * responsible corpus builders honor: `noindex` pages drop from a
+   * training corpus, `nofollow` pages contribute no out-links. Per
+   * 200-status response with a URI, one row with `noindex` and
+   * `nofollow` booleans token-matched (RFC 9309-adjacent de-facto
+   * grammar: comma-separated directives; `none` implies both)
+   * against the UNION of the html `<meta name=robots>` content —
+   * both attribute orders — and the `X-Robots-Tag` response header
+   * (which non-html responses carry too). Input is the
+   * [[warcPageTable]] shape.
+   *
+   * Scale shape: pure map-side regex projection over the page walk —
+   * zero exchanges. */
+  def robotsMetaTable(pages: DataFrame): DataFrame = {
+    val directives = lower(concat_ws(",",
+      coalesce(regexp_extract(col("body_text"),
+        MetaRobotsNameFirst, 1), lit("")),
+      coalesce(regexp_extract(col("body_text"),
+        MetaRobotsContentFirst, 1), lit("")),
+      coalesce(col("x_robots_tag"), lit(""))))
+    def tok(t: String) =
+      directives.rlike(s"(^|[ ,])($t|none)([ ,]|$$)")
+    pages
+      .filter(lower(col("warc_type")) === "response" &&
+        col("target_uri").isNotNull && col("http_status") === 200)
+      .select(col("media_id"), col("record_idx"), col("target_uri"),
+        tok("noindex").as("noindex"), tok("nofollow").as("nofollow"))
   }
 
   /** WAT-style metadata table — the third Common Crawl artifact

@@ -274,6 +274,45 @@ object WarcFixture {
       if (id % 2 == 0) "HTTP/1.1 200 OK\r\nX-Cut: head never terminates"
       else s"%PDF-1.4 not-http bytes $id")
 
+  /** robots META directive content, cycling the real grammar shapes
+   * (comma list, single token, the `none` shorthand). */
+  def metaRobotsContent(id: Long): String = (id % 3) match {
+    case 0 => "noindex, noarchive"
+    case 1 => "nofollow"
+    case _ => "none"
+  }
+
+  /** A 200 html page whose `<meta name=robots>` carries directives —
+   * attribute ORDER flips by parity (real HTML uses both), the
+   * odd-id form unquoting the name. The q_w37 no-train signal. */
+  def metaRobotsResponse(id: Long): String = {
+    val c = metaRobotsContent(id)
+    val tag =
+      if (id % 2 == 0) s"""<meta name="robots" content="$c">"""
+      else s"""<meta content="$c" name=robots>"""
+    record(id,
+      Seq("WARC-Type" -> "response",
+        "WARC-Target-URI" -> s"https://data${id % 5}.example.org/meta${id % 40}",
+        "Content-Type" -> "application/http;msgtype=response",
+        "WARC-Date" -> wdate(id, 88)),
+      "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+        s"<html><head>$tag<title>m $id</title></head>" +
+        s"<body>robots meta page $id</body></html>")
+  }
+
+  /** A 200 text page whose X-Robots-Tag HTTP header carries the
+   * directive — the channel non-html responses use. */
+  def headerRobotsResponse(id: Long): String =
+    record(id,
+      Seq("WARC-Type" -> "response",
+        "WARC-Target-URI" -> s"https://data${id % 5}.example.org/hdr${id % 40}",
+        "Content-Type" -> "application/http;msgtype=response",
+        "WARC-Date" -> wdate(id, 87)),
+      "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n" +
+        (if (id % 2 == 0) "X-Robots-Tag: noindex\r\n"
+         else "X-Robots-Tag: all\r\n") +
+        s"\r\nheader robots page $id")
+
   /** The full record list of one ordinary shard, in file order. */
   def records(id: Long): Seq[String] = {
     val body = (0 until nBody(id)).map { i =>
@@ -281,7 +320,8 @@ object WarcFixture {
     }
     (warcinfo(id) +: body) ++
       Seq(variantResponse(id), sitemapResponse(id), brokenResponse(id),
-        spamResponse(id), aliasResponse(id), robotsResponse(id))
+        spamResponse(id), aliasResponse(id), robotsResponse(id),
+        metaRobotsResponse(id), headerRobotsResponse(id))
   }
 
   def warc(id: Long): String = records(id).mkString("")

@@ -64,11 +64,11 @@ class ArchivesSpec extends SparkSpec {
       }
     }.toSet
     assert(got == expect)
-    // the broken responses (no CRLFCRLF / non-HTTP payload, fourth
-    // from last — spam, alias and robots records close the shard)
-    // never emit
+    // the broken responses (no CRLFCRLF / non-HTTP payload, sixth
+    // from last — spam, alias, robots, meta-robots and header-robots
+    // records close the shard) never emit
     assert(!got.exists { case (id, i, _, _, _, _) =>
-      i == WarcFixture.records(id).size - 4 })
+      i == WarcFixture.records(id).size - 6 })
     // the variant statuses and content-types all appear
     assert(got.map(_._3) == Set(200, 404, 301, 503))
     assert(got.exists(_._6.isEmpty)) // the 301 without Content-Type
@@ -109,9 +109,13 @@ class ArchivesSpec extends SparkSpec {
     val visible = table
       .withColumn("v", TextAnalysis.htmlVisibleText(org.apache.spark.sql.functions.col("body_text")))
       .filter(org.apache.spark.sql.functions.col("content_type").startsWith("text/html"))
-      .select("media_id", "v").as[(Long, String)].collect().toMap
-    assert(visible == Map(
-      6L -> "t 6 Doc 6 variant body 6 & more <tagged> 'q' next rel deep mail sq uq sp"))
+      .select("media_id", "v").as[(Long, String)].collect().toSet
+    // every ordinary shard carries the meta-robots html page; id 6
+    // additionally has the 200-status variant html
+    val metaVis = Seq(0L, 1L, 2L, 4L, 5L, 6L)
+      .map(id => id -> s"m $id robots meta page $id").toSet
+    assert(visible == metaVis +
+      (6L -> "t 6 Doc 6 variant body 6 & more <tagged> 'q' next rel deep mail sq uq sp"))
   }
 
   test("url host stats: authority grouping, distinct URIs, TLD extraction") {
