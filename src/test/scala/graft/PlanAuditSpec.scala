@@ -464,6 +464,21 @@ class PlanAuditSpec extends SparkSpec {
       s"page-table cache leaked past q_w26:\n${later.queryExecution.executedPlan}")
   }
 
+  test("http-decode faces: robots-meta is exchange-free; charset faces shuffle once for the distinct") {
+    // the whole chunked → content-coding → charset stack runs inside
+    // the page walk's partitions: q_w37 must plan ZERO exchanges
+    audited(graft.ops.Archives.robotsMetaTable(
+      graft.ops.Archives.warcPageTable(spark, Tables.warc(spark)))) { plan =>
+      assert(shuffles(plan).isEmpty, s"${shuffles(plan).size} shuffles:\n$plan")
+    }
+    // q_w33's only exchange is the cross-shard distinct of tiny rows
+    audited(graft.SparkEntry.queries("q_w33_charset_wet")(spark, sf)) { plan =>
+      assert(shuffles(plan).size <= 1, s"${shuffles(plan).size} shuffles:\n$plan")
+      assert(shuffles(plan).forall(_.output.forall(_.name != "media")),
+        s"blob column in an exchange:\n$plan")
+    }
+  }
+
   test("image dhash: decode is map-side; the pair join ships 7-int signatures only") {
     audited(graft.ops.ImageHash.dhashTable(spark, Tables.imagedup(spark))) { plan =>
       assert(shuffles(plan).isEmpty, s"${shuffles(plan).size} shuffles:\n$plan")
