@@ -1,0 +1,1171 @@
+package graft.ops
+
+/**
+ * Lossy WebP (VP8 keyframe) decoder — a self-contained RFC 6386
+ * implementation covering the complete still-image profile: the
+ * boolean arithmetic decoder (§7), keyframe headers with
+ * segmentation / loop-filter deltas / multi-partition layout /
+ * per-frame coefficient-probability updates (§9), keyframe intra
+ * mode decoding with the above/left-conditioned B-mode contexts
+ * (§11), DCT/WHT token decoding with the band+context probability
+ * model and extra-bit categories (§13), dequantization incl. the Y2
+ * double/155% scaling and the chroma-DC 132 cap (§14.1), the exact
+ * integer inverse WHT/DCT (§14.3-14.4), all intra predictors — the
+ * four 16x16/8x8 whole-block modes and the ten 4x4 B modes with the
+ * spec's 127/129 off-frame synthesis and the above-right
+ * macroblock-corner quirk (§12), and both loop filters (normal and
+ * simple, §15) with per-segment/mode level adjustment.
+ *
+ * Every still lossy WebP is a single VP8 keyframe, so this is the
+ * complete decode path for the `VP8 ` chunk class q_m34 measures;
+ * interframe tools (motion vectors, golden/altref) do not occur in
+ * still images and are out of scope.
+ *
+ * Ground truth: `fixtures/vp8.parquet` carries real VP8 streams
+ * (libwebp-encoded at quality 10..90 over gradients / noise /
+ * checkers / edges, plus a third-party-encoded stream from the
+ * CPython test suite) together with the Y/U/V planes the reference
+ * libwebp decoder produces; Vp8Spec pins [[decodeYuv]] to those
+ * planes BYTE-EXACTLY — reconstruction and loop filtering are
+ * compared in YUV domain, before any implementation-specific
+ * upsampling. [[decodeImage]]'s YUV->RGB uses full-range BT.601
+ * with nearest-neighbor chroma (documented divergence from
+ * libwebp's fancy upsampler: the perceptual family consumes
+ * brightness ORDER, and full-range maps gray (y,128,128) -> (y,y,y)
+ * exactly).
+ *
+ * Scale shape: pure per-blob in-partition decode, no Spark types —
+ * composed map-side by Multimodal.MediaCodec.decodeImage exactly
+ * like the VP8L and ImageIO paths.
+ */
+object Vp8 {
+
+  /** Decoded 4:2:0 planes at coded size: y is width*height,
+   * u/v are ceil(w/2)*ceil(h/2), row-major, unsigned bytes. */
+  final case class Yuv(width: Int, height: Int,
+                       y: Array[Byte], u: Array[Byte], v: Array[Byte]) {
+    def chromaW: Int = (width + 1) >> 1
+    def chromaH: Int = (height + 1) >> 1
+  }
+
+  // ------------------------------------------------------------------
+  // Boolean arithmetic decoder (RFC 6386 §7.3). Reads past the
+  // partition end yield zero bytes: truncated streams decode to
+  // (deterministic) garbage instead of crashing — totality, like
+  // every other walker in this repo.
+  private final class Bool(buf: Array[Byte], start: Int, end: Int) {
+    private[this] var pos = start
+    private[this] var range = 255
+    private[this] var bitCount = 0
+    private[this] var value = {
+      val a = nextByte(); val b = nextByte(); (a << 8) | b
+    }
+
+    private def nextByte(): Int = {
+      val b = if (pos < end && pos >= 0) buf(pos) & 0xff else 0
+      pos += 1; b
+    }
+
+    def bool(prob: Int): Int = {
+      val split = 1 + (((range - 1) * prob) >> 8)
+      val bigSplit = split << 8
+      var ret = 0
+      if (value >= bigSplit) {
+        ret = 1
+        value -= bigSplit
+        range -= split
+      } else {
+        range = split
+      }
+      while (range < 128) {
+        value <<= 1
+        range <<= 1
+        bitCount += 1
+        if (bitCount == 8) {
+          bitCount = 0
+          value |= nextByte()
+        }
+      }
+      ret
+    }
+
+    def bit(): Int = bool(128)
+
+    def literal(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+
+    /** L(n) magnitude + sign bit; RFC "sign-magnitude" fields. */
+    def signedLiteral(n: Int): Int = {
+      val v = literal(n)
+      if (bit() == 1) -v else v
+    }
+
+    /** flag L(1); when set, L(n)+sign; else 0. */
+    def flaggedSigned(n: Int): Int =
+      if (bit() == 1) signedLiteral(n) else 0
+
+    /** Generic tree read (§8.2): positive entries are node indices,
+     * entries <= 0 are leaves encoding -leafValue. `probs(pOff + i/2)`
+     * is the probability at internal node i. */
+    def tree(t: Array[Int], probs: Array[Int], pOff: Int, startNode: Int): Int = {
+      var i = startNode
+      var leaf = 0
+      var done = false
+      while (!done) {
+        i = t(i + bool(probs(pOff + (i >> 1))))
+        if (i <= 0) { leaf = -i; done = true }
+      }
+      leaf
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Mode enums and trees (RFC 6386 §11.2-11.5, §13.2). Leaves are
+  // encoded as -value (0 = leaf 0).
+  private val DC_PRED = 0; private val V_PRED = 1
+  private val H_PRED = 2; private val TM_PRED = 3; private val B_PRED = 4
+
+  private val KF_YMODE_TREE = Array(-B_PRED, 2, 4, 6, -DC_PRED, -V_PRED, -H_PRED, -TM_PRED)
+  private val KF_YMODE_PROBS = Array(145, 156, 163, 128)
+  private val UV_MODE_TREE = Array(-DC_PRED, 2, -V_PRED, 4, -H_PRED, -TM_PRED)
+  private val KF_UV_MODE_PROBS = Array(142, 114, 183)
+  // B modes in the numbering KF_BMODE_PROBS is laid out in (the
+  // prediction-function order: DC=0 TM=1 VE=2 HE=3 RD=4 VR=5 LD=6
+  // VL=7 HD=8 HU=9 — note RD/VR before LD/VL, unlike the RFC's enum
+  // spelling; the tree below assigns the RFC's code strings to the
+  // same mode NAMES, so the bitstream mapping is identical)
+  private val BMODE_TREE = Array(0, 2, -1, 4, -2, 6, 8, 12, -3, 10, -4, -5, -6, 14, -7, 16, -8, -9)
+  private val SEGMENT_TREE = Array(2, 4, 0, -1, -2, -3)
+  // 16x16/8x8 mode -> implied uniform B mode (for neighbor context)
+  private val IMPLIED_BMODE = Array(0, 2, 3, 1)
+
+  // Token tree: ZERO=0 ONE=1..FOUR=4 CAT1=5..CAT6=10 EOB=11
+  private val TOKEN_EOB = 11
+  private val TOKEN_TREE = Array(
+    -TOKEN_EOB, 2, 0, 4, -1, 6, 8, 12, -2, 10, -3, -4, 14, 16, -5, -6, 18, 20, -7, -8, -9, -10)
+  private val CAT_BASE = Array(5, 7, 11, 19, 35, 67)
+  private val CAT_PROBS: Array[Array[Int]] = Array(
+    Array(159), Array(165, 145), Array(173, 148, 140), Array(176, 155, 140, 135),
+    Array(180, 157, 141, 134, 130),
+    Array(254, 254, 243, 230, 196, 177, 153, 140, 133, 130, 129))
+  private val BANDS = Array(0, 1, 2, 3, 6, 4, 5, 6, 6, 6, 6, 6, 6, 6, 6, 7)
+  private val ZIGZAG = Array(0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
+
+  private def clamp255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+  private def clampQ(v: Int): Int = if (v < 0) 0 else if (v > 127) 127 else v
+
+  // ------------------------------------------------------------------
+  // Inverse transforms (RFC 6386 §14.3-14.4). Plain 32-bit ints on
+  // purpose: the reference code is C `int`, and Scala Int wraps
+  // identically, so even out-of-range coefficient streams stay
+  // bit-compatible with the reference decoder.
+  private def iwht4x4(in: Array[Int], out: Array[Int]): Unit = {
+    val tmp = new Array[Int](16)
+    var i = 0
+    while (i < 4) {
+      val a1 = in(i) + in(12 + i)
+      val b1 = in(4 + i) + in(8 + i)
+      val c1 = in(4 + i) - in(8 + i)
+      val d1 = in(i) - in(12 + i)
+      tmp(i) = a1 + b1
+      tmp(4 + i) = c1 + d1
+      tmp(8 + i) = a1 - b1
+      tmp(12 + i) = d1 - c1
+      i += 1
+    }
+    i = 0
+    while (i < 4) {
+      val o = i * 4
+      val a1 = tmp(o) + tmp(o + 3)
+      val b1 = tmp(o + 1) + tmp(o + 2)
+      val c1 = tmp(o + 1) - tmp(o + 2)
+      val d1 = tmp(o) - tmp(o + 3)
+      out(o) = (a1 + b1 + 3) >> 3
+      out(o + 1) = (c1 + d1 + 3) >> 3
+      out(o + 2) = (a1 - b1 + 3) >> 3
+      out(o + 3) = (d1 - c1 + 3) >> 3
+      i += 1
+    }
+  }
+
+  private val C1 = 20091 // cos(pi/8)*sqrt(2)-1, 16-bit fixed point
+  private val C2 = 35468 // sin(pi/8)*sqrt(2)
+
+  private def idct4x4(in: Array[Int], out: Array[Int]): Unit = {
+    val tmp = new Array[Int](16)
+    var i = 0
+    while (i < 4) {
+      val a1 = in(i) + in(8 + i)
+      val b1 = in(i) - in(8 + i)
+      val t1 = (in(4 + i) * C2) >> 16
+      val t2 = in(12 + i) + ((in(12 + i) * C1) >> 16)
+      val c1 = t1 - t2
+      val t3 = in(4 + i) + ((in(4 + i) * C1) >> 16)
+      val t4 = (in(12 + i) * C2) >> 16
+      val d1 = t3 + t4
+      tmp(i) = a1 + d1
+      tmp(12 + i) = a1 - d1
+      tmp(4 + i) = b1 + c1
+      tmp(8 + i) = b1 - c1
+      i += 1
+    }
+    i = 0
+    while (i < 4) {
+      val o = i * 4
+      val a1 = tmp(o) + tmp(o + 2)
+      val b1 = tmp(o) - tmp(o + 2)
+      val t1 = (tmp(o + 1) * C2) >> 16
+      val t2 = tmp(o + 3) + ((tmp(o + 3) * C1) >> 16)
+      val c1 = t1 - t2
+      val t3 = tmp(o + 1) + ((tmp(o + 1) * C1) >> 16)
+      val t4 = (tmp(o + 3) * C2) >> 16
+      val d1 = t3 + t4
+      out(o) = (a1 + d1 + 4) >> 3
+      out(o + 3) = (a1 - d1 + 4) >> 3
+      out(o + 1) = (b1 + c1 + 4) >> 3
+      out(o + 2) = (b1 - c1 + 4) >> 3
+      i += 1
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Frame decode.
+
+  /** Decode a raw VP8 keyframe bitstream (the payload of a `VP8 `
+   * chunk). None when it isn't a keyframe / start code is missing /
+   * the layout is inconsistent. */
+  def decodeFrame(data: Array[Byte], off: Int, len: Int): Option[Yuv] = {
+    try decodeFrameImpl(data, off, len)
+    catch { case _: Throwable => None }
+  }
+
+  private def decodeFrameImpl(data: Array[Byte], off: Int, len: Int): Option[Yuv] = {
+    if (len < 10) return None
+    def u8(i: Int) = data(off + i) & 0xff
+    val tag = u8(0) | (u8(1) << 8) | (u8(2) << 16)
+    val keyFrame = (tag & 1) == 0
+    val firstPartSize = tag >> 5
+    if (!keyFrame) return None
+    if (u8(3) != 0x9d || u8(4) != 0x01 || u8(5) != 0x2a) return None
+    val width = (u8(6) | (u8(7) << 8)) & 0x3fff
+    val height = (u8(8) | (u8(9) << 8)) & 0x3fff
+    if (width == 0 || height == 0) return None
+    if (10 + firstPartSize > len) return None
+
+    val mbW = (width + 15) >> 4
+    val mbH = (height + 15) >> 4
+    val nMb = mbW * mbH
+
+    val br = new Bool(data, off + 10, off + 10 + firstPartSize)
+
+    // --- §9.2 colour space / clamping (keyframe only)
+    br.bit(); br.bit()
+
+    // --- §9.3 segmentation
+    var segmentationEnabled = false
+    var updateSegMap = false
+    var segFeatureAbsolute = false
+    val segQuant = new Array[Int](4)
+    val segLf = new Array[Int](4)
+    val segTreeProbs = Array(255, 255, 255)
+    if (br.bit() == 1) {
+      segmentationEnabled = true
+      updateSegMap = br.bit() == 1
+      val updateData = br.bit() == 1
+      if (updateData) {
+        segFeatureAbsolute = br.bit() == 1
+        var i = 0
+        while (i < 4) { segQuant(i) = br.flaggedSigned(7); i += 1 }
+        i = 0
+        while (i < 4) { segLf(i) = br.flaggedSigned(6); i += 1 }
+      }
+      if (updateSegMap) {
+        var i = 0
+        while (i < 3) {
+          segTreeProbs(i) = if (br.bit() == 1) br.literal(8) else 255
+          i += 1
+        }
+      }
+    }
+
+    // --- §9.4 loop filter header
+    val simpleFilter = br.bit() == 1
+    val filterLevel = br.literal(6)
+    val sharpness = br.literal(3)
+    var lfDeltaEnabled = false
+    val refLfDelta = new Array[Int](4)
+    val modeLfDelta = new Array[Int](4)
+    if (br.bit() == 1) {
+      lfDeltaEnabled = true
+      if (br.bit() == 1) { // mode_ref_lf_delta_update
+        var i = 0
+        while (i < 4) {
+          if (br.bit() == 1) refLfDelta(i) = br.signedLiteral(6)
+          i += 1
+        }
+        i = 0
+        while (i < 4) {
+          if (br.bit() == 1) modeLfDelta(i) = br.signedLiteral(6)
+          i += 1
+        }
+      }
+    }
+
+    // --- §9.5 token partitions
+    val nParts = 1 << br.literal(2)
+    val sizeTableAt = off + 10 + firstPartSize
+    val partsDataAt = sizeTableAt + 3 * (nParts - 1)
+    if (partsDataAt > off + len) return None
+    val partStart = new Array[Int](nParts)
+    val partEnd = new Array[Int](nParts)
+    var cursor = partsDataAt
+    var pi = 0
+    while (pi < nParts) {
+      val sz =
+        if (pi < nParts - 1) {
+          val b = sizeTableAt + 3 * pi
+          (data(b) & 0xff) | ((data(b + 1) & 0xff) << 8) | ((data(b + 2) & 0xff) << 16)
+        } else (off + len) - cursor
+      partStart(pi) = cursor
+      partEnd(pi) = math.min(cursor + math.max(sz, 0), off + len)
+      cursor = partEnd(pi)
+      pi += 1
+    }
+    val partBool = Array.tabulate(nParts)(i => new Bool(data, partStart(i), partEnd(i)))
+
+    // --- §9.6 quantizer indices
+    val yAcQi = br.literal(7)
+    val yDcDelta = br.flaggedSigned(4)
+    val y2DcDelta = br.flaggedSigned(4)
+    val y2AcDelta = br.flaggedSigned(4)
+    val uvDcDelta = br.flaggedSigned(4)
+    val uvAcDelta = br.flaggedSigned(4)
+
+    // per-segment dequant factors (§14.1)
+    val dqYDc = new Array[Int](4); val dqYAc = new Array[Int](4)
+    val dqY2Dc = new Array[Int](4); val dqY2Ac = new Array[Int](4)
+    val dqUvDc = new Array[Int](4); val dqUvAc = new Array[Int](4)
+    var s = 0
+    while (s < 4) {
+      val q =
+        if (segmentationEnabled)
+          clampQ(if (segFeatureAbsolute) segQuant(s) else yAcQi + segQuant(s))
+        else yAcQi
+      dqYDc(s) = Vp8Tables.DC_Q(clampQ(q + yDcDelta))
+      dqYAc(s) = Vp8Tables.AC_Q(q)
+      dqY2Dc(s) = Vp8Tables.DC_Q(clampQ(q + y2DcDelta)) * 2
+      dqY2Ac(s) = math.max(Vp8Tables.AC_Q(clampQ(q + y2AcDelta)) * 155 / 100, 8)
+      dqUvDc(s) = math.min(Vp8Tables.DC_Q(clampQ(q + uvDcDelta)), 132)
+      dqUvAc(s) = Vp8Tables.AC_Q(clampQ(q + uvAcDelta))
+      s += 1
+    }
+
+    // --- §9.7 refresh entropy (keyframe: single bit, value ignored here)
+    br.bit()
+
+    // --- §13.4 coefficient probability updates
+    val coeffProbs = Vp8Tables.COEFF_PROBS.clone()
+    var cpi = 0
+    while (cpi < 1056) {
+      if (br.bool(Vp8Tables.COEFF_UPDATE_PROBS(cpi)) == 1)
+        coeffProbs(cpi) = br.literal(8)
+      cpi += 1
+    }
+
+    // --- §9.10 skip flag
+    val useSkip = br.bit() == 1
+    val skipProb = if (useSkip) br.literal(8) else 0
+
+    // --- §11: per-MB prediction records (all in the first partition)
+    val ymodes = new Array[Byte](nMb)
+    val uvmodes = new Array[Byte](nMb)
+    val bmodes = new Array[Byte](nMb * 16)
+    val segments = new Array[Byte](nMb)
+    val skips = new Array[Boolean](nMb)
+
+    var mbY = 0
+    while (mbY < mbH) {
+      var mbX = 0
+      while (mbX < mbW) {
+        val mi = mbY * mbW + mbX
+        if (updateSegMap)
+          segments(mi) = br.tree(SEGMENT_TREE, segTreeProbs, 0, 0).toByte
+        if (useSkip) skips(mi) = br.bool(skipProb) == 1
+        val ym = br.tree(KF_YMODE_TREE, KF_YMODE_PROBS, 0, 0)
+        ymodes(mi) = ym.toByte
+        if (ym == B_PRED) {
+          var b = 0
+          while (b < 16) {
+            val r = b >> 2; val c = b & 3
+            val above =
+              if (r > 0) bmodes(mi * 16 + b - 4)
+              else if (mbY > 0) bmodes((mi - mbW) * 16 + 12 + c)
+              else 0
+            val left =
+              if (c > 0) bmodes(mi * 16 + b - 1)
+              else if (mbX > 0) bmodes((mi - 1) * 16 + b + 3)
+              else 0
+            val pOff = (above * 10 + left) * 9
+            bmodes(mi * 16 + b) =
+              br.tree(BMODE_TREE, Vp8Tables.KF_BMODE_PROBS, pOff, 0).toByte
+            b += 1
+          }
+        } else {
+          val implied = IMPLIED_BMODE(ym).toByte
+          java.util.Arrays.fill(bmodes, mi * 16, mi * 16 + 16, implied)
+        }
+        uvmodes(mi) = br.tree(UV_MODE_TREE, KF_UV_MODE_PROBS, 0, 0).toByte
+        mbX += 1
+      }
+      mbY += 1
+    }
+
+    // --- planes with synthesized borders (§12.2): one row above =
+    // 127, one column left = 129, corner 127; luma gets a 4-px right
+    // extension for the above-right fetches (replicated per §12.3 /
+    // libwebp for interior rows, 127 on the first row).
+    val w16 = mbW * 16; val h16 = mbH * 16
+    val w8 = mbW * 8; val h8 = mbH * 8
+    val yStride = w16 + 5
+    val cStride = w8 + 1
+    val yPlane = new Array[Byte](yStride * (h16 + 1))
+    val uPlane = new Array[Byte](cStride * (h8 + 1))
+    val vPlane = new Array[Byte](cStride * (h8 + 1))
+    java.util.Arrays.fill(yPlane, 0, yStride, 127.toByte)
+    java.util.Arrays.fill(uPlane, 0, cStride, 127.toByte)
+    java.util.Arrays.fill(vPlane, 0, cStride, 127.toByte)
+    var row = 1
+    while (row <= h16) { yPlane(row * yStride) = 129.toByte; row += 1 }
+    row = 1
+    while (row <= h8) {
+      uPlane(row * cStride) = 129.toByte
+      vPlane(row * cStride) = 129.toByte
+      row += 1
+    }
+    @inline def yIdx(x: Int, y: Int) = (y + 1) * yStride + (x + 1)
+    @inline def cIdx(x: Int, y: Int) = (y + 1) * cStride + (x + 1)
+
+    // --- residual decode + reconstruction, raster order
+    val coeffs = new Array[Int](25 * 16)
+    val block = new Array[Int](16)
+    val resid = new Array[Int](16)
+    val dcBuf = new Array[Int](16)
+
+    // nonzero contexts
+    val aNzY = new Array[Int](mbW * 4)
+    val aNzU = new Array[Int](mbW * 2)
+    val aNzV = new Array[Int](mbW * 2)
+    val aNzY2 = new Array[Int](mbW)
+    val lNzY = new Array[Int](4)
+    val lNzU = new Array[Int](2)
+    val lNzV = new Array[Int](2)
+    var lNzY2 = 0
+
+    val innerFilter = new Array[Boolean](nMb)
+    val mbFilterLevel = new Array[Int](nMb)
+
+    // decode one 4x4 block's tokens; returns 1 if any nonzero coeff.
+    // `typ` block type (0 Y-after-Y2, 1 Y2, 2 chroma, 3 Y-full),
+    // `first` starting coefficient, dqDc/dqAc dequant factors.
+    def decodeTokens(bd: Bool, typ: Int, ctx0: Int, first: Int,
+                     dqDc: Int, dqAc: Int, out: Array[Int]): Int = {
+      java.util.Arrays.fill(out, 0)
+      var n = first
+      var ctx = ctx0
+      var prevZero = false
+      var any = 0
+      var done = false
+      while (!done && n < 16) {
+        val pOff = (typ * 8 + BANDS(n)) * 3 * 11 + ctx * 11
+        // a zero token cannot be followed by EOB: restart the tree
+        // walk below the EOB branch (§13.3)
+        val start = if (prevZero) 2 else 0
+        val token = bd.tree(TOKEN_TREE, coeffProbs, pOff, start)
+        if (token == TOKEN_EOB) done = true
+        else if (token == 0) {
+          prevZero = true
+          ctx = 0
+          n += 1
+        } else {
+          prevZero = false
+          var v = 0
+          if (token <= 4) v = token
+          else {
+            val cat = token - 5
+            v = CAT_BASE(cat)
+            val probs = CAT_PROBS(cat)
+            var extra = 0
+            var i = 0
+            while (i < probs.length) {
+              extra = (extra << 1) | bd.bool(probs(i))
+              i += 1
+            }
+            v += extra
+          }
+          ctx = if (v > 1) 2 else 1
+          val signed = if (bd.bit() == 1) -v else v
+          out(ZIGZAG(n)) = signed * (if (n == 0) dqDc else dqAc)
+          any = 1
+          n += 1
+        }
+      }
+      any
+    }
+
+    // ----------------------------------------------------------------
+    // per-MB reconstruction (prediction + inverse transform)
+    def reconstructMb(mi: Int, mbX: Int, mbY: Int): Unit = {
+      val ym = ymodes(mi) & 0xff
+      val hasY2 = ym != B_PRED
+      val px = mbX * 16; val py = mbY * 16
+      val cx = mbX * 8; val cy = mbY * 8
+
+      if (ym == B_PRED) {
+        var b = 0
+        while (b < 16) {
+          val r = b >> 2; val c = b & 3
+          val bx = px + c * 4; val by = py + r * 4
+          predictB(bmodes(mi * 16 + b) & 0xff, bx, by, c == 3, px, py)
+          System.arraycopy(coeffs, b * 16, block, 0, 16)
+          idct4x4(block, resid)
+          addResidual4(yPlane, yStride, yIdx(bx, by), resid)
+          b += 1
+        }
+      } else {
+        predict16(ym, px, py, mbX, mbY)
+        var b = 0
+        while (b < 16) {
+          val r = b >> 2; val c = b & 3
+          System.arraycopy(coeffs, b * 16, block, 0, 16)
+          idct4x4(block, resid)
+          addResidual4(yPlane, yStride, yIdx(px + c * 4, py + r * 4), resid)
+          b += 1
+        }
+      }
+      val uvm = uvmodes(mi) & 0xff
+      predict8(uvm, uPlane, cx, cy, mbX, mbY)
+      predict8(uvm, vPlane, cx, cy, mbX, mbY)
+      var p = 0
+      while (p < 2) {
+        val plane = if (p == 0) uPlane else vPlane
+        var sb = 0
+        while (sb < 4) {
+          val r = sb >> 1; val c = sb & 1
+          System.arraycopy(coeffs, (16 + p * 4 + sb) * 16, block, 0, 16)
+          idct4x4(block, resid)
+          addResidual4(plane, cStride, cIdx(cx + c * 4, cy + r * 4), resid)
+          sb += 1
+        }
+        p += 1
+      }
+    }
+
+    def addResidual4(plane: Array[Byte], stride: Int, base: Int, res: Array[Int]): Unit = {
+      var r = 0
+      while (r < 4) {
+        var c = 0
+        while (c < 4) {
+          val i = base + r * stride + c
+          plane(i) = clamp255((plane(i) & 0xff) + res(r * 4 + c)).toByte
+          c += 1
+        }
+        r += 1
+      }
+    }
+
+    // 16x16 luma prediction (§12.2)
+    def predict16(mode: Int, px: Int, py: Int, mbX: Int, mbY: Int): Unit = {
+      val base = yIdx(px, py)
+      mode match {
+        case DC_PRED =>
+          var sum = 0
+          var dc = 128
+          if (mbY > 0 && mbX > 0) {
+            var i = 0
+            while (i < 16) {
+              sum += (yPlane(base - yStride + i) & 0xff) + (yPlane(base + i * yStride - 1) & 0xff)
+              i += 1
+            }
+            dc = (sum + 16) >> 5
+          } else if (mbY > 0) {
+            var i = 0
+            while (i < 16) { sum += yPlane(base - yStride + i) & 0xff; i += 1 }
+            dc = (sum + 8) >> 4
+          } else if (mbX > 0) {
+            var i = 0
+            while (i < 16) { sum += yPlane(base + i * yStride - 1) & 0xff; i += 1 }
+            dc = (sum + 8) >> 4
+          }
+          fillBlock(yPlane, base, yStride, 16, dc)
+        case V_PRED =>
+          var r = 0
+          while (r < 16) {
+            System.arraycopy(yPlane, base - yStride, yPlane, base + r * yStride, 16)
+            r += 1
+          }
+        case H_PRED =>
+          var r = 0
+          while (r < 16) {
+            java.util.Arrays.fill(yPlane, base + r * yStride, base + r * yStride + 16,
+              yPlane(base + r * yStride - 1))
+            r += 1
+          }
+        case _ => // TM
+          val tl = yPlane(base - yStride - 1) & 0xff
+          var r = 0
+          while (r < 16) {
+            val l = yPlane(base + r * yStride - 1) & 0xff
+            var c = 0
+            while (c < 16) {
+              yPlane(base + r * yStride + c) =
+                clamp255(l + (yPlane(base - yStride + c) & 0xff) - tl).toByte
+              c += 1
+            }
+            r += 1
+          }
+      }
+    }
+
+    // 8x8 chroma prediction (§12.2)
+    def predict8(mode: Int, plane: Array[Byte], px: Int, py: Int, mbX: Int, mbY: Int): Unit = {
+      val base = cIdx(px, py)
+      mode match {
+        case DC_PRED =>
+          var sum = 0
+          var dc = 128
+          if (mbY > 0 && mbX > 0) {
+            var i = 0
+            while (i < 8) {
+              sum += (plane(base - cStride + i) & 0xff) + (plane(base + i * cStride - 1) & 0xff)
+              i += 1
+            }
+            dc = (sum + 8) >> 4
+          } else if (mbY > 0) {
+            var i = 0
+            while (i < 8) { sum += plane(base - cStride + i) & 0xff; i += 1 }
+            dc = (sum + 4) >> 3
+          } else if (mbX > 0) {
+            var i = 0
+            while (i < 8) { sum += plane(base + i * cStride - 1) & 0xff; i += 1 }
+            dc = (sum + 4) >> 3
+          }
+          fillBlock(plane, base, cStride, 8, dc)
+        case V_PRED =>
+          var r = 0
+          while (r < 8) {
+            System.arraycopy(plane, base - cStride, plane, base + r * cStride, 8)
+            r += 1
+          }
+        case H_PRED =>
+          var r = 0
+          while (r < 8) {
+            java.util.Arrays.fill(plane, base + r * cStride, base + r * cStride + 8,
+              plane(base + r * cStride - 1))
+            r += 1
+          }
+        case _ =>
+          val tl = plane(base - cStride - 1) & 0xff
+          var r = 0
+          while (r < 8) {
+            val l = plane(base + r * cStride - 1) & 0xff
+            var c = 0
+            while (c < 8) {
+              plane(base + r * cStride + c) =
+                clamp255(l + (plane(base - cStride + c) & 0xff) - tl).toByte
+              c += 1
+            }
+            r += 1
+          }
+      }
+    }
+
+    def fillBlock(plane: Array[Byte], base: Int, stride: Int, size: Int, v: Int): Unit = {
+      var r = 0
+      while (r < size) {
+        java.util.Arrays.fill(plane, base + r * stride, base + r * stride + size, v.toByte)
+        r += 1
+      }
+    }
+
+    // 4x4 B-mode prediction (§12.3). `rightmost` marks the MB's last
+    // subblock column, whose above-right pixels are ALWAYS the
+    // macroblock's own above-right corner (the spec quirk).
+    def predictB(mode: Int, bx: Int, by: Int, rightmost: Boolean, px: Int, py: Int): Unit = {
+      val base = yIdx(bx, by)
+      // 13-pixel context
+      val X = yPlane(base - yStride - 1) & 0xff
+      val a = new Array[Int](8)
+      var i = 0
+      while (i < 4) { a(i) = yPlane(base - yStride + i) & 0xff; i += 1 }
+      if (rightmost) {
+        val trBase = yIdx(px + 16, py - 1)
+        i = 0
+        while (i < 4) { a(4 + i) = yPlane(trBase + i) & 0xff; i += 1 }
+      } else {
+        i = 0
+        while (i < 4) { a(4 + i) = yPlane(base - yStride + 4 + i) & 0xff; i += 1 }
+      }
+      val l = new Array[Int](4)
+      i = 0
+      while (i < 4) { l(i) = yPlane(base + i * yStride - 1) & 0xff; i += 1 }
+
+      @inline def avg2(x: Int, y: Int) = (x + y + 1) >> 1
+      @inline def avg3(x: Int, y: Int, z: Int) = (x + 2 * y + z + 2) >> 2
+      @inline def put(c: Int, r: Int, v: Int): Unit =
+        yPlane(base + r * yStride + c) = v.toByte
+
+      mode match {
+        case 0 => // B_DC_PRED
+          val dc = (a(0) + a(1) + a(2) + a(3) + l(0) + l(1) + l(2) + l(3) + 4) >> 3
+          var r = 0
+          while (r < 4) {
+            java.util.Arrays.fill(yPlane, base + r * yStride, base + r * yStride + 4, dc.toByte)
+            r += 1
+          }
+        case 1 => // B_TM_PRED
+          var r = 0
+          while (r < 4) {
+            var c = 0
+            while (c < 4) { put(c, r, clamp255(l(r) + a(c) - X)); c += 1 }
+            r += 1
+          }
+        case 2 => // B_VE_PRED
+          val v0 = avg3(X, a(0), a(1)); val v1 = avg3(a(0), a(1), a(2))
+          val v2 = avg3(a(1), a(2), a(3)); val v3 = avg3(a(2), a(3), a(4))
+          var r = 0
+          while (r < 4) { put(0, r, v0); put(1, r, v1); put(2, r, v2); put(3, r, v3); r += 1 }
+        case 3 => // B_HE_PRED
+          val h0 = avg3(X, l(0), l(1)); val h1 = avg3(l(0), l(1), l(2))
+          val h2 = avg3(l(1), l(2), l(3)); val h3 = avg3(l(2), l(3), l(3))
+          var c = 0
+          while (c < 4) { put(c, 0, h0); put(c, 1, h1); put(c, 2, h2); put(c, 3, h3); c += 1 }
+        case 6 => // B_LD_PRED
+          put(0, 0, avg3(a(0), a(1), a(2)))
+          val t1 = avg3(a(1), a(2), a(3)); put(1, 0, t1); put(0, 1, t1)
+          val t2 = avg3(a(2), a(3), a(4)); put(2, 0, t2); put(1, 1, t2); put(0, 2, t2)
+          val t3 = avg3(a(3), a(4), a(5)); put(3, 0, t3); put(2, 1, t3); put(1, 2, t3); put(0, 3, t3)
+          val t4 = avg3(a(4), a(5), a(6)); put(3, 1, t4); put(2, 2, t4); put(1, 3, t4)
+          val t5 = avg3(a(5), a(6), a(7)); put(3, 2, t5); put(2, 3, t5)
+          put(3, 3, avg3(a(6), a(7), a(7)))
+        case 4 => // B_RD_PRED
+          put(0, 3, avg3(l(1), l(2), l(3)))
+          val t1 = avg3(l(0), l(1), l(2)); put(0, 2, t1); put(1, 3, t1)
+          val t2 = avg3(X, l(0), l(1)); put(0, 1, t2); put(1, 2, t2); put(2, 3, t2)
+          val t3 = avg3(a(0), X, l(0)); put(0, 0, t3); put(1, 1, t3); put(2, 2, t3); put(3, 3, t3)
+          val t4 = avg3(a(1), a(0), X); put(1, 0, t4); put(2, 1, t4); put(3, 2, t4)
+          val t5 = avg3(a(2), a(1), a(0)); put(2, 0, t5); put(3, 1, t5)
+          put(3, 0, avg3(a(3), a(2), a(1)))
+        case 5 => // B_VR_PRED
+          val t1 = avg2(X, a(0)); put(0, 0, t1); put(1, 2, t1)
+          val t2 = avg2(a(0), a(1)); put(1, 0, t2); put(2, 2, t2)
+          val t3 = avg2(a(1), a(2)); put(2, 0, t3); put(3, 2, t3)
+          put(3, 0, avg2(a(2), a(3)))
+          put(0, 3, avg3(l(2), l(1), l(0)))
+          put(0, 2, avg3(l(1), l(0), X))
+          val t4 = avg3(l(0), X, a(0)); put(0, 1, t4); put(1, 3, t4)
+          val t5 = avg3(X, a(0), a(1)); put(1, 1, t5); put(2, 3, t5)
+          val t6 = avg3(a(0), a(1), a(2)); put(2, 1, t6); put(3, 3, t6)
+          put(3, 1, avg3(a(1), a(2), a(3)))
+        case 7 => // B_VL_PRED
+          put(0, 0, avg2(a(0), a(1)))
+          val t1 = avg2(a(1), a(2)); put(1, 0, t1); put(0, 2, t1)
+          val t2 = avg2(a(2), a(3)); put(2, 0, t2); put(1, 2, t2)
+          val t3 = avg2(a(3), a(4)); put(3, 0, t3); put(2, 2, t3)
+          put(0, 1, avg3(a(0), a(1), a(2)))
+          val t4 = avg3(a(1), a(2), a(3)); put(1, 1, t4); put(0, 3, t4)
+          val t5 = avg3(a(2), a(3), a(4)); put(2, 1, t5); put(1, 3, t5)
+          val t6 = avg3(a(3), a(4), a(5)); put(3, 1, t6); put(2, 3, t6)
+          put(3, 2, avg3(a(4), a(5), a(6)))
+          put(3, 3, avg3(a(5), a(6), a(7)))
+        case 8 => // B_HD_PRED
+          val t1 = avg2(l(0), X); put(0, 0, t1); put(2, 1, t1)
+          val t2 = avg2(l(1), l(0)); put(0, 1, t2); put(2, 2, t2)
+          val t3 = avg2(l(2), l(1)); put(0, 2, t3); put(2, 3, t3)
+          put(0, 3, avg2(l(3), l(2)))
+          put(3, 0, avg3(a(0), a(1), a(2)))
+          put(2, 0, avg3(X, a(0), a(1)))
+          val t4 = avg3(l(0), X, a(0)); put(1, 0, t4); put(3, 1, t4)
+          val t5 = avg3(X, l(0), l(1)); put(1, 1, t5); put(3, 2, t5)
+          val t6 = avg3(l(0), l(1), l(2)); put(1, 2, t6); put(3, 3, t6)
+          put(1, 3, avg3(l(1), l(2), l(3)))
+        case _ => // B_HU_PRED
+          put(0, 0, avg2(l(0), l(1)))
+          val t1 = avg2(l(1), l(2)); put(2, 0, t1); put(0, 1, t1)
+          val t2 = avg2(l(2), l(3)); put(2, 1, t2); put(0, 2, t2)
+          put(1, 0, avg3(l(0), l(1), l(2)))
+          val t3 = avg3(l(1), l(2), l(3)); put(3, 0, t3); put(1, 1, t3)
+          val t4 = avg3(l(2), l(3), l(3)); put(3, 1, t4); put(1, 2, t4)
+          put(3, 2, l(3).toInt); put(2, 2, l(3).toInt); put(0, 3, l(3).toInt)
+          put(1, 3, l(3).toInt); put(2, 3, l(3).toInt); put(3, 3, l(3).toInt)
+      }
+    }
+
+    @inline def sclip(v: Int, lim: Int): Int =
+      if (v < -lim - 1) -lim - 1 else if (v > lim) lim else v
+    @inline def s8(v: Int): Int = sclip(v, 127) // clamp to [-128,127]
+
+    // 4 * |p0-q0| + |p1-q1| <= threshold (the RFC's edge-limit test
+    // scaled by 2, exactly libwebp's NeedsFilter)
+    @inline def needsFilter(plane: Array[Byte], i: Int, step: Int, t: Int): Boolean = {
+      val p1 = plane(i - 2 * step) & 0xff; val p0 = plane(i - step) & 0xff
+      val q0 = plane(i) & 0xff; val q1 = plane(i + step) & 0xff
+      4 * math.abs(p0 - q0) + math.abs(p1 - q1) <= t
+    }
+
+    @inline def needsFilter2(plane: Array[Byte], i: Int, step: Int, t: Int, it: Int): Boolean = {
+      val p3 = plane(i - 4 * step) & 0xff; val p2 = plane(i - 3 * step) & 0xff
+      val p1 = plane(i - 2 * step) & 0xff; val p0 = plane(i - step) & 0xff
+      val q0 = plane(i) & 0xff; val q1 = plane(i + step) & 0xff
+      val q2 = plane(i + 2 * step) & 0xff; val q3 = plane(i + 3 * step) & 0xff
+      if (4 * math.abs(p0 - q0) + math.abs(p1 - q1) > t) false
+      else math.abs(p3 - p2) <= it && math.abs(p2 - p1) <= it &&
+        math.abs(p1 - p0) <= it && math.abs(q3 - q2) <= it &&
+        math.abs(q2 - q1) <= it && math.abs(q1 - q0) <= it
+    }
+
+    @inline def hev(plane: Array[Byte], i: Int, step: Int, thresh: Int): Boolean = {
+      val p1 = plane(i - 2 * step) & 0xff; val p0 = plane(i - step) & 0xff
+      val q0 = plane(i) & 0xff; val q1 = plane(i + step) & 0xff
+      math.abs(p1 - p0) > thresh || math.abs(q1 - q0) > thresh
+    }
+
+    // 2-tap filter (simple filter body / hev path of the others)
+    def doFilter2(plane: Array[Byte], i: Int, step: Int): Unit = {
+      val p1 = plane(i - 2 * step) & 0xff; val p0 = plane(i - step) & 0xff
+      val q0 = plane(i) & 0xff; val q1 = plane(i + step) & 0xff
+      val a = 3 * (q0 - p0) + s8(p1 - q1)
+      val a1 = sclip(s8(a + 4) >> 3, 15)
+      val a2 = sclip(s8(a + 3) >> 3, 15)
+      plane(i - step) = clamp255(p0 + a2).toByte
+      plane(i) = clamp255(q0 - a1).toByte
+    }
+
+    // 4-tap inner filter (!hev path of subblock edges)
+    def doFilter4(plane: Array[Byte], i: Int, step: Int): Unit = {
+      val p1 = plane(i - 2 * step) & 0xff; val p0 = plane(i - step) & 0xff
+      val q0 = plane(i) & 0xff; val q1 = plane(i + step) & 0xff
+      val a = 3 * (q0 - p0)
+      val a1 = sclip(s8(a + 4) >> 3, 15)
+      val a2 = sclip(s8(a + 3) >> 3, 15)
+      val a3 = (a1 + 1) >> 1
+      plane(i - 2 * step) = clamp255(p1 + a3).toByte
+      plane(i - step) = clamp255(p0 + a2).toByte
+      plane(i) = clamp255(q0 - a1).toByte
+      plane(i + step) = clamp255(q1 - a3).toByte
+    }
+
+    // 6-tap macroblock-edge filter (!hev path)
+    def doFilter6(plane: Array[Byte], i: Int, step: Int): Unit = {
+      val p2 = plane(i - 3 * step) & 0xff; val p1 = plane(i - 2 * step) & 0xff
+      val p0 = plane(i - step) & 0xff; val q0 = plane(i) & 0xff
+      val q1 = plane(i + step) & 0xff; val q2 = plane(i + 2 * step) & 0xff
+      val w = s8(s8(p1 - q1) + 3 * (q0 - p0))
+      val a0 = (27 * w + 63) >> 7
+      val a1 = (18 * w + 63) >> 7
+      val a2 = (9 * w + 63) >> 7
+      plane(i - 3 * step) = clamp255(p2 + a2).toByte
+      plane(i - 2 * step) = clamp255(p1 + a1).toByte
+      plane(i - step) = clamp255(p0 + a0).toByte
+      plane(i) = clamp255(q0 - a0).toByte
+      plane(i + step) = clamp255(q1 - a1).toByte
+      plane(i + 2 * step) = clamp255(q2 - a2).toByte
+    }
+
+    def filterLoop26(plane: Array[Byte], base: Int, hstride: Int, vstride: Int,
+                     size: Int, thresh: Int, iThresh: Int, hevT: Int): Unit = {
+      val t2 = 2 * thresh + 1
+      var k = 0
+      var i = base
+      while (k < size) {
+        if (needsFilter2(plane, i, hstride, t2, iThresh)) {
+          if (hev(plane, i, hstride, hevT)) doFilter2(plane, i, hstride)
+          else doFilter6(plane, i, hstride)
+        }
+        i += vstride; k += 1
+      }
+    }
+
+    def filterLoop24(plane: Array[Byte], base: Int, hstride: Int, vstride: Int,
+                     size: Int, thresh: Int, iThresh: Int, hevT: Int): Unit = {
+      val t2 = 2 * thresh + 1
+      var k = 0
+      var i = base
+      while (k < size) {
+        if (needsFilter2(plane, i, hstride, t2, iThresh)) {
+          if (hev(plane, i, hstride, hevT)) doFilter2(plane, i, hstride)
+          else doFilter4(plane, i, hstride)
+        }
+        i += vstride; k += 1
+      }
+    }
+
+    def filterMbNormal(mbX: Int, mbY: Int, limit: Int, iLevel: Int,
+                       hevT: Int, inner: Boolean): Unit = {
+      val px = mbX * 16; val py = mbY * 16
+      val cx = mbX * 8; val cy = mbY * 8
+      val yB = yIdx(px, py)
+      val uB = cIdx(cx, cy); val vB = cIdx(cx, cy)
+      // vertical MB edge
+      if (mbX > 0) {
+        filterLoop26(yPlane, yB, 1, yStride, 16, limit + 4, iLevel, hevT)
+        filterLoop26(uPlane, uB, 1, cStride, 8, limit + 4, iLevel, hevT)
+        filterLoop26(vPlane, vB, 1, cStride, 8, limit + 4, iLevel, hevT)
+      }
+      if (inner) {
+        var e = 4
+        while (e < 16) {
+          filterLoop24(yPlane, yB + e, 1, yStride, 16, limit, iLevel, hevT)
+          e += 4
+        }
+        filterLoop24(uPlane, uB + 4, 1, cStride, 8, limit, iLevel, hevT)
+        filterLoop24(vPlane, vB + 4, 1, cStride, 8, limit, iLevel, hevT)
+      }
+      // horizontal MB edge
+      if (mbY > 0) {
+        filterLoop26(yPlane, yB, yStride, 1, 16, limit + 4, iLevel, hevT)
+        filterLoop26(uPlane, uB, cStride, 1, 8, limit + 4, iLevel, hevT)
+        filterLoop26(vPlane, vB, cStride, 1, 8, limit + 4, iLevel, hevT)
+      }
+      if (inner) {
+        var e = 4
+        while (e < 16) {
+          filterLoop24(yPlane, yB + e * yStride, yStride, 1, 16, limit, iLevel, hevT)
+          e += 4
+        }
+        filterLoop24(uPlane, uB + 4 * cStride, cStride, 1, 8, limit, iLevel, hevT)
+        filterLoop24(vPlane, vB + 4 * cStride, cStride, 1, 8, limit, iLevel, hevT)
+      }
+    }
+
+    def filterMbSimple(mbX: Int, mbY: Int, limit: Int, inner: Boolean): Unit = {
+      val px = mbX * 16; val py = mbY * 16
+      val yB = yIdx(px, py)
+      def loop(base: Int, hstride: Int, vstride: Int, thresh: Int): Unit = {
+        val t2 = 2 * thresh + 1
+        var k = 0
+        var i = base
+        while (k < 16) {
+          if (needsFilter(yPlane, i, hstride, t2)) doFilter2(yPlane, i, hstride)
+          i += vstride; k += 1
+        }
+      }
+      if (mbX > 0) loop(yB, 1, yStride, limit + 4)
+      if (inner) {
+        var e = 4
+        while (e < 16) { loop(yB + e, 1, yStride, limit); e += 4 }
+      }
+      if (mbY > 0) loop(yB, yStride, 1, limit + 4)
+      if (inner) {
+        var e = 4
+        while (e < 16) { loop(yB + e * yStride, yStride, 1, limit); e += 4 }
+      }
+    }
+
+    mbY = 0
+    while (mbY < mbH) {
+      java.util.Arrays.fill(lNzY, 0)
+      java.util.Arrays.fill(lNzU, 0)
+      java.util.Arrays.fill(lNzV, 0)
+      lNzY2 = 0
+      val bd = partBool(mbY % nParts)
+      var mbX = 0
+      while (mbX < mbW) {
+        val mi = mbY * mbW + mbX
+        val seg = segments(mi) & 0xff
+        val ym = ymodes(mi) & 0xff
+        val hasY2 = ym != B_PRED
+        var anyNz = false
+
+        if (skips(mi)) {
+          // §13: signaled skip clears every nonzero context except,
+          // for B_PRED macroblocks (which carry no Y2 block), the Y2
+          // context, which is left unchanged.
+          java.util.Arrays.fill(coeffs, 0)
+          var i = 0
+          while (i < 4) { aNzY(mbX * 4 + i) = 0; lNzY(i) = 0; i += 1 }
+          i = 0
+          while (i < 2) {
+            aNzU(mbX * 2 + i) = 0; lNzU(i) = 0
+            aNzV(mbX * 2 + i) = 0; lNzV(i) = 0
+            i += 1
+          }
+          if (hasY2) { aNzY2(mbX) = 0; lNzY2 = 0 }
+        } else {
+          var firstY = 0
+          if (hasY2) {
+            val ctx = aNzY2(mbX) + lNzY2
+            val nz = decodeTokens(bd, 1, ctx, 0, dqY2Dc(seg), dqY2Ac(seg), block)
+            iwht4x4(block, dcBuf)
+            aNzY2(mbX) = nz; lNzY2 = nz
+            if (nz == 1) anyNz = true
+            firstY = 1
+          }
+          var b = 0
+          while (b < 16) {
+            val r = b >> 2; val c = b & 3
+            val ctx = aNzY(mbX * 4 + c) + lNzY(r)
+            val typ = if (hasY2) 0 else 3
+            val nz = decodeTokens(bd, typ, ctx, firstY, dqYDc(seg), dqYAc(seg), block)
+            if (hasY2) block(0) = dcBuf(b)
+            System.arraycopy(block, 0, coeffs, b * 16, 16)
+            aNzY(mbX * 4 + c) = nz; lNzY(r) = nz
+            if (nz == 1) anyNz = true
+            b += 1
+          }
+          var p = 0
+          while (p < 2) {
+            val aNz = if (p == 0) aNzU else aNzV
+            val lNz = if (p == 0) lNzU else lNzV
+            var sb = 0
+            while (sb < 4) {
+              val r = sb >> 1; val c = sb & 1
+              val ctx = aNz(mbX * 2 + c) + lNz(r)
+              val nz = decodeTokens(bd, 2, ctx, 0, dqUvDc(seg), dqUvAc(seg), block)
+              System.arraycopy(block, 0, coeffs, (16 + p * 4 + sb) * 16, 16)
+              aNz(mbX * 2 + c) = nz; lNz(r) = nz
+              if (nz == 1) anyNz = true
+              sb += 1
+            }
+            p += 1
+          }
+          if (hasY2 && (aNzY2(mbX) == 1)) anyNz = true
+        }
+
+        innerFilter(mi) = anyNz || !hasY2
+        mbFilterLevel(mi) = {
+          var base =
+            if (segmentationEnabled)
+              (if (segFeatureAbsolute) segLf(seg) else filterLevel + segLf(seg))
+            else filterLevel
+          if (base < 0) base = 0; if (base > 63) base = 63
+          var lvl = base
+          if (lfDeltaEnabled) {
+            lvl += refLfDelta(0)
+            if (!hasY2) lvl += modeLfDelta(0)
+          }
+          if (lvl < 0) lvl = 0; if (lvl > 63) lvl = 63
+          lvl
+        }
+
+        reconstructMb(mi, mbX, mbY)
+        mbX += 1
+      }
+      // replicate the right edge into the 4-px luma extension so the
+      // next MB row's above-right fetches see libwebp's replication
+      var rr = mbY * 16
+      while (rr < mbY * 16 + 16) {
+        val edge = yPlane(yIdx(w16 - 1, rr))
+        var e = 0
+        while (e < 4) { yPlane(yIdx(w16 + e, rr)) = edge; e += 1 }
+        rr += 1
+      }
+      mbY += 1
+    }
+
+    // ----------------------------------------------------------------
+    // Loop filter (§15), applied after full reconstruction (intra
+    // prediction reads unfiltered pixels; the filtered frame is the
+    // output).
+    if (filterLevel > 0) {
+      mbY = 0
+      while (mbY < mbH) {
+        var mbX = 0
+        while (mbX < mbW) {
+          val mi = mbY * mbW + mbX
+          val level = mbFilterLevel(mi)
+          if (level > 0) {
+            var iLevel = level
+            if (sharpness > 0) {
+              iLevel = if (sharpness > 4) level >> 2 else level >> 1
+              if (iLevel > 9 - sharpness) iLevel = 9 - sharpness
+            }
+            if (iLevel < 1) iLevel = 1
+            val limit = 2 * level + iLevel
+            val hevT = if (level >= 40) 2 else if (level >= 15) 1 else 0
+            val inner = innerFilter(mi)
+            if (simpleFilter) {
+              filterMbSimple(mbX, mbY, limit, inner)
+            } else {
+              filterMbNormal(mbX, mbY, limit, iLevel, hevT, inner)
+            }
+          }
+          mbX += 1
+        }
+        mbY += 1
+      }
+    }
+
+
+    // ----------------------------------------------------------------
+    // crop to coded size
+    val cw = (width + 1) >> 1; val ch = (height + 1) >> 1
+    val yOut = new Array[Byte](width * height)
+    val uOut = new Array[Byte](cw * ch)
+    val vOut = new Array[Byte](cw * ch)
+    var yy = 0
+    while (yy < height) {
+      System.arraycopy(yPlane, yIdx(0, yy), yOut, yy * width, width)
+      yy += 1
+    }
+    yy = 0
+    while (yy < ch) {
+      System.arraycopy(uPlane, cIdx(0, yy), uOut, yy * cw, cw)
+      System.arraycopy(vPlane, cIdx(0, yy), vOut, yy * cw, cw)
+      yy += 1
+    }
+    Some(Yuv(width, height, yOut, uOut, vOut))
+  }
+
+  // ------------------------------------------------------------------
+  // Container plumbing.
+
+  /** Find the `VP8 ` chunk in a RIFF/WEBP file (either the sole
+   * chunk of a simple lossy file or inside a VP8X extended
+   * container) and decode it. */
+  def decodeYuv(bytes: Array[Byte]): Option[Yuv] = {
+    if (bytes == null || bytes.length < 20) return None
+    def tag(o: Int, t: String): Boolean =
+      t.indices.forall(i => (bytes(o + i) & 0xff) == t.charAt(i))
+    if (!tag(0, "RIFF") || !tag(8, "WEBP")) return None
+    var o = 12
+    while (o + 8 <= bytes.length) {
+      val sz = (bytes(o + 4) & 0xff) | ((bytes(o + 5) & 0xff) << 8) |
+        ((bytes(o + 6) & 0xff) << 16) | ((bytes(o + 7) & 0xff) << 24)
+      if (sz < 0 || o + 8 + sz > bytes.length) return None
+      if (tag(o, "VP8 ")) return decodeFrame(bytes, o + 8, sz)
+      o += 8 + sz + (sz & 1)
+    }
+    None
+  }
+
+  /** BufferedImage face for the perceptual family: full-range BT.601
+   * YUV->RGB with nearest-neighbor chroma (gray (y,128,128) maps to
+   * (y,y,y) exactly; strictly monotone in luma, which is what the
+   * order-based dHash consumes). */
+  def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    decodeYuv(bytes).map { f =>
+      val img = new java.awt.image.BufferedImage(
+        f.width, f.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val cw = f.chromaW
+      var y = 0
+      while (y < f.height) {
+        var x = 0
+        while (x < f.width) {
+          val yy = f.y(y * f.width + x) & 0xff
+          val uu = (f.u((y >> 1) * cw + (x >> 1)) & 0xff) - 128
+          val vv = (f.v((y >> 1) * cw + (x >> 1)) & 0xff) - 128
+          val r = clamp255(yy + ((91881 * vv + 32768) >> 16))
+          val g = clamp255(yy - ((22554 * uu + 46802 * vv + 32768) >> 16))
+          val b = clamp255(yy + ((116130 * uu + 32768) >> 16))
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      img
+    }
+}
