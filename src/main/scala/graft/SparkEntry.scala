@@ -812,9 +812,10 @@ object SparkEntry {
     }),
     // q_m34: decode COVERAGE for the perceptual family — per
     // (mime_type, sniffed container) how many rows actually decode
-    // through the ImageIO + VP8L path. q_m31-m33 skip undecodable
-    // rows by design; this face makes the skip a queryable number
-    // (the fixture's lossy-WebP stubs show up as the 0% line)
+    // through the ImageIO + VP8L + VP8 path. q_m31-m33 skip
+    // undecodable rows by design; this face makes the skip a
+    // queryable number (real lossy-VP8 twins decode, the
+    // junk-payload stubs stay the honest miss line)
     "q_m34_decode_coverage" -> ((s, _) =>
       ImageHash.decodeCoverage(s, Tables.imagedup(s))),
     // q_w29: sitemap URL entries — the operator-DECLARED page list:
@@ -1808,6 +1809,21 @@ object SparkEntry {
        |  WHERE substr(hex(media), 1, 8) = '52494646'
        |    AND substr(hex(media), 17, 8) = '57454250'
        |    AND substr(hex(media), 25, 8) = '5650384C'),
+       | im_vp8 AS (
+       |  -- the LOSSY twins: a 'VP8 ' chunk whose payload carries the
+       |  -- keyframe start code 9D012A at payload bytes 3..5 (the
+       |  -- junk-payload stub class fails this byte test and decodes
+       |  -- nothing). Pixels are NOT byte-addressable (arithmetic
+       |  -- coding), but the fixture contract makes them the even PNG
+       |  -- sibling's cells + the documented one-cell perturbation;
+       |  -- the bitstream->pixel step itself is pinned to libwebp
+       |  -- ground truth in Vp8Spec/Vp8EncoderSpec.
+       |  SELECT media_id, hex(media) AS h
+       |  FROM read_parquet('${Tables.imagedupFixturePath}')
+       |  WHERE substr(hex(media), 1, 8) = '52494646'
+       |    AND substr(hex(media), 17, 8) = '57454250'
+       |    AND substr(hex(media), 25, 8) = '56503820'
+       |    AND substr(hex(media), 47, 6) = '9D012A'),
        | im_pcells AS (
        |  SELECT media_id, gx, gy,
        |    ('0x' || substr(h,
@@ -1833,8 +1849,16 @@ object SparkEntry {
        |  SELECT media_id, gx, gy,
        |    CAST(SUM(bit << (8 - k)) AS INT) - 256 AS val
        |  FROM im_wbit GROUP BY media_id, gx, gy),
+       | im_vcells AS (
+       |  SELECT v.media_id, c.gx, c.gy,
+       |    CASE WHEN v.media_id % 2 = 1
+       |           AND c.gx = CAST((v.media_id // 2) % 9 AS INT)
+       |           AND c.gy = CAST((v.media_id // 2) % 8 AS INT)
+       |      THEN (c.val + 37) % 251 ELSE c.val END AS val
+       |  FROM im_vp8 v JOIN im_pcells c ON c.media_id = v.media_id - 1),
        | im_cells AS (
-       |  SELECT * FROM im_pcells UNION ALL SELECT * FROM im_wcells),
+       |  SELECT * FROM im_pcells UNION ALL SELECT * FROM im_wcells
+       |  UNION ALL SELECT * FROM im_vcells),
        | im_wh AS (
        |  SELECT media_id,
        |    CAST(('0x' || substr(h, 33, 8))::BIGINT AS INT) AS width,
@@ -1847,7 +1871,16 @@ object SparkEntry {
        |    CAST(1 + SUM(((('0x' || substr(h, 2 * (20 + (22 + k) // 8) + 1, 2))::INT
        |      >> ((22 + k) % 8)) & 1) << k) AS INT) AS height
        |  FROM im_webp, generate_series(0, 13) tk(k)
-       |  GROUP BY media_id),
+       |  GROUP BY media_id
+       |  UNION ALL
+       |  -- VP8 frame header: 14-bit little-endian dims at payload
+       |  -- bytes 6..9 (file bytes 26..29)
+       |  SELECT media_id,
+       |    CAST((('0x' || substr(h, 55, 2))::INT % 64) * 256
+       |      + ('0x' || substr(h, 53, 2))::INT AS INT) AS width,
+       |    CAST((('0x' || substr(h, 59, 2))::INT % 64) * 256
+       |      + ('0x' || substr(h, 57, 2))::INT AS INT) AS height
+       |  FROM im_vp8),
        | im_bits AS (
        |  SELECT l.media_id, l.gy, l.gx,
        |    CASE WHEN r.val > l.val THEN 1 ELSE 0 END AS bit
@@ -4189,8 +4222,10 @@ object SparkEntry {
     // q_m34: the decodability CONTRACT replayed from the bytes — a
     // PNG decodes iff intact (the fixture's full PNGs are exactly 948
     // bytes; the cut class keeps the magic but not the body), a WebP
-    // decodes iff its payload is VP8L (the engine has no lossy-VP8
-    // decoder, by design), junk never does
+    // decodes iff its payload is VP8L OR a VP8 keyframe (start code
+    // 9D012A at payload bytes 3..5 — the junk-payload stub class
+    // fails the byte test and stays the honest coverage miss), junk
+    // never does
     "q_m34_decode_coverage" ->
       s"""WITH cov AS (
          |  SELECT mime_type, hex(media) AS h, octet_length(media) AS n
@@ -4210,6 +4245,9 @@ object SparkEntry {
          |           THEN 1
          |         WHEN substr(h, 1, 8) = '52494646'
          |              AND substr(h, 25, 8) = '5650384C' THEN 1
+         |         WHEN substr(h, 1, 8) = '52494646'
+         |              AND substr(h, 25, 8) = '56503820'
+         |              AND substr(h, 47, 6) = '9D012A' THEN 1
          |         ELSE 0 END AS ok
          |  FROM cov)
          | SELECT mime_type, container, CAST(count(*) AS BIGINT) AS n,

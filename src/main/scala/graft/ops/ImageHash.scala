@@ -96,7 +96,8 @@ object ImageHash {
 
   /** Decode-COVERAGE table (q_m34): per (mime_type, container) the
    * row count and how many actually decode through the perceptual
-   * family's decode path (ImageIO + the in-repo VP8L decoder). On a
+   * family's decode path (ImageIO + the in-repo VP8L and VP8
+   * decoders). On a
    * real crawl this is the first number an image-dedup run must
    * report — q_m31–q_m33 silently skip undecodable rows by design
    * (tolerance), and without this face that skip is invisible.

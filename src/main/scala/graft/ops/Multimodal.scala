@@ -2645,9 +2645,11 @@ object Multimodal {
     }
 
     /** Real pixel decode: ImageIO (PNG/JPEG/GIF/BMP), then the
-     * in-repo WebP-LOSSLESS decoder ([[graft.ops.Vp8l]]) for the
-     * RIFF/WEBP/VP8L container the JDK can't read; None for anything
-     * neither parses (header-only blobs, junk, lossy WebP). */
+     * in-repo WebP decoders the JDK can't read — [[graft.ops.Vp8l]]
+     * for RIFF/WEBP/VP8L (lossless) and [[graft.ops.Vp8]] for
+     * RIFF/WEBP/`VP8 ` (lossy keyframes, the majority of real-web
+     * WebP); None for anything none of them parses (header-only
+     * blobs, junk, corrupt streams). */
     def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
       if (bytes == null || bytes.length == 0) None
       else {
@@ -2655,7 +2657,7 @@ object Multimodal {
           try Option(javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(bytes)))
           catch { case _: Throwable => None }
-        io.orElse(Vp8l.decodeImage(bytes))
+        io.orElse(Vp8l.decodeImage(bytes)).orElse(Vp8.decodeImage(bytes))
       }
 
     /** Real per-frame decode for GIF containers — the one ANIMATED

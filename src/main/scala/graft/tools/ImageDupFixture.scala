@@ -21,10 +21,14 @@ package graft.tools
  *    against that cell, a guaranteed near-duplicate pair.
  *
  * Layout per media_id:
- *  - id % 8 == 3 → PNG signature + a cut mid-IHDR: decode fails,
- *                  no hash row.
- *  - id % 8 == 7 → ASCII junk: no row.
- *  - else        → the 948-byte stored-zlib PNG described above.
+ *  - id % 8 == 3  → PNG signature + a cut mid-IHDR: decode fails,
+ *                   no hash row.
+ *  - id % 32 == 7 → REAL lossy WebP (VP8 keyframe, [[vp8]]): decodes
+ *                   to the same cell grid at 2× scale, same dHash.
+ *  - id % 32 == 23→ VP8 chunk with junk payload: decode fails.
+ *  - id % 16 == 15→ ASCII junk: no row.
+ *  - id % 8 == 5  → WebP-lossless (VP8L) twin: same pixels as png(id).
+ *  - else         → the 948-byte stored-zlib PNG described above.
  *
  * Usage: runMain graft.tools.ImageDupFixture [outFile] [rows]
  * (default fixtures/imagedup.parquet, 500 rows)
@@ -265,15 +269,26 @@ object ImageDupFixture {
     riff("VP8L", bw.toBytes)
   }
 
-  /** A LOSSY WebP stub (VP8 chunk): a real-web container the
-   * lossless decoder must NOT claim — the measurable coverage miss
-   * q_m34 exists to expose. */
+  /** A REAL lossy-WebP twin (VP8 keyframe via [[Vp8Encoder]]): the
+   * same 9×8 cell grid at 2× scale (36×32, 4×4-aligned cells — the
+   * constant-per-4x4-block class the DC-only encoding round-trips
+   * EXACTLY), gray luma with neutral chroma, so the decoded pixels
+   * equal cell(id, x/4, y/4) and the dHash matches the 18×16 PNG
+   * sibling bit-for-bit (the grid averages each cell exactly at
+   * either scale). */
+  def vp8(id: Long): Array[Byte] =
+    Vp8Encoder.encode(2 * W, 2 * H, (x, y) => cell(id, x / 4, y / 4))
+
+  /** A BROKEN lossy WebP (VP8 chunk with a junk payload): the
+   * coverage-miss class q_m34 counts — a real-web container whose
+   * bitstream no decoder can claim. */
   def vp8LossyStub(id: Long): Array[Byte] =
     riff("VP8 ", s"not a lossless stream $id".getBytes("US-ASCII"))
 
   def row(id: Long): (String, Array[Byte]) = {
     if (id % 8 == 3) ("image/png", png(id).take(20)) // cut mid-IHDR
-    else if (id % 16 == 7) ("image/webp", vp8LossyStub(id))
+    else if (id % 32 == 7) ("image/webp", vp8(id))
+    else if (id % 32 == 23) ("image/webp", vp8LossyStub(id))
     else if (id % 16 == 15)
       ("image/png",
         s"plain junk $id with no png signature".getBytes("US-ASCII"))

@@ -26,9 +26,13 @@ class ImageHashSpec extends SparkSpec {
       assert(w == 18 && h == 16, s"id=$id dims")
       assert(bands.toSeq == contractBands(id).toSeq, s"id=$id bands")
     }
-    // truncated and junk rows claim nothing
+    // the real lossy-VP8 twin decodes to the SAME bands at 2x scale
+    val vp8 = ImageHash.dhashBands(ImageDupFixture.row(7L)._2)
+    assert(vp8.isDefined && (vp8.get._1, vp8.get._2) == ((36, 32)))
+    assert(vp8.get._3.toSeq == contractBands(7L).toSeq)
+    // truncated, broken-vp8 and junk rows claim nothing
     assert(ImageHash.dhashBands(ImageDupFixture.row(3L)._2).isEmpty)
-    assert(ImageHash.dhashBands(ImageDupFixture.row(7L)._2).isEmpty)
+    assert(ImageHash.dhashBands(ImageDupFixture.row(23L)._2).isEmpty)
     assert(ImageHash.dhashBands(null).isEmpty)
   }
 
@@ -54,7 +58,11 @@ class ImageHashSpec extends SparkSpec {
       ids.map(id => (id, ImageDupFixture.row(id)._1, ImageDupFixture.row(id)._2))
         .toDF("media_id", "mime_type", "media"))
     val present = hashes.select("media_id").as[Long].collect().toSet
-    assert(present == ids.filter(id => id % 8 != 3 && id % 8 != 7).toSet)
+    // decodable: everything except cut PNGs (%8==3), the broken-VP8
+    // stub (%32==23) and ASCII junk (%16==15); the REAL lossy-VP8
+    // twin (%32==7) decodes through graft.ops.Vp8 and joins the table
+    assert(present == ids.filter(id =>
+      id % 8 != 3 && id % 32 != 23 && id % 16 != 15).toSet)
     val pairs = ImageHash.nearDupPairs(hashes)
       .as[(Long, Long, Long)].collect()
       .map(p => (p._1, p._2) -> p._3).toMap

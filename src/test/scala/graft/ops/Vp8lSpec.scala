@@ -300,8 +300,10 @@ class Vp8lSpec extends SparkSpec {
   }
 
   test("vp8l tolerance: lossy stubs, truncation, bit flips and fuzz never throw") {
-    // the lossy-VP8 container is NOT claimed (no lossy decoder here)
+    // a VP8 (lossy) container is never claimed by the LOSSLESS
+    // decoder — that class belongs to graft.ops.Vp8
     assert(Vp8l.decode(ImageDupFixture.vp8LossyStub(7L)).isEmpty)
+    assert(Vp8l.decode(ImageDupFixture.vp8(7L)).isEmpty)
     assert(Vp8l.decode(null).isEmpty)
     assert(Vp8l.decode(Array.emptyByteArray).isEmpty)
     val good = ImageDupFixture.webp(5L)
@@ -341,11 +343,12 @@ class Vp8lSpec extends SparkSpec {
           .toDF("media_id", "mime_type", "media"))
       .as[(String, String, Long, Long)].collect()
       .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
-    // 64 ids: %8==3 cut png (8), %16==7 lossy webp (4), %16==15 junk
-    // (4), %8==5 vp8l (8), rest intact png (40)
+    // 64 ids: %8==3 cut png (8), %32==7 REAL lossy vp8 (2), %32==23
+    // broken-vp8 stub (2), %16==15 junk (4), %8==5 vp8l (8), rest
+    // intact png (40)
     assert(cov(("image/png", "png")) == ((48L, 40L))) // intact + cut
     assert(cov(("image/webp", "webp-lossless")) == ((8L, 8L)))
-    assert(cov(("image/webp", "webp")) == ((4L, 0L))) // the lossy miss
+    assert(cov(("image/webp", "webp")) == ((4L, 2L))) // real VP8 in, stubs out
     assert(cov(("image/png", "other")) == ((4L, 0L))) // junk rows
   }
 }
