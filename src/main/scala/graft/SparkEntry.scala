@@ -818,6 +818,13 @@ object SparkEntry {
     // junk-payload stubs stay the honest miss line)
     "q_m34_decode_coverage" -> ((s, _) =>
       ImageHash.decodeCoverage(s, Tables.imagedup(s))),
+    // q_m35: animated-WebP frame table — per ANMF frame the geometry
+    // / duration / disposal+blending flags / codec and the
+    // standalone-rewrappable image-chunk span, plus canvas dims and
+    // loop count: the image-side analogue of the video keyframe
+    // shard lists (pure map-side RIFF walk, blobs never shuffle)
+    "q_m35_webp_anim" -> ((s, _) =>
+      Multimodal.webpAnimTable(s, Tables.animwebp(s))),
     // q_w29: sitemap URL entries — the operator-DECLARED page list:
     // documents discovered through robots `Sitemap:` lines (ARBITRARY
     // URLs, q_w28's channel) and the well-known /sitemap.xml path,
@@ -4253,6 +4260,96 @@ object SparkEntry {
          | SELECT mime_type, container, CAST(count(*) AS BIGINT) AS n,
          |   CAST(sum(ok) AS BIGINT) AS n_decoded
          | FROM cls GROUP BY mime_type, container""".stripMargin,
+    // q_m35: the animated-WebP container re-walked from raw bytes —
+    // a recursive chunk scan mirroring the engine's totality rule
+    // (stop at the first chunk that overruns the file, so the
+    // truncated class drops exactly its cut frame), ANMF geometry /
+    // duration / flags straight off the 16-byte header, codec from
+    // the first image subchunk (ALPH skipped), canvas from VP8X and
+    // loop count from the first ANIM chunk
+    "q_m35_webp_anim" -> {
+      def bb(o: String) = s"(('0x' || substr(h, 2*($o)+1, 2))::BIGINT)"
+      def le24(o: String) =
+        s"(${bb(o)} + 256*${bb(s"($o)+1")} + 65536*${bb(s"($o)+2")})"
+      def le32(o: String) = s"(${le24(o)} + 16777216*${bb(s"($o)+3")})"
+      s"""WITH RECURSIVE awx AS (
+         |  SELECT media_id, hex(media) AS h, octet_length(media) AS n
+         |  FROM read_parquet('${Tables.animwebpFixturePath}')
+         |  WHERE octet_length(media) >= 30
+         |    AND substr(hex(media), 1, 8) = '52494646'
+         |    AND substr(hex(media), 17, 8) = '57454250'
+         |    AND substr(hex(media), 25, 8) = '56503858'),
+         | awa AS (
+         |  SELECT * FROM awx
+         |  WHERE (${bb("20")} & 2) = 2
+         |    AND ${le32("16")} >= 10 AND 20 + ${le32("16")} <= n),
+         | chunks(media_id, off, sz) AS (
+         |  SELECT media_id, 12, ${le32("16")} FROM awa
+         |  WHERE 20 + ${le32("16")} <= n
+         |  UNION ALL
+         |  SELECT c.media_id, c.off + 8 + c.sz + (c.sz % 2),
+         |    ${le32("c.off + 8 + c.sz + (c.sz % 2) + 4").replace("h,", "a.h,")}
+         |  FROM chunks c JOIN awa a USING (media_id)
+         |  WHERE c.off + 8 + c.sz + (c.sz % 2) + 8 <= a.n
+         |    AND c.off + 8 + c.sz + (c.sz % 2) + 8 +
+         |      ${le32("c.off + 8 + c.sz + (c.sz % 2) + 4").replace("h,", "a.h,")} <= a.n),
+         | anmf AS (
+         |  SELECT c.media_id, c.off, c.sz, a.h, c.off + 8 AS d
+         |  FROM chunks c JOIN awa a USING (media_id)
+         |  WHERE substr(a.h, 2*c.off + 1, 8) = '414E4D46' AND c.sz >= 16),
+         | sub AS (
+         |  SELECT media_id, off, sz, h, d,
+         |    (substr(h, 2*(d+16) + 1, 8) = '414C5048'
+         |      AND d + 16 + 8 <= d + sz) AS has_alpha,
+         |    CASE WHEN substr(h, 2*(d+16) + 1, 8) = '414C5048'
+         |           AND d + 16 + 8 <= d + sz
+         |      THEN CASE WHEN d + 16 + 8 + ${le32("d + 16 + 4")} <= d + sz
+         |        THEN d + 16 + 8 + ${le32("d + 16 + 4")} +
+         |          (${le32("d + 16 + 4")} % 2)
+         |        ELSE d + sz END
+         |      ELSE d + 16 END AS p
+         |  FROM anmf),
+         | fr AS (
+         |  SELECT media_id, off, h, d, sz, has_alpha, p,
+         |    CASE WHEN substr(h, 2*p + 1, 8) = '56503820' THEN 'vp8'
+         |         WHEN substr(h, 2*p + 1, 8) = '5650384C' THEN 'vp8l'
+         |    END AS codec
+         |  FROM sub WHERE p + 8 <= d + sz),
+         | fr2 AS (
+         |  SELECT media_id, off, codec, has_alpha,
+         |    CAST(2 * ${le24("d")} AS INT) AS frame_x,
+         |    CAST(2 * ${le24("d + 3")} AS INT) AS frame_y,
+         |    CAST(${le24("d + 6")} + 1 AS INT) AS frame_w,
+         |    CAST(${le24("d + 9")} + 1 AS INT) AS frame_h,
+         |    CAST(${le24("d + 12")} AS INT) AS duration_ms,
+         |    (${bb("d + 15")} & 1) = 1 AS dispose_background,
+         |    (${bb("d + 15")} & 2) = 2 AS no_blend,
+         |    CAST(p AS BIGINT) AS chunk_offset,
+         |    CAST(least(8 + ${le32("p + 4")} + (${le32("p + 4")} % 2),
+         |      d + sz - p) AS BIGINT) AS chunk_bytes
+         |  FROM fr WHERE codec IS NOT NULL),
+         | canvas AS (
+         |  SELECT media_id, CAST(${le24("24")} + 1 AS INT) AS canvas_w,
+         |    CAST(${le24("27")} + 1 AS INT) AS canvas_h
+         |  FROM awa),
+         | loopc AS (
+         |  SELECT c.media_id,
+         |    CAST(MIN_BY(${bb("c.off + 12").replace("h,", "a.h,")}
+         |      + 256*${bb("c.off + 13").replace("h,", "a.h,")}, c.off) AS INT)
+         |      AS loop_count
+         |  FROM chunks c JOIN awa a USING (media_id)
+         |  WHERE substr(a.h, 2*c.off + 1, 8) = '414E494D' AND c.sz >= 6
+         |  GROUP BY c.media_id)
+         | SELECT f.media_id,
+         |   CAST(ROW_NUMBER() OVER (PARTITION BY f.media_id ORDER BY f.off)
+         |     - 1 AS INT) AS frame_idx,
+         |   f.frame_x, f.frame_y, f.frame_w, f.frame_h, f.duration_ms,
+         |   f.dispose_background, f.no_blend, f.has_alpha, f.codec,
+         |   f.chunk_offset, f.chunk_bytes, c.canvas_w, c.canvas_h,
+         |   l.loop_count
+         | FROM fr2 f JOIN canvas c USING (media_id)
+         |   JOIN loopc l USING (media_id)""".stripMargin
+    },
     // q_w22: the CDX index — WARCGZREC member spans + record identity
     // (responses with a URI), SURT keys via the shared CANONCHAIN
     "q_w22_cdx" ->

@@ -266,6 +266,17 @@ object Tables {
   }
   def imagedup(spark: SparkSession): DataFrame = spark.read.parquet(imagedupFixturePath)
 
+  /** animwebp(media_id BIGINT, mime_type STRING, media BINARY) —
+   * repo-local deterministic ANIMATED-WebP fixture
+   * (tools.AnimWebpFixture: real VP8X+ANIM+ANMF containers whose
+   * frame payloads are real in-repo VP8/VP8L bitstreams; plus still,
+   * truncated and junk rows). */
+  def animwebpFixturePath: String = {
+    val local = new java.io.File("fixtures/animwebp.parquet")
+    if (local.exists) local.getAbsolutePath else "/root/repo/fixtures/animwebp.parquet"
+  }
+  def animwebp(spark: SparkSession): DataFrame = spark.read.parquet(animwebpFixturePath)
+
   /** pdf(media_id BIGINT, mime_type STRING, media BINARY) — repo-local
    * deterministic classic-xref PDF fixture (tools.PdfFixture: real
    * object bodies, 20-byte xref entries, trailer + startxref,

@@ -2110,6 +2110,144 @@ object Multimodal {
         "n_bytes", "is_key", "t_ms")
   }
 
+  /** One decoded ANMF animation frame record (animated WebP).
+   * `dataOff` is where the frame's subchunks start (ALPH included
+   * when present) — the rewrap span for a standalone frame file is
+   * [dataOff, chunkOff + chunkBytes). */
+  private[ops] final case class AnmfFrame(
+      idx: Int, x: Int, y: Int, w: Int, h: Int, durationMs: Int,
+      disposeBackground: Boolean, noBlend: Boolean, hasAlpha: Boolean,
+      codec: String, chunkOff: Int, chunkBytes: Int, dataOff: Int)
+
+  /** Animated-WebP container walk (the RIFF/WEBP VP8X+ANIM+ANMF
+   * extended layout): per ANMF chunk the frame geometry (x/y stored
+   * halved, w/h minus-one coded), duration, disposal/blending flags,
+   * the frame bitstream's codec (`VP8 ` lossy / VP8L lossless, with
+   * an optional preceding ALPH alpha chunk) and the image subchunk's
+   * byte span INCLUDING its 8-byte chunk header — the ranged-read
+   * coordinates a frame shard rewraps into a standalone decodable
+   * WebP. Nil for non-WebP bytes, still images, or on the first
+   * malformed chunk — total, never an exception. */
+  private[ops] def webpAnmfFrames(b: Array[Byte]): Seq[AnmfFrame] = {
+    if (b == null || b.length < 30) return Nil
+    def tag(o: Int, t: String): Boolean =
+      o + 4 <= b.length && t.indices.forall(i => (b(o + i) & 0xff) == t.charAt(i))
+    if (!tag(0, "RIFF") || !tag(8, "WEBP") || !tag(12, "VP8X")) return Nil
+    def le24(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16)
+    def le32(o: Int) = le24(o) | ((b(o + 3) & 0xff) << 24)
+    val out = Vector.newBuilder[AnmfFrame]
+    var off = 12
+    var idx = 0
+    var ok = true
+    while (ok && off + 8 <= b.length) {
+      val sz = le32(off + 4)
+      if (sz < 0 || off + 8 + sz > b.length) ok = false
+      else {
+        if (tag(off, "ANMF") && sz >= 16) {
+          val d = off + 8
+          // frame data subchunks: optional ALPH, then the image chunk
+          var p = d + 16
+          val end = d + sz
+          var hasAlpha = false
+          if (tag(p, "ALPH") && p + 8 <= end) {
+            hasAlpha = true
+            val asz = le32(p + 4)
+            if (asz >= 0 && p + 8 + asz <= end) p += 8 + asz + (asz & 1)
+            else p = end
+          }
+          val codec =
+            if (tag(p, "VP8 ")) "vp8"
+            else if (tag(p, "VP8L")) "vp8l"
+            else null
+          if (codec != null && p + 8 <= end) {
+            val csz = le32(p + 4).toLong & 0xffffffffL // RIFF sizes are unsigned
+            val span = math.min(8 + csz + (csz & 1), (end - p).toLong).toInt
+            out += AnmfFrame(idx, 2 * le24(d), 2 * le24(d + 3),
+              le24(d + 6) + 1, le24(d + 9) + 1, le24(d + 12),
+              disposeBackground = (b(d + 15) & 0x01) != 0,
+              noBlend = (b(d + 15) & 0x02) != 0,
+              hasAlpha = hasAlpha, codec = codec,
+              chunkOff = p, chunkBytes = span, dataOff = d + 16)
+            idx += 1
+          }
+        }
+        off += 8 + sz + (sz & 1)
+      }
+    }
+    out.result()
+  }
+
+  /** Rewrap one ANMF frame's subchunks (ALPH when present + the
+   * image chunk) as a standalone RIFF/WEBP file — a complete
+   * decodable image any WebP decoder (incl. libwebp and the in-repo
+   * Vp8/Vp8l) reads; the frame-sampling analogue of the animated-GIF
+   * PNG re-encode. */
+  private[ops] def webpFrameFile(b: Array[Byte], f: AnmfFrame): Array[Byte] = {
+    val end = f.chunkOff + f.chunkBytes
+    val body = 4 + (end - f.dataOff)
+    val out = new Array[Byte](8 + body)
+    out(0) = 'R'; out(1) = 'I'; out(2) = 'F'; out(3) = 'F'
+    out(4) = (body & 0xff).toByte; out(5) = ((body >> 8) & 0xff).toByte
+    out(6) = ((body >> 16) & 0xff).toByte; out(7) = ((body >> 24) & 0xff).toByte
+    out(8) = 'W'; out(9) = 'E'; out(10) = 'B'; out(11) = 'P'
+    System.arraycopy(b, f.dataOff, out, 12, end - f.dataOff)
+    out
+  }
+
+  /** VP8X canvas dims (minus-one coded 24-bit LE) + the ANIM loop
+   * count; None when the file isn't an animated VP8X WebP. */
+  private[ops] def webpAnimCanvas(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (b == null || b.length < 30) return None
+    def tag(o: Int, t: String): Boolean =
+      o + 4 <= b.length && t.indices.forall(i => (b(o + i) & 0xff) == t.charAt(i))
+    if (!tag(0, "RIFF") || !tag(8, "WEBP") || !tag(12, "VP8X")) return None
+    def le24(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16)
+    def le32(o: Int) = le24(o) | ((b(o + 3) & 0xff) << 24)
+    val vp8xSz = le32(16)
+    if (vp8xSz < 10 || 20 + vp8xSz > b.length) return None
+    if ((b(20) & 0x02) == 0) return None // animation flag
+    val cw = le24(24) + 1
+    val ch = le24(27) + 1
+    var off = 20 + vp8xSz + (vp8xSz & 1)
+    while (off + 8 <= b.length) {
+      val sz = le32(off + 4)
+      if (sz < 0 || off + 8 + sz > b.length) return None
+      if (tag(off, "ANIM") && sz >= 6)
+        return Some((cw, ch, (b(off + 12) & 0xff) | ((b(off + 13) & 0xff) << 8)))
+      off += 8 + sz + (sz & 1)
+    }
+    None
+  }
+
+  /** Relational face of the animated-WebP walk (q_m35): one row per
+   * ANMF frame with geometry, timing, flags, codec and the
+   * standalone-rewrappable chunk span, plus the file-level canvas
+   * dims and loop count — the image analogue of the video keyframe
+   * shard lists: what a multimodal pipeline ranges-reads to train on
+   * animation frames. Pure map-side, blobs never shuffle. */
+  def webpAnimTable(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("mime_type"), col("media"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          webpAnimCanvas(r.media) match {
+            case None => Iterator.empty
+            case Some((cw, ch, loop)) =>
+              webpAnmfFrames(r.media).iterator.map { f =>
+                (r.media_id, f.idx, f.x, f.y, f.w, f.h, f.durationMs,
+                  f.disposeBackground, f.noBlend, f.hasAlpha, f.codec,
+                  f.chunkOff.toLong, f.chunkBytes.toLong, cw, ch, loop)
+              }
+          }
+        }
+      }
+      .toDF("media_id", "frame_idx", "frame_x", "frame_y", "frame_w",
+        "frame_h", "duration_ms", "dispose_background", "no_blend",
+        "has_alpha", "codec", "chunk_offset", "chunk_bytes",
+        "canvas_w", "canvas_h", "loop_count")
+  }
+
   /** Relational face of the MP3 frame walk ([[AvHeaders.mp3Frames]]):
    * one row per audio frame with its byte coordinates and a sync-word
    * probe — frame boundaries are where a real decoder can start, so
@@ -2837,17 +2975,22 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaRow].flatMap { r =>
       val gifFrames = MediaCodec.decodeGifFrames(r.media)
+      // animated WebP: each ANMF frame rewraps into a standalone
+      // decodable WebP (the GIF re-encode's zero-copy sibling)
+      val webpFrames =
+        if (gifFrames.nonEmpty) Nil else webpAnmfFrames(r.media)
       val videoChunks =
-        if (gifFrames.nonEmpty) Nil
+        if (gifFrames.nonEmpty || webpFrames.nonEmpty) Nil
         else {
           val avi = AvHeaders.aviVideoChunks(r.media)
           if (avi.nonEmpty) avi else AvHeaders.mp4VideoSamples(r.media)
         }
       val audioClips =
-        if (gifFrames.nonEmpty || videoChunks.nonEmpty) Nil
+        if (gifFrames.nonEmpty || webpFrames.nonEmpty || videoChunks.nonEmpty) Nil
         else AvHeaders.wavClips(r.media, audioClipMs)
       val keySamples =
-        if (gifFrames.nonEmpty || videoChunks.nonEmpty || audioClips.nonEmpty) Nil
+        if (gifFrames.nonEmpty || webpFrames.nonEmpty || videoChunks.nonEmpty ||
+          audioClips.nonEmpty) Nil
         else {
           val stss = AvHeaders.mp4SyncSamples(r.media)
           if (stss.nonEmpty) stss else AvHeaders.mp4FragmentSyncSamples(r.media)
@@ -2856,8 +2999,8 @@ object Multimodal {
       // decoder starts) instead of arbitrary byte chunks; samples not
       // decoded
       val mp3 =
-        if (gifFrames.nonEmpty || videoChunks.nonEmpty || audioClips.nonEmpty ||
-          keySamples.nonEmpty) Nil
+        if (gifFrames.nonEmpty || webpFrames.nonEmpty || videoChunks.nonEmpty ||
+          audioClips.nonEmpty || keySamples.nonEmpty) Nil
         else {
           val adts = AvHeaders.adtsFrames(r.media)
           if (adts.size >= 2) adts else AvHeaders.mp3Frames(r.media)
@@ -2867,6 +3010,11 @@ object Multimodal {
           .filter(_._2 % everyN == 0)
           .map { case (img, idx) =>
             Frame(r.media_id, idx, MediaCodec.encodePng(img), decoded = true) }
+      else if (webpFrames.nonEmpty)
+        webpFrames.iterator
+          .filter(_.idx % everyN == 0)
+          .map { f =>
+            Frame(r.media_id, f.idx, webpFrameFile(r.media, f), decoded = true) }
       else if (videoChunks.nonEmpty)
         videoChunks.iterator.zipWithIndex
           .filter(_._2 % everyN == 0)

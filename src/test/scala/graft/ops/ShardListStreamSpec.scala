@@ -72,6 +72,14 @@ class ShardListStreamSpec extends SparkSpec {
     streamed("webm_stream", rows, Multimodal.webmBlockTable)
   }
 
+  test("streamed animated-WebP frame table equals the batch walk over the grown directory") {
+    val rows = (0L until 12L).map { id =>
+      val (mime, bytes) = graft.tools.AnimWebpFixture.row(id)
+      (id, mime, bytes)
+    }
+    streamed("webpanim_stream", rows, Multimodal.webpAnimTable)
+  }
+
   test("streamed TS PES locator equals the batch walk over the grown directory") {
     val rows = (0L until 12L).map { id =>
       val (mime, bytes) = graft.tools.TsFixture.row(id)
