@@ -1123,10 +1123,10 @@ object Vp8 {
   // ------------------------------------------------------------------
   // Container plumbing.
 
-  /** Find the `VP8 ` chunk in a RIFF/WEBP file (either the sole
-   * chunk of a simple lossy file or inside a VP8X extended
-   * container) and decode it. */
-  def decodeYuv(bytes: Array[Byte]): Option[Yuv] = {
+  /** First top-level chunk with the given fourcc: (payloadOff, size).
+   * Walks the simple one-chunk layout and VP8X extended containers
+   * alike; stops at the first malformed chunk. */
+  private def findChunk(bytes: Array[Byte], fourcc: String): Option[(Int, Int)] = {
     if (bytes == null || bytes.length < 20) return None
     def tag(o: Int, t: String): Boolean =
       t.indices.forall(i => (bytes(o + i) & 0xff) == t.charAt(i))
@@ -1136,10 +1136,111 @@ object Vp8 {
       val sz = (bytes(o + 4) & 0xff) | ((bytes(o + 5) & 0xff) << 8) |
         ((bytes(o + 6) & 0xff) << 16) | ((bytes(o + 7) & 0xff) << 24)
       if (sz < 0 || o + 8 + sz > bytes.length) return None
-      if (tag(o, "VP8 ")) return decodeFrame(bytes, o + 8, sz)
+      if (tag(o, fourcc)) return Some((o + 8, sz))
       o += 8 + sz + (sz & 1)
     }
     None
+  }
+
+  /** Find the `VP8 ` chunk in a RIFF/WEBP file (either the sole
+   * chunk of a simple lossy file or inside a VP8X extended
+   * container) and decode it. */
+  def decodeYuv(bytes: Array[Byte]): Option[Yuv] =
+    findChunk(bytes, "VP8 ").flatMap { case (off, sz) =>
+      decodeFrame(bytes, off, sz)
+    }
+
+  /** Decode the ALPH chunk's alpha plane (width*height bytes) of a
+   * lossy-with-alpha WebP, per the extended-container spec: the
+   * header byte carries 2 reserved / 2 pre-processing / 2 filtering
+   * / 2 compression bits (MSB first); compression 0 is raw bytes,
+   * 1 is a HEADERLESS VP8L stream with the alpha value in the green
+   * channel ([[Vp8l.decodeAlphaStream]]). Filtering
+   * (horizontal/vertical/gradient) is undone with the reference
+   * decoder's row-seed semantics: a row's first pixel predicts from
+   * the pixel ABOVE it, and the first row of vertical/gradient
+   * falls back to horizontal. Pre-processing 1 (lossy level
+   * reduction with decoder-side smoothing) claims nothing rather
+   * than decoding approximately. */
+  def decodeAlpha(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+    try {
+      findChunk(bytes, "ALPH").flatMap { case (off, len) =>
+        if (len < 1 || w <= 0 || h <= 0 || w.toLong * h > (1 << 26)) return None
+        val hdr = bytes(off) & 0xff
+        val comp = hdr & 3
+        val filter = (hdr >> 2) & 3
+        val pre = (hdr >> 4) & 3
+        if (pre != 0) return None
+        val plane: Array[Byte] = comp match {
+          case 0 =>
+            if (len - 1 < w * h) return None
+            java.util.Arrays.copyOfRange(bytes, off + 1, off + 1 + w * h)
+          case 1 =>
+            Vp8l.decodeAlphaStream(bytes, off + 1, off + len, w, h) match {
+              case None => return None
+              case Some(px) =>
+                val out = new Array[Byte](w * h)
+                var i = 0
+                while (i < out.length) {
+                  out(i) = ((px(i) >> 8) & 0xff).toByte
+                  i += 1
+                }
+                out
+            }
+          case _ => return None
+        }
+        def unfilterHRow(y: Int, seed: Int): Unit = {
+          var pred = seed
+          var x = 0
+          while (x < w) {
+            val v = (pred + (plane(y * w + x) & 0xff)) & 0xff
+            plane(y * w + x) = v.toByte
+            pred = v
+            x += 1
+          }
+        }
+        filter match {
+          case 0 => ()
+          case 1 =>
+            var y = 0
+            while (y < h) {
+              unfilterHRow(y, if (y == 0) 0 else plane((y - 1) * w) & 0xff)
+              y += 1
+            }
+          case 2 =>
+            unfilterHRow(0, 0)
+            var y = 1
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                plane(y * w + x) =
+                  (((plane((y - 1) * w + x) & 0xff) + (plane(y * w + x) & 0xff)) & 0xff).toByte
+                x += 1
+              }
+              y += 1
+            }
+          case _ =>
+            unfilterHRow(0, 0)
+            var y = 1
+            while (y < h) {
+              var left = plane((y - 1) * w) & 0xff
+              var topLeft = left
+              var x = 0
+              while (x < w) {
+                val top = plane((y - 1) * w + x) & 0xff
+                val g = left + top - topLeft
+                val pred = if (g < 0) 0 else if (g > 255) 255 else g
+                left = ((plane(y * w + x) & 0xff) + pred) & 0xff
+                plane(y * w + x) = left.toByte
+                topLeft = top
+                x += 1
+              }
+              y += 1
+            }
+        }
+        Some(plane)
+      }
+    } catch { case _: Throwable => None }
   }
 
   /** BufferedImage face for the perceptual family: full-range BT.601
@@ -1148,8 +1249,11 @@ object Vp8 {
    * order-based dHash consumes). */
   def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
     decodeYuv(bytes).map { f =>
+      val alpha = decodeAlpha(bytes, f.width, f.height)
       val img = new java.awt.image.BufferedImage(
-        f.width, f.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        f.width, f.height,
+        if (alpha.isDefined) java.awt.image.BufferedImage.TYPE_INT_ARGB
+        else java.awt.image.BufferedImage.TYPE_INT_RGB)
       val cw = f.chromaW
       var y = 0
       while (y < f.height) {
@@ -1161,7 +1265,8 @@ object Vp8 {
           val r = clamp255(yy + ((91881 * vv + 32768) >> 16))
           val g = clamp255(yy - ((22554 * uu + 46802 * vv + 32768) >> 16))
           val b = clamp255(yy + ((116130 * uu + 32768) >> 16))
-          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          val a = alpha.map(p => p(y * f.width + x) & 0xff).getOrElse(0xff)
+          img.setRGB(x, y, (a << 24) | (r << 16) | (g << 8) | b)
           x += 1
         }
         y += 1

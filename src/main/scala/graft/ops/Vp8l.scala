@@ -562,7 +562,27 @@ private[graft] object Vp8l {
         val h = br.bits(14) + 1
         br.bits(1) // alpha-is-used hint
         if (br.bits(3) != 0) return None // version must be 0
-        if (w.toLong * h > (1 << 24)) return None // runaway guard
+        decodeStream(br, w, h).map(px => (w, h, px))
+      }
+    } catch { case _: Bad | _: ArrayIndexOutOfBoundsException => None }
+
+  /** Decode a HEADERLESS VP8L bitstream of known dimensions — the
+   * form lossy WebP's ALPH chunk carries (compression method 1: the
+   * lossless format minus the signature/size header, the alpha value
+   * riding in the green channel). Entry for [[Vp8.decodeImage]]'s
+   * alpha path. */
+  private[ops] def decodeAlphaStream(bytes: Array[Byte], off: Int, end: Int,
+      w: Int, h: Int): Option[Array[Int]] =
+    try decodeStream(new Br(bytes, off, end), w, h)
+    catch { case _: Bad | _: ArrayIndexOutOfBoundsException => None }
+
+  /** The post-header decode machinery shared by [[decode]] (5-byte
+   * signature header parsed first) and [[decodeAlphaStream]]
+   * (dimensions supplied by the ALPH container). */
+  private def decodeStream(br: Br, w: Int, h: Int): Option[Array[Int]] = {
+    if (w.toLong * h > (1 << 24)) return None // runaway guard
+    locally {
+      {
         // transforms, in bitstream order; inverses apply in REVERSE
         // order, so prepending while reading yields the apply order.
         // COLOR_INDEXING shrinks the effective width for everything
@@ -616,9 +636,10 @@ private[graft] object Vp8l {
             curW = uw
         }
         if (curW != w) return None // transform chain must restore full width
-        Some((w, h, px))
+        Some(px)
       }
-    } catch { case _: Bad | _: ArrayIndexOutOfBoundsException => None }
+    }
+  }
 
   /** [[decode]] as a BufferedImage, for the shared luminance-grid
    * path the perceptual family hashes through. */
