@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Archives, Captions, Correlate, Dedup, ImageHash, Ingest, Metrics, Multimodal, Pii, Relational, Sampling, Schedule, Similarity, TextAnalysis}
+import graft.ops.{Archives, Captions, Correlate, Dedup, ImageHash, Ingest, Metrics, Multimodal, Pii, Relational, Sampling, Schedule, Similarity, TextAnalysis, ZstdTransport}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
  *
@@ -911,6 +911,33 @@ object SparkEntry {
         .filter(col("target_uri").rlike("/txt/(metalatin|bom8|bom16)$"))
         .select("target_uri", "content_type", "body_text")
         .distinct()),
+    // q_w38: compressed NDJSON document shards — the format LLM
+    // pretraining corpora actually ship in (.jsonl.zst / .jsonl.gz /
+    // plain), decoded STREAMING (continuous across zstd frames,
+    // bounded line carry) with field extraction done relationally on
+    // the emitted lines. Fixture kind key: media_id % 3 == 0
+    "q_w38_jsonlzst_docs" -> ((s, _) =>
+      ZstdTransport.jsonlDocTable(s,
+        Tables.zst(s).filter(col("media_id") % 3 === 0))),
+    // q_w39: `.warc.zst` record-group index — the IIPC successor to
+    // .warc.gz: a hand-parsed RFC 8878 frame walk (the library fails
+    // truncation SILENTLY, so structure is verified before any
+    // decompression) + the optional shared dictionary from the
+    // leading skippable frame (raw or itself zstd-compressed); a
+    // ranged read of [frame_offset, +frame_comp_bytes) plus the tiny
+    // dictionary decodes one record group in isolation. Fixture kind
+    // key: media_id % 3 == 1
+    "q_w39_warczst_records" -> ((s, _) =>
+      ZstdTransport.warcZstRecordTable(s,
+        Tables.zst(s).filter(col("media_id") % 3 === 1))),
+    // q_w40: `.tar.zst` WebDataset shard index — STREAMING tar walk
+    // over the decompressed stream (headers parsed, payloads skipped
+    // through a scratch window; GNU L / PAX x long-name overrides
+    // honored), task memory one 64 KiB window regardless of shard
+    // size. Fixture kind key: media_id % 3 == 2
+    "q_w40_tarzst_members" -> ((s, _) =>
+      ZstdTransport.tarZstMemberTable(s,
+        Tables.zst(s).filter(col("media_id") % 3 === 2))),
     // q_w22: CDX-style fetch index over `.warc.gz` members — Common
     // Crawl's own index format: per response member the SURT sort key
     // (byte-ordering it clusters a domain's pages → a range scan is a
@@ -1542,6 +1569,136 @@ object SparkEntry {
        |  WHERE k <= 2 + media_id % 3
        |             + CASE WHEN media_id % 4 = 2 THEN 1 ELSE 0 END
        |             - CASE WHEN media_id % 8 = 3 THEN 1 ELSE 0 END)""".stripMargin
+
+  /** Shared DuckDB CTE body (no WITH; the first relation after zw_m
+   * is RECURSIVE — callers open with `WITH RECURSIVE`): an
+   * independent re-walk of the `.warc.zst` fixture's zstd FRAME
+   * STRUCTURE over the raw hex — RFC 8878 arithmetic, since DuckDB
+   * cannot decompress zstd: data frames are measured from the frame
+   * header descriptor (FCS field width; the fixture build ASSERTS
+   * the single-segment/no-dictID/1-block shape this unrolls) plus
+   * ONE block header (3-byte LE: RLE blocks carry one payload byte)
+   * plus the optional 4-byte content checksum the descriptor
+   * announces; skippable frames (the IIPC dictionary) are magic +
+   * LE32 size. A frame overrunning the file ends the walk — the
+   * truncation contract the walker applies. Record IDENTITY is
+   * re-derived from ZstFixture's id contract (warcinfo alone in the
+   * first data frame, then response pairs). Ends in relations
+   * `zw_df`(media_id, frame_idx, off, comp, data_ord) and
+   * `zw_rr`(media_id, w, data_ord, record_idx, warc_type,
+   * target_uri, warc_date, payload_digest, content_length, rec_len).
+   * Used by q_w39. */
+  private def ZSTWARCWALK: String =
+    s"""zw_m AS (
+       |  SELECT media_id, media_id // 3 AS w, hex(media) AS h,
+       |    octet_length(media) AS n
+       |  FROM read_parquet('${Tables.zstFixturePath}')
+       |  WHERE media_id % 3 = 1 AND (media_id // 3) % 8 <> 7),
+       | zw_walk AS (
+       |  SELECT media_id, -1 AS frame_idx, CAST(NULL AS BIGINT) AS off,
+       |    CAST(NULL AS BIGINT) AS comp, CAST(NULL AS INT) AS skip,
+       |    CAST(0 AS BIGINT) AS next_pos
+       |  FROM zw_m
+       |  UNION ALL
+       |  SELECT media_id, frame_idx, pos, fend - pos, skip, fend
+       |  FROM (
+       |   SELECT u.media_id, u.frame_idx, u.pos, u.n, u.skip, u.ssize, u.bh,
+       |     CASE WHEN u.skip >= 0 THEN u.pos + 8 + u.ssize
+       |          ELSE u.bp + 3
+       |            + (CASE WHEN (u.bh // 2) % 4 = 1 THEN 1 ELSE u.bh // 8 END)
+       |            + (CASE WHEN (u.fhd // 4) % 2 = 1 THEN 4 ELSE 0 END)
+       |     END AS fend
+       |   FROM (
+       |    SELECT s.*,
+       |      COALESCE(TRY_CAST(('0x' || substr(s.h, 2 * s.bp + 5, 2) ||
+       |        substr(s.h, 2 * s.bp + 3, 2) ||
+       |        substr(s.h, 2 * s.bp + 1, 2)) AS BIGINT), -1) AS bh
+       |    FROM (
+       |     SELECT q.*,
+       |       q.pos + 5 + (CASE WHEN q.fhd // 64 = 0 THEN 1 ELSE 2 END) AS bp
+       |     FROM (
+       |      SELECT p.*,
+       |        COALESCE(TRY_CAST(('0x' || substr(p.h, 2 * p.pos + 9, 2))
+       |          AS INT), 0) AS fhd,
+       |        COALESCE(TRY_CAST(('0x' ||
+       |          substr(p.h, 2 * p.pos + 15, 2) ||
+       |          substr(p.h, 2 * p.pos + 13, 2) ||
+       |          substr(p.h, 2 * p.pos + 11, 2) ||
+       |          substr(p.h, 2 * p.pos + 9, 2)) AS BIGINT), -1) AS ssize
+       |      FROM (
+       |       SELECT w.media_id, w.frame_idx + 1 AS frame_idx,
+       |         w.next_pos AS pos, m.n, m.h,
+       |         CASE WHEN substr(m.h, 2 * w.next_pos + 3, 6) = '2A4D18'
+       |               AND substr(m.h, 2 * w.next_pos + 1, 1) = '5'
+       |              THEN TRY_CAST(('0x' ||
+       |                substr(m.h, 2 * w.next_pos + 2, 1)) AS INT)
+       |              ELSE -1 END AS skip
+       |       FROM zw_walk w JOIN zw_m m USING (media_id)
+       |       WHERE substr(m.h, 2 * w.next_pos + 1, 8) = '28B52FFD'
+       |          OR (substr(m.h, 2 * w.next_pos + 3, 6) = '2A4D18'
+       |              AND substr(m.h, 2 * w.next_pos + 1, 1) = '5')
+       |      ) p
+       |     ) q
+       |    ) s
+       |   ) u
+       |  ) v
+       |  WHERE fend <= n
+       |    AND (skip < 0 OR ssize >= 0)
+       |    AND (skip >= 0 OR (bh >= 0 AND (bh // 2) % 4 <> 3))),
+       | zw_df AS (
+       |  SELECT media_id, frame_idx, off, comp,
+       |    CAST(row_number() OVER (PARTITION BY media_id ORDER BY frame_idx)
+       |      - 1 AS BIGINT) AS data_ord
+       |  FROM zw_walk WHERE frame_idx >= 0 AND skip < 0),
+       | zw_ri AS (
+       |  SELECT media_id, w,
+       |    unnest(generate_series(0, 2 + CAST(w % 3 AS INT))) AS r
+       |  FROM zw_m),
+       | zw_rc AS (
+       |  SELECT media_id, w, r, chr(13) || chr(10) AS crlf,
+       |    CASE WHEN r = 0 THEN 0 ELSE 1 + (r - 1) // 2 END AS data_ord,
+       |    CAST(CASE WHEN r = 0 THEN 0 ELSE (r - 1) % 2 END AS INT)
+       |      AS record_idx,
+       |    CASE WHEN r = 0 THEN 'warcinfo' ELSE 'response' END AS warc_type,
+       |    CASE WHEN r = 0 THEN NULL
+       |         ELSE 'https://zdata' || (media_id % 4) || '.example.org/doc' ||
+       |           ((media_id * 7 + r - 1) % 30) END AS target_uri,
+       |    strftime(TIMESTAMP '2025-03-01 00:00:00' + to_seconds(
+       |      (media_id * 53 + (CASE WHEN r = 0 THEN 99 ELSE r - 1 END) * 17)
+       |        % 90000), '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+       |    CASE WHEN r = 0 THEN NULL
+       |         ELSE 'sha1:ZD' || media_id || 'R' || (r - 1) END
+       |      AS payload_digest,
+       |    CASE WHEN r = 0
+       |         THEN 'software: graft-zst-fixture ' || media_id ||
+       |           chr(13) || chr(10)
+       |         ELSE 'HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+       |           'Content-Type: text/plain' ||
+       |           chr(13) || chr(10) || chr(13) || chr(10) ||
+       |           'zdoc ' || media_id || ' ' || (r - 1) || ' ' ||
+       |           rtrim(repeat('ipsum ',
+       |                CAST((media_id + r - 1) % 3 AS INT) + 1)) END AS content
+       |  FROM zw_ri),
+       | zw_rr AS (
+       |  SELECT media_id, w, data_ord, record_idx, warc_type, target_uri,
+       |    warc_date, payload_digest,
+       |    CAST(length(content) AS BIGINT) AS content_length,
+       |    CAST(length('WARC/1.0' || crlf ||
+       |      CASE WHEN r = 0
+       |        THEN 'WARC-Type: warcinfo' || crlf ||
+       |          'WARC-Record-ID: <urn:uuid:' ||
+       |          lpad(CAST(media_id AS VARCHAR), 8, '0') ||
+       |          '-0000-0000-0000-00000000zstd>' || crlf ||
+       |          'Content-Type: application/warc-fields'
+       |        ELSE 'WARC-Type: response' || crlf ||
+       |          'WARC-Target-URI: ' || target_uri || crlf ||
+       |          'Content-Type: application/http;msgtype=response' || crlf ||
+       |          'WARC-Payload-Digest: ' || payload_digest
+       |      END || crlf ||
+       |      'WARC-Date: ' || warc_date || crlf ||
+       |      'Content-Length: ' || length(content) || crlf || crlf ||
+       |      content || crlf || crlf) AS BIGINT) AS rec_len
+       |  FROM zw_rc)""".stripMargin
 
   /** Shared DuckDB CTE body (no WITH; needs [[WARCWALK]]'s `wrecs` and
    * `warc_m` in scope): the HTTP split of the response records — first
@@ -4160,6 +4317,101 @@ object SparkEntry {
          |    'text/plain',
          |    'héllo wörld 中文テキスト №' || hh
          |  FROM smf) u""".stripMargin,
+    // q_w38: the jsonl shard contract re-derived arithmetically —
+    // DuckDB cannot decompress zstd, so line identity comes from
+    // ZstFixture's id functions; the fixture build asserts the
+    // engine's decoded lines equal the same functions byte-for-byte
+    "q_w38_jsonlzst_docs" ->
+      s"""WITH zj_i AS (
+         |  SELECT media_id, media_id // 3 AS j
+         |  FROM read_parquet('${Tables.zstFixturePath}')
+         |  WHERE media_id % 3 = 0 AND (media_id // 3) % 8 <> 7),
+         | zj_l AS (
+         |  SELECT media_id, j,
+         |    unnest(generate_series(0, 2 + CAST(j % 5 AS INT))) AS k
+         |  FROM zj_i),
+         | zj_r AS (
+         |  SELECT media_id,
+         |    CASE WHEN j % 4 = 2 THEN 'gzip'
+         |         WHEN j % 4 = 3 THEN 'plain' ELSE 'zstd' END AS codec,
+         |    CAST(k AS INT) AS line_no,
+         |    'doc-' || media_id || '-' || k AS doc_id,
+         |    ['en','de','fr'][CAST(k % 3 AS INT) + 1] AS lang,
+         |    'sample text ' || media_id || ' ' || k || ' ' ||
+         |      rtrim(repeat('lorem ', CAST((media_id + k) % 4 AS INT) + 1))
+         |      AS text
+         |  FROM zj_l)
+         | SELECT media_id, codec, line_no, doc_id, lang, text,
+         |   CAST(length('{"id":"' || doc_id || '","lang":"' || lang
+         |     || '","text":"' || text || '"}') AS INT) AS n_chars
+         | FROM zj_r""".stripMargin,
+    // q_w39: frame coordinates from the recursive RFC 8878 hex walk
+    // (ZSTWARCWALK), record identity from the id contract; the
+    // truncated class drops its cut tail frame in BOTH engines (the
+    // walker by structural overrun, the oracle by fend > n)
+    "q_w39_warczst_records" ->
+      s"""WITH RECURSIVE $ZSTWARCWALK,
+         | zw_fu AS (
+         |  SELECT media_id, data_ord,
+         |    CAST(SUM(rec_len) AS BIGINT) AS frame_uncomp_bytes
+         |  FROM zw_rr GROUP BY media_id, data_ord)
+         | SELECT r.media_id,
+         |   CAST(f.frame_idx AS INT) AS frame_idx,
+         |   f.off AS frame_offset,
+         |   f.comp AS frame_comp_bytes,
+         |   u.frame_uncomp_bytes,
+         |   (r.w % 4 = 1 OR r.w % 4 = 2) AS has_dict,
+         |   r.record_idx, r.warc_type, r.target_uri, r.warc_date,
+         |   r.payload_digest, r.content_length
+         | FROM zw_rr r
+         | JOIN zw_df f USING (media_id, data_ord)
+         | JOIN zw_fu u USING (media_id, data_ord)""".stripMargin,
+    // q_w40: pure 512-grid arithmetic — member sizes are id
+    // functions, offsets are the running sum of header + padded
+    // payload; the GNU L pair (even t) carries the stored
+    // './/@LongLink' entry then the override-named member
+    "q_w40_tarzst_members" ->
+      s"""WITH zt_m AS (
+         |  SELECT media_id, media_id // 3 AS t
+         |  FROM read_parquet('${Tables.zstFixturePath}')
+         |  WHERE media_id % 3 = 2 AND (media_id // 3) % 8 <> 7),
+         | zt_s AS (
+         |  SELECT media_id, t,
+         |    unnest(generate_series(0, 1 + CAST(t % 3 AS INT))) AS s
+         |  FROM zt_m),
+         | zt_base AS (
+         |  SELECT media_id, CAST(2 * s AS INT) AS member_idx,
+         |    'sample' || lpad(CAST(s AS VARCHAR), 4, '0') || '.jpg' AS name,
+         |    CAST(80 + (media_id + s) % 64 AS BIGINT) AS n_bytes,
+         |    '0' AS typeflag
+         |  FROM zt_s
+         |  UNION ALL
+         |  SELECT media_id, CAST(2 * s + 1 AS INT),
+         |    'sample' || lpad(CAST(s AS VARCHAR), 4, '0') || '.txt',
+         |    CAST(length('caption ' || media_id || ' ' || s) AS BIGINT), '0'
+         |  FROM zt_s
+         |  UNION ALL
+         |  SELECT media_id, CAST(2 * (2 + t % 3) AS INT), '././@LongLink',
+         |    CAST(length('deep/nested/dir/with/a/really/long/sample/key/part-'
+         |      || media_id || '-' || repeat('x', 60) || '.json') + 1
+         |      AS BIGINT), 'L'
+         |  FROM zt_m WHERE t % 2 = 0
+         |  UNION ALL
+         |  SELECT media_id, CAST(2 * (2 + t % 3) + 1 AS INT),
+         |    'deep/nested/dir/with/a/really/long/sample/key/part-'
+         |      || media_id || '-' || repeat('x', 60) || '.json',
+         |    CAST(length('deep ' || media_id) AS BIGINT), '0'
+         |  FROM zt_m WHERE t % 2 = 0),
+         | zt_off AS (
+         |  SELECT media_id, member_idx, name, n_bytes, typeflag,
+         |    CAST(COALESCE(SUM(512 + ((n_bytes + 511) // 512) * 512) OVER (
+         |      PARTITION BY media_id ORDER BY member_idx
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS header_offset
+         |  FROM zt_base)
+         | SELECT media_id, member_idx, name, header_offset,
+         |   header_offset + 512 AS data_offset, n_bytes, typeflag
+         | FROM zt_off""".stripMargin,
     // q_w30: sitemap entries (q_w29's chain) ∪ resolved links
     // (LINKGRAPH's rs), URI-grouped, anti-joined to fetched URIs
     "q_w30_crawl_candidates" ->

@@ -298,6 +298,18 @@ object Tables {
   }
   def warcgz(spark: SparkSession): DataFrame = spark.read.parquet(warcgzFixturePath)
 
+  /** zst(media_id BIGINT, mime_type STRING, media BINARY) — repo-local
+   * deterministic zstd-transport fixture (tools.ZstFixture: `.jsonl`
+   * shards in zstd/multi-frame-zstd/gzip/plain codecs, IIPC
+   * `.warc.zst` shards with raw/compressed dictionary and checksum
+   * classes, `.tar.zst` WebDataset shards; plus truncated and junk
+   * rows). Kind alternates by media_id % 3. */
+  def zstFixturePath: String = {
+    val local = new java.io.File("fixtures/zst.parquet")
+    if (local.exists) local.getAbsolutePath else "/root/repo/fixtures/zst.parquet"
+  }
+  def zst(spark: SparkSession): DataFrame = spark.read.parquet(zstFixturePath)
+
   /** tar(media_id BIGINT, mime_type STRING, media BINARY) — repo-local
    * deterministic WebDataset-layout ustar fixture (tools.TarFixture:
    * real 512-byte headers with computed checksums; plus truncated and

@@ -2322,7 +2322,7 @@ object Archives {
 
   /** Parse the NUL/space-padded octal of a ustar numeric field;
    * -1 when no octal digits are present. */
-  private def tarOctal(b: Array[Byte], off: Int, len: Int): Long = {
+  private[ops] def tarOctal(b: Array[Byte], off: Int, len: Int): Long = {
     var v = -1L
     var i = off
     val end = off + len
@@ -2335,7 +2335,7 @@ object Archives {
     v
   }
 
-  private def tarString(b: Array[Byte], off: Int, len: Int): String = {
+  private[ops] def tarString(b: Array[Byte], off: Int, len: Int): String = {
     var e = off
     while (e < off + len && b(e) != 0) e += 1
     new String(b, off, e - off, java.nio.charset.StandardCharsets.ISO_8859_1)
@@ -2348,7 +2348,7 @@ object Archives {
    * `path` value, the next member's name override; parsing stops at
    * the first malformed record (keeping any path already parsed) —
    * the walkers' tolerance discipline. */
-  private def paxPath(b: Array[Byte], off: Int, len: Int): Option[String] = {
+  private[ops] def paxPath(b: Array[Byte], off: Int, len: Int): Option[String] = {
     var p = off
     val end = math.min(off.toLong + len, b.length.toLong).toInt
     var path: Option[String] = None

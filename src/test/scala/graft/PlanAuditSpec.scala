@@ -735,4 +735,23 @@ class PlanAuditSpec extends SparkSpec {
       "someotherwrite_0", None, 64)
     assert(all.select("doc_id").distinct().count() == 3)
   }
+
+  test("zstd transport walkers are pure map-side: zero exchanges over the shard blobs") {
+    import org.apache.spark.sql.functions.col
+    // jsonl field extraction is relational but per-row (regexp on the
+    // emitted line) — still no exchange; warc.zst and tar.zst are
+    // straight index walks
+    audited(graft.ops.ZstdTransport.jsonlDocTable(spark,
+        Tables.zst(spark).filter(col("media_id") % 3 === 0))) { plan =>
+      assert(shuffles(plan).isEmpty, s"${shuffles(plan).size} shuffles:\n$plan")
+    }
+    audited(graft.ops.ZstdTransport.warcZstRecordTable(spark,
+        Tables.zst(spark).filter(col("media_id") % 3 === 1))) { plan =>
+      assert(shuffles(plan).isEmpty, s"${shuffles(plan).size} shuffles:\n$plan")
+    }
+    audited(graft.ops.ZstdTransport.tarZstMemberTable(spark,
+        Tables.zst(spark).filter(col("media_id") % 3 === 2))) { plan =>
+      assert(shuffles(plan).isEmpty, s"${shuffles(plan).size} shuffles:\n$plan")
+    }
+  }
 }

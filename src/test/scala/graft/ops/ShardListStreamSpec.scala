@@ -497,4 +497,33 @@ class ShardListStreamSpec extends SparkSpec {
       .collect().map(_.toSeq).sortBy(_.mkString("|"))
     assert(got.nonEmpty && got.toSeq == want.toSeq)
   }
+
+  // Zstd transports: all three walkers are stateless per-blob byte
+  // passes, so they stream as plain mapPartitions transforms in
+  // append mode — the jsonl/warc.zst/tar.zst shard kinds of
+  // ZstFixture (kind key media_id % 3).
+
+  test("streamed jsonl shard decode equals the batch walk over the grown directory") {
+    val rows = (0L until 48L).filter(_ % 3 == 0).map { id =>
+      val (mime, bytes) = graft.tools.ZstFixture.row(id)
+      (id, mime, bytes)
+    }
+    streamed("jsonlzst_stream", rows, ZstdTransport.jsonlDocTable)
+  }
+
+  test("streamed warc.zst record index equals the batch walk over the grown directory") {
+    val rows = (0L until 48L).filter(_ % 3 == 1).map { id =>
+      val (mime, bytes) = graft.tools.ZstFixture.row(id)
+      (id, mime, bytes)
+    }
+    streamed("warczst_stream", rows, ZstdTransport.warcZstRecordTable)
+  }
+
+  test("streamed tar.zst member index equals the batch walk over the grown directory") {
+    val rows = (0L until 48L).filter(_ % 3 == 2).map { id =>
+      val (mime, bytes) = graft.tools.ZstFixture.row(id)
+      (id, mime, bytes)
+    }
+    streamed("tarzst_stream", rows, ZstdTransport.tarZstMemberTable)
+  }
 }

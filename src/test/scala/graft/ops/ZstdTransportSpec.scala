@@ -1,0 +1,185 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.tools.ZstFixture
+
+/**
+ * Zstd transport walkers ([[ZstdTransport]]): RFC 8878 frame
+ * structure against the library's own measurements, the IIPC
+ * dictionary protocol, the silent-truncation tolerance contract, and
+ * the relational faces over ZstFixture's deterministic shards.
+ */
+class ZstdTransportSpec extends SparkSpec {
+
+  import com.github.luben.zstd.Zstd
+
+  private def ascii(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  test("frame walk matches the library's per-frame compressed sizes") {
+    // a dict-less multi-frame warc.zst shard (id=4 → w=1, class 1 has
+    // a dict; use id=1 → w=0, plain frames)
+    val (_, bytes) = ZstFixture.warcZstShard(1)
+    val frames = ZstdTransport.zstdFrames(bytes)
+    assert(frames.nonEmpty && frames.forall(_.skipNibble < 0))
+    var pos = 0L
+    frames.foreach { f =>
+      assert(f.offset == pos, s"frame offset ${f.offset} != $pos")
+      val lib = Zstd.findFrameCompressedSize(bytes, pos.toInt)
+      assert(f.compBytes == lib, s"frame size ${f.compBytes} != lib $lib")
+      pos += f.compBytes
+    }
+    assert(pos == bytes.length)
+  }
+
+  test("skippable dictionary frame is indexed and its payload extracted (raw and compressed)") {
+    // w%4==1 → raw dict (id=4); w%4==2 → compressed dict (id=7)
+    for (id <- Seq(4L, 7L)) {
+      val (_, bytes) = ZstFixture.warcZstShard(id)
+      val frames = ZstdTransport.zstdFrames(bytes)
+      assert(frames.head.skipNibble == 0xD, s"id=$id first frame not the IIPC dict")
+      val dict = ZstdTransport.warcZstDict(bytes, frames)
+      assert(dict.exists(java.util.Arrays.equals(_, ZstFixture.wzDict)),
+        s"id=$id dictionary payload mismatch")
+    }
+  }
+
+  test("dict-compressed frames claim nothing when the dictionary frame is absent") {
+    val (_, withDict) = ZstFixture.warcZstShard(4) // w=1, raw dict
+    val frames = ZstdTransport.zstdFrames(withDict)
+    val dictFrame = frames.head
+    // strip the leading skippable frame: data frames now lack their dict
+    val stripped = java.util.Arrays.copyOfRange(
+      withDict, dictFrame.compBytes.toInt, withDict.length)
+    assert(ZstdTransport.warcZstRecords(stripped).isEmpty,
+      "records claimed from dict frames without the dictionary")
+  }
+
+  test("truncated warc.zst keeps complete frames only (walker and frame walk agree)") {
+    // w%8==3 → id=10 is built whole then cut 11 bytes
+    val (_, cut) = ZstFixture.warcZstShard(10)
+    val w = 10L / 3
+    val groups = ZstFixture.wzGroups(10)
+    assert(w % 8 == 3)
+    val rows = ZstdTransport.warcZstRecords(cut)
+    val expect = groups.map(_.size).sum - groups.last.size
+    assert(rows.size == expect, s"got ${rows.size}, want $expect")
+    // checksum class: every kept frame announces + carries its checksum
+    val frames = ZstdTransport.zstdFrames(cut)
+    assert(frames.size == groups.size - 1)
+  }
+
+  test("content-checksum frames decode and verify (class w%4==3)") {
+    // id=22 → w=7? (22/3=7 → 7%8=7 junk). id=34 → w=11, 11%4=3, 11%8=3
+    // truncated... pick id=46 → w=15, 15%4=3, 15%8=7 junk. id=58 → w=19,
+    // 19%4=3, 19%8=3 truncated. The checksum-and-complete class needs
+    // w%4==3 && w%8 notin (3,7): w=11 no (3)... w%8 of {11,15,19,23}=
+    // {3,7,3,7} — w≡3 (mod 4) always hits w%8∈{3,7}. So exercise the
+    // checksum path directly instead:
+    val rec = ascii(ZstFixture.wzWarcinfo(2))
+    val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+    val comp = try { ctx.setChecksum(true); ctx.setLevel(3); ctx.compress(rec) }
+    finally ctx.close()
+    val frames = ZstdTransport.zstdFrames(comp)
+    assert(frames.size == 1 && frames.head.compBytes == comp.length)
+    val rows = ZstdTransport.warcZstRecords(comp)
+    assert(rows.size == 1 && rows.head._7.contains("warcinfo"))
+  }
+
+  test("FCS-less streaming-written frame inflates through the streaming path") {
+    val rec = ascii(ZstFixture.wzWarcinfo(5))
+    val bos = new java.io.ByteArrayOutputStream()
+    val zout = new com.github.luben.zstd.ZstdOutputStreamNoFinalizer(bos)
+    zout.write(rec); zout.close()
+    val comp = bos.toByteArray
+    // the streaming writer omits the frame content size
+    assert(Zstd.getFrameContentSize(comp, 0, comp.length) <= 0)
+    val frames = ZstdTransport.zstdFrames(comp)
+    assert(frames.size == 1, s"frames: $frames")
+    val rows = ZstdTransport.warcZstRecords(comp)
+    assert(rows.size == 1 && rows.head._7.contains("warcinfo"))
+  }
+
+  test("hand-crafted RLE block frame is measured and inflated") {
+    val n = 40
+    val frame = Array[Byte](0x28, 0xB5.toByte, 0x2F, 0xFD.toByte, // magic
+      0x20, n.toByte) ++ // FHD: single-segment + 1-byte FCS; content size
+      Array[Byte](((n << 3) | 2 | 1).toByte, (n >> 5).toByte, 0, 'A')
+    val frames = ZstdTransport.zstdFrames(frame)
+    assert(frames.size == 1 && frames.head.compBytes == frame.length)
+    val out = ZstdTransport.inflateFrame(frame, 0, frame.length, None, 1 << 20)
+    assert(out.exists(b => b.length == n && b.forall(_ == 'A')))
+  }
+
+  test("jsonl: truncated zstd shard keeps the byte-prefix's lines (silent-cut tolerance)") {
+    val (_, full) = ZstFixture.jsonlShard(3) // j=1: multi-frame zstd
+    val want = ZstdTransport.jsonlLines(full).map(_._3)
+    val cut = java.util.Arrays.copyOf(full, full.length - 9)
+    val got = ZstdTransport.jsonlLines(cut).map(_._3)
+    assert(got.size < want.size, "cut shard lost nothing — not a truncation test")
+    // complete lines are a prefix; the tail (cut mid-line at the frame
+    // boundary) may be a partial of the next expected line
+    assert(want.take(got.size - 1) == got.dropRight(1),
+      "cut shard complete lines are not a prefix")
+    val wholeText = want.mkString("\n")
+    assert(wholeText.startsWith((got.dropRight(1) :+ got.last).mkString("\n")),
+      "cut tail is not a byte-prefix of the stream")
+  }
+
+  test("jsonl: truncated GZIP shard suppresses the corrupt carry (error path)") {
+    val (_, full) = ZstFixture.jsonlShard(6) // j=2: gzip codec
+    val want = ZstdTransport.jsonlLines(full).map(_._3)
+    val cut = java.util.Arrays.copyOf(full, full.length - 7)
+    val got = ZstdTransport.jsonlLines(cut).map(_._3)
+    // a cut DEFLATE stream throws mid-read: whatever decoded stays,
+    // but every claimed line must be a REAL line — no corrupt tail
+    assert(got.forall(want.contains), s"corrupt line claimed: $got")
+  }
+
+  test("jsonl: a line overrunning the carry cap is dropped, its line_no consumed") {
+    val big = "x" * (ZstdTransport.LineCapBytes + 64)
+    val raw = ascii(s"""{"id":"a"}\n{"id":"$big"}\n{"id":"c"}\n""")
+    val got = ZstdTransport.jsonlLines(Zstd.compress(raw, 3))
+    assert(got.map(t => (t._2, t._3)) == Seq(
+      (0, """{"id":"a"}"""), (2, """{"id":"c"}""")))
+  }
+
+  test("jsonl: unterminated tail line is claimed; junk claims nothing") {
+    val raw = ascii("{\"id\":\"a\"}\n{\"id\":\"b\"}") // no trailing \n
+    val got = ZstdTransport.jsonlLines(Zstd.compress(raw, 3))
+    assert(got.map(_._3) == Seq("{\"id\":\"a\"}", "{\"id\":\"b\"}"))
+    assert(ZstdTransport.jsonlLines(ascii("plain prose, not ndjson")).isEmpty)
+    assert(ZstdTransport.jsonlLines(null).isEmpty)
+  }
+
+  test("tar.zst: truncated stream keeps a member-list prefix; junk claims nothing") {
+    val (_, full) = ZstFixture.tarZstShard(2) // t=0: single frame, L pair
+    val want = ZstdTransport.tarZstMembers(full)
+    assert(want.last._1 == ZstFixture.tzLongName(2)) // override applied
+    assert(want.exists(_._5 == "L"))
+    val cut = java.util.Arrays.copyOf(full, full.length - 13)
+    val got = ZstdTransport.tarZstMembers(cut)
+    assert(got.size <= want.size && want.take(got.size) == got)
+    assert(ZstdTransport.tarZstMembers(ascii("no tar here")).isEmpty)
+  }
+
+  test("relational faces emit the fixture contract shapes") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rows = (0L until 48L).map { id =>
+      val (m, b) = ZstFixture.row(id); (id, m, b)
+    }
+    val media = rows.toDF("media_id", "mime_type", "media")
+    val docs = ZstdTransport.jsonlDocTable(spark,
+      media.filter(col("media_id") % 3 === 0)).collect()
+    assert(docs.nonEmpty)
+    assert(docs.forall(r => r.getAs[String]("doc_id").startsWith("doc-")))
+    val recs = ZstdTransport.warcZstRecordTable(spark,
+      media.filter(col("media_id") % 3 === 1)).collect()
+    assert(recs.map(_.getAs[String]("warc_type")).toSet == Set("warcinfo", "response"))
+    val mem = ZstdTransport.tarZstMemberTable(spark,
+      media.filter(col("media_id") % 3 === 2)).collect()
+    assert(mem.exists(_.getAs[String]("typeflag") == "L"))
+    assert(mem.exists(_.getAs[String]("name").endsWith(".json")))
+  }
+}
