@@ -2020,9 +2020,37 @@ object SparkEntry {
        |           AND c.gy = CAST((v.media_id // 2) % 8 AS INT)
        |      THEN (c.val + 37) % 251 ELSE c.val END AS val
        |  FROM im_vp8 v JOIN im_pcells c ON c.media_id = v.media_id - 1),
+       | im_xpng AS (
+       |  -- the EXIF-oriented twins: PNG signature + an eXIf chunk
+       |  -- right after IHDR (type bytes 37..40); orientation SHORT's
+       |  -- low byte at the pinned TIFF offset. Pixels are stored
+       |  -- ROTATED — the oracle reads the stored byte of the upright
+       |  -- sample (2gx, 2gy) through the same coordinate remap the
+       |  -- rotate-before-hash decode applies.
+       |  SELECT media_id, hex(media) AS h,
+       |    ('0x' || substr(hex(media),
+       |      2 * ${graft.tools.ImageDupFixture.ExifOrientOffset} + 1, 2))::INT AS o
+       |  FROM read_parquet('${Tables.imagedupFixturePath}')
+       |  WHERE substr(hex(media), 1, 16) = '89504E470D0A1A0A'
+       |    AND substr(hex(media), 75, 8) = '65584966'),
+       | im_xcells AS (
+       |  SELECT media_id, gx, gy,
+       |    ('0x' || substr(h,
+       |      2 * (${graft.tools.ImageDupFixture.ExifPixelOffset}
+       |           + v * (1 + 3 * ws) + 1 + 3 * u) + 1, 2))::INT AS val
+       |  FROM (
+       |    SELECT media_id, h, gx, gy,
+       |      CASE WHEN o >= 5 THEN 16 ELSE 18 END AS ws,
+       |      CASE o WHEN 3 THEN 17 - 2 * gx WHEN 6 THEN 2 * gy
+       |        ELSE 15 - 2 * gy END AS u,
+       |      CASE o WHEN 3 THEN 15 - 2 * gy WHEN 6 THEN 17 - 2 * gx
+       |        ELSE 2 * gx END AS v
+       |    FROM im_xpng,
+       |      generate_series(0, 8) tx(gx), generate_series(0, 7) ty(gy)) t),
        | im_cells AS (
        |  SELECT * FROM im_pcells UNION ALL SELECT * FROM im_wcells
-       |  UNION ALL SELECT * FROM im_vcells),
+       |  UNION ALL SELECT * FROM im_vcells
+       |  UNION ALL SELECT * FROM im_xcells),
        | im_wh AS (
        |  SELECT media_id,
        |    CAST(('0x' || substr(h, 33, 8))::BIGINT AS INT) AS width,
@@ -2044,7 +2072,12 @@ object SparkEntry {
        |      + ('0x' || substr(h, 53, 2))::INT AS INT) AS width,
        |    CAST((('0x' || substr(h, 59, 2))::INT % 64) * 256
        |      + ('0x' || substr(h, 57, 2))::INT AS INT) AS height
-       |  FROM im_vp8),
+       |  FROM im_vp8
+       |  UNION ALL
+       |  -- EXIF twins: POST-orientation dims (6/8 swap the stored
+       |  -- IHDR dims back to the upright 18x16)
+       |  SELECT media_id, CAST(18 AS INT), CAST(16 AS INT)
+       |  FROM im_xpng),
        | im_bits AS (
        |  SELECT l.media_id, l.gy, l.gx,
        |    CASE WHEN r.val > l.val THEN 1 ELSE 0 END AS bit
@@ -4500,7 +4533,9 @@ object SparkEntry {
          |           THEN CASE WHEN substr(h, 25, 8) = '5650384C'
          |                THEN 'webp-lossless' ELSE 'webp' END
          |         ELSE 'other' END AS container,
-         |    CASE WHEN substr(h, 1, 16) = '89504E470D0A1A0A' AND n = 948
+         |    CASE WHEN substr(h, 1, 16) = '89504E470D0A1A0A'
+         |           AND n IN (948,
+         |             ${graft.tools.ImageDupFixture.ExifPngLengths.mkString(", ")})
          |           THEN 1
          |         WHEN substr(h, 1, 8) = '52494646'
          |              AND substr(h, 25, 8) = '5650384C' THEN 1

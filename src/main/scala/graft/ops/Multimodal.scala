@@ -160,6 +160,35 @@ object Multimodal {
           i += 2 + len
         }
       }
+      tiffMeta(b, tiff, tiffEnd)
+    }
+
+    /** PNG eXIf chunk (PNG extension, standardized 2017): the same
+     * TIFF payload JPEG carries in APP1, as a chunk before IDAT.
+     * Chunk walk with length/CRC framing; anything malformed yields
+     * None fields. */
+    private[ops] def pngExifMeta(b: Array[Byte]): ExifMeta = {
+      val none = ExifMeta(None, None, None)
+      if (b == null || b.length < 8 || (b(0) & 0xff) != 0x89 ||
+        b(1) != 'P' || b(2) != 'N' || b(3) != 'G') return none
+      var i = 8
+      while (i + 8 <= b.length) {
+        val len = be32(b, i)
+        if (len < 0 || i + 12L + len > b.length) return none
+        if (b(i + 4) == 'e' && b(i + 5) == 'X' && b(i + 6) == 'I' &&
+          b(i + 7) == 'f')
+          return tiffMeta(b, i + 8, i + 8 + len.toInt)
+        if (b(i + 4) == 'I' && b(i + 5) == 'D' && b(i + 6) == 'A' &&
+          b(i + 7) == 'T') return none // eXIf precedes image data
+        i += 12 + len.toInt
+      }
+      none
+    }
+
+    /** TIFF IFD0 scan over `b[tiff, tiffEnd)` — shared by the JPEG
+     * APP1 and PNG eXIf carriers. */
+    private def tiffMeta(b: Array[Byte], tiff: Int, tiffEnd: Int): ExifMeta = {
+      val none = ExifMeta(None, None, None)
       if (tiff < 0 || tiff + 8 > tiffEnd) return none
       val little =
         if (b(tiff) == 'I' && b(tiff + 1) == 'I') true
@@ -2796,7 +2825,61 @@ object Multimodal {
             new java.io.ByteArrayInputStream(bytes)))
           catch { case _: Throwable => None }
         io.orElse(Vp8l.decodeImage(bytes)).orElse(Vp8.decodeImage(bytes))
+          .map(img => orientImage(img, exifOrientation(bytes)))
       }
+
+    /** EXIF orientation of the CONTAINER bytes (JPEG APP1 / PNG
+     * eXIf) — 1 when absent/unreadable. Decoders never apply
+     * orientation themselves (ImageIO included), so without this a
+     * phone photo and its upright twin perceptually hash apart. */
+    private[ops] def exifOrientation(bytes: Array[Byte]): Int = {
+      val meta =
+        if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff &&
+          (bytes(1) & 0xff) == 0xd8) ImageHeaders.exifMeta(bytes)
+        else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0x89 &&
+          bytes(1) == 'P') ImageHeaders.pngExifMeta(bytes)
+        else ImageHeaders.ExifMeta(None, None, None)
+      meta.orientation.getOrElse(1)
+    }
+
+    /** Apply a TIFF/EXIF orientation (1..8) to a decoded image —
+     * rotate-before-train: display(x,y) = stored(u,v) per the TIFF
+     * 6.0 orientation table (2 = flip H, 3 = 180°, 4 = flip V,
+     * 5 = transpose, 6 = 90° CW, 7 = transverse, 8 = 270° CW; 5-8
+     * swap the display dims). Exact integer pixel remap — no
+     * resampling, so perceptual hashes of a rotated capture and its
+     * upright twin agree bit-for-bit. */
+    private[graft] def orientImage(img: java.awt.image.BufferedImage,
+        o: Int): java.awt.image.BufferedImage = {
+      if (o <= 1 || o > 8) return img
+      val w = img.getWidth
+      val h = img.getHeight
+      val swap = o >= 5
+      val (dw, dh) = if (swap) (h, w) else (w, h)
+      // always ARGB: re-instantiating an indexed/custom source type
+      // would re-quantize through setRGB; ARGB is lossless for all
+      val out = new java.awt.image.BufferedImage(dw, dh,
+        java.awt.image.BufferedImage.TYPE_INT_ARGB)
+      var y = 0
+      while (y < dh) {
+        var x = 0
+        while (x < dw) {
+          val (u, v) = o match {
+            case 2 => (w - 1 - x, y)
+            case 3 => (w - 1 - x, h - 1 - y)
+            case 4 => (x, h - 1 - y)
+            case 5 => (y, x)
+            case 6 => (y, h - 1 - x)
+            case 7 => (w - 1 - y, h - 1 - x)
+            case _ => (w - 1 - y, x) // 8
+          }
+          out.setRGB(x, y, img.getRGB(u, v))
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
 
     /** Real per-frame decode for GIF containers — the one ANIMATED
      * format the JDK iterates natively: ImageIO's GIF reader exposes

@@ -28,6 +28,10 @@ package graft.tools
  *  - id % 32 == 23→ VP8 chunk with junk payload: decode fails.
  *  - id % 16 == 15→ ASCII junk: no row.
  *  - id % 8 == 5  → WebP-lossless (VP8L) twin: same pixels as png(id).
+ *  - id % 32 == 17→ EXIF-oriented twin ([[exifPng]]): the same grid
+ *                   STORED rotated with a PNG eXIf orientation tag
+ *                   (3/6/8 by id/32) — rotate-before-hash recovers
+ *                   the pair with id-1.
  *  - else         → the 948-byte stored-zlib PNG described above.
  *
  * Usage: runMain graft.tools.ImageDupFixture [outFile] [rows]
@@ -285,6 +289,81 @@ object ImageDupFixture {
   def vp8LossyStub(id: Long): Array[Byte] =
     riff("VP8 ", s"not a lossless stream $id".getBytes("US-ASCII"))
 
+  // ---------------- EXIF-oriented twin (rotate-before-hash) ---------
+
+  /** Orientation of the id%32==17 class: 3 = 180°, 6 = 90° CW,
+   * 8 = 270° CW, cycling by id/32. */
+  def exifOrientation(id: Long): Int = Seq(3, 6, 8)(((id / 32) % 3).toInt)
+
+  /** Byte offset of the first IDAT pixel byte in [[exifPng]] blobs
+   * (sig 8 + IHDR 25 + eXIf 38 + IDAT framing 8 + zlib 2 + stored
+   * block header 5) and of the orientation SHORT's low byte inside
+   * the eXIf TIFF payload — the oracle's hex anchors. */
+  val ExifPixelOffset: Int = 86
+  val ExifOrientOffset: Int = 59
+
+  /** The phone-camera twin: the SAME pixel grid as png(id) but
+   * STORED rotated, with a PNG eXIf chunk carrying the orientation
+   * that undoes it — a decoder that ignores orientation (every
+   * decoder; ImageIO included) sees a rotated image and the pair
+   * (id-1, id) hashes apart; rotate-before-hash recovers it. Stored
+   * pixels keep the stored-zlib byte-addressable layout, so the
+   * oracle reads them off the hex and applies the same coordinate
+   * remap relationally. */
+  def exifPng(id: Long): Array[Byte] = {
+    val o = exifOrientation(id)
+    val (ws, hs) = if (o >= 5) (H, W) else (W, H)
+    // stored(u,v) = upright(x,y): the inverse of the display mapping
+    def storedVal(u: Int, v: Int): Int = {
+      val (x, y) = o match {
+        case 3 => (W - 1 - u, H - 1 - v)
+        case 6 => (hs - 1 - v, u)
+        case _ => (v, ws - 1 - u) // 8
+      }
+      cell(id, x / 2, y / 2)
+    }
+    val raw = new Array[Byte]((1 + ws * 3) * hs)
+    var v = 0
+    while (v < hs) {
+      val base = v * (1 + ws * 3)
+      raw(base) = 0 // filter: None
+      var u = 0
+      while (u < ws) {
+        val px = storedVal(u, v).toByte
+        raw(base + 1 + 3 * u) = px
+        raw(base + 2 + 3 * u) = px
+        raw(base + 3 + 3 * u) = px
+        u += 1
+      }
+      v += 1
+    }
+    // little-endian TIFF: "II" 42, IFD0 at 8, ONE entry (0x0112
+    // SHORT count 1, value o), no next IFD — 26 bytes
+    val tiff = Array[Byte]('I', 'I', 42, 0, 8, 0, 0, 0,
+      1, 0,
+      0x12, 0x01, 3, 0, 1, 0, 0, 0, o.toByte, 0, 0, 0,
+      0, 0, 0, 0)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = (ws >>> 24).toByte; ihdr(1) = (ws >>> 16).toByte
+    ihdr(2) = (ws >>> 8).toByte; ihdr(3) = ws.toByte
+    ihdr(4) = (hs >>> 24).toByte; ihdr(5) = (hs >>> 16).toByte
+    ihdr(6) = (hs >>> 8).toByte; ihdr(7) = hs.toByte
+    ihdr(8) = 8; ihdr(9) = 2
+    out.write(chunk("IHDR", ihdr))
+    out.write(chunk("eXIf", tiff))
+    out.write(chunk("IDAT", storedZlib(raw)))
+    out.write(chunk("IEND", Array.emptyByteArray))
+    out.toByteArray
+  }
+
+  /** Blob lengths of the eXIf class (one per stored shape) — the
+   * q_m34 oracle's decodability anchor alongside the 948-byte plain
+   * PNG. */
+  lazy val ExifPngLengths: Seq[Int] =
+    Seq(exifPng(17).length, exifPng(49).length).distinct.sorted
+
   def row(id: Long): (String, Array[Byte]) = {
     if (id % 8 == 3) ("image/png", png(id).take(20)) // cut mid-IHDR
     else if (id % 32 == 7) ("image/webp", vp8(id))
@@ -293,6 +372,7 @@ object ImageDupFixture {
       ("image/png",
         s"plain junk $id with no png signature".getBytes("US-ASCII"))
     else if (id % 8 == 5) ("image/webp", webp(id))
+    else if (id % 32 == 17) ("image/png", exifPng(id))
     else ("image/png", png(id))
   }
 

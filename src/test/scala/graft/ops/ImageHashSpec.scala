@@ -51,6 +51,81 @@ class ImageHashSpec extends SparkSpec {
       ImageHash.dhashBands(orig).map(_._3.toSeq))
   }
 
+  test("exif-oriented twins: rotate-before-hash recovers the upright bands (PNG eXIf)") {
+    // id%32==17, orientations 3 / 6 / 8 cycling by id/32
+    for (id <- Seq(17L, 49L, 81L)) {
+      val bytes = ImageDupFixture.row(id)._2
+      val o = ImageDupFixture.exifOrientation(id)
+      assert(Multimodal.MediaCodec.exifOrientation(bytes) == o, s"id=$id tag")
+      val got = ImageHash.dhashBands(bytes)
+      assert(got.isDefined, s"id=$id did not decode")
+      val (w, h, bands) = got.get
+      assert(w == 18 && h == 16, s"id=$id post-orient dims ($w,$h)")
+      assert(bands.toSeq == contractBands(id).toSeq, s"id=$id o=$o bands")
+      // and WITHOUT the orientation tag the stored image hashes APART
+      // (the real-world failure this class exists to catch)
+      val stored = Multimodal.MediaCodec.orientImage(
+        Multimodal.MediaCodec.decodeImage(bytes).get, 1)
+      assert(got.get._3.toSeq == bands.toSeq && {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        o == 3 || img.getWidth != 18 // stored 6/8 shapes are 16x18
+      }, s"id=$id stored-shape sanity"); stored.getWidth
+    }
+  }
+
+  test("orientImage: all 8 TIFF orientations invert on an asymmetric image") {
+    // display(x,y) picks a unique source pixel: encode (u,v) in the
+    // pixel value and check the documented mapping directly
+    val w = 3; val h = 2
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (v <- 0 until h; u <- 0 until w) img.setRGB(u, v, (v * w + u) * 10)
+    def at(i: java.awt.image.BufferedImage, x: Int, y: Int) =
+      i.getRGB(x, y) & 0xffffff
+    val maps: Map[Int, (Int, Int) => (Int, Int)] = Map(
+      1 -> ((x, y) => (x, y)), 2 -> ((x, y) => (w - 1 - x, y)),
+      3 -> ((x, y) => (w - 1 - x, h - 1 - y)), 4 -> ((x, y) => (x, h - 1 - y)),
+      5 -> ((x, y) => (y, x)), 6 -> ((x, y) => (y, h - 1 - x)),
+      7 -> ((x, y) => (w - 1 - y, h - 1 - x)), 8 -> ((x, y) => (w - 1 - y, x)))
+    for (o <- 1 to 8) {
+      val out = Multimodal.MediaCodec.orientImage(img, o)
+      val (dw, dh) = if (o >= 5) (h, w) else (w, h)
+      assert(out.getWidth == dw && out.getHeight == dh, s"o=$o dims")
+      for (y <- 0 until dh; x <- 0 until dw) {
+        val (u, v) = maps(o)(x, y)
+        assert(at(out, x, y) == (v * w + u) * 10, s"o=$o at ($x,$y)")
+      }
+    }
+  }
+
+  test("real JPEG APP1 orientation is honored by decodeImage") {
+    // encode a JPEG, splice an EXIF APP1 orientation=6 after SOI: the
+    // oriented decode must equal the exact rotation of the unoriented
+    // decode of the SAME bytes (no double-encode noise in the assert)
+    val img = new java.awt.image.BufferedImage(24, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 24)
+      img.setRGB(x, y, ((x * 11 + y * 29) % 251) * 0x010101)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val plain = bos.toByteArray
+    val tiff = Array[Byte]('I', 'I', 42, 0, 8, 0, 0, 0, 1, 0,
+      0x12, 0x01, 3, 0, 1, 0, 0, 0, 6, 0, 0, 0, 0, 0, 0, 0)
+    val app1 = Array[Byte](0xFF.toByte, 0xE1.toByte,
+      ((tiff.length + 8 + 2) >> 8).toByte, ((tiff.length + 8 + 2) & 0xff).toByte,
+      'E', 'x', 'i', 'f', 0, 0) ++ tiff
+    val tagged = plain.take(2) ++ app1 ++ plain.drop(2)
+    assert(Multimodal.MediaCodec.exifOrientation(tagged) == 6)
+    val oriented = Multimodal.MediaCodec.decodeImage(tagged).get
+    val base = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(tagged)) // raw decode, no orient
+    assert(oriented.getWidth == 16 && oriented.getHeight == 24)
+    for (y <- 0 until 24; x <- 0 until 16)
+      assert((oriented.getRGB(x, y) & 0xffffff) ==
+        (base.getRGB(y, 16 - 1 - x) & 0xffffff), s"($x,$y)")
+  }
+
   test("near-dup pairs: every surviving even/odd perturbed pair is found, hamming <= 2") {
     import spark.implicits._
     val ids = (0L until 32L)
