@@ -883,7 +883,7 @@ object SparkEntry {
     // NULL rather than binary soup
     "q_w34_content_encoding" -> ((s, _) =>
       Archives.warcPageTable(s, Tables.warcsm(s))
-        .filter(col("target_uri").rlike("/txt/(gzipped|brotli)$"))
+        .filter(col("target_uri").rlike("/txt/(gzipped|zstdenc|brotli)$"))
         .select("target_uri", "content_type", "body_text")
         .distinct()),
     // q_w35: chunked transfer coding — RFC 9112 chunk framing
@@ -2261,7 +2261,8 @@ object SparkEntry {
        |    'https://smap' || hh || '.example.org/txt/badchunk',
        |    'https://smap' || hh || '.example.org/txt/metalatin',
        |    'https://smap' || hh || '.example.org/txt/bom8',
-       |    'https://smap' || hh || '.example.org/txt/bom16'])
+       |    'https://smap' || hh || '.example.org/txt/bom16',
+       |    'https://smap' || hh || '.example.org/txt/zstdenc'])
        |    AS target_uri
        |  FROM smf)""".stripMargin
 
@@ -4276,6 +4277,11 @@ object SparkEntry {
          |      AS target_uri,
          |    'text/plain; charset=utf-8' AS content_type,
          |    'héllo wörld 中文テキスト №' || hh AS body_text
+         |  FROM smf
+         |  UNION ALL
+         |  SELECT 'https://smap' || hh || '.example.org/txt/zstdenc',
+         |    'text/plain; charset=utf-8',
+         |    'héllo wörld 中文テキスト №' || hh
          |  FROM smf
          |  UNION ALL
          |  SELECT 'https://smap' || hh || '.example.org/txt/brotli',

@@ -231,8 +231,9 @@ object Archives {
    * servers ship: TRANSFER coding first (`chunked` → [[dechunkCapped]];
    * `identity`/absent pass; anything else claims nothing), then
    * CONTENT coding (`gzip`/`x-gzip` through the trailer-verified
-   * RFC 1952 path, `deflate` through zlib, `identity`/absent pass;
-   * br/zstd — no decoder here — claim nothing), then the declared
+   * RFC 1952 path, `deflate` through zlib, `zstd` through the
+   * structural frame walk in [[ZstdTransport]], `identity`/absent
+   * pass; br — no decoder here — claims nothing), then the declared
    * charset. A corrupt layer at any depth CLAIMS NOTHING rather than
    * emitting binary soup or chunk-framing noise as text. */
   private def httpBodyText(b: Array[Byte], off: Int, len: Int,
@@ -253,6 +254,9 @@ object Archives {
           case Some("deflate") =>
             inflateBytesCapped(
               java.util.Arrays.copyOfRange(d, o, o + l), GzBodyCap)
+              .map(r => (r, 0, r.length))
+          case Some("zstd") =>
+            ZstdTransport.contentDecodeCapped(d, o, l, GzBodyCap)
               .map(r => (r, 0, r.length))
           case _ => None
         }

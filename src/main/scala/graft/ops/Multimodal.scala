@@ -185,8 +185,38 @@ object Multimodal {
       none
     }
 
+    /** WebP EXIF chunk (extended VP8X containers): a top-level RIFF
+     * chunk with fourcc `EXIF` whose payload is the TIFF block —
+     * written bare by libwebp, but some converters keep the JPEG
+     * carrier's "Exif\0\0" prefix; both are accepted (libwebp's own
+     * reader tolerates both). */
+    private[ops] def webpExifMeta(b: Array[Byte]): ExifMeta = {
+      val none = ExifMeta(None, None, None)
+      if (b == null || b.length < 20 || b(0) != 'R' || b(1) != 'I' ||
+        b(2) != 'F' || b(3) != 'F' || b(8) != 'W' || b(9) != 'E' ||
+        b(10) != 'B' || b(11) != 'P') return none
+      var p = 12
+      while (p + 8 <= b.length) {
+        val size = (b(p + 4) & 0xffL) | ((b(p + 5) & 0xffL) << 8) |
+          ((b(p + 6) & 0xffL) << 16) | ((b(p + 7) & 0xffL) << 24)
+        if (size < 0 || p + 8 + size > b.length) return none
+        if (b(p) == 'E' && b(p + 1) == 'X' && b(p + 2) == 'I' && b(p + 3) == 'F') {
+          val off = p + 8
+          val end = off + size.toInt
+          val tiff =
+            if (size >= 6 && b(off) == 'E' && b(off + 1) == 'x' &&
+              b(off + 2) == 'i' && b(off + 3) == 'f' && b(off + 4) == 0 &&
+              b(off + 5) == 0) off + 6
+            else off
+          return tiffMeta(b, tiff, end)
+        }
+        p += 8 + size.toInt + (size.toInt & 1)
+      }
+      none
+    }
+
     /** TIFF IFD0 scan over `b[tiff, tiffEnd)` — shared by the JPEG
-     * APP1 and PNG eXIf carriers. */
+     * APP1, PNG eXIf and WebP EXIF carriers. */
     private def tiffMeta(b: Array[Byte], tiff: Int, tiffEnd: Int): ExifMeta = {
       val none = ExifMeta(None, None, None)
       if (tiff < 0 || tiff + 8 > tiffEnd) return none
@@ -2838,6 +2868,8 @@ object Multimodal {
           (bytes(1) & 0xff) == 0xd8) ImageHeaders.exifMeta(bytes)
         else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0x89 &&
           bytes(1) == 'P') ImageHeaders.pngExifMeta(bytes)
+        else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I')
+          ImageHeaders.webpExifMeta(bytes)
         else ImageHeaders.ExifMeta(None, None, None)
       meta.orientation.getOrElse(1)
     }

@@ -193,6 +193,32 @@ object ZstdTransport {
     } catch { case _: Exception => None }
   }
 
+  /** Strict whole-entity decode for `Content-Encoding: zstd` HTTP
+   * bodies: the byte range must be EXACTLY a run of well-formed
+   * frames (structural walk first — the library cannot see
+   * truncation), then every frame inflates under the shared cap.
+   * Anything else claims nothing — the WET faces' corrupt-layer
+   * discipline. */
+  private[ops] def contentDecodeCapped(b: Array[Byte], off: Int, len: Int,
+      cap: Int): Option[Array[Byte]] = {
+    if (b == null || off < 0 || len <= 0 || off + len > b.length) return None
+    val slice = java.util.Arrays.copyOfRange(b, off, off + len)
+    val frames = zstdFrames(slice)
+    if (frames.isEmpty ||
+      frames.map(_.compBytes).sum != len.toLong) return None
+    val out = new java.io.ByteArrayOutputStream()
+    frames.foreach { f =>
+      if (f.skipNibble < 0) {
+        inflateFrame(slice, f.offset.toInt, f.compBytes.toInt, None,
+          cap - out.size) match {
+          case Some(d) => out.write(d, 0, d.length)
+          case None => return None
+        }
+      }
+    }
+    Some(out.toByteArray)
+  }
+
   // ------------------------------------------------------- .warc.zst
 
   /** One row per WARC record inside the shard's data frames:

@@ -183,7 +183,16 @@ object SitemapFixture {
           utf8Body(hh).getBytes(java.nio.charset.StandardCharsets.UTF_8)) ++
       record(id, 15, s"https://$hst/txt/bom16", "text/plain",
         Array[Byte](0xff.toByte, 0xfe.toByte) ++
-          utf8Body(hh).getBytes(java.nio.charset.StandardCharsets.UTF_16LE))
+          utf8Body(hh).getBytes(java.nio.charset.StandardCharsets.UTF_16LE)) ++
+      // zstd content coding (RFC 8878 registered token, shipped by
+      // Chrome/Firefox since 2024): the same utf-8 text in one zstd
+      // frame — the WET face decodes through the structural frame
+      // walk, same contract as gzip (q_w34)
+      record(id, 16, s"https://$hst/txt/zstdenc",
+        "text/plain; charset=utf-8",
+        com.github.luben.zstd.Zstd.compress(utf8Body(hh).getBytes(
+          java.nio.charset.StandardCharsets.UTF_8), 3),
+        extraHttp = "Content-Encoding: zstd\r\n")
   }
 
   /** The meta-declared Latin-1 html body (q_w36): charset only in

@@ -126,6 +126,41 @@ class ImageHashSpec extends SparkSpec {
         (base.getRGB(y, 16 - 1 - x) & 0xffffff), s"($x,$y)")
   }
 
+  test("WebP EXIF chunk orientation is honored (extended VP8X container)") {
+    // rebuild the VP8L twin as an extended container: VP8X + VP8L +
+    // EXIF(orientation=8), both bare-TIFF and Exif\0\0-prefixed
+    val simple = ImageDupFixture.webp(5L)
+    val payloadLen = (simple(16) & 0xff) | ((simple(17) & 0xff) << 8) |
+      ((simple(18) & 0xff) << 16) | ((simple(19) & 0xff) << 24)
+    val vp8l = java.util.Arrays.copyOfRange(simple, 20, 20 + payloadLen)
+    val tiff = Array[Byte]('I', 'I', 42, 0, 8, 0, 0, 0, 1, 0,
+      0x12, 0x01, 3, 0, 1, 0, 0, 0, 8, 0, 0, 0, 0, 0, 0, 0)
+    def chunk(fourcc: String, data: Array[Byte]): Array[Byte] = {
+      val n = data.length
+      fourcc.getBytes("US-ASCII") ++ Array[Byte]((n & 0xff).toByte,
+        ((n >> 8) & 0xff).toByte, ((n >> 16) & 0xff).toByte,
+        ((n >> 24) & 0xff).toByte) ++ data ++
+        (if ((n & 1) == 1) Array[Byte](0) else Array.emptyByteArray)
+    }
+    val vp8x = chunk("VP8X", Array[Byte](0x08, 0, 0, 0, // EXIF flag
+      17, 0, 0, 15, 0, 0)) // canvas 18x16 minus-one coded
+    for (exifPayload <- Seq(tiff, "Exif".getBytes("US-ASCII") ++
+        Array[Byte](0, 0) ++ tiff)) {
+      val body = vp8x ++ chunk("VP8L", vp8l) ++ chunk("EXIF", exifPayload)
+      val n = body.length + 4
+      val file = "RIFF".getBytes("US-ASCII") ++ Array[Byte]((n & 0xff).toByte,
+        ((n >> 8) & 0xff).toByte, ((n >> 16) & 0xff).toByte,
+        ((n >> 24) & 0xff).toByte) ++ "WEBP".getBytes("US-ASCII") ++ body
+      assert(Multimodal.MediaCodec.exifOrientation(file) == 8)
+      val oriented = Multimodal.MediaCodec.decodeImage(file).get
+      assert(oriented.getWidth == 16 && oriented.getHeight == 18)
+      val raw = graft.ops.Vp8l.decodeImage(file).get // no orientation
+      for (y <- 0 until 18; x <- 0 until 16)
+        assert((oriented.getRGB(x, y) & 0xffffff) ==
+          (raw.getRGB(18 - 1 - y, x) & 0xffffff), s"($x,$y)")
+    }
+  }
+
   test("near-dup pairs: every surviving even/odd perturbed pair is found, hamming <= 2") {
     import spark.implicits._
     val ids = (0L until 32L)
