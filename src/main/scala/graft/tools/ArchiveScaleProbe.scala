@@ -189,6 +189,27 @@ object ArchiveScaleProbe {
     timed("vp8l_real_dhash")(ImageHash.dhashTable(spark, realWebps).count())
     realWebps.unpersist()
 
+    // Zstd transports: jsonl shards (streaming line decode), .warc.zst
+    // (structural frame walk + per-frame inflate, dict classes
+    // included), .tar.zst (streaming header walk, payloads skipped)
+    val jsonls = corpus(Seq(ZstFixture.jsonlShard(0L)._2,
+      ZstFixture.jsonlShard(3L)._2, ZstFixture.jsonlShard(6L)._2,
+      ZstFixture.jsonlShard(9L)._2), "application/zstd")
+    timed("jsonlzst_docs")(
+      graft.ops.ZstdTransport.jsonlDocTable(spark, jsonls).count())
+    jsonls.unpersist()
+    val warcZsts = corpus(Seq(ZstFixture.warcZstShard(1L)._2,
+      ZstFixture.warcZstShard(4L)._2, ZstFixture.warcZstShard(7L)._2,
+      ZstFixture.warcZstShard(13L)._2), "application/zstd")
+    timed("warczst_records")(
+      graft.ops.ZstdTransport.warcZstRecordTable(spark, warcZsts).count())
+    warcZsts.unpersist()
+    val tarZsts = corpus(Seq(ZstFixture.tarZstShard(2L)._2,
+      ZstFixture.tarZstShard(5L)._2), "application/zstd")
+    timed("tarzst_members")(
+      graft.ops.ZstdTransport.tarZstMemberTable(spark, tarZsts).count())
+    tarZsts.unpersist()
+
     spark.stop()
   }
 }
