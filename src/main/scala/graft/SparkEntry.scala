@@ -825,6 +825,14 @@ object SparkEntry {
     // shard lists (pure map-side RIFF walk, blobs never shuffle)
     "q_m35_webp_anim" -> ((s, _) =>
       Multimodal.webpAnimTable(s, Tables.animwebp(s))),
+    // q_m36: REAL FLAC decode (graft.ops.Flac — the format speech
+    // corpora ship in): per blob the stream identity, decoded sample
+    // count, order-pinning PCM checksums, and the end-to-end md5_ok
+    // verdict (STREAMINFO's source-PCM MD5 vs the reconstruction's
+    // — TRUE only when every subframe/rice/decorrelation step is
+    // exact). Pure map-side decode
+    "q_m36_flac_pcm" -> ((s, _) =>
+      graft.ops.Flac.pcmTable(s, Tables.flacpcm(s))),
     // q_w29: sitemap URL entries — the operator-DECLARED page list:
     // documents discovered through robots `Sitemap:` lines (ARBITRARY
     // URLs, q_w28's channel) and the well-known /sitemap.xml path,
@@ -4553,6 +4561,43 @@ object SparkEntry {
          | SELECT mime_type, container, CAST(count(*) AS BIGINT) AS n,
          |   CAST(sum(ok) AS BIGINT) AS n_decoded
          | FROM cls GROUP BY mime_type, container""".stripMargin,
+    // q_m36: the PCM contract re-derived arithmetically — DuckDB
+    // cannot decode FLAC, so sample identity comes from
+    // FlacPcmFixture's id functions; the engine must reproduce them
+    // through the REAL decoder (and the fixture build asserts the
+    // round-trip byte-for-byte, plus STREAMINFO-MD5 end to end)
+    "q_m36_flac_pcm" ->
+      s"""WITH fl AS (
+         |  SELECT media_id, media_id % 6 AS cls,
+         |    CAST(600 + (media_id % 5) * 37 AS BIGINT) AS n,
+         |    CASE WHEN media_id % 6 IN (3, 4) THEN 2 ELSE 1 END AS ch
+         |  FROM read_parquet('${Tables.flacpcmFixturePath}')
+         |  WHERE media_id % 6 <> 5),
+         | fi AS (
+         |  SELECT media_id, cls, n, ch,
+         |    unnest(generate_series(0, CAST(n * ch - 1 AS INT))) AS i
+         |  FROM fl),
+         | fs AS (
+         |  SELECT media_id, n, ch, i,
+         |    CASE cls
+         |      WHEN 0 THEN (media_id * 37) % 8192 - 4096
+         |      WHEN 1 THEN ((media_id + 7) * 31 + i * 13
+         |        + ((i * i) % 1009) * 7) % 8192 - 4096
+         |      WHEN 2 THEN (i * i + media_id * 11) % 4001 - 2000
+         |      WHEN 3 THEN CASE WHEN i % 2 = 0
+         |        THEN ((i // 2) * 29 + media_id * 13) % 6000 - 3000
+         |        ELSE ((i // 2) * 23 + media_id * 17) % 6000 - 3000 END
+         |      ELSE CASE WHEN i % 2 = 0
+         |        THEN ((i // 2) * 41 + media_id * 7) % 5000 - 2500
+         |        ELSE ((i // 2) * 43 + media_id * 5) % 5000 - 2500 END
+         |    END AS s
+         |  FROM fi)
+         | SELECT media_id, CAST(16000 AS INT) AS sample_rate,
+         |   CAST(max(ch) AS INT) AS channels, CAST(16 AS INT) AS bits,
+         |   max(n) AS n_samples, TRUE AS md5_ok,
+         |   CAST(SUM(s) AS BIGINT) AS pcm_sum,
+         |   CAST(SUM(s * ((i % 97) + 1)) AS BIGINT) AS pcm_dot
+         | FROM fs GROUP BY media_id""".stripMargin,
     // q_m35: the animated-WebP container re-walked from raw bytes —
     // a recursive chunk scan mirroring the engine's totality rule
     // (stop at the first chunk that overruns the file, so the

@@ -298,6 +298,17 @@ object Tables {
   }
   def warcgz(spark: SparkSession): DataFrame = spark.read.parquet(warcgzFixturePath)
 
+  /** flacpcm(media_id BIGINT, mime_type STRING, media BINARY) —
+   * repo-local REAL-FLAC fixture (tools.FlacPcmFixture: fully
+   * decodable RFC 9639 streams over id-contract PCM, every subframe
+   * type and stereo decorrelation mode; junk rows). Distinct from
+   * `flac.parquet`, the sync-scan LOCATOR fixture. */
+  def flacpcmFixturePath: String = {
+    val local = new java.io.File("fixtures/flacpcm.parquet")
+    if (local.exists) local.getAbsolutePath else "/root/repo/fixtures/flacpcm.parquet"
+  }
+  def flacpcm(spark: SparkSession): DataFrame = spark.read.parquet(flacpcmFixturePath)
+
   /** zst(media_id BIGINT, mime_type STRING, media BINARY) — repo-local
    * deterministic zstd-transport fixture (tools.ZstFixture: `.jsonl`
    * shards in zstd/multi-frame-zstd/gzip/plain codecs, IIPC

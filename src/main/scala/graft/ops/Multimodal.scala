@@ -2694,6 +2694,7 @@ object Multimodal {
     def decodeAudio(bytes: Array[Byte]): Option[Array[Float]] =
       wavEnvelope(bytes).orElse(adpcmEnvelope(bytes))
         .orElse(aiffEnvelope(bytes)).orElse(auEnvelope(bytes))
+        .orElse(Flac.envelope(bytes)) // real FLAC decode (graft.ops.Flac)
 
     private def wavEnvelope(bytes: Array[Byte]): Option[Array[Float]] =
       AvHeaders.wavSamples(bytes).flatMap { case (fmtTag, channels, bits, off, len) =>

@@ -210,6 +210,13 @@ object ArchiveScaleProbe {
       graft.ops.ZstdTransport.tarZstMemberTable(spark, tarZsts).count())
     tarZsts.unpersist()
 
+    // FLAC: full real decode (every subframe family in the template
+    // cycle) — the audio twin of the image-decode rows
+    val flacs = corpus(Seq(FlacPcmFixture.row(1L)._2, FlacPcmFixture.row(2L)._2,
+      FlacPcmFixture.row(3L)._2, FlacPcmFixture.row(4L)._2), "audio/flac")
+    timed("flac_pcm_decode")(graft.ops.Flac.pcmTable(spark, flacs).count())
+    flacs.unpersist()
+
     spark.stop()
   }
 }

@@ -753,5 +753,9 @@ class PlanAuditSpec extends SparkSpec {
         Tables.zst(spark).filter(col("media_id") % 3 === 2))) { plan =>
       assert(shuffles(plan).isEmpty, s"${shuffles(plan).size} shuffles:\n$plan")
     }
+    // FLAC PCM decode: one decode per blob inside its partition
+    audited(graft.ops.Flac.pcmTable(spark, Tables.flacpcm(spark))) { plan =>
+      assert(shuffles(plan).isEmpty, s"${shuffles(plan).size} shuffles:\n$plan")
+    }
   }
 }

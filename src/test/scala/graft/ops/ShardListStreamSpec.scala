@@ -526,4 +526,14 @@ class ShardListStreamSpec extends SparkSpec {
     }
     streamed("tarzst_stream", rows, ZstdTransport.tarZstMemberTable)
   }
+
+  test("streamed FLAC PCM decode equals the batch walk over the grown directory") {
+    // the decode is a stateless per-blob pass — same append-mode
+    // batch-equivalence as every shard-list walker
+    val rows = (0L until 24L).map { id =>
+      val (mime, bytes) = graft.tools.FlacPcmFixture.row(id)
+      (id, mime, bytes)
+    }
+    streamed("flacpcm_stream", rows, Flac.pcmTable)
+  }
 }
