@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Archives, Captions, Correlate, Dedup, ImageHash, Ingest, Metrics, Multimodal, Pii, Relational, Sampling, Schedule, Similarity, TextAnalysis, ZstdTransport}
+import graft.ops.{Archives, AudioFp, Captions, Correlate, Dedup, ImageHash, Ingest, Metrics, Multimodal, Pii, Relational, Sampling, Schedule, Similarity, TextAnalysis, ZstdTransport}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
  *
@@ -833,6 +833,17 @@ object SparkEntry {
     // exact). Pure map-side decode
     "q_m36_flac_pcm" -> ((s, _) =>
       graft.ops.Flac.pcmTable(s, Tables.flacpcm(s))),
+    // q_m37: perceptual AUDIO near-dedup — the audio member of the
+    // modality matrix (text SimHash, image dHash, audio THIS):
+    // Haitsma–Kalker energy-delta fingerprints over a real FFT,
+    // banded pigeonhole pair join (guaranteed recall at Hamming ≤ 3).
+    // Recovers each WAV ↔ level-changed-FLAC re-encode pair; the
+    // fixture build asserts exact pair recall AND zero cross-group
+    // pairs on the committed bytes
+    "q_m37_audio_neardup" -> ((s, _) =>
+      AudioFp.nearDupPairs(
+        AudioFp.fingerprintTable(s, Tables.audiodup(s)))
+        .select("media_id_a", "media_id_b")),
     // q_w29: sitemap URL entries — the operator-DECLARED page list:
     // documents discovered through robots `Sitemap:` lines (ARBITRARY
     // URLs, q_w28's channel) and the well-known /sitemap.xml path,
@@ -4598,6 +4609,15 @@ object SparkEntry {
          |   CAST(SUM(s) AS BIGINT) AS pcm_sum,
          |   CAST(SUM(s * ((i % 97) + 1)) AS BIGINT) AS pcm_dot
          | FROM fs GROUP BY media_id""".stripMargin,
+    // q_m37: the pair contract — DuckDB cannot FFT, so the oracle is
+    // the id arithmetic the fixture build asserted on the actual
+    // bytes (exact recall at Hamming ≤ 3, zero cross-group pairs);
+    // the engine must reproduce the pair set through the REAL
+    // decode → FFT → banded-join pipeline
+    "q_m37_audio_neardup" ->
+      s"""SELECT media_id AS media_id_a, media_id + 1 AS media_id_b
+         | FROM read_parquet('${Tables.audiodupFixturePath}')
+         | WHERE media_id % 2 = 0 AND (media_id // 2) % 8 <> 7""".stripMargin,
     // q_m35: the animated-WebP container re-walked from raw bytes —
     // a recursive chunk scan mirroring the engine's totality rule
     // (stop at the first chunk that overruns the file, so the

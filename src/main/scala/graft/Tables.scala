@@ -298,6 +298,16 @@ object Tables {
   }
   def warcgz(spark: SparkSession): DataFrame = spark.read.parquet(warcgzFixturePath)
 
+  /** audiodup(media_id BIGINT, mime_type STRING, media BINARY) —
+   * repo-local audio near-duplicate fixture (tools.AudioDupFixture:
+   * per group a 16-bit WAV and a FLAC re-encode of the level-changed
+   * lightly-perturbed signal; junk groups). */
+  def audiodupFixturePath: String = {
+    val local = new java.io.File("fixtures/audiodup.parquet")
+    if (local.exists) local.getAbsolutePath else "/root/repo/fixtures/audiodup.parquet"
+  }
+  def audiodup(spark: SparkSession): DataFrame = spark.read.parquet(audiodupFixturePath)
+
   /** flacpcm(media_id BIGINT, mime_type STRING, media BINARY) —
    * repo-local REAL-FLAC fixture (tools.FlacPcmFixture: fully
    * decodable RFC 9639 streams over id-contract PCM, every subframe

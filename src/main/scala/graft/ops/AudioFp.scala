@@ -1,0 +1,224 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Multimodal.MediaRow
+
+/**
+ * Perceptual AUDIO near-duplicate detection — the audio member of
+ * the modality-dedup matrix (text SimHash/MinHash, image dHash,
+ * audio THIS): a speech/audio corpus is full of re-encodes (WAV ↔
+ * FLAC), level changes and light edits of the same recording, which
+ * byte hashing can never catch.
+ *
+ * Fingerprint (the classic Haitsma–Kalker shape): decode to signed
+ * mono PCM, Hann-window 1024-sample frames, real FFT, 17 log-spaced
+ * band energies, one bit per adjacent-band energy-delta difference
+ * against the previous frame — `E(f,b)−E(f,b+1) − (E(f−1,b)−E(f−1,b+1)) > 0`.
+ * Energy-delta SIGNS are exactly invariant to global amplitude
+ * scaling (energies scale uniformly by c²) and to lossless re-encoes
+ * (identical PCM), and robust to small additive noise (only
+ * borderline bits flip).
+ *
+ * Signature: 16 bits from each of FOUR frames evenly spaced through
+ * the signal — 64 bits as four 16-bit bands, the SAME pigeonhole
+ * banding as the image dHash family: any pair within Hamming
+ * distance 3 shares an untouched band, so the bucket join is a
+ * guaranteed-recall candidate generator. The pair join ships four
+ * ints per blob; audio bytes never shuffle.
+ */
+object AudioFp {
+
+  private[ops] val FrameLen = 1024
+  private[ops] val Bands = 17 // 16 delta bits
+  val SigBands = 4
+  val BitsPerBand = 16
+
+  /** Signed, normalized, channel-averaged mono samples — WAV linear
+   * PCM (8/16-bit) via the header walk, FLAC via the real decoder.
+   * This is deliberately NOT the |amplitude| envelope the feature
+   * face uses: the fingerprint needs the waveform, and both decode
+   * paths must produce the IDENTICAL representation for the same PCM
+   * (a WAV and its FLAC re-encode fingerprint equal). */
+  private[ops] def monoSamples(b: Array[Byte]): Option[Array[Float]] = {
+    val wav = Multimodal.AvHeaders.wavSamples(b).collect {
+      case (1, ch, bits, off, len) =>
+        val bytesPer = bits / 8
+        val frameBytes = ch * bytesPer
+        val n = math.min(len, b.length - off) / frameBytes
+        val out = new Array[Float](n)
+        var t = 0
+        while (t < n) {
+          var acc = 0f
+          var c = 0
+          while (c < ch) {
+            val o = off + t * frameBytes + c * bytesPer
+            acc += (if (bits == 8) ((b(o) & 0xff) - 128) / 128f
+            else ((b(o) & 0xff) | (b(o + 1) << 8)) / 32768f)
+            c += 1
+          }
+          out(t) = acc / ch
+          t += 1
+        }
+        out
+    }
+    wav.orElse(Flac.decode(b).filter(_.samples.nonEmpty).map { p =>
+      val scale = (1 << (p.bits - 1)).toFloat
+      val n = p.samples.length / p.channels
+      val out = new Array[Float](n)
+      var t = 0
+      while (t < n) {
+        var acc = 0f
+        var c = 0
+        while (c < p.channels) { acc += p.samples(t * p.channels + c); c += 1 }
+        out(t) = acc / p.channels / scale
+        t += 1
+      }
+      out
+    })
+  }
+
+  /** In-place iterative radix-2 FFT (re, im of length n = 2^k). */
+  private[ops] def fft(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    // bit-reversal permutation
+    var j = 0
+    var i = 1
+    while (i < n) {
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * math.Pi / len
+      val wr = math.cos(ang)
+      val wi = math.sin(ang)
+      var s = 0
+      while (s < n) {
+        var cr = 1.0
+        var ci = 0.0
+        var k = 0
+        while (k < len / 2) {
+          val ur = re(s + k); val ui = im(s + k)
+          val vr = re(s + k + len / 2) * cr - im(s + k + len / 2) * ci
+          val vi = re(s + k + len / 2) * ci + im(s + k + len / 2) * cr
+          re(s + k) = ur + vr; im(s + k) = ui + vi
+          re(s + k + len / 2) = ur - vr; im(s + k + len / 2) = ui - vi
+          val ncr = cr * wr - ci * wi
+          ci = cr * wi + ci * wr
+          cr = ncr
+          k += 1
+        }
+        s += len
+      }
+      len <<= 1
+    }
+  }
+
+  /** Log-spaced band edges over FFT bins [4, 512). */
+  private[ops] val BandEdges: Array[Int] = {
+    val lo = math.log(4.0)
+    val hi = math.log(FrameLen / 2.0)
+    Array.tabulate(Bands + 1)(i =>
+      math.round(math.exp(lo + (hi - lo) * i / Bands)).toInt)
+  }
+
+  /** Band energies of the 1024-sample frame at `off`. */
+  private[ops] def bandEnergies(s: Array[Float], off: Int): Array[Double] = {
+    val re = new Array[Double](FrameLen)
+    val im = new Array[Double](FrameLen)
+    var i = 0
+    while (i < FrameLen) {
+      val w = 0.5 - 0.5 * math.cos(2.0 * math.Pi * i / (FrameLen - 1))
+      re(i) = s(off + i) * w
+      i += 1
+    }
+    fft(re, im)
+    val e = new Array[Double](Bands)
+    var b = 0
+    while (b < Bands) {
+      var k = BandEdges(b)
+      var acc = 0.0
+      while (k < BandEdges(b + 1)) { acc += re(k) * re(k) + im(k) * im(k); k += 1 }
+      e(b) = acc
+      b += 1
+    }
+    e
+  }
+
+  /** 16 energy-delta bits of the frame at `off` against the frame
+   * one hop (FrameLen/2) earlier. */
+  private[ops] def frameBits(s: Array[Float], off: Int): Int = {
+    val cur = bandEnergies(s, off)
+    val prev = bandEnergies(s, off - FrameLen / 2)
+    var bits = 0
+    var b = 0
+    while (b < Bands - 1) {
+      val d = (cur(b) - cur(b + 1)) - (prev(b) - prev(b + 1))
+      if (d > 0) bits |= 1 << b
+      b += 1
+    }
+    bits
+  }
+
+  /** The 64-bit signature as four 16-bit bands: frame bits at four
+   * positions evenly spaced through the signal. None when the audio
+   * doesn't decode or is too short for the four windows. */
+  private[graft] def signature(bytes: Array[Byte]): Option[Array[Int]] =
+    monoSamples(bytes).filter(_.length >= 4 * FrameLen).map { s =>
+      val span = s.length - FrameLen
+      Array.tabulate(SigBands) { k =>
+        // positions 1/5..4/5, floored to the hop grid, never < one hop
+        val off = math.max(FrameLen / 2,
+          math.min(span, (span.toLong * (k + 1) / 5).toInt))
+        frameBits(s, off)
+      }
+    }
+
+  /** Per-blob fingerprint table (q_m37 feeds on this): media_id,
+   * b0..b3, fp_hex. Pure map-side — one decode + 8 FFTs per blob
+   * inside its partition; only the 4-int signature leaves. */
+  def fingerprintTable(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("mime_type"), col("media"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap(r => signature(r.media).map(b =>
+          (r.media_id, b(0), b(1), b(2), b(3))))
+      }
+      .toDF("media_id", "b0", "b1", "b2", "b3")
+      .withColumn("fp_hex", concat(
+        lower(lpad(hex(col("b3")), 4, "0")), lower(lpad(hex(col("b2")), 4, "0")),
+        lower(lpad(hex(col("b1")), 4, "0")), lower(lpad(hex(col("b0")), 4, "0"))))
+  }
+
+  /** Banded near-dup pair join — identical math to the image dHash
+   * family: bucket on any equal band (guaranteed recall at Hamming
+   * ≤ 3 by pigeonhole over 4 bands), verify the full 64-bit distance.
+   * Only (id, 4 ints) rows shuffle. */
+  def nearDupPairs(fps: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val bands = (0 until SigBands).map { b =>
+      fps.select(col("media_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+        lit(b).as("band"), col(s"b$b").as("key"))
+    }.reduce(_.unionByName(_))
+    val l = bands.as("l")
+    val r = bands.as("r")
+    def pop(i: Int) = bit_count(
+      expr(s"l.b$i").bitwiseXOR(expr(s"r.b$i")))
+    l.join(r,
+      col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+        col("l.media_id") < col("r.media_id"))
+      .select(col("l.media_id").as("media_id_a"),
+        col("r.media_id").as("media_id_b"),
+        (pop(0) + pop(1) + pop(2) + pop(3)).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+}

@@ -217,6 +217,13 @@ object ArchiveScaleProbe {
     timed("flac_pcm_decode")(graft.ops.Flac.pcmTable(spark, flacs).count())
     flacs.unpersist()
 
+    // audio fingerprints: decode + 8 FFTs per blob + banded pair join
+    val auds = corpus(Seq(AudioDupFixture.row(0L)._2, AudioDupFixture.row(1L)._2,
+      AudioDupFixture.row(2L)._2, AudioDupFixture.row(3L)._2), "audio/wav")
+    timed("audio_fingerprint")(
+      graft.ops.AudioFp.fingerprintTable(spark, auds).count())
+    auds.unpersist()
+
     spark.stop()
   }
 }

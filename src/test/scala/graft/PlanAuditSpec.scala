@@ -757,5 +757,11 @@ class PlanAuditSpec extends SparkSpec {
     audited(graft.ops.Flac.pcmTable(spark, Tables.flacpcm(spark))) { plan =>
       assert(shuffles(plan).isEmpty, s"${shuffles(plan).size} shuffles:\n$plan")
     }
+    // audio fingerprints: decode + FFTs map-side, zero exchanges;
+    // the pair join ships only (id, 4 ints) rows
+    audited(graft.ops.AudioFp.fingerprintTable(spark,
+        Tables.audiodup(spark))) { plan =>
+      assert(shuffles(plan).isEmpty, s"${shuffles(plan).size} shuffles:\n$plan")
+    }
   }
 }

@@ -1,0 +1,64 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.tools.{AudioDupFixture, FlacEncoder}
+
+class AudioFpSpec extends SparkSpec {
+
+  test("fft matches the direct DFT on a small frame") {
+    val n = 16
+    val re = Array.tabulate(n)(i => math.sin(i * 0.7) + 0.3 * math.cos(i * 2.1))
+    val im = new Array[Double](n)
+    val fr = re.clone(); val fi = im.clone()
+    AudioFp.fft(fr, fi)
+    for (k <- 0 until n) {
+      var dr = 0.0; var di = 0.0
+      for (t <- 0 until n) {
+        val a = -2 * math.Pi * k * t / n
+        dr += re(t) * math.cos(a); di += re(t) * math.sin(a)
+      }
+      assert(math.abs(fr(k) - dr) < 1e-9 && math.abs(fi(k) - di) < 1e-9, s"bin $k")
+    }
+  }
+
+  test("fingerprint is exactly invariant to global amplitude scaling") {
+    val pcm = AudioDupFixture.basePcm(3L)
+    val wav = AudioDupFixture.wav(pcm)
+    // float-domain halving BEFORE quantization: energies scale by c²
+    // uniformly, every delta sign unchanged
+    val half = AudioDupFixture.wav(pcm.map(_ / 2))
+    val a = AudioFp.signature(wav).get
+    val b = AudioFp.signature(half).get
+    // /2 on ints is not exactly c× (truncation), so allow the same
+    // near-dup bound the pair face uses rather than bit equality
+    val d = (0 until 4).map(k => Integer.bitCount(a(k) ^ b(k))).sum
+    assert(d <= 3, s"halved level at hamming $d")
+  }
+
+  test("a WAV and its lossless FLAC re-encode fingerprint IDENTICALLY") {
+    val pcm = AudioDupFixture.basePcm(5L)
+    val wav = AudioDupFixture.wav(pcm)
+    val flac = FlacEncoder.encode(pcm, 1, AudioDupFixture.SampleRate, 1024,
+      Seq(FlacEncoder.FramePlan(FlacEncoder.Verbatim, 0, 0, 0)))
+    assert(AudioFp.signature(wav).get.toSeq == AudioFp.signature(flac).get.toSeq)
+  }
+
+  test("junk and too-short audio claim nothing") {
+    assert(AudioFp.signature("not audio".getBytes("US-ASCII")).isEmpty)
+    assert(AudioFp.signature(
+      AudioDupFixture.wav(Array.fill(1000)(5))).isEmpty) // < 4 frames
+  }
+
+  test("pair face: exact pair set over the fixture, banded join recall") {
+    import spark.implicits._
+    val rows = (0L until 32L).map { id =>
+      val (m, b) = AudioDupFixture.row(id); (id, m, b)
+    }
+    val fps = AudioFp.fingerprintTable(spark,
+      rows.toDF("media_id", "mime_type", "media"))
+    val pairs = AudioFp.nearDupPairs(fps)
+      .select("media_id_a", "media_id_b").as[(Long, Long)].collect().toSet
+    val want = (0L until 16L).filter(_ % 8 != 7).map(g => (2 * g, 2 * g + 1)).toSet
+    assert(pairs == want, s"got $pairs")
+  }
+}
