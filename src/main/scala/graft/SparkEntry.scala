@@ -4941,6 +4941,22 @@ object SparkEntry {
          |    FROM sl WHERE ds > 0 AND de > ds) t)
          | SELECT media_id, CAST(page_obj AS INT) AS page_obj,
          |   CAST(content_obj AS INT) AS content_obj,
+         |   CASE WHEN data LIKE '%/FU%Tf%' THEN
+         |     -- the ToUnicode page: the shown CODES prove nothing
+         |     -- without the CMap, so the oracle re-derives the MAPPED
+         |     -- text from PdfFixture's id contract (A-Z → Cyrillic
+         |     -- for the 1-byte class, U+4E01.. codes for the 2-byte
+         |     -- class — uShow/uMapped)
+         |     CASE WHEN media_id % 2 = 0
+         |       THEN translate('DOC ' || media_id || ' MAP',
+         |         'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+         |         'АБВГДЕЖЗИЙКЛМНОПРСТУФХЦЧШЩ')
+         |       ELSE chr(CAST(19969 + media_id % 10 AS INT))
+         |         || chr(CAST(19969 + (media_id + 1) % 10 AS INT))
+         |         || chr(CAST(19969 + (media_id + 2) % 10 AS INT))
+         |         || chr(CAST(19969 + (media_id + 3) % 10 AS INT))
+         |         || chr(20013) END
+         |   ELSE
          |   -- every show operator in stream order: literal/hex
          |   -- Tj|'|" plus kerned [ … ] TJ arrays whose pieces
          |   -- concatenate (the engine's pdfShowText contract)
@@ -4959,7 +4975,8 @@ object SparkEntry {
          |           THEN substr(q, 2, len(q) - 2)
          |           ELSE decode(unhex(regexp_replace(
          |             substr(q, 2, len(q) - 2), '\\s', '', 'g'))) END), '')
-         |     END), ' ') AS text
+         |     END), ' ')
+         |   END AS text
          | FROM dec""".stripMargin,
     // q_w19: PDFWALK + the keep-latest window (smallest section_idx
     // per object wins) — rank BEFORE the in-use filter, so a deleted

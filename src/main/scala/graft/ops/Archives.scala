@@ -2230,6 +2230,37 @@ object Archives {
     }.filter(e => e.inUse && e.objLen.isDefined && e.body.isDefined)
       .map(e => e.num -> e).toMap
     val contentsRe = "/Contents ([0-9]+) ([0-9]+) R".r
+    // /Resources (inline dict or indirect ref) → /Font << /Fx n g R >>
+    // → per font /ToUnicode m g R → CMap stream → PdfFontMap
+    def streamOf(objNum: Int): Option[String] =
+      resolved.get(objNum).filter(_.kind == "direct").flatMap { ce =>
+        val cb = ce.body.get
+        val ds = cb.indexOf("stream\n")
+        val de = cb.indexOf("\nendstream")
+        if (ds < 0 || de < ds) None
+        else decodeFiltered(cb.substring(ds + 7, de), cb.substring(0, ds))
+      }
+    val fontEntryRe = "/([A-Za-z0-9]+)[ \\t\\r\\n]+(\\d+)[ \\t\\r\\n]+\\d+[ \\t\\r\\n]+R".r
+    val toUniRe = "/ToUnicode[ \\t\\r\\n]+(\\d+)[ \\t\\r\\n]+\\d+[ \\t\\r\\n]+R".r
+    val fontDictRe = "(?s)/Font[ \\t\\r\\n]*<<(.*?)>>".r
+    val resIndRe = "/Resources[ \\t\\r\\n]+(\\d+)[ \\t\\r\\n]+\\d+[ \\t\\r\\n]+R".r
+    def fontsOf(pageBody: String): Map[String, PdfFontMap] = {
+      val resBody: Option[String] =
+        resIndRe.findFirstMatchIn(pageBody) match {
+          case Some(m) => resolved.get(m.group(1).toInt).flatMap(_.body)
+          case None if pageBody.contains("/Resources") => Some(pageBody)
+          case None => None
+        }
+      resBody.flatMap(rb => fontDictRe.findFirstMatchIn(rb)).map { fd =>
+        fontEntryRe.findAllMatchIn(fd.group(1)).flatMap { fm =>
+          resolved.get(fm.group(2).toInt).flatMap(_.body).flatMap { fbody =>
+            toUniRe.findFirstMatchIn(fbody)
+              .flatMap(tm => streamOf(tm.group(1).toInt))
+              .flatMap(pdfCmap)
+          }.map(fm.group(1) -> _)
+        }.toMap
+      }.getOrElse(Map.empty)
+    }
     resolved.toSeq.sortBy(_._1).flatMap { case (num, e) =>
       if (!e.objType.contains("Page")) None
       else contentsRe.findFirstMatchIn(e.body.get).flatMap { m =>
@@ -2241,7 +2272,7 @@ object Archives {
             if (ds < 0 || de < ds) None
             else decodeFiltered(cbody.substring(ds + 7, de),
                 cbody.substring(0, ds)).map { d =>
-              (num, ce.num, pdfShowText(d))
+              (num, ce.num, pdfShowText(d, fontsOf(e.body.get)))
             }
           }
       }
@@ -2264,25 +2295,120 @@ object Archives {
     new String(out, java.nio.charset.StandardCharsets.ISO_8859_1)
   }
 
+  /** One font's /ToUnicode mapping: character-code width in bytes
+   * (from the codespacerange hi endpoint) and code → Unicode string
+   * (UTF-16BE destinations, possibly multi-char). */
+  private[ops] final case class PdfFontMap(codeBytes: Int, map: Map[Int, String])
+
+  /** Parse a /ToUnicode CMap stream (ISO 32000 §9.10.3 / Adobe CMap
+   * grammar, the subset embedded fonts actually carry):
+   * `begincodespacerange` fixes the code width (2 hex digits = 1-byte
+   * simple font, 4 = 2-byte CID font), `beginbfchar` pairs and
+   * `beginbfrange` triples — both the incremented-destination form
+   * `<lo> <hi> <dst>` and the explicit-array form
+   * `<lo> <hi> [<d0> <d1> …]` — populate the map; destinations are
+   * UTF-16BE and may be multi-code-unit (ligatures). Anything
+   * malformed contributes nothing (tolerance). */
+  private[ops] def pdfCmap(text: String): Option[PdfFontMap] = {
+    def hx(s: String): Int = java.lang.Integer.parseInt(s, 16)
+    def utf16(hex: String): String = {
+      val e = if (hex.length % 2 == 1) hex + "0" else hex
+      val bytes = new Array[Byte](e.length / 2)
+      var i = 0
+      while (i < bytes.length) {
+        bytes(i) = hx(e.substring(2 * i, 2 * i + 2)).toByte
+        i += 1
+      }
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_16BE)
+    }
+    val csr = ("begincodespacerange\\s*<([0-9A-Fa-f]+)>\\s*" +
+      "<([0-9A-Fa-f]+)>").r
+    val width = csr.findFirstMatchIn(text)
+      .map(m => math.max(1, m.group(2).length / 2)).getOrElse(1)
+    if (width > 2) return None // 3/4-byte code spaces out of scope
+    val map = scala.collection.mutable.Map.empty[Int, String]
+    val pair = "<([0-9A-Fa-f]+)>\\s*<([0-9A-Fa-f]+)>".r
+    "(?s)beginbfchar(.*?)endbfchar".r.findAllMatchIn(text).foreach { m =>
+      pair.findAllMatchIn(m.group(1)).foreach { p =>
+        map(hx(p.group(1))) = utf16(p.group(2))
+      }
+    }
+    val triple = ("<([0-9A-Fa-f]+)>\\s*<([0-9A-Fa-f]+)>\\s*" +
+      "(?:<([0-9A-Fa-f]+)>|\\[([^\\]]*)\\])").r
+    val hexTok = "<([0-9A-Fa-f]+)>".r
+    "(?s)beginbfrange(.*?)endbfrange".r.findAllMatchIn(text).foreach { m =>
+      triple.findAllMatchIn(m.group(1)).foreach { t =>
+        val lo = hx(t.group(1))
+        val hi = hx(t.group(2))
+        if (hi >= lo && hi - lo <= 0xFFFF) {
+          if (t.group(3) != null) {
+            val base = utf16(t.group(3))
+            if (base.nonEmpty) (lo to hi).foreach { c =>
+              // the incremented form bumps the LAST UTF-16 code unit
+              map(c) = base.init + (base.last + (c - lo)).toChar
+            }
+          } else {
+            val dsts = hexTok.findAllMatchIn(t.group(4)).map(_.group(1)).toSeq
+            (lo to hi).zip(dsts).foreach { case (c, d) => map(c) = utf16(d) }
+          }
+        }
+      }
+    }
+    if (map.isEmpty) None else Some(PdfFontMap(width, map.toMap))
+  }
+
+  /** Map one shown string's RAW bytes through the current font's
+   * ToUnicode table: bytes group into codeBytes-wide codes, mapped
+   * codes emit their Unicode, unmapped codes claim nothing (the
+   * bytes prove no text). Fonts without a table pass the bytes
+   * through as ISO-8859-1 — the historical no-font behavior. */
+  private def pdfMapShown(raw: String, font: Option[PdfFontMap]): String =
+    font match {
+      case None => raw
+      case Some(f) =>
+        val bytes = raw.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+        val sb = new StringBuilder
+        var i = 0
+        while (i + f.codeBytes <= bytes.length) {
+          var code = 0
+          var k = 0
+          while (k < f.codeBytes) { code = (code << 8) | (bytes(i + k) & 0xff); k += 1 }
+          f.map.get(code).foreach(sb ++= _)
+          i += f.codeBytes
+        }
+        sb.toString
+    }
+
   /** All text-SHOW operators of one decoded content stream, in stream
    * order, one string per operator, joined with a single space:
    * `(…) Tj`, the move-and-show `'` and `"` forms, hex-string
    * variants `<…> Tj|'|"`, and kerned `[ … ] TJ` arrays whose
-   * literal/hex pieces concatenate (kerning numbers drop). Literal
-   * strings with escaped or nested parentheses are out of contract
-   * (the `[^()]*` rule the oracle replays verbatim). */
-  private[ops] def pdfShowText(d: String): String = {
-    val showRe = ("\\(([^()]*)\\)[ \\t\\r\\n]*(?:Tj|'|\")" +
+   * literal/hex pieces concatenate (kerning numbers drop). `Tf`
+   * operators are tracked in stream order: shows under a font with a
+   * /ToUnicode CMap decode through it ([[pdfMapShown]]); fonts
+   * without one — and text before any `Tf` — keep the historical
+   * byte-literal behavior. Literal strings with escaped or nested
+   * parentheses are out of contract (the `[^()]*` rule the oracle
+   * replays verbatim). */
+  private[ops] def pdfShowText(d: String,
+      fonts: Map[String, PdfFontMap] = Map.empty): String = {
+    val tokenRe = ("/([A-Za-z0-9.+-]+)[ \\t\\r\\n]+[-0-9.]+[ \\t\\r\\n]+Tf" +
+      "|\\(([^()]*)\\)[ \\t\\r\\n]*(?:Tj|'|\")" +
       "|<([0-9A-Fa-f \\t\\r\\n]*)>[ \\t\\r\\n]*(?:Tj|'|\")" +
       "|\\[([^\\[\\]]*)\\][ \\t\\r\\n]*TJ").r
     val pieceRe = "\\(([^()]*)\\)|<([0-9A-Fa-f \\t\\r\\n]*)>".r
-    showRe.findAllMatchIn(d).map { m =>
-      if (m.group(1) != null) m.group(1)
-      else if (m.group(2) != null) pdfHexString(m.group(2))
-      else pieceRe.findAllMatchIn(m.group(3)).map { p =>
-        if (p.group(1) != null) p.group(1) else pdfHexString(p.group(2))
+    var font: Option[PdfFontMap] = None
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    tokenRe.findAllMatchIn(d).foreach { m =>
+      if (m.group(1) != null) font = fonts.get(m.group(1))
+      else if (m.group(2) != null) out += pdfMapShown(m.group(2), font)
+      else if (m.group(3) != null) out += pdfMapShown(pdfHexString(m.group(3)), font)
+      else out += pieceRe.findAllMatchIn(m.group(4)).map { p =>
+        pdfMapShown(
+          if (p.group(1) != null) p.group(1) else pdfHexString(p.group(2)), font)
       }.mkString
-    }.mkString(" ")
+    }
+    out.mkString(" ")
   }
 
   /** Inflate a raw zlib stream, None past `cap` bytes or on corrupt

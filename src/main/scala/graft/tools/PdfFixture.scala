@@ -43,14 +43,21 @@ object PdfFixture {
   def nPages(id: Long): Int = 1 + (id % 4).toInt
 
   /** Object bodies of the base file, in object-number order starting
-   * at 1: catalog, pages node, then per page (page object, content
-   * stream). Content text is deterministic and never contains
-   * `endobj`/`stream` tokens. */
+   * at 1: catalog, pages node, per page (page object, content
+   * stream), then the ToUnicode quartet ([[cmapStream]]): font,
+   * CMap stream, a page whose /Resources names the font, and its
+   * content stream selecting it with `Tf` — the font-ENCODED text
+   * class real PDFs carry (q_w21 must decode the codes through the
+   * CMap, not emit them as bytes). Content text is deterministic and
+   * never contains `endobj`/`stream` tokens. */
   def objects(id: Long): Seq[String] = {
     val k = nPages(id)
-    val kids = (0 until k).map(p => s"${3 + 2 * p} 0 R").mkString(" ")
+    val (uFont, uCmap, uPage, uContent) =
+      (3 + 2 * k, 4 + 2 * k, 5 + 2 * k, 6 + 2 * k)
+    val kids = ((0 until k).map(p => s"${3 + 2 * p} 0 R") :+ s"$uPage 0 R")
+      .mkString(" ")
     val catalog = "<< /Type /Catalog /Pages 2 0 R >>"
-    val pages = s"<< /Type /Pages /Kids [ $kids ] /Count $k >>"
+    val pages = s"<< /Type /Pages /Kids [ $kids ] /Count ${k + 1} >>"
     val perPage = (0 until k).flatMap { p =>
       val contentNum = 4 + 2 * p
       val text = pageShow(id, p)
@@ -58,8 +65,48 @@ object PdfFixture {
         s"<< /Type /Page /Parent 2 0 R /Contents $contentNum 0 R >>",
         s"<< /Length ${text.length} >>\nstream\n$text\nendstream")
     }
-    (catalog +: pages +: perPage)
+    val cmap = cmapStream(id)
+    val uText = uShow(id)
+    (catalog +: pages +: perPage) ++ Seq(
+      s"<< /Type /Font /Subtype /Type0 /ToUnicode $uCmap 0 R >>",
+      s"<< /Length ${cmap.length} >>\nstream\n$cmap\nendstream",
+      s"<< /Type /Page /Parent 2 0 R /Resources " +
+        s"<< /Font << /FU $uFont 0 R >> >> /Contents $uContent 0 R >>",
+      s"<< /Length ${uText.length} >>\nstream\n$uText\nendstream")
   }
+
+  /** The ToUnicode CMap: even ids a 1-BYTE simple-font mapping
+   * (A–Z shifted into Cyrillic А–Я, space–9 identity), odd ids a
+   * 2-BYTE CID mapping (codes 1–10 → U+4E01.., plus a bfchar); all
+   * bytes 7-bit ASCII so the oracle's VARCHAR decode stays total. */
+  def cmapStream(id: Long): String =
+    if (id % 2 == 0)
+      "begincodespacerange\n<00> <FF>\nendcodespacerange\n" +
+        "2 beginbfrange\n<41> <5A> <0410>\n<20> <39> <0020>\nendbfrange"
+    else
+      "begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n" +
+        "1 beginbfrange\n<0001> <000A> <4E01>\nendbfrange\n" +
+        "1 beginbfchar\n<000B> <4E2D>\nendbfchar"
+
+  /** The mapped page's content stream: `/FU … Tf` then one show
+   * whose CODES (not bytes) carry the text. */
+  def uShow(id: Long): String =
+    if (id % 2 == 0) s"BT /FU 12 Tf (DOC $id MAP) Tj ET"
+    else {
+      val codes = (0 until 4).map(j => 1 + ((id + j) % 10)) :+ 0x0BL
+      s"BT /FU 12 Tf <${codes.map(c => f"$c%04X").mkString}> Tj ET"
+    }
+
+  /** The mapped page's EXPECTED text — what the engine must decode
+   * through the CMap (the oracle re-derives the same string from the
+   * id contract, since the codes prove nothing without the map). */
+  def uMapped(id: Long): String =
+    if (id % 2 == 0)
+      s"DOC $id MAP".map(c =>
+        if (c >= 'A' && c <= 'Z') (0x410 + (c - 'A')).toChar else c)
+    else
+      ((0 until 4).map(j => (0x4E00 + 1 + ((id + j) % 10)).toChar) :+ 0x4E2D.toChar)
+        .mkString
 
   /** PDF hex-STRING content (the `<…>` form — no ASCIIHex `>` EOD). */
   def hexStr(s: String): String =

@@ -1190,17 +1190,48 @@ class ArchivesSpec extends SparkSpec {
 
   test("pdf page text: Tj strings per page; an updated page without /Contents drops out") {
     import graft.tools.PdfFixture
-    // plain single-section file: every page's text from the contract
+    // plain single-section file: every page's text from the contract,
+    // plus the ToUnicode page decoding through its CMap
     val id0 = 2L // nPages = 3
+    val k0 = PdfFixture.nPages(id0)
     val got0 = Archives.pdfPageTexts(PdfFixture.row(id0)._2)
-    assert(got0 == (0 until PdfFixture.nPages(id0)).map { p =>
+    assert(got0 == (0 until k0).map { p =>
       (3 + 2 * p, 4 + 2 * p, s"doc $id0 page $p")
-    })
+    } :+ ((5 + 2 * k0, 6 + 2 * k0, PdfFixture.uMapped(id0))))
     // update file: page object 3's revision has NO /Contents — page 0
     // must emit nothing, later pages unaffected
     val id1 = 1L // nPages = 2, incremental update rewrites obj 3
+    val k1 = PdfFixture.nPages(id1)
     val got1 = Archives.pdfPageTexts(PdfFixture.row(id1)._2)
-    assert(got1 == Seq((5, 6, s"doc $id1 page 1")))
+    assert(got1 == Seq((5, 6, s"doc $id1 page 1"),
+      (5 + 2 * k1, 6 + 2 * k1, PdfFixture.uMapped(id1))))
+  }
+
+  test("pdf ToUnicode: 1-byte and 2-byte CMaps decode show codes to text") {
+    import graft.tools.PdfFixture
+    // even id: 1-byte bfranges (A-Z → Cyrillic, space-9 identity)
+    assert(PdfFixture.uMapped(2L) == "ГОВ 2 МАП")
+    // odd id: 2-byte bfrange + bfchar (codes → U+4E01.., U+4E2D)
+    assert(PdfFixture.uMapped(5L).length == 5 &&
+      PdfFixture.uMapped(5L).last == 0x4E2D.toChar)
+    // the parser itself: both range forms, multi-char destinations
+    val cm1 = Archives.pdfCmap(
+      "begincodespacerange\n<00> <FF>\nendcodespacerange\n" +
+        "beginbfchar\n<61> <0041>\n<62> <00660069>\nendbfchar").get
+    assert(cm1.codeBytes == 1 && cm1.map(0x61) == "A" && cm1.map(0x62) == "fi")
+    val cm2 = Archives.pdfCmap(
+      "begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n" +
+        "beginbfrange\n<0010> <0012> [<0058> <0059> <005A>]\nendbfrange").get
+    assert(cm2.codeBytes == 2 &&
+      (0x10 to 0x12).map(cm2.map) == Seq("X", "Y", "Z"))
+    // unmapped codes claim nothing; text before any Tf stays literal
+    val fonts = Map("F9" -> Archives.PdfFontMap(1, Map('a'.toInt -> "Z")))
+    assert(Archives.pdfShowText("(raw) Tj /F9 1 Tf (aba) Tj", fonts) == "raw ZZ")
+    // a font the dict doesn't know resets to the literal behavior
+    assert(Archives.pdfShowText("/F9 1 Tf (aa) Tj /F0 1 Tf (aa) Tj", fonts)
+      == "ZZ aa")
+    // junk cmap claims nothing
+    assert(Archives.pdfCmap("no blocks here").isEmpty)
   }
 
   test("pdf show operators: TJ arrays, hex strings, move-and-show forms") {
