@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Archives, AudioFp, Captions, Correlate, Dedup, ImageHash, Ingest, Metrics, Multimodal, Pii, Relational, Sampling, Schedule, Similarity, TextAnalysis, ZstdTransport}
+import graft.ops.{Archives, AudioFp, Captions, VideoDup, Correlate, Dedup, ImageHash, Ingest, Metrics, Multimodal, Pii, Relational, Sampling, Schedule, Similarity, TextAnalysis, ZstdTransport}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
  *
@@ -844,6 +844,15 @@ object SparkEntry {
       AudioFp.nearDupPairs(
         AudioFp.fingerprintTable(s, Tables.audiodup(s)))
         .select("media_id_a", "media_id_b")),
+    // q_m38: video RE-MUX dedup — the video cell of the modality
+    // matrix: per video the ordered per-frame dHash sequence digest
+    // (real sample-table walks + real MJPEG pixel decode); equal
+    // digests = the same stream re-containered (MP4 ↔ AVI). The
+    // fixture build asserts cross-container hash identity and
+    // cross-group distinctness on the committed bytes
+    "q_m38_video_remux" -> ((s, _) =>
+      VideoDup.remuxPairs(
+        VideoDup.signatureTable(s, Tables.videodup(s)))),
     // q_w29: sitemap URL entries — the operator-DECLARED page list:
     // documents discovered through robots `Sitemap:` lines (ARBITRARY
     // URLs, q_w28's channel) and the well-known /sitemap.xml path,
@@ -4617,6 +4626,14 @@ object SparkEntry {
     "q_m37_audio_neardup" ->
       s"""SELECT media_id AS media_id_a, media_id + 1 AS media_id_b
          | FROM read_parquet('${Tables.audiodupFixturePath}')
+         | WHERE media_id % 2 = 0 AND (media_id // 2) % 8 <> 7""".stripMargin,
+    // q_m38: the re-mux pair contract — the fixture build asserted
+    // per-frame hash identity across containers and distinctness
+    // across groups on the actual bytes; the engine must reproduce
+    // the pair set through real sample-table walks + pixel decode
+    "q_m38_video_remux" ->
+      s"""SELECT media_id AS media_id_a, media_id + 1 AS media_id_b
+         | FROM read_parquet('${Tables.videodupFixturePath}')
          | WHERE media_id % 2 = 0 AND (media_id // 2) % 8 <> 7""".stripMargin,
     // q_m35: the animated-WebP container re-walked from raw bytes —
     // a recursive chunk scan mirroring the engine's totality rule

@@ -298,6 +298,16 @@ object Tables {
   }
   def warcgz(spark: SparkSession): DataFrame = spark.read.parquet(warcgzFixturePath)
 
+  /** videodup(media_id BIGINT, mime_type STRING, media BINARY) —
+   * repo-local video re-mux fixture (tools.VideoDupFixture: per group
+   * an MJPEG MP4 and an AVI carrying the SAME frame bytes; junk
+   * groups). */
+  def videodupFixturePath: String = {
+    val local = new java.io.File("fixtures/videodup.parquet")
+    if (local.exists) local.getAbsolutePath else "/root/repo/fixtures/videodup.parquet"
+  }
+  def videodup(spark: SparkSession): DataFrame = spark.read.parquet(videodupFixturePath)
+
   /** audiodup(media_id BIGINT, mime_type STRING, media BINARY) —
    * repo-local audio near-duplicate fixture (tools.AudioDupFixture:
    * per group a 16-bit WAV and a FLAC re-encode of the level-changed

@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Multimodal.MediaRow
+
+/**
+ * Video RE-MUX dedup — the video cell of the modality matrix (text
+ * SimHash, image dHash, audio spectral fingerprints, video THIS):
+ * the dominant duplication shape for video corpora is the SAME
+ * stream re-containered (MP4 ↔ AVI ↔ MKV re-muxes carry identical
+ * codec payloads behind different box/chunk framing), which byte
+ * hashing of the FILE can never catch but per-frame perceptual
+ * hashing catches exactly.
+ *
+ * Signature: walk the container's real sample tables (the AVI `movi`
+ * chunk walk / MP4 `stbl` walk the frame-sampling family already
+ * uses), decode every video frame (MJPEG — real pixels), dHash each
+ * with the image family's 64-bit grid hash, and digest the ORDERED
+ * hash sequence (md5 over the hex concatenation) together with the
+ * frame count. Re-muxed copies produce identical sequences;
+ * different content diverges at the first frame (the per-frame hash
+ * is the image family's, with its avalanche-backed distinctness).
+ *
+ * Scale shape: decode + hash are partition-local per blob; only
+ * (media_id, n_frames, 16-byte digest) rows reach the pair join —
+ * one exchange keyed on the digest, video bytes never shuffle.
+ */
+object VideoDup {
+
+  /** Ordered per-frame dHash hexes of the container's video frames
+   * (AVI `movi` chunks, else MP4 sample-table samples). Frames that
+   * fail pixel decode claim nothing — a video with NO decodable
+   * frame yields Nil. */
+  private[graft] def frameDhashSeq(b: Array[Byte]): Seq[String] = {
+    val spans = {
+      val avi = Multimodal.AvHeaders.aviVideoChunks(b)
+      if (avi.nonEmpty) avi else Multimodal.AvHeaders.mp4VideoSamples(b)
+    }
+    spans.flatMap { case (off, len) =>
+      if (off < 0 || len <= 0 || off.toLong + len > b.length) None
+      else ImageHash.dhashBands(
+        java.util.Arrays.copyOfRange(b, off, off + len)).map {
+        case (_, _, bands) =>
+          bands.reverseIterator.map(v => f"$v%04x").mkString
+      }
+    }
+  }
+
+  /** Per-video signature row: (media_id, n_frames, sig). */
+  def signatureTable(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("mime_type"), col("media"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val seq = frameDhashSeq(r.media)
+          if (seq.isEmpty) None
+          else {
+            val md = java.security.MessageDigest.getInstance("MD5")
+            val sig = md.digest(seq.mkString(",").getBytes("US-ASCII"))
+              .map(x => f"$x%02x").mkString
+            Some((r.media_id, seq.size, sig))
+          }
+        }
+      }
+      .toDF("media_id", "n_frames", "sig")
+  }
+
+  /** Re-mux pairs: equal frame count + equal ordered-hash digest.
+   * One digest-keyed exchange over fixed-shape rows. */
+  def remuxPairs(sigs: DataFrame): DataFrame = {
+    val l = sigs.as("l")
+    val r = sigs.as("r")
+    l.join(r, col("l.sig") === col("r.sig") &&
+        col("l.n_frames") === col("r.n_frames") &&
+        col("l.media_id") < col("r.media_id"))
+      .select(col("l.media_id").as("media_id_a"),
+        col("r.media_id").as("media_id_b"))
+  }
+}

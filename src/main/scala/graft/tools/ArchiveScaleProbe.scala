@@ -224,6 +224,14 @@ object ArchiveScaleProbe {
       graft.ops.AudioFp.fingerprintTable(spark, auds).count())
     auds.unpersist()
 
+    // video re-mux signatures: sample-table walk + per-frame JPEG
+    // decode + dHash per blob
+    val vids = corpus(Seq(VideoDupFixture.row(0L)._2, VideoDupFixture.row(1L)._2,
+      VideoDupFixture.row(2L)._2, VideoDupFixture.row(3L)._2), "video/mp4")
+    timed("video_remux_sig")(
+      graft.ops.VideoDup.signatureTable(spark, vids).count())
+    vids.unpersist()
+
     spark.stop()
   }
 }

@@ -94,12 +94,14 @@ object AvcMp4Fixture {
     val syncs = syncSamples(id).map(_.toInt).toSet
     val mdat = box("mdat",
       (0 until nf).flatMap(f => sample(id, f, s, syncs(f + 1))).toArray)
-    val stbl = box("stbl", stsdAvc(id) ++ stts(id) ++ stss(id) ++ stsc() ++
+    val (w, h, upf) = (MjpegMp4Fixture.width(id), MjpegMp4Fixture.height(id),
+      MjpegMp4Fixture.usPerFrame(id))
+    val stbl = box("stbl", stsdAvc(id) ++ stts(nf, upf) ++ stss(id) ++ stsc() ++
       stsz(s, nf) ++ stco())
     val minf = box("minf", vmhd() ++ dinf() ++ stbl)
-    val mdia = box("mdia", mdhd(id) ++ hdlr() ++ minf)
-    val trak = box("trak", tkhdBox(id) ++ mdia)
-    val moov = box("moov", mvhd(id) ++ trak)
+    val mdia = box("mdia", mdhd(nf, upf) ++ hdlr() ++ minf)
+    val trak = box("trak", tkhdBox(w, h, nf, upf) ++ mdia)
+    val moov = box("moov", mvhd(nf, upf) ++ trak)
     ftyp() ++ mdat ++ moov
   }
 
@@ -127,15 +129,17 @@ object AvcMp4Fixture {
     val stblEmpty = box("stbl", stsdAvc(id) ++
       fullBox("stts", 0, be32(0)) ++ fullBox("stsc", 0, be32(0)) ++
       fullBox("stsz", 0, be32(0) ++ be32(0)) ++ fullBox("stco", 0, be32(0)))
+    val (w, h, nf, upf) = (MjpegMp4Fixture.width(id), MjpegMp4Fixture.height(id),
+      nFrames(id), MjpegMp4Fixture.usPerFrame(id))
     val minf = box("minf", vmhd() ++ dinf() ++ stblEmpty)
-    val mdia = box("mdia", mdhd(id) ++ hdlr() ++ minf)
-    val trak = box("trak", tkhdBox(id) ++ mdia)
+    val mdia = box("mdia", mdhd(nf, upf) ++ hdlr() ++ minf)
+    val trak = box("trak", tkhdBox(w, h, nf, upf) ++ mdia)
     // trex: track 1, desc idx 1, default duration = the shared
     // per-sample clock, no default size, default flags NON-sync
     // (fragments mark their own keyframes)
     val trex = fullBox("trex", 0, be32(1) ++ be32(1) ++ be32(fragDelta(id)) ++
       be32(0) ++ be32(0x01010000L))
-    box("moov", mvhd(id) ++ trak ++ box("mvex", trex))
+    box("moov", mvhd(nf, upf) ++ trak ++ box("mvex", trex))
   }
 
   /** One moof+mdat fragment holding sample `i` alone. */

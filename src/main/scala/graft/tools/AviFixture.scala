@@ -77,32 +77,39 @@ object AviFixture {
     bos.toByteArray
   }
 
-  private def avih(id: Long, nf: Int, suggestedBuf: Int): Array[Byte] =
-    chunk("avih", le32(usPerFrame(id)) ++ le32(0) ++ le32(0) ++ le32(0) ++ // usPerFrame, maxBytesPerSec, padding, flags
+  private def avih(w: Int, h: Int, upf: Int, nf: Int, suggestedBuf: Int): Array[Byte] =
+    chunk("avih", le32(upf) ++ le32(0) ++ le32(0) ++ le32(0) ++ // usPerFrame, maxBytesPerSec, padding, flags
       le32(nf) ++ le32(0) ++ le32(1) ++ le32(suggestedBuf) ++ // totalFrames, initialFrames, streams, suggBuf
-      le32(width(id)) ++ le32(height(id)) ++ new Array[Byte](16)) // width, height, dwReserved[4]
+      le32(w) ++ le32(h) ++ new Array[Byte](16)) // width, height, dwReserved[4]
 
-  private def strl(id: Long, nf: Int, suggestedBuf: Int): Array[Byte] = {
+  private def strl(w: Int, h: Int, upf: Int, nf: Int, suggestedBuf: Int): Array[Byte] = {
     val strh = chunk("strh", fourcc("vids") ++ fourcc("MJPG") ++
       le32(0) ++ le16(0) ++ le16(0) ++ le32(0) ++ // flags, priority, language, initialFrames
-      le32(1) ++ le32(1000000L / usPerFrame(id)) ++ // scale, rate (fps = rate/scale)
+      le32(1) ++ le32(1000000L / upf) ++ // scale, rate (fps = rate/scale)
       le32(0) ++ le32(nf) ++ le32(suggestedBuf) ++ // start, length, suggBuf
       le32(0xffffffffL) ++ le32(0) ++ // quality, sampleSize
-      le16(0) ++ le16(0) ++ le16(width(id)) ++ le16(height(id))) // rcFrame
-    val strf = chunk("strf", le32(40) ++ le32(width(id)) ++ le32(height(id)) ++
+      le16(0) ++ le16(0) ++ le16(w) ++ le16(h)) // rcFrame
+    val strf = chunk("strf", le32(40) ++ le32(w) ++ le32(h) ++
       le16(1) ++ le16(24) ++ fourcc("MJPG") ++ // planes, bitCount, compression
-      le32(width(id).toLong * height(id) * 3) ++
+      le32(w.toLong * h * 3) ++
       le32(0) ++ le32(0) ++ le32(0) ++ le32(0)) // ppm, colors
     list("strl", strh ++ strf)
   }
 
   /** Full AVI; the uniform padded frame-chunk size S is returned for
    * tests that want to re-derive the oracle's offsets. */
-  def aviWithSize(id: Long): (Array[Byte], Int) = {
-    val nf = nFrames(id)
-    val jpegs = (0 until nf).map(f => jpegFrame(id, f))
+  def aviWithSize(id: Long): (Array[Byte], Int) =
+    aviFromJpegs((0 until nFrames(id)).map(f => jpegFrame(id, f)),
+      width(id), height(id), usPerFrame(id))
+
+  /** Assemble an MJPEG AVI from ARBITRARY complete-JPEG frames —
+   * the generalized form [[aviWithSize]] wraps; also feeds the
+   * video-dedup fixture's re-mux twins. */
+  def aviFromJpegs(jpegs: Seq[Array[Byte]], w: Int, h: Int,
+      upf: Int): (Array[Byte], Int) = {
+    val nf = jpegs.size
     val s = (jpegs.map(_.length).max + 1) & ~1 // round up to even
-    val hdrl = list("hdrl", avih(id, nf, s) ++ strl(id, nf, s))
+    val hdrl = list("hdrl", avih(w, h, upf, nf, s) ++ strl(w, h, upf, nf, s))
     require(hdrl.length == 200, s"hdrl geometry drifted: ${hdrl.length}")
     val movi = list("movi", jpegs.flatMap { j =>
       chunk("00dc", j ++ new Array[Byte](s - j.length))
@@ -115,7 +122,8 @@ object AviFixture {
 
   /** Header-only AVI: hdrl with zero total frames, no movi LIST. */
   def headerOnly(id: Long): Array[Byte] = {
-    val hdrl = list("hdrl", avih(id, 0, 0) ++ strl(id, 0, 0))
+    val hdrl = list("hdrl", avih(width(id), height(id), usPerFrame(id), 0, 0) ++
+      strl(width(id), height(id), usPerFrame(id), 0, 0))
     fourcc("RIFF") ++ le32(4 + hdrl.length) ++ fourcc("AVI ") ++ hdrl
   }
 

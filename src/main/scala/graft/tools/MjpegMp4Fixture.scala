@@ -55,25 +55,25 @@ object MjpegMp4Fixture {
       be32(0) ++ be32(0x00010000L) ++ be32(0) ++
       be32(0) ++ be32(0) ++ be32(0x40000000L)
 
-  private[tools] def mvhd(id: Long): Array[Byte] = {
-    val durMs = usPerFrame(id).toLong * nFrames(id) / 1000L
+  private[tools] def mvhd(nf: Int, upf: Int): Array[Byte] = {
+    val durMs = upf.toLong * nf / 1000L
     fullBox("mvhd", 0, be32(0) ++ be32(0) ++ be32(1000) ++ be32(durMs) ++
       be32(0x00010000L) ++ be16(0x0100) ++ new Array[Byte](2 + 8) ++
       matrix() ++ new Array[Byte](24) ++ be32(2))
   }
 
-  private[tools] def tkhdBox(id: Long): Array[Byte] = {
-    val durMs = usPerFrame(id).toLong * nFrames(id) / 1000L
+  private[tools] def tkhdBox(w: Int, h: Int, nf: Int, upf: Int): Array[Byte] = {
+    val durMs = upf.toLong * nf / 1000L
     box("tkhd", Array[Byte](0, 0, 0, 7) ++ // version 0, flags enabled|in-movie|in-preview
       be32(0) ++ be32(0) ++ be32(1) ++ be32(0) ++ be32(durMs) ++
       new Array[Byte](8) ++ be16(0) ++ be16(0) ++ be16(0) ++ be16(0) ++
       matrix() ++
-      be32(width(id).toLong << 16) ++ be32(height(id).toLong << 16))
+      be32(w.toLong << 16) ++ be32(h.toLong << 16))
   }
 
-  private[tools] def mdhd(id: Long): Array[Byte] =
+  private[tools] def mdhd(nf: Int, upf: Int): Array[Byte] =
     fullBox("mdhd", 0, be32(0) ++ be32(0) ++ be32(90000) ++
-      be32(nFrames(id).toLong * usPerFrame(id) * 90000L / 1000000L) ++
+      be32(nf.toLong * upf * 90000L / 1000000L) ++
       be16(0x55c4) ++ be16(0)) // language 'und', pre_defined
 
   private[tools] def hdlr(): Array[Byte] =
@@ -90,11 +90,11 @@ object MjpegMp4Fixture {
 
   /** 'jpeg' VideoSampleEntry (86 bytes): the codec identity the
    * sample-table walk keys on. */
-  private def stsd(id: Long): Array[Byte] = {
+  private[tools] def stsd(w: Int, h: Int): Array[Byte] = {
     val entry = box("jpeg",
       new Array[Byte](6) ++ be16(1) ++ // reserved, data_reference_index
         be16(0) ++ be16(0) ++ new Array[Byte](12) ++ // pre_defined, reserved, pre_defined[3]
-        be16(width(id)) ++ be16(height(id)) ++
+        be16(w) ++ be16(h) ++
         be32(0x00480000L) ++ be32(0x00480000L) ++ // 72 dpi
         be32(0) ++ be16(1) ++ // reserved, frame_count
         new Array[Byte](32) ++ // compressorname
@@ -102,9 +102,9 @@ object MjpegMp4Fixture {
     fullBox("stsd", 0, be32(1) ++ entry)
   }
 
-  private[tools] def stts(id: Long): Array[Byte] =
-    fullBox("stts", 0, be32(1) ++ be32(nFrames(id)) ++
-      be32(usPerFrame(id).toLong * 90000L / 1000000L)) // delta in mdhd ticks
+  private[tools] def stts(nf: Int, upf: Int): Array[Byte] =
+    fullBox("stts", 0, be32(1) ++ be32(nf) ++
+      be32(upf.toLong * 90000L / 1000000L)) // delta in mdhd ticks
 
   private[tools] def stsc(): Array[Byte] =
     fullBox("stsc", 0, be32(1) ++ be32(1) ++ be32(Int.MaxValue) ++ be32(1))
@@ -117,16 +117,23 @@ object MjpegMp4Fixture {
 
   /** Full MJPEG MP4; returns the uniform padded sample size S for
    * tests that re-derive the oracle's offsets. */
-  def mp4WithSize(id: Long): (Array[Byte], Int) = {
-    val nf = nFrames(id)
-    val jpegs = (0 until nf).map(f => AviFixture.jpegFrame(id, f))
+  def mp4WithSize(id: Long): (Array[Byte], Int) =
+    mp4FromJpegs((0 until nFrames(id)).map(f => AviFixture.jpegFrame(id, f)),
+      width(id), height(id), usPerFrame(id))
+
+  /** Assemble an MJPEG MP4 from ARBITRARY complete-JPEG samples —
+   * the generalized form [[mp4WithSize]] wraps; also feeds the
+   * video-dedup fixture's re-mux twins. */
+  def mp4FromJpegs(jpegs: Seq[Array[Byte]], w: Int, h: Int,
+      upf: Int): (Array[Byte], Int) = {
+    val nf = jpegs.size
     val s = (jpegs.map(_.length).max + 1) & ~1
     val mdat = box("mdat", jpegs.flatMap(j => j ++ new Array[Byte](s - j.length)).toArray)
-    val stbl = box("stbl", stsd(id) ++ stts(id) ++ stsc() ++ stsz(s, nf) ++ stco())
+    val stbl = box("stbl", stsd(w, h) ++ stts(nf, upf) ++ stsc() ++ stsz(s, nf) ++ stco())
     val minf = box("minf", vmhd() ++ dinf() ++ stbl)
-    val mdia = box("mdia", mdhd(id) ++ hdlr() ++ minf)
-    val trak = box("trak", tkhdBox(id) ++ mdia)
-    val moov = box("moov", mvhd(id) ++ trak)
+    val mdia = box("mdia", mdhd(nf, upf) ++ hdlr() ++ minf)
+    val trak = box("trak", tkhdBox(w, h, nf, upf) ++ mdia)
+    val moov = box("moov", mvhd(nf, upf) ++ trak)
     (ftyp() ++ mdat ++ moov, s)
   }
 

@@ -1,0 +1,95 @@
+package graft.tools
+
+/**
+ * Deterministic video RE-MUX fixture for the q_m38 pair face: per
+ * group g = id/2, a short MJPEG stream whose frames are
+ * avalanche-scrambled cell-grid JPEGs (distinct across groups and
+ * frames by construction); the EVEN id ships it as an MP4
+ * ([[MjpegMp4Fixture.mp4FromJpegs]]), the ODD id as an AVI of the
+ * SAME JPEG bytes ([[AviFixture.aviFromJpegs]]) — the re-containered
+ * duplicate a video corpus is full of. Group g%8==7 is junk on both
+ * ids.
+ *
+ * The build ASSERTS the pair contract on the actual bytes: both
+ * members produce the identical per-frame dHash sequence, and no two
+ * groups share one — so the committed fixture can never drift from
+ * the q_m38 oracle's id arithmetic.
+ *
+ * Usage: runMain graft.tools.VideoDupFixture [outFile] [rows]
+ * (default fixtures/videodup.parquet, 60 rows)
+ */
+object VideoDupFixture {
+
+  val W = 36
+  val H = 32
+
+  def nFrames(g: Long): Int = 2 + (g % 4).toInt
+
+  /** 4×4-constant cell value — the same splitmix avalanche the image
+   * fixture uses, seeded by (group, frame). */
+  def cell(g: Long, f: Int, gx: Int, gy: Int): Int = {
+    var h = (g * 97 + f) * 1000003L + gy * 101L + gx * 13L
+    h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+    h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+    h ^= h >>> 31
+    ((h & 0x7fffffffL) % 251).toInt
+  }
+
+  def jpegFrame(g: Long, f: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(W, H,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until H; x <- 0 until W) {
+      val v = cell(g, f, x / 4, y / 4)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", bos)
+    bos.toByteArray
+  }
+
+  def frames(g: Long): Seq[Array[Byte]] =
+    (0 until nFrames(g)).map(f => jpegFrame(g, f))
+
+  def row(id: Long): (String, Array[Byte]) = {
+    val g = id / 2
+    if (g % 8 == 7)
+      (if (id % 2 == 0) "video/mp4" else "video/x-msvideo",
+        s"junk, not a video $id".getBytes("US-ASCII"))
+    else if (id % 2 == 0)
+      ("video/mp4", MjpegMp4Fixture.mp4FromJpegs(frames(g), W, H, 33333)._1)
+    else
+      ("video/x-msvideo", AviFixture.aviFromJpegs(frames(g), W, H, 33333)._1)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("fixtures/videodup.parquet")
+    val rows = args.lift(1).map(_.toInt).getOrElse(60)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").appName("videodup-fixture")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    val data = (0L until rows.toLong).map { id =>
+      val (mime, bytes) = row(id)
+      (id, mime, bytes)
+    }
+    val seqs = data.map { case (id, _, bytes) =>
+      id -> graft.ops.VideoDup.frameDhashSeq(bytes)
+    }.toMap
+    val groups = (0L until rows.toLong / 2).filter(_ % 8 != 7)
+    groups.foreach { g =>
+      require(seqs(2 * g).nonEmpty, s"group $g mp4 decoded no frames")
+      require(seqs(2 * g) == seqs(2 * g + 1),
+        s"group $g containers hash apart")
+    }
+    for (a <- groups; b <- groups if a < b)
+      require(seqs(2 * a) != seqs(2 * b), s"groups $a/$b collide")
+    groups.foreach(g => require(seqs(2 * g).size == nFrames(g),
+      s"group $g frame count"))
+    (0L until rows.toLong / 2).filter(_ % 8 == 7).foreach(g =>
+      require(seqs(2 * g).isEmpty && seqs(2 * g + 1).isEmpty,
+        s"junk group $g decoded"))
+    FixtureIo.writeSingleParquet(
+      data.toDF("media_id", "mime_type", "media"), out, rows.toLong)
+    spark.stop()
+  }
+}

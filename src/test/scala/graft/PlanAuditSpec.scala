@@ -763,5 +763,10 @@ class PlanAuditSpec extends SparkSpec {
         Tables.audiodup(spark))) { plan =>
       assert(shuffles(plan).isEmpty, s"${shuffles(plan).size} shuffles:\n$plan")
     }
+    // video re-mux signatures: frame walks + pixel decode map-side
+    audited(graft.ops.VideoDup.signatureTable(spark,
+        Tables.videodup(spark))) { plan =>
+      assert(shuffles(plan).isEmpty, s"${shuffles(plan).size} shuffles:\n$plan")
+    }
   }
 }
