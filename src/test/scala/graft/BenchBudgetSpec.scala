@@ -18,12 +18,12 @@ class BenchBudgetSpec extends AnyFunSuite {
   test("bench stdout projection stays inside the driver's 2000-char tail") {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val keyOf = Bench.emittedKeys(names)
-    // exact per cold-map entry: "key":12, → key + 2 quotes + colon +
-    // ≤3-digit centisecond value (anything under 10 s) + comma; a
-    // 10 s+ query costs one more char — the budget margin absorbs a
-    // few
-    val coldLen = names.map(keyOf(_).length + 7).sum +
-      """{"metric":"cold","unit":"centisec","queries":{}}""".length
+    // exact per cold-map entry in the round-17 packed-string format:
+    // `key:12 ` → key + colon + ≤3-digit centisecond value (anything
+    // under 10 s) + separating space; a 10 s+ query costs one more
+    // char — the budget margin absorbs a few
+    val coldLen = names.map(keyOf(_).length + 5).sum +
+      """{"metric":"cold","unit":"centisec","fmt":"key:centisec pairs","queries":""}""".length
     // measured on the round-14 151-query run: the summary line is 134
     // chars bare, 141 with sbt's [info] prefix; 160 keeps margin for
     // a failed-query list without reserving the old guessed 200

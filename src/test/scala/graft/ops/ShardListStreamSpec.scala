@@ -536,4 +536,20 @@ class ShardListStreamSpec extends SparkSpec {
     }
     streamed("flacpcm_stream", rows, Flac.pcmTable)
   }
+
+  test("streamed audio fingerprints equal the batch walk over the grown directory") {
+    val rows = (0L until 24L).map { id =>
+      val (mime, bytes) = graft.tools.AudioDupFixture.row(id)
+      (id, mime, bytes)
+    }
+    streamed("audiofp_stream", rows, AudioFp.fingerprintTable)
+  }
+
+  test("streamed video re-mux signatures equal the batch walk over the grown directory") {
+    val rows = (0L until 24L).map { id =>
+      val (mime, bytes) = graft.tools.VideoDupFixture.row(id)
+      (id, mime, bytes)
+    }
+    streamed("videosig_stream", rows, VideoDup.signatureTable)
+  }
 }
