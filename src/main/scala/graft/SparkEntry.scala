@@ -853,6 +853,14 @@ object SparkEntry {
     "q_m38_video_remux" -> ((s, _) =>
       VideoDup.remuxPairs(
         VideoDup.signatureTable(s, Tables.videodup(s)))),
+    // q_m39: animated-GIF frame table — the GIF twin of q_m35:
+    // per frame geometry / delay / disposal plus the file-level
+    // canvas and NETSCAPE loop count, from a pure structural walk
+    // (no LZW decode; the fixture's data is REAL — ImageIO decodes
+    // every assembled frame, asserted at build). The truncated class
+    // keeps complete frames (sub-block overrun ends the walk)
+    "q_m39_gif_anim" -> ((s, _) =>
+      Multimodal.gifAnimTable(s, Tables.gifanim(s))),
     // q_w29: sitemap URL entries — the operator-DECLARED page list:
     // documents discovered through robots `Sitemap:` lines (ARBITRARY
     // URLs, q_w28's channel) and the well-known /sitemap.xml path,
@@ -4635,6 +4643,30 @@ object SparkEntry {
       s"""SELECT media_id AS media_id_a, media_id + 1 AS media_id_b
          | FROM read_parquet('${Tables.videodupFixturePath}')
          | WHERE media_id % 2 = 0 AND (media_id // 2) % 8 <> 7""".stripMargin,
+    // q_m39: GifAnimFixture's id contract — canvas/loop and per-frame
+    // geometry/delay/disposal are pure id functions; the truncated
+    // class (id%8==3) drops its cut LAST frame in both engines
+    "q_m39_gif_anim" ->
+      s"""WITH ga AS (
+         |  SELECT media_id, media_id % 8 AS cls,
+         |    CAST(2 + media_id % 4 AS INT) AS nf
+         |  FROM read_parquet('${Tables.gifanimFixturePath}')
+         |  WHERE media_id % 8 <> 7),
+         | gf AS (
+         |  SELECT media_id, cls, nf,
+         |    unnest(generate_series(0, nf - 1
+         |      - CASE WHEN cls = 3 THEN 1 ELSE 0 END)) AS f
+         |  FROM ga)
+         | SELECT media_id, CAST(f AS INT) AS frame_idx,
+         |   CAST((media_id + f) % 8 AS INT) AS frame_x,
+         |   CAST((media_id + 2 * f) % 6 AS INT) AS frame_y,
+         |   CAST(16 AS INT) AS frame_w, CAST(12 AS INT) AS frame_h,
+         |   CAST(5 + (media_id + f) % 20 AS INT) AS delay_cs,
+         |   CAST(f % 4 AS INT) AS disposal,
+         |   FALSE AS interlaced, TRUE AS has_lct,
+         |   CAST(40 AS INT) AS canvas_w, CAST(30 AS INT) AS canvas_h,
+         |   CAST(media_id % 5 AS INT) AS loop_count
+         | FROM gf""".stripMargin,
     // q_m35: the animated-WebP container re-walked from raw bytes —
     // a recursive chunk scan mirroring the engine's totality rule
     // (stop at the first chunk that overruns the file, so the

@@ -298,6 +298,16 @@ object Tables {
   }
   def warcgz(spark: SparkSession): DataFrame = spark.read.parquet(warcgzFixturePath)
 
+  /** gifanim(media_id BIGINT, mime_type STRING, media BINARY) —
+   * repo-local animated-GIF fixture (tools.GifAnimFixture: real
+   * ImageIO frame data reassembled into hand-laid GIF89a animations
+   * with contract metadata; truncated + junk rows). */
+  def gifanimFixturePath: String = {
+    val local = new java.io.File("fixtures/gifanim.parquet")
+    if (local.exists) local.getAbsolutePath else "/root/repo/fixtures/gifanim.parquet"
+  }
+  def gifanim(spark: SparkSession): DataFrame = spark.read.parquet(gifanimFixturePath)
+
   /** videodup(media_id BIGINT, mime_type STRING, media BINARY) —
    * repo-local video re-mux fixture (tools.VideoDupFixture: per group
    * an MJPEG MP4 and an AVI carrying the SAME frame bytes; junk

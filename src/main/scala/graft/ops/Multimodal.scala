@@ -2307,6 +2307,117 @@ object Multimodal {
         "canvas_w", "canvas_h", "loop_count")
   }
 
+  /** One parsed animated-GIF frame: geometry from the image
+   * descriptor, timing/disposal from the PRECEDING Graphic Control
+   * Extension (absent → delay 0, disposal 0 per GIF89a). */
+  private[graft] final case class GifFrame(idx: Int, x: Int, y: Int,
+      w: Int, h: Int, delayCs: Int, disposal: Int, interlaced: Boolean,
+      hasLct: Boolean)
+
+  /** Structural animated-GIF walk (GIF89a) — no LZW decode: header +
+   * logical screen descriptor (+GCT by its packed size), then the
+   * block grammar: extensions (GCE timing captured; NETSCAPE loop
+   * count captured; comment/plain-text skipped by their own
+   * sub-block framing), image descriptors (+LCT), and each image's
+   * data sub-block chain hopped length byte by length byte. Returns
+   * (canvas_w, canvas_h, loop_count, frames); the walk ends at the
+   * trailer, a malformed block, or a sub-block overrunning the file
+   * — complete frames stay claimed (the q_m35 totality rule). */
+  private[graft] def gifAnim(b: Array[Byte]): Option[(Int, Int, Int, Seq[GifFrame])] = {
+    if (b == null || b.length < 13 || b(0) != 'G' || b(1) != 'I' ||
+      b(2) != 'F' || b(3) != '8' || (b(4) != '7' && b(4) != '9') ||
+      b(5) != 'a') return None
+    def u16(p: Int): Int = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+    val cw = u16(6)
+    val ch = u16(8)
+    val packed = b(10) & 0xff
+    var p = 13 + (if ((packed & 0x80) != 0) 3 << ((packed & 7) + 1) else 0)
+    /** hop a sub-block chain; -1 on overrun */
+    def skipSubBlocks(start: Int): Int = {
+      var q = start
+      while (q < b.length && b(q) != 0) {
+        q += 1 + (b(q) & 0xff)
+      }
+      if (q >= b.length) -1 else q + 1
+    }
+    val frames = scala.collection.mutable.ArrayBuffer.empty[GifFrame]
+    var loop = 0
+    var delay = 0
+    var disposal = 0
+    var ok = true
+    while (ok && p < b.length && (b(p) & 0xff) != 0x3B) {
+      (b(p) & 0xff) match {
+        case 0x21 if p + 1 < b.length =>
+          val label = b(p + 1) & 0xff
+          if (label == 0xF9 && p + 8 <= b.length && (b(p + 2) & 0xff) == 4) {
+            // GCE: fixed 8 bytes (intro, label, size 4, packed,
+            // delay LE16 in centiseconds, transparent idx, 0)
+            disposal = ((b(p + 3) & 0xff) >> 2) & 7
+            delay = u16(p + 4)
+            p += 8
+          } else if (label == 0xFF && p + 14 <= b.length &&
+            (b(p + 2) & 0xff) == 11 &&
+            new String(b, p + 3, 11, java.nio.charset.StandardCharsets.US_ASCII)
+              .startsWith("NETSCAPE")) {
+            // application extension: data sub-block 03 01 loop LE16
+            if (p + 19 <= b.length && (b(p + 14) & 0xff) == 3 &&
+              (b(p + 15) & 0xff) == 1) loop = u16(p + 16)
+            val next = skipSubBlocks(p + 14)
+            if (next < 0) ok = false else p = next
+          } else {
+            // generic extension (comment, plain text, unknown app):
+            // label then sub-blocks, skipped by their own framing
+            val after = skipSubBlocks(p + 2)
+            if (after < 0) ok = false else p = after
+          }
+        case 0x2C if p + 10 <= b.length =>
+          val ipacked = b(p + 9) & 0xff
+          val lct = (ipacked & 0x80) != 0
+          val lctLen = if (lct) 3 << ((ipacked & 7) + 1) else 0
+          val dataStart = p + 10 + lctLen + 1 // + LZW min-code byte
+          if (dataStart > b.length) ok = false
+          else {
+            val after = skipSubBlocks(dataStart)
+            if (after < 0) ok = false
+            else {
+              frames += GifFrame(frames.size, u16(p + 1), u16(p + 3),
+                u16(p + 5), u16(p + 7), delay, disposal,
+                (ipacked & 0x40) != 0, lct)
+              delay = 0; disposal = 0 // GCE applies to ONE image
+              p = after
+            }
+          }
+        case _ => ok = false
+      }
+    }
+    Some((cw, ch, loop, frames.toSeq))
+  }
+
+  /** Relational face of [[gifAnim]] (q_m39): one row per animation
+   * frame with geometry, timing, disposal and the file-level canvas
+   * and NETSCAPE loop count — the GIF twin of the animated-WebP
+   * table (q_m35). Pure map-side structural walk, no LZW decode. */
+  def gifAnimTable(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("mime_type"), col("media"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          gifAnim(r.media) match {
+            case None => Iterator.empty
+            case Some((cw, ch, loop, frames)) =>
+              frames.iterator.map { f =>
+                (r.media_id, f.idx, f.x, f.y, f.w, f.h, f.delayCs,
+                  f.disposal, f.interlaced, f.hasLct, cw, ch, loop)
+              }
+          }
+        }
+      }
+      .toDF("media_id", "frame_idx", "frame_x", "frame_y", "frame_w",
+        "frame_h", "delay_cs", "disposal", "interlaced", "has_lct",
+        "canvas_w", "canvas_h", "loop_count")
+  }
+
   /** Relational face of the MP3 frame walk ([[AvHeaders.mp3Frames]]):
    * one row per audio frame with its byte coordinates and a sync-word
    * probe — frame boundaries are where a real decoder can start, so

@@ -768,5 +768,10 @@ class PlanAuditSpec extends SparkSpec {
         Tables.videodup(spark))) { plan =>
       assert(shuffles(plan).isEmpty, s"${shuffles(plan).size} shuffles:\n$plan")
     }
+    // GIF animation table: structural walk, no LZW decode, map-side
+    audited(graft.ops.Multimodal.gifAnimTable(spark,
+        Tables.gifanim(spark))) { plan =>
+      assert(shuffles(plan).isEmpty, s"${shuffles(plan).size} shuffles:\n$plan")
+    }
   }
 }

@@ -1419,4 +1419,37 @@ class MultimodalSpec extends SparkSpec {
       }
     }
   }
+
+  test("gif animation walk: GCE scoping, extension skipping, 87a, truncation") {
+    import graft.tools.GifAnimFixture
+    // fixture contract round-trips (the tool asserts it too)
+    val (cw, ch, loop, frames) = Multimodal.gifAnim(GifAnimFixture.row(2L)._2).get
+    assert((cw, ch, loop) == (40, 30, 2) && frames.size == GifAnimFixture.nFrames(2L))
+    // a GCE applies to ONE image; later frames fall back to defaults —
+    // hand-assemble: GCE + frame, then a frame WITHOUT its own GCE,
+    // with a COMMENT extension between them, on a GIF87a header
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    val lct = Array.fill[Byte](6)(0x11) // 2-entry table (size bits 0)
+    def img(x: Int) = Array[Byte](0x2C) ++ le16(x) ++ le16(0) ++
+      le16(2) ++ le16(2) ++ Array[Byte](0x80.toByte) ++ lct ++
+      Array[Byte](2, 1, 0x4C, 0) // lzw min 2, one fake sub-block
+    val gif = "GIF87a".getBytes("US-ASCII") ++ le16(10) ++ le16(10) ++
+      Array[Byte](0, 0, 0) ++
+      Array[Byte](0x21, 0xF9.toByte, 4, (2 << 2).toByte) ++ le16(77) ++
+      Array[Byte](0, 0) ++
+      img(1) ++
+      Array[Byte](0x21, 0xFE.toByte, 3, 0x68, 0x69, 0x21, 0) ++ // comment
+      img(3) ++ Array[Byte](0x3B)
+    val (_, _, lp, fs) = Multimodal.gifAnim(gif).get
+    assert(lp == 0 && fs.size == 2)
+    assert(fs(0).delayCs == 77 && fs(0).disposal == 2 && fs(0).x == 1)
+    assert(fs(1).delayCs == 0 && fs(1).disposal == 0 && fs(1).x == 3)
+    // truncation keeps complete frames
+    val cutRow = GifAnimFixture.row(3L)._2 // id%8==3 class
+    val got = Multimodal.gifAnim(cutRow).get._4
+    assert(got.size == GifAnimFixture.nFrames(3L) - 1)
+    // junk claims nothing
+    assert(Multimodal.gifAnim("GIF9".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.gifAnim(null).isEmpty)
+  }
 }

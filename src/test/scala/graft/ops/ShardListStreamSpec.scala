@@ -552,4 +552,12 @@ class ShardListStreamSpec extends SparkSpec {
     }
     streamed("videosig_stream", rows, VideoDup.signatureTable)
   }
+
+  test("streamed GIF animation table equals the batch walk over the grown directory") {
+    val rows = (0L until 24L).map { id =>
+      val (mime, bytes) = graft.tools.GifAnimFixture.row(id)
+      (id, mime, bytes)
+    }
+    streamed("gifanim_stream", rows, Multimodal.gifAnimTable)
+  }
 }
