@@ -232,6 +232,13 @@ object ArchiveScaleProbe {
       graft.ops.VideoDup.signatureTable(spark, vids).count())
     vids.unpersist()
 
+    // animated-GIF frame table: structural block walk, no LZW decode
+    val gifs = corpus(Seq(GifAnimFixture.row(0L)._2, GifAnimFixture.row(1L)._2,
+      GifAnimFixture.row(2L)._2, GifAnimFixture.row(4L)._2), "image/gif")
+    timed("gif_anim_table")(
+      graft.ops.Multimodal.gifAnimTable(spark, gifs).count())
+    gifs.unpersist()
+
     spark.stop()
   }
 }
