@@ -199,6 +199,11 @@ object SparkEntry {
     // q_x17: per-document TF-IDF keyword head (smoothed idf, scores
     // rounded before ranking so the oracle orders identically)
     "q_x17_tfidf" -> ((s, d) => TextAnalysis.tfidfTopTerms(Tables.documents(s, d))),
+    // q_x21: adjacent character-pair statistics — the first round of
+    // BPE vocabulary learning as a table (the top row is the merge a
+    // trainer would pick); map-side-combine wordcount shape
+    "q_x21_byte_pairs" -> ((s, d) =>
+      TextAnalysis.bytePairStats(Tables.documents(s, d))),
     // q_x18: fixed-size overlapping token chunks — context-window prep;
     // pure map-side (no shuffle at any scale)
     "q_x18_chunks" -> ((s, d) => TextAnalysis.chunk(Tables.documents(s, d))),
@@ -3065,6 +3070,22 @@ object SparkEntry {
          |        WHEN ${MDH("CAST(group_key AS VARCHAR)")} % 100 < 95 THEN 'val'
          |        ELSE 'test' END AS split
          | FROM g""".stripMargin,
+    // q_x21: adjacent character pairs over single-space words (the
+    // repo's tokenization convention) — strict total order
+    // (count desc, pair), so the LIMIT boundary agrees
+    "q_x21_byte_pairs" ->
+      s"""WITH wx AS (
+         |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         | w2 AS (SELECT w FROM wx WHERE length(w) >= 2),
+         | p AS (
+         |  SELECT u['pl'] AS pair_left, u['pr'] AS pair_right FROM (
+         |   SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+         |     i -> {'pl': w[i], 'pr': w[i + 1]})) AS u
+         |   FROM w2) t)
+         | SELECT pair_left, pair_right, CAST(count(*) AS BIGINT) AS n
+         | FROM p GROUP BY 1, 2
+         | ORDER BY n DESC, pair_left, pair_right
+         | LIMIT 50""".stripMargin,
     "q_x17_tfidf" ->
       s"""WITH wr AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
          | tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c FROM wr GROUP BY 1, 2),

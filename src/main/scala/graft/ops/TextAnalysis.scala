@@ -553,4 +553,25 @@ object TextAnalysis {
       .select(col("source"), col("n_docs"), col("n_tokens"),
         round(col("w_raw") / col("w_tot"), 6).as("mix_weight"))
   }
+
+  /** Adjacent character-pair statistics over whitespace-split words —
+   * the FIRST round of BPE vocabulary learning (the merge a trainer
+   * would pick is row 1), exposed as the top-K table (q_x21):
+   * deterministic total order (count desc, then the pair), so the
+   * LIMIT boundary is stable. One map-side pair explosion + one
+   * count aggregation — pair rows are 2-char index rows, the corpus
+   * text never re-shuffles; at 100 TB this is the canonical
+   * map-side-combine wordcount shape. */
+  def bytePairStats(documents: DataFrame, topK: Int = 50): DataFrame =
+    documents
+      .select(explode(words(col("text"))).as("w")) // repo convention: single-space split
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1)," +
+          " i -> struct(substring(w, i, 1) AS pa," +
+          " substring(w, i + 1, 1) AS pb))")).as("p"))
+      .groupBy(col("p.pa").as("pair_left"), col("p.pb").as("pair_right"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair_left"), col("pair_right"))
+      .limit(topK)
 }
