@@ -123,6 +123,30 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
 
+    // Self-calibration sentinel (round 18): a FIXED-size local
+    // aggregation whose only variable is the machine itself — same
+    // row count every round, no SF dependence, no SparkEntry code. A
+    // contended driver run (r17's artifact: 82.6 s for a suite that
+    // re-measures at 60 s isolated, with its own sbt wall-clock at
+    // 914 s) is then self-evident FROM THE ARTIFACT: the sentinel
+    // lands far outside its README-documented band without any code
+    // having changed. First call absorbs codegen/JIT; the recorded
+    // number is the median of 3 steady-state runs. Measured at both
+    // ends of the session (`calib` / `calib_end`) so mid-run
+    // contention shows even when start-up was clean.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      // mod keeps the ANSI-mode sum far from Long overflow
+      spark.range(10000000L).selectExpr("sum(id * 2654435761 % 1000003)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def calibMedian(): Double = {
+      calibrate() // discard the compile run
+      val ts = (1 to 3).map(_ => calibrate()).sorted
+      ts(1)
+    }
+    val calibStart = calibMedian()
+
     // SPARK_GRAFT_ONLY=q_a,q_b: local triage aid — time just these
     // queries under the exact per-query isolation discipline of a full
     // run (the driver never sets it)
@@ -239,6 +263,7 @@ object Bench {
       }
     }
     isolate()
+    val calibEnd = calibMedian()
 
     // 3-decimal (1 ms) timings: every byte on the cold-map line counts
     // against the driver's tail capture — measured at exactly 2000
@@ -285,6 +310,6 @@ object Bench {
     val cw = new java.io.PrintWriter(coldOut, "UTF-8")
     try cw.println(s"""{"metric":"cold","queries":${js(cold)},"sf":"$sfDir"}""") finally cw.close()
     println(s"""{"metric":"cold","unit":"centisec","fmt":"key:centisec pairs","queries":"${jsCs(coldCompact)}"}""")
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","failed":$failedJson,"events":$nEvents,"interpreter_eps":$eps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","failed":$failedJson,"events":$nEvents,"interpreter_eps":$eps,"calib":${num(calibStart)},"calib_end":${num(calibEnd)},"sf":"$sfDir"}""")
   }
 }

@@ -2229,7 +2229,7 @@ object Archives {
       es.minBy(_.section)
     }.filter(e => e.inUse && e.objLen.isDefined && e.body.isDefined)
       .map(e => e.num -> e).toMap
-    val contentsRe = "/Contents ([0-9]+) ([0-9]+) R".r
+    val contentsRe = "/Contents ([0-9]{1,9}) ([0-9]{1,9}) R".r
     // /Resources (inline dict or indirect ref) → /Font << /Fx n g R >>
     // → per font /ToUnicode m g R → CMap stream → PdfFontMap
     def streamOf(objNum: Int): Option[String] =
@@ -2240,10 +2240,12 @@ object Archives {
         if (ds < 0 || de < ds) None
         else decodeFiltered(cb.substring(ds + 7, de), cb.substring(0, ds))
       }
-    val fontEntryRe = "/([A-Za-z0-9]+)[ \\t\\r\\n]+(\\d+)[ \\t\\r\\n]+\\d+[ \\t\\r\\n]+R".r
-    val toUniRe = "/ToUnicode[ \\t\\r\\n]+(\\d+)[ \\t\\r\\n]+\\d+[ \\t\\r\\n]+R".r
+    // object-number captures bounded to 9 digits so .toInt can never
+    // overflow on a hostile PDF (a longer run simply doesn't match)
+    val fontEntryRe = "/([A-Za-z0-9]+)[ \\t\\r\\n]+(\\d{1,9})[ \\t\\r\\n]+\\d+[ \\t\\r\\n]+R".r
+    val toUniRe = "/ToUnicode[ \\t\\r\\n]+(\\d{1,9})[ \\t\\r\\n]+\\d+[ \\t\\r\\n]+R".r
     val fontDictRe = "(?s)/Font[ \\t\\r\\n]*<<(.*?)>>".r
-    val resIndRe = "/Resources[ \\t\\r\\n]+(\\d+)[ \\t\\r\\n]+\\d+[ \\t\\r\\n]+R".r
+    val resIndRe = "/Resources[ \\t\\r\\n]+(\\d{1,9})[ \\t\\r\\n]+\\d+[ \\t\\r\\n]+R".r
     def fontsOf(pageBody: String): Map[String, PdfFontMap] = {
       val resBody: Option[String] =
         resIndRe.findFirstMatchIn(pageBody) match {
@@ -2308,8 +2310,14 @@ object Archives {
    * `<lo> <hi> <dst>` and the explicit-array form
    * `<lo> <hi> [<d0> <d1> …]` — populate the map; destinations are
    * UTF-16BE and may be multi-code-unit (ligatures). Anything
-   * malformed contributes nothing (tolerance). */
-  private[ops] def pdfCmap(text: String): Option[PdfFontMap] = {
+   * malformed contributes nothing (tolerance): code captures are
+   * bounded to 6 hex digits so `hx` can never overflow Int, and the
+   * whole parse is fenced — a hostile CMap claims nothing, never
+   * throws out of the task. */
+  private[ops] def pdfCmap(text: String): Option[PdfFontMap] =
+    try pdfCmapUnsafe(text) catch { case _: RuntimeException => None }
+
+  private def pdfCmapUnsafe(text: String): Option[PdfFontMap] = {
     def hx(s: String): Int = java.lang.Integer.parseInt(s, 16)
     def utf16(hex: String): String = {
       val e = if (hex.length % 2 == 1) hex + "0" else hex
@@ -2327,13 +2335,13 @@ object Archives {
       .map(m => math.max(1, m.group(2).length / 2)).getOrElse(1)
     if (width > 2) return None // 3/4-byte code spaces out of scope
     val map = scala.collection.mutable.Map.empty[Int, String]
-    val pair = "<([0-9A-Fa-f]+)>\\s*<([0-9A-Fa-f]+)>".r
+    val pair = "<([0-9A-Fa-f]{1,6})>\\s*<([0-9A-Fa-f]+)>".r
     "(?s)beginbfchar(.*?)endbfchar".r.findAllMatchIn(text).foreach { m =>
       pair.findAllMatchIn(m.group(1)).foreach { p =>
         map(hx(p.group(1))) = utf16(p.group(2))
       }
     }
-    val triple = ("<([0-9A-Fa-f]+)>\\s*<([0-9A-Fa-f]+)>\\s*" +
+    val triple = ("<([0-9A-Fa-f]{1,6})>\\s*<([0-9A-Fa-f]{1,6})>\\s*" +
       "(?:<([0-9A-Fa-f]+)>|\\[([^\\]]*)\\])").r
     val hexTok = "<([0-9A-Fa-f]+)>".r
     "(?s)beginbfrange(.*?)endbfrange".r.findAllMatchIn(text).foreach { m =>

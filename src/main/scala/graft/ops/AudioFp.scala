@@ -64,7 +64,8 @@ object AudioFp {
         out
     }
     wav.orElse(Flac.decode(b).filter(_.samples.nonEmpty).map { p =>
-      val scale = (1 << (p.bits - 1)).toFloat
+      // long shift: bits may reach 32 (see Flac.envelope)
+      val scale = (1L << (p.bits - 1)).toFloat
       val n = p.samples.length / p.channels
       val out = new Array[Float](n)
       var t = 0

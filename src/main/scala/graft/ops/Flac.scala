@@ -477,7 +477,9 @@ object Flac {
    * FLAC twin of the WAV/AIFF envelope path. */
   def envelope(b: Array[Byte]): Option[Array[Float]] =
     decode(b).filter(_.samples.nonEmpty).map { pcm =>
-      val scale = (1 << (pcm.bits - 1)).toFloat
+      // long shift: STREAMINFO admits bits up to 32, where an Int
+      // shift would wrap to MIN_VALUE and sign-flip every sample
+      val scale = (1L << (pcm.bits - 1)).toFloat
       val n = pcm.samples.length / pcm.channels
       val out = new Array[Float](n)
       var t = 0

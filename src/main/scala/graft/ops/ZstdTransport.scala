@@ -241,7 +241,12 @@ object ZstdTransport {
       if (ok && f.skipNibble < 0) {
         inflateFrame(b, f.offset.toInt, f.compBytes.toInt, dict, FrameCapBytes) match {
           case Some(inflated) =>
-            Archives.warcRecords(inflated).zipWithIndex.foreach {
+            val recs = Archives.warcRecords(inflated)
+            // enforce the documented contract: a data frame whose
+            // inflated bytes don't parse as a WARC record at offset 0
+            // ends the walk (its shard-index coordinates would lie)
+            if (recs.isEmpty) ok = false
+            else recs.zipWithIndex.foreach {
               case ((_, _, clen, wtype, uri, wdate, digest), r) =>
                 out += ((idx, f.offset, f.compBytes, inflated.length.toLong,
                   dict.isDefined, r, wtype, uri, wdate, digest, clen))
@@ -371,12 +376,20 @@ object ZstdTransport {
         }
       }
       .toDF("media_id", "codec", "line_no", "line")
+      // escape-aware string spans: real pretraining NDJSON routinely
+      // carries \" inside text, so the capture walks escape pairs
+      // instead of stopping at the first quote. The captured value is
+      // the RAW JSON-escaped span (no unescape pass) — downstream
+      // text analysis sees \" and \\ two-char sequences verbatim.
       .withColumn("doc_id",
-        nullif(regexp_extract(col("line"), "\"id\"\\s*:\\s*\"([^\"]*)\"", 1), lit("")))
+        nullif(regexp_extract(col("line"),
+          "\"id\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"", 1), lit("")))
       .withColumn("lang",
-        nullif(regexp_extract(col("line"), "\"lang\"\\s*:\\s*\"([^\"]*)\"", 1), lit("")))
+        nullif(regexp_extract(col("line"),
+          "\"lang\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"", 1), lit("")))
       .withColumn("text",
-        nullif(regexp_extract(col("line"), "\"text\"\\s*:\\s*\"([^\"]*)\"", 1), lit("")))
+        nullif(regexp_extract(col("line"),
+          "\"text\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"", 1), lit("")))
       .withColumn("n_chars", length(col("line")))
       .drop("line")
   }

@@ -24,10 +24,10 @@ class BenchBudgetSpec extends AnyFunSuite {
     // char — the budget margin absorbs a few
     val coldLen = names.map(keyOf(_).length + 5).sum +
       """{"metric":"cold","unit":"centisec","fmt":"key:centisec pairs","queries":""}""".length
-    // measured on the round-14 151-query run: the summary line is 134
-    // chars bare, 141 with sbt's [info] prefix; 160 keeps margin for
-    // a failed-query list without reserving the old guessed 200
-    val summaryLen = 160
+    // measured on the round-14 151-query run: the summary line was 134
+    // chars bare; the round-18 calib/calib_end sentinel fields add
+    // ~36, so 200 keeps margin for a failed-query list
+    val summaryLen = 200
     val sbtOverhead = 2 * 7 + 90 // [info] prefixes + trailing [success] line
     val projected = coldLen + summaryLen + sbtOverhead
     val budget = 1900 // driver tail is exactly 2000 chars; keep margin

@@ -1232,6 +1232,14 @@ class ArchivesSpec extends SparkSpec {
       == "ZZ aa")
     // junk cmap claims nothing
     assert(Archives.pdfCmap("no blocks here").isEmpty)
+    // hostile over-long codes can't overflow Int: an 8-digit bfchar
+    // code simply doesn't match (bounded capture) — no throw, and the
+    // well-formed sibling entry still decodes
+    val hostile = Archives.pdfCmap(
+      "begincodespacerange\n<00> <FF>\nendcodespacerange\n" +
+        "beginbfchar\n<63> <0042>\n<FFFFFFFF> <0041>\nendbfchar\n" +
+        "beginbfrange\n<FFFFFFFF> <FFFFFFFF> <0043>\nendbfrange")
+    assert(hostile.exists(m => m.map == Map(0x63 -> "B")))
   }
 
   test("pdf show operators: TJ arrays, hex strings, move-and-show forms") {

@@ -163,6 +163,34 @@ class ZstdTransportSpec extends SparkSpec {
     assert(ZstdTransport.tarZstMembers(ascii("no tar here")).isEmpty)
   }
 
+  test("a frame inflating to non-WARC bytes ends the walk (doc contract)") {
+    def comp(payload: Array[Byte]): Array[Byte] = {
+      val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+      try { ctx.setLevel(3); ctx.compress(payload) } finally ctx.close()
+    }
+    val good = comp(ascii(ZstFixture.wzWarcinfo(1)))
+    val junk = comp(ascii("this is not a WARC record at offset 0"))
+    val tail = comp(ascii(ZstFixture.wzWarcinfo(2)))
+    val rows = ZstdTransport.warcZstRecords(good ++ junk ++ tail)
+    // frame 0's record claimed; the junk frame ends the walk, so the
+    // valid tail frame's record is NOT claimed (shard-index honesty)
+    assert(rows.map(_._1) == Seq(0), s"got frames ${rows.map(_._1)}")
+  }
+
+  test("jsonl doc extraction walks escaped quotes instead of truncating") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val line = """{"id":"d1","lang":"en","text":"say \"hi\" to C:\\tmp now"}"""
+    val media = Seq((0L, "application/x-ndjson", ascii(line + "\n")))
+      .toDF("media_id", "mime_type", "media")
+    val got = ZstdTransport.jsonlDocTable(spark, media)
+      .select(col("doc_id"), col("text")).collect()
+    assert(got.length == 1)
+    assert(got(0).getString(0) == "d1")
+    // the RAW JSON-escaped span, full length — not cut at the first \"
+    assert(got(0).getString(1) == """say \"hi\" to C:\\tmp now""")
+  }
+
   test("relational faces emit the fixture contract shapes") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
