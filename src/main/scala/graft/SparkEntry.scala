@@ -851,10 +851,12 @@ object SparkEntry {
         .select("media_id_a", "media_id_b")),
     // q_m38: video RE-MUX dedup — the video cell of the modality
     // matrix: per video the ordered per-frame dHash sequence digest
-    // (real sample-table walks + real MJPEG pixel decode); equal
-    // digests = the same stream re-containered (MP4 ↔ AVI). The
-    // fixture build asserts cross-container hash identity and
-    // cross-group distinctness on the committed bytes
+    // (real sample-table walks + real MJPEG pixel decode), falling
+    // back to a ZERO-DECODE digest of the ordered raw sample bytes
+    // when no frame pixel-decodes (H.264: a re-mux carries the codec
+    // payload verbatim); sig_kind says which path caught each pair.
+    // The fixture build asserts cross-container identity and
+    // cross-group distinctness on the committed bytes for BOTH paths
     "q_m38_video_remux" -> ((s, _) =>
       VideoDup.remuxPairs(
         VideoDup.signatureTable(s, Tables.videodup(s)))),
@@ -4660,8 +4662,12 @@ object SparkEntry {
     // per-frame hash identity across containers and distinctness
     // across groups on the actual bytes; the engine must reproduce
     // the pair set through real sample-table walks + pixel decode
+    // (the MJPEG classes) or the raw-span payload digest (the AVC
+    // class g%8==6, whose pixels nothing here can decode)
     "q_m38_video_remux" ->
-      s"""SELECT media_id AS media_id_a, media_id + 1 AS media_id_b
+      s"""SELECT media_id AS media_id_a, media_id + 1 AS media_id_b,
+         |   CASE WHEN (media_id // 2) % 8 = 6 THEN 'payload'
+         |        ELSE 'phash' END AS sig_kind
          | FROM read_parquet('${Tables.videodupFixturePath}')
          | WHERE media_id % 2 = 0 AND (media_id // 2) % 8 <> 7""".stripMargin,
     // q_m39: GifAnimFixture's id contract — canvas/loop and per-frame

@@ -1487,6 +1487,21 @@ object Multimodal {
         case t if MjpegCodecs.contains(t.codec) => expandSamples(t, b.length)
       }.flatten
 
+    /** Sample spans of every recognized VIDEO trak regardless of
+     * codec — the payload-digest re-mux path's span source for the
+     * self-contained layout: H.264/HEVC pixels need a codec library,
+     * but the raw ordered sample bytes identify the stream exactly
+     * (a re-mux carries them verbatim). Audio traks (mp4a …) are
+     * excluded so a movie's soundtrack can't leak into the video
+     * signature. */
+    private val VideoSampleCodecs: Set[String] =
+      MjpegCodecs ++ H26xCodecs ++ Set("vp08", "vp09", "av01", "mp4v")
+    private[ops] def mp4AnyVideoSamples(b: Array[Byte]): Seq[(Int, Int)] =
+      mp4Traks(b).collect {
+        case t if t.codec != null && VideoSampleCodecs.contains(t.codec) =>
+          expandSamples(t, b.length)
+      }.flatten
+
     /** Keyframe LOCATOR for H.26x-in-MP4: (1-based sample number,
      * offset, size) of every `stss`-declared sync sample in each
      * H.26x-family trak. The pixels of these codecs can't be decoded
@@ -1596,12 +1611,27 @@ object Multimodal {
     private[ops] def mp4FragmentSyncSamples(b: Array[Byte]): Seq[(Long, Int, Int)] =
       mp4FragmentSyncSamplesC(b).map { case (sn, off, len, _) => (sn, off, len) }
 
+    /** EVERY fragmented video sample's (offset, size) in decode
+     * order, sync or not — the payload-digest re-mux path's span
+     * source for the segment layout: a re-mux carries identical
+     * codec payload bytes, so the ordered raw spans identify the
+     * stream without any pixel decode. */
+    private[ops] def mp4FragmentVideoSamples(b: Array[Byte]): Seq[(Int, Int)] =
+      mp4FragmentSamplesFull(b).map { case (_, off, len, _, _, _) => (off, len) }
+
     /** [[mp4FragmentSyncSamples]] plus the owning track's codec fourcc
      * (via the moov trak walk's track_ID → codec mapping) — same
      * rationale as [[mp4SyncSamplesC]]. */
     private[ops] def mp4FragmentSyncSamplesC(b: Array[Byte]): Seq[(Long, Int, Int, String)] =
       mp4FragmentSyncSamplesFull(b).map { case (sn, off, len, codec, _) =>
         (sn, off, len, codec)
+      }
+
+    /** Sync-only projection of [[mp4FragmentSamplesFull]] — the
+     * keyframe faces keep their exact pre-r18 semantics. */
+    private def mp4FragmentSyncSamplesFull(b: Array[Byte]): Seq[(Long, Int, Int, String, Long)] =
+      mp4FragmentSamplesFull(b).collect { case (sn, off, len, codec, tMs, true) =>
+        (sn, off, len, codec, tMs)
       }
 
     /** [[mp4FragmentSyncSamples]] plus each sync sample's DECODE time
@@ -1617,7 +1647,13 @@ object Multimodal {
         (sn, off, len, tMs)
       }
 
-    private def mp4FragmentSyncSamplesFull(b: Array[Byte]): Seq[(Long, Int, Int, String, Long)] = {
+    /** The shared fragment walk: every sample with resolvable
+     * coordinates, tagged with its sync-sample status (last tuple
+     * element). Sync resolution per ISO/IEC 14496-12 §8.8.3 is
+     * unchanged from the pre-r18 sync-only walker; non-sync samples
+     * are now ALSO emitted (sync=false) so the payload-digest path
+     * can see the whole stream. */
+    private def mp4FragmentSamplesFull(b: Array[Byte]): Seq[(Long, Int, Int, String, Long, Boolean)] = {
       if (b == null || b.length < 12 || !tag(b, 4, "ftyp")) return Nil
       val videoCodec = mp4Traks(b).collect {
         case t if H26xCodecs.contains(t.codec) && t.trackId > 0 =>
@@ -1625,7 +1661,7 @@ object Multimodal {
       }.toMap
       val videoTracks = videoCodec.keySet
       if (videoTracks.isEmpty) return Nil
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int, String, Long)]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int, String, Long, Boolean)]
       val trex = trexDefaults(b)
       val counters = scala.collection.mutable.Map.empty[Long, Long]
       // per-track decode clock in mdhd ticks: a traf WITHOUT tfdt
@@ -1716,11 +1752,11 @@ object Multimodal {
                       val cnt = counters.getOrElse(trackId, 0L) + 1
                       counters(trackId) = cnt
                       val sync = sflags >= 0 && ((sflags >> 16) & 1L) == 0L
-                      if (sync && pos >= 0 && pos + size <= b.length) {
+                      if (pos >= 0 && pos + size <= b.length) {
                         val tMs =
                           if (timescale > 0) curTicks * 1000L / timescale else -1L
                         out += ((cnt, pos.toInt, size.toInt,
-                          videoCodec(trackId)._1, tMs))
+                          videoCodec(trackId)._1, tMs, sync))
                       }
                       pos += size
                       curTicks += dur

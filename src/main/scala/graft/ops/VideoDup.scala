@@ -23,9 +23,23 @@ import Multimodal.MediaRow
  * different content diverges at the first frame (the per-frame hash
  * is the image family's, with its avalanche-backed distinctness).
  *
+ * Payload-digest fallback (round 18): when NO frame pixel-decodes —
+ * H.264/HEVC and friends, i.e. nearly all real video — the signature
+ * falls back to an md5 over the ORDERED RAW sample byte spans the
+ * same container walks already locate (AVI `movi` chunks, MP4 `stbl`
+ * samples of any video codec, moof/trun fragment runs). A re-mux
+ * carries the codec payload bytes verbatim, so this catches every
+ * H.264 MP4 ↔ AVI ↔ fragmented-MP4 re-container with ZERO decode;
+ * what it deliberately does NOT catch is a re-encode (that needs
+ * pixels) or a re-mux that rewrites the bitstream framing (AVCC ↔
+ * Annex-B). The `sig_kind` column says which path produced each
+ * signature ('phash' = perceptual, 'payload' = raw-span digest);
+ * kinds never join against each other.
+ *
  * Scale shape: decode + hash are partition-local per blob; only
- * (media_id, n_frames, 16-byte digest) rows reach the pair join —
- * one exchange keyed on the digest, video bytes never shuffle.
+ * (media_id, n_frames, 16-byte digest, kind) rows reach the pair
+ * join — one exchange keyed on the digest, video bytes never
+ * shuffle.
  */
 object VideoDup {
 
@@ -48,7 +62,35 @@ object VideoDup {
     }
   }
 
-  /** Per-video signature row: (media_id, n_frames, sig). */
+  /** Raw sample spans for the payload-digest path: AVI `movi`
+   * chunks, else self-contained MP4 samples of ANY video codec,
+   * else the moof/trun fragment runs. */
+  private[graft] def payloadSpans(b: Array[Byte]): Seq[(Int, Int)] = {
+    val avi = Multimodal.AvHeaders.aviVideoChunks(b)
+    if (avi.nonEmpty) avi
+    else {
+      val moov = Multimodal.AvHeaders.mp4AnyVideoSamples(b)
+      if (moov.nonEmpty) moov
+      else Multimodal.AvHeaders.mp4FragmentVideoSamples(b)
+    }
+  }
+
+  /** md5 over the ordered raw sample bytes; None when no span is
+   * in-bounds. */
+  private[graft] def payloadDigest(b: Array[Byte]): Option[(Int, String)] = {
+    val spans = payloadSpans(b).filter { case (off, len) =>
+      off >= 0 && len > 0 && off.toLong + len <= b.length }
+    if (spans.isEmpty) None
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      spans.foreach { case (off, len) => md.update(b, off, len) }
+      Some((spans.size, md.digest().map(x => f"$x%02x").mkString))
+    }
+  }
+
+  /** Per-video signature row: (media_id, n_frames, sig, sig_kind).
+   * Perceptual when any frame pixel-decodes; payload-digest
+   * otherwise; no row when the container yields nothing at all. */
   def signatureTable(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     media.select(col("media_id"), col("mime_type"), col("media"))
@@ -56,27 +98,30 @@ object VideoDup {
       .mapPartitions { rows =>
         rows.flatMap { r =>
           val seq = frameDhashSeq(r.media)
-          if (seq.isEmpty) None
-          else {
+          if (seq.nonEmpty) {
             val md = java.security.MessageDigest.getInstance("MD5")
             val sig = md.digest(seq.mkString(",").getBytes("US-ASCII"))
               .map(x => f"$x%02x").mkString
-            Some((r.media_id, seq.size, sig))
+            Some((r.media_id, seq.size, sig, "phash"))
+          } else payloadDigest(r.media).map { case (n, sig) =>
+            (r.media_id, n, sig, "payload")
           }
         }
       }
-      .toDF("media_id", "n_frames", "sig")
+      .toDF("media_id", "n_frames", "sig", "sig_kind")
   }
 
-  /** Re-mux pairs: equal frame count + equal ordered-hash digest.
+  /** Re-mux pairs: equal kind + frame count + ordered digest.
    * One digest-keyed exchange over fixed-shape rows. */
   def remuxPairs(sigs: DataFrame): DataFrame = {
     val l = sigs.as("l")
     val r = sigs.as("r")
     l.join(r, col("l.sig") === col("r.sig") &&
+        col("l.sig_kind") === col("r.sig_kind") &&
         col("l.n_frames") === col("r.n_frames") &&
         col("l.media_id") < col("r.media_id"))
       .select(col("l.media_id").as("media_id_a"),
-        col("r.media_id").as("media_id_b"))
+        col("r.media_id").as("media_id_b"),
+        col("l.sig_kind").as("sig_kind"))
   }
 }

@@ -88,12 +88,20 @@ object AvcMp4Fixture {
     be32(s - 4L) ++ nal
   }
 
-  def mp4(id: Long): Array[Byte] = {
+  /** The ordered AVCC sample payloads [[mp4]](id) carries in its
+   * mdat — shared with the re-mux fixture's AVI twin so both
+   * containers hold byte-identical codec payloads. */
+  def samplePayloads(id: Long): Seq[Array[Byte]] = {
     val nf = nFrames(id)
     val s = sampleSize(id)
     val syncs = syncSamples(id).map(_.toInt).toSet
-    val mdat = box("mdat",
-      (0 until nf).flatMap(f => sample(id, f, s, syncs(f + 1))).toArray)
+    (0 until nf).map(f => sample(id, f, s, syncs(f + 1)))
+  }
+
+  def mp4(id: Long): Array[Byte] = {
+    val nf = nFrames(id)
+    val s = sampleSize(id)
+    val mdat = box("mdat", samplePayloads(id).flatten.toArray)
     val (w, h, upf) = (MjpegMp4Fixture.width(id), MjpegMp4Fixture.height(id),
       MjpegMp4Fixture.usPerFrame(id))
     val stbl = box("stbl", stsdAvc(id) ++ stts(nf, upf) ++ stss(id) ++ stsc() ++

@@ -82,15 +82,16 @@ object AviFixture {
       le32(nf) ++ le32(0) ++ le32(1) ++ le32(suggestedBuf) ++ // totalFrames, initialFrames, streams, suggBuf
       le32(w) ++ le32(h) ++ new Array[Byte](16)) // width, height, dwReserved[4]
 
-  private def strl(w: Int, h: Int, upf: Int, nf: Int, suggestedBuf: Int): Array[Byte] = {
-    val strh = chunk("strh", fourcc("vids") ++ fourcc("MJPG") ++
+  private def strl(w: Int, h: Int, upf: Int, nf: Int, suggestedBuf: Int,
+      codec: String = "MJPG"): Array[Byte] = {
+    val strh = chunk("strh", fourcc("vids") ++ fourcc(codec) ++
       le32(0) ++ le16(0) ++ le16(0) ++ le32(0) ++ // flags, priority, language, initialFrames
       le32(1) ++ le32(1000000L / upf) ++ // scale, rate (fps = rate/scale)
       le32(0) ++ le32(nf) ++ le32(suggestedBuf) ++ // start, length, suggBuf
       le32(0xffffffffL) ++ le32(0) ++ // quality, sampleSize
       le16(0) ++ le16(0) ++ le16(w) ++ le16(h)) // rcFrame
     val strf = chunk("strf", le32(40) ++ le32(w) ++ le32(h) ++
-      le16(1) ++ le16(24) ++ fourcc("MJPG") ++ // planes, bitCount, compression
+      le16(1) ++ le16(24) ++ fourcc(codec) ++ // planes, bitCount, compression
       le32(w.toLong * h * 3) ++
       le32(0) ++ le32(0) ++ le32(0) ++ le32(0)) // ppm, colors
     list("strl", strh ++ strf)
@@ -106,12 +107,21 @@ object AviFixture {
    * the generalized form [[aviWithSize]] wraps; also feeds the
    * video-dedup fixture's re-mux twins. */
   def aviFromJpegs(jpegs: Seq[Array[Byte]], w: Int, h: Int,
-      upf: Int): (Array[Byte], Int) = {
-    val nf = jpegs.size
-    val s = (jpegs.map(_.length).max + 1) & ~1 // round up to even
-    val hdrl = list("hdrl", avih(w, h, upf, nf, s) ++ strl(w, h, upf, nf, s))
+      upf: Int): (Array[Byte], Int) =
+    aviFromChunks(jpegs, w, h, upf, "MJPG")
+
+  /** Assemble an AVI from ARBITRARY video-chunk payloads under any
+   * stream fourcc — the re-mux fixture's non-MJPEG twin path (e.g.
+   * 'H264' chunks that carry the SAME sample bytes as an MP4's
+   * mdat, which the payload-digest dedup path must match). */
+  def aviFromChunks(payloads: Seq[Array[Byte]], w: Int, h: Int,
+      upf: Int, codec: String): (Array[Byte], Int) = {
+    val nf = payloads.size
+    val s = (payloads.map(_.length).max + 1) & ~1 // round up to even
+    val hdrl = list("hdrl",
+      avih(w, h, upf, nf, s) ++ strl(w, h, upf, nf, s, codec))
     require(hdrl.length == 200, s"hdrl geometry drifted: ${hdrl.length}")
-    val movi = list("movi", jpegs.flatMap { j =>
+    val movi = list("movi", payloads.flatMap { j =>
       chunk("00dc", j ++ new Array[Byte](s - j.length))
     }.toArray)
     (fourcc("RIFF") ++ le32(4 + hdrl.length + movi.length) ++ fourcc("AVI ") ++

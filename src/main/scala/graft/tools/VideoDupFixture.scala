@@ -10,10 +10,21 @@ package graft.tools
  * duplicate a video corpus is full of. Group g%8==7 is junk on both
  * ids.
  *
+ * Group g%8==6 (round 18) is the PAYLOAD-path class: an AVC (H.264)
+ * stream whose pixels nothing in this container can decode — the
+ * even id ships [[AvcMp4Fixture.mp4]](g) (avc1 sample entry, AVCC
+ * samples), the odd id an 'H264' AVI carrying the byte-identical
+ * sample payloads ([[AvcMp4Fixture.samplePayloads]] →
+ * [[AviFixture.aviFromChunks]]). These twins must be caught by the
+ * zero-decode payload-digest fallback, and their signature rows must
+ * say sig_kind='payload'.
+ *
  * The build ASSERTS the pair contract on the actual bytes: both
- * members produce the identical per-frame dHash sequence, and no two
- * groups share one — so the committed fixture can never drift from
- * the q_m38 oracle's id arithmetic.
+ * members produce the identical signature (per-frame dHash sequence
+ * for the MJPEG classes, raw-span digest for the AVC class — which
+ * must ALSO pixel-decode zero frames), and no two groups share one —
+ * so the committed fixture can never drift from the q_m38 oracle's
+ * id arithmetic.
  *
  * Usage: runMain graft.tools.VideoDupFixture [outFile] [rows]
  * (default fixtures/videodup.parquet, 60 rows)
@@ -55,7 +66,13 @@ object VideoDupFixture {
     if (g % 8 == 7)
       (if (id % 2 == 0) "video/mp4" else "video/x-msvideo",
         s"junk, not a video $id".getBytes("US-ASCII"))
-    else if (id % 2 == 0)
+    else if (g % 8 == 6) {
+      // AVC class: identical codec payload bytes behind avc1-MP4 and
+      // 'H264'-AVI framing — visible only to the payload-digest path
+      if (id % 2 == 0) ("video/mp4", AvcMp4Fixture.mp4(g))
+      else ("video/x-msvideo", AviFixture.aviFromChunks(
+        AvcMp4Fixture.samplePayloads(g), W, H, 33333, "H264")._1)
+    } else if (id % 2 == 0)
       ("video/mp4", MjpegMp4Fixture.mp4FromJpegs(frames(g), W, H, 33333)._1)
     else
       ("video/x-msvideo", AviFixture.aviFromJpegs(frames(g), W, H, 33333)._1)
@@ -75,18 +92,37 @@ object VideoDupFixture {
     val seqs = data.map { case (id, _, bytes) =>
       id -> graft.ops.VideoDup.frameDhashSeq(bytes)
     }.toMap
-    val groups = (0L until rows.toLong / 2).filter(_ % 8 != 7)
-    groups.foreach { g =>
+    val digests = data.map { case (id, _, bytes) =>
+      id -> graft.ops.VideoDup.payloadDigest(bytes)
+    }.toMap
+    val phashGroups = (0L until rows.toLong / 2)
+      .filter(g => g % 8 != 7 && g % 8 != 6)
+    phashGroups.foreach { g =>
       require(seqs(2 * g).nonEmpty, s"group $g mp4 decoded no frames")
       require(seqs(2 * g) == seqs(2 * g + 1),
         s"group $g containers hash apart")
     }
-    for (a <- groups; b <- groups if a < b)
+    for (a <- phashGroups; b <- phashGroups if a < b)
       require(seqs(2 * a) != seqs(2 * b), s"groups $a/$b collide")
-    groups.foreach(g => require(seqs(2 * g).size == nFrames(g),
+    phashGroups.foreach(g => require(seqs(2 * g).size == nFrames(g),
       s"group $g frame count"))
-    (0L until rows.toLong / 2).filter(_ % 8 == 7).foreach(g =>
+    // AVC class: pixel path must see NOTHING, payload digests must
+    // pair within the group and collide nowhere across groups
+    val avcGroups = (0L until rows.toLong / 2).filter(_ % 8 == 6)
+    avcGroups.foreach { g =>
       require(seqs(2 * g).isEmpty && seqs(2 * g + 1).isEmpty,
+        s"avc group $g pixel-decoded — payload path untested")
+      require(digests(2 * g).nonEmpty, s"avc group $g mp4 has no spans")
+      require(digests(2 * g) == digests(2 * g + 1),
+        s"avc group $g containers digest apart")
+      require(digests(2 * g).get._1 == AvcMp4Fixture.nFrames(g),
+        s"avc group $g span count")
+    }
+    for (a <- avcGroups; b <- avcGroups if a < b)
+      require(digests(2 * a) != digests(2 * b), s"avc groups $a/$b collide")
+    (0L until rows.toLong / 2).filter(_ % 8 == 7).foreach(g =>
+      require(seqs(2 * g).isEmpty && seqs(2 * g + 1).isEmpty &&
+        digests(2 * g).isEmpty && digests(2 * g + 1).isEmpty,
         s"junk group $g decoded"))
     FixtureIo.writeSingleParquet(
       data.toDF("media_id", "mime_type", "media"), out, rows.toLong)

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
-import graft.tools.{AviFixture, MjpegMp4Fixture, VideoDupFixture}
+import graft.tools.{AviFixture, AvcMp4Fixture, MjpegMp4Fixture, VideoDupFixture}
 
 class VideoDupSpec extends SparkSpec {
 
@@ -21,21 +21,42 @@ class VideoDupSpec extends SparkSpec {
       VideoDup.frameDhashSeq(AviFixture.row(id)._2))
   }
 
-  test("junk and frame-less containers claim nothing") {
+  test("junk and frame-less containers claim nothing on either path") {
     assert(VideoDup.frameDhashSeq("no video".getBytes("US-ASCII")).isEmpty)
     assert(VideoDup.frameDhashSeq(AviFixture.headerOnly(0L)).isEmpty)
     assert(VideoDup.frameDhashSeq(MjpegMp4Fixture.truncated()).isEmpty)
+    assert(VideoDup.payloadDigest("no video".getBytes("US-ASCII")).isEmpty)
+    assert(VideoDup.payloadDigest(AviFixture.headerOnly(0L)).isEmpty)
+    assert(VideoDup.payloadDigest(MjpegMp4Fixture.truncated()).isEmpty)
   }
 
-  test("pair face: exact re-mux pair set over the fixture") {
+  test("AVC twins: pixels decode nowhere, payload digests pair — incl. fragmented") {
+    val g = 6L // the fixture's AVC class
+    val mp4 = VideoDupFixture.row(12L)._2
+    val avi = VideoDupFixture.row(13L)._2
+    assert(VideoDup.frameDhashSeq(mp4).isEmpty &&
+      VideoDup.frameDhashSeq(avi).isEmpty,
+      "AVC pixels decoded — the payload path is untested")
+    val d = VideoDup.payloadDigest(mp4)
+    assert(d.nonEmpty && d == VideoDup.payloadDigest(avi))
+    assert(d.get._1 == AvcMp4Fixture.nFrames(g))
+    // the fragmented (CMAF) layout of the SAME stream carries the
+    // same ordered sample bytes — the third re-mux corner
+    assert(VideoDup.payloadDigest(AvcMp4Fixture.fragMp4(g)) == d)
+    // a different stream digests apart
+    assert(VideoDup.payloadDigest(AvcMp4Fixture.mp4(14L)) != d)
+  }
+
+  test("pair face: exact re-mux pair set over the fixture, kinds labelled") {
     import spark.implicits._
     val rows = (0L until 32L).map { id =>
       val (m, b) = VideoDupFixture.row(id); (id, m, b)
     }
     val pairs = VideoDup.remuxPairs(VideoDup.signatureTable(spark,
         rows.toDF("media_id", "mime_type", "media")))
-      .as[(Long, Long)].collect().toSet
-    val want = (0L until 16L).filter(_ % 8 != 7).map(g => (2 * g, 2 * g + 1)).toSet
+      .as[(Long, Long, String)].collect().toSet
+    val want = (0L until 16L).filter(_ % 8 != 7).map(g =>
+      (2 * g, 2 * g + 1, if (g % 8 == 6) "payload" else "phash")).toSet
     assert(pairs == want, s"got $pairs")
   }
 }
