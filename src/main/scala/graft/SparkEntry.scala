@@ -868,6 +868,29 @@ object SparkEntry {
     // keeps complete frames (sub-block overrun ends the walk)
     "q_m39_gif_anim" -> ((s, _) =>
       Multimodal.gifAnimTable(s, Tables.gifanim(s))),
+    // q_m40: AUDIO decode coverage — the audio twin of q_m34's
+    // honesty face: per (mime_type, container) how many rows the
+    // q_m37 fingerprint path actually decodes (WAV PCM + FLAC
+    // today). mp3 / aac-adts / ogg / aiff / au / companded WAV are
+    // the MEASURED honest-zero lines — the gap list a real corpus
+    // run must report before trusting an audio-dedup pass. Note the
+    // flac.parquet rows count as zero too: that fixture's frames are
+    // structural fakes (sync headers, junk bodies — built for the
+    // frame WALK), so "claims nothing" is the correct decode answer;
+    // flacpcm.parquet carries the real streams
+    "q_m40_audio_coverage" -> ((s, _) =>
+      AudioFp.decodeCoverage(s, Tables.audiodup(s)
+        .unionByName(Tables.audio(s)).unionByName(Tables.mp3(s))
+        .unionByName(Tables.aac(s)).unionByName(Tables.ogg(s))
+        .unionByName(Tables.flac(s)).unionByName(Tables.flacpcm(s)))),
+    // q_m41: VIDEO decode coverage — per (mime_type, container) the
+    // q_m38 pixel path (MJPEG only) and payload-digest path (AVI /
+    // MP4 / fragmented-MP4 spans) measured independently; webm and
+    // mpeg-ts are the honest 0/0 lines
+    "q_m41_video_coverage" -> ((s, _) =>
+      VideoDup.decodeCoverage(s, Tables.videodup(s)
+        .unionByName(Tables.mp4Avc(s)).unionByName(Tables.mp4Frag(s))
+        .unionByName(Tables.webm(s)).unionByName(Tables.ts(s)))),
     // q_w29: sitemap URL entries — the operator-DECLARED page list:
     // documents discovered through robots `Sitemap:` lines (ARBITRARY
     // URLs, q_w28's channel) and the well-known /sitemap.xml path,
@@ -4694,6 +4717,94 @@ object SparkEntry {
          |   CAST(40 AS INT) AS canvas_w, CAST(30 AS INT) AS canvas_h,
          |   CAST(media_id % 5 AS INT) AS loop_count
          | FROM gf""".stripMargin,
+    // q_m40: each audio fixture's id contract says exactly what every
+    // row is (container) and whether the WAV+FLAC fingerprint path
+    // decodes it — the union replays those contracts and aggregates;
+    // the engine must land on identical (mime, container, n,
+    // n_decoded) cells through REAL sniffing + decoding
+    "q_m40_audio_coverage" ->
+      s"""WITH u AS (
+         |  SELECT mime_type,
+         |    CASE WHEN (media_id // 2) % 8 = 7 THEN 'other'
+         |         WHEN media_id % 2 = 0 THEN 'wav' ELSE 'flac' END AS container,
+         |    CASE WHEN (media_id // 2) % 8 = 7 THEN 0 ELSE 1 END AS ok
+         |  FROM read_parquet('${Tables.audiodupFixturePath}')
+         |  UNION ALL
+         |  SELECT mime_type,
+         |    CASE WHEN media_id % 8 IN (0, 3) THEN 'aiff'
+         |         WHEN media_id % 8 IN (1, 5) THEN 'au'
+         |         WHEN media_id % 8 = 7 THEN 'other' ELSE 'wav' END,
+         |    0
+         |  FROM read_parquet('${Tables.audioFixturePath}')
+         |  UNION ALL
+         |  SELECT mime_type,
+         |    CASE WHEN media_id % 8 = 3 THEN 'id3-tag-only'
+         |         WHEN media_id % 8 = 7 THEN 'other' ELSE 'mp3' END,
+         |    0
+         |  FROM read_parquet('${Tables.mp3FixturePath}')
+         |  UNION ALL
+         |  SELECT mime_type,
+         |    CASE WHEN media_id % 8 = 3 THEN 'id3-tag-only'
+         |         WHEN media_id % 8 = 7 THEN 'other' ELSE 'aac-adts' END,
+         |    0
+         |  FROM read_parquet('${Tables.aacFixturePath}')
+         |  UNION ALL
+         |  SELECT mime_type,
+         |    CASE WHEN media_id % 8 = 7 THEN 'other' ELSE 'ogg' END,
+         |    0
+         |  FROM read_parquet('${Tables.oggFixturePath}')
+         |  UNION ALL
+         |  SELECT mime_type,
+         |    CASE WHEN media_id % 8 = 7 THEN 'other' ELSE 'flac' END,
+         |    0 -- structural fakes: the walk fixture never PCM-decodes
+         |  FROM read_parquet('${Tables.flacFixturePath}')
+         |  UNION ALL
+         |  SELECT mime_type,
+         |    CASE WHEN media_id % 6 = 5 THEN 'other' ELSE 'flac' END,
+         |    CASE WHEN media_id % 6 = 5 THEN 0 ELSE 1 END
+         |  FROM read_parquet('${Tables.flacpcmFixturePath}'))
+         | SELECT mime_type, container, CAST(count(*) AS BIGINT) AS n,
+         |   CAST(sum(ok) AS BIGINT) AS n_decoded
+         | FROM u GROUP BY mime_type, container""".stripMargin,
+    // q_m41: same honesty replay for video — pixel path only on the
+    // MJPEG re-mux classes, payload path on anything with locatable
+    // sample spans (incl. the AVC and fragmented layouts), webm and
+    // mpeg-ts 0/0
+    "q_m41_video_coverage" ->
+      s"""WITH u AS (
+         |  SELECT mime_type,
+         |    CASE WHEN (media_id // 2) % 8 = 7 THEN 'other'
+         |         WHEN media_id % 2 = 0 THEN 'mp4' ELSE 'avi' END AS container,
+         |    CASE WHEN (media_id // 2) % 8 IN (6, 7) THEN 0 ELSE 1 END AS px,
+         |    CASE WHEN (media_id // 2) % 8 = 7 THEN 0 ELSE 1 END AS pl
+         |  FROM read_parquet('${Tables.videodupFixturePath}')
+         |  UNION ALL
+         |  SELECT mime_type,
+         |    CASE WHEN media_id % 8 = 7 THEN 'other' ELSE 'mp4' END,
+         |    0,
+         |    CASE WHEN media_id % 8 IN (3, 7) THEN 0 ELSE 1 END
+         |  FROM read_parquet('${Tables.mp4AvcFixturePath}')
+         |  UNION ALL
+         |  SELECT mime_type,
+         |    CASE WHEN media_id % 8 = 7 THEN 'other' ELSE 'mp4' END,
+         |    0,
+         |    CASE WHEN media_id % 8 IN (3, 7) THEN 0 ELSE 1 END
+         |  FROM read_parquet('${Tables.mp4FragFixturePath}')
+         |  UNION ALL
+         |  SELECT mime_type,
+         |    CASE WHEN media_id % 8 = 7 THEN 'other' ELSE 'webm' END,
+         |    0, 0
+         |  FROM read_parquet('${Tables.webmFixturePath}')
+         |  UNION ALL
+         |  SELECT mime_type,
+         |    CASE WHEN media_id % 8 = 3 THEN 'mp4'
+         |         WHEN media_id % 8 = 7 THEN 'other' ELSE 'mpeg-ts' END,
+         |    0, 0
+         |  FROM read_parquet('${Tables.tsFixturePath}'))
+         | SELECT mime_type, container, CAST(count(*) AS BIGINT) AS n,
+         |   CAST(sum(px) AS BIGINT) AS n_pixel,
+         |   CAST(sum(pl) AS BIGINT) AS n_payload
+         | FROM u GROUP BY mime_type, container""".stripMargin,
     // q_m35: the animated-WebP container re-walked from raw bytes —
     // a recursive chunk scan mirroring the engine's totality rule
     // (stop at the first chunk that overruns the file, so the

@@ -200,6 +200,50 @@ object AudioFp {
         lower(lpad(hex(col("b1")), 4, "0")), lower(lpad(hex(col("b0")), 4, "0"))))
   }
 
+  /** Container sniff for the coverage face: magic bytes first, then
+   * the frame walks for the tag-led bitstream formats (an ID3 tag
+   * can front either MP3 or ADTS — the walk decides). */
+  private[graft] def audioContainer(b: Array[Byte]): String = {
+    if (b == null || b.length < 4) return "other"
+    def tag(o: Int, s: String): Boolean =
+      b.length >= o + s.length &&
+        s.indices.forall(i => b(o + i) == s.charAt(i).toByte)
+    if (tag(0, "RIFF") && tag(8, "WAVE")) "wav"
+    else if (tag(0, "FORM") && (tag(8, "AIFF") || tag(8, "AIFC"))) "aiff"
+    else if (tag(0, "fLaC")) "flac"
+    else if (tag(0, ".snd")) "au"
+    else if (tag(0, "OggS")) "ogg"
+    else if (Multimodal.AvHeaders.mp3Frames(b).nonEmpty) "mp3"
+    else if (Multimodal.AvHeaders.adtsFrames(b).nonEmpty) "aac-adts"
+    else if (tag(0, "ID3")) "id3-tag-only"
+    else "other"
+  }
+
+  /** Decode-COVERAGE table (q_m40) — the audio twin of the image
+   * family's q_m34 honesty face: per (mime_type, container) the row
+   * count and how many rows the FINGERPRINT decode path
+   * ([[monoSamples]]: WAV linear PCM + FLAC) actually turns into
+   * samples. q_m37 silently skips what it can't decode (tolerance);
+   * this face makes the skip a queryable number — today that means
+   * honest ZERO lines for mp3 / aac-adts / ogg / aiff / au /
+   * companded WAV, exactly the gap list a 100 TB crawl must report
+   * before anyone trusts an audio-dedup pass. Scale shape: map-side
+   * sniff+decode, then one tiny groupBy. */
+  def decodeCoverage(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("mime_type"), col("media"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          (r.mime_type, audioContainer(r.media),
+            if (monoSamples(r.media).isDefined) 1L else 0L)
+        }
+      }
+      .toDF("mime_type", "container", "ok")
+      .groupBy("mime_type", "container")
+      .agg(count(lit(1)).as("n"), sum(col("ok")).as("n_decoded"))
+  }
+
   /** Banded near-dup pair join — identical math to the image dHash
    * family: bucket on any equal band (guaranteed recall at Hamming
    * ≤ 3 by pigeonhole over 4 bands), verify the full 64-bit distance.

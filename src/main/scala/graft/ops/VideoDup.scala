@@ -111,6 +111,47 @@ object VideoDup {
       .toDF("media_id", "n_frames", "sig", "sig_kind")
   }
 
+  /** Container sniff for the coverage face. */
+  private[graft] def videoContainer(b: Array[Byte]): String = {
+    if (b == null || b.length < 8) return "other"
+    def tag(o: Int, s: String): Boolean =
+      b.length >= o + s.length &&
+        s.indices.forall(i => b(o + i) == s.charAt(i).toByte)
+    if (tag(0, "RIFF") && tag(8, "AVI ")) "avi"
+    else if (tag(4, "ftyp")) "mp4"
+    else if ((b(0) & 0xff) == 0x1A && (b(1) & 0xff) == 0x45 &&
+      (b(2) & 0xff) == 0xDF && (b(3) & 0xff) == 0xA3) "webm"
+    else if ((b(0) & 0xff) == 0x47 && b.length >= 189 &&
+      (b(188) & 0xff) == 0x47) "mpeg-ts"
+    else "other"
+  }
+
+  /** Decode-COVERAGE table (q_m41) — the video twin of q_m34's
+   * honesty face: per (mime_type, container) the row count, how many
+   * rows the PIXEL path sees (any frame ImageIO-decodable — MJPEG
+   * only today) and how many the PAYLOAD-digest path sees (raw
+   * sample spans locatable — AVI chunks, MP4 stbl of any video
+   * codec, moof/trun fragments). The two columns measure the two
+   * q_m38 signature paths independently; webm and mpeg-ts are the
+   * honest 0/0 lines (frame walks exist but no span-digest path
+   * yet). Scale shape: map-side sniff+walk, one tiny groupBy. */
+  def decodeCoverage(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("mime_type"), col("media"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          (r.mime_type, videoContainer(r.media),
+            if (frameDhashSeq(r.media).nonEmpty) 1L else 0L,
+            if (payloadDigest(r.media).isDefined) 1L else 0L)
+        }
+      }
+      .toDF("mime_type", "container", "px", "pl")
+      .groupBy("mime_type", "container")
+      .agg(count(lit(1)).as("n"), sum(col("px")).as("n_pixel"),
+        sum(col("pl")).as("n_payload"))
+  }
+
   /** Re-mux pairs: equal kind + frame count + ordered digest.
    * One digest-keyed exchange over fixed-shape rows. */
   def remuxPairs(sigs: DataFrame): DataFrame = {

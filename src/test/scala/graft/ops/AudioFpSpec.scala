@@ -49,6 +49,24 @@ class AudioFpSpec extends SparkSpec {
       AudioDupFixture.wav(Array.fill(1000)(5))).isEmpty) // < 4 frames
   }
 
+  test("container sniff labels every fixture class the oracle expects") {
+    import graft.tools.{AacFixture, AudioFixture, FlacFixture, Mp3Fixture, OggFixture}
+    assert(AudioFp.audioContainer(AudioDupFixture.row(0L)._2) == "wav")
+    assert(AudioFp.audioContainer(AudioDupFixture.row(1L)._2) == "flac")
+    assert(AudioFp.audioContainer(AudioDupFixture.row(14L)._2) == "other") // junk group
+    assert(AudioFp.audioContainer(Mp3Fixture.row(0L)._2) == "mp3")
+    assert(AudioFp.audioContainer(Mp3Fixture.row(3L)._2) == "id3-tag-only")
+    assert(AudioFp.audioContainer(Mp3Fixture.row(7L)._2) == "other")
+    assert(AudioFp.audioContainer(AacFixture.row(0L)._2) == "aac-adts")
+    assert(AudioFp.audioContainer(AacFixture.row(3L)._2) == "id3-tag-only")
+    assert(AudioFp.audioContainer(OggFixture.row(0L)._2) == "ogg")
+    assert(AudioFp.audioContainer(OggFixture.row(3L)._2) == "ogg") // cut, magic kept
+    assert(AudioFp.audioContainer(FlacFixture.row(0L)._2) == "flac")
+    assert(AudioFp.audioContainer(AudioFixture.row(0L)._2) == "aiff")
+    assert(AudioFp.audioContainer(AudioFixture.row(1L)._2) == "au")
+    assert(AudioFp.audioContainer(AudioFixture.row(4L)._2) == "wav")
+  }
+
   test("pair face: exact pair set over the fixture, banded join recall") {
     import spark.implicits._
     val rows = (0L until 32L).map { id =>

@@ -47,6 +47,20 @@ class VideoDupSpec extends SparkSpec {
     assert(VideoDup.payloadDigest(AvcMp4Fixture.mp4(14L)) != d)
   }
 
+  test("container sniff labels every fixture class the oracle expects") {
+    import graft.tools.{TsFixture, WebmFixture}
+    assert(VideoDup.videoContainer(VideoDupFixture.row(0L)._2) == "mp4")
+    assert(VideoDup.videoContainer(VideoDupFixture.row(1L)._2) == "avi")
+    assert(VideoDup.videoContainer(VideoDupFixture.row(14L)._2) == "other") // junk
+    assert(VideoDup.videoContainer(AvcMp4Fixture.row(0L)._2) == "mp4")
+    assert(VideoDup.videoContainer(AvcMp4Fixture.row(3L)._2) == "mp4") // ftyp only
+    assert(VideoDup.videoContainer(AvcMp4Fixture.row(7L)._2) == "other")
+    assert(VideoDup.videoContainer(WebmFixture.row(0L)._2) == "webm")
+    assert(VideoDup.videoContainer(WebmFixture.row(3L)._2) == "webm") // cut, magic kept
+    assert(VideoDup.videoContainer(TsFixture.row(0L)._2) == "mpeg-ts")
+    assert(VideoDup.videoContainer(TsFixture.row(3L)._2) == "mp4") // the lying cut class
+  }
+
   test("pair face: exact re-mux pair set over the fixture, kinds labelled") {
     import spark.implicits._
     val rows = (0L until 32L).map { id =>
