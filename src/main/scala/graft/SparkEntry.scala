@@ -204,6 +204,12 @@ object SparkEntry {
     // trainer would pick); map-side-combine wordcount shape
     "q_x21_byte_pairs" -> ((s, d) =>
       TextAnalysis.bytePairStats(Tables.documents(s, d))),
+    // q_x22: ITERATED BPE training — 8 merge rounds over the
+    // distinct-word frequency table (the pair table re-derived each
+    // round, argmax applied as one codegen'd sentinel-framed
+    // replace), emitting the merge table a tokenizer trainer ships
+    "q_x22_bpe_train" -> ((s, d) =>
+      TextAnalysis.bpeTrain(s, Tables.documents(s, d))),
     // q_x18: fixed-size overlapping token chunks — context-window prep;
     // pure map-side (no shuffle at any scale)
     "q_x18_chunks" -> ((s, d) => TextAnalysis.chunk(Tables.documents(s, d))),
@@ -3111,6 +3117,68 @@ object SparkEntry {
          | FROM p GROUP BY 1, 2
          | ORDER BY n DESC, pair_left, pair_right
          | LIMIT 50""".stripMargin,
+    // q_x22: the full 8-round BPE training loop as ONE recursive CTE.
+    // State rows are (round, sentinel-framed word, count); each
+    // iteration cross-joins the working table with its own argmax
+    // pair and applies the merge as a plain `replace` — the
+    // sentinel framing (chr(1) sym chr(2) per symbol) makes
+    // left-to-right non-overlapping replacement exactly the greedy
+    // BPE merge, with no boundary-swallowing between adjacent
+    // occurrences. The merge table is then re-derived per round from
+    // the accumulated states (rank-1 pair of each round's table)
+    "q_x22_bpe_train" ->
+      s"""WITH RECURSIVE
+         | bx AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         | bw AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM bx
+         |  WHERE length(w) >= 2 AND w NOT LIKE '%' || chr(1) || '%'
+         |    AND w NOT LIKE '%' || chr(2) || '%'
+         |  GROUP BY w),
+         | st AS (
+         |  SELECT 0 AS r,
+         |    regexp_replace(w, '([\\s\\S])', chr(1) || '\\1' || chr(2), 'g') AS w,
+         |    cnt
+         |  FROM bw
+         |  UNION ALL
+         |  SELECT st.r + 1,
+         |    replace(st.w,
+         |      chr(1) || best.a || chr(2) || chr(1) || best.b || chr(2),
+         |      chr(1) || best.a || best.b || chr(2)),
+         |    st.cnt
+         |  FROM st, (
+         |    SELECT u['a'] AS a, u['b'] AS b
+         |    FROM (
+         |      SELECT u, sum(cnt) AS n FROM (
+         |        SELECT cnt,
+         |          unnest(list_transform(generate_series(1, len(l) - 1),
+         |            i -> {'a': l[i], 'b': l[i + 1]})) AS u
+         |        FROM (SELECT cnt,
+         |            string_split(substr(w, 2, length(w) - 2),
+         |              chr(2) || chr(1)) AS l
+         |          FROM st) q
+         |        WHERE len(l) >= 2) z
+         |      GROUP BY u)
+         |    ORDER BY n DESC, u['a'], u['b'] LIMIT 1) best
+         |  WHERE st.r < 8),
+         | px AS (
+         |  SELECT r, cnt,
+         |    string_split(substr(w, 2, length(w) - 2), chr(2) || chr(1)) AS l
+         |  FROM st WHERE r < 8),
+         | pu AS (
+         |  SELECT r, cnt,
+         |    unnest(list_transform(generate_series(1, len(l) - 1),
+         |      i -> {'a': l[i], 'b': l[i + 1]})) AS u
+         |  FROM px WHERE len(l) >= 2),
+         | pc AS (
+         |  SELECT r, u['a'] AS a, u['b'] AS b, CAST(sum(cnt) AS BIGINT) AS n
+         |  FROM pu GROUP BY r, u['a'], u['b']),
+         | pr AS (
+         |  SELECT r, a, b, n,
+         |    row_number() OVER (PARTITION BY r ORDER BY n DESC, a, b) AS rk
+         |  FROM pc)
+         | SELECT CAST(r + 1 AS INT) AS merge_round, a AS pair_left,
+         |   b AS pair_right, n
+         | FROM pr WHERE rk = 1""".stripMargin,
     "q_x17_tfidf" ->
       s"""WITH wr AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
          | tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c FROM wr GROUP BY 1, 2),

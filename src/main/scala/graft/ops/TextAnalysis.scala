@@ -562,6 +562,81 @@ object TextAnalysis {
    * count aggregation — pair rows are 2-char index rows, the corpus
    * text never re-shuffles; at 100 TB this is the canonical
    * map-side-combine wordcount shape. */
+  /**
+   * Iterated BPE vocabulary training (q_x22) — the actual
+   * tokenizer-training loop [[bytePairStats]] is the first round of:
+   * k merge rounds, each re-deriving the corpus pair table, picking
+   * the argmax pair (count desc, then the pair — a deterministic
+   * total order) and applying the merge greedily left-to-right
+   * within every word. Returns the merge table
+   * (merge_round, pair_left, pair_right, n) — the artifact a real
+   * trainer ships.
+   *
+   * Scale design: the corpus collapses ONCE into the distinct-word
+   * frequency table (the classic BPE-training state — at 100 TB the
+   * unique-word table is millions of rows, not trillions), and every
+   * round runs over that small persisted table. Words are encoded as
+   * sentinel-framed symbol strings (U+0001 sym U+0002 per symbol):
+   * applying a merge is then ONE codegen'd `replace` of
+   * `<1>a<2><1>b<2>` with `<1>ab<2>` — plain
+   * left-to-right non-overlapping replacement IS the greedy BPE
+   * merge, and because the replacement supplies both sentinel
+   * frames, adjacent occurrences can't swallow each other's
+   * boundary (the classic space-joined encoding gets "b a b a b"
+   * wrong; this one doesn't). Per round: one aggregation + a 1-row
+   * collect (the argmax — a bounded driver-side mechanism) + one
+   * map-side replace. Round states are persisted and released
+   * round-over-round so the plan never deepens past one round.
+   */
+  def bpeTrain(spark: org.apache.spark.sql.SparkSession,
+      documents: DataFrame, k: Int = 8): DataFrame = {
+    import spark.implicits._
+    val s1 = "\u0001"
+    val s2 = "\u0002"
+    val enc = concat_ws("", transform(sequence(lit(1), length(col("w"))),
+      i => concat(lit(s1), col("w").substr(i, lit(1)), lit(s2))))
+    val base = documents
+      .select(explode(words(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2 &&
+        !col("w").contains(s1) && !col("w").contains(s2))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(enc.as("w"), col("cnt"))
+    val syms = split(col("w").substr(lit(2), length(col("w")) - 2),
+      java.util.regex.Pattern.quote(s2 + s1))
+    val pairs = transform(sequence(lit(1), size(col("s")) - 1),
+      i => struct(element_at(col("s"), i).as("a"),
+        element_at(col("s"), i + lit(1)).as("b")))
+    // every round state is persisted and materialized BY the next
+    // round's argmax aggregation (no extra count() jobs); all states
+    // release together at the end — k+1 copies of the small vocab
+    // table, each consumed exactly once by the following round
+    var cur = base.persist()
+    val states = scala.collection.mutable.ArrayBuffer(cur)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var r = 1
+    var dry = false
+    while (r <= k && !dry) {
+      val best = cur.select(col("cnt"), syms.as("s"))
+        .filter(size(col("s")) >= 2)
+        .select(col("cnt"), explode(pairs).as("p"))
+        .groupBy(col("p.a"), col("p.b")).agg(sum("cnt").as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty) dry = true // corpus fully merged before k
+      else {
+        val (a, b, n) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        merges += ((r, a, b, n))
+        cur = cur.withColumn("w", call_function("replace", col("w"),
+          lit(s1 + a + s2 + s1 + b + s2), lit(s1 + a + b + s2))).persist()
+        states += cur
+      }
+      r += 1
+    }
+    states.foreach(_.unpersist())
+    merges.result().toDF("merge_round", "pair_left", "pair_right", "n")
+  }
+
   def bytePairStats(documents: DataFrame, topK: Int = 50): DataFrame =
     documents
       .select(explode(words(col("text"))).as("w")) // repo convention: single-space split

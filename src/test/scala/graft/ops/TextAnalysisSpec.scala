@@ -176,6 +176,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"), plan)
   }
 
+  test("bpe training: greedy merges, ties, and the boundary-overlap cases") {
+    import spark.implicits._
+    def train(text: String) =
+      TextAnalysis.bpeTrain(spark, Seq(text).toDF("text"))
+        .as[(Int, String, String, Long)].collect().toSeq
+    // two copies of 'abab' + one 'cd': merges (a,b)→(ab,ab)→(c,d), dry
+    assert(train("abab abab cd") ==
+      Seq((1, "a", "b", 4L), (2, "ab", "ab", 2L), (3, "c", "d", 1L)))
+    // equal-symbol run 'aaa': greedy left-to-right gives [aa, a]
+    assert(train("aaa") == Seq((1, "a", "a", 2L), (2, "aa", "a", 1L)))
+    // the boundary-consumption trap: merging (a,b) in 'babab' must
+    // catch BOTH occurrences (space-joined replace encodings lose the
+    // second); then (ab,ab) beats (b,ab) on the pair tie-break
+    assert(train("babab") == Seq((1, "a", "b", 2L), (2, "ab", "ab", 1L),
+      (3, "b", "abab", 1L)))
+  }
+
   test("media plumbing: features have fixed shape, entropy bounded, bytes preserved") {
     val documents = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val feats = Multimodal.extractFeatures(spark, Multimodal.fromDocuments(documents)).collect()
