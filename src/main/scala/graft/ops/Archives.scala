@@ -2246,6 +2246,46 @@ object Archives {
     val toUniRe = "/ToUnicode[ \\t\\r\\n]+(\\d{1,9})[ \\t\\r\\n]+\\d+[ \\t\\r\\n]+R".r
     val fontDictRe = "(?s)/Font[ \\t\\r\\n]*<<(.*?)>>".r
     val resIndRe = "/Resources[ \\t\\r\\n]+(\\d{1,9})[ \\t\\r\\n]+\\d+[ \\t\\r\\n]+R".r
+    // /Encoding fallback (ISO 32000 §9.6.6): a simple font without
+    // /ToUnicode still names its byte→glyph mapping — either a
+    // predefined Annex D encoding (`/Encoding /WinAnsiEncoding`) or
+    // an indirect encoding dict (/BaseEncoding, default Standard,
+    // overridden by a /Differences array of code-then-glyph-names).
+    // Unknown glyph names and undefined codes claim nothing.
+    val encNameRe = "/Encoding[ \\t\\r\\n]*/([A-Za-z]+)".r
+    val encRefRe = "/Encoding[ \\t\\r\\n]+(\\d{1,9})[ \\t\\r\\n]+\\d+[ \\t\\r\\n]+R".r
+    val baseEncRe = "/BaseEncoding[ \\t\\r\\n]*/([A-Za-z]+)".r
+    val diffRe = "(?s)/Differences[ \\t\\r\\n]*\\[(.*?)\\]".r
+    val diffTokRe = "(\\d{1,3})|/([A-Za-z0-9.]+)".r
+    def encodingOf(fbody: String): Option[PdfFontMap] = {
+      val fromDict = encRefRe.findFirstMatchIn(fbody)
+        .flatMap(m => resolved.get(m.group(1).toInt).flatMap(_.body))
+        .map { eb =>
+          val base = baseEncRe.findFirstMatchIn(eb)
+            .flatMap(m => PdfEncodings.byName(m.group(1)))
+            .getOrElse(PdfEncodings.standard)
+          val map = scala.collection.mutable.Map.empty[Int, String] ++ base
+          diffRe.findFirstMatchIn(eb).foreach { dm =>
+            var code = -1
+            diffTokRe.findAllMatchIn(dm.group(1)).foreach { t =>
+              if (t.group(1) != null) code = t.group(1).toInt
+              else if (code >= 0 && code <= 255) {
+                PdfEncodings.glyphToUnicode(t.group(2)) match {
+                  case Some(u) => map(code) = u
+                  case None => map.remove(code) // unknown name: nothing
+                }
+                code += 1
+              }
+            }
+          }
+          map.toMap
+        }
+      fromDict
+        .orElse(encNameRe.findFirstMatchIn(fbody)
+          .flatMap(m => PdfEncodings.byName(m.group(1))))
+        .filter(_.nonEmpty)
+        .map(PdfFontMap(1, _))
+    }
     def fontsOf(pageBody: String): Map[String, PdfFontMap] = {
       val resBody: Option[String] =
         resIndRe.findFirstMatchIn(pageBody) match {
@@ -2259,6 +2299,7 @@ object Archives {
             toUniRe.findFirstMatchIn(fbody)
               .flatMap(tm => streamOf(tm.group(1).toInt))
               .flatMap(pdfCmap)
+              .orElse(encodingOf(fbody)) // ToUnicode wins when present
           }.map(fm.group(1) -> _)
         }.toMap
       }.getOrElse(Map.empty)

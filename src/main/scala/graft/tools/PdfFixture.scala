@@ -54,10 +54,12 @@ object PdfFixture {
     val k = nPages(id)
     val (uFont, uCmap, uPage, uContent) =
       (3 + 2 * k, 4 + 2 * k, 5 + 2 * k, 6 + 2 * k)
-    val kids = ((0 until k).map(p => s"${3 + 2 * p} 0 R") :+ s"$uPage 0 R")
-      .mkString(" ")
+    val (e1Font, eEnc, e2Font, ePage, eContent) =
+      (7 + 2 * k, 8 + 2 * k, 9 + 2 * k, 10 + 2 * k, 11 + 2 * k)
+    val kids = ((0 until k).map(p => s"${3 + 2 * p} 0 R") ++
+      Seq(s"$uPage 0 R", s"$ePage 0 R")).mkString(" ")
     val catalog = "<< /Type /Catalog /Pages 2 0 R >>"
-    val pages = s"<< /Type /Pages /Kids [ $kids ] /Count ${k + 1} >>"
+    val pages = s"<< /Type /Pages /Kids [ $kids ] /Count ${k + 2} >>"
     val perPage = (0 until k).flatMap { p =>
       val contentNum = 4 + 2 * p
       val text = pageShow(id, p)
@@ -67,13 +69,50 @@ object PdfFixture {
     }
     val cmap = cmapStream(id)
     val uText = uShow(id)
+    val eText = encShow(id)
     (catalog +: pages +: perPage) ++ Seq(
       s"<< /Type /Font /Subtype /Type0 /ToUnicode $uCmap 0 R >>",
       s"<< /Length ${cmap.length} >>\nstream\n$cmap\nendstream",
       s"<< /Type /Page /Parent 2 0 R /Resources " +
         s"<< /Font << /FU $uFont 0 R >> >> /Contents $uContent 0 R >>",
-      s"<< /Length ${uText.length} >>\nstream\n$uText\nendstream")
+      s"<< /Length ${uText.length} >>\nstream\n$uText\nendstream",
+      // ---- the /Encoding-fallback page (round 18): a WinAnsi
+      // name-encoded font and a font whose /Encoding is an indirect
+      // dict (/BaseEncoding /MacRomanEncoding + /Differences); shown
+      // codes travel as HEX strings so the file stays 7-bit ASCII
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+        "/Encoding /WinAnsiEncoding >>",
+      "<< /Type /Encoding /BaseEncoding /MacRomanEncoding " +
+        "/Differences [ 65 /eacute /bullet 97 /emdash ] >>",
+      s"<< /Type /Font /Subtype /Type1 /BaseFont /Times-Roman " +
+        s"/Encoding $eEnc 0 R >>",
+      s"<< /Type /Page /Parent 2 0 R /Resources << /Font " +
+        s"<< /FE1 $e1Font 0 R /FE2 $e2Font 0 R >> >> " +
+        s"/Contents $eContent 0 R >>",
+      s"<< /Length ${eText.length} >>\nstream\n$eText\nendstream")
   }
+
+  // ---- /Encoding-fallback page (q_w21 must decode through the
+  // Annex D tables + /Differences, not emit raw bytes) -------------
+  /** WinAnsi-shown codes: 'W', é(E9), “(93), «(AB), and a varying
+   * Latin-1 capital À..Ç. */
+  def winCodes(id: Long): Seq[Int] =
+    Seq(0x57, 0xE9, 0x93, 0xAB, 0xC0 + (id % 8).toInt)
+  def winText(id: Long): String =
+    "Wé“«" + (0xC0 + (id % 8)).toChar
+  /** Mac+Differences-shown codes: 65/66/97 hit the /Differences
+   * overrides (eacute/bullet/emdash), 0x87 the MacRoman base (á),
+   * plus a varying MacRoman 0x80..0x84 (Ä Å Ç É Ñ). */
+  def macCodes(id: Long): Seq[Int] =
+    Seq(0x41, 0x42, 0x61, 0x87, 0x80 + (id % 5).toInt)
+  def macText(id: Long): String =
+    "é•—á" + "ÄÅÇÉÑ".charAt((id % 5).toInt)
+  def encShow(id: Long): String =
+    s"BT /FE1 12 Tf <${winCodes(id).map(c => f"$c%02X").mkString}> Tj " +
+      s"/FE2 10 Tf <${macCodes(id).map(c => f"$c%02X").mkString}> Tj ET"
+  /** The encoding page's EXPECTED extracted text (shows join with a
+   * single space — the pdfShowText contract). */
+  def encMapped(id: Long): String = winText(id) + " " + macText(id)
 
   /** The ToUnicode CMap: even ids a 1-BYTE simple-font mapping
    * (A–Z shifted into Cyrillic А–Я, space–9 identity), odd ids a

@@ -1197,14 +1197,36 @@ class ArchivesSpec extends SparkSpec {
     val got0 = Archives.pdfPageTexts(PdfFixture.row(id0)._2)
     assert(got0 == (0 until k0).map { p =>
       (3 + 2 * p, 4 + 2 * p, s"doc $id0 page $p")
-    } :+ ((5 + 2 * k0, 6 + 2 * k0, PdfFixture.uMapped(id0))))
+    } ++ Seq((5 + 2 * k0, 6 + 2 * k0, PdfFixture.uMapped(id0)),
+      (10 + 2 * k0, 11 + 2 * k0, PdfFixture.encMapped(id0))))
     // update file: page object 3's revision has NO /Contents — page 0
     // must emit nothing, later pages unaffected
     val id1 = 1L // nPages = 2, incremental update rewrites obj 3
     val k1 = PdfFixture.nPages(id1)
     val got1 = Archives.pdfPageTexts(PdfFixture.row(id1)._2)
     assert(got1 == Seq((5, 6, s"doc $id1 page 1"),
-      (5 + 2 * k1, 6 + 2 * k1, PdfFixture.uMapped(id1))))
+      (5 + 2 * k1, 6 + 2 * k1, PdfFixture.uMapped(id1)),
+      (10 + 2 * k1, 11 + 2 * k1, PdfFixture.encMapped(id1))))
+  }
+
+  test("pdf /Encoding fallback: Annex D tables, /Differences, precedence") {
+    import graft.tools.PdfFixture
+    // fixture contract spot-pins (WinAnsi high codes, Mac base +
+    // Differences overrides)
+    assert(PdfFixture.encMapped(2L) == "Wé“«Â é•—áÇ")
+    assert(PdfFixture.encMapped(5L) == "Wé“«Å é•—áÄ")
+    // Annex D spot-pins straight off the tables
+    assert(PdfEncodings.winAnsi(0xE9) == "é" && PdfEncodings.winAnsi(0x93) == "“"
+      && PdfEncodings.winAnsi(0x80) == "€")
+    assert(PdfEncodings.macRoman(0x8E) == "é" && PdfEncodings.macRoman(0xA5) == "•"
+      && PdfEncodings.macRoman(0xD0) == "–" && PdfEncodings.macRoman(0xDB) == "¤")
+    assert(!PdfEncodings.macRoman.contains(0xF0)) // the Apple logo: nothing
+    assert(PdfEncodings.standard(0x27) == "’" && PdfEncodings.standard(0xA4) == "⁄"
+      && PdfEncodings.standard(0xFB) == "ß")
+    // glyph-name resolution incl. the uniXXXX arithmetic form
+    assert(PdfEncodings.glyphToUnicode("eacute").contains("é"))
+    assert(PdfEncodings.glyphToUnicode("uni4E2D").contains("中"))
+    assert(PdfEncodings.glyphToUnicode("noSuchGlyph").isEmpty)
   }
 
   test("pdf ToUnicode: 1-byte and 2-byte CMaps decode show codes to text") {
