@@ -874,6 +874,14 @@ object SparkEntry {
     // keeps complete frames (sub-block overrun ends the walk)
     "q_m39_gif_anim" -> ((s, _) =>
       Multimodal.gifAnimTable(s, Tables.gifanim(s))),
+    // q_m42: animated-GIF composited frame hashes — the PIXEL
+    // completion of q_m39's structural walk: real LZW decode (GIF89a
+    // App. F), palette mapping, canvas compositing with disposal
+    // semantics, dHash per render moment — animated GIFs now feed
+    // the perceptual near-dup family frame-by-frame. The oracle pins
+    // ground truth the fixture composited from RAW pre-encode pixels
+    "q_m42_gif_frame_hash" -> ((s, _) =>
+      Multimodal.gifFrameHashTable(s, Tables.gifanim(s))),
     // q_m40: AUDIO decode coverage — the audio twin of q_m34's
     // honesty face: per (mime_type, container) how many rows the
     // q_m37 fingerprint path actually decodes (WAV PCM + FLAC
@@ -4781,10 +4789,17 @@ object SparkEntry {
          |   CAST(16 AS INT) AS frame_w, CAST(12 AS INT) AS frame_h,
          |   CAST(5 + (media_id + f) % 20 AS INT) AS delay_cs,
          |   CAST(f % 4 AS INT) AS disposal,
-         |   FALSE AS interlaced, TRUE AS has_lct,
+         |   -- this JDK's GIF writer emits interlaced rasters; the
+         |   -- fixture descriptors carry the bit truthfully
+         |   TRUE AS interlaced, TRUE AS has_lct,
          |   CAST(40 AS INT) AS canvas_w, CAST(30 AS INT) AS canvas_h,
          |   CAST(media_id % 5 AS INT) AS loop_count
          | FROM gf""".stripMargin,
+    // q_m42: the fixture's independently-composited ground truth —
+    // the engine must reach the same hashes from the GIF bytes alone
+    "q_m42_gif_frame_hash" ->
+      s"""SELECT media_id, frame_idx, dhash_hex
+         | FROM read_parquet('${Tables.gifhashFixturePath}')""".stripMargin,
     // q_m40: each audio fixture's id contract says exactly what every
     // row is (container) and whether the WAV+FLAC fingerprint path
     // decodes it — the union replays those contracts and aggregates;

@@ -308,6 +308,16 @@ object Tables {
   }
   def gifanim(spark: SparkSession): DataFrame = spark.read.parquet(gifanimFixturePath)
 
+  /** gifhash(media_id BIGINT, frame_idx INT, dhash_hex STRING) —
+   * q_m42's ground truth: per animation frame the composited-canvas
+   * dHash, computed by GifAnimFixture from the RAW pre-encode frame
+   * pixels (an independent composite direction — the engine must
+   * reproduce it from the GIF bytes through its own LZW decode). */
+  def gifhashFixturePath: String = {
+    val local = new java.io.File("fixtures/gifhash.parquet")
+    if (local.exists) local.getAbsolutePath else "/root/repo/fixtures/gifhash.parquet"
+  }
+
   /** videodup(media_id BIGINT, mime_type STRING, media BINARY) —
    * repo-local video re-mux fixture (tools.VideoDupFixture: per group
    * an MJPEG MP4 and an AVI carrying the SAME frame bytes; junk

@@ -41,22 +41,34 @@ object ImageHash {
    * (tolerance — corrupt rows claim nothing). */
   private[ops] def dhashBands(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
     Multimodal.MediaCodec.decodeImage(bytes).map { img =>
-      val g = Multimodal.MediaCodec.luminanceGrid(img, GridW, GridH)
-      val bands = new Array[Int](Bands)
-      var gy = 0
-      while (gy < GridH) {
-        var gx = 0
-        while (gx < GridW - 1) {
-          if (g(gy * GridW + gx + 1) > g(gy * GridW + gx)) {
-            val i = gy * (GridW - 1) + gx
-            bands(i / BitsPerBand) |= 1 << (i % BitsPerBand)
-          }
-          gx += 1
-        }
-        gy += 1
-      }
-      (img.getWidth, img.getHeight, bands)
+      (img.getWidth, img.getHeight, dhashOfImage(img))
     }
+
+  /** The dHash core over an already-decoded image — shared with the
+   * animated-GIF composited-frame face (q_m42) and the fixture
+   * ground-truth builders. */
+  private[graft] def dhashOfImage(img: java.awt.image.BufferedImage): Array[Int] = {
+    val g = Multimodal.MediaCodec.luminanceGrid(img, GridW, GridH)
+    val bands = new Array[Int](Bands)
+    var gy = 0
+    while (gy < GridH) {
+      var gx = 0
+      while (gx < GridW - 1) {
+        if (g(gy * GridW + gx + 1) > g(gy * GridW + gx)) {
+          val i = gy * (GridW - 1) + gx
+          bands(i / BitsPerBand) |= 1 << (i % BitsPerBand)
+        }
+        gx += 1
+      }
+      gy += 1
+    }
+    bands
+  }
+
+  /** The repo's dhash_hex convention: bands high-to-low, 4 hex
+   * digits each, lowercase. */
+  private[graft] def bandsHex(bands: Array[Int]): String =
+    f"${bands(3)}%04x${bands(2)}%04x${bands(1)}%04x${bands(0)}%04x"
 
   /** Per-image dHash table (q_m31): (media_id, width, height,
    * b0..b3, dhash_hex). Pure map-side — one decode per blob inside

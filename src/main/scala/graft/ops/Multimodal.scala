@@ -2348,7 +2348,12 @@ object Multimodal {
    * Extension (absent → delay 0, disposal 0 per GIF89a). */
   private[graft] final case class GifFrame(idx: Int, x: Int, y: Int,
       w: Int, h: Int, delayCs: Int, disposal: Int, interlaced: Boolean,
-      hasLct: Boolean)
+      hasLct: Boolean,
+      // pixel-path coordinates (round 18): the frame's local color
+      // table span, the LZW min-code byte offset, and the GCE
+      // transparent index (-1 = opaque)
+      lctOff: Int = -1, lctLen: Int = 0, lzwOff: Int = -1,
+      transp: Int = -1)
 
   /** Structural animated-GIF walk (GIF89a) — no LZW decode: header +
    * logical screen descriptor (+GCT by its packed size), then the
@@ -2380,6 +2385,7 @@ object Multimodal {
     var loop = 0
     var delay = 0
     var disposal = 0
+    var transp = -1
     var ok = true
     while (ok && p < b.length && (b(p) & 0xff) != 0x3B) {
       (b(p) & 0xff) match {
@@ -2390,6 +2396,7 @@ object Multimodal {
             // delay LE16 in centiseconds, transparent idx, 0)
             disposal = ((b(p + 3) & 0xff) >> 2) & 7
             delay = u16(p + 4)
+            transp = if ((b(p + 3) & 1) != 0) b(p + 6) & 0xff else -1
             p += 8
           } else if (label == 0xFF && p + 14 <= b.length &&
             (b(p + 2) & 0xff) == 11 &&
@@ -2418,8 +2425,10 @@ object Multimodal {
             else {
               frames += GifFrame(frames.size, u16(p + 1), u16(p + 3),
                 u16(p + 5), u16(p + 7), delay, disposal,
-                (ipacked & 0x40) != 0, lct)
-              delay = 0; disposal = 0 // GCE applies to ONE image
+                (ipacked & 0x40) != 0, lct,
+                lctOff = if (lct) p + 10 else -1, lctLen = lctLen,
+                lzwOff = p + 10 + lctLen, transp = transp)
+              delay = 0; disposal = 0; transp = -1 // GCE: ONE image
               p = after
             }
           }
@@ -2452,6 +2461,202 @@ object Multimodal {
       .toDF("media_id", "frame_idx", "frame_x", "frame_y", "frame_w",
         "frame_h", "delay_cs", "disposal", "interlaced", "has_lct",
         "canvas_w", "canvas_h", "loop_count")
+  }
+
+  /** GIF LZW decode (GIF89a §22 / Appendix F): variable-width codes
+   * read LSB-first across the data sub-block chain, clear/end codes,
+   * dictionary to 4096 entries with the width bump at each power of
+   * two (deferred-clear streams — width capped at 12 with the table
+   * full — decode fine). Returns EXACTLY `npix` pixel indices;
+   * anything short, long, or structurally corrupt claims nothing
+   * (tolerance — a bad frame is a skipped frame, never a throw).
+   * `start` is the offset of the LZW minimum-code-size byte. */
+  private[graft] def gifLzwDecode(b: Array[Byte], start: Int,
+      npix: Int): Option[Array[Byte]] = {
+    if (b == null || start < 0 || start >= b.length || npix <= 0) return None
+    val minCode = b(start) & 0xff
+    if (minCode < 2 || minCode > 8) return None
+    val clear = 1 << minCode
+    val endCode = clear + 1
+    var blockPos = start + 1
+    var pos = 0
+    var blockEnd = 0
+    def nextDataByte(): Int = {
+      if (pos >= blockEnd) {
+        if (blockPos >= b.length) return -1
+        val len = b(blockPos) & 0xff
+        if (len == 0) return -1 // chain terminator
+        if (blockPos + 1 + len > b.length) return -1
+        pos = blockPos + 1
+        blockEnd = pos + len
+        blockPos = blockEnd
+      }
+      val v = b(pos) & 0xff
+      pos += 1
+      v
+    }
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    def firstOf(c0: Int): Byte = {
+      var c = c0
+      while (c >= clear + 2) c = prefix(c)
+      c.toByte
+    }
+    val out = new Array[Byte](npix)
+    val stack = new Array[Byte](4097)
+    var outN = 0
+    var codeSize = minCode + 1
+    var free = clear + 2
+    var oldCode = -1
+    var bitBuf = 0
+    var bitCnt = 0
+    while (outN < npix) {
+      while (bitCnt < codeSize) {
+        val nb = nextDataByte()
+        if (nb < 0) return None // ran dry before npix pixels
+        bitBuf |= nb << bitCnt
+        bitCnt += 8
+      }
+      val code = bitBuf & ((1 << codeSize) - 1)
+      bitBuf >>>= codeSize
+      bitCnt -= codeSize
+      if (code == clear) {
+        codeSize = minCode + 1
+        free = clear + 2
+        oldCode = -1
+      } else if (code == endCode) {
+        return None // early end: the descriptor promised npix
+      } else {
+        var sp = 0
+        var cur = code
+        if (code >= free) {
+          // the KwKwK case: only the NEXT free slot is legal
+          if (code != free || oldCode < 0) return None
+          stack(sp) = firstOf(oldCode); sp += 1
+          cur = oldCode
+        }
+        while (cur >= clear + 2) {
+          stack(sp) = suffix(cur); sp += 1
+          cur = prefix(cur)
+          if (sp > 4096) return None // cycle guard
+        }
+        if (cur >= clear) return None // corrupt chain into clear/end
+        val first = cur.toByte
+        stack(sp) = first; sp += 1
+        if (outN + sp > npix) return None // more pixels than promised
+        while (sp > 0) { sp -= 1; out(outN) = stack(sp); outN += 1 }
+        if (oldCode >= 0 && free < 4096) {
+          prefix(free) = oldCode
+          suffix(free) = first
+          free += 1
+          if (free == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        oldCode = code
+      }
+    }
+    Some(out)
+  }
+
+  /** GIF interlace row order (GIF89a Appendix E): pass 1 every 8th
+   * row from 0, pass 2 every 8th from 4, pass 3 every 4th from 2,
+   * pass 4 every 2nd from 1. */
+  private[graft] def gifInterlaceRows(h: Int): Array[Int] =
+    (Seq(0 until h by 8, 4 until h by 8, 2 until h by 4, 1 until h by 2)
+      .flatten).toArray
+
+  /** Composited per-frame dHash of an animated GIF (q_m42) — the
+   * full pixel twin of [[gifAnim]]'s structural walk: each frame's
+   * indices LZW-decode, map through the local-else-global color
+   * table (transparent index skipped), composite onto the canvas at
+   * the frame rect (interlace rows reordered), and the CANVAS at
+   * that render moment dHashes with the image family's grid hash;
+   * disposal then applies (2 = clear the rect to the black initial
+   * state, 3 = restore the pre-frame canvas). Frames that fail to
+   * decode are skipped — claimed frames are real pixels, never
+   * guesses. Canvas bounded at 16 MP (a hostile header can't
+   * allocate the task away). */
+  private[graft] def gifFrameHashes(b: Array[Byte]): Seq[(Int, String)] =
+    gifAnim(b) match {
+      case None => Nil
+      case Some((cw, ch, _, frames)) =>
+        if (cw <= 0 || ch <= 0 || cw.toLong * ch > 16000000L) Nil
+        else {
+          val packed = b(10) & 0xff
+          val gctOff = if ((packed & 0x80) != 0) 13 else -1
+          val gctLen = if (gctOff > 0) 3 << ((packed & 7) + 1) else 0
+          val canvas = new Array[Int](cw * ch) // 0x000000 = black
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+          frames.foreach { f =>
+            val palOff = if (f.hasLct) f.lctOff else gctOff
+            val palLen = if (f.hasLct) f.lctLen else gctLen
+            val nColors = palLen / 3
+            if (palOff >= 0 && f.w > 0 && f.h > 0 &&
+              f.w.toLong * f.h <= 16000000L &&
+              palOff + palLen <= b.length) {
+              gifLzwDecode(b, f.lzwOff, f.w * f.h).foreach { idx =>
+                val saved = if (f.disposal == 3) canvas.clone() else null
+                val rows =
+                  if (f.interlaced) gifInterlaceRows(f.h)
+                  else Array.tabulate(f.h)(identity)
+                var ry = 0
+                while (ry < f.h) {
+                  val cy = f.y + rows(ry)
+                  var x = 0
+                  while (x < f.w) {
+                    val cx = f.x + x
+                    val ci = idx(ry * f.w + x) & 0xff
+                    if (ci != f.transp && ci < nColors &&
+                      cx < cw && cy < ch) {
+                      val o = palOff + 3 * ci
+                      canvas(cy * cw + cx) = ((b(o) & 0xff) << 16) |
+                        ((b(o + 1) & 0xff) << 8) | (b(o + 2) & 0xff)
+                    }
+                    x += 1
+                  }
+                  ry += 1
+                }
+                val img = new java.awt.image.BufferedImage(cw, ch,
+                  java.awt.image.BufferedImage.TYPE_INT_RGB)
+                img.setRGB(0, 0, cw, ch, canvas, 0, cw)
+                out += ((f.idx, ImageHash.bandsHex(ImageHash.dhashOfImage(img))))
+                f.disposal match {
+                  case 2 => // restore the covered rect to background
+                    var ry2 = 0
+                    while (ry2 < f.h) {
+                      val cy = f.y + ry2
+                      var x = 0
+                      while (x < f.w) {
+                        val cx = f.x + x
+                        if (cx < cw && cy < ch) canvas(cy * cw + cx) = 0
+                        x += 1
+                      }
+                      ry2 += 1
+                    }
+                  case 3 => if (saved != null)
+                    System.arraycopy(saved, 0, canvas, 0, canvas.length)
+                  case _ => ()
+                }
+              }
+            }
+          }
+          out.toSeq
+        }
+    }
+
+  /** Relational face of [[gifFrameHashes]] (q_m42): per animation
+   * frame the composited-canvas dHash — what lets animated GIFs
+   * feed the perceptual near-dup family frame-by-frame, the pixel
+   * completion of the q_m39 structural walk. Pure map-side. */
+  def gifFrameHashTable(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("mime_type"), col("media"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          gifFrameHashes(r.media).map { case (fi, hx) => (r.media_id, fi, hx) }
+        }
+      }
+      .toDF("media_id", "frame_idx", "dhash_hex")
   }
 
   /** Relational face of the MP3 frame walk ([[AvHeaders.mp3Frames]]):
