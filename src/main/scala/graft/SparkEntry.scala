@@ -855,6 +855,17 @@ object SparkEntry {
       AudioFp.nearDupPairs(
         AudioFp.fingerprintTable(s, Tables.audiodup(s)))
         .select("media_id_a", "media_id_b")),
+    // q_m43: MP3 re-encode dedup — the LOSSY-codec cell of the audio
+    // near-dup family: WAV originals against in-repo MPEG-1 Layer
+    // III encodes of the same PCM, decoded by the REAL Mp3 decoder
+    // and matched at the codec-grade Hamming ≤ 7 gate (8×8-banded
+    // pigeonhole recall; the ≤3 gate is for lossless re-encodes).
+    // The fixture build asserts exact pair recall AND cross-group
+    // separation on the committed bytes
+    "q_m43_mp3_neardup" -> ((s, _) =>
+      AudioFp.nearDupPairsCodec(
+        AudioFp.fingerprintTable(s, Tables.mp3dup(s)))
+        .select("media_id_a", "media_id_b")),
     // q_m38: video RE-MUX dedup — the video cell of the modality
     // matrix: per video the ordered per-frame dHash sequence digest
     // (real sample-table walks + real MJPEG pixel decode), falling
@@ -884,19 +895,19 @@ object SparkEntry {
       Multimodal.gifFrameHashTable(s, Tables.gifanim(s))),
     // q_m40: AUDIO decode coverage — the audio twin of q_m34's
     // honesty face: per (mime_type, container) how many rows the
-    // q_m37 fingerprint path actually decodes (WAV PCM + FLAC
-    // today). mp3 / aac-adts / ogg / aiff / au / companded WAV are
-    // the MEASURED honest-zero lines — the gap list a real corpus
-    // run must report before trusting an audio-dedup pass. Note the
-    // flac.parquet rows count as zero too: that fixture's frames are
-    // structural fakes (sync headers, junk bodies — built for the
-    // frame WALK), so "claims nothing" is the correct decode answer;
-    // flacpcm.parquet carries the real streams
+    // fingerprint decode path actually turns into PCM (WAV PCM,
+    // FLAC, and — round 18 — MPEG-1 Layer III within the declared
+    // Huffman-table scope). aac-adts / ogg / aiff / au / companded
+    // WAV are the MEASURED honest-zero lines; the mp3.parquet walk
+    // fixture's junk-bodied frames and the structural flac.parquet
+    // frames correctly count zero, while mp3dup/flacpcm carry the
+    // real decodable streams
     "q_m40_audio_coverage" -> ((s, _) =>
       AudioFp.decodeCoverage(s, Tables.audiodup(s)
         .unionByName(Tables.audio(s)).unionByName(Tables.mp3(s))
         .unionByName(Tables.aac(s)).unionByName(Tables.ogg(s))
-        .unionByName(Tables.flac(s)).unionByName(Tables.flacpcm(s)))),
+        .unionByName(Tables.flac(s)).unionByName(Tables.flacpcm(s))
+        .unionByName(Tables.mp3dup(s)))),
     // q_m41: VIDEO decode coverage — per (mime_type, container) the
     // q_m38 pixel path (MJPEG only) and payload-digest path (AVI /
     // MP4 / fragmented-MP4 spans) measured independently; webm and
@@ -4757,6 +4768,14 @@ object SparkEntry {
       s"""SELECT media_id AS media_id_a, media_id + 1 AS media_id_b
          | FROM read_parquet('${Tables.audiodupFixturePath}')
          | WHERE media_id % 2 = 0 AND (media_id // 2) % 8 <> 7""".stripMargin,
+    // q_m43: the MP3 re-encode pair contract — the fixture build
+    // asserted codec-gate recall and cross-group separation on the
+    // actual bytes; the engine must reproduce the pair set through
+    // the REAL Layer III decode + fingerprint
+    "q_m43_mp3_neardup" ->
+      s"""SELECT media_id AS media_id_a, media_id + 1 AS media_id_b
+         | FROM read_parquet('${Tables.mp3dupFixturePath}')
+         | WHERE media_id % 2 = 0 AND (media_id // 2) % 8 <> 7""".stripMargin,
     // q_m38: the re-mux pair contract — the fixture build asserted
     // per-frame hash identity across containers and distinctness
     // across groups on the actual bytes; the engine must reproduce
@@ -4845,7 +4864,13 @@ object SparkEntry {
          |  SELECT mime_type,
          |    CASE WHEN media_id % 6 = 5 THEN 'other' ELSE 'flac' END,
          |    CASE WHEN media_id % 6 = 5 THEN 0 ELSE 1 END
-         |  FROM read_parquet('${Tables.flacpcmFixturePath}'))
+         |  FROM read_parquet('${Tables.flacpcmFixturePath}')
+         |  UNION ALL
+         |  SELECT mime_type,
+         |    CASE WHEN (media_id // 2) % 8 = 7 THEN 'other'
+         |         WHEN media_id % 2 = 0 THEN 'wav' ELSE 'mp3' END,
+         |    CASE WHEN (media_id // 2) % 8 = 7 THEN 0 ELSE 1 END
+         |  FROM read_parquet('${Tables.mp3dupFixturePath}'))
          | SELECT mime_type, container, CAST(count(*) AS BIGINT) AS n,
          |   CAST(sum(ok) AS BIGINT) AS n_decoded
          | FROM u GROUP BY mime_type, container""".stripMargin,

@@ -338,6 +338,17 @@ object Tables {
   }
   def audiodup(spark: SparkSession): DataFrame = spark.read.parquet(audiodupFixturePath)
 
+  /** mp3dup(media_id BIGINT, mime_type STRING, media BINARY) —
+   * repo-local deterministic MP3 re-encode pair fixture
+   * (tools.Mp3DupFixture: per group a level-coded multi-tone as WAV
+   * and as an in-repo MPEG-1 Layer III encode of the same PCM;
+   * junk rows). */
+  def mp3dupFixturePath: String = {
+    val local = new java.io.File("fixtures/mp3dup.parquet")
+    if (local.exists) local.getAbsolutePath else "/root/repo/fixtures/mp3dup.parquet"
+  }
+  def mp3dup(spark: SparkSession): DataFrame = spark.read.parquet(mp3dupFixturePath)
+
   /** flacpcm(media_id BIGINT, mime_type STRING, media BINARY) —
    * repo-local REAL-FLAC fixture (tools.FlacPcmFixture: fully
    * decodable RFC 9639 streams over id-contract PCM, every subframe

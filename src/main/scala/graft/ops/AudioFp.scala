@@ -12,21 +12,26 @@ import Multimodal.MediaRow
  * FLAC), level changes and light edits of the same recording, which
  * byte hashing can never catch.
  *
- * Fingerprint (the classic Haitsma–Kalker shape): decode to signed
- * mono PCM, Hann-window 1024-sample frames, real FFT, 17 log-spaced
- * band energies, one bit per adjacent-band energy-delta difference
- * against the previous frame — `E(f,b)−E(f,b+1) − (E(f−1,b)−E(f−1,b+1)) > 0`.
- * Energy-delta SIGNS are exactly invariant to global amplitude
- * scaling (energies scale uniformly by c²) and to lossless re-encoes
- * (identical PCM), and robust to small additive noise (only
- * borderline bits flip).
+ * Fingerprint (Haitsma–Kalker-inspired, re-derived for ALIGNED
+ * re-encode dedup in round 18): decode to signed mono PCM,
+ * Hann-window 1024-sample frames (hop 512), real FFT, 17 log-spaced
+ * band energies; per signal QUARTER, sum the LOG band energies over
+ * the quarter's frames and keep one bit per adjacent-band
+ * comparison — the quarter's spectral-shape sign profile. Log +
+ * signs make the bits exactly invariant to level changes and
+ * lossless re-encodes, and the wide adjacent-band margins survive
+ * LOSSY codec noise (the in-repo MP3 at ~18 dB flips ≤5 of 64;
+ * the original temporal-delta bit, designed for clip RETRIEVAL,
+ * flipped 10-15 there — wrong tool for the aligned-dedup job, and
+ * the swap is pinned by Mp3Spec).
  *
- * Signature: 16 bits from each of FOUR frames evenly spaced through
- * the signal — 64 bits as four 16-bit bands, the SAME pigeonhole
- * banding as the image dHash family: any pair within Hamming
- * distance 3 shares an untouched band, so the bucket join is a
- * guaranteed-recall candidate generator. The pair join ships four
- * ints per blob; audio bytes never shuffle.
+ * Signature: 16 bits × 4 quarters = 64 bits as four 16-bit bands,
+ * the SAME pigeonhole banding as the image dHash family: any pair
+ * within Hamming distance 3 shares an untouched band, so the bucket
+ * join is a guaranteed-recall candidate generator. For lossy-codec
+ * twins [[nearDupPairsCodec]] re-bands to 8×8 bits (guaranteed
+ * recall to Hamming 7 — codec noise exceeds the near-exact gate).
+ * The pair join ships four ints per blob; audio bytes never shuffle.
  */
 object AudioFp {
 
@@ -74,6 +79,19 @@ object AudioFp {
         var c = 0
         while (c < p.channels) { acc += p.samples(t * p.channels + c); c += 1 }
         out(t) = acc / p.channels / scale
+        t += 1
+      }
+      out
+    }).orElse(Mp3.decode(b).filter(_.samples.nonEmpty).map { p =>
+      // MP3 (round 18): already normalized floats; channel-average
+      val n = p.samples.length / p.channels
+      val out = new Array[Float](n)
+      var t = 0
+      while (t < n) {
+        var acc = 0f
+        var c = 0
+        while (c < p.channels) { acc += p.samples(t * p.channels + c); c += 1 }
+        out(t) = acc / p.channels
         t += 1
       }
       out
@@ -154,34 +172,45 @@ object AudioFp {
     e
   }
 
-  /** 16 energy-delta bits of the frame at `off` against the frame
-   * one hop (FrameLen/2) earlier. */
-  private[ops] def frameBits(s: Array[Float], off: Int): Int = {
-    val cur = bandEnergies(s, off)
-    val prev = bandEnergies(s, off - FrameLen / 2)
+  /** 16 spectral-shape bits of one signal QUARTER: LOG band energies
+   * summed over every whole frame the quarter holds, one bit per
+   * adjacent-band comparison of the sums. Log domain matters: a
+   * codec's per-band gain bias is multiplicative, tiny against the
+   * dB-scale contrasts between adjacent log-spaced bands — in the
+   * linear domain weak bands' comparisons sat at noise level. */
+  private[ops] def quarterBits(s: Array[Float], from: Int, until: Int): Int = {
+    val hop = FrameLen / 2
+    val cur = new Array[Double](Bands)
+    var off = math.max(hop, from + hop)
+    while (off + FrameLen <= until) {
+      val c = bandEnergies(s, off)
+      var b = 0
+      while (b < Bands) {
+        cur(b) += math.log(c(b) + 1e-12)
+        b += 1
+      }
+      off += hop
+    }
     var bits = 0
     var b = 0
     while (b < Bands - 1) {
-      val d = (cur(b) - cur(b + 1)) - (prev(b) - prev(b + 1))
-      if (d > 0) bits |= 1 << b
+      if (cur(b) - cur(b + 1) > 0) bits |= 1 << b
       b += 1
     }
     bits
   }
 
-  /** The 64-bit signature as four 16-bit bands: frame bits at four
-   * positions evenly spaced through the signal. None when the audio
-   * doesn't decode or is too short for the four windows. */
+  /** The 64-bit signature as four 16-bit bands: quarter bits over
+   * the four quarters of the signal. None when the audio doesn't
+   * decode or is too short for one frame(+hop) per quarter. */
   private[graft] def signature(bytes: Array[Byte]): Option[Array[Int]] =
-    monoSamples(bytes).filter(_.length >= 4 * FrameLen).map { s =>
-      val span = s.length - FrameLen
-      Array.tabulate(SigBands) { k =>
-        // positions 1/5..4/5, floored to the hop grid, never < one hop
-        val off = math.max(FrameLen / 2,
-          math.min(span, (span.toLong * (k + 1) / 5).toInt))
-        frameBits(s, off)
+    monoSamples(bytes).filter(_.length >= 4 * (FrameLen + FrameLen / 2))
+      .map { s =>
+        val q = s.length / 4
+        Array.tabulate(SigBands) { k =>
+          quarterBits(s, k * q, if (k == 3) s.length else (k + 1) * q)
+        }
       }
-    }
 
   /** Per-blob fingerprint table (q_m37 feeds on this): media_id,
    * b0..b3, fp_hex. Pure map-side — one decode + 8 FFTs per blob
@@ -242,6 +271,38 @@ object AudioFp {
       .toDF("mime_type", "container", "ok")
       .groupBy("mime_type", "container")
       .agg(count(lit(1)).as("n"), sum(col("ok")).as("n_decoded"))
+  }
+
+  /** Lossy-codec near-dup pair join (q_m43): the 64 signature bits
+   * re-banded as EIGHT 8-bit keys — by pigeonhole any pair within
+   * Hamming 7 shares an untouched 8-bit band, so recall is
+   * guaranteed at the codec-grade threshold (the in-repo MP3 flips
+   * ≤5 bits; the near-exact ≤3 gate is for lossless re-encodes).
+   * Scale note, stated honestly: 8-bit keys are 256 buckets — fine
+   * to tens of millions of blobs, but at billions the candidate
+   * volume grows quadratically per bucket and the production answer
+   * is a LONGER signature (more quarters), not more probes; rows
+   * shipped are still only (id, 4 ints). */
+  def nearDupPairsCodec(fps: DataFrame, maxHamming: Int = 7): DataFrame = {
+    require(maxHamming < 8, "pigeonhole over 8 bands needs maxHamming < 8")
+    val bands = (0 until 8).map { b =>
+      val word = col(s"b${b / 2}")
+      val byte = (shiftright(word, (b % 2) * 8).bitwiseAND(lit(0xff)))
+      fps.select(col("media_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+        lit(b).as("band"), byte.as("key"))
+    }.reduce(_.unionByName(_))
+    val l = bands.as("l")
+    val r = bands.as("r")
+    def pop(i: Int) = bit_count(
+      expr(s"l.b$i").bitwiseXOR(expr(s"r.b$i")))
+    l.join(r,
+      col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+        col("l.media_id") < col("r.media_id"))
+      .select(col("l.media_id").as("media_id_a"),
+        col("r.media_id").as("media_id_b"),
+        (pop(0) + pop(1) + pop(2) + pop(3)).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Banded near-dup pair join — identical math to the image dHash

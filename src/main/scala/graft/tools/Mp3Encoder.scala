@@ -1,0 +1,264 @@
+package graft.tools
+
+import graft.ops.{Mp3, Mp3Tables}
+
+/**
+ * MPEG-1 Layer III encoder (mono, long blocks) for fixture /
+ * ground-truth use — the independent ENCODE direction
+ * [[graft.ops.Mp3]] must invert, the same validation pattern as
+ * [[FlacEncoder]] (no reference MP3 codec exists in this container).
+ * Deliberately deterministic and simple, never adaptive:
+ *
+ *  - analysis = the exact matched filterbank of the decoder's
+ *    adjoint synthesis (shared prototype), then per-subband forward
+ *    MDCT (36-point, sine window, TDAC-exact against the decoder's
+ *    IMDCT+overlap), encoder-side frequency inversion and the
+ *    inverse alias butterflies;
+ *  - quantization: one global_gain per granule + per-band
+ *    scalefactors (scalefac_compress 15 → slen 4/3) normalizing each
+ *    band into table 7's |value| ≤ 5 range — coarse per sample but
+ *    band-energy-faithful, which is exactly what the perceptual
+ *    fingerprint needs;
+ *  - entropy: big_values covers all 576 lines with table 7 in all
+ *    three regions; no count1 region, no reservoir
+ *    (main_data_begin 0), stuffing zeros to the fixed 320 kbps frame.
+ *
+ * The encoder ADVANCES its input by [[Advance]] samples so that
+ * after the decoder trims its own synthesis delay, decode(encode(x))
+ * aligns with x sample-for-sample (the spec's encoder/decoder delay
+ * handshake, unit-pinned in Mp3Spec).
+ */
+object Mp3Encoder {
+
+  /** The roundtrip delay left AFTER the decoder trims its own
+   * 480-sample synthesis share: the polyphase pair's other half is
+   * consumed by that trim, leaving the MDCT granule lookback (576;
+   * alignment unit-pinned in Mp3Spec). */
+  val Advance = 576
+
+  private final class Bw {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var cur = 0
+    private var n = 0
+    def bits(v: Int, len: Int): Unit = {
+      var k = len - 1
+      while (k >= 0) {
+        cur = (cur << 1) | ((v >> k) & 1)
+        n += 1
+        if (n == 8) { out.write(cur); cur = 0; n = 0 }
+        k -= 1
+      }
+    }
+    def padToByte(): Unit = if (n != 0) bits(0, 8 - n)
+    def bitLength: Int = out.size * 8 + n
+    def bytes: Array[Byte] = { padToByte(); out.toByteArray }
+  }
+
+  private val BitrateIdx = Map(32000 -> 14) // 320 kbps only
+  private val SrIdx = Map(44100 -> 0, 48000 -> 1, 32000 -> 2)
+
+  /** Encode mono 16-bit PCM (values in [-32768, 32767]) at one of
+   * the MPEG-1 rates. */
+  def encode(pcm: Array[Int], sampleRate: Int): Array[Byte] = {
+    require(SrIdx.contains(sampleRate), s"unsupported rate $sampleRate")
+    val frameBytes = 144000 * 320 / sampleRate
+    // advanced + zero-padded input; frame count chosen so the
+    // decoded length (frames·1152 − the decoder's 480 trim) just
+    // covers the input — an input with N ≡ −480 (mod 1152) round-
+    // trips to EXACTLY N samples
+    val n0 = math.max(0, pcm.length - Advance)
+    val nFrames = math.max(2, (n0 + 1056 + 1151) / 1152)
+    val nSamples = nFrames * 1152
+    val x = new Array[Double](nSamples)
+    var i = 0
+    while (i < n0) { x(i) = pcm(Advance + i) / 32768.0; i += 1 }
+    // analysis: subband stream S(sb)(t), 32 samples per block
+    val nBlocks = nSamples / 32
+    val sub = Array.ofDim[Double](32, nBlocks)
+    val an = new Mp3.AnalysisState
+    val blockIn = new Array[Double](32)
+    val blockOut = new Array[Double](32)
+    var t = 0
+    while (t < nBlocks) {
+      System.arraycopy(x, t * 32, blockIn, 0, 32)
+      Mp3.analyzeBlockWith(Mp3.proto, an, blockIn, blockOut)
+      var b = 0
+      while (b < 32) { sub(b)(t) = blockOut(b); b += 1 }
+      t += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    val bandW = Mp3Tables.sfbLong(sampleRate)
+    val bandStart = {
+      val s = new Array[Int](23)
+      var acc = 0
+      for (k <- bandW.indices) { s(k) = acc; acc += bandW(k) }
+      s(22) = 576
+      s
+    }
+    var granule = 0
+    var frame = 0
+    while (frame < nFrames) {
+      val (b0, p0, gg0) = quantizeAndCode(granuleSpectrum(sub, granule), bandStart)
+      val (b1, p1, gg1) = quantizeAndCode(granuleSpectrum(sub, granule + 1), bandStart)
+      val bw = new Bw
+      // header: FF FB, bitrate 320, sr idx, no padding, mono
+      bw.bits(0xfff, 12); bw.bits(1, 1) // MPEG-1
+      bw.bits(1, 2) // layer III
+      bw.bits(1, 1) // no CRC
+      bw.bits(BitrateIdx(32000), 4) // fixed 320 kbps index
+      bw.bits(SrIdx(sampleRate), 2)
+      bw.bits(0, 1) // padding
+      bw.bits(0, 1) // private
+      bw.bits(3, 2) // mode: mono
+      bw.bits(0, 2) // mode ext
+      bw.bits(0, 2) // copyright/original
+      bw.bits(0, 2) // emphasis
+      // side info (mono, 17 bytes)
+      bw.bits(0, 9) // main_data_begin
+      bw.bits(0, 5) // private
+      bw.bits(0, 4) // scfsi
+      for (g <- 0 until 2) {
+        val p23 = if (g == 0) p0 else p1
+        bw.bits(p23, 12)
+        bw.bits(288, 9) // big_values: all 576 lines
+        bw.bits(if (g == 0) gg0 else gg1, 8)
+        bw.bits(15, 4) // scalefac_compress → slen 4/3
+        bw.bits(0, 1) // window_switching: long
+        bw.bits(7, 5); bw.bits(7, 5); bw.bits(7, 5) // table_select
+        bw.bits(15, 4) // region0_count
+        bw.bits(5, 3) // region1_count
+        bw.bits(0, 1) // preflag
+        bw.bits(1, 1) // scalefac_scale = 1 (mult 1.0: 6 dB steps —
+        // the 3-bit high-band scalefactors need RANGE, not precision)
+        bw.bits(0, 1) // count1 table (unused: no count1 region)
+      }
+      // main data: both granules back-to-back, then stuffing
+      appendBits(bw, b0, p0)
+      appendBits(bw, b1, p1)
+      val used = bw.bitLength
+      val want = frameBytes * 8
+      require(used <= want, s"frame overflow: $used > $want bits")
+      var pad = want - used
+      while (pad >= 8) { bw.bits(0, 8); pad -= 8 }
+      if (pad > 0) bw.bits(0, pad)
+      out.write(bw.bytes)
+      granule += 2
+      frame += 1
+    }
+    out.toByteArray
+  }
+
+  private def appendBits(bw: Bw, bytes: Array[Byte], nbits: Int): Unit = {
+    var i = 0
+    var left = nbits
+    while (left > 0) {
+      val take = math.min(8, left)
+      bw.bits((bytes(i) & 0xff) >> (8 - take), take)
+      left -= take
+      i += 1
+    }
+  }
+
+  /** One granule's 576 spectral lines: per-subband MDCT over
+   * [previous 18, current 18], frequency inversion first (the
+   * decoder's inverse order), then the inverse alias butterflies. */
+  private[graft] def granuleSpectrum(sub: Array[Array[Double]], g: Int): Array[Double] = {
+    val xr = new Array[Double](576)
+    val win = Array.tabulate(36)(i => math.sin(math.Pi / 36.0 * (i + 0.5)))
+    val buf = new Array[Double](36)
+    var sb = 0
+    while (sb < 32) {
+      var i = 0
+      while (i < 36) {
+        val t = (g - 1) * 18 + i
+        var v = if (t < 0 || t >= sub(sb).length) 0.0 else sub(sb)(t)
+        // encoder-side frequency inversion: odd subband, odd sample
+        // index WITHIN its granule's 18
+        if ((sb & 1) == 1 && (((t % 18) + 18) % 18 % 2) == 1) v = -v
+        buf(i) = v * win(i)
+        i += 1
+      }
+      var k = 0
+      while (k < 18) {
+        var acc = 0.0
+        var j = 0
+        while (j < 36) {
+          acc += buf(j) * math.cos(math.Pi / 72.0 * (2 * j + 1 + 18) * (2 * k + 1))
+          j += 1
+        }
+        xr(18 * sb + k) = acc * 4.0 / 36.0
+        k += 1
+      }
+      sb += 1
+    }
+    Mp3.aliasForward(xr)
+    xr
+  }
+
+  /** Quantize one granule with per-band scalefactors into |q| ≤ 5
+   * and Huffman-code it with table 7. Returns (payload bytes, exact
+   * payload bit count = part2_3_length, global_gain). */
+  private def quantizeAndCode(xr: Array[Double],
+      bandStart: Array[Int]): (Array[Byte], Int, Int) = {
+    val scl = new Array[Int](21)
+    val amax = xr.map(math.abs).max
+    // global gain: the loudest line quantizes to ≤ 5 at scl = 0
+    // (ceil so rounding can never overflow the table range)
+    var gg =
+      if (amax <= 0) 0
+      else math.ceil(210.0 + 4.0 * (math.log(amax /
+        math.pow(5.49, 4.0 / 3.0)) / math.log(2.0))).toInt
+    if (gg < 0) gg = 0
+    if (gg > 255) gg = 255
+    val gq = math.pow(2.0, 0.25 * (gg - 210))
+    // per-band scalefactors: the LARGEST admissible amplification
+    // (limit 15 for sfb < 11 via slen1=4, 7 for 11-20 via slen2=3)
+    for (sfb <- 0 until 21) {
+      val from = bandStart(sfb)
+      val to = bandStart(sfb + 1)
+      var bm = 0.0
+      var i = from
+      while (i < to) { bm = math.max(bm, math.abs(xr(i))); i += 1 }
+      val limit = if (sfb < 11) 15 else 7
+      var s = limit
+      while (s > 0 && bm > 0 && math.round(math.pow(
+        bm * math.pow(2.0, 1.0 * s) / gq, 0.75)) > 5) s -= 1
+      scl(sfb) = if (bm > 0) s else 0
+    }
+    // quantize
+    val q = new Array[Int](576)
+    var i = 0
+    while (i < 576) {
+      val sfb = bandOf(bandStart, i)
+      val s = if (sfb < 21) scl(sfb) else 0
+      val v = math.pow(math.abs(xr(i)) * math.pow(2.0, 1.0 * s) / gq, 0.75)
+      var m = math.round(v).toInt
+      if (m > 5) m = 5
+      q(i) = if (xr(i) < 0) -m else m
+      i += 1
+    }
+    // payload: scalefactors (11×4 + 10×3) then table-7 pairs
+    val bw = new Bw
+    for (sfb <- 0 until 11) bw.bits(scl(sfb), 4)
+    for (sfb <- 11 until 21) bw.bits(scl(sfb), 3)
+    val t7 = Mp3Tables.big(7)
+    i = 0
+    while (i < 576) {
+      val xm = math.abs(q(i))
+      val ym = math.abs(q(i + 1))
+      val (len, code) = t7.entries(xm * 6 + ym)
+      bw.bits(code, len)
+      if (xm != 0) bw.bits(if (q(i) < 0) 1 else 0, 1)
+      if (ym != 0) bw.bits(if (q(i + 1) < 0) 1 else 0, 1)
+      i += 2
+    }
+    val nbits = bw.bitLength
+    (bw.bytes, nbits, gg)
+  }
+
+  private def bandOf(bandStart: Array[Int], i: Int): Int = {
+    var sfb = 0
+    while (sfb < 21 && i >= bandStart(sfb + 1)) sfb += 1
+    sfb
+  }
+}

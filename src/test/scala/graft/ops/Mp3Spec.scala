@@ -1,0 +1,151 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.tools.{Mp3DupFixture, Mp3Encoder}
+
+/**
+ * MPEG-1 Layer III decoder ([[Mp3]]) against the independent in-repo
+ * encoder direction ([[Mp3Encoder]]) — the FLAC validation pattern:
+ * no reference MP3 codec exists in this container, so the decode
+ * logic is pinned by inverting a from-spec encoder exactly, the
+ * table constants are gated by completeness validation, and the
+ * declared seams (unverified tables, computed prototype) are
+ * themselves tested to CLAIM NOTHING rather than decay silently.
+ */
+class Mp3Spec extends SparkSpec {
+
+  test("every shipped Huffman table is a complete prefix code (the transcription gate)") {
+    def check(name: String, entries: Seq[(Int, Int)]): Unit = {
+      val kraft = entries.map { case (l, _) => math.pow(2.0, -l) }.sum
+      assert(math.abs(kraft - 1.0) < 1e-12, s"$name kraft=$kraft")
+      val codes = entries.map { case (l, c) =>
+        assert(c >= 0 && c < (1 << l), s"$name code wider than length")
+        String.format(s"%${l}s", Integer.toBinaryString(c)).replace(' ', '0')
+      }
+      assert(codes.distinct.size == codes.size, s"$name duplicate codes")
+      for (a <- codes; b <- codes if a != b)
+        assert(!b.startsWith(a), s"$name prefix clash $a / $b")
+    }
+    Mp3Tables.big.foreach { case (id, t) =>
+      assert(t.entries.length == t.dim * t.dim, s"table $id entry count")
+      check(s"table $id", t.entries.toSeq)
+    }
+    check("count1A", Mp3Tables.count1A.toSeq)
+    check("count1B", Mp3Tables.count1B.toSeq)
+    // the gate itself: unverified ids are absent, never half-present
+    assert(!Mp3Tables.big.contains(8) && !Mp3Tables.big.contains(13) &&
+      !Mp3Tables.big.contains(16) && !Mp3Tables.big.contains(24))
+  }
+
+  test("scalefactor-band tables sum to the spec totals (transcription self-check)") {
+    for ((sr, w) <- Mp3Tables.sfbLong) {
+      assert(w.length == 22 && w.sum == 576, s"long $sr")
+      assert(Mp3Tables.sfbShort(sr).length == 13 &&
+        Mp3Tables.sfbShort(sr).sum == 192, s"short $sr")
+    }
+    assert(Mp3Tables.slen.length == 16 && Mp3Tables.pretab.length == 21)
+  }
+
+  test("encode→decode roundtrip: exact length, sample-aligned, SNR past the quantizer floor") {
+    val pcm = Mp3DupFixture.basePcm(1L)
+    val mp3 = Mp3Encoder.encode(pcm, 32000)
+    val dec = Mp3.decode(mp3).get
+    assert(dec.sampleRate == 32000 && dec.channels == 1)
+    // N ≡ −480 (mod 1152) → decode returns exactly N samples
+    assert(dec.samples.length == pcm.length)
+    def snrAt(off: Int): Double = {
+      var se = 0.0
+      var ss = 0.0
+      var i = 2000
+      while (i < pcm.length - 2000) {
+        val r = pcm(i) / 32768.0
+        val j = i + off
+        val d = if (j >= 0 && j < dec.samples.length) dec.samples(j) else 0.0
+        se += (r - d) * (r - d); ss += r * r
+        i += 1
+      }
+      10.0 * math.log10(ss / se)
+    }
+    val s0 = snrAt(0)
+    assert(s0 > 14.0, s"roundtrip SNR $s0 dB")
+    // delay compensation: offset 0 beats every nearby alignment
+    assert((-40 to 40).filter(_ != 0).forall(o => snrAt(o) < s0),
+      "offset 0 is not the best alignment — delay handshake drifted")
+  }
+
+  test("fingerprint contract: mp3 twins within the codec gate, lossless twins within the exact gate") {
+    for (g <- Seq(0L, 3L, 9L)) {
+      val a = AudioFp.signature(Mp3DupFixture.row(2 * g)._2).get
+      val b = AudioFp.signature(Mp3DupFixture.row(2 * g + 1)._2).get
+      val ham = (0 until 4).map(i => Integer.bitCount(a(i) ^ b(i))).sum
+      assert(ham <= 7, s"group $g mp3 twin hamming $ham")
+    }
+    for (g <- Seq(0L, 2L)) { // WAV ↔ FLAC: lossless + perturbation
+      val a = AudioFp.signature(graft.tools.AudioDupFixture.row(2 * g)._2).get
+      val b = AudioFp.signature(graft.tools.AudioDupFixture.row(2 * g + 1)._2).get
+      val ham = (0 until 4).map(i => Integer.bitCount(a(i) ^ b(i))).sum
+      assert(ham <= 3, s"group $g lossless twin hamming $ham")
+    }
+  }
+
+  private def setBits(b: Array[Byte], bitOff: Int, len: Int, v: Int): Unit = {
+    var k = 0
+    while (k < len) {
+      val bit = (v >> (len - 1 - k)) & 1
+      val p = bitOff + k
+      val mask = 1 << (7 - (p & 7))
+      if (bit == 1) b(p >> 3) = (b(p >> 3) | mask).toByte
+      else b(p >> 3) = (b(p >> 3) & ~mask).toByte
+      k += 1
+    }
+  }
+
+  test("unverified Huffman table selection claims nothing (the gate at decode time)") {
+    val mp3 = Mp3Encoder.encode(Mp3DupFixture.basePcm(2L), 32000)
+    assert(Mp3.decode(mp3).isDefined)
+    val patched = mp3.clone()
+    // mono frame layout: header 32 bits, side info mdb9+priv5+scfsi4,
+    // per granule part23(12)+big(9)+gg(8)+sfc(4)+wsf(1) then the
+    // first 5-bit table_select — granule 0 at frame bit 84,
+    // granule 1 at 32+18+59+34 = 143
+    val frameBytes = 144000 * 320 / 32000
+    var off = 0
+    while (off + frameBytes <= patched.length) {
+      setBits(patched, off * 8 + 84, 5, 13) // table 13: not shipped
+      setBits(patched, off * 8 + 143, 5, 13)
+      off += frameBytes
+    }
+    assert(Mp3.decode(patched).isEmpty,
+      "a frame selecting an unverified table must claim nothing")
+  }
+
+  test("tolerance: junk, lone frames, truncation, ID3 framing") {
+    assert(Mp3.decode("not an mp3 at all".getBytes("US-ASCII")).isEmpty)
+    assert(Mp3.decode(null).isEmpty)
+    val mp3 = Mp3Encoder.encode(Mp3DupFixture.basePcm(4L), 32000)
+    val frameBytes = 144000 * 320 / 32000
+    // a single frame is not identified as mp3 (random-sync defense)
+    assert(Mp3.decode(java.util.Arrays.copyOf(mp3, frameBytes)).isEmpty)
+    // truncation mid-frame: complete frames stay claimed
+    val cut = java.util.Arrays.copyOf(mp3, 3 * frameBytes + 17)
+    val dec = Mp3.decode(cut).get
+    assert(dec.samples.length == 3 * 1152 - 480)
+    // ID3v2 tag in front: skipped by the syncsafe size
+    val tag = "ID3".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, 0, 0, 0, 40) ++ new Array[Byte](40)
+    assert(Mp3.decode(tag ++ mp3).map(_.samples.length) ==
+      Mp3.decode(mp3).map(_.samples.length))
+  }
+
+  test("pair face: exact mp3 re-encode pair set over the fixture") {
+    import spark.implicits._
+    val rows = (0L until 32L).map { id =>
+      val (m, b) = Mp3DupFixture.row(id); (id, m, b)
+    }
+    val pairs = AudioFp.nearDupPairsCodec(AudioFp.fingerprintTable(spark,
+        rows.toDF("media_id", "mime_type", "media")))
+      .select("media_id_a", "media_id_b").as[(Long, Long)].collect().toSet
+    val want = (0L until 16L).filter(_ % 8 != 7).map(g => (2 * g, 2 * g + 1)).toSet
+    assert(pairs == want, s"got $pairs")
+  }
+}
