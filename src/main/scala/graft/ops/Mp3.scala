@@ -381,16 +381,21 @@ object Mp3 {
   private val win3 = longWindow(3)
   private val winShort = Array.tabulate(12)(i => math.sin(math.Pi / 12.0 * (i + 0.5)))
 
+  private val imdct36M: Array[Array[Double]] =
+    Array.tabulate(36, 18)((i, k) =>
+      math.cos(math.Pi / 72.0 * (2 * i + 1 + 18) * (2 * k + 1)))
+  private val imdct12M: Array[Array[Double]] =
+    Array.tabulate(12, 6)((i, k) =>
+      math.cos(math.Pi / 24.0 * (2 * i + 1 + 6) * (2 * k + 1)))
+
   /** 36-point IMDCT of 18 spectral values. */
   private[graft] def imdct36(x: Array[Double], off: Int, out: Array[Double]): Unit = {
     var i = 0
     while (i < 36) {
       var acc = 0.0
+      val row = imdct36M(i)
       var k = 0
-      while (k < 18) {
-        acc += x(off + k) * math.cos(math.Pi / 72.0 * (2 * i + 1 + 18) * (2 * k + 1))
-        k += 1
-      }
+      while (k < 18) { acc += x(off + k) * row(k); k += 1 }
       out(i) = acc
       i += 1
     }
@@ -400,11 +405,9 @@ object Mp3 {
     var i = 0
     while (i < 12) {
       var acc = 0.0
+      val row = imdct12M(i)
       var k = 0
-      while (k < 6) {
-        acc += x(off + k * stride) * math.cos(math.Pi / 24.0 * (2 * i + 1 + 6) * (2 * k + 1))
-        k += 1
-      }
+      while (k < 6) { acc += x(off + k * stride) * row(k); k += 1 }
       out(i) = acc
       i += 1
     }

@@ -560,4 +560,22 @@ class ShardListStreamSpec extends SparkSpec {
     }
     streamed("gifanim_stream", rows, Multimodal.gifAnimTable)
   }
+
+  test("streamed GIF frame hashes equal the batch walk over the grown directory") {
+    val rows = (0L until 24L).map { id =>
+      val (mime, bytes) = graft.tools.GifAnimFixture.row(id)
+      (id, mime, bytes)
+    }
+    streamed("gifhash_stream", rows, Multimodal.gifFrameHashTable)
+  }
+
+  test("streamed MP3 fingerprints equal the batch walk over the grown directory") {
+    // the Layer III decode is a stateless per-blob pass — the codec
+    // twin of the FLAC streaming face
+    val rows = (0L until 16L).map { id =>
+      val (mime, bytes) = graft.tools.Mp3DupFixture.row(id)
+      (id, mime, bytes)
+    }
+    streamed("mp3fp_stream", rows, AudioFp.fingerprintTable)
+  }
 }
