@@ -600,6 +600,13 @@ object Mp3 {
   // ----------------------------------------------------------- decode
   private val ReservoirCap = 65536
 
+  /** Output bound: decoded PCM allocates ~3.2 bytes per input byte,
+   * so an unbounded hostile stream could swallow a task's heap.
+   * 16384 frames ≈ 10 min @ 32 kHz mono (~75 MB of floats) —
+   * decode stops there and returns what decoded (the same
+   * resource-cap discipline as the zstd FrameCapBytes). */
+  private val MaxFrames = 16384
+
   def decode(b: Array[Byte]): Option[Pcm] =
     try decodeImpl(b) catch { case _: RuntimeException => None }
 
@@ -627,7 +634,7 @@ object Mp3 {
     val prevScf = Array.fill(nch)(new Scf)
     var frames = 0
     var done = false
-    while (!done) {
+    while (!done && frames < MaxFrames) {
       header(b, pos) match {
         case Some(h) if h.sampleRate == sampleRate && h.channels == nch &&
           pos + h.size <= b.length =>

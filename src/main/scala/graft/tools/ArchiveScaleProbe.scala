@@ -237,7 +237,24 @@ object ArchiveScaleProbe {
       GifAnimFixture.row(2L)._2, GifAnimFixture.row(4L)._2), "image/gif")
     timed("gif_anim_table")(
       graft.ops.Multimodal.gifAnimTable(spark, gifs).count())
+    // round 18: full LZW pixel decode + compositing + per-frame dHash
+    timed("gif_frame_hash")(
+      graft.ops.Multimodal.gifFrameHashTable(spark, gifs).count())
     gifs.unpersist()
+
+    // round 18: full MPEG-1 Layer III decode + spectral fingerprint
+    val mp3s = corpus(Seq(Mp3DupFixture.row(1L)._2, Mp3DupFixture.row(3L)._2,
+      Mp3DupFixture.row(5L)._2, Mp3DupFixture.row(9L)._2), "audio/mpeg")
+    timed("mp3_fingerprint")(
+      graft.ops.AudioFp.fingerprintTable(spark, mp3s).count())
+    mp3s.unpersist()
+
+    // round 18: zero-decode payload-digest path over AVC containers
+    val avcs = corpus(Seq(VideoDupFixture.row(12L)._2, VideoDupFixture.row(13L)._2,
+      AvcMp4Fixture.fragMp4(6L)), "video/mp4")
+    timed("video_payload_sig")(
+      graft.ops.VideoDup.signatureTable(spark, avcs).count())
+    avcs.unpersist()
 
     spark.stop()
   }
