@@ -2382,9 +2382,15 @@ object Archives {
         map(hx(p.group(1))) = utf16(p.group(2))
       }
     }
+    // destination captures in the RANGE forms are bounded to 32 hex
+    // digits (8 UTF-16 code units — beyond any real ligature): the
+    // increment form copies its base once per range entry, so an
+    // unbounded base × a 65k-entry range would be a quadratic
+    // allocation a hostile CMap controls. bfchar destinations stay
+    // unbounded (linear in the already-capped stream size).
     val triple = ("<([0-9A-Fa-f]{1,6})>\\s*<([0-9A-Fa-f]{1,6})>\\s*" +
-      "(?:<([0-9A-Fa-f]+)>|\\[([^\\]]*)\\])").r
-    val hexTok = "<([0-9A-Fa-f]+)>".r
+      "(?:<([0-9A-Fa-f]{1,32})>|\\[([^\\]]*)\\])").r
+    val hexTok = "<([0-9A-Fa-f]{1,32})>".r
     "(?s)beginbfrange(.*?)endbfrange".r.findAllMatchIn(text).foreach { m =>
       triple.findAllMatchIn(m.group(1)).foreach { t =>
         val lo = hx(t.group(1))

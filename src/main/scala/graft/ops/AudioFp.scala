@@ -141,8 +141,10 @@ object AudioFp {
     }
   }
 
-  /** Log-spaced band edges over FFT bins [4, 512). */
-  private[ops] val BandEdges: Array[Int] = {
+  /** Log-spaced band edges over FFT bins [4, 512). private[graft]:
+   * Mp3DupFixture derives its tone placement from THESE edges so the
+   * fixture can never drift off the fingerprint's bands. */
+  private[graft] val BandEdges: Array[Int] = {
     val lo = math.log(4.0)
     val hi = math.log(FrameLen / 2.0)
     Array.tabulate(Bands + 1)(i =>
@@ -181,7 +183,9 @@ object AudioFp {
   private[ops] def quarterBits(s: Array[Float], from: Int, until: Int): Int = {
     val hop = FrameLen / 2
     val cur = new Array[Double](Bands)
-    var off = math.max(hop, from + hop)
+    // the quarter's first hop is skipped BY DEFINITION (part of the
+    // committed signature: fixtures pin hashes computed this way)
+    var off = from + hop
     while (off + FrameLen <= until) {
       val c = bandEnergies(s, off)
       var b = 0
@@ -234,9 +238,7 @@ object AudioFp {
    * can front either MP3 or ADTS — the walk decides). */
   private[graft] def audioContainer(b: Array[Byte]): String = {
     if (b == null || b.length < 4) return "other"
-    def tag(o: Int, s: String): Boolean =
-      b.length >= o + s.length &&
-        s.indices.forall(i => b(o + i) == s.charAt(i).toByte)
+    def tag(o: Int, s: String): Boolean = Multimodal.AvHeaders.magic(b, o, s)
     if (tag(0, "RIFF") && tag(8, "WAVE")) "wav"
     else if (tag(0, "FORM") && (tag(8, "AIFF") || tag(8, "AIFC"))) "aiff"
     else if (tag(0, "fLaC")) "flac"

@@ -30,6 +30,8 @@ package graft.ops
  *    ripple, well under the fingerprint's robustness margin.
  *  - Intensity stereo (mode_extension bit 0) and MPEG-2/2.5 claim
  *    nothing (documented, visible in the q_m40 coverage face).
+ *    Frame CRCs are skipped, not verified — corruption surfaces as
+ *    a claim-nothing granule through the structural checks instead.
  *
  * Tolerance discipline: None, never a throw — a corrupt stream
  * yields what decoded cleanly before the corruption, or nothing.
@@ -236,6 +238,9 @@ object Mp3 {
       if (hit < 0) return false
       val len = hit & 0xff
       br.pos = save + len
+      // the peek may have brushed the reservoir end even though the
+      // actual code fits — recompute instead of keeping a stale flag
+      br.overrun = br.pos > br.end
       val v = hit >> 8
       var k = 0
       var bad = false

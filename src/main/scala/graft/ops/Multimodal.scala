@@ -362,6 +362,12 @@ object Multimodal {
       b.length >= o + 4 && b(o) == t(0).toByte && b(o + 1) == t(1).toByte &&
         b(o + 2) == t(2).toByte && b(o + 3) == t(3).toByte
 
+    /** General-length magic compare — the one shared helper for the
+     * container sniffers (the 4-char [[tag]] stays for hot walks). */
+    private[ops] def magic(b: Array[Byte], o: Int, t: String): Boolean =
+      b != null && b.length >= o + t.length &&
+        t.indices.forall(i => b(o + i) == t.charAt(i).toByte)
+
     def avMeta(bytes: Array[Byte]): Option[AvMeta] = {
       if (bytes == null) None
       else if (tag(bytes, 0, "RIFF") && tag(bytes, 8, "WAVE")) parseWav(bytes)

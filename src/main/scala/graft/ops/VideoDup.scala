@@ -114,9 +114,7 @@ object VideoDup {
   /** Container sniff for the coverage face. */
   private[graft] def videoContainer(b: Array[Byte]): String = {
     if (b == null || b.length < 8) return "other"
-    def tag(o: Int, s: String): Boolean =
-      b.length >= o + s.length &&
-        s.indices.forall(i => b(o + i) == s.charAt(i).toByte)
+    def tag(o: Int, s: String): Boolean = Multimodal.AvHeaders.magic(b, o, s)
     if (tag(0, "RIFF") && tag(8, "AVI ")) "avi"
     else if (tag(4, "ftyp")) "mp4"
     else if ((b(0) & 0xff) == 0x1A && (b(1) & 0xff) == 0x45 &&

@@ -31,16 +31,13 @@ object Mp3DupFixture {
     (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
   }
 
-  /** The fingerprint's 17 log-spaced band CENTER frequencies (same
-   * edge formula as AudioFp.BandEdges over bins 4..512 of a
-   * 1024-point frame). */
+  /** The fingerprint's 17 band CENTER frequencies, derived from the
+   * fingerprint's OWN edge table so the tone placement can never
+   * drift off the bands it is designed to dominate. */
   private val bandCenterHz: Array[Double] = {
-    val lo = math.log(4.0)
-    val hi = math.log(512.0)
-    val edges = Array.tabulate(18)(i =>
-      math.round(math.exp(lo + (hi - lo) * i / 17.0)).toDouble)
+    val edges = graft.ops.AudioFp.BandEdges
     Array.tabulate(17)(b =>
-      math.sqrt(edges(b) * edges(b + 1)) * SampleRate / 1024.0)
+      math.sqrt(edges(b).toDouble * edges(b + 1)) * SampleRate / 1024.0)
   }
 
   /** Per-group 16-bit comparison PROFILE (bit b = "band b louder

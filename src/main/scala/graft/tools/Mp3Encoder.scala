@@ -159,12 +159,17 @@ object Mp3Encoder {
     }
   }
 
+  private val mdctWin: Array[Double] =
+    Array.tabulate(36)(i => math.sin(math.Pi / 36.0 * (i + 0.5)))
+  private val mdctM: Array[Array[Double]] =
+    Array.tabulate(18, 36)((k, j) =>
+      math.cos(math.Pi / 72.0 * (2 * j + 1 + 18) * (2 * k + 1)) * 4.0 / 36.0)
+
   /** One granule's 576 spectral lines: per-subband MDCT over
    * [previous 18, current 18], frequency inversion first (the
    * decoder's inverse order), then the inverse alias butterflies. */
   private[graft] def granuleSpectrum(sub: Array[Array[Double]], g: Int): Array[Double] = {
     val xr = new Array[Double](576)
-    val win = Array.tabulate(36)(i => math.sin(math.Pi / 36.0 * (i + 0.5)))
     val buf = new Array[Double](36)
     var sb = 0
     while (sb < 32) {
@@ -175,18 +180,16 @@ object Mp3Encoder {
         // encoder-side frequency inversion: odd subband, odd sample
         // index WITHIN its granule's 18
         if ((sb & 1) == 1 && (((t % 18) + 18) % 18 % 2) == 1) v = -v
-        buf(i) = v * win(i)
+        buf(i) = v * mdctWin(i)
         i += 1
       }
       var k = 0
       while (k < 18) {
         var acc = 0.0
+        val row = mdctM(k)
         var j = 0
-        while (j < 36) {
-          acc += buf(j) * math.cos(math.Pi / 72.0 * (2 * j + 1 + 18) * (2 * k + 1))
-          j += 1
-        }
-        xr(18 * sb + k) = acc * 4.0 / 36.0
+        while (j < 36) { acc += buf(j) * row(j); j += 1 }
+        xr(18 * sb + k) = acc
         k += 1
       }
       sb += 1

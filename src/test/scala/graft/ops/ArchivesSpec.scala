@@ -1262,6 +1262,13 @@ class ArchivesSpec extends SparkSpec {
         "beginbfchar\n<63> <0042>\n<FFFFFFFF> <0041>\nendbfchar\n" +
         "beginbfrange\n<FFFFFFFF> <FFFFFFFF> <0043>\nendbfrange")
     assert(hostile.exists(m => m.map == Map(0x63 -> "B")))
+    // quadratic-allocation defense: a full-width bfrange whose
+    // incremented base is over the 32-digit destination bound claims
+    // nothing instead of materializing 65k copies of a huge string
+    val bomb = Archives.pdfCmap(
+      "begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n" +
+        "beginbfrange\n<0000> <FFFF> <" + "41" * 64 + ">\nendbfrange")
+    assert(bomb.isEmpty)
   }
 
   test("pdf show operators: TJ arrays, hex strings, move-and-show forms") {
