@@ -16,12 +16,15 @@ import graft.ops.{Mp3, Mp3Tables}
  *    inverse alias butterflies;
  *  - quantization: one global_gain per granule + per-band
  *    scalefactors (scalefac_compress 15 → slen 4/3) normalizing each
- *    band into table 7's |value| ≤ 5 range — coarse per sample but
+ *    band into |value| ≤ 5 — coarse per sample but
  *    band-energy-faithful, which is exactly what the perceptual
  *    fingerprint needs;
- *  - entropy: big_values covers all 576 lines with table 7 in all
- *    three regions; no count1 region, no reservoir
- *    (main_data_begin 0), stuffing zeros to the fixed 320 kbps frame.
+ *  - entropy: big_values through the last |q| > 1 line with the
+ *    smallest shipped table covering each REGION's max (granule
+ *    parity alternating the equal-range tables 2/3, 5/6, 7/9), the
+ *    |q| ≤ 1 tail as count1 quads (tables A/B by parity), implicit
+ *    rzero; no reservoir (main_data_begin 0), stuffing zeros to the
+ *    fixed 320 kbps frame.
  *
  * The encoder ADVANCES its input by [[Advance]] samples so that
  * after the decoder trims its own synthesis delay, decode(encode(x))
@@ -58,8 +61,11 @@ object Mp3Encoder {
   private val SrIdx = Map(44100 -> 0, 48000 -> 1, 32000 -> 2)
 
   /** Encode mono 16-bit PCM (values in [-32768, 32767]) at one of
-   * the MPEG-1 rates. */
-  def encode(pcm: Array[Int], sampleRate: Int): Array[Byte] = {
+   * the MPEG-1 rates. `sclCap` caps the per-band scalefactor search
+   * (default: the full slen range) — the table-breadth test encodes
+   * with sclCap = 0 so quantized magnitudes track signal amplitudes
+   * directly and every big-value table gets targeted. */
+  def encode(pcm: Array[Int], sampleRate: Int, sclCap: Int = 15): Array[Byte] = {
     require(SrIdx.contains(sampleRate), s"unsupported rate $sampleRate")
     val frameBytes = 144000 * 320 / sampleRate
     // advanced + zero-padded input; frame count chosen so the
@@ -98,8 +104,10 @@ object Mp3Encoder {
     var granule = 0
     var frame = 0
     while (frame < nFrames) {
-      val (b0, p0, gg0) = quantizeAndCode(granuleSpectrum(sub, granule), bandStart)
-      val (b1, p1, gg1) = quantizeAndCode(granuleSpectrum(sub, granule + 1), bandStart)
+      val g0 = quantizeAndCode(granuleSpectrum(sub, granule), bandStart,
+        oddGranule = false, sclCap)
+      val g1 = quantizeAndCode(granuleSpectrum(sub, granule + 1), bandStart,
+        oddGranule = true, sclCap)
       val bw = new Bw
       // header: FF FB, bitrate 320, sr idx, no padding, mono
       bw.bits(0xfff, 12); bw.bits(1, 1) // MPEG-1
@@ -117,24 +125,25 @@ object Mp3Encoder {
       bw.bits(0, 9) // main_data_begin
       bw.bits(0, 5) // private
       bw.bits(0, 4) // scfsi
-      for (g <- 0 until 2) {
-        val p23 = if (g == 0) p0 else p1
-        bw.bits(p23, 12)
-        bw.bits(288, 9) // big_values: all 576 lines
-        bw.bits(if (g == 0) gg0 else gg1, 8)
+      for (plan <- Seq(g0, g1)) {
+        bw.bits(plan.nbits, 12)
+        bw.bits(plan.bigValues, 9)
+        bw.bits(plan.gg, 8)
         bw.bits(15, 4) // scalefac_compress → slen 4/3
         bw.bits(0, 1) // window_switching: long
-        bw.bits(7, 5); bw.bits(7, 5); bw.bits(7, 5) // table_select
-        bw.bits(15, 4) // region0_count
-        bw.bits(5, 3) // region1_count
+        bw.bits(plan.tables(0), 5)
+        bw.bits(plan.tables(1), 5)
+        bw.bits(plan.tables(2), 5)
+        bw.bits(Region0Count, 4)
+        bw.bits(Region1Count, 3)
         bw.bits(0, 1) // preflag
         bw.bits(1, 1) // scalefac_scale = 1 (mult 1.0: 6 dB steps —
         // the 3-bit high-band scalefactors need RANGE, not precision)
-        bw.bits(0, 1) // count1 table (unused: no count1 region)
+        bw.bits(plan.count1Table, 1)
       }
       // main data: both granules back-to-back, then stuffing
-      appendBits(bw, b0, p0)
-      appendBits(bw, b1, p1)
+      appendBits(bw, g0.bytes, g0.nbits)
+      appendBits(bw, g1.bytes, g1.nbits)
       val used = bw.bitLength
       val want = frameBytes * 8
       require(used <= want, s"frame overflow: $used > $want bits")
@@ -198,11 +207,37 @@ object Mp3Encoder {
     xr
   }
 
+  /** Per-region table choice (round 18): the SMALLEST shipped table
+   * covering the region's max magnitude, with the granule's parity
+   * picking between the equivalent-range alternates — so every
+   * verified table (1/2/3, 5/6, 7/9) and both count1 tables get
+   * exercised end-to-end through the roundtrip, not just table 7. */
+  private def tableFor(rmax: Int, oddGranule: Boolean): Int = rmax match {
+    case 0 => 0
+    case 1 => 1
+    case 2 => if (oddGranule) 3 else 2
+    case 3 => if (oddGranule) 6 else 5
+    case _ => if (oddGranule) 9 else 7
+  }
+
+  /** Side-info region split: region0_count = 7, region1_count = 7 →
+   * three non-empty regions at our band layout. */
+  val Region0Count = 7
+  val Region1Count = 7
+
+  /** Granule coding plan: payload bytes, exact bit count
+   * (part2_3_length), global gain, big_values, per-region tables,
+   * count1 table select. */
+  private[graft] final case class GranulePlan(bytes: Array[Byte], nbits: Int,
+    gg: Int, bigValues: Int, tables: Array[Int], count1Table: Int)
+
   /** Quantize one granule with per-band scalefactors into |q| ≤ 5
-   * and Huffman-code it with table 7. Returns (payload bytes, exact
-   * payload bit count = part2_3_length, global_gain). */
+   * and Huffman-code it: big values up to the last |q| > 1 line with
+   * per-region smallest-covering tables, then the small tail as
+   * count1 QUADS (tables A/B by granule parity), implicit rzero. */
   private def quantizeAndCode(xr: Array[Double],
-      bandStart: Array[Int]): (Array[Byte], Int, Int) = {
+      bandStart: Array[Int], oddGranule: Boolean,
+      sclCap: Int): GranulePlan = {
     val scl = new Array[Int](21)
     val amax = xr.map(math.abs).max
     // global gain: the loudest line quantizes to ≤ 5 at scl = 0
@@ -222,7 +257,7 @@ object Mp3Encoder {
       var bm = 0.0
       var i = from
       while (i < to) { bm = math.max(bm, math.abs(xr(i))); i += 1 }
-      val limit = if (sfb < 11) 15 else 7
+      val limit = math.min(sclCap, if (sfb < 11) 15 else 7)
       var s = limit
       while (s > 0 && bm > 0 && math.round(math.pow(
         bm * math.pow(2.0, 1.0 * s) / gq, 0.75)) > 5) s -= 1
@@ -240,23 +275,62 @@ object Mp3Encoder {
       q(i) = if (xr(i) < 0) -m else m
       i += 1
     }
-    // payload: scalefactors (11×4 + 10×3) then table-7 pairs
+    // region split: big values cover through the last |q| > 1 line
+    // (rounded up to a pair), the |q| ≤ 1 tail through the last
+    // nonzero goes to count1 quads, the rest is implicit rzero
+    var lastBig = -1
+    var lastNz = -1
+    i = 0
+    while (i < 576) {
+      if (math.abs(q(i)) > 1) lastBig = i
+      if (q(i) != 0) lastNz = i
+      i += 1
+    }
+    val bigEnd = if (lastBig < 0) 0 else ((lastBig / 2) + 1) * 2
+    val bigValues = bigEnd / 2
+    val r1 = bandStart(Region0Count + 1)
+    val r2 = bandStart(Region0Count + 1 + Region1Count + 1)
+    def regionMax(from: Int, until: Int): Int = {
+      var m = 0
+      var k = from
+      while (k < math.min(until, bigEnd)) { m = math.max(m, math.abs(q(k))); k += 1 }
+      m
+    }
+    val tables = Array(
+      tableFor(regionMax(0, r1), oddGranule),
+      tableFor(regionMax(r1, r2), oddGranule),
+      tableFor(regionMax(r2, 576), oddGranule))
+    // payload: scalefactors (11×4 + 10×3), big-value pairs, quads
     val bw = new Bw
     for (sfb <- 0 until 11) bw.bits(scl(sfb), 4)
     for (sfb <- 11 until 21) bw.bits(scl(sfb), 3)
-    val t7 = Mp3Tables.big(7)
     i = 0
-    while (i < 576) {
-      val xm = math.abs(q(i))
-      val ym = math.abs(q(i + 1))
-      val (len, code) = t7.entries(xm * 6 + ym)
-      bw.bits(code, len)
-      if (xm != 0) bw.bits(if (q(i) < 0) 1 else 0, 1)
-      if (ym != 0) bw.bits(if (q(i + 1) < 0) 1 else 0, 1)
+    while (i < bigEnd) {
+      val tsel = if (i < r1) tables(0) else if (i < r2) tables(1) else tables(2)
+      if (tsel != 0) {
+        val t = Mp3Tables.big(tsel)
+        val xm = math.abs(q(i))
+        val ym = math.abs(q(i + 1))
+        val (len, code) = t.entries(xm * t.dim + ym)
+        bw.bits(code, len)
+        if (xm != 0) bw.bits(if (q(i) < 0) 1 else 0, 1)
+        if (ym != 0) bw.bits(if (q(i + 1) < 0) 1 else 0, 1)
+      }
       i += 2
     }
-    val nbits = bw.bitLength
-    (bw.bytes, nbits, gg)
+    val count1Table = if (oddGranule) 1 else 0
+    val c1 = if (count1Table == 0) Mp3Tables.count1A else Mp3Tables.count1B
+    i = bigEnd
+    while (i <= lastNz && i + 4 <= 576) {
+      val vals = Array(q(i), q(i + 1), q(i + 2), q(i + 3))
+      val idx = vals.foldLeft(0)((a, v) => (a << 1) | math.abs(v))
+      val (len, code) = c1(idx)
+      bw.bits(code, len)
+      vals.foreach(v => if (v != 0) bw.bits(if (v < 0) 1 else 0, 1))
+      i += 4
+    }
+    val nbits = bw.bitLength // BEFORE bytes(): that pads to a byte
+    GranulePlan(bw.bytes, nbits, gg, bigValues, tables, count1Table)
   }
 
   private def bandOf(bandStart: Array[Int], i: Int): Int = {

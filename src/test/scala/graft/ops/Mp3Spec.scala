@@ -137,6 +137,60 @@ class Mp3Spec extends SparkSpec {
       Mp3.decode(mp3).map(_.samples.length))
   }
 
+  test("the roundtrip exercises EVERY shipped table, not just one") {
+    def getBits(b: Array[Byte], bitOff: Int, len: Int): Int = {
+      var v = 0
+      var k = 0
+      while (k < len) {
+        val p = bitOff + k
+        v = (v << 1) | ((b(p >> 3) >> (7 - (p & 7))) & 1)
+        k += 1
+      }
+      v
+    }
+    val frameBytes = 144000 * 320 / 32000
+    val bigSeen = scala.collection.mutable.Set.empty[Int]
+    val c1Seen = scala.collection.mutable.Set.empty[Int]
+    // designed multi-tones, encoded with sclCap = 0 so quantized
+    // magnitudes track raw amplitudes: one tone per region at the
+    // amplitude that lands each target table's range (q ≈ 5.5·a^¾),
+    // plus a |q|=1 tail tone past the last big value for count1
+    val cases = Seq(
+      // (region0 amp @400Hz, region1 amp @3kHz, region2 amp @8kHz, tail @14kHz)
+      (1.0, 0.25, 0.08, 0.08), // → 7/9, 2/3, 1, quads
+      (1.0, 0.45, 0.0, 0.08), //  → 7/9, 5/6, 0, quads
+      (0.08, 1.0, 0.45, 0.0)) // → 1, 7/9, 5/6
+    for ((a0, a1, a2, a3) <- cases) {
+      val pcm = Array.tabulate(Mp3DupFixture.NSamples) { t =>
+        val s = a0 * math.sin(2 * math.Pi * 400.0 * t / 32000) +
+          a1 * math.sin(2 * math.Pi * 3000.0 * t / 32000 + 1.0) +
+          a2 * math.sin(2 * math.Pi * 8000.0 * t / 32000 + 2.0) +
+          a3 * math.sin(2 * math.Pi * 14000.0 * t / 32000 + 0.5)
+        (s * 16000).toInt
+      }
+      val mp3 = Mp3Encoder.encode(pcm, 32000, sclCap = 0)
+      var off = 0
+      while (off + frameBytes <= mp3.length) {
+        for (grBase <- Seq(off * 8 + 50, off * 8 + 109)) { // granule starts
+          bigSeen += getBits(mp3, grBase + 34, 5)
+          bigSeen += getBits(mp3, grBase + 39, 5)
+          bigSeen += getBits(mp3, grBase + 44, 5)
+          c1Seen += getBits(mp3, grBase + 58, 1)
+        }
+        off += frameBytes
+      }
+      // every such encode must still decode end to end
+      assert(Mp3.decode(mp3).isDefined)
+    }
+    // the per-region smallest-covering-table policy + granule-parity
+    // alternates reach the whole verified set end-to-end
+    assert(Set(0, 1, 2, 3, 5, 6, 7, 9).subsetOf(bigSeen.toSet),
+      s"big tables exercised: $bigSeen")
+    assert(c1Seen == Set(0, 1), s"count1 tables exercised: $c1Seen")
+    assert(bigSeen.toSet.subsetOf(Set(0, 1, 2, 3, 5, 6, 7, 9)),
+      s"encoder emitted an unshipped table: $bigSeen")
+  }
+
   test("pair face: exact mp3 re-encode pair set over the fixture") {
     import spark.implicits._
     val rows = (0L until 32L).map { id =>
