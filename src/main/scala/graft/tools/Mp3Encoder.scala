@@ -157,6 +157,129 @@ object Mp3Encoder {
     out.toByteArray
   }
 
+  /** Stereo MS encode (round 18): joint stereo with mode_extension
+   * MS — the decoder's 2-channel side info, MS inverse matrix and
+   * per-channel synthesis states get exercised end-to-end (the mono
+   * path can't reach them). M/S spectra are (L±R)/√2 of the
+   * per-channel granule spectra; if the four granule-channel
+   * payloads overflow the fixed 320 kbps frame, the whole frame
+   * re-quantizes coarser (a deterministic gg bias retry). */
+  def encodeStereoMs(left: Array[Int], right: Array[Int],
+      sampleRate: Int): Array[Byte] = {
+    require(SrIdx.contains(sampleRate), s"unsupported rate $sampleRate")
+    require(left.length == right.length, "channel length mismatch")
+    val frameBytes = 144000 * 320 / sampleRate
+    val n0 = math.max(0, left.length - Advance)
+    val nFrames = math.max(2, (n0 + 1056 + 1151) / 1152)
+    val nSamples = nFrames * 1152
+    val bandW = Mp3Tables.sfbLong(sampleRate)
+    val bandStart = {
+      val s = new Array[Int](23)
+      var acc = 0
+      for (k <- bandW.indices) { s(k) = acc; acc += bandW(k) }
+      s(22) = 576
+      s
+    }
+    def analyze(pcm: Array[Int]): Array[Array[Double]] = {
+      val x = new Array[Double](nSamples)
+      var i = 0
+      while (i < n0) { x(i) = pcm(Advance + i) / 32768.0; i += 1 }
+      val nBlocks = nSamples / 32
+      val sub = Array.ofDim[Double](32, nBlocks)
+      val an = new Mp3.AnalysisState
+      val bi = new Array[Double](32)
+      val bo = new Array[Double](32)
+      var t = 0
+      while (t < nBlocks) {
+        System.arraycopy(x, t * 32, bi, 0, 32)
+        Mp3.analyzeBlockWith(Mp3.proto, an, bi, bo)
+        var b = 0
+        while (b < 32) { sub(b)(t) = bo(b); b += 1 }
+        t += 1
+      }
+      sub
+    }
+    val subL = analyze(left)
+    val subR = analyze(right)
+    val inv = 1.0 / math.sqrt(2.0)
+    val out = new java.io.ByteArrayOutputStream()
+    var granule = 0
+    var frame = 0
+    while (frame < nFrames) {
+      // per granule: channel 0 = M, channel 1 = S
+      val spectra = Array.tabulate(2) { g =>
+        val l = granuleSpectrum(subL, granule + g)
+        val r = granuleSpectrum(subR, granule + g)
+        val m = new Array[Double](576)
+        val s = new Array[Double](576)
+        var i = 0
+        while (i < 576) {
+          m(i) = (l(i) + r(i)) * inv
+          s(i) = (l(i) - r(i)) * inv
+          i += 1
+        }
+        Array(m, s)
+      }
+      val budget = frameBytes * 8 - 32 - 32 * 8 // header + stereo side info
+      var bias = 0.0
+      var plans: Array[Array[GranulePlan]] = null
+      var fits = false
+      while (!fits) {
+        plans = Array.tabulate(2, 2) { (g, ch) =>
+          val xr =
+            if (bias == 0.0) spectra(g)(ch)
+            else spectra(g)(ch).map(_ * bias)
+          quantizeAndCode(xr, bandStart, oddGranule = g == 1, 15)
+        }
+        val total = plans.flatten.map(_.nbits).sum
+        if (total <= budget) fits = true
+        else bias = (if (bias == 0.0) 1.0 else bias) * 0.5 // 6 dB coarser
+      }
+      val bw = new Bw
+      bw.bits(0xfff, 12); bw.bits(1, 1)
+      bw.bits(1, 2) // layer III
+      bw.bits(1, 1) // no CRC
+      bw.bits(BitrateIdx(32000), 4)
+      bw.bits(SrIdx(sampleRate), 2)
+      bw.bits(0, 1); bw.bits(0, 1) // padding, private
+      bw.bits(1, 2) // mode: joint stereo
+      bw.bits(2, 2) // mode_extension: MS on, intensity off
+      bw.bits(0, 2); bw.bits(0, 2) // copyright/original, emphasis
+      // side info (stereo, 32 bytes)
+      bw.bits(0, 9) // main_data_begin
+      bw.bits(0, 3) // private
+      bw.bits(0, 8) // scfsi (2 channels × 4)
+      for (g <- 0 until 2; ch <- 0 until 2) {
+        val plan = plans(g)(ch)
+        bw.bits(plan.nbits, 12)
+        bw.bits(plan.bigValues, 9)
+        bw.bits(plan.gg, 8)
+        bw.bits(15, 4)
+        bw.bits(0, 1)
+        bw.bits(plan.tables(0), 5)
+        bw.bits(plan.tables(1), 5)
+        bw.bits(plan.tables(2), 5)
+        bw.bits(Region0Count, 4)
+        bw.bits(Region1Count, 3)
+        bw.bits(0, 1) // preflag
+        bw.bits(1, 1) // scalefac_scale
+        bw.bits(plan.count1Table, 1)
+      }
+      for (g <- 0 until 2; ch <- 0 until 2)
+        appendBits(bw, plans(g)(ch).bytes, plans(g)(ch).nbits)
+      val used = bw.bitLength
+      val want = frameBytes * 8
+      require(used <= want, s"stereo frame overflow: $used > $want")
+      var pad = want - used
+      while (pad >= 8) { bw.bits(0, 8); pad -= 8 }
+      if (pad > 0) bw.bits(0, pad)
+      out.write(bw.bytes)
+      granule += 2
+      frame += 1
+    }
+    out.toByteArray
+  }
+
   private def appendBits(bw: Bw, bytes: Array[Byte], nbits: Int): Unit = {
     var i = 0
     var left = nbits

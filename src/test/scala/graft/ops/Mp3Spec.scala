@@ -191,6 +191,39 @@ class Mp3Spec extends SparkSpec {
       s"encoder emitted an unshipped table: $bigSeen")
   }
 
+  test("stereo MS roundtrip exercises the 2-channel decode paths; intensity claims nothing") {
+    val n = Mp3DupFixture.NSamples
+    val l = Array.tabulate(n)(t => (Mp3DupFixture.signal(1L, t) * 32000).toInt)
+    val r = Array.tabulate(n)(t => (Mp3DupFixture.signal(2L, t) * 32000).toInt)
+    val mp3 = Mp3Encoder.encodeStereoMs(l, r, 32000)
+    val dec = Mp3.decode(mp3).get
+    assert(dec.channels == 2 && dec.samples.length == 2 * n)
+    def snr(ref: Array[Int], ch: Int): Double = {
+      var se = 0.0
+      var ss = 0.0
+      var i = 2000
+      while (i < n - 2000) {
+        val a = ref(i) / 32768.0
+        val d = dec.samples(i * 2 + ch)
+        se += (a - d) * (a - d); ss += a * a
+        i += 1
+      }
+      10.0 * math.log10(ss / se)
+    }
+    assert(snr(l, 0) > 10.0, s"left ${snr(l, 0)}")
+    assert(snr(r, 1) > 10.0, s"right ${snr(r, 1)}")
+    // intensity stereo (mode_extension bit 0) is a declared
+    // claim-nothing seam — flip the bit in every header
+    val frameBytes = 144000 * 320 / 32000
+    val patched = mp3.clone()
+    var off = 0
+    while (off + frameBytes <= patched.length) {
+      patched(off + 3) = (patched(off + 3) | 0x10).toByte
+      off += frameBytes
+    }
+    assert(Mp3.decode(patched).isEmpty)
+  }
+
   test("pair face: exact mp3 re-encode pair set over the fixture") {
     import spark.implicits._
     val rows = (0L until 32L).map { id =>
