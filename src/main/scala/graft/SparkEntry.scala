@@ -910,8 +910,10 @@ object SparkEntry {
         .unionByName(Tables.mp3dup(s)))),
     // q_m41: VIDEO decode coverage — per (mime_type, container) the
     // q_m38 pixel path (MJPEG only) and payload-digest path (AVI /
-    // MP4 / fragmented-MP4 spans) measured independently; webm and
-    // mpeg-ts are the honest 0/0 lines
+    // MP4 / fragmented-MP4 / WebM video-track blocks) measured
+    // independently; mpeg-ts is the honest 0/0 line (PES headers
+    // interleave through the elementary stream, so contiguous-span
+    // digests can't equal any other container's)
     "q_m41_video_coverage" -> ((s, _) =>
       VideoDup.decodeCoverage(s, Tables.videodup(s)
         .unionByName(Tables.mp4Avc(s)).unionByName(Tables.mp4Frag(s))
@@ -4901,7 +4903,10 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT mime_type,
          |    CASE WHEN media_id % 8 = 7 THEN 'other' ELSE 'webm' END,
-         |    0, 0
+         |    0, -- no webm pixel decode
+         |    -- payload path (round 18): video-track SimpleBlock
+         |    -- spans; the truncated class (init cut) yields none
+         |    CASE WHEN media_id % 8 IN (3, 7) THEN 0 ELSE 1 END
          |  FROM read_parquet('${Tables.webmFixturePath}')
          |  UNION ALL
          |  SELECT mime_type,

@@ -1181,6 +1181,75 @@ object Multimodal {
       out.toSeq
     }
 
+    /** VIDEO track numbers of a WebM/Matroska file: TrackEntries
+     * whose TrackType (0x83) is 1 or that carry a Video element
+     * (0xE0); TrackNumber (0xD7) when present, else the entry's
+     * 1-based ordinal (the Matroska default numbering). Feeds the
+     * payload-digest re-mux path, which must not digest audio
+     * tracks. */
+    private[ops] def webmVideoTracks(b: Array[Byte]): Set[Long] = {
+      if (b == null || b.length < 4 || (b(0) & 0xff) != 0x1a ||
+        (b(1) & 0xff) != 0x45 || (b(2) & 0xff) != 0xdf ||
+        (b(3) & 0xff) != 0xa3) return Set.empty
+      def vint(i: Int, keepMarker: Boolean): Option[(Long, Int)] = {
+        if (i >= b.length) return None
+        val first = b(i) & 0xff
+        if (first == 0) return None
+        val len = Integer.numberOfLeadingZeros(first) - 23
+        if (len > 8 || i + len > b.length) return None
+        var v = if (keepMarker) first.toLong else (first & (0xff >>> len)).toLong
+        var k = 1
+        while (k < len) { v = (v << 8) | (b(i + k) & 0xffL); k += 1 }
+        Some((v, len))
+      }
+      def walk(from: Int, to: Int)(f: (Long, Int, Int) => Unit): Unit = {
+        var i = from
+        while (i < to) {
+          val id = vint(i, keepMarker = true) match {
+            case Some(x) => x; case None => return
+          }
+          val sz = vint(i + id._2, keepMarker = false) match {
+            case Some(x) => x; case None => return
+          }
+          val p = i + id._2 + sz._2
+          val unknown = sz._1 == (1L << (7 * sz._2)) - 1
+          val end = if (unknown) to.toLong else math.min(to.toLong, p.toLong + sz._1)
+          if (end < p) return
+          f(id._1, p, end.toInt)
+          if (end.toInt <= i) return
+          i = end.toInt
+        }
+      }
+      def beUint(p: Int, e: Int): Long = {
+        var v = 0L
+        var j = p
+        while (j < e) { v = (v << 8) | (b(j) & 0xffL); j += 1 }
+        v
+      }
+      val out = scala.collection.mutable.Set.empty[Long]
+      walk(0, b.length) { (id0, p0, e0) =>
+        if (id0 == 0x18538067L) walk(p0, e0) { (id1, p1, e1) => // Segment
+          if (id1 == 0x1654ae6bL) { // Tracks
+            var ordinal = 0L
+            walk(p1, e1) { (id2, p2, e2) =>
+              if (id2 == 0xaeL) { // TrackEntry
+                ordinal += 1
+                var num = -1L
+                var isVideo = false
+                walk(p2, e2) { (id3, p3, e3) =>
+                  if (id3 == 0xd7L) num = beUint(p3, e3) // TrackNumber
+                  else if (id3 == 0x83L) isVideo ||= beUint(p3, e3) == 1L
+                  else if (id3 == 0xe0L) isVideo = true // Video element
+                }
+                if (isVideo) out += (if (num > 0) num else ordinal)
+              }
+            }
+          }
+        }
+      }
+      out.toSet
+    }
+
     /**
      * AU/SND header parse (Sun audio, the simplest real container:
      * ".snd" magic then five BE32 words — data offset, data size,

@@ -64,14 +64,29 @@ object VideoDup {
 
   /** Raw sample spans for the payload-digest path: AVI `movi`
    * chunks, else self-contained MP4 samples of ANY video codec,
-   * else the moof/trun fragment runs. */
+   * else the moof/trun fragment runs, else WebM video-track
+   * SimpleBlock payloads (VP8/VP9/AV1 re-muxes carry them verbatim;
+   * audio tracks are excluded via the Tracks walk). mpeg-ts stays
+   * out of this path honestly: TS interleaves PES headers through
+   * the elementary stream, so contiguous-span digests can't equal
+   * any other container's. */
   private[graft] def payloadSpans(b: Array[Byte]): Seq[(Int, Int)] = {
     val avi = Multimodal.AvHeaders.aviVideoChunks(b)
     if (avi.nonEmpty) avi
     else {
       val moov = Multimodal.AvHeaders.mp4AnyVideoSamples(b)
       if (moov.nonEmpty) moov
-      else Multimodal.AvHeaders.mp4FragmentVideoSamples(b)
+      else {
+        val frag = Multimodal.AvHeaders.mp4FragmentVideoSamples(b)
+        if (frag.nonEmpty) frag
+        else {
+          val vt = Multimodal.AvHeaders.webmVideoTracks(b)
+          if (vt.isEmpty) Nil
+          else Multimodal.AvHeaders.webmBlocks(b).collect {
+            case (_, track, _, off, len, _) if vt(track) => (off, len)
+          }
+        }
+      }
     }
   }
 

@@ -350,7 +350,7 @@ object AvFixture {
 
   /** EBML element: varint id (marker bits kept, already encoded in the
    * constant) + minimal varint size + payload. */
-  private[tools] def ebml(id: Long, payload: Array[Byte]): Array[Byte] = {
+  private[graft] def ebml(id: Long, payload: Array[Byte]): Array[Byte] = {
     val idBytes = {
       var n = 1
       while ((id >>> (8 * n)) != 0) n += 1
@@ -366,7 +366,7 @@ object AvFixture {
     val bits = java.lang.Float.floatToIntBits(v)
     Array.tabulate[Byte](4)(i => (bits >>> (8 * (3 - i))).toByte)
   }
-  private[tools] def beUintBytes(v: Long): Array[Byte] = {
+  private[graft] def beUintBytes(v: Long): Array[Byte] = {
     var n = 1
     while ((v >>> (8 * n)) != 0) n += 1
     Array.tabulate[Byte](n)(i => (v >>> (8 * (n - 1 - i))).toByte)

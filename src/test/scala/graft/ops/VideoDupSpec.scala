@@ -61,6 +61,28 @@ class VideoDupSpec extends SparkSpec {
     assert(VideoDup.videoContainer(TsFixture.row(3L)._2) == "mp4") // the lying cut class
   }
 
+  test("webm payload path: video-track blocks digest, audio tracks excluded") {
+    import graft.tools.{AvFixture, WebmFixture}
+    val w = WebmFixture.webm(5L)
+    assert(Multimodal.AvHeaders.webmVideoTracks(w) == Set(1L))
+    val d = VideoDup.payloadDigest(w)
+    assert(d.nonEmpty && d.get._1 == WebmFixture.nFrames(5L))
+    assert(VideoDup.payloadDigest(WebmFixture.webm(6L)) != d)
+    assert(VideoDup.payloadDigest(WebmFixture.row(3L)._2).isEmpty) // cut init
+    // a TrackEntry declaring TrackType audio (2) and no Video
+    // element must not contribute its blocks
+    import AvFixture.{ebml, beUintBytes}
+    val header = ebml(0x1a45dfa3L, ebml(0x4282L, "webm".getBytes("US-ASCII")))
+    val audioEntry = ebml(0xaeL,
+      ebml(0xd7L, beUintBytes(1L)) ++ ebml(0x83L, beUintBytes(2L)))
+    val tracks = ebml(0x1654ae6bL, audioEntry)
+    val block = ebml(0x1f43b675L, ebml(0xe7L, beUintBytes(0L)) ++
+      ebml(0xa3L, Array[Byte](0x81.toByte, 0, 0, 0x80.toByte, 1, 2, 3, 4)))
+    val audioOnly = header ++ ebml(0x18538067L, tracks ++ block)
+    assert(Multimodal.AvHeaders.webmVideoTracks(audioOnly).isEmpty)
+    assert(VideoDup.payloadDigest(audioOnly).isEmpty)
+  }
+
   test("pair face: exact re-mux pair set over the fixture, kinds labelled") {
     import spark.implicits._
     val rows = (0L until 32L).map { id =>
