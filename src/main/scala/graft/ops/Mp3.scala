@@ -28,10 +28,12 @@ package graft.ops
  *    prototype, making the fixture roundtrip near-exact; against a
  *    conformant decoder real streams differ by a small filterbank
  *    ripple, well under the fingerprint's robustness margin.
- *  - Intensity stereo (mode_extension bit 0) and MPEG-2/2.5 claim
- *    nothing (documented, visible in the q_m40 coverage face).
- *    Frame CRCs are skipped, not verified — corruption surfaces as
- *    a claim-nothing granule through the structural checks instead.
+ *  - Intensity stereo decodes for LONG blocks (the position-ratio
+ *    formula needs no tables); intensity over short blocks and
+ *    MPEG-2/2.5 claim nothing (documented, visible in the q_m40
+ *    coverage face). Frame CRCs are skipped, not verified —
+ *    corruption surfaces as a claim-nothing granule through the
+ *    structural checks instead.
  *
  * Tolerance discipline: None, never a throw — a corrupt stream
  * yields what decoded cleanly before the corruption, or nothing.
@@ -176,10 +178,12 @@ object Mp3 {
 
   // --------------------------------------------------------- huffman
   /** Decode the spectral values of one granule/channel into is[576].
-   * Returns false when the frame selects an unverified table
-   * (claim nothing) or the stream is structurally broken. */
+   * Returns the channel's DATA END (the first all-rzero line — the
+   * intensity-stereo bound for channel 1), or -1 when the frame
+   * selects an unverified table (claim nothing) or the stream is
+   * structurally broken. */
   private def readSpectrum(br: Br, gr: Gr, sampleRate: Int,
-      is: Array[Int], granuleEnd: Int): Boolean = {
+      is: Array[Int], granuleEnd: Int): Int = {
     java.util.Arrays.fill(is, 0)
     val bandStarts = {
       val widths = Mp3Tables.sfbLong(sampleRate)
@@ -208,12 +212,12 @@ object Mp3 {
         i += 2
       } else {
         val t = Mp3Tables.big.getOrElse(tsel, null)
-        if (t == null) return false // unverified table: claim nothing
+        if (t == null) return -1 // unverified table: claim nothing
         // peek maxLen bits without consuming past what the code needs
         val save = br.pos
         val peek = br.bits(t.maxLen)
         val hit = t.lut(peek)
-        if (hit < 0) return false
+        if (hit < 0) return -1
         val len = hit & 0xff
         br.pos = save + len
         br.overrun = br.pos > br.end
@@ -226,16 +230,17 @@ object Mp3 {
         is(i) = x; is(i + 1) = y
         i += 2
       }
-      if (br.overrun || br.pos > granuleEnd) return false
+      if (br.overrun || br.pos > granuleEnd) return -1
     }
     // count1 region: quads until the granule's bits run out
     val lut = if (gr.count1Table == 0) Mp3Tables.count1ALut else Mp3Tables.count1BLut
     val w = if (gr.count1Table == 0) Mp3Tables.count1AMax else Mp3Tables.count1BMax
-    while (br.pos < granuleEnd && i <= 572) {
+    var stop = false
+    while (!stop && br.pos < granuleEnd && i <= 572) {
       val save = br.pos
       val peek = br.bits(w)
       val hit = lut(peek)
-      if (hit < 0) return false
+      if (hit < 0) return -1
       val len = hit & 0xff
       br.pos = save + len
       // the peek may have brushed the reservoir end even though the
@@ -261,9 +266,9 @@ object Mp3 {
         var j = 0
         while (j < 4) { is(i + j) = vals(j); j += 1 }
         i += 4
-      } else i = 576
+      } else stop = true
     }
-    !br.overrun
+    if (br.overrun) -1 else i
   }
 
   // ---------------------------------------------------- requantization
@@ -643,8 +648,6 @@ object Mp3 {
       header(b, pos) match {
         case Some(h) if h.sampleRate == sampleRate && h.channels == nch &&
           pos + h.size <= b.length =>
-          // intensity stereo: out of scope, claim nothing at all
-          if (h.mode == 1 && (h.modeExt & 1) != 0) return None
           val sideStart = pos + 4 + (if (h.crc) 2 else 0)
           val sideBytes = if (nch == 1) 17 else 32
           if (sideStart + sideBytes > b.length) done = true
@@ -664,6 +667,8 @@ object Mp3 {
               var usable = true
               val br = new Br(reservoir, anchor * 8, resLen * 8)
               val xr = Array.fill(nch)(new Array[Double](576))
+              val scfs = new Array[Scf](nch)
+              val ends = new Array[Int](nch)
               for (g <- 0 until 2) {
                 for (ch <- 0 until nch) {
                   val gr = grs(g)(ch)
@@ -671,26 +676,26 @@ object Mp3 {
                   if (usable && granuleEnd <= resLen * 8) {
                     val scf = readScalefactors(br, gr, scfsi(ch), g, prevScf(ch))
                     if (g == 0) prevScf(ch) = scf
+                    scfs(ch) = scf
                     val is = new Array[Int](576)
-                    if (readSpectrum(br, gr, sampleRate, is, granuleEnd)) {
+                    val dataEnd = readSpectrum(br, gr, sampleRate, is, granuleEnd)
+                    if (dataEnd >= 0) {
+                      ends(ch) = dataEnd
                       br.pos = granuleEnd // skip stuffing
                       requantize(gr, scf, sampleRate, is, xr(ch))
                     } else usable = false
                   } else usable = false
                 }
+                if (usable && nch == 2 && h.mode == 1) {
+                  val intensityOn = (h.modeExt & 1) != 0
+                  // intensity over short blocks: out of the declared
+                  // scope — the whole decode claims nothing
+                  if (intensityOn && grs(g).exists(gr =>
+                    gr.windowSwitching && gr.blockType == 2)) return None
+                  jointStereo(sampleRate, h.modeExt, scfs(1), xr(0), xr(1),
+                    if (intensityOn) ends(1) else 576)
+                }
                 if (usable) {
-                  // MS stereo applies across the whole spectrum
-                  if (nch == 2 && headerModeExtMs(h)) {
-                    val l = xr(0); val r = xr(1)
-                    var i = 0
-                    val inv = 1.0 / math.sqrt(2.0)
-                    while (i < 576) {
-                      val m = l(i); val s = r(i)
-                      l(i) = (m + s) * inv
-                      r(i) = (m - s) * inv
-                      i += 1
-                    }
-                  }
                   for (ch <- 0 until nch) {
                     aliasReduce(grs(g)(ch), xr(ch))
                     val ts = new Array[Double](576)
@@ -734,7 +739,52 @@ object Mp3 {
   /** Structural delay of [[synthBlockWith]] in samples per channel. */
   private[graft] val SynthesisDelay = 480
 
-  // MS-stereo flag helper (mode 1 = joint stereo, mode_ext bit 1)
-  private def headerModeExtMs(h: Hdr): Boolean =
-    h.mode == 1 && (h.modeExt & 2) != 0
+  /** Joint-stereo processing (ISO 11172-3 2.4.3.4.9), long blocks:
+   * below `bound` (channel 1's data end when intensity is on, else
+   * 576) MS applies when mode_ext bit 1 is set; scalefactor bands
+   * whose START lies at/above the bound are INTENSITY coded — the
+   * transmitted ch0 spectrum is L+R and channel 1's scalefactor for
+   * the band is the position index: ratio = tan(is_pos·π/12),
+   * L = is·ratio/(1+ratio), R = is/(1+ratio); is_pos 6 is hard-left,
+   * is_pos 7 means intensity off for the band (MS applies there when
+   * enabled). Band 21 (which carries no scalefactor) reuses band
+   * 20's position, the common convention. */
+  private def jointStereo(sampleRate: Int, modeExt: Int, scf1: Scf,
+      l: Array[Double], r: Array[Double], bound: Int): Unit = {
+    val msOn = (modeExt & 2) != 0
+    val inv = 1.0 / math.sqrt(2.0)
+    val widths = Mp3Tables.sfbLong(sampleRate)
+    var start = 0
+    var sfb = 0
+    while (sfb < 22) {
+      val end = start + widths(sfb)
+      if (start >= bound) {
+        val isPos = scf1.long(math.min(sfb, 20))
+        var i = start
+        while (i < end) {
+          val m = l(i)
+          if (isPos == 7) {
+            if (msOn) { val s = r(i); l(i) = (m + s) * inv; r(i) = (m - s) * inv }
+          } else if (isPos == 6) {
+            l(i) = m; r(i) = 0.0
+          } else {
+            val ratio = math.tan(isPos * math.Pi / 12.0)
+            l(i) = m * (ratio / (1.0 + ratio))
+            r(i) = m * (1.0 / (1.0 + ratio))
+          }
+          i += 1
+        }
+      } else if (msOn) {
+        var i = start
+        while (i < math.min(end, bound)) {
+          val m = l(i); val s = r(i)
+          l(i) = (m + s) * inv
+          r(i) = (m - s) * inv
+          i += 1
+        }
+      }
+      start = end
+      sfb += 1
+    }
+  }
 }

@@ -165,7 +165,23 @@ object Mp3Encoder {
    * payloads overflow the fixed 320 kbps frame, the whole frame
    * re-quantizes coarser (a deterministic gg bias retry). */
   def encodeStereoMs(left: Array[Int], right: Array[Int],
-      sampleRate: Int): Array[Byte] = {
+      sampleRate: Int): Array[Byte] =
+    encodeStereo(left, right, sampleRate, intensity = false)
+
+  /** Intensity-stereo encode (round 18): joint stereo with
+   * mode_extension = intensity. Bands from the first 4-aligned
+   * scalefactor-band start at/after band 11 carry L+R in channel 0
+   * with channel 1 zeroed there and its SCALEFACTOR set to the
+   * position index (ratio = tan(is_pos·π/12)); channel 1's count1
+   * run is padded with zero quads to land its data end EXACTLY on
+   * that boundary, which is how the decoder recovers the bound.
+   * Below the bound channels carry plain L/R. */
+  def encodeStereoIntensity(left: Array[Int], right: Array[Int],
+      sampleRate: Int): Array[Byte] =
+    encodeStereo(left, right, sampleRate, intensity = true)
+
+  private def encodeStereo(left: Array[Int], right: Array[Int],
+      sampleRate: Int, intensity: Boolean): Array[Byte] = {
     require(SrIdx.contains(sampleRate), s"unsupported rate $sampleRate")
     require(left.length == right.length, "channel length mismatch")
     val frameBytes = 144000 * 320 / sampleRate
@@ -202,23 +218,49 @@ object Mp3Encoder {
     val subL = analyze(left)
     val subR = analyze(right)
     val inv = 1.0 / math.sqrt(2.0)
+    // intensity bound: the first 4-aligned band start at/after band
+    // 11 (4-aligned so the count1 quad run can land exactly on it)
+    val boundSfb =
+      if (intensity) (11 to 21).find(k => bandStart(k) % 4 == 0).getOrElse(22)
+      else 22
+    val bound = if (boundSfb < 22) bandStart(boundSfb) else 576
     val out = new java.io.ByteArrayOutputStream()
     var granule = 0
     var frame = 0
     while (frame < nFrames) {
-      // per granule: channel 0 = M, channel 1 = S
+      // per granule: MS → (M, S); intensity → (L | L+R above bound,
+      //                                        R | 0 above bound)
+      val forced = Array.fill(2)(Array.fill(21)(-1))
       val spectra = Array.tabulate(2) { g =>
         val l = granuleSpectrum(subL, granule + g)
         val r = granuleSpectrum(subR, granule + g)
-        val m = new Array[Double](576)
-        val s = new Array[Double](576)
-        var i = 0
-        while (i < 576) {
-          m(i) = (l(i) + r(i)) * inv
-          s(i) = (l(i) - r(i)) * inv
-          i += 1
+        val c0 = new Array[Double](576)
+        val c1 = new Array[Double](576)
+        if (!intensity) {
+          var i = 0
+          while (i < 576) {
+            c0(i) = (l(i) + r(i)) * inv
+            c1(i) = (l(i) - r(i)) * inv
+            i += 1
+          }
+        } else {
+          var i = 0
+          while (i < 576) {
+            c0(i) = if (i < bound) l(i) else l(i) + r(i)
+            c1(i) = if (i < bound) r(i) else 0.0
+            i += 1
+          }
+          for (sfb <- boundSfb until 21) {
+            var eL = 0.0
+            var eR = 0.0
+            var k = bandStart(sfb)
+            while (k < bandStart(sfb + 1)) { eL += l(k) * l(k); eR += r(k) * r(k); k += 1 }
+            val pos = math.round(math.atan2(math.sqrt(eL), math.sqrt(eR))
+              * 12.0 / math.Pi).toInt
+            forced(g)(sfb) = math.max(0, math.min(6, pos))
+          }
         }
-        Array(m, s)
+        Array(c0, c1)
       }
       val budget = frameBytes * 8 - 32 - 32 * 8 // header + stereo side info
       var bias = 0.0
@@ -229,7 +271,10 @@ object Mp3Encoder {
           val xr =
             if (bias == 0.0) spectra(g)(ch)
             else spectra(g)(ch).map(_ * bias)
-          quantizeAndCode(xr, bandStart, oddGranule = g == 1, 15)
+          if (intensity && ch == 1)
+            quantizeAndCode(xr, bandStart, oddGranule = g == 1, 15,
+              minCover = bound, forcedScl = forced(g))
+          else quantizeAndCode(xr, bandStart, oddGranule = g == 1, 15)
         }
         val total = plans.flatten.map(_.nbits).sum
         if (total <= budget) fits = true
@@ -243,7 +288,7 @@ object Mp3Encoder {
       bw.bits(SrIdx(sampleRate), 2)
       bw.bits(0, 1); bw.bits(0, 1) // padding, private
       bw.bits(1, 2) // mode: joint stereo
-      bw.bits(2, 2) // mode_extension: MS on, intensity off
+      bw.bits(if (intensity) 1 else 2, 2) // mode_extension
       bw.bits(0, 2); bw.bits(0, 2) // copyright/original, emphasis
       // side info (stereo, 32 bytes)
       bw.bits(0, 9) // main_data_begin
@@ -360,7 +405,8 @@ object Mp3Encoder {
    * count1 QUADS (tables A/B by granule parity), implicit rzero. */
   private def quantizeAndCode(xr: Array[Double],
       bandStart: Array[Int], oddGranule: Boolean,
-      sclCap: Int): GranulePlan = {
+      sclCap: Int, minCover: Int = 0,
+      forcedScl: Array[Int] = null): GranulePlan = {
     val scl = new Array[Int](21)
     val amax = xr.map(math.abs).max
     // global gain: the loudest line quantizes to ≤ 5 at scl = 0
@@ -385,6 +431,9 @@ object Mp3Encoder {
       while (s > 0 && bm > 0 && math.round(math.pow(
         bm * math.pow(2.0, 1.0 * s) / gq, 0.75)) > 5) s -= 1
       scl(sfb) = if (bm > 0) s else 0
+      // intensity bands: the scalefactor IS the position index, not
+      // a quantizer scale (the band's spectrum is zero there)
+      if (forcedScl != null && forcedScl(sfb) >= 0) scl(sfb) = forcedScl(sfb)
     }
     // quantize
     val q = new Array[Int](576)
@@ -409,7 +458,10 @@ object Mp3Encoder {
       if (q(i) != 0) lastNz = i
       i += 1
     }
-    val bigEnd = if (lastBig < 0) 0 else ((lastBig / 2) + 1) * 2
+    var bigEnd = if (lastBig < 0) 0 else ((lastBig / 2) + 1) * 2
+    // with a count1 cover target the big region 4-aligns so the quad
+    // run can land EXACTLY on the (4-aligned) cover boundary
+    if (minCover > 0) bigEnd = math.min(((bigEnd + 3) / 4) * 4, minCover)
     val bigValues = bigEnd / 2
     val r1 = bandStart(Region0Count + 1)
     val r2 = bandStart(Region0Count + 1 + Region1Count + 1)
@@ -444,7 +496,7 @@ object Mp3Encoder {
     val count1Table = if (oddGranule) 1 else 0
     val c1 = if (count1Table == 0) Mp3Tables.count1A else Mp3Tables.count1B
     i = bigEnd
-    while (i <= lastNz && i + 4 <= 576) {
+    while ((i <= lastNz || i < minCover) && i + 4 <= 576) {
       val vals = Array(q(i), q(i + 1), q(i + 2), q(i + 3))
       val idx = vals.foldLeft(0)((a, v) => (a << 1) | math.abs(v))
       val (len, code) = c1(idx)

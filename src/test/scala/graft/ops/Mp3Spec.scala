@@ -191,7 +191,7 @@ class Mp3Spec extends SparkSpec {
       s"encoder emitted an unshipped table: $bigSeen")
   }
 
-  test("stereo MS roundtrip exercises the 2-channel decode paths; intensity claims nothing") {
+  test("stereo MS roundtrip exercises the 2-channel decode paths") {
     val n = Mp3DupFixture.NSamples
     val l = Array.tabulate(n)(t => (Mp3DupFixture.signal(1L, t) * 32000).toInt)
     val r = Array.tabulate(n)(t => (Mp3DupFixture.signal(2L, t) * 32000).toInt)
@@ -212,8 +212,10 @@ class Mp3Spec extends SparkSpec {
     }
     assert(snr(l, 0) > 10.0, s"left ${snr(l, 0)}")
     assert(snr(r, 1) > 10.0, s"right ${snr(r, 1)}")
-    // intensity stereo (mode_extension bit 0) is a declared
-    // claim-nothing seam — flip the bit in every header
+    // intensity stereo is DECODED since round 18 (long blocks):
+    // flipping the bit on an MS stream reinterprets the side
+    // channel's rzero tail as intensity bands — a different but
+    // valid decode, not a claim-nothing
     val frameBytes = 144000 * 320 / 32000
     val patched = mp3.clone()
     var off = 0
@@ -221,7 +223,39 @@ class Mp3Spec extends SparkSpec {
       patched(off + 3) = (patched(off + 3) | 0x10).toByte
       off += frameBytes
     }
-    assert(Mp3.decode(patched).isEmpty)
+    val decP = Mp3.decode(patched).get
+    assert(decP.channels == 2 && decP.samples.length == dec.samples.length)
+  }
+
+  test("intensity stereo roundtrip: positions reconstruct the panned highs") {
+    val n = Mp3DupFixture.NSamples
+    // lows differ per channel; the high band is the SAME tone panned
+    // hard toward the left (R = 0.5·L) — the regime intensity coding
+    // represents exactly
+    def lo1(t: Int) = 0.3 * math.sin(2 * math.Pi * 500.0 * t / 32000)
+    def lo2(t: Int) = 0.3 * math.sin(2 * math.Pi * 800.0 * t / 32000 + 1.0)
+    def hi(t: Int) = 0.25 * math.sin(2 * math.Pi * 6500.0 * t / 32000 + 0.3)
+    val l = Array.tabulate(n)(t => ((lo1(t) + hi(t)) * 32000).toInt)
+    val r = Array.tabulate(n)(t => ((lo2(t) + 0.5 * hi(t)) * 32000).toInt)
+    val mp3 = Mp3Encoder.encodeStereoIntensity(l, r, 32000)
+    // header says joint stereo + intensity
+    assert((mp3(3) >> 6) == 1 && ((mp3(3) >> 4) & 3) == 1)
+    val dec = Mp3.decode(mp3).get
+    assert(dec.channels == 2 && dec.samples.length == 2 * n)
+    def snr(ref: Array[Int], ch: Int): Double = {
+      var se = 0.0
+      var ss = 0.0
+      var i = 2000
+      while (i < n - 2000) {
+        val a = ref(i) / 32768.0
+        val d = dec.samples(i * 2 + ch)
+        se += (a - d) * (a - d); ss += a * a
+        i += 1
+      }
+      10.0 * math.log10(ss / se)
+    }
+    assert(snr(l, 0) > 8.0, s"left ${snr(l, 0)}")
+    assert(snr(r, 1) > 8.0, s"right ${snr(r, 1)}")
   }
 
   test("pair face: exact mp3 re-encode pair set over the fixture") {
