@@ -4878,8 +4878,8 @@ object SparkEntry {
          | FROM u GROUP BY mime_type, container""".stripMargin,
     // q_m41: same honesty replay for video — pixel path only on the
     // MJPEG re-mux classes, payload path on anything with locatable
-    // sample spans (incl. the AVC and fragmented layouts), webm and
-    // mpeg-ts 0/0
+    // sample spans (incl. the AVC, fragmented and WebM video-track
+    // layouts), mpeg-ts 0/0
     "q_m41_video_coverage" ->
       s"""WITH u AS (
          |  SELECT mime_type,

@@ -763,7 +763,12 @@ object Mp3 {
         var i = start
         while (i < end) {
           val m = l(i)
-          if (isPos == 7) {
+          if (isPos >= 7) {
+            // 7 = intensity off for the band; 8-15 are ILLEGAL but
+            // reachable through 4-bit scalefactors on a hostile
+            // stream — position 9 would make 1+tan(3π/4) ≈ 0 and the
+            // division explode into ±Inf, so anything ≥ 7 takes the
+            // intensity-off branch
             if (msOn) { val s = r(i); l(i) = (m + s) * inv; r(i) = (m - s) * inv }
           } else if (isPos == 6) {
             l(i) = m; r(i) = 0.0

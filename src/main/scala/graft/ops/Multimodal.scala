@@ -972,21 +972,52 @@ object Multimodal {
      * buffer). Truncated elements stop the walk with whatever was
      * found — same tolerance discipline as the RIFF/BMFF walks.
      */
+    /** EBML varint at `i`: leading zero bits of the first byte give
+     * the length (1..8); `keepMarker` keeps the length-marker bit
+     * (element IDs) or strips it (sizes). ONE implementation for
+     * every Matroska walk in this object. */
+    private[ops] def ebmlVint(b: Array[Byte], i: Int,
+        keepMarker: Boolean): Option[(Long, Int)] = {
+      if (i >= b.length) return None
+      val first = b(i) & 0xff
+      if (first == 0) return None
+      val len = Integer.numberOfLeadingZeros(first) - 23 // 1..8
+      if (len > 8 || i + len > b.length) return None
+      var v = if (keepMarker) first.toLong else (first & (0xff >>> len)).toLong
+      var k = 1
+      while (k < len) { v = (v << 8) | (b(i + k) & 0xffL); k += 1 }
+      Some((v, len))
+    }
+
+    /** EBML element iteration over [from, to): calls `f` with
+     * (id, payloadStart, payloadEnd); unknown-size elements run to
+     * the enclosing end, malformed headers stop the walk (the same
+     * totality discipline as every walker here). */
+    private[ops] def ebmlWalk(b: Array[Byte], from: Int, to: Int)(
+        f: (Long, Int, Int) => Unit): Unit = {
+      var i = from
+      while (i < to) {
+        val id = ebmlVint(b, i, keepMarker = true) match {
+          case Some(x) => x; case None => return
+        }
+        val sz = ebmlVint(b, i + id._2, keepMarker = false) match {
+          case Some(x) => x; case None => return
+        }
+        val p = i + id._2 + sz._2
+        val unknown = sz._1 == (1L << (7 * sz._2)) - 1
+        val end = if (unknown) to.toLong else math.min(to.toLong, p.toLong + sz._1)
+        if (end < p) return
+        f(id._1, p, end.toInt)
+        if (end.toInt <= i) return
+        i = end.toInt
+      }
+    }
+
     private[ops] def parseWebm(b: Array[Byte]): Option[AvMeta] = {
       if (b.length < 4 || (b(0) & 0xff) != 0x1a || (b(1) & 0xff) != 0x45 ||
         (b(2) & 0xff) != 0xdf || (b(3) & 0xff) != 0xa3) return None
-      // varint: leading zero bits of the first byte give the length
-      def vint(i: Int, keepMarker: Boolean): Option[(Long, Int)] = {
-        if (i >= b.length) return None
-        val first = b(i) & 0xff
-        if (first == 0) return None
-        val len = Integer.numberOfLeadingZeros(first) - 23 // 1..8
-        if (len > 8 || i + len > b.length) return None
-        var v = if (keepMarker) first.toLong else (first & (0xff >>> len)).toLong
-        var k = 1
-        while (k < len) { v = (v << 8) | (b(i + k) & 0xffL); k += 1 }
-        Some((v, len))
-      }
+      def vint(i: Int, keepMarker: Boolean): Option[(Long, Int)] =
+        ebmlVint(b, i, keepMarker)
       var ts: Long = 1000000L // TimestampScale default: 1e6 ns
       var durTicks: Option[Double] = None
       var width: Option[Int] = None
@@ -1066,17 +1097,8 @@ object Multimodal {
       if (b == null || b.length < 4 || (b(0) & 0xff) != 0x1a ||
         (b(1) & 0xff) != 0x45 || (b(2) & 0xff) != 0xdf ||
         (b(3) & 0xff) != 0xa3) return 1000000L
-      def vint(i: Int, keepMarker: Boolean): Option[(Long, Int)] = {
-        if (i >= b.length) return None
-        val first = b(i) & 0xff
-        if (first == 0) return None
-        val len = Integer.numberOfLeadingZeros(first) - 23
-        if (len > 8 || i + len > b.length) return None
-        var v = if (keepMarker) first.toLong else (first & (0xff >>> len)).toLong
-        var k = 1
-        while (k < len) { v = (v << 8) | (b(i + k) & 0xffL); k += 1 }
-        Some((v, len))
-      }
+      def vint(i: Int, keepMarker: Boolean): Option[(Long, Int)] =
+        ebmlVint(b, i, keepMarker)
       var ts = 1000000L
       def walk(from: Int, to: Int, depth: Int): Unit = {
         if (depth > 4) return
@@ -1121,37 +1143,12 @@ object Multimodal {
       if (b == null || b.length < 4 || (b(0) & 0xff) != 0x1a ||
         (b(1) & 0xff) != 0x45 || (b(2) & 0xff) != 0xdf ||
         (b(3) & 0xff) != 0xa3) return Nil
-      def vint(i: Int, keepMarker: Boolean): Option[(Long, Int)] = {
-        if (i >= b.length) return None
-        val first = b(i) & 0xff
-        if (first == 0) return None
-        val len = Integer.numberOfLeadingZeros(first) - 23 // 1..8
-        if (len > 8 || i + len > b.length) return None
-        var v = if (keepMarker) first.toLong else (first & (0xff >>> len)).toLong
-        var k = 1
-        while (k < len) { v = (v << 8) | (b(i + k) & 0xffL); k += 1 }
-        Some((v, len))
-      }
+      def vint(i: Int, keepMarker: Boolean): Option[(Long, Int)] =
+        ebmlVint(b, i, keepMarker)
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Int, Int, Boolean)]
       var blockIdx = 0L
-      def walk(from: Int, to: Int)(f: (Long, Int, Int) => Unit): Unit = {
-        var i = from
-        while (i < to) {
-          val id = vint(i, keepMarker = true) match {
-            case Some(x) => x; case None => return
-          }
-          val sz = vint(i + id._2, keepMarker = false) match {
-            case Some(x) => x; case None => return
-          }
-          val p = i + id._2 + sz._2
-          val unknown = sz._1 == (1L << (7 * sz._2)) - 1
-          val end = if (unknown) to.toLong else math.min(to.toLong, p.toLong + sz._1)
-          if (end < p) return
-          f(id._1, p, end.toInt)
-          if (end.toInt <= i) return
-          i = end.toInt
-        }
-      }
+      def walk(from: Int, to: Int)(f: (Long, Int, Int) => Unit): Unit =
+        ebmlWalk(b, from, to)(f)
       walk(0, b.length) { (id0, p0, e0) =>
         if (id0 == 0x18538067L) walk(p0, e0) { (id1, p1, e1) => // Segment
           if (id1 == 0x1f43b675L) { // Cluster
@@ -1191,35 +1188,17 @@ object Multimodal {
       if (b == null || b.length < 4 || (b(0) & 0xff) != 0x1a ||
         (b(1) & 0xff) != 0x45 || (b(2) & 0xff) != 0xdf ||
         (b(3) & 0xff) != 0xa3) return Set.empty
-      def vint(i: Int, keepMarker: Boolean): Option[(Long, Int)] = {
-        if (i >= b.length) return None
-        val first = b(i) & 0xff
-        if (first == 0) return None
-        val len = Integer.numberOfLeadingZeros(first) - 23
-        if (len > 8 || i + len > b.length) return None
-        var v = if (keepMarker) first.toLong else (first & (0xff >>> len)).toLong
-        var k = 1
-        while (k < len) { v = (v << 8) | (b(i + k) & 0xffL); k += 1 }
-        Some((v, len))
-      }
-      def walk(from: Int, to: Int)(f: (Long, Int, Int) => Unit): Unit = {
-        var i = from
-        while (i < to) {
-          val id = vint(i, keepMarker = true) match {
-            case Some(x) => x; case None => return
-          }
-          val sz = vint(i + id._2, keepMarker = false) match {
-            case Some(x) => x; case None => return
-          }
-          val p = i + id._2 + sz._2
-          val unknown = sz._1 == (1L << (7 * sz._2)) - 1
-          val end = if (unknown) to.toLong else math.min(to.toLong, p.toLong + sz._1)
-          if (end < p) return
-          f(id._1, p, end.toInt)
-          if (end.toInt <= i) return
-          i = end.toInt
+      val out = scala.collection.mutable.Set.empty[Long]
+      ebmlWalk(b, 0, b.length) { (id0, p0, e0) =>
+        if (id0 == 0x18538067L) ebmlWalk(b, p0, e0) { (id1, p1, e1) => // Segment
+          if (id1 == 0x1654ae6bL) out ++= tracksVideoNumbers(b, p1, e1)
         }
       }
+      out.toSet
+    }
+
+    /** Video track numbers from ONE Tracks element's payload. */
+    private def tracksVideoNumbers(b: Array[Byte], from: Int, to: Int): Set[Long] = {
       def beUint(p: Int, e: Int): Long = {
         var v = 0L
         var j = p
@@ -1227,27 +1206,55 @@ object Multimodal {
         v
       }
       val out = scala.collection.mutable.Set.empty[Long]
-      walk(0, b.length) { (id0, p0, e0) =>
-        if (id0 == 0x18538067L) walk(p0, e0) { (id1, p1, e1) => // Segment
-          if (id1 == 0x1654ae6bL) { // Tracks
-            var ordinal = 0L
-            walk(p1, e1) { (id2, p2, e2) =>
-              if (id2 == 0xaeL) { // TrackEntry
-                ordinal += 1
-                var num = -1L
-                var isVideo = false
-                walk(p2, e2) { (id3, p3, e3) =>
-                  if (id3 == 0xd7L) num = beUint(p3, e3) // TrackNumber
-                  else if (id3 == 0x83L) isVideo ||= beUint(p3, e3) == 1L
-                  else if (id3 == 0xe0L) isVideo = true // Video element
-                }
-                if (isVideo) out += (if (num > 0) num else ordinal)
+      var ordinal = 0L
+      ebmlWalk(b, from, to) { (id2, p2, e2) =>
+        if (id2 == 0xaeL) { // TrackEntry
+          ordinal += 1
+          var num = -1L
+          var isVideo = false
+          ebmlWalk(b, p2, e2) { (id3, p3, e3) =>
+            if (id3 == 0xd7L) num = beUint(p3, e3) // TrackNumber
+            else if (id3 == 0x83L) isVideo ||= beUint(p3, e3) == 1L
+            else if (id3 == 0xe0L) isVideo = true // Video element
+          }
+          if (isVideo) out += (if (num > 0) num else ordinal)
+        }
+      }
+      out.toSet
+    }
+
+    /** ONE-pass video-payload span walk (the q_m38 payload-digest
+     * source): Tracks resolve to video track numbers as the Segment
+     * walk reaches them (Tracks precede Clusters in any playable
+     * file), SimpleBlocks of those tracks emit their payload spans —
+     * no second scan of the buffer. */
+    private[ops] def webmVideoBlockSpans(b: Array[Byte]): Seq[(Int, Int)] = {
+      val vts = webmVideoTracksOnePass(b)
+      if (vts._1.isEmpty) Nil else vts._2
+    }
+
+    private def webmVideoTracksOnePass(
+        b: Array[Byte]): (Set[Long], Seq[(Int, Int)]) = {
+      if (b == null || b.length < 4 || (b(0) & 0xff) != 0x1a ||
+        (b(1) & 0xff) != 0x45 || (b(2) & 0xff) != 0xdf ||
+        (b(3) & 0xff) != 0xa3) return (Set.empty, Nil)
+      var tracks = Set.empty[Long]
+      val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      ebmlWalk(b, 0, b.length) { (id0, p0, e0) =>
+        if (id0 == 0x18538067L) ebmlWalk(b, p0, e0) { (id1, p1, e1) => // Segment
+          if (id1 == 0x1654ae6bL) tracks ++= tracksVideoNumbers(b, p1, e1)
+          else if (id1 == 0x1f43b675L) ebmlWalk(b, p1, e1) { (id2, p2, e2) => // Cluster
+            if (id2 == 0xa3L) { // SimpleBlock
+              ebmlVint(b, p2, keepMarker = false).foreach { case (track, tLen) =>
+                val hp = p2 + tLen
+                if (hp + 3 <= e2 && tracks(track))
+                  spans += ((hp + 3, e2 - (hp + 3)))
               }
             }
           }
         }
       }
-      out.toSet
+      (tracks, spans.toSeq)
     }
 
     /**

@@ -79,13 +79,7 @@ object VideoDup {
       else {
         val frag = Multimodal.AvHeaders.mp4FragmentVideoSamples(b)
         if (frag.nonEmpty) frag
-        else {
-          val vt = Multimodal.AvHeaders.webmVideoTracks(b)
-          if (vt.isEmpty) Nil
-          else Multimodal.AvHeaders.webmBlocks(b).collect {
-            case (_, track, _, off, len, _) if vt(track) => (off, len)
-          }
-        }
+        else Multimodal.AvHeaders.webmVideoBlockSpans(b)
       }
     }
   }
@@ -144,10 +138,10 @@ object VideoDup {
    * rows the PIXEL path sees (any frame ImageIO-decodable — MJPEG
    * only today) and how many the PAYLOAD-digest path sees (raw
    * sample spans locatable — AVI chunks, MP4 stbl of any video
-   * codec, moof/trun fragments). The two columns measure the two
-   * q_m38 signature paths independently; webm and mpeg-ts are the
-   * honest 0/0 lines (frame walks exist but no span-digest path
-   * yet). Scale shape: map-side sniff+walk, one tiny groupBy. */
+   * codec, moof/trun fragments, WebM video-track SimpleBlocks). The
+   * two columns measure the two q_m38 signature paths independently;
+   * mpeg-ts is the honest 0/0 line (see [[payloadSpans]]). Scale
+   * shape: map-side sniff+walk, one tiny groupBy. */
   def decodeCoverage(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     media.select(col("media_id"), col("mime_type"), col("media"))

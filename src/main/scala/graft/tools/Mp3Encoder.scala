@@ -75,23 +75,7 @@ object Mp3Encoder {
     val n0 = math.max(0, pcm.length - Advance)
     val nFrames = math.max(2, (n0 + 1056 + 1151) / 1152)
     val nSamples = nFrames * 1152
-    val x = new Array[Double](nSamples)
-    var i = 0
-    while (i < n0) { x(i) = pcm(Advance + i) / 32768.0; i += 1 }
-    // analysis: subband stream S(sb)(t), 32 samples per block
-    val nBlocks = nSamples / 32
-    val sub = Array.ofDim[Double](32, nBlocks)
-    val an = new Mp3.AnalysisState
-    val blockIn = new Array[Double](32)
-    val blockOut = new Array[Double](32)
-    var t = 0
-    while (t < nBlocks) {
-      System.arraycopy(x, t * 32, blockIn, 0, 32)
-      Mp3.analyzeBlockWith(Mp3.proto, an, blockIn, blockOut)
-      var b = 0
-      while (b < 32) { sub(b)(t) = blockOut(b); b += 1 }
-      t += 1
-    }
+    val sub = analyzeSubbands(pcm, n0, nSamples)
     val out = new java.io.ByteArrayOutputStream()
     val bandW = Mp3Tables.sfbLong(sampleRate)
     val bandStart = {
@@ -196,27 +180,8 @@ object Mp3Encoder {
       s(22) = 576
       s
     }
-    def analyze(pcm: Array[Int]): Array[Array[Double]] = {
-      val x = new Array[Double](nSamples)
-      var i = 0
-      while (i < n0) { x(i) = pcm(Advance + i) / 32768.0; i += 1 }
-      val nBlocks = nSamples / 32
-      val sub = Array.ofDim[Double](32, nBlocks)
-      val an = new Mp3.AnalysisState
-      val bi = new Array[Double](32)
-      val bo = new Array[Double](32)
-      var t = 0
-      while (t < nBlocks) {
-        System.arraycopy(x, t * 32, bi, 0, 32)
-        Mp3.analyzeBlockWith(Mp3.proto, an, bi, bo)
-        var b = 0
-        while (b < 32) { sub(b)(t) = bo(b); b += 1 }
-        t += 1
-      }
-      sub
-    }
-    val subL = analyze(left)
-    val subR = analyze(right)
+    val subL = analyzeSubbands(left, n0, nSamples)
+    val subR = analyzeSubbands(right, n0, nSamples)
     val inv = 1.0 / math.sqrt(2.0)
     // intensity bound: the first 4-aligned band start at/after band
     // 11 (4-aligned so the count1 quad run can land exactly on it)
@@ -263,22 +228,24 @@ object Mp3Encoder {
         Array(c0, c1)
       }
       val budget = frameBytes * 8 - 32 - 32 * 8 // header + stereo side info
-      var bias = 0.0
+      // overflow retry: RAISE global_gain directly (each +4 is one
+      // 6 dB-coarser quantizer). Scaling the spectrum instead would
+      // be a no-op — quantizeAndCode re-derives gg from the scaled
+      // peak and cancels the scale exactly.
+      var ggBias = 0
       var plans: Array[Array[GranulePlan]] = null
       var fits = false
       while (!fits) {
         plans = Array.tabulate(2, 2) { (g, ch) =>
-          val xr =
-            if (bias == 0.0) spectra(g)(ch)
-            else spectra(g)(ch).map(_ * bias)
           if (intensity && ch == 1)
-            quantizeAndCode(xr, bandStart, oddGranule = g == 1, 15,
-              minCover = bound, forcedScl = forced(g))
-          else quantizeAndCode(xr, bandStart, oddGranule = g == 1, 15)
+            quantizeAndCode(spectra(g)(ch), bandStart, oddGranule = g == 1, 15,
+              minCover = bound, forcedScl = forced(g), ggBias = ggBias)
+          else quantizeAndCode(spectra(g)(ch), bandStart, oddGranule = g == 1,
+            15, ggBias = ggBias)
         }
         val total = plans.flatten.map(_.nbits).sum
-        if (total <= budget) fits = true
-        else bias = (if (bias == 0.0) 1.0 else bias) * 0.5 // 6 dB coarser
+        if (total <= budget || ggBias >= 255) fits = true
+        else ggBias += 4
       }
       val bw = new Bw
       bw.bits(0xfff, 12); bw.bits(1, 1)
@@ -323,6 +290,30 @@ object Mp3Encoder {
       frame += 1
     }
     out.toByteArray
+  }
+
+  /** Advance, zero-pad and run the shared analysis filterbank:
+   * 32-band subband stream for `nSamples` of input (both the mono
+   * and stereo encodes feed on this — ONE copy of the contract). */
+  private def analyzeSubbands(pcm: Array[Int], n0: Int,
+      nSamples: Int): Array[Array[Double]] = {
+    val x = new Array[Double](nSamples)
+    var i = 0
+    while (i < n0) { x(i) = pcm(Advance + i) / 32768.0; i += 1 }
+    val nBlocks = nSamples / 32
+    val sub = Array.ofDim[Double](32, nBlocks)
+    val an = new Mp3.AnalysisState
+    val bi = new Array[Double](32)
+    val bo = new Array[Double](32)
+    var t = 0
+    while (t < nBlocks) {
+      System.arraycopy(x, t * 32, bi, 0, 32)
+      Mp3.analyzeBlockWith(Mp3.proto, an, bi, bo)
+      var b = 0
+      while (b < 32) { sub(b)(t) = bo(b); b += 1 }
+      t += 1
+    }
+    sub
   }
 
   private def appendBits(bw: Bw, bytes: Array[Byte], nbits: Int): Unit = {
@@ -406,7 +397,7 @@ object Mp3Encoder {
   private def quantizeAndCode(xr: Array[Double],
       bandStart: Array[Int], oddGranule: Boolean,
       sclCap: Int, minCover: Int = 0,
-      forcedScl: Array[Int] = null): GranulePlan = {
+      forcedScl: Array[Int] = null, ggBias: Int = 0): GranulePlan = {
     val scl = new Array[Int](21)
     val amax = xr.map(math.abs).max
     // global gain: the loudest line quantizes to ≤ 5 at scl = 0
@@ -415,6 +406,7 @@ object Mp3Encoder {
       if (amax <= 0) 0
       else math.ceil(210.0 + 4.0 * (math.log(amax /
         math.pow(5.49, 4.0 / 3.0)) / math.log(2.0))).toInt
+    gg += ggBias // frame-overflow retries: one 6 dB step per +4
     if (gg < 0) gg = 0
     if (gg > 255) gg = 255
     val gq = math.pow(2.0, 0.25 * (gg - 210))
