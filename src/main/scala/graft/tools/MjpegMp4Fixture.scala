@@ -125,11 +125,33 @@ object MjpegMp4Fixture {
    * the generalized form [[mp4WithSize]] wraps; also feeds the
    * video-dedup fixture's re-mux twins. */
   def mp4FromJpegs(jpegs: Seq[Array[Byte]], w: Int, h: Int,
-      upf: Int): (Array[Byte], Int) = {
+      upf: Int): (Array[Byte], Int) =
+    mp4FromSamples(jpegs, w, h, upf, stsd(w, h))
+
+  /** Generic VisualSampleEntry under any fourcc (no codec config —
+   * the sample-table walks key on the fourcc alone): lets tests mux
+   * e.g. 'vp09' samples for cross-container payload-digest checks. */
+  def stsdFourcc(fourcc4: String, w: Int, h: Int): Array[Byte] = {
+    val entry = box(fourcc4,
+      new Array[Byte](6) ++ be16(1) ++
+        be16(0) ++ be16(0) ++ new Array[Byte](12) ++
+        be16(w) ++ be16(h) ++
+        be32(0x00480000L) ++ be32(0x00480000L) ++
+        be32(0) ++ be16(1) ++
+        new Array[Byte](32) ++
+        be16(24) ++ be16(0xffff))
+    fullBox("stsd", 0, be32(1) ++ entry)
+  }
+
+  /** The shared muxer body: arbitrary samples under a caller-chosen
+   * stsd. */
+  def mp4FromSamples(samples: Seq[Array[Byte]], w: Int, h: Int,
+      upf: Int, stsdBox: Array[Byte]): (Array[Byte], Int) = {
+    val jpegs = samples
     val nf = jpegs.size
     val s = (jpegs.map(_.length).max + 1) & ~1
     val mdat = box("mdat", jpegs.flatMap(j => j ++ new Array[Byte](s - j.length)).toArray)
-    val stbl = box("stbl", stsd(w, h) ++ stts(nf, upf) ++ stsc() ++ stsz(s, nf) ++ stco())
+    val stbl = box("stbl", stsdBox ++ stts(nf, upf) ++ stsc() ++ stsz(s, nf) ++ stco())
     val minf = box("minf", vmhd() ++ dinf() ++ stbl)
     val mdia = box("mdia", mdhd(nf, upf) ++ hdlr() ++ minf)
     val trak = box("trak", tkhdBox(w, h, nf, upf) ++ mdia)

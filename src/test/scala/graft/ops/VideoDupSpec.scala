@@ -83,6 +83,29 @@ class VideoDupSpec extends SparkSpec {
     assert(VideoDup.payloadDigest(audioOnly).isEmpty)
   }
 
+  test("cross-container webm ↔ mp4 (vp09) re-mux pairs via payload digest") {
+    import graft.tools.WebmFixture
+    // a WebM whose VP9-style block payloads get re-muxed into an MP4
+    // with identical sample bytes: the payload digest must match
+    // across containers — the dominant real-world case this path
+    // exists for (VP9/AV1 payloads are container-independent)
+    val webm = WebmFixture.webm(7L)
+    val spans = Multimodal.AvHeaders.webmVideoBlockSpans(webm)
+    assert(spans.nonEmpty)
+    val samples = spans.map { case (off, len) =>
+      java.util.Arrays.copyOfRange(webm, off, off + len)
+    }
+    val mp4 = graft.tools.MjpegMp4Fixture.mp4FromSamples(samples,
+      WebmFixture.width(7L), WebmFixture.height(7L), 40000,
+      graft.tools.MjpegMp4Fixture.stsdFourcc("vp09",
+        WebmFixture.width(7L), WebmFixture.height(7L)))._1
+    assert(VideoDup.frameDhashSeq(mp4).isEmpty) // no pixel decode
+    val d1 = VideoDup.payloadDigest(webm)
+    val d2 = VideoDup.payloadDigest(mp4)
+    assert(d1.nonEmpty && d1 == d2,
+      s"cross-container digest mismatch: $d1 vs $d2")
+  }
+
   test("pair face: exact re-mux pair set over the fixture, kinds labelled") {
     import spark.implicits._
     val rows = (0L until 32L).map { id =>
