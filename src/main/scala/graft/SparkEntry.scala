@@ -4838,7 +4838,10 @@ object SparkEntry {
          |    CASE WHEN media_id % 8 IN (0, 3) THEN 'aiff'
          |         WHEN media_id % 8 IN (1, 5) THEN 'au'
          |         WHEN media_id % 8 = 7 THEN 'other' ELSE 'wav' END,
-         |    0
+         |    -- round 18: aiff / au / companded-WAV decode through
+         |    -- the formulaic paths; only the cut-aiff and junk
+         |    -- classes stay zero
+         |    CASE WHEN media_id % 8 IN (3, 7) THEN 0 ELSE 1 END
          |  FROM read_parquet('${Tables.audioFixturePath}')
          |  UNION ALL
          |  SELECT mime_type,

@@ -41,34 +41,68 @@ object AudioFp {
   val BitsPerBand = 16
 
   /** Signed, normalized, channel-averaged mono samples — WAV linear
-   * PCM (8/16-bit) via the header walk, FLAC via the real decoder.
-   * This is deliberately NOT the |amplitude| envelope the feature
-   * face uses: the fingerprint needs the waveform, and both decode
-   * paths must produce the IDENTICAL representation for the same PCM
-   * (a WAV and its FLAC re-encode fingerprint equal). */
+   * and G.711-companded PCM via the header walk, AIFF and AU
+   * big-endian PCM (round 18: the coverage face's honest-zero lines
+   * for these were pure omissions — every decode is formulaic),
+   * FLAC and MP3 via the real decoders. This is deliberately NOT
+   * the |amplitude| envelope the feature face uses: the fingerprint
+   * needs the waveform, and all decode paths must produce the
+   * IDENTICAL representation for the same PCM (a WAV and its FLAC
+   * re-encode fingerprint equal). */
   private[ops] def monoSamples(b: Array[Byte]): Option[Array[Float]] = {
+    def mono(nFrames: Int, ch: Int)(sample: (Int, Int) => Float): Array[Float] = {
+      val out = new Array[Float](nFrames)
+      var t = 0
+      while (t < nFrames) {
+        var acc = 0f
+        var c = 0
+        while (c < ch) { acc += sample(t, c); c += 1 }
+        out(t) = acc / ch
+        t += 1
+      }
+      out
+    }
     val wav = Multimodal.AvHeaders.wavSamples(b).collect {
-      case (1, ch, bits, off, len) =>
-        val bytesPer = bits / 8
+      case (fmt, ch, bits, off, len) if fmt == 1 || fmt == 6 || fmt == 7 =>
+        val bytesPer = if (fmt == 1) bits / 8 else 1
         val frameBytes = ch * bytesPer
         val n = math.min(len, b.length - off) / frameBytes
-        val out = new Array[Float](n)
-        var t = 0
-        while (t < n) {
-          var acc = 0f
-          var c = 0
-          while (c < ch) {
-            val o = off + t * frameBytes + c * bytesPer
-            acc += (if (bits == 8) ((b(o) & 0xff) - 128) / 128f
-            else ((b(o) & 0xff) | (b(o + 1) << 8)) / 32768f)
-            c += 1
+        mono(n, ch) { (t, c) =>
+          val o = off + t * frameBytes + c * bytesPer
+          fmt match {
+            case 1 if bits == 8 => ((b(o) & 0xff) - 128) / 128f
+            case 1 => ((b(o) & 0xff) | (b(o + 1) << 8)) / 32768f
+            case 6 => Multimodal.MediaCodec.AlawTable(b(o) & 0xff) / 32768f
+            case _ => Multimodal.MediaCodec.UlawTable(b(o) & 0xff) / 32768f
           }
-          out(t) = acc / ch
-          t += 1
         }
-        out
     }
-    wav.orElse(Flac.decode(b).filter(_.samples.nonEmpty).map { p =>
+    val aiff = Multimodal.AvHeaders.aiffSamples(b).map { case (ch, bits, off, len) =>
+      val bytesPer = bits / 8
+      val frameBytes = ch * bytesPer
+      val n = math.min(len, b.length - off) / frameBytes
+      mono(n, ch) { (t, c) =>
+        val o = off + t * frameBytes + c * bytesPer
+        if (bits == 8) b(o) / 128f // AIFF PCM8 is SIGNED
+        else ((b(o) << 8) | (b(o + 1) & 0xff)).toShort / 32768f
+      }
+    }
+    val au = Multimodal.AvHeaders.auSamples(b).map { case (enc, ch, off, len) =>
+      val bytesPer = if (enc == 3) 2 else 1
+      val frameBytes = ch * bytesPer
+      val n = math.min(len, b.length - off) / frameBytes
+      mono(n, ch) { (t, c) =>
+        val o = off + t * frameBytes + c * bytesPer
+        enc match {
+          case 1 => Multimodal.MediaCodec.UlawTable(b(o) & 0xff) / 32768f
+          case 2 => b(o) / 128f // AU PCM8 is signed
+          case 3 => ((b(o) << 8) | (b(o + 1) & 0xff)).toShort / 32768f
+          case _ => Multimodal.MediaCodec.AlawTable(b(o) & 0xff) / 32768f
+        }
+      }
+    }
+    wav.orElse(aiff).orElse(au)
+      .orElse(Flac.decode(b).filter(_.samples.nonEmpty).map { p =>
       // long shift: bits may reach 32 (see Flac.envelope)
       val scale = (1L << (p.bits - 1)).toFloat
       val n = p.samples.length / p.channels

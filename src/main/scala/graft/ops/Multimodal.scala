@@ -3067,7 +3067,7 @@ object Multimodal {
      * stack serialized on AudioSystem's provider lookup (measured
      * 1.1k → 1.7k blobs/s from 1 → 32 threads; the table path scales
      * linearly). */
-    private val UlawTable: Array[Short] = Array.tabulate(256) { i =>
+    private[ops] val UlawTable: Array[Short] = Array.tabulate(256) { i =>
       val u = ~i & 0xff
       val exp = (u >> 4) & 7
       val mant = u & 0x0f
@@ -3077,7 +3077,7 @@ object Multimodal {
 
     /** G.711 A-law decode table (0x55 toggle, segment expansion;
      * bit 7 set = positive). */
-    private val AlawTable: Array[Short] = Array.tabulate(256) { i =>
+    private[ops] val AlawTable: Array[Short] = Array.tabulate(256) { i =>
       val a = i ^ 0x55
       val seg = (a >> 4) & 7
       val mant = a & 0x0f

@@ -49,6 +49,21 @@ class AudioFpSpec extends SparkSpec {
       AudioDupFixture.wav(Array.fill(1000)(5))).isEmpty) // < 4 frames
   }
 
+  test("aiff / au / companded-WAV decode signed waveforms (round-18 coverage flips)") {
+    import graft.tools.AudioFixture
+    for (id <- Seq(0L, 1L, 2L, 4L, 5L, 6L)) {
+      val s = AudioFp.monoSamples(AudioFixture.row(id)._2).getOrElse(
+        sys.error(s"id=$id claims nothing"))
+      // the fixture is silence then a full-scale positive step: a
+      // SIGNED decode reads ~0 then ~+1 (an offset/unsigned misread
+      // would push the silent half to ±0.5 or the step negative)
+      assert(math.abs(s.head) < 0.01f, s"id=$id head ${s.head}")
+      assert(s.last > 0.9f, s"id=$id last ${s.last}")
+    }
+    assert(AudioFp.monoSamples(AudioFixture.row(3L)._2).isEmpty) // cut aiff
+    assert(AudioFp.monoSamples(AudioFixture.row(7L)._2).isEmpty) // junk
+  }
+
   test("container sniff labels every fixture class the oracle expects") {
     import graft.tools.{AacFixture, AudioFixture, FlacFixture, Mp3Fixture, OggFixture}
     assert(AudioFp.audioContainer(AudioDupFixture.row(0L)._2) == "wav")
