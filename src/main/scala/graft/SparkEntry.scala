@@ -895,10 +895,10 @@ object SparkEntry {
       Multimodal.gifFrameHashTable(s, Tables.gifanim(s))),
     // q_m40: AUDIO decode coverage — the audio twin of q_m34's
     // honesty face: per (mime_type, container) how many rows the
-    // fingerprint decode path actually turns into PCM (WAV PCM,
-    // FLAC, and — round 18 — MPEG-1 Layer III within the declared
-    // Huffman-table scope). aac-adts / ogg / aiff / au / companded
-    // WAV are the MEASURED honest-zero lines; the mp3.parquet walk
+    // fingerprint decode path actually turns into PCM (WAV / AIFF /
+    // AU PCM incl. G.711 companding, FLAC, and MPEG-1 Layer III
+    // within the declared Huffman-table scope). aac-adts and ogg
+    // are the MEASURED honest-zero lines; the mp3.parquet walk
     // fixture's junk-bodied frames and the structural flac.parquet
     // frames correctly count zero, while mp3dup/flacpcm carry the
     // real decodable streams

@@ -287,13 +287,14 @@ object AudioFp {
   /** Decode-COVERAGE table (q_m40) — the audio twin of the image
    * family's q_m34 honesty face: per (mime_type, container) the row
    * count and how many rows the FINGERPRINT decode path
-   * ([[monoSamples]]: WAV linear PCM + FLAC) actually turns into
+   * ([[monoSamples]]: WAV/AIFF/AU PCM incl. G.711, FLAC, MPEG-1
+   * Layer III within the verified-table scope) actually turns into
    * samples. q_m37 silently skips what it can't decode (tolerance);
-   * this face makes the skip a queryable number — today that means
-   * honest ZERO lines for mp3 / aac-adts / ogg / aiff / au /
-   * companded WAV, exactly the gap list a 100 TB crawl must report
-   * before anyone trusts an audio-dedup pass. Scale shape: map-side
-   * sniff+decode, then one tiny groupBy. */
+   * this face makes the skip a queryable number — today the
+   * remaining honest ZERO lines are aac-adts and ogg, exactly the
+   * gap list a 100 TB crawl must report before anyone trusts an
+   * audio-dedup pass. Scale shape: map-side sniff+decode, then one
+   * tiny groupBy. */
   def decodeCoverage(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     media.select(col("media_id"), col("mime_type"), col("media"))

@@ -666,10 +666,10 @@ object Mp3 {
               val frame = new Array[Float](1152 * nch)
               var usable = true
               val br = new Br(reservoir, anchor * 8, resLen * 8)
-              val xr = Array.fill(nch)(new Array[Double](576))
-              val scfs = new Array[Scf](nch)
-              val ends = new Array[Int](nch)
+              val xr = Array.fill(2, nch)(new Array[Double](576))
               for (g <- 0 until 2) {
+                val scfs = new Array[Scf](nch)
+                val ends = new Array[Int](nch)
                 for (ch <- 0 until nch) {
                   val gr = grs(g)(ch)
                   val granuleEnd = br.pos + gr.part23
@@ -682,7 +682,7 @@ object Mp3 {
                     if (dataEnd >= 0) {
                       ends(ch) = dataEnd
                       br.pos = granuleEnd // skip stuffing
-                      requantize(gr, scf, sampleRate, is, xr(ch))
+                      requantize(gr, scf, sampleRate, is, xr(g)(ch))
                     } else usable = false
                   } else usable = false
                 }
@@ -692,19 +692,24 @@ object Mp3 {
                   // scope — the whole decode claims nothing
                   if (intensityOn && grs(g).exists(gr =>
                     gr.windowSwitching && gr.blockType == 2)) return None
-                  jointStereo(sampleRate, h.modeExt, scfs(1), xr(0), xr(1),
+                  jointStereo(sampleRate, h.modeExt, scfs(1), xr(g)(0), xr(g)(1),
                     if (intensityOn) ends(1) else 576)
                 }
-                if (usable) {
-                  for (ch <- 0 until nch) {
-                    aliasReduce(grs(g)(ch), xr(ch))
-                    val ts = new Array[Double](576)
-                    hybrid(grs(g)(ch), xr(ch), overlap(ch), ts)
-                    synthGranule(synth(ch), ts, frame, g * 576, ch, nch)
-                  }
-                }
               }
-              if (usable) { pcmBuf += frame; frames += 1 }
+              // commit the filterbank state (overlap-add history +
+              // synthesis fifo) only once the WHOLE frame parsed: a
+              // frame whose granule 1 fails must not leave granule
+              // 0's audio in the cross-frame state, or the next good
+              // frame overlaps against discarded audio
+              if (usable) {
+                for (g <- 0 until 2; ch <- 0 until nch) {
+                  aliasReduce(grs(g)(ch), xr(g)(ch))
+                  val ts = new Array[Double](576)
+                  hybrid(grs(g)(ch), xr(g)(ch), overlap(ch), ts)
+                  synthGranule(synth(ch), ts, frame, g * 576, ch, nch)
+                }
+                pcmBuf += frame; frames += 1
+              }
             }
             // bound the reservoir: keep the last 2048 bytes at most
             if (resLen > 4096) {

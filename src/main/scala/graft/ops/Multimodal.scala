@@ -1224,10 +1224,14 @@ object Multimodal {
     }
 
     /** ONE-pass video-payload span walk (the q_m38 payload-digest
-     * source): Tracks resolve to video track numbers as the Segment
-     * walk reaches them (Tracks precede Clusters in any playable
-     * file), SimpleBlocks of those tracks emit their payload spans —
-     * no second scan of the buffer. */
+     * source): candidate spans are collected with their track number
+     * and filtered against the video-track set at the END of the
+     * walk, so a (legal, if unusual) Tracks-after-Cluster layout
+     * still yields its spans. Both SimpleBlock and BlockGroup/Block
+     * framings are read; LACED blocks are skipped explicitly — their
+     * payload starts with lace-size headers, so the raw span is NOT
+     * the codec payload and digesting it would only manufacture
+     * false non-matches (the q_m41 honesty face counts the skip). */
     private[ops] def webmVideoBlockSpans(b: Array[Byte]): Seq[(Int, Int)] = {
       val vts = webmVideoTracksOnePass(b)
       if (vts._1.isEmpty) Nil else vts._2
@@ -1239,22 +1243,27 @@ object Multimodal {
         (b(1) & 0xff) != 0x45 || (b(2) & 0xff) != 0xdf ||
         (b(3) & 0xff) != 0xa3) return (Set.empty, Nil)
       var tracks = Set.empty[Long]
-      val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      val cand = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int)]
+      // [track vint][2-byte ts][flags][data]: same prefix for
+      // SimpleBlock and Block; flags bits 0x06 = lacing in use
+      def blockSpan(p: Int, e: Int): Unit =
+        ebmlVint(b, p, keepMarker = false).foreach { case (track, tLen) =>
+          val hp = p + tLen
+          if (hp + 3 <= e && (b(hp + 2) & 0x06) == 0)
+            cand += ((track, hp + 3, e - (hp + 3)))
+        }
       ebmlWalk(b, 0, b.length) { (id0, p0, e0) =>
         if (id0 == 0x18538067L) ebmlWalk(b, p0, e0) { (id1, p1, e1) => // Segment
           if (id1 == 0x1654ae6bL) tracks ++= tracksVideoNumbers(b, p1, e1)
           else if (id1 == 0x1f43b675L) ebmlWalk(b, p1, e1) { (id2, p2, e2) => // Cluster
-            if (id2 == 0xa3L) { // SimpleBlock
-              ebmlVint(b, p2, keepMarker = false).foreach { case (track, tLen) =>
-                val hp = p2 + tLen
-                if (hp + 3 <= e2 && tracks(track))
-                  spans += ((hp + 3, e2 - (hp + 3)))
-              }
+            if (id2 == 0xa3L) blockSpan(p2, e2) // SimpleBlock
+            else if (id2 == 0xa0L) ebmlWalk(b, p2, e2) { (id3, p3, e3) =>
+              if (id3 == 0xa1L) blockSpan(p3, e3) // Block in BlockGroup
             }
           }
         }
       }
-      (tracks, spans.toSeq)
+      (tracks, cand.collect { case (t, off, len) if tracks(t) => (off, len) }.toSeq)
     }
 
     /**

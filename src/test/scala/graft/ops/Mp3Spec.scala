@@ -119,6 +119,26 @@ class Mp3Spec extends SparkSpec {
       "a frame selecting an unverified table must claim nothing")
   }
 
+  test("a frame dropped on granule-1 failure leaves NO granule-0 audio in the filterbank state") {
+    val mp3 = Mp3Encoder.encode(Mp3DupFixture.basePcm(5L), 32000)
+    val frameBytes = 144000 * 320 / 32000
+    val patched = mp3.clone()
+    // poison ONLY frame 0's granule 1 (table_select at frame bit 143
+    // → unshipped table 13): the frame drops, the rest decodes
+    setBits(patched, 143, 5, 13)
+    val full = Mp3.decode(patched).get
+    // the encoder writes main_data_begin = 0 (no reservoir), so the
+    // stream minus the poisoned frame carries the same frames 1..n —
+    // with per-frame STAGED overlap/synth state the two decodes are
+    // bit-identical; unstaged state would leak frame 0's granule 0
+    // into the first surviving frame's overlap-add
+    val tail = Mp3.decode(
+      java.util.Arrays.copyOfRange(patched, frameBytes, patched.length)).get
+    assert(full.samples.length == tail.samples.length)
+    assert(full.samples.sameElements(tail.samples),
+      "dropped frame polluted the filterbank state")
+  }
+
   test("tolerance: junk, lone frames, truncation, ID3 framing") {
     assert(Mp3.decode("not an mp3 at all".getBytes("US-ASCII")).isEmpty)
     assert(Mp3.decode(null).isEmpty)

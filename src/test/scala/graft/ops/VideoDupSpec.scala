@@ -83,6 +83,45 @@ class VideoDupSpec extends SparkSpec {
     assert(VideoDup.payloadDigest(audioOnly).isEmpty)
   }
 
+  test("webm span walk: laced blocks skipped, BlockGroup read, Tracks-after-Cluster kept") {
+    import graft.tools.{AvFixture, WebmFixture}
+    import AvFixture.{ebml, beUintBytes}
+    val header = ebml(0x1a45dfa3L, ebml(0x4282L, "webm".getBytes("US-ASCII")))
+    val videoEntry = ebml(0xaeL,
+      ebml(0xd7L, beUintBytes(1L)) ++ ebml(0x83L, beUintBytes(1L)))
+    val tracks = ebml(0x1654ae6bL, videoEntry)
+    val payload = Array[Byte](9, 8, 7, 6, 5)
+    def sb(flags: Int, body: Array[Byte]) = ebml(0xa3L,
+      Array[Byte](0x81.toByte, 0, 0, flags.toByte) ++ body)
+    def clusterOf(blocks: Array[Byte]) = ebml(0x1f43b675L,
+      ebml(0xe7L, beUintBytes(0L)) ++ blocks)
+    def file(body: Array[Byte]) = header ++ ebml(0x18538067L, body)
+    // a laced SimpleBlock (flags 0x06 = EBML lacing): the raw span
+    // would include lace headers — the walk must claim nothing
+    val laced = file(tracks ++ clusterOf(
+      sb(0x06, Array[Byte](1, 4) ++ payload)))
+    assert(Multimodal.AvHeaders.webmVideoBlockSpans(laced).isEmpty)
+    // the same payload unlaced IS a span
+    val plain = file(tracks ++ clusterOf(sb(0x80, payload)))
+    val plainSpans = Multimodal.AvHeaders.webmVideoBlockSpans(plain)
+    assert(plainSpans.map { case (o, l) =>
+      java.util.Arrays.copyOfRange(plain, o, o + l).toSeq } == Seq(payload.toSeq))
+    // Block inside a BlockGroup: same prefix layout, same span
+    val grouped = file(tracks ++ clusterOf(ebml(0xa0L,
+      ebml(0xa1L, Array[Byte](0x81.toByte, 0, 0, 0) ++ payload))))
+    assert(Multimodal.AvHeaders.webmVideoBlockSpans(grouped).map {
+      case (o, l) => java.util.Arrays.copyOfRange(grouped, o, o + l).toSeq
+    } == Seq(payload.toSeq))
+    // Tracks AFTER the Cluster (legal, unusual): spans still resolve
+    val tracksLast = file(clusterOf(sb(0x80, payload)) ++ tracks)
+    assert(Multimodal.AvHeaders.webmVideoBlockSpans(tracksLast).map {
+      case (o, l) => java.util.Arrays.copyOfRange(tracksLast, o, o + l).toSeq
+    } == Seq(payload.toSeq))
+    // and the digest agrees with the Tracks-first layout of the
+    // same payload (the re-mux equality this path exists for)
+    assert(VideoDup.payloadDigest(tracksLast) == VideoDup.payloadDigest(plain))
+  }
+
   test("cross-container webm ↔ mp4 (vp09) re-mux pairs via payload digest") {
     import graft.tools.WebmFixture
     // a WebM whose VP9-style block payloads get re-muxed into an MP4
