@@ -3379,8 +3379,16 @@ object SparkEntry {
          |         TRY_CAST('0x' || substr(h, 63, 2) || substr(h, 61, 2)
          |           || substr(h, 59, 2) || substr(h, 57, 2) AS BIGINT) AS wv_byterate,
          |         TRY_CAST('0x' || substr(h, 71, 2) || substr(h, 69, 2) AS INTEGER) AS wv_bits,
-         |         TRY_CAST('0x' || substr(h, 87, 2) || substr(h, 85, 2)
-         |           || substr(h, 83, 2) || substr(h, 81, 2) AS BIGINT) AS wv_datalen
+         |         -- data-chunk length: the companded classes' fmt-16
+         |         -- layout puts it at byte 40; the ADPCM class
+         |         -- (id%8=6) writes a 20-byte fmt chunk → byte 44
+         |         CASE WHEN media_id % 8 = 6 THEN
+         |           TRY_CAST('0x' || substr(h, 95, 2) || substr(h, 93, 2)
+         |             || substr(h, 91, 2) || substr(h, 89, 2) AS BIGINT)
+         |         ELSE
+         |           TRY_CAST('0x' || substr(h, 87, 2) || substr(h, 85, 2)
+         |             || substr(h, 83, 2) || substr(h, 81, 2) AS BIGINT)
+         |         END AS wv_datalen
          |       FROM t)
          | SELECT media_id, mime_type, CAST(n AS BIGINT) AS n_bytes,
          |   CASE WHEN NOT full_row THEN NULL
@@ -4837,10 +4845,12 @@ object SparkEntry {
          |  SELECT mime_type,
          |    CASE WHEN media_id % 8 IN (0, 3) THEN 'aiff'
          |         WHEN media_id % 8 IN (1, 5) THEN 'au'
+         |         WHEN media_id % 8 = 6 THEN 'wav-adpcm'
          |         WHEN media_id % 8 = 7 THEN 'other' ELSE 'wav' END,
          |    -- round 18: aiff / au / companded-WAV decode through
-         |    -- the formulaic paths; only the cut-aiff and junk
-         |    -- classes stay zero
+         |    -- the formulaic paths; round 19: fmt-17 IMA ADPCM
+         |    -- decodes through the shared adaptive-step path; only
+         |    -- the cut-aiff and junk classes stay zero
          |    CASE WHEN media_id % 8 IN (3, 7) THEN 0 ELSE 1 END
          |  FROM read_parquet('${Tables.audioFixturePath}')
          |  UNION ALL

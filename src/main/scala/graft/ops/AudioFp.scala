@@ -101,7 +101,13 @@ object AudioFp {
         }
       }
     }
-    wav.orElse(aiff).orElse(au)
+    // IMA ADPCM WAV (fmt 17): the real adaptive-step decode shared
+    // with the feature envelope — fmt-17 files fingerprint instead of
+    // silently skipping (round 19; the q_m40 wav-adpcm line measures)
+    val adpcm = Multimodal.MediaCodec.adpcmSamples(b).map { case (ch, ss) =>
+      mono(ss.length / ch, ch)((t, c) => ss(t * ch + c) / 32768f)
+    }
+    wav.orElse(adpcm).orElse(aiff).orElse(au)
       .orElse(Flac.decode(b).filter(_.samples.nonEmpty).map { p =>
       // long shift: bits may reach 32 (see Flac.envelope)
       val scale = (1L << (p.bits - 1)).toFloat
@@ -273,7 +279,10 @@ object AudioFp {
   private[graft] def audioContainer(b: Array[Byte]): String = {
     if (b == null || b.length < 4) return "other"
     def tag(o: Int, s: String): Boolean = Multimodal.AvHeaders.magic(b, o, s)
-    if (tag(0, "RIFF") && tag(8, "WAVE")) "wav"
+    if (tag(0, "RIFF") && tag(8, "WAVE"))
+      // fmt-17 gets its own coverage line: ADPCM decode is a separate
+      // code path from linear/companded PCM and must be measured as one
+      if (Multimodal.AvHeaders.wavAdpcm(b).isDefined) "wav-adpcm" else "wav"
     else if (tag(0, "FORM") && (tag(8, "AIFF") || tag(8, "AIFC"))) "aiff"
     else if (tag(0, "fLaC")) "flac"
     else if (tag(0, ".snd")) "au"

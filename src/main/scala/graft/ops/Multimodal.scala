@@ -2987,11 +2987,13 @@ object Multimodal {
      * sound stack does NOT read, decoded here from the public
      * standard: per block and channel, a 4-byte header seeds the
      * predictor/step index, then 4-byte nibble groups interleave
-     * across channels (low nibble first). Reduced to the shared
-     * amplitude envelope. None for non-ADPCM WAV or malformed block
-     * structure — total, never an exception.
+     * across channels (low nibble first). Returns (channels,
+     * interleaved 16-bit frames) — shared by the feature envelope and
+     * the fingerprint path ([[graft.ops.AudioFp.monoSamples]]). None
+     * for non-ADPCM WAV or malformed block structure — total, never
+     * an exception.
      */
-    private def adpcmEnvelope(bytes: Array[Byte]): Option[Array[Float]] =
+    private[ops] def adpcmSamples(bytes: Array[Byte]): Option[(Int, Array[Short])] =
       AvHeaders.wavAdpcm(bytes).flatMap { case (channels, blockAlign, off, len) =>
         val headerBytes = 4 * channels
         if (blockAlign <= headerBytes || blockAlign % (4 * channels) != 0) return None
@@ -3000,8 +3002,7 @@ object Multimodal {
         val nBlocks = avail / blockAlign
         val nFrames = nBlocks * samplesPerBlock
         if (nFrames <= 0) return None
-        val out = new Array[Float](FeatureDim)
-        val counts = new Array[Int](FeatureDim)
+        val out = new Array[Short](nFrames * channels)
         val predictor = new Array[Int](channels)
         val stepIdx = new Array[Int](channels)
         var frame = 0
@@ -3016,15 +3017,8 @@ object Multimodal {
             c += 1
           }
           // frame 0 of the block is the header predictor itself
-          def emit(fr: Int, amps: Array[Int]): Unit = {
-            var acc = 0f
-            var k = 0
-            while (k < channels) { acc += math.abs(amps(k) / 32768f); k += 1 }
-            val cell = math.min((fr.toLong * FeatureDim / nFrames).toInt, FeatureDim - 1)
-            out(cell) += acc / channels
-            counts(cell) += 1
-          }
-          emit(frame, predictor)
+          var k = 0
+          while (k < channels) { out(frame * channels + k) = predictor(k).toShort; k += 1 }
           frame += 1
           // nibble data: 4-byte groups round-robin across channels;
           // each group holds 8 consecutive samples for its channel
@@ -3049,10 +3043,11 @@ object Multimodal {
             if (ch == channels - 1) {
               var s = 0
               while (s < 8 && emittedInBlock < samplesPerBlock) {
-                val amps = new Array[Int](channels)
                 var k = 0
-                while (k < channels) { amps(k) = groupSamples(k)(s); k += 1 }
-                emit(frame, amps)
+                while (k < channels) {
+                  out(frame * channels + k) = groupSamples(k)(s).toShort
+                  k += 1
+                }
                 frame += 1
                 emittedInBlock += 1
                 s += 1
@@ -3062,12 +3057,15 @@ object Multimodal {
           }
           b += 1
         }
-        var i = 0
-        while (i < FeatureDim) {
-          if (counts(i) > 0) out(i) /= counts(i)
-          i += 1
+        Some((channels, out))
+      }
+
+    /** [[adpcmSamples]] reduced to the shared amplitude envelope. */
+    private def adpcmEnvelope(bytes: Array[Byte]): Option[Array[Float]] =
+      adpcmSamples(bytes).flatMap { case (channels, samples) =>
+        envelopeOf(samples.length / channels, channels) { (f, c) =>
+          math.abs(samples(f * channels + c) / 32768f)
         }
-        Some(out)
       }
 
     /** G.711 mu-law decode table (256 entries, the public standard's

@@ -13,7 +13,11 @@ package graft.tools
  *  - id % 8 == 0      → AIFF (PCM16 BE; COMM at byte 12, rate as
  *                       80-bit extended at bytes 28-38)
  *  - id % 8 == 1 or 5 → AU (PCM16 BE, encoding word 3, data at 24)
- *  - id % 8 == 2 or 6 → G.711 mu-law WAV (format tag 7)
+ *  - id % 8 == 2      → G.711 mu-law WAV (format tag 7)
+ *  - id % 8 == 6      → IMA ADPCM WAV (format tag 17) — round 19:
+ *                       the class exists so q_m40 MEASURES the
+ *                       fmt-17 decode path instead of leaving it an
+ *                       unmeasured silent skip
  *  - id % 8 == 4      → G.711 A-law WAV (format tag 6)
  *  - id % 8 == 3      → truncated AIFF (cut inside the COMM header)
  *  - id % 8 == 7      → junk bytes (no container signature)
@@ -36,6 +40,7 @@ object AudioFixture {
     case 0 => ("audio/aiff", AvFixture.aiffStep(channels(id), rate(id), frames(id)))
     case 1 | 5 => ("audio/basic", AvFixture.auStep(channels(id), rate(id), frames(id)))
     case 4 => ("audio/wav", AvFixture.alawWavStep(channels(id), rate(id), frames(id)))
+    case 6 => ("audio/wav", AvFixture.adpcmWavStep(channels(id), rate(id), frames(id)))
     case _ => ("audio/wav", AvFixture.ulawWavStep(channels(id), rate(id), frames(id)))
   }
 

@@ -259,19 +259,26 @@ object AvFixture {
    * needs ~50 samples to climb from silence to full scale, so the
    * envelope cell containing the step edge ramps.
    */
-  def adpcmWavStep(ch: Int, rate: Int, frames: Int): Array[Byte] = {
+  def adpcmWavStep(ch: Int, rate: Int, frames: Int): Array[Byte] =
+    adpcmWav((f, _) => if (f < frames / 2) 0 else 32767, ch, rate, frames)
+
+  /** General IMA ADPCM WAV encode of `sampleAt(frame, channel)` —
+   * the step fixture above and the fingerprint pair tests (an ADPCM
+   * re-encode of arbitrary PCM) share one encode loop. */
+  def adpcmWav(sampleAt: (Int, Int) => Int, ch: Int, rate: Int,
+      frames: Int): Array[Byte] = {
     import graft.ops.Multimodal.MediaCodec.{imaReconstruct, ImaIndexTable}
     val blockAlign = 36 * ch
     val samplesPerBlock = 65
     val nBlocks = (frames + samplesPerBlock - 1) / samplesPerBlock
-    def sampleAt(f: Int): Int = if (f < frames / 2) 0 else 32767
     val data = new java.io.ByteArrayOutputStream()
     val stepIdx = new Array[Int](ch)
     var f = 0
     (0 until nBlocks).foreach { _ =>
-      val first = sampleAt(f)
-      val predictor = Array.fill(ch)(first)
+      val predictor = new Array[Int](ch)
       (0 until ch).foreach { c =>
+        val first = sampleAt(f, c)
+        predictor(c) = first
         data.write(first & 0xff); data.write((first >>> 8) & 0xff)
         data.write(stepIdx(c)); data.write(0)
       }
@@ -280,7 +287,7 @@ object AvFixture {
         (0 until ch).foreach { c =>
           var packed = 0L
           (0 until 8).foreach { i =>
-            val s = sampleAt(f + 1 + r * 8 + i)
+            val s = sampleAt(f + 1 + r * 8 + i, c)
             val nib = imaEncodeNibble(s, predictor(c), stepIdx(c))
             predictor(c) = imaReconstruct(predictor(c), stepIdx(c), nib)
             stepIdx(c) = math.max(0, math.min(88, stepIdx(c) + ImaIndexTable(nib)))

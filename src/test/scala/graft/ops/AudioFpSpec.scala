@@ -49,8 +49,9 @@ class AudioFpSpec extends SparkSpec {
       AudioDupFixture.wav(Array.fill(1000)(5))).isEmpty) // < 4 frames
   }
 
-  test("aiff / au / companded-WAV decode signed waveforms (round-18 coverage flips)") {
+  test("aiff / au / companded-WAV / ADPCM decode signed waveforms (coverage flips)") {
     import graft.tools.AudioFixture
+    // id 6 is the IMA ADPCM class since round 19
     for (id <- Seq(0L, 1L, 2L, 4L, 5L, 6L)) {
       val s = AudioFp.monoSamples(AudioFixture.row(id)._2).getOrElse(
         sys.error(s"id=$id claims nothing"))
@@ -62,6 +63,18 @@ class AudioFpSpec extends SparkSpec {
     }
     assert(AudioFp.monoSamples(AudioFixture.row(3L)._2).isEmpty) // cut aiff
     assert(AudioFp.monoSamples(AudioFixture.row(7L)._2).isEmpty) // junk
+  }
+
+  test("an IMA ADPCM re-encode fingerprints within the codec gate of its PCM twin") {
+    val pcm = AudioDupFixture.basePcm(4L)
+    val wav = AudioDupFixture.wav(pcm)
+    val adpcm = graft.tools.AvFixture.adpcmWav(
+      (f, _) => if (f < pcm.length) pcm(f) else 0,
+      1, AudioDupFixture.SampleRate, pcm.length)
+    val a = AudioFp.signature(wav).get
+    val b = AudioFp.signature(adpcm).get
+    val d = (0 until AudioFp.SigBands).map(k => Integer.bitCount(a(k) ^ b(k))).sum
+    assert(d <= 7, s"adpcm twin at hamming $d")
   }
 
   test("container sniff labels every fixture class the oracle expects") {
@@ -80,6 +93,7 @@ class AudioFpSpec extends SparkSpec {
     assert(AudioFp.audioContainer(AudioFixture.row(0L)._2) == "aiff")
     assert(AudioFp.audioContainer(AudioFixture.row(1L)._2) == "au")
     assert(AudioFp.audioContainer(AudioFixture.row(4L)._2) == "wav")
+    assert(AudioFp.audioContainer(AudioFixture.row(6L)._2) == "wav-adpcm")
   }
 
   test("pair face: exact pair set over the fixture, banded join recall") {
