@@ -145,7 +145,29 @@ object Bench {
       val ts = (1 to 3).map(_ => calibrate()).sorted
       ts(1)
     }
-    val calibStart = calibMedian()
+    // Contention GATE (round 19): the r18 sentinel DETECTED a bad
+    // window (its own artifact started at calib 0.253, top of the
+    // band, and the early-alphabet queries read 3-30x their isolated
+    // floors); this round it also ACTS. When the start probe lands
+    // above the band's high edge (0.25 s — the low edge just means a
+    // fast machine), the machine is contended RIGHT NOW: re-probe
+    // every ~5 s until the median re-enters the band or a bounded
+    // wait (120 s) expires, and record the wait (`calib_waited_s`)
+    // so the artifact says whether it started clean. An artifact
+    // that waited out a transient co-tenant beats one that needs
+    // post-hoc adjudication from isolated re-runs.
+    val CalibBandHigh = 0.25
+    var calibStart = calibMedian()
+    var calibWaitedS = 0.0
+    if (calibStart > CalibBandHigh) {
+      val gateT0 = System.nanoTime()
+      while (calibStart > CalibBandHigh &&
+        (System.nanoTime() - gateT0) / 1e9 < 120.0) {
+        Thread.sleep(5000)
+        calibStart = calibMedian()
+      }
+      calibWaitedS = (System.nanoTime() - gateT0) / 1e9
+    }
 
     // SPARK_GRAFT_ONLY=q_a,q_b: local triage aid — time just these
     // queries under the exact per-query isolation discipline of a full
@@ -310,6 +332,6 @@ object Bench {
     val cw = new java.io.PrintWriter(coldOut, "UTF-8")
     try cw.println(s"""{"metric":"cold","queries":${js(cold)},"sf":"$sfDir"}""") finally cw.close()
     println(s"""{"metric":"cold","unit":"centisec","fmt":"key:centisec pairs","queries":"${jsCs(coldCompact)}"}""")
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","failed":$failedJson,"events":$nEvents,"interpreter_eps":$eps,"calib":${num(calibStart)},"calib_end":${num(calibEnd)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","failed":$failedJson,"events":$nEvents,"interpreter_eps":$eps,"calib":${num(calibStart)},"calib_end":${num(calibEnd)},"calib_waited_s":${num(calibWaitedS)},"sf":"$sfDir"}""")
   }
 }
