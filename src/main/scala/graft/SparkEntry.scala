@@ -858,8 +858,9 @@ object SparkEntry {
     // q_m43: MP3 re-encode dedup — the LOSSY-codec cell of the audio
     // near-dup family: WAV originals against in-repo MPEG-1 Layer
     // III encodes of the same PCM, decoded by the REAL Mp3 decoder
-    // and matched at the codec-grade Hamming ≤ 7 gate (8×8-banded
-    // pigeonhole recall; the ≤3 gate is for lossless re-encodes).
+    // and matched at the codec-grade Hamming ≤ 7 gate (pigeonhole
+    // recall over the 128-bit signature's 8×16-bit bands — 65,536
+    // buckets per band; the ≤3 gate is for lossless re-encodes).
     // The fixture build asserts exact pair recall AND cross-group
     // separation on the committed bytes
     "q_m43_mp3_neardup" -> ((s, _) =>

@@ -13,31 +13,35 @@ import Multimodal.MediaRow
  * byte hashing can never catch.
  *
  * Fingerprint (Haitsma–Kalker-inspired, re-derived for ALIGNED
- * re-encode dedup in round 18): decode to signed mono PCM,
- * Hann-window 1024-sample frames (hop 512), real FFT, 17 log-spaced
- * band energies; per signal QUARTER, sum the LOG band energies over
- * the quarter's frames and keep one bit per adjacent-band
- * comparison — the quarter's spectral-shape sign profile. Log +
- * signs make the bits exactly invariant to level changes and
- * lossless re-encodes, and the wide adjacent-band margins survive
- * LOSSY codec noise (the in-repo MP3 at ~18 dB flips ≤5 of 64;
- * the original temporal-delta bit, designed for clip RETRIEVAL,
- * flipped 10-15 there — wrong tool for the aligned-dedup job, and
- * the swap is pinned by Mp3Spec).
+ * re-encode dedup in round 18, widened to 128 bits in round 19):
+ * decode to signed mono PCM, Hann-window 1024-sample frames (hop
+ * 512), real FFT, 17 log-spaced band energies; per signal EIGHTH,
+ * sum the LOG band energies over the eighth's frames and keep one
+ * bit per adjacent-band comparison — the segment's spectral-shape
+ * sign profile. Log + signs make the bits exactly invariant to
+ * level changes and lossless re-encodes, and the wide adjacent-band
+ * margins survive LOSSY codec noise (the in-repo MP3 at ~18 dB
+ * flips ≤5 of the 128; the original temporal-delta bit, designed
+ * for clip RETRIEVAL, flipped 10-15 of 64 there — wrong tool for
+ * the aligned-dedup job, and the swap is pinned by Mp3Spec).
  *
- * Signature: 16 bits × 4 quarters = 64 bits as four 16-bit bands,
- * the SAME pigeonhole banding as the image dHash family: any pair
- * within Hamming distance 3 shares an untouched band, so the bucket
- * join is a guaranteed-recall candidate generator. For lossy-codec
- * twins [[nearDupPairsCodec]] re-bands to 8×8 bits (guaranteed
- * recall to Hamming 7 — codec noise exceeds the near-exact gate).
- * The pair join ships four ints per blob; audio bytes never shuffle.
+ * Signature: 16 bits × 8 time-eighths = 128 bits as eight 16-bit
+ * bands, the SAME pigeonhole banding as the image dHash family: any
+ * pair within Hamming distance 7 shares an untouched band, so ONE
+ * banded bucket join serves BOTH gates — the near-exact ≤ 3
+ * (lossless re-encodes, level changes) and the codec-grade ≤ 7
+ * (lossy re-encodes). The round-18 64-bit signature had to re-band
+ * the codec gate as 8×8-bit keys = 256 buckets, quadratic candidate
+ * volume per bucket at billions of clips; 16-bit keys give 65,536
+ * buckets per band — the same bucket-width math the image family
+ * scales on. The pair join ships eight ints per blob; audio bytes
+ * never shuffle.
  */
 object AudioFp {
 
   private[ops] val FrameLen = 1024
-  private[ops] val Bands = 17 // 16 delta bits
-  val SigBands = 4
+  private[ops] val Bands = 17 // 16 delta bits per time segment
+  val SigBands = 8
   val BitsPerBand = 16
 
   /** Signed, normalized, channel-averaged mono samples — WAV linear
@@ -214,16 +218,17 @@ object AudioFp {
     e
   }
 
-  /** 16 spectral-shape bits of one signal QUARTER: LOG band energies
-   * summed over every whole frame the quarter holds, one bit per
-   * adjacent-band comparison of the sums. Log domain matters: a
-   * codec's per-band gain bias is multiplicative, tiny against the
-   * dB-scale contrasts between adjacent log-spaced bands — in the
-   * linear domain weak bands' comparisons sat at noise level. */
+  /** 16 spectral-shape bits of one signal SEGMENT (an eighth): LOG
+   * band energies summed over every whole frame the segment holds,
+   * one bit per adjacent-band comparison of the sums. Log domain
+   * matters: a codec's per-band gain bias is multiplicative, tiny
+   * against the dB-scale contrasts between adjacent log-spaced
+   * bands — in the linear domain weak bands' comparisons sat at
+   * noise level. */
   private[ops] def quarterBits(s: Array[Float], from: Int, until: Int): Int = {
     val hop = FrameLen / 2
     val cur = new Array[Double](Bands)
-    // the quarter's first hop is skipped BY DEFINITION (part of the
+    // the segment's first hop is skipped BY DEFINITION (part of the
     // committed signature: fixtures pin hashes computed this way)
     var off = from + hop
     while (off + FrameLen <= until) {
@@ -244,33 +249,34 @@ object AudioFp {
     bits
   }
 
-  /** The 64-bit signature as four 16-bit bands: quarter bits over
-   * the four quarters of the signal. None when the audio doesn't
-   * decode or is too short for one frame(+hop) per quarter. */
+  /** The 128-bit signature as eight 16-bit bands: segment bits over
+   * the eight time-eighths of the signal. None when the audio
+   * doesn't decode or is too short for one frame(+hop) per eighth
+   * (8 × 1536 samples ≈ 0.4 s at 32 kHz — shorter clips have no
+   * useful re-encode-dedup surface anyway). */
   private[graft] def signature(bytes: Array[Byte]): Option[Array[Int]] =
-    monoSamples(bytes).filter(_.length >= 4 * (FrameLen + FrameLen / 2))
+    monoSamples(bytes).filter(_.length >= SigBands * (FrameLen + FrameLen / 2))
       .map { s =>
-        val q = s.length / 4
+        val q = s.length / SigBands
         Array.tabulate(SigBands) { k =>
-          quarterBits(s, k * q, if (k == 3) s.length else (k + 1) * q)
+          quarterBits(s, k * q, if (k == SigBands - 1) s.length else (k + 1) * q)
         }
       }
 
   /** Per-blob fingerprint table (q_m37 feeds on this): media_id,
-   * b0..b3, fp_hex. Pure map-side — one decode + 8 FFTs per blob
-   * inside its partition; only the 4-int signature leaves. */
+   * b0..b7, fp_hex. Pure map-side — one decode + the segment FFTs
+   * per blob inside its partition; only the 8-int signature leaves. */
   def fingerprintTable(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     media.select(col("media_id"), col("mime_type"), col("media"))
       .as[MediaRow]
       .mapPartitions { rows =>
         rows.flatMap(r => signature(r.media).map(b =>
-          (r.media_id, b(0), b(1), b(2), b(3))))
+          (r.media_id, b(0), b(1), b(2), b(3), b(4), b(5), b(6), b(7))))
       }
-      .toDF("media_id", "b0", "b1", "b2", "b3")
-      .withColumn("fp_hex", concat(
-        lower(lpad(hex(col("b3")), 4, "0")), lower(lpad(hex(col("b2")), 4, "0")),
-        lower(lpad(hex(col("b1")), 4, "0")), lower(lpad(hex(col("b0")), 4, "0"))))
+      .toDF("media_id", "b0", "b1", "b2", "b3", "b4", "b5", "b6", "b7")
+      .withColumn("fp_hex", concat((7 to 0 by -1).map(i =>
+        lower(lpad(hex(col(s"b$i")), 4, "0"))): _*))
   }
 
   /** Container sniff for the coverage face: magic bytes first, then
@@ -319,57 +325,42 @@ object AudioFp {
       .agg(count(lit(1)).as("n"), sum(col("ok")).as("n_decoded"))
   }
 
-  /** Lossy-codec near-dup pair join (q_m43): the 64 signature bits
-   * re-banded as EIGHT 8-bit keys — by pigeonhole any pair within
-   * Hamming 7 shares an untouched 8-bit band, so recall is
-   * guaranteed at the codec-grade threshold (the in-repo MP3 flips
-   * ≤5 bits; the near-exact ≤3 gate is for lossless re-encodes).
-   * Scale note, stated honestly: 8-bit keys are 256 buckets — fine
-   * to tens of millions of blobs, but at billions the candidate
-   * volume grows quadratically per bucket and the production answer
-   * is a LONGER signature (more quarters), not more probes; rows
-   * shipped are still only (id, 4 ints). */
-  def nearDupPairsCodec(fps: DataFrame, maxHamming: Int = 7): DataFrame = {
-    require(maxHamming < 8, "pigeonhole over 8 bands needs maxHamming < 8")
-    val bands = (0 until 8).map { b =>
-      val word = col(s"b${b / 2}")
-      val byte = (shiftright(word, (b % 2) * 8).bitwiseAND(lit(0xff)))
-      fps.select(col("media_id"), col("b0"), col("b1"), col("b2"), col("b3"),
-        lit(b).as("band"), byte.as("key"))
-    }.reduce(_.unionByName(_))
-    val l = bands.as("l")
-    val r = bands.as("r")
-    def pop(i: Int) = bit_count(
-      expr(s"l.b$i").bitwiseXOR(expr(s"r.b$i")))
-    l.join(r,
-      col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
-        col("l.media_id") < col("r.media_id"))
-      .select(col("l.media_id").as("media_id_a"),
-        col("r.media_id").as("media_id_b"),
-        (pop(0) + pop(1) + pop(2) + pop(3)).cast("long").as("hamming"))
-      .where(col("hamming") <= maxHamming)
-      .distinct()
-  }
+  /** Lossy-codec near-dup pair join (q_m43): the codec-grade gate
+   * over the SAME 8×16-bit banding as [[nearDupPairs]] — by
+   * pigeonhole over 8 bands any pair within Hamming 7 shares an
+   * untouched 16-bit band, so recall is guaranteed at the
+   * codec-grade threshold (the in-repo MP3 and ADPCM re-encodes
+   * flip ≤5 of the 128 bits; the near-exact ≤3 gate is for lossless
+   * re-encodes). Scale note: 16-bit keys are 65,536 buckets per
+   * band — the round-18 64-bit signature could only offer 8-bit
+   * keys (256 buckets) at this gate, whose per-bucket candidate
+   * volume grows quadratically at billions of clips; the widened
+   * signature clears that. Rows shipped are only (id, 8 ints). */
+  def nearDupPairsCodec(fps: DataFrame, maxHamming: Int = 7): DataFrame =
+    nearDupPairs(fps, maxHamming)
 
   /** Banded near-dup pair join — identical math to the image dHash
-   * family: bucket on any equal band (guaranteed recall at Hamming
-   * ≤ 3 by pigeonhole over 4 bands), verify the full 64-bit distance.
-   * Only (id, 4 ints) rows shuffle. */
+   * family: bucket on any equal 16-bit band (guaranteed recall at
+   * Hamming ≤ SigBands−1 = 7 by pigeonhole over the 8 bands), verify
+   * the full 128-bit distance. Only (id, 8 ints) rows shuffle. */
   def nearDupPairs(fps: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < SigBands,
+      s"pigeonhole over $SigBands bands needs maxHamming < $SigBands")
+    val sigCols = (0 until SigBands).map(i => col(s"b$i"))
     val bands = (0 until SigBands).map { b =>
-      fps.select(col("media_id"), col("b0"), col("b1"), col("b2"), col("b3"),
-        lit(b).as("band"), col(s"b$b").as("key"))
+      fps.select(col("media_id") +: sigCols :+
+        lit(b).as("band") :+ col(s"b$b").as("key"): _*)
     }.reduce(_.unionByName(_))
     val l = bands.as("l")
     val r = bands.as("r")
-    def pop(i: Int) = bit_count(
-      expr(s"l.b$i").bitwiseXOR(expr(s"r.b$i")))
+    val pop = (0 until SigBands).map(i => bit_count(
+      expr(s"l.b$i").bitwiseXOR(expr(s"r.b$i")))).reduce(_ + _)
     l.join(r,
       col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
         col("l.media_id") < col("r.media_id"))
       .select(col("l.media_id").as("media_id_a"),
         col("r.media_id").as("media_id_b"),
-        (pop(0) + pop(1) + pop(2) + pop(3)).cast("long").as("hamming"))
+        pop.cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
   }

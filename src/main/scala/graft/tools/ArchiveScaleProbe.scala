@@ -256,6 +256,32 @@ object ArchiveScaleProbe {
       graft.ops.VideoDup.signatureTable(spark, avcs).count())
     avcs.unpersist()
 
+    // round 19: candidate-volume probe for the codec-grade banded
+    // join at the widened 8×16-bit keys — 200k synthetic signatures
+    // (hash-random bits, plus a planted 1% HOT CLUSTER sharing band
+    // 0's key: the adversarial shape for any banding scheme) through
+    // the REAL nearDupPairsCodec plan. Expected random candidate
+    // volume per band is n²/2/65536 ≈ 305k pairs (×8 bands) plus the
+    // hot bucket's C(2000,2) ≈ 2M — tractable seconds; the r18
+    // 8-bit keys would have faced n²/2/256 ≈ 78M per band (×8 =
+    // 625M), which is exactly the quadratic wall this probe pins the
+    // fix for.
+    {
+      val sb = graft.ops.AudioFp.SigBands
+      val sigs = spark.range(200000L).select(
+        (Seq(col("id").as("media_id")) ++ (0 until sb).map { k =>
+          val rnd = pmod(hash(col("id"), lit(k)), lit(65536)).cast("int")
+          (if (k == 0) when(col("id") % 100 === 0, lit(12345)).otherwise(rnd)
+           else rnd).as(s"b$k")
+        }): _*).cache()
+      sigs.count()
+      val t0 = System.nanoTime()
+      val pairs = graft.ops.AudioFp.nearDupPairsCodec(sigs).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] codec_band_join     $dt%8.2f s  (200,000 sigs incl. 1%% hot band-key, $pairs%,d pairs out)")
+      sigs.unpersist()
+    }
+
     spark.stop()
   }
 }

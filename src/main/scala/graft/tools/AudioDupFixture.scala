@@ -20,7 +20,11 @@ package graft.tools
 object AudioDupFixture {
 
   val SampleRate = 16000
-  val NSamples = 6144 // 6 fingerprint frames' worth
+  // 1.54 s: each of the 128-bit fingerprint's 8 time-eighths holds
+  // 3072 samples = 4 whole frames after the definitional first-hop
+  // skip (the r18 6144-sample signals fall under the widened
+  // signature's 12288-sample minimum)
+  val NSamples = 24576
 
   private def freqs(g: Long): Seq[Double] =
     Seq(150.0 + 37.0 * (g % 19), 900.0 + 83.0 * (g % 13),
@@ -109,16 +113,17 @@ object AudioDupFixture {
       graft.ops.AudioFp.signature(bytes).map(id -> _)
     }.toMap
     val groups = (0L until rows.toLong / 2).filter(_ % 8 != 7)
+    val nb = graft.ops.AudioFp.SigBands
     groups.foreach { g =>
       require(sigs.contains(2 * g) && sigs.contains(2 * g + 1),
         s"group $g member missing a fingerprint")
-      val d = (0 until 4).map(k =>
+      val d = (0 until nb).map(k =>
         Integer.bitCount(sigs(2 * g)(k) ^ sigs(2 * g + 1)(k))).sum
       require(d <= 3, s"group $g twin at hamming $d")
     }
     for (a <- sigs.keys; b <- sigs.keys
          if a < b && a / 2 != b / 2) {
-      val d = (0 until 4).map(k =>
+      val d = (0 until nb).map(k =>
         Integer.bitCount(sigs(a)(k) ^ sigs(b)(k))).sum
       require(d > 3, s"cross-group pair ($a,$b) at hamming $d")
     }

@@ -11,9 +11,9 @@ package graft.tools
  *
  * The build ASSERTS the pair contract on the actual bytes: every
  * surviving (2g, 2g+1) pair is recovered by the codec-grade face
- * (Hamming ≤ 7 over the 8×8-banded join) and NO cross-group pair
- * appears — changes to the fingerprint, the encoder or the decoder
- * fail the build loudly, never skew the committed fixture.
+ * (Hamming ≤ 7 over the 8×16-bit banded join) and NO cross-group
+ * pair appears — changes to the fingerprint, the encoder or the
+ * decoder fail the build loudly, never skew the committed fixture.
  *
  * Usage: runMain graft.tools.Mp3DupFixture [outFile] [rows]
  * (default fixtures/mp3dup.parquet, 60 rows)
@@ -21,7 +21,11 @@ package graft.tools
 object Mp3DupFixture {
 
   val SampleRate = 32000
-  val NSamples = 12192 // 11·1152 − 480: decode returns exactly this
+  // 24·1152 − 480: decode returns exactly this, AND each of the
+  // 128-bit fingerprint's 8 time-eighths (3396 samples) holds 4
+  // whole frames after the definitional first-hop skip (the r18
+  // 12192-sample signals fall under the widened 12288 minimum)
+  val NSamples = 27168
 
   private def prn(g: Long, t: Int): Double = {
     var h = g * 0x9E3779B97F4A7C15L + t * 0xBF58476D1CE4E5B9L
@@ -44,9 +48,10 @@ object Mp3DupFixture {
    * than band b+1"): a deterministic greedy codebook with pairwise
    * Hamming distance ≥ 3 and same-direction runs ≤ 3 (so four
    * amplitude levels can realize the profile). Distance ≥ 3 per
-   * profile bit → signature distance ≥ 12 across groups (each
-   * profile bit repeats in all four quarters), comfortably past the
-   * codec-grade ≤ 7 gate; the build asserts it on actual bytes. */
+   * profile bit → signature distance ≥ 24 across groups (the
+   * signals are stationary, so each profile bit repeats in all
+   * eight time-eighths), comfortably past the codec-grade ≤ 7
+   * gate; the build asserts it on actual bytes. */
   lazy val profiles: Array[Int] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Int]
     var h = 0x632BE59BD9B4E019L
@@ -163,17 +168,18 @@ object Mp3DupFixture {
       id -> graft.ops.AudioFp.signature(bytes)
     }.toMap
     val groups = (0L until rows.toLong / 2).filter(_ % 8 != 7)
+    val nb = graft.ops.AudioFp.SigBands
     groups.foreach { g =>
       val a = sigs(2 * g).getOrElse(sys.error(s"group $g wav has no signature"))
       val b = sigs(2 * g + 1).getOrElse(sys.error(s"group $g mp3 has no signature"))
-      val ham = (0 until 4).map(i => Integer.bitCount(a(i) ^ b(i))).sum
+      val ham = (0 until nb).map(i => Integer.bitCount(a(i) ^ b(i))).sum
       require(ham <= 7, s"group $g twin hamming $ham > 7")
     }
     for (ga <- groups; gb <- groups if ga < gb; ia <- Seq(2 * ga, 2 * ga + 1);
          ib <- Seq(2 * gb, 2 * gb + 1)) {
       val a = sigs(ia).get
       val b = sigs(ib).get
-      val ham = (0 until 4).map(i => Integer.bitCount(a(i) ^ b(i))).sum
+      val ham = (0 until nb).map(i => Integer.bitCount(a(i) ^ b(i))).sum
       require(ham > 7, s"cross-group $ga/$gb hamming $ham <= 7")
     }
     (0L until rows.toLong / 2).filter(_ % 8 == 7).foreach(g =>

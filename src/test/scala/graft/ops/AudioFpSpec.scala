@@ -31,7 +31,7 @@ class AudioFpSpec extends SparkSpec {
     val b = AudioFp.signature(half).get
     // /2 on ints is not exactly c× (truncation), so allow the same
     // near-dup bound the pair face uses rather than bit equality
-    val d = (0 until 4).map(k => Integer.bitCount(a(k) ^ b(k))).sum
+    val d = (0 until AudioFp.SigBands).map(k => Integer.bitCount(a(k) ^ b(k))).sum
     assert(d <= 3, s"halved level at hamming $d")
   }
 
@@ -46,7 +46,7 @@ class AudioFpSpec extends SparkSpec {
   test("junk and too-short audio claim nothing") {
     assert(AudioFp.signature("not audio".getBytes("US-ASCII")).isEmpty)
     assert(AudioFp.signature(
-      AudioDupFixture.wav(Array.fill(1000)(5))).isEmpty) // < 4 frames
+      AudioDupFixture.wav(Array.fill(1000)(5))).isEmpty) // under the 8-eighth minimum
   }
 
   test("aiff / au / companded-WAV / ADPCM decode signed waveforms (coverage flips)") {
@@ -66,15 +66,25 @@ class AudioFpSpec extends SparkSpec {
   }
 
   test("an IMA ADPCM re-encode fingerprints within the codec gate of its PCM twin") {
-    val pcm = AudioDupFixture.basePcm(4L)
-    val wav = AudioDupFixture.wav(pcm)
-    val adpcm = graft.tools.AvFixture.adpcmWav(
-      (f, _) => if (f < pcm.length) pcm(f) else 0,
-      1, AudioDupFixture.SampleRate, pcm.length)
-    val a = AudioFp.signature(wav).get
-    val b = AudioFp.signature(adpcm).get
-    val d = (0 until AudioFp.SigBands).map(k => Integer.bitCount(a(k) ^ b(k))).sum
-    assert(d <= 7, s"adpcm twin at hamming $d")
+    import graft.tools.Mp3DupFixture
+    // the codec-dedup signal family (stationary, ≥7 dB band margins —
+    // what q_m43 matches MP3 re-encodes on): the same clip as 16-bit
+    // WAV and as a 4-bit IMA ADPCM re-encode must land inside the
+    // codec-grade gate. (The AudioDup AM+chirp family is designed for
+    // the lossless ≤3 gate; ADPCM's ~24 dB quantization noise on
+    // 4-frame segment sums flips its borderline bits past 7 — the
+    // codec gate is calibrated on codec-dedup signals, like MP3's.)
+    for (g <- Seq(1L, 4L)) {
+      val pcm = Mp3DupFixture.basePcm(g)
+      val wav = Mp3DupFixture.wav(pcm)
+      val adpcm = graft.tools.AvFixture.adpcmWav(
+        (f, _) => if (f < pcm.length) pcm(f) else 0,
+        1, Mp3DupFixture.SampleRate, pcm.length)
+      val a = AudioFp.signature(wav).get
+      val b = AudioFp.signature(adpcm).get
+      val d = (0 until AudioFp.SigBands).map(k => Integer.bitCount(a(k) ^ b(k))).sum
+      assert(d <= 7, s"group $g adpcm twin at hamming $d")
+    }
   }
 
   test("container sniff labels every fixture class the oracle expects") {

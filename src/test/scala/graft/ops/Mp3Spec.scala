@@ -77,13 +77,13 @@ class Mp3Spec extends SparkSpec {
     for (g <- Seq(0L, 3L, 9L)) {
       val a = AudioFp.signature(Mp3DupFixture.row(2 * g)._2).get
       val b = AudioFp.signature(Mp3DupFixture.row(2 * g + 1)._2).get
-      val ham = (0 until 4).map(i => Integer.bitCount(a(i) ^ b(i))).sum
+      val ham = (0 until AudioFp.SigBands).map(i => Integer.bitCount(a(i) ^ b(i))).sum
       assert(ham <= 7, s"group $g mp3 twin hamming $ham")
     }
     for (g <- Seq(0L, 2L)) { // WAV ↔ FLAC: lossless + perturbation
       val a = AudioFp.signature(graft.tools.AudioDupFixture.row(2 * g)._2).get
       val b = AudioFp.signature(graft.tools.AudioDupFixture.row(2 * g + 1)._2).get
-      val ham = (0 until 4).map(i => Integer.bitCount(a(i) ^ b(i))).sum
+      val ham = (0 until AudioFp.SigBands).map(i => Integer.bitCount(a(i) ^ b(i))).sum
       assert(ham <= 3, s"group $g lossless twin hamming $ham")
     }
   }
