@@ -911,10 +911,10 @@ object SparkEntry {
         .unionByName(Tables.mp3dup(s)))),
     // q_m41: VIDEO decode coverage — per (mime_type, container) the
     // q_m38 pixel path (MJPEG only) and payload-digest path (AVI /
-    // MP4 / fragmented-MP4 / WebM video-track blocks) measured
-    // independently; mpeg-ts is the honest 0/0 line (PES headers
-    // interleave through the elementary stream, so contiguous-span
-    // digests can't equal any other container's)
+    // MP4 / fragmented-MP4 / WebM video-track blocks / MPEG-TS PES
+    // payloads reassembled per video PID, round 19) measured
+    // independently; mpeg-ts pixel decode is the remaining honest
+    // zero on that container's line
     "q_m41_video_coverage" -> ((s, _) =>
       VideoDup.decodeCoverage(s, Tables.videodup(s)
         .unionByName(Tables.mp4Avc(s)).unionByName(Tables.mp4Frag(s))
@@ -4926,7 +4926,11 @@ object SparkEntry {
          |  SELECT mime_type,
          |    CASE WHEN media_id % 8 = 3 THEN 'mp4'
          |         WHEN media_id % 8 = 7 THEN 'other' ELSE 'mpeg-ts' END,
-         |    0, 0
+         |    0, -- no TS pixel decode (the honest zero)
+         |    -- round 19: PES reassembly gives every intact segment
+         |    -- a payload digest; the cut (3) and junk (7) classes
+         |    -- yield nothing
+         |    CASE WHEN media_id % 8 IN (3, 7) THEN 0 ELSE 1 END
          |  FROM read_parquet('${Tables.tsFixturePath}'))
          | SELECT mime_type, container, CAST(count(*) AS BIGINT) AS n,
          |   CAST(sum(px) AS BIGINT) AS n_pixel,

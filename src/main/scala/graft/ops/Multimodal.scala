@@ -1976,24 +1976,28 @@ object Multimodal {
     private[ops] def tsPesStartsPts(b: Array[Byte]): Seq[(Int, Long, Int, Boolean, Boolean, Long)] =
       tsPesWalk(b, wantPts = true)
 
-    /** Shared TS walk: the PTS decode is gated on `wantPts` so the
-     * PTS-less q_m17 face doesn't pay marker-bit reassembly per PES
-     * start across a corpus-scale scan. */
-    private def tsPesWalk(b: Array[Byte], wantPts: Boolean): Seq[(Int, Long, Int, Boolean, Boolean, Long)] = {
-      if (b == null || b.length < 188 || (b(0) & 0xff) != 0x47) return Nil
+    // TS packet-header field reads, shared by the PES-start walk and
+    // the round-19 PES payload reassembly
+    private def tsPid(b: Array[Byte], p: Int): Int =
+      ((b(p + 1) & 0x1f) << 8) | (b(p + 2) & 0xff)
+    private def tsPusi(b: Array[Byte], p: Int): Boolean = (b(p + 1) & 0x40) != 0
+    private def tsAfc(b: Array[Byte], p: Int): Int = (b(p + 3) >> 4) & 0x3
+    private def tsHasPayload(b: Array[Byte], p: Int): Boolean = {
+      val a = tsAfc(b, p); a == 1 || a == 3
+    }
+    private def tsPayloadOff(b: Array[Byte], p: Int): Int =
+      if (tsAfc(b, p) >= 2) p + 5 + (b(p + 4) & 0xff) else p + 4
+
+    /** PAT → PMT → video elementary PIDs (by stream_type) plus the
+     * count of packets before the first bad sync byte. Passes 1–2 of
+     * the TS walk, shared by [[tsPesStarts]] and
+     * [[tsVideoPesSamples]]. */
+    private def tsVideoPids(b: Array[Byte]): (Set[Int], Int) = {
       val nPkts = b.length / 188
-      def pid(p: Int): Int = ((b(p + 1) & 0x1f) << 8) | (b(p + 2) & 0xff)
-      def pusi(p: Int): Boolean = (b(p + 1) & 0x40) != 0
-      def afc(p: Int): Int = (b(p + 3) >> 4) & 0x3
-      def hasPayload(p: Int): Boolean = { val a = afc(p); a == 1 || a == 3 }
-      def payloadOff(p: Int): Int =
-        if (afc(p) >= 2) p + 5 + (b(p + 4) & 0xff) else p + 4
-      def rai(p: Int): Boolean =
-        afc(p) >= 2 && (b(p + 4) & 0xff) >= 1 && (b(p + 5) & 0x40) != 0
       // PSI section start: payload offset + 1 + pointer_field
       def sectionStart(p: Int): Int = {
-        val po = payloadOff(p)
-        if (!hasPayload(p) || po < 0 || po >= p + 188) -1
+        val po = tsPayloadOff(b, p)
+        if (!tsHasPayload(b, p) || po < 0 || po >= p + 188) -1
         else {
           val s = po + 1 + (b(po) & 0xff)
           if (s >= p + 188) -1 else s
@@ -2007,7 +2011,7 @@ object Multimodal {
         val p = 188 * j
         if ((b(p) & 0xff) != 0x47) sync = false
         else {
-          if (pid(p) == 0 && pusi(p)) {
+          if (tsPid(b, p) == 0 && tsPusi(b, p)) {
             val s = sectionStart(p)
             if (s >= 0 && (b(s) & 0xff) == 0x00 && s + 8 <= p + 188) {
               val secLen = ((b(s + 1) & 0x0f) << 8) | (b(s + 2) & 0xff)
@@ -2024,13 +2028,13 @@ object Multimodal {
         }
       }
       val lastSync = j // packets beyond the first bad sync never parse
-      if (pmtPids.isEmpty) return Nil
+      if (pmtPids.isEmpty) return (Set.empty, lastSync)
       // pass 2: PMT → video elementary PIDs by stream_type
       val videoPids = scala.collection.mutable.Set.empty[Int]
       j = 0
       while (j < lastSync) {
         val p = 188 * j
-        if (pmtPids.contains(pid(p)) && pusi(p)) {
+        if (pmtPids.contains(tsPid(b, p)) && tsPusi(b, p)) {
           val s = sectionStart(p)
           if (s >= 0 && (b(s) & 0xff) == 0x02 && s + 12 <= p + 188) {
             val secLen = ((b(s + 1) & 0x0f) << 8) | (b(s + 2) & 0xff)
@@ -2048,14 +2052,25 @@ object Multimodal {
         }
         j += 1
       }
+      (videoPids.toSet, lastSync)
+    }
+
+    /** Shared TS walk: the PTS decode is gated on `wantPts` so the
+     * PTS-less q_m17 face doesn't pay marker-bit reassembly per PES
+     * start across a corpus-scale scan. */
+    private def tsPesWalk(b: Array[Byte], wantPts: Boolean): Seq[(Int, Long, Int, Boolean, Boolean, Long)] = {
+      if (b == null || b.length < 188 || (b(0) & 0xff) != 0x47) return Nil
+      def rai(p: Int): Boolean =
+        tsAfc(b, p) >= 2 && (b(p + 4) & 0xff) >= 1 && (b(p + 5) & 0x40) != 0
+      val (videoPids, lastSync) = tsVideoPids(b)
       if (videoPids.isEmpty) return Nil
       // pass 3: emit one row per payload-unit-start video packet
       val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Int, Boolean, Boolean, Long)]
-      j = 0
+      var j = 0
       while (j < lastSync) {
         val p = 188 * j
-        if (videoPids.contains(pid(p)) && pusi(p) && hasPayload(p)) {
-          val po = payloadOff(p)
+        if (videoPids.contains(tsPid(b, p)) && tsPusi(b, p) && tsHasPayload(b, p)) {
+          val po = tsPayloadOff(b, p)
           val isPes = po + 3 <= p + 188 &&
             b(po) == 0 && b(po + 1) == 0 && b(po + 2) == 1
           // PES header: flags2 at po+7 (bit 7 = PTS present), header
@@ -2071,11 +2086,80 @@ object Multimodal {
                 ((b(q + 4) >> 1) & 0x7fL)
               pts / 90L
             } else -1L
-          out += ((j, 188L * j, pid(p), rai(p), isPes, ptsMs))
+          out += ((j, 188L * j, tsPid(b, p), rai(p), isPes, ptsMs))
         }
         j += 1
       }
       out.toSeq
+    }
+
+    /** PES payload REASSEMBLY for the video PIDs of an MPEG-TS
+     * segment (round 19, the q_m38/q_m41 payload path): one group of
+     * byte spans per PES packet — the PES header is stripped from
+     * the start packet, continuation packets contribute their whole
+     * TS payload, and a nonzero PES_packet_length bounds the total
+     * (video commonly writes 0 = unbounded; the group then ends at
+     * the PID's next payload-unit start). Concatenated in order the
+     * groups ARE the elementary stream, so a TS ↔ MP4 re-mux of the
+     * same codec payload digests equal with ZERO decode — the
+     * HLS-era `.ts` share of web video stops being invisible to
+     * re-mux dedup. A unit whose payload start is not a PES start
+     * code (00 00 01) claims nothing, as does data before the first
+     * unit start; multiple video PIDs emit their groups in PID
+     * order. */
+    private[ops] def tsVideoPesSamples(b: Array[Byte]): Seq[Seq[(Int, Int)]] = {
+      if (b == null || b.length < 188 || (b(0) & 0xff) != 0x47) return Nil
+      val (videoPids, lastSync) = tsVideoPids(b)
+      if (videoPids.isEmpty) return Nil
+      val done = scala.collection.mutable.Map.empty[Int,
+        scala.collection.mutable.ArrayBuffer[Seq[(Int, Int)]]]
+      val cur = scala.collection.mutable.Map.empty[Int,
+        scala.collection.mutable.ArrayBuffer[(Int, Int)]]
+      val remaining = scala.collection.mutable.Map.empty[Int, Long] // -1 = unbounded
+      def close(pd: Int): Unit = cur.remove(pd).foreach { g =>
+        if (g.nonEmpty)
+          done.getOrElseUpdate(pd,
+            scala.collection.mutable.ArrayBuffer.empty) += g.toSeq
+      }
+      def addSpan(pd: Int, from: Int, to: Int): Unit = if (to > from) {
+        val rem = remaining(pd)
+        val take = if (rem < 0) to - from else math.min(rem, (to - from).toLong).toInt
+        if (take > 0) {
+          cur(pd) += ((from, take))
+          if (rem >= 0) remaining(pd) = rem - take
+        }
+      }
+      var j = 0
+      while (j < lastSync) {
+        val p = 188 * j
+        val pd = tsPid(b, p)
+        if (videoPids.contains(pd) && tsHasPayload(b, p)) {
+          val po = tsPayloadOff(b, p)
+          val end = p + 188
+          if (tsPusi(b, p)) {
+            close(pd)
+            // PES prefix: 00 00 01 sid len16, then the optional
+            // header ('10' flags, flags2, header_data_length)
+            if (po >= 0 && po + 9 <= end &&
+              b(po) == 0 && b(po + 1) == 0 && b(po + 2) == 1) {
+              val pesLen = ((b(po + 4) & 0xff) << 8) | (b(po + 5) & 0xff)
+              val hdl = b(po + 8) & 0xff
+              val ds = po + 9 + hdl
+              if (ds <= end) {
+                cur(pd) = scala.collection.mutable.ArrayBuffer.empty
+                remaining(pd) =
+                  if (pesLen > 0) math.max(0L, pesLen.toLong - 3L - hdl) else -1L
+                addSpan(pd, ds, end)
+              }
+            }
+          } else if (cur.contains(pd) && po >= 0 && po <= end) {
+            addSpan(pd, po, end)
+          }
+        }
+        j += 1
+      }
+      videoPids.foreach(close)
+      videoPids.toSeq.sorted.flatMap(pd => done.get(pd).map(_.toSeq).getOrElse(Nil))
     }
 
     private def parseBmp(b: Array[Byte]): Option[AvMeta] = {

@@ -23,18 +23,21 @@ import Multimodal.MediaRow
  * different content diverges at the first frame (the per-frame hash
  * is the image family's, with its avalanche-backed distinctness).
  *
- * Payload-digest fallback (round 18): when NO frame pixel-decodes —
- * H.264/HEVC and friends, i.e. nearly all real video — the signature
- * falls back to an md5 over the ORDERED RAW sample byte spans the
- * same container walks already locate (AVI `movi` chunks, MP4 `stbl`
- * samples of any video codec, moof/trun fragment runs). A re-mux
- * carries the codec payload bytes verbatim, so this catches every
- * H.264 MP4 ↔ AVI ↔ fragmented-MP4 re-container with ZERO decode;
- * what it deliberately does NOT catch is a re-encode (that needs
- * pixels) or a re-mux that rewrites the bitstream framing (AVCC ↔
- * Annex-B). The `sig_kind` column says which path produced each
- * signature ('phash' = perceptual, 'payload' = raw-span digest);
- * kinds never join against each other.
+ * Payload-digest fallback (round 18; TS added in round 19): when NO
+ * frame pixel-decodes — H.264/HEVC and friends, i.e. nearly all real
+ * video — the signature falls back to an md5 over the ORDERED RAW
+ * sample byte spans the same container walks already locate (AVI
+ * `movi` chunks, MP4 `stbl` samples of any video codec, moof/trun
+ * fragment runs, WebM video-track blocks, and MPEG-TS video PES
+ * payloads REASSEMBLED per PID — PES/TS headers stripped, so the
+ * digested bytes are the elementary stream an MP4 twin carries). A
+ * re-mux carries the codec payload bytes verbatim, so this catches
+ * every H.264 MP4 ↔ AVI ↔ fragmented-MP4 ↔ TS re-container with
+ * ZERO decode; what it deliberately does NOT catch is a re-encode
+ * (that needs pixels) or a re-mux that rewrites the bitstream
+ * framing (AVCC ↔ Annex-B). The `sig_kind` column says which path
+ * produced each signature ('phash' = perceptual, 'payload' =
+ * raw-span digest); kinds never join against each other.
  *
  * Scale shape: decode + hash are partition-local per blob; only
  * (media_id, n_frames, 16-byte digest, kind) rows reach the pair
@@ -62,38 +65,48 @@ object VideoDup {
     }
   }
 
-  /** Raw sample spans for the payload-digest path: AVI `movi`
-   * chunks, else self-contained MP4 samples of ANY video codec,
-   * else the moof/trun fragment runs, else WebM video-track
+  /** Raw sample-span GROUPS for the payload-digest path (one group =
+   * one sample/access unit, usually a single contiguous span): AVI
+   * `movi` chunks, else self-contained MP4 samples of ANY video
+   * codec, else the moof/trun fragment runs, else WebM video-track
    * SimpleBlock payloads (VP8/VP9/AV1 re-muxes carry them verbatim;
-   * audio tracks are excluded via the Tracks walk). mpeg-ts stays
-   * out of this path honestly: TS interleaves PES headers through
-   * the elementary stream, so contiguous-span digests can't equal
-   * any other container's. */
-  private[graft] def payloadSpans(b: Array[Byte]): Seq[(Int, Int)] = {
+   * audio tracks are excluded via the Tracks walk), else — round
+   * 19 — MPEG-TS PES payload REASSEMBLY per video PID: a PES
+   * packet's payload fragments across its TS packets form one
+   * group, so the HLS-era `.ts` segment digests equal to an MP4
+   * carrying the same codec payload. What the path still
+   * deliberately does NOT catch is a re-encode (that needs pixels)
+   * or a re-mux that rewrites the bitstream framing (AVCC ↔
+   * Annex-B). */
+  private[graft] def payloadSpans(b: Array[Byte]): Seq[Seq[(Int, Int)]] = {
     val avi = Multimodal.AvHeaders.aviVideoChunks(b)
-    if (avi.nonEmpty) avi
+    if (avi.nonEmpty) avi.map(Seq(_))
     else {
       val moov = Multimodal.AvHeaders.mp4AnyVideoSamples(b)
-      if (moov.nonEmpty) moov
+      if (moov.nonEmpty) moov.map(Seq(_))
       else {
         val frag = Multimodal.AvHeaders.mp4FragmentVideoSamples(b)
-        if (frag.nonEmpty) frag
-        else Multimodal.AvHeaders.webmVideoBlockSpans(b)
+        if (frag.nonEmpty) frag.map(Seq(_))
+        else {
+          val webm = Multimodal.AvHeaders.webmVideoBlockSpans(b)
+          if (webm.nonEmpty) webm.map(Seq(_))
+          else Multimodal.AvHeaders.tsVideoPesSamples(b)
+        }
       }
     }
   }
 
-  /** md5 over the ordered raw sample bytes; None when no span is
-   * in-bounds. */
+  /** md5 over the ordered raw sample bytes; the count is SAMPLES
+   * (groups), not fragments, so a TS twin reports the same n_frames
+   * as its MP4 re-mux. None when no group is fully in-bounds. */
   private[graft] def payloadDigest(b: Array[Byte]): Option[(Int, String)] = {
-    val spans = payloadSpans(b).filter { case (off, len) =>
-      off >= 0 && len > 0 && off.toLong + len <= b.length }
-    if (spans.isEmpty) None
+    val groups = payloadSpans(b).filter(g => g.nonEmpty && g.forall {
+      case (off, len) => off >= 0 && len > 0 && off.toLong + len <= b.length })
+    if (groups.isEmpty) None
     else {
       val md = java.security.MessageDigest.getInstance("MD5")
-      spans.foreach { case (off, len) => md.update(b, off, len) }
-      Some((spans.size, md.digest().map(x => f"$x%02x").mkString))
+      for (g <- groups; (off, len) <- g) md.update(b, off, len)
+      Some((groups.size, md.digest().map(x => f"$x%02x").mkString))
     }
   }
 
@@ -138,10 +151,11 @@ object VideoDup {
    * rows the PIXEL path sees (any frame ImageIO-decodable — MJPEG
    * only today) and how many the PAYLOAD-digest path sees (raw
    * sample spans locatable — AVI chunks, MP4 stbl of any video
-   * codec, moof/trun fragments, WebM video-track SimpleBlocks). The
-   * two columns measure the two q_m38 signature paths independently;
-   * mpeg-ts is the honest 0/0 line (see [[payloadSpans]]). Scale
-   * shape: map-side sniff+walk, one tiny groupBy. */
+   * codec, moof/trun fragments, WebM video-track SimpleBlocks, and
+   * since round 19 reassembled MPEG-TS PES payloads). The two
+   * columns measure the two q_m38 signature paths independently;
+   * mpeg-ts pixel decode stays the honest zero. Scale shape:
+   * map-side sniff+walk, one tiny groupBy. */
   def decodeCoverage(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     media.select(col("media_id"), col("mime_type"), col("media"))

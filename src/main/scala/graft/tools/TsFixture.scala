@@ -138,6 +138,79 @@ object TsFixture {
     (psiPacket(0, pat()) +: psiPacket(PmtPid, pmt()) +: groups).flatten.toArray
   }
 
+  /** Mux arbitrary sample payloads into a TS segment, one PES per
+   * sample (the common video shape: one access unit per PES) — the
+   * re-mux twin builder for the payload-digest tests: the same
+   * payload bytes via [[MjpegMp4Fixture.mp4FromSamples]] must digest
+   * equal. PES_packet_length is written EXACTLY (samples here are
+   * small), so the reassembler's bounded-length path is exercised;
+   * the last TS packet of each PES aligns to the 188-byte grid with
+   * adaptation-field stuffing, the standard method. */
+  def tsFromSamples(samples: Seq[Array[Byte]]): Array[Byte] = {
+    val pkts = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var cc = 0
+    samples.zipWithIndex.foreach { case (s, i) =>
+      var sent = 0
+      var first = true
+      while (first || sent < s.length) {
+        val p = new Array[Byte](188)
+        p(0) = 0x47
+        p(1) = (((if (first) 0x40 else 0) | (VideoPid >> 8)) & 0xff).toByte
+        p(2) = (VideoPid & 0xff).toByte
+        if (first) {
+          // header(4) + AF(1 len + 1 flags + S stuffing) + PES(14):
+          // payload capacity 168 − S; stuff so the sample's tail (or
+          // all of a small sample) ends exactly at the packet edge
+          val take = math.min(s.length - sent, 168)
+          val stuffing = 168 - take
+          p(3) = (0x30 | (cc & 0xf)).toByte
+          p(4) = (1 + stuffing).toByte
+          p(5) = (if (i == 0) 0x40 else 0x00).toByte // RAI on sample 0
+          var k = 0
+          while (k < stuffing) { p(6 + k) = 0xff.toByte; k += 1 }
+          val po = 6 + stuffing
+          p(po) = 0; p(po + 1) = 0; p(po + 2) = 1; p(po + 3) = 0xe0.toByte
+          val pesLen = 3 + 5 + s.length // opt header + PTS + payload
+          p(po + 4) = ((pesLen >> 8) & 0xff).toByte
+          p(po + 5) = (pesLen & 0xff).toByte
+          p(po + 6) = 0x80.toByte // '10'
+          p(po + 7) = 0x80.toByte // PTS only
+          p(po + 8) = 5
+          val pts = i.toLong * 3600L
+          p(po + 9) = (0x21 | (((pts >> 30) & 7) << 1)).toByte
+          p(po + 10) = ((pts >> 22) & 0xff).toByte
+          p(po + 11) = ((((pts >> 15) & 0x7f) << 1) | 1).toByte
+          p(po + 12) = ((pts >> 7) & 0xff).toByte
+          p(po + 13) = (((pts & 0x7f) << 1) | 1).toByte
+          System.arraycopy(s, sent, p, po + 14, take)
+          sent += take
+        } else {
+          val take = math.min(s.length - sent, 184)
+          if (take == 184) { // full payload, no AF
+            p(3) = (0x10 | (cc & 0xf)).toByte
+            System.arraycopy(s, sent, p, 4, take)
+          } else {
+            // AF absorbs the slack: afLen N = 183 − take (N = 0 is
+            // the legal single-stuffing-byte form: length byte only)
+            val n = 183 - take
+            p(3) = (0x30 | (cc & 0xf)).toByte
+            p(4) = n.toByte
+            if (n >= 1) p(5) = 0 // flags, no indicators
+            var k = 0
+            while (k < n - 1) { p(6 + k) = 0xff.toByte; k += 1 }
+            System.arraycopy(s, sent, p, 5 + n, take)
+          }
+          sent += take
+        }
+        cc = (cc + 1) & 0xf
+        first = false
+        pkts += p
+      }
+    }
+    (psiPacket(0, pat()) +: psiPacket(PmtPid, pmt()) +: pkts.toSeq)
+      .flatten.toArray
+  }
+
   /** (declared mime, actual bytes) — mime lies on the broken rows. */
   def row(id: Long): (String, Array[Byte]) =
     if (id % 8 == 3) ("video/mp2t", MjpegMp4Fixture.truncated())

@@ -145,6 +145,75 @@ class VideoDupSpec extends SparkSpec {
       s"cross-container digest mismatch: $d1 vs $d2")
   }
 
+  test("TS ↔ MP4 re-mux: PES reassembly digests equal to the stbl twin, zero decode") {
+    import graft.tools.{MjpegMp4Fixture, TsFixture}
+    // reassembly byte-exactness across every packetization shape: a
+    // small sample (stuffed start packet), exact start capacity
+    // (168), start+1 AF-stuffed continuation, exact
+    // start+continuation (352), and a long one
+    val sizes = Seq(60, 168, 200, 352, 500)
+    val varied = sizes.zipWithIndex.map { case (n, i) =>
+      Array.tabulate[Byte](n)(j => ((i * 131 + j * 7) & 0xff).toByte) }
+    val tsv = TsFixture.tsFromSamples(varied)
+    val vGroups = Multimodal.AvHeaders.tsVideoPesSamples(tsv)
+    assert(vGroups.size == varied.size)
+    vGroups.zip(varied).foreach { case (g, s) =>
+      val got = g.flatMap { case (off, len) =>
+        java.util.Arrays.copyOfRange(tsv, off, off + len).toSeq }
+      assert(got == s.toSeq, "reassembled PES payload differs from the sample")
+    }
+    // cross-container digest equality (the re-mux catch itself):
+    // uniform even-size samples, because the MP4 muxer writes a
+    // uniform stsz padded to the max — the TS twin carries the SAME
+    // bytes per access unit
+    val samples = (0 until 5).map(i =>
+      Array.tabulate[Byte](352)(j => ((i * 131 + j * 7) & 0xff).toByte))
+    val ts = TsFixture.tsFromSamples(samples)
+    val mp4 = MjpegMp4Fixture.mp4FromSamples(samples, 320, 240, 40000,
+      MjpegMp4Fixture.stsdFourcc("avc1", 320, 240))._1
+    assert(VideoDup.videoContainer(ts) == "mpeg-ts")
+    assert(VideoDup.frameDhashSeq(ts).isEmpty) // no TS pixel decode
+    val dTs = VideoDup.payloadDigest(ts)
+    val dMp4 = VideoDup.payloadDigest(mp4)
+    assert(dTs.nonEmpty && dTs.get._1 == samples.size, s"ts digest $dTs")
+    assert(dTs == dMp4, s"cross-container digest mismatch: $dTs vs $dMp4")
+    // PES_packet_length BOUNDS the payload: a stray continuation
+    // packet appended after the last PES must not change the digest
+    val stray = new Array[Byte](188)
+    stray(0) = 0x47
+    stray(1) = (TsFixture.VideoPid >> 8).toByte
+    stray(2) = (TsFixture.VideoPid & 0xff).toByte
+    stray(3) = 0x1f // payload only, some cc
+    java.util.Arrays.fill(stray, 4, 188, 0x55.toByte)
+    assert(VideoDup.payloadDigest(ts ++ stray) == dTs,
+      "bytes past PES_packet_length leaked into the digest")
+  }
+
+  test("legacy TS fixture rows reassemble one sample per PES and pair via remuxPairs") {
+    import graft.tools.{MjpegMp4Fixture, TsFixture}
+    import spark.implicits._
+    // the committed walk fixture's id contract: nPes PES per segment
+    for (id <- Seq(0L, 2L, 5L)) {
+      val d = VideoDup.payloadDigest(TsFixture.ts(id))
+      assert(d.nonEmpty && d.get._1 == TsFixture.nPes(id), s"id=$id → $d")
+    }
+    assert(VideoDup.payloadDigest(TsFixture.row(7L)._2).isEmpty)
+    // end-to-end: a ts/mp4 twin pair lands in remuxPairs as 'payload'
+    // (uniform even sample size: the MP4 muxer pads stsz to the max)
+    val samples = (0 until 4).map(i =>
+      Array.tabulate[Byte](260)(j => ((i * 31 + j * 11) & 0xff).toByte))
+    val rows = Seq(
+      (0L, "video/mp2t", TsFixture.tsFromSamples(samples)),
+      (1L, "video/mp4", MjpegMp4Fixture.mp4FromSamples(samples, 320, 240, 40000,
+        MjpegMp4Fixture.stsdFourcc("avc1", 320, 240))._1),
+      (2L, "video/mp2t", TsFixture.ts(9L))) // different content: no pair
+    val pairs = VideoDup.remuxPairs(VideoDup.signatureTable(spark,
+        rows.toDF("media_id", "mime_type", "media")))
+      .select("media_id_a", "media_id_b", "sig_kind")
+      .as[(Long, Long, String)].collect().toSet
+    assert(pairs == Set((0L, 1L, "payload")), s"got $pairs")
+  }
+
   test("pair face: exact re-mux pair set over the fixture, kinds labelled") {
     import spark.implicits._
     val rows = (0L until 32L).map { id =>
