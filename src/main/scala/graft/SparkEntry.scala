@@ -867,6 +867,17 @@ object SparkEntry {
       AudioFp.nearDupPairsCodec(
         AudioFp.fingerprintTable(s, Tables.mp3dup(s)))
         .select("media_id_a", "media_id_b")),
+    // q_m44: Ogg VORBIS re-encode dedup (round 19) — the codec whose
+    // entropy tables ship in the stream's own setup header, so the
+    // whole decode (codebooks, floor1, residue cascade, coupling,
+    // IMDCT, lapped windows) is spec-derivable with no transcribed
+    // tables: WAV originals against in-repo Vorbis encodes of the
+    // same PCM, decoded by the REAL Vorbis decoder and matched at
+    // the codec-grade Hamming ≤ 7 gate over the 128-bit signature
+    "q_m44_vorbis_neardup" -> ((s, _) =>
+      AudioFp.nearDupPairsCodec(
+        AudioFp.fingerprintTable(s, Tables.vorbisdup(s)))
+        .select("media_id_a", "media_id_b")),
     // q_m38: video RE-MUX dedup — the video cell of the modality
     // matrix: per video the ordered per-frame dHash sequence digest
     // (real sample-table walks + real MJPEG pixel decode), falling
@@ -897,18 +908,19 @@ object SparkEntry {
     // q_m40: AUDIO decode coverage — the audio twin of q_m34's
     // honesty face: per (mime_type, container) how many rows the
     // fingerprint decode path actually turns into PCM (WAV / AIFF /
-    // AU PCM incl. G.711 companding, FLAC, and MPEG-1 Layer III
-    // within the declared Huffman-table scope). aac-adts and ogg
-    // are the MEASURED honest-zero lines; the mp3.parquet walk
-    // fixture's junk-bodied frames and the structural flac.parquet
-    // frames correctly count zero, while mp3dup/flacpcm carry the
-    // real decodable streams
+    // AU PCM incl. G.711 companding and IMA ADPCM, FLAC, MPEG-1
+    // Layer III within the declared Huffman-table scope, and —
+    // round 19 — Ogg Vorbis). aac-adts is the remaining MEASURED
+    // honest-zero line; on the ogg line the vorbisdup streams decode
+    // while the structural ogg.parquet fakes (BOS-header-only, incl.
+    // all Opus rows) correctly count zero, the same split as the
+    // junk-bodied mp3.parquet frames vs the real mp3dup streams
     "q_m40_audio_coverage" -> ((s, _) =>
       AudioFp.decodeCoverage(s, Tables.audiodup(s)
         .unionByName(Tables.audio(s)).unionByName(Tables.mp3(s))
         .unionByName(Tables.aac(s)).unionByName(Tables.ogg(s))
         .unionByName(Tables.flac(s)).unionByName(Tables.flacpcm(s))
-        .unionByName(Tables.mp3dup(s)))),
+        .unionByName(Tables.mp3dup(s)).unionByName(Tables.vorbisdup(s)))),
     // q_m41: VIDEO decode coverage — per (mime_type, container) the
     // q_m38 pixel path (MJPEG only) and payload-digest path (AVI /
     // MP4 / fragmented-MP4 / WebM video-track blocks / MPEG-TS PES
@@ -4787,6 +4799,14 @@ object SparkEntry {
       s"""SELECT media_id AS media_id_a, media_id + 1 AS media_id_b
          | FROM read_parquet('${Tables.mp3dupFixturePath}')
          | WHERE media_id % 2 = 0 AND (media_id // 2) % 8 <> 7""".stripMargin,
+    // q_m44: the Vorbis re-encode pair contract — same id arithmetic,
+    // asserted on the actual bytes at fixture build; the engine must
+    // reproduce it through the REAL Ogg demux + Vorbis decode +
+    // fingerprint
+    "q_m44_vorbis_neardup" ->
+      s"""SELECT media_id AS media_id_a, media_id + 1 AS media_id_b
+         | FROM read_parquet('${Tables.vorbisdupFixturePath}')
+         | WHERE media_id % 2 = 0 AND (media_id // 2) % 8 <> 7""".stripMargin,
     // q_m38: the re-mux pair contract — the fixture build asserted
     // per-frame hash identity across containers and distinctness
     // across groups on the actual bytes; the engine must reproduce
@@ -4886,7 +4906,15 @@ object SparkEntry {
          |    CASE WHEN (media_id // 2) % 8 = 7 THEN 'other'
          |         WHEN media_id % 2 = 0 THEN 'wav' ELSE 'mp3' END,
          |    CASE WHEN (media_id // 2) % 8 = 7 THEN 0 ELSE 1 END
-         |  FROM read_parquet('${Tables.mp3dupFixturePath}'))
+         |  FROM read_parquet('${Tables.mp3dupFixturePath}')
+         |  UNION ALL
+         |  SELECT mime_type,
+         |    CASE WHEN (media_id // 2) % 8 = 7 THEN 'other'
+         |         WHEN media_id % 2 = 0 THEN 'wav' ELSE 'ogg' END,
+         |    -- round 19: real Vorbis streams DECODE (the structural
+         |    -- ogg.parquet fakes above stay the container's zeros)
+         |    CASE WHEN (media_id // 2) % 8 = 7 THEN 0 ELSE 1 END
+         |  FROM read_parquet('${Tables.vorbisdupFixturePath}'))
          | SELECT mime_type, container, CAST(count(*) AS BIGINT) AS n,
          |   CAST(sum(ok) AS BIGINT) AS n_decoded
          | FROM u GROUP BY mime_type, container""".stripMargin,

@@ -349,6 +349,17 @@ object Tables {
   }
   def mp3dup(spark: SparkSession): DataFrame = spark.read.parquet(mp3dupFixturePath)
 
+  /** vorbisdup(media_id BIGINT, mime_type STRING, media BINARY) —
+   * repo-local deterministic Ogg Vorbis re-encode pair fixture
+   * (tools.VorbisDupFixture: per group the codec-dedup multi-tone as
+   * WAV and as an in-repo Vorbis encode of the same PCM; junk
+   * rows). */
+  def vorbisdupFixturePath: String = {
+    val local = new java.io.File("fixtures/vorbisdup.parquet")
+    if (local.exists) local.getAbsolutePath else "/root/repo/fixtures/vorbisdup.parquet"
+  }
+  def vorbisdup(spark: SparkSession): DataFrame = spark.read.parquet(vorbisdupFixturePath)
+
   /** flacpcm(media_id BIGINT, mime_type STRING, media BINARY) —
    * repo-local REAL-FLAC fixture (tools.FlacPcmFixture: fully
    * decodable RFC 9639 streams over id-contract PCM, every subframe

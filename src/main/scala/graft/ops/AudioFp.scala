@@ -139,6 +139,19 @@ object AudioFp {
         t += 1
       }
       out
+    }).orElse(Vorbis.decode(b).filter(_.samples.nonEmpty).map { p =>
+      // Ogg Vorbis (round 19): normalized floats; channel-average
+      val n = p.samples.length / p.channels
+      val out = new Array[Float](n)
+      var t = 0
+      while (t < n) {
+        var acc = 0f
+        var c = 0
+        while (c < p.channels) { acc += p.samples(t * p.channels + c); c += 1 }
+        out(t) = acc / p.channels
+        t += 1
+      }
+      out
     })
   }
 
@@ -302,14 +315,14 @@ object AudioFp {
   /** Decode-COVERAGE table (q_m40) — the audio twin of the image
    * family's q_m34 honesty face: per (mime_type, container) the row
    * count and how many rows the FINGERPRINT decode path
-   * ([[monoSamples]]: WAV/AIFF/AU PCM incl. G.711, FLAC, MPEG-1
-   * Layer III within the verified-table scope) actually turns into
-   * samples. q_m37 silently skips what it can't decode (tolerance);
-   * this face makes the skip a queryable number — today the
-   * remaining honest ZERO lines are aac-adts and ogg, exactly the
-   * gap list a 100 TB crawl must report before anyone trusts an
-   * audio-dedup pass. Scale shape: map-side sniff+decode, then one
-   * tiny groupBy. */
+   * ([[monoSamples]]: WAV/AIFF/AU PCM incl. G.711 and IMA ADPCM,
+   * FLAC, MPEG-1 Layer III within the verified-table scope, Ogg
+   * Vorbis) actually turns into samples. q_m37 silently skips what
+   * it can't decode (tolerance); this face makes the skip a
+   * queryable number — today the remaining honest ZERO lines are
+   * aac-adts and Opus-in-Ogg, exactly the gap list a 100 TB crawl
+   * must report before anyone trusts an audio-dedup pass. Scale
+   * shape: map-side sniff+decode, then one tiny groupBy. */
   def decodeCoverage(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     media.select(col("media_id"), col("mime_type"), col("media"))

