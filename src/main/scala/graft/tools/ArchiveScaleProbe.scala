@@ -249,6 +249,13 @@ object ArchiveScaleProbe {
       graft.ops.AudioFp.fingerprintTable(spark, mp3s).count())
     mp3s.unpersist()
 
+    // round 19: full Ogg demux + Vorbis decode + spectral fingerprint
+    val oggs = corpus(Seq(VorbisDupFixture.row(1L)._2, VorbisDupFixture.row(3L)._2,
+      VorbisDupFixture.row(5L)._2, VorbisDupFixture.row(9L)._2), "audio/ogg")
+    timed("vorbis_fingerprint")(
+      graft.ops.AudioFp.fingerprintTable(spark, oggs).count())
+    oggs.unpersist()
+
     // round 18: zero-decode payload-digest path over AVC containers
     val avcs = corpus(Seq(VideoDupFixture.row(12L)._2, VideoDupFixture.row(13L)._2,
       AvcMp4Fixture.fragMp4(6L)), "video/mp4")
