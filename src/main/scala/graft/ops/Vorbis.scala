@@ -677,8 +677,10 @@ object Vorbis {
   }
 
   /** The block's window with lap slopes per the prev/next flags
-   * (short slopes centered at the quarter points of a long block). */
-  private[ops] def window(n: Int, prevShortN: Int, nextShortN: Int,
+   * (short slopes centered at the quarter points of a long block).
+   * private[graft]: the encoder direction shares the same window so
+   * analysis and synthesis lapping cancel exactly. */
+  private[graft] def window(n: Int, prevShortN: Int, nextShortN: Int,
       prevFlag: Boolean, nextFlag: Boolean): Array[Double] = {
     val w = new Array[Double](n)
     val leftN = if (prevFlag) n / 2 else prevShortN / 2
@@ -1009,10 +1011,17 @@ object Vorbis {
               val buf = out(c)
               i = 0
               while (i < emitLen) { buf += seg(i).toFloat; i += 1 }
-              // new lap: current right half plus any prev leftover
+              // new lap: current right half plus any prev leftover —
+              // on a long→short transition the leftover extends past
+              // the short lap, but the long block's right slope ended
+              // exactly at the short block's edge, so those samples
+              // are zero by window construction (bounded add)
               val nl = java.util.Arrays.copyOfRange(windowed(c), n2, n)
               i = emitLen
-              while (i < lb.length) { nl(i - emitLen) += lb(i); i += 1 }
+              while (i < lb.length && i - emitLen < nl.length) {
+                nl(i - emitLen) += lb(i)
+                i += 1
+              }
               lap(c) = nl
               c += 1
             }

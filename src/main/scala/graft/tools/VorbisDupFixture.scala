@@ -29,6 +29,11 @@ object VorbisDupFixture {
       (if (id % 2 == 0) "audio/wav" else "audio/ogg",
         s"junk, not audio $id".getBytes("US-ASCII"))
     else if (id % 2 == 0) ("audio/wav", Mp3DupFixture.wav(Mp3DupFixture.basePcm(g)))
+    else if (g % 3 == 1)
+      // every third group re-encodes through the block-SWITCHED
+      // encoder (256/2048 — the real-web stream shape), so the
+      // committed pair face exercises the asymmetric lapped windows
+      ("audio/ogg", VorbisEncoder.encodeSwitched(Mp3DupFixture.basePcm(g), SampleRate))
     else ("audio/ogg", VorbisEncoder.encode(Mp3DupFixture.basePcm(g), SampleRate))
   }
 

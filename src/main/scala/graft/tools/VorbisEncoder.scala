@@ -93,15 +93,18 @@ object VorbisEncoder {
     }
   }
 
-  /** The three header packets for `ch` channels at `rate`. */
-  private def headers(ch: Int, rate: Int): (Array[Byte], Array[Byte], Array[Byte]) = {
+  /** The three header packets for `ch` channels at `rate`, block
+   * sizes 2^log0 / 2^log1 (the residue's `end` covers the LONG
+   * block's interleaved vector; short blocks clamp per spec). */
+  private def headers(ch: Int, rate: Int, log0: Int,
+      log1: Int): (Array[Byte], Array[Byte], Array[Byte]) = {
     val idw = new Bw
     idw.bits(1, 8); "vorbis".foreach(c => idw.bits(c.toLong, 8))
     idw.bits(0, 32) // version
     idw.bits(ch, 8)
     idw.bits(rate.toLong, 32)
     idw.bits(0, 32); idw.bits(0, 32); idw.bits(0, 32) // bitrates
-    idw.bits(9, 4); idw.bits(9, 4) // blocksizes 512/512
+    idw.bits(log0, 4); idw.bits(log1, 4)
     idw.bits(1, 1) // framing
     val cmw = new Bw
     cmw.bits(3, 8); "vorbis".foreach(c => cmw.bits(c.toLong, 8))
@@ -132,7 +135,7 @@ object VorbisEncoder {
     // one residue, type 2
     sw.bits(0, 6); sw.bits(2, 16)
     sw.bits(0, 24) // begin
-    sw.bits(N2 * ch, 24) // end (interleaved vector length)
+    sw.bits((1 << (log1 - 1)) * ch, 24) // end (long block's vector)
     sw.bits(32 - 1, 24) // partition size
     sw.bits(2 - 1, 6) // classifications
     sw.bits(0, 8) // classbook = book 0
@@ -163,25 +166,22 @@ object VorbisEncoder {
   }
 
   // ----------------------------------------------------------- math
-  private lazy val win: Array[Double] = Array.tabulate(N) { i =>
-    val s = math.sin((i + 0.5) / N * math.Pi)
-    math.sin(math.Pi / 2.0 * s * s)
-  }
-
-  /** Forward MDCT, scale 4/N (unity roundtrip with the decoder's
-   * sum-form IMDCT under the Princen–Bradley window). */
-  private def mdct(frame: Array[Double]): Array[Double] = {
-    val out = new Array[Double](N2)
+  /** Forward MDCT over a pre-WINDOWED frame, scale 4/N (unity
+   * roundtrip with the decoder's sum-form IMDCT under the
+   * Princen–Bradley window). */
+  private def mdct(frame: Array[Double], n: Int): Array[Double] = {
+    val n2 = n / 2
+    val out = new Array[Double](n2)
     var k = 0
-    while (k < N2) {
+    while (k < n2) {
       var acc = 0.0
-      var n = 0
-      while (n < N) {
-        acc += frame(n) * win(n) *
-          math.cos(2.0 * math.Pi / N * (n + 0.5 + N / 4.0) * (k + 0.5))
-        n += 1
+      var j = 0
+      while (j < n) {
+        acc += frame(j) *
+          math.cos(2.0 * math.Pi / n * (j + 0.5 + n / 4.0) * (k + 0.5))
+        j += 1
       }
-      out(k) = acc * 4.0 / N
+      out(k) = acc * 4.0 / n
       k += 1
     }
     out
@@ -204,18 +204,25 @@ object VorbisEncoder {
     math.max(0, math.min(15, math.round((v - min) / step).toInt))
 
   // --------------------------------------------------------- packets
-  /** One audio packet over the channel spectra (each length N2). */
-  private def audioPacket(specs: Array[Array[Double]], mode: Int): Array[Byte] = {
+  /** One audio packet over the channel spectra (each length n/2);
+   * `endVec` is the residue header's `end` (the long block's vector
+   * length — short blocks clamp to their own, per spec). */
+  private def audioPacket(specs: Array[Array[Double]], mode: Int,
+      prevFlag: Boolean, nextFlag: Boolean, endVec: Int): Array[Byte] = {
     val ch = specs.length
+    val n2 = specs(0).length
     val bw = new Bw
     bw.bits(0, 1) // audio packet
     bw.bits(mode, 1) // two modes → 1 bit
-    if (mode == 1) { bw.bits(1, 1); bw.bits(1, 1) } // window flags (no-op at 512/512)
+    if (mode == 1) {
+      bw.bits(if (prevFlag) 1 else 0, 1)
+      bw.bits(if (nextFlag) 1 else 0, 1)
+    }
     // flat floor per channel
     val levels = specs.map { s =>
       var m = 0.0
       var i = 0
-      while (i < N2) { m = math.max(m, math.abs(s(i))); i += 1 }
+      while (i < n2) { m = math.max(m, math.abs(s(i))); i += 1 }
       floorLevel(m)
     }
     var c = 0
@@ -227,11 +234,11 @@ object VorbisEncoder {
       c += 1
     }
     // residues r = spec / floorValue, then square-polar coupling
-    val r = Array.tabulate(ch, N2)((c0, i) => specs(c0)(i) / invDb(levels(c0)))
-    val inter = new Array[Double](N2 * ch)
+    val r = Array.tabulate(ch, n2)((c0, i) => specs(c0)(i) / invDb(levels(c0)))
+    val inter = new Array[Double](n2 * ch)
     if (ch == 2) {
       var i = 0
-      while (i < N2) {
+      while (i < n2) {
         val l = r(0)(i); val rt = r(1)(i)
         val (m, a) =
           if (l > 0) { if (l > rt) (l, l - rt) else (rt, l - rt) }
@@ -242,11 +249,12 @@ object VorbisEncoder {
       }
     } else {
       var i = 0
-      while (i < N2) { inter(i) = r(0)(i); i += 1 }
+      while (i < n2) { inter(i) = r(0)(i); i += 1 }
     }
     // residue type 2: one interleaved vector, partitions of 32, all
-    // class 1, classwords of 4, two cascade passes
-    val nVec = N2 * ch
+    // class 1, classwords of 4, two cascade passes; the decoded
+    // range is [begin, min(end, n2·ch)) per spec
+    val nVec = math.min(endVec, n2 * ch)
     val partitions = nVec / 32
     val coarse = new Array[Double](nVec)
     // pass layout: per pass, per classword group: [classword if pass
@@ -336,50 +344,67 @@ object VorbisEncoder {
   }
 
   // ------------------------------------------------------------ main
-  /** Encode 16-bit-range PCM (one array per channel) at `rate`. The
-   * EOS granule is the exact input length, so decode returns exactly
-   * that many samples — the same delay handshake as the MP3/FLAC
-   * fixtures. */
-  def encodeChannels(chans: Seq[Array[Int]], rate: Int): Array[Byte] = {
+  /** Generic schedule-driven encode: `sizes` is the per-block size
+   * list (each 2^log0 or 2^log1); blocks are placed so consecutive
+   * slope centers align (start advance 3·prevN/4 − curN/4, the
+   * decoder's lap geometry), windowed with the DECODER's own
+   * flag-dependent window, and the EOS granule is the exact input
+   * length — decode returns exactly that many samples. */
+  private def encodeScheduled(chans: Seq[Array[Int]], rate: Int,
+      log0: Int, log1: Int, sizes: IndexedSeq[Int]): Array[Byte] = {
     val ch = chans.size
     require(ch == 1 || ch == 2, "mono or stereo")
     val t = chans.head.length
-    val blocks = (t + N2 - 1) / N2 + 1
-    val (idp, cmp, sup) = headers(ch, rate)
+    val bs0 = 1 << log0
+    val endVec = (1 << (log1 - 1)) * ch
+    val (idp, cmp, sup) = headers(ch, rate, log0, log1)
     val serial = 0x67726166 // 'graf'
     val pages = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     pages += page(Seq(idp), 2, 0L, serial, 0)
     pages += page(Seq(cmp, sup), 0, 0L, serial, 1)
     var seq = 2
     val pending = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-    var blocksDone = 0
+    var emitted = 0L
     def flush(eos: Boolean): Unit = {
       if (pending.nonEmpty || eos) {
-        val emitted = math.max(0L, (blocksDone - 1).toLong * N2)
         val granule = if (eos) t.toLong else math.min(emitted, t.toLong)
         pages += page(pending.toSeq, if (eos) 4 else 0, granule, serial, seq)
         seq += 1
         pending.clear()
       }
     }
+    // block 0 is centered at sample 0, so the decoder's first
+    // emitted sample (the center of block 0) is x[0]
+    var pos = -sizes(0) / 2
     var b = 0
-    while (b < blocks) {
-      val frame = new Array[Double](N)
-      val specs = Array.ofDim[Double](ch, N2)
+    while (b < sizes.length) {
+      val n = sizes(b)
+      if (b > 0) {
+        pos += 3 * sizes(b - 1) / 4 - n / 4
+        emitted += (sizes(b - 1) + n) / 4
+      }
+      val long = n == (1 << log1) && log1 != log0
+      val mode = if (log0 == log1) b % 2 else if (long) 1 else 0
+      val prevFlag = b == 0 || sizes(b - 1) == (1 << log1)
+      val nextFlag = b == sizes.length - 1 || sizes(b + 1) == (1 << log1)
+      val w =
+        if (mode == 1) graft.ops.Vorbis.window(n, bs0, bs0, prevFlag, nextFlag)
+        else graft.ops.Vorbis.window(n, bs0, bs0, prevFlag = true, nextFlag = true)
+      val frame = new Array[Double](n)
+      val specs = new Array[Array[Double]](ch)
       var c = 0
       while (c < ch) {
         val x = chans(c)
-        var n = 0
-        while (n < N) {
-          val idx = (b - 1) * N2 + n
-          frame(n) = if (idx >= 0 && idx < t) x(idx) / 32768.0 else 0.0
-          n += 1
+        var j = 0
+        while (j < n) {
+          val idx = pos + j
+          frame(j) = (if (idx >= 0 && idx < t) x(idx) / 32768.0 else 0.0) * w(j)
+          j += 1
         }
-        specs(c) = mdct(frame)
+        specs(c) = mdct(frame, n)
         c += 1
       }
-      pending += audioPacket(specs, b % 2)
-      blocksDone += 1
+      pending += audioPacket(specs, mode, prevFlag, nextFlag, endVec)
       if (pending.size >= 40) flush(eos = false)
       b += 1
     }
@@ -387,9 +412,39 @@ object VorbisEncoder {
     pages.flatten.toArray
   }
 
+  /** Encode 16-bit-range PCM (one array per channel) at `rate` with
+   * uniform 512-sample blocks, modes alternating per block. */
+  def encodeChannels(chans: Seq[Array[Int]], rate: Int): Array[Byte] = {
+    val t = chans.head.length
+    val blocks = (t + N2 - 1) / N2 + 1
+    encodeScheduled(chans, rate, 9, 9, IndexedSeq.fill(blocks)(N))
+  }
+
   def encode(pcm: Array[Int], rate: Int): Array[Byte] =
     encodeChannels(Seq(pcm), rate)
 
   def encodeStereo(l: Array[Int], r: Array[Int], rate: Int): Array[Byte] =
     encodeChannels(Seq(l, r), rate)
+
+  /** Block-SWITCHED mono encode (256/2048, the shape every real-web
+   * Vorbis stream has): a deterministic schedule mixing short runs
+   * and long runs so all four window-flag combinations appear —
+   * exercises the decoder's asymmetric lapped windows end to end
+   * through the bitstream, not just in the TDAC math test. */
+  def encodeSwitched(pcm: Array[Int], rate: Int): Array[Byte] = {
+    val t = pcm.length
+    val bs0 = 256
+    val bs1 = 2048
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var covered = 0L
+    var i = 0
+    while (covered < t + bs1 || sizes.size < 3) {
+      // pattern: long long short short long short short long …
+      val n = if (Seq(0, 1, 4, 7).contains(i % 8)) bs1 else bs0
+      if (sizes.nonEmpty) covered += (sizes.last + n) / 4
+      sizes += n
+      i += 1
+    }
+    encodeScheduled(Seq(pcm), rate, 8, 11, sizes.toIndexedSeq)
+  }
 }

@@ -143,6 +143,36 @@ class VorbisSpec extends SparkSpec {
     assert(snr(r, 1) > 12.0, s"right ${snr(r, 1)}")
   }
 
+  test("block-SWITCHED roundtrip (256/2048): the real-web stream shape decodes exactly") {
+    val pcm = Mp3DupFixture.basePcm(6L)
+    val ogg = graft.tools.VorbisEncoder.encodeSwitched(pcm, 32000)
+    val dec = Vorbis.decode(ogg).getOrElse(sys.error("claims nothing"))
+    assert(dec.sampleRate == 32000 && dec.channels == 1)
+    assert(dec.samples.length == pcm.length, s"${dec.samples.length} vs ${pcm.length}")
+    def snrAt(off: Int): Double = {
+      var se = 0.0
+      var ss = 0.0
+      var i = 1000
+      while (i < pcm.length - 1000) {
+        val r = pcm(i) / 32768.0
+        val j = i + off
+        val d = if (j >= 0 && j < dec.samples.length) dec.samples(j) else 0.0
+        se += (r - d) * (r - d); ss += r * r
+        i += 1
+      }
+      10.0 * math.log10(ss / se)
+    }
+    val s0 = snrAt(0)
+    assert(s0 > 25.0, s"switched roundtrip SNR $s0 dB")
+    assert((-32 to 32).filter(_ != 0).forall(o => snrAt(o) < s0),
+      "offset 0 is not the best alignment across block switches")
+    // and the switched re-encode still lands inside the codec gate
+    val a = AudioFp.signature(Mp3DupFixture.wav(pcm)).get
+    val b = AudioFp.signature(ogg).get
+    val ham = (0 until AudioFp.SigBands).map(i => Integer.bitCount(a(i) ^ b(i))).sum
+    assert(ham <= 7, s"switched vorbis twin hamming $ham")
+  }
+
   test("fingerprint contract: vorbis twins within the codec gate") {
     for (g <- Seq(0L, 3L, 9L)) {
       val pcm = Mp3DupFixture.basePcm(g)
