@@ -311,9 +311,7 @@ object Vorbis {
       classMasterbooks: Array[Int],
       subclassBooks: Array[Array[Int]],
       multiplier: Int,
-      xList: Array[Int],
-      sortOrder: Array[Int], // indices of xList in ascending-x order
-      neighbors: Array[(Int, Int)]) // (low, high) neighbor per post >= 2
+      xList: Array[Int])
 
   /** The COMPUTED amplitude table (declared seam, see object
    * comment): 10^((i−255)·7/255) — monotone, 140 dB span, exact for
@@ -350,26 +348,10 @@ object Vorbis {
     if (br.eop) sys.error("vorbis: eop in floor1 header")
     val xList = xs.toArray
     if (xList.distinct.length != xList.length) sys.error("vorbis: floor1 X not unique")
-    val order = xList.indices.sortBy(xList).toArray
-    // low/high neighbors per spec: among posts BEFORE i in post order
-    val neigh = new Array[(Int, Int)](xList.length)
-    var i = 2
-    while (i < xList.length) {
-      var lo = 0
-      var hi = 1
-      var j = 0
-      while (j < i) {
-        if (xList(j) < xList(i) && xList(j) > xList(lo)) lo = j
-        if (xList(j) > xList(i) && xList(j) < xList(hi)) hi = j
-        j += 1
-      }
-      neigh(i) = (lo, hi)
-      i += 1
-    }
-    Floor1(pclass, dims, subs, masters, books, multiplier, xList, order, neigh)
+    Floor1(pclass, dims, subs, masters, books, multiplier, xList)
   }
 
-  private def renderPoint(x0: Int, y0: Int, x1: Int, y1: Int, x: Int): Int = {
+  private[graft] def renderPoint(x0: Int, y0: Int, x1: Int, y1: Int, x: Int): Int = {
     val dy = y1 - y0
     val adx = x1 - x0
     val ady = math.abs(dy)
@@ -436,15 +418,34 @@ object Vorbis {
       offset += cdim
       p += 1
     }
-    // amplitude synthesis (spec step 2)
+    floor1Synth(f.xList, y, f.multiplier, n2, out)
+    true
+  }
+
+  /** Amplitude synthesis (spec step 2: neighbor prediction, room
+   * folding) + curve synthesis from the RAW post values — shared
+   * with the encoder direction ([[graft.tools.VorbisEncoder]]) so
+   * analysis divides by the EXACT curve synthesis renders. */
+  private[graft] def floor1Synth(xList: Array[Int], y: Array[Int],
+      multiplier: Int, n2: Int, out: Array[Float]): Unit = {
+    val values = xList.length
+    val range = Array(256, 128, 86, 64)(multiplier - 1)
     val finalY = new Array[Int](values)
     val step2 = new Array[Boolean](values)
     step2(0) = true; step2(1) = true
     finalY(0) = y(0); finalY(1) = y(1)
     var i = 2
     while (i < values) {
-      val (lo, hi) = f.neighbors(i)
-      val predicted = renderPoint(f.xList(lo), finalY(lo), f.xList(hi), finalY(hi), f.xList(i))
+      // low/high neighbors per spec: among posts BEFORE i
+      var lo = 0
+      var hi = 1
+      var j = 0
+      while (j < i) {
+        if (xList(j) < xList(i) && xList(j) > xList(lo)) lo = j
+        if (xList(j) > xList(i) && xList(j) < xList(hi)) hi = j
+        j += 1
+      }
+      val predicted = renderPoint(xList(lo), finalY(lo), xList(hi), finalY(hi), xList(i))
       val v = y(i)
       val highroom = range - predicted
       val lowroom = predicted
@@ -464,16 +465,17 @@ object Vorbis {
       i += 1
     }
     // curve synthesis over the sorted posts
+    val sortOrder = xList.indices.sortBy(xList).toArray
     var hx = 0
     var lx = 0
-    var ly = math.min(finalY(f.sortOrder(0)), range - 1) * f.multiplier
+    var ly = math.min(finalY(sortOrder(0)), range - 1) * multiplier
     var k = 1
     var hy = 0
     while (k < values) {
-      val idx = f.sortOrder(k)
+      val idx = sortOrder(k)
       if (step2(idx)) {
-        hy = math.min(finalY(idx), range - 1) * f.multiplier
-        hx = f.xList(idx)
+        hy = math.min(finalY(idx), range - 1) * multiplier
+        hx = xList(idx)
         renderLine(lx, ly, hx, hy, out, n2)
         lx = hx
         ly = hy
@@ -485,7 +487,6 @@ object Vorbis {
       val v = InverseDb(math.min(255, math.max(0, ly)))
       while (x < n2) { out(x) = v; x += 1 }
     }
-    true
   }
 
   // --------------------------------------------------------- residue

@@ -95,9 +95,10 @@ object VorbisEncoder {
 
   /** The three header packets for `ch` channels at `rate`, block
    * sizes 2^log0 / 2^log1 (the residue's `end` covers the LONG
-   * block's interleaved vector; short blocks clamp per spec). */
-  private def headers(ch: Int, rate: Int, log0: Int,
-      log1: Int): (Array[Byte], Array[Byte], Array[Byte]) = {
+   * block's vector — interleaved for type 2, per-channel for types
+   * 0/1; short blocks clamp per spec). */
+  private def headers(ch: Int, rate: Int, log0: Int, log1: Int,
+      resType: Int): (Array[Byte], Array[Byte], Array[Byte]) = {
     val idw = new Bw
     idw.bits(1, 8); "vorbis".foreach(c => idw.bits(c.toLong, 8))
     idw.bits(0, 32) // version
@@ -132,10 +133,10 @@ object VorbisEncoder {
     sw.bits(2 - 1, 2) // multiplier − 1
     sw.bits(7, 4) // rangebits → X range [0, 128]
     sw.bits(32, 7); sw.bits(64, 7) // the two partition posts
-    // one residue, type 2
-    sw.bits(0, 6); sw.bits(2, 16)
+    // one residue of the requested type
+    sw.bits(0, 6); sw.bits(resType, 16)
     sw.bits(0, 24) // begin
-    sw.bits((1 << (log1 - 1)) * ch, 24) // end (long block's vector)
+    sw.bits((1 << (log1 - 1)) * (if (resType == 2) ch else 1), 24) // end
     sw.bits(32 - 1, 24) // partition size
     sw.bits(2 - 1, 6) // classifications
     sw.bits(0, 8) // classbook = book 0
@@ -208,7 +209,8 @@ object VorbisEncoder {
    * `endVec` is the residue header's `end` (the long block's vector
    * length — short blocks clamp to their own, per spec). */
   private def audioPacket(specs: Array[Array[Double]], mode: Int,
-      prevFlag: Boolean, nextFlag: Boolean, endVec: Int): Array[Byte] = {
+      prevFlag: Boolean, nextFlag: Boolean, endVec: Int,
+      resType: Int): Array[Byte] = {
     val ch = specs.length
     val n2 = specs(0).length
     val bw = new Bw
@@ -218,23 +220,40 @@ object VorbisEncoder {
       bw.bits(if (prevFlag) 1 else 0, 1)
       bw.bits(if (nextFlag) 1 else 0, 1)
     }
-    // flat floor per channel
+    // SHAPED floor per channel: base level from the peak, interior
+    // posts RAISED (post at x=32 by up to 6 levels, x=64 by 2 above
+    // its neighbor prediction) — every frame exercises the decoder's
+    // prediction, room-folding and Bresenham line branches, and a
+    // raised curve only shrinks residues, so the lattice headroom
+    // (incl. the stereo angle) is preserved. The curve is rendered
+    // through the DECODER's own floor1Synth, so division is exact.
+    val xList = Array(0, 1 << 7, 32, 64)
     val levels = specs.map { s =>
       var m = 0.0
       var i = 0
       while (i < n2) { m = math.max(m, math.abs(s(i))); i += 1 }
       floorLevel(m)
     }
+    val curves = Array.ofDim[Float](ch, n2)
+    val rawYs = Array.tabulate(ch) { c =>
+      val l = levels(c)
+      val d2 = math.max(0, math.min(6, math.min(127 - l, l - 1)))
+      val p3 = graft.ops.Vorbis.renderPoint(32, l + d2, 128, l, 64)
+      val d3 = math.max(0, math.min(2, math.min(127 - p3, p3 - 1)))
+      val raw = Array(l, l, 2 * d2, 2 * d3)
+      graft.ops.Vorbis.floor1Synth(xList, raw, 2, n2, curves(c))
+      raw
+    }
     var c = 0
     while (c < ch) {
       bw.bits(1, 1) // nonzero
-      bw.bits(levels(c).toLong, 7) // y0 (raw, ilog(127) bits)
-      bw.bits(levels(c).toLong, 7) // y1
-      bw.code(0, 7); bw.code(0, 7) // interior posts: deviation 0 via the floor book
+      bw.bits(rawYs(c)(0).toLong, 7) // y0 (raw, ilog(127) bits)
+      bw.bits(rawYs(c)(1).toLong, 7) // y1
+      bw.code(rawYs(c)(2), 7); bw.code(rawYs(c)(3), 7) // posts via the floor book
       c += 1
     }
-    // residues r = spec / floorValue, then square-polar coupling
-    val r = Array.tabulate(ch, n2)((c0, i) => specs(c0)(i) / invDb(levels(c0)))
+    // residues r = spec / floorCurve, then square-polar coupling
+    val r = Array.tabulate(ch, n2)((c0, i) => specs(c0)(i) / curves(c0)(i))
     val inter = new Array[Double](n2 * ch)
     if (ch == 2) {
       var i = 0
@@ -251,14 +270,15 @@ object VorbisEncoder {
       var i = 0
       while (i < n2) { inter(i) = r(0)(i); i += 1 }
     }
-    // residue type 2: one interleaved vector, partitions of 32, all
-    // class 1, classwords of 4, two cascade passes; the decoded
-    // range is [begin, min(end, n2·ch)) per spec
+    // residue emission: partitions of 32, all class 1, classwords of
+    // 4, two cascade passes; the decoded range is [begin,
+    // min(end, vector length)) per spec. Types 1 and 2 lay each
+    // partition out contiguously (type 2 over the interleaved
+    // vector); type 0 strides — vector s carries elements
+    // (off+s, off+s+step) with step = psize/dims = 16
     val nVec = math.min(endVec, n2 * ch)
     val partitions = nVec / 32
     val coarse = new Array[Double](nVec)
-    // pass layout: per pass, per classword group: [classword if pass
-    // 0] then the group's partitions' VQ vectors
     for (pass <- 0 until 2) {
       var pc = 0
       while (pc < partitions) {
@@ -267,16 +287,17 @@ object VorbisEncoder {
         while (w < 4 && pc < partitions) {
           var j = 0
           while (j < 16) { // 16 dim-2 vectors per partition
-            val base = pc * 32 + 2 * j
+            val e0 = if (resType == 0) pc * 32 + j else pc * 32 + 2 * j
+            val e1 = if (resType == 0) pc * 32 + j + 16 else pc * 32 + 2 * j + 1
             if (pass == 0) {
-              val i0 = quantIdx(inter(base), -1.0, 0.125)
-              val i1 = quantIdx(inter(base + 1), -1.0, 0.125)
-              coarse(base) = -1.0 + i0 * 0.125
-              coarse(base + 1) = -1.0 + i1 * 0.125
+              val i0 = quantIdx(inter(e0), -1.0, 0.125)
+              val i1 = quantIdx(inter(e1), -1.0, 0.125)
+              coarse(e0) = -1.0 + i0 * 0.125
+              coarse(e1) = -1.0 + i1 * 0.125
               bw.code(i1 * 16 + i0, 8)
             } else {
-              val i0 = quantIdx(inter(base) - coarse(base), -0.0625, 1.0 / 128)
-              val i1 = quantIdx(inter(base + 1) - coarse(base + 1), -0.0625, 1.0 / 128)
+              val i0 = quantIdx(inter(e0) - coarse(e0), -0.0625, 1.0 / 128)
+              val i1 = quantIdx(inter(e1) - coarse(e1), -0.0625, 1.0 / 128)
               bw.code(i1 * 16 + i0, 8)
             }
             j += 1
@@ -351,13 +372,15 @@ object VorbisEncoder {
    * flag-dependent window, and the EOS granule is the exact input
    * length — decode returns exactly that many samples. */
   private def encodeScheduled(chans: Seq[Array[Int]], rate: Int,
-      log0: Int, log1: Int, sizes: IndexedSeq[Int]): Array[Byte] = {
+      log0: Int, log1: Int, sizes: IndexedSeq[Int],
+      resType: Int = 2): Array[Byte] = {
     val ch = chans.size
     require(ch == 1 || ch == 2, "mono or stereo")
+    require(resType == 2 || ch == 1, "residue 0/1 encode is mono-only here")
     val t = chans.head.length
     val bs0 = 1 << log0
-    val endVec = (1 << (log1 - 1)) * ch
-    val (idp, cmp, sup) = headers(ch, rate, log0, log1)
+    val endVec = (1 << (log1 - 1)) * (if (resType == 2) ch else 1)
+    val (idp, cmp, sup) = headers(ch, rate, log0, log1, resType)
     val serial = 0x67726166 // 'graf'
     val pages = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     pages += page(Seq(idp), 2, 0L, serial, 0)
@@ -404,7 +427,7 @@ object VorbisEncoder {
         specs(c) = mdct(frame, n)
         c += 1
       }
-      pending += audioPacket(specs, mode, prevFlag, nextFlag, endVec)
+      pending += audioPacket(specs, mode, prevFlag, nextFlag, endVec, resType)
       if (pending.size >= 40) flush(eos = false)
       b += 1
     }
@@ -422,6 +445,16 @@ object VorbisEncoder {
 
   def encode(pcm: Array[Int], rate: Int): Array[Byte] =
     encodeChannels(Seq(pcm), rate)
+
+  /** Mono encode through residue type 0 or 1 (uniform 512 blocks) —
+   * exercises the decoder's per-channel residue layouts (type 0's
+   * strided partitions in particular), which real coupled streams
+   * rarely use but the spec requires. */
+  def encodeMonoResidue(pcm: Array[Int], rate: Int, resType: Int): Array[Byte] = {
+    require(resType == 0 || resType == 1)
+    val blocks = (pcm.length + N2 - 1) / N2 + 1
+    encodeScheduled(Seq(pcm), rate, 9, 9, IndexedSeq.fill(blocks)(N), resType)
+  }
 
   def encodeStereo(l: Array[Int], r: Array[Int], rate: Int): Array[Byte] =
     encodeChannels(Seq(l, r), rate)
