@@ -915,12 +915,26 @@ object SparkEntry {
     // while the structural ogg.parquet fakes (BOS-header-only, incl.
     // all Opus rows) correctly count zero, the same split as the
     // junk-bodied mp3.parquet frames vs the real mp3dup streams
-    "q_m40_audio_coverage" -> ((s, _) =>
+    "q_m40_audio_coverage" -> ((s, _) => {
+      import s.implicits._
+      // MP3-in-TS measured class (round 19): the mp3dup odd rows
+      // re-muxed into TS audio PES at query time (deterministic;
+      // the junk groups wrap into valid TS grids whose ES honestly
+      // fails to decode — the class gets a real negative line)
+      val tsmp3 = Tables.mp3dup(s)
+        .select(col("media_id"), col("mime_type"), col("media"))
+        .as[Multimodal.MediaRow]
+        .filter(_.media_id % 2 == 1)
+        .map(r => (r.media_id, "video/mp2t",
+          graft.tools.TsFixture.tsFromAudioEs(r.media)))
+        .toDF("media_id", "mime_type", "media")
       AudioFp.decodeCoverage(s, Tables.audiodup(s)
         .unionByName(Tables.audio(s)).unionByName(Tables.mp3(s))
         .unionByName(Tables.aac(s)).unionByName(Tables.ogg(s))
         .unionByName(Tables.flac(s)).unionByName(Tables.flacpcm(s))
-        .unionByName(Tables.mp3dup(s)).unionByName(Tables.vorbisdup(s)))),
+        .unionByName(Tables.mp3dup(s)).unionByName(Tables.vorbisdup(s))
+        .unionByName(tsmp3))
+    }),
     // q_m41: VIDEO decode coverage — per (mime_type, container) the
     // q_m38 pixel path (MJPEG only) and payload-digest path (AVI /
     // MP4 / fragmented-MP4 / WebM video-track blocks / MPEG-TS PES
@@ -4914,7 +4928,15 @@ object SparkEntry {
          |    -- round 19: real Vorbis streams DECODE (the structural
          |    -- ogg.parquet fakes above stay the container's zeros)
          |    CASE WHEN (media_id // 2) % 8 = 7 THEN 0 ELSE 1 END
-         |  FROM read_parquet('${Tables.vorbisdupFixturePath}'))
+         |  FROM read_parquet('${Tables.vorbisdupFixturePath}')
+         |  UNION ALL
+         |  -- MP3-in-TS (round 19): the odd mp3dup rows re-muxed into
+         |  -- TS audio PES; real groups decode through PES reassembly
+         |  -- + the Layer III decoder, junk-ES groups honestly don't
+         |  SELECT 'video/mp2t', 'mpeg-ts',
+         |    CASE WHEN (media_id // 2) % 8 = 7 THEN 0 ELSE 1 END
+         |  FROM read_parquet('${Tables.mp3dupFixturePath}')
+         |  WHERE media_id % 2 = 1)
          | SELECT mime_type, container, CAST(count(*) AS BIGINT) AS n,
          |   CAST(sum(ok) AS BIGINT) AS n_decoded
          | FROM u GROUP BY mime_type, container""".stripMargin,

@@ -152,7 +152,24 @@ object AudioFp {
         t += 1
       }
       out
-    })
+    }).orElse(
+      // MP3-in-TS (round 19): reassemble the MPEG-audio PID's PES
+      // payloads into the elementary stream and feed the same Layer
+      // III decoder — HLS audio segments fingerprint like bare .mp3
+      Multimodal.AvHeaders.tsMpegAudioEs(b)
+        .flatMap(es => Mp3.decode(es)).filter(_.samples.nonEmpty).map { p =>
+          val n = p.samples.length / p.channels
+          val out = new Array[Float](n)
+          var t = 0
+          while (t < n) {
+            var acc = 0f
+            var c = 0
+            while (c < p.channels) { acc += p.samples(t * p.channels + c); c += 1 }
+            out(t) = acc / p.channels
+            t += 1
+          }
+          out
+        })
   }
 
   /** In-place iterative radix-2 FFT (re, im of length n = 2^k). */
@@ -306,6 +323,8 @@ object AudioFp {
     else if (tag(0, "fLaC")) "flac"
     else if (tag(0, ".snd")) "au"
     else if (tag(0, "OggS")) "ogg"
+    else if ((b(0) & 0xff) == 0x47 && b.length >= 189 &&
+      (b(188) & 0xff) == 0x47) "mpeg-ts"
     else if (Multimodal.AvHeaders.mp3Frames(b).nonEmpty) "mp3"
     else if (Multimodal.AvHeaders.adtsFrames(b).nonEmpty) "aac-adts"
     else if (tag(0, "ID3")) "id3-tag-only"

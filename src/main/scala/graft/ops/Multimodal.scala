@@ -1988,11 +1988,20 @@ object Multimodal {
     private def tsPayloadOff(b: Array[Byte], p: Int): Int =
       if (tsAfc(b, p) >= 2) p + 5 + (b(p + 4) & 0xff) else p + 4
 
-    /** PAT → PMT → video elementary PIDs (by stream_type) plus the
-     * count of packets before the first bad sync byte. Passes 1–2 of
-     * the TS walk, shared by [[tsPesStarts]] and
-     * [[tsVideoPesSamples]]. */
-    private def tsVideoPids(b: Array[Byte]): (Set[Int], Int) = {
+    /** MPEG-1/2 audio PMT stream_types (the MP3 family the Layer III
+     * decoder reads); AAC-ADTS (0x0F) stays out — its reassembled ES
+     * is ADTS frames nothing here decodes (the same honest zero as
+     * bare .aac files). */
+    private val TsMpegAudioStreamTypes = Set(0x03, 0x04)
+
+    private def tsVideoPids(b: Array[Byte]): (Set[Int], Int) =
+      tsPids(b, TsVideoStreamTypes)
+
+    /** PAT → PMT → elementary PIDs of the wanted stream_types plus
+     * the count of packets before the first bad sync byte. Passes
+     * 1–2 of the TS walk, shared by [[tsPesStarts]],
+     * [[tsVideoPesSamples]] and [[tsMpegAudioEs]]. */
+    private def tsPids(b: Array[Byte], wanted: Set[Int]): (Set[Int], Int) = {
       val nPkts = b.length / 188
       // PSI section start: payload offset + 1 + pointer_field
       def sectionStart(p: Int): Int = {
@@ -2029,7 +2038,7 @@ object Multimodal {
       }
       val lastSync = j // packets beyond the first bad sync never parse
       if (pmtPids.isEmpty) return (Set.empty, lastSync)
-      // pass 2: PMT → video elementary PIDs by stream_type
+      // pass 2: PMT → elementary PIDs by stream_type
       val videoPids = scala.collection.mutable.Set.empty[Int]
       j = 0
       while (j < lastSync) {
@@ -2045,7 +2054,7 @@ object Multimodal {
               val st = b(q) & 0xff
               val epid = ((b(q + 1) & 0x1f) << 8) | (b(q + 2) & 0xff)
               val esLen = ((b(q + 3) & 0x0f) << 8) | (b(q + 4) & 0xff)
-              if (TsVideoStreamTypes(st)) videoPids += epid
+              if (wanted(st)) videoPids += epid
               q += 5 + esLen
             }
           }
@@ -2111,6 +2120,37 @@ object Multimodal {
       if (b == null || b.length < 188 || (b(0) & 0xff) != 0x47) return Nil
       val (videoPids, lastSync) = tsVideoPids(b)
       if (videoPids.isEmpty) return Nil
+      tsPesPayloadGroups(b, videoPids, lastSync)
+    }
+
+    /** Reassembled MPEG-1/2 AUDIO elementary stream of a TS segment
+     * (round 19): PES payloads of the first MP3-family audio PID
+     * concatenated — the ES is a plain Layer III frame stream, so
+     * MP3-in-TS feeds the same real decoder (and fingerprint) as
+     * bare .mp3 files. PES packetization need not align to MP3
+     * frames; concatenation is the spec's ES recovery. */
+    private[ops] def tsMpegAudioEs(b: Array[Byte]): Option[Array[Byte]] = {
+      if (b == null || b.length < 188 || (b(0) & 0xff) != 0x47) return None
+      val (pids, lastSync) = tsPids(b, TsMpegAudioStreamTypes)
+      if (pids.isEmpty) return None
+      val groups = tsPesPayloadGroups(b, pids, lastSync)
+      if (groups.isEmpty) return None
+      var total = 0L
+      for (g <- groups; (_, len) <- g) total += len
+      if (total <= 0 || total > (64L << 20)) return None // hostile cap
+      val out = new Array[Byte](total.toInt)
+      var o = 0
+      for (g <- groups; (off, len) <- g) {
+        System.arraycopy(b, off, out, o, len)
+        o += len
+      }
+      Some(out)
+    }
+
+    /** The per-PES payload reassembly walk over an already-resolved
+     * PID set ([[tsVideoPesSamples]] / [[tsMpegAudioEs]] share it). */
+    private def tsPesPayloadGroups(b: Array[Byte], videoPids: Set[Int],
+        lastSync: Int): Seq[Seq[(Int, Int)]] = {
       val done = scala.collection.mutable.Map.empty[Int,
         scala.collection.mutable.ArrayBuffer[Seq[(Int, Int)]]]
       val cur = scala.collection.mutable.Map.empty[Int,

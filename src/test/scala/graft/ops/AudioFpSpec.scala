@@ -87,6 +87,31 @@ class AudioFpSpec extends SparkSpec {
     }
   }
 
+  test("MP3-in-TS: PES reassembly recovers the elementary stream, decode and gate hold") {
+    import graft.tools.{Mp3DupFixture, Mp3Encoder, TsFixture}
+    val pcm = Mp3DupFixture.basePcm(3L)
+    val mp3 = Mp3Encoder.encode(pcm, Mp3DupFixture.SampleRate)
+    val ts = TsFixture.tsFromAudioEs(mp3)
+    // ES recovery is byte-exact (PES boundaries don't align to frames)
+    assert(Multimodal.AvHeaders.tsMpegAudioEs(ts).exists(_.sameElements(mp3)))
+    assert(AudioFp.audioContainer(ts) == "mpeg-ts")
+    // the TS wrap decodes to the SAME samples as the bare stream
+    val bare = AudioFp.monoSamples(mp3).get
+    val wrapped = AudioFp.monoSamples(ts).get
+    assert(wrapped.length == bare.length && wrapped.sameElements(bare))
+    // and the fingerprint twin pair (WAV vs MP3-in-TS) stays inside
+    // the codec gate — HLS audio segments dedup against originals
+    val a = AudioFp.signature(Mp3DupFixture.wav(pcm)).get
+    val b = AudioFp.signature(ts).get
+    val d = (0 until AudioFp.SigBands).map(k => Integer.bitCount(a(k) ^ b(k))).sum
+    assert(d <= 7, s"ts-wrapped twin at hamming $d")
+    // junk ES wrapped in a valid TS grid claims nothing
+    assert(AudioFp.monoSamples(
+      TsFixture.tsFromAudioEs("junk, not audio".getBytes("US-ASCII"))).isEmpty)
+    // the VIDEO ts fixture has no MPEG-audio stream: claims nothing
+    assert(AudioFp.monoSamples(TsFixture.ts(2L)).isEmpty)
+  }
+
   test("container sniff labels every fixture class the oracle expects") {
     import graft.tools.{AacFixture, AudioFixture, FlacFixture, Mp3Fixture, OggFixture}
     assert(AudioFp.audioContainer(AudioDupFixture.row(0L)._2) == "wav")
