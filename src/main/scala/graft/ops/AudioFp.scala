@@ -66,19 +66,18 @@ object AudioFp {
       }
       out
     }
-    val wav = Multimodal.AvHeaders.wavSamples(b).collect {
-      case (fmt, ch, bits, off, len) if fmt == 1 || fmt == 6 || fmt == 7 =>
-        val bytesPer = if (fmt == 1) bits / 8 else 1
+    // linear (8/16/24/32-bit), IEEE-float and companded WAV — every
+    // (format, bits) pair wavSamples admits, through the ONE shared
+    // sample reader (round 19: 24-bit and float studio masters were
+    // silent skips before)
+    val wav = Multimodal.AvHeaders.wavSamples(b).map {
+      case (fmt, ch, bits, off, len) =>
+        val bytesPer = bits / 8
         val frameBytes = ch * bytesPer
         val n = math.min(len, b.length - off) / frameBytes
         mono(n, ch) { (t, c) =>
           val o = off + t * frameBytes + c * bytesPer
-          fmt match {
-            case 1 if bits == 8 => ((b(o) & 0xff) - 128) / 128f
-            case 1 => ((b(o) & 0xff) | (b(o + 1) << 8)) / 32768f
-            case 6 => Multimodal.MediaCodec.AlawTable(b(o) & 0xff) / 32768f
-            case _ => Multimodal.MediaCodec.UlawTable(b(o) & 0xff) / 32768f
-          }
+          Multimodal.AvHeaders.wavSampleAt(b, fmt, bits, o)
         }
     }
     val aiff = Multimodal.AvHeaders.aiffSamples(b).map { case (ch, bits, off, len) =>

@@ -446,13 +446,37 @@ object Multimodal {
       for {
         (audioFormat, ch, bits) <- fmt
         if ch > 0 && (audioFormat match {
-          case 1 => bits == 8 || bits == 16
+          case 1 => bits == 8 || bits == 16 || bits == 24 || bits == 32
+          case 3 => bits == 32 // IEEE float
           case 6 | 7 => bits == 8 // G.711 A-law / mu-law
           case _ => false
         })
         (off, len) <- data
       } yield (audioFormat, ch, bits, off, len)
     }
+
+    /** Signed normalized sample read for every (format, bits) pair
+     * [[wavSamples]] admits — ONE reader shared by the feature
+     * envelope and the fingerprint decode so the two paths can never
+     * disagree on sign/width conventions. Float samples are clamped
+     * to [−1, 1] and NaNs read as silence (hostile-input totality). */
+    private[ops] def wavSampleAt(b: Array[Byte], fmt: Int, bits: Int, o: Int): Float =
+      fmt match {
+        case 1 if bits == 8 => ((b(o) & 0xff) - 128) / 128f
+        case 1 if bits == 16 => ((b(o) & 0xff) | (b(o + 1) << 8)) / 32768f
+        case 1 if bits == 24 =>
+          ((b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | (b(o + 2) << 16)) / 8388608f
+        case 1 => // 32-bit LE PCM
+          ((b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) |
+            (b(o + 3) << 24)).toFloat / 2147483648f
+        case 3 => // IEEE float32 LE
+          val v = java.lang.Float.intBitsToFloat(
+            (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) |
+              (b(o + 3) << 24))
+          if (v.isNaN) 0f else math.max(-1f, math.min(1f, v))
+        case 6 => MediaCodec.AlawTable(b(o) & 0xff) / 32768f
+        case _ => MediaCodec.UlawTable(b(o) & 0xff) / 32768f
+      }
 
     /**
      * Audio clip windows for [[frameSample]] — the audio analogue of
@@ -3245,9 +3269,10 @@ object Multimodal {
     /**
      * Real sample decode for WAV, AIFF and AU containers — pure public
      * byte formats, no codec library, no shared locks: linear PCM
-     * (WAV LE 8-bit-unsigned/16-bit; AIFF BE 8-bit-SIGNED/16-bit; AU
-     * BE 8/16-bit) and G.711 A-law / mu-law (genuinely compressed,
-     * logarithmically companded — expanded through 256-entry tables)
+     * (WAV LE 8-bit-unsigned/16/24/32-bit and IEEE float32; AIFF BE
+     * 8-bit-SIGNED/16-bit; AU BE 8/16-bit) and G.711 A-law / mu-law
+     * (genuinely compressed, logarithmically companded — expanded
+     * through 256-entry tables)
      * from the container's data chunk, located by the format's own
      * chunk/box walk. Samples are averaged across channels and reduced
      * to a [[FeatureDim]]-cell mean-|amplitude| envelope in [0,1] —
@@ -3268,12 +3293,7 @@ object Multimodal {
         val nFrames = math.min(len, bytes.length - off) / frameBytes
         envelopeOf(nFrames, channels) { (f, c) =>
           val o = off + f * frameBytes + c * bytesPerSample
-          fmtTag match {
-            case 1 if bits == 8 => math.abs((bytes(o) & 0xff) - 128) / 128f
-            case 1 => math.abs(((bytes(o + 1) << 8) | (bytes(o) & 0xff)).toShort / 32768f)
-            case 6 => math.abs(AlawTable(bytes(o) & 0xff) / 32768f)
-            case _ => math.abs(UlawTable(bytes(o) & 0xff) / 32768f)
-          }
+          math.abs(AvHeaders.wavSampleAt(bytes, fmtTag, bits, o))
         }
       }
 

@@ -87,6 +87,53 @@ class AudioFpSpec extends SparkSpec {
     }
   }
 
+  test("24/32-bit and IEEE-float WAVs decode signed and fingerprint-match their 16-bit twin") {
+    import graft.tools.Mp3DupFixture
+    val pcm = Mp3DupFixture.basePcm(8L)
+    def wavOf(fmt: Int, bits: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def ascii(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+      def le32(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff)
+        out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff) }
+      def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      val bp = bits / 8
+      val dataLen = pcm.length * bp
+      ascii("RIFF"); le32(36 + dataLen); ascii("WAVE")
+      ascii("fmt "); le32(16); le16(fmt); le16(1); le32(32000)
+      le32(32000 * bp); le16(bp); le16(bits)
+      ascii("data"); le32(dataLen)
+      pcm.foreach { v =>
+        if (fmt == 3) le32(java.lang.Float.floatToIntBits(v / 32768f))
+        else if (bits == 24) { val s = v << 8; out.write(s & 0xff)
+          out.write((s >> 8) & 0xff); out.write((s >> 16) & 0xff) }
+        else le32(v << 16) // 32-bit PCM
+      }
+      out.toByteArray
+    }
+    val ref = AudioFp.signature(Mp3DupFixture.wav(pcm)).get
+    for ((fmt, bits, name) <- Seq((1, 24, "pcm24"), (1, 32, "pcm32"), (3, 32, "float32"))) {
+      val w = wavOf(fmt, bits)
+      val s = AudioFp.monoSamples(w).getOrElse(sys.error(s"$name claims nothing"))
+      assert(s.length == pcm.length)
+      // signed + correctly scaled: the samples match the 16-bit
+      // source to quantization precision
+      var maxErr = 0.0
+      var i = 0
+      while (i < s.length) {
+        maxErr = math.max(maxErr, math.abs(s(i) - pcm(i) / 32768.0)); i += 1
+      }
+      assert(maxErr < 1e-4, s"$name max sample error $maxErr")
+      val sig = AudioFp.signature(w).get
+      val d = (0 until AudioFp.SigBands).map(k => Integer.bitCount(ref(k) ^ sig(k))).sum
+      assert(d <= 3, s"$name twin at hamming $d")
+    }
+    // a float WAV carrying NaNs/overrange values reads as clamped
+    // silence, never an exception
+    val hostile = wavOf(3, 32).clone()
+    java.util.Arrays.fill(hostile, 60, 180, 0xff.toByte)
+    assert(AudioFp.monoSamples(hostile).isDefined)
+  }
+
   test("MP3-in-TS: PES reassembly recovers the elementary stream, decode and gate hold") {
     import graft.tools.{Mp3DupFixture, Mp3Encoder, TsFixture}
     val pcm = Mp3DupFixture.basePcm(3L)
