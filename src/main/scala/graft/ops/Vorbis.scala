@@ -901,7 +901,9 @@ object Vorbis {
     var prevN = 0
     val windowCache = scala.collection.mutable.Map.empty[(Int, Boolean, Boolean), Array[Double]]
     var emitted = 0L
-    for (pk <- audio if emitted < MaxSamples) {
+    // the cap bounds TOTAL floats across channels (an 8-channel
+    // hostile stream must not 8x the budget)
+    for (pk <- audio if emitted * ch < MaxSamples) {
       val br = new Br(pk)
       if (br.bit1() == 0 && !br.eop) {
         val mode = br.read(ilog(st.modeBlockflag.length - 1))

@@ -223,6 +223,39 @@ class VorbisSpec extends SparkSpec {
     assert(cut.get.samples.length < Mp3DupFixture.NSamples)
   }
 
+  test("fuzz: random corruption of valid streams is total — decodes or claims nothing") {
+    // 100 TB of crawl bytes WILL hit every corruption; the decoder
+    // must be total (bounded loops, caught structural errors), never
+    // throw or hang. Seeded: failures reproduce.
+    val base = graft.tools.VorbisEncoder.encode(Mp3DupFixture.basePcm(5L), 32000)
+    val switched = graft.tools.VorbisEncoder.encodeSwitched(Mp3DupFixture.basePcm(5L), 32000)
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 120) {
+      val src = if (trial % 2 == 0) base else switched
+      val b = src.clone()
+      val flips = 1 + rnd.nextInt(8)
+      for (_ <- 0 until flips)
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      Vorbis.decode(b) // must return, Some or None — any throw fails
+    }
+    for (trial <- 0 until 40) {
+      val src = if (trial % 2 == 0) base else switched
+      val cut = 1 + rnd.nextInt(src.length - 1)
+      Vorbis.decode(java.util.Arrays.copyOf(src, cut))
+    }
+    // the TS walks under the same discipline
+    val mp3 = graft.tools.Mp3Encoder.encode(Mp3DupFixture.basePcm(5L), 32000)
+    val ts = graft.tools.TsFixture.tsFromAudioEs(mp3)
+    for (_ <- 0 until 60) {
+      val b = ts.clone()
+      for (_ <- 0 until 1 + rnd.nextInt(6))
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      AudioFp.monoSamples(b)
+      Multimodal.AvHeaders.tsVideoPesSamples(b)
+    }
+    succeed
+  }
+
   test("a hostile setup header (bad codebook) claims nothing, never throws") {
     val ogg = VorbisEncoder.encode(Mp3DupFixture.basePcm(4L), 32000)
     // find the setup packet's codebook sync on the second page and
