@@ -758,10 +758,20 @@ class PlanAuditSpec extends SparkSpec {
       assert(shuffles(plan).isEmpty, s"${shuffles(plan).size} shuffles:\n$plan")
     }
     // audio fingerprints: decode + FFTs map-side, zero exchanges;
-    // the pair join ships only (id, 4 ints) rows
+    // the pair join ships only (id, 8 ints) rows
     audited(graft.ops.AudioFp.fingerprintTable(spark,
         Tables.audiodup(spark))) { plan =>
       assert(shuffles(plan).isEmpty, s"${shuffles(plan).size} shuffles:\n$plan")
+    }
+    // the banded pair join (q_m37/43/44 share it): the 8-way band
+    // explode is a union of projections (NO exchange per band), the
+    // self-join keys on (band, key) — bounded exchanges, never a
+    // cartesian, and the distinct adds at most one more
+    audited(graft.ops.AudioFp.nearDupPairsCodec(
+        graft.ops.AudioFp.fingerprintTable(spark, Tables.vorbisdup(spark)))) { plan =>
+      assert(shuffles(plan).size <= 3, s"${shuffles(plan).size} shuffles:\n$plan")
+      assert(plan.collect { case c: CartesianProductExec => c }.isEmpty, plan.toString)
+      assert(plan.collect { case c: BroadcastNestedLoopJoinExec => c }.isEmpty, plan.toString)
     }
     // video re-mux signatures: frame walks + pixel decode map-side
     audited(graft.ops.VideoDup.signatureTable(spark,
