@@ -84,25 +84,15 @@ object AudioFp {
       val bytesPer = bits / 8
       val frameBytes = ch * bytesPer
       val n = math.min(len, b.length - off) / frameBytes
-      mono(n, ch) { (t, c) =>
-        val o = off + t * frameBytes + c * bytesPer
-        if (bits == 8) b(o) / 128f // AIFF PCM8 is SIGNED
-        else ((b(o) << 8) | (b(o + 1) & 0xff)).toShort / 32768f
-      }
+      mono(n, ch)((t, c) =>
+        Multimodal.AvHeaders.aiffSampleAt(b, bits, off + t * frameBytes + c * bytesPer))
     }
     val au = Multimodal.AvHeaders.auSamples(b).map { case (enc, ch, off, len) =>
-      val bytesPer = if (enc == 3) 2 else 1
+      val bytesPer = Multimodal.AvHeaders.auBytesPer(enc)
       val frameBytes = ch * bytesPer
       val n = math.min(len, b.length - off) / frameBytes
-      mono(n, ch) { (t, c) =>
-        val o = off + t * frameBytes + c * bytesPer
-        enc match {
-          case 1 => Multimodal.MediaCodec.UlawTable(b(o) & 0xff) / 32768f
-          case 2 => b(o) / 128f // AU PCM8 is signed
-          case 3 => ((b(o) << 8) | (b(o + 1) & 0xff)).toShort / 32768f
-          case _ => Multimodal.MediaCodec.AlawTable(b(o) & 0xff) / 32768f
-        }
-      }
+      mono(n, ch)((t, c) =>
+        Multimodal.AvHeaders.auSampleAt(b, enc, off + t * frameBytes + c * bytesPer))
     }
     // IMA ADPCM WAV (fmt 17): the real adaptive-step decode shared
     // with the feature envelope — fmt-17 files fingerprint instead of

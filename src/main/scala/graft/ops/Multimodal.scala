@@ -595,10 +595,41 @@ object Multimodal {
       }
       for {
         (ch, bits) <- comm
-        if ch > 0 && (bits == 8 || bits == 16)
+        if ch > 0 && (bits == 8 || bits == 16 || bits == 24 || bits == 32)
         (off, len) <- ssnd
       } yield (ch, bits, off, len)
     }
+
+    /** Signed normalized BE sample read for the widths [[aiffSamples]]
+     * admits (AIFF PCM8 is SIGNED, unlike WAV). Shared by the feature
+     * envelope and the fingerprint decode. */
+    private[ops] def aiffSampleAt(b: Array[Byte], bits: Int, o: Int): Float =
+      bits match {
+        case 8 => b(o) / 128f
+        case 16 => ((b(o) << 8) | (b(o + 1) & 0xff)).toShort / 32768f
+        case 24 =>
+          ((b(o) << 16) | ((b(o + 1) & 0xff) << 8) | (b(o + 2) & 0xff)) / 8388608f
+        case _ =>
+          ((b(o) << 24) | ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) |
+            (b(o + 3) & 0xff)).toFloat / 2147483648f
+      }
+
+    /** Bytes per sample and signed normalized BE read for the AU
+     * encodings [[auSamples]] admits. */
+    private[ops] def auBytesPer(enc: Int): Int =
+      enc match { case 3 => 2; case 4 => 3; case 5 => 4; case _ => 1 }
+    private[ops] def auSampleAt(b: Array[Byte], enc: Int, o: Int): Float =
+      enc match {
+        case 1 => MediaCodec.UlawTable(b(o) & 0xff) / 32768f
+        case 2 => b(o) / 128f // AU PCM8 is signed
+        case 3 => ((b(o) << 8) | (b(o + 1) & 0xff)).toShort / 32768f
+        case 4 =>
+          ((b(o) << 16) | ((b(o + 1) & 0xff) << 8) | (b(o + 2) & 0xff)) / 8388608f
+        case 5 =>
+          ((b(o) << 24) | ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) |
+            (b(o + 3) & 0xff)).toFloat / 2147483648f
+        case _ => MediaCodec.AlawTable(b(o) & 0xff) / 32768f
+      }
 
     /** Sample payload locator for AU: header fields are already the
      * locator — (encoding, channels, dataOffset, dataLen) for mu-law
@@ -611,7 +642,8 @@ object Multimodal {
       val enc = be32(b, 12).toInt
       val ch = be32(b, 20)
       if (off < 24 || off >= b.length || ch <= 0 || ch > 64) None
-      else if (enc != 1 && enc != 2 && enc != 3 && enc != 27) None
+      else if (enc != 1 && enc != 2 && enc != 3 && enc != 4 && enc != 5 &&
+        enc != 27) None
       else {
         val avail = b.length - off
         val len = if (size >= 0 && size < avail) size else avail
@@ -3304,24 +3336,18 @@ object Multimodal {
         val nFrames = math.min(len, bytes.length - off) / frameBytes
         envelopeOf(nFrames, channels) { (f, c) =>
           val o = off + f * frameBytes + c * bytesPerSample
-          if (bits == 8) math.abs(bytes(o) / 128f) // AIFF PCM8 is SIGNED
-          else math.abs(((bytes(o) << 8) | (bytes(o + 1) & 0xff)).toShort / 32768f)
+          math.abs(AvHeaders.aiffSampleAt(bytes, bits, o))
         }
       }
 
     private def auEnvelope(bytes: Array[Byte]): Option[Array[Float]] =
       AvHeaders.auSamples(bytes).flatMap { case (enc, channels, off, len) =>
-        val bytesPerSample = if (enc == 3) 2 else 1
+        val bytesPerSample = AvHeaders.auBytesPer(enc)
         val frameBytes = channels * bytesPerSample
         val nFrames = math.min(len, bytes.length - off) / frameBytes
         envelopeOf(nFrames, channels) { (f, c) =>
           val o = off + f * frameBytes + c * bytesPerSample
-          enc match {
-            case 1 => math.abs(UlawTable(bytes(o) & 0xff) / 32768f)
-            case 2 => math.abs(bytes(o) / 128f) // AU PCM8 is signed
-            case 3 => math.abs(((bytes(o) << 8) | (bytes(o + 1) & 0xff)).toShort / 32768f)
-            case _ => math.abs(AlawTable(bytes(o) & 0xff) / 32768f)
-          }
+          math.abs(AvHeaders.auSampleAt(bytes, enc, o))
         }
       }
 

@@ -132,6 +132,57 @@ class AudioFpSpec extends SparkSpec {
     val hostile = wavOf(3, 32).clone()
     java.util.Arrays.fill(hostile, 60, 180, 0xff.toByte)
     assert(AudioFp.monoSamples(hostile).isDefined)
+    // 24-bit AIFF (BE) and 24/32-bit AU: same contract through the
+    // shared BE readers
+    def aiffOf(bits: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def ascii(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+      def be32(v: Int): Unit = { out.write((v >> 24) & 0xff); out.write((v >> 16) & 0xff)
+        out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+      def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+      val bp = bits / 8
+      val dataLen = pcm.length * bp
+      // COMM with an 80-bit extended rate (32000 = 0x400D fa00...)
+      ascii("FORM"); be32(12 + 26 + 16 + dataLen); ascii("AIFF")
+      ascii("COMM"); be32(18); be16(1); be32(pcm.length); be16(bits)
+      out.write(0x40); out.write(0x0d); out.write(0xfa); out.write(0)
+      out.write(0); out.write(0); out.write(0); out.write(0); out.write(0); out.write(0)
+      ascii("SSND"); be32(8 + dataLen); be32(0); be32(0)
+      pcm.foreach { v =>
+        val s = v << (bits - 16)
+        var k = bp - 1
+        while (k >= 0) { out.write((s >> (8 * k)) & 0xff); k -= 1 }
+      }
+      out.toByteArray
+    }
+    def auOf(enc: Int, bits: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def be32(v: Int): Unit = { out.write((v >> 24) & 0xff); out.write((v >> 16) & 0xff)
+        out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+      out.write('.'); out.write('s'); out.write('n'); out.write('d')
+      val bp = bits / 8
+      be32(24); be32(pcm.length * bp); be32(enc); be32(32000); be32(1)
+      pcm.foreach { v =>
+        val s = v << (bits - 16)
+        var k = bp - 1
+        while (k >= 0) { out.write((s >> (8 * k)) & 0xff); k -= 1 }
+      }
+      out.toByteArray
+    }
+    for ((bytes, name) <- Seq((aiffOf(24), "aiff24"), (aiffOf(32), "aiff32"),
+        (auOf(4, 24), "au24"), (auOf(5, 32), "au32"))) {
+      val s = AudioFp.monoSamples(bytes).getOrElse(sys.error(s"$name claims nothing"))
+      assert(s.length == pcm.length, name)
+      var maxErr = 0.0
+      var i = 0
+      while (i < s.length) {
+        maxErr = math.max(maxErr, math.abs(s(i) - pcm(i) / 32768.0)); i += 1
+      }
+      assert(maxErr < 1e-4, s"$name max sample error $maxErr")
+      val sig = AudioFp.signature(bytes).get
+      val d = (0 until AudioFp.SigBands).map(k => Integer.bitCount(ref(k) ^ sig(k))).sum
+      assert(d <= 3, s"$name twin at hamming $d")
+    }
   }
 
   test("MP3-in-TS: PES reassembly recovers the elementary stream, decode and gate hold") {
