@@ -223,6 +223,36 @@ class VorbisSpec extends SparkSpec {
     assert(cut.get.samples.length < Mp3DupFixture.NSamples)
   }
 
+  test("multiplexed Ogg: pages of a second logical stream are filtered by serial") {
+    val pcm = Mp3DupFixture.basePcm(9L)
+    val ogg = graft.tools.VorbisEncoder.encode(pcm, 32000)
+    val ref = Vorbis.decode(ogg).get
+    // interleave a decoy page (different serial, junk payload) after
+    // every real page — a multiplexed A/V Ogg's shape
+    def decoy(seq: Int): Array[Byte] = {
+      val body = Array.tabulate[Byte](40)(i => ((seq * 31 + i) & 0x7f).toByte)
+      val h = new Array[Byte](27 + 1)
+      h(0) = 'O'; h(1) = 'g'; h(2) = 'g'; h(3) = 'S'
+      h(4) = 0; h(5) = 0
+      h(14) = 0x77 // serial != the vorbis stream's
+      h(18) = seq.toByte
+      h(26) = 1 // one segment
+      h(27) = 40 // lacing
+      h ++ body
+    }
+    val pages = Multimodal.AvHeaders.oggPages(ogg)
+    val out = new java.io.ByteArrayOutputStream()
+    pages.zipWithIndex.foreach { case ((_, off, size, _, _), i) =>
+      out.write(ogg, off, size)
+      out.write(decoy(i))
+    }
+    val muxed = Vorbis.decode(out.toByteArray)
+    assert(muxed.nonEmpty)
+    assert(muxed.get.samples.length == ref.samples.length)
+    assert(muxed.get.samples.sameElements(ref.samples),
+      "decoy pages leaked into the vorbis packet stream")
+  }
+
   test("fuzz: random corruption of valid streams is total — decodes or claims nothing") {
     // 100 TB of crawl bytes WILL hit every corruption; the decoder
     // must be total (bounded loops, caught structural errors), never
