@@ -72,7 +72,7 @@ object VorbisEncoder {
     (if (negative) 0x80000000L else 0L) | ((788L + log2) << 21) | 1L
 
   private def writeCodebook(bw: Bw, dims: Int, entries: Int, lenBits: Int,
-      lookup1: Option[(Int, Long, Long, Int)]): Unit = { // (valueBits, min, delta, lookupValues)
+      lookup: Option[(Int, Int, Long, Long, Int)]): Unit = { // (type, valueBits, min, delta, lookupValues)
     bw.bits(0x564342, 24)
     bw.bits(dims, 16)
     bw.bits(entries, 24)
@@ -80,16 +80,29 @@ object VorbisEncoder {
     bw.bits(0, 1) // not sparse
     var i = 0
     while (i < entries) { bw.bits(lenBits - 1, 5); i += 1 }
-    lookup1 match {
+    lookup match {
       case None => bw.bits(0, 4)
-      case Some((valueBits, min, delta, lookupValues)) =>
-        bw.bits(1, 4)
+      case Some((lookupType, valueBits, min, delta, lookupValues)) =>
+        bw.bits(lookupType, 4)
         bw.bits(min, 32)
         bw.bits(delta, 32)
         bw.bits(valueBits - 1, 4)
         bw.bits(0, 1) // sequence_p off
-        var j = 0
-        while (j < lookupValues) { bw.bits(j, valueBits); j += 1 }
+        if (lookupType == 1) {
+          var j = 0
+          while (j < lookupValues) { bw.bits(j, valueBits); j += 1 }
+        } else {
+          // type 2: explicit per-entry vectors — entry e decodes to
+          // (m[2e], m[2e+1]); the SAME lattice values as the type-1
+          // form, so quantization is identical and the decoder's
+          // type-2 vector context is bitstream-exercised
+          var e = 0
+          while (e < entries) {
+            bw.bits(e % lookupValues, valueBits)
+            bw.bits(e / lookupValues, valueBits)
+            e += 1
+          }
+        }
     }
   }
 
@@ -116,12 +129,14 @@ object VorbisEncoder {
     cmw.bits(1, 1)
     val sw = new Bw
     sw.bits(5, 8); "vorbis".foreach(c => sw.bits(c.toLong, 8))
-    // books: 0 = classbook, 1 = floor book, 2 = coarse, 3 = fine
+    // books: 0 = classbook, 1 = floor book, 2 = coarse (lookup type
+    // 1 lattice), 3 = fine (lookup type 2, explicit vectors carrying
+    // the same lattice — both VQ contexts get bitstream coverage)
     sw.bits(3, 8) // count − 1
     writeCodebook(sw, 4, 16, 4, None)
     writeCodebook(sw, 1, 128, 7, None)
-    writeCodebook(sw, 2, 256, 8, Some((4, packPow2(0, negative = true), packPow2(-3, negative = false), 16)))
-    writeCodebook(sw, 2, 256, 8, Some((4, packPow2(-4, negative = true), packPow2(-7, negative = false), 16)))
+    writeCodebook(sw, 2, 256, 8, Some((1, 4, packPow2(0, negative = true), packPow2(-3, negative = false), 16)))
+    writeCodebook(sw, 2, 256, 8, Some((2, 4, packPow2(-4, negative = true), packPow2(-7, negative = false), 16)))
     sw.bits(0, 6); sw.bits(0, 16) // one time transform, zero
     // one floor, type 1
     sw.bits(0, 6); sw.bits(1, 16)
@@ -459,13 +474,18 @@ object VorbisEncoder {
   def encodeStereo(l: Array[Int], r: Array[Int], rate: Int): Array[Byte] =
     encodeChannels(Seq(l, r), rate)
 
-  /** Block-SWITCHED mono encode (256/2048, the shape every real-web
+  /** Block-SWITCHED encode (256/2048, the shape every real-web
    * Vorbis stream has): a deterministic schedule mixing short runs
    * and long runs so all four window-flag combinations appear —
    * exercises the decoder's asymmetric lapped windows end to end
-   * through the bitstream, not just in the TDAC math test. */
-  def encodeSwitched(pcm: Array[Int], rate: Int): Array[Byte] = {
-    val t = pcm.length
+   * through the bitstream, not just in the TDAC math test. Stereo
+   * goes through the same square-polar coupling as the uniform
+   * path. */
+  def encodeSwitched(pcm: Array[Int], rate: Int): Array[Byte] =
+    encodeSwitchedChannels(Seq(pcm), rate)
+
+  def encodeSwitchedChannels(chans: Seq[Array[Int]], rate: Int): Array[Byte] = {
+    val t = chans.head.length
     val bs0 = 256
     val bs1 = 2048
     val sizes = scala.collection.mutable.ArrayBuffer.empty[Int]
@@ -478,6 +498,6 @@ object VorbisEncoder {
       sizes += n
       i += 1
     }
-    encodeScheduled(Seq(pcm), rate, 8, 11, sizes.toIndexedSeq)
+    encodeScheduled(chans, rate, 8, 11, sizes.toIndexedSeq)
   }
 }

@@ -186,6 +186,29 @@ class VorbisSpec extends SparkSpec {
     }
   }
 
+  test("STEREO block-switched roundtrip: coupling + asymmetric windows together") {
+    val n = Mp3DupFixture.NSamples
+    val l = Array.tabulate(n)(t => (Mp3DupFixture.signal(3L, t) * 32000).toInt)
+    val r = Array.tabulate(n)(t => (Mp3DupFixture.signal(5L, t) * 32000).toInt)
+    val ogg = graft.tools.VorbisEncoder.encodeSwitchedChannels(Seq(l, r), 32000)
+    val dec = Vorbis.decode(ogg).getOrElse(sys.error("claims nothing"))
+    assert(dec.channels == 2 && dec.samples.length == 2 * n)
+    def snr(ref: Array[Int], ch: Int): Double = {
+      var se = 0.0
+      var ss = 0.0
+      var i = 1000
+      while (i < n - 1000) {
+        val a = ref(i) / 32768.0
+        val d = dec.samples(i * 2 + ch)
+        se += (a - d) * (a - d); ss += a * a
+        i += 1
+      }
+      10.0 * math.log10(ss / se)
+    }
+    assert(snr(l, 0) > 14.0, s"left ${snr(l, 0)}")
+    assert(snr(r, 1) > 11.0, s"right ${snr(r, 1)}")
+  }
+
   test("residue types 0 and 1 roundtrip (per-channel layouts, type 0's strided partitions)") {
     val pcm = Mp3DupFixture.basePcm(7L)
     for (resType <- Seq(0, 1)) {
