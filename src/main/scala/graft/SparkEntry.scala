@@ -920,20 +920,34 @@ object SparkEntry {
       // MP3-in-TS measured class (round 19): the mp3dup odd rows
       // re-muxed into TS audio PES at query time (deterministic;
       // the junk groups wrap into valid TS grids whose ES honestly
-      // fails to decode — the class gets a real negative line)
+      // fails to decode — the class gets a real negative line).
+      // Round 20: the muxer is library surface (ops.Remux), not a
+      // fixture tool — the r19 layering flag.
       val tsmp3 = Tables.mp3dup(s)
         .select(col("media_id"), col("mime_type"), col("media"))
         .as[Multimodal.MediaRow]
         .filter(_.media_id % 2 == 1)
         .map(r => (r.media_id, "video/mp2t",
-          graft.tools.TsFixture.tsFromAudioEs(r.media)))
+          graft.ops.Remux.mpegAudioEsToTs(r.media)))
+        .toDF("media_id", "mime_type", "media")
+      // Vorbis-in-WebM measured class (round 20): the vorbisdup odd
+      // rows re-containered as WebM (CodecPrivate Xiph-laced headers
+      // + cluster blocks) with zero decode; real streams decode
+      // through the same Vorbis core, junk wraps into a valid webm
+      // whose CodecPrivate honestly decodes nothing
+      val webmv = Tables.vorbisdup(s)
+        .select(col("media_id"), col("mime_type"), col("media"))
+        .as[Multimodal.MediaRow]
+        .filter(_.media_id % 2 == 1)
+        .map(r => (r.media_id, "audio/webm",
+          graft.ops.Remux.webmVorbisFromOgg(r.media)))
         .toDF("media_id", "mime_type", "media")
       AudioFp.decodeCoverage(s, Tables.audiodup(s)
         .unionByName(Tables.audio(s)).unionByName(Tables.mp3(s))
         .unionByName(Tables.aac(s)).unionByName(Tables.ogg(s))
         .unionByName(Tables.flac(s)).unionByName(Tables.flacpcm(s))
         .unionByName(Tables.mp3dup(s)).unionByName(Tables.vorbisdup(s))
-        .unionByName(tsmp3))
+        .unionByName(tsmp3).unionByName(webmv))
     }),
     // q_m41: VIDEO decode coverage — per (mime_type, container) the
     // q_m38 pixel path (MJPEG only) and payload-digest path (AVI /
@@ -4936,6 +4950,15 @@ object SparkEntry {
          |  SELECT 'video/mp2t', 'mpeg-ts',
          |    CASE WHEN (media_id // 2) % 8 = 7 THEN 0 ELSE 1 END
          |  FROM read_parquet('${Tables.mp3dupFixturePath}')
+         |  WHERE media_id % 2 = 1
+         |  UNION ALL
+         |  -- Vorbis-in-WebM (round 20): the odd vorbisdup rows
+         |  -- re-containered as WebM; real streams decode via the
+         |  -- CodecPrivate headers + block packets, junk wraps into
+         |  -- a valid webm that honestly decodes nothing
+         |  SELECT 'audio/webm', 'webm',
+         |    CASE WHEN (media_id // 2) % 8 = 7 THEN 0 ELSE 1 END
+         |  FROM read_parquet('${Tables.vorbisdupFixturePath}')
          |  WHERE media_id % 2 = 1)
          | SELECT mime_type, container, CAST(count(*) AS BIGINT) AS n,
          |   CAST(sum(ok) AS BIGINT) AS n_decoded

@@ -141,6 +141,21 @@ object AudioFp {
         t += 1
       }
       out
+    }).orElse(Vorbis.decodeWebm(b).filter(_.samples.nonEmpty).map { p =>
+      // Vorbis-in-WebM (round 20): CodecPrivate headers + block
+      // packets through the same decoder — real-web WebM/MKV audio
+      // stops being invisible to the fingerprint
+      val n = p.samples.length / p.channels
+      val out = new Array[Float](n)
+      var t = 0
+      while (t < n) {
+        var acc = 0f
+        var c = 0
+        while (c < p.channels) { acc += p.samples(t * p.channels + c); c += 1 }
+        out(t) = acc / p.channels
+        t += 1
+      }
+      out
     }).orElse(
       // MP3-in-TS (round 19): reassemble the MPEG-audio PID's PES
       // payloads into the elementary stream and feed the same Layer
@@ -312,6 +327,8 @@ object AudioFp {
     else if (tag(0, "fLaC")) "flac"
     else if (tag(0, ".snd")) "au"
     else if (tag(0, "OggS")) "ogg"
+    else if ((b(0) & 0xff) == 0x1a && (b(1) & 0xff) == 0x45 &&
+      (b(2) & 0xff) == 0xdf && (b(3) & 0xff) == 0xa3) "webm"
     else if ((b(0) & 0xff) == 0x47 && b.length >= 189 &&
       (b(188) & 0xff) == 0x47) "mpeg-ts"
     else if (Multimodal.AvHeaders.mp3Frames(b).nonEmpty) "mp3"

@@ -1322,6 +1322,197 @@ object Multimodal {
       (tracks, cand.collect { case (t, off, len) if tracks(t) => (off, len) }.toSeq)
     }
 
+    /** One Matroska block's FRAMES: [track vint][2-byte ts][flags]
+     * then the payload, with the three lacing schemes expanded
+     * (audio blocks commonly lace several codec packets into one
+     * block): 0 = none, 1 = Xiph (255-run sizes, last implicit),
+     * 2 = fixed (equal split), 3 = EBML (first size a vint, then
+     * SIGNED vint deltas, last implicit). Returns (track,
+     * frame spans); malformed lacing yields no frames (tolerance).
+     */
+    private[ops] def webmBlockFrames(b: Array[Byte], p: Int,
+        e: Int): (Long, Seq[(Int, Int)]) = {
+      val tv = ebmlVint(b, p, keepMarker = false).getOrElse(return (-1L, Nil))
+      val (track, tLen) = tv
+      val hp = p + tLen
+      if (hp + 3 > e) return (-1L, Nil)
+      val flags = b(hp + 2) & 0xff
+      val data = hp + 3
+      val lacing = (flags >> 1) & 3
+      if (lacing == 0) return (track, if (e > data) Seq((data, e - data)) else Nil)
+      if (data >= e) return (track, Nil)
+      val n = (b(data) & 0xff) + 1
+      var q = data + 1
+      val sizes = new Array[Int](n)
+      lacing match {
+        case 1 => // Xiph
+          var k = 0
+          while (k < n - 1) {
+            var s = 0
+            var more = true
+            while (more) {
+              if (q >= e) return (track, Nil)
+              val lace = b(q) & 0xff
+              s += lace
+              q += 1
+              more = lace == 255
+            }
+            sizes(k) = s
+            k += 1
+          }
+        case 2 => // fixed-size
+          val total = e - q
+          if (total <= 0 || total % n != 0) return (track, Nil)
+          java.util.Arrays.fill(sizes, total / n)
+        case _ => // 3 = EBML
+          val f0 = ebmlVint(b, q, keepMarker = false).getOrElse(return (track, Nil))
+          if (f0._1 > Int.MaxValue) return (track, Nil)
+          sizes(0) = f0._1.toInt
+          q += f0._2
+          var k = 1
+          while (k < n - 1) {
+            val d = ebmlVint(b, q, keepMarker = false).getOrElse(return (track, Nil))
+            val delta = d._1 - ((1L << (7 * d._2 - 1)) - 1)
+            val s = sizes(k - 1).toLong + delta
+            if (s < 0 || s > Int.MaxValue) return (track, Nil)
+            sizes(k) = s.toInt
+            q += d._2
+            k += 1
+          }
+      }
+      // last frame size is implicit: whatever remains
+      if (lacing != 2) {
+        var head = 0L
+        var k = 0
+        while (k < n - 1) { head += sizes(k); k += 1 }
+        val last = (e - q) - head
+        if (last <= 0 || last > Int.MaxValue) return (track, Nil)
+        sizes(n - 1) = last.toInt
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var off = q
+      var k = 0
+      while (k < n) {
+        if (sizes(k) < 0 || off + sizes(k) > e) return (track, Nil)
+        out += ((off, sizes(k)))
+        off += sizes(k)
+        k += 1
+      }
+      (track, out.toSeq)
+    }
+
+    /** Vorbis AUDIO packets of a WebM/Matroska file (round 20): the
+     * first TrackEntry whose CodecID is "A_VORBIS" provides the
+     * three header packets via CodecPrivate's Xiph lacing (count
+     * byte 2, then 255-run sizes for the first two; the third is
+     * the remainder — Matroska's standard Vorbis private-data
+     * shape), and its block frames (SimpleBlock and BlockGroup/
+     * Block, all lacings expanded) are the audio packets in stream
+     * order. Returns the packet list ready for
+     * [[Vorbis.decodePackets]] plus the per-channel sample clamp
+     * derived from Segment Duration × SamplingFrequency (−1 when
+     * either is absent). Candidate blocks are filtered against the
+     * track number at the END of the walk, so a Tracks-after-Cluster
+     * layout still decodes (the webmVideoBlockSpans discipline). */
+    private[ops] def webmVorbisPackets(
+        b: Array[Byte]): Option[(Seq[Array[Byte]], Long)] = {
+      if (b == null || b.length < 4 || (b(0) & 0xff) != 0x1a ||
+        (b(1) & 0xff) != 0x45 || (b(2) & 0xff) != 0xdf ||
+        (b(3) & 0xff) != 0xa3) return None
+      def beUint(p: Int, e: Int): Long = {
+        var v = 0L
+        var j = p
+        while (j < e) { v = (v << 8) | (b(j) & 0xffL); j += 1 }
+        v
+      }
+      def beFloat(p: Int, e: Int): Double = (e - p) match {
+        case 4 => java.lang.Float.intBitsToFloat(beUint(p, e).toInt).toDouble
+        case 8 => java.lang.Double.longBitsToDouble(beUint(p, e))
+        case _ => -1.0
+      }
+      var tsScale = 1000000L
+      var durTicks = -1.0
+      var rate = -1.0
+      var vorbisTrack = -1L
+      var codecPriv: Option[(Int, Int)] = None
+      var ordinal = 0L
+      val cand = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[(Int, Int)])]
+      ebmlWalk(b, 0, b.length) { (id0, p0, e0) =>
+        if (id0 == 0x18538067L) ebmlWalk(b, p0, e0) { (id1, p1, e1) => // Segment
+          if (id1 == 0x1549a966L) ebmlWalk(b, p1, e1) { (id2, p2, e2) => // Info
+            if (id2 == 0x2ad7b1L) tsScale = beUint(p2, e2)
+            else if (id2 == 0x4489L) durTicks = beFloat(p2, e2)
+          }
+          else if (id1 == 0x1654ae6bL) ebmlWalk(b, p1, e1) { (id2, p2, e2) => // Tracks
+            if (id2 == 0xaeL) { // TrackEntry
+              ordinal += 1
+              var num = -1L
+              var isVorbis = false
+              var priv: Option[(Int, Int)] = None
+              var sfreq = -1.0
+              ebmlWalk(b, p2, e2) { (id3, p3, e3) =>
+                if (id3 == 0xd7L) num = beUint(p3, e3)
+                else if (id3 == 0x86L) // CodecID
+                  isVorbis = new String(b, p3, e3 - p3, "US-ASCII") == "A_VORBIS"
+                else if (id3 == 0x63a2L) priv = Some((p3, e3 - p3))
+                else if (id3 == 0xe1L) ebmlWalk(b, p3, e3) { (id4, p4, e4) =>
+                  if (id4 == 0xb5L) sfreq = beFloat(p4, e4) // SamplingFrequency
+                }
+              }
+              if (isVorbis && vorbisTrack < 0 && priv.nonEmpty) {
+                vorbisTrack = if (num > 0) num else ordinal
+                codecPriv = priv
+                rate = sfreq
+              }
+            }
+          }
+          else if (id1 == 0x1f43b675L) ebmlWalk(b, p1, e1) { (id2, p2, e2) => // Cluster
+            if (id2 == 0xa3L) cand += webmBlockFrames(b, p2, e2)
+            else if (id2 == 0xa0L) ebmlWalk(b, p2, e2) { (id3, p3, e3) =>
+              if (id3 == 0xa1L) cand += webmBlockFrames(b, p3, e3)
+            }
+          }
+        }
+      }
+      if (vorbisTrack < 0) return None
+      // CodecPrivate: Xiph-laced id + comment + setup headers
+      val (po, plen) = codecPriv.get
+      if (plen < 3 || (b(po) & 0xff) != 2) return None
+      var q = po + 1
+      val hsizes = new Array[Int](2)
+      var k = 0
+      while (k < 2) {
+        var s = 0
+        var more = true
+        while (more) {
+          if (q >= po + plen) return None
+          val lace = b(q) & 0xff
+          s += lace
+          q += 1
+          more = lace == 255
+        }
+        hsizes(k) = s
+        k += 1
+      }
+      val third = (po + plen) - q - hsizes(0) - hsizes(1)
+      if (third <= 0) return None
+      val headers = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      var off = q
+      for (s <- Seq(hsizes(0), hsizes(1), third)) {
+        if (off + s > po + plen) return None
+        headers += java.util.Arrays.copyOfRange(b, off, off + s)
+        off += s
+      }
+      val audio = cand.iterator.filter(_._1 == vorbisTrack).flatMap(_._2)
+        .map { case (o, l) => java.util.Arrays.copyOfRange(b, o, o + l) }
+        .toSeq
+      val clamp =
+        if (durTicks > 0 && tsScale > 0 && rate > 0)
+          math.round(durTicks * tsScale / 1e9 * rate)
+        else -1L
+      Some((headers.toSeq ++ audio, clamp))
+    }
+
     /**
      * AU/SND header parse (Sun audio, the simplest real container:
      * ".snd" magic then five BE32 words — data offset, data size,
@@ -2189,7 +2380,10 @@ object Multimodal {
       if (b == null || b.length < 188 || (b(0) & 0xff) != 0x47) return None
       val (pids, lastSync) = tsPids(b, TsMpegAudioStreamTypes)
       if (pids.isEmpty) return None
-      val groups = tsPesPayloadGroups(b, pids, lastSync)
+      // FIRST (lowest) audio PID only: a TS with two audio programs
+      // must not concatenate unrelated elementary streams into one
+      // corrupted ES that matches neither bare .mp3 twin
+      val groups = tsPesPayloadGroups(b, Set(pids.min), lastSync)
       if (groups.isEmpty) return None
       var total = 0L
       for (g <- groups; (_, len) <- g) total += len

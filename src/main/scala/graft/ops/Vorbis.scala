@@ -32,8 +32,10 @@ package graft.ops
  *    special case is rare and its bit-consumption convention is not
  *    reconstructible from the assignment rule alone);
  *  - an end-of-packet condition inside an AUDIO packet is not an
- *    error (spec §1.1): the remaining floor/residue values stay
- *    zero; inside a HEADER it claims nothing.
+ *    error (spec §1.1): during RESIDUE decode the remaining values
+ *    stay zero; during FLOOR decode the channel is rendered UNUSED
+ *    for the frame (the spec's floor1 rule — round 20, was
+ *    zero-filled posts before); inside a HEADER it claims nothing.
  *
  * Opus (the other Ogg audio codec) is deliberately NOT decoded:
  * unlike Vorbis, SILK/CELT carry their large quantization/codebook
@@ -56,8 +58,33 @@ object Vorbis {
 
   private val MaxCodebookEntries = 1 << 20
 
+  /** Setup-wide resource budget (round 20): a few-KB hostile setup
+   * header can DECLARE up to 256 codebooks of 2^20 entries each
+   * (ordered-mode length lists are nearly free to declare), which
+   * would allocate GBs across per-book lengths/codes/tree arrays
+   * before any structural error surfaces — and an OutOfMemoryError
+   * is not a RuntimeException, so it would kill the executor instead
+   * of claiming nothing. The budget bounds the SUM across all books:
+   * total entries ≤ 2^20 and total lookup floats ≤ 2^22, the same
+   * hostile-input discipline as the MP3/zstd caps. Real streams sit
+   * orders of magnitude below both. */
+  private final class SetupBudget {
+    var entriesLeft: Long = MaxCodebookEntries.toLong
+    var lookupLeft: Long = MaxCodebookEntries.toLong << 2
+  }
+
   def decode(b: Array[Byte]): Option[Pcm] =
     try decodeImpl(b) catch { case _: RuntimeException => None }
+
+  /** Vorbis AUDIO track of a WebM/Matroska file (round 20): the
+   * packets come from CodecPrivate's Xiph-laced three headers plus
+   * the track's block frames (Multimodal's element walk), the tail
+   * clamp from Segment Duration × SamplingFrequency — so a
+   * webm-muxed re-encode fingerprints identically to its Ogg twin. */
+  def decodeWebm(b: Array[Byte]): Option[Pcm] =
+    try Multimodal.AvHeaders.webmVorbisPackets(b).flatMap {
+      case (packets, clamp) => decodePackets(packets, clamp)
+    } catch { case _: RuntimeException => None }
 
   /** Test-only entry that lets structural errors propagate. */
   private[ops] def decodeOrThrow(b: Array[Byte]): Option[Pcm] = decodeImpl(b)
@@ -67,7 +94,7 @@ object Vorbis {
    * way round from MP3). Reading past the end raises `eop` instead
    * of throwing: header parsing treats that as fatal, audio decode
    * treats it as end-of-packet (remaining values zero, per spec). */
-  private final class Br(val b: Array[Byte]) {
+  private[ops] final class Br(val b: Array[Byte]) {
     private var bit = 0
     var eop = false
     def read(n: Int): Int = {
@@ -117,7 +144,7 @@ object Vorbis {
   // ------------------------------------------------------- codebooks
   /** Binary decode tree: node > 0 = internal (index), node <= 0 =
    * leaf (−entry). children(2i), children(2i+1). */
-  private final class Codebook(
+  private[ops] final class Codebook(
       val dims: Int,
       val entries: Int,
       val child: Array[Int], // 2*node + bit -> child (>0 node, <=0 -entry, Int.MinValue empty)
@@ -177,7 +204,7 @@ object Vorbis {
    * tricks. The tree must come out exactly full (an under- or
    * over-specified tree claims nothing; single-used-entry books are a
    * declared seam, see the object comment). */
-  private def buildTree(lengths: Array[Int]): Array[Int] = {
+  private[ops] def buildTree(lengths: Array[Int]): Array[Int] = {
     val used = lengths.count(_ > 0)
     if (used <= 1) sys.error("vorbis: empty or single-entry codebook (declared seam)")
     // free slots per length: code values, min-heap
@@ -215,8 +242,13 @@ object Vorbis {
       i += 1
     }
     if ((0 to 32).exists(free(_).nonEmpty)) sys.error("vorbis: under-specified codebook")
-    // build the walk tree: bit k of a length-l code, MSB first
-    val child = scala.collection.mutable.ArrayBuffer.fill(4)(Int.MinValue) // node 1 = root
+    // build the walk tree: bit k of a length-l code, MSB first.
+    // Unboxed Int array sized from the exact-full-tree invariant the
+    // free-slot check above just proved: a full binary tree over
+    // `used` leaves has used−1 internal nodes (indices 1..used−1),
+    // so 2·node+bit < 2·used.
+    val child = new Array[Int](2 * used + 2)
+    java.util.Arrays.fill(child, Int.MinValue)
     var nNodes = 1
     i = 0
     while (i < lengths.length) {
@@ -230,8 +262,8 @@ object Vorbis {
           if (c == Int.MinValue) {
             nNodes += 1
             c = nNodes
+            if (2 * c + 1 >= child.length) sys.error("vorbis: tree node overflow")
             child(2 * node + bit) = c
-            child += Int.MinValue; child += Int.MinValue
           } else if (c <= 0) sys.error("vorbis: prefix clash")
           node = c
           k -= 1
@@ -242,15 +274,18 @@ object Vorbis {
       }
       i += 1
     }
-    child.toArray
+    child
   }
 
-  private def readCodebook(br: Br): Codebook = {
+  private def readCodebook(br: Br, budget: SetupBudget): Codebook = {
     if (br.read(24) != 0x564342) sys.error("vorbis: bad codebook sync")
     val dims = br.read(16)
     val entries = br.read(24)
     if (br.eop || dims <= 0 || entries <= 0 || entries > MaxCodebookEntries)
       sys.error("vorbis: codebook bounds")
+    if (entries.toLong > budget.entriesLeft)
+      sys.error("vorbis: setup entries budget exhausted")
+    budget.entriesLeft -= entries
     val lengths = new Array[Int](entries)
     if (br.bit1() == 0) { // unordered
       val sparse = br.bit1() == 1
@@ -284,15 +319,22 @@ object Vorbis {
         val delta = float32Unpack(br.readLong(32))
         val valueBits = br.read(4) + 1
         val seqP = br.bit1() == 1
-        val lookupValues =
+        // entries·dims is computed in LONG: with entries up to 2^20
+        // and dims up to 65535 the Int product wraps (up to 2^36), so
+        // a wrapped-positive value could pass the bound and allocate
+        // a lookup table inconsistent with decodeVq's indexing
+        val nMultL: Long =
           if (lookupType == 1) {
             // largest integer x with x^dims <= entries
             var x = 1
             while (math.pow(x + 1, dims) <= entries) x += 1
-            x
-          } else entries * dims
-        val nMult = if (lookupType == 1) lookupValues else entries * dims
-        if (nMult > (MaxCodebookEntries << 2)) sys.error("vorbis: lookup bounds")
+            x.toLong
+          } else entries.toLong * dims.toLong
+        if (nMultL > (MaxCodebookEntries.toLong << 2) || nMultL > budget.lookupLeft)
+          sys.error("vorbis: lookup bounds")
+        budget.lookupLeft -= nMultL
+        val nMult = nMultL.toInt
+        val lookupValues = if (lookupType == 1) nMult else 0
         val mult = new Array[Float](nMult)
         var i = 0
         while (i < nMult) { mult(i) = br.read(valueBits).toFloat; i += 1 }
@@ -381,7 +423,14 @@ object Vorbis {
   }
 
   /** Decodes one channel's floor curve into `out` (length n2).
-   * Returns false when the channel is unaudible (out untouched). */
+   * Returns false when the channel is unaudible (out untouched).
+   * An end-of-packet condition hit ANYWHERE inside the floor decode
+   * renders the channel UNUSED this frame (spec floor1 decode step:
+   * "an end-of-packet condition during curve decode … this channel
+   * is unused during synthesis"), unlike residue EOP where the
+   * remaining values stay zero — folding zeros into the post vector
+   * here would synthesize a deviant floor curve from a truncated
+   * packet instead of silence. */
   private def decodeFloor1Curve(br: Br, f: Floor1, books: Array[Codebook],
       n2: Int, out: Array[Float]): Boolean = {
     if (br.bit1() == 0 || br.eop) return false
@@ -390,6 +439,7 @@ object Vorbis {
     val y = new Array[Int](values)
     y(0) = br.read(ilog(range - 1))
     y(1) = br.read(ilog(range - 1))
+    if (br.eop) return false
     var offset = 2
     var p = 0
     while (p < f.partitionClasses.length) {
@@ -402,7 +452,7 @@ object Vorbis {
         val mb = f.classMasterbooks(cls)
         if (mb < 0 || mb >= books.length) sys.error("vorbis: floor masterbook id")
         cval = books(mb).decodeScalar(br)
-        if (cval < 0) cval = 0 // eop: zeros, per the audio-eop rule
+        if (cval < 0) return false // eop mid-floor: channel unused
       }
       var j = 0
       while (j < cdim) {
@@ -411,7 +461,8 @@ object Vorbis {
         if (bk >= 0) {
           if (bk >= books.length) sys.error("vorbis: floor subclass book id")
           val v = books(bk).decodeScalar(br)
-          y(offset + j) = if (v < 0) 0 else v
+          if (v < 0) return false // eop mid-floor: channel unused
+          y(offset + j) = v
         } else y(offset + j) = 0
         j += 1
       }
@@ -490,7 +541,7 @@ object Vorbis {
   }
 
   // --------------------------------------------------------- residue
-  private final case class Residue(
+  private[ops] final case class Residue(
       resType: Int,
       begin: Int,
       end: Int,
@@ -528,6 +579,27 @@ object Vorbis {
     Residue(resType, begin, end, psize, nClass, classbook, cascade, books)
   }
 
+  /** The VQ scratch is sized from the LARGEST dims among this
+   * residue's own books (round 20 — was a fixed 64): a legal stream
+   * whose residue book has dims > 64 must decode, not AIOOBE into a
+   * silent claims-nothing (dims is 16-bit; the setup budget bounds
+   * the allocation). */
+  private[ops] def residueScratchDims(r: Residue, books: Array[Codebook]): Int = {
+    var maxDims = 1
+    var bi = 0
+    while (bi < r.books.length) {
+      var pi = 0
+      while (pi < r.books(bi).length) {
+        val bk = r.books(bi)(pi)
+        if (bk >= 0 && bk < books.length && books(bk).dims > maxDims)
+          maxDims = books(bk).dims
+        pi += 1
+      }
+      bi += 1
+    }
+    maxDims
+  }
+
   /** Residue types 0/1 inner decode over `vectors` (each of size n).
    * doNotDecode flags channels whose floor was unaudible. */
   private def decodeResidueInner(br: Br, r: Residue, books: Array[Codebook],
@@ -543,7 +615,7 @@ object Vorbis {
     val classwords = cb.dims
     val ch = vectors.length
     val classif = Array.ofDim[Int](ch, partitions + classwords)
-    val vqTmp = new Array[Float](64)
+    val vqTmp = new Array[Float](residueScratchDims(r, books))
     val maxPass = 8
     var pass = 0
     while (pass < maxPass) {
@@ -706,7 +778,7 @@ object Vorbis {
    * whose BOS packet starts with the Vorbis id header, concatenate
    * lacing segments (255 = continue, spanning pages via the
    * continued-packet flag). Returns (packets, lastGranule). */
-  private def oggPackets(b: Array[Byte]): (Seq[Array[Byte]], Long) = {
+  private[ops] def oggPackets(b: Array[Byte]): (Seq[Array[Byte]], Long) = {
     val pages = Multimodal.AvHeaders.oggPages(b)
     if (pages.isEmpty) return (Nil, -1L)
     // the stream SERIAL lives at page offset 14 (oggPages' first
@@ -781,6 +853,24 @@ object Vorbis {
   private def decodeImpl(b: Array[Byte]): Option[Pcm] = {
     if (b == null || b.length < 58) return None
     val (packets, lastGranule) = oggPackets(b)
+    decodePackets(packets, lastGranule)
+  }
+
+  /** Decode from raw Vorbis PACKETS — the container-independent core
+   * (round 20): the Ogg path reassembles packets from page lacing;
+   * the WebM path feeds CodecPrivate's three Xiph-laced headers plus
+   * the audio track's block payloads. `clampSamples` is the
+   * authoritative per-channel sample count (Ogg: the last granule;
+   * WebM: derived from Segment duration), < 0 for no tail clamp.
+   * Structural errors propagate — callers on untrusted bytes wrap
+   * via [[decode]]/[[decodePacketsSafe]]. */
+  private[graft] def decodePacketsSafe(packets: Seq[Array[Byte]],
+      clampSamples: Long): Option[Pcm] =
+    try decodePackets(packets, clampSamples)
+    catch { case _: RuntimeException => None }
+
+  private[graft] def decodePackets(packets: Seq[Array[Byte]],
+      lastGranule: Long): Option[Pcm] = {
     if (packets.size < 3) return None
     // --- identification header
     val id = packets.head
@@ -802,7 +892,8 @@ object Vorbis {
     if (su.length < 7 || (su(0) & 0xff) != 5 ||
       !Multimodal.AvHeaders.magic(su, 1, "vorbis")) return None
     val br = new Br(java.util.Arrays.copyOfRange(su, 7, su.length))
-    val books = Array.fill(br.read(8) + 1)(readCodebook(br))
+    val budget = new SetupBudget
+    val books = Array.fill(br.read(8) + 1)(readCodebook(br, budget))
     // time-domain transforms: placeholders, must read as zero
     val timeCount = br.read(6) + 1
     var i = 0

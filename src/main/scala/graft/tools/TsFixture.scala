@@ -138,79 +138,13 @@ object TsFixture {
     (psiPacket(0, pat()) +: psiPacket(PmtPid, pmt()) +: groups).flatten.toArray
   }
 
-  /** PMT naming a single MPEG-1 audio (stream_type 0x03) elementary
-   * stream on [[AudioPid]] — the MP3-in-TS shape. */
-  private def pmtAudioMp3(): Array[Byte] =
-    Array[Byte](0x02, 0xb0.toByte, 18,
-      0, 1, 0xc1.toByte, 0, 0,
-      (0xe0 | (AudioPid >> 8)).toByte, (AudioPid & 0xff).toByte, // PCR PID
-      0xf0.toByte, 0, // program_info_length 0
-      0x03, (0xe0 | (AudioPid >> 8)).toByte, (AudioPid & 0xff).toByte,
-      0xf0.toByte, 0, // mpeg-1 audio entry
-      0, 0, 0, 0) // dummy CRC
-
   /** Mux an MPEG audio ELEMENTARY STREAM (e.g. Mp3Encoder output)
-   * into a TS segment: PAT + MP3-audio PMT, then the ES split into
-   * ~900-byte PES packets (PES boundaries deliberately do NOT align
-   * to MP3 frames — ES recovery is pure concatenation). The decoder
-   * side is [[graft.ops.Multimodal.AvHeaders.tsMpegAudioEs]]. */
-  def tsFromAudioEs(es: Array[Byte]): Array[Byte] = {
-    val pkts = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-    var cc = 0
-    var sent = 0
-    while (sent < es.length) {
-      val chunk = math.min(900, es.length - sent)
-      var first = true
-      var done = 0
-      while (first || done < chunk) {
-        val p = new Array[Byte](188)
-        p(0) = 0x47
-        p(1) = (((if (first) 0x40 else 0) | (AudioPid >> 8)) & 0xff).toByte
-        p(2) = (AudioPid & 0xff).toByte
-        if (first) {
-          // AF(1+1+S) + 9-byte headerless-optional PES (hdl 0)
-          val take = math.min(chunk - done, 173)
-          val stuffing = 173 - take
-          p(3) = (0x30 | (cc & 0xf)).toByte
-          p(4) = (1 + stuffing).toByte
-          p(5) = 0
-          var k = 0
-          while (k < stuffing) { p(6 + k) = 0xff.toByte; k += 1 }
-          val po = 6 + stuffing
-          p(po) = 0; p(po + 1) = 0; p(po + 2) = 1; p(po + 3) = 0xc0.toByte
-          val pesLen = 3 + chunk // optional header + payload
-          p(po + 4) = ((pesLen >> 8) & 0xff).toByte
-          p(po + 5) = (pesLen & 0xff).toByte
-          p(po + 6) = 0x80.toByte // '10'
-          p(po + 7) = 0 // no PTS
-          p(po + 8) = 0 // header_data_length 0
-          System.arraycopy(es, sent + done, p, po + 9, take)
-          done += take
-        } else {
-          val take = math.min(chunk - done, 184)
-          if (take == 184) {
-            p(3) = (0x10 | (cc & 0xf)).toByte
-            System.arraycopy(es, sent + done, p, 4, take)
-          } else {
-            val n = 183 - take
-            p(3) = (0x30 | (cc & 0xf)).toByte
-            p(4) = n.toByte
-            if (n >= 1) p(5) = 0
-            var k = 0
-            while (k < n - 1) { p(6 + k) = 0xff.toByte; k += 1 }
-            System.arraycopy(es, sent + done, p, 5 + n, take)
-          }
-          done += take
-        }
-        cc = (cc + 1) & 0xf
-        first = false
-        pkts += p
-      }
-      sent += chunk
-    }
-    (psiPacket(0, pat()) +: psiPacket(PmtPid, pmtAudioMp3()) +: pkts.toSeq)
-      .flatten.toArray
-  }
+   * into a TS segment — the muxer itself is library surface
+   * ([[graft.ops.Remux.mpegAudioEsToTs]], round 20: moved out of
+   * this fixture tool so SparkEntry no longer depends on tools at
+   * query time); this fixture-side name is kept for the specs. */
+  def tsFromAudioEs(es: Array[Byte]): Array[Byte] =
+    graft.ops.Remux.mpegAudioEsToTs(es)
 
   /** Mux arbitrary sample payloads into a TS segment, one PES per
    * sample (the common video shape: one access unit per PES) — the

@@ -210,6 +210,46 @@ class AudioFpSpec extends SparkSpec {
     assert(AudioFp.monoSamples(TsFixture.ts(2L)).isEmpty)
   }
 
+  test("TS with TWO audio programs: only the first (lowest) PID's ES is reassembled") {
+    import graft.tools.{Mp3DupFixture, Mp3Encoder}
+    val pcm = Mp3DupFixture.basePcm(3L)
+    val mp3 = Mp3Encoder.encode(pcm, Mp3DupFixture.SampleRate)
+    val base = Remux.mpegAudioEsToTs(mp3) // PAT + PMT(258) + audio pkts
+    // PMT naming TWO MPEG-audio streams: PID 258 (0x03) and PID 300
+    // (0x04, junk) — round-20 ADVICE fix: concatenating both would
+    // produce one corrupted ES matching neither twin
+    val decoyPid = 300
+    val pmt2 = Array[Byte](0x02, 0xb0.toByte, 23,
+      0, 1, 0xc1.toByte, 0, 0,
+      (0xe0 | (258 >> 8)).toByte, (258 & 0xff).toByte, 0xf0.toByte, 0,
+      0x03, (0xe0 | (258 >> 8)).toByte, (258 & 0xff).toByte, 0xf0.toByte, 0,
+      0x04, (0xe0 | (decoyPid >> 8)).toByte, (decoyPid & 0xff).toByte,
+      0xf0.toByte, 0,
+      0, 0, 0, 0) // dummy CRC
+    // one junk PES packet on the decoy PID (PUSI, headerless-optional)
+    val junkPes = {
+      val p = new Array[Byte](188)
+      p(0) = 0x47
+      p(1) = (0x40 | (decoyPid >> 8)).toByte
+      p(2) = (decoyPid & 0xff).toByte
+      p(3) = 0x10 // payload only
+      p(4) = 0; p(5) = 0; p(6) = 1; p(7) = 0xc0.toByte // PES start
+      p(8) = 0; p(9) = ((188 - 10) & 0xff).toByte // PES_packet_length
+      p(10) = 0x80.toByte; p(11) = 0; p(12) = 0 // '10', no PTS, hdl 0
+      var j = 13
+      while (j < 188) { p(j) = ((j * 31) & 0x7f).toByte; j += 1 }
+      p
+    }
+    val audioPkts = base.drop(2 * 188)
+    val ts2 = Remux.psiPacket(0, Remux.pat()) ++
+      Remux.psiPacket(Remux.PmtPid, pmt2) ++ junkPes ++ audioPkts ++ junkPes
+    val es = Multimodal.AvHeaders.tsMpegAudioEs(ts2)
+    assert(es.exists(_.sameElements(mp3)),
+      "decoy-PID payloads leaked into the reassembled ES")
+    assert(AudioFp.monoSamples(ts2).exists(
+      _.sameElements(AudioFp.monoSamples(mp3).get)))
+  }
+
   test("container sniff labels every fixture class the oracle expects") {
     import graft.tools.{AacFixture, AudioFixture, FlacFixture, Mp3Fixture, OggFixture}
     assert(AudioFp.audioContainer(AudioDupFixture.row(0L)._2) == "wav")
