@@ -169,6 +169,24 @@ object Bench {
       calibWaitedS = (System.nanoTime() - gateT0) / 1e9
     }
 
+    // Mid-run contention sentinel (round 20): the start gate can't
+    // see a co-tenant that arrives AFTER it passed (r19's artifact
+    // started at calib 0.151 yet recorded w40 at 24× its isolated
+    // floor from a mid-run window, costing a judge adjudication
+    // pass). One steady-state calibrate() runs between query
+    // FAMILIES (~12 probes × ~0.1 s); the summary line carries the
+    // worst probe and where it landed (`calib_max` /
+    // `calib_max_at`), so the artifact itself says which per-query
+    // numbers to distrust — family X's queries are suspect when the
+    // probe at its boundary is far above the 0.08–0.25 s band.
+    var calibMax = calibStart
+    var calibMaxAt = "start"
+    def probeMid(at: String): Unit = {
+      val t = calibrate()
+      if (t > calibMax) { calibMax = t; calibMaxAt = at }
+    }
+    def family(name: String): String = compactKey(name).takeWhile(_.isLetter)
+
     // SPARK_GRAFT_ONLY=q_a,q_b: local triage aid — time just these
     // queries under the exact per-query isolation discipline of a full
     // run (the driver never sets it)
@@ -245,7 +263,15 @@ object Bench {
     val eps = if (epsTimes.nonEmpty && nEvents > 0)
       (nEvents / median(epsTimes)).round else 0L
 
+    var lastFam = ""
     names.foreach { name =>
+      // family boundary: probe the sentinel once, attributed to the
+      // family just FINISHED (its numbers are the ones a window that
+      // ends here would have poisoned)
+      if (family(name) != lastFam) {
+        if (lastFam.nonEmpty) probeMid(lastFam)
+        lastFam = family(name)
+      }
       val fn = SparkEntry.queries(name)
       // min-budgeted extra min-trials (wantTrial): mid-suite ambient
       // session state (ContextCleaner backlog, code-cache churn) can
@@ -265,6 +291,7 @@ object Bench {
         warmMin(name) = warmTimes.min
       }
     }
+    if (lastFam.nonEmpty) probeMid(lastFam)
     isolate()
 
     // end-of-session outlier re-trial pass: a sustained stall window
@@ -286,6 +313,7 @@ object Bench {
     }
     isolate()
     val calibEnd = calibMedian()
+    if (calibEnd > calibMax) { calibMax = calibEnd; calibMaxAt = "end" }
 
     // 3-decimal (1 ms) timings: every byte on the cold-map line counts
     // against the driver's tail capture — measured at exactly 2000
@@ -332,6 +360,6 @@ object Bench {
     val cw = new java.io.PrintWriter(coldOut, "UTF-8")
     try cw.println(s"""{"metric":"cold","queries":${js(cold)},"sf":"$sfDir"}""") finally cw.close()
     println(s"""{"metric":"cold","unit":"centisec","fmt":"key:centisec pairs","queries":"${jsCs(coldCompact)}"}""")
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","failed":$failedJson,"events":$nEvents,"interpreter_eps":$eps,"calib":${num(calibStart)},"calib_end":${num(calibEnd)},"calib_waited_s":${num(calibWaitedS)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","failed":$failedJson,"events":$nEvents,"interpreter_eps":$eps,"calib":${num(calibStart)},"calib_end":${num(calibEnd)},"calib_waited_s":${num(calibWaitedS)},"calib_max":${num(calibMax)},"calib_max_at":"$calibMaxAt","sf":"$sfDir"}""")
   }
 }

@@ -26,9 +26,10 @@ class BenchBudgetSpec extends AnyFunSuite {
       """{"metric":"cold","unit":"centisec","fmt":"key:centisec pairs","queries":""}""".length
     // measured on the round-14 151-query run: the summary line was 134
     // chars bare; the round-18 calib/calib_end sentinel fields add
-    // ~36 and the round-19 calib_waited_s gate ~24, so 230 keeps
-    // margin for a failed-query list
-    val summaryLen = 230
+    // ~36, the round-19 calib_waited_s gate ~24 and the round-20
+    // mid-run calib_max/calib_max_at fields ~45, so 275 keeps margin
+    // for a failed-query list
+    val summaryLen = 275
     val sbtOverhead = 2 * 7 + 90 // [info] prefixes + trailing [success] line
     val projected = coldLen + summaryLen + sbtOverhead
     val budget = 1900 // driver tail is exactly 2000 chars; keep margin
