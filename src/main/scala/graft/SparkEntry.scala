@@ -881,11 +881,13 @@ object SparkEntry {
     // q_m38: video RE-MUX dedup — the video cell of the modality
     // matrix: per video the ordered per-frame dHash sequence digest
     // (real sample-table walks + real MJPEG pixel decode), falling
-    // back to a ZERO-DECODE digest of the ordered raw sample bytes
-    // when no frame pixel-decodes (H.264: a re-mux carries the codec
-    // payload verbatim); sig_kind says which path caught each pair.
-    // The fixture build asserts cross-container identity and
-    // cross-group distinctness on the committed bytes for BOTH paths
+    // back to a ZERO-DECODE digest of the ordered sample payloads
+    // when no frame pixel-decodes, with H.26x NAL framing NORMALIZED
+    // first (round 20: Annex-B-in-TS pairs with AVCC-in-MP4, the
+    // real `ffmpeg -c copy` shape); sig_kind says which path caught
+    // each pair. The fixture build asserts cross-container identity
+    // and cross-group distinctness on the committed bytes for BOTH
+    // paths, incl. the cross-framing class
     "q_m38_video_remux" -> ((s, _) =>
       VideoDup.remuxPairs(
         VideoDup.signatureTable(s, Tables.videodup(s)))),
@@ -952,9 +954,10 @@ object SparkEntry {
     // q_m41: VIDEO decode coverage — per (mime_type, container) the
     // q_m38 pixel path (MJPEG only) and payload-digest path (AVI /
     // MP4 / fragmented-MP4 / WebM video-track blocks / MPEG-TS PES
-    // payloads reassembled per video PID, round 19) measured
-    // independently; mpeg-ts pixel decode is the remaining honest
-    // zero on that container's line
+    // payloads reassembled per video PID, round 19; NAL-normalized
+    // since round 20 — videodup's cross-framing TS twins appear as
+    // an mpeg-ts line) measured independently; mpeg-ts pixel decode
+    // is the remaining honest zero on that container's line
     "q_m41_video_coverage" -> ((s, _) =>
       VideoDup.decodeCoverage(s, Tables.videodup(s)
         .unionByName(Tables.mp4Avc(s)).unionByName(Tables.mp4Frag(s))
@@ -4843,7 +4846,7 @@ object SparkEntry {
     // class g%8==6, whose pixels nothing here can decode)
     "q_m38_video_remux" ->
       s"""SELECT media_id AS media_id_a, media_id + 1 AS media_id_b,
-         |   CASE WHEN (media_id // 2) % 8 = 6 THEN 'payload'
+         |   CASE WHEN (media_id // 2) % 8 IN (5, 6) THEN 'payload'
          |        ELSE 'phash' END AS sig_kind
          | FROM read_parquet('${Tables.videodupFixturePath}')
          | WHERE media_id % 2 = 0 AND (media_id // 2) % 8 <> 7""".stripMargin,
@@ -4971,8 +4974,10 @@ object SparkEntry {
       s"""WITH u AS (
          |  SELECT mime_type,
          |    CASE WHEN (media_id // 2) % 8 = 7 THEN 'other'
+         |         WHEN (media_id // 2) % 8 = 5 AND media_id % 2 = 1
+         |           THEN 'mpeg-ts' -- round 20: the Annex-B TS twins
          |         WHEN media_id % 2 = 0 THEN 'mp4' ELSE 'avi' END AS container,
-         |    CASE WHEN (media_id // 2) % 8 IN (6, 7) THEN 0 ELSE 1 END AS px,
+         |    CASE WHEN (media_id // 2) % 8 IN (5, 6, 7) THEN 0 ELSE 1 END AS px,
          |    CASE WHEN (media_id // 2) % 8 = 7 THEN 0 ELSE 1 END AS pl
          |  FROM read_parquet('${Tables.videodupFixturePath}')
          |  UNION ALL

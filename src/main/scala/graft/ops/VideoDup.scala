@@ -25,19 +25,23 @@ import Multimodal.MediaRow
  *
  * Payload-digest fallback (round 18; TS added in round 19): when NO
  * frame pixel-decodes — H.264/HEVC and friends, i.e. nearly all real
- * video — the signature falls back to an md5 over the ORDERED RAW
- * sample byte spans the same container walks already locate (AVI
+ * video — the signature falls back to an md5 over the ORDERED
+ * sample payloads the same container walks already locate (AVI
  * `movi` chunks, MP4 `stbl` samples of any video codec, moof/trun
  * fragment runs, WebM video-track blocks, and MPEG-TS video PES
  * payloads REASSEMBLED per PID — PES/TS headers stripped, so the
- * digested bytes are the elementary stream an MP4 twin carries). A
- * re-mux carries the codec payload bytes verbatim, so this catches
- * every H.264 MP4 ↔ AVI ↔ fragmented-MP4 ↔ TS re-container with
- * ZERO decode; what it deliberately does NOT catch is a re-encode
- * (that needs pixels) or a re-mux that rewrites the bitstream
- * framing (AVCC ↔ Annex-B). The `sig_kind` column says which path
- * produced each signature ('phash' = perceptual, 'payload' =
- * raw-span digest); kinds never join against each other.
+ * digested bytes are the elementary stream an MP4 twin carries).
+ * Round 20 adds NAL-framing NORMALIZATION before the digest: a real
+ * `ffmpeg -c copy` TS ↔ MP4 re-container rewrites H.26x framing
+ * (Annex-B start codes ↔ avcC length prefixes) even though the NAL
+ * payloads are untouched, so each access unit that parses as either
+ * framing is digested as its ordered NAL-unit sequence instead of
+ * raw bytes ([[nalUnits]]). The path now catches every H.264 MP4 ↔
+ * AVI ↔ fragmented-MP4 ↔ TS re-container INCLUDING framing
+ * rewrites, still with ZERO decode; what it deliberately does NOT
+ * catch is a re-encode (that needs pixels). The `sig_kind` column
+ * says which path produced each signature ('phash' = perceptual,
+ * 'payload' = sample digest); kinds never join against each other.
  *
  * Scale shape: decode + hash are partition-local per blob; only
  * (media_id, n_frames, 16-byte digest, kind) rows reach the pair
@@ -74,10 +78,10 @@ object VideoDup {
    * 19 — MPEG-TS PES payload REASSEMBLY per video PID: a PES
    * packet's payload fragments across its TS packets form one
    * group, so the HLS-era `.ts` segment digests equal to an MP4
-   * carrying the same codec payload. What the path still
-   * deliberately does NOT catch is a re-encode (that needs pixels)
-   * or a re-mux that rewrites the bitstream framing (AVCC ↔
-   * Annex-B). */
+   * carrying the same codec payload (framing rewrites are handled
+   * by [[nalUnits]] normalization at digest time, round 20). What
+   * the path still deliberately does NOT catch is a re-encode —
+   * that needs pixels. */
   private[graft] def payloadSpans(b: Array[Byte]): Seq[Seq[(Int, Int)]] = {
     val avi = Multimodal.AvHeaders.aviVideoChunks(b)
     if (avi.nonEmpty) avi.map(Seq(_))
@@ -96,16 +100,121 @@ object VideoDup {
     }
   }
 
-  /** md5 over the ordered raw sample bytes; the count is SAMPLES
+  /** Annex-B split of one access unit [from, until): a start code
+   * (00 00 01 or 00 00 00 01) at the very beginning, NAL payloads
+   * between start codes (a zero immediately before a 3-byte code is
+   * read as the 4-byte form — the emission convention every muxer
+   * uses; a NAL whose own trailing bytes could alias a start code
+   * is ambiguous in Annex-B itself). Every NAL must be nonempty
+   * with forbidden_zero_bit 0, else the AU is not Annex-B. */
+  private def annexBUnits(b: Array[Byte], from: Int,
+      until: Int): Option[Seq[(Int, Int)]] = {
+    var i =
+      if (until - from >= 5 && b(from) == 0 && b(from + 1) == 0 &&
+        b(from + 2) == 0 && b(from + 3) == 1) from + 4
+      else if (until - from >= 4 && b(from) == 0 && b(from + 1) == 0 &&
+        b(from + 2) == 1) from + 3
+      else return None
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var nalStart = i
+    while (i + 2 < until) {
+      if (b(i) == 0 && b(i + 1) == 0 && b(i + 2) == 1) {
+        var end = i
+        if (end > nalStart && b(end - 1) == 0) end -= 1 // 4-byte form
+        if (end <= nalStart) return None // empty NAL
+        out += ((nalStart, end - nalStart))
+        i += 3
+        nalStart = i
+      } else i += 1
+    }
+    if (until <= nalStart) return None // trailing empty NAL
+    out += ((nalStart, until - nalStart))
+    if (out.forall { case (o, _) => (b(o) & 0x80) == 0 }) Some(out.toSeq)
+    else None
+  }
+
+  /** Length-prefixed (AVCC/HVCC-style) split of one access unit:
+   * BE lengths of `lsize` bytes chaining NAL payloads that consume
+   * the AU EXACTLY, each nonempty with forbidden_zero_bit 0 — the
+   * exact-consumption requirement is what keeps arbitrary bytes
+   * (MJPEG frames, VP9 payloads) from parsing by accident. */
+  private def lengthPrefixedUnits(b: Array[Byte], from: Int, until: Int,
+      lsize: Int): Option[Seq[(Int, Int)]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var p = from
+    while (p < until) {
+      if (p + lsize > until) return None
+      var len = 0L
+      var k = 0
+      while (k < lsize) { len = (len << 8) | (b(p + k) & 0xffL); k += 1 }
+      if (len <= 0 || p + lsize + len > until) return None
+      val o = p + lsize
+      if ((b(o) & 0x80) != 0) return None
+      out += ((o, len.toInt))
+      p = o + len.toInt
+    }
+    if (out.nonEmpty) Some(out.toSeq) else None
+  }
+
+  /** The ordered NAL units of one access unit, whatever its framing
+   * (round 20): Annex-B start codes (what MPEG-TS carries) first,
+   * then 4-byte length prefixes (MP4's avcC default), then 2-byte.
+   * None when the AU parses as neither — the digest then falls back
+   * to raw bytes, so non-NAL codecs are untouched. */
+  private[graft] def nalUnits(b: Array[Byte], from: Int,
+      until: Int): Option[Seq[(Int, Int)]] =
+    annexBUnits(b, from, until)
+      .orElse(lengthPrefixedUnits(b, from, until, 4))
+      .orElse(lengthPrefixedUnits(b, from, until, 2))
+
+  /** md5 over the ordered sample payloads; the count is SAMPLES
    * (groups), not fragments, so a TS twin reports the same n_frames
-   * as its MP4 re-mux. None when no group is fully in-bounds. */
+   * as its MP4 re-mux. None when no group is fully in-bounds.
+   *
+   * Round 20 — NAL-framing NORMALIZATION: every real `ffmpeg -c
+   * copy` TS ↔ MP4 re-container rewrites H.26x bitstream framing
+   * (TS carries Annex-B start codes, MP4 carries avcC length
+   * prefixes), so raw-byte digests can never pair them. Each access
+   * unit that parses as Annex-B or as exactly-consuming length
+   * prefixes is digested as its ordered NAL payload sequence
+   * (tag 'N', then BE32 length + bytes per NAL — framing-free);
+   * anything else is digested raw (tag 'R' + BE32 length + bytes),
+   * so VP8/VP9/MJPEG payload twins keep matching byte-for-byte and
+   * the two derivations can never alias each other. Still ZERO
+   * decode. */
   private[graft] def payloadDigest(b: Array[Byte]): Option[(Int, String)] = {
     val groups = payloadSpans(b).filter(g => g.nonEmpty && g.forall {
       case (off, len) => off >= 0 && len > 0 && off.toLong + len <= b.length })
     if (groups.isEmpty) None
     else {
       val md = java.security.MessageDigest.getInstance("MD5")
-      for (g <- groups; (off, len) <- g) md.update(b, off, len)
+      def putLen(v: Int): Unit = md.update(Array[Byte](
+        (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte))
+      for (g <- groups) {
+        // single-span AUs (the common case) parse in place; spanning
+        // AUs (TS continuation packets) concatenate once
+        val (au, from, until) =
+          if (g.size == 1) (b, g.head._1, g.head._1 + g.head._2)
+          else {
+            val total = g.iterator.map(_._2).sum
+            val tmp = new Array[Byte](total)
+            var o = 0
+            for ((off, len) <- g) {
+              System.arraycopy(b, off, tmp, o, len)
+              o += len
+            }
+            (tmp, 0, total)
+          }
+        nalUnits(au, from, until) match {
+          case Some(nals) =>
+            md.update('N'.toByte)
+            for ((o, l) <- nals) { putLen(l); md.update(au, o, l) }
+          case None =>
+            md.update('R'.toByte)
+            putLen(until - from)
+            md.update(au, from, until - from)
+        }
+      }
       Some((groups.size, md.digest().map(x => f"$x%02x").mkString))
     }
   }

@@ -98,6 +98,15 @@ object AvcMp4Fixture {
     (0 until nf).map(f => sample(id, f, s, syncs(f + 1)))
   }
 
+  /** The SAME NAL units as [[samplePayloads]] but in Annex-B framing
+   * (4-byte start codes instead of BE32 length prefixes) — what a
+   * real `ffmpeg -c copy` writes into an MPEG-TS segment. The
+   * round-20 cross-framing re-mux class pairs these against the
+   * AVCC MP4 through the NAL-normalized payload digest. */
+  def samplePayloadsAnnexB(id: Long): Seq[Array[Byte]] =
+    samplePayloads(id).map(s =>
+      Array[Byte](0, 0, 0, 1) ++ java.util.Arrays.copyOfRange(s, 4, s.length))
+
   def mp4(id: Long): Array[Byte] = {
     val nf = nFrames(id)
     val s = sampleSize(id)

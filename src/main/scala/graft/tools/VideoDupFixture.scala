@@ -19,6 +19,14 @@ package graft.tools
  * zero-decode payload-digest fallback, and their signature rows must
  * say sig_kind='payload'.
  *
+ * Group g%8==5 (round 20) is the CROSS-FRAMING class: the same NAL
+ * units as AVCC length prefixes in an MP4 (even id) vs Annex-B
+ * start codes in an MPEG-TS segment (odd id,
+ * [[AvcMp4Fixture.samplePayloadsAnnexB]] →
+ * [[TsFixture.tsFromSamples]]) — the shape a real `ffmpeg -c copy`
+ * TS↔MP4 re-container produces; these twins pair ONLY through the
+ * NAL-framing normalization in the payload digest.
+ *
  * The build ASSERTS the pair contract on the actual bytes: both
  * members produce the identical signature (per-frame dHash sequence
  * for the MJPEG classes, raw-span digest for the AVC class — which
@@ -72,6 +80,14 @@ object VideoDupFixture {
       if (id % 2 == 0) ("video/mp4", AvcMp4Fixture.mp4(g))
       else ("video/x-msvideo", AviFixture.aviFromChunks(
         AvcMp4Fixture.samplePayloads(g), W, H, 33333, "H264")._1)
+    } else if (g % 8 == 5) {
+      // CROSS-FRAMING class (round 20): the SAME NAL units as AVCC
+      // length prefixes in an MP4 vs Annex-B start codes in a TS —
+      // what a real `ffmpeg -c copy` re-container produces; the
+      // twins pair ONLY through NAL-framing normalization
+      if (id % 2 == 0) ("video/mp4", AvcMp4Fixture.mp4(g))
+      else ("video/mp2t",
+        TsFixture.tsFromSamples(AvcMp4Fixture.samplePayloadsAnnexB(g)))
     } else if (id % 2 == 0)
       ("video/mp4", MjpegMp4Fixture.mp4FromJpegs(frames(g), W, H, 33333)._1)
     else
@@ -96,7 +112,7 @@ object VideoDupFixture {
       id -> graft.ops.VideoDup.payloadDigest(bytes)
     }.toMap
     val phashGroups = (0L until rows.toLong / 2)
-      .filter(g => g % 8 != 7 && g % 8 != 6)
+      .filter(g => g % 8 != 7 && g % 8 != 6 && g % 8 != 5)
     phashGroups.foreach { g =>
       require(seqs(2 * g).nonEmpty, s"group $g mp4 decoded no frames")
       require(seqs(2 * g) == seqs(2 * g + 1),
@@ -118,8 +134,21 @@ object VideoDupFixture {
       require(digests(2 * g).get._1 == AvcMp4Fixture.nFrames(g),
         s"avc group $g span count")
     }
-    for (a <- avcGroups; b <- avcGroups if a < b)
-      require(digests(2 * a) != digests(2 * b), s"avc groups $a/$b collide")
+    // cross-framing class (round 20): AVCC-in-MP4 vs Annex-B-in-TS
+    // of the SAME NAL units — pairs only through normalization
+    val xframeGroups = (0L until rows.toLong / 2).filter(_ % 8 == 5)
+    xframeGroups.foreach { g =>
+      require(seqs(2 * g).isEmpty && seqs(2 * g + 1).isEmpty,
+        s"xframe group $g pixel-decoded — payload path untested")
+      require(digests(2 * g).nonEmpty, s"xframe group $g mp4 has no spans")
+      require(digests(2 * g) == digests(2 * g + 1),
+        s"xframe group $g framings digest apart — normalization broke")
+      require(digests(2 * g).get._1 == AvcMp4Fixture.nFrames(g),
+        s"xframe group $g span count")
+    }
+    val payloadGroups = avcGroups ++ xframeGroups
+    for (a <- payloadGroups; b <- payloadGroups if a < b)
+      require(digests(2 * a) != digests(2 * b), s"payload groups $a/$b collide")
     (0L until rows.toLong / 2).filter(_ % 8 == 7).foreach(g =>
       require(seqs(2 * g).isEmpty && seqs(2 * g + 1).isEmpty &&
         digests(2 * g).isEmpty && digests(2 * g + 1).isEmpty,

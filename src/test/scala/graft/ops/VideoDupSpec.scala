@@ -223,7 +223,62 @@ class VideoDupSpec extends SparkSpec {
         rows.toDF("media_id", "mime_type", "media")))
       .as[(Long, Long, String)].collect().toSet
     val want = (0L until 16L).filter(_ % 8 != 7).map(g =>
-      (2 * g, 2 * g + 1, if (g % 8 == 6) "payload" else "phash")).toSet
+      (2 * g, 2 * g + 1,
+        if (g % 8 == 6 || g % 8 == 5) "payload" else "phash")).toSet
     assert(pairs == want, s"got $pairs")
+  }
+
+  test("NAL normalization: Annex-B-in-TS pairs with AVCC-in-MP4 (real re-mux shape)") {
+    val g = 5L // the fixture's cross-framing class
+    val mp4 = VideoDupFixture.row(10L)._2 // AVCC length prefixes
+    val ts = VideoDupFixture.row(11L)._2 // the SAME NALs, Annex-B
+    assert(VideoDup.videoContainer(ts) == "mpeg-ts")
+    assert(VideoDup.frameDhashSeq(mp4).isEmpty && VideoDup.frameDhashSeq(ts).isEmpty)
+    val d = VideoDup.payloadDigest(mp4)
+    assert(d.nonEmpty && d == VideoDup.payloadDigest(ts),
+      "framing rewrite broke the digest — normalization regressed")
+    assert(d.get._1 == AvcMp4Fixture.nFrames(g))
+    // byte-level check: the two containers genuinely carry DIFFERENT
+    // bytes per access unit (prefix vs start code) — the old
+    // raw-byte digest could never have paired them
+    val auTs = Multimodal.AvHeaders.tsVideoPesSamples(ts).head.head
+    val tsAu = java.util.Arrays.copyOfRange(ts, auTs._1, auTs._1 + auTs._2)
+    assert(tsAu.take(4).sameElements(Array[Byte](0, 0, 0, 1)))
+    val auMp4 = Multimodal.AvHeaders.mp4AnyVideoSamples(mp4).head
+    val mp4Au = java.util.Arrays.copyOfRange(mp4, auMp4._1, auMp4._1 + auMp4._2)
+    assert(!mp4Au.take(4).sameElements(tsAu.take(4)))
+    assert(mp4Au.drop(4).sameElements(tsAu.drop(4)), "NAL bodies differ")
+  }
+
+  test("nalUnits: framing parses, raw fallback, and AU-boundary sensitivity") {
+    def units(b: Array[Byte]) = VideoDup.nalUnits(b, 0, b.length)
+      .map(_.map { case (o, l) => java.util.Arrays.copyOfRange(b, o, o + l).toSeq })
+    val n1 = Array[Byte](0x65, 10, 20, 30)
+    val n2 = Array[Byte](0x41, 7, 0, 9, 11)
+    // Annex-B with mixed 3-/4-byte start codes
+    val annexB = Array[Byte](0, 0, 0, 1) ++ n1 ++ Array[Byte](0, 0, 1) ++ n2
+    assert(units(annexB) == Some(Seq(n1.toSeq, n2.toSeq)))
+    // AVCC 4-byte lengths
+    val avcc = Array[Byte](0, 0, 0, 4) ++ n1 ++ Array[Byte](0, 0, 0, 5) ++ n2
+    assert(units(avcc) == Some(Seq(n1.toSeq, n2.toSeq)))
+    // 2-byte lengths
+    val avcc2 = Array[Byte](0, 4) ++ n1 ++ Array[Byte](0, 5) ++ n2
+    assert(units(avcc2) == Some(Seq(n1.toSeq, n2.toSeq)))
+    // non-NAL bytes fall back to raw (None): MJPEG-ish, short, junk
+    assert(units(Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte, 1, 2)).isEmpty)
+    assert(units(Array[Byte](1, 2, 3)).isEmpty)
+    // forbidden_zero_bit set → not a NAL stream
+    assert(units(Array[Byte](0, 0, 1, 0x80.toByte, 1, 2)).isEmpty)
+    // under-consuming length chain → not AVCC
+    assert(units(Array[Byte](0, 0, 0, 9) ++ n1).isEmpty)
+    // AU-boundary sensitivity of the digest: the same NALs split
+    // 1+2 vs 2+1 across access units must digest apart (re-mux
+    // equality is per access unit, not per byte stream)
+    import graft.tools.{MjpegMp4Fixture, TsFixture}
+    def sc(n: Array[Byte]) = Array[Byte](0, 0, 0, 1) ++ n
+    val n3 = Array[Byte](0x41, 9, 9, 9, 9, 9)
+    val tsA = TsFixture.tsFromSamples(Seq(sc(n1), sc(n2) ++ sc(n3)))
+    val tsB = TsFixture.tsFromSamples(Seq(sc(n1) ++ sc(n2), sc(n3)))
+    assert(VideoDup.payloadDigest(tsA) != VideoDup.payloadDigest(tsB))
   }
 }
