@@ -72,7 +72,8 @@ object VorbisEncoder {
     (if (negative) 0x80000000L else 0L) | ((788L + log2) << 21) | 1L
 
   private def writeCodebook(bw: Bw, dims: Int, entries: Int, lenBits: Int,
-      lookup: Option[(Int, Int, Long, Long, Int)]): Unit = { // (type, valueBits, min, delta, lookupValues)
+      lookup: Option[(Int, Int, Long, Long, Int)], // (type, valueBits, min, delta, lookupValues)
+      seqP: Boolean = false): Unit = {
     bw.bits(0x564342, 24)
     bw.bits(dims, 16)
     bw.bits(entries, 24)
@@ -87,7 +88,7 @@ object VorbisEncoder {
         bw.bits(min, 32)
         bw.bits(delta, 32)
         bw.bits(valueBits - 1, 4)
-        bw.bits(0, 1) // sequence_p off
+        bw.bits(if (seqP) 1 else 0, 1) // sequence_p
         if (lookupType == 1) {
           var j = 0
           while (j < lookupValues) { bw.bits(j, valueBits); j += 1 }
@@ -106,12 +107,34 @@ object VorbisEncoder {
     }
   }
 
+  /** Round-20 encode variants — each exercises a decoder branch the
+   * default profile never reaches (the block-switching precedent:
+   * exercising a spec-implemented-but-untested branch found a REAL
+   * lap-buffer bug in round 19):
+   *  - seqP: the coarse residue book is a sequence_p lattice (values
+   *    ACCUMULATE across the vector's dims per spec) over a wider
+   *    [−2, 1.875] range so the accumulated deltas stay in-lattice;
+   *  - floorMode 1: floor posts [127, 127, 2, 0] — the x=32 post
+   *    value reaches `room` with highroom < lowroom (fold DOWN);
+   *  - floorMode 2: posts [l, l, 2l+4, 0] with a quiet signal
+   *    (l ≤ 61) — v ≥ room with highroom > lowroom (fold UP; only
+   *    raises the curve, so residues shrink and the roundtrip stays
+   *    exact);
+   *  - classifySilent: residue partitions whose every value
+   *    quantizes to exact zero are coded CLASS 0 (no books, decoder
+   *    leaves zeros) instead of class 1 — the silent-partition path.
+   */
+  final case class EncOpts(
+      seqP: Boolean = false,
+      floorMode: Int = 0,
+      classifySilent: Boolean = false)
+
   /** The three header packets for `ch` channels at `rate`, block
    * sizes 2^log0 / 2^log1 (the residue's `end` covers the LONG
    * block's vector — interleaved for type 2, per-channel for types
    * 0/1; short blocks clamp per spec). */
   private def headers(ch: Int, rate: Int, log0: Int, log1: Int,
-      resType: Int): (Array[Byte], Array[Byte], Array[Byte]) = {
+      resType: Int, opts: EncOpts): (Array[Byte], Array[Byte], Array[Byte]) = {
     val idw = new Bw
     idw.bits(1, 8); "vorbis".foreach(c => idw.bits(c.toLong, 8))
     idw.bits(0, 32) // version
@@ -135,7 +158,13 @@ object VorbisEncoder {
     sw.bits(3, 8) // count − 1
     writeCodebook(sw, 4, 16, 4, None)
     writeCodebook(sw, 1, 128, 7, None)
-    writeCodebook(sw, 2, 256, 8, Some((1, 4, packPow2(0, negative = true), packPow2(-3, negative = false), 16)))
+    if (opts.seqP)
+      // sequence_p coarse: 32×32 lattice over [−2, 1.875] step 1/8 —
+      // the wider range holds the ACCUMULATED second component
+      // (out1 = q1 + out0, each in [−1, 1))
+      writeCodebook(sw, 2, 1024, 10, Some((1, 5, packPow2(1, negative = true), packPow2(-3, negative = false), 32)), seqP = true)
+    else
+      writeCodebook(sw, 2, 256, 8, Some((1, 4, packPow2(0, negative = true), packPow2(-3, negative = false), 16)))
     writeCodebook(sw, 2, 256, 8, Some((2, 4, packPow2(-4, negative = true), packPow2(-7, negative = false), 16)))
     sw.bits(0, 6); sw.bits(0, 16) // one time transform, zero
     // one floor, type 1
@@ -216,8 +245,8 @@ object VorbisEncoder {
   private def invDb(levelIdx: Int): Double =
     math.pow(10.0, (2 * levelIdx - 255).toDouble * 7.0 / 255.0)
 
-  private def quantIdx(v: Double, min: Double, step: Double): Int =
-    math.max(0, math.min(15, math.round((v - min) / step).toInt))
+  private def quantIdx(v: Double, min: Double, step: Double, maxIdx: Int = 15): Int =
+    math.max(0, math.min(maxIdx, math.round((v - min) / step).toInt))
 
   // --------------------------------------------------------- packets
   /** One audio packet over the channel spectra (each length n/2);
@@ -225,7 +254,7 @@ object VorbisEncoder {
    * length — short blocks clamp to their own, per spec). */
   private def audioPacket(specs: Array[Array[Double]], mode: Int,
       prevFlag: Boolean, nextFlag: Boolean, endVec: Int,
-      resType: Int): Array[Byte] = {
+      resType: Int, opts: EncOpts = EncOpts()): Array[Byte] = {
     val ch = specs.length
     val n2 = specs(0).length
     val bw = new Bw
@@ -252,10 +281,25 @@ object VorbisEncoder {
     val curves = Array.ofDim[Float](ch, n2)
     val rawYs = Array.tabulate(ch) { c =>
       val l = levels(c)
-      val d2 = math.max(0, math.min(6, math.min(127 - l, l - 1)))
-      val p3 = graft.ops.Vorbis.renderPoint(32, l + d2, 128, l, 64)
-      val d3 = math.max(0, math.min(2, math.min(127 - p3, p3 - 1)))
-      val raw = Array(l, l, 2 * d2, 2 * d3)
+      val raw = opts.floorMode match {
+        case 1 =>
+          // fold DOWN: base at the ceiling, v=2 ≥ room=2·min(1,127),
+          // highroom < lowroom → finalY = 127 − (2−1) − 1 = 125 (a
+          // 1.3× dip — residues stay inside the lattice)
+          Array(127, 127, 2, 0)
+        case 2 =>
+          // fold UP: v = 2l+4 ≥ room = 2l, highroom > lowroom →
+          // finalY = v − l + l = 2l+4; the curve only RISES, so
+          // residues shrink and the roundtrip stays exact. Needs
+          // 2l+4 ≤ 127 → a quiet signal.
+          require(l <= 61, s"floor overflow-up needs a quiet signal (level $l)")
+          Array(l, l, 2 * l + 4, 0)
+        case _ =>
+          val d2 = math.max(0, math.min(6, math.min(127 - l, l - 1)))
+          val p3 = graft.ops.Vorbis.renderPoint(32, l + d2, 128, l, 64)
+          val d3 = math.max(0, math.min(2, math.min(127 - p3, p3 - 1)))
+          Array(l, l, 2 * d2, 2 * d3)
+      }
       graft.ops.Vorbis.floor1Synth(xList, raw, 2, n2, curves(c))
       raw
     }
@@ -294,28 +338,76 @@ object VorbisEncoder {
     val nVec = math.min(endVec, n2 * ch)
     val partitions = nVec / 32
     val coarse = new Array[Double](nVec)
+    // coarse lattice geometry (seqP uses the wider 32-value lattice)
+    val cMin = if (opts.seqP) -2.0 else -1.0
+    val cMax = if (opts.seqP) 31 else 15
+    val cVals = cMax + 1
+    val cBits = if (opts.seqP) 10 else 8
+    val zeroIdx = math.round(-cMin / 0.125).toInt // lattice index of 0.0
+    // per-partition class: 0 (silent — no books, decoder leaves
+    // zeros) when EVERY value quantizes to exact zero through both
+    // passes, so classified and unclassified streams decode
+    // identically and class 0 only saves bits
+    def quantsToZero(v: Double): Boolean =
+      quantIdx(v, cMin, 0.125, cMax) == zeroIdx &&
+        quantIdx(v, -0.0625, 1.0 / 128) == 8
+    val cls = Array.tabulate(partitions) { pc =>
+      if (!opts.classifySilent) 1
+      else {
+        var allZero = true
+        var k = 0
+        while (k < 32 && allZero) {
+          allZero = quantsToZero(inter(pc * 32 + k))
+          k += 1
+        }
+        if (allZero) 0 else 1
+      }
+    }
     for (pass <- 0 until 2) {
       var pc = 0
       while (pc < partitions) {
-        if (pass == 0) bw.code(15, 4) // 4 partitions, all class 1
+        if (pass == 0) {
+          // classword over this group of ≤4 partitions, high
+          // partition first (the decoder peels temp % 2 from the end)
+          var e = 0
+          var i = 0
+          while (i < 4) {
+            e = e * 2 + (if (pc + i < partitions) cls(pc + i) else 0)
+            i += 1
+          }
+          bw.code(e, 4)
+        }
         var w = 0
         while (w < 4 && pc < partitions) {
-          var j = 0
-          while (j < 16) { // 16 dim-2 vectors per partition
-            val e0 = if (resType == 0) pc * 32 + j else pc * 32 + 2 * j
-            val e1 = if (resType == 0) pc * 32 + j + 16 else pc * 32 + 2 * j + 1
-            if (pass == 0) {
-              val i0 = quantIdx(inter(e0), -1.0, 0.125)
-              val i1 = quantIdx(inter(e1), -1.0, 0.125)
-              coarse(e0) = -1.0 + i0 * 0.125
-              coarse(e1) = -1.0 + i1 * 0.125
-              bw.code(i1 * 16 + i0, 8)
-            } else {
-              val i0 = quantIdx(inter(e0) - coarse(e0), -0.0625, 1.0 / 128)
-              val i1 = quantIdx(inter(e1) - coarse(e1), -0.0625, 1.0 / 128)
-              bw.code(i1 * 16 + i0, 8)
+          if (cls(pc) == 1) {
+            var j = 0
+            while (j < 16) { // 16 dim-2 vectors per partition
+              val e0 = if (resType == 0) pc * 32 + j else pc * 32 + 2 * j
+              val e1 = if (resType == 0) pc * 32 + j + 16 else pc * 32 + 2 * j + 1
+              if (pass == 0) {
+                if (opts.seqP) {
+                  // sequence_p: the decoder ACCUMULATES out1 = q1 +
+                  // out0, so the second index codes the DELTA
+                  val i0 = quantIdx(inter(e0), cMin, 0.125, cMax)
+                  val c0 = cMin + i0 * 0.125
+                  val i1 = quantIdx(inter(e1) - c0, cMin, 0.125, cMax)
+                  coarse(e0) = c0
+                  coarse(e1) = c0 + (cMin + i1 * 0.125)
+                  bw.code(i1 * cVals + i0, cBits)
+                } else {
+                  val i0 = quantIdx(inter(e0), -1.0, 0.125)
+                  val i1 = quantIdx(inter(e1), -1.0, 0.125)
+                  coarse(e0) = -1.0 + i0 * 0.125
+                  coarse(e1) = -1.0 + i1 * 0.125
+                  bw.code(i1 * 16 + i0, 8)
+                }
+              } else {
+                val i0 = quantIdx(inter(e0) - coarse(e0), -0.0625, 1.0 / 128)
+                val i1 = quantIdx(inter(e1) - coarse(e1), -0.0625, 1.0 / 128)
+                bw.code(i1 * 16 + i0, 8)
+              }
+              j += 1
             }
-            j += 1
           }
           pc += 1
           w += 1
@@ -388,14 +480,14 @@ object VorbisEncoder {
    * length — decode returns exactly that many samples. */
   private def encodeScheduled(chans: Seq[Array[Int]], rate: Int,
       log0: Int, log1: Int, sizes: IndexedSeq[Int],
-      resType: Int = 2): Array[Byte] = {
+      resType: Int = 2, opts: EncOpts = EncOpts()): Array[Byte] = {
     val ch = chans.size
     require(ch == 1 || ch == 2, "mono or stereo")
     require(resType == 2 || ch == 1, "residue 0/1 encode is mono-only here")
     val t = chans.head.length
     val bs0 = 1 << log0
     val endVec = (1 << (log1 - 1)) * (if (resType == 2) ch else 1)
-    val (idp, cmp, sup) = headers(ch, rate, log0, log1, resType)
+    val (idp, cmp, sup) = headers(ch, rate, log0, log1, resType, opts)
     val serial = 0x67726166 // 'graf'
     val pages = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     pages += page(Seq(idp), 2, 0L, serial, 0)
@@ -442,7 +534,7 @@ object VorbisEncoder {
         specs(c) = mdct(frame, n)
         c += 1
       }
-      pending += audioPacket(specs, mode, prevFlag, nextFlag, endVec, resType)
+      pending += audioPacket(specs, mode, prevFlag, nextFlag, endVec, resType, opts)
       if (pending.size >= 40) flush(eos = false)
       b += 1
     }
@@ -473,6 +565,32 @@ object VorbisEncoder {
 
   def encodeStereo(l: Array[Int], r: Array[Int], rate: Int): Array[Byte] =
     encodeChannels(Seq(l, r), rate)
+
+  private def uniformBlocks(len: Int): IndexedSeq[Int] =
+    IndexedSeq.fill((len + N2 - 1) / N2 + 1)(N)
+
+  /** Mono encode whose coarse residue book is a SEQUENCE_P lattice —
+   * exercises the decoder's value-accumulation branch
+   * (out_k = q_k + out_{k−1}) through the bitstream. */
+  def encodeMonoSeqP(pcm: Array[Int], rate: Int): Array[Byte] =
+    encodeScheduled(Seq(pcm), rate, 9, 9, uniformBlocks(pcm.length),
+      opts = EncOpts(seqP = true))
+
+  /** Mono encode whose floor posts genuinely OVERFLOW `room` —
+   * `high` folds DOWN from a ceiling base (highroom < lowroom),
+   * else folds UP from a quiet base (highroom > lowroom; the signal
+   * must be quiet enough that its level is ≤ 61). */
+  def encodeMonoFloorOverflow(pcm: Array[Int], rate: Int,
+      high: Boolean): Array[Byte] =
+    encodeScheduled(Seq(pcm), rate, 9, 9, uniformBlocks(pcm.length),
+      opts = EncOpts(floorMode = if (high) 1 else 2))
+
+  /** Mono encode that codes all-zero-quantizing partitions as
+   * residue CLASS 0 (silent — no books): decodes identically to the
+   * all-class-1 stream of the same PCM, in strictly fewer bytes. */
+  def encodeMonoSilentClasses(pcm: Array[Int], rate: Int): Array[Byte] =
+    encodeScheduled(Seq(pcm), rate, 9, 9, uniformBlocks(pcm.length),
+      opts = EncOpts(classifySilent = true))
 
   /** Block-SWITCHED encode (256/2048, the shape every real-web
    * Vorbis stream has): a deterministic schedule mixing short runs

@@ -229,6 +229,92 @@ class VorbisSpec extends SparkSpec {
     }
   }
 
+  test("sequence_p codebook roundtrip: the accumulation branch decodes exactly") {
+    // round 20: the coarse book declares sequence_p — decodeVq must
+    // ACCUMULATE out_k = q_k + out_{k−1}; a decoder ignoring the bit
+    // would reconstruct deltas as absolutes and collapse the SNR
+    val pcm = Mp3DupFixture.basePcm(8L)
+    val ogg = VorbisEncoder.encodeMonoSeqP(pcm, 32000)
+    val dec = Vorbis.decode(ogg).getOrElse(sys.error("claims nothing"))
+    assert(dec.samples.length == pcm.length)
+    var se = 0.0
+    var ss = 0.0
+    var i = 1000
+    while (i < pcm.length - 1000) {
+      val r = pcm(i) / 32768.0
+      val d = r - dec.samples(i)
+      se += d * d; ss += r * r
+      i += 1
+    }
+    val snr = 10.0 * math.log10(ss / se)
+    assert(snr > 25.0, s"seqP roundtrip SNR $snr dB")
+  }
+
+  test("floor posts overflowing `room` fold per spec — both directions, via bitstream") {
+    // direct spec-arithmetic pins of the folding branch (re-derived
+    // here, not shared with the implementation's callers):
+    // fold DOWN — y=[127,127], v=2 ≥ room=2·min(1,127)=2, highroom 1
+    // < lowroom 127 → finalY = 127 − (2−1) − 1 = 125
+    val down = new Array[Float](256)
+    Vorbis.floor1Synth(Array(0, 128, 32, 64), Array(127, 127, 2, 0), 2, 256, down)
+    assert(down(32) == Vorbis.InverseDb(250))
+    // fold UP — y=[8,8], v=20 ≥ room=2·min(120,8)=16, highroom 120 >
+    // lowroom 8 → finalY = 20 − 8 + 8 = 20
+    val up = new Array[Float](256)
+    Vorbis.floor1Synth(Array(0, 128, 32, 64), Array(8, 8, 20, 0), 2, 256, up)
+    assert(up(32) == Vorbis.InverseDb(40))
+    def snrOf(pcm: Array[Int], ogg: Array[Byte]): Double = {
+      val dec = Vorbis.decode(ogg).getOrElse(sys.error("claims nothing"))
+      assert(dec.samples.length == pcm.length)
+      var se = 0.0
+      var ss = 0.0
+      var i = 1000
+      while (i < pcm.length - 1000) {
+        val r = pcm(i) / 32768.0
+        val d = r - dec.samples(i)
+        se += d * d; ss += r * r
+        i += 1
+      }
+      10.0 * math.log10(ss / se)
+    }
+    // fold-down through the bitstream on a normal signal (the 1.3×
+    // curve dip stays inside the residue lattice)
+    val pcm = Mp3DupFixture.basePcm(9L)
+    val sDown = snrOf(pcm, VorbisEncoder.encodeMonoFloorOverflow(pcm, 32000, high = true))
+    assert(sDown > 20.0, s"fold-down roundtrip SNR $sDown dB")
+    // fold-up RAISES the curve over the floor's X range [0, 128) by
+    // ~10^(l·7/255/…) — any signal living there would quantize to
+    // zero against the raised curve, so the probe signal is a QUIET
+    // (base level ≤ 61 ⇒ amplitude ≲ 3 LSB) HIGH-frequency tone at
+    // bin ~180: past the last post, where the curve keeps the base
+    // level and the roundtrip stays quantizer-exact
+    val quiet = Array.tabulate(Mp3DupFixture.NSamples)(t =>
+      math.round(3.0 * math.sin(2.0 * math.Pi * 180.0 / 512.0 * t)).toInt)
+    assert(quiet.exists(_ != 0), "quiet signal degenerated to silence")
+    val sUp = snrOf(quiet, VorbisEncoder.encodeMonoFloorOverflow(quiet, 32000, high = false))
+    assert(sUp > 20.0, s"fold-up roundtrip SNR $sUp dB")
+  }
+
+  test("residue class 0 (silent partitions): identical decode, strictly fewer bytes") {
+    // a low tone: high-frequency partitions quantize to exact zero,
+    // so the classifier codes them CLASS 0 (no books, decoder leaves
+    // zeros); the all-class-1 encode of the same PCM must decode to
+    // the IDENTICAL samples in strictly more bytes — proof the
+    // silent path both ran and is exactly equivalent
+    val n = Mp3DupFixture.NSamples
+    val pcm = Array.tabulate(n)(t =>
+      (math.sin(2.0 * math.Pi * 300.0 * t / 32000.0) * 18000).toInt)
+    val silent = VorbisEncoder.encodeMonoSilentClasses(pcm, 32000)
+    val plain = VorbisEncoder.encode(pcm, 32000)
+    val a = Vorbis.decode(silent).getOrElse(sys.error("silent claims nothing"))
+    val b = Vorbis.decode(plain).getOrElse(sys.error("plain claims nothing"))
+    assert(a.samples.length == b.samples.length)
+    assert(a.samples.sameElements(b.samples),
+      "class-0 partitions decoded differently from coded zeros")
+    assert(silent.length < plain.length,
+      s"no partition classified silent (${silent.length} vs ${plain.length})")
+  }
+
   test("tolerance: junk, truncation, structural-fixture fakes claim nothing") {
     assert(Vorbis.decode(null).isEmpty)
     assert(Vorbis.decode("OggS but not really".getBytes("US-ASCII")).isEmpty)
@@ -282,9 +368,16 @@ class VorbisSpec extends SparkSpec {
     // throw or hang. Seeded: failures reproduce.
     val base = graft.tools.VorbisEncoder.encode(Mp3DupFixture.basePcm(5L), 32000)
     val switched = graft.tools.VorbisEncoder.encodeSwitched(Mp3DupFixture.basePcm(5L), 32000)
+    // round 20: the variant profiles (sequence_p book, silent
+    // classes) join the corruption mix — their decoder branches must
+    // be as total as the default path's
+    val seqP = graft.tools.VorbisEncoder.encodeMonoSeqP(Mp3DupFixture.basePcm(5L), 32000)
+    val silent = graft.tools.VorbisEncoder.encodeMonoSilentClasses(
+      Array.tabulate(8192)(t => (math.sin(2.0 * math.Pi * 300.0 * t / 32000.0) * 18000).toInt), 32000)
+    val sources = Array(base, switched, seqP, silent)
     val rnd = new scala.util.Random(42)
     for (trial <- 0 until 120) {
-      val src = if (trial % 2 == 0) base else switched
+      val src = sources(trial % 4)
       val b = src.clone()
       val flips = 1 + rnd.nextInt(8)
       for (_ <- 0 until flips)
