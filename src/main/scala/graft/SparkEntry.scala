@@ -945,7 +945,8 @@ object SparkEntry {
           graft.ops.Remux.webmVorbisFromOgg(r.media)))
         .toDF("media_id", "mime_type", "media")
       AudioFp.decodeCoverage(s, Tables.audiodup(s)
-        .unionByName(Tables.audio(s)).unionByName(Tables.mp3(s))
+        .unionByName(Tables.audio(s)).unionByName(Tables.aifc(s))
+        .unionByName(Tables.mp3(s))
         .unionByName(Tables.aac(s)).unionByName(Tables.ogg(s))
         .unionByName(Tables.flac(s)).unionByName(Tables.flacpcm(s))
         .unionByName(Tables.mp3dup(s)).unionByName(Tables.vorbisdup(s))
@@ -4905,6 +4906,13 @@ object SparkEntry {
          |    -- the cut-aiff and junk classes stay zero
          |    CASE WHEN media_id % 8 IN (3, 7) THEN 0 ELSE 1 END
          |  FROM read_parquet('${Tables.audioFixturePath}')
+         |  UNION ALL
+         |  -- AIFF-C (round 20): sowt / fl32 / NONE decode through
+         |  -- the shared reader; the ima4 compressed class parses as
+         |  -- an aiff container but honestly decodes nothing
+         |  SELECT mime_type, 'aiff',
+         |    CASE WHEN media_id % 4 = 3 THEN 0 ELSE 1 END
+         |  FROM read_parquet('${Tables.aifcFixturePath}')
          |  UNION ALL
          |  SELECT mime_type,
          |    CASE WHEN media_id % 8 = 3 THEN 'id3-tag-only'

@@ -108,6 +108,16 @@ object Tables {
     val local = new java.io.File("fixtures/audio.parquet")
     if (local.exists) local.getAbsolutePath else "/root/repo/fixtures/audio.parquet"
   }
+
+  /** aifc(media_id BIGINT, mime_type STRING, media BINARY) —
+   * repo-local deterministic AIFF-C fixture (tools.AifcFixture:
+   * 'sowt'/'fl32'/'NONE' PCM variants plus the 'ima4' honest-zero
+   * compressed class). */
+  def aifcFixturePath: String = {
+    val local = new java.io.File("fixtures/aifc.parquet")
+    if (local.exists) local.getAbsolutePath else "/root/repo/fixtures/aifc.parquet"
+  }
+  def aifc(spark: SparkSession): DataFrame = spark.read.parquet(aifcFixturePath)
   def audio(spark: SparkSession): DataFrame = spark.read.parquet(audioFixturePath)
 
   /** ogg(media_id BIGINT, mime_type STRING, media BINARY) — repo-local

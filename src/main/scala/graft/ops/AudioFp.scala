@@ -80,12 +80,13 @@ object AudioFp {
           Multimodal.AvHeaders.wavSampleAt(b, fmt, bits, o)
         }
     }
-    val aiff = Multimodal.AvHeaders.aiffSamples(b).map { case (ch, bits, off, len) =>
-      val bytesPer = bits / 8
-      val frameBytes = ch * bytesPer
-      val n = math.min(len, b.length - off) / frameBytes
-      mono(n, ch)((t, c) =>
-        Multimodal.AvHeaders.aiffSampleAt(b, bits, off + t * frameBytes + c * bytesPer))
+    val aiff = Multimodal.AvHeaders.aiffSamples(b).map {
+      case (ch, bits, off, len, codec) =>
+        val bytesPer = bits / 8
+        val frameBytes = ch * bytesPer
+        val n = math.min(len, b.length - off) / frameBytes
+        mono(n, ch)((t, c) => Multimodal.AvHeaders.aiffSampleAt(
+          b, codec, bits, off + t * frameBytes + c * bytesPer))
     }
     val au = Multimodal.AvHeaders.auSamples(b).map { case (enc, ch, off, len) =>
       val bytesPer = Multimodal.AvHeaders.auBytesPer(enc)
@@ -175,6 +176,11 @@ object AudioFp {
           out
         })
   }
+
+  /** Fixture-build hook: the fingerprint's decode path, visible to
+   * the tools' build-time contract assertions. */
+  private[graft] def monoSamplesForTest(b: Array[Byte]): Option[Array[Float]] =
+    monoSamples(b)
 
   /** In-place iterative radix-2 FFT (re, im of length n = 2^k). */
   private[ops] def fft(re: Array[Double], im: Array[Double]): Unit = {

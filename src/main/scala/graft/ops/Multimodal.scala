@@ -569,23 +569,35 @@ object Multimodal {
       } yield (ch, blockAlign, off, len)
     }
 
-    /** PCM payload locator for AIFF: COMM (channels/bits, validated)
-     * plus the SSND chunk — samples start after SSND's 8-byte
-     * offset/blockSize header plus its declared offset, big-endian,
-     * 8-bit SIGNED (unlike WAV) or 16-bit. */
-    private[ops] def aiffSamples(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
-      if (b == null || !(tag(b, 0, "FORM") && b.length >= 12 && tag(b, 8, "AIFF")))
-        return None
+    /** PCM payload locator for AIFF and AIFF-C (round 20): COMM
+     * (channels/bits, validated; for AIFC also the compressionType —
+     * 'NONE'/'twos' = BE PCM, 'sowt' = LE PCM16 (the Mac-rip
+     * corpus's little-endian type), 'fl32'/'FL32' = BE float32;
+     * any other compression claims nothing) plus the SSND chunk —
+     * samples start after SSND's 8-byte offset/blockSize header plus
+     * its declared offset. Returns (channels, bits, sampleOffset,
+     * byteLen, codec) with codec 0 = BE PCM, 1 = sowt, 2 = fl32. */
+    private[ops] def aiffSamples(b: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
+      if (b == null || !(tag(b, 0, "FORM") && b.length >= 12 &&
+        (tag(b, 8, "AIFF") || tag(b, 8, "AIFC")))) return None
+      val aifc = tag(b, 8, "AIFC")
       var i = 12
-      var comm: Option[(Int, Int)] = None // channels, bits
+      var comm: Option[(Int, Int, Int)] = None // channels, bits, codec
       var ssnd: Option[(Int, Int)] = None // sample offset, byte len
       while (i + 8 <= b.length && (comm.isEmpty || ssnd.isEmpty)) {
         val len = be32(b, i + 4)
         if (len < 0 || len > b.length - i - 8) i = b.length // truncated: stop
         else {
-          if (tag(b, i, "COMM") && len >= 18)
-            comm = Some((be16(b, i + 8), be16(b, i + 14)))
-          else if (tag(b, i, "SSND") && len >= 8) {
+          if (tag(b, i, "COMM") && len >= 18) {
+            val codec: Option[Int] =
+              if (!aifc) Some(0)
+              else if (len < 22) None // AIFC COMM must carry the type
+              else if (tag(b, i + 26, "NONE") || tag(b, i + 26, "twos")) Some(0)
+              else if (tag(b, i + 26, "sowt")) Some(1)
+              else if (tag(b, i + 26, "fl32") || tag(b, i + 26, "FL32")) Some(2)
+              else None // compressed types this reader doesn't decode
+            codec.foreach(cd => comm = Some((be16(b, i + 8), be16(b, i + 14), cd)))
+          } else if (tag(b, i, "SSND") && len >= 8) {
             val off = be32(b, i + 8)
             if (off >= 0 && off <= len - 8)
               ssnd = Some((i + 16 + off.toInt, (len - 8 - off).toInt))
@@ -594,24 +606,35 @@ object Multimodal {
         }
       }
       for {
-        (ch, bits) <- comm
-        if ch > 0 && (bits == 8 || bits == 16 || bits == 24 || bits == 32)
+        (ch, bits, cd) <- comm
+        if ch > 0 && (cd match {
+          case 1 => bits == 16 // sowt is defined for 16-bit PCM
+          case 2 => bits == 32 // float32
+          case _ => bits == 8 || bits == 16 || bits == 24 || bits == 32
+        })
         (off, len) <- ssnd
-      } yield (ch, bits, off, len)
+      } yield (ch, bits, off, len, cd)
     }
 
-    /** Signed normalized BE sample read for the widths [[aiffSamples]]
-     * admits (AIFF PCM8 is SIGNED, unlike WAV). Shared by the feature
-     * envelope and the fingerprint decode. */
-    private[ops] def aiffSampleAt(b: Array[Byte], bits: Int, o: Int): Float =
-      bits match {
-        case 8 => b(o) / 128f
-        case 16 => ((b(o) << 8) | (b(o + 1) & 0xff)).toShort / 32768f
-        case 24 =>
-          ((b(o) << 16) | ((b(o + 1) & 0xff) << 8) | (b(o + 2) & 0xff)) / 8388608f
-        case _ =>
-          ((b(o) << 24) | ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) |
-            (b(o + 3) & 0xff)).toFloat / 2147483648f
+    /** Signed normalized sample read for the (codec, width) pairs
+     * [[aiffSamples]] admits (AIFF PCM8 is SIGNED, unlike WAV;
+     * codec 1 = sowt little-endian 16-bit, codec 2 = BE float32).
+     * Shared by the feature envelope and the fingerprint decode. */
+    private[ops] def aiffSampleAt(b: Array[Byte], codec: Int, bits: Int, o: Int): Float =
+      codec match {
+        case 1 => ((b(o + 1) << 8) | (b(o) & 0xff)).toShort / 32768f
+        case 2 => java.lang.Float.intBitsToFloat(
+          (b(o) << 24) | ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) |
+            (b(o + 3) & 0xff))
+        case _ => bits match {
+          case 8 => b(o) / 128f
+          case 16 => ((b(o) << 8) | (b(o + 1) & 0xff)).toShort / 32768f
+          case 24 =>
+            ((b(o) << 16) | ((b(o + 1) & 0xff) << 8) | (b(o + 2) & 0xff)) / 8388608f
+          case _ =>
+            ((b(o) << 24) | ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) |
+              (b(o + 3) & 0xff)).toFloat / 2147483648f
+        }
       }
 
     /** Bytes per sample and signed normalized BE read for the AU
@@ -3524,13 +3547,13 @@ object Multimodal {
       }
 
     private def aiffEnvelope(bytes: Array[Byte]): Option[Array[Float]] =
-      AvHeaders.aiffSamples(bytes).flatMap { case (channels, bits, off, len) =>
+      AvHeaders.aiffSamples(bytes).flatMap { case (channels, bits, off, len, codec) =>
         val bytesPerSample = bits / 8
         val frameBytes = channels * bytesPerSample
         val nFrames = math.min(len, bytes.length - off) / frameBytes
         envelopeOf(nFrames, channels) { (f, c) =>
           val o = off + f * frameBytes + c * bytesPerSample
-          math.abs(AvHeaders.aiffSampleAt(bytes, bits, o))
+          math.abs(AvHeaders.aiffSampleAt(bytes, codec, bits, o))
         }
       }
 

@@ -250,6 +250,32 @@ class AudioFpSpec extends SparkSpec {
       _.sameElements(AudioFp.monoSamples(mp3).get)))
   }
 
+  test("AIFF-C: sowt/fl32/NONE decode identically, ima4 honestly claims nothing") {
+    import graft.tools.AifcFixture
+    // ids 0,1,2 differ in compressionType arithmetic, so build one id
+    // under each type directly: same PCM, three encodings
+    val id = 4L
+    val sowt = AudioFp.monoSamples(AifcFixture.aifc(id, "sowt")).get
+    val none = AudioFp.monoSamples(AifcFixture.aifc(id, "NONE")).get
+    val fl32 = AudioFp.monoSamples(AifcFixture.aifc(id, "fl32")).get
+    assert(sowt.length == AifcFixture.frames(id))
+    assert(sowt.sameElements(none), "sowt and BE PCM decode apart")
+    assert(fl32.sameElements(none), "fl32 and PCM16 decode apart " +
+      "(float32 of s/32768 is exact)")
+    // stereo variant too (odd ids are 2-channel)
+    val st = AudioFp.monoSamples(AifcFixture.aifc(5L, "sowt")).get
+    assert(st.length == AifcFixture.frames(5L))
+    assert(st.sameElements(AudioFp.monoSamples(AifcFixture.aifc(5L, "NONE")).get))
+    // the compressed class: container parses, decode refuses
+    val ima = AifcFixture.aifc(id, "ima4")
+    assert(AudioFp.audioContainer(ima) == "aiff")
+    assert(AudioFp.monoSamples(ima).isEmpty)
+    // a plain-AIFF reader regression guard: the JDK-written AIFF
+    // fixture class still decodes through the same (widened) reader
+    import graft.tools.AudioFixture
+    assert(AudioFp.monoSamples(AudioFixture.row(0L)._2).nonEmpty)
+  }
+
   test("container sniff labels every fixture class the oracle expects") {
     import graft.tools.{AacFixture, AudioFixture, FlacFixture, Mp3Fixture, OggFixture}
     assert(AudioFp.audioContainer(AudioDupFixture.row(0L)._2) == "wav")
