@@ -28,12 +28,15 @@ package graft.ops
  *    prototype, making the fixture roundtrip near-exact; against a
  *    conformant decoder real streams differ by a small filterbank
  *    ripple, well under the fingerprint's robustness margin.
- *  - Intensity stereo decodes for LONG blocks (the position-ratio
- *    formula needs no tables); intensity over short blocks and
- *    MPEG-2/2.5 claim nothing (documented, visible in the q_m40
- *    coverage face). Frame CRCs are skipped, not verified —
- *    corruption surfaces as a claim-nothing granule through the
- *    structural checks instead.
+ *  - Intensity stereo decodes for LONG blocks and (round 20) SHORT
+ *    blocks — the per-window pan is the same position-ratio formula
+ *    over the short band geometry, no new tables. A granule whose
+ *    two channels carry DIFFERENT block shapes under intensity
+ *    claims nothing (the band layouts don't align); MPEG-2/2.5
+ *    claims nothing (documented, visible in the q_m40 coverage
+ *    face). Frame CRCs are skipped, not verified — corruption
+ *    surfaces as a claim-nothing granule through the structural
+ *    checks instead.
  *
  * Tolerance discipline: None, never a throw — a corrupt stream
  * yields what decoded cleanly before the corruption, or nothing.
@@ -688,12 +691,30 @@ object Mp3 {
                 }
                 if (usable && nch == 2 && h.mode == 1) {
                   val intensityOn = (h.modeExt & 1) != 0
-                  // intensity over short blocks: out of the declared
-                  // scope — the whole decode claims nothing
-                  if (intensityOn && grs(g).exists(gr =>
-                    gr.windowSwitching && gr.blockType == 2)) return None
-                  jointStereo(sampleRate, h.modeExt, scfs(1), xr(g)(0), xr(g)(1),
-                    if (intensityOn) ends(1) else 576)
+                  val short1 = grs(g)(1).windowSwitching && grs(g)(1).blockType == 2
+                  if (intensityOn && short1) {
+                    // intensity over SHORT blocks (round 20): the
+                    // per-window pan — the channels must share the
+                    // block shape or the reordered band layouts
+                    // don't align (a shape-mismatched intensity
+                    // granule claims nothing — the honest narrow
+                    // seam)
+                    val g0 = grs(g)(0)
+                    val g1 = grs(g)(1)
+                    if (g0.blockType != g1.blockType ||
+                      g0.windowSwitching != g1.windowSwitching ||
+                      g0.mixedBlock != g1.mixedBlock) return None
+                    jointStereoShort(sampleRate, h.modeExt, scfs(1), g1,
+                      xr(g)(0), xr(g)(1), ends(1))
+                  } else if (intensityOn && grs(g).exists(gr =>
+                    gr.windowSwitching && gr.blockType == 2)) {
+                    // ch0 short with ch1 long under intensity: the
+                    // same shape-mismatch seam
+                    return None
+                  } else {
+                    jointStereo(sampleRate, h.modeExt, scfs(1), xr(g)(0), xr(g)(1),
+                      if (intensityOn) ends(1) else 576)
+                  }
                 }
               }
               // commit the filterbank state (overlap-add history +
@@ -795,6 +816,94 @@ object Mp3 {
       }
       start = end
       sfb += 1
+    }
+  }
+
+  /** Joint-stereo processing for SHORT-block granules (round 20 —
+   * was a claims-nothing guard): the per-WINDOW intensity pan. The
+   * rule is the long path's with the short band geometry: a short
+   * scalefactor band whose (reordered == storage) start lies at or
+   * above channel 1's data end is intensity-coded, each of its
+   * three windows independently with is_position =
+   * scf1.short(w)(sfb) (band 12, which carries no scalefactor,
+   * reuses band 11's — the band-21→20 convention); bands below the
+   * bound take MS when enabled. In the reordered layout band sfb's
+   * window-w samples sit at base + 3·line + w, where base =
+   * longEnd + 3·Σ earlier widths — identical to the band's STORAGE
+   * start, so the data-end bound names the same boundary in both
+   * domains. A mixed block's long prefix (bands 0-7 over the first
+   * 36 lines) follows the long rule with the long scalefactors. */
+  private def jointStereoShort(sampleRate: Int, modeExt: Int, scf1: Scf,
+      gr: Gr, l: Array[Double], r: Array[Double], bound: Int): Unit = {
+    val msOn = (modeExt & 2) != 0
+    val inv = 1.0 / math.sqrt(2.0)
+    def pan(idx: Int, isPos: Int): Unit = {
+      val m = l(idx)
+      if (isPos >= 7) {
+        // 7 = intensity off for the band; ≥ 8 illegal-but-reachable
+        // (same hostile-stream guard as the long path)
+        if (msOn) { val s = r(idx); l(idx) = (m + s) * inv; r(idx) = (m - s) * inv }
+      } else if (isPos == 6) {
+        l(idx) = m; r(idx) = 0.0
+      } else {
+        val ratio = math.tan(isPos * math.Pi / 12.0)
+        l(idx) = m * (ratio / (1.0 + ratio))
+        r(idx) = m * (1.0 / (1.0 + ratio))
+      }
+    }
+    val longEnd = if (gr.mixedBlock) 36 else 0
+    if (gr.mixedBlock) {
+      // long prefix, bands 0-7: the long-band rule
+      val longW = Mp3Tables.sfbLong(sampleRate)
+      var start = 0
+      var sfb = 0
+      while (sfb < 8 && start < longEnd) {
+        val end = math.min(start + longW(sfb), longEnd)
+        if (start >= bound) {
+          var i = start
+          while (i < end) { pan(i, scf1.long(sfb)); i += 1 }
+        } else if (msOn) {
+          var i = start
+          while (i < math.min(end, bound)) {
+            val m = l(i); val s = r(i)
+            l(i) = (m + s) * inv
+            r(i) = (m - s) * inv
+            i += 1
+          }
+        }
+        start = end
+        sfb += 1
+      }
+    }
+    val shortW = Mp3Tables.sfbShort(sampleRate)
+    var base = longEnd
+    var s = if (gr.mixedBlock) 3 else 0
+    while (s < 13 && base < 576) {
+      val width = shortW(s)
+      val bandEnd = math.min(base + 3 * width, 576)
+      if (base >= bound) {
+        var w = 0
+        while (w < 3) {
+          val isPos = scf1.short(w)(math.min(s, 11))
+          var k = 0
+          while (k < width) {
+            val idx = base + 3 * k + w
+            if (idx < 576) pan(idx, isPos)
+            k += 1
+          }
+          w += 1
+        }
+      } else if (msOn) {
+        var i = base
+        while (i < math.min(bandEnd, bound)) {
+          val m = l(i); val t = r(i)
+          l(i) = (m + t) * inv
+          r(i) = (m - t) * inv
+          i += 1
+        }
+      }
+      base = bandEnd
+      s += 1
     }
   }
 }

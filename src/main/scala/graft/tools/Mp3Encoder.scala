@@ -386,9 +386,11 @@ object Mp3Encoder {
 
   /** Granule coding plan: payload bytes, exact bit count
    * (part2_3_length), global gain, big_values, per-region tables,
-   * count1 table select. */
+   * count1 table select; `short` granules carry window-switched
+   * side info (block_type 2). */
   private[graft] final case class GranulePlan(bytes: Array[Byte], nbits: Int,
-    gg: Int, bigValues: Int, tables: Array[Int], count1Table: Int)
+    gg: Int, bigValues: Int, tables: Array[Int], count1Table: Int,
+    short: Boolean = false)
 
   /** Quantize one granule with per-band scalefactors into |q| ≤ 5
    * and Huffman-code it: big values up to the last |q| > 1 line with
@@ -504,5 +506,271 @@ object Mp3Encoder {
     var sfb = 0
     while (sfb < 21 && i >= bandStart(sfb + 1)) sfb += 1
     sfb
+  }
+
+  // ------------------------------------------- short blocks (round 20)
+  private val shortWin: Array[Double] =
+    Array.tabulate(12)(i => math.sin(math.Pi / 12.0 * (i + 0.5)))
+  private val mdct12M: Array[Array[Double]] =
+    Array.tabulate(6, 12)((k, j) =>
+      math.cos(math.Pi / 24.0 * (2 * j + 1 + 6) * (2 * k + 1)) * 4.0 / 12.0)
+
+  /** One SHORT-block granule's 576 lines in the decoder's REORDERED
+   * layout (per subband: xr(18·sb + 3·k + w), window w, coefficient
+   * k): three forward 12-point MDCTs over the [prev 18, cur 18]
+   * frame's short windows at offsets 6/12/18, the same frequency
+   * inversion as the long path, scale 4/12 for a unity roundtrip
+   * with the decoder's sum-form imdct12. NO alias butterflies — the
+   * decoder applies none for pure short blocks (sbLimit 0). */
+  private[graft] def granuleSpectrumShort(sub: Array[Array[Double]],
+      g: Int): Array[Double] = {
+    val xr = new Array[Double](576)
+    val buf = new Array[Double](36)
+    var sb = 0
+    while (sb < 32) {
+      var i = 0
+      while (i < 36) {
+        val t = (g - 1) * 18 + i
+        var v = if (t < 0 || t >= sub(sb).length) 0.0 else sub(sb)(t)
+        if ((sb & 1) == 1 && (((t % 18) + 18) % 18 % 2) == 1) v = -v
+        buf(i) = v
+        i += 1
+      }
+      var w = 0
+      while (w < 3) {
+        var k = 0
+        while (k < 6) {
+          var acc = 0.0
+          val row = mdct12M(k)
+          var j = 0
+          while (j < 12) { acc += buf(6 + 6 * w + j) * shortWin(j) * row(j); j += 1 }
+          xr(18 * sb + 3 * k + w) = acc
+          k += 1
+        }
+        w += 1
+      }
+      sb += 1
+    }
+    xr
+  }
+
+  /** Quantize and Huffman-code one SHORT granule. `xr` is in the
+   * reordered layout [[granuleSpectrumShort]] produces; Huffman
+   * coding runs in the STORAGE order the decoder reads (band-major,
+   * window-minor — band starts coincide between the two layouts).
+   * `forcedScl(w)(sfb)` carries intensity position indices for
+   * channel 1's zeroed bands. */
+  private def quantizeAndCodeShort(xr: Array[Double], shortW: Array[Int],
+      oddGranule: Boolean, minCover: Int = 0,
+      forcedScl: Array[Array[Int]] = null, ggBias: Int = 0): GranulePlan = {
+    val base = new Array[Int](14)
+    for (s <- 0 until 13) base(s + 1) = base(s) + 3 * shortW(s)
+    val scl = Array.fill(3, 12)(0)
+    val amax = xr.map(math.abs).max
+    var gg =
+      if (amax <= 0) 0
+      else math.ceil(210.0 + 4.0 * (math.log(amax /
+        math.pow(5.49, 4.0 / 3.0)) / math.log(2.0))).toInt
+    gg += ggBias
+    if (gg < 0) gg = 0
+    if (gg > 255) gg = 255
+    val gq = math.pow(2.0, 0.25 * (gg - 210))
+    for (s <- 0 until 12; w <- 0 until 3) {
+      var bm = 0.0
+      var k = 0
+      while (k < shortW(s)) {
+        bm = math.max(bm, math.abs(xr(base(s) + 3 * k + w)))
+        k += 1
+      }
+      val limit = if (s < 6) 15 else 7
+      var v = limit
+      while (v > 0 && bm > 0 && math.round(math.pow(
+        bm * math.pow(2.0, 1.0 * v) / gq, 0.75)) > 5) v -= 1
+      scl(w)(s) = if (bm > 0) v else 0
+      if (forcedScl != null && forcedScl(w)(s) >= 0) scl(w)(s) = forcedScl(w)(s)
+    }
+    // quantize into STORAGE order (subblock_gain stays 0)
+    val q = new Array[Int](576)
+    for (s <- 0 until 13; w <- 0 until 3; k <- 0 until shortW(s)) {
+      val sc = if (s < 12) scl(w)(s) else 0
+      val x = xr(base(s) + 3 * k + w)
+      val v = math.pow(math.abs(x) * math.pow(2.0, 1.0 * sc) / gq, 0.75)
+      var m = math.round(v).toInt
+      if (m > 5) m = 5
+      q(base(s) + w * shortW(s) + k) = if (x < 0) -m else m
+    }
+    var lastBig = -1
+    var lastNz = -1
+    var i = 0
+    while (i < 576) {
+      if (math.abs(q(i)) > 1) lastBig = i
+      if (q(i) != 0) lastNz = i
+      i += 1
+    }
+    var bigEnd = if (lastBig < 0) 0 else ((lastBig / 2) + 1) * 2
+    if (minCover > 0) bigEnd = math.min(((bigEnd + 3) / 4) * 4, minCover)
+    val bigValues = bigEnd / 2
+    // window-switched regions: [0, 36) then [36, bigEnd)
+    val r1 = 36
+    def regionMax(from: Int, until: Int): Int = {
+      var m = 0
+      var k = from
+      while (k < math.min(until, bigEnd)) { m = math.max(m, math.abs(q(k))); k += 1 }
+      m
+    }
+    val tables = Array(
+      tableFor(regionMax(0, r1), oddGranule),
+      tableFor(regionMax(r1, 576), oddGranule),
+      0)
+    // payload: short scalefactors (6 bands × 3 windows × slen1=4,
+    // then 6 × 3 × slen2=3 under scalefac_compress 15), big-value
+    // pairs, count1 quads
+    val bw = new Bw
+    for (s <- 0 until 6; w <- 0 until 3) bw.bits(scl(w)(s), 4)
+    for (s <- 6 until 12; w <- 0 until 3) bw.bits(scl(w)(s), 3)
+    i = 0
+    while (i < bigEnd) {
+      val tsel = if (i < r1) tables(0) else tables(1)
+      if (tsel != 0) {
+        val t = Mp3Tables.big(tsel)
+        val xm = math.abs(q(i))
+        val ym = math.abs(q(i + 1))
+        val (len, code) = t.entries(xm * t.dim + ym)
+        bw.bits(code, len)
+        if (xm != 0) bw.bits(if (q(i) < 0) 1 else 0, 1)
+        if (ym != 0) bw.bits(if (q(i + 1) < 0) 1 else 0, 1)
+      }
+      i += 2
+    }
+    val count1Table = if (oddGranule) 1 else 0
+    val c1 = if (count1Table == 0) Mp3Tables.count1A else Mp3Tables.count1B
+    i = bigEnd
+    while ((i <= lastNz || i < minCover) && i + 4 <= 576) {
+      val vals = Array(q(i), q(i + 1), q(i + 2), q(i + 3))
+      val idx = vals.foldLeft(0)((a, v) => (a << 1) | math.abs(v))
+      val (len, code) = c1(idx)
+      bw.bits(code, len)
+      vals.foreach(v => if (v != 0) bw.bits(if (v < 0) 1 else 0, 1))
+      i += 4
+    }
+    val nbits = bw.bitLength
+    GranulePlan(bw.bytes, nbits, gg, bigValues, tables, count1Table, short = true)
+  }
+
+  /** Joint-stereo SHORT-block intensity encode (round 20): every
+   * granule is block_type 2, mode_extension = intensity; channel
+   * 1's bands at/above the bound (the first 4-aligned short band
+   * start at/after band 8) are zeroed with PER-WINDOW position
+   * indices in their scalefactor slots, channel 0 carries L+R
+   * there. Exercises the decoder's jointStereoShort path end to
+   * end through true bytes. */
+  def encodeStereoIntensityShort(left: Array[Int], right: Array[Int],
+      sampleRate: Int): Array[Byte] = {
+    require(SrIdx.contains(sampleRate), s"unsupported rate $sampleRate")
+    require(left.length == right.length, "channel length mismatch")
+    val frameBytes = 144000 * 320 / sampleRate
+    val n0 = math.max(0, left.length - Advance)
+    val nFrames = math.max(2, (n0 + 1056 + 1151) / 1152)
+    val nSamples = nFrames * 1152
+    val shortW = Mp3Tables.sfbShort(sampleRate)
+    val base = new Array[Int](14)
+    for (s <- 0 until 13) base(s + 1) = base(s) + 3 * shortW(s)
+    val subL = analyzeSubbands(left, n0, nSamples)
+    val subR = analyzeSubbands(right, n0, nSamples)
+    // intensity bound: the first 4-aligned short band start at/after
+    // band 8 (4-aligned so the count1 quad run lands exactly on it)
+    val boundSfb = (8 to 12).find(s => base(s) % 4 == 0).getOrElse(13)
+    val bound = base(boundSfb)
+    val out = new java.io.ByteArrayOutputStream()
+    var granule = 0
+    var frame = 0
+    while (frame < nFrames) {
+      val forced = Array.fill(2)(Array.fill(3, 12)(-1))
+      val spectra = Array.tabulate(2) { g =>
+        val l = granuleSpectrumShort(subL, granule + g)
+        val r = granuleSpectrumShort(subR, granule + g)
+        val c0 = new Array[Double](576)
+        val c1 = new Array[Double](576)
+        var i = 0
+        while (i < 576) {
+          c0(i) = if (i < bound) l(i) else l(i) + r(i)
+          c1(i) = if (i < bound) r(i) else 0.0
+          i += 1
+        }
+        // per-window position indices for the intensity bands (band
+        // 12 carries no scalefactor: the decoder reuses band 11's)
+        for (s <- boundSfb until 12; w <- 0 until 3) {
+          var eL = 0.0
+          var eR = 0.0
+          var k = 0
+          while (k < shortW(s)) {
+            val idx = base(s) + 3 * k + w
+            eL += l(idx) * l(idx); eR += r(idx) * r(idx)
+            k += 1
+          }
+          val pos = math.round(math.atan2(math.sqrt(eL), math.sqrt(eR))
+            * 12.0 / math.Pi).toInt
+          forced(g)(w)(s) = math.max(0, math.min(6, pos))
+        }
+        Array(c0, c1)
+      }
+      val budget = frameBytes * 8 - 32 - 32 * 8
+      var ggBias = 0
+      var plans: Array[Array[GranulePlan]] = null
+      var fits = false
+      while (!fits) {
+        plans = Array.tabulate(2, 2) { (g, ch) =>
+          if (ch == 1)
+            quantizeAndCodeShort(spectra(g)(ch), shortW, oddGranule = g == 1,
+              minCover = bound, forcedScl = forced(g), ggBias = ggBias)
+          else quantizeAndCodeShort(spectra(g)(ch), shortW,
+            oddGranule = g == 1, ggBias = ggBias)
+        }
+        val total = plans.flatten.map(_.nbits).sum
+        if (total <= budget || ggBias >= 255) fits = true
+        else ggBias += 4
+      }
+      val bw = new Bw
+      bw.bits(0xfff, 12); bw.bits(1, 1)
+      bw.bits(1, 2) // layer III
+      bw.bits(1, 1) // no CRC
+      bw.bits(BitrateIdx(32000), 4)
+      bw.bits(SrIdx(sampleRate), 2)
+      bw.bits(0, 1); bw.bits(0, 1) // padding, private
+      bw.bits(1, 2) // mode: joint stereo
+      bw.bits(1, 2) // mode_extension: intensity
+      bw.bits(0, 2); bw.bits(0, 2)
+      bw.bits(0, 9) // main_data_begin
+      bw.bits(0, 3) // private
+      bw.bits(0, 8) // scfsi
+      for (g <- 0 until 2; ch <- 0 until 2) {
+        val plan = plans(g)(ch)
+        bw.bits(plan.nbits, 12)
+        bw.bits(plan.bigValues, 9)
+        bw.bits(plan.gg, 8)
+        bw.bits(15, 4) // scalefac_compress (slen 4/3)
+        bw.bits(1, 1) // window switching
+        bw.bits(2, 2) // block_type 2 (short)
+        bw.bits(0, 1) // not mixed
+        bw.bits(plan.tables(0), 5)
+        bw.bits(plan.tables(1), 5)
+        bw.bits(0, 3); bw.bits(0, 3); bw.bits(0, 3) // subblock_gain
+        bw.bits(0, 1) // preflag
+        bw.bits(1, 1) // scalefac_scale
+        bw.bits(plan.count1Table, 1)
+      }
+      for (g <- 0 until 2; ch <- 0 until 2)
+        appendBits(bw, plans(g)(ch).bytes, plans(g)(ch).nbits)
+      val used = bw.bitLength
+      val want = frameBytes * 8
+      require(used <= want, s"short-intensity frame overflow: $used > $want")
+      var pad = want - used
+      while (pad >= 8) { bw.bits(0, 8); pad -= 8 }
+      if (pad > 0) bw.bits(0, pad)
+      out.write(bw.bytes)
+      granule += 2
+      frame += 1
+    }
+    out.toByteArray
   }
 }

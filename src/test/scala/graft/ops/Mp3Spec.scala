@@ -278,6 +278,51 @@ class Mp3Spec extends SparkSpec {
     assert(snr(r, 1) > 8.0, s"right ${snr(r, 1)}")
   }
 
+  test("intensity over SHORT blocks: the per-window pan decodes (round 20)") {
+    val n = Mp3DupFixture.NSamples
+    // same shape as the long-block intensity test: distinct lows,
+    // one high tone panned toward the left — now through block_type
+    // 2 granules (3 windows × short band geometry)
+    def lo1(t: Int) = 0.3 * math.sin(2 * math.Pi * 500.0 * t / 32000)
+    def lo2(t: Int) = 0.3 * math.sin(2 * math.Pi * 800.0 * t / 32000 + 1.0)
+    def hi(t: Int) = 0.25 * math.sin(2 * math.Pi * 6500.0 * t / 32000 + 0.3)
+    val l = Array.tabulate(n)(t => ((lo1(t) + hi(t)) * 32000).toInt)
+    val r = Array.tabulate(n)(t => ((lo2(t) + 0.5 * hi(t)) * 32000).toInt)
+    val mp3 = Mp3Encoder.encodeStereoIntensityShort(l, r, 32000)
+    // header says joint stereo + intensity
+    assert((mp3(3) >> 6) == 1 && ((mp3(3) >> 4) & 3) == 1)
+    val dec = Mp3.decode(mp3).getOrElse(
+      sys.error("short-block intensity claims nothing — the guard regressed"))
+    assert(dec.channels == 2 && dec.samples.length == 2 * n)
+    def snr(ref: Array[Int], ch: Int): Double = {
+      var se = 0.0
+      var ss = 0.0
+      var i = 2000
+      while (i < n - 2000) {
+        val a = ref(i) / 32768.0
+        val d = dec.samples(i * 2 + ch)
+        se += (a - d) * (a - d); ss += a * a
+        i += 1
+      }
+      10.0 * math.log10(ss / se)
+    }
+    assert(snr(l, 0) > 8.0, s"left ${snr(l, 0)}")
+    assert(snr(r, 1) > 8.0, s"right ${snr(r, 1)}")
+    // the codec fingerprint gate against the WAV mixdown twin — on
+    // the fixture's band-placed signal family (every fingerprint
+    // band carries deliberate signal; a tones-only probe leaves
+    // noise-floor bands whose comparisons flip arbitrarily at ANY
+    // codec's noise level, long or short)
+    val l2 = Array.tabulate(n)(t => (Mp3DupFixture.signal(1L, t) * 30000).toInt)
+    val r2 = Array.tabulate(n)(t => (Mp3DupFixture.signal(2L, t) * 30000).toInt)
+    val mp32 = Mp3Encoder.encodeStereoIntensityShort(l2, r2, 32000)
+    val mono = Array.tabulate(n)(t => (l2(t) + r2(t)) / 2)
+    val a = AudioFp.signature(Mp3DupFixture.wav(mono)).get
+    val b = AudioFp.signature(mp32).get
+    val d = (0 until AudioFp.SigBands).map(k => Integer.bitCount(a(k) ^ b(k))).sum
+    assert(d <= 7, s"short-intensity twin at hamming $d")
+  }
+
   test("pair face: exact mp3 re-encode pair set over the fixture") {
     import spark.implicits._
     val rows = (0L until 32L).map { id =>
