@@ -950,6 +950,7 @@ object SparkEntry {
         .unionByName(Tables.aac(s)).unionByName(Tables.ogg(s))
         .unionByName(Tables.flac(s)).unionByName(Tables.flacpcm(s))
         .unionByName(Tables.mp3dup(s)).unionByName(Tables.vorbisdup(s))
+        .unionByName(Tables.mp3lsf(s))
         .unionByName(tsmp3).unionByName(webmv))
     }),
     // q_m41: VIDEO decode coverage — per (mime_type, container) the
@@ -4954,6 +4955,15 @@ object SparkEntry {
          |    -- ogg.parquet fakes above stay the container's zeros)
          |    CASE WHEN (media_id // 2) % 8 = 7 THEN 0 ELSE 1 END
          |  FROM read_parquet('${Tables.vorbisdupFixturePath}')
+         |  UNION ALL
+         |  -- MPEG-2 LSF pairs (round 20): 22.05 kHz WAV originals
+         |  -- and single-granule LSF Layer III re-encodes, both
+         |  -- decoding; junk rows stay the container's zeros
+         |  SELECT mime_type,
+         |    CASE WHEN (media_id // 2) % 8 = 7 THEN 'other'
+         |         WHEN media_id % 2 = 0 THEN 'wav' ELSE 'mp3' END,
+         |    CASE WHEN (media_id // 2) % 8 = 7 THEN 0 ELSE 1 END
+         |  FROM read_parquet('${Tables.mp3lsfFixturePath}')
          |  UNION ALL
          |  -- MP3-in-TS (round 19): the odd mp3dup rows re-muxed into
          |  -- TS audio PES; real groups decode through PES reassembly

@@ -118,6 +118,16 @@ object Tables {
     if (local.exists) local.getAbsolutePath else "/root/repo/fixtures/aifc.parquet"
   }
   def aifc(spark: SparkSession): DataFrame = spark.read.parquet(aifcFixturePath)
+
+  /** mp3lsf(media_id BIGINT, mime_type STRING, media BINARY) —
+   * repo-local deterministic MPEG-2 LSF re-encode pairs
+   * (tools.Mp3LsfFixture: 22.05 kHz WAV originals + single-granule
+   * LSF Layer III encodes of the same PCM, plus junk rows). */
+  def mp3lsfFixturePath: String = {
+    val local = new java.io.File("fixtures/mp3lsf.parquet")
+    if (local.exists) local.getAbsolutePath else "/root/repo/fixtures/mp3lsf.parquet"
+  }
+  def mp3lsf(spark: SparkSession): DataFrame = spark.read.parquet(mp3lsfFixturePath)
   def audio(spark: SparkSession): DataFrame = spark.read.parquet(audioFixturePath)
 
   /** ogg(media_id BIGINT, mime_type STRING, media BINARY) — repo-local

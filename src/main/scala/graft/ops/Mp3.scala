@@ -32,11 +32,16 @@ package graft.ops
  *    blocks — the per-window pan is the same position-ratio formula
  *    over the short band geometry, no new tables. A granule whose
  *    two channels carry DIFFERENT block shapes under intensity
- *    claims nothing (the band layouts don't align); MPEG-2/2.5
- *    claims nothing (documented, visible in the q_m40 coverage
- *    face). Frame CRCs are skipped, not verified — corruption
- *    surfaces as a claim-nothing granule through the structural
- *    checks instead.
+ *    claims nothing (the band layouts don't align).
+ *  - MPEG-2/2.5 LSF (round 20): the single-granule frame decodes —
+ *    9-bit scalefac_compress with the FORMULA-derived slen/partition
+ *    split, implied preflag, the six low-rate sfb tables under the
+ *    transcription gate documented in Mp3Tables — within the same
+ *    verified-Huffman-table scope as MPEG-1. LSF joint-INTENSITY
+ *    frames claim nothing (their intensity_scale pan law is separate
+ *    tabulated-ish machinery, out of scope). Frame CRCs are skipped,
+ *    not verified — corruption surfaces as a claim-nothing granule
+ *    through the structural checks instead.
  *
  * Tolerance discipline: None, never a throw — a corrupt stream
  * yields what decoded cleanly before the corruption, or nothing.
@@ -65,28 +70,43 @@ object Mp3 {
   // ---------------------------------------------------------- header
   private val BitrateKbps =
     Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val BitrateKbpsLsf =
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
   private val SampleRates = Array(44100, 48000, 32000)
+  private val SampleRatesLsf = Array(22050, 24000, 16000)
+  private val SampleRates25 = Array(11025, 12000, 8000)
 
   private[ops] final case class Hdr(size: Int, sampleRate: Int,
-      mode: Int, modeExt: Int, crc: Boolean) {
+      mode: Int, modeExt: Int, crc: Boolean, lsf: Boolean = false) {
     def channels: Int = if (mode == 3) 1 else 2
   }
 
-  /** MPEG-1 Layer III header at `off`; None otherwise. */
+  /** MPEG-1 / MPEG-2 / MPEG-2.5 Layer III header at `off` (LSF =
+   * low sampling frequency, the MPEG-2/2.5 single-granule frame);
+   * None otherwise. */
   private[ops] def header(b: Array[Byte], off: Int): Option[Hdr] = {
     if (off + 4 > b.length) return None
     val h0 = b(off) & 0xff
     val h1 = b(off + 1) & 0xff
     val h2 = b(off + 2) & 0xff
     val h3 = b(off + 3) & 0xff
-    if (h0 != 0xff || (h1 & 0xfe) != 0xfa) return None // MPEG-1 L3
+    if (h0 != 0xff || (h1 & 0xe0) != 0xe0) return None // 11-bit sync
+    val version = (h1 >> 3) & 3 // 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+    val layer = (h1 >> 1) & 3 // 1 = Layer III
+    if (version == 1 || layer != 1) return None
     val brIdx = h2 >> 4
     val srIdx = (h2 >> 2) & 3
     if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None
     val pad = (h2 >> 1) & 1
-    val sr = SampleRates(srIdx)
-    val size = 144000 * BitrateKbps(brIdx) / sr + pad
-    Some(Hdr(size, sr, h3 >> 6, (h3 >> 4) & 3, (h1 & 1) == 0))
+    val lsf = version != 3
+    val sr = version match {
+      case 3 => SampleRates(srIdx)
+      case 2 => SampleRatesLsf(srIdx)
+      case _ => SampleRates25(srIdx)
+    }
+    val kbps = if (lsf) BitrateKbpsLsf(brIdx) else BitrateKbps(brIdx)
+    val size = (if (lsf) 72000 else 144000) * kbps / sr + pad
+    Some(Hdr(size, sr, h3 >> 6, (h3 >> 4) & 3, (h1 & 1) == 0, lsf))
   }
 
   // ------------------------------------------------------- side info
@@ -147,10 +167,92 @@ object Mp3 {
     (mainDataBegin, scfsi, grs)
   }
 
+  /** MPEG-2/2.5 (LSF) side info: ONE granule, no scfsi, a 9-bit
+   * scalefac_compress, and no preflag bit (preflag is implied by
+   * scalefac_compress ≥ 500, set during scalefactor decode).
+   * 9 bytes mono / 17 stereo. */
+  private def readSideInfoLsf(br: Br, nch: Int): (Int, Array[Array[Gr]]) = {
+    val mainDataBegin = br.bits(8)
+    br.bits(if (nch == 1) 1 else 2) // private bits
+    val grs = Array.fill(1, nch)(new Gr)
+    for (ch <- 0 until nch) {
+      val gr = grs(0)(ch)
+      gr.part23 = br.bits(12)
+      gr.bigValues = br.bits(9)
+      gr.globalGain = br.bits(8)
+      gr.scalefacCompress = br.bits(9)
+      gr.windowSwitching = br.bit() == 1
+      if (gr.windowSwitching) {
+        gr.blockType = br.bits(2)
+        gr.mixedBlock = br.bit() == 1
+        gr.tableSelect(0) = br.bits(5)
+        gr.tableSelect(1) = br.bits(5)
+        gr.tableSelect(2) = 0
+        gr.subblockGain(0) = br.bits(3)
+        gr.subblockGain(1) = br.bits(3)
+        gr.subblockGain(2) = br.bits(3)
+        gr.region0 = if (gr.blockType == 2 && !gr.mixedBlock) 8 else 7
+        gr.region1 = 20 - gr.region0
+      } else {
+        gr.tableSelect(0) = br.bits(5)
+        gr.tableSelect(1) = br.bits(5)
+        gr.tableSelect(2) = br.bits(5)
+        gr.region0 = br.bits(4)
+        gr.region1 = br.bits(3)
+        gr.blockType = 0
+      }
+      gr.preflag = false // derived from scalefac_compress at decode
+      gr.scalefacScale = br.bit() == 1
+      gr.count1Table = br.bit()
+    }
+    (mainDataBegin, grs)
+  }
+
   // ----------------------------------------------------- scalefactors
   private final class Scf {
     val long = new Array[Int](23)
     val short = Array.fill(3)(new Array[Int](13))
+  }
+
+  /** MPEG-2/2.5 scalefactor decode (ISO 13818-3 2.4.3.2, the
+   * NON-intensity channel): slen and the four band-partition counts
+   * derive from the 9-bit scalefac_compress by FORMULA — no new
+   * tables; the partition counts are the fixed (6,5,5,5) long /
+   * (9,9,9,9) short / (6,9,9,9) mixed splits whose sums are pinned
+   * to the 21 / 36 / 33 scalefactor totals in Mp3Spec. preflag is
+   * implied by scalefac_compress ≥ 500. LSF INTENSITY channels use
+   * a different compress split and pan law and are out of scope —
+   * an LSF joint-intensity frame claims nothing (decode loop). */
+  private def readScalefactorsLsf(br: Br, gr: Gr): Scf = {
+    val out = new Scf
+    val sfc = gr.scalefacCompress
+    val slen =
+      if (sfc < 400)
+        Array((sfc >> 4) / 5, (sfc >> 4) % 5, (sfc & 15) >> 2, sfc & 3)
+      else if (sfc < 500) {
+        val c = sfc - 400
+        Array((c >> 2) / 5, (c >> 2) % 5, c & 3, 0)
+      } else {
+        val c = sfc - 500
+        gr.preflag = true
+        Array(c / 3, c % 3, 0, 0)
+      }
+    val short = gr.windowSwitching && gr.blockType == 2
+    val nr =
+      if (!short) Array(6, 5, 5, 5)
+      else if (gr.mixedBlock) Array(6, 9, 9, 9)
+      else Array(9, 9, 9, 9)
+    var k = 0
+    for (p <- 0 until 4; _ <- 0 until nr(p)) {
+      val v = br.bits(slen(p))
+      if (!short) out.long(k) = v
+      else if (gr.mixedBlock) {
+        if (k < 6) out.long(k) = v
+        else out.short((k - 6) % 3)(3 + (k - 6) / 3) = v
+      } else out.short(k % 3)(k / 3) = v
+      k += 1
+    }
+    out
   }
 
   private def readScalefactors(br: Br, gr: Gr, scfsi: Array[Int],
@@ -652,11 +754,18 @@ object Mp3 {
         case Some(h) if h.sampleRate == sampleRate && h.channels == nch &&
           pos + h.size <= b.length =>
           val sideStart = pos + 4 + (if (h.crc) 2 else 0)
-          val sideBytes = if (nch == 1) 17 else 32
+          val sideBytes =
+            if (h.lsf) (if (nch == 1) 9 else 17)
+            else (if (nch == 1) 17 else 32)
           if (sideStart + sideBytes > b.length) done = true
           else {
             val sbr = new Br(b, sideStart * 8, (sideStart + sideBytes) * 8)
-            val (mdb, scfsi, grs) = readSideInfo(sbr, nch)
+            val (mdb, scfsi, grs) =
+              if (h.lsf) {
+                val (m, g) = readSideInfoLsf(sbr, nch)
+                (m, Array.fill(nch)(new Array[Int](4)), g)
+              } else readSideInfo(sbr, nch)
+            val nGr = grs.length // 1 for LSF, 2 for MPEG-1
             val mainStart = sideStart + sideBytes
             val mainLen = pos + h.size - mainStart
             // locate this frame's granule bits in the reservoir
@@ -666,18 +775,20 @@ object Mp3 {
               resLen += mainLen
             } else done = true
             if (!done && anchor >= 0) {
-              val frame = new Array[Float](1152 * nch)
+              val frame = new Array[Float](576 * nGr * nch)
               var usable = true
               val br = new Br(reservoir, anchor * 8, resLen * 8)
-              val xr = Array.fill(2, nch)(new Array[Double](576))
-              for (g <- 0 until 2) {
+              val xr = Array.fill(nGr, nch)(new Array[Double](576))
+              for (g <- 0 until nGr) {
                 val scfs = new Array[Scf](nch)
                 val ends = new Array[Int](nch)
                 for (ch <- 0 until nch) {
                   val gr = grs(g)(ch)
                   val granuleEnd = br.pos + gr.part23
                   if (usable && granuleEnd <= resLen * 8) {
-                    val scf = readScalefactors(br, gr, scfsi(ch), g, prevScf(ch))
+                    val scf =
+                      if (h.lsf) readScalefactorsLsf(br, gr)
+                      else readScalefactors(br, gr, scfsi(ch), g, prevScf(ch))
                     if (g == 0) prevScf(ch) = scf
                     scfs(ch) = scf
                     val is = new Array[Int](576)
@@ -691,6 +802,11 @@ object Mp3 {
                 }
                 if (usable && nch == 2 && h.mode == 1) {
                   val intensityOn = (h.modeExt & 1) != 0
+                  // LSF intensity uses a DIFFERENT compress split and
+                  // pan law (intensity_scale powers, not the tan
+                  // position ratio) — out of the declared scope, so
+                  // an LSF joint-intensity frame claims nothing
+                  if (h.lsf && intensityOn) return None
                   val short1 = grs(g)(1).windowSwitching && grs(g)(1).blockType == 2
                   if (intensityOn && short1) {
                     // intensity over SHORT blocks (round 20): the
@@ -723,7 +839,7 @@ object Mp3 {
               // 0's audio in the cross-frame state, or the next good
               // frame overlaps against discarded audio
               if (usable) {
-                for (g <- 0 until 2; ch <- 0 until nch) {
+                for (g <- 0 until nGr; ch <- 0 until nch) {
                   aliasReduce(grs(g)(ch), xr(g)(ch))
                   val ts = new Array[Double](576)
                   hybrid(grs(g)(ch), xr(g)(ch), overlap(ch), ts)

@@ -26,21 +26,56 @@ package graft.ops
  */
 object Mp3Tables {
 
-  /** Long-block scalefactor band WIDTHS per sampling rate
-   * (44100, 48000, 32000). */
-  val sfbLong: Map[Int, Array[Int]] = Map(
-    44100 -> Array(4, 4, 4, 4, 4, 4, 6, 6, 8, 8, 10, 12, 16, 20, 24,
-      28, 34, 42, 50, 54, 76, 158),
-    48000 -> Array(4, 4, 4, 4, 4, 4, 6, 6, 6, 8, 10, 12, 16, 18, 22,
-      28, 34, 40, 46, 54, 54, 192),
-    32000 -> Array(4, 4, 4, 4, 4, 4, 6, 6, 8, 10, 12, 16, 20, 24, 30,
-      38, 46, 56, 68, 84, 102, 26))
+  /** Long-block scalefactor band WIDTHS per sampling rate. MPEG-1
+   * rates (44100, 48000, 32000) plus — round 20 — the MPEG-2 LSF
+   * rates (22050, 24000, 16000) and MPEG-2.5 (11025, 12000, 8000).
+   * LSF transcription verification (the gate this repo applies to
+   * every tabulated constant, documented in the object comment):
+   * each table sums to 576, the 16 kHz table is BYTE-IDENTICAL to
+   * the 22.05 kHz table and MPEG-2.5's 11025/12000 reuse the
+   * 22050/24000 tables — normative equalities that cross-check the
+   * transcription — and the 8 kHz table carries the standard's
+   * documented odd 2-wide tail. An equal-sum width swap inside one
+   * table would survive these checks; the in-repo LSF encoder
+   * direction exercises every band end-to-end but shares the
+   * table, so that residual risk is declared, not closed. */
+  val sfbLong: Map[Int, Array[Int]] = {
+    val lsf2205 = Array(6, 6, 6, 6, 6, 6, 8, 10, 12, 14, 16, 20, 24,
+      28, 32, 38, 46, 52, 60, 68, 58, 54)
+    val lsf24 = Array(6, 6, 6, 6, 6, 6, 8, 10, 12, 14, 16, 18, 22,
+      26, 32, 38, 46, 54, 62, 70, 76, 36)
+    Map(
+      44100 -> Array(4, 4, 4, 4, 4, 4, 6, 6, 8, 8, 10, 12, 16, 20, 24,
+        28, 34, 42, 50, 54, 76, 158),
+      48000 -> Array(4, 4, 4, 4, 4, 4, 6, 6, 6, 8, 10, 12, 16, 18, 22,
+        28, 34, 40, 46, 54, 54, 192),
+      32000 -> Array(4, 4, 4, 4, 4, 4, 6, 6, 8, 10, 12, 16, 20, 24, 30,
+        38, 46, 56, 68, 84, 102, 26),
+      22050 -> lsf2205,
+      24000 -> lsf24,
+      16000 -> lsf2205, // normative: 16 kHz reuses the 22.05 kHz table
+      11025 -> lsf2205, // MPEG-2.5 reuses the MPEG-2 tables …
+      12000 -> lsf24,
+      8000 -> Array(12, 12, 12, 12, 12, 12, 16, 20, 24, 28, 32, 40, 48,
+        56, 64, 76, 90, 2, 2, 2, 2, 2)) // … except 8 kHz's own
+  }
 
-  /** Short-block scalefactor band widths (per window). */
-  val sfbShort: Map[Int, Array[Int]] = Map(
-    44100 -> Array(4, 4, 4, 4, 6, 8, 10, 12, 14, 18, 22, 30, 56),
-    48000 -> Array(4, 4, 4, 4, 6, 6, 10, 12, 14, 16, 20, 26, 66),
-    32000 -> Array(4, 4, 4, 4, 6, 8, 12, 16, 20, 26, 34, 42, 12))
+  /** Short-block scalefactor band widths (per window); LSF rates
+   * added in round 20 under the same verification gate. */
+  val sfbShort: Map[Int, Array[Int]] = {
+    val lsf2205 = Array(4, 4, 4, 6, 6, 8, 10, 14, 18, 26, 32, 42, 18)
+    val lsf24 = Array(4, 4, 4, 6, 8, 10, 12, 14, 18, 24, 32, 44, 12)
+    Map(
+      44100 -> Array(4, 4, 4, 4, 6, 8, 10, 12, 14, 18, 22, 30, 56),
+      48000 -> Array(4, 4, 4, 4, 6, 6, 10, 12, 14, 16, 20, 26, 66),
+      32000 -> Array(4, 4, 4, 4, 6, 8, 12, 16, 20, 26, 34, 42, 12),
+      22050 -> lsf2205,
+      24000 -> lsf24,
+      16000 -> Array(4, 4, 4, 6, 8, 10, 12, 14, 18, 24, 30, 40, 18),
+      11025 -> lsf2205,
+      12000 -> lsf24,
+      8000 -> Array(8, 8, 8, 12, 16, 20, 24, 28, 36, 2, 2, 2, 26))
+  }
 
   /** scalefac_compress → (slen1, slen2). */
   val slen: Array[(Int, Int)] = Array(

@@ -141,6 +141,95 @@ object Mp3Encoder {
     out.toByteArray
   }
 
+  private val SrIdxLsf = Map(22050 -> 0, 24000 -> 1, 16000 -> 2)
+  private val SrIdx25 = Map(11025 -> 0, 12000 -> 1, 8000 -> 2)
+
+  /** MPEG-2/2.5 LSF mono encode (round 20): the single-granule
+   * 576-sample frame at a low sampling rate, 160 kbps, long blocks.
+   * scalefac_compress = 399 → slen (4,4,3,3) over the LSF partition
+   * split (6,5,5,5) — whose per-band field widths coincide exactly
+   * with the MPEG-1 slen-4/3 layout quantizeAndCode already writes
+   * (bands 0-10 at 4 bits, 11-20 at 3), so the granule coder is
+   * shared verbatim; preflag stays off (sfc < 500). Validates the
+   * decoder's LSF header/side-info/scalefactor path end to end. */
+  def encodeLsfMono(pcm: Array[Int], sampleRate: Int): Array[Byte] = {
+    val version =
+      if (SrIdxLsf.contains(sampleRate)) 2
+      else if (SrIdx25.contains(sampleRate)) 0
+      else sys.error(s"not an LSF rate: $sampleRate")
+    val srIdx = if (version == 2) SrIdxLsf(sampleRate) else SrIdx25(sampleRate)
+    val frameBytes = 72000 * 160 / sampleRate
+    val n0 = math.max(0, pcm.length - Advance)
+    // one granule (576 samples) per frame
+    val nFrames = math.max(2, (n0 + 1056 + 575) / 576)
+    val nSamples = ((nFrames * 576 + 1151) / 1152) * 1152
+    val sub = analyzeSubbands(pcm, n0, nSamples)
+    val bandW = Mp3Tables.sfbLong(sampleRate)
+    val bandStart = {
+      val s = new Array[Int](23)
+      var acc = 0
+      for (k <- bandW.indices) { s(k) = acc; acc += bandW(k) }
+      s(22) = 576
+      s
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    var granule = 0
+    var frame = 0
+    while (frame < nFrames) {
+      // the single-granule LSF budget (~4072 bits at 160 kbps) is
+      // far tighter than MPEG-1 mono's — retry coarser on overflow
+      val budget = frameBytes * 8 - 32 - 72
+      var ggBias = 0
+      var plan: GranulePlan = null
+      var fits = false
+      while (!fits) {
+        plan = quantizeAndCode(granuleSpectrum(sub, granule), bandStart,
+          oddGranule = granule % 2 == 1, 15, ggBias = ggBias)
+        if (plan.nbits <= budget || ggBias >= 255) fits = true
+        else ggBias += 4
+      }
+      val bw = new Bw
+      bw.bits(0x7ff, 11) // 11-bit sync
+      bw.bits(version, 2) // 2 = MPEG-2, 0 = MPEG-2.5
+      bw.bits(1, 2) // layer III
+      bw.bits(1, 1) // no CRC
+      bw.bits(14, 4) // 160 kbps (LSF bitrate table)
+      bw.bits(srIdx, 2)
+      bw.bits(0, 1); bw.bits(0, 1) // padding, private
+      bw.bits(3, 2) // mode: mono
+      bw.bits(0, 2) // mode ext
+      bw.bits(0, 2); bw.bits(0, 2)
+      // LSF side info (mono, 9 bytes): 8-bit main_data_begin, 1
+      // private bit, ONE granule, no scfsi, 9-bit scalefac_compress,
+      // no preflag bit
+      bw.bits(0, 8)
+      bw.bits(0, 1)
+      bw.bits(plan.nbits, 12)
+      bw.bits(plan.bigValues, 9)
+      bw.bits(plan.gg, 8)
+      bw.bits(399, 9) // scalefac_compress: slen (4,4,3,3), preflag off
+      bw.bits(0, 1) // window_switching: long
+      bw.bits(plan.tables(0), 5)
+      bw.bits(plan.tables(1), 5)
+      bw.bits(plan.tables(2), 5)
+      bw.bits(Region0Count, 4)
+      bw.bits(Region1Count, 3)
+      bw.bits(1, 1) // scalefac_scale
+      bw.bits(plan.count1Table, 1)
+      appendBits(bw, plan.bytes, plan.nbits)
+      val used = bw.bitLength
+      val want = frameBytes * 8
+      require(used <= want, s"lsf frame overflow: $used > $want bits")
+      var pad = want - used
+      while (pad >= 8) { bw.bits(0, 8); pad -= 8 }
+      if (pad > 0) bw.bits(0, pad)
+      out.write(bw.bytes)
+      granule += 1
+      frame += 1
+    }
+    out.toByteArray
+  }
+
   /** Stereo MS encode (round 18): joint stereo with mode_extension
    * MS — the decoder's 2-channel side info, MS inverse matrix and
    * per-channel synthesis states get exercised end-to-end (the mono

@@ -38,12 +38,71 @@ class Mp3Spec extends SparkSpec {
   }
 
   test("scalefactor-band tables sum to the spec totals (transcription self-check)") {
+    assert(Mp3Tables.sfbLong.size == 9, "3 MPEG-1 + 3 MPEG-2 + 3 MPEG-2.5 rates")
     for ((sr, w) <- Mp3Tables.sfbLong) {
       assert(w.length == 22 && w.sum == 576, s"long $sr")
       assert(Mp3Tables.sfbShort(sr).length == 13 &&
         Mp3Tables.sfbShort(sr).sum == 192, s"short $sr")
     }
     assert(Mp3Tables.slen.length == 16 && Mp3Tables.pretab.length == 21)
+    // LSF cross-checks (round 20): the normative table-sharing
+    // equalities — 16 kHz reuses the 22.05 kHz LONG table, MPEG-2.5
+    // rates reuse the MPEG-2 tables (8 kHz excepted)
+    assert(Mp3Tables.sfbLong(16000).sameElements(Mp3Tables.sfbLong(22050)))
+    assert(Mp3Tables.sfbLong(11025).sameElements(Mp3Tables.sfbLong(22050)))
+    assert(Mp3Tables.sfbLong(12000).sameElements(Mp3Tables.sfbLong(24000)))
+    assert(Mp3Tables.sfbShort(11025).sameElements(Mp3Tables.sfbShort(22050)))
+    assert(Mp3Tables.sfbShort(12000).sameElements(Mp3Tables.sfbShort(24000)))
+    assert(!Mp3Tables.sfbLong(8000).sameElements(Mp3Tables.sfbLong(22050)))
+    // the LSF slen/partition FORMULA's partition counts cover the
+    // exact scalefactor totals: 21 long, 36 short, 33 mixed
+    assert(Seq(6, 5, 5, 5).sum == 21)
+    assert(Seq(9, 9, 9, 9).sum == 36)
+    assert(Seq(6, 9, 9, 9).sum == 33)
+  }
+
+  test("MPEG-2/2.5 LSF roundtrip at every low rate (round 20)") {
+    // the single-granule frame path end to end: header variant, 9/17
+    // byte side info, 9-bit scalefac_compress formula, LSF sfb tables
+    for (rate <- Seq(22050, 24000, 16000, 11025, 12000, 8000)) {
+      val n = 16000
+      val pcm = Array.tabulate(n)(t => (Mp3DupFixture.signal(3L, t) * 28000).toInt)
+      val mp3 = Mp3Encoder.encodeLsfMono(pcm, rate)
+      val dec = Mp3.decode(mp3).getOrElse(sys.error(s"lsf $rate claims nothing"))
+      assert(dec.sampleRate == rate && dec.channels == 1)
+      assert(dec.samples.length > 0) // length is frame-quantized; SNR gates
+      def snrAt(off: Int): Double = {
+        var se = 0.0
+        var ss = 0.0
+        var i = 1000
+        while (i < n - 1000) {
+          val r = pcm(i) / 32768.0
+          val j = i + off
+          val d = if (j >= 0 && j < dec.samples.length) dec.samples(j) else 0.0
+          se += (r - d) * (r - d); ss += r * r
+          i += 1
+        }
+        10.0 * math.log10(ss / se)
+      }
+      val s0 = snrAt(0)
+      assert(s0 > 15.0, s"lsf $rate roundtrip SNR $s0 dB")
+      assert(Seq(-576, -32, 32, 576).forall(o => snrAt(o) < s0),
+        s"lsf $rate alignment drifted")
+    }
+    // an LSF joint-INTENSITY frame claims nothing (the declared seam):
+    // flip a mono LSF header to joint-stereo+intensity — the frame
+    // structure no longer matches and decode must return None/claim
+    // nothing rather than decode against the wrong pan law
+    val mp3 = Mp3Encoder.encodeLsfMono(
+      Array.tabulate(8000)(t => (Mp3DupFixture.signal(3L, t) * 20000).toInt), 22050)
+    val patched = mp3.clone()
+    var i = 0
+    while (i + 4 <= patched.length) {
+      if ((patched(i) & 0xff) == 0xff) patched(i + 3) =
+        ((patched(i + 3) & 0x0f) | 0x50).toByte // joint stereo, intensity
+      i += 1
+    }
+    assert(Mp3.decode(patched).isEmpty)
   }
 
   test("encode→decode roundtrip: exact length, sample-aligned, SNR past the quantizer floor") {
