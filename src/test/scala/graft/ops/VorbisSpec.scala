@@ -399,6 +399,24 @@ class VorbisSpec extends SparkSpec {
       AudioFp.monoSamples(b)
       Multimodal.AvHeaders.tsVideoPesSamples(b)
     }
+    // round 20: the WebM-Vorbis walk (CodecPrivate lacing, block
+    // frame expansion) and the LSF decode under the same discipline
+    val webm = Remux.webmVorbisFromOgg(base)
+    val lsf = graft.tools.Mp3Encoder.encodeLsfMono(Mp3DupFixture.basePcm(5L), 22050)
+    for (_ <- 0 until 60) {
+      val b = webm.clone()
+      for (_ <- 0 until 1 + rnd.nextInt(6))
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      Vorbis.decodeWebm(b)
+      val m = lsf.clone()
+      for (_ <- 0 until 1 + rnd.nextInt(6))
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      Mp3.decode(m)
+    }
+    for (trial <- 0 until 30) {
+      Vorbis.decodeWebm(java.util.Arrays.copyOf(webm, 1 + rnd.nextInt(webm.length - 1)))
+      Mp3.decode(java.util.Arrays.copyOf(lsf, 1 + rnd.nextInt(lsf.length - 1)))
+    }
     succeed
   }
 
