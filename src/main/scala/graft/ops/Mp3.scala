@@ -457,10 +457,12 @@ object Mp3 {
     }
   }
 
-  /** Encoder-direction inverse butterflies (tools.Mp3Encoder). */
-  private[graft] def aliasForward(xr: Array[Double]): Unit = {
+  /** Encoder-direction inverse butterflies (tools.Mp3Encoder).
+   * `sbLimit` mirrors [[aliasReduce]]'s: 31 for long granules, 1 for
+   * MIXED blocks (only the sb0/sb1 boundary), 0 for pure short. */
+  private[graft] def aliasForward(xr: Array[Double], sbLimit: Int = 31): Unit = {
     var sb = 1
-    while (sb <= 31) {
+    while (sb <= sbLimit) {
       var i = 0
       while (i < 8) {
         val a = xr(18 * sb - 1 - i)

@@ -188,44 +188,145 @@ object Mp3Encoder {
         if (plan.nbits <= budget || ggBias >= 255) fits = true
         else ggBias += 4
       }
-      val bw = new Bw
-      bw.bits(0x7ff, 11) // 11-bit sync
-      bw.bits(version, 2) // 2 = MPEG-2, 0 = MPEG-2.5
-      bw.bits(1, 2) // layer III
-      bw.bits(1, 1) // no CRC
-      bw.bits(14, 4) // 160 kbps (LSF bitrate table)
-      bw.bits(srIdx, 2)
-      bw.bits(0, 1); bw.bits(0, 1) // padding, private
-      bw.bits(3, 2) // mode: mono
-      bw.bits(0, 2) // mode ext
-      bw.bits(0, 2); bw.bits(0, 2)
-      // LSF side info (mono, 9 bytes): 8-bit main_data_begin, 1
-      // private bit, ONE granule, no scfsi, 9-bit scalefac_compress,
-      // no preflag bit
-      bw.bits(0, 8)
-      bw.bits(0, 1)
+      writeLsfFrame(out, version, srIdx, frameBytes, mono = true, 0, Seq(plan))
+      granule += 1
+      frame += 1
+    }
+    out.toByteArray
+  }
+
+  /** LSF frame header + the per-granule side-info writer shared by
+   * the round-20 LSF variants (long, short-block and stereo-MS). */
+  private def writeLsfFrame(out: java.io.ByteArrayOutputStream, version: Int,
+      srIdx: Int, frameBytes: Int, mono: Boolean, modeExt: Int,
+      plans: Seq[GranulePlan]): Unit = {
+    val bw = new Bw
+    bw.bits(0x7ff, 11)
+    bw.bits(version, 2) // 2 = MPEG-2, 0 = MPEG-2.5
+    bw.bits(1, 2) // layer III
+    bw.bits(1, 1) // no CRC
+    bw.bits(14, 4) // 160 kbps (LSF bitrate table)
+    bw.bits(srIdx, 2)
+    bw.bits(0, 1); bw.bits(0, 1) // padding, private
+    bw.bits(if (mono) 3 else 1, 2) // mono / joint stereo
+    bw.bits(modeExt, 2)
+    bw.bits(0, 2); bw.bits(0, 2)
+    bw.bits(0, 8) // main_data_begin
+    bw.bits(0, if (mono) 1 else 2) // private bits
+    for (plan <- plans) {
       bw.bits(plan.nbits, 12)
       bw.bits(plan.bigValues, 9)
       bw.bits(plan.gg, 8)
       bw.bits(399, 9) // scalefac_compress: slen (4,4,3,3), preflag off
-      bw.bits(0, 1) // window_switching: long
-      bw.bits(plan.tables(0), 5)
-      bw.bits(plan.tables(1), 5)
-      bw.bits(plan.tables(2), 5)
-      bw.bits(Region0Count, 4)
-      bw.bits(Region1Count, 3)
+      if (plan.short) {
+        bw.bits(1, 1) // window switching
+        bw.bits(2, 2) // block_type 2
+        bw.bits(0, 1) // not mixed
+        bw.bits(plan.tables(0), 5)
+        bw.bits(plan.tables(1), 5)
+        bw.bits(0, 3); bw.bits(0, 3); bw.bits(0, 3) // subblock_gain
+      } else {
+        bw.bits(0, 1) // long
+        bw.bits(plan.tables(0), 5)
+        bw.bits(plan.tables(1), 5)
+        bw.bits(plan.tables(2), 5)
+        bw.bits(Region0Count, 4)
+        bw.bits(Region1Count, 3)
+      }
       bw.bits(1, 1) // scalefac_scale
       bw.bits(plan.count1Table, 1)
-      appendBits(bw, plan.bytes, plan.nbits)
-      val used = bw.bitLength
-      val want = frameBytes * 8
-      require(used <= want, s"lsf frame overflow: $used > $want bits")
-      var pad = want - used
-      while (pad >= 8) { bw.bits(0, 8); pad -= 8 }
-      if (pad > 0) bw.bits(0, pad)
-      out.write(bw.bytes)
+    }
+    plans.foreach(p => appendBits(bw, p.bytes, p.nbits))
+    val used = bw.bitLength
+    val want = frameBytes * 8
+    require(used <= want, s"lsf frame overflow: $used > $want bits")
+    var pad = want - used
+    while (pad >= 8) { bw.bits(0, 8); pad -= 8 }
+    if (pad > 0) bw.bits(0, pad)
+    out.write(bw.bytes)
+  }
+
+  /** MPEG-2/2.5 LSF mono SHORT-block encode (round 20): every
+   * single-granule frame is block_type 2 — the LSF scalefactor
+   * partitions over the short geometry ((9,9,9,9) at slen 4/4/3/3
+   * under scalefac_compress 399, whose field layout coincides with
+   * the MPEG-1 short 4/3 split quantizeAndCodeShort writes). */
+  def encodeLsfMonoShort(pcm: Array[Int], sampleRate: Int): Array[Byte] = {
+    val version =
+      if (SrIdxLsf.contains(sampleRate)) 2
+      else if (SrIdx25.contains(sampleRate)) 0
+      else sys.error(s"not an LSF rate: $sampleRate")
+    val srIdx = if (version == 2) SrIdxLsf(sampleRate) else SrIdx25(sampleRate)
+    val frameBytes = 72000 * 160 / sampleRate
+    val n0 = math.max(0, pcm.length - Advance)
+    val nFrames = math.max(2, (n0 + 1056 + 575) / 576)
+    val nSamples = ((nFrames * 576 + 1151) / 1152) * 1152
+    val sub = analyzeSubbands(pcm, n0, nSamples)
+    val shortW = Mp3Tables.sfbShort(sampleRate)
+    val out = new java.io.ByteArrayOutputStream()
+    var granule = 0
+    while (granule < nFrames) {
+      val budget = frameBytes * 8 - 32 - 72
+      var ggBias = 0
+      var plan: GranulePlan = null
+      var fits = false
+      while (!fits) {
+        plan = quantizeAndCodeShort(granuleSpectrumShort(sub, granule), shortW,
+          oddGranule = granule % 2 == 1, ggBias = ggBias)
+        if (plan.nbits <= budget || ggBias >= 255) fits = true
+        else ggBias += 4
+      }
+      writeLsfFrame(out, version, srIdx, frameBytes, mono = true, 0, Seq(plan))
       granule += 1
-      frame += 1
+    }
+    out.toByteArray
+  }
+
+  /** MPEG-2/2.5 LSF joint-stereo MS encode (round 20): the 17-byte
+   * 2-channel LSF side info and the MS inverse matrix through the
+   * single-granule frame shape. */
+  def encodeLsfStereoMs(left: Array[Int], right: Array[Int],
+      sampleRate: Int): Array[Byte] = {
+    require(left.length == right.length, "channel length mismatch")
+    val version =
+      if (SrIdxLsf.contains(sampleRate)) 2
+      else if (SrIdx25.contains(sampleRate)) 0
+      else sys.error(s"not an LSF rate: $sampleRate")
+    val srIdx = if (version == 2) SrIdxLsf(sampleRate) else SrIdx25(sampleRate)
+    val frameBytes = 72000 * 160 / sampleRate
+    val n0 = math.max(0, left.length - Advance)
+    val nFrames = math.max(2, (n0 + 1056 + 575) / 576)
+    val nSamples = ((nFrames * 576 + 1151) / 1152) * 1152
+    val subL = analyzeSubbands(left, n0, nSamples)
+    val subR = analyzeSubbands(right, n0, nSamples)
+    val bandW = Mp3Tables.sfbLong(sampleRate)
+    val bandStart = {
+      val s = new Array[Int](23)
+      var acc = 0
+      for (k <- bandW.indices) { s(k) = acc; acc += bandW(k) }
+      s(22) = 576
+      s
+    }
+    val inv = 1.0 / math.sqrt(2.0)
+    val out = new java.io.ByteArrayOutputStream()
+    var granule = 0
+    while (granule < nFrames) {
+      val l = granuleSpectrum(subL, granule)
+      val r = granuleSpectrum(subR, granule)
+      val m = Array.tabulate(576)(i => (l(i) + r(i)) * inv)
+      val s = Array.tabulate(576)(i => (l(i) - r(i)) * inv)
+      val budget = frameBytes * 8 - 32 - 136
+      var ggBias = 0
+      var plans: Seq[GranulePlan] = null
+      var fits = false
+      while (!fits) {
+        plans = Seq(m, s).map(x => quantizeAndCode(x, bandStart,
+          oddGranule = granule % 2 == 1, 15, ggBias = ggBias))
+        if (plans.map(_.nbits).sum <= budget || ggBias >= 255) fits = true
+        else ggBias += 4
+      }
+      writeLsfFrame(out, version, srIdx, frameBytes, mono = false, 2, plans)
+      granule += 1
     }
     out.toByteArray
   }
@@ -479,7 +580,7 @@ object Mp3Encoder {
    * side info (block_type 2). */
   private[graft] final case class GranulePlan(bytes: Array[Byte], nbits: Int,
     gg: Int, bigValues: Int, tables: Array[Int], count1Table: Int,
-    short: Boolean = false)
+    short: Boolean = false, mixed: Boolean = false)
 
   /** Quantize one granule with per-band scalefactors into |q| ≤ 5
    * and Huffman-code it: big values up to the last |q| > 1 line with
@@ -744,6 +845,245 @@ object Mp3Encoder {
     }
     val nbits = bw.bitLength
     GranulePlan(bw.bytes, nbits, gg, bigValues, tables, count1Table, short = true)
+  }
+
+  /** One MIXED-block granule's 576 lines (round 20): subbands 0-1
+   * through the LONG 36-point MDCT (the decoder windows them with
+   * block type 0 inside a mixed granule), subbands 2-31 through the
+   * short transform into the reordered layout, then ONE forward
+   * alias butterfly (the decoder's mixed sbLimit is 1). */
+  private[graft] def granuleSpectrumMixed(sub: Array[Array[Double]],
+      g: Int): Array[Double] = {
+    val xr = new Array[Double](576)
+    val buf = new Array[Double](36)
+    var sb = 0
+    while (sb < 32) {
+      var i = 0
+      while (i < 36) {
+        val t = (g - 1) * 18 + i
+        var v = if (t < 0 || t >= sub(sb).length) 0.0 else sub(sb)(t)
+        if ((sb & 1) == 1 && (((t % 18) + 18) % 18 % 2) == 1) v = -v
+        buf(i) = v
+        i += 1
+      }
+      if (sb < 2) {
+        var k = 0
+        while (k < 18) {
+          var acc = 0.0
+          val row = mdctM(k)
+          var j = 0
+          while (j < 36) { acc += buf(j) * mdctWin(j) * row(j); j += 1 }
+          xr(18 * sb + k) = acc
+          k += 1
+        }
+      } else {
+        var w = 0
+        while (w < 3) {
+          var k = 0
+          while (k < 6) {
+            var acc = 0.0
+            val row = mdct12M(k)
+            var j = 0
+            while (j < 12) { acc += buf(6 + 6 * w + j) * shortWin(j) * row(j); j += 1 }
+            xr(18 * sb + 3 * k + w) = acc
+            k += 1
+          }
+          w += 1
+        }
+      }
+      sb += 1
+    }
+    graft.ops.Mp3.aliasForward(xr, 1)
+    xr
+  }
+
+  /** Quantize and code one MIXED granule (MPEG-1 scalefactor layout:
+   * long sfb 0-7 at 4 bits, short sfb 3-5 at 4 and 6-11 at 3 under
+   * scalefac_compress 15). The long prefix (36 lines) quantizes per
+   * long band; the short region per band/window, Huffman-coded in
+   * storage order like [[quantizeAndCodeShort]]. */
+  private def quantizeAndCodeMixed(xr: Array[Double], bandStartLong: Array[Int],
+      shortW: Array[Int], oddGranule: Boolean, ggBias: Int = 0): GranulePlan = {
+    val sBase = new Array[Int](14) // short band starts (storage == reordered)
+    sBase(3) = 36
+    for (s <- 3 until 13) sBase(s + 1) = sBase(s) + 3 * shortW(s)
+    val amax = xr.map(math.abs).max
+    var gg =
+      if (amax <= 0) 0
+      else math.ceil(210.0 + 4.0 * (math.log(amax /
+        math.pow(5.49, 4.0 / 3.0)) / math.log(2.0))).toInt
+    gg += ggBias
+    if (gg < 0) gg = 0
+    if (gg > 255) gg = 255
+    val gq = math.pow(2.0, 0.25 * (gg - 210))
+    def fit(bm: Double, limit: Int): Int = {
+      var v = limit
+      while (v > 0 && bm > 0 && math.round(math.pow(
+        bm * math.pow(2.0, 1.0 * v) / gq, 0.75)) > 5) v -= 1
+      if (bm > 0) v else 0
+    }
+    // long prefix bands 0-7 (their widths cover exactly 36 lines at
+    // the MPEG-1 rates)
+    val sclL = new Array[Int](8)
+    for (sfb <- 0 until 8) {
+      var bm = 0.0
+      var i = bandStartLong(sfb)
+      while (i < math.min(bandStartLong(sfb + 1), 36)) {
+        bm = math.max(bm, math.abs(xr(i))); i += 1
+      }
+      sclL(sfb) = fit(bm, 15)
+    }
+    val sclS = Array.fill(3, 12)(0)
+    for (s <- 3 until 12; w <- 0 until 3) {
+      var bm = 0.0
+      var k = 0
+      while (k < shortW(s)) {
+        bm = math.max(bm, math.abs(xr(sBase(s) + 3 * k + w)))
+        k += 1
+      }
+      sclS(w)(s) = fit(bm, if (s < 6) 15 else 7)
+    }
+    // quantize into STORAGE order: lines 0-35 verbatim, short region
+    // band-major window-minor
+    val q = new Array[Int](576)
+    def quant(x: Double, sc: Int): Int = {
+      val v = math.pow(math.abs(x) * math.pow(2.0, 1.0 * sc) / gq, 0.75)
+      val m = math.min(5, math.round(v).toInt)
+      if (x < 0) -m else m
+    }
+    var i = 0
+    var sfb = 0
+    while (i < 36) {
+      while (sfb < 7 && i >= bandStartLong(sfb + 1)) sfb += 1
+      q(i) = quant(xr(i), sclL(sfb))
+      i += 1
+    }
+    for (s <- 3 until 13; w <- 0 until 3; k <- 0 until shortW(s)) {
+      val sc = if (s < 12) sclS(w)(s) else 0
+      q(sBase(s) + w * shortW(s) + k) = quant(xr(sBase(s) + 3 * k + w), sc)
+    }
+    var lastBig = -1
+    var lastNz = -1
+    i = 0
+    while (i < 576) {
+      if (math.abs(q(i)) > 1) lastBig = i
+      if (q(i) != 0) lastNz = i
+      i += 1
+    }
+    val bigEnd = if (lastBig < 0) 0 else ((lastBig / 2) + 1) * 2
+    val r1 = 36
+    def regionMax(from: Int, until: Int): Int = {
+      var m = 0
+      var k = from
+      while (k < math.min(until, bigEnd)) { m = math.max(m, math.abs(q(k))); k += 1 }
+      m
+    }
+    val tables = Array(
+      tableFor(regionMax(0, r1), oddGranule),
+      tableFor(regionMax(r1, 576), oddGranule),
+      0)
+    val bw = new Bw
+    for (sfb2 <- 0 until 8) bw.bits(sclL(sfb2), 4)
+    for (s <- 3 until 6; w <- 0 until 3) bw.bits(sclS(w)(s), 4)
+    for (s <- 6 until 12; w <- 0 until 3) bw.bits(sclS(w)(s), 3)
+    i = 0
+    while (i < bigEnd) {
+      val tsel = if (i < r1) tables(0) else tables(1)
+      if (tsel != 0) {
+        val t = Mp3Tables.big(tsel)
+        val xm = math.abs(q(i))
+        val ym = math.abs(q(i + 1))
+        val (len, code) = t.entries(xm * t.dim + ym)
+        bw.bits(code, len)
+        if (xm != 0) bw.bits(if (q(i) < 0) 1 else 0, 1)
+        if (ym != 0) bw.bits(if (q(i + 1) < 0) 1 else 0, 1)
+      }
+      i += 2
+    }
+    val count1Table = if (oddGranule) 1 else 0
+    val c1 = if (count1Table == 0) Mp3Tables.count1A else Mp3Tables.count1B
+    i = bigEnd
+    while (i <= lastNz && i + 4 <= 576) {
+      val vals = Array(q(i), q(i + 1), q(i + 2), q(i + 3))
+      val idx = vals.foldLeft(0)((a, v) => (a << 1) | math.abs(v))
+      val (len, code) = c1(idx)
+      bw.bits(code, len)
+      vals.foreach(v => if (v != 0) bw.bits(if (v < 0) 1 else 0, 1))
+      i += 4
+    }
+    val nbits = bw.bitLength
+    GranulePlan(bw.bytes, nbits, gg, bigEnd / 2, tables, count1Table,
+      short = true, mixed = true)
+  }
+
+  /** MPEG-1 mono MIXED-block encode (round 20): every granule is
+   * block_type 2 with mixed_block_flag set — subbands 0-1 long,
+   * the rest short — exercising the decoder's mixed scalefactor
+   * read, mixed requantize split, sbLimit-1 alias reduction and the
+   * per-subband hybrid window dispatch through true bytes. */
+  def encodeMonoMixed(pcm: Array[Int], sampleRate: Int): Array[Byte] = {
+    require(SrIdx.contains(sampleRate), s"unsupported rate $sampleRate")
+    val frameBytes = 144000 * 320 / sampleRate
+    val n0 = math.max(0, pcm.length - Advance)
+    val nFrames = math.max(2, (n0 + 1056 + 1151) / 1152)
+    val nSamples = nFrames * 1152
+    val sub = analyzeSubbands(pcm, n0, nSamples)
+    val bandW = Mp3Tables.sfbLong(sampleRate)
+    val bandStart = {
+      val s = new Array[Int](23)
+      var acc = 0
+      for (k <- bandW.indices) { s(k) = acc; acc += bandW(k) }
+      s(22) = 576
+      s
+    }
+    require(bandStart(8) == 36, "mixed long prefix must be 8 bands / 36 lines")
+    val shortW = Mp3Tables.sfbShort(sampleRate)
+    val out = new java.io.ByteArrayOutputStream()
+    var granule = 0
+    var frame = 0
+    while (frame < nFrames) {
+      val plans = Seq(0, 1).map(g => quantizeAndCodeMixed(
+        granuleSpectrumMixed(sub, granule + g), bandStart, shortW,
+        oddGranule = g == 1))
+      val bw = new Bw
+      bw.bits(0xfff, 12); bw.bits(1, 1)
+      bw.bits(1, 2); bw.bits(1, 1)
+      bw.bits(BitrateIdx(32000), 4)
+      bw.bits(SrIdx(sampleRate), 2)
+      bw.bits(0, 1); bw.bits(0, 1)
+      bw.bits(3, 2) // mono
+      bw.bits(0, 2)
+      bw.bits(0, 2); bw.bits(0, 2)
+      bw.bits(0, 9) // main_data_begin
+      bw.bits(0, 5) // private
+      bw.bits(0, 4) // scfsi
+      for (plan <- plans) {
+        bw.bits(plan.nbits, 12)
+        bw.bits(plan.bigValues, 9)
+        bw.bits(plan.gg, 8)
+        bw.bits(15, 4) // scalefac_compress → slen 4/3
+        bw.bits(1, 1) // window switching
+        bw.bits(2, 2) // block_type 2
+        bw.bits(1, 1) // MIXED
+        bw.bits(plan.tables(0), 5)
+        bw.bits(plan.tables(1), 5)
+        bw.bits(0, 3); bw.bits(0, 3); bw.bits(0, 3) // subblock_gain
+        bw.bits(0, 1) // preflag
+        bw.bits(1, 1) // scalefac_scale
+        bw.bits(plan.count1Table, 1)
+      }
+      plans.foreach(p => appendBits(bw, p.bytes, p.nbits))
+      val used = bw.bitLength
+      val want = frameBytes * 8
+      require(used <= want, s"mixed frame overflow: $used > $want")
+      var pad = want - used
+      while (pad >= 8) { bw.bits(0, 8); pad -= 8 }
+      if (pad > 0) bw.bits(0, pad)
+      out.write(bw.bytes)
+      granule += 2
+      frame += 1
+    }
+    out.toByteArray
   }
 
   /** Joint-stereo SHORT-block intensity encode (round 20): every

@@ -382,6 +382,76 @@ class Mp3Spec extends SparkSpec {
     assert(d <= 7, s"short-intensity twin at hamming $d")
   }
 
+  test("LSF short blocks and LSF stereo MS roundtrip (round 20)") {
+    def snr(ref: Array[Int], dec: Array[Float], ch: Int, nch: Int): Double = {
+      var se = 0.0
+      var ss = 0.0
+      var i = 2000
+      while (i < ref.length - 2000) {
+        val a = ref(i) / 32768.0
+        val d = if (i * nch + ch < dec.length) dec(i * nch + ch) else 0.0
+        se += (a - d) * (a - d); ss += a * a
+        i += 1
+      }
+      10.0 * math.log10(ss / se)
+    }
+    // LSF SHORT-block mono: the LSF (9,9,9,9) scalefactor partitions
+    // over the short geometry through true bytes
+    val n = 16000
+    val pcm = Array.tabulate(n)(t => (Mp3DupFixture.signal(4L, t) * 28000).toInt)
+    for (rate <- Seq(22050, 8000)) {
+      val mp3 = Mp3Encoder.encodeLsfMonoShort(pcm, rate)
+      val dec = Mp3.decode(mp3).getOrElse(sys.error(s"lsf-short $rate claims nothing"))
+      assert(dec.sampleRate == rate && dec.channels == 1)
+      val s = snr(pcm, dec.samples, 0, 1)
+      assert(s > 15.0, s"lsf short $rate SNR $s dB")
+    }
+    // LSF joint-stereo MS: the 17-byte 2-channel side info + MS
+    // inverse through the single-granule frame
+    val l = Array.tabulate(n)(t => (Mp3DupFixture.signal(5L, t) * 26000).toInt)
+    val r = Array.tabulate(n)(t => (Mp3DupFixture.signal(6L, t) * 26000).toInt)
+    val ms = Mp3Encoder.encodeLsfStereoMs(l, r, 24000)
+    val dec = Mp3.decode(ms).getOrElse(sys.error("lsf stereo claims nothing"))
+    assert(dec.channels == 2 && dec.sampleRate == 24000)
+    assert(snr(l, dec.samples, 0, 2) > 12.0, s"left ${snr(l, dec.samples, 0, 2)}")
+    assert(snr(r, dec.samples, 1, 2) > 12.0, s"right ${snr(r, dec.samples, 1, 2)}")
+  }
+
+  test("MIXED blocks roundtrip: long prefix + short rest in one granule (round 20)") {
+    // exercises the decoder's mixed scalefactor read (8 long + 9
+    // short bands), the mixed requantize split at line 36, the
+    // sbLimit-1 alias reduction and the per-subband hybrid window
+    // dispatch — none of which any prior stream touched
+    val n = Mp3DupFixture.NSamples
+    val pcm = Mp3DupFixture.basePcm(12L)
+    val mp3 = Mp3Encoder.encodeMonoMixed(pcm, 32000)
+    val dec = Mp3.decode(mp3).getOrElse(sys.error("mixed claims nothing"))
+    assert(dec.sampleRate == 32000 && dec.channels == 1)
+    assert(dec.samples.length == n, s"${dec.samples.length} vs $n")
+    def snrAt(off: Int): Double = {
+      var se = 0.0
+      var ss = 0.0
+      var i = 1000
+      while (i < n - 1000) {
+        val r = pcm(i) / 32768.0
+        val j = i + off
+        val d = if (j >= 0 && j < dec.samples.length) dec.samples(j) else 0.0
+        se += (r - d) * (r - d); ss += r * r
+        i += 1
+      }
+      10.0 * math.log10(ss / se)
+    }
+    val s0 = snrAt(0)
+    assert(s0 > 15.0, s"mixed roundtrip SNR $s0 dB")
+    assert((-32 to 32).filter(_ != 0).forall(o => snrAt(o) < s0),
+      "mixed alignment drifted")
+    // and the codec fingerprint gate against the WAV twin
+    val a = AudioFp.signature(Mp3DupFixture.wav(pcm)).get
+    val b = AudioFp.signature(mp3).get
+    val d = (0 until AudioFp.SigBands).map(k => Integer.bitCount(a(k) ^ b(k))).sum
+    assert(d <= 7, s"mixed twin at hamming $d")
+  }
+
   test("pair face: exact mp3 re-encode pair set over the fixture") {
     import spark.implicits._
     val rows = (0L until 32L).map { id =>
