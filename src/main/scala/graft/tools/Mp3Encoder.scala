@@ -903,7 +903,8 @@ object Mp3Encoder {
    * long band; the short region per band/window, Huffman-coded in
    * storage order like [[quantizeAndCodeShort]]. */
   private def quantizeAndCodeMixed(xr: Array[Double], bandStartLong: Array[Int],
-      shortW: Array[Int], oddGranule: Boolean, ggBias: Int = 0): GranulePlan = {
+      shortW: Array[Int], oddGranule: Boolean, ggBias: Int = 0,
+      minCover: Int = 0, forcedScl: Array[Array[Int]] = null): GranulePlan = {
     val sBase = new Array[Int](14) // short band starts (storage == reordered)
     sBase(3) = 36
     for (s <- 3 until 13) sBase(s + 1) = sBase(s) + 3 * shortW(s)
@@ -942,6 +943,8 @@ object Mp3Encoder {
         k += 1
       }
       sclS(w)(s) = fit(bm, if (s < 6) 15 else 7)
+      // intensity bands: the scalefactor IS the position index
+      if (forcedScl != null && forcedScl(w)(s) >= 0) sclS(w)(s) = forcedScl(w)(s)
     }
     // quantize into STORAGE order: lines 0-35 verbatim, short region
     // band-major window-minor
@@ -970,7 +973,8 @@ object Mp3Encoder {
       if (q(i) != 0) lastNz = i
       i += 1
     }
-    val bigEnd = if (lastBig < 0) 0 else ((lastBig / 2) + 1) * 2
+    var bigEnd = if (lastBig < 0) 0 else ((lastBig / 2) + 1) * 2
+    if (minCover > 0) bigEnd = math.min(((bigEnd + 3) / 4) * 4, minCover)
     val r1 = 36
     def regionMax(from: Int, until: Int): Int = {
       var m = 0
@@ -1003,7 +1007,7 @@ object Mp3Encoder {
     val count1Table = if (oddGranule) 1 else 0
     val c1 = if (count1Table == 0) Mp3Tables.count1A else Mp3Tables.count1B
     i = bigEnd
-    while (i <= lastNz && i + 4 <= 576) {
+    while ((i <= lastNz || i < minCover) && i + 4 <= 576) {
       val vals = Array(q(i), q(i + 1), q(i + 2), q(i + 3))
       val idx = vals.foldLeft(0)((a, v) => (a << 1) | math.abs(v))
       val (len, code) = c1(idx)
@@ -1076,6 +1080,125 @@ object Mp3Encoder {
       val used = bw.bitLength
       val want = frameBytes * 8
       require(used <= want, s"mixed frame overflow: $used > $want")
+      var pad = want - used
+      while (pad >= 8) { bw.bits(0, 8); pad -= 8 }
+      if (pad > 0) bw.bits(0, pad)
+      out.write(bw.bytes)
+      granule += 2
+      frame += 1
+    }
+    out.toByteArray
+  }
+
+  /** Joint-stereo MIXED-block intensity encode (round 20): every
+   * granule is block_type 2 with mixed_block_flag set and channel
+   * 1's short bands at/above the bound zeroed with per-window
+   * position indices — exercises jointStereoShort's MIXED branch
+   * (longEnd-offset band walk from short band 3) through true
+   * bytes. */
+  def encodeStereoIntensityMixed(left: Array[Int], right: Array[Int],
+      sampleRate: Int): Array[Byte] = {
+    require(SrIdx.contains(sampleRate), s"unsupported rate $sampleRate")
+    require(left.length == right.length, "channel length mismatch")
+    val frameBytes = 144000 * 320 / sampleRate
+    val n0 = math.max(0, left.length - Advance)
+    val nFrames = math.max(2, (n0 + 1056 + 1151) / 1152)
+    val nSamples = nFrames * 1152
+    val shortW = Mp3Tables.sfbShort(sampleRate)
+    val bandW = Mp3Tables.sfbLong(sampleRate)
+    val bandStart = {
+      val s = new Array[Int](23)
+      var acc = 0
+      for (k <- bandW.indices) { s(k) = acc; acc += bandW(k) }
+      s(22) = 576
+      s
+    }
+    require(bandStart(8) == 36, "mixed long prefix must be 8 bands / 36 lines")
+    val sBase = new Array[Int](14)
+    sBase(3) = 36
+    for (s <- 3 until 13) sBase(s + 1) = sBase(s) + 3 * shortW(s)
+    val subL = analyzeSubbands(left, n0, nSamples)
+    val subR = analyzeSubbands(right, n0, nSamples)
+    // intensity bound: first 4-aligned short band start at/after band 8
+    val boundSfb = (8 to 12).find(s => sBase(s) % 4 == 0).getOrElse(13)
+    val bound = sBase(boundSfb)
+    val out = new java.io.ByteArrayOutputStream()
+    var granule = 0
+    var frame = 0
+    while (frame < nFrames) {
+      val forced = Array.fill(2)(Array.fill(3, 12)(-1))
+      val spectra = Array.tabulate(2) { g =>
+        val l = granuleSpectrumMixed(subL, granule + g)
+        val r = granuleSpectrumMixed(subR, granule + g)
+        val c0 = new Array[Double](576)
+        val c1 = new Array[Double](576)
+        var i = 0
+        while (i < 576) {
+          c0(i) = if (i < bound) l(i) else l(i) + r(i)
+          c1(i) = if (i < bound) r(i) else 0.0
+          i += 1
+        }
+        for (s <- boundSfb until 12; w <- 0 until 3) {
+          var eL = 0.0
+          var eR = 0.0
+          var k = 0
+          while (k < shortW(s)) {
+            val idx = sBase(s) + 3 * k + w
+            eL += l(idx) * l(idx); eR += r(idx) * r(idx)
+            k += 1
+          }
+          val pos = math.round(math.atan2(math.sqrt(eL), math.sqrt(eR))
+            * 12.0 / math.Pi).toInt
+          forced(g)(w)(s) = math.max(0, math.min(6, pos))
+        }
+        Array(c0, c1)
+      }
+      val budget = frameBytes * 8 - 32 - 32 * 8
+      var ggBias = 0
+      var plans: Array[Array[GranulePlan]] = null
+      var fits = false
+      while (!fits) {
+        plans = Array.tabulate(2, 2) { (g, ch) =>
+          quantizeAndCodeMixed(spectra(g)(ch), bandStart, shortW,
+            oddGranule = g == 1, ggBias = ggBias,
+            minCover = if (ch == 1) bound else 0,
+            forcedScl = if (ch == 1) forced(g) else null)
+        }
+        val total = plans.flatten.map(_.nbits).sum
+        if (total <= budget || ggBias >= 255) fits = true
+        else ggBias += 4
+      }
+      val bw = new Bw
+      bw.bits(0xfff, 12); bw.bits(1, 1)
+      bw.bits(1, 2); bw.bits(1, 1)
+      bw.bits(BitrateIdx(32000), 4)
+      bw.bits(SrIdx(sampleRate), 2)
+      bw.bits(0, 1); bw.bits(0, 1)
+      bw.bits(1, 2) // joint stereo
+      bw.bits(1, 2) // mode_extension: intensity
+      bw.bits(0, 2); bw.bits(0, 2)
+      bw.bits(0, 9); bw.bits(0, 3); bw.bits(0, 8) // mdb, private, scfsi
+      for (g <- 0 until 2; ch <- 0 until 2) {
+        val plan = plans(g)(ch)
+        bw.bits(plan.nbits, 12)
+        bw.bits(plan.bigValues, 9)
+        bw.bits(plan.gg, 8)
+        bw.bits(15, 4)
+        bw.bits(1, 1) // window switching
+        bw.bits(2, 2) // block_type 2
+        bw.bits(1, 1) // MIXED
+        bw.bits(plan.tables(0), 5)
+        bw.bits(plan.tables(1), 5)
+        bw.bits(0, 3); bw.bits(0, 3); bw.bits(0, 3)
+        bw.bits(0, 1) // preflag
+        bw.bits(1, 1) // scalefac_scale
+        bw.bits(plan.count1Table, 1)
+      }
+      for (g <- 0 until 2; ch <- 0 until 2)
+        appendBits(bw, plans(g)(ch).bytes, plans(g)(ch).nbits)
+      val used = bw.bitLength
+      val want = frameBytes * 8
+      require(used <= want, s"mixed-intensity frame overflow: $used > $want")
       var pad = want - used
       while (pad >= 8) { bw.bits(0, 8); pad -= 8 }
       if (pad > 0) bw.bits(0, pad)

@@ -450,6 +450,29 @@ class Mp3Spec extends SparkSpec {
     val b = AudioFp.signature(mp3).get
     val d = (0 until AudioFp.SigBands).map(k => Integer.bitCount(a(k) ^ b(k))).sum
     assert(d <= 7, s"mixed twin at hamming $d")
+    // intensity over MIXED blocks: jointStereoShort's mixed branch
+    // (longEnd-offset band walk) through true bytes
+    val l = Array.tabulate(n)(t => (Mp3DupFixture.signal(7L, t) * 26000).toInt)
+    val r = Array.tabulate(n)(t => (Mp3DupFixture.signal(8L, t) * 26000).toInt)
+    val mi = Mp3Encoder.encodeStereoIntensityMixed(l, r, 32000)
+    assert((mi(3) >> 6) == 1 && ((mi(3) >> 4) & 3) == 1) // joint + intensity
+    val dec2 = Mp3.decode(mi).getOrElse(
+      sys.error("mixed-intensity claims nothing — the shape guard misfired"))
+    assert(dec2.channels == 2 && dec2.samples.length == 2 * n)
+    def snr2(ref: Array[Int], ch: Int): Double = {
+      var se = 0.0
+      var ss = 0.0
+      var i = 2000
+      while (i < n - 2000) {
+        val v = ref(i) / 32768.0
+        val x = dec2.samples(i * 2 + ch)
+        se += (v - x) * (v - x); ss += v * v
+        i += 1
+      }
+      10.0 * math.log10(ss / se)
+    }
+    assert(snr2(l, 0) > 8.0, s"mixed-intensity left ${snr2(l, 0)}")
+    assert(snr2(r, 1) > 8.0, s"mixed-intensity right ${snr2(r, 1)}")
   }
 
   test("pair face: exact mp3 re-encode pair set over the fixture") {
