@@ -910,13 +910,16 @@ object SparkEntry {
     // q_m40: AUDIO decode coverage — the audio twin of q_m34's
     // honesty face: per (mime_type, container) how many rows the
     // fingerprint decode path actually turns into PCM (WAV / AIFF /
-    // AU PCM incl. G.711 companding and IMA ADPCM, FLAC, MPEG-1
-    // Layer III within the declared Huffman-table scope, and —
-    // round 19 — Ogg Vorbis). aac-adts is the remaining MEASURED
-    // honest-zero line; on the ogg line the vorbisdup streams decode
-    // while the structural ogg.parquet fakes (BOS-header-only, incl.
-    // all Opus rows) correctly count zero, the same split as the
-    // junk-bodied mp3.parquet frames vs the real mp3dup streams
+    // AU PCM incl. G.711 companding, IMA ADPCM and round-20 AIFC
+    // sowt/fl32, FLAC, MPEG-1 + round-20 MPEG-2/2.5 LSF Layer III
+    // within the declared Huffman-table scope, Ogg Vorbis,
+    // Vorbis-in-WebM and MP3-in-TS). aac-adts is the remaining
+    // MEASURED honest-zero line; on the ogg line the vorbisdup
+    // streams decode while the structural ogg.parquet fakes
+    // (BOS-header-only, incl. all Opus rows) correctly count zero,
+    // the same split as the junk-bodied mp3.parquet frames vs the
+    // real mp3dup streams; the aifc line's ima4 class is the
+    // partial honest zero (compressed type, refused at COMM)
     "q_m40_audio_coverage" -> ((s, _) => {
       import s.implicits._
       // MP3-in-TS measured class (round 19): the mp3dup odd rows

@@ -346,14 +346,18 @@ object AudioFp {
   /** Decode-COVERAGE table (q_m40) — the audio twin of the image
    * family's q_m34 honesty face: per (mime_type, container) the row
    * count and how many rows the FINGERPRINT decode path
-   * ([[monoSamples]]: WAV/AIFF/AU PCM incl. G.711 and IMA ADPCM,
-   * FLAC, MPEG-1 Layer III within the verified-table scope, Ogg
-   * Vorbis) actually turns into samples. q_m37 silently skips what
-   * it can't decode (tolerance); this face makes the skip a
-   * queryable number — today the remaining honest ZERO lines are
-   * aac-adts and Opus-in-Ogg, exactly the gap list a 100 TB crawl
-   * must report before anyone trusts an audio-dedup pass. Scale
-   * shape: map-side sniff+decode, then one tiny groupBy. */
+   * ([[monoSamples]]: WAV/AIFF/AU PCM incl. G.711, IMA ADPCM and —
+   * round 20 — AIFF-C sowt/fl32, FLAC, MPEG-1 and (round 20)
+   * MPEG-2/2.5 LSF Layer III within the verified-table scope, Ogg
+   * Vorbis, Vorbis-in-WebM and MP3-in-TS) actually turns into
+   * samples. q_m37 silently skips what it can't decode (tolerance);
+   * this face makes the skip a queryable number — the remaining
+   * honest ZERO lines are aac-adts (bare and in-TS) and Opus-in-Ogg,
+   * plus the partial zeros (compressed AIFC types like ima4, MP3
+   * Huffman tables outside the verified set), exactly the gap list
+   * a 100 TB crawl must report before anyone trusts an audio-dedup
+   * pass. Scale shape: map-side sniff+decode, then one tiny
+   * groupBy. */
   def decodeCoverage(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     media.select(col("media_id"), col("mime_type"), col("media"))

@@ -248,6 +248,13 @@ class AudioFpSpec extends SparkSpec {
       "decoy-PID payloads leaked into the reassembled ES")
     assert(AudioFp.monoSamples(ts2).exists(
       _.sameElements(AudioFp.monoSamples(mp3).get)))
+    // an MPEG-2 LSF elementary stream in TS (stream_type 0x04 is
+    // already in the walk's accepted set) decodes end to end too
+    val lsf = Mp3Encoder.encodeLsfMono(pcm, 22050)
+    val tsLsf = Remux.mpegAudioEsToTs(lsf)
+    assert(AudioFp.monoSamples(tsLsf).exists(
+      _.sameElements(AudioFp.monoSamples(lsf).get)),
+      "LSF-in-TS decodes differently from the bare LSF stream")
   }
 
   test("AIFF-C: sowt/fl32/NONE decode identically, ima4 honestly claims nothing") {
