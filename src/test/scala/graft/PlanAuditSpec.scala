@@ -774,9 +774,20 @@ class PlanAuditSpec extends SparkSpec {
       assert(plan.collect { case c: BroadcastNestedLoopJoinExec => c }.isEmpty, plan.toString)
     }
     // video re-mux signatures: frame walks + pixel decode map-side
+    // (round 20: the NAL-framing normalization stays inside the
+    // partition too — the digest derivation adds no exchange)
     audited(graft.ops.VideoDup.signatureTable(spark,
         Tables.videodup(spark))) { plan =>
       assert(shuffles(plan).isEmpty, s"${shuffles(plan).size} shuffles:\n$plan")
+    }
+    // the q_m38 pair join: digest-keyed equi-join over fixed-shape
+    // (id, count, 32-hex, kind) rows — bounded exchanges, never a
+    // cartesian or broadcast-nested-loop
+    audited(graft.ops.VideoDup.remuxPairs(graft.ops.VideoDup.signatureTable(
+        spark, Tables.videodup(spark)))) { plan =>
+      assert(shuffles(plan).size <= 3, s"${shuffles(plan).size} shuffles:\n$plan")
+      assert(plan.collect { case c: CartesianProductExec => c }.isEmpty, plan.toString)
+      assert(plan.collect { case c: BroadcastNestedLoopJoinExec => c }.isEmpty, plan.toString)
     }
     // GIF animation table: structural walk, no LZW decode, map-side
     audited(graft.ops.Multimodal.gifAnimTable(spark,
