@@ -127,7 +127,8 @@ object VorbisEncoder {
   final case class EncOpts(
       seqP: Boolean = false,
       floorMode: Int = 0,
-      classifySilent: Boolean = false)
+      classifySilent: Boolean = false,
+      dualSubmap: Boolean = false) // 2 channels → 2 submaps, no coupling
 
   /** The three header packets for `ch` channels at `rate`, block
    * sizes 2^log0 / 2^log1 (the residue's `end` covers the LONG
@@ -177,10 +178,13 @@ object VorbisEncoder {
     sw.bits(2 - 1, 2) // multiplier − 1
     sw.bits(7, 4) // rangebits → X range [0, 128]
     sw.bits(32, 7); sw.bits(64, 7) // the two partition posts
-    // one residue of the requested type
+    // one residue of the requested type. With dualSubmap each
+    // submap holds ONE channel, so the vector `end` is per-channel.
+    val endVec =
+      (1 << (log1 - 1)) * (if (resType == 2 && !opts.dualSubmap) ch else 1)
     sw.bits(0, 6); sw.bits(resType, 16)
     sw.bits(0, 24) // begin
-    sw.bits((1 << (log1 - 1)) * (if (resType == 2) ch else 1), 24) // end
+    sw.bits(endVec, 24) // end
     sw.bits(32 - 1, 24) // partition size
     sw.bits(2 - 1, 6) // classifications
     sw.bits(0, 8) // classbook = book 0
@@ -191,17 +195,35 @@ object VorbisEncoder {
     sw.bits(3, 8) // class 1 pass 1 → book 3 (fine)
     // one mapping, type 0
     sw.bits(0, 6); sw.bits(0, 16)
-    sw.bits(0, 1) // one submap
-    if (ch == 2) {
-      sw.bits(1, 1) // coupling present
-      sw.bits(0, 8) // steps − 1
-      sw.bits(0, 1) // magnitude = ch 0 (ilog(ch−1) = 1 bit)
-      sw.bits(1, 1) // angle = ch 1
-    } else sw.bits(0, 1)
-    sw.bits(0, 2) // reserved
-    sw.bits(0, 8) // time config (discarded)
-    sw.bits(0, 8) // submap floor 0
-    sw.bits(0, 8) // submap residue 0
+    if (opts.dualSubmap) {
+      // TWO submaps, one channel each, NO coupling — the multi-submap
+      // mux dispatch real multichannel streams use (round 20: the
+      // decoder path no prior stream touched)
+      require(ch == 2, "dualSubmap is a 2-channel profile")
+      sw.bits(1, 1) // submaps present
+      sw.bits(2 - 1, 4) // submaps − 1
+      sw.bits(0, 1) // no coupling
+      sw.bits(0, 2) // reserved
+      sw.bits(0, 4) // mux(ch0) → submap 0
+      sw.bits(1, 4) // mux(ch1) → submap 1
+      for (_ <- 0 until 2) {
+        sw.bits(0, 8) // time config (discarded)
+        sw.bits(0, 8) // submap floor 0
+        sw.bits(0, 8) // submap residue 0 (both submaps share it)
+      }
+    } else {
+      sw.bits(0, 1) // one submap
+      if (ch == 2) {
+        sw.bits(1, 1) // coupling present
+        sw.bits(0, 8) // steps − 1
+        sw.bits(0, 1) // magnitude = ch 0 (ilog(ch−1) = 1 bit)
+        sw.bits(1, 1) // angle = ch 1
+      } else sw.bits(0, 1)
+      sw.bits(0, 2) // reserved
+      sw.bits(0, 8) // time config (discarded)
+      sw.bits(0, 8) // submap floor 0
+      sw.bits(0, 8) // submap residue 0
+    }
     // two modes: blockflag 0 and 1, same mapping
     sw.bits(1, 6)
     sw.bits(0, 1); sw.bits(0, 16); sw.bits(0, 16); sw.bits(0, 8)
@@ -313,6 +335,17 @@ object VorbisEncoder {
     }
     // residues r = spec / floorCurve, then square-polar coupling
     val r = Array.tabulate(ch, n2)((c0, i) => specs(c0)(i) / curves(c0)(i))
+    if (opts.dualSubmap) {
+      // two submaps, one channel each: the residue vector of ch0 is
+      // emitted for submap 0, then ch1's for submap 1 — the decoder
+      // dispatches by the mapping's mux
+      var c = 0
+      while (c < ch) {
+        emitResidue(bw, r(c), math.min(endVec, n2), resType, opts)
+        c += 1
+      }
+      return bw.toBytes
+    }
     val inter = new Array[Double](n2 * ch)
     if (ch == 2) {
       var i = 0
@@ -329,13 +362,18 @@ object VorbisEncoder {
       var i = 0
       while (i < n2) { inter(i) = r(0)(i); i += 1 }
     }
-    // residue emission: partitions of 32, all class 1, classwords of
-    // 4, two cascade passes; the decoded range is [begin,
-    // min(end, vector length)) per spec. Types 1 and 2 lay each
-    // partition out contiguously (type 2 over the interleaved
-    // vector); type 0 strides — vector s carries elements
-    // (off+s, off+s+step) with step = psize/dims = 16
-    val nVec = math.min(endVec, n2 * ch)
+    emitResidue(bw, inter, math.min(endVec, n2 * ch), resType, opts)
+    bw.toBytes
+  }
+
+  /** Residue emission over one decoded vector: partitions of 32,
+   * classwords of 4, two cascade passes; the decoded range is
+   * [begin, min(end, vector length)) per spec. Types 1 and 2 lay
+   * each partition out contiguously (type 2 over the interleaved
+   * vector); type 0 strides — vector s carries elements
+   * (off+s, off+s+step) with step = psize/dims = 16. */
+  private def emitResidue(bw: Bw, inter: Array[Double], nVec: Int,
+      resType: Int, opts: EncOpts): Unit = {
     val partitions = nVec / 32
     val coarse = new Array[Double](nVec)
     // coarse lattice geometry (seqP uses the wider 32-value lattice)
@@ -414,7 +452,6 @@ object VorbisEncoder {
         }
       }
     }
-    bw.toBytes
   }
 
   // ------------------------------------------------------------- ogg
@@ -486,7 +523,8 @@ object VorbisEncoder {
     require(resType == 2 || ch == 1, "residue 0/1 encode is mono-only here")
     val t = chans.head.length
     val bs0 = 1 << log0
-    val endVec = (1 << (log1 - 1)) * (if (resType == 2) ch else 1)
+    val endVec = (1 << (log1 - 1)) *
+      (if (resType == 2 && !opts.dualSubmap) ch else 1)
     val (idp, cmp, sup) = headers(ch, rate, log0, log1, resType, opts)
     val serial = 0x67726166 // 'graf'
     val pages = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
@@ -565,6 +603,15 @@ object VorbisEncoder {
 
   def encodeStereo(l: Array[Int], r: Array[Int], rate: Int): Array[Byte] =
     encodeChannels(Seq(l, r), rate)
+
+  /** Stereo encode through TWO submaps (one channel each, no
+   * coupling) — the multi-submap mapping dispatch real multichannel
+   * streams use; exercises the decoder's mux/submapFloor/
+   * submapResidue routing that the single-submap profiles never
+   * touch. */
+  def encodeStereoDualSubmap(l: Array[Int], r: Array[Int], rate: Int): Array[Byte] =
+    encodeScheduled(Seq(l, r), rate, 9, 9, uniformBlocks(l.length),
+      opts = EncOpts(dualSubmap = true))
 
   private def uniformBlocks(len: Int): IndexedSeq[Int] =
     IndexedSeq.fill((len + N2 - 1) / N2 + 1)(N)

@@ -295,6 +295,33 @@ class VorbisSpec extends SparkSpec {
     assert(sUp > 20.0, s"fold-up roundtrip SNR $sUp dB")
   }
 
+  test("multi-submap mapping: two submaps, one channel each, decode via mux routing") {
+    // the mapping's submap dispatch (mux → submapFloor/submapResidue)
+    // that every single-submap profile bypasses — real multichannel
+    // streams are built this way
+    val n = Mp3DupFixture.NSamples
+    val l = Array.tabulate(n)(t => (Mp3DupFixture.signal(3L, t) * 30000).toInt)
+    val r = Array.tabulate(n)(t => (Mp3DupFixture.signal(4L, t) * 30000).toInt)
+    val ogg = VorbisEncoder.encodeStereoDualSubmap(l, r, 32000)
+    val dec = Vorbis.decode(ogg).getOrElse(sys.error("dual-submap claims nothing"))
+    assert(dec.channels == 2 && dec.samples.length == 2 * n)
+    def snr(ref: Array[Int], ch: Int): Double = {
+      var se = 0.0
+      var ss = 0.0
+      var i = 1000
+      while (i < n - 1000) {
+        val a = ref(i) / 32768.0
+        val d = dec.samples(i * 2 + ch)
+        se += (a - d) * (a - d); ss += a * a
+        i += 1
+      }
+      10.0 * math.log10(ss / se)
+    }
+    // no coupling: each channel quantizes independently — full SNR
+    assert(snr(l, 0) > 25.0, s"left ${snr(l, 0)}")
+    assert(snr(r, 1) > 25.0, s"right ${snr(r, 1)}")
+  }
+
   test("residue class 0 (silent partitions): identical decode, strictly fewer bytes") {
     // a low tone: high-frequency partitions quantize to exact zero,
     // so the classifier codes them CLASS 0 (no books, decoder leaves
