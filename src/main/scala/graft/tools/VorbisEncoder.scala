@@ -213,12 +213,12 @@ object VorbisEncoder {
       }
     } else {
       sw.bits(0, 1) // one submap
-      if (ch == 2) {
+      if (ch == 2 && resType == 2) {
         sw.bits(1, 1) // coupling present
         sw.bits(0, 8) // steps − 1
         sw.bits(0, 1) // magnitude = ch 0 (ilog(ch−1) = 1 bit)
         sw.bits(1, 1) // angle = ch 1
-      } else sw.bits(0, 1)
+      } else sw.bits(0, 1) // types 0/1 carry UNCOUPLED channels here
       sw.bits(0, 2) // reserved
       sw.bits(0, 8) // time config (discarded)
       sw.bits(0, 8) // submap floor 0
@@ -325,12 +325,18 @@ object VorbisEncoder {
       graft.ops.Vorbis.floor1Synth(xList, raw, 2, n2, curves(c))
       raw
     }
+    // a channel whose spectrum is exactly zero is UNAUDIBLE: its
+    // floor writes the 0 bit and its residue is skipped entirely —
+    // the decoder's doNotDecode path (round 20)
+    val audible = specs.map(_.exists(_ != 0.0))
     var c = 0
     while (c < ch) {
-      bw.bits(1, 1) // nonzero
-      bw.bits(rawYs(c)(0).toLong, 7) // y0 (raw, ilog(127) bits)
-      bw.bits(rawYs(c)(1).toLong, 7) // y1
-      bw.code(rawYs(c)(2), 7); bw.code(rawYs(c)(3), 7) // posts via the floor book
+      if (audible(c)) {
+        bw.bits(1, 1) // nonzero
+        bw.bits(rawYs(c)(0).toLong, 7) // y0 (raw, ilog(127) bits)
+        bw.bits(rawYs(c)(1).toLong, 7) // y1
+        bw.code(rawYs(c)(2), 7); bw.code(rawYs(c)(3), 7) // posts via the floor book
+      } else bw.bits(0, 1)
       c += 1
     }
     // residues r = spec / floorCurve, then square-polar coupling
@@ -338,14 +344,24 @@ object VorbisEncoder {
     if (opts.dualSubmap) {
       // two submaps, one channel each: the residue vector of ch0 is
       // emitted for submap 0, then ch1's for submap 1 — the decoder
-      // dispatches by the mapping's mux
+      // dispatches by the mapping's mux (an unaudible channel's
+      // submap emits nothing at all)
       var c = 0
       while (c < ch) {
-        emitResidue(bw, r(c), math.min(endVec, n2), resType, opts)
+        if (audible(c)) emitResidue(bw, r(c), math.min(endVec, n2), resType, opts)
         c += 1
       }
       return bw.toBytes
     }
+    if (resType != 2) {
+      // types 0/1: the channels of one submap decode INTERLEAVED per
+      // partition with per-channel classwords; unaudible channels
+      // are skipped (doNotDecode)
+      emitResidueMulti(bw, r, audible.map(!_), math.min(endVec, n2),
+        resType, opts)
+      return bw.toBytes
+    }
+    if (!audible.exists(identity)) return bw.toBytes // all silent: no residue
     val inter = new Array[Double](n2 * ch)
     if (ch == 2) {
       var i = 0
@@ -373,9 +389,21 @@ object VorbisEncoder {
    * vector); type 0 strides — vector s carries elements
    * (off+s, off+s+step) with step = psize/dims = 16. */
   private def emitResidue(bw: Bw, inter: Array[Double], nVec: Int,
-      resType: Int, opts: EncOpts): Unit = {
+      resType: Int, opts: EncOpts): Unit =
+    emitResidueMulti(bw, Array(inter), Array(false), nVec, resType, opts)
+
+  /** The multi-channel form of [[emitResidue]] — residue types 0/1
+   * decode the channels of ONE submap interleaved per partition
+   * (classwords for every coded channel at each group boundary,
+   * then each partition's vectors channel by channel), and channels
+   * whose floor was unaudible (`dnd`) are skipped entirely — the
+   * decoder's doNotDecode path (round 20: first bitstream
+   * exercise of both). */
+  private def emitResidueMulti(bw: Bw, vecs: Array[Array[Double]],
+      dnd: Array[Boolean], nVec: Int, resType: Int, opts: EncOpts): Unit = {
+    val nCh = vecs.length
     val partitions = nVec / 32
-    val coarse = new Array[Double](nVec)
+    val coarse = Array.ofDim[Double](nCh, nVec)
     // coarse lattice geometry (seqP uses the wider 32-value lattice)
     val cMin = if (opts.seqP) -2.0 else -1.0
     val cMax = if (opts.seqP) 31 else 15
@@ -389,13 +417,13 @@ object VorbisEncoder {
     def quantsToZero(v: Double): Boolean =
       quantIdx(v, cMin, 0.125, cMax) == zeroIdx &&
         quantIdx(v, -0.0625, 1.0 / 128) == 8
-    val cls = Array.tabulate(partitions) { pc =>
+    val cls = Array.tabulate(nCh, partitions) { (ch, pc) =>
       if (!opts.classifySilent) 1
       else {
         var allZero = true
         var k = 0
         while (k < 32 && allZero) {
-          allZero = quantsToZero(inter(pc * 32 + k))
+          allZero = quantsToZero(vecs(ch)(pc * 32 + k))
           k += 1
         }
         if (allZero) 0 else 1
@@ -405,47 +433,60 @@ object VorbisEncoder {
       var pc = 0
       while (pc < partitions) {
         if (pass == 0) {
-          // classword over this group of ≤4 partitions, high
-          // partition first (the decoder peels temp % 2 from the end)
-          var e = 0
-          var i = 0
-          while (i < 4) {
-            e = e * 2 + (if (pc + i < partitions) cls(pc + i) else 0)
-            i += 1
+          // classwords for every coded channel at the group
+          // boundary, channel order; high partition first within
+          // each word (the decoder peels temp % 2 from the end)
+          var ch = 0
+          while (ch < nCh) {
+            if (!dnd(ch)) {
+              var e = 0
+              var i = 0
+              while (i < 4) {
+                e = e * 2 + (if (pc + i < partitions) cls(ch)(pc + i) else 0)
+                i += 1
+              }
+              bw.code(e, 4)
+            }
+            ch += 1
           }
-          bw.code(e, 4)
         }
         var w = 0
         while (w < 4 && pc < partitions) {
-          if (cls(pc) == 1) {
-            var j = 0
-            while (j < 16) { // 16 dim-2 vectors per partition
-              val e0 = if (resType == 0) pc * 32 + j else pc * 32 + 2 * j
-              val e1 = if (resType == 0) pc * 32 + j + 16 else pc * 32 + 2 * j + 1
-              if (pass == 0) {
-                if (opts.seqP) {
-                  // sequence_p: the decoder ACCUMULATES out1 = q1 +
-                  // out0, so the second index codes the DELTA
-                  val i0 = quantIdx(inter(e0), cMin, 0.125, cMax)
-                  val c0 = cMin + i0 * 0.125
-                  val i1 = quantIdx(inter(e1) - c0, cMin, 0.125, cMax)
-                  coarse(e0) = c0
-                  coarse(e1) = c0 + (cMin + i1 * 0.125)
-                  bw.code(i1 * cVals + i0, cBits)
+          var ch = 0
+          while (ch < nCh) {
+            if (!dnd(ch) && cls(ch)(pc) == 1) {
+              val inter = vecs(ch)
+              val crs = coarse(ch)
+              var j = 0
+              while (j < 16) { // 16 dim-2 vectors per partition
+                val e0 = if (resType == 0) pc * 32 + j else pc * 32 + 2 * j
+                val e1 = if (resType == 0) pc * 32 + j + 16 else pc * 32 + 2 * j + 1
+                if (pass == 0) {
+                  if (opts.seqP) {
+                    // sequence_p: the decoder ACCUMULATES out1 = q1 +
+                    // out0, so the second index codes the DELTA
+                    val i0 = quantIdx(inter(e0), cMin, 0.125, cMax)
+                    val c0 = cMin + i0 * 0.125
+                    val i1 = quantIdx(inter(e1) - c0, cMin, 0.125, cMax)
+                    crs(e0) = c0
+                    crs(e1) = c0 + (cMin + i1 * 0.125)
+                    bw.code(i1 * cVals + i0, cBits)
+                  } else {
+                    val i0 = quantIdx(inter(e0), -1.0, 0.125)
+                    val i1 = quantIdx(inter(e1), -1.0, 0.125)
+                    crs(e0) = -1.0 + i0 * 0.125
+                    crs(e1) = -1.0 + i1 * 0.125
+                    bw.code(i1 * 16 + i0, 8)
+                  }
                 } else {
-                  val i0 = quantIdx(inter(e0), -1.0, 0.125)
-                  val i1 = quantIdx(inter(e1), -1.0, 0.125)
-                  coarse(e0) = -1.0 + i0 * 0.125
-                  coarse(e1) = -1.0 + i1 * 0.125
+                  val i0 = quantIdx(inter(e0) - crs(e0), -0.0625, 1.0 / 128)
+                  val i1 = quantIdx(inter(e1) - crs(e1), -0.0625, 1.0 / 128)
                   bw.code(i1 * 16 + i0, 8)
                 }
-              } else {
-                val i0 = quantIdx(inter(e0) - coarse(e0), -0.0625, 1.0 / 128)
-                val i1 = quantIdx(inter(e1) - coarse(e1), -0.0625, 1.0 / 128)
-                bw.code(i1 * 16 + i0, 8)
+                j += 1
               }
-              j += 1
             }
+            ch += 1
           }
           pc += 1
           w += 1
@@ -520,7 +561,9 @@ object VorbisEncoder {
       resType: Int = 2, opts: EncOpts = EncOpts()): Array[Byte] = {
     val ch = chans.size
     require(ch == 1 || ch == 2, "mono or stereo")
-    require(resType == 2 || ch == 1, "residue 0/1 encode is mono-only here")
+    // residue-0/1 streams carry UNCOUPLED channels through the
+    // per-channel interleaved inner loop; square-polar coupling is
+    // the type-2 profile's (the headers declare it only there)
     val t = chans.head.length
     val bs0 = 1 << log0
     val endVec = (1 << (log1 - 1)) *
@@ -599,6 +642,17 @@ object VorbisEncoder {
     require(resType == 0 || resType == 1)
     val blocks = (pcm.length + N2 - 1) / N2 + 1
     encodeScheduled(Seq(pcm), rate, 9, 9, IndexedSeq.fill(blocks)(N), resType)
+  }
+
+  /** STEREO encode through residue type 0 or 1 (one submap, NO
+   * coupling): the decoder reads the two channels' classwords and
+   * vectors INTERLEAVED per partition — the multi-channel inner
+   * residue loop no coupled (type 2) or mono stream can reach. */
+  def encodeStereoResidue(l: Array[Int], r: Array[Int], rate: Int,
+      resType: Int): Array[Byte] = {
+    require(resType == 0 || resType == 1)
+    val blocks = (l.length + N2 - 1) / N2 + 1
+    encodeScheduled(Seq(l, r), rate, 9, 9, IndexedSeq.fill(blocks)(N), resType)
   }
 
   def encodeStereo(l: Array[Int], r: Array[Int], rate: Int): Array[Byte] =

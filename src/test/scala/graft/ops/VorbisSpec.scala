@@ -322,6 +322,48 @@ class VorbisSpec extends SparkSpec {
     assert(snr(r, 1) > 25.0, s"right ${snr(r, 1)}")
   }
 
+  test("STEREO residue types 0/1: per-partition channel interleave + doNotDecode skip") {
+    val n = Mp3DupFixture.NSamples
+    val l = Array.tabulate(n)(t => (Mp3DupFixture.signal(5L, t) * 30000).toInt)
+    val r = Array.tabulate(n)(t => (Mp3DupFixture.signal(6L, t) * 30000).toInt)
+    def snr(dec: Vorbis.Pcm, ref: Array[Int], ch: Int): Double = {
+      var se = 0.0
+      var ss = 0.0
+      var i = 1000
+      while (i < n - 1000) {
+        val a = ref(i) / 32768.0
+        val d = dec.samples(i * 2 + ch)
+        se += (a - d) * (a - d); ss += a * a
+        i += 1
+      }
+      10.0 * math.log10(ss / se)
+    }
+    for (resType <- Seq(0, 1)) {
+      // uncoupled stereo: the decoder reads both channels' classwords
+      // and vectors INTERLEAVED per partition — the inner-loop shape
+      // no coupled (type 2) or mono stream can reach
+      val ogg = VorbisEncoder.encodeStereoResidue(l, r, 32000, resType)
+      val dec = Vorbis.decode(ogg).getOrElse(
+        sys.error(s"stereo residue $resType claims nothing"))
+      assert(dec.channels == 2 && dec.samples.length == 2 * n)
+      assert(snr(dec, l, 0) > 25.0, s"type $resType left ${snr(dec, l, 0)}")
+      assert(snr(dec, r, 1) > 25.0, s"type $resType right ${snr(dec, r, 1)}")
+      // SILENT right channel: its floor writes the 0 bit and its
+      // residue share is skipped — the decoder's doNotDecode path
+      // must keep the interleave aligned and render exact zeros
+      val silent = new Array[Int](n)
+      val ogg2 = VorbisEncoder.encodeStereoResidue(l, silent, 32000, resType)
+      val dec2 = Vorbis.decode(ogg2).getOrElse(
+        sys.error(s"silent-channel residue $resType claims nothing"))
+      assert(snr(dec2, l, 0) > 25.0, s"type $resType left-of-silent ${snr(dec2, l, 0)}")
+      var i = 0
+      while (i < n) {
+        assert(dec2.samples(2 * i + 1) == 0f, s"silent channel nonzero at $i")
+        i += 1
+      }
+    }
+  }
+
   test("residue class 0 (silent partitions): identical decode, strictly fewer bytes") {
     // a low tone: high-frequency partitions quantize to exact zero,
     // so the classifier codes them CLASS 0 (no books, decoder leaves
