@@ -443,10 +443,14 @@ class VorbisSpec extends SparkSpec {
     val seqP = graft.tools.VorbisEncoder.encodeMonoSeqP(Mp3DupFixture.basePcm(5L), 32000)
     val silent = graft.tools.VorbisEncoder.encodeMonoSilentClasses(
       Array.tabulate(8192)(t => (math.sin(2.0 * math.Pi * 300.0 * t / 32000.0) * 18000).toInt), 32000)
-    val sources = Array(base, switched, seqP, silent)
+    val half = Array.tabulate(8192)(t => (Mp3DupFixture.signal(5L, t) * 20000).toInt)
+    val dual = graft.tools.VorbisEncoder.encodeStereoDualSubmap(half, half.map(-_), 32000)
+    val uncoupled = graft.tools.VorbisEncoder.encodeStereoResidue(
+      half, new Array[Int](half.length), 32000, 0)
+    val sources = Array(base, switched, seqP, silent, dual, uncoupled)
     val rnd = new scala.util.Random(42)
     for (trial <- 0 until 120) {
-      val src = sources(trial % 4)
+      val src = sources(trial % sources.length)
       val b = src.clone()
       val flips = 1 + rnd.nextInt(8)
       for (_ <- 0 until flips)
@@ -454,7 +458,7 @@ class VorbisSpec extends SparkSpec {
       Vorbis.decode(b) // must return, Some or None — any throw fails
     }
     for (trial <- 0 until 40) {
-      val src = if (trial % 2 == 0) base else switched
+      val src = sources(trial % sources.length)
       val cut = 1 + rnd.nextInt(src.length - 1)
       Vorbis.decode(java.util.Arrays.copyOf(src, cut))
     }
