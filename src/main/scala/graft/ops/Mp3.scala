@@ -217,31 +217,45 @@ object Mp3 {
   /** MPEG-2/2.5 scalefactor decode (ISO 13818-3 2.4.3.2, the
    * NON-intensity channel): slen and the four band-partition counts
    * derive from the 9-bit scalefac_compress by FORMULA — no new
-   * tables; the partition counts are the fixed (6,5,5,5) long /
-   * (9,9,9,9) short / (6,9,9,9) mixed splits whose sums are pinned
-   * to the 21 / 36 / 33 scalefactor totals in Mp3Spec. preflag is
-   * implied by scalefac_compress ≥ 500. LSF INTENSITY channels use
-   * a different compress split and pan law and are out of scope —
-   * an LSF joint-intensity frame claims nothing (decode loop). */
+   * tables; the partition counts depend on BOTH the block shape and
+   * the compress RANGE (round-20 review fix — the ≥400 ranges use
+   * their own splits, matching the reference decoders' nr_of_sfb
+   * table), every split summing to the 21 / 36 / 33 scalefactor
+   * totals pinned in Mp3Spec. preflag is implied by
+   * scalefac_compress ≥ 500. LSF INTENSITY channels use a different
+   * compress split and pan law and are out of scope — an LSF
+   * joint-intensity frame claims nothing (decode loop). */
   private def readScalefactorsLsf(br: Br, gr: Gr): Scf = {
     val out = new Scf
     val sfc = gr.scalefacCompress
-    val slen =
+    val (slen, range) =
       if (sfc < 400)
-        Array((sfc >> 4) / 5, (sfc >> 4) % 5, (sfc & 15) >> 2, sfc & 3)
+        (Array((sfc >> 4) / 5, (sfc >> 4) % 5, (sfc & 15) >> 2, sfc & 3), 0)
       else if (sfc < 500) {
         val c = sfc - 400
-        Array((c >> 2) / 5, (c >> 2) % 5, c & 3, 0)
+        (Array((c >> 2) / 5, (c >> 2) % 5, c & 3, 0), 1)
       } else {
         val c = sfc - 500
         gr.preflag = true
-        Array(c / 3, c % 3, 0, 0)
+        (Array(c / 3, c % 3, 0, 0), 2)
       }
     val short = gr.windowSwitching && gr.blockType == 2
     val nr =
-      if (!short) Array(6, 5, 5, 5)
-      else if (gr.mixedBlock) Array(6, 9, 9, 9)
-      else Array(9, 9, 9, 9)
+      if (!short) range match {
+        case 0 => Array(6, 5, 5, 5)
+        case 1 => Array(6, 5, 7, 3)
+        case _ => Array(11, 10, 0, 0)
+      }
+      else if (gr.mixedBlock) range match {
+        case 0 => Array(6, 9, 9, 9)
+        case 1 => Array(6, 9, 12, 6)
+        case _ => Array(15, 18, 0, 0)
+      }
+      else range match {
+        case 0 => Array(9, 9, 9, 9)
+        case 1 => Array(9, 9, 12, 6)
+        case _ => Array(18, 18, 0, 0)
+      }
     var k = 0
     for (p <- 0 until 4; _ <- 0 until nr(p)) {
       val v = br.bits(slen(p))

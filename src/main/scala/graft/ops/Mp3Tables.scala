@@ -32,8 +32,10 @@ object Mp3Tables {
    * LSF transcription verification (the gate this repo applies to
    * every tabulated constant, documented in the object comment):
    * each table sums to 576, the 16 kHz table is BYTE-IDENTICAL to
-   * the 22.05 kHz table and MPEG-2.5's 11025/12000 reuse the
-   * 22050/24000 tables — normative equalities that cross-check the
+   * the 22.05 kHz table and MPEG-2.5's 11025/12000 BOTH reuse the
+   * 22.05/16 kHz long table (and the 16 kHz short table) — the
+   * band-table aliasing the public reference decoders (libmad,
+   * mpg123) encode as #define/row reuse, which cross-checks the
    * transcription — and the 8 kHz table carries the standard's
    * documented odd 2-wide tail. An equal-sum width swap inside one
    * table would survive these checks; the in-repo LSF encoder
@@ -54,10 +56,13 @@ object Mp3Tables {
       22050 -> lsf2205,
       24000 -> lsf24,
       16000 -> lsf2205, // normative: 16 kHz reuses the 22.05 kHz table
-      11025 -> lsf2205, // MPEG-2.5 reuses the MPEG-2 tables …
-      12000 -> lsf24,
+      // MPEG-2.5: BOTH low rates reuse the 22.05/16 kHz LONG table
+      // (not the 24 kHz one — round-20 review fix, cross-checked
+      // against the libmad/mpg123 band-table aliasing), 8 kHz its own
+      11025 -> lsf2205,
+      12000 -> lsf2205,
       8000 -> Array(12, 12, 12, 12, 12, 12, 16, 20, 24, 28, 32, 40, 48,
-        56, 64, 76, 90, 2, 2, 2, 2, 2)) // … except 8 kHz's own
+        56, 64, 76, 90, 2, 2, 2, 2, 2))
   }
 
   /** Short-block scalefactor band widths (per window); LSF rates
@@ -65,15 +70,18 @@ object Mp3Tables {
   val sfbShort: Map[Int, Array[Int]] = {
     val lsf2205 = Array(4, 4, 4, 6, 6, 8, 10, 14, 18, 26, 32, 42, 18)
     val lsf24 = Array(4, 4, 4, 6, 8, 10, 12, 14, 18, 24, 32, 44, 12)
+    val lsf16 = Array(4, 4, 4, 6, 8, 10, 12, 14, 18, 24, 30, 40, 18)
     Map(
       44100 -> Array(4, 4, 4, 4, 6, 8, 10, 12, 14, 18, 22, 30, 56),
       48000 -> Array(4, 4, 4, 4, 6, 6, 10, 12, 14, 16, 20, 26, 66),
       32000 -> Array(4, 4, 4, 4, 6, 8, 12, 16, 20, 26, 34, 42, 12),
       22050 -> lsf2205,
       24000 -> lsf24,
-      16000 -> Array(4, 4, 4, 6, 8, 10, 12, 14, 18, 24, 30, 40, 18),
-      11025 -> lsf2205,
-      12000 -> lsf24,
+      16000 -> lsf16,
+      // MPEG-2.5: both low rates reuse the 16 kHz SHORT table (the
+      // same review-verified aliasing as the long tables)
+      11025 -> lsf16,
+      12000 -> lsf16,
       8000 -> Array(8, 8, 8, 12, 16, 20, 24, 28, 36, 2, 2, 2, 26))
   }
 

@@ -1388,19 +1388,24 @@ object Multimodal {
           if (total <= 0 || total % n != 0) return (track, Nil)
           java.util.Arrays.fill(sizes, total / n)
         case _ => // 3 = EBML
-          val f0 = ebmlVint(b, q, keepMarker = false).getOrElse(return (track, Nil))
-          if (f0._1 > Int.MaxValue) return (track, Nil)
-          sizes(0) = f0._1.toInt
-          q += f0._2
-          var k = 1
-          while (k < n - 1) {
-            val d = ebmlVint(b, q, keepMarker = false).getOrElse(return (track, Nil))
-            val delta = d._1 - ((1L << (7 * d._2 - 1)) - 1)
-            val s = sizes(k - 1).toLong + delta
-            if (s < 0 || s > Int.MaxValue) return (track, Nil)
-            sizes(k) = s.toInt
-            q += d._2
-            k += 1
+          // a single-frame EBML lace carries ZERO size fields (the
+          // lone frame is the implicit remainder) — round-20 review
+          // fix: reading a vint here would eat the frame's own bytes
+          if (n > 1) {
+            val f0 = ebmlVint(b, q, keepMarker = false).getOrElse(return (track, Nil))
+            if (f0._1 > Int.MaxValue) return (track, Nil)
+            sizes(0) = f0._1.toInt
+            q += f0._2
+            var k = 1
+            while (k < n - 1) {
+              val d = ebmlVint(b, q, keepMarker = false).getOrElse(return (track, Nil))
+              val delta = d._1 - ((1L << (7 * d._2 - 1)) - 1)
+              val s = sizes(k - 1).toLong + delta
+              if (s < 0 || s > Int.MaxValue) return (track, Nil)
+              sizes(k) = s.toInt
+              q += d._2
+              k += 1
+            }
           }
       }
       // last frame size is implicit: whatever remains

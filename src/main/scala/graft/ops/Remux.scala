@@ -182,8 +182,7 @@ object Remux {
     val info = ebml(0x1549a966L,
       ebml(0x2ad7b1L, beUintBytes(1000000L)) ++
         ebml(0x4489L, beFloat8(durMs)))
-    val codecPriv = Array[Byte](2) ++ xiphSizes(headers.take(2) :+ headers(2)) ++
-      headers.flatten
+    val codecPriv = Array[Byte](2) ++ xiphSizes(headers) ++ headers.flatten
     val trackEntry = ebml(0xaeL,
       ebml(0xd7L, beUintBytes(1L)) ++ // TrackNumber
         ebml(0x83L, beUintBytes(2L)) ++ // TrackType audio

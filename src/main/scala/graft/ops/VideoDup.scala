@@ -82,19 +82,29 @@ object VideoDup {
    * by [[nalUnits]] normalization at digest time, round 20). What
    * the path still deliberately does NOT catch is a re-encode —
    * that needs pixels. */
-  private[graft] def payloadSpans(b: Array[Byte]): Seq[Seq[(Int, Int)]] = {
+  /** Span groups plus the container's FRAMING hint: MP4 samples are
+   * length-prefixed by construction (avcC), so the normalizer tries
+   * length prefixes first there; TS carries Annex-B, AVI/WebM have
+   * no declared H.26x framing (Annex-B is the unframed-container
+   * convention) — the hint resolves the genuinely ambiguous AUs
+   * (round-20 review fix: an AVCC AU whose first length prefix is
+   * 0x000001xx — a 256-383-byte NAL — parses as Annex-B too, so
+   * order must come from the container, the way real demuxers know
+   * it, not from a guess). */
+  private[graft] def payloadSpans(
+      b: Array[Byte]): (Seq[Seq[(Int, Int)]], Boolean) = {
     val avi = Multimodal.AvHeaders.aviVideoChunks(b)
-    if (avi.nonEmpty) avi.map(Seq(_))
+    if (avi.nonEmpty) (avi.map(Seq(_)), false)
     else {
       val moov = Multimodal.AvHeaders.mp4AnyVideoSamples(b)
-      if (moov.nonEmpty) moov.map(Seq(_))
+      if (moov.nonEmpty) (moov.map(Seq(_)), true)
       else {
         val frag = Multimodal.AvHeaders.mp4FragmentVideoSamples(b)
-        if (frag.nonEmpty) frag.map(Seq(_))
+        if (frag.nonEmpty) (frag.map(Seq(_)), true)
         else {
           val webm = Multimodal.AvHeaders.webmVideoBlockSpans(b)
-          if (webm.nonEmpty) webm.map(Seq(_))
-          else Multimodal.AvHeaders.tsVideoPesSamples(b)
+          if (webm.nonEmpty) (webm.map(Seq(_)), false)
+          else (Multimodal.AvHeaders.tsVideoPesSamples(b), false)
         }
       }
     }
@@ -157,15 +167,23 @@ object VideoDup {
   }
 
   /** The ordered NAL units of one access unit, whatever its framing
-   * (round 20): Annex-B start codes (what MPEG-TS carries) first,
-   * then 4-byte length prefixes (MP4's avcC default), then 2-byte.
-   * None when the AU parses as neither — the digest then falls back
-   * to raw bytes, so non-NAL codecs are untouched. */
-  private[graft] def nalUnits(b: Array[Byte], from: Int,
-      until: Int): Option[Seq[(Int, Int)]] =
-    annexBUnits(b, from, until)
-      .orElse(lengthPrefixedUnits(b, from, until, 4))
-      .orElse(lengthPrefixedUnits(b, from, until, 2))
+   * (round 20): the container hint orders the attempts — MP4-derived
+   * AUs try 4/2-byte length prefixes (the avcC convention) before
+   * Annex-B, everything else Annex-B first — so an AU that happens
+   * to parse BOTH ways (an AVCC unit whose first prefix is
+   * 0x000001xx) normalizes the way its container framed it. None
+   * when the AU parses as neither — the digest then falls back to
+   * raw bytes, so non-NAL codecs are untouched. */
+  private[graft] def nalUnits(b: Array[Byte], from: Int, until: Int,
+      lengthFirst: Boolean = false): Option[Seq[(Int, Int)]] =
+    if (lengthFirst)
+      lengthPrefixedUnits(b, from, until, 4)
+        .orElse(lengthPrefixedUnits(b, from, until, 2))
+        .orElse(annexBUnits(b, from, until))
+    else
+      annexBUnits(b, from, until)
+        .orElse(lengthPrefixedUnits(b, from, until, 4))
+        .orElse(lengthPrefixedUnits(b, from, until, 2))
 
   /** md5 over the ordered sample payloads; the count is SAMPLES
    * (groups), not fragments, so a TS twin reports the same n_frames
@@ -183,7 +201,8 @@ object VideoDup {
    * the two derivations can never alias each other. Still ZERO
    * decode. */
   private[graft] def payloadDigest(b: Array[Byte]): Option[(Int, String)] = {
-    val groups = payloadSpans(b).filter(g => g.nonEmpty && g.forall {
+    val (spans, lengthFirst) = payloadSpans(b)
+    val groups = spans.filter(g => g.nonEmpty && g.forall {
       case (off, len) => off >= 0 && len > 0 && off.toLong + len <= b.length })
     if (groups.isEmpty) None
     else {
@@ -205,7 +224,7 @@ object VideoDup {
             }
             (tmp, 0, total)
           }
-        nalUnits(au, from, until) match {
+        nalUnits(au, from, until, lengthFirst) match {
           case Some(nals) =>
             md.update('N'.toByte)
             for ((o, l) <- nals) { putLen(l); md.update(au, o, l) }

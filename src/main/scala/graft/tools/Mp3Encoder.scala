@@ -152,12 +152,27 @@ object Mp3Encoder {
    * (bands 0-10 at 4 bits, 11-20 at 3), so the granule coder is
    * shared verbatim; preflag stays off (sfc < 500). Validates the
    * decoder's LSF header/side-info/scalefactor path end to end. */
-  def encodeLsfMono(pcm: Array[Int], sampleRate: Int): Array[Byte] = {
+  def encodeLsfMono(pcm: Array[Int], sampleRate: Int,
+      sfcMode: Int = 0): Array[Byte] = {
     val version =
       if (SrIdxLsf.contains(sampleRate)) 2
       else if (SrIdx25.contains(sampleRate)) 0
       else sys.error(s"not an LSF rate: $sampleRate")
     val srIdx = if (version == 2) SrIdxLsf(sampleRate) else SrIdx25(sampleRate)
+    // the three compress RANGES of the LSF scalefactor formula, each
+    // with its own slen/partition split (decoder: readScalefactorsLsf);
+    // the 9-bit field tops out at 511, so range 2 is [500, 512)
+    val (sfc, nr, slen, preflag) = sfcMode match {
+      case 1 => (499, Array(6, 5, 7, 3), Array(4, 4, 3, 0), false)
+      case 2 => (511, Array(11, 10, 0, 0), Array(3, 2, 0, 0), true)
+      case _ => (399, Array(6, 5, 5, 5), Array(4, 4, 3, 3), false)
+    }
+    val sclBits = {
+      val out = new Array[Int](21)
+      var k = 0
+      for (ptn <- 0 until 4; _ <- 0 until nr(ptn)) { out(k) = slen(ptn); k += 1 }
+      out
+    }
     val frameBytes = 72000 * 160 / sampleRate
     val n0 = math.max(0, pcm.length - Advance)
     // one granule (576 samples) per frame
@@ -184,11 +199,13 @@ object Mp3Encoder {
       var fits = false
       while (!fits) {
         plan = quantizeAndCode(granuleSpectrum(sub, granule), bandStart,
-          oddGranule = granule % 2 == 1, 15, ggBias = ggBias)
+          oddGranule = granule % 2 == 1, 15, ggBias = ggBias,
+          sclBits = sclBits, preflag = preflag)
         if (plan.nbits <= budget || ggBias >= 255) fits = true
         else ggBias += 4
       }
-      writeLsfFrame(out, version, srIdx, frameBytes, mono = true, 0, Seq(plan))
+      writeLsfFrame(out, version, srIdx, frameBytes, mono = true, 0,
+        Seq(plan), sfc)
       granule += 1
       frame += 1
     }
@@ -199,7 +216,7 @@ object Mp3Encoder {
    * the round-20 LSF variants (long, short-block and stereo-MS). */
   private def writeLsfFrame(out: java.io.ByteArrayOutputStream, version: Int,
       srIdx: Int, frameBytes: Int, mono: Boolean, modeExt: Int,
-      plans: Seq[GranulePlan]): Unit = {
+      plans: Seq[GranulePlan], sfc: Int = 399): Unit = {
     val bw = new Bw
     bw.bits(0x7ff, 11)
     bw.bits(version, 2) // 2 = MPEG-2, 0 = MPEG-2.5
@@ -217,7 +234,7 @@ object Mp3Encoder {
       bw.bits(plan.nbits, 12)
       bw.bits(plan.bigValues, 9)
       bw.bits(plan.gg, 8)
-      bw.bits(399, 9) // scalefac_compress: slen (4,4,3,3), preflag off
+      bw.bits(sfc, 9) // scalefac_compress (399 = slen 4/4/3/3, no preflag)
       if (plan.short) {
         bw.bits(1, 1) // window switching
         bw.bits(2, 2) // block_type 2
@@ -589,31 +606,41 @@ object Mp3Encoder {
   private def quantizeAndCode(xr: Array[Double],
       bandStart: Array[Int], oddGranule: Boolean,
       sclCap: Int, minCover: Int = 0,
-      forcedScl: Array[Int] = null, ggBias: Int = 0): GranulePlan = {
+      forcedScl: Array[Int] = null, ggBias: Int = 0,
+      sclBits: Array[Int] = null, preflag: Boolean = false): GranulePlan = {
     val scl = new Array[Int](21)
+    def pre(sfb: Int): Int = if (preflag) Mp3Tables.pretab(sfb) else 0
     val amax = xr.map(math.abs).max
     // global gain: the loudest line quantizes to ≤ 5 at scl = 0
-    // (ceil so rounding can never overflow the table range)
+    // (ceil so rounding can never overflow the table range); with
+    // preflag the MINIMUM amplification in a pretab band is 2^pre,
+    // so the quantizer coarsens by the max pretab (3) to compensate
     var gg =
       if (amax <= 0) 0
       else math.ceil(210.0 + 4.0 * (math.log(amax /
         math.pow(5.49, 4.0 / 3.0)) / math.log(2.0))).toInt
+    if (preflag) gg += 12
     gg += ggBias // frame-overflow retries: one 6 dB step per +4
     if (gg < 0) gg = 0
     if (gg > 255) gg = 255
     val gq = math.pow(2.0, 0.25 * (gg - 210))
     // per-band scalefactors: the LARGEST admissible amplification
-    // (limit 15 for sfb < 11 via slen1=4, 7 for 11-20 via slen2=3)
+    // (MPEG-1 layout: limit 15 for sfb < 11 via slen1=4, 7 for
+    // 11-20 via slen2=3; an explicit sclBits overrides — the LSF
+    // ≥400 compress ranges carry other field widths)
     for (sfb <- 0 until 21) {
       val from = bandStart(sfb)
       val to = bandStart(sfb + 1)
       var bm = 0.0
       var i = from
       while (i < to) { bm = math.max(bm, math.abs(xr(i))); i += 1 }
-      val limit = math.min(sclCap, if (sfb < 11) 15 else 7)
+      val fieldMax =
+        if (sclBits == null) (if (sfb < 11) 15 else 7)
+        else (1 << sclBits(sfb)) - 1
+      val limit = math.min(sclCap, fieldMax)
       var s = limit
       while (s > 0 && bm > 0 && math.round(math.pow(
-        bm * math.pow(2.0, 1.0 * s) / gq, 0.75)) > 5) s -= 1
+        bm * math.pow(2.0, 1.0 * (s + pre(sfb))) / gq, 0.75)) > 5) s -= 1
       scl(sfb) = if (bm > 0) s else 0
       // intensity bands: the scalefactor IS the position index, not
       // a quantizer scale (the band's spectrum is zero there)
@@ -624,7 +651,7 @@ object Mp3Encoder {
     var i = 0
     while (i < 576) {
       val sfb = bandOf(bandStart, i)
-      val s = if (sfb < 21) scl(sfb) else 0
+      val s = if (sfb < 21) scl(sfb) + pre(sfb) else 0
       val v = math.pow(math.abs(xr(i)) * math.pow(2.0, 1.0 * s) / gq, 0.75)
       var m = math.round(v).toInt
       if (m > 5) m = 5
@@ -659,10 +686,12 @@ object Mp3Encoder {
       tableFor(regionMax(0, r1), oddGranule),
       tableFor(regionMax(r1, r2), oddGranule),
       tableFor(regionMax(r2, 576), oddGranule))
-    // payload: scalefactors (11×4 + 10×3), big-value pairs, quads
+    // payload: scalefactors (MPEG-1: 11×4 + 10×3; LSF ≥400 ranges
+    // carry their own widths via sclBits), big-value pairs, quads
     val bw = new Bw
-    for (sfb <- 0 until 11) bw.bits(scl(sfb), 4)
-    for (sfb <- 11 until 21) bw.bits(scl(sfb), 3)
+    for (sfb <- 0 until 21)
+      bw.bits(scl(sfb), if (sclBits == null) (if (sfb < 11) 4 else 3)
+      else sclBits(sfb))
     i = 0
     while (i < bigEnd) {
       val tsel = if (i < r1) tables(0) else if (i < r2) tables(1) else tables(2)

@@ -34,9 +34,9 @@ package graft.tools
  * (default fixtures/ts.parquet, 500 rows)
  */
 object TsFixture {
-  val PmtPid = 256
+  val PmtPid = graft.ops.Remux.PmtPid
   val VideoPid = 257
-  val AudioPid = 258
+  val AudioPid = graft.ops.Remux.AudioPid
 
   def nPes(id: Long): Int = 3 + (id % 5).toInt
   /** Packets per video PES (1 start + n−1 continuations). */
@@ -48,26 +48,11 @@ object TsFixture {
    * the cue↔TS alignment has real overlaps. */
   def ptsMs(id: Long, i: Int): Long = i.toLong * 40L
 
-  private def psiPacket(pid: Int, section: Array[Byte]): Array[Byte] = {
-    val p = Array.fill[Byte](188)(0xff.toByte)
-    p(0) = 0x47
-    p(1) = (0x40 | (pid >> 8)).toByte // PUSI set
-    p(2) = (pid & 0xff).toByte
-    p(3) = 0x10 // payload only, cc 0
-    p(4) = 0 // pointer_field
-    System.arraycopy(section, 0, p, 5, section.length)
-    p
-  }
-
-  /** PAT: one program (number 1) mapped to [[PmtPid]]. CRC bytes are
-   * present but dummy — the walker (like most demuxers on trusted
-   * storage) does not verify CRC32. */
-  private def pat(): Array[Byte] =
-    Array[Byte](0x00, 0xb0.toByte, 13, // table_id, syntax+len
-      0, 1, 0xc1.toByte, 0, 0, // tsid, version/current, sec, last
-      0, 1, // program_number 1
-      (0xe0 | (PmtPid >> 8)).toByte, (PmtPid & 0xff).toByte,
-      0, 0, 0, 0) // dummy CRC
+  // PSI packet and PAT builders are library surface (ops.Remux);
+  // this fixture delegates so the two can never diverge
+  private def psiPacket(pid: Int, section: Array[Byte]): Array[Byte] =
+    graft.ops.Remux.psiPacket(pid, section)
+  private def pat(): Array[Byte] = graft.ops.Remux.pat()
 
   /** PMT for program 1: PCR on the video PID, zero program_info,
    * audio (0x0F AAC) listed FIRST, video (0x1B H.264) second. */

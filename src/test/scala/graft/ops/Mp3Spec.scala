@@ -46,19 +46,23 @@ class Mp3Spec extends SparkSpec {
     }
     assert(Mp3Tables.slen.length == 16 && Mp3Tables.pretab.length == 21)
     // LSF cross-checks (round 20): the normative table-sharing
-    // equalities — 16 kHz reuses the 22.05 kHz LONG table, MPEG-2.5
-    // rates reuse the MPEG-2 tables (8 kHz excepted)
+    // equalities — 16 kHz reuses the 22.05 kHz LONG table; BOTH
+    // MPEG-2.5 low rates reuse that long table and the 16 kHz SHORT
+    // table (the libmad/mpg123 aliasing; 8 kHz has its own tables)
     assert(Mp3Tables.sfbLong(16000).sameElements(Mp3Tables.sfbLong(22050)))
     assert(Mp3Tables.sfbLong(11025).sameElements(Mp3Tables.sfbLong(22050)))
-    assert(Mp3Tables.sfbLong(12000).sameElements(Mp3Tables.sfbLong(24000)))
-    assert(Mp3Tables.sfbShort(11025).sameElements(Mp3Tables.sfbShort(22050)))
-    assert(Mp3Tables.sfbShort(12000).sameElements(Mp3Tables.sfbShort(24000)))
+    assert(Mp3Tables.sfbLong(12000).sameElements(Mp3Tables.sfbLong(22050)))
+    assert(Mp3Tables.sfbShort(11025).sameElements(Mp3Tables.sfbShort(16000)))
+    assert(Mp3Tables.sfbShort(12000).sameElements(Mp3Tables.sfbShort(16000)))
     assert(!Mp3Tables.sfbLong(8000).sameElements(Mp3Tables.sfbLong(22050)))
-    // the LSF slen/partition FORMULA's partition counts cover the
-    // exact scalefactor totals: 21 long, 36 short, 33 mixed
-    assert(Seq(6, 5, 5, 5).sum == 21)
-    assert(Seq(9, 9, 9, 9).sum == 36)
-    assert(Seq(6, 9, 9, 9).sum == 33)
+    // every LSF slen/partition split covers the exact scalefactor
+    // totals (21 long, 36 short, 33 mixed) in EVERY compress range
+    for ((lg, sh, mx) <- Seq(
+      (Seq(6, 5, 5, 5), Seq(9, 9, 9, 9), Seq(6, 9, 9, 9)), // sfc < 400
+      (Seq(6, 5, 7, 3), Seq(9, 9, 12, 6), Seq(6, 9, 12, 6)), // 400-499
+      (Seq(11, 10, 0, 0), Seq(18, 18, 0, 0), Seq(15, 18, 0, 0)))) { // >= 500
+      assert(lg.sum == 21 && sh.sum == 36 && mx.sum == 33)
+    }
   }
 
   test("MPEG-2/2.5 LSF roundtrip at every low rate (round 20)") {
@@ -88,6 +92,27 @@ class Mp3Spec extends SparkSpec {
       assert(s0 > 15.0, s"lsf $rate roundtrip SNR $s0 dB")
       assert(Seq(-576, -32, 32, 576).forall(o => snrAt(o) < s0),
         s"lsf $rate alignment drifted")
+    }
+    // the ≥400 scalefac_compress RANGES use their own slen/partition
+    // splits — (6,5,7,3) for 400-499, (11,10) + implied preflag for
+    // ≥500 (round-20 review fix: the splits are range-dependent, not
+    // fixed); each roundtrips through true bytes
+    for (mode <- Seq(1, 2)) {
+      val n = 16000
+      val pcm = Array.tabulate(n)(t => (Mp3DupFixture.signal(9L, t) * 26000).toInt)
+      val mp3 = Mp3Encoder.encodeLsfMono(pcm, 22050, sfcMode = mode)
+      val dec = Mp3.decode(mp3).getOrElse(sys.error(s"sfc mode $mode claims nothing"))
+      var se = 0.0
+      var ss = 0.0
+      var i = 1000
+      while (i < n - 1000) {
+        val r = pcm(i) / 32768.0
+        val d = r - dec.samples(i)
+        se += d * d; ss += r * r
+        i += 1
+      }
+      val s = 10.0 * math.log10(ss / se)
+      assert(s > 12.0, s"sfc mode $mode roundtrip SNR $s dB")
     }
     // an LSF joint-INTENSITY frame claims nothing (the declared seam):
     // flip a mono LSF header to joint-stereo+intensity — the frame

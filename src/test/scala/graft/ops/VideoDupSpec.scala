@@ -281,4 +281,29 @@ class VideoDupSpec extends SparkSpec {
     val tsB = TsFixture.tsFromSamples(Seq(sc(n1) ++ sc(n2), sc(n3)))
     assert(VideoDup.payloadDigest(tsA) != VideoDup.payloadDigest(tsB))
   }
+
+  test("ambiguous AVCC prefix 0x000001xx: the container hint resolves the framing") {
+    // a 300-byte NAL's AVCC length prefix is 00 00 01 2C — the AU
+    // ALSO parses as Annex-B (review finding): the MP4 side must
+    // normalize as length-prefixed (its avcC framing), the TS side
+    // as Annex-B, and the cross-framing twins must still pair
+    import graft.tools.{MjpegMp4Fixture, TsFixture}
+    val nal = Array.tabulate[Byte](300)(j =>
+      if (j == 0) 0x41 else ((j * 7 + 3) & 0x7f).toByte)
+    val avccAu = Array[Byte](0, 0, 1, 44) ++ nal // BE32 length 300
+    val annexBAu = Array[Byte](0, 0, 0, 1) ++ nal
+    // both parses of the SAME ambiguous AU succeed, with different
+    // boundaries — only the hint picks the right one
+    assert(VideoDup.nalUnits(avccAu, 0, avccAu.length, lengthFirst = true)
+      .exists(_.map(_._2) == Seq(300)))
+    assert(VideoDup.nalUnits(avccAu, 0, avccAu.length, lengthFirst = false)
+      .exists(_.map(_._2) != Seq(300)), "the ambiguity this test exists for is gone?")
+    val mp4 = MjpegMp4Fixture.mp4FromSamples(Seq(avccAu, avccAu), 320, 240,
+      40000, MjpegMp4Fixture.stsdFourcc("avc1", 320, 240))._1
+    val ts = TsFixture.tsFromSamples(Seq(annexBAu, annexBAu))
+    val d1 = VideoDup.payloadDigest(mp4)
+    val d2 = VideoDup.payloadDigest(ts)
+    assert(d1.nonEmpty && d1 == d2,
+      s"ambiguous-prefix cross-framing twins digest apart: $d1 vs $d2")
+  }
 }
