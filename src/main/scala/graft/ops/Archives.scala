@@ -1645,14 +1645,19 @@ object Archives {
     val nodes = break(graph.select(col("src_host").as("host"))
       .union(graph.select(col("dst_host").as("host")))
       .distinct())
-    val edges = break(graph)
-    val outdeg = edges.groupBy("src_host")
+    // outdeg is a STATIC per-source property — fold it into the edge
+    // materialization ONCE instead of re-aggregating + re-joining it
+    // inside every iteration (guide §1.2/§2.4: don't recompute
+    // invariants inside the loop; 10 iterations previously carried 10
+    // outdeg aggregations and 10 extra joins through planning and, on
+    // the reliable-checkpoint path, through execution)
+    val outdeg = graph.groupBy("src_host")
       .agg(sum(col("n_links")).as("outdeg"))
+    val edges = break(graph.join(outdeg, Seq("src_host")))
     var ranks = nodes.withColumn("rank", lit(scale))
     for (i <- 0 until iterations) {
       val contrib = edges
         .join(ranks.withColumnRenamed("host", "src_host"), Seq("src_host"))
-        .join(outdeg, Seq("src_host"))
         .select(col("dst_host").as("host"),
           (expr("rank div outdeg") * col("n_links")).as("c"))
         .groupBy("host").agg(sum(col("c")).as("contrib"))

@@ -331,29 +331,53 @@ object Dedup {
    */
   def duplicateClusters(pairs: DataFrame, maxIterations: Int = 50): DataFrame = {
     // materialise the (possibly expensive) pair-detection lineage ONCE
-    // before fanning it into both edge directions
+    // — the checkpoint also truncates the logical plan so the per-round
+    // re-planning below never re-optimizes the pair finder's tree
     val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
-    // undirected edge list, both directions
-    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
-    // init = min(self, min neighbor): the first min-step fused into the
-    // label-table build (one aggregation replaces distinct + round 1's
-    // neighbor join), saving a full round
-    var labels = edges.groupBy(col("src").as("doc_id"))
-      .agg(least(min(col("dst")), col("src")).as("cluster"))
-      .localCheckpoint()
-    // no pairs → no clusters (the convergence sum below would be NULL
-    // on an empty frame); a clean corpus must yield an empty table,
-    // not an NPE
-    if (labels.isEmpty) return labels
+    // undirected edge list, both directions in ONE map-side explode,
+    // PERSISTED lazily instead of eagerly checkpointed: the first
+    // round's init aggregation materializes it as part of its own job,
+    // so the r20 shape's dedicated edges-checkpoint job disappears
+    // (edges is a flat projection over the checkpointed pairs — no
+    // round-over-round lineage growth, unlike the label chain below).
+    // Released before returning: the returned labels are checkpointed
+    // and never re-read it. (A dst-hash repartition here — to spare
+    // the per-round join its edges exchange — measured as a pure LOSS
+    // at bench scale: AQE broadcasts the small label side, so the
+    // exchange it would save never exists, while the repartition
+    // itself adds a full AQE query stage; at cluster scale the
+    // equivalent is bucketing the edge list on storage.)
+    val edges = p
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Convergence check: label propagation is MONOTONE (least() only
     // ever lowers a label, and label(x) <= x is invariant), so the
     // label sum strictly decreases until the fixpoint — comparing sums
     // is one cheap scan per round instead of a join of old vs new.
     // DECIMAL(38,0) so the sum cannot overflow at any corpus size.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster").cast("decimal(38,0)"))).head.getDecimal(0)
+    // Each round is an EAGER localCheckpoint (severs the LOGICAL plan
+    // — a lazily-persisted round chain keeps the full lineage tree,
+    // which the double-jump self-joins grow EXPONENTIALLY round over
+    // round: measured OOM in treeString at d9's round count) plus one
+    // cheap sum job over the freshly checkpointed blocks.
+    def materializeWithSum(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
+      val out = df.localCheckpoint()
+      val s = out.agg(sum(col("cluster").cast("decimal(38,0)"))).head.getDecimal(0)
+      (out, s)
+    }
+    // init = min(self, min neighbor): the first min-step fused into the
+    // label-table build (one aggregation replaces distinct + round 1's
+    // neighbor join), saving a full round; the init sum's NULL doubles
+    // as the emptiness check (no pairs → no clusters — return the
+    // empty frame, not an NPE — without a separate isEmpty action)
+    val (labels0, sum0) = materializeWithSum(
+      edges.groupBy(col("src").as("doc_id"))
+        .agg(least(min(col("dst")), col("src")).as("cluster")))
+    var labels = labels0
+    if (sum0 == null) { edges.unpersist(blocking = false); return labels }
     // one pointer-jump hop: label := label(label)
     def jump(df: DataFrame): DataFrame = {
       val byId = df.select(col("doc_id").as("pj_id"), col("cluster").as("pj_cluster"))
@@ -362,7 +386,7 @@ object Dedup {
         .select(col("p.doc_id").as("doc_id"),
           coalesce(col("j.pj_cluster"), col("p.cluster")).as("cluster"))
     }
-    var prevSum = labelSum(labels)
+    var prevSum = sum0
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
@@ -384,13 +408,13 @@ object Dedup {
       // unmaterialised hop — each one doubles the plan tree, and
       // Catalyst cost explodes exponentially past two (measured 5 s →
       // 293 s at four hops)
-      val next = jump(jump(propagated)).localCheckpoint()
-      val curSum = labelSum(next)
+      val (next, curSum) = materializeWithSum(jump(jump(propagated)))
       converged = curSum.compareTo(prevSum) == 0
       prevSum = curSum
       labels = next
       iter += 1
     }
+    edges.unpersist(blocking = false)
     labels
   }
 
