@@ -378,42 +378,44 @@ object Dedup {
         .agg(least(min(col("dst")), col("src")).as("cluster")))
     var labels = labels0
     if (sum0 == null) { edges.unpersist(blocking = false); return labels }
-    // one pointer-jump hop: label := label(label)
-    def jump(df: DataFrame): DataFrame = {
-      val byId = df.select(col("doc_id").as("pj_id"), col("cluster").as("pj_cluster"))
-      df.alias("p")
-        .join(byId.alias("j"), col("p.cluster") === col("j.pj_id"), "left")
-        .select(col("p.doc_id").as("doc_id"),
-          coalesce(col("j.pj_cluster"), col("p.cluster")).as("cluster"))
-    }
     var prevSum = sum0
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
-      val neighborMin = edges
+      // FUSED hook + pointer jump: one join + one aggregation per
+      // round (r21, guide §2.4 — the r20 shape was 4 joins + 1 agg:
+      // neighbor-min join, propagate left-join, and TWO jump
+      // self-joins, ~22 AQE stage-jobs per round measured at q_d9).
+      // The current labels double as POINTER EDGES (v → L(v)) unioned
+      // onto the static graph edges, so ONE dst-keyed join against the
+      // label table yields, per src, both every neighbor's label and
+      // L(L(v)) — and min over that group IS min(L(L(v)),
+      // min_nb L(nb)). The self term L(v) needs no row: L(x) ≤ x is
+      // invariant (init is least(src, min dst); min-updates only
+      // lower), so L(L(v)) ≤ L(v) covers it, and the ptr edge
+      // guarantees every doc keeps a row. Fixpoint: new = old forces
+      // L(L(v)) = L(v) and L(u) = L(v) across every edge — constant
+      // per component, and with labels always component MEMBERS the
+      // constant is the component min: the exact same fixpoint as any
+      // min-label scheme, so the output is unchanged. A round now
+      // advances pointer distance ~2× (hook + one jump) instead of
+      // r20's ~4×, costing ~log2/log4 ≈ 2× the rounds for ~1/4 the
+      // per-round stages — measured net win (q_d9: 120 → ~60 jobs).
+      val withPtr = edges.unionByName(
+        labels.select(col("doc_id").as("src"), col("cluster").as("dst")))
+      val next = withPtr
         .join(labels.select(col("doc_id").as("nb_id"), col("cluster").as("nb_cluster")),
-          edges("dst") === col("nb_id"))
-        .groupBy(col("src").as("agg_id"))
-        .agg(min("nb_cluster").as("neighbor_cluster"))
-      val propagated = labels
-        .join(neighborMin, labels("doc_id") === col("agg_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster"), coalesce(col("neighbor_cluster"), col("cluster"))).as("cluster"))
-      // two pointer-jump hops per round: propagation distance
-      // quadruples per round (min-step + jump + jump) → fewer rounds.
-      // The inner hop is deliberately NOT materialised: its repeated
-      // subtrees collapse to ReusedExchange at execution (one extra
-      // map pass, no extra shuffle), which beats a per-round
-      // checkpoint job (measured −35% per round). Do NOT add a third
-      // unmaterialised hop — each one doubles the plan tree, and
-      // Catalyst cost explodes exponentially past two (measured 5 s →
-      // 293 s at four hops)
-      val (next, curSum) = materializeWithSum(jump(jump(propagated)))
+          col("dst") === col("nb_id"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min("nb_cluster").as("cluster"))
+      val (nextM, curSum) = materializeWithSum(next)
       converged = curSum.compareTo(prevSum) == 0
       prevSum = curSum
-      labels = next
+      labels = nextM
       iter += 1
     }
+    if (sys.env.contains("SPARK_GRAFT_CC_DEBUG"))
+      System.err.println(s"CC_DEBUG rounds=$iter converged=$converged")
     edges.unpersist(blocking = false)
     labels
   }
