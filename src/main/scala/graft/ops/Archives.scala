@@ -1656,15 +1656,21 @@ object Archives {
     val edges = break(graph.join(outdeg, Seq("src_host")))
     var ranks = nodes.withColumn("rank", lit(scale))
     for (i <- 0 until iterations) {
-      val contrib = edges
+      // per-iteration shape (r21, guide §2.4): ONE edge join + ONE
+      // aggregation. The old `nodes ⟕ contrib` join (which only
+      // existed to keep zero-in-link hosts in the table) is folded
+      // into the aggregation itself by unioning a zero-contribution
+      // row per node: sum(c) over the union ≡ coalesce(contrib, 0)
+      // — identical integer arithmetic, one fewer join/exchange in
+      // each of the 10 iterations
+      ranks = edges
         .join(ranks.withColumnRenamed("host", "src_host"), Seq("src_host"))
         .select(col("dst_host").as("host"),
           (expr("rank div outdeg") * col("n_links")).as("c"))
-        .groupBy("host").agg(sum(col("c")).as("contrib"))
-      ranks = nodes.join(contrib, Seq("host"), "left")
-        .select(col("host"),
+        .unionByName(nodes.withColumn("c", lit(0L)))
+        .groupBy("host").agg(
           (lit(scale * 15 / 100) +
-            expr("85 * coalesce(contrib, 0L) div 100")).as("rank"))
+            expr("85 * sum(c) div 100")).as("rank"))
       // break lineage every THIRD round, not every round: a 3-round
       // join/agg chain plans trivially, and each eager checkpoint is
       // a full materialization — per-round checkpointing dominated
