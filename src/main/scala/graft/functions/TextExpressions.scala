@@ -232,6 +232,89 @@ object WordNGrams {
   }
 }
 
+/**
+ * Winnowing fingerprints in one native map-side pass (r21, guide
+ * §2.4: remove shuffles outright): per position i over the POSITIONAL
+ * gram array, the min of the last `w` gram hashes, deduped preserving
+ * first occurrence. Replaces the posexplode → mdhash →
+ * min-over-window(partitionBy doc_id) → distinct pipeline, whose
+ * per-document window shuffle and global distinct shuffle carried the
+ * corpus-sized gram table twice; the fingerprint set is a per-row
+ * function of the gram array, so neither shuffle is fundamental.
+ *
+ * The hash is EXACTLY [[graft.ops.Dedup.mdhash]] —
+ * `conv(substring(md5(g),1,15),16,10)` = the top 60 bits of the MD5
+ * digest as a non-negative BIGINT — so the fingerprints (and the
+ * DuckDB oracle replay) are bit-identical to the windowed form.
+ *
+ * Null contract: null gram array → null row (posexplode also emitted
+ * nothing). Gram elements are never null ([[WordNGrams]] output).
+ */
+case class WinnowFingerprints(child: Expression, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(w >= 1, s"window must be >= 1, got $w")
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow"
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(WinnowFingerprints.build(input.asInstanceOf[ArrayData], w))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = WinnowFingerprints.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  $cls.build($c, $w));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
+object WinnowFingerprints {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Top 60 bits of md5(s) as a non-negative long — bit-identical to
+   * `conv(substring(md5(s),1,15),16,10) :: long` (15 hex chars = the
+   * first 7.5 digest bytes; the big-endian first 8 bytes >>> 4). */
+  def hash60(s: UTF8String): Long = {
+    val d = md.get()
+    d.reset()
+    val b = d.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  /** Shared by interpreted eval and generated code. */
+  def build(arr: ArrayData, w: Int): Array[AnyRef] = {
+    val n = arr.numElements()
+    val h = new Array[Long](n)
+    var i = 0
+    while (i < n) { h(i) = hash60(arr.getUTF8String(i)); i += 1 }
+    val out = new java.util.LinkedHashSet[AnyRef](n * 2)
+    i = 0
+    while (i < n) {
+      var m = Long.MaxValue
+      var j = math.max(0, i - w + 1)
+      while (j <= i) { if (h(j) < m) m = h(j); j += 1 }
+      out.add(java.lang.Long.valueOf(m))
+      i += 1
+    }
+    out.toArray.asInstanceOf[Array[AnyRef]]
+  }
+}
+
 /** Column-API surface for the native text expressions. */
 object Texts {
   /** One-pass per-set marker-occurrence counts over a words array;
@@ -249,4 +332,10 @@ object Texts {
   def wordNGrams(words: Column, n: Int,
       distinct: Boolean = true, padShort: Boolean = true): Column =
     ColumnBridge.column(WordNGrams(ColumnBridge.expression(words), n, distinct, padShort))
+
+  /** Winnowing fingerprints of a positional gram array — distinct
+   * sliding-window(w) minima of the 60-bit md5 gram hashes, one
+   * map-side pass; see [[WinnowFingerprints]]. */
+  def winnowFingerprints(grams: Column, w: Int): Column =
+    ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(grams), w))
 }

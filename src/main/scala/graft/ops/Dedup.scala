@@ -360,13 +360,20 @@ object Dedup {
     // DECIMAL(38,0) so the sum cannot overflow at any corpus size.
     // Each round is an EAGER localCheckpoint (severs the LOGICAL plan
     // — a lazily-persisted round chain keeps the full lineage tree,
-    // which the double-jump self-joins grow EXPONENTIALLY round over
-    // round: measured OOM in treeString at d9's round count) plus one
-    // cheap sum job over the freshly checkpointed blocks.
+    // which the self-join rounds grow EXPONENTIALLY round over round:
+    // measured OOM in treeString at d9's round count). The convergence
+    // sum rides the SAME job as an `observe` metric (r21, guide §1.2:
+    // the per-round wall cost here is job-launch overhead, not task
+    // time — 68 tasks / 2.0 s task time inside 4.5 s wall at q_d9):
+    // Dataset.checkpoint is a tracked action, so the CollectMetrics
+    // accumulator publishes when the checkpoint job finishes and the
+    // dedicated per-round sum job disappears (2 jobs/round → 1).
     def materializeWithSum(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
-      val out = df.localCheckpoint()
-      val s = out.agg(sum(col("cluster").cast("decimal(38,0)"))).head.getDecimal(0)
-      (out, s)
+      val obs = org.apache.spark.sql.Observation()
+      val out = df
+        .observe(obs, sum(col("cluster").cast("decimal(38,0)")).as("s"))
+        .localCheckpoint()
+      (out, obs.get("s").asInstanceOf[java.math.BigDecimal])
     }
     // init = min(self, min neighbor): the first min-step fused into the
     // label-table build (one aggregation replaces distinct + round 1's
@@ -403,11 +410,28 @@ object Dedup {
       // per-round stages — measured net win (q_d9: 120 → ~60 jobs).
       val withPtr = edges.unionByName(
         labels.select(col("doc_id").as("src"), col("cluster").as("dst")))
-      val next = withPtr
+      val hooked = withPtr
         .join(labels.select(col("doc_id").as("nb_id"), col("cluster").as("nb_cluster")),
           col("dst") === col("nb_id"))
         .groupBy(col("src").as("doc_id"))
         .agg(min("nb_cluster").as("cluster"))
+      // one more pointer-jump hop INSIDE the round's plan (r21):
+      // label := label(label) over the fused result doubles the
+      // per-round propagation distance again (~4× total, the r20
+      // rate) for one extra self-join — whose repeated agg subtree
+      // collapses to ReusedExchange at execution — while the round
+      // count (each round = one fixed-cost checkpoint job) halves.
+      // Monotonicity is preserved (hooked(x) ≤ x, so the jump only
+      // lowers labels) and the fixpoint is unchanged: converged still
+      // forces L(u) = L(v) across every edge and L(L(v)) = L(v),
+      // i.e. the component-min labelling. Do NOT add a third hop:
+      // each one doubles the plan tree (r20 measured Catalyst cost
+      // exploding past two unmaterialised hops).
+      val next = hooked
+        .join(hooked.select(col("doc_id").as("pj_id"), col("cluster").as("pj_cluster")),
+          col("cluster") === col("pj_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("pj_cluster"), col("cluster")).as("cluster"))
       val (nextM, curSum) = materializeWithSum(next)
       converged = curSum.compareTo(prevSum) == 0
       prevSum = curSum

@@ -285,16 +285,22 @@ object TextAnalysis {
    * list — the artifact you join on at 100 TB.
    */
   def winnow(documents: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    // ONE native map-side pass (r21, guide §2.4): gram hashes, the
+    // w-window minima and the per-document dedup all happen inside
+    // graft_winnow over the positional gram array, so the corpus never
+    // shuffles here at all. The previous posexplode → md5 →
+    // min().over(partitionBy doc_id) → distinct() shape shuffled the
+    // full gram table twice (window + distinct) for what is a per-row
+    // function of the document; fingerprints are bit-identical (same
+    // mdhash, same window semantics incl. the short leading windows,
+    // and the final distinct() was per-(doc_id, fp) — exactly the
+    // in-array dedup). The (doc_id, fp) posting list this emits is
+    // what downstream joins key on at 100 TB.
     val wl = words(col("text"))
     val grams = graft.functions.Texts.wordNGrams(wl, k, distinct = false, padShort = true)
-    val hashed = documents
-      .select(col("doc_id"), posexplode(grams).as(Seq("pos", "g")))
-      .withColumn("h", Dedup.mdhash(col("g")))
-    val win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(w - 1), 0)
-    hashed
-      .withColumn("fp", min("h").over(win))
-      .select(col("doc_id"), col("fp"))
-      .distinct()
+    documents
+      .select(col("doc_id"),
+        explode(graft.functions.Texts.winnowFingerprints(grams, w)).as("fp"))
   }
 
   /**

@@ -23,12 +23,15 @@ object PlanDump {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val trials = sys.env.getOrElse("SPARK_GRAFT_PLAN_TRIALS", "3").toInt
     val doTime = sys.env.getOrElse("SPARK_GRAFT_PLAN_TIME", "1") == "1"
-    val spark = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // experiment knob: AQE small-shuffle coalesce floor (bytes)
+    sys.env.get("SPARK_GRAFT_MINPART").foreach(v =>
+      b.config("spark.sql.adaptive.coalescePartitions.minPartitionSize", v))
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)

@@ -57,4 +57,38 @@ class TextExpressionsSpec extends SparkSpec {
       Texts.markerHits(split(col("text"), " "), Seq(Seq("a")))).collect().head
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
+
+  test("winnowFingerprints hash is bit-identical to Dedup.mdhash") {
+    import spark.implicits._
+    val df = Seq("a", "the quick brown fox", "中文 grams", "").toDF("g")
+    val got = df.select(
+      element_at(Texts.winnowFingerprints(array(col("g")), 4), 1).as("native"),
+      conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("sql"))
+      .collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+  }
+
+  test("winnowFingerprints equals the posexplode + window-min + distinct formulation") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val w = 4
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog the quick brown fox"),
+      (2L, "a b a b a b a b a b a b a b"),
+      (3L, "short"),
+      (4L, "one two three")).toDF("doc_id", "text")
+    val grams = Texts.wordNGrams(split(col("text"), " "), 3,
+      distinct = false, padShort = true)
+    val native = docs
+      .select(col("doc_id"), explode(Texts.winnowFingerprints(grams, w)).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(w - 1), 0)
+    val old = docs
+      .select(col("doc_id"), posexplode(grams).as(Seq("pos", "g")))
+      .withColumn("h", conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long"))
+      .withColumn("fp", min("h").over(win))
+      .select(col("doc_id"), col("fp")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(native == old && native.nonEmpty)
+  }
 }
