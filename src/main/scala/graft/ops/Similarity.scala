@@ -55,9 +55,15 @@ object Similarity {
    * the corpus is scanned once, never shuffled; per-query ranking is a
    * window over (rounded sim desc, vec_id) — fully deterministic.
    */
-  def bruteForceTopK(embeddings: DataFrame, nQueries: Int = 20, k: Int = 10): DataFrame = {
-    val corpus = embeddings.select(
-      col("vec_id"), normalized(asDouble(col("embedding"))).as("v"))
+  def bruteForceTopK(embeddings: DataFrame, nQueries: Int = 20, k: Int = 10): DataFrame =
+    bruteForceTopKOn(unitCorpus(embeddings), nQueries, k)
+
+  /** [[bruteForceTopK]] over an ALREADY-normalised (vec_id, v) corpus —
+   * so [[recallAtK]] shares one materialised corpus across its six
+   * index pipelines instead of re-scanning + re-normalising per index
+   * (r21, guide §1.2). Arithmetic is unchanged: `v` carries the same
+   * single-normalisation values every public face computes. */
+  private[ops] def bruteForceTopKOn(corpus: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val queries = corpus
       .filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
@@ -143,9 +149,13 @@ object Similarity {
    * baseline is asserted in tests; the query side broadcasts like
    * [[bruteForceTopK]].
    */
-  def quantizedTopK(embeddings: DataFrame, nQueries: Int = 20, k: Int = 10): DataFrame = {
-    val corpus = embeddings.select(
-      col("vec_id"), normalized(asDouble(col("embedding"))).as("v"))
+  def quantizedTopK(embeddings: DataFrame, nQueries: Int = 20, k: Int = 10): DataFrame =
+    quantizedTopKOn(unitCorpus(embeddings), nQueries, k)
+
+  /** [[quantizedTopK]] over a pre-normalised corpus (see
+   * [[bruteForceTopKOn]]). */
+  private[ops] def quantizedTopKOn(unit: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val corpus = unit
       // kept as double for the codegen'd dot product; values are exact
       // small integers, so sums are exact in both engines
       .withColumn("q", transform(col("v"), x => round(x * 127)))
@@ -274,10 +284,16 @@ object Similarity {
    * (query, cell) pairs; the corpus shuffles once on the cell id.
    */
   def ivfFixedTopK(embeddings: DataFrame, nQueries: Int = 20, k: Int = 10,
+      nLists: Int = 16, nProbe: Int = 4): DataFrame =
+    ivfFixedTopKOn(
+      unitCorpus(embeddings)
+        .localCheckpoint(), // assignment + query side + probe scoring reuse it
+      nQueries, k, nLists, nProbe)
+
+  /** [[ivfFixedTopK]] over a pre-normalised, already-materialised
+   * corpus (see [[bruteForceTopKOn]]); no inner checkpoint. */
+  private[ops] def ivfFixedTopKOn(corpus: DataFrame, nQueries: Int, k: Int,
       nLists: Int = 16, nProbe: Int = 4): DataFrame = {
-    val corpus = embeddings.select(
-      col("vec_id"), normalized(asDouble(col("embedding"))).as("v"))
-      .localCheckpoint() // assignment + query side + probe scoring reuse it
     val seeds = ivfFixedSeeds(nLists)
     val centroids = corpus
       .filter(col("vec_id").isin(seeds.map(_.toLong): _*))
@@ -552,12 +568,18 @@ object Similarity {
    * scan; the float vectors are fetched only for survivors.
    */
   def pqTopK(embeddings: DataFrame, nQueries: Int = 20, k: Int = 10,
+      m: Int = 8, ks: Int = 16, dim: Int = 64, rerank: Int = 40): DataFrame =
+    pqTopKOn(
+      unitCorpus(embeddings)
+        .localCheckpoint(), // encoded below + query side + (tiny) codebook
+      nQueries, k, m, ks, dim, rerank)
+
+  /** [[pqTopK]] over a pre-normalised, already-materialised corpus
+   * (see [[bruteForceTopKOn]]); no inner checkpoint. */
+  private[ops] def pqTopKOn(corpus: DataFrame, nQueries: Int, k: Int,
       m: Int = 8, ks: Int = 16, dim: Int = 64, rerank: Int = 40): DataFrame = {
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val subDim = dim / m
-    val corpus = embeddings.select(
-      col("vec_id"), normalized(asDouble(col("embedding"))).as("v"))
-      .localCheckpoint() // encoded below + query side + (tiny) codebook
     // codebook: sub-slices of ks fixed corpus vectors — (m · ks) rows
     val seeds = ivfFixedSeeds(ks)
     val codebook = corpus
@@ -626,12 +648,18 @@ object Similarity {
    * candidate comparisons — the 100 TB path.
    */
   def lshTopK(embeddings: DataFrame, nQueries: Int = 20, k: Int = 10,
-      nPlanes: Int = 4, dim: Int = 64): DataFrame = {
+      nPlanes: Int = 4, dim: Int = 64): DataFrame =
     // materialised once: the bucketed corpus feeds both the query side
     // and the probe join — without it the scan + normalize + bucket
     // pass runs twice (at 100 TB you would write the bucketed corpus
     // to storage; localCheckpoint avoids a leaked CacheManager entry)
-    val bucketed = lshBuckets(embeddings, nPlanes, dim).localCheckpoint()
+    lshTopKOn(lshBuckets(embeddings, nPlanes, dim).localCheckpoint(),
+      nQueries, k)
+
+  /** [[lshTopK]] over a pre-bucketed, already-materialised
+   * (vec_id, v, bucket) corpus (see [[bruteForceTopKOn]]). */
+  private[ops] def lshTopKOn(bucketed: DataFrame, nQueries: Int, k: Int,
+      nPlanes: Int = 4): DataFrame = {
     val probes = (0 until nPlanes).foldLeft(array(col("bucket"))) {
       (acc, i) => array_append(acc, col("bucket").bitwiseXOR(1L << i))
     }
@@ -698,14 +726,26 @@ object Similarity {
    * Output: (method, query_id, hits, recall), hits = |approx ∩ exact|.
    */
   def recallAtK(embeddings: DataFrame, nQueries: Int = 20, k: Int = 10): DataFrame = {
-    val exact = bruteForceTopK(embeddings, nQueries, k)
+    // ONE materialisation of the normalised corpus feeds all SIX index
+    // pipelines (r21, guide §1.2/§2.3: before this each pipeline paid
+    // its own scan + normalize + checkpoint of the same corpus — six
+    // materialisation jobs for one table). Identical arithmetic: every
+    // public face computes exactly unitCorpus(embeddings), and the LSH
+    // bucket column is the same map-side expression lshBuckets applies
+    // (recomputed from the materialised corpus instead of a second
+    // checkpoint — 8 pinned dot products per row). Release thunk
+    // dropped as in ivfTrainedTopK: the returned frame lazily reads
+    // the corpus; callers sweep after their action.
+    val (corpus, _) = materialize(unitCorpus(embeddings))
+    val exact = bruteForceTopKOn(corpus, nQueries, k)
       .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
     val approx = Seq(
-      "ivf_fixed" -> ivfFixedTopK(embeddings, nQueries, k),
-      "ivf_trained" -> ivfTrainedTopK(embeddings, nQueries, k),
-      "lsh" -> lshTopK(embeddings, nQueries, k),
-      "pq" -> pqTopK(embeddings, nQueries, k),
-      "sq8" -> quantizedTopK(embeddings, nQueries, k))
+      "ivf_fixed" -> ivfFixedTopKOn(corpus, nQueries, k),
+      "ivf_trained" -> ivfTrainedTopKOn(corpus, nQueries, k),
+      "lsh" -> lshTopKOn(
+        corpus.withColumn("bucket", lshBucket(col("v"), 4, 64)), nQueries, k),
+      "pq" -> pqTopKOn(corpus, nQueries, k),
+      "sq8" -> quantizedTopKOn(corpus, nQueries, k))
     val perQuery = approx.map { case (m, df) =>
       df.select(lit(m).as("method"), col("query_id"), col("neighbor_id"))
     }.reduce(_.unionByName(_))
@@ -717,8 +757,9 @@ object Similarity {
     // methods × queries universe: a query whose approximate list is
     // EMPTY (every candidate bucket empty) has no group above and
     // would silently vanish — it owes a recall-0 row, which is exactly
-    // the row an index-quality gate must see
-    embeddings.filter(col("vec_id") < nQueries)
+    // the row an index-quality gate must see (read from the shared
+    // corpus — one less parquet scan; vec_id is identical)
+    corpus.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"),
         explode(array(approx.map(p => lit(p._1)): _*)).as("method"))
       .join(perQuery, Seq("method", "query_id"), "left")
@@ -753,8 +794,13 @@ object Similarity {
    * distributed-kmeans shape — corpus scans: iters + 1.
    */
   def kmeansAssign(embeddings: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
-    val corpus = unitCorpus(embeddings)
-    assignToCentroids(corpus, kmeansCentroids(embeddings, k, iters))
+    // share ONE materialised corpus between training and the final
+    // assignment (r21: the assignment previously re-scanned +
+    // re-normalised the source after kmeansCentroids released its own
+    // copy). Release thunk dropped — the returned frame lazily reads
+    // the corpus (see materialize's Lifetime note).
+    val (corpus, _) = materialize(unitCorpus(embeddings))
+    assignToCentroids(corpus, kmeansCentroidsOn(corpus, k, iters))
       .select(col("vec_id"), col("cluster"), col("sim"))
   }
 
@@ -902,6 +948,13 @@ object Similarity {
     // returned DataFrame lazily reads this corpus (see materialize's
     // Lifetime note) — callers sweep after their action completes.
     val (corpus, _) = materialize(unitCorpus(embeddings))
+    ivfTrainedTopKOn(corpus, nQueries, k, nLists, iters, nProbe)
+  }
+
+  /** [[ivfTrainedTopK]] over a pre-normalised, already-materialised
+   * corpus (see [[bruteForceTopKOn]]); no inner materialisation. */
+  private[ops] def ivfTrainedTopKOn(corpus: DataFrame, nQueries: Int, k: Int,
+      nLists: Int = 8, iters: Int = 2, nProbe: Int = 2): DataFrame = {
     val cent = kmeansCentroidsOn(corpus, nLists, iters)
     val asg = assignToCentroids(corpus, cent)
       .select(col("vec_id"), col("v"), col("cluster").as("cell"))
