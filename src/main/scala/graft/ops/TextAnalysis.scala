@@ -470,12 +470,16 @@ object TextAnalysis {
     val tf = documents
       .select(col("doc_id"), explode(words(col("text"))).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-    val docLen = tf.groupBy("doc_id").agg(sum("c").as("len"))
     val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
     val nDocs = documents.agg(count(lit(1)).as("n_docs"))
-    tf.join(docLen, "doc_id")
-      .join(dfreq, "w")
+    // document length as a window sum over the SAME doc_id partition
+    // the rank window already establishes (r21, guide §2.4: two
+    // operations keyed the same way share one exchange) — the
+    // dedicated docLen aggregation + its doc_id join exchange are
+    // gone; sum(c) per doc is arithmetic-identical either way
+    tf.join(dfreq, "w")
       .crossJoin(broadcast(nDocs))
+      .withColumn("len", sum("c").over(Window.partitionBy("doc_id")))
       .withColumn("tfidf", round(
         (col("c") / col("len")) * log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))), 6))
       .withColumn("rank", row_number().over(
