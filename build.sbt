@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pipe the forked run's stdout/stderr straight through instead of
+// re-logging each line with an `[info] `/`[error] ` prefix: the driver
+// machinery that consumes the bench's stdout JSON lines parses them
+// per-line, and a prefixed line is not valid JSON (every BENCH_r*.json
+// since r01 carries `parsed: null` — including r01, whose complete
+// contract-format line sat inside the captured tail, so the prefix is
+// the remaining explanation). Raw pass-through makes each emitted
+// `{"metric":...}` line machine-parsable as-is; human greps
+// (`grep '"metric"'`) are unaffected.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

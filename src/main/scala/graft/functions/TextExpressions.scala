@@ -248,7 +248,8 @@ object WordNGrams {
  * DuckDB oracle replay) are bit-identical to the windowed form.
  *
  * Null contract: null gram array → null row (posexplode also emitted
- * nothing). Gram elements are never null ([[WordNGrams]] output).
+ * nothing). Null gram ELEMENTS are skipped (never produced by
+ * [[WordNGrams]], but the SQL face admits them — see build()).
  */
 case class WinnowFingerprints(child: Expression, w: Int)
     extends UnaryExpression with ExpectsInputTypes {
@@ -296,22 +297,111 @@ object WinnowFingerprints {
     v >>> 4
   }
 
-  /** Shared by interpreted eval and generated code. */
+  /** Shared by interpreted eval and generated code. Null gram
+   * elements are SKIPPED (treated as absent positions) rather than
+   * hashed: [[WordNGrams]] output never contains them, but the SQL
+   * face admits any array<string> (containsNull defaults true) and an
+   * NPE here would be an opaque executor crash (r22, ADVICE). */
   def build(arr: ArrayData, w: Int): Array[AnyRef] = {
-    val n = arr.numElements()
-    val h = new Array[Long](n)
+    val m = arr.numElements()
+    val h = new Array[Long](m)
+    var n = 0
     var i = 0
-    while (i < n) { h(i) = hash60(arr.getUTF8String(i)); i += 1 }
+    while (i < m) {
+      if (!arr.isNullAt(i)) { h(n) = hash60(arr.getUTF8String(i)); n += 1 }
+      i += 1
+    }
     val out = new java.util.LinkedHashSet[AnyRef](n * 2)
     i = 0
     while (i < n) {
-      var m = Long.MaxValue
+      var mn = Long.MaxValue
       var j = math.max(0, i - w + 1)
-      while (j <= i) { if (h(j) < m) m = h(j); j += 1 }
-      out.add(java.lang.Long.valueOf(m))
+      while (j <= i) { if (h(j) < mn) mn = h(j); j += 1 }
+      out.add(java.lang.Long.valueOf(mn))
       i += 1
     }
     out.toArray.asInstanceOf[Array[AnyRef]]
+  }
+}
+
+/**
+ * Adjacent character pairs of a string in one native pass (r22) — the
+ * codegen twin of the interpreted HOF chain
+ * `transform(sequence(1, length(w)-1), i -> struct(substring(w, i, 1),
+ * substring(w, i+1, 1)))`, which evaluates two interpreted substring
+ * lambdas per position and dominated q_x21's map time. Returns
+ * array<struct<pa:string, pb:string>> of the n−1 adjacent code-point
+ * pairs; strings with fewer than 2 code points yield the EMPTY array
+ * (the SQL formulation is only ever applied behind a length >= 2
+ * filter, where the two agree).
+ *
+ * Code points are delimited exactly as Spark's own `substring`
+ * ([[UTF8String.numBytesForFirstByte]] boundaries), so the pairs are
+ * byte-identical to the HOF form on any input, valid UTF-8 or not.
+ *
+ * Null contract: null string → null (same as the HOF chain).
+ */
+case class AdjacentCharPairs(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pa", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("pb", StringType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_char_pairs"
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(AdjacentCharPairs.build(input.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = AdjacentCharPairs.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  $cls.build($c));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AdjacentCharPairs =
+    copy(child = newChild)
+}
+
+object AdjacentCharPairs {
+  /** Shared by interpreted eval and generated code: split the byte
+   * buffer at code-point boundaries (numBytesForFirstByte — the same
+   * walk Spark's substring uses), then emit one 2-field row per
+   * adjacent boundary pair. */
+  def build(s: UTF8String): Array[AnyRef] = {
+    val bytes = s.getBytes
+    val nBytes = bytes.length
+    // boundaries[i] = byte offset of code point i; boundaries[n] = end
+    val boundaries = new Array[Int](nBytes + 1)
+    var n = 0
+    var off = 0
+    while (off < nBytes) {
+      boundaries(n) = off
+      n += 1
+      off += UTF8String.numBytesForFirstByte(bytes(off))
+    }
+    boundaries(n) = nBytes
+    if (n < 2) return new Array[AnyRef](0)
+    def cp(i: Int): UTF8String =
+      UTF8String.fromBytes(bytes, boundaries(i),
+        math.min(boundaries(i + 1), nBytes) - boundaries(i))
+    val out = new Array[AnyRef](n - 1)
+    var i = 0
+    var prev = cp(0)
+    while (i < n - 1) {
+      val next = cp(i + 1)
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](prev, next))
+      prev = next
+      i += 1
+    }
+    out
   }
 }
 
@@ -338,4 +428,9 @@ object Texts {
    * map-side pass; see [[WinnowFingerprints]]. */
   def winnowFingerprints(grams: Column, w: Int): Column =
     ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(grams), w))
+
+  /** Adjacent code-point pairs of a string as array<struct<pa, pb>>
+   * in one native pass; see [[AdjacentCharPairs]]. */
+  def charPairs(text: Column): Column =
+    ColumnBridge.column(AdjacentCharPairs(ColumnBridge.expression(text)))
 }

@@ -653,8 +653,14 @@ object Similarity {
     // and the probe join — without it the scan + normalize + bucket
     // pass runs twice (at 100 TB you would write the bucketed corpus
     // to storage; localCheckpoint avoids a leaked CacheManager entry)
+    // nPlanes is forwarded (r22, ADVICE): probe generation must flip
+    // every plane the buckets were built with — without it a caller
+    // using nPlanes != 4 silently lost the Hamming-1 probes for planes
+    // 4..n and the documented nPlanes+1-probes contract. The declared
+    // query (q_s2) uses the default nPlanes = 4, where forwarding is
+    // the identity — its result is byte-identical.
     lshTopKOn(lshBuckets(embeddings, nPlanes, dim).localCheckpoint(),
-      nQueries, k)
+      nQueries, k, nPlanes)
 
   /** [[lshTopK]] over a pre-bucketed, already-materialised
    * (vec_id, v, bucket) corpus (see [[bruteForceTopKOn]]). */
@@ -724,6 +730,13 @@ object Similarity {
    * nQueries·k·methods rows — the exact side (nQueries·k rows) is
    * broadcast, so nothing about this diagnostic shuffles the corpus.
    * Output: (method, query_id, hits, recall), hits = |approx ∩ exact|.
+   *
+   * Lifetime: the returned frame lazily reads ONE materialised corpus
+   * (localCheckpoint by default), which lives until the caller's
+   * action completes and the session sweeps (`clearCache()` + an
+   * unpersist pass, as Bench/Verify do between queries) or the
+   * ContextCleaner collects it — a long-lived session looping this
+   * MUST sweep, or it accumulates one persisted corpus per call.
    */
   def recallAtK(embeddings: DataFrame, nQueries: Int = 20, k: Int = 10): DataFrame = {
     // ONE materialisation of the normalised corpus feeds all SIX index
@@ -792,6 +805,11 @@ object Similarity {
    * partially-aggregated (cluster, dim) scalar shuffle of k·dim
    * result rows. Driver state: k·dim doubles. This is the canonical
    * distributed-kmeans shape — corpus scans: iters + 1.
+   *
+   * Lifetime: like [[recallAtK]], the returned frame lazily reads one
+   * materialised corpus — a long-lived session looping this must
+   * sweep (`clearCache()` + unpersist) after each action, or it
+   * accumulates one persisted corpus per call.
    */
   def kmeansAssign(embeddings: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
     // share ONE materialised corpus between training and the final

@@ -575,9 +575,10 @@ object TextAnalysis {
   /**
    * Iterated BPE vocabulary training (q_x22) — the actual
    * tokenizer-training loop [[bytePairStats]] is the first round of:
-   * k merge rounds, each re-deriving the corpus pair table, picking
-   * the argmax pair (count desc, then the pair — a deterministic
-   * total order) and applying the merge greedily left-to-right
+   * k merge rounds, each picking the argmax pair (count desc, then
+   * the pair — a deterministic total order) from the standing
+   * pair-count table (maintained INCREMENTALLY, r22 — see the loop
+   * comment) and applying the merge greedily left-to-right
    * within every word. Returns the merge table
    * (merge_round, pair_left, pair_right, n) — the artifact a real
    * trainer ships.
@@ -593,52 +594,122 @@ object TextAnalysis {
    * merge, and because the replacement supplies both sentinel
    * frames, adjacent occurrences can't swallow each other's
    * boundary (the classic space-joined encoding gets "b a b a b"
-   * wrong; this one doesn't). Per round: one aggregation + a 1-row
-   * collect (the argmax — a bounded driver-side mechanism) + one
-   * map-side replace. Round states are persisted and released
-   * round-over-round so the plan never deepens past one round.
+   * wrong; this one doesn't). Per round: a 1-row TakeOrdered collect
+   * over the standing pair-count table (the argmax — a bounded
+   * driver-side mechanism), one map-side replace, and a delta
+   * aggregation over ONLY the words containing the merged pair.
+   * Round states are persisted and released at the end so the plan
+   * never deepens past one round per state hop.
    */
   def bpeTrain(spark: org.apache.spark.sql.SparkSession,
       documents: DataFrame, k: Int = 8): DataFrame = {
     import spark.implicits._
-    val s1 = "\u0001"
-    val s2 = "\u0002"
-    val enc = concat_ws("", transform(sequence(lit(1), length(col("w"))),
-      i => concat(lit(s1), col("w").substr(i, lit(1)), lit(s2))))
-    val base = documents
-      .select(explode(words(col("text"))).as("w"))
-      .filter(length(col("w")) >= 2 &&
-        !col("w").contains(s1) && !col("w").contains(s2))
-      .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .select(enc.as("w"), col("cnt"))
-    val syms = split(col("w").substr(lit(2), length(col("w")) - 2),
-      java.util.regex.Pattern.quote(s2 + s1))
-    val pairs = transform(sequence(lit(1), size(col("s")) - 1),
-      i => struct(element_at(col("s"), i).as("a"),
-        element_at(col("s"), i + lit(1)).as("b")))
-    // every round state is persisted and materialized BY the next
-    // round's argmax aggregation (no extra count() jobs); all states
-    // release together at the end — k+1 copies of the small vocab
-    // table, each consumed exactly once by the following round
-    var cur = base.persist()
+    // INCREMENTAL pair counts (r22, guide §1.2/§2.4 -- don't recompute
+    // what a round doesn't change): `pc` is the standing pair-count
+    // table, derived in FULL exactly once and then maintained with
+    // ± deltas from only the words CONTAINING the merged pair. A
+    // merge leaves every other word's adjacent-pair multiset
+    // untouched (replace() is the identity on them), so
+    //   pc' = pc + Σ_touched cnt·(pairs(replace(w)) − pairs(w))
+    // equals the full recount ROW FOR ROW -- same keys, same counts --
+    // once exact zeros are dropped (a true recount never emits a
+    // 0-count row; negatives cannot arise because the subtraction is
+    // per-word exact). The argmax over an identical table picks the
+    // identical merge, ties included: pinned by the recount-
+    // equivalence test in TextAnalysisSpec and by the DuckDB oracle's
+    // recursive-CTE replay. Per round the explode/agg now touches
+    // O(words with the pair), not O(vocabulary) -- at a real vocab
+    // the difference between O(touched) and O(vocab·word-length).
+    //
+    // Execution shape: ONE eager localCheckpoint job per round. The
+    // checkpoint both truncates the lineage (pc_r references cur's
+    // replace chain AND pc_{r-1}; left lazy, the shared subtrees
+    // re-enter through two paths and the logical tree DOUBLES per
+    // round -- the r20 CC lesson, re-measured here as seconds of pure
+    // planning at k = 8) and carries the next argmax as an `observe`
+    // metric: min(struct(-n, a, b)) is exactly
+    // orderBy(n desc, a, b).limit(1) -- long negation flips the count
+    // order, struct comparison is field-by-field with the same
+    // binary string ordering orderBy uses -- so the dedicated
+    // per-round TakeOrdered job disappears (2 jobs/round → 1).
+    var cur = bpeBase(documents).persist()
+    val states = scala.collection.mutable.ArrayBuffer(cur)
+    def materializeWithBest(df: DataFrame): (DataFrame, Option[(String, String, Long)]) = {
+      val obs = org.apache.spark.sql.Observation()
+      val out = df.observe(obs,
+        min(struct((-col("n")).as("nn"), col("a"), col("b"))).as("best"))
+        .localCheckpoint()
+      val best = Option(obs.get("best")).map { anyRow =>
+        val row = anyRow.asInstanceOf[org.apache.spark.sql.Row]
+        (row.getString(1), row.getString(2), -row.getLong(0))
+      }
+      (out, best)
+    }
+    var (pc, best) = materializeWithBest(bpePairCounts(cur))
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var r = 1
+    while (r <= k && best.isDefined) { // an exhausted pc (None) = dry
+      val (a, b, n) = best.get
+      merges += ((r, a, b, n))
+      if (r < k) { // the state AFTER the final merge is never read
+        val pat = bpeS1 + a + bpeS2 + bpeS1 + b + bpeS2
+        val rep = bpeS1 + a + b + bpeS2
+        val w2 = call_function("replace", col("w"), lit(pat), lit(rep))
+        // unaggregated ± rows: the union with pc shares the single
+        // (a, b)-keyed exchange of the merge aggregation (map-side
+        // combined), instead of paying a separate delta aggregation
+        val deltaRows = cur.filter(col("w").contains(pat))
+          .select(col("cnt"),
+            bpePairs(bpeSyms(col("w"))).as("po"),
+            bpePairs(bpeSyms(w2)).as("pn"))
+          .select(explode(concat(
+            transform(col("po"), p => struct(p("a").as("a"),
+              p("b").as("b"), (-col("cnt")).as("d"))),
+            transform(col("pn"), p => struct(p("a").as("a"),
+              p("b").as("b"), col("cnt").as("d"))))).as("x"))
+          .select(col("x.a").as("a"), col("x.b").as("b"), col("x.d").as("n"))
+        val next = pc.unionByName(deltaRows)
+          .groupBy("a", "b").agg(sum("n").as("n"))
+          .filter(col("n") > 0)
+        cur = cur.withColumn("w", w2).persist() // lazy: materialized by the checkpoint job
+        states += cur
+        LoopProbe.tap(s"round$r", next)
+        val (pcM, bestM) = materializeWithBest(next)
+        pc = pcM
+        best = bestM
+      }
+      r += 1
+    }
+    states.foreach(_.unpersist())
+    merges.result().toDF("merge_round", "pair_left", "pair_right", "n")
+  }
+
+  /** The pre-r22 full-recount BPE loop -- every round re-derives the
+   * complete pair table from the current vocabulary state. Kept as
+   * the EQUIVALENCE REFERENCE for [[bpeTrain]]'s incremental
+   * pair-count maintenance (TextAnalysisSpec proves identical merge
+   * tables, ties included, on adversarial corpora); not a query
+   * path. */
+  private[ops] def bpeTrainRecount(spark: org.apache.spark.sql.SparkSession,
+      documents: DataFrame, k: Int = 8): DataFrame = {
+    import spark.implicits._
+    var cur = bpeBase(documents).persist()
     val states = scala.collection.mutable.ArrayBuffer(cur)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var r = 1
     var dry = false
     while (r <= k && !dry) {
-      val best = cur.select(col("cnt"), syms.as("s"))
-        .filter(size(col("s")) >= 2)
-        .select(col("cnt"), explode(pairs).as("p"))
-        .groupBy(col("p.a"), col("p.b")).agg(sum("cnt").as("n"))
+      val best = bpePairCounts(cur)
         .orderBy(col("n").desc, col("a"), col("b"))
         .limit(1).collect()
-      if (best.isEmpty) dry = true // corpus fully merged before k
+      if (best.isEmpty) dry = true
       else {
         val (a, b, n) = (best(0).getString(0), best(0).getString(1),
           best(0).getLong(2))
         merges += ((r, a, b, n))
         cur = cur.withColumn("w", call_function("replace", col("w"),
-          lit(s1 + a + s2 + s1 + b + s2), lit(s1 + a + b + s2))).persist()
+          lit(bpeS1 + a + bpeS2 + bpeS1 + b + bpeS2),
+          lit(bpeS1 + a + b + bpeS2))).persist()
         states += cur
       }
       r += 1
@@ -647,14 +718,67 @@ object TextAnalysis {
     merges.result().toDF("merge_round", "pair_left", "pair_right", "n")
   }
 
+  /** Sentinel bytes framing each symbol of an encoded BPE word:
+   * `<1>sym<2>` per symbol. Words containing either byte are dropped
+   * from training (bpeBase), so frame parsing is unambiguous. */
+  private[ops] val bpeS1 = "\u0001"
+  private[ops] val bpeS2 = "\u0002"
+
+  /** The sentinel-framed distinct-word frequency table (w, cnt) -- the
+   * BPE training state. Shared by [[bpeTrain]] and the full-recount
+   * reference [[bpeTrainRecount]]. */
+  private def bpeBase(documents: DataFrame): DataFrame = {
+    val enc = concat_ws("", transform(sequence(lit(1), length(col("w"))),
+      i => concat(lit(bpeS1), col("w").substr(i, lit(1)), lit(bpeS2))))
+    documents
+      .select(explode(words(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2 &&
+        !col("w").contains(bpeS1) && !col("w").contains(bpeS2))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(enc.as("w"), col("cnt"))
+  }
+
+  /** Symbol array of a sentinel-framed encoded word. */
+  private def bpeSyms(w: Column): Column =
+    split(w.substr(lit(2), length(w) - 2),
+      java.util.regex.Pattern.quote(bpeS2 + bpeS1))
+
+  /** Adjacent symbol pairs of a symbol array as struct(a, b); a
+   * 1-symbol word yields the EMPTY array (guarded -- sequence(1, 0)
+   * counts DOWN, and element_at past the end must not evaluate for
+   * short words). */
+  private def bpePairs(s: Column): Column =
+    when(size(s) >= 2,
+      transform(sequence(lit(1), size(s) - 1),
+        i => struct(element_at(s, i).as("a"),
+          element_at(s, i + lit(1)).as("b"))))
+      .otherwise(array().cast("array<struct<a:string,b:string>>"))
+
+  /** Full pair-count derivation over a vocabulary state -- the table
+   * the greedy argmax reads: (a, b, n = Σ cnt over adjacent
+   * occurrences). One explode + one map-side-combined aggregation. */
+  private def bpePairCounts(vocab: DataFrame): DataFrame =
+    vocab.select(col("cnt"), bpeSyms(col("w")).as("s"))
+      .filter(size(col("s")) >= 2)
+      .select(col("cnt"), explode(transform(sequence(lit(1), size(col("s")) - 1),
+        i => struct(element_at(col("s"), i).as("a"),
+          element_at(col("s"), i + lit(1)).as("b")))).as("p"))
+      .groupBy(col("p.a"), col("p.b")).agg(sum("cnt").as("n"))
+
   def bytePairStats(documents: DataFrame, topK: Int = 50): DataFrame =
     documents
       .select(explode(words(col("text"))).as("w")) // repo convention: single-space split
       .filter(length(col("w")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, length(w) - 1)," +
-          " i -> struct(substring(w, i, 1) AS pa," +
-          " substring(w, i + 1, 1) AS pb))")).as("p"))
+      // ONE native codegen'd pass per word (r22): the previous
+      // interpreted HOF chain — transform(sequence(1, length(w)-1),
+      // i -> struct(substring(w, i, 1), substring(w, i+1, 1))) —
+      // evaluated two interpreted substring lambdas per position and
+      // was this query's entire map cost (~0.76 s task time at sf0.1
+      // for a 3-task plan). graft_char_pairs emits byte-identical
+      // pairs (same code-point boundaries as substring; equivalence
+      // pinned in TextExpressionsSpec) with the identical
+      // explode → map-side-combined count shape downstream.
+      .select(explode(graft.functions.Texts.charPairs(col("w"))).as("p"))
       .groupBy(col("p.pa").as("pair_left"), col("p.pb").as("pair_right"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair_left"), col("pair_right"))

@@ -30,7 +30,13 @@ class BenchBudgetSpec extends AnyFunSuite {
     // mid-run calib_max/calib_max_at fields ~45, so 275 keeps margin
     // for a failed-query list
     val summaryLen = 275
-    val sbtOverhead = 2 * 7 + 90 // [info] prefixes + trailing [success] line
+    // r22: run/outputStrategy is StdoutOutput, so the forked bench's
+    // lines arrive raw (no 7-char `[info] ` prefixes); only sbt's own
+    // trailing [success] line remains. The cold_full line (r22) is
+    // deliberately NOT in this projection: it prints FIRST so the tail
+    // capture clips IT, never the compact map or the summary — it is
+    // consumed from full stdout by the driver's parser, not the tail.
+    val sbtOverhead = 90 // trailing [success] line
     val projected = coldLen + summaryLen + sbtOverhead
     val budget = 1900 // driver tail is exactly 2000 chars; keep margin
     info(s"projected bench stdout: $projected chars for ${names.size} queries")
@@ -39,6 +45,14 @@ class BenchBudgetSpec extends AnyFunSuite {
         s"against the driver's measured 2000-char tail capture — before " +
         "adding more queries, drop cold values to 2 decimals or tighten " +
         "the compact-key scheme (see Bench.scala's emission comment)")
+  }
+
+  test("cold_full values are valid JSON numbers at 10 ms resolution") {
+    assert(Bench.numTrim(0.18) == "0.18")
+    assert(Bench.numTrim(0.1) == "0.1")   // trailing zero trimmed
+    assert(Bench.numTrim(1.0) == "1")     // bare integer stays valid JSON
+    assert(Bench.numTrim(0.0) == "0")     // never an empty string
+    assert(Bench.numTrim(12.34) == "12.34")
   }
 
   test("compact keys are unique and stable for the registered query set") {

@@ -91,4 +91,47 @@ class TextExpressionsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(native == old && native.nonEmpty)
   }
+
+  test("winnowFingerprints skips null gram elements instead of crashing (r22)") {
+    import spark.implicits._
+    // array(lit(null), "a", "b") through the SQL face: the pre-r22
+    // build NPE'd on the null slot; the contract is now to skip it —
+    // the result equals winnowing the null-free array
+    val df = Seq(1).toDF("i")
+    val withNull = df.select(Texts.winnowFingerprints(
+      array(lit(null).cast("string"), lit("a"), lit("b")), 4).as("fps"))
+      .select(explode(col("fps")).as("fp")).collect().map(_.getLong(0)).toSeq
+    val without = df.select(Texts.winnowFingerprints(
+      array(lit("a"), lit("b")), 4).as("fps"))
+      .select(explode(col("fps")).as("fp")).collect().map(_.getLong(0)).toSeq
+    assert(withNull == without && withNull.nonEmpty)
+  }
+
+  test("charPairs equals the interpreted substring HOF, multi-byte included") {
+    import spark.implicits._
+    val words = Seq("ab", "hello", "中文字符", "a中b", "naïve", "x",
+      "", "🙂🙃ok", "aa", "日本語テキスト処理")
+    val df = words.toDF("w")
+    val native = df.select(col("w"),
+      Texts.charPairs(col("w")).as("ps")).collect()
+      .map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(p => (p.getString(0), p.getString(1))))
+      .toMap
+    val hof = df.filter(length(col("w")) >= 2).select(col("w"), expr(
+      "transform(sequence(1, length(w) - 1)," +
+        " i -> struct(substring(w, i, 1) AS pa, substring(w, i + 1, 1) AS pb))").as("ps"))
+      .collect()
+      .map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(p => (p.getString(0), p.getString(1))))
+      .toMap
+    words.foreach { w =>
+      val n = w.codePointCount(0, w.length)
+      if (n >= 2) assert(native(w) == hof(w), s"mismatch for '$w'")
+      else assert(native(w).isEmpty, s"short word '$w' must yield no pairs")
+    }
+    // null propagates
+    val r = Seq[Option[String]](None).toDF("w")
+      .select(Texts.charPairs(col("w"))).collect().head
+    assert(r.isNullAt(0))
+  }
 }

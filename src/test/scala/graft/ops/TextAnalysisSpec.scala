@@ -193,6 +193,31 @@ class TextAnalysisSpec extends SparkSpec {
       (3, "b", "abab", 1L)))
   }
 
+  test("bpe training: incremental pair-count deltas match the full recount, " +
+      "ties and dry-out included") {
+    import spark.implicits._
+    // adversarial corpora: exact ties (argmax must break identically),
+    // overlapping runs (delta must subtract the consumed boundary
+    // pairs), words that collapse to one symbol (empty new-pair side),
+    // dry-out before k rounds, and a multi-word mixed corpus
+    val corpora = Seq(
+      "abab abab cd",                 // tie-free chain + dry-out
+      "aaa aaaa aaaaa",               // equal-symbol runs: max delta overlap
+      "babab abba baab",              // boundary-consumption traps
+      "ab ab ba ba cd dc",            // exact count ties → pair-order tie-break
+      "xy",                           // single word, collapses to one symbol
+      "the cat sat on the mat the cat ran", // realistic mixed corpus
+      "zz zz zz yy yy xx")            // ties across disjoint pairs
+    corpora.foreach { text =>
+      val df = Seq(text).toDF("text")
+      val inc = TextAnalysis.bpeTrain(spark, df)
+        .as[(Int, String, String, Long)].collect().toSeq
+      val ref = TextAnalysis.bpeTrainRecount(spark, df)
+        .as[(Int, String, String, Long)].collect().toSeq
+      assert(inc == ref, s"incremental != recount for corpus '$text'")
+    }
+  }
+
   test("media plumbing: features have fixed shape, entropy bounded, bytes preserved") {
     val documents = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val feats = Multimodal.extractFeatures(spark, Multimodal.fromDocuments(documents)).collect()
