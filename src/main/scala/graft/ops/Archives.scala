@@ -1642,9 +1642,14 @@ object Archives {
       case Some(_) => df.checkpoint()
       case None    => df.localCheckpoint()
     }
+    // node/edge counts ride the two one-time breaks as observe
+    // metrics (no extra jobs) and feed the small-round gate below
+    val obsN = org.apache.spark.sql.Observation()
+    val obsE = org.apache.spark.sql.Observation()
     val nodes = break(graph.select(col("src_host").as("host"))
       .union(graph.select(col("dst_host").as("host")))
-      .distinct())
+      .distinct()
+      .observe(obsN, count(lit(1)).as("rows")))
     // outdeg is a STATIC per-source property — fold it into the edge
     // materialization ONCE instead of re-aggregating + re-joining it
     // inside every iteration (guide §1.2/§2.4: don't recompute
@@ -1653,7 +1658,17 @@ object Archives {
     // the reliable-checkpoint path, through execution)
     val outdeg = graph.groupBy("src_host")
       .agg(sum(col("n_links")).as("outdeg"))
-    val edges = break(graph.join(outdeg, Seq("src_host")))
+    val edges = break(graph.join(outdeg, Seq("src_host"))
+      .observe(obsE, count(lit(1)).as("rows")))
+    // small-state mode (r22, LoopExec): with the graph measured tiny,
+    // each in-loop break executes AQE-off on one reduce partition —
+    // one job per break instead of per-exchange query-stage jobs
+    // (q_w25 measured 28 jobs for 0.39 s of task time). Big graphs
+    // keep the full AQE path.
+    val spark = graph.sparkSession
+    val small = LoopExec.isSmall(spark,
+      Some(obsN.get("rows").asInstanceOf[Long]),
+      Some(obsE.get("rows").asInstanceOf[Long]))
     var ranks = nodes.withColumn("rank", lit(scale))
     for (i <- 0 until iterations) {
       // per-iteration shape (r21, guide §2.4): ONE edge join + ONE
@@ -1663,6 +1678,14 @@ object Archives {
       // row per node: sum(c) over the union ≡ coalesce(contrib, 0)
       // — identical integer arithmetic, one fewer join/exchange in
       // each of the 10 iterations
+      // (measured and REJECTED here, r22: a broadcast hint on the
+      // rank side under the small gate — the per-iteration broadcast
+      // BUILD is its own job, so 10 iterations added ~5 job launches
+      // back (19 → 24) and summed task time rose; unlike the CC
+      // loop, each iteration's rank side is an unmaterialised 3-round
+      // chain, so hinting re-shapes the whole inter-break pipeline
+      // rather than one persisted table. The AQE-off small mode alone
+      // keeps the win: jobs 28 → 19 at q_w25.)
       ranks = edges
         .join(ranks.withColumnRenamed("host", "src_host"), Seq("src_host"))
         .select(col("dst_host").as("host"),
@@ -1671,11 +1694,13 @@ object Archives {
         .groupBy("host").agg(
           (lit(scale * 15 / 100) +
             expr("85 * sum(c) div 100")).as("rank"))
+      LoopProbe.tap(s"iter$i", ranks)
       // break lineage every THIRD round, not every round: a 3-round
       // join/agg chain plans trivially, and each eager checkpoint is
       // a full materialization — per-round checkpointing dominated
       // the query's cost at small scale and wastes memory at large
-      if (i % 3 == 2 && i != iterations - 1) ranks = break(ranks)
+      if (i % 3 == 2 && i != iterations - 1)
+        ranks = LoopExec.round(spark, small) { break(ranks) }
     }
     ranks
   }

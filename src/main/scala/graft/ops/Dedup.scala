@@ -326,14 +326,38 @@ object Dedup {
    * the propagation distance per round → O(log diameter) rounds.
    * Convergence is detected exactly (no label changed), so the result
    * equals the transitive closure at any component diameter.
-   * Lineage is truncated each round with localCheckpoint; on a real
-   * cluster swap in `checkpoint()` to reliable storage.
+   * Lineage is truncated each round: `localCheckpoint` by default
+   * (single-JVM mode), reliable `checkpoint()` when
+   * `spark.graft.cc.checkpointDir` is set (cluster mode — an executor
+   * loss mid-fixpoint recovers from the store; see the knob comment
+   * in the body). Small measured states execute one-job-per-round
+   * (LoopExec).
    */
   def duplicateClusters(pairs: DataFrame, maxIterations: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
+    // Reliable-checkpoint knob (r22, mirrors hostRank's checkpointDir
+    // option and spark.graft.similarity.reliableMaterialize): with
+    // `spark.graft.cc.checkpointDir` set — the CLUSTER mode — every
+    // lineage break below is a reliable `checkpoint()` into that
+    // directory, so a lost executor mid-fixpoint recovers from the
+    // store instead of killing the job (localCheckpoint blocks are
+    // executor-local AND lineage-severed: unrecoverable). Unset — the
+    // single-JVM default — localCheckpoint stays the right trade.
+    val ckDir = spark.conf.getOption("spark.graft.cc.checkpointDir")
+    ckDir.foreach(d => spark.sparkContext.setCheckpointDir(d))
+    def break(df: DataFrame): DataFrame = ckDir match {
+      case Some(_) => df.checkpoint()
+      case None    => df.localCheckpoint()
+    }
     // materialise the (possibly expensive) pair-detection lineage ONCE
     // — the checkpoint also truncates the logical plan so the per-round
-    // re-planning below never re-optimizes the pair finder's tree
-    val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    // re-planning below never re-optimizes the pair finder's tree.
+    // The pair count rides the same job as an observe metric and
+    // (×2 = edge rows) feeds the small-round gate below.
+    val obsP = org.apache.spark.sql.Observation()
+    val p = break(pairs.select(col("doc_a"), col("doc_b"))
+      .observe(obsP, count(lit(1)).as("rows")))
+    val nEdges = 2L * obsP.get("rows").asInstanceOf[Long]
     // undirected edge list, both directions in ONE map-side explode,
     // PERSISTED lazily instead of eagerly checkpointed: the first
     // round's init aggregation materializes it as part of its own job,
@@ -368,24 +392,39 @@ object Dedup {
     // Dataset.checkpoint is a tracked action, so the CollectMetrics
     // accumulator publishes when the checkpoint job finishes and the
     // dedicated per-round sum job disappears (2 jobs/round → 1).
-    def materializeWithSum(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
+    def materializeWithSum(df: DataFrame): (DataFrame, java.math.BigDecimal, Long) = {
       val obs = org.apache.spark.sql.Observation()
       val out = df
-        .observe(obs, sum(col("cluster").cast("decimal(38,0)")).as("s"))
-        .localCheckpoint()
-      (out, obs.get("s").asInstanceOf[java.math.BigDecimal])
+        .observe(obs, sum(col("cluster").cast("decimal(38,0)")).as("s"),
+          count(lit(1)).as("rows")) // label count for the small-round gate
+      val broken = break(out)
+      (broken, obs.get("s").asInstanceOf[java.math.BigDecimal],
+        obs.get("rows").asInstanceOf[Long])
     }
     // init = min(self, min neighbor): the first min-step fused into the
     // label-table build (one aggregation replaces distinct + round 1's
     // neighbor join), saving a full round; the init sum's NULL doubles
     // as the emptiness check (no pairs → no clusters — return the
     // empty frame, not an NPE — without a separate isEmpty action)
-    val (labels0, sum0) = materializeWithSum(
-      edges.groupBy(col("src").as("doc_id"))
-        .agg(least(min(col("dst")), col("src")).as("cluster")))
+    // small-round execution (r22, LoopExec): the fixpoint's wall at
+    // bench scale is job-launch overhead, not task time (q_d9: 50
+    // jobs / 73 tasks / 1.6 s task time inside a 2.5 s wall) — when
+    // BOTH the edge list and the label table are measured under the
+    // LoopExec threshold, a round runs with AQE off and one reduce
+    // partition: one job per round instead of the 3-5 AQE query-stage
+    // jobs. Gate includes nEdges: a small label table joined against
+    // a huge static edge list must keep the AQE path (runtime
+    // broadcast, skew splitting).
+    val (labels0, sum0, nLabels0) = LoopExec.round(spark,
+      LoopExec.isSmall(spark, Some(nEdges))) {
+      materializeWithSum(
+        edges.groupBy(col("src").as("doc_id"))
+          .agg(least(min(col("dst")), col("src")).as("cluster")))
+    }
     var labels = labels0
     if (sum0 == null) { edges.unpersist(blocking = false); return labels }
     var prevSum = sum0
+    var nLabels = nLabels0
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
@@ -408,10 +447,19 @@ object Dedup {
       // advances pointer distance ~2× (hook + one jump) instead of
       // r20's ~4×, costing ~log2/log4 ≈ 2× the rounds for ~1/4 the
       // per-round stages — measured net win (q_d9: 120 → ~60 jobs).
+      // small rounds carry explicit broadcast hints (r22): with AQE
+      // off (LoopExec) the planner has no runtime sizes, and a
+      // sort-merge join over one reduce partition measured SLOWER
+      // than the AQE path it replaced (q_d9 2.46 → 2.68 s). The hint
+      // is sound exactly when the gate fires — nLabels is MEASURED
+      // under the threshold — and at scale (gate off, AQE on) the
+      // hint is absent and runtime join selection rules as before.
+      val small = LoopExec.isSmall(spark, Some(nEdges), Some(nLabels))
+      def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
       val withPtr = edges.unionByName(
         labels.select(col("doc_id").as("src"), col("cluster").as("dst")))
       val hooked = withPtr
-        .join(labels.select(col("doc_id").as("nb_id"), col("cluster").as("nb_cluster")),
+        .join(hinted(labels.select(col("doc_id").as("nb_id"), col("cluster").as("nb_cluster"))),
           col("dst") === col("nb_id"))
         .groupBy(col("src").as("doc_id"))
         .agg(min("nb_cluster").as("cluster"))
@@ -428,13 +476,17 @@ object Dedup {
       // each one doubles the plan tree (r20 measured Catalyst cost
       // exploding past two unmaterialised hops).
       val next = hooked
-        .join(hooked.select(col("doc_id").as("pj_id"), col("cluster").as("pj_cluster")),
+        .join(hinted(hooked.select(col("doc_id").as("pj_id"), col("cluster").as("pj_cluster"))),
           col("cluster") === col("pj_id"), "left")
         .select(col("doc_id"),
           coalesce(col("pj_cluster"), col("cluster")).as("cluster"))
-      val (nextM, curSum) = materializeWithSum(next)
+      LoopProbe.tap(s"round${iter + 1}", next)
+      val (nextM, curSum, curRows) = LoopExec.round(spark, small) {
+        materializeWithSum(next)
+      }
       converged = curSum.compareTo(prevSum) == 0
       prevSum = curSum
+      nLabels = curRows
       labels = nextM
       iter += 1
     }

@@ -634,18 +634,19 @@ object TextAnalysis {
     // per-round TakeOrdered job disappears (2 jobs/round → 1).
     var cur = bpeBase(documents).persist()
     val states = scala.collection.mutable.ArrayBuffer(cur)
-    def materializeWithBest(df: DataFrame): (DataFrame, Option[(String, String, Long)]) = {
+    def materializeWithBest(df: DataFrame): (DataFrame, Option[(String, String, Long)], Long) = {
       val obs = org.apache.spark.sql.Observation()
       val out = df.observe(obs,
-        min(struct((-col("n")).as("nn"), col("a"), col("b"))).as("best"))
+        min(struct((-col("n")).as("nn"), col("a"), col("b"))).as("best"),
+        count(lit(1)).as("rows")) // feeds the small-round gate, same job
         .localCheckpoint()
       val best = Option(obs.get("best")).map { anyRow =>
         val row = anyRow.asInstanceOf[org.apache.spark.sql.Row]
         (row.getString(1), row.getString(2), -row.getLong(0))
       }
-      (out, best)
+      (out, best, obs.get("rows").asInstanceOf[Long])
     }
-    var (pc, best) = materializeWithBest(bpePairCounts(cur))
+    var (pc, best, pcRows) = materializeWithBest(bpePairCounts(cur))
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var r = 1
     while (r <= k && best.isDefined) { // an exhausted pc (None) = dry
@@ -674,9 +675,18 @@ object TextAnalysis {
         cur = cur.withColumn("w", w2).persist() // lazy: materialized by the checkpoint job
         states += cur
         LoopProbe.tap(s"round$r", next)
-        val (pcM, bestM) = materializeWithBest(next)
+        // small-round gate (LoopExec): `pc` rows bound the round's
+        // reduce volume — the union agg is map-side combined, so the
+        // exchange carries ≤ pair-vocab rows per map partition even
+        // when a hot pair touches every word; the map side keeps the
+        // vocab's own partitioning either way
+        val (pcM, bestM, rowsM) =
+          LoopExec.round(spark, LoopExec.isSmall(spark, Some(pcRows))) {
+            materializeWithBest(next)
+          }
         pc = pcM
         best = bestM
+        pcRows = rowsM
       }
       r += 1
     }

@@ -71,9 +71,23 @@ object PlanDump {
         case Some(fn) =>
           // warm-up + plan capture (explain of the same frame the bench runs)
           isolate()
+          // loop-body capture (r22, VERDICT #7): checkpoint-terminated
+          // queries (CC, PageRank, BPE) return a `Scan ExistingRDD`
+          // stub — the LoopProbe hook dumps each ROUND's
+          // pre-materialization frame alongside, so per-iteration plan
+          // claims carry committed evidence. Hook is cleared before
+          // the timed trials: plan capture must never tax them.
+          graft.ops.LoopProbe.hook = Some { (label, ldf) =>
+            val lw = new java.io.PrintWriter(
+              new java.io.File(outDir, s"${name}_loop_$label.txt"), "UTF-8")
+            try lw.println(ldf.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode))
+            finally lw.close()
+          }
           val df = fn(spark, sfDir)
           val plan = df.queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode)
+          graft.ops.LoopProbe.hook = None
           val w = new java.io.PrintWriter(
             new java.io.File(outDir, s"$name.txt"), "UTF-8")
           try w.println(plan) finally w.close()

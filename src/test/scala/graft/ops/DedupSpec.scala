@@ -153,6 +153,35 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("duplicate clusters: reliable-checkpoint knob and forced-AQE path " +
+      "both reproduce the default result (r22)") {
+    import spark.implicits._
+    // a long chain (many rounds) + an isolated pair
+    val pairs = (1L until 9L).map(i => (i, i + 1)).toSeq ++ Seq((20L, 21L))
+    val df = pairs.toDF("doc_a", "doc_b")
+    val expect = Dedup.duplicateClusters(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+    assert(expect.values.toSet == Set(1L, 20L))
+    // 1. reliable checkpoint() into a temp dir (the cluster mode)
+    val dir = java.nio.file.Files.createTempDirectory("cc-ck").toString
+    spark.conf.set("spark.graft.cc.checkpointDir", dir)
+    try {
+      val got = Dedup.duplicateClusters(df).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+      assert(got == expect)
+      // the reliable path actually wrote checkpoint state
+      assert(new java.io.File(dir).listFiles().nonEmpty)
+    } finally spark.conf.unset("spark.graft.cc.checkpointDir")
+    // 2. threshold 0 disables the small-round mode → the full AQE
+    // path (the pre-r22 execution) must agree row for row
+    spark.conf.set(graft.ops.LoopExec.SmallRowsConf, "0")
+    try {
+      val got = Dedup.duplicateClusters(df).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+      assert(got == expect)
+    } finally spark.conf.unset(graft.ops.LoopExec.SmallRowsConf)
+  }
+
   test("apply near-dedup keeps unclustered docs plus one canonical per cluster") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta"
