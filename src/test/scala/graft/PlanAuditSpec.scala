@@ -224,6 +224,57 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("tf-idf: doc length rides the rank window's doc_id exchange; one vocab join (r22 pin)") {
+    // r21 folded the dedicated docLen aggregation + doc_id join into a
+    // window sum over the rank window's own partition (guide §2.4:
+    // same-key operations share one exchange). Pin the shape: exactly
+    // ONE doc_id-only exchange (both windows ride it) and ONE
+    // equi-join (tf ⋈ dfreq on w) — a regression to the old shape
+    // re-adds a doc_id join and a second doc_id-keyed exchange.
+    audited(TextAnalysis.tfidfTopTerms(Tables.documents(spark, sf))) { plan =>
+      val docIdOnly = shuffles(plan).filter { e =>
+        e.outputPartitioning match {
+          case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+            h.expressions.length == 1 &&
+              h.expressions.head.references.toSeq.map(_.name) == Seq("doc_id")
+          case _ => false
+        }
+      }
+      assert(docIdOnly.size == 1,
+        s"expected ONE doc_id-only exchange (shared window partition), got ${docIdOnly.size}:\n$plan")
+      val equiJoins = plan.collect {
+        case j: SortMergeJoinExec => j
+        case j: ShuffledHashJoinExec => j
+        case j: BroadcastHashJoinExec => j
+      }
+      assert(equiJoins.size == 1, s"expected ONE equi-join (dfreq on w):\n$plan")
+    }
+  }
+
+  test("k-means assignment reads the SHARED materialised corpus, never re-scans parquet (r22 pin)") {
+    // r21 made kmeansAssign share one normalised-corpus
+    // materialisation between the Lloyd iterations and the final
+    // assignment; pin that the output plan contains no parquet scan
+    // (a re-scan would mean the sharing regressed).
+    audited(graft.ops.Similarity.kmeansAssign(
+      Tables.embeddings(spark, sf), k = 4, iters = 1)) { plan =>
+      val scans = plan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      assert(scans.isEmpty,
+        s"assignment must read the materialised corpus, not re-scan parquet:\n$plan")
+    }
+  }
+
+  test("ann recall: all six index pipelines read ONE materialised corpus (r22 pin)") {
+    audited(graft.ops.Similarity.recallAtK(
+      Tables.embeddings(spark, sf), nQueries = 4, k = 2)) { plan =>
+      val scans = plan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      assert(scans.isEmpty,
+        s"recall must read the shared corpus only — parquet scans found:\n$plan")
+    }
+  }
+
   test("container metadata decode is pure map-side: zero exchanges over the blobs") {
     audited(graft.ops.Multimodal.avMetaTable(spark, Tables.mp4(spark))) { plan =>
       assert(shuffles(plan).isEmpty, s"${shuffles(plan).size} shuffles:\n$plan")
