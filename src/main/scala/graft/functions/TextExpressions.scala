@@ -405,6 +405,142 @@ object AdjacentCharPairs {
   }
 }
 
+/**
+ * Sentinel-framed BPE word encoding in one native pass (r22): each
+ * code point of the input becomes ` cp ` — the twin of
+ * the interpreted HOF `concat_ws("", transform(sequence(1,
+ * length(w)), i -> concat(s1, substring(w, i, 1), s2)))` applied once
+ * per distinct corpus word by bpeBase. Code points are delimited
+ * exactly as Spark's substring (numBytesForFirstByte), so the output
+ * is byte-identical to the HOF on any input.
+ *
+ * Null contract: null → null (same as the HOF chain).
+ */
+case class SentinelEncode(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_sentinel_encode"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SentinelEncode.build(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = SentinelEncode.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $cls.build($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SentinelEncode =
+    copy(child = newChild)
+}
+
+object SentinelEncode {
+  def build(s: UTF8String): UTF8String = {
+    val bytes = s.getBytes
+    val nBytes = bytes.length
+    var n = 0
+    var off = 0
+    while (off < nBytes) { n += 1; off += UTF8String.numBytesForFirstByte(bytes(off)) }
+    val out = new Array[Byte](nBytes + 2 * n)
+    var o = 0
+    off = 0
+    while (off < nBytes) {
+      val len = math.min(UTF8String.numBytesForFirstByte(bytes(off)), nBytes - off)
+      out(o) = 0x01; o += 1
+      System.arraycopy(bytes, off, out, o, len); o += len
+      out(o) = 0x02; o += 1
+      off += len
+    }
+    // a trailing truncated code point can claim fewer bytes than
+    // numBytesForFirstByte promised; the copy above clamps, so out
+    // may be over-allocated — trim to what was written
+    if (o == out.length) UTF8String.fromBytes(out)
+    else UTF8String.fromBytes(java.util.Arrays.copyOf(out, o))
+  }
+}
+
+/**
+ * Adjacent SYMBOL pairs of a sentinel-framed BPE word in one native
+ * pass (r22): parses the ` sym ` frames directly and
+ * emits array<struct<a:string, b:string>> of adjacent symbol pairs —
+ * the twin of the interpreted chain `split(substr(w, 2, len-2),
+ * quote(""))` + `transform(sequence(1, size-1), i ->
+ * struct(element_at(s, i), element_at(s, i+1)))`, whose regex split
+ * and per-position lambdas were the BPE loop's remaining map cost.
+ * Words with fewer than 2 symbols yield the EMPTY array (the SQL
+ * formulation sat behind a size >= 2 filter; explode drops the row
+ * either way).
+ *
+ * Contract: input must be well-formed sentinel framing — symbols
+ * never contain the sentinel bytes (bpeBase filters such words out of
+ * training). Produced and consumed only inside the BPE operators.
+ *
+ * Null contract: null → null.
+ */
+case class AdjacentSymbolPairs(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("b", StringType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_symbol_pairs"
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(AdjacentSymbolPairs.build(input.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = AdjacentSymbolPairs.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  $cls.build($c));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AdjacentSymbolPairs =
+    copy(child = newChild)
+}
+
+object AdjacentSymbolPairs {
+  /** Symbols are the byte runs between a 0x01 opener and its 0x02
+   * closer; adjacent pairs are emitted as 2-field rows. */
+  def build(s: UTF8String): Array[AnyRef] = {
+    val bytes = s.getBytes
+    val nBytes = bytes.length
+    // first pass: count symbols (= number of 0x01 openers)
+    var n = 0
+    var i = 0
+    while (i < nBytes) { if (bytes(i) == 0x01) n += 1; i += 1 }
+    if (n < 2) return new Array[AnyRef](0)
+    val syms = new Array[UTF8String](n)
+    var k = 0
+    i = 0
+    while (i < nBytes && k < n) {
+      if (bytes(i) == 0x01) {
+        val start = i + 1
+        var end = start
+        while (end < nBytes && bytes(end) != 0x02) end += 1
+        syms(k) = UTF8String.fromBytes(bytes, start, end - start)
+        k += 1
+        i = end + 1
+      } else i += 1
+    }
+    val out = new Array[AnyRef](n - 1)
+    i = 0
+    while (i < n - 1) {
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](syms(i), syms(i + 1)))
+      i += 1
+    }
+    out
+  }
+}
+
 /** Column-API surface for the native text expressions. */
 object Texts {
   /** One-pass per-set marker-occurrence counts over a words array;
@@ -433,4 +569,15 @@ object Texts {
    * in one native pass; see [[AdjacentCharPairs]]. */
   def charPairs(text: Column): Column =
     ColumnBridge.column(AdjacentCharPairs(ColumnBridge.expression(text)))
+
+  /** Sentinel-framed BPE encoding of a word (U+0001 cp U+0002 per
+   * code point) in one native pass; see [[SentinelEncode]]. */
+  def sentinelEncode(text: Column): Column =
+    ColumnBridge.column(SentinelEncode(ColumnBridge.expression(text)))
+
+  /** Adjacent symbol pairs of a sentinel-framed BPE word as
+   * array<struct<a, b>> in one native pass; see
+   * [[AdjacentSymbolPairs]]. */
+  def symbolPairs(encoded: Column): Column =
+    ColumnBridge.column(AdjacentSymbolPairs(ColumnBridge.expression(encoded)))
 }

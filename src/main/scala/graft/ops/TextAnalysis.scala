@@ -661,8 +661,8 @@ object TextAnalysis {
         // combined), instead of paying a separate delta aggregation
         val deltaRows = cur.filter(col("w").contains(pat))
           .select(col("cnt"),
-            bpePairs(bpeSyms(col("w"))).as("po"),
-            bpePairs(bpeSyms(w2)).as("pn"))
+            graft.functions.Texts.symbolPairs(col("w")).as("po"),
+            graft.functions.Texts.symbolPairs(w2).as("pn"))
           .select(explode(concat(
             transform(col("po"), p => struct(p("a").as("a"),
               p("b").as("b"), (-col("cnt")).as("d"))),
@@ -736,43 +736,29 @@ object TextAnalysis {
 
   /** The sentinel-framed distinct-word frequency table (w, cnt) -- the
    * BPE training state. Shared by [[bpeTrain]] and the full-recount
-   * reference [[bpeTrainRecount]]. */
-  private def bpeBase(documents: DataFrame): DataFrame = {
-    val enc = concat_ws("", transform(sequence(lit(1), length(col("w"))),
-      i => concat(lit(bpeS1), col("w").substr(i, lit(1)), lit(bpeS2))))
+   * reference [[bpeTrainRecount]]. The encoding is the native
+   * graft_sentinel_encode pass (r22) — byte-identical to the previous
+   * interpreted `concat_ws(transform(sequence…substr))` chain (pinned
+   * in TextExpressionsSpec). */
+  private def bpeBase(documents: DataFrame): DataFrame =
     documents
       .select(explode(words(col("text"))).as("w"))
       .filter(length(col("w")) >= 2 &&
         !col("w").contains(bpeS1) && !col("w").contains(bpeS2))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .select(enc.as("w"), col("cnt"))
-  }
-
-  /** Symbol array of a sentinel-framed encoded word. */
-  private def bpeSyms(w: Column): Column =
-    split(w.substr(lit(2), length(w) - 2),
-      java.util.regex.Pattern.quote(bpeS2 + bpeS1))
-
-  /** Adjacent symbol pairs of a symbol array as struct(a, b); a
-   * 1-symbol word yields the EMPTY array (guarded -- sequence(1, 0)
-   * counts DOWN, and element_at past the end must not evaluate for
-   * short words). */
-  private def bpePairs(s: Column): Column =
-    when(size(s) >= 2,
-      transform(sequence(lit(1), size(s) - 1),
-        i => struct(element_at(s, i).as("a"),
-          element_at(s, i + lit(1)).as("b"))))
-      .otherwise(array().cast("array<struct<a:string,b:string>>"))
+      .select(graft.functions.Texts.sentinelEncode(col("w")).as("w"), col("cnt"))
 
   /** Full pair-count derivation over a vocabulary state -- the table
    * the greedy argmax reads: (a, b, n = Σ cnt over adjacent
-   * occurrences). One explode + one map-side-combined aggregation. */
+   * occurrences). One NATIVE pair explode (graft_symbol_pairs, r22 —
+   * the regex split + transform/element_at HOF chain it replaces was
+   * ~0.7 s of the init's 1.0 s at sf0.1; equivalence pinned in
+   * TextExpressionsSpec, and 1-symbol words yield the empty array so
+   * the old size >= 2 filter is subsumed by explode) + one
+   * map-side-combined aggregation. */
   private def bpePairCounts(vocab: DataFrame): DataFrame =
-    vocab.select(col("cnt"), bpeSyms(col("w")).as("s"))
-      .filter(size(col("s")) >= 2)
-      .select(col("cnt"), explode(transform(sequence(lit(1), size(col("s")) - 1),
-        i => struct(element_at(col("s"), i).as("a"),
-          element_at(col("s"), i + lit(1)).as("b")))).as("p"))
+    vocab.select(col("cnt"),
+        explode(graft.functions.Texts.symbolPairs(col("w"))).as("p"))
       .groupBy(col("p.a"), col("p.b")).agg(sum("cnt").as("n"))
 
   def bytePairStats(documents: DataFrame, topK: Int = 50): DataFrame =

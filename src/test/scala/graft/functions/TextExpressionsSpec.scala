@@ -107,6 +107,46 @@ class TextExpressionsSpec extends SparkSpec {
     assert(withNull == without && withNull.nonEmpty)
   }
 
+  test("sentinelEncode + symbolPairs equal the interpreted SQL formulations (r22)") {
+    import spark.implicits._
+    val s1 = 1.toChar.toString
+    val s2 = 2.toChar.toString
+    val words = Seq("ab", "hello", "中文字符", "a中b", "naïve", "x", "🙂🙃ok")
+    val df = words.toDF("w")
+    // encode: native vs concat_ws(transform(sequence…substr)) chain
+    val encHof = concat_ws("", transform(sequence(lit(1), length(col("w"))),
+      i => concat(lit(s1), col("w").substr(i, lit(1)), lit(s2))))
+    df.select(Texts.sentinelEncode(col("w")).as("n"), encHof.as("h")).collect()
+      .foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+    // symbol pairs over multi-char merged symbols: native parse vs
+    // regex split + transform/element_at (the pre-r22 chain)
+    val enc = Seq(
+      s1 + "a" + s2 + s1 + "b" + s2,                     // [a, b]
+      s1 + "ab" + s2 + s1 + "c" + s2 + s1 + "de" + s2,   // [ab, c, de]
+      s1 + "中文" + s2 + s1 + "x" + s2,                   // multi-byte symbol
+      s1 + "only" + s2)                                  // 1 symbol → no pairs
+    val edf = enc.toDF("w")
+    val syms = split(col("w").substr(lit(2), length(col("w")) - 2),
+      java.util.regex.Pattern.quote(s2 + s1))
+    val hof2 = edf.select(col("w"), syms.as("s"))
+      .filter(size(col("s")) >= 2)
+      .select(col("w"), expr(
+        "transform(sequence(1, size(s) - 1), i -> struct(element_at(s, i) AS a, element_at(s, i + 1) AS b))").as("ps"))
+      .collect()
+      .map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(p => (p.getString(0), p.getString(1))))
+      .toMap
+    val native = edf.select(col("w"), Texts.symbolPairs(col("w")).as("ps")).collect()
+      .map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(p => (p.getString(0), p.getString(1))))
+      .toMap
+    enc.foreach { w =>
+      if (hof2.contains(w)) assert(native(w) == hof2(w), s"mismatch for ${w.length}-char word")
+      else assert(native(w).isEmpty)
+    }
+    assert(native.values.flatten.nonEmpty)
+  }
+
   test("charPairs equals the interpreted substring HOF, multi-byte included") {
     import spark.implicits._
     val words = Seq("ab", "hello", "中文字符", "a中b", "naïve", "x",
